@@ -1,13 +1,541 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Engine
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.{Analytics, Dedup, Similarity}
+
+/** Driver contract: one `queries` entry (+ `oracleSql` where ANSI-SQL
+  * expressible) per implemented operator from SURVEY.md §2.
+  *
+  * Column-name discipline: every computed column is aliased identically
+  * in the DataFrame code and the oracle SQL (the driver's compare sorts
+  * columns by name before hashing). Every query is deterministically
+  * ordered; float aggregates are rounded on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(s, dir, name)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // ===================================================================
+  // Aggregations (SURVEY §2.4)
+  // ===================================================================
+
+  /** A1 — TPC-H Q1-flavored pricing summary: scan-heavy hash aggregate
+    * with partial (map-side) combine; one shuffle on the 6-row group key.
+    */
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** J1/A1 — TPC-H Q5-flavored revenue by nation: 5-way join; the four
+    * dimension tables are broadcast (they are tiny at any SF; only
+    * lineitem⋈orders shuffles, on the join key).
+    */
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+
+  /** O2 — top-k join: TakeOrderedAndProject, no global sort. */
+  private def q03(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(10)
+
+  /** J6 — semi join (EXISTS): orders having any heavy lineitem. */
+  private def q04(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "lineitem").filter(col("l_quantity") > 45),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  /** J6 — anti join (NOT EXISTS): customers with no recent orders. */
+  private def q05(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_orderdate") >= lit("2000-01-01")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+
+  /** A1 — TPC-H Q6-flavored single-row filtered aggregate: the filters
+    * are pushed to the parquet scan (`PushedFilters` in explain).
+    */
+  private def q06(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01")
+        && col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  /** A2 — success rate per group (`query.py:241-243` parity). */
+  private def q07(s: SparkSession, dir: String): DataFrame =
+    Analytics.successRate(t(s, dir, "orders"),
+      col("o_orderstatus") === "F", Seq("o_orderpriority"))
+      .orderBy(col("o_orderpriority"))
+
+  /** A3 — top-5 common failures (`query.py:246-253` parity). */
+  private def q08(s: SparkSession, dir: String): DataFrame =
+    Analytics.topFailures(t(s, dir, "events"),
+      col("event_type") === "error", col("user_id"), k = 5)
+
+  /** A4 — failure-rate ranking above threshold (`query.py:256-270`). */
+  private def q09(s: SparkSession, dir: String): DataFrame =
+    Analytics.failureRanking(t(s, dir, "events"), "user_id",
+      col("event_type") === "error", threshold = 0.1)
+
+  /** A6 — weighted progress Σwᵢpᵢ/Σwᵢ with zero-guard
+    * (`outcome_aggregator.py:246-295`); weight parsed from the JSON
+    * props column (scalar JSON surface, §2.7).
+    */
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    Analytics.weightedProgress(
+      t(s, dir, "events").withColumn("w",
+        get_json_object(col("props"), "$.k").cast("double")),
+      col("w"), col("value"), Seq("event_type"))
+      .orderBy(col("event_type"))
+
+  /** A7 — exact count-distinct metrics (`outcome_aggregator.py:283-295`). */
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    Analytics.distinctMetrics(
+      t(s, dir, "events").withColumn("user_event",
+        concat_ws(":", col("user_id"), col("event_type"))),
+      Seq("user_id", "user_event"))
+
+  /** A9 — weighted risk score + grade ladder (`risk_scorer.py`). */
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    val score = least(greatest(col("c_acctbal") / 100.0, lit(0.0)), lit(100.0))
+    t(s, dir, "customer")
+      .withColumn("grade", Analytics.gradeLadder(score))
+      .groupBy(col("grade"))
+      .agg(count(lit(1)).as("n_customers"), round(avg(col("c_acctbal")), 2).as("avg_acctbal"))
+      .orderBy(col("grade"))
+  }
+
+  /** A10 — histogram of event types (`query.py:439-468`). */
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    Analytics.histogram(t(s, dir, "events"), Seq("event_type"))
+
+  /** A11 — rollup over region/nation (subtotals + grand total). */
+  private def q14(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+
+  /** A12 — distinct projection. */
+  private def q15(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus")).distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  // ===================================================================
+  // Windows (SURVEY §2.5)
+  // ===================================================================
+
+  /** W1 — stall detection: N consecutive identical values in arrival
+    * order (`event_loop_node.py:1823-1829`). One shuffle on user_id.
+    */
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("stalled", Analytics.stallFlag(col("event_type"),
+        Seq(col("event_id")), Seq(col("user_id")), threshold = 3))
+      .filter(col("stalled"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_stalls"))
+      .orderBy(col("user_id"))
+
+  /** W4 — running sum in arrival order (token-budget-window shape,
+    * `conversation.py:186-192`). Sequential fold per partition ⇒
+    * deterministic float accumulation on both engines.
+    */
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        round(sum(col("value")).over(w), 2).as("running_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** W5/W3 — top-3 per group via row_number (recent-history tails). */
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    Analytics.topNPerGroup(t(s, dir, "events"), Seq("event_type"),
+      Seq(desc("value"), asc("event_id")), 3)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .orderBy(col("event_type"), desc("value"), col("event_id"))
+
+  // ===================================================================
+  // Sorts / limits / set ops (SURVEY §2.6)
+  // ===================================================================
+
+  /** O1 — newest-first tail (`runtime_logs_tool.py:135-138`). */
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .orderBy(desc("event_id"))
+      .select(col("event_id"), col("event_type"), col("value"))
+      .limit(20)
+
+  /** S1 — offset/limit pagination (`csv_tool.py:15-88` semantics). */
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .offset(100).limit(50)
+
+  /** O6 — union of branch outputs then merge-aggregate. */
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    e.filter(col("event_type") === "purchase").select(col("user_id"), col("value"))
+      .unionByName(e.filter(col("event_type") === "signup").select(col("user_id"), col("value")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** O7 — intersect: nations present among both customers and suppliers. */
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy(col("nationkey"))
+
+  /** O7 — except: nations with no supplier. */
+  private def q23(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation").select(col("n_nationkey").as("nationkey"))
+      .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy(col("nationkey"))
+
+  // ===================================================================
+  // Dedup / text (SURVEY §2.6 O8 + LLM-pipeline mandate)
+  // ===================================================================
+
+  /** O8 — exact-dedup stats over canonical fingerprints. */
+  private def q24(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(TF.exactFingerprint(col("text"))).as("n_unique"))
+
+  /** O8 — duplicate classes (fingerprint, size, representative id). */
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateGroups(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("fingerprint"))
+
+  /** P/LIKE — pattern filter + grouped count (`csv_tool.py:308-309`). */
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_name").like("%red%"))
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n_parts"), round(avg(col("p_retailprice")), 2).as("avg_price"))
+      .orderBy(col("p_type"))
+
+  /** §2.7 string functions: upper/lower/substring/replace/length. */
+  private def q27(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        length(col("c_name")).as("name_len"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        regexp_replace(col("c_name"), "#", "-").as("dashed"))
+      .orderBy(col("c_custkey"))
+      .limit(100)
+
+  /** §2.7 date functions: year/month buckets. */
+  private def q28(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("o_year"), month(col("o_orderdate")).as("o_month"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("o_year"), col("o_month"))
+
+  /** §2.7 JSON extraction (`event_bus` props parity). */
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy((get_json_object(col("props"), "$.k").cast("int") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("k_bucket"))
+
+  /** ST/W6 — processing-time hourly windows over the event stream
+    * (batch parity of the Structured Streaming window aggregation).
+    */
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Text analysis — token counts per language. */
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TF.tokenCount(col("text"))).as("sum_tokens"),
+        round(avg(TF.tokenCount(col("text"))), 4).as("avg_tokens"))
+      .orderBy(col("lang"))
+
+  /** Text analysis — punctuation/alpha ratios per source. */
+  private def q32(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(
+        round(avg(TF.punctRatio(col("text"))), 4).as("avg_punct_ratio"),
+        round(avg(TF.stopwordRatio(col("text"))), 4).as("avg_stopword_ratio"))
+      .orderBy(col("source"))
+
+  /** Similarity search — brute-force cosine top-10 against the vec_id=0
+    * embedding (exact ANN baseline).
+    */
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    Similarity.knnBrute(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", query, 10)
+  }
+
+  // ===================================================================
+  // Registry
+  // ===================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01 _),
+    "q02_revenue_by_nation" -> (q02 _),
+    "q03_top_orders" -> (q03 _),
+    "q04_priority_semi_join" -> (q04 _),
+    "q05_customers_without_orders" -> (q05 _),
+    "q06_forecast_revenue" -> (q06 _),
+    "q07_success_rate" -> (q07 _),
+    "q08_top_failures" -> (q08 _),
+    "q09_failure_ranking" -> (q09 _),
+    "q10_weighted_progress" -> (q10 _),
+    "q11_distinct_metrics" -> (q11 _),
+    "q12_risk_grades" -> (q12 _),
+    "q13_event_histogram" -> (q13 _),
+    "q14_rollup_acctbal" -> (q14 _),
+    "q15_distinct_flags" -> (q15 _),
+    "q16_stall_runs" -> (q16 _),
+    "q17_running_total" -> (q17 _),
+    "q18_top3_per_type" -> (q18 _),
+    "q19_recent_events" -> (q19 _),
+    "q20_page_lineitem" -> (q20 _),
+    "q21_union_segments" -> (q21 _),
+    "q22_common_nations" -> (q22 _),
+    "q23_nations_without_suppliers" -> (q23 _),
+    "q24_dedup_stats" -> (q24 _),
+    "q25_duplicate_groups" -> (q25 _),
+    "q26_brand_like_filter" -> (q26 _),
+    "q27_string_funcs" -> (q27 _),
+    "q28_monthly_orders" -> (q28 _),
+    "q29_json_extract" -> (q29 _),
+    "q30_hourly_event_windows" -> (q30 _),
+    "q31_token_stats" -> (q31 _),
+    "q32_doc_ratios" -> (q32 _),
+    "q33_knn_brute" -> (q33 _))
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_extendedprice), 4) AS avg_price,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_revenue_by_nation" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q03_top_orders" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q04_priority_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q05_customers_without_orders" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q06_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q07_success_rate" ->
+      """SELECT o_orderpriority, count(*) AS n_total,
+        | round(avg(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END), 4) AS success_rate
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q08_top_failures" ->
+      """SELECT user_id AS error_key, count(*) AS n_failures FROM events
+        |WHERE event_type = 'error' GROUP BY user_id
+        |ORDER BY n_failures DESC, error_key LIMIT 5""".stripMargin,
+    "q09_failure_ranking" ->
+      """SELECT user_id, count(*) AS n_total,
+        | sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_failed,
+        | round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+        |   AS failure_rate
+        |FROM events GROUP BY user_id
+        |HAVING round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0 / count(*), 4) > 0.1
+        |ORDER BY failure_rate DESC, user_id""".stripMargin,
+    "q10_weighted_progress" ->
+      """SELECT event_type,
+        | round(sum(CAST(json_extract_string(props, '$.k') AS DOUBLE) * value)
+        |   / greatest(sum(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 1.0), 4)
+        |   AS weighted_progress
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q11_distinct_metrics" ->
+      """SELECT count(DISTINCT user_id) AS n_distinct_user_id,
+        | count(DISTINCT concat(user_id, ':', event_type)) AS n_distinct_user_event
+        |FROM events""".stripMargin,
+    "q12_risk_grades" ->
+      """SELECT CASE WHEN least(greatest(c_acctbal / 100.0, 0.0), 100.0) >= 90 THEN 'A'
+        |            WHEN least(greatest(c_acctbal / 100.0, 0.0), 100.0) >= 80 THEN 'B'
+        |            WHEN least(greatest(c_acctbal / 100.0, 0.0), 100.0) >= 70 THEN 'C'
+        |            WHEN least(greatest(c_acctbal / 100.0, 0.0), 100.0) >= 60 THEN 'D'
+        |            ELSE 'F' END AS grade,
+        | count(*) AS n_customers, round(avg(c_acctbal), 2) AS avg_acctbal
+        |FROM customer GROUP BY 1 ORDER BY grade""".stripMargin,
+    "q13_event_histogram" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
+    "q14_rollup_acctbal" ->
+      """SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q15_distinct_flags" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q16_stall_runs" ->
+      """SELECT user_id, count(*) AS n_stalls FROM (
+        |  SELECT user_id, event_type,
+        |    lag(event_type, 1) OVER w AS p1, lag(event_type, 2) OVER w AS p2
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+        |WHERE event_type = p1 AND event_type = p2 AND len(event_type) > 0
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q17_running_total" ->
+      """SELECT event_id, user_id,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q18_top3_per_type" ->
+      """SELECT event_type, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+        |  FROM events) WHERE rn <= 3
+        |ORDER BY event_type, value DESC, event_id""".stripMargin,
+    "q19_recent_events" ->
+      """SELECT event_id, event_type, value FROM events
+        |ORDER BY event_id DESC LIMIT 20""".stripMargin,
+    "q20_page_lineitem" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 50 OFFSET 100""".stripMargin,
+    "q21_union_segments" ->
+      """SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value FROM (
+        |  SELECT user_id, value FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, value FROM events WHERE event_type = 'signup')
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q22_common_nations" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "q23_nations_without_suppliers" ->
+      """SELECT n_nationkey AS nationkey FROM nation
+        |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "q24_dedup_stats" ->
+      """SELECT count(*) AS n_docs,
+        | count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_unique
+        |FROM documents""".stripMargin,
+    "q25_duplicate_groups" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        | min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY fingerprint""".stripMargin,
+    "q26_brand_like_filter" ->
+      """SELECT p_type, count(*) AS n_parts, round(avg(p_retailprice), 2) AS avg_price
+        |FROM part WHERE p_name LIKE '%red%' GROUP BY p_type ORDER BY p_type""".stripMargin,
+    "q27_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS uname, length(c_name) AS name_len,
+        | substring(c_name, 1, 8) AS prefix, regexp_replace(c_name, '#', '-', 'g') AS dashed
+        |FROM customer ORDER BY c_custkey LIMIT 100""".stripMargin,
+    "q28_monthly_orders" ->
+      """SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+        | count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month""".stripMargin,
+    "q29_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+        | count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+    "q30_hourly_event_windows" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, event_type,
+        | count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q31_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        | sum(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |   t -> len(t) > 0))) AS sum_tokens,
+        | round(avg(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |   t -> len(t) > 0))), 4) AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q32_doc_ratios" ->
+      """SELECT source,
+        | round(avg(CASE WHEN len(text) = 0 THEN 0.0 ELSE
+        |   len(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / len(text) END), 4)
+        |   AS avg_punct_ratio,
+        | round(avg(CASE WHEN len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |     t -> len(t) > 0)) = 0 THEN 0.0 ELSE
+        |   len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |     t -> list_contains(['the','a','an','and','or','of','to','in','is','are','was',
+        |       'for','on','with','as','by','at','it','that','this','be'], t))) * 1.0 /
+        |   len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0))
+        |   END), 4) AS avg_stopword_ratio
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q33_knn_brute" ->
+      """SELECT e.vec_id,
+        | round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |   CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+        |FROM embeddings e,
+        | (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin)
 }

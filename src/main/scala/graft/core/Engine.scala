@@ -1,0 +1,72 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session + catalog management for the engine.
+  *
+  * The reference (adenhq/hive) loads CSV/Excel/BigQuery tables into an
+  * embedded DuckDB and names the working table `data`
+  * (`tools/src/aden_tools/tools/csv_tool/csv_tool.py:358`,
+  * `excel_tool.py:580-617`). Spark-natively, the analog is a
+  * SparkSession catalog of temp views over columnar (parquet) tables;
+  * Catalyst then provides pushdown/pruning/codegen for free.
+  *
+  * Scale notes (100 TB): table registration is metadata-only — no data
+  * is read until an action. Parquet scans get vectorized reads,
+  * predicate pushdown, partition pruning and (with AQE) runtime
+  * coalescing; nothing here materializes on the driver.
+  */
+object Engine {
+
+  /** The driver testdata star schema plus LLM-pipeline tables. */
+  val TableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Build a local session tuned for the test harness. On a real
+    * cluster only the master/shuffle-partition settings change; the
+    * engine code is identical.
+    */
+  def session(appName: String = "graft", cores: Int = 32): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Read one table of the testdata star schema. Nanosecond parquet
+    * timestamps (the `events.ts` column) are not representable in
+    * Spark's TimestampType; with `nanosAsLong` they arrive as raw
+    * nanos, which we convert to microsecond timestamps here so every
+    * downstream operator sees a plain TimestampType.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) {
+      case (acc, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
+        acc.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            (org.apache.spark.sql.functions.col("ts") / 1000L)
+              .cast(org.apache.spark.sql.types.LongType)))
+      case (acc, _) => acc
+    }
+  }
+
+  /** Register every table in `dir` as a temp view (idempotent), so both
+    * the DataFrame API and `spark.sql` can address them by name —
+    * mirroring the reference's sheet/table registration
+    * (`excel_tool.py:580-617`) Spark-natively.
+    */
+  def open(spark: SparkSession, dir: String): Unit =
+    TableNames.foreach { t =>
+      if (new java.io.File(s"$dir/$t.parquet").exists())
+        table(spark, dir, t).createOrReplaceTempView(t)
+    }
+}

@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions
+
+/** Deduplication operators for training-data pipelines — the
+  * beyond-reference LLM-pipeline mandate, generalizing the reference's
+  * canonical-fingerprint exact dedup
+  * (`core/framework/graph/event_loop_node.py:1895-1899`,
+  * `executor.py:308-310`).
+  *
+  * Scale design: every variant is shuffle-bounded and never does an
+  * O(n²) comparison — candidate generation is hash/LSH bucketing, so
+  * the self-join runs on co-partitioned buckets only. At 100 TB the
+  * only knobs are the band/row counts (recall/precision) and
+  * `spark.sql.shuffle.partitions`.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup on a canonical fingerprint (whitespace-normalized md5).
+    * One hash aggregate; keeps the lowest id per duplicate class for
+    * determinism.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("fingerprint", TextFunctions.exactFingerprint(col(textCol)))
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Duplicate classes with more than one member. */
+  def duplicateGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    exactDedup(df, idCol, textCol).filter(col("n_copies") > 1)
+
+  // ------------------------------------------------------------- shingles
+
+  /** Distinct word k-shingles of the (lowercased) text. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = TextFunctions.tokens(text)
+    array_distinct(
+      when(size(toks) < k, array(concat_ws(" ", toks)))
+        .otherwise(transform(
+          sequence(lit(1), size(toks) - (k - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(k))))))
+  }
+
+  /** Exploded (id, shingle) pairs — the normalized form every
+    * MinHash/Jaccard pass starts from.
+    */
+  private def shinglePairs(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol), explode(shingles(col(textCol), k)).as("shingle"))
+
+  // ------------------------------------------------------------- minhash
+
+  /** MinHash signatures: `numHashes` seeded xxhash64 min-aggregates
+    * over the shingle set (one shuffle on id). Signature comes back as
+    * an array column `signature`.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, shingleK: Int = 3): DataFrame = {
+    val pairs = shinglePairs(df, idCol, textCol, shingleK)
+    val mins = (0 until numHashes).map(h => min(xxhash64(lit(h), col("shingle"))).as(s"h$h"))
+    pairs.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(h => col(s"h$h")): _*).as("signature"))
+  }
+
+  /** MinHash-LSH candidate pairs: split the signature into `bands`
+    * bands of `numHashes/bands` rows, hash each band, and self-join on
+    * (band index, band hash). Co-partitioned equi-join — no cross
+    * product anywhere. Returns (id_a, id_b, est_jaccard) with
+    * id_a < id_b, est_jaccard = fraction of matching signature slots.
+    */
+  def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+      minJaccard: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleK)
+
+    val banded = sigs.select(
+      col(idCol).as("id"), col("signature"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(b, concat_ws(",", slice(col("signature"), b * rows + 1, lit(rows))))
+            .as("band_hash")))).as("lsh"))
+      .select(col("id"), col("signature"), col("lsh.band"), col("lsh.band_hash"))
+
+    val left = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_a"), col("signature").as("sig_a"))
+    val right = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_b"), col("signature").as("sig_b"))
+
+    left.join(right, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
+          .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= minJaccard)
+  }
+
+  // ------------------------------------------------------------- jaccard
+
+  /** Exact n-gram Jaccard similarity for candidate pairs (verification
+    * pass after LSH): joins each side back to its shingle set and
+    * computes |A∩B| / |A∪B| with array intersection.
+    */
+  def ngramJaccard(df: DataFrame, candidates: DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 3): DataFrame = {
+    val sets = df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash signatures of the token multiset: explode to
+    * (id, token), per-token xxhash64 bit extraction, bitwise majority
+    * vote as 64 map-side-combined sums, packed to one long. One shuffle
+    * on id; everything stays in whole-stage codegen (no UDF).
+    */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+    val bitSums = (0 until 64).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(1L)).as(s"b$j"))
+    val counted = toks.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), bitSums: _*)
+    val packed = (0 until 64)
+      .map(j => when(col(s"b$j") * 2 >= col("n_tokens"), lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    counted.select(col("id"), packed.as("sh"))
+  }
+
+  /** SimHash near-duplicates: band the 64-bit hash into four 16-bit
+    * chunks; any pair agreeing on a chunk is a candidate (catches all
+    * pairs within Hamming distance 3 by pigeonhole); verify by exact
+    * Hamming distance.
+    */
+  def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val hashed = simhashSignatures(df, idCol, textCol)
+    val bandStructs = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL).as("chunk")))
+    val banded = hashed.select(col("id"), col("sh"),
+      explode(array(bandStructs: _*)).as("lsh"))
+      .select(col("id"), col("sh"), col("lsh.band"), col("lsh.chunk"))
+    val left = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val right = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    left.join(right, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // --------------------------------------------------- embedding near-dup
+
+  /** Embedding near-duplicates: cosine ≥ `minCosine` pairs, with
+    * random-hyperplane LSH bucketing (`nPlanes` sign bits) so the
+    * pairwise check only runs inside buckets. `nPlanes = 0` falls back
+    * to brute force (test-scale only).
+    */
+  def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double = 0.95, nPlanes: Int = 8, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val normed = df.select(col(idCol).as("id"),
+      VectorFunctions.l2Normalize(col(vecCol)).as("v"))
+    val bucketed =
+      if (nPlanes <= 0) normed.withColumn("bucket", lit(0L))
+      else normed.withColumn("bucket",
+        VectorFunctions.hyperplaneBucket(col("v"), VectorFunctions.randomPlanes(nPlanes, dim, seed)))
+    val left = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val right = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    left.join(right, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VectorFunctions.dot(col("v_a"), col("v_b")), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .distinct()
+  }
+}

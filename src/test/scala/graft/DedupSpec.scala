@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.functions.TextFunctions
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different text about spark query engines and distributed joins"),
+    (4L, "THE  quick   brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1 modulo ws/case
+    (5L, "another unrelated document mentioning parquet files and shuffle partitions")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups whitespace/case-normalized copies") {
+    val groups = Dedup.duplicateGroups(docs, "doc_id", "text").collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("n_copies") == 2)
+    assert(groups.head.getAs[Long]("doc_id") == 1L)
+  }
+
+  test("minhash LSH finds the planted near-duplicate pair and not unrelated pairs") {
+    val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text", minJaccard = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((3L, 5L)))
+  }
+
+  test("exact ngram jaccard verifies candidates") {
+    val cand = Seq((1L, 2L), (3L, 5L)).toDF("id_a", "id_b")
+    val verified = Dedup.ngramJaccard(docs, cand, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(verified((1L, 2L)) > 0.5)
+    assert(verified((3L, 5L)) == 0.0)
+  }
+
+  test("simhash near-dup: identical docs hamming 0, near-dups small hamming") {
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(4L)) // same tokens -> same simhash
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) <= 8)
+    val pairs = Dedup.simhashNearDuplicates(docs, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("embedding near-dup finds cosine-close vectors via hyperplane LSH") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.1f)),
+      (2L, Array(0.99f, 0.01f, 0.0f, 0.1f)), // near-dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("id", "vec")
+    val pairs = Dedup.embeddingNearDuplicates(vecs, "id", "vec",
+      minCosine = 0.95, nPlanes = 4, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("rolling-hash fingerprint is order-sensitive, exact fingerprint is ws-insensitive") {
+    val fp = docs.select(col("doc_id"),
+      TextFunctions.rollingHashFingerprint(col("text")).as("rh"),
+      TextFunctions.exactFingerprint(col("text")).as("ef"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(fp(1L)._2 == fp(4L)._2) // exact fingerprint normalizes
+    assert(fp(1L)._1 == fp(4L)._1) // token stream identical
+    assert(fp(1L)._1 != fp(2L)._1)
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF}
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): org.apache.spark.sql.Row =
+    Seq(1).toDF("x").select(c).head()
+
+  test("tokenCount handles empty, padded, multi-space text") {
+    assert(one(TF.tokenCount(lit(""))).getInt(0) == 0)
+    assert(one(TF.tokenCount(lit("  hello   world  "))).getInt(0) == 2)
+    assert(one(TF.tokenCount(lit("a b c"))).getInt(0) == 3)
+  }
+
+  test("estimateTokens is the reference chars/4 heuristic") {
+    assert(one(TF.estimateTokens(lit("12345678"))).getLong(0) == 2L)
+    assert(one(TF.estimateTokens(lit("123456789"))).getLong(0) == 3L)
+  }
+
+  test("bpe-ish token count splits case/digit boundaries") {
+    assert(one(TF.bpeishTokenCount(lit("camelCase99x"))).getInt(0) == 4)
+  }
+
+  test("punct and alpha ratios") {
+    assert(one(TF.punctRatio(lit("ab!?"))).getDouble(0) == 0.5)
+    assert(one(TF.punctRatio(lit(""))).getDouble(0) == 0.0)
+    assert(one(TF.alphaRatio(lit("ab12"))).getDouble(0) == 0.5)
+  }
+
+  test("stopword ratio and quality score ranges") {
+    assert(one(TF.stopwordRatio(lit("the cat and the dog"))).getDouble(0) == 0.6)
+    val q = one(TF.qualityScore(lit("the quick brown fox is near the lazy dog"))).getDouble(0)
+    assert(q > 0.0 && q <= 1.0)
+  }
+
+  test("language id picks the profile with highest stopword hit rate") {
+    assert(one(TF.langIdHeuristic(lit("the cat and the dog is here"))).getString(0) == "en")
+    assert(one(TF.langIdHeuristic(lit("el perro y la casa en un pueblo"))).getString(0) == "es")
+    assert(one(TF.langIdHeuristic(lit("der Hund und die Katze ist hier"))).getString(0) == "de")
+    assert(one(TF.langIdHeuristic(lit("xyzzy plugh qwerty"))).getString(0) == "und")
+  }
+}
