@@ -323,6 +323,44 @@ object SparkEntry {
     Similarity.knnBrute(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", query, 10)
   }
 
+  /** §2.8 — safe_eval edge predicate compiled to a Catalyst Column
+    * (`safe_eval.py` semantics; the oracle states the same predicate in
+    * plain SQL, proving the translation).
+    */
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    events
+      .filter(graft.expr.SafeEval.predicate(
+        "value > 100 and event_type != 'error' and 'k' in props", events.schema))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** §2.2/§3 — dataflow graph execution: a GraphSpec with conditional
+    * safe_eval routing + per-node transforms, run by GraphExecutor; the
+    * oracle states the equivalent relational program.
+    */
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    import graft.graph._
+    val spec = GraphSpec(
+      nodes = Seq(NodeSpec("src"), NodeSpec("hot"), NodeSpec("cold"), NodeSpec("sink")),
+      edges = Seq(
+        EdgeSpec("src", "hot", "conditional", Some("value > 100")),
+        EdgeSpec("src", "cold", "conditional", Some("not value > 100")),
+        EdgeSpec("hot", "sink", inputMapping = Map("user_id" -> "user_id", "v" -> "value", "side" -> "side")),
+        EdgeSpec("cold", "sink", inputMapping = Map("user_id" -> "user_id", "v" -> "value", "side" -> "side"))),
+      entryNode = "src", terminalNodes = Seq("sink"))
+    val registry: GraphExecutor.Registry = Map(
+      "hot" -> ((df: DataFrame) => df.withColumn("side", lit("hot"))),
+      "cold" -> ((df: DataFrame) => df.withColumn("side", lit("cold"))))
+    GraphExecutor.run(spec, t(s, dir, "events"), registry)
+      .terminalOutputs("sink")
+      .groupBy(col("side"))
+      .agg(count(lit(1)).as("n"), round(sum(col("v")), 2).as("sum_value"))
+      .orderBy(col("side"))
+  }
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -360,7 +398,9 @@ object SparkEntry {
     "q30_hourly_event_windows" -> (q30 _),
     "q31_token_stats" -> (q31 _),
     "q32_doc_ratios" -> (q32 _),
-    "q33_knn_brute" -> (q33 _))
+    "q33_knn_brute" -> (q33 _),
+    "q34_edge_filter" -> (q34 _),
+    "q35_graph_route" -> (q35 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -537,5 +577,14 @@ object SparkEntry {
         |FROM embeddings e,
         | (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |WHERE e.vec_id <> 0
-        |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin)
+        |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
+    "q34_edge_filter" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |WHERE value > 100 AND event_type <> 'error' AND contains(props, 'k')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q35_graph_route" ->
+      """SELECT CASE WHEN value > 100 THEN 'hot' ELSE 'cold' END AS side,
+        | count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY side""".stripMargin)
 }
