@@ -361,6 +361,71 @@ object SparkEntry {
       .orderBy(col("side"))
   }
 
+  /** ST11 — tiered token-budget compaction plan
+    * (`event_loop_node.py:2041-2157`): running-from-tail token sums +
+    * usage-ratio tier ladder decide the keep set per session.
+    */
+  private def q36(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.compactionPlan(
+      t(s, dir, "events").select(col("user_id"), col("event_id"),
+        floor(col("value")).cast("long").as("tokens")),
+      "user_id", "event_id", "tokens", budget = 5000L)
+      .select(col("user_id"), col("event_id"), col("keep"))
+      .orderBy(col("user_id"), col("event_id"))
+
+  /** Dedup (rows-only oracle): MinHash signature computation. */
+  private def q37(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text", numHashes = 32)
+      .select(col("doc_id"), size(col("signature")).as("sig_len"))
+      .orderBy(col("doc_id"))
+
+  /** Dedup (rows-only oracle): SimHash 64-bit signatures. */
+  private def q38(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashSignatures(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("id"))
+
+  /** Text analysis (rows-only): language-ID heuristic distribution. */
+  private def q39(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(TF.langIdHeuristic(col("text")).as("detected_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("detected_lang"))
+
+  /** Text analysis (rows-only): composite quality-score stats. */
+  private def q40(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(round(avg(TF.qualityScore(col("text"))), 4).as("avg_quality"),
+        round(avg(TF.bpeishTokenCount(col("text"))), 2).as("avg_bpeish_tokens"))
+      .orderBy(col("lang"))
+
+  /** Similarity (rows-only): LSH-bucketed approximate knn. */
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    Similarity.knnLsh(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      query, k = 10, nPlanes = 6, probeHamming = 2)
+  }
+
+  /** Dedup (rows-only): embedding near-duplicate pairs via
+    * random-hyperplane LSH buckets.
+    */
+  private def q42(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDuplicates(t(s, dir, "embeddings"), "vec_id", "embedding",
+      minCosine = 0.2, nPlanes = 4, dim = 64)
+      .orderBy(desc("cosine"), col("id_a"), col("id_b"))
+      .limit(100)
+
+  /** A7 at scale (rows-only): HyperLogLog count-distinct — the 100 TB
+    * form of q11 (approximate, engine-specific values).
+    */
+  private def q43(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        approx_count_distinct(concat_ws(":", col("user_id"), col("event_type")))
+          .as("approx_user_events"))
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -400,7 +465,15 @@ object SparkEntry {
     "q32_doc_ratios" -> (q32 _),
     "q33_knn_brute" -> (q33 _),
     "q34_edge_filter" -> (q34 _),
-    "q35_graph_route" -> (q35 _))
+    "q35_graph_route" -> (q35 _),
+    "q36_compaction_plan" -> (q36 _),
+    "q37_minhash_signatures" -> (q37 _),
+    "q38_simhash_signatures" -> (q38 _),
+    "q39_langid_mix" -> (q39 _),
+    "q40_quality_scores" -> (q40 _),
+    "q41_knn_lsh" -> (q41 _),
+    "q42_embedding_neardup" -> (q42 _),
+    "q43_approx_distinct" -> (q43 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -586,5 +659,19 @@ object SparkEntry {
     "q35_graph_route" ->
       """SELECT CASE WHEN value > 100 THEN 'hot' ELSE 'cold' END AS side,
         | count(*) AS n, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1 ORDER BY side""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY side""".stripMargin,
+    "q36_compaction_plan" ->
+      """SELECT user_id, event_id,
+        | (rn <= keep_n AND run_tokens <= 5000) AS keep
+        |FROM (
+        |  SELECT user_id, event_id,
+        |    sum(tokens) OVER (PARTITION BY user_id ORDER BY event_id DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_tokens,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn,
+        |    CASE WHEN sum(tokens) OVER (PARTITION BY user_id) / 5000.0 < 0.8 THEN 2147483647
+        |         WHEN sum(tokens) OVER (PARTITION BY user_id) / 5000.0 < 1.0 THEN 4
+        |         WHEN sum(tokens) OVER (PARTITION BY user_id) / 5000.0 < 1.2 THEN 2
+        |         ELSE 1 END AS keep_n
+        |  FROM (SELECT user_id, event_id, CAST(floor(value) AS BIGINT) AS tokens FROM events))
+        |ORDER BY user_id, event_id""".stripMargin)
 }

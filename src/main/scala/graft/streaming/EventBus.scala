@@ -1,0 +1,134 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Typed event + filtered pub/sub on Structured Streaming — parity
+  * with the reference's event bus
+  * (`core/framework/runtime/event_bus.py`).
+  *
+  * `AgentEvent` mirrors `event_bus.py:90-114` (type, stream_id,
+  * node_id, execution_id, data, timestamp, correlation_id, graph_id;
+  * `data` serialized as a string map per `to_dict`,
+  * `event_bus.py:103-114`).
+  */
+final case class AgentEvent(
+    event_type: String,
+    stream_id: String,
+    node_id: String = "",
+    execution_id: String = "",
+    data: Map[String, String] = Map.empty,
+    ts: Timestamp = new Timestamp(0L),
+    correlation_id: String = "",
+    graph_id: String = "")
+
+/** Conjunctive equality subscription filter
+  * (`event_bus.py:122-131, 265-287`): type ∈ set plus optional
+  * stream/node/execution/graph equality.
+  */
+final case class Subscription(
+    eventTypes: Set[String] = Set.empty,
+    streamId: Option[String] = None,
+    nodeId: Option[String] = None,
+    executionId: Option[String] = None,
+    graphId: Option[String] = None) {
+
+  def predicate: Column = {
+    val conds = Seq(
+      if (eventTypes.nonEmpty) Some(col("event_type").isin(eventTypes.toSeq: _*)) else None,
+      streamId.map(col("stream_id") === _),
+      nodeId.map(col("node_id") === _),
+      executionId.map(col("execution_id") === _),
+      graphId.map(col("graph_id") === _)).flatten
+    if (conds.isEmpty) lit(true) else conds.reduce(_ && _)
+  }
+}
+
+/** In-process bus for tests and single-driver pipelines; the same
+  * subscription/query code runs unchanged against a Kafka/file source
+  * at scale (swap `events` for `spark.readStream.format(...)`).
+  *
+  * Publisher side = MemoryStream; each subscription = one streaming
+  * query over the shared stream (`event_bus.py:165-182` handler
+  * fan-out), delivered to an in-memory sink table named by the
+  * subscriber.
+  */
+final class EventBus(spark: SparkSession, maxHistory: Int = 1000) {
+  import spark.implicits._
+
+  private val stream = MemoryStream[AgentEvent](spark)
+  private var queries = Map.empty[String, StreamingQuery]
+  private var seq = 0L
+
+  /** The full typed event stream. */
+  def events: Dataset[AgentEvent] = stream.toDS()
+
+  /** Publish events (auto-stamps ts if unset — arrival order is the
+    * reference's ordering, ST3: no event-time watermarks).
+    */
+  def publish(evs: AgentEvent*): Unit = synchronized {
+    val stamped = evs.map { e =>
+      seq += 1
+      if (e.ts.getTime == 0L) e.copy(ts = new Timestamp(seq)) else e
+    }
+    stream.addData(stamped)
+  }
+
+  /** Subscribe: a filtered streaming query into memory sink
+    * `subscriberName` (queryable as a table).
+    */
+  def subscribe(subscriberName: String, sub: Subscription): StreamingQuery = synchronized {
+    val q = events.toDF().filter(sub.predicate)
+      .writeStream
+      .format("memory")
+      .queryName(subscriberName)
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    queries += subscriberName -> q
+    q
+  }
+
+  /** Deliver everything published so far to all subscribers. */
+  def flush(): Unit = queries.values.foreach(_.processAllAvailable())
+
+  /** What `subscriberName` has received. */
+  def received(subscriberName: String): DataFrame = spark.table(subscriberName)
+
+  /** Bounded recent history, newest first — retention parity
+    * (`event_bus.py:249-252, 857-887`, max 1000).
+    */
+  def history(subscriberName: String, n: Int = 100): DataFrame =
+    received(subscriberName).orderBy(desc("ts")).limit(math.min(n, maxHistory))
+
+  /** Await the first event matching `sub` — `wait_for` parity
+    * (`event_bus.py:902-…`). Returns None on timeout.
+    */
+  def waitFor(sub: Subscription, timeoutMs: Long = 5000): Option[AgentEvent] = {
+    val name = s"waitfor_${System.nanoTime()}"
+    val q = subscribe(name, sub)
+    val deadline = System.currentTimeMillis() + timeoutMs
+    try {
+      var hit: Option[AgentEvent] = None
+      while (hit.isEmpty && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        val rows = received(name).orderBy(asc("ts")).limit(1).as[AgentEvent].collect()
+        hit = rows.headOption
+        if (hit.isEmpty) Thread.sleep(10)
+      }
+      hit
+    } finally {
+      q.stop()
+      queries -= name
+    }
+  }
+
+  def stop(): Unit = synchronized {
+    queries.values.foreach(_.stop())
+    queries = Map.empty
+  }
+}

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Streaming operators over the `events` table shape — entry-point
+  * streams, windowed aggregation, keyed state
+  * (`execution_stream.py`, `shared_state.py`, SURVEY §2.9).
+  */
+object StreamOps {
+
+  /** Watermarked tumbling-window aggregation — the beyond-reference
+    * event-time extension (reference is processing-time only, ST3).
+    * Runs identically on a file/Kafka stream and in batch mode.
+    */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Start the windowed aggregation as a streaming query reading
+    * parquet files from `dir` (file-source streaming; new files = new
+    * micro-batches), delivering to in-memory sink `sinkName`.
+    */
+  def runFileStream(spark: SparkSession, dir: String, schema: org.apache.spark.sql.types.StructType,
+      sinkName: String): StreamingQuery = {
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val streamTs =
+      if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      else stream
+    windowedCounts(streamTs)
+      .writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Per-key running state for a stream of (key, value) — the keyed
+    * shared-state analog (`shared_state.py:49-343`): one state row per
+    * key, updated per micro-batch via mapGroupsWithState. Shuffle by
+    * key gives single-writer-per-key for free (the reference needs
+    * per-key locks, ST2's SYNCHRONIZED level).
+    */
+  final case class KeyedCount(key: String, n: Long, sum: Double)
+
+  def runningKeyedState(events: Dataset[(String, Double)]): Dataset[KeyedCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[KeyedCount, KeyedCount](GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[KeyedCount]) =>
+          val prev = state.getOption.getOrElse(KeyedCount(key, 0L, 0.0))
+          val batch = rows.toSeq
+          val updated = KeyedCount(key, prev.n + batch.size, prev.sum + batch.map(_._2).sum)
+          state.update(updated)
+          updated
+      }
+  }
+
+  /** Hierarchical state read resolution (`shared_state.py:152-182`):
+    * execution < stream < global; the narrowest scope that has the key
+    * wins. State is a DataFrame of (scope, stream_id, execution_id,
+    * key, value) — at scale a compacted keyed table.
+    */
+  def resolveState(state: DataFrame, streamId: String, executionId: String): DataFrame = {
+    val exec = state.filter(col("scope") === "execution" &&
+      col("stream_id") === streamId && col("execution_id") === executionId)
+      .select(col("key"), col("value").as("v_exec"))
+    val strm = state.filter(col("scope") === "stream" && col("stream_id") === streamId)
+      .select(col("key"), col("value").as("v_stream"))
+    val glob = state.filter(col("scope") === "global")
+      .select(col("key"), col("value").as("v_global"))
+    glob.join(strm, Seq("key"), "full_outer")
+      .join(exec, Seq("key"), "full_outer")
+      .select(col("key"),
+        coalesce(col("v_exec"), col("v_stream"), col("v_global")).as("value"))
+  }
+
+  /** Spillover pointer pattern (`event_loop_node.py:1943-2040`, ST10):
+    * values longer than `maxChars` are replaced by a preview +
+    * pointer column; callers store the blob out-of-band. Keeps wide
+    * payloads out of shuffle buffers.
+    */
+  def spillover(df: DataFrame, valueCol: String, maxChars: Int = 3000): DataFrame =
+    df.withColumn("spilled", length(col(valueCol)) > maxChars)
+      .withColumn("preview",
+        when(col("spilled"), concat(substring(col(valueCol), 1, 200), lit("…[spilled]")))
+          .otherwise(col(valueCol)))
+      .withColumn("pointer",
+        when(col("spilled"), sha2(col(valueCol), 256)).otherwise(lit(null)))
+
+  /** Tiered token-budget compaction (`event_loop_node.py:2041-2157`,
+    * ST11): given per-(session, seq) token counts, keep the newest
+    * rows whose running token sum (from the tail) fits the budget;
+    * older rows collapse into one summary row per session. The tier
+    * table (`:2046-2052`): usage 80–100% keep 4, 100–120% keep 2,
+    * ≥120% keep 1 — expressed as a keep-count column.
+    */
+  def compactionPlan(df: DataFrame, sessionCol: String, seqCol: String,
+      tokensCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(sessionCol)).orderBy(desc(seqCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = Window.partitionBy(col(sessionCol))
+    df.withColumn("run_tokens", sum(col(tokensCol)).over(w))
+      .withColumn("usage_ratio", sum(col(tokensCol)).over(totals) / lit(budget.toDouble))
+      .withColumn("keep_n",
+        when(col("usage_ratio") < 0.8, lit(Int.MaxValue))
+          .when(col("usage_ratio") < 1.0, lit(4))
+          .when(col("usage_ratio") < 1.2, lit(2))
+          .otherwise(lit(1)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(sessionCol)).orderBy(desc(seqCol))))
+      .withColumn("keep", col("rn") <= col("keep_n") && col("run_tokens") <= budget)
+      .drop("rn", "keep_n")
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.{AgentEvent, EventBus, StreamOps, Subscription}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("event bus: filtered pub/sub delivers only matching events") {
+    val bus = new EventBus(spark)
+    try {
+      bus.subscribe("errors_s1", Subscription(
+        eventTypes = Set("node_failed"), streamId = Some("s1")))
+      bus.publish(
+        AgentEvent("node_started", "s1", "n1"),
+        AgentEvent("node_failed", "s1", "n1"),
+        AgentEvent("node_failed", "s2", "n2"), // wrong stream
+        AgentEvent("node_completed", "s1", "n1"))
+      bus.flush()
+      val got = bus.received("errors_s1").collect()
+      assert(got.length == 1)
+      assert(got.head.getAs[String]("event_type") == "node_failed")
+      assert(got.head.getAs[String]("stream_id") == "s1")
+    } finally bus.stop()
+  }
+
+  test("event bus: history is newest-first and bounded") {
+    val bus = new EventBus(spark)
+    try {
+      bus.subscribe("all", Subscription())
+      bus.publish((1 to 30).map(i => AgentEvent(s"e$i", "s")): _*)
+      bus.flush()
+      val hist = bus.history("all", n = 10).collect()
+      assert(hist.length == 10)
+      assert(hist.head.getAs[String]("event_type") == "e30")
+    } finally bus.stop()
+  }
+
+  test("event bus: waitFor returns first match, times out cleanly") {
+    val bus = new EventBus(spark)
+    try {
+      bus.publish(AgentEvent("boot", "s1"), AgentEvent("ready", "s1"))
+      val hit = bus.waitFor(Subscription(eventTypes = Set("ready")), timeoutMs = 10000)
+      assert(hit.exists(_.event_type == "ready"))
+      val miss = bus.waitFor(Subscription(eventTypes = Set("never")), timeoutMs = 300)
+      assert(miss.isEmpty)
+    } finally bus.stop()
+  }
+
+  test("file-stream windowed aggregation matches batch result") {
+    // file-source streaming needs a directory of files
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val raw = spark.read.parquet(dir.toString)
+    val q = StreamOps.runFileStream(spark, dir.toString, raw.schema, "win_sink")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("win_sink")
+        .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      val batch = StreamOps.windowedCounts(
+        graft.core.Engine.table(spark, sfDir, "events"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0)
+    } finally q.stop()
+  }
+
+  test("keyed running state accumulates per key (mapGroupsWithState shape)") {
+    val ds = Seq(("u1", 1.0), ("u1", 2.0), ("u2", 5.0)).toDS()
+    val out = StreamOps.runningKeyedState(ds).collect().map(k => k.key -> (k.n, k.sum)).toMap
+    assert(out("u1") == (2L, 3.0))
+    assert(out("u2") == (1L, 5.0))
+  }
+
+  test("hierarchical state resolution: execution < stream < global (`shared_state.py:152-182`)") {
+    val state = Seq(
+      ("global", "", "", "model", "gpt-global"),
+      ("stream", "s1", "", "model", "model-stream"),
+      ("execution", "s1", "e1", "model", "model-exec"),
+      ("global", "", "", "budget", "100"),
+      ("stream", "s1", "", "retries", "3")
+    ).toDF("scope", "stream_id", "execution_id", "key", "value")
+    val resolved = StreamOps.resolveState(state, "s1", "e1")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(resolved("model") == "model-exec") // narrowest wins
+    assert(resolved("budget") == "100") // falls through to global
+    assert(resolved("retries") == "3") // stream level
+    val other = StreamOps.resolveState(state, "s2", "e9")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(other("model") == "gpt-global") // other stream: global only
+  }
+
+  test("spillover pointer pattern (`event_loop_node.py:1943-2040`)") {
+    val df = Seq("short", "x" * 5000).toDF("result")
+    val out = StreamOps.spillover(df, "result", maxChars = 3000).collect()
+    val small = out.find(_.getAs[String]("result") == "short").get
+    val big = out.find(_.getAs[Boolean]("spilled")).get
+    assert(!small.getAs[Boolean]("spilled") && small.getAs[String]("pointer") == null)
+    assert(big.getAs[String]("preview").endsWith("…[spilled]"))
+    assert(big.getAs[String]("pointer").length == 64) // sha256 pointer
+  }
+
+  test("tiered compaction keeps the newest rows within token budget (`event_loop_node.py:2041-2157`)") {
+    // session s: 10 rows x 100 tokens = 1000 total; budget 500 => usage 2.0 => keep 1
+    val rows = (1 to 10).map(i => ("s", i, 100L)) ++ (1 to 3).map(i => ("t", i, 100L))
+    val df = rows.toDF("session", "seq", "tokens")
+    val plan = StreamOps.compactionPlan(df, "session", "seq", "tokens", budget = 500L)
+    val keptS = plan.filter(col("session") === "s" && col("keep")).collect()
+    assert(keptS.length == 1 && keptS.head.getAs[Int]("seq") == 10) // newest only
+    // session t: 300 tokens, usage 0.6 < 0.8 => keep everything
+    assert(plan.filter(col("session") === "t" && col("keep")).count() == 3)
+  }
+}
