@@ -384,7 +384,10 @@ object SparkEntry {
     Dedup.simhashSignatures(t(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("id"))
 
-  /** Text analysis (rows-only): language-ID heuristic distribution. */
+  /** Text analysis (rows-only): language-ID heuristic distribution
+    * (custom-expression hot loop; `TextOps.langIdTable` is the
+    * join-based relational alternative).
+    */
   private def q39(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .groupBy(TF.langIdHeuristic(col("text")).as("detected_lang"))

@@ -70,24 +70,16 @@ object TextFunctions {
   }
 
   /** Stopword-profile language ID. Scores each candidate language by
-    * the fraction of tokens found in its stopword profile and returns
-    * the argmax (ties → first profile), "und" when no profile matches.
-    * N-gram-free but the same shape as real fastText-style heuristics;
-    * profiles are pluggable.
+    * its stopword hits over the token stream and returns the argmax
+    * (ties → lexicographically first profile), "und" when no profile
+    * matches. N-gram-free but the same shape as real fastText-style
+    * heuristics; profiles are pluggable. Implemented as a custom
+    * Catalyst expression (one tight loop per row — the HOF lambda
+    * formulation evaluates interpreted and is ~15× slower).
     */
   def langIdHeuristic(text: Column,
-      profiles: Map[String, Seq[String]] = DefaultLangProfiles): Column = {
-    val toks = tokens(text)
-    val scored = profiles.toSeq.map { case (lang, words) =>
-      val stops = array(words.map(lit): _*)
-      struct(
-        (size(filter(toks, t => array_contains(stops, t))).cast("double") /
-          greatest(size(toks), lit(1))).as("score"),
-        lit(lang).as("lang"))
-    }
-    val best = greatest(scored: _*)
-    when(best.getField("score") > 0.0, best.getField("lang")).otherwise(lit("und"))
-  }
+      profiles: Map[String, Seq[String]] = DefaultLangProfiles): Column =
+    CatalystExpressions.langId(tokens(text), profiles.toSeq.sortBy(_._1))
 
   val DefaultLangProfiles: Map[String, Seq[String]] = Map(
     "en" -> EnglishStopwords,

@@ -14,12 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Sum of elementwise products, accumulated in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+  /** Sum of elementwise products, accumulated left-to-right in double.
+    * Backed by a custom Catalyst expression (tight JVM loop); the
+    * `aggregate(zip_with(...))` formulation is semantically identical
+    * but evaluates interpreted lambdas per element.
+    */
+  def dot(a: Column, b: Column): Column = CatalystExpressions.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -54,18 +54,20 @@ object Dedup {
 
   // ------------------------------------------------------------- minhash
 
-  /** MinHash signatures: `numHashes` seeded xxhash64 min-aggregates
-    * over the shingle set (one shuffle on id). Signature comes back as
-    * an array column `signature`.
+  /** MinHash signatures, computed row-locally: hash each shingle once
+    * (the expensive string hash, in Catalyst), then a custom
+    * expression ([[graft.functions.CatalystExpressions.MinHashSig]])
+    * derives the `numHashes` seeded permutations as one tight JVM loop
+    * per row. Map-only: no explode, no shuffle — at 100 TB this runs
+    * at scan speed and the only shuffle in a dedup pipeline is the LSH
+    * band join.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 64, shingleK: Int = 3): DataFrame = {
-    val pairs = shinglePairs(df, idCol, textCol, shingleK)
-    val mins = (0 until numHashes).map(h => min(xxhash64(lit(h), col("shingle"))).as(s"h$h"))
-    pairs.groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(h => col(s"h$h")): _*).as("signature"))
-  }
+      numHashes: Int = 64, shingleK: Int = 3): DataFrame =
+    df.select(col(idCol).as(idCol),
+      graft.functions.CatalystExpressions.minhashSig(
+        transform(shingles(col(textCol), shingleK), s => xxhash64(s)), numHashes)
+        .as("signature"))
 
   /** MinHash-LSH candidate pairs: split the signature into `bands`
     * bands of `numHashes/bands` rows, hash each band, and self-join on
@@ -122,24 +124,17 @@ object Dedup {
 
   // -------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash signatures of the token multiset: explode to
-    * (id, token), per-token xxhash64 bit extraction, bitwise majority
-    * vote as 64 map-side-combined sums, packed to one long. One shuffle
-    * on id; everything stays in whole-stage codegen (no UDF).
+  /** 64-bit SimHash signatures of the token multiset, computed
+    * row-locally: per-token xxhash64 (Catalyst), then a custom
+    * expression ([[graft.functions.CatalystExpressions.SimHash64]])
+    * does the per-bit majority vote + packing as one tight JVM loop —
+    * a map-only projection, no explode or shuffle (scan-speed at
+    * 100 TB).
     */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(TextFunctions.tokens(col(textCol))).as("token"))
-      .withColumn("h", xxhash64(col("token")))
-    val bitSums = (0 until 64).map(j =>
-      sum(shiftright(col("h"), j).bitwiseAND(1L)).as(s"b$j"))
-    val counted = toks.groupBy(col("id"))
-      .agg(count(lit(1)).as("n_tokens"), bitSums: _*)
-    val packed = (0 until 64)
-      .map(j => when(col(s"b$j") * 2 >= col("n_tokens"), lit(1L << j)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    counted.select(col("id"), packed.as("sh"))
-  }
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.CatalystExpressions.simhash64(
+        transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t))).as("sh"))
 
   /** SimHash near-duplicates: band the 64-bit hash into four 16-bit
     * chunks; any pair agreeing on a chunk is a candidate (catches all
