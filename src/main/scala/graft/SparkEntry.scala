@@ -429,6 +429,35 @@ object SparkEntry {
         approx_count_distinct(concat_ws(":", col("user_id"), col("event_type")))
           .as("approx_user_events"))
 
+  /** Multimodal (rows-only): binary-column decode plumbing — documents
+    * as synthetic media bytes through the batched mapPartitions decode
+    * (stub kernel, real schema/batching), then metadata analytics.
+    */
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    val media = t(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("content"))
+    graft.operators.Multimodal.decode(media)
+      .groupBy(col("decoded.format").as("format"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("decoded.width")), 2).as("avg_width"))
+      .orderBy(col("format"))
+  }
+
+  /** Semantic ops (rows-only): deterministic-stub LLM judge over
+    * documents (the event-loop/judge mapPartitions harness end to end).
+    */
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.SemanticOps
+    val judged = SemanticOps.llmJudge(
+      t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+      "document is long enough", "text",
+      () => SemanticOps.DeterministicStub(p =>
+        if (p.length > 300) "PASS: long" else "FAIL: short"))
+    judged.groupBy(col("lang"), col("verdict"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("verdict"))
+  }
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -476,7 +505,9 @@ object SparkEntry {
     "q40_quality_scores" -> (q40 _),
     "q41_knn_lsh" -> (q41 _),
     "q42_embedding_neardup" -> (q42 _),
-    "q43_approx_distinct" -> (q43 _))
+    "q43_approx_distinct" -> (q43 _),
+    "q44_multimodal_decode" -> (q44 _),
+    "q45_semantic_judge" -> (q45 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.llm.SemanticOps
+import graft.operators.{Guards, Multimodal}
+
+class SemanticSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- llm
+
+  test("semanticMap renders prompts per row and batches calls") {
+    val df = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("name", "x")
+    val out = SemanticOps.semanticMap(df, "hello {name}", Seq("name"), "resp",
+      () => SemanticOps.DeterministicStub(p => s"echo[$p]"), batchSize = 2)
+    val got = out.collect().map(r => r.getAs[String]("name") -> r.getAs[String]("resp")).toMap
+    assert(got("a") == "echo[hello a]")
+    assert(got("c") == "echo[hello c]")
+  }
+
+  test("llmJudge parses PASS/FAIL with fail-closed fallback") {
+    val df = Seq("good text", "bad text").toDF("t")
+    val client = () => SemanticOps.DeterministicStub(p =>
+      if (p.contains("good text")) "PASS: looks fine" else "FAIL: nope"): SemanticOps.ModelClient
+    val judged = SemanticOps.llmJudge(df, "is it good?", "t", client)
+    val by = judged.collect().map(r => r.getAs[String]("t") ->
+      (r.getAs[Boolean]("verdict"), r.getAs[String]("reason"))).toMap
+    assert(by("good text") == (true, "looks fine"))
+    assert(by("bad text") == (false, "nope"))
+    val kept = SemanticOps.semanticFilter(df, "is it good?", "t", client)
+    assert(kept.collect().map(_.getString(0)).toSeq == Seq("good text"))
+  }
+
+  test("retrying client: transient failures retried, permanent surfaced") {
+    val flaky = new SemanticOps.FlakyClient(SemanticOps.DeterministicStub(identity), 2)
+    val retrying = SemanticOps.RetryingClient(flaky, maxRetries = 3, backoffBaseMs = 1)
+    assert(retrying.complete(Seq("x")) == Seq("x"))
+    val dead = new SemanticOps.FlakyClient(SemanticOps.DeterministicStub(identity), 99)
+    val r2 = SemanticOps.RetryingClient(dead, maxRetries = 2, backoffBaseMs = 1)
+    intercept[RuntimeException] { r2.complete(Seq("x")) }
+  }
+
+  test("outputCleaner: valid passes, broken repaired, hopeless kept raw (`output_cleaner.py`)") {
+    val target = StructType(Seq(StructField("a", LongType), StructField("b", StringType)))
+    val df = Seq(
+      """{"a": 1, "b": "ok"}""",
+      """garbage before {"a": 2, "b": "fixed"} garbage after""",
+      "utterly hopeless").toDF("payload")
+    val out = SemanticOps.outputCleaner(df, "payload", target, "parsed",
+      () => SemanticOps.JsonExtractStub)
+    val rows = out.collect()
+    assert(rows.count(_.getAs[String]("parsed_raw") == null) == 2)
+    val hopeless = rows.find(_.getAs[String]("parsed_raw") != null).get
+    assert(hopeless.getAs[String]("parsed_raw") == "utterly hopeless")
+    val repaired = rows.find(r => r.getAs[org.apache.spark.sql.Row]("parsed") != null
+      && r.getAs[String]("payload").contains("garbage")).get
+    assert(repaired.getAs[org.apache.spark.sql.Row]("parsed").getLong(0) == 2L)
+  }
+
+  // ---------------------------------------------------------- guards
+
+  test("permission view prunes columns; out-of-allowlist read fails (`node.py:434-447`)") {
+    val df = Seq((1, "s", 3.0)).toDF("id", "secret", "score")
+    val view = Guards.permissionView(df, Seq("id", "score"))
+    assert(view.columns.toSeq == Seq("id", "score"))
+    intercept[IllegalArgumentException] { Guards.permissionView(df, Seq("id", "missing")) }
+  }
+
+  test("write validation rejects long code-bearing strings (`node.py:295-325`)") {
+    val longCode = ("x" * 6000) + "import os; eval(payload)"
+    val longProse = "word " * 1500
+    val shortCode = "import os"
+    val df = Seq(longCode, longProse, shortCode).toDF("value")
+    val flagged = Guards.validateWrites(df, "value")
+      .collect().map(r => r.getAs[String]("value").take(8) -> r.getAs[Boolean]("write_ok")).toMap
+    assert(!flagged(longCode.take(8))) // long + code => rejected
+    assert(flagged("word wor")) // long prose fine
+    assert(flagged("import o")) // short code fine (only >5000 scanned)
+    // huge string: sampled scan still catches indicators past 10KB
+    val huge = ("y" * 20000) + "__import__('os')" + ("y" * 200)
+    val hugeFlag = Guards.validateWrites(Seq(huge).toDF("value"), "value")
+      .head().getAs[Boolean]("write_ok")
+    assert(!hugeFlag)
+  }
+
+  test("last-write-wins keyed merge + branch key disjointness (`executor.py:1908-1910`, `edge.py:671-691`)") {
+    val writes = Seq(("k1", "old", 1L), ("k1", "new", 2L), ("k2", "only", 1L))
+      .toDF("key", "value", "version")
+    val merged = Guards.lastWriteWins(writes, Seq("key"), "version")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(merged == Map("k1" -> "new", "k2" -> "only"))
+    val branches = Seq(("b1", "out_a"), ("b2", "out_a"), ("b2", "out_b")).toDF("branch", "key")
+    val clash = Guards.overlappingKeys(branches, "branch", "key").collect()
+    assert(clash.length == 1 && clash.head.getString(0) == "out_a")
+  }
+
+  // ------------------------------------------------------ multimodal
+
+  test("multimodal decode: stub metadata with per-row failure isolation") {
+    val jpeg = Array(0xFF.toByte, 0xD8.toByte) ++ "fakejpegdata".getBytes
+    val df = Seq(
+      (1L, jpeg), (2L, "plainbytes".getBytes), (3L, Array.empty[Byte])
+    ).toDF("id", "content")
+    val out = Multimodal.decode(df).collect()
+      .map(r => r.getLong(0) -> r.getAs[org.apache.spark.sql.Row]("decoded")).toMap
+    assert(out(1L).getAs[String]("format") == "jpeg")
+    assert(out(1L).getAs[Boolean]("ok"))
+    assert(out(2L).getAs[String]("format") == "raw")
+    assert(!out(3L).getAs[Boolean]("ok") && out(3L).getAs[String]("error") == "empty content")
+  }
+
+  test("multimodal features are unit-norm and deterministic") {
+    val df = Seq((1L, "some media bytes".getBytes), (2L, "some media bytes".getBytes))
+      .toDF("id", "content")
+    val feats = Multimodal.extractFeatures(df, dim = 8).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("features"))
+    assert(feats(0) == feats(1)) // deterministic
+    val norm = math.sqrt(feats(0).map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+  }
+
+  test("frame sampling and resize plans") {
+    val vids = Seq(("v1", 10), ("v2", 1)).toDF("vid", "n_frames")
+    val frames = Multimodal.sampleFrames(vids, "vid", "n_frames", stride = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(frames == Set(("v1", 0), ("v1", 4), ("v1", 8), ("v2", 0)))
+    val decoded = Multimodal.decode(Seq((1L, "x".getBytes)).toDF("id", "content"))
+    val planned = Multimodal.resizePlan(decoded, maxSide = 256).head()
+    assert(planned.getAs[Int]("target_w") <= 256 || planned.getAs[Int]("target_h") <= 256)
+  }
+}
