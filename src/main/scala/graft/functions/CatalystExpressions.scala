@@ -116,11 +116,11 @@ object CatalystExpressions {
         val names = scala.collection.mutable.ArrayBuffer.empty[String]
         val it = o.fieldNames()
         while (it.hasNext) names += it.next()
-        names.sorted.foreach(n => sorted.set(n, canon(o.get(n))): Unit)
+        names.sorted.foreach { n => sorted.set[com.fasterxml.jackson.databind.JsonNode](n, canon(o.get(n))); () }
         sorted
       case a: com.fasterxml.jackson.databind.node.ArrayNode =>
         val out = mapper.createArrayNode()
-        (0 until a.size()).foreach(i => out.add(canon(a.get(i))): Unit)
+        (0 until a.size()).foreach { i => out.add(canon(a.get(i))); () }
         out
       case other => other
     }

