@@ -458,6 +458,22 @@ object SparkEntry {
       .orderBy(col("lang"), col("verdict"))
   }
 
+  /** W6 — gap-based session windows (`session_window`, the
+    * beyond-reference event-time extension; oracle states the same
+    * sessions as a gaps-and-islands program). Second-truncated
+    * timestamps keep the gap arithmetic identical across engines.
+    */
+  private def q46(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("ts_s", date_trunc("second", col("ts")))
+      .groupBy(col("user_id"), session_window(col("ts_s"), "5 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("max_session_events"))
+      .orderBy(col("user_id"))
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -507,7 +523,8 @@ object SparkEntry {
     "q42_embedding_neardup" -> (q42 _),
     "q43_approx_distinct" -> (q43 _),
     "q44_multimodal_decode" -> (q44 _),
-    "q45_semantic_judge" -> (q45 _))
+    "q45_semantic_judge" -> (q45 _),
+    "q46_session_windows" -> (q46 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -707,5 +724,24 @@ object SparkEntry {
         |         WHEN sum(tokens) OVER (PARTITION BY user_id) / 5000.0 < 1.2 THEN 2
         |         ELSE 1 END AS keep_n
         |  FROM (SELECT user_id, event_id, CAST(floor(value) AS BIGINT) AS tokens FROM events))
-        |ORDER BY user_id, event_id""".stripMargin)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q46_session_windows" ->
+      """SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+        | max(n_events) AS max_session_events
+        |FROM (
+        |  SELECT user_id, session_id, count(*) AS n_events FROM (
+        |    SELECT user_id, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    FROM (
+        |      SELECT user_id, event_id, date_trunc('second', ts) AS ts_s,
+        |        CASE WHEN lag(date_trunc('second', ts)) OVER
+        |            (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id)
+        |            IS NULL THEN 1
+        |          WHEN date_trunc('second', ts) - lag(date_trunc('second', ts)) OVER
+        |            (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id)
+        |            >= INTERVAL 300 SECOND THEN 1
+        |          ELSE 0 END AS new_sess
+        |      FROM events))
+        |  GROUP BY user_id, session_id)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

@@ -1,0 +1,129 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Generic foreign source/sink connector pattern — the engine-level
+  * restatement of the reference's 253 `@mcp.tool` connectors
+  * (SURVEY §2.1 S14: "we implement the pattern once, not 253 times").
+  *
+  * A connector is list/search reads (→ DataFrame via paginated
+  * fetches) and create/update writes (→ foreachPartition sink), with
+  * per-partition transport instantiation, client-side rate limiting,
+  * and the ST12 retry/backoff discipline, all around a pluggable
+  * [[Transport]]. Tests use [[InMemoryTransport]]; a real HTTP
+  * transport implements one trait.
+  */
+object Connector {
+
+  /** One page of results + the cursor for the next (None = done) —
+    * the cursor-pagination shape every list/search API shares.
+    */
+  final case class Page(rows: Seq[Row], nextCursor: Option[String])
+
+  trait Transport extends Serializable {
+    /** Fetch one page of `resource` starting at `cursor`. */
+    def fetch(resource: String, cursor: Option[String], pageSize: Int): Page
+    /** Write a batch of rows to `resource`; returns accepted count. */
+    def write(resource: String, rows: Seq[Row]): Int
+  }
+
+  /** Simple token-bucket rate limiter (client-side; the reference's
+    * provider backoff lives at `llm/litellm.py:133-188`).
+    */
+  final class RateLimiter(permitsPerSecond: Double) extends Serializable {
+    private var nextFree = 0L
+    def acquire(): Unit = synchronized {
+      val now = System.nanoTime()
+      val interval = (1e9 / permitsPerSecond).toLong
+      val at = math.max(now, nextFree)
+      nextFree = at + interval
+      val sleepNs = at - now
+      if (sleepNs > 0) Thread.sleep(sleepNs / 1000000, (sleepNs % 1000000).toInt)
+    }
+  }
+
+  /** Read a foreign resource as a DataFrame: the driver walks cursor
+    * pages (bounded by `maxPages`) and parallelizes rows. Foreign APIs
+    * are cursor-serial by nature — the parallelism at 100 TB comes
+    * from many resources/partitions (one connector stream each), not
+    * from one cursor.
+    */
+  def read(spark: SparkSession, transport: Transport, resource: String,
+      schema: StructType, pageSize: Int = 100, maxPages: Int = 1000,
+      ratePerSecond: Double = 50): DataFrame = {
+    val limiter = new RateLimiter(ratePerSecond)
+    val rows = Seq.newBuilder[Row]
+    var cursor: Option[String] = None
+    var pages = 0
+    var done = false
+    while (!done && pages < maxPages) {
+      limiter.acquire()
+      val page = transport.fetch(resource, cursor, pageSize)
+      rows ++= page.rows
+      cursor = page.nextCursor
+      pages += 1
+      done = cursor.isEmpty
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.result(), 4), schema)
+  }
+
+  /** Sink a DataFrame into a foreign resource: per-partition transport
+    * use, batched writes, retry with backoff (ST12), rate limiting.
+    * Returns the number of accepted rows (accumulator-summed).
+    */
+  def writeSink(df: DataFrame, transportFactory: () => Transport, resource: String,
+      batchSize: Int = 100, ratePerSecond: Double = 50,
+      maxRetries: Int = 3, backoffBaseMs: Long = 10): Long = {
+    val accepted = df.sparkSession.sparkContext.longAccumulator("connector_accepted")
+    df.rdd.foreachPartition { it =>
+      val transport = transportFactory()
+      val limiter = new RateLimiter(ratePerSecond)
+      it.grouped(batchSize).foreach { batch =>
+        var attempt = 0
+        var ok = false
+        while (!ok) {
+          limiter.acquire()
+          try {
+            accepted.add(transport.write(resource, batch).toLong)
+            ok = true
+          } catch {
+            case e: Exception =>
+              attempt += 1
+              if (attempt > maxRetries) throw e
+              Thread.sleep(backoffBaseMs * (1L << (attempt - 1)))
+          }
+        }
+      }
+    }
+    accepted.value
+  }
+
+  /** In-memory transport for tests/offline runs: serves a fixed row
+    * set in pages; records writes (per JVM).
+    */
+  object InMemoryTransport {
+    val written = new java.util.concurrent.ConcurrentHashMap[String, java.util.List[Row]]()
+    @volatile var failNextWrites: Int = 0
+  }
+
+  final case class InMemoryTransport(data: Seq[Row]) extends Transport {
+    override def fetch(resource: String, cursor: Option[String], pageSize: Int): Page = {
+      val start = cursor.map(_.toInt).getOrElse(0)
+      val slice = data.slice(start, start + pageSize)
+      val next = if (start + pageSize >= data.size) None else Some((start + pageSize).toString)
+      Page(slice, next)
+    }
+    override def write(resource: String, rows: Seq[Row]): Int = {
+      if (InMemoryTransport.failNextWrites > 0) {
+        InMemoryTransport.failNextWrites -= 1
+        throw new RuntimeException("simulated write failure")
+      }
+      InMemoryTransport.written
+        .computeIfAbsent(resource, _ => java.util.Collections.synchronizedList(
+          new java.util.ArrayList[Row]()))
+        .addAll(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava)
+      rows.size
+    }
+  }
+}

@@ -62,6 +62,22 @@ object StreamOps {
       }
   }
 
+  /** Incremental run metrics (A8, `run.py:45-66` + `runtime/core.py`
+    * update sites): per-run running counters — total/successful/failed
+    * decisions, value sums — as a streaming aggregation. In a
+    * streaming query use `outputMode("update"/"complete")`; the same
+    * plan runs in batch.
+    */
+  def incrementalRunMetrics(events: DataFrame, runIdCol: String,
+      isSuccess: org.apache.spark.sql.Column,
+      valueCol: String): DataFrame =
+    events.groupBy(col(runIdCol))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(isSuccess, 1L).otherwise(0L)).as("n_success"),
+        sum(when(!isSuccess, 1L).otherwise(0L)).as("n_failed"),
+        sum(col(valueCol)).as("sum_value"))
+
   /** Hierarchical state read resolution (`shared_state.py:152-182`):
     * execution < stream < global; the narrowest scope that has the key
     * wins. State is a DataFrame of (scope, stream_id, execution_id,

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.io.{Connector, PdfSource}
+
+class ConnectorSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType)))
+  private val rows = (1L to 25L).map(i => Row(i, s"item_$i"))
+
+  test("connector read walks cursor pages into a DataFrame") {
+    val df = Connector.read(spark, Connector.InMemoryTransport(rows),
+      "items", schema, pageSize = 10)
+    assert(df.count() == 25)
+    assert(df.agg(sum(col("id"))).head().getLong(0) == (1L to 25L).sum)
+  }
+
+  test("connector write sinks batches with retry on transient failure (ST12)") {
+    Connector.InMemoryTransport.written.clear()
+    Connector.InMemoryTransport.failNextWrites = 2
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    val accepted = Connector.writeSink(df.coalesce(1),
+      () => Connector.InMemoryTransport(Nil), "out", batchSize = 10)
+    assert(accepted == 25)
+    assert(Connector.InMemoryTransport.written.get("out").size() == 25)
+  }
+
+  test("connector write surfaces permanent failure after retries") {
+    Connector.InMemoryTransport.written.clear()
+    Connector.InMemoryTransport.failNextWrites = 99
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows.take(5), 1), schema)
+    intercept[org.apache.spark.SparkException] {
+      Connector.writeSink(df, () => Connector.InMemoryTransport(Nil), "out",
+        maxRetries = 2, backoffBaseMs = 1)
+    }
+    Connector.InMemoryTransport.failNextWrites = 0
+  }
+
+  test("pdf page-range grammar (`pdf_read_tool.py`)") {
+    val r1 = PdfSource.parsePageRanges("1-3")
+    assert(r1(1) && r1(3) && !r1(4))
+    val r2 = PdfSource.parsePageRanges("1,3,5")
+    assert(r2(1) && !r2(2) && r2(5))
+    val r3 = PdfSource.parsePageRanges("4-")
+    assert(!r3(3) && r3(4) && r3(99))
+    val r4 = PdfSource.parsePageRanges("-2")
+    assert(r4(1) && r4(2) && !r4(3))
+    val r5 = PdfSource.parsePageRanges("1,3-4,8-")
+    assert(r5(1) && !r5(2) && r5(3) && r5(4) && !r5(5) && r5(9))
+    intercept[IllegalArgumentException] { PdfSource.parsePageRanges("x-y") }
+  }
+
+  test("pdf read: per-page rows, range selection, corrupt-file isolation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pdf")
+    java.nio.file.Files.write(dir.resolve("doc1.pdf"),
+      "page one\fpage two\fpage three".getBytes)
+    java.nio.file.Files.write(dir.resolve("doc2.pdf"), "x".getBytes) // truncated
+    val df = PdfSource.readPages(spark, dir.toString, pages = "2-")
+    val ok = df.filter(col("ok")).collect()
+    assert(ok.map(r => (r.getInt(1), r.getString(2))).toSet ==
+      Set((2, "page two"), (3, "page three")))
+    val bad = df.filter(!col("ok")).collect()
+    assert(bad.length == 1 && bad.head.getString(0).endsWith("doc2.pdf"))
+  }
+}

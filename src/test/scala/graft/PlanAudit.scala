@@ -1,0 +1,38 @@
+package graft
+
+/** Plan-shape regression tests: the physical plans the 100 TB design
+  * depends on — pushdown, pruning, broadcast, top-k — must not
+  * silently degrade.
+  */
+class PlanAudit extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q06: filters pushed to parquet scan, columns pruned") {
+    val p = plan("q06_forecast_revenue")
+    val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(scan.contains("l_shipdate") && scan.contains(">="))
+    assert(!scan.contains("l_orderkey"), "scan should not read unused columns")
+  }
+
+  test("q02: dimension joins broadcast, no sort-merge at test SF") {
+    val p = plan("q02_revenue_by_nation")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3)
+    assert(p.linesIterator.count(_.contains("SortMergeJoin")) == 0)
+  }
+
+  test("q01: partial + final hash aggregation") {
+    assert(plan("q01_pricing_summary").linesIterator.count(_.contains("HashAggregate")) == 2)
+  }
+
+  test("q03: top-k plans as TakeOrderedAndProject (no global sort)") {
+    assert(plan("q03_top_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("q26: LIKE pushed as Contains to the scan") {
+    val scan = plan("q26_brand_like_filter").linesIterator
+      .find(_.contains("FileScan parquet")).get
+    assert(scan.contains("Contains(p_name"))
+  }
+}

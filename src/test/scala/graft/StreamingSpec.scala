@@ -67,6 +67,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental run metrics update across micro-batches (A8, `run.py:45-66`)") {
+    val bus = new EventBus(spark)
+    try {
+      val agg = StreamOps.incrementalRunMetrics(
+        bus.events.toDF(), "stream_id", col("event_type") === "ok", "ts")
+      val q = agg.writeStream.format("memory").queryName("run_metrics")
+        .outputMode("complete").start()
+      bus.publish(AgentEvent("ok", "r1"), AgentEvent("fail", "r1"))
+      q.processAllAvailable()
+      val first = spark.table("run_metrics").filter(col("stream_id") === "r1").head()
+      assert(first.getAs[Long]("n_total") == 2 && first.getAs[Long]("n_success") == 1)
+      bus.publish(AgentEvent("ok", "r1")) // incremental update, state carried
+      q.processAllAvailable()
+      val second = spark.table("run_metrics").filter(col("stream_id") === "r1").head()
+      assert(second.getAs[Long]("n_total") == 3 && second.getAs[Long]("n_success") == 2)
+      q.stop()
+    } finally bus.stop()
+  }
+
+  test("csv_sql / parquet_sql surface: data view + gate (`csv_tool.py:274-386`)") {
+    val p = java.nio.file.Files.createTempDirectory("graft-sql").toString + "/t.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+      "category,price\na,10\nb,20\na,30\n")
+    val out = graft.sql.TableSql.csvSql(spark, p,
+      "SELECT category, count(*) AS n, avg(price) AS avg_price FROM data GROUP BY category ORDER BY category")
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq(("a", 2L, 20.0), ("b", 1L, 20.0)))
+    intercept[graft.sql.QueryGate.RejectedQuery] {
+      graft.sql.TableSql.csvSql(spark, p, "DROP TABLE data")
+    }
+  }
+
   test("keyed running state accumulates per key (mapGroupsWithState shape)") {
     val ds = Seq(("u1", 1.0), ("u1", 2.0), ("u2", 5.0)).toDS()
     val out = StreamOps.runningKeyedState(ds).collect().map(k => k.key -> (k.n, k.sum)).toMap
