@@ -12,7 +12,7 @@ class PlanAudit extends SparkSpec {
   test("q06: filters pushed to parquet scan, columns pruned") {
     val p = plan("q06_forecast_revenue")
     val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
-    assert(scan.contains("l_shipdate") && scan.contains(">="))
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThanOrEqual"))
     assert(!scan.contains("l_orderkey"), "scan should not read unused columns")
   }
 
