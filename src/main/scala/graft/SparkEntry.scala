@@ -474,6 +474,26 @@ object SparkEntry {
         max(col("n_events")).as("max_session_events"))
       .orderBy(col("user_id"))
 
+  /** A9 full form — weighted multi-category risk scoring
+    * (`risk_scorer.py:25-120, 181-…`): per-check points, per-category
+    * 100-cap, weighted sum, grade ladder; oracle states the identical
+    * arithmetic in SQL.
+    */
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics.RiskCheck
+    val scored = Analytics.riskScore(
+      t(s, dir, "customer"),
+      checks = Seq(
+        RiskCheck("balance", col("c_acctbal") >= 5000, 60),
+        RiskCheck("balance", col("c_acctbal") >= 1000, 40),
+        RiskCheck("segment", col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY"), 80),
+        RiskCheck("segment", col("c_nationkey") % 2 === 0, 20)),
+      categoryWeights = Map("balance" -> 0.7, "segment" -> 0.3))
+    scored.groupBy(col("risk_grade"))
+      .agg(count(lit(1)).as("n"), round(avg(col("risk_score")), 2).as("avg_score"))
+      .orderBy(col("risk_grade"))
+  }
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -524,7 +544,8 @@ object SparkEntry {
     "q43_approx_distinct" -> (q43 _),
     "q44_multimodal_decode" -> (q44 _),
     "q45_semantic_judge" -> (q45 _),
-    "q46_session_windows" -> (q46 _))
+    "q46_session_windows" -> (q46 _),
+    "q47_risk_score_weighted" -> (q47 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -743,5 +764,40 @@ object SparkEntry {
         |          ELSE 0 END AS new_sess
         |      FROM events))
         |  GROUP BY user_id, session_id)
-        |GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q47_risk_score_weighted" ->
+      """SELECT risk_grade, count(*) AS n, round(avg(risk_score), 2) AS avg_score
+        |FROM (
+        |  SELECT round(
+        |    least((CASE WHEN c_acctbal >= 5000 THEN 60.0 ELSE 0.0 END
+        |         + CASE WHEN c_acctbal >= 1000 THEN 40.0 ELSE 0.0 END), 100.0) * 0.7
+        |    + least((CASE WHEN c_mktsegment IN ('AUTOMOBILE','MACHINERY') THEN 80.0 ELSE 0.0 END
+        |         + CASE WHEN c_nationkey % 2 = 0 THEN 20.0 ELSE 0.0 END), 100.0) * 0.3,
+        |    2) AS risk_score,
+        |    CASE WHEN round(
+        |      least((CASE WHEN c_acctbal >= 5000 THEN 60.0 ELSE 0.0 END
+        |           + CASE WHEN c_acctbal >= 1000 THEN 40.0 ELSE 0.0 END), 100.0) * 0.7
+        |      + least((CASE WHEN c_mktsegment IN ('AUTOMOBILE','MACHINERY') THEN 80.0 ELSE 0.0 END
+        |           + CASE WHEN c_nationkey % 2 = 0 THEN 20.0 ELSE 0.0 END), 100.0) * 0.3,
+        |      2) >= 90 THEN 'A'
+        |      WHEN round(
+        |      least((CASE WHEN c_acctbal >= 5000 THEN 60.0 ELSE 0.0 END
+        |           + CASE WHEN c_acctbal >= 1000 THEN 40.0 ELSE 0.0 END), 100.0) * 0.7
+        |      + least((CASE WHEN c_mktsegment IN ('AUTOMOBILE','MACHINERY') THEN 80.0 ELSE 0.0 END
+        |           + CASE WHEN c_nationkey % 2 = 0 THEN 20.0 ELSE 0.0 END), 100.0) * 0.3,
+        |      2) >= 80 THEN 'B'
+        |      WHEN round(
+        |      least((CASE WHEN c_acctbal >= 5000 THEN 60.0 ELSE 0.0 END
+        |           + CASE WHEN c_acctbal >= 1000 THEN 40.0 ELSE 0.0 END), 100.0) * 0.7
+        |      + least((CASE WHEN c_mktsegment IN ('AUTOMOBILE','MACHINERY') THEN 80.0 ELSE 0.0 END
+        |           + CASE WHEN c_nationkey % 2 = 0 THEN 20.0 ELSE 0.0 END), 100.0) * 0.3,
+        |      2) >= 70 THEN 'C'
+        |      WHEN round(
+        |      least((CASE WHEN c_acctbal >= 5000 THEN 60.0 ELSE 0.0 END
+        |           + CASE WHEN c_acctbal >= 1000 THEN 40.0 ELSE 0.0 END), 100.0) * 0.7
+        |      + least((CASE WHEN c_mktsegment IN ('AUTOMOBILE','MACHINERY') THEN 80.0 ELSE 0.0 END
+        |           + CASE WHEN c_nationkey % 2 = 0 THEN 20.0 ELSE 0.0 END), 100.0) * 0.3,
+        |      2) >= 60 THEN 'D' ELSE 'F' END AS risk_grade
+        |  FROM customer)
+        |GROUP BY risk_grade ORDER BY risk_grade""".stripMargin)
 }

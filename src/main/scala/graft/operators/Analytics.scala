@@ -83,6 +83,31 @@ object Analytics {
     when(score >= 90, "A").when(score >= 80, "B").when(score >= 70, "C")
       .when(score >= 60, "D").otherwise("F")
 
+  /** One scoring check: when `predicate` holds, `points` accrue to
+    * `category` (`risk_scorer.py:25-120` — e.g. SSL checks worth
+    * 25/30/10/20/15 points).
+    */
+  final case class RiskCheck(category: String, predicate: Column, points: Double)
+
+  /** Full weighted risk score (`risk_scorer.py:25-120, 181-…`):
+    * per-category points (capped at 100), weighted by the category
+    * weight table, plus the A–F grade. Pure column arithmetic — one
+    * projection, no UDF, no shuffle.
+    */
+  def riskScore(df: DataFrame, checks: Seq[RiskCheck],
+      categoryWeights: Map[String, Double],
+      scoreCol: String = "risk_score", gradeCol: String = "risk_grade"): DataFrame = {
+    val byCategory = checks.groupBy(_.category)
+    val overall = categoryWeights.toSeq.sortBy(_._1).map { case (cat, w) =>
+      val pts = byCategory.getOrElse(cat, Nil)
+        .map(c => when(c.predicate, c.points).otherwise(0.0))
+        .reduceOption(_ + _).getOrElse(lit(0.0))
+      least(pts, lit(100.0)) * w
+    }.reduce(_ + _)
+    df.withColumn(scoreCol, round(overall, 2))
+      .withColumn(gradeCol, gradeLadder(col(scoreCol)))
+  }
+
   /** Histogram (`query.py:439-468`): counts by key. */
   def histogram(df: DataFrame, keyCols: Seq[String]): DataFrame =
     df.groupBy(keyCols.map(col): _*)
