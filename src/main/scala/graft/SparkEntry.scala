@@ -747,7 +747,7 @@ object SparkEntry {
         |  FROM (SELECT user_id, event_id, CAST(floor(value) AS BIGINT) AS tokens FROM events))
         |ORDER BY user_id, event_id""".stripMargin,
     "q46_session_windows" ->
-      """SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+      """SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events,
         | max(n_events) AS max_session_events
         |FROM (
         |  SELECT user_id, session_id, count(*) AS n_events FROM (
@@ -760,7 +760,7 @@ object SparkEntry {
         |            IS NULL THEN 1
         |          WHEN date_trunc('second', ts) - lag(date_trunc('second', ts)) OVER
         |            (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id)
-        |            >= INTERVAL 300 SECOND THEN 1
+        |            > INTERVAL 300 SECOND THEN 1
         |          ELSE 0 END AS new_sess
         |      FROM events))
         |  GROUP BY user_id, session_id)
