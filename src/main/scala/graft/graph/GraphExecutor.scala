@@ -39,6 +39,13 @@ object GraphExecutor {
     */
   type Registry = Map[String, DataFrame => DataFrame]
 
+  /** Lifecycle event hook — the executor publishes node/graph
+    * lifecycle events exactly like the reference's bus emission
+    * (`executor.py` event emission per step, `event_bus.py:308-855`).
+    * Wire it to [[graft.streaming.EventBus.publish]] to observe runs.
+    */
+  type EventHook = (String, String) => Unit // (event_type, node_id)
+
   final case class GraphResult(
       terminalOutputs: Map[String, DataFrame],
       path: Seq[String], // node visit order (`executor.py:39-72` result path)
@@ -77,13 +84,14 @@ object GraphExecutor {
   def run(spec: GraphSpec, input: DataFrame, registry: Registry,
       parallelFanOut: Boolean = true, checkpointEvery: Int = 8,
       pauseBefore: Set[String] = Set.empty,
-      checkpointDir: Option[String] = None): GraphResult = {
+      checkpointDir: Option[String] = None,
+      onEvent: EventHook = (_, _) => ()): GraphResult = {
     spec.validate().left.foreach(errs => throw GraphError(errs.mkString("; ")))
     registry.keys.filterNot(k => spec.nodes.exists(_.id == k) || k == "*").foreach { k =>
       throw GraphError(s"registry entry '$k' is not a node of the graph")
     }
     loop(spec, Map(spec.entryNode -> Seq(input)), Map.empty, Nil, 0,
-      registry, parallelFanOut, checkpointEvery, pauseBefore, checkpointDir)
+      registry, parallelFanOut, checkpointEvery, pauseBefore, checkpointDir, onEvent)
   }
 
   /** Resume a paused run from `checkpointDir`
@@ -104,7 +112,7 @@ object GraphExecutor {
       node -> (0 until n).map(i => spark.read.parquet(s"$checkpointDir/$node/$i")).toSeq
     }
     loop(spec, pending, visits, path, steps, registry, parallelFanOut,
-      checkpointEvery, Set.empty, None)
+      checkpointEvery, Set.empty, None, (_, _) => ())
   }
 
   private def savePause(dir: String, pending: Map[String, Seq[DataFrame]],
@@ -128,7 +136,8 @@ object GraphExecutor {
   private def loop(spec: GraphSpec, pending0: Map[String, Seq[DataFrame]],
       visits0: Map[String, Int], path0: Seq[String], steps0: Int,
       registry: Registry, parallelFanOut: Boolean, checkpointEvery: Int,
-      pauseBefore: Set[String], checkpointDir: Option[String]): GraphResult = {
+      pauseBefore: Set[String], checkpointDir: Option[String],
+      onEvent: EventHook): GraphResult = {
     var pending = pending0
     var terminal = Map.empty[String, Seq[DataFrame]]
     val visits = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
@@ -161,10 +170,14 @@ object GraphExecutor {
         // (`executor.py:615-641` skips the node and moves on)
       } else {
         path += nodeId
+        onEvent("node_started", nodeId)
         // fan-in convergence: union all waiting branch inputs
         val merged = inputs.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
         val fn = registry.getOrElse(nodeId, registry.getOrElse("*", identity[DataFrame] _))
-        val outRaw = fn(merged)
+        val outRaw =
+          try fn(merged)
+          catch { case e: Throwable => onEvent("node_failed", nodeId); throw e }
+        onEvent("node_completed", nodeId)
         val out = if (steps % checkpointEvery == 0) outRaw.localCheckpoint() else outRaw
 
         if (spec.terminalNodes.contains(nodeId)) {
@@ -198,6 +211,7 @@ object GraphExecutor {
     if (pending.nonEmpty)
       throw GraphError(s"max_steps=${spec.maxSteps} exceeded with pending nodes ${pending.keys.mkString(",")}")
 
+    onEvent("graph_completed", "")
     GraphResult(terminal.view.mapValues(
       _.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))).toMap,
       path.result(), steps)

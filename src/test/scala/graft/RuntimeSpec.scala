@@ -96,6 +96,32 @@ class RuntimeSpec extends SparkSpec {
     } finally runtime.shutdown()
   }
 
+  test("checkpoint index: filter_by_type/node, latest clean (`checkpoint.py:163-177`)") {
+    import graft.graph.Checkpoints
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckidx").toString
+    val idx = new Checkpoints.CheckpointIndex(spark, dir)
+    idx.record(Checkpoints.CheckpointMeta("c1", "node_start", "a", 1, clean = true, 100L, s"$dir/c1"))
+    idx.record(Checkpoints.CheckpointMeta("c2", "pause", "b", 2, clean = false, 200L, s"$dir/c2"))
+    idx.record(Checkpoints.CheckpointMeta("c3", "node_start", "b", 3, clean = true, 300L, s"$dir/c3"))
+    assert(idx.filterByType("pause").count() == 1)
+    assert(idx.filterByNode("b").count() == 2)
+    assert(idx.latestClean().contains("c3"))
+  }
+
+  test("graph executor emits lifecycle events to the bus hook (`executor.py` emission)") {
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val spec = GraphSpec(
+      nodes = Seq(NodeSpec("a"), NodeSpec("b")),
+      edges = Seq(EdgeSpec("a", "b")),
+      entryNode = "a", terminalNodes = Seq("b"))
+    GraphExecutor.run(spec, Seq(1).toDF("x"), Map.empty,
+      onEvent = (t, n) => seen.synchronized { seen += ((t, n)); () })
+    assert(seen.toSeq == Seq(
+      ("node_started", "a"), ("node_completed", "a"),
+      ("node_started", "b"), ("node_completed", "b"),
+      ("graph_completed", "")))
+  }
+
   test("graph pause + resume round-trip (ST5/ST6)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val spec = GraphSpec(
