@@ -62,6 +62,18 @@ object StreamOps {
       }
   }
 
+  /** Streaming exact dedup: `dropDuplicates` over a fingerprint column
+    * with keyed state across micro-batches; `withWatermark` bounds the
+    * state for event-time streams (without it, state grows with the
+    * distinct-key count — fine for bounded keys, fatal at 100 TB, so
+    * production streams must pass a watermark column + delay).
+    */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+      watermark: Option[(String, String)] = None): DataFrame = {
+    val wm = watermark.fold(events) { case (c, d) => events.withWatermark(c, d) }
+    wm.dropDuplicates(watermark.fold(keyCols) { case (c, _) => keyCols :+ c })
+  }
+
   /** Incremental run metrics (A8, `run.py:45-66` + `runtime/core.py`
     * update sites): per-run running counters — total/successful/failed
     * decisions, value sums — as a streaming aggregation. In a

@@ -99,6 +99,25 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming dedup: duplicates dropped across micro-batches via keyed state") {
+    val bus = new EventBus(spark)
+    try {
+      val dedup = StreamOps.streamingDedup(bus.events.toDF(), Seq("event_type", "node_id"))
+      val q = dedup.writeStream.format("memory").queryName("dedup_sink")
+        .outputMode("append").start()
+      bus.publish(AgentEvent("click", "s", "n1"), AgentEvent("click", "s", "n1"))
+      q.processAllAvailable()
+      bus.publish(AgentEvent("click", "s2", "n1"), AgentEvent("view", "s", "n2"))
+      q.processAllAvailable() // click/n1 is a dup from batch 1 — state remembers
+      val got = spark.table("dedup_sink")
+        .select(col("event_type"), col("node_id")).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(got.length == 2)
+      assert(got.toSet == Set(("click", "n1"), ("view", "n2")))
+      q.stop()
+    } finally bus.stop()
+  }
+
   test("keyed running state accumulates per key (mapGroupsWithState shape)") {
     val ds = Seq(("u1", 1.0), ("u1", 2.0), ("u2", 5.0)).toDS()
     val out = StreamOps.runningKeyedState(ds).collect().map(k => k.key -> (k.n, k.sum)).toMap
