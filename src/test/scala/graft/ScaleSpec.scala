@@ -32,6 +32,19 @@ class ScaleSpec extends SparkSpec {
   test("bucketed join plans without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // a fresh JVM's in-memory catalog forgets managed tables but their
+    // warehouse directories persist — clear them or CREATE fails
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val d = new java.io.File(s"$wh/$t")
+      if (d.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(d)
+      }
+    }
     val dir = "/root/testdata/sf0.001"
     Scale.writeBucketed(graft.core.Engine.table(spark, dir, "orders"),
       "b_orders", Seq("o_orderkey"), 4)
