@@ -290,9 +290,12 @@ object SparkEntry {
     */
   private def q30(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
-      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"),
-        col("event_type"))
+      // group on the truncated timestamp, format only the grouped rows
+      // (string-formatting inside a grouping key runs once per input row)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(date_format(col("hour_ts"), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
   /** Text analysis — token counts per language. */

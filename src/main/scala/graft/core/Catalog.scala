@@ -40,11 +40,31 @@ object Catalog {
   def registerExternal(spark: SparkSession, table: String, path: String): Unit =
     spark.sql(s"CREATE TABLE IF NOT EXISTS $table USING parquet LOCATION '$path'")
 
-  /** Register the whole testdata star schema as external tables. */
-  def registerStarSchema(spark: SparkSession, dir: String): Unit =
+  /** Register the whole testdata star schema as external tables.
+    * Hive-metastore locations must be directories; single parquet
+    * files are wrapped in a symlinked directory under `scratchDir`
+    * (metadata only — no data copied).
+    */
+  def registerStarSchema(spark: SparkSession, dir: String,
+      scratchDir: Option[String] = None): Unit =
     Engine.TableNames.foreach { t =>
-      if (new java.io.File(s"$dir/$t.parquet").exists())
-        registerExternal(spark, t, s"$dir/$t.parquet")
+      val f = new java.io.File(s"$dir/$t.parquet")
+      if (f.exists()) {
+        val location =
+          if (f.isDirectory || !spark.conf.getOption("spark.sql.catalogImplementation").contains("hive"))
+            f.getAbsolutePath
+          else {
+            val scratch = scratchDir.getOrElse(
+              java.nio.file.Files.createTempDirectory("graft-ext").toString)
+            val d = java.nio.file.Paths.get(scratch, t)
+            java.nio.file.Files.createDirectories(d)
+            val link = d.resolve(s"$t.parquet")
+            if (!java.nio.file.Files.exists(link))
+              java.nio.file.Files.createSymbolicLink(link, f.toPath.toAbsolutePath)
+            d.toString
+          }
+        registerExternal(spark, t, location)
+      }
     }
 
   /** `describe_dataset` parity (`bigquery_tool.py:277-392`): one row
