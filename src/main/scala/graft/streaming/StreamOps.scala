@@ -62,6 +62,34 @@ object StreamOps {
       }
   }
 
+  /** Streaming stall detector — W1's stateful form
+    * (`event_loop_node.py:1823-1829` over an unbounded stream): per
+    * key, a ring buffer of the last `threshold` values lives in
+    * `GroupState`; when all are identical and non-empty, a stall event
+    * is emitted. State is O(threshold) per key regardless of stream
+    * length.
+    */
+  final case class StallEvent(key: String, value: String, runLength: Int)
+
+  def streamingStallDetector(events: Dataset[(String, String)], threshold: Int = 3):
+      Dataset[StallEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[List[String], StallEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[List[String]]) =>
+          var buf = state.getOption.getOrElse(Nil)
+          val out = Seq.newBuilder[StallEvent]
+          rows.foreach { case (_, v) =>
+            buf = (buf :+ v).takeRight(threshold)
+            if (buf.size == threshold && v.nonEmpty && buf.forall(_ == v))
+              out += StallEvent(key, v, threshold)
+          }
+          state.update(buf)
+          out.result().iterator
+      }
+  }
+
   /** Streaming exact dedup: `dropDuplicates` over a fingerprint column
     * with keyed state across micro-batches; `withWatermark` bounds the
     * state for event-time streams (without it, state grows with the

@@ -99,6 +99,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming stall detector: state carries the window across micro-batches (W1)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(String, String)](spark)
+    val q = StreamOps.streamingStallDetector(input.toDS(), threshold = 3)
+      .writeStream.format("memory").queryName("stall_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(("u1", "same"), ("u1", "same"))
+      q.processAllAvailable()
+      assert(spark.table("stall_sink").count() == 0) // only 2 so far
+      input.addData(("u1", "same"), ("u2", "x")) // 3rd identical arrives in a later batch
+      q.processAllAvailable()
+      val stalls = spark.table("stall_sink").collect()
+      assert(stalls.length == 1)
+      assert(stalls.head.getAs[String]("key") == "u1")
+      input.addData(("u1", "different"), ("u1", "same"))
+      q.processAllAvailable()
+      assert(spark.table("stall_sink").count() == 1) // run broken, no new stall
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicates dropped across micro-batches via keyed state") {
     val bus = new EventBus(spark)
     try {
