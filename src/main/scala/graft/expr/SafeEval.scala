@@ -350,16 +350,26 @@ object SafeEval {
         Typed(when(truthy(go(c)), tv.col).otherwise(fv.col), unify(tv.dt, fv.dt))
 
       case BoolOp(op, items) =>
-        // Python returns the deciding operand's *value*; with uniform
-        // types we preserve that, otherwise we bridge to boolean.
+        // Python returns the deciding operand's *value*. Uniform types
+        // preserve that directly; mixed bool/numeric unify to the wide
+        // numeric (python bool IS int: True == 1), since truthiness is
+        // invariant under that cast. Other mixes (e.g. str|int, which a
+        // single Column type cannot represent) bridge to boolean — the
+        // predicate contexts the reference uses this language in
+        // coerce to bool anyway (`edge.py:160-204`).
         val ts = items.map(go)
-        if (ts.map(_.dt).distinct.size == 1 && ts.head.dt != NullType) {
-          val folded = ts.reduceLeft { (acc, nxt) =>
-            val c = if (op == "and") when(truthy(acc), nxt.col).otherwise(acc.col)
-                    else when(truthy(acc), acc.col).otherwise(nxt.col)
-            Typed(c, acc.dt)
-          }
-          folded
+        def fold(ops: Seq[Typed]): Typed = ops.reduceLeft { (acc, nxt) =>
+          val c = if (op == "and") when(truthy(acc), nxt.col).otherwise(acc.col)
+                  else when(truthy(acc), acc.col).otherwise(nxt.col)
+          Typed(c, acc.dt)
+        }
+        val dts = ts.map(_.dt).distinct
+        if (dts.size == 1 && dts.head != NullType) fold(ts)
+        else if (ts.forall(t => t.dt == BooleanType || t.dt.isInstanceOf[NumericType])) {
+          val target = ts.map(_.dt)
+            .map { case BooleanType => IntegerType; case d => d }
+            .reduce(widen)
+          fold(ts.map(t => Typed(t.col.cast(target), target)))
         } else {
           val bools = ts.map(truthy)
           Typed(if (op == "and") bools.reduce(_ && _) else bools.reduce(_ || _), BooleanType)
