@@ -50,7 +50,8 @@ object GraphExecutor {
       terminalOutputs: Map[String, DataFrame],
       path: Seq[String], // node visit order (`executor.py:39-72` result path)
       steps: Int,
-      pausedAt: Option[String] = None) // ST6: pause at node boundary
+      pausedAt: Option[String] = None, // ST6: pause at node boundary
+      failedNodes: Seq[String] = Nil) // degraded success (`executor.py:63-71`)
 
   final case class GraphError(msg: String) extends RuntimeException(msg)
 
@@ -144,6 +145,7 @@ object GraphExecutor {
     visits0.foreach { case (k, v) => visits(k) = v }
     val path = Seq.newBuilder[String]
     path ++= path0
+    val failedNodes = scala.collection.mutable.LinkedHashSet.empty[String]
     var steps = steps0
 
     while (pending.nonEmpty && steps < spec.maxSteps) {
@@ -174,9 +176,29 @@ object GraphExecutor {
         // fan-in convergence: union all waiting branch inputs
         val merged = inputs.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
         val fn = registry.getOrElse(nodeId, registry.getOrElse("*", identity[DataFrame] _))
-        val outRaw =
-          try fn(merged)
-          catch { case e: Throwable => onEvent("node_failed", nodeId); throw e }
+        // per-node retries (`edge.py:430` max_retries_per_node=3,
+        // `node.py:213`); exhausted → failure policy (`executor.py:
+        // 1768-1991` ParallelExecutionConfig: fail_all | continue_others)
+        var outRaw: DataFrame = null
+        var attempt = 0
+        var failed: Option[Throwable] = None
+        while (outRaw == null && failed.isEmpty) {
+          try outRaw = fn(merged)
+          catch {
+            case e: Throwable =>
+              attempt += 1
+              if (attempt > spec.maxRetriesPerNode) {
+                onEvent("node_failed", nodeId)
+                failed = Some(e)
+              } else onEvent("node_retry", nodeId)
+          }
+        }
+        failed.foreach { e =>
+          if (spec.failurePolicy == "fail_all") throw GraphError(
+            s"node '$nodeId' failed after ${spec.maxRetriesPerNode} retries: ${e.getMessage}")
+          else failedNodes += nodeId // continue_others: drop this branch
+        }
+        if (failed.isEmpty) {
         onEvent("node_completed", nodeId)
         val out = if (steps % checkpointEvery == 0) outRaw.localCheckpoint() else outRaw
 
@@ -206,6 +228,7 @@ object GraphExecutor {
             }
           }
         }
+        }
       }
     }
     if (pending.nonEmpty)
@@ -214,6 +237,6 @@ object GraphExecutor {
     onEvent("graph_completed", "")
     GraphResult(terminal.view.mapValues(
       _.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))).toMap,
-      path.result(), steps)
+      path.result(), steps, failedNodes = failedNodes.toSeq)
   }
 }

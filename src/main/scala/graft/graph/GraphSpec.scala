@@ -30,7 +30,9 @@ final case class GraphSpec(
     edges: Seq[EdgeSpec],
     entryNode: String,
     terminalNodes: Seq[String],
-    maxSteps: Int = 100) { // `edge.py:429`
+    maxSteps: Int = 100, // `edge.py:429`
+    maxRetriesPerNode: Int = 3, // `edge.py:430`, `node.py:213`
+    failurePolicy: String = "fail_all") { // fail_all | continue_others (`executor.py:87-100`)
 
   /** Validation parity with `GraphSpec.validate` (`edge.py:568-692`):
     * entry/terminal existence, edge referential integrity, reachability
@@ -103,6 +105,8 @@ object GraphSpec {
       edges = edges,
       entryNode = (j \ "entry_node").extract[String],
       terminalNodes = (j \ "terminal_nodes").children.map(_.extract[String]),
-      maxSteps = (j \ "max_steps").extractOrElse[Int](100))
+      maxSteps = (j \ "max_steps").extractOrElse[Int](100),
+      maxRetriesPerNode = (j \ "max_retries_per_node").extractOrElse[Int](3),
+      failurePolicy = (j \ "failure_policy").extractOrElse[String]("fail_all"))
   }
 }

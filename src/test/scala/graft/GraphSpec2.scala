@@ -94,6 +94,43 @@ class GraphExecSpec extends SparkSpec {
     assert(result.terminalOutputs("done").head().getLong(0) == 100L)
   }
 
+  test("node retries recover transient failures (`node.py:213`, 3 retries)") {
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val spec = GraphSpec(
+      nodes = Seq(NodeSpec("flaky"), NodeSpec("out")),
+      edges = Seq(EdgeSpec("flaky", "out")),
+      entryNode = "flaky", terminalNodes = Seq("out"))
+    val registry: GraphExecutor.Registry = Map(
+      "flaky" -> ((df: DataFrame) => {
+        if (attempts.incrementAndGet() <= 2) throw new RuntimeException("transient")
+        df
+      }))
+    val events = scala.collection.mutable.ArrayBuffer.empty[String]
+    val result = GraphExecutor.run(spec, Seq(1).toDF("x"), registry,
+      onEvent = (t, _) => events.synchronized { events += t; () })
+    assert(result.terminalOutputs("out").count() == 1)
+    assert(result.failedNodes.isEmpty)
+    assert(events.count(_ == "node_retry") == 2)
+  }
+
+  test("failure policy: fail_all throws, continue_others degrades (`executor.py:87-100`)") {
+    def specWith(policy: String) = GraphSpec(
+      nodes = Seq(NodeSpec("src"), NodeSpec("dead"), NodeSpec("alive"), NodeSpec("sink")),
+      edges = Seq(EdgeSpec("src", "dead"), EdgeSpec("src", "alive"),
+        EdgeSpec("dead", "sink"), EdgeSpec("alive", "sink")),
+      entryNode = "src", terminalNodes = Seq("sink"),
+      maxRetriesPerNode = 1, failurePolicy = policy)
+    val registry: GraphExecutor.Registry = Map(
+      "dead" -> ((_: DataFrame) => throw new RuntimeException("permanently broken")),
+      "alive" -> ((df: DataFrame) => df.withColumn("branch", lit("alive"))))
+    intercept[GraphExecutor.GraphError] {
+      GraphExecutor.run(specWith("fail_all"), events.limit(5), registry)
+    }
+    val degraded = GraphExecutor.run(specWith("continue_others"), events.limit(5), registry)
+    assert(degraded.failedNodes == Seq("dead"))
+    assert(degraded.terminalOutputs("sink").count() == 5) // alive branch delivered
+  }
+
   test("validation catches unreachable nodes, bad refs, missing conditions") {
     val bad = GraphSpec(
       nodes = Seq(NodeSpec("a"), NodeSpec("island")),
