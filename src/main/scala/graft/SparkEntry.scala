@@ -497,6 +497,21 @@ object SparkEntry {
       .orderBy(col("risk_grade"))
   }
 
+  /** A5 extension — per-group latency-percentile metrics: exact
+    * interpolated percentiles (both engines use linear interpolation);
+    * the 100 TB path swaps in `approx_percentile` (t-digest) the same
+    * way q43 twins q11.
+    */
+  private def q48(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy(col("event_type"))
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -548,7 +563,8 @@ object SparkEntry {
     "q44_multimodal_decode" -> (q44 _),
     "q45_semantic_judge" -> (q45 _),
     "q46_session_windows" -> (q46 _),
-    "q47_risk_score_weighted" -> (q47 _))
+    "q47_risk_score_weighted" -> (q47 _),
+    "q48_value_percentiles" -> (q48 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -802,5 +818,11 @@ object SparkEntry {
         |           + CASE WHEN c_nationkey % 2 = 0 THEN 20.0 ELSE 0.0 END), 100.0) * 0.3,
         |      2) >= 60 THEN 'D' ELSE 'F' END AS risk_grade
         |  FROM customer)
-        |GROUP BY risk_grade ORDER BY risk_grade""".stripMargin)
+        |GROUP BY risk_grade ORDER BY risk_grade""".stripMargin,
+    "q48_value_percentiles" ->
+      """SELECT event_type, count(*) AS n,
+        | round(quantile_cont(value, 0.5), 4) AS p50,
+        | round(quantile_cont(value, 0.95), 4) AS p95,
+        | round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

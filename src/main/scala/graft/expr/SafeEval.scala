@@ -400,7 +400,12 @@ object SafeEval {
           case "/" => Typed(lt.col.cast(DoubleType) / rt.col.cast(DoubleType), DoubleType)
           case "//" => Typed(floor(lt.col.cast(DoubleType) / rt.col.cast(DoubleType))
             .cast(widen(lt.dt, rt.dt)), widen(lt.dt, rt.dt))
-          case "%" => Typed(pmod(lt.col, rt.col), widen(lt.dt, rt.dt))
+          case "%" =>
+            // python modulo: sign follows the divisor (floorMod), which
+            // pmod only matches for positive divisors
+            val dt = widen(lt.dt, rt.dt)
+            val floored = floor(lt.col.cast(DoubleType) / rt.col.cast(DoubleType)).cast(dt)
+            Typed(lt.col - rt.col * floored, dt)
           case "**" => Typed(pow(lt.col, rt.col), DoubleType)
           case "<<" => Typed(call_function("shiftleft", lt.col, rt.col.cast(IntegerType)), widen(lt.dt, rt.dt))
           case ">>" => Typed(call_function("shiftright", lt.col, rt.col.cast(IntegerType)), widen(lt.dt, rt.dt))

@@ -32,7 +32,8 @@ class SafeEvalPropSpec extends SparkSpec {
       1 -> (for {
         op <- Gen.oneOf("//", "%")
         l <- arith(depth - 1)
-        r <- Gen.choose(1L, 20L).map(Lit(_)) // non-zero divisor
+        r <- Gen.choose(1L, 20L).flatMap(v =>
+          Gen.oneOf(v, -v)).map(Lit(_)) // non-zero divisor, either sign
       } yield BinOp(op, l, r)),
       1 -> arith(depth - 1).map(UnaryOp("-", _)))
 
