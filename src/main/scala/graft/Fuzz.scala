@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Differential relational fuzz: deterministically generate N random
+  * SELECTs over the star schema in the SQL dialect subset shared by
+  * Spark and DuckDB, run them through the gated engine, dump results +
+  * the query list; `scripts/fuzz_check.py` replays the same SQL in
+  * DuckDB and hash-compares (the driver-gate compare, scaled to
+  * hundreds of machine-generated queries).
+  *
+  *   sbt "runMain graft.Fuzz /root/testdata/sf0.01 /tmp/fuzz_out 200"
+  *   python3 scripts/fuzz_check.py /root/testdata/sf0.01 /tmp/fuzz_out
+  */
+object Fuzz {
+
+  final case class Rng(var s: Long) {
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
+    def int(n: Int): Int = math.floorMod(next(), n.toLong).toInt
+    def pick[T](xs: Seq[T]): T = xs(int(xs.size))
+  }
+
+  // (table, group-able cols, numeric cols, filterable (col, literal-gen))
+  private def genQuery(rng: Rng): String = {
+    val tables = Seq(
+      ("lineitem",
+        Seq("l_returnflag", "l_linestatus", "l_linenumber"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        Seq(
+          () => s"l_quantity ${cmp(rng)} ${rng.int(50) + 1}",
+          () => s"l_extendedprice ${cmp(rng)} ${(rng.int(90) + 1) * 1000}",
+          () => s"l_discount ${cmp(rng)} 0.0${rng.int(9) + 1}",
+          () => s"l_returnflag = '${rng.pick(Seq("A", "N", "R"))}'")),
+      ("orders",
+        Seq("o_orderstatus", "o_orderpriority"),
+        Seq("o_totalprice"),
+        Seq(
+          () => s"o_totalprice ${cmp(rng)} ${(rng.int(200) + 1) * 1000}",
+          () => s"o_orderstatus = '${rng.pick(Seq("F", "O", "P"))}'")),
+      ("events",
+        Seq("event_type", "user_id"),
+        Seq("value"),
+        Seq(
+          () => s"value ${cmp(rng)} ${rng.int(200)}",
+          () => s"event_type = '${rng.pick(Seq("click", "view", "error", "signup", "purchase"))}'")),
+      ("customer",
+        Seq("c_mktsegment", "c_nationkey"),
+        Seq("c_acctbal"),
+        Seq(
+          () => s"c_acctbal ${cmp(rng)} ${rng.int(9000)}",
+          () => s"c_nationkey ${cmp(rng)} ${rng.int(25)}")))
+    val (table, groupCols, numCols, filters) = rng.pick(tables)
+
+    val nGroup = rng.int(2) + 1
+    val gcols = Seq.fill(nGroup)(rng.pick(groupCols)).distinct
+    val aggs = {
+      val n = rng.int(3) + 1
+      (0 until n).map { _ =>
+        val c = rng.pick(numCols)
+        rng.int(4) match {
+          case 0 => s"count(*) AS agg_cnt"
+          case 1 => s"round(sum($c), 2) AS agg_sum_$c"
+          case 2 => s"min($c) AS agg_min_$c"
+          case 3 => s"max($c) AS agg_max_$c"
+        }
+      }.distinct
+    }
+    val where =
+      if (rng.int(3) == 0) ""
+      else {
+        val n = rng.int(2) + 1
+        val conds = Seq.fill(n)(filters(rng.int(filters.size))())
+        s"WHERE ${conds.mkString(s" ${rng.pick(Seq("AND", "OR"))} ")}"
+      }
+    val having = if (rng.int(4) == 0) "HAVING count(*) > 1" else ""
+    val limit = if (rng.int(4) == 0) s"LIMIT ${rng.int(50) + 1}" else ""
+    val orderBy = s"ORDER BY ${gcols.mkString(", ")}"
+    s"""SELECT ${gcols.mkString(", ")}, ${aggs.mkString(", ")}
+       |FROM $table $where
+       |GROUP BY ${gcols.mkString(", ")} $having $orderBy $limit""".stripMargin
+  }
+
+  private def cmp(rng: Rng): String = rng.pick(Seq("<", "<=", ">", ">=", "="))
+
+  /** Join-shaped fuzz: lineitem⋈orders(⋈customer) with group keys and
+    * filters drawn from both sides.
+    */
+  private def genJoinQuery(rng: Rng): String = {
+    val threeWay = rng.int(2) == 0
+    val joins = "lineitem JOIN orders ON l_orderkey = o_orderkey" +
+      (if (threeWay) " JOIN customer ON o_custkey = c_custkey" else "")
+    val groupPool = Seq("l_returnflag", "o_orderstatus", "o_orderpriority") ++
+      (if (threeWay) Seq("c_mktsegment") else Nil)
+    val gcols = Seq.fill(rng.int(2) + 1)(rng.pick(groupPool)).distinct
+    val aggs = Seq(
+      "count(*) AS agg_cnt",
+      rng.pick(Seq(
+        "round(sum(l_quantity), 2) AS agg_sum_qty",
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS agg_rev",
+        "min(o_totalprice) AS agg_min_price",
+        "max(l_quantity) AS agg_max_qty")))
+    val filterPool = Seq(
+      () => s"l_quantity ${cmp(rng)} ${rng.int(50) + 1}",
+      () => s"o_totalprice ${cmp(rng)} ${(rng.int(200) + 1) * 1000}",
+      () => s"o_orderstatus = '${rng.pick(Seq("F", "O", "P"))}'") ++
+      (if (threeWay) Seq(() => s"c_acctbal ${cmp(rng)} ${rng.int(9000)}") else Nil)
+    val where =
+      if (rng.int(3) == 0) ""
+      else s"WHERE ${Seq.fill(rng.int(2) + 1)(filterPool(rng.int(filterPool.size))())
+        .mkString(s" ${rng.pick(Seq("AND", "OR"))} ")}"
+    s"""SELECT ${gcols.mkString(", ")}, ${aggs.mkString(", ")}
+       |FROM $joins $where
+       |GROUP BY ${gcols.mkString(", ")} ORDER BY ${gcols.mkString(", ")}""".stripMargin
+  }
+
+  /** Distinct-projection fuzz. */
+  private def genDistinctQuery(rng: Rng): String = {
+    val (table, cols) = rng.pick(Seq(
+      ("lineitem", Seq("l_returnflag", "l_linestatus", "l_linenumber")),
+      ("orders", Seq("o_orderstatus", "o_orderpriority")),
+      ("events", Seq("event_type", "user_id"))))
+    val picked = Seq.fill(rng.int(2) + 1)(rng.pick(cols)).distinct
+    s"""SELECT DISTINCT ${picked.mkString(", ")} FROM $table
+       |ORDER BY ${picked.mkString(", ")}""".stripMargin
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val n = if (args.length > 2) args(2).toInt else 200
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.core.Engine.open(spark, sfDir)
+    new java.io.File(outDir).mkdirs()
+
+    val queries = (0 until n).map { i =>
+      val rng = Rng(0xC0FFEE + i.toLong * 7919)
+      val sql = rng.int(4) match {
+        case 0 => genJoinQuery(rng)
+        case 1 if i % 8 == 1 => genDistinctQuery(rng)
+        case _ => genQuery(rng)
+      }
+      s"fz_%03d".format(i) -> sql
+    }
+    var failures = 0
+    queries.foreach { case (name, sql) =>
+      try graft.sql.QueryGate.sql(spark, sql).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        failures += 1
+        System.err.println(s"[fuzz] $name failed: ${e.getMessage.linesIterator.next()}")
+      }
+    }
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    Files.writeString(Paths.get(s"$outDir/fuzz_sql.json"),
+      queries.map { case (k, v) => s""""$k": "${esc(v)}"""" }.mkString("{", ",", "}"))
+    println(s"[fuzz] generated ${queries.size}, spark-side failures: $failures")
+    spark.stop()
+  }
+}
