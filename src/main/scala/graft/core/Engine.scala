@@ -51,12 +51,23 @@ object Engine {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.foldLeft(df) {
       case (acc, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
-        acc.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            (org.apache.spark.sql.functions.col("ts") / 1000L)
-              .cast(org.apache.spark.sql.types.LongType)))
+        acc.withColumn("ts", nanosToTimestamp(org.apache.spark.sql.functions.col("ts")))
       case (acc, _) => acc
     }
+  }
+
+  /** Epoch-nanos long → microsecond timestamp. Integral `div` — plain
+    * `/` is double division, and 2020s-era epoch nanos (~1.7e18) sit
+    * above double's 2^53 exact range (ulp = 256 ns), which would skew
+    * boundary-adjacent events by 1 µs.
+    */
+  def nanosToTimestamp(nanos: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    // subtract the sub-µs remainder in long arithmetic, then the
+    // decimal division is exact (no fractional part to round)
+    timestamp_micros(
+      ((nanos - pmod(nanos, lit(1000L))).cast("decimal(38,0)") / 1000)
+        .cast(org.apache.spark.sql.types.LongType))
   }
 
   /** Register every table in `dir` as a temp view (idempotent), so both

@@ -429,8 +429,10 @@ object SafeEval {
         val (t, i) = (go(obj), go(idx))
         t.dt match {
           case ArrayType(elem, _) =>
-            // Python 0-based; element_at is 1-based
-            Typed(element_at(t.col, (i.col + 1).cast(IntegerType)), elem)
+            // Python 0-based (negatives count from the end); element_at
+            // is 1-based with the same negative-index semantics
+            Typed(element_at(t.col,
+              when(i.col >= 0, i.col + 1).otherwise(i.col).cast(IntegerType)), elem)
           case MapType(_, v, _) => Typed(element_at(t.col, i.col), v)
           case st: StructType => idx match {
             case Lit(name: String) =>
@@ -440,8 +442,11 @@ object SafeEval {
             case _ => throw SafeEvalError("struct subscript requires a string literal")
           }
           case StringType =>
-            // Python s[i] character access (0-based; substr is 1-based)
-            Typed(t.col.substr(i.col.cast(IntegerType) + 1, lit(1)), StringType)
+            // Python s[i] character access (0-based; substr is 1-based;
+            // negatives count from the end)
+            val pos = when(i.col >= 0, i.col + 1)
+              .otherwise(length(t.col) + i.col + 1)
+            Typed(t.col.substr(pos.cast(IntegerType), lit(1)), StringType)
           case other => throw SafeEvalError(s"subscript on $other unsupported")
         }
 
@@ -465,7 +470,8 @@ object SafeEval {
               case None => 0
               case _ => throw SafeEvalError("round() scale must be an integer literal")
             }
-            Typed(round(ts.head.col.cast(DoubleType), scale), DoubleType)
+            // bround = HALF_EVEN, matching python's banker's rounding
+            Typed(bround(ts.head.col.cast(DoubleType), scale), DoubleType)
           case "min" | "max" =>
             if (ts.size == 1) ts.head.dt match {
               case ArrayType(e, _) =>

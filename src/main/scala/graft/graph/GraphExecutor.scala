@@ -86,13 +86,15 @@ object GraphExecutor {
       parallelFanOut: Boolean = true, checkpointEvery: Int = 8,
       pauseBefore: Set[String] = Set.empty,
       checkpointDir: Option[String] = None,
-      onEvent: EventHook = (_, _) => ()): GraphResult = {
+      onEvent: EventHook = (_, _) => (),
+      eagerNodeActions: Boolean = false): GraphResult = {
     spec.validate().left.foreach(errs => throw GraphError(errs.mkString("; ")))
     registry.keys.filterNot(k => spec.nodes.exists(_.id == k) || k == "*").foreach { k =>
       throw GraphError(s"registry entry '$k' is not a node of the graph")
     }
     loop(spec, Map(spec.entryNode -> Seq(input)), Map.empty, Nil, 0,
-      registry, parallelFanOut, checkpointEvery, pauseBefore, checkpointDir, onEvent)
+      registry, parallelFanOut, checkpointEvery, pauseBefore, checkpointDir,
+      onEvent, eagerNodeActions = eagerNodeActions)
   }
 
   /** Resume a paused run from `checkpointDir`
@@ -106,26 +108,39 @@ object GraphExecutor {
     implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
     val meta = org.json4s.jackson.JsonMethods.parse(metaJson)
     val pendingKeys = (meta \ "pending").extract[Map[String, Int]]
+    val terminalKeys = (meta \ "terminal").extractOrElse[Map[String, Int]](Map.empty)
     val visits = (meta \ "visits").extract[Map[String, Int]]
     val path = (meta \ "path").extract[Seq[String]]
     val steps = (meta \ "steps").extract[Int]
     val pending = pendingKeys.map { case (node, n) =>
-      node -> (0 until n).map(i => spark.read.parquet(s"$checkpointDir/$node/$i")).toSeq
+      node -> (0 until n).map(i =>
+        spark.read.parquet(s"$checkpointDir/pending/$node/$i")).toSeq
+    }
+    val terminal = terminalKeys.map { case (node, n) =>
+      node -> (0 until n).map(i =>
+        spark.read.parquet(s"$checkpointDir/terminal/$node/$i")).toSeq
     }
     loop(spec, pending, visits, path, steps, registry, parallelFanOut,
-      checkpointEvery, Set.empty, None, (_, _) => ())
+      checkpointEvery, Set.empty, None, (_, _) => (), terminal0 = terminal)
   }
 
   private def savePause(dir: String, pending: Map[String, Seq[DataFrame]],
-      visits: Map[String, Int], path: Seq[String], steps: Int): Unit = {
+      terminal: Map[String, Seq[DataFrame]], visits: Map[String, Int],
+      path: Seq[String], steps: Int): Unit = {
     pending.foreach { case (node, dfs) =>
       dfs.zipWithIndex.foreach { case (df, i) =>
-        df.write.mode("overwrite").parquet(s"$dir/$node/$i")
+        df.write.mode("overwrite").parquet(s"$dir/pending/$node/$i")
+      }
+    }
+    terminal.foreach { case (node, dfs) =>
+      dfs.zipWithIndex.foreach { case (df, i) =>
+        df.write.mode("overwrite").parquet(s"$dir/terminal/$node/$i")
       }
     }
     implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
     val meta = org.json4s.jackson.Serialization.write(Map(
       "pending" -> pending.view.mapValues(_.size).toMap,
+      "terminal" -> terminal.view.mapValues(_.size).toMap,
       "visits" -> visits,
       "path" -> path,
       "steps" -> steps))
@@ -138,9 +153,11 @@ object GraphExecutor {
       visits0: Map[String, Int], path0: Seq[String], steps0: Int,
       registry: Registry, parallelFanOut: Boolean, checkpointEvery: Int,
       pauseBefore: Set[String], checkpointDir: Option[String],
-      onEvent: EventHook): GraphResult = {
+      onEvent: EventHook,
+      terminal0: Map[String, Seq[DataFrame]] = Map.empty,
+      eagerNodeActions: Boolean = false): GraphResult = {
     var pending = pending0
-    var terminal = Map.empty[String, Seq[DataFrame]]
+    var terminal = terminal0
     val visits = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
     visits0.foreach { case (k, v) => visits(k) = v }
     val path = Seq.newBuilder[String]
@@ -152,7 +169,7 @@ object GraphExecutor {
       if (pauseBefore.nonEmpty && pending.keys.exists(pauseBefore.contains)) {
         val dir = checkpointDir.getOrElse(
           throw GraphError("pauseBefore requires a checkpointDir"))
-        savePause(dir, pending, visits.toMap, path.result(), steps)
+        savePause(dir, pending, terminal, visits.toMap, path.result(), steps)
         return GraphResult(
           terminal.view.mapValues(
             _.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))).toMap,
@@ -179,11 +196,18 @@ object GraphExecutor {
         // per-node retries (`edge.py:430` max_retries_per_node=3,
         // `node.py:213`); exhausted → failure policy (`executor.py:
         // 1768-1991` ParallelExecutionConfig: fail_all | continue_others)
+        // NOTE: without eagerNodeActions, fn only *constructs* the
+        // plan, so only analysis-time errors are retryable; with it,
+        // each node materializes (localCheckpoint) inside the retry
+        // scope so runtime failures hit the retry/failure policy too
         var outRaw: DataFrame = null
         var attempt = 0
         var failed: Option[Throwable] = None
         while (outRaw == null && failed.isEmpty) {
-          try outRaw = fn(merged)
+          try {
+            val df = fn(merged)
+            outRaw = if (eagerNodeActions) df.localCheckpoint(true) else df
+          }
           catch {
             case e: Throwable =>
               attempt += 1

@@ -60,20 +60,22 @@ object ExcelSource {
     (0 until nl.getLength).map(nl.item(_).asInstanceOf[org.w3c.dom.Element])
   }
 
+  private def namesFrom(parts: Map[String, Array[Byte]]): Seq[String] =
+    elems(parseXml(parts("xl/workbook.xml")), "sheet").map(_.getAttribute("name"))
+
   /** Sheet names in workbook order (`excel_sheet_list`,
     * `excel_tool.py:420-472`).
     */
-  def sheetNames(path: String): Seq[String] = {
-    val parts = readZip(path)
-    elems(parseXml(parts("xl/workbook.xml")), "sheet").map(_.getAttribute("name"))
-  }
+  def sheetNames(path: String): Seq[String] = namesFrom(readZip(path))
 
   private def columnIndex(cellRef: String): Int =
     cellRef.takeWhile(_.isLetter).foldLeft(0)((acc, c) => acc * 26 + (c - 'A' + 1)) - 1
 
   /** Raw cell grid of one sheet, all values as strings. */
-  def readSheetRows(path: String, sheet: String): Seq[Seq[String]] = {
-    val parts = readZip(path)
+  def readSheetRows(path: String, sheet: String): Seq[Seq[String]] =
+    rowsFrom(readZip(path), sheet)
+
+  private def rowsFrom(parts: Map[String, Array[Byte]], sheet: String): Seq[Seq[String]] = {
     val wb = parseXml(parts("xl/workbook.xml"))
     val sheetsMeta = elems(wb, "sheet")
     val idx = sheetsMeta.indexWhere(_.getAttribute("name") == sheet)
@@ -122,8 +124,12 @@ object ExcelSource {
   /** One sheet as a DataFrame: row 1 = header, missing header cells
     * named `Column_{i+1}` (`excel_tool.py:588-591`), all strings.
     */
-  def readSheet(spark: SparkSession, path: String, sheet: String): DataFrame = {
-    val rows = readSheetRows(path, sheet)
+  def readSheet(spark: SparkSession, path: String, sheet: String): DataFrame =
+    sheetDf(spark, readZip(path), sheet)
+
+  private def sheetDf(spark: SparkSession, parts: Map[String, Array[Byte]],
+      sheet: String): DataFrame = {
+    val rows = rowsFrom(parts, sheet)
     require(rows.nonEmpty, s"sheet '$sheet' is empty")
     val width = rows.map(_.size).max
     val header = rows.head.padTo(width, "").zipWithIndex.map {
@@ -143,12 +149,13 @@ object ExcelSource {
     */
   def registerWorkbook(spark: SparkSession, path: String,
       targetSheet: Option[String] = None): Seq[String] = {
-    val names = sheetNames(path)
-    names.foreach { s =>
-      readSheet(spark, path, s).createOrReplaceTempView(sanitizeName(s))
-    }
+    // inflate + parse the zip once for the whole workbook
+    val parts = readZip(path)
+    val names = namesFrom(parts)
+    val dfs = names.map(s => s -> sheetDf(spark, parts, s)).toMap
+    dfs.foreach { case (s, df) => df.createOrReplaceTempView(sanitizeName(s)) }
     targetSheet.orElse(names.headOption).foreach { s =>
-      readSheet(spark, path, s).createOrReplaceTempView("data")
+      dfs(s).createOrReplaceTempView("data")
     }
     names
   }

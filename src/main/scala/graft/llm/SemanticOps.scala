@@ -89,6 +89,8 @@ object SemanticOps {
           }
         }
         val responses = client.complete(prompts)
+        require(responses.size == batch.size,
+          s"model client returned ${responses.size} responses for ${batch.size} prompts")
         batch.zip(responses).map { case (row, resp) => Row.fromSeq(row.toSeq :+ resp) }
       }
     }

@@ -131,6 +131,7 @@ object Analytics {
     */
   def stallFlag(valueCol: Column, orderCols: Seq[Column], partitionCols: Seq[Column],
       threshold: Int = 3): Column = {
+    require(threshold >= 2, s"stall threshold must be >= 2, got $threshold")
     val w = Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)
     val allSame = (1 until threshold)
       .map(i => lag(valueCol, i).over(w) === valueCol)
@@ -151,6 +152,7 @@ object Analytics {
   def doomLoopFlags(calls: DataFrame, sessionCol: String, turnCol: String,
       callIdxCol: String, toolCol: String, argsJsonCol: String,
       threshold: Int = 3): DataFrame = {
+    require(threshold >= 2, s"doom-loop threshold must be >= 2, got $threshold")
     val fp = calls
       .withColumn("__canon",
         concat_ws("|", col(toolCol),

@@ -30,7 +30,7 @@ object StreamOps {
     val stream = spark.readStream.schema(schema).parquet(dir)
     val streamTs =
       if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        stream.withColumn("ts", graft.core.Engine.nanosToTimestamp(col("ts")))
       else stream
     windowedCounts(streamTs)
       .writeStream

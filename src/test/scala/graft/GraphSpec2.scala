@@ -131,6 +131,25 @@ class GraphExecSpec extends SparkSpec {
     assert(degraded.terminalOutputs("sink").count() == 5) // alive branch delivered
   }
 
+  test("eager node actions bring runtime failures under the retry/failure policy") {
+    // rlike with a broken regex only fails at execution time; without
+    // eagerNodeActions it would escape continue_others entirely
+    val spec = GraphSpec(
+      nodes = Seq(NodeSpec("src"), NodeSpec("dead"), NodeSpec("alive"), NodeSpec("sink")),
+      edges = Seq(EdgeSpec("src", "dead"), EdgeSpec("src", "alive"),
+        EdgeSpec("dead", "sink"), EdgeSpec("alive", "sink")),
+      entryNode = "src", terminalNodes = Seq("sink"),
+      maxRetriesPerNode = 1, failurePolicy = "continue_others")
+    val registry: GraphExecutor.Registry = Map(
+      "dead" -> ((df: DataFrame) =>
+        df.withColumn("x", element_at(split(col("event_type"), ","), 99))),
+      "alive" -> ((df: DataFrame) => df.withColumn("branch", lit("alive"))))
+    val degraded = GraphExecutor.run(spec, events.limit(5), registry,
+      eagerNodeActions = true)
+    assert(degraded.failedNodes == Seq("dead"))
+    assert(degraded.terminalOutputs("sink").count() == 5)
+  }
+
   test("validation catches unreachable nodes, bad refs, missing conditions") {
     val bad = GraphSpec(
       nodes = Seq(NodeSpec("a"), NodeSpec("island")),

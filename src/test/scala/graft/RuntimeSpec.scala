@@ -122,12 +122,14 @@ class RuntimeSpec extends SparkSpec {
       ("graph_completed", "")))
   }
 
-  test("graph pause + resume round-trip (ST5/ST6)") {
+  test("graph pause + resume round-trip preserves pre-pause terminal outputs (ST5/ST6)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    // a fans out to an early terminal t1 AND to b; pause lands before b,
+    // after t1 has already produced output — resume must not lose t1
     val spec = GraphSpec(
-      nodes = Seq(NodeSpec("a"), NodeSpec("b"), NodeSpec("c")),
-      edges = Seq(EdgeSpec("a", "b"), EdgeSpec("b", "c")),
-      entryNode = "a", terminalNodes = Seq("c"))
+      nodes = Seq(NodeSpec("a"), NodeSpec("t1"), NodeSpec("b"), NodeSpec("c")),
+      edges = Seq(EdgeSpec("a", "t1"), EdgeSpec("a", "b"), EdgeSpec("b", "c")),
+      entryNode = "a", terminalNodes = Seq("t1", "c"))
     val registry: GraphExecutor.Registry = Map(
       "a" -> ((df: DataFrame) => df.withColumn("a_done", lit(true))),
       "b" -> ((df: DataFrame) => df.withColumn("b_done", lit(true))))
@@ -135,13 +137,11 @@ class RuntimeSpec extends SparkSpec {
     val paused = GraphExecutor.run(spec, input, registry,
       pauseBefore = Set("b"), checkpointDir = Some(dir))
     assert(paused.pausedAt.contains("b"))
-    assert(paused.path == Seq("a"))
     val resumed = GraphExecutor.resume(spec, spark, dir, registry)
     assert(resumed.pausedAt.isEmpty)
+    assert(resumed.terminalOutputs("t1").count() == 3) // pre-pause terminal survived
     val out = resumed.terminalOutputs("c")
     assert(out.count() == 3)
     assert(out.columns.toSet == Set("x", "a_done", "b_done"))
-    // resumed result carries the full path across the pause boundary
-    assert(resumed.path == Seq("a", "b", "c"))
   }
 }

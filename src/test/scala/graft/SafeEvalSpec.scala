@@ -99,7 +99,7 @@ class SafeEvalSpec extends SparkSpec {
     assert(eval("len(name)") == 11)
     assert(eval("len(items)") == 3)
     assert(eval("abs(0 - output)") == 5L)
-    assert(eval("round(score)") == 3.0) // hmm: python banker's rounds 2.5->2; half-up gives 3
+    assert(eval("round(score)") == 2.0) // python banker's rounding: round(2.5) == 2
     assert(eval("min(output, 3)") == 3L)
     assert(eval("max(output, 3)") == 5L)
     assert(eval("min(items)") == 1L)
@@ -115,6 +115,11 @@ class SafeEvalSpec extends SparkSpec {
     assert(eval("name.split()").asInstanceOf[scala.collection.Seq[_]].toSeq == Seq("hello", "world"))
     assert(eval("name[0]") == "h")
     assert(eval("items[1]") == 2L)
+    // python negative indices count from the end
+    assert(eval("items[-1]") == 3L)
+    assert(eval("items[-3]") == 1L)
+    assert(eval("name[-1]") == "d")
+    assert(eval("name[-5]") == "w")
   }
 
   test("dict methods: get keys values") {
