@@ -170,6 +170,30 @@ object ExcelSource {
     graft.sql.QueryGate.sql(spark, query)
   }
 
+  /** `excel_append` parity (`excel_tool.py:231-331`): append rows
+    * conforming to the sheet's existing header (extra columns dropped,
+    * missing columns empty), rewrite the workbook.
+    */
+  def append(spark: SparkSession, df: DataFrame, path: String, sheet: String): Unit = {
+    val existing = readSheet(spark, path, sheet)
+    val conformed = df.select(existing.columns.map { c =>
+      if (df.columns.contains(c)) col(c).cast(StringType).as(c)
+      else lit("").as(c)
+    }.toIndexedSeq: _*)
+    write(existing.unionByName(conformed), path, sheet)
+  }
+
+  final case class SheetInfo(sheet: String, columns: Seq[String],
+      totalRows: Long, fileSizeBytes: Long)
+
+  /** `excel_info` parity (`excel_tool.py:333-418`): header, data row
+    * count, file size.
+    */
+  def info(spark: SparkSession, path: String, sheet: String): SheetInfo = {
+    val df = readSheet(spark, path, sheet)
+    SheetInfo(sheet, df.columns.toSeq, df.count(), new java.io.File(path).length())
+  }
+
   /** `excel_search` match types (`excel_tool.py:705-756`): contains /
     * exact / starts_with / ends_with, case-insensitive by default.
     */

@@ -75,4 +75,20 @@ object LogSource {
     try w.write(data.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally w.close()
   }
+
+  /** String-replace blob edit (`edit_data`, `data_tools.py:313`):
+    * replaces every occurrence of `find` (literal, not regex) and
+    * returns the replacement count.
+    */
+  def editData(path: String, find: String, replace: String): Int = {
+    require(find.nonEmpty, "find must be non-empty")
+    val content = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    var count = 0
+    var idx = content.indexOf(find)
+    while (idx >= 0) { count += 1; idx = content.indexOf(find, idx + find.length) }
+    if (count > 0) saveData(path, content.replace(find, replace))
+    count
+  }
 }

@@ -107,6 +107,25 @@ class IoSpec extends SparkSpec {
     assert(rows == Seq(("gizmo", 1L), ("widget", 2L)))
   }
 
+  test("excel append conforms to header; info reports shape (`excel_tool.py:231-418`)") {
+    val p = s"$tmp/appendable.xlsx"
+    ExcelSource.write(Seq((1, "a"), (2, "b")).toDF("id", "name"), p, "Data")
+    ExcelSource.append(spark, Seq(("3", "c", "junk")).toDF("id", "name", "extra"), p, "Data")
+    val back = ExcelSource.readSheet(spark, p, "Data")
+    assert(back.count() == 3)
+    assert(back.columns.toSeq == Seq("id", "name"))
+    val info = ExcelSource.info(spark, p, "Data")
+    assert(info.totalRows == 3 && info.columns == Seq("id", "name") && info.fileSizeBytes > 0)
+  }
+
+  test("edit_data replaces literal occurrences and reports count (`data_tools.py:313`)") {
+    val p = s"$tmp/editable.txt"
+    LogSource.saveData(p, "foo bar foo baz")
+    assert(LogSource.editData(p, "foo", "qux") == 2)
+    assert(LogSource.loadData(p) == "qux bar qux baz")
+    assert(LogSource.editData(p, "missing", "x") == 0)
+  }
+
   test("excel search match types (`excel_tool.py:705-756`)") {
     val df = Seq("Apple Pie", "apple sauce", "Banana").toDF("item")
     assert(ExcelSource.search(df, "item", "apple").count() == 2) // CI contains
