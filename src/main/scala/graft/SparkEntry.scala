@@ -512,6 +512,58 @@ object SparkEntry {
         round(expr("percentile(value, 0.99)"), 4).as("p99"))
       .orderBy(col("event_type"))
 
+  /** J-family depth — left outer join with NULL-bearing aggregates:
+    * customers against their recent orders; never-ordered customers
+    * surface with zero counts via coalesce.
+    */
+  private def q49(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_orderdate") >= lit("2000-01-01")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_orderkey")).as("n_orders"), // NULLs not counted
+        round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("sum_price"))
+      .orderBy(col("c_mktsegment"))
+
+  /** A11 depth — CUBE over two dimensions (all grouping sets). */
+  private def q50(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  /** J2/§3.2 — the SQL path end-to-end: temp views + SELECT-only gate
+    * + scalar subquery (orders above the global average).
+    */
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    Engine.open(s, dir)
+    graft.sql.QueryGate.sql(s,
+      """SELECT o_orderpriority, count(*) AS n_above_avg
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** W5 depth — ranking-function suite: rank / dense_rank / ntile /
+    * lag / lead over one window, top-5 rows per group.
+    */
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(desc("value"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("event_type"), col("event_id"), col("value"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        round(lag(col("value"), 1).over(w), 2).as("prev_value"),
+        round(lead(col("value"), 1).over(w), 2).as("next_value"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 5).drop("rn")
+      .orderBy(col("event_type"), desc("value"), col("event_id"))
+  }
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -564,7 +616,11 @@ object SparkEntry {
     "q45_semantic_judge" -> (q45 _),
     "q46_session_windows" -> (q46 _),
     "q47_risk_score_weighted" -> (q47 _),
-    "q48_value_percentiles" -> (q48 _))
+    "q48_value_percentiles" -> (q48 _),
+    "q49_left_join_nulls" -> (q49 _),
+    "q50_cube_orders" -> (q50 _),
+    "q51_scalar_subquery" -> (q51 _),
+    "q52_window_suite" -> (q52 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -824,5 +880,34 @@ object SparkEntry {
         | round(quantile_cont(value, 0.5), 4) AS p50,
         | round(quantile_cont(value, 0.95), 4) AS p95,
         | round(quantile_cont(value, 0.99), 4) AS p99
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q49_left_join_nulls" ->
+      """SELECT c_mktsegment, count(*) AS n_rows, count(o_orderkey) AS n_orders,
+        | round(sum(coalesce(o_totalprice, 0.0)), 2) AS sum_price
+        |FROM customer LEFT JOIN (
+        |  SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01') o
+        |ON c_custkey = o.o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q50_cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q51_scalar_subquery" ->
+      """SELECT o_orderpriority, count(*) AS n_above_avg
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q52_window_suite" ->
+      """SELECT event_type, event_id, value, rnk, drnk, quartile,
+        | prev_value, next_value
+        |FROM (
+        |  SELECT event_type, event_id, value,
+        |    rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |    ntile(4) OVER w AS quartile,
+        |    round(lag(value, 1) OVER w, 2) AS prev_value,
+        |    round(lead(value, 1) OVER w, 2) AS next_value,
+        |    row_number() OVER w AS rn
+        |  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id))
+        |WHERE rn <= 5 ORDER BY event_type, value DESC, event_id""".stripMargin)
 }
