@@ -103,4 +103,25 @@ object TextFunctions {
     */
   def exactFingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  private val PositiveWords = Seq(
+    "good", "great", "excellent", "fast", "happy", "love", "best",
+    "success", "win", "improve", "easy", "clean")
+  private val NegativeWords = Seq(
+    "bad", "slow", "terrible", "fail", "error", "hate", "worst",
+    "broken", "bug", "crash", "hard", "dirty")
+
+  /** Lexicon sentiment score in [-1, 1]: (pos − neg) / max(pos+neg, 1)
+    * over the token stream — the engine-side analog of the reference's
+    * provider-routed `news_sentiment` (SURVEY §2.7 "Sentiment /
+    * scoring"); lexicons are pluggable.
+    */
+  def sentimentScore(text: Column,
+      positive: Seq[String] = PositiveWords,
+      negative: Seq[String] = NegativeWords): Column = {
+    val toks = tokens(text)
+    val pos = size(filter(toks, t => array_contains(array(positive.map(lit): _*), t)))
+    val neg = size(filter(toks, t => array_contains(array(negative.map(lit): _*), t)))
+    round((pos - neg).cast("double") / greatest(pos + neg, lit(1)), 4)
+  }
 }

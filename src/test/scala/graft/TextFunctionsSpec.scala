@@ -36,6 +36,13 @@ class TextFunctionsSpec extends SparkSpec {
     assert(q > 0.0 && q <= 1.0)
   }
 
+  test("sentiment score: lexicon polarity in [-1,1]") {
+    assert(one(TF.sentimentScore(lit("this is great and i love it"))).getDouble(0) == 1.0)
+    assert(one(TF.sentimentScore(lit("terrible slow broken mess"))).getDouble(0) == -1.0)
+    assert(one(TF.sentimentScore(lit("good but slow"))).getDouble(0) == 0.0)
+    assert(one(TF.sentimentScore(lit("neutral words only here"))).getDouble(0) == 0.0)
+  }
+
   test("language id picks the profile with highest stopword hit rate") {
     assert(one(TF.langIdHeuristic(lit("the cat and the dog is here"))).getString(0) == "en")
     assert(one(TF.langIdHeuristic(lit("el perro y la casa en un pueblo"))).getString(0) == "es")
