@@ -564,6 +564,16 @@ object SparkEntry {
       .orderBy(col("event_type"), desc("value"), col("event_id"))
   }
 
+  /** Dedup (rows-only): end-to-end corpus dedup — LSH candidates →
+    * Jaccard verify → transitive classes → keep-list summary.
+    */
+  private def q53(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupCorpus(t(s, dir, "documents"), "doc_id", "text", minJaccard = 0.3)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        countDistinct(col("dup_class")).as("n_dup_classes"))
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -620,7 +630,8 @@ object SparkEntry {
     "q49_left_join_nulls" -> (q49 _),
     "q50_cube_orders" -> (q50 _),
     "q51_scalar_subquery" -> (q51 _),
-    "q52_window_suite" -> (q52 _))
+    "q52_window_suite" -> (q52 _),
+    "q53_dedup_corpus" -> (q53 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->

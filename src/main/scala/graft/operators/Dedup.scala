@@ -159,6 +159,64 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ------------------------------------------- transitive dedup classes
+
+  /** Connected components over a similarity-pair edge list by iterative
+    * minimum-label propagation: every node adopts the smallest id
+    * reachable so far; converges in O(diameter) joins (duplicate
+    * clusters are tiny, so 3-5 iterations in practice; `maxIter`
+    * bounds pathological chains). All-DataFrame — no driver-side
+    * union-find, so it scales to billions of pairs. Returns
+    * (id, component) with component = min id of the cluster.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // each node adopts min(own component, neighbors' components)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("n_comp"))
+      val updated = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("n_comp"), col("component")))
+            .as("component"))
+        .localCheckpoint() // truncate iterative lineage
+      val changes = updated.join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .filter(col("component") =!= col("old")).count()
+      labels = updated
+      converged = changes == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-duplicate corpus dedup: MinHash-LSH candidates →
+    * exact Jaccard verification → transitive duplicate classes →
+    * keep-list (smallest id per class survives). Returns the input
+    * plus `dup_class` (null = unique) and `keep`.
+    */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.5, numHashes: Int = 64, bands: Int = 16,
+      shingleK: Int = 3): DataFrame = {
+    val candidates = minhashNearDuplicates(df, idCol, textCol,
+      numHashes, bands, shingleK, minJaccard = 0.0)
+    val verified = ngramJaccard(df, candidates.select("id_a", "id_b"),
+      idCol, textCol, shingleK)
+      .filter(col("jaccard") >= minJaccard)
+    val classes = connectedComponents(verified)
+    df.join(classes.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumnRenamed("component", "dup_class")
+      .withColumn("keep", col("dup_class").isNull || col("dup_class") === col(idCol))
+  }
+
   // --------------------------------------------------- embedding near-dup
 
   /** Embedding near-duplicates: cosine ≥ `minCosine` pairs, with

@@ -60,6 +60,34 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("connected components: transitive chains collapse to min label") {
+    // chain 1-2-3, pair 7-9, singleton edge 4-4 excluded by construction
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L)
+    assert(comps(7L) == 7L && comps(9L) == 7L)
+  }
+
+  test("dedupCorpus: transitive near-dup classes, min-id survives") {
+    // 1≈2 and 2≈6 (transitively one class even if 1~6 is weaker)
+    val corpus = docs.unionByName(Seq(
+      (6L, "the quick brown fox jumps over the lazy dog near the river bank sometimes")
+    ).toDF("doc_id", "text"))
+    val out = Dedup.dedupCorpus(corpus, "doc_id", "text", minJaccard = 0.35)
+    val byId = out.collect()
+      .map(r => r.getLong(0) -> (Option(r.get(r.fieldIndex("dup_class"))), r.getBoolean(r.fieldIndex("keep"))))
+      .toMap
+    // 1, 2, 4, 6 form one duplicate class with representative 1
+    assert(byId(1L)._1.contains(1L) && byId(1L)._2)
+    assert(byId(2L)._1.contains(1L) && !byId(2L)._2)
+    assert(byId(4L)._1.contains(1L) && !byId(4L)._2)
+    assert(byId(6L)._1.contains(1L) && !byId(6L)._2)
+    // unrelated docs stay unique and kept
+    assert(byId(3L)._1.isEmpty && byId(3L)._2)
+    assert(byId(5L)._1.isEmpty && byId(5L)._2)
+  }
+
   test("rolling-hash fingerprint is order-sensitive, exact fingerprint is ws-insensitive") {
     val fp = docs.select(col("doc_id"),
       TextFunctions.rollingHashFingerprint(col("text")).as("rh"),
