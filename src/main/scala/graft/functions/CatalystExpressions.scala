@@ -179,6 +179,32 @@ object CatalystExpressions {
     override protected def withNewChildInternal(c: Expression): LangIdExpr = copy(c)
   }
 
+  /** Whitespace tokenizer: lowercase(trim(text)) split on whitespace
+    * runs, empties dropped — one pass over the bytes per row instead
+    * of the interpreted `filter(split(...))` lambda chain (the hot
+    * first step of every text operator).
+    */
+  case class Tokenize(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = false
+    @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) return new GenericArrayData(Array.empty[Any])
+      val s = v.asInstanceOf[UTF8String].toString.trim
+      if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
+      val parts = ws.split(s)
+      val out = new Array[Any](parts.length)
+      var i = 0
+      while (i < parts.length) {
+        out(i) = UTF8String.fromString(parts(i).toLowerCase(java.util.Locale.ROOT))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Tokenize = copy(c)
+  }
+
   /** Dot product of two numeric arrays (float or double elements),
     * accumulated left-to-right in double — bit-identical to the
     * sequential `aggregate(zip_with(...))` formulation it replaces,
@@ -230,4 +256,6 @@ object CatalystExpressions {
 
   def dotProduct(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
+
+  def tokenize(text: Column): Column = column(Tokenize(expression(text)))
 }

@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens of lowercased, trimmed text; empty text → []. */
-  def tokens(text: Column): Column =
-    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+  /** Whitespace tokens of lowercased, trimmed text; empty text → [].
+    * Custom expression — one pass per row; the equivalent
+    * `filter(split(lower(trim(.))))` evaluates interpreted lambdas.
+    */
+  def tokens(text: Column): Column = CatalystExpressions.tokenize(text)
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -31,4 +31,16 @@ object TableSql {
     graft.io.LogSource.readJsonl(spark, pathGlob).createOrReplaceTempView("data")
     QueryGate.sql(spark, query)
   }
+
+  /** `max_rows` truncation with flag (O5, `bigquery_tool.py:226-233`):
+    * up to `maxRows` rows plus whether the result was cut. One extra
+    * row of lookahead instead of a second full count.
+    */
+  final case class TruncatedResult(rows: org.apache.spark.sql.DataFrame, truncated: Boolean)
+
+  def limitWithFlag(df: org.apache.spark.sql.DataFrame, maxRows: Int): TruncatedResult = {
+    val probe = df.limit(maxRows + 1)
+    val truncated = probe.count() > maxRows
+    TruncatedResult(probe.limit(maxRows), truncated)
+  }
 }

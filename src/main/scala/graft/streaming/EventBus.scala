@@ -105,6 +105,18 @@ final class EventBus(spark: SparkSession, maxHistory: Int = 1000) {
   def history(subscriberName: String, n: Int = 100): DataFrame =
     received(subscriberName).orderBy(desc("ts")).limit(math.min(n, maxHistory))
 
+  /** Bus-level bounded history (the reference's bus keeps the last
+    * 1000 events regardless of subscriptions, `event_bus.py:249-252`):
+    * an unfiltered subscription materialized lazily on first use.
+    */
+  def recentEvents(n: Int = 100): DataFrame = {
+    synchronized {
+      if (!queries.contains("__bus_history")) subscribe("__bus_history", Subscription())
+    }
+    flush()
+    history("__bus_history", n)
+  }
+
   /** Await the first event matching `sub` — `wait_for` parity
     * (`event_bus.py:902-…`). Returns None on timeout.
     */

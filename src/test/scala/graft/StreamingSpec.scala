@@ -36,6 +36,24 @@ class StreamingSpec extends SparkSpec {
     } finally bus.stop()
   }
 
+  test("event bus: bus-level recent history without explicit subscription") {
+    val bus = new EventBus(spark)
+    try {
+      bus.publish(AgentEvent("a", "s"), AgentEvent("b", "s"))
+      val recent = bus.recentEvents(10).collect()
+      assert(recent.length == 2)
+      assert(recent.head.getAs[String]("event_type") == "b") // newest first
+    } finally bus.stop()
+  }
+
+  test("limitWithFlag reports truncation (O5, `bigquery_tool.py:226-233`)") {
+    val events = graft.core.Engine.table(spark, sfDir, "events")
+    val cut = graft.sql.TableSql.limitWithFlag(events, 10)
+    assert(cut.truncated && cut.rows.count() == 10)
+    val whole = graft.sql.TableSql.limitWithFlag(events.limit(5), 10)
+    assert(!whole.truncated && whole.rows.count() == 5)
+  }
+
   test("event bus: waitFor returns first match, times out cleanly") {
     val bus = new EventBus(spark)
     try {
