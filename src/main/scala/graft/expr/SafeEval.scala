@@ -312,9 +312,49 @@ object SafeEval {
 
   /** Edge-predicate form: eval failure (null) → false
     * (`edge.py:200-204`), result coerced to boolean truthiness.
+    *
+    * Compiled in boolean context: and/or over boolean-valued children
+    * become plain SQL conjunction/disjunction rather than the
+    * value-returning CASE ladder. Under the final `coalesce(_, false)`
+    * SQL's three-valued && / || produce identical truth values to the
+    * python-truthiness bridge (unknown collapses to false either way),
+    * and — unlike CASE — plain comparisons push down to the parquet
+    * scan (locked by PlanAudit). `not` keeps the truthiness bridge:
+    * python `not None` is True, which 3VL `!null` is not.
     */
   def predicate(expr: String, schema: StructType): Column =
-    coalesce(truthy(compileTyped(parse(expr), schema)), lit(false))
+    coalesce(booleanCtx(parse(expr), schema), lit(false))
+
+  /** Filter-context form: same truth semantics as [[predicate]] under
+    * `DataFrame.filter` (a null predicate drops the row, exactly what
+    * coalesce-to-false does) but without the outer coalesce wrapper —
+    * which is what lets the comparisons inside reach the parquet
+    * scan's PushedFilters. Use this for edge conditions / row routing;
+    * use [[predicate]] when projecting the boolean as a value.
+    */
+  def filterCondition(expr: String, schema: StructType): Column =
+    booleanCtx(parse(expr), schema)
+
+  private def booleanCtx(ast: Ast, schema: StructType): Column = ast match {
+    case BoolOp(op, items) =>
+      // plain 3VL is safe here: Kleene && / || are monotone in
+      // F < U < T, so a null (U) child can never turn the tree true
+      // where eager-false truthiness would not — the outer coalesce
+      // collapses a U result to false either way. Keeping the children
+      // coalesce-free is what lets comparisons reach PushedFilters.
+      val cols = items.map(booleanCtx(_, schema))
+      if (op == "and") cols.reduce(_ && _) else cols.reduce(_ || _)
+    case UnaryOp("not", e) =>
+      // `not` is NOT monotone (python: not None is True; 3VL: !U = U)
+      !coalesce(booleanCtx(e, schema), lit(false))
+    case Ternary(c, t, f) =>
+      // when() already treats a null condition as false (python: else)
+      when(booleanCtx(c, schema), booleanCtx(t, schema))
+        .otherwise(booleanCtx(f, schema))
+    case _ =>
+      val typed = compileTyped(ast, schema)
+      if (typed.dt == BooleanType) typed.col else truthy(typed)
+  }
 
   def compileTyped(ast: Ast, schema: StructType): Typed = {
     def field(n: String): Option[StructField] = schema.fields.find(_.name == n)

@@ -62,7 +62,9 @@ object GraphExecutor {
     case "on_failure" =>
       if (df.columns.contains("success")) !coalesce(col("success"), lit(true)) else lit(false)
     case "conditional" =>
-      SafeEval.predicate(e.condition.getOrElse("False"), df.schema)
+      // filter-context compilation: pushdown-friendly, null ≡ false
+      // under both Filter semantics and the serial when-ladder
+      SafeEval.filterCondition(e.condition.getOrElse("False"), df.schema)
     case other => throw GraphError(s"unknown condition type '$other'")
   }
 

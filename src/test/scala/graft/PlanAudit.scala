@@ -35,4 +35,18 @@ class PlanAudit extends SparkSpec {
       .find(_.contains("FileScan parquet")).get
     assert(scan.contains("Contains(p_name"))
   }
+
+  test("q18: top-n-per-group plans with WindowGroupLimit (no full-partition sort)") {
+    assert(plan("q18_top3_per_type").contains("WindowGroupLimit"))
+  }
+
+  test("compiled safe_eval predicates push down to the parquet scan") {
+    val events = graft.core.Engine.table(spark, dir, "events")
+    val filtered = events.filter(
+      graft.expr.SafeEval.filterCondition("value > 100 and event_type != 'error'", events.schema))
+    val scan = filtered.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan parquet")).get
+    assert(scan.contains("GreaterThan(value,100.0"),
+      s"safe_eval comparison should reach PushedFilters: $scan")
+  }
 }
