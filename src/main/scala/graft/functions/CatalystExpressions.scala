@@ -205,6 +205,43 @@ object CatalystExpressions {
     override protected def withNewChildInternal(c: Expression): Tokenize = copy(c)
   }
 
+  /** Distinct k-shingle hashes from an array of token hashes: slot i
+    * combines hashes i..i+k-1 with a splitmix chain (shingle identity
+    * by hash, no string rebuilding — the interpreted
+    * slice+concat_ws-per-shingle formulation dominated the dedup
+    * pipeline). Fewer than k tokens → one shingle of all tokens.
+    */
+  case class ShingleHashes(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def eval(input: InternalRow): Any = {
+      val arr = child.eval(input)
+      if (arr == null) return new GenericArrayData(Array.empty[Any])
+      val a = arr.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      if (n == 0) return new GenericArrayData(Array.empty[Any])
+      val out = new java.util.LinkedHashSet[java.lang.Long]()
+      if (n < k) {
+        var h = 0x51ED270B9A3F46DAL
+        var i = 0
+        while (i < n) { h = splitmix64(h ^ a.getLong(i)); i += 1 }
+        out.add(h)
+      } else {
+        var i = 0
+        while (i + k <= n) {
+          var h = 0x51ED270B9A3F46DAL
+          var j = i
+          while (j < i + k) { h = splitmix64(h ^ a.getLong(j)); j += 1 }
+          out.add(h)
+          i += 1
+        }
+      }
+      new GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(c)
+  }
+
   /** Dot product of two numeric arrays (float or double elements),
     * accumulated left-to-right in double — bit-identical to the
     * sequential `aggregate(zip_with(...))` formulation it replaces,
@@ -258,4 +295,7 @@ object CatalystExpressions {
     column(DotProduct(expression(a), expression(b)))
 
   def tokenize(text: Column): Column = column(Tokenize(expression(text)))
+
+  def shingleHashes(tokenHashes: Column, k: Int): Column =
+    column(ShingleHashes(expression(tokenHashes), k))
 }

@@ -66,8 +66,15 @@ object Dedup {
       numHashes: Int = 64, shingleK: Int = 3): DataFrame =
     df.select(col(idCol).as(idCol),
       graft.functions.CatalystExpressions.minhashSig(
-        transform(shingles(col(textCol), shingleK), s => xxhash64(s)), numHashes)
-        .as("signature"))
+        shingleHashSet(col(textCol), shingleK), numHashes).as("signature"))
+
+  /** Distinct shingle-hash set of the text (tokenize → per-token hash
+    * → rolling k-combine), all custom expressions — shingle identity
+    * by 64-bit hash, no per-shingle string construction.
+    */
+  def shingleHashSet(text: Column, k: Int = 3): Column =
+    graft.functions.CatalystExpressions.shingleHashes(
+      transform(TextFunctions.tokens(text), t => xxhash64(t)), k)
 
   /** MinHash-LSH candidate pairs: split the signature into `bands`
     * bands of `numHashes/bands` rows, hash each band, and self-join on
@@ -80,27 +87,35 @@ object Dedup {
       minJaccard: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // materialized once: the banding flow and the re-attach joins
+    // below reference sigs four times
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleK)
+      .localCheckpoint()
 
+    // narrow band join (ids only — signatures stay out of the
+    // shuffle), dedupe pairs first, then re-attach signatures to
+    // estimate similarity on the surviving pairs only
     val banded = sigs.select(
-      col(idCol).as("id"), col("signature"),
+      col(idCol).as("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
           xxhash64(b, concat_ws(",", slice(col("signature"), b * rows + 1, lit(rows))))
             .as("band_hash")))).as("lsh"))
-      .select(col("id"), col("signature"), col("lsh.band"), col("lsh.band_hash"))
+      .select(col("id"), col("lsh.band"), col("lsh.band_hash"))
 
-    val left = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_a"), col("signature").as("sig_a"))
-    val right = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_b"), col("signature").as("sig_b"))
-
-    left.join(right, Seq("band", "band_hash"))
+    val left = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val right = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
+    val pairs = left.join(right, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    pairs
+      .join(sigs.select(col(idCol).as("id_a"), col("signature").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col(idCol).as("id_b"), col("signature").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
           .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= minJaccard)
   }
 
@@ -112,7 +127,7 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, candidates: DataFrame, idCol: String,
       textCol: String, shingleK: Int = 3): DataFrame = {
-    val sets = df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+    val sets = df.select(col(idCol).as("id"), shingleHashSet(col(textCol), shingleK).as("sh"))
     candidates
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -171,9 +186,13 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 10): DataFrame = {
+    // materialize the edge list once — every iteration joins against
+    // it, and without this the whole upstream candidate pipeline
+    // (LSH + verification) re-executes per iteration
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
     var converged = false
@@ -206,8 +225,12 @@ object Dedup {
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.5, numHashes: Int = 64, bands: Int = 16,
       shingleK: Int = 3): DataFrame = {
+    // prefilter candidates on the signature estimate (slightly below
+    // the target so estimation noise doesn't drop true pairs) — with a
+    // small vocabulary every band bucket collides, and exact-verifying
+    // all collisions is quadratic in practice
     val candidates = minhashNearDuplicates(df, idCol, textCol,
-      numHashes, bands, shingleK, minJaccard = 0.0)
+      numHashes, bands, shingleK, minJaccard = math.max(0.0, minJaccard * 0.7))
     val verified = ngramJaccard(df, candidates.select("id_a", "id_b"),
       idCol, textCol, shingleK)
       .filter(col("jaccard") >= minJaccard)
