@@ -36,7 +36,11 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Distinct word k-shingles of the (lowercased) text. */
+  /** Distinct word k-shingles as human-readable strings — the debug /
+    * inspection variant. The dedup pipeline itself defines shingle
+    * identity by 64-bit hash ([[shingleHashSet]]); results of the two
+    * are NOT interchangeable.
+    */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = TextFunctions.tokens(text)
     array_distinct(
@@ -45,12 +49,6 @@ object Dedup {
           sequence(lit(1), size(toks) - (k - 1)),
           i => concat_ws(" ", slice(toks, i, lit(k))))))
   }
-
-  /** Exploded (id, shingle) pairs — the normalized form every
-    * MinHash/Jaccard pass starts from.
-    */
-  private def shinglePairs(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.select(col(idCol), explode(shingles(col(textCol), k)).as("shingle"))
 
   // ------------------------------------------------------------- minhash
 
@@ -90,7 +88,7 @@ object Dedup {
     // materialized once: the banding flow and the re-attach joins
     // below reference sigs four times
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleK)
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: materializes on first action, reused by all four references
 
     // narrow band join (ids only — signatures stay out of the
     // shuffle), dedupe pairs first, then re-attach signatures to
@@ -132,8 +130,10 @@ object Dedup {
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        // two empty shingle sets are identical documents (J=1), not 0/0
+        when(size(array_union(col("sh_a"), col("sh_b"))) === 0, 1.0)
+          .otherwise(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b")))))
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
@@ -192,7 +192,7 @@ object Dedup {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
     var converged = false
@@ -225,12 +225,15 @@ object Dedup {
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.5, numHashes: Int = 64, bands: Int = 16,
       shingleK: Int = 3): DataFrame = {
-    // prefilter candidates on the signature estimate (slightly below
-    // the target so estimation noise doesn't drop true pairs) — with a
-    // small vocabulary every band bucket collides, and exact-verifying
-    // all collisions is quadratic in practice
+    // prefilter candidates on the signature estimate, three standard
+    // errors below the target (sigma <= 0.5/sqrt(numHashes) for the
+    // matching-slots estimator) so a true pair at exactly minJaccard
+    // survives with ~99.9% probability — without the prefilter every
+    // band collision is exact-verified, which is quadratic in practice
+    // on small-vocabulary corpora
+    val margin = 3.0 * 0.5 / math.sqrt(numHashes.toDouble)
     val candidates = minhashNearDuplicates(df, idCol, textCol,
-      numHashes, bands, shingleK, minJaccard = math.max(0.0, minJaccard * 0.7))
+      numHashes, bands, shingleK, minJaccard = math.max(0.0, minJaccard - margin))
     val verified = ngramJaccard(df, candidates.select("id_a", "id_b"),
       idCol, textCol, shingleK)
       .filter(col("jaccard") >= minJaccard)

@@ -29,6 +29,15 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((3L, 5L)))
   }
 
+  test("empty documents: identical (J=1) rather than 0/0-null") {
+    import spark.implicits._
+    val empties = Seq((1L, ""), (2L, "   "), (3L, "real content here")).toDF("doc_id", "text")
+    val j = graft.operators.Dedup.ngramJaccard(empties,
+      Seq((1L, 2L)).toDF("id_a", "id_b"), "doc_id", "text")
+      .head().getDouble(2)
+    assert(j == 1.0)
+  }
+
   test("exact ngram jaccard verifies candidates") {
     val cand = Seq((1L, 2L), (3L, 5L)).toDF("id_a", "id_b")
     val verified = Dedup.ngramJaccard(docs, cand, "doc_id", "text")
