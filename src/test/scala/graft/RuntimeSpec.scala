@@ -122,6 +122,32 @@ class RuntimeSpec extends SparkSpec {
       ("graph_completed", "")))
   }
 
+  test("executor lifecycle events flow through the event bus (integration)") {
+    import graft.streaming.{AgentEvent, EventBus, Subscription}
+    val bus = new EventBus(spark)
+    try {
+      bus.subscribe("failures", Subscription(eventTypes = Set("node_failed")))
+      bus.subscribe("lifecycle", Subscription(eventTypes = Set("node_started", "node_completed")))
+      val spec = GraphSpec(
+        nodes = Seq(NodeSpec("ok"), NodeSpec("boom"), NodeSpec("sink")),
+        edges = Seq(EdgeSpec("ok", "boom"), EdgeSpec("boom", "sink")),
+        entryNode = "ok", terminalNodes = Seq("sink"),
+        maxRetriesPerNode = 0, failurePolicy = "continue_others")
+      val registry: GraphExecutor.Registry = Map(
+        "boom" -> ((_: DataFrame) => throw new RuntimeException("kaput")))
+      GraphExecutor.run(spec, Seq(1).toDF("x"), registry,
+        onEvent = (t, n) => bus.publish(AgentEvent(t, "run1", n)))
+      bus.flush()
+      val failures = bus.received("failures").collect()
+      assert(failures.length == 1 && failures.head.getAs[String]("node_id") == "boom")
+      val lifecycle = bus.received("lifecycle")
+        .collect().map(r => (r.getAs[String]("event_type"), r.getAs[String]("node_id")))
+      assert(lifecycle.contains(("node_started", "ok")))
+      assert(lifecycle.contains(("node_completed", "ok")))
+      assert(!lifecycle.contains(("node_completed", "boom")))
+    } finally bus.stop()
+  }
+
   test("graph pause + resume round-trip preserves pre-pause terminal outputs (ST5/ST6)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     // a fans out to an early terminal t1 AND to b; pause lands before b,
