@@ -114,6 +114,27 @@ object Fuzz {
        |GROUP BY ${gcols.mkString(", ")} ORDER BY ${gcols.mkString(", ")}""".stripMargin
   }
 
+  /** Window-function fuzz: ranking + running frame over a random
+    * partition/order, deterministic via a unique tiebreak column.
+    */
+  private def genWindowQuery(rng: Rng): String = {
+    val (table, uid, groupCols, numCol) = rng.pick(Seq(
+      ("orders", "o_orderkey", Seq("o_orderstatus", "o_orderpriority"), "o_totalprice"),
+      ("events", "event_id", Seq("event_type", "user_id"), "value"),
+      ("customer", "c_custkey", Seq("c_mktsegment", "c_nationkey"), "c_acctbal")))
+    val g = rng.pick(groupCols)
+    val fn = rng.pick(Seq("row_number()", "rank()", "dense_rank()"))
+    val dir = rng.pick(Seq("ASC", "DESC"))
+    val topN = rng.int(15) + 1
+    s"""SELECT $g, $uid, rnk, run_sum FROM (
+       |  SELECT $g, $uid,
+       |    $fn OVER (PARTITION BY $g ORDER BY $numCol $dir, $uid) AS rnk,
+       |    round(sum($numCol) OVER (PARTITION BY $g ORDER BY $numCol $dir, $uid
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum
+       |  FROM $table)
+       |WHERE rnk <= $topN ORDER BY $g, rnk, $uid""".stripMargin
+  }
+
   /** Distinct-projection fuzz. */
   private def genDistinctQuery(rng: Rng): String = {
     val (table, cols) = rng.pick(Seq(
@@ -142,9 +163,10 @@ object Fuzz {
 
     val queries = (0 until n).map { i =>
       val rng = Rng(0xC0FFEE + i.toLong * 7919)
-      val sql = rng.int(4) match {
+      val sql = rng.int(5) match {
         case 0 => genJoinQuery(rng)
         case 1 if i % 8 == 1 => genDistinctQuery(rng)
+        case 4 => genWindowQuery(rng)
         case _ => genQuery(rng)
       }
       s"fz_%03d".format(i) -> sql
