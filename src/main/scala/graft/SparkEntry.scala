@@ -574,6 +574,18 @@ object SparkEntry {
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
         countDistinct(col("dup_class")).as("n_dup_classes"))
 
+  /** Similarity (rows-only): IVF ANN — kmeans-lite centroids, probe
+    * the nearest clusters only (the partition-pruned scale path).
+    */
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    val index = Similarity.ivfIndex(emb, "vec_id", "embedding", nCentroids = 8)
+    Similarity.knnIvf(emb.filter(col("vec_id") =!= 0), index,
+      "vec_id", "embedding", query, k = 10, nProbe = 3)
+  }
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -631,7 +643,8 @@ object SparkEntry {
     "q50_cube_orders" -> (q50 _),
     "q51_scalar_subquery" -> (q51 _),
     "q52_window_suite" -> (q52 _),
-    "q53_dedup_corpus" -> (q53 _))
+    "q53_dedup_corpus" -> (q53 _),
+    "q54_knn_ivf" -> (q54 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->

@@ -44,6 +44,80 @@ object Similarity {
     knnBrute(probed, idCol, vecCol, query, k)
   }
 
+  /** IVF (inverted-file) index: k centroids fitted with a few Lloyd
+    * iterations (deterministic seed selection by id-hash), plus the
+    * cluster assignment per vector. Centroids are a tiny driver-side
+    * model (k × dim doubles); assignments are a DataFrame. At 100 TB,
+    * write the corpus partitioned by `cluster` and ANN probes become
+    * partition-pruned scans — the IVF alternative to the hyperplane-LSH
+    * path.
+    */
+  final case class IvfIndex(centroids: Array[Array[Double]], assignments: DataFrame)
+
+  def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 16, iterations: Int = 2): IvfIndex = {
+    import org.apache.spark.sql.Row
+    // deterministic seeds: vectors with the smallest id-hash
+    var centroids: Array[Array[Double]] = df
+      .orderBy(xxhash64(col(idCol)))
+      .limit(nCentroids)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+    def assign(c: Array[Array[Double]]): DataFrame = {
+      val scored = c.zipWithIndex.map { case (cent, i) =>
+        val centCol = array(cent.map(lit): _*)
+        struct((lit(0.0) - VectorFunctions.dot(
+          VectorFunctions.l2Normalize(col(vecCol)), centCol)).as("negsim"),
+          lit(i).as("cluster"))
+      }
+      df.withColumn("cluster", least(scored: _*).getField("cluster"))
+    }
+
+    var it = 0
+    while (it < iterations) {
+      // recompute centroids as per-cluster dimension means (k×dim
+      // values — a tiny aggregate, collected as the updated model)
+      val assigned = assign(centroids)
+      val means = assigned
+        .select(col("cluster"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .collect()
+      val dim = centroids.head.length
+      val next = centroids.zipWithIndex.map { case (old, ci) =>
+        val mine = means.filter(_.getInt(0) == ci)
+        if (mine.isEmpty) old
+        else {
+          val arr = new Array[Double](dim)
+          mine.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+          // normalize so cosine against centroids is a plain dot
+          val n = math.sqrt(arr.map(x => x * x).sum)
+          if (n > 0) arr.map(_ / n) else old
+        }
+      }
+      centroids = next
+      it += 1
+    }
+    IvfIndex(centroids, assign(centroids).select(col(idCol), col("cluster")))
+  }
+
+  /** IVF ANN probe: rank centroids against the query (driver-side,
+    * k dot products), brute-force only the `nProbe` nearest clusters.
+    */
+  def knnIvf(df: DataFrame, index: IvfIndex, idCol: String, vecCol: String,
+      query: Array[Double], k: Int = 10, nProbe: Int = 3): DataFrame = {
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    val qUnit = if (qn > 0) query.map(_ / qn) else query
+    val ranked = index.centroids.zipWithIndex
+      .map { case (c, i) => i -> c.zip(qUnit).map { case (a, b) => a * b }.sum }
+      .sortBy(-_._2).take(nProbe).map(_._1).toSet
+    val probed = df.join(
+      index.assignments.filter(col("cluster").isin(ranked.toSeq: _*)), Seq(idCol))
+    knnBrute(probed, idCol, vecCol, query, k)
+  }
+
   /** All-pairs cosine ≥ threshold between two corpora via shared LSH
     * buckets (e.g. query-set vs corpus linking).
     */

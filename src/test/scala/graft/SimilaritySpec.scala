@@ -28,6 +28,21 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.intersect(exact).size >= 5, s"recall too low: $approx vs $exact")
   }
 
+  test("ivf index: clusters cover the corpus, probe recall beats random") {
+    val index = Similarity.ivfIndex(emb, "vec_id", "embedding", nCentroids = 8)
+    assert(index.centroids.length == 8)
+    assert(index.assignments.count() == emb.count())
+    assert(index.assignments.select("cluster").distinct().count() > 1)
+    val exact = Similarity.knnBrute(emb, "vec_id", "embedding", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.knnIvf(emb, index, "vec_id", "embedding", query,
+      k = 10, nProbe = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(approx.intersect(exact).size >= 5, s"ivf recall too low: $approx vs $exact")
+    // the query vector itself lives in a probed cluster
+    assert(approx.contains(0L))
+  }
+
   test("cross-corpus similarity links each vector to itself") {
     val self = Similarity.crossSimilarity(
       emb.select(col("vec_id").as("qid"), col("embedding")),
