@@ -47,14 +47,21 @@ object Engine {
     * nanos, which we convert to microsecond timestamps here so every
     * downstream operator sees a plain TimestampType.
     */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.foldLeft(df) {
-      case (acc, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
-        acc.withColumn("ts", nanosToTimestamp(org.apache.spark.sql.functions.col("ts")))
-      case (acc, _) => acc
-    }
-  }
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    // cache the (immutable) logical plan per session+path: repeated
+    // reads otherwise re-list the files and re-read parquet footers
+    // for every query that touches the table
+    tableCache.computeIfAbsent((spark, s"$dir/$name.parquet"), { case (s, path) =>
+      val df = s.read.parquet(path)
+      df.schema.fields.foldLeft(df) {
+        case (acc, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
+          acc.withColumn("ts", nanosToTimestamp(org.apache.spark.sql.functions.col("ts")))
+        case (acc, _) => acc
+      }
+    })
 
   /** Epoch-nanos long → microsecond timestamp. Integral `div` — plain
     * `/` is double division, and 2020s-era epoch nanos (~1.7e18) sit
