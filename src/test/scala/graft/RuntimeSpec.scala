@@ -122,6 +122,39 @@ class RuntimeSpec extends SparkSpec {
       ("graph_completed", "")))
   }
 
+  test("webhook server triggers entry-point executions over HTTP (S13)") {
+    import graft.streaming.{EntryPoints, WebhookServer}
+    val runtime = new EntryPoints.EntryPointRuntime()
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    runtime.register(EntryPoints.EntryPointSpec("ingest"),
+      (df: DataFrame) => {
+        df.collect().foreach(r => received.add(r.mkString(",")))
+        df
+      })
+    val server = new WebhookServer(spark, runtime)
+    val port = server.start()
+    try {
+      def post(path: String, body: String): Int = {
+        val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        conn.getResponseCode
+      }
+      assert(post("/hooks/ingest", """{"order_id": 42, "source": "webhook"}""") == 202)
+      assert(post("/hooks/nonexistent", "{}") == 404)
+      val deadline = System.currentTimeMillis() + 30000
+      while (received.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(received.size == 1 && received.peek().contains("42"))
+      assert(server.acceptedCount == 1)
+      // GET rejected
+      val conn = new java.net.URL(s"http://127.0.0.1:$port/hooks/ingest")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode == 405)
+    } finally { server.stop(); runtime.shutdown() }
+  }
+
   test("executor lifecycle events flow through the event bus (integration)") {
     import graft.streaming.{AgentEvent, EventBus, Subscription}
     val bus = new EventBus(spark)
