@@ -63,6 +63,15 @@ object Guards {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** As-of read over a versioned keyed state table: the last write per
+    * key at or before `asOfVersion` — the time-travel complement of
+    * [[lastWriteWins]] (the reference's state-change history,
+    * `shared_state.py:91, 341-343`, queried at a point in time).
+    */
+  def stateAsOf(df: DataFrame, keyCols: Seq[String], versionCol: String,
+      asOfVersion: Long): DataFrame =
+    lastWriteWins(df.filter(col(versionCol) <= asOfVersion), keyCols, versionCol)
+
   /** Parallel-branch output-key disjointness check (`edge.py:671-691`):
     * the reference statically forbids overlapping output keys across
     * parallel branches; given (branch, key) pairs, return the

@@ -124,6 +124,24 @@ object EntryPoints {
       ()
     }
 
+    /** Cron-expression trigger (`agent_runtime.py:382-516` cron loops):
+      * fires the entry point at each matching minute.
+      */
+    def startCron(entryPointId: String, cronExpr: String,
+        input: () => DataFrame): Unit = {
+      val s = streams(entryPointId)
+      val sched = Cron.parse(cronExpr)
+      def scheduleNext(): Unit = {
+        val now = java.time.ZonedDateTime.now()
+        val delayMs = java.time.Duration.between(now, sched.nextAfter(now)).toMillis
+        scheduler.schedule(new Runnable {
+          def run(): Unit = { s.execute(input()); scheduleNext() }
+        }, delayMs, TimeUnit.MILLISECONDS)
+        ()
+      }
+      scheduleNext()
+    }
+
     def stream(id: String): ExecutionStream = streams(id)
 
     def shutdown(): Unit = scheduler.shutdownNow()

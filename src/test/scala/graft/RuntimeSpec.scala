@@ -122,6 +122,38 @@ class RuntimeSpec extends SparkSpec {
       ("graph_completed", "")))
   }
 
+  test("cron expressions: parse, match, next-fire (`agent_runtime.py:382-516`)") {
+    import graft.streaming.Cron
+    import java.time.{ZonedDateTime, ZoneOffset}
+    val every15 = Cron.parse("*/15 * * * *")
+    assert(every15.minute == Set(0, 15, 30, 45))
+    val t = ZonedDateTime.of(2026, 8, 12, 9, 7, 30, 0, ZoneOffset.UTC)
+    assert(every15.nextAfter(t).getMinute == 15)
+    val weekdays9 = Cron.parse("30 9 * * 1-5")
+    // 2026-08-15 is a Saturday; next 09:30 weekday fire is Monday the 17th
+    val sat = ZonedDateTime.of(2026, 8, 15, 0, 0, 0, 0, ZoneOffset.UTC)
+    val next = weekdays9.nextAfter(sat)
+    assert(next.getDayOfMonth == 17 && next.getHour == 9 && next.getMinute == 30)
+    val ranges = Cron.parse("0,30 8-10 1 1 *")
+    assert(ranges.hour == Set(8, 9, 10) && ranges.minute == Set(0, 30))
+    assert(ranges.dayOfMonth == Set(1) && ranges.month == Set(1))
+    intercept[IllegalArgumentException] { Cron.parse("99 * * * *") }
+    intercept[IllegalArgumentException] { Cron.parse("* * *") }
+  }
+
+  test("state as-of reads return the last write at or before the version") {
+    import graft.operators.Guards
+    val writes = Seq(
+      ("k1", "v1", 10L), ("k1", "v2", 20L), ("k1", "v3", 30L),
+      ("k2", "w1", 25L)).toDF("key", "value", "version")
+    val at20 = Guards.stateAsOf(writes, Seq("key"), "version", 20L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(at20 == Map("k1" -> "v2")) // k2's first write is after 20
+    val at30 = Guards.stateAsOf(writes, Seq("key"), "version", 30L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(at30 == Map("k1" -> "v3", "k2" -> "w1"))
+  }
+
   test("webhook server triggers entry-point executions over HTTP (S13)") {
     import graft.streaming.{EntryPoints, WebhookServer}
     val runtime = new EntryPoints.EntryPointRuntime()
