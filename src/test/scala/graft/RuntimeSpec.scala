@@ -91,7 +91,11 @@ class RuntimeSpec extends SparkSpec {
         EntryPoints.EntryPointSpec("tick", triggerType = "timer", intervalMs = 100),
         (df: DataFrame) => df)
       runtime.startTimer("tick", () => Seq(1).toDF("x"), fireNow = true)
-      Thread.sleep(450)
+      // poll: under full-suite load the scheduler can be starved well
+      // past the nominal 100ms interval
+      val deadline = System.currentTimeMillis() + 30000
+      while (stream.recentResults.size < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
       assert(stream.recentResults.size >= 2)
     } finally runtime.shutdown()
   }
