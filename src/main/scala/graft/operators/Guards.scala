@@ -63,6 +63,26 @@ object Guards {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** CDC upsert (the MERGE shape over plain parquet): base rows plus a
+    * change set, last write per key wins; a boolean `deletedCol` in the
+    * changes tombstones the key. One shuffle on the keys — the batch
+    * form of keeping a 100 TB keyed table current from change feeds.
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      versionCol: String, deletedCol: Option[String] = None): DataFrame = {
+    val changesAligned = deletedCol match {
+      case Some(d) => changes
+      case None => changes.withColumn("__deleted", lit(false))
+    }
+    val baseAligned = base.withColumn(
+      deletedCol.getOrElse("__deleted"), lit(false))
+    val merged = lastWriteWins(
+      baseAligned.unionByName(changesAligned, allowMissingColumns = true),
+      keyCols, versionCol)
+    val d = deletedCol.getOrElse("__deleted")
+    merged.filter(!coalesce(col(d), lit(false))).drop(d)
+  }
+
   /** As-of read over a versioned keyed state table: the last write per
     * key at or before `asOfVersion` — the time-travel complement of
     * [[lastWriteWins]] (the reference's state-change history,

@@ -145,6 +145,21 @@ class RuntimeSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Cron.parse("* * *") }
   }
 
+  test("applyChanges: upserts win by version, tombstones delete (MERGE shape)") {
+    import graft.operators.Guards
+    val base = Seq(("k1", "old", 1L), ("k2", "keep", 1L), ("k3", "gone", 1L))
+      .toDF("key", "value", "version")
+    val changes = Seq(
+      ("k1", "new", 2L, false), // update
+      ("k3", null.asInstanceOf[String], 2L, true), // delete
+      ("k4", "ins", 2L, false)) // insert
+      .toDF("key", "value", "version", "is_deleted")
+    val out = Guards.applyChanges(base, changes, Seq("key"), "version",
+      deletedCol = Some("is_deleted"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("k1" -> "new", "k2" -> "keep", "k4" -> "ins"))
+  }
+
   test("state as-of reads return the last write at or before the version") {
     import graft.operators.Guards
     val writes = Seq(
