@@ -135,6 +135,27 @@ object Fuzz {
        |WHERE rnk <= $topN ORDER BY $g, rnk, $uid""".stripMargin
   }
 
+  /** Set-operation fuzz: UNION ALL / INTERSECT / EXCEPT of two
+    * filtered projections of the same table, then a bounding sort.
+    */
+  private def genSetOpQuery(rng: Rng): String = {
+    val (table, cols, numCol) = rng.pick(Seq(
+      ("orders", Seq("o_orderstatus", "o_orderpriority"), "o_totalprice"),
+      ("events", Seq("event_type", "user_id"), "value"),
+      ("lineitem", Seq("l_returnflag", "l_linestatus"), "l_quantity")))
+    val c = rng.pick(cols)
+    val op = rng.pick(Seq("UNION ALL", "INTERSECT", "EXCEPT"))
+    val t1 = s"$numCol ${cmp(rng)} ${rng.int(100) + 1}"
+    val t2 = s"$numCol ${cmp(rng)} ${rng.int(100) + 1}"
+    // aggregate afterwards so UNION ALL row multiplicity is still
+    // deterministic in the compare
+    s"""SELECT $c, count(*) AS n FROM (
+       |  SELECT $c FROM $table WHERE $t1
+       |  $op
+       |  SELECT $c FROM $table WHERE $t2)
+       |GROUP BY $c ORDER BY $c""".stripMargin
+  }
+
   /** Distinct-projection fuzz. */
   private def genDistinctQuery(rng: Rng): String = {
     val (table, cols) = rng.pick(Seq(
@@ -163,10 +184,11 @@ object Fuzz {
 
     val queries = (0 until n).map { i =>
       val rng = Rng(0xC0FFEE + i.toLong * 7919)
-      val sql = rng.int(5) match {
+      val sql = rng.int(6) match {
         case 0 => genJoinQuery(rng)
         case 1 if i % 8 == 1 => genDistinctQuery(rng)
         case 4 => genWindowQuery(rng)
+        case 5 => genSetOpQuery(rng)
         case _ => genQuery(rng)
       }
       s"fz_%03d".format(i) -> sql
