@@ -586,6 +586,16 @@ object SparkEntry {
       "vec_id", "embedding", query, k = 10, nProbe = 3)
   }
 
+  /** Text analysis (rows-only): lexicon sentiment polarity per source
+    * (`news_sentiment` engine-side analog).
+    */
+  private def q55(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(round(avg(TF.sentimentScore(col("text"))), 4).as("avg_sentiment"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("source"))
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -644,7 +654,8 @@ object SparkEntry {
     "q51_scalar_subquery" -> (q51 _),
     "q52_window_suite" -> (q52 _),
     "q53_dedup_corpus" -> (q53 _),
-    "q54_knn_ivf" -> (q54 _))
+    "q54_knn_ivf" -> (q54 _),
+    "q55_sentiment_mix" -> (q55 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
