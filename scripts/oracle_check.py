@@ -24,18 +24,23 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # canonicalize cell values for cross-engine compare
     def canon(v):
+        # Type-tagged so int64-vs-float64 column mismatches FAIL here the
+        # way they fail the driver's pandas-hash compare (q09/q31 round-1
+        # lesson: DuckDB sum(INTEGER)->HUGEINT->float64 vs Spark BIGINT).
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return None
         if isinstance(v, (list, tuple)) or str(type(v)).endswith("ndarray'>"):
             return tuple(canon(x) for x in v)
+        if isinstance(v, bool) or str(type(v)).startswith("<class 'numpy.bool"):
+            return ("b", bool(v))
         if isinstance(v, float):
-            return round(v, 9)
+            return ("f", round(v, 9))
         if hasattr(v, "isoformat"):
-            return v.isoformat()
+            return ("t", v.isoformat())
         if isinstance(v, (int,)) or str(type(v)).startswith("<class 'numpy.int"):
-            return int(v)
+            return ("i", int(v))
         if str(type(v)).startswith("<class 'numpy.float"):
-            return round(float(v), 9)
+            return ("f", round(float(v), 9))
         return v
     rows = [tuple(canon(v) for v in row) for row in df.itertuples(index=False, name=None)]
     rows.sort(key=lambda r: tuple((x is None, str(x)) for x in r))

@@ -376,20 +376,43 @@ object SparkEntry {
       .select(col("user_id"), col("event_id"), col("keep"))
       .orderBy(col("user_id"), col("event_id"))
 
-  /** Dedup (rows-only oracle): MinHash signature computation. */
-  private def q37(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text", numHashes = 32)
-      .select(col("doc_id"), size(col("signature")).as("sig_len"))
-      .orderBy(col("doc_id"))
+  /** Dedup — MinHash-LSH candidate pairs, exact-shingle-Jaccard
+    * verified. The oracle recomputes EVERY pair's Jaccard by brute
+    * force in SQL, so a hash match proves the LSH banding found all
+    * true near-duplicates (the corpus's planted pairs sit at J ≥ 0.9
+    * with the next pair at 0.07 — far above the banding's recall
+    * knee, so full recall is deterministic at gate scale).
+    */
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cands = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+      numHashes = 64, bands = 16, minJaccard = 0.35)
+    Dedup.ngramJaccard(docs, cands.select(col("id_a"), col("id_b")), "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
 
-  /** Dedup (rows-only oracle): SimHash 64-bit signatures. */
-  private def q38(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashSignatures(t(s, dir, "documents"), "doc_id", "text")
-      .orderBy(col("id"))
+  /** Dedup — SimHash-banded candidate pairs, exact-shingle-Jaccard
+    * verified: same brute-force oracle as q37, different discovery
+    * path. 16×4-bit banding guarantees recall through Hamming 15 —
+    * the planted pairs reach Hamming 9 (and two share no 16-bit
+    * chunk), so the scale-default 4×16 split cannot see them; the
+    * narrow chunks lean on the hot-bucket cap, which is the documented
+    * trade.
+    */
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cands = Dedup.simhashNearDuplicates(docs, "doc_id", "text",
+      maxHamming = 15, bands = 16)
+    Dedup.ngramJaccard(docs, cands.select(col("id_a"), col("id_b")), "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
 
-  /** Text analysis (rows-only): language-ID heuristic distribution
-    * (custom-expression hot loop; `TextOps.langIdTable` is the
-    * join-based relational alternative).
+  /** Text analysis: language-ID heuristic distribution
+    * (custom-expression hot loop; the oracle restates the
+    * stopword-profile argmax — ties resolve to the lexicographically
+    * first profile — as plain SQL).
     */
   private def q39(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -397,7 +420,10 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("detected_lang"))
 
-  /** Text analysis (rows-only): composite quality-score stats. */
+  /** Text analysis: composite quality-score stats (the oracle restates
+    * the full C4-flavored score — length, stopword, punctuation terms
+    * — as plain SQL).
+    */
   private def q40(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .groupBy(col("lang"))
@@ -405,7 +431,16 @@ object SparkEntry {
         round(avg(TF.bpeishTokenCount(col("text"))), 2).as("avg_bpeish_tokens"))
       .orderBy(col("lang"))
 
-  /** Similarity (rows-only): LSH-bucketed approximate knn. */
+  /** Similarity: LSH-bucketed approximate knn. The oracle restates the
+    * ENTIRE machinery in SQL — bucket sign-bits against the same
+    * seeded hyperplanes (inlined as literals), the multi-probe bucket
+    * set (Hamming ≤ 2 of the query's bucket, 22/64 buckets probed),
+    * and the final top-k — so a hash match proves the pruned scan
+    * returns exactly what the construction promises. (Exact top-10
+    * recall under honest pruning is impossible on this corpus — the
+    * neighbors are near-orthogonal, so their sign bits are random;
+    * q54 grades exact recall with pruning on the IVF path instead.)
+    */
   private def q41(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val query = emb.filter(col("vec_id") === 0)
@@ -414,8 +449,14 @@ object SparkEntry {
       query, k = 10, nPlanes = 6, probeHamming = 2)
   }
 
-  /** Dedup (rows-only): embedding near-duplicate pairs via
-    * random-hyperplane LSH buckets.
+  /** Dedup (rows-only, justified): embedding near-duplicate pairs via
+    * random-hyperplane LSH buckets. No SQL oracle: the corpus's
+    * embeddings are random vectors with no separated near-dup
+    * structure, so exact recall at cosine 0.2 would need an
+    * unboundedly wide OR-of-bands construction — the top-100 here is
+    * genuinely approximate. Correctness is spec-tested instead with
+    * planted near-identical vectors (SimilaritySpec/DedupSpec), and
+    * the exact-recall grading of the ANN machinery lives in q41/q54.
     */
   private def q42(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDuplicates(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -423,18 +464,29 @@ object SparkEntry {
       .orderBy(desc("cosine"), col("id_a"), col("id_b"))
       .limit(100)
 
-  /** A7 at scale (rows-only): HyperLogLog count-distinct — the 100 TB
-    * form of q11 (approximate, engine-specific values).
+  /** A7 at scale: HyperLogLog count-distinct — the 100 TB form of q11.
+    * Sketch values are engine-specific, so each engine instead asserts
+    * its own sketch lands within 5% of its own exact count; the gate
+    * compares the resulting booleans.
     */
   private def q43(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-        approx_count_distinct(concat_ws(":", col("user_id"), col("event_type")))
-          .as("approx_user_events"))
+      .agg(approx_count_distinct(col("user_id")).as("a_u"),
+        countDistinct(col("user_id")).as("e_u"),
+        approx_count_distinct(concat_ws(":", col("user_id"), col("event_type"))).as("a_ue"),
+        countDistinct(concat_ws(":", col("user_id"), col("event_type"))).as("e_ue"))
+      .select(
+        (abs(col("a_u") - col("e_u")) <= lit(0.05) * col("e_u")).as("users_within_5pct"),
+        (abs(col("a_ue") - col("e_ue")) <= lit(0.05) * col("e_ue")).as("user_events_within_5pct"))
 
-  /** Multimodal (rows-only): binary-column decode plumbing — documents
-    * as synthetic media bytes through the batched mapPartitions decode
-    * (stub kernel, real schema/batching), then metadata analytics.
+  /** Multimodal (rows-only, justified): binary-column decode plumbing
+    * — documents as synthetic media bytes through the batched
+    * mapPartitions decode (stub kernel, real schema/batching), then
+    * metadata analytics. No SQL oracle: the output is a function of
+    * the stub codec's byte-rolling hash, so a SQL oracle would have to
+    * re-implement the stub itself, proving nothing about the Spark
+    * plumbing this query exercises; the batching/schema contract is
+    * spec-tested (MultimodalSpec).
     */
   private def q44(s: SparkSession, dir: String): DataFrame = {
     val media = t(s, dir, "documents")
@@ -446,16 +498,23 @@ object SparkEntry {
       .orderBy(col("format"))
   }
 
-  /** Semantic ops (rows-only): deterministic-stub LLM judge over
-    * documents (the event-loop/judge mapPartitions harness end to end).
+  /** Semantic ops: deterministic-stub LLM judge over documents (the
+    * event-loop/judge mapPartitions harness end to end). The stub's
+    * criterion is a pure function of the document text (len > 300), so
+    * the oracle can state the whole judge pipeline — prompt render,
+    * batched client calls, verdict parse — as one SQL CASE.
     */
   private def q45(s: SparkSession, dir: String): DataFrame = {
     import graft.llm.SemanticOps
     val judged = SemanticOps.llmJudge(
       t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
       "document is long enough", "text",
-      () => SemanticOps.DeterministicStub(p =>
-        if (p.length > 300) "PASS: long" else "FAIL: short"))
+      () => SemanticOps.DeterministicStub { p =>
+        // recover the document from the rendered prompt — the judged
+        // criterion must depend only on the text for oracle parity
+        val doc = p.substring(p.indexOf("Text: ") + 6, p.lastIndexOf("\nAnswer"))
+        if (doc.length > 300) "PASS: long" else "FAIL: short"
+      })
     judged.groupBy(col("lang"), col("verdict"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("verdict"))
@@ -564,26 +623,34 @@ object SparkEntry {
       .orderBy(col("event_type"), desc("value"), col("event_id"))
   }
 
-  /** Dedup (rows-only): end-to-end corpus dedup — LSH candidates →
-    * Jaccard verify → transitive classes → keep-list summary.
+  /** Dedup: end-to-end corpus dedup — LSH candidates → Jaccard verify
+    * → transitive classes → keep-list summary. The oracle restates the
+    * ENTIRE pipeline in SQL: brute-force pair Jaccard, then connected
+    * components as a recursive CTE, then the same keep-list counts —
+    * so a hash match proves candidate recall, verification, and the
+    * min-label component propagation all at once.
     */
   private def q53(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupCorpus(t(s, dir, "documents"), "doc_id", "text", minJaccard = 0.3)
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("n_kept"),
         countDistinct(col("dup_class")).as("n_dup_classes"))
 
-  /** Similarity (rows-only): IVF ANN — kmeans-lite centroids, probe
-    * the nearest clusters only (the partition-pruned scale path).
+  /** Similarity: IVF ANN — kmeans-lite centroids fitted on a sample,
+    * probe the nearest clusters only (the partition-pruned scale
+    * path). Graded against the exact answer like q41: the oracle is
+    * the brute-force top-10 in SQL, so a hash match proves the chosen
+    * nProbe achieves exact recall at gate scale.
     */
   private def q54(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val query = emb.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
-    val index = Similarity.ivfIndex(emb, "vec_id", "embedding", nCentroids = 8)
+    val index = Similarity.ivfIndex(emb, "vec_id", "embedding", nCentroids = 8,
+      fitSampleFraction = 0.5)
     Similarity.knnIvf(emb.filter(col("vec_id") =!= 0), index,
-      "vec_id", "embedding", query, k = 10, nProbe = 3)
+      "vec_id", "embedding", query, k = 10, nProbe = 5)
   }
 
   /** Text analysis (rows-only): lexicon sentiment polarity per source
@@ -637,8 +704,8 @@ object SparkEntry {
     "q34_edge_filter" -> (q34 _),
     "q35_graph_route" -> (q35 _),
     "q36_compaction_plan" -> (q36 _),
-    "q37_minhash_signatures" -> (q37 _),
-    "q38_simhash_signatures" -> (q38 _),
+    "q37_minhash_neardup" -> (q37 _),
+    "q38_simhash_neardup" -> (q38 _),
     "q39_langid_mix" -> (q39 _),
     "q40_quality_scores" -> (q40 _),
     "q41_knn_lsh" -> (q41 _),
@@ -706,7 +773,7 @@ object SparkEntry {
         |ORDER BY n_failures DESC, error_key LIMIT 5""".stripMargin,
     "q09_failure_ranking" ->
       """SELECT user_id, count(*) AS n_total,
-        | sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_failed,
+        | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
         | round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
         |   AS failure_rate
         |FROM events GROUP BY user_id
@@ -807,8 +874,8 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "q31_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
-        | sum(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |   t -> len(t) > 0))) AS sum_tokens,
+        | CAST(sum(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |   t -> len(t) > 0))) AS BIGINT) AS sum_tokens,
         | round(avg(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
         |   t -> len(t) > 0))), 4) AS avg_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
@@ -944,5 +1011,151 @@ object SparkEntry {
         |    round(lead(value, 1) OVER w, 2) AS next_value,
         |    row_number() OVER w AS rn
         |  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id))
-        |WHERE rn <= 5 ORDER BY event_type, value DESC, event_id""".stripMargin)
+        |WHERE rn <= 5 ORDER BY event_type, value DESC, event_id""".stripMargin,
+    "q37_minhash_neardup" ->
+      s"""WITH $ShingleJaccardCte
+         |SELECT id_a, id_b, jaccard FROM jacc WHERE jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q38_simhash_neardup" ->
+      s"""WITH $ShingleJaccardCte
+         |SELECT id_a, id_b, jaccard FROM jacc WHERE jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q39_langid_mix" ->
+      """WITH s AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    t -> len(t) > 0) AS toks FROM documents),
+        |sc AS (
+        |  SELECT
+        |    len(list_filter(toks, t -> t IN ('der','die','das','und','ein','eine','ist','von','mit','für'))) AS de,
+        |    len(list_filter(toks, t -> t IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','that','this','be'))) AS en,
+        |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','un','una','por','con','para','es'))) AS es,
+        |    len(list_filter(toks, t -> t IN ('le','la','de','et','un','une','pour','dans','est','que','au'))) AS fr
+        |  FROM s)
+        |SELECT CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+        |            WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+        |            WHEN en >= es AND en >= fr THEN 'en'
+        |            WHEN es >= fr THEN 'es'
+        |            ELSE 'fr' END AS detected_lang,
+        |       count(*) AS n
+        |FROM sc GROUP BY 1 ORDER BY detected_lang""".stripMargin,
+    "q40_quality_scores" ->
+      """WITH s AS (
+        |  SELECT lang, text,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT lang,
+        |    round(
+        |      least(len(toks) / 50.0, 1.0) * 0.4
+        |      + least((CASE WHEN len(toks) = 0 THEN 0.0
+        |          ELSE len(list_filter(toks, t -> t IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','that','this','be'))) * 1.0 / len(toks) END) * 4.0, 1.0) * 0.3
+        |      + greatest(0.0, 1.0 - (CASE WHEN len(text) = 0 THEN 0.0
+        |          ELSE len(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / len(text) END) * 5.0) * 0.3,
+        |      4) AS qs,
+        |    len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9'']+'), x -> len(x) > 0))
+        |      + len(regexp_extract_all(text, '[a-z][A-Z]'))
+        |      + len(regexp_extract_all(text, '[A-Za-z][0-9]'))
+        |      + len(regexp_extract_all(text, '[0-9][A-Za-z]')) AS bp
+        |  FROM s)
+        |SELECT lang, round(avg(qs), 4) AS avg_quality, round(avg(bp), 2) AS avg_bpeish_tokens
+        |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
+    "q41_knn_lsh" -> knnLshOracle,
+    "q43_approx_distinct" ->
+      """SELECT
+        | abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+        |   <= 0.05 * count(DISTINCT user_id) AS users_within_5pct,
+        | abs(approx_count_distinct(user_id || ':' || event_type)
+        |     - count(DISTINCT user_id || ':' || event_type))
+        |   <= 0.05 * count(DISTINCT user_id || ':' || event_type) AS user_events_within_5pct
+        |FROM events""".stripMargin,
+    "q45_semantic_judge" ->
+      """SELECT lang, len(text) > 300 AS verdict, count(*) AS n
+        |FROM documents GROUP BY lang, verdict ORDER BY lang, verdict""".stripMargin,
+    "q53_dedup_corpus" ->
+      s"""WITH RECURSIVE $ShingleJaccardCte,
+         |pairs AS (SELECT id_a, id_b FROM jacc WHERE jaccard >= 0.3),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (SELECT s AS node, d AS r FROM edges
+         |          UNION
+         |          SELECT rc.node, e.d AS r FROM reach rc JOIN edges e ON rc.r = e.s),
+         |labels AS (SELECT node, least(node, min(r)) AS comp FROM reach GROUP BY node)
+         |SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |       (SELECT count(*) FROM documents)
+         |         - (SELECT count(*) FROM labels WHERE node <> comp) AS n_kept,
+         |       (SELECT count(DISTINCT comp) FROM labels) AS n_dup_classes""".stripMargin,
+    "q54_knn_ivf" ->
+      """SELECT e.vec_id,
+        | round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |   CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+        |FROM embeddings e,
+        | (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
+    "q55_sentiment_mix" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT source,
+        |    len(list_filter(toks, t -> t IN ('good','great','excellent','fast','happy','love','best','success','win','improve','easy','clean'))) AS pos,
+        |    len(list_filter(toks, t -> t IN ('bad','slow','terrible','fail','error','hate','worst','broken','bug','crash','hard','dirty'))) AS neg
+        |  FROM s)
+        |SELECT source,
+        | round(avg(round((pos - neg) * 1.0 / greatest(pos + neg, 1), 4)), 4) AS avg_sentiment,
+        | count(*) AS n_docs
+        |FROM p GROUP BY source ORDER BY source""".stripMargin)
+
+  /** q41's oracle, generated with the same seeded hyperplanes the
+    * Spark query uses, inlined as SQL literals: bucket = sign bits of
+    * plane dot products, probe set = buckets within Hamming 2 of the
+    * query's bucket, then cosine top-10 over the probed rows only.
+    * DuckDB recomputes all of it independently — sign arithmetic in
+    * the same double precision — so the gate checks the LSH machinery
+    * end to end.
+    */
+  private def knnLshOracle: String = {
+    val planes = graft.functions.VectorFunctions.randomPlanes(nPlanes = 6, dim = 64, seed = 42L)
+    def planeLit(p: Array[Double]): String = p.mkString("[", ", ", "]")
+    def bucketExpr(vec: String): String = planes.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN list_dot_product($vec, ${planeLit(p)}) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("\n      + ")
+    s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+       |b AS (
+       |  SELECT e.vec_id,
+       |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cosine,
+       |    ${bucketExpr("CAST(e.embedding AS DOUBLE[])")} AS bucket,
+       |    ${bucketExpr("q.qe")} AS qbucket
+       |  FROM embeddings e, q WHERE e.vec_id <> 0)
+       |SELECT vec_id, cosine FROM b
+       |WHERE bit_count(xor(bucket, qbucket)) <= 2
+       |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** Shared oracle fragment: per-document distinct 3-token-shingle
+    * sets and all-pairs exact Jaccard. Mirrors
+    * [[graft.operators.Dedup.shingleHashSet]] — shingle identity is by
+    * string here, by 64-bit shingle hash there; the Jaccards are equal
+    * absent 64-bit collisions inside one pair's union (impossible in
+    * practice at ~200 shingles/doc). Brute-force (all pairs) on
+    * purpose: the oracle is the ground truth the LSH path must
+    * reproduce.
+    */
+  private val ShingleJaccardCte: String =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |    t -> len(t) > 0) AS tl FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(tl) < 3 THEN [list_aggregate(tl, 'string_agg', ' ')]
+      |         ELSE list_distinct([tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2]
+      |                             for i in range(1, len(tl) - 1)])
+      |    END AS ss FROM toks),
+      |jacc AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    round(CASE WHEN len(list_distinct(list_concat(a.ss, b.ss))) = 0 THEN 1.0
+      |          ELSE len(list_intersect(a.ss, b.ss)) * 1.0
+      |               / len(list_distinct(list_concat(a.ss, b.ss))) END, 4) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)""".stripMargin
 }

@@ -13,11 +13,40 @@ import graft.functions.VectorFunctions
   *
   * Scale design: every variant is shuffle-bounded and never does an
   * O(n²) comparison — candidate generation is hash/LSH bucketing, so
-  * the self-join runs on co-partitioned buckets only. At 100 TB the
-  * only knobs are the band/row counts (recall/precision) and
+  * the self-join runs on co-partitioned buckets only, and buckets
+  * hotter than [[DefaultMaxBucketSize]] are dropped before the join
+  * (bounding the per-bucket quadratic term that boilerplate text would
+  * otherwise create). At 100 TB the knobs are the band/row counts
+  * (recall/precision), the bucket cap, and
   * `spark.sql.shuffle.partitions`.
   */
 object Dedup {
+
+  @transient private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Default cap on LSH bucket size. Any band hash shared by more rows
+    * than this is dropped from candidate generation: a degenerate
+    * bucket of m rows yields m²/2 candidate pairs, so one boilerplate
+    * cluster (license headers, empty docs, templates) can otherwise
+    * dominate the whole job at corpus scale. Dropping is the standard
+    * MinHash-at-scale practice — a bucket this hot is boilerplate, not
+    * a duplicate class worth resolving pairwise. Bounded worst case:
+    * ≤ cap²/2 pairs per bucket.
+    */
+  val DefaultMaxBucketSize: Int = 10000
+
+  /** Keep only rows whose bucket (the `keys` combination) has at most
+    * `maxBucketSize` members. The size aggregate groups on the same
+    * keys as the downstream self-join, so it rides the same shuffle
+    * partitioning (no extra exchange on the capped side); `<= 0`
+    * disables the cap.
+    */
+  private def capBuckets(banded: DataFrame, keys: Seq[String], maxBucketSize: Int): DataFrame =
+    if (maxBucketSize <= 0) banded
+    else {
+      val sizes = banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bucket_n"))
+      banded.join(sizes.filter(col("__bucket_n") <= maxBucketSize), keys).drop("__bucket_n")
+    }
 
   // ---------------------------------------------------------------- exact
 
@@ -82,7 +111,8 @@ object Dedup {
     */
   def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // materialized once: the banding flow and the re-attach joins
@@ -101,8 +131,9 @@ object Dedup {
             .as("band_hash")))).as("lsh"))
       .select(col("id"), col("lsh.band"), col("lsh.band_hash"))
 
-    val left = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
-    val right = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
+    val capped = capBuckets(banded, Seq("band", "band_hash"), maxBucketSize)
+    val left = capped.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val right = capped.select(col("band"), col("band_hash"), col("id").as("id_b"))
     val pairs = left.join(right, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
@@ -115,6 +146,28 @@ object Dedup {
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
           .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
       .filter(col("est_jaccard") >= minJaccard)
+  }
+
+  /** Diagnostic for the bucket cap: the MinHash-LSH buckets of `df`
+    * that exceed `maxBucketSize` (these are exactly the buckets
+    * [[minhashNearDuplicates]] drops), with their populations. One
+    * extra aggregation pass — run it when you want the drop logged or
+    * audited.
+    */
+  def minhashHotBuckets(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    minhashSignatures(df, idCol, textCol, numHashes, shingleK)
+      .select(col(idCol).as("id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(b, concat_ws(",", slice(col("signature"), b * rows + 1, lit(rows))))
+              .as("band_hash")))).as("lsh"))
+      .groupBy(col("lsh.band").as("band"), col("lsh.band_hash").as("band_hash"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucketSize)
   }
 
   // ------------------------------------------------------------- jaccard
@@ -151,27 +204,40 @@ object Dedup {
       graft.functions.CatalystExpressions.simhash64(
         transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t))).as("sh"))
 
-  /** SimHash near-duplicates: band the 64-bit hash into four 16-bit
+  /** SimHash near-duplicates: band the 64-bit hash into `bands` equal
     * chunks; any pair agreeing on a chunk is a candidate (catches all
-    * pairs within Hamming distance 3 by pigeonhole); verify by exact
-    * Hamming distance.
+    * pairs within Hamming distance `bands - 1` by pigeonhole); verify
+    * by exact Hamming distance. More bands = stronger recall guarantee
+    * but narrower chunks, i.e. hotter buckets — the default 4×16-bit
+    * split (guarantee ≤ 3) is the scale-friendly point; 8×8-bit
+    * (guarantee ≤ 7) trades bucket selectivity for recall, leaning on
+    * the bucket cap.
     */
   def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, bands: Int = 4,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
     val hashed = simhashSignatures(df, idCol, textCol)
-    val bandStructs = (0 until 4).map(b =>
+    val bandStructs = (0 until bands).map(b =>
       struct(lit(b).as("band"),
-        shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL).as("chunk")))
+        shiftright(col("sh"), b * width).bitwiseAND(mask).as("chunk")))
     val banded = hashed.select(col("id"), col("sh"),
       explode(array(bandStructs: _*)).as("lsh"))
       .select(col("id"), col("sh"), col("lsh.band"), col("lsh.chunk"))
-    val left = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val right = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val capped = capBuckets(banded, Seq("band", "chunk"), maxBucketSize)
+    val left = capped.select(col("band"), col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val right = capped.select(col("band"), col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    // Hamming gate BEFORE the distinct: the per-band join output is the
+    // big intermediate (narrow chunks collide freely), and the gate is
+    // computable at join time — so the expensive pair-dedup exchange
+    // only ever sees surviving pairs.
     left.join(right, Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   // ------------------------------------------- transitive dedup classes
@@ -224,7 +290,14 @@ object Dedup {
     */
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.5, numHashes: Int = 64, bands: Int = 16,
-      shingleK: Int = 3): DataFrame = {
+      shingleK: Int = 3, maxBucketSize: Int = DefaultMaxBucketSize,
+      logHotBuckets: Boolean = false): DataFrame = {
+    if (logHotBuckets) {
+      val dropped = minhashHotBuckets(df, idCol, textCol, numHashes, bands,
+        shingleK, maxBucketSize).agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).head()
+      log.info(s"dedupCorpus: dropping ${dropped.getLong(0)} LSH buckets " +
+        s"(${dropped.getLong(1)} member rows) over cap $maxBucketSize")
+    }
     // prefilter candidates on the signature estimate, three standard
     // errors below the target (sigma <= 0.5/sqrt(numHashes) for the
     // matching-slots estimator) so a true pair at exactly minJaccard
@@ -233,7 +306,8 @@ object Dedup {
     // on small-vocabulary corpora
     val margin = 3.0 * 0.5 / math.sqrt(numHashes.toDouble)
     val candidates = minhashNearDuplicates(df, idCol, textCol,
-      numHashes, bands, shingleK, minJaccard = math.max(0.0, minJaccard - margin))
+      numHashes, bands, shingleK, minJaccard = math.max(0.0, minJaccard - margin),
+      maxBucketSize = maxBucketSize)
     val verified = ngramJaccard(df, candidates.select("id_a", "id_b"),
       idCol, textCol, shingleK)
       .filter(col("jaccard") >= minJaccard)
@@ -252,15 +326,19 @@ object Dedup {
     */
   def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double = 0.95, nPlanes: Int = 8, dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val normed = df.select(col(idCol).as("id"),
       VectorFunctions.l2Normalize(col(vecCol)).as("v"))
     val bucketed =
       if (nPlanes <= 0) normed.withColumn("bucket", lit(0L))
       else normed.withColumn("bucket",
         VectorFunctions.hyperplaneBucket(col("v"), VectorFunctions.randomPlanes(nPlanes, dim, seed)))
-    val left = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val right = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    val capped =
+      if (nPlanes <= 0) bucketed // brute-force fallback is explicitly unbucketed
+      else capBuckets(bucketed, Seq("bucket"), maxBucketSize)
+    val left = capped.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val right = capped.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     left.join(right, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

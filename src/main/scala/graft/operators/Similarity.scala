@@ -55,31 +55,45 @@ object Similarity {
   final case class IvfIndex(centroids: Array[Array[Double]], assignments: DataFrame)
 
   def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int = 16, iterations: Int = 2): IvfIndex = {
+      nCentroids: Int = 16, iterations: Int = 2,
+      fitSampleFraction: Double = 0.05, seed: Long = 42L): IvfIndex = {
     import org.apache.spark.sql.Row
-    // deterministic seeds: vectors with the smallest id-hash
-    var centroids: Array[Array[Double]] = df
+    // Fit on a sample, assign the full corpus exactly once at the end:
+    // the model is only k×dim doubles, so a few-percent sample is
+    // plenty for k ≤ 4096, and it keeps the per-Lloyd-iteration
+    // posexplode+shuffle off the full corpus (at 100 TB the fit cost
+    // becomes O(sample), not O(corpus × iterations)).
+    val fitDf = (if (fitSampleFraction >= 1.0) df
+      else df.sample(withReplacement = false, fitSampleFraction, seed))
+      .select(col(idCol), col(vecCol))
+      .localCheckpoint(false) // small; re-read every iteration
+
+    // deterministic seeds: sample vectors with the smallest id-hash
+    var centroids: Array[Array[Double]] = fitDf
       .orderBy(xxhash64(col(idCol)))
       .limit(nCentroids)
       .select(col(vecCol))
       .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(centroids.nonEmpty,
+      s"ivfIndex: sample fraction $fitSampleFraction yielded no rows to seed centroids")
 
-    def assign(c: Array[Array[Double]]): DataFrame = {
+    def assign(target: DataFrame, c: Array[Array[Double]]): DataFrame = {
       val scored = c.zipWithIndex.map { case (cent, i) =>
         val centCol = array(cent.map(lit): _*)
         struct((lit(0.0) - VectorFunctions.dot(
           VectorFunctions.l2Normalize(col(vecCol)), centCol)).as("negsim"),
           lit(i).as("cluster"))
       }
-      df.withColumn("cluster", least(scored: _*).getField("cluster"))
+      target.withColumn("cluster", least(scored: _*).getField("cluster"))
     }
 
     var it = 0
     while (it < iterations) {
       // recompute centroids as per-cluster dimension means (k×dim
-      // values — a tiny aggregate, collected as the updated model)
-      val assigned = assign(centroids)
+      // values — a tiny aggregate over the sample, collected as the
+      // updated model)
+      val assigned = assign(fitDf, centroids)
       val means = assigned
         .select(col("cluster"), posexplode(col(vecCol)).as(Seq("pos", "v")))
         .groupBy(col("cluster"), col("pos"))
@@ -100,7 +114,7 @@ object Similarity {
       centroids = next
       it += 1
     }
-    IvfIndex(centroids, assign(centroids).select(col(idCol), col("cluster")))
+    IvfIndex(centroids, assign(df, centroids).select(col(idCol), col("cluster")))
   }
 
   /** IVF ANN probe: rank centroids against the query (driver-side,

@@ -59,6 +59,63 @@ class ScaleSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("LSH hot-bucket cap bounds candidate pairs on a boilerplate corpus") {
+    import graft.operators.Dedup
+    // adversarial corpus: 2000 docs share one boilerplate text (all
+    // land in the same bucket in EVERY band), plus a small planted
+    // near-dup pair and unique filler
+    val boiler = "this software is provided as is without warranty of any kind express or implied"
+    val docs = (
+      (1 to 2000).map(i => (i.toLong, boiler)) ++
+      Seq((9001L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+          (9002L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda")) ++
+      // filler must be pairwise token-disjoint, or it forms its own
+      // near-dup cluster and defeats the point of the test
+      (1 to 200).map(i => (20000L + i, (1 to 12).map(j => s"w${i}x$j").mkString(" ")))
+    ).toDF("doc_id", "text")
+
+    // uncapped: the boilerplate bucket alone yields ~2M candidate pairs
+    // capped at 100: the whole boilerplate cluster is dropped, the
+    // planted pair survives
+    val capped = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+      minJaccard = 0.5, maxBucketSize = 100)
+    val pairs = capped.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((9001L, 9002L)), "planted near-dup pair must survive the cap")
+    assert(pairs.length < 1000,
+      s"bucket cap must bound candidates, got ${pairs.length}")
+    // the diagnostic reports exactly the dropped buckets
+    val hot = Dedup.minhashHotBuckets(docs, "doc_id", "text", maxBucketSize = 100)
+      .collect()
+    assert(hot.nonEmpty && hot.forall(_.getLong(2) == 2000L),
+      "every hot bucket is the 2000-doc boilerplate cluster")
+    // simhash path honors the same cap
+    val simCapped = Dedup.simhashNearDuplicates(docs, "doc_id", "text",
+      maxHamming = 15, bands = 16, maxBucketSize = 100)
+    assert(simCapped.count() < 1000)
+    // embedding path: identical vectors all in one bucket, capped away
+    val vecs = ((1 to 2000).map(i => (i.toLong, Array.fill(8)(1.0f))) ++
+      // negated direction → opposite sign bits → a bucket disjoint
+      // from the boilerplate cluster's
+      Seq((9001L, Array(-1f, -2f, -3f, -4f, -5f, -6f, -7f, -8f)),
+          (9002L, Array(-1f, -2f, -3f, -4f, -5f, -6f, -7f, -8.01f)))).toDF("vec_id", "embedding")
+    val embCapped = Dedup.embeddingNearDuplicates(vecs, "vec_id", "embedding",
+      minCosine = 0.9, nPlanes = 4, dim = 8, maxBucketSize = 100)
+    val embPairs = embCapped.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(embPairs.contains((9001L, 9002L)), "planted vector pair must survive")
+    assert(embPairs.length < 1000)
+  }
+
+  test("dedupCorpus is unchanged by the default cap on a normal corpus") {
+    import graft.operators.Dedup
+    val docs = graft.core.Engine.table(spark, sfDir, "documents")
+    val withCap = Dedup.dedupCorpus(docs, "doc_id", "text", minJaccard = 0.3)
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)), countDistinct(col("dup_class"))).head()
+    val noCap = Dedup.dedupCorpus(docs, "doc_id", "text", minJaccard = 0.3,
+      maxBucketSize = 0)
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)), countDistinct(col("dup_class"))).head()
+    assert(withCap == noCap)
+  }
+
   test("partitioned layout prunes partitions at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     Scale.writePartitioned(
