@@ -44,35 +44,65 @@ object EntryPoints {
     private val executionSeq = new AtomicInteger(0)
     private val inFlight = new AtomicInteger(0)
     @volatile private var peak = 0
+    @volatile private var closed = false
     private val results = new ConcurrentLinkedDeque[ExecutionResult]()
+    private val pending = new java.util.concurrent.LinkedBlockingQueue[
+      (Long, DataFrame, scala.concurrent.Promise[ExecutionResult])]()
 
-    /** Admit + run one execution; blocks admission at maxConcurrent
-      * (`execution_stream.py:323-389`).
+    // Single dispatcher thread parks in `admission.acquire()` so the
+    // shared ExecutionContext only ever holds RUNNING executions
+    // (≤ maxConcurrent): with the old acquire-inside-Future shape, a
+    // queue deeper than the EC's thread pool parked every EC thread in
+    // acquire and completed executions could never release — livelock.
+    private val dispatcher = new Thread(() => {
+      while (!closed) {
+        val item = pending.poll(100, TimeUnit.MILLISECONDS)
+        if (item != null) {
+          val (id, input, promise) = item
+          admission.acquire()
+          val fut = Future {
+            val now = inFlight.incrementAndGet()
+            peak = math.max(peak, now)
+            try {
+              val r =
+                try {
+                  val out = body(input)
+                  ExecutionResult(spec.id, id, success = true, out.count(), None)
+                } catch {
+                  case e: Exception =>
+                    ExecutionResult(spec.id, id, success = false, 0, Some(e.getMessage))
+                }
+              results.addFirst(r)
+              while (results.size() > spec.resultBuffer) results.pollLast()
+              r
+            } finally {
+              inFlight.decrementAndGet()
+              admission.release()
+            }
+          }
+          promise.completeWith(fut)
+          ()
+        }
+      }
+    }, s"graft-entrypoint-${spec.id}-dispatcher")
+    dispatcher.setDaemon(true)
+    dispatcher.start()
+
+    /** Enqueue one execution; runs once admission under
+      * `maxConcurrent` allows (`execution_stream.py:323-389`). Never
+      * blocks the caller.
       */
     def execute(input: DataFrame): Future[ExecutionResult] = {
       val id = executionSeq.incrementAndGet().toLong
-      Future {
-        admission.acquire()
-        val now = inFlight.incrementAndGet()
-        peak = math.max(peak, now)
-        try {
-          val r =
-            try {
-              val out = body(input)
-              ExecutionResult(spec.id, id, success = true, out.count(), None)
-            } catch {
-              case e: Exception =>
-                ExecutionResult(spec.id, id, success = false, 0, Some(e.getMessage))
-            }
-          results.addFirst(r)
-          while (results.size() > spec.resultBuffer) results.pollLast()
-          r
-        } finally {
-          inFlight.decrementAndGet()
-          admission.release()
-        }
-      }
+      val promise = scala.concurrent.Promise[ExecutionResult]()
+      pending.put((id, input, promise))
+      promise.future
     }
+
+    /** Stop the dispatcher (queued-but-unadmitted executions are
+      * abandoned; running ones finish).
+      */
+    def close(): Unit = closed = true
 
     def recentResults: Seq[ExecutionResult] = {
       val it = results.iterator()
@@ -142,8 +172,47 @@ object EntryPoints {
       scheduleNext()
     }
 
+    /** Drive an entry point from a real external streaming source
+      * (ST1, `execution_stream.py:63-233` parity): every micro-batch
+      * of `source` — any `readStream`-based DataFrame (file drop
+      * directory, Kafka, rate source) — becomes one admitted
+      * execution. Rate limiting comes from the source options
+      * (`maxFilesPerTrigger` / `maxOffsetsPerTrigger`) on top of the
+      * entry point's own `maxConcurrent` admission.
+      */
+    def startStream(entryPointId: String, source: DataFrame):
+        org.apache.spark.sql.streaming.StreamingQuery = {
+      val s = streams.getOrElse(entryPointId,
+        throw new IllegalArgumentException(s"unknown entry point '$entryPointId'"))
+      source.writeStream
+        .queryName(s"graft-entrypoint-$entryPointId")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          if (!batch.isEmpty) { s.execute(batch.localCheckpoint(true)); () }
+        }
+        .start()
+    }
+
     def stream(id: String): ExecutionStream = streams(id)
 
-    def shutdown(): Unit = scheduler.shutdownNow()
+    def shutdown(): Unit = {
+      scheduler.shutdownNow()
+      synchronized { streams.values.foreach(_.close()) }
+      ()
+    }
   }
+
+  /** A file-drop streaming source: new files matching `glob` landing
+    * in `dir` arrive as micro-batches, at most `maxFilesPerTrigger`
+    * files per batch — the rate-limited external source the runtime's
+    * webhook/timer entry points pair with (the directory is the
+    * at-scale handoff: producers write, the stream picks up).
+    */
+  def fileSource(spark: org.apache.spark.sql.SparkSession,
+      dir: String, schema: org.apache.spark.sql.types.StructType,
+      format: String = "json", maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .format(format)
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
 }

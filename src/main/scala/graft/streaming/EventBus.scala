@@ -54,14 +54,19 @@ final case class Subscription(
   *
   * Publisher side = MemoryStream; each subscription = one streaming
   * query over the shared stream (`event_bus.py:165-182` handler
-  * fan-out), delivered to an in-memory sink table named by the
-  * subscriber.
+  * fan-out), delivered via `foreachBatch` into a bounded ring buffer.
+  * Retention is enforced at INGEST, like the reference's 1000-event
+  * cap (`event_bus.py:249-252`): a subscriber's store never holds more
+  * than `maxHistory` events, so a long-lived bus cannot grow driver
+  * memory without bound (a memory-format sink would).
   */
 final class EventBus(spark: SparkSession, maxHistory: Int = 1000) {
   import spark.implicits._
 
   private val stream = MemoryStream[AgentEvent](spark)
   private var queries = Map.empty[String, StreamingQuery]
+  private val stores =
+    new java.util.concurrent.ConcurrentHashMap[String, scala.collection.mutable.ArrayDeque[AgentEvent]]()
   private var seq = 0L
 
   /** The full typed event stream. */
@@ -78,15 +83,23 @@ final class EventBus(spark: SparkSession, maxHistory: Int = 1000) {
     stream.addData(stamped)
   }
 
-  /** Subscribe: a filtered streaming query into memory sink
-    * `subscriberName` (queryable as a table).
+  /** Subscribe: a filtered streaming query whose sink is a bounded
+    * ring buffer (oldest events evicted beyond `maxHistory`).
     */
   def subscribe(subscriberName: String, sub: Subscription): StreamingQuery = synchronized {
-    val q = events.toDF().filter(sub.predicate)
+    val buf = scala.collection.mutable.ArrayDeque.empty[AgentEvent]
+    stores.put(subscriberName, buf)
+    val q = events.toDF().filter(sub.predicate).as[AgentEvent]
       .writeStream
-      .format("memory")
+      .foreachBatch { (batch: Dataset[AgentEvent], _: Long) =>
+        val rows = batch.collect()
+        buf.synchronized {
+          buf.appendAll(rows)
+          while (buf.length > maxHistory) { buf.removeHead(); () }
+        }
+        ()
+      }
       .queryName(subscriberName)
-      .outputMode("append")
       .trigger(Trigger.ProcessingTime(0))
       .start()
     queries += subscriberName -> q
@@ -96,8 +109,13 @@ final class EventBus(spark: SparkSession, maxHistory: Int = 1000) {
   /** Deliver everything published so far to all subscribers. */
   def flush(): Unit = queries.values.foreach(_.processAllAvailable())
 
-  /** What `subscriberName` has received. */
-  def received(subscriberName: String): DataFrame = spark.table(subscriberName)
+  /** What `subscriberName` currently retains (≤ `maxHistory` rows). */
+  def received(subscriberName: String): DataFrame = {
+    val buf = stores.get(subscriberName)
+    require(buf != null, s"unknown subscriber '$subscriberName'")
+    val snapshot = buf.synchronized { buf.toSeq }
+    spark.createDataset(snapshot).toDF()
+  }
 
   /** Bounded recent history, newest first — retention parity
     * (`event_bus.py:249-252, 857-887`, max 1000).
@@ -142,5 +160,6 @@ final class EventBus(spark: SparkSession, maxHistory: Int = 1000) {
   def stop(): Unit = synchronized {
     queries.values.foreach(_.stop())
     queries = Map.empty
+    stores.clear()
   }
 }

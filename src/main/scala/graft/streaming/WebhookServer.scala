@@ -24,6 +24,9 @@ final class WebhookServer(spark: SparkSession, runtime: EntryPoints.EntryPointRu
   server.createContext("/hooks/", (exchange: HttpExchange) => {
     try {
       val path = exchange.getRequestURI.getPath.stripPrefix("/hooks/")
+      // the path is attacker-controlled — escape it before it lands in
+      // a JSON response body (response-injection hardening)
+      val safePath = jsonEscape(path)
       if (exchange.getRequestMethod != "POST") respond(exchange, 405, """{"error":"POST only"}""")
       else {
         val body = new String(exchange.getRequestBody.readAllBytes(),
@@ -32,10 +35,10 @@ final class WebhookServer(spark: SparkSession, runtime: EntryPoints.EntryPointRu
           val input = jsonToDf(body)
           runtime.trigger(path, input) // async; admission happens in the stream
           accepted += 1
-          respond(exchange, 202, s"""{"status":"accepted","entry_point":"$path"}""")
+          respond(exchange, 202, s"""{"status":"accepted","entry_point":"$safePath"}""")
         } catch {
           case _: IllegalArgumentException =>
-            respond(exchange, 404, s"""{"error":"unknown entry point '$path'"}""")
+            respond(exchange, 404, s"""{"error":"unknown entry point '$safePath'"}""")
           case e: Exception =>
             respond(exchange, 400, s"""{"error":"bad payload"}""")
         }
@@ -53,6 +56,14 @@ final class WebhookServer(spark: SparkSession, runtime: EntryPoints.EntryPointRu
     val df = spark.read.json(ds)
     if (df.columns.isEmpty) Seq(1).toDF("__empty_payload") else df
   }
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)

@@ -46,6 +46,60 @@ class StreamingSpec extends SparkSpec {
     } finally bus.stop()
   }
 
+  test("event bus: retention evicts at ingest, store never exceeds maxHistory") {
+    val bus = new EventBus(spark, maxHistory = 25)
+    try {
+      bus.subscribe("all", Subscription())
+      // publish in several micro-batches, well past the cap
+      (1 to 4).foreach { wave =>
+        bus.publish(((wave - 1) * 20 + 1 to wave * 20).map(i => AgentEvent(s"e$i", "s")): _*)
+        bus.flush()
+      }
+      val kept = bus.received("all").collect()
+      assert(kept.length == 25, s"store must hold exactly maxHistory, got ${kept.length}")
+      // the newest 25 survive, the oldest 55 were evicted
+      val types = kept.map(_.getAs[String]("event_type")).toSet
+      assert(types == (56 to 80).map(i => s"e$i").toSet)
+    } finally bus.stop()
+  }
+
+  test("entry point driven by a real file streaming source (ST1)") {
+    import graft.streaming.EntryPoints
+    import org.apache.spark.sql.types._
+    import scala.concurrent.ExecutionContext
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val dir = java.nio.file.Files.createTempDirectory("graft-filesrc").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("payload", StringType)))
+    val rt = new EntryPoints.EntryPointRuntime()
+    try {
+      rt.register(EntryPoints.EntryPointSpec("ingest", maxConcurrent = 2),
+        df => df.filter(col("id") > 0))
+      def drop(name: String, rows: Seq[String]): Unit = {
+        val p = java.nio.file.Paths.get(dir, name)
+        java.nio.file.Files.write(p, rows.mkString("\n").getBytes)
+        ()
+      }
+      drop("a.json", Seq("""{"id": 1, "payload": "x"}""", """{"id": 2, "payload": "y"}"""))
+      val q = rt.startStream("ingest",
+        EntryPoints.fileSource(spark, dir, schema, maxFilesPerTrigger = 1))
+      try {
+        q.processAllAvailable()
+        // the async execution may still be inside the admission gate
+        val deadline = System.currentTimeMillis() + 10000
+        def results = rt.stream("ingest").recentResults
+        while (results.size < 1 && System.currentTimeMillis() < deadline) Thread.sleep(20)
+        assert(results.size == 1 && results.head.success && results.head.rowCount == 2)
+        // a second file landing later becomes a second execution
+        drop("b.json", Seq("""{"id": -5, "payload": "skip"}""", """{"id": 7, "payload": "z"}"""))
+        q.processAllAvailable()
+        while (results.size < 2 && System.currentTimeMillis() < deadline) Thread.sleep(20)
+        assert(results.size == 2)
+        assert(results.map(_.rowCount).sorted == Seq(1L, 2L))
+      } finally q.stop()
+    } finally rt.shutdown()
+  }
+
   test("limitWithFlag reports truncation (O5, `bigquery_tool.py:226-233`)") {
     val events = graft.core.Engine.table(spark, sfDir, "events")
     val cut = graft.sql.TableSql.limitWithFlag(events, 10)
