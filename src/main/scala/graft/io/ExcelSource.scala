@@ -63,6 +63,73 @@ object ExcelSource {
   private def namesFrom(parts: Map[String, Array[Byte]]): Seq[String] =
     elems(parseXml(parts("xl/workbook.xml")), "sheet").map(_.getAttribute("name"))
 
+  // ------------------------------------------------- date-serial cells
+
+  /** Built-in number-format ids Excel renders as dates/times
+    * (ECMA-376 §18.8.30).
+    */
+  private val BuiltinDateFormats: Set[Int] = ((14 to 22) ++ (27 to 36) ++ (45 to 47)).toSet
+
+  /** A custom format code is a date format if, outside quoted literals
+    * and `[...]` sections, it uses date/time tokens — the same
+    * heuristic openpyxl applies to foreign workbooks.
+    */
+  private def isDateCode(code: String): Boolean = {
+    val stripped = code
+      .replaceAll("\"[^\"]*\"", "")
+      .replaceAll("\\[[^\\]]*\\]", "")
+      .replaceAll("\\\\.", "")
+    stripped.exists(c => "ymdhsYMDHS".indexOf(c.toInt) >= 0)
+  }
+
+  /** Style indexes (the `s` attribute on cells) whose number format is
+    * a date/time format, from `xl/styles.xml`. Real Excel/openpyxl
+    * workbooks store dates as numeric serials + a date style — without
+    * this mapping they'd surface as raw serial numbers.
+    */
+  private def dateStyles(parts: Map[String, Array[Byte]]): Set[Int] =
+    parts.get("xl/styles.xml").map { bytes =>
+      val doc = parseXml(bytes)
+      val customDateIds = elems(doc, "numFmt")
+        .filter(e => isDateCode(e.getAttribute("formatCode")))
+        .map(_.getAttribute("numFmtId").toInt)
+        .toSet
+      val cellXfs = elems(doc, "cellXfs").headOption
+        .map { xfs =>
+          val nl = xfs.getElementsByTagName("xf")
+          (0 until nl.getLength).map(nl.item(_).asInstanceOf[org.w3c.dom.Element])
+        }
+        .getOrElse(Seq.empty)
+      cellXfs.zipWithIndex.collect {
+        case (xf, i) if {
+          val id = Option(xf.getAttribute("numFmtId")).filter(_.nonEmpty).map(_.toInt).getOrElse(0)
+          BuiltinDateFormats.contains(id) || customDateIds.contains(id)
+        } => i
+      }.toSet
+    }.getOrElse(Set.empty)
+
+  /** Excel 1900-system serial → ISO string, matching what the
+    * reference sees from openpyxl's datetime coercion
+    * (`excel_tool.py:792-801`): date for whole serials, datetime
+    * otherwise, time-of-day for serials < 1. Epoch juggling covers the
+    * fictitious 1900-02-29 (serial 60) the 1900 system inherits.
+    */
+  private[io] def serialToIso(serial: Double): String = {
+    val days = math.floor(serial).toLong
+    var secs = math.round((serial - days) * 86400.0)
+    if (serial < 1.0) java.time.LocalTime.ofSecondOfDay(math.min(secs, 86399L))
+      .format(java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss"))
+    else {
+      val epoch = if (days < 60) java.time.LocalDate.of(1899, 12, 31)
+        else java.time.LocalDate.of(1899, 12, 30)
+      var date = epoch.plusDays(days)
+      if (secs >= 86400L) { date = date.plusDays(1); secs -= 86400L }
+      if (secs == 0L) date.toString
+      else s"$date ${java.time.LocalTime.ofSecondOfDay(secs)
+        .format(java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss"))}"
+    }
+  }
+
   /** Sheet names in workbook order (`excel_sheet_list`,
     * `excel_tool.py:420-472`).
     */
@@ -97,6 +164,7 @@ object ExcelSource {
     }.getOrElse(IndexedSeq.empty)
 
     val doc = parseXml(parts(sheetPart))
+    val dates = dateStyles(parts)
     elems(doc, "row").map { row =>
       val cells = row.getElementsByTagName("c")
       val byIdx = (0 until cells.getLength).map { i =>
@@ -111,6 +179,9 @@ object ExcelSource {
             val raw = vs.item(0).getTextContent
             if (t == "s") shared(raw.toInt)
             else if (t == "b") (raw == "1").toString
+            else if ((t.isEmpty || t == "n") && c.getAttribute("s").nonEmpty &&
+                dates.contains(c.getAttribute("s").toInt) && raw.nonEmpty)
+              serialToIso(raw.toDouble)
             else raw
           } else ""
         }

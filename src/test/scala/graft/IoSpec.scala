@@ -90,6 +90,34 @@ class IoSpec extends SparkSpec {
     assert(back.filter(col("name") === "widget").head().getString(2) == "9.99")
   }
 
+  test("foreign xlsx: shared strings, rich text, date serials, styles (`excel_tool.py:575-617`)") {
+    // produced by scripts/make_xlsx_fixture.py in the shape real
+    // Excel/openpyxl emits — NOT by ExcelSource.write
+    val p = getClass.getResource("/fixtures/foreign.xlsx").getPath
+    assert(ExcelSource.sheetNames(p) == Seq("Report Data", "Notes"))
+    val df = ExcelSource.readSheet(spark, p, "Report Data")
+    assert(df.columns.toSeq == Seq("name", "joined", "last_seen", "score", "active", "note"))
+    val rows = df.collect().map(r => r.toSeq.map(_.asInstanceOf[String])).sortBy(_.head)
+    assert(rows.length == 3)
+    val alice = rows(0)
+    // date serial 45321 under builtin format 14 -> ISO date
+    assert(alice == Seq("Alice", "2024-01-30", "2024-01-30 12:00:00", "3.14", "true", "Hello World"))
+    val bob = rows(1)
+    // 25569 = unix epoch day; 0.75 under a time format -> time of day;
+    // style 165 has an 'm' only inside quotes -> NOT a date; whitespace
+    // in the shared string is preserved
+    assert(bob == Seq("Bob", "1970-01-01", "18:00:00", "42", "false", "  padded  "))
+    val carol = rows(2)
+    // sparse row: only A and D cells exist in the XML
+    assert(carol == Seq("Carol", "", "", "7", "", ""))
+    // multi-sheet join against the second sheet still works
+    val joined = ExcelSource.excelSql(spark, p,
+      """SELECT d.name, d.score, n.region FROM data d JOIN Notes n ON d.name = n.name""",
+      targetSheet = Some("Report Data"))
+    assert(joined.count() == 2)
+    assert(joined.filter(col("name") === "Bob").head().getString(2) == "APAC")
+  }
+
   test("excel_sql: sheets as tables, `data` alias, multi-sheet join (`excel_tool.py:505-508`)") {
     val sales = s"$tmp/sales.xlsx"
     val products = s"$tmp/products.xlsx"
