@@ -254,4 +254,74 @@ class RuntimeSpec extends SparkSpec {
     assert(out.count() == 3)
     assert(out.columns.toSet == Set("x", "a_done", "b_done"))
   }
+
+  test("typed HITL protocol: request emitted at pause, response gates resume (`hitl.py:13-223`)") {
+    import graft.graph.Hitl
+    val dir = java.nio.file.Files.createTempDirectory("graft-hitl").toString
+    val spec = GraphSpec(
+      nodes = Seq(NodeSpec("ingest"), NodeSpec("review"), NodeSpec("publish")),
+      edges = Seq(EdgeSpec("ingest", "review"), EdgeSpec("review", "publish")),
+      entryNode = "ingest", terminalNodes = Seq("publish"))
+    // the review node routes on the human's selection + approval
+    val registry: GraphExecutor.Registry = Map(
+      "review" -> ((df: DataFrame) =>
+        df.filter(col("hitl_approve") === "yes")
+          .withColumn("tier", col("hitl_tier"))))
+
+    val request = Hitl.createRequest(
+      objective = "publish the ingested batch?",
+      questions = Seq(
+        Hitl.HitlQuestion("approve", "Approve this batch?", inputType = "approval"),
+        Hitl.HitlQuestion("tier", "Which tier?", inputType = "selection",
+          options = Seq("gold", "silver"))),
+      nodeId = "review")
+
+    val paused = Hitl.pauseWithRequest(spec, Seq(1L, 2L).toDF("x"), registry, dir, request)
+    assert(paused.pausedAt.contains("review"))
+    // the request is persisted and queryable as rows
+    assert(Hitl.readRequest(dir).contains(request))
+    val rows = Hitl.requestRows(spark, request)
+    assert(rows.count() == 2)
+    val selRow = rows.filter(col("input_type") === "selection").head()
+    assert(selRow.getSeq[String](selRow.fieldIndex("options")) == Seq("gold", "silver"))
+
+    // invalid responses are rejected: bad selection, missing required
+    val badSel = Hitl.HitlResponse(request.requestId,
+      Map("approve" -> "yes", "tier" -> "bronze"))
+    assert(Hitl.validate(request, badSel).exists(_.contains("bronze")))
+    intercept[GraphExecutor.GraphError] {
+      Hitl.resumeWithResponse(spec, spark, dir, registry, badSel)
+    }
+    val missing = Hitl.HitlResponse(request.requestId, Map("approve" -> "yes"))
+    assert(Hitl.validate(request, missing).exists(_.contains("tier")))
+
+    // a valid response resumes; answers surface as hitl_* columns
+    val ok = Hitl.HitlResponse(request.requestId,
+      Map("approve" -> "yes", "tier" -> "gold"))
+    val resumed = Hitl.resumeWithResponse(spec, spark, dir, registry, ok)
+    assert(resumed.pausedAt.isEmpty)
+    val out = resumed.terminalOutputs("publish")
+    assert(out.count() == 2)
+    assert(out.select("tier").distinct().head().getString(0) == "gold")
+    assert(Hitl.readResponse(dir).contains(ok))
+  }
+
+  test("HITL parse_response: client-extracted JSON answers with raw-input fallback") {
+    import graft.graph.Hitl
+    import graft.llm.SemanticOps
+    val request = Hitl.createRequest("objective",
+      Seq(Hitl.HitlQuestion("q1", "First?"), Hitl.HitlQuestion("q2", "Second?")),
+      nodeId = "n")
+    // no client: raw input answers the first question (`hitl.py:167-172`)
+    val noClient = Hitl.parseResponse("just do it", request)
+    assert(noClient.answers == Map("q1" -> "just do it"))
+    // a client that extracts structured answers
+    val parsed = Hitl.parseResponse("yes, and silver", request,
+      Some(SemanticOps.DeterministicStub(_ => """{"q1": "yes", "q2": "silver"}""")))
+    assert(parsed.answers == Map("q1" -> "yes", "q2" -> "silver"))
+    // a client that returns garbage falls back
+    val garbage = Hitl.parseResponse("hmm", request,
+      Some(SemanticOps.DeterministicStub(_ => "no json here")))
+    assert(garbage.answers == Map("q1" -> "hmm"))
+  }
 }
