@@ -44,28 +44,54 @@ object Connector {
   }
 
   /** Read a foreign resource as a DataFrame: the driver walks cursor
-    * pages (bounded by `maxPages`) and parallelizes rows. Foreign APIs
+    * pages (bounded by `maxPages`) and hands them off. Foreign APIs
     * are cursor-serial by nature — the parallelism at 100 TB comes
     * from many resources/partitions (one connector stream each), not
     * from one cursor.
+    *
+    * Driver memory is bounded by `spillEveryRows`: whenever that many
+    * rows accumulate, they're flushed as a parquet part under a spill
+    * directory and the buffer resets, so `maxPages × pageSize` never
+    * has to fit in driver heap. Small reads (never reaching the
+    * threshold) skip the disk round-trip entirely.
     */
   def read(spark: SparkSession, transport: Transport, resource: String,
       schema: StructType, pageSize: Int = 100, maxPages: Int = 1000,
-      ratePerSecond: Double = 50): DataFrame = {
+      ratePerSecond: Double = 50, spillEveryRows: Int = 100000,
+      spillDir: Option[String] = None): DataFrame = {
     val limiter = new RateLimiter(ratePerSecond)
-    val rows = Seq.newBuilder[Row]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var dir: Option[String] = None
+    def flush(): Unit = if (buf.nonEmpty) {
+      val d = dir.getOrElse {
+        val d0 = spillDir.getOrElse(
+          java.nio.file.Files.createTempDirectory("graft-connector-spill").toString)
+        dir = Some(d0); d0
+      }
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(buf.toSeq, math.max(1, buf.size / 25000)), schema)
+        .write.mode("append").parquet(d)
+      buf.clear()
+    }
     var cursor: Option[String] = None
     var pages = 0
     var done = false
     while (!done && pages < maxPages) {
       limiter.acquire()
       val page = transport.fetch(resource, cursor, pageSize)
-      rows ++= page.rows
+      buf ++= page.rows
+      if (buf.size >= spillEveryRows) flush()
       cursor = page.nextCursor
       pages += 1
       done = cursor.isEmpty
     }
-    spark.createDataFrame(spark.sparkContext.parallelize(rows.result(), 4), schema)
+    dir match {
+      case None => // never crossed the threshold — stay in memory
+        spark.createDataFrame(spark.sparkContext.parallelize(buf.toSeq, 4), schema)
+      case Some(d) =>
+        flush()
+        spark.read.schema(schema).parquet(d)
+    }
   }
 
   /** Sink a DataFrame into a foreign resource: per-partition transport

@@ -18,6 +18,24 @@ class ConnectorSpec extends SparkSpec {
     assert(df.agg(sum(col("id"))).head().getLong(0) == (1L to 25L).sum)
   }
 
+  test("connector read spills pages to parquet, bounding driver memory") {
+    // 5000 rows with a 200-row spill threshold: the driver buffer can
+    // never exceed ~one threshold's worth of rows; the result must be
+    // complete and correct regardless of how many parts were flushed
+    val big = (1L to 5000L).map(i => Row(i, s"item_$i"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-spill").toString
+    val df = Connector.read(spark, Connector.InMemoryTransport(big),
+      "items", schema, pageSize = 100, ratePerSecond = 1e9,
+      spillEveryRows = 200, spillDir = Some(dir))
+    assert(df.count() == 5000)
+    assert(df.agg(sum(col("id"))).head().getLong(0) == (1L to 5000L).sum)
+    // spilling really happened: multiple parquet parts on disk
+    val parts = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parts >= 25, s"expected >=25 flushed parts, saw $parts")
+    // and the result reads from the spill dir, not driver memory
+    assert(df.inputFiles.forall(_.contains(dir)))
+  }
+
   test("connector write sinks batches with retry on transient failure (ST12)") {
     Connector.InMemoryTransport.written.clear()
     Connector.InMemoryTransport.failNextWrites = 2

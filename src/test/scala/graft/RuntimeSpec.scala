@@ -306,6 +306,49 @@ class RuntimeSpec extends SparkSpec {
     assert(Hitl.readResponse(dir).contains(ok))
   }
 
+  test("conversation segment store: parts, cursor, compaction (`conversation_store.py:27-110`)") {
+    import graft.io.ConversationStore
+    val base = java.nio.file.Files.createTempDirectory("graft-conv").toString + "/conv1"
+    val store = new ConversationStore(spark, base)
+    assert(store.readParts().isEmpty && store.partSeqs.isEmpty)
+
+    // five appended parts, ~100 tokens each
+    (0L to 4L).foreach { s =>
+      store.writePart(s, Seq((s"msg$s", 100L)).toDF("content", "tokens"))
+    }
+    assert(store.partSeqs == Seq(0L, 1L, 2L, 3L, 4L))
+    val all = store.readParts().get
+    assert(all.count() == 5)
+    assert(all.columns.contains("seq")) // partition column surfaces
+
+    // cursor read is partition-pruned: only newer part dirs are scanned
+    val fromCursor = store.readParts(fromSeq = 3L).get
+    assert(fromCursor.count() == 2)
+    val plan = fromCursor.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(seq") || plan.contains("(seq"),
+      s"expected partition filters in:\n$plan")
+
+    // meta + cursor docs round-trip
+    store.writeMeta(Map("graph_id" -> "g1"))
+    store.writeCursor(Map("watermark_seq" -> "2"))
+    assert(store.readMeta.contains(Map("graph_id" -> "g1")))
+    assert(store.readCursor.contains(Map("watermark_seq" -> "2")))
+
+    // explicit compaction drops old partitions, keeps the rest readable
+    assert(store.deletePartsBefore(2L) == 2)
+    assert(store.partSeqs == Seq(2L, 3L, 4L))
+    assert(store.readParts().get.count() == 3)
+
+    // budget compaction keeps the newest parts within the token budget
+    val (dropped, watermark) = store.compactToBudget("tokens", budget = 250L)
+    assert(dropped == 1 && watermark == 3L) // parts 3,4 = 200 <= 250; part 2 dropped
+    assert(store.partSeqs == Seq(3L, 4L))
+    assert(store.readCursor.contains(Map("watermark_seq" -> "3")))
+
+    store.destroy()
+    assert(store.readParts().isEmpty)
+  }
+
   test("HITL parse_response: client-extracted JSON answers with raw-input fallback") {
     import graft.graph.Hitl
     import graft.llm.SemanticOps
