@@ -394,16 +394,21 @@ object SparkEntry {
 
   /** Dedup — SimHash-banded candidate pairs, exact-shingle-Jaccard
     * verified: same brute-force oracle as q37, different discovery
-    * path. 16×4-bit banding guarantees recall through Hamming 15 —
-    * the planted pairs reach Hamming 9 (and two share no 16-bit
-    * chunk), so the scale-default 4×16 split cannot see them; the
-    * narrow chunks lean on the hot-bucket cap, which is the documented
-    * trade.
+    * path. 8×8-bit banding guarantees recall through Hamming 7 — the
+    * gate corpus's planted pairs reach Hamming 6, and two of them
+    * share no 16-bit chunk, so the scale-default 4×16 split cannot see
+    * them. Chunk width is the honest scale knob: 4-bit chunks (16-band
+    * guarantee ≤15) collide so freely that candidate generation
+    * degenerates to ~all-pairs on a small-vocabulary corpus (measured
+    * 53M joined rows at sf0.1), so tight-Hamming discovery is
+    * simhash's contract and the loose-threshold outliers (one J=0.91
+    * pair at Hamming 9 in the sf0.001 corpus) belong to the minhash
+    * path, which q37 keeps exact.
     */
   private def q38(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val cands = Dedup.simhashNearDuplicates(docs, "doc_id", "text",
-      maxHamming = 15, bands = 16)
+      maxHamming = 7, bands = 8)
     Dedup.ngramJaccard(docs, cands.select(col("id_a"), col("id_b")), "doc_id", "text")
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("id_a"), col("id_b"))

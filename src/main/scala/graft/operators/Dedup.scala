@@ -178,7 +178,10 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, candidates: DataFrame, idCol: String,
       textCol: String, shingleK: Int = 3): DataFrame = {
+    // materialized once: the id_a and id_b attach joins would otherwise
+    // each re-tokenize and re-shingle the whole corpus
     val sets = df.select(col(idCol).as("id"), shingleHashSet(col(textCol), shingleK).as("sh"))
+      .localCheckpoint(false)
     candidates
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -219,7 +222,9 @@ object Dedup {
     require(64 % bands == 0, "bands must divide 64")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1L
-    val hashed = simhashSignatures(df, idCol, textCol)
+    // materialized once: both join sides and the cap aggregate would
+    // otherwise recompute tokenize+simhash over the corpus
+    val hashed = simhashSignatures(df, idCol, textCol).localCheckpoint(false)
     val bandStructs = (0 until bands).map(b =>
       struct(lit(b).as("band"),
         shiftright(col("sh"), b * width).bitwiseAND(mask).as("chunk")))
