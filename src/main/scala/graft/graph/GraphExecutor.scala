@@ -89,14 +89,18 @@ object GraphExecutor {
       pauseBefore: Set[String] = Set.empty,
       checkpointDir: Option[String] = None,
       onEvent: EventHook = (_, _) => (),
-      eagerNodeActions: Boolean = false): GraphResult = {
+      eagerNodeActions: Boolean = false,
+      durableCheckpointEvery: Int = 0,
+      asyncCheckpointSave: Boolean = false): GraphResult = {
     spec.validate().left.foreach(errs => throw GraphError(errs.mkString("; ")))
     registry.keys.filterNot(k => spec.nodes.exists(_.id == k) || k == "*").foreach { k =>
       throw GraphError(s"registry entry '$k' is not a node of the graph")
     }
     loop(spec, Map(spec.entryNode -> Seq(input)), Map.empty, Nil, 0,
       registry, parallelFanOut, checkpointEvery, pauseBefore, checkpointDir,
-      onEvent, eagerNodeActions = eagerNodeActions)
+      onEvent, eagerNodeActions = eagerNodeActions,
+      durableCheckpointEvery = durableCheckpointEvery,
+      asyncCheckpointSave = asyncCheckpointSave)
   }
 
   /** Resume a paused run from `checkpointDir`
@@ -157,7 +161,36 @@ object GraphExecutor {
       pauseBefore: Set[String], checkpointDir: Option[String],
       onEvent: EventHook,
       terminal0: Map[String, Seq[DataFrame]] = Map.empty,
-      eagerNodeActions: Boolean = false): GraphResult = {
+      eagerNodeActions: Boolean = false,
+      durableCheckpointEvery: Int = 0,
+      asyncCheckpointSave: Boolean = false): GraphResult = {
+    // periodic durable saves (`executor.py:560-607` async-or-blocking
+    // checkpoint option): at most one save in flight; the next save —
+    // and loop completion — awaits the previous, so a slow save can
+    // never pile up or outlive the run
+    var inFlightSave: Option[java.util.concurrent.Future[_]] = None
+    val saveExec =
+      if (durableCheckpointEvery > 0 && asyncCheckpointSave)
+        Some(java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+          val t = new Thread(r, "graft-graph-checkpoint"); t.setDaemon(true); t
+        }))
+      else None
+    def awaitSave(): Unit = { inFlightSave.foreach(_.get()); inFlightSave = None }
+    def durableSave(pending: Map[String, Seq[DataFrame]],
+        terminal: Map[String, Seq[DataFrame]], visits: Map[String, Int],
+        path: Seq[String], steps: Int): Unit = {
+      val dir = checkpointDir.getOrElse(
+        throw GraphError("durableCheckpointEvery requires a checkpointDir"))
+      onEvent("checkpoint_saved", "")
+      saveExec match {
+        case Some(ex) =>
+          awaitSave() // one at a time
+          inFlightSave = Some(ex.submit(new Runnable {
+            def run(): Unit = savePause(dir, pending, terminal, visits, path, steps)
+          }))
+        case None => savePause(dir, pending, terminal, visits, path, steps)
+      }
+    }
     var pending = pending0
     var terminal = terminal0
     val visits = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
@@ -256,7 +289,11 @@ object GraphExecutor {
         }
         }
       }
+      if (durableCheckpointEvery > 0 && steps % durableCheckpointEvery == 0)
+        durableSave(pending, terminal, visits.toMap, path.result(), steps)
     }
+    awaitSave()
+    saveExec.foreach(_.shutdown())
     if (pending.nonEmpty)
       throw GraphError(s"max_steps=${spec.maxSteps} exceeded with pending nodes ${pending.keys.mkString(",")}")
 

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sql.QueryGate
+import graft.sql.{QueryGate, QueryStats}
 
 /** SELECT-only gate parity with `csv_tool.py:333-352` — but plan-level,
   * so string literals containing keywords pass and comment-hidden DDL
@@ -44,5 +44,38 @@ class QueryGateSpec extends SparkSpec {
     intercept[QueryGate.RejectedQuery] {
       QueryGate.sql(spark, "DROP TABLE lineitem")
     }
+  }
+
+  test("query stats: max_rows cap, truncation, bytes accounting (`bigquery_tool.py:149-275`)") {
+    import org.apache.spark.sql.functions._
+    val events = graft.core.Engine.table(spark, sfDir, "events")
+    val fileBytes = new java.io.File(s"$sfDir/events.parquet").length()
+
+    // dry-run estimate is in the ballpark of the file footprint
+    val est = QueryStats.dryRunBytes(events)
+    assert(est > 0 && est <= fileBytes)
+
+    // capped run: truncation flagged, accounting populated
+    val cut = QueryStats.run(events.select(col("event_id"), col("event_type")), maxRows = 25)
+    assert(cut.truncated && cut.rowCount == 25 && cut.rows.count() == 25)
+    assert(cut.scannedFiles >= 1)
+    assert(cut.scannedBytes > 0 && cut.scannedBytes <= fileBytes,
+      s"scanned ${cut.scannedBytes} vs file $fileBytes")
+
+    // uncapped fit: no truncation
+    val whole = QueryStats.run(events.limit(10), maxRows = 50)
+    assert(!whole.truncated && whole.rowCount == 10)
+
+    // partition-pruned scan accounts only the surviving partitions
+    val dir = java.nio.file.Files.createTempDirectory("graft-qstats").toString
+    graft.operators.Scale.writePartitioned(events, dir, Seq("event_type"))
+    val all = spark.read.parquet(dir)
+    val one = all.filter(col("event_type") === "error")
+    val prunedEst = QueryStats.dryRunBytes(one)
+    assert(prunedEst < QueryStats.dryRunBytes(all),
+      s"pruned estimate $prunedEst should undercut full ${QueryStats.dryRunBytes(all)}")
+    val pruned = QueryStats.run(one, maxRows = 1000000)
+    val full = QueryStats.run(all, maxRows = 1000000)
+    assert(pruned.scannedBytes < full.scannedBytes)
   }
 }

@@ -255,6 +255,31 @@ class RuntimeSpec extends SparkSpec {
     assert(out.columns.toSet == Set("x", "a_done", "b_done"))
   }
 
+  test("periodic durable checkpoints, blocking and async (`executor.py:560-607`)") {
+    for (async <- Seq(false, true)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-durable").toString
+      val spec = GraphSpec(
+        nodes = Seq(NodeSpec("a"), NodeSpec("b"), NodeSpec("c"), NodeSpec("d")),
+        edges = Seq(EdgeSpec("a", "b"), EdgeSpec("b", "c"), EdgeSpec("c", "d")),
+        entryNode = "a", terminalNodes = Seq("d"))
+      val registry: GraphExecutor.Registry = Map(
+        "b" -> ((df: DataFrame) => df.withColumn("b_done", lit(true))),
+        "c" -> ((df: DataFrame) => df.withColumn("c_done", lit(true))))
+      var saves = 0
+      val done = GraphExecutor.run(spec, Seq(1L, 2L).toDF("x"), registry,
+        checkpointDir = Some(dir), durableCheckpointEvery = 2,
+        asyncCheckpointSave = async,
+        onEvent = (t, _) => if (t == "checkpoint_saved") saves += 1)
+      assert(done.pausedAt.isEmpty && done.terminalOutputs("d").count() == 2)
+      assert(saves == 2, s"expected saves at steps 2 and 4, got $saves") // 4 steps, every 2
+      // the snapshot on disk is resumable mid-run: the last save (after
+      // step 4, terminal reached) resumes to the identical result
+      val resumed = GraphExecutor.resume(spec, spark, dir, registry)
+      assert(resumed.terminalOutputs("d").count() == 2)
+      assert(resumed.terminalOutputs("d").columns.toSet == Set("x", "b_done", "c_done"))
+    }
+  }
+
   test("typed HITL protocol: request emitted at pause, response gates resume (`hitl.py:13-223`)") {
     import graft.graph.Hitl
     val dir = java.nio.file.Files.createTempDirectory("graft-hitl").toString

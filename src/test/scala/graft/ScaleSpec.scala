@@ -116,6 +116,28 @@ class ScaleSpec extends SparkSpec {
     assert(withCap == noCap)
   }
 
+  test("IVF layout: cluster-partitioned corpus makes probes partition-pruned scans") {
+    import graft.operators.Similarity
+    val emb = graft.core.Engine.table(spark, sfDir, "embeddings")
+    val index = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      nCentroids = 4, fitSampleFraction = 1.0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    // the at-scale layout: corpus written once, partitioned by cluster
+    graft.operators.Scale.writePartitioned(
+      emb.join(index.assignments, Seq("vec_id")), dir, Seq("cluster"))
+    val layout = spark.read.parquet(dir)
+    val probed = layout.filter(col("cluster").isin(0, 1))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"),
+      s"probe must be a partition-pruned scan:\n$plan")
+    // pruned probe reads exactly the two clusters' rows
+    val expected = index.assignments.filter(col("cluster").isin(0, 1)).count()
+    assert(probed.count() == expected && expected > 0)
+    // and the dry-run accounting shows the probe reads fewer bytes
+    assert(graft.sql.QueryStats.dryRunBytes(probed) <
+      graft.sql.QueryStats.dryRunBytes(layout))
+  }
+
   test("partitioned layout prunes partitions at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     Scale.writePartitioned(
