@@ -325,26 +325,39 @@ object Dedup {
   // --------------------------------------------------- embedding near-dup
 
   /** Embedding near-duplicates: cosine ≥ `minCosine` pairs, with
-    * random-hyperplane LSH bucketing (`nPlanes` sign bits) so the
-    * pairwise check only runs inside buckets. `nPlanes = 0` falls back
-    * to brute force (test-scale only).
+    * random-hyperplane LSH bucketing (`nPlanes` sign bits per band) so
+    * the pairwise check only runs inside buckets. `bands > 1` is the
+    * standard AND-OR construction: each band hashes with its own
+    * seeded plane set and a pair is a candidate if it collides in ANY
+    * band — per-pair recall 1-(1-p^nPlanes)^bands, so recall at a
+    * given cosine is tuned by adding bands (cost: one more explode
+    * fan-out each) instead of loosening every bucket. `nPlanes = 0`
+    * falls back to brute force (test-scale only).
     */
   def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double = 0.95, nPlanes: Int = 8, dim: Int = 64,
-      seed: Long = 42L,
+      seed: Long = 42L, bands: Int = 1,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(bands >= 1, "bands must be >= 1")
     val normed = df.select(col(idCol).as("id"),
       VectorFunctions.l2Normalize(col(vecCol)).as("v"))
     val bucketed =
-      if (nPlanes <= 0) normed.withColumn("bucket", lit(0L))
-      else normed.withColumn("bucket",
-        VectorFunctions.hyperplaneBucket(col("v"), VectorFunctions.randomPlanes(nPlanes, dim, seed)))
+      if (nPlanes <= 0) normed.withColumn("band", lit(0)).withColumn("bucket", lit(0L))
+      else {
+        val bandStructs = (0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            VectorFunctions.hyperplaneBucket(col("v"),
+              VectorFunctions.randomPlanes(nPlanes, dim, seed + b)).as("bucket"))
+        }
+        normed.select(col("id"), col("v"), explode(array(bandStructs: _*)).as("lsh"))
+          .select(col("id"), col("v"), col("lsh.band"), col("lsh.bucket"))
+      }
     val capped =
       if (nPlanes <= 0) bucketed // brute-force fallback is explicitly unbucketed
-      else capBuckets(bucketed, Seq("bucket"), maxBucketSize)
-    val left = capped.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val right = capped.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    left.join(right, Seq("bucket"))
+      else capBuckets(bucketed, Seq("band", "bucket"), maxBucketSize)
+    val left = capped.select(col("band"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val right = capped.select(col("band"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    left.join(right, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(VectorFunctions.dot(col("v_a"), col("v_b")), 6).as("cosine"))

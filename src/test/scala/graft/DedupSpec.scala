@@ -69,6 +69,41 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("AND-OR banding recovers moderate-cosine pairs a single band misses") {
+    // 200 random unit-ish vectors (fixed seed) + 5 planted pairs at
+    // cosine ~0.9: with 8 sign bits a single band's per-pair collision
+    // probability at theta=26 degrees is ~0.28, so one band misses
+    // most planted pairs; OR-ing 16 bands lifts per-pair recall to
+    // ~0.995 — and with this fixed data+seed, to all 5.
+    val rng = new scala.util.Random(7)
+    def unit(): Array[Float] = {
+      val v = Array.fill(16)(rng.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    def jitter(v: Array[Float]): Array[Float] = {
+      val w = unit()
+      v.zip(w).map { case (a, b) => (a * 0.95f + b * 0.31f) } // cos ~0.95
+    }
+    val base = (1 to 200).map(i => (i.toLong, unit()))
+    val planted = (1 to 5).map { i =>
+      val (id, v) = base(i * 10)
+      (9000L + i, jitter(v))
+    }
+    val vecs = (base ++ planted).toDF("vec_id", "embedding")
+    def found(bands: Int): Set[(Long, Long)] =
+      Dedup.embeddingNearDuplicates(vecs, "vec_id", "embedding",
+        minCosine = 0.85, nPlanes = 8, dim = 16, bands = bands)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = found(1)
+    val sixteen = found(16)
+    val expected = (1 to 5).map(i => ((i * 10 + 1).toLong, 9000L + i)).toSet
+    assert(one.subsetOf(sixteen), "adding bands can only add candidates")
+    assert((expected -- sixteen).isEmpty,
+      s"16 bands must find all planted pairs, missed ${expected -- sixteen}")
+    assert(one.size < sixteen.size, "a single band should miss some planted pairs here")
+  }
+
   test("connected components: transitive chains collapse to min label") {
     // chain 1-2-3, pair 7-9, singleton edge 4-4 excluded by construction
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
