@@ -668,6 +668,33 @@ object SparkEntry {
         count(lit(1)).as("n_docs"))
       .orderBy(col("source"))
 
+  /** ST4 — CDC upsert (the MERGE shape over plain parquet): base rows
+    * plus a change feed with tombstones, last write per key wins. The
+    * oracle states the same merge as one window program.
+    */
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"),
+      col("event_id").as("version"), col("value"), col("event_type"))
+    val base = ev.filter(col("version") <= 5000).drop("event_type")
+    val changes = ev.filter(col("version") > 5000 && col("version") <= 10000)
+      .withColumn("deleted", col("event_type") === "error")
+      .drop("event_type")
+    graft.operators.Guards.applyChanges(base, changes, Seq("user_id"), "version",
+        deletedCol = Some("deleted"))
+      .select(col("user_id"), col("version"), round(col("value"), 2).as("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** ST4 — as-of (time-travel) read over a versioned keyed table: the
+    * last write per key at or before the version watermark.
+    */
+  private def q57(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Guards.stateAsOf(
+      t(s, dir, "events").select(col("user_id"),
+        col("event_id").as("version"), round(col("value"), 2).as("value")),
+      Seq("user_id"), "version", asOfVersion = 3000L)
+      .orderBy(col("user_id"))
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -727,7 +754,9 @@ object SparkEntry {
     "q52_window_suite" -> (q52 _),
     "q53_dedup_corpus" -> (q53 _),
     "q54_knn_ivf" -> (q54 _),
-    "q55_sentiment_mix" -> (q55 _))
+    "q55_sentiment_mix" -> (q55 _),
+    "q56_cdc_upsert" -> (q56 _),
+    "q57_state_asof" -> (q57 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1110,7 +1139,24 @@ object SparkEntry {
         |SELECT source,
         | round(avg(round((pos - neg) * 1.0 / greatest(pos + neg, 1), 4)), 4) AS avg_sentiment,
         | count(*) AS n_docs
-        |FROM p GROUP BY source ORDER BY source""".stripMargin)
+        |FROM p GROUP BY source ORDER BY source""".stripMargin,
+    "q56_cdc_upsert" ->
+      """WITH all_rows AS (
+        |  SELECT user_id, event_id AS version, value,
+        |    CASE WHEN event_id > 5000 AND event_type = 'error' THEN true ELSE false END AS deleted
+        |  FROM events WHERE event_id <= 10000),
+        |latest AS (
+        |  SELECT user_id, version, value, deleted,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY version DESC) AS rn
+        |  FROM all_rows)
+        |SELECT user_id, version, round(value, 2) AS value FROM latest
+        |WHERE rn = 1 AND NOT deleted ORDER BY user_id""".stripMargin,
+    "q57_state_asof" ->
+      """SELECT user_id, version, value FROM (
+        |  SELECT user_id, event_id AS version, round(value, 2) AS value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_id <= 3000)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin)
 
   /** q41's oracle, generated with the same seeded hyperplanes the
     * Spark query uses, inlined as SQL literals: bucket = sign bits of
