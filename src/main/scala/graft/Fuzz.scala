@@ -156,6 +156,48 @@ object Fuzz {
        |GROUP BY $c ORDER BY $c""".stripMargin
   }
 
+  /** Scalar-function fuzz: string/arithmetic/CASE projections in the
+    * shared dialect, deterministic via unique-id ORDER BY.
+    */
+  private def genScalarQuery(rng: Rng): String = {
+    val (table, uid, strCol, numCol) = rng.pick(Seq(
+      ("orders", "o_orderkey", "o_orderpriority", "o_totalprice"),
+      ("customer", "c_custkey", "c_mktsegment", "c_acctbal"),
+      ("events", "event_id", "event_type", "value")))
+    val exprs = Seq(
+      s"upper($strCol) AS e_upper",
+      s"lower($strCol) AS e_lower",
+      s"length($strCol) AS e_len",
+      s"substr($strCol, 1, ${rng.int(3) + 1}) AS e_sub",
+      s"concat($strCol, '_', '${rng.pick(Seq("x", "y", "z"))}') AS e_cat",
+      s"round(abs($numCol) + ${rng.int(10)}, 2) AS e_arith",
+      s"CASE WHEN $numCol ${cmp(rng)} ${rng.int(100)} THEN 'hi' ELSE 'lo' END AS e_case",
+      s"round(least($numCol, ${rng.int(1000)}) + greatest($numCol, ${rng.int(50)}), 2) AS e_minmax")
+    val picked = Seq.fill(rng.int(3) + 2)(rng.pick(exprs)).distinct
+    val lim = rng.int(200) + 50
+    s"""SELECT $uid, ${picked.mkString(", ")} FROM $table
+       |ORDER BY $uid LIMIT $lim""".stripMargin
+  }
+
+  /** Grouping-sets fuzz: ROLLUP/CUBE with sentinel-coalesced keys (so
+    * the subtotal NULLs compare identically across engines).
+    */
+  private def genRollupQuery(rng: Rng): String = {
+    val (table, g1, g2, numCol) = rng.pick(Seq(
+      ("orders", "o_orderstatus", "o_orderpriority", "o_totalprice"),
+      ("lineitem", "l_returnflag", "l_linestatus", "l_quantity"),
+      ("events", "event_type", "user_id", "value")))
+    val op = rng.pick(Seq("ROLLUP", "CUBE"))
+    // string-cast inside the coalesce: numeric group keys (user_id)
+    // otherwise force the sentinel into a numeric cast, which ANSI
+    // Spark rejects
+    s"""SELECT coalesce(CAST($g1 AS STRING), '_all_') AS g1,
+       |  coalesce(CAST($g2 AS STRING), '_all_') AS g2,
+       |  count(*) AS n, round(sum($numCol), 2) AS s
+       |FROM $table GROUP BY $op($g1, $g2)
+       |ORDER BY g1, g2""".stripMargin
+  }
+
   /** Distinct-projection fuzz. */
   private def genDistinctQuery(rng: Rng): String = {
     val (table, cols) = rng.pick(Seq(
@@ -184,11 +226,13 @@ object Fuzz {
 
     val queries = (0 until n).map { i =>
       val rng = Rng(0xC0FFEE + i.toLong * 7919)
-      val sql = rng.int(6) match {
+      val sql = rng.int(8) match {
         case 0 => genJoinQuery(rng)
         case 1 if i % 8 == 1 => genDistinctQuery(rng)
         case 4 => genWindowQuery(rng)
         case 5 => genSetOpQuery(rng)
+        case 6 => genScalarQuery(rng)
+        case 7 => genRollupQuery(rng)
         case _ => genQuery(rng)
       }
       s"fz_%03d".format(i) -> sql
