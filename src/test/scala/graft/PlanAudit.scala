@@ -40,6 +40,34 @@ class PlanAudit extends SparkSpec {
     assert(plan("q18_top3_per_type").contains("WindowGroupLimit"))
   }
 
+  test("q56: CDC merge plans one shuffle on the key + one Window pass") {
+    val p = plan("q56_cdc_upsert")
+    // last-write-wins is a single window over the union — no repeated
+    // exchanges per branch beyond the key partitioning
+    assert(p.linesIterator.count(_.contains("Window")) >= 1)
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"CDC merge should not multiply shuffles, saw $exchanges:\n$p")
+  }
+
+  test("q57: as-of read plans with WindowGroupLimit (rank-1 never sorts whole partitions)") {
+    assert(plan("q57_state_asof").contains("WindowGroupLimit"))
+  }
+
+  test("dedup signature stage scans documents column-pruned to (doc_id, text)") {
+    // q37's final plan starts at checkpointed signatures, so audit the
+    // scan-side stage that feeds the checkpoint
+    val docs = graft.core.Engine.table(spark, dir, "documents")
+    val sigs = graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text")
+    val scan = sigs.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan parquet")).get
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"dedup must never scan lang/source/n_chars: $scan")
+  }
+
+  test("q41: probed ANN still plans top-k as TakeOrderedAndProject") {
+    assert(plan("q41_knn_lsh").contains("TakeOrderedAndProject"))
+  }
+
   test("compiled safe_eval predicates push down to the parquet scan") {
     val events = graft.core.Engine.table(spark, dir, "events")
     val filtered = events.filter(

@@ -120,6 +120,25 @@ class SemanticSpec extends SparkSpec {
     assert(math.abs(norm - 1.0) < 1e-5)
   }
 
+  test("multimodal pipeline composes into ANN: decode -> features -> knn") {
+    import graft.operators.Similarity
+    // a media corpus with one planted byte-identical duplicate: its
+    // extracted features are identical, so exact knn must rank the
+    // twin first — the end-to-end media-dedup path over real Spark
+    // plumbing (binary columns -> batched feature kernel -> top-k)
+    val corpus = (1L to 40L).map(i => (i, s"media payload number $i with filler".getBytes)) :+
+      (99L, "media payload number 7 with filler".getBytes) // twin of id 7
+    val df = corpus.toDF("id", "content")
+    val featured = Multimodal.extractFeatures(df, dim = 16)
+      .select(col("id"), col("features"))
+    val query = featured.filter(col("id") === 99L)
+      .head().getSeq[Float](1).map(_.toDouble).toArray
+    val top = Similarity.knnBrute(featured.filter(col("id") =!= 99L),
+      "id", "features", query, k = 3).collect()
+    assert(top.head.getLong(0) == 7L, s"twin must rank first, got ${top.toSeq}")
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-5) // cosine 1 with its twin
+  }
+
   test("frame sampling and resize plans") {
     val vids = Seq(("v1", 10), ("v2", 1)).toDF("vid", "n_frames")
     val frames = Multimodal.sampleFrames(vids, "vid", "n_frames", stride = 4)
