@@ -464,8 +464,11 @@ object SparkEntry {
     * the exact-recall grading of the ANN machinery lives in q41/q54.
     */
   private def q42(s: SparkSession, dir: String): DataFrame =
+    // AND-OR construction: 8 bands of 8 sign bits — narrower buckets
+    // (n/256 per band, vs n/16 single-band) with recall recovered by
+    // OR-ing bands; the honest shape at corpus scale
     Dedup.embeddingNearDuplicates(t(s, dir, "embeddings"), "vec_id", "embedding",
-      minCosine = 0.2, nPlanes = 4, dim = 64)
+      minCosine = 0.2, nPlanes = 8, dim = 64, bands = 8)
       .orderBy(desc("cosine"), col("id_a"), col("id_b"))
       .limit(100)
 
