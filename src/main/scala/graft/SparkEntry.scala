@@ -698,6 +698,39 @@ object SparkEntry {
       Seq("user_id"), "version", asOfVersion = 3000L)
       .orderBy(col("user_id"))
 
+  /** Cross-corpus similarity linking via shared LSH buckets. Like q41,
+    * the oracle restates the machinery: both sides' bucket sign-bits
+    * (seeded planes inlined as SQL literals), the bucket equi-join,
+    * and the exact cosine gate — so the hash compare proves the
+    * linking join does exactly what the construction promises.
+    */
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.crossSimilarity(
+      emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+      emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+      "vec_id", "vec_id", "embedding", minCosine = 0.2, nPlanes = 8, dim = 64)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Approximate percentiles — the 100 TB form of q48's exact
+    * interpolated percentiles. Sketch values are engine-specific, so
+    * (like q43) each engine asserts its own approximation lands within
+    * 2% of its own exact percentile; the gate compares the booleans.
+    */
+  private def q59(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .agg(
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("a50"),
+        expr("percentile(value, 0.5)").as("e50"),
+        percentile_approx(col("value"), lit(0.9), lit(10000)).as("a90"),
+        expr("percentile(value, 0.9)").as("e90"))
+      .select(
+        (abs(col("a50") - col("e50")) <= lit(0.02) * greatest(abs(col("e50")), lit(1.0)))
+          .as("p50_within_2pct"),
+        (abs(col("a90") - col("e90")) <= lit(0.02) * greatest(abs(col("e90")), lit(1.0)))
+          .as("p90_within_2pct"))
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -759,7 +792,9 @@ object SparkEntry {
     "q54_knn_ivf" -> (q54 _),
     "q55_sentiment_mix" -> (q55 _),
     "q56_cdc_upsert" -> (q56 _),
-    "q57_state_asof" -> (q57 _))
+    "q57_state_asof" -> (q57 _),
+    "q58_cross_linking" -> (q58 _),
+    "q59_approx_percentiles" -> (q59 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1159,7 +1194,39 @@ object SparkEntry {
         |  SELECT user_id, event_id AS version, round(value, 2) AS value,
         |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM events WHERE event_id <= 3000)
-        |WHERE rn = 1 ORDER BY user_id""".stripMargin)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q58_cross_linking" -> crossLinkingOracle,
+    "q59_approx_percentiles" ->
+      """SELECT
+        | abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+        |   <= 0.02 * greatest(abs(quantile_cont(value, 0.5)), 1.0) AS p50_within_2pct,
+        | abs(approx_quantile(value, 0.9) - quantile_cont(value, 0.9))
+        |   <= 0.02 * greatest(abs(quantile_cont(value, 0.9)), 1.0) AS p90_within_2pct
+        |FROM events""".stripMargin)
+
+  /** q58's oracle, generated like [[knnLshOracle]]: both corpora's
+    * bucket bits from the same seeded planes (inlined as literals),
+    * the bucket equi-join, then the exact rounded-cosine gate.
+    */
+  private def crossLinkingOracle: String = {
+    val planes = graft.functions.VectorFunctions.randomPlanes(nPlanes = 8, dim = 64, seed = 42L)
+    def bucketExpr(vec: String): String = planes.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN list_dot_product($vec, ${p.mkString("[", ", ", "]")}) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("\n      + ")
+    s"""WITH l AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |    ${bucketExpr("CAST(embedding AS DOUBLE[])")} AS b
+       |  FROM embeddings WHERE vec_id % 2 = 0),
+       |r AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |    ${bucketExpr("CAST(embedding AS DOUBLE[])")} AS b
+       |  FROM embeddings WHERE vec_id % 2 = 1)
+       |SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+       |  round(list_cosine_similarity(l.e, r.e), 6) AS cosine
+       |FROM l JOIN r ON l.b = r.b
+       |WHERE round(list_cosine_similarity(l.e, r.e), 6) >= 0.2
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** q41's oracle, generated with the same seeded hyperplanes the
     * Spark query uses, inlined as SQL literals: bucket = sign bits of

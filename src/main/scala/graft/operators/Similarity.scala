@@ -133,21 +133,23 @@ object Similarity {
   }
 
   /** All-pairs cosine ≥ threshold between two corpora via shared LSH
-    * buckets (e.g. query-set vs corpus linking).
+    * buckets (e.g. query-set vs corpus linking). Buckets hash the raw
+    * vectors (sign bits are scale-invariant, so normalization buys
+    * nothing there) and the output cosine is computed from the raw
+    * vectors too — the float-cast re-normalize would inject ~1e-7
+    * noise into a value the oracle recomputes exactly.
     */
   def crossSimilarity(left: DataFrame, right: DataFrame, idA: String, idB: String,
       vecCol: String, minCosine: Double, nPlanes: Int = 8, dim: Int = 64,
       seed: Long = 42L): DataFrame = {
     val planes = VectorFunctions.randomPlanes(nPlanes, dim, seed)
-    val l = left.select(col(idA).as("id_a"),
-      VectorFunctions.l2Normalize(col(vecCol)).as("v_a"))
+    val l = left.select(col(idA).as("id_a"), col(vecCol).as("v_a"))
       .withColumn("bucket", VectorFunctions.hyperplaneBucket(col("v_a"), planes))
-    val r = right.select(col(idB).as("id_b"),
-      VectorFunctions.l2Normalize(col(vecCol)).as("v_b"))
+    val r = right.select(col(idB).as("id_b"), col(vecCol).as("v_b"))
       .withColumn("bucket", VectorFunctions.hyperplaneBucket(col("v_b"), planes))
     l.join(r, Seq("bucket"))
       .select(col("id_a"), col("id_b"),
-        round(VectorFunctions.dot(col("v_a"), col("v_b")), 6).as("cosine"))
+        round(VectorFunctions.cosine(col("v_a"), col("v_b")), 6).as("cosine"))
       .filter(col("cosine") >= minCosine)
       .distinct()
   }
