@@ -269,19 +269,20 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // each node adopts min(own component, neighbors' components)
+      // each node adopts min(own component, neighbors' components);
+      // the old label rides along so convergence is a cheap scan of
+      // the checkpointed result, not a second join against `labels`
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("n_comp"))
       val updated = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("old"),
           least(col("component"), coalesce(col("n_comp"), col("component")))
             .as("component"))
         .localCheckpoint() // truncate iterative lineage
-      val changes = updated.join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .filter(col("component") =!= col("old")).count()
-      labels = updated
+      val changes = updated.filter(col("component") =!= col("old")).count()
+      labels = updated.drop("old")
       converged = changes == 0
       iter += 1
     }
