@@ -198,6 +198,35 @@ object Fuzz {
        |ORDER BY g1, g2""".stripMargin
   }
 
+  /** Correlated-subquery fuzz: EXISTS / NOT EXISTS / IN semi-join
+    * shapes over the orders↔lineitem and customer↔orders keys.
+    */
+  private def genSubqueryQuery(rng: Rng): String = {
+    val shapes = Seq(
+      () => {
+        val q = rng.int(45) + 5
+        val op = rng.pick(Seq("EXISTS", "NOT EXISTS"))
+        s"""SELECT o_orderpriority, count(*) AS n FROM orders
+           |WHERE $op (SELECT 1 FROM lineitem
+           |           WHERE l_orderkey = o_orderkey AND l_quantity > $q)
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+      },
+      () => {
+        val b = (rng.int(150) + 50) * 1000
+        s"""SELECT c_mktsegment, count(*) AS n FROM customer
+           |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > $b)
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+      },
+      () => {
+        val s = rng.pick(Seq("F", "O", "P"))
+        s"""SELECT l_returnflag, round(sum(l_quantity), 2) AS s FROM lineitem
+           |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+           |                         WHERE o_orderstatus = '$s')
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+      })
+    shapes(rng.int(shapes.size))()
+  }
+
   /** Distinct-projection fuzz. */
   private def genDistinctQuery(rng: Rng): String = {
     val (table, cols) = rng.pick(Seq(
@@ -226,13 +255,14 @@ object Fuzz {
 
     val queries = (0 until n).map { i =>
       val rng = Rng(0xC0FFEE + i.toLong * 7919)
-      val sql = rng.int(8) match {
+      val sql = rng.int(9) match {
         case 0 => genJoinQuery(rng)
         case 1 if i % 8 == 1 => genDistinctQuery(rng)
         case 4 => genWindowQuery(rng)
         case 5 => genSetOpQuery(rng)
         case 6 => genScalarQuery(rng)
         case 7 => genRollupQuery(rng)
+        case 8 => genSubqueryQuery(rng)
         case _ => genQuery(rng)
       }
       s"fz_%03d".format(i) -> sql
