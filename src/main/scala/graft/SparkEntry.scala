@@ -661,8 +661,9 @@ object SparkEntry {
       "vec_id", "embedding", query, k = 10, nProbe = 5)
   }
 
-  /** Text analysis (rows-only): lexicon sentiment polarity per source
-    * (`news_sentiment` engine-side analog).
+  /** Text analysis: lexicon sentiment polarity per source
+    * (`news_sentiment` engine-side analog; the oracle inlines the
+    * lexicon in SQL).
     */
   private def q55(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")

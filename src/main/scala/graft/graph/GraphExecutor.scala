@@ -204,6 +204,10 @@ object GraphExecutor {
       if (pauseBefore.nonEmpty && pending.keys.exists(pauseBefore.contains)) {
         val dir = checkpointDir.getOrElse(
           throw GraphError("pauseBefore requires a checkpointDir"))
+        // an in-flight async durable save writes the same checkpoint
+        // dir — let it finish before the pause snapshot overwrites it
+        awaitSave()
+        saveExec.foreach(_.shutdown())
         savePause(dir, pending, terminal, visits.toMap, path.result(), steps)
         return GraphResult(
           terminal.view.mapValues(

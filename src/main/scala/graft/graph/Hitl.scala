@@ -211,8 +211,11 @@ object Hitl {
         case (d, (qid, answer)) => d.withColumn(s"hitl_$qid", lit(answer))
       }
     val node = request.nodeId
+    // resolve like the executor does — node entry, then the "*"
+    // wildcard — so installing the injection never shadows a catch-all
+    // transform
     val augmented: GraphExecutor.Registry =
-      registry.get(node) match {
+      registry.get(node).orElse(registry.get("*")) match {
         case Some(fn) => registry.updated(node, (df: DataFrame) => fn(inject(df)))
         case None => registry.updated(node, (df: DataFrame) => inject(df))
       }

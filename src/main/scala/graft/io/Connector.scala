@@ -64,8 +64,13 @@ object Connector {
     var dir: Option[String] = None
     def flush(): Unit = if (buf.nonEmpty) {
       val d = dir.getOrElse {
-        val d0 = spillDir.getOrElse(
-          java.nio.file.Files.createTempDirectory("graft-connector-spill").toString)
+        // always a per-read unique directory: mode("append") into a
+        // shared spillDir would mix rows from prior reads
+        val d0 = spillDir match {
+          case Some(base) => s"$base/read-${java.util.UUID.randomUUID()}"
+          case None =>
+            java.nio.file.Files.createTempDirectory("graft-connector-spill").toString
+        }
         dir = Some(d0); d0
       }
       spark.createDataFrame(

@@ -32,6 +32,13 @@ final class ConversationStore(spark: SparkSession, basePath: String) {
 
   private val partsDir = s"$basePath/parts"
 
+  // all metadata I/O goes through the Hadoop FileSystem resolved from
+  // the path, so the store works on any scheme Spark can write
+  // (file://, hdfs://, s3a://, ...), not just the local disk
+  private def fs: org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(basePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   /** Append (or overwrite) part `seq` (`write_part`,
     * `conversation_store.py:62-64`).
     */
@@ -43,11 +50,12 @@ final class ConversationStore(spark: SparkSession, basePath: String) {
 
   /** Sequence numbers currently on disk, ascending. */
   def partSeqs: Seq[Long] = {
-    val d = new java.io.File(partsDir)
-    if (!d.exists()) Seq.empty
-    else d.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("seq="))
-      .flatMap(f => scala.util.Try(f.getName.stripPrefix("seq=").toLong).toOption)
+    val p = new org.apache.hadoop.fs.Path(partsDir)
+    val f = fs
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("seq="))
+      .flatMap(s => scala.util.Try(s.getPath.getName.stripPrefix("seq=").toLong).toOption)
       .sorted
   }
 
@@ -68,12 +76,9 @@ final class ConversationStore(spark: SparkSession, basePath: String) {
     */
   def deletePartsBefore(seq: Long): Int = {
     val victims = partSeqs.filter(_ < seq)
+    val f = fs
     victims.foreach { s =>
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(s"$partsDir/seq=$s"))
+      f.delete(new org.apache.hadoop.fs.Path(s"$partsDir/seq=$s"), true)
     }
     victims.size
   }
@@ -109,20 +114,23 @@ final class ConversationStore(spark: SparkSession, basePath: String) {
 
   private def writeJson(path: String, data: Map[String, String]): Unit = {
     implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
-    val p = java.nio.file.Paths.get(path)
-    java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.write(p,
-      org.json4s.jackson.Serialization.write(data).getBytes("UTF-8"))
-    ()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val out = fs.create(p, true)
+    try out.write(org.json4s.jackson.Serialization.write(data).getBytes("UTF-8"))
+    finally out.close()
   }
 
   private def readJson(path: String): Option[Map[String, String]] = {
-    val p = java.nio.file.Paths.get(path)
-    if (!java.nio.file.Files.exists(p)) None
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = fs
+    if (!f.exists(p)) None
     else {
       implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+      val in = f.open(p)
+      val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+        finally in.close()
       scala.util.Try(org.json4s.jackson.JsonMethods
-        .parse(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        .parse(new String(bytes, "UTF-8"))
         .extract[Map[String, String]]).toOption // unparseable → None, like `_read_json`
     }
   }
@@ -134,11 +142,7 @@ final class ConversationStore(spark: SparkSession, basePath: String) {
 
   /** `destroy` (`conversation_store.py:107-110`). */
   def destroy(): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    val base = new java.io.File(basePath)
-    if (base.exists()) rm(base)
+    fs.delete(new org.apache.hadoop.fs.Path(basePath), true)
+    ()
   }
 }

@@ -108,19 +108,22 @@ object ExcelSource {
       }.toSet
     }.getOrElse(Set.empty)
 
-  /** Excel 1900-system serial → ISO string, matching what the
-    * reference sees from openpyxl's datetime coercion
-    * (`excel_tool.py:792-801`): date for whole serials, datetime
-    * otherwise, time-of-day for serials < 1. Epoch juggling covers the
-    * fictitious 1900-02-29 (serial 60) the 1900 system inherits.
+  /** Excel date serial → ISO string, matching what the reference sees
+    * from openpyxl's datetime coercion (`excel_tool.py:792-801`): date
+    * for whole serials, datetime otherwise, time-of-day for serials
+    * < 1. In the default 1900 system the epoch juggling covers the
+    * fictitious 1900-02-29 (serial 60); Mac-origin workbooks declare
+    * `date1904` in workbookPr and count from 1904-01-01 (no leap bug).
     */
-  private[io] def serialToIso(serial: Double): String = {
+  private[graft] def serialToIso(serial: Double, date1904: Boolean = false): String = {
     val days = math.floor(serial).toLong
     var secs = math.round((serial - days) * 86400.0)
     if (serial < 1.0) java.time.LocalTime.ofSecondOfDay(math.min(secs, 86399L))
       .format(java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss"))
     else {
-      val epoch = if (days < 60) java.time.LocalDate.of(1899, 12, 31)
+      val epoch =
+        if (date1904) java.time.LocalDate.of(1904, 1, 1)
+        else if (days < 60) java.time.LocalDate.of(1899, 12, 31)
         else java.time.LocalDate.of(1899, 12, 30)
       var date = epoch.plusDays(days)
       if (secs >= 86400L) { date = date.plusDays(1); secs -= 86400L }
@@ -165,6 +168,10 @@ object ExcelSource {
 
     val doc = parseXml(parts(sheetPart))
     val dates = dateStyles(parts)
+    // Mac-origin workbooks count serials from 1904-01-01
+    val date1904 = elems(wb, "workbookPr").headOption
+      .map(_.getAttribute("date1904"))
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
     elems(doc, "row").map { row =>
       val cells = row.getElementsByTagName("c")
       val byIdx = (0 until cells.getLength).map { i =>
@@ -181,7 +188,7 @@ object ExcelSource {
             else if (t == "b") (raw == "1").toString
             else if ((t.isEmpty || t == "n") && c.getAttribute("s").nonEmpty &&
                 dates.contains(c.getAttribute("s").toInt) && raw.nonEmpty)
-              serialToIso(raw.toDouble)
+              serialToIso(raw.toDouble, date1904)
             else raw
           } else ""
         }

@@ -109,12 +109,28 @@ object Dedup {
     * product anywhere. Returns (id_a, id_b, est_jaccard) with
     * id_a < id_b, est_jaccard = fraction of matching signature slots.
     */
+  /** The banding projection shared by candidate generation and the
+    * hot-bucket diagnostic: one row per (id, band, band_hash). Any
+    * change here changes which pairs collide AND which buckets the
+    * audit reports — single definition on purpose.
+    */
+  private def bandedOf(sigs: DataFrame, idCol: String, numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    sigs.select(
+      col(idCol).as("id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(b, concat_ws(",", slice(col("signature"), b * rows + 1, lit(rows))))
+            .as("band_hash")))).as("lsh"))
+      .select(col("id"), col("lsh.band"), col("lsh.band_hash"))
+  }
+
   def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
       minJaccard: Double = 0.5,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     // materialized once: the banding flow and the re-attach joins
     // below reference sigs four times
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleK)
@@ -123,13 +139,7 @@ object Dedup {
     // narrow band join (ids only — signatures stay out of the
     // shuffle), dedupe pairs first, then re-attach signatures to
     // estimate similarity on the surviving pairs only
-    val banded = sigs.select(
-      col(idCol).as("id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          xxhash64(b, concat_ws(",", slice(col("signature"), b * rows + 1, lit(rows))))
-            .as("band_hash")))).as("lsh"))
-      .select(col("id"), col("lsh.band"), col("lsh.band_hash"))
+    val banded = bandedOf(sigs, idCol, numHashes, bands)
 
     val capped = capBuckets(banded, Seq("band", "band_hash"), maxBucketSize)
     val left = capped.select(col("band"), col("band_hash"), col("id").as("id_a"))
@@ -156,19 +166,12 @@ object Dedup {
     */
   def minhashHotBuckets(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
-      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    minhashSignatures(df, idCol, textCol, numHashes, shingleK)
-      .select(col(idCol).as("id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"),
-            xxhash64(b, concat_ws(",", slice(col("signature"), b * rows + 1, lit(rows))))
-              .as("band_hash")))).as("lsh"))
-      .groupBy(col("lsh.band").as("band"), col("lsh.band_hash").as("band_hash"))
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    bandedOf(minhashSignatures(df, idCol, textCol, numHashes, shingleK),
+        idCol, numHashes, bands)
+      .groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucketSize)
-  }
 
   // ------------------------------------------------------------- jaccard
 

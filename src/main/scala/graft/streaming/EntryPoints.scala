@@ -60,49 +60,77 @@ object EntryPoints {
         if (item != null) {
           val (id, input, promise) = item
           admission.acquire()
-          val fut = Future {
-            val now = inFlight.incrementAndGet()
-            peak = math.max(peak, now)
-            try {
-              val r =
-                try {
-                  val out = body(input)
-                  ExecutionResult(spec.id, id, success = true, out.count(), None)
-                } catch {
-                  case e: Exception =>
-                    ExecutionResult(spec.id, id, success = false, 0, Some(e.getMessage))
-                }
-              results.addFirst(r)
-              while (results.size() > spec.resultBuffer) results.pollLast()
-              r
-            } finally {
-              inFlight.decrementAndGet()
-              admission.release()
+          if (closed) {
+            // closed while parked in acquire: fail rather than run
+            admission.release()
+            promise.tryFailure(new IllegalStateException(
+              s"entry point '${spec.id}' closed before execution $id was admitted"))
+            ()
+          } else {
+            val fut = Future {
+              val now = inFlight.incrementAndGet()
+              peak = math.max(peak, now)
+              try {
+                val r =
+                  try {
+                    val out = body(input)
+                    ExecutionResult(spec.id, id, success = true, out.count(), None)
+                  } catch {
+                    case e: Exception =>
+                      ExecutionResult(spec.id, id, success = false, 0, Some(e.getMessage))
+                  }
+                results.addFirst(r)
+                while (results.size() > spec.resultBuffer) results.pollLast()
+                r
+              } finally {
+                inFlight.decrementAndGet()
+                admission.release()
+              }
             }
+            promise.completeWith(fut)
+            ()
           }
-          promise.completeWith(fut)
-          ()
         }
       }
+      drainPending() // closed: fail whatever is still queued
     }, s"graft-entrypoint-${spec.id}-dispatcher")
     dispatcher.setDaemon(true)
     dispatcher.start()
 
+    private def drainPending(): Unit = {
+      var item = pending.poll()
+      while (item != null) {
+        item._3.tryFailure(new IllegalStateException(
+          s"entry point '${spec.id}' closed before execution ${item._1} was admitted"))
+        item = pending.poll()
+      }
+    }
+
     /** Enqueue one execution; runs once admission under
       * `maxConcurrent` allows (`execution_stream.py:323-389`). Never
-      * blocks the caller.
+      * blocks the caller. After [[close]] the returned future fails
+      * immediately.
       */
     def execute(input: DataFrame): Future[ExecutionResult] = {
       val id = executionSeq.incrementAndGet().toLong
       val promise = scala.concurrent.Promise[ExecutionResult]()
-      pending.put((id, input, promise))
+      if (closed) promise.tryFailure(new IllegalStateException(
+        s"entry point '${spec.id}' is closed"))
+      else {
+        pending.put((id, input, promise))
+        if (closed) drainPending() // raced close(): don't strand the item
+      }
       promise.future
     }
 
-    /** Stop the dispatcher (queued-but-unadmitted executions are
-      * abandoned; running ones finish).
+    /** Stop the dispatcher: queued-but-unadmitted executions FAIL
+      * (their futures complete with an error — nobody hangs); running
+      * ones finish.
       */
-    def close(): Unit = closed = true
+    def close(): Unit = {
+      closed = true
+      drainPending()
+    }
 
     def recentResults: Seq[ExecutionResult] = {
       val it = results.iterator()

@@ -153,7 +153,9 @@ final class EventBus(spark: SparkSession, maxHistory: Int = 1000) {
       hit
     } finally {
       q.stop()
-      queries -= name
+      synchronized { queries -= name }
+      stores.remove(name) // the temp subscription's ring buffer must not outlive it
+      ()
     }
   }
 

@@ -29,8 +29,11 @@ class ConnectorSpec extends SparkSpec {
       spillEveryRows = 200, spillDir = Some(dir))
     assert(df.count() == 5000)
     assert(df.agg(sum(col("id"))).head().getLong(0) == (1L to 5000L).sum)
-    // spilling really happened: multiple parquet parts on disk
-    val parts = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    // spilling really happened: multiple parquet parts on disk (in a
+    // per-read unique subdirectory, so shared spillDirs never mix reads)
+    val readDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("read-"))
+    assert(readDirs.length == 1, s"one unique subdir per read, saw ${readDirs.toSeq}")
+    val parts = readDirs.head.listFiles().count(_.getName.endsWith(".parquet"))
     assert(parts >= 25, s"expected >=25 flushed parts, saw $parts")
     // and the result reads from the spill dir, not driver memory
     assert(df.inputFiles.forall(_.contains(dir)))

@@ -118,6 +118,18 @@ class IoSpec extends SparkSpec {
     assert(joined.filter(col("name") === "Bob").head().getString(2) == "APAC")
   }
 
+  test("date serials: 1900 leap quirk and the 1904 (Mac) system") {
+    // 1900 system: serial 59 = 1900-02-28, 61 = 1900-03-01 (serial 60
+    // is the fictitious Feb 29); 1904 system counts from 1904-01-01
+    assert(ExcelSource.serialToIso(59) == "1900-02-28")
+    assert(ExcelSource.serialToIso(61) == "1900-03-01")
+    assert(ExcelSource.serialToIso(25569) == "1970-01-01")
+    // serials < 1 are time-of-day in either system (time-format cells)
+    assert(ExcelSource.serialToIso(0.75, date1904 = true) == "18:00:00")
+    assert(ExcelSource.serialToIso(30000, date1904 = true) == "1986-02-19")
+    assert(ExcelSource.serialToIso(1.5, date1904 = true) == "1904-01-02 12:00:00")
+  }
+
   test("excel_sql: sheets as tables, `data` alias, multi-sheet join (`excel_tool.py:505-508`)") {
     val sales = s"$tmp/sales.xlsx"
     val products = s"$tmp/products.xlsx"
