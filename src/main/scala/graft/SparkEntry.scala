@@ -487,14 +487,13 @@ object SparkEntry {
         (abs(col("a_u") - col("e_u")) <= lit(0.05) * col("e_u")).as("users_within_5pct"),
         (abs(col("a_ue") - col("e_ue")) <= lit(0.05) * col("e_ue")).as("user_events_within_5pct"))
 
-  /** Multimodal (rows-only, justified): binary-column decode plumbing
-    * — documents as synthetic media bytes through the batched
-    * mapPartitions decode (stub kernel, real schema/batching), then
-    * metadata analytics. No SQL oracle: the output is a function of
-    * the stub codec's byte-rolling hash, so a SQL oracle would have to
-    * re-implement the stub itself, proving nothing about the Spark
-    * plumbing this query exercises; the batching/schema contract is
-    * spec-tested (MultimodalSpec).
+  /** Multimodal: binary-column decode plumbing — documents as
+    * synthetic media bytes through the batched mapPartitions decode
+    * (stub kernel, real schema/batching), then metadata analytics. The
+    * stub's fake dimensions are a function of content LENGTH, so the
+    * oracle can restate the whole decode+aggregate path in SQL
+    * (byte-length arithmetic over the encoded text) — the gate then
+    * checks the mapPartitions plumbing end to end.
     */
   private def q44(s: SparkSession, dir: String): DataFrame = {
     val media = t(s, dir, "documents")
@@ -1141,6 +1140,10 @@ object SparkEntry {
         |     - count(DISTINCT user_id || ':' || event_type))
         |   <= 0.05 * count(DISTINCT user_id || ':' || event_type) AS user_events_within_5pct
         |FROM events""".stripMargin,
+    "q44_multimodal_decode" ->
+      """SELECT 'raw' AS format, count(*) AS n,
+        | round(avg(64 + octet_length(encode(text)) % 1024), 2) AS avg_width
+        |FROM documents ORDER BY format""".stripMargin,
     "q45_semantic_judge" ->
       """SELECT lang, len(text) > 300 AS verdict, count(*) AS n
         |FROM documents GROUP BY lang, verdict ORDER BY lang, verdict""".stripMargin,

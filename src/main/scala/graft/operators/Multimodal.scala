@@ -48,8 +48,10 @@ object Multimodal {
   // ---------------------------------------------------------- decode
 
   /** STUB decode kernel: deterministic pseudo-metadata from the bytes
-    * (first bytes sniff the "format"; dimensions derived from a stable
-    * hash). Replace with a real codec (e.g. FFI to libjpeg/ffmpeg) —
+    * (first bytes sniff the "format"; dimensions derived from the
+    * content length — a fake as honest as a hash, and one a SQL oracle
+    * can restate, so the decode PLUMBING is hash-compare-checkable,
+    * q44). Replace with a real codec (e.g. FFI to libjpeg/ffmpeg) —
     * the signature (bytes in, metadata out, total function) is the
     * contract.
     */
@@ -59,12 +61,8 @@ object Multimodal {
       if (bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) "jpeg"
       else if (bytes.length >= 4 && bytes(0) == 0x89.toByte && bytes(1) == 'P') "png"
       else "raw"
-    var h = 1125899906842597L
-    val n = math.min(bytes.length, 4096)
-    var i = 0
-    while (i < n) { h = h * 31 + bytes(i); i += 1 }
-    val width = 64 + math.floorMod(h, 1024).toInt
-    val height = 64 + math.floorMod(h >> 16, 1024).toInt
+    val width = 64 + bytes.length % 1024
+    val height = 64 + (bytes.length * 31) % 1024
     Row(width, height, 3, format, true, null)
   }
 
