@@ -454,14 +454,15 @@ object SparkEntry {
       query, k = 10, nPlanes = 6, probeHamming = 2)
   }
 
-  /** Dedup (rows-only, justified): embedding near-duplicate pairs via
-    * random-hyperplane LSH buckets. No SQL oracle: the corpus's
-    * embeddings are random vectors with no separated near-dup
-    * structure, so exact recall at cosine 0.2 would need an
-    * unboundedly wide OR-of-bands construction — the top-100 here is
-    * genuinely approximate. Correctness is spec-tested instead with
-    * planted near-identical vectors (SimilaritySpec/DedupSpec), and
-    * the exact-recall grading of the ANN machinery lives in q41/q54.
+  /** Dedup: embedding near-duplicate pairs via AND-OR banded
+    * random-hyperplane LSH. Like q41/q58, the oracle restates the
+    * MACHINERY in SQL — per-band bucket sign-bits from the same seeded
+    * planes (inlined as literals), candidates = bucket collisions in
+    * ANY band, exact rounded-cosine gate, deterministic top-100 — so
+    * the hash compare proves the banded construction computes exactly
+    * what it promises. (Exact RECALL vs all true pairs at cosine 0.2
+    * stays out of reach on random vectors; that contract is graded on
+    * q54's IVF path and DedupSpec's planted-pair tests.)
     */
   private def q42(s: SparkSession, dir: String): DataFrame =
     // AND-OR construction: 8 bands of 8 sign bits — narrower buckets
@@ -1132,6 +1133,7 @@ object SparkEntry {
         |SELECT lang, round(avg(qs), 4) AS avg_quality, round(avg(bp), 2) AS avg_bpeish_tokens
         |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
     "q41_knn_lsh" -> knnLshOracle,
+    "q42_embedding_neardup" -> embeddingNearDupOracle,
     "q43_approx_distinct" ->
       """SELECT
         | abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
@@ -1256,6 +1258,40 @@ object SparkEntry {
        |SELECT vec_id, cosine FROM b
        |WHERE bit_count(xor(bucket, qbucket)) <= 2
        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** q42's oracle: the AND-OR banded construction restated in SQL.
+    * Per-band bucket bits are precomputed per vector (the same seeded
+    * planes the Spark side uses, seed 42+band, inlined as literals);
+    * candidates are pairs colliding in ANY band; the exact
+    * rounded-cosine gate and the deterministic top-100 mirror the
+    * query.
+    */
+  private def embeddingNearDupOracle: String = {
+    def bucketExpr(vec: String, bandSeed: Long): String =
+      graft.functions.VectorFunctions.randomPlanes(nPlanes = 8, dim = 64, seed = bandSeed)
+        .zipWithIndex.map { case (p, j) =>
+          s"(CASE WHEN list_dot_product($vec, ${p.mkString("[", ", ", "]")}) >= 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+    val bucketCols = (0 until 8)
+      .map(b => s"${bucketExpr("CAST(embedding AS DOUBLE[])", 42L + b)} AS b$b")
+      .mkString(",\n    ")
+    val bandJoins = (0 until 8)
+      .map(b => s"  SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM emb a JOIN emb b\n" +
+        s"    ON a.vec_id < b.vec_id AND a.b$b = b.b$b")
+      .mkString("\n  UNION\n")
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |    $bucketCols
+       |  FROM embeddings),
+       |cand AS (
+       |$bandJoins),
+       |scored AS (
+       |  SELECT c.id_a, c.id_b,
+       |    round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+       |  FROM cand c JOIN emb a ON c.id_a = a.vec_id JOIN emb b ON c.id_b = b.vec_id)
+       |SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.2
+       |ORDER BY cosine DESC, id_a, id_b LIMIT 100""".stripMargin
   }
 
   /** Shared oracle fragment: per-document distinct 3-token-shingle

@@ -343,17 +343,20 @@ object Dedup {
       seed: Long = 42L, bands: Int = 1,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(bands >= 1, "bands must be >= 1")
-    val normed = df.select(col(idCol).as("id"),
-      VectorFunctions.l2Normalize(col(vecCol)).as("v"))
+    // buckets hash the RAW vectors (sign bits are scale-invariant) and
+    // the output cosine is computed from the raw vectors too — see
+    // Similarity.crossSimilarity: a float-cast re-normalize would
+    // inject noise into values an oracle recomputes exactly
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val bucketed =
-      if (nPlanes <= 0) normed.withColumn("band", lit(0)).withColumn("bucket", lit(0L))
+      if (nPlanes <= 0) base.withColumn("band", lit(0)).withColumn("bucket", lit(0L))
       else {
         val bandStructs = (0 until bands).map { b =>
           struct(lit(b).as("band"),
             VectorFunctions.hyperplaneBucket(col("v"),
               VectorFunctions.randomPlanes(nPlanes, dim, seed + b)).as("bucket"))
         }
-        normed.select(col("id"), col("v"), explode(array(bandStructs: _*)).as("lsh"))
+        base.select(col("id"), col("v"), explode(array(bandStructs: _*)).as("lsh"))
           .select(col("id"), col("v"), col("lsh.band"), col("lsh.bucket"))
       }
     val capped =
@@ -364,7 +367,7 @@ object Dedup {
     left.join(right, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(VectorFunctions.dot(col("v_a"), col("v_b")), 6).as("cosine"))
+        round(VectorFunctions.cosine(col("v_a"), col("v_b")), 6).as("cosine"))
       .filter(col("cosine") >= minCosine)
       .distinct()
   }
