@@ -732,6 +732,29 @@ object SparkEntry {
         (abs(col("a90") - col("e90")) <= lit(0.02) * greatest(abs(col("e90")), lit(1.0)))
           .as("p90_within_2pct"))
 
+  /** Flagship corpus-curation pipeline — what this engine is FOR at
+    * 100 TB: near-duplicate dedup keep-list → quality gate → language
+    * ID → token accounting, i.e. "what survives into the training
+    * set, per language, and how many tokens is it". The oracle
+    * restates the ENTIRE composition in SQL: recursive-CTE connected
+    * components over brute-force shingle Jaccard for the keep-list,
+    * then the quality/langid/token formulas — every stage
+    * hash-compared at once.
+    */
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    val kept = Dedup.dedupCorpus(t(s, dir, "documents"), "doc_id", "text",
+      minJaccard = 0.3).filter(col("keep"))
+    kept
+      .withColumn("lang_det", TF.langIdHeuristic(col("text")))
+      .withColumn("quality", TF.qualityScore(col("text")))
+      .filter(col("quality") >= 0.5)
+      .groupBy(col("lang_det"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TF.tokenCount(col("text"))).cast("long").as("sum_tokens"),
+        round(avg(col("quality")), 4).as("avg_quality"))
+      .orderBy(col("lang_det"))
+  }
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -795,7 +818,8 @@ object SparkEntry {
     "q56_cdc_upsert" -> (q56 _),
     "q57_state_asof" -> (q57 _),
     "q58_cross_linking" -> (q58 _),
-    "q59_approx_percentiles" -> (q59 _))
+    "q59_approx_percentiles" -> (q59 _),
+    "q60_corpus_curation" -> (q60 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1202,6 +1226,50 @@ object SparkEntry {
         |  FROM events WHERE event_id <= 3000)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q58_cross_linking" -> crossLinkingOracle,
+    "q60_corpus_curation" ->
+      s"""WITH RECURSIVE $ShingleJaccardCte,
+         |pairs AS (SELECT id_a, id_b FROM jacc WHERE jaccard >= 0.3),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (SELECT s AS node, d AS r FROM edges
+         |          UNION
+         |          SELECT rc.node, e.d AS r FROM reach rc JOIN edges e ON rc.r = e.s),
+         |labels AS (SELECT node, least(node, min(r)) AS comp FROM reach GROUP BY node),
+         |kept AS (
+         |  SELECT d.text FROM documents d
+         |  WHERE NOT EXISTS (SELECT 1 FROM labels l
+         |                    WHERE l.node = d.doc_id AND l.node <> l.comp)),
+         |feat AS (
+         |  SELECT text,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |      t -> len(t) > 0) AS tk
+         |  FROM kept),
+         |scored AS (
+         |  SELECT len(tk) AS n_toks,
+         |    CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+         |         WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+         |         WHEN en >= es AND en >= fr THEN 'en'
+         |         WHEN es >= fr THEN 'es'
+         |         ELSE 'fr' END AS lang_det,
+         |    round(
+         |      least(len(tk) / 50.0, 1.0) * 0.4
+         |      + least((CASE WHEN len(tk) = 0 THEN 0.0
+         |          ELSE en * 1.0 / len(tk) END) * 4.0, 1.0) * 0.3
+         |      + greatest(0.0, 1.0 - (CASE WHEN len(text) = 0 THEN 0.0
+         |          ELSE len(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / len(text) END) * 5.0) * 0.3,
+         |      4) AS quality
+         |  FROM (
+         |    SELECT text, tk,
+         |      len(list_filter(tk, t -> t IN ('der','die','das','und','ein','eine','ist','von','mit','für'))) AS de,
+         |      len(list_filter(tk, t -> t IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','that','this','be'))) AS en,
+         |      len(list_filter(tk, t -> t IN ('el','la','de','que','y','en','un','una','por','con','para','es'))) AS es,
+         |      len(list_filter(tk, t -> t IN ('le','la','de','et','un','une','pour','dans','est','que','au'))) AS fr
+         |    FROM feat))
+         |SELECT lang_det, count(*) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+         |  round(avg(quality), 4) AS avg_quality
+         |FROM scored WHERE quality >= 0.5
+         |GROUP BY lang_det ORDER BY lang_det""".stripMargin,
     "q59_approx_percentiles" ->
       """SELECT
         | abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
