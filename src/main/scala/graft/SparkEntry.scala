@@ -385,9 +385,11 @@ object SparkEntry {
     */
   private def q37(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val cands = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
-      numHashes = 64, bands = 16, minJaccard = 0.35)
-    Dedup.ngramJaccard(docs, cands.select(col("id_a"), col("id_b")), "doc_id", "text")
+    // exact verification follows, so the est-jaccard prefilter would
+    // be two extra joins buying nothing — candidates go straight in
+    val cands = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+      numHashes = 64, bands = 16)
+    Dedup.ngramJaccard(docs, cands, "doc_id", "text")
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -127,6 +127,28 @@ object Dedup {
       .select(col("id"), col("lsh.band"), col("lsh.band_hash"))
   }
 
+  /** Just the banded candidate pairs — (id_a, id_b), capped and
+    * deduped, no signature re-attach. The right entry point when an
+    * EXACT verification follows anyway (the est_jaccard prefilter of
+    * [[minhashNearDuplicates]] would be two extra joins buying
+    * nothing); [[dedupCorpus]] keeps the prefilter because at corpus
+    * scale it bounds how many pairs reach the exact pass.
+    */
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleK)
+      .localCheckpoint(false)
+    val banded = capBuckets(bandedOf(sigs, idCol, numHashes, bands),
+      Seq("band", "band_hash"), maxBucketSize)
+    banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("band_hash"), col("id").as("id_b")),
+        Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
   def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
       minJaccard: Double = 0.5,
