@@ -75,6 +75,22 @@ class ConnectorSpec extends SparkSpec {
     intercept[IllegalArgumentException] { PdfSource.parsePageRanges("x-y") }
   }
 
+  test("pdf kernel: real PDFs — plain and FlateDecode streams, text operators") {
+    val dir = new java.io.File(getClass.getResource("/fixtures/plain.pdf").getPath).getParent
+    val df = PdfSource.readPages(spark, dir, glob = "*.pdf")
+    val byFile = df.filter(col("ok")).collect()
+      .groupBy(r => new java.io.File(r.getString(0).stripPrefix("file:")).getName)
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getString(2)).toSeq).toMap
+    val plain = byFile("plain.pdf")
+    assert(plain.size == 2)
+    // Tj + T* newline + TJ array with kerning numbers and escaped parens
+    assert(plain(0) == "Hello, first page!\nKerned text (grouped)")
+    // octal escape \051 = ')', literal <hex> inside a string stays
+    // text, and a real hex string decodes
+    assert(plain(1) == "Second page\nline with ) octal and <68657821> followsworld")
+    assert(byFile("flate.pdf") == Seq("Compressed stream says hi"))
+  }
+
   test("pdf read: per-page rows, range selection, corrupt-file isolation") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pdf")
     java.nio.file.Files.write(dir.resolve("doc1.pdf"),
