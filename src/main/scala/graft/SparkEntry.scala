@@ -1346,9 +1346,13 @@ object SparkEntry {
     val bucketCols = (0 until 8)
       .map(b => s"${bucketExpr("CAST(embedding AS DOUBLE[])", 42L + b)} AS b$b")
       .mkString(",\n    ")
+    // mirror the hot-bucket cap: buckets over DefaultMaxBucketSize are
+    // dropped from candidate generation on the Spark side too
+    val cap = graft.operators.Dedup.DefaultMaxBucketSize
     val bandJoins = (0 until 8)
       .map(b => s"  SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM emb a JOIN emb b\n" +
-        s"    ON a.vec_id < b.vec_id AND a.b$b = b.b$b")
+        s"    ON a.vec_id < b.vec_id AND a.b$b = b.b$b\n" +
+        s"  WHERE a.b$b NOT IN (SELECT b$b FROM emb GROUP BY b$b HAVING count(*) > $cap)")
       .mkString("\n  UNION\n")
     s"""WITH emb AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,

@@ -88,32 +88,68 @@ object PdfSource {
       val s = raw.indexOf("stream", from)
       if (s < 0) found = false
       else {
-        val e = raw.indexOf("endstream", s)
+        // dictionary immediately before the stream keyword decides the
+        // filter; scan backwards balancing << >> so a nested dict
+        // (/DecodeParms << ... >>) doesn't hide the outer /Filter
+        val dictStart = outerDictStart(raw, s)
+        val dict = raw.substring(math.max(0, dictStart), s)
+        var dataStart = s + "stream".length
+        if (dataStart < raw.length && raw.charAt(dataStart) == '\r') dataStart += 1
+        if (dataStart < raw.length && raw.charAt(dataStart) == '\n') dataStart += 1
+        // /Length gives the exact boundary (binary data may contain the
+        // literal bytes "endstream"); indirect lengths (`N 0 R`) fall
+        // back to the scan
+        val lenMatch = """/Length\s+(\d+)(?!\s+\d+\s+R)""".r.findFirstMatchIn(dict)
+        val e = lenMatch.map(m => dataStart + m.group(1).toInt)
+          .filter(end => end <= raw.length &&
+            raw.indexOf("endstream", end) >= 0 && raw.indexOf("endstream", end) - end < 4)
+          .getOrElse(raw.indexOf("endstream", s))
         if (e < 0) found = false
         else {
-          // dictionary immediately before the stream keyword decides
-          // the filter; data starts after the EOL following "stream"
-          val dictStart = math.max(0, raw.lastIndexOf("<<", s))
-          val dict = raw.substring(dictStart, s)
-          var dataStart = s + "stream".length
-          if (dataStart < raw.length && raw.charAt(dataStart) == '\r') dataStart += 1
-          if (dataStart < raw.length && raw.charAt(dataStart) == '\n') dataStart += 1
-          val data = java.util.Arrays.copyOfRange(bytes, dataStart, e)
-          val content: Option[String] =
-            if (dict.contains("/FlateDecode")) inflate(data)
-              .map(b => new String(b, java.nio.charset.StandardCharsets.ISO_8859_1))
-            else Some(new String(data, java.nio.charset.StandardCharsets.ISO_8859_1))
-          content.map(contentText).filter(_.nonEmpty).foreach { t => pages += t; () }
-          from = e + "endstream".length
+          // per-stream isolation: one unparseable stream (XMP metadata,
+          // image data) must not poison the file's real page streams
+          try {
+            val data = java.util.Arrays.copyOfRange(bytes, dataStart, e)
+            val content: Option[String] =
+              if (dict.contains("/FlateDecode")) inflate(data)
+                .map(b => new String(b, java.nio.charset.StandardCharsets.ISO_8859_1))
+              else Some(new String(data, java.nio.charset.StandardCharsets.ISO_8859_1))
+            // only streams with a BT text block are page content —
+            // XMP/image streams must not become phantom pages
+            content.filter(_.contains("BT")).map(contentText)
+              .filter(_.nonEmpty).foreach { t => pages += t; () }
+          } catch { case _: Exception => () }
+          // resume after the endstream keyword that closes this stream
+          val endKw = raw.indexOf("endstream", e)
+          from = if (endKw >= 0) endKw + "endstream".length else raw.length
         }
       }
     }
     pages.result()
   }
 
-  private def inflate(data: Array[Byte]): Option[Array[Byte]] =
+  /** Start of the OUTERMOST `<<` of the dictionary that precedes
+    * position `s`, found by scanning backwards with `>>`/`<<`
+    * balancing (nested dicts like /DecodeParms close before the outer
+    * one opens, seen from the right).
+    */
+  private def outerDictStart(raw: String, s: Int): Int = {
+    var i = s - 1
+    var depth = 0
+    while (i > 0) {
+      if (raw.charAt(i) == '>' && raw.charAt(i - 1) == '>') { depth += 1; i -= 2 }
+      else if (raw.charAt(i) == '<' && raw.charAt(i - 1) == '<') {
+        if (depth == 0) return i - 1
+        depth -= 1; i -= 2
+      }
+      else i -= 1
+    }
+    0
+  }
+
+  private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater()
     try {
-      val inf = new java.util.zip.Inflater()
       inf.setInput(data)
       val out = new java.io.ByteArrayOutputStream(data.length * 4)
       val buf = new Array[Byte](8192)
@@ -122,9 +158,10 @@ object PdfSource {
         if (n > 0) out.write(buf, 0, n)
         else if (n == 0 && !inf.finished()) return None // stuck (dictionary needed etc.)
       }
-      inf.end()
       Some(out.toByteArray)
     } catch { case _: Exception => None }
+    finally inf.end() // native zlib memory — never left to the finalizer
+  }
 
   /** Text of one content stream: string literals `(..)` (with PDF
     * escapes incl. octal) and hex strings `<..>` drawn by Tj / ' / "
@@ -146,6 +183,11 @@ object PdfSource {
               case 'n' => sb.append('\n'); j += 2
               case 'r' => sb.append('\r'); j += 2
               case 't' => sb.append('\t'); j += 2
+              case 'b' => sb.append('\b'); j += 2
+              case 'f' => sb.append('\f'); j += 2
+              case '\r' => // backslash-EOL = line continuation, both dropped
+                j += (if (j + 2 < content.length && content.charAt(j + 2) == '\n') 3 else 2)
+              case '\n' => j += 2
               case d if d >= '0' && d <= '7' =>
                 val oct = content.substring(j + 1, math.min(j + 4, content.length))
                   .takeWhile(c => c >= '0' && c <= '7').take(3)

@@ -139,6 +139,15 @@ object Dedup {
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleK)
       .localCheckpoint(false)
+    bandedPairs(sigs, idCol, numHashes, bands, maxBucketSize)
+  }
+
+  /** Capped banded self-join → distinct (id_a, id_b) candidate pairs —
+    * the single definition both [[minhashCandidatePairs]] and
+    * [[minhashNearDuplicates]] build on.
+    */
+  private def bandedPairs(sigs: DataFrame, idCol: String, numHashes: Int,
+      bands: Int, maxBucketSize: Int): DataFrame = {
     val banded = capBuckets(bandedOf(sigs, idCol, numHashes, bands),
       Seq("band", "band_hash"), maxBucketSize)
     banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
@@ -161,17 +170,7 @@ object Dedup {
     // narrow band join (ids only — signatures stay out of the
     // shuffle), dedupe pairs first, then re-attach signatures to
     // estimate similarity on the surviving pairs only
-    val banded = bandedOf(sigs, idCol, numHashes, bands)
-
-    val capped = capBuckets(banded, Seq("band", "band_hash"), maxBucketSize)
-    val left = capped.select(col("band"), col("band_hash"), col("id").as("id_a"))
-    val right = capped.select(col("band"), col("band_hash"), col("id").as("id_b"))
-    val pairs = left.join(right, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-
-    pairs
+    bandedPairs(sigs, idCol, numHashes, bands, maxBucketSize)
       .join(sigs.select(col(idCol).as("id_a"), col("signature").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col(idCol).as("id_b"), col("signature").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),

@@ -62,7 +62,8 @@ object Multimodal {
       else if (bytes.length >= 4 && bytes(0) == 0x89.toByte && bytes(1) == 'P') "png"
       else "raw"
     val width = 64 + bytes.length % 1024
-    val height = 64 + (bytes.length * 31) % 1024
+    // long arithmetic: length * 31 overflows Int beyond ~69 MB assets
+    val height = 64 + (bytes.length.toLong * 31 % 1024).toInt
     Row(width, height, 3, format, true, null)
   }
 
