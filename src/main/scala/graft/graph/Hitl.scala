@@ -134,6 +134,35 @@ object Hitl {
     errs.result()
   }
 
+  /** User-facing rendering of a request
+    * (`HITLProtocol.format_for_display`, `hitl.py:222-255`): objective,
+    * state, instructions, numbered questions with help/options,
+    * missing info and examples.
+    */
+  def formatForDisplay(request: HitlRequest): String = {
+    val parts = Seq.newBuilder[String]
+    if (request.objective.nonEmpty) parts += s"📋 Objective: ${request.objective}"
+    if (request.currentState.nonEmpty) parts += s"📍 Current State: ${request.currentState}"
+    if (request.instructions.nonEmpty) parts += s"\n${request.instructions}"
+    if (request.questions.nonEmpty) {
+      parts += s"\n❓ Questions (${request.questions.size}):"
+      request.questions.zipWithIndex.foreach { case (q, i) =>
+        parts += s"${i + 1}. ${q.question}"
+        if (q.helpText.nonEmpty) parts += s"   💡 ${q.helpText}"
+        if (q.options.nonEmpty) parts += s"   Options: ${q.options.mkString(", ")}"
+      }
+    }
+    if (request.missingInfo.nonEmpty) {
+      parts += "\n📝 Missing Information:"
+      request.missingInfo.foreach(info => parts += s"  • $info")
+    }
+    if (request.examples.nonEmpty) {
+      parts += "\n📚 Examples:"
+      request.examples.foreach(ex => parts += s"  • $ex")
+    }
+    parts.result().mkString("\n")
+  }
+
   /** The request as rows — one per question, with the request context
     * denormalized on. Across many paused runs this is the operational
     * table: "every question every paused run is waiting on".

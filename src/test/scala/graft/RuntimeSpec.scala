@@ -374,6 +374,25 @@ class RuntimeSpec extends SparkSpec {
     assert(store.readParts().isEmpty)
   }
 
+  test("HITL format_for_display renders all request sections (`hitl.py:222-255`)") {
+    import graft.graph.Hitl
+    val req = Hitl.HitlRequest(
+      objective = "ship it?",
+      instructions = "answer carefully",
+      questions = Seq(
+        Hitl.HitlQuestion("q1", "Approve?", inputType = "approval", helpText = "yes/no/modify"),
+        Hitl.HitlQuestion("q2", "Tier?", inputType = "selection", options = Seq("gold", "silver"))),
+      missingInfo = Seq("budget"),
+      examples = Seq("yes, gold"))
+    val s = Hitl.formatForDisplay(req)
+    assert(s.contains("📋 Objective: ship it?"))
+    assert(s.contains("📍 Current State: Awaiting clarification"))
+    assert(s.contains("1. Approve?") && s.contains("💡 yes/no/modify"))
+    assert(s.contains("2. Tier?") && s.contains("Options: gold, silver"))
+    assert(s.contains("📝 Missing Information:") && s.contains("  • budget"))
+    assert(s.contains("📚 Examples:") && s.contains("  • yes, gold"))
+  }
+
   test("HITL parse_response: client-extracted JSON answers with raw-input fallback") {
     import graft.graph.Hitl
     import graft.llm.SemanticOps
