@@ -87,7 +87,13 @@ object PdfSource {
     while (found) {
       val s = raw.indexOf("stream", from)
       if (s < 0) found = false
-      else {
+      else if ((s >= 3 && raw.regionMatches(s - 3, "end", 0, 3)) ||
+          { val c = if (s + 6 < raw.length) raw.charAt(s + 6) else ' '
+            c != '\r' && c != '\n' }) {
+        // not a stream keyword: part of "endstream", or the word
+        // "stream" inside text — the real keyword is followed by EOL
+        from = s + "stream".length
+      } else {
         // dictionary immediately before the stream keyword decides the
         // filter; scan backwards balancing << >> so a nested dict
         // (/DecodeParms << ... >>) doesn't hide the outer /Filter
