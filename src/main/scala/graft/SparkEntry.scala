@@ -757,6 +757,38 @@ object SparkEntry {
       .orderBy(col("lang_det"))
   }
 
+  private val HtmlShellHead =
+    "<html><head><style>b{color:red}</style></head><body><h1>Title &amp; more</h1><p>"
+  private val HtmlShellTail =
+    "</p><script>track(1 < 2)</script><!-- hidden --></body></html>"
+
+  /** S15 — web-scrape text extraction: documents wrapped in a
+    * synthetic HTML shell (tags, style, script, comment, entities),
+    * recovered by the codegen'd [[TextFunctions.htmlToText]] chain;
+    * the oracle reruns the IDENTICAL regex chain in DuckDB (the steps
+    * are shared constants, RE2-compatible by construction).
+    */
+  private def q61(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"),
+        TF.htmlToText(concat(lit(HtmlShellHead), col("text"), lit(HtmlShellTail)))
+          .as("extracted"))
+      .orderBy(col("doc_id"))
+
+  /** q61's oracle, generated from the same step list the Spark chain
+    * folds over — one source of truth for the patterns.
+    */
+  private def htmlExtractionOracle: String = {
+    def sq(x: String): String = x.replace("'", "''")
+    val input = s"concat('${sq(HtmlShellHead)}', text, '${sq(HtmlShellTail)}')"
+    val chained = TF.HtmlToTextSteps.foldLeft(input) { case (acc, (p, r)) =>
+      s"regexp_replace($acc, '${sq(p)}', '${sq(r)}', 'g')"
+    }
+    s"""SELECT doc_id, trim(regexp_replace($chained, '\\s+', ' ', 'g')) AS extracted
+       |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin
+  }
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -821,7 +853,8 @@ object SparkEntry {
     "q57_state_asof" -> (q57 _),
     "q58_cross_linking" -> (q58 _),
     "q59_approx_percentiles" -> (q59 _),
-    "q60_corpus_curation" -> (q60 _))
+    "q60_corpus_curation" -> (q60 _),
+    "q61_html_extraction" -> (q61 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1228,6 +1261,7 @@ object SparkEntry {
         |  FROM events WHERE event_id <= 3000)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q58_cross_linking" -> crossLinkingOracle,
+    "q61_html_extraction" -> htmlExtractionOracle,
     "q60_corpus_curation" ->
       s"""WITH RECURSIVE $ShingleJaccardCte,
          |pairs AS (SELECT id_a, id_b FROM jacc WHERE jaccard >= 0.3),

@@ -89,6 +89,32 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "de", "et", "un", "une", "pour", "dans", "est", "que", "au"),
     "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist", "von", "mit", "für"))
 
+  /** The ordered (regex, replacement) chain behind [[htmlToText]] —
+    * exposed so the DuckDB oracle can restate the identical pipeline.
+    * RE2-compatible on purpose (no backreferences/lookaround): the
+    * oracle engine must be able to run every pattern.
+    */
+  val HtmlToTextSteps: Seq[(String, String)] = Seq(
+    "(?is)<script\\b[^>]*>.*?</script\\s*>" -> " ",
+    "(?is)<style\\b[^>]*>.*?</style\\s*>" -> " ",
+    "(?s)<!--.*?-->" -> " ",
+    "(?s)<[^>]*>" -> " ", // tags (incl. block closers) → separator
+    "&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'")
+
+  /** HTML → text extraction (the kernel of the reference's
+    * scrape-to-text surface, SURVEY S15: provider-side there,
+    * engine-side here): drop script/style/comment blocks, strip tags,
+    * decode the common entities, collapse whitespace, trim. Built
+    * entirely from `regexp_replace` chains so it stays inside
+    * whole-stage codegen and runs at scan speed over 100 TB of crawl
+    * data — the first, highest-volume step of a web-corpus pipeline.
+    */
+  def htmlToText(html: Column): Column =
+    trim(regexp_replace(
+      HtmlToTextSteps.foldLeft(html) { case (c, (p, r)) => regexp_replace(c, p, r) },
+      "\\s+", " "))
+
   /** Order-sensitive rolling fingerprint over the token sequence — the
     * document-fingerprint analog of the reference's canonical
     * fingerprints (`event_loop_node.py:1895-1899`). Implemented as a

@@ -43,6 +43,18 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one(TF.sentimentScore(lit("neutral words only here"))).getDouble(0) == 0.0)
   }
 
+  test("htmlToText strips scripts/styles/comments/tags and decodes entities") {
+    val html = """<html><head><style>p { color: red }</style>
+      |<script type="text/js">if (1 < 2) { track("</p>"); }</script></head>
+      |<body><!-- nav --><h1>Big&nbsp;News</h1>
+      |<p>Ben &amp; Jerry said &quot;5 &lt; 7&quot;.</p>
+      |<div>line one<br/>line two</div></body></html>""".stripMargin
+    assert(one(TF.htmlToText(lit(html))).getString(0) ==
+      """Big News Ben & Jerry said "5 < 7". line one line two""")
+    // plain text passes through normalized
+    assert(one(TF.htmlToText(lit("  just   text  "))).getString(0) == "just text")
+  }
+
   test("language id picks the profile with highest stopword hit rate") {
     assert(one(TF.langIdHeuristic(lit("the cat and the dog is here"))).getString(0) == "en")
     assert(one(TF.langIdHeuristic(lit("el perro y la casa en un pueblo"))).getString(0) == "es")
