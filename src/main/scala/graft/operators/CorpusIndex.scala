@@ -1,0 +1,145 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{CatalystExpressions, TextFunctions}
+
+/** Session-scoped materialized corpus index artifacts: shingle-hash
+  * sets, MinHash/SimHash signatures, exact-dedup fingerprints, and the
+  * end-to-end near-duplicate classification of a document corpus.
+  *
+  * Rationale (the 100 TB story): every dedup / similarity query over a
+  * corpus starts from the same per-document derivations — tokenize →
+  * token hashes → shingles → signatures. Recomputing them per query
+  * means re-reading and re-hashing the whole corpus each time, which
+  * at 100 TB is the dominant cost of the *query*, not of the
+  * *pipeline*. A corpus store computes these once at ingest as index
+  * tables (id + signatures is ~0.1% of corpus bytes) and every
+  * downstream query reuses them — exactly like a database maintains a
+  * B-tree instead of re-sorting per lookup. On a cluster the artifacts
+  * live as parquet next to the corpus; within one session the
+  * Spark-native analog is a lazily-materialized block-cached frame
+  * (`localCheckpoint`), which is what this cache holds.
+  *
+  * All artifacts derive from ONE combined pass ([[artifacts]]): the
+  * expensive steps (tokenize, per-token hash) are computed once per
+  * document and every signature branches off that shared projection —
+  * the same reason a 100 TB ingest job computes all index columns in
+  * one scan rather than one scan per index.
+  *
+  * Identity: artifacts are memoized per (session, cache key); the key
+  * must name the corpus snapshot (e.g. its path) plus the derivation
+  * parameters — the builders below append theirs, so
+  * differently-parameterized indexes never collide. Entries for
+  * stopped sessions are dropped on the next access, so test suites
+  * that open/close many sessions don't accumulate dead references.
+  *
+  * Results are identical to inline computation — only materialization
+  * is shared; [[Dedup]]'s `...FromSigs`/`...FromSets` entry points
+  * consume these artifacts.
+  *
+  * Reference surface: generalizes the reference's canonical
+  * fingerprint reuse (`core/framework/graph/event_loop_node.py:1895-1899`
+  * computes fingerprints once per message and caches them) from one
+  * value to the full family of corpus index artifacts.
+  */
+object CorpusIndex {
+
+  private val cache = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Memoize `build` per (session, key), materialized as a lazy local
+    * checkpoint: the first action computes and block-caches it; later
+    * users (including later references within one query plan) read the
+    * cached blocks. Row-format block storage beats a columnar
+    * `persist` here — the artifact is consumed whole (no column
+    * pruning to exploit) and skipping the columnar encode keeps the
+    * build at scan speed.
+    */
+  def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    cache.computeIfAbsent((spark, key), _ => build.localCheckpoint(false))
+  }
+
+  /** Drop every artifact whose key starts with `keyPrefix` — the
+    * invalidation hook for when a corpus snapshot is replaced.
+    */
+  def invalidate(spark: SparkSession, keyPrefix: String): Unit = {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == spark && e.getKey._2.startsWith(keyPrefix)) it.remove()
+    }
+  }
+
+  /** The combined one-pass index frame:
+    * (idCol, fingerprint, shingles, minhash_sig, simhash) — token
+    * hashes computed once, all signatures derived from them. The
+    * public accessors below select views of this single cached
+    * artifact, so materializing any one of them materializes the whole
+    * index exactly once.
+    */
+  def artifacts(df: DataFrame, key: String, idCol: String, textCol: String,
+      numHashes: Int = 64, shingleK: Int = 3): DataFrame =
+    memo(df.sparkSession, s"corpus:n=$numHashes:k=$shingleK:id=$idCol:$key") {
+      df.select(col(idCol),
+          transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)).as("th"),
+          TextFunctions.exactFingerprint(col(textCol)).as("fingerprint"))
+        .select(col(idCol), col("fingerprint"),
+          CatalystExpressions.shingleHashes(col("th"), shingleK).as("shingles"),
+          CatalystExpressions.simhash64(col("th")).as("simhash"))
+        .select(col(idCol), col("fingerprint"), col("shingles"), col("simhash"),
+          CatalystExpressions.minhashSig(col("shingles"), numHashes).as("minhash_sig"))
+    }
+
+  /** (id, sh): distinct shingle-hash set per document — the input of
+    * exact-Jaccard verification ([[Dedup.ngramJaccardFromSets]]).
+    */
+  def shingleSets(df: DataFrame, key: String, idCol: String, textCol: String,
+      shingleK: Int = 3): DataFrame =
+    artifacts(df, key, idCol, textCol, shingleK = shingleK)
+      .select(col(idCol).as("id"), col("shingles").as("sh"))
+
+  /** (idCol, signature): MinHash signatures, as
+    * [[Dedup.minhashSignatures]] emits them.
+    */
+  def minhashSignatures(df: DataFrame, key: String, idCol: String, textCol: String,
+      numHashes: Int = 64, shingleK: Int = 3): DataFrame =
+    artifacts(df, key, idCol, textCol, numHashes, shingleK)
+      .select(col(idCol), col("minhash_sig").as("signature"))
+
+  /** (id, sh): 64-bit SimHash signatures, as
+    * [[Dedup.simhashSignatures]] emits them.
+    */
+  def simhashSignatures(df: DataFrame, key: String, idCol: String,
+      textCol: String): DataFrame =
+    artifacts(df, key, idCol, textCol)
+      .select(col(idCol).as("id"), col("simhash").as("sh"))
+
+  /** (idCol, fingerprint): canonical exact-dedup fingerprints. */
+  def fingerprints(df: DataFrame, key: String, idCol: String,
+      textCol: String): DataFrame =
+    artifacts(df, key, idCol, textCol).select(col(idCol), col("fingerprint"))
+
+  /** The full near-duplicate classification of the corpus
+    * ([[Dedup.dedupCorpus]]: input + `dup_class` + `keep`), built from
+    * the cached signature/shingle artifacts and itself cached — the
+    * keep-list a curation pipeline materializes once and every
+    * downstream query (language mix, token accounting, export)
+    * filters against.
+    */
+  def dedupClasses(df: DataFrame, key: String, idCol: String, textCol: String,
+      minJaccard: Double = 0.5, numHashes: Int = 64, bands: Int = 16,
+      shingleK: Int = 3,
+      maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame =
+    memo(df.sparkSession,
+        s"dedup:j=$minJaccard:n=$numHashes:b=$bands:k=$shingleK:cap=$maxBucketSize:$key") {
+      Dedup.dedupCorpus(df, idCol, textCol, minJaccard, numHashes, bands,
+        shingleK, maxBucketSize,
+        precomputedSigs =
+          Some(minhashSignatures(df, key, idCol, textCol, numHashes, shingleK)),
+        precomputedSets = Some(shingleSets(df, key, idCol, textCol, shingleK)))
+    }
+}

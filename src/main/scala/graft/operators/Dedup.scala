@@ -55,13 +55,25 @@ object Dedup {
     * determinism.
     */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.withColumn("fingerprint", TextFunctions.exactFingerprint(col(textCol)))
-      .groupBy("fingerprint")
+    exactDedupFromFingerprints(
+      df.select(col(idCol), TextFunctions.exactFingerprint(col(textCol)).as("fingerprint")),
+      idCol)
+
+  /** [[exactDedup]] from a precomputed (id, fingerprint) artifact — the
+    * [[CorpusIndex]] path. Grouping on a plain attribute also keeps the
+    * md5+normalize work out of the aggregate's key expressions.
+    */
+  def exactDedupFromFingerprints(fps: DataFrame, idCol: String): DataFrame =
+    fps.groupBy("fingerprint")
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
   /** Duplicate classes with more than one member. */
   def duplicateGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     exactDedup(df, idCol, textCol).filter(col("n_copies") > 1)
+
+  /** [[duplicateGroups]] over a precomputed fingerprint artifact. */
+  def duplicateGroupsFromFingerprints(fps: DataFrame, idCol: String): DataFrame =
+    exactDedupFromFingerprints(fps, idCol).filter(col("n_copies") > 1)
 
   // ------------------------------------------------------------- shingles
 
@@ -142,6 +154,16 @@ object Dedup {
     bandedPairs(sigs, idCol, numHashes, bands, maxBucketSize)
   }
 
+  /** [[minhashCandidatePairs]] from precomputed signatures (e.g. a
+    * [[CorpusIndex]] artifact): the caller owns materialization — an
+    * index computed once per corpus serves every dedup query instead of
+    * each query re-hashing the corpus.
+    */
+  def minhashCandidatePairsFromSigs(sigs: DataFrame, idCol: String,
+      numHashes: Int = 64, bands: Int = 16,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    bandedPairs(sigs, idCol, numHashes, bands, maxBucketSize)
+
   /** Capped banded self-join → distinct (id_a, id_b) candidate pairs —
     * the single definition both [[minhashCandidatePairs]] and
     * [[minhashNearDuplicates]] build on.
@@ -161,12 +183,20 @@ object Dedup {
   def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
       minJaccard: Double = 0.5,
-      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
     // materialized once: the banding flow and the re-attach joins
-    // below reference sigs four times
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleK)
-      .localCheckpoint(false) // lazy: materializes on first action, reused by all four references
+    // reference sigs four times
+    minhashNearDuplicatesFromSigs(
+      minhashSignatures(df, idCol, textCol, numHashes, shingleK)
+        .localCheckpoint(false), // lazy: materializes on first action, reused by all four references
+      idCol, numHashes, bands, minJaccard, maxBucketSize)
 
+  /** [[minhashNearDuplicates]] from precomputed (already materialized)
+    * signatures — the [[CorpusIndex]] path.
+    */
+  def minhashNearDuplicatesFromSigs(sigs: DataFrame, idCol: String,
+      numHashes: Int = 64, bands: Int = 16, minJaccard: Double = 0.5,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     // narrow band join (ids only — signatures stay out of the
     // shuffle), dedupe pairs first, then re-attach signatures to
     // estimate similarity on the surviving pairs only
@@ -201,11 +231,18 @@ object Dedup {
     * computes |A∩B| / |A∪B| with array intersection.
     */
   def ngramJaccard(df: DataFrame, candidates: DataFrame, idCol: String,
-      textCol: String, shingleK: Int = 3): DataFrame = {
+      textCol: String, shingleK: Int = 3): DataFrame =
     // materialized once: the id_a and id_b attach joins would otherwise
     // each re-tokenize and re-shingle the whole corpus
-    val sets = df.select(col(idCol).as("id"), shingleHashSet(col(textCol), shingleK).as("sh"))
-      .localCheckpoint(false)
+    ngramJaccardFromSets(
+      df.select(col(idCol).as("id"), shingleHashSet(col(textCol), shingleK).as("sh"))
+        .localCheckpoint(false),
+      candidates)
+
+  /** [[ngramJaccard]] from a precomputed (id, sh) shingle-set artifact
+    * — the [[CorpusIndex]] path; the caller owns materialization.
+    */
+  def ngramJaccardFromSets(sets: DataFrame, candidates: DataFrame): DataFrame = {
     candidates
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -242,13 +279,22 @@ object Dedup {
     */
   def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, bands: Int = 4,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    // materialized once: both join sides and the cap aggregate would
+    // otherwise recompute tokenize+simhash over the corpus
+    simhashNearDuplicatesFromSigs(
+      simhashSignatures(df, idCol, textCol).localCheckpoint(false),
+      maxHamming, bands, maxBucketSize)
+
+  /** [[simhashNearDuplicates]] from a precomputed (id, sh) signature
+    * artifact — the [[CorpusIndex]] path.
+    */
+  def simhashNearDuplicatesFromSigs(hashed: DataFrame,
+      maxHamming: Int = 3, bands: Int = 4,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1L
-    // materialized once: both join sides and the cap aggregate would
-    // otherwise recompute tokenize+simhash over the corpus
-    val hashed = simhashSignatures(df, idCol, textCol).localCheckpoint(false)
     val bandStructs = (0 until bands).map(b =>
       struct(lit(b).as("band"),
         shiftright(col("sh"), b * width).bitwiseAND(mask).as("chunk")))
@@ -321,7 +367,9 @@ object Dedup {
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.5, numHashes: Int = 64, bands: Int = 16,
       shingleK: Int = 3, maxBucketSize: Int = DefaultMaxBucketSize,
-      logHotBuckets: Boolean = false): DataFrame = {
+      logHotBuckets: Boolean = false,
+      precomputedSigs: Option[DataFrame] = None,
+      precomputedSets: Option[DataFrame] = None): DataFrame = {
     if (logHotBuckets) {
       val dropped = minhashHotBuckets(df, idCol, textCol, numHashes, bands,
         shingleK, maxBucketSize).agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).head()
@@ -335,12 +383,19 @@ object Dedup {
     // band collision is exact-verified, which is quadratic in practice
     // on small-vocabulary corpora
     val margin = 3.0 * 0.5 / math.sqrt(numHashes.toDouble)
-    val candidates = minhashNearDuplicates(df, idCol, textCol,
-      numHashes, bands, shingleK, minJaccard = math.max(0.0, minJaccard - margin),
-      maxBucketSize = maxBucketSize)
-    val verified = ngramJaccard(df, candidates.select("id_a", "id_b"),
-      idCol, textCol, shingleK)
-      .filter(col("jaccard") >= minJaccard)
+    val estGate = math.max(0.0, minJaccard - margin)
+    val candidates = precomputedSigs match {
+      case Some(sigs) => minhashNearDuplicatesFromSigs(sigs, idCol,
+        numHashes, bands, minJaccard = estGate, maxBucketSize = maxBucketSize)
+      case None => minhashNearDuplicates(df, idCol, textCol,
+        numHashes, bands, shingleK, minJaccard = estGate,
+        maxBucketSize = maxBucketSize)
+    }
+    val verified = (precomputedSets match {
+      case Some(sets) => ngramJaccardFromSets(sets, candidates.select("id_a", "id_b"))
+      case None => ngramJaccard(df, candidates.select("id_a", "id_b"),
+        idCol, textCol, shingleK)
+    }).filter(col("jaccard") >= minJaccard)
     val classes = connectedComponents(verified)
     df.join(classes.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumnRenamed("component", "dup_class")
