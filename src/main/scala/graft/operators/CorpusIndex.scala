@@ -50,6 +50,15 @@ object CorpusIndex {
 
   private val cache = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** The one canonical cache key for a parameterized corpus index —
+    * shared by [[artifacts]] (in-session memo), [[persist]] (written
+    * into the on-disk metadata) and [[load]] (re-registered under the
+    * same key so the accessors transparently hit the loaded frame).
+    */
+  private def artifactKey(key: String, idCol: String, numHashes: Int,
+      shingleK: Int): String =
+    s"corpus:n=$numHashes:k=$shingleK:id=$idCol:$key"
+
   /** Memoize `build` per (session, key), materialized as a lazy local
     * checkpoint: the first action computes and block-caches it; later
     * users (including later references within one query plan) read the
@@ -83,7 +92,7 @@ object CorpusIndex {
     */
   def artifacts(df: DataFrame, key: String, idCol: String, textCol: String,
       numHashes: Int = 64, shingleK: Int = 3): DataFrame =
-    memo(df.sparkSession, s"corpus:n=$numHashes:k=$shingleK:id=$idCol:$key") {
+    memo(df.sparkSession, artifactKey(key, idCol, numHashes, shingleK)) {
       df.select(col(idCol),
           transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)).as("th"),
           TextFunctions.exactFingerprint(col(textCol)).as("fingerprint"))
@@ -123,6 +132,79 @@ object CorpusIndex {
       textCol: String): DataFrame =
     artifacts(df, key, idCol, textCol).select(col(idCol), col("fingerprint"))
 
+  // ------------------------------------------------------- durability
+
+  /** On-disk layout written by [[persist]] under one base path:
+    *
+    * {{{
+    * <path>/
+    *   index_meta.json   # {key, idCol, numHashes, shingleK, version}
+    *   artifacts/        # parquet, range-partitioned by id
+    * }}}
+    *
+    * The artifact frame is range-partitioned by the id column before
+    * writing, so (a) each file carries a tight min/max id range —
+    * point lookups and keep-list joins prune files via parquet
+    * statistics — and (b) re-loading preserves a data layout clustered
+    * on the join key every consumer uses. At 100 TB this is the index
+    * a corpus store maintains at ingest: ~0.1% of corpus bytes,
+    * computed once, reused by every dedup / similarity / curation
+    * query until the snapshot is replaced.
+    */
+  private def fs(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeMeta(spark: SparkSession, path: String,
+      data: Map[String, String]): Unit = {
+    implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+    val out = fs(spark, path).create(new org.apache.hadoop.fs.Path(path), true)
+    try out.write(org.json4s.jackson.Serialization.write(data).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readMeta(spark: SparkSession, path: String): Map[String, String] = {
+    implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+    val in = fs(spark, path).open(new org.apache.hadoop.fs.Path(path))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    org.json4s.jackson.JsonMethods.parse(text).extract[Map[String, String]]
+  }
+
+  /** Build (or reuse the memoized) combined index frame and write it
+    * durably under `path` — the ingest-time step of the 100 TB
+    * discipline. Subsequent sessions call [[load]] instead of
+    * re-deriving the corpus. Overwrites any previous index at `path`.
+    */
+  def persist(df: DataFrame, path: String, key: String, idCol: String,
+      textCol: String, numHashes: Int = 64, shingleK: Int = 3): Unit = {
+    val spark = df.sparkSession
+    val art = artifacts(df, key, idCol, textCol, numHashes, shingleK)
+    art.repartitionByRange(
+        spark.sessionState.conf.numShufflePartitions, col(idCol))
+      .write.mode("overwrite").parquet(s"$path/artifacts")
+    writeMeta(spark, s"$path/index_meta.json", Map(
+      "version" -> "1", "key" -> key, "idCol" -> idCol,
+      "numHashes" -> numHashes.toString, "shingleK" -> shingleK.toString))
+  }
+
+  /** Open a persisted index: reads the metadata, re-registers the
+    * parquet-backed frame in the session cache under the exact key
+    * [[artifacts]] would compute — so every accessor
+    * ([[minhashSignatures]], [[shingleSets]], [[dedupClasses]], …)
+    * called with the same (key, params) transparently reads the loaded
+    * index instead of re-deriving the corpus. Returns the artifact
+    * frame.
+    */
+  def load(spark: SparkSession, path: String): DataFrame = {
+    val meta = readMeta(spark, s"$path/index_meta.json")
+    require(meta.get("version").contains("1"), s"unsupported index version at $path: $meta")
+    val cacheKey = artifactKey(meta("key"), meta("idCol"),
+      meta("numHashes").toInt, meta("shingleK").toInt)
+    val art = spark.read.parquet(s"$path/artifacts")
+    cache.put((spark, cacheKey), art)
+    art
+  }
+
   /** The full near-duplicate classification of the corpus
     * ([[Dedup.dedupCorpus]]: input + `dup_class` + `keep`), built from
     * the cached signature/shingle artifacts and itself cached — the
@@ -133,13 +215,15 @@ object CorpusIndex {
   def dedupClasses(df: DataFrame, key: String, idCol: String, textCol: String,
       minJaccard: Double = 0.5, numHashes: Int = 64, bands: Int = 16,
       shingleK: Int = 3,
-      maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame =
+      maxBucketSize: Int = Dedup.DefaultMaxBucketSize,
+      checkpointDir: Option[String] = None): DataFrame =
     memo(df.sparkSession,
         s"dedup:j=$minJaccard:n=$numHashes:b=$bands:k=$shingleK:cap=$maxBucketSize:$key") {
       Dedup.dedupCorpus(df, idCol, textCol, minJaccard, numHashes, bands,
         shingleK, maxBucketSize,
         precomputedSigs =
           Some(minhashSignatures(df, key, idCol, textCol, numHashes, shingleK)),
-        precomputedSets = Some(shingleSets(df, key, idCol, textCol, shingleK)))
+        precomputedSets = Some(shingleSets(df, key, idCol, textCol, shingleK)),
+        checkpointDir = checkpointDir)
     }
 }

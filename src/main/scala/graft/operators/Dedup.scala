@@ -326,14 +326,39 @@ object Dedup {
     * (id, component) with component = min id of the cluster.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIter: Int = 10): DataFrame = {
+      idB: String = "id_b", maxIter: Int = 10,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // Checkpoint discipline: lineage MUST truncate per iteration (the
+    // plan would otherwise double each round). `checkpointDir` picks
+    // durability: None = localCheckpoint (executor block storage —
+    // fast, but lost blocks kill a long job); Some(dir) = parquet
+    // write+read-back per iteration (DFS-durable — an executor loss
+    // recomputes nothing, and the latest `labels_i` is a resume
+    // point). At 100 TB the label frame is corpus-width ids, so the
+    // durable mode also deletes iteration i-1 once i lands.
+    val hfs = checkpointDir.map(d =>
+      new org.apache.hadoop.fs.Path(d)
+        .getFileSystem(pairs.sparkSession.sparkContext.hadoopConfiguration))
+    def durable(df: DataFrame, name: String): DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val p = s"$dir/$name"
+        df.write.mode("overwrite").parquet(p)
+        df.sparkSession.read.parquet(p)
+      case None => df.localCheckpoint()
+    }
+    def drop(name: String): Unit = (checkpointDir, hfs) match {
+      case (Some(dir), Some(f)) =>
+        f.delete(new org.apache.hadoop.fs.Path(s"$dir/$name"), true); ()
+      case _ => ()
+    }
     // materialize the edge list once — every iteration joins against
     // it, and without this the whole upstream candidate pipeline
     // (LSH + verification) re-executes per iteration
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val edgesRaw = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
-      .localCheckpoint(false)
+    val edges = checkpointDir.fold(edgesRaw.localCheckpoint(false))(_ =>
+      durable(edgesRaw, "edges"))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
     var converged = false
@@ -346,11 +371,13 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("n_comp"))
-      val updated = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"), col("component").as("old"),
-          least(col("component"), coalesce(col("n_comp"), col("component")))
-            .as("component"))
-        .localCheckpoint() // truncate iterative lineage
+      val updated = durable( // truncate iterative lineage
+        labels.join(viaNeighbors, Seq("id"), "left")
+          .select(col("id"), col("component").as("old"),
+            least(col("component"), coalesce(col("n_comp"), col("component")))
+              .as("component")),
+        s"labels_$iter")
+      if (iter > 0) drop(s"labels_${iter - 1}")
       val changes = updated.filter(col("component") =!= col("old")).count()
       labels = updated.drop("old")
       converged = changes == 0
@@ -369,7 +396,8 @@ object Dedup {
       shingleK: Int = 3, maxBucketSize: Int = DefaultMaxBucketSize,
       logHotBuckets: Boolean = false,
       precomputedSigs: Option[DataFrame] = None,
-      precomputedSets: Option[DataFrame] = None): DataFrame = {
+      precomputedSets: Option[DataFrame] = None,
+      checkpointDir: Option[String] = None): DataFrame = {
     if (logHotBuckets) {
       val dropped = minhashHotBuckets(df, idCol, textCol, numHashes, bands,
         shingleK, maxBucketSize).agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).head()
@@ -396,7 +424,7 @@ object Dedup {
       case None => ngramJaccard(df, candidates.select("id_a", "id_b"),
         idCol, textCol, shingleK)
     }).filter(col("jaccard") >= minJaccard)
-    val classes = connectedComponents(verified)
+    val classes = connectedComponents(verified, checkpointDir = checkpointDir)
     df.join(classes.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumnRenamed("component", "dup_class")
       .withColumn("keep", col("dup_class").isNull || col("dup_class") === col(idCol))

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusIndex, Dedup}
+
+/** Durability of the corpus index and the dedup path (round-2 verdict
+  * item 1): an index persisted as parquet must serve a *different*
+  * session's queries with hash-identical results, and the
+  * connected-components loop must run on durable (DFS) checkpoints
+  * instead of executor block storage when asked.
+  *
+  * "Kill and re-open a session" in one test JVM: suites share the
+  * SparkContext (stopping it would kill every other suite), so the
+  * re-open is `spark.newSession()` — fresh session state and a fresh
+  * identity in CorpusIndex's (session, key) cache, i.e. the loaded
+  * index CANNOT be served by the building session's memo. We
+  * additionally assert the served frame's input files point at the
+  * persisted parquet, proving the load path (not a recompute) answered.
+  */
+class DurableIndexSpec extends SparkSpec {
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("persist + load serves q53/q60 from the parquet index, hash-identical") {
+    val base = Files.createTempDirectory("graft-index").toString
+    val docs = graft.core.Engine.table(spark, sfDir, "documents")
+    CorpusIndex.persist(docs, base, key = sfDir, idCol = "doc_id", textCol = "text")
+
+    // the layout on disk is what the scaladoc promises
+    assert(new java.io.File(s"$base/index_meta.json").exists())
+    assert(new java.io.File(s"$base/artifacts").listFiles().exists(_.getName.endsWith(".parquet")))
+
+    // fresh-compute ground truth (building session, its own memo)
+    val q53Fresh = rows(SparkEntry.queries("q53_dedup_corpus")(spark, sfDir))
+    val q60Fresh = rows(SparkEntry.queries("q60_corpus_curation")(spark, sfDir))
+
+    // "re-opened" session: new session state, new cache identity
+    val s2 = spark.newSession()
+    val art = CorpusIndex.load(s2, base)
+    assert(art.inputFiles.exists(_.contains(s"$base/artifacts")),
+      "loaded frame must be backed by the persisted parquet")
+
+    // the accessors in the new session must be served by the loaded
+    // frame — same parquet files, not a recomputation of the corpus
+    val sigs = CorpusIndex.minhashSignatures(
+      graft.core.Engine.table(s2, sfDir, "documents"), sfDir, "doc_id", "text")
+    assert(sigs.inputFiles.exists(_.contains(s"$base/artifacts")),
+      "accessor in the loaded session must read the persisted index")
+
+    assert(rows(SparkEntry.queries("q53_dedup_corpus")(s2, sfDir)) === q53Fresh)
+    assert(rows(SparkEntry.queries("q60_corpus_curation")(s2, sfDir)) === q60Fresh)
+  }
+
+  test("connectedComponents with a durable checkpoint dir matches localCheckpoint") {
+    import spark.implicits._
+    // two chains (1-2-3-4) and (10-11), plus a ring (20-21-22-20):
+    // multi-iteration propagation so labels_* checkpoints actually cycle
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 20L)).toDF("id_a", "id_b")
+    val ckpt = Files.createTempDirectory("graft-cc").toString
+    val durable = rows(Dedup.connectedComponents(pairs, checkpointDir = Some(ckpt)))
+    val local = rows(Dedup.connectedComponents(pairs))
+    assert(durable === local)
+    val dirs = new java.io.File(ckpt).listFiles().map(_.getName).toSeq
+    assert(dirs.contains("edges"), s"edge list must be durably checkpointed: $dirs")
+    // per-iteration cleanup: at most the final labels_* dir survives
+    assert(dirs.count(_.startsWith("labels_")) <= 1,
+      s"stale per-iteration label checkpoints must be deleted: $dirs")
+  }
+
+  test("dedupCorpus accepts a durable checkpoint dir end-to-end") {
+    val docs = graft.core.Engine.table(spark, sfDir, "documents")
+    val ckpt = Files.createTempDirectory("graft-dedup-ckpt").toString
+    val withDir = Dedup.dedupCorpus(docs, "doc_id", "text", minJaccard = 0.3,
+        checkpointDir = Some(ckpt))
+      .agg(count(lit(1)).as("n"), sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
+    val without = Dedup.dedupCorpus(docs, "doc_id", "text", minJaccard = 0.3)
+      .agg(count(lit(1)).as("n"), sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
+    assert(rows(withDir) === rows(without))
+    assert(new java.io.File(s"$ckpt/edges").exists())
+  }
+}
