@@ -725,11 +725,15 @@ object SparkEntry {
     * linking join does exactly what the construction promises.
     */
   private def q58(s: SparkSession, dir: String): DataFrame = {
+    // 2-band AND-OR + both sides bucket-capped — the corpus-scale
+    // shape (the cap is inert at gate scale and restated in the
+    // oracle, like q42's)
     val emb = t(s, dir, "embeddings")
     Similarity.crossSimilarity(
       emb.filter(pmod(col("vec_id"), lit(2)) === 0),
       emb.filter(pmod(col("vec_id"), lit(2)) === 1),
-      "vec_id", "vec_id", "embedding", minCosine = 0.2, nPlanes = 8, dim = 64)
+      "vec_id", "vec_id", "embedding", minCosine = 0.2, nPlanes = 8, dim = 64,
+      bands = 2)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -1330,27 +1334,43 @@ object SparkEntry {
         |   <= 0.02 * greatest(abs(quantile_cont(value, 0.9)), 1.0) AS p90_within_2pct
         |FROM events""".stripMargin)
 
-  /** q58's oracle, generated like [[knnLshOracle]]: both corpora's
-    * bucket bits from the same seeded planes (inlined as literals),
-    * the bucket equi-join, then the exact rounded-cosine gate.
+  /** q58's oracle, generated like [[embeddingNearDupOracle]]: both
+    * corpora's per-band bucket bits from the seeded planes (seed
+    * 42+band, inlined as literals), candidates = pairs colliding in
+    * ANY band with BOTH sides' hot buckets dropped (the same cap the
+    * Spark side applies), then the exact rounded-cosine gate.
     */
   private def crossLinkingOracle: String = {
-    val planes = graft.functions.VectorFunctions.randomPlanes(nPlanes = 8, dim = 64, seed = 42L)
-    def bucketExpr(vec: String): String = planes.zipWithIndex.map { case (p, j) =>
-      s"(CASE WHEN list_dot_product($vec, ${p.mkString("[", ", ", "]")}) >= 0 THEN ${1L << j} ELSE 0 END)"
-    }.mkString("\n      + ")
+    def bucketExpr(vec: String, bandSeed: Long): String =
+      graft.functions.VectorFunctions.randomPlanes(nPlanes = 8, dim = 64, seed = bandSeed)
+        .zipWithIndex.map { case (p, j) =>
+          s"(CASE WHEN list_dot_product($vec, ${p.mkString("[", ", ", "]")}) >= 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+    val bucketCols = (0 until 2)
+      .map(b => s"${bucketExpr("CAST(embedding AS DOUBLE[])", 42L + b)} AS b$b")
+      .mkString(",\n    ")
+    // mirror the per-side hot-bucket cap: a (band, bucket) hotter than
+    // DefaultMaxBucketSize on either side is dropped from candidates
+    val cap = graft.operators.Dedup.DefaultMaxBucketSize
+    val bandJoins = (0 until 2)
+      .map(b => s"  SELECT l.vec_id AS id_a, r.vec_id AS id_b FROM l JOIN r ON l.b$b = r.b$b\n" +
+        s"  WHERE l.b$b NOT IN (SELECT b$b FROM l GROUP BY b$b HAVING count(*) > $cap)\n" +
+        s"    AND r.b$b NOT IN (SELECT b$b FROM r GROUP BY b$b HAVING count(*) > $cap)")
+      .mkString("\n  UNION\n")
     s"""WITH l AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-       |    ${bucketExpr("CAST(embedding AS DOUBLE[])")} AS b
+       |    $bucketCols
        |  FROM embeddings WHERE vec_id % 2 = 0),
        |r AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-       |    ${bucketExpr("CAST(embedding AS DOUBLE[])")} AS b
-       |  FROM embeddings WHERE vec_id % 2 = 1)
-       |SELECT l.vec_id AS id_a, r.vec_id AS id_b,
-       |  round(list_cosine_similarity(l.e, r.e), 6) AS cosine
-       |FROM l JOIN r ON l.b = r.b
-       |WHERE round(list_cosine_similarity(l.e, r.e), 6) >= 0.2
+       |    $bucketCols
+       |  FROM embeddings WHERE vec_id % 2 = 1),
+       |cand AS (
+       |$bandJoins)
+       |SELECT c.id_a, c.id_b,
+       |  round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+       |FROM cand c JOIN l a ON c.id_a = a.vec_id JOIN r b ON c.id_b = b.vec_id
+       |WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.2
        |ORDER BY id_a, id_b""".stripMargin
   }
 

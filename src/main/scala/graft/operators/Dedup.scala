@@ -41,7 +41,7 @@ object Dedup {
     * partitioning (no extra exchange on the capped side); `<= 0`
     * disables the cap.
     */
-  private def capBuckets(banded: DataFrame, keys: Seq[String], maxBucketSize: Int): DataFrame =
+  private[operators] def capBuckets(banded: DataFrame, keys: Seq[String], maxBucketSize: Int): DataFrame =
     if (maxBucketSize <= 0) banded
     else {
       val sizes = banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bucket_n"))

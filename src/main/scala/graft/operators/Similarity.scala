@@ -138,16 +138,37 @@ object Similarity {
     * nothing there) and the output cosine is computed from the raw
     * vectors too — the float-cast re-normalize would inject ~1e-7
     * noise into a value the oracle recomputes exactly.
+    *
+    * Scale shape matches [[Dedup.embeddingNearDuplicates]]: `bands > 1`
+    * is the AND-OR construction (band b hashes with planes seeded
+    * `seed + b`; a pair is a candidate if it collides in ANY band), so
+    * recall at a given cosine is tuned by adding bands instead of
+    * loosening every bucket; and BOTH sides are bucket-capped — a
+    * (band, bucket) hot on either side is boilerplate (near-zero
+    * vectors, templated embeddings) whose |L|×|R| pair fan-out would
+    * dominate the join at corpus scale, so its rows are dropped from
+    * candidate generation on that side.
     */
   def crossSimilarity(left: DataFrame, right: DataFrame, idA: String, idB: String,
       vecCol: String, minCosine: Double, nPlanes: Int = 8, dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
-    val planes = VectorFunctions.randomPlanes(nPlanes, dim, seed)
-    val l = left.select(col(idA).as("id_a"), col(vecCol).as("v_a"))
-      .withColumn("bucket", VectorFunctions.hyperplaneBucket(col("v_a"), planes))
-    val r = right.select(col(idB).as("id_b"), col(vecCol).as("v_b"))
-      .withColumn("bucket", VectorFunctions.hyperplaneBucket(col("v_b"), planes))
-    l.join(r, Seq("bucket"))
+      seed: Long = 42L, bands: Int = 1,
+      maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
+    require(bands >= 1, "bands must be >= 1")
+    def bucketize(df: DataFrame, id: String, outId: String, outV: String): DataFrame = {
+      val base = df.select(col(id).as(outId), col(vecCol).as(outV))
+      val bandStructs = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          VectorFunctions.hyperplaneBucket(col(outV),
+            VectorFunctions.randomPlanes(nPlanes, dim, seed + b)).as("bucket"))
+      }
+      base.select(col(outId), col(outV), explode(array(bandStructs: _*)).as("lsh"))
+        .select(col(outId), col(outV), col("lsh.band"), col("lsh.bucket"))
+    }
+    val l = Dedup.capBuckets(bucketize(left, idA, "id_a", "v_a"),
+      Seq("band", "bucket"), maxBucketSize)
+    val r = Dedup.capBuckets(bucketize(right, idB, "id_b", "v_b"),
+      Seq("band", "bucket"), maxBucketSize)
+    l.join(r, Seq("band", "bucket"))
       .select(col("id_a"), col("id_b"),
         round(VectorFunctions.cosine(col("v_a"), col("v_b")), 6).as("cosine"))
       .filter(col("cosine") >= minCosine)

@@ -105,6 +105,37 @@ class ScaleSpec extends SparkSpec {
     assert(embPairs.length < 1000)
   }
 
+  test("crossSimilarity caps hot buckets on both sides; bands only add candidates") {
+    import graft.operators.Similarity
+    // adversarial linking corpus: 2000 identical vectors on EACH side
+    // (the same hot bucket in every band — 4M cross pairs uncapped),
+    // plus one planted cross-pair in the opposite sign quadrant
+    val hotL = ((1 to 2000).map(i => (i.toLong, Array.fill(8)(1.0f))) ++
+      Seq((9001L, Array(-1f, -2f, -3f, -4f, -5f, -6f, -7f, -8f)))).toDF("qid", "embedding")
+    val hotR = ((1 to 2000).map(i => (10000L + i, Array.fill(8)(1.0f))) ++
+      Seq((9002L, Array(-1f, -2f, -3f, -4f, -5f, -6f, -7f, -8.01f)))).toDF("cid", "embedding")
+    val linked = Similarity.crossSimilarity(hotL, hotR, "qid", "cid", "embedding",
+      minCosine = 0.9, nPlanes = 4, dim = 8, maxBucketSize = 100)
+    val pairs = linked.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((9001L, 9002L)), "planted cross pair must survive the cap")
+    assert(pairs.length < 1000, s"per-side bucket cap must bound the join, got ${pairs.length}")
+
+    // AND-OR banding: band 0 uses the same seeded planes in both runs,
+    // so the 2-band candidate set is a superset of the 1-band one
+    val rnd = new scala.util.Random(7)
+    val vecs = (1L to 60L).map(i => (i, Array.fill(8)(rnd.nextFloat() - 0.5f)))
+    val l = vecs.filter(_._1 % 2 == 0).toDF("qid", "embedding")
+    val r = vecs.filter(_._1 % 2 == 1).toDF("cid", "embedding")
+    def run(bands: Int): Set[(Long, Long)] =
+      Similarity.crossSimilarity(l, r, "qid", "cid", "embedding",
+          minCosine = 0.0, nPlanes = 4, dim = 8, bands = bands)
+        .select("id_a", "id_b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val one = run(1)
+    val two = run(2)
+    assert(one.subsetOf(two), "2-band candidates must contain all 1-band candidates")
+    assert(two.size > one.size, "the second band should surface extra candidates here")
+  }
+
   test("dedupCorpus is unchanged by the default cap on a normal corpus") {
     import graft.operators.Dedup
     val docs = graft.core.Engine.table(spark, sfDir, "documents")
