@@ -277,6 +277,64 @@ object CatalystExpressions {
       copy(l, r)
   }
 
+  /** Argmax-similarity cluster assignment against a fixed centroid
+    * matrix: one expression, one tight loop — replaces the per-centroid
+    * `least(struct(negsim, i), …)` ladder whose O(k) expression tree
+    * blows up analysis/codegen at k ≥ a few hundred (IVF wants
+    * k = 256–4096). The matrix rides inside the expression; Spark
+    * broadcasts the serialized task binary once per stage, so a
+    * k=4096 × dim=64 matrix (~2 MB) ships once per executor, not per
+    * row or per task.
+    *
+    * Semantics replicate the ladder exactly: the input vector is
+    * L2-normalized with each element rounded back to FLOAT (matching
+    * [[VectorFunctions.l2Normalize]]'s cast, so assignments are
+    * bit-identical to the composed-Column formulation), similarity is
+    * the double-accumulated dot product, ties resolve to the lowest
+    * cluster index. Null input → null; a centroid of mismatched
+    * dimension never wins (dot against it is undefined — the ladder's
+    * null-struct edge case that real same-dim embeddings never hit).
+    */
+  case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    private lazy val elemFloat = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      @inline def elem(i: Int): Double =
+        if (elemFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      var ss = 0.0
+      var i = 0
+      while (i < n) { val x = elem(i); ss += x * x; i += 1 }
+      val nrm = math.sqrt(ss)
+      // normalized element, float-rounded like l2Normalize (zero-norm
+      // vectors pass through unnormalized, also like l2Normalize)
+      @inline def unit(i: Int): Double =
+        if (nrm == 0.0) elem(i)
+        else if (elemFloat) (elem(i) / nrm).toFloat.toDouble
+        else elem(i) / nrm
+      var best = -1
+      var bestSim = Double.NegativeInfinity
+      var c = 0
+      while (c < centroids.length) {
+        val cent = centroids(c)
+        if (cent.length == n) {
+          var sim = 0.0
+          var j = 0
+          while (j < n) { sim += unit(j) * cent(j); j += 1 }
+          if (sim > bestSim) { best = c; bestSim = sim }
+        }
+        c += 1
+      }
+      if (best < 0) null else best
+    }
+    override protected def withNewChildInternal(c: Expression): NearestCentroid = copy(c)
+  }
+
   // ------------------------------------------------------- Column API
 
   import org.apache.spark.sql.graft.bridge.{columnOf => column, expressionOf => expression}
@@ -295,6 +353,9 @@ object CatalystExpressions {
     column(DotProduct(expression(a), expression(b)))
 
   def tokenize(text: Column): Column = column(Tokenize(expression(text)))
+
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    column(NearestCentroid(expression(vec), centroids))
 
   def shingleHashes(tokenHashes: Column, k: Int): Column =
     column(ShingleHashes(expression(tokenHashes), k))

@@ -78,15 +78,15 @@ object Similarity {
     require(centroids.nonEmpty,
       s"ivfIndex: sample fraction $fitSampleFraction yielded no rows to seed centroids")
 
-    def assign(target: DataFrame, c: Array[Array[Double]]): DataFrame = {
-      val scored = c.zipWithIndex.map { case (cent, i) =>
-        val centCol = array(cent.map(lit): _*)
-        struct((lit(0.0) - VectorFunctions.dot(
-          VectorFunctions.l2Normalize(col(vecCol)), centCol)).as("negsim"),
-          lit(i).as("cluster"))
-      }
-      target.withColumn("cluster", least(scored: _*).getField("cluster"))
-    }
+    // One custom expression, not a per-centroid least(struct…) ladder:
+    // the ladder's O(k) expression tree chokes analysis/codegen at the
+    // k=256-4096 an IVF index actually wants, while the matrix inside
+    // one expression ships via the stage's broadcast task binary.
+    // Assignment semantics (float-rounded normalize, lowest-index tie
+    // break) are bit-identical — see NearestCentroid's scaladoc.
+    def assign(target: DataFrame, c: Array[Array[Double]]): DataFrame =
+      target.withColumn("cluster",
+        graft.functions.CatalystExpressions.nearestCentroid(col(vecCol), c))
 
     var it = 0
     while (it < iterations) {

@@ -43,6 +43,48 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.contains(0L))
   }
 
+  test("nearestCentroid matches the least(struct) ladder bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = ((1L to 200L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))) :+
+      (999L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding") // zero-norm edge case
+    val cents = Array.fill(17)(Array.fill(8)(rnd.nextGaussian())).map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum); c.map(_ / n)
+    }
+    // the replaced formulation, verbatim
+    val ladder = vecs.withColumn("cluster",
+      least(cents.zipWithIndex.map { case (cent, i) =>
+        struct((lit(0.0) - graft.functions.VectorFunctions.dot(
+          graft.functions.VectorFunctions.l2Normalize(col("embedding")),
+          array(cent.map(lit): _*))).as("negsim"), lit(i).as("cluster"))
+      }: _*).getField("cluster"))
+    val expr = vecs.withColumn("cluster",
+      graft.functions.CatalystExpressions.nearestCentroid(col("embedding"), cents))
+    val l = ladder.collect().map(r => (r.getLong(0), r.getInt(2))).sortBy(_._1)
+    val e = expr.collect().map(r => (r.getLong(0), r.getInt(2))).sortBy(_._1)
+    assert(e === l)
+  }
+
+  test("ivf fits k=256 without an O(k) expression tree in the plan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vecs = (1L to 600L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val index = Similarity.ivfIndex(vecs, "vec_id", "embedding",
+      nCentroids = 256, iterations = 1, fitSampleFraction = 1.0)
+    assert(index.centroids.length == 256)
+    // the assignment plan carries ONE expression holding the matrix —
+    // the ladder this replaces had ~5 nodes per centroid (>1200 at
+    // k=256), which is what blew up analysis/codegen
+    val nodes = index.assignments.queryExecution.optimizedPlan.expressions
+      .map(e => { var c = 0; e.foreach(_ => c += 1); c }).sum
+    assert(nodes < 60, s"assignment expression tree too large: $nodes nodes")
+    val clusters = index.assignments.select("cluster").distinct()
+      .collect().map(_.getInt(0))
+    assert(clusters.forall(c => c >= 0 && c < 256))
+    assert(clusters.length > 32, "600 spread vectors should hit many of 256 clusters")
+  }
+
   test("cross-corpus similarity links each vector to itself") {
     val self = Similarity.crossSimilarity(
       emb.select(col("vec_id").as("qid"), col("embedding")),
