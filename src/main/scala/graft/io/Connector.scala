@@ -130,6 +130,70 @@ object Connector {
     accepted.value
   }
 
+  // --------------------------------------------------- remote SQL (JDBC)
+
+  /** Default row cap of the remote-SQL source
+    * (`bigquery_tool.py:153`).
+    */
+  val DefaultSqlMaxRows: Int = 1000
+
+  /** Hard ceiling no caller can exceed (`bigquery_tool.py:207-214`). */
+  val HardSqlMaxRows: Int = 10000
+
+  /** Split spec for parallel remote reads: Spark issues one range
+    * query per partition (`column BETWEEN …`), the standard way to
+    * fan a warehouse extract across executors.
+    */
+  final case class SqlPartitioning(column: String, lower: Long, upper: Long,
+      numPartitions: Int)
+
+  /** Remote-SQL warehouse source (the real-transport half of S6, whose
+    * pattern/accounting the BigQuery surface established): run a gated
+    * SELECT on a remote database over Spark's JDBC source, with the
+    * reference's `max_rows` cap + truncation flag
+    * (`bigquery_tool.py:149-275`).
+    *
+    * - The SQL text is validated by [[graft.sql.QueryGate]] BEFORE it
+    *   is sent anywhere: any DDL/DML anywhere in the tree (CTEs,
+    *   subqueries) throws [[graft.sql.QueryGate.RejectedQuery]] — the
+    *   plan-walk upgrade over the reference's keyword denylist.
+    * - `maxRows` is clamped to [[HardSqlMaxRows]] like the reference's
+    *   hard cutoff; the truncation flag comes from one row of
+    *   lookahead via [[graft.sql.QueryStats.run]] (scan-side file
+    *   bytes read 0 here — remote byte accounting is server-side,
+    *   which JDBC does not expose).
+    * - `partitioning` fans the read across executors as range splits;
+    *   unsplit reads push the whole query text down to the remote
+    *   (`query` option), so filters/aggregates run warehouse-side.
+    *
+    * Scale note: this source is for warehouse-extract workloads — the
+    * cap bounds what reaches the driver-facing result, while bulk
+    * extraction goes through `partitioning` + a durable write, never
+    * through a driver collect.
+    */
+  def sqlSource(spark: SparkSession, url: String, query: String,
+      options: Map[String, String] = Map.empty,
+      maxRows: Int = DefaultSqlMaxRows,
+      partitioning: Option[SqlPartitioning] = None): graft.sql.QueryStats.Stats = {
+    graft.sql.QueryGate.validate(spark, query) match {
+      case Left(reason) => throw graft.sql.QueryGate.RejectedQuery(reason)
+      case Right(_) => ()
+    }
+    val cap = math.min(math.max(1, maxRows), HardSqlMaxRows)
+    val base = spark.read.format("jdbc").option("url", url).options(options)
+    val df = partitioning match {
+      case Some(p) => base
+        .option("dbtable", s"($query) graft_q")
+        .option("partitionColumn", p.column)
+        .option("lowerBound", p.lower.toString)
+        .option("upperBound", p.upper.toString)
+        .option("numPartitions", p.numPartitions.toString)
+        .load()
+      case None => base.option("query", query).load()
+    }
+    graft.sql.QueryStats.run(df, cap)
+  }
+
   /** In-memory transport for tests/offline runs: serves a fixed row
     * set in pages; records writes (per JVM).
     */

@@ -91,6 +91,53 @@ class ConnectorSpec extends SparkSpec {
     assert(byFile("flate.pdf") == Seq("Compressed stream says hi"))
   }
 
+  test("jdbc sql source: gated SELECT with max_rows + truncation parity") {
+    // in-JVM Derby as the "remote" warehouse
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("CREATE TABLE metrics (id INT PRIMARY KEY, val DOUBLE)")
+      (1 to 25).foreach(i => st.executeUpdate(s"INSERT INTO metrics VALUES ($i, ${i * 1.5})"))
+      st.close()
+
+      // capped read: 10 rows back + the truncation flag, like the
+      // reference's max_rows path
+      val capped = graft.io.Connector.sqlSource(spark, url,
+        "SELECT id, val FROM metrics ORDER BY id", maxRows = 10)
+      assert(capped.truncated && capped.rowCount == 10L)
+      assert(capped.rows.collect().map(_.getInt(0)).toSet == (1 to 10).toSet)
+
+      // uncapped (cap above result size): full rows, no flag
+      val full = graft.io.Connector.sqlSource(spark, url,
+        "SELECT id FROM metrics", maxRows = 100)
+      assert(!full.truncated && full.rowCount == 25L)
+
+      // the hard ceiling clamps oversized caps (reference hard cutoff)
+      assert(graft.io.Connector.HardSqlMaxRows == 10000)
+      val clamped = graft.io.Connector.sqlSource(spark, url,
+        "SELECT id FROM metrics", maxRows = 1000000)
+      assert(!clamped.truncated && clamped.rowCount == 25L)
+
+      // warehouse-side pushdown stays SELECT-only: DML is rejected
+      // BEFORE any connection is attempted
+      intercept[graft.sql.QueryGate.RejectedQuery] {
+        graft.io.Connector.sqlSource(spark, url, "DELETE FROM metrics")
+      }
+      intercept[graft.sql.QueryGate.RejectedQuery] {
+        graft.io.Connector.sqlSource(spark, url,
+          "WITH x AS (SELECT 1 AS a) INSERT INTO metrics SELECT a, 0 FROM x")
+      }
+
+      // partitioned extract: range splits fan the read across tasks
+      val split = graft.io.Connector.sqlSource(spark, url,
+        "SELECT id, val FROM metrics",
+        maxRows = 100,
+        partitioning = Some(graft.io.Connector.SqlPartitioning("id", 1L, 26L, 3)))
+      assert(!split.truncated && split.rowCount == 25L)
+    } finally conn.close()
+  }
+
   test("pdf read: per-page rows, range selection, corrupt-file isolation") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pdf")
     java.nio.file.Files.write(dir.resolve("doc1.pdf"),
