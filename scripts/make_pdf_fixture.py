@@ -46,6 +46,83 @@ def build_pdf(content_streams, compress=False):
     return bytes(out)
 
 
+def build_pdf_xrefstream(content_streams):
+    """PDF 1.5 layout: catalog/pages/page dicts inside a FlateDecode
+    object stream (/ObjStm, type-2 xref entries), a cross-reference
+    STREAM (/Type /XRef, W=[1 2 2]) encoded with PNG predictor 12 —
+    the shape virtually every modern generator emits. Content streams
+    are emitted in REVERSE byte order so only a reader that walks the
+    page tree (not a linear stream scan) gets the page order right.
+    """
+    n = len(content_streams)
+    page_nums = list(range(3, 3 + n))
+    content_nums = list(range(3 + n, 3 + 2 * n))
+    objstm_num = 3 + 2 * n
+    xref_num = objstm_num + 1
+    size = xref_num + 1
+
+    kids = " ".join(f"{p} 0 R" for p in page_nums)
+    in_objstm = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode()),
+    ] + [
+        (p, f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {c} 0 R >>".encode())
+        for p, c in zip(page_nums, content_nums)
+    ]
+    bodies = b""
+    pair_offs = []
+    for num, body in in_objstm:
+        pair_offs.append((num, len(bodies)))
+        bodies += body + b" "
+    header = (" ".join(f"{num} {off}" for num, off in pair_offs) + " ").encode()
+    objstm_data = zlib.compress(header + bodies)
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+
+    def emit(num, dict_bytes, stream=None):
+        offsets[num] = len(out)
+        out.extend(f"{num} 0 obj\n".encode() + dict_bytes)
+        if stream is not None:
+            out.extend(b"\nstream\n" + stream + b"\nendstream")
+        out.extend(b"\nendobj\n")
+
+    # reverse byte order on purpose (see docstring)
+    for cnum, cs in reversed(list(zip(content_nums, content_streams))):
+        data = zlib.compress(cs.encode("latin-1"))
+        emit(cnum, f"<< /Length {len(data)} /Filter /FlateDecode >>".encode(), data)
+    emit(objstm_num,
+         f"<< /Type /ObjStm /N {len(in_objstm)} /First {len(header)} "
+         f"/Filter /FlateDecode /Length {len(objstm_data)} >>".encode(),
+         objstm_data)
+
+    entries = {0: (0, 0, 65535)}
+    for i, (num, _) in enumerate(in_objstm):
+        entries[num] = (2, objstm_num, i)
+    for cnum in content_nums:
+        entries[cnum] = (1, offsets[cnum], 0)
+    entries[objstm_num] = (1, offsets[objstm_num], 0)
+    xref_offset = len(out)
+    entries[xref_num] = (1, xref_offset, 0)
+    rows = [bytes([entries[num][0]]) + entries[num][1].to_bytes(2, "big")
+            + entries[num][2].to_bytes(2, "big") for num in range(size)]
+    cols = 5
+    pred = bytearray()
+    prev = bytes(cols)
+    for row in rows:
+        pred.append(2)  # PNG "Up" filter
+        pred.extend((row[i] - prev[i]) & 0xff for i in range(cols))
+        prev = row
+    xdata = zlib.compress(bytes(pred))
+    emit(xref_num,
+         (f"<< /Type /XRef /Size {size} /W [1 2 2] /Root 1 0 R "
+          f"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns {cols} >> "
+          f"/Length {len(xdata)} >>").encode(), xdata)
+    out.extend(f"startxref\n{xref_offset}\n%%EOF\n".encode())
+    return bytes(out)
+
+
 def main():
     os.makedirs(OUT_DIR, exist_ok=True)
     plain = build_pdf([
@@ -62,7 +139,18 @@ def main():
     ], compress=True)
     with open(os.path.join(OUT_DIR, "flate.pdf"), "wb") as f:
         f.write(flate)
-    print(f"wrote plain.pdf ({len(plain)}b), flate.pdf ({len(flate)}b) in {OUT_DIR}")
+    # identical text to plain.pdf, PDF 1.5 xref-stream + ObjStm layout
+    xrefstream = build_pdf_xrefstream([
+        "BT /F1 12 Tf 72 720 Td (Hello, first page!) Tj T* "
+        "[(Kerned ) -250 (text \\(grouped\\)) ] TJ ET",
+        "BT /F1 12 Tf 72 720 Td (Second page) Tj T* "
+        "(line with \\051 octal and <68657821> follows) Tj "
+        "<776f726c64> Tj ET",
+    ])
+    with open(os.path.join(OUT_DIR, "xrefstream.pdf"), "wb") as f:
+        f.write(xrefstream)
+    print(f"wrote plain.pdf ({len(plain)}b), flate.pdf ({len(flate)}b), "
+          f"xrefstream.pdf ({len(xrefstream)}b) in {OUT_DIR}")
 
 
 if __name__ == "__main__":

@@ -68,18 +68,340 @@ object PdfSource {
     else text.grouped(1024).toSeq
   }
 
-  /** Minimal REAL PDF text kernel, pure JDK: handles the common shape
-    * generators emit — classic cross-reference files whose page
-    * content streams are plain or FlateDecode-compressed
-    * (`java.util.zip.Inflater`), text drawn with Tj / TJ / ' / "
-    * between BT..ET. Each text-bearing content stream becomes one
-    * page, in byte order. Out of scope (documented): encryption,
-    * object streams, multi-stream pages, CID/Type0 font decoding —
-    * the reference reaches those through pypdf
-    * (`pdf_read_tool.py:90-…`); here they surface as the
-    * no-extractable-text error row.
+  /** REAL PDF text kernel, pure JDK. Primary path: parse the
+    * cross-reference (classic tables AND PDF 1.5+ cross-reference
+    * streams with PNG predictors — the shape every modern generator
+    * emits), resolve objects (including type-2 entries living inside
+    * FlateDecode `/ObjStm` object streams), walk Catalog → /Pages →
+    * /Kids in tree order, and decode each page's /Contents (single or
+    * array) — so pages come back in DOCUMENT order with multi-stream
+    * pages joined, not in byte order. Any parse failure falls back to
+    * the byte-order linear stream scan ([[linearScanPages]]). Out of
+    * scope (documented): encryption, CID/Type0 font decoding — the
+    * reference reaches those through pypdf (`pdf_read_tool.py:90-…`);
+    * here they surface as the no-extractable-text error row.
     */
   private[graft] def extractPdfPages(bytes: Array[Byte]): Seq[String] = {
+    val viaXref =
+      try extractPagesViaXref(bytes)
+      catch { case _: Exception => None }
+    viaXref match {
+      case Some(ps) if ps.exists(_.nonEmpty) => ps
+      case _ => linearScanPages(bytes)
+    }
+  }
+
+  // ----------------------------------------------------- xref machinery
+
+  /** An xref entry: where object N lives. */
+  private sealed trait XrefEntry
+  private final case class AtOffset(offset: Int) extends XrefEntry
+  private final case class InObjStm(streamObj: Int, idx: Int) extends XrefEntry
+
+  /** Substring of the balanced `<< … >>` dictionary starting at the
+    * first `<<` at/after `from`. (String/hex literals inside dicts
+    * containing unbalanced `<<`/`>>` are out of scope — content this
+    * kernel reads puts those only in content streams.)
+    */
+  private def balancedDict(raw: String, from: Int): String = {
+    val start = raw.indexOf("<<", from)
+    if (start < 0) return ""
+    var i = start
+    var depth = 0
+    while (i + 1 < raw.length) {
+      if (raw.charAt(i) == '<' && raw.charAt(i + 1) == '<') { depth += 1; i += 2 }
+      else if (raw.charAt(i) == '>' && raw.charAt(i + 1) == '>') {
+        depth -= 1; i += 2
+        if (depth == 0) return raw.substring(start, i)
+      }
+      else i += 1
+    }
+    ""
+  }
+
+  private val RefPattern = """/%s\s+(\d+)\s+\d+\s+R"""
+  private def objRef(dict: String, key: String): Option[Int] =
+    RefPattern.format(key).r.findFirstMatchIn(dict).map(_.group(1).toInt)
+  private def intKey(dict: String, key: String): Option[Int] =
+    s"""/$key\\s+(\\d+)""".r.findFirstMatchIn(dict).map(_.group(1).toInt)
+  private def intArray(dict: String, key: String): Option[Seq[Int]] =
+    s"""/$key\\s*\\[([^\\]]*)\\]""".r.findFirstMatchIn(dict)
+      .map(_.group(1).trim.split("\\s+").filter(_.nonEmpty).map(_.toInt).toSeq)
+
+  /** Reverse a PNG row predictor (Predictor ≥ 10; bpp = 1 as xref
+    * streams use): each encoded row = 1 filter-type byte + `columns`
+    * bytes. Predictor < 10 (None/TIFF) returns the data unchanged —
+    * TIFF prediction does not occur in xref streams in practice.
+    */
+  private[graft] def unpredict(data: Array[Byte], predictor: Int, columns: Int): Array[Byte] = {
+    if (predictor < 10) return data
+    val rowLen = columns + 1
+    val rows = data.length / rowLen
+    val out = new Array[Byte](rows * columns)
+    var prev = new Array[Byte](columns)
+    var r = 0
+    while (r < rows) {
+      val ft = data(r * rowLen) & 0xff
+      val row = java.util.Arrays.copyOfRange(data, r * rowLen + 1, r * rowLen + rowLen)
+      var i = 0
+      while (i < columns) {
+        val left = if (i > 0) row(i - 1) & 0xff else 0
+        val up = prev(i) & 0xff
+        val upLeft = if (i > 0) prev(i - 1) & 0xff else 0
+        val add = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => // Paeth
+            val p = left + up - upLeft
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - upLeft)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft
+          case _ => 0
+        }
+        row(i) = ((row(i) & 0xff) + add).toByte
+        i += 1
+      }
+      System.arraycopy(row, 0, out, r * columns, columns)
+      prev = row
+      r += 1
+    }
+    out
+  }
+
+  /** Raw (still encoded) stream data range following the dict whose
+    * `stream` keyword starts at/after `from`; uses the direct /Length
+    * when present and sane, else scans for `endstream`.
+    */
+  private def streamDataRange(raw: String, dict: String, from: Int): Option[(Int, Int)] = {
+    val s = raw.indexOf("stream", from)
+    if (s < 0) return None
+    var dataStart = s + "stream".length
+    if (dataStart < raw.length && raw.charAt(dataStart) == '\r') dataStart += 1
+    if (dataStart < raw.length && raw.charAt(dataStart) == '\n') dataStart += 1
+    val lenMatch = """/Length\s+(\d+)(?!\s+\d+\s+R)""".r.findFirstMatchIn(dict)
+    val end = lenMatch.map(m => dataStart + m.group(1).toInt)
+      .filter(e => e <= raw.length && raw.indexOf("endstream", e) >= 0 &&
+        raw.indexOf("endstream", e) - e < 4)
+      .orElse(Option(raw.indexOf("endstream", dataStart)).filter(_ >= 0))
+    end.map(e => (dataStart, e))
+  }
+
+  /** Decode one stream's bytes per its dict: FlateDecode + optional
+    * PNG predictor (`/DecodeParms << /Predictor P /Columns C >>`).
+    */
+  private def decodeStream(bytes: Array[Byte], raw: String, dict: String,
+      from: Int): Option[Array[Byte]] =
+    streamDataRange(raw, dict, from).flatMap { case (a, b) =>
+      val data = java.util.Arrays.copyOfRange(bytes, a, b)
+      val plain = if (dict.contains("/FlateDecode")) inflate(data) else Some(data)
+      plain.map { p =>
+        (intKey(dict, "Predictor"), intKey(dict, "Columns")) match {
+          case (Some(pred), Some(cols)) if pred >= 10 => unpredict(p, pred, cols)
+          case _ => p
+        }
+      }
+    }
+
+  /** Parse the full cross-reference reachable from `startxref`
+    * (classic tables and xref streams, following /Prev chains;
+    * first-seen entry wins, as newer sections shadow older ones) and
+    * extract page texts in page-tree order. None = structure this
+    * kernel can't resolve (caller falls back to the linear scan).
+    */
+  private[graft] def extractPagesViaXref(bytes: Array[Byte]): Option[Seq[String]] = {
+    val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val sx = raw.lastIndexOf("startxref")
+    if (sx < 0) return None
+    val startOff = """\d+""".r.findFirstIn(raw.substring(sx + 9)).map(_.toInt).getOrElse(-1)
+    if (startOff < 0 || startOff >= raw.length) return None
+
+    val entries = scala.collection.mutable.Map.empty[Int, XrefEntry]
+    var rootRef: Option[Int] = None
+
+    def addEntry(num: Int, e: XrefEntry): Unit =
+      if (!entries.contains(num)) { entries(num) = e; () }
+
+    // parse one xref section at `at`; returns the /Prev offset if any
+    def parseSection(at: Int): Option[Int] = {
+      var i = at
+      while (i < raw.length && raw.charAt(i).isWhitespace) i += 1
+      if (raw.regionMatches(i, "xref", 0, 4)) {
+        // classic table: subsections of "start count" + 20-byte rows
+        i += 4
+        var parsing = true
+        while (parsing) {
+          while (i < raw.length && raw.charAt(i).isWhitespace) i += 1
+          val m = """^(\d+)\s+(\d+)""".r.findFirstMatchIn(raw.substring(i, math.min(i + 40, raw.length)))
+          m match {
+            case Some(sub) =>
+              val first = sub.group(1).toInt
+              val count = sub.group(2).toInt
+              i += sub.end
+              while (i < raw.length && raw.charAt(i).isWhitespace) i += 1
+              var k = 0
+              while (k < count) {
+                val row = raw.substring(i, math.min(i + 20, raw.length))
+                if (row.length >= 18 && row.charAt(17) == 'n')
+                  addEntry(first + k, AtOffset(row.substring(0, 10).toInt))
+                i += 20
+                k += 1
+              }
+            case None => parsing = false
+          }
+        }
+        val t = raw.indexOf("trailer", i)
+        if (t < 0) return None
+        val dict = balancedDict(raw, t)
+        if (rootRef.isEmpty) rootRef = objRef(dict, "Root")
+        intKey(dict, "Prev")
+      } else {
+        // xref STREAM: "N G obj << /Type /XRef /W [...] ... >> stream"
+        val dict = balancedDict(raw, i)
+        if (!dict.contains("/XRef")) return None
+        val w = intArray(dict, "W").getOrElse(return None)
+        if (w.isEmpty) return None
+        val size = intKey(dict, "Size").getOrElse(return None)
+        val index = intArray(dict, "Index").getOrElse(Seq(0, size))
+        val data = decodeStream(bytes, raw, dict, raw.indexOf(dict, i) + dict.length)
+          .getOrElse(return None)
+        val rowLen = w.sum
+        var pos = 0
+        index.grouped(2).foreach {
+          case Seq(first, count) =>
+            var k = 0
+            while (k < count && pos + rowLen <= data.length) {
+              // big-endian fields; a zero-width type field defaults to 1
+              var off = pos
+              def field(width: Int): Long = {
+                var v = 0L
+                var j = 0
+                while (j < width) { v = (v << 8) | (data(off + j) & 0xffL); j += 1 }
+                off += width
+                v
+              }
+              val t = if (w(0) == 0) 1L else field(w(0))
+              val f2 = if (w.length > 1) field(w(1)) else 0L
+              val f3 = if (w.length > 2) field(w(2)) else 0L
+              t match {
+                case 1L => addEntry(first + k, AtOffset(f2.toInt))
+                case 2L => addEntry(first + k, InObjStm(f2.toInt, f3.toInt))
+                case _ => () // type 0 = free
+              }
+              pos += rowLen
+              k += 1
+            }
+          case _ => ()
+        }
+        if (rootRef.isEmpty) rootRef = objRef(dict, "Root")
+        intKey(dict, "Prev")
+      }
+    }
+
+    var cursor = Option(startOff)
+    val seen = scala.collection.mutable.Set.empty[Int]
+    while (cursor.exists(c => !seen.contains(c))) {
+      val c = cursor.get
+      seen += c
+      cursor = parseSection(c)
+    }
+
+    // --- object resolution ------------------------------------------
+    val objCache = scala.collection.mutable.Map.empty[Int, String]
+    // body text of object `num`: its dict (and trailing body) without
+    // stream data; resolves type-2 entries through their object stream
+    def objString(num: Int, depth: Int = 0): Option[String] = {
+      if (depth > 8) return None // cyclic/malicious nesting guard
+      objCache.get(num).orElse {
+        val resolved = entries.get(num).flatMap {
+          case AtOffset(off) if off >= 0 && off < raw.length =>
+            val objKw = raw.indexOf("obj", off)
+            if (objKw < 0) None
+            else {
+              val end = raw.indexOf("endobj", objKw)
+              val streamKw = raw.indexOf("stream", objKw)
+              val bodyEnd =
+                if (end < 0) raw.length
+                else if (streamKw >= 0 && streamKw < end) streamKw
+                else end
+              Some(raw.substring(objKw + 3, bodyEnd))
+            }
+          case InObjStm(stmNum, idx) =>
+            for {
+              stmDict <- objString(stmNum, depth + 1)
+              first <- intKey(stmDict, "First")
+              n <- intKey(stmDict, "N")
+              data <- decodeObjStm(stmNum, depth)
+              if idx < n
+            } yield {
+              val header = new String(data, 0, math.min(first, data.length),
+                java.nio.charset.StandardCharsets.ISO_8859_1)
+              val pairs = header.trim.split("\\s+").filter(_.nonEmpty).map(_.toInt)
+              val offInStm = first + pairs(idx * 2 + 1)
+              val next =
+                if (idx + 1 < n && pairs.length > idx * 2 + 3) first + pairs(idx * 2 + 3)
+                else data.length
+              new String(data, offInStm, math.min(next, data.length) - offInStm,
+                java.nio.charset.StandardCharsets.ISO_8859_1)
+            }
+          case _ => None
+        }
+        resolved.foreach(objCache(num) = _)
+        resolved
+      }
+    }
+    // decoded payload of stream object `num`
+    def streamBytes(num: Int, depth: Int = 0): Option[Array[Byte]] =
+      entries.get(num).flatMap {
+        case AtOffset(off) if off >= 0 && off < raw.length =>
+          for {
+            dict <- objString(num, depth + 1)
+            data <- decodeStream(bytes, raw, dict, off)
+          } yield data
+        case _ => None // streams cannot live inside object streams
+      }
+    def decodeObjStm(num: Int, depth: Int): Option[Array[Byte]] = streamBytes(num, depth)
+
+    // --- page tree walk ---------------------------------------------
+    val root = rootRef.flatMap(objString(_)).getOrElse(return None)
+    val pagesTop = objRef(root, "Pages").getOrElse(return None)
+    val pageObjs = Seq.newBuilder[String]
+    val visited = scala.collection.mutable.Set.empty[Int]
+    def walk(num: Int): Unit = {
+      if (visited.contains(num)) return
+      visited += num
+      objString(num).foreach { d =>
+        val kids = s"""/Kids\\s*\\[([^\\]]*)\\]""".r.findFirstMatchIn(d).map(_.group(1))
+        kids match {
+          case Some(arr) =>
+            """(\d+)\s+\d+\s+R""".r.findAllMatchIn(arr).foreach(m => walk(m.group(1).toInt))
+          case None if d.contains("/Page") => pageObjs += d; ()
+          case None => ()
+        }
+      }
+    }
+    walk(pagesTop)
+    val pages = pageObjs.result().map { pd =>
+      // /Contents: one ref or an array of refs (joined in order)
+      val refs: Seq[Int] =
+        s"""/Contents\\s*\\[([^\\]]*)\\]""".r.findFirstMatchIn(pd)
+          .map(m => """(\d+)\s+\d+\s+R""".r.findAllMatchIn(m.group(1))
+            .map(_.group(1).toInt).toSeq)
+          .orElse(objRef(pd, "Contents").map(Seq(_)))
+          .getOrElse(Seq.empty)
+      refs.flatMap(streamBytes(_))
+        .map(b => contentText(new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)))
+        .filter(_.nonEmpty)
+        .mkString("\n")
+    }
+    if (pages.isEmpty) None else Some(pages)
+  }
+
+  /** The byte-order fallback: scan for `stream` keywords and treat
+    * every text-bearing (BT) stream as a page — works on classic
+    * single-generation files and anything whose xref is broken.
+    */
+  private[graft] def linearScanPages(bytes: Array[Byte]): Seq[String] = {
     val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
     val pages = Seq.newBuilder[String]
     var from = 0

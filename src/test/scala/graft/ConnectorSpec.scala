@@ -89,6 +89,13 @@ class ConnectorSpec extends SparkSpec {
     // text, and a real hex string decodes
     assert(plain(1) == "Second page\nline with ) octal and <68657821> followsworld")
     assert(byFile("flate.pdf") == Seq("Compressed stream says hi"))
+    // PDF 1.5 layout — xref STREAM (PNG predictor 12) + page dicts in
+    // a compressed /ObjStm — must extract the IDENTICAL text. The
+    // fixture stores content streams in reverse byte order, so correct
+    // page order here proves the page-tree walk (not the linear
+    // stream scan) produced it.
+    assert(byFile("xrefstream.pdf") == plain,
+      "xref-stream layout must extract identical text in page-tree order")
   }
 
   test("jdbc sql source: gated SELECT with max_rows + truncation parity") {
