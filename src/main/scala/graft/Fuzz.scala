@@ -114,8 +114,24 @@ object Fuzz {
        |GROUP BY ${gcols.mkString(", ")} ORDER BY ${gcols.mkString(", ")}""".stripMargin
   }
 
-  /** Window-function fuzz: ranking + running frame over a random
+  /** Window-function fuzz: ranking (row_number/rank/dense_rank/ntile)
+    * plus an analytic over a random frame — running/bounded ROWS
+    * frames, lag/lead offsets, first_value — over a random
     * partition/order, deterministic via a unique tiebreak column.
+    *
+    * Frame SUM/AVG go through exact integer-cents arithmetic
+    * (`CAST(round(x*100) AS BIGINT)`): sliding-frame float aggregation
+    * is engine-dependent (DuckDB slides a running accumulator, Spark
+    * recomputes the frame), so double sums land on opposite sides of a
+    * rounding boundary ~1/100 queries. Integer sums are exact and the
+    * single final division is IEEE-deterministic in both engines.
+    * The AVG form additionally rounds in integer space
+    * (`floor(cents_avg + 0.5) / 100`) because `round(double, 2)`
+    * itself diverges on exact .xx5 strings: Spark rounds the shortest
+    * decimal representation (BigDecimal.valueOf), DuckDB rounds the
+    * binary value, so 4.435 → 4.44 vs 4.43 on IDENTICAL input bits.
+    * lag/lead/first_value pass stored values through untouched, so
+    * they stay raw (CAST AS DOUBLE only unifies the result type).
     */
   private def genWindowQuery(rng: Rng): String = {
     val (table, uid, groupCols, numCol) = rng.pick(Seq(
@@ -123,14 +139,26 @@ object Fuzz {
       ("events", "event_id", Seq("event_type", "user_id"), "value"),
       ("customer", "c_custkey", Seq("c_mktsegment", "c_nationkey"), "c_acctbal")))
     val g = rng.pick(groupCols)
-    val fn = rng.pick(Seq("row_number()", "rank()", "dense_rank()"))
+    val fn = rng.pick(Seq("row_number()", "rank()", "dense_rank()",
+      s"ntile(${rng.int(5) + 2})"))
     val dir = rng.pick(Seq("ASC", "DESC"))
+    val ord = s"PARTITION BY $g ORDER BY $numCol $dir, $uid"
+    val k = rng.int(5) + 1
+    val cents = s"CAST(round($numCol * 100) AS BIGINT)"
+    val avgFrame = s"ROWS BETWEEN $k PRECEDING AND $k FOLLOWING"
+    val analytic = rng.pick(Seq(
+      s"sum($cents) OVER ($ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0",
+      s"sum($cents) OVER ($ord ROWS BETWEEN $k PRECEDING AND CURRENT ROW) / 100.0",
+      s"floor(sum($cents) OVER ($ord $avgFrame) * 1.0" +
+        s" / count($numCol) OVER ($ord $avgFrame) + 0.5) / 100.0",
+      s"lag($numCol, ${rng.int(3) + 1}) OVER ($ord)",
+      s"lead($numCol, ${rng.int(3) + 1}) OVER ($ord)",
+      s"first_value($numCol) OVER ($ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
     val topN = rng.int(15) + 1
-    s"""SELECT $g, $uid, rnk, run_sum FROM (
+    s"""SELECT $g, $uid, rnk, w_val FROM (
        |  SELECT $g, $uid,
-       |    $fn OVER (PARTITION BY $g ORDER BY $numCol $dir, $uid) AS rnk,
-       |    round(sum($numCol) OVER (PARTITION BY $g ORDER BY $numCol $dir, $uid
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum
+       |    $fn OVER ($ord) AS rnk,
+       |    round(CAST($analytic AS DOUBLE), 2) AS w_val
        |  FROM $table)
        |WHERE rnk <= $topN ORDER BY $g, rnk, $uid""".stripMargin
   }

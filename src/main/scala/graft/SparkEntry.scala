@@ -507,18 +507,26 @@ object SparkEntry {
         (abs(col("a_u") - col("e_u")) <= lit(0.05) * col("e_u")).as("users_within_5pct"),
         (abs(col("a_ue") - col("e_ue")) <= lit(0.05) * col("e_ue")).as("user_events_within_5pct"))
 
-  /** Multimodal: binary-column decode plumbing — documents as
-    * synthetic media bytes through the batched mapPartitions decode
-    * (stub kernel, real schema/batching), then metadata analytics. The
-    * stub's fake dimensions are a function of content LENGTH, so the
-    * oracle can restate the whole decode+aggregate path in SQL
-    * (byte-length arithmetic over the encoded text) — the gate then
-    * checks the mapPartitions plumbing end to end.
+  /** Multimodal: binary-column decode — documents as synthetic raw
+    * media bytes (length-derived stub dims the oracle restates as
+    * byte-length arithmetic) UNIONED with real PNG/JPEG fixtures whose
+    * dimensions come from REAL header parses (IHDR / SOF walk), known
+    * a priori and restated as literals in the oracle. The gate then
+    * checks the batched mapPartitions plumbing AND the real header
+    * kernels end to end.
     */
   private def q44(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val media = t(s, dir, "documents")
       .select(col("doc_id"), encode(col("text"), "utf-8").as("content"))
-    graft.operators.Multimodal.decode(media)
+    val M = graft.operators.Multimodal
+    val fixtures = Seq(
+      (1000001L, M.syntheticPng(640, 480)),
+      (1000002L, M.syntheticPng(800, 600)),
+      (1000003L, M.syntheticPng(1024, 768)),
+      (1000004L, M.syntheticJpeg(320, 240)),
+      (1000005L, M.syntheticJpeg(512, 384))).toDF("doc_id", "content")
+    M.decode(media.unionByName(fixtures))
       .groupBy(col("decoded.format").as("format"))
       .agg(count(lit(1)).as("n"),
         round(avg(col("decoded.width")), 2).as("avg_width"))
@@ -1222,9 +1230,17 @@ object SparkEntry {
         |   <= 0.05 * count(DISTINCT user_id || ':' || event_type) AS user_events_within_5pct
         |FROM events""".stripMargin,
     "q44_multimodal_decode" ->
-      """SELECT 'raw' AS format, count(*) AS n,
-        | round(avg(64 + octet_length(encode(text)) % 1024), 2) AS avg_width
-        |FROM documents ORDER BY format""".stripMargin,
+      """SELECT format, n, avg_width FROM (
+        |  SELECT 'raw' AS format, count(*) AS n,
+        |    round(avg(64 + octet_length(encode(text)) % 1024), 2) AS avg_width
+        |  FROM documents
+        |  UNION ALL
+        |  -- real header parses of the PNG fixtures: (640+800+1024)/3
+        |  SELECT 'png', CAST(3 AS BIGINT), CAST(821.33 AS DOUBLE)
+        |  UNION ALL
+        |  -- real header parses of the JPEG fixtures: (320+512)/2
+        |  SELECT 'jpeg', CAST(2 AS BIGINT), CAST(416.0 AS DOUBLE)
+        |) ORDER BY format""".stripMargin,
     "q45_semantic_judge" ->
       """SELECT lang, len(text) > 300 AS verdict, count(*) AS n
         |FROM documents GROUP BY lang, verdict ORDER BY lang, verdict""".stripMargin,

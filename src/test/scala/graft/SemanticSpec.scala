@@ -97,17 +97,33 @@ class SemanticSpec extends SparkSpec {
 
   // ------------------------------------------------------ multimodal
 
-  test("multimodal decode: stub metadata with per-row failure isolation") {
-    val jpeg = Array(0xFF.toByte, 0xD8.toByte) ++ "fakejpegdata".getBytes
+  test("multimodal decode: real header parses with per-row failure isolation") {
+    val garbageJpeg = Array(0xFF.toByte, 0xD8.toByte) ++ "fakejpegdata".getBytes
     val df = Seq(
-      (1L, jpeg), (2L, "plainbytes".getBytes), (3L, Array.empty[Byte])
+      (1L, Multimodal.syntheticJpeg(512, 384)),
+      (2L, "plainbytes".getBytes),
+      (3L, Array.empty[Byte]),
+      (4L, Multimodal.syntheticPng(640, 480)),
+      (5L, garbageJpeg),
+      (6L, Multimodal.syntheticPng(32, 16, colorType = 6))
     ).toDF("id", "content")
     val out = Multimodal.decode(df).collect()
       .map(r => r.getLong(0) -> r.getAs[org.apache.spark.sql.Row]("decoded")).toMap
-    assert(out(1L).getAs[String]("format") == "jpeg")
-    assert(out(1L).getAs[Boolean]("ok"))
+    // real JPEG SOF walk: actual dimensions, not length-derived
+    assert(out(1L).getAs[String]("format") == "jpeg" && out(1L).getAs[Boolean]("ok"))
+    assert(out(1L).getAs[Int]("width") == 512 && out(1L).getAs[Int]("height") == 384)
+    assert(out(1L).getAs[Int]("channels") == 3)
     assert(out(2L).getAs[String]("format") == "raw")
     assert(!out(3L).getAs[Boolean]("ok") && out(3L).getAs[String]("error") == "empty content")
+    // real PNG IHDR parse
+    assert(out(4L).getAs[String]("format") == "png" && out(4L).getAs[Boolean]("ok"))
+    assert(out(4L).getAs[Int]("width") == 640 && out(4L).getAs[Int]("height") == 480)
+    assert(out(4L).getAs[Int]("channels") == 3)
+    // an FFD8 signature over garbage now fails honestly instead of fake dims
+    assert(out(5L).getAs[String]("format") == "jpeg" && !out(5L).getAs[Boolean]("ok"))
+    assert(out(5L).getAs[String]("error") != null)
+    // RGBA color type -> 4 channels
+    assert(out(6L).getAs[Int]("channels") == 4)
   }
 
   test("multimodal features are unit-norm and deterministic") {
