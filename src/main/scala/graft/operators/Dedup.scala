@@ -177,6 +177,12 @@ object Dedup {
         Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
+      // Measured (ProfileQuery, sf0.1): dropping this distinct saves
+      // one job (~0 ms warm wall time) but multiplies the pairs
+      // reaching the exact-verify joins 14x (one copy per colliding
+      // band) — strictly worse at scale, where verify dominates. The
+      // warm cost of q37 is 6 jobs x scheduler latency, not this
+      // exchange.
       .distinct()
   }
 

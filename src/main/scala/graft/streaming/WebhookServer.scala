@@ -14,9 +14,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * with a JSON object body → one execution on that entry point's
   * stream (admission-capped like every trigger); responds 202 with the
   * execution id, 404 for unknown entry points, 405 for non-POST.
+  *
+  * Entry points with a configured secret require a GitHub-style
+  * `X-Hub-Signature-256: sha256=<hex hmac-sha256 of the raw body>`
+  * header (reference: `webhook_server` route.secret verification,
+  * X-Hub-Signature-256); bad or missing signatures get 401 before the
+  * payload is parsed or the runtime touched. Comparison is
+  * constant-time. Entry points without a secret stay open.
   */
 final class WebhookServer(spark: SparkSession, runtime: EntryPoints.EntryPointRuntime,
-    port: Int = 0) {
+    port: Int = 0, secrets: Map[String, String] = Map.empty) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   @volatile private var accepted = 0L
@@ -29,8 +36,11 @@ final class WebhookServer(spark: SparkSession, runtime: EntryPoints.EntryPointRu
       val safePath = jsonEscape(path)
       if (exchange.getRequestMethod != "POST") respond(exchange, 405, """{"error":"POST only"}""")
       else {
-        val body = new String(exchange.getRequestBody.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8)
+        val rawBody = exchange.getRequestBody.readAllBytes()
+        if (!signatureOk(path, rawBody, exchange))
+          respond(exchange, 401, """{"error":"invalid or missing signature"}""")
+        else {
+        val body = new String(rawBody, java.nio.charset.StandardCharsets.UTF_8)
         try {
           val input = jsonToDf(body)
           runtime.trigger(path, input) // async; admission happens in the stream
@@ -42,9 +52,28 @@ final class WebhookServer(spark: SparkSession, runtime: EntryPoints.EntryPointRu
           case e: Exception =>
             respond(exchange, 400, s"""{"error":"bad payload"}""")
         }
+        }
       }
     } finally exchange.close()
   })
+
+  /** True when `path` has no configured secret, or the request carries
+    * a valid `X-Hub-Signature-256: sha256=<hex>` HMAC of the raw body.
+    */
+  private def signatureOk(path: String, rawBody: Array[Byte],
+      exchange: HttpExchange): Boolean = secrets.get(path) match {
+    case None => true
+    case Some(secret) =>
+      val header = Option(exchange.getRequestHeaders.getFirst("X-Hub-Signature-256"))
+        .getOrElse("")
+      if (!header.startsWith("sha256=")) false
+      else {
+        val expected = WebhookServer.hmacSha256Hex(secret, rawBody)
+        java.security.MessageDigest.isEqual(
+          header.stripPrefix("sha256=").toLowerCase.getBytes,
+          expected.getBytes)
+      }
+  }
 
   /** One-row DataFrame from a flat JSON object (the webhook payload
     * shape); values surface as strings — type discipline is the
@@ -75,4 +104,16 @@ final class WebhookServer(spark: SparkSession, runtime: EntryPoints.EntryPointRu
   def start(): Int = { server.start(); server.getAddress.getPort }
   def acceptedCount: Long = accepted
   def stop(): Unit = server.stop(0)
+}
+
+object WebhookServer {
+  /** Hex HMAC-SHA256 of `body` under `secret` — what a legitimate
+    * caller puts after `sha256=` in X-Hub-Signature-256.
+    */
+  def hmacSha256Hex(secret: String, body: Array[Byte]): String = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(
+      secret.getBytes(java.nio.charset.StandardCharsets.UTF_8), "HmacSHA256"))
+    mac.doFinal(body).map(b => f"$b%02x").mkString
+  }
 }

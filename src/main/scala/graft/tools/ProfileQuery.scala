@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Per-query profiling harness: runs a registered [[graft.SparkEntry]]
+  * query N times against a scale-factor dir and prints wall time plus
+  * Spark job / stage / task counts per run. Job count is the "many
+  * small jobs" smell the bench can't see: a 2-second query that is 14
+  * jobs of 140 ms is paying scheduler+plan overhead, not compute, and
+  * will NOT shrink on a bigger cluster.
+  *
+  * Usage: runMain graft.tools.ProfileQuery <sfDir> <queryName> [runs]
+  */
+object ProfileQuery {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val name = args(1)
+    val runs = if (args.length > 2) args(2).toInt else 3
+
+    val spark = SparkSession.builder()
+      .appName("graft-profile")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val jobs = new AtomicInteger(0)
+    val stages = new AtomicInteger(0)
+    val tasks = new AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        tasks.addAndGet(s.stageInfo.numTasks)
+      }
+    })
+
+    val fn = graft.SparkEntry.queries(name)
+    (1 to runs).foreach { i =>
+      jobs.set(0); stages.set(0); tasks.set(0)
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // listener delivery is async; give the bus a beat to drain
+      Thread.sleep(300)
+      println(f"[profile] $name run $i: $sec%.3f s, rows=$n, " +
+        f"jobs=${jobs.get()}, stages=${stages.get()}, tasks=${tasks.get()}")
+    }
+    spark.stop()
+  }
+}

@@ -206,6 +206,45 @@ class RuntimeSpec extends SparkSpec {
     } finally { server.stop(); runtime.shutdown() }
   }
 
+  test("webhook HMAC auth: signed entry points reject unsigned callers (S13)") {
+    import graft.streaming.{EntryPoints, WebhookServer}
+    val runtime = new EntryPoints.EntryPointRuntime()
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    runtime.register(EntryPoints.EntryPointSpec("secure"),
+      (df: DataFrame) => { hits.incrementAndGet(); df })
+    runtime.register(EntryPoints.EntryPointSpec("open"),
+      (df: DataFrame) => df)
+    val server = new WebhookServer(spark, runtime,
+      secrets = Map("secure" -> "hunter2"))
+    val port = server.start()
+    try {
+      def post(path: String, body: String, sig: Option[String]): Int = {
+        val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        sig.foreach(s => conn.setRequestProperty("X-Hub-Signature-256", s))
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        conn.getResponseCode
+      }
+      val body = """{"k": 1}"""
+      // unsigned, malformed-header, and wrong-secret callers all get 401
+      assert(post("/hooks/secure", body, None) == 401)
+      assert(post("/hooks/secure", body, Some("nonsense")) == 401)
+      assert(post("/hooks/secure", body,
+        Some("sha256=" + WebhookServer.hmacSha256Hex("wrong", body.getBytes("UTF-8")))) == 401)
+      // a signature of DIFFERENT body bytes is rejected too
+      assert(post("/hooks/secure", body,
+        Some("sha256=" + WebhookServer.hmacSha256Hex("hunter2", "{}".getBytes("UTF-8")))) == 401)
+      assert(hits.get() == 0) // nothing reached the runtime
+      // the legitimate signature is accepted
+      assert(post("/hooks/secure", body,
+        Some("sha256=" + WebhookServer.hmacSha256Hex("hunter2", body.getBytes("UTF-8")))) == 202)
+      // secretless entry points stay open
+      assert(post("/hooks/open", body, None) == 202)
+    } finally { server.stop(); runtime.shutdown() }
+  }
+
   test("executor lifecycle events flow through the event bus (integration)") {
     import graft.streaming.{AgentEvent, EventBus, Subscription}
     val bus = new EventBus(spark)
