@@ -36,10 +36,15 @@ object Bench {
     // lands entirely on whichever index-consuming query runs first
     // (q24 by sort order), masking regressions in the queries behind
     // regressions in the build and vice versa.
+    // Guarded like the per-query runs: an SF dir without documents
+    // must still print the one-JSON-line contract (-1 sentinel).
     val tIdx = System.nanoTime()
-    graft.operators.CorpusIndex.artifacts(
-      graft.core.Engine.table(spark, sfDir, "documents"), sfDir, "doc_id", "text").count()
-    val indexBuildSec = (System.nanoTime() - tIdx) / 1e9
+    val indexBuildSec =
+      try {
+        graft.operators.CorpusIndex.artifacts(
+          graft.core.Engine.table(spark, sfDir, "documents"), sfDir, "doc_id", "text").count()
+        (System.nanoTime() - tIdx) / 1e9
+      } catch { case _: Throwable => -1.0 }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -131,7 +131,9 @@ object Fuzz {
     * decimal representation (BigDecimal.valueOf), DuckDB rounds the
     * binary value, so 4.435 → 4.44 vs 4.43 on IDENTICAL input bits.
     * lag/lead/first_value pass stored values through untouched, so
-    * they stay raw (CAST AS DOUBLE only unifies the result type).
+    * they stay genuinely raw — CAST AS DOUBLE unifies the result type
+    * but NO round() wrapper, which would reintroduce the same .xx5
+    * divergence on pass-through values.
     */
   private def genWindowQuery(rng: Rng): String = {
     val (table, uid, groupCols, numCol) = rng.pick(Seq(
@@ -146,6 +148,8 @@ object Fuzz {
     val k = rng.int(5) + 1
     val cents = s"CAST(round($numCol * 100) AS BIGINT)"
     val avgFrame = s"ROWS BETWEEN $k PRECEDING AND $k FOLLOWING"
+    // each entry is already divergence-free: integer-cents sums need no
+    // further rounding, pass-through values must not be rounded
     val analytic = rng.pick(Seq(
       s"sum($cents) OVER ($ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0",
       s"sum($cents) OVER ($ord ROWS BETWEEN $k PRECEDING AND CURRENT ROW) / 100.0",
@@ -158,7 +162,7 @@ object Fuzz {
     s"""SELECT $g, $uid, rnk, w_val FROM (
        |  SELECT $g, $uid,
        |    $fn OVER ($ord) AS rnk,
-       |    round(CAST($analytic AS DOUBLE), 2) AS w_val
+       |    CAST($analytic AS DOUBLE) AS w_val
        |  FROM $table)
        |WHERE rnk <= $topN ORDER BY $g, rnk, $uid""".stripMargin
   }

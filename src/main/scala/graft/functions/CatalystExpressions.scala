@@ -311,12 +311,19 @@ object CatalystExpressions {
       var i = 0
       while (i < n) { val x = elem(i); ss += x * x; i += 1 }
       val nrm = math.sqrt(ss)
-      // normalized element, float-rounded like l2Normalize (zero-norm
-      // vectors pass through unnormalized, also like l2Normalize)
-      @inline def unit(i: Int): Double =
-        if (nrm == 0.0) elem(i)
-        else if (elemFloat) (elem(i) / nrm).toFloat.toDouble
-        else elem(i) / nrm
+      // normalized vector materialized ONCE, float-rounded like
+      // l2Normalize (zero-norm vectors pass through unnormalized, also
+      // like l2Normalize) — inside the centroid loop the division and
+      // ArrayData accessor would otherwise run k× per element
+      val unit = new Array[Double](n)
+      i = 0
+      while (i < n) {
+        unit(i) =
+          if (nrm == 0.0) elem(i)
+          else if (elemFloat) (elem(i) / nrm).toFloat.toDouble
+          else elem(i) / nrm
+        i += 1
+      }
       var best = -1
       var bestSim = Double.NegativeInfinity
       var c = 0

@@ -175,7 +175,11 @@ object Connector {
       options: Map[String, String] = Map.empty,
       maxRows: Int = DefaultSqlMaxRows,
       partitioning: Option[SqlPartitioning] = None): graft.sql.QueryStats.Stats = {
-    graft.sql.QueryGate.validate(spark, query) match {
+    // validateRemote, not validate: the query runs on the REMOTE
+    // engine's dialect — when Spark's parser accepts it the plan-walk
+    // gate applies, otherwise the lexical SELECT-only fallback does
+    // (a `SELECT TOP 5 …` must not be rejected for being foreign)
+    graft.sql.QueryGate.validateRemote(spark, query) match {
       case Left(reason) => throw graft.sql.QueryGate.RejectedQuery(reason)
       case Right(_) => ()
     }

@@ -193,15 +193,23 @@ object PdfSource {
   private def decodeStream(bytes: Array[Byte], raw: String, dict: String,
       from: Int): Option[Array[Byte]] =
     streamDataRange(raw, dict, from).flatMap { case (a, b) =>
-      val data = java.util.Arrays.copyOfRange(bytes, a, b)
-      val plain = if (dict.contains("/FlateDecode")) inflate(data) else Some(data)
-      plain.map { p =>
-        (intKey(dict, "Predictor"), intKey(dict, "Columns")) match {
-          case (Some(pred), Some(cols)) if pred >= 10 => unpredict(p, pred, cols)
-          case _ => p
-        }
+      decodeRange(bytes, dict, a, b)
+    }
+
+  /** Decode the already-located `[a, b)` stream bytes per `dict` —
+    * the shared back half of [[decodeStream]] and the linear scan.
+    */
+  private def decodeRange(bytes: Array[Byte], dict: String, a: Int,
+      b: Int): Option[Array[Byte]] = {
+    val data = java.util.Arrays.copyOfRange(bytes, a, b)
+    val plain = if (dict.contains("/FlateDecode")) inflate(data) else Some(data)
+    plain.map { p =>
+      (intKey(dict, "Predictor"), intKey(dict, "Columns")) match {
+        case (Some(pred), Some(cols)) if pred >= 10 => unpredict(p, pred, cols)
+        case _ => p
       }
     }
+  }
 
   /** Parse the full cross-reference reachable from `startxref`
     * (classic tables and xref streams, following /Prev chains;
@@ -421,35 +429,25 @@ object PdfSource {
         // (/DecodeParms << ... >>) doesn't hide the outer /Filter
         val dictStart = outerDictStart(raw, s)
         val dict = raw.substring(math.max(0, dictStart), s)
-        var dataStart = s + "stream".length
-        if (dataStart < raw.length && raw.charAt(dataStart) == '\r') dataStart += 1
-        if (dataStart < raw.length && raw.charAt(dataStart) == '\n') dataStart += 1
-        // /Length gives the exact boundary (binary data may contain the
-        // literal bytes "endstream"); indirect lengths (`N 0 R`) fall
-        // back to the scan
-        val lenMatch = """/Length\s+(\d+)(?!\s+\d+\s+R)""".r.findFirstMatchIn(dict)
-        val e = lenMatch.map(m => dataStart + m.group(1).toInt)
-          .filter(end => end <= raw.length &&
-            raw.indexOf("endstream", end) >= 0 && raw.indexOf("endstream", end) - end < 4)
-          .getOrElse(raw.indexOf("endstream", s))
-        if (e < 0) found = false
-        else {
-          // per-stream isolation: one unparseable stream (XMP metadata,
-          // image data) must not poison the file's real page streams
-          try {
-            val data = java.util.Arrays.copyOfRange(bytes, dataStart, e)
-            val content: Option[String] =
-              if (dict.contains("/FlateDecode")) inflate(data)
-                .map(b => new String(b, java.nio.charset.StandardCharsets.ISO_8859_1))
-              else Some(new String(data, java.nio.charset.StandardCharsets.ISO_8859_1))
-            // only streams with a BT text block are page content —
-            // XMP/image streams must not become phantom pages
-            content.filter(_.contains("BT")).map(contentText)
-              .filter(_.nonEmpty).foreach { t => pages += t; () }
-          } catch { case _: Exception => () }
-          // resume after the endstream keyword that closes this stream
-          val endKw = raw.indexOf("endstream", e)
-          from = if (endKw >= 0) endKw + "endstream".length else raw.length
+        // boundary + decode logic shared with the xref path — the
+        // direct-/Length vs endstream-scan subtleties live in ONE place
+        streamDataRange(raw, dict, s) match {
+          case None => found = false
+          case Some((a, e)) =>
+            // per-stream isolation: one unparseable stream (XMP
+            // metadata, image data) must not poison the file's real
+            // page streams
+            try {
+              val content = decodeRange(bytes, dict, a, e)
+                .map(p => new String(p, java.nio.charset.StandardCharsets.ISO_8859_1))
+              // only streams with a BT text block are page content —
+              // XMP/image streams must not become phantom pages
+              content.filter(_.contains("BT")).map(contentText)
+                .filter(_.nonEmpty).foreach { t => pages += t; () }
+            } catch { case _: Exception => () }
+            // resume after the endstream keyword that closes this stream
+            val endKw = raw.indexOf("endstream", e)
+            from = if (endKw >= 0) endKw + "endstream".length else raw.length
         }
       }
     }

@@ -342,17 +342,25 @@ object Dedup {
     // recomputes nothing, and the latest `labels_i` is a resume
     // point). At 100 TB the label frame is corpus-width ids, so the
     // durable mode also deletes iteration i-1 once i lands.
-    val hfs = checkpointDir.map(d =>
+    //
+    // Each invocation writes under its own run-unique subdir: the
+    // returned DataFrame is a LAZY read of the final labels parquet,
+    // so a later call reusing the same checkpointDir must not be able
+    // to overwrite files an earlier call's still-unread result plan
+    // references. Callers own eventual cleanup of the dir.
+    val runDir = checkpointDir.map(d =>
+      s"$d/cc_${java.util.UUID.randomUUID().toString.take(8)}")
+    val hfs = runDir.map(d =>
       new org.apache.hadoop.fs.Path(d)
         .getFileSystem(pairs.sparkSession.sparkContext.hadoopConfiguration))
-    def durable(df: DataFrame, name: String): DataFrame = checkpointDir match {
+    def durable(df: DataFrame, name: String): DataFrame = runDir match {
       case Some(dir) =>
         val p = s"$dir/$name"
         df.write.mode("overwrite").parquet(p)
         df.sparkSession.read.parquet(p)
       case None => df.localCheckpoint()
     }
-    def drop(name: String): Unit = (checkpointDir, hfs) match {
+    def drop(name: String): Unit = (runDir, hfs) match {
       case (Some(dir), Some(f)) =>
         f.delete(new org.apache.hadoop.fs.Path(s"$dir/$name"), true); ()
       case _ => ()

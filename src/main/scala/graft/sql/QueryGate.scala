@@ -46,4 +46,46 @@ object QueryGate {
       case Right(_)     => spark.sql(query)
       case Left(reason) => throw RejectedQuery(reason)
     }
+
+  /** Validation for queries bound for a REMOTE engine whose dialect
+    * Spark's parser may not accept (`SELECT TOP 5 …`, BigQuery
+    * backtick paths): the plan-walk runs first and wins when the text
+    * parses; when it does not, fall back to a lexical SELECT-only
+    * check — comments and string literals stripped, single statement,
+    * first keyword SELECT/WITH, no DDL/DML keyword anywhere — i.e. the
+    * reference's own denylist discipline (`bigquery_tool.py:43-58`),
+    * applied only where the stronger check cannot be.
+    */
+  def validateRemote(spark: SparkSession, sql: String): Either[String, Unit] =
+    validate(spark, sql) match {
+      case Right(_) => Right(())
+      case Left(reason) if reason.startsWith("parse error") => validateLexical(sql)
+      case Left(reason) => Left(reason) // parsed locally AND was non-SELECT
+    }
+
+  private val deniedKeywords = Set(
+    "insert", "update", "delete", "merge", "drop", "create", "alter",
+    "truncate", "grant", "revoke", "call", "exec", "execute", "replace",
+    "copy", "load", "set", "use", "begin", "commit", "rollback")
+
+  /** Lexical SELECT-only check for foreign dialects. */
+  private[sql] def validateLexical(sql: String): Either[String, Unit] = {
+    // strip block comments, line comments, and quoted literals /
+    // identifiers so keywords inside them can't trip the denylist
+    val stripped = sql
+      .replaceAll("(?s)/\\*.*?\\*/", " ")
+      .replaceAll("--[^\\n]*", " ")
+      .replaceAll("'(?:[^']|'')*'", " ' ' ")
+      .replaceAll("\"[^\"]*\"", " \" \" ")
+      .replaceAll("`[^`]*`", " ` ` ")
+    val statements = stripped.split(";").map(_.trim).filter(_.nonEmpty)
+    if (statements.length != 1) return Left("exactly one statement allowed")
+    val words = statements.head.toLowerCase.split("[^a-z_]+").filter(_.nonEmpty)
+    if (words.isEmpty || (words.head != "select" && words.head != "with"))
+      return Left(s"remote statement must start with SELECT/WITH, got '${words.headOption.getOrElse("")}'")
+    words.find(deniedKeywords.contains) match {
+      case Some(k) => Left(s"remote statement contains denied keyword '$k'")
+      case None => Right(())
+    }
+  }
 }

@@ -66,11 +66,31 @@ class DurableIndexSpec extends SparkSpec {
     val durable = rows(Dedup.connectedComponents(pairs, checkpointDir = Some(ckpt)))
     val local = rows(Dedup.connectedComponents(pairs))
     assert(durable === local)
-    val dirs = new java.io.File(ckpt).listFiles().map(_.getName).toSeq
+    // each invocation namespaces its files under a run-unique cc_* dir
+    val runDirs = new java.io.File(ckpt).listFiles().filter(_.getName.startsWith("cc_"))
+    assert(runDirs.length == 1, s"one run dir expected: ${runDirs.mkString(",")}")
+    val dirs = runDirs.head.listFiles().map(_.getName).toSeq
     assert(dirs.contains("edges"), s"edge list must be durably checkpointed: $dirs")
     // per-iteration cleanup: at most the final labels_* dir survives
     assert(dirs.count(_.startsWith("labels_")) <= 1,
       s"stale per-iteration label checkpoints must be deleted: $dirs")
+  }
+
+  test("durable CC results survive a second run reusing the checkpoint dir") {
+    import spark.implicits._
+    val ckpt = Files.createTempDirectory("graft-cc-reuse").toString
+    // run A: a 4-chain; its result is a LAZY parquet read — don't touch it yet
+    val a = Dedup.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b"),
+      checkpointDir = Some(ckpt))
+    // run B: disjoint ids, same dir, converges in fewer shapes — before
+    // the per-run namespacing this overwrote/deleted run A's files
+    val b = Dedup.connectedComponents(
+      Seq((100L, 101L)).toDF("id_a", "id_b"),
+      checkpointDir = Some(ckpt))
+    assert(rows(b) === Seq("[100,100]", "[101,100]"))
+    // run A's still-unread plan must see ITS labels, not run B's
+    assert(rows(a) === Seq("[1,1]", "[2,1]", "[3,1]", "[4,1]"))
   }
 
   test("dedupCorpus accepts a durable checkpoint dir end-to-end") {
@@ -82,6 +102,7 @@ class DurableIndexSpec extends SparkSpec {
     val without = Dedup.dedupCorpus(docs, "doc_id", "text", minJaccard = 0.3)
       .agg(count(lit(1)).as("n"), sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
     assert(rows(withDir) === rows(without))
-    assert(new java.io.File(s"$ckpt/edges").exists())
+    val runDirs = new java.io.File(ckpt).listFiles().filter(_.getName.startsWith("cc_"))
+    assert(runDirs.nonEmpty && runDirs.exists(d => new java.io.File(d, "edges").exists()))
   }
 }

@@ -38,6 +38,26 @@ class QueryGateSpec extends SparkSpec {
     assert(QueryGate.validate(spark, "WITH x AS (SELECT 1 AS a) SELECT * FROM x").isRight)
   }
 
+  test("remote-dialect validation: foreign SELECT passes, writes still rejected") {
+    // Spark's parser rejects these dialects — the lexical fallback
+    // must admit read-only statements bound for the REMOTE engine
+    assert(QueryGate.validateRemote(spark, "SELECT TOP 5 id FROM metrics").isRight)
+    assert(QueryGate.validateRemote(spark,
+      "SELECT x FROM t QUALIFY ROW_NUMBER() OVER (ORDER BY x) = 1 OPTION (MAXDOP 1)").isRight)
+    // a write keyword inside a LITERAL must not trip the fallback
+    // (reference's raw-substring gate gets this wrong)
+    assert(QueryGate.validateRemote(spark,
+      "SELECT TOP 5 * FROM t WHERE x = 'DROP TABLE'").isRight)
+    // multi-statement smuggling is refused even when unparseable locally
+    assert(QueryGate.validateRemote(spark, "SELECT TOP 1 x FROM t; DROP TABLE t").isLeft)
+    // unparseable non-SELECT statements are refused
+    assert(QueryGate.validateRemote(spark, "TRUNCATE TABLE t CASCADE NOW").isLeft)
+    assert(QueryGate.validateRemote(spark, "SELECT TOP 5 x, DELETE FROM t").isLeft)
+    // locally-parseable statements keep the STRONG plan-walk verdicts
+    assert(QueryGate.validateRemote(spark, "DROP TABLE t").isLeft)
+    assert(QueryGate.validateRemote(spark, "SELECT 'DROP TABLE' AS s").isRight)
+  }
+
   test("gated execution works end-to-end") {
     graft.core.Engine.open(spark, sfDir)
     assert(QueryGate.sql(spark, "SELECT count(*) AS n FROM lineitem").head().getLong(0) > 0)
