@@ -46,6 +46,10 @@ object SemanticOps {
       while (true) {
         try return inner.complete(prompts)
         catch {
+          // a permanently-classified failure (4xx, malformed response)
+          // stays failed — retrying an invalid request burns quota
+          // (the reference only backoff-retries its rate-limit class)
+          case e: PermanentModelError => throw e
           case e: Exception =>
             attempt += 1
             if (attempt > maxRetries) throw e

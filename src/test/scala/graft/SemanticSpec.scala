@@ -41,6 +41,71 @@ class SemanticSpec extends SparkSpec {
     intercept[RuntimeException] { r2.complete(Seq("x")) }
   }
 
+  test("HttpModelClient: OpenAI-shaped transport, retry classification, usage accounting") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import graft.llm.{HttpModelClient, PermanentModelError, RetryableModelError}
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var failuresBeforeOk = 0
+    @volatile var failStatus = 429
+    @volatile var lastAuth: String = null
+    @volatile var lastBody: String = null
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1/chat/completions", (ex: HttpExchange) => {
+      try {
+        lastAuth = ex.getRequestHeaders.getFirst("Authorization")
+        lastBody = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        val n = hits.incrementAndGet()
+        val (code, body) =
+          if (n <= failuresBeforeOk) (failStatus, """{"error":"nope"}""")
+          else (200,
+            """{"choices":[{"message":{"role":"assistant","content":"hi there"},
+              |"finish_reason":"stop"}],
+              |"usage":{"prompt_tokens":7,"completion_tokens":3}}""".stripMargin)
+        val bytes = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(code, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+      } finally ex.close()
+    })
+    server.start()
+    val url = s"http://127.0.0.1:${server.getAddress.getPort}/v1"
+    try {
+      // happy path: content extracted, auth header sent, usage counted
+      val client = new HttpModelClient(url, "test-model", apiKey = Some("sk-test"))
+      assert(client.complete(Seq("hello", "again")) == Seq("hi there", "hi there"))
+      assert(lastAuth == "Bearer sk-test")
+      assert(lastBody.contains("\"model\":\"test-model\"") && lastBody.contains("again"))
+      assert(client.usage == (14L, 6L))
+      // 429s are retryable: RetryingClient recovers after two failures
+      failuresBeforeOk = hits.get() + 2
+      val retrying = SemanticOps.RetryingClient(
+        new HttpModelClient(url, "m"), maxRetries = 3, backoffBaseMs = 1)
+      assert(retrying.complete(Seq("x")) == Seq("hi there"))
+      // a 400 is permanent: surfaced immediately, NOT retried away
+      failuresBeforeOk = Int.MaxValue
+      failStatus = 400
+      val before = hits.get()
+      intercept[PermanentModelError] { retrying.complete(Seq("x")) }
+      assert(hits.get() == before + 1, "permanent errors must not be retried")
+      // 500 classifies retryable
+      failStatus = 503
+      intercept[RetryableModelError] { new HttpModelClient(url, "m").complete(Seq("x")) }
+      // connection refused (dead port) classifies retryable
+      intercept[RetryableModelError] {
+        new HttpModelClient(s"http://127.0.0.1:1/v1", "m").complete(Seq("x"))
+      }
+      // end-to-end through the mapPartitions operator
+      failuresBeforeOk = 0
+      failStatus = 429
+      val df = Seq("a", "b", "c").toDF("t")
+      val out = SemanticOps.semanticMap(df, "say {t}", Seq("t"), "resp",
+        () => new HttpModelClient(url, "test-model"))
+      assert(out.collect().map(_.getAs[String]("resp")).toSeq == Seq("hi there", "hi there", "hi there"))
+      // json mode injects the cross-provider system instruction
+      new HttpModelClient(url, "m", jsonMode = true).complete(Seq("q"))
+      assert(lastBody.contains("valid JSON object") && lastBody.contains("\"system\""))
+    } finally server.stop(0)
+  }
+
   test("outputCleaner: valid passes, broken repaired, hopeless kept raw (`output_cleaner.py`)") {
     val target = StructType(Seq(StructField("a", LongType), StructField("b", StringType)))
     val df = Seq(
