@@ -11,8 +11,57 @@ OUT_DIR = os.path.join(os.path.dirname(__file__), "..",
                        "src", "test", "resources", "fixtures")
 
 
-def build_pdf(content_streams, compress=False):
-    """Assemble a classic-xref PDF with one page per content stream."""
+def lzw_encode(data, early=1):
+    """PDF LZWDecode-compatible encoder (TIFF variant): 9->12 bit
+    codes, 256 = clear, 257 = EOD, width grows `early` entries before
+    the table would fill the current width.
+    """
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    acc = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    emit(256)  # customary leading clear
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w = w + c
+        else:
+            emit(table[w])
+            table[w + c] = next_code
+            next_code += 1
+            # decoder's table is one behind the encoder's at this point
+            if next_code - 1 + early >= (1 << width) and width < 12:
+                width += 1
+            w = c
+    if w:
+        emit(table[w])
+    emit(257)  # EOD
+    if nbits > 0:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def build_pdf(content_streams, compress=False, filters=None, font=None,
+              extra_objs=None):
+    """Assemble a classic-xref PDF with one page per content stream.
+
+    `filters`: optional (names, encode_fn) applying a /Filter chain,
+    e.g. ("[/ASCII85Decode /LZWDecode]", lambda d: a85(lzw(d))).
+    `font`: override the default Type1 font object body (the CID
+    fixture injects /Type0 + /ToUnicode, plus extra objects).
+    """
     objs = []
     n_pages = len(content_streams)
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
@@ -24,13 +73,20 @@ def build_pdf(content_streams, compress=False):
             f"/Contents {4 + 2 * i} 0 R /Resources << /Font << /F1 "
             f"{3 + 2 * n_pages} 0 R >> >> >>".encode())
         data = cs.encode("latin-1")
-        if compress:
+        if filters is not None:
+            names, encode = filters
+            data = encode(data)
+            head = f"<< /Length {len(data)} /Filter {names} >>"
+        elif compress:
             data = zlib.compress(data)
             head = f"<< /Length {len(data)} /Filter /FlateDecode >>"
         else:
             head = f"<< /Length {len(data)} >>"
         objs.append(head.encode() + b"\nstream\n" + data + b"\nendstream")
-    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    objs.append(font if font is not None
+                else b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    for extra in (extra_objs or []):
+        objs.append(extra)
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = []
@@ -149,8 +205,55 @@ def main():
     ])
     with open(os.path.join(OUT_DIR, "xrefstream.pdf"), "wb") as f:
         f.write(xrefstream)
+
+    # LZWDecode: content long enough (~600 chars with variety) that the
+    # code table crosses 511 entries and the 9->10 bit width change is
+    # exercised, not just the narrow-code path
+    lzw_text = ("BT /F1 12 Tf 72 720 Td (LZW compressed page: "
+                + " ".join(f"token{i:03d}" for i in range(60))
+                + ") Tj ET")
+    lzw_pdf = build_pdf([lzw_text], filters=("/LZWDecode", lzw_encode))
+    with open(os.path.join(OUT_DIR, "lzw.pdf"), "wb") as f:
+        f.write(lzw_pdf)
+
+    # filter CHAIN: ASCII85(LZW(data)) declared as
+    # [/ASCII85Decode /LZWDecode] — decoders must apply in array order
+    import base64
+    a85lzw = build_pdf(
+        ["BT /F1 12 Tf 72 720 Td (chained filters decoded fine) Tj ET"],
+        filters=("[/ASCII85Decode /LZWDecode]",
+                 lambda d: base64.a85encode(lzw_encode(d), adobe=True)))
+    with open(os.path.join(OUT_DIR, "a85lzw.pdf"), "wb") as f:
+        f.write(a85lzw)
+
+    # CID font with /ToUnicode CMap: 2-byte hex-string codes that only
+    # a bfchar/bfrange-aware reader extracts as "Hello fi"
+    cmap = ("/CIDInit /ProcSet findresource begin\n"
+            "begincmap\n"
+            "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            "3 beginbfchar\n"
+            "<0001> <0048>\n"          # H
+            "<0002> <0065>\n"          # e
+            "<0003> <00660069>\n"      # fi ligature -> two chars
+            "endbfchar\n"
+            "2 beginbfrange\n"
+            "<0010> <0014> <006C>\n"   # l..p
+            "<0020> <0021> [<0020> <0021>]\n"  # space, !
+            "endbfrange\n"
+            "endcmap\nend\n").encode()
+    # page 1 content: codes H e l l o <space> fi => "Hello fi"
+    cid = build_pdf(
+        ["BT /F1 12 Tf <000100020010001000130020> Tj <0003> Tj ET"],
+        font=b"<< /Type /Font /Subtype /Type0 /BaseFont /FakeCID "
+             b"/Encoding /Identity-H /ToUnicode 6 0 R >>",
+        extra_objs=[f"<< /Length {len(cmap)} >>".encode()
+                    + b"\nstream\n" + cmap + b"\nendstream"])
+    with open(os.path.join(OUT_DIR, "cid.pdf"), "wb") as f:
+        f.write(cid)
+
     print(f"wrote plain.pdf ({len(plain)}b), flate.pdf ({len(flate)}b), "
-          f"xrefstream.pdf ({len(xrefstream)}b) in {OUT_DIR}")
+          f"xrefstream.pdf ({len(xrefstream)}b), lzw.pdf ({len(lzw_pdf)}b), "
+          f"a85lzw.pdf ({len(a85lzw)}b), cid.pdf ({len(cid)}b) in {OUT_DIR}")
 
 
 if __name__ == "__main__":

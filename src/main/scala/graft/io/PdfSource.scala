@@ -198,11 +198,27 @@ object PdfSource {
 
   /** Decode the already-located `[a, b)` stream bytes per `dict` —
     * the shared back half of [[decodeStream]] and the linear scan.
+    * Applies the full `/Filter` CHAIN in order (a name or an array —
+    * `[/ASCII85Decode /FlateDecode]` is a legal and common pairing):
+    * Flate, LZW, ASCIIHex, ASCII85. A chain containing a filter this
+    * kernel can't decode (DCTDecode image data, crypt filters) yields
+    * None rather than garbage bytes.
     */
   private def decodeRange(bytes: Array[Byte], dict: String, a: Int,
       b: Int): Option[Array[Byte]] = {
     val data = java.util.Arrays.copyOfRange(bytes, a, b)
-    val plain = if (dict.contains("/FlateDecode")) inflate(data) else Some(data)
+    val plain = filterChain(dict).foldLeft(Option(data)) { (acc, f) =>
+      acc.flatMap { d =>
+        f match {
+          case "FlateDecode" | "Fl" => inflate(d)
+          case "LZWDecode" | "LZW" =>
+            lzwDecode(d, intKey(dict, "EarlyChange").getOrElse(1))
+          case "ASCIIHexDecode" | "AHx" => asciiHexDecode(d)
+          case "ASCII85Decode" | "A85" => ascii85Decode(d)
+          case _ => None
+        }
+      }
+    }
     plain.map { p =>
       (intKey(dict, "Predictor"), intKey(dict, "Columns")) match {
         case (Some(pred), Some(cols)) if pred >= 10 => unpredict(p, pred, cols)
@@ -210,6 +226,100 @@ object PdfSource {
       }
     }
   }
+
+  /** The `/Filter` value as an in-order name list (empty = raw). */
+  private def filterChain(dict: String): Seq[String] =
+    """(?s)/Filter\s*(\[[^\]]*\]|/\w+)""".r.findFirstMatchIn(dict) match {
+      case None => Seq.empty
+      case Some(m) => """/(\w+)""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+    }
+
+  /** PDF LZWDecode (spec 7.4.4, the TIFF variant): 9→12-bit codes,
+    * 256 = table clear, 257 = EOD, code width grows `earlyChange`
+    * entries before the table fills a width.
+    */
+  private[graft] def lzwDecode(data: Array[Byte],
+      earlyChange: Int = 1): Option[Array[Byte]] = try {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 3))
+    val table = new scala.collection.mutable.ArrayBuffer[Array[Byte]](4096)
+    def resetTable(): Unit = {
+      table.clear()
+      var i = 0
+      while (i < 256) { table += Array(i.toByte); i += 1 }
+      table += null // 256 = clear marker
+      table += null // 257 = EOD marker
+    }
+    resetTable()
+    var width = 9
+    var prev: Array[Byte] = null
+    var acc = 0L
+    var accBits = 0
+    var i = 0
+    var done = false
+    while (!done) {
+      while (accBits < width && i < data.length) {
+        acc = (acc << 8) | (data(i) & 0xffL); accBits += 8; i += 1
+      }
+      if (accBits < width) done = true // truncated stream: keep what we have
+      else {
+        val code = ((acc >>> (accBits - width)) & ((1L << width) - 1)).toInt
+        accBits -= width
+        if (code == 256) { resetTable(); width = 9; prev = null }
+        else if (code == 257) done = true
+        else {
+          val entry: Array[Byte] =
+            if (code < table.length && table(code) != null) table(code)
+            else if (code == table.length && prev != null) prev :+ prev(0) // KwKwK
+            else return None // invalid code: not LZW data
+          out.write(entry)
+          if (prev != null) table += (prev :+ entry(0))
+          prev = entry
+          if (table.length + earlyChange >= (1 << width) && width < 12) width += 1
+        }
+      }
+    }
+    Some(out.toByteArray)
+  } catch { case _: Exception => None }
+
+  private[graft] def asciiHexDecode(data: Array[Byte]): Option[Array[Byte]] = {
+    val s = new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val end = s.indexOf('>')
+    val hex = (if (end >= 0) s.substring(0, end) else s).filterNot(_.isWhitespace)
+    if (!hex.forall(c => Character.digit(c, 16) >= 0)) return None
+    val padded = if (hex.length % 2 == 1) hex + "0" else hex
+    Some(padded.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray)
+  }
+
+  private[graft] def ascii85Decode(data: Array[Byte]): Option[Array[Byte]] = try {
+    val s0 = new String(data, java.nio.charset.StandardCharsets.ISO_8859_1).trim
+    val s1 = if (s0.startsWith("<~")) s0.substring(2) else s0
+    val end = s1.indexOf("~>")
+    val body = (if (end >= 0) s1.substring(0, end) else s1).filterNot(_.isWhitespace)
+    val out = new java.io.ByteArrayOutputStream(body.length)
+    var i = 0
+    while (i < body.length) {
+      if (body.charAt(i) == 'z') { out.write(Array[Byte](0, 0, 0, 0)); i += 1 }
+      else {
+        val n = math.min(5, body.length - i)
+        if (n < 2) return None // a final group of 1 char is illegal
+        var v = 0L
+        var j = 0
+        while (j < n) {
+          val c = body.charAt(i + j)
+          if (c < '!' || c > 'u') return None
+          v = v * 85 + (c - '!')
+          j += 1
+        }
+        while (j < 5) { v = v * 85 + 84; j += 1 } // pad with 'u'
+        out.write(((v >> 24) & 0xff).toInt)
+        if (n > 2) out.write(((v >> 16) & 0xff).toInt)
+        if (n > 3) out.write(((v >> 8) & 0xff).toInt)
+        if (n > 4) out.write((v & 0xff).toInt)
+        i += n
+      }
+    }
+    Some(out.toByteArray)
+  } catch { case _: Exception => None }
 
   /** Parse the full cross-reference reachable from `startxref`
     * (classic tables and xref streams, following /Prev chains;
@@ -389,6 +499,24 @@ object PdfSource {
       }
     }
     walk(pagesTop)
+
+    // union ToUnicode map: font dicts referencing a CMap live in the
+    // raw body (classic layout) or inside object streams (1.5 layout);
+    // scan both. Union-of-all-fonts is a deliberate simplification —
+    // per-Tf tracking would need font state in contentText; CID
+    // producers in practice emit one text font per doc.
+    val toUniPat = """/ToUnicode\s+(\d+)\s+\d+\s+R""".r
+    val objStmTexts = entries.values.collect { case InObjStm(s, _) => s }.toSeq.distinct
+      .flatMap(decodeObjStm(_, 0))
+      .map(new String(_, java.nio.charset.StandardCharsets.ISO_8859_1))
+    val cmapNums = (objStmTexts :+ raw)
+      .flatMap(t => toUniPat.findAllMatchIn(t).map(_.group(1).toInt)).distinct
+    val cmaps = cmapNums.flatMap(streamBytes(_))
+      .map(b => parseToUnicodeCMap(new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)))
+      .filter(!_.isEmpty)
+    val cmap = cmaps.headOption.map(h =>
+      ToUnicodeCMap(h.codeBytes, cmaps.flatMap(_.map).toMap)).getOrElse(EmptyCMap)
+
     val pages = pageObjs.result().map { pd =>
       // /Contents: one ref or an array of refs (joined in order)
       val refs: Seq[Int] =
@@ -398,7 +526,8 @@ object PdfSource {
           .orElse(objRef(pd, "Contents").map(Seq(_)))
           .getOrElse(Seq.empty)
       refs.flatMap(streamBytes(_))
-        .map(b => contentText(new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)))
+        .map(b => contentText(
+          new String(b, java.nio.charset.StandardCharsets.ISO_8859_1), cmap))
         .filter(_.nonEmpty)
         .mkString("\n")
     }
@@ -411,6 +540,7 @@ object PdfSource {
     */
   private[graft] def linearScanPages(bytes: Array[Byte]): Seq[String] = {
     val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val cmap = linearScanCMap(bytes, raw)
     val pages = Seq.newBuilder[String]
     var from = 0
     var found = true
@@ -442,7 +572,7 @@ object PdfSource {
                 .map(p => new String(p, java.nio.charset.StandardCharsets.ISO_8859_1))
               // only streams with a BT text block are page content —
               // XMP/image streams must not become phantom pages
-              content.filter(_.contains("BT")).map(contentText)
+              content.filter(_.contains("BT")).map(contentText(_, cmap))
                 .filter(_.nonEmpty).foreach { t => pages += t; () }
             } catch { case _: Exception => () }
             // resume after the endstream keyword that closes this stream
@@ -452,6 +582,29 @@ object PdfSource {
       }
     }
     pages.result()
+  }
+
+  /** Union ToUnicode map for the linear-scan path: resolve every
+    * `/ToUnicode N 0 R` in the raw bytes to its `N 0 obj` stream and
+    * parse. Same union-of-fonts simplification as the xref path.
+    */
+  private def linearScanCMap(bytes: Array[Byte], raw: String): ToUnicodeCMap = {
+    val cmaps = """/ToUnicode\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(raw)
+      .map(_.group(1).toInt).toSeq.distinct.flatMap { num =>
+        ("""(?m)^""" + num + """\s+\d+\s+obj""").r.findFirstMatchIn(raw).flatMap { om =>
+          val dictAt = raw.indexOf("<<", om.end)
+          if (dictAt < 0) None
+          else {
+            val dict = balancedDict(raw, dictAt)
+            streamDataRange(raw, dict, dictAt + dict.length)
+              .flatMap { case (a, b) => decodeRange(bytes, dict, a, b) }
+              .map(p => parseToUnicodeCMap(
+                new String(p, java.nio.charset.StandardCharsets.ISO_8859_1)))
+          }
+        }
+      }.filter(!_.isEmpty)
+    cmaps.headOption.map(h => ToUnicodeCMap(h.codeBytes, cmaps.flatMap(_.map).toMap))
+      .getOrElse(EmptyCMap)
   }
 
   /** Start of the OUTERMOST `<<` of the dictionary that precedes
@@ -489,11 +642,74 @@ object PdfSource {
     finally inf.end() // native zlib memory — never left to the finalizer
   }
 
+  /** A parsed /ToUnicode character map: `codeBytes` is the source code
+    * width from `begincodespacerange` (2 for CID fonts), `map` takes a
+    * source code to its UTF-16-decoded replacement text.
+    */
+  private[graft] final case class ToUnicodeCMap(codeBytes: Int, map: Map[Int, String]) {
+    def isEmpty: Boolean = map.isEmpty
+  }
+  private[graft] val EmptyCMap = ToUnicodeCMap(2, Map.empty)
+
+  /** Parse a /ToUnicode CMap stream (`beginbfchar`/`beginbfrange`
+    * sections — PDF 9.10.3): the font-code → Unicode mapping CID fonts
+    * need for text extraction (the reference gets this from pypdf).
+    * Destination hex is UTF-16BE and may be multi-code-unit
+    * (ligatures map to several chars).
+    */
+  private[graft] def parseToUnicodeCMap(cmap: String): ToUnicodeCMap = {
+    def utf16(hex: String): String = {
+      val padded = if (hex.length % 4 == 0) hex else ("0" * (4 - hex.length % 4)) + hex
+      padded.grouped(4).map(h => Integer.parseInt(h, 16).toChar).mkString
+    }
+    val m = Map.newBuilder[Int, String]
+    val pair = """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>""".r
+    """(?s)beginbfchar(.*?)endbfchar""".r.findAllMatchIn(cmap).foreach { blk =>
+      pair.findAllMatchIn(blk.group(1)).foreach { p =>
+        m += Integer.parseInt(p.group(1), 16) -> utf16(p.group(2))
+      }
+    }
+    val range3 = """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>""".r
+    val rangeArr = """(?s)<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[(.*?)\]""".r
+    """(?s)beginbfrange(.*?)endbfrange""".r.findAllMatchIn(cmap).foreach { blk =>
+      val body = blk.group(1)
+      rangeArr.findAllMatchIn(body).foreach { r =>
+        val lo = Integer.parseInt(r.group(1), 16)
+        val dsts = """<([0-9A-Fa-f]+)>""".r.findAllMatchIn(r.group(3)).map(_.group(1)).toSeq
+        dsts.zipWithIndex.foreach { case (d, i) => m += (lo + i) -> utf16(d) }
+      }
+      // strip array forms so the 3-hex regex can't misread their parts
+      val scalarBody = rangeArr.replaceAllIn(body, " ")
+      range3.findAllMatchIn(scalarBody).foreach { r =>
+        val lo = Integer.parseInt(r.group(1), 16)
+        val hi = Integer.parseInt(r.group(2), 16)
+        val dstHex = r.group(3)
+        // the increment applies to the LAST UTF-16 code unit (spec rule)
+        val prefix =
+          if (dstHex.length > 4) utf16(dstHex.substring(0, dstHex.length - 4)) else ""
+        val lastUnit = Integer.parseInt(dstHex.takeRight(math.min(4, dstHex.length)), 16)
+        var c = lo
+        while (c <= hi && c - lo <= 65535) {
+          m += c -> (prefix + ((lastUnit + (c - lo)) & 0xffff).toChar)
+          c += 1
+        }
+      }
+    }
+    val codeBytes =
+      """(?s)begincodespacerange\s*<([0-9A-Fa-f]+)>""".r.findFirstMatchIn(cmap)
+        .map(m => math.max(1, m.group(1).length / 2)).getOrElse(2)
+    ToUnicodeCMap(codeBytes, m.result())
+  }
+
   /** Text of one content stream: string literals `(..)` (with PDF
     * escapes incl. octal) and hex strings `<..>` drawn by Tj / ' / "
     * or inside a TJ array; T* and the quote operators emit newlines.
+    * With a non-empty `cmap`, hex strings decode as fixed-width font
+    * codes through the ToUnicode map (unmapped codes fall back to the
+    * raw code point) — the CID-font path.
     */
-  private[graft] def contentText(content: String): String = {
+  private[graft] def contentText(content: String,
+      cmap: ToUnicodeCMap = EmptyCMap): String = {
     val out = new StringBuilder
     var i = 0
     var inArray = false
@@ -534,7 +750,15 @@ object PdfSource {
         val hex = content.substring(start + 1, end).filterNot(_.isWhitespace)
         val padded = if (hex.length % 2 == 1) hex + "0" else hex
         val sb = new StringBuilder
-        padded.grouped(2).foreach(h => sb.append(Integer.parseInt(h, 16).toChar))
+        if (cmap.isEmpty)
+          padded.grouped(2).foreach(h => sb.append(Integer.parseInt(h, 16).toChar))
+        else
+          // fixed-width font codes through the ToUnicode map; an
+          // unmapped code falls back to its raw code point
+          padded.grouped(cmap.codeBytes * 2).foreach { h =>
+            val code = Integer.parseInt(h, 16)
+            sb.append(cmap.map.getOrElse(code, code.toChar.toString))
+          }
         (sb.toString, end + 1)
       }
     }

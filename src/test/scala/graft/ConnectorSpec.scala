@@ -96,6 +96,40 @@ class ConnectorSpec extends SparkSpec {
     // stream scan) produced it.
     assert(byFile("xrefstream.pdf") == plain,
       "xref-stream layout must extract identical text in page-tree order")
+    // LZWDecode, long enough that the 9->10-bit code-width change ran
+    assert(byFile("lzw.pdf").size == 1 &&
+      byFile("lzw.pdf").head.startsWith("LZW compressed page: token000") &&
+      byFile("lzw.pdf").head.endsWith("token059"))
+    // filter CHAIN applied in array order: ASCII85 first, then LZW
+    assert(byFile("a85lzw.pdf") == Seq("chained filters decoded fine"))
+    // CID font: 2-byte hex codes through the /ToUnicode CMap —
+    // bfchar, bfrange with offset, bfrange with array, multi-unit dst
+    assert(byFile("cid.pdf") == Seq("Hello fi"))
+  }
+
+  test("pdf kernel: ToUnicode CMap also applies on the linear-scan fallback") {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/fixtures/cid.pdf").getPath))
+    // break the xref so the linear scan handles the file
+    val broken = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replace("startxref", "startxrfX").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(PdfSource.extractPdfPages(broken) == Seq("Hello fi"))
+  }
+
+  test("pdf lzw/ascii85/asciihex decoders: unit round-trips and hostile input") {
+    // ASCIIHex: whitespace ignored, odd nibble count pads with 0
+    assert(PdfSource.asciiHexDecode("48 65 6C6C6F>".getBytes).map(new String(_))
+      == Some("Hello"))
+    assert(PdfSource.asciiHexDecode("486>".getBytes).map(_.toSeq)
+      == Some(Array[Byte](0x48, 0x60).toSeq))
+    assert(PdfSource.asciiHexDecode("zz>".getBytes).isEmpty) // non-hex chars
+    // ASCII85: 'z' shorthand for four zero bytes; out-of-range rejected
+    assert(PdfSource.ascii85Decode("z~>".getBytes).map(_.toSeq)
+      == Some(Array[Byte](0, 0, 0, 0).toSeq))
+    assert(PdfSource.ascii85Decode(Array[Byte](-1, -1)).isEmpty)
+    // LZW: an out-of-table code classifies as not-LZW instead of
+    // throwing (first 9-bit code of 0xFFFF is 511 > table size 258)
+    assert(PdfSource.lzwDecode(Array[Byte](-1, -1, -1, -1)).isEmpty)
   }
 
   test("jdbc sql source: gated SELECT with max_rows + truncation parity") {
