@@ -509,11 +509,12 @@ object SparkEntry {
 
   /** Multimodal: binary-column decode — documents as synthetic raw
     * media bytes (length-derived stub dims the oracle restates as
-    * byte-length arithmetic) UNIONED with real PNG/JPEG fixtures whose
-    * dimensions come from REAL header parses (IHDR / SOF walk), known
-    * a priori and restated as literals in the oracle. The gate then
-    * checks the batched mapPartitions plumbing AND the real header
-    * kernels end to end.
+    * byte-length arithmetic) UNIONED with real PNG/JPEG/WAV/MP4
+    * fixtures whose metadata comes from REAL header parses (IHDR, SOF
+    * walk, RIFF chunk walk, ISO-BMFF box walk), known a priori and
+    * restated as literals in the oracle. The gate then checks the
+    * batched mapPartitions plumbing AND the real header kernels end to
+    * end across all three modalities.
     */
   private def q44(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -525,11 +526,16 @@ object SparkEntry {
       (1000002L, M.syntheticPng(800, 600)),
       (1000003L, M.syntheticPng(1024, 768)),
       (1000004L, M.syntheticJpeg(320, 240)),
-      (1000005L, M.syntheticJpeg(512, 384))).toDF("doc_id", "content")
+      (1000005L, M.syntheticJpeg(512, 384)),
+      (1000006L, M.syntheticWav(44100, 2, millis = 2500)),
+      (1000007L, M.syntheticWav(16000, 1, millis = 1000)),
+      (1000008L, M.syntheticMp4(1920, 1080, durationMs = 90000L))).toDF("doc_id", "content")
     M.decode(media.unionByName(fixtures))
       .groupBy(col("decoded.format").as("format"))
       .agg(count(lit(1)).as("n"),
-        round(avg(col("decoded.width")), 2).as("avg_width"))
+        round(avg(col("decoded.width")), 2).as("avg_width"),
+        round(avg(col("decoded.sample_rate")), 2).as("avg_sr"),
+        sum(col("decoded.duration_ms")).as("total_ms"))
       .orderBy(col("format"))
   }
 
@@ -1230,16 +1236,27 @@ object SparkEntry {
         |   <= 0.05 * count(DISTINCT user_id || ':' || event_type) AS user_events_within_5pct
         |FROM events""".stripMargin,
     "q44_multimodal_decode" ->
-      """SELECT format, n, avg_width FROM (
+      """SELECT format, n, avg_width, avg_sr, total_ms FROM (
         |  SELECT 'raw' AS format, count(*) AS n,
-        |    round(avg(64 + octet_length(encode(text)) % 1024), 2) AS avg_width
+        |    round(avg(64 + octet_length(encode(text)) % 1024), 2) AS avg_width,
+        |    CAST(NULL AS DOUBLE) AS avg_sr, CAST(NULL AS BIGINT) AS total_ms
         |  FROM documents
         |  UNION ALL
         |  -- real header parses of the PNG fixtures: (640+800+1024)/3
-        |  SELECT 'png', CAST(3 AS BIGINT), CAST(821.33 AS DOUBLE)
+        |  SELECT 'png', CAST(3 AS BIGINT), CAST(821.33 AS DOUBLE),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
         |  UNION ALL
         |  -- real header parses of the JPEG fixtures: (320+512)/2
-        |  SELECT 'jpeg', CAST(2 AS BIGINT), CAST(416.0 AS DOUBLE)
+        |  SELECT 'jpeg', CAST(2 AS BIGINT), CAST(416.0 AS DOUBLE),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+        |  UNION ALL
+        |  -- RIFF chunk walk: rates (44100+16000)/2, durations 2500+1000
+        |  SELECT 'wav', CAST(2 AS BIGINT), CAST(NULL AS DOUBLE),
+        |    CAST(30050.0 AS DOUBLE), CAST(3500 AS BIGINT)
+        |  UNION ALL
+        |  -- ISO-BMFF box walk: tkhd 16.16 width, mvhd duration
+        |  SELECT 'mp4', CAST(1 AS BIGINT), CAST(1920.0 AS DOUBLE),
+        |    CAST(NULL AS DOUBLE), CAST(90000 AS BIGINT)
         |) ORDER BY format""".stripMargin,
     "q45_semantic_judge" ->
       """SELECT lang, len(text) > 300 AS verdict, count(*) AS n

@@ -22,18 +22,32 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** Typed metadata produced by decode: mirrors what an image decoder
-    * would emit. `ok=false` rows carry the failure reason (corrupt
-    * media must degrade per-row, never fail the scan — DROPMALFORMED
-    * discipline for media).
+  /** Typed metadata produced by decode: image fields (width/height),
+    * audio/video fields (sample_rate/duration_ms), shared channel
+    * count and format tag. Fields outside a format's modality are
+    * null (an image has no duration; audio has no width). `ok=false`
+    * rows carry the failure reason (corrupt media must degrade
+    * per-row, never fail the scan — DROPMALFORMED discipline for
+    * media).
     */
   val DecodedSchema: StructType = StructType(Seq(
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("channels", IntegerType),
     StructField("format", StringType),
+    StructField("sample_rate", IntegerType),
+    StructField("duration_ms", LongType),
     StructField("ok", BooleanType, nullable = false),
     StructField("error", StringType)))
+
+  /** Row constructor in [[DecodedSchema]] order with the modality
+    * fields defaulted — every kernel fills only what its format has.
+    */
+  private def meta(width: Integer = null, height: Integer = null,
+      channels: Integer = null, format: String = null,
+      sampleRate: Integer = null, durationMs: java.lang.Long = null,
+      ok: Boolean = true, error: String = null): Row =
+    Row(width, height, channels, format, sampleRate, durationMs, ok, error)
 
   /** Read a directory of media files as (path, length, content) —
     * Spark's binaryFile source; partition-parallel, content pruned
@@ -47,26 +61,35 @@ object Multimodal {
 
   // ---------------------------------------------------------- decode
 
-  /** Decode kernel: REAL pure-JDK header parses for PNG (IHDR) and
-    * JPEG (SOF marker walk) — dimensions and channel counts are the
-    * actual file metadata; malformed files of either format degrade to
-    * per-row error rows. Formats beyond those two keep the
-    * deterministic length-derived stub (full pixel decode needs codec
-    * libs this environment lacks); swapping in a real codec (FFI to
-    * libjpeg/ffmpeg) still changes only this function — bytes in,
+  /** Decode kernel: REAL pure-JDK header parses for PNG (IHDR), JPEG
+    * (SOF marker walk), WAV (RIFF chunk walk) and MP4 (ISO-BMFF box
+    * walk) — dimensions, channel counts, sample rates and durations
+    * are the actual file metadata; malformed files of a recognized
+    * format degrade to per-row error rows. Other formats keep the
+    * deterministic length-derived stub (full pixel/sample decode needs
+    * codec libs this environment lacks); swapping in a real codec (FFI
+    * to libjpeg/ffmpeg) still changes only this function — bytes in,
     * metadata Row out, total.
     */
   private[graft] def decodeStub(bytes: Array[Byte]): Row = {
-    if (bytes == null || bytes.isEmpty) return Row(null, null, null, null, false, "empty content")
+    if (bytes == null || bytes.isEmpty)
+      return meta(ok = false, error = "empty content")
     if (bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte)
       return decodeJpeg(bytes)
     if (bytes.length >= 8 && bytes(0) == 0x89.toByte && bytes(1) == 'P' &&
         bytes(2) == 'N' && bytes(3) == 'G')
       return decodePng(bytes)
+    if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')
+      return decodeWav(bytes)
+    if (bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' &&
+        bytes(6) == 'y' && bytes(7) == 'p')
+      return decodeMp4(bytes)
     val width = 64 + bytes.length % 1024
     // long arithmetic: length * 31 overflows Int beyond ~69 MB assets
     val height = 64 + (bytes.length.toLong * 31 % 1024).toInt
-    Row(width, height, 3, "raw", true, null)
+    Row(width, height, 3, "raw", null, null, true, null)
   }
 
   /** PNG IHDR parse: width/height big-endian at offsets 16/20,
@@ -74,9 +97,9 @@ object Multimodal {
     * palette 1, gray+alpha 2, RGBA 4).
     */
   private[graft] def decodePng(b: Array[Byte]): Row = {
-    if (b.length < 26) return Row(null, null, null, "png", false, "truncated png header")
+    if (b.length < 26) return meta(format = "png", ok = false, error = "truncated png header")
     if (!(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R'))
-      return Row(null, null, null, "png", false, "missing IHDR chunk")
+      return meta(format = "png", ok = false, error = "missing IHDR chunk")
     def be32(o: Int): Int =
       ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
     val w = be32(16)
@@ -86,10 +109,10 @@ object Multimodal {
       case 2 => 3
       case 4 => 2
       case 6 => 4
-      case other => return Row(null, null, null, "png", false, s"bad color type $other")
+      case other => return meta(format = "png", ok = false, error = s"bad color type $other")
     }
-    if (w <= 0 || h <= 0) Row(null, null, null, "png", false, s"bad dimensions ${w}x$h")
-    else Row(w, h, channels, "png", true, null)
+    if (w <= 0 || h <= 0) meta(format = "png", ok = false, error = s"bad dimensions ${w}x$h")
+    else meta(width = w, height = h, channels = channels, format = "png")
   }
 
   /** JPEG SOF parse: walk marker segments from SOI to the first frame
@@ -99,7 +122,7 @@ object Multimodal {
     var i = 2 // past SOI
     while (i + 3 < b.length) {
       if ((b(i) & 0xff) != 0xFF)
-        return Row(null, null, null, "jpeg", false, f"bad marker byte at $i")
+        return meta(format = "jpeg", ok = false, error = f"bad marker byte at $i")
       val mk = b(i + 1) & 0xff
       if (mk == 0xFF) i += 1 // fill byte
       else if (mk == 0x01 || (mk >= 0xD0 && mk <= 0xD9)) i += 2 // standalone
@@ -107,19 +130,118 @@ object Multimodal {
         val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
         if (mk >= 0xC0 && mk <= 0xCF && mk != 0xC4 && mk != 0xC8 && mk != 0xCC) {
           if (i + 9 >= b.length)
-            return Row(null, null, null, "jpeg", false, "truncated SOF segment")
+            return meta(format = "jpeg", ok = false, error = "truncated SOF segment")
           val h = ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff)
           val w = ((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff)
           val channels = b(i + 9) & 0xff
           return if (w <= 0 || h <= 0)
-            Row(null, null, null, "jpeg", false, s"bad dimensions ${w}x$h")
-          else Row(w, h, channels, "jpeg", true, null)
+            meta(format = "jpeg", ok = false, error = s"bad dimensions ${w}x$h")
+          else meta(width = w, height = h, channels = channels, format = "jpeg")
         }
-        if (len < 2) return Row(null, null, null, "jpeg", false, "bad segment length")
+        if (len < 2) return meta(format = "jpeg", ok = false, error = "bad segment length")
         i += 2 + len
       }
     }
-    Row(null, null, null, "jpeg", false, "no SOF marker found")
+    meta(format = "jpeg", ok = false, error = "no SOF marker found")
+  }
+
+  /** WAV RIFF chunk walk: `fmt ` yields channels + sample rate +
+    * byte rate, `data` yields payload size; duration follows as
+    * dataSize / byteRate.
+    */
+  private[graft] def decodeWav(b: Array[Byte]): Row = {
+    def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def le32(o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) | ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    var channels: Integer = null
+    var sampleRate: Integer = null
+    var byteRate = 0L
+    var dataSize = -1L
+    var i = 12
+    while (i + 8 <= b.length) {
+      val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(i + 4)
+      if (id == "fmt " && i + 16 + 8 <= b.length) {
+        channels = le16(i + 10)
+        sampleRate = le32(i + 12).toInt
+        byteRate = le32(i + 16)
+      } else if (id == "data") dataSize = size
+      // chunks are word-aligned: odd sizes carry a pad byte; a hostile
+      // size that would wrap the cursor ends the walk instead of
+      // looping forever
+      if (size > Int.MaxValue - i - 9) i = b.length
+      else i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (channels == null)
+      meta(format = "wav", ok = false, error = "missing fmt chunk")
+    else if (dataSize < 0)
+      meta(format = "wav", channels = channels, sampleRate = sampleRate,
+        ok = false, error = "missing data chunk")
+    else {
+      val durMs: java.lang.Long =
+        if (byteRate > 0) dataSize * 1000L / byteRate else null
+      meta(channels = channels, format = "wav", sampleRate = sampleRate,
+        durationMs = durMs)
+    }
+  }
+
+  /** MP4 / ISO-BMFF box walk: top-level to `moov`, then `mvhd`
+    * (timescale + duration, v0/v1 layouts) and the first `trak`'s
+    * `tkhd` (16.16 fixed-point width/height).
+    */
+  private[graft] def decodeMp4(b: Array[Byte]): Row = {
+    def be32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) | ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+    def boxId(o: Int): String = new String(b, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // find a child box by id within [from, until)
+    def findBox(id: String, from: Int, until: Int): Option[(Int, Int)] = {
+      var i = from
+      while (i + 8 <= until) {
+        val size = be32(i)
+        // size < 8 is malformed (size=1 64-bit boxes unsupported); a
+        // size that would wrap the cursor is hostile — stop either way
+        if (size < 8 || size > Int.MaxValue - i) return None
+        if (boxId(i) == id) return Some((i, math.min(until, i + size.toInt)))
+        i += size.toInt
+      }
+      None
+    }
+    findBox("moov", 0, b.length) match {
+      case None => meta(format = "mp4", ok = false, error = "no moov box")
+      case Some((moov, moovEnd)) =>
+        var durMs: java.lang.Long = null
+        findBox("mvhd", moov + 8, moovEnd).foreach { case (mvhd, _) =>
+          val version = b(mvhd + 8) & 0xff
+          val (timescale, duration) =
+            if (version == 1) (be32(mvhd + 28), be64(mvhd + 32))
+            else (be32(mvhd + 20), be32(mvhd + 24))
+          if (timescale > 0) durMs = duration * 1000L / timescale
+        }
+        var w: Integer = null
+        var h: Integer = null
+        findBox("trak", moov + 8, moovEnd).foreach { case (trak, trakEnd) =>
+          findBox("tkhd", trak + 8, trakEnd).foreach { case (tkhd, _) =>
+            val version = b(tkhd + 8) & 0xff
+            // after version+flags: creation, modification, track_ID,
+            // reserved, duration (4-byte fields in v0; times+duration
+            // widen to 8 in v1)
+            val base =
+              if (version == 1) tkhd + 12 + (8 + 8 + 4 + 4 + 8)
+              else tkhd + 12 + (4 + 4 + 4 + 4 + 4)
+            // skip reserved(8) + layer/altgroup/volume/reserved(8) + matrix(36)
+            val dims = base + 16 + 36
+            if (dims + 8 <= b.length) {
+              val wf = be32(dims) >> 16   // 16.16 fixed point
+              val hf = be32(dims + 4) >> 16
+              if (wf > 0 && hf > 0) { w = wf.toInt; h = hf.toInt }
+            }
+          }
+        }
+        if (durMs == null && w == null)
+          meta(format = "mp4", ok = false, error = "no mvhd/tkhd metadata")
+        else meta(width = w, height = h, format = "mp4", durationMs = durMs)
+    }
   }
 
   /** Minimal valid-for-header-parsing PNG/JPEG bytes with known
@@ -150,6 +272,51 @@ object Multimodal {
     out.array()
   }
 
+  /** PCM WAV header + silent payload sized for `millis` of audio. */
+  private[graft] def syntheticWav(sampleRate: Int, channels: Int,
+      millis: Int, bitsPerSample: Int = 16): Array[Byte] = {
+    val byteRate = sampleRate * channels * bitsPerSample / 8
+    val dataSize = (byteRate.toLong * millis / 1000L).toInt
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+    out.put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(channels.toShort) // PCM
+      .putInt(sampleRate).putInt(byteRate)
+      .putShort((channels * bitsPerSample / 8).toShort).putShort(bitsPerSample.toShort)
+    out.put("data".getBytes).putInt(dataSize)
+    out.array()
+  }
+
+  /** Minimal ISO-BMFF: ftyp + moov(mvhd v0 + trak(tkhd v0)). */
+  private[graft] def syntheticMp4(w: Int, h: Int, durationMs: Long,
+      timescale: Int = 1000): Array[Byte] = {
+    def box(id: String, payload: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + payload.length)
+      out.putInt(8 + payload.length).put(id.getBytes).put(payload)
+      out.array()
+    }
+    val mvhd = {
+      val p = java.nio.ByteBuffer.allocate(100)
+      p.putInt(0) // version 0 + flags
+      p.putInt(0).putInt(0) // creation, modification
+      p.putInt(timescale).putInt((durationMs * timescale / 1000L).toInt)
+      p.array() // rate/volume/matrix/next-track left zero
+    }
+    val tkhd = {
+      val p = java.nio.ByteBuffer.allocate(84)
+      p.putInt(0) // version 0 + flags
+      p.putInt(0).putInt(0).putInt(1).putInt(0) // times, track 1, reserved
+      p.putInt((durationMs * timescale / 1000L).toInt) // now at offset 24
+      p.position(24 + 16 + 36) // reserved(8)+layer/alt/vol/res(8)+matrix(36)
+      p.putInt(w << 16).putInt(h << 16) // 16.16 fixed at offset 76
+      p.array()
+    }
+    val ftyp = box("ftyp", "isom   isomiso2".getBytes("ISO-8859-1"))
+    val moov = box("moov", box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd)))
+    ftyp ++ moov
+  }
+
   /** Decode a binary column into typed metadata via batched
     * mapPartitions. `batchSize` is the real knob: a production decoder
     * allocates scratch buffers / a session per batch.
@@ -164,10 +331,10 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         // batch boundary = where a real decoder would set up buffers
         batch.map { row =>
-          val meta =
+          val decoded =
             try decodeStub(row.getAs[Array[Byte]](contentIdx))
-            catch { case e: Exception => Row(null, null, null, null, false, e.getMessage) }
-          Row.fromSeq(row.toSeq :+ meta)
+            catch { case e: Exception => meta(ok = false, error = e.getMessage) }
+          Row.fromSeq(row.toSeq :+ decoded)
         }
       }
     }

@@ -191,6 +191,30 @@ class SemanticSpec extends SparkSpec {
     assert(out(6L).getAs[Int]("channels") == 4)
   }
 
+  test("multimodal decode: WAV and MP4 header metadata") {
+    val df = Seq(
+      (1L, Multimodal.syntheticWav(44100, 2, millis = 2500)),
+      (2L, Multimodal.syntheticWav(16000, 1, millis = 1000, bitsPerSample = 8)),
+      (3L, Multimodal.syntheticMp4(1920, 1080, durationMs = 90000L)),
+      // RIFF signature over garbage fails honestly
+      (4L, "RIFFxxxxWAVEgarbage!".getBytes),
+      // ftyp box but no moov
+      (5L, Multimodal.syntheticMp4(0, 0, 0L).take(16))
+    ).toDF("id", "content")
+    val out = Multimodal.decode(df).collect()
+      .map(r => r.getLong(0) -> r.getAs[org.apache.spark.sql.Row]("decoded")).toMap
+    assert(out(1L).getAs[String]("format") == "wav" && out(1L).getAs[Boolean]("ok"))
+    assert(out(1L).getAs[Int]("sample_rate") == 44100 && out(1L).getAs[Int]("channels") == 2)
+    assert(out(1L).getAs[Long]("duration_ms") == 2500L)
+    assert(out(1L).getAs[Integer]("width") == null) // audio has no dims
+    assert(out(2L).getAs[Int]("sample_rate") == 16000 && out(2L).getAs[Long]("duration_ms") == 1000L)
+    assert(out(3L).getAs[String]("format") == "mp4" && out(3L).getAs[Boolean]("ok"))
+    assert(out(3L).getAs[Int]("width") == 1920 && out(3L).getAs[Int]("height") == 1080)
+    assert(out(3L).getAs[Long]("duration_ms") == 90000L)
+    assert(!out(4L).getAs[Boolean]("ok") && out(4L).getAs[String]("format") == "wav")
+    assert(!out(5L).getAs[Boolean]("ok") && out(5L).getAs[String]("format") == "mp4")
+  }
+
   test("multimodal features are unit-norm and deterministic") {
     val df = Seq((1L, "some media bytes".getBytes), (2L, "some media bytes".getBytes))
       .toDF("id", "content")
