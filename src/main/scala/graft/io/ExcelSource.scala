@@ -294,14 +294,28 @@ object ExcelSource {
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
 
+  /** Hard cap on rows [[write]] will collect to the driver. xlsx is a
+    * small-file interchange format — past this size the caller wants a
+    * distributed sink (parquet/csv), and a clear error beats a silent
+    * driver OOM. (The spreadsheet format itself tops out at ~1M rows.)
+    */
+  val WriteMaxRows: Int = 100000
+
   /** Minimal xlsx writer (`excel_write`, `excel_tool.py:148-229`):
     * one sheet, header row + string cells (inline strings). Collects to
     * the driver — xlsx is a small-file interchange format; this is the
-    * export path, not a data sink (parquet/csv are).
+    * export path, not a data sink (parquet/csv are). Refuses frames
+    * over [[WriteMaxRows]] with an explicit error instead of OOMing
+    * the driver.
     */
   def write(df: DataFrame, path: String, sheet: String = "Sheet1"): Unit = {
     val header = df.columns.toSeq
-    val rows = df.collect().map(_.toSeq.map(v => if (v == null) "" else v.toString))
+    // limit+1 bounds the probe itself: the full count is never needed
+    val probe = df.limit(WriteMaxRows + 1).collect()
+    require(probe.length <= WriteMaxRows,
+      s"excel write collects to the driver and caps at $WriteMaxRows rows; " +
+        s"this frame has more — write parquet/csv instead")
+    val rows = probe.map(_.toSeq.map(v => if (v == null) "" else v.toString))
     val allRows = header +: rows.toSeq
 
     val sheetXml = {

@@ -88,6 +88,13 @@ class IoSpec extends SparkSpec {
     assert(back.columns.toSeq == Seq("id", "name", "price"))
     assert(back.count() == 2)
     assert(back.filter(col("name") === "widget").head().getString(2) == "9.99")
+    // the driver-collect surface is capped with an explicit error
+    // (never a silent OOM); a range frame drives the real constant
+    val big = spark.range(ExcelSource.WriteMaxRows + 1L).toDF("id")
+    val e = intercept[IllegalArgumentException] {
+      ExcelSource.write(big, s"$tmp/too-big.xlsx")
+    }
+    assert(e.getMessage.contains("caps at"))
   }
 
   test("foreign xlsx: shared strings, rich text, date serials, styles (`excel_tool.py:575-617`)") {
