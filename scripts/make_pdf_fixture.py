@@ -102,6 +102,96 @@ def build_pdf(content_streams, compress=False, filters=None, font=None,
     return bytes(out)
 
 
+PAD = bytes([0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+             0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+             0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+             0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A])
+
+
+def rc4(key, data):
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray()
+    x = y = 0
+    for b in data:
+        x = (x + 1) & 0xFF
+        y = (y + s[x]) & 0xFF
+        s[x], s[y] = s[y], s[x]
+        out.append(b ^ s[(s[x] + s[y]) & 0xFF])
+    return bytes(out)
+
+
+def build_encrypted_pdf(content, owner_pw=b"fixture-owner"):
+    """Standard security handler V2/R3 (RC4-128), EMPTY user password:
+    the common owner-restricted-but-readable document. O/U computed per
+    spec algorithms 3/2/5; the one content stream is Flate-compressed
+    then RC4-encrypted with its per-object key.
+    """
+    import hashlib
+    keylen, r, p = 16, 3, -4
+    fid = hashlib.md5(b"graft-encrypted-fixture-id").digest()
+
+    # /O (algorithm 3)
+    h = hashlib.md5((owner_pw + PAD)[:32]).digest()
+    for _ in range(50):
+        h = hashlib.md5(h).digest()
+    okey = h[:keylen]
+    o = rc4(okey, PAD)  # empty user password padded
+    for i in range(1, 20):
+        o = rc4(bytes(b ^ i for b in okey), o)
+
+    # file key (algorithm 2, empty user password)
+    md = hashlib.md5()
+    md.update(PAD)
+    md.update(o)
+    md.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
+    md.update(fid)
+    key = md.digest()
+    for _ in range(50):
+        key = hashlib.md5(key[:keylen]).digest()
+    fkey = key[:keylen]
+
+    # /U (algorithm 5)
+    u = rc4(fkey, hashlib.md5(PAD + fid).digest())
+    for i in range(1, 20):
+        u = rc4(bytes(b ^ i for b in fkey), u)
+    u = u + bytes(16)  # R>=3: last 16 bytes arbitrary
+
+    def obj_key(num, gen=0):
+        m = hashlib.md5()
+        m.update(fkey + num.to_bytes(3, "little") + gen.to_bytes(2, "little"))
+        return m.digest()[:min(keylen + 5, 16)]
+
+    data = rc4(obj_key(4), zlib.compress(content.encode("latin-1")))
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        f"<< /Length {len(data)} /Filter /FlateDecode >>".encode()
+        + b"\nstream\n" + data + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        (f"<< /Filter /Standard /V 2 /R 3 /Length 128 /P {p} "
+         f"/O <{o.hex()}> /U <{u.hex()}> >>").encode(),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs):
+        offsets.append(len(out))
+        out += f"{i + 1} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R /Encrypt 6 0 R "
+            f"/ID [<{fid.hex()}> <{fid.hex()}>] >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    return bytes(out)
+
+
 def build_pdf_xrefstream(content_streams):
     """PDF 1.5 layout: catalog/pages/page dicts inside a FlateDecode
     object stream (/ObjStm, type-2 xref entries), a cross-reference
@@ -251,9 +341,15 @@ def main():
     with open(os.path.join(OUT_DIR, "cid.pdf"), "wb") as f:
         f.write(cid)
 
+    enc = build_encrypted_pdf(
+        "BT /F1 12 Tf 72 720 Td (Owner-locked but readable) Tj ET")
+    with open(os.path.join(OUT_DIR, "encrypted.pdf"), "wb") as f:
+        f.write(enc)
+
     print(f"wrote plain.pdf ({len(plain)}b), flate.pdf ({len(flate)}b), "
           f"xrefstream.pdf ({len(xrefstream)}b), lzw.pdf ({len(lzw_pdf)}b), "
-          f"a85lzw.pdf ({len(a85lzw)}b), cid.pdf ({len(cid)}b) in {OUT_DIR}")
+          f"a85lzw.pdf ({len(a85lzw)}b), cid.pdf ({len(cid)}b), "
+          f"encrypted.pdf ({len(enc)}b) in {OUT_DIR}")
 
 
 if __name__ == "__main__":

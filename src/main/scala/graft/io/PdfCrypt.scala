@@ -1,0 +1,180 @@
+package graft.io
+
+/** Standard-security-handler decryption for [[PdfSource]] — the
+  * empty-user-password case that covers most encrypted PDFs in the
+  * wild (owner-password-restricted documents open for reading;
+  * reference parity: pypdf's `_encryption` via `pdf_read_tool.py`).
+  *
+  * Supported: /Filter /Standard with V 1/2 (RC4, 40–128 bit key) and
+  * V 4 + /CFM /AESV2 (AES-128-CBC), revisions 2–4. V 5 / R 6
+  * (AES-256, SHA-2 derivation) and non-empty user passwords are out
+  * of scope — [[fromDict]] returns None and the caller surfaces the
+  * file as undecodable rather than emitting garbage.
+  *
+  * All primitives are JDK-provided (MD5 via MessageDigest, AES via
+  * javax.crypto); RC4 is the 15-line KSA/PRGA spelled out below
+  * because the JCE ARCFOUR provider can be disabled by security
+  * policy.
+  */
+private[graft] object PdfCrypt {
+
+  /** The spec's 32-byte password padding (7.6.3.3). */
+  private val Pad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  final case class Decryptor(fileKey: Array[Byte], aes: Boolean) {
+    /** Decrypt one object's stream payload. */
+    def decrypt(objNum: Int, gen: Int, data: Array[Byte]): Option[Array[Byte]] = try {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(fileKey)
+      md.update(Array(
+        (objNum & 0xff).toByte, ((objNum >> 8) & 0xff).toByte, ((objNum >> 16) & 0xff).toByte,
+        (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte))
+      if (aes) md.update("sAlT".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val objKey = md.digest().take(math.min(fileKey.length + 5, 16))
+      if (aes) {
+        if (data.length < 16) return None
+        val cipher = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+        cipher.init(javax.crypto.Cipher.DECRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(objKey, "AES"),
+          new javax.crypto.spec.IvParameterSpec(data.take(16)))
+        Some(cipher.doFinal(data, 16, data.length - 16))
+      } else Some(rc4(objKey, data))
+    } catch { case _: Exception => None }
+  }
+
+  /** Build a decryptor from the /Encrypt dictionary and the first
+    * file /ID element, verifying the EMPTY user password against /U.
+    */
+  def fromDict(encryptDict: String, fileId: Array[Byte]): Option[Decryptor] = try {
+    if (!encryptDict.contains("/Standard")) return None
+    val v = intKey(encryptDict, "V").getOrElse(0)
+    val r = intKey(encryptDict, "R").getOrElse(if (v == 1) 2 else 3)
+    if (v < 1 || v > 4 || r < 2 || r > 4) return None
+    val aes = v == 4 && encryptDict.contains("/AESV2")
+    if (v == 4 && !aes && !encryptDict.contains("/V2")) return None // e.g. AESV3
+    val keyBytes =
+      if (v == 1) 5
+      else math.max(5, math.min(16, intKey(encryptDict, "Length").getOrElse(40) / 8))
+    val o = hexOrLiteral(encryptDict, "O").getOrElse(return None)
+    val u = hexOrLiteral(encryptDict, "U").getOrElse(return None)
+    val p = signedIntKey(encryptDict, "P").getOrElse(return None)
+
+    // 7.6.3.3 algorithm 2, empty user password
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(Pad)
+    md.update(o.take(32))
+    md.update(Array((p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
+      ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte))
+    md.update(fileId)
+    // (R4 /EncryptMetadata false would add ffffffff here; omitted — the
+    // common case encrypts metadata, and we only read content streams)
+    var key = md.digest()
+    if (r >= 3) {
+      var i = 0
+      while (i < 50) {
+        key = java.security.MessageDigest.getInstance("MD5").digest(key.take(keyBytes))
+        i += 1
+      }
+    }
+    val fileKey = key.take(keyBytes)
+
+    // verify the empty user password against /U (algorithms 4/5)
+    val ok =
+      if (r == 2) java.util.Arrays.equals(rc4(fileKey, Pad), u.take(32))
+      else {
+        val md2 = java.security.MessageDigest.getInstance("MD5")
+        md2.update(Pad)
+        md2.update(fileId)
+        var x = rc4(fileKey, md2.digest())
+        var i = 1
+        while (i <= 19) {
+          x = rc4(fileKey.map(b => (b ^ i).toByte), x)
+          i += 1
+        }
+        java.util.Arrays.equals(x, u.take(16))
+      }
+    if (ok) Some(Decryptor(fileKey, aes)) else None
+  } catch { case _: Exception => None }
+
+  private[io] def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = Array.tabulate(256)(_.toByte)
+    var j = 0
+    var i = 0
+    while (i < 256) {
+      j = (j + (s(i) & 0xff) + (key(i % key.length) & 0xff)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    var x = 0
+    var y = 0
+    i = 0
+    while (i < data.length) {
+      x = (x + 1) & 0xff
+      y = (y + (s(x) & 0xff)) & 0xff
+      val t = s(x); s(x) = s(y); s(y) = t
+      out(i) = (data(i) ^ s(((s(x) & 0xff) + (s(y) & 0xff)) & 0xff)).toByte
+      i += 1
+    }
+    out
+  }
+
+  private def intKey(dict: String, key: String): Option[Int] =
+    s"""/$key\\s+(\\d+)""".r.findFirstMatchIn(dict).map(_.group(1).toInt)
+
+  private def signedIntKey(dict: String, key: String): Option[Int] =
+    s"""/$key\\s+(-?\\d+)""".r.findFirstMatchIn(dict).map(_.group(1).toInt)
+
+  /** /O and /U values: hex string `<...>` or literal `(...)` with PDF
+    * escapes (literal form is what most writers emit).
+    */
+  private def hexOrLiteral(dict: String, key: String): Option[Array[Byte]] = {
+    val hex = s"""/$key\\s*<([0-9A-Fa-f\\s]+)>""".r.findFirstMatchIn(dict)
+      .map { m =>
+        val h = m.group(1).filterNot(_.isWhitespace)
+        val padded = if (h.length % 2 == 1) h + "0" else h
+        padded.grouped(2).map(x => Integer.parseInt(x, 16).toByte).toArray
+      }
+    hex.orElse {
+      s"""/$key\\s*\\(""".r.findFirstMatchIn(dict).map { m =>
+        val out = new java.io.ByteArrayOutputStream(48)
+        var i = m.end
+        var depth = 1
+        while (i < dict.length && depth > 0) {
+          dict.charAt(i) match {
+            case '\\' if i + 1 < dict.length =>
+              dict.charAt(i + 1) match {
+                case 'n' => out.write('\n'); i += 2
+                case 'r' => out.write('\r'); i += 2
+                case 't' => out.write('\t'); i += 2
+                case 'b' => out.write('\b'); i += 2
+                case 'f' => out.write('\f'); i += 2
+                case d if d >= '0' && d <= '7' =>
+                  val oct = dict.substring(i + 1, math.min(i + 4, dict.length))
+                    .takeWhile(c => c >= '0' && c <= '7').take(3)
+                  out.write(Integer.parseInt(oct, 8)); i += 1 + oct.length
+                case other => out.write(other); i += 2
+              }
+            case '(' => depth += 1; out.write('('); i += 1
+            case ')' =>
+              depth -= 1
+              if (depth > 0) out.write(')')
+              i += 1
+            case c => out.write(c); i += 1
+          }
+        }
+        out.toByteArray
+      }
+    }
+  }
+
+  /** First element of the trailer /ID array (`[<hex> <hex>]`). */
+  private[io] def fileIdFrom(raw: String): Array[Byte] =
+    """/ID\s*\[\s*<([0-9A-Fa-f]+)>""".r.findFirstMatchIn(raw)
+      .map(m => m.group(1).grouped(2).map(x => Integer.parseInt(x, 16).toByte).toArray)
+      .getOrElse(Array.emptyByteArray)
+}

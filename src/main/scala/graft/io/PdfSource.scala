@@ -76,10 +76,13 @@ object PdfSource {
     * /Kids in tree order, and decode each page's /Contents (single or
     * array) — so pages come back in DOCUMENT order with multi-stream
     * pages joined, not in byte order. Any parse failure falls back to
-    * the byte-order linear stream scan ([[linearScanPages]]). Out of
-    * scope (documented): encryption, CID/Type0 font decoding — the
-    * reference reaches those through pypdf (`pdf_read_tool.py:90-…`);
-    * here they surface as the no-extractable-text error row.
+    * the byte-order linear stream scan ([[linearScanPages]]).
+    * Encrypted files decrypt via [[PdfCrypt]] (standard handler,
+    * RC4/AES-128, empty user password); CID/Type0 text goes through
+    * the /ToUnicode CMap. Out of scope (documented): AES-256 (R6)
+    * encryption, non-empty user passwords, embedded-CMap-only fonts —
+    * those surface as the no-extractable-text error row (the
+    * reference reaches them through pypdf, `pdf_read_tool.py:90-…`).
     */
   private[graft] def extractPdfPages(bytes: Array[Byte]): Seq[String] = {
     val viaXref =
@@ -191,9 +194,10 @@ object PdfSource {
     * PNG predictor (`/DecodeParms << /Predictor P /Columns C >>`).
     */
   private def decodeStream(bytes: Array[Byte], raw: String, dict: String,
-      from: Int): Option[Array[Byte]] =
+      from: Int,
+      pre: Array[Byte] => Option[Array[Byte]] = Some(_)): Option[Array[Byte]] =
     streamDataRange(raw, dict, from).flatMap { case (a, b) =>
-      decodeRange(bytes, dict, a, b)
+      decodeRange(bytes, dict, a, b, pre)
     }
 
   /** Decode the already-located `[a, b)` stream bytes per `dict` —
@@ -205,20 +209,23 @@ object PdfSource {
     * None rather than garbage bytes.
     */
   private def decodeRange(bytes: Array[Byte], dict: String, a: Int,
-      b: Int): Option[Array[Byte]] = {
-    val data = java.util.Arrays.copyOfRange(bytes, a, b)
-    val plain = filterChain(dict).foldLeft(Option(data)) { (acc, f) =>
-      acc.flatMap { d =>
-        f match {
-          case "FlateDecode" | "Fl" => inflate(d)
-          case "LZWDecode" | "LZW" =>
-            lzwDecode(d, intKey(dict, "EarlyChange").getOrElse(1))
-          case "ASCIIHexDecode" | "AHx" => asciiHexDecode(d)
-          case "ASCII85Decode" | "A85" => ascii85Decode(d)
-          case _ => None
+      b: Int,
+      pre: Array[Byte] => Option[Array[Byte]] = Some(_)): Option[Array[Byte]] = {
+    // `pre` runs before the filter chain — decryption applies to the
+    // stored bytes, then filters decode the plaintext
+    val plain = pre(java.util.Arrays.copyOfRange(bytes, a, b))
+      .flatMap(data => filterChain(dict).foldLeft(Option(data)) { (acc, f) =>
+        acc.flatMap { d =>
+          f match {
+            case "FlateDecode" | "Fl" => inflate(d)
+            case "LZWDecode" | "LZW" =>
+              lzwDecode(d, intKey(dict, "EarlyChange").getOrElse(1))
+            case "ASCIIHexDecode" | "AHx" => asciiHexDecode(d)
+            case "ASCII85Decode" | "A85" => ascii85Decode(d)
+            case _ => None
+          }
         }
-      }
-    }
+      })
     plain.map { p =>
       (intKey(dict, "Predictor"), intKey(dict, "Columns")) match {
         case (Some(pred), Some(cols)) if pred >= 10 => unpredict(p, pred, cols)
@@ -424,6 +431,29 @@ object PdfSource {
       cursor = parseSection(c)
     }
 
+    // --- encryption -------------------------------------------------
+    // the /Encrypt dict is resolved from its direct offset only (the
+    // spec keeps it out of object streams), so no circular dependency
+    // with the stream decoder below
+    def directDict(num: Int): Option[String] = entries.get(num) match {
+      case Some(AtOffset(off)) if off >= 0 && off < raw.length =>
+        val objKw = raw.indexOf("obj", off)
+        if (objKw < 0) None else Some(balancedDict(raw, objKw))
+      case _ =>
+        ("""(?m)^""" + num + """\s+\d+\s+obj""").r.findFirstMatchIn(raw)
+          .map(m => balancedDict(raw, m.end))
+    }
+    val decryptor: Option[PdfCrypt.Decryptor] =
+      """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(raw) match {
+        case None => None
+        case Some(m) =>
+          directDict(m.group(1).toInt)
+            .flatMap(d => PdfCrypt.fromDict(d, PdfCrypt.fileIdFrom(raw))) match {
+            case None => return None // encrypted, unsupported: no garbage out
+            case some => some
+          }
+      }
+
     // --- object resolution ------------------------------------------
     val objCache = scala.collection.mutable.Map.empty[Int, String]
     // body text of object `num`: its dict (and trailing body) without
@@ -468,13 +498,24 @@ object PdfSource {
         resolved
       }
     }
-    // decoded payload of stream object `num`
+    // decoded payload of stream object `num` (decrypted first when the
+    // file is encrypted — except xref streams, which never are)
     def streamBytes(num: Int, depth: Int = 0): Option[Array[Byte]] =
       entries.get(num).flatMap {
         case AtOffset(off) if off >= 0 && off < raw.length =>
           for {
             dict <- objString(num, depth + 1)
-            data <- decodeStream(bytes, raw, dict, off)
+            data <- {
+              val pre: Array[Byte] => Option[Array[Byte]] = decryptor match {
+                case Some(d) if !dict.contains("/XRef") =>
+                  val gen = """\d+\s+(\d+)\s+obj""".r
+                    .findFirstMatchIn(raw.substring(off, math.min(off + 32, raw.length)))
+                    .map(_.group(1).toInt).getOrElse(0)
+                  d.decrypt(num, gen, _)
+                case _ => Some(_)
+              }
+              decodeStream(bytes, raw, dict, off, pre)
+            }
           } yield data
         case _ => None // streams cannot live inside object streams
       }
@@ -540,7 +581,30 @@ object PdfSource {
     */
   private[graft] def linearScanPages(bytes: Array[Byte]): Seq[String] = {
     val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
-    val cmap = linearScanCMap(bytes, raw)
+    val decryptor: Option[PdfCrypt.Decryptor] =
+      """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(raw) match {
+        case None => None
+        case Some(m) =>
+          ("""(?m)^""" + m.group(1) + """\s+\d+\s+obj""").r.findFirstMatchIn(raw)
+            .map(om => balancedDict(raw, om.end))
+            .flatMap(d => PdfCrypt.fromDict(d, PdfCrypt.fileIdFrom(raw))) match {
+            case None => return Seq.empty // encrypted, unsupported
+            case some => some
+          }
+      }
+    // per-stream decryption: the object header right before the dict
+    // names the (num, gen) the object key derives from
+    def preFor(dictStart: Int): Array[Byte] => Option[Array[Byte]] =
+      decryptor match {
+        case None => Some(_)
+        case Some(d) =>
+          """(\d+)\s+(\d+)\s+obj\s*(<<)?\s*$""".r
+            .findFirstMatchIn(raw.substring(math.max(0, dictStart - 40), dictStart + 2)) match {
+            case Some(h) => d.decrypt(h.group(1).toInt, h.group(2).toInt, _)
+            case None => _ => None // encrypted but unattributable: skip
+          }
+      }
+    val cmap = linearScanCMap(bytes, raw, preFor)
     val pages = Seq.newBuilder[String]
     var from = 0
     var found = true
@@ -568,7 +632,7 @@ object PdfSource {
             // metadata, image data) must not poison the file's real
             // page streams
             try {
-              val content = decodeRange(bytes, dict, a, e)
+              val content = decodeRange(bytes, dict, a, e, preFor(dictStart))
                 .map(p => new String(p, java.nio.charset.StandardCharsets.ISO_8859_1))
               // only streams with a BT text block are page content —
               // XMP/image streams must not become phantom pages
@@ -588,7 +652,8 @@ object PdfSource {
     * `/ToUnicode N 0 R` in the raw bytes to its `N 0 obj` stream and
     * parse. Same union-of-fonts simplification as the xref path.
     */
-  private def linearScanCMap(bytes: Array[Byte], raw: String): ToUnicodeCMap = {
+  private def linearScanCMap(bytes: Array[Byte], raw: String,
+      preFor: Int => Array[Byte] => Option[Array[Byte]] = _ => Some(_)): ToUnicodeCMap = {
     val cmaps = """/ToUnicode\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(raw)
       .map(_.group(1).toInt).toSeq.distinct.flatMap { num =>
         ("""(?m)^""" + num + """\s+\d+\s+obj""").r.findFirstMatchIn(raw).flatMap { om =>
@@ -597,7 +662,7 @@ object PdfSource {
           else {
             val dict = balancedDict(raw, dictAt)
             streamDataRange(raw, dict, dictAt + dict.length)
-              .flatMap { case (a, b) => decodeRange(bytes, dict, a, b) }
+              .flatMap { case (a, b) => decodeRange(bytes, dict, a, b, preFor(dictAt)) }
               .map(p => parseToUnicodeCMap(
                 new String(p, java.nio.charset.StandardCharsets.ISO_8859_1)))
           }

@@ -105,6 +105,42 @@ class ConnectorSpec extends SparkSpec {
     // CID font: 2-byte hex codes through the /ToUnicode CMap —
     // bfchar, bfrange with offset, bfrange with array, multi-unit dst
     assert(byFile("cid.pdf") == Seq("Hello fi"))
+    // standard-handler RC4-128 encryption, empty user password: the
+    // owner-locked-but-readable document decrypts and extracts
+    assert(byFile("encrypted.pdf") == Seq("Owner-locked but readable"))
+  }
+
+  test("pdf crypt: AES-128 object decryption and wrong-password refusal") {
+    import graft.io.PdfCrypt
+    // AES path: encrypt with javax.crypto the way a V4/AESV2 writer
+    // would (per-object key + sAlT, IV-prefixed CBC), decrypt via the
+    // kernel's Decryptor
+    val fileKey = Array.tabulate[Byte](16)(i => (i * 7 + 3).toByte)
+    val plaintext = "BT (aes secret) Tj ET".getBytes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(fileKey)
+    md.update(Array[Byte](9, 0, 0, 0, 0)) // obj 9 gen 0, little-endian
+    md.update("sAlT".getBytes)
+    val objKey = md.digest() // 16+5 caps at 16
+    val iv = Array.tabulate[Byte](16)(_.toByte)
+    val cipher = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+    cipher.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(objKey, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    val stored = iv ++ cipher.doFinal(plaintext)
+    val d = PdfCrypt.Decryptor(fileKey, aes = true)
+    assert(d.decrypt(9, 0, stored).map(new String(_)) == Some(new String(plaintext)))
+    // tampered ciphertext / wrong object number fails closed
+    assert(d.decrypt(10, 0, stored).isEmpty) // wrong key -> bad padding
+    // encrypted.pdf with a NON-empty user password requirement would
+    // refuse: corrupt /U so the empty-password check fails
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/fixtures/encrypted.pdf").getPath))
+    val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val broken = raw.replaceFirst("/U <..", "/U <ff")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(PdfSource.extractPdfPages(broken).isEmpty,
+      "an undecryptable file must yield no pages, never garbage")
   }
 
   test("pdf kernel: ToUnicode CMap also applies on the linear-scan fallback") {
