@@ -346,6 +346,46 @@ def main():
     with open(os.path.join(OUT_DIR, "encrypted.pdf"), "wb") as f:
         f.write(enc)
 
+    # TWO CID fonts whose CMaps map the SAME code <0001> to different
+    # glyphs — only per-font (Tf-tracked) decoding extracts "AZ"; a
+    # union map would emit "AA" or "ZZ"
+    cmap_a = (b"begincmap\n1 begincodespacerange\n<0000> <FFFF>\n"
+              b"endcodespacerange\n1 beginbfchar\n<0001> <0041>\n"
+              b"endbfchar\nendcmap\n")            # 0001 -> 'A'
+    cmap_z = (b"begincmap\n1 begincodespacerange\n<0000> <FFFF>\n"
+              b"endcodespacerange\n1 beginbfchar\n<0001> <005A>\n"
+              b"endbfchar\nendcmap\n")            # 0001 -> 'Z'
+    content = b"BT /F1 12 Tf <0001> Tj /F2 12 Tf <0001> Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R /F2 6 0 R >> >> >>",
+        f"<< /Length {len(content)} >>".encode()
+        + b"\nstream\n" + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /FontA "
+        b"/Encoding /Identity-H /ToUnicode 7 0 R >>",
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /FontZ "
+        b"/Encoding /Identity-H /ToUnicode 8 0 R >>",
+        f"<< /Length {len(cmap_a)} >>".encode()
+        + b"\nstream\n" + cmap_a + b"\nendstream",
+        f"<< /Length {len(cmap_z)} >>".encode()
+        + b"\nstream\n" + cmap_z + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs):
+        offsets.append(len(out))
+        out += f"{i + 1} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    with open(os.path.join(OUT_DIR, "cid2.pdf"), "wb") as f:
+        f.write(bytes(out))
+
     print(f"wrote plain.pdf ({len(plain)}b), flate.pdf ({len(flate)}b), "
           f"xrefstream.pdf ({len(xrefstream)}b), lzw.pdf ({len(lzw_pdf)}b), "
           f"a85lzw.pdf ({len(a85lzw)}b), cid.pdf ({len(cid)}b), "

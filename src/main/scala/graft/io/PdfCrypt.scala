@@ -51,17 +51,23 @@ private[graft] object PdfCrypt {
     */
   def fromDict(encryptDict: String, fileId: Array[Byte]): Option[Decryptor] = try {
     if (!encryptDict.contains("/Standard")) return None
-    val v = intKey(encryptDict, "V").getOrElse(0)
-    val r = intKey(encryptDict, "R").getOrElse(if (v == 1) 2 else 3)
+    // scalar keys must come from the TOP-LEVEL dict: a V4 /CF crypt-
+    // filter subdict carries its own /Length (in BYTES), and dict key
+    // order is arbitrary — a whole-string regex can hit it first
+    val top = stripNestedDicts(encryptDict)
+    val v = intKey(top, "V").getOrElse(0)
+    val r = intKey(top, "R").getOrElse(if (v == 1) 2 else 3)
     if (v < 1 || v > 4 || r < 2 || r > 4) return None
+    // the filter NAME lives inside the nested /CF dict — full-text check
     val aes = v == 4 && encryptDict.contains("/AESV2")
     if (v == 4 && !aes && !encryptDict.contains("/V2")) return None // e.g. AESV3
     val keyBytes =
       if (v == 1) 5
-      else math.max(5, math.min(16, intKey(encryptDict, "Length").getOrElse(40) / 8))
-    val o = hexOrLiteral(encryptDict, "O").getOrElse(return None)
-    val u = hexOrLiteral(encryptDict, "U").getOrElse(return None)
-    val p = signedIntKey(encryptDict, "P").getOrElse(return None)
+      else if (v == 4) 16 // AESV2 and 128-bit RC4 CFs are both 16-byte keys
+      else math.max(5, math.min(16, intKey(top, "Length").getOrElse(40) / 8))
+    val o = hexOrLiteral(top, "O").getOrElse(return None)
+    val u = hexOrLiteral(top, "U").getOrElse(return None)
+    val p = signedIntKey(top, "P").getOrElse(return None)
 
     // 7.6.3.3 algorithm 2, empty user password
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -123,6 +129,30 @@ private[graft] object PdfCrypt {
     out
   }
 
+  /** The dict text with nested `<< … >>` blocks blanked out, so
+    * regexes only see the outer dict's own keys.
+    */
+  private def stripNestedDicts(dict: String): String = {
+    val sb = new StringBuilder(dict.length)
+    var depth = 0
+    var i = 0
+    while (i < dict.length) {
+      if (i + 1 < dict.length && dict.charAt(i) == '<' && dict.charAt(i + 1) == '<') {
+        depth += 1
+        sb.append(if (depth <= 1) "<<" else "  ")
+        i += 2
+      } else if (i + 1 < dict.length && dict.charAt(i) == '>' && dict.charAt(i + 1) == '>') {
+        sb.append(if (depth <= 1) ">>" else "  ")
+        depth -= 1
+        i += 2
+      } else {
+        sb.append(if (depth <= 1) dict.charAt(i) else ' ')
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
   private def intKey(dict: String, key: String): Option[Int] =
     s"""/$key\\s+(\\d+)""".r.findFirstMatchIn(dict).map(_.group(1).toInt)
 
@@ -172,9 +202,4 @@ private[graft] object PdfCrypt {
     }
   }
 
-  /** First element of the trailer /ID array (`[<hex> <hex>]`). */
-  private[io] def fileIdFrom(raw: String): Array[Byte] =
-    """/ID\s*\[\s*<([0-9A-Fa-f]+)>""".r.findFirstMatchIn(raw)
-      .map(m => m.group(1).grouped(2).map(x => Integer.parseInt(x, 16).toByte).toArray)
-      .getOrElse(Array.emptyByteArray)
 }

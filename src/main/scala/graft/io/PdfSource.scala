@@ -343,9 +343,22 @@ object PdfSource {
 
     val entries = scala.collection.mutable.Map.empty[Int, XrefEntry]
     var rootRef: Option[Int] = None
+    var encryptRef: Option[Int] = None
+    var trailerId: Option[Array[Byte]] = None
 
     def addEntry(num: Int, e: XrefEntry): Unit =
       if (!entries.contains(num)) { entries(num) = e; () }
+
+    // /Root, /Encrypt and /ID come from TRAILER dicts only (newest
+    // section wins) — a whole-file grep would false-positive on
+    // content that merely mentions the keys
+    def captureTrailerKeys(dict: String): Unit = {
+      if (rootRef.isEmpty) rootRef = objRef(dict, "Root")
+      if (encryptRef.isEmpty) encryptRef = objRef(dict, "Encrypt")
+      if (trailerId.isEmpty)
+        trailerId = """/ID\s*\[\s*<([0-9A-Fa-f]+)>""".r.findFirstMatchIn(dict)
+          .map(m => m.group(1).grouped(2).map(x => Integer.parseInt(x, 16).toByte).toArray)
+    }
 
     // parse one xref section at `at`; returns the /Prev offset if any
     def parseSection(at: Int): Option[Int] = {
@@ -378,7 +391,7 @@ object PdfSource {
         val t = raw.indexOf("trailer", i)
         if (t < 0) return None
         val dict = balancedDict(raw, t)
-        if (rootRef.isEmpty) rootRef = objRef(dict, "Root")
+        captureTrailerKeys(dict)
         intKey(dict, "Prev")
       } else {
         // xref STREAM: "N G obj << /Type /XRef /W [...] ... >> stream"
@@ -418,7 +431,7 @@ object PdfSource {
             }
           case _ => ()
         }
-        if (rootRef.isEmpty) rootRef = objRef(dict, "Root")
+        captureTrailerKeys(dict)
         intKey(dict, "Prev")
       }
     }
@@ -444,11 +457,12 @@ object PdfSource {
           .map(m => balancedDict(raw, m.end))
     }
     val decryptor: Option[PdfCrypt.Decryptor] =
-      """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(raw) match {
+      encryptRef match {
         case None => None
-        case Some(m) =>
-          directDict(m.group(1).toInt)
-            .flatMap(d => PdfCrypt.fromDict(d, PdfCrypt.fileIdFrom(raw))) match {
+        case Some(num) =>
+          directDict(num)
+            .flatMap(d => PdfCrypt.fromDict(d,
+              trailerId.getOrElse(Array.emptyByteArray))) match {
             case None => return None // encrypted, unsupported: no garbage out
             case some => some
           }
@@ -456,6 +470,10 @@ object PdfSource {
 
     // --- object resolution ------------------------------------------
     val objCache = scala.collection.mutable.Map.empty[Int, String]
+    // ObjStm payloads are decoded once and cached: object resolution
+    // hits the same stream once per CONTAINED object, and the
+    // ToUnicode scan below reads them all again
+    val stmCache = scala.collection.mutable.Map.empty[Int, Option[Array[Byte]]]
     // body text of object `num`: its dict (and trailing body) without
     // stream data; resolves type-2 entries through their object stream
     def objString(num: Int, depth: Int = 0): Option[String] = {
@@ -519,7 +537,8 @@ object PdfSource {
           } yield data
         case _ => None // streams cannot live inside object streams
       }
-    def decodeObjStm(num: Int, depth: Int): Option[Array[Byte]] = streamBytes(num, depth)
+    def decodeObjStm(num: Int, depth: Int): Option[Array[Byte]] =
+      stmCache.getOrElseUpdate(num, streamBytes(num, depth))
 
     // --- page tree walk ---------------------------------------------
     val root = rootRef.flatMap(objString(_)).getOrElse(return None)
@@ -558,6 +577,34 @@ object PdfSource {
     val cmap = cmaps.headOption.map(h =>
       ToUnicodeCMap(h.codeBytes, cmaps.flatMap(_.map).toMap)).getOrElse(EmptyCMap)
 
+    // per-page font-name → CMap resolution (resources and /Font as
+    // inline dicts or refs); pages inheriting resources from an
+    // ancestor /Pages node fall back to the union map
+    def fontCMaps(pd: String): Map[String, ToUnicodeCMap] = {
+      def subDict(owner: String, key: String): Option[String] = {
+        val at = owner.indexOf(s"/$key")
+        if (at < 0) None
+        else {
+          val rest = owner.substring(at + key.length + 1)
+          if (rest.dropWhile(_.isWhitespace).startsWith("<<"))
+            Some(balancedDict(owner, at))
+          else objRef(owner, key).flatMap(objString(_))
+        }
+      }
+      (for {
+        res <- subDict(pd, "Resources")
+        fontDict <- subDict(res, "Font")
+      } yield {
+        """/([\w.-]+)\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(fontDict).flatMap { m =>
+          objString(m.group(2).toInt)
+            .flatMap(fd => objRef(fd, "ToUnicode"))
+            .flatMap(streamBytes(_))
+            .map(b => m.group(1) -> parseToUnicodeCMap(
+              new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)))
+        }.toMap.filter(!_._2.isEmpty)
+      }).getOrElse(Map.empty)
+    }
+
     val pages = pageObjs.result().map { pd =>
       // /Contents: one ref or an array of refs (joined in order)
       val refs: Seq[Int] =
@@ -566,9 +613,10 @@ object PdfSource {
             .map(_.group(1).toInt).toSeq)
           .orElse(objRef(pd, "Contents").map(Seq(_)))
           .getOrElse(Seq.empty)
+      val fonts = fontCMaps(pd)
       refs.flatMap(streamBytes(_))
-        .map(b => contentText(
-          new String(b, java.nio.charset.StandardCharsets.ISO_8859_1), cmap))
+        .map(b => contentTextWithFonts(
+          new String(b, java.nio.charset.StandardCharsets.ISO_8859_1), fonts, cmap))
         .filter(_.nonEmpty)
         .mkString("\n")
     }
@@ -581,13 +629,23 @@ object PdfSource {
     */
   private[graft] def linearScanPages(bytes: Array[Byte]): Seq[String] = {
     val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // encryption detection is limited to TRAILER dicts (all of them —
+    // incremental updates append several), not a whole-file grep that
+    // content mentioning "/Encrypt" could false-positive
+    val trailerDicts = Iterator.iterate(raw.indexOf("trailer"))(t =>
+        raw.indexOf("trailer", t + 1)).takeWhile(_ >= 0).take(16)
+      .map(t => balancedDict(raw, t)).toSeq
     val decryptor: Option[PdfCrypt.Decryptor] =
-      """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(raw) match {
+      trailerDicts.flatMap(d => """/Encrypt\s+(\d+)\s+\d+\s+R""".r
+          .findFirstMatchIn(d).map(m => (m.group(1).toInt, d))).headOption match {
         case None => None
-        case Some(m) =>
-          ("""(?m)^""" + m.group(1) + """\s+\d+\s+obj""").r.findFirstMatchIn(raw)
+        case Some((num, trailer)) =>
+          val fileId = """/ID\s*\[\s*<([0-9A-Fa-f]+)>""".r.findFirstMatchIn(trailer)
+            .map(m => m.group(1).grouped(2).map(x => Integer.parseInt(x, 16).toByte).toArray)
+            .getOrElse(Array.emptyByteArray)
+          ("""(?m)^""" + num + """\s+\d+\s+obj""").r.findFirstMatchIn(raw)
             .map(om => balancedDict(raw, om.end))
-            .flatMap(d => PdfCrypt.fromDict(d, PdfCrypt.fileIdFrom(raw))) match {
+            .flatMap(d => PdfCrypt.fromDict(d, fileId)) match {
             case None => return Seq.empty // encrypted, unsupported
             case some => some
           }
@@ -598,8 +656,11 @@ object PdfSource {
       decryptor match {
         case None => Some(_)
         case Some(d) =>
+          // window is generous (4 KB) so a long gap between "N G obj"
+          // and "<<" can't truncate the object number at the boundary;
+          // the $ anchor still requires the header to END at the dict
           """(\d+)\s+(\d+)\s+obj\s*(<<)?\s*$""".r
-            .findFirstMatchIn(raw.substring(math.max(0, dictStart - 40), dictStart + 2)) match {
+            .findFirstMatchIn(raw.substring(math.max(0, dictStart - 4096), dictStart + 2)) match {
             case Some(h) => d.decrypt(h.group(1).toInt, h.group(2).toInt, _)
             case None => _ => None // encrypted but unattributable: skip
           }
@@ -764,6 +825,31 @@ object PdfSource {
       """(?s)begincodespacerange\s*<([0-9A-Fa-f]+)>""".r.findFirstMatchIn(cmap)
         .map(m => math.max(1, m.group(1).length / 2)).getOrElse(2)
     ToUnicodeCMap(codeBytes, m.result())
+  }
+
+  /** [[contentText]] with per-font ToUnicode maps: the stream is
+    * segmented at `Tf` font-selection operators and each segment
+    * decodes through ITS font's CMap (two subset fonts routinely map
+    * the same code to different glyphs — a union map would silently
+    * garble one of them). Fonts absent from `fonts` fall back to the
+    * union `default`.
+    */
+  private[graft] def contentTextWithFonts(content: String,
+      fonts: Map[String, ToUnicodeCMap], default: ToUnicodeCMap): String = {
+    val tfs = """/([\w.-]+)\s+[-\d.]+\s+Tf""".r.findAllMatchIn(content).toSeq
+    if (fonts.isEmpty || tfs.isEmpty) return contentText(content, default)
+    val segments = Seq.newBuilder[(Int, Int, ToUnicodeCMap)]
+    var cur = default
+    var pos = 0
+    tfs.foreach { m =>
+      segments += ((pos, m.end, cur))
+      cur = fonts.getOrElse(m.group(1), default)
+      pos = m.end
+    }
+    segments += ((pos, content.length, cur))
+    segments.result()
+      .map { case (a, b, cm) => contentText(content.substring(a, b), cm) }
+      .filter(_.nonEmpty).mkString
   }
 
   /** Text of one content stream: string literals `(..)` (with PDF

@@ -39,7 +39,13 @@ final class HttpModelClient(
     requestTimeout: Duration = Duration.ofSeconds(120)) extends SemanticOps.ModelClient {
 
   @transient private lazy val http =
-    HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10)).build()
+    HttpClient.newBuilder()
+      .connectTimeout(Duration.ofSeconds(10))
+      // gateways routinely 301/308 (http->https, path canonicalization);
+      // JDK default is NEVER, which would misclassify them as permanent
+      // 'request rejected' failures
+      .followRedirects(HttpClient.Redirect.NORMAL)
+      .build()
   @transient private lazy val mapper = new ObjectMapper()
 
   private val promptTokens = new java.util.concurrent.atomic.AtomicLong(0)

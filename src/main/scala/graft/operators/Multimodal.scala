@@ -194,19 +194,22 @@ object Multimodal {
       ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) | ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
     def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
     def boxId(o: Int): String = new String(b, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
-    // find a child box by id within [from, until)
-    def findBox(id: String, from: Int, until: Int): Option[(Int, Int)] = {
+    // all child boxes with `id` within [from, until), in order
+    def findBoxes(id: String, from: Int, until: Int): Seq[(Int, Int)] = {
+      val out = Seq.newBuilder[(Int, Int)]
       var i = from
       while (i + 8 <= until) {
         val size = be32(i)
         // size < 8 is malformed (size=1 64-bit boxes unsupported); a
         // size that would wrap the cursor is hostile — stop either way
-        if (size < 8 || size > Int.MaxValue - i) return None
-        if (boxId(i) == id) return Some((i, math.min(until, i + size.toInt)))
+        if (size < 8 || size > Int.MaxValue - i) return out.result()
+        if (boxId(i) == id) out += ((i, math.min(until, i + size.toInt)))
         i += size.toInt
       }
-      None
+      out.result()
     }
+    def findBox(id: String, from: Int, until: Int): Option[(Int, Int)] =
+      findBoxes(id, from, until).headOption
     findBox("moov", 0, b.length) match {
       case None => meta(format = "mp4", ok = false, error = "no moov box")
       case Some((moov, moovEnd)) =>
@@ -220,8 +223,10 @@ object Multimodal {
         }
         var w: Integer = null
         var h: Integer = null
-        findBox("trak", moov + 8, moovEnd).foreach { case (trak, trakEnd) =>
-          findBox("tkhd", trak + 8, trakEnd).foreach { case (tkhd, _) =>
+        // audio traks carry zero dims and commonly precede the video
+        // trak — keep walking until one has real dimensions
+        findBoxes("trak", moov + 8, moovEnd).foreach { case (trak, trakEnd) =>
+          if (w == null) findBox("tkhd", trak + 8, trakEnd).foreach { case (tkhd, _) =>
             val version = b(tkhd + 8) & 0xff
             // after version+flags: creation, modification, track_ID,
             // reserved, duration (4-byte fields in v0; times+duration

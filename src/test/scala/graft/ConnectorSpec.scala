@@ -108,6 +108,9 @@ class ConnectorSpec extends SparkSpec {
     // standard-handler RC4-128 encryption, empty user password: the
     // owner-locked-but-readable document decrypts and extracts
     assert(byFile("encrypted.pdf") == Seq("Owner-locked but readable"))
+    // TWO fonts mapping the same code differently: per-font Tf-tracked
+    // decoding gets "AZ"; a union CMap would garble one of them
+    assert(byFile("cid2.pdf") == Seq("AZ"))
   }
 
   test("pdf crypt: AES-128 object decryption and wrong-password refusal") {
