@@ -126,17 +126,20 @@ object Dedup {
     * change here changes which pairs collide AND which buckets the
     * audit reports — single definition on purpose.
     */
-  private def bandedOf(sigs: DataFrame, idCol: String, numHashes: Int,
-      bands: Int): DataFrame = {
+  private[graft] def bandedOf(sigs: DataFrame, idCol: String, numHashes: Int,
+      bands: Int, keepSignature: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    sigs.select(
+    val base = sigs.select(
       col(idCol).as("id"),
+      col("signature"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
           xxhash64(b, concat_ws(",", slice(col("signature"), b * rows + 1, lit(rows))))
             .as("band_hash")))).as("lsh"))
-      .select(col("id"), col("lsh.band"), col("lsh.band_hash"))
+    val cols = Seq(col("id"), col("lsh.band"), col("lsh.band_hash")) ++
+      (if (keepSignature) Seq(col("signature")) else Nil)
+    base.select(cols: _*)
   }
 
   /** Just the banded candidate pairs — (id_a, id_b), capped and

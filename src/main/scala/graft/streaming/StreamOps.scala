@@ -102,6 +102,63 @@ object StreamOps {
     wm.dropDuplicates(watermark.fold(keyCols) { case (c, _) => keyCols :+ c })
   }
 
+  /** Streaming NEAR-duplicate detection — the incremental twin of
+    * [[graft.operators.Dedup.minhashNearDuplicates]]: MinHash
+    * signatures are a map-only projection (stream-compatible), the
+    * LSH (band, band_hash) bucket becomes the state key, and
+    * `flatMapGroupsWithState` keeps each bucket's members — a new
+    * arrival emits a pair against every stored same-bucket member
+    * whose signature overlap clears `minJaccard`, INCLUDING members
+    * from earlier micro-batches (which a per-batch join can't see).
+    *
+    * Scale: the banding reuses the batch definition (same buckets
+    * stream or batch); bucket membership is capped at `maxBucketSize`
+    * like every batch LSH join — a boilerplate bucket stops admitting
+    * members instead of going quadratic — so state is
+    * O(maxBucketSize × signature) per distinct bucket. Pairs colliding
+    * in several bands emit once per band (the batch path's
+    * pre-`distinct()` form): dedup downstream, or treat as
+    * at-least-once.
+    */
+  final case class NearDupPair(id_a: Long, id_b: Long, est_jaccard: Double)
+
+  def streamingNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+      minJaccard: Double = 0.5, maxBucketSize: Int = 1000): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    val banded = graft.operators.Dedup.bandedOf(
+      graft.operators.Dedup.minhashSignatures(docs, idCol, textCol, numHashes, shingleK),
+      idCol, numHashes, bands, keepSignature = true)
+      .select(col("band"), col("band_hash"), col("id").cast("long"),
+        col("signature"))
+      .as[(Int, Long, Long, Seq[Long])]
+    banded.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[List[(Long, Seq[Long])], NearDupPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[List[(Long, Seq[Long])]]) =>
+          var members = state.getOption.getOrElse(Nil)
+          val out = Seq.newBuilder[NearDupPair]
+          rows.foreach { case (_, _, id, sig) =>
+            if (!members.exists(_._1 == id)) {
+              members.foreach { case (mid, msig) =>
+                if (msig.length == sig.length) {
+                  var same = 0
+                  var i = 0
+                  while (i < sig.length) { if (sig(i) == msig(i)) same += 1; i += 1 }
+                  val est = same.toDouble / sig.length
+                  if (est >= minJaccard)
+                    out += NearDupPair(math.min(id, mid), math.max(id, mid),
+                      est)
+                }
+              }
+              if (members.size < maxBucketSize) members = (id, sig) :: members
+            }
+          }
+          state.update(members)
+          out.result().iterator
+      }
+  }
+
   /** Incremental run metrics (A8, `run.py:45-66` + `runtime/core.py`
     * update sites): per-run running counters — total/successful/failed
     * decisions, value sums — as a streaming aggregation. In a

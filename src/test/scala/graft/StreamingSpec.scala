@@ -211,6 +211,37 @@ class StreamingSpec extends SparkSpec {
     } finally bus.stop()
   }
 
+  test("streaming near-dup: LSH state finds pairs across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val aDup = a.replace("today", "tonight") // high-Jaccard near-dup
+    val other = "completely unrelated text about database query planning internals"
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.streamingNearDuplicates(
+        input.toDS().toDF("doc_id", "text"), "doc_id", "text", minJaccard = 0.5)
+      .writeStream.format("memory").queryName("neardup_sink")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, a), (2L, other))
+      q.processAllAvailable()
+      assert(spark.table("neardup_sink").count() == 0) // nothing similar yet
+      // the near-dup arrives in a LATER micro-batch: bucket state from
+      // batch 1 is what makes the pair findable at all
+      input.addData((3L, aDup))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_sink")
+        .select(col("id_a"), col("id_b")).distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.toSeq == Seq((1L, 3L)))
+      // batch twin agrees on the pair set (same banding definition)
+      val batchPairs = graft.operators.Dedup.minhashNearDuplicates(
+          Seq((1L, a), (2L, other), (3L, aDup)).toDF("doc_id", "text"),
+          "doc_id", "text", minJaccard = 0.5)
+        .select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(batchPairs.toSeq.sorted == pairs.toSeq.sorted)
+    } finally q.stop()
+  }
+
   test("keyed running state accumulates per key (mapGroupsWithState shape)") {
     val ds = Seq(("u1", 1.0), ("u1", 2.0), ("u2", 5.0)).toDS()
     val out = StreamOps.runningKeyedState(ds).collect().map(k => k.key -> (k.n, k.sum)).toMap
