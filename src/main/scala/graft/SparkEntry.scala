@@ -823,6 +823,29 @@ object SparkEntry {
        |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin
   }
 
+  /** J5 — true as-of join via the custom sort-merge operator
+    * ([[graft.plans.AsOf]]: logical node → strategy → exec, one hash
+    * exchange + sort per side, streaming O(1)-state merge). Each click
+    * is joined to the user's most recent PRIOR error event. The oracle
+    * is DuckDB's native ASOF LEFT JOIN — an independent engine's
+    * implementation of the same semantics, so a hash match grades the
+    * whole operator (backward inclusive match, per-key discipline,
+    * unmatched-left null fill) against a reference implementation.
+    */
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), round(col("value"), 2).as("click_value"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("err_user"), col("event_id").as("prior_error_id"),
+        round(col("value"), 2).as("prior_error_value"))
+    graft.plans.AsOf.join(clicks, errors, "event_id", "prior_error_id",
+        Seq("user_id"), Seq("err_user"), joinType = "left")
+      .select(col("user_id"), col("event_id"), col("click_value"),
+        col("prior_error_id"), col("prior_error_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -888,7 +911,8 @@ object SparkEntry {
     "q58_cross_linking" -> (q58 _),
     "q59_approx_percentiles" -> (q59 _),
     "q60_corpus_curation" -> (q60 _),
-    "q61_html_extraction" -> (q61 _))
+    "q61_html_extraction" -> (q61 _),
+    "q62_asof_join" -> (q62 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1315,6 +1339,13 @@ object SparkEntry {
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q58_cross_linking" -> crossLinkingOracle,
     "q61_html_extraction" -> htmlExtractionOracle,
+    "q62_asof_join" ->
+      """SELECT l.user_id, l.event_id, round(l.value, 2) AS click_value,
+        | r.event_id AS prior_error_id, round(r.value, 2) AS prior_error_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+        | ON l.user_id = r.user_id AND l.event_id >= r.event_id
+        |ORDER BY l.user_id, l.event_id""".stripMargin,
     "q60_corpus_curation" ->
       s"""WITH RECURSIVE $ShingleJaccardCte,
          |pairs AS (SELECT id_a, id_b FROM jacc WHERE jaccard >= 0.3),
