@@ -48,6 +48,22 @@ object Dedup {
       banded.join(sizes.filter(col("__bucket_n") <= maxBucketSize), keys).drop("__bucket_n")
     }
 
+  /** Pin the bucket-join parallelism. AQE's parallelism-first
+    * coalescing sizes post-shuffle partitions by the shuffle INPUT
+    * (banded signatures — a few bytes per row), but an LSH bucket
+    * self-join's OUTPUT explodes quadratically in bucket size — so at
+    * small and mid scale AQE coalesces the join to one partition and
+    * the entire pair-verification runs single-threaded (measured at
+    * sf0.1: 7 one-task stages, ~6M joined rows in one task). An
+    * explicit numbered repartition on the join keys is exactly the
+    * distribution the join needs (no extra exchange — the join reuses
+    * it) and AQE never coalesces user-pinned repartitions.
+    */
+  private[operators] def pinJoinParallelism(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    df.repartition(n, keys.map(col): _*)
+  }
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup on a canonical fingerprint (whitespace-normalized md5).
@@ -173,8 +189,10 @@ object Dedup {
     */
   private def bandedPairs(sigs: DataFrame, idCol: String, numHashes: Int,
       bands: Int, maxBucketSize: Int): DataFrame = {
-    val banded = capBuckets(bandedOf(sigs, idCol, numHashes, bands),
-      Seq("band", "band_hash"), maxBucketSize)
+    val banded = pinJoinParallelism(
+      capBuckets(bandedOf(sigs, idCol, numHashes, bands),
+        Seq("band", "band_hash"), maxBucketSize),
+      Seq("band", "band_hash"))
     banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("band_hash"), col("id").as("id_b")),
         Seq("band", "band_hash"))
@@ -310,7 +328,8 @@ object Dedup {
     val banded = hashed.select(col("id"), col("sh"),
       explode(array(bandStructs: _*)).as("lsh"))
       .select(col("id"), col("sh"), col("lsh.band"), col("lsh.chunk"))
-    val capped = capBuckets(banded, Seq("band", "chunk"), maxBucketSize)
+    val capped = pinJoinParallelism(
+      capBuckets(banded, Seq("band", "chunk"), maxBucketSize), Seq("band", "chunk"))
     val left = capped.select(col("band"), col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
     val right = capped.select(col("band"), col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
     // Hamming gate BEFORE the distinct: the per-band join output is the
@@ -336,7 +355,8 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 10,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      maxDriverEdges: Long = 2000000L): DataFrame = {
     // Checkpoint discipline: lineage MUST truncate per iteration (the
     // plan would otherwise double each round). `checkpointDir` picks
     // durability: None = localCheckpoint (executor block storage —
@@ -376,6 +396,20 @@ object Dedup {
       .distinct()
     val edges = checkpointDir.fold(edgesRaw.localCheckpoint(false))(_ =>
       durable(edgesRaw, "edges"))
+    // Hybrid dispatch: verified near-duplicate edge lists are a tiny
+    // fraction of corpus cardinality, so when the (already
+    // materialized) edge list fits a bounded driver budget
+    // (maxDriverEdges × two boxed ids ≈ 64 MB at the default), a
+    // driver union-find resolves the classes in ONE collect instead of
+    // O(diameter) join+checkpoint+count rounds — at gate scale that is
+    // the difference between ~100 ms and seconds of fixed iteration
+    // overhead, and on a cluster it removes 3-5 shuffle barriers. The
+    // count itself rides the materialized edges. Adversarial edge
+    // volumes take the iterative path unchanged.
+    val edgeCount = edges.count()
+    if (edgeCount <= maxDriverEdges) {
+      driverUnionFind(edges, pairs.schema(pairs.schema.fieldIndex(idA)).dataType)
+    } else {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
     var converged = false
@@ -401,6 +435,52 @@ object Dedup {
       iter += 1
     }
     labels
+    }
+  }
+
+  /** Driver-side union-find over a collected edge list: the smaller id
+    * (natural ordering) always becomes the root, so `find` yields the
+    * component's minimum label directly — identical semantics to the
+    * iterative min-label propagation. Path compression keeps it
+    * effectively linear. Only called under [[connectedComponents]]'s
+    * bounded-edge-count guard.
+    */
+  private def driverUnionFind(edges: DataFrame,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = edges.sparkSession
+    val parent = new java.util.HashMap[Any, Any]()
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    def find(x0: Any): Any = {
+      var x = x0
+      while (parent.get(x) != x) {
+        val gp = parent.get(parent.get(x))
+        parent.put(x, gp) // path halving
+        x = gp
+      }
+      x
+    }
+    edges.toLocalIterator().forEachRemaining { row =>
+      val a = row.get(0)
+      val b = row.get(1)
+      if (a != null && b != null) {
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a)
+        val rb = find(b)
+        if (ra != rb) {
+          if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+    parent.keySet().forEach { id =>
+      out.add(org.apache.spark.sql.Row(id, find(id)))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType, nullable = false),
+      org.apache.spark.sql.types.StructField("component", idType, nullable = false)))
+    spark.createDataFrame(out, schema)
   }
 
   /** End-to-end near-duplicate corpus dedup: MinHash-LSH candidates →
@@ -482,7 +562,9 @@ object Dedup {
       }
     val capped =
       if (nPlanes <= 0) bucketed // brute-force fallback is explicitly unbucketed
-      else capBuckets(bucketed, Seq("band", "bucket"), maxBucketSize)
+      else pinJoinParallelism(
+        capBuckets(bucketed, Seq("band", "bucket"), maxBucketSize),
+        Seq("band", "bucket"))
     val left = capped.select(col("band"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val right = capped.select(col("band"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     left.join(right, Seq("band", "bucket"))

@@ -113,6 +113,20 @@ class DedupSpec extends SparkSpec {
     assert(comps(7L) == 7L && comps(9L) == 7L)
   }
 
+  test("connected components: driver union-find == iterative propagation on random graphs") {
+    val rnd = new scala.util.Random(11)
+    // 300 random edges over 120 nodes: many multi-node components,
+    // rings, chains — every structural shape both paths must agree on
+    val pairs = (1 to 300)
+      .map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b")
+    def comps(maxDriver: Long): Map[Long, Long] =
+      Dedup.connectedComponents(pairs, maxDriverEdges = maxDriver, maxIter = 50)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(maxDriver = 2000000L) === comps(maxDriver = 0L))
+  }
+
   test("dedupCorpus: transitive near-dup classes, min-id survives") {
     // 1≈2 and 2≈6 (transitively one class even if 1~6 is weaker)
     val corpus = docs.unionByName(Seq(

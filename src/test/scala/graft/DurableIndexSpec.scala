@@ -63,9 +63,14 @@ class DurableIndexSpec extends SparkSpec {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
       (20L, 21L), (21L, 22L), (22L, 20L)).toDF("id_a", "id_b")
     val ckpt = Files.createTempDirectory("graft-cc").toString
-    val durable = rows(Dedup.connectedComponents(pairs, checkpointDir = Some(ckpt)))
-    val local = rows(Dedup.connectedComponents(pairs))
+    // maxDriverEdges = 0 forces the ITERATIVE path — this suite locks
+    // the durable-checkpoint discipline, not the driver fast path
+    val durable = rows(Dedup.connectedComponents(pairs, checkpointDir = Some(ckpt),
+      maxDriverEdges = 0L))
+    val local = rows(Dedup.connectedComponents(pairs, maxDriverEdges = 0L))
     assert(durable === local)
+    // and the driver union-find fast path agrees with both
+    assert(rows(Dedup.connectedComponents(pairs)) === local)
     // each invocation namespaces its files under a run-unique cc_* dir
     val runDirs = new java.io.File(ckpt).listFiles().filter(_.getName.startsWith("cc_"))
     assert(runDirs.length == 1, s"one run dir expected: ${runDirs.mkString(",")}")
@@ -82,12 +87,12 @@ class DurableIndexSpec extends SparkSpec {
     // run A: a 4-chain; its result is a LAZY parquet read — don't touch it yet
     val a = Dedup.connectedComponents(
       Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b"),
-      checkpointDir = Some(ckpt))
+      checkpointDir = Some(ckpt), maxDriverEdges = 0L)
     // run B: disjoint ids, same dir, converges in fewer shapes — before
     // the per-run namespacing this overwrote/deleted run A's files
     val b = Dedup.connectedComponents(
       Seq((100L, 101L)).toDF("id_a", "id_b"),
-      checkpointDir = Some(ckpt))
+      checkpointDir = Some(ckpt), maxDriverEdges = 0L)
     assert(rows(b) === Seq("[100,100]", "[101,100]"))
     // run A's still-unread plan must see ITS labels, not run B's
     assert(rows(a) === Seq("[1,1]", "[2,1]", "[3,1]", "[4,1]"))
