@@ -53,11 +53,17 @@ object AsOf {
       s"asof direction must be backward|forward|nearest, got '$other'")
   }
 
-  /** Idempotently register the planner strategy on a session. */
+  /** Idempotently register the planner strategy and the filter
+    * pushdown rule on a session.
+    */
   def install(spark: SparkSession): Unit = synchronized {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         AsOfJoinStrategy +: spark.experimental.extraStrategies
+    }
+    if (!spark.experimental.extraOptimizations.contains(AsOfFilterPushdown)) {
+      spark.experimental.extraOptimizations = Seq(AsOfFilterPushdown,
+        AsOfColumnPruning) ++ spark.experimental.extraOptimizations
     }
   }
 
@@ -218,10 +224,61 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Catalyst doesn't know [[AsOfJoinPlan]], so built-in predicate
+  * pushdown stops at it — without this rule, a filter written above
+  * the join scans both sides in full. Left-referencing conjuncts
+  * always commute with the join (as-of never duplicates or reorders
+  * left rows; it only appends right columns), so they push into the
+  * left child, where the normal rules drive them down to the scan
+  * (`PushedFilters`). Right-side conjuncts must stay put: dropping a
+  * right row changes which row is "most recent", so pushing them
+  * would change results — the classic outer-join pushdown trap.
+  */
+object AsOfFilterPushdown extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsOfJoinPlan) =>
+      val (pushable, kept) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(j.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(pushable.reduce(
+          org.apache.spark.sql.catalyst.expressions.And), j.left))
+        kept.reduceOption(org.apache.spark.sql.catalyst.expressions.And)
+          .map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
+/** Built-in ColumnPruning likewise stops at the unknown node, so a
+  * narrow projection above the join would still scan every column of
+  * both sides. For `Project(_, AsOfJoinPlan)` — the exact shape
+  * [[AsOf.join]] emits — prune each child to the referenced columns
+  * plus the join's own keys/times; the normal rules then shrink the
+  * parquet `ReadSchema`. No-op at fixpoint (children already minimal).
+  */
+object AsOfColumnPruning extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(projList, j: AsOfJoinPlan) =>
+      val needed = AttributeSet(projList.flatMap(_.references)) ++ j.references
+      val lKeep = j.left.output.filter(needed.contains)
+      val rKeep = j.right.output.filter(needed.contains)
+      if (lKeep.length == j.left.output.length &&
+          rKeep.length == j.right.output.length) p
+      else p.copy(child = j.copy(
+        left = Project(lKeep, j.left), right = Project(rKeep, j.right)))
+  }
+}
+
 /** For `spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => AsOfFilterPushdown)
+    ext.injectOptimizerRule(_ => AsOfColumnPruning)
+  }
 }
 
 /** Physical sort-merge as-of join.

@@ -143,6 +143,59 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(exec.count() > 0)
   }
 
+  test("optimizer rule: left-side filters push through the join to the scan") {
+    val ev = graft.core.Engine.table(spark, sfDir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("value"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("err_id"))
+    val out = AsOf.join(clicks, errors, "event_id", "err_id",
+        Seq("user_id"), Seq("e_user"))
+      .filter(col("user_id") < 10) // written ABOVE the as-of join
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    val clickScan = plan.linesIterator
+      .filter(_.contains("FileScan parquet")).find(_.contains("LessThan(user_id,10)"))
+    assert(clickScan.isDefined,
+      s"user_id filter must reach a parquet scan's PushedFilters:\n$plan")
+    // semantics unchanged by the pushdown
+    val expected = AsOf.join(
+      clicks.filter(col("user_id") < 10), errors,
+      "event_id", "err_id", Seq("user_id"), Seq("e_user"))
+    assert(out.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(out).count() == 0)
+  }
+
+  test("optimizer rule: right-side filters do NOT push (as-of semantics)") {
+    // dropping right rows changes which row is "most recent": filter
+    // above must not equal filter below on the right side
+    val l = Seq(("A", 10L)).toDF("k", "t")
+    val r = Seq(("A", 5L, 1.0), ("A", 8L, 99.0)).toDF("k", "rt", "v")
+    val above = AsOf.join(l, r, "t", "rt", Seq("k"), Seq("k"))
+      .filter(col("v") < 50) // latest match has v=99 → filtered out
+    assert(above.count() == 0)
+    val below = AsOf.join(l, r.filter(col("v") < 50), "t", "rt", Seq("k"), Seq("k"))
+    assert(below.count() == 1) // pre-filtering re-matches to v=1.0
+  }
+
+  test("optimizer rule: narrow projection prunes both scan schemas") {
+    val ev = graft.core.Engine.table(spark, sfDir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("err_id"),
+        col("value").as("err_value"), col("props").as("err_props"))
+    val out = AsOf.join(clicks, errors, "event_id", "err_id",
+        Seq("user_id"), Seq("e_user"))
+      .select("user_id", "event_id", "err_id")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // neither side's scan should read its wide string column
+    assert(!plan.contains("err_props"), s"right side must prune err_props:\n$plan")
+    val scans = plan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.nonEmpty && scans.forall(!_.contains("props")),
+      s"pruned scans must not read props/ts:\n${scans.mkString("\n")}")
+  }
+
   test("plan shape: one AsOfJoinExec, at most one exchange per side") {
     val out = AsOf.join(trades, quotes, "t", "qt", Seq("sym"), Seq("sym"))
     out.collect() // finalize adaptive plan
