@@ -846,6 +846,30 @@ object SparkEntry {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** J5 — bucketed range join ([[graft.operators.Scale.rangeJoin]]):
+    * each click against every signup window `[signup_id, signup_id +
+    * 2000]` of the same user. Spark would plan the raw BETWEEN join as
+    * a nested loop; the operator decomposes it into an equi-join on
+    * (user, fixed-width bucket) with an exact post-filter — each pair
+    * meets in exactly one bucket, so no dedup pass. The oracle is the
+    * plain inequality join in DuckDB (small enough there), so the hash
+    * match proves the decomposition loses and invents nothing.
+    */
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        round(col("value"), 2).as("click_value"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_id"),
+        (col("event_id") + 2000L).as("signup_hi"))
+    graft.operators.Scale.rangeJoin(clicks, "click_id",
+        signups, "signup_id", "signup_hi",
+        Seq("user_id"), Seq("s_user"), bucketWidth = 2000L)
+      .select(col("user_id"), col("click_id"), col("signup_id"), col("click_value"))
+      .orderBy(col("user_id"), col("click_id"), col("signup_id"))
+  }
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -912,7 +936,8 @@ object SparkEntry {
     "q59_approx_percentiles" -> (q59 _),
     "q60_corpus_curation" -> (q60 _),
     "q61_html_extraction" -> (q61 _),
-    "q62_asof_join" -> (q62 _))
+    "q62_asof_join" -> (q62 _),
+    "q63_range_join" -> (q63 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1346,6 +1371,14 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
         | ON l.user_id = r.user_id AND l.event_id >= r.event_id
         |ORDER BY l.user_id, l.event_id""".stripMargin,
+    "q63_range_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, s.event_id AS signup_id,
+        | round(c.value, 2) AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        | ON c.user_id = s.user_id
+        | AND c.event_id >= s.event_id AND c.event_id <= s.event_id + 2000
+        |ORDER BY c.user_id, click_id, signup_id""".stripMargin,
     "q60_corpus_curation" ->
       s"""WITH RECURSIVE $ShingleJaccardCte,
          |pairs AS (SELECT id_a, id_b FROM jacc WHERE jaccard >= 0.3),

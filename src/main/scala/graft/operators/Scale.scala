@@ -65,4 +65,53 @@ object Scale {
     */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Point-in-interval range join without a cross product. Spark plans
+    * a plain `p BETWEEN lo AND hi` join (no equi-conjunct, or one with
+    * heavy range skew) as BroadcastNestedLoop / shuffled O(|L|×|R|)
+    * work; this is the standard bucketed decomposition instead:
+    *
+    *   - every interval explodes into the fixed-width buckets it
+    *     covers (fan-out = (hi-lo)/bucketWidth + 1 rows);
+    *   - every point maps to exactly ONE bucket;
+    *   - equi-join on (keys, bucket) — a co-partitioned hash join —
+    *     then the exact `lo <= p <= hi` filter.
+    *
+    * Because a point lives in one bucket, each matching pair meets
+    * exactly once: no dedup pass. `bucketWidth` trades interval
+    * fan-out against bucket population — set it near the typical
+    * interval length so fan-out stays O(1) per interval.
+    *
+    * Both axis columns must be integral (long after cast); intervals
+    * with `lo > hi` or null bounds are dropped (SQL BETWEEN semantics
+    * — they can match nothing). Output: all point columns + all
+    * interval columns (caller disambiguates names, as with any join).
+    */
+  def rangeJoin(points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      pointKeys: Seq[String] = Nil, intervalKeys: Seq[String] = Nil,
+      bucketWidth: Long = 1000L): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(pointKeys.length == intervalKeys.length,
+      s"key arity mismatch: $pointKeys vs $intervalKeys")
+    // exact floor division on longs, negative-safe: pmod is always
+    // non-negative, so the numerator is an exact multiple of the width
+    // and integral `div` (no double round-trip) keeps 64-bit precision
+    def bucketOf(c: Column): Column =
+      call_function("div",
+        c.cast("long") - pmod(c.cast("long"), lit(bucketWidth)), lit(bucketWidth))
+    val p = points.withColumn("__range_bucket", bucketOf(col(pointCol)))
+    val i = intervals
+      .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
+        col(loCol) <= col(hiCol))
+      .withColumn("__range_bucket",
+        explode(sequence(bucketOf(col(loCol)), bucketOf(col(hiCol)))))
+    val joinCond = (pointKeys.zip(intervalKeys).map { case (a, b) =>
+        p(a) === i(b)
+      } :+ (p("__range_bucket") === i("__range_bucket")))
+      .reduce(_ && _)
+    p.join(i, joinCond)
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__range_bucket")
+  }
 }

@@ -29,6 +29,44 @@ class ScaleSpec extends SparkSpec {
     assert(direct.exceptAll(salted).count() == 0)
   }
 
+  test("rangeJoin equals the plain inequality join, never a nested loop") {
+    val rnd = new scala.util.Random(5)
+    val points = (1 to 2000).map(_ => (rnd.nextInt(8).toLong, rnd.nextInt(100000).toLong))
+      .toDF("k", "p")
+    val intervals = (1 to 300).map { _ =>
+      val lo = rnd.nextInt(100000).toLong - 500
+      (rnd.nextInt(8).toLong, lo, lo + rnd.nextInt(3000).toLong)
+    }.toDF("ik", "lo", "hi")
+    val bucketed = Scale.rangeJoin(points, "p", intervals, "lo", "hi",
+      Seq("k"), Seq("ik"), bucketWidth = 1000L)
+      .select("k", "p", "lo", "hi")
+    val plain = points.join(intervals,
+        points("k") === intervals("ik") &&
+          points("p") >= intervals("lo") && points("p") <= intervals("hi"))
+      .select("k", "p", "lo", "hi")
+    assert(bucketed.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(bucketed).count() == 0)
+    assert(bucketed.count() > 0)
+    bucketed.collect()
+    val phys = bucketed.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"),
+      s"range join must plan as an equi-join:\n$phys")
+  }
+
+  test("rangeJoin: inverted and null-bounded intervals match nothing; negative axis works") {
+    val points = Seq((1L, -1500L), (1L, 500L)).toDF("k", "p")
+    val intervals = Seq(
+      (1L, Some(-2000L), Some(-1000L)), // covers -1500
+      (1L, Some(900L), Some(100L)),     // inverted: matches nothing
+      (1L, None, Some(1000L))           // null lo: dropped
+    ).toDF("ik", "lo", "hi")
+    val out = Scale.rangeJoin(points, "p", intervals, "lo", "hi",
+      Seq("k"), Seq("ik"), bucketWidth = 700L)
+    val rows = out.select("p", "lo", "hi").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq((-1500L, -2000L, -1000L)))
+  }
+
   test("bucketed join plans without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
