@@ -159,6 +159,54 @@ object StreamOps {
       }
   }
 
+  /** One element of a [[streamingAsOf]] input: state rows
+    * (`isState = true`) advance the per-key reference value; event
+    * rows emit joined against the latest reference at or before their
+    * time.
+    */
+  final case class AsOfEvent(key: String, time: Long, isState: Boolean, value: Double)
+  final case class AsOfState(time: Long, value: Double)
+  final case class AsOfMatch(key: String, time: Long, value: Double,
+      state_time: Option[Long], state_value: Option[Double])
+
+  /** Streaming as-of join — the incremental twin of
+    * [[graft.plans.AsOf.join]] (backward direction), and the streaming
+    * form of the reference's "read latest state at execution" rule
+    * (`shared_state.py:117-160`: reads resolve to the most recent
+    * write). Both sides arrive as one tagged stream;
+    * `flatMapGroupsWithState` keeps exactly ONE row per key (the
+    * latest reference state) — O(1) state, no retained event history.
+    *
+    * Within a micro-batch, rows process in (time, state-first) order,
+    * so an event at the same time as a state row sees it (inclusive
+    * backward, matching the batch exec). Across batches, arrival order
+    * rules, like every reference stream (SURVEY ST3: no event-time
+    * lateness): a state row older than the retained one is ignored
+    * (state only advances), and an event arriving before its matching
+    * state joins the previous state — the documented
+    * processing-time relaxation, not a bug.
+    */
+  def streamingAsOf(events: Dataset[AsOfEvent]): Dataset[AsOfMatch] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfState, AsOfMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[AsOfState]) =>
+          val out = List.newBuilder[AsOfMatch]
+          var cur = state.getOption
+          rows.toSeq.sortBy(e => (e.time, !e.isState)).foreach { e =>
+            if (e.isState) {
+              if (cur.forall(_.time <= e.time)) cur = Some(AsOfState(e.time, e.value))
+            } else {
+              val m = cur.filter(_.time <= e.time)
+              out += AsOfMatch(key, e.time, e.value, m.map(_.time), m.map(_.value))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Incremental run metrics (A8, `run.py:45-66` + `runtime/core.py`
     * update sites): per-run running counters — total/successful/failed
     * decisions, value sums — as a streaming aggregation. In a

@@ -242,6 +242,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of: events join the latest state at or before their time, across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamOps.{AsOfEvent, AsOfMatch}
+    val input = MemoryStream[AsOfEvent](spark)
+    val q = StreamOps.streamingAsOf(input.toDS())
+      .writeStream.format("memory").queryName("asof_sink")
+      .outputMode("append").start()
+    try {
+      // batch 1: state@5=1.0, event@3 (before any state), event@5
+      // (inclusive), event@9
+      input.addData(
+        AsOfEvent("k", 5L, isState = true, 1.0),
+        AsOfEvent("k", 3L, isState = false, 30.0),
+        AsOfEvent("k", 5L, isState = false, 50.0),
+        AsOfEvent("k", 9L, isState = false, 90.0))
+      q.processAllAvailable()
+      // batch 2: within a micro-batch rows process in TIME order, so
+      // event@12 sees state@10 even though state@10 "arrives" with it;
+      // the retained batch-1 state would have answered had the batch
+      // held only the event. event@8 demonstrates the processing-time
+      // relaxation: it is older than the retained state, so it joins
+      // the state the stream currently holds from batch 1 (time 5).
+      input.addData(
+        AsOfEvent("k", 12L, isState = false, 120.0),
+        AsOfEvent("k", 8L, isState = false, 80.0),
+        AsOfEvent("k", 10L, isState = true, 2.0))
+      q.processAllAvailable()
+      input.addData(AsOfEvent("k", 15L, isState = false, 150.0))
+      q.processAllAvailable()
+      val rows = spark.table("asof_sink").as[AsOfMatch].collect()
+        .map(m => m.time -> (m.state_time, m.state_value)).toMap
+      assert(rows(3L) == (None, None)) // no state yet at time 3
+      assert(rows(5L) == (Some(5L), Some(1.0))) // inclusive backward
+      assert(rows(9L) == (Some(5L), Some(1.0)))
+      assert(rows(8L) == (Some(5L), Some(1.0))) // pre-state event: batch-1 state
+      assert(rows(12L) == (Some(10L), Some(2.0))) // same-batch state, time order
+      assert(rows(15L) == (Some(10L), Some(2.0))) // newer state retained
+      // batch twin agrees on every event: same data through the batch
+      // as-of exec gives identical matches
+      val lhs = Seq(("k", 3L, 30.0), ("k", 5L, 50.0), ("k", 8L, 80.0),
+        ("k", 9L, 90.0), ("k", 12L, 120.0), ("k", 15L, 150.0))
+        .toDF("key", "time", "value")
+      val rhs = Seq(("k", 5L, 1.0), ("k", 10L, 2.0)).toDF("rkey", "state_time", "state_value")
+      val batch = graft.plans.AsOf.join(lhs, rhs, "time", "state_time",
+          Seq("key"), Seq("rkey"), joinType = "left")
+        .collect().map(r => r.getLong(1) ->
+          (Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+      Seq(3L, 5L, 8L, 9L, 12L, 15L).foreach(t => assert(batch(t) == rows(t),
+        s"stream and batch as-of disagree at time $t"))
+    } finally q.stop()
+  }
+
   test("keyed running state accumulates per key (mapGroupsWithState shape)") {
     val ds = Seq(("u1", 1.0), ("u1", 2.0), ("u2", 5.0)).toDS()
     val out = StreamOps.runningKeyedState(ds).collect().map(k => k.key -> (k.n, k.sum)).toMap
