@@ -870,6 +870,25 @@ object SparkEntry {
       .orderBy(col("user_id"), col("click_id"), col("signup_id"))
   }
 
+  /** Training-data decontamination — cross-corpus near-duplicate
+    * detection ([[graft.operators.Dedup.crossCorpusNearDuplicates]]):
+    * even doc_ids play the training corpus, odd the held-out eval set;
+    * any training document near-duplicating an eval document is
+    * contamination. The oracle recomputes EVERY crossing pair's
+    * shingle Jaccard by brute force in DuckDB, so a hash match proves
+    * the shared-bucket LSH join found every true contamination pair
+    * (the corpus's planted pairs sit at J ≥ 0.9; the next crossing
+    * pair is < 0.35 — far below the banding's recall knee).
+    */
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.crossCorpusNearDuplicates(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text", minJaccard = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -937,7 +956,8 @@ object SparkEntry {
     "q60_corpus_curation" -> (q60 _),
     "q61_html_extraction" -> (q61 _),
     "q62_asof_join" -> (q62 _),
-    "q63_range_join" -> (q63 _))
+    "q63_range_join" -> (q63 _),
+    "q64_decontamination" -> (q64 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1379,6 +1399,10 @@ object SparkEntry {
         | ON c.user_id = s.user_id
         | AND c.event_id >= s.event_id AND c.event_id <= s.event_id + 2000
         |ORDER BY c.user_id, click_id, signup_id""".stripMargin,
+    "q64_decontamination" ->
+      s"""WITH ${CrossJaccardCte}
+        |SELECT id_a, id_b, jaccard FROM jacc WHERE jaccard >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
     "q60_corpus_curation" ->
       s"""WITH RECURSIVE $ShingleJaccardCte,
          |pairs AS (SELECT id_a, id_b FROM jacc WHERE jaccard >= 0.3),
@@ -1544,6 +1568,26 @@ object SparkEntry {
     * purpose: the oracle is the ground truth the LSH path must
     * reproduce.
     */
+  /** [[ShingleJaccardCte]]'s cross-corpus twin: even doc_ids joined
+    * against odd doc_ids (no a < b constraint — distinct universes).
+    */
+  private val CrossJaccardCte: String =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |    t -> len(t) > 0) AS tl FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(tl) < 3 THEN [list_aggregate(tl, 'string_agg', ' ')]
+      |         ELSE list_distinct([tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2]
+      |                             for i in range(1, len(tl) - 1)])
+      |    END AS ss FROM toks),
+      |jacc AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    round(CASE WHEN len(list_distinct(list_concat(a.ss, b.ss))) = 0 THEN 1.0
+      |          ELSE len(list_intersect(a.ss, b.ss)) * 1.0
+      |               / len(list_distinct(list_concat(a.ss, b.ss))) END, 4) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)""".stripMargin
+
   private val ShingleJaccardCte: String =
     """toks AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),

@@ -183,6 +183,53 @@ object Dedup {
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
     bandedPairs(sigs, idCol, numHashes, bands, maxBucketSize)
 
+  /** Cross-corpus near-duplicate pairs — training-data
+    * DECONTAMINATION: find training documents that near-duplicate
+    * evaluation documents (benchmark contamination), the cross-corpus
+    * twin of [[minhashNearDuplicates]]. Both corpora band with the
+    * SAME hash construction, so a shared (band, band_hash) bucket is
+    * the candidate signal; the bucket join is capped on BOTH sides
+    * (same discipline as [[graft.operators.Similarity.crossSimilarity]])
+    * and verification is exact shingle Jaccard. Returns
+    * (id_a = left id, id_b = right id, jaccard) — NOT symmetric, no
+    * id_a < id_b constraint (the corpora are distinct universes).
+    *
+    * Scale: signatures are map-only per corpus; the only shuffle is
+    * the banded equi-join; at 100 TB the eval side is typically tiny —
+    * Catalyst broadcasts it and the scan-side work stays map-local.
+    */
+  def crossCorpusNearDuplicates(left: DataFrame, right: DataFrame,
+      idCol: String, textCol: String,
+      minJaccard: Double = 0.5, numHashes: Int = 64, bands: Int = 16,
+      shingleK: Int = 3,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    def side(df: DataFrame, suffix: String): DataFrame = {
+      val banded = bandedOf(
+        minhashSignatures(df, idCol, textCol, numHashes, shingleK),
+        idCol, numHashes, bands)
+      pinJoinParallelism(
+        capBuckets(banded, Seq("band", "band_hash"), maxBucketSize),
+        Seq("band", "band_hash"))
+        .select(col("band"), col("band_hash"), col("id").as(s"id_$suffix"))
+    }
+    val cands = side(left, "a").join(side(right, "b"), Seq("band", "band_hash"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val lSets = left.select(col(idCol).as("id"),
+      shingleHashSet(col(textCol), shingleK).as("sh"))
+    val rSets = right.select(col(idCol).as("id"),
+      shingleHashSet(col(textCol), shingleK).as("sh"))
+    cands
+      .join(lSets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(rSets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        when(size(array_union(col("sh_a"), col("sh_b"))) === 0, 1.0)
+          .otherwise(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b")))))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Capped banded self-join → distinct (id_a, id_b) candidate pairs —
     * the single definition both [[minhashCandidatePairs]] and
     * [[minhashNearDuplicates]] build on.

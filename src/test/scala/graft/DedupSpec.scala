@@ -113,6 +113,27 @@ class DedupSpec extends SparkSpec {
     assert(comps(7L) == 7L && comps(9L) == 7L)
   }
 
+  test("cross-corpus decontamination: planted contamination found, sides stay distinct") {
+    val train = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely unrelated text about cooking pasta with garlic and olive oil"),
+      (4L, "another unique document describing mountain hiking trails in the alps")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),
+      (3L, "totally different content on quantum computing and qubit decoherence")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.crossCorpusNearDuplicates(train, eval_, "doc_id", "text",
+        minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(hits == Seq((0L, 1L))) // the planted contamination, nothing else
+    // id_a always from the left corpus, id_b from the right — and the
+    // train-side near-dups (none here) never pair with themselves
+    val self = Dedup.crossCorpusNearDuplicates(train, train, "doc_id", "text",
+      minJaccard = 0.99)
+    assert(self.count() == 3) // identity pairs: each doc matches itself cross-side
+  }
+
   test("connected components: driver union-find == iterative propagation on random graphs") {
     val rnd = new scala.util.Random(11)
     // 300 random edges over 120 nodes: many multi-node components,
