@@ -889,6 +889,21 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Sequence packing ([[graft.operators.TextOps.packSequences]]):
+    * concat-then-chunk training-bin assignment under a fixed token
+    * budget. The engine runs the two-pass sharded decomposition (range
+    * repartition → per-shard window → broadcast base offsets); the
+    * oracle restates the SEMANTICS as one global window (fine at
+    * DuckDB scale), so a hash match proves the decomposition equals
+    * the global-order definition document for document.
+    */
+  private def q65(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.packSequences(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", tokenBudget = 2048L)
+      .select(col("doc_id"), col("n_tokens"), col("bin"))
+      .orderBy(col("doc_id"))
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -957,7 +972,8 @@ object SparkEntry {
     "q61_html_extraction" -> (q61 _),
     "q62_asof_join" -> (q62 _),
     "q63_range_join" -> (q63 _),
-    "q64_decontamination" -> (q64 _))
+    "q64_decontamination" -> (q64 _),
+    "q65_sequence_packing" -> (q65 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1403,6 +1419,17 @@ object SparkEntry {
       s"""WITH ${CrossJaccardCte}
         |SELECT id_a, id_b, jaccard FROM jacc WHERE jaccard >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "q65_sequence_packing" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> len(t) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+        |    AS BIGINT) AS bin
+        |FROM tk ORDER BY doc_id""".stripMargin,
     "q60_corpus_curation" ->
       s"""WITH RECURSIVE $ShingleJaccardCte,
          |pairs AS (SELECT id_a, id_b FROM jacc WHERE jaccard >= 0.3),

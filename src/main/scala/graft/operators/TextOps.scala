@@ -50,4 +50,56 @@ object TextOps {
       round((lit(0L) - col("top.neg_hits")) /
         greatest(col("n_tokens"), lit(1)).cast("double"), 4).as("confidence"))
   }
+
+  /** Sequence packing — assign each document to a fixed-token-budget
+    * training bin under the standard concat-then-chunk model (GPT-
+    * style pretraining batches): documents concatenate in `orderCol`
+    * order and bin `i` covers token span `[i*budget, (i+1)*budget)`;
+    * a document lands in the bin where its span STARTS (exclusive
+    * running sum ÷ budget). Deterministic given unique `orderCol`.
+    *
+    * Scale: a naive global-order window is a single-partition sort —
+    * the 100 TB killer — so this is the two-pass decomposition:
+    * range-repartition by `orderCol` into `shards`, per-shard window
+    * cumsum (parallel), then each shard's base offset (the sum of all
+    * earlier shards' tokens — `shards` numbers, computed on the
+    * driver) joins back broadcast. One range exchange + one tiny
+    * collect instead of a global sort to one task.
+    *
+    * Returns the input plus `n_tokens` and `bin`.
+    */
+  def packSequences(df: DataFrame, orderCol: String, tokenBudget: Long,
+      textCol: String = "text", shards: Int = 0): DataFrame = {
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    val spark = df.sparkSession
+    val nShards = if (shards > 0) shards
+      else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val sharded = df
+      .select(col("*"), TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .repartitionByRange(nShards, col(orderCol))
+      .withColumn("__shard", org.apache.spark.sql.functions.spark_partition_id())
+      .localCheckpoint(false) // shard ids must not be recomputed differently per action
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__shard")).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val withLocal = sharded.withColumn("__local_prior",
+      coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    // shard base offsets: tiny (one row per shard) — driver-side scan
+    val totals = sharded.groupBy(col("__shard"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until nShards).scanLeft(0L)((acc, s) => acc + totals.getOrElse(s, 0L))
+    val offsetDf = spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until nShards).map(s =>
+        org.apache.spark.sql.Row(s, offsets(s))), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__shard",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__base",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    withLocal.join(broadcast(offsetDf), Seq("__shard"))
+      .withColumn("bin", call_function("div",
+        col("__base") + col("__local_prior"), lit(tokenBudget)))
+      .drop("__shard", "__local_prior", "__base")
+  }
 }

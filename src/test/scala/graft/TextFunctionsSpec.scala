@@ -9,6 +9,30 @@ class TextFunctionsSpec extends SparkSpec {
   private def one(c: org.apache.spark.sql.Column): org.apache.spark.sql.Row =
     Seq(1).toDF("x").select(c).head()
 
+  test("packSequences: sharded decomposition equals the global-window definition") {
+    val docs = graft.core.Engine.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    def bins(shards: Int): Map[Long, Long] =
+      graft.operators.TextOps.packSequences(docs, "doc_id", 2048L, shards = shards)
+        .select("doc_id", "bin").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sharded = bins(8)
+    assert(sharded === bins(1), "shard count must not change bin assignment")
+    // bins are monotone in order and start at 0
+    val byDoc = sharded.toSeq.sortBy(_._1).map(_._2)
+    assert(byDoc.head == 0L)
+    assert(byDoc.zip(byDoc.tail).forall { case (a, b) => b >= a })
+    // a bin break happens exactly when the running span crosses the budget
+    val toks = graft.operators.TextOps.packSequences(docs, "doc_id", 2048L)
+      .select("doc_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var running = 0L
+    toks.toSeq.sortBy(_._1).foreach { case (id, n) =>
+      assert(sharded(id) == running / 2048L, s"doc $id bin mismatch")
+      running += n
+    }
+  }
+
   test("tokenCount handles empty, padded, multi-space text") {
     assert(one(TF.tokenCount(lit(""))).getInt(0) == 0)
     assert(one(TF.tokenCount(lit("  hello   world  "))).getInt(0) == 2)
