@@ -904,6 +904,32 @@ object SparkEntry {
       .select(col("doc_id"), col("n_tokens"), col("bin"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic stratified sampling
+    * ([[graft.operators.TextOps.stratifiedSample]]): hash-of-id
+    * selection, reproducible under any partitioning (unlike
+    * rand/sampleBy, which draw in row order). Selected SETS are
+    * hash-function-specific, so (like q43/q59) each engine asserts its
+    * OWN achieved per-stratum fraction lands within tolerance of the
+    * same targets; the gate compares the booleans.
+    */
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    val targets = Seq("de" -> 0.4, "en" -> 0.5, "es" -> 0.3,
+      "fr" -> 0.2, "zh" -> 0.6)
+    val docs = t(s, dir, "documents")
+    val sampled = graft.operators.TextOps.stratifiedSample(
+      docs, "lang", "doc_id", targets.toMap)
+    val totals = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+    val hits = sampled.groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+    val targetCol = element_at(
+      map(targets.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+      col("lang"))
+    totals.join(hits, Seq("lang"), "left")
+      .select(col("lang"), targetCol.as("target"),
+        (abs(coalesce(col("n_sampled"), lit(0L)).cast("double") / col("n_total")
+          - targetCol) <= 0.15).as("within_tol"))
+      .orderBy(col("lang"))
+  }
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -973,7 +999,8 @@ object SparkEntry {
     "q62_asof_join" -> (q62 _),
     "q63_range_join" -> (q63 _),
     "q64_decontamination" -> (q64 _),
-    "q65_sequence_packing" -> (q65 _))
+    "q65_sequence_packing" -> (q65 _),
+    "q66_stratified_sample" -> (q66 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1430,6 +1457,20 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
         |    AS BIGINT) AS bin
         |FROM tk ORDER BY doc_id""".stripMargin,
+    "q66_stratified_sample" ->
+      """WITH tgt AS (
+        |  SELECT * FROM (VALUES ('de', 0.4), ('en', 0.5), ('es', 0.3),
+        |    ('fr', 0.2), ('zh', 0.6)) v(lang, target)),
+        |t AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY lang),
+        |s AS (SELECT d.lang, count(*) AS n_sampled
+        |      FROM documents d JOIN tgt ON d.lang = tgt.lang
+        |      WHERE (hash(d.doc_id) % 10000) / 10000.0 < tgt.target
+        |      GROUP BY d.lang)
+        |SELECT t.lang, tgt.target,
+        |  abs(coalesce(s.n_sampled, 0) * 1.0 / t.n_total - tgt.target) <= 0.15
+        |    AS within_tol
+        |FROM t JOIN tgt ON t.lang = tgt.lang LEFT JOIN s ON t.lang = s.lang
+        |ORDER BY t.lang""".stripMargin,
     "q60_corpus_curation" ->
       s"""WITH RECURSIVE $ShingleJaccardCte,
          |pairs AS (SELECT id_a, id_b FROM jacc WHERE jaccard >= 0.3),

@@ -51,6 +51,29 @@ object TextOps {
         greatest(col("n_tokens"), lit(1)).cast("double"), 4).as("confidence"))
   }
 
+  /** Deterministic stratified sampling: keep a per-stratum fraction of
+    * rows selected by HASH of the id, not by RNG. `rand(seed)`-based
+    * sampling (including Spark's `sampleBy`) draws per-row in
+    * partition order, so the selected SET changes whenever
+    * partitioning or row order changes — irreproducible at cluster
+    * scale. Hashing the id makes the decision a pure row property:
+    * same corpus, same sample, on any cluster layout, and the sample
+    * is stable under incremental appends (old rows never flip).
+    * Strata not in `fractions` are dropped.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      fractions: Map[String, Double], buckets: Int = 10000): DataFrame = {
+    require(fractions.values.forall(f => f >= 0 && f <= 1),
+      s"fractions must be in [0,1]: $fractions")
+    val fracMap = map(fractions.toSeq.flatMap { case (k, v) =>
+      Seq(lit(k), lit(v)) }: _*)
+    df.withColumn("__frac", element_at(fracMap, col(strataCol).cast("string")))
+      .filter(col("__frac").isNotNull &&
+        pmod(xxhash64(col(idCol)), lit(buckets)).cast("double") <
+          col("__frac") * buckets)
+      .drop("__frac")
+  }
+
   /** Sequence packing — assign each document to a fixed-token-budget
     * training bin under the standard concat-then-chunk model (GPT-
     * style pretraining batches): documents concatenate in `orderCol`

@@ -9,6 +9,28 @@ class TextFunctionsSpec extends SparkSpec {
   private def one(c: org.apache.spark.sql.Column): org.apache.spark.sql.Row =
     Seq(1).toDF("x").select(c).head()
 
+  test("stratifiedSample: hash-based selection is partition-invariant and appends-stable") {
+    val docs = graft.core.Engine.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val fr = Map("en" -> 0.5, "de" -> 0.3)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      graft.operators.TextOps.stratifiedSample(df, "lang", "doc_id", fr)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val base = ids(docs)
+    assert(base.nonEmpty)
+    // same set under a different partitioning (rand-based sampling breaks this)
+    assert(ids(docs.repartition(17)) === base)
+    assert(ids(docs.orderBy(desc("doc_id"))) === base)
+    // appends never flip earlier decisions: the old corpus's sample is
+    // a strict subset of the grown corpus's sample
+    val half = docs.filter(col("doc_id") < 250)
+    assert(ids(half).subsetOf(base))
+    // strata without a configured fraction are dropped
+    val langs = graft.operators.TextOps.stratifiedSample(docs, "lang", "doc_id", fr)
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "de")))
+  }
+
   test("packSequences: sharded decomposition equals the global-window definition") {
     val docs = graft.core.Engine.table(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
