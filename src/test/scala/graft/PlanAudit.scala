@@ -68,6 +68,30 @@ class PlanAudit extends SparkSpec {
     assert(plan("q41_knn_lsh").contains("TakeOrderedAndProject"))
   }
 
+  test("q62: as-of join plans AsOfJoinExec with event_type pushed to both scans") {
+    val p = plan("q62_asof_join")
+    // SparkPlan.nodeName strips the Exec suffix in plan strings
+    assert(p.contains("AsOfJoin "), s"q62 must use the custom exec:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    val scans = p.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.count(_.contains("EqualTo(event_type")) == 2,
+      s"both side filters must reach their scans:\n${scans.mkString("\n")}")
+  }
+
+  test("q63: range join plans as equi-join (bucket decomposition, no nested loop)") {
+    val p = plan("q63_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must never nested-loop:\n$p")
+  }
+
+  test("q64: decontamination never scans doc metadata columns") {
+    val p = plan("q64_decontamination")
+    val scans = p.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.nonEmpty && scans.forall(s =>
+      !s.contains("lang") && !s.contains("source")),
+      s"cross-corpus dedup reads only (doc_id, text):\n${scans.mkString("\n")}")
+  }
+
   test("compiled safe_eval predicates push down to the parquet scan") {
     val events = graft.core.Engine.table(spark, dir, "events")
     val filtered = events.filter(
