@@ -64,6 +64,25 @@ object Dedup {
     df.repartition(n, keys.map(col): _*)
   }
 
+  /** [[capBuckets]] + [[pinJoinParallelism]] fused: repartition on the
+    * bucket keys once (pinned — the downstream self-join reuses it),
+    * then the bucket-size gate is a windowed count over the SAME
+    * partitioning — no second exchange, no size-table join-back. The
+    * plan for an entire LSH candidate stage is then: one pinned
+    * exchange → window → co-partitioned self-join → pair distinct.
+    */
+  private[operators] def capBucketsPartitioned(banded: DataFrame,
+      keys: Seq[String], maxBucketSize: Int): DataFrame = {
+    val parted = pinJoinParallelism(banded, keys)
+    if (maxBucketSize <= 0) parted
+    else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+      parted.withColumn("__bucket_n", count(lit(1)).over(w))
+        .filter(col("__bucket_n") <= maxBucketSize)
+        .drop("__bucket_n")
+    }
+  }
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup on a canonical fingerprint (whitespace-normalized md5).
@@ -207,9 +226,7 @@ object Dedup {
       val banded = bandedOf(
         minhashSignatures(df, idCol, textCol, numHashes, shingleK),
         idCol, numHashes, bands)
-      pinJoinParallelism(
-        capBuckets(banded, Seq("band", "band_hash"), maxBucketSize),
-        Seq("band", "band_hash"))
+      capBucketsPartitioned(banded, Seq("band", "band_hash"), maxBucketSize)
         .select(col("band"), col("band_hash"), col("id").as(s"id_$suffix"))
     }
     val cands = side(left, "a").join(side(right, "b"), Seq("band", "band_hash"))
@@ -236,10 +253,9 @@ object Dedup {
     */
   private def bandedPairs(sigs: DataFrame, idCol: String, numHashes: Int,
       bands: Int, maxBucketSize: Int): DataFrame = {
-    val banded = pinJoinParallelism(
-      capBuckets(bandedOf(sigs, idCol, numHashes, bands),
-        Seq("band", "band_hash"), maxBucketSize),
-      Seq("band", "band_hash"))
+    val banded = capBucketsPartitioned(
+      bandedOf(sigs, idCol, numHashes, bands),
+      Seq("band", "band_hash"), maxBucketSize)
     banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("band_hash"), col("id").as("id_b")),
         Seq("band", "band_hash"))
@@ -375,8 +391,7 @@ object Dedup {
     val banded = hashed.select(col("id"), col("sh"),
       explode(array(bandStructs: _*)).as("lsh"))
       .select(col("id"), col("sh"), col("lsh.band"), col("lsh.chunk"))
-    val capped = pinJoinParallelism(
-      capBuckets(banded, Seq("band", "chunk"), maxBucketSize), Seq("band", "chunk"))
+    val capped = capBucketsPartitioned(banded, Seq("band", "chunk"), maxBucketSize)
     val left = capped.select(col("band"), col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
     val right = capped.select(col("band"), col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
     // Hamming gate BEFORE the distinct: the per-band join output is the
@@ -609,9 +624,7 @@ object Dedup {
       }
     val capped =
       if (nPlanes <= 0) bucketed // brute-force fallback is explicitly unbucketed
-      else pinJoinParallelism(
-        capBuckets(bucketed, Seq("band", "bucket"), maxBucketSize),
-        Seq("band", "bucket"))
+      else capBucketsPartitioned(bucketed, Seq("band", "bucket"), maxBucketSize)
     val left = capped.select(col("band"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val right = capped.select(col("band"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     left.join(right, Seq("band", "bucket"))

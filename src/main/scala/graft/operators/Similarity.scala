@@ -164,14 +164,10 @@ object Similarity {
       base.select(col(outId), col(outV), explode(array(bandStructs: _*)).as("lsh"))
         .select(col(outId), col(outV), col("lsh.band"), col("lsh.bucket"))
     }
-    val l = Dedup.pinJoinParallelism(
-      Dedup.capBuckets(bucketize(left, idA, "id_a", "v_a"),
-        Seq("band", "bucket"), maxBucketSize),
-      Seq("band", "bucket"))
-    val r = Dedup.pinJoinParallelism(
-      Dedup.capBuckets(bucketize(right, idB, "id_b", "v_b"),
-        Seq("band", "bucket"), maxBucketSize),
-      Seq("band", "bucket"))
+    val l = Dedup.capBucketsPartitioned(bucketize(left, idA, "id_a", "v_a"),
+      Seq("band", "bucket"), maxBucketSize)
+    val r = Dedup.capBucketsPartitioned(bucketize(right, idB, "id_b", "v_b"),
+      Seq("band", "bucket"), maxBucketSize)
     l.join(r, Seq("band", "bucket"))
       .select(col("id_a"), col("id_b"),
         round(VectorFunctions.cosine(col("v_a"), col("v_b")), 6).as("cosine"))
