@@ -51,10 +51,21 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Compact values (trailing zeros trimmed; per-query 1 decimal,
+    // totals 2): the harness that collects this output keeps only a
+    // ~2000-char tail of stdout, and the full-precision 71-query line
+    // overflows it — a truncated line head is unparseable. Run-to-run
+    // wall-clock variance dwarfs 100 ms anyway; the totals carry the
+    // precision.
+    def fmt(v: Double, scale: Int): String = {
+      val s = BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.stripTrailingZeros.toPlainString
+      if (s.isEmpty || s == "-0") "0" else s
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 1) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"index_build_sec":$indexBuildSec,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"index_build_sec":${fmt(indexBuildSec, 2)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -930,6 +930,88 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** Exact n-gram decontamination
+    * ([[graft.operators.Curation.ngramDecontaminate]]) — the GPT-3
+    * style exact complement of q64's fuzzy MinHash decontamination:
+    * train docs (even ids) sharing ≥3 distinct word 5-grams with an
+    * eval doc (odd ids). One equi-join on the gram; the oracle builds
+    * the same distinct 5-gram sets with DuckDB list functions and
+    * joins them, so a hash match proves gram construction, distinct
+    * semantics, and the pair counts all agree.
+    */
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.operators.Curation.ngramDecontaminate(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0),
+        d.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text", n = 5, minShared = 3)
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  /** Gopher-style repetition metrics
+    * ([[graft.operators.Curation.repetitionMetrics]]): duplicate-word
+    * fraction and top-bigram share per document, computed entirely
+    * row-locally (the bigram mode is the longest run in the row's
+    * SORTED bigram array — no explode/groupBy). The oracle computes
+    * the bigram mode the relational way (unnest → group → max), so a
+    * hash match proves the run-length shortcut equals the definition.
+    */
+  private def q68(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.repetitionMetrics(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** PII redaction ([[graft.operators.Curation.piiRedact]]): the
+    * corpus text is salted with a synthetic email / IPv4 / phone per
+    * row (both engines build the identical string), then counted and
+    * redacted by the same regex chain. Patterns are chosen to behave
+    * identically under Java regex (Spark) and RE2 (oracle).
+    */
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    val enriched = docs(s, dir).select(col("doc_id"),
+      concat(
+        substring(col("text"), 1, 40),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or 10.0."),
+        pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".7 call +1-555-"),
+        (pmod(col("doc_id"), lit(9000)) + 1000).cast("string")).as("text"))
+    graft.operators.Curation.piiRedact(enriched, "text")
+      .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
+        col("n_ips").cast("long").as("n_ips"),
+        col("n_phones").cast("long").as("n_phones"), col("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic global shuffle order
+    * ([[graft.operators.Curation.shuffleKey]]): training-order export
+    * keyed by md5(seed:id) — a pure row property, reproducible on any
+    * partitioning and stable under appends. The gate reads the first
+    * 100 rows of the induced order (TakeOrderedAndProject — no global
+    * sort); both engines compute the identical md5 hex.
+    */
+  private def q70(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.withShuffleKey(docs(s, dir), "doc_id", "seed42")
+      .select(col("doc_id"), col("shuffle_key"))
+      .orderBy(col("shuffle_key"))
+      .limit(100)
+
+  /** Int8-quantized brute-force ANN
+    * ([[graft.operators.Curation.quantizedKnn]]): symmetric max-abs
+    * quantization to [-127,127], then an EXACT integer dot product —
+    * reproducible across engines and partition orders where float
+    * summation is not. The oracle restates the quantization with the
+    * same expression shape (`round(cast(x as double) * 127.0 / mx)`,
+    * both engines round half away from zero) so the scores hash-match
+    * exactly.
+    */
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    graft.operators.Curation.quantizedKnn(
+      emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", query, 10)
+  }
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -1000,7 +1082,12 @@ object SparkEntry {
     "q63_range_join" -> (q63 _),
     "q64_decontamination" -> (q64 _),
     "q65_sequence_packing" -> (q65 _),
-    "q66_stratified_sample" -> (q66 _))
+    "q66_stratified_sample" -> (q66 _),
+    "q67_ngram_decontamination" -> (q67 _),
+    "q68_repetition_metrics" -> (q68 _),
+    "q69_pii_redaction" -> (q69 _),
+    "q70_shuffle_order" -> (q70 _),
+    "q71_quantized_knn" -> (q71 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1471,6 +1558,102 @@ object SparkEntry {
         |    AS within_tol
         |FROM t JOIN tgt ON t.lang = tgt.lang LEFT JOIN s ON t.lang = s.lang
         |ORDER BY t.lang""".stripMargin,
+    "q67_ngram_decontamination" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |      generate_series(1, len(tk) - 4),
+        |      i -> array_to_string(tk[i:i+4], ' ')))) AS gram
+        |  FROM tk WHERE len(tk) >= 5)
+        |SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+        |  count(*) AS n_shared
+        |FROM ng a JOIN ng b ON a.gram = b.gram
+        |WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING count(*) >= 3
+        |ORDER BY train_id, eval_id""".stripMargin,
+    "q68_repetition_metrics" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |    CASE WHEN len(tk) > 0
+        |      THEN CAST(len(tk) - len(list_distinct(tk)) AS DOUBLE)
+        |           / CAST(len(tk) AS DOUBLE)
+        |      ELSE 0.0 END AS dup_word_frac
+        |  FROM tk),
+        |ex AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(tk) - 1),
+        |      i -> concat(tk[i], ' ', tk[i+1]))) AS g
+        |  FROM tk WHERE len(tk) >= 2),
+        |cnt AS (SELECT doc_id, g, count(*) AS c FROM ex GROUP BY doc_id, g),
+        |mx AS (SELECT doc_id, max(c) AS mc, sum(c) AS tot FROM cnt GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens, b.dup_word_frac,
+        |  CASE WHEN mx.doc_id IS NULL THEN 0.0
+        |    ELSE CAST(mx.mc AS DOUBLE) / CAST(mx.tot AS DOUBLE) END
+        |    AS top_bigram_frac
+        |FROM base b LEFT JOIN mx ON b.doc_id = mx.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+    "q69_pii_redaction" ->
+      """WITH enr AS (
+        |  SELECT doc_id,
+        |    concat(substring(text, 1, 40), ' contact user', doc_id,
+        |      '@mail.example.com or 10.0.', doc_id % 256,
+        |      '.7 call +1-555-', doc_id % 9000 + 1000) AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\+\d{1,3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d{1,3}-\d{3}-\d{4}', '<PHONE>', 'g') AS redacted
+        |FROM enr ORDER BY doc_id""".stripMargin,
+    "q70_shuffle_order" ->
+      """SELECT doc_id, md5(concat('seed42:', doc_id)) AS shuffle_key
+        |FROM documents
+        |ORDER BY shuffle_key
+        |LIMIT 100""".stripMargin,
+    "q71_quantized_knn" ->
+      """WITH qq AS (
+        |  SELECT CASE WHEN mx IS NULL OR mx = 0
+        |      THEN list_transform(qe, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(qe,
+        |        x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / mx) AS BIGINT))
+        |    END AS qv
+        |  FROM (SELECT embedding AS qe,
+        |          list_max(list_transform(embedding,
+        |            x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |        FROM embeddings WHERE vec_id = 0)),
+        |c AS (
+        |  SELECT vec_id, CASE WHEN mx IS NULL OR mx = 0
+        |      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding,
+        |        x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / mx) AS BIGINT))
+        |    END AS cv
+        |  FROM (SELECT vec_id, embedding,
+        |          list_max(list_transform(embedding,
+        |            x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |        FROM embeddings WHERE vec_id <> 0))
+        |SELECT vec_id,
+        |  CAST(list_sum(list_transform(generate_series(1, len(cv)),
+        |    i -> cv[i] * qv[i])) AS BIGINT) AS qdot
+        |FROM c, qq
+        |ORDER BY qdot DESC, vec_id
+        |LIMIT 10""".stripMargin,
     "q60_corpus_curation" ->
       s"""WITH RECURSIVE $ShingleJaccardCte,
          |pairs AS (SELECT id_a, id_b FROM jacc WHERE jaccard >= 0.3),

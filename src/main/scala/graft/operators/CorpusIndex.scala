@@ -93,15 +93,23 @@ object CorpusIndex {
   def artifacts(df: DataFrame, key: String, idCol: String, textCol: String,
       numHashes: Int = 64, shingleK: Int = 3): DataFrame =
     memo(df.sparkSession, artifactKey(key, idCol, numHashes, shingleK)) {
-      df.select(col(idCol),
-          transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)).as("th"),
-          TextFunctions.exactFingerprint(col(textCol)).as("fingerprint"))
-        .select(col(idCol), col("fingerprint"),
-          CatalystExpressions.shingleHashes(col("th"), shingleK).as("shingles"),
-          CatalystExpressions.simhash64(col("th")).as("simhash"))
-        .select(col(idCol), col("fingerprint"), col("shingles"), col("simhash"),
-          CatalystExpressions.minhashSig(col("shingles"), numHashes).as("minhash_sig"))
+      derive(df, idCol, textCol, numHashes, shingleK)
     }
+
+  /** The raw one-pass derivation behind [[artifacts]] — also the unit
+    * of incremental ingest ([[append]] derives it for a new batch
+    * only).
+    */
+  private def derive(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleK: Int): DataFrame =
+    df.select(col(idCol),
+        transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)).as("th"),
+        TextFunctions.exactFingerprint(col(textCol)).as("fingerprint"))
+      .select(col(idCol), col("fingerprint"),
+        CatalystExpressions.shingleHashes(col("th"), shingleK).as("shingles"),
+        CatalystExpressions.simhash64(col("th")).as("simhash"))
+      .select(col(idCol), col("fingerprint"), col("shingles"), col("simhash"),
+        CatalystExpressions.minhashSig(col("shingles"), numHashes).as("minhash_sig"))
 
   /** (id, sh): distinct shingle-hash set per document — the input of
     * exact-Jaccard verification ([[Dedup.ngramJaccardFromSets]]).
@@ -203,6 +211,49 @@ object CorpusIndex {
     val art = spark.read.parquet(s"$path/artifacts")
     cache.put((spark, cacheKey), art)
     art
+  }
+
+  /** Incremental ingest — the daily-crawl pattern: derive the index
+    * artifacts for `newDocs` ONLY (one scan of the batch, not the
+    * corpus), append them to the persisted index at `path`, and
+    * invalidate the session memo so accessors re-read the grown
+    * index. At 100 TB this is the difference between an O(batch)
+    * nightly job and an O(corpus) one. The caller owns id uniqueness
+    * across batches (ingest ids are monotone in any real corpus
+    * store).
+    *
+    * Returns the new-batch artifact frame (the input to
+    * [[Dedup.incrementalNearDuplicates]] — dedup the delta against
+    * the whole index without re-pairing old-vs-old).
+    */
+  def append(newDocs: DataFrame, path: String, textCol: String): DataFrame = {
+    val spark = newDocs.sparkSession
+    val meta = readMeta(spark, s"$path/index_meta.json")
+    val (idCol, numHashes, shingleK) =
+      (meta("idCol"), meta("numHashes").toInt, meta("shingleK").toInt)
+    val batch = derive(newDocs, idCol, textCol, numHashes, shingleK)
+      .localCheckpoint(false) // one derivation serves both the write and the returned frame
+    batch.write.mode("append").parquet(s"$path/artifacts")
+    invalidate(spark, artifactKey(meta("key"), idCol, numHashes, shingleK))
+    batch
+  }
+
+  /** Near-duplicate pairs introduced by a new batch, against the full
+    * persisted index (old ∪ new): candidates are LSH-banded
+    * (batch side) ⋈ (full side) — never old-vs-old — then exact
+    * shingle-Jaccard verified from the index's own shingle sets.
+    * With the same banding/cap parameters,
+    * `full(old) ∪ incremental(all, new) == full(all)` — the spec
+    * locks this equivalence on random corpora.
+    */
+  def incrementalNearDuplicates(spark: SparkSession, path: String,
+      newArtifacts: DataFrame, minJaccard: Double = 0.5, bands: Int = 16,
+      maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
+    val meta = readMeta(spark, s"$path/index_meta.json")
+    val idCol = meta("idCol")
+    val all = spark.read.parquet(s"$path/artifacts")
+    Dedup.incrementalNearDuplicates(all, newArtifacts, idCol,
+      meta("numHashes").toInt, bands, minJaccard, maxBucketSize)
   }
 
   /** The full near-duplicate classification of the corpus

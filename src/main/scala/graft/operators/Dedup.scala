@@ -299,6 +299,43 @@ object Dedup {
       .filter(col("est_jaccard") >= minJaccard)
   }
 
+  /** Near-duplicate pairs introduced by a NEW batch against the full
+    * corpus — the incremental-ingest complement of
+    * [[minhashNearDuplicatesFromSigs]]: band both the full artifact
+    * frame (old ∪ new) and the batch frame with the same
+    * construction, join batch-buckets against full-buckets (never
+    * old-vs-old), and exact-verify the surviving pairs from the full
+    * frame's shingle sets. The full side carries the hot-bucket cap
+    * (counted over the WHOLE bucket, so the drop decision matches a
+    * full recompute); the batch side needs none — a batch row only
+    * ever meets capped full-side buckets.
+    *
+    * `allArtifacts`/`newArtifacts` are [[CorpusIndex]] artifact
+    * frames (`idCol`, `minhash_sig`, `shingles`). Work is
+    * O(batch × bucket), not O(corpus²): the nightly-crawl dedup cost
+    * is proportional to the delta.
+    */
+  def incrementalNearDuplicates(allArtifacts: DataFrame,
+      newArtifacts: DataFrame, idCol: String, numHashes: Int = 64,
+      bands: Int = 16, minJaccard: Double = 0.5,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    def sigs(art: DataFrame) =
+      art.select(col(idCol), col("minhash_sig").as("signature"))
+    val bAll = capBucketsPartitioned(
+      bandedOf(sigs(allArtifacts), idCol, numHashes, bands),
+      Seq("band", "band_hash"), maxBucketSize)
+      .select(col("band"), col("band_hash"), col("id").as("id_full"))
+    val bNew = bandedOf(sigs(newArtifacts), idCol, numHashes, bands)
+      .select(col("band"), col("band_hash"), col("id").as("id_new"))
+    val cands = bAll.join(bNew, Seq("band", "band_hash"))
+      .filter(col("id_full") =!= col("id_new"))
+      .select(least(col("id_full"), col("id_new")).as("id_a"),
+        greatest(col("id_full"), col("id_new")).as("id_b"))
+      .distinct()
+    val sets = allArtifacts.select(col(idCol).as("id"), col("shingles").as("sh"))
+    ngramJaccardFromSets(sets, cands).filter(col("jaccard") >= minJaccard)
+  }
+
   /** Diagnostic for the bucket cap: the MinHash-LSH buckets of `df`
     * that exceed `maxBucketSize` (these are exactly the buckets
     * [[minhashNearDuplicates]] drops), with their populations. One

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2L, "alpha beta gamma delta epsilon zeta eta IOTA"), // shares 3 distinct 5-grams with 1
+    (3L, "totally different words with zero overlap whatsoever"),
+    (4L, "short doc"),
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  test("wordNgrams: sliding windows, short docs contribute none") {
+    val out = docs.select(col("doc_id"),
+        Curation.wordNgrams(col("text"), 5).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L).length == 4) // 8 tokens -> 4 five-grams
+    assert(out(1L).head == "alpha beta gamma delta epsilon")
+    assert(out(4L).isEmpty && out(5L).isEmpty)
+  }
+
+  test("ngramDecontaminate finds the planted train/eval overlap only") {
+    val train = docs.filter(col("doc_id") % 2 === 1)
+    val eval = docs.filter(col("doc_id") % 2 === 0)
+    val hits = Curation.ngramDecontaminate(train, eval, "doc_id", "text",
+        n = 5, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.toSeq == Seq((1L, 2L, 3L))) // 5-grams at offsets 1..3 survive the IOTA edit
+  }
+
+  test("ngramDecontaminate: maxGramDf drops boilerplate grams") {
+    val boiler = "terms of service apply to all"
+    val train = (1L to 6L).map(i => (i, s"$boiler document number $i")).toDF("doc_id", "text")
+    val eval = (11L to 16L).map(i => (i, s"$boiler evaluation row $i")).toDF("doc_id", "text")
+    val uncapped = Curation.ngramDecontaminate(train, eval, "doc_id", "text", n = 5)
+    assert(uncapped.count() == 36) // boilerplate gram crosses every pair
+    val capped = Curation.ngramDecontaminate(train, eval, "doc_id", "text",
+      n = 5, maxGramDf = 4)
+    assert(capped.count() == 0)
+  }
+
+  test("repetitionMetrics: run-length bigram mode equals the definition") {
+    val d = Seq(
+      (1L, "a b a b a b"),          // bigrams: ab,ba,ab,ba,ab -> top "a b" 3/5; dup words 4/6
+      (2L, "x y z"),                // all distinct
+      (3L, "w"),                    // no bigrams
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val m = Curation.repetitionMetrics(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(m(1L) == ((6L, 4.0 / 6.0, 3.0 / 5.0)))
+    assert(m(2L) == ((3L, 0.0, 0.5))) // 2 distinct bigrams -> mode 1 of 2
+    assert(m(3L) == ((1L, 0.0, 0.0)))
+    assert(m(4L) == ((0L, 0.0, 0.0)))
+  }
+
+  test("piiRedact counts and replaces emails, IPs, phones") {
+    val d = Seq(
+      (1L, "mail a.b@x.io and c@y.co from 10.0.0.1 call +1-555-1234"),
+      (2L, "clean text with no pii at all")
+    ).toDF("doc_id", "text")
+    val out = Curation.piiRedact(d, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_emails"), r.getAs[Int]("n_ips"),
+          r.getAs[Int]("n_phones"), r.getAs[String]("redacted")))).toMap
+    assert(out(1L)._1 == 2 && out(1L)._2 == 1 && out(1L)._3 == 1)
+    assert(out(1L)._4 == "mail <EMAIL> and <EMAIL> from <IP> call <PHONE>")
+    assert(out(2L) == ((0, 0, 0, "clean text with no pii at all")))
+  }
+
+  test("shuffle key is a pure row property: same key under any partitioning") {
+    val a = Curation.withShuffleKey(docs, "doc_id", "s1")
+      .select("doc_id", "shuffle_key").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = Curation.withShuffleKey(docs.repartition(7), "doc_id", "s1")
+      .select("doc_id", "shuffle_key").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b)
+    val c = Curation.withShuffleKey(docs, "doc_id", "s2")
+      .select("shuffle_key").collect().map(_.getString(0)).toSet
+    assert(c.intersect(a.map(_._2)) == Set.empty) // different seed, different order
+  }
+
+  test("writeShuffled materializes a contiguous global order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shuffle").toString
+    Curation.writeShuffled(docs, "doc_id", "seed", s"$dir/out", partitions = 3)
+    val back = spark.read.parquet(s"$dir/out")
+    // reading part files in name order must replay the sorted key order
+    // (range partition i holds keys below range partition i+1's)
+    val files = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    val keys = files.flatMap(f =>
+      spark.read.parquet(f).select("shuffle_key").collect().map(_.getString(0)))
+    assert(keys.toSeq == keys.toSeq.sorted)
+    assert(back.count() == docs.count())
+  }
+
+  test("quantize: [-127,127] symmetric, zero vector safe, dot is exact integer") {
+    val d = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = d.select(col("vec_id"), Curation.quantize(col("embedding")).as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(q(1L) == Seq(127L, -64L, 32L)) // round(63.5)=64 away from zero, round(31.75)=32
+    assert(q(2L) == Seq(0L, 0L, 0L))
+  }
+
+  test("quantizedKnn ranks by integer dot with deterministic ties") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(-1.0f, 0.0f)),
+      (4L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Curation.quantizedKnn(corpus, "vec_id", "embedding",
+      Seq(1.0f, 0.0f), 3).collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L, 2L, 4L))
+  }
+}

@@ -56,6 +56,38 @@ class DurableIndexSpec extends SparkSpec {
     assert(rows(SparkEntry.queries("q60_corpus_curation")(s2, sfDir)) === q60Fresh)
   }
 
+  test("append grows the persisted index incrementally; incremental near-dup equals full recompute") {
+    val base = Files.createTempDirectory("graft-index-incr").toString
+    val docs = graft.core.Engine.table(spark, sfDir, "documents")
+    val old = docs.filter(col("doc_id") < 250)
+    val batch = docs.filter(col("doc_id") >= 250)
+    CorpusIndex.persist(old, base, key = s"$sfDir#incr", idCol = "doc_id", textCol = "text")
+
+    // ingest the delta: derives the BATCH only, appends to the parquet index
+    val newArt = CorpusIndex.append(batch, base, textCol = "text")
+    val art2 = CorpusIndex.load(spark.newSession(), base)
+    assert(art2.count() === docs.count(), "index must now cover old + batch")
+
+    // incremental pairs (old∪new banded vs new banded) ∪ old-only pairs
+    // == one full recompute over the whole corpus (same params, cap off
+    // so old-bucket and full-bucket cap decisions cannot diverge)
+    val incr = CorpusIndex.incrementalNearDuplicates(spark, base, newArt,
+        minJaccard = 0.5, maxBucketSize = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oldPairs = Dedup.ngramJaccard(old,
+        Dedup.minhashCandidatePairs(old, "doc_id", "text", maxBucketSize = 0),
+        "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.ngramJaccard(docs,
+        Dedup.minhashCandidatePairs(docs, "doc_id", "text", maxBucketSize = 0),
+        "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incr.union(oldPairs) === full)
+    assert(incr.intersect(oldPairs) === Set.empty, "incremental pairs always touch the batch")
+  }
+
   test("connectedComponents with a durable checkpoint dir matches localCheckpoint") {
     import spark.implicits._
     // two chains (1-2-3-4) and (10-11), plus a ring (20-21-22-20):

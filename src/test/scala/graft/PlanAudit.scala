@@ -92,6 +92,32 @@ class PlanAudit extends SparkSpec {
       s"cross-corpus dedup reads only (doc_id, text):\n${scans.mkString("\n")}")
   }
 
+  test("q67: gram decontamination is an equi-join, scans pruned to (doc_id, text)") {
+    val p = plan("q67_ngram_decontamination")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    val scans = p.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.nonEmpty && scans.forall(s => !s.contains("lang") && !s.contains("source")))
+  }
+
+  test("q70: shuffle-order export head plans as TakeOrderedAndProject") {
+    assert(plan("q70_shuffle_order").contains("TakeOrderedAndProject"))
+  }
+
+  test("q71: quantized ANN plans top-k as TakeOrderedAndProject") {
+    assert(plan("q71_quantized_knn").contains("TakeOrderedAndProject"))
+  }
+
+  test("q68: repetition metrics are map-only (no exchange at all)") {
+    // the row-local run-length formulation must never introduce a
+    // shuffle; a global sort would mean someone re-expressed the
+    // bigram mode as explode+groupBy
+    val p = SparkEntry.queries("q68_repetition_metrics")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("rangepartitioning")) == 0,
+      s"repetitionMetrics should not shuffle:\n$p")
+  }
+
   test("compiled safe_eval predicates push down to the parquet scan") {
     val events = graft.core.Engine.table(spark, dir, "events")
     val filtered = events.filter(
