@@ -65,7 +65,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 1) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"index_build_sec":${fmt(indexBuildSec, 2)},"sf":"$sfDir"}""")
+    // full precision for humans/tools that read files rather than the
+    // bounded stdout tail
+    val full = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_full.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"index_build_sec":$indexBuildSec,"sf":"$sfDir"}""")
+    catch { case _: Throwable => () }
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"index_build_sec":${fmt(indexBuildSec, 2)},"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -1012,6 +1012,68 @@ object SparkEntry {
       emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", query, 10)
   }
 
+  /** Bloom-pruned semi-join ([[graft.operators.Scale.bloomSemiPrune]]):
+    * lineitem is map-side pre-filtered by a Bloom filter built over the
+    * urgent orders' keys (the broadcast-a-sketch pattern for filter
+    * sides too big to broadcast exactly), then the exact semi-join
+    * removes the ~fpp false positives — so the result equals the plain
+    * semi-join, which is exactly what the oracle states. A hash match
+    * proves the bloom pass lost nothing.
+    */
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val hot = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val pruned = graft.operators.Scale.bloomSemiPrune(
+      li, "l_orderkey", hot, "o_orderkey", expectedItems = 100000L)
+    pruned.join(hot.withColumnRenamed("o_orderkey", "l_orderkey"),
+        Seq("l_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Two-stage quantized ANN
+    * ([[graft.operators.Curation.quantizedKnnRerank]]): int8 candidate
+    * generation (q71's machinery, 4× oversampled) → exact float cosine
+    * re-rank of the 40 survivors. The oracle restates BOTH stages in
+    * DuckDB (the quantized CTE inlined, then list_cosine_similarity on
+    * the candidate set), so a hash match proves the exact top-10 of
+    * the composition — candidate selection, re-rank order, and ties.
+    */
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    graft.operators.Curation.quantizedKnnRerank(
+      emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", query, 10,
+      candidateFactor = 4)
+  }
+
+  /** Domain-mixture resampling
+    * ([[graft.operators.TextOps.mixtureResample]]): downsample a
+    * multi-source corpus to target mixture proportions (50/30/20),
+    * bounded by the scarcest stratum, rows selected by the PORTABLE
+    * md5-prefix hash — so unlike q66's engine-specific xxhash64
+    * sampling, the oracle recomputes the SAME selection in DuckDB and
+    * the per-source sampled counts hash-match exactly.
+    */
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    val targets = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+    val d = docs(s, dir)
+    val sampled = graft.operators.TextOps.mixtureResample(
+      d, "source", "doc_id", targets)
+    d.filter(col("source").isin(targets.keys.toSeq.map(lit): _*))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+      .join(sampled.groupBy(col("source")).agg(count(lit(1)).as("n_sampled")),
+        Seq("source"), "left")
+      .select(col("source"), col("n_total"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      .orderBy(col("source"))
+  }
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -1080,14 +1142,17 @@ object SparkEntry {
     "q61_html_extraction" -> (q61 _),
     "q62_asof_join" -> (q62 _),
     "q63_range_join" -> (q63 _),
-    "q64_decontamination" -> (q64 _),
-    "q65_sequence_packing" -> (q65 _),
-    "q66_stratified_sample" -> (q66 _),
-    "q67_ngram_decontamination" -> (q67 _),
-    "q68_repetition_metrics" -> (q68 _),
-    "q69_pii_redaction" -> (q69 _),
+    "q64_decontam" -> (q64 _),
+    "q65_packing" -> (q65 _),
+    "q66_stratsample" -> (q66 _),
+    "q67_ngram_overlap" -> (q67 _),
+    "q68_repetition" -> (q68 _),
+    "q69_pii" -> (q69 _),
     "q70_shuffle_order" -> (q70 _),
-    "q71_quantized_knn" -> (q71 _))
+    "q71_int8_knn" -> (q71 _),
+    "q72_bloom_prune" -> (q72 _),
+    "q73_rerank" -> (q73 _),
+    "q74_mixture" -> (q74 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1529,11 +1594,11 @@ object SparkEntry {
         | ON c.user_id = s.user_id
         | AND c.event_id >= s.event_id AND c.event_id <= s.event_id + 2000
         |ORDER BY c.user_id, click_id, signup_id""".stripMargin,
-    "q64_decontamination" ->
+    "q64_decontam" ->
       s"""WITH ${CrossJaccardCte}
         |SELECT id_a, id_b, jaccard FROM jacc WHERE jaccard >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
-    "q65_sequence_packing" ->
+    "q65_packing" ->
       """WITH tk AS (
         |  SELECT doc_id,
         |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -1544,7 +1609,7 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
         |    AS BIGINT) AS bin
         |FROM tk ORDER BY doc_id""".stripMargin,
-    "q66_stratified_sample" ->
+    "q66_stratsample" ->
       """WITH tgt AS (
         |  SELECT * FROM (VALUES ('de', 0.4), ('en', 0.5), ('es', 0.3),
         |    ('fr', 0.2), ('zh', 0.6)) v(lang, target)),
@@ -1558,7 +1623,7 @@ object SparkEntry {
         |    AS within_tol
         |FROM t JOIN tgt ON t.lang = tgt.lang LEFT JOIN s ON t.lang = s.lang
         |ORDER BY t.lang""".stripMargin,
-    "q67_ngram_decontamination" ->
+    "q67_ngram_overlap" ->
       """WITH tk AS (
         |  SELECT doc_id,
         |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -1576,7 +1641,7 @@ object SparkEntry {
         |GROUP BY a.doc_id, b.doc_id
         |HAVING count(*) >= 3
         |ORDER BY train_id, eval_id""".stripMargin,
-    "q68_repetition_metrics" ->
+    "q68_repetition" ->
       """WITH tk AS (
         |  SELECT doc_id,
         |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -1602,7 +1667,7 @@ object SparkEntry {
         |    AS top_bigram_frac
         |FROM base b LEFT JOIN mx ON b.doc_id = mx.doc_id
         |ORDER BY b.doc_id""".stripMargin,
-    "q69_pii_redaction" ->
+    "q69_pii" ->
       """WITH enr AS (
         |  SELECT doc_id,
         |    concat(substring(text, 1, 40), ' contact user', doc_id,
@@ -1627,7 +1692,74 @@ object SparkEntry {
         |FROM documents
         |ORDER BY shuffle_key
         |LIMIT 100""".stripMargin,
-    "q71_quantized_knn" ->
+    "q74_mixture" ->
+      """WITH tgt AS (
+        |  SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2))
+        |    v(source, target)),
+        |cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |j AS (SELECT c.source, c.n, t.target,
+        |        CAST(c.n AS DOUBLE) / t.target AS cap
+        |      FROM cnt c JOIN tgt t USING (source)),
+        |m AS (SELECT min(cap) AS mincap FROM j),
+        |r AS (SELECT j.source, j.n,
+        |        m.mincap * j.target / CAST(j.n AS DOUBLE) AS rate
+        |      FROM j, m),
+        |sel AS (
+        |  SELECT d.source
+        |  FROM documents d JOIN r USING (source)
+        |  WHERE CAST(concat('0x',
+        |      substring(md5(concat('mix:', d.doc_id)), 1, 8)) AS BIGINT)
+        |    < r.rate * 4294967296.0),
+        |sc AS (SELECT source, count(*) AS n_sampled FROM sel GROUP BY source)
+        |SELECT r.source, r.n AS n_total,
+        |  coalesce(sc.n_sampled, 0) AS n_sampled
+        |FROM r LEFT JOIN sc USING (source)
+        |ORDER BY r.source""".stripMargin,
+    "q72_bloom_prune" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q73_rerank" ->
+      """WITH qq AS (
+        |  SELECT qe, CASE WHEN mx IS NULL OR mx = 0
+        |      THEN list_transform(qe, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(qe,
+        |        x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / mx) AS BIGINT))
+        |    END AS qv
+        |  FROM (SELECT embedding AS qe,
+        |          list_max(list_transform(embedding,
+        |            x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |        FROM embeddings WHERE vec_id = 0)),
+        |c AS (
+        |  SELECT vec_id, CASE WHEN mx IS NULL OR mx = 0
+        |      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding,
+        |        x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / mx) AS BIGINT))
+        |    END AS cv
+        |  FROM (SELECT vec_id, embedding,
+        |          list_max(list_transform(embedding,
+        |            x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |        FROM embeddings WHERE vec_id <> 0)),
+        |cand AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(cv)),
+        |      i -> cv[i] * qv[i])) AS BIGINT) AS qdot
+        |  FROM c, qq
+        |  ORDER BY qdot DESC, vec_id
+        |  LIMIT 40)
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |    CAST(q.qe AS DOUBLE[])), 6) AS cosine
+        |FROM embeddings e
+        |JOIN cand ON e.vec_id = cand.vec_id,
+        | (SELECT qe FROM qq) q
+        |ORDER BY cosine DESC, e.vec_id
+        |LIMIT 10""".stripMargin,
+    "q71_int8_knn" ->
       """WITH qq AS (
         |  SELECT CASE WHEN mx IS NULL OR mx = 0
         |      THEN list_transform(qe, x -> CAST(0 AS BIGINT))

@@ -66,6 +66,38 @@ object Scale {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Bloom-filter semi-join pruning — the 100 TB pattern for "filter a
+    * huge fact table by keys present in a merely-large side": the
+    * filter side is too big to broadcast as a hash set, but its Bloom
+    * filter is tiny (10M keys at 1% fpp ≈ 11 MB) and broadcasts as an
+    * expression literal. The fact side then drops ~(1-fpp) of
+    * non-matching rows map-side, BEFORE any shuffle — what Spark's
+    * runtime row-level filtering does automatically for some joins,
+    * exposed as an explicit tool for multi-stage pipelines (build
+    * once, prune many scans).
+    *
+    * No false negatives (every true match survives — the spec locks
+    * this); false positives pass at ~`fpp` and are eliminated by
+    * whatever exact join/filter follows. Keys are xxhash64-normalized
+    * on both sides, so any key type works. The build is a distributed
+    * treeAggregate; only the finished filter returns to the driver.
+    */
+  def bloomSemiPrune(big: DataFrame, bigKey: String, small: DataFrame,
+      smallKey: String, expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val bf = small.select(xxhash64(col(smallKey)).as("__h"))
+      .stat.bloomFilter("__h", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    import org.apache.spark.sql.graft.bridge.{columnOf, expressionOf}
+    val mightContain = columnOf(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          bos.toByteArray, org.apache.spark.sql.types.BinaryType),
+        expressionOf(xxhash64(col(bigKey)))))
+    big.filter(mightContain)
+  }
+
   /** Point-in-interval range join without a cross product. Spark plans
     * a plain `p BETWEEN lo AND hi` join (no equi-conjunct, or one with
     * heavy range skew) as BroadcastNestedLoop / shuffled O(|L|×|R|)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -72,6 +72,51 @@ object TextOps {
         pmod(xxhash64(col(idCol)), lit(buckets)).cast("double") <
           col("__frac") * buckets)
       .drop("__frac")
+  }
+
+  /** Portable selection hash: the first 32 bits of
+    * md5("<seed>:<id>") as a long in [0, 2³²) — computable identically
+    * in any engine with md5 (the cross-engine twin of
+    * [[stratifiedSample]]'s xxhash64 selection, for pipelines whose
+    * sampling decisions must be reproducible OUTSIDE Spark too).
+    * Same properties: pure row function, partition-invariant,
+    * append-stable.
+    */
+  def portableHash(idCol: Column, seed: String): Column =
+    conv(substring(md5(concat_ws(":", lit(seed), idCol.cast("string"))), 1, 8),
+      16, 10).cast("long")
+
+  /** Domain-mixture resampling — downsample a multi-source corpus to
+    * TARGET mixture proportions (the data-mixture step of a training
+    * pipeline: "the output should be 50% web, 30% code, 20% books").
+    * The feasible output is bounded by the scarcest stratum
+    * (`N = min_s n_s/t_s`; that stratum keeps everything, rate 1.0);
+    * every other stratum keeps `N·t_s/n_s` of its rows, selected by
+    * [[portableHash]] — deterministic, partition-invariant, and
+    * reproducible in any engine with md5.
+    *
+    * Scale: one tiny count aggregate derives the rates (broadcast
+    * back); selection is a map-side filter — no shuffle of the corpus
+    * itself. Strata missing from `targets` (or targeted at 0) are
+    * dropped.
+    */
+  def mixtureResample(df: DataFrame, strataCol: String, idCol: String,
+      targets: Map[String, Double], seed: String = "mix"): DataFrame = {
+    require(targets.values.forall(_ >= 0), s"targets must be >= 0: $targets")
+    val tMap = map(targets.toSeq.flatMap { case (k, v) =>
+      Seq(lit(k), lit(v)) }: _*)
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__target", element_at(tMap, col(strataCol).cast("string")))
+      .filter(col("__target").isNotNull && col("__target") > 0)
+      .withColumn("__cap", col("__n").cast("double") / col("__target"))
+    val minCap = counts.agg(min(col("__cap")).as("__mincap"))
+    val rates = counts.crossJoin(broadcast(minCap))
+      .withColumn("__rate",
+        col("__mincap") * col("__target") / col("__n").cast("double"))
+      .select(col(strataCol), col("__rate"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(portableHash(col(idCol), seed) < col("__rate") * lit(4294967296.0))
+      .drop("__rate")
   }
 
   /** Sequence packing — assign each document to a fixed-token-budget

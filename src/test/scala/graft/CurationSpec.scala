@@ -109,6 +109,42 @@ class CurationSpec extends SparkSpec {
     assert(q(2L) == Seq(0L, 0L, 0L))
   }
 
+  test("quantizedKnnRerank recovers the exact top-k on the sf corpus") {
+    val emb = graft.core.Engine.table(spark, sfDir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val exact = graft.operators.Similarity.knnBrute(corpus, "vec_id", "embedding",
+      query.map(_.toDouble).toArray, 10).collect().map(_.getLong(0)).toSet
+    val reranked = Curation.quantizedKnnRerank(corpus, "vec_id", "embedding",
+      query, 10, candidateFactor = 4).collect().map(_.getLong(0)).toSet
+    // int8 resolution + 4x oversampling: expect (near-)perfect recall
+    assert(exact.intersect(reranked).size >= 9,
+      s"rerank recall too low: $reranked vs $exact")
+  }
+
+  test("mixtureResample hits target proportions, scarcest stratum kept whole") {
+    import org.apache.spark.sql.functions.count
+    val d = (0L until 3000L).map(i =>
+      (i, if (i % 6 < 3) "web" else if (i % 6 < 5) "code" else "books"))
+      .toDF("id", "src") // 1500 web, 1000 code, 500 books
+    val out = graft.operators.TextOps.mixtureResample(
+      d, "src", "id", Map("web" -> 0.4, "code" -> 0.3, "books" -> 0.3))
+    val by = out.groupBy(col("src")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // books is scarcest (500/0.3 ≈ 1667 = N): kept whole
+    assert(by("books") == 500L)
+    // web ≈ N*0.4 ≈ 667, code ≈ N*0.3 = 500 — hash noise ≤ ~10%
+    assert(math.abs(by("web") - 667L) < 70, s"web=${by("web")}")
+    assert(math.abs(by("code") - 500L) < 60, s"code=${by("code")}")
+    // deterministic under repartitioning: same selected id set
+    val a = out.select("id").collect().map(_.getLong(0)).toSet
+    val b = graft.operators.TextOps.mixtureResample(
+        d.repartition(13), "src", "id", Map("web" -> 0.4, "code" -> 0.3, "books" -> 0.3))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("quantizedKnn ranks by integer dot with deterministic ties") {
     val corpus = Seq(
       (1L, Array(1.0f, 0.0f)),

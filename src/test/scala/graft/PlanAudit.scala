@@ -85,7 +85,7 @@ class PlanAudit extends SparkSpec {
   }
 
   test("q64: decontamination never scans doc metadata columns") {
-    val p = plan("q64_decontamination")
+    val p = plan("q64_decontam")
     val scans = p.linesIterator.filter(_.contains("FileScan parquet")).toSeq
     assert(scans.nonEmpty && scans.forall(s =>
       !s.contains("lang") && !s.contains("source")),
@@ -93,7 +93,7 @@ class PlanAudit extends SparkSpec {
   }
 
   test("q67: gram decontamination is an equi-join, scans pruned to (doc_id, text)") {
-    val p = plan("q67_ngram_decontamination")
+    val p = plan("q67_ngram_overlap")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     val scans = p.linesIterator.filter(_.contains("FileScan parquet")).toSeq
     assert(scans.nonEmpty && scans.forall(s => !s.contains("lang") && !s.contains("source")))
@@ -104,14 +104,14 @@ class PlanAudit extends SparkSpec {
   }
 
   test("q71: quantized ANN plans top-k as TakeOrderedAndProject") {
-    assert(plan("q71_quantized_knn").contains("TakeOrderedAndProject"))
+    assert(plan("q71_int8_knn").contains("TakeOrderedAndProject"))
   }
 
   test("q68: repetition metrics are map-only (no exchange at all)") {
     // the row-local run-length formulation must never introduce a
     // shuffle; a global sort would mean someone re-expressed the
     // bigram mode as explode+groupBy
-    val p = SparkEntry.queries("q68_repetition_metrics")(spark, dir)
+    val p = SparkEntry.queries("q68_repetition")(spark, dir)
       .queryExecution.executedPlan.toString
     assert(p.linesIterator.count(l =>
       l.contains("Exchange") && !l.contains("rangepartitioning")) == 0,

@@ -97,6 +97,26 @@ class ScaleSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("bloomSemiPrune: zero false negatives, effective pruning") {
+    val big = spark.range(0, 100000).select(col("id").as("k"))
+    val small = spark.range(0, 1000).select((col("id") * 7).as("k"))
+    val pruned = graft.operators.Scale.bloomSemiPrune(big, "k", small, "k",
+      expectedItems = 1000)
+    val trueSemi = big.join(small, Seq("k"), "left_semi")
+    // no false negatives: every true match survives the bloom
+    assert(trueSemi.join(pruned, Seq("k"), "left_anti").count() == 0)
+    // effective: passes the ~1000 true keys plus ~fpp of the rest,
+    // nowhere near the unpruned 100k
+    val n = pruned.count()
+    assert(n >= trueSemi.count() && n <= 5000, s"pruned to $n rows")
+    // string keys work through the same xxhash64 normalization
+    val bigS = big.select(concat(lit("k"), col("k")).as("k"))
+    val smallS = small.select(concat(lit("k"), col("k")).as("k"))
+    val prunedS = graft.operators.Scale.bloomSemiPrune(bigS, "k", smallS, "k",
+      expectedItems = 1000)
+    assert(smallS.join(prunedS, Seq("k"), "left_anti").count() == 0)
+  }
+
   test("LSH hot-bucket cap bounds candidate pairs on a boilerplate corpus") {
     import graft.operators.Dedup
     // adversarial corpus: 2000 docs share one boilerplate text (all

@@ -211,6 +211,33 @@ class StreamingSpec extends SparkSpec {
     } finally bus.stop()
   }
 
+  test("map-only curation ops run unchanged on a stream: PII redaction == batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, String)](spark)
+    val rows = Seq(
+      (1L, "mail a.b@x.io from 10.0.0.1"),
+      (2L, "call +1-555-1234 now"),
+      (3L, "no pii here"))
+    val streamed = graft.operators.Curation.piiRedact(
+      input.toDF().toDF("doc_id", "text"), "text")
+    val q = streamed.writeStream.format("memory").queryName("pii_sink")
+      .outputMode("append").start()
+    input.addData(rows.take(2))
+    q.processAllAvailable()
+    input.addData(rows.drop(2))
+    q.processAllAvailable()
+    val got = spark.table("pii_sink")
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted")
+      .collect().map(_.toString).sorted.toSeq
+    import spark.implicits._
+    val batch = graft.operators.Curation.piiRedact(
+        rows.toDF("doc_id", "text"), "text")
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === batch)
+    q.stop()
+  }
+
   test("streaming near-dup: LSH state finds pairs across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val a = "the quick brown fox jumps over the lazy dog again and again today"
