@@ -1074,6 +1074,39 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Exact per-stratum deterministic sampling
+    * ([[graft.operators.TextOps.samplePerStratum]]): exactly 7 docs
+    * per language, selected by ranking on the portable md5-prefix
+    * hash — the deterministic replacement for per-group reservoir
+    * sampling. Both engines compute the identical hash ranking, so
+    * the SELECTED IDS hash-match exactly; the plan is
+    * WindowGroupLimit (PlanAudit), never a full partition sort.
+    */
+  private def q75(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.samplePerStratum(
+        docs(s, dir), "lang", "doc_id", k = 7, seed = "s75")
+      .select(col("lang"), col("doc_id"))
+      .orderBy(col("lang"), col("doc_id"))
+
+  /** Unicode NFC normalization
+    * ([[graft.functions.CatalystExpressions.NormalizeNfc]]): the
+    * corpus text is salted with decomposed sequences (e + combining
+    * acute, then ß which NFC must leave alone); both engines normalize
+    * — JDK Normalizer vs utf8proc — and the strings + codepoint
+    * lengths hash-match, proving canonical composition agrees.
+    */
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    // decomposed salt: e+COMBINING ACUTE, i+COMBINING DIAERESIS; NFC
+    // composes both and must leave the sharp s alone
+    val salted = concat(substring(col("text"), 1, 10),
+      lit(" e\u0301 stra\u00dfe nai\u0308ve"))
+    docs(s, dir).select(col("doc_id"),
+        TF.normalizeText(salted).as("norm"))
+      .withColumn("n_norm", length(col("norm")).cast("long"))
+      .orderBy(col("doc_id"))
+      .limit(50)
+  }
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -1152,7 +1185,9 @@ object SparkEntry {
     "q71_int8_knn" -> (q71 _),
     "q72_bloom_prune" -> (q72 _),
     "q73_rerank" -> (q73 _),
-    "q74_mixture" -> (q74 _))
+    "q74_mixture" -> (q74 _),
+    "q75_stratum_topk" -> (q75 _),
+    "q76_nfc_norm" -> (q76 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1692,6 +1727,24 @@ object SparkEntry {
         |FROM documents
         |ORDER BY shuffle_key
         |LIMIT 100""".stripMargin,
+    "q75_stratum_topk" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |    ORDER BY CAST(concat('0x',
+        |        substring(md5(concat('s75:', doc_id)), 1, 8)) AS BIGINT),
+        |      doc_id) AS r
+        |  FROM documents) t
+        |WHERE r <= 7
+        |ORDER BY lang, doc_id""".stripMargin,
+    "q76_nfc_norm" ->
+      """WITH salted AS (
+        |  SELECT doc_id,
+        |    nfc_normalize(concat(substring(text, 1, 10),
+        |      ' e', chr(769), ' stra', chr(223), 'e nai', chr(776), 've'))
+        |      AS norm
+        |  FROM documents)
+        |SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n_norm
+        |FROM salted ORDER BY doc_id LIMIT 50""".stripMargin,
     "q74_mixture" ->
       """WITH tgt AS (
         |  SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2))

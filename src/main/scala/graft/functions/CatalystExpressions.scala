@@ -101,6 +101,27 @@ object CatalystExpressions {
     * (callers treat null as "not comparable", matching
     * parse-or-passthrough at `event_loop_node.py:2003-2009`).
     */
+  /** Unicode NFC normalization (canonical composition): combining
+    * sequences fold to their precomposed forms ("e"+U+0301 → "é"), so
+    * fingerprints, dedup joins, and tokenization see ONE byte form per
+    * canonically-equal string — web text mixes both forms freely, and
+    * without this an exact-dedup pass silently treats them as distinct
+    * documents. JDK `java.text.Normalizer` implements the Unicode
+    * standard, matching utf8proc-based engines on canonical forms.
+    * Map-only, row-local.
+    */
+  case class NormalizeNfc(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      val out =
+        if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) s
+        else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      UTF8String.fromString(out)
+    }
+    override protected def withNewChildInternal(c: Expression): NormalizeNfc = copy(c)
+  }
+
   case class CanonicalJson(child: Expression) extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = StringType
     @transient private lazy val mapper = {
@@ -352,6 +373,8 @@ object CatalystExpressions {
     column(MinHashSig(expression(shingleHashes), numHashes))
 
   def canonicalJson(jsonStr: Column): Column = column(CanonicalJson(expression(jsonStr)))
+
+  def normalizeNfc(text: Column): Column = column(NormalizeNfc(expression(text)))
 
   def langId(tokens: Column, profiles: Seq[(String, Seq[String])]): Column =
     column(LangIdExpr(expression(tokens), profiles))

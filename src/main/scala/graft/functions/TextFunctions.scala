@@ -110,6 +110,12 @@ object TextFunctions {
     * whole-stage codegen and runs at scan speed over 100 TB of crawl
     * data — the first, highest-volume step of a web-corpus pipeline.
     */
+  /** Unicode NFC normalization (see
+    * [[CatalystExpressions.NormalizeNfc]]) — run this before
+    * fingerprinting/dedup so canonically-equal strings share one byte
+    * form. */
+  def normalizeText(text: Column): Column = CatalystExpressions.normalizeNfc(text)
+
   def htmlToText(html: Column): Column =
     trim(regexp_replace(
       HtmlToTextSteps.foldLeft(html) { case (c, (p, r)) => regexp_replace(c, p, r) },

@@ -119,6 +119,28 @@ object TextOps {
       .drop("__rate")
   }
 
+  /** Exact per-stratum deterministic sample: exactly `k` rows per
+    * stratum (fewer if the stratum is smaller), selected by ranking on
+    * [[portableHash]] — the deterministic replacement for per-group
+    * reservoir sampling ("give me exactly 100 docs per language").
+    * Reproducible on any partitioning, in any md5-capable engine, and
+    * stable ties (hash, then id).
+    *
+    * Scale: rank-k-per-group plans as WindowGroupLimit (Spark ≥ 3.5
+    * keeps a running top-k heap per partition instead of sorting whole
+    * partitions — PlanAudit locks this shape).
+    */
+  def samplePerStratum(df: DataFrame, strataCol: String, idCol: String,
+      k: Int, seed: String = "stratum"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(portableHash(col(idCol), seed), col(idCol))
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+  }
+
   /** Sequence packing — assign each document to a fixed-token-budget
     * training bin under the standard concat-then-chunk model (GPT-
     * style pretraining batches): documents concatenate in `orderCol`

@@ -145,6 +145,35 @@ class CurationSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("samplePerStratum: exactly k per stratum, partition-invariant, small strata kept whole") {
+    import org.apache.spark.sql.functions.count
+    val d = (0L until 1000L).map(i => (i, if (i < 990) "big" else "tiny"))
+      .toDF("id", "s")
+    val out = graft.operators.TextOps.samplePerStratum(d, "s", "id", k = 25)
+    val by = out.groupBy(col("s")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by == Map("big" -> 25L, "tiny" -> 10L))
+    val a = out.select("id").collect().map(_.getLong(0)).toSet
+    val b = graft.operators.TextOps.samplePerStratum(d.repartition(11), "s", "id", k = 25)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("NFC normalization composes decomposed sequences, leaves composed text alone") {
+    val d = Seq(
+      (1L, "e\u0301clair nai\u0308ve"),  // decomposed: e+ACUTE, i+DIAERESIS
+      (2L, "\u00e9clair na\u00efve"),    // precomposed — must pass through
+      (3L, "stra\u00dfe plain ascii")
+    ).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+        graft.functions.TextFunctions.normalizeText(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "\u00e9clair na\u00efve")
+    assert(out(2L) == "\u00e9clair na\u00efve")
+    assert(out(1L) == out(2L), "canonically-equal strings must share one byte form")
+    assert(out(3L) == "stra\u00dfe plain ascii") // NFC never touches the sharp s
+  }
+
   test("quantizedKnn ranks by integer dot with deterministic ties") {
     val corpus = Seq(
       (1L, Array(1.0f, 0.0f)),

@@ -118,6 +118,10 @@ class PlanAudit extends SparkSpec {
       s"repetitionMetrics should not shuffle:\n$p")
   }
 
+  test("q75: per-stratum top-k plans with WindowGroupLimit (no full partition sort)") {
+    assert(plan("q75_stratum_topk").contains("WindowGroupLimit"))
+  }
+
   test("compiled safe_eval predicates push down to the parquet scan") {
     val events = graft.core.Engine.table(spark, dir, "events")
     val filtered = events.filter(
