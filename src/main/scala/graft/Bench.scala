@@ -71,10 +71,10 @@ object Bench {
       .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"index_build_sec":$indexBuildSec,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"index_sec":$indexBuildSec,"sf":"$sfDir"}""")
     catch { case _: Throwable => () }
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"index_build_sec":${fmt(indexBuildSec, 2)},"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"index_sec":${fmt(indexBuildSec, 2)},"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -1107,6 +1107,48 @@ object SparkEntry {
       .limit(50)
   }
 
+  /** End-to-end training-data EXPORT pipeline — the exact-oracle
+    * capstone composing six curation operators in their production
+    * order: exact-dedup keep-list (md5 fingerprint, min-id winner) →
+    * cross-corpus n-gram decontamination against a held-out eval
+    * slice → PII redaction → token-length filter → domain-mixture
+    * resampling (portable hash) → per-source document/token
+    * accounting. Every stage is restated in the oracle's CTE chain,
+    * so ONE hash compare proves the whole composition — the
+    * exact-path twin of q60's near-dup curation pipeline.
+    */
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val evalSlice = d.filter(pmod(col("doc_id"), lit(7)) === 3)
+    val train = d.filter(pmod(col("doc_id"), lit(7)) =!= 3)
+    // 1. exact dedup: keep the lowest id per canonical fingerprint
+    val keep = train
+      .select(col("doc_id"), TF.exactFingerprint(col("text")).as("fp"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("rk") === 1).select(col("doc_id"))
+    val kept = train.join(keep, Seq("doc_id"), "left_semi")
+    // 2. decontamination: drop docs sharing ≥3 distinct 5-grams with eval
+    val contaminated = graft.operators.Curation
+      .ngramDecontaminate(kept, evalSlice, "doc_id", "text", n = 5, minShared = 3)
+      .select(col("train_id").as("doc_id")).distinct()
+    val clean = kept.join(contaminated, Seq("doc_id"), "left_anti")
+    // 3. PII redaction (the corpus carries none — the oracle proves the
+    // stage is the identity here) + 4. token-length filter
+    val filtered = graft.operators.Curation.piiRedact(clean, "text")
+      .withColumn("n_tok", TF.tokenCount(col("redacted")).cast("long"))
+      .filter(col("n_tok").between(10, 5000))
+    // 5. mixture resample to 34/33/33 over three sources
+    val sampled = graft.operators.TextOps.mixtureResample(
+      filtered, "source", "doc_id",
+      Map("src0" -> 0.34, "src1" -> 0.33, "src2" -> 0.33), seed = "mix77")
+    // 6. accounting
+    sampled.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+      .orderBy(col("source"))
+  }
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -1177,7 +1219,7 @@ object SparkEntry {
     "q63_range_join" -> (q63 _),
     "q64_decontam" -> (q64 _),
     "q65_packing" -> (q65 _),
-    "q66_stratsample" -> (q66 _),
+    "q66_strat" -> (q66 _),
     "q67_ngram_overlap" -> (q67 _),
     "q68_repetition" -> (q68 _),
     "q69_pii" -> (q69 _),
@@ -1186,8 +1228,9 @@ object SparkEntry {
     "q72_bloom_prune" -> (q72 _),
     "q73_rerank" -> (q73 _),
     "q74_mixture" -> (q74 _),
-    "q75_stratum_topk" -> (q75 _),
-    "q76_nfc_norm" -> (q76 _))
+    "q75_topk" -> (q75 _),
+    "q76_nfc" -> (q76 _),
+    "q77_export" -> (q77 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1644,7 +1687,7 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
         |    AS BIGINT) AS bin
         |FROM tk ORDER BY doc_id""".stripMargin,
-    "q66_stratsample" ->
+    "q66_strat" ->
       """WITH tgt AS (
         |  SELECT * FROM (VALUES ('de', 0.4), ('en', 0.5), ('es', 0.3),
         |    ('fr', 0.2), ('zh', 0.6)) v(lang, target)),
@@ -1727,7 +1770,61 @@ object SparkEntry {
         |FROM documents
         |ORDER BY shuffle_key
         |LIMIT 100""".stripMargin,
-    "q75_stratum_topk" ->
+    "q77_export" ->
+      """WITH train AS (SELECT * FROM documents WHERE doc_id % 7 <> 3),
+        |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 3),
+        |keep AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (
+        |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |      ORDER BY doc_id) AS rk
+        |    FROM train) WHERE rk = 1),
+        |kept AS (SELECT t.* FROM train t JOIN keep USING (doc_id)),
+        |ktk AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |          t -> len(t) > 0) AS tk FROM kept),
+        |etk AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |          t -> len(t) > 0) AS tk FROM ev),
+        |kng AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |          generate_series(1, len(tk) - 4),
+        |          i -> array_to_string(tk[i:i+4], ' ')))) AS gram
+        |        FROM ktk WHERE len(tk) >= 5),
+        |eng AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |          generate_series(1, len(tk) - 4),
+        |          i -> array_to_string(tk[i:i+4], ' ')))) AS gram
+        |        FROM etk WHERE len(tk) >= 5),
+        |contaminated AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT a.doc_id FROM kng a JOIN eng b ON a.gram = b.gram
+        |    GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3)),
+        |clean AS (SELECT k.* FROM kept k
+        |          WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = k.doc_id)),
+        |red AS (SELECT doc_id, source,
+        |          regexp_replace(regexp_replace(regexp_replace(text,
+        |            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |            '\+\d{1,3}-\d{3}-\d{4}', '<PHONE>', 'g') AS redacted
+        |        FROM clean),
+        |filt AS (SELECT * FROM (
+        |    SELECT doc_id, source,
+        |      CAST(len(list_filter(string_split_regex(lower(trim(redacted)), '\s+'),
+        |        t -> len(t) > 0)) AS BIGINT) AS n_tok
+        |    FROM red) WHERE n_tok BETWEEN 10 AND 5000),
+        |tgt AS (SELECT * FROM (VALUES ('src0', 0.34), ('src1', 0.33), ('src2', 0.33))
+        |          v(source, target)),
+        |cnt AS (SELECT source, count(*) AS n FROM filt GROUP BY source),
+        |j AS (SELECT c.source, c.n, t.target, CAST(c.n AS DOUBLE) / t.target AS cap
+        |      FROM cnt c JOIN tgt t USING (source)),
+        |m AS (SELECT min(cap) AS mincap FROM j),
+        |r AS (SELECT j.source, m.mincap * j.target / CAST(j.n AS DOUBLE) AS rate
+        |      FROM j, m),
+        |sel AS (SELECT f.source, f.n_tok
+        |        FROM filt f JOIN r USING (source)
+        |        WHERE CAST(concat('0x',
+        |            substring(md5(concat('mix77:', f.doc_id)), 1, 8)) AS BIGINT)
+        |          < r.rate * 4294967296.0)
+        |SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        |FROM sel GROUP BY source ORDER BY source""".stripMargin,
+    "q75_topk" ->
       """SELECT lang, doc_id FROM (
         |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
         |    ORDER BY CAST(concat('0x',
@@ -1736,7 +1833,7 @@ object SparkEntry {
         |  FROM documents) t
         |WHERE r <= 7
         |ORDER BY lang, doc_id""".stripMargin,
-    "q76_nfc_norm" ->
+    "q76_nfc" ->
       """WITH salted AS (
         |  SELECT doc_id,
         |    nfc_normalize(concat(substring(text, 1, 10),

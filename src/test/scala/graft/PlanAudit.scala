@@ -119,7 +119,7 @@ class PlanAudit extends SparkSpec {
   }
 
   test("q75: per-stratum top-k plans with WindowGroupLimit (no full partition sort)") {
-    assert(plan("q75_stratum_topk").contains("WindowGroupLimit"))
+    assert(plan("q75_topk").contains("WindowGroupLimit"))
   }
 
   test("compiled safe_eval predicates push down to the parquet scan") {

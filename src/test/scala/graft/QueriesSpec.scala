@@ -27,4 +27,19 @@ class QueriesSpec extends SparkSpec {
   test("entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("bench stdout line fits the collector's bounded tail") {
+    // The harness that records the bench keeps only a ~2000-char tail
+    // of stdout, and sbt appends a ~67-char "[success] ..." line after
+    // ours — so the line must stay ≤ ~1932 chars. Budget it with
+    // typical 3-char values ("1.2"); measured real lines (trailing
+    // zeros trimmed, a few 4-char outliers cancelling 1-char integers)
+    // track this estimate within ~10 chars. ADDING a query should fail
+    // here, not silently break the next round's bench parse.
+    val line = "{\"metric\":\"total\",\"value\":123.45,\"unit\":\"sec\",\"queries\":{" +
+      SparkEntry.queries.keys.map(k => s""""$k":1.2""").mkString(",") +
+      "},\"index_sec\":12.34,\"sf\":\"sf0.1\"}"
+    assert(line.length <= 1925,
+      s"bench line budget exceeded (${line.length} chars) — shorten new query keys")
+  }
 }
