@@ -1118,32 +1118,12 @@ object SparkEntry {
     * exact-path twin of q60's near-dup curation pipeline.
     */
   private def q77(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir)
-    val evalSlice = d.filter(pmod(col("doc_id"), lit(7)) === 3)
-    val train = d.filter(pmod(col("doc_id"), lit(7)) =!= 3)
-    // 1. exact dedup: keep the lowest id per canonical fingerprint
-    val keep = train
-      .select(col("doc_id"), TF.exactFingerprint(col("text")).as("fp"))
-      .withColumn("rk",
-        row_number().over(Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
-      .filter(col("rk") === 1).select(col("doc_id"))
-    val kept = train.join(keep, Seq("doc_id"), "left_semi")
-    // 2. decontamination: drop docs sharing ≥3 distinct 5-grams with eval
-    val contaminated = graft.operators.Curation
-      .ngramDecontaminate(kept, evalSlice, "doc_id", "text", n = 5, minShared = 3)
-      .select(col("train_id").as("doc_id")).distinct()
-    val clean = kept.join(contaminated, Seq("doc_id"), "left_anti")
-    // 3. PII redaction (the corpus carries none — the oracle proves the
-    // stage is the identity here) + 4. token-length filter
-    val filtered = graft.operators.Curation.piiRedact(clean, "text")
-      .withColumn("n_tok", TF.tokenCount(col("redacted")).cast("long"))
-      .filter(col("n_tok").between(10, 5000))
-    // 5. mixture resample to 34/33/33 over three sources
-    val sampled = graft.operators.TextOps.mixtureResample(
-      filtered, "source", "doc_id",
-      Map("src0" -> 0.34, "src1" -> 0.33, "src2" -> 0.33), seed = "mix77")
-    // 6. accounting
+    val sampled = graft.operators.Curation.exportPipeline(
+      train = d.filter(pmod(col("doc_id"), lit(7)) =!= 3),
+      evalDocs = d.filter(pmod(col("doc_id"), lit(7)) === 3),
+      idCol = "doc_id", textCol = "text", strataCol = "source",
+      targets = Map("src0" -> 0.34, "src1" -> 0.33, "src2" -> 0.33))
     sampled.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
       .orderBy(col("source"))
