@@ -174,6 +174,34 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) == "stra\u00dfe plain ascii") // NFC never touches the sharp s
   }
 
+  test("exportPipeline: dedups, decontaminates, filters, resamples — deterministically") {
+    val mk = (id: Long, src: String, text: String) => (id, src, text)
+    val body = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val train = Seq(
+      mk(1L, "a", body + " one"),
+      mk(2L, "a", body + " one"),              // exact dup of 1 -> dropped
+      mk(3L, "a", "leak " + body),             // shares 5-grams with eval -> dropped
+      mk(4L, "a", "unique words entirely disjoint from everything else present here today"),
+      mk(5L, "b", "second source document with its own completely distinct vocabulary set okay"),
+      mk(6L, "b", "tiny")                      // < 10 tokens -> dropped
+    ).toDF("doc_id", "source", "text")
+    val evalDocs = Seq((100L, "x", body + " evaluation")).toDF("doc_id", "source", "text")
+    val out = Curation.exportPipeline(train, evalDocs, "doc_id", "text",
+      "source", Map("a" -> 0.5, "b" -> 0.5), minTokens = 10, maxTokens = 50)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(2L), "exact duplicate must not survive")
+    assert(!ids.contains(3L), "contaminated doc must not survive")
+    assert(!ids.contains(6L), "short doc must not survive")
+    assert(ids.subsetOf(Set(1L, 4L, 5L)))
+    assert(ids.nonEmpty)
+    // byte-identical export: same rows under a different partitioning
+    val again = Curation.exportPipeline(train.repartition(5), evalDocs,
+        "doc_id", "text", "source", Map("a" -> 0.5, "b" -> 0.5),
+        minTokens = 10, maxTokens = 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == ids)
+  }
+
   test("quantizedKnn ranks by integer dot with deterministic ties") {
     val corpus = Seq(
       (1L, Array(1.0f, 0.0f)),
