@@ -238,6 +238,34 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming export filter == batch export filter with the same fitted rates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = (0L until 200L).map(i =>
+      (i, if (i % 2 == 0) "web" else "code",
+        s"document number $i with enough tokens to pass the minimum length gate"))
+    val rates = Map("web" -> 0.5, "code" -> 0.25)
+    val input = MemoryStream[(Long, String, String)](spark)
+    val streamed = graft.operators.Curation.exportFilterWithRates(
+      input.toDF().toDF("doc_id", "source", "text"),
+      "doc_id", "text", "source", rates)
+    val q = streamed.writeStream.format("memory").queryName("export_sink")
+      .outputMode("append").start()
+    input.addData(rows.take(120))
+    q.processAllAvailable()
+    input.addData(rows.drop(120)) // append: earlier selections must not flip
+    q.processAllAvailable()
+    val got = spark.table("export_sink").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    import spark.implicits._
+    val batch = graft.operators.Curation.exportFilterWithRates(
+        rows.toDF("doc_id", "source", "text"),
+        "doc_id", "text", "source", rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === batch)
+    assert(got.nonEmpty && got.size < rows.size)
+    q.stop()
+  }
+
   test("streaming near-dup: LSH state finds pairs across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val a = "the quick brown fox jumps over the lazy dog again and again today"
