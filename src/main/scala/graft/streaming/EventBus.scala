@@ -92,7 +92,16 @@ final class EventBus(spark: SparkSession, maxHistory: Int = 1000) {
     val q = events.toDF().filter(sub.predicate).as[AgentEvent]
       .writeStream
       .foreachBatch { (batch: Dataset[AgentEvent], _: Long) =>
-        val rows = batch.collect()
+        // Bound what enters the driver BEFORE collecting: a single
+        // burst batch larger than maxHistory would otherwise have to
+        // fit in driver heap only to be immediately evicted. A batch
+        // over the limit fully replaces the ring buffer, so keeping
+        // just its newest `maxHistory` rows (ts is the bus's arrival
+        // ordering) is semantics-preserving.
+        val n = batch.count()
+        val rows =
+          if (n <= maxHistory) batch.collect()
+          else batch.sort(desc("ts")).limit(maxHistory).collect().reverse
         buf.synchronized {
           buf.appendAll(rows)
           while (buf.length > maxHistory) { buf.removeHead(); () }

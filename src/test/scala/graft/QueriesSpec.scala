@@ -31,13 +31,16 @@ class QueriesSpec extends SparkSpec {
   test("bench stdout line fits the collector's bounded tail") {
     // The harness that records the bench keeps only a ~2000-char tail
     // of stdout, and sbt appends a ~67-char "[success] ..." line after
-    // ours — so the line must stay ≤ ~1932 chars. Budget it with
-    // typical 3-char values ("1.2"); measured real lines (trailing
-    // zeros trimmed, a few 4-char outliers cancelling 1-char integers)
-    // track this estimate within ~10 chars. ADDING a query should fail
-    // here, not silently break the next round's bench parse.
-    val line = "{\"metric\":\"total\",\"value\":123.45,\"unit\":\"sec\",\"queries\":{" +
-      SparkEntry.queries.keys.map(k => s""""$k":1.2""").mkString(",") +
+    // ours — so the line must stay ≤ ~1932 chars. Budget with
+    // worst-plausible per-query values: Bench.fmt caps sub-10 s values
+    // at 3 chars ("9.9") and drops ≥10 s values to integer seconds
+    // ("99" is 2, "999" is 3), so 3 chars is the per-query worst case
+    // short of a 1000 s query (and Bench additionally falls back to a
+    // totals-only line at emit time if the full line ever exceeds the
+    // tail window). ADDING a query should fail here, not silently
+    // break the next round's bench parse.
+    val line = "{\"metric\":\"total\",\"value\":12345.67,\"unit\":\"sec\",\"queries\":{" +
+      SparkEntry.queries.keys.map(k => s""""$k":9.9""").mkString(",") +
       "},\"index_sec\":12.34,\"sf\":\"sf0.1\"}"
     assert(line.length <= 1925,
       s"bench line budget exceeded (${line.length} chars) — shorten new query keys")

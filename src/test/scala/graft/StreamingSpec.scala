@@ -63,6 +63,26 @@ class StreamingSpec extends SparkSpec {
     } finally bus.stop()
   }
 
+  test("event bus: single burst batch far larger than retention is bounded before collect") {
+    // One publish + one flush = ONE micro-batch of 500 events against a
+    // 10-row retention: the sink must keep only the newest 10 and must
+    // bound the batch Spark-side (sort desc + limit) rather than pull
+    // all 500 into the driver first.
+    val bus = new EventBus(spark, maxHistory = 10)
+    try {
+      bus.subscribe("burst", Subscription())
+      bus.publish((1 to 500).map(i => AgentEvent(s"e$i", "s")): _*)
+      bus.flush()
+      val kept = bus.received("burst").collect()
+      assert(kept.length == 10, s"store must hold exactly maxHistory, got ${kept.length}")
+      assert(kept.map(_.getAs[String]("event_type")).toSet ==
+        (491 to 500).map(i => s"e$i").toSet)
+      // order inside the buffer stays oldest→newest (append semantics)
+      assert(kept.head.getAs[String]("event_type") == "e491")
+      assert(kept.last.getAs[String]("event_type") == "e500")
+    } finally bus.stop()
+  }
+
   test("entry point driven by a real file streaming source (ST1)") {
     import graft.streaming.EntryPoints
     import org.apache.spark.sql.types._
