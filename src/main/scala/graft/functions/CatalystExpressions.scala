@@ -2,9 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -13,50 +14,40 @@ import org.apache.spark.unsafe.types.UTF8String
   * tight JVM loops per row instead. Preference order per the Spark
   * guide: compose built-ins → custom Expression → custom plan →
   * mapPartitions; these are stage (b).
+  *
+  * Every expression implements REAL `doGenCode` — the generated code
+  * is a static call into [[ExprKernels]], so the surrounding
+  * whole-stage-codegen region stays fused (a `CodegenFallback` here
+  * would interpret the whole child subtree per row with boxing, and
+  * these sit on the 100 TB signature-scan path). `eval` delegates to
+  * the SAME kernel, so the interpreted and generated paths cannot
+  * drift.
   */
 object CatalystExpressions {
 
-  /** splitmix64 — a standard, public-domain 64-bit mixer (Steele et
-    * al., "Fast Splittable Pseudorandom Number Generators", OOPSLA'14).
-    * Used to derive the k MinHash permutations from one base hash.
+  /** Fully-qualified call target for generated code: a top-level Scala
+    * object with no companion class compiles with Java static
+    * forwarders, so janino calls these kernels like plain statics.
     */
-  @inline private[graft] def splitmix64(x0: Long): Long = {
-    var x = x0 + 0x9E3779B97F4A7C15L
-    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-    x ^ (x >>> 31)
-  }
+  private val K = "graft.functions.ExprKernels"
+
+  @inline private[graft] def splitmix64(x0: Long): Long = ExprKernels.splitmix64(x0)
 
   /** 64-bit SimHash over an array of token hashes: per-bit majority
     * vote, packed to a long. Empty/null input → 0.
     */
-  case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullable: Boolean = false
-    override def eval(input: InternalRow): Any = {
-      val arr = child.eval(input)
-      if (arr == null) return 0L
-      val a = arr.asInstanceOf[ArrayData]
-      val n = a.numElements()
-      if (n == 0) return 0L
-      val counts = new Array[Int](64)
-      var i = 0
-      while (i < n) {
-        val h = a.getLong(i)
-        var j = 0
-        while (j < 64) {
-          counts(j) += ((h >>> j) & 1L).toInt
-          j += 1
-        }
-        i += 1
-      }
-      var out = 0L
-      var j = 0
-      while (j < 64) {
-        if (counts(j) * 2 >= n) out |= (1L << j)
-        j += 1
-      }
-      out
+    override def eval(input: InternalRow): Any =
+      ExprKernels.simhash64(child.eval(input).asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val c = child.genCode(ctx)
+      ev.copy(
+        code = code"""
+          ${c.code}
+          final long ${ev.value} = ${c.isNull} ? 0L : $K.simhash64(${c.value});""",
+        isNull = FalseLiteral)
     }
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
   }
@@ -65,42 +56,23 @@ object CatalystExpressions {
     * slot i = min over shingles of splitmix64(base ^ seed_i). Empty or
     * null input → all Long.MaxValue (never collides with real content).
     */
-  case class MinHashSig(child: Expression, numHashes: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = false
-    override def eval(input: InternalRow): Any = {
-      val out = Array.fill(numHashes)(Long.MaxValue)
-      val arr = child.eval(input)
-      if (arr != null) {
-        val a = arr.asInstanceOf[ArrayData]
-        val n = a.numElements()
-        var i = 0
-        while (i < n) {
-          val base = a.getLong(i)
-          var k = 0
-          while (k < numHashes) {
-            val h = splitmix64(base ^ (k.toLong * 0xA24BAED4963EE407L))
-            if (h < out(k)) out(k) = h
-            k += 1
-          }
-          i += 1
-        }
-      }
-      new GenericArrayData(out.map(Long.box))
+    override def eval(input: InternalRow): Any =
+      ExprKernels.minhashSig(child.eval(input).asInstanceOf[ArrayData], numHashes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val c = child.genCode(ctx)
+      ev.copy(
+        code = code"""
+          ${c.code}
+          final ArrayData ${ev.value} =
+            $K.minhashSig(${c.isNull} ? null : ${c.value}, $numHashes);""",
+        isNull = FalseLiteral)
     }
     override protected def withNewChildInternal(c: Expression): MinHashSig = copy(c)
   }
 
-  /** Canonical JSON: parse a JSON string and re-serialize with
-    * recursively sorted object keys and compact separators — the
-    * fingerprint canonicalization of the reference
-    * (`json.dumps(sort_keys=True)`, `event_loop_node.py:1895-1899`).
-    * Spark's `to_json` preserves field order, so this needs a custom
-    * expression (SURVEY §4 custom-work item 4). Invalid JSON → null
-    * (callers treat null as "not comparable", matching
-    * parse-or-passthrough at `event_loop_node.py:2003-2009`).
-    */
   /** Unicode NFC normalization (canonical composition): combining
     * sequences fold to their precomposed forms ("e"+U+0301 → "é"), so
     * fingerprints, dedup joins, and tokenization see ONE byte form per
@@ -110,46 +82,34 @@ object CatalystExpressions {
     * standard, matching utf8proc-based engines on canonical forms.
     * Map-only, row-local.
     */
-  case class NormalizeNfc(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class NormalizeNfc(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StringType
-    override def nullSafeEval(v: Any): Any = {
-      val s = v.asInstanceOf[UTF8String].toString
-      val out =
-        if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) s
-        else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
-      UTF8String.fromString(out)
-    }
+    override def nullSafeEval(v: Any): Any =
+      ExprKernels.normalizeNfc(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.normalizeNfc($c)")
     override protected def withNewChildInternal(c: Expression): NormalizeNfc = copy(c)
   }
 
-  case class CanonicalJson(child: Expression) extends UnaryExpression with CodegenFallback {
+  /** Canonical JSON: parse a JSON string and re-serialize with
+    * recursively sorted object keys and compact separators — the
+    * fingerprint canonicalization of the reference
+    * (`json.dumps(sort_keys=True)`, `event_loop_node.py:1895-1899`).
+    * Spark's `to_json` preserves field order, so this needs a custom
+    * expression (SURVEY §4 custom-work item 4). Invalid JSON → null
+    * (callers treat null as "not comparable", matching
+    * parse-or-passthrough at `event_loop_node.py:2003-2009`) — hence
+    * `nullable` is unconditionally true, independent of the child.
+    */
+  case class CanonicalJson(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StringType
-    @transient private lazy val mapper = {
-      val m = new com.fasterxml.jackson.databind.ObjectMapper()
-      m.configure(
-        com.fasterxml.jackson.databind.SerializationFeature.ORDER_MAP_ENTRIES_BY_KEYS, true)
-      m
-    }
-    private def canon(node: com.fasterxml.jackson.databind.JsonNode):
-        com.fasterxml.jackson.databind.JsonNode = node match {
-      case o: com.fasterxml.jackson.databind.node.ObjectNode =>
-        val sorted = mapper.createObjectNode()
-        val names = scala.collection.mutable.ArrayBuffer.empty[String]
-        val it = o.fieldNames()
-        while (it.hasNext) names += it.next()
-        names.sorted.foreach { n => sorted.set[com.fasterxml.jackson.databind.JsonNode](n, canon(o.get(n))); () }
-        sorted
-      case a: com.fasterxml.jackson.databind.node.ArrayNode =>
-        val out = mapper.createArrayNode()
-        (0 until a.size()).foreach { i => out.add(canon(a.get(i))); () }
-        out
-      case other => other
-    }
+    override def nullable: Boolean = true
     override def nullSafeEval(v: Any): Any =
-      try {
-        val parsed = mapper.readTree(v.asInstanceOf[UTF8String].toString)
-        UTF8String.fromString(mapper.writeValueAsString(canon(parsed)))
-      } catch { case _: Exception => null }
+      ExprKernels.canonicalJson(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = $K.canonicalJson($c);
+        if (${ev.value} == null) { ${ev.isNull} = true; }""")
     override protected def withNewChildInternal(c: Expression): CanonicalJson = copy(c)
   }
 
@@ -160,7 +120,7 @@ object CatalystExpressions {
     * [[TextFunctions.langIdHeuristic]].
     */
   case class LangIdExpr(child: Expression, profiles: Seq[(String, Seq[String])])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = StringType
     override def nullable: Boolean = false
     @transient private lazy val langs: Array[UTF8String] =
@@ -171,31 +131,18 @@ object CatalystExpressions {
         words.foreach(w => s.add(UTF8String.fromString(w)))
         s
       }.toArray
-    @transient private lazy val und = UTF8String.fromString("und")
-    override def eval(input: InternalRow): Any = {
-      val arr = child.eval(input)
-      if (arr == null) return und
-      val a = arr.asInstanceOf[ArrayData]
-      val n = a.numElements()
-      val counts = new Array[Int](sets.length)
-      var i = 0
-      while (i < n) {
-        val tok = a.getUTF8String(i)
-        var p = 0
-        while (p < sets.length) {
-          if (sets(p).contains(tok)) counts(p) += 1
-          p += 1
-        }
-        i += 1
-      }
-      var best = -1
-      var bestCount = 0
-      var p = 0
-      while (p < counts.length) {
-        if (counts(p) > bestCount) { best = p; bestCount = counts(p) }
-        p += 1
-      }
-      if (best < 0) und else langs(best)
+    override def eval(input: InternalRow): Any =
+      ExprKernels.langId(child.eval(input).asInstanceOf[ArrayData], langs, sets)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val langsRef = ctx.addReferenceObj("langs", langs, "UTF8String[]")
+      val setsRef = ctx.addReferenceObj("sets", sets, "java.util.HashSet[]")
+      val c = child.genCode(ctx)
+      ev.copy(
+        code = code"""
+          ${c.code}
+          final UTF8String ${ev.value} =
+            $K.langId(${c.isNull} ? null : ${c.value}, $langsRef, $setsRef);""",
+        isNull = FalseLiteral)
     }
     override protected def withNewChildInternal(c: Expression): LangIdExpr = copy(c)
   }
@@ -205,25 +152,68 @@ object CatalystExpressions {
     * of the interpreted `filter(split(...))` lambda chain (the hot
     * first step of every text operator).
     */
-  case class Tokenize(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class Tokenize(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullable: Boolean = false
-    @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
-    override def eval(input: InternalRow): Any = {
-      val v = child.eval(input)
-      if (v == null) return new GenericArrayData(Array.empty[Any])
-      val s = v.asInstanceOf[UTF8String].toString.trim
-      if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
-      val parts = ws.split(s)
-      val out = new Array[Any](parts.length)
-      var i = 0
-      while (i < parts.length) {
-        out(i) = UTF8String.fromString(parts(i).toLowerCase(java.util.Locale.ROOT))
-        i += 1
-      }
-      new GenericArrayData(out)
+    override def eval(input: InternalRow): Any =
+      ExprKernels.tokenize(child.eval(input).asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val c = child.genCode(ctx)
+      ev.copy(
+        code = code"""
+          ${c.code}
+          final ArrayData ${ev.value} =
+            $K.tokenize(${c.isNull} ? null : ${c.value});""",
+        isNull = FalseLiteral)
     }
     override protected def withNewChildInternal(c: Expression): Tokenize = copy(c)
+  }
+
+  /** Tokenize + per-token xxhash64 fused into one kernel — replaces
+    * `transform(tokens(text), t => xxhash64(t))`, whose `transform`
+    * wrapper is a CodegenFallback HOF that forced the whole signature
+    * projection back to interpreted eval even after [[Tokenize]]
+    * gained codegen. Values are bit-identical to the composed
+    * formulation (same `XxHash64Function`, seed 42). Null → empty
+    * array.
+    */
+  case class TokenHashes(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def eval(input: InternalRow): Any =
+      ExprKernels.tokenHashes(child.eval(input).asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val c = child.genCode(ctx)
+      ev.copy(
+        code = code"""
+          ${c.code}
+          final ArrayData ${ev.value} =
+            $K.tokenHashes(${c.isNull} ? null : ${c.value});""",
+        isNull = FalseLiteral)
+    }
+    override protected def withNewChildInternal(c: Expression): TokenHashes = copy(c)
+  }
+
+  /** Order-sensitive rolling token fingerprint — the fused form of
+    * `aggregate(tokens(text), lit(init), (acc, t) => xxhash64(acc, t))`
+    * (interpreted-HOF fold). Chain semantics identical (see
+    * [[ExprKernels.rollingFingerprint]]). Null/empty → `init`.
+    */
+  case class RollingFingerprint(child: Expression, init: Long) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = false
+    override def eval(input: InternalRow): Any =
+      ExprKernels.rollingFingerprint(child.eval(input).asInstanceOf[UTF8String], init)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val c = child.genCode(ctx)
+      ev.copy(
+        code = code"""
+          ${c.code}
+          final long ${ev.value} =
+            $K.rollingFingerprint(${c.isNull} ? null : ${c.value}, ${init}L);""",
+        isNull = FalseLiteral)
+    }
+    override protected def withNewChildInternal(c: Expression): RollingFingerprint = copy(c)
   }
 
   /** Distinct k-shingle hashes from an array of token hashes: slot i
@@ -232,33 +222,19 @@ object CatalystExpressions {
     * slice+concat_ws-per-shingle formulation dominated the dedup
     * pipeline). Fewer than k tokens → one shingle of all tokens.
     */
-  case class ShingleHashes(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = false
-    override def eval(input: InternalRow): Any = {
-      val arr = child.eval(input)
-      if (arr == null) return new GenericArrayData(Array.empty[Any])
-      val a = arr.asInstanceOf[ArrayData]
-      val n = a.numElements()
-      if (n == 0) return new GenericArrayData(Array.empty[Any])
-      val out = new java.util.LinkedHashSet[java.lang.Long]()
-      if (n < k) {
-        var h = 0x51ED270B9A3F46DAL
-        var i = 0
-        while (i < n) { h = splitmix64(h ^ a.getLong(i)); i += 1 }
-        out.add(h)
-      } else {
-        var i = 0
-        while (i + k <= n) {
-          var h = 0x51ED270B9A3F46DAL
-          var j = i
-          while (j < i + k) { h = splitmix64(h ^ a.getLong(j)); j += 1 }
-          out.add(h)
-          i += 1
-        }
-      }
-      new GenericArrayData(out.toArray)
+    override def eval(input: InternalRow): Any =
+      ExprKernels.shingleHashes(child.eval(input).asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val c = child.genCode(ctx)
+      ev.copy(
+        code = code"""
+          ${c.code}
+          final ArrayData ${ev.value} =
+            $K.shingleHashes(${c.isNull} ? null : ${c.value}, $k);""",
+        isNull = FalseLiteral)
     }
     override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(c)
   }
@@ -268,11 +244,11 @@ object CatalystExpressions {
     * sequential `aggregate(zip_with(...))` formulation it replaces,
     * but a tight JVM loop instead of interpreted lambdas (the hot
     * inner op of every similarity/near-dup pass). Null input or
-    * length mismatch → null.
+    * length mismatch → null (so `nullable` is unconditionally true).
     */
-  case class DotProduct(left: Expression, right: Expression)
-      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     private def elemIsFloat(e: Expression): Boolean = e.dataType match {
       case ArrayType(FloatType, _) => true
       case _ => false
@@ -280,19 +256,15 @@ object CatalystExpressions {
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
-      val n = a.numElements()
-      if (n != b.numElements()) return null
+      if (a.numElements() != b.numElements()) null
+      else ExprKernels.dotProduct(a, b, elemIsFloat(left), elemIsFloat(right))
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val af = elemIsFloat(left)
       val bf = elemIsFloat(right)
-      var acc = 0.0
-      var i = 0
-      while (i < n) {
-        val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
-        val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
-        acc += x * y
-        i += 1
-      }
-      acc
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+        else { ${ev.value} = $K.dotProduct($a, $b, $af, $bf); }""")
     }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
       copy(l, r)
@@ -314,51 +286,29 @@ object CatalystExpressions {
     * the double-accumulated dot product, ties resolve to the lowest
     * cluster index. Null input → null; a centroid of mismatched
     * dimension never wins (dot against it is undefined — the ladder's
-    * null-struct edge case that real same-dim embeddings never hit).
+    * null-struct edge case that real same-dim embeddings never hit) —
+    * so `nullable` is unconditionally true.
     */
   case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
     private lazy val elemFloat = child.dataType match {
       case ArrayType(FloatType, _) => true
       case _ => false
     }
     override def nullSafeEval(v: Any): Any = {
-      val a = v.asInstanceOf[ArrayData]
-      val n = a.numElements()
-      @inline def elem(i: Int): Double =
-        if (elemFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      var ss = 0.0
-      var i = 0
-      while (i < n) { val x = elem(i); ss += x * x; i += 1 }
-      val nrm = math.sqrt(ss)
-      // normalized vector materialized ONCE, float-rounded like
-      // l2Normalize (zero-norm vectors pass through unnormalized, also
-      // like l2Normalize) — inside the centroid loop the division and
-      // ArrayData accessor would otherwise run k× per element
-      val unit = new Array[Double](n)
-      i = 0
-      while (i < n) {
-        unit(i) =
-          if (nrm == 0.0) elem(i)
-          else if (elemFloat) (elem(i) / nrm).toFloat.toDouble
-          else elem(i) / nrm
-        i += 1
-      }
-      var best = -1
-      var bestSim = Double.NegativeInfinity
-      var c = 0
-      while (c < centroids.length) {
-        val cent = centroids(c)
-        if (cent.length == n) {
-          var sim = 0.0
-          var j = 0
-          while (j < n) { sim += unit(j) * cent(j); j += 1 }
-          if (sim > bestSim) { best = c; bestSim = sim }
-        }
-        c += 1
-      }
+      val best = ExprKernels.nearestCentroid(v.asInstanceOf[ArrayData], centroids, elemFloat)
       if (best < 0) null else best
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val centRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      nullSafeCodeGen(ctx, ev, c => {
+        val best = ctx.freshName("bestCluster")
+        s"""
+        final int $best = $K.nearestCentroid($c, $centRef, $elemFloat);
+        if ($best < 0) { ${ev.isNull} = true; } else { ${ev.value} = $best; }"""
+      })
     }
     override protected def withNewChildInternal(c: Expression): NearestCentroid = copy(c)
   }
@@ -389,4 +339,9 @@ object CatalystExpressions {
 
   def shingleHashes(tokenHashes: Column, k: Int): Column =
     column(ShingleHashes(expression(tokenHashes), k))
+
+  def tokenHashes(text: Column): Column = column(TokenHashes(expression(text)))
+
+  def rollingFingerprint(text: Column, init: Long): Column =
+    column(RollingFingerprint(expression(text), init))
 }

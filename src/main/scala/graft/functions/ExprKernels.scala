@@ -1,0 +1,318 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-level kernels shared by the interpreted (`eval`) and generated
+  * (`doGenCode`) paths of the custom expressions in
+  * [[CatalystExpressions]]. A top-level Scala object with no companion
+  * class gets Java static forwarders, so whole-stage-generated code
+  * calls `graft.functions.ExprKernels.simhash64(arr)` directly — the
+  * surrounding stage stays fused instead of splitting into interpreted
+  * `CodegenFallback` eval with per-row boxing. Keeping ONE body per
+  * kernel also guarantees the two execution paths cannot drift.
+  *
+  * All kernels are total on their boxed-null conventions: an
+  * expression whose null-handling is "null input → constant output"
+  * passes the null straight through (the generated code carries no
+  * branch beyond the `isNull ? null : value` hand-off).
+  */
+object ExprKernels {
+
+  /** splitmix64 — standard public-domain 64-bit mixer (Steele et al.,
+    * OOPSLA'14); derives the k MinHash permutations from one base hash.
+    */
+  @inline def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** 64-bit SimHash over token hashes: per-bit majority vote packed to
+    * a long. Null/empty input → 0.
+    */
+  def simhash64(arr: ArrayData): Long = {
+    if (arr == null) return 0L
+    val n = arr.numElements()
+    if (n == 0) return 0L
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < 64) {
+        counts(j) += ((h >>> j) & 1L).toInt
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) * 2 >= n) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  /** MinHash signature over shingle hashes: slot i = min over shingles
+    * of splitmix64(base ^ seed_i). Null/empty input → all Long.MaxValue
+    * (never collides with real content).
+    */
+  def minhashSig(arr: ArrayData, numHashes: Int): ArrayData = {
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    if (arr != null) {
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        val base = arr.getLong(i)
+        var k = 0
+        while (k < numHashes) {
+          val h = splitmix64(base ^ (k.toLong * 0xA24BAED4963EE407L))
+          if (h < out(k)) out(k) = h
+          k += 1
+        }
+        i += 1
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Unicode NFC normalization; the isNormalized fast path skips the
+    * rebuild for the (dominant) already-composed case.
+    */
+  def normalizeNfc(v: UTF8String): UTF8String = {
+    val s = v.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) v
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  private lazy val jsonMapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.configure(
+      com.fasterxml.jackson.databind.SerializationFeature.ORDER_MAP_ENTRIES_BY_KEYS, true)
+    m
+  }
+
+  private def canonNode(node: com.fasterxml.jackson.databind.JsonNode):
+      com.fasterxml.jackson.databind.JsonNode = node match {
+    case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+      val sorted = jsonMapper.createObjectNode()
+      val names = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = o.fieldNames()
+      while (it.hasNext) names += it.next()
+      names.sorted.foreach { n =>
+        sorted.set[com.fasterxml.jackson.databind.JsonNode](n, canonNode(o.get(n))); ()
+      }
+      sorted
+    case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+      val out = jsonMapper.createArrayNode()
+      (0 until a.size()).foreach { i => out.add(canonNode(a.get(i))); () }
+      out
+    case other => other
+  }
+
+  /** Canonical JSON (recursively sorted keys, compact separators);
+    * invalid JSON → null.
+    */
+  def canonicalJson(v: UTF8String): UTF8String =
+    try {
+      val parsed = jsonMapper.readTree(v.toString)
+      UTF8String.fromString(jsonMapper.writeValueAsString(canonNode(parsed)))
+    } catch { case _: Exception => null }
+
+  private val und = UTF8String.fromString("und")
+
+  /** Stopword-profile language ID over a token array: one pass of
+    * zero-copy set lookups, argmax language, "und" when nothing
+    * matches (ties → lowest profile index). Null input → "und".
+    */
+  def langId(arr: ArrayData, langs: Array[UTF8String],
+      sets: Array[java.util.HashSet[UTF8String]]): UTF8String = {
+    if (arr == null) return und
+    val n = arr.numElements()
+    val counts = new Array[Int](sets.length)
+    var i = 0
+    while (i < n) {
+      val tok = arr.getUTF8String(i)
+      var p = 0
+      while (p < sets.length) {
+        if (sets(p).contains(tok)) counts(p) += 1
+        p += 1
+      }
+      i += 1
+    }
+    var best = -1
+    var bestCount = 0
+    var p = 0
+    while (p < counts.length) {
+      if (counts(p) > bestCount) { best = p; bestCount = counts(p) }
+      p += 1
+    }
+    if (best < 0) und else langs(best)
+  }
+
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+  private val EmptyStringArray = new GenericArrayData(Array.empty[Any])
+
+  /** Whitespace tokenizer: lowercase(trim(text)) split on whitespace
+    * runs, empties dropped. Null input → empty array.
+    */
+  def tokenize(v: UTF8String): ArrayData = {
+    if (v == null) return EmptyStringArray
+    val s = v.toString.trim
+    if (s.isEmpty) return EmptyStringArray
+    val parts = wsPattern.split(s)
+    val out = new Array[Any](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      out(i) = UTF8String.fromString(parts(i).toLowerCase(java.util.Locale.ROOT))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val EmptyLongArray = UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+
+  /** Tokenize + per-token xxhash64 in ONE pass — the fused form of
+    * `transform(tokens(text), t => xxhash64(t))`. The wrapper
+    * `transform` is a Spark higher-order function and therefore a
+    * `CodegenFallback`: even with a codegen'd tokenizer inside, the
+    * HOF forces the whole signature projection back to interpreted
+    * eval. Hashing calls the SAME `XxHash64Function` (seed 42) the
+    * built-in `xxhash64` column uses, so values are bit-identical to
+    * the composed formulation. Null input → empty array.
+    */
+  def tokenHashes(v: UTF8String): ArrayData = {
+    if (v == null) return EmptyLongArray
+    val s = v.toString.trim
+    if (s.isEmpty) return EmptyLongArray
+    val parts = wsPattern.split(s)
+    val out = new Array[Long](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      val tok = UTF8String.fromString(parts(i).toLowerCase(java.util.Locale.ROOT))
+      out(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(tok, org.apache.spark.sql.types.StringType, 42L)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Order-sensitive rolling fingerprint over the token sequence — the
+    * fused form of `aggregate(tokens(text), lit(SEED), (acc, t) =>
+    * xxhash64(acc, t))` (another interpreted-HOF hot path). Chain
+    * semantics replicate the two-child `xxhash64(acc, t)` exactly:
+    * seed 42, fold the long then the string through
+    * `XxHash64Function`. Null/empty input → the init value, like the
+    * fold over an empty array.
+    */
+  def rollingFingerprint(v: UTF8String, init: Long): Long = {
+    var acc = init
+    if (v == null) return acc
+    val s = v.toString.trim
+    if (s.isEmpty) return acc
+    val parts = wsPattern.split(s)
+    val fn = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    var i = 0
+    while (i < parts.length) {
+      val tok = UTF8String.fromString(parts(i).toLowerCase(java.util.Locale.ROOT))
+      val h1 = fn.hash(acc, org.apache.spark.sql.types.LongType, 42L)
+      acc = fn.hash(tok, org.apache.spark.sql.types.StringType, h1)
+      i += 1
+    }
+    acc
+  }
+
+  /** Distinct k-shingle hashes from token hashes (splitmix chain over
+    * each window; fewer than k tokens → one shingle of all tokens).
+    * Null/empty input → empty array.
+    */
+  def shingleHashes(arr: ArrayData, k: Int): ArrayData = {
+    if (arr == null) return EmptyLongArray
+    val n = arr.numElements()
+    if (n == 0) return EmptyLongArray
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    if (n < k) {
+      var h = 0x51ED270B9A3F46DAL
+      var i = 0
+      while (i < n) { h = splitmix64(h ^ arr.getLong(i)); i += 1 }
+      out.add(h)
+    } else {
+      var i = 0
+      while (i + k <= n) {
+        var h = 0x51ED270B9A3F46DAL
+        var j = i
+        while (j < i + k) { h = splitmix64(h ^ arr.getLong(j)); j += 1 }
+        out.add(h)
+        i += 1
+      }
+    }
+    val prim = new Array[Long](out.size)
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) { prim(i) = it.next(); i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(prim)
+  }
+
+  /** Dot product of two equal-length numeric arrays, accumulated
+    * left-to-right in double. Callers check the length precondition
+    * (mismatch is their null case).
+    */
+  def dotProduct(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  /** Argmax-similarity cluster assignment against a fixed centroid
+    * matrix. Input is L2-normalized with per-element float rounding
+    * when the source array is float (bit-parity with
+    * `VectorFunctions.l2Normalize`); ties resolve to the lowest
+    * cluster index; −1 when no same-dimension centroid exists (the
+    * caller's null case).
+    */
+  def nearestCentroid(a: ArrayData, centroids: Array[Array[Double]],
+      elemFloat: Boolean): Int = {
+    val n = a.numElements()
+    @inline def elem(i: Int): Double =
+      if (elemFloat) a.getFloat(i).toDouble else a.getDouble(i)
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val x = elem(i); ss += x * x; i += 1 }
+    val nrm = math.sqrt(ss)
+    val unit = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      unit(i) =
+        if (nrm == 0.0) elem(i)
+        else if (elemFloat) (elem(i) / nrm).toFloat.toDouble
+        else elem(i) / nrm
+      i += 1
+    }
+    var best = -1
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      if (cent.length == n) {
+        var sim = 0.0
+        var j = 0
+        while (j < n) { sim += unit(j) * cent(j); j += 1 }
+        if (sim > bestSim) { best = c; bestSim = sim }
+      }
+      c += 1
+    }
+    best
+  }
+}

@@ -126,11 +126,11 @@ object TextFunctions {
     * fingerprints (`event_loop_node.py:1895-1899`). Implemented as a
     * chained xxhash64 fold (hash(acc, token)) rather than polynomial
     * multiply-add: same order sensitivity, no ANSI overflow, one
-    * codegen'd aggregate expression.
+    * fused custom expression ([[CatalystExpressions.RollingFingerprint]]
+    * — the `aggregate()` HOF formulation evaluated interpreted).
     */
   def rollingHashFingerprint(text: Column): Column =
-    aggregate(tokens(text), lit(1125899906842597L),
-      (acc, t) => xxhash64(acc, t))
+    CatalystExpressions.rollingFingerprint(text, 1125899906842597L)
 
   /** Content-defined exact-dedup fingerprint: md5 of
     * whitespace-normalized lowercased text (stable across engines).

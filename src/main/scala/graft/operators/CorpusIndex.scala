@@ -103,7 +103,7 @@ object CorpusIndex {
   private def derive(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleK: Int): DataFrame =
     df.select(col(idCol),
-        transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)).as("th"),
+        CatalystExpressions.tokenHashes(col(textCol)).as("th"),
         TextFunctions.exactFingerprint(col(textCol)).as("fingerprint"))
       .select(col(idCol), col("fingerprint"),
         CatalystExpressions.shingleHashes(col("th"), shingleK).as("shingles"),

@@ -148,7 +148,7 @@ object Dedup {
     */
   def shingleHashSet(text: Column, k: Int = 3): Column =
     graft.functions.CatalystExpressions.shingleHashes(
-      transform(TextFunctions.tokens(text), t => xxhash64(t)), k)
+      graft.functions.CatalystExpressions.tokenHashes(text), k)
 
   /** MinHash-LSH candidate pairs: split the signature into `bands`
     * bands of `numHashes/bands` rows, hash each band, and self-join on
@@ -393,7 +393,7 @@ object Dedup {
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
       graft.functions.CatalystExpressions.simhash64(
-        transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t))).as("sh"))
+        graft.functions.CatalystExpressions.tokenHashes(col(textCol))).as("sh"))
 
   /** SimHash near-duplicates: band the 64-bit hash into `bands` equal
     * chunks; any pair agreeing on a chunk is a candidate (catches all

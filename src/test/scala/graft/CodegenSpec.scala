@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.execution.WholeStageCodegenExec
+import org.apache.spark.sql.functions._
+import graft.functions.CatalystExpressions
+
+/** Locks the whole-stage-codegen story of the custom expressions: the
+  * signature scan (tokenize → shingle → minhash / simhash) is the
+  * hottest loop the engine owns at 100 TB, and an interpreted
+  * `CodegenFallback` there evaluates the whole chain per row with
+  * boxing. These tests fail if anyone reintroduces a fallback or if
+  * the generated code stops compiling (forcing Spark's silent
+  * interpreted fallback).
+  */
+class CodegenSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.graft.bridge.expressionOf
+
+  private def docs = graft.core.Engine.table(spark, sfDir, "documents")
+
+  test("no custom expression is a CodegenFallback") {
+    val exprs = Seq(
+      CatalystExpressions.tokenize(col("text")),
+      CatalystExpressions.shingleHashes(col("h"), 3),
+      CatalystExpressions.minhashSig(col("h"), 16),
+      CatalystExpressions.simhash64(col("h")),
+      CatalystExpressions.langId(col("t"), Seq("en" -> Seq("the"))),
+      CatalystExpressions.normalizeNfc(col("text")),
+      CatalystExpressions.canonicalJson(col("text")),
+      CatalystExpressions.dotProduct(col("a"), col("b")),
+      CatalystExpressions.nearestCentroid(col("a"), Array(Array(1.0, 0.0))))
+    exprs.foreach { c =>
+      val e = expressionOf(c)
+      assert(!e.isInstanceOf[CodegenFallback],
+        s"${e.getClass.getSimpleName} must implement real doGenCode")
+    }
+  }
+
+  test("signature projection stays inside one whole-stage region calling static kernels") {
+    val sigs = graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text")
+    val plan = sigs.queryExecution.executedPlan
+    // the projection that computes signatures must sit under a
+    // WholeStageCodegen node (not be forced out by a fallback split)
+    val wsc = plan.collect { case w: WholeStageCodegenExec => w }
+    assert(wsc.nonEmpty, s"signature stage lost whole-stage codegen:\n$plan")
+    // and its generated source must call the static kernels — proof
+    // the fused path is the kernel call, not interpreted eval
+    val generated = wsc.map(w => w.doCodeGen()._2.body).mkString("\n")
+    assert(generated.contains("graft.functions.ExprKernels"),
+      "generated code must call ExprKernels statics")
+    assert(!generated.contains("CodegenFallback"),
+      "generated code must not route through interpreted fallback")
+  }
+
+  test("generated kernel code compiles and matches the interpreted path bit-for-bit") {
+    // CODEGEN_ONLY would make expression-compile errors throw instead
+    // of silently falling back to interpreted eval; wholeStage fallback
+    // off does the same for stage compilation. Compare full outputs of
+    // the two modes on real data: identical results prove the two
+    // paths share one semantics.
+    val q = () => {
+      val base = docs.select(col("doc_id"), col("text"))
+      base.select(
+        col("doc_id"),
+        CatalystExpressions.minhashSig(
+          graft.operators.Dedup.shingleHashSet(col("text"), 3), 16).getItem(0).as("sig_head"),
+        CatalystExpressions.simhash64(
+          transform(graft.functions.TextFunctions.tokens(col("text")),
+            t => xxhash64(t))).as("sh"),
+        CatalystExpressions.normalizeNfc(col("text")).as("nfc"),
+        CatalystExpressions.langId(
+          CatalystExpressions.tokenize(col("text")),
+          graft.functions.TextFunctions.DefaultLangProfiles.toSeq.sortBy(_._1)).as("lang"))
+        .orderBy("doc_id").collect().toSeq
+    }
+    val conf = spark.conf
+    val before = (conf.getOption("spark.sql.codegen.factoryMode"),
+      conf.getOption("spark.sql.codegen.fallback"))
+    val codegenRows =
+      try {
+        conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+        conf.set("spark.sql.codegen.fallback", "false")
+        q()
+      } finally {
+        before._1.fold(conf.unset("spark.sql.codegen.factoryMode"))(v =>
+          conf.set("spark.sql.codegen.factoryMode", v))
+        before._2.fold(conf.unset("spark.sql.codegen.fallback"))(v =>
+          conf.set("spark.sql.codegen.fallback", v))
+      }
+    val interpretedRows =
+      try {
+        conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        conf.set("spark.sql.codegen.wholeStage", "false")
+        q()
+      } finally {
+        before._1.fold(conf.unset("spark.sql.codegen.factoryMode"))(v =>
+          conf.set("spark.sql.codegen.factoryMode", v))
+        conf.unset("spark.sql.codegen.wholeStage")
+      }
+    assert(codegenRows == interpretedRows,
+      "codegen and interpreted evaluation must agree on real documents")
+    assert(codegenRows.nonEmpty)
+  }
+
+  test("nullable-on-success expressions declare nullable (invalid input maps to null)") {
+    // CanonicalJson / DotProduct / NearestCentroid return null for
+    // NON-null inputs (bad JSON, length mismatch, no matching
+    // centroid); if they inherited child nullability the optimizer
+    // could legally elide the null checks over non-null columns.
+    val df = Seq(("{bad json", Array(1.0, 2.0), Array(1.0))).toDF("j", "a", "b")
+    val out = df.select(
+      CatalystExpressions.canonicalJson(col("j")).as("cj"),
+      CatalystExpressions.dotProduct(col("a"), col("b")).as("dp"),
+      CatalystExpressions.nearestCentroid(col("b"), Array(Array(1.0, 0.0))).as("nc"))
+    assert(out.schema.fields.forall(_.nullable))
+    val r = out.collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+}
