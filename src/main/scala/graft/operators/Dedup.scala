@@ -487,28 +487,47 @@ object Dedup {
         f.delete(new org.apache.hadoop.fs.Path(s"$dir/$name"), true); ()
       case _ => ()
     }
-    // materialize the edge list once — every iteration joins against
-    // it, and without this the whole upstream candidate pipeline
-    // (LSH + verification) re-executes per iteration
-    val edgesRaw = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // Materialize the edge input once.
+    //  - Durable mode: write the full bidirectional edge list as the
+    //    `edges` resume artifact (the contract of `checkpointDir`:
+    //    every stage of a long cluster job is restartable from
+    //    parquet), and size the hybrid dispatch on it.
+    //  - In-session mode: eagerly local-checkpoint just the
+    //    ONE-directional pair list. Union-find is direction-agnostic,
+    //    so the bidirectional union+distinct shuffle is pure overhead
+    //    unless the iterative path runs — and the gate path measures
+    //    it as a whole extra 32-task stage. Eager (not lazy)
+    //    checkpointing matters too: a lazily-checkpointed RDD pays an
+    //    extra finalization job re-computing partitions the first
+    //    action's AQE-coalesced read skipped, and a columnar persist()
+    //    re-plans the pipeline inside the cache build — both measured
+    //    as extra 32-task jobs on q53's cold path.
+    def bidirectional(df: DataFrame): DataFrame = df
+      .unionByName(df.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-    val edges = checkpointDir.fold(edgesRaw.localCheckpoint(false))(_ =>
-      durable(edgesRaw, "edges"))
+    val pairsNorm = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val edgeInput = runDir match {
+      case Some(_) => durable(bidirectional(pairsNorm), "edges")
+      case None => pairsNorm.localCheckpoint(true)
+    }
     // Hybrid dispatch: verified near-duplicate edge lists are a tiny
     // fraction of corpus cardinality, so when the (already
-    // materialized) edge list fits a bounded driver budget
+    // materialized) edge input fits a bounded driver budget
     // (maxDriverEdges × two boxed ids ≈ 64 MB at the default), a
     // driver union-find resolves the classes in ONE collect instead of
     // O(diameter) join+checkpoint+count rounds — at gate scale that is
     // the difference between ~100 ms and seconds of fixed iteration
-    // overhead, and on a cluster it removes 3-5 shuffle barriers. The
-    // count itself rides the materialized edges. Adversarial edge
-    // volumes take the iterative path unchanged.
-    val edgeCount = edges.count()
+    // overhead, and on a cluster it removes 3-5 shuffle barriers.
+    // Adversarial edge volumes take the iterative path unchanged.
+    val edgeCount = edgeInput.count()
     if (edgeCount <= maxDriverEdges) {
-      driverUnionFind(edges, pairs.schema(pairs.schema.fieldIndex(idA)).dataType)
+      driverUnionFind(edgeInput,
+        pairs.schema(pairs.schema.fieldIndex(idA)).dataType)
     } else {
+    val edges = runDir match {
+      case Some(_) => edgeInput // already the durable bidirectional list
+      case None => bidirectional(edgeInput).localCheckpoint(true)
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
     var converged = false
@@ -542,7 +561,11 @@ object Dedup {
     * component's minimum label directly — identical semantics to the
     * iterative min-label propagation. Path compression keeps it
     * effectively linear. Only called under [[connectedComponents]]'s
-    * bounded-edge-count guard.
+    * bounded-edge-count guard, which also bounds the single `collect`
+    * here (≤ maxDriverEdges × two boxed ids ≈ 64 MB at the default) —
+    * one job over the already-cached edges, where `toLocalIterator`
+    * would submit one job PER PARTITION (measured: it was most of
+    * q53's 13 cold jobs).
     */
   private def driverUnionFind(edges: DataFrame,
       idType: org.apache.spark.sql.types.DataType): DataFrame = {
@@ -559,7 +582,7 @@ object Dedup {
       }
       x
     }
-    edges.toLocalIterator().forEachRemaining { row =>
+    edges.collect().foreach { row =>
       val a = row.get(0)
       val b = row.get(1)
       if (a != null && b != null) {
