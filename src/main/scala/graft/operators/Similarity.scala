@@ -132,6 +132,157 @@ object Similarity {
     knnBrute(probed, idCol, vecCol, query, k)
   }
 
+  // ----------------------------------------- partition-pruned probes
+  //
+  // The at-scale form of ANN: bucket/cluster the corpus ONCE at ingest
+  // and write it `partitionBy` that column; a probe then reads only
+  // the matching partition directories (planning-time pruning — the
+  // scan's `PartitionFilters`), instead of scanning the corpus and
+  // filtering. At 100 TB a per-query full scan is the difference
+  // between touching ~nProbe/k of the bytes and touching all of them.
+
+  private val layoutBuilt =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), Boolean]()
+
+  private def writeJson(spark: org.apache.spark.sql.SparkSession, path: String,
+      obj: Map[String, Any]): Unit = {
+    implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+    val p = new org.apache.hadoop.fs.Path(path)
+    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration).create(p, true)
+    try out.write(org.json4s.jackson.Serialization.write(obj).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readJson(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.json4s.JValue = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    org.json4s.jackson.JsonMethods.parse(text)
+  }
+
+  /** Write the durable IVF layout under `path`: the corpus partitioned
+    * by cluster assignment (`corpus/cluster=N/…`) plus the centroid
+    * matrix as JSON metadata — everything [[knnIvfPartitioned]] needs
+    * in a later session without the fitting corpus.
+    */
+  def ivfWriteLayout(df: DataFrame, index: IvfIndex, idCol: String,
+      path: String): Unit = {
+    Scale.writePartitioned(df.join(index.assignments, Seq(idCol)),
+      s"$path/corpus", Seq("cluster"))
+    writeJson(df.sparkSession, s"$path/ivf_meta.json",
+      Map("centroids" -> index.centroids.map(_.toSeq).toSeq))
+  }
+
+  /** IVF ANN probe against a durable [[ivfWriteLayout]] layout: rank
+    * the persisted centroids driver-side, then read ONLY the `nProbe`
+    * nearest clusters' partition directories — the probe scan carries
+    * `PartitionFilters` (PlanAudit locks this on the gate query), so
+    * at 100 TB it touches ~nProbe/k of the corpus bytes instead of all
+    * of them.
+    */
+  def knnIvfPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, query: Array[Double], k: Int = 10,
+      nProbe: Int = 3): DataFrame = {
+    implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+    val centroids = (readJson(spark, s"$path/ivf_meta.json") \ "centroids")
+      .extract[Seq[Seq[Double]]].map(_.toArray).toArray
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    val qUnit = if (qn > 0) query.map(_ / qn) else query
+    val ranked = centroids.zipWithIndex
+      .map { case (c, i) => i -> c.zip(qUnit).map { case (a, b) => a * b }.sum }
+      .sortBy(-_._2).take(nProbe).map(_._1).toSeq
+    val probed = spark.read.parquet(s"$path/corpus")
+      .filter(col("cluster").isin(ranked: _*))
+    knnBrute(probed, idCol, vecCol, query, k)
+  }
+
+  /** Build the IVF layout once per (session, path): fit the index and
+    * write corpus+centroids durably, memoized so repeated queries (and
+    * bench re-runs) probe the existing layout instead of re-writing
+    * it — the ingest-once discipline the layout models. `fitOn` lets
+    * the centroid fit see a superset of the stored corpus (e.g. the
+    * full table when the layout excludes held-out query vectors), so a
+    * layout probe reproduces an in-memory [[knnIvf]] that fitted on
+    * that superset.
+    */
+  def ensureIvfLayout(df: DataFrame, idCol: String, vecCol: String, path: String,
+      nCentroids: Int = 16, iterations: Int = 2, fitSampleFraction: Double = 0.05,
+      seed: Long = 42L, fitOn: Option[DataFrame] = None): Unit = {
+    layoutBuilt.computeIfAbsent((df.sparkSession, path), { _ =>
+      ivfWriteLayout(df,
+        ivfIndex(fitOn.getOrElse(df), idCol, vecCol, nCentroids, iterations,
+          fitSampleFraction, seed),
+        idCol, path)
+      true
+    })
+    ()
+  }
+
+  /** Write the durable hyperplane-LSH layout under `path`: the corpus
+    * partitioned by sign-bucket plus (nPlanes, dim, seed) metadata so
+    * probes in any session derive the identical planes.
+    */
+  def lshWriteLayout(df: DataFrame, idCol: String, vecCol: String, path: String,
+      nPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): Unit = {
+    val planes = VectorFunctions.randomPlanes(nPlanes, dim, seed)
+    Scale.writePartitioned(
+      df.withColumn("bucket", VectorFunctions.hyperplaneBucket(col(vecCol), planes)),
+      s"$path/corpus", Seq("bucket"))
+    writeJson(df.sparkSession, s"$path/lsh_meta.json",
+      Map("nPlanes" -> nPlanes, "dim" -> dim, "seed" -> seed))
+  }
+
+  /** Every bucket value within `maxFlips` sign-bit flips of `qBucket` —
+    * the multi-probe set, enumerated driver-side (Σ C(nPlanes, d)
+    * values) so the probe scan can partition-prune on an explicit IN
+    * list instead of computing `bit_count` over every row.
+    */
+  private[graft] def bucketsWithin(qBucket: Long, nPlanes: Int,
+      maxFlips: Int): Seq[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer(qBucket)
+    def rec(start: Int, flipsLeft: Int, cur: Long): Unit = {
+      if (flipsLeft <= 0) return
+      var i = start
+      while (i < nPlanes) {
+        val flipped = cur ^ (1L << i)
+        out += flipped
+        rec(i + 1, flipsLeft - 1, flipped)
+        i += 1
+      }
+    }
+    rec(0, maxFlips, qBucket)
+    out.toSeq
+  }
+
+  /** LSH ANN probe against a durable [[lshWriteLayout]] layout:
+    * compute the query's bucket and its Hamming-`probeHamming`
+    * neighborhood driver-side, read ONLY those partition directories
+    * (`PartitionFilters` on the scan), brute-force inside. Same probe
+    * set as [[knnLsh]] — SimilaritySpec locks result equality — but
+    * the full-corpus scan+filter becomes a pruned scan.
+    */
+  def knnLshPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, query: Array[Double], k: Int = 10,
+      probeHamming: Int = 1): DataFrame = {
+    implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+    val meta = readJson(spark, s"$path/lsh_meta.json")
+    val nPlanes = (meta \ "nPlanes").extract[Int]
+    val dim = (meta \ "dim").extract[Int]
+    val seed = (meta \ "seed").extract[Long]
+    require(query.length == dim,
+      s"query dim ${query.length} != layout dim $dim")
+    val planes = VectorFunctions.randomPlanes(nPlanes, dim, seed)
+    val qBucket = planes.zipWithIndex.map { case (p, j) =>
+      val d = p.zip(query).map { case (a, b) => a * b }.sum
+      if (d >= 0.0) 1L << j else 0L
+    }.sum
+    val probeSet = bucketsWithin(qBucket, nPlanes, probeHamming)
+    val probed = spark.read.parquet(s"$path/corpus")
+      .filter(col("bucket").isin(probeSet: _*))
+    knnBrute(probed, idCol, vecCol, query, k)
+  }
+
   /** All-pairs cosine ≥ threshold between two corpora via shared LSH
     * buckets (e.g. query-set vs corpus linking). Buckets hash the raw
     * vectors (sign bits are scale-invariant, so normalization buys

@@ -107,6 +107,14 @@ class PlanAudit extends SparkSpec {
     assert(plan("q71_int8_knn").contains("TakeOrderedAndProject"))
   }
 
+  test("q78: partitioned IVF probe is a partition-pruned scan + top-k") {
+    val p = plan("q78_ivf_part")
+    val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(scan.contains("PartitionFilters") && scan.contains("cluster"),
+      s"probe must prune cluster partitions at planning time: $scan")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("q68: repetition metrics are map-only (no exchange at all)") {
     // the row-local run-length formulation must never introduce a
     // shuffle; a global sort would mean someone re-expressed the

@@ -93,4 +93,40 @@ class SimilaritySpec extends SparkSpec {
     val matched = self.filter(col("id_a") === col("id_b")).count()
     assert(matched == emb.count())
   }
+
+  test("partitioned LSH probe == in-memory LSH probe, and the scan is pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-layout").toString
+    Similarity.lshWriteLayout(emb, "vec_id", "embedding", dir,
+      nPlanes = 6, dim = 64, seed = 42L)
+    val fromLayout = Similarity.knnLshPartitioned(spark, dir, "vec_id", "embedding",
+      query, k = 10, probeHamming = 2)
+    val inMemory = Similarity.knnLsh(emb, "vec_id", "embedding", query,
+      k = 10, nPlanes = 6, probeHamming = 2)
+    // same probe set by construction -> identical results
+    assert(fromLayout.collect().toSeq == inMemory.collect().toSeq)
+    val scan = fromLayout.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan parquet")).get
+    assert(scan.contains("PartitionFilters") && scan.contains("bucket"),
+      s"probe scan must prune bucket partitions: $scan")
+  }
+
+  test("bucketsWithin enumerates exactly the Hamming ball") {
+    val ball = Similarity.bucketsWithin(qBucket = 0b101L, nPlanes = 4, maxFlips = 2)
+    // C(4,0)+C(4,1)+C(4,2) = 1+4+6 = 11 distinct values, all within distance 2
+    assert(ball.distinct.size == 11 && ball.size == 11)
+    assert(ball.forall(b => java.lang.Long.bitCount(b ^ 0b101L) <= 2))
+    assert(ball.contains(0b101L))
+  }
+
+  test("partitioned IVF probe == in-memory IVF probe on the same index") {
+    val index = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      nCentroids = 4, fitSampleFraction = 1.0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-layout").toString
+    Similarity.ivfWriteLayout(emb, index, "vec_id", dir)
+    val fromLayout = Similarity.knnIvfPartitioned(spark, dir, "vec_id", "embedding",
+      query, k = 10, nProbe = 2)
+    val inMemory = Similarity.knnIvf(emb, index, "vec_id", "embedding",
+      query, k = 10, nProbe = 2)
+    assert(fromLayout.collect().toSeq == inMemory.collect().toSeq)
+  }
 }
