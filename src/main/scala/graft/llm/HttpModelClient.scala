@@ -24,6 +24,15 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * - **JSON mode** via prompt engineering (`json_mode` appends the
   *   "respond with a valid JSON object" system instruction — the
   *   cross-provider trick the reference uses).
+  * - **Streaming** (`stream = true`): SSE `/chat/completions` with
+  *   `"stream": true`, accumulating `choices[0].delta.content` chunks
+  *   until `data: [DONE]` (the reference's streaming path,
+  *   `litellm.py:852-…`). The whole-request `requestTimeout` is
+  *   replaced by a per-chunk deadline (`chunkTimeout`): a long
+  *   generation survives as long as tokens keep arriving, while a
+  *   stalled stream fails fast. A disconnect or stall mid-stream is
+  *   classified retryable (the request is re-sent from scratch —
+  *   deltas are never spliced across attempts).
   *
   * One instance per partition (built by the `() => ModelClient`
   * factory), so the underlying connection pool is never serialized.
@@ -36,7 +45,9 @@ final class HttpModelClient(
     apiKey: Option[String] = None,
     maxTokens: Int = 1024,
     jsonMode: Boolean = false,
-    requestTimeout: Duration = Duration.ofSeconds(120)) extends SemanticOps.ModelClient {
+    requestTimeout: Duration = Duration.ofSeconds(120),
+    stream: Boolean = false,
+    chunkTimeout: Duration = Duration.ofSeconds(30)) extends SemanticOps.ModelClient {
 
   @transient private lazy val http =
     HttpClient.newBuilder()
@@ -61,6 +72,7 @@ final class HttpModelClient(
     val root = mapper.createObjectNode()
     root.put("model", model)
     root.put("max_tokens", maxTokens)
+    if (stream) root.put("stream", true)
     val messages = root.putArray("messages")
     if (jsonMode) {
       val sys = messages.addObject()
@@ -77,23 +89,115 @@ final class HttpModelClient(
       .header("Content-Type", "application/json")
       .POST(HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(root)))
     apiKey.foreach(k => reqBuilder.header("Authorization", s"Bearer $k"))
+    val request = reqBuilder.build()
 
+    if (stream) completeStreaming(request)
+    else {
+      val resp =
+        try http.send(request, HttpResponse.BodyHandlers.ofString())
+        catch {
+          case e: java.io.IOException =>
+            throw RetryableModelError(s"connection error: ${e.getMessage}", e)
+        }
+      resp.statusCode() match {
+        case 200 => parseContent(resp.body())
+        case s => classifyFailure(s, resp.body())
+      }
+    }
+  }
+
+  private def classifyFailure(status: Int, body: String): Nothing = status match {
+    case 429 =>
+      throw RetryableModelError(s"rate limited (429): ${body.take(200)}")
+    case s if s >= 500 =>
+      throw RetryableModelError(s"server error ($s): ${body.take(200)}")
+    case s =>
+      throw PermanentModelError(s"request rejected ($s): ${body.take(200)}")
+  }
+
+  /** SSE read loop. A dedicated reader thread feeds lines into a
+    * bounded queue; the caller polls with the per-chunk deadline, so a
+    * stalled upstream can't hang the partition thread past
+    * `chunkTimeout` (the JDK client's request timeout only covers
+    * time-to-response, not body reads). Stall, mid-stream disconnect,
+    * and mid-stream IO errors all classify retryable — the retry
+    * re-sends the whole request; partial deltas are discarded.
+    */
+  private def completeStreaming(request: HttpRequest): String = {
+    import java.util.concurrent.{ArrayBlockingQueue, TimeUnit}
     val resp =
-      try http.send(reqBuilder.build(), HttpResponse.BodyHandlers.ofString())
+      try http.send(request, HttpResponse.BodyHandlers.ofInputStream())
       catch {
         case e: java.io.IOException =>
           throw RetryableModelError(s"connection error: ${e.getMessage}", e)
       }
-
-    resp.statusCode() match {
-      case 200 => parseContent(resp.body())
-      case 429 =>
-        throw RetryableModelError(s"rate limited (429): ${resp.body().take(200)}")
-      case s if s >= 500 =>
-        throw RetryableModelError(s"server error ($s): ${resp.body().take(200)}")
-      case s =>
-        throw PermanentModelError(s"request rejected ($s): ${resp.body().take(200)}")
+    val body = resp.body()
+    if (resp.statusCode() != 200) {
+      val errBody =
+        try new String(body.readNBytes(4096), "UTF-8")
+        catch { case _: java.io.IOException => "" }
+        finally body.close()
+      classifyFailure(resp.statusCode(), errBody)
     }
+
+    // Option[Either[Throwable, String]]: Some(Right(line)) | Some(Left(err)) | None = EOF
+    val lines = new ArrayBlockingQueue[AnyRef](256)
+    val reader = new Thread(() => {
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(body, "UTF-8"))
+      try {
+        var line = in.readLine()
+        while (line != null) {
+          lines.put(Right(line))
+          line = in.readLine()
+        }
+        lines.put(None)
+      } catch {
+        case e: Throwable => lines.put(Left(e))
+      } finally in.close()
+    }, "graft-sse-reader")
+    reader.setDaemon(true)
+    reader.start()
+
+    val content = new StringBuilder
+    var sawDone = false
+    try {
+      while (!sawDone) {
+        lines.poll(chunkTimeout.toMillis, TimeUnit.MILLISECONDS) match {
+          case null =>
+            throw RetryableModelError(
+              s"stream stalled: no chunk within ${chunkTimeout.toMillis} ms")
+          case None =>
+            // EOF before [DONE]: the server hung up mid-generation
+            throw RetryableModelError(
+              "stream disconnected before [DONE]" +
+                (if (content.nonEmpty) s" (after ${content.length} chars)" else ""))
+          case Left(e: Throwable) =>
+            throw RetryableModelError(s"stream read error: ${e.getMessage}", e)
+          case Right(line: String) =>
+            val trimmed = line.trim
+            if (trimmed.startsWith("data:")) {
+              val payload = trimmed.stripPrefix("data:").trim
+              if (payload == "[DONE]") sawDone = true
+              else if (payload.nonEmpty) {
+                val node =
+                  try mapper.readTree(payload)
+                  catch {
+                    case e: Exception =>
+                      throw PermanentModelError(s"unparseable SSE chunk: ${e.getMessage}")
+                  }
+                val usageNode = node.path("usage")
+                promptTokens.addAndGet(usageNode.path("prompt_tokens").asLong(0))
+                completionTokens.addAndGet(usageNode.path("completion_tokens").asLong(0))
+                val delta = node.path("choices").path(0).path("delta").path("content")
+                if (!delta.isMissingNode && !delta.isNull) content.append(delta.asText())
+              }
+            } // non-data lines (comments, event:, blank keep-alives) are skipped
+          case other =>
+            throw new IllegalStateException(s"unexpected queue element: $other")
+        }
+      }
+    } finally body.close()
+    content.toString()
   }
 
   private def parseContent(body: String): String = {

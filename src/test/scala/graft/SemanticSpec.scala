@@ -106,6 +106,66 @@ class SemanticSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("HttpModelClient streaming: SSE deltas, mid-stream disconnect retried, stall fails fast") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import graft.llm.{HttpModelClient, RetryableModelError}
+    def chunk(text: String): String =
+      s"""data: {"choices":[{"delta":{"content":"$text"}}]}\n\n"""
+    val usageChunk =
+      """data: {"choices":[{"delta":{}}],"usage":{"prompt_tokens":5,"completion_tokens":4}}""" + "\n\n"
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var disconnectsBeforeOk = 0
+    @volatile var stallAfterFirstChunk = false
+    @volatile var sawStreamTrue = false
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1/chat/completions", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      sawStreamTrue = body.contains("\"stream\":true")
+      val n = hits.incrementAndGet()
+      ex.getResponseHeaders.add("Content-Type", "text/event-stream")
+      ex.sendResponseHeaders(200, 0) // chunked
+      val out = ex.getResponseBody
+      out.write(chunk("Hello").getBytes("UTF-8")); out.flush()
+      if (n <= disconnectsBeforeOk) () // hang up mid-generation
+      else if (stallAfterFirstChunk) Thread.sleep(2000)
+      else {
+        out.write(chunk(", world").getBytes("UTF-8")); out.flush()
+        out.write(usageChunk.getBytes("UTF-8"))
+        out.write("data: [DONE]\n\n".getBytes("UTF-8"))
+      }
+      ex.close()
+    })
+    server.start()
+    val url = s"http://127.0.0.1:${server.getAddress.getPort}/v1"
+    try {
+      // happy path: deltas concatenated, stream flag sent, usage counted
+      val client = new HttpModelClient(url, "m", stream = true)
+      assert(client.complete(Seq("hi")) == Seq("Hello, world"))
+      assert(sawStreamTrue, "request body must carry stream:true")
+      assert(client.usage == (5L, 4L))
+      // mid-stream disconnect: retryable, and the retry re-sends from
+      // scratch — no splicing of the partial "Hello" from attempt 1
+      disconnectsBeforeOk = hits.get() + 1
+      intercept[RetryableModelError] {
+        new HttpModelClient(url, "m", stream = true).complete(Seq("x"))
+      }
+      disconnectsBeforeOk = hits.get() + 1
+      val retrying = SemanticOps.RetryingClient(
+        new HttpModelClient(url, "m", stream = true), maxRetries = 3, backoffBaseMs = 1)
+      assert(retrying.complete(Seq("x")) == Seq("Hello, world"))
+      // a stalled stream trips the per-chunk deadline, not the 120s
+      // request timeout
+      stallAfterFirstChunk = true
+      val t0 = System.nanoTime()
+      val e = intercept[RetryableModelError] {
+        new HttpModelClient(url, "m", stream = true,
+          chunkTimeout = java.time.Duration.ofMillis(250)).complete(Seq("x"))
+      }
+      assert(e.getMessage.contains("stalled"))
+      assert((System.nanoTime() - t0) / 1e9 < 5.0)
+    } finally server.stop(0)
+  }
+
   test("outputCleaner: valid passes, broken repaired, hopeless kept raw (`output_cleaner.py`)") {
     val target = StructType(Seq(StructField("a", LongType), StructField("b", StringType)))
     val df = Seq(
