@@ -124,11 +124,12 @@ def rc4(key, data):
     return bytes(out)
 
 
-def build_encrypted_pdf(content, owner_pw=b"fixture-owner"):
-    """Standard security handler V2/R3 (RC4-128), EMPTY user password:
-    the common owner-restricted-but-readable document. O/U computed per
-    spec algorithms 3/2/5; the one content stream is Flate-compressed
-    then RC4-encrypted with its per-object key.
+def build_encrypted_pdf(content, owner_pw=b"fixture-owner", user_pw=b""):
+    """Standard security handler V2/R3 (RC4-128): the common
+    owner-restricted-but-readable document (empty user password) or,
+    with `user_pw`, a password-to-open file. O/U computed per spec
+    algorithms 3/2/5; the one content stream is Flate-compressed then
+    RC4-encrypted with its per-object key.
     """
     import hashlib
     keylen, r, p = 16, 3, -4
@@ -139,13 +140,13 @@ def build_encrypted_pdf(content, owner_pw=b"fixture-owner"):
     for _ in range(50):
         h = hashlib.md5(h).digest()
     okey = h[:keylen]
-    o = rc4(okey, PAD)  # empty user password padded
+    o = rc4(okey, (user_pw + PAD)[:32])
     for i in range(1, 20):
         o = rc4(bytes(b ^ i for b in okey), o)
 
-    # file key (algorithm 2, empty user password)
+    # file key (algorithm 2)
     md = hashlib.md5()
-    md.update(PAD)
+    md.update((user_pw + PAD)[:32])
     md.update(o)
     md.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
     md.update(fid)
@@ -178,6 +179,100 @@ def build_encrypted_pdf(content, owner_pw=b"fixture-owner"):
          f"/O <{o.hex()}> /U <{u.hex()}> >>").encode(),
     ]
     out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs):
+        offsets.append(len(out))
+        out += f"{i + 1} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R /Encrypt 6 0 R "
+            f"/ID [<{fid.hex()}> <{fid.hex()}>] >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    return bytes(out)
+
+
+def hash_2b(pw, salt, udata):
+    """ISO 32000-2 7.6.4.3.4 algorithm 2.B — the R6 iterated hash.
+    Independent of the Scala implementation (hashlib + cryptography)
+    so reader and writer cross-validate.
+    """
+    import hashlib
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+    k = hashlib.sha256(pw + salt + udata).digest()
+    count = 0
+    while True:
+        count += 1
+        k1 = (pw + k + udata) * 64
+        enc = Cipher(algorithms.AES(k[:16]), modes.CBC(k[16:32])).encryptor()
+        e = enc.update(k1) + enc.finalize()
+        k = [hashlib.sha256, hashlib.sha384, hashlib.sha512][sum(e[:16]) % 3](e).digest()
+        if count >= 64 and e[-1] <= count - 32:
+            break
+    return k[:32]
+
+
+def build_encrypted_pdf_aes256(content, user_pw=b"",
+                               owner_pw=b"fixture-owner-256", r=6):
+    """Standard security handler V5/R6 (AES-256, ISO 32000-2 7.6.4):
+    U/UE/O/OE per algorithms 8/9, Perms per algorithm 10, the content
+    stream AES-256-CBC encrypted with the file key directly (no
+    per-object derivation). All deterministic (salts and file key are
+    SHA-256 of fixed strings) so the fixture is reproducible.
+    """
+    import hashlib
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+
+    def aes_cbc_enc(key, iv, data):
+        enc = Cipher(algorithms.AES(key), modes.CBC(iv)).encryptor()
+        return enc.update(data) + enc.finalize()
+
+    def h(pw, salt, udata):
+        if r == 6:
+            return hash_2b(pw, salt, udata)
+        return hashlib.sha256(pw + salt + udata).digest()
+
+    fkey = hashlib.sha256(b"graft-aes256-file-key").digest()  # 32 bytes
+    uvs = hashlib.sha256(b"user-vsalt").digest()[:8]
+    uks = hashlib.sha256(b"user-ksalt").digest()[:8]
+    u = h(user_pw, uvs, b"") + uvs + uks
+    ue = aes_cbc_enc(h(user_pw, uks, b""), bytes(16), fkey)
+    ovs = hashlib.sha256(b"owner-vsalt").digest()[:8]
+    oks = hashlib.sha256(b"owner-ksalt").digest()[:8]
+    o = h(owner_pw, ovs, u) + ovs + oks
+    oe = aes_cbc_enc(h(owner_pw, oks, u), bytes(16), fkey)
+    p = -4
+    # /Perms (algorithm 10): P LE ++ ffffffff ++ 'T' (metadata) ++ 'adb'
+    # ++ 4 filler bytes, AES-ECB with the file key
+    perms_clear = ((p & 0xFFFFFFFF).to_bytes(4, "little") + b"\xff\xff\xff\xff"
+                   + b"Tadb" + b"grft")
+    ecb = Cipher(algorithms.AES(fkey), modes.ECB()).encryptor()
+    perms = ecb.update(perms_clear) + ecb.finalize()
+
+    raw = zlib.compress(content.encode("latin-1"))
+    padlen = 16 - len(raw) % 16
+    iv = hashlib.sha256(b"stream-iv").digest()[:16]
+    data = iv + aes_cbc_enc(fkey, iv, raw + bytes([padlen]) * padlen)
+
+    enc_dict = (
+        f"<< /Filter /Standard /V 5 /R {r} /Length 256 "
+        f"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> "
+        f"/StmF /StdCF /StrF /StdCF /P {p} "
+        f"/U <{u.hex()}> /UE <{ue.hex()}> /O <{o.hex()}> /OE <{oe.hex()}> "
+        f"/Perms <{perms.hex()}> >>")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        f"<< /Length {len(data)} /Filter /FlateDecode >>".encode()
+        + b"\nstream\n" + data + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        enc_dict.encode(),
+    ]
+    fid = __import__("hashlib").md5(b"graft-aes256-fixture-id").digest()
+    out = bytearray(b"%PDF-2.0\n")
     offsets = []
     for i, body in enumerate(objs):
         offsets.append(len(out))
@@ -345,6 +440,30 @@ def main():
         "BT /F1 12 Tf 72 720 Td (Owner-locked but readable) Tj ET")
     with open(os.path.join(OUT_DIR, "encrypted.pdf"), "wb") as f:
         f.write(enc)
+
+    # legacy RC4 with a NON-empty user password (password-to-open)
+    rc4_userpw = build_encrypted_pdf(
+        "BT /F1 12 Tf 72 720 Td (Legacy password-locked text) Tj ET",
+        user_pw=b"legacy-pw")
+    with open(os.path.join(OUT_DIR, "rc4_userpw.pdf"), "wb") as f:
+        f.write(rc4_userpw)
+
+    # AES-256 R6: empty user password (owner-restricted), and a
+    # password-to-open variant
+    aes256 = build_encrypted_pdf_aes256(
+        "BT /F1 12 Tf 72 720 Td (AES-256 secured but readable) Tj ET")
+    with open(os.path.join(OUT_DIR, "aes256.pdf"), "wb") as f:
+        f.write(aes256)
+    aes256_userpw = build_encrypted_pdf_aes256(
+        "BT /F1 12 Tf 72 720 Td (AES-256 password-locked text) Tj ET",
+        user_pw=b"s3cret-user")
+    with open(os.path.join(OUT_DIR, "aes256_userpw.pdf"), "wb") as f:
+        f.write(aes256_userpw)
+    # R5 (the pre-R6 AESV3 revision): single-SHA-256 validation
+    aes256_r5 = build_encrypted_pdf_aes256(
+        "BT /F1 12 Tf 72 720 Td (AES-256 R5 legacy revision) Tj ET", r=5)
+    with open(os.path.join(OUT_DIR, "aes256_r5.pdf"), "wb") as f:
+        f.write(aes256_r5)
 
     # TWO CID fonts whose CMaps map the SAME code <0001> to different
     # glyphs — only per-font (Tf-tracked) decoding extracts "AZ"; a

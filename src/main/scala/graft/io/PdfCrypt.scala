@@ -1,18 +1,20 @@
 package graft.io
 
-/** Standard-security-handler decryption for [[PdfSource]] — the
-  * empty-user-password case that covers most encrypted PDFs in the
-  * wild (owner-password-restricted documents open for reading;
-  * reference parity: pypdf's `_encryption` via `pdf_read_tool.py`).
+/** Standard-security-handler decryption for [[PdfSource]]
+  * (reference parity: pypdf's `_encryption` via `pdf_read_tool.py`).
   *
-  * Supported: /Filter /Standard with V 1/2 (RC4, 40–128 bit key) and
-  * V 4 + /CFM /AESV2 (AES-128-CBC), revisions 2–4. V 5 / R 6
-  * (AES-256, SHA-2 derivation) and non-empty user passwords are out
-  * of scope — [[fromDict]] returns None and the caller surfaces the
-  * file as undecodable rather than emitting garbage.
+  * Supported: /Filter /Standard with V 1/2 (RC4, 40–128 bit key),
+  * V 4 + /CFM /AESV2 (AES-128-CBC), revisions 2–4, and V 5 /
+  * R 5–6 + /CFM /AESV3 (AES-256-CBC with the SHA-2 key derivation of
+  * ISO 32000-2 §7.6.4 — the default for PDFs produced since ~2017).
+  * The caller may supply a password: it is tried as the USER password
+  * first and (V5 only) as the OWNER password second, matching pypdf's
+  * order. A wrong password, or any unsupported scheme, makes
+  * [[fromDict]] return None and the caller surfaces the file as
+  * undecodable rather than emitting garbage.
   *
-  * All primitives are JDK-provided (MD5 via MessageDigest, AES via
-  * javax.crypto); RC4 is the 15-line KSA/PRGA spelled out below
+  * All primitives are JDK-provided (MD5/SHA-2 via MessageDigest, AES
+  * via javax.crypto); RC4 is the 15-line KSA/PRGA spelled out below
   * because the JCE ARCFOUR provider can be disabled by security
   * policy.
   */
@@ -25,16 +27,25 @@ private[graft] object PdfCrypt {
     0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
     0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
 
-  final case class Decryptor(fileKey: Array[Byte], aes: Boolean) {
-    /** Decrypt one object's stream payload. */
+  final case class Decryptor(fileKey: Array[Byte], aes: Boolean,
+      v5: Boolean = false) {
+    /** Decrypt one object's stream payload. V5 (AES-256) uses the file
+      * key directly for every object (§7.6.4: no per-object
+      * derivation); V≤4 derives the per-object key by the MD5 chain of
+      * §7.6.2 algorithm 1.
+      */
     def decrypt(objNum: Int, gen: Int, data: Array[Byte]): Option[Array[Byte]] = try {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      md.update(fileKey)
-      md.update(Array(
-        (objNum & 0xff).toByte, ((objNum >> 8) & 0xff).toByte, ((objNum >> 16) & 0xff).toByte,
-        (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte))
-      if (aes) md.update("sAlT".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-      val objKey = md.digest().take(math.min(fileKey.length + 5, 16))
+      val objKey =
+        if (v5) fileKey
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          md.update(fileKey)
+          md.update(Array(
+            (objNum & 0xff).toByte, ((objNum >> 8) & 0xff).toByte, ((objNum >> 16) & 0xff).toByte,
+            (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte))
+          if (aes) md.update("sAlT".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          md.digest().take(math.min(fileKey.length + 5, 16))
+        }
       if (aes) {
         if (data.length < 16) return None
         val cipher = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
@@ -47,9 +58,11 @@ private[graft] object PdfCrypt {
   }
 
   /** Build a decryptor from the /Encrypt dictionary and the first
-    * file /ID element, verifying the EMPTY user password against /U.
+    * file /ID element, verifying `password` (default empty) as the
+    * user password — and, for V5, as the owner password second.
     */
-  def fromDict(encryptDict: String, fileId: Array[Byte]): Option[Decryptor] = try {
+  def fromDict(encryptDict: String, fileId: Array[Byte],
+      password: String = ""): Option[Decryptor] = try {
     if (!encryptDict.contains("/Standard")) return None
     // scalar keys must come from the TOP-LEVEL dict: a V4 /CF crypt-
     // filter subdict carries its own /Length (in BYTES), and dict key
@@ -57,6 +70,7 @@ private[graft] object PdfCrypt {
     val top = stripNestedDicts(encryptDict)
     val v = intKey(top, "V").getOrElse(0)
     val r = intKey(top, "R").getOrElse(if (v == 1) 2 else 3)
+    if (v == 5) return fromDictV5(encryptDict, top, r, password)
     if (v < 1 || v > 4 || r < 2 || r > 4) return None
     // the filter NAME lives inside the nested /CF dict — full-text check
     val aes = v == 4 && encryptDict.contains("/AESV2")
@@ -69,9 +83,11 @@ private[graft] object PdfCrypt {
     val u = hexOrLiteral(top, "U").getOrElse(return None)
     val p = signedIntKey(top, "P").getOrElse(return None)
 
-    // 7.6.3.3 algorithm 2, empty user password
+    // 7.6.3.3 algorithm 2: the (padded) user password seeds the key;
+    // everything downstream of this hash is password-independent
+    val pwBytes = password.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.update(Pad)
+    md.update((pwBytes ++ Pad).take(32))
     md.update(o.take(32))
     md.update(Array((p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
       ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte))
@@ -105,6 +121,101 @@ private[graft] object PdfCrypt {
       }
     if (ok) Some(Decryptor(fileKey, aes)) else None
   } catch { case _: Exception => None }
+
+  /** V5 (AES-256): ISO 32000-2 §7.6.4. R5 validates with a single
+    * SHA-256; R6 with the iterated hash of algorithm 2.B. The file key
+    * never derives from the password — it is stored AES-wrapped in
+    * /UE (user) or /OE (owner), so either password unwraps the SAME
+    * key.
+    */
+  private def fromDictV5(fullDict: String, top: String, r: Int,
+      password: String): Option[Decryptor] = {
+    if (r != 5 && r != 6) return None
+    if (!fullDict.contains("/AESV3")) return None
+    val u = hexOrLiteral(top, "U").getOrElse(return None)
+    val ue = hexOrLiteral(top, "UE").getOrElse(return None)
+    val o = hexOrLiteral(top, "O").getOrElse(return None)
+    val oe = hexOrLiteral(top, "OE").getOrElse(return None)
+    if (u.length < 48 || o.length < 48 || ue.length < 32 || oe.length < 32) return None
+    // §7.6.4.3.2: UTF-8, at most 127 bytes
+    val pw = password.getBytes(java.nio.charset.StandardCharsets.UTF_8).take(127)
+    def sha256(parts: Array[Byte]*): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      parts.foreach(md.update)
+      md.digest()
+    }
+    def passwordHash(salt: Array[Byte], udata: Array[Byte]): Array[Byte] =
+      if (r == 6) hash2B(pw, salt, udata) else sha256(pw, salt, udata)
+
+    // user password first (algorithm 11), then owner (algorithm 12)
+    val userKey: Option[Array[Byte]] = {
+      val vSalt = u.slice(32, 40)
+      val kSalt = u.slice(40, 48)
+      if (java.util.Arrays.equals(passwordHash(vSalt, Array.emptyByteArray), u.take(32)))
+        Some(aesCbcNoPad(decrypt = true, passwordHash(kSalt, Array.emptyByteArray),
+          new Array[Byte](16), ue.take(32)))
+      else None
+    }
+    val fileKey = userKey.orElse {
+      val vSalt = o.slice(32, 40)
+      val kSalt = o.slice(40, 48)
+      val udata = u.take(48)
+      if (java.util.Arrays.equals(passwordHash(vSalt, udata), o.take(32)))
+        Some(aesCbcNoPad(decrypt = true, passwordHash(kSalt, udata),
+          new Array[Byte](16), oe.take(32)))
+      else None
+    }
+    fileKey.map(k => Decryptor(k, aes = true, v5 = true))
+  }
+
+  /** §7.6.4.3.4 algorithm 2.B — the R6 iterated hash. At least 64
+    * rounds; from round 64 on, stop once the last byte of the AES
+    * output E is ≤ round − 32.
+    */
+  private[io] def hash2B(pw: Array[Byte], salt: Array[Byte],
+      udata: Array[Byte]): Array[Byte] = {
+    var k = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.update(pw); md.update(salt); md.update(udata)
+      md.digest()
+    }
+    var round = 0
+    var done = false
+    while (!done) {
+      round += 1
+      val block = pw ++ k ++ udata
+      val k1 = new Array[Byte](block.length * 64)
+      var i = 0
+      while (i < 64) {
+        System.arraycopy(block, 0, k1, i * block.length, block.length)
+        i += 1
+      }
+      val e = aesCbcNoPad(decrypt = false, k.take(16), k.slice(16, 32), k1)
+      // first 16 bytes of E as a big-endian integer mod 3 — base 256 is
+      // ≡ 1 (mod 3), so the digit sum mod 3 is the same number
+      var sum = 0
+      i = 0
+      while (i < 16) { sum += e(i) & 0xff; i += 1 }
+      val alg = (sum % 3) match {
+        case 0 => "SHA-256"
+        case 1 => "SHA-384"
+        case _ => "SHA-512"
+      }
+      k = java.security.MessageDigest.getInstance(alg).digest(e)
+      done = round >= 64 && (e(e.length - 1) & 0xff) <= round - 32
+    }
+    k.take(32)
+  }
+
+  private def aesCbcNoPad(decrypt: Boolean, key: Array[Byte], iv: Array[Byte],
+      data: Array[Byte]): Array[Byte] = {
+    val cipher = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    cipher.init(
+      if (decrypt) javax.crypto.Cipher.DECRYPT_MODE else javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    cipher.doFinal(data)
+  }
 
   private[io] def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
     val s = Array.tabulate(256)(_.toByte)

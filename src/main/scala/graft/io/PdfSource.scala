@@ -11,10 +11,11 @@ import org.apache.spark.sql.types._
   * The decode kernel is REAL and broad (pure JDK, no deps): classic
   * xref tables AND cross-reference streams / object streams (ObjStm),
   * Flate/LZW/ASCIIHex/ASCII85 filter chains, Tj/TJ/'/" text operators,
-  * ToUnicode CMaps including CID two-byte codes, and RC4 + AES-128
-  * encryption with an empty user password ([[extractPdfPages]],
-  * [[PdfCrypt]]). Known gaps: AES-256 (R6) and non-empty user
-  * passwords — those surface as error rows (see `PdfCrypt` header).
+  * ToUnicode CMaps including CID two-byte codes, and RC4 / AES-128 /
+  * AES-256 (R5–R6, SHA-2 derivation) encryption with empty or
+  * caller-supplied user (and V5 owner) passwords ([[extractPdfPages]],
+  * [[PdfCrypt]]). A wrong password or unsupported scheme surfaces as
+  * an error row, never garbage.
   * Non-PDF bytes take a deterministic stub split so synthetic corpora
   * keep working. The Spark plumbing — binaryFile scan, page-range
   * algebra, per-page row explosion via mapPartitions, per-file failure
@@ -55,12 +56,13 @@ object PdfSource {
     * to the deterministic stub split (form-feed pages / 1KB chunks) so
     * synthetic test corpora keep working.
     */
-  private[graft] def extractPagesStub(bytes: Array[Byte]): Seq[String] = {
+  private[graft] def extractPagesStub(bytes: Array[Byte],
+      password: String = ""): Seq[String] = {
     if (bytes == null || bytes.length < 8)
       throw new IllegalArgumentException("truncated pdf")
     if (bytes.length >= 5 && new String(bytes, 0, 5,
         java.nio.charset.StandardCharsets.ISO_8859_1) == "%PDF-") {
-      val pages = extractPdfPages(bytes)
+      val pages = extractPdfPages(bytes, password)
       if (pages.nonEmpty) return pages
       throw new IllegalArgumentException("pdf has no extractable text streams")
     }
@@ -79,20 +81,21 @@ object PdfSource {
     * array) — so pages come back in DOCUMENT order with multi-stream
     * pages joined, not in byte order. Any parse failure falls back to
     * the byte-order linear stream scan ([[linearScanPages]]).
-    * Encrypted files decrypt via [[PdfCrypt]] (standard handler,
-    * RC4/AES-128, empty user password); CID/Type0 text goes through
-    * the /ToUnicode CMap. Out of scope (documented): AES-256 (R6)
-    * encryption, non-empty user passwords, embedded-CMap-only fonts —
-    * those surface as the no-extractable-text error row (the
-    * reference reaches them through pypdf, `pdf_read_tool.py:90-…`).
+    * Encrypted files decrypt via [[PdfCrypt]] (standard handler:
+    * RC4, AES-128, and AES-256 R5–R6; empty or supplied passwords);
+    * CID/Type0 text goes through the /ToUnicode CMap. Out of scope
+    * (documented): embedded-CMap-only fonts — those surface as the
+    * no-extractable-text error row (the reference reaches them
+    * through pypdf, `pdf_read_tool.py:90-…`).
     */
-  private[graft] def extractPdfPages(bytes: Array[Byte]): Seq[String] = {
+  private[graft] def extractPdfPages(bytes: Array[Byte],
+      password: String = ""): Seq[String] = {
     val viaXref =
-      try extractPagesViaXref(bytes)
+      try extractPagesViaXref(bytes, password)
       catch { case _: Exception => None }
     viaXref match {
       case Some(ps) if ps.exists(_.nonEmpty) => ps
-      case _ => linearScanPages(bytes)
+      case _ => linearScanPages(bytes, password)
     }
   }
 
@@ -336,7 +339,8 @@ object PdfSource {
     * extract page texts in page-tree order. None = structure this
     * kernel can't resolve (caller falls back to the linear scan).
     */
-  private[graft] def extractPagesViaXref(bytes: Array[Byte]): Option[Seq[String]] = {
+  private[graft] def extractPagesViaXref(bytes: Array[Byte],
+      password: String = ""): Option[Seq[String]] = {
     val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
     val sx = raw.lastIndexOf("startxref")
     if (sx < 0) return None
@@ -464,7 +468,7 @@ object PdfSource {
         case Some(num) =>
           directDict(num)
             .flatMap(d => PdfCrypt.fromDict(d,
-              trailerId.getOrElse(Array.emptyByteArray))) match {
+              trailerId.getOrElse(Array.emptyByteArray), password)) match {
             case None => return None // encrypted, unsupported: no garbage out
             case some => some
           }
@@ -629,7 +633,8 @@ object PdfSource {
     * every text-bearing (BT) stream as a page — works on classic
     * single-generation files and anything whose xref is broken.
     */
-  private[graft] def linearScanPages(bytes: Array[Byte]): Seq[String] = {
+  private[graft] def linearScanPages(bytes: Array[Byte],
+      password: String = ""): Seq[String] = {
     val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
     // encryption detection is limited to TRAILER dicts (all of them —
     // incremental updates append several), not a whole-file grep that
@@ -647,7 +652,7 @@ object PdfSource {
             .getOrElse(Array.emptyByteArray)
           ("""(?m)^""" + num + """\s+\d+\s+obj""").r.findFirstMatchIn(raw)
             .map(om => balancedDict(raw, om.end))
-            .flatMap(d => PdfCrypt.fromDict(d, fileId)) match {
+            .flatMap(d => PdfCrypt.fromDict(d, fileId, password)) match {
             case None => return Seq.empty // encrypted, unsupported
             case some => some
           }
@@ -963,7 +968,8 @@ object PdfSource {
     * failure isolation (corrupt file → one error row, scan continues).
     */
   def readPages(spark: SparkSession, dir: String, pages: String = "all",
-      maxPages: Int = 100, glob: String = "*.pdf"): DataFrame = {
+      maxPages: Int = 100, glob: String = "*.pdf",
+      password: String = ""): DataFrame = {
     val bin = spark.read.format("binaryFile")
       .option("pathGlobFilter", glob).load(dir)
       .select("path", "content")
@@ -972,7 +978,7 @@ object PdfSource {
       it.flatMap { row =>
         val path = row.getString(0)
         try {
-          extractPagesStub(row.getAs[Array[Byte]](1))
+          extractPagesStub(row.getAs[Array[Byte]](1), password)
             .zipWithIndex
             .map { case (t, i) => (i + 1, t) }
             .filter { case (p, _) => keep(p) }

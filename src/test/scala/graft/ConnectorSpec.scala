@@ -111,6 +111,38 @@ class ConnectorSpec extends SparkSpec {
     // TWO fonts mapping the same code differently: per-font Tf-tracked
     // decoding gets "AZ"; a union CMap would garble one of them
     assert(byFile("cid2.pdf") == Seq("AZ"))
+    // AES-256 (V5): empty-user-password files open without a password
+    assert(byFile("aes256.pdf") == Seq("AES-256 secured but readable"))
+    assert(byFile("aes256_r5.pdf") == Seq("AES-256 R5 legacy revision"))
+    // password-to-open files surface as error rows on this no-password
+    // read — never garbage
+    assert(!byFile.contains("aes256_userpw.pdf") && !byFile.contains("rc4_userpw.pdf"))
+  }
+
+  test("pdf crypt: AES-256 (R6) and non-empty user passwords, fixture cross-validation") {
+    // fixtures from scripts/make_pdf_fixture.py, whose crypto is an
+    // INDEPENDENT implementation (hashlib + python-cryptography) of
+    // ISO 32000-2 7.6.4 — reader and writer cross-validate
+    val dir = new java.io.File(getClass.getResource("/fixtures/plain.pdf").getPath).getParent
+    def texts(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.filter(col("ok")).collect().map(_.getString(2)).toSeq
+    // R6 with the correct user password
+    assert(texts(PdfSource.readPages(spark, dir, glob = "aes256_userpw.pdf",
+      password = "s3cret-user")) == Seq("AES-256 password-locked text"))
+    // R6 empty-user-password file ALSO opens via the owner password
+    // (algorithm 12: /OE unwraps the same file key)
+    assert(texts(PdfSource.readPages(spark, dir, glob = "aes256.pdf",
+      password = "fixture-owner-256")) == Seq("AES-256 secured but readable"))
+    // legacy RC4 (V2/R3) with a user password
+    assert(texts(PdfSource.readPages(spark, dir, glob = "rc4_userpw.pdf",
+      password = "legacy-pw")) == Seq("Legacy password-locked text"))
+    // wrong password fails closed: one error row, no text
+    val wrong = PdfSource.readPages(spark, dir, glob = "aes256_userpw.pdf",
+      password = "not-the-password").collect()
+    assert(wrong.length == 1 && !wrong.head.getAs[Boolean]("ok"))
+    val wrongLegacy = PdfSource.readPages(spark, dir, glob = "rc4_userpw.pdf",
+      password = "nope").collect()
+    assert(wrongLegacy.length == 1 && !wrongLegacy.head.getAs[Boolean]("ok"))
   }
 
   test("pdf crypt: AES-128 object decryption and wrong-password refusal") {
