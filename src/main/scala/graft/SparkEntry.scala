@@ -1152,6 +1152,31 @@ object SparkEntry {
       k = 10, nProbe = 5)
   }
 
+  /** Multimodal: REAL pixel decode — ImageIO-rendered PNGs (lossless,
+    * so decoded pixels are exactly the rendered ones) through
+    * [[graft.operators.Multimodal.imageStats]]; the oracle restates
+    * each image's mean channel values as closed-form literals. JPEG
+    * (lossy) takes the tolerance-based spec route instead
+    * (SemanticSpec), never an exact oracle.
+    */
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    val imgs = Seq(
+      (1L, M.renderPng(16, 16, (_, _) => (200 << 16) | (50 << 8) | 25)),
+      (2L, M.renderPng(8, 8, (_, _) => (128 << 8) | 255)),
+      // left half pure red, right half pure blue: means (0.5, 0, 0.5)
+      (3L, M.renderPng(4, 2, (x, _) => if (x < 2) 0xFF0000 else 0x0000FF))
+    ).toDF("img_id", "content")
+    M.imageStats(imgs)
+      .select(col("img_id"), col("stats.width").as("width"),
+        col("stats.height").as("height"),
+        round(col("stats.avg_r"), 4).as("avg_r"),
+        round(col("stats.avg_g"), 4).as("avg_g"),
+        round(col("stats.avg_b"), 4).as("avg_b"))
+      .orderBy(col("img_id"))
+  }
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -1186,7 +1211,7 @@ object SparkEntry {
     "q27_string_funcs" -> (q27 _),
     "q28_monthly_orders" -> (q28 _),
     "q29_json_extract" -> (q29 _),
-    "q30_hourly_event_windows" -> (q30 _),
+    "q30_hourly_windows" -> (q30 _),
     "q31_token_stats" -> (q31 _),
     "q32_doc_ratios" -> (q32 _),
     "q33_knn_brute" -> (q33 _),
@@ -1203,7 +1228,7 @@ object SparkEntry {
     "q44_multimodal_decode" -> (q44 _),
     "q45_semantic_judge" -> (q45 _),
     "q46_session_windows" -> (q46 _),
-    "q47_risk_score_weighted" -> (q47 _),
+    "q47_risk_weighted" -> (q47 _),
     "q48_value_percentiles" -> (q48 _),
     "q49_left_join_nulls" -> (q49 _),
     "q50_cube_orders" -> (q50 _),
@@ -1234,7 +1259,8 @@ object SparkEntry {
     "q75_topk" -> (q75 _),
     "q76_nfc" -> (q76 _),
     "q77_export" -> (q77 _),
-    "q78_ivf_part" -> (q78 _))
+    "q78_ivf_part" -> (q78 _),
+    "q79_img_px" -> (q79 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1380,7 +1406,7 @@ object SparkEntry {
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
         | count(*) AS n
         |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin,
-    "q30_hourly_event_windows" ->
+    "q30_hourly_windows" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, event_type,
         | count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
@@ -1454,7 +1480,7 @@ object SparkEntry {
         |      FROM events))
         |  GROUP BY user_id, session_id)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
-    "q47_risk_score_weighted" ->
+    "q47_risk_weighted" ->
       """SELECT risk_grade, count(*) AS n, round(avg(risk_score), 2) AS avg_score
         |FROM (
         |  SELECT round(
@@ -2001,7 +2027,17 @@ object SparkEntry {
         |FROM embeddings e,
         | (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |WHERE e.vec_id <> 0
-        |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin)
+        |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
+    // q79's images are rendered in-engine (lossless PNG), so the mean
+    // channel values are known in closed form: solid colors average to
+    // component/255, the half-red-half-blue strip to (0.5, 0, 0.5).
+    "q79_img_px" ->
+      """SELECT * FROM (VALUES
+        | (CAST(1 AS BIGINT), 16, 16, round(200/255.0, 4), round(50/255.0, 4), round(25/255.0, 4)),
+        | (CAST(2 AS BIGINT), 8, 8, round(0/255.0, 4), round(128/255.0, 4), round(255/255.0, 4)),
+        | (CAST(3 AS BIGINT), 4, 2, round(0.5, 4), round(0.0, 4), round(0.5, 4))
+        |) AS t(img_id, width, height, avg_r, avg_g, avg_b)
+        |ORDER BY img_id""".stripMargin)
 
   /** q58's oracle, generated like [[embeddingNearDupOracle]]: both
     * corpora's per-band bucket bits from the seeded planes (seed

@@ -14,11 +14,11 @@ import org.apache.spark.sql.types._
   * compressed), decode/feature-extract runs as `mapPartitions` with
   * explicit batch shape — the Scala analog of `mapInPandas` — so a
   * real decoder (JNI/FFI or an inference runtime) amortizes model and
-  * buffer setup per batch, not per row. The decode kernel itself is a
-  * deterministic STUB here (media codecs are not in this environment);
-  * everything around it — schemas, batching, partitioning, null
-  * handling — is real and tested, and swapping the stub for a real
-  * codec changes one function.
+  * buffer setup per batch, not per row. Header metadata (PNG/JPEG/
+  * WAV/MP4) and PNG/JPEG pixel decode ([[imageStats]], ImageIO) are
+  * REAL; only the learned-embedding half of feature extraction is a
+  * deterministic stub (no inference runtime in this environment) —
+  * swapping it for a real model changes one function.
   */
 object Multimodal {
 
@@ -322,6 +322,130 @@ object Multimodal {
     ftyp ++ moov
   }
 
+  // ----------------------------------------------------------- pixels
+
+  /** Full raster decode for PNG/JPEG via pure-JDK ImageIO — the REAL
+    * pixel path (no stub): returns None for non-image formats, for
+    * header-only synthetics with no pixel data, and for corrupt
+    * rasters, so callers fall back per-row instead of failing the
+    * scan.
+    */
+  private[graft] def decodePixels(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    if (bytes == null || bytes.length < 8) return None
+    val isPng = bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
+    val isJpeg = bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte
+    if (!isPng && !isJpeg) return None
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: Throwable => None }
+  }
+
+  /** Deterministic pixel summary: mean R/G/B (0..1) plus a 4-bin
+    * luminance histogram, computed over a stride-sampled grid capped
+    * at ~1M pixels so a 100-megapixel asset costs the same as a
+    * 1-megapixel one. Small images (anything under the cap) are
+    * summarized EXACTLY — which is what lets a gate query restate the
+    * stats as closed-form literals.
+    */
+  private[graft] def pixelSummary(img: java.awt.image.BufferedImage): Array[Double] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val stride = math.max(1, math.ceil(math.sqrt(w.toDouble * h / 1048576.0)).toInt)
+    var sr, sg, sb = 0.0
+    val lumaHist = new Array[Double](4)
+    var n = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        sr += r; sg += g; sb += b
+        lumaHist(((r * 299 + g * 587 + b * 114) / 1000) >> 6) += 1
+        n += 1
+        x += stride
+      }
+      y += stride
+    }
+    Array(sr / n / 255.0, sg / n / 255.0, sb / n / 255.0,
+      lumaHist(0) / n, lumaHist(1) / n, lumaHist(2) / n, lumaHist(3) / n)
+  }
+
+  val ImageStatsSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("avg_r", DoubleType),
+    StructField("avg_g", DoubleType),
+    StructField("avg_b", DoubleType),
+    StructField("ok", BooleanType, nullable = false),
+    StructField("error", StringType)))
+
+  /** Per-image pixel statistics (REAL ImageIO decode, the
+    * `vision_detect_*`-shaped content-derived path): width/height from
+    * the raster and mean channel values in [0,1]. Non-decodable rows
+    * degrade to error rows, never fail the scan. Batched mapPartitions
+    * like [[decode]].
+    */
+  def imageStats(df: DataFrame, contentCol: String = "content",
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField("stats", ImageStatsSchema))
+    val contentIdx = inSchema.fieldIndex(contentCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val stats = decodePixels(row.getAs[Array[Byte]](contentIdx)) match {
+            case Some(img) =>
+              val s = pixelSummary(img)
+              Row(img.getWidth, img.getHeight, s(0), s(1), s(2), true, null)
+            case None =>
+              Row(null, null, null, null, null, false, "not a decodable raster")
+          }
+          Row.fromSeq(row.toSeq :+ stats)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Render a PNG via ImageIO from a per-pixel color function —
+    * REAL raster bytes for pixel-path tests and gate queries
+    * (deterministic: PNG is lossless, so decode returns exactly the
+    * rendered pixels regardless of encoder details).
+    */
+  private[graft] def renderPng(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** JPEG twin of [[renderPng]] (lossy — for tolerance-based specs,
+    * not exact oracles).
+    */
+  private[graft] def renderJpeg(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
   /** Decode a binary column into typed metadata via batched
     * mapPartitions. `batchSize` is the real knob: a production decoder
     * allocates scratch buffers / a session per batch.
@@ -346,9 +470,15 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
-  /** STUB feature extractor: deterministic pseudo-embedding (unit-norm
-    * dim-`dim` vector from a rolling hash). The real version is a
-    * batched inference call — identical batching contract to [[decode]].
+  /** Feature extractor. PNG/JPEG bytes that ImageIO can fully decode
+    * get REAL content-derived features (channel means + luminance
+    * histogram + aspect, folded to `dim` and unit-normed) — two
+    * renderings of the same image land near each other in feature
+    * space, which is what media near-dup search needs. Everything else
+    * (non-image formats, header-only synthetics) keeps the
+    * deterministic rolling-hash pseudo-embedding — the explicit test
+    * seam where a production pipeline would call its inference model,
+    * with the same batching contract as [[decode]].
     */
   def extractFeatures(df: DataFrame, contentCol: String = "content",
       dim: Int = 16, batchSize: Int = 64): DataFrame = {
@@ -361,23 +491,59 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         batch.map { row =>
           val bytes = row.getAs[Array[Byte]](contentIdx)
-          val vec = new Array[Float](dim)
-          if (bytes != null && bytes.nonEmpty) {
-            var h = 0x9E3779B97F4A7C15L
-            var i = 0
-            while (i < math.min(bytes.length, 4096)) {
-              h = graft.functions.CatalystExpressions.splitmix64(h ^ bytes(i))
-              vec(i % dim) += (h.toInt.toFloat / Int.MaxValue)
-              i += 1
-            }
-            val norm = math.sqrt(vec.map(x => x.toDouble * x).sum).toFloat
-            if (norm > 0) (0 until dim).foreach(j => vec(j) = vec(j) / norm)
+          val vec = decodePixels(bytes) match {
+            case Some(img) => pixelFeatureVector(img, dim)
+            case None => hashFeatureVector(bytes, dim)
           }
           Row.fromSeq(row.toSeq :+ vec.toSeq)
         }
       }
     }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Content-derived image features: [avgR, avgG, avgB, 4-bin luma
+    * histogram, aspect ratio] cyclically folded into `dim` floats,
+    * unit-normed.
+    */
+  private[graft] def pixelFeatureVector(img: java.awt.image.BufferedImage,
+      dim: Int): Array[Float] = {
+    val s = pixelSummary(img)
+    val aspect = math.min(img.getWidth.toDouble / img.getHeight,
+      img.getHeight.toDouble / img.getWidth)
+    val raw = s :+ aspect
+    val vec = new Array[Float](dim)
+    var i = 0
+    while (i < raw.length) {
+      vec(i % dim) += raw(i).toFloat
+      i += 1
+    }
+    unitNorm(vec)
+  }
+
+  /** The rolling-hash pseudo-embedding (deterministic stub half). */
+  private[graft] def hashFeatureVector(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val vec = new Array[Float](dim)
+    if (bytes != null && bytes.nonEmpty) {
+      var h = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < math.min(bytes.length, 4096)) {
+        h = graft.functions.CatalystExpressions.splitmix64(h ^ bytes(i))
+        vec(i % dim) += (h.toInt.toFloat / Int.MaxValue)
+        i += 1
+      }
+      unitNorm(vec)
+    }
+    vec
+  }
+
+  private def unitNorm(vec: Array[Float]): Array[Float] = {
+    val norm = math.sqrt(vec.map(x => x.toDouble * x).sum).toFloat
+    if (norm > 0) {
+      var j = 0
+      while (j < vec.length) { vec(j) = vec(j) / norm; j += 1 }
+    }
+    vec
   }
 
   /** Frame sampling plan for video-like assets: given per-asset frame

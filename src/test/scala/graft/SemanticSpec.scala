@@ -304,6 +304,53 @@ class SemanticSpec extends SparkSpec {
     assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-5) // cosine 1 with its twin
   }
 
+  test("imageStats: real ImageIO pixel decode — exact means, lossy JPEG within tolerance") {
+    val df = Seq(
+      (1L, Multimodal.renderPng(16, 16, (_, _) => (200 << 16) | (50 << 8) | 25)),
+      (2L, Multimodal.renderJpeg(32, 32, (_, _) => (200 << 16) | (50 << 8) | 25)),
+      (3L, Multimodal.syntheticPng(640, 480)), // header-only: no raster
+      (4L, "not an image".getBytes)
+    ).toDF("id", "content")
+    val out = Multimodal.imageStats(df).collect()
+      .map(r => r.getLong(0) -> r.getAs[org.apache.spark.sql.Row]("stats")).toMap
+    // PNG is lossless: means are exactly component/255
+    assert(out(1L).getAs[Boolean]("ok"))
+    assert(out(1L).getAs[Int]("width") == 16 && out(1L).getAs[Int]("height") == 16)
+    assert(out(1L).getAs[Double]("avg_r") == 200.0 / 255.0)
+    assert(out(1L).getAs[Double]("avg_g") == 50.0 / 255.0)
+    assert(out(1L).getAs[Double]("avg_b") == 25.0 / 255.0)
+    // JPEG is lossy: same solid color within codec tolerance
+    assert(out(2L).getAs[Boolean]("ok"))
+    assert(math.abs(out(2L).getAs[Double]("avg_r") - 200.0 / 255.0) < 0.02)
+    assert(math.abs(out(2L).getAs[Double]("avg_b") - 25.0 / 255.0) < 0.02)
+    // header-only synthetic and non-images degrade to error rows
+    assert(!out(3L).getAs[Boolean]("ok") && !out(4L).getAs[Boolean]("ok"))
+  }
+
+  test("pixel features: content-derived for real rasters, hash fallback elsewhere") {
+    val red = (_: Int, _: Int) => 0xFF0000
+    val blue = (_: Int, _: Int) => 0x0000FF
+    val df = Seq(
+      (1L, Multimodal.renderPng(16, 16, red)),
+      (2L, Multimodal.renderJpeg(16, 16, red)), // same CONTENT, different bytes+codec
+      (3L, Multimodal.renderPng(16, 16, blue)),
+      (4L, "just some bytes".getBytes)
+    ).toDF("id", "content")
+    val feats = Multimodal.extractFeatures(df, dim = 8).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]]("features").toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    // the PNG and JPEG of the SAME image are near-identical in feature
+    // space even though their bytes differ completely — content-derived,
+    // not byte-derived (the hash stub would put them nowhere near)
+    assert(cos(feats(1L), feats(2L)) > 0.999)
+    // a different image is measurably farther than a re-encoding
+    assert(cos(feats(1L), feats(3L)) < cos(feats(1L), feats(2L)))
+    // non-image bytes still get the deterministic unit-norm hash vector
+    val n4 = math.sqrt(feats(4L).map(x => x.toDouble * x).sum)
+    assert(math.abs(n4 - 1.0) < 1e-5)
+  }
+
   test("frame sampling and resize plans") {
     val vids = Seq(("v1", 10), ("v2", 1)).toDF("vid", "n_frames")
     val frames = Multimodal.sampleFrames(vids, "vid", "n_frames", stride = 4)
