@@ -198,6 +198,82 @@ object Connector {
     graft.sql.QueryStats.run(df, cap)
   }
 
+  val DescribeSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("table_schema",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("table_name",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("column_name",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("data_type",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("nullable",
+      org.apache.spark.sql.types.BooleanType),
+    org.apache.spark.sql.types.StructField("ordinal",
+      org.apache.spark.sql.types.IntegerType)))
+
+  val TableListSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("table_schema",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("table_name",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("table_type",
+      org.apache.spark.sql.types.StringType)))
+
+  /** Remote catalog describe — `describe_dataset` parity for the
+    * remote-SQL source (`bigquery_tool.py:277-392` lists a REMOTE
+    * dataset's tables + schemas; [[graft.core.Catalog.describeDataset]]
+    * covers the local metastore half). One row per column via JDBC
+    * `DatabaseMetaData.getColumns` — the portable, read-only metadata
+    * surface (no SQL text exists to gate; nothing here can mutate).
+    * Catalog listings are tiny, so this is a bounded driver-side walk
+    * like the reference's — the DATA path stays [[sqlSource]].
+    */
+  def describeRemote(spark: SparkSession, url: String,
+      schemaPattern: Option[String] = None, tablePattern: String = "%",
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val props = new java.util.Properties()
+    options.foreach { case (k, v) => props.setProperty(k, v) }
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val rs = conn.getMetaData.getColumns(null, schemaPattern.orNull, tablePattern, "%")
+      val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+      while (rs.next()) {
+        rows += Row(rs.getString("TABLE_SCHEM"), rs.getString("TABLE_NAME"),
+          rs.getString("COLUMN_NAME"), rs.getString("TYPE_NAME"),
+          rs.getInt("NULLABLE") != java.sql.DatabaseMetaData.columnNoNulls,
+          rs.getInt("ORDINAL_POSITION"))
+      }
+      rs.close()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1), DescribeSchema)
+    } finally conn.close()
+  }
+
+  /** Table-level listing of the remote catalog (the dataset view the
+    * reference renders before per-table schemas): one row per
+    * TABLE/VIEW via `DatabaseMetaData.getTables`.
+    */
+  def listRemoteTables(spark: SparkSession, url: String,
+      schemaPattern: Option[String] = None, tablePattern: String = "%",
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val props = new java.util.Properties()
+    options.foreach { case (k, v) => props.setProperty(k, v) }
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val rs = conn.getMetaData.getTables(null, schemaPattern.orNull, tablePattern,
+        Array("TABLE", "VIEW"))
+      val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+      while (rs.next()) {
+        rows += Row(rs.getString("TABLE_SCHEM"), rs.getString("TABLE_NAME"),
+          rs.getString("TABLE_TYPE"))
+      }
+      rs.close()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1), TableListSchema)
+    } finally conn.close()
+  }
+
   /** In-memory transport for tests/offline runs: serves a fixed row
     * set in pages; records writes (per JVM).
     */

@@ -247,6 +247,24 @@ class ConnectorSpec extends SparkSpec {
         maxRows = 100,
         partitioning = Some(graft.io.Connector.SqlPartitioning("id", 1L, 26L, 3)))
       assert(!split.truncated && split.rowCount == 25L)
+
+      // remote catalog describe (`describe_dataset` parity): tables
+      // then per-column schemas through JDBC metadata
+      val st2 = conn.createStatement()
+      st2.executeUpdate("CREATE TABLE events2 (ts BIGINT, kind VARCHAR(20) NOT NULL)")
+      st2.close()
+      val tables = graft.io.Connector.listRemoteTables(spark, url,
+        schemaPattern = Some("APP")).collect()
+      assert(tables.map(_.getString(1)).toSet == Set("METRICS", "EVENTS2"))
+      assert(tables.forall(_.getString(2) == "TABLE"))
+      val cols = graft.io.Connector.describeRemote(spark, url,
+        schemaPattern = Some("APP"), tablePattern = "EVENTS2").collect()
+      assert(cols.map(r => (r.getString(2), r.getString(3), r.getBoolean(4))).toSet ==
+        Set(("TS", "BIGINT", true), ("KIND", "VARCHAR", false)))
+      assert(cols.map(_.getInt(5)).sorted.toSeq == Seq(1, 2))
+      // schema scoping: a non-existent schema lists nothing
+      assert(graft.io.Connector.describeRemote(spark, url,
+        schemaPattern = Some("NOPE")).count() == 0)
     } finally conn.close()
   }
 
