@@ -506,9 +506,18 @@ object Dedup {
       .unionByName(df.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
     val pairsNorm = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    // In-session mode rides the edge count on the checkpoint action as
+    // an accumulator — one job materializes AND counts, instead of a
+    // separate count() action. A speculative/retried task could
+    // overcount, which only biases the dispatch toward the safe
+    // (iterative) side of the threshold.
+    val edgeAcc = pairs.sparkSession.sparkContext.longAccumulator("cc_edge_count")
     val edgeInput = runDir match {
       case Some(_) => durable(bidirectional(pairsNorm), "edges")
-      case None => pairsNorm.localCheckpoint(true)
+      case None => pairsNorm
+        .map { r => edgeAcc.add(1); r }(
+          org.apache.spark.sql.Encoders.row(pairsNorm.schema))
+        .localCheckpoint(true)
     }
     // Hybrid dispatch: verified near-duplicate edge lists are a tiny
     // fraction of corpus cardinality, so when the (already
@@ -519,7 +528,10 @@ object Dedup {
     // the difference between ~100 ms and seconds of fixed iteration
     // overhead, and on a cluster it removes 3-5 shuffle barriers.
     // Adversarial edge volumes take the iterative path unchanged.
-    val edgeCount = edgeInput.count()
+    val edgeCount: Long = runDir match {
+      case Some(_) => edgeInput.count() // durable artifact: count the parquet
+      case None => edgeAcc.value.longValue // counted during materialization
+    }
     if (edgeCount <= maxDriverEdges) {
       driverUnionFind(edgeInput,
         pairs.schema(pairs.schema.fieldIndex(idA)).dataType)

@@ -40,6 +40,17 @@ object ProfileQuery {
       }
     })
 
+    // Match the bench's accounting: the shared corpus-index artifact
+    // frame is a ONCE-per-corpus build reported there as `index_sec`,
+    // not part of any single query's cost — prebuild it (untimed) so a
+    // cold profile measures the query, not the index. Set
+    // SPARK_GRAFT_PREBUILD_INDEX=0 to include the build in run 1.
+    if (sys.env.getOrElse("SPARK_GRAFT_PREBUILD_INDEX", "1") != "0") {
+      try graft.operators.CorpusIndex.artifacts(
+        graft.core.Engine.table(spark, sfDir, "documents"), sfDir, "doc_id", "text").count()
+      catch { case _: Throwable => () }
+    }
+
     val fn = graft.SparkEntry.queries(name)
     (1 to runs).foreach { i =>
       jobs.set(0); stages.set(0); tasks.set(0)
