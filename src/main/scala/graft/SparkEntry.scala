@@ -1177,6 +1177,41 @@ object SparkEntry {
       .orderBy(col("img_id"))
   }
 
+  /** Search: BM25 lexical top-10 over the documents table — ONE
+    * corpus-stats aggregate (N, avgdl, per-term df) broadcast as
+    * literals, map-side scoring, TakeOrderedAndProject. The oracle
+    * restates the full Okapi formula in SQL with the same stats CTE.
+    */
+  private def q80(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.bm25Rank(t(s, dir, "documents"),
+      "doc_id", "text", Seq("spark", "table", "hash"), k = 10)
+
+  /** Search: hybrid retrieval — BM25 top-20 and embedding-cosine
+    * top-20 (doc_id ≡ vec_id in the testdata), fused by
+    * reciprocal-rank fusion (1/(60+rank)). Lexical and vector ranks
+    * are each deterministic (score desc, id), so the fused list has
+    * one exact oracle.
+    */
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(s, dir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    val lex = graft.operators.TextOps.bm25Rank(
+        t(s, dir, "documents").filter(col("doc_id") =!= 0),
+        "doc_id", "text", Seq("spark", "table", "hash"), k = 20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("score"), col("doc_id"))))
+      .select(col("doc_id"), col("rank"))
+    val vec = Similarity.knnBrute(emb.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", query, k = 20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("cosine"), col("vec_id"))))
+      .select(col("vec_id").as("doc_id"), col("rank"))
+    graft.operators.TextOps.rrfFuse(Seq(lex, vec), "doc_id", "rank",
+      kRrf = 60, k = 10)
+  }
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -1185,7 +1220,7 @@ object SparkEntry {
     "q01_pricing_summary" -> (q01 _),
     "q02_revenue_by_nation" -> (q02 _),
     "q03_top_orders" -> (q03 _),
-    "q04_priority_semi_join" -> (q04 _),
+    "q04_semi_join" -> (q04 _),
     "q05_cust_no_orders" -> (q05 _),
     "q06_forecast_revenue" -> (q06 _),
     "q07_success_rate" -> (q07 _),
@@ -1204,7 +1239,7 @@ object SparkEntry {
     "q20_page_lineitem" -> (q20 _),
     "q21_union_segments" -> (q21 _),
     "q22_common_nations" -> (q22 _),
-    "q23_no_supplier_nations" -> (q23 _),
+    "q23_anti_nations" -> (q23 _),
     "q24_dedup_stats" -> (q24 _),
     "q25_duplicate_groups" -> (q25 _),
     "q26_brand_like_filter" -> (q26 _),
@@ -1223,7 +1258,7 @@ object SparkEntry {
     "q39_langid_mix" -> (q39 _),
     "q40_quality_scores" -> (q40 _),
     "q41_knn_lsh" -> (q41 _),
-    "q42_embedding_neardup" -> (q42 _),
+    "q42_emb_neardup" -> (q42 _),
     "q43_approx_distinct" -> (q43 _),
     "q44_multimodal_decode" -> (q44 _),
     "q45_semantic_judge" -> (q45 _),
@@ -1240,7 +1275,7 @@ object SparkEntry {
     "q56_cdc_upsert" -> (q56 _),
     "q57_state_asof" -> (q57 _),
     "q58_cross_linking" -> (q58 _),
-    "q59_approx_percentiles" -> (q59 _),
+    "q59_approx_pctl" -> (q59 _),
     "q60_corpus_curation" -> (q60 _),
     "q61_html_extraction" -> (q61 _),
     "q62_asof_join" -> (q62 _),
@@ -1260,7 +1295,9 @@ object SparkEntry {
     "q76_nfc" -> (q76 _),
     "q77_export" -> (q77 _),
     "q78_ivf_part" -> (q78 _),
-    "q79_img_px" -> (q79 _))
+    "q79_img_px" -> (q79 _),
+    "q80_bm25" -> (q80 _),
+    "q81_hybrid" -> (q81 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1287,7 +1324,7 @@ object SparkEntry {
       """SELECT o_orderkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
-    "q04_priority_semi_join" ->
+    "q04_semi_join" ->
       """SELECT o_orderpriority, count(*) AS n_orders FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
@@ -1380,7 +1417,7 @@ object SparkEntry {
     "q22_common_nations" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
-    "q23_no_supplier_nations" ->
+    "q23_anti_nations" ->
       """SELECT n_nationkey AS nationkey FROM nation
         |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
     "q24_dedup_stats" ->
@@ -1598,7 +1635,7 @@ object SparkEntry {
         |SELECT lang, round(avg(qs), 4) AS avg_quality, round(avg(bp), 2) AS avg_bpeish_tokens
         |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
     "q41_knn_lsh" -> knnLshOracle,
-    "q42_embedding_neardup" -> embeddingNearDupOracle,
+    "q42_emb_neardup" -> embeddingNearDupOracle,
     "q43_approx_distinct" ->
       """SELECT
         | abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
@@ -2010,7 +2047,7 @@ object SparkEntry {
          |  round(avg(quality), 4) AS avg_quality
          |FROM scored WHERE quality >= 0.5
          |GROUP BY lang_det ORDER BY lang_det""".stripMargin,
-    "q59_approx_percentiles" ->
+    "q59_approx_pctl" ->
       """SELECT
         | abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
         |   <= 0.02 * greatest(abs(quantile_cont(value, 0.5)), 1.0) AS p50_within_2pct,
@@ -2037,7 +2074,67 @@ object SparkEntry {
         | (CAST(2 AS BIGINT), 8, 8, round(0/255.0, 4), round(128/255.0, 4), round(255/255.0, 4)),
         | (CAST(3 AS BIGINT), 4, 2, round(0.5, 4), round(0.0, 4), round(0.5, 4))
         |) AS t(img_id, width, height, avg_r, avg_g, avg_b)
-        |ORDER BY img_id""".stripMargin)
+        |ORDER BY img_id""".stripMargin,
+    // q80/q81: the full Okapi BM25 formula restated in SQL with the
+    // same one-pass stats CTE the operator broadcasts (N, avgdl,
+    // per-term df). Arithmetic grouping mirrors the Column expression
+    // exactly so the doubles agree bit-for-bit before round(6).
+    "q80_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n, avg(dl) AS avgdl,
+        |    sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN list_contains(toks, 'table') THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN list_contains(toks, 'hash') THEN 1 ELSE 0 END) AS df2
+        |  FROM toks),
+        |tfs AS (
+        |  SELECT doc_id, dl,
+        |    CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(toks, x -> x = 'table')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tf2
+        |  FROM toks)
+        |SELECT doc_id, round(
+        |    ln((n - df0 + 0.5)/(df0 + 0.5) + 1.0) * tf0 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + ln((n - df1 + 0.5)/(df1 + 0.5) + 1.0) * tf1 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + ln((n - df2 + 0.5)/(df2 + 0.5) + 1.0) * tf2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS score
+        |FROM tfs, stats ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "q81_hybrid" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS dl
+        |  FROM documents WHERE doc_id <> 0),
+        |stats AS (
+        |  SELECT count(*) AS n, avg(dl) AS avgdl,
+        |    sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN list_contains(toks, 'table') THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN list_contains(toks, 'hash') THEN 1 ELSE 0 END) AS df2
+        |  FROM toks),
+        |tfs AS (
+        |  SELECT doc_id, dl,
+        |    CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(toks, x -> x = 'table')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tf2
+        |  FROM toks),
+        |bm AS (
+        |  SELECT doc_id, round(
+        |      ln((n - df0 + 0.5)/(df0 + 0.5) + 1.0) * tf0 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln((n - df1 + 0.5)/(df1 + 0.5) + 1.0) * tf1 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln((n - df2 + 0.5)/(df2 + 0.5) + 1.0) * tf2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS score
+        |  FROM tfs, stats ORDER BY score DESC, doc_id LIMIT 20),
+        |bmr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm),
+        |vec AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+        |  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |  WHERE e.vec_id <> 0 ORDER BY cosine DESC, doc_id LIMIT 20),
+        |vr AS (SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank FROM vec),
+        |allr AS (SELECT * FROM bmr UNION ALL SELECT * FROM vr)
+        |SELECT doc_id, round(sum(1.0/(60 + rank)), 6) AS rrf FROM allr
+        |GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)
 
   /** q58's oracle, generated like [[embeddingNearDupOracle]]: both
     * corpora's per-band bucket bits from the seeded planes (seed

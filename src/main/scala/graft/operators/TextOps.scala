@@ -141,6 +141,67 @@ object TextOps {
       .drop("__rank")
   }
 
+  /** BM25 lexical top-k — the engine-side analog of the reference's
+    * provider-side search (`exa_search_tool.py`, `web_search`): rank
+    * documents against a bag of query terms with the standard
+    * Okapi/Lucene scoring,
+    * `idf(t) · tf / (tf + k1·(1−b + b·dl/avgdl))` with
+    * `idf = ln((N − df + 0.5)/(df + 0.5) + 1)`.
+    *
+    * Scale shape: ONE tiny corpus-stats aggregate (N, avgdl, and df
+    * for the query's terms only — never a full-vocabulary aggregate
+    * for a known query) broadcast back as literals, then a map-side
+    * score projection and a TakeOrderedAndProject top-k. No shuffle
+    * touches the corpus beyond the stats pass.
+    *
+    * Tokenization is lowercase-free whitespace splitting to stay
+    * oracle-restatable; swap in [[TextFunctions]] tokenizers for real
+    * corpora.
+    */
+  def bm25Rank(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Rank: empty query")
+    val terms = queryTerms.distinct
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val aggs = Seq(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")) ++
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(array_contains(col("toks"), lit(t)).cast("long")).as(s"df_$i")
+      }
+    val stats = toks.agg(aggs.head, aggs.tail: _*).head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getDouble(1)
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val dfT = stats.getLong(2 + i)
+      val idf = math.log((n - dfT + 0.5) / (dfT + 0.5) + 1.0)
+      val tf = size(filter(col("toks"), x => x === lit(t))).cast("double")
+      lit(idf) * tf /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+    }.reduce(_ + _)
+    toks.select(col(idCol), round(score, 6).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
+  /** Reciprocal-rank fusion of ranked result lists (hybrid search:
+    * BM25 ∪ vector ANN): `rrf(d) = Σ_lists 1/(kRrf + rank_d)`, items
+    * missing from a list contribute nothing. Rank frames are tiny
+    * (top-k each), so the union+aggregate is driver-scale regardless
+    * of corpus size — fusion cost is O(k · lists).
+    */
+  def rrfFuse(ranked: Seq[DataFrame], idCol: String, rankCol: String = "rank",
+      kRrf: Int = 60, k: Int = 10): DataFrame = {
+    require(ranked.nonEmpty, "rrfFuse: no ranked lists")
+    ranked.map(r => r.select(col(idCol),
+        (lit(1.0) / (lit(kRrf.toDouble) + col(rankCol))).as("contrib")))
+      .reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(round(sum(col("contrib")), 6).as("rrf"))
+      .orderBy(desc("rrf"), col(idCol))
+      .limit(k)
+  }
+
   /** Sequence packing — assign each document to a fixed-token-budget
     * training bin under the standard concat-then-chunk model (GPT-
     * style pretraining batches): documents concatenate in `orderCol`

@@ -115,6 +115,15 @@ class PlanAudit extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q80: BM25 scoring is map-side + TakeOrderedAndProject top-k") {
+    val p = plan("q80_bm25")
+    assert(p.contains("TakeOrderedAndProject"))
+    // after the one stats collect, scoring must not shuffle the corpus:
+    // no exchange beyond what top-k itself needs
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"),
+      s"BM25 scoring should be a pure projection over the scan:\n$p")
+  }
+
   test("q68: repetition metrics are map-only (no exchange at all)") {
     // the row-local run-length formulation must never introduce a
     // shuffle; a global sort would mean someone re-expressed the
