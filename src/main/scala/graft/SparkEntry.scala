@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Engine
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Analytics, CorpusIndex, Dedup, Similarity}
+import graft.operators.{Analytics, CorpusIndex, Curation, Dedup, Similarity}
 
 /** Driver contract: one `queries` entry (+ `oracleSql` where ANSI-SQL
   * expressible) per implemented operator from SURVEY.md §2.
@@ -1212,13 +1212,29 @@ object SparkEntry {
       kRrf = 60, k = 10)
   }
 
+  /** Curation: CCNet-style perplexity scoring — fit an add-one bigram
+    * LM on a reference slice (doc_id % 10 == 0), score EVERY document
+    * map-side (model rides in the expression, zero shuffles), report
+    * the 20 highest-perplexity (junkiest) docs. The oracle refits the
+    * identical integer-count model in SQL and reproduces the
+    * integer-scaled log-prob sums exactly.
+    */
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val lm = Curation.fitBigramLm(docs.filter(col("doc_id") % 10 === 0), "text")
+    Curation.perplexity(docs, "doc_id", "text", lm)
+      .select(col("doc_id"), col("n_bigrams"), round(col("ppl"), 4).as("ppl"))
+      .orderBy(desc("ppl"), col("doc_id"))
+      .limit(20)
+  }
+
   // ===================================================================
   // Registry
   // ===================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
-    "q02_revenue_by_nation" -> (q02 _),
+    "q02_rev_nation" -> (q02 _),
     "q03_top_orders" -> (q03 _),
     "q04_semi_join" -> (q04 _),
     "q05_cust_no_orders" -> (q05 _),
@@ -1260,7 +1276,7 @@ object SparkEntry {
     "q41_knn_lsh" -> (q41 _),
     "q42_emb_neardup" -> (q42 _),
     "q43_approx_distinct" -> (q43 _),
-    "q44_multimodal_decode" -> (q44 _),
+    "q44_mm_decode" -> (q44 _),
     "q45_semantic_judge" -> (q45 _),
     "q46_session_windows" -> (q46 _),
     "q47_risk_weighted" -> (q47 _),
@@ -1297,7 +1313,8 @@ object SparkEntry {
     "q78_ivf_part" -> (q78 _),
     "q79_img_px" -> (q79 _),
     "q80_bm25" -> (q80 _),
-    "q81_hybrid" -> (q81 _))
+    "q81_hybrid" -> (q81 _),
+    "q82_ppl" -> (q82 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1310,7 +1327,7 @@ object SparkEntry {
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
-    "q02_revenue_by_nation" ->
+    "q02_rev_nation" ->
       """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -1644,7 +1661,7 @@ object SparkEntry {
         |     - count(DISTINCT user_id || ':' || event_type))
         |   <= 0.05 * count(DISTINCT user_id || ':' || event_type) AS user_events_within_5pct
         |FROM events""".stripMargin,
-    "q44_multimodal_decode" ->
+    "q44_mm_decode" ->
       """SELECT format, n, avg_width, avg_sr, total_ms FROM (
         |  SELECT 'raw' AS format, count(*) AS n,
         |    round(avg(64 + octet_length(encode(text)) % 1024), 2) AS avg_width,
@@ -2134,7 +2151,43 @@ object SparkEntry {
         |vr AS (SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank FROM vec),
         |allr AS (SELECT * FROM bmr UNION ALL SELECT * FROM vr)
         |SELECT doc_id, round(sum(1.0/(60 + rank)), 6) AS rrf FROM allr
-        |GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)
+        |GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    // q82: the bigram LM refit from scratch in SQL — integer unigram/
+    // bigram counts and V over the same reference slice, then the
+    // identical add-one formula per adjacent pair with the log-prob
+    // integer-scaled (round half away from zero, matching the
+    // kernel's roundHalfAway) BEFORE summing, so the per-doc sum is
+    // evaluation-order independent and matches Spark exactly.
+    "q82_ppl" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |ref AS (SELECT tk FROM tk WHERE doc_id % 10 = 0),
+        |uni AS (SELECT w, count(*) AS c
+        |        FROM (SELECT unnest(tk) AS w FROM ref) GROUP BY w),
+        |v AS (SELECT count(*) AS v FROM uni),
+        |big AS (
+        |  SELECT tk[i] AS w1, tk[i+1] AS w2, count(*) AS c
+        |  FROM (SELECT tk, unnest(generate_series(1, len(tk)-1)) AS i
+        |        FROM ref WHERE len(tk) >= 2)
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+        |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk)-1)) AS i
+        |        FROM tk WHERE len(tk) >= 2)),
+        |scored AS (
+        |  SELECT p.doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(CAST(round(ln((coalesce(b.c, 0) + 1.0) /
+        |      (coalesce(u.c, 0) + v.v)) * 1000000) AS BIGINT)) AS BIGINT) AS lp_sum
+        |  FROM pairs p
+        |  LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+        |  LEFT JOIN uni u ON u.w = p.w1
+        |  CROSS JOIN v
+        |  GROUP BY p.doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  round(exp(-(CAST(lp_sum AS DOUBLE)/1000000.0)/n_bigrams), 4) AS ppl
+        |FROM scored ORDER BY ppl DESC, doc_id LIMIT 20""".stripMargin)
 
   /** q58's oracle, generated like [[embeddingNearDupOracle]]: both
     * corpora's per-band bucket bits from the seeded planes (seed

@@ -313,6 +313,53 @@ object CatalystExpressions {
     override protected def withNewChildInternal(c: Expression): NearestCentroid = copy(c)
   }
 
+  /** Integer-scaled bigram-LM log-probability sum over a token array
+    * (the scoring half of a CCNet-style perplexity filter). The fitted
+    * model — unigram counts, bigram counts, vocabulary size — rides
+    * inside the expression like [[NearestCentroid]]'s matrix: Spark
+    * ships the serialized task binary once per executor, so a capped
+    * model (top-K bigrams) costs one broadcast, and scoring a 100 TB
+    * corpus is a map-only projection with ZERO shuffles. Maps are
+    * rebuilt as UTF8String hash maps lazily per executor (zero-copy
+    * token lookups against the array's UTF8Strings).
+    */
+  case class BigramLogProbSum(child: Expression, uni: Map[String, Long],
+      big: Map[(String, String), Long], vocabSize: Long)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = false
+    @transient private lazy val uniMap: java.util.HashMap[UTF8String, java.lang.Long] = {
+      val m = new java.util.HashMap[UTF8String, java.lang.Long](uni.size * 2)
+      uni.foreach { case (w, c) => m.put(UTF8String.fromString(w), c) }
+      m
+    }
+    @transient private lazy val bigMap:
+        java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, java.lang.Long]] = {
+      val m = new java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, java.lang.Long]]()
+      big.foreach { case ((w1, w2), c) =>
+        m.computeIfAbsent(UTF8String.fromString(w1),
+          _ => new java.util.HashMap[UTF8String, java.lang.Long]())
+          .put(UTF8String.fromString(w2), c)
+      }
+      m
+    }
+    override def eval(input: InternalRow): Any =
+      ExprKernels.bigramLogProbSum(
+        child.eval(input).asInstanceOf[ArrayData], uniMap, bigMap, vocabSize)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val uniRef = ctx.addReferenceObj("uni", uniMap, "java.util.HashMap")
+      val bigRef = ctx.addReferenceObj("big", bigMap, "java.util.HashMap")
+      val c = child.genCode(ctx)
+      ev.copy(
+        code = code"""
+          ${c.code}
+          final long ${ev.value} = $K.bigramLogProbSum(
+            ${c.isNull} ? null : ${c.value}, $uniRef, $bigRef, ${vocabSize}L);""",
+        isNull = FalseLiteral)
+    }
+    override protected def withNewChildInternal(c: Expression): BigramLogProbSum = copy(c)
+  }
+
   // ------------------------------------------------------- Column API
 
   import org.apache.spark.sql.graft.bridge.{columnOf => column, expressionOf => expression}
@@ -344,4 +391,8 @@ object CatalystExpressions {
 
   def rollingFingerprint(text: Column, init: Long): Column =
     column(RollingFingerprint(expression(text), init))
+
+  def bigramLogProbSum(tokens: Column, uni: Map[String, Long],
+      big: Map[(String, String), Long], vocabSize: Long): Column =
+    column(BigramLogProbSum(expression(tokens), uni, big, vocabSize))
 }

@@ -315,4 +315,46 @@ object ExprKernels {
     }
     best
   }
+
+  /** Half-away-from-zero rounding to long — the SQL `round()` rule in
+    * both Spark and DuckDB. `Math.round` is `floor(x + 0.5)`, which
+    * disagrees on negative half-integer boundaries (−2.5 → −2 instead
+    * of −3), and the LM log-probs below are always negative.
+    */
+  @inline def roundHalfAway(x: Double): Long =
+    if (x >= 0) Math.floor(x + 0.5).toLong else Math.ceil(x - 0.5).toLong
+
+  /** Add-one-smoothed bigram LM log-probability sum over a token
+    * array, integer-scaled: for each adjacent pair (w1, w2),
+    * `p = (c(w1,w2) + 1) / (c(w1) + V)` and the accumulator adds
+    * `roundHalfAway(ln(p) * 1e6)`. Scaling to integers BEFORE the sum
+    * makes the per-document score independent of evaluation order —
+    * exactly reproducible in any engine with `ln` and `round` (float
+    * log-prob sums are not). Unseen w1/bigram fall out of the same
+    * formula (counts default 0). Fewer than 2 tokens (or null) → 0;
+    * callers exclude those rows (no bigrams to score).
+    */
+  def bigramLogProbSum(toks: ArrayData,
+      uni: java.util.HashMap[UTF8String, java.lang.Long],
+      big: java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, java.lang.Long]],
+      v: Long): Long = {
+    if (toks == null) return 0L
+    val n = toks.numElements()
+    if (n < 2) return 0L
+    var acc = 0L
+    var w1 = toks.getUTF8String(0)
+    var i = 0
+    while (i < n - 1) {
+      val w2 = toks.getUTF8String(i + 1)
+      val c1l = uni.get(w1)
+      val c1 = if (c1l == null) 0L else c1l.longValue()
+      val inner = big.get(w1)
+      val c2l = if (inner == null) null else inner.get(w2)
+      val c2 = if (c2l == null) 0L else c2l.longValue()
+      acc += roundHalfAway(Math.log((c2 + 1.0) / (c1 + v)) * 1e6)
+      w1 = w2
+      i += 1
+    }
+    acc
+  }
 }

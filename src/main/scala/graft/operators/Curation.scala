@@ -303,4 +303,74 @@ object Curation {
       corpus.join(candidates, Seq(idCol), "left_semi"),
       idCol, vecCol, query.map(_.toDouble).toArray, k)
   }
+
+  /** A fitted add-one-smoothed bigram language model: unigram counts
+    * (conditioning denominators), bigram counts, and the reference
+    * vocabulary size V. All counts are integers, so the model — and
+    * every score derived from it — is exactly reproducible in any
+    * engine. Serializable; rides inside the scoring expression
+    * ([[graft.functions.CatalystExpressions.BigramLogProbSum]]).
+    */
+  case class BigramLm(uni: Map[String, Long], big: Map[(String, String), Long],
+      vocabSize: Long)
+
+  /** Fit a [[BigramLm]] on a reference corpus — the CCNet recipe
+    * (train a small LM on a trusted corpus, score the crawl by
+    * perplexity under it). Tokenization is [[TextFunctions.tokens]];
+    * bigram identity reuses [[wordNgrams]] (tokens never contain
+    * spaces, so the joined gram splits back unambiguously).
+    *
+    * Scale: the fit shuffles only the REFERENCE corpus (two count
+    * aggregates — the trusted slice is small by construction; the
+    * 100 TB crawl is never touched here), and the driver collect is
+    * bounded by `maxUnigrams`/`maxBigrams` — over-cap tails are
+    * dropped in deterministic (count desc, gram) order and simply
+    * score as unseen, which add-one smoothing already handles.
+    * `vocabSize` stays the FULL distinct-unigram count (a scalar)
+    * regardless of the cap.
+    */
+  def fitBigramLm(ref: DataFrame, textCol: String,
+      maxUnigrams: Int = 1 << 20, maxBigrams: Int = 1 << 22): BigramLm = {
+    val tk = ref.select(TextFunctions.tokens(col(textCol)).as("__tk"))
+    val uniDf = tk.select(explode(col("__tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val vocabSize = uniDf.count()
+    val uni = uniDf.orderBy(desc("c"), col("w")).limit(maxUnigrams)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val big = ref.select(explode(wordNgrams(col(textCol), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("g")).limit(maxBigrams)
+      .collect().map { r =>
+        val Array(w1, w2) = r.getString(0).split(" ", 2)
+        (w1, w2) -> r.getLong(1)
+      }.toMap
+    BigramLm(uni, big, vocabSize)
+  }
+
+  /** Per-document perplexity under a fitted [[BigramLm]] — the
+    * quality-filter signal CCNet/Gopher pipelines threshold on (junk
+    * and boilerplate score high; fluent reference-like text scores
+    * low). Adds `n_bigrams` and `ppl = exp(−mean bigram log-prob)`;
+    * documents with fewer than 2 tokens have no bigrams and are
+    * excluded. The per-document log-prob sum is integer-scaled inside
+    * the kernel (order-independent — see
+    * [[graft.functions.ExprKernels.bigramLogProbSum]]), so `ppl` is
+    * bit-stable under any partitioning and restatable in oracle SQL.
+    *
+    * Scale: scoring is a map-only projection over the corpus — the
+    * model rides in the expression (one broadcast per executor), ZERO
+    * shuffles; a downstream threshold filter stays on the scan.
+    */
+  def perplexity(df: DataFrame, idCol: String, textCol: String,
+      lm: BigramLm): DataFrame = {
+    import graft.functions.CatalystExpressions
+    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= 2)
+      .select(col(idCol),
+        (size(col("__tk")) - 1).cast("long").as("n_bigrams"),
+        CatalystExpressions.bigramLogProbSum(
+          col("__tk"), lm.uni, lm.big, lm.vocabSize).as("lp_sum"))
+      .withColumn("ppl",
+        exp(-(col("lp_sum").cast("double") / lit(1e6)) / col("n_bigrams")))
+  }
 }

@@ -18,6 +18,8 @@ class CodegenSpec extends SparkSpec {
   import org.apache.spark.sql.graft.bridge.expressionOf
 
   private def docs = graft.core.Engine.table(spark, sfDir, "documents")
+  private lazy val lm =
+    graft.operators.Curation.fitBigramLm(docs.limit(50), "text")
 
   test("no custom expression is a CodegenFallback") {
     val exprs = Seq(
@@ -29,7 +31,9 @@ class CodegenSpec extends SparkSpec {
       CatalystExpressions.normalizeNfc(col("text")),
       CatalystExpressions.canonicalJson(col("text")),
       CatalystExpressions.dotProduct(col("a"), col("b")),
-      CatalystExpressions.nearestCentroid(col("a"), Array(Array(1.0, 0.0))))
+      CatalystExpressions.nearestCentroid(col("a"), Array(Array(1.0, 0.0))),
+      CatalystExpressions.bigramLogProbSum(col("t"),
+        Map("a" -> 1L), Map(("a", "b") -> 1L), 2L))
     exprs.foreach { c =>
       val e = expressionOf(c)
       assert(!e.isInstanceOf[CodegenFallback],
@@ -71,7 +75,10 @@ class CodegenSpec extends SparkSpec {
         CatalystExpressions.normalizeNfc(col("text")).as("nfc"),
         CatalystExpressions.langId(
           CatalystExpressions.tokenize(col("text")),
-          graft.functions.TextFunctions.DefaultLangProfiles.toSeq.sortBy(_._1)).as("lang"))
+          graft.functions.TextFunctions.DefaultLangProfiles.toSeq.sortBy(_._1)).as("lang"),
+        CatalystExpressions.bigramLogProbSum(
+          CatalystExpressions.tokenize(col("text")),
+          lm.uni, lm.big, lm.vocabSize).as("lp"))
         .orderBy("doc_id").collect().toSeq
     }
     val conf = spark.conf

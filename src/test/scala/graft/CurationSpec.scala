@@ -213,4 +213,48 @@ class CurationSpec extends SparkSpec {
       Seq(1.0f, 0.0f), 3).collect().map(_.getLong(0)).toSeq
     assert(top == Seq(1L, 2L, 4L))
   }
+
+  test("bigram LM perplexity matches a plain-Scala closed form") {
+    val ref = Seq((1L, "the cat sat"), (2L, "the cat ran"), (3L, "a dog ran"))
+      .toDF("doc_id", "text")
+    val lm = Curation.fitBigramLm(ref, "text")
+    assert(lm.vocabSize == 6) // the cat sat ran a dog
+    assert(lm.uni("the") == 2L && lm.uni("ran") == 2L)
+    assert(lm.big(("the", "cat")) == 2L && lm.big(("cat", "sat")) == 1L)
+
+    val score = Seq((10L, "the cat sat"), (11L, "zz qq"), (12L, "one"))
+      .toDF("doc_id", "text")
+    val out = Curation.perplexity(score, "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+
+    // independent recomputation (plain Scala, same formula)
+    def lp(c2: Long, c1: Long): Long = {
+      val x = math.log((c2 + 1.0) / (c1 + 6.0)) * 1e6
+      if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+    }
+    val sum10 = lp(2, 2) + lp(1, 2) // "the cat" + "cat sat"
+    assert(out(10L) == ((2L, sum10, math.exp(-(sum10 / 1e6) / 2))))
+    val sum11 = lp(0, 0) // both words unseen -> p = 1/V
+    assert(out(11L) == ((1L, sum11, math.exp(-(sum11 / 1e6) / 1))))
+    assert(!out.contains(12L), "single-token docs have no bigrams")
+    // unseen-everything text is junkier (higher ppl) than in-model text
+    assert(out(11L)._3 > out(10L)._3)
+  }
+
+  test("fitBigramLm caps keep highest-count grams deterministically; capped-out grams score as unseen") {
+    val ref = Seq((1L, "the cat sat"), (2L, "the cat ran"), (3L, "a dog ran"))
+      .toDF("doc_id", "text")
+    val capped = Curation.fitBigramLm(ref, "text", maxBigrams = 1)
+    assert(capped.big == Map(("the", "cat") -> 2L)) // count 2 beats the count-1 ties
+    assert(capped.vocabSize == 6, "V stays the full vocab size under caps")
+    val full = Curation.fitBigramLm(ref, "text")
+    // capped model scores "cat sat" with c2=0; everything else matches
+    val doc = Seq((1L, "the cat sat")).toDF("doc_id", "text")
+    val pplCapped = Curation.perplexity(doc, "doc_id", "text", capped)
+      .collect().head.getDouble(3)
+    val pplFull = Curation.perplexity(doc, "doc_id", "text", full)
+      .collect().head.getDouble(3)
+    assert(pplCapped > pplFull, "losing a bigram to the cap must raise perplexity")
+  }
 }

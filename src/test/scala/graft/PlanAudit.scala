@@ -17,7 +17,7 @@ class PlanAudit extends SparkSpec {
   }
 
   test("q02: dimension joins broadcast, no sort-merge at test SF") {
-    val p = plan("q02_revenue_by_nation")
+    val p = plan("q02_rev_nation")
     assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3)
     assert(p.linesIterator.count(_.contains("SortMergeJoin")) == 0)
   }
@@ -122,6 +122,15 @@ class PlanAudit extends SparkSpec {
     // no exchange beyond what top-k itself needs
     assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"),
       s"BM25 scoring should be a pure projection over the scan:\n$p")
+  }
+
+  test("q82: LM perplexity scoring is map-only — model rides the expression, zero exchanges") {
+    // the fit collects happen at query-build time over the (small)
+    // reference slice; the returned SCORING plan over the full corpus
+    // must be scan -> project -> filter -> top-k with no shuffle
+    val p = plan("q82_ppl")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange"), s"perplexity scoring must not shuffle:\n$p")
   }
 
   test("q68: repetition metrics are map-only (no exchange at all)") {
