@@ -1228,6 +1228,23 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** Curation: DSIR importance weighting — fit hashed-feature
+    * importance ratios of a target slice (source = 'src0') against the
+    * full corpus, score every document map-side, report the 20 docs
+    * that look most like the target. The oracle refits the identical
+    * md5-bucket model in SQL.
+    */
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val model = Curation.fitDsir(
+      docs.filter(col("source") === "src0"), docs, "text")
+    Curation.dsirScore(docs, "doc_id", "text", model)
+      .select(col("doc_id"), col("n_features"),
+        round(col("logw"), 6).as("logw"))
+      .orderBy(desc("logw"), col("doc_id"))
+      .limit(20)
+  }
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -1238,7 +1255,7 @@ object SparkEntry {
     "q03_top_orders" -> (q03 _),
     "q04_semi_join" -> (q04 _),
     "q05_cust_no_orders" -> (q05 _),
-    "q06_forecast_revenue" -> (q06 _),
+    "q06_forecast" -> (q06 _),
     "q07_success_rate" -> (q07 _),
     "q08_top_failures" -> (q08 _),
     "q09_failure_ranking" -> (q09 _),
@@ -1258,7 +1275,7 @@ object SparkEntry {
     "q23_anti_nations" -> (q23 _),
     "q24_dedup_stats" -> (q24 _),
     "q25_duplicate_groups" -> (q25 _),
-    "q26_brand_like_filter" -> (q26 _),
+    "q26_brand_like" -> (q26 _),
     "q27_string_funcs" -> (q27 _),
     "q28_monthly_orders" -> (q28 _),
     "q29_json_extract" -> (q29 _),
@@ -1314,7 +1331,8 @@ object SparkEntry {
     "q79_img_px" -> (q79 _),
     "q80_bm25" -> (q80 _),
     "q81_hybrid" -> (q81 _),
-    "q82_ppl" -> (q82 _))
+    "q82_ppl" -> (q82 _),
+    "q83_dsir" -> (q83 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1351,7 +1369,7 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
-    "q06_forecast_revenue" ->
+    "q06_forecast" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
@@ -1445,7 +1463,7 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
         | min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY fingerprint""".stripMargin,
-    "q26_brand_like_filter" ->
+    "q26_brand_like" ->
       """SELECT p_type, count(*) AS n_parts, round(avg(p_retailprice), 2) AS avg_price
         |FROM part WHERE p_name LIKE '%red%' GROUP BY p_type ORDER BY p_type""".stripMargin,
     "q27_string_funcs" ->
@@ -2187,7 +2205,44 @@ object SparkEntry {
         |  GROUP BY p.doc_id)
         |SELECT doc_id, n_bigrams,
         |  round(exp(-(CAST(lp_sum AS DOUBLE)/1000000.0)/n_bigrams), 4) AS ppl
-        |FROM scored ORDER BY ppl DESC, doc_id LIMIT 20""".stripMargin)
+        |FROM scored ORDER BY ppl DESC, doc_id LIMIT 20""".stripMargin,
+    // q83: the DSIR fit refit from scratch in SQL — every unigram and
+    // adjacent-pair bigram occurrence hashed via md5("dsir:" || f)
+    // into 4096 buckets, target (source='src0') and raw (all docs)
+    // bucket counts, per-bucket integer-scaled add-one log-ratios
+    // (grouping of the ratio arithmetic mirrors Curation.fitDsir
+    // exactly), then the per-doc sum over occurrences.
+    "q83_dsir" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, source,
+        |    unnest(tk || list_transform(generate_series(1, len(tk)-1),
+        |                   i -> tk[i] || ' ' || tk[i+1])) AS f
+        |  FROM tk WHERE len(tk) >= 1),
+        |bf AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5('dsir:' || f), 1, 8)) AS BIGINT) % 4096 AS b
+        |  FROM feats),
+        |tc AS (SELECT b, count(*) AS c FROM bf WHERE source = 'src0' GROUP BY b),
+        |rc AS (SELECT b, count(*) AS c FROM bf GROUP BY b),
+        |tn AS (SELECT count(*) AS n FROM bf WHERE source = 'src0'),
+        |rn AS (SELECT count(*) AS n FROM bf),
+        |lr AS (
+        |  SELECT rc.b, CAST(round(ln(
+        |      ((coalesce(tc.c, 0) + 1.0) / (tn.n + 4096)) /
+        |      ((rc.c + 1.0) / (rn.n + 4096))) * 1000000) AS BIGINT) AS lr
+        |  FROM rc LEFT JOIN tc ON tc.b = rc.b CROSS JOIN tn CROSS JOIN rn),
+        |scored AS (
+        |  SELECT bf.doc_id, count(*) AS n_features,
+        |    CAST(sum(lr.lr) AS BIGINT) AS s
+        |  FROM bf JOIN lr ON lr.b = bf.b GROUP BY bf.doc_id)
+        |SELECT doc_id, n_features,
+        |  round(CAST(s AS DOUBLE)/1000000.0, 6) AS logw
+        |FROM scored ORDER BY logw DESC, doc_id LIMIT 20""".stripMargin)
 
   /** q58's oracle, generated like [[embeddingNearDupOracle]]: both
     * corpora's per-band bucket bits from the seeded planes (seed

@@ -360,6 +360,33 @@ object CatalystExpressions {
     override protected def withNewChildInternal(c: Expression): BigramLogProbSum = copy(c)
   }
 
+  /** DSIR log importance weight over a token array — the per-bucket
+    * log-ratio table (one long per hash bucket, fitted driver-side
+    * from target/raw feature counts) rides as a reference object, so
+    * scoring is a map-only projection like [[BigramLogProbSum]].
+    */
+  case class DsirLogRatioSum(child: Expression, logRatios: Array[Long],
+      numBuckets: Int) extends UnaryExpression {
+    require(logRatios.length == numBuckets,
+      s"logRatios must have one entry per bucket: ${logRatios.length} != $numBuckets")
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = false
+    override def eval(input: InternalRow): Any =
+      ExprKernels.dsirLogRatioSum(
+        child.eval(input).asInstanceOf[ArrayData], logRatios, numBuckets)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val lrRef = ctx.addReferenceObj("logRatios", logRatios, "long[]")
+      val c = child.genCode(ctx)
+      ev.copy(
+        code = code"""
+          ${c.code}
+          final long ${ev.value} = $K.dsirLogRatioSum(
+            ${c.isNull} ? null : ${c.value}, $lrRef, $numBuckets);""",
+        isNull = FalseLiteral)
+    }
+    override protected def withNewChildInternal(c: Expression): DsirLogRatioSum = copy(c)
+  }
+
   // ------------------------------------------------------- Column API
 
   import org.apache.spark.sql.graft.bridge.{columnOf => column, expressionOf => expression}
@@ -395,4 +422,8 @@ object CatalystExpressions {
   def bigramLogProbSum(tokens: Column, uni: Map[String, Long],
       big: Map[(String, String), Long], vocabSize: Long): Column =
     column(BigramLogProbSum(expression(tokens), uni, big, vocabSize))
+
+  def dsirLogRatioSum(tokens: Column, logRatios: Array[Long],
+      numBuckets: Int): Column =
+    column(DsirLogRatioSum(expression(tokens), logRatios, numBuckets))
 }

@@ -357,4 +357,53 @@ object ExprKernels {
     }
     acc
   }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val DsirPrefix =
+    "dsir:".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Bucket = the first 8 hex chars of the digest as an unsigned int,
+    * mod B — byte-identical to the SQL formulation
+    * `conv(substring(md5(s), 1, 8), 16, 10) % B` (Spark) /
+    * `('0x' || substr(md5(s), 1, 8))::BIGINT % B` (DuckDB) that the
+    * fit and the oracle both use.
+    */
+  @inline private def md5Bucket(digest: Array[Byte], b: Int): Int = {
+    val v = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
+      ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
+    (v % b).toInt
+  }
+
+  /** DSIR log importance-weight sum over a token array: every hashed
+    * feature occurrence — each unigram and each adjacent-pair bigram
+    * ("w1 w2"), hashed as md5("dsir:" + feature) into `numBuckets` —
+    * adds its bucket's precomputed integer-scaled log-ratio
+    * `round(ln(p_target(b)/p_raw(b)) · 1e6)`. Integer accumulation
+    * keeps the score evaluation-order independent (see
+    * [[bigramLogProbSum]]). Null/empty input → 0.
+    */
+  def dsirLogRatioSum(toks: ArrayData, logRatios: Array[Long],
+      numBuckets: Int): Long = {
+    if (toks == null) return 0L
+    val md = md5Local.get()
+    val n = toks.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val w = toks.getUTF8String(i).getBytes
+      md.reset(); md.update(DsirPrefix); md.update(w)
+      acc += logRatios(md5Bucket(md.digest(), numBuckets))
+      if (i < n - 1) {
+        val w2 = toks.getUTF8String(i + 1).getBytes
+        md.reset(); md.update(DsirPrefix); md.update(w)
+        md.update(' '.toByte); md.update(w2)
+        acc += logRatios(md5Bucket(md.digest(), numBuckets))
+      }
+      i += 1
+    }
+    acc
+  }
 }

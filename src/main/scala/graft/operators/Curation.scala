@@ -373,4 +373,98 @@ object Curation {
       .withColumn("ppl",
         exp(-(col("lp_sum").cast("double") / lit(1e6)) / col("n_bigrams")))
   }
+
+  /** A fitted DSIR model: per-bucket integer-scaled log importance
+    * ratios `round(ln(p_target(b)/p_raw(b)) · 1e6)` over hashed
+    * unigram+bigram features (add-one smoothing over buckets on both
+    * sides). One long per bucket — a 4096-bucket model is 32 KB.
+    */
+  case class DsirModel(logRatios: Array[Long], numBuckets: Int)
+
+  /** Hashed features for the DSIR fit, Column-side: unigrams plus
+    * adjacent-pair bigrams (space-joined), exactly the feature set the
+    * scoring kernel walks.
+    */
+  private def dsirFeatures(text: Column): Column =
+    concat(TextFunctions.tokens(text), wordNgrams(text, 2))
+
+  private def dsirBucket(f: Column, numBuckets: Int): Column =
+    TextOps.portableHash(f, "dsir") % numBuckets
+
+  /** Fit DSIR (Data Selection via Importance Resampling, Xie et al.
+    * 2023) importance weights: hash every unigram/bigram occurrence of
+    * the target ("what I want more of") and raw ("what I have")
+    * corpora into `numBuckets` md5 buckets, and keep one
+    * integer-scaled log-ratio per bucket. The hash is the md5-based
+    * [[TextOps.portableHash]] (seed "dsir"), so the whole fit is
+    * restatable in any md5-capable engine — the oracle refits it.
+    *
+    * Scale: two bucket-count aggregates (the only shuffles — and the
+    * target corpus is small by construction); the collected state is
+    * `numBuckets` longs per side regardless of corpus size.
+    */
+  def fitDsir(target: DataFrame, raw: DataFrame, textCol: String,
+      numBuckets: Int = 4096): DsirModel = {
+    require(numBuckets >= 2, s"numBuckets must be >= 2: $numBuckets")
+    def bucketCounts(df: DataFrame): (Array[Long], Long) = {
+      val rows = df
+        .select(explode(dsirFeatures(col(textCol))).as("f"))
+        .select(dsirBucket(col("f"), numBuckets).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("c"))
+        .collect()
+      val arr = new Array[Long](numBuckets)
+      var total = 0L
+      rows.foreach { r =>
+        arr(r.getLong(0).toInt) = r.getLong(1); total += r.getLong(1)
+      }
+      (arr, total)
+    }
+    val (tc, tn) = bucketCounts(target)
+    val (rc, rn) = bucketCounts(raw)
+    val lr = Array.tabulate(numBuckets) { b =>
+      graft.functions.ExprKernels.roundHalfAway(math.log(
+        ((tc(b) + 1.0) / (tn + numBuckets)) /
+          ((rc(b) + 1.0) / (rn + numBuckets))) * 1e6)
+    }
+    DsirModel(lr, numBuckets)
+  }
+
+  /** Per-document DSIR log importance weight: the sum of the model's
+    * log-ratios over every feature occurrence — positive means the
+    * document looks more like the target corpus than the raw one.
+    * Adds `n_features` (unigrams + bigrams) and `logw` (the scaled sum
+    * ÷ 1e6). Documents with no tokens are excluded. Map-only over the
+    * corpus — the 32 KB ratio table rides in the expression, ZERO
+    * shuffles (the [[perplexity]] scale shape).
+    */
+  def dsirScore(df: DataFrame, idCol: String, textCol: String,
+      model: DsirModel): DataFrame = {
+    import graft.functions.CatalystExpressions
+    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= 1)
+      .select(col(idCol),
+        (size(col("__tk")) * 2 - 1).cast("long").as("n_features"),
+        CatalystExpressions.dsirLogRatioSum(
+          col("__tk"), model.logRatios, model.numBuckets).as("lr_sum"))
+      .withColumn("logw", col("lr_sum").cast("double") / lit(1e6))
+  }
+
+  /** DSIR's Gumbel top-k resampling step, deterministic: rank by
+    * `logw + Gumbel(0,1)` where the Gumbel draw derives from
+    * [[TextOps.portableHash]] of the document id
+    * (`u = (h + 0.5) / 2^32`, `g = −ln(−ln u)`) — sampling without
+    * replacement proportional to importance weight, reproducible on
+    * any partitioning. Top-k is a TakeOrderedAndProject, never a
+    * global sort.
+    */
+  def dsirSample(scored: DataFrame, idCol: String, k: Int,
+      seed: String = "gumbel"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val u = (TextOps.portableHash(col(idCol), seed) + lit(0.5)) /
+      lit(4294967296.0)
+    scored.withColumn("__g", col("logw") + -log(-log(u)))
+      .orderBy(desc("__g"), col(idCol))
+      .limit(k)
+      .drop("__g")
+  }
 }

@@ -33,7 +33,8 @@ class CodegenSpec extends SparkSpec {
       CatalystExpressions.dotProduct(col("a"), col("b")),
       CatalystExpressions.nearestCentroid(col("a"), Array(Array(1.0, 0.0))),
       CatalystExpressions.bigramLogProbSum(col("t"),
-        Map("a" -> 1L), Map(("a", "b") -> 1L), 2L))
+        Map("a" -> 1L), Map(("a", "b") -> 1L), 2L),
+      CatalystExpressions.dsirLogRatioSum(col("t"), new Array[Long](16), 16))
     exprs.foreach { c =>
       val e = expressionOf(c)
       assert(!e.isInstanceOf[CodegenFallback],

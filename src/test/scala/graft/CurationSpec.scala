@@ -242,6 +242,61 @@ class CurationSpec extends SparkSpec {
     assert(out(11L)._3 > out(10L)._3)
   }
 
+  test("DSIR fit+score matches a plain-Scala closed form") {
+    val target = Seq((1L, "spark table join"), (2L, "spark table scan"))
+      .toDF("doc_id", "text")
+    val raw = Seq((1L, "spark table join"), (2L, "spark table scan"),
+      (3L, "dog cat mouse"), (4L, "red green blue"))
+      .toDF("doc_id", "text")
+    val b = 64
+    val model = Curation.fitDsir(target, raw, "text", numBuckets = b)
+
+    // independent reimplementation: md5 bucket + add-one log-ratios
+    def bucket(f: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(("dsir:" + f).getBytes("UTF-8"))
+      ((((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % b).toInt
+    }
+    def feats(text: String): Seq[String] = {
+      val tk = text.split("\\s+").toSeq
+      tk ++ tk.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    val tFeats = Seq("spark table join", "spark table scan").flatMap(feats)
+    val rFeats = tFeats ++ Seq("dog cat mouse", "red green blue").flatMap(feats)
+    def counts(fs: Seq[String]): Map[Int, Long] =
+      fs.groupBy(bucket).map { case (k, v) => k -> v.size.toLong }
+    val (tc, rc) = (counts(tFeats), counts(rFeats))
+    def round6(x: Double): Long =
+      if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+    val expectedLr = Array.tabulate(b) { i =>
+      round6(math.log(((tc.getOrElse(i, 0L) + 1.0) / (tFeats.size + b)) /
+        ((rc.getOrElse(i, 0L) + 1.0) / (rFeats.size + b))) * 1e6)
+    }
+    assert(model.logRatios.toSeq == expectedLr.toSeq)
+
+    val out = Curation.dsirScore(raw, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def score(text: String): Long = feats(text).map(f => expectedLr(bucket(f))).sum
+    assert(out(1L) == ((5L, score("spark table join"))))
+    assert(out(3L) == ((5L, score("dog cat mouse"))))
+    // target-like docs must outweigh off-target docs
+    assert(out(1L)._2 > out(3L)._2)
+  }
+
+  test("dsirSample is deterministic under repartitioning and favors heavy weights") {
+    val scored = Seq.tabulate(50) { i =>
+      (i.toLong, 1L, 0L, if (i < 5) 10.0 else -10.0)
+    }.toDF("doc_id", "n_features", "lr_sum", "logw")
+    val picked = Curation.dsirSample(scored, "doc_id", k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(picked == Set(0L, 1L, 2L, 3L, 4L),
+      "a 20-logit gap must dominate Gumbel noise")
+    val again = Curation.dsirSample(scored.repartition(7), "doc_id", k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == picked)
+  }
+
   test("fitBigramLm caps keep highest-count grams deterministically; capped-out grams score as unseen") {
     val ref = Seq((1L, "the cat sat"), (2L, "the cat ran"), (3L, "a dog ran"))
       .toDF("doc_id", "text")

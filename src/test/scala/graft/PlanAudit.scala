@@ -10,7 +10,7 @@ class PlanAudit extends SparkSpec {
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
   test("q06: filters pushed to parquet scan, columns pruned") {
-    val p = plan("q06_forecast_revenue")
+    val p = plan("q06_forecast")
     val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
     assert(scan.contains("PushedFilters") && scan.contains("GreaterThanOrEqual"))
     assert(!scan.contains("l_orderkey"), "scan should not read unused columns")
@@ -31,7 +31,7 @@ class PlanAudit extends SparkSpec {
   }
 
   test("q26: LIKE pushed as Contains to the scan") {
-    val scan = plan("q26_brand_like_filter").linesIterator
+    val scan = plan("q26_brand_like").linesIterator
       .find(_.contains("FileScan parquet")).get
     assert(scan.contains("Contains(p_name"))
   }
@@ -131,6 +131,12 @@ class PlanAudit extends SparkSpec {
     val p = plan("q82_ppl")
     assert(p.contains("TakeOrderedAndProject"))
     assert(!p.contains("Exchange"), s"perplexity scoring must not shuffle:\n$p")
+  }
+
+  test("q83: DSIR scoring is map-only — ratio table rides the expression, zero exchanges") {
+    val p = plan("q83_dsir")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange"), s"DSIR scoring must not shuffle:\n$p")
   }
 
   test("q68: repetition metrics are map-only (no exchange at all)") {
