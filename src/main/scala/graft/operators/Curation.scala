@@ -241,14 +241,23 @@ object Curation {
       maxGramDf: Int = Int.MaxValue): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__fp")).orderBy(col(idCol))
+    // The mixture-resample tail counts its strata before filtering, so
+    // everything upstream of it executes TWICE (rates pass + output
+    // pass). The expensive upstream work — the fingerprint window and
+    // the gram join — reduces to two SMALL id lists; lazily
+    // localCheckpoint those (the Dedup signature pattern) so both
+    // passes reuse them and the double execution costs only the
+    // map-side tail (semi/anti join + redaction), not the shuffles.
     val keep = train
       .select(col(idCol), TextFunctions.exactFingerprint(col(textCol)).as("__fp"))
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1).select(col(idCol))
+      .localCheckpoint(false)
     val kept = train.join(keep, Seq(idCol), "left_semi")
     val contaminated = ngramDecontaminate(kept, evalDocs, idCol, textCol,
         n, minShared, maxGramDf)
       .select(col("train_id").as(idCol)).distinct()
+      .localCheckpoint(false)
     val clean = kept.join(contaminated, Seq(idCol), "left_anti")
     piiRedact(clean, textCol)
       .withColumn("n_tok", TextFunctions.tokenCount(col("redacted")).cast("long"))
@@ -407,7 +416,14 @@ object Curation {
       numBuckets: Int = 4096): DsirModel = {
     require(numBuckets >= 2, s"numBuckets must be >= 2: $numBuckets")
     def bucketCounts(df: DataFrame): (Array[Long], Long) = {
-      val rows = df
+      // The explode+md5 scan is CPU-bound; a corpus that arrives in
+      // fewer partitions than cores (a tiny local table is ONE parquet
+      // split) would hash single-task. Round-robin it up to core count
+      // first — at real scale the scan already has file-split
+      // parallelism and this branch never fires.
+      val floor = df.sparkSession.sparkContext.defaultParallelism
+      val src = if (df.rdd.getNumPartitions < floor) df.repartition(floor) else df
+      val rows = src
         .select(explode(dsirFeatures(col(textCol))).as("f"))
         .select(dsirBucket(col("f"), numBuckets).as("b"))
         .groupBy(col("b")).agg(count(lit(1)).as("c"))
