@@ -1245,6 +1245,20 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** Dedup: SemDeDup-style SEMANTIC dedup summary — the q53 contract
+    * on the embedding side (q42's banded pairs → transitive classes →
+    * keep-list). The oracle rebuilds the identical banded candidate
+    * set (shared CTE with q42) and resolves components with the same
+    * recursive CTE as q53's.
+    */
+  private def q84(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedupCorpus(t(s, dir, "embeddings"), "vec_id", "embedding",
+        minCosine = 0.2, nPlanes = 8, dim = 64, bands = 8)
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("n_kept"),
+        countDistinct(col("dup_class")).as("n_dup_classes"))
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -1297,7 +1311,7 @@ object SparkEntry {
     "q45_semantic_judge" -> (q45 _),
     "q46_session_windows" -> (q46 _),
     "q47_risk_weighted" -> (q47 _),
-    "q48_value_percentiles" -> (q48 _),
+    "q48_pctls" -> (q48 _),
     "q49_left_join_nulls" -> (q49 _),
     "q50_cube_orders" -> (q50 _),
     "q51_scalar_subquery" -> (q51 _),
@@ -1310,7 +1324,7 @@ object SparkEntry {
     "q58_cross_linking" -> (q58 _),
     "q59_approx_pctl" -> (q59 _),
     "q60_corpus_curation" -> (q60 _),
-    "q61_html_extraction" -> (q61 _),
+    "q61_html" -> (q61 _),
     "q62_asof_join" -> (q62 _),
     "q63_range_join" -> (q63 _),
     "q64_decontam" -> (q64 _),
@@ -1332,7 +1346,8 @@ object SparkEntry {
     "q80_bm25" -> (q80 _),
     "q81_hybrid" -> (q81 _),
     "q82_ppl" -> (q82 _),
-    "q83_dsir" -> (q83 _))
+    "q83_dsir" -> (q83 _),
+    "q84_semdd" -> (q84 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1587,7 +1602,7 @@ object SparkEntry {
         |      2) >= 60 THEN 'D' ELSE 'F' END AS risk_grade
         |  FROM customer)
         |GROUP BY risk_grade ORDER BY risk_grade""".stripMargin,
-    "q48_value_percentiles" ->
+    "q48_pctls" ->
       """SELECT event_type, count(*) AS n,
         | round(quantile_cont(value, 0.5), 4) AS p50,
         | round(quantile_cont(value, 0.95), 4) AS p95,
@@ -1758,7 +1773,7 @@ object SparkEntry {
         |  FROM events WHERE event_id <= 3000)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q58_cross_linking" -> crossLinkingOracle,
-    "q61_html_extraction" -> htmlExtractionOracle,
+    "q61_html" -> htmlExtractionOracle,
     "q62_asof_join" ->
       """SELECT l.user_id, l.event_id, round(l.value, 2) AS click_value,
         | r.event_id AS prior_error_id, round(r.value, 2) AS prior_error_value
@@ -2242,7 +2257,23 @@ object SparkEntry {
         |  FROM bf JOIN lr ON lr.b = bf.b GROUP BY bf.doc_id)
         |SELECT doc_id, n_features,
         |  round(CAST(s AS DOUBLE)/1000000.0, 6) AS logw
-        |FROM scored ORDER BY logw DESC, doc_id LIMIT 20""".stripMargin)
+        |FROM scored ORDER BY logw DESC, doc_id LIMIT 20""".stripMargin,
+    // q84: q42's banded candidate CTE + q53's recursive connected
+    // components, over embeddings — the semantic-dedup keep-list
+    // summary.
+    "q84_semdd" ->
+      s"""WITH RECURSIVE $embeddingBandedScoredCte,
+         |pairs AS (SELECT id_a, id_b FROM scored WHERE cosine >= 0.2),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (SELECT s AS node, d AS r FROM edges
+         |          UNION
+         |          SELECT rc.node, e.d AS r FROM reach rc JOIN edges e ON rc.r = e.s),
+         |labels AS (SELECT node, least(node, min(r)) AS comp FROM reach GROUP BY node)
+         |SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
+         |       (SELECT count(*) FROM embeddings)
+         |         - (SELECT count(*) FROM labels WHERE node <> comp) AS n_kept,
+         |       (SELECT count(DISTINCT comp) FROM labels) AS n_dup_classes""".stripMargin)
 
   /** q58's oracle, generated like [[embeddingNearDupOracle]]: both
     * corpora's per-band bucket bits from the seeded planes (seed
@@ -2310,14 +2341,15 @@ object SparkEntry {
        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
   }
 
-  /** q42's oracle: the AND-OR banded construction restated in SQL.
-    * Per-band bucket bits are precomputed per vector (the same seeded
-    * planes the Spark side uses, seed 42+band, inlined as literals);
-    * candidates are pairs colliding in ANY band; the exact
-    * rounded-cosine gate and the deterministic top-100 mirror the
-    * query.
+  /** Shared oracle fragment for q42/q84: the AND-OR banded
+    * construction restated in SQL. Per-band bucket bits are
+    * precomputed per vector (the same seeded planes the Spark side
+    * uses, seed 42+band, inlined as literals); candidates are pairs
+    * colliding in ANY band (hot buckets over the cap dropped, like the
+    * Spark side); `scored` carries the exact rounded cosine per
+    * candidate pair.
     */
-  private def embeddingNearDupOracle: String = {
+  private def embeddingBandedScoredCte: String = {
     def bucketExpr(vec: String, bandSeed: Long): String =
       graft.functions.VectorFunctions.randomPlanes(nPlanes = 8, dim = 64, seed = bandSeed)
         .zipWithIndex.map { case (p, j) =>
@@ -2334,7 +2366,7 @@ object SparkEntry {
         s"    ON a.vec_id < b.vec_id AND a.b$b = b.b$b\n" +
         s"  WHERE a.b$b NOT IN (SELECT b$b FROM emb GROUP BY b$b HAVING count(*) > $cap)")
       .mkString("\n  UNION\n")
-    s"""WITH emb AS (
+    s"""emb AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
        |    $bucketCols
        |  FROM embeddings),
@@ -2343,10 +2375,16 @@ object SparkEntry {
        |scored AS (
        |  SELECT c.id_a, c.id_b,
        |    round(list_cosine_similarity(a.e, b.e), 6) AS cosine
-       |  FROM cand c JOIN emb a ON c.id_a = a.vec_id JOIN emb b ON c.id_b = b.vec_id)
+       |  FROM cand c JOIN emb a ON c.id_a = a.vec_id JOIN emb b ON c.id_b = b.vec_id)""".stripMargin
+  }
+
+  /** q42's oracle: banded candidates, exact rounded-cosine gate, the
+    * deterministic top-100 — mirrors the query.
+    */
+  private def embeddingNearDupOracle: String =
+    s"""WITH $embeddingBandedScoredCte
        |SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.2
        |ORDER BY cosine DESC, id_a, id_b LIMIT 100""".stripMargin
-  }
 
   /** Shared oracle fragment: per-document distinct 3-token-shingle
     * sets and all-pairs exact Jaccard. Mirrors

@@ -706,4 +706,31 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
       .distinct()
   }
+
+  /** SemDeDup-flavored SEMANTIC dedup (the public recipe: bucket
+    * embeddings, drop high-cosine neighbors, keep one representative):
+    * [[embeddingNearDuplicates]] pairs → [[connectedComponents]] →
+    * keep-list (smallest id per class survives) — catches paraphrases,
+    * translations and templated rewrites whose token overlap is too
+    * low for the MinHash/SimHash family to see. Same output contract
+    * as [[dedupCorpus]]: input ids plus `dup_class` (null = unique)
+    * and `keep`.
+    *
+    * Scale shape inherits from its parts: banded capped equi-join for
+    * candidates (never all-pairs), label propagation with durable
+    * checkpoints for classes; the keep-list join broadcasts when
+    * classes are few.
+    */
+  def semanticDedupCorpus(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double = 0.9, nPlanes: Int = 8, dim: Int = 64,
+      seed: Long = 42L, bands: Int = 8,
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val pairs = embeddingNearDuplicates(df, idCol, vecCol, minCosine,
+      nPlanes, dim, seed, bands, maxBucketSize).select(col("id_a"), col("id_b"))
+    val classes = connectedComponents(pairs, checkpointDir = checkpointDir)
+    df.join(classes.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumnRenamed("component", "dup_class")
+      .withColumn("keep", col("dup_class").isNull || col("dup_class") === col(idCol))
+  }
 }

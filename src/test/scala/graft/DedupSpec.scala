@@ -167,6 +167,42 @@ class DedupSpec extends SparkSpec {
     assert(byId(5L)._1.isEmpty && byId(5L)._2)
   }
 
+  test("semanticDedupCorpus keeps one representative per embedding class") {
+    import spark.implicits._
+    // two planted duplicate groups (identical vectors collide in EVERY
+    // band, so banding cannot miss them) + two unique directions
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),   // dup of 1
+      (5L, Array(1.0f, 0.0f, 0.0f)),   // dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 1.0f, 0.0f)),   // dup of 3
+      (6L, Array(0.0f, 0.0f, -1.0f)),
+      (7L, Array(-0.5f, 0.7f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedupCorpus(vecs, "vec_id", "embedding",
+        minCosine = 0.99, nPlanes = 4, dim = 3, bands = 4)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(r.fieldIndex("dup_class"))), r.getBoolean(r.fieldIndex("keep")))))
+      .toMap
+    assert(out(1L) == ((Some(1L), true)))
+    assert(out(2L) == ((Some(1L), false)))
+    assert(out(5L) == ((Some(1L), false)))
+    assert(out(3L) == ((Some(3L), true)))
+    assert(out(4L) == ((Some(3L), false)))
+    assert(out(6L) == ((None, true)))
+    assert(out(7L) == ((None, true)))
+    // banded result equals the brute-force (nPlanes = 0) ground truth
+    val brute = Dedup.semanticDedupCorpus(vecs, "vec_id", "embedding",
+        minCosine = 0.99, nPlanes = 0, dim = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(r.fieldIndex("dup_class"))), r.getBoolean(r.fieldIndex("keep")))))
+      .toMap
+    assert(brute == out)
+  }
+
   test("rolling-hash fingerprint is order-sensitive, exact fingerprint is ws-insensitive") {
     val fp = docs.select(col("doc_id"),
       TextFunctions.rollingHashFingerprint(col("text")).as("rh"),
