@@ -465,6 +465,54 @@ object Curation {
       .withColumn("logw", col("lr_sum").cast("double") / lit(1e6))
   }
 
+  /** Persist a fitted [[BigramLm]] as parquet artifacts (`uni/`,
+    * `big/`, `meta/` under `path`) — the fit-once/score-everywhere
+    * discipline of [[CorpusIndex]]: a CCNet-style reference model is
+    * corpus metadata, refit only when the reference corpus changes,
+    * and any later session (or another engine reading the parquet)
+    * scores with it.
+    */
+  def saveBigramLm(spark: org.apache.spark.sql.SparkSession, lm: BigramLm,
+      path: String): Unit = {
+    import spark.implicits._
+    lm.uni.toSeq.toDF("w", "c")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/uni")
+    lm.big.toSeq.map { case ((w1, w2), c) => (w1, w2, c) }
+      .toDF("w1", "w2", "c")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/big")
+    Seq(lm.vocabSize).toDF("vocab_size")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def loadBigramLm(spark: org.apache.spark.sql.SparkSession,
+      path: String): BigramLm = {
+    val uni = spark.read.parquet(s"$path/uni").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val big = spark.read.parquet(s"$path/big").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val v = spark.read.parquet(s"$path/meta").collect().head.getLong(0)
+    BigramLm(uni, big, v)
+  }
+
+  /** Persist/load a fitted [[DsirModel]] (`ratios/` + the bucket count
+    * riding in the row count) — same discipline as [[saveBigramLm]].
+    */
+  def saveDsir(spark: org.apache.spark.sql.SparkSession, model: DsirModel,
+      path: String): Unit = {
+    import spark.implicits._
+    model.logRatios.toSeq.zipWithIndex.map { case (lr, b) => (b, lr) }
+      .toDF("b", "lr")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/ratios")
+  }
+
+  def loadDsir(spark: org.apache.spark.sql.SparkSession,
+      path: String): DsirModel = {
+    val rows = spark.read.parquet(s"$path/ratios").collect()
+    val arr = new Array[Long](rows.length)
+    rows.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    DsirModel(arr, rows.length)
+  }
+
   /** DSIR's Gumbel top-k resampling step, deterministic: rank by
     * `logw + Gumbel(0,1)` where the Gumbel draw derives from
     * [[TextOps.portableHash]] of the document id

@@ -284,6 +284,20 @@ class CurationSpec extends SparkSpec {
     assert(out(1L)._2 > out(3L)._2)
   }
 
+  test("fitted LM and DSIR models round-trip through parquet artifacts") {
+    val ref = Seq((1L, "the cat sat"), (2L, "the cat ran"), (3L, "a dog ran"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_models").toString
+    val lm = Curation.fitBigramLm(ref, "text")
+    Curation.saveBigramLm(spark, lm, s"$dir/lm")
+    assert(Curation.loadBigramLm(spark, s"$dir/lm") == lm)
+    val dsir = Curation.fitDsir(ref.limit(1), ref, "text", numBuckets = 64)
+    Curation.saveDsir(spark, dsir, s"$dir/dsir")
+    val loaded = Curation.loadDsir(spark, s"$dir/dsir")
+    assert(loaded.numBuckets == 64 &&
+      loaded.logRatios.toSeq == dsir.logRatios.toSeq)
+  }
+
   test("dsirSample is deterministic under repartitioning and favors heavy weights") {
     val scored = Seq.tabulate(50) { i =>
       (i.toLong, 1L, 0L, if (i < 5) 10.0 else -10.0)

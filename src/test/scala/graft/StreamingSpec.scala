@@ -258,6 +258,43 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("pre-fitted LM perplexity and DSIR scoring run unchanged on a stream") {
+    // both scorers are pure map-side projections once fitted (the
+    // model rides in the expression), so the SAME call scores a batch
+    // frame or a stream — the batch-fit/stream-score split CCNet-style
+    // pipelines use in production
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val ref = Seq((1L, "the cat sat on the mat"), (2L, "the dog ran"))
+      .toDF("doc_id", "text")
+    val lm = graft.operators.Curation.fitBigramLm(ref, "text")
+    val dsir = graft.operators.Curation.fitDsir(ref.limit(1), ref, "text",
+      numBuckets = 64)
+    val rows = Seq((10L, "the cat sat"), (11L, "zz qq yy"), (12L, "the dog ran fast"))
+    val input = MemoryStream[(Long, String)](spark)
+    val src = input.toDF().toDF("doc_id", "text")
+    val q1 = graft.operators.Curation.perplexity(src, "doc_id", "text", lm)
+      .writeStream.format("memory").queryName("ppl_sink")
+      .outputMode("append").start()
+    val q2 = graft.operators.Curation.dsirScore(src, "doc_id", "text", dsir)
+      .writeStream.format("memory").queryName("dsir_sink")
+      .outputMode("append").start()
+    input.addData(rows.take(2))
+    q1.processAllAvailable(); q2.processAllAvailable()
+    input.addData(rows.drop(2))
+    q1.processAllAvailable(); q2.processAllAvailable()
+    val batchDf = rows.toDF("doc_id", "text")
+    val pplBatch = graft.operators.Curation.perplexity(batchDf, "doc_id", "text", lm)
+      .collect().map(_.toString).sorted.toSeq
+    val pplStream = spark.table("ppl_sink").collect().map(_.toString).sorted.toSeq
+    assert(pplStream === pplBatch && pplStream.nonEmpty)
+    val dsirBatch = graft.operators.Curation.dsirScore(batchDf, "doc_id", "text", dsir)
+      .collect().map(_.toString).sorted.toSeq
+    val dsirStream = spark.table("dsir_sink").collect().map(_.toString).sorted.toSeq
+    assert(dsirStream === dsirBatch && dsirStream.nonEmpty)
+    q1.stop(); q2.stop()
+  }
+
   test("streaming export filter == batch export filter with the same fitted rates") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val rows = (0L until 200L).map(i =>
