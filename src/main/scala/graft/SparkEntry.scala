@@ -1259,6 +1259,33 @@ object SparkEntry {
         sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("n_kept"),
         countDistinct(col("dup_class")).as("n_dup_classes"))
 
+  /** Curation capstone v2: the LM-perplexity junk gate (q82's model)
+    * and the DSIR target-likeness gate (q83's model) composed as ONE
+    * quality filter — the CCNet/DSIR combination a production corpus
+    * pass runs (drop incoherent docs AND docs unlike the target
+    * distribution), summarized per source. Both fits are small-side;
+    * both scores are map-only; the filter compares UNROUNDED scores
+    * (both engines reproduce the doubles exactly from the integer
+    * sums). The oracle refits BOTH models in SQL.
+    */
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    val docsDf = t(s, dir, "documents")
+    val lm = Curation.fitBigramLm(docsDf.filter(col("doc_id") % 10 === 0), "text")
+    val model = Curation.fitDsir(
+      docsDf.filter(col("source") === "src0"), docsDf, "text")
+    val ppl = Curation.perplexity(docsDf, "doc_id", "text", lm)
+      .select(col("doc_id"), col("ppl"))
+    val dw = Curation.dsirScore(docsDf, "doc_id", "text", model)
+      .select(col("doc_id"), col("logw"))
+    docsDf.join(ppl, Seq("doc_id")).join(dw, Seq("doc_id"))
+      .filter(col("ppl") <= 36.0 && col("logw") >= -70.0)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("ppl")), 4).as("avg_ppl"),
+        round(avg(col("logw")), 4).as("avg_logw"))
+      .orderBy(col("source"))
+  }
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -1300,8 +1327,8 @@ object SparkEntry {
     "q34_edge_filter" -> (q34 _),
     "q35_graph_route" -> (q35 _),
     "q36_compaction_plan" -> (q36 _),
-    "q37_minhash_neardup" -> (q37 _),
-    "q38_simhash_neardup" -> (q38 _),
+    "q37_minhash_nd" -> (q37 _),
+    "q38_simhash_nd" -> (q38 _),
     "q39_langid_mix" -> (q39 _),
     "q40_quality_scores" -> (q40 _),
     "q41_knn_lsh" -> (q41 _),
@@ -1347,7 +1374,8 @@ object SparkEntry {
     "q81_hybrid" -> (q81 _),
     "q82_ppl" -> (q82 _),
     "q83_dsir" -> (q83 _),
-    "q84_semdd" -> (q84 _))
+    "q84_semdd" -> (q84 _),
+    "q85_qgate" -> (q85 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1637,11 +1665,11 @@ object SparkEntry {
         |    row_number() OVER w AS rn
         |  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id))
         |WHERE rn <= 5 ORDER BY event_type, value DESC, event_id""".stripMargin,
-    "q37_minhash_neardup" ->
+    "q37_minhash_nd" ->
       s"""WITH $ShingleJaccardCte
          |SELECT id_a, id_b, jaccard FROM jacc WHERE jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
-    "q38_simhash_neardup" ->
+    "q38_simhash_nd" ->
       s"""WITH $ShingleJaccardCte
          |SELECT id_a, id_b, jaccard FROM jacc WHERE jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
@@ -2273,7 +2301,69 @@ object SparkEntry {
          |SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
          |       (SELECT count(*) FROM embeddings)
          |         - (SELECT count(*) FROM labels WHERE node <> comp) AS n_kept,
-         |       (SELECT count(DISTINCT comp) FROM labels) AS n_dup_classes""".stripMargin)
+         |       (SELECT count(DISTINCT comp) FROM labels) AS n_dup_classes""".stripMargin,
+    // q85: BOTH models refit in one SQL statement — q82's bigram LM
+    // CTEs (unrounded ppl) and q83's DSIR CTEs (unrounded logw) — then
+    // the same unrounded-threshold filter and per-source summary.
+    "q85_qgate" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |ref AS (SELECT tk FROM tk WHERE doc_id % 10 = 0),
+        |uni AS (SELECT w, count(*) AS c
+        |        FROM (SELECT unnest(tk) AS w FROM ref) GROUP BY w),
+        |v AS (SELECT count(*) AS v FROM uni),
+        |big AS (
+        |  SELECT tk[i] AS w1, tk[i+1] AS w2, count(*) AS c
+        |  FROM (SELECT tk, unnest(generate_series(1, len(tk)-1)) AS i
+        |        FROM ref WHERE len(tk) >= 2)
+        |  GROUP BY 1, 2),
+        |bp AS (
+        |  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+        |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk)-1)) AS i
+        |        FROM tk WHERE len(tk) >= 2)),
+        |pplx AS (
+        |  SELECT p.doc_id,
+        |    exp(-(CAST(CAST(sum(CAST(round(ln((coalesce(b.c, 0) + 1.0) /
+        |      (coalesce(u.c, 0) + v.v)) * 1000000) AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |      / 1000000.0) / count(*)) AS ppl
+        |  FROM bp p
+        |  LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+        |  LEFT JOIN uni u ON u.w = p.w1
+        |  CROSS JOIN v
+        |  GROUP BY p.doc_id),
+        |feats AS (
+        |  SELECT doc_id, source,
+        |    unnest(tk || list_transform(generate_series(1, len(tk)-1),
+        |                   i -> tk[i] || ' ' || tk[i+1])) AS f
+        |  FROM tk WHERE len(tk) >= 1),
+        |bf AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5('dsir:' || f), 1, 8)) AS BIGINT) % 4096 AS b
+        |  FROM feats),
+        |tc AS (SELECT b, count(*) AS c FROM bf WHERE source = 'src0' GROUP BY b),
+        |rc AS (SELECT b, count(*) AS c FROM bf GROUP BY b),
+        |tn AS (SELECT count(*) AS n FROM bf WHERE source = 'src0'),
+        |rn AS (SELECT count(*) AS n FROM bf),
+        |lr AS (
+        |  SELECT rc.b, CAST(round(ln(
+        |      ((coalesce(tc.c, 0) + 1.0) / (tn.n + 4096)) /
+        |      ((rc.c + 1.0) / (rn.n + 4096))) * 1000000) AS BIGINT) AS lr
+        |  FROM rc LEFT JOIN tc ON tc.b = rc.b CROSS JOIN tn CROSS JOIN rn),
+        |dw AS (
+        |  SELECT bf.doc_id,
+        |    CAST(CAST(sum(lr.lr) AS BIGINT) AS DOUBLE) / 1000000.0 AS logw
+        |  FROM bf JOIN lr ON lr.b = bf.b GROUP BY bf.doc_id)
+        |SELECT d.source, count(*) AS n_docs,
+        |  round(avg(p.ppl), 4) AS avg_ppl,
+        |  round(avg(w.logw), 4) AS avg_logw
+        |FROM documents d
+        |JOIN pplx p ON p.doc_id = d.doc_id
+        |JOIN dw w ON w.doc_id = d.doc_id
+        |WHERE p.ppl <= 36.0 AND w.logw >= -70.0
+        |GROUP BY d.source ORDER BY d.source""".stripMargin)
 
   /** q58's oracle, generated like [[embeddingNearDupOracle]]: both
     * corpora's per-band bucket bits from the seeded planes (seed
