@@ -284,6 +284,72 @@ class CurationSpec extends SparkSpec {
     assert(out(1L)._2 > out(3L)._2)
   }
 
+  test("LM and DSIR kernels agree with plain-Scala references on random unicode corpora") {
+    // the kernels do byte-level work (UTF8String map lookups, md5 over
+    // UTF-8 bytes) — random multi-byte tokens catch any byte/string
+    // divergence the ASCII fixtures can't
+    val rnd = new scala.util.Random(42)
+    val alphabet = Vector("the", "cat", "naïve", "café", "日本語", "привет",
+      "🙂", "x1", "ß", "mañana", "εδώ", "한글")
+    val corpus = Seq.tabulate(40) { i =>
+      val n = rnd.nextInt(13)
+      (i.toLong, Seq.fill(n)(alphabet(rnd.nextInt(alphabet.size))).mkString(" "))
+    }
+    val df = corpus.toDF("doc_id", "text")
+    val ref = df.filter(col("doc_id") % 2 === 0)
+
+    // plain-Scala twin of tokenize (alphabet is already lowercase)
+    def toks(t: String): Seq[String] =
+      t.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    val refToks = corpus.filter(_._1 % 2 == 0).map(c => toks(c._2))
+
+    // ---- bigram LM
+    val lm = Curation.fitBigramLm(ref, "text")
+    val uniRef = refToks.flatten.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val bigRef = refToks.flatMap(_.sliding(2).filter(_.size == 2))
+      .groupBy(identity).map { case (p, g) => (p(0), p(1)) -> g.size.toLong }
+    assert(lm.uni == uniRef && lm.big == bigRef &&
+      lm.vocabSize == uniRef.size.toLong)
+    def lp(c2: Long, c1: Long): Long = {
+      val x = math.log((c2 + 1.0) / (c1 + lm.vocabSize)) * 1e6
+      if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+    }
+    val got = Curation.perplexity(df, "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    corpus.foreach { case (id, text) =>
+      val tk = toks(text)
+      if (tk.size >= 2) {
+        val want = tk.sliding(2).map { p =>
+          lp(bigRef.getOrElse((p(0), p(1)), 0L), uniRef.getOrElse(p(0), 0L))
+        }.sum
+        assert(got(id) == want, s"doc $id lp_sum")
+      } else assert(!got.contains(id))
+    }
+
+    // ---- DSIR
+    val b = 128
+    val model = Curation.fitDsir(ref, df, "text", numBuckets = b)
+    def bucket(f: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(("dsir:" + f).getBytes("UTF-8"))
+      ((((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % b).toInt
+    }
+    def feats(t: String): Seq[String] = {
+      val tk = toks(t)
+      tk ++ tk.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    val dsirGot = Curation.dsirScore(df, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    corpus.foreach { case (id, text) =>
+      val fs = feats(text)
+      if (fs.nonEmpty)
+        assert(dsirGot(id) == fs.map(f => model.logRatios(bucket(f))).sum,
+          s"doc $id lr_sum")
+      else assert(!dsirGot.contains(id))
+    }
+  }
+
   test("fitted LM and DSIR models round-trip through parquet artifacts") {
     val ref = Seq((1L, "the cat sat"), (2L, "the cat ran"), (3L, "a dog ran"))
       .toDF("doc_id", "text")
