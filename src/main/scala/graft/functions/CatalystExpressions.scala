@@ -387,6 +387,38 @@ object CatalystExpressions {
     override protected def withNewChildInternal(c: Expression): DsirLogRatioSum = copy(c)
   }
 
+  /** BPE encode of a token array against a learned merge list
+    * (ordered; index = rank). The rank table rides as a reference
+    * object like the other fitted models; encoding is map-only.
+    */
+  case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = false
+    @transient private lazy val ranks:
+        java.util.HashMap[String, java.util.HashMap[String, Integer]] = {
+      val m = new java.util.HashMap[String, java.util.HashMap[String, Integer]]()
+      merges.zipWithIndex.foreach { case ((a, b), r) =>
+        m.computeIfAbsent(a, _ => new java.util.HashMap[String, Integer]())
+          .putIfAbsent(b, Integer.valueOf(r))
+      }
+      m
+    }
+    override def eval(input: InternalRow): Any =
+      ExprKernels.bpeEncode(child.eval(input).asInstanceOf[ArrayData], ranks)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ranksRef = ctx.addReferenceObj("ranks", ranks, "java.util.HashMap")
+      val c = child.genCode(ctx)
+      ev.copy(
+        code = code"""
+          ${c.code}
+          final ArrayData ${ev.value} = $K.bpeEncode(
+            ${c.isNull} ? null : ${c.value}, $ranksRef);""",
+        isNull = FalseLiteral)
+    }
+    override protected def withNewChildInternal(c: Expression): BpeEncode = copy(c)
+  }
+
   // ------------------------------------------------------- Column API
 
   import org.apache.spark.sql.graft.bridge.{columnOf => column, expressionOf => expression}
@@ -426,4 +458,7 @@ object CatalystExpressions {
   def dsirLogRatioSum(tokens: Column, logRatios: Array[Long],
       numBuckets: Int): Column =
     column(DsirLogRatioSum(expression(tokens), logRatios, numBuckets))
+
+  def bpeEncode(tokens: Column, merges: Seq[(String, String)]): Column =
+    column(BpeEncode(expression(tokens), merges))
 }

@@ -377,6 +377,70 @@ object ExprKernels {
     (v % b).toInt
   }
 
+  /** Greedy BPE encode of one word against a merge-rank table (the
+    * GPT-2 apply algorithm): split to code points (+ the `</w>`
+    * end-of-word symbol), then repeatedly merge the adjacent pair with
+    * the lowest (earliest-learned) rank, leftmost occurrence first,
+    * until no learned merge applies. Code-point split keeps surrogate
+    * pairs (emoji, rare CJK) intact.
+    */
+  def bpeEncodeWord(word: String,
+      ranks: java.util.HashMap[String, java.util.HashMap[String, Integer]]): java.util.ArrayList[String] = {
+    val syms = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      syms.add(new String(Character.toChars(cp)))
+      i += Character.charCount(cp)
+    }
+    syms.add("</w>")
+    var done = false
+    while (!done && syms.size > 1) {
+      var bestRank = Int.MaxValue
+      var bestI = -1
+      var j = 0
+      while (j < syms.size - 1) {
+        val inner = ranks.get(syms.get(j))
+        if (inner != null) {
+          val r = inner.get(syms.get(j + 1))
+          if (r != null && r.intValue() < bestRank) {
+            bestRank = r.intValue(); bestI = j
+          }
+        }
+        j += 1
+      }
+      if (bestI < 0) done = true
+      else {
+        syms.set(bestI, syms.get(bestI) + syms.get(bestI + 1))
+        syms.remove(bestI + 1)
+      }
+    }
+    syms
+  }
+
+  /** BPE encode over a token array: per-token [[bpeEncodeWord]],
+    * pieces concatenated in order. Null → empty array.
+    */
+  def bpeEncode(toks: ArrayData,
+      ranks: java.util.HashMap[String, java.util.HashMap[String, Integer]]): ArrayData = {
+    if (toks == null)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[AnyRef](0))
+    val out = new java.util.ArrayList[AnyRef]()
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val pieces = bpeEncodeWord(toks.getUTF8String(i).toString, ranks)
+      var j = 0
+      while (j < pieces.size) {
+        out.add(UTF8String.fromString(pieces.get(j)))
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size)))
+  }
+
   /** DSIR log importance-weight sum over a token array: every hashed
     * feature occurrence — each unigram and each adjacent-pair bigram
     * ("w1 w2"), hashed as md5("dsir:" + feature) into `numBuckets` —

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bpe
+
+/** BPE trainer/encoder against the hand-computed Sennrich (2016)
+  * walkthrough — the published worked example is the independent
+  * ground truth the iterative fit can't get from a SQL oracle.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the classic corpus: low×5 lower×2 newest×6 widest×3
+  private lazy val corpus = (
+    Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+    Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+  ).zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+
+  test("fitBpe reproduces the Sennrich walkthrough merge order") {
+    val model = Bpe.fitBpe(corpus, "text", numMerges = 5)
+    // hand-derived: pair counts 9/9/9 tie → lexicographic: (e,s) first,
+    // then (es,t), (est,</w>); next max 7 ties (l,o) before (o,w) →
+    // (l,o), then (lo,w)
+    assert(model.merges == Vector(
+      ("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w")))
+  }
+
+  test("encode applies merges by rank; unknown words fall back to code points") {
+    val model = Bpe.fitBpe(corpus, "text", numMerges = 5)
+    val enc = Seq((1L, "lowest"), (2L, "low"), (3L, "xyz"), (4L, "low lowest"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Bpe.encode(col("text"), model).as("p"),
+        Bpe.pieceCount(col("text"), model).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[String](1), r.getInt(2)))).toMap
+    assert(enc(1L) == ((Seq("low", "est</w>"), 2)))
+    assert(enc(2L) == ((Seq("low", "</w>"), 2)))
+    assert(enc(3L) == ((Seq("x", "y", "z", "</w>"), 4)))
+    assert(enc(4L) == ((Seq("low", "</w>", "low", "est</w>"), 4)))
+  }
+
+  test("surrogate pairs stay intact; fit is deterministic under repartitioning") {
+    val model = Bpe.fitBpe(corpus, "text", numMerges = 5)
+    val pieces = Seq((1L, "🙂🙂"))
+      .toDF("doc_id", "text")
+      .select(Bpe.encode(col("text"), model).as("p"))
+      .collect().head.getSeq[String](0)
+    assert(pieces == Seq("🙂", "🙂", "</w>")) // two code points, not four chars
+    val again = Bpe.fitBpe(corpus.repartition(7), "text", numMerges = 5)
+    assert(again == model)
+  }
+
+  test("merge table round-trips through parquet; min pair count stops noise merges") {
+    val model = Bpe.fitBpe(corpus, "text", numMerges = 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    Bpe.save(spark, model, s"$dir/m")
+    assert(Bpe.load(spark, s"$dir/m") == model)
+    // asking for far more merges than the corpus supports stops at the
+    // minPairCount floor instead of memorizing hapax pairs
+    val capped = Bpe.fitBpe(corpus, "text", numMerges = 10000)
+    assert(capped.merges.size < 50)
+  }
+}

@@ -34,7 +34,8 @@ class CodegenSpec extends SparkSpec {
       CatalystExpressions.nearestCentroid(col("a"), Array(Array(1.0, 0.0))),
       CatalystExpressions.bigramLogProbSum(col("t"),
         Map("a" -> 1L), Map(("a", "b") -> 1L), 2L),
-      CatalystExpressions.dsirLogRatioSum(col("t"), new Array[Long](16), 16))
+      CatalystExpressions.dsirLogRatioSum(col("t"), new Array[Long](16), 16),
+      CatalystExpressions.bpeEncode(col("t"), Seq(("e", "s"))))
     exprs.foreach { c =>
       val e = expressionOf(c)
       assert(!e.isInstanceOf[CodegenFallback],
