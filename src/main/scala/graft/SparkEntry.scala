@@ -823,6 +823,40 @@ object SparkEntry {
        |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin
   }
 
+  private val MdShellHead =
+    "# Title\n\n> a quoted line\n\n- item one\n* item two\n\n**bold** and " +
+      "`inline code` with [a link](http://example.com/x) and ![alt text](img.png)\n\n```scala\n"
+  private val MdShellTail = "\n```\n\n---\n"
+
+  /** S15's markdown sibling: documents wrapped in a synthetic markdown
+    * shell (headers, quotes, bullets, emphasis, inline code, links,
+    * images, a fenced block around the body, an hr), recovered by the
+    * codegen'd [[TF.markdownToText]] chain; the oracle reruns the
+    * IDENTICAL regex chain in DuckDB, with `$1` replacements rewritten
+    * to RE2's `\1`.
+    */
+  private def q86(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"),
+        TF.markdownToText(concat(lit(MdShellHead), col("text"), lit(MdShellTail)))
+          .as("extracted"))
+      .orderBy(col("doc_id"))
+
+  /** q86's oracle, generated from the same step list the Spark chain
+    * folds over — one source of truth for the patterns.
+    */
+  private def markdownExtractionOracle: String = {
+    def sq(x: String): String = x.replace("'", "''")
+    val input = s"concat('${sq(MdShellHead)}', text, '${sq(MdShellTail)}')"
+    val chained = TF.MarkdownToTextSteps.foldLeft(input) { case (acc, (p, r)) =>
+      val re2Repl = r.replace("$1", "\\1") // Java "$1" -> RE2 "\1"
+      s"regexp_replace($acc, '${sq(p)}', '${sq(re2Repl)}', 'g')"
+    }
+    s"""SELECT doc_id, trim(regexp_replace($chained, '\\s+', ' ', 'g')) AS extracted
+       |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin
+  }
+
   /** J5 — true as-of join via the custom sort-merge operator
     * ([[graft.plans.AsOf]]: logical node → strategy → exec, one hash
     * exchange + sort per side, streaming O(1)-state merge). Each click
@@ -1300,7 +1334,7 @@ object SparkEntry {
     "q07_success_rate" -> (q07 _),
     "q08_top_failures" -> (q08 _),
     "q09_failure_ranking" -> (q09 _),
-    "q10_weighted_progress" -> (q10 _),
+    "q10_wprog" -> (q10 _),
     "q11_distinct_metrics" -> (q11 _),
     "q12_risk_grades" -> (q12 _),
     "q13_event_histogram" -> (q13 _),
@@ -1375,7 +1409,8 @@ object SparkEntry {
     "q82_ppl" -> (q82 _),
     "q83_dsir" -> (q83 _),
     "q84_semdd" -> (q84 _),
-    "q85_qgate" -> (q85 _))
+    "q85_qgate" -> (q85 _),
+    "q86_md" -> (q86 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1432,7 +1467,7 @@ object SparkEntry {
         |FROM events GROUP BY user_id
         |HAVING round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0 / count(*), 4) > 0.1
         |ORDER BY failure_rate DESC, user_id""".stripMargin,
-    "q10_weighted_progress" ->
+    "q10_wprog" ->
       """SELECT event_type,
         | round(sum(CAST(json_extract_string(props, '$.k') AS DOUBLE) * value)
         |   / greatest(sum(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 1.0), 4)
@@ -1802,6 +1837,7 @@ object SparkEntry {
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q58_cross_linking" -> crossLinkingOracle,
     "q61_html" -> htmlExtractionOracle,
+    "q86_md" -> markdownExtractionOracle,
     "q62_asof_join" ->
       """SELECT l.user_id, l.event_id, round(l.value, 2) AS click_value,
         | r.event_id AS prior_error_id, round(r.value, 2) AS prior_error_value

@@ -121,6 +121,36 @@ object TextFunctions {
       HtmlToTextSteps.foldLeft(html) { case (c, (p, r)) => regexp_replace(c, p, r) },
       "\\s+", " "))
 
+  /** The ordered (regex, replacement) chain behind [[markdownToText]].
+    * RE2-compatible patterns (no backreferences/lookaround — the
+    * setext/hr rules are split per character instead of using `\1`).
+    * Replacements may use `$1` (Java syntax); the oracle generator
+    * rewrites to RE2's `\1`. Underscore emphasis is deliberately NOT
+    * stripped: `snake_case` identifiers are ubiquitous in crawled
+    * technical text and the collateral damage outweighs the markup.
+    */
+  val MarkdownToTextSteps: Seq[(String, String)] = Seq(
+    "!\\[([^\\]]*)\\]\\([^)]*\\)" -> "$1", // images (before links: the ! prefix)
+    "\\[([^\\]]*)\\]\\([^)]*\\)" -> "$1", // links -> anchor text
+    "(?m)^```[^\n]*$" -> " ", // fence markers go, fenced body stays
+    "`([^`]*)`" -> "$1", // inline code ticks
+    "(?m)^#{1,6}[ \t]+" -> "", // ATX headers
+    "(?m)^>[ \t]?" -> "", // blockquotes
+    "(?m)^[-*+][ \t]+" -> "", // list bullets
+    "\\*{1,3}([^*]+)\\*{1,3}" -> "$1", // *emphasis* / **bold**
+    "(?m)^-{3,}[ \t]*$" -> " ", // hr / setext dashes
+    "(?m)^={3,}[ \t]*$" -> " ") // setext equals
+
+  /** Markdown → text extraction — [[htmlToText]]'s sibling for the
+    * second-most-common crawl format (READMEs, forums, docs sites).
+    * Same design: a `regexp_replace` chain that stays inside
+    * whole-stage codegen and restates verbatim in the oracle engine.
+    */
+  def markdownToText(md: Column): Column =
+    trim(regexp_replace(
+      MarkdownToTextSteps.foldLeft(md) { case (c, (p, r)) => regexp_replace(c, p, r) },
+      "\\s+", " "))
+
   /** Order-sensitive rolling fingerprint over the token sequence — the
     * document-fingerprint analog of the reference's canonical
     * fingerprints (`event_loop_node.py:1895-1899`). Implemented as a

@@ -317,7 +317,7 @@ object Multimodal {
       p.putInt(w << 16).putInt(h << 16) // 16.16 fixed at offset 76
       p.array()
     }
-    val ftyp = box("ftyp", "isom   isomiso2".getBytes("ISO-8859-1"))
+    val ftyp = box("ftyp", "isom\u0000\u0000\u0002\u0000isomiso2".getBytes("ISO-8859-1"))
     val moov = box("moov", box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd)))
     ftyp ++ moov
   }
