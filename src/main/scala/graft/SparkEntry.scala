@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Engine
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Analytics, CorpusIndex, Curation, Dedup, Similarity}
+import graft.operators.{Analytics, CorpusIndex, Curation, Dedup, Similarity, TextOps}
 
 /** Driver contract: one `queries` entry (+ `oracleSql` where ANSI-SQL
   * expressible) per implemented operator from SURVEY.md §2.
@@ -857,6 +857,176 @@ object SparkEntry {
        |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin
   }
 
+  /** CCNet-style line-level boilerplate dedup
+    * ([[graft.operators.Curation.lineDedup]]): each document is
+    * wrapped in a synthetic multi-line page shell — a nav line and a
+    * footer shared by ALL docs (df = 60), a promo line on every third
+    * doc (df = 20), and two unique lines (a title and the body). With
+    * `minDocFreq = 30` the nav/footer vanish everywhere, the
+    * under-threshold promo line survives, and surviving-line order is
+    * preserved. The oracle restates the full relational definition
+    * (explode with position → distinct-doc line frequency → anti-join
+    * → ordered reassembly) in DuckDB.
+    */
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    val shell = concat(
+      lit("NAV HOME | ABOUT | CONTACT\n"),
+      lit("Title: doc "), col("doc_id").cast("string"), lit("\n"),
+      col("text"), lit("\n"),
+      when(col("doc_id") % 3 === 0, lit("SUBSCRIBE NOW\n")).otherwise(lit("")),
+      lit("(c) 2026 example.com"))
+    val shelled = t(s, dir, "documents")
+      .filter(col("doc_id") < 60)
+      .select(col("doc_id"), shell.as("text"))
+    Curation.lineDedup(shelled, "doc_id", "text", minDocFreq = 30)
+      .orderBy("doc_id")
+  }
+
+  private def lineDedupOracle: String =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    concat('NAV HOME | ABOUT | CONTACT', chr(10),
+      |           'Title: doc ', CAST(doc_id AS VARCHAR), chr(10),
+      |           text, chr(10),
+      |           CASE WHEN doc_id % 3 = 0 THEN 'SUBSCRIBE NOW' || chr(10)
+      |                ELSE '' END,
+      |           '(c) 2026 example.com') AS t
+      |  FROM documents WHERE doc_id < 60),
+      |ls AS (SELECT doc_id, string_split(t, chr(10)) AS s FROM docs),
+      |ln AS (SELECT doc_id, unnest(generate_series(1, len(s))) AS pos, s
+      |       FROM ls),
+      |l2 AS (SELECT doc_id, pos, s[pos] AS line FROM ln),
+      |bo AS (SELECT line
+      |       FROM (SELECT line, count(DISTINCT doc_id) AS dfr
+      |             FROM l2 GROUP BY line)
+      |       WHERE dfr >= 30),
+      |kept AS (SELECT doc_id, pos, line FROM l2
+      |         WHERE NOT EXISTS (SELECT 1 FROM bo WHERE bo.line = l2.line)),
+      |ka AS (SELECT doc_id,
+      |         string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+      |         count(*) AS n_kept
+      |       FROM kept GROUP BY doc_id),
+      |tot AS (SELECT doc_id, len(s) AS n_total FROM ls)
+      |SELECT tot.doc_id, coalesce(ka.clean_text, '') AS clean_text,
+      |  CAST(tot.n_total - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed
+      |FROM tot LEFT JOIN ka USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** RAG-style overlapping token-window chunking
+    * ([[graft.operators.TextOps.chunkDocs]]): 30-token chunks with a
+    * 10-token overlap (step 20). Map-only — the oracle rebuilds every
+    * chunk with DuckDB list slicing over the same tokenization and
+    * `generate_series(1, len, 20)` starts.
+    */
+  private def q88(s: SparkSession, dir: String): DataFrame =
+    TextOps.chunkDocs(
+      t(s, dir, "documents").filter(col("doc_id") < 10),
+      "doc_id", "text", chunkTokens = 30, overlapTokens = 10)
+      .orderBy("doc_id", "chunk_idx")
+
+  private def chunkDocsOracle: String =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      t -> len(t) > 0) AS tk
+      |  FROM documents WHERE doc_id < 10),
+      |st AS (SELECT doc_id, tk,
+      |         unnest(generate_series(1, len(tk), 20)) AS s1
+      |       FROM tk WHERE len(tk) > 0)
+      |SELECT doc_id, CAST((s1 - 1) // 20 AS BIGINT) AS chunk_idx,
+      |  CAST(s1 - 1 AS BIGINT) AS token_start,
+      |  CAST(len(tk[s1:s1+29]) AS BIGINT) AS n_tokens,
+      |  array_to_string(tk[s1:s1+29], ' ') AS chunk_text
+      |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Retrieval-evaluation harness
+    * ([[graft.operators.TextOps.retrievalMetrics]]): the first five
+    * embeddings are queries, the rest the corpus; brute-force cosine
+    * top-10 is the ranked run, label-equality the binary relevance
+    * judgments. recall@10 / MRR@10 / nDCG@10 per query; the oracle
+    * recomputes the full pipeline — cosine ranking via
+    * `list_cosine_similarity` + the metric formulas — in SQL.
+    */
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("__qe"),
+        col("label").as("__ql"))
+    val c = emb.filter(col("vec_id") >= 5)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("__cos"), col("vec_id"))
+    val results = c.crossJoin(broadcast(q))
+      .withColumn("__cos", VF.cosine(col("embedding"), col("__qe")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id"), col("rank"))
+    val qrels = c.select(col("vec_id"), col("label"))
+      .join(broadcast(q.select(col("query_id"), col("__ql"))),
+        col("label") === col("__ql"))
+      .select(col("query_id"), col("vec_id"))
+    TextOps.retrievalMetrics(results, qrels, "query_id", "vec_id", "rank",
+        k = 10)
+      .orderBy("query_id")
+  }
+
+  private def retrievalMetricsOracle: String =
+    """WITH q AS (
+      |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe,
+      |    label AS ql
+      |  FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+      |      FROM embeddings WHERE vec_id >= 5),
+      |scored AS (
+      |  SELECT qid, vec_id, label, ql,
+      |    row_number() OVER (PARTITION BY qid
+      |      ORDER BY list_cosine_similarity(e, qe) DESC, vec_id) AS rank
+      |  FROM q, c),
+      |hits AS (SELECT qid, rank FROM scored
+      |         WHERE rank <= 10 AND label = ql),
+      |hagg AS (SELECT qid, count(*) AS n_hits, min(rank) AS first_rank,
+      |           sum(1.0 / log2(rank + 1)) AS dcg
+      |         FROM hits GROUP BY qid),
+      |nrel AS (SELECT q.qid, count(*) AS n_rel
+      |         FROM q JOIN c ON c.label = q.ql GROUP BY q.qid)
+      |SELECT n.qid AS query_id,
+      |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+      |  CAST(n.n_rel AS BIGINT) AS n_rel,
+      |  round(coalesce(h.n_hits, 0)::DOUBLE / n.n_rel, 6) AS recall_at_k,
+      |  round(coalesce(1.0 / h.first_rank, 0), 6) AS mrr,
+      |  round(coalesce(h.dcg, 0) / list_sum(list_transform(
+      |    generate_series(1, least(n.n_rel, 10)),
+      |    i -> 1.0 / log2(i + 1))), 6) AS ndcg_at_k
+      |FROM nrel n LEFT JOIN hagg h USING (qid) ORDER BY query_id""".stripMargin
+
+  /** Exact-phrase search through the INVERTED INDEX path
+    * ([[graft.operators.TextOps.buildPostings]] →
+    * [[graft.operators.TextOps.phraseSearch]]): postings for the two
+    * phrase terms, aligned and intersected on (doc, start). The
+    * oracle computes the same result the OTHER way — a brute-force
+    * lambda scan counting consecutive-token matches — so the gate
+    * locks index-vs-scan equivalence, occurrence counts included.
+    */
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val postings = TextOps.buildPostings(docs, "doc_id", "text")
+    TextOps.phraseSearch(postings, "doc_id", Seq("hash", "join"))
+      .orderBy("doc_id")
+  }
+
+  private def phraseSearchOracle: String =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      t -> len(t) > 0) AS tk
+      |  FROM documents),
+      |occ AS (
+      |  SELECT doc_id,
+      |    len(list_filter(generate_series(1, len(tk) - 1),
+      |      i -> tk[i:i+1] = ['hash', 'join'])) AS n
+      |  FROM tk WHERE len(tk) >= 2)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_occurrences
+      |FROM occ WHERE n > 0 ORDER BY doc_id""".stripMargin
+
   /** J5 — true as-of join via the custom sort-merge operator
     * ([[graft.plans.AsOf]]: logical node → strategy → exec, one hash
     * exchange + sort per side, streaming O(1)-state merge). Each click
@@ -1335,7 +1505,7 @@ object SparkEntry {
     "q08_top_failures" -> (q08 _),
     "q09_failure_ranking" -> (q09 _),
     "q10_wprog" -> (q10 _),
-    "q11_distinct_metrics" -> (q11 _),
+    "q11_ndist" -> (q11 _),
     "q12_risk_grades" -> (q12 _),
     "q13_event_histogram" -> (q13 _),
     "q14_rollup_acctbal" -> (q14 _),
@@ -1349,7 +1519,7 @@ object SparkEntry {
     "q22_common_nations" -> (q22 _),
     "q23_anti_nations" -> (q23 _),
     "q24_dedup_stats" -> (q24 _),
-    "q25_duplicate_groups" -> (q25 _),
+    "q25_dups" -> (q25 _),
     "q26_brand_like" -> (q26 _),
     "q27_string_funcs" -> (q27 _),
     "q28_monthly_orders" -> (q28 _),
@@ -1370,12 +1540,12 @@ object SparkEntry {
     "q43_approx_distinct" -> (q43 _),
     "q44_mm_decode" -> (q44 _),
     "q45_semantic_judge" -> (q45 _),
-    "q46_session_windows" -> (q46 _),
+    "q46_sess" -> (q46 _),
     "q47_risk_weighted" -> (q47 _),
     "q48_pctls" -> (q48 _),
-    "q49_left_join_nulls" -> (q49 _),
+    "q49_ljoin" -> (q49 _),
     "q50_cube_orders" -> (q50 _),
-    "q51_scalar_subquery" -> (q51 _),
+    "q51_subq" -> (q51 _),
     "q52_window_suite" -> (q52 _),
     "q53_dedup_corpus" -> (q53 _),
     "q54_knn_ivf" -> (q54 _),
@@ -1384,7 +1554,7 @@ object SparkEntry {
     "q57_state_asof" -> (q57 _),
     "q58_cross_linking" -> (q58 _),
     "q59_approx_pctl" -> (q59 _),
-    "q60_corpus_curation" -> (q60 _),
+    "q60_curate" -> (q60 _),
     "q61_html" -> (q61 _),
     "q62_asof_join" -> (q62 _),
     "q63_range_join" -> (q63 _),
@@ -1410,7 +1580,11 @@ object SparkEntry {
     "q83_dsir" -> (q83 _),
     "q84_semdd" -> (q84 _),
     "q85_qgate" -> (q85 _),
-    "q86_md" -> (q86 _))
+    "q86_md" -> (q86 _),
+    "q87_lines" -> (q87 _),
+    "q88_chunk" -> (q88 _),
+    "q89_ndcg" -> (q89 _),
+    "q90_phr" -> (q90 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1473,7 +1647,7 @@ object SparkEntry {
         |   / greatest(sum(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 1.0), 4)
         |   AS weighted_progress
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "q11_distinct_metrics" ->
+    "q11_ndist" ->
       """SELECT count(DISTINCT user_id) AS n_distinct_user_id,
         | count(DISTINCT concat(user_id, ':', event_type)) AS n_distinct_user_event
         |FROM events""".stripMargin,
@@ -1537,7 +1711,7 @@ object SparkEntry {
       """SELECT count(*) AS n_docs,
         | count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_unique
         |FROM documents""".stripMargin,
-    "q25_duplicate_groups" ->
+    "q25_dups" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
         | min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY fingerprint""".stripMargin,
@@ -1611,7 +1785,7 @@ object SparkEntry {
         |         ELSE 1 END AS keep_n
         |  FROM (SELECT user_id, event_id, CAST(floor(value) AS BIGINT) AS tokens FROM events))
         |ORDER BY user_id, event_id""".stripMargin,
-    "q46_session_windows" ->
+    "q46_sess" ->
       """SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events,
         | max(n_events) AS max_session_events
         |FROM (
@@ -1671,7 +1845,7 @@ object SparkEntry {
         | round(quantile_cont(value, 0.95), 4) AS p95,
         | round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "q49_left_join_nulls" ->
+    "q49_ljoin" ->
       """SELECT c_mktsegment, count(*) AS n_rows, count(o_orderkey) AS n_orders,
         | round(sum(coalesce(o_totalprice, 0.0)), 2) AS sum_price
         |FROM customer LEFT JOIN (
@@ -1683,7 +1857,7 @@ object SparkEntry {
         | round(sum(o_totalprice), 2) AS sum_price
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
-    "q51_scalar_subquery" ->
+    "q51_subq" ->
       """SELECT o_orderpriority, count(*) AS n_above_avg
         |FROM orders
         |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
@@ -1838,6 +2012,10 @@ object SparkEntry {
     "q58_cross_linking" -> crossLinkingOracle,
     "q61_html" -> htmlExtractionOracle,
     "q86_md" -> markdownExtractionOracle,
+    "q87_lines" -> lineDedupOracle,
+    "q88_chunk" -> chunkDocsOracle,
+    "q89_ndcg" -> retrievalMetricsOracle,
+    "q90_phr" -> phraseSearchOracle,
     "q62_asof_join" ->
       """SELECT l.user_id, l.event_id, round(l.value, 2) AS click_value,
         | r.event_id AS prior_error_id, round(r.value, 2) AS prior_error_value
@@ -2117,7 +2295,7 @@ object SparkEntry {
         |FROM c, qq
         |ORDER BY qdot DESC, vec_id
         |LIMIT 10""".stripMargin,
-    "q60_corpus_curation" ->
+    "q60_curate" ->
       s"""WITH RECURSIVE $ShingleJaccardCte,
          |pairs AS (SELECT id_a, id_b FROM jacc WHERE jaccard >= 0.3),
          |edges AS (SELECT id_a AS s, id_b AS d FROM pairs

@@ -531,4 +531,71 @@ object Curation {
       .limit(k)
       .drop("__g")
   }
+
+  /** CCNet-style line-level boilerplate removal (Wenzek et al. 2019
+    * §4.1 dedups at the line/paragraph grain; the reference's crawl
+    * ingestion, `web_scrape_tool.py`, returns page text that carries
+    * exactly this nav/footer noise): a line is boilerplate when it
+    * appears in at least `minDocFreq` DISTINCT documents, and every
+    * occurrence of a boilerplate line is removed from every document,
+    * preserving the order of surviving lines. Lines compare EXACTLY
+    * (raw `\n`-split segments, no trimming/lowering) so the relational
+    * definition restates verbatim in the oracle engine.
+    *
+    * Returns `(idCol, clean_text, n_removed)` — one row per input
+    * document (a document whose every line is boilerplate survives
+    * with `clean_text = ""`).
+    *
+    * Scale: pass 1 is one shuffle — the line document-frequency
+    * aggregate (map-side partial on (line, id)). The boilerplate SET
+    * is small by construction: at most `totalLines / minDocFreq`
+    * distinct lines, so with the production-scale thresholds (100+)
+    * it is ≤1% of distinct lines. Pass 2 exploits that:
+    *  - `nBoiler <= maxBroadcastLines` (the common case): the set is
+    *    collapsed to a one-row array, broadcast, and the rewrite is a
+    *    MAP-ONLY higher-order `filter` over `split(text)` — no second
+    *    shuffle, no reassembly aggregate.
+    *  - otherwise (or `forceJoinPath`, which the spec uses to lock
+    *    path equivalence): explode → anti-join on the line →
+    *    order-preserving reassembly, all equi-hash operations.
+    * Same hybrid discipline as [[Dedup.connectedComponents]]'s
+    * driver/iterative split.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      minDocFreq: Int, forceJoinPath: Boolean = false,
+      maxBroadcastLines: Int = 100000): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2: $minDocFreq")
+    val splitLines = split(col(textCol), "\n")
+    val lines = df.select(col(idCol),
+      posexplode(splitLines).as(Seq("pos", "line")))
+    val boiler = lines.groupBy("line")
+      .agg(countDistinct(col(idCol)).as("line_df"))
+      .filter(col("line_df") >= minDocFreq)
+      .select("line")
+    val useBroadcast = !forceJoinPath && boiler.count() <= maxBroadcastLines
+    if (useBroadcast) {
+      val bset = broadcast(
+        boiler.agg(collect_list(col("line")).as("__boiler")))
+      val keptArr = filter(splitLines,
+        l => !array_contains(col("__boiler"), l))
+      df.crossJoin(bset)
+        .select(col(idCol),
+          array_join(keptArr, "\n").as("clean_text"),
+          (size(splitLines) - size(keptArr)).cast("long").as("n_removed"))
+    } else {
+      val kept = lines.join(boiler, Seq("line"), "left_anti")
+        .groupBy(idCol)
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line")), "\n").as("clean_text"),
+          count(lit(1)).as("n_kept"))
+      df.select(col(idCol), size(splitLines).cast("long").as("n_total"))
+        .join(kept, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          (col("n_total") - coalesce(col("n_kept"), lit(0L)))
+            .as("n_removed"))
+    }
+  }
 }

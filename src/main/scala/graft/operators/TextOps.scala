@@ -253,4 +253,144 @@ object TextOps {
         col("__base") + col("__local_prior"), lit(tokenBudget)))
       .drop("__shard", "__local_prior", "__base")
   }
+
+  /** Exact-phrase occurrence count as a row-local Column: the number
+    * of token positions where the document's
+    * [[TextFunctions.tokens]] stream matches `phrase` consecutively.
+    * A higher-order `filter` over candidate starts — map-only, stays
+    * on the scan, no explode. The brute-force twin of
+    * [[phraseSearch]]; the gate oracle restates this form.
+    */
+  def phraseOccurrences(text: Column, phrase: Seq[String]): Column = {
+    require(phrase.nonEmpty, "phraseOccurrences: empty phrase")
+    val m = phrase.length
+    val tk = TextFunctions.tokens(text)
+    val phr = array(phrase.map(p =>
+      lit(p.toLowerCase(java.util.Locale.ROOT))): _*)
+    when(size(tk) >= m,
+        size(filter(sequence(lit(1), size(tk) - (m - 1)),
+          i => slice(tk, i, lit(m)) === phr)))
+      .otherwise(0)
+  }
+
+  /** Positional posting lists: one row per token occurrence,
+    * `(idCol, pos, token)`. Materialize once (parquet, partitioned or
+    * bucketed by a token hash) and phrase/term queries become
+    * pruned-scan equi-joins over just the queried terms' postings
+    * instead of full-corpus rescans — the classic inverted-index
+    * trade the reference gets from its search providers
+    * (`exa_search_tool.py`): build cost up front, per-query cost
+    * proportional to term frequency.
+    */
+  def buildPostings(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "token")))
+
+  /** Exact-phrase search over [[buildPostings]] output: for an
+    * m-token phrase, each term's postings are filtered (predicate on
+    * `token` — pushed to the scan, partition-pruned under a
+    * token-partitioned layout) and aligned to the phrase start
+    * (`pos − i`), then intersected with m−1 equi-joins on
+    * `(idCol, start)`. Returns `(idCol, n_occurrences)` for documents
+    * with at least one occurrence — identical, occurrence-for-
+    * occurrence, to scanning with [[phraseOccurrences]] (the spec and
+    * the q90 gate lock this equivalence).
+    *
+    * Scale: join input is the postings of the PHRASE terms only;
+    * rarest-term postings bound the intersection. No full-corpus
+    * pass at query time.
+    */
+  def phraseSearch(postings: DataFrame, idCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch: empty phrase")
+    val norm = phrase.map(_.toLowerCase(java.util.Locale.ROOT))
+    val aligned = norm.zipWithIndex.map { case (t, i) =>
+      postings.filter(col("token") === lit(t))
+        .select(col(idCol), (col("pos") - i).as("__start"))
+    }
+    aligned.reduce((a, b) => a.join(b, Seq(idCol, "__start")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
+  /** Ranked-retrieval evaluation — recall@k, MRR@k, and (binary)
+    * nDCG@k per query, the standard harness for grading the engine's
+    * own retrieval stack (BM25 [[bm25Rank]], ANN
+    * [[graft.operators.Similarity]], hybrid [[rrfFuse]]) against
+    * relevance judgments. `results` holds `(queryCol, docCol,
+    * rankCol)` with 1-based ranks; `qrels` holds binary-relevant
+    * `(queryCol, docCol)` pairs. Queries absent from `qrels` have no
+    * defined metrics and are dropped; queries with judgments but zero
+    * top-k hits score 0 across the board.
+    *
+    * `nDCG@k = Σ_hits 1/log2(rank+1) / Σ_{i=1..min(n_rel,k)} 1/log2(i+1)`.
+    *
+    * Scale: two equi-joins on (query, doc) and per-query aggregates;
+    * `results` is already top-k per query so every frame after the
+    * first join is O(queries · k). The ideal-DCG denominator is a
+    * row-local higher-order `aggregate` over `sequence`, not a join
+    * against a rank table.
+    */
+  def retrievalMetrics(results: DataFrame, qrels: DataFrame,
+      queryCol: String, docCol: String, rankCol: String = "rank",
+      k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val rels = qrels.select(col(queryCol), col(docCol)).distinct()
+    val hits = results.filter(col(rankCol) <= k)
+      .select(col(queryCol), col(docCol), col(rankCol))
+      .join(rels, Seq(queryCol, docCol))
+    val hagg = hits.groupBy(col(queryCol)).agg(
+      count(lit(1)).as("n_hits"),
+      min(col(rankCol)).as("__first"),
+      sum(lit(1.0) / log2(col(rankCol).cast("double") + 1)).as("__dcg"))
+    val nrel = rels.groupBy(col(queryCol)).agg(count(lit(1)).as("n_rel"))
+    val idcg = aggregate(
+      sequence(lit(1L), least(col("n_rel"), lit(k.toLong))), lit(0.0),
+      (acc, i) => acc + lit(1.0) / log2(i.cast("double") + 1))
+    nrel.join(hagg, Seq(queryCol), "left")
+      .select(col(queryCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_rel"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_rel"), 6).as("recall_at_k"),
+        round(coalesce(lit(1.0) / col("__first"), lit(0.0)), 6).as("mrr"),
+        round(coalesce(col("__dcg"), lit(0.0)) / idcg, 6).as("ndcg_at_k"))
+  }
+
+  /** Fixed-token-window document chunking with overlap — the RAG/
+    * context-window preparation step (the reference feeds scraped page
+    * text to context-bounded LLM calls, `web_scrape_tool.py` +
+    * `llm/litellm.py`; chunking is how that survives long documents).
+    * Chunk `i` of a document covers tokens `[i·step, i·step + chunkTokens)`
+    * where `step = chunkTokens − overlapTokens`; the final chunk may be
+    * short; a document shorter than one chunk yields exactly one chunk;
+    * an empty document yields none. Tokens are
+    * [[TextFunctions.tokens]] (lowercased, whitespace-split) so the
+    * definition restates in the oracle engine.
+    *
+    * Returns `(idCol, chunk_idx, token_start, n_tokens, chunk_text)`.
+    *
+    * Scale: map-only — tokenize, `sequence` of starts, `posexplode`,
+    * slice. Zero exchanges; output size is input × (1 + overlap/step).
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1: $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlapTokens must be in [0, chunkTokens): $overlapTokens")
+    val step = chunkTokens - overlapTokens
+    val starts = when(size(col("__tk")) > 0,
+        sequence(lit(0), size(col("__tk")) - 1, lit(step)))
+      .otherwise(array().cast("array<int>"))
+    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), col("__tk"),
+        posexplode(starts).as(Seq("chunk_idx", "token_start")))
+      .select(col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("token_start").cast("long").as("token_start"),
+        size(slice(col("__tk"), col("token_start") + 1, lit(chunkTokens)))
+          .cast("long").as("n_tokens"),
+        array_join(slice(col("__tk"), col("token_start") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
 }

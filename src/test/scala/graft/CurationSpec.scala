@@ -392,4 +392,52 @@ class CurationSpec extends SparkSpec {
       .collect().head.getDouble(3)
     assert(pplCapped > pplFull, "losing a bigram to the cap must raise perplexity")
   }
+
+  private lazy val pages = {
+    val nav = "HOME | ABOUT"
+    val foot = "(c) example.com"
+    Seq(
+      (1L, s"$nav\ntitle one\nbody line one\n$foot"),
+      (2L, s"$nav\ntitle two\nbody line two\n$foot"),
+      (3L, s"$nav\ntitle three\nPROMO\nbody line three\n$foot"),
+      (4L, s"$nav\ntitle four\nPROMO\n$foot"),
+      (5L, s"$nav\n$foot") // every line is boilerplate at df>=3
+    ).toDF("doc_id", "text")
+  }
+
+  test("lineDedup removes >=minDocFreq lines, keeps order, empties all-boiler docs") {
+    val out = Curation.lineDedup(pages, "doc_id", "text", minDocFreq = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("title one\nbody line one", 2L)))
+    assert(out(3L) == (("title three\nPROMO\nbody line three", 2L)),
+      "df=2 PROMO is under the threshold and must survive in place")
+    assert(out(5L) == (("", 2L)), "all-boilerplate doc survives as empty text")
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L), "one row per input doc")
+  }
+
+  test("lineDedup: df counts DISTINCT docs, threshold moves the PROMO line") {
+    val out = Curation.lineDedup(pages, "doc_id", "text", minDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(3L) == "title three\nbody line three", "df=2 PROMO gone at threshold 2")
+    // a doc repeating a unique line keeps both copies (within-doc repeats count once)
+    val rep = Seq((1L, "same\nsame\nother"), (2L, "x\ny"), (3L, "x\nz"))
+      .toDF("doc_id", "text")
+    val o2 = Curation.lineDedup(rep, "doc_id", "text", minDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(o2(1L) == "same\nsame\nother", "df of 'same' is 1 doc; both copies stay")
+    assert(o2(2L) == "y" && o2(3L) == "z")
+  }
+
+  test("lineDedup: broadcast and join paths agree on the sf corpus") {
+    val shelled = spark.read.parquet(s"$sfDir/documents.parquet").limit(40)
+      .select(col("doc_id"), concat(lit("NAV\n"), col("text"), lit("\nFOOT"))
+        .as("text"))
+    val fast = Curation.lineDedup(shelled, "doc_id", "text", minDocFreq = 20)
+      .orderBy("doc_id").collect().toSeq
+    val slow = Curation.lineDedup(shelled, "doc_id", "text", minDocFreq = 20,
+        forceJoinPath = true)
+      .orderBy("doc_id").collect().toSeq
+    assert(fast == slow, "hybrid paths must be observationally identical")
+    assert(fast.forall(_.getLong(2) == 2L), "NAV and FOOT removed everywhere")
+  }
 }

@@ -37,7 +37,7 @@ class DurableIndexSpec extends SparkSpec {
 
     // fresh-compute ground truth (building session, its own memo)
     val q53Fresh = rows(SparkEntry.queries("q53_dedup_corpus")(spark, sfDir))
-    val q60Fresh = rows(SparkEntry.queries("q60_corpus_curation")(spark, sfDir))
+    val q60Fresh = rows(SparkEntry.queries("q60_curate")(spark, sfDir))
 
     // "re-opened" session: new session state, new cache identity
     val s2 = spark.newSession()
@@ -53,7 +53,7 @@ class DurableIndexSpec extends SparkSpec {
       "accessor in the loaded session must read the persisted index")
 
     assert(rows(SparkEntry.queries("q53_dedup_corpus")(s2, sfDir)) === q53Fresh)
-    assert(rows(SparkEntry.queries("q60_corpus_curation")(s2, sfDir)) === q60Fresh)
+    assert(rows(SparkEntry.queries("q60_curate")(s2, sfDir)) === q60Fresh)
   }
 
   test("append grows the persisted index incrementally; incremental near-dup equals full recompute") {

@@ -7,7 +7,7 @@ package graft
 class QueriesSpec extends SparkSpec {
 
   // zero-row results are legitimate for these on the tiny SF
-  private val mayBeEmpty = Set("q05_cust_no_orders", "q25_duplicate_groups",
+  private val mayBeEmpty = Set("q05_cust_no_orders", "q25_dups",
     "q09_failure_ranking", "q16_stall_runs")
 
   SparkEntry.queries.foreach { case (name, fn) =>

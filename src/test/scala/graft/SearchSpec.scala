@@ -73,4 +73,114 @@ class SearchSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(out == Seq(1L, 2L))
   }
+
+  test("phraseOccurrences: overlaps, repeats, case, and boundary edges") {
+    val d = Seq(
+      (1L, "Hash Join beats hash join here"), // case-insensitive, 2 occurrences
+      (2L, "hash hash hash"), //                 overlapping starts for [hash,hash]
+      (3L, "join hash"), //                      reversed order is no match
+      (4L, "hash"), //                           shorter than the phrase
+      (5L, "")
+    ).toDF("doc_id", "text")
+    def occ(phrase: Seq[String]) =
+      d.select(col("doc_id"), TextOps.phraseOccurrences(col("text"), phrase).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val hj = occ(Seq("hash", "join"))
+    assert(hj == Map(1L -> 2, 2L -> 0, 3L -> 0, 4L -> 0, 5L -> 0))
+    assert(occ(Seq("hash", "hash"))(2L) == 2, "overlapping occurrences both count")
+    assert(occ(Seq("hash"))(2L) == 3, "single-token phrase is term frequency")
+  }
+
+  test("phraseSearch over postings == phraseOccurrences scan, on the sf corpus") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val postings = TextOps.buildPostings(docs, "doc_id", "text")
+    for (phrase <- Seq(Seq("fast", "table"), Seq("the", "big", "merge"),
+        Seq("no", "such", "phrase", "anywhere"))) {
+      val indexed = TextOps.phraseSearch(postings, "doc_id", phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val scanned = docs.select(col("doc_id"),
+          TextOps.phraseOccurrences(col("text"), phrase).as("n"))
+        .filter(col("n") > 0)
+        .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+      assert(indexed == scanned, s"phrase $phrase: index and scan must agree")
+    }
+  }
+
+  test("retrievalMetrics: hand-computed recall/MRR/nDCG on a tiny run") {
+    // query 1: rel docs {10,11,12}; run ranks 10@1, 99@2, 11@3
+    // query 2: rel docs {20};       run has no hits
+    // query 3: judged but absent from the run entirely
+    val results = Seq(
+      (1L, 10L, 1), (1L, 99L, 2), (1L, 11L, 3),
+      (2L, 98L, 1), (2L, 97L, 2)
+    ).toDF("qid", "doc", "rank")
+    val qrels = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (3L, 30L))
+      .toDF("qid", "doc")
+    val out = TextOps.retrievalMetrics(results, qrels, "qid", "doc", "rank", k = 10)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    val dcg = 1.0 / (math.log(2) / math.log(2)) + 1.0 / (math.log(4) / math.log(2))
+    val idcg = (1 to 3).map(i => 1.0 / (math.log(i + 1.0) / math.log(2))).sum
+    assert(out(1L)._1 == 2L && out(1L)._2 == 3L)
+    assert(math.abs(out(1L)._3 - 0.666667) < 1e-6, "recall 2/3")
+    assert(out(1L)._4 == 1.0, "first hit at rank 1")
+    assert(math.abs(out(1L)._5 -
+      BigDecimal(dcg / idcg).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(out(2L) == ((0L, 1L, 0.0, 0.0, 0.0)), "judged query, zero hits")
+    assert(out(3L) == ((0L, 1L, 0.0, 0.0, 0.0)), "judged query missing from run")
+    assert(out.size == 3, "exactly the judged queries")
+  }
+
+  test("retrievalMetrics: k truncates the run before scoring") {
+    val results = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("qid", "doc", "rank")
+    val qrels = Seq((1L, 11L), (1L, 12L)).toDF("qid", "doc")
+    val at2 = TextOps.retrievalMetrics(results, qrels, "qid", "doc", "rank", k = 2)
+      .collect().head
+    assert(at2.getLong(1) == 1L, "rank-3 hit is outside k=2")
+    assert(math.abs(at2.getDouble(3) - 0.5) < 1e-9)
+    assert(math.abs(at2.getDouble(4) - 0.5) < 1e-9, "first hit at rank 2")
+  }
+
+  test("chunkDocs: window arithmetic, overlap, short-doc and empty-doc edges") {
+    val d = Seq(
+      (1L, "a b c d e f g"), // 7 tokens
+      (2L, "x y"), //  shorter than one chunk
+      (3L, "") //       no chunks at all
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkDocs(d, "doc_id", "text",
+        chunkTokens = 3, overlapTokens = 1) // step 2
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(out.filter(_._1 == 1L) == Seq(
+      (1L, 0L, 0L, 3L, "a b c"),
+      (1L, 1L, 2L, 3L, "c d e"),
+      (1L, 2L, 4L, 3L, "e f g"),
+      (1L, 3L, 6L, 1L, "g"))) // trailing partial chunk
+    assert(out.filter(_._1 == 2L) == Seq((2L, 0L, 0L, 2L, "x y")))
+    assert(!out.exists(_._1 == 3L), "empty doc yields no chunks")
+  }
+
+  test("chunkDocs: every token covered; consecutive chunks overlap by overlapTokens") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet").limit(20)
+    val chunks = TextOps.chunkDocs(d, "doc_id", "text", 30, 10).collect()
+    val byDoc = chunks.groupBy(_.getLong(0))
+    val toks = d.select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    byDoc.foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_.getLong(1))
+      // chunks reassemble the doc: strip the 10-token overlap after the first
+      val rebuilt = sorted.head.getString(4).split(" ").toSeq ++
+        sorted.tail.toSeq.flatMap(_.getString(4).split(" ").drop(10).toSeq)
+      assert(rebuilt == toks(id), s"doc $id must be exactly covered")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(2) - a.getLong(2) == 20L, s"doc $id stride")
+        case _ =>
+      }
+    }
+  }
 }
