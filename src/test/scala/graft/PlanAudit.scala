@@ -154,6 +154,37 @@ class PlanAudit extends SparkSpec {
     assert(plan("q75_topk").contains("WindowGroupLimit"))
   }
 
+  test("q88: chunking is map-only — only the output sort exchanges") {
+    val p = plan("q88_chunk")
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("rangepartitioning")) == 0,
+      s"chunkDocs must not shuffle:\n$p")
+    val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(scan.contains("doc_id") && scan.contains("text") &&
+      !scan.contains("lang"), "chunk scan pruned to (doc_id, text)")
+  }
+
+  test("q87: lineDedup takes the broadcast-rewrite path (map-only second pass)") {
+    val p = plan("q87_lines")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "boilerplate set must broadcast as a one-row array build side")
+    // the only hash exchanges belong to the line-df aggregate; the
+    // document rewrite itself must not shuffle
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 2, s"rewrite pass must stay map-side, saw $hashEx hash exchanges:\n$p")
+  }
+
+  test("q90: phrase postings intersect as a broadcast equi-join, never nested-loop") {
+    val p = plan("q90_phr")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"postings alignment must be an equi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"no all-pairs path in phrase search:\n$p")
+    assert(p.linesIterator.filter(_.contains("FileScan parquet"))
+      .forall(l => !l.contains("lang") && !l.contains("source")),
+      "postings scans pruned to (doc_id, text)")
+  }
+
   test("compiled safe_eval predicates push down to the parquet scan") {
     val events = graft.core.Engine.table(spark, dir, "events")
     val filtered = events.filter(
