@@ -40,7 +40,7 @@ object SparkEntry {
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("q01_pricing")(spark, "/root/testdata/sf0.001")
 
   // ===================================================================
   // Aggregations (SURVEY §2.4)
@@ -1027,6 +1027,117 @@ object SparkEntry {
       |SELECT doc_id, CAST(n AS BIGINT) AS n_occurrences
       |FROM occ WHERE n > 0 ORDER BY doc_id""".stripMargin
 
+  /** Lexical-diversity + readability profile
+    * ([[graft.operators.TextOps.lexicalStats]]): token/type counts,
+    * TTR, mean word length, vowel-group syllables, Flesch score —
+    * map-only quality-classifier features. The oracle restates every
+    * formula over DuckDB list/regex functions.
+    */
+  private def q91(s: SparkSession, dir: String): DataFrame =
+    TextOps.lexicalStats(
+      t(s, dir, "documents").filter(col("doc_id") < 40), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private def lexicalStatsOracle: String =
+    """WITH tk AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      t -> len(t) > 0) AS tk
+      |  FROM documents WHERE doc_id < 40),
+      |base AS (
+      |  SELECT doc_id,
+      |    CAST(len(tk) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(tk)) AS BIGINT) AS n_types,
+      |    list_sum(list_transform(tk, t -> len(t))) AS chars,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+      |      AS BIGINT) AS syllables,
+      |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sents
+      |  FROM tk)
+      |SELECT doc_id, n_tokens, n_types,
+      |  CASE WHEN n_tokens > 0
+      |    THEN round(n_types::DOUBLE / n_tokens, 6) ELSE 0.0 END AS ttr,
+      |  CASE WHEN n_tokens > 0
+      |    THEN round(chars::DOUBLE / n_tokens, 6) ELSE 0.0 END AS avg_word_len,
+      |  syllables,
+      |  CASE WHEN n_tokens > 0
+      |    THEN round(206.835 - 1.015 * (n_tokens::DOUBLE / sents)
+      |      - 84.6 * (syllables::DOUBLE / n_tokens), 6)
+      |    ELSE 0.0 END AS flesch
+      |FROM base ORDER BY doc_id""".stripMargin
+
+  /** TF-IDF keyword extraction
+    * ([[graft.operators.TextOps.tfidfKeywords]]): per-document top-5
+    * tokens by smoothed tf-idf, rank window → WindowGroupLimit. The
+    * oracle recomputes tf, df, and the smoothed idf in SQL.
+    */
+  private def q92(s: SparkSession, dir: String): DataFrame =
+    TextOps.tfidfKeywords(
+      t(s, dir, "documents").filter(col("doc_id") < 15), "doc_id", "text",
+      topJ = 5)
+      .orderBy("doc_id", "rank")
+
+  private def tfidfOracle: String =
+    """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 15),
+      |n AS (SELECT count(*) AS n FROM docs),
+      |toks AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(trim(text)), '\s+'),
+      |    t -> len(t) > 0)) AS token
+      |  FROM docs),
+      |tf AS (SELECT doc_id, token, count(*) AS tf
+      |       FROM toks GROUP BY doc_id, token),
+      |dfq AS (SELECT token, count(DISTINCT doc_id) AS df
+      |        FROM toks GROUP BY token),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.token,
+      |    tf.tf * (ln((n.n + 1.0) / (dfq.df + 1.0)) + 1.0) AS score
+      |  FROM tf, dfq, n WHERE tf.token = dfq.token),
+      |ranked AS (
+      |  SELECT doc_id, token, score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, token) AS rank
+      |  FROM scored)
+      |SELECT doc_id, CAST(rank AS INTEGER) AS rank, token,
+      |  round(score, 6) AS score
+      |FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
+
+  /** Corpus PMI collocations
+    * ([[graft.operators.TextOps.pmiCollocations]]): top-20 adjacent
+    * pairs by pointwise mutual information with a min-count guard.
+    * The oracle rebuilds unigram/bigram counts and the log formula.
+    */
+  private def q93(s: SparkSession, dir: String): DataFrame =
+    TextOps.pmiCollocations(t(s, dir, "documents"), "text",
+      minCount = 5, topK = 20)
+
+  private def pmiOracle: String =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      t -> len(t) > 0) AS tk
+      |  FROM documents),
+      |uni AS (SELECT unnest(tk) AS w FROM tk),
+      |cu AS (SELECT w, count(*) AS cw FROM uni GROUP BY w),
+      |u AS (SELECT sum(cw) AS u FROM cu),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |      generate_series(1, len(tk) - 1),
+      |      i -> array_to_string(tk[i:i+1], ' '))) AS g
+      |  FROM tk WHERE len(tk) >= 2),
+      |cb AS (SELECT g, count(*) AS cab FROM bg GROUP BY g
+      |       HAVING count(*) >= 5),
+      |b AS (SELECT count(*) AS b FROM bg)
+      |SELECT string_split(cb.g, ' ')[1] AS w1,
+      |  string_split(cb.g, ' ')[2] AS w2,
+      |  CAST(cb.cab AS BIGINT) AS n_pair,
+      |  round(ln((cb.cab::DOUBLE / b.b) /
+      |    ((c1.cw::DOUBLE / u.u) * (c2.cw::DOUBLE / u.u))), 6) AS pmi
+      |FROM cb, b, u,
+      |  cu c1, cu c2
+      |WHERE c1.w = string_split(cb.g, ' ')[1]
+      |  AND c2.w = string_split(cb.g, ' ')[2]
+      |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
+
   /** J5 — true as-of join via the custom sort-merge operator
     * ([[graft.plans.AsOf]]: logical node → strategy → exec, one hash
     * exchange + sort per side, streaming O(1)-state merge). Each click
@@ -1495,7 +1606,7 @@ object SparkEntry {
   // ===================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_pricing_summary" -> (q01 _),
+    "q01_pricing" -> (q01 _),
     "q02_rev_nation" -> (q02 _),
     "q03_top_orders" -> (q03 _),
     "q04_semi_join" -> (q04 _),
@@ -1503,11 +1614,11 @@ object SparkEntry {
     "q06_forecast" -> (q06 _),
     "q07_success_rate" -> (q07 _),
     "q08_top_failures" -> (q08 _),
-    "q09_failure_ranking" -> (q09 _),
+    "q09_frank" -> (q09 _),
     "q10_wprog" -> (q10 _),
     "q11_ndist" -> (q11 _),
     "q12_risk_grades" -> (q12 _),
-    "q13_event_histogram" -> (q13 _),
+    "q13_histo" -> (q13 _),
     "q14_rollup_acctbal" -> (q14 _),
     "q15_distinct_flags" -> (q15 _),
     "q16_stall_runs" -> (q16 _),
@@ -1530,14 +1641,14 @@ object SparkEntry {
     "q33_knn_brute" -> (q33 _),
     "q34_edge_filter" -> (q34 _),
     "q35_graph_route" -> (q35 _),
-    "q36_compaction_plan" -> (q36 _),
+    "q36_compact" -> (q36 _),
     "q37_minhash_nd" -> (q37 _),
     "q38_simhash_nd" -> (q38 _),
     "q39_langid_mix" -> (q39 _),
     "q40_quality_scores" -> (q40 _),
     "q41_knn_lsh" -> (q41 _),
     "q42_emb_neardup" -> (q42 _),
-    "q43_approx_distinct" -> (q43 _),
+    "q43_hll" -> (q43 _),
     "q44_mm_decode" -> (q44 _),
     "q45_semantic_judge" -> (q45 _),
     "q46_sess" -> (q46 _),
@@ -1584,10 +1695,13 @@ object SparkEntry {
     "q87_lines" -> (q87 _),
     "q88_chunk" -> (q88 _),
     "q89_ndcg" -> (q89 _),
-    "q90_phr" -> (q90 _))
+    "q90_phr" -> (q90 _),
+    "q91_lex" -> (q91 _),
+    "q92_tfidf" -> (q92 _),
+    "q93_pmi" -> (q93 _))
 
   def oracleSql: Map[String, String] = Map(
-    "q01_pricing_summary" ->
+    "q01_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
         | round(sum(l_extendedprice), 2) AS sum_base_price,
@@ -1633,7 +1747,7 @@ object SparkEntry {
       """SELECT user_id AS error_key, count(*) AS n_failures FROM events
         |WHERE event_type = 'error' GROUP BY user_id
         |ORDER BY n_failures DESC, error_key LIMIT 5""".stripMargin,
-    "q09_failure_ranking" ->
+    "q09_frank" ->
       """SELECT user_id, count(*) AS n_total,
         | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
         | round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
@@ -1659,7 +1773,7 @@ object SparkEntry {
         |            ELSE 'F' END AS grade,
         | count(*) AS n_customers, round(avg(c_acctbal), 2) AS avg_acctbal
         |FROM customer GROUP BY 1 ORDER BY grade""".stripMargin,
-    "q13_event_histogram" ->
+    "q13_histo" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
     "q14_rollup_acctbal" ->
       """SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
@@ -1771,7 +1885,7 @@ object SparkEntry {
       """SELECT CASE WHEN value > 100 THEN 'hot' ELSE 'cold' END AS side,
         | count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY side""".stripMargin,
-    "q36_compaction_plan" ->
+    "q36_compact" ->
       """SELECT user_id, event_id,
         | (rn <= keep_n AND run_tokens <= 5000) AS keep
         |FROM (
@@ -1923,7 +2037,7 @@ object SparkEntry {
         |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
     "q41_knn_lsh" -> knnLshOracle,
     "q42_emb_neardup" -> embeddingNearDupOracle,
-    "q43_approx_distinct" ->
+    "q43_hll" ->
       """SELECT
         | abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
         |   <= 0.05 * count(DISTINCT user_id) AS users_within_5pct,
@@ -2016,6 +2130,9 @@ object SparkEntry {
     "q88_chunk" -> chunkDocsOracle,
     "q89_ndcg" -> retrievalMetricsOracle,
     "q90_phr" -> phraseSearchOracle,
+    "q91_lex" -> lexicalStatsOracle,
+    "q92_tfidf" -> tfidfOracle,
+    "q93_pmi" -> pmiOracle,
     "q62_asof_join" ->
       """SELECT l.user_id, l.event_id, round(l.value, 2) AS click_value,
         | r.event_id AS prior_error_id, round(r.value, 2) AS prior_error_value

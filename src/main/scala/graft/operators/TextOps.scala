@@ -254,6 +254,42 @@ object TextOps {
       .drop("__shard", "__local_prior", "__base")
   }
 
+  /** Per-document lexical-diversity and readability profile — the
+    * quality-classifier feature block (Gopher/C4-style filters key on
+    * exactly these: lexical diversity, word shape, readability):
+    * token/type counts, type-token ratio, mean word length, a
+    * vowel-group syllable estimate, and the Flesch reading-ease score
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`.
+    * Sentences are `[.!?]+` runs, floored at one so punctuation-free
+    * text (common in crawled fragments) degrades to whole-doc-as-one-
+    * sentence instead of dividing by zero. Empty documents report
+    * zeros.
+    *
+    * Scale: map-only — every stat is a row-local expression
+    * (higher-order `aggregate` for character totals, `regexp_count`
+    * for syllable groups); zero exchanges.
+    */
+  def lexicalStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = TextFunctions.tokens(col(textCol))
+    val n = size(tk)
+    val nTypes = size(array_distinct(tk))
+    val chars = aggregate(tk, lit(0L), (acc, t) => acc + length(t))
+    val syll = regexp_count(lower(col(textCol)), lit("[aeiouy]+"))
+    val sents = greatest(regexp_count(col(textCol), lit("[.!?]+")), lit(1))
+    val flesch = lit(206.835) -
+      lit(1.015) * (n.cast("double") / sents.cast("double")) -
+      lit(84.6) * (syll.cast("double") / n.cast("double"))
+    df.select(col(idCol),
+      n.cast("long").as("n_tokens"),
+      nTypes.cast("long").as("n_types"),
+      when(n > 0, round(nTypes.cast("double") / n.cast("double"), 6))
+        .otherwise(lit(0.0)).as("ttr"),
+      when(n > 0, round(chars.cast("double") / n.cast("double"), 6))
+        .otherwise(lit(0.0)).as("avg_word_len"),
+      syll.cast("long").as("syllables"),
+      when(n > 0, round(flesch, 6)).otherwise(lit(0.0)).as("flesch"))
+  }
+
   /** Exact-phrase occurrence count as a row-local Column: the number
     * of token positions where the document's
     * [[TextFunctions.tokens]] stream matches `phrase` consecutively.
@@ -311,6 +347,76 @@ object TextOps {
     aligned.reduce((a, b) => a.join(b, Seq(idCol, "__start")))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_occurrences"))
+  }
+
+  /** Per-document TF-IDF keyword extraction: the top `topJ` tokens by
+    * `tf · (ln((N+1)/(df+1)) + 1)` (smoothed idf — never negative,
+    * defined for df = N), ties broken by token. The classic
+    * document-labeling / topic-tagging primitive.
+    *
+    * Scale: term frequencies are one map-side-combined aggregate on
+    * (doc, token); document frequencies aggregate the SAME exploded
+    * frame by token (vocabulary-sized, Zipf-bounded); the idf join is
+    * a token equi-join; per-doc top-j is a rank window that plans as
+    * WindowGroupLimit (locked by PlanAudit), never a full sort.
+    */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+      topJ: Int = 5): DataFrame = {
+    require(topJ >= 1, s"topJ must be >= 1: $topJ")
+    val n = df.count()
+    val toks = df.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(col(idCol), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val idf = log((lit(n.toDouble) + 1) / (col("df").cast("double") + 1)) + 1
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(desc("__score"), col("token"))
+    tf.join(dfreq, Seq("token"))
+      .withColumn("__score", col("tf").cast("double") * idf)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topJ)
+      .select(col(idCol), col("rank"), col("token"),
+        round(col("__score"), 6).as("score"))
+  }
+
+  /** Corpus-level PMI collocations over adjacent token pairs:
+    * `pmi(a,b) = ln( (c_ab / B) / ((c_a / U) · (c_b / U)) )` with `B`
+    * total bigrams and `U` total unigrams; pairs seen fewer than
+    * `minCount` times are dropped (the standard sparse-PMI guard),
+    * top `topK` by pmi with (w1, w2) tie-break. Collocation mining —
+    * the phrase-vocabulary feed for tokenizer/stopword curation.
+    *
+    * Scale: two count aggregates (bigram-keyed and token-keyed), two
+    * token equi-joins to attach unigram counts, and a
+    * TakeOrderedAndProject top-k. The unigram side is
+    * vocabulary-sized; nothing all-pairs.
+    */
+  def pmiCollocations(df: DataFrame, textCol: String,
+      minCount: Long = 5, topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val grams = Curation.wordNgrams(col(textCol), 2)
+    val uni = df.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val totals = uni.agg(sum(col("cw"))).head().getLong(0)
+    val bi = df.select(explode(grams).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minCount)
+    val nBigrams = df.select(sum(size(grams)).as("b")).head().getLong(0)
+    val withW = bi
+      .withColumn("w1", split(col("g"), " ").getItem(0))
+      .withColumn("w2", split(col("g"), " ").getItem(1))
+      .join(uni.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
+    val pmi = log((col("cab").cast("double") / lit(nBigrams.toDouble)) /
+      ((col("c1").cast("double") / lit(totals.toDouble)) *
+        (col("c2").cast("double") / lit(totals.toDouble))))
+    withW.select(col("w1"), col("w2"), col("cab").as("n_pair"),
+        round(pmi, 6).as("pmi"))
+      .orderBy(desc("pmi"), col("w1"), col("w2"))
+      .limit(topK)
   }
 
   /** Ranked-retrieval evaluation — recall@k, MRR@k, and (binary)

@@ -23,7 +23,7 @@ class PlanAudit extends SparkSpec {
   }
 
   test("q01: partial + final hash aggregation") {
-    assert(plan("q01_pricing_summary").linesIterator.count(_.contains("HashAggregate")) == 2)
+    assert(plan("q01_pricing").linesIterator.count(_.contains("HashAggregate")) == 2)
   }
 
   test("q03: top-k plans as TakeOrderedAndProject (no global sort)") {
@@ -152,6 +152,23 @@ class PlanAudit extends SparkSpec {
 
   test("q75: per-stratum top-k plans with WindowGroupLimit (no full partition sort)") {
     assert(plan("q75_topk").contains("WindowGroupLimit"))
+  }
+
+  test("q91: lexical stats are map-only — only the output sort exchanges") {
+    val p = plan("q91_lex")
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("rangepartitioning")) == 0,
+      s"lexicalStats must not shuffle:\n$p")
+  }
+
+  test("q92: per-doc tf-idf top-j plans with WindowGroupLimit") {
+    assert(plan("q92_tfidf").contains("WindowGroupLimit"))
+  }
+
+  test("q93: PMI top-k is TakeOrderedAndProject; unigram joins stay equi-joins") {
+    val p = plan("q93_pmi")
+    assert(p.contains("TakeOrderedAndProject"), s"no global sort for top-k:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
   test("q88: chunking is map-only — only the output sort exchanges") {

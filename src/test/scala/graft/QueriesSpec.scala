@@ -8,7 +8,7 @@ class QueriesSpec extends SparkSpec {
 
   // zero-row results are legitimate for these on the tiny SF
   private val mayBeEmpty = Set("q05_cust_no_orders", "q25_dups",
-    "q09_failure_ranking", "q16_stall_runs")
+    "q09_frank", "q16_stall_runs")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {

@@ -74,6 +74,65 @@ class SearchSpec extends SparkSpec {
     assert(out == Seq(1L, 2L))
   }
 
+  test("lexicalStats: hand-computed TTR, word length, syllables, Flesch") {
+    val d = Seq(
+      (1L, "aa aa bee"), // 3 tokens, 2 types, 7 chars, 3 vowel groups, no sentence marks
+      (2L, "One two. Three four!"), // 2 sentences
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = TextOps.lexicalStats(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 3 && r1.getLong(2) == 2)
+    assert(math.abs(r1.getDouble(3) - 0.666667) < 1e-6)
+    assert(math.abs(r1.getDouble(4) - 7.0 / 3) < 1e-6)
+    assert(r1.getLong(5) == 3, "aa + aa + ee = 3 vowel groups")
+    val fl1 = 206.835 - 1.015 * 3.0 - 84.6 * 1.0 // 1 sentence floor, 3 syll / 3 words
+    assert(math.abs(r1.getDouble(6) - fl1) < 1e-6)
+    val r2 = out(2L)
+    val fl2 = 206.835 - 1.015 * (4.0 / 2) - 84.6 * (5.0 / 4) // o-e,o,ee,ou,ou
+    assert(math.abs(r2.getDouble(6) - fl2) < 1e-4, s"saw ${r2.getDouble(6)} want $fl2")
+    val r3 = out(3L)
+    assert(r3.getLong(1) == 0 && r3.getDouble(3) == 0.0 && r3.getDouble(6) == 0.0)
+  }
+
+  test("tfidfKeywords: rare terms outrank corpus-wide terms; ties break by token") {
+    val d = Seq(
+      (1L, "common rare rare"), // rare: tf=2, df=1 -> top
+      (2L, "common zebra"),
+      (3L, "common apple")
+    ).toDF("doc_id", "text")
+    val out = TextOps.tfidfKeywords(d, "doc_id", "text", topJ = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(doc1.map(_._3).toSeq == Seq("rare", "common"))
+    val idfRare = math.log(4.0 / 2) + 1
+    assert(math.abs(doc1.head._4 - 2 * idfRare) < 1e-6)
+    // df=3 'common' has idf ln(4/4)+1 = 1 -> score 1 everywhere
+    assert(out.filter(_._3 == "common").forall(t => math.abs(t._4 - 1.0) < 1e-9))
+  }
+
+  test("pmiCollocations: planted pair tops the list; minCount prunes") {
+    val pairDocs = (1 to 6).map(i => (i.toLong, "strong coffee here")) ++
+      Seq((7L, "weak coffee strong tea"), (8L, "filler words only"))
+    val d = pairDocs.toDF("doc_id", "text")
+    val out = TextOps.pmiCollocations(d, "text", minCount = 5, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 2, "only pairs with >= 5 occurrences survive")
+    assert(out.map(p => (p._1, p._2)).toSet ==
+      Set(("strong", "coffee"), ("coffee", "here")))
+    // U = 25 unigrams, B = 17 bigrams; strong 7, coffee 7, here 6
+    val sc = out.find(p => (p._1, p._2) == (("strong", "coffee"))).get
+    assert(sc._3 == 6L)
+    val want = math.log((6.0 / 17) / ((7.0 / 25) * (7.0 / 25)))
+    assert(math.abs(sc._4 - want) < 1e-6, s"saw ${sc._4} want $want")
+    val ch = out.find(p => (p._1, p._2) == (("coffee", "here"))).get
+    val wantCh = math.log((6.0 / 17) / ((7.0 / 25) * (6.0 / 25)))
+    assert(math.abs(ch._4 - wantCh) < 1e-6)
+    assert(out.head._1 == "coffee" && out.head._2 == "here",
+      "higher-pmi pair ranks first")
+  }
+
   test("phraseOccurrences: overlaps, repeats, case, and boundary edges") {
     val d = Seq(
       (1L, "Hash Join beats hash join here"), // case-insensitive, 2 occurrences
