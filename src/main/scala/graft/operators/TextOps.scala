@@ -358,29 +358,41 @@ object TextOps {
     * (doc, token); document frequencies aggregate the SAME exploded
     * frame by token (vocabulary-sized, Zipf-bounded); the idf join is
     * a token equi-join; per-doc top-j is a rank window that plans as
-    * WindowGroupLimit (locked by PlanAudit), never a full sort.
+    * WindowGroupLimit (locked by PlanAudit), never a full sort. The
+    * corpus size N rides the plan as a broadcast singleton aggregate
+    * (no separate `count()` action — the whole query is ONE job).
     */
   def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
       topJ: Int = 5): DataFrame = {
     require(topJ >= 1, s"topJ must be >= 1: $topJ")
-    val n = df.count()
+    val nDocs = df.agg(count(lit(1)).cast("double").as("__n"))
     val toks = df.select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("token"))
     val tf = toks.groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = toks.select(col(idCol), col("token")).distinct()
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val idf = log((lit(n.toDouble) + 1) / (col("df").cast("double") + 1)) + 1
+    val idf = log((col("__n") + 1) / (col("df").cast("double") + 1)) + 1
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(desc("__score"), col("token"))
-    tf.join(dfreq, Seq("token"))
+    joinSingleton(tf.join(dfreq, Seq("token")), nDocs)
       .withColumn("__score", col("tf").cast("double") * idf)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topJ)
       .select(col(idCol), col("rank"), col("token"),
         round(col("__score"), 6).as("score"))
   }
+
+  /** Attach a one-row aggregate to every row of `df` as a
+    * constant-key broadcast equi-join (plans BroadcastHashJoin, never
+    * a nested loop), so corpus-level scalars (sizes, totals) ride the
+    * plan instead of costing a separate driver action per scalar.
+    */
+  private def joinSingleton(df: DataFrame, singleton: DataFrame): DataFrame =
+    df.withColumn("__k", lit(1))
+      .join(broadcast(singleton.withColumn("__k", lit(1))), Seq("__k"))
+      .drop("__k")
 
   /** Corpus-level PMI collocations over adjacent token pairs:
     * `pmi(a,b) = ln( (c_ab / B) / ((c_a / U) · (c_b / U)) )` with `B`
@@ -392,7 +404,11 @@ object TextOps {
     * Scale: two count aggregates (bigram-keyed and token-keyed), two
     * token equi-joins to attach unigram counts, and a
     * TakeOrderedAndProject top-k. The unigram side is
-    * vocabulary-sized; nothing all-pairs.
+    * vocabulary-sized; nothing all-pairs. The corpus totals U and B
+    * are sums over those same two aggregates, attached as broadcast
+    * singletons (constant-key hash joins) — the whole query is ONE
+    * job, no separate scalar actions, and AQE reuses each aggregate's
+    * exchange for its total.
     */
   def pmiCollocations(df: DataFrame, textCol: String,
       minCount: Long = 5, topK: Int = 20): DataFrame = {
@@ -400,19 +416,20 @@ object TextOps {
     val grams = Curation.wordNgrams(col(textCol), 2)
     val uni = df.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cw"))
-    val totals = uni.agg(sum(col("cw"))).head().getLong(0)
-    val bi = df.select(explode(grams).as("g"))
+    val uniTotal = uni.agg(sum(col("cw")).cast("double").as("__u"))
+    val bi0 = df.select(explode(grams).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("cab"))
-      .filter(col("cab") >= minCount)
-    val nBigrams = df.select(sum(size(grams)).as("b")).head().getLong(0)
-    val withW = bi
+    val biTotal = bi0.agg(sum(col("cab")).cast("double").as("__b"))
+    val bi = bi0.filter(col("cab") >= minCount)
+    val withW = joinSingleton(joinSingleton(bi
       .withColumn("w1", split(col("g"), " ").getItem(0))
       .withColumn("w2", split(col("g"), " ").getItem(1))
       .join(uni.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
-      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
-    val pmi = log((col("cab").cast("double") / lit(nBigrams.toDouble)) /
-      ((col("c1").cast("double") / lit(totals.toDouble)) *
-        (col("c2").cast("double") / lit(totals.toDouble))))
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2")),
+      uniTotal), biTotal)
+    val pmi = log((col("cab").cast("double") / col("__b")) /
+      ((col("c1").cast("double") / col("__u")) *
+        (col("c2").cast("double") / col("__u"))))
     withW.select(col("w1"), col("w2"), col("cab").as("n_pair"),
         round(pmi, 6).as("pmi"))
       .orderBy(desc("pmi"), col("w1"), col("w2"))

@@ -168,7 +168,12 @@ class PlanAudit extends SparkSpec {
   test("q93: PMI top-k is TakeOrderedAndProject; unigram joins stay equi-joins") {
     val p = plan("q93_pmi")
     assert(p.contains("TakeOrderedAndProject"), s"no global sort for top-k:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // the two unigram-count attaches (w1, w2) must be hash equi-joins
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2, p)
+    // the ONLY nested-loop joins are the two one-row corpus-total
+    // singletons (U, B) — same shape Spark plans for scalar subqueries
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 2, p)
   }
 
   test("q88: chunking is map-only — only the output sort exchanges") {
