@@ -48,7 +48,20 @@ import graft.functions.{CatalystExpressions, TextFunctions}
   */
 object CorpusIndex {
 
-  private val cache = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  /** One memoized artifact. The map's `computeIfAbsent` only ever
+    * ALLOCATES a cell (cheap, non-reentrant); the build itself runs
+    * lazily outside the map's bin lock, so a memoized build may call
+    * [[memo]] for its own dependencies (e.g. [[dedupClasses]] →
+    * [[minhashSignatures]]) without tripping ConcurrentHashMap's
+    * "Recursive update" check. The `lazy val` gives per-key
+    * once-only semantics under concurrency; the dependency graph is
+    * acyclic so cell locks cannot deadlock.
+    */
+  private final class Cell(build: () => DataFrame) {
+    lazy val value: DataFrame = build()
+  }
+
+  private val cache = new ConcurrentHashMap[(SparkSession, String), Cell]()
 
   /** The one canonical cache key for a parameterized corpus index —
     * shared by [[artifacts]] (in-session memo), [[persist]] (written
@@ -69,7 +82,8 @@ object CorpusIndex {
     */
   def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    cache.computeIfAbsent((spark, key), _ => build.localCheckpoint(false))
+    cache.computeIfAbsent((spark, key),
+      _ => new Cell(() => build.localCheckpoint(false))).value
   }
 
   /** Drop every artifact whose key starts with `keyPrefix` — the
@@ -209,7 +223,7 @@ object CorpusIndex {
     val cacheKey = artifactKey(meta("key"), meta("idCol"),
       meta("numHashes").toInt, meta("shingleK").toInt)
     val art = spark.read.parquet(s"$path/artifacts")
-    cache.put((spark, cacheKey), art)
+    cache.put((spark, cacheKey), new Cell(() => art))
     art
   }
 

@@ -56,6 +56,34 @@ class DurableIndexSpec extends SparkSpec {
     assert(rows(SparkEntry.queries("q60_curate")(s2, sfDir)) === q60Fresh)
   }
 
+  test("a memoized build may depend on another memoized build (cold)") {
+    // Regression: dedupClasses' memo thunk calls minhashSignatures'
+    // (via artifacts') memo on the SAME cache. When the map held the
+    // values directly, the nested computeIfAbsent threw
+    // IllegalStateException("Recursive update") whenever the outer
+    // entry computed first AND both keys hashed into the same bin —
+    // a suite-order-dependent flake (hit q60 in full runs).
+    //
+    // Deterministic form: "Aa" and "BB" have equal String.hashCode
+    // (and equal length, so a shared prefix preserves the equality),
+    // hence these two keys share a bin at EVERY table size — the
+    // pre-fix map throws here on every run, not just unlucky ones.
+    val docs = graft.core.Engine.table(spark, sfDir, "documents")
+    val ids = docs.select("doc_id").limit(5)
+    val out = CorpusIndex.memo(spark, "memo-reentry-Aa") {
+      CorpusIndex.memo(spark, "memo-reentry-BB")(ids)
+      ids
+    }
+    assert(out.count() == 5)
+
+    // and the real nested path, cold in a fresh cache identity
+    val s2 = spark.newSession()
+    val classes = CorpusIndex.dedupClasses(
+      graft.core.Engine.table(s2, sfDir, "documents"),
+      sfDir, "doc_id", "text")
+    assert(classes.count() > 0)
+  }
+
   test("append grows the persisted index incrementally; incremental near-dup equals full recompute") {
     val base = Files.createTempDirectory("graft-index-incr").toString
     val docs = graft.core.Engine.table(spark, sfDir, "documents")
