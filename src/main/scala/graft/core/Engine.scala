@@ -55,13 +55,24 @@ object Engine {
     // reads otherwise re-list the files and re-read parquet footers
     // for every query that touches the table
     tableCache.computeIfAbsent((spark, s"$dir/$name.parquet"), { case (s, path) =>
-      val df = s.read.parquet(path)
-      df.schema.fields.foldLeft(df) {
-        case (acc, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
-          acc.withColumn("ts", nanosToTimestamp(org.apache.spark.sql.functions.col("ts")))
-        case (acc, _) => acc
-      }
+      normalizeTs(s.read.parquet(path))
     })
+
+  /** Normalize the two physical forms `events.ts` has shipped as into
+    * plain TimestampType: epoch-nanos LongType (legacy testdata,
+    * `nanosAsLong`) and TIMESTAMP_NTZ (current testdata writes
+    * `timestamp[us]` without the UTC flag). The session TZ is pinned
+    * UTC, so the NTZ cast is value-preserving; streaming
+    * `withWatermark` rejects NTZ, so this must happen at the source.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) {
+      case (acc, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
+        acc.withColumn("ts", nanosToTimestamp(org.apache.spark.sql.functions.col("ts")))
+      case (acc, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        acc.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case (acc, _) => acc
+    }
 
   /** Epoch-nanos long → microsecond timestamp. Integral `div` — plain
     * `/` is double division, and 2020s-era epoch nanos (~1.7e18) sit

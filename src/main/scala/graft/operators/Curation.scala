@@ -209,7 +209,9 @@ object Curation {
       query: Seq[Float], k: Int): DataFrame = {
     val qLit = array(query.map(lit(_)): _*)
     val qQuant = quantize(qLit)
-    corpus
+    // the distance scan is CPU-bound; floor the input parallelism so a
+    // single-split local table doesn't serialize it on one core
+    Scale.parallelismFloor(corpus)
       .select(col(idCol), quantizedDot(quantize(col(vecCol)), qQuant).as("qdot"))
       .orderBy(col("qdot").desc, col(idCol))
       .limit(k)
@@ -416,14 +418,10 @@ object Curation {
       numBuckets: Int = 4096): DsirModel = {
     require(numBuckets >= 2, s"numBuckets must be >= 2: $numBuckets")
     def bucketCounts(df: DataFrame): (Array[Long], Long) = {
-      // The explode+md5 scan is CPU-bound; a corpus that arrives in
-      // fewer partitions than cores (a tiny local table is ONE parquet
-      // split) would hash single-task. Round-robin it up to core count
-      // first — at real scale the scan already has file-split
-      // parallelism and this branch never fires.
-      val floor = df.sparkSession.sparkContext.defaultParallelism
-      val src = if (df.rdd.getNumPartitions < floor) df.repartition(floor) else df
-      val rows = src
+      // The explode+md5 scan is CPU-bound; floor the input parallelism
+      // (a tiny local table is ONE parquet split — at real scale the
+      // scan already has file-split parallelism and this is a no-op).
+      val rows = Scale.parallelismFloor(df)
         .select(explode(dsirFeatures(col(textCol))).as("f"))
         .select(dsirBucket(col("f"), numBuckets).as("b"))
         .groupBy(col("b")).agg(count(lit(1)).as("c"))

@@ -11,6 +11,20 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Raise a DataFrame's partition count to the session's core count
+    * when the source supplies fewer splits (a tiny local table is ONE
+    * parquet split, so a CPU-bound scan over it would run
+    * single-task). Round-robin repartition, applied only when below
+    * the floor — at real scale, file splits already provide
+    * parallelism and this is the identity. Use ahead of CPU-heavy
+    * map/explode stages (hashing, distance scans, tokenization), not
+    * ahead of shuffles (those re-partition anyway).
+    */
+  def parallelismFloor(df: DataFrame): DataFrame = {
+    val floor = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < floor) df.repartition(floor) else df
+  }
+
   /** Salted inner equi-join for skewed keys: the skewed (large) side
     * gets a random salt in [0, saltFactor); the small side is
     * replicated once per salt value. Breaks one hot key's rows across

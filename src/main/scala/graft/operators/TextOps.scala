@@ -366,7 +366,9 @@ object TextOps {
       topJ: Int = 5): DataFrame = {
     require(topJ >= 1, s"topJ must be >= 1: $topJ")
     val nDocs = df.agg(count(lit(1)).cast("double").as("__n"))
-    val toks = df.select(col(idCol),
+    // tokenize+explode is CPU-bound — floor the scan parallelism so a
+    // single-split local table doesn't serialize it (no-op at scale)
+    val toks = Scale.parallelismFloor(df).select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("token"))
     val tf = toks.groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
@@ -414,10 +416,14 @@ object TextOps {
       minCount: Long = 5, topK: Int = 20): DataFrame = {
     require(topK >= 1, s"topK must be >= 1: $topK")
     val grams = Curation.wordNgrams(col(textCol), 2)
-    val uni = df.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+    // both explode aggregates re-scan the corpus; floor the scan
+    // parallelism once so a single-split local table doesn't
+    // serialize the tokenization (no-op at scale)
+    val src = Scale.parallelismFloor(df)
+    val uni = src.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cw"))
     val uniTotal = uni.agg(sum(col("cw")).cast("double").as("__u"))
-    val bi0 = df.select(explode(grams).as("g"))
+    val bi0 = src.select(explode(grams).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("cab"))
     val biTotal = bi0.agg(sum(col("cab")).cast("double").as("__b"))
     val bi = bi0.filter(col("cab") >= minCount)

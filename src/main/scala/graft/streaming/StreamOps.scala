@@ -28,10 +28,7 @@ object StreamOps {
   def runFileStream(spark: SparkSession, dir: String, schema: org.apache.spark.sql.types.StructType,
       sinkName: String): StreamingQuery = {
     val stream = spark.readStream.schema(schema).parquet(dir)
-    val streamTs =
-      if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream.withColumn("ts", graft.core.Engine.nanosToTimestamp(col("ts")))
-      else stream
+    val streamTs = graft.core.Engine.normalizeTs(stream)
     windowedCounts(streamTs)
       .writeStream
       .format("memory")

@@ -159,6 +159,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ts normalization covers both physical forms: epoch-nanos long and TIMESTAMP_NTZ") {
+    // the driver's testdata has shipped `ts` two ways over time:
+    // epoch-nanos int64 (legacy, read with nanosAsLong) and
+    // timestamp[us] without the UTC flag (read as TIMESTAMP_NTZ).
+    // Streaming withWatermark rejects both raw forms — normalizeTs
+    // must turn each into TimestampType with identical values.
+    val base = java.time.Instant.parse("2024-03-01T10:15:00Z")
+    val instants = Seq(0L, 600L, 3600L, 7200L).map(s => base.plusSeconds(s))
+
+    def stream(dir: java.nio.file.Path, sink: String): Unit = {
+      val raw = spark.read.parquet(dir.toString)
+      val q = StreamOps.runFileStream(spark, dir.toString, raw.schema, sink)
+      try {
+        q.processAllAvailable()
+        val got = spark.table(sink)
+          .select(col("window.start").cast("long").as("ws"), col("n"))
+          .as[(Long, Long)].collect().toMap
+        // events at 10:15/10:25/11:15/12:15 → windows 10:00 (2), 11:00 (1), 12:00 (1)
+        val tenOClock = base.minusSeconds(900).getEpochSecond
+        assert(got == Map(
+          tenOClock -> 2L, (tenOClock + 3600) -> 1L, (tenOClock + 7200) -> 1L))
+      } finally q.stop()
+    }
+
+    val nanosDir = java.nio.file.Files.createTempDirectory("graft-ts-nanos")
+    instants.map(i => (i.getEpochSecond * 1000000000L, "e", 1.0))
+      .toDF("ts", "event_type", "value")
+      .write.mode("overwrite").parquet(nanosDir.toString)
+    assert(spark.read.parquet(nanosDir.toString).schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType)
+    stream(nanosDir, "ts_sink_nanos")
+
+    val ntzDir = java.nio.file.Files.createTempDirectory("graft-ts-ntz")
+    instants.map(i => (java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC), "e", 1.0))
+      .toDF("ts", "event_type", "value")
+      .write.mode("overwrite").parquet(ntzDir.toString)
+    assert(spark.read.parquet(ntzDir.toString).schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    stream(ntzDir, "ts_sink_ntz")
+  }
+
   test("incremental run metrics update across micro-batches (A8, `run.py:45-66`)") {
     val bus = new EventBus(spark)
     try {
