@@ -421,6 +421,33 @@ object CatalystExpressions {
 
   // ------------------------------------------------------- Column API
 
+  /** Filter a string array against a fitted string SET, keeping
+    * non-members — the O(1)-membership replacement for
+    * `filter(arr, x => !array_contains(lit(set), x))`, whose
+    * `array_contains` is a linear scan over the set per element. The
+    * set rides as a reference object like the other fitted models
+    * (ships once per executor in the task binary), so a 100k-entry
+    * boilerplate set costs one broadcast and the rewrite stage stays
+    * a fused map-only projection. Used by
+    * [[graft.operators.Curation.lineDedup]]'s broadcast path.
+    */
+  case class FilterNotInSet(child: Expression, values: Seq[String])
+      extends UnaryExpression {
+    override def dataType: DataType = child.dataType
+    @transient private lazy val set: java.util.HashSet[UTF8String] = {
+      val s = new java.util.HashSet[UTF8String](values.size * 2)
+      values.foreach(v => s.add(UTF8String.fromString(v)))
+      s
+    }
+    override def nullSafeEval(v: Any): Any =
+      ExprKernels.filterNotInSet(v.asInstanceOf[ArrayData], set)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val setRef = ctx.addReferenceObj("set", set, "java.util.HashSet")
+      defineCodeGen(ctx, ev, c => s"$K.filterNotInSet($c, $setRef)")
+    }
+    override protected def withNewChildInternal(c: Expression): FilterNotInSet = copy(c)
+  }
+
   import org.apache.spark.sql.graft.bridge.{columnOf => column, expressionOf => expression}
 
   def simhash64(tokenHashes: Column): Column = column(SimHash64(expression(tokenHashes)))
@@ -458,6 +485,9 @@ object CatalystExpressions {
   def dsirLogRatioSum(tokens: Column, logRatios: Array[Long],
       numBuckets: Int): Column =
     column(DsirLogRatioSum(expression(tokens), logRatios, numBuckets))
+
+  def filterNotInSet(arr: Column, values: Seq[String]): Column =
+    column(FilterNotInSet(expression(arr), values))
 
   def bpeEncode(tokens: Column, merges: Seq[(String, String)]): Column =
     column(BpeEncode(expression(tokens), merges))

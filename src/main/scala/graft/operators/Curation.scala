@@ -550,9 +550,15 @@ object Curation {
     * distinct lines, so with the production-scale thresholds (100+)
     * it is ≤1% of distinct lines. Pass 2 exploits that:
     *  - `nBoiler <= maxBroadcastLines` (the common case): the set is
-    *    collapsed to a one-row array, broadcast, and the rewrite is a
-    *    MAP-ONLY higher-order `filter` over `split(text)` — no second
-    *    shuffle, no reassembly aggregate.
+    *    collected (bounded by the cap) and rides a codegen'd
+    *    [[graft.functions.CatalystExpressions.FilterNotInSet]]
+    *    expression as a hash-set reference object — the rewrite is a
+    *    MAP-ONLY fused projection with O(1) membership per line, no
+    *    second shuffle, no reassembly aggregate. (Micro-bench, 20k
+    *    docs × 60 lines, local[32]: warm rewrite is ~0.15–0.6 s FLAT
+    *    across |boiler| = 100 → 100k; the previous `array_contains`
+    *    -over-broadcast-array form was O(|boiler|) per line — 0.3 s at
+    *    |boiler|=100 but ~19 s at 10k.)
     *  - otherwise (or `forceJoinPath`, which the spec uses to lock
     *    path equivalence): explode → anti-join on the line →
     *    order-preserving reassembly, all equi-hash operations.
@@ -570,14 +576,18 @@ object Curation {
       .agg(countDistinct(col(idCol)).as("line_df"))
       .filter(col("line_df") >= minDocFreq)
       .select("line")
-    val useBroadcast = !forceJoinPath && boiler.count() <= maxBroadcastLines
+    // one bounded action decides the path AND fetches the set: ≤cap+1
+    // rows of boilerplate lines (each seen in ≥minDocFreq docs, so the
+    // set is ≤ totalLines/minDocFreq distinct lines by construction)
+    val collected = boiler.limit(maxBroadcastLines + 1).collect().map(_.getString(0))
+    val useBroadcast = !forceJoinPath && collected.length <= maxBroadcastLines
     if (useBroadcast) {
-      val bset = broadcast(
-        boiler.agg(collect_list(col("line")).as("__boiler")))
-      val keptArr = filter(splitLines,
-        l => !array_contains(col("__boiler"), l))
-      df.crossJoin(bset)
-        .select(col(idCol),
+      // fitted-model shape: the set rides the codegen'd expression as
+      // a reference object — map-only rewrite, O(1) membership per
+      // line (array_contains over a collected array was O(|boiler|))
+      val keptArr = graft.functions.CatalystExpressions
+        .filterNotInSet(splitLines, collected.toIndexedSeq)
+      df.select(col(idCol),
           array_join(keptArr, "\n").as("clean_text"),
           (size(splitLines) - size(keptArr)).cast("long").as("n_removed"))
     } else {

@@ -80,7 +80,9 @@ class CodegenSpec extends SparkSpec {
           graft.functions.TextFunctions.DefaultLangProfiles.toSeq.sortBy(_._1)).as("lang"),
         CatalystExpressions.bigramLogProbSum(
           CatalystExpressions.tokenize(col("text")),
-          lm.uni, lm.big, lm.vocabSize).as("lp"))
+          lm.uni, lm.big, lm.vocabSize).as("lp"),
+        CatalystExpressions.filterNotInSet(
+          split(col("text"), " "), Seq("the", "a", "of", "and")).as("fns"))
         .orderBy("doc_id").collect().toSeq
     }
     val conf = spark.conf

@@ -188,12 +188,15 @@ class PlanAudit extends SparkSpec {
 
   test("q87: lineDedup takes the broadcast-rewrite path (map-only second pass)") {
     val p = plan("q87_lines")
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      "boilerplate set must broadcast as a one-row array build side")
-    // the only hash exchanges belong to the line-df aggregate; the
-    // document rewrite itself must not shuffle
-    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(hashEx <= 2, s"rewrite pass must stay map-side, saw $hashEx hash exchanges:\n$p")
+    // the boilerplate set rides the FilterNotInSet expression as a
+    // reference object: the rewrite is a pure fused projection — no
+    // join of any kind and no exchange in the returned plan (the
+    // line-df aggregate runs in its own bounded fit action)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"rewrite must not join:\n$p")
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("rangepartitioning")) == 0,
+      s"rewrite must not shuffle (the gate's orderBy range exchange aside):\n$p")
   }
 
   test("q90: phrase postings intersect as a broadcast equi-join, never nested-loop") {
