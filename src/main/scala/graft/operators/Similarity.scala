@@ -219,6 +219,30 @@ object Similarity {
     ()
   }
 
+  /** Incremental ingest for a durable IVF layout — the daily-crawl
+    * pattern, mirroring [[CorpusIndex.append]]'s old-never-rejoined
+    * discipline: assign the new batch with the PERSISTED centroids
+    * (the model is fixed at fit time; append never re-clusters, so
+    * existing cluster partitions are never read or rewritten) and
+    * append only the batch's rows to the cluster-partitioned corpus.
+    * Cost is O(batch); a subsequent [[knnIvfPartitioned]] probe sees
+    * layout ∪ batch exactly as if the layout had been rebuilt whole
+    * with the same centroids (DurableIndexSpec locks the equality).
+    * Centroid drift under sustained ingest is a re-fit decision the
+    * caller owns — the standard IVF upsert trade.
+    *
+    * Returns the assigned batch (with its `cluster` column).
+    */
+  def ivfAppend(batch: DataFrame, vecCol: String, path: String): DataFrame = {
+    implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+    val centroids = (readJson(batch.sparkSession, s"$path/ivf_meta.json") \ "centroids")
+      .extract[Seq[Seq[Double]]].map(_.toArray).toArray
+    val assigned = batch.withColumn("cluster",
+      graft.functions.CatalystExpressions.nearestCentroid(col(vecCol), centroids))
+    assigned.write.mode("append").partitionBy("cluster").parquet(s"$path/corpus")
+    assigned
+  }
+
   /** Write the durable hyperplane-LSH layout under `path`: the corpus
     * partitioned by sign-bucket plus (nPlanes, dim, seed) metadata so
     * probes in any session derive the identical planes.
@@ -281,6 +305,27 @@ object Similarity {
     val probed = spark.read.parquet(s"$path/corpus")
       .filter(col("bucket").isin(probeSet: _*))
     knnBrute(probed, idCol, vecCol, query, k)
+  }
+
+  /** Incremental ingest for a durable LSH layout: derive the planes
+    * from the persisted (nPlanes, dim, seed) metadata — identical in
+    * every session by construction — bucket the new batch, and append
+    * only its rows to the bucket-partitioned corpus. Same O(batch) /
+    * old-never-rejoined discipline as [[ivfAppend]]; probes after the
+    * append equal probes of a whole-corpus rebuild (DurableIndexSpec).
+    *
+    * Returns the bucketed batch (with its `bucket` column).
+    */
+  def lshAppend(batch: DataFrame, vecCol: String, path: String): DataFrame = {
+    implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+    val meta = readJson(batch.sparkSession, s"$path/lsh_meta.json")
+    val planes = VectorFunctions.randomPlanes(
+      (meta \ "nPlanes").extract[Int], (meta \ "dim").extract[Int],
+      (meta \ "seed").extract[Long])
+    val bucketed = batch.withColumn("bucket",
+      VectorFunctions.hyperplaneBucket(col(vecCol), planes))
+    bucketed.write.mode("append").partitionBy("bucket").parquet(s"$path/corpus")
+    bucketed
   }
 
   /** All-pairs cosine ≥ threshold between two corpora via shared LSH

@@ -116,6 +116,69 @@ class DurableIndexSpec extends SparkSpec {
     assert(incr.intersect(oldPairs) === Set.empty, "incremental pairs always touch the batch")
   }
 
+  test("IVF layout append: probe(layout ∪ batch) == probe(rebuilt layout), old partitions untouched") {
+    import graft.operators.Similarity
+    val emb = graft.core.Engine.table(spark, sfDir, "embeddings")
+    val old = emb.filter(col("vec_id") < 300)
+    val batch = emb.filter(col("vec_id") >= 300)
+    val query = emb.filter(col("vec_id") === 1).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+
+    // fit on OLD only (the model is fixed at fit time), layout = old
+    val index = Similarity.ivfIndex(old, "vec_id", "embedding",
+      nCentroids = 4, fitSampleFraction = 1.0)
+    val appended = Files.createTempDirectory("graft-ivf-app").toString
+    Similarity.ivfWriteLayout(old, index, "vec_id", appended)
+    val oldFiles = spark.read.parquet(s"$appended/corpus").inputFiles.toSet
+
+    Similarity.ivfAppend(batch, "embedding", appended)
+    assert(spark.read.parquet(s"$appended/corpus").inputFiles.toSet
+      .intersect(oldFiles) == oldFiles, "append must not rewrite old files")
+
+    // rebuild whole with the SAME centroids (assignments extended to
+    // the full corpus — ivfWriteLayout keeps only assigned rows)
+    val rebuilt = Files.createTempDirectory("graft-ivf-reb").toString
+    val fullIndex = Similarity.IvfIndex(index.centroids,
+      emb.withColumn("cluster", graft.functions.CatalystExpressions
+          .nearestCentroid(col("embedding"), index.centroids))
+        .select(col("vec_id"), col("cluster")))
+    Similarity.ivfWriteLayout(emb, fullIndex, "vec_id", rebuilt)
+
+    for (nProbe <- Seq(1, 2, 4)) {
+      val a = Similarity.knnIvfPartitioned(spark, appended, "vec_id", "embedding",
+        query, k = 10, nProbe = nProbe).collect().toSeq
+      val b = Similarity.knnIvfPartitioned(spark, rebuilt, "vec_id", "embedding",
+        query, k = 10, nProbe = nProbe).collect().toSeq
+      assert(a == b, s"nProbe=$nProbe: appended layout must equal rebuild")
+    }
+  }
+
+  test("LSH layout append: probe(layout ∪ batch) == probe(rebuilt layout)") {
+    import graft.operators.Similarity
+    val emb = graft.core.Engine.table(spark, sfDir, "embeddings")
+    val old = emb.filter(col("vec_id") < 300)
+    val batch = emb.filter(col("vec_id") >= 300)
+    val query = emb.filter(col("vec_id") === 1).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+
+    val appended = Files.createTempDirectory("graft-lsh-app").toString
+    Similarity.lshWriteLayout(old, "vec_id", "embedding", appended,
+      nPlanes = 6, dim = 64, seed = 42L)
+    Similarity.lshAppend(batch, "embedding", appended)
+
+    val rebuilt = Files.createTempDirectory("graft-lsh-reb").toString
+    Similarity.lshWriteLayout(emb, "vec_id", "embedding", rebuilt,
+      nPlanes = 6, dim = 64, seed = 42L)
+
+    for (h <- Seq(0, 1, 2)) {
+      val a = Similarity.knnLshPartitioned(spark, appended, "vec_id", "embedding",
+        query, k = 10, probeHamming = h).collect().toSeq
+      val b = Similarity.knnLshPartitioned(spark, rebuilt, "vec_id", "embedding",
+        query, k = 10, probeHamming = h).collect().toSeq
+      assert(a == b, s"probeHamming=$h: appended layout must equal rebuild")
+    }
+  }
+
   test("connectedComponents with a durable checkpoint dir matches localCheckpoint") {
     import spark.implicits._
     // two chains (1-2-3-4) and (10-11), plus a ring (20-21-22-20):
