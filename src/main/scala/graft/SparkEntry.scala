@@ -1441,7 +1441,11 @@ object SparkEntry {
       targets = Map("src0" -> 0.34, "src1" -> 0.33, "src2" -> 0.33))
     sampled.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+      // output is <= #strata rows by construction; the limit turns the
+      // deterministic sort into TakeOrderedAndProject (no range-sample
+      // job, no sort exchange)
       .orderBy(col("source"))
+      .limit(3)
   }
 
   /** Similarity: the partition-pruned IVF probe — the 100 TB form of

@@ -234,37 +234,53 @@ object Curation {
     * produce byte-identical exports (q77's oracle proves the whole
     * composition against an independent engine). Scale shape: stages
     * 1–2 are the only shuffles (fingerprint window + gram equi-join);
-    * 3–5 are map-side (the mixture rates are a tiny broadcast).
+    * 3–5 are map-side (the mixture rates are a driver-fitted literal
+    * map — #strata values).
     */
   def exportPipeline(train: DataFrame, evalDocs: DataFrame, idCol: String,
       textCol: String, strataCol: String, targets: Map[String, Double],
       n: Int = 5, minShared: Int = 3, minTokens: Long = 10,
       maxTokens: Long = 5000, seed: String = "mix77",
       maxGramDf: Int = Int.MaxValue): DataFrame = {
+    // Job-count discipline (the q53/q77 treatment): ONE lazy
+    // localCheckpoint of the post-redaction survivors, materialized by
+    // mixtureResample's single countByValue rates fit; the returned
+    // frame is then a map-only selection over the same checkpoint.
+    // Stages 1-4 therefore execute exactly ONCE (the previous form
+    // checkpointed two id lists and re-ran the redaction tail twice —
+    // two extra actions, a second full PII/token scan, and a
+    // broadcast job per re-join). The checkpoint holds the SURVIVOR
+    // rows (post-dedup, post-decontam, post-length-gate) on
+    // executor-local storage — disk-spillable, bounded by the
+    // surviving fraction of the corpus, i.e. the same order as one
+    // shuffle of the export itself.
+    //
+    // Dedup keeps the full row through the fingerprint window (one
+    // corpus shuffle) instead of reducing to an id list and
+    // re-joining train — the join-back costs an extra exchange plus
+    // a broadcast/SMJ probe of the same bytes at scale.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__fp")).orderBy(col(idCol))
-    // The mixture-resample tail counts its strata before filtering, so
-    // everything upstream of it executes TWICE (rates pass + output
-    // pass). The expensive upstream work — the fingerprint window and
-    // the gram join — reduces to two SMALL id lists; lazily
-    // localCheckpoint those (the Dedup signature pattern) so both
-    // passes reuse them and the double execution costs only the
-    // map-side tail (semi/anti join + redaction), not the shuffles.
-    val keep = train
-      .select(col(idCol), TextFunctions.exactFingerprint(col(textCol)).as("__fp"))
+    val kept = train
+      .withColumn("__fp", TextFunctions.exactFingerprint(col(textCol)))
       .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1).select(col(idCol))
-      .localCheckpoint(false)
-    val kept = train.join(keep, Seq(idCol), "left_semi")
+      .filter(col("__rk") === 1).drop("__fp", "__rk")
+    // no .distinct() on the contaminated side: a left_anti probe is
+    // indifferent to duplicate build keys, and the distinct would add
+    // an exchange. The contaminated-id list is broadcast explicitly:
+    // it is small by construction (docs sharing >= minShared distinct
+    // n-grams with the eval suite), and without the hint the
+    // anti-join's initial AQE plan exchanges BOTH sides on the id —
+    // re-shuffling the whole kept corpus to drop a sliver of it.
     val contaminated = ngramDecontaminate(kept, evalDocs, idCol, textCol,
         n, minShared, maxGramDf)
-      .select(col("train_id").as(idCol)).distinct()
-      .localCheckpoint(false)
-    val clean = kept.join(contaminated, Seq(idCol), "left_anti")
-    piiRedact(clean, textCol)
+      .select(col("train_id").as(idCol))
+    val survivors = piiRedact(
+        kept.join(broadcast(contaminated), Seq(idCol), "left_anti"), textCol)
       .withColumn("n_tok", TextFunctions.tokenCount(col("redacted")).cast("long"))
       .filter(col("n_tok").between(minTokens, maxTokens))
-      .transform(df => TextOps.mixtureResample(df, strataCol, idCol, targets, seed))
+      .localCheckpoint(false)
+    TextOps.mixtureResample(survivors, strataCol, idCol, targets, seed)
   }
 
   /** The INCREMENTAL (streaming) form of the export filter: PII

@@ -103,20 +103,33 @@ object TextOps {
   def mixtureResample(df: DataFrame, strataCol: String, idCol: String,
       targets: Map[String, Double], seed: String = "mix"): DataFrame = {
     require(targets.values.forall(_ >= 0), s"targets must be >= 0: $targets")
-    val tMap = map(targets.toSeq.flatMap { case (k, v) =>
-      Seq(lit(k), lit(v)) }: _*)
-    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
-      .withColumn("__target", element_at(tMap, col(strataCol).cast("string")))
-      .filter(col("__target").isNotNull && col("__target") > 0)
-      .withColumn("__cap", col("__n").cast("double") / col("__target"))
-    val minCap = counts.agg(min(col("__cap")).as("__mincap"))
-    val rates = counts.crossJoin(broadcast(minCap))
-      .withColumn("__rate",
-        col("__mincap") * col("__target") / col("__n").cast("double"))
-      .select(col(strataCol), col("__rate"))
-    df.join(broadcast(rates), Seq(strataCol))
-      .filter(portableHash(col(idCol), seed) < col("__rate") * lit(4294967296.0))
-      .drop("__rate")
+    // Fit the per-stratum rates with ONE bounded action — the stratum
+    // count aggregate is #strata rows, and the mixture policy is a
+    // fitted model exactly like [[Curation.exportFilterWithRates]]'
+    // rates map. Applying the rates as a literal map keeps the
+    // selection map-only: no broadcast-join machinery, no extra AQE
+    // stage jobs per query (the q53/q77 job-count discipline). The
+    // driver-side arithmetic replicates the previous plan-side
+    // expressions op-for-op (cap = n/target; rate = mincap*target/n —
+    // IEEE doubles, identical order), so selections are bit-stable
+    // across the rewrite.
+    // countByValue = ONE map-side-combined job (a groupBy.collect is
+    // an exchange job + a final job under AQE)
+    val counts = df.select(col(strataCol).cast("string")).rdd
+      .map(_.getString(0)).countByValue()
+    val capped = counts.flatMap { case (s, nRows) =>
+      targets.get(s).filter(_ > 0).map(t => (s, nRows, t, nRows.toDouble / t))
+    }
+    if (capped.isEmpty) return df.filter(lit(false))
+    val minCap = capped.map(_._4).min
+    val rates = capped.map { case (s, nRows, t, _) =>
+      s -> minCap * t / nRows.toDouble
+    }.toMap
+    val rateCol = element_at(
+      map(rates.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+      col(strataCol).cast("string"))
+    df.filter(rateCol.isNotNull &&
+      portableHash(col(idCol), seed) < rateCol * lit(4294967296.0))
   }
 
   /** Exact per-stratum deterministic sample: exactly `k` rows per
