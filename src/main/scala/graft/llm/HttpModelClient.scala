@@ -47,7 +47,9 @@ final class HttpModelClient(
     jsonMode: Boolean = false,
     requestTimeout: Duration = Duration.ofSeconds(120),
     stream: Boolean = false,
-    chunkTimeout: Duration = Duration.ofSeconds(30)) extends SemanticOps.ModelClient {
+    chunkTimeout: Duration = Duration.ofSeconds(30),
+    embedBatchSize: Int = 64)
+  extends SemanticOps.ModelClient with SemanticOps.EmbeddingClient {
 
   @transient private lazy val http =
     HttpClient.newBuilder()
@@ -198,6 +200,68 @@ final class HttpModelClient(
       }
     } finally body.close()
     content.toString()
+  }
+
+  /** OpenAI-compatible `POST /embeddings`: one request per
+    * `embedBatchSize` texts (provider input caps make the split the
+    * client's job), vectors returned in input order (the response's
+    * `data[].index` is authoritative — providers may reorder), with
+    * the same retry classification and usage accounting as the chat
+    * surface.
+    */
+  override def embed(texts: Seq[String]): Seq[Array[Float]] =
+    texts.grouped(math.max(1, embedBatchSize)).flatMap(embedBatch).toSeq
+
+  private def embedBatch(batch: Seq[String]): Seq[Array[Float]] = {
+    val root = mapper.createObjectNode()
+    root.put("model", model)
+    val input = root.putArray("input")
+    batch.foreach(input.add)
+    val reqBuilder = HttpRequest.newBuilder()
+      .uri(URI.create(s"${endpoint.stripSuffix("/")}/embeddings"))
+      .timeout(requestTimeout)
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(root)))
+    apiKey.foreach(k => reqBuilder.header("Authorization", s"Bearer $k"))
+    val resp =
+      try http.send(reqBuilder.build(), HttpResponse.BodyHandlers.ofString())
+      catch {
+        case e: java.io.IOException =>
+          throw RetryableModelError(s"connection error: ${e.getMessage}", e)
+      }
+    resp.statusCode() match {
+      case 200 => parseEmbeddings(resp.body(), batch.size)
+      case s => classifyFailure(s, resp.body())
+    }
+  }
+
+  private def parseEmbeddings(body: String, expected: Int): Seq[Array[Float]] = {
+    val node =
+      try mapper.readTree(body)
+      catch {
+        case e: Exception =>
+          throw PermanentModelError(s"unparseable response body: ${e.getMessage}")
+      }
+    val usageNode = node.path("usage")
+    promptTokens.addAndGet(usageNode.path("prompt_tokens").asLong(0))
+    val data = node.path("data")
+    if (!data.isArray || data.size() != expected)
+      throw PermanentModelError(
+        s"embeddings response has ${data.size()} data entries for $expected inputs: ${body.take(200)}")
+    val out = new Array[Array[Float]](expected)
+    data.forEach { entry =>
+      val i = entry.path("index").asInt(-1)
+      if (i < 0 || i >= expected || out(i) != null)
+        throw PermanentModelError(s"bad embeddings data index $i: ${body.take(200)}")
+      val emb = entry.path("embedding")
+      if (!emb.isArray)
+        throw PermanentModelError(s"data[$i].embedding is not an array: ${body.take(200)}")
+      val v = new Array[Float](emb.size())
+      var j = 0
+      while (j < v.length) { v(j) = emb.get(j).floatValue(); j += 1 }
+      out(i) = v
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
 
   private def parseContent(body: String): String = {

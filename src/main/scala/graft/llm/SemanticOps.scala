@@ -62,6 +62,68 @@ object SemanticOps {
     }
   }
 
+  /** Batched embedding client — the transport seam for the
+    * embedding-consuming operators ([[graft.operators.Similarity]],
+    * SemDeDup, [[graft.operators.Curation.quantizedKnn]]): production
+    * is [[HttpModelClient.embed]] (OpenAI-compatible `/embeddings`);
+    * tests and offline runs use a deterministic stub (e.g.
+    * [[graft.operators.Multimodal]]'s rolling-hash pseudo-embedding).
+    * Same factory-per-partition discipline as [[ModelClient]].
+    */
+  trait EmbeddingClient extends Serializable {
+    /** One vector per input text, in input order. */
+    def embed(texts: Seq[String]): Seq[Array[Float]]
+  }
+
+  /** Retry with exponential backoff for the embedding surface — same
+    * classification contract as [[RetryingClient]].
+    */
+  final case class RetryingEmbeddingClient(inner: EmbeddingClient,
+      maxRetries: Int = 3, backoffBaseMs: Long = 2000,
+      backoffCapMs: Long = 60000) extends EmbeddingClient {
+    override def embed(texts: Seq[String]): Seq[Array[Float]] = {
+      var attempt = 0
+      while (true) {
+        try return inner.embed(texts)
+        catch {
+          case e: PermanentModelError => throw e
+          case e: Exception =>
+            attempt += 1
+            if (attempt > maxRetries) throw e
+            val wait = math.min(backoffCapMs,
+              (backoffBaseMs * math.pow(2.0, (attempt - 1).toDouble)).toLong)
+            Thread.sleep(wait)
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+  }
+
+  /** Attach a real embedding column: batch-call the client per
+    * partition (one client per partition, like [[semanticMap]]) and
+    * add `outputCol` as `array<float>` — the production feed for the
+    * ANN / SemDeDup / quantized-KNN stack, which is otherwise driven
+    * by precomputed or stubbed embeddings.
+    */
+  def embedColumn(df: DataFrame, textCol: String, outputCol: String,
+      clientFactory: () => EmbeddingClient, batchSize: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField(outputCol, ArrayType(FloatType, containsNull = false)))
+    val idx = inSchema.fieldIndex(textCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      val client = clientFactory()
+      it.grouped(batchSize).flatMap { batch =>
+        val vecs = client.embed(batch.map(r => String.valueOf(r.get(idx))))
+        require(vecs.size == batch.size,
+          s"embedding client returned ${vecs.size} vectors for ${batch.size} texts")
+        batch.zip(vecs).map { case (row, v) => Row.fromSeq(row.toSeq :+ v.toSeq) }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Flaky test double: fails the first `failures` calls. */
   final class FlakyClient(inner: ModelClient, failures: Int) extends ModelClient {
     private val remaining = new java.util.concurrent.atomic.AtomicInteger(failures)

@@ -106,6 +106,81 @@ class SemanticSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("HttpModelClient /embeddings: batch split, index-ordered vectors, retries, usage") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import graft.llm.{HttpModelClient, PermanentModelError, RetryableModelError}
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val requestSizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    @volatile var failuresBeforeOk = 0
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    // deterministic 3-dim embedding of a text; data[] is served in
+    // REVERSED index order to prove the client reorders by index
+    def vecOf(t: String): Seq[Float] =
+      Seq(t.length.toFloat, t.hashCode.toFloat, if (t.isEmpty) 0f else t.head.toFloat)
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1/embeddings", (ex: HttpExchange) => {
+      try {
+        val req = mapper.readTree(ex.getRequestBody.readAllBytes())
+        val inputs = (0 until req.path("input").size())
+          .map(i => req.path("input").get(i).asText())
+        requestSizes.add(inputs.size)
+        val (code, body) =
+          if (hits.incrementAndGet() <= failuresBeforeOk) (429, """{"error":"slow down"}""")
+          else {
+            val root = mapper.createObjectNode()
+            val data = root.putArray("data")
+            inputs.zipWithIndex.reverse.foreach { case (t, i) =>
+              val e = data.addObject()
+              e.put("index", i)
+              val arr = e.putArray("embedding")
+              vecOf(t).foreach(arr.add)
+            }
+            root.putObject("usage").put("prompt_tokens", inputs.size * 2)
+            (200, mapper.writeValueAsString(root))
+          }
+        val bytes = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(code, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+      } finally ex.close()
+    })
+    server.start()
+    val url = s"http://127.0.0.1:${server.getAddress.getPort}/v1"
+    try {
+      // batch split: 5 texts at embedBatchSize=2 -> 3 requests (2,2,1),
+      // vectors back in input order despite the reversed server payload
+      val client = new HttpModelClient(url, "emb-model", embedBatchSize = 2)
+      val texts = Seq("alpha", "bb", "c", "dddd", "ee")
+      val vecs = client.embed(texts)
+      assert(vecs.map(_.toSeq) == texts.map(vecOf))
+      assert(requestSizes.toArray.toSeq == Seq(2, 2, 1))
+      assert(client.usage == (10L, 0L), "2 prompt tokens per input, no completions")
+      // 429 classifies retryable; the retrying wrapper recovers
+      failuresBeforeOk = hits.get() + 2
+      val retrying = SemanticOps.RetryingEmbeddingClient(
+        new HttpModelClient(url, "emb-model"), maxRetries = 3, backoffBaseMs = 1)
+      assert(retrying.embed(Seq("x")).head.toSeq == vecOf("x"))
+      // a 404 (wrong path) is permanent — never retried away
+      intercept[PermanentModelError] {
+        new HttpModelClient(s"http://127.0.0.1:${server.getAddress.getPort}/nope", "m")
+          .embed(Seq("x"))
+      }
+      // connection refused classifies retryable
+      intercept[RetryableModelError] {
+        new HttpModelClient("http://127.0.0.1:1/v1", "m").embed(Seq("x"))
+      }
+      // end-to-end: embedColumn attaches array<float> through mapPartitions
+      val df = Seq("doc one", "doc two", "doc three").toDF("text")
+      val out = SemanticOps.embedColumn(df, "text", "embedding",
+        () => new HttpModelClient(url, "emb-model", embedBatchSize = 2), batchSize = 2)
+      assert(out.schema("embedding").dataType ==
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false))
+      val got = out.collect().map(r =>
+        r.getAs[String]("text") -> r.getSeq[Float](r.fieldIndex("embedding"))).toMap
+      assert(got == Map("doc one" -> vecOf("doc one"),
+        "doc two" -> vecOf("doc two"), "doc three" -> vecOf("doc three")))
+    } finally server.stop(0)
+  }
+
   test("HttpModelClient streaming: SSE deltas, mid-stream disconnect retried, stall fails fast") {
     import com.sun.net.httpserver.{HttpExchange, HttpServer}
     import graft.llm.{HttpModelClient, RetryableModelError}
