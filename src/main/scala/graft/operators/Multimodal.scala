@@ -336,7 +336,107 @@ object Multimodal {
     val isJpeg = bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte
     if (!isPng && !isJpeg) return None
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      .map(img =>
+        if (isJpeg) applyExifOrientation(img, exifOrientation(bytes)) else img)
     catch { case _: Throwable => None }
+  }
+
+  /** EXIF orientation (TIFF tag 0x0112) from the JPEG's APP1 segment —
+    * 1 ("normal") when absent or unparseable. ImageIO returns the
+    * STORED raster; a rotated camera JPEG carries the display
+    * transform only here, so width/height (and any pixel stat that
+    * isn't rotation-invariant) are wrong without it. Segment walk as
+    * in [[decodeJpeg]]; inside APP1, a minimal TIFF IFD scan in the
+    * declared byte order (`II`/`MM`). (Reference behavior: its vision
+    * provider auto-orients server-side, `vision_tool.py:372-428`.)
+    */
+  private[graft] def exifOrientation(b: Array[Byte]): Int = {
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xFF) return 1
+      val mk = b(i + 1) & 0xff
+      if (mk == 0xFF) i += 1
+      else if (mk == 0x01 || (mk >= 0xD0 && mk <= 0xD9)) i += 2
+      else {
+        val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+        if (len < 2 || mk == 0xDA) return 1 // SOS: entropy-coded data follows
+        if (mk == 0xE1 && i + 10 <= b.length &&
+            b(i + 4) == 'E' && b(i + 5) == 'x' && b(i + 6) == 'i' &&
+            b(i + 7) == 'f' && b(i + 8) == 0 && b(i + 9) == 0)
+          return tiffOrientation(b, i + 10, math.min(b.length, i + 2 + len))
+        i += 2 + len
+      }
+    }
+    1
+  }
+
+  private def tiffOrientation(b: Array[Byte], tiff: Int, end: Int): Int = {
+    if (tiff + 8 > end) return 1
+    val little =
+      if (b(tiff) == 'I' && b(tiff + 1) == 'I') true
+      else if (b(tiff) == 'M' && b(tiff + 1) == 'M') false
+      else return 1
+    def u16(o: Int): Int =
+      if (o < tiff || o + 2 > end) -1
+      else if (little) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+      else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    def u32(o: Int): Long =
+      if (o < tiff || o + 4 > end) -1L
+      else if (little) (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+      else ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    if (u16(tiff + 2) != 42) return 1
+    val ifdOff = u32(tiff + 4)
+    if (ifdOff < 0) return 1
+    val ifd = tiff + ifdOff.toInt
+    val nEntries = u16(ifd)
+    if (nEntries < 0) return 1
+    var k = 0
+    while (k < nEntries) {
+      val e = ifd + 2 + 12 * k
+      // SHORT values (type 3, count 1) live left-justified in the
+      // 4-byte value slot, read in the declared byte order
+      if (u16(e) == 0x0112 && u16(e + 2) == 3 && u32(e + 4) == 1L) {
+        val v = u16(e + 8)
+        return if (v >= 1 && v <= 8) v else 1
+      }
+      k += 1
+    }
+    1
+  }
+
+  /** Resolve the stored raster to display orientation — the 8 EXIF
+    * cases as direct pixel remaps (5-8 swap the axes).
+    */
+  private[graft] def applyExifOrientation(img: java.awt.image.BufferedImage,
+      o: Int): java.awt.image.BufferedImage = {
+    if (o <= 1 || o > 8) return img
+    val w = img.getWidth
+    val h = img.getHeight
+    val swap = o >= 5
+    val out = new java.awt.image.BufferedImage(
+      if (swap) h else w, if (swap) w else h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y2 = 0
+    while (y2 < out.getHeight) {
+      var x2 = 0
+      while (x2 < out.getWidth) {
+        val (x, y) = o match {
+          case 2 => (w - 1 - x2, y2)           // mirror horizontal
+          case 3 => (w - 1 - x2, h - 1 - y2)   // rotate 180
+          case 4 => (x2, h - 1 - y2)           // mirror vertical
+          case 5 => (y2, x2)                   // transpose
+          case 6 => (y2, h - 1 - x2)           // rotate 90 CW
+          case 7 => (w - 1 - y2, h - 1 - x2)   // transverse
+          case _ => (w - 1 - y2, x2)           // 8: rotate 90 CCW
+        }
+        out.setRGB(x2, y2, img.getRGB(x, y))
+        x2 += 1
+      }
+      y2 += 1
+    }
+    out
   }
 
   /** Deterministic pixel summary: mean R/G/B (0..1) plus a 4-bin

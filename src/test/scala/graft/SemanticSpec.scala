@@ -402,6 +402,61 @@ class SemanticSpec extends SparkSpec {
     assert(!out(3L).getAs[Boolean]("ok") && !out(4L).getAs[Boolean]("ok"))
   }
 
+  test("EXIF orientation: rotated camera JPEG reports display dims, means invariant") {
+    // splice a minimal EXIF APP1 (TIFF IFD with the orientation tag)
+    // right after SOI of a real encoded JPEG — what a camera writes
+    def withExif(jpeg: Array[Byte], orientation: Int, littleEndian: Boolean): Array[Byte] = {
+      val tiff =
+        if (littleEndian)
+          Array[Byte]('I', 'I', 42, 0, 8, 0, 0, 0, // header, IFD at 8
+            1, 0, // one entry
+            0x12, 0x01, 3, 0, 1, 0, 0, 0, orientation.toByte, 0, 0, 0,
+            0, 0, 0, 0) // no next IFD
+        else
+          Array[Byte]('M', 'M', 0, 42, 0, 0, 0, 8,
+            0, 1,
+            0x01, 0x12, 0, 3, 0, 0, 0, 1, 0, orientation.toByte, 0, 0,
+            0, 0, 0, 0)
+      val payload = "Exif".getBytes ++ Array[Byte](0, 0) ++ tiff
+      val len = payload.length + 2
+      val app1 = Array[Byte](0xFF.toByte, 0xE1.toByte,
+        ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ payload
+      jpeg.take(2) ++ app1 ++ jpeg.drop(2)
+    }
+    // 24x8 gradient: rotation-variant raster, rotation-invariant means
+    val base = Multimodal.renderJpeg(24, 8, (x, y) => (x * 10 << 16) | (y * 30 << 8) | 40)
+    assert(Multimodal.exifOrientation(base) == 1, "no APP1 -> normal")
+    assert(Multimodal.exifOrientation(withExif(base, 6, littleEndian = false)) == 6)
+    assert(Multimodal.exifOrientation(withExif(base, 8, littleEndian = true)) == 8)
+
+    val df = Seq(
+      (1L, base),
+      (2L, withExif(base, 6, littleEndian = false)), // rotate 90 CW
+      (3L, withExif(base, 3, littleEndian = true))   // rotate 180
+    ).toDF("id", "content")
+    val out = Multimodal.imageStats(df).collect()
+      .map(r => r.getLong(0) -> r.getAs[org.apache.spark.sql.Row]("stats")).toMap
+    assert(out(1L).getAs[Int]("width") == 24 && out(1L).getAs[Int]("height") == 8)
+    // orientation 6 swaps the reported axes to display orientation
+    assert(out(2L).getAs[Boolean]("ok"))
+    assert(out(2L).getAs[Int]("width") == 8 && out(2L).getAs[Int]("height") == 24)
+    // orientation 3 keeps them
+    assert(out(3L).getAs[Int]("width") == 24 && out(3L).getAs[Int]("height") == 8)
+    // rotation permutes pixels, so channel means match EXACTLY (same
+    // decoded raster, no re-encode)
+    for (ch <- Seq("avg_r", "avg_g", "avg_b"); id <- Seq(2L, 3L))
+      assert(out(id).getAs[Double](ch) == out(1L).getAs[Double](ch),
+        s"$ch must be rotation-invariant for id=$id")
+
+    // the full 8-case remap is self-consistent: applying orientation 3
+    // twice is the identity
+    val img = Multimodal.decodePixels(base).get
+    val twice = Multimodal.applyExifOrientation(
+      Multimodal.applyExifOrientation(img, 3), 3)
+    val coords = for (x <- 0 until img.getWidth; y <- 0 until img.getHeight) yield (x, y)
+    assert(coords.forall { case (x, y) => img.getRGB(x, y) == twice.getRGB(x, y) })
+  }
+
   test("pixel features: content-derived for real rasters, hash fallback elsewhere") {
     val red = (_: Int, _: Int) => 0xFF0000
     val blue = (_: Int, _: Int) => 0x0000FF
