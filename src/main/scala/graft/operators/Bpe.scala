@@ -24,6 +24,20 @@ import graft.functions.{CatalystExpressions, TextFunctions}
   * No SQL-expressible oracle exists for the iterative merge loop
   * (BpeSpec hand-verifies the Sennrich walkthrough instead), so this
   * surface is spec-gated like the I/O kernels.
+  *
+  * **Pre-tokenization boundary**: apply is whitespace-Sennrich — words
+  * come from [[TextFunctions.tokens]] (lowercased whitespace split),
+  * each encoded independently against the merge table, with NO
+  * byte-level fallback and NO GPT-2-style regex pre-tokenizer.
+  * Consequences: (1) characters never seen in the fit corpus stay
+  * un-merged single-code-point pieces, so piece counts on
+  * unicode-heavy / cross-lingual text run HIGHER than a production
+  * byte-fallback tokenizer would report (BpeSpec quantifies the
+  * inflation on a unicode fixture); (2) punctuation glued to a word
+  * is part of that word's symbol sequence, not split off. Fine for
+  * the token-budget estimates this feeds; calibrate against the
+  * target model's real tokenizer before using the counts as exact
+  * billing numbers.
   */
 object Bpe {
 

@@ -49,6 +49,30 @@ class BpeSpec extends SparkSpec {
     assert(again == model)
   }
 
+  test("pre-tokenization boundary: OOV unicode inflates piece counts (no byte fallback)") {
+    // fit on ASCII English; score text whose characters the fit never
+    // saw. With no byte-level fallback every OOV word degrades to one
+    // piece PER CODE POINT (+ </w>) — quantify the inflation a
+    // production byte-fallback tokenizer would not show.
+    val model = Bpe.fitBpe(corpus, "text", numMerges = 5)
+    val rows = Seq(
+      (1L, "lowest newest"),   // in-domain: merges fire
+      (2L, "наилучший новейший") // OOV cyrillic: code-point fallback
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), Bpe.pieceCount(col("text"), model).as("n"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("words"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    val (inDomain, inWords) = rows(1L)
+    val (oov, oovWords) = rows(2L)
+    // in-domain: ~2 pieces/word ("low"+"est</w>", "n ewest..." partial)
+    assert(inDomain <= inWords * 4, s"in-domain count $inDomain for $inWords words")
+    // OOV: exactly code points + 1 per word = 9+1 and 8+1 here — ~4x
+    // the in-domain pieces-per-word rate
+    assert(oov == 10 + 9, s"OOV must degrade to per-code-point pieces, got $oov")
+    assert(oov.toDouble / oovWords > 2 * inDomain.toDouble / inWords,
+      "unicode-heavy text must show the documented piece-count inflation")
+  }
+
   test("merge table round-trips through parquet; min pair count stops noise merges") {
     val model = Bpe.fitBpe(corpus, "text", numMerges = 5)
     val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
