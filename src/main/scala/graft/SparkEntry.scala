@@ -1592,17 +1592,24 @@ object SparkEntry {
     val lm = Curation.fitBigramLm(docsDf.filter(col("doc_id") % 10 === 0), "text")
     val model = Curation.fitDsir(
       docsDf.filter(col("source") === "src0"), docsDf, "text")
-    val ppl = Curation.perplexity(docsDf, "doc_id", "text", lm)
-      .select(col("doc_id"), col("ppl"))
-    val dw = Curation.dsirScore(docsDf, "doc_id", "text", model)
-      .select(col("doc_id"), col("logw"))
-    docsDf.join(ppl, Seq("doc_id")).join(dw, Seq("doc_id"))
+    // both scores are map-only projections of the SAME scan — compose
+    // them as Columns in one pass (Curation.pplCol/logwCol, the
+    // expression twins of perplexity/dsirScore) instead of two
+    // doc_id self-joins; the >=2-token filter reproduces the inner
+    // joins' row set (ppl needs a bigram, dsir only a token)
+    docsDf.select(col("source"), TF.tokens(col("text")).as("__tk"))
+      .filter(size(col("__tk")) >= 2)
+      .select(col("source"),
+        Curation.pplCol(col("__tk"), lm).as("ppl"),
+        Curation.logwCol(col("__tk"), model).as("logw"))
       .filter(col("ppl") <= 36.0 && col("logw") >= -70.0)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         round(avg(col("ppl")), 4).as("avg_ppl"),
         round(avg(col("logw")), 4).as("avg_logw"))
+      // bounded by #distinct sources; TakeOrdered, no range-sample job
       .orderBy(col("source"))
+      .limit(1000)
   }
 
   // ===================================================================

@@ -68,7 +68,9 @@ object Bpe {
   def fitBpe(df: DataFrame, textCol: String, numMerges: Int = 200,
       maxWordTypes: Int = 1 << 20, minPairCount: Long = 2L): BpeModel = {
     require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
-    val words = df
+    // floor the tokenize scan's parallelism (single-split local input
+    // would serialize it; no-op at scale — same guard as fitDsir)
+    val words = Scale.parallelismFloor(df)
       .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(desc("c"), col("w")).limit(maxWordTypes)

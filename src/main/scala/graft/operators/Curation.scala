@@ -358,13 +358,22 @@ object Curation {
     */
   def fitBigramLm(ref: DataFrame, textCol: String,
       maxUnigrams: Int = 1 << 20, maxBigrams: Int = 1 << 22): BigramLm = {
-    val tk = ref.select(TextFunctions.tokens(col(textCol)).as("__tk"))
+    // floor the tokenize scan's parallelism (single-split local input
+    // would serialize it; no-op at scale — same guard as fitDsir)
+    val src = Scale.parallelismFloor(ref)
+    val tk = src.select(TextFunctions.tokens(col(textCol)).as("__tk"))
     val uniDf = tk.select(explode(col("__tk")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val vocabSize = uniDf.count()
-    val uni = uniDf.orderBy(desc("c"), col("w")).limit(maxUnigrams)
+    // vocabSize (ALL distinct words, not just the kept top-K) rides
+    // the same action as the top-K collect via an observation — the
+    // TakeOrdered consumes every aggregate row, so the observed count
+    // is exact and the separate count() job disappears
+    val vocabObs = org.apache.spark.sql.Observation()
+    val uni = uniDf.observe(vocabObs, count(lit(1)).as("n"))
+      .orderBy(desc("c"), col("w")).limit(maxUnigrams)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val big = ref.select(explode(wordNgrams(col(textCol), 2)).as("g"))
+    val vocabSize = vocabObs.get("n").asInstanceOf[Long]
+    val big = src.select(explode(wordNgrams(col(textCol), 2)).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("c"))
       .orderBy(desc("c"), col("g")).limit(maxBigrams)
       .collect().map { r =>
@@ -433,24 +442,28 @@ object Curation {
   def fitDsir(target: DataFrame, raw: DataFrame, textCol: String,
       numBuckets: Int = 4096): DsirModel = {
     require(numBuckets >= 2, s"numBuckets must be >= 2: $numBuckets")
-    def bucketCounts(df: DataFrame): (Array[Long], Long) = {
-      // The explode+md5 scan is CPU-bound; floor the input parallelism
-      // (a tiny local table is ONE parquet split — at real scale the
-      // scan already has file-split parallelism and this is a no-op).
-      val rows = Scale.parallelismFloor(df)
+    // Both sides' bucket histograms in ONE action (side-tagged union →
+    // one shuffle, one collect of <= 2·numBuckets rows) — the
+    // two-action form spent a separate scan/shuffle/collect job chain
+    // per side. The explode+md5 scan is CPU-bound; floor the input
+    // parallelism (a tiny local table is ONE parquet split — at real
+    // scale the scan already has file-split parallelism, a no-op).
+    def side(df: DataFrame, tag: Int): DataFrame =
+      Scale.parallelismFloor(df)
         .select(explode(dsirFeatures(col(textCol))).as("f"))
-        .select(dsirBucket(col("f"), numBuckets).as("b"))
-        .groupBy(col("b")).agg(count(lit(1)).as("c"))
-        .collect()
-      val arr = new Array[Long](numBuckets)
-      var total = 0L
-      rows.foreach { r =>
-        arr(r.getLong(0).toInt) = r.getLong(1); total += r.getLong(1)
-      }
-      (arr, total)
+        .select(lit(tag).as("__side"), dsirBucket(col("f"), numBuckets).as("b"))
+    val counts = side(target, 0).unionAll(side(raw, 1))
+      .groupBy(col("__side"), col("b")).agg(count(lit(1)).as("c"))
+      .collect()
+    val tc = new Array[Long](numBuckets)
+    val rc = new Array[Long](numBuckets)
+    var tn = 0L
+    var rn = 0L
+    counts.foreach { r =>
+      val c = r.getLong(2)
+      if (r.getInt(0) == 0) { tc(r.getLong(1).toInt) = c; tn += c }
+      else { rc(r.getLong(1).toInt) = c; rn += c }
     }
-    val (tc, tn) = bucketCounts(target)
-    val (rc, rn) = bucketCounts(raw)
     val lr = Array.tabulate(numBuckets) { b =>
       graft.functions.ExprKernels.roundHalfAway(math.log(
         ((tc(b) + 1.0) / (tn + numBuckets)) /
@@ -477,6 +490,28 @@ object Curation {
         CatalystExpressions.dsirLogRatioSum(
           col("__tk"), model.logRatios, model.numBuckets).as("lr_sum"))
       .withColumn("logw", col("lr_sum").cast("double") / lit(1e6))
+  }
+
+  /** [[perplexity]]'s score as a single Column over a token array
+    * (caller guarantees `size(tk) >= 2`) — identical expression tree
+    * to the DataFrame form, so compositions (q85's combined quality
+    * gate) can score several signals in ONE projection of one scan
+    * instead of joining per-signal frames on the id.
+    */
+  def pplCol(tk: Column, lm: BigramLm): Column = {
+    import graft.functions.CatalystExpressions
+    exp(-(CatalystExpressions.bigramLogProbSum(tk, lm.uni, lm.big, lm.vocabSize)
+      .cast("double") / lit(1e6)) / (size(tk) - 1).cast("long"))
+  }
+
+  /** [[dsirScore]]'s `logw` as a single Column over a token array
+    * (caller guarantees `size(tk) >= 1`) — the composition twin of
+    * [[pplCol]].
+    */
+  def logwCol(tk: Column, model: DsirModel): Column = {
+    import graft.functions.CatalystExpressions
+    CatalystExpressions.dsirLogRatioSum(tk, model.logRatios, model.numBuckets)
+      .cast("double") / lit(1e6)
   }
 
   /** Persist a fitted [[BigramLm]] as parquet artifacts (`uni/`,
