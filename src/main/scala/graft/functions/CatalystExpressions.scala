@@ -421,6 +421,28 @@ object CatalystExpressions {
 
   // ------------------------------------------------------- Column API
 
+  /** Space-joined word n-grams over a token array — see
+    * [[ExprKernels.wordNgrams]]. Null/short input → empty array, so
+    * the expression is never null.
+    */
+  case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1, s"n must be >= 1: $n")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = false
+    override def eval(input: InternalRow): Any =
+      ExprKernels.wordNgrams(child.eval(input).asInstanceOf[ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val c = child.genCode(ctx)
+      ev.copy(
+        code = code"""
+          ${c.code}
+          final ArrayData ${ev.value} =
+            $K.wordNgrams(${c.isNull} ? null : ${c.value}, $n);""",
+        isNull = FalseLiteral)
+    }
+    override protected def withNewChildInternal(c: Expression): WordNgrams = copy(c)
+  }
+
   /** Filter a string array against a fitted string SET, keeping
     * non-members — the O(1)-membership replacement for
     * `filter(arr, x => !array_contains(lit(set), x))`, whose
@@ -488,6 +510,9 @@ object CatalystExpressions {
 
   def filterNotInSet(arr: Column, values: Seq[String]): Column =
     column(FilterNotInSet(expression(arr), values))
+
+  def wordNgrams(tokens: Column, n: Int): Column =
+    column(WordNgrams(expression(tokens), n))
 
   def bpeEncode(tokens: Column, merges: Seq[(String, String)]): Column =
     column(BpeEncode(expression(tokens), merges))

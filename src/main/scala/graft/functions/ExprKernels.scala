@@ -471,6 +471,33 @@ object ExprKernels {
     acc
   }
 
+  /** Space-joined word n-grams over a token array — the fused form of
+    * `transform(sequence(1, m-n+1), i => concat_ws(" ", slice(tk,i,n)))`,
+    * whose `transform` wrapper is an interpreted HOF (per-element
+    * lambda eval) on the decontamination / PMI / DSIR-feature scan
+    * path. Fewer than `n` tokens → empty array (a gram must be a full
+    * n-token span). Byte-identical output to the composed form.
+    */
+  def wordNgrams(arr: ArrayData, n: Int): ArrayData = {
+    if (arr == null) return EmptyStringArray
+    val m = arr.numElements()
+    if (m < n) return EmptyStringArray
+    val sep = UTF8String.fromString(" ")
+    val out = new Array[Any](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      if (n == 1) out(i) = arr.getUTF8String(i)
+      else {
+        val parts = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+        out(i) = UTF8String.concatWs(sep, parts: _*)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Drop the elements of a string array that are members of `set` —
     * O(1) hash membership per element, vs `array_contains`'s linear
     * scan over the set (O(|set|) per element; at lineDedup's 100k-line

@@ -20,14 +20,11 @@ object Curation {
     * no n-grams (the eval-overlap definition: a contamination gram
     * must be a full n-token span). Row-local — no shuffle.
     */
-  def wordNgrams(text: Column, n: Int): Column = {
-    require(n >= 1, s"n must be >= 1: $n")
-    val tk = TextFunctions.tokens(text)
-    when(size(tk) >= n,
-      transform(sequence(lit(1), size(tk) - (n - 1)),
-        i => concat_ws(" ", slice(tk, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def wordNgrams(text: Column, n: Int): Column =
+    // fused kernel — the transform(sequence…slice…concat_ws) composed
+    // form is an interpreted HOF on the gram-scan hot path
+    // (byte-identical output, see ExprKernels.wordNgrams)
+    graft.functions.CatalystExpressions.wordNgrams(TextFunctions.tokens(text), n)
 
   /** Exact n-gram decontamination (the GPT-3 style complement to
     * [[Dedup.crossCorpusNearDuplicates]]'s fuzzy form): a training

@@ -82,7 +82,9 @@ class CodegenSpec extends SparkSpec {
           CatalystExpressions.tokenize(col("text")),
           lm.uni, lm.big, lm.vocabSize).as("lp"),
         CatalystExpressions.filterNotInSet(
-          split(col("text"), " "), Seq("the", "a", "of", "and")).as("fns"))
+          split(col("text"), " "), Seq("the", "a", "of", "and")).as("fns"),
+        CatalystExpressions.wordNgrams(
+          CatalystExpressions.tokenize(col("text")), 3).as("w3"))
         .orderBy("doc_id").collect().toSeq
     }
     val conf = spark.conf

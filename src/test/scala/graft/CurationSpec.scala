@@ -441,6 +441,20 @@ class CurationSpec extends SparkSpec {
     assert(fast.forall(_.getLong(2) == 2L), "NAV and FOOT removed everywhere")
   }
 
+  test("wordNgrams kernel equals the composed HOF form byte-for-byte") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+    for (n <- Seq(1, 2, 5)) {
+      val tk = graft.functions.TextFunctions.tokens(col("text"))
+      val composed = when(size(tk) >= n,
+        transform(sequence(lit(1), size(tk) - (n - 1)),
+          i => concat_ws(" ", slice(tk, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+      val diff = docs.select(Curation.wordNgrams(col("text"), n).as("a"), composed.as("b"))
+        .filter(!(col("a") <=> col("b"))).count()
+      assert(diff == 0, s"n=$n: kernel must match the composed form")
+    }
+  }
+
   test("lineDedup broadcast rewrite is correct and O(1)-membership at a large boiler set") {
     // 60 docs sharing 40 boilerplate lines each (df=60 >= 2) plus one
     // unique line; correctness at a set size where the old
