@@ -421,6 +421,29 @@ object CatalystExpressions {
 
   // ------------------------------------------------------- Column API
 
+  /** Fused int8 quantize + integer dot against a pre-quantized query
+    * vector riding as a reference object — see
+    * [[ExprKernels.quantizedDotQ]]. Never null (null vec → 0).
+    */
+  case class QuantizedDotQ(child: Expression, q: Array[Long])
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = false
+    override def eval(input: InternalRow): Any =
+      ExprKernels.quantizedDotQ(child.eval(input).asInstanceOf[ArrayData], q)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val qRef = ctx.addReferenceObj("q", q, "long[]")
+      val c = child.genCode(ctx)
+      ev.copy(
+        code = code"""
+          ${c.code}
+          final long ${ev.value} =
+            $K.quantizedDotQ(${c.isNull} ? null : ${c.value}, $qRef);""",
+        isNull = FalseLiteral)
+    }
+    override protected def withNewChildInternal(c: Expression): QuantizedDotQ = copy(c)
+  }
+
   /** Space-joined word n-grams over a token array — see
     * [[ExprKernels.wordNgrams]]. Null/short input → empty array, so
     * the expression is never null.
@@ -513,6 +536,9 @@ object CatalystExpressions {
 
   def wordNgrams(tokens: Column, n: Int): Column =
     column(WordNgrams(expression(tokens), n))
+
+  def quantizedDotQ(vec: Column, q: Array[Long]): Column =
+    column(QuantizedDotQ(expression(vec), q))
 
   def bpeEncode(tokens: Column, merges: Seq[(String, String)]): Column =
     column(BpeEncode(expression(tokens), merges))

@@ -471,6 +471,45 @@ object ExprKernels {
     acc
   }
 
+  /** Fused int8 quantize + exact integer dot against a pre-quantized
+    * query — one tight loop replacing the composed
+    * `quantizedDot(quantize(vec), qQuant)` HOF pair (three
+    * interpreted lambda evals per row on the q71/q73 candidate scan).
+    * Quantization replicates the Column form op-for-op:
+    * `round(cast(x as double) * 127.0 / max(|x|))` with Spark round
+    * semantics (BigDecimal HALF_UP — `Math.floor(x+0.5)` differs on
+    * doubles just under a half ulp). Null or zero-max vectors
+    * quantize to zeros → dot 0.
+    */
+  def quantizedDotQ(vec: ArrayData, q: Array[Long]): Long = {
+    if (vec == null) return 0L
+    val m = vec.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < m) {
+      val v = math.abs(vec.getFloat(i).toDouble)
+      if (v > mx) mx = v
+      i += 1
+    }
+    if (mx == 0.0) return 0L
+    val n = math.min(m, q.length)
+    var acc = 0L
+    i = 0
+    while (i < n) {
+      acc += quantizeComponent(vec.getFloat(i).toDouble, mx) * q(i)
+      i += 1
+    }
+    acc
+  }
+
+  /** One component of the symmetric int8 quantization — shared by the
+    * kernel loop and the driver-side query quantization so the two
+    * sides cannot drift.
+    */
+  @inline def quantizeComponent(x: Double, mx: Double): Long =
+    java.math.BigDecimal.valueOf(x * 127.0 / mx)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
   /** Space-joined word n-grams over a token array — the fused form of
     * `transform(sequence(1, m-n+1), i => concat_ws(" ", slice(tk,i,n)))`,
     * whose `transform` wrapper is an interpreted HOF (per-element

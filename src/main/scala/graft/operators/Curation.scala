@@ -204,14 +204,28 @@ object Curation {
     */
   def quantizedKnn(corpus: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], k: Int): DataFrame = {
-    val qLit = array(query.map(lit(_)): _*)
-    val qQuant = quantize(qLit)
     // the distance scan is CPU-bound; floor the input parallelism so a
-    // single-split local table doesn't serialize it on one core
+    // single-split local table doesn't serialize it on one core. The
+    // query is quantized driver-side (same component formula as the
+    // kernel) and rides the fused QuantizedDotQ expression — one
+    // codegen'd loop per row instead of the interpreted
+    // quantize()/quantizedDot() HOF composition (spec locks equality).
+    val qQuant = quantizeDriver(query)
     Scale.parallelismFloor(corpus)
-      .select(col(idCol), quantizedDot(quantize(col(vecCol)), qQuant).as("qdot"))
+      .select(col(idCol), graft.functions.CatalystExpressions
+        .quantizedDotQ(col(vecCol), qQuant).as("qdot"))
       .orderBy(col("qdot").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Driver-side twin of the kernel's per-vector quantization (for
+    * query literals): identical double arithmetic via the shared
+    * [[graft.functions.ExprKernels.quantizeComponent]].
+    */
+  private[graft] def quantizeDriver(v: Seq[Float]): Array[Long] = {
+    val mx = v.foldLeft(0.0)((m, x) => math.max(m, math.abs(x.toDouble)))
+    if (mx == 0.0) Array.fill(v.length)(0L)
+    else v.map(x => graft.functions.ExprKernels.quantizeComponent(x.toDouble, mx)).toArray
   }
 
   /** The standard export pipeline, composed in production order:

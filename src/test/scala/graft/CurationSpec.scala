@@ -109,6 +109,20 @@ class CurationSpec extends SparkSpec {
     assert(q(2L) == Seq(0L, 0L, 0L))
   }
 
+  test("quantizedDotQ kernel equals the composed quantize/dot form on the corpus") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val query = emb.filter(col("vec_id") === 3).select(col("embedding"))
+      .head().getSeq[Float](0)
+    val qLit = array(query.map(lit(_)): _*)
+    val composed = Curation.quantizedDot(
+      Curation.quantize(col("embedding")), Curation.quantize(qLit))
+    val fused = graft.functions.CatalystExpressions.quantizedDotQ(
+      col("embedding"), Curation.quantizeDriver(query))
+    val diff = emb.select(composed.as("a"), fused.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0, "fused kernel must match the composed HOF form exactly")
+  }
+
   test("quantizedKnnRerank recovers the exact top-k on the sf corpus") {
     val emb = graft.core.Engine.table(spark, sfDir, "embeddings")
     val query = emb.filter(col("vec_id") === 0)
