@@ -1540,7 +1540,8 @@ object SparkEntry {
     */
   private def q82(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val lm = Curation.fitBigramLm(docs.filter(col("doc_id") % 10 === 0), "text")
+    val lm = Curation.memoModel(s, s"$dir#lm-mod10")(
+      Curation.fitBigramLm(docs.filter(col("doc_id") % 10 === 0), "text"))
     Curation.perplexity(docs, "doc_id", "text", lm)
       .select(col("doc_id"), col("n_bigrams"), round(col("ppl"), 4).as("ppl"))
       .orderBy(desc("ppl"), col("doc_id"))
@@ -1555,8 +1556,8 @@ object SparkEntry {
     */
   private def q83(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val model = Curation.fitDsir(
-      docs.filter(col("source") === "src0"), docs, "text")
+    val model = Curation.memoModel(s, s"$dir#dsir-src0")(
+      Curation.fitDsir(docs.filter(col("source") === "src0"), docs, "text"))
     Curation.dsirScore(docs, "doc_id", "text", model)
       .select(col("doc_id"), col("n_features"),
         round(col("logw"), 6).as("logw"))
@@ -1589,9 +1590,12 @@ object SparkEntry {
     */
   private def q85(s: SparkSession, dir: String): DataFrame = {
     val docsDf = t(s, dir, "documents")
-    val lm = Curation.fitBigramLm(docsDf.filter(col("doc_id") % 10 === 0), "text")
-    val model = Curation.fitDsir(
-      docsDf.filter(col("source") === "src0"), docsDf, "text")
+    // the same fits as q82/q83 — memoized per session, so the composed
+    // gate refits nothing (fit-once/score-everywhere)
+    val lm = Curation.memoModel(s, s"$dir#lm-mod10")(
+      Curation.fitBigramLm(docsDf.filter(col("doc_id") % 10 === 0), "text"))
+    val model = Curation.memoModel(s, s"$dir#dsir-src0")(
+      Curation.fitDsir(docsDf.filter(col("source") === "src0"), docsDf, "text"))
     // both scores are map-only projections of the SAME scan — compose
     // them as Columns in one pass (Curation.pplCol/logwCol, the
     // expression twins of perplexity/dsirScore) instead of two

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -13,6 +13,20 @@ import graft.functions.TextFunctions
   * no O(n²) passes.
   */
 object Curation {
+
+  /** Session-scoped memo for fitted models (a [[BigramLm]], a
+    * [[DsirModel]], a merge table…) — [[CorpusIndex]]'s
+    * fit-once/score-everywhere discipline applied to model fits: a
+    * reference model is corpus metadata, refit only when the corpus
+    * the caller's `key` names changes. Queries composing several
+    * fitted signals (q82/q83/q85 share the same LM and DSIR fits)
+    * then pay each fit once per session instead of once per query.
+    */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), AnyRef]()
+
+  def memoModel[T <: AnyRef](spark: SparkSession, key: String)(fit: => T): T =
+    modelCache.computeIfAbsent((spark, key), _ => fit).asInstanceOf[T]
 
   /** Word n-grams as strings: sliding windows of `n` tokens joined by
     * a single space over [[TextFunctions.tokens]] (lowercased,
