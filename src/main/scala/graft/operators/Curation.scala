@@ -260,7 +260,9 @@ object Curation {
     * composition against an independent engine). Scale shape: stages
     * 1–2 are the only shuffles (fingerprint window + gram equi-join);
     * 3–5 are map-side (the mixture rates are a driver-fitted literal
-    * map — #strata values).
+    * map — #strata values). Stages 1 and 2 EXECUTE in the reverse of
+    * their logical order — provably result-identical (see the inline
+    * comment) and it halves the fingerprint shuffle.
     */
   def exportPipeline(train: DataFrame, evalDocs: DataFrame, idCol: String,
       textCol: String, strataCol: String, targets: Map[String, Double],
@@ -280,28 +282,35 @@ object Curation {
     // surviving fraction of the corpus, i.e. the same order as one
     // shuffle of the export itself.
     //
-    // Dedup keeps the full row through the fingerprint window (one
-    // corpus shuffle) instead of reducing to an id list and
-    // re-joining train — the join-back costs an extra exchange plus
-    // a broadcast/SMJ probe of the same bytes at scale.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__fp")).orderBy(col(idCol))
-    val kept = train
-      .withColumn("__fp", TextFunctions.exactFingerprint(col(textCol)))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1).drop("__fp", "__rk")
+    // Decontamination runs FIRST, then the fingerprint dedup — a pure
+    // execution reorder: equal fingerprints mean equal normalized
+    // text (md5 of lowercased whitespace-normalized text), hence
+    // equal token streams, hence the same gram overlap with eval —
+    // so every member of a fingerprint class shares one contamination
+    // verdict and the surviving (min-id) winner per class is
+    // identical either way. Dedup-first consumed the windowed frame
+    // TWICE (gram side pruned to (id, text), anti side keeping all
+    // columns — different projections defeat exchange reuse, so the
+    // full-text fingerprint shuffle ran double); decontaminate-first
+    // is a linear chain and the window shuffles once, post-filter.
+    //
     // no .distinct() on the contaminated side: a left_anti probe is
     // indifferent to duplicate build keys, and the distinct would add
     // an exchange. The contaminated-id list is broadcast explicitly:
     // it is small by construction (docs sharing >= minShared distinct
     // n-grams with the eval suite), and without the hint the
     // anti-join's initial AQE plan exchanges BOTH sides on the id —
-    // re-shuffling the whole kept corpus to drop a sliver of it.
-    val contaminated = ngramDecontaminate(kept, evalDocs, idCol, textCol,
+    // re-shuffling the whole corpus to drop a sliver of it.
+    val contaminated = ngramDecontaminate(train, evalDocs, idCol, textCol,
         n, minShared, maxGramDf)
       .select(col("train_id").as(idCol))
-    val survivors = piiRedact(
-        kept.join(broadcast(contaminated), Seq(idCol), "left_anti"), textCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fp")).orderBy(col(idCol))
+    val kept = train.join(broadcast(contaminated), Seq(idCol), "left_anti")
+      .withColumn("__fp", TextFunctions.exactFingerprint(col(textCol)))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__fp", "__rk")
+    val survivors = piiRedact(kept, textCol)
       .withColumn("n_tok", TextFunctions.tokenCount(col("redacted")).cast("long"))
       .filter(col("n_tok").between(minTokens, maxTokens))
       .localCheckpoint(false)
