@@ -659,8 +659,8 @@ object Multimodal {
         lit(stride))).as("frame_idx"))
 
   /** Resize plan: attach target dims preserving aspect ratio — pure
-    * column math over decoded metadata (the real resize kernel then
-    * maps over (content, target_w, target_h)).
+    * column math over decoded metadata (the real resize kernel,
+    * [[resizeImages]], maps over (content, target dims)).
     */
   def resizePlan(decoded: DataFrame, maxSide: Int): DataFrame = {
     val w = col("decoded.width")
@@ -669,5 +669,60 @@ object Multimodal {
     decoded
       .withColumn("target_w", ceil(w * scale).cast("int"))
       .withColumn("target_h", ceil(h * scale).cast("int"))
+  }
+
+  val ResizedSchema: StructType = StructType(Seq(
+    StructField("content", BinaryType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("ok", BooleanType, nullable = false),
+    StructField("error", StringType)))
+
+  /** REAL raster resize — the kernel half of [[resizePlan]]: decode
+    * (EXIF-aware, like [[imageStats]]), downscale to the
+    * aspect-preserving bound (`ceil`, matching resizePlan's column
+    * math; never upscales), bilinear `Graphics2D`, re-encode as PNG
+    * (lossless — the output raster is exactly the scaled pixels,
+    * independent of the input codec). Non-decodable rows degrade to
+    * error rows. Batched mapPartitions like [[decode]]; at 100 TB
+    * this is the classic CPU-bound map stage — no shuffle, parallel
+    * in input splits.
+    */
+  def resizeImages(df: DataFrame, contentCol: String = "content",
+      maxSide: Int = 512, batchSize: Int = 64): DataFrame = {
+    require(maxSide >= 1, s"maxSide must be >= 1: $maxSide")
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField("resized", ResizedSchema))
+    val contentIdx = inSchema.fieldIndex(contentCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val resized = decodePixels(row.getAs[Array[Byte]](contentIdx)) match {
+            case Some(img) =>
+              val scale = math.min(
+                maxSide.toDouble / math.max(img.getWidth, img.getHeight), 1.0)
+              val tw = math.ceil(img.getWidth * scale).toInt
+              val th = math.ceil(img.getHeight * scale).toInt
+              val out = new java.awt.image.BufferedImage(tw, th,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              try {
+                g.setRenderingHint(
+                  java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(img, 0, 0, tw, th, null)
+              } finally g.dispose()
+              val buf = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", buf)
+              Row(buf.toByteArray, tw, th, true, null)
+            case None =>
+              Row(null, null, null, false, "not a decodable raster")
+          }
+          Row.fromSeq(row.toSeq :+ resized)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 }

@@ -457,6 +457,26 @@ class SemanticSpec extends SparkSpec {
     assert(coords.forall { case (x, y) => img.getRGB(x, y) == twice.getRGB(x, y) })
   }
 
+  test("resizeImages: real downscale, aspect preserved, never upscales, EXIF-aware") {
+    val df = Seq(
+      (1L, Multimodal.renderPng(64, 32, (_, _) => (10 << 16) | (200 << 8) | 90)),
+      (2L, Multimodal.renderPng(8, 4, (_, _) => 0xFF0000)), // under the bound
+      (3L, "junk".getBytes)
+    ).toDF("id", "content")
+    val out = Multimodal.resizeImages(df, maxSide = 16).collect()
+      .map(r => r.getLong(0) -> r.getAs[org.apache.spark.sql.Row]("resized")).toMap
+    assert(out(1L).getAs[Boolean]("ok"))
+    assert(out(1L).getAs[Int]("width") == 16 && out(1L).getAs[Int]("height") == 8)
+    // output is a REAL decodable PNG of the target size; a solid-color
+    // source stays exactly solid through bilinear + lossless encode
+    val reDecoded = Multimodal.decodePixels(out(1L).getAs[Array[Byte]]("content")).get
+    assert(reDecoded.getWidth == 16 && reDecoded.getHeight == 8)
+    assert(reDecoded.getRGB(5, 5) == ((0xFF << 24) | (10 << 16) | (200 << 8) | 90))
+    // smaller-than-bound images are not upscaled
+    assert(out(2L).getAs[Int]("width") == 8 && out(2L).getAs[Int]("height") == 4)
+    assert(!out(3L).getAs[Boolean]("ok"))
+  }
+
   test("pixel features: content-derived for real rasters, hash fallback elsewhere") {
     val red = (_: Int, _: Int) => 0xFF0000
     val blue = (_: Int, _: Int) => 0x0000FF
