@@ -391,8 +391,8 @@ object CatalystExpressions {
     * (ordered; index = rank). The rank table rides as a reference
     * object like the other fitted models; encoding is map-only.
     */
-  case class BpeEncode(child: Expression, merges: Seq[(String, String)])
-      extends UnaryExpression {
+  case class BpeEncode(child: Expression, merges: Seq[(String, String)],
+      alphabet: Seq[String] = Nil) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullable: Boolean = false
     @transient private lazy val ranks:
@@ -404,16 +404,26 @@ object CatalystExpressions {
       }
       m
     }
+    // null = byte fallback off (empty alphabet means "nothing known",
+    // which is never what a caller wants — the Bpe API guards it)
+    @transient private lazy val alphaSet: java.util.HashSet[String] =
+      if (alphabet.isEmpty) null
+      else {
+        val s = new java.util.HashSet[String](alphabet.size * 2)
+        alphabet.foreach(s.add)
+        s
+      }
     override def eval(input: InternalRow): Any =
-      ExprKernels.bpeEncode(child.eval(input).asInstanceOf[ArrayData], ranks)
+      ExprKernels.bpeEncode(child.eval(input).asInstanceOf[ArrayData], ranks, alphaSet)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val ranksRef = ctx.addReferenceObj("ranks", ranks, "java.util.HashMap")
+      val alphaRef = ctx.addReferenceObj("alpha", alphaSet, "java.util.HashSet")
       val c = child.genCode(ctx)
       ev.copy(
         code = code"""
           ${c.code}
           final ArrayData ${ev.value} = $K.bpeEncode(
-            ${c.isNull} ? null : ${c.value}, $ranksRef);""",
+            ${c.isNull} ? null : ${c.value}, $ranksRef, $alphaRef);""",
         isNull = FalseLiteral)
     }
     override protected def withNewChildInternal(c: Expression): BpeEncode = copy(c)
@@ -540,6 +550,7 @@ object CatalystExpressions {
   def quantizedDotQ(vec: Column, q: Array[Long]): Column =
     column(QuantizedDotQ(expression(vec), q))
 
-  def bpeEncode(tokens: Column, merges: Seq[(String, String)]): Column =
-    column(BpeEncode(expression(tokens), merges))
+  def bpeEncode(tokens: Column, merges: Seq[(String, String)],
+      alphabet: Seq[String] = Nil): Column =
+    column(BpeEncode(expression(tokens), merges, alphabet))
 }

@@ -385,12 +385,33 @@ object ExprKernels {
     * pairs (emoji, rare CJK) intact.
     */
   def bpeEncodeWord(word: String,
-      ranks: java.util.HashMap[String, java.util.HashMap[String, Integer]]): java.util.ArrayList[String] = {
+      ranks: java.util.HashMap[String, java.util.HashMap[String, Integer]]): java.util.ArrayList[String] =
+    bpeEncodeWord(word, ranks, null)
+
+  /** As above, with optional byte-level fallback: when `alphabet` is
+    * non-null, a code point the fit never saw expands to sentencepiece
+    * -style `<0xXX>` byte pieces BEFORE merging (byte pieces carry no
+    * merges, so they pass through) — the no-unknown-symbol guarantee
+    * of production tokenizers. `</w>` is appended after expansion and
+    * is always known.
+    */
+  def bpeEncodeWord(word: String,
+      ranks: java.util.HashMap[String, java.util.HashMap[String, Integer]],
+      alphabet: java.util.HashSet[String]): java.util.ArrayList[String] = {
     val syms = new java.util.ArrayList[String]()
     var i = 0
     while (i < word.length) {
       val cp = word.codePointAt(i)
-      syms.add(new String(Character.toChars(cp)))
+      val s = new String(Character.toChars(cp))
+      if (alphabet == null || alphabet.contains(s)) syms.add(s)
+      else {
+        val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var b = 0
+        while (b < bytes.length) {
+          syms.add(f"<0x${bytes(b) & 0xff}%02X>")
+          b += 1
+        }
+      }
       i += Character.charCount(cp)
     }
     syms.add("</w>")
@@ -422,14 +443,15 @@ object ExprKernels {
     * pieces concatenated in order. Null → empty array.
     */
   def bpeEncode(toks: ArrayData,
-      ranks: java.util.HashMap[String, java.util.HashMap[String, Integer]]): ArrayData = {
+      ranks: java.util.HashMap[String, java.util.HashMap[String, Integer]],
+      alphabet: java.util.HashSet[String]): ArrayData = {
     if (toks == null)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[AnyRef](0))
     val out = new java.util.ArrayList[AnyRef]()
     val n = toks.numElements()
     var i = 0
     while (i < n) {
-      val pieces = bpeEncodeWord(toks.getUTF8String(i).toString, ranks)
+      val pieces = bpeEncodeWord(toks.getUTF8String(i).toString, ranks, alphabet)
       var j = 0
       while (j < pieces.size) {
         out.add(UTF8String.fromString(pieces.get(j)))

@@ -28,24 +28,29 @@ import graft.functions.{CatalystExpressions, TextFunctions}
   * **Pre-tokenization boundary**: apply is whitespace-Sennrich — words
   * come from [[TextFunctions.tokens]] (lowercased whitespace split),
   * each encoded independently against the merge table, with NO
-  * byte-level fallback and NO GPT-2-style regex pre-tokenizer.
-  * Consequences: (1) characters never seen in the fit corpus stay
-  * un-merged single-code-point pieces, so piece counts on
-  * unicode-heavy / cross-lingual text run HIGHER than a production
-  * byte-fallback tokenizer would report (BpeSpec quantifies the
-  * inflation on a unicode fixture); (2) punctuation glued to a word
-  * is part of that word's symbol sequence, not split off. Fine for
-  * the token-budget estimates this feeds; calibrate against the
-  * target model's real tokenizer before using the counts as exact
-  * billing numbers.
+  * GPT-2-style regex pre-tokenizer. Byte-level fallback is OPT-IN
+  * (`encode(…, byteFallback = true)`): off, characters never seen in
+  * the fit corpus stay un-merged single-code-point pieces, so piece
+  * counts on unicode-heavy / cross-lingual text run HIGHER than a
+  * production tokenizer would report (BpeSpec quantifies the
+  * inflation on a unicode fixture); on, OOV code points expand to
+  * sentencepiece-style `<0xXX>` byte pieces — the no-unknown-symbol
+  * guarantee, at the usual multi-byte piece cost for non-Latin
+  * scripts. Punctuation glued to a word is part of that word's
+  * symbol sequence either way. Calibrate against the target model's
+  * real tokenizer before using the counts as exact billing numbers.
   */
 object Bpe {
 
   /** An ordered merge list; index = rank (earlier = higher priority).
     * Symbols are code-point strings growing by concatenation, with
-    * `</w>` as the end-of-word symbol.
+    * `</w>` as the end-of-word symbol. `alphabet` is every single
+    * code point the fit observed — the known-symbol set byte-level
+    * fallback tests against (empty on models saved before the
+    * alphabet artifact existed; refit or re-save to use fallback).
     */
-  case class BpeModel(merges: Vector[(String, String)])
+  case class BpeModel(merges: Vector[(String, String)],
+      alphabet: Set[String] = Set.empty)
 
   private def codePoints(w: String): Array[String] = {
     val out = Array.newBuilder[String]
@@ -106,7 +111,8 @@ object Bpe {
         round += 1
       }
     }
-    BpeModel(merges.result())
+    BpeModel(merges.result(),
+      words.iterator.flatMap { case (w, _) => codePoints(w) }.toSet)
   }
 
   /** Leftmost non-overlapping replacement of `pair` in a symbol
@@ -128,28 +134,44 @@ object Bpe {
     out.result()
   }
 
-  /** Encode whitespace tokens of `text` to BPE pieces (map-only). */
-  def encode(text: Column, model: BpeModel): Column =
-    CatalystExpressions.bpeEncode(TextFunctions.tokens(text), model.merges)
+  /** Encode whitespace tokens of `text` to BPE pieces (map-only).
+    * `byteFallback = true` expands code points outside the model's
+    * fit alphabet to sentencepiece-style `<0xXX>` byte pieces — the
+    * no-unknown-symbol guarantee (requires a model carrying its
+    * alphabet; see [[BpeModel]]).
+    */
+  def encode(text: Column, model: BpeModel,
+      byteFallback: Boolean = false): Column = {
+    require(!byteFallback || model.alphabet.nonEmpty,
+      "byteFallback needs a model with a fit alphabet (refit or re-save the model)")
+    CatalystExpressions.bpeEncode(TextFunctions.tokens(text), model.merges,
+      if (byteFallback) model.alphabet.toSeq.sorted else Nil)
+  }
 
   /** Piece count under a fitted tokenizer — the real replacement for
     * [[TextFunctions.bpeishTokenCount]]'s vocabulary-free estimate.
     */
-  def pieceCount(text: Column, model: BpeModel): Column =
-    size(encode(text, model))
+  def pieceCount(text: Column, model: BpeModel,
+      byteFallback: Boolean = false): Column =
+    size(encode(text, model, byteFallback))
 
-  /** Persist/load the merge table as a parquet artifact (rank order
-    * preserved) — same fit-once discipline as
-    * [[Curation.saveBigramLm]].
+  /** Persist/load the merge table (+ fit alphabet) as one parquet
+    * artifact — same fit-once discipline as [[Curation.saveBigramLm]].
+    * Alphabet symbols ride as rank = −1 rows, so artifacts saved
+    * before the alphabet existed still load (with an empty alphabet).
     */
   def save(spark: SparkSession, model: BpeModel, path: String): Unit = {
     import spark.implicits._
-    model.merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+    (model.merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) } ++
+        model.alphabet.toSeq.sorted.map(sym => (-1, sym, null: String)))
       .toDF("rank", "left", "right")
       .repartition(1).write.mode("overwrite").parquet(path)
   }
 
-  def load(spark: SparkSession, path: String): BpeModel =
-    BpeModel(spark.read.parquet(path).orderBy(col("rank")).collect()
-      .map(r => (r.getString(1), r.getString(2))).toVector)
+  def load(spark: SparkSession, path: String): BpeModel = {
+    val rows = spark.read.parquet(path).orderBy(col("rank")).collect()
+    BpeModel(
+      rows.filter(_.getInt(0) >= 0).map(r => (r.getString(1), r.getString(2))).toVector,
+      rows.filter(_.getInt(0) == -1).map(_.getString(1)).toSet)
+  }
 }

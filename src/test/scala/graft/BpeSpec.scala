@@ -73,11 +73,31 @@ class BpeSpec extends SparkSpec {
       "unicode-heavy text must show the documented piece-count inflation")
   }
 
+  test("byte fallback: OOV code points expand to <0xXX> pieces; known text unchanged") {
+    val model = Bpe.fitBpe(corpus, "text", numMerges = 5)
+    assert(model.alphabet == Set("l", "o", "w", "e", "r", "n", "s", "t", "i", "d"))
+    val enc = Seq((1L, "lowest"), (2L, "и"), (3L, "x"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Bpe.encode(col("text"), model, byteFallback = true).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // in-alphabet text encodes exactly as without fallback
+    assert(enc(1L) == Seq("low", "est</w>"))
+    // cyrillic и = UTF-8 0xD0 0xB8 -> two byte pieces + </w>
+    assert(enc(2L) == Seq("<0xD0>", "<0xB8>", "</w>"))
+    // 'x' is OOV for this tiny fit corpus too (single ASCII byte)
+    assert(enc(3L) == Seq("<0x78>", "</w>"))
+    // fallback requires an alphabet-carrying model
+    intercept[IllegalArgumentException] {
+      Bpe.encode(col("text"), Bpe.BpeModel(model.merges), byteFallback = true)
+    }
+  }
+
   test("merge table round-trips through parquet; min pair count stops noise merges") {
     val model = Bpe.fitBpe(corpus, "text", numMerges = 5)
     val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
     Bpe.save(spark, model, s"$dir/m")
     assert(Bpe.load(spark, s"$dir/m") == model)
+    assert(Bpe.load(spark, s"$dir/m").alphabet.nonEmpty, "alphabet must round-trip")
     // asking for far more merges than the corpus supports stops at the
     // minPairCount floor instead of memorizing hapax pairs
     val capped = Bpe.fitBpe(corpus, "text", numMerges = 10000)
