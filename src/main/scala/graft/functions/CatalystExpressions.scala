@@ -431,6 +431,26 @@ object CatalystExpressions {
 
   // ------------------------------------------------------- Column API
 
+  /** GPT-2-style regex pre-tokenization of raw text — see
+    * [[ExprKernels.gpt2PreTokenize]]. Null → empty array.
+    */
+  case class Gpt2PreTokenize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = false
+    override def eval(input: InternalRow): Any =
+      ExprKernels.gpt2PreTokenize(child.eval(input).asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val c = child.genCode(ctx)
+      ev.copy(
+        code = code"""
+          ${c.code}
+          final ArrayData ${ev.value} =
+            $K.gpt2PreTokenize(${c.isNull} ? null : ${c.value});""",
+        isNull = FalseLiteral)
+    }
+    override protected def withNewChildInternal(c: Expression): Gpt2PreTokenize = copy(c)
+  }
+
   /** Fused int8 quantize + integer dot against a pre-quantized query
     * vector riding as a reference object — see
     * [[ExprKernels.quantizedDotQ]]. Never null (null vec → 0).
@@ -549,6 +569,9 @@ object CatalystExpressions {
 
   def quantizedDotQ(vec: Column, q: Array[Long]): Column =
     column(QuantizedDotQ(expression(vec), q))
+
+  def gpt2PreTokenize(text: Column): Column =
+    column(Gpt2PreTokenize(expression(text)))
 
   def bpeEncode(tokens: Column, merges: Seq[(String, String)],
       alphabet: Seq[String] = Nil): Column =

@@ -559,6 +559,34 @@ object ExprKernels {
     new GenericArrayData(out)
   }
 
+  /** GPT-2's pre-tokenization regex (Radford et al. 2019, released in
+    * the public gpt-2 repo): contractions split off, letter runs,
+    * number runs, punctuation runs — each optionally carrying ONE
+    * leading space — and residual whitespace. Case- and
+    * space-preserving, unlike the whitespace tokenizer.
+    */
+  private val Gpt2Pattern = java.util.regex.Pattern.compile(
+    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""")
+
+  /** GPT-2-style pre-tokenization of raw text: regex match stream,
+    * pure-whitespace matches dropped (they carry no mergeable
+    * content; the `" ?"` prefixes keep word-leading spaces). Null →
+    * empty array.
+    */
+  def gpt2PreTokenize(v: UTF8String): ArrayData = {
+    if (v == null) return EmptyStringArray
+    val s = v.toString
+    if (s.isEmpty) return EmptyStringArray
+    val m = Gpt2Pattern.matcher(s)
+    val out = new java.util.ArrayList[AnyRef]()
+    while (m.find()) {
+      val piece = m.group()
+      if (!piece.forall(ch => Character.isWhitespace(ch)))
+        out.add(UTF8String.fromString(piece))
+    }
+    new GenericArrayData(out.toArray(new Array[AnyRef](out.size())))
+  }
+
   /** Drop the elements of a string array that are members of `set` —
     * O(1) hash membership per element, vs `array_contains`'s linear
     * scan over the set (O(|set|) per element; at lineDedup's 100k-line

@@ -25,10 +25,13 @@ import graft.functions.{CatalystExpressions, TextFunctions}
   * (BpeSpec hand-verifies the Sennrich walkthrough instead), so this
   * surface is spec-gated like the I/O kernels.
   *
-  * **Pre-tokenization boundary**: apply is whitespace-Sennrich — words
-  * come from [[TextFunctions.tokens]] (lowercased whitespace split),
-  * each encoded independently against the merge table, with NO
-  * GPT-2-style regex pre-tokenizer. Byte-level fallback is OPT-IN
+  * **Pre-tokenization boundary**: by default apply is
+  * whitespace-Sennrich — words come from [[TextFunctions.tokens]]
+  * (lowercased whitespace split), each encoded independently against
+  * the merge table. A GPT-2-style regex pre-tokenizer is available
+  * (`preTokenizer = Bpe.Gpt2`, carried by the model so fit and apply
+  * cannot disagree): case/space-preserving, contractions split off,
+  * punctuation separated. Byte-level fallback is OPT-IN
   * (`encode(…, byteFallback = true)`): off, characters never seen in
   * the fit corpus stay un-merged single-code-point pieces, so piece
   * counts on unicode-heavy / cross-lingual text run HIGHER than a
@@ -50,7 +53,8 @@ object Bpe {
     * alphabet artifact existed; refit or re-save to use fallback).
     */
   case class BpeModel(merges: Vector[(String, String)],
-      alphabet: Set[String] = Set.empty)
+      alphabet: Set[String] = Set.empty,
+      preTokenizer: String = Bpe.Whitespace)
 
   private def codePoints(w: String): Array[String] = {
     val out = Array.newBuilder[String]
@@ -63,6 +67,24 @@ object Bpe {
     out.result()
   }
 
+  /** Pre-tokenizer names a model carries: [[Whitespace]] is the
+    * default lowercased whitespace split ([[TextFunctions.tokens]]);
+    * [[Gpt2]] is the case/space-preserving GPT-2 regex
+    * ([[CatalystExpressions.Gpt2PreTokenize]] — contractions split
+    * off, punctuation its own pre-token, one leading space kept).
+    * Encode always applies the pre-tokenizer the model was FIT with.
+    */
+  val Whitespace = "whitespace"
+  val Gpt2 = "gpt2"
+
+  private def preTokens(text: Column, preTokenizer: String): Column =
+    preTokenizer match {
+      case Whitespace => TextFunctions.tokens(text)
+      case Gpt2 => CatalystExpressions.gpt2PreTokenize(text)
+      case other => throw new IllegalArgumentException(
+        s"unknown preTokenizer: $other (expected $Whitespace or $Gpt2)")
+    }
+
   /** Learn `numMerges` merges from the corpus. Pair counting is
     * overlapping (`zip(tail)`), replacement is leftmost
     * non-overlapping — the standard algorithm's convention. Ties on
@@ -71,12 +93,13 @@ object Bpe {
     * `minPairCount` times (merging hapax pairs memorizes noise).
     */
   def fitBpe(df: DataFrame, textCol: String, numMerges: Int = 200,
-      maxWordTypes: Int = 1 << 20, minPairCount: Long = 2L): BpeModel = {
+      maxWordTypes: Int = 1 << 20, minPairCount: Long = 2L,
+      preTokenizer: String = Whitespace): BpeModel = {
     require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
     // floor the tokenize scan's parallelism (single-split local input
     // would serialize it; no-op at scale — same guard as fitDsir)
     val words = Scale.parallelismFloor(df)
-      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .select(explode(preTokens(col(textCol), preTokenizer)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(desc("c"), col("w")).limit(maxWordTypes)
       .collect().map(r => (r.getString(0), r.getLong(1)))
@@ -112,7 +135,8 @@ object Bpe {
       }
     }
     BpeModel(merges.result(),
-      words.iterator.flatMap { case (w, _) => codePoints(w) }.toSet)
+      words.iterator.flatMap { case (w, _) => codePoints(w) }.toSet,
+      preTokenizer)
   }
 
   /** Leftmost non-overlapping replacement of `pair` in a symbol
@@ -134,7 +158,8 @@ object Bpe {
     out.result()
   }
 
-  /** Encode whitespace tokens of `text` to BPE pieces (map-only).
+  /** Encode `text` to BPE pieces (map-only), pre-tokenized with the
+    * model's own pre-tokenizer.
     * `byteFallback = true` expands code points outside the model's
     * fit alphabet to sentencepiece-style `<0xXX>` byte pieces — the
     * no-unknown-symbol guarantee (requires a model carrying its
@@ -144,7 +169,7 @@ object Bpe {
       byteFallback: Boolean = false): Column = {
     require(!byteFallback || model.alphabet.nonEmpty,
       "byteFallback needs a model with a fit alphabet (refit or re-save the model)")
-    CatalystExpressions.bpeEncode(TextFunctions.tokens(text), model.merges,
+    CatalystExpressions.bpeEncode(preTokens(text, model.preTokenizer), model.merges,
       if (byteFallback) model.alphabet.toSeq.sorted else Nil)
   }
 
@@ -163,7 +188,8 @@ object Bpe {
   def save(spark: SparkSession, model: BpeModel, path: String): Unit = {
     import spark.implicits._
     (model.merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) } ++
-        model.alphabet.toSeq.sorted.map(sym => (-1, sym, null: String)))
+        model.alphabet.toSeq.sorted.map(sym => (-1, sym, null: String)) ++
+        Seq((-2, model.preTokenizer, null: String)))
       .toDF("rank", "left", "right")
       .repartition(1).write.mode("overwrite").parquet(path)
   }
@@ -172,6 +198,7 @@ object Bpe {
     val rows = spark.read.parquet(path).orderBy(col("rank")).collect()
     BpeModel(
       rows.filter(_.getInt(0) >= 0).map(r => (r.getString(1), r.getString(2))).toVector,
-      rows.filter(_.getInt(0) == -1).map(_.getString(1)).toSet)
+      rows.filter(_.getInt(0) == -1).map(_.getString(1)).toSet,
+      rows.find(_.getInt(0) == -2).map(_.getString(1)).getOrElse(Whitespace))
   }
 }

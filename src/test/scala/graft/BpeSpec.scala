@@ -92,6 +92,40 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("GPT-2 pre-tokenizer: contractions and punctuation split, case/space kept, model-carried") {
+    // pre-tokenization alone (expression level)
+    val pre = Seq((1L, "Don't stop, won't stop!"))
+      .toDF("doc_id", "text")
+      .select(graft.functions.CatalystExpressions.gpt2PreTokenize(col("text")).as("p"))
+      .collect().head.getSeq[String](0)
+    assert(pre == Seq("Don", "'t", " stop", ",", " won", "'t", " stop", "!"),
+      s"got $pre")
+
+    // fit with the gpt2 pre-tokenizer: the model carries it, encode
+    // reuses it, and the alphabet is case/space-aware
+    val corpus2 = Seq.fill(4)((1L, "Don't stop, won't stop!")).zipWithIndex
+      .map { case ((_, t), i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val m = Bpe.fitBpe(corpus2, "text", numMerges = 3, preTokenizer = Bpe.Gpt2)
+    assert(m.preTokenizer == Bpe.Gpt2)
+    assert(m.alphabet.contains("D") && m.alphabet.contains(" "),
+      "gpt2 alphabet preserves case and leading spaces")
+    val enc = Seq((1L, "Don't"))
+      .toDF("doc_id", "text")
+      .select(Bpe.encode(col("text"), m).as("p"))
+      .collect().head.getSeq[String](0)
+    // "Don" and "'t" encode as separate pre-tokens, each with </w>
+    assert(enc.count(_.endsWith("</w>")) == 2, s"got $enc")
+
+    // whitespace-mode encode of the same text glues the punctuation
+    val mWs = Bpe.fitBpe(corpus2, "text", numMerges = 3)
+    assert(mWs.preTokenizer == Bpe.Whitespace)
+
+    // preTokenizer round-trips through the artifact
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_g2").toString
+    Bpe.save(spark, m, s"$dir/m")
+    assert(Bpe.load(spark, s"$dir/m") == m)
+  }
+
   test("merge table round-trips through parquet; min pair count stops noise merges") {
     val model = Bpe.fitBpe(corpus, "text", numMerges = 5)
     val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
