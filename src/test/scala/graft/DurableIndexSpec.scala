@@ -164,7 +164,10 @@ class DurableIndexSpec extends SparkSpec {
     val appended = Files.createTempDirectory("graft-lsh-app").toString
     Similarity.lshWriteLayout(old, "vec_id", "embedding", appended,
       nPlanes = 6, dim = 64, seed = 42L)
+    val oldFiles = spark.read.parquet(s"$appended/corpus").inputFiles.toSet
     Similarity.lshAppend(batch, "embedding", appended)
+    assert(spark.read.parquet(s"$appended/corpus").inputFiles.toSet
+      .intersect(oldFiles) == oldFiles, "append must not rewrite old files")
 
     val rebuilt = Files.createTempDirectory("graft-lsh-reb").toString
     Similarity.lshWriteLayout(emb, "vec_id", "embedding", rebuilt,
