@@ -1,0 +1,76 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-scoped memo with a bounded lifetime — the cache shape behind
+  * [[graft.operators.Curation.memoModel]]'s fitted models and
+  * [[graft.operators.Similarity]]'s durable-layout builds.
+  *
+  * Lifecycle (the long-lived multi-session service shape — e.g. a
+  * Thrift server hosting many `newSession()` clones of one context):
+  *
+  *   - sessions are WEAK keys: a superseded/abandoned `SparkSession`
+  *     no longer referenced anywhere releases its entries (and the
+  *     fitted models they hold — a BigramLm can be millions of map
+  *     entries) at the next GC;
+  *   - every access also purges entries whose underlying
+  *     `SparkContext` has stopped, so a stopped application's models
+  *     are dropped eagerly, not just when the GC notices.
+  *
+  * Per-key compute is once-only within a session (ConcurrentHashMap
+  * `computeIfAbsent` semantics — two threads racing the same layout
+  * build run it once and share the result).
+  *
+  * Staleness contract: the memo key NAMES a corpus snapshot. Rewriting
+  * the data under the same path/key and refitting under the same key
+  * returns the PREVIOUS fit — callers that mutate data in place must
+  * put a version/fingerprint in the key (the gate queries key by
+  * sf-directory, which is immutable by construction).
+  */
+final class SessionMemo[V <: AnyRef] {
+
+  // WeakHashMap needs external synchronization; the guarded section is
+  // only bucket lookup + stopped-context purge (cheap), never the
+  // compute itself.
+  private val entries =
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, V]]()
+
+  private def purgeStoppedLocked(): Unit = {
+    val it = entries.entrySet().iterator()
+    while (it.hasNext) {
+      if (it.next().getKey.sparkContext.isStopped) it.remove()
+    }
+  }
+
+  private def bucket(spark: SparkSession): java.util.concurrent.ConcurrentHashMap[String, V] =
+    entries.synchronized {
+      purgeStoppedLocked()
+      var m = entries.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, V]()
+        entries.put(spark, m)
+      }
+      m
+    }
+
+  /** Get the memoized value for (spark, key), computing it at most
+    * once per live session.
+    */
+  def getOrCompute(spark: SparkSession, key: String)(compute: => V): V =
+    bucket(spark).computeIfAbsent(key, _ => compute)
+
+  /** Number of live sessions currently holding entries (purges stopped
+    * sessions first). Test/diagnostic surface.
+    */
+  def sessionCount: Int = entries.synchronized {
+    purgeStoppedLocked()
+    entries.size()
+  }
+
+  private[graft] def contains(spark: SparkSession, key: String): Boolean =
+    entries.synchronized {
+      purgeStoppedLocked()
+      val m = entries.get(spark)
+      m != null && m.containsKey(key)
+    }
+}

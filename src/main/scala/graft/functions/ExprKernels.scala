@@ -526,11 +526,20 @@ object ExprKernels {
 
   /** One component of the symmetric int8 quantization — shared by the
     * kernel loop and the driver-side query quantization so the two
-    * sides cannot drift.
+    * sides cannot drift. Non-finite scaled values (a NaN/Infinity
+    * embedding component, or Inf/Inf when the max-abs itself is
+    * infinite) quantize to 0 — mirroring Spark `round`'s
+    * NaN/Infinite pass-through in the Column form, where the long
+    * cast then yields 0 — so one corrupt row scores harmlessly
+    * instead of throwing NumberFormatException out of
+    * BigDecimal.valueOf and killing the scan.
     */
-  @inline def quantizeComponent(x: Double, mx: Double): Long =
-    java.math.BigDecimal.valueOf(x * 127.0 / mx)
+  @inline def quantizeComponent(x: Double, mx: Double): Long = {
+    val scaled = x * 127.0 / mx
+    if (!java.lang.Double.isFinite(scaled)) 0L
+    else java.math.BigDecimal.valueOf(scaled)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+  }
 
   /** Space-joined word n-grams over a token array — the fused form of
     * `transform(sequence(1, m-n+1), i => concat_ws(" ", slice(tk,i,n)))`,
@@ -565,8 +574,21 @@ object ExprKernels {
     * leading space — and residual whitespace. Case- and
     * space-preserving, unlike the whitespace tokenizer.
     */
+  // UNICODE_CHARACTER_CLASS so \s means Unicode White_Space (the GPT-2
+  // reference regex is a Unicode-aware `\s`): without it Java's \s is
+  // ASCII-only and NBSP-family spaces fall into the punctuation
+  // alternative `' ?[^\s\p{L}\p{N}]+'` instead of the whitespace runs.
   private val Gpt2Pattern = java.util.regex.Pattern.compile(
-    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""")
+    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""",
+    java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+
+  /** The Unicode White_Space property, matching the pattern's \s under
+    * UNICODE_CHARACTER_CLASS. `Character.isWhitespace` alone excludes
+    * the non-breaking members (U+00A0, U+2007, U+202F — isSpaceChar
+    * covers those) and NEL (U+0085, neither predicate).
+    */
+  @inline private def isUnicodeWhitespace(ch: Char): Boolean =
+    Character.isWhitespace(ch) || Character.isSpaceChar(ch) || ch == '\u0085'
 
   /** GPT-2-style pre-tokenization of raw text: regex match stream,
     * pure-whitespace matches dropped (they carry no mergeable
@@ -581,7 +603,7 @@ object ExprKernels {
     val out = new java.util.ArrayList[AnyRef]()
     while (m.find()) {
       val piece = m.group()
-      if (!piece.forall(ch => Character.isWhitespace(ch)))
+      if (!piece.forall(isUnicodeWhitespace))
         out.add(UTF8String.fromString(piece))
     }
     new GenericArrayData(out.toArray(new Array[AnyRef](out.size())))

@@ -98,11 +98,29 @@ object Bpe {
     require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
     // floor the tokenize scan's parallelism (single-split local input
     // would serialize it; no-op at scale — same guard as fitDsir)
-    val words = Scale.parallelismFloor(df)
+    val grouped = Scale.parallelismFloor(df)
       .select(explode(preTokens(col(textCol), preTokenizer)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val words = grouped
       .orderBy(desc("c"), col("w")).limit(maxWordTypes)
       .collect().map(r => (r.getString(0), r.getLong(1)))
+    // The alphabet is defined over the WHOLE fit corpus, not the
+    // capped histogram: when the maxWordTypes cap binds, code points
+    // appearing only in dropped rare word types must still count as
+    // in-alphabet (else byteFallback would byte-expand characters the
+    // corpus demonstrably contains). Detecting the bind by
+    // words.length == cap keeps the common uncapped fit at one job;
+    // the capped path pays one extra tiny distinct-code-point
+    // aggregate (split("") is code-point-safe — Java regex never
+    // splits a surrogate pair; BpeSpec locks this on an astral-plane
+    // fixture).
+    val alphabet: Set[String] =
+      if (words.length < maxWordTypes)
+        words.iterator.flatMap { case (w, _) => codePoints(w) }.toSet
+      else
+        grouped.select(explode(split(col("w"), "")).as("ch"))
+          .filter(length(col("ch")) > 0).distinct()
+          .collect().map(_.getString(0)).toSet
     var vocab: Array[(Array[String], Long)] =
       words.map { case (w, c) => (codePoints(w) :+ "</w>", c) }
     val merges = Vector.newBuilder[(String, String)]
@@ -134,9 +152,7 @@ object Bpe {
         round += 1
       }
     }
-    BpeModel(merges.result(),
-      words.iterator.flatMap { case (w, _) => codePoints(w) }.toSet,
-      preTokenizer)
+    BpeModel(merges.result(), alphabet, preTokenizer)
   }
 
   /** Leftmost non-overlapping replacement of `pair` in a symbol

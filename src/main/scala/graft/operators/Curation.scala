@@ -21,12 +21,21 @@ object Curation {
     * the caller's `key` names changes. Queries composing several
     * fitted signals (q82/q83/q85 share the same LM and DSIR fits)
     * then pay each fit once per session instead of once per query.
+    *
+    * Lifecycle + staleness: see [[graft.core.SessionMemo]] — sessions
+    * are weak keys (abandoned sessions release their models at GC,
+    * stopped contexts purge eagerly), and `key` NAMES a corpus
+    * snapshot: refitting after an in-place rewrite of the data under
+    * the same key returns the stale fit, so mutable corpora must
+    * version the key.
     */
-  private val modelCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), AnyRef]()
+  private val modelCache = new graft.core.SessionMemo[AnyRef]
 
   def memoModel[T <: AnyRef](spark: SparkSession, key: String)(fit: => T): T =
-    modelCache.computeIfAbsent((spark, key), _ => fit).asInstanceOf[T]
+    modelCache.getOrCompute(spark, key)(fit).asInstanceOf[T]
+
+  /** Test/diagnostic surface for the memo's session lifecycle. */
+  private[graft] def memoSessionCount: Int = modelCache.sessionCount
 
   /** Word n-grams as strings: sliding windows of `n` tokens joined by
     * a single space over [[TextFunctions.tokens]] (lowercased,
@@ -260,9 +269,12 @@ object Curation {
     * composition against an independent engine). Scale shape: stages
     * 1–2 are the only shuffles (fingerprint window + gram equi-join);
     * 3–5 are map-side (the mixture rates are a driver-fitted literal
-    * map — #strata values). Stages 1 and 2 EXECUTE in the reverse of
-    * their logical order — provably result-identical (see the inline
-    * comment) and it halves the fingerprint shuffle.
+    * map — #strata values). Under the default `maxGramDf` (no hot-gram
+    * cap) stages 1 and 2 EXECUTE in the reverse of their logical
+    * order — provably result-identical there (see the inline comment)
+    * and it halves the fingerprint shuffle; a finite `maxGramDf` keeps
+    * the logical order so gram document frequency is counted over
+    * DEDUPED documents, exactly as the stage list reads.
     */
   def exportPipeline(train: DataFrame, evalDocs: DataFrame, idCol: String,
       textCol: String, strataCol: String, targets: Map[String, Double],
@@ -282,17 +294,27 @@ object Curation {
     // surviving fraction of the corpus, i.e. the same order as one
     // shuffle of the export itself.
     //
-    // Decontamination runs FIRST, then the fingerprint dedup — a pure
-    // execution reorder: equal fingerprints mean equal normalized
-    // text (md5 of lowercased whitespace-normalized text), hence
-    // equal token streams, hence the same gram overlap with eval —
-    // so every member of a fingerprint class shares one contamination
-    // verdict and the surviving (min-id) winner per class is
-    // identical either way. Dedup-first consumed the windowed frame
-    // TWICE (gram side pruned to (id, text), anti side keeping all
-    // columns — different projections defeat exchange reuse, so the
-    // full-text fingerprint shuffle ran double); decontaminate-first
-    // is a linear chain and the window shuffles once, post-filter.
+    // Under the DEFAULT maxGramDf (no hot-gram cap), decontamination
+    // runs FIRST, then the fingerprint dedup — a pure execution
+    // reorder: equal fingerprints mean equal normalized text (md5 of
+    // lowercased whitespace-normalized text), hence equal token
+    // streams, hence the same gram overlap with eval — so every
+    // member of a fingerprint class shares one contamination verdict
+    // and the surviving (min-id) winner per class is identical either
+    // way. Dedup-first consumed the windowed frame TWICE (gram side
+    // pruned to (id, text), anti side keeping all columns — different
+    // projections defeat exchange reuse, so the full-text fingerprint
+    // shuffle ran double); decontaminate-first is a linear chain and
+    // the window shuffles once, post-filter.
+    //
+    // With a FINITE maxGramDf the reorder is NOT result-identical:
+    // gram document frequency would then be counted over duplicate
+    // documents, so a duplicate-heavy gram could cross the cap and be
+    // exempted from the contamination join — contaminated documents
+    // surviving that dedup-first would drop. That case keeps the
+    // logical order: dedup first, decontaminate the deduped frame
+    // (DF counted over distinct documents), paying the second
+    // fingerprint shuffle for exact capped semantics.
     //
     // no .distinct() on the contaminated side: a left_anti probe is
     // indifferent to duplicate build keys, and the distinct would add
@@ -301,15 +323,25 @@ object Curation {
     // n-grams with the eval suite), and without the hint the
     // anti-join's initial AQE plan exchanges BOTH sides on the id —
     // re-shuffling the whole corpus to drop a sliver of it.
-    val contaminated = ngramDecontaminate(train, evalDocs, idCol, textCol,
-        n, minShared, maxGramDf)
-      .select(col("train_id").as(idCol))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__fp")).orderBy(col(idCol))
-    val kept = train.join(broadcast(contaminated), Seq(idCol), "left_anti")
+    def dedupFp(df: DataFrame): DataFrame = df
       .withColumn("__fp", TextFunctions.exactFingerprint(col(textCol)))
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1).drop("__fp", "__rk")
+    val kept =
+      if (maxGramDf == Int.MaxValue) {
+        val contaminated = ngramDecontaminate(train, evalDocs, idCol, textCol,
+            n, minShared, maxGramDf)
+          .select(col("train_id").as(idCol))
+        dedupFp(train.join(broadcast(contaminated), Seq(idCol), "left_anti"))
+      } else {
+        val deduped = dedupFp(train)
+        val contaminated = ngramDecontaminate(deduped, evalDocs, idCol, textCol,
+            n, minShared, maxGramDf)
+          .select(col("train_id").as(idCol))
+        deduped.join(broadcast(contaminated), Seq(idCol), "left_anti")
+      }
     val survivors = piiRedact(kept, textCol)
       .withColumn("n_tok", TextFunctions.tokenCount(col("redacted")).cast("long"))
       .filter(col("n_tok").between(minTokens, maxTokens))

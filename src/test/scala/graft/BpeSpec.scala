@@ -137,4 +137,36 @@ class BpeSpec extends SparkSpec {
     val capped = Bpe.fitBpe(corpus, "text", numMerges = 10000)
     assert(capped.merges.size < 50)
   }
+
+  test("alphabet covers code points of word types dropped by the maxWordTypes cap") {
+    // 3 word types, cap 2: the rare astral-clef word is dropped from
+    // the merge histogram, but its code points are still corpus
+    // alphabet — byteFallback must NOT byte-expand them (pre-cap
+    // alphabet aggregate; also locks split("")'s surrogate safety)
+    val clef = new String(Character.toChars(0x1D11E)) // 𝄞, astral plane
+    val d = (Seq.fill(5)("low") ++ Seq.fill(4)("lower") ++ Seq(s"$clef"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val m = Bpe.fitBpe(d, "text", numMerges = 2, maxWordTypes = 2)
+    assert(m.alphabet.contains(clef),
+      s"alphabet must include dropped-word code points: ${m.alphabet}")
+    val enc = Seq((1L, clef)).toDF("doc_id", "text")
+      .select(Bpe.encode(col("text"), m, byteFallback = true).as("p"))
+      .collect().head.getSeq[String](0)
+    assert(enc == Seq(clef, "</w>"), s"in-alphabet char must not byte-expand: $enc")
+
+    // uncapped fit of the same corpus agrees (single-job fast path)
+    val mFull = Bpe.fitBpe(d, "text", numMerges = 2)
+    assert(mFull.alphabet == m.alphabet)
+  }
+
+  test("GPT-2 pre-tokenizer treats Unicode whitespace as whitespace (NBSP, NEL)") {
+    // NBSP (U+00A0), narrow NBSP (U+202F) and NEL (U+0085) are
+    // White_Space: with ASCII-only \s they fell into the punctuation
+    // alternative and leaked out as pre-tokens
+    val pre = Seq((1L, "a\u00A0b\u0085c\u202Fd"))
+      .toDF("doc_id", "text")
+      .select(graft.functions.CatalystExpressions.gpt2PreTokenize(col("text")).as("p"))
+      .collect().head.getSeq[String](0)
+    assert(pre == Seq("a", "b", "c", "d"), s"got ${pre.map(_.codePoints().toArray.toSeq)}")
+  }
 }

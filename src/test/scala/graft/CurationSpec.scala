@@ -109,6 +109,24 @@ class CurationSpec extends SparkSpec {
     assert(q(2L) == Seq(0L, 0L, 0L))
   }
 
+  test("quantizedKnn survives non-finite embedding components (scores them 0)") {
+    // a NaN/Infinity component made quantizeComponent throw
+    // NumberFormatException out of BigDecimal.valueOf and kill the
+    // whole scan; it must quantize to 0 (Spark round's
+    // NaN/Infinite pass-through + long cast) and score harmlessly
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(Float.NaN, 0.5f)),
+      (3L, Array(Float.PositiveInfinity, 1.0f)),
+      (4L, Array(0.9f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val top = Curation.quantizedKnn(corpus, "vec_id", "embedding",
+      Seq(1.0f, 0.0f), 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(top.map(_._1) == Seq(1L, 4L, 2L, 3L), s"got $top")
+    // the corrupt rows score 0, not NaN-poisoned or crashed
+    assert(top.filter(t => t._1 == 2L || t._1 == 3L).forall(_._2 == 0L), s"got $top")
+  }
+
   test("quantizedDotQ kernel equals the composed quantize/dot form on the corpus") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val query = emb.filter(col("vec_id") === 3).select(col("embedding"))
@@ -214,6 +232,36 @@ class CurationSpec extends SparkSpec {
         minTokens = 10, maxTokens = 50)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == ids)
+  }
+
+  test("exportPipeline: finite maxGramDf counts gram DF over DEDUPED documents") {
+    // the round-6 decontam-before-dedup reorder is only
+    // result-identical with the DEFAULT (no) hot-gram cap: here six
+    // exact duplicates would push the leak gram's PRE-dedup DF to 8
+    // (> cap 3) and exempt it, letting contaminated docs survive.
+    // The finite-cap path must dedup first: post-dedup DF is 3
+    // (X + one Y + eval) ≤ cap, the gram stays, both leaks drop.
+    val leak = "alpha beta gamma delta epsilon"
+    val tail = "plus enough extra filler tokens to clear the minimum length gate"
+    val train = (
+      Seq((1L, "a", s"$leak $tail")) ++                    // X: contaminated
+      (10L to 15L).map(i => (i, "a", s"$leak entirely other continuation words making twelve tokens here")) ++ // Y ×6 exact dups, contaminated
+      Seq((20L, "b", s"clean document $tail"))             // control, survives
+    ).toDF("doc_id", "source", "text")
+    val evalDocs = Seq((100L, "x", s"$leak evaluation suite text")).toDF("doc_id", "source", "text")
+    val ids = Curation.exportPipeline(train, evalDocs, "doc_id", "text",
+        "source", Map("a" -> 1.0, "b" -> 1.0), minShared = 1,
+        minTokens = 5, maxTokens = 50, maxGramDf = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(20L),
+      s"duplicates must not exempt the leak gram from the cap: $ids")
+
+    // sanity: with the cap wide open the same input drops the leaks too
+    val open = Curation.exportPipeline(train, evalDocs, "doc_id", "text",
+        "source", Map("a" -> 1.0, "b" -> 1.0), minShared = 1,
+        minTokens = 5, maxTokens = 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(open == Set(20L))
   }
 
   test("quantizedKnn ranks by integer dot with deterministic ties") {

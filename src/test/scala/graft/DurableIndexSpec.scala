@@ -182,6 +182,75 @@ class DurableIndexSpec extends SparkSpec {
     }
   }
 
+  test("ensureIvfLayout in a fresh session cannot clobber an appended layout") {
+    import graft.operators.Similarity
+    val emb = graft.core.Engine.table(spark, sfDir, "embeddings")
+    val old = emb.filter(col("vec_id") < 300)
+    val batch = emb.filter(col("vec_id") >= 300)
+    val query = emb.filter(col("vec_id") === 1).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+
+    // session A: ensure (builds, old rows only), then append the batch
+    val path = Files.createTempDirectory("graft-ivf-ensure").toString
+    Similarity.ensureIvfLayout(old, "vec_id", "embedding", path,
+      nCentroids = 4, fitSampleFraction = 1.0)
+    Similarity.ivfAppend(batch, "embedding", path)
+    val files = spark.read.parquet(s"$path/corpus").inputFiles.toSet
+    val mtimes = files.map(f => f -> new java.io.File(new java.net.URI(f)).lastModified).toMap
+    val expect = (1 to 4).map(p => Similarity.knnIvfPartitioned(spark, path,
+      "vec_id", "embedding", query, k = 10, nProbe = p).collect().toSeq)
+
+    // session B: fresh memo identity; ensure with a DIFFERENT input
+    // frame (old only) — pre-fix this re-fit + overwrite dropped the
+    // appended batch; post-fix the existing meta short-circuits it
+    val s2 = spark.newSession()
+    Similarity.ensureIvfLayout(
+      graft.core.Engine.table(s2, sfDir, "embeddings").filter(col("vec_id") < 300),
+      "vec_id", "embedding", path, nCentroids = 4, fitSampleFraction = 1.0)
+
+    val after = s2.read.parquet(s"$path/corpus").inputFiles.toSet
+    assert(after == files, "ensure in a new session must not rewrite the corpus")
+    files.foreach { f =>
+      assert(new java.io.File(new java.net.URI(f)).lastModified == mtimes(f),
+        s"ensure must not touch $f")
+    }
+    for ((exp, p) <- expect.zip(1 to 4)) {
+      val got = Similarity.knnIvfPartitioned(s2, path, "vec_id", "embedding",
+        query, k = 10, nProbe = p).collect().toSeq
+      assert(got == exp, s"nProbe=$p: probe must still see layout ∪ batch")
+    }
+  }
+
+  test("ensureLshLayout in a fresh session cannot clobber an appended layout") {
+    import graft.operators.Similarity
+    val emb = graft.core.Engine.table(spark, sfDir, "embeddings")
+    val old = emb.filter(col("vec_id") < 300)
+    val batch = emb.filter(col("vec_id") >= 300)
+    val query = emb.filter(col("vec_id") === 1).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+
+    val path = Files.createTempDirectory("graft-lsh-ensure").toString
+    Similarity.ensureLshLayout(old, "vec_id", "embedding", path,
+      nPlanes = 6, dim = 64, seed = 42L)
+    Similarity.lshAppend(batch, "embedding", path)
+    val files = spark.read.parquet(s"$path/corpus").inputFiles.toSet
+    val expect = (0 to 2).map(h => Similarity.knnLshPartitioned(spark, path,
+      "vec_id", "embedding", query, k = 10, probeHamming = h).collect().toSeq)
+
+    val s2 = spark.newSession()
+    Similarity.ensureLshLayout(
+      graft.core.Engine.table(s2, sfDir, "embeddings").filter(col("vec_id") < 300),
+      "vec_id", "embedding", path, nPlanes = 6, dim = 64, seed = 42L)
+
+    assert(s2.read.parquet(s"$path/corpus").inputFiles.toSet == files,
+      "ensure in a new session must not rewrite the corpus")
+    for ((exp, h) <- expect.zip(0 to 2)) {
+      val got = Similarity.knnLshPartitioned(s2, path, "vec_id", "embedding",
+        query, k = 10, probeHamming = h).collect().toSeq
+      assert(got == exp, s"probeHamming=$h: probe must still see layout ∪ batch")
+    }
+  }
+
   test("connectedComponents with a durable checkpoint dir matches localCheckpoint") {
     import spark.implicits._
     // two chains (1-2-3-4) and (10-11), plus a ring (20-21-22-20):
