@@ -8,9 +8,15 @@ import org.apache.spark.sql.SparkSession
   * Queries run in sorted-name order (stable round-to-round
   * comparisons) after an untimed warmup action that pays the
   * session/IO setup cost once instead of inside the first query's
-  * number. Each query runs `SPARK_GRAFT_BENCH_RUNS` times (default 2)
+  * number. Each query runs `SPARK_GRAFT_BENCH_RUNS` times (default 3)
   * and reports the per-query MINIMUM — single samples on a shared box
   * have recorded 10×+ false regressions that warm re-runs disproved.
+  *
+  * The stdout line (bounded-tail contract, see below) keys each query
+  * by its `qNN` number alone — the full names cost ~8 chars each and
+  * the 93-name line had 10 chars of headroom left, freezing the
+  * suite; numbers are the stable per-query identity round-to-round.
+  * Full names + full precision go to `target/bench_full.json`.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -81,7 +87,14 @@ object Bench {
         .underlying.stripTrailingZeros.toPlainString
       if (s.isEmpty || s == "-0") "0" else s
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 1) }
+    // qNN short keys for the bounded stdout line; fall back to the
+    // full key if a prefix ever collides (numbering keeps them unique)
+    val shortKeys = {
+      val pref = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }.toMap
+      val dup = pref.values.groupBy(identity).collect { case (p, vs) if vs.size > 1 => p }.toSet
+      results.map { case (k, _) => k -> (if (dup(pref(k))) k else pref(k)) }.toMap
+    }
+    val qs = results.map { case (k, v) => "\"" + shortKeys(k) + "\":" + fmt(v, 1) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // full precision for humans/tools that read files rather than the

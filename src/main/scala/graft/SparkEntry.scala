@@ -1138,6 +1138,104 @@ object SparkEntry {
       |  AND c2.w = string_split(cb.g, ' ')[2]
       |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
 
+  /** Exact substring dedup ([[graft.operators.Dedup.duplicatedSpans]]):
+    * merged token-index spans of cross-/within-document duplicated
+    * 5-token windows (the ExactSubstr pass of the dedup literature,
+    * re-expressed as Rabin-Karp window fingerprints → occurrence
+    * stats → gaps-and-islands span merge). The Spark side groups
+    * 8-byte rolling fingerprints; the oracle rebuilds the same
+    * windows as literal 5-token STRINGS and replays the flag + merge
+    * relationally — a hash match proves fingerprint equality ⇔ window
+    * equality end-to-end (positions, keep-first discipline, merge
+    * arithmetic).
+    */
+  private def q94(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.duplicatedSpans(docs(s, dir), "doc_id", "text",
+        windowTokens = 5, minCount = 2, keepFirst = true)
+      .orderBy(col("doc_id"), col("span_begin"))
+
+  private def substrSpansOracle: String =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      t -> len(t) > 0) AS tk
+      |  FROM documents),
+      |win AS (
+      |  SELECT doc_id, w.pos AS pos, w.gram AS gram
+      |  FROM (SELECT doc_id, unnest(list_transform(
+      |      generate_series(1, len(tk) - 4),
+      |      i -> struct_pack(pos := i - 1,
+      |        gram := array_to_string(tk[i:i+4], ' ')))) AS w
+      |    FROM tk WHERE len(tk) >= 5)),
+      |st AS (
+      |  SELECT doc_id, pos,
+      |    count(*) OVER (PARTITION BY gram) AS cnt,
+      |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rnk
+      |  FROM win),
+      |fl AS (SELECT doc_id, pos FROM st WHERE cnt >= 2 AND rnk > 1),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    sum(CASE WHEN prev IS NULL OR pos - prev > 5 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM (SELECT doc_id, pos,
+      |      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |    FROM fl))
+      |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_begin,
+      |  CAST(max(pos) + 5 AS BIGINT) AS span_end,
+      |  CAST(count(*) AS BIGINT) AS n_windows
+      |FROM isl GROUP BY doc_id, island
+      |ORDER BY doc_id, span_begin""".stripMargin
+
+  /** Substring-duplication coverage gate
+    * ([[graft.operators.Dedup.substringDupStats]]): per-document
+    * duplicated-token fraction from the merged spans — the curation
+    * filter form of q94 (drop documents whose coverage exceeds a
+    * threshold). Restricted to affected documents so the result is a
+    * focused diff; the oracle replays spans then aggregates.
+    */
+  private def q95(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.substringDupStats(docs(s, dir), "doc_id", "text",
+        windowTokens = 5, minCount = 2, keepFirst = true)
+      .filter(col("dup_tokens") > 0)
+      .orderBy(col("doc_id"))
+
+  private def substrStatsOracle: String =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      t -> len(t) > 0) AS tk
+      |  FROM documents),
+      |win AS (
+      |  SELECT doc_id, w.pos AS pos, w.gram AS gram
+      |  FROM (SELECT doc_id, unnest(list_transform(
+      |      generate_series(1, len(tk) - 4),
+      |      i -> struct_pack(pos := i - 1,
+      |        gram := array_to_string(tk[i:i+4], ' ')))) AS w
+      |    FROM tk WHERE len(tk) >= 5)),
+      |st AS (
+      |  SELECT doc_id, pos,
+      |    count(*) OVER (PARTITION BY gram) AS cnt,
+      |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rnk
+      |  FROM win),
+      |fl AS (SELECT doc_id, pos FROM st WHERE cnt >= 2 AND rnk > 1),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    sum(CASE WHEN prev IS NULL OR pos - prev > 5 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM (SELECT doc_id, pos,
+      |      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |    FROM fl)),
+      |sp AS (
+      |  SELECT doc_id, min(pos) AS b, max(pos) + 5 AS e
+      |  FROM isl GROUP BY doc_id, island),
+      |dup AS (SELECT doc_id, sum(e - b) AS dup_tokens FROM sp GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+      |  CAST(dup.dup_tokens AS BIGINT) AS dup_tokens,
+      |  round(dup.dup_tokens::DOUBLE / len(t.tk), 6) AS dup_frac
+      |FROM tk t JOIN dup ON t.doc_id = dup.doc_id
+      |WHERE dup.dup_tokens > 0
+      |ORDER BY t.doc_id""".stripMargin
+
   /** J5 — true as-of join via the custom sort-merge operator
     * ([[graft.plans.AsOf]]: logical node → strategy → exec, one hash
     * exchange + sort per side, streaming O(1)-state merge). Each click
@@ -1713,7 +1811,9 @@ object SparkEntry {
     "q90_phr" -> (q90 _),
     "q91_lex" -> (q91 _),
     "q92_tfidf" -> (q92 _),
-    "q93_pmi" -> (q93 _))
+    "q93_pmi" -> (q93 _),
+    "q94_substr_spans" -> (q94 _),
+    "q95_substr_frac" -> (q95 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -2148,6 +2248,8 @@ object SparkEntry {
     "q91_lex" -> lexicalStatsOracle,
     "q92_tfidf" -> tfidfOracle,
     "q93_pmi" -> pmiOracle,
+    "q94_substr_spans" -> substrSpansOracle,
+    "q95_substr_frac" -> substrStatsOracle,
     "q62_asof_join" ->
       """SELECT l.user_id, l.event_id, round(l.value, 2) AS click_value,
         | r.event_id AS prior_error_id, round(r.value, 2) AS prior_error_value

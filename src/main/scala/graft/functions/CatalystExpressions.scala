@@ -239,6 +239,30 @@ object CatalystExpressions {
     override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(c)
   }
 
+  /** Positional w-token window fingerprints from an array of token
+    * hashes (Rabin-Karp rolling polynomial, O(n) per document — see
+    * [[ExprKernels.rollingWindowHashes]]). Slot i = fingerprint of
+    * tokens i..i+k-1; fewer than k tokens → empty array. The exact
+    * substring dedup primitive: posexplode gives (pos, fingerprint)
+    * rows whose equality means equality of the k-token windows.
+    */
+  case class WindowFingerprints(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def eval(input: InternalRow): Any =
+      ExprKernels.rollingWindowHashes(child.eval(input).asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val c = child.genCode(ctx)
+      ev.copy(
+        code = code"""
+          ${c.code}
+          final ArrayData ${ev.value} =
+            $K.rollingWindowHashes(${c.isNull} ? null : ${c.value}, $k);""",
+        isNull = FalseLiteral)
+    }
+    override protected def withNewChildInternal(c: Expression): WindowFingerprints = copy(c)
+  }
+
   /** Dot product of two numeric arrays (float or double elements),
     * accumulated left-to-right in double — bit-identical to the
     * sequential `aggregate(zip_with(...))` formulation it replaces,
@@ -552,6 +576,9 @@ object CatalystExpressions {
 
   def rollingFingerprint(text: Column, init: Long): Column =
     column(RollingFingerprint(expression(text), init))
+
+  def windowFingerprints(tokenHashes: Column, k: Int): Column =
+    column(WindowFingerprints(expression(tokenHashes), k))
 
   def bigramLogProbSum(tokens: Column, uni: Map[String, Long],
       big: Map[(String, String), Long], vocabSize: Long): Column =

@@ -541,6 +541,42 @@ object ExprKernels {
       .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
   }
 
+  /** Positional w-token window fingerprints over a token-hash array —
+    * the primitive behind exact substring dedup (the "remove
+    * duplicated 50-token spans" pass of the training-data dedup
+    * literature, Lee et al. 2021). Slot i fingerprints tokens
+    * i..i+k-1 via a Rabin-Karp polynomial over the token hashes in
+    * 2^64 arithmetic (odd multiplier, exact under wraparound), so the
+    * whole array costs O(n) — one multiply-add in, one multiply-sub
+    * out per slide — instead of O(n·k) per-window rehashing at k=50.
+    * Equality of fingerprints ⇔ equality of the token-hash windows
+    * (collisions are the usual 2^-64-per-pair hash caveat; inputs are
+    * already xxhash64-mixed). Fewer than k tokens → empty array (a
+    * window must be a full k-token span — unlike [[shingleHashes]]'s
+    * short-doc fallback, a short document simply has no w-windows).
+    */
+  def rollingWindowHashes(arr: ArrayData, k: Int): ArrayData = {
+    if (arr == null) return EmptyLongArray
+    val n = arr.numElements()
+    if (n < k) return EmptyLongArray
+    val B = 0x9E3779B97F4A7C15L // odd ⇒ invertible mod 2^64
+    var bk = 1L // B^(k-1)
+    var i = 0
+    while (i < k - 1) { bk *= B; i += 1 }
+    val out = new Array[Long](n - k + 1)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + arr.getLong(i); i += 1 }
+    out(0) = h
+    var p = 1
+    while (p <= n - k) {
+      h = (h - arr.getLong(p - 1) * bk) * B + arr.getLong(p + k - 1)
+      out(p) = h
+      p += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Space-joined word n-grams over a token array — the fused form of
     * `transform(sequence(1, m-n+1), i => concat_ws(" ", slice(tk,i,n)))`,
     * whose `transform` wrapper is an interpreted HOF (per-element

@@ -733,4 +733,100 @@ object Dedup {
       .withColumnRenamed("component", "dup_class")
       .withColumn("keep", col("dup_class").isNull || col("dup_class") === col(idCol))
   }
+
+  // ------------------------------------------ exact substring dedup
+  //
+  // The missing member of the dedup family (round-6 verdict): the
+  // document-level passes above catch whole-document copies, the
+  // line-level pass catches per-line boilerplate — this catches the
+  // duplicated 50-token SPAN inside otherwise-distinct documents (the
+  // ExactSubstr pass of Lee et al. 2021, "Deduplicating Training Data
+  // Makes Language Models Better"). The suffix-array construction of
+  // the paper is single-machine; the distributed re-expression is
+  // fixed-width window fingerprints: a duplicated substring of
+  // ≥ windowTokens tokens necessarily duplicates at least one full
+  // window, and maximal duplicated regions are recovered by merging
+  // overlapping duplicated windows.
+
+  /** Token-index spans of text duplicated across (or within) documents:
+    * every `windowTokens`-token window whose fingerprint occurs at
+    * least `minCount` times in the corpus is flagged, and overlapping/
+    * adjacent flagged windows merge into maximal spans per document.
+    * With `keepFirst` (the dedup semantic) the corpus-first occurrence
+    * of each window — smallest (id, pos) — is NOT flagged, so one copy
+    * of every duplicated region survives a subsequent cut/drop pass.
+    *
+    * Returns (idCol, span_begin, span_end, n_windows): token indices,
+    * 0-based, end-exclusive; `n_windows` = flagged windows merged into
+    * the span.
+    *
+    * Scale shape: fingerprints are 8-byte Rabin-Karp hashes computed
+    * O(n) per document ([[graft.functions.CatalystExpressions.WindowFingerprints]]),
+    * so the posexplode'd (id, pos, fp) relation is ≈ one long per
+    * corpus token — the same order a word count shuffles, NOT 50× it
+    * (grouping window STRINGS would ship ~windowTokens× the corpus).
+    * Occurrence stats come from ONE groupBy(fp) — partial aggregation
+    * collapses hot boilerplate fingerprints map-side, the skew shape a
+    * window-function formulation would funnel into one reducer — and
+    * rejoin on fp (AQE handles residual probe-side skew). Span
+    * merging is per-document gaps-and-islands: window functions
+    * partitioned by id, one shuffle of the FLAGGED subset only.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 50, minCount: Int = 2,
+      keepFirst: Boolean = true): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1: $windowTokens")
+    require(minCount >= 2, s"minCount must be >= 2: $minCount")
+    import graft.functions.CatalystExpressions
+    // CPU-bound hash scan: floor the parallelism (identity at scale)
+    val win = Scale.parallelismFloor(df)
+      .select(col(idCol), posexplode(CatalystExpressions.windowFingerprints(
+        CatalystExpressions.tokenHashes(col(textCol)), windowTokens)))
+      .toDF(idCol, "pos", "__fp")
+    val stats = win.groupBy(col("__fp"))
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col(idCol), col("pos"))).as("__first"))
+      .filter(col("__cnt") >= minCount)
+    val flagged = win.join(stats, Seq("__fp"))
+      .filter(if (keepFirst)
+          struct(col(idCol), col("pos")) =!= col("__first")
+        else lit(true))
+      .select(col(idCol), col("pos"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    flagged
+      .withColumn("__prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("__isl", sum(when(col("__prev").isNull ||
+          col("pos") - col("__prev") > windowTokens, 1L).otherwise(0L)).over(byDoc))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("pos")).cast("long").as("span_begin"),
+        (max(col("pos")) + windowTokens).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_begin"), col("span_end"), col("n_windows"))
+  }
+
+  /** Per-document duplicated-token coverage from [[duplicatedSpans]]:
+    * (idCol, n_tokens, dup_tokens, dup_frac) for EVERY input document
+    * (clean documents report 0). `dup_tokens` sums the merged span
+    * lengths, which are disjoint within a document by construction, so
+    * `dup_frac` ∈ [0, 1]. The standard curation gate drops documents
+    * above a coverage threshold (`.filter(col("dup_frac") < t)`) —
+    * cheaper than span surgery and safe on lowercased token indices
+    * (span CUTTING needs original-text offsets, which the lowercasing
+    * tokenizer does not preserve; that is a deliberate non-goal here).
+    */
+  def substringDupStats(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 50, minCount: Int = 2,
+      keepFirst: Boolean = true): DataFrame = {
+    val spans = duplicatedSpans(df, idCol, textCol, windowTokens, minCount, keepFirst)
+      .groupBy(col(idCol))
+      .agg(sum(col("span_end") - col("span_begin")).as("dup_tokens"))
+    df.select(col(idCol),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(spans, Seq(idCol), "left")
+      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+      .withColumn("dup_frac", when(col("n_tokens") > 0,
+        round(col("dup_tokens").cast("double") / col("n_tokens").cast("double"), 6))
+        .otherwise(lit(0.0)))
+  }
 }

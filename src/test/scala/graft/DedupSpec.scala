@@ -212,4 +212,59 @@ class DedupSpec extends SparkSpec {
     assert(fp(1L)._1 == fp(4L)._1) // token stream identical
     assert(fp(1L)._1 != fp(2L)._1)
   }
+
+  test("duplicatedSpans finds a planted cross-document duplicated span and merges windows") {
+    // doc 2 copies tokens 5..14 of doc 1 (a 10-token span) into the
+    // middle of otherwise-unique text; w=5 windows inside that span
+    // duplicate, nothing else does
+    val span = "wolves hunt elk across frozen northern tundra under pale moonlight"
+    val d = Seq(
+      (1L, s"unique opening words here $span and a unique ending closes one"),
+      (2L, s"totally different prefix text leads into $span then diverges again after"),
+      (3L, "a control document sharing no five token windows with any peer")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(d, "doc_id", "text",
+        windowTokens = 5, minCount = 2, keepFirst = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1 holds the corpus-first occurrence of every duplicated
+    // window (smaller id) → only doc 2's copy is flagged
+    assert(spans.length == 1, s"got ${spans.toSeq}")
+    val (id, b, e, nw) = spans.head
+    // span tokens in doc 2: positions 6..15 (10 tokens) → windows 6..11
+    // merged into one span [6, 16)
+    assert(id == 2L && b == 6L && e == 16L && nw == 6L, s"got ${spans.toSeq}")
+
+    // keepFirst=false flags BOTH copies
+    val both = Dedup.duplicatedSpans(d, "doc_id", "text",
+        windowTokens = 5, minCount = 2, keepFirst = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(both.length == 2 && both.map(_._1).toSeq == Seq(1L, 2L), s"got ${both.toSeq}")
+    // doc 1's copy sits at positions 4..13 → windows 4..9 → span [4, 14)
+    assert(both.head == ((1L, 4L, 14L)), s"got ${both.toSeq}")
+
+    // coverage stats: doc 2 has 10 of its 20 tokens duplicated, others 0
+    val stats = Dedup.substringDupStats(d, "doc_id", "text",
+        windowTokens = 5, minCount = 2, keepFirst = true)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(stats(2L)._2 == 10L, s"got $stats")
+    assert(stats(1L)._2 == 0L && stats(3L)._2 == 0L, s"got $stats")
+    assert(math.abs(stats(2L)._3 - 10.0 / stats(2L)._1) < 1e-6)
+  }
+
+  test("duplicatedSpans: within-document repetition counts toward minCount") {
+    // the same 5-token run appears twice INSIDE one document — the
+    // Lee et al. criterion counts occurrences, not distinct documents
+    val loop = "repeat these five exact tokens"
+    val d = Seq(
+      (1L, s"$loop and some middle filler then $loop to close out"),
+      (2L, "nothing here repeats any five token window at all today")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(d, "doc_id", "text",
+        windowTokens = 5, minCount = 2, keepFirst = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // first occurrence (pos 0) survives; the second copy at pos 10
+    // flags as one window → span [10, 15)
+    assert(spans.toSeq == Seq((1L, 10L, 15L, 1L)), s"got ${spans.toSeq}")
+  }
 }

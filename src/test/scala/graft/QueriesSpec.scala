@@ -38,9 +38,14 @@ class QueriesSpec extends SparkSpec {
     // short of a 1000 s query (and Bench additionally falls back to a
     // totals-only line at emit time if the full line ever exceeds the
     // tail window). ADDING a query should fail here, not silently
-    // break the next round's bench parse.
+    // break the next round's bench parse. The line keys queries by
+    // their qNN prefix (Bench shortKeys) — at 4 budget chars per
+    // 3-digit short key + value there is room for ~100 more queries.
+    val prefixes = SparkEntry.queries.keys.map(_.takeWhile(_ != '_')).toSeq
+    assert(prefixes.distinct.size == prefixes.size,
+      "qNN prefixes must stay unique — Bench's short stdout keys depend on it")
     val line = "{\"metric\":\"total\",\"value\":12345.67,\"unit\":\"sec\",\"queries\":{" +
-      SparkEntry.queries.keys.map(k => s""""$k":9.9""").mkString(",") +
+      prefixes.map(k => s""""$k":9.9""").mkString(",") +
       "},\"index_sec\":12.34,\"sf\":\"sf0.1\"}"
     assert(line.length <= 1925,
       s"bench line budget exceeded (${line.length} chars) — shorten new query keys")
