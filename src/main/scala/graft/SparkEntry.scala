@@ -1236,6 +1236,128 @@ object SparkEntry {
       |WHERE dup.dup_tokens > 0
       |ORDER BY t.doc_id""".stripMargin
 
+  /** Deterministic messy-URL fixture for the URL-curation gates (the
+    * corpus has no URL column): both engines build the identical
+    * string per row — four shapes cycling by doc_id exercising case,
+    * default/explicit ports, tracking params, fragments, and empty
+    * paths.
+    */
+  private def syntheticUrl: Column = {
+    val id = col("doc_id").cast("string")
+    val m = pmod(col("doc_id"), lit(4))
+    when(m === 0, concat(lit("HTTPS://WWW."), col("source"),
+        lit(".Example.COM:443/a/"), id, lit("?utm_source=rss&b=2&a=1#top")))
+      .when(m === 1, concat(lit("http://"), col("source"),
+        lit(".example.com:80/index")))
+      .when(m === 2, concat(lit("https://cdn."), col("source"),
+        lit(".EXAMPLE.com:8443/x?gclid=g"), id, lit("&z=9")))
+      .otherwise(concat(lit("http://"), col("source"), lit(".example.com")))
+  }
+
+  /** URL canonicalization ([[graft.operators.UrlOps.canonicalUrl]]):
+    * lowercased scheme/host, default ports and fragments dropped,
+    * empty path → "/", tracking params removed, surviving params
+    * sorted — plus the per-domain curation key (host, `www.`
+    * stripped). The oracle replays the full string surgery with
+    * regexes and list functions, so a hash match grades every rule.
+    */
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.UrlOps
+    docs(s, dir).withColumn("__u", syntheticUrl)
+      .select(col("doc_id"), UrlOps.canonicalUrl(col("__u")).as("url"),
+        UrlOps.urlDomain(col("__u")).as("domain"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def urlCanonOracle: String =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 4 AS INTEGER)
+      |      WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/a/' ||
+      |        CAST(doc_id AS VARCHAR) || '?utm_source=rss&b=2&a=1#top'
+      |      WHEN 1 THEN 'http://' || source || '.example.com:80/index'
+      |      WHEN 2 THEN 'https://cdn.' || source || '.EXAMPLE.com:8443/x?gclid=g' ||
+      |        CAST(doc_id AS VARCHAR) || '&z=9'
+      |      ELSE 'http://' || source || '.example.com'
+      |    END AS u
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(u, '^([^:/?#]+)://', 1)) AS scheme,
+      |    regexp_extract(u, '^[^:/?#]+://([^/?#]*)', 1) AS auth,
+      |    regexp_extract(u, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path0,
+      |    CASE WHEN contains(u, '?')
+      |      THEN regexp_extract(u, '\?([^#]*)', 1) ELSE '' END AS q
+      |  FROM raw),
+      |hp AS (
+      |  SELECT doc_id, scheme,
+      |    lower(CASE WHEN contains(auth, ':')
+      |      THEN split_part(auth, ':', 1) ELSE auth END) AS host,
+      |    CASE WHEN contains(auth, ':')
+      |      THEN split_part(auth, ':', 2) ELSE '' END AS port,
+      |    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+      |    -- array_to_string of an EMPTY list is NULL in DuckDB
+      |    coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+      |      x -> len(x) > 0
+      |        AND NOT starts_with(lower(split_part(x, '=', 1)), 'utm_')
+      |        AND lower(split_part(x, '=', 1)) NOT IN
+      |          ('gclid','fbclid','msclkid','mc_eid','igshid','ref','ref_src'))),
+      |      '&'), '') AS qs
+      |  FROM p)
+      |SELECT doc_id,
+      |  scheme || '://' || host ||
+      |    CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+      |      OR (scheme = 'https' AND port = '443')
+      |      THEN '' ELSE ':' || port END ||
+      |    path || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS url,
+      |  CASE WHEN starts_with(host, 'www.') THEN substr(host, 5)
+      |    ELSE host END AS domain
+      |FROM hp ORDER BY doc_id""".stripMargin
+
+  /** Domain blocklist + per-domain aggregation
+    * ([[graft.operators.UrlOps.blocklistAntiJoin]] /
+    * [[graft.operators.UrlOps.domainStats]]): drop two blocked
+    * registrable domains INCLUDING their subdomains (cdn.src1… falls,
+    * src10… survives the dot-boundary), then count and share the
+    * surviving corpus per domain. The anti-join explodes each domain
+    * into its dot-suffixes and joins the broadcast blocklist on
+    * equality — the oracle expresses the same predicate with
+    * suffix LIKE.
+    */
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.UrlOps
+    val blocklist = Seq("src1.example.com", "src7.example.com").toDF("domain")
+    val kept = UrlOps.blocklistAntiJoin(
+      docs(s, dir).withColumn("__u", syntheticUrl), "__u", blocklist, "domain")
+    UrlOps.domainStats(kept, "__u").orderBy(col("domain"))
+  }
+
+  private def domainBlockOracle: String =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 4 AS INTEGER)
+      |      WHEN 0 THEN 'www.' || source || '.example.com'
+      |      WHEN 2 THEN 'cdn.' || source || '.example.com'
+      |      ELSE source || '.example.com'
+      |    END AS host
+      |  FROM documents),
+      |dom AS (
+      |  SELECT doc_id,
+      |    CASE WHEN starts_with(host, 'www.') THEN substr(host, 5)
+      |      ELSE host END AS domain
+      |  FROM raw),
+      |kept AS (
+      |  SELECT domain FROM dom
+      |  WHERE NOT (domain IN ('src1.example.com', 'src7.example.com')
+      |    OR domain LIKE '%.src1.example.com'
+      |    OR domain LIKE '%.src7.example.com')),
+      |c AS (SELECT domain, count(*) AS n_docs FROM kept GROUP BY domain),
+      |t AS (SELECT sum(n_docs) AS t FROM c)
+      |SELECT c.domain, CAST(c.n_docs AS BIGINT) AS n_docs,
+      |  round(c.n_docs::DOUBLE / t.t, 6) AS share
+      |FROM c, t ORDER BY c.domain""".stripMargin
+
   /** J5 — true as-of join via the custom sort-merge operator
     * ([[graft.plans.AsOf]]: logical node → strategy → exec, one hash
     * exchange + sort per side, streaming O(1)-state merge). Each click
@@ -1813,7 +1935,9 @@ object SparkEntry {
     "q92_tfidf" -> (q92 _),
     "q93_pmi" -> (q93 _),
     "q94_substr_spans" -> (q94 _),
-    "q95_substr_frac" -> (q95 _))
+    "q95_substr_frac" -> (q95 _),
+    "q96_url_canon" -> (q96 _),
+    "q97_domain_block" -> (q97 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -2250,6 +2374,8 @@ object SparkEntry {
     "q93_pmi" -> pmiOracle,
     "q94_substr_spans" -> substrSpansOracle,
     "q95_substr_frac" -> substrStatsOracle,
+    "q96_url_canon" -> urlCanonOracle,
+    "q97_domain_block" -> domainBlockOracle,
     "q62_asof_join" ->
       """SELECT l.user_id, l.event_id, round(l.value, 2) AS click_value,
         | r.event_id AS prior_error_id, round(r.value, 2) AS prior_error_value

@@ -239,6 +239,38 @@ object CatalystExpressions {
     override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(c)
   }
 
+  /** Canonical URL form ([[ExprKernels.canonicalUrl]]): lowercased
+    * scheme/host, default ports and fragments dropped, tracking
+    * params removed, surviving params sorted. Null → null; non-URL
+    * strings pass through trimmed.
+    */
+  case class CanonicalUrl(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      ExprKernels.canonicalUrl(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = $K.canonicalUrl($c);
+        if (${ev.value} == null) { ${ev.isNull} = true; }""")
+    override protected def withNewChildInternal(c: Expression): CanonicalUrl = copy(c)
+  }
+
+  /** Per-domain curation key ([[ExprKernels.urlDomain]]): canonical
+    * host with one leading `www.` stripped; null for non-URLs.
+    */
+  case class UrlDomain(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      ExprKernels.urlDomain(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = $K.urlDomain($c);
+        if (${ev.value} == null) { ${ev.isNull} = true; }""")
+    override protected def withNewChildInternal(c: Expression): UrlDomain = copy(c)
+  }
+
   /** Positional w-token window fingerprints from an array of token
     * hashes (Rabin-Karp rolling polynomial, O(n) per document — see
     * [[ExprKernels.rollingWindowHashes]]). Slot i = fingerprint of
@@ -579,6 +611,10 @@ object CatalystExpressions {
 
   def windowFingerprints(tokenHashes: Column, k: Int): Column =
     column(WindowFingerprints(expression(tokenHashes), k))
+
+  def canonicalUrl(url: Column): Column = column(CanonicalUrl(expression(url)))
+
+  def urlDomain(url: Column): Column = column(UrlDomain(expression(url)))
 
   def bigramLogProbSum(tokens: Column, uni: Map[String, Long],
       big: Map[(String, String), Long], vocabSize: Long): Column =

@@ -541,6 +541,104 @@ object ExprKernels {
       .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
   }
 
+  /** Query parameters stripped by URL canonicalization: the
+    * click-/campaign-tracking names (exact, lowercase) plus the whole
+    * `utm_*` family. The standard crawl-curation front door (CCNet/C4
+    * canonicalize URLs before per-domain aggregation and dedup).
+    */
+  private val TrackingParams = {
+    val s = new java.util.HashSet[String]()
+    Seq("gclid", "fbclid", "msclkid", "mc_eid", "igshid", "ref", "ref_src")
+      .foreach(s.add)
+    s
+  }
+
+  private def isTrackingParam(p: String): Boolean = {
+    val eq = p.indexOf('=')
+    val name = (if (eq >= 0) p.substring(0, eq) else p)
+      .toLowerCase(java.util.Locale.ROOT)
+    name.startsWith("utm_") || TrackingParams.contains(name)
+  }
+
+  /** Canonical URL form: scheme and host lowercased, default ports
+    * dropped (http:80, https:443), empty path → "/", fragment
+    * dropped, tracking params removed and the surviving query params
+    * sorted (lexicographic on the whole `k=v` string, so equal-URL
+    * detection is order-insensitive). Strings without a `://` pass
+    * through trimmed-only (not an absolute URL — never invent
+    * structure). Null → null (expression layer). Userinfo, when
+    * present, is preserved case-sensitively; a non-numeric
+    * port-looking suffix is treated as part of the host.
+    */
+  def canonicalUrl(v: UTF8String): UTF8String = {
+    if (v == null) return null
+    val s = v.toString.trim
+    val si = s.indexOf("://")
+    if (si <= 0) return UTF8String.fromString(s)
+    val scheme = s.substring(0, si).toLowerCase(java.util.Locale.ROOT)
+    val rest = s.substring(si + 3)
+    var i = 0
+    while (i < rest.length && rest.charAt(i) != '/' &&
+      rest.charAt(i) != '?' && rest.charAt(i) != '#') i += 1
+    val auth = rest.substring(0, i)
+    val tail = rest.substring(i)
+    val at = auth.lastIndexOf('@')
+    val userinfo = if (at >= 0) auth.substring(0, at + 1) else ""
+    val hostport = auth.substring(at + 1)
+    val ci = hostport.lastIndexOf(':')
+    val portDigits = ci >= 0 && ci < hostport.length - 1 &&
+      hostport.substring(ci + 1).forall(c => c >= '0' && c <= '9')
+    val host = (if (portDigits) hostport.substring(0, ci) else hostport)
+      .toLowerCase(java.util.Locale.ROOT)
+    val port = if (portDigits) hostport.substring(ci + 1) else ""
+    val keepPort = port.nonEmpty &&
+      !((scheme == "http" && port == "80") || (scheme == "https" && port == "443"))
+    val hi = tail.indexOf('#')
+    val noFrag = if (hi >= 0) tail.substring(0, hi) else tail
+    val qi = noFrag.indexOf('?')
+    val path0 = if (qi >= 0) noFrag.substring(0, qi) else noFrag
+    val path = if (path0.isEmpty) "/" else path0
+    val query = if (qi >= 0) noFrag.substring(qi + 1) else ""
+    val kept = query.split("&", -1)
+      .filter(p => p.nonEmpty && !isTrackingParam(p)).sorted
+    val sb = new java.lang.StringBuilder(s.length)
+    sb.append(scheme).append("://").append(userinfo).append(host)
+    if (keepPort) sb.append(':').append(port)
+    sb.append(path)
+    if (kept.nonEmpty) sb.append('?').append(kept.mkString("&"))
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Registrable-ish domain of a URL for per-domain curation: the
+    * canonical (lowercased, port-stripped) host with ONE leading
+    * `www.` label removed. True eTLD+1 extraction needs the public
+    * suffix list; the www-strip covers the dominant alias without
+    * shipping that table — subdomains otherwise aggregate separately,
+    * which is the conservative direction for blocklists (suffix
+    * matching handles them, see blocklist operators). No `://` → null
+    * (not a URL).
+    */
+  def urlDomain(v: UTF8String): UTF8String = {
+    if (v == null) return null
+    val s = v.toString.trim
+    val si = s.indexOf("://")
+    if (si <= 0) return null
+    val rest = s.substring(si + 3)
+    var i = 0
+    while (i < rest.length && rest.charAt(i) != '/' &&
+      rest.charAt(i) != '?' && rest.charAt(i) != '#') i += 1
+    val auth = rest.substring(0, i)
+    val at = auth.lastIndexOf('@')
+    val hostport = auth.substring(at + 1)
+    val ci = hostport.lastIndexOf(':')
+    val portDigits = ci >= 0 && ci < hostport.length - 1 &&
+      hostport.substring(ci + 1).forall(c => c >= '0' && c <= '9')
+    val host = (if (portDigits) hostport.substring(0, ci) else hostport)
+      .toLowerCase(java.util.Locale.ROOT)
+    UTF8String.fromString(
+      if (host.startsWith("www.")) host.substring(4) else host)
+  }
+
   /** Positional w-token window fingerprints over a token-hash array —
     * the primitive behind exact substring dedup (the "remove
     * duplicated 50-token spans" pass of the training-data dedup

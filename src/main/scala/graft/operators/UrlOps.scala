@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.CatalystExpressions
+
+/** URL canonicalization and per-domain curation — the crawl-scale
+  * front door (CCNet/C4 style) ahead of the dedup/quality family:
+  * canonicalize URLs so per-URL dedup keys are stable, aggregate and
+  * gate by domain, and drop blocklisted domains (including their
+  * subdomains) before any expensive text pass. The reference has no
+  * URL surface (its ingestion is connector-based); this is a
+  * beyond-reference extension for the 100 TB pipeline mandate.
+  *
+  * Scale design: canonicalization and domain extraction are map-only
+  * codegen'd expressions; domain aggregation is one groupBy on a
+  * low-cardinality key; blocklisting against a driver-side list is a
+  * map-only filter, and against a blocklist FRAME it is a
+  * suffix-explode + broadcast anti-join (equality only — never a
+  * per-row × per-rule `endsWith` theta-join, which plans as a nested
+  * loop at corpus scale).
+  */
+object UrlOps {
+
+  /** Canonical URL ([[CatalystExpressions.CanonicalUrl]]): lowercased
+    * scheme/host, default port + fragment dropped, empty path → "/",
+    * tracking params (`utm_*`, gclid, fbclid, …) removed, surviving
+    * params sorted.
+    */
+  def canonicalUrl(url: Column): Column = CatalystExpressions.canonicalUrl(url)
+
+  /** Curation domain key: canonical host, one leading `www.` removed;
+    * null for strings that are not absolute URLs.
+    */
+  def urlDomain(url: Column): Column = CatalystExpressions.urlDomain(url)
+
+  /** Per-domain document counts and corpus share. One aggregate on the
+    * domain key; the grand total broadcasts back (a 1-row frame), so
+    * no single-partition window is involved.
+    */
+  def domainStats(df: DataFrame, urlCol: String): DataFrame = {
+    val counts = df.select(urlDomain(col(urlCol)).as("domain"))
+      .groupBy(col("domain")).agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("__t"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share",
+        round(col("n_docs").cast("double") / col("__t").cast("double"), 6))
+      .drop("__t")
+  }
+
+  /** Drop rows whose domain matches any of a DRIVER-SIDE blocklist
+    * (exact, or any subdomain when `matchSubdomains`). Map-only — the
+    * predicate compiles into the scan filter; suitable for policy
+    * lists up to a few thousand entries (beyond that, use
+    * [[blocklistAntiJoin]]).
+    */
+  def blocklistFilter(df: DataFrame, urlCol: String, blocked: Seq[String],
+      matchSubdomains: Boolean = true): DataFrame = {
+    if (blocked.isEmpty) return df
+    val dom = urlDomain(col(urlCol))
+    val hit = blocked.map { b =>
+      val exact = dom === lit(b)
+      if (matchSubdomains) exact || dom.endsWith(lit("." + b)) else exact
+    }.reduce(_ || _)
+    // non-URL rows (null domain) are kept: the blocklist is a domain
+    // policy, not a validity filter
+    df.filter(!coalesce(hit, lit(false)))
+  }
+
+  /** Every dot-suffix of `domain` with at least two labels
+    * (`a.b.c.d` → [a.b.c.d, b.c.d, c.d]) — the equi-join form of
+    * subdomain matching. Two-label floor so a blocklist entry can
+    * never be a bare TLD.
+    */
+  private[operators] def domainSuffixes(domain: Column): Column = {
+    val parts = split(domain, "\\.")
+    transform(sequence(lit(0), size(parts) - lit(2)),
+      i => array_join(slice(parts, i + 1, size(parts) - i), "."))
+  }
+
+  /** Drop rows whose domain is, or is a subdomain of, any domain in
+    * the blocklist FRAME (`blockCol`, exact registrable domains). The
+    * scalable form: each row explodes into its ≤ #labels dot-suffixes
+    * and anti-joins the blocklist on EQUALITY — the blocklist
+    * broadcasts (policy tables are small next to the corpus), so the
+    * whole gate is map-side with no shuffle of the corpus.
+    */
+  def blocklistAntiJoin(df: DataFrame, urlCol: String,
+      blocklist: DataFrame, blockCol: String): DataFrame = {
+    val withDom = df.withColumn("__dom", urlDomain(col(urlCol)))
+    val hits = withDom
+      .select(col("__dom"))
+      .filter(col("__dom").isNotNull)
+      .select(col("__dom"), explode(domainSuffixes(col("__dom"))).as("__sfx"))
+      .join(broadcast(blocklist.select(col(blockCol).as("__sfx"))), Seq("__sfx"))
+      .select(col("__dom")).distinct()
+    withDom.join(broadcast(hits), Seq("__dom"), "left_anti").drop("__dom")
+  }
+}
