@@ -49,7 +49,8 @@ final class HttpModelClient(
     stream: Boolean = false,
     chunkTimeout: Duration = Duration.ofSeconds(30),
     embedBatchSize: Int = 64)
-  extends SemanticOps.ModelClient with SemanticOps.EmbeddingClient {
+  extends SemanticOps.ModelClient with SemanticOps.EmbeddingClient
+  with SemanticOps.VisionClient {
 
   @transient private lazy val http =
     HttpClient.newBuilder()
@@ -200,6 +201,55 @@ final class HttpModelClient(
       }
     } finally body.close()
     content.toString()
+  }
+
+  /** OpenAI-compatible vision inference (matching the reference's
+    * provider-delegating vision capability,
+    * `tools/src/aden_tools/tools/vision_tool/vision_tool.py:372-428`):
+    * `POST /chat/completions` whose user message carries a `text`
+    * content part (the instruction prompt) plus an `image_url` part
+    * with a base64 data URL — the cross-provider chat-with-image
+    * shape. One request per image (content understanding is
+    * per-asset; provider multi-image semantics differ), same retry
+    * classification and usage accounting as the text surface. The
+    * response content is returned verbatim — labels/OCR/caption
+    * parsing belongs to the caller's prompt contract.
+    */
+  override def analyzeImages(prompt: String,
+      images: Seq[(Array[Byte], String)]): Seq[String] =
+    images.map { case (bytes, mime) => analyzeOne(prompt, bytes, mime) }
+
+  private def analyzeOne(prompt: String, bytes: Array[Byte], mime: String): String = {
+    val root = mapper.createObjectNode()
+    root.put("model", model)
+    root.put("max_tokens", maxTokens)
+    val messages = root.putArray("messages")
+    val user = messages.addObject()
+    user.put("role", "user")
+    val parts = user.putArray("content")
+    val text = parts.addObject()
+    text.put("type", "text")
+    text.put("text", prompt)
+    val img = parts.addObject()
+    img.put("type", "image_url")
+    img.putObject("image_url").put("url",
+      s"data:$mime;base64,${java.util.Base64.getEncoder.encodeToString(bytes)}")
+    val reqBuilder = HttpRequest.newBuilder()
+      .uri(URI.create(s"${endpoint.stripSuffix("/")}/chat/completions"))
+      .timeout(requestTimeout)
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(root)))
+    apiKey.foreach(k => reqBuilder.header("Authorization", s"Bearer $k"))
+    val resp =
+      try http.send(reqBuilder.build(), HttpResponse.BodyHandlers.ofString())
+      catch {
+        case e: java.io.IOException =>
+          throw RetryableModelError(s"connection error: ${e.getMessage}", e)
+      }
+    resp.statusCode() match {
+      case 200 => parseContent(resp.body())
+      case s => classifyFailure(s, resp.body())
+    }
   }
 
   /** OpenAI-compatible `POST /embeddings`: one request per

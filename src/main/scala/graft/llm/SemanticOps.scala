@@ -99,6 +99,45 @@ object SemanticOps {
     }
   }
 
+  /** Vision-inference client — the transport seam for image →
+    * labels/OCR/caption extraction (the production path behind
+    * [[graft.operators.Multimodal]]'s deterministic feature stub).
+    * Production is [[HttpModelClient.analyzeImages]] (OpenAI-compatible
+    * chat with base64 `image_url` content parts); tests use a stub.
+    * Same factory-per-partition discipline as [[ModelClient]].
+    */
+  trait VisionClient extends Serializable {
+    /** One response per (bytes, mimeType) image, in input order, for a
+      * shared instruction prompt.
+      */
+    def analyzeImages(prompt: String, images: Seq[(Array[Byte], String)]): Seq[String]
+  }
+
+  /** Retry with exponential backoff for the vision surface — same
+    * classification contract as [[RetryingClient]].
+    */
+  final case class RetryingVisionClient(inner: VisionClient,
+      maxRetries: Int = 3, backoffBaseMs: Long = 2000,
+      backoffCapMs: Long = 60000) extends VisionClient {
+    override def analyzeImages(prompt: String,
+        images: Seq[(Array[Byte], String)]): Seq[String] = {
+      var attempt = 0
+      while (true) {
+        try return inner.analyzeImages(prompt, images)
+        catch {
+          case e: PermanentModelError => throw e
+          case e: Exception =>
+            attempt += 1
+            if (attempt > maxRetries) throw e
+            val wait = math.min(backoffCapMs,
+              (backoffBaseMs * math.pow(2.0, (attempt - 1).toDouble)).toLong)
+            Thread.sleep(wait)
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+  }
+
   /** Attach a real embedding column: batch-call the client per
     * partition (one client per partition, like [[semanticMap]]) and
     * add `outputCol` as `array<float>` — the production feed for the

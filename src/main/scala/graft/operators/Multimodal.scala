@@ -602,6 +602,58 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** MIME type from the magic bytes the decode kernel recognizes —
+    * what [[annotateImages]] stamps into the data URL.
+    */
+  private[graft] def sniffMime(bytes: Array[Byte]): String = {
+    if (bytes == null || bytes.length < 12) "application/octet-stream"
+    else if (bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) "image/jpeg"
+    else if (bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N' &&
+      bytes(3) == 'G') "image/png"
+    else "application/octet-stream"
+  }
+
+  /** Vision-model annotation — the PRODUCTION path at the seam where
+    * [[extractFeatures]] keeps its deterministic stub (matching the
+    * reference's provider-delegated `vision_detect_labels/text/…`,
+    * `vision_tool.py:372-428`): per-partition batched calls through a
+    * pluggable [[graft.llm.SemanticOps.VisionClient]] (one client per
+    * partition, never serialized), each image shipped as a base64
+    * data URL with its sniffed MIME type, the model's response
+    * attached as `outputCol`. What the response contains —
+    * label JSON, OCR text, a caption — is the prompt's contract;
+    * tests drive a deterministic stub / in-JVM server
+    * (SemanticSpec), production passes
+    * `() => new HttpModelClient(...)`.
+    *
+    * Scale shape: the classic inference map stage — no shuffle, CPU/
+    * network bound, batch size bounds in-flight memory; throughput
+    * scales with partitions × provider concurrency.
+    */
+  def annotateImages(df: DataFrame, contentCol: String, prompt: String,
+      clientFactory: () => graft.llm.SemanticOps.VisionClient,
+      outputCol: String = "annotation", batchSize: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField(outputCol, StringType))
+    val contentIdx = inSchema.fieldIndex(contentCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      val client = clientFactory()
+      it.grouped(batchSize).flatMap { batch =>
+        val images = batch.map { row =>
+          val bytes = row.getAs[Array[Byte]](contentIdx)
+          (bytes, sniffMime(bytes))
+        }
+        val outs = client.analyzeImages(prompt, images)
+        require(outs.size == batch.size,
+          s"vision client returned ${outs.size} answers for ${batch.size} images")
+        batch.zip(outs).map { case (row, ann) => Row.fromSeq(row.toSeq :+ ann) }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Content-derived image features: [avgR, avgG, avgB, 4-bin luma
     * histogram, aspect ratio] cyclically folded into `dim` floats,
     * unit-normed.

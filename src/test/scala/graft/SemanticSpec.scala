@@ -181,6 +181,80 @@ class SemanticSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("HttpModelClient vision: base64 image_url content parts, retries, usage, annotateImages") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import graft.llm.{HttpModelClient, PermanentModelError, RetryableModelError}
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    @volatile var failuresBeforeOk = 0
+    @volatile var lastPromptPart: String = null
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    // the server decodes the data URL and labels the image by its
+    // HEADER — proving the bytes round-trip intact through base64
+    def labelOf(bytes: Array[Byte], mime: String): String =
+      s"label:$mime:${bytes.length}:${bytes.take(2).map(b => b & 0xFF).mkString("-")}"
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1/chat/completions", (ex: HttpExchange) => {
+      try {
+        val req = mapper.readTree(ex.getRequestBody.readAllBytes())
+        val parts = req.path("messages").path(0).path("content")
+        val (code, body) =
+          if (hits.incrementAndGet() <= failuresBeforeOk) (429, """{"error":"slow"}""")
+          else if (!parts.isArray || parts.size() != 2) (400, """{"error":"want 2 parts"}""")
+          else {
+            lastPromptPart = parts.get(0).path("text").asText()
+            val url = parts.get(1).path("image_url").path("url").asText()
+            val prefix = url.substring(0, url.indexOf(";base64,"))
+            val mime = prefix.stripPrefix("data:")
+            val bytes = java.util.Base64.getDecoder
+              .decode(url.substring(url.indexOf(";base64,") + 8))
+            val root = mapper.createObjectNode()
+            root.putArray("choices").addObject()
+              .putObject("message").put("content", labelOf(bytes, mime))
+            root.putObject("usage").put("prompt_tokens", 90).put("completion_tokens", 5)
+            (200, mapper.writeValueAsString(root))
+          }
+        val bytes = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(code, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+      } finally ex.close()
+    })
+    server.start()
+    val url = s"http://127.0.0.1:${server.getAddress.getPort}/v1"
+    try {
+      import graft.operators.Multimodal
+      val png = Multimodal.syntheticPng(32, 16)
+      val jpg = Multimodal.syntheticJpeg(8, 8)
+      // happy path: per-image answers in order; mime + bytes intact
+      val client = new HttpModelClient(url, "vis-model")
+      val out = client.analyzeImages("List the labels.",
+        Seq((png, "image/png"), (jpg, "image/jpeg")))
+      assert(out == Seq(labelOf(png, "image/png"), labelOf(jpg, "image/jpeg")))
+      assert(lastPromptPart == "List the labels.")
+      assert(client.usage == (180L, 10L), "usage accumulates per image request")
+      // 429 retryable via the wrapper; permanent 4xx surfaces at once
+      failuresBeforeOk = hits.get() + 2
+      val retrying = SemanticOps.RetryingVisionClient(
+        new HttpModelClient(url, "vis-model"), maxRetries = 3, backoffBaseMs = 1)
+      assert(retrying.analyzeImages("p", Seq((png, "image/png"))).head
+        == labelOf(png, "image/png"))
+      intercept[PermanentModelError] {
+        new HttpModelClient(s"http://127.0.0.1:${server.getAddress.getPort}/nope", "m")
+          .analyzeImages("p", Seq((png, "image/png")))
+      }
+      intercept[RetryableModelError] {
+        new HttpModelClient("http://127.0.0.1:1/v1", "m")
+          .analyzeImages("p", Seq((png, "image/png")))
+      }
+      // end-to-end through the operator: mime sniffed from magic bytes
+      val df = Seq((1L, png), (2L, jpg)).toDF("asset_id", "content")
+      val annotated = graft.operators.Multimodal.annotateImages(df, "content",
+          "List the labels.", () => new HttpModelClient(url, "vis-model"))
+        .collect().map(r => r.getLong(0) -> r.getAs[String]("annotation")).toMap
+      assert(annotated == Map(1L -> labelOf(png, "image/png"),
+        2L -> labelOf(jpg, "image/jpeg")))
+    } finally server.stop(0)
+  }
+
   test("HttpModelClient streaming: SSE deltas, mid-stream disconnect retried, stall fails fast") {
     import com.sun.net.httpserver.{HttpExchange, HttpServer}
     import graft.llm.{HttpModelClient, RetryableModelError}
