@@ -369,6 +369,35 @@ object CatalystExpressions {
     override protected def withNewChildInternal(c: Expression): NearestCentroid = copy(c)
   }
 
+  /** Similarity (dot after the same float-rounded normalize) of a
+    * vector to its nearest centroid — [[NearestCentroid]]'s winning
+    * score instead of its index; null when no centroid matches the
+    * dimension. Feeds the IVF drift metric.
+    */
+  case class NearestCentroidSim(child: Expression, centroids: Array[Array[Double]])
+      extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    private lazy val elemFloat = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    override def nullSafeEval(v: Any): Any = {
+      val sim = ExprKernels.nearestCentroidSim(v.asInstanceOf[ArrayData], centroids, elemFloat)
+      if (java.lang.Double.isNaN(sim)) null else sim
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val centRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      nullSafeCodeGen(ctx, ev, c => {
+        val sim = ctx.freshName("bestSim")
+        s"""
+        final double $sim = $K.nearestCentroidSim($c, $centRef, $elemFloat);
+        if (Double.isNaN($sim)) { ${ev.isNull} = true; } else { ${ev.value} = $sim; }"""
+      })
+    }
+    override protected def withNewChildInternal(c: Expression): NearestCentroidSim = copy(c)
+  }
+
   /** Integer-scaled bigram-LM log-probability sum over a token array
     * (the scoring half of a CCNet-style perplexity filter). The fitted
     * model — unigram counts, bigram counts, vocabulary size — rides
@@ -600,6 +629,9 @@ object CatalystExpressions {
 
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
     column(NearestCentroid(expression(vec), centroids))
+
+  def nearestCentroidSim(vec: Column, centroids: Array[Array[Double]]): Column =
+    column(NearestCentroidSim(expression(vec), centroids))
 
   def shingleHashes(tokenHashes: Column, k: Int): Column =
     column(ShingleHashes(expression(tokenHashes), k))

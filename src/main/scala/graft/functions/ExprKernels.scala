@@ -541,6 +541,46 @@ object ExprKernels {
       .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
   }
 
+  /** Similarity of a vector to its NEAREST centroid — the same
+    * normalize + argmax-dot walk as [[nearestCentroid]], returning the
+    * winning dot product instead of the index. Feeds the IVF centroid
+    * drift metric (batch mean of `1 − sim` vs the fit-time value
+    * persisted in the layout meta). NaN when no centroid matches the
+    * dimension.
+    */
+  def nearestCentroidSim(a: ArrayData, centroids: Array[Array[Double]],
+      elemFloat: Boolean): Double = {
+    val n = a.numElements()
+    @inline def elem(i: Int): Double =
+      if (elemFloat) a.getFloat(i).toDouble else a.getDouble(i)
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val x = elem(i); ss += x * x; i += 1 }
+    val nrm = math.sqrt(ss)
+    val unit = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      unit(i) =
+        if (nrm == 0.0) elem(i)
+        else if (elemFloat) (elem(i) / nrm).toFloat.toDouble
+        else elem(i) / nrm
+      i += 1
+    }
+    var bestSim = Double.NaN
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      if (cent.length == n) {
+        var sim = 0.0
+        var j = 0
+        while (j < n) { sim += unit(j) * cent(j); j += 1 }
+        if (!(sim <= bestSim)) bestSim = sim // NaN-safe max
+      }
+      c += 1
+    }
+    bestSim
+  }
+
   /** Query parameters stripped by URL canonicalization: the
     * click-/campaign-tracking names (exact, lowercase) plus the whole
     * `utm_*` family. The standard crawl-curation front door (CCNet/C4

@@ -176,11 +176,52 @@ object Similarity {
     * in a later session without the fitting corpus.
     */
   def ivfWriteLayout(df: DataFrame, index: IvfIndex, idCol: String,
-      path: String): Unit = {
+      vecCol: String, path: String): Unit = {
     Scale.writePartitioned(df.join(index.assignments, Seq(idCol)),
       s"$path/corpus", Seq("cluster"))
+    // fit-time distance distribution (mean/p95 of 1 − nearest-centroid
+    // similarity over the stored corpus): the baseline ivfDrift
+    // compares incremental batches against, so the caller-owned re-fit
+    // decision has a signal instead of a guess. One extra aggregate
+    // over a frame this write already scans.
+    val dist = lit(1.0) -
+      graft.functions.CatalystExpressions.nearestCentroidSim(col(vecCol), index.centroids)
+    val stats = df.agg(avg(dist).as("m"),
+      percentile_approx(dist, lit(0.95), lit(10000)).as("p")).head()
     writeJson(df.sparkSession, s"$path/ivf_meta.json",
-      Map("centroids" -> index.centroids.map(_.toSeq).toSeq))
+      Map("centroids" -> index.centroids.map(_.toSeq).toSeq,
+        "fit_dist_mean" -> stats.getDouble(0),
+        "fit_dist_p95" -> stats.getDouble(1)))
+  }
+
+  /** Centroid-drift report for an incremental batch against a durable
+    * IVF layout: `batchMean` is the batch's mean distance
+    * (1 − nearest-centroid similarity, the assignment's own measure)
+    * under the PERSISTED centroids; `fitMean`/`fitP95` are the
+    * fit-time distribution stored by [[ivfWriteLayout]]. A ratio near
+    * 1 means the batch looks like the fit corpus (append freely);
+    * sustained ratios well above 1 — or `batchMean` beyond `fitP95` —
+    * say the fixed centroids no longer describe the data and the
+    * caller should schedule the re-fit that [[ivfAppend]] deliberately
+    * never does on its own.
+    */
+  final case class IvfDriftReport(batchMean: Double, fitMean: Double,
+      fitP95: Double) {
+    def ratio: Double = if (fitMean > 0) batchMean / fitMean else Double.NaN
+  }
+
+  def ivfDrift(batch: DataFrame, vecCol: String, path: String): IvfDriftReport = {
+    implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+    val meta = readJson(batch.sparkSession, s"$path/ivf_meta.json")
+    val centroids = (meta \ "centroids").extract[Seq[Seq[Double]]].map(_.toArray).toArray
+    val fitMean = (meta \ "fit_dist_mean").extractOpt[Double].getOrElse(
+      throw new IllegalStateException(
+        s"$path/ivf_meta.json has no fit_dist_mean — layout written before " +
+          "drift stats existed; rebuild it to enable drift reporting"))
+    val fitP95 = (meta \ "fit_dist_p95").extractOpt[Double].getOrElse(fitMean)
+    val dist = lit(1.0) -
+      graft.functions.CatalystExpressions.nearestCentroidSim(col(vecCol), centroids)
+    IvfDriftReport(batch.agg(avg(dist)).head().getDouble(0), fitMean, fitP95)
   }
 
   /** IVF ANN probe against a durable [[ivfWriteLayout]] layout: rank
@@ -231,7 +272,7 @@ object Similarity {
         ivfWriteLayout(df,
           ivfIndex(fitOn.getOrElse(df), idCol, vecCol, nCentroids, iterations,
             fitSampleFraction, seed),
-          idCol, path)
+          idCol, vecCol, path)
       }
       java.lang.Boolean.TRUE
     }

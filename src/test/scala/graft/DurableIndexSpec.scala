@@ -128,7 +128,7 @@ class DurableIndexSpec extends SparkSpec {
     val index = Similarity.ivfIndex(old, "vec_id", "embedding",
       nCentroids = 4, fitSampleFraction = 1.0)
     val appended = Files.createTempDirectory("graft-ivf-app").toString
-    Similarity.ivfWriteLayout(old, index, "vec_id", appended)
+    Similarity.ivfWriteLayout(old, index, "vec_id", "embedding", appended)
     val oldFiles = spark.read.parquet(s"$appended/corpus").inputFiles.toSet
 
     Similarity.ivfAppend(batch, "embedding", appended)
@@ -142,7 +142,7 @@ class DurableIndexSpec extends SparkSpec {
       emb.withColumn("cluster", graft.functions.CatalystExpressions
           .nearestCentroid(col("embedding"), index.centroids))
         .select(col("vec_id"), col("cluster")))
-    Similarity.ivfWriteLayout(emb, fullIndex, "vec_id", rebuilt)
+    Similarity.ivfWriteLayout(emb, fullIndex, "vec_id", "embedding", rebuilt)
 
     for (nProbe <- Seq(1, 2, 4)) {
       val a = Similarity.knnIvfPartitioned(spark, appended, "vec_id", "embedding",
@@ -219,6 +219,43 @@ class DurableIndexSpec extends SparkSpec {
         query, k = 10, nProbe = p).collect().toSeq
       assert(got == exp, s"nProbe=$p: probe must still see layout ∪ batch")
     }
+  }
+
+  test("ivfDrift: ≈ fit-mean for in-distribution batches, large for shifted batches") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // clustered corpus (the shape IVF is FOR — the sf embeddings are
+    // near-uniform, where no batch can meaningfully drift): vectors
+    // hug one of 4 orthogonal axes with a deterministic noise spike
+    val dim = 64
+    def mk(id: Long, axis: Int): (Long, Array[Float]) = {
+      val v = new Array[Float](dim)
+      v(axis) = 1.0f
+      val spike = ((id * 7 + 13) % dim).toInt
+      if (spike != axis) v(spike) = 0.3f
+      (id, v)
+    }
+    val fit = (0L until 200L).map(i => mk(i, (i % 4).toInt * 8)).toDF("vec_id", "embedding")
+    val batch = (1000L until 1200L).map(i => mk(i, (i % 4).toInt * 8)).toDF("vec_id", "embedding")
+    val shifted = (2000L until 2200L).map(i => mk(i, 50)).toDF("vec_id", "embedding")
+
+    val path = Files.createTempDirectory("graft-ivf-drift").toString
+    val index = Similarity.ivfIndex(fit, "vec_id", "embedding",
+      nCentroids = 4, fitSampleFraction = 1.0)
+    Similarity.ivfWriteLayout(fit, index, "vec_id", "embedding", path)
+
+    // same construction, new ids → batch mean ≈ fit mean
+    val inDist = Similarity.ivfDrift(batch, "embedding", path)
+    assert(inDist.fitMean > 0 && inDist.fitP95 >= inDist.fitMean)
+    assert(inDist.ratio > 0.5 && inDist.ratio < 1.5,
+      s"in-distribution batch must sit near the fit distribution: $inDist")
+
+    // a 5th, unseen axis: the assignment's own distance explodes —
+    // both the ratio and the p95 gate trip
+    val drift = Similarity.ivfDrift(shifted, "embedding", path)
+    assert(drift.ratio > 1.5, s"shifted batch must report drift: $drift")
+    assert(drift.batchMean > drift.fitP95,
+      s"shifted batch must exceed the fit-time p95: $drift")
   }
 
   test("ensureLshLayout in a fresh session cannot clobber an appended layout") {

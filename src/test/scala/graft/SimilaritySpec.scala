@@ -122,7 +122,7 @@ class SimilaritySpec extends SparkSpec {
     val index = Similarity.ivfIndex(emb, "vec_id", "embedding",
       nCentroids = 4, fitSampleFraction = 1.0)
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-layout").toString
-    Similarity.ivfWriteLayout(emb, index, "vec_id", dir)
+    Similarity.ivfWriteLayout(emb, index, "vec_id", "embedding", dir)
     val fromLayout = Similarity.knnIvfPartitioned(spark, dir, "vec_id", "embedding",
       query, k = 10, nProbe = 2)
     val inMemory = Similarity.knnIvf(emb, index, "vec_id", "embedding",
