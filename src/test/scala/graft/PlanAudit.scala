@@ -176,6 +176,40 @@ class PlanAudit extends SparkSpec {
     assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 2, p)
   }
 
+  test("q94: substring dedup scans pruned to (doc_id, text); stats join stays equi") {
+    val p = plan("q94_substr_spans")
+    // the window-fingerprint explode must never drag doc metadata
+    // through the fp shuffle
+    val scans = p.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.nonEmpty && scans.forall(
+      _.contains("ReadSchema: struct<doc_id:bigint,text:string>")),
+      s"substring dedup must scan only (doc_id, text):\n$scans")
+    // occurrence stats are a groupBy (map-side partials absorb hot
+    // fingerprints) joined back on fp — an equi-join, never a
+    // nested loop; partial aggregation shows as two HashAggregate
+    // levels around the fp exchange
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+  }
+
+  test("q96: URL canonicalization is map-only — only the output sort exchanges") {
+    val p = plan("q96_url_canon")
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("rangepartitioning")) == 0,
+      s"canonicalUrl/urlDomain must not shuffle:\n$p")
+  }
+
+  test("q97: blocklist is a broadcast equi-join on exploded suffixes") {
+    val p = plan("q97_domain_block")
+    assert(!p.contains("CartesianProduct"), p)
+    // suffix membership + the anti-join + the grand-total attach are
+    // all broadcast-shaped; the only nested loop is the one-row total
+    // singleton (scalar-subquery shape)
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
+    assert(p.linesIterator.exists(l => l.contains("BroadcastHashJoin") &&
+      l.contains("LeftAnti")), s"blocklist must anti-join broadcast:\n$p")
+  }
+
   test("q88: chunking is map-only — only the output sort exchanges") {
     val p = plan("q88_chunk")
     assert(p.linesIterator.count(l =>
