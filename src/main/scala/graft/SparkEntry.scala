@@ -1358,6 +1358,58 @@ object SparkEntry {
       |  round(c.n_docs::DOUBLE / t.t, 6) AS share
       |FROM c, t ORDER BY c.domain""".stripMargin
 
+  /** Domain-level quality gate
+    * ([[graft.operators.UrlOps.domainQualityGate]]): drop whole
+    * domains whose mean quality score misses the bar — the C4-style
+    * provenance filter downstream of q96/q97. The per-row score is
+    * the q40 composite quality score plus a deterministic
+    * source-derived offset (both engines compute it identically), so
+    * which domains clear the bar is fixed by construction; the oracle
+    * replays scoring, per-domain means, the gate, and the surviving
+    * aggregation.
+    */
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.UrlOps
+    val scored = docs(s, dir).withColumn("__u", syntheticUrl)
+      .withColumn("__q",
+        (substring(col("source"), 4, 10).cast("int") % 3).cast("double") * 2.0 +
+          TF.qualityScore(col("text")))
+    UrlOps.domainQualityGate(scored, "__u", "__q", minMeanScore = 3.0, minDocs = 2)
+      .groupBy(UrlOps.urlDomain(col("__u")).as("domain"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("__q")), 4).as("mean_q"))
+      .orderBy(col("domain"))
+  }
+
+  private def domainQualityOracle: String =
+    """WITH s AS (
+      |  SELECT doc_id, source,
+      |    CASE CAST(doc_id % 4 AS INTEGER)
+      |      WHEN 0 THEN source || '.example.com'
+      |      WHEN 2 THEN 'cdn.' || source || '.example.com'
+      |      ELSE source || '.example.com'
+      |    END AS domain,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      t -> len(t) > 0) AS toks, text
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, domain,
+      |    (CAST(substr(source, 4) AS INTEGER) % 3) * 2.0 +
+      |    round(
+      |      least(len(toks) / 50.0, 1.0) * 0.4
+      |      + least((CASE WHEN len(toks) = 0 THEN 0.0
+      |          ELSE len(list_filter(toks, t -> t IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','that','this','be'))) * 1.0 / len(toks) END) * 4.0, 1.0) * 0.3
+      |      + greatest(0.0, 1.0 - (CASE WHEN len(text) = 0 THEN 0.0
+      |          ELSE len(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / len(text) END) * 5.0) * 0.3,
+      |      4) AS qs
+      |  FROM s),
+      |good AS (
+      |  SELECT domain FROM q GROUP BY domain
+      |  HAVING avg(qs) >= 3.0 AND count(*) >= 2)
+      |SELECT q.domain, CAST(count(*) AS BIGINT) AS n_docs,
+      |  round(avg(q.qs), 4) AS mean_q
+      |FROM q JOIN good ON q.domain = good.domain
+      |GROUP BY q.domain ORDER BY q.domain""".stripMargin
+
   /** J5 — true as-of join via the custom sort-merge operator
     * ([[graft.plans.AsOf]]: logical node → strategy → exec, one hash
     * exchange + sort per side, streaming O(1)-state merge). Each click
@@ -1937,7 +1989,8 @@ object SparkEntry {
     "q94_substr_spans" -> (q94 _),
     "q95_substr_frac" -> (q95 _),
     "q96_url_canon" -> (q96 _),
-    "q97_domain_block" -> (q97 _))
+    "q97_domain_block" -> (q97 _),
+    "q98_domain_qgate" -> (q98 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -2376,6 +2429,7 @@ object SparkEntry {
     "q95_substr_frac" -> substrStatsOracle,
     "q96_url_canon" -> urlCanonOracle,
     "q97_domain_block" -> domainBlockOracle,
+    "q98_domain_qgate" -> domainQualityOracle,
     "q62_asof_join" ->
       """SELECT l.user_id, l.event_id, round(l.value, 2) AS click_value,
         | r.event_id AS prior_error_id, round(r.value, 2) AS prior_error_value

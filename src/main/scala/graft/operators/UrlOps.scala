@@ -67,6 +67,30 @@ object UrlOps {
     df.filter(!coalesce(hit, lit(false)))
   }
 
+  /** Domain-level quality gate (the C4/CCNet "domain filter" step):
+    * keep only rows whose domain's MEAN `scoreCol` clears
+    * `minMeanScore` over at least `minDocs` documents — low-quality
+    * and too-thin domains fall as a unit, which is the right
+    * granularity for crawl provenance (one bad domain poisons all its
+    * pages; a 2-page domain's mean is noise). Rows without a domain
+    * (non-URL provenance) are dropped: a provenance gate cannot vouch
+    * for them.
+    *
+    * Scale shape: ONE aggregate on the low-cardinality domain key
+    * (map-side partials), the good-domain list broadcasts back as a
+    * semi-join — the corpus itself never shuffles.
+    */
+  def domainQualityGate(df: DataFrame, urlCol: String, scoreCol: String,
+      minMeanScore: Double, minDocs: Long = 1L): DataFrame = {
+    val withDom = df.withColumn("__dom", urlDomain(col(urlCol)))
+    val good = withDom.filter(col("__dom").isNotNull)
+      .groupBy(col("__dom"))
+      .agg(avg(col(scoreCol)).as("__m"), count(lit(1)).as("__n"))
+      .filter(col("__m") >= minMeanScore && col("__n") >= minDocs)
+      .select(col("__dom"))
+    withDom.join(broadcast(good), Seq("__dom"), "left_semi").drop("__dom")
+  }
+
   /** Every dot-suffix of `domain` with at least two labels
     * (`a.b.c.d` → [a.b.c.d, b.c.d, c.d]) — the equi-join form of
     * subdomain matching. Two-label floor so a blocklist entry can

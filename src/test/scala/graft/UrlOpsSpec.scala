@@ -63,6 +63,19 @@ class UrlOpsSpec extends SparkSpec {
     assert(viaJoin == filtered)
   }
 
+  test("domainQualityGate keeps whole domains by mean score and minDocs") {
+    val d = Seq(
+      (1L, "https://good.com/1", 0.9), (2L, "https://good.com/2", 0.7),
+      (3L, "https://bad.com/3", 0.9), (4L, "https://bad.com/4", 0.1), // mean 0.5 < 0.6
+      (5L, "https://thin.com/5", 1.0),                                // < minDocs
+      (6L, "not a url", 1.0)                                          // no provenance
+    ).toDF("doc_id", "url", "q")
+    val kept = UrlOps.domainQualityGate(d, "url", "q",
+        minMeanScore = 0.6, minDocs = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L), s"got $kept")
+  }
+
   test("domainStats shares sum to 1 over the surviving corpus") {
     val d = Seq(
       (1L, "https://a.com/1"), (2L, "https://a.com/2"),
