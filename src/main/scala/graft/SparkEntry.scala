@@ -1410,6 +1410,37 @@ object SparkEntry {
       |FROM q JOIN good ON q.domain = good.domain
       |GROUP BY q.domain ORDER BY q.domain""".stripMargin
 
+  /** Video frame decode ([[graft.operators.Multimodal.videoFrames]]):
+    * MJPEG-in-AVI assets explode into real JPEG frames (pure-JDK RIFF
+    * walk), stride-sampled, then the EXISTING image stack decodes each
+    * frame's raster — dims are exact codec facts known a priori, so
+    * the oracle is the literal expectation table (the q44 discipline
+    * for binary kernels). A still image contributes zero rows.
+    */
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    def solid(w: Int, h: Int, c: Int) = M.renderJpeg(w, h, (_, _) => c)
+    val assets = Seq(
+      (1L, M.syntheticMjpegAvi(Seq(
+        solid(64, 32, 0xA03219), solid(64, 32, 0x19A032), solid(128, 64, 0x636363)))),
+      (2L, M.syntheticMjpegAvi(Seq(solid(32, 32, 0x0000FF)))),
+      (3L, M.renderPng(8, 8, (_, _) => 0))
+    ).toDF("doc_id", "content")
+    M.imageStats(M.videoFrames(assets, stride = 2), contentCol = "frame")
+      .select(col("doc_id"), col("frame_idx"),
+        col("stats.width").as("width"), col("stats.height").as("height"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  private def videoFramesOracle: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(frame_idx AS INTEGER) AS frame_idx,
+      |  CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height
+      |FROM (VALUES (1, 0, 64, 32), (1, 2, 128, 64), (2, 0, 32, 32))
+      |  AS t(doc_id, frame_idx, width, height)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   /** J5 — true as-of join via the custom sort-merge operator
     * ([[graft.plans.AsOf]]: logical node → strategy → exec, one hash
     * exchange + sort per side, streaming O(1)-state merge). Each click
@@ -1990,7 +2021,8 @@ object SparkEntry {
     "q95_substr_frac" -> (q95 _),
     "q96_url_canon" -> (q96 _),
     "q97_domain_block" -> (q97 _),
-    "q98_domain_qgate" -> (q98 _))
+    "q98_domain_qgate" -> (q98 _),
+    "q99_video_frames" -> (q99 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -2430,6 +2462,7 @@ object SparkEntry {
     "q96_url_canon" -> urlCanonOracle,
     "q97_domain_block" -> domainBlockOracle,
     "q98_domain_qgate" -> domainQualityOracle,
+    "q99_video_frames" -> videoFramesOracle,
     "q62_asof_join" ->
       """SELECT l.user_id, l.event_id, round(l.value, 2) AS click_value,
         | r.event_id AS prior_error_id, round(r.value, 2) AS prior_error_value

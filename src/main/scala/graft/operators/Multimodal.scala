@@ -698,6 +698,103 @@ object Multimodal {
     vec
   }
 
+  /** MJPEG-in-AVI frame walk — a REAL video frame decode path with no
+    * codec libraries: Motion JPEG stores every frame as an intact
+    * JPEG inside RIFF/AVI `##dc`/`##db` chunks, so a pure-JDK RIFF
+    * chunk walk yields bytes the existing JPEG stack (header parse,
+    * ImageIO raster decode, EXIF, resize, annotate) consumes
+    * unchanged. Recurses through LIST containers (`movi` holds the
+    * stream), honors word alignment, stops cleanly at truncation.
+    * Non-AVI input → no frames.
+    */
+  private[graft] def aviMjpegFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    if (bytes == null || bytes.length < 12 ||
+      !(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F'))
+      return Nil
+    @inline def u32(off: Int): Long =
+      (bytes(off) & 0xFFL) | ((bytes(off + 1) & 0xFFL) << 8) |
+        ((bytes(off + 2) & 0xFFL) << 16) | ((bytes(off + 3) & 0xFFL) << 24)
+    val frames = Seq.newBuilder[Array[Byte]]
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      var ok = true
+      while (ok && off + 8 <= end) {
+        val id = new String(bytes, off, 4, "ISO-8859-1")
+        val size = u32(off + 4)
+        val body = off + 8
+        if (size < 0 || size > Int.MaxValue - body) ok = false
+        else {
+          val bodyEnd = body + size.toInt
+          val truncated = bodyEnd > end
+          if (id == "RIFF" || id == "LIST") {
+            // a truncated CONTAINER still holds intact leading chunks —
+            // clamp and recurse (every frame before the damage survives)
+            val clamped = math.min(bodyEnd, end)
+            if (clamped - body >= 4) walk(body + 4, clamped) // skip form/subtype FourCC
+          } else if (!truncated &&
+            Character.isDigit(id.charAt(0)) && Character.isDigit(id.charAt(1)) &&
+            id.charAt(2) == 'd' && (id.charAt(3) == 'c' || id.charAt(3) == 'b')) {
+            frames += java.util.Arrays.copyOfRange(bytes, body, bodyEnd)
+          }
+          // a truncated LEAF ends the sibling walk (its length lies
+          // about where the next chunk starts)
+          if (truncated) ok = false
+          else off = bodyEnd + (size.toInt & 1) // RIFF chunks are word-aligned
+        }
+      }
+    }
+    walk(0, bytes.length)
+    frames.result()
+  }
+
+  /** Minimal MJPEG AVI container around pre-encoded JPEG frames —
+    * fixture builder for the frame-walk tests and gate (same role as
+    * [[syntheticPng]]).
+    */
+  private[graft] def syntheticMjpegAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length & 1
+      val out = java.nio.ByteBuffer.allocate(8 + body.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put(id.getBytes("ISO-8859-1")).putInt(body.length).put(body)
+      if (pad == 1) out.put(0.toByte)
+      out.array()
+    }
+    val movi = "movi".getBytes("ISO-8859-1") ++
+      frames.flatMap(f => chunk("00dc", f)).toArray
+    val riffBody = "AVI ".getBytes("ISO-8859-1") ++ chunk("LIST", movi)
+    chunk("RIFF", riffBody)
+  }
+
+  /** Explode video assets into their sampled frames: every `stride`-th
+    * MJPEG frame as its own row (input columns + `frame_idx`,
+    * `frame`), ready for the image stack — [[decode]]/[[imageStats]]
+    * for metadata and means, [[resizeImages]], [[annotateImages]] for
+    * provider inference. Extraction is a map-side generator (no
+    * shuffle): at scale the downstream per-frame work, not the walk,
+    * dominates, and it parallelizes by frame row. Non-AVI assets
+    * produce zero rows (a frame operator has nothing to say about
+    * stills).
+    */
+  def videoFrames(df: DataFrame, contentCol: String = "content",
+      stride: Int = 1): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1: $stride")
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("frame_idx", IntegerType) :+
+      StructField("frame", BinaryType))
+    val contentIdx = inSchema.fieldIndex(contentCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.flatMap { row =>
+        aviMjpegFrames(row.getAs[Array[Byte]](contentIdx)).zipWithIndex.collect {
+          case (f, i) if i % stride == 0 => Row.fromSeq(row.toSeq :+ i :+ f)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Frame sampling plan for video-like assets: given per-asset frame
     * counts, emit (asset, frame_idx) rows for every `stride`-th frame —
     * pure relational (sequence + explode), ready to feed a frame

@@ -476,6 +476,42 @@ class SemanticSpec extends SparkSpec {
     assert(!out(3L).getAs[Boolean]("ok") && !out(4L).getAs[Boolean]("ok"))
   }
 
+  test("videoFrames: MJPEG AVI walk yields real JPEG frames the image stack decodes") {
+    val f0 = Multimodal.renderJpeg(16, 8, (_, _) => (200 << 16) | (50 << 8) | 25)
+    val f1 = Multimodal.renderJpeg(16, 8, (_, _) => (25 << 16) | (200 << 8) | 50)
+    val f2 = Multimodal.renderJpeg(32, 16, (_, _) => (99 << 16) | (99 << 8) | 99)
+    val avi = Multimodal.syntheticMjpegAvi(Seq(f0, f1, f2))
+    val df = Seq(
+      (1L, avi),
+      (2L, Multimodal.renderPng(4, 4, (_, _) => 0)), // a still: zero frames
+      (3L, "junk".getBytes)
+    ).toDF("id", "content")
+
+    val frames = Multimodal.videoFrames(df)
+    val idx = frames.collect()
+      .map(r => (r.getLong(0), r.getInt(r.fieldIndex("frame_idx")))).toSeq.sorted
+    assert(idx == Seq((1L, 0), (1L, 1), (1L, 2)), s"got $idx")
+
+    // extracted frames are intact JPEGs: the EXISTING image stack
+    // consumes them unchanged (per-frame dims + lossy-tolerant means)
+    val stats = Multimodal.imageStats(frames, contentCol = "frame").collect()
+      .map(r => r.getInt(r.fieldIndex("frame_idx")) ->
+        r.getAs[org.apache.spark.sql.Row]("stats")).toMap
+    assert(stats(0).getAs[Boolean]("ok") && stats(0).getAs[Int]("width") == 16)
+    assert(stats(2).getAs[Int]("width") == 32 && stats(2).getAs[Int]("height") == 16)
+    assert(math.abs(stats(1).getAs[Double]("avg_g") - 200.0 / 255.0) < 0.02)
+    assert(math.abs(stats(0).getAs[Double]("avg_r") - 200.0 / 255.0) < 0.02)
+
+    // stride sampling: every 2nd frame
+    val sampled = Multimodal.videoFrames(df, stride = 2).collect()
+      .map(r => r.getInt(r.fieldIndex("frame_idx"))).toSeq.sorted
+    assert(sampled == Seq(0, 2))
+
+    // truncated container stops cleanly at the damage, keeps intact frames
+    val cut = java.util.Arrays.copyOfRange(avi, 0, avi.length - f2.length / 2)
+    assert(Multimodal.aviMjpegFrames(cut).length == 2)
+  }
+
   test("EXIF orientation: rotated camera JPEG reports display dims, means invariant") {
     // splice a minimal EXIF APP1 (TIFF IFD with the orientation tag)
     // right after SOI of a real encoded JPEG — what a camera writes
