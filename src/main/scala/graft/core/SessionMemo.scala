@@ -29,11 +29,22 @@ import org.apache.spark.sql.SparkSession
   */
 final class SessionMemo[V <: AnyRef] {
 
+  // Compute runs OUTSIDE the ConcurrentHashMap lock via a lazy cell:
+  // computeIfAbsent only allocates the cell, `.value` evaluates under
+  // the cell's own lock — so a memoized compute may itself call
+  // getOrCompute (the nested-artifact shape that trips CHM's
+  // "Recursive update" check when values are stored directly) while
+  // keeping once-only semantics. The dependency graph is acyclic, so
+  // cell locks cannot deadlock.
+  private final class Cell(thunk: () => V) {
+    lazy val value: V = thunk()
+  }
+
   // WeakHashMap needs external synchronization; the guarded section is
   // only bucket lookup + stopped-context purge (cheap), never the
   // compute itself.
   private val entries =
-    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, V]]()
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, Cell]]()
 
   private def purgeStoppedLocked(): Unit = {
     val it = entries.entrySet().iterator()
@@ -42,22 +53,41 @@ final class SessionMemo[V <: AnyRef] {
     }
   }
 
-  private def bucket(spark: SparkSession): java.util.concurrent.ConcurrentHashMap[String, V] =
+  private def bucket(spark: SparkSession): java.util.concurrent.ConcurrentHashMap[String, Cell] =
     entries.synchronized {
       purgeStoppedLocked()
       var m = entries.get(spark)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, V]()
+        m = new java.util.concurrent.ConcurrentHashMap[String, Cell]()
         entries.put(spark, m)
       }
       m
     }
 
   /** Get the memoized value for (spark, key), computing it at most
-    * once per live session.
+    * once per live session. The compute may itself call
+    * [[getOrCompute]] on this memo (nested artifacts).
     */
   def getOrCompute(spark: SparkSession, key: String)(compute: => V): V =
-    bucket(spark).computeIfAbsent(key, _ => compute)
+    bucket(spark).computeIfAbsent(key, _ => new Cell(() => compute)).value
+
+  /** Insert or OVERWRITE (already-materialized value — e.g. an index
+    * loaded from disk registered under the key its builder would
+    * compute).
+    */
+  def put(spark: SparkSession, key: String, value: V): Unit = {
+    bucket(spark).put(key, new Cell(() => value))
+    ()
+  }
+
+  /** Drop this session's entries whose key satisfies `pred` — the
+    * invalidation hook for replaced corpus snapshots.
+    */
+  def invalidate(spark: SparkSession, pred: String => Boolean): Unit =
+    entries.synchronized {
+      val m = entries.get(spark)
+      if (m != null) m.keySet.removeIf(k => pred(k))
+    }
 
   /** Number of live sessions currently holding entries (purges stopped
     * sessions first). Test/diagnostic surface.

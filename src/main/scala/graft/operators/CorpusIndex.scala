@@ -48,20 +48,12 @@ import graft.functions.{CatalystExpressions, TextFunctions}
   */
 object CorpusIndex {
 
-  /** One memoized artifact. The map's `computeIfAbsent` only ever
-    * ALLOCATES a cell (cheap, non-reentrant); the build itself runs
-    * lazily outside the map's bin lock, so a memoized build may call
-    * [[memo]] for its own dependencies (e.g. [[dedupClasses]] →
-    * [[minhashSignatures]]) without tripping ConcurrentHashMap's
-    * "Recursive update" check. The `lazy val` gives per-key
-    * once-only semantics under concurrency; the dependency graph is
-    * acyclic so cell locks cannot deadlock.
-    */
-  private final class Cell(build: () => DataFrame) {
-    lazy val value: DataFrame = build()
-  }
-
-  private val cache = new ConcurrentHashMap[(SparkSession, String), Cell]()
+  // Session-lifecycle-aware memo (graft.core.SessionMemo): weak
+  // session keys + stopped-context purge, and the lazy-cell
+  // indirection that lets a memoized build call [[memo]] for its own
+  // dependencies (e.g. dedupClasses → minhashSignatures) without
+  // tripping ConcurrentHashMap's "Recursive update" check.
+  private val cache = new graft.core.SessionMemo[DataFrame]
 
   /** The one canonical cache key for a parameterized corpus index —
     * shared by [[artifacts]] (in-session memo), [[persist]] (written
@@ -80,22 +72,14 @@ object CorpusIndex {
     * pruning to exploit) and skipping the columnar encode keeps the
     * build at scan speed.
     */
-  def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    cache.computeIfAbsent((spark, key),
-      _ => new Cell(() => build.localCheckpoint(false))).value
-  }
+  def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    cache.getOrCompute(spark, key)(build.localCheckpoint(false))
 
   /** Drop every artifact whose key starts with `keyPrefix` — the
     * invalidation hook for when a corpus snapshot is replaced.
     */
-  def invalidate(spark: SparkSession, keyPrefix: String): Unit = {
-    val it = cache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey._1 == spark && e.getKey._2.startsWith(keyPrefix)) it.remove()
-    }
-  }
+  def invalidate(spark: SparkSession, keyPrefix: String): Unit =
+    cache.invalidate(spark, _.startsWith(keyPrefix))
 
   /** The combined one-pass index frame:
     * (idCol, fingerprint, shingles, minhash_sig, simhash) — token
@@ -223,7 +207,7 @@ object CorpusIndex {
     val cacheKey = artifactKey(meta("key"), meta("idCol"),
       meta("numHashes").toInt, meta("shingleK").toInt)
     val art = spark.read.parquet(s"$path/artifacts")
-    cache.put((spark, cacheKey), new Cell(() => art))
+    cache.put(spark, cacheKey, art)
     art
   }
 

@@ -45,6 +45,30 @@ class SessionMemoSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("a memoized compute may nest another getOrCompute (lazy cell, no Recursive update)") {
+    // deterministic CHM-bin collision: "Aa" and "BB" share a hash (see
+    // the CorpusIndex regression this memo inherited) — storing values
+    // directly in the map throws IllegalStateException here
+    val memo = new SessionMemo[java.lang.Integer]
+    val out = memo.getOrCompute(spark, "nest-Aa") {
+      memo.getOrCompute(spark, "nest-BB")(Integer.valueOf(1))
+      Integer.valueOf(2)
+    }
+    assert(out == 2 && memo.getOrCompute(spark, "nest-BB")(Integer.valueOf(9)) == 1)
+  }
+
+  test("invalidate drops matching keys for one session only") {
+    val memo = new SessionMemo[java.lang.Integer]
+    val s2 = spark.newSession()
+    memo.getOrCompute(spark, "corpus:a")(Integer.valueOf(1))
+    memo.getOrCompute(spark, "other")(Integer.valueOf(2))
+    memo.getOrCompute(s2, "corpus:a")(Integer.valueOf(3))
+    memo.invalidate(spark, _.startsWith("corpus:"))
+    assert(memo.getOrCompute(spark, "corpus:a")(Integer.valueOf(10)) == 10, "invalidated → refit")
+    assert(memo.getOrCompute(spark, "other")(Integer.valueOf(11)) == 2, "untouched key kept")
+    assert(memo.getOrCompute(s2, "corpus:a")(Integer.valueOf(12)) == 3, "other session kept")
+  }
+
   test("an abandoned session's entries are released (weak keys)") {
     val memo = new SessionMemo[AnyRef]
     // entry under the long-lived shared session anchors the map
