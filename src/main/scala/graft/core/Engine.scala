@@ -47,16 +47,18 @@ object Engine {
     * nanos, which we convert to microsecond timestamps here so every
     * downstream operator sees a plain TimestampType.
     */
-  private val tableCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  // weak session keys + stopped-context purge (SessionMemo) so a
+  // long-lived multi-session service never accumulates dead sessions'
+  // plans
+  private val tableCache = new SessionMemo[DataFrame]
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     // cache the (immutable) logical plan per session+path: repeated
     // reads otherwise re-list the files and re-read parquet footers
     // for every query that touches the table
-    tableCache.computeIfAbsent((spark, s"$dir/$name.parquet"), { case (s, path) =>
-      normalizeTs(s.read.parquet(path))
-    })
+    val path = s"$dir/$name.parquet"
+    tableCache.getOrCompute(spark, path)(normalizeTs(spark.read.parquet(path)))
+  }
 
   /** Normalize the two physical forms `events.ts` has shipped as into
     * plain TimestampType: epoch-nanos LongType (legacy testdata,
