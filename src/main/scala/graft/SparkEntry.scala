@@ -1410,6 +1410,54 @@ object SparkEntry {
       |FROM q JOIN good ON q.domain = good.domain
       |GROUP BY q.domain ORDER BY q.domain""".stripMargin
 
+  /** Cross-corpus span decontamination
+    * ([[graft.operators.Dedup.crossCorpusDuplicatedSpans]]): token
+    * ranges of even-id documents that appear verbatim (5-token
+    * windows) anywhere in the odd-id reference half — q67's
+    * train/eval split at q94's span granularity. The oracle rebuilds
+    * reference grams as a DISTINCT string set, semi-joins, and
+    * replays the merge.
+    */
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.operators.Dedup.crossCorpusDuplicatedSpans(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0),
+        d.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text", windowTokens = 5)
+      .orderBy(col("doc_id"), col("span_begin"))
+  }
+
+  private def crossSpansOracle: String =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      t -> len(t) > 0) AS tk
+      |  FROM documents),
+      |win AS (
+      |  SELECT doc_id, w.pos AS pos, w.gram AS gram
+      |  FROM (SELECT doc_id, unnest(list_transform(
+      |      generate_series(1, len(tk) - 4),
+      |      i -> struct_pack(pos := i - 1,
+      |        gram := array_to_string(tk[i:i+4], ' ')))) AS w
+      |    FROM tk WHERE len(tk) >= 5)),
+      |rf AS (SELECT DISTINCT gram FROM win WHERE doc_id % 2 = 1),
+      |fl AS (
+      |  SELECT t.doc_id, t.pos
+      |  FROM (SELECT * FROM win WHERE doc_id % 2 = 0) t
+      |  JOIN rf ON t.gram = rf.gram),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    sum(CASE WHEN prev IS NULL OR pos - prev > 5 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM (SELECT doc_id, pos,
+      |      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |    FROM fl))
+      |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_begin,
+      |  CAST(max(pos) + 5 AS BIGINT) AS span_end,
+      |  CAST(count(*) AS BIGINT) AS n_windows
+      |FROM isl GROUP BY doc_id, island
+      |ORDER BY doc_id, span_begin""".stripMargin
+
   /** Video frame decode ([[graft.operators.Multimodal.videoFrames]]):
     * MJPEG-in-AVI assets explode into real JPEG frames (pure-JDK RIFF
     * walk), stride-sampled, then the EXISTING image stack decodes each
@@ -2022,7 +2070,8 @@ object SparkEntry {
     "q96_url_canon" -> (q96 _),
     "q97_domain_block" -> (q97 _),
     "q98_domain_qgate" -> (q98 _),
-    "q99_video_frames" -> (q99 _))
+    "q99_video_frames" -> (q99 _),
+    "q100_xspans" -> (q100 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -2463,6 +2512,7 @@ object SparkEntry {
     "q97_domain_block" -> domainBlockOracle,
     "q98_domain_qgate" -> domainQualityOracle,
     "q99_video_frames" -> videoFramesOracle,
+    "q100_xspans" -> crossSpansOracle,
     "q62_asof_join" ->
       """SELECT l.user_id, l.event_id, round(l.value, 2) AS click_value,
         | r.event_id AS prior_error_id, round(r.value, 2) AS prior_error_value

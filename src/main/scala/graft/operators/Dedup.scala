@@ -792,6 +792,16 @@ object Dedup {
           struct(col(idCol), col("pos")) =!= col("__first")
         else lit(true))
       .select(col(idCol), col("pos"))
+    mergeSpans(flagged, idCol, windowTokens)
+  }
+
+  /** Gaps-and-islands merge of flagged (id, pos) windows into maximal
+    * spans — shared by the substring-dedup family. Overlapping or
+    * exactly-adjacent fixed-width windows coalesce; one shuffle of the
+    * flagged subset only.
+    */
+  private def mergeSpans(flagged: DataFrame, idCol: String,
+      windowTokens: Int): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
     flagged
@@ -803,6 +813,37 @@ object Dedup {
         (max(col("pos")) + windowTokens).cast("long").as("span_end"),
         count(lit(1)).as("n_windows"))
       .select(col(idCol), col("span_begin"), col("span_end"), col("n_windows"))
+  }
+
+  /** Cross-corpus span decontamination — [[duplicatedSpans]] against a
+    * REFERENCE corpus (eval suites, known benchmark text, an
+    * already-clean corpus): every `windowTokens`-token window of `df`
+    * whose fingerprint occurs ANYWHERE in `ref` is flagged and merged
+    * into spans. The span-level complement of the gram-count
+    * decontamination family (`Curation.ngramDecontaminate` answers
+    * "which documents overlap an eval doc ≥ k grams"; this answers
+    * "exactly WHICH token ranges are verbatim reference text" — the
+    * cut/audit granularity).
+    *
+    * Scale shape: the reference side reduces to its DISTINCT window
+    * fingerprints (one aggregate, 8 bytes each) and the flag is one
+    * left-semi equi-join — reference boilerplate can't fan out
+    * (semi-join is indifferent to duplicate build keys). Span merge as
+    * in [[duplicatedSpans]].
+    */
+  def crossCorpusDuplicatedSpans(df: DataFrame, ref: DataFrame,
+      idCol: String, textCol: String, windowTokens: Int = 50): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1: $windowTokens")
+    import graft.functions.CatalystExpressions
+    def win(d: DataFrame): DataFrame = Scale.parallelismFloor(d)
+      .select(col(idCol), posexplode(CatalystExpressions.windowFingerprints(
+        CatalystExpressions.tokenHashes(col(textCol)), windowTokens)))
+      .toDF(idCol, "pos", "__fp")
+    val refFps = win(ref).select(col("__fp")).distinct()
+    val flagged = pinJoinParallelism(win(df), Seq("__fp"))
+      .join(refFps, Seq("__fp"), "left_semi")
+      .select(col(idCol), col("pos"))
+    mergeSpans(flagged, idCol, windowTokens)
   }
 
   /** Per-document duplicated-token coverage from [[duplicatedSpans]]:

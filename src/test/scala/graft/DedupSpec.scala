@@ -252,6 +252,24 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(stats(2L)._3 - 10.0 / stats(2L)._1) < 1e-6)
   }
 
+  test("crossCorpusDuplicatedSpans flags only reference-verbatim ranges") {
+    val quote = "to be or not to be that is the question"
+    val train = Seq(
+      (1L, s"an essay begins here $quote and then continues its own argument"),
+      (2L, "a fully original composition free of any borrowed reference material")
+    ).toDF("doc_id", "text")
+    val ref = Seq(
+      (100L, s"famous soliloquy $quote end of extract"),
+      // reference-internal duplication must not flag train text
+      (101L, s"$quote $quote")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.crossCorpusDuplicatedSpans(train, ref, "doc_id", "text",
+        windowTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: quote occupies tokens 4..13 → windows 4..9 → span [4, 14)
+    assert(spans.toSeq == Seq((1L, 4L, 14L, 6L)), s"got ${spans.toSeq}")
+  }
+
   test("duplicatedSpans: within-document repetition counts toward minCount") {
     // the same 5-token run appears twice INSIDE one document — the
     // Lee et al. criterion counts occurrences, not distinct documents
