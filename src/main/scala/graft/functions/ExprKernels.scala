@@ -501,7 +501,13 @@ object ExprKernels {
     * `round(cast(x as double) * 127.0 / max(|x|))` with Spark round
     * semantics (BigDecimal HALF_UP — `Math.floor(x+0.5)` differs on
     * doubles just under a half ulp). Null or zero-max vectors
-    * quantize to zeros → dot 0.
+    * quantize to zeros → dot 0. One DOCUMENTED deviation from the
+    * composed form: a row vector whose length differs from the query
+    * dots over the common prefix (min(m, q.length)) instead of
+    * zip_with's null propagation — a truncated score ranks the row
+    * low, where a null score would need null-ordering care in every
+    * caller; same-dim embeddings (the contract) never hit either
+    * path.
     */
   def quantizedDotQ(vec: ArrayData, q: Array[Long]): Long = {
     if (vec == null) return 0L
