@@ -846,6 +846,91 @@ object Dedup {
     mergeSpans(flagged, idCol, windowTokens)
   }
 
+  // ------------------------------- durable substring-fingerprint index
+  //
+  // The incremental-ingest form of cross-corpus span checking, mirroring
+  // CorpusIndex / the durable ANN layouts: persist the reference
+  // corpus's DISTINCT window fingerprints once, check each day's batch
+  // against the artifact (O(batch) + one semi-join), append new
+  // reference material without recomputing or rewriting what's there.
+
+  private def windowFps(df: DataFrame, textCol: String,
+      windowTokens: Int): DataFrame = {
+    import graft.functions.CatalystExpressions
+    Scale.parallelismFloor(df)
+      .select(explode(CatalystExpressions.windowFingerprints(
+        CatalystExpressions.tokenHashes(col(textCol)), windowTokens)).as("__fp"))
+      .distinct()
+  }
+
+  private def writeSubstringMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, windowTokens: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/substring_meta.json")
+    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration).create(p, true)
+    try out.write(s"""{"version":1,"windowTokens":$windowTokens}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readSubstringMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/substring_meta.json")
+    val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+    val parsed = org.json4s.jackson.JsonMethods.parse(text)
+    require((parsed \ "version").extract[Int] == 1, s"unsupported substring index at $path")
+    (parsed \ "windowTokens").extract[Int]
+  }
+
+  /** Persist the reference corpus's distinct `windowTokens`-token
+    * window fingerprints under `path` (8 bytes per distinct window —
+    * the whole reference reduces to a compact parquet set) plus the
+    * window size as metadata, so later sessions check batches without
+    * the reference text.
+    */
+  def substringIndexPersist(ref: DataFrame, textCol: String, path: String,
+      windowTokens: Int = 50): Unit = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1: $windowTokens")
+    windowFps(ref, textCol, windowTokens).write.mode("overwrite").parquet(s"$path/fps")
+    writeSubstringMeta(ref.sparkSession, path, windowTokens)
+  }
+
+  /** Grow the persisted index with NEW reference material: only the
+    * batch's fingerprints not already indexed are appended (one
+    * anti-join against the artifact), existing files are never read
+    * into memory wholesale or rewritten — O(batch) daily ingest, the
+    * [[CorpusIndex.append]] discipline.
+    */
+  def substringIndexAppend(batch: DataFrame, textCol: String,
+      path: String): Unit = {
+    val w = readSubstringMeta(batch.sparkSession, path)
+    val existing = batch.sparkSession.read.parquet(s"$path/fps")
+    windowFps(batch, textCol, w)
+      .join(existing, Seq("__fp"), "left_anti")
+      .write.mode("append").parquet(s"$path/fps")
+  }
+
+  /** [[crossCorpusDuplicatedSpans]] against a persisted
+    * [[substringIndexPersist]] artifact: the reference side is the
+    * loaded fingerprint set, so a batch check costs O(batch windows) +
+    * one semi-join regardless of reference size — and any session can
+    * run it without the reference text.
+    */
+  def duplicatedSpansIndexed(df: DataFrame, idCol: String, textCol: String,
+      path: String): DataFrame = {
+    import graft.functions.CatalystExpressions
+    val w = readSubstringMeta(df.sparkSession, path)
+    val refFps = df.sparkSession.read.parquet(s"$path/fps")
+    val win = Scale.parallelismFloor(df)
+      .select(col(idCol), posexplode(CatalystExpressions.windowFingerprints(
+        CatalystExpressions.tokenHashes(col(textCol)), w)))
+      .toDF(idCol, "pos", "__fp")
+    val flagged = pinJoinParallelism(win, Seq("__fp"))
+      .join(refFps, Seq("__fp"), "left_semi")
+      .select(col(idCol), col("pos"))
+    mergeSpans(flagged, idCol, w)
+  }
+
   /** Per-document duplicated-token coverage from [[duplicatedSpans]]:
     * (idCol, n_tokens, dup_tokens, dup_frac) for EVERY input document
     * (clean documents report 0). `dup_tokens` sums the merged span

@@ -288,6 +288,42 @@ class DurableIndexSpec extends SparkSpec {
     }
   }
 
+  test("durable substring index: indexed check == direct; append == rebuild; old files untouched") {
+    val docs = graft.core.Engine.table(spark, sfDir, "documents")
+    val train = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val refA = docs.filter(pmod(col("doc_id"), lit(4)) === 1)
+    val refB = docs.filter(pmod(col("doc_id"), lit(4)) === 3)
+    def spansOf(df: DataFrame): Seq[(Long, Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted
+
+    // persist half the reference; indexed check equals the direct operator
+    val path = Files.createTempDirectory("graft-substr-idx").toString
+    Dedup.substringIndexPersist(refA, "text", path, windowTokens = 5)
+    val direct = spansOf(Dedup.crossCorpusDuplicatedSpans(train, refA,
+      "doc_id", "text", windowTokens = 5))
+    val indexed = spansOf(Dedup.duplicatedSpansIndexed(train, "doc_id", "text", path))
+    assert(indexed == direct && direct.nonEmpty)
+
+    // append the other half: check(batch ∪) == direct against the full
+    // reference, and the original fp files are never rewritten
+    val oldFiles = spark.read.parquet(s"$path/fps").inputFiles.toSet
+    Dedup.substringIndexAppend(refB, "text", path)
+    assert(spark.read.parquet(s"$path/fps").inputFiles.toSet
+      .intersect(oldFiles) == oldFiles, "append must not rewrite old fp files")
+    val directFull = spansOf(Dedup.crossCorpusDuplicatedSpans(train,
+      refA.unionByName(refB), "doc_id", "text", windowTokens = 5))
+    val indexedFull = spansOf(Dedup.duplicatedSpansIndexed(train, "doc_id", "text", path))
+    assert(indexedFull == directFull)
+
+    // a different session answers from the artifact alone
+    val s2 = spark.newSession()
+    val other = spansOf(Dedup.duplicatedSpansIndexed(
+      graft.core.Engine.table(s2, sfDir, "documents")
+        .filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text", path))
+    assert(other == indexedFull)
+  }
+
   test("connectedComponents with a durable checkpoint dir matches localCheckpoint") {
     import spark.implicits._
     // two chains (1-2-3-4) and (10-11), plus a ring (20-21-22-20):
