@@ -35,7 +35,11 @@ class CodegenSpec extends SparkSpec {
       CatalystExpressions.bigramLogProbSum(col("t"),
         Map("a" -> 1L), Map(("a", "b") -> 1L), 2L),
       CatalystExpressions.dsirLogRatioSum(col("t"), new Array[Long](16), 16),
-      CatalystExpressions.bpeEncode(col("t"), Seq(("e", "s"))))
+      CatalystExpressions.bpeEncode(col("t"), Seq(("e", "s"))),
+      CatalystExpressions.windowFingerprints(col("h"), 5),
+      CatalystExpressions.canonicalUrl(col("text")),
+      CatalystExpressions.urlDomain(col("text")),
+      CatalystExpressions.nearestCentroidSim(col("a"), Array(Array(1.0, 0.0))))
     exprs.foreach { c =>
       val e = expressionOf(c)
       assert(!e.isInstanceOf[CodegenFallback],
