@@ -258,6 +258,10 @@ object Curation {
     *  2. exact n-gram decontamination against `evalDocs`
     *     ([[ngramDecontaminate]], drop any train doc sharing
     *     ≥ `minShared` distinct `n`-grams with an eval doc);
+    *  2.5 (opt-in, `maxSubstringDupFrac < 1`) substring-duplication
+    *     gate: drop documents whose duplicated-span token coverage
+    *     ([[Dedup.substringDupStats]], `substringWindow`-token
+    *     windows, keep-first) exceeds the cap;
     *  3. PII redaction ([[piiRedact]]);
     *  4. token-length filter on the REDACTED text;
     *  5. domain-mixture resampling to `targets` proportions
@@ -280,7 +284,11 @@ object Curation {
       textCol: String, strataCol: String, targets: Map[String, Double],
       n: Int = 5, minShared: Int = 3, minTokens: Long = 10,
       maxTokens: Long = 5000, seed: String = "mix77",
-      maxGramDf: Int = Int.MaxValue): DataFrame = {
+      maxGramDf: Int = Int.MaxValue,
+      maxSubstringDupFrac: Double = 1.0,
+      substringWindow: Int = 50): DataFrame = {
+    require(maxSubstringDupFrac > 0 && maxSubstringDupFrac <= 1.0,
+      s"maxSubstringDupFrac must be in (0,1]: $maxSubstringDupFrac")
     // Job-count discipline (the q53/q77 treatment): ONE lazy
     // localCheckpoint of the post-redaction survivors, materialized by
     // mixtureResample's single countByValue rates fit; the returned
@@ -342,7 +350,26 @@ object Curation {
           .select(col("train_id").as(idCol))
         deduped.join(broadcast(contaminated), Seq(idCol), "left_anti")
       }
-    val survivors = piiRedact(kept, textCol)
+    // Optional stage 2.5 — substring-duplication gate (opt-in,
+    // maxSubstringDupFrac < 1): drop documents whose duplicated-span
+    // token coverage (Dedup.substringDupStats over the post-dedup,
+    // post-decontamination survivors; keep-first, so the corpus-first
+    // copy of a span never counts against its own document) exceeds
+    // the cap — the ExactSubstr complement of the whole-document
+    // stages: a doc assembled from text seen elsewhere dies here even
+    // though no single fingerprint or gram count catches it. Offender
+    // lists are small by construction and broadcast into the
+    // anti-join; disabled (the default) adds zero work.
+    val gated =
+      if (maxSubstringDupFrac >= 1.0) kept
+      else {
+        val offenders = Dedup.substringDupStats(kept, idCol, textCol,
+            windowTokens = substringWindow, minCount = 2, keepFirst = true)
+          .filter(col("dup_frac") > maxSubstringDupFrac)
+          .select(col(idCol))
+        kept.join(broadcast(offenders), Seq(idCol), "left_anti")
+      }
+    val survivors = piiRedact(gated, textCol)
       .withColumn("n_tok", TextFunctions.tokenCount(col("redacted")).cast("long"))
       .filter(col("n_tok").between(minTokens, maxTokens))
       .localCheckpoint(false)

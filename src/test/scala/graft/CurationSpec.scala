@@ -264,6 +264,26 @@ class CurationSpec extends SparkSpec {
     assert(open == Set(20L))
   }
 
+  test("exportPipeline: opt-in substring-duplication gate drops span-stitched docs") {
+    val run = "wolves hunt elk across frozen northern tundra under pale moonlight"
+    val train = Seq(
+      // doc 1 holds the corpus-first copy of the run → low coverage
+      (1L, "a", s"$run with an original continuation of several more words here"),
+      // doc 2 is MOSTLY that borrowed run (10 of 13 tokens ≈ 0.77)
+      (2L, "a", s"$run plus three tokens"),
+      (3L, "a", "a fully original document containing nothing borrowed from any peer at all")
+    ).toDF("doc_id", "source", "text")
+    val evalDocs = Seq((100L, "x", "completely unrelated evaluation text"))
+      .toDF("doc_id", "source", "text")
+    def ids(maxFrac: Double): Set[Long] =
+      Curation.exportPipeline(train, evalDocs, "doc_id", "text", "source",
+          Map("a" -> 1.0), minTokens = 4, maxTokens = 50,
+          maxSubstringDupFrac = maxFrac, substringWindow = 5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(0.5) == Set(1L, 3L), "span-stitched doc must fall at a 0.5 cap")
+    assert(ids(1.0) == Set(1L, 2L, 3L), "default (disabled) keeps it")
+  }
+
   test("quantizedKnn ranks by integer dot with deterministic ties") {
     val corpus = Seq(
       (1L, Array(1.0f, 0.0f)),
