@@ -26,6 +26,12 @@ import org.apache.spark.sql.SparkSession
   * returns the PREVIOUS fit — callers that mutate data in place must
   * put a version/fingerprint in the key (the gate queries key by
   * sf-directory, which is immutable by construction).
+  *
+  * Weak-key caveat: collection requires that the stored VALUE not
+  * reference the session. Fitted models and layout flags qualify;
+  * DataFrame-valued entries (plan caches) inherently reference their
+  * session, so for those the weak keys are inert and the
+  * stopped-context purge is the operative bound.
   */
 final class SessionMemo[V <: AnyRef] {
 
@@ -36,8 +42,24 @@ final class SessionMemo[V <: AnyRef] {
   // "Recursive update" check when values are stored directly) while
   // keeping once-only semantics. The dependency graph is acyclic, so
   // cell locks cannot deadlock.
-  private final class Cell(thunk: () => V) {
-    lazy val value: V = thunk()
+  //
+  // The thunk is NULLED after evaluation — deliberately not a Scala
+  // `lazy val`, which retains its initializer forever: a memoized
+  // fit's closure almost always captures the SparkSession (it reads
+  // frames from it), and a strong value→key chain inside a
+  // WeakHashMap pins the entry, defeating weak keys entirely. With
+  // the thunk released, an entry survives only if the VALUE itself
+  // references the session (plan caches — see the class scaladoc).
+  private final class Cell(thunk0: () => V) {
+    private[this] var thunk: () => V = thunk0
+    private[this] var v: V = _
+    def value: V = this.synchronized {
+      if (thunk != null) {
+        v = thunk()
+        thunk = null
+      }
+      v
+    }
   }
 
   // WeakHashMap needs external synchronization; the guarded section is

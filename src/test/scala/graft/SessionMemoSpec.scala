@@ -73,8 +73,21 @@ class SessionMemoSpec extends SparkSpec {
     val memo = new SessionMemo[AnyRef]
     // entry under the long-lived shared session anchors the map
     memo.getOrCompute(spark, "anchor")(new Object)
+    // the compute CLOSURE captures the session by val (every real fit
+    // does — it reads frames from it): the cell must release the thunk
+    // after evaluation or the closure→session chain pins the weak
+    // entry forever. The nested scope keeps the strong alias off this
+    // frame's locals.
+    def fitUnder(s: org.apache.spark.sql.SparkSession): Unit = {
+      val pinned = s
+      memo.getOrCompute(s, "big-model") {
+        require(pinned != null)
+        new Array[Byte](1 << 20)
+      }
+      ()
+    }
     var s2 = spark.newSession()
-    memo.getOrCompute(s2, "big-model")(new Array[Byte](1 << 20))
+    fitUnder(s2)
     assert(memo.sessionCount == 2)
 
     // drop the only strong reference; thread-local active-session
