@@ -897,8 +897,9 @@ object Dedup {
 
   /** Grow the persisted index with NEW reference material: only the
     * batch's fingerprints not already indexed are appended (one
-    * anti-join against the artifact), existing files are never read
-    * into memory wholesale or rewritten — O(batch) daily ingest, the
+    * anti-join whose existing side is a columnar scan of the 8-byte
+    * fp column — never loaded wholesale, never rewritten). Ingest
+    * work is O(batch) derivation + one O(index-column) scan, the
     * [[CorpusIndex.append]] discipline.
     */
   def substringIndexAppend(batch: DataFrame, textCol: String,

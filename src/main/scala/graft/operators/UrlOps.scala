@@ -91,14 +91,18 @@ object UrlOps {
     withDom.join(broadcast(good), Seq("__dom"), "left_semi").drop("__dom")
   }
 
-  /** Every dot-suffix of `domain` with at least two labels
-    * (`a.b.c.d` → [a.b.c.d, b.c.d, c.d]) — the equi-join form of
-    * subdomain matching. Two-label floor so a blocklist entry can
-    * never be a bare TLD.
+  /** The domain itself plus every proper dot-suffix with at least two
+    * labels (`a.b.c.d` → [a.b.c.d, b.c.d, c.d]; `localhost` →
+    * [localhost]) — the equi-join form of subdomain matching. The
+    * two-label floor on PROPER suffixes means a blocklist entry can
+    * never act as a bare TLD, while exact matches (including
+    * single-label intranet hosts) always work. The `greatest` guard
+    * matters: `sequence(0, -1)` is a DESCENDING sequence in Spark and
+    * the resulting `slice(…, 0, …)` throws.
     */
   private[operators] def domainSuffixes(domain: Column): Column = {
     val parts = split(domain, "\\.")
-    transform(sequence(lit(0), size(parts) - lit(2)),
+    transform(sequence(lit(0), greatest(size(parts) - lit(2), lit(0))),
       i => array_join(slice(parts, i + 1, size(parts) - i), "."))
   }
 

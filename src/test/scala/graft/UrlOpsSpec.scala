@@ -61,6 +61,16 @@ class UrlOpsSpec extends SparkSpec {
         Seq("src1.example.com").toDF("domain"), "domain")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(viaJoin == filtered)
+
+    // single-label domains (intranet hosts) must not crash the suffix
+    // explode (sequence(0,-1) is DESCENDING in Spark); they block
+    // exactly, while a bare-TLD blocklist entry never matches by suffix
+    val intranet = Seq((10L, "http://localhost/x"), (11L, "http://a.b/y"))
+      .toDF("doc_id", "url")
+    val kept2 = UrlOps.blocklistAntiJoin(intranet, "url",
+        Seq("localhost", "b").toDF("domain"), "domain")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(11L), s"got $kept2") // a.b's only suffix is 'a.b'; 'b' is a bare TLD
   }
 
   test("domainQualityGate keeps whole domains by mean score and minDocs") {
