@@ -1489,6 +1489,41 @@ object SparkEntry {
       |  AS t(doc_id, frame_idx, width, height)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Token-budget mixture sampling
+    * ([[graft.operators.TextOps.tokenBudgetSample]]): per-stratum
+    * prefix selection in portable-hash order until the TOKEN budget is
+    * spent — training mixes are specified in tokens, not documents.
+    * The operator runs the two-phase bucket decomposition (no stratum
+    * funnels through one reducer); the oracle IS the naive
+    * single-window form it must equal, so the hash match proves the
+    * decomposition, the running totals, and the stop condition.
+    */
+  private def q101(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.tokenBudgetSample(docs(s, dir), "source", "doc_id",
+        "text", Map("src0" -> 3000L, "src1" -> 1200L, "src2" -> 500L))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tok"))
+      .orderBy(col("source"), col("cum_tok"))
+
+  private def tokenBudgetOracle: String =
+    """WITH b AS (
+      |  SELECT * FROM (VALUES ('src0', 3000), ('src1', 1200), ('src2', 500))
+      |    v(source, budget)),
+      |t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      x -> len(x) > 0)) AS BIGINT) AS n_tok,
+      |    CAST(concat('0x', substring(md5(concat('mix:', doc_id)), 1, 8))
+      |      AS BIGINT) AS h
+      |  FROM documents),
+      |w AS (
+      |  SELECT t.doc_id, t.source, t.n_tok, b.budget,
+      |    sum(t.n_tok) OVER (PARTITION BY t.source ORDER BY t.h, t.doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+      |  FROM t JOIN b USING (source))
+      |SELECT doc_id, source, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+      |FROM w WHERE cum_tok <= budget
+      |ORDER BY source, cum_tok""".stripMargin
+
   /** J5 — true as-of join via the custom sort-merge operator
     * ([[graft.plans.AsOf]]: logical node → strategy → exec, one hash
     * exchange + sort per side, streaming O(1)-state merge). Each click
@@ -2071,7 +2106,8 @@ object SparkEntry {
     "q97_domain_block" -> (q97 _),
     "q98_domain_qgate" -> (q98 _),
     "q99_video_frames" -> (q99 _),
-    "q100_xspans" -> (q100 _))
+    "q100_xspans" -> (q100 _),
+    "q101_tok_budget" -> (q101 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -2513,6 +2549,7 @@ object SparkEntry {
     "q98_domain_qgate" -> domainQualityOracle,
     "q99_video_frames" -> videoFramesOracle,
     "q100_xspans" -> crossSpansOracle,
+    "q101_tok_budget" -> tokenBudgetOracle,
     "q62_asof_join" ->
       """SELECT l.user_id, l.event_id, round(l.value, 2) AS click_value,
         | r.event_id AS prior_error_id, round(r.value, 2) AS prior_error_value

@@ -132,6 +132,95 @@ object TextOps {
       portableHash(col(idCol), seed) < rateCol * lit(4294967296.0))
   }
 
+  /** Token-budget mixture sampling — real training mixes are specified
+    * in TOKENS, not documents ("50B web tokens, 10B code tokens"): per
+    * stratum, documents are taken in [[portableHash]] order (the same
+    * deterministic, append-ordering-free total order the mixture
+    * family uses) until the stratum's token budget is exhausted —
+    * PREFIX semantics: a document is selected iff the running token
+    * total through it (hash order, ties by id) stays ≤ the budget.
+    * Strata without a budget are dropped. Returns the selected rows
+    * plus `n_tok` and the running `cum_tok`.
+    *
+    * Scale shape — the naive form is one window cumsum partitioned by
+    * stratum, which serializes EACH STRATUM through one reducer (a
+    * 50B-token stratum through one task). This is the exact two-phase
+    * decomposition instead: documents range-bucket by hash
+    * (`buckets` ranges), phase 1 is one tiny (stratum, bucket)
+    * token-subtotal aggregate, the driver prefix-sums the ≤ #strata ×
+    * buckets subtotals to find each stratum's cutoff bucket, and only
+    * THAT one bucket (~1/`buckets` of the stratum) pays the exact
+    * window cumsum; buckets before the cutoff are selected wholesale
+    * map-side, buckets after are dropped map-side. Identical output
+    * to the single-window form (the q101 oracle IS that form).
+    */
+  def tokenBudgetSample(df: DataFrame, strataCol: String, idCol: String,
+      textCol: String, budgets: Map[String, Long], seed: String = "mix",
+      buckets: Int = 256): DataFrame = {
+    require(budgets.values.forall(_ >= 0), s"budgets must be >= 0: $budgets")
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val budgetCol = element_at(
+      map(budgets.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+      col(strataCol).cast("string"))
+    val keyed = df
+      .withColumn("n_tok", TextFunctions.tokenCount(col(textCol)).cast("long"))
+      .withColumn("__h", portableHash(col(idCol), seed))
+      .withColumn("__b", (col("__h") / lit(4294967296.0 / buckets)).cast("int"))
+      .filter(budgetCol.isNotNull)
+    // phase 1: (stratum, bucket) token subtotals — ≤ #strata × buckets
+    // rows back to the driver
+    val subtotals = keyed
+      .groupBy(col(strataCol).cast("string").as("__s"), col("__b"))
+      .agg(sum(col("n_tok")).as("__t"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    // driver prefix over hash-ordered buckets: per stratum, the last
+    // fully-selected bucket, the single cutoff bucket, and the
+    // cumulative tokens entering it
+    val cutoff = scala.collection.mutable.Map.empty[String, Int]
+    val before = scala.collection.mutable.Map.empty[String, Long]
+    subtotals.groupBy(_._1).foreach { case (s, rows) =>
+      val budget = budgets(s)
+      var cum = 0L
+      var c = buckets // no cutoff: every bucket fully selected
+      val it = rows.sortBy(_._2).iterator
+      while (it.hasNext && c == buckets) {
+        val (_, b, t) = it.next()
+        if (cum + t > budget) { c = b; before(s) = cum }
+        else cum += t
+      }
+      cutoff(s) = c
+    }
+    val cutoffCol = element_at(
+      map(cutoff.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+      col(strataCol).cast("string"))
+    // per-(stratum, bucket) token prefix (tokens in all earlier
+    // buckets) — a tiny broadcast table, so the exact cumsum windows
+    // partition by (stratum, BUCKET): every bucket's scan runs in
+    // parallel, and no stratum ever funnels through one reducer.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prefixRows = subtotals.groupBy(_._1).toSeq.flatMap { case (s, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).collect {
+        case (_, b, t) if b <= cutoff(s) =>
+          val out = (s, b, cum); cum += t; out
+      }
+    }
+    val prefixDf = prefixRows.toDF("__s", "__b", "__pre")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol), col("__b")).orderBy(col("__h"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    keyed
+      .filter(col("__b") <= cutoffCol)
+      .join(broadcast(prefixDf),
+        col(strataCol).cast("string") === col("__s") && keyed("__b") === prefixDf("__b"))
+      .drop(prefixDf("__b"))
+      .withColumn("cum_tok", col("__pre") + sum(col("n_tok")).over(w))
+      .filter(col("__b") < cutoffCol || col("cum_tok") <= budgetCol)
+      .drop("__h", "__b", "__s", "__pre")
+  }
+
   /** Exact per-stratum deterministic sample: exactly `k` rows per
     * stratum (fewer if the stratum is smaller), selected by ranking on
     * [[portableHash]] — the deterministic replacement for per-group

@@ -264,6 +264,48 @@ class CurationSpec extends SparkSpec {
     assert(open == Set(20L))
   }
 
+  test("tokenBudgetSample: exact prefix semantics, equals the single-window form") {
+    import graft.operators.TextOps
+    val docs = graft.core.Engine.table(spark, sfDir, "documents")
+    val budgets = Map("src0" -> 900L, "src1" -> 400L, "src2" -> 0L)
+    val out = TextOps.tokenBudgetSample(docs, "source", "doc_id", "text", budgets)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tok"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(t => (t._2, t._4))
+
+    // naive single-window reference (the form the operator decomposes)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(graft.operators.TextOps.portableHash(col("doc_id"), "mix"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val budgetCol = element_at(
+      map(budgets.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+      col("source"))
+    val ref = docs
+      .withColumn("n_tok",
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+      .filter(budgetCol.isNotNull)
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= budgetCol)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tok"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(t => (t._2, t._4))
+    assert(out == ref, s"two-phase must equal the single window:\n$out\nvs\n$ref")
+    assert(out.nonEmpty && out.forall(_._4 <= 900L))
+    // budgets bind: every stratum stops under its budget, zero-budget drops all
+    val bySrc = out.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(bySrc.getOrElse("src0", 0L) <= 900L && bySrc.getOrElse("src1", 0L) <= 400L)
+    assert(!bySrc.contains("src2"), "zero budget selects nothing")
+    // a tiny bucket count forces multi-bucket cutoffs through the same result
+    val coarse = TextOps.tokenBudgetSample(docs, "source", "doc_id", "text",
+        budgets, buckets = 2)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tok"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(t => (t._2, t._4))
+    assert(coarse == ref)
+  }
+
   test("exportPipeline: opt-in substring-duplication gate drops span-stitched docs") {
     val run = "wolves hunt elk across frozen northern tundra under pale moonlight"
     val train = Seq(
