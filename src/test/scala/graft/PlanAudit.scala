@@ -210,6 +210,19 @@ class PlanAudit extends SparkSpec {
       l.contains("LeftAnti")), s"blocklist must anti-join broadcast:\n$p")
   }
 
+  test("q101: token-budget cumsum windows partition by (stratum, bucket), never stratum alone") {
+    val p = plan("q101_tok_budget")
+    // the whole point of the two-phase decomposition: a window
+    // partitioned by the stratum alone funnels a 50B-token stratum
+    // through one reducer
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty, s"expected a window in:\n$p")
+    assert(specs.forall(_.contains("__b")),
+      s"cumsum must partition by (stratum, bucket):\n$specs")
+    // the bucket-prefix table rides a broadcast join
+    assert(p.linesIterator.exists(_.contains("BroadcastHashJoin")), p)
+  }
+
   test("q88: chunking is map-only — only the output sort exchanges") {
     val p = plan("q88_chunk")
     assert(p.linesIterator.count(l =>
