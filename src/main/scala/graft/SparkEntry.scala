@@ -1524,6 +1524,65 @@ object SparkEntry {
       |FROM w WHERE cum_tok <= budget
       |ORDER BY source, cum_tok""".stripMargin
 
+  /** Curation: NB quality classifier — the GPT-3-style quality filter
+    * (Brown et al. 2020 App. A: a cheap linear classifier fit to
+    * separate a trusted corpus from raw crawl, crawl thresholded on
+    * its score). Fit separates src0 (trusted) from the rest (raw)
+    * with a CAPPED vocabulary so the gate exercises the OOV fallback;
+    * scoring is map-only (the fitted table rides the expression, zero
+    * shuffles). The oracle refits the whole classifier in SQL: token
+    * class counts, Laplace log-odds in the exact arithmetic grouping
+    * of [[Curation.fitNbQuality]], the (total desc, token) vocab cap,
+    * OOV coalesce, and the document-count prior.
+    */
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    val docsDf = t(s, dir, "documents")
+    val model = Curation.memoModel(s, s"$dir#nb-src0")(
+      Curation.fitNbQuality(docsDf.filter(col("source") === "src0"),
+        docsDf.filter(col("source") =!= "src0"), "text", maxVocab = 512))
+    Curation.nbScore(docsDf, "doc_id", "text", model)
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("nb_score"), 6).as("nb_score"))
+      .orderBy(desc("nb_score"), col("doc_id"))
+      .limit(20)
+  }
+
+  private def nbQualityOracle: String =
+    """WITH tk AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      t -> len(t) > 0) AS tk
+      |  FROM documents),
+      |tok AS (SELECT doc_id, source, unnest(tk) AS w FROM tk),
+      |cnt AS (
+      |  SELECT w,
+      |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS cp,
+      |    sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS cn
+      |  FROM tok GROUP BY w),
+      |st AS (SELECT count(*) AS v, sum(cp) AS np, sum(cn) AS nn FROM cnt),
+      |dc AS (
+      |  SELECT sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS dp,
+      |         sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS dn
+      |  FROM documents),
+      |vocab AS (SELECT w, cp, cn FROM cnt ORDER BY cp + cn DESC, w LIMIT 512),
+      |lo AS (
+      |  SELECT vocab.w, CAST(round(ln(((cp + 1.0) / (np + v)) /
+      |      ((cn + 1.0) / (nn + v))) * 1000000) AS BIGINT) AS lo
+      |  FROM vocab CROSS JOIN st),
+      |oov AS (SELECT CAST(round(ln((1.0 / (np + v)) /
+      |      (1.0 / (nn + v))) * 1000000) AS BIGINT) AS lo FROM st),
+      |prior AS (SELECT CAST(round(ln((dp + 1.0) / (dn + 1.0)) * 1000000)
+      |      AS BIGINT) AS p FROM dc),
+      |scored AS (
+      |  SELECT tok.doc_id, count(*) AS n_tokens,
+      |    CAST(sum(coalesce(lo.lo, oov.lo)) AS BIGINT) AS s
+      |  FROM tok LEFT JOIN lo ON lo.w = tok.w CROSS JOIN oov
+      |  GROUP BY tok.doc_id)
+      |SELECT doc_id, n_tokens,
+      |  round(CAST(s + prior.p AS DOUBLE) / 1000000.0, 6) AS nb_score
+      |FROM scored CROSS JOIN prior
+      |ORDER BY nb_score DESC, doc_id LIMIT 20""".stripMargin
+
   /** J5 — true as-of join via the custom sort-merge operator
     * ([[graft.plans.AsOf]]: logical node → strategy → exec, one hash
     * exchange + sort per side, streaming O(1)-state merge). Each click
@@ -2107,7 +2166,8 @@ object SparkEntry {
     "q98_domain_qgate" -> (q98 _),
     "q99_video_frames" -> (q99 _),
     "q100_xspans" -> (q100 _),
-    "q101_tok_budget" -> (q101 _))
+    "q101_tok_budget" -> (q101 _),
+    "q102_nbq" -> (q102 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -2550,6 +2610,7 @@ object SparkEntry {
     "q99_video_frames" -> videoFramesOracle,
     "q100_xspans" -> crossSpansOracle,
     "q101_tok_budget" -> tokenBudgetOracle,
+    "q102_nbq" -> nbQualityOracle,
     "q62_asof_join" ->
       """SELECT l.user_id, l.event_id, round(l.value, 2) AS click_value,
         | r.event_id AS prior_error_id, round(r.value, 2) AS prior_error_value

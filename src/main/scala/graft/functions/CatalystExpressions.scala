@@ -472,6 +472,39 @@ object CatalystExpressions {
     override protected def withNewChildInternal(c: Expression): DsirLogRatioSum = copy(c)
   }
 
+  /** Naive-Bayes log-odds sum over a token array — the scoring half of
+    * a CCNet/GPT-3-style quality classifier (per-token Laplace-smoothed
+    * class log-likelihood ratios fitted driver-side; see
+    * `Curation.fitNbQuality`). The capped vocabulary table rides as a
+    * reference object rebuilt lazily per executor as a UTF8String hash
+    * map (zero-copy lookups), so scoring a 100 TB corpus is a map-only
+    * projection with ZERO shuffles, like [[BigramLogProbSum]].
+    */
+  case class TokenLogOddsSum(child: Expression, logOdds: Map[String, Long],
+      oov: Long) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = false
+    @transient private lazy val loMap: java.util.HashMap[UTF8String, java.lang.Long] = {
+      val m = new java.util.HashMap[UTF8String, java.lang.Long](logOdds.size * 2)
+      logOdds.foreach { case (w, c) => m.put(UTF8String.fromString(w), c) }
+      m
+    }
+    override def eval(input: InternalRow): Any =
+      ExprKernels.tokenLogOddsSum(
+        child.eval(input).asInstanceOf[ArrayData], loMap, oov)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val loRef = ctx.addReferenceObj("logOdds", loMap, "java.util.HashMap")
+      val c = child.genCode(ctx)
+      ev.copy(
+        code = code"""
+          ${c.code}
+          final long ${ev.value} = $K.tokenLogOddsSum(
+            ${c.isNull} ? null : ${c.value}, $loRef, ${oov}L);""",
+        isNull = FalseLiteral)
+    }
+    override protected def withNewChildInternal(c: Expression): TokenLogOddsSum = copy(c)
+  }
+
   /** BPE encode of a token array against a learned merge list
     * (ordered; index = rank). The rank table rides as a reference
     * object like the other fitted models; encoding is map-only.
@@ -655,6 +688,10 @@ object CatalystExpressions {
   def dsirLogRatioSum(tokens: Column, logRatios: Array[Long],
       numBuckets: Int): Column =
     column(DsirLogRatioSum(expression(tokens), logRatios, numBuckets))
+
+  def tokenLogOddsSum(tokens: Column, logOdds: Map[String, Long],
+      oov: Long): Column =
+    column(TokenLogOddsSum(expression(tokens), logOdds, oov))
 
   def filterNotInSet(arr: Column, values: Seq[String]): Column =
     column(FilterNotInSet(expression(arr), values))

@@ -493,6 +493,28 @@ object ExprKernels {
     acc
   }
 
+  /** Naive-Bayes log-odds sum over a token array: per-occurrence
+    * lookup in the fitted per-token table, `oov` for tokens outside
+    * the (possibly capped) vocabulary. Long accumulation of
+    * integer-scaled entries — order-independent, so the per-document
+    * score is bit-stable under any partitioning and restatable in
+    * oracle SQL.
+    */
+  def tokenLogOddsSum(toks: ArrayData,
+      logOdds: java.util.HashMap[UTF8String, java.lang.Long],
+      oov: Long): Long = {
+    if (toks == null) return 0L
+    val n = toks.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val lo = logOdds.get(toks.getUTF8String(i))
+      acc += (if (lo == null) oov else lo.longValue())
+      i += 1
+    }
+    acc
+  }
+
   /** Fused int8 quantize + exact integer dot against a pre-quantized
     * query — one tight loop replacing the composed
     * `quantizedDot(quantize(vec), qQuant)` HOF pair (three

@@ -655,6 +655,119 @@ object Curation {
     DsirModel(arr, rows.length)
   }
 
+  /** A fitted Naive-Bayes quality classifier: per-token integer-scaled
+    * log-odds `round(ln(P(w|pos)/P(w|neg)) · 1e6)` under Laplace
+    * smoothing (the GPT-3 / CCNet quality-filter recipe — fit a cheap
+    * linear classifier to separate a trusted corpus from raw crawl,
+    * then threshold the crawl on its score; Brown et al. 2020 App. A,
+    * Wenzek et al. 2019). `oovLogOdds` is the score of any token
+    * outside the (possibly capped) vocabulary — the zero-count
+    * smoothed ratio, so capping the vocab only coarsens, never skews,
+    * the tail. `priorLogOdds` is the smoothed document-count prior.
+    */
+  case class NbModel(logOdds: Map[String, Long], oovLogOdds: Long,
+      priorLogOdds: Long)
+
+  /** Fit an [[NbModel]] from a positive (trusted/target) and negative
+    * (raw) corpus. Tokenization is [[TextFunctions.tokens]]; counts
+    * are per-occurrence (multinomial NB).
+    *
+    * Scale: ONE action — both sides' per-token class counts in a
+    * single side-tagged union aggregate (one shuffle; the labeled fit
+    * set is small by construction, the 100 TB crawl is only ever
+    * SCORED, map-only). The driver collect is bounded by `maxVocab`;
+    * over-cap tokens are dropped in deterministic (total count desc,
+    * token) order and score as OOV. Vocabulary size, total occurrence
+    * counts, and per-side document counts ride the same action as
+    * `Observation`s, so no separate count jobs run.
+    */
+  def fitNbQuality(pos: DataFrame, neg: DataFrame, textCol: String,
+      maxVocab: Int = 1 << 20): NbModel = {
+    import org.apache.spark.sql.Observation
+    val posDocs = Observation()
+    val negDocs = Observation()
+    val statsObs = Observation()
+    def side(df: DataFrame, obs: Observation, tag: Int): DataFrame =
+      Scale.parallelismFloor(df)
+        .observe(obs, count(lit(1)).as("docs"))
+        .select(explode(TextFunctions.tokens(col(textCol))).as("w"),
+          lit(tag).as("__side"))
+    val kept = side(pos, posDocs, 0).unionAll(side(neg, negDocs, 1))
+      .groupBy(col("w"))
+      .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("cp"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("cn"))
+      .observe(statsObs, count(lit(1)).as("v"),
+        sum(col("cp")).as("np"), sum(col("cn")).as("nn"))
+      .orderBy((col("cp") + col("cn")).desc, col("w"))
+      .limit(maxVocab)
+      .collect()
+    def scalar(obs: Observation, name: String): Long =
+      Option(obs.get(name)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val v = scalar(statsObs, "v")
+    val np = scalar(statsObs, "np")
+    val nn = scalar(statsObs, "nn")
+    val dp = scalar(posDocs, "docs")
+    val dn = scalar(negDocs, "docs")
+    def lo(cp: Long, cn: Long): Long =
+      graft.functions.ExprKernels.roundHalfAway(math.log(
+        ((cp + 1.0) / (np + v)) / ((cn + 1.0) / (nn + v))) * 1e6)
+    NbModel(
+      kept.map(r => r.getString(0) -> lo(r.getLong(1), r.getLong(2))).toMap,
+      lo(0L, 0L),
+      graft.functions.ExprKernels.roundHalfAway(
+        math.log((dp + 1.0) / (dn + 1.0)) * 1e6))
+  }
+
+  /** Per-document NB quality score: `(prior + Σ logOdds(token)) / 1e6`
+    * — positive means the document looks more like the positive
+    * (trusted) corpus. Adds `n_tokens` and `nb_score`; documents with
+    * no tokens are excluded. Map-only over the corpus — the capped
+    * vocabulary table rides in the expression, ZERO shuffles (the
+    * [[perplexity]]/[[dsirScore]] scale shape).
+    */
+  def nbScore(df: DataFrame, idCol: String, textCol: String,
+      model: NbModel): DataFrame = {
+    import graft.functions.CatalystExpressions
+    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= 1)
+      .select(col(idCol),
+        size(col("__tk")).cast("long").as("n_tokens"),
+        CatalystExpressions.tokenLogOddsSum(
+          col("__tk"), model.logOdds, model.oovLogOdds).as("lo_sum"))
+      .withColumn("nb_score",
+        (col("lo_sum") + lit(model.priorLogOdds)).cast("double") / lit(1e6))
+  }
+
+  /** [[nbScore]]'s score as a single Column over a token array — the
+    * composition twin of [[pplCol]]/[[logwCol]], so a combined quality
+    * gate can score all three signals in ONE projection of one scan.
+    */
+  def nbScoreCol(tk: Column, model: NbModel): Column = {
+    import graft.functions.CatalystExpressions
+    (CatalystExpressions.tokenLogOddsSum(tk, model.logOdds, model.oovLogOdds) +
+      lit(model.priorLogOdds)).cast("double") / lit(1e6)
+  }
+
+  /** Persist/load a fitted [[NbModel]] — same fit-once/score-everywhere
+    * discipline as [[saveBigramLm]]/[[saveDsir]].
+    */
+  def saveNb(spark: org.apache.spark.sql.SparkSession, model: NbModel,
+      path: String): Unit = {
+    import spark.implicits._
+    model.logOdds.toSeq.toDF("w", "lo")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/logodds")
+    Seq((model.oovLogOdds, model.priorLogOdds)).toDF("oov", "prior")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def loadNb(spark: org.apache.spark.sql.SparkSession,
+      path: String): NbModel = {
+    val lo = spark.read.parquet(s"$path/logodds").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m = spark.read.parquet(s"$path/meta").collect().head
+    NbModel(lo, m.getLong(0), m.getLong(1))
+  }
+
   /** DSIR's Gumbel top-k resampling step, deterministic: rank by
     * `logw + Gumbel(0,1)` where the Gumbel draw derives from
     * [[TextOps.portableHash]] of the document id

@@ -35,6 +35,7 @@ class CodegenSpec extends SparkSpec {
       CatalystExpressions.bigramLogProbSum(col("t"),
         Map("a" -> 1L), Map(("a", "b") -> 1L), 2L),
       CatalystExpressions.dsirLogRatioSum(col("t"), new Array[Long](16), 16),
+      CatalystExpressions.tokenLogOddsSum(col("t"), Map("a" -> 1L), -5L),
       CatalystExpressions.bpeEncode(col("t"), Seq(("e", "s"))),
       CatalystExpressions.windowFingerprints(col("h"), 5),
       CatalystExpressions.canonicalUrl(col("text")),

@@ -408,6 +408,67 @@ class CurationSpec extends SparkSpec {
     assert(out(1L)._2 > out(3L)._2)
   }
 
+  test("NB quality classifier fit+score matches a plain-Scala closed form") {
+    val pos = Seq((1L, "spark table join"), (2L, "spark table scan"))
+      .toDF("doc_id", "text")
+    val neg = Seq((3L, "dog cat mouse"), (4L, "red green blue spark"))
+      .toDF("doc_id", "text")
+    val model = Curation.fitNbQuality(pos, neg, "text")
+
+    // closed form: Np=6 pos occurrences, Nn=7 neg, V=10 distinct
+    def round6(x: Double): Long =
+      if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+    def lo(cp: Long, cn: Long): Long =
+      round6(math.log(((cp + 1.0) / (6 + 10.0)) / ((cn + 1.0) / (7 + 10.0))) * 1e6)
+    assert(model.logOdds.size == 10)
+    assert(model.logOdds("spark") == lo(2, 1))
+    assert(model.logOdds("table") == lo(2, 0))
+    assert(model.logOdds("dog") == lo(0, 1))
+    assert(model.oovLogOdds == lo(0, 0))
+    assert(model.priorLogOdds == 0L) // dp = dn = 2 -> ln(3/3) = 0
+
+    val score = Seq((10L, "spark table"), (11L, "dog zz"), (12L, ""))
+      .toDF("doc_id", "text")
+    val out = Curation.nbScore(score, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(out(10L) == ((2L,
+      (model.logOdds("spark") + model.logOdds("table")) / 1e6)))
+    assert(out(11L) == ((2L,
+      (model.logOdds("dog") + model.oovLogOdds) / 1e6)))
+    assert(!out.contains(12L), "token-less docs are excluded")
+    // trusted-like text must outscore off-distribution text
+    assert(out(10L)._2 > out(11L)._2)
+  }
+
+  test("NB vocab cap keeps highest-count tokens deterministically; capped-out tokens score as OOV") {
+    val pos = Seq((1L, "spark table join"), (2L, "spark table scan"))
+      .toDF("doc_id", "text")
+    val neg = Seq((3L, "dog cat mouse"), (4L, "red green blue spark"))
+      .toDF("doc_id", "text")
+    val full = Curation.fitNbQuality(pos, neg, "text")
+    val capped = Curation.fitNbQuality(pos, neg, "text", maxVocab = 2)
+    // top-2 by (total desc, token): spark (3), table (2)
+    assert(capped.logOdds.keySet == Set("spark", "table"))
+    assert(capped.logOdds("spark") == full.logOdds("spark"))
+    // OOV constant and prior are cap-independent (V/Np/Nn are global)
+    assert(capped.oovLogOdds == full.oovLogOdds)
+    assert(capped.priorLogOdds == full.priorLogOdds)
+    // a capped-out token scores exactly as OOV
+    val one = Seq((20L, "dog")).toDF("doc_id", "text")
+    val got = Curation.nbScore(one, "doc_id", "text", capped)
+      .collect().head.getDouble(3)
+    assert(got == capped.oovLogOdds / 1e6)
+  }
+
+  test("NB model save/load round-trips") {
+    val pos = Seq((1L, "spark table join")).toDF("doc_id", "text")
+    val neg = Seq((2L, "dog cat")).toDF("doc_id", "text")
+    val model = Curation.fitNbQuality(pos, neg, "text")
+    val dir = java.nio.file.Files.createTempDirectory("nbmodel").toString
+    Curation.saveNb(spark, model, dir)
+    assert(Curation.loadNb(spark, dir) == model)
+  }
+
   test("LM and DSIR kernels agree with plain-Scala references on random unicode corpora") {
     // the kernels do byte-level work (UTF8String map lookups, md5 over
     // UTF-8 bytes) — random multi-byte tokens catch any byte/string
