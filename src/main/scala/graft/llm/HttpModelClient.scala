@@ -50,7 +50,7 @@ final class HttpModelClient(
     chunkTimeout: Duration = Duration.ofSeconds(30),
     embedBatchSize: Int = 64)
   extends SemanticOps.ModelClient with SemanticOps.EmbeddingClient
-  with SemanticOps.VisionClient {
+  with SemanticOps.VisionClient with SemanticOps.RerankClient {
 
   @transient private lazy val http =
     HttpClient.newBuilder()
@@ -312,6 +312,69 @@ final class HttpModelClient(
       out(i) = v
     }
     scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
+
+  /** Cohere-style public `POST /rerank` (the cross-encoder
+    * second-stage ranker): `{model, query, documents, top_n}` with
+    * `top_n = documents.size` so every input is scored. Scores return
+    * in INPUT order — the response's `results[].index` is
+    * authoritative (providers sort by relevance). Usage accounting
+    * accepts both the OpenAI-ish `usage.prompt_tokens` and Cohere's
+    * `meta.billed_units.input_tokens`; retry classification is the
+    * chat surface's.
+    */
+  override def rerank(query: String, docs: Seq[String]): Seq[Double] = {
+    if (docs.isEmpty) return Seq.empty
+    val root = mapper.createObjectNode()
+    root.put("model", model)
+    root.put("query", query)
+    val documents = root.putArray("documents")
+    docs.foreach(documents.add)
+    root.put("top_n", docs.size)
+    val reqBuilder = HttpRequest.newBuilder()
+      .uri(URI.create(s"${endpoint.stripSuffix("/")}/rerank"))
+      .timeout(requestTimeout)
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(root)))
+    apiKey.foreach(k => reqBuilder.header("Authorization", s"Bearer $k"))
+    val resp =
+      try http.send(reqBuilder.build(), HttpResponse.BodyHandlers.ofString())
+      catch {
+        case e: java.io.IOException =>
+          throw RetryableModelError(s"connection error: ${e.getMessage}", e)
+      }
+    resp.statusCode() match {
+      case 200 => parseRerank(resp.body(), docs.size)
+      case s => classifyFailure(s, resp.body())
+    }
+  }
+
+  private def parseRerank(body: String, expected: Int): Seq[Double] = {
+    val node =
+      try mapper.readTree(body)
+      catch {
+        case e: Exception =>
+          throw PermanentModelError(s"unparseable response body: ${e.getMessage}")
+      }
+    promptTokens.addAndGet(math.max(
+      node.path("usage").path("prompt_tokens").asLong(0),
+      node.path("meta").path("billed_units").path("input_tokens").asLong(0)))
+    val results = node.path("results")
+    if (!results.isArray || results.size() != expected)
+      throw PermanentModelError(
+        s"rerank response has ${results.size()} results for $expected documents: ${body.take(200)}")
+    val out = new Array[java.lang.Double](expected)
+    results.forEach { entry =>
+      val i = entry.path("index").asInt(-1)
+      if (i < 0 || i >= expected || out(i) != null)
+        throw PermanentModelError(s"bad rerank result index $i: ${body.take(200)}")
+      val s = entry.path("relevance_score")
+      if (!s.isNumber)
+        throw PermanentModelError(
+          s"results[$i].relevance_score is not a number: ${body.take(200)}")
+      out(i) = s.doubleValue()
+    }
+    out.map(_.doubleValue()).toSeq
   }
 
   private def parseContent(body: String): String = {

@@ -138,6 +138,92 @@ object SemanticOps {
     }
   }
 
+  /** Cross-encoder rerank client — the transport seam for the
+    * second-stage ranker behind first-stage retrieval
+    * ([[graft.operators.TextOps]]'s BM25 / RRF / ANN candidates):
+    * production is [[HttpModelClient.rerank]] (Cohere-style public
+    * `POST /rerank`); tests use a stub. Same factory-per-partition
+    * discipline as [[ModelClient]].
+    */
+  trait RerankClient extends Serializable {
+    /** One relevance score per document, in input order, for `query`. */
+    def rerank(query: String, docs: Seq[String]): Seq[Double]
+  }
+
+  /** Retry with exponential backoff for the rerank surface — same
+    * classification contract as [[RetryingClient]].
+    */
+  final case class RetryingRerankClient(inner: RerankClient,
+      maxRetries: Int = 3, backoffBaseMs: Long = 2000,
+      backoffCapMs: Long = 60000) extends RerankClient {
+    override def rerank(query: String, docs: Seq[String]): Seq[Double] = {
+      var attempt = 0
+      while (true) {
+        try return inner.rerank(query, docs)
+        catch {
+          case e: PermanentModelError => throw e
+          case e: Exception =>
+            attempt += 1
+            if (attempt > maxRetries) throw e
+            val wait = math.min(backoffCapMs,
+              (backoffBaseMs * math.pow(2.0, (attempt - 1).toDouble)).toLong)
+            Thread.sleep(wait)
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+  }
+
+  /** Attach a cross-encoder relevance score to per-query candidate
+    * rows — the production second stage of the retrieval stack (BM25 /
+    * RRF / ANN produce top-k candidates; the reranker re-scores each
+    * (query, doc) pair). One `rerank` call covers one query's
+    * candidate list, chunked at `maxDocsPerCall` (provider caps).
+    *
+    * Scale: candidates hash-shuffle on the query column (ONE
+    * exchange) so each query's list is co-located and contiguous, then
+    * scoring is per-partition batched calls — one client per
+    * partition, never serialized. Per-task memory holds one candidate
+    * LIST (top-k-bounded by the first stage, never the corpus).
+    */
+  def rerankColumn(df: DataFrame, queryCol: String, textCol: String,
+      outputCol: String, clientFactory: () => RerankClient,
+      maxDocsPerCall: Int = 100): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField(outputCol, DoubleType, nullable = false))
+    val qIdx = inSchema.fieldIndex(queryCol)
+    val tIdx = inSchema.fieldIndex(textCol)
+    val grouped = df.repartition(col(queryCol))
+      .sortWithinPartitions(col(queryCol))
+    val rdd = grouped.rdd.mapPartitions { it =>
+      val client = clientFactory()
+      new Iterator[Seq[Row]] {
+        private val buf = it.buffered
+        override def hasNext: Boolean = buf.hasNext
+        override def next(): Seq[Row] = {
+          // one run = one query's contiguous candidate rows
+          val q = buf.head.get(qIdx)
+          val run = scala.collection.mutable.ArrayBuffer[Row]()
+          while (buf.hasNext && buf.head.get(qIdx) == q) run += buf.next()
+          val query = String.valueOf(q)
+          val scores = run.grouped(math.max(1, maxDocsPerCall)).flatMap { chunk =>
+            val s = client.rerank(query,
+              chunk.map(r => String.valueOf(r.get(tIdx))).toSeq)
+            require(s.size == chunk.size,
+              s"rerank client returned ${s.size} scores for ${chunk.size} docs")
+            s
+          }
+          run.zip(scores.toSeq).map { case (row, s) =>
+            Row.fromSeq(row.toSeq :+ s)
+          }.toSeq
+        }
+      }.flatten
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Attach a real embedding column: batch-call the client per
     * partition (one client per partition, like [[semanticMap]]) and
     * add `outputCol` as `array<float>` — the production feed for the

@@ -181,6 +181,95 @@ class SemanticSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("HttpModelClient /rerank: index-ordered scores, retries, usage, rerankColumn") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import graft.llm.{HttpModelClient, PermanentModelError, RetryableModelError}
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    @volatile var failuresBeforeOk = 0
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val callDocCounts = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    // deterministic cross-encoder: overlap count between query and doc
+    // tokens — results served SORTED BY SCORE DESC (the Cohere shape)
+    // to prove the client restores input order via results[].index
+    def scoreOf(q: String, d: String): Double = {
+      val qs = q.split(" ").toSet
+      d.split(" ").count(qs.contains).toDouble
+    }
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1/rerank", (ex: HttpExchange) => {
+      try {
+        val req = mapper.readTree(ex.getRequestBody.readAllBytes())
+        val q = req.path("query").asText()
+        val docs = (0 until req.path("documents").size())
+          .map(i => req.path("documents").get(i).asText())
+        callDocCounts.add(docs.size)
+        val (code, body) =
+          if (hits.incrementAndGet() <= failuresBeforeOk) (503, """{"error":"busy"}""")
+          else {
+            val root = mapper.createObjectNode()
+            val results = root.putArray("results")
+            docs.zipWithIndex.map { case (d, i) => (i, scoreOf(q, d)) }
+              .sortBy(-_._2)
+              .foreach { case (i, s) =>
+                val e = results.addObject()
+                e.put("index", i)
+                e.put("relevance_score", s)
+              }
+            root.putObject("meta").putObject("billed_units")
+              .put("input_tokens", docs.size * 3)
+            (200, mapper.writeValueAsString(root))
+          }
+        val bytes = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(code, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+      } finally ex.close()
+    })
+    server.start()
+    val url = s"http://127.0.0.1:${server.getAddress.getPort}/v1"
+    try {
+      val client = new HttpModelClient(url, "rr-model")
+      val docs = Seq("spark joins fast", "cats and dogs", "spark shuffle spark")
+      // input-ordered scores despite score-sorted server payload
+      assert(client.rerank("spark shuffle", docs) ==
+        docs.map(scoreOf("spark shuffle", _)))
+      assert(client.rerank("q", Nil).isEmpty)
+      assert(client.usage._1 == 9L, "billed_units.input_tokens accounted")
+      // 503 classifies retryable; the retrying wrapper recovers
+      failuresBeforeOk = hits.get() + 2
+      val retrying = SemanticOps.RetryingRerankClient(
+        new HttpModelClient(url, "rr-model"), maxRetries = 3, backoffBaseMs = 1)
+      assert(retrying.rerank("spark", Seq("spark x")) == Seq(1.0))
+      // wrong path is permanent; connection refused is retryable
+      intercept[PermanentModelError] {
+        new HttpModelClient(s"http://127.0.0.1:${server.getAddress.getPort}/nope", "m")
+          .rerank("q", Seq("d"))
+      }
+      intercept[RetryableModelError] {
+        new HttpModelClient("http://127.0.0.1:1/v1", "m").rerank("q", Seq("d"))
+      }
+      // end-to-end: rerankColumn scores per-query candidate lists,
+      // chunked at maxDocsPerCall
+      callDocCounts.clear()
+      val cands = Seq(
+        ("spark shuffle", "d1", "spark joins fast"),
+        ("spark shuffle", "d2", "cats and dogs"),
+        ("spark shuffle", "d3", "spark shuffle spark"),
+        ("cats", "d4", "cats and dogs"),
+        ("cats", "d5", "spark joins fast"))
+        .toDF("query", "doc_id", "text")
+      val out = SemanticOps.rerankColumn(cands, "query", "text", "ce_score",
+        () => new HttpModelClient(url, "rr-model"), maxDocsPerCall = 2)
+      val got = out.collect()
+        .map(r => r.getAs[String]("doc_id") -> r.getAs[Double]("ce_score")).toMap
+      assert(got == Map("d1" -> 1.0, "d2" -> 0.0, "d3" -> 3.0,
+        "d4" -> 1.0, "d5" -> 0.0))
+      // the 3-candidate list split 2+1 under maxDocsPerCall=2; the
+      // 2-candidate list is one call
+      assert(callDocCounts.toArray.toSeq.map(_.asInstanceOf[Int]).sorted ==
+        Seq(1, 2, 2))
+    } finally server.stop(0)
+  }
+
   test("HttpModelClient vision: base64 image_url content parts, retries, usage, annotateImages") {
     import com.sun.net.httpserver.{HttpExchange, HttpServer}
     import graft.llm.{HttpModelClient, PermanentModelError, RetryableModelError}
