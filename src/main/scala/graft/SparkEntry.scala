@@ -1583,6 +1583,136 @@ object SparkEntry {
       |FROM scored CROSS JOIN prior
       |ORDER BY nb_score DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Scale: Z-order (Morton-curve) multi-column layout
+    * ([[graft.operators.Scale.zOrderLayout]] over
+    * [[graft.functions.CatalystExpressions.zOrderValue]]): rows
+    * cluster along the space-filling curve so every output file's
+    * min/max footer stats cover a tight rectangle in BOTH columns —
+    * the data-skipping layout for 100 TB tables queried on more than
+    * one axis (ScaleSpec measures the per-file bounding boxes; this
+    * gate pins the interleave arithmetic bit-for-bit: the oracle
+    * recomputes the Morton value with DuckDB bit operators over
+    * `generate_series`). The layout pass itself is row-preserving, so
+    * running the gate THROUGH it also proves the reorder loses and
+    * invents nothing.
+    */
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    val pts = docs(s, dir).select(col("doc_id"),
+      (col("doc_id") % 256).cast("long").as("x"),
+      ((col("doc_id") * 31 + 7) % 256).cast("long").as("y"))
+    graft.operators.Scale.zOrderLayout(pts, "x", "y", numFiles = 8, bits = 8)
+      .select(col("doc_id"), col("x"), col("y"),
+        graft.functions.CatalystExpressions.zOrderValue(col("x"), col("y"), 8)
+          .as("zval"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def zOrderOracle: String =
+    """WITH pts AS (
+      |  SELECT doc_id,
+      |    CAST(doc_id % 256 AS BIGINT) AS x,
+      |    CAST((doc_id * 31 + 7) % 256 AS BIGINT) AS y
+      |  FROM documents),
+      |z AS (
+      |  SELECT doc_id, x, y,
+      |    CAST(sum((((x >> i.i) & 1) << (2 * i.i)) +
+      |             (((y >> i.i) & 1) << (2 * i.i + 1))) AS BIGINT) AS zval
+      |  FROM pts, generate_series(0, 7) AS i(i)
+      |  GROUP BY doc_id, x, y)
+      |SELECT doc_id, x, y, zval FROM z ORDER BY doc_id""".stripMargin
+
+  /** A7/O8 family — frequent items via the Misra–Gries sketch
+    * ([[graft.operators.Analytics.frequentItems]] /
+    * [[graft.operators.Aggregators.misraGries]]): fixed-memory
+    * mergeable heavy-hitters summary instead of a full
+    * `groupBy(item).count()` shuffle. The documents vocabulary (31
+    * distinct tokens at every SF) sits under the capacity (64), so the
+    * sketch is provably EXACT here and the oracle's exact counts gate
+    * the whole reduce/merge path; SketchSpec covers the lossy regime
+    * (counters evicted, ε-bound, merge associativity).
+    */
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("item"))
+      .filter(col("item") =!= "")
+    graft.operators.Analytics.frequentItems(toks, "item", capacity = 64, k = 10)
+  }
+
+  private def heavyHittersOracle: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(lower(text), ' ')) AS item
+      |  FROM documents)
+      |SELECT item, CAST(count(*) AS BIGINT) AS freq
+      |FROM toks WHERE item <> ''
+      |GROUP BY item ORDER BY freq DESC, item LIMIT 10""".stripMargin
+
+  /** Domain-authority PageRank
+    * ([[graft.operators.Analytics.pageRank]]): weighted power
+    * iteration over the customer-nation → supplier-nation trade graph
+    * (5 iterations, α=0.85, dangling mass redistributed uniformly).
+    * The crawl-curation quality prior: rank a domain by who links to
+    * it, not by its own content. The oracle unrolls the SAME five
+    * iterations as chained CTEs in DuckDB — per-node double sums over
+    * ≤25 terms, so both engines agree to well past the rounded 6
+    * decimals.
+    */
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val cst = t(s, dir, "customer")
+    val sup = t(s, dir, "supplier")
+    val nat = t(s, dir, "nation")
+    val edges = li
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(cst, o("o_custkey") === cst("c_custkey"))
+      .join(nat.select(col("n_nationkey").as("__cnk"), col("n_name").as("src")),
+        cst("c_nationkey") === col("__cnk"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(nat.select(col("n_nationkey").as("__snk"), col("n_name").as("dst")),
+        sup("s_nationkey") === col("__snk"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+    graft.operators.Analytics.pageRank(edges, "src", "dst", "w",
+        iterations = 5, alpha = 0.85)
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("node"))
+  }
+
+  private def pageRankOracle: String = {
+    val base = """WITH edges AS (
+      |  SELECT cn.n_name AS src, sn.n_name AS dst,
+      |    CAST(count(*) AS DOUBLE) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      |  GROUP BY cn.n_name, sn.n_name),
+      |nodes AS (SELECT DISTINCT src AS node FROM edges
+      |          UNION SELECT DISTINCT dst FROM edges),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      |trans AS (
+      |  SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p
+      |  FROM edges),
+      |r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)""".stripMargin
+    val iters = (1 to 5).map { k =>
+      val j = k - 1
+      s""",
+      |d$k AS (SELECT coalesce(sum(rank), 0) AS dang FROM r$j
+      |        WHERE node NOT IN (SELECT DISTINCT src FROM trans)),
+      |c$k AS (SELECT t.dst AS node, sum(r.rank * t.p) AS cin
+      |        FROM r$j r JOIN trans t ON r.node = t.src GROUP BY t.dst),
+      |r$k AS (
+      |  SELECT nodes.node,
+      |    (1 - 0.85) / nn.n + 0.85 * (coalesce(c$k.cin, 0) + d$k.dang / nn.n)
+      |      AS rank
+      |  FROM nodes CROSS JOIN nn CROSS JOIN d$k
+      |  LEFT JOIN c$k ON nodes.node = c$k.node)""".stripMargin
+    }.mkString
+    base + iters + "\nSELECT node, round(rank, 6) AS rank FROM r5 ORDER BY node"
+  }
+
   /** J5 — true as-of join via the custom sort-merge operator
     * ([[graft.plans.AsOf]]: logical node → strategy → exec, one hash
     * exchange + sort per side, streaming O(1)-state merge). Each click
@@ -2167,7 +2297,10 @@ object SparkEntry {
     "q99_video_frames" -> (q99 _),
     "q100_xspans" -> (q100 _),
     "q101_tok_budget" -> (q101 _),
-    "q102_nbq" -> (q102 _))
+    "q102_nbq" -> (q102 _),
+    "q103_zorder" -> (q103 _),
+    "q104_heavy" -> (q104 _),
+    "q105_pgrank" -> (q105 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -2611,6 +2744,9 @@ object SparkEntry {
     "q100_xspans" -> crossSpansOracle,
     "q101_tok_budget" -> tokenBudgetOracle,
     "q102_nbq" -> nbQualityOracle,
+    "q103_zorder" -> zOrderOracle,
+    "q104_heavy" -> heavyHittersOracle,
+    "q105_pgrank" -> pageRankOracle,
     "q62_asof_join" ->
       """SELECT l.user_id, l.event_id, round(l.value, 2) AS click_value,
         | r.event_id AS prior_error_id, round(r.value, 2) AS prior_error_value

@@ -641,6 +641,27 @@ object CatalystExpressions {
     override protected def withNewChildInternal(c: Expression): FilterNotInSet = copy(c)
   }
 
+  /** Morton (Z-order) value of two integral coordinates
+    * ([[ExprKernels.interleaveBits]]): the multi-column data-layout
+    * sort key. Range-partitioning + sorting by this value clusters
+    * rows that are close in BOTH dimensions into the same parquet
+    * file, so each file's min/max footer stats cover a tight rectangle
+    * and point/range predicates on EITHER column skip most files —
+    * single-column sorting only ever skips on the leading column.
+    */
+  case class InterleaveBits(left: Expression, right: Expression, bits: Int)
+      extends BinaryExpression {
+    require(bits > 0 && bits <= 31, s"bits must be in [1,31], got $bits")
+    override def dataType: DataType = LongType
+    override def nullSafeEval(l: Any, r: Any): Any =
+      ExprKernels.interleaveBits(l.asInstanceOf[Long], r.asInstanceOf[Long], bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = $K.interleaveBits($a, $b, $bits);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): InterleaveBits =
+      copy(l, r)
+  }
+
   import org.apache.spark.sql.graft.bridge.{columnOf => column, expressionOf => expression}
 
   def simhash64(tokenHashes: Column): Column = column(SimHash64(expression(tokenHashes)))
@@ -701,6 +722,9 @@ object CatalystExpressions {
 
   def quantizedDotQ(vec: Column, q: Array[Long]): Column =
     column(QuantizedDotQ(expression(vec), q))
+
+  def zOrderValue(a: Column, b: Column, bits: Int): Column =
+    column(InterleaveBits(expression(a.cast("long")), expression(b.cast("long")), bits))
 
   def gpt2PreTokenize(text: Column): Column =
     column(Gpt2PreTokenize(expression(text)))

@@ -811,6 +811,31 @@ object ExprKernels {
     new GenericArrayData(out.toArray(new Array[AnyRef](out.size())))
   }
 
+  /** Morton (Z-order) interleave of the low `bits` bits of two
+    * non-negative coordinates: bit i of `a` lands at output position
+    * 2i, bit i of `b` at 2i+1. Sorting by the result orders rows along
+    * the Z-curve, which keeps rows close in BOTH dimensions inside the
+    * same output file — the standard multi-column data-skipping layout
+    * (each parquet file's min/max footer stats cover a tight rectangle
+    * instead of a full-width stripe). Coordinates outside [0, 2^bits-1]
+    * clamp to the nearest edge cell (callers pre-scale; clamping keeps
+    * out-of-range stragglers ordered instead of wrapping them across
+    * the curve); `bits ≤ 31` keeps the result non-negative in a long.
+    */
+  def interleaveBits(a: Long, b: Long, bits: Int): Long = {
+    val mask = (1L << bits) - 1
+    val x = if (a < 0L) 0L else if (a > mask) mask else a
+    val y = if (b < 0L) 0L else if (b > mask) mask else b
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((x >>> i) & 1L) << (2 * i)
+      z |= ((y >>> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
   /** Drop the elements of a string array that are members of `set` —
     * O(1) hash membership per element, vs `array_contains`'s linear
     * scan over the set (O(|set|) per element; at lineDedup's 100k-line

@@ -168,4 +168,125 @@ object Analytics {
       .reduce(_ && _)
     fp.withColumn("doom_loop", coalesce(same, lit(false)))
   }
+
+  /** Top-k frequent items via the Misra–Gries sketch
+    * ([[Aggregators.misraGries]]): ONE fixed-memory aggregate instead
+    * of a full `groupBy(item).count()` shuffle — at 100 TB a frequent-
+    * domains / frequent-tokens question over billions of distinct
+    * items becomes a single `capacity`-counter summary per partition
+    * merged once. Counts are lower bounds within `N/(capacity+1)` of
+    * truth (exact whenever distinct ≤ capacity throughout — see the
+    * aggregator's contract); the head of the distribution, which is
+    * what "frequent" asks for, is where the bound is tightest
+    * relative to the count. Output: (item, freq), count-desc then
+    * item-asc, limited to `k` — the summary explode is a ≤ capacity
+    * row frame, so the tail sort is trivial.
+    */
+  def frequentItems(df: DataFrame, itemCol: String, capacity: Int,
+      k: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    val summary = df.select(col(itemCol).cast("string"))
+      .filter(col(itemCol).isNotNull).as[String]
+      .select(Aggregators.misraGries(capacity).toColumn) // typed select: one summary row
+    summary.toDF("mg").select(explode(col("mg")).as(Seq("item", "freq")))
+      .orderBy(col("freq").desc, col("item"))
+      .limit(k)
+  }
+
+  /** Weighted PageRank by iterated joins — domain-authority ranking
+    * for crawl curation (the quality prior CommonCrawl-scale pipelines
+    * attach to each registrable domain before content filters run).
+    * Power iteration with damping `alpha`:
+    *
+    *   rank₀ = 1/N;  rankₜ₊₁(d) = (1-α)/N + α·(Σ_{s→d} rankₜ(s)·w/outₜ(s)
+    *                                          + dangling/N)
+    *
+    * where `out(s)` is s's total out-weight and `dangling` is the rank
+    * mass parked on nodes with no out-edges (redistributed uniformly —
+    * the standard stochastic-matrix completion, so Σrank stays 1 every
+    * iteration).
+    *
+    * Scale shape: nodes and edges are plain DataFrames; one iteration
+    * is one equi-join on `src` plus one aggregate on `dst` — both hash
+    * exchanges on the same keys every round, so the shuffle reuses
+    * stable partitioning. The graph (`trans`, `nodes`) is
+    * localCheckpoint'ed ONCE so iterations read the stored frames
+    * instead of re-deriving a possibly join-heavy edge build per
+    * reference; rank state is `localCheckpoint`ed every
+    * `checkpointEvery` iterations to truncate the growing lineage
+    * (iterative plans otherwise re-analyze O(iters) deep trees).
+    * Edges with null/≤0 weight are dropped. Output: (node, rank).
+    *
+    * Job-count note: under AQE each iteration's exchanges materialize
+    * as ~3 scheduled jobs (≈23 total for 5 iterations) — at toy scale
+    * that scheduling is the whole wall time; at real scale each of
+    * those jobs carries the actual shuffle work and the fixed cost
+    * disappears into it. `iterations`/`checkpointEvery` are the knobs.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iterations: Int, alpha: Double = 0.85,
+      checkpointEvery: Int = 5): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    val e = edges
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+        col(weightCol).cast("double").as("__w"))
+    // Materialize the graph ONCE: every iteration references trans and
+    // nodes, so without this the (possibly join-heavy) edge derivation
+    // re-executes per reference — measured 3.5 s → sub-second at sf0.1
+    // for a 5-table edge build. localCheckpoint also truncates the
+    // upstream lineage, so iteration plans start from the stored graph.
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count().toDouble
+    if (n == 0) return nodes.withColumn("rank", lit(0.0))
+    // per-source transition probability: w / out-weight(src)
+    val trans = e
+      .withColumn("__out", sum(col("__w")).over(Window.partitionBy(col("__src"))))
+      .withColumn("__p", col("__w") / col("__out"))
+      .select(col("__src"), col("__dst"), col("__p"))
+      .localCheckpoint(true)
+    val sources = trans.select(col("__src")).distinct()
+    // Dangling nodes are a property of the GRAPH, not the iteration:
+    // find them once, and when there are none (most link graphs after
+    // self-loop cleanup) skip the per-iteration dangling-mass
+    // anti-join + broadcast entirely — on a dense graph that is 2 of
+    // the ~5 scheduled jobs per iteration for a term that is
+    // identically zero.
+    val dangNodes = nodes
+      .join(sources, nodes("node") === sources("__src"), "left_anti")
+      .localCheckpoint(true)
+    val hasDangling = !dangNodes.isEmpty
+    var rank = nodes.withColumn("rank", lit(1.0 / n))
+    var i = 0
+    while (i < iterations) {
+      val contrib = rank.join(trans, rank("node") === trans("__src"))
+        .groupBy(col("__dst").as("node"))
+        .agg(sum(col("rank") * col("__p")).as("__in"))
+      val withIn = nodes.join(contrib, Seq("node"), "left")
+      rank =
+        if (!hasDangling)
+          withIn.select(col("node"),
+            (lit((1.0 - alpha) / n) +
+              lit(alpha) * coalesce(col("__in"), lit(0.0))).as("rank"))
+        else {
+          // dangling mass as a lazy 1-row broadcast frame — no per-
+          // iteration driver action; the iteration stays one deferred
+          // plan between checkpoints
+          val dangMass = rank.join(dangNodes.select(col("node").as("__dn")),
+              rank("node") === col("__dn"), "left_semi")
+            .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dang"))
+          withIn.crossJoin(broadcast(dangMass))
+            .select(col("node"),
+              (lit((1.0 - alpha) / n) +
+                lit(alpha) * (coalesce(col("__in"), lit(0.0)) + col("__dang") / n))
+                .as("rank"))
+        }
+      i += 1
+      if (i % checkpointEvery == 0 && i < iterations)
+        rank = rank.localCheckpoint(true)
+    }
+    rank
+  }
 }

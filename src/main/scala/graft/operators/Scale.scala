@@ -112,6 +112,75 @@ object Scale {
     big.filter(mightContain)
   }
 
+  /** Z-order (Morton-curve) clustering of a DataFrame on two integral
+    * columns: each row's coordinates interleave into one long sort key
+    * ([[graft.functions.CatalystExpressions.zOrderValue]]), rows are
+    * range-partitioned into `numFiles` contiguous curve segments and
+    * sorted within each. Written as parquet, every file's min/max
+    * footer stats then cover a tight rectangle in (a, b) space instead
+    * of a full-width stripe, so predicates on EITHER column skip most
+    * files at scan time — the standard multi-dimensional data-layout
+    * optimization for 100 TB fact tables queried on more than one
+    * axis (a single-column sort only prunes on its leading column).
+    *
+    * Coordinates are clamped to [0, 2^bits-1]; callers pre-scale
+    * (e.g. `(col - min) * (2^bits - 1) / (max - min)`) when the
+    * natural domain is wider. `bits` = 16 (65k cells per axis) is
+    * plenty for file-grain skipping: what matters is that rows in the
+    * same file share curve locality, not sub-file precision.
+    *
+    * The range partitioner samples the z-value distribution, so files
+    * get ~equal ROW counts even when the coordinate distribution is
+    * skewed — no manual histogramming.
+    */
+  def zOrderLayout(df: DataFrame, colA: String, colB: String,
+      numFiles: Int, bits: Int = 16): DataFrame = {
+    require(numFiles > 0, "numFiles must be positive")
+    val z = graft.functions.CatalystExpressions.zOrderValue(col(colA), col(colB), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+
+  /** Z-order layout written to parquet: one file per curve segment. */
+  def zOrderWrite(df: DataFrame, colA: String, colB: String,
+      numFiles: Int, path: String, bits: Int = 16): Unit =
+    zOrderLayout(df, colA, colB, numFiles, bits)
+      .write.mode("overwrite").parquet(path)
+
+  /** Small-files compaction to a target file size — the maintenance
+    * pass every long-lived 100 TB table needs after streaming or
+    * incremental ingest (thousands of KB-scale files make the scan
+    * planner enumerate splits and the NameNode/object store sweat; the
+    * fix is periodic rewrite into ~`targetBytes` files). The output
+    * partition count comes from the INPUT's total on-disk bytes (a
+    * FileSystem listing, no data read), so the rewrite is one
+    * round-robin shuffle sized to the real data volume rather than a
+    * guessed constant. Returns the number of files written.
+    *
+    * Round-robin (not coalesce): coalesce would chain input splits
+    * onto fewer tasks without a shuffle but inherits their skew —
+    * a compaction pass exists precisely because the input layout is
+    * pathological, so pay the one shuffle and get uniform files.
+    */
+  def compactToTarget(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && !f.getPath.getName.startsWith("_")) bytes += f.getLen
+    }
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath).repartition(nOut)
+      .write.mode("overwrite").parquet(outPath)
+    nOut
+  }
+
   /** Point-in-interval range join without a cross product. Spark plans
     * a plain `p BETWEEN lo AND hi` join (no equi-conjunct, or one with
     * heavy range skew) as BroadcastNestedLoop / shuffled O(|L|×|R|)

@@ -40,7 +40,8 @@ class CodegenSpec extends SparkSpec {
       CatalystExpressions.windowFingerprints(col("h"), 5),
       CatalystExpressions.canonicalUrl(col("text")),
       CatalystExpressions.urlDomain(col("text")),
-      CatalystExpressions.nearestCentroidSim(col("a"), Array(Array(1.0, 0.0))))
+      CatalystExpressions.nearestCentroidSim(col("a"), Array(Array(1.0, 0.0))),
+      CatalystExpressions.zOrderValue(col("x"), col("y"), 16))
     exprs.foreach { c =>
       val e = expressionOf(c)
       assert(!e.isInstanceOf[CodegenFallback],

@@ -257,6 +257,38 @@ class PlanAudit extends SparkSpec {
       "postings scans pruned to (doc_id, text)")
   }
 
+  test("q103: z-order layout range-partitions on the interleaved key; scan pruned to doc_id") {
+    val p = plan("q103_zorder")
+    assert(p.linesIterator.count(_.contains("Exchange rangepartitioning")) >= 1,
+      s"z-order layout must range-partition along the curve:\n$p")
+    val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(!scan.contains("text") && !scan.contains("source"),
+      s"coordinates derive from doc_id alone — scan must not read text: $scan")
+  }
+
+  test("q104: Misra-Gries summary is one object aggregate, one single-partition exchange") {
+    val p = plan("q104_heavy")
+    // partial summaries per partition + one final merge — the whole
+    // point is that NO per-item hash shuffle happens
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) == 2 ||
+      p.linesIterator.count(_.contains("SortAggregate")) == 2,
+      s"sketch must aggregate partial+final:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 0,
+      s"no per-item hash exchange — the summary merge is the only movement:\n$p")
+  }
+
+  test("q105: PageRank iterates from the materialized graph, never all-pairs") {
+    val p = plan("q105_pgrank")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs in PageRank:\n$p")
+    // trans + nodes are localCheckpoint'ed once — iteration plans must
+    // start from the stored graph (ExistingRDD scans), NOT re-derive
+    // the 5-table edge join per reference (measured 3.5 s → sub-second)
+    assert(p.linesIterator.count(_.contains("ExistingRDD")) >= 2,
+      s"iterations must read the checkpointed graph:\n$p")
+    assert(!p.contains("FileScan parquet"),
+      s"no per-iteration re-scan of the fact tables:\n$p")
+  }
+
   test("compiled safe_eval predicates push down to the parquet scan") {
     val events = graft.core.Engine.table(spark, dir, "events")
     val filtered = events.filter(

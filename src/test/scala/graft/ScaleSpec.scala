@@ -239,4 +239,77 @@ class ScaleSpec extends SparkSpec {
       graft.core.Engine.table(spark, sfDir, "events")
         .filter(col("event_type") === "error").count())
   }
+
+  test("zOrderValue matches a reference Morton interleave, clamping out-of-range") {
+    def ref(a: Long, b: Long, bits: Int): Long = {
+      val mask = (1L << bits) - 1
+      val x = math.min(math.max(a, 0L), mask)
+      val y = math.min(math.max(b, 0L), mask)
+      (0 until bits).foldLeft(0L) { (z, i) =>
+        z | (((x >>> i) & 1L) << (2 * i)) | (((y >>> i) & 1L) << (2 * i + 1))
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    val pts = Seq((-5L, 3L), (0L, 0L), (255L, 255L), (256L, 1L), (999L, -1L)) ++
+      (1 to 500).map(_ => (rnd.nextInt(400).toLong - 50, rnd.nextInt(400).toLong - 50))
+    val got = pts.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.functions.CatalystExpressions.zOrderValue(col("a"), col("b"), 8).as("z"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == ref(r.getLong(0), r.getLong(1), 8),
+        s"(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
+  test("z-order layout gives multi-column file skipping a single-column sort cannot") {
+    // 64x64 grid, 16 files. A layout sorted on x alone makes every
+    // file span the FULL y domain (no file can be skipped for a
+    // predicate on y); the z-order layout's files cover tight
+    // rectangles, so a point predicate on y prunes most files by
+    // min/max footer stats.
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    def fileYRanges(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+      df.write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(min("y").as("lo"), max("y").as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    }
+    val xSorted = fileYRanges(grid.repartitionByRange(16, col("x"))
+      .sortWithinPartitions(col("x")))
+    val zOrdered = fileYRanges(Scale.zOrderLayout(grid, "x", "y", numFiles = 16, bits = 6))
+    // a y=17 point predicate: files whose [min,max] straddle it can't be skipped
+    def hit(ranges: Seq[(Long, Long)]): Int =
+      ranges.count { case (lo, hi) => lo <= 17 && 17 <= hi }
+    assert(hit(xSorted) == xSorted.size,
+      s"x-sorted layout should never skip on y: ${xSorted.sorted}")
+    assert(hit(zOrdered) * 2 <= zOrdered.size,
+      s"z-order layout must skip most files on a y predicate: ${zOrdered.sorted}")
+    // row-preserving: the reorder loses and invents nothing
+    assert(Scale.zOrderLayout(grid, "x", "y", 16, 6).count() == 64L * 64L)
+  }
+
+  test("compactToTarget sizes the rewrite from real input bytes") {
+    val inDir = java.nio.file.Files.createTempDirectory("graft-compact-in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-compact-out").toString
+    // pathological ingest layout: 64 tiny files
+    val df = (1 to 20000).map(i => (i.toLong, s"row_$i")).toDF("id", "v")
+    df.repartition(64).write.mode("overwrite").parquet(inDir)
+    val fs = new java.io.File(inDir)
+    val inBytes = fs.listFiles.filter(f => f.isFile && !f.getName.startsWith("_"))
+      .map(_.length).sum
+    val nOut = Scale.compactToTarget(spark, inDir, outDir, targetBytes = inBytes / 4)
+    // ceil(inBytes / (inBytes/4)) = 4, or 5 when integer division floors
+    assert(nOut == 4 || nOut == 5, s"~4 files expected, got $nOut")
+    val outFiles = new java.io.File(outDir).listFiles
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(outFiles.length == nOut,
+      s"files on disk (${outFiles.length}) must match the computed count")
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 20000)
+    assert(out.exceptAll(df).count() == 0 && df.exceptAll(out).count() == 0)
+  }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Aggregators, Analytics}
+
+/** Misra–Gries heavy-hitters sketch: exactness in the small-cardinality
+  * regime (what the q104 oracle gate relies on), and the published
+  * guarantees in the lossy regime — counts are lower bounds within
+  * N/(capacity+1), no item is overcounted, and every TRUE heavy hitter
+  * survives eviction. Merges are forced by partitioning, so the
+  * summary-merge rule (not just the single-partition reduce) carries
+  * the bound.
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def exactCounts(items: Seq[String]): Map[String, Long] =
+    items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+
+  test("misraGries is exact when distinct items fit the capacity") {
+    val items = (1 to 3000).map(i => s"k${i % 20}")
+    val ds = items.toDF("item").repartition(8).as[String]
+    val got = ds.select(Aggregators.misraGries(64).toColumn).head()
+    assert(got == exactCounts(items))
+  }
+
+  test("misraGries lossy regime: lower bounds within N/(k+1), heavy hitters survive") {
+    // Zipf-ish stream: a few heavy keys over a long tail, far more
+    // distinct items than counters; repartition(11) forces the merge
+    // path across unevenly-filled partial summaries.
+    val rnd = new scala.util.Random(13)
+    val heavy = Seq.fill(4000)("h" + rnd.nextInt(3)) // 3 keys, ~1333 each
+    val tail = Seq.fill(6000)("t" + rnd.nextInt(2000)) // 2000 rare keys
+    val items = rnd.shuffle(heavy ++ tail)
+    val n = items.size.toLong
+    val capacity = 9
+    val truth = exactCounts(items)
+    val est = items.toDF("item").repartition(11).as[String]
+      .select(Aggregators.misraGries(capacity).toColumn).head()
+    assert(est.size <= capacity)
+    val bound = n / (capacity + 1)
+    est.foreach { case (k, c) =>
+      val t = truth.getOrElse(k, 0L)
+      assert(c <= t, s"$k overcounted: est $c > true $t")
+      assert(c >= t - bound, s"$k undercounted past the bound: est $c, true $t")
+    }
+    // completeness: every item with true count > N/(capacity+1) is present
+    truth.filter(_._2 > bound).keys.foreach { k =>
+      assert(est.contains(k), s"true heavy hitter $k evicted")
+    }
+  }
+
+  test("frequentItems: deterministic head order, nulls ignored, k-bounded") {
+    val df = (Seq.fill(50)("a") ++ Seq.fill(50)("b") ++ Seq.fill(10)("c") ++
+      Seq[String](null)).toDF("item")
+    val got = Analytics.frequentItems(df, "item", capacity = 16, k = 2).collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 50L), ("b", 50L))) // tie broken item-asc, c cut by k
+  }
+}
