@@ -1713,6 +1713,79 @@ object SparkEntry {
     base + iters + "\nSELECT node, round(rank, 6) AS rank FROM r5 ORDER BY node"
   }
 
+  /** α-temperature mixture sampling
+    * ([[graft.operators.TextOps.temperatureResample]]): the XLM-R/mT5
+    * multilingual rebalancing rule — stratum quotas `∝ n^α` flatten
+    * the head (α=0.5 here: en's 218 docs get 92 slots, fr's 64 get
+    * 50), rows selected as the portableHash-order prefix per stratum.
+    * The oracle refits the whole policy in SQL: per-lang counts,
+    * `round(total · n^α / Σn^α)` quotas (identical IEEE arithmetic
+    * order), the md5-hash rank, and the prefix filter.
+    */
+  private def q106(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.temperatureResample(docs(s, dir), "lang", "doc_id",
+        alpha = 0.5, totalDocs = 300)
+      .select(col("doc_id"), col("lang"), col("k_stratum"))
+      .orderBy(col("lang"), col("doc_id"))
+
+  private def temperatureOracle: String =
+    """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      |z AS (SELECT sum(pow(n, 0.5)) AS z FROM c),
+      |k AS (
+      |  SELECT lang, least(n, CAST(round(300 * pow(n, 0.5) / z.z) AS BIGINT))
+      |    AS k_stratum
+      |  FROM c, z),
+      |h AS (
+      |  SELECT doc_id, lang,
+      |    CAST(concat('0x', substring(md5(concat('mix:', doc_id)), 1, 8))
+      |      AS BIGINT) AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+      |  FROM h)
+      |SELECT r.doc_id, r.lang, k.k_stratum
+      |FROM r JOIN k USING (lang) WHERE r.rk <= k.k_stratum
+      |ORDER BY lang, doc_id""".stripMargin
+
+  /** One-sided containment dedup
+    * ([[graft.operators.Dedup.containmentPairs]]): Broder's
+    * containment `|A∩B|/|A|` over distinct word 5-grams — the
+    * quote/partial-copy detector Jaccard resemblance misses (a
+    * fragment inside a much larger document dilutes the union). The
+    * oracle restates grams, the pair equi-join, per-doc totals, and
+    * the rounded ratio filter relationally.
+    */
+  private def q107(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.containmentPairs(docs(s, dir), "doc_id", "text",
+        n = 5, minContainment = 0.8)
+      .orderBy(col("contained_id"), col("container_id"))
+
+  private def containmentOracle: String =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      t -> len(t) > 0) AS tk
+      |  FROM documents),
+      |ng AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |      generate_series(1, len(tk) - 4),
+      |      i -> array_to_string(tk[i:i+4], ' ')))) AS gram
+      |  FROM tk WHERE len(tk) >= 5),
+      |tot AS (SELECT doc_id, count(*) AS n_grams FROM ng GROUP BY doc_id),
+      |sh AS (
+      |  SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+      |    count(*) AS n_shared
+      |  FROM ng a JOIN ng b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT s.contained_id, s.container_id,
+      |  CAST(s.n_shared AS BIGINT) AS n_shared,
+      |  CAST(t.n_grams AS BIGINT) AS n_grams,
+      |  round(CAST(s.n_shared AS DOUBLE) / t.n_grams, 6) AS containment
+      |FROM sh s JOIN tot t ON s.contained_id = t.doc_id
+      |WHERE round(CAST(s.n_shared AS DOUBLE) / t.n_grams, 6) >= 0.8
+      |ORDER BY contained_id, container_id""".stripMargin
+
   /** J5 — true as-of join via the custom sort-merge operator
     * ([[graft.plans.AsOf]]: logical node → strategy → exec, one hash
     * exchange + sort per side, streaming O(1)-state merge). Each click
@@ -2300,7 +2373,9 @@ object SparkEntry {
     "q102_nbq" -> (q102 _),
     "q103_zorder" -> (q103 _),
     "q104_heavy" -> (q104 _),
-    "q105_pgrank" -> (q105 _))
+    "q105_pgrank" -> (q105 _),
+    "q106_temp" -> (q106 _),
+    "q107_contain" -> (q107 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -2747,6 +2822,8 @@ object SparkEntry {
     "q103_zorder" -> zOrderOracle,
     "q104_heavy" -> heavyHittersOracle,
     "q105_pgrank" -> pageRankOracle,
+    "q106_temp" -> temperatureOracle,
+    "q107_contain" -> containmentOracle,
     "q62_asof_join" ->
       """SELECT l.user_id, l.event_id, round(l.value, 2) AS click_value,
         | r.event_id AS prior_error_id, round(r.value, 2) AS prior_error_value

@@ -381,6 +381,55 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** One-sided containment dedup: containment of A in B is
+    * `|grams(A) ∩ grams(B)| / |grams(A)|` over distinct word n-grams —
+    * the asymmetric complement of Jaccard resemblance (Broder 1997
+    * defines both). Jaccard misses "A is a fragment quoted inside a
+    * much larger B" (the union dilutes it); containment is exactly
+    * that signal, the quote/partial-copy detector of a curation
+    * pipeline.
+    *
+    * Same scale discipline as [[graft.operators.Curation.ngramDecontaminate]]:
+    * distinct grams explode to (id, gram), crossing pairs come from
+    * ONE df-capped equi-join on the gram (`maxGramDf` drops
+    * boilerplate grams that would make a quadratic hot key; with a
+    * finite cap, containment is over the SURVIVING grams — totals are
+    * counted after the cap so numerator and denominator agree).
+    * Output: (contained_id, container_id, n_shared, n_grams,
+    * containment) for pairs at or above `minContainment`; both
+    * directions appear when both clear the bar (their denominators
+    * differ).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minContainment: Double = 0.8,
+      maxGramDf: Int = Int.MaxValue): DataFrame = {
+    require(minContainment > 0 && minContainment <= 1,
+      s"minContainment must be in (0,1]: $minContainment")
+    var g = df.select(col(idCol).as("__cid"),
+      explode(array_distinct(Curation.wordNgrams(col(textCol), n))).as("gram"))
+    if (maxGramDf != Int.MaxValue) {
+      val hot = g.groupBy(col("gram")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxGramDf)
+        .select(col("gram"))
+      g = g.join(hot, Seq("gram"), "left_anti")
+    }
+    // one gram scan feeds the join's both sides and the denominators
+    val grams = g.localCheckpoint(false)
+    val totals = grams.groupBy(col("__cid").as("contained_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val a = grams.select(col("__cid").as("contained_id"), col("gram"))
+    val b = grams.select(col("__cid").as("container_id"), col("gram"))
+    pinJoinParallelism(a, Seq("gram"))
+      .join(b, Seq("gram"))
+      .filter(col("contained_id") =!= col("container_id"))
+      .groupBy(col("contained_id"), col("container_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(totals, Seq("contained_id"))
+      .withColumn("containment",
+        round(col("n_shared").cast("double") / col("n_grams"), 6))
+      .filter(col("containment") >= minContainment)
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash signatures of the token multiset, computed

@@ -221,6 +221,50 @@ object TextOps {
       .drop("__h", "__b", "__s", "__pre")
   }
 
+  /** α-temperature mixture sampling (the multilingual rebalancing rule
+    * of XLM-R §3.1 / mT5: sample stratum s with probability
+    * `p_s ∝ n_s^α`, α < 1 flattening the head so low-resource strata
+    * are not drowned out; α = 1 keeps natural proportions, α = 0 is
+    * uniform across strata). Given a `totalDocs` output budget,
+    * stratum s keeps `k_s = min(n_s, round(totalDocs · p_s))` rows,
+    * selected as the [[portableHash]]-order prefix — deterministic,
+    * partition-invariant, append-stable, same ordering discipline as
+    * the whole mixture family.
+    *
+    * Scale: ONE `countByValue` job fits the policy (#strata rows to
+    * the driver); selection is a rank filter bounded by the LITERAL
+    * `max(k_s)` conjunct, so it plans as WindowGroupLimit (running
+    * top-k heap per partition) — never a full per-stratum sort, the
+    * q75 discipline. Output: input rows + `k_stratum` (the stratum's
+    * quota).
+    */
+  def temperatureResample(df: DataFrame, strataCol: String, idCol: String,
+      alpha: Double, totalDocs: Long, seed: String = "mix"): DataFrame = {
+    require(alpha >= 0, s"alpha must be >= 0: $alpha")
+    require(totalDocs >= 0, s"totalDocs must be >= 0: $totalDocs")
+    val counts = df.select(col(strataCol).cast("string")).rdd
+      .map(_.getString(0)).countByValue()
+    if (counts.isEmpty) return df.filter(lit(false)).withColumn("k_stratum", lit(0L))
+    val z = counts.values.map(n => math.pow(n.toDouble, alpha)).sum
+    val ks = counts.map { case (s, n) =>
+      s -> math.min(n, math.round(totalDocs * math.pow(n.toDouble, alpha) / z))
+    }
+    val maxK = ks.values.max
+    val kCol = element_at(
+      map(ks.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+      col(strataCol).cast("string"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(portableHash(col(idCol), seed), col(idCol))
+    df.withColumn("__rank", row_number().over(w))
+      // literal bound first: the optimizer extracts it for the
+      // WindowGroupLimit heap; the per-stratum quota applies as a
+      // plain filter behind it
+      .filter(col("__rank") <= lit(maxK) && col("__rank") <= kCol)
+      .withColumn("k_stratum", kCol)
+      .drop("__rank")
+  }
+
   /** Exact per-stratum deterministic sample: exactly `k` rows per
     * stratum (fewer if the stratum is smaller), selected by ranking on
     * [[portableHash]] — the deterministic replacement for per-group

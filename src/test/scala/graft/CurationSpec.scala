@@ -177,6 +177,34 @@ class CurationSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("temperatureResample: alpha flattens quotas between proportional and uniform") {
+    import org.apache.spark.sql.functions.count
+    val d = (0L until 1600L).map(i =>
+      (i, if (i % 16 < 12) "en" else if (i % 16 < 15) "de" else "mi"))
+      .toDF("id", "lang") // 1200 en, 300 de, 100 mi
+    def quotas(alpha: Double): Map[String, Long] =
+      graft.operators.TextOps.temperatureResample(d, "lang", "id", alpha, 400)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // α=1: natural proportions (400 · n/1600)
+    assert(quotas(1.0) == Map("en" -> 300L, "de" -> 75L, "mi" -> 25L))
+    // α=0: uniform quotas (133 each), mi capped at its 100 rows
+    assert(quotas(0.0) == Map("en" -> 133L, "de" -> 133L, "mi" -> 100L))
+    // α=0.5: strictly between — the low-resource stratum gains share
+    val half = quotas(0.5)
+    assert(half("mi") > 25L && half("mi") <= 100L, s"got $half")
+    assert(half("en") < 300L && half("en") > 134L, s"got $half")
+    // quota can't exceed the stratum (tiny stratum kept whole at most)
+    assert(half.values.sum <= 403L && half.values.sum >= 397L, s"got $half")
+    // deterministic under repartitioning: same selected id set
+    val a = graft.operators.TextOps.temperatureResample(d, "lang", "id", 0.5, 400)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = graft.operators.TextOps.temperatureResample(
+        d.repartition(13), "lang", "id", 0.5, 400)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("samplePerStratum: exactly k per stratum, partition-invariant, small strata kept whole") {
     import org.apache.spark.sql.functions.count
     val d = (0L until 1000L).map(i => (i, if (i < 990) "big" else "tiny"))

@@ -285,4 +285,45 @@ class DedupSpec extends SparkSpec {
     // flags as one window → span [10, 15)
     assert(spans.toSeq == Seq((1L, 10L, 15L, 1L)), s"got ${spans.toSeq}")
   }
+
+  test("containment: a fragment quoted inside a larger doc scores ~1 one way, low the other") {
+    val frag = "alpha beta gamma delta epsilon zeta eta theta"
+    val container = s"intro words before the quote $frag and then a very long tail " +
+      "of completely unrelated content that keeps flowing with many more " +
+      "distinct tokens diluting any union based similarity measure badly"
+    val d = Seq((1L, frag), (2L, container),
+      (3L, "unrelated third document about something else entirely here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(d, "doc_id", "text", n = 5,
+        minContainment = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSeq
+    // frag's grams all appear in container → containment(1 in 2) = 1.0;
+    // container in frag is far below 0.5 (its tail has no match);
+    // Jaccard would have missed this pair at any usual threshold
+    assert(pairs == Seq((1L, 2L, 1.0)), s"got $pairs")
+    val j = Dedup.ngramJaccardFromSets(
+      d.select(col("doc_id").as("id"),
+        Dedup.shingleHashSet(col("text"), 5).as("sh")),
+      Seq((1L, 2L)).toDF("id_a", "id_b"))
+      .collect().head.getDouble(2)
+    assert(j < 0.5, s"the point of containment: resemblance is diluted, J=$j")
+  }
+
+  test("containment maxGramDf: boilerplate grams dropped from both numerator and denominator") {
+    // the same long boilerplate footer in EVERY doc would make a
+    // quadratic hot gram AND fake high containment between unrelated
+    // docs; with the cap, containment is over surviving grams only
+    val boiler = "standard footer text all rights reserved worldwide " +
+      "contact the legal department for permission requests"
+    val d = (1L to 12L).map(i => (i, s"doc$i body$i $boiler"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.containmentPairs(d, "doc_id", "text", n = 5,
+      minContainment = 0.7)
+    assert(uncapped.count() > 0,
+      "without the cap, shared boilerplate fakes containment between unrelated docs")
+    val capped = Dedup.containmentPairs(d, "doc_id", "text", n = 5,
+      minContainment = 0.7, maxGramDf = 4)
+    assert(capped.count() == 0,
+      "after dropping the boilerplate grams no unrelated pair should clear the bar")
+  }
 }

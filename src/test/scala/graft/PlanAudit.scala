@@ -289,6 +289,18 @@ class PlanAudit extends SparkSpec {
       s"no per-iteration re-scan of the fact tables:\n$p")
   }
 
+  test("q106: temperature quotas plan with WindowGroupLimit (heap, not full stratum sort)") {
+    val p = plan("q106_temp")
+    assert(p.contains("WindowGroupLimit"),
+      s"the literal max-quota conjunct must drive a running top-k heap:\n$p")
+  }
+
+  test("q107: containment is a df-capped gram equi-join, never all-pairs") {
+    val p = plan("q107_contain")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no all-pairs path in containment:\n$p")
+  }
+
   test("compiled safe_eval predicates push down to the parquet scan") {
     val events = graft.core.Engine.table(spark, dir, "events")
     val filtered = events.filter(
