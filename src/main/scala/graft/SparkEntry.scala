@@ -1786,6 +1786,47 @@ object SparkEntry {
       |WHERE round(CAST(s.n_shared AS DOUBLE) / t.n_grams, 6) >= 0.8
       |ORDER BY contained_id, container_id""".stripMargin
 
+  /** Corpus-shift drift report ([[graft.operators.Curation.tokenShift]]):
+    * per-token KL contribution between two snapshots (even vs odd
+    * doc_id here) over the Laplace-smoothed union vocabulary — the
+    * "what changed between crawls" monitor. Every output value is
+    * per-row arithmetic (no cross-token float sums), so both engines
+    * agree bit-for-bit before the rounding.
+    */
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Curation.tokenShift(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0),
+        d.filter(pmod(col("doc_id"), lit(2)) === 1), "text")
+      .orderBy(desc("kl_term"), col("token"))
+      .limit(20)
+  }
+
+  private def tokenShiftOracle: String =
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(trim(text)), '\s+'),
+      |    t -> len(t) > 0)) AS token
+      |  FROM documents),
+      |ca AS (SELECT token, count(*) AS n_a FROM tk WHERE doc_id % 2 = 0
+      |       GROUP BY token),
+      |cb AS (SELECT token, count(*) AS n_b FROM tk WHERE doc_id % 2 = 1
+      |       GROUP BY token),
+      |j AS (
+      |  SELECT coalesce(ca.token, cb.token) AS token,
+      |    coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+      |  FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+      |t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb, count(*) AS v FROM j),
+      |p AS (
+      |  SELECT token, n_a, n_b,
+      |    CAST(n_a + 1 AS DOUBLE) / (t.ta + t.v) AS pa,
+      |    CAST(n_b + 1 AS DOUBLE) / (t.tb + t.v) AS pb
+      |  FROM j, t)
+      |SELECT token, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  round(pa, 8) AS p_a, round(pb, 8) AS p_b,
+      |  round(pa * ln(pa / pb), 9) AS kl_term
+      |FROM p ORDER BY kl_term DESC, token LIMIT 20""".stripMargin
+
   /** J5 — true as-of join via the custom sort-merge operator
     * ([[graft.plans.AsOf]]: logical node → strategy → exec, one hash
     * exchange + sort per side, streaming O(1)-state merge). Each click
@@ -2375,7 +2416,8 @@ object SparkEntry {
     "q104_heavy" -> (q104 _),
     "q105_pgrank" -> (q105 _),
     "q106_temp" -> (q106 _),
-    "q107_contain" -> (q107 _))
+    "q107_contain" -> (q107 _),
+    "q108_shift" -> (q108 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -2824,6 +2866,7 @@ object SparkEntry {
     "q105_pgrank" -> pageRankOracle,
     "q106_temp" -> temperatureOracle,
     "q107_contain" -> containmentOracle,
+    "q108_shift" -> tokenShiftOracle,
     "q62_asof_join" ->
       """SELECT l.user_id, l.event_id, round(l.value, 2) AS click_value,
         | r.event_id AS prior_error_id, round(r.value, 2) AS prior_error_value

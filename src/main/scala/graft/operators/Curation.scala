@@ -105,6 +105,40 @@ object Curation {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Corpus-shift report: per-token KL contribution between two corpus
+    * snapshots — the drift monitor a recurring crawl ingest needs
+    * ("what changed between last month's snapshot and this one").
+    * Token distributions are Laplace-smoothed over the UNION
+    * vocabulary (`p_t = (c_t+1)/(N+V)`), and each token's KL term
+    * `p_a·ln(p_a/p_b)` is pure per-row arithmetic — no cross-token
+    * float summation, so results are bit-stable across engines and
+    * partitionings (the aggregate KL is the caller's one `sum` away).
+    * Positive terms are tokens over-represented in A vs B; the head of
+    * the |term| ranking is the "what changed" answer.
+    *
+    * Scale: one token-count aggregate per corpus (map-side combined),
+    * one full-outer equi-join on the token, and a lazy 1-row broadcast
+    * of the three normalization scalars — vocabulary-sized
+    * intermediates, never corpus-sized.
+    */
+  def tokenShift(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as(out))
+    val j = counts(a, "n_a").join(counts(b, "n_b"), Seq("token"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+    val tot = j.agg(sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"),
+      count(lit(1)).as("__v"))
+    j.crossJoin(broadcast(tot))
+      .withColumn("p_a",
+        (col("n_a") + 1).cast("double") / (col("__ta") + col("__v")))
+      .withColumn("p_b",
+        (col("n_b") + 1).cast("double") / (col("__tb") + col("__v")))
+      .select(col("token"), col("n_a"), col("n_b"),
+        round(col("p_a"), 8).as("p_a"), round(col("p_b"), 8).as("p_b"),
+        round(col("p_a") * log(col("p_a") / col("p_b")), 9).as("kl_term"))
+  }
+
   /** Gopher-style repetition metrics, entirely row-local (map-only —
     * the per-document work never reaches a shuffle):
     *   - `dup_word_frac`: fraction of token occurrences that repeat an

@@ -99,6 +99,25 @@ object StreamOps {
     wm.dropDuplicates(watermark.fold(keyCols) { case (c, _) => keyCols :+ c })
   }
 
+  /** Streaming heavy hitters — the SAME mergeable Misra–Gries summary
+    * as [[graft.operators.Aggregators.misraGries]], run as a streaming
+    * global aggregate: each micro-batch's partial summaries merge into
+    * the running state-store summary (complete output mode), so the
+    * state is permanently bounded at `capacity` counters no matter how
+    * many distinct items the stream ever carries — the frequent-
+    * domains monitor for an unbounded crawl feed. Same guarantee as
+    * batch: counts are lower bounds within N/(capacity+1); exact while
+    * distinct ≤ capacity.
+    */
+  def streamingFrequentItems(events: DataFrame, itemCol: String,
+      capacity: Int): DataFrame = {
+    import events.sparkSession.implicits._
+    events.select(col(itemCol).cast("string"))
+      .filter(col(itemCol).isNotNull).as[String]
+      .select(graft.operators.Aggregators.misraGries(capacity).toColumn)
+      .toDF("mg")
+  }
+
   /** Streaming NEAR-duplicate detection — the incremental twin of
     * [[graft.operators.Dedup.minhashNearDuplicates]]: MinHash
     * signatures are a map-only projection (stream-compatible), the

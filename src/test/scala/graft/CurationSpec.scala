@@ -177,6 +177,26 @@ class CurationSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("tokenShift: closed-form KL terms, Gibbs non-negativity of the total") {
+    val a = Seq((1L, "x x y")).toDF("id", "text")
+    val b = Seq((2L, "x z")).toDF("id", "text")
+    val got = Curation.tokenShift(a, b, "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(5)))).toMap
+    // union vocab {x,y,z}, Na=3, Nb=2, V=3 → pa = (c+1)/6, pb = (c+1)/5
+    def term(ca: Long, cb: Long): Double = {
+      val pa = (ca + 1).toDouble / 6; val pb = (cb + 1).toDouble / 5
+      BigDecimal(pa * math.log(pa / pb)).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got("x") == ((2L, 1L, term(2, 1))), s"got ${got("x")}")
+    assert(got("y") == ((1L, 0L, term(1, 0))), s"got ${got("y")}")
+    assert(got("z") == ((0L, 1L, term(0, 1))), s"got ${got("z")}")
+    // Gibbs: KL(P||Q) ≥ 0 even though single terms go negative
+    assert(got.values.map(_._3).sum >= 0)
+    assert(got.values.exists(_._3 < 0))
+  }
+
   test("temperatureResample: alpha flattens quotas between proportional and uniform") {
     import org.apache.spark.sql.functions.count
     val d = (0L until 1600L).map(i =>

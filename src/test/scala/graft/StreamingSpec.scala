@@ -272,6 +272,24 @@ class StreamingSpec extends SparkSpec {
     } finally bus.stop()
   }
 
+  test("streaming frequent items: MG summary merges across micro-batches, state bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[String](spark)
+    val freq = graft.streaming.StreamOps.streamingFrequentItems(
+      input.toDF().toDF("item"), "item", capacity = 32)
+    val q = freq.writeStream.format("memory").queryName("mg_sink")
+      .outputMode("complete").start()
+    input.addData(Seq.fill(30)("a") ++ Seq.fill(10)("b"))
+    q.processAllAvailable()
+    input.addData(Seq.fill(20)("a") ++ Seq.fill(5)("c"))
+    q.processAllAvailable()
+    val got = spark.table("mg_sink").selectExpr("explode(mg)")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // capacity 32 > 3 distinct → exact counts across both batches
+    assert(got == Map("a" -> 50L, "b" -> 10L, "c" -> 5L), s"got $got")
+    q.stop()
+  }
+
   test("map-only curation ops run unchanged on a stream: PII redaction == batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val input = MemoryStream[(Long, String)](spark)
