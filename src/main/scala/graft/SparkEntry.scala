@@ -1827,6 +1827,37 @@ object SparkEntry {
       |  round(pa * ln(pa / pb), 9) AS kl_term
       |FROM p ORDER BY kl_term DESC, token LIMIT 20""".stripMargin
 
+  /** Quality-aware dedup keeper ([[graft.operators.Dedup.keepBest]]):
+    * within each near-dup class keep the most COMPLETE member
+    * (highest `n_chars`, ties → lowest id) instead of the arbitrary
+    * lowest-id default — dedup should retain the canonical copy. The
+    * oracle rebuilds the classes (q53's recursive-CC CTE) and replays
+    * the argmax ranking; the window runs only over classed rows, so
+    * no giant null-class partition exists at scale.
+    */
+  private def q109(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.keepBest(docDedupClasses(s, dir), "doc_id", "n_chars")
+      .filter(col("dup_class").isNotNull)
+      .select(col("doc_id"), col("dup_class"), col("n_chars"), col("keep"))
+      .orderBy(col("dup_class"), col("doc_id"))
+
+  private def keepBestOracle: String =
+    s"""WITH RECURSIVE $ShingleJaccardCte,
+       |pairs AS (SELECT id_a, id_b FROM jacc WHERE jaccard >= 0.3),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (SELECT s AS node, d AS r FROM edges
+       |          UNION
+       |          SELECT rc.node, e.d AS r FROM reach rc JOIN edges e ON rc.r = e.s),
+       |labels AS (SELECT node, least(node, min(r)) AS comp FROM reach GROUP BY node),
+       |scored AS (
+       |  SELECT l.node AS doc_id, l.comp AS dup_class, d.n_chars
+       |  FROM labels l JOIN documents d ON l.node = d.doc_id)
+       |SELECT doc_id, dup_class, n_chars,
+       |  row_number() OVER (PARTITION BY dup_class
+       |    ORDER BY n_chars DESC, doc_id) = 1 AS keep
+       |FROM scored ORDER BY dup_class, doc_id""".stripMargin
+
   /** J5 — true as-of join via the custom sort-merge operator
     * ([[graft.plans.AsOf]]: logical node → strategy → exec, one hash
     * exchange + sort per side, streaming O(1)-state merge). Each click
@@ -2417,7 +2448,8 @@ object SparkEntry {
     "q105_pgrank" -> (q105 _),
     "q106_temp" -> (q106 _),
     "q107_contain" -> (q107 _),
-    "q108_shift" -> (q108 _))
+    "q108_shift" -> (q108 _),
+    "q109_keepbest" -> (q109 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -2867,6 +2899,7 @@ object SparkEntry {
     "q106_temp" -> temperatureOracle,
     "q107_contain" -> containmentOracle,
     "q108_shift" -> tokenShiftOracle,
+    "q109_keepbest" -> keepBestOracle,
     "q62_asof_join" ->
       """SELECT l.user_id, l.event_id, round(l.value, 2) AS click_value,
         | r.event_id AS prior_error_id, round(r.value, 2) AS prior_error_value

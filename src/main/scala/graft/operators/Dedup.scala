@@ -710,6 +710,29 @@ object Dedup {
       .withColumn("keep", col("dup_class").isNull || col("dup_class") === col(idCol))
   }
 
+  /** Quality-aware keeper selection over [[dedupCorpus]] output:
+    * within each duplicate class keep the member with the HIGHEST
+    * `scoreCol` (ties → lowest id) instead of the default lowest-id
+    * member — dedup should retain the canonical/most complete copy
+    * (longest text, best quality score, preferred source), not an
+    * arbitrary one. Rows outside any class keep `keep = true`.
+    *
+    * Scale: the ranking window runs ONLY over classed rows (duplicate
+    * groups — small by construction); unique rows bypass it entirely,
+    * so there is no giant null-class window partition funneling the
+    * whole corpus through one reducer.
+    */
+  def keepBest(deduped: DataFrame, idCol: String, scoreCol: String): DataFrame = {
+    val uniques = deduped.filter(col("dup_class").isNull)
+      .withColumn("keep", lit(true))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dup_class"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val classed = deduped.filter(col("dup_class").isNotNull)
+      .withColumn("keep", row_number().over(w) === 1)
+    uniques.unionByName(classed)
+  }
+
   // --------------------------------------------------- embedding near-dup
 
   /** Embedding near-duplicates: cosine ≥ `minCosine` pairs, with

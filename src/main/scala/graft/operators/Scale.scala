@@ -181,6 +181,60 @@ object Scale {
     nOut
   }
 
+  /** Targeted deletion from a Hive-partitioned layout — the
+    * right-to-be-forgotten maintenance pass: rewrite ONLY the
+    * partitions that contain hit keys, leaving every other partition's
+    * files untouched (at 100 TB, a delete of a few thousand keys must
+    * not rewrite the table). Keys arrive as a DataFrame (millions of
+    * keys join fine; an `isin` literal list would blow up the plan).
+    *
+    * Mechanics: a semi-join finds the affected partition values (the
+    * collect is bounded by the partition count, not the data); the
+    * affected partitions are re-read, anti-joined against the keys,
+    * and written back under dynamic partition overwrite — Spark
+    * replaces exactly the partitions present in the written frame.
+    * Returns the number of rows deleted.
+    *
+    * Deletion is physical once the write commits; readers see the
+    * partition swap atomically per partition (the parquet commit
+    * protocol), which is the standard contract for this pass outside
+    * a snapshotting table format.
+    */
+  def deleteByKeys(spark: SparkSession, path: String, partitionCol: String,
+      keyCol: String, keys: DataFrame): Long = {
+    val layout = spark.read.parquet(path)
+    val k = keys.select(col(keys.columns.head).as(keyCol)).distinct()
+    val affected = layout.join(k, Seq(keyCol), "left_semi")
+      .select(col(partitionCol)).distinct().collect().map(_.get(0))
+    if (affected.isEmpty) return 0L
+    val hitParts = layout.filter(col(partitionCol).isInCollection(affected))
+    val deleted = hitParts.join(k, Seq(keyCol), "left_semi").count()
+    // materialize the survivors BEFORE overwriting: the rewrite plan
+    // reads the very partitions the write replaces (Spark refuses the
+    // self-overwrite, and lazily it would be a read-after-delete).
+    // Bounded by the affected partitions' surviving rows only.
+    val rewritten = hitParts.join(k, Seq(keyCol), "left_anti")
+      .localCheckpoint(true)
+    // dynamic overwrite only replaces partitions PRESENT in the
+    // written frame — a partition whose rows are all deleted would
+    // keep its old files, so it must be dropped explicitly
+    val surviving = rewritten.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    val conf = spark.conf
+    val prev = conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      rewritten.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+    } finally prev.fold(conf.unset("spark.sql.sources.partitionOverwriteMode"))(v =>
+      conf.set("spark.sql.sources.partitionOverwriteMode", v))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affected.filterNot(surviving).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$partitionCol=$v"), true)
+    }
+    deleted
+  }
+
   /** Point-in-interval range join without a cross product. Spark plans
     * a plain `p BETWEEN lo AND hi` join (no equi-conjunct, or one with
     * heavy range skew) as BroadcastNestedLoop / shuffled O(|L|×|R|)

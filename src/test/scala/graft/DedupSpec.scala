@@ -309,6 +309,18 @@ class DedupSpec extends SparkSpec {
     assert(j < 0.5, s"the point of containment: resemblance is diluted, J=$j")
   }
 
+  test("keepBest keeps the highest-scoring class member; uniques untouched") {
+    val d = Seq(
+      (1L, Some(10L), 100L, false), // class 10: id 2 has the best score
+      (2L, Some(10L), 300L, false),
+      (3L, Some(10L), 300L, false), // tie with 2 → lower id 2 wins
+      (7L, None: Option[Long], 5L, true) // unique
+    ).toDF("doc_id", "dup_class", "score", "keep")
+    val out = Dedup.keepBest(d, "doc_id", "score")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> false, 7L -> true), s"got $out")
+  }
+
   test("containment maxGramDf: boilerplate grams dropped from both numerator and denominator") {
     // the same long boilerplate footer in EVERY doc would make a
     // quadratic hot gram AND fake high containment between unrelated

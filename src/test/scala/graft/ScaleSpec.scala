@@ -292,6 +292,45 @@ class ScaleSpec extends SparkSpec {
     assert(Scale.zOrderLayout(grid, "x", "y", 16, 6).count() == 64L * 64L)
   }
 
+  test("deleteByKeys rewrites only affected partitions; emptied partitions are dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-del").toString
+    // 4 partitions; user 42 lives in p=1 and p=2; p=3 contains ONLY user 99
+    val rows = Seq(
+      (1L, 0L, "a"), (2L, 0L, "b"),
+      (42L, 1L, "c"), (5L, 1L, "d"),
+      (42L, 2L, "e"),
+      (99L, 3L, "f"))
+    rows.toDF("user_id", "p", "v").write.mode("overwrite").partitionBy("p").parquet(dir)
+    def fileState(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified).toMap
+    }
+    val before = fileState()
+    Thread.sleep(1100) // mtime granularity
+    val deleted = Scale.deleteByKeys(spark, dir, "p", "user_id",
+      Seq(42L, 99L).toDF("user_id"))
+    assert(deleted == 3L, s"deleted $deleted")
+    val after = fileState()
+    // untouched partitions keep their exact files
+    val untouched = before.filter { case (path, _) => path.contains("p=0") }
+    untouched.foreach { case (path, m) =>
+      assert(after.get(path).contains(m), s"p=0 file must be untouched: $path")
+    }
+    // p=3 (all rows deleted) is gone entirely
+    assert(!after.keys.exists(_.contains("p=3")), "emptied partition must be dropped")
+    // survivors are exactly the non-hit rows
+    // partition values come back type-inferred from dir names (int)
+    val out = spark.read.parquet(dir)
+      .select(col("user_id"), col("p").cast("long"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out == Set((1L, 0L, "a"), (2L, 0L, "b"), (5L, 1L, "d")))
+    // no-op delete returns 0 and changes nothing
+    assert(Scale.deleteByKeys(spark, dir, "p", "user_id",
+      Seq(12345L).toDF("user_id")) == 0L)
+  }
+
   test("compactToTarget sizes the rewrite from real input bytes") {
     val inDir = java.nio.file.Files.createTempDirectory("graft-compact-in").toString
     val outDir = java.nio.file.Files.createTempDirectory("graft-compact-out").toString
