@@ -1858,6 +1858,332 @@ object SparkEntry {
        |    ORDER BY n_chars DESC, doc_id) = 1 AS keep
        |FROM scored ORDER BY dup_class, doc_id""".stripMargin
 
+  /** First-touch funnel over the event stream
+    * ([[graft.operators.Analytics.funnel]]): view → click → purchase.
+    * One hash aggregate keyed by user (conditional min per stage) plus
+    * a tiny stage rollup — no window, no self-join, so the plan is a
+    * single user-keyed exchange at any scale. The oracle restates the
+    * strictly-increasing-first-times semantics with conditional mins.
+    */
+  private def q110(s: SparkSession, dir: String): DataFrame =
+    Analytics.funnel(t(s, dir, "events"), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+
+  private def funnelOracle: String =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+      |    min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+      |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+      |  GROUP BY user_id),
+      |c AS (
+      |  SELECT
+      |    sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS r0,
+      |    sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL
+      |             AND t0 < t1 THEN 1 ELSE 0 END) AS r1,
+      |    sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t2 IS NOT NULL
+      |             AND t0 < t1 AND t1 < t2 THEN 1 ELSE 0 END) AS r2
+      |  FROM f),
+      |st AS (
+      |  SELECT 1 AS stage_idx, 'view' AS stage, r0 AS users, r0 AS base FROM c
+      |  UNION ALL
+      |  SELECT 2, 'click', r1, r0 FROM c
+      |  UNION ALL
+      |  SELECT 3, 'purchase', r2, r0 FROM c)
+      |SELECT stage_idx, stage, CAST(users AS BIGINT) AS users,
+      |  round(CASE WHEN base = 0 THEN 0.0
+      |             ELSE CAST(users AS DOUBLE) / base END, 4) AS conversion
+      |FROM st ORDER BY stage_idx""".stripMargin
+
+  /** Weekly cohort retention ([[graft.operators.Analytics.cohortRetention]]):
+    * cohort = ISO week of first event; cells count distinct active
+    * users per week offset. Two user-keyed exchanges (first-times agg +
+    * join back on the same key) and one (cohort, offset) count-distinct.
+    */
+  private def q111(s: SparkSession, dir: String): DataFrame =
+    Analytics.cohortRetention(t(s, dir, "events"), "user_id", "ts")
+      // ISO string on both sides: DuckDB DATE arrives in pandas as
+      // datetime64 (isoformats with T00:00:00), Spark DATE as date
+      .withColumn("cohort_week", col("cohort_week").cast("string"))
+
+  private def cohortOracle: String =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      |  FROM events GROUP BY user_id)
+      |SELECT CAST(f.cohort_week AS VARCHAR) AS cohort_week,
+      |  CAST(datediff('day', f.cohort_week,
+      |       CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INT) AS week_offset,
+      |  count(DISTINCT e.user_id) AS users
+      |FROM events e JOIN f ON e.user_id = f.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Rolling z-score anomaly monitor
+    * ([[graft.operators.Analytics.anomalyFlags]]): each event's value
+    * vs the mean/σ of the user's previous 20 events. Rolling sums run
+    * over integer cents so partial-order can never shift a bit; the
+    * oracle replays the identical integer-sum arithmetic in a window.
+    */
+  private def q112(s: SparkSession, dir: String): DataFrame =
+    Analytics.anomalyFlags(t(s, dir, "events"), Seq("user_id"), "event_id",
+        "value", window = 20, z = 2.5)
+      .filter(col("anomaly"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("roll_mean"), col("roll_std"), col("zscore"))
+      .orderBy(col("event_id"))
+
+  private def anomalyOracle: String =
+    """WITH c AS (
+      |  SELECT event_id, user_id, value,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |w AS (
+      |  SELECT event_id, user_id, value, cents,
+      |    count(cents) OVER win AS n,
+      |    sum(cents) OVER win AS s1,
+      |    sum(cents * cents) OVER win AS s2
+      |  FROM c
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY event_id
+      |                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+      |z AS (
+      |  SELECT event_id, user_id, value,
+      |    CAST(s1 AS DOUBLE) / n AS mean,
+      |    sqrt(greatest((CAST(s2 AS DOUBLE) -
+      |      CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n, 0.0)) AS std,
+      |    n
+      |  FROM w)
+      |SELECT event_id, user_id, value,
+      |  round(mean / 100.0, 6) AS roll_mean,
+      |  round(std / 100.0, 6) AS roll_std,
+      |  round((CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) - mean) / std, 6) AS zscore
+      |FROM z
+      |WHERE n = 20 AND std > 0
+      |  AND abs(round((CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) - mean) / std, 6)) > 2.5
+      |ORDER BY event_id""".stripMargin
+
+  /** KMV bottom-k distinct-token estimate per source
+    * ([[graft.operators.Analytics.kmvDistinct]], k=256) vs the exact
+    * count — the mergeable engine-portable alternative to HLL for
+    * corpus vocabulary accounting. The oracle replays the ENTIRE
+    * sketch in DuckDB (same md5-prefix hashes, same kth-smallest, same
+    * estimator), so this gates the sketch bit-for-bit, not just
+    * "approximately right".
+    */
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val exact = toks.groupBy(col("source"))
+      .agg(countDistinct(col("token")).as("n_exact"))
+    Analytics.kmvDistinct(toks, "token", Seq("source"), k = 256, seed = "kmv")
+      .join(exact, Seq("source"))
+      .withColumn("rel_err",
+        round(abs(col("distinct_est") - col("n_exact")) /
+          col("n_exact").cast("double"), 4))
+      .select(col("source"), col("n_exact"), col("n_tracked"),
+        col("kth_hash"), col("distinct_est"), col("rel_err"))
+      .orderBy(col("source"))
+  }
+
+  private def kmvOracle: String =
+    """WITH tk AS (
+      |  SELECT DISTINCT source, t AS token FROM (
+      |    SELECT source, unnest(list_filter(
+      |      string_split_regex(lower(trim(text)), '\s+'),
+      |      t -> len(t) > 0)) AS t
+      |    FROM documents)),
+      |hd AS (
+      |  SELECT DISTINCT source,
+      |    CAST(('0x' || substr(md5('kmv:' || token), 1, 8)) AS BIGINT) AS h
+      |  FROM tk),
+      |r AS (SELECT source, h,
+      |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      |      FROM hd),
+      |st AS (
+      |  SELECT source, least(count(*), 256) AS n_tracked,
+      |    max(CASE WHEN rn = 256 THEN h END) AS kth_hash
+      |  FROM r GROUP BY source),
+      |ex AS (SELECT source, count(DISTINCT token) AS n_exact
+      |       FROM tk GROUP BY source),
+      |est AS (
+      |  SELECT st.source, ex.n_exact, st.n_tracked, st.kth_hash,
+      |    CASE WHEN st.n_tracked < 256 THEN CAST(st.n_tracked AS DOUBLE)
+      |         ELSE round(255 * 4294967296.0 / kth_hash, 3) END AS distinct_est
+      |  FROM st JOIN ex ON st.source = ex.source)
+      |SELECT source, n_exact, CAST(n_tracked AS BIGINT) AS n_tracked,
+      |  kth_hash, distinct_est,
+      |  round(abs(distinct_est - n_exact) / CAST(n_exact AS DOUBLE), 4) AS rel_err
+      |FROM est ORDER BY source""".stripMargin
+
+  /** Group-aware train/val/test split
+    * ([[graft.operators.TextOps.groupAwareSplit]]): whole sources land
+    * in one split (no cross-split leakage by construction), assignment
+    * by the portable md5 hash — a pure map-side projection. The gate
+    * checks both the per-split totals and that no source straddles
+    * splits (n_sources sums to the true source count).
+    */
+  private def q114(s: SparkSession, dir: String): DataFrame =
+    TextOps.groupAwareSplit(docs(s, dir), "source",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "split")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("split"))
+
+  private def groupSplitOracle: String =
+    """WITH a AS (
+      |  SELECT source,
+      |    CAST(('0x' || substr(md5('split:' || source), 1, 8)) AS BIGINT)
+      |      / 4294967296.0 AS u
+      |  FROM documents),
+      |s AS (
+      |  SELECT source,
+      |    CASE WHEN u < 0.8 THEN 'train'
+      |         WHEN u < 0.9 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM a)
+      |SELECT split, count(*) AS n_docs,
+      |  count(DISTINCT source) AS n_sources
+      |FROM s GROUP BY split ORDER BY split""".stripMargin
+
+  /** Gopher quality-rule bundle ([[graft.operators.Curation.gopherFlags]],
+    * Rae et al. 2021 Table A1) rolled up per source. Thresholds are
+    * tuned to be discriminative on the synthetic corpus (minWords=30,
+    * minStopwordHits=1); all counters are integers so the rollup is
+    * float-sum-order-free.
+    */
+  private def q115(s: SparkSession, dir: String): DataFrame =
+    Curation.gopherFlags(docs(s, dir), "text",
+        minWords = 30, minStopwordHits = 1)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pass_gopher"), 1L).otherwise(0L)).as("n_pass"),
+        sum(when(!col("ok_words"), 1L).otherwise(0L)).as("n_fail_words"),
+        sum(when(!col("ok_word_len"), 1L).otherwise(0L)).as("n_fail_len"),
+        sum(when(!col("ok_stops"), 1L).otherwise(0L)).as("n_fail_stops"),
+        sum(col("n_words")).as("sum_words"))
+      .orderBy(col("source"))
+
+  private def gopherOracle: String =
+    """WITH f AS (
+      |  SELECT source,
+      |    list_filter(string_split_regex(trim(text), '\s+'),
+      |      w -> len(w) > 0) AS tk,
+      |    list_filter(string_split(text, chr(10)),
+      |      l -> len(trim(l)) > 0) AS ln,
+      |    text
+      |  FROM documents),
+      |m AS (
+      |  SELECT source, len(tk) AS n_words,
+      |    CASE WHEN len(tk) > 0 THEN round(
+      |      CAST(list_sum(list_transform(tk, w -> len(w))) AS DOUBLE)
+      |        / len(tk), 6) ELSE 0.0 END AS mean_word_len,
+      |    CASE WHEN len(tk) > 0 THEN round(
+      |      ((len(text) - len(replace(text, '#', ''))) +
+      |       (len(text) - len(replace(text, '...', ''))) / 3)
+      |        / CAST(len(tk) AS DOUBLE), 6) ELSE 0.0 END AS symbol_ratio,
+      |    CASE WHEN len(ln) > 0 THEN round(
+      |      CAST(len(list_filter(ln,
+      |        l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE)
+      |        / len(ln), 6) ELSE 0.0 END AS bullet_frac,
+      |    CASE WHEN len(ln) > 0 THEN round(
+      |      CAST(len(list_filter(ln,
+      |        l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+      |        / len(ln), 6) ELSE 0.0 END AS ellipsis_frac,
+      |    CASE WHEN len(tk) > 0 THEN round(
+      |      CAST(len(list_filter(tk,
+      |        w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+      |        / len(tk), 6) ELSE 0.0 END AS alpha_word_frac,
+      |    len(list_intersect(list_distinct(list_transform(tk, w -> lower(w))),
+      |      ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+      |      AS stop_hits
+      |  FROM f),
+      |fl AS (
+      |  SELECT source, n_words,
+      |    (n_words >= 30 AND n_words <= 100000) AS ok_words,
+      |    (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_word_len,
+      |    (symbol_ratio <= 0.1) AS ok_symbols,
+      |    (bullet_frac <= 0.9) AS ok_bullets,
+      |    (ellipsis_frac <= 0.3) AS ok_ellipsis,
+      |    (alpha_word_frac >= 0.8) AS ok_alpha,
+      |    (stop_hits >= 1) AS ok_stops
+      |  FROM m)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN ok_words AND ok_word_len AND ok_symbols
+      |           AND ok_bullets AND ok_ellipsis AND ok_alpha AND ok_stops
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      |  CAST(sum(CASE WHEN NOT ok_words THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_fail_words,
+      |  CAST(sum(CASE WHEN NOT ok_word_len THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_fail_len,
+      |  CAST(sum(CASE WHEN NOT ok_stops THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_fail_stops,
+      |  CAST(sum(n_words) AS BIGINT) AS sum_words
+      |FROM fl GROUP BY source ORDER BY source""".stripMargin
+
+  /** Snapshot diff ([[graft.operators.Scale.snapshotDiff]]): old =
+    * docs with id%7≠0, new = docs with id%5≠0 where every id%11==0
+    * doc's text is rewritten — so all four statuses occur. One
+    * full-outer join on the id over map-side fingerprints; the gate
+    * checks the per-status counts AND the changed-id set.
+    */
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val oldSnap = d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    val newSnap = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(11)) === 0, upper(col("text")))
+          .otherwise(col("text")))
+    graft.operators.Scale.snapshotDiff(oldSnap, newSnap, "doc_id", Seq("text"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy(col("status"))
+  }
+
+  private def snapDiffOracle: String =
+    """WITH oldsnap AS (
+      |  SELECT doc_id, md5(text) AS old_fp FROM documents
+      |  WHERE doc_id % 7 <> 0),
+      |newsnap AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END)
+      |      AS new_fp
+      |  FROM documents WHERE doc_id % 5 <> 0),
+      |d AS (
+      |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |    CASE WHEN o.old_fp IS NULL THEN 'added'
+      |         WHEN n.new_fp IS NULL THEN 'removed'
+      |         WHEN o.old_fp = n.new_fp THEN 'unchanged'
+      |         ELSE 'changed' END AS status
+      |  FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id)
+      |SELECT status, count(*) AS n,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM d GROUP BY status ORDER BY status""".stripMargin
+
+  /** Per-source percent-rank quality calibration
+    * ([[graft.operators.Curation.percentRankNormalize]] over `n_chars`)
+    * + top-half gate. Exact `percent_rank()` semantics via the
+    * distinct-score rank table (no giant-partition window sort); the
+    * oracle uses the window function directly — same numbers, two very
+    * different physical plans.
+    */
+  private def q117(s: SparkSession, dir: String): DataFrame =
+    Curation.percentRankNormalize(docs(s, dir), "source", "n_chars")
+      .withColumn("keep", col("pct_rank") >= 0.5)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("pct_rank"), col("keep"))
+      .orderBy(col("doc_id"))
+
+  private def pctRankOracle: String =
+    """SELECT doc_id, source, n_chars,
+      |  round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 6)
+      |    AS pct_rank,
+      |  round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 6)
+      |    >= 0.5 AS keep
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** J5 — true as-of join via the custom sort-merge operator
     * ([[graft.plans.AsOf]]: logical node → strategy → exec, one hash
     * exchange + sort per side, streaming O(1)-state merge). Each click
@@ -2449,7 +2775,15 @@ object SparkEntry {
     "q106_temp" -> (q106 _),
     "q107_contain" -> (q107 _),
     "q108_shift" -> (q108 _),
-    "q109_keepbest" -> (q109 _))
+    "q109_keepbest" -> (q109 _),
+    "q110_funnel" -> (q110 _),
+    "q111_cohort" -> (q111 _),
+    "q112_zanom" -> (q112 _),
+    "q113_kmv" -> (q113 _),
+    "q114_split" -> (q114 _),
+    "q115_gopher" -> (q115 _),
+    "q116_snapdiff" -> (q116 _),
+    "q117_pctrank" -> (q117 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -2900,6 +3234,14 @@ object SparkEntry {
     "q107_contain" -> containmentOracle,
     "q108_shift" -> tokenShiftOracle,
     "q109_keepbest" -> keepBestOracle,
+    "q110_funnel" -> funnelOracle,
+    "q111_cohort" -> cohortOracle,
+    "q112_zanom" -> anomalyOracle,
+    "q113_kmv" -> kmvOracle,
+    "q114_split" -> groupSplitOracle,
+    "q115_gopher" -> gopherOracle,
+    "q116_snapdiff" -> snapDiffOracle,
+    "q117_pctrank" -> pctRankOracle,
     "q62_asof_join" ->
       """SELECT l.user_id, l.event_id, round(l.value, 2) AS click_value,
         | r.event_id AS prior_error_id, round(r.value, 2) AS prior_error_value

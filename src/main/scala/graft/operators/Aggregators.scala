@@ -96,4 +96,61 @@ object Aggregators {
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
     }
   }
+
+  /** KMV (k-minimum-values / bottom-k) distinct sketch (Bar-Yossef et
+    * al. 2002; Beyer et al. SIGMOD'07 "unbiased KMV"): keep the `k`
+    * smallest DISTINCT hash values seen. O(k) state, exactly mergeable
+    * (merge = sorted-union, keep k smallest — the union sketch IS the
+    * sketch of the union, so partial aggregation composes losslessly),
+    * which is what HLL gives up: KMV also supports intersection
+    * estimates via the inclusion–exclusion over the k-min union.
+    *
+    * Input is the HASH (caller hashes, e.g. [[TextOps.portableHash]]'s
+    * md5-prefix uint32 — deterministic and restatable in any engine,
+    * so a DuckDB oracle can replay the sketch bit-for-bit). Output is
+    * the sorted bottom-k array; the estimator is a pure function of it
+    * (see [[Analytics.kmvDistinct]]): |D| ≈ (k−1)·H/h₍k₎ for hash
+    * space [0, H).
+    *
+    * reduce: binary-search insert, dedup, cap k — O(log k) search +
+    * O(k) shift only when the value actually lands in the bottom-k
+    * (for a stream far larger than k, almost never).
+    */
+  def kmv(k: Int): Aggregator[Long, Array[Long], Array[Long]] = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    new Aggregator[Long, Array[Long], Array[Long]] {
+      override def zero: Array[Long] = Array.emptyLongArray
+      override def reduce(b: Array[Long], h: Long): Array[Long] = {
+        val n = b.length
+        if (n == k && h >= b(n - 1)) return b
+        val i = java.util.Arrays.binarySearch(b, h)
+        if (i >= 0) return b // already tracked
+        val ins = -i - 1
+        val out = new Array[Long](math.min(n + 1, k))
+        System.arraycopy(b, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(b, ins, out, ins + 1, out.length - ins - 1)
+        out
+      }
+      override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+        if (a.isEmpty) return b
+        if (b.isEmpty) return a
+        val out = new Array[Long](math.min(a.length + b.length, k))
+        var (i, j, o) = (0, 0, 0)
+        var last = Long.MinValue
+        while (o < out.length && (i < a.length || j < b.length)) {
+          val v =
+            if (j >= b.length || (i < a.length && a(i) <= b(j))) { val x = a(i); i += 1; x }
+            else { val x = b(j); j += 1; x }
+          if (o == 0 || v != last) { out(o) = v; o += 1; last = v }
+        }
+        if (o == out.length) out else java.util.Arrays.copyOf(out, o)
+      }
+      override def finish(r: Array[Long]): Array[Long] = r
+      override def bufferEncoder: Encoder[Array[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+      override def outputEncoder: Encoder[Array[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    }
+  }
 }

@@ -289,4 +289,170 @@ object Analytics {
     }
     rank
   }
+
+  /** KMV bottom-k distinct estimate per group
+    * (see [[Aggregators.kmv]]): hash each item with the portable
+    * md5-prefix hash ([[TextOps.portableHash]], uint32 space), keep the
+    * k smallest distinct hashes per group, and estimate
+    * |D| = (k−1)·2³²/h₍k₎ (exact count when fewer than k distinct
+    * hashes exist — the sketch IS the distinct set there).
+    *
+    * vs `approx_count_distinct` (HLL): same one-exchange plan and O(k)
+    * state, but the KMV summary additionally supports exact-merge
+    * set-union composition across corpora/partitions and an
+    * intersection estimator, and — because the hash is engine-portable
+    * md5, not Spark-internal xxhash — the whole sketch is reproducible
+    * bit-for-bit in ANY engine (the q113 oracle replays it in DuckDB).
+    *
+    * Scale shape: one hash aggregate with map-side partial combine;
+    * the buffer never exceeds k longs, so 1000 executors × any number
+    * of groups stream through without spill pressure.
+    *
+    * Output: group cols + `n_tracked` (sketch fill), `kth_hash`
+    * (null until the sketch is full), `distinct_est` (rounded to 3).
+    */
+  def kmvDistinct(df: DataFrame, itemCol: String, groupCols: Seq[String],
+      k: Int = 256, seed: String = "kmv"): DataFrame = {
+    val sketch = udaf(Aggregators.kmv(k))
+    val hashSpace = 4294967296.0 // 2^32: portableHash's range
+    df.filter(col(itemCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sketch(TextOps.portableHash(col(itemCol), seed)).as("__kmv"))
+      .withColumn("n_tracked", size(col("__kmv")).cast("long"))
+      .withColumn("kth_hash",
+        when(col("n_tracked") === k, element_at(col("__kmv"), k)))
+      .withColumn("distinct_est",
+        when(col("n_tracked") < k, col("n_tracked").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) * hashSpace /
+            col("kth_hash").cast("double"), 3)))
+      .drop("__kmv")
+  }
+
+  /** Funnel analysis over an event stream: how many users reached each
+    * stage of an ordered `stages` sequence (the product-analytics
+    * staple the reference's outcome aggregator approximates with
+    * per-status counts, `outcome_aggregator.py:225-295` — generalized
+    * here to arbitrary event-type sequences).
+    *
+    * Semantics (first-touch): a user reaches stage k when their FIRST
+    * occurrence of each stage's event type is strictly later than the
+    * first occurrence of the previous stage's — i.e. stage-k first
+    * times are strictly increasing through the prefix. This is the
+    * standard "first-touch funnel" simplification: one conditional-min
+    * aggregate per user instead of a sequential scan, so the whole
+    * funnel is ONE hash aggregate keyed by user (map-side partial
+    * combine; no window, no self-join) plus a tiny stage rollup —
+    * the shape that survives 100 TB of events unchanged.
+    *
+    * Output: (stage_idx, stage, users, conversion) where `conversion`
+    * is users(k)/users(1) rounded to `scale`.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String], scale: Int = 4): DataFrame = {
+    require(stages.nonEmpty, "stages must be non-empty")
+    val firstAggs = stages.zipWithIndex.map { case (st, i) =>
+      min(when(col(typeCol) === st, col(tsCol))).as(s"__t$i")
+    }
+    val firsts = events
+      .filter(col(typeCol).isin(stages.map(s => s: Any): _*))
+      .groupBy(col(userCol))
+      .agg(firstAggs.head, firstAggs.tail: _*)
+    // reached(k) = all first-times t0..tk present and strictly increasing
+    val reached = stages.indices.map { k =>
+      (0 to k).map(i => col(s"__t$i").isNotNull)
+        .reduce(_ && _) &&
+        (1 to k).map(i => col(s"__t${i - 1}") < col(s"__t$i"))
+          .foldLeft(lit(true))(_ && _)
+    }
+    val counted = firsts.select(
+      stages.indices.map(k =>
+        sum(when(reached(k), 1L).otherwise(0L)).as(s"__r$k")): _*)
+    val perStage = counted.select(explode(array(
+      stages.indices.map(k => struct(
+        lit(k + 1).as("stage_idx"), lit(stages(k)).as("stage"),
+        col(s"__r$k").as("users"))): _*)).as("s"))
+      .select(col("s.stage_idx"), col("s.stage"), col("s.users"))
+    val base = perStage.filter(col("stage_idx") === 1)
+      .select(col("users").as("__base"))
+    perStage.crossJoin(broadcast(base))
+      .select(col("stage_idx"), col("stage"), col("users"),
+        round(when(col("__base") === 0, 0.0)
+          .otherwise(col("users").cast("double") / col("__base")), scale)
+          .as("conversion"))
+      .orderBy(col("stage_idx"))
+  }
+
+  /** Weekly cohort retention: users are cohorted by the ISO week of
+    * their first event; each (cohort_week, week_offset) cell counts
+    * distinct users from that cohort active `week_offset` weeks later.
+    * The growth-analytics matrix behind every "do users come back"
+    * question.
+    *
+    * Scale shape: one aggregate keyed by user for first-times (map-side
+    * combine), broadcast-free join back on user (a shuffle join on the
+    * SAME user key — co-partitioned with the first agg's output), then
+    * one count-distinct keyed by (cohort, offset). Count-distinct is
+    * exact here because the cell cardinality is what the report IS; at
+    * 100 TB swap `countDistinct` for `approx_count_distinct` — the
+    * plan shape is unchanged.
+    */
+  def cohortRetention(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val firsts = events.groupBy(col(userCol))
+      .agg(date_trunc("week", min(col(tsCol))).cast("date").as("cohort_week"))
+    events
+      .select(col(userCol), date_trunc("week", col(tsCol)).cast("date").as("__w"))
+      .join(firsts, Seq(userCol))
+      .groupBy(col("cohort_week"),
+        (datediff(col("__w"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+      .agg(countDistinct(col(userCol)).as("users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** Rolling z-score anomaly flags: for each row, compare `valueCol`
+    * against the mean/stddev of the PREVIOUS `window` rows of the same
+    * `partition` key (event-order by `orderCol`) and flag
+    * |value − mean| > z·σ. The metric-stream outlier monitor (spiky
+    * users, runaway costs) in one window pass.
+    *
+    * Float discipline (the cross-engine lesson from q91/q108): the
+    * rolling sums run over INTEGER cents (`round(value·100)` as long),
+    * so partial-aggregation order can never change a bit; mean and the
+    * population σ are derived per-row from the two exact integer sums.
+    * Rows with fewer than `window` predecessors are never flagged
+    * (cold start). Output adds `roll_mean`, `roll_std`, `zscore`
+    * (rounded to 6) and `anomaly`.
+    *
+    * Scale shape: one window exchange keyed by the partition column —
+    * the same shuffle any per-entity sessionization pays. Frame is
+    * bounded (`window` rows), so state per key is O(window).
+    */
+  def anomalyFlags(events: DataFrame, partitionCols: Seq[String],
+      orderCol: String, valueCol: String, window: Int = 20,
+      z: Double = 3.0): DataFrame = {
+    require(window >= 2, "window must be >= 2")
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(orderCol)).rowsBetween(-window, -1)
+    val cents = round(col(valueCol) * 100).cast("long")
+    val n = count(cents).over(w)
+    val s1 = sum(cents).over(w)
+    val s2 = sum(cents * cents).over(w)
+    val mean = s1.cast("double") / n
+    // population variance from exact integer sums; max(0) guards the
+    // tiny negative residue double subtraction can leave
+    val variance = greatest(
+      (s2.cast("double") - s1.cast("double") * s1.cast("double") / n) / n,
+      lit(0.0))
+    val std = sqrt(variance)
+    val zscore = when(std > 0,
+      (cents.cast("double") - mean) / std).otherwise(lit(null))
+    events
+      .withColumn("__n", n)
+      .withColumn("roll_mean", round(mean / 100.0, 6))
+      .withColumn("roll_std", round(std / 100.0, 6))
+      .withColumn("zscore", round(zscore, 6))
+      .withColumn("anomaly",
+        col("__n") === window && coalesce(abs(col("zscore")) > z, lit(false)))
+      .drop("__n")
+  }
 }

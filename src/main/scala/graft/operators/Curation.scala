@@ -175,6 +175,126 @@ object Curation {
       dupFrac.as("dup_word_frac"), topFrac.as("top_bigram_frac"))
   }
 
+  /** The Gopher quality-rule bundle (Rae et al. 2021, "Scaling
+    * Language Models: … Gopher", Table A1 — the repetition-free subset;
+    * [[repetitionMetrics]] covers the duplicate-fraction rules): named
+    * per-document boolean signals plus the composite `pass_gopher`.
+    * Rules (defaults = the published thresholds):
+    *
+    *  - word count in [minWords, maxWords]
+    *  - mean word length in [minMeanWordLen, maxMeanWordLen]
+    *  - symbol-to-word ratio (`#` and `...`) ≤ maxSymbolRatio
+    *  - ≤ maxBulletFrac of lines start with a bullet character
+    *  - ≤ maxEllipsisFrac of lines end with an ellipsis
+    *  - ≥ minAlphaWordFrac of words contain an alphabetic character
+    *  - ≥ minStopwordHits distinct common-English stopwords present
+    *
+    * Pure column math over one `split` per axis (words/lines) — a
+    * map-only codegen'd projection, the cheapest possible 100 TB scan
+    * stage. Every ratio is rounded to 6 before its threshold compare
+    * (the q107 cross-engine discipline: both engines compare the SAME
+    * rounded value, so a boundary document cannot flip between
+    * engines). Adds the ratio columns and one boolean per rule.
+    */
+  def gopherFlags(df: DataFrame, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaWordFrac: Double = 0.8,
+      minStopwordHits: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val words = filter(split(trim(t), "\\s+"), w => length(w) > 0)
+    val nWords = size(words).cast("long")
+    val meanLen = when(nWords > 0,
+      round(aggregate(words, lit(0L), (acc, w) => acc + length(w))
+        .cast("double") / nWords, 6)).otherwise(lit(0.0))
+    val nHash = length(t) - length(regexp_replace(t, "#", ""))
+    val nEllip = (length(t) -
+      length(regexp_replace(t, "\\.\\.\\.", ""))) / lit(3)
+    val symbolRatio = when(nWords > 0,
+      round((nHash + nEllip).cast("double") / nWords, 6)).otherwise(lit(0.0))
+    val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
+    val nLines = size(lines).cast("long")
+    val bulletFrac = when(nLines > 0,
+      round(size(filter(lines, l =>
+        regexp_like(ltrim(l), lit("^[-*•]")))).cast("double") / nLines, 6))
+      .otherwise(lit(0.0))
+    val ellipsisFrac = when(nLines > 0,
+      round(size(filter(lines, l =>
+        regexp_like(rtrim(l), lit("(\\.\\.\\.|…)$")))).cast("double") / nLines, 6))
+      .otherwise(lit(0.0))
+    val alphaFrac = when(nWords > 0,
+      round(size(filter(words, w =>
+        regexp_like(w, lit("[A-Za-z]")))).cast("double") / nWords, 6))
+      .otherwise(lit(0.0))
+    val stops = array(GopherStopwords.map(lit): _*)
+    val stopHits = size(array_intersect(
+      array_distinct(transform(words, w => lower(w))), stops)).cast("long")
+    val out = df
+      .withColumn("n_words", nWords)
+      .withColumn("mean_word_len", meanLen)
+      .withColumn("symbol_ratio", symbolRatio)
+      .withColumn("bullet_frac", bulletFrac)
+      .withColumn("ellipsis_frac", ellipsisFrac)
+      .withColumn("alpha_word_frac", alphaFrac)
+      .withColumn("stop_hits", stopHits)
+      .withColumn("ok_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("ok_word_len",
+        col("mean_word_len") >= minMeanWordLen &&
+          col("mean_word_len") <= maxMeanWordLen)
+      .withColumn("ok_symbols", col("symbol_ratio") <= maxSymbolRatio)
+      .withColumn("ok_bullets", col("bullet_frac") <= maxBulletFrac)
+      .withColumn("ok_ellipsis", col("ellipsis_frac") <= maxEllipsisFrac)
+      .withColumn("ok_alpha", col("alpha_word_frac") >= minAlphaWordFrac)
+      .withColumn("ok_stops", col("stop_hits") >= minStopwordHits)
+    out.withColumn("pass_gopher",
+      col("ok_words") && col("ok_word_len") && col("ok_symbols") &&
+        col("ok_bullets") && col("ok_ellipsis") && col("ok_alpha") &&
+        col("ok_stops"))
+  }
+
+  /** Gopher's "stop word" presence list (Rae et al. 2021, §A1.1). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Per-group percent-rank score normalization — the FineWeb-style
+    * per-dump calibration: a raw quality score is only comparable
+    * WITHIN its group (crawl dump, domain, language), so gates like
+    * "keep the top half" must rank within the group, not globally.
+    * `pct_rank` is exactly SQL `percent_rank()`:
+    * (#rows with strictly smaller score) / (n_group − 1), 0 for
+    * singleton groups.
+    *
+    * Scale shape: this is deliberately NOT
+    * `percent_rank().over(partitionBy(group))` — that window sorts
+    * every row of a group in one task, and a 100 TB corpus has
+    * billion-row groups. Instead: aggregate to (group, score) counts
+    * (map-side combine collapses duplicate scores), run the window
+    * over the DISTINCT-SCORE frame (|distinct scores| ≪ |rows|,
+    * bounded for integer-ish scores), and hash-join the tiny rank
+    * table back — same exact result, no giant-partition sort. The
+    * join back is on (group, score): co-partitioned with the
+    * aggregate's own shuffle.
+    */
+  def percentRankNormalize(df: DataFrame, groupCol: String,
+      scoreCol: String, scale: Int = 6): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(scoreCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val ranked = counts
+      .withColumn("__smaller", coalesce(sum(col("__c")).over(w), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(wg))
+      .withColumn("pct_rank",
+        when(col("__n") <= 1, 0.0).otherwise(
+          round(col("__smaller").cast("double") / (col("__n") - 1L), scale)))
+      .select(col(groupCol), col(scoreCol), col("pct_rank"))
+    df.join(ranked, Seq(groupCol, scoreCol))
+  }
+
   /** PII patterns chosen to behave identically under Java regex and
     * RE2-family engines (no backrefs, no lookaround). */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -283,4 +283,36 @@ object Scale {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__range_bucket")
   }
+
+  /** Snapshot diff — classify every id across two corpus snapshots as
+    * `added` / `removed` / `changed` / `unchanged` by comparing an
+    * md5 content fingerprint over `compareCols` (the incremental-crawl
+    * reconciliation step: what actually changed between yesterday's
+    * and today's corpus, feeding targeted re-embedding / re-indexing
+    * instead of a full rebuild).
+    *
+    * Scale shape: ONE full-outer shuffle join on the id — both sides
+    * hash-partition on the same key, fingerprints are computed
+    * map-side pre-join so the exchange carries (id, 16-byte hash), not
+    * the documents. Downstream consumers typically filter
+    * `status != 'unchanged'`, which Catalyst pushes into the join
+    * output scan.
+    *
+    * Output: (id, status, old_fp, new_fp) — fingerprints exposed so a
+    * durable diff log can be persisted and re-joined later.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "compareCols must be non-empty")
+    def fp(df: DataFrame, out: String): DataFrame =
+      df.select(col(idCol),
+        md5(concat_ws("", compareCols.map(c => col(c).cast("string")): _*))
+          .as(out))
+    fp(oldDf, "old_fp").join(fp(newDf, "new_fp"), Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") === col("new_fp"), "unchanged")
+          .otherwise("changed"))
+  }
 }

@@ -287,6 +287,41 @@ object TextOps {
       .drop("__rank")
   }
 
+  /** Group-aware train/validation/test split: every row of a GROUP
+    * (domain, author, dedup class — whatever leaks information across
+    * its members) lands in the SAME split, so evaluation can never see
+    * near-copies of training rows. Assignment hashes the group key
+    * with [[portableHash]] into [0,1) and walks the cumulative
+    * `weights` boundaries — deterministic, partition-invariant,
+    * append-stable (new rows of a known group follow their group;
+    * brand-new groups split ~proportionally).
+    *
+    * Scale shape: pure map-side projection (one hash + a literal
+    * boundary ladder per row); no shuffle, no fitted state. This is
+    * the split discipline the dedup literature demands after near-dup
+    * classing (splitting WITHIN a dup class is leakage by
+    * construction).
+    *
+    * `weights` values must be positive and sum to ~1 (normalized
+    * defensively); iteration order of the ladder follows the Seq.
+    */
+  def groupAwareSplit(df: DataFrame, groupCol: String,
+      weights: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      seed: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"weights must be positive: $weights")
+    val total = weights.map(_._2).sum
+    val u = portableHash(col(groupCol), seed).cast("double") / lit(4294967296.0)
+    val cums = weights.scanLeft(0.0)(_ + _._2 / total).tail
+    // last bucket is the default branch: u < 1 always, and it absorbs
+    // any floating residue in the boundary ladder
+    val ladder = weights.init.zip(cums.init).foldRight(
+      lit(weights.last._1): Column) { case (((name, _), hi), els) =>
+      when(u < hi, name).otherwise(els)
+    }
+    df.withColumn("split", ladder)
+  }
+
   /** BM25 lexical top-k — the engine-side analog of the reference's
     * provider-side search (`exa_search_tool.py`, `web_search`): rank
     * documents against a bag of query terms with the standard

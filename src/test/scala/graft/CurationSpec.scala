@@ -704,4 +704,48 @@ class CurationSpec extends SparkSpec {
       assert(out(d.toLong) == ((s"unique line $d", 40L)))
     }
   }
+
+  test("gopherFlags: each rule trips on its designed offender, clean prose passes") {
+    val clean = ("the quick brown fox jumps over a lazy dog and then " * 5).trim
+    val rows = Seq(
+      (1L, clean),                                    // passes everything
+      (2L, "the of and"),                             // too few words
+      (3L, ("a b c " * 20).trim + " the of"),         // mean word len < 3
+      (4L, (clean + " ") + ("### ## # " * 20).trim),  // symbol ratio > 0.1
+      (5L, (1 to 10).map(i => s"- the bullet of item $i word word word").mkString("\n")),
+      (6L, (1 to 10).map(i => s"the line of number $i trails off word...").mkString("\n")),
+      (7L, ("123 456 7890 " * 10).trim + " the of"),  // alpha-word frac < 0.8
+      (8L, ("zork blorp quux " * 12).trim))           // no stopwords
+      .toDF("doc_id", "text")
+    val f = Curation.gopherFlags(rows, "text", minWords = 10)
+      .select(col("doc_id"), col("pass_gopher"), col("ok_words"),
+        col("ok_word_len"), col("ok_symbols"), col("ok_bullets"),
+        col("ok_ellipsis"), col("ok_alpha"), col("ok_stops"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(f(1L).getBoolean(1), "clean prose must pass")
+    assert(!f(2L).getBoolean(2), "word-count rule")
+    assert(!f(3L).getBoolean(3), "mean-word-length rule")
+    assert(!f(4L).getBoolean(4), "symbol-ratio rule")
+    assert(!f(5L).getBoolean(5), "bullet-line rule")
+    assert(!f(6L).getBoolean(6), "ellipsis-line rule")
+    assert(!f(7L).getBoolean(7), "alpha-word rule")
+    assert(!f(8L).getBoolean(8), "stopword rule")
+  }
+
+  test("percentRankNormalize equals the window percent_rank exactly, ties share ranks") {
+    val df = Seq(
+      ("a", 1L, 10), ("a", 2L, 20), ("a", 3L, 20), ("a", 4L, 30),
+      ("b", 5L, 7), ("c", 6L, 99)) // c: singleton group → 0.0
+      .toDF("g", "id", "score")
+    val got = Curation.percentRankNormalize(df, "g", "score")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("pct_rank")).toMap
+    val want = df
+      .withColumn("pct_rank", round(org.apache.spark.sql.functions.percent_rank()
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(col("score"))), 6))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("pct_rank")).toMap
+    assert(got == want)
+    assert(got(2L) == got(3L), "tied scores must share a rank")
+    assert(got(6L) == 0.0, "singleton group is 0, not NaN")
+  }
 }

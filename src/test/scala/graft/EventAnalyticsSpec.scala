@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.operators.Analytics
+
+/** Funnel / cohort-retention / rolling-anomaly operators: hand-computed
+  * fixtures for the first-touch funnel ordering semantics, the weekly
+  * cohort matrix, and the integer-cents rolling z-score.
+  */
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("funnel: first-touch strict ordering decides stage membership") {
+    // u1 completes view<click<purchase; u2 view<click but purchase BEFORE
+    // click (first-touch order broken at stage 3); u3 only views; u4's
+    // first click precedes their first view (never enters stage 2).
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:01:00"), "click"),
+      (1L, ts("2024-01-01 10:02:00"), "purchase"),
+      (2L, ts("2024-01-02 09:00:00"), "view"),
+      (2L, ts("2024-01-02 09:05:00"), "click"),
+      (2L, ts("2024-01-02 09:01:00"), "purchase"),
+      (3L, ts("2024-01-03 08:00:00"), "view"),
+      (4L, ts("2024-01-04 07:00:00"), "click"),
+      (4L, ts("2024-01-04 07:30:00"), "view"),
+      (4L, ts("2024-01-04 07:40:00"), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val r = Analytics.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(x => (x.getInt(0), x.getString(1), x.getLong(2), x.getDouble(3)))
+    assert(r.toSeq === Seq(
+      (1, "view", 4L, 1.0),      // u1 u2 u3 u4 all have a first view
+      (2, "click", 2L, 0.5),     // u1, u2 (u4's click precedes their view)
+      (3, "purchase", 1L, 0.25)))// only u1 keeps strict order through purchase
+  }
+
+  test("funnel: empty base yields zero conversion, not a division error") {
+    val ev = Seq((1L, ts("2024-01-01 10:00:00"), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val r = Analytics.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click")).collect()
+    assert(r.map(_.getLong(2)).toSeq === Seq(0L, 0L))
+    assert(r.map(_.getDouble(3)).toSeq === Seq(0.0, 0.0))
+  }
+
+  test("cohort retention: users land in their first-event week, offsets count distinct") {
+    // 2024-01-01 is a Monday. u1 first in week0, returns week1 twice
+    // (still ONE distinct user); u2 first in week0 only; u3 first in week1.
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-08 10:00:00")),
+      (1L, ts("2024-01-09 10:00:00")),
+      (2L, ts("2024-01-03 10:00:00")),
+      (3L, ts("2024-01-10 10:00:00")))
+      .toDF("user_id", "ts")
+    val r = Analytics.cohortRetention(ev, "user_id", "ts")
+      .collect().map(x => (x.getDate(0).toString, x.getInt(1), x.getLong(2)))
+    assert(r.toSeq === Seq(
+      ("2024-01-01", 0, 2L), // u1+u2 active in their own cohort week
+      ("2024-01-01", 1, 1L), // u1 returns (two events, one user)
+      ("2024-01-08", 0, 1L)))
+  }
+
+  test("anomaly flags: spike after a full window trips, cold start never does") {
+    // 25 steady values then one spike for u1: rolling mean 10, σ≈0 over
+    // constant history would zero-divide — so vary history slightly.
+    val steady = (0 until 25).map(i => (1L, i.toLong, if (i % 2 == 0) 10.0 else 10.5))
+    val ev = (steady :+ ((1L, 25L, 50.0))).toDF("user_id", "event_id", "value")
+    val r = Analytics.anomalyFlags(ev, Seq("user_id"), "event_id", "value",
+      window = 20, z = 3.0)
+    val flagged = r.filter(col("anomaly")).collect()
+    assert(flagged.length === 1)
+    assert(flagged.head.getAs[Long]("event_id") === 25L)
+    // rows 0..19 have an incomplete window: never flagged even if extreme
+    val early = r.filter(col("event_id") < 20 && col("anomaly")).count()
+    assert(early === 0L)
+  }
+
+  test("anomaly flags: rolling stats replay the exact integer-cents arithmetic") {
+    val ev = Seq((1L, 0L, 1.0), (1L, 1L, 2.0), (1L, 2L, 3.0), (1L, 3L, 10.0))
+      .toDF("user_id", "event_id", "value")
+    val r = Analytics.anomalyFlags(ev, Seq("user_id"), "event_id", "value",
+        window = 2, z = 1.0)
+      .orderBy("event_id").collect()
+    // row 3: window = {2.0, 3.0} → mean 2.5, σ = 0.5 ⇒ z = (10-2.5)/0.5 = 15
+    assert(r(3).getAs[Double]("roll_mean") === 2.5)
+    assert(r(3).getAs[Double]("roll_std") === 0.5)
+    assert(r(3).getAs[Double]("zscore") === 15.0)
+    assert(r(3).getAs[Boolean]("anomaly"))
+  }
+}

@@ -351,4 +351,21 @@ class ScaleSpec extends SparkSpec {
     assert(out.count() == 20000)
     assert(out.exceptAll(df).count() == 0 && df.exceptAll(out).count() == 0)
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged by content fingerprint") {
+    val oldSnap = Seq((1L, "alpha", "x"), (2L, "beta", "y"), (3L, "gamma", "z"))
+      .toDF("id", "text", "meta")
+    val newSnap = Seq((2L, "beta", "y"), (3L, "GAMMA", "z"), (4L, "delta", "w"))
+      .toDF("id", "text", "meta")
+    val got = Scale.snapshotDiff(oldSnap, newSnap, "id", Seq("text", "meta"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("status")).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+    // multi-column fingerprint: meta-only change is still "changed"
+    val metaChanged = Scale.snapshotDiff(
+        oldSnap, oldSnap.withColumn("meta", concat(col("meta"), lit("!"))),
+        "id", Seq("text", "meta"))
+      .filter(col("status") === "changed").count()
+    assert(metaChanged == 3L)
+  }
 }

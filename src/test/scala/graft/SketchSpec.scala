@@ -57,4 +57,38 @@ class SketchSpec extends SparkSpec {
     assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq ==
       Seq(("a", 50L), ("b", 50L))) // tie broken item-asc, c cut by k
   }
+
+  test("kmv is the exact sorted distinct set below k, partition-invariant") {
+    val items = (1 to 500).map(i => (i % 40).toLong) // 40 distinct hashes
+    val a = items.toDF("h").repartition(7).as[Long]
+      .select(Aggregators.kmv(64).toColumn).head()
+    assert(a.toSeq == (0L until 40L), "below-k sketch must BE the distinct set")
+    val b = items.toDF("h").repartition(1).as[Long]
+      .select(Aggregators.kmv(64).toColumn).head()
+    assert(a.toSeq == b.toSeq, "partitioning must not change the sketch")
+  }
+
+  test("kmv keeps exactly the k smallest distinct values through merges") {
+    val rnd = new scala.util.Random(7)
+    val hashes = Seq.fill(5000)(rnd.nextLong(1L << 32))
+    val expect = hashes.distinct.sorted.take(128)
+    val got = hashes.toDF("h").repartition(13).as[Long]
+      .select(Aggregators.kmv(128).toColumn).head()
+    assert(got.toSeq == expect, "bottom-k must survive the merge path exactly")
+  }
+
+  test("kmvDistinct estimator lands within the published ~1/sqrt(k) band") {
+    val df = (1 to 20000).map(i => ("g", s"tok$i")).toDF("g", "item")
+    val r = Analytics.kmvDistinct(df, "item", Seq("g"), k = 256).head()
+    val est = r.getAs[Double]("distinct_est")
+    assert(r.getAs[Long]("n_tracked") == 256L)
+    // standard error ≈ D/sqrt(k-2) ≈ 6.3%; allow 4σ
+    assert(math.abs(est - 20000) / 20000.0 < 0.25, s"estimate off: $est")
+    // and a small group is reported exactly
+    val small = (1 to 10).map(i => ("s", s"t${i % 5}")).toDF("g", "item")
+    val rs = Analytics.kmvDistinct(small, "item", Seq("g"), k = 256).head()
+    assert(rs.getAs[Long]("n_tracked") == 5L)
+    assert(rs.getAs[Double]("distinct_est") == 5.0)
+    assert(rs.isNullAt(rs.fieldIndex("kth_hash")))
+  }
 }

@@ -107,4 +107,29 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one(TF.langIdHeuristic(lit("der Hund und die Katze ist hier"))).getString(0) == "de")
     assert(one(TF.langIdHeuristic(lit("xyzzy plugh qwerty"))).getString(0) == "und")
   }
+
+  test("groupAwareSplit: groups never straddle splits; assignment is partition-invariant") {
+    val docs = graft.core.Engine.table(spark, sfDir, "documents")
+    val split = graft.operators.TextOps.groupAwareSplit(docs, "source")
+    // every source maps to exactly one split
+    val perGroup = split.groupBy("source")
+      .agg(countDistinct(col("split")).as("k")).collect()
+    assert(perGroup.forall(_.getLong(1) == 1L), "a group straddled splits")
+    // rows follow their group, regardless of physical layout
+    val a = split.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = graft.operators.TextOps.groupAwareSplit(docs.repartition(13), "source")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    // weights steer proportions: over many synthetic groups the split
+    // frequencies approach the ladder (coarse band, it's a hash)
+    val groups = (1 to 2000).map(i => s"g$i").toDF("g")
+    val frac = graft.operators.TextOps.groupAwareSplit(groups, "g",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(frac("train") - 1600.0) < 120, s"train share off: $frac")
+    assert(frac.values.sum == 2000L)
+  }
 }
