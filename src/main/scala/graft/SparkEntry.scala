@@ -2184,6 +2184,167 @@ object SparkEntry {
       |    >= 0.5 AS keep
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** KMV vocabulary-overlap estimate ([[graft.operators.Analytics.kmvOverlap]],
+    * k=128) between the even- and odd-doc_id halves of the corpus,
+    * plus the exact Jaccard for reference. The oracle replays the full
+    * sketch composition — per-side bottom-k, merged-union kth,
+    * inclusion–exclusion — in SQL, so the estimator is gated
+    * bit-for-bit.
+    */
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    def toks(side: DataFrame) = side.select(
+        explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val a = toks(d.filter(pmod(col("doc_id"), lit(2)) === 0))
+    val b = toks(d.filter(pmod(col("doc_id"), lit(2)) === 1))
+    val est = Analytics.kmvOverlap(a, b, "token", k = 128, seed = "kmv")
+    val exact = a.select(col("token")).distinct()
+      .join(b.select(col("token")).distinct(), Seq("token"))
+      .agg(count(lit(1)).as("__i"))
+      .crossJoin(broadcast(
+        a.select(col("token")).union(b.select(col("token"))).distinct()
+          .agg(count(lit(1)).as("__u"))))
+      .select(round(col("__i").cast("double") / col("__u"), 6)
+        .as("jaccard_exact"))
+    est.crossJoin(broadcast(exact))
+  }
+
+  private def kmvOverlapOracle: String =
+    """WITH tk AS (
+      |  SELECT doc_id % 2 AS side, unnest(list_filter(
+      |    string_split_regex(lower(trim(text)), '\s+'),
+      |    t -> len(t) > 0)) AS token
+      |  FROM documents),
+      |hd AS (
+      |  SELECT DISTINCT side,
+      |    CAST(('0x' || substr(md5('kmv:' || token), 1, 8)) AS BIGINT) AS h
+      |  FROM tk),
+      |rk AS (SELECT side, h,
+      |         row_number() OVER (PARTITION BY side ORDER BY h) AS rn
+      |       FROM hd),
+      |ska AS (SELECT h FROM rk WHERE side = 0 AND rn <= 128),
+      |skb AS (SELECT h FROM rk WHERE side = 1 AND rn <= 128),
+      |un AS (
+      |  SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+      |    SELECT h FROM ska UNION SELECT h FROM skb)),
+      |est AS (
+      |  SELECT
+      |    CASE WHEN (SELECT count(*) FROM ska) < 128
+      |         THEN CAST((SELECT count(*) FROM ska) AS DOUBLE)
+      |         ELSE round(127 * 4294967296.0 /
+      |                (SELECT h FROM ska ORDER BY h LIMIT 1 OFFSET 127), 3)
+      |    END AS est_a,
+      |    CASE WHEN (SELECT count(*) FROM skb) < 128
+      |         THEN CAST((SELECT count(*) FROM skb) AS DOUBLE)
+      |         ELSE round(127 * 4294967296.0 /
+      |                (SELECT h FROM skb ORDER BY h LIMIT 1 OFFSET 127), 3)
+      |    END AS est_b,
+      |    CASE WHEN (SELECT count(*) FROM un WHERE rn <= 128) < 128
+      |         THEN CAST((SELECT count(*) FROM un WHERE rn <= 128) AS DOUBLE)
+      |         ELSE round(127 * 4294967296.0 /
+      |                (SELECT h FROM un WHERE rn = 128), 3)
+      |    END AS est_union),
+      |cmp AS (
+      |  SELECT est_a, est_b, est_union,
+      |    round(greatest(est_a + est_b - est_union, 0.0), 3) AS est_inter
+      |  FROM est),
+      |ex AS (
+      |  SELECT round(
+      |    CAST((SELECT count(*) FROM
+      |      (SELECT DISTINCT token FROM tk WHERE side = 0
+      |       INTERSECT SELECT DISTINCT token FROM tk WHERE side = 1))
+      |      AS DOUBLE) /
+      |    (SELECT count(DISTINCT token) FROM tk), 6) AS jaccard_exact)
+      |SELECT est_a, est_b, est_union, est_inter,
+      |  CASE WHEN est_union > 0 THEN round(est_inter / est_union, 6)
+      |       ELSE 0.0 END AS jaccard_est,
+      |  jaccard_exact
+      |FROM cmp, ex""".stripMargin
+
+  /** Event-type transition matrix
+    * ([[graft.operators.Analytics.transitionMatrix]]): consecutive
+    * event pairs per user, counts + exact-ratio probabilities. One
+    * user-keyed window, one tiny-matrix aggregate.
+    */
+  private def q119(s: SparkSession, dir: String): DataFrame =
+    Analytics.transitionMatrix(t(s, dir, "events"), "user_id", "event_id",
+        "event_type")
+      .orderBy(col("from_type"), col("to_type"))
+
+  private def markovOracle: String =
+    """WITH p AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+      |      AS to_type
+      |  FROM events),
+      |c AS (
+      |  SELECT from_type, to_type, count(*) AS n FROM p
+      |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_total,
+      |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6)
+      |    AS prob
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
+  /** Conversion lag ([[graft.operators.Analytics.conversionLag]]):
+    * whole seconds from first `view` to the first strictly-later
+    * `purchase` per user, summarized. Integer-seconds arithmetic end
+    * to end.
+    */
+  private def q120(s: SparkSession, dir: String): DataFrame =
+    Analytics.conversionLag(t(s, dir, "events"), "user_id", "ts",
+      "event_type", "view", "purchase")
+
+  private def convLagOracle: String =
+    """WITH f AS (
+      |  SELECT user_id, min(ts) AS t_from FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id,
+      |    CAST(floor(epoch(min(e.ts))) AS BIGINT) -
+      |      CAST(floor(epoch(f.t_from)) AS BIGINT) AS lag_s
+      |  FROM events e JOIN f ON e.user_id = f.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > f.t_from
+      |  GROUP BY e.user_id, f.t_from)
+      |SELECT count(*) AS n_converted,
+      |  round(avg(lag_s), 2) AS avg_s,
+      |  min(lag_s) AS min_s, max(lag_s) AS max_s
+      |FROM c""".stripMargin
+
+  /** Per-source winsorization ([[graft.operators.Curation.winsorize]])
+    * of `n_chars` at the [0.1, 0.9] discrete quantiles. The oracle
+    * replays the cumulative-share boundary rule (percentile_disc
+    * semantics) rather than trusting any engine's quantile builtin.
+    */
+  private def q121(s: SparkSession, dir: String): DataFrame =
+    Curation.winsorize(docs(s, dir), "source", "n_chars",
+        loP = 0.1, hiP = 0.9)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("score_lo"), col("score_hi"), col("n_chars_clipped"))
+      .orderBy(col("doc_id"))
+
+  private def winsorOracle: String =
+    """WITH c AS (
+      |  SELECT source, n_chars, count(*) AS cnt
+      |  FROM documents GROUP BY 1, 2),
+      |f AS (
+      |  SELECT source, n_chars,
+      |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY n_chars
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
+      |    sum(cnt) OVER (PARTITION BY source) AS frac
+      |  FROM c),
+      |b AS (
+      |  SELECT source,
+      |    min(CASE WHEN frac >= 0.1 THEN n_chars END) AS score_lo,
+      |    min(CASE WHEN frac >= 0.9 THEN n_chars END) AS score_hi
+      |  FROM f GROUP BY source)
+      |SELECT d.doc_id, d.source, d.n_chars, b.score_lo, b.score_hi,
+      |  least(greatest(d.n_chars, b.score_lo), b.score_hi)
+      |    AS n_chars_clipped
+      |FROM documents d JOIN b ON d.source = b.source
+      |ORDER BY d.doc_id""".stripMargin
+
   /** J5 — true as-of join via the custom sort-merge operator
     * ([[graft.plans.AsOf]]: logical node → strategy → exec, one hash
     * exchange + sort per side, streaming O(1)-state merge). Each click
@@ -2783,7 +2944,11 @@ object SparkEntry {
     "q114_split" -> (q114 _),
     "q115_gopher" -> (q115 _),
     "q116_snapdiff" -> (q116 _),
-    "q117_pctrank" -> (q117 _))
+    "q117_pctrank" -> (q117 _),
+    "q118_kmv_jacc" -> (q118 _),
+    "q119_markov" -> (q119 _),
+    "q120_convlag" -> (q120 _),
+    "q121_winsor" -> (q121 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -3242,6 +3407,10 @@ object SparkEntry {
     "q115_gopher" -> gopherOracle,
     "q116_snapdiff" -> snapDiffOracle,
     "q117_pctrank" -> pctRankOracle,
+    "q118_kmv_jacc" -> kmvOverlapOracle,
+    "q119_markov" -> markovOracle,
+    "q120_convlag" -> convLagOracle,
+    "q121_winsor" -> winsorOracle,
     "q62_asof_join" ->
       """SELECT l.user_id, l.event_id, round(l.value, 2) AS click_value,
         | r.event_id AS prior_error_id, round(r.value, 2) AS prior_error_value

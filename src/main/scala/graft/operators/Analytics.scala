@@ -328,6 +328,102 @@ object Analytics {
       .drop("__kmv")
   }
 
+  /** KMV set-overlap estimate between two item streams — the sketch
+    * composition HLL cannot do: from each side's bottom-k sketch
+    * ([[Aggregators.kmv]]) alone, estimate |A|, |B|, |A∪B| (the k
+    * smallest of the merged sketch IS the union's KMV sketch — Beyer
+    * et al. SIGMOD'07), then |A∩B| by inclusion–exclusion and the
+    * Jaccard. The corpus-overlap monitor ("how much does this crawl
+    * share with that one") at O(k) state per side, no re-scan of
+    * either corpus needed once the sketches exist.
+    *
+    * All estimator arithmetic is column math over the two 1-row
+    * sketches (estimates rounded to 3 BEFORE composition, Jaccard to
+    * 6 — the fixed rounding order an external oracle replays exactly).
+    *
+    * Scale shape: one global aggregate per side (map-side combine,
+    * O(k) buffers) + a 1×1 cross join.
+    */
+  def kmvOverlap(a: DataFrame, b: DataFrame, itemCol: String,
+      k: Int = 256, seed: String = "kmv"): DataFrame = {
+    val sk = udaf(Aggregators.kmv(k))
+    def sketch(df: DataFrame, out: String): DataFrame =
+      df.filter(col(itemCol).isNotNull)
+        .agg(sk(TextOps.portableHash(col(itemCol), seed)).as(out))
+    val hashSpace = 4294967296.0
+    def est(c: Column): Column =
+      when(size(c) < k, size(c).cast("double"))
+        .otherwise(round(lit((k - 1).toDouble) * hashSpace /
+          element_at(c, k).cast("double"), 3))
+    sketch(a, "__a").crossJoin(broadcast(sketch(b, "__b")))
+      .withColumn("__u", slice(array_sort(array_union(col("__a"), col("__b"))), 1, k))
+      .withColumn("est_a", est(col("__a")))
+      .withColumn("est_b", est(col("__b")))
+      .withColumn("est_union", est(col("__u")))
+      .withColumn("est_inter",
+        round(greatest(col("est_a") + col("est_b") - col("est_union"),
+          lit(0.0)), 3))
+      .withColumn("jaccard_est",
+        when(col("est_union") > 0,
+          round(col("est_inter") / col("est_union"), 6)).otherwise(0.0))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        col("est_inter"), col("jaccard_est"))
+  }
+
+  /** Event-type transition matrix (first-order Markov view of the
+    * event stream): for each (from_type, to_type) pair of CONSECUTIVE
+    * events of the same user, the count and row-normalized transition
+    * probability. The "what do users do next" journey summary.
+    *
+    * Scale shape: one user-keyed window for `lead` (the per-entity
+    * sessionization shuffle), one hash aggregate on the type pair, and
+    * a window over the ≤|types|² matrix for row totals — the matrix is
+    * tiny no matter how big the stream. Probabilities are exact
+    * integer ratios rounded to 6.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String,
+      orderCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(orderCol))
+    events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .withColumn("prob",
+        round(col("n").cast("double") / col("row_total"), 6))
+  }
+
+  /** Conversion-lag summary: per user, the whole seconds from their
+    * FIRST `fromType` event to the first `toType` event strictly
+    * after it; aggregated to one row (n_converted / avg / min / max
+    * seconds). Companion to [[funnel]] — the "how fast" to funnel's
+    * "how many".
+    *
+    * All lag arithmetic is whole-second integers (epoch floor on both
+    * ends), so the averages are exact-integer-sum ratios — no
+    * float-order risk. Scale shape: two user-keyed aggregates joined
+    * on the same key.
+    */
+  def conversionLag(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, fromType: String, toType: String): DataFrame = {
+    val firsts = events.filter(col(typeCol) === fromType)
+      .groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("__t_from"))
+    val converts = events.filter(col(typeCol) === toType)
+      .join(firsts, Seq(userCol))
+      .filter(col(tsCol) > col("__t_from"))
+      .groupBy(col(userCol))
+      .agg((min(col(tsCol)).cast("long") -
+        first(col("__t_from")).cast("long")).as("__lag_s"))
+    converts.agg(
+      count(lit(1)).as("n_converted"),
+      round(avg(col("__lag_s")), 2).as("avg_s"),
+      min(col("__lag_s")).as("min_s"),
+      max(col("__lag_s")).as("max_s"))
+  }
+
   /** Funnel analysis over an event stream: how many users reached each
     * stage of an ordered `stages` sequence (the product-analytics
     * staple the reference's outcome aggregator approximates with

@@ -295,6 +295,37 @@ object Curation {
     df.join(ranked, Seq(groupCol, scoreCol))
   }
 
+  /** Per-group winsorization: clip a score to its group's
+    * [loP, hiP] discrete quantiles (percentile_disc semantics: the
+    * smallest score whose cumulative share reaches p) — the robust
+    * outlier-taming step before any mean/σ-based gate, computed per
+    * group because score scales differ per dump/domain.
+    *
+    * Same scalable shape as [[percentRankNormalize]]: quantile
+    * boundaries come from the (group, score) count table + a window
+    * over DISTINCT scores (never a giant per-group row sort), then one
+    * co-partitioned join back. Adds `score_lo`, `score_hi`,
+    * `<score>_clipped`.
+    */
+  def winsorize(df: DataFrame, groupCol: String, scoreCol: String,
+      loP: Double = 0.05, hiP: Double = 0.95): DataFrame = {
+    require(loP >= 0 && hiP <= 1 && loP <= hiP, s"bad quantiles [$loP, $hiP]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(scoreCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val frac = df.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__frac",
+        sum(col("__c")).over(w).cast("double") / sum(col("__c")).over(wg))
+    val bounds = frac.groupBy(col(groupCol)).agg(
+      min(when(col("__frac") >= loP, col(scoreCol))).as("score_lo"),
+      min(when(col("__frac") >= hiP, col(scoreCol))).as("score_hi"))
+    df.join(bounds, Seq(groupCol))
+      .withColumn(s"${scoreCol}_clipped",
+        least(greatest(col(scoreCol), col("score_lo")), col("score_hi")))
+  }
+
   /** PII patterns chosen to behave identically under Java regex and
     * RE2-family engines (no backrefs, no lookaround). */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -748,4 +748,20 @@ class CurationSpec extends SparkSpec {
     assert(got(2L) == got(3L), "tied scores must share a rank")
     assert(got(6L) == 0.0, "singleton group is 0, not NaN")
   }
+
+  test("winsorize clips to the group's discrete quantiles, per group") {
+    // group a: scores 1..10 → p10 boundary = 1 (cum 1/10 ≥ .1),
+    // p90 = 9; outliers 1 and 10 clip to [1, 9]... use 0.15/0.85 for a
+    // two-sided clip: lo = 2 (cum 2/10 ≥ .15), hi = 9 (cum 9/10 ≥ .85)
+    val df = ((1 to 10).map(i => ("a", i.toLong, i)) :+ (("b", 99L, 1000)))
+      .toDF("g", "id", "score")
+    val got = Curation.winsorize(df, "g", "score", loP = 0.15, hiP = 0.85)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Int]("score_lo"), r.getAs[Int]("score_hi"),
+          r.getAs[Int]("score_clipped")))).toMap
+    assert(got(1L) == ((2, 9, 2)), "low outlier clips up to the p15 score")
+    assert(got(10L) == ((2, 9, 9)), "high outlier clips down to the p85 score")
+    assert(got(5L) == ((2, 9, 5)), "in-range scores pass through")
+    assert(got(99L) == ((1000, 1000, 1000)), "singleton group clips to itself")
+  }
 }

@@ -93,4 +93,40 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r(3).getAs[Double]("zscore") === 15.0)
     assert(r(3).getAs[Boolean]("anomaly"))
   }
+
+  test("transitionMatrix counts consecutive pairs per user, rows sum to 1") {
+    // u1: a→b→a→b ; u2: b→b→c. No cross-user pair (u1's last b never
+    // precedes u2's first b).
+    val ev = Seq(
+      (1L, 0L, "a"), (1L, 1L, "b"), (1L, 2L, "a"), (1L, 3L, "b"),
+      (2L, 4L, "b"), (2L, 5L, "b"), (2L, 6L, "c"))
+      .toDF("user_id", "event_id", "event_type")
+    val m = Analytics.transitionMatrix(ev, "user_id", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(m(("a", "b")) == ((2L, 2L, 1.0)))
+    assert(m(("b", "a")) == ((1L, 3L, 0.333333)))
+    assert(m(("b", "b")) == ((1L, 3L, 0.333333)))
+    assert(m(("b", "c")) == ((1L, 3L, 0.333333)))
+    assert(m.size == 4, "no cross-user transitions")
+  }
+
+  test("conversionLag: first-from to first-later-to in whole seconds") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:00:30"), "purchase"),  // 30 s
+      (1L, ts("2024-01-01 11:00:00"), "purchase"),  // ignored (not first)
+      (2L, ts("2024-01-02 09:00:00"), "purchase"),  // BEFORE first view
+      (2L, ts("2024-01-02 10:00:00"), "view"),
+      (2L, ts("2024-01-02 10:02:00"), "purchase"),  // 120 s
+      (3L, ts("2024-01-03 08:00:00"), "view"))      // never converts
+      .toDF("user_id", "ts", "event_type")
+    val r = Analytics.conversionLag(ev, "user_id", "ts", "event_type",
+      "view", "purchase").head()
+    assert(r.getAs[Long]("n_converted") == 2L)
+    assert(r.getAs[Double]("avg_s") == 75.0)
+    assert(r.getAs[Long]("min_s") == 30L)
+    assert(r.getAs[Long]("max_s") == 120L)
+  }
 }

@@ -91,4 +91,27 @@ class SketchSpec extends SparkSpec {
     assert(rs.getAs[Double]("distinct_est") == 5.0)
     assert(rs.isNullAt(rs.fieldIndex("kth_hash")))
   }
+
+  test("kmvOverlap: disjoint sets estimate ~zero overlap, identical sets Jaccard 1") {
+    val a = (1 to 5000).map(i => s"a$i").toDF("item")
+    val b = (1 to 5000).map(i => s"b$i").toDF("item")
+    val disjoint = Analytics.kmvOverlap(a, b, "item", k = 256).head()
+    assert(disjoint.getAs[Double]("jaccard_est") < 0.12,
+      s"disjoint sets must estimate near-zero: $disjoint")
+    val same = Analytics.kmvOverlap(a, a, "item", k = 256).head()
+    assert(same.getAs[Double]("jaccard_est") == 1.0)
+    assert(same.getAs[Double]("est_inter") == same.getAs[Double]("est_union"))
+  }
+
+  test("kmvOverlap: below-k sides are exact, estimator lands near true Jaccard") {
+    // |A|=300, |B|=300, |A∩B|=150 → J = 150/450 = 1/3
+    val a = (1 to 300).map(i => s"t$i").toDF("item")
+    val b = (151 to 450).map(i => s"t$i").toDF("item")
+    val r = Analytics.kmvOverlap(a, b, "item", k = 512).head()
+    // k=512 > all cardinalities: every estimate is EXACT
+    assert(r.getAs[Double]("est_a") == 300.0 && r.getAs[Double]("est_b") == 300.0)
+    assert(r.getAs[Double]("est_union") == 450.0)
+    assert(r.getAs[Double]("est_inter") == 150.0)
+    assert(math.abs(r.getAs[Double]("jaccard_est") - 1.0 / 3) < 1e-6)
+  }
 }
