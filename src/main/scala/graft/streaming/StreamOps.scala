@@ -87,6 +87,58 @@ object StreamOps {
       }
   }
 
+  /** A flagged outlier from [[streamingAnomalyFlags]]. */
+  final case class AnomalyHit(key: String, seq: Long, value: Double,
+    zscore: Double)
+
+  /** Streaming rolling z-score anomaly monitor — the incremental twin
+    * of [[graft.operators.Analytics.anomalyFlags]] with the SAME
+    * semantics: a value is flagged when it deviates more than
+    * `z`·σ from the mean of that key's previous `window` values, and
+    * never during the cold start (fewer than `window` predecessors).
+    * The rolling stats run over integer cents exactly like the batch
+    * form, so batch and stream agree bit-for-bit on the same ordered
+    * input.
+    *
+    * State per key is a bounded Seq of `window` longs — O(window) no
+    * matter how long the stream runs. Rows WITHIN a micro-batch are
+    * processed in `seq` order (cross-batch order is the stream's
+    * arrival order, as with every keyed-state operator here).
+    */
+  def streamingAnomalyFlags(events: Dataset[(String, Long, Double)],
+      window: Int = 20, z: Double = 3.0): Dataset[AnomalyHit] = {
+    require(window >= 2, "window must be >= 2")
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[Long], AnomalyHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[Seq[Long]]) =>
+          var buf = state.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[AnomalyHit]
+          rows.toSeq.sortBy(_._2).foreach { case (_, seq, v) =>
+            val cents = math.round(v * 100)
+            if (buf.size == window) {
+              val n = window.toDouble
+              val s1 = buf.sum.toDouble
+              val s2 = buf.map(c => c * c).sum.toDouble
+              val mean = s1 / n
+              val variance = math.max((s2 - s1 * s1 / n) / n, 0.0)
+              val std = math.sqrt(variance)
+              if (std > 0) {
+                // round BEFORE the threshold compare — the batch form
+                // flags on the rounded zscore column; keep bit parity
+                val zs = BigDecimal((cents.toDouble - mean) / std)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                if (math.abs(zs) > z) out += AnomalyHit(key, seq, v, zs)
+              }
+            }
+            buf = (buf :+ cents).takeRight(window)
+          }
+          state.update(buf)
+          out.result().iterator
+      }
+  }
+
   /** Streaming exact dedup: `dropDuplicates` over a fingerprint column
     * with keyed state across micro-batches; `withWatermark` bounds the
     * state for event-time streams (without it, state grows with the

@@ -290,6 +290,40 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming anomaly flags: window state spans micro-batches, matches batch form") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(String, Long, Double)](spark)
+    val q = StreamOps.streamingAnomalyFlags(input.toDS(), window = 4, z = 2.0)
+      .writeStream.format("memory").queryName("anom_sink")
+      .outputMode("append").start()
+    try {
+      // cold start: 3 values — even an extreme one is not flagged
+      input.addData(("u1", 0L, 10.0), ("u1", 1L, 10.5), ("u1", 2L, 500.0))
+      q.processAllAvailable()
+      assert(spark.table("anom_sink").count() == 0, "cold start must not flag")
+      // 4th fills the window; the spike at seq 4 is judged against
+      // {10, 10.5, 500, 10} — state that spans both micro-batches
+      input.addData(("u1", 3L, 10.0), ("u1", 4L, 2000.0), ("u2", 0L, 9.9))
+      q.processAllAvailable()
+      val hits = spark.table("anom_sink").collect()
+        .map(r => (r.getAs[String]("key"), r.getAs[Long]("seq")))
+      assert(hits.toSeq == Seq(("u1", 4L)), s"got ${hits.toSeq}")
+      // batch parity on the same ordered input
+      val batch = graft.operators.Analytics.anomalyFlags(
+        Seq(("u1", 0L, 10.0), ("u1", 1L, 10.5), ("u1", 2L, 500.0),
+          ("u1", 3L, 10.0), ("u1", 4L, 2000.0), ("u2", 0L, 9.9))
+          .toDF("key", "seq", "value"),
+        Seq("key"), "seq", "value", window = 4, z = 2.0)
+        .filter(col("anomaly"))
+        .select(col("key"), col("seq"), col("zscore")).collect()
+      assert(batch.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("u1", 4L)))
+      val streamZ = spark.table("anom_sink").collect().head.getAs[Double]("zscore")
+      assert(streamZ == batch.head.getDouble(2),
+        "stream and batch must agree on the rounded zscore bit-for-bit")
+    } finally q.stop()
+  }
+
   test("map-only curation ops run unchanged on a stream: PII redaction == batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val input = MemoryStream[(Long, String)](spark)
