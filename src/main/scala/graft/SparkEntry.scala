@@ -2345,6 +2345,122 @@ object SparkEntry {
       |FROM documents d JOIN b ON d.source = b.source
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Count–min sketch point estimates
+    * ([[graft.operators.Analytics.cmsCounts]], 3×1024) for a fixed
+    * probe list vs exact counts. The oracle rebuilds the probe items'
+    * sketch CELLS from the same portable md5 hashes and takes the same
+    * min — the sketch is gated cell-for-cell, and `overcount ≥ 0`
+    * exhibits the one-sided error guarantee.
+    */
+  private val CmsProbes =
+    Seq("the", "a", "table", "query", "spark", "value", "zzz_absent")
+
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(
+        explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    Analytics.cmsCounts(toks, "token", CmsProbes, depth = 3, width = 1024)
+      .orderBy(col("item"))
+  }
+
+  private def cmsOracle: String =
+    s"""WITH tk AS (
+       |  SELECT unnest(list_filter(
+       |    string_split_regex(lower(trim(text)), '\\s+'),
+       |    t -> len(t) > 0)) AS token
+       |  FROM documents),
+       |probe AS (SELECT unnest([${CmsProbes.map("'" + _ + "'").mkString(", ")}]) AS item),
+       |d AS (SELECT unnest([0, 1, 2]) AS d),
+       |pc AS (
+       |  SELECT d.d, p.item,
+       |    CAST(('0x' || substr(md5('cms' || d.d || ':' || p.item), 1, 8))
+       |      AS BIGINT) % 1024 AS cell
+       |  FROM probe p, d),
+       |tc AS (
+       |  SELECT d.d,
+       |    CAST(('0x' || substr(md5('cms' || d.d || ':' || token), 1, 8))
+       |      AS BIGINT) % 1024 AS cell,
+       |    count(*) AS n
+       |  FROM tk, d GROUP BY 1, 2),
+       |est AS (
+       |  SELECT pc.item, min(coalesce(tc.n, 0)) AS est
+       |  FROM pc LEFT JOIN tc ON pc.d = tc.d AND pc.cell = tc.cell
+       |  GROUP BY pc.item),
+       |ex AS (SELECT token AS item, count(*) AS exact_n FROM tk
+       |       WHERE token IN (${CmsProbes.map("'" + _ + "'").mkString(", ")})
+       |       GROUP BY token)
+       |SELECT e.item, CAST(e.est AS BIGINT) AS est,
+       |  CAST(coalesce(ex.exact_n, 0) AS BIGINT) AS exact_n,
+       |  CAST(e.est AS BIGINT) - CAST(coalesce(ex.exact_n, 0) AS BIGINT)
+       |    AS overcount
+       |FROM est e LEFT JOIN ex ON e.item = ex.item
+       |ORDER BY e.item""".stripMargin
+
+  /** Hourly gap fill with forward fill
+    * ([[graft.operators.Analytics.gapFillHourly]]) rolled up per user:
+    * how dense is each user's hourly grid and what do the carried
+    * values sum to. All integer-cents arithmetic; the oracle rebuilds
+    * the grid with generate_series and replays the
+    * last-value-ignore-nulls fill.
+    */
+  private def q123(s: SparkSession, dir: String): DataFrame =
+    Analytics.gapFillHourly(t(s, dir, "events"), "user_id", "ts", "value")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(when(col("observed"), 1L).otherwise(0L)).as("n_observed"),
+        sum(when(!col("observed"), 1L).otherwise(0L)).as("n_filled"),
+        sum(col("filled_cents")).as("filled_sum_cents"))
+      .orderBy(col("user_id"))
+
+  private def gapFillOracle: String =
+    """WITH h AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hour,
+      |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |sp AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+      |       FROM h GROUP BY user_id),
+      |grid AS (
+      |  SELECT sp.user_id, unnest(generate_series(sp.h0, sp.h1,
+      |    INTERVAL 1 HOUR)) AS hour
+      |  FROM sp),
+      |f AS (
+      |  SELECT g.user_id, g.hour, h.cents,
+      |    h.cents IS NOT NULL AS observed,
+      |    last_value(h.cents IGNORE NULLS) OVER (
+      |      PARTITION BY g.user_id ORDER BY g.hour
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+      |  FROM grid g LEFT JOIN h ON g.user_id = h.user_id AND g.hour = h.hour)
+      |SELECT user_id, count(*) AS n_hours,
+      |  CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_observed,
+      |  CAST(sum(CASE WHEN NOT observed THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_filled,
+      |  CAST(sum(filled_cents) AS BIGINT) AS filled_sum_cents
+      |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Key-skew report ([[graft.operators.Scale.skewReport]]) over the
+    * lineitem supplier key: hottest keys, shares, skew ratio, and the
+    * per-key salt suggestion that feeds saltedJoin/saltedAggregate.
+    */
+  private def q124(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.skewReport(t(s, dir, "lineitem"),
+      Seq("l_suppkey"), topK = 10)
+
+  private def skewOracle: String =
+    """WITH c AS (
+      |  SELECT CAST(l_suppkey AS VARCHAR) AS key, count(*) AS cnt
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |        max(cnt) AS max_cnt FROM c)
+      |SELECT c.key, c.cnt,
+      |  round(CAST(c.cnt AS DOUBLE) / t.n_rows, 6) AS share,
+      |  t.n_keys, t.n_rows,
+      |  round(CAST(t.max_cnt AS DOUBLE) * t.n_keys / t.n_rows, 3)
+      |    AS skew_ratio,
+      |  CAST(ceil(CAST(c.cnt AS DOUBLE) * t.n_keys / t.n_rows) AS INT)
+      |    AS suggested_salt
+      |FROM c, t ORDER BY c.cnt DESC, c.key LIMIT 10""".stripMargin
+
   /** J5 — true as-of join via the custom sort-merge operator
     * ([[graft.plans.AsOf]]: logical node → strategy → exec, one hash
     * exchange + sort per side, streaming O(1)-state merge). Each click
@@ -2948,7 +3064,10 @@ object SparkEntry {
     "q118_kmv_jacc" -> (q118 _),
     "q119_markov" -> (q119 _),
     "q120_convlag" -> (q120 _),
-    "q121_winsor" -> (q121 _))
+    "q121_winsor" -> (q121 _),
+    "q122_cms" -> (q122 _),
+    "q123_gapfill" -> (q123 _),
+    "q124_skew" -> (q124 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -3411,6 +3530,9 @@ object SparkEntry {
     "q119_markov" -> markovOracle,
     "q120_convlag" -> convLagOracle,
     "q121_winsor" -> winsorOracle,
+    "q122_cms" -> cmsOracle,
+    "q123_gapfill" -> gapFillOracle,
+    "q124_skew" -> skewOracle,
     "q62_asof_join" ->
       """SELECT l.user_id, l.event_id, round(l.value, 2) AS click_value,
         | r.event_id AS prior_error_id, round(r.value, 2) AS prior_error_value

@@ -153,4 +153,85 @@ object Aggregators {
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     }
   }
+
+  /** Count–min sketch (Cormode & Muthukrishnan 2005): `depth` hash
+    * rows × `width` counters; every item increments one counter per
+    * row, a point query reads the MINIMUM of its `depth` counters —
+    * an overestimate by at most εN (ε = e/width) with probability
+    * 1 − δ (δ = e^−depth), never an underestimate. The complement of
+    * [[misraGries]]: MG answers "which items are frequent", CMS
+    * answers "how frequent is THIS item" for any item, including ones
+    * MG evicted.
+    *
+    * Merge is cell-wise addition — exact, so partial aggregation
+    * composes losslessly and sketches built on different corpora
+    * add. State is a fixed depth×width Long array regardless of
+    * stream size.
+    *
+    * Hashing is the engine-portable md5 prefix (seed `"cms<row>"`,
+    * same scheme as [[kmv]]/`TextOps.portableHash`), so an external
+    * engine can rebuild the identical sketch cell-for-cell — the q122
+    * oracle does exactly that in DuckDB.
+    */
+  def countMin(depth: Int, width: Int): Aggregator[String, Array[Long], Array[Long]] = {
+    require(depth >= 1 && width >= 2, s"bad CMS shape: $depth x $width")
+    new Aggregator[String, Array[Long], Array[Long]] {
+      override def zero: Array[Long] = new Array[Long](depth * width)
+      override def reduce(b: Array[Long], item: String): Array[Long] = {
+        var d = 0
+        while (d < depth) {
+          b(d * width + CmsHash.cell(item, d, width)) += 1L
+          d += 1
+        }
+        b
+      }
+      override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
+      override def finish(r: Array[Long]): Array[Long] = r
+      override def bufferEncoder: Encoder[Array[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+      override def outputEncoder: Encoder[Array[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    }
+  }
+
+  /** Point estimate from a [[countMin]] summary: min over the item's
+    * `depth` cells. Pure function of (sketch, item) — runs driver-side
+    * on the collected summary or inside an expression.
+    */
+  def countMinQuery(sketch: Array[Long], depth: Int, width: Int,
+      item: String): Long = {
+    var best = Long.MaxValue
+    var d = 0
+    while (d < depth) {
+      val c = sketch(d * width + CmsHash.cell(item, d, width))
+      if (c < best) best = c
+      d += 1
+    }
+    best
+  }
+}
+
+/** The portable md5-prefix cell hash shared by the CMS reduce path and
+  * any external replay: first 8 hex chars of md5("cms<row>:<item>")
+  * as uint32, mod width — identical to
+  * `CAST(('0x'||substr(md5('cms'||d||':'||item),1,8)) AS BIGINT) % width`
+  * in DuckDB.
+  */
+private[operators] object CmsHash {
+  private val mdLocal =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+  def cell(item: String, row: Int, width: Int): Int = {
+    val md = mdLocal.get()
+    md.reset()
+    val digest = md.digest(s"cms$row:$item".getBytes("UTF-8"))
+    // first 4 bytes as uint32 == the first 8 hex chars of the md5 string
+    val h = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
+      ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
+    (h % width).toInt
+  }
 }

@@ -328,6 +328,39 @@ object Analytics {
       .drop("__kmv")
   }
 
+  /** Hourly time-grid gap fill with forward fill (last observation
+    * carried forward): regularize an irregular per-entity event stream
+    * onto each entity's [first, last] hourly grid, marking which cells
+    * were observed and carrying the last observed value across gaps —
+    * the resampling step every downstream window/forecast operator
+    * assumes has already happened.
+    *
+    * Values aggregate per hour as integer cents (exact), so fills and
+    * sums are bit-stable. Scale shape: one (entity, hour) aggregate,
+    * one per-entity span aggregate whose `sequence()` explode
+    * generates the grid (O(span-hours) rows per entity — bound it
+    * upstream for entities with years of history), one co-partitioned
+    * left join back, one forward-fill window on the same entity key.
+    *
+    * Output: (entity, hour, observed, cents, filled_cents).
+    */
+  def gapFillHourly(events: DataFrame, entityCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val hours = events
+      .groupBy(col(entityCol), date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(sum(round(col(valueCol) * 100).cast("long")).as("cents"))
+    val grid = hours.groupBy(col(entityCol))
+      .agg(min(col("hour")).as("__h0"), max(col("hour")).as("__h1"))
+      .select(col(entityCol),
+        explode(sequence(col("__h0"), col("__h1"),
+          expr("interval 1 hour"))).as("hour"))
+    val w = Window.partitionBy(col(entityCol)).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(hours, Seq(entityCol, "hour"), "left")
+      .withColumn("observed", col("cents").isNotNull)
+      .withColumn("filled_cents", last(col("cents"), ignoreNulls = true).over(w))
+  }
+
   /** KMV set-overlap estimate between two item streams — the sketch
     * composition HLL cannot do: from each side's bottom-k sketch
     * ([[Aggregators.kmv]]) alone, estimate |A|, |B|, |A∪B| (the k
@@ -424,6 +457,40 @@ object Analytics {
       max(col("__lag_s")).as("max_s"))
   }
 
+  /** Count–min point estimates for a fixed probe list
+    * ([[Aggregators.countMin]]): build ONE depth×width sketch over the
+    * whole item stream (global typed aggregate, cell-wise partial
+    * merge), then answer "how many times did THIS item occur" for each
+    * probe — including items a heavy-hitter summary evicted — with the
+    * guaranteed-never-under CMS estimate. Output per probe:
+    * (item, est, exact_n, overcount ≥ 0); `exact_n` comes from a
+    * probe-filtered count so the gate can quantify the overestimate.
+    *
+    * Scale shape: the sketch is one O(depth·width) buffer per
+    * partition merged cell-wise; the exact side filters to the probe
+    * list BEFORE its aggregate (never a full-vocabulary count). The
+    * one-row sketch is collected to the driver to answer the probes —
+    * O(depth·width) bytes, not data-sized.
+    */
+  def cmsCounts(df: DataFrame, itemCol: String, probes: Seq[String],
+      depth: Int = 3, width: Int = 1024): DataFrame = {
+    require(probes.nonEmpty, "probes must be non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sketch = df.select(col(itemCol).cast("string"))
+      .filter(col(itemCol).isNotNull).as[String]
+      .select(Aggregators.countMin(depth, width).toColumn).head()
+    val est = probes.map(p =>
+      (p, Aggregators.countMinQuery(sketch, depth, width, p))).toDF("item", "est")
+    val exact = df
+      .filter(col(itemCol).isin(probes.map(p => p: Any): _*))
+      .groupBy(col(itemCol).cast("string").as("item"))
+      .agg(count(lit(1)).as("exact_n"))
+    est.join(exact, Seq("item"), "left")
+      .withColumn("exact_n", coalesce(col("exact_n"), lit(0L)))
+      .withColumn("overcount", col("est") - col("exact_n"))
+  }
+
   /** Funnel analysis over an event stream: how many users reached each
     * stage of an ordered `stages` sequence (the product-analytics
     * staple the reference's outcome aggregator approximates with
@@ -463,18 +530,18 @@ object Analytics {
     val counted = firsts.select(
       stages.indices.map(k =>
         sum(when(reached(k), 1L).otherwise(0L)).as(s"__r$k")): _*)
-    val perStage = counted.select(explode(array(
+    // conversion derives from the SAME one-row frame (no self-join:
+    // a second reference to `counted` would re-run the whole user
+    // aggregate — the plan must contain exactly one user exchange)
+    counted.select(explode(array(
       stages.indices.map(k => struct(
         lit(k + 1).as("stage_idx"), lit(stages(k)).as("stage"),
-        col(s"__r$k").as("users"))): _*)).as("s"))
-      .select(col("s.stage_idx"), col("s.stage"), col("s.users"))
-    val base = perStage.filter(col("stage_idx") === 1)
-      .select(col("users").as("__base"))
-    perStage.crossJoin(broadcast(base))
-      .select(col("stage_idx"), col("stage"), col("users"),
-        round(when(col("__base") === 0, 0.0)
-          .otherwise(col("users").cast("double") / col("__base")), scale)
-          .as("conversion"))
+        col(s"__r$k").as("users"),
+        round(when(col("__r0") === 0, 0.0)
+          .otherwise(col(s"__r$k").cast("double") / col("__r0")), scale)
+          .as("conversion"))): _*)).as("s"))
+      .select(col("s.stage_idx"), col("s.stage"), col("s.users"),
+        col("s.conversion"))
       .orderBy(col("stage_idx"))
   }
 
@@ -530,25 +597,36 @@ object Analytics {
     val w = Window.partitionBy(partitionCols.map(col): _*)
       .orderBy(col(orderCol)).rowsBetween(-window, -1)
     val cents = round(col(valueCol) * 100).cast("long")
-    val n = count(cents).over(w)
-    val s1 = sum(cents).over(w)
-    val s2 = sum(cents * cents).over(w)
-    val mean = s1.cast("double") / n
+    // materialize the three frame aggregates ONCE, then derive
+    // everything per-row — keeps the plan at a single Window pass
+    // (expression-level composition re-derives a Window op per
+    // withColumn chain and planned as two passes before this)
+    val staged = events
+      .withColumn("__cents", cents)
+      // the square is projected BEFORE the window columns: a derived
+      // expression inside a window arg forces a Project between Window
+      // ops, which blocks CollapseWindow from fusing the passes
+      .withColumn("__c2", col("__cents") * col("__cents"))
+      .withColumn("__n", count(col("__cents")).over(w))
+      .withColumn("__s1", sum(col("__cents")).over(w))
+      .withColumn("__s2", sum(col("__c2")).over(w))
+    val mean = col("__s1").cast("double") / col("__n")
     // population variance from exact integer sums; max(0) guards the
     // tiny negative residue double subtraction can leave
     val variance = greatest(
-      (s2.cast("double") - s1.cast("double") * s1.cast("double") / n) / n,
+      (col("__s2").cast("double") -
+        col("__s1").cast("double") * col("__s1").cast("double") / col("__n")) /
+        col("__n"),
       lit(0.0))
     val std = sqrt(variance)
     val zscore = when(std > 0,
-      (cents.cast("double") - mean) / std).otherwise(lit(null))
-    events
-      .withColumn("__n", n)
+      (col("__cents").cast("double") - mean) / std).otherwise(lit(null))
+    staged
       .withColumn("roll_mean", round(mean / 100.0, 6))
       .withColumn("roll_std", round(std / 100.0, 6))
       .withColumn("zscore", round(zscore, 6))
       .withColumn("anomaly",
         col("__n") === window && coalesce(abs(col("zscore")) > z, lit(false)))
-      .drop("__n")
+      .drop("__cents", "__c2", "__n", "__s1", "__s2")
   }
 }

@@ -284,6 +284,40 @@ object Scale {
       .drop("__range_bucket")
   }
 
+  /** Key-skew diagnostic report — the pre-flight check for any 100 TB
+    * join/aggregate: per-key counts → the top-k hottest keys with
+    * their share of all rows, the key-count skew ratio
+    * (max/avg = max·n_keys/n_rows), and a per-key suggested salt
+    * factor (⌈count/avg⌉, the [[saltedJoin]]/[[saltedAggregate]]
+    * input). Everything integer-exact except the two documented
+    * rounded ratios.
+    *
+    * Scale shape: ONE hash aggregate on the key (map-side combine),
+    * one tiny global summary broadcast back, TakeOrderedAndProject
+    * top-k. The report is O(topK) rows however large the input.
+    */
+  def skewReport(df: DataFrame, keys: Seq[String], topK: Int = 5): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    val counts = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("key", concat_ws("|", keys.map(c => col(c).cast("string")): _*))
+      .withColumn("share", round(col("cnt").cast("double") / col("n_rows"), 6))
+      .withColumn("skew_ratio",
+        round(col("max_cnt").cast("double") * col("n_keys") / col("n_rows"), 3))
+      .withColumn("suggested_salt",
+        ceil(col("cnt").cast("double") * col("n_keys") / col("n_rows"))
+          .cast("int"))
+      .select(col("key"), col("cnt"), col("share"), col("n_keys"),
+        col("n_rows"), col("skew_ratio"), col("suggested_salt"))
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(topK)
+  }
+
   /** Snapshot diff — classify every id across two corpus snapshots as
     * `added` / `removed` / `changed` / `unchanged` by comparing an
     * md5 content fingerprint over `compareCols` (the incremental-crawl

@@ -129,4 +129,26 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("min_s") == 30L)
     assert(r.getAs[Long]("max_s") == 120L)
   }
+
+  test("gapFillHourly: grid spans first..last hour, gaps carry the last value") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:15:00"), 1.5),
+      (1L, ts("2024-01-01 10:45:00"), 2.5),  // same hour → cents sum 400
+      (1L, ts("2024-01-01 13:05:00"), 7.0),  // 2-hour gap before this
+      (2L, ts("2024-01-02 00:00:00"), 9.0))  // single-hour entity
+      .toDF("user_id", "ts", "value")
+    val got = Analytics.gapFillHourly(ev, "user_id", "ts", "value")
+      .orderBy("user_id", "hour").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("hour").toString.substring(11, 13),
+        r.getAs[Boolean]("observed"),
+        Option(r.getAs[Any]("cents")),
+        r.getAs[Long]("filled_cents")))
+    assert(got.toSeq == Seq(
+      (1L, "10", true, Some(400L), 400L),
+      (1L, "11", false, None, 400L), // filled from hour 10
+      (1L, "12", false, None, 400L),
+      (1L, "13", true, Some(700L), 700L),
+      (2L, "00", true, Some(900L), 900L)))
+  }
 }

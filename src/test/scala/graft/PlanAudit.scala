@@ -301,6 +301,47 @@ class PlanAudit extends SparkSpec {
       s"no all-pairs path in containment:\n$p")
   }
 
+  test("q110: funnel is ONE user-keyed exchange — no window, no self-join") {
+    val p = plan("q110_funnel")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
+      s"funnel must stay a conditional-min aggregate:\n$p")
+    val userExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(user_id"))
+    assert(userExchanges == 1,
+      s"exactly one user-keyed shuffle expected, saw $userExchanges:\n$p")
+  }
+
+  test("q112: anomaly flags are one bounded-frame window pass on the user key") {
+    val p = plan("q112_zanom")
+    val userExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(user_id"))
+    assert(userExchanges == 1,
+      s"one user-keyed shuffle expected, saw $userExchanges:\n$p")
+    assert(p.contains("RowFrame, -20, -1"),
+      s"the frame must stay bounded (O(window) state per key):\n$p")
+    val windows = p.linesIterator.count(_.trim.startsWith("+- Window "))
+    assert(windows <= 1, s"one Window pass expected, saw $windows:\n$p")
+  }
+
+  test("q113: KMV sketch aggregates partially before the exchange") {
+    val p = plan("q113_kmv")
+    // typed-Aggregator UDAF → ObjectHashAggregate with a partial_
+    // stage below the shuffle: the O(k) buffer combines map-side
+    val stages = p.linesIterator.filter(_.contains("ObjectHashAggregate")).toSeq
+    assert(stages.size == 2 && stages.exists(_.contains("partial_")),
+      s"KMV must map-side combine (partial + final ObjectHashAggregate):\n$p")
+  }
+
+  test("q117: percent-rank runs the window over the COUNT table, not raw rows") {
+    val p = plan("q117_pctrank")
+    // the aggregate (group, score) → count must sit BELOW the window
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    assert(winIdx >= 0, s"expected a window stage:\n$p")
+    assert(lines.drop(winIdx).exists(_.contains("HashAggregate")),
+      s"the distinct-score aggregate must feed the window:\n$p")
+  }
+
   test("compiled safe_eval predicates push down to the parquet scan") {
     val events = graft.core.Engine.table(spark, dir, "events")
     val filtered = events.filter(

@@ -368,4 +368,22 @@ class ScaleSpec extends SparkSpec {
       .filter(col("status") === "changed").count()
     assert(metaChanged == 3L)
   }
+
+  test("skewReport: hot key surfaces with its share and a salt ≈ count/avg") {
+    // 1 hot key with 900 rows + 100 keys with 1 row: avg ≈ 9.9
+    val df = (Seq.fill(900)("hot") ++ (1 to 100).map(i => s"k$i"))
+      .toDF("k")
+    val top = Scale.skewReport(df, Seq("k"), topK = 3).collect()
+    assert(top.head.getAs[String]("key") == "hot")
+    assert(top.head.getAs[Long]("cnt") == 900L)
+    assert(top.head.getAs[Double]("share") == 0.9)
+    assert(top.head.getAs[Long]("n_keys") == 101L)
+    assert(top.head.getAs[Long]("n_rows") == 1000L)
+    // skew = max*keys/rows = 900*101/1000 = 90.9; salt = ceil(90.9) = 91
+    assert(top.head.getAs[Double]("skew_ratio") == 90.9)
+    assert(top.head.getAs[Int]("suggested_salt") == 91)
+    // cold keys suggest salt 1 (no salting)
+    assert(top(1).getAs[Int]("suggested_salt") == 1)
+    assert(top.length == 3)
+  }
 }

@@ -114,4 +114,38 @@ class SketchSpec extends SparkSpec {
     assert(r.getAs[Double]("est_inter") == 150.0)
     assert(math.abs(r.getAs[Double]("jaccard_est") - 1.0 / 3) < 1e-6)
   }
+
+  test("countMin never underestimates, bounds the overcount, merges exactly") {
+    val rnd = new scala.util.Random(11)
+    val items = Seq.fill(2000)("h" + rnd.nextInt(5)) ++
+      Seq.fill(8000)("t" + rnd.nextInt(3000))
+    val truth = exactCounts(items)
+    val depth = 4; val width = 512
+    val sketch = items.toDF("item").repartition(9).as[String]
+      .select(Aggregators.countMin(depth, width).toColumn).head()
+    val n = items.size
+    val bound = math.ceil(math.E / width * n).toLong // εN, ε = e/width
+    (truth.keys ++ Seq("never_seen")).foreach { k =>
+      val est = Aggregators.countMinQuery(sketch, depth, width, k)
+      val t = truth.getOrElse(k, 0L)
+      assert(est >= t, s"$k underestimated: $est < $t")
+      assert(est <= t + bound * 3, s"$k overcounted past 3x the bound: $est vs $t")
+    }
+    // partition-invariance: the sketch is identical however data splits
+    val again = items.toDF("item").repartition(2).as[String]
+      .select(Aggregators.countMin(depth, width).toColumn).head()
+    assert(sketch.toSeq == again.toSeq)
+  }
+
+  test("cmsCounts reports exact heavy counts and zero for absent probes at ample width") {
+    val df = (Seq.fill(500)("big") ++ Seq.fill(7)("rare")).toDF("item")
+    val got = Analytics.cmsCounts(df, "item", Seq("big", "rare", "ghost"),
+        depth = 3, width = 4096)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // 2 distinct items in 3x4096 cells: collisions essentially impossible
+    assert(got("big") == ((500L, 500L, 0L)))
+    assert(got("rare") == ((7L, 7L, 0L)))
+    assert(got("ghost") == ((0L, 0L, 0L)))
+  }
 }
