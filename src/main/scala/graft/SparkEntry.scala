@@ -2461,6 +2461,91 @@ object SparkEntry {
       |    AS suggested_salt
       |FROM c, t ORDER BY c.cnt DESC, c.key LIMIT 10""".stripMargin
 
+  /** Per-source equi-depth histogram
+    * ([[graft.operators.Scale.equiDepthHistogram]]): decile boundaries
+    * of `n_chars` per source — the stats-collection primitive. Oracle
+    * replays the cumulative-share boundary rule over the same
+    * distinct-score counts.
+    */
+  private def q125(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.equiDepthHistogram(docs(s, dir), "source",
+        "n_chars", buckets = 10)
+      .orderBy(col("source"), col("bucket"))
+
+  private def eqDepthOracle: String =
+    """WITH c AS (
+      |  SELECT source, n_chars, count(*) AS cnt
+      |  FROM documents GROUP BY 1, 2),
+      |f AS (
+      |  SELECT source, n_chars,
+      |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY n_chars
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
+      |    sum(cnt) OVER (PARTITION BY source) AS frac
+      |  FROM c),
+      |b AS (SELECT unnest(generate_series(1, 10)) AS bucket)
+      |SELECT f.source, CAST(b.bucket AS INT) AS bucket,
+      |  min(CASE WHEN f.frac >= b.bucket / 10.0 THEN f.n_chars END)
+      |    AS upper_bound
+      |FROM f, b GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
+
+  /** Deterministic synchronous label propagation
+    * ([[graft.operators.Analytics.labelPropagation]], 3 rounds) over
+    * the undirected nation trade graph. The oracle unrolls the same
+    * three argmax rounds as chained CTEs — weighted votes, ties to the
+    * smallest label — so every intermediate assignment is gated.
+    */
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val cst = t(s, dir, "customer")
+    val sup = t(s, dir, "supplier")
+    val nat = t(s, dir, "nation")
+    val edges = li
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(cst, o("o_custkey") === cst("c_custkey"))
+      .join(nat.select(col("n_nationkey").as("__cnk"), col("n_name").as("src")),
+        cst("c_nationkey") === col("__cnk"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(nat.select(col("n_nationkey").as("__snk"), col("n_name").as("dst")),
+        sup("s_nationkey") === col("__snk"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+    Analytics.labelPropagation(edges, "src", "dst", "w", iterations = 3)
+      .orderBy(col("node"))
+  }
+
+  private def labelPropOracle: String = {
+    def round(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT node, label FROM (
+         |    SELECT e.a AS node, l.label,
+         |      row_number() OVER (PARTITION BY e.a
+         |        ORDER BY sum(e.w) DESC, l.label) AS rn
+         |    FROM und e JOIN $prev l ON e.b = l.node
+         |    GROUP BY e.a, l.label)
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT cn.n_name AS src, sn.n_name AS dst, count(*) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+       |  GROUP BY 1, 2),
+       |und AS (
+       |  SELECT a, b, CAST(sum(w) AS BIGINT) AS w FROM (
+       |    SELECT src AS a, dst AS b, w FROM edges WHERE src <> dst
+       |    UNION ALL
+       |    SELECT dst, src, w FROM edges WHERE src <> dst)
+       |  GROUP BY a, b),
+       |l0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
+       |${round("l0", "l1")},
+       |${round("l1", "l2")},
+       |${round("l2", "l3")}
+       |SELECT node, label FROM l3 ORDER BY node""".stripMargin
+  }
+
   /** J5 — true as-of join via the custom sort-merge operator
     * ([[graft.plans.AsOf]]: logical node → strategy → exec, one hash
     * exchange + sort per side, streaming O(1)-state merge). Each click
@@ -3067,7 +3152,9 @@ object SparkEntry {
     "q121_winsor" -> (q121 _),
     "q122_cms" -> (q122 _),
     "q123_gapfill" -> (q123 _),
-    "q124_skew" -> (q124 _))
+    "q124_skew" -> (q124 _),
+    "q125_eqdepth" -> (q125 _),
+    "q126_lprop" -> (q126 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -3533,6 +3620,8 @@ object SparkEntry {
     "q122_cms" -> cmsOracle,
     "q123_gapfill" -> gapFillOracle,
     "q124_skew" -> skewOracle,
+    "q125_eqdepth" -> eqDepthOracle,
+    "q126_lprop" -> labelPropOracle,
     "q62_asof_join" ->
       """SELECT l.user_id, l.event_id, round(l.value, 2) AS click_value,
         | r.event_id AS prior_error_id, round(r.value, 2) AS prior_error_value

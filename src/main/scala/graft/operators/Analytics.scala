@@ -457,6 +457,58 @@ object Analytics {
       max(col("__lag_s")).as("max_s"))
   }
 
+  /** Synchronous weighted label propagation (Raghavan et al. 2007,
+    * the deterministic synchronous variant): every node starts as its
+    * own community; each iteration every node adopts the label with
+    * the highest total edge weight among its neighbors (graph treated
+    * as undirected, self-loops dropped), ties broken by the
+    * lexicographically smallest label — fully deterministic, unlike
+    * the randomized asynchronous original. The cheap community
+    * detector for domain/citation graphs where PageRank answers
+    * "importance" and this answers "which cluster".
+    *
+    * Scale shape: one edge normalization, then per iteration ONE
+    * equi-join (neighbor labels) + ONE (node, label) aggregate + ONE
+    * per-node argmax via WindowGroupLimit-able row_number — all
+    * hash-exchanges on the node key, graph localCheckpoint'ed once
+    * like [[pageRank]].
+    *
+    * Output: (node, label) after `iterations` rounds.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iterations: Int): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    val e = edges
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0 &&
+        col(srcCol) =!= col(dstCol))
+      .select(col(srcCol).cast("string").as("__a"),
+        col(dstCol).cast("string").as("__b"),
+        col(weightCol).cast("long").as("__w"))
+    val und = e.union(e.select(col("__b").as("__a"), col("__a").as("__b"),
+        col("__w")))
+      .groupBy(col("__a"), col("__b")).agg(sum(col("__w")).as("__w"))
+      .localCheckpoint(true)
+    val nodes = und.select(col("__a").as("node")).distinct()
+      .localCheckpoint(true)
+    var labels = nodes.withColumn("label", col("node"))
+    val wArg = Window.partitionBy(col("__a"))
+      .orderBy(col("__wv").desc, col("label"))
+    var i = 0
+    while (i < iterations) {
+      val votes = und
+        .join(labels, und("__b") === labels("node"))
+        .groupBy(col("__a"), col("label"))
+        .agg(sum(col("__w")).as("__wv"))
+      labels = votes
+        .withColumn("__rn", row_number().over(wArg))
+        .filter(col("__rn") === 1)
+        .select(col("__a").as("node"), col("label"))
+      i += 1
+      if (i % 5 == 0 && i < iterations) labels = labels.localCheckpoint(true)
+    }
+    labels
+  }
+
   /** Count–min point estimates for a fixed probe list
     * ([[Aggregators.countMin]]): build ONE depth×width sketch over the
     * whole item stream (global typed aggregate, cell-wise partial

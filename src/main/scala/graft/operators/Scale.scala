@@ -235,6 +235,68 @@ object Scale {
     deleted
   }
 
+  /** Durable incremental aggregate state — maintain a (keys → count,
+    * integer-cents sum) parquet table across ingest batches WITHOUT
+    * rescanning history: each call folds one batch's map-side partials
+    * into the stored state (`new = old ⊎ partial`, cell-wise sums).
+    * The daily-ingest pattern for per-domain / per-source corpus
+    * statistics at 100 TB — the work per call is O(batch) + O(state),
+    * never O(corpus).
+    *
+    * Count and sum are the classic commutative-monoid aggregates, so
+    * fold order is irrelevant and `state(batches 1..n)` equals the
+    * full recompute bit-for-bit (integer arithmetic throughout —
+    * means/ratios derive at read time). The state is versioned:
+    * each upsert writes `v<n+1>` beside the current version and flips
+    * `_CURRENT` last, so a crash mid-write leaves the previous version
+    * intact and readable (write-ahead, point-the-pointer-last).
+    *
+    * Returns the merged state frame (read from the new version).
+    */
+  def upsertAggState(spark: SparkSession, path: String, batch: DataFrame,
+      keys: Seq[String], valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    val partial = batch.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col(valueCol) * 100).cast("long")).as("sum_cents"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pointer = new org.apache.hadoop.fs.Path(s"$path/_CURRENT")
+    val current: Option[String] =
+      if (fs.exists(pointer)) {
+        val in = fs.open(pointer)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
+      } else None
+    val merged = current match {
+      case Some(v) =>
+        spark.read.parquet(s"$path/$v").unionByName(partial)
+          .groupBy(keys.map(col): _*)
+          .agg(sum(col("cnt")).as("cnt"),
+            sum(col("sum_cents")).as("sum_cents"))
+      case None => partial
+    }
+    val nextV = "v" + (current.map(_.drop(1).toLong).getOrElse(0L) + 1)
+    merged.write.mode("overwrite").parquet(s"$path/$nextV")
+    val out = fs.create(pointer, true)
+    try out.write(nextV.getBytes("UTF-8")) finally out.close()
+    // previous versions are retained for readers in flight; a caller-
+    // scheduled vacuum can drop versions older than its read horizon
+    spark.read.parquet(s"$path/$nextV")
+  }
+
+  /** Read the current version of an [[upsertAggState]] table. */
+  def readAggState(spark: SparkSession, path: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pointer = new org.apache.hadoop.fs.Path(s"$path/_CURRENT")
+    require(fs.exists(pointer), s"no agg state at $path")
+    val in = fs.open(pointer)
+    val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+    spark.read.parquet(s"$path/$v")
+  }
+
   /** Point-in-interval range join without a cross product. Spark plans
     * a plain `p BETWEEN lo AND hi` join (no equi-conjunct, or one with
     * heavy range skew) as BroadcastNestedLoop / shuffled O(|L|×|R|)
@@ -316,6 +378,42 @@ object Scale {
         col("n_rows"), col("skew_ratio"), col("suggested_salt"))
       .orderBy(col("cnt").desc, col("key"))
       .limit(topK)
+  }
+
+  /** Per-group equi-depth histogram: the `buckets` discrete quantile
+    * boundaries of `scoreCol` within each group (boundary b = the
+    * smallest score whose cumulative share reaches b/buckets —
+    * percentile_disc semantics, so boundaries are actual data values).
+    * The stats-collection primitive behind optimizer selectivity
+    * estimates, per-dump score calibration curves and drift monitors.
+    *
+    * Same never-sort-raw-rows shape as the quantile family in
+    * [[graft.operators.Curation]]: aggregate to (group, score) counts,
+    * window over DISTINCT scores only, one conditional-min aggregate
+    * per boundary. Output: (group, bucket, upper_bound), `buckets`
+    * rows per group.
+    */
+  def equiDepthHistogram(df: DataFrame, groupCol: String, scoreCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(scoreCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val frac = df.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__frac",
+        sum(col("__c")).over(w).cast("double") / sum(col("__c")).over(wg))
+    val boundaryAggs = (1 to buckets).map { b =>
+      min(when(col("__frac") >= b.toDouble / buckets, col(scoreCol)))
+        .as(s"__p$b")
+    }
+    frac.groupBy(col(groupCol))
+      .agg(boundaryAggs.head, boundaryAggs.tail: _*)
+      .select(col(groupCol), explode(array(
+        (1 to buckets).map(b => struct(lit(b).as("bucket"),
+          col(s"__p$b").as("upper_bound"))): _*)).as("__s"))
+      .select(col(groupCol), col("__s.bucket"), col("__s.upper_bound"))
   }
 
   /** Snapshot diff — classify every id across two corpus snapshots as

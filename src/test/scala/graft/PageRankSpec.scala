@@ -29,6 +29,41 @@ class PageRankSpec extends SparkSpec {
     assert(r("b") > r("a"), s"the sink must outrank its source: $r")
   }
 
+  private def lprop(edges: Seq[(String, String, Long)], iters: Int): Map[String, String] =
+    Analytics.labelPropagation(edges.toDF("src", "dst", "w"), "src", "dst", "w",
+        iterations = iters)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("labelPropagation: two cliques joined by a weak bridge become two communities") {
+    // clique {a,b,c} and {x,y,z} fully connected with weight 10,
+    // one weight-1 bridge c—x
+    def clique(ns: Seq[String]) =
+      for (i <- ns; j <- ns if i < j) yield (i, j, 10L)
+    val edges = clique(Seq("a", "b", "c")) ++ clique(Seq("x", "y", "z")) :+
+      (("c", "x", 1L))
+    val l = lprop(edges, iters = 4)
+    assert(l("a") == l("b") && l("b") == l("c"), s"left clique split: $l")
+    assert(l("x") == l("y") && l("y") == l("z"), s"right clique split: $l")
+    assert(l("a") != l("x"), s"bridge must not merge the cliques: $l")
+  }
+
+  test("labelPropagation: ties go to the lexicographically smallest label; deterministic") {
+    // star: center m with equal-weight spokes a and z → m takes "a"
+    val l = lprop(Seq(("m", "a", 1L), ("m", "z", 1L)), iters = 1)
+    assert(l("m") == "a", s"tie must break to the smallest label: $l")
+    // zero iterations = identity labeling
+    val l0 = lprop(Seq(("p", "q", 1L)), iters = 0)
+    assert(l0 == Map("p" -> "p", "q" -> "q"))
+    // partition-invariance
+    val big = (1 to 50).map(i => (s"n${i % 10}", s"n${(i * 7) % 10}", (i % 5 + 1).toLong))
+      .filter(e => e._1 != e._2)
+    val one = Analytics.labelPropagation(big.toDF("src", "dst", "w"),
+      "src", "dst", "w", 3).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val two = Analytics.labelPropagation(big.toDF("src", "dst", "w").repartition(13),
+      "src", "dst", "w", 3).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(one == two)
+  }
+
   test("weighted edges split contribution proportionally (one hand-computed step)") {
     // a -> b (w=3), a -> c (w=1); b and c dangle. N=3, r0 = 1/3 each.
     val alpha = 0.85

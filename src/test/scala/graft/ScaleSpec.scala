@@ -386,4 +386,39 @@ class ScaleSpec extends SparkSpec {
     assert(top(1).getAs[Int]("suggested_salt") == 1)
     assert(top.length == 3)
   }
+
+  test("equiDepthHistogram: quartiles of 1..8 land on percentile_disc boundaries") {
+    val df = (1 to 8).map(i => ("g", i)).toDF("g", "score")
+    val got = Scale.equiDepthHistogram(df, "g", "score", buckets = 4)
+      .collect().map(r => r.getAs[Int]("bucket") -> r.getAs[Int]("upper_bound"))
+      .toMap
+    // cum shares: score k has frac k/8 → boundaries at .25/.5/.75/1
+    assert(got == Map(1 -> 2, 2 -> 4, 3 -> 6, 4 -> 8))
+    // heavy ties: one dominant value swallows several buckets
+    val skewed = (Seq.fill(90)(5) ++ Seq(1, 9)).map(("s", _)).toDF("g", "score")
+    val sk = Scale.equiDepthHistogram(skewed, "g", "score", buckets = 4)
+      .collect().map(r => r.getAs[Int]("bucket") -> r.getAs[Int]("upper_bound"))
+      .toMap
+    assert(sk(1) == 5 && sk(2) == 5 && sk(3) == 5 && sk(4) == 9)
+  }
+
+  test("upsertAggState: batch folds equal the full recompute; crash-safe pointer versioning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-aggstate").toString
+    val b1 = Seq(("a", 1.0), ("a", 2.0), ("b", 10.0)).toDF("k", "v")
+    val b2 = Seq(("a", 0.5), ("c", 3.25)).toDF("k", "v")
+    Scale.upsertAggState(spark, dir, b1, Seq("k"), "v")
+    val after2 = Scale.upsertAggState(spark, dir, b2, Seq("k"), "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // equals the one-shot aggregate over b1 ∪ b2, in exact cents
+    assert(after2 == Map("a" -> ((3L, 350L)), "b" -> ((1L, 1000L)),
+      "c" -> ((1L, 325L))))
+    // versioned layout: v1 and v2 both present, _CURRENT points at v2
+    val files = new java.io.File(dir).listFiles.map(_.getName).toSet
+    assert(files.contains("v1") && files.contains("v2") && files.contains("_CURRENT"))
+    assert(Scale.readAggState(spark, dir).collect().length == 3)
+    // a torn write of v3 (no pointer flip) must leave readers on v2
+    new java.io.File(s"$dir/v3").mkdirs()
+    assert(Scale.readAggState(spark, dir)
+      .collect().map(_.getString(0)).toSet == Set("a", "b", "c"))
+  }
 }
