@@ -2546,6 +2546,41 @@ object SparkEntry {
        |SELECT node, label FROM l3 ORDER BY node""".stripMargin
   }
 
+  /** Hard-negative mining ([[graft.operators.Similarity.hardNegatives]]):
+    * per query (vec_id < 5), the 3 most-cosine-similar corpus vectors
+    * excluding the labeled positive (vec_id = qid + 100). Broadcast
+    * queries, map-side scoring, WindowGroupLimit top-k; the oracle
+    * restates the identical cosine + anti-join + rank.
+    */
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val positives = queries.select(col("qid"),
+      (col("qid") + 100L).as("vec_id"))
+    Similarity.hardNegatives(corpus, "vec_id", "embedding",
+        queries, "qid", "embedding", positives, k = 3)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private def hardNegOracle: String =
+    """WITH q AS (
+      |  SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+      |s AS (
+      |  SELECT q.qid, c.vec_id,
+      |    round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+      |      CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+      |  FROM c, q WHERE c.vec_id <> q.qid + 100),
+      |r AS (
+      |  SELECT qid, vec_id, cosine,
+      |    row_number() OVER (PARTITION BY qid
+      |      ORDER BY cosine DESC, vec_id) AS rank
+      |  FROM s)
+      |SELECT qid, vec_id, cosine, CAST(rank AS INT) AS rank
+      |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   /** J5 — true as-of join via the custom sort-merge operator
     * ([[graft.plans.AsOf]]: logical node → strategy → exec, one hash
     * exchange + sort per side, streaming O(1)-state merge). Each click
@@ -3154,7 +3189,8 @@ object SparkEntry {
     "q123_gapfill" -> (q123 _),
     "q124_skew" -> (q124 _),
     "q125_eqdepth" -> (q125 _),
-    "q126_lprop" -> (q126 _))
+    "q126_lprop" -> (q126 _),
+    "q127_hardneg" -> (q127 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -3622,6 +3658,7 @@ object SparkEntry {
     "q124_skew" -> skewOracle,
     "q125_eqdepth" -> eqDepthOracle,
     "q126_lprop" -> labelPropOracle,
+    "q127_hardneg" -> hardNegOracle,
     "q62_asof_join" ->
       """SELECT l.user_id, l.event_id, round(l.value, 2) AS click_value,
         | r.event_id AS prior_error_id, round(r.value, 2) AS prior_error_value

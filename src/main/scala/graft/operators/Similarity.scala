@@ -25,6 +25,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** Hard-negative mining for contrastive / embedding training: for
+    * each query vector, the top-k most-similar corpus vectors that are
+    * NOT its labeled positives — the negatives that actually teach the
+    * model, versus random negatives it already separates. Positive
+    * pairs are excluded by an anti-join on (query, doc) BEFORE the
+    * per-query top-k, so a positive can never crowd out a negative.
+    *
+    * Scale shape: the query side is broadcast (mining runs per
+    * training batch — hundreds to thousands of queries), scores are a
+    * map-side projection over the corpus scan, per-query top-k is a
+    * rank-1..k WindowGroupLimit (never a full sort of the scored
+    * space). For query sets too large to broadcast, generate
+    * candidates with [[crossSimilarity]]'s banded join first and rank
+    * those — same output contract.
+    *
+    * Output: (qIdCol, idCol, cosine, rank), rank 1..k per query.
+    */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      positives: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col(qIdCol), col(qVecCol).as("__qv")))
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .crossJoin(q)
+      .withColumn("cosine",
+        round(VectorFunctions.cosine(col(vecCol), col("__qv")), 6))
+      .join(positives.select(col(qIdCol), col(idCol)),
+        Seq(qIdCol, idCol), "left_anti")
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(desc("cosine"), col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col(idCol), col("cosine"), col("rank"))
+  }
+
   /** Random-hyperplane LSH ANN: probe only buckets within `probeHamming`
     * sign-bit flips of the query's bucket (multi-probe). Recall rises
     * with `probeHamming`; cost is the fraction of buckets probed.

@@ -129,4 +129,27 @@ class SimilaritySpec extends SparkSpec {
       query, k = 10, nProbe = 2)
     assert(fromLayout.collect().toSeq == inMemory.collect().toSeq)
   }
+
+  test("hardNegatives: positives excluded, nearest non-positive ranks first") {
+    import spark.implicits._
+    // corpus on a line: vectors at angles; q points at 0°. Nearest is
+    // c1 (5°), but c1 is the labeled positive → c2 (10°) must rank 1.
+    def v(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val corpus = Seq((1L, v(5)), (2L, v(10)), (3L, v(60)), (4L, v(170)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, v(0))).toDF("qid", "embedding")
+    val positives = Seq((100L, 1L)).toDF("qid", "vec_id")
+    val got = Similarity.hardNegatives(corpus, "vec_id", "embedding",
+        queries, "qid", "embedding", positives, k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rank")))
+    assert(got.toSeq == Seq((2L, 1), (3L, 2)),
+      s"positive must be excluded, order by similarity: ${got.toSeq}")
+    // plan: per-query top-k must be a WindowGroupLimit, not a full sort
+    val p = Similarity.hardNegatives(corpus, "vec_id", "embedding",
+        queries, "qid", "embedding", positives, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), s"expected rank-k group limit:\n$p")
+  }
 }
