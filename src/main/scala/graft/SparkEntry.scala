@@ -2581,6 +2581,76 @@ object SparkEntry {
       |SELECT qid, vec_id, cosine, CAST(rank AS INT) AS rank
       |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  /** CCNet head/middle/tail corpus split (Wenzek et al. 2020): score
+    * every document with the reference-fitted bigram LM (q82's model,
+    * memoized per session), then tercile each LANGUAGE by perplexity —
+    * head = the third that reads most like the reference. The split
+    * CCNet-style pipelines publish as their quality tiers, here as one
+    * ntile window over per-language rounded perplexities. The oracle
+    * refits the LM and replays the tiering end to end.
+    */
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val lm = Curation.memoModel(s, s"$dir#lm-mod10")(
+      Curation.fitBigramLm(d.filter(col("doc_id") % 10 === 0), "text"))
+    val scored = Curation.perplexity(d, "doc_id", "text", lm)
+      .select(col("doc_id"), round(col("ppl"), 4).as("ppl"))
+      .join(d.select(col("doc_id"), col("lang"), col("n_chars")), Seq("doc_id"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("ppl"), col("doc_id"))
+    scored.withColumn("__b", ntile(3).over(w))
+      .withColumn("tier",
+        when(col("__b") === 1, "head").when(col("__b") === 2, "middle")
+          .otherwise("tail"))
+      .groupBy(col("lang"), col("tier"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("ppl")).as("min_ppl"), max(col("ppl")).as("max_ppl"))
+      .orderBy(col("lang"), col("tier"))
+  }
+
+  private def ccnetOracle: String =
+    """WITH tk AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |    t -> len(t) > 0) AS tk
+      |  FROM documents),
+      |ref AS (SELECT tk FROM tk WHERE doc_id % 10 = 0),
+      |uni AS (SELECT w, count(*) AS c
+      |        FROM (SELECT unnest(tk) AS w FROM ref) GROUP BY w),
+      |v AS (SELECT count(*) AS v FROM uni),
+      |big AS (
+      |  SELECT tk[i] AS w1, tk[i+1] AS w2, count(*) AS c
+      |  FROM (SELECT tk, unnest(generate_series(1, len(tk)-1)) AS i
+      |        FROM ref WHERE len(tk) >= 2)
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+      |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk)-1)) AS i
+      |        FROM tk WHERE len(tk) >= 2)),
+      |scored AS (
+      |  SELECT p.doc_id, count(*) AS n_bigrams,
+      |    CAST(sum(CAST(round(ln((coalesce(b.c, 0) + 1.0) /
+      |      (coalesce(u.c, 0) + v.v)) * 1000000) AS BIGINT)) AS BIGINT) AS lp_sum
+      |  FROM pairs p
+      |  LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+      |  LEFT JOIN uni u ON u.w = p.w1
+      |  CROSS JOIN v
+      |  GROUP BY p.doc_id),
+      |ranked AS (
+      |  SELECT s.doc_id,
+      |    round(exp(-(CAST(lp_sum AS DOUBLE)/1000000.0)/n_bigrams), 4) AS ppl,
+      |    d.lang, d.n_chars
+      |  FROM scored s JOIN documents d ON s.doc_id = d.doc_id),
+      |nt AS (
+      |  SELECT lang, n_chars, ppl,
+      |    ntile(3) OVER (PARTITION BY lang ORDER BY ppl, doc_id) AS b
+      |  FROM ranked)
+      |SELECT lang,
+      |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier,
+      |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  min(ppl) AS min_ppl, max(ppl) AS max_ppl
+      |FROM nt GROUP BY 1, 2 ORDER BY lang, tier""".stripMargin
+
   /** J5 — true as-of join via the custom sort-merge operator
     * ([[graft.plans.AsOf]]: logical node → strategy → exec, one hash
     * exchange + sort per side, streaming O(1)-state merge). Each click
@@ -3190,7 +3260,8 @@ object SparkEntry {
     "q124_skew" -> (q124 _),
     "q125_eqdepth" -> (q125 _),
     "q126_lprop" -> (q126 _),
-    "q127_hardneg" -> (q127 _))
+    "q127_hardneg" -> (q127 _),
+    "q128_ccnet" -> (q128 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -3659,6 +3730,7 @@ object SparkEntry {
     "q125_eqdepth" -> eqDepthOracle,
     "q126_lprop" -> labelPropOracle,
     "q127_hardneg" -> hardNegOracle,
+    "q128_ccnet" -> ccnetOracle,
     "q62_asof_join" ->
       """SELECT l.user_id, l.event_id, round(l.value, 2) AS click_value,
         | r.event_id AS prior_error_id, round(r.value, 2) AS prior_error_value

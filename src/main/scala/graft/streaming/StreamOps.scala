@@ -139,6 +139,62 @@ object StreamOps {
       }
   }
 
+  /** A stage advance emitted by [[streamingFunnel]]: `key` newly
+    * satisfies the first-touch chain through `stageIdx` (1-based). */
+  final case class FunnelAdvance(key: String, stageIdx: Int, stage: String)
+
+  /** Streaming first-touch funnel — the incremental twin of
+    * [[graft.operators.Analytics.funnel]] with the SAME membership
+    * rule: a user reaches stage k when the FIRST occurrences of stages
+    * 1..k are strictly increasing in event time. Emits one
+    * [[FunnelAdvance]] the moment a user's chain first extends to a
+    * new depth (append mode — the live funnel counter updates
+    * incrementally instead of rescanning history).
+    *
+    * State per key: one long per stage (first-touch times) + the
+    * deepest stage already emitted — O(|stages|) forever. Note the
+    * first-touch rule is order-sensitive: a stage-2 event arriving
+    * BEFORE any stage-1 event permanently blocks that user in batch
+    * and stream alike (the agreement the spec locks).
+    */
+  def streamingFunnel(events: Dataset[(String, Long, String)],
+      stages: Seq[String]): Dataset[FunnelAdvance] = {
+    require(stages.nonEmpty, "stages must be non-empty")
+    import events.sparkSession.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+    val Unseen = Long.MinValue
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[(Seq[Long], Int), FunnelAdvance](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[(Seq[Long], Int)]) =>
+          var (firsts, emitted) = state.getOption
+            .getOrElse((Seq.fill(stages.size)(Unseen), 0))
+          val f = firsts.toArray
+          val out = Seq.newBuilder[FunnelAdvance]
+          rows.toSeq.sortBy(_._2).foreach { case (_, ts, tpe) =>
+            stageIdx.get(tpe).foreach { i =>
+              if (f(i) == Unseen || ts < f(i)) f(i) = ts
+              // depth = longest strictly-increasing prefix of firsts
+              var depth = 0
+              var prev = Long.MinValue
+              var j = 0
+              var ok = true
+              while (ok && j < f.length) {
+                if (f(j) != Unseen && (j == 0 || f(j) > prev)) {
+                  depth = j + 1; prev = f(j); j += 1
+                } else ok = false
+              }
+              while (emitted < depth) {
+                emitted += 1
+                out += FunnelAdvance(key, emitted, stages(emitted - 1))
+              }
+            }
+          }
+          state.update((f.toSeq, emitted))
+          out.result().iterator
+      }
+  }
+
   /** Streaming exact dedup: `dropDuplicates` over a fingerprint column
     * with keyed state across micro-batches; `withWatermark` bounds the
     * state for event-time streams (without it, state grows with the

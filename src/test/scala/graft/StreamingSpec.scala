@@ -324,6 +324,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel: advances emit once, chain state spans batches, order rule holds") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(String, Long, String)](spark)
+    val q = StreamOps.streamingFunnel(input.toDS(),
+        Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel_sink")
+      .outputMode("append").start()
+    try {
+      // u1 views then clicks; u2's click arrives BEFORE any view
+      input.addData(("u1", 10L, "view"), ("u1", 20L, "click"),
+        ("u2", 10L, "click"))
+      q.processAllAvailable()
+      def got() = spark.table("funnel_sink").collect()
+        .map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
+      assert(got() == Seq(("u1", 1), ("u1", 2)))
+      // next batch: u1 purchases (advance to 3 — state remembered);
+      // u2 views at t=30 but their first click (t=10) precedes it:
+      // first-touch chain stays broken at stage 2, as in the batch form
+      input.addData(("u1", 30L, "purchase"), ("u2", 30L, "view"),
+        ("u2", 40L, "noise"))
+      q.processAllAvailable()
+      assert(got() == Seq(("u1", 1), ("u1", 2), ("u1", 3), ("u2", 1)))
+      // re-delivering u1's purchase emits nothing new
+      input.addData(("u1", 50L, "purchase"))
+      q.processAllAvailable()
+      assert(got().length == 4)
+      // batch parity on the same (ordered) input: only u1 reaches 3
+      val batch = graft.operators.Analytics.funnel(
+        Seq(("u1", 10L, "view"), ("u1", 20L, "click"), ("u2", 10L, "click"),
+          ("u1", 30L, "purchase"), ("u2", 30L, "view"), ("u2", 40L, "noise"),
+          ("u1", 50L, "purchase"))
+          .toDF("user_id", "ts", "event_type")
+          .withColumn("ts", col("ts").cast("timestamp")),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      assert(batch == Map(1 -> 2L, 2 -> 1L, 3 -> 1L),
+        s"batch membership must match the stream's final depths: $batch")
+    } finally q.stop()
+  }
+
   test("map-only curation ops run unchanged on a stream: PII redaction == batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val input = MemoryStream[(Long, String)](spark)
