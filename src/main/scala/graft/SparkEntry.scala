@@ -2651,6 +2651,56 @@ object SparkEntry {
       |  min(ppl) AS min_ppl, max(ppl) AS max_ppl
       |FROM nt GROUP BY 1, 2 ORDER BY lang, tier""".stripMargin
 
+  /** Data-quality expectations report
+    * ([[graft.operators.Guards.qualityReport]]) over `orders`: four
+    * row predicates folded into ONE scan aggregate, two uniqueness
+    * checks, one FK check against `customer` — a mix of passing and
+    * deliberately-violated expectations so both zero and non-zero
+    * counts are gated.
+    */
+  private def q129(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Guards.qualityReport(t(s, dir, "orders"),
+      checks = Seq(
+        "totalprice_positive" -> (col("o_totalprice") > 0),
+        "orderdate_present" -> col("o_orderdate").isNotNull,
+        "status_in_domain" -> col("o_orderstatus").isin("F", "O", "P"),
+        "price_under_250k" -> (col("o_totalprice") <= 250000)),
+      uniqueKeys = Seq(
+        "orderkey_unique" -> Seq("o_orderkey"),
+        "custkey_unique" -> Seq("o_custkey")),
+      foreignKeys = Seq(
+        ("custkey_fk_customer", "o_custkey", t(s, dir, "customer"), "c_custkey")))
+      .orderBy(col("check_name"))
+
+  private def dataQualityOracle: String =
+    """SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations FROM (
+      |  SELECT 'totalprice_positive' AS check_name,
+      |    sum(CASE WHEN NOT coalesce(o_totalprice > 0, false)
+      |        THEN 1 ELSE 0 END) AS n_violations FROM orders
+      |  UNION ALL
+      |  SELECT 'orderdate_present',
+      |    sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) FROM orders
+      |  UNION ALL
+      |  SELECT 'status_in_domain',
+      |    sum(CASE WHEN NOT coalesce(o_orderstatus IN ('F', 'O', 'P'), false)
+      |        THEN 1 ELSE 0 END) FROM orders
+      |  UNION ALL
+      |  SELECT 'price_under_250k',
+      |    sum(CASE WHEN NOT coalesce(o_totalprice <= 250000, false)
+      |        THEN 1 ELSE 0 END) FROM orders
+      |  UNION ALL
+      |  SELECT 'orderkey_unique',
+      |    count(*) - count(DISTINCT o_orderkey) FROM orders
+      |  UNION ALL
+      |  SELECT 'custkey_unique',
+      |    count(*) - count(DISTINCT o_custkey) FROM orders
+      |  UNION ALL
+      |  SELECT 'custkey_fk_customer', count(*) FROM orders o
+      |  WHERE o.o_custkey IS NOT NULL
+      |    AND NOT EXISTS (SELECT 1 FROM customer c
+      |                    WHERE c.c_custkey = o.o_custkey)
+      |) ORDER BY check_name""".stripMargin
+
   /** J5 — true as-of join via the custom sort-merge operator
     * ([[graft.plans.AsOf]]: logical node → strategy → exec, one hash
     * exchange + sort per side, streaming O(1)-state merge). Each click
@@ -3261,7 +3311,8 @@ object SparkEntry {
     "q125_eqdepth" -> (q125 _),
     "q126_lprop" -> (q126 _),
     "q127_hardneg" -> (q127 _),
-    "q128_ccnet" -> (q128 _))
+    "q128_ccnet" -> (q128 _),
+    "q129_dq" -> (q129 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -3731,6 +3782,7 @@ object SparkEntry {
     "q126_lprop" -> labelPropOracle,
     "q127_hardneg" -> hardNegOracle,
     "q128_ccnet" -> ccnetOracle,
+    "q129_dq" -> dataQualityOracle,
     "q62_asof_join" ->
       """SELECT l.user_id, l.event_id, round(l.value, 2) AS click_value,
         | r.event_id AS prior_error_id, round(r.value, 2) AS prior_error_value

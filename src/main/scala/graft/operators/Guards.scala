@@ -102,4 +102,52 @@ object Guards {
       .agg(countDistinct(col(branchCol)).as("n_branches"))
       .filter(col("n_branches") > 1)
       .select(col(keyCol), col("n_branches"))
+
+  /** Data-quality expectations report — the declarative ingest gate a
+    * production table needs before anything downstream trusts it:
+    * row-level predicates (nulls count as violations), key-uniqueness
+    * checks, and referential-integrity checks, each reported as one
+    * (check, n_violations) row.
+    *
+    * Scale shape: ALL row-level predicates fold into ONE scan-wide
+    * aggregate (a conditional sum per check — adding a check adds a
+    * column, not a pass); each uniqueness check is one count-distinct
+    * aggregate (duplicates = rows − distinct keys); each FK check is
+    * one left-anti join against the parent keys (broadcast when the
+    * parent is a dimension). The report is O(#checks) rows.
+    */
+  def qualityReport(df: DataFrame,
+      checks: Seq[(String, Column)],
+      uniqueKeys: Seq[(String, Seq[String])] = Nil,
+      foreignKeys: Seq[(String, String, DataFrame, String)] = Nil): DataFrame = {
+    require(checks.nonEmpty || uniqueKeys.nonEmpty || foreignKeys.nonEmpty,
+      "at least one check required")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    if (checks.nonEmpty) {
+      val aggs = checks.map { case (name, p) =>
+        sum(when(!coalesce(p, lit(false)), 1L).otherwise(0L)).as(name)
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*)
+      frames += row.select(explode(array(checks.map { case (name, _) =>
+        struct(lit(name).as("check_name"), col(name).as("n_violations"))
+      }: _*)).as("s")).select(col("s.check_name"), col("s.n_violations"))
+    }
+    uniqueKeys.foreach { case (name, keys) =>
+      frames += df.agg(
+        (count(lit(1)) -
+          countDistinct(col(keys.head), keys.tail.map(col): _*))
+          .as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_violations"))
+    }
+    foreignKeys.foreach { case (name, childKey, parent, parentKey) =>
+      frames += df.filter(col(childKey).isNotNull)
+        .join(broadcast(parent.select(col(parentKey).as(childKey)).distinct()),
+          Seq(childKey), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_violations"))
+    }
+    frames.reduce(_ unionByName _)
+  }
 }

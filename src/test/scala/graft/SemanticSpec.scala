@@ -709,4 +709,25 @@ class SemanticSpec extends SparkSpec {
     val planned = Multimodal.resizePlan(decoded, maxSide = 256).head()
     assert(planned.getAs[Int]("target_w") <= 256 || planned.getAs[Int]("target_h") <= 256)
   }
+
+  test("qualityReport: predicates, null handling, uniqueness and FK orphans") {
+    import org.apache.spark.sql.functions._
+    val child = Seq(
+      (1L, Some(10.0), "a"), (2L, Some(-5.0), "a"),
+      (3L, None, "b"), (3L, Some(7.0), null))
+      .toDF("id", "amount", "ref")
+    val parent = Seq("a").toDF("pid")
+    val got = Guards.qualityReport(child,
+        checks = Seq(
+          "amount_positive" -> (col("amount") > 0),   // -5 fails, null fails
+          "ref_present" -> col("ref").isNotNull),
+        uniqueKeys = Seq("id_unique" -> Seq("id")),
+        foreignKeys = Seq(("ref_fk", "ref", parent, "pid")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "amount_positive" -> 2L, // NULL counts as a violation
+      "ref_present" -> 1L,
+      "id_unique" -> 1L,       // id 3 appears twice
+      "ref_fk" -> 1L))         // "b" has no parent; null ref is skipped
+  }
 }
