@@ -2701,6 +2701,99 @@ object SparkEntry {
       |                    WHERE c.c_custkey = o.o_custkey)
       |) ORDER BY check_name""".stripMargin
 
+  /** CMS join-size estimation
+    * ([[graft.operators.Analytics.cmsJoinSizeEstimate]]): the
+    * lineitem self-join size on `l_partkey` (= Σ_k f(k)² — the
+    * frequency-weighted quantity a distinct count cannot see)
+    * estimated from two 3×1024 sketches vs the actual join count.
+    * The oracle rebuilds both sketches' cells and replays the
+    * min-over-depths inner product.
+    */
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    Analytics.cmsJoinSizeEstimate(li, "l_partkey", li, "l_partkey",
+      depth = 3, width = 1024)
+  }
+
+  private def joinEstOracle: String =
+    """WITH ka AS (
+      |  SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem
+      |  WHERE l_partkey IS NOT NULL),
+      |d AS (SELECT unnest([0, 1, 2]) AS d),
+      |ca AS (
+      |  SELECT d.d,
+      |    CAST(('0x' || substr(md5('cms' || d.d || ':' || k), 1, 8))
+      |      AS BIGINT) % 1024 AS cell,
+      |    count(*) AS n
+      |  FROM ka, d GROUP BY 1, 2),
+      |ip AS (SELECT a.d, sum(a.n * b.n) AS s
+      |       FROM ca a JOIN ca b ON a.d = b.d AND a.cell = b.cell
+      |       GROUP BY a.d),
+      |est AS (SELECT min(s) AS est FROM ip),
+      |g AS (SELECT k, count(*) AS n FROM ka GROUP BY k),
+      |ex AS (SELECT sum(a.n * b.n) AS exact_n
+      |       FROM g a JOIN g b ON a.k = b.k)
+      |SELECT CAST(est.est AS BIGINT) AS est,
+      |  CAST(ex.exact_n AS BIGINT) AS exact_n,
+      |  CAST(est.est - ex.exact_n AS BIGINT) AS overcount
+      |FROM est, ex""".stripMargin
+
+  /** Population-stability-index drift report between the even- and
+    * odd-orderkey halves of `orders`, binned on `o_totalprice`
+    * (50k-wide bins, Laplace-smoothed shares). Per-bin `psi_term`
+    * rows — the q108 discipline: every emitted value is per-row
+    * arithmetic over integer counts, so no cross-bin float summation
+    * can diverge between engines (callers sum the terms for the
+    * headline PSI).
+    */
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .withColumn("bin", floor(col("o_totalprice") / 50000).cast("int"))
+    val a = o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_a"))
+    val b = o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_b"))
+    val bins = a.join(b, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = bins.agg(sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"),
+      count(lit(1)).as("__k"))
+    bins.crossJoin(broadcast(totals))
+      .withColumn("p_a",
+        (col("n_a") + 1).cast("double") / (col("__ta") + col("__k")))
+      .withColumn("p_b",
+        (col("n_b") + 1).cast("double") / (col("__tb") + col("__k")))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        round(col("p_a"), 8).as("p_a"), round(col("p_b"), 8).as("p_b"),
+        round((col("p_a") - col("p_b")) * log(col("p_a") / col("p_b")), 9)
+          .as("psi_term"))
+      .orderBy(col("bin"))
+  }
+
+  private def psiOracle: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, CAST(floor(o_totalprice / 50000) AS INT) AS bin
+      |  FROM orders),
+      |a AS (SELECT bin, count(*) AS n_a FROM o WHERE o_orderkey % 2 = 0
+      |      GROUP BY bin),
+      |b AS (SELECT bin, count(*) AS n_b FROM o WHERE o_orderkey % 2 = 1
+      |      GROUP BY bin),
+      |j AS (
+      |  SELECT coalesce(a.bin, b.bin) AS bin,
+      |    coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+      |  FROM a FULL OUTER JOIN b ON a.bin = b.bin),
+      |t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb, count(*) AS k FROM j),
+      |p AS (
+      |  SELECT bin, n_a, n_b,
+      |    CAST(n_a + 1 AS DOUBLE) / (t.ta + t.k) AS pa,
+      |    CAST(n_b + 1 AS DOUBLE) / (t.tb + t.k) AS pb
+      |  FROM j, t)
+      |SELECT bin, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  round(pa, 8) AS p_a, round(pb, 8) AS p_b,
+      |  round((pa - pb) * ln(pa / pb), 9) AS psi_term
+      |FROM p ORDER BY bin""".stripMargin
+
   /** J5 — true as-of join via the custom sort-merge operator
     * ([[graft.plans.AsOf]]: logical node → strategy → exec, one hash
     * exchange + sort per side, streaming O(1)-state merge). Each click
@@ -3312,7 +3405,9 @@ object SparkEntry {
     "q126_lprop" -> (q126 _),
     "q127_hardneg" -> (q127 _),
     "q128_ccnet" -> (q128 _),
-    "q129_dq" -> (q129 _))
+    "q129_dq" -> (q129 _),
+    "q130_joinest" -> (q130 _),
+    "q131_psi" -> (q131 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -3783,6 +3878,8 @@ object SparkEntry {
     "q127_hardneg" -> hardNegOracle,
     "q128_ccnet" -> ccnetOracle,
     "q129_dq" -> dataQualityOracle,
+    "q130_joinest" -> joinEstOracle,
+    "q131_psi" -> psiOracle,
     "q62_asof_join" ->
       """SELECT l.user_id, l.event_id, round(l.value, 2) AS click_value,
         | r.event_id AS prior_error_id, round(r.value, 2) AS prior_error_value

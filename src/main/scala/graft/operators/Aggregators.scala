@@ -213,6 +213,31 @@ object Aggregators {
     }
     best
   }
+
+  /** Inner-product estimate from two [[countMin]] summaries built with
+    * the SAME (depth, width): min over rows of Σ_w a[d][w]·b[d][w] —
+    * the Cormode–Muthukrishnan estimator for Σ_k f_A(k)·f_B(k), which
+    * is EXACTLY the row count of the equi-join A ⋈ B on that key.
+    * One-sided like the point query: never under the true size,
+    * over by at most εN_A·N_B per colliding mass. The join-planning
+    * primitive: estimate a join's output from two O(depth·width)
+    * summaries without touching either table again.
+    */
+  def countMinInnerProduct(a: Array[Long], b: Array[Long], depth: Int,
+      width: Int): Long = {
+    require(a.length == depth * width && b.length == depth * width,
+      s"sketch shape mismatch: ${a.length}/${b.length} vs ${depth}x$width")
+    var best = Long.MaxValue
+    var d = 0
+    while (d < depth) {
+      var s = 0L
+      var w = 0
+      while (w < width) { s += a(d * width + w) * b(d * width + w); w += 1 }
+      if (s < best) best = s
+      d += 1
+    }
+    best
+  }
 }
 
 /** The portable md5-prefix cell hash shared by the CMS reduce path and

@@ -457,6 +457,40 @@ object Analytics {
       max(col("__lag_s")).as("max_s"))
   }
 
+  /** Join-size estimation from two count–min sketches
+    * ([[Aggregators.countMinInnerProduct]]): the CM inner product
+    * min_d Σ_w a[d][w]·b[d][w] estimates Σ_k f_A(k)·f_B(k) = |A ⋈ B|
+    * on the key — never under, the join planner's "should I broadcast
+    * / salt / pre-filter" signal from two O(depth·width) summaries,
+    * no join executed. The report runs the ACTUAL join too (the gate
+    * quantifies the overestimate); production callers skip it.
+    *
+    * Scale shape: one global sketch aggregate per side (map-side
+    * cell-wise combine), estimate computed driver-side from the two
+    * collected summaries.
+    */
+  def cmsJoinSizeEstimate(a: DataFrame, keyA: String, b: DataFrame,
+      keyB: String, depth: Int = 3, width: Int = 1024): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    def sketch(df: DataFrame, key: String): Array[Long] =
+      df.select(col(key).cast("string")).filter(col(key).isNotNull).as[String]
+        .select(Aggregators.countMin(depth, width).toColumn).head()
+    val est = Aggregators.countMinInnerProduct(
+      sketch(a, keyA), sketch(b, keyB), depth, width)
+    // exact Σ_k f_A(k)·f_B(k) from the two per-key COUNT tables — the
+    // same number as count(A ⋈ B) without materializing the join's
+    // output (the self-join case is quadratic in hot-key frequency)
+    def keyCounts(df: DataFrame, key: String, out: String): DataFrame =
+      df.filter(col(key).isNotNull)
+        .groupBy(col(key).as("__k")).agg(count(lit(1)).as(out))
+    val exact = keyCounts(a, keyA, "__na")
+      .join(keyCounts(b, keyB, "__nb"), Seq("__k"))
+      .agg(coalesce(sum(col("__na") * col("__nb")), lit(0L)).as("exact_n"))
+    exact.select(lit(est).as("est"), col("exact_n"),
+      (lit(est) - col("exact_n")).as("overcount"))
+  }
+
   /** Synchronous weighted label propagation (Raghavan et al. 2007,
     * the deterministic synchronous variant): every node starts as its
     * own community; each iteration every node adopts the label with

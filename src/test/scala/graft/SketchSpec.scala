@@ -137,6 +137,22 @@ class SketchSpec extends SparkSpec {
     assert(sketch.toSeq == again.toSeq)
   }
 
+  test("countMinInnerProduct: join size never underestimated, exact at ample width") {
+    val a = (Seq.fill(100)("x") ++ Seq.fill(10)("y") ++ Seq("only_a")).toDF("k")
+    val b = (Seq.fill(7)("x") ++ Seq.fill(3)("y") ++ Seq("only_b")).toDF("k")
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      df.as[String].select(Aggregators.countMin(3, 4096).toColumn).head()
+    val est = Aggregators.countMinInnerProduct(sk(a), sk(b), 3, 4096)
+    val exact = 100 * 7 + 10 * 3 // only_a/only_b never pair
+    assert(est >= exact, s"inner product must not underestimate: $est < $exact")
+    // 4 distinct keys in 3x4096 cells: collisions essentially impossible
+    assert(est == exact, s"ample width should be exact: $est vs $exact")
+    // mismatched sketch shapes are rejected, not silently mis-multiplied
+    intercept[IllegalArgumentException] {
+      Aggregators.countMinInnerProduct(sk(a).take(24), sk(b), 3, 4096)
+    }
+  }
+
   test("cmsCounts reports exact heavy counts and zero for absent probes at ample width") {
     val df = (Seq.fill(500)("big") ++ Seq.fill(7)("rare")).toDF("item")
     val got = Analytics.cmsCounts(df, "item", Seq("big", "rare", "ghost"),
