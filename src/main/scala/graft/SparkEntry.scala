@@ -2794,6 +2794,66 @@ object SparkEntry {
       |  round((pa - pb) * ln(pa / pb), 9) AS psi_term
       |FROM p ORDER BY bin""".stripMargin
 
+  /** Time-in-state ledger ([[graft.operators.Analytics.timeInState]]):
+    * per event type, total whole-second dwell until each user's next
+    * event. One lead window + one tiny aggregate; integer seconds.
+    */
+  private def q132(s: SparkSession, dir: String): DataFrame =
+    Analytics.timeInState(t(s, dir, "events"), "user_id", "ts", "event_type")
+      .orderBy(col("state"))
+
+  private def timeInStateOracle: String =
+    """WITH sp AS (
+      |  SELECT event_type AS state,
+      |    CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT) -
+      |      CAST(floor(epoch(ts)) AS BIGINT) AS dwell_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+      |SELECT state, count(*) AS n_spells,
+      |  CAST(sum(dwell_s) AS BIGINT) AS total_s,
+      |  max(dwell_s) AS max_spell_s
+      |FROM sp WHERE dwell_s IS NOT NULL
+      |GROUP BY state ORDER BY state""".stripMargin
+
+  /** Robust per-source location/dispersion
+    * ([[graft.operators.Curation.medianMad]]): percentile_disc median
+    * and MAD of `n_chars`, both from distinct-value count tables —
+    * every statistic is an actual data value, replayed exactly by the
+    * oracle's cumulative-share rule applied twice.
+    */
+  private def q133(s: SparkSession, dir: String): DataFrame =
+    Curation.medianMad(docs(s, dir), "source", "n_chars")
+      .orderBy(col("source"))
+
+  private def madOracle: String =
+    """WITH c AS (
+      |  SELECT source, n_chars, count(*) AS cnt
+      |  FROM documents GROUP BY 1, 2),
+      |f AS (
+      |  SELECT source, n_chars,
+      |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY n_chars
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
+      |    sum(cnt) OVER (PARTITION BY source) AS frac
+      |  FROM c),
+      |med AS (
+      |  SELECT source, min(CASE WHEN frac >= 0.5 THEN n_chars END) AS median
+      |  FROM f GROUP BY source),
+      |d AS (
+      |  SELECT doc.source, abs(doc.n_chars - med.median) AS dev
+      |  FROM documents doc JOIN med ON doc.source = med.source),
+      |dc AS (SELECT source, dev, count(*) AS cnt FROM d GROUP BY 1, 2),
+      |df2 AS (
+      |  SELECT source, dev,
+      |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY dev
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
+      |    sum(cnt) OVER (PARTITION BY source) AS frac
+      |  FROM dc),
+      |mad AS (
+      |  SELECT source, min(CASE WHEN frac >= 0.5 THEN dev END) AS mad
+      |  FROM df2 GROUP BY source)
+      |SELECT med.source, med.median, mad.mad
+      |FROM med JOIN mad ON med.source = mad.source
+      |ORDER BY med.source""".stripMargin
+
   /** J5 — true as-of join via the custom sort-merge operator
     * ([[graft.plans.AsOf]]: logical node → strategy → exec, one hash
     * exchange + sort per side, streaming O(1)-state merge). Each click
@@ -3407,7 +3467,9 @@ object SparkEntry {
     "q128_ccnet" -> (q128 _),
     "q129_dq" -> (q129 _),
     "q130_joinest" -> (q130 _),
-    "q131_psi" -> (q131 _))
+    "q131_psi" -> (q131 _),
+    "q132_tis" -> (q132 _),
+    "q133_mad" -> (q133 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -3880,6 +3942,8 @@ object SparkEntry {
     "q129_dq" -> dataQualityOracle,
     "q130_joinest" -> joinEstOracle,
     "q131_psi" -> psiOracle,
+    "q132_tis" -> timeInStateOracle,
+    "q133_mad" -> madOracle,
     "q62_asof_join" ->
       """SELECT l.user_id, l.event_id, round(l.value, 2) AS click_value,
         | r.event_id AS prior_error_id, round(r.value, 2) AS prior_error_value

@@ -328,6 +328,30 @@ object Analytics {
       .drop("__kmv")
   }
 
+  /** Time-in-state accounting: each event opens a state (`typeCol`)
+    * that lasts until the entity's NEXT event; report per-state total
+    * dwell seconds, spell counts and the max spell. The "where does
+    * the time go" ledger for session/agent streams (each entity's
+    * last event closes nothing and is excluded, as in any
+    * open-interval ledger).
+    *
+    * Whole-second integer arithmetic (epoch floors) end to end. One
+    * user-keyed window for `lead` + one tiny per-state aggregate.
+    */
+  def timeInState(events: DataFrame, entityCol: String, tsCol: String,
+      typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(tsCol))
+    events
+      .withColumn("__next_ts", lead(col(tsCol), 1).over(w))
+      .filter(col("__next_ts").isNotNull)
+      .withColumn("__dwell_s",
+        col("__next_ts").cast("long") - col(tsCol).cast("long"))
+      .groupBy(col(typeCol).as("state"))
+      .agg(count(lit(1)).as("n_spells"),
+        sum(col("__dwell_s")).as("total_s"),
+        max(col("__dwell_s")).as("max_spell_s"))
+  }
+
   /** Hourly time-grid gap fill with forward fill (last observation
     * carried forward): regularize an irregular per-entity event stream
     * onto each entity's [first, last] hourly grid, marking which cells

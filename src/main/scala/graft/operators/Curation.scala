@@ -307,6 +307,41 @@ object Curation {
     * co-partitioned join back. Adds `score_lo`, `score_hi`,
     * `<score>_clipped`.
     */
+  /** Per-group median and MAD (median absolute deviation) — the
+    * robust location/dispersion pair for score distributions the mean
+    * and σ misread under heavy tails. `percentile_disc(0.5)`
+    * semantics for both medians (the smallest value whose cumulative
+    * share reaches 1/2), so every reported statistic is an actual
+    * data value and the whole computation replays exactly in any
+    * engine.
+    *
+    * Scale shape: the same never-sort-raw-rows discipline as
+    * [[percentRankNormalize]]/[[winsorize]] twice over — (group,
+    * score) counts → distinct-score window → median; then (group,
+    * |score − median|) counts → window → MAD. Two aggregate+window
+    * passes regardless of row count.
+    */
+  def medianMad(df: DataFrame, groupCol: String,
+      scoreCol: String): DataFrame = {
+    def discMedian(in: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(groupCol)).orderBy(col(valueCol))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wg = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      in.groupBy(col(groupCol), col(valueCol))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__frac",
+          sum(col("__c")).over(w).cast("double") / sum(col("__c")).over(wg))
+        .groupBy(col(groupCol))
+        .agg(min(when(col("__frac") >= 0.5, col(valueCol))).as(out))
+    }
+    val med = discMedian(df, scoreCol, "median")
+    val dev = df.join(med, Seq(groupCol))
+      .withColumn("__dev", abs(col(scoreCol) - col("median")))
+    discMedian(dev, "__dev", "mad").join(med, Seq(groupCol))
+      .select(col(groupCol), col("median"), col("mad"))
+  }
+
   def winsorize(df: DataFrame, groupCol: String, scoreCol: String,
       loP: Double = 0.05, hiP: Double = 0.95): DataFrame = {
     require(loP >= 0 && hiP <= 1 && loP <= hiP, s"bad quantiles [$loP, $hiP]")

@@ -87,6 +87,27 @@ object StreamOps {
       }
   }
 
+  /** Streaming KMV distinct-estimate: the bottom-k sketch
+    * ([[graft.operators.Aggregators.kmv]]) as a complete-mode global
+    * aggregate — each micro-batch folds into O(k) state, and the
+    * emitted summary row IS the sketch of everything seen so far
+    * (derive the estimate with the same (k−1)·2³²/h₍k₎ rule as the
+    * batch [[graft.operators.Analytics.kmvDistinct]]). The live
+    * "distinct URLs/users so far" counter; unlike
+    * approx_count_distinct state, the emitted sketch also composes
+    * with OTHER corpora's sketches by set union.
+    */
+  def streamingDistinctEstimate(events: DataFrame, itemCol: String,
+      k: Int = 256, seed: String = "kmv"): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .filter(col(itemCol).isNotNull)
+      .select(graft.operators.TextOps.portableHash(col(itemCol), seed).as("h"))
+      .as[Long]
+      .select(graft.operators.Aggregators.kmv(k).toColumn)
+      .toDF("kmv")
+  }
+
   /** A flagged outlier from [[streamingAnomalyFlags]]. */
   final case class AnomalyHit(key: String, seq: Long, value: Double,
     zscore: Double)

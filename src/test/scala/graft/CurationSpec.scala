@@ -764,4 +764,19 @@ class CurationSpec extends SparkSpec {
     assert(got(5L) == ((2, 9, 5)), "in-range scores pass through")
     assert(got(99L) == ((1000, 1000, 1000)), "singleton group clips to itself")
   }
+
+  test("medianMad: disc medians are data values; outlier barely moves them") {
+    // scores 1..9 → median 5, |x-5| = {0,1,1,2,2,3,3,4,4} → MAD 2
+    val df = ((1 to 9).map(("a", _)) :+ (("b", 7))).toDF("g", "score")
+    val got = Curation.medianMad(df, "g", "score")
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getInt(2)))).toMap
+    assert(got("a") == ((5, 2)))
+    assert(got("b") == ((7, 0)), "singleton: median itself, zero spread")
+    // robustness: replacing 9 with 9000 leaves median and MAD unchanged
+    val out = ((1 to 8).map(("a", _)) :+ (("a", 9000))).toDF("g", "score")
+    val r2 = Curation.medianMad(out, "g", "score").head()
+    assert(r2.getInt(1) == 5 && r2.getInt(2) == 2,
+      "one huge outlier must not move the robust pair")
+  }
 }

@@ -151,4 +151,17 @@ class EventAnalyticsSpec extends SparkSpec {
       (1L, "13", true, Some(700L), 700L),
       (2L, "00", true, Some(900L), 900L)))
   }
+
+  test("timeInState: dwell runs to the next event, last events close nothing") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "work"),   // 60 s of work
+      (1L, ts("2024-01-01 10:01:00"), "idle"),   // 30 s of idle
+      (1L, ts("2024-01-01 10:01:30"), "work"),   // open — excluded
+      (2L, ts("2024-01-02 09:00:00"), "work"))   // open — excluded
+      .toDF("user_id", "ts", "event_type")
+    val got = Analytics.timeInState(ev, "user_id", "ts", "event_type")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map("work" -> ((1L, 60L, 60L)), "idle" -> ((1L, 30L, 30L))))
+  }
 }

@@ -324,6 +324,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming distinct estimate: the emitted sketch equals the batch KMV of all input") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[String](spark)
+    val q = StreamOps.streamingDistinctEstimate(
+        input.toDF().toDF("item"), "item", k = 64)
+      .writeStream.format("memory").queryName("kmv_sink")
+      .outputMode("complete").start()
+    try {
+      input.addData((1 to 30).map(i => s"u$i"): _*)
+      q.processAllAvailable()
+      input.addData((21 to 50).map(i => s"u$i"): _*) // 20 overlap
+      q.processAllAvailable()
+      val sketch = spark.table("kmv_sink").head().getSeq[Long](0)
+      val batch = (1 to 50).map(i => s"u$i").toDF("item")
+        .select(graft.operators.TextOps.portableHash(col("item"), "kmv").as("h"))
+        .as[Long].select(graft.operators.Aggregators.kmv(64).toColumn).head()
+      assert(sketch == batch.toSeq,
+        "stream-folded sketch must equal the batch sketch of the union")
+      assert(sketch.length == 50, "below k: the sketch IS the distinct set")
+    } finally q.stop()
+  }
+
   test("streaming funnel: advances emit once, chain state spans batches, order rule holds") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val input = MemoryStream[(String, Long, String)](spark)
