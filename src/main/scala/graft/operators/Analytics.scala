@@ -549,18 +549,21 @@ object Analytics {
     val nodes = und.select(col("__a").as("node")).distinct()
       .localCheckpoint(true)
     var labels = nodes.withColumn("label", col("node"))
-    val wArg = Window.partitionBy(col("__a"))
-      .orderBy(col("__wv").desc, col("label"))
     var i = 0
     while (i < iterations) {
       val votes = und
         .join(labels, und("__b") === labels("node"))
         .groupBy(col("__a"), col("label"))
         .agg(sum(col("__w")).as("__wv"))
+      // argmax-by-weight, ties → smallest label, as ONE aggregate:
+      // min over (−weight, label) is lexicographically exactly that
+      // ranking — no per-iteration window sort, and the (a,label) →
+      // (a) aggregates partial-combine map-side
       labels = votes
-        .withColumn("__rn", row_number().over(wArg))
-        .filter(col("__rn") === 1)
-        .select(col("__a").as("node"), col("label"))
+        .groupBy(col("__a"))
+        .agg(min(struct((-col("__wv")).as("nw"), col("label").as("label")))
+          .as("__best"))
+        .select(col("__a").as("node"), col("__best.label").as("label"))
       i += 1
       if (i % 5 == 0 && i < iterations) labels = labels.localCheckpoint(true)
     }
