@@ -2854,6 +2854,100 @@ object SparkEntry {
       |FROM med JOIN mad ON med.source = mad.source
       |ORDER BY med.source""".stripMargin
 
+  /** Dedup-class-aware train/val/test split: the leakage-proof
+    * composition of the dedup family with [[graft.operators.TextOps.groupAwareSplit]]
+    * — the split GROUP is the near-dup CLASS (singletons group by
+    * their own id), so near-copies can never land on opposite sides
+    * of a train/eval boundary (splitting by raw source or row hash
+    * cannot guarantee that). The oracle rebuilds the classes with the
+    * recursive-CC CTE and replays the md5 ladder.
+    */
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    val classed = docs(s, dir)
+      .join(docDedupClasses(s, dir).select(col("doc_id"), col("dup_class")),
+        Seq("doc_id"), "left")
+      .withColumn("split_key",
+        coalesce(col("dup_class"), col("doc_id")).cast("string"))
+    TextOps.groupAwareSplit(classed, "split_key",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "dsplit")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("split_key")).as("n_groups"))
+      .orderBy(col("split"))
+  }
+
+  private def dedupSplitOracle: String =
+    s"""WITH RECURSIVE $ShingleJaccardCte,
+       |pairs AS (SELECT id_a, id_b FROM jacc WHERE jaccard >= 0.3),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (SELECT s AS node, d AS r FROM edges
+       |          UNION
+       |          SELECT rc.node, e.d AS r FROM reach rc JOIN edges e ON rc.r = e.s),
+       |labels AS (SELECT node, least(node, min(r)) AS comp FROM reach GROUP BY node),
+       |keyed AS (
+       |  SELECT d.doc_id,
+       |    CAST(coalesce(l.comp, d.doc_id) AS VARCHAR) AS split_key
+       |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.node),
+       |assigned AS (
+       |  SELECT doc_id, split_key,
+       |    CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT doc_id, split_key,
+       |          CAST(('0x' || substr(md5('dsplit:' || split_key), 1, 8))
+       |            AS BIGINT) / 4294967296.0 AS u
+       |        FROM keyed))
+       |SELECT split, count(*) AS n_docs,
+       |  count(DISTINCT split_key) AS n_groups
+       |FROM assigned GROUP BY split ORDER BY split""".stripMargin
+
+  /** N-gram novelty score vs the reference slice (doc_id ≡ 0 mod 10):
+    * the fraction of a document's distinct word 3-grams never seen in
+    * the reference — decontamination's scoring twin (a filter drops,
+    * novelty RANKS: near-0 = boilerplate/duplication, near-1 =
+    * genuinely new text worth keeping). One distinct-gram explode +
+    * one anti-join against the reference gram set.
+    */
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    val grams = docs(s, dir).select(col("doc_id"),
+        explode(array_distinct(Curation.wordNgrams(col("text"), 3))).as("g"))
+    val ref = grams.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("g")).distinct()
+    val tr = grams.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val counts = tr.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val novel = tr.join(ref, Seq("g"), "left_anti")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    counts.join(novel, Seq("doc_id"), "left")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_grams"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  private def noveltyOracle: String =
+    """WITH tk AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |    t -> len(t) > 0) AS tk
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(tk) - 2),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS g
+      |  FROM tk WHERE len(tk) >= 3),
+      |ref AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0),
+      |tr AS (SELECT doc_id, g FROM g WHERE doc_id % 10 <> 0),
+      |c AS (SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY 1),
+      |nv AS (
+      |  SELECT t.doc_id, count(*) AS n_novel
+      |  FROM tr t LEFT JOIN ref r ON t.g = r.g
+      |  WHERE r.g IS NULL GROUP BY 1)
+      |SELECT c.doc_id, c.n_grams,
+      |  CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel,
+      |  round(CAST(coalesce(nv.n_novel, 0) AS DOUBLE) / c.n_grams, 6)
+      |    AS novelty
+      |FROM c LEFT JOIN nv ON c.doc_id = nv.doc_id
+      |ORDER BY c.doc_id""".stripMargin
+
   /** J5 — true as-of join via the custom sort-merge operator
     * ([[graft.plans.AsOf]]: logical node → strategy → exec, one hash
     * exchange + sort per side, streaming O(1)-state merge). Each click
@@ -3469,7 +3563,9 @@ object SparkEntry {
     "q130_joinest" -> (q130 _),
     "q131_psi" -> (q131 _),
     "q132_tis" -> (q132 _),
-    "q133_mad" -> (q133 _))
+    "q133_mad" -> (q133 _),
+    "q134_dsplit" -> (q134 _),
+    "q135_novel" -> (q135 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -3944,6 +4040,8 @@ object SparkEntry {
     "q131_psi" -> psiOracle,
     "q132_tis" -> timeInStateOracle,
     "q133_mad" -> madOracle,
+    "q134_dsplit" -> dedupSplitOracle,
+    "q135_novel" -> noveltyOracle,
     "q62_asof_join" ->
       """SELECT l.user_id, l.event_id, round(l.value, 2) AS click_value,
         | r.event_id AS prior_error_id, round(r.value, 2) AS prior_error_value

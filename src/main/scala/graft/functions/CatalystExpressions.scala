@@ -91,6 +91,22 @@ object CatalystExpressions {
     override protected def withNewChildInternal(c: Expression): NormalizeNfc = copy(c)
   }
 
+  /** Deflate compression ratio of a string's UTF-8 bytes
+    * (compressed/raw, level 6) — the RedPajama/Gopher-family quality
+    * signal that flags templated or repetitive text no token-level
+    * ratio catches: heavy boilerplate compresses far below prose
+    * (~0.3 vs ~0.6+). Deterministic for a fixed zlib level on the
+    * JVM's Deflater; empty strings report 1.0 (nothing to judge).
+    */
+  case class DeflateRatio(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(v: Any): Any =
+      ExprKernels.deflateRatio(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.deflateRatio($c)")
+    override protected def withNewChildInternal(c: Expression): DeflateRatio = copy(c)
+  }
+
   /** Canonical JSON: parse a JSON string and re-serialize with
     * recursively sorted object keys and compact separators — the
     * fingerprint canonicalization of the reference
@@ -672,6 +688,8 @@ object CatalystExpressions {
   def canonicalJson(jsonStr: Column): Column = column(CanonicalJson(expression(jsonStr)))
 
   def normalizeNfc(text: Column): Column = column(NormalizeNfc(expression(text)))
+
+  def deflateRatio(text: Column): Column = column(DeflateRatio(expression(text)))
 
   def langId(tokens: Column, profiles: Seq[(String, Seq[String])]): Column =
     column(LangIdExpr(expression(tokens), profiles))

@@ -90,6 +90,25 @@ object ExprKernels {
       java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
   }
 
+  /** Deflate (zlib level 6) compression ratio of the UTF-8 bytes —
+    * compressed/raw in (0, ~1.05]; empty input → 1.0. One Deflater
+    * per call (they are not thread-safe to share and carry native
+    * state); the 8 KiB output buffer loop avoids sizing games.
+    */
+  def deflateRatio(v: UTF8String): Double = {
+    val raw = v.getBytes
+    if (raw.isEmpty) return 1.0
+    val d = new java.util.zip.Deflater(6)
+    try {
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total.toDouble / raw.length
+    } finally d.end()
+  }
+
   private lazy val jsonMapper = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     m.configure(

@@ -108,6 +108,24 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one(TF.langIdHeuristic(lit("xyzzy plugh qwerty"))).getString(0) == "und")
   }
 
+  test("deflateRatio: repetitive text compresses far below prose; empty is 1.0") {
+    import graft.functions.CatalystExpressions
+    def ratio(s: String): Double =
+      one(CatalystExpressions.deflateRatio(lit(s))).getDouble(0)
+    val boiler = "click here to subscribe now! " * 100
+    val prose = (1 to 100).map(i => s"w${i * 7919 % 1000}x${i}").mkString(" ")
+    assert(ratio(boiler) < 0.1, s"boilerplate should crush: ${ratio(boiler)}")
+    assert(ratio(prose) > 0.3, s"high-entropy text should not: ${ratio(prose)}")
+    assert(ratio("") == 1.0)
+    // deterministic across calls (fixed level, fresh Deflater per call)
+    assert(ratio(boiler) == ratio(boiler))
+    // codegen path agrees with interpreted eval
+    val df = Seq(boiler, prose, "").toDF("t")
+    val viaPlan = df.select(CatalystExpressions.deflateRatio(col("t")))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(viaPlan == Seq(ratio(boiler), ratio(prose), 1.0))
+  }
+
   test("groupAwareSplit: groups never straddle splits; assignment is partition-invariant") {
     val docs = graft.core.Engine.table(spark, sfDir, "documents")
     val split = graft.operators.TextOps.groupAwareSplit(docs, "source")
