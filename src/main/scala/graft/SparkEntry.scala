@@ -2948,6 +2948,129 @@ object SparkEntry {
       |FROM c LEFT JOIN nv ON c.doc_id = nv.doc_id
       |ORDER BY c.doc_id""".stripMargin
 
+  /** Balanced source interleave for training order: rank each source's
+    * documents by the portable shuffle hash, then order globally by
+    * (rank, source) — consecutive training rows rotate through sources
+    * instead of clumping (the "shuffled but balanced" curriculum
+    * ordering), fully deterministic and append-stable per source.
+    * First 60 positions gated; the full order is the same two
+    * WindowGroupLimit-friendly ranks at any scale.
+    */
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(TextOps.portableHash(col("doc_id"), "interleave"), col("doc_id"))
+    docs(s, dir)
+      .withColumn("rank_in_source", row_number().over(w))
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("rank_in_source"), col("source"), col("doc_id"))))
+      .filter(col("pos") <= 60)
+      .select(col("pos"), col("doc_id"), col("source"), col("rank_in_source"))
+      .orderBy(col("pos"))
+  }
+
+  private def interleaveOracle: String =
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY CAST(('0x' || substr(md5('interleave:' || doc_id), 1, 8))
+      |        AS BIGINT), doc_id) AS rank_in_source
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, source, rank_in_source,
+      |    row_number() OVER (ORDER BY rank_in_source, source, doc_id) AS pos
+      |  FROM r)
+      |SELECT CAST(pos AS INT) AS pos, doc_id, source,
+      |  CAST(rank_in_source AS INT) AS rank_in_source
+      |FROM p WHERE pos <= 60 ORDER BY pos""".stripMargin
+
+  /** Top 3-step user paths: consecutive event-type triples per user,
+    * counted and ranked — [[graft.operators.Analytics.transitionMatrix]]
+    * extended one hop (the "how do users actually move" report). One
+    * user-keyed window (two leads share it), one tiny aggregate.
+    */
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    t(s, dir, "events")
+      .withColumn("__s2", lead(col("event_type"), 1).over(w))
+      .withColumn("__s3", lead(col("event_type"), 2).over(w))
+      .filter(col("__s2").isNotNull && col("__s3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("__s2").as("step2"),
+        col("__s3").as("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("step1"), col("step2"), col("step3"))
+      .limit(15)
+  }
+
+  private def pathsOracle: String =
+    """WITH p AS (
+      |  SELECT event_type AS step1,
+      |    lead(event_type, 1) OVER w AS step2,
+      |    lead(event_type, 2) OVER w AS step3
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+      |SELECT step1, step2, step3, count(*) AS n
+      |FROM p WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY n DESC, step1, step2, step3 LIMIT 15""".stripMargin
+
+  /** RFM segmentation: per user recency (days since last event,
+    * against the corpus max date so the gate is deterministic),
+    * frequency (event count) and monetary (integer-cents sum), each
+    * quintile-scored with ntile — the classic customer-value
+    * segmentation, all integer arithmetic. Output: per (r, f, m)
+    * score cell, user count and total cents.
+    */
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events")
+    val anchor = ev.agg(max(col("ts").cast("long")).as("__t1"))
+    val rfm = ev.groupBy(col("user_id"))
+      .agg(max(col("ts").cast("long")).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(round(col("value") * 100).cast("long")).as("monetary_cents"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("recency_days",
+        ((col("__t1") - col("__last")) / 86400L).cast("long"))
+    val scored = rfm
+      .withColumn("r_score",
+        ntile(5).over(Window.orderBy(col("recency_days"), col("user_id"))))
+      .withColumn("f_score",
+        ntile(5).over(Window.orderBy(desc("frequency"), col("user_id"))))
+      .withColumn("m_score",
+        ntile(5).over(Window.orderBy(desc("monetary_cents"), col("user_id"))))
+    scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("monetary_cents")).as("total_cents"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  private def rfmOracle: String =
+    """WITH a AS (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS t1
+      |           FROM events),
+      |u AS (
+      |  SELECT user_id,
+      |    CAST(floor(epoch(max(ts))) AS BIGINT) AS last_s,
+      |    count(*) AS frequency,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |      AS monetary_cents
+      |  FROM events GROUP BY user_id),
+      |s AS (
+      |  SELECT u.user_id, u.frequency, u.monetary_cents,
+      |    CAST((a.t1 - u.last_s) // 86400 AS BIGINT) AS recency_days
+      |  FROM u, a),
+      |sc AS (
+      |  SELECT
+      |    ntile(5) OVER (ORDER BY recency_days, user_id) AS r_score,
+      |    ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+      |    ntile(5) OVER (ORDER BY monetary_cents DESC, user_id) AS m_score,
+      |    monetary_cents
+      |  FROM s)
+      |SELECT CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+      |  CAST(m_score AS INT) AS m_score,
+      |  count(*) AS n_users, CAST(sum(monetary_cents) AS BIGINT) AS total_cents
+      |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   /** J5 — true as-of join via the custom sort-merge operator
     * ([[graft.plans.AsOf]]: logical node → strategy → exec, one hash
     * exchange + sort per side, streaming O(1)-state merge). Each click
@@ -3565,7 +3688,10 @@ object SparkEntry {
     "q132_tis" -> (q132 _),
     "q133_mad" -> (q133 _),
     "q134_dsplit" -> (q134 _),
-    "q135_novel" -> (q135 _))
+    "q135_novel" -> (q135 _),
+    "q136_ilv" -> (q136 _),
+    "q137_paths" -> (q137 _),
+    "q138_rfm" -> (q138 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -4042,6 +4168,9 @@ object SparkEntry {
     "q133_mad" -> madOracle,
     "q134_dsplit" -> dedupSplitOracle,
     "q135_novel" -> noveltyOracle,
+    "q136_ilv" -> interleaveOracle,
+    "q137_paths" -> pathsOracle,
+    "q138_rfm" -> rfmOracle,
     "q62_asof_join" ->
       """SELECT l.user_id, l.event_id, round(l.value, 2) AS click_value,
         | r.event_id AS prior_error_id, round(r.value, 2) AS prior_error_value
