@@ -3045,6 +3045,77 @@ object SparkEntry {
       .orderBy(col("r_score"), col("f_score"), col("m_score"))
   }
 
+  /** Exact ROC AUC ([[graft.operators.Analytics.aucScore]], the
+    * Mann–Whitney rank-sum identity with average-rank tie handling)
+    * of the first embedding component (rounded to 4, so real tie
+    * groups exercise the tie path) as a predictor of label < 5. The
+    * oracle replays the doubled-average-rank integer arithmetic.
+    */
+  private def q139(s: SparkSession, dir: String): DataFrame =
+    Analytics.aucScore(
+      t(s, dir, "embeddings")
+        .select(round(element_at(col("embedding"), 1).cast("double"), 4)
+            .as("score"),
+          when(col("label") < 5, 1).otherwise(0).as("y")),
+      "score", "y")
+
+  private def aucOracle: String =
+    """WITH s AS (
+      |  SELECT round(CAST(embedding[1] AS DOUBLE), 4) AS score,
+      |    CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+      |  FROM embeddings),
+      |r AS (
+      |  SELECT y,
+      |    2 * rank() OVER (ORDER BY score) +
+      |      count(*) OVER (PARTITION BY score) - 1 AS r2
+      |  FROM s),
+      |a AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN y = 1 THEN r2 ELSE 0 END) AS BIGINT) AS sum2,
+      |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |    CAST(sum(CASE WHEN y <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+      |  FROM r)
+      |SELECT n_pos, n_neg,
+      |  round((CAST(sum2 AS DOUBLE) / 2.0 -
+      |    CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2.0) /
+      |    (CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc
+      |FROM a""".stripMargin
+
+  /** Calibration / reliability bins: decile buckets of the same score
+    * (ntile over (score, vec_id) — fully ordered, so bucket edges are
+    * deterministic), per-bin positives fraction and score range. The
+    * companion report that says WHERE a ranking score is trustworthy.
+    */
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("score"),
+        when(col("label") < 5, 1L).otherwise(0L).as("y"))
+      .withColumn("bin",
+        ntile(10).over(Window.orderBy(col("score"), col("vec_id"))))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        round(sum(col("y")).cast("double") / count(lit(1)), 6).as("frac_pos"),
+        min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+      .orderBy(col("bin"))
+  }
+
+  private def calibOracle: String =
+    """WITH s AS (
+      |  SELECT vec_id, round(CAST(embedding[1] AS DOUBLE), 4) AS score,
+      |    CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+      |  FROM embeddings),
+      |b AS (
+      |  SELECT score, y,
+      |    ntile(10) OVER (ORDER BY score, vec_id) AS bin
+      |  FROM s)
+      |SELECT CAST(bin AS INT) AS bin, count(*) AS n,
+      |  CAST(sum(y) AS BIGINT) AS n_pos,
+      |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos,
+      |  min(score) AS min_score, max(score) AS max_score
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+
   private def rfmOracle: String =
     """WITH a AS (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS t1
       |           FROM events),
@@ -3691,7 +3762,9 @@ object SparkEntry {
     "q135_novel" -> (q135 _),
     "q136_ilv" -> (q136 _),
     "q137_paths" -> (q137 _),
-    "q138_rfm" -> (q138 _))
+    "q138_rfm" -> (q138 _),
+    "q139_auc" -> (q139 _),
+    "q140_calib" -> (q140 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -4171,6 +4244,8 @@ object SparkEntry {
     "q136_ilv" -> interleaveOracle,
     "q137_paths" -> pathsOracle,
     "q138_rfm" -> rfmOracle,
+    "q139_auc" -> aucOracle,
+    "q140_calib" -> calibOracle,
     "q62_asof_join" ->
       """SELECT l.user_id, l.event_id, round(l.value, 2) AS click_value,
         | r.event_id AS prior_error_id, round(r.value, 2) AS prior_error_value

@@ -481,6 +481,39 @@ object Analytics {
       max(col("__lag_s")).as("max_s"))
   }
 
+  /** ROC AUC via the Mann–Whitney rank-sum identity:
+    * AUC = (Σ_{positives} r̄ − P(P+1)/2) / (P·N) with tie-groups
+    * taking their AVERAGE rank (r̄ = rank() + (|tie group|−1)/2) — the
+    * exact probability a random positive outscores a random negative,
+    * counting ties as ½. The classifier-eval gate every quality-model
+    * fit (NB, DSIR, perplexity) needs before its scores gate a corpus.
+    *
+    * All rank arithmetic is exact integers until the single final
+    * division (rounded to `scale`), so the statistic is bit-stable
+    * across engines and partitionings. Scale shape: one global sort
+    * (rank over the score — the unavoidable O(n log n) of exact AUC;
+    * sample upstream for quick estimates) + one aggregate.
+    */
+  def aucScore(df: DataFrame, scoreCol: String, labelCol: String,
+      scale: Int = 6): DataFrame = {
+    val w = Window.orderBy(col(scoreCol))
+    val ranked = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .withColumn("__r", rank().over(w))
+      .withColumn("__tie", count(lit(1)).over(Window.partitionBy(col(scoreCol))))
+    // average rank ×2 stays integral: 2r̄ = 2·rank + tie − 1
+    val ranked2 = ranked.withColumn("__r2",
+      lit(2L) * col("__r") + col("__tie") - 1L)
+    ranked2.agg(
+      sum(when(col(labelCol) === 1, col("__r2")).otherwise(0L)).as("__sum2"),
+      sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col(labelCol) =!= 1, 1L).otherwise(0L)).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        round((col("__sum2").cast("double") / 2.0 -
+          col("n_pos").cast("double") * (col("n_pos") + 1L) / 2.0) /
+          (col("n_pos").cast("double") * col("n_neg")), scale).as("auc"))
+  }
+
   /** Join-size estimation from two count–min sketches
     * ([[Aggregators.countMinInnerProduct]]): the CM inner product
     * min_d Σ_w a[d][w]·b[d][w] estimates Σ_k f_A(k)·f_B(k) = |A ⋈ B|

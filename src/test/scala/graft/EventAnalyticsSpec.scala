@@ -152,6 +152,28 @@ class EventAnalyticsSpec extends SparkSpec {
       (2L, "00", true, Some(900L), 900L)))
   }
 
+  test("aucScore: perfect, inverted, random and tied cases match closed forms") {
+    def auc(rows: Seq[(Double, Int)]): Double =
+      Analytics.aucScore(rows.toDF("score", "y"), "score", "y")
+        .head().getAs[Double]("auc")
+    // perfect separation → 1.0; inverted → 0.0
+    val perfect = Seq((0.1, 0), (0.2, 0), (0.8, 1), (0.9, 1))
+    assert(auc(perfect) == 1.0)
+    assert(auc(perfect.map { case (s, y) => (s, 1 - y) }) == 0.0)
+    // all scores equal → every pair is a tie → 0.5 exactly
+    assert(auc(Seq((0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0))) == 0.5)
+    // hand case: scores 1,2,3,4 with labels 0,1,0,1:
+    // pairs (pos>neg): (2>1)=1, (2>3)=0, (4>1)=1, (4>3)=1 → 3/4
+    assert(auc(Seq((1.0, 0), (2.0, 1), (3.0, 0), (4.0, 1))) == 0.75)
+    // partition-invariance of the exact statistic
+    val rnd = new scala.util.Random(3)
+    val big = Seq.fill(500)((rnd.nextInt(20) / 10.0, rnd.nextInt(2)))
+    val a = auc(big)
+    val b = Analytics.aucScore(big.toDF("score", "y").repartition(11),
+      "score", "y").head().getAs[Double]("auc")
+    assert(a == b)
+  }
+
   test("timeInState: dwell runs to the next event, last events close nothing") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00"), "work"),   // 60 s of work
