@@ -3116,6 +3116,53 @@ object SparkEntry {
       |  min(score) AS min_score, max(score) AS max_score
       |FROM b GROUP BY bin ORDER BY bin""".stripMargin
 
+  /** Vocabulary growth curve (the Heaps'-law monitor): per source, the
+    * distinct-token vocabulary after its 5th/10th/15th/20th/25th
+    * document (doc_id order). Computed with the first-occurrence
+    * trick — a token's contribution point is min(doc_id), so the
+    * running distinct count is one aggregate + a checkpoint join, not
+    * a growing-window count-distinct. A flattening curve says a
+    * source's crawl has saturated; a linear one says keep crawling.
+    */
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val first = d.select(col("source"), col("doc_id"),
+        explode(array_distinct(filter(
+          split(lower(trim(col("text"))), "\\s+"),
+          t => length(t) > 0))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val marks = d.select(col("source"), col("doc_id"))
+      .withColumn("n_docs", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+      .filter(col("n_docs").isin(5, 10, 15, 20, 25))
+    marks.join(first, Seq("source"))
+      .filter(col("first_doc") <= col("doc_id"))
+      .groupBy(col("source"), col("n_docs"))
+      .agg(count(lit(1)).as("vocab"))
+      .orderBy(col("source"), col("n_docs"))
+  }
+
+  private def vocabGrowthOracle: String =
+    """WITH tk AS (
+      |  SELECT source, doc_id, unnest(list_distinct(list_filter(
+      |    string_split_regex(lower(trim(text)), '\s+'),
+      |    t -> len(t) > 0))) AS token
+      |  FROM documents),
+      |f AS (SELECT source, token, min(doc_id) AS first_doc
+      |      FROM tk GROUP BY 1, 2),
+      |m AS (
+      |  SELECT source, doc_id, n_docs FROM (
+      |    SELECT source, doc_id,
+      |      row_number() OVER (PARTITION BY source ORDER BY doc_id) AS n_docs
+      |    FROM documents)
+      |  WHERE n_docs IN (5, 10, 15, 20, 25))
+      |SELECT m.source, CAST(m.n_docs AS INT) AS n_docs,
+      |  count(*) AS vocab
+      |FROM m JOIN f ON m.source = f.source AND f.first_doc <= m.doc_id
+      |GROUP BY 1, 2 ORDER BY m.source, n_docs""".stripMargin
+
   private def rfmOracle: String =
     """WITH a AS (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS t1
       |           FROM events),
@@ -3764,7 +3811,8 @@ object SparkEntry {
     "q137_paths" -> (q137 _),
     "q138_rfm" -> (q138 _),
     "q139_auc" -> (q139 _),
-    "q140_calib" -> (q140 _))
+    "q140_calib" -> (q140 _),
+    "q141_vocab" -> (q141 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -4246,6 +4294,7 @@ object SparkEntry {
     "q138_rfm" -> rfmOracle,
     "q139_auc" -> aucOracle,
     "q140_calib" -> calibOracle,
+    "q141_vocab" -> vocabGrowthOracle,
     "q62_asof_join" ->
       """SELECT l.user_id, l.event_id, round(l.value, 2) AS click_value,
         | r.event_id AS prior_error_id, round(r.value, 2) AS prior_error_value
