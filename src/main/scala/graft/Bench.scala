@@ -8,9 +8,12 @@ import org.apache.spark.sql.SparkSession
   * Queries run in sorted-name order (stable round-to-round
   * comparisons) after an untimed warmup action that pays the
   * session/IO setup cost once instead of inside the first query's
-  * number. Each query runs `SPARK_GRAFT_BENCH_RUNS` times (default 3)
-  * and reports the per-query MINIMUM — single samples on a shared box
-  * have recorded 10×+ false regressions that warm re-runs disproved.
+  * number. The suite runs as `SPARK_GRAFT_BENCH_RUNS` (default 3)
+  * complete INTERLEAVED passes and reports each query's MINIMUM
+  * across passes — single samples on a shared box have recorded 10×+
+  * false regressions that warm re-runs disproved, and consecutive
+  * per-query samples all fit inside one contention window (the
+  * round-7 lesson), so the samples are spread a whole suite apart.
   *
   * The stdout line (bounded-tail contract, see below) keys each query
   * by its `qNN` number alone — the full names cost ~8 chars each and
@@ -54,24 +57,38 @@ object Bench {
         (System.nanoTime() - tIdx) / 1e9
       } catch { case _: Throwable => -1.0 }
 
-    // Min-of-N per query: a single sample on a shared box can record a
-    // 10×+ false regression from JIT warmup or noisy neighbors (round 4
-    // recorded 643 s for a suite that runs in 74 s on an idle box). The
-    // minimum over N runs is the honest steady-state signal the gate
-    // should compare round-to-round. N=2 by default (≈2× wall clock);
-    // failures count once (-1 sentinel, no retry storm).
-    // min-of-3 by default: min-of-2 still let contended-box outliers
-    // through (round-5 bench recorded q38 at 16 s where warm profile
-    // runs measure 2-2.5 s)
+    // Min-of-N per query, with the N samples taken as N INTERLEAVED
+    // whole-suite passes (pass 1 runs every query once in sorted
+    // order, then pass 2, then pass 3), not N consecutive runs of one
+    // query: a single sample on a shared box can record a 10×+ false
+    // regression from JIT warmup or noisy neighbors (round 4 recorded
+    // 643 s for a suite that runs in 74 s on an idle box), and
+    // CONSECUTIVE samples all sit inside the same contention window —
+    // round 7's bench recorded q50 at 7.7 s (all three back-to-back
+    // samples poisoned by one noisy-neighbor burst) where a warm
+    // re-profile measures 0.38 s. Spreading each query's samples a
+    // full suite-length apart makes a minutes-long contention window
+    // poison at most one sample per query; the per-query min across
+    // passes then recovers the honest steady-state number.
+    // min-of-3 by default (min-of-2 still let outliers through in
+    // round 5); a query that fails once is skipped in later passes
+    // and reported as the -1 sentinel (no retry storm).
     val benchRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val samples = (1 to benchRuns).iterator.map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      }.takeWhile(_ >= 0).toSeq // a failing query fails fast, once
-      name -> (if (samples.size < benchRuns) -1.0 else samples.min)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val failed = scala.collection.mutable.Set.empty[String]
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to benchRuns; (name, fn) <- names if !failed(name)) {
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      if (!ok) failed += name
+      else {
+        val sec = (System.nanoTime() - t0) / 1e9
+        best(name) = best.get(name).fold(sec)(math.min(_, sec))
+      }
+    }
+    val results = names.map { case (name, _) =>
+      name -> (if (failed(name)) -1.0 else best(name))
     }
     // Compact values (trailing zeros trimmed; per-query 1 decimal,
     // totals 2): the harness that collects this output keeps only a

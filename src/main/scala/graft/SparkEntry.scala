@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Engine
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Analytics, CorpusIndex, Curation, Dedup, Similarity, TextOps}
+import graft.operators.{Analytics, CorpusIndex, Curation, Dedup, Scale, Similarity, TextOps}
 
 /** Driver contract: one `queries` entry (+ `oracleSql` where ANSI-SQL
   * expressible) per implemented operator from SURVEY.md §2.
@@ -2953,17 +2953,27 @@ object SparkEntry {
     * (rank, source) — consecutive training rows rotate through sources
     * instead of clumping (the "shuffled but balanced" curriculum
     * ordering), fully deterministic and append-stable per source.
-    * First 60 positions gated; the full order is the same two
-    * WindowGroupLimit-friendly ranks at any scale.
+    * First 60 positions gated. Global positions come from
+    * [[graft.operators.Scale.globalRowNumber]] (rank-count table +
+    * bucketed prefix sums + a per-rank tie window of ≤ one row per
+    * source), never a single-partition window — and the gate
+    * pre-filters to `rank_in_source <= 60`, which provably contains
+    * the global top 60 (a row ranked 61st within its source has 60
+    * same-source rows ahead of it). At full scale the materialized
+    * training order skips positions entirely:
+    * `repartitionByRange(rank_in_source, source) +
+    * sortWithinPartitions` (the q70 writeShuffled discipline).
     */
   private def q136(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source"))
       .orderBy(TextOps.portableHash(col("doc_id"), "interleave"), col("doc_id"))
-    docs(s, dir)
+    val top = docs(s, dir)
       .withColumn("rank_in_source", row_number().over(w))
-      .withColumn("pos", row_number().over(
-        Window.orderBy(col("rank_in_source"), col("source"), col("doc_id"))))
+      .filter(col("rank_in_source") <= 60)
+    Scale.globalRowNumber(top, "rank_in_source", Seq("source", "doc_id"),
+        outCol = "pos")
+      .withColumn("pos", col("pos").cast("int"))
       .filter(col("pos") <= 60)
       .select(col("pos"), col("doc_id"), col("source"), col("rank_in_source"))
       .orderBy(col("pos"))
@@ -3017,12 +3027,19 @@ object SparkEntry {
   /** RFM segmentation: per user recency (days since last event,
     * against the corpus max date so the gate is deterministic),
     * frequency (event count) and monetary (integer-cents sum), each
-    * quintile-scored with ntile — the classic customer-value
-    * segmentation, all integer arithmetic. Output: per (r, f, m)
-    * score cell, user count and total cents.
+    * quintile-scored — the classic customer-value segmentation, all
+    * integer arithmetic. Quintiles are TIE-COHERENT value deciles, not
+    * ntile: score = min(5, (users strictly ahead)·5 div n + 1) per
+    * DISTINCT metric value, so equal metric values always share a
+    * score (ntile would split a tie group across quintiles by
+    * arbitrary user order) and the whole computation runs on
+    * distinct-value count tables via [[graft.operators.Scale
+    * .globalPrefixSums]] — no per-user global window, which at real
+    * user cardinality is a one-task sort. "Ahead" = smaller recency
+    * (more recent), larger frequency, larger spend. Output: per
+    * (r, f, m) score cell, user count and total cents.
     */
   private def q138(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
     val anchor = ev.agg(max(col("ts").cast("long")).as("__t1"))
     val rfm = ev.groupBy(col("user_id"))
@@ -3032,14 +3049,24 @@ object SparkEntry {
       .crossJoin(broadcast(anchor))
       .withColumn("recency_days",
         ((col("__t1") - col("__last")) / 86400L).cast("long"))
-    val scored = rfm
-      .withColumn("r_score",
-        ntile(5).over(Window.orderBy(col("recency_days"), col("user_id"))))
-      .withColumn("f_score",
-        ntile(5).over(Window.orderBy(desc("frequency"), col("user_id"))))
-      .withColumn("m_score",
-        ntile(5).over(Window.orderBy(desc("monetary_cents"), col("user_id"))))
-    scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
+    // one (value → score) table per metric: |distinct values| rows,
+    // joined back on the value (broadcast-sized for day/count metrics;
+    // a plain equi-join either way)
+    def quintiles(metric: String, ascBetter: Boolean, out: String): DataFrame = {
+      val counts = rfm.groupBy(col(metric)).agg(count(lit(1)).as("__c"))
+      Scale.globalPrefixSums(counts, metric, Seq("__c"))
+        .withColumn("__ahead",
+          if (ascBetter) col("cum___c") - col("__c")
+          else col("total___c") - col("cum___c"))
+        .select(col(metric),
+          least(lit(5L), call_function("div", col("__ahead") * 5,
+            col("total___c")) + 1L).cast("int").as(out))
+    }
+    rfm
+      .join(quintiles("recency_days", ascBetter = true, "r_score"), Seq("recency_days"))
+      .join(quintiles("frequency", ascBetter = false, "f_score"), Seq("frequency"))
+      .join(quintiles("monetary_cents", ascBetter = false, "m_score"), Seq("monetary_cents"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("n_users"),
         sum(col("monetary_cents")).as("total_cents"))
       .orderBy(col("r_score"), col("f_score"), col("m_score"))
@@ -3081,40 +3108,52 @@ object SparkEntry {
       |    (CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc
       |FROM a""".stripMargin
 
-  /** Calibration / reliability bins: decile buckets of the same score
-    * (ntile over (score, vec_id) — fully ordered, so bucket edges are
-    * deterministic), per-bin positives fraction and score range. The
-    * companion report that says WHERE a ranking score is trustworthy.
+  /** Calibration / reliability bins: TIE-COHERENT decile buckets of
+    * the score — bin = min(10, (rows strictly below)·10 div n + 1)
+    * per DISTINCT score, so equal scores always share a bin and the
+    * bins derive from the distinct-score count table
+    * ([[graft.operators.Scale.globalPrefixSums]] bucketed running
+    * totals) instead of an ntile over every scored row (a
+    * single-partition sort at corpus scale). Per-bin positives
+    * fraction and score range — the companion report that says WHERE
+    * a ranking score is trustworthy.
     */
   private def q140(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    t(s, dir, "embeddings")
-      .select(col("vec_id"),
-        round(element_at(col("embedding"), 1).cast("double"), 4).as("score"),
+    val counts = t(s, dir, "embeddings")
+      .select(round(element_at(col("embedding"), 1).cast("double"), 4).as("score"),
         when(col("label") < 5, 1L).otherwise(0L).as("y"))
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("__c"), sum(col("y")).as("__pos"))
+    Scale.globalPrefixSums(counts, "score", Seq("__c"))
       .withColumn("bin",
-        ntile(10).over(Window.orderBy(col("score"), col("vec_id"))))
+        least(lit(10L), call_function("div",
+          (col("cum___c") - col("__c")) * 10, col("total___c")) + 1L)
+          .cast("int"))
       .groupBy(col("bin"))
-      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
-        round(sum(col("y")).cast("double") / count(lit(1)), 6).as("frac_pos"),
+      .agg(sum(col("__c")).as("n"), sum(col("__pos")).as("n_pos"),
+        round(sum(col("__pos")).cast("double") / sum(col("__c")), 6).as("frac_pos"),
         min(col("score")).as("min_score"), max(col("score")).as("max_score"))
       .orderBy(col("bin"))
   }
 
   private def calibOracle: String =
     """WITH s AS (
-      |  SELECT vec_id, round(CAST(embedding[1] AS DOUBLE), 4) AS score,
+      |  SELECT round(CAST(embedding[1] AS DOUBLE), 4) AS score,
       |    CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
       |  FROM embeddings),
-      |b AS (
-      |  SELECT score, y,
-      |    ntile(10) OVER (ORDER BY score, vec_id) AS bin
-      |  FROM s)
-      |SELECT CAST(bin AS INT) AS bin, count(*) AS n,
-      |  CAST(sum(y) AS BIGINT) AS n_pos,
-      |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos,
+      |c AS (
+      |  SELECT score, count(*) AS c, sum(y) AS pos FROM s GROUP BY 1),
+      |r AS (
+      |  SELECT score, c, pos,
+      |    coalesce(sum(c) OVER (ORDER BY score
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+      |    sum(c) OVER () AS n
+      |  FROM c)
+      |SELECT CAST(least(10, below * 10 // n + 1) AS INT) AS bin,
+      |  CAST(sum(c) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS n_pos,
+      |  round(CAST(sum(pos) AS DOUBLE) / sum(c), 6) AS frac_pos,
       |  min(score) AS min_score, max(score) AS max_score
-      |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Vocabulary growth curve (the Heaps'-law monitor): per source, the
     * distinct-token vocabulary after its 5th/10th/15th/20th/25th
@@ -3177,15 +3216,29 @@ object SparkEntry {
       |  SELECT u.user_id, u.frequency, u.monetary_cents,
       |    CAST((a.t1 - u.last_s) // 86400 AS BIGINT) AS recency_days
       |  FROM u, a),
+      |n AS (SELECT count(*) AS n FROM s),
+      |rq AS (
+      |  SELECT v, CAST(least(5, (coalesce(sum(c) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) * 5
+      |      // (SELECT n FROM n) + 1) AS INT) AS r_score
+      |  FROM (SELECT recency_days AS v, count(*) AS c FROM s GROUP BY 1)),
+      |fq AS (
+      |  SELECT v, CAST(least(5, (coalesce(sum(c) OVER (ORDER BY v DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) * 5
+      |      // (SELECT n FROM n) + 1) AS INT) AS f_score
+      |  FROM (SELECT frequency AS v, count(*) AS c FROM s GROUP BY 1)),
+      |mq AS (
+      |  SELECT v, CAST(least(5, (coalesce(sum(c) OVER (ORDER BY v DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) * 5
+      |      // (SELECT n FROM n) + 1) AS INT) AS m_score
+      |  FROM (SELECT monetary_cents AS v, count(*) AS c FROM s GROUP BY 1)),
       |sc AS (
-      |  SELECT
-      |    ntile(5) OVER (ORDER BY recency_days, user_id) AS r_score,
-      |    ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
-      |    ntile(5) OVER (ORDER BY monetary_cents DESC, user_id) AS m_score,
-      |    monetary_cents
-      |  FROM s)
-      |SELECT CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
-      |  CAST(m_score AS INT) AS m_score,
+      |  SELECT rq.r_score, fq.f_score, mq.m_score, s.monetary_cents
+      |  FROM s
+      |  JOIN rq ON s.recency_days = rq.v
+      |  JOIN fq ON s.frequency = fq.v
+      |  JOIN mq ON s.monetary_cents = mq.v)
+      |SELECT r_score, f_score, m_score,
       |  count(*) AS n_users, CAST(sum(monetary_cents) AS BIGINT) AS total_cents
       |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
@@ -3563,20 +3616,22 @@ object SparkEntry {
     * one exact oracle.
     */
   private def q81(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val emb = t(s, dir, "embeddings")
     val query = emb.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
-    val lex = graft.operators.TextOps.bm25Rank(
-        t(s, dir, "documents").filter(col("doc_id") =!= 0),
-        "doc_id", "text", Seq("spark", "table", "hash"), k = 20)
-      .withColumn("rank",
-        row_number().over(Window.orderBy(desc("score"), col("doc_id"))))
+    // ranks via the distinct-score count table (Scale.globalRowNumber),
+    // not a global window: the inputs are already top-k-bounded, but
+    // the suite's no-unpartitioned-window lock holds everywhere
+    val lex = Scale.globalRowNumber(
+        graft.operators.TextOps.bm25Rank(
+          t(s, dir, "documents").filter(col("doc_id") =!= 0),
+          "doc_id", "text", Seq("spark", "table", "hash"), k = 20),
+        "score", Seq("doc_id"), ascending = false)
       .select(col("doc_id"), col("rank"))
-    val vec = Similarity.knnBrute(emb.filter(col("vec_id") =!= 0),
-        "vec_id", "embedding", query, k = 20)
-      .withColumn("rank",
-        row_number().over(Window.orderBy(desc("cosine"), col("vec_id"))))
+    val vec = Scale.globalRowNumber(
+        Similarity.knnBrute(emb.filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", query, k = 20),
+        "cosine", Seq("vec_id"), ascending = false)
       .select(col("vec_id").as("doc_id"), col("rank"))
     graft.operators.TextOps.rrfFuse(Seq(lex, vec), "doc_id", "rank",
       kRrf = 60, k = 10)

@@ -490,24 +490,30 @@ object Analytics {
     *
     * All rank arithmetic is exact integers until the single final
     * division (rounded to `scale`), so the statistic is bit-stable
-    * across engines and partitionings. Scale shape: one global sort
-    * (rank over the score — the unavoidable O(n log n) of exact AUC;
-    * sample upstream for quick estimates) + one aggregate.
+    * across engines and partitionings. Scale shape: NO global sort —
+    * ranks come from the distinct-score count table (group by score →
+    * per-score positive/total counts → [[Scale.globalPrefixSums]]
+    * bucketed running totals): a row's doubled average rank is
+    * 2·(rows strictly below) + (its tie-group size) + 1, all derivable
+    * per DISTINCT score, so the window runs over |distinct scores| ≪
+    * |rows| and is partitioned by range bucket — a scored corpus of
+    * any size never funnels through one task.
     */
   def aucScore(df: DataFrame, scoreCol: String, labelCol: String,
       scale: Int = 6): DataFrame = {
-    val w = Window.orderBy(col(scoreCol))
-    val ranked = df
+    val counts = df
       .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
-      .withColumn("__r", rank().over(w))
-      .withColumn("__tie", count(lit(1)).over(Window.partitionBy(col(scoreCol))))
-    // average rank ×2 stays integral: 2r̄ = 2·rank + tie − 1
-    val ranked2 = ranked.withColumn("__r2",
-      lit(2L) * col("__r") + col("__tie") - 1L)
-    ranked2.agg(
-      sum(when(col(labelCol) === 1, col("__r2")).otherwise(0L)).as("__sum2"),
-      sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("n_pos"),
-      sum(when(col(labelCol) =!= 1, 1L).otherwise(0L)).as("n_neg"))
+      .groupBy(col(scoreCol))
+      .agg(sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("__pos"),
+        count(lit(1)).as("__c"))
+    val cum = Scale.globalPrefixSums(counts, scoreCol, Seq("__c"))
+    // doubled average rank of every row tied at this score stays
+    // integral: 2r̄ = 2·below + tie + 1 (below = cum − tie)
+    cum.agg(
+      sum(col("__pos") *
+        (lit(2L) * (col("cum___c") - col("__c")) + col("__c") + 1L)).as("__sum2"),
+      sum(col("__pos")).as("n_pos"),
+      sum(col("__c") - col("__pos")).as("n_neg"))
       .select(col("n_pos"), col("n_neg"),
         round((col("__sum2").cast("double") / 2.0 -
           col("n_pos").cast("double") * (col("n_pos") + 1L) / 2.0) /
@@ -574,7 +580,11 @@ object Analytics {
         col(srcCol) =!= col(dstCol))
       .select(col(srcCol).cast("string").as("__a"),
         col(dstCol).cast("string").as("__b"),
-        col(weightCol).cast("long").as("__w"))
+        // double, NOT long: a long cast would truncate fractional
+        // weights in (0,1) to 0 and silently degrade the weighted
+        // argmax to lexicographic tie-breaks; count-graph longs sum
+        // exactly in double far past any realistic vote total
+        col(weightCol).cast("double").as("__w"))
     val und = e.union(e.select(col("__b").as("__a"), col("__a").as("__b"),
         col("__w")))
       .groupBy(col("__a"), col("__b")).agg(sum(col("__w")).as("__w"))

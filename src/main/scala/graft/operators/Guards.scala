@@ -127,7 +127,11 @@ object Guards {
     val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     if (checks.nonEmpty) {
       val aggs = checks.map { case (name, p) =>
-        sum(when(!coalesce(p, lit(false)), 1L).otherwise(0L)).as(name)
+        // coalesce: sum over ZERO rows is null — an empty table must
+        // report 0 violations like the uniqueness/FK checks do, not a
+        // null that reads as "unknown" for row checks only
+        coalesce(sum(when(!coalesce(p, lit(false)), 1L).otherwise(0L)), lit(0L))
+          .as(name)
       }
       val row = df.agg(aggs.head, aggs.tail: _*)
       frames += row.select(explode(array(checks.map { case (name, _) =>

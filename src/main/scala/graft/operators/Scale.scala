@@ -416,6 +416,114 @@ object Scale {
       .select(col(groupCol), col("__s.bucket"), col("__s.upper_bound"))
   }
 
+  /** Global running totals over a DISTINCT-VALUE count table WITHOUT an
+    * unpartitioned window — the scale-safe building block behind every
+    * "rank/ntile/cume over the whole corpus" statistic (exact AUC,
+    * calibration deciles, RFM quintiles, global row numbers). A
+    * `Window.orderBy(x)` with no partition moves EVERY row through one
+    * task — the canonical 100 TB executor-OOM — so instead:
+    *
+    *   1. bucket each distinct value into one of `buckets` ordered
+    *      range cells (pure function of the value: uniform width over
+    *      the observed [min, max], so re-evaluation is deterministic);
+    *   2. aggregate per-bucket totals and collect them — bounded by
+    *      `buckets` rows, a metadata-sized driver model;
+    *   3. compute per-bucket starting offsets driver-side and
+    *      broadcast-join them back;
+    *   4. finish with a PARTITIONED window (per bucket, ordered by the
+    *      value) — each partition holds ~1/buckets of the distinct
+    *      values, never the whole table.
+    *
+    * Input must be a count table (one row per distinct `orderCol`
+    * value, `orderCol` numeric and non-null): callers aggregate raw
+    * rows to (value, counts) first, which is what makes the windowed
+    * frame |distinct values| ≪ |rows|. Adds, for every `c` in
+    * `sumCols`: `cum_<c>` — the inclusive ascending running total —
+    * and `total_<c>` — the grand total as a literal. Exclusive
+    * prefix ("rows strictly below") = `cum_<c> − <c>`; descending
+    * prefix ("rows strictly above") = `total_<c> − cum_<c>`.
+    */
+  def globalPrefixSums(counts: DataFrame, orderCol: String,
+      sumCols: Seq[String], buckets: Int = 64): DataFrame = {
+    require(sumCols.nonEmpty, "sumCols must be non-empty")
+    require(buckets > 0, "buckets must be positive")
+    val spark = counts.sparkSession
+    val mm = counts.agg(min(col(orderCol).cast("double")).as("mn"),
+      max(col(orderCol).cast("double")).as("mx")).head()
+    if (mm.isNullAt(0)) { // empty input: keep the output schema stable
+      return sumCols.foldLeft(counts) { (d, c) =>
+        d.withColumn(s"cum_$c", col(c).cast("long"))
+          .withColumn(s"total_$c", lit(0L))
+      }
+    }
+    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+    val bucketCol =
+      if (mx == mn) lit(0)
+      else least(lit(buckets - 1),
+        floor((col(orderCol).cast("double") - mn) / (mx - mn) * buckets)
+          .cast("int"))
+    // materialize once: the bucket totals action and the final plan
+    // must see the same count table without recomputing its aggregate
+    val withB = counts.withColumn("__pb", bucketCol).localCheckpoint(true)
+    val sumAggs = sumCols.map(c => sum(col(c)).cast("long").as(c))
+    val perBucket = withB.groupBy(col("__pb"))
+      .agg(sumAggs.head, sumAggs.tail: _*)
+      .collect()
+      .map(r => r.getInt(0) -> sumCols.indices.map(i => r.getLong(i + 1)))
+      .sortBy(_._1)
+    val grand = sumCols.indices.map(i => perBucket.map(_._2(i)).sum)
+    // running offsets: bucket b starts after everything in buckets < b
+    val offRows = {
+      var acc = sumCols.indices.map(_ => 0L)
+      perBucket.map { case (b, tot) =>
+        val row = org.apache.spark.sql.Row.fromSeq(b +: acc)
+        acc = acc.zip(tot).map { case (a, t) => a + t }
+        row
+      }
+    }
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val offSchema = StructType(StructField("__pb", IntegerType, nullable = false) +:
+      sumCols.map(c => StructField(s"__off_$c", LongType, nullable = false)))
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows.toSeq, 1), offSchema)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pb")).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    sumCols.zipWithIndex.foldLeft(withB.join(broadcast(offDf), Seq("__pb"))) {
+      case (d, (c, i)) =>
+        d.withColumn(s"cum_$c", col(s"__off_$c") + sum(col(c).cast("long")).over(w))
+          .withColumn(s"total_$c", lit(grand(i)))
+          .drop(s"__off_$c")
+    }.drop("__pb")
+  }
+
+  /** Global `row_number()` over (orderCol, tieCols…) without an
+    * unpartitioned window: distinct-value count table →
+    * [[globalPrefixSums]] for the rows-before count, then a window
+    * partitioned BY THE VALUE for the within-tie-group order. Scale
+    * shape: the only windows are (a) per range bucket over distinct
+    * values, (b) per tie group — callers guarantee tie groups are
+    * modest (e.g. one row per source, or a handful of equal scores).
+    * `ascending = false` ranks from the largest value down; `tieCols`
+    * always break ties ascending. Adds `outCol` (long, 1-based).
+    */
+  def globalRowNumber(df: DataFrame, orderCol: String, tieCols: Seq[String],
+      ascending: Boolean = true, outCol: String = "rank",
+      buckets: Int = 64): DataFrame = {
+    require(tieCols.nonEmpty, "tieCols must be non-empty (deterministic order)")
+    val counts = df.groupBy(col(orderCol)).agg(count(lit(1)).as("__gc"))
+    val pre = globalPrefixSums(counts, orderCol, Seq("__gc"), buckets)
+      .withColumn("__before",
+        if (ascending) col("cum___gc") - col("__gc")
+        else col("total___gc") - col("cum___gc"))
+      .select(col(orderCol), col("__before"))
+    val tieW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(orderCol)).orderBy(tieCols.map(col): _*)
+    df.join(pre, Seq(orderCol))
+      .withColumn(outCol, col("__before") + row_number().over(tieW))
+      .drop("__before")
+  }
+
   /** Snapshot diff — classify every id across two corpus snapshots as
     * `added` / `removed` / `changed` / `unchanged` by comparing an
     * md5 content fingerprint over `compareCols` (the incremental-crawl
@@ -436,10 +544,19 @@ object Scale {
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
       compareCols: Seq[String]): DataFrame = {
     require(compareCols.nonEmpty, "compareCols must be non-empty")
+    // collision-safe multi-column encoding: each field is
+    // length-prefixed ("3:abc") and null gets its own sentinel, so
+    // ("ab","c") != ("a","bc") and ("a", null) != ("a","") -- concat_ws
+    // SKIPS null fields entirely (("a", null, "b") == ("a", "b")), so
+    // genuinely changed rows could classify as unchanged. The sentinel
+    // cannot collide with data: an encoded field always starts with a
+    // digit.
+    def enc(c: String): Column = {
+      val s = col(c).cast("string")
+      coalesce(concat(length(s).cast("string"), lit(":"), s), lit("n"))
+    }
     def fp(df: DataFrame, out: String): DataFrame =
-      df.select(col(idCol),
-        md5(concat_ws("", compareCols.map(c => col(c).cast("string")): _*))
-          .as(out))
+      df.select(col(idCol), md5(concat(compareCols.map(enc): _*)).as(out))
     fp(oldDf, "old_fp").join(fp(newDf, "new_fp"), Seq(idCol), "full_outer")
       .withColumn("status",
         when(col("old_fp").isNull, "added")

@@ -137,7 +137,11 @@ object StreamOps {
           var buf = state.getOption.getOrElse(Seq.empty)
           val out = Seq.newBuilder[AnomalyHit]
           rows.toSeq.sortBy(_._2).foreach { case (_, seq, v) =>
-            val cents = math.round(v * 100)
+            // roundHalfAway, NOT math.round: Spark's round() (the batch
+            // form's cents) rounds half away from zero, math.round half
+            // toward +∞ — they disagree at negative exact halves
+            // (-0.125 → -12 vs -13), breaking bit parity
+            val cents = graft.functions.ExprKernels.roundHalfAway(v * 100)
             if (buf.size == window) {
               val n = window.toDouble
               val s1 = buf.sum.toDouble
@@ -177,6 +181,17 @@ object StreamOps {
     * first-touch rule is order-sensitive: a stage-2 event arriving
     * BEFORE any stage-1 event permanently blocks that user in batch
     * and stream alike (the agreement the spec locks).
+    *
+    * Out-of-order arrivals: batch parity is guaranteed only when
+    * events arrive in event-time order. Once a depth is emitted it is
+    * never retracted (append mode has no retractions), so the
+    * first-touch times of stages already covered by `emitted` are
+    * FROZEN — a late-arriving earlier event for an emitted stage
+    * cannot rewrite the chain that justified an emitted advance,
+    * which keeps the stream's emitted depths consistent with their
+    * own state (a batch recompute over the full log may then report a
+    * shallower depth for that key; that is the documented trade of an
+    * append-only live counter).
     */
   def streamingFunnel(events: Dataset[(String, Long, String)],
       stages: Seq[String]): Dataset[FunnelAdvance] = {
@@ -194,7 +209,11 @@ object StreamOps {
           val out = Seq.newBuilder[FunnelAdvance]
           rows.toSeq.sortBy(_._2).foreach { case (_, ts, tpe) =>
             stageIdx.get(tpe).foreach { i =>
-              if (f(i) == Unseen || ts < f(i)) f(i) = ts
+              // freeze stages already covered by an emitted advance
+              // (i is 0-based; emitted is a 1-based depth): emitted
+              // depths must stay justified by the state that emitted
+              // them even under out-of-order arrival — see scaladoc
+              if (i >= emitted && (f(i) == Unseen || ts < f(i))) f(i) = ts
               // depth = longest strictly-increasing prefix of firsts
               var depth = 0
               var prev = Long.MinValue

@@ -342,6 +342,28 @@ class PlanAudit extends SparkSpec {
       s"the distinct-score aggregate must feed the window:\n$p")
   }
 
+  test("no unpartitioned window anywhere in the suite (100 TB lock)") {
+    // A Window (or WindowGroupLimit) with an empty partitionSpec moves
+    // EVERY input row through ONE task — the canonical at-scale
+    // executor OOM, and the round-7 lesson (aucScore/q136/q138/q140
+    // shipped correct-but-global windows). Global rank/ntile/cume
+    // statistics must come from distinct-value count tables
+    // (Scale.globalPrefixSums / globalRowNumber) instead. This audits
+    // the PRE-ADAPTIVE physical plan of every registered query.
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, dir).queryExecution.sparkPlan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty =>
+            s"$name: Window over ${w.windowExpression.map(_.sql).mkString(", ")}"
+          case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+            s"$name: WindowGroupLimit"
+        }
+    }
+    assert(offenders.isEmpty,
+      s"single-partition window scale-killers:\n${offenders.mkString("\n")}")
+  }
+
   test("compiled safe_eval predicates push down to the parquet scan") {
     val events = graft.core.Engine.table(spark, dir, "events")
     val filtered = events.filter(

@@ -421,4 +421,68 @@ class ScaleSpec extends SparkSpec {
     assert(Scale.readAggState(spark, dir)
       .collect().map(_.getString(0)).toSet == Set("a", "b", "c"))
   }
+
+  test("snapshotDiff fingerprints are boundary- and null-collision-safe") {
+    // ("ab","c") vs ("a","bc"): a separator-less concat collides
+    val l = Seq((1L, "ab", "c")).toDF("id", "a", "b")
+    val r = Seq((1L, "a", "bc")).toDF("id", "a", "b")
+    assert(Scale.snapshotDiff(l, r, "id", Seq("a", "b"))
+      .head().getAs[String]("status") == "changed")
+    // ("a", null) vs ("a", ""): concat_ws drops nulls and collides;
+    // and null vs null must still compare "unchanged"
+    val ln = Seq((1L, "a", null: String), (2L, null: String, null: String))
+      .toDF("id", "a", "b")
+    val rn = Seq((1L, "a", ""), (2L, null: String, null: String))
+      .toDF("id", "a", "b")
+    val st = Scale.snapshotDiff(ln, rn, "id", Seq("a", "b"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("status")).toMap
+    assert(st == Map(1L -> "changed", 2L -> "unchanged"))
+  }
+
+  test("globalPrefixSums equals the window cumulative, and never plans a global window") {
+    val rnd = new scala.util.Random(11)
+    val counts = (1 to 500).map(i => (rnd.nextInt(40) * 3 - 17, i.toLong))
+      .groupBy(_._1).map { case (v, rows) => (v, rows.size.toLong) }
+      .toSeq.toDF("v", "c")
+    val got = Scale.globalPrefixSums(counts, "v", Seq("c"), buckets = 7)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val want = counts.withColumn("cum_c", sum(col("c")).over(w))
+      .withColumn("total_c", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window
+          .rowsBetween(Long.MinValue, Long.MaxValue)))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // the whole point: no unpartitioned Window in the physical plan
+    import org.apache.spark.sql.execution.window.WindowExec
+    assert(got.queryExecution.sparkPlan.collect {
+      case x: WindowExec if x.partitionSpec.isEmpty => x
+    }.isEmpty, "globalPrefixSums must never plan a global window")
+    // constant-value degenerate case: everything lands in bucket 0
+    val one = Seq((5, 2L), (5, 3L)).toDF("v", "c")
+      .groupBy("v").agg(sum("c").as("c"))
+    val oneOut = Scale.globalPrefixSums(one, "v", Seq("c")).head()
+    assert(oneOut.getAs[Long]("cum_c") == 5L && oneOut.getAs[Long]("total_c") == 5L)
+    // empty input keeps the schema
+    val empty = Scale.globalPrefixSums(counts.filter(lit(false)), "v", Seq("c"))
+    assert(empty.columns.toSet == Set("v", "c", "cum_c", "total_c"))
+    assert(empty.count() == 0)
+  }
+
+  test("globalRowNumber equals row_number over (value, ties) in both directions") {
+    val rnd = new scala.util.Random(23)
+    val df = (1 to 300).map(i => (rnd.nextInt(25), s"id_$i")).toDF("score", "id")
+    val wAsc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score"), col("id"))
+    val wantAsc = df.withColumn("rank",
+      row_number().over(wAsc).cast("long"))
+    val gotAsc = Scale.globalRowNumber(df, "score", Seq("id"))
+    assert(gotAsc.exceptAll(wantAsc).count() == 0 &&
+      wantAsc.exceptAll(gotAsc).count() == 0)
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("id"))
+    val wantDesc = df.withColumn("rank", row_number().over(wDesc).cast("long"))
+    val gotDesc = Scale.globalRowNumber(df, "score", Seq("id"), ascending = false)
+    assert(gotDesc.exceptAll(wantDesc).count() == 0 &&
+      wantDesc.exceptAll(gotDesc).count() == 0)
+  }
 }
