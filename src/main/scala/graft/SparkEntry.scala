@@ -3722,6 +3722,70 @@ object SparkEntry {
       .limit(1000)
   }
 
+  /** SQL surface over the scalar kernels
+    * ([[graft.sql.SqlFunctions]]): the reference's users query through
+    * SQL only (`csv_tool.py:274-386`), so the engine's text-analysis
+    * kernels must compose inside a gated SELECT the way DuckDB
+    * functions do there. This runs `lang_id` / `estimate_tokens` /
+    * `sentiment_score` / `quality_score` as registered session
+    * functions through [[graft.sql.QueryGate]]; every function stays
+    * the same codegen'd expression the Scala API uses, so the plan is
+    * one scan + one aggregate. The oracle restates each formula in
+    * DuckDB SQL (the q40/q55 discipline).
+    */
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    Engine.open(s, dir)
+    graft.sql.SqlFunctions.register(s)
+    graft.sql.QueryGate.sql(s,
+      """SELECT source, lang_id(text) AS lang_guess, count(*) AS n_docs,
+        |  CAST(sum(estimate_tokens(text)) AS BIGINT) AS est_tokens,
+        |  round(avg(sentiment_score(text)), 4) AS avg_sentiment,
+        |  round(avg(quality_score(text)), 4) AS avg_quality
+        |FROM documents
+        |GROUP BY source, lang_id(text)
+        |ORDER BY source, lang_guess""".stripMargin)
+  }
+
+  private def sqlFnOracle: String =
+    """WITH s AS (
+      |  SELECT source, text,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |f AS (
+      |  SELECT source,
+      |    len(list_filter(toks, t -> t IN ('der','die','das','und','ein','eine','ist','von','mit','für'))) AS h_de,
+      |    len(list_filter(toks, t -> t IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','that','this','be'))) AS h_en,
+      |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','un','una','por','con','para','es'))) AS h_es,
+      |    len(list_filter(toks, t -> t IN ('le','la','de','et','un','une','pour','dans','est','que','au'))) AS h_fr,
+      |    CAST(ceil(len(text) / 4.0) AS BIGINT) AS est,
+      |    round((len(list_filter(toks, t -> t IN ('good','great','excellent','fast','happy','love','best','success','win','improve','easy','clean')))
+      |        - len(list_filter(toks, t -> t IN ('bad','slow','terrible','fail','error','hate','worst','broken','bug','crash','hard','dirty')))) * 1.0
+      |      / greatest(len(list_filter(toks, t -> t IN ('good','great','excellent','fast','happy','love','best','success','win','improve','easy','clean')))
+      |        + len(list_filter(toks, t -> t IN ('bad','slow','terrible','fail','error','hate','worst','broken','bug','crash','hard','dirty'))), 1), 4) AS snt,
+      |    round(
+      |      least(len(toks) / 50.0, 1.0) * 0.4
+      |      + least((CASE WHEN len(toks) = 0 THEN 0.0
+      |          ELSE len(list_filter(toks, t -> t IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','that','this','be'))) * 1.0 / len(toks) END) * 4.0, 1.0) * 0.3
+      |      + greatest(0.0, 1.0 - (CASE WHEN len(text) = 0 THEN 0.0
+      |          ELSE len(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / len(text) END) * 5.0) * 0.3,
+      |      4) AS qs
+      |  FROM s),
+      |g AS (
+      |  SELECT source,
+      |    CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+      |         WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+      |         WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+      |         WHEN h_es >= h_fr THEN 'es'
+      |         ELSE 'fr' END AS lang_guess,
+      |    est, snt, qs
+      |  FROM f)
+      |SELECT source, lang_guess, count(*) AS n_docs,
+      |  CAST(sum(est) AS BIGINT) AS est_tokens,
+      |  round(avg(snt), 4) AS avg_sentiment,
+      |  round(avg(qs), 4) AS avg_quality
+      |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -3867,7 +3931,8 @@ object SparkEntry {
     "q138_rfm" -> (q138 _),
     "q139_auc" -> (q139 _),
     "q140_calib" -> (q140 _),
-    "q141_vocab" -> (q141 _))
+    "q141_vocab" -> (q141 _),
+    "q142_sqlfn" -> (q142 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -4350,6 +4415,7 @@ object SparkEntry {
     "q139_auc" -> aucOracle,
     "q140_calib" -> calibOracle,
     "q141_vocab" -> vocabGrowthOracle,
+    "q142_sqlfn" -> sqlFnOracle,
     "q62_asof_join" ->
       """SELECT l.user_id, l.event_id, round(l.value, 2) AS click_value,
         | r.event_id AS prior_error_id, round(r.value, 2) AS prior_error_value

@@ -123,37 +123,78 @@ object Similarity {
       target.withColumn("cluster",
         graft.functions.CatalystExpressions.nearestCentroid(col(vecCol), c))
 
+    // Lloyd loop as ONE treeAggregate job per iteration over a cached
+    // sample RDD: the earlier posexplode+groupBy+collect form paid 2-3
+    // AQE stage-jobs per iteration for a model-sized (k×dim) result —
+    // serial driver round-trips that dominated the warm fit. The
+    // per-partition accumulator is the k-means standard (k×dim sums +
+    // k counts, exactly what MLlib's fit aggregates); assignment calls
+    // the SAME ExprKernels.nearestCentroid the scoring expression
+    // uses, so fit-time and assignment-time semantics can't drift.
+    val dim = centroids.head.length
+    val nC = centroids.length
+    val vecs = fitDf.select(col(vecCol)).rdd
+      .map(_.getSeq[Any](0))
+      .filter(_.nonEmpty)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sc = df.sparkSession.sparkContext
     var it = 0
     while (it < iterations) {
-      // recompute centroids as per-cluster dimension means (k×dim
-      // values — a tiny aggregate over the sample, collected as the
-      // updated model)
-      val assigned = assign(fitDf, centroids)
-      val means = assigned
-        .select(col("cluster"), posexplode(col(vecCol)).as(Seq("pos", "v")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(avg(col("v")).as("m"))
-        .collect()
-      val dim = centroids.head.length
-      val next = centroids.zipWithIndex.map { case (old, ci) =>
-        val mine = means.filter(_.getInt(0) == ci)
-        if (mine.isEmpty) old
+      val bc = sc.broadcast(centroids)
+      val (sums, cnts) = vecs.treeAggregate(
+        (Array.fill(nC)(new Array[Double](dim)), new Array[Long](nC)))(
+        seqOp = { case ((s, n), v) =>
+          val arr = v.toArray
+          val isFloat = arr(0).isInstanceOf[Float]
+          val ci = graft.functions.ExprKernels.nearestCentroid(
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(arr),
+            bc.value, isFloat)
+          if (ci >= 0) {
+            var j = 0
+            while (j < arr.length && j < dim) {
+              s(ci)(j) += arr(j).asInstanceOf[Number].doubleValue()
+              j += 1
+            }
+            n(ci) += 1
+          }
+          (s, n)
+        },
+        combOp = { case ((s1, n1), (s2, n2)) =>
+          var c = 0
+          while (c < nC) {
+            var j = 0
+            while (j < dim) { s1(c)(j) += s2(c)(j); j += 1 }
+            n1(c) += n2(c)
+            c += 1
+          }
+          (s1, n1)
+        })
+      bc.destroy()
+      centroids = centroids.zipWithIndex.map { case (old, ci) =>
+        if (cnts(ci) == 0L) old
         else {
-          val arr = new Array[Double](dim)
-          mine.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+          val arr = sums(ci).map(_ / cnts(ci))
           // normalize so cosine against centroids is a plain dot
           val n = math.sqrt(arr.map(x => x * x).sum)
           if (n > 0) arr.map(_ / n) else old
         }
       }
-      centroids = next
       it += 1
     }
+    vecs.unpersist(blocking = false)
     IvfIndex(centroids, assign(df, centroids).select(col(idCol), col("cluster")))
   }
 
   /** IVF ANN probe: rank centroids against the query (driver-side,
     * k dot products), brute-force only the `nProbe` nearest clusters.
+    *
+    * The probe filters on the assignment EXPRESSION directly (cluster
+    * is a pure function of the vector and the fixed centroid matrix),
+    * not by joining `index.assignments` back on the id — same result,
+    * but the plan is a map-only filter + TakeOrderedAndProject with
+    * ZERO shuffles instead of an id equi-join. The materialized
+    * assignments exist for [[ivfWriteLayout]], where clusters become
+    * partition directories and probes prune at planning time instead.
     */
   def knnIvf(df: DataFrame, index: IvfIndex, idCol: String, vecCol: String,
       query: Array[Double], k: Int = 10, nProbe: Int = 3): DataFrame = {
@@ -161,9 +202,10 @@ object Similarity {
     val qUnit = if (qn > 0) query.map(_ / qn) else query
     val ranked = index.centroids.zipWithIndex
       .map { case (c, i) => i -> c.zip(qUnit).map { case (a, b) => a * b }.sum }
-      .sortBy(-_._2).take(nProbe).map(_._1).toSet
-    val probed = df.join(
-      index.assignments.filter(col("cluster").isin(ranked.toSeq: _*)), Seq(idCol))
+      .sortBy(-_._2).take(nProbe).map(_._1)
+    val probed = df.filter(
+      graft.functions.CatalystExpressions.nearestCentroid(col(vecCol), index.centroids)
+        .isin(ranked: _*))
     knnBrute(probed, idCol, vecCol, query, k)
   }
 

@@ -13,4 +13,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def columnOf(e: Expression): Column = ExpressionUtils.column(e)
   def expressionOf(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Column → Catalyst expression, converted EAGERLY. `expressionOf`
+    * wraps the column's node tree in a lazy `ColumnNodeExpression`
+    * that only the Dataset API's own analysis path unwraps — an
+    * expression returned from a FunctionRegistry builder (the SQL
+    * function seam) bypasses that path and must hand the analyzer a
+    * real (possibly unresolved) Catalyst tree instead.
+    */
+  def catalystOf(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

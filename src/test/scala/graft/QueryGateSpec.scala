@@ -1,6 +1,7 @@
 package graft
 
 import graft.sql.{QueryGate, QueryStats}
+import org.apache.spark.sql.functions.col
 
 /** SELECT-only gate parity with `csv_tool.py:333-352` — but plan-level,
   * so string literals containing keywords pass and comment-hidden DDL
@@ -97,5 +98,44 @@ class QueryGateSpec extends SparkSpec {
     val pruned = QueryStats.run(one, maxRows = 1000000)
     val full = QueryStats.run(all, maxRows = 1000000)
     assert(pruned.scannedBytes < full.scannedBytes)
+  }
+
+  test("registered kernel functions compose in gated SQL; the gate still rejects writes") {
+    graft.sql.SqlFunctions.register(spark)
+    // every binding resolves and evaluates through plain spark.sql
+    val row = QueryGate.sql(spark,
+      """SELECT url_domain(canonical_url('HTTPS://WWW.Example.COM:443/a/../b/?utm_source=x&id=2')) AS dom,
+        |  estimate_tokens('twelve chars') AS est,
+        |  quality_score('the cat sat on the mat and it was good') AS q,
+        |  lang_id('le chat est dans la maison pour le moment') AS lang,
+        |  sentiment_score('good good bad') AS snt,
+        |  nfc_normalize('café') AS nfc,
+        |  token_count('  a b   c ') AS tc
+        |FROM (SELECT 1)""".stripMargin).head()
+    assert(row.getAs[String]("dom") == "example.com")
+    assert(row.getAs[Long]("est") == 3L) // ceil(12/4)
+    assert(row.getAs[Double]("q") > 0.0 && row.getAs[Double]("q") <= 1.0)
+    assert(row.getAs[String]("lang") == "fr")
+    assert(row.getAs[Double]("snt") == 0.3333)
+    assert(row.getAs[String]("nfc") == "café")
+    assert(row.getAs[Int]("tc") == 3)
+    // same SQL surface as the Scala API — identical column values
+    import spark.implicits._
+    val df = Seq("The quick brown fox is over the lazy dog").toDF("text")
+    df.createOrReplaceTempView("__gate_fn_t")
+    val viaSql = QueryGate.sql(spark,
+      "SELECT quality_score(text) AS q, simhash64(text) AS h FROM __gate_fn_t").head()
+    val viaApi = df.select(
+      graft.functions.TextFunctions.qualityScore(col("text")).as("q"),
+      graft.functions.CatalystExpressions.simhash64(
+        graft.functions.CatalystExpressions.tokenHashes(col("text"))).as("h")).head()
+    assert(viaSql == viaApi)
+    // the gate's non-SELECT rejection is unchanged by registration
+    intercept[QueryGate.RejectedQuery] {
+      QueryGate.sql(spark, "CREATE TABLE x AS SELECT quality_score('a') AS q")
+    }
+    intercept[QueryGate.RejectedQuery] {
+      QueryGate.sql(spark, "INSERT INTO __gate_fn_t VALUES ('p')")
+    }
   }
 }
