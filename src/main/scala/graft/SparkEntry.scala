@@ -3786,6 +3786,31 @@ object SparkEntry {
       |  round(avg(qs), 4) AS avg_quality
       |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** IVF-PQ ANN against a durable layout
+    * ([[graft.operators.Similarity.ensureIvfPqLayout]] /
+    * [[graft.operators.Similarity.knnIvfPqPartitioned]]): coarse IVF
+    * clusters as partition directories + 8-byte PQ codes per vector,
+    * probed as a partition-pruned scan whose ADC candidate pass reads
+    * (vec_id, pq_codes) only, then an exact re-rank of the survivors.
+    * The q54 discipline: the oracle is the exact brute-force top-10,
+    * so the gate proves the two-stage probe RECOVERS the exact answer
+    * at this corpus/parameter point — while the plan (PlanAudit) is
+    * the 100 TB shape: nProbe/k of the directories × ~1/32 of the
+    * candidate-pass bytes.
+    */
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    val layoutPath = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_layout_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    Similarity.ensureIvfPqLayout(emb.filter(col("vec_id") =!= 0), "vec_id",
+      "embedding", layoutPath, nCentroids = 8, m = 8, ksub = 16,
+      fitSampleFraction = 0.5, fitOn = Some(emb))
+    Similarity.knnIvfPqPartitioned(s, layoutPath, "vec_id", "embedding", query,
+      k = 10, nProbe = 5, candidateFactor = 24)
+  }
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -3932,7 +3957,8 @@ object SparkEntry {
     "q139_auc" -> (q139 _),
     "q140_calib" -> (q140 _),
     "q141_vocab" -> (q141 _),
-    "q142_sqlfn" -> (q142 _))
+    "q142_sqlfn" -> (q142 _),
+    "q143_pq" -> (q143 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -4416,6 +4442,16 @@ object SparkEntry {
     "q140_calib" -> calibOracle,
     "q141_vocab" -> vocabGrowthOracle,
     "q142_sqlfn" -> sqlFnOracle,
+    // the q54 discipline: the two-stage IVF-PQ probe must RECOVER the
+    // exact brute-force top-10 (DuckDB replays the exact side)
+    "q143_pq" ->
+      """SELECT e.vec_id,
+        | round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |   CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+        |FROM embeddings e,
+        | (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
     "q62_asof_join" ->
       """SELECT l.user_id, l.event_id, round(l.value, 2) AS click_value,
         | r.event_id AS prior_error_id, round(r.value, 2) AS prior_error_value

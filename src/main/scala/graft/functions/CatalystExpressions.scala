@@ -390,6 +390,52 @@ object CatalystExpressions {
     * score instead of its index; null when no centroid matches the
     * dimension. Feeds the IVF drift metric.
     */
+  /** Product-quantization encode against a fixed flattened codebook
+    * matrix ([[ExprKernels.pqEncode]]): vector → m int codes. The
+    * codebooks ride the expression as a task-binary reference object,
+    * exactly like [[NearestCentroid]]'s matrix.
+    */
+  case class PqEncode(child: Expression, codebooks: Array[Array[Double]],
+      m: Int, dsub: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    private lazy val elemFloat = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    override def nullSafeEval(v: Any): Any =
+      ExprKernels.pqEncode(v.asInstanceOf[ArrayData], codebooks, m, dsub, elemFloat)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][]")
+      nullSafeCodeGen(ctx, ev, c => {
+        val codes = ctx.freshName("pqCodes")
+        s"""
+        final org.apache.spark.sql.catalyst.util.ArrayData $codes =
+          $K.pqEncode($c, $cbRef, $m, $dsub, $elemFloat);
+        if ($codes == null) { ${ev.isNull} = true; } else { ${ev.value} = $codes; }"""
+      })
+    }
+    override protected def withNewChildInternal(c: Expression): PqEncode = copy(c)
+  }
+
+  /** ADC scoring over stored PQ codes ([[ExprKernels.pqAdcDot]]): the
+    * query's per-sub-space lookup table is the reference object; each
+    * row contributes only its m codes.
+    */
+  case class PqAdcDot(child: Expression, lut: Array[Double], ksub: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = child.nullable
+    override def nullSafeEval(v: Any): Any =
+      ExprKernels.pqAdcDot(v.asInstanceOf[ArrayData], lut, ksub)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val lutRef = ctx.addReferenceObj("pqLut", lut, "double[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $K.pqAdcDot($c, $lutRef, $ksub);")
+    }
+    override protected def withNewChildInternal(c: Expression): PqAdcDot = copy(c)
+  }
+
   case class NearestCentroidSim(child: Expression, centroids: Array[Array[Double]])
       extends UnaryExpression {
     override def dataType: DataType = DoubleType
@@ -701,6 +747,13 @@ object CatalystExpressions {
 
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
     column(NearestCentroid(expression(vec), centroids))
+
+  def pqEncode(vec: Column, codebooks: Array[Array[Double]], m: Int,
+      dsub: Int): Column =
+    column(PqEncode(expression(vec), codebooks, m, dsub))
+
+  def pqAdcDot(codes: Column, lut: Array[Double], ksub: Int): Column =
+    column(PqAdcDot(expression(codes), lut, ksub))
 
   def nearestCentroidSim(vec: Column, centroids: Array[Array[Double]]): Column =
     column(NearestCentroidSim(expression(vec), centroids))

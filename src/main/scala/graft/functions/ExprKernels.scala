@@ -628,6 +628,80 @@ object ExprKernels {
     bestSim
   }
 
+  /** Product-quantization encode (Jégou et al. 2011): L2-normalize
+    * the vector (same float-rounded normalize as [[nearestCentroid]]),
+    * split it into `m` contiguous sub-vectors of `dsub` dims, and for
+    * each sub-space emit the index of the L2-nearest codebook entry
+    * (ties → lowest index). `codebooks` is the flattened (m·ksub) ×
+    * dsub matrix, sub-space-major: rows [s·ksub, (s+1)·ksub) are
+    * sub-space s's entries. Returns the m int codes — the 100 TB
+    * memory answer for embedding search (m bytes instead of 4·dim) —
+    * or null when the vector's dimension isn't m·dsub.
+    */
+  def pqEncode(a: ArrayData, codebooks: Array[Array[Double]], m: Int,
+      dsub: Int, elemFloat: Boolean): ArrayData = {
+    val n = a.numElements()
+    if (n != m * dsub || codebooks.length % m != 0) return null
+    val ksub = codebooks.length / m
+    @inline def elem(i: Int): Double =
+      if (elemFloat) a.getFloat(i).toDouble else a.getDouble(i)
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val x = elem(i); ss += x * x; i += 1 }
+    val nrm = math.sqrt(ss)
+    val unit = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      unit(i) =
+        if (nrm == 0.0) elem(i)
+        else if (elemFloat) (elem(i) / nrm).toFloat.toDouble
+        else elem(i) / nrm
+      i += 1
+    }
+    val codes = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < ksub) {
+        val cent = codebooks(s * ksub + c)
+        var d = 0.0
+        var j = 0
+        while (j < dsub) {
+          val diff = unit(s * dsub + j) - cent(j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** Asymmetric-distance (ADC) dot product: the query stays full
+    * precision as a per-sub-space lookup table (`lut` flattened
+    * m·ksub, sub-space-major: lut[s·ksub + c] = ⟨query_s, codebook
+    * entry c⟩) and each stored vector contributes only its m codes —
+    * one table lookup per sub-space, no vector bytes touched. The
+    * scoring half of [[pqEncode]].
+    */
+  def pqAdcDot(codes: ArrayData, lut: Array[Double], ksub: Int): Double = {
+    val m = codes.numElements()
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      val c = codes.getInt(s)
+      val idx = s * ksub + c
+      if (c >= 0 && c < ksub && idx < lut.length) acc += lut(idx)
+      s += 1
+    }
+    acc
+  }
+
   /** Query parameters stripped by URL canonicalization: the
     * click-/campaign-tracking names (exact, lowercase) plus the whole
     * `utm_*` family. The standard crawl-curation front door (CCNet/C4

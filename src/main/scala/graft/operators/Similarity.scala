@@ -481,6 +481,238 @@ object Similarity {
     bucketed
   }
 
+  // --------------------------------------------------- product quantization
+  //
+  // The 100 TB memory answer for embedding search (Jégou et al. 2011,
+  // "Product Quantization for Nearest Neighbor Search"): store m byte
+  // codes per vector instead of 4·dim float bytes (64-dim float32 →
+  // 8 codes is 32× smaller), score candidates with an asymmetric
+  // distance table (query full-precision, corpus codes only), then
+  // exact-rerank the few survivors — the q73 two-stage discipline
+  // with a far smaller candidate pass.
+
+  /** A fitted PQ model: `codebooks(s)(c)` is sub-space s's c-th
+    * centroid (dsub doubles). Driver-side size m·ksub·dsub doubles —
+    * e.g. 8×256×8 = 16k values, a broadcast-literal model.
+    */
+  final case class PqModel(m: Int, dsub: Int,
+      codebooks: Array[Array[Array[Double]]]) {
+    def ksub: Int = codebooks.head.length
+    /** Flattened (m·ksub) × dsub, sub-space-major — the kernel layout. */
+    def flat: Array[Array[Double]] = codebooks.flatten
+    /** The query's ADC lookup table: lut[s·ksub + c] = ⟨query_s, codebook(s)(c)⟩
+      * over the L2-normalized query — m·ksub doubles per query. */
+    def lut(query: Array[Double]): Array[Double] = {
+      val qn = math.sqrt(query.map(x => x * x).sum)
+      val qUnit = if (qn > 0) query.map(_ / qn) else query
+      val out = new Array[Double](m * ksub)
+      var s = 0
+      while (s < m) {
+        var c = 0
+        while (c < ksub) {
+          val cent = codebooks(s)(c)
+          var d = 0.0
+          var j = 0
+          while (j < dsub) { d += qUnit(s * dsub + j) * cent(j); j += 1 }
+          out(s * ksub + c) = d
+          c += 1
+        }
+        s += 1
+      }
+      out
+    }
+  }
+
+  /** Fit PQ codebooks: per sub-space k-means over an L2-normalized
+    * sample, all m sub-spaces advancing inside ONE treeAggregate per
+    * Lloyd iteration (the [[ivfIndex]] fit discipline — model-sized
+    * state, no shuffle, O(sample) cost however large the corpus).
+    * Seeds are deterministic: the `ksub` sample vectors with the
+    * smallest id-hash, sliced per sub-space.
+    */
+  def pqFit(df: DataFrame, idCol: String, vecCol: String, m: Int = 8,
+      ksub: Int = 16, iterations: Int = 2, fitSampleFraction: Double = 0.25,
+      seed: Long = 42L): PqModel = {
+    require(m >= 1 && ksub >= 1 && iterations >= 0,
+      s"bad PQ parameters m=$m ksub=$ksub iterations=$iterations")
+    val fitDf = (if (fitSampleFraction >= 1.0) df
+      else df.sample(withReplacement = false, fitSampleFraction, seed))
+      .select(col(idCol), col(vecCol))
+      .localCheckpoint(false)
+    def unitOf(raw: Seq[Any]): Array[Double] = {
+      val v = raw.map {
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d.doubleValue()
+        case x => x.asInstanceOf[Number].doubleValue()
+      }.toArray
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) v.map(_ / n) else v
+    }
+    val seedVecs = fitDf
+      .orderBy(xxhash64(col(idCol)))
+      .limit(ksub)
+      .select(col(vecCol))
+      .collect()
+      .map(r => unitOf(r.getSeq[Any](0)))
+    require(seedVecs.nonEmpty, "pqFit: sample yielded no rows to seed codebooks")
+    val dim = seedVecs.head.length
+    require(dim % m == 0, s"vector dim $dim must divide into m=$m sub-spaces")
+    val dsub = dim / m
+    // seed codebook: slice each seed vector; short samples reuse seeds
+    // cyclically so every sub-space has ksub entries
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m, ksub) { (s, c) =>
+      seedVecs(c % seedVecs.length).slice(s * dsub, (s + 1) * dsub)
+    }
+    val vecs = fitDf.select(col(vecCol)).rdd
+      .map(r => unitOf(r.getSeq[Any](0)))
+      .filter(_.length == dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sc = df.sparkSession.sparkContext
+    var it = 0
+    while (it < iterations) {
+      val bc = sc.broadcast(books)
+      val (sums, cnts) = vecs.treeAggregate(
+        (Array.fill(m, ksub)(new Array[Double](dsub)),
+          Array.fill(m)(new Array[Long](ksub))))(
+        seqOp = { case ((sm, cn), u) =>
+          var s = 0
+          while (s < m) {
+            var best = 0
+            var bestD = Double.PositiveInfinity
+            var c = 0
+            while (c < ksub) {
+              val cent = bc.value(s)(c)
+              var d = 0.0
+              var j = 0
+              while (j < dsub) {
+                val diff = u(s * dsub + j) - cent(j); d += diff * diff; j += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            var j = 0
+            while (j < dsub) { sm(s)(best)(j) += u(s * dsub + j); j += 1 }
+            cn(s)(best) += 1
+            s += 1
+          }
+          (sm, cn)
+        },
+        combOp = { case ((a, an), (b, bn)) =>
+          var s = 0
+          while (s < m) {
+            var c = 0
+            while (c < ksub) {
+              var j = 0
+              while (j < dsub) { a(s)(c)(j) += b(s)(c)(j); j += 1 }
+              an(s)(c) += bn(s)(c)
+              c += 1
+            }
+            s += 1
+          }
+          (a, an)
+        })
+      bc.destroy()
+      books = Array.tabulate(m, ksub) { (s, c) =>
+        if (cnts(s)(c) == 0L) books(s)(c)
+        else sums(s)(c).map(_ / cnts(s)(c))
+      }
+      it += 1
+    }
+    vecs.unpersist(blocking = false)
+    PqModel(m, dsub, books)
+  }
+
+  /** Two-stage PQ ANN: ADC candidate pass over the codes (map-only
+    * projection — each row contributes m table lookups, no vector
+    * bytes), TakeOrderedAndProject top k·candidateFactor, then exact
+    * cosine re-rank of the survivors ([[knnBrute]] over a semi-join).
+    */
+  def pqKnn(corpus: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], model: PqModel, k: Int = 10,
+      candidateFactor: Int = 4): DataFrame = {
+    require(candidateFactor >= 1, s"candidateFactor must be >= 1: $candidateFactor")
+    val codes = graft.functions.CatalystExpressions.pqEncode(
+      col(vecCol), model.flat, model.m, model.dsub)
+    val candidates = Scale.parallelismFloor(corpus)
+      .select(col(idCol),
+        graft.functions.CatalystExpressions.pqAdcDot(codes, model.lut(query),
+          model.ksub).as("__adc"))
+      .orderBy(desc("__adc"), col(idCol))
+      .limit(k * candidateFactor)
+      .select(col(idCol))
+    knnBrute(corpus.join(candidates, Seq(idCol), "left_semi"),
+      idCol, vecCol, query, k)
+  }
+
+  /** Build the durable IVF-PQ layout at most once per path (the
+    * [[ensureIvfLayout]] discipline): coarse IVF clusters become
+    * partition directories; each stored row additionally carries its
+    * `pq_codes` (encoded ONCE at write time). Probes then read only
+    * the probed clusters' directories, and the candidate pass prunes
+    * its scan to (id, pq_codes) — at 100 TB that is nProbe/k of the
+    * directories × ~1/32 of the bytes.
+    */
+  def ensureIvfPqLayout(df: DataFrame, idCol: String, vecCol: String,
+      path: String, nCentroids: Int = 16, m: Int = 8, ksub: Int = 16,
+      iterations: Int = 2, fitSampleFraction: Double = 0.25, seed: Long = 42L,
+      fitOn: Option[DataFrame] = None): Unit = {
+    layoutBuilt.getOrCompute(df.sparkSession, path) {
+      if (!pathExists(df.sparkSession, s"$path/ivfpq_meta.json")) {
+        val fitDf = fitOn.getOrElse(df)
+        val index = ivfIndex(fitDf, idCol, vecCol, nCentroids, iterations,
+          fitSampleFraction.max(0.05), seed)
+        val pq = pqFit(fitDf, idCol, vecCol, m, ksub, iterations,
+          fitSampleFraction, seed)
+        val encoded = df
+          .withColumn("cluster", graft.functions.CatalystExpressions
+            .nearestCentroid(col(vecCol), index.centroids))
+          .withColumn("pq_codes", graft.functions.CatalystExpressions
+            .pqEncode(col(vecCol), pq.flat, pq.m, pq.dsub))
+        Scale.writePartitioned(encoded, s"$path/corpus", Seq("cluster"))
+        writeJson(df.sparkSession, s"$path/ivfpq_meta.json",
+          Map("centroids" -> index.centroids.map(_.toSeq).toSeq,
+            "m" -> pq.m, "dsub" -> pq.dsub,
+            "codebooks" -> pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq))
+      }
+      java.lang.Boolean.TRUE
+    }
+    ()
+  }
+
+  /** IVF-PQ probe against a durable [[ensureIvfPqLayout]] layout:
+    * centroids ranked driver-side, ONLY the `nProbe` nearest cluster
+    * directories read (`PartitionFilters` — PlanAudit locks this), the
+    * ADC candidate pass scans (id, pq_codes) alone, and the exact
+    * re-rank touches just the k·candidateFactor survivors' vectors.
+    */
+  def knnIvfPqPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, query: Array[Double], k: Int = 10,
+      nProbe: Int = 3, candidateFactor: Int = 4): DataFrame = {
+    implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+    val meta = readJson(spark, s"$path/ivfpq_meta.json")
+    val centroids = (meta \ "centroids").extract[Seq[Seq[Double]]]
+      .map(_.toArray).toArray
+    val pq = PqModel((meta \ "m").extract[Int], (meta \ "dsub").extract[Int],
+      (meta \ "codebooks").extract[Seq[Seq[Seq[Double]]]]
+        .map(_.map(_.toArray).toArray).toArray)
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    val qUnit = if (qn > 0) query.map(_ / qn) else query
+    val ranked = centroids.zipWithIndex
+      .map { case (c, i) => i -> c.zip(qUnit).map { case (a, b) => a * b }.sum }
+      .sortBy(-_._2).take(nProbe).map(_._1).toSeq
+    val probed = spark.read.parquet(s"$path/corpus")
+      .filter(col("cluster").isin(ranked: _*))
+    val candidates = probed
+      .select(col(idCol),
+        graft.functions.CatalystExpressions.pqAdcDot(col("pq_codes"),
+          pq.lut(query), pq.ksub).as("__adc"))
+      .orderBy(desc("__adc"), col(idCol))
+      .limit(k * candidateFactor)
+      .select(col(idCol))
+    knnBrute(probed.join(candidates, Seq(idCol), "left_semi"),
+      idCol, vecCol, query, k)
+  }
+
   /** All-pairs cosine ≥ threshold between two corpora via shared LSH
     * buckets (e.g. query-set vs corpus linking). Buckets hash the raw
     * vectors (sign bits are scale-invariant, so normalization buys

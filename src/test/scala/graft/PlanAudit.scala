@@ -342,6 +342,16 @@ class PlanAudit extends SparkSpec {
       s"the distinct-score aggregate must feed the window:\n$p")
   }
 
+  test("q143: IVF-PQ probe partition-prunes; the ADC pass scans codes, never vectors") {
+    val p = plan("q143_pq")
+    val scans = p.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.nonEmpty && scans.forall(_.contains("PartitionFilters")),
+      s"every layout scan must prune cluster partitions:\n${scans.mkString("\n")}")
+    assert(scans.exists(s => s.contains("pq_codes") && !s.contains("embedding")),
+      s"the candidate pass must read (id, pq_codes) only:\n${scans.mkString("\n")}")
+    assert(p.contains("TakeOrderedAndProject"), s"both top-k stages stay heaps:\n$p")
+  }
+
   test("no unpartitioned window anywhere in the suite (100 TB lock)") {
     // A Window (or WindowGroupLimit) with an empty partitionSpec moves
     // EVERY input row through ONE task — the canonical at-scale

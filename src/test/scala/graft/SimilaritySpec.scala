@@ -152,4 +152,78 @@ class SimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("WindowGroupLimit"), s"expected rank-k group limit:\n$p")
   }
+
+  test("PQ: two-stage ADC recovers brute-force top-k on the gate corpus") {
+    val exact = Similarity.knnBrute(emb.filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", query, 10).collect().map(_.getLong(0)).toSet
+    val model = Similarity.pqFit(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, fitSampleFraction = 1.0)
+    assert(model.dsub * model.m == 64 && model.ksub == 16)
+    val got = Similarity.pqKnn(emb.filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", query, model, k = 10, candidateFactor = 8)
+      .collect()
+    // exact re-rank means every returned cosine is the true cosine,
+    // sorted desc; recall floor on the candidate stage
+    val scores = got.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sorted.reverse))
+    val recall = got.map(_.getLong(0)).toSet.intersect(exact).size
+    assert(recall >= 8, s"PQ recall too low: $recall/10")
+  }
+
+  test("PQ: encode/ADC expressions agree with the driver-side model math") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("id", "v")
+    val model = Similarity.pqFit(df, "id", "v", m = 4, ksub = 8,
+      fitSampleFraction = 1.0)
+    val q = vecs(5)._2.map(_.toDouble).toArray
+    val lut = model.lut(q)
+    // ADC via expressions == lut-sum over the expression-encoded codes
+    val row = df.filter(col("id") === 9L)
+      .select(
+        graft.functions.CatalystExpressions.pqEncode(col("v"), model.flat,
+          model.m, model.dsub).as("codes"),
+        graft.functions.CatalystExpressions.pqAdcDot(
+          graft.functions.CatalystExpressions.pqEncode(col("v"), model.flat,
+            model.m, model.dsub), lut, model.ksub).as("adc"))
+      .head()
+    val codes = row.getSeq[Int](0)
+    assert(codes.length == model.m && codes.forall(c => c >= 0 && c < model.ksub))
+    val expect = codes.zipWithIndex.map { case (c, s) => lut(s * model.ksub + c) }.sum
+    assert(math.abs(row.getDouble(1) - expect) < 1e-12)
+    // dimension mismatch → null codes, null ADC (never a wrong score)
+    val bad = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "v")
+      .select(graft.functions.CatalystExpressions.pqEncode(col("v"), model.flat,
+        model.m, model.dsub).as("codes"))
+      .head()
+    assert(bad.isNullAt(0))
+  }
+
+  test("PQ: durable IVF-PQ layout probe matches the in-memory two-stage result") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    Similarity.ensureIvfPqLayout(emb.filter(col("vec_id") =!= 0), "vec_id",
+      "embedding", dir, nCentroids = 8, m = 8, ksub = 16,
+      fitSampleFraction = 1.0, fitOn = Some(emb))
+    val got = Similarity.knnIvfPqPartitioned(spark, dir, "vec_id", "embedding",
+      query, k = 10, nProbe = 8, candidateFactor = 8).collect()
+    // nProbe = all clusters → probe scope is the whole corpus: result
+    // must equal the in-memory two-stage with the same fit inputs
+    val model = Similarity.pqFit(emb, "vec_id", "embedding", m = 8, ksub = 16,
+      fitSampleFraction = 1.0)
+    val want = Similarity.pqKnn(emb.filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", query, model, k = 10, candidateFactor = 8).collect()
+    assert(got.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      want.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // the probe scan is partition-pruned and the ADC pass never reads
+    // the embedding column
+    val plan = Similarity.knnIvfPqPartitioned(spark, dir, "vec_id", "embedding",
+      query, k = 10, nProbe = 2, candidateFactor = 8)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.forall(_.contains("PartitionFilters")), s"pruning lost:\n$plan")
+    assert(scans.exists(s => s.contains("pq_codes") && !s.contains("embedding")),
+      s"ADC pass must scan codes only:\n${scans.mkString("\n")}")
+  }
 }
