@@ -3811,6 +3811,72 @@ object SparkEntry {
       k = 10, nProbe = 5, candidateFactor = 24)
   }
 
+  /** Unigram-tokenizer token budget
+    * ([[graft.operators.Unigram.fitUnigram]] pieces feeding
+    * [[graft.operators.TextOps.tokenBudgetSample]]'s bucketed
+    * selection): fit a unigram LM on the corpus, account every
+    * document in FITTED pieces, select each source's hash-order
+    * prefix within its piece budget. The EM fit has no SQL oracle
+    * (UnigramSpec walks the lattice by hand), so this gate follows
+    * the q59 discipline: exactly-replayable whitespace counts plus
+    * engine-asserted invariants the oracle states as literals — every
+    * doc's piece count sits in [words, chars] (a correct segmentation
+    * can't leave that band), the selected pieces fit the budget, and
+    * the selection is maximal (the next doc in hash order would
+    * overflow). A broken fit, encode or budget walk flips a boolean
+    * and fails the hash compare.
+    */
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    val budgets = Map("src0" -> 4000L, "src1" -> 2000L, "src2" -> 900L)
+    val d = docs(s, dir).filter(col("source").isin(budgets.keys.toSeq: _*))
+    val model = Curation.memoModel(s, s"$dir#uni256")(
+      graft.operators.Unigram.fitUnigram(d, "text", vocabSize = 256,
+        maxPieceLen = 6))
+    val sel = TextOps.tokenBudgetSample(d, "source", "doc_id", "text",
+        budgets, seed = "uni",
+        tokenCount = Some(graft.operators.Unigram.pieceCount(col("text"), model)))
+      .select(col("doc_id"), col("n_tok").as("__sel_tok"))
+    val budgetCol = element_at(
+      map(budgets.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+      col("source"))
+    val toks = TF.tokens(col("text"))
+    val all = d
+      .withColumn("__np",
+        graft.operators.Unigram.pieceCount(col("text"), model).cast("long"))
+      .withColumn("__w", TF.tokenCount(col("text")).cast("long"))
+      .withColumn("__chars",
+        aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+          .cast("long"))
+      .withColumn("__h", TextOps.portableHash(col("doc_id"), "uni"))
+      .join(sel, Seq("doc_id"), "left")
+      .withColumn("__sel", col("__sel_tok").isNotNull)
+    all.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__w")).as("ws_tokens"),
+        min(col("__w") <= col("__np") && col("__np") <= col("__chars"))
+          .as("pieces_bounded"),
+        (coalesce(sum(when(col("__sel"), col("__np"))), lit(0L)) <=
+          first(budgetCol)).as("budget_respected"),
+        (coalesce(sum(when(col("__sel"), col("__np"))), lit(0L)) +
+          coalesce(min(when(!col("__sel"),
+              struct(col("__h").as("h"), col("doc_id").as("d"),
+                col("__np").as("np")))).getField("np"),
+            lit(Long.MaxValue / 4)) > first(budgetCol)).as("budget_maximal"))
+      .orderBy(col("source"))
+  }
+
+  private def unigramBudgetOracle: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      x -> len(x) > 0) AS toks
+      |  FROM documents WHERE source IN ('src0', 'src1', 'src2'))
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(len(toks)) AS BIGINT) AS ws_tokens,
+      |  true AS pieces_bounded, true AS budget_respected,
+      |  true AS budget_maximal
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -3958,7 +4024,8 @@ object SparkEntry {
     "q140_calib" -> (q140 _),
     "q141_vocab" -> (q141 _),
     "q142_sqlfn" -> (q142 _),
-    "q143_pq" -> (q143 _))
+    "q143_pq" -> (q143 _),
+    "q144_unitok" -> (q144 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -4352,6 +4419,7 @@ object SparkEntry {
         | (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |WHERE e.vec_id <> 0
         |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
+    "q144_unitok" -> unigramBudgetOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

@@ -390,6 +390,37 @@ object CatalystExpressions {
     * score instead of its index; null when no centroid matches the
     * dimension. Feeds the IVF drift metric.
     */
+  /** Unigram-LM Viterbi encode over a pre-token array
+    * ([[ExprKernels.unigramViterbi]]): the fitted (piece → log-prob)
+    * table rides the expression as a reference HashMap, like every
+    * other fitted model here.
+    */
+  case class UnigramEncode(child: Expression, pieces: Seq[(String, Double)],
+      maxLen: Int, unkLogProb: Double) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = false
+    @transient private lazy val table = {
+      val m = new java.util.HashMap[String, java.lang.Double](pieces.size * 2)
+      pieces.foreach { case (p, lp) => m.put(p, java.lang.Double.valueOf(lp)) }
+      m
+    }
+    override def eval(input: InternalRow): Any =
+      ExprKernels.unigramViterbi(
+        child.eval(input).asInstanceOf[ArrayData], table, maxLen, unkLogProb)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val tableRef = ctx.addReferenceObj("unigramTable", table, "java.util.HashMap")
+      val c = child.genCode(ctx)
+      ev.copy(
+        code = code"""
+          ${c.code}
+          final ArrayData ${ev.value} =
+            $K.unigramViterbi(${c.isNull} ? null : ${c.value}, $tableRef, $maxLen,
+              ${unkLogProb}D);""",
+        isNull = FalseLiteral)
+    }
+    override protected def withNewChildInternal(c: Expression): UnigramEncode = copy(c)
+  }
+
   /** Product-quantization encode against a fixed flattened codebook
     * matrix ([[ExprKernels.pqEncode]]): vector → m int codes. The
     * codebooks ride the expression as a task-binary reference object,
@@ -747,6 +778,10 @@ object CatalystExpressions {
 
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
     column(NearestCentroid(expression(vec), centroids))
+
+  def unigramEncode(preTokens: Column, pieces: Seq[(String, Double)],
+      maxLen: Int, unkLogProb: Double): Column =
+    column(UnigramEncode(expression(preTokens), pieces, maxLen, unkLogProb))
 
   def pqEncode(vec: Column, codebooks: Array[Array[Double]], m: Int,
       dsub: Int): Column =

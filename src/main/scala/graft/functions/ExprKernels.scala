@@ -702,6 +702,76 @@ object ExprKernels {
     acc
   }
 
+  /** Viterbi segmentation of each pre-token under a unigram LM
+    * (Kudo 2018, SentencePiece's unigram model): per word, the
+    * max-log-probability split into vocabulary pieces via one
+    * left-to-right DP over code points (transitions bounded by
+    * `maxLen`). Deterministic tie-break: on equal score the LONGER
+    * final piece wins (smaller split point). Code points outside the
+    * vocabulary segment as single-character pieces at `unkLogProb` —
+    * every word always segments (the no-unknown-symbol guarantee).
+    * Output: the concatenated piece sequence across all words.
+    */
+  def unigramViterbi(words: ArrayData,
+      pieces: java.util.HashMap[String, java.lang.Double], maxLen: Int,
+      unkLogProb: Double): ArrayData = {
+    if (words == null) return EmptyStringArray
+    val out = new java.util.ArrayList[Any]()
+    val nw = words.numElements()
+    var w = 0
+    while (w < nw) {
+      val word = words.getUTF8String(w).toString
+      // code-point boundaries
+      val cps = new java.util.ArrayList[Integer]()
+      var ci = 0
+      while (ci < word.length) {
+        cps.add(ci)
+        ci += Character.charCount(word.codePointAt(ci))
+      }
+      cps.add(word.length)
+      val n = cps.size() - 1
+      if (n > 0) {
+        val score = new Array[Double](n + 1)
+        val back = new Array[Int](n + 1)
+        java.util.Arrays.fill(score, Double.NegativeInfinity)
+        score(0) = 0.0
+        var i = 1
+        while (i <= n) {
+          var j = math.max(0, i - maxLen)
+          while (j < i) {
+            if (score(j) > Double.NegativeInfinity) {
+              val piece = word.substring(cps.get(j), cps.get(i))
+              val lp = pieces.get(piece)
+              val stepLp: Double =
+                if (lp != null) lp.doubleValue()
+                else if (i - j == 1) unkLogProb
+                else Double.NegativeInfinity
+              if (stepLp > Double.NegativeInfinity) {
+                val cand = score(j) + stepLp
+                // strict >: earlier (smaller) j wins ties → longer piece
+                if (cand > score(i)) { score(i) = cand; back(i) = j }
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        // reconstruct
+        val rev = new java.util.ArrayList[String]()
+        var pos = n
+        while (pos > 0) {
+          val j = back(pos)
+          rev.add(word.substring(cps.get(j), cps.get(pos)))
+          pos = j
+        }
+        var r = rev.size() - 1
+        while (r >= 0) { out.add(UTF8String.fromString(rev.get(r))); r -= 1 }
+      }
+      w += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Query parameters stripped by URL canonicalization: the
     * click-/campaign-tracking names (exact, lowercase) plus the whole
     * `utm_*` family. The standard crawl-curation front door (CCNet/C4

@@ -156,14 +156,18 @@ object TextOps {
     */
   def tokenBudgetSample(df: DataFrame, strataCol: String, idCol: String,
       textCol: String, budgets: Map[String, Long], seed: String = "mix",
-      buckets: Int = 256): DataFrame = {
+      buckets: Int = 256, tokenCount: Option[Column] = None): DataFrame = {
     require(budgets.values.forall(_ >= 0), s"budgets must be >= 0: $budgets")
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
     val budgetCol = element_at(
       map(budgets.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
       col(strataCol).cast("string"))
+    // the accounting unit defaults to whitespace tokens; pass a fitted
+    // tokenizer's count (Bpe.pieceCount / Unigram.pieceCount) to run
+    // the SAME bucketed selection on real piece numbers
     val keyed = df
-      .withColumn("n_tok", TextFunctions.tokenCount(col(textCol)).cast("long"))
+      .withColumn("n_tok",
+        tokenCount.getOrElse(TextFunctions.tokenCount(col(textCol))).cast("long"))
       .withColumn("__h", portableHash(col(idCol), seed))
       .withColumn("__b", (col("__h") / lit(4294967296.0 / buckets)).cast("int"))
       .filter(budgetCol.isNotNull)
