@@ -2968,9 +2968,12 @@ object SparkEntry {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source"))
       .orderBy(TextOps.portableHash(col("doc_id"), "interleave"), col("doc_id"))
+    // tiny (≤ 60 × #sources rows) — materialize once so the position
+    // count-table pass and the join-back don't re-run the rank window
     val top = docs(s, dir)
       .withColumn("rank_in_source", row_number().over(w))
       .filter(col("rank_in_source") <= 60)
+      .localCheckpoint(false)
     Scale.globalRowNumber(top, "rank_in_source", Seq("source", "doc_id"),
         outCol = "pos")
       .withColumn("pos", col("pos").cast("int"))
@@ -3042,6 +3045,9 @@ object SparkEntry {
   private def q138(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val anchor = ev.agg(max(col("ts").cast("long")).as("__t1"))
+    // ONE materialization of the per-user frame: the three quintile
+    // count tables and the final join all derive from it — without
+    // the checkpoint the events groupBy would re-run once per metric
     val rfm = ev.groupBy(col("user_id"))
       .agg(max(col("ts").cast("long")).as("__last"),
         count(lit(1)).as("frequency"),
@@ -3049,6 +3055,7 @@ object SparkEntry {
       .crossJoin(broadcast(anchor))
       .withColumn("recency_days",
         ((col("__t1") - col("__last")) / 86400L).cast("long"))
+      .localCheckpoint(false)
     // one (value → score) table per metric: |distinct values| rows,
     // joined back on the value (broadcast-sized for day/count metrics;
     // a plain equi-join either way)
@@ -3621,16 +3628,20 @@ object SparkEntry {
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
     // ranks via the distinct-score count table (Scale.globalRowNumber),
     // not a global window: the inputs are already top-k-bounded, but
-    // the suite's no-unpartitioned-window lock holds everywhere
+    // the suite's no-unpartitioned-window lock holds everywhere. Each
+    // 20-row list is materialized once so the count-table pass and the
+    // join-back don't re-run its scoring scan.
     val lex = Scale.globalRowNumber(
         graft.operators.TextOps.bm25Rank(
           t(s, dir, "documents").filter(col("doc_id") =!= 0),
-          "doc_id", "text", Seq("spark", "table", "hash"), k = 20),
+          "doc_id", "text", Seq("spark", "table", "hash"), k = 20)
+          .localCheckpoint(false),
         "score", Seq("doc_id"), ascending = false)
       .select(col("doc_id"), col("rank"))
     val vec = Scale.globalRowNumber(
         Similarity.knnBrute(emb.filter(col("vec_id") =!= 0),
-          "vec_id", "embedding", query, k = 20),
+          "vec_id", "embedding", query, k = 20)
+          .localCheckpoint(false),
         "cosine", Seq("vec_id"), ascending = false)
       .select(col("vec_id").as("doc_id"), col("rank"))
     graft.operators.TextOps.rrfFuse(Seq(lex, vec), "doc_id", "rank",

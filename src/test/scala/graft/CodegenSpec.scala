@@ -41,7 +41,10 @@ class CodegenSpec extends SparkSpec {
       CatalystExpressions.canonicalUrl(col("text")),
       CatalystExpressions.urlDomain(col("text")),
       CatalystExpressions.nearestCentroidSim(col("a"), Array(Array(1.0, 0.0))),
-      CatalystExpressions.zOrderValue(col("x"), col("y"), 16))
+      CatalystExpressions.zOrderValue(col("x"), col("y"), 16),
+      CatalystExpressions.pqEncode(col("a"), Array(Array(1.0), Array(0.0)), 2, 1),
+      CatalystExpressions.pqAdcDot(col("codes"), Array(1.0, 0.0), 1),
+      CatalystExpressions.unigramEncode(col("t"), Seq("a" -> -1.0), 2, -100.0))
     exprs.foreach { c =>
       val e = expressionOf(c)
       assert(!e.isInstanceOf[CodegenFallback],
@@ -119,6 +122,49 @@ class CodegenSpec extends SparkSpec {
       }
     assert(codegenRows == interpretedRows,
       "codegen and interpreted evaluation must agree on real documents")
+    assert(codegenRows.nonEmpty)
+  }
+
+  test("PQ + unigram expressions: codegen == interpreted on real documents") {
+    val pq = graft.operators.Similarity.pqFit(
+      graft.core.Engine.table(spark, sfDir, "embeddings"),
+      "vec_id", "embedding", m = 8, ksub = 8, fitSampleFraction = 1.0)
+    val uni = graft.operators.Unigram.fitUnigram(
+      docs.limit(50), "text", vocabSize = 64, maxPieceLen = 4)
+    def q(): Seq[org.apache.spark.sql.Row] =
+      graft.core.Engine.table(spark, sfDir, "embeddings")
+        .select(col("vec_id"),
+          CatalystExpressions.pqEncode(col("embedding"), pq.flat, pq.m,
+            pq.dsub).as("codes"),
+          CatalystExpressions.pqAdcDot(
+            CatalystExpressions.pqEncode(col("embedding"), pq.flat, pq.m,
+              pq.dsub),
+            pq.lut(Array.fill(64)(0.1)), pq.ksub).as("adc"))
+        .orderBy("vec_id").collect().toSeq ++
+      docs.select(col("doc_id"),
+          graft.operators.Unigram.encode(col("text"), uni).as("pieces"))
+        .orderBy("doc_id").collect().toSeq
+    val conf = spark.conf
+    val codegenRows =
+      try {
+        conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+        conf.set("spark.sql.codegen.fallback", "false")
+        q()
+      } finally {
+        conf.unset("spark.sql.codegen.factoryMode")
+        conf.unset("spark.sql.codegen.fallback")
+      }
+    val interpretedRows =
+      try {
+        conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        conf.set("spark.sql.codegen.wholeStage", "false")
+        q()
+      } finally {
+        conf.unset("spark.sql.codegen.factoryMode")
+        conf.unset("spark.sql.codegen.wholeStage")
+      }
+    assert(codegenRows == interpretedRows,
+      "PQ/unigram codegen and interpreted evaluation must agree")
     assert(codegenRows.nonEmpty)
   }
 
