@@ -3888,6 +3888,44 @@ object SparkEntry {
       |  true AS budget_maximal
       |FROM t GROUP BY source ORDER BY source""".stripMargin
 
+  /** WebDataset shard export + read-back ([[graft.io.TarSource]]):
+    * write the corpus as portable-hash-sharded ustar tars (the
+    * multimodal training-data container — samples stream shard-
+    * sequentially, no per-sample object-store round trips), read the
+    * shards back, and aggregate per shard. The shard assignment and
+    * payload byte lengths replay exactly in DuckDB (the q101 portable-
+    * hash discipline), so the gate proves the WHOLE round trip: hash
+    * sharding, tar framing, byte-exact payloads, key naming.
+    */
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_wds_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val shardDf = docs(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("txt"))
+      .withColumn("shard",
+        pmod(TextOps.portableHash(col("doc_id"), "wds"), lit(4)).cast("int"))
+    graft.io.TarSource.writeShards(shardDf, out, "doc_id", "shard",
+      Seq("txt" -> "txt"), numShards = 4)
+    graft.io.TarSource.read(s, out)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(length(col("content")).cast("long")).as("sum_bytes"),
+        min(col("key")).as("min_key"), max(col("key")).as("max_key"))
+      .orderBy(col("shard"))
+  }
+
+  private def wdsOracle: String =
+    """WITH h AS (
+      |  SELECT CAST(doc_id AS VARCHAR) AS key,
+      |    CAST(('0x' || substr(md5('wds:' || doc_id), 1, 8)) AS BIGINT) % 4
+      |      AS sh,
+      |    strlen(text) AS b
+      |  FROM documents)
+      |SELECT printf('shard-%05d.tar', sh) AS shard, count(*) AS n_files,
+      |  CAST(sum(b) AS BIGINT) AS sum_bytes,
+      |  min(key) AS min_key, max(key) AS max_key
+      |FROM h GROUP BY sh ORDER BY shard""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -4036,7 +4074,8 @@ object SparkEntry {
     "q141_vocab" -> (q141 _),
     "q142_sqlfn" -> (q142 _),
     "q143_pq" -> (q143 _),
-    "q144_unitok" -> (q144 _))
+    "q144_unitok" -> (q144 _),
+    "q145_wds" -> (q145 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -4431,6 +4470,7 @@ object SparkEntry {
         |WHERE e.vec_id <> 0
         |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
     "q144_unitok" -> unigramBudgetOracle,
+    "q145_wds" -> wdsOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

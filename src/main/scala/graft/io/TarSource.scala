@@ -1,0 +1,227 @@
+package graft.io
+
+import java.io.{InputStream, OutputStream}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** WebDataset-style tar shards — the standard container for
+  * multimodal training data at scale: each sample is a group of
+  * `{key}.{ext}` files stored CONSECUTIVELY inside a plain ustar tar,
+  * shards are ~fixed-count tar files, and a training loader streams
+  * shards sequentially (no per-sample object-store round trips — the
+  * whole point at 100 TB). Pure-JDK ustar read/write, no external
+  * deps, same discipline as [[WarcSource]].
+  *
+  * Scale shape: WRITE is one hash-partition exchange on the shard id
+  * (every shard built by exactly one task, one streamed pass, O(row)
+  * memory); READ parallelizes at file grain via `binaryFiles` with
+  * the same parallelism floor as WARC (shards are the unit of
+  * training-loader parallelism too, so file grain is the right
+  * grain). Headers are written with fixed mtime/uid/gid, so two
+  * writes of the same frame are BYTE-IDENTICAL — shard bytes can be
+  * content-addressed / diffed across pipeline runs.
+  *
+  * Determinism: samples within a shard are ordered by key; a sample's
+  * files are ordered by extension. Tolerates PAX ('x'/'g') headers on
+  * read (skipped) so foreign-written archives load; writes plain
+  * ustar that python `tarfile` reads back verbatim (TarSpec carries
+  * the cross-generated fixture).
+  */
+object TarSource {
+
+  val SampleSchema: StructType = StructType(Seq(
+    StructField("shard", StringType, nullable = false),
+    StructField("key", StringType, nullable = false),
+    StructField("ext", StringType, nullable = false),
+    StructField("content", BinaryType, nullable = false)))
+
+  // ------------------------------------------------------------ write
+
+  /** Write `df` as `numShards` WebDataset tar shards under `dir`
+    * (`shard-%05d.tar`). Each input row becomes one sample: for every
+    * (columnName → ext) in `files`, the column's binary payload is
+    * stored as `{key}.{ext}` (null payloads are skipped). Shard
+    * assignment must be provided as an integral `shardCol` in
+    * [0, numShards) — callers use a portable hash of the key
+    * (`pmod(TextOps.portableHash(key, seed), numShards)`) so the
+    * layout replays identically in any engine.
+    *
+    * One hash exchange on the shard id; each task streams its
+    * shard(s) to the filesystem — nothing buffers more than one
+    * sample. Returns the number of samples written.
+    */
+  def writeShards(df: DataFrame, dir: String, keyCol: String,
+      shardCol: String, files: Seq[(String, String)],
+      numShards: Int): Long = {
+    require(numShards >= 1, s"numShards must be >= 1: $numShards")
+    require(files.nonEmpty, "files mapping must be non-empty")
+    val spark = df.sparkSession
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val cols = col(keyCol).cast("string").as("__key") +:
+      col(shardCol).cast("int").as("__shard") +:
+      files.map { case (c, _) => col(c) }
+    val exts = files.map(_._2)
+    val written = df.select(cols: _*)
+      .repartition(numShards, col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("__key"))
+      .mapPartitions { rows =>
+        var count = 0L
+        var out: OutputStream = null
+        var openShard = -1
+        def close(): Unit = if (out != null) {
+          out.write(new Array[Byte](1024)) // two zero end blocks
+          out.close(); out = null
+        }
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(hconf.value)
+        rows.foreach { r =>
+          val shard = r.getInt(1)
+          if (shard != openShard) {
+            close()
+            out = fs.create(new org.apache.hadoop.fs.Path(
+              dir, f"shard-$shard%05d.tar"), true)
+            openShard = shard
+          }
+          val key = r.getString(0)
+          var i = 0
+          while (i < exts.length) {
+            if (!r.isNullAt(2 + i)) {
+              val bytes = r.getAs[Array[Byte]](2 + i)
+              writeEntry(out, s"$key.${exts(i)}", bytes)
+            }
+            i += 1
+          }
+          count += 1
+        }
+        close()
+        Iterator.single(count)
+      }(org.apache.spark.sql.Encoders.scalaLong)
+      .reduce(_ + _)
+    written
+  }
+
+  private def writeEntry(out: OutputStream, name: String,
+      content: Array[Byte]): Unit = {
+    require(name.getBytes("UTF-8").length <= 100,
+      s"ustar name limit is 100 bytes: $name")
+    val h = new Array[Byte](512)
+    def put(off: Int, s: String): Unit = {
+      val b = s.getBytes("UTF-8")
+      System.arraycopy(b, 0, h, off, b.length)
+    }
+    def putOctal(off: Int, len: Int, v: Long): Unit =
+      put(off, ("%0" + (len - 1) + "o").format(v))
+    put(0, name)
+    putOctal(100, 8, 420L) // mode 0644
+    putOctal(108, 8, 0L) // uid
+    putOctal(116, 8, 0L) // gid
+    putOctal(124, 12, content.length.toLong)
+    putOctal(136, 12, 0L) // mtime: fixed → byte-identical rewrites
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum spaces
+    h(156) = '0' // typeflag: regular file
+    put(257, "ustar")
+    h(262) = 0
+    put(263, "00")
+    var sum = 0L
+    var i = 0
+    while (i < 512) { sum += h(i) & 0xff; i += 1 }
+    put(148, "%06o".format(sum))
+    h(154) = 0
+    h(155) = ' '
+    out.write(h)
+    out.write(content)
+    val pad = (512 - content.length % 512) % 512
+    if (pad > 0) out.write(new Array[Byte](pad))
+  }
+
+  // ------------------------------------------------------------- read
+
+  /** Read every `*.tar` under `dir` into (shard, key, ext, content)
+    * rows — one row per stored file, `key`/`ext` split at the LAST
+    * dot (the WebDataset convention; a key may itself contain dots).
+    * File-grain parallelism with the [[WarcSource]] floor; PAX
+    * extended headers and directories are skipped.
+    */
+  def read(spark: SparkSession, dir: String,
+      glob: String = "*.tar"): DataFrame = {
+    val path = s"$dir/$glob"
+    val minParts = spark.sparkContext.defaultParallelism
+    val handles0 = spark.sparkContext.binaryFiles(path, minParts)
+    val handles =
+      if (handles0.getNumPartitions < minParts) handles0.repartition(minParts)
+      else handles0
+    val rows = handles.flatMap { case (file, pds) =>
+      val shard = file.substring(file.lastIndexOf('/') + 1)
+      val in = pds.open()
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      try {
+        var entry = readEntry(in)
+        while (entry != null) {
+          val (name, typeflag, content) = entry
+          if (typeflag == '0' || typeflag == 0.toChar) {
+            val dot = name.lastIndexOf('.')
+            val (key, ext) =
+              if (dot > 0) (name.substring(0, dot), name.substring(dot + 1))
+              else (name, "")
+            out += Row(shard, key, ext, content)
+          }
+          entry = readEntry(in)
+        }
+      } finally in.close()
+      out
+    }
+    spark.createDataFrame(rows, SampleSchema)
+  }
+
+  /** Samples view: one row per (shard, key) with an ext → content map
+    * — the unit a training loader consumes.
+    */
+  def readSamples(spark: SparkSession, dir: String,
+      glob: String = "*.tar"): DataFrame =
+    read(spark, dir, glob)
+      .groupBy(col("shard"), col("key"))
+      .agg(map_from_entries(array_sort(collect_list(
+        struct(col("ext"), col("content"))))).as("sample"))
+
+  /** One tar entry: (name, typeflag, content), or null at EOF. */
+  private def readEntry(in: InputStream): (String, Char, Array[Byte]) = {
+    val h = new Array[Byte](512)
+    var got = 0
+    while (got < 512) {
+      val n = in.read(h, got, 512 - got)
+      if (n < 0) return null
+      got += n
+    }
+    if (h.forall(_ == 0)) return null // end-of-archive zero block
+    def str(off: Int, len: Int): String = {
+      var end = off
+      while (end < off + len && h(end) != 0) end += 1
+      new String(h, off, end - off, "UTF-8")
+    }
+    val name = {
+      val prefix = if (str(257, 6).startsWith("ustar")) str(345, 155) else ""
+      val base = str(0, 100)
+      if (prefix.nonEmpty) s"$prefix/$base" else base
+    }
+    val size = java.lang.Long.parseLong(str(124, 12).trim, 8)
+    val typeflag = (h(156) & 0xff).toChar
+    val content = new Array[Byte](size.toInt)
+    var read = 0
+    while (read < size) {
+      val n = in.read(content, read, size.toInt - read)
+      require(n >= 0, s"truncated tar entry $name")
+      read += n
+    }
+    val pad = ((512 - size % 512) % 512).toInt
+    var skipped = 0L
+    while (skipped < pad) {
+      val n = in.skip(pad - skipped)
+      require(n > 0, "truncated tar padding")
+      skipped += n
+    }
+    (name, typeflag, content)
+  }
+}

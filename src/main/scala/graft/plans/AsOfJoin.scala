@@ -278,6 +278,16 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => AsOfFilterPushdown)
     ext.injectOptimizerRule(_ => AsOfColumnPruning)
+    // the scalar-kernel SQL surface rides the same extension point, so
+    // a spark.sql.extensions deployment gets `SELECT quality_score(…)`
+    // without any per-session register() call
+    graft.sql.SqlFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.sql.SqlFunctions", name),
+        builder))
+    }
   }
 }
 

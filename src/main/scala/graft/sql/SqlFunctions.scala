@@ -50,9 +50,15 @@ object SqlFunctions {
       s"$name expects exactly 1 argument, got ${es.length}")
   }
 
+  /** The FunctionRegistry-shaped builders — what [[register]] and
+    * [[graft.plans.GraftExtensions]]'s `injectFunction` both consume.
+    */
+  def builders: Seq[(String, Seq[Expression] => Expression)] =
+    Bindings.map { case (name, fn) => name -> unary(name, fn) }
+
   /** Register every binding on the session (idempotent). */
   def register(spark: SparkSession): Unit =
-    Bindings.foreach { case (name, fn) =>
-      GraftSqlShim.registerFunction(spark, name, unary(name, fn))
+    builders.foreach { case (name, b) =>
+      GraftSqlShim.registerFunction(spark, name, b)
     }
 }

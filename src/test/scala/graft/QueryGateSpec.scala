@@ -138,4 +138,32 @@ class QueryGateSpec extends SparkSpec {
       QueryGate.sql(spark, "INSERT INTO __gate_fn_t VALUES ('p')")
     }
   }
+
+  test("spark.sql.extensions deployment gets the SQL functions without register()") {
+    import org.apache.spark.sql.SparkSession
+    val old = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // reuses the JVM's SparkContext but builds a FRESH session with
+      // the extension applied. `spark.sql.extensions` is a STATIC conf
+      // (only honored on a brand-new context), so the test drives the
+      // same injection path through the public withExtensions builder.
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.plans.GraftExtensions())
+        .getOrCreate()
+      assert(s2 ne old, "must be a fresh session, not the suite session")
+      val r = s2.sql(
+        """SELECT url_domain('https://sub.example.com/x?utm_source=a') AS d,
+          |  estimate_tokens('abcdefgh') AS t,
+          |  lang_id('der hund und die katze ist mit') AS lang""".stripMargin)
+        .head()
+      assert(r.getString(0) == "sub.example.com")
+      assert(r.getLong(1) == 2L)
+      assert(r.getString(2) == "de")
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
 }
