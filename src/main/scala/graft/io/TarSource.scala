@@ -153,25 +153,40 @@ object TarSource {
     val handles =
       if (handles0.getNumPartitions < minParts) handles0.repartition(minParts)
       else handles0
+    // STREAMING per file — one entry in memory at a time, like
+    // WarcSource: a shard can be gigabytes, and buffering it whole
+    // would put the entire tar in one task's heap
     val rows = handles.flatMap { case (file, pds) =>
       val shard = file.substring(file.lastIndexOf('/') + 1)
-      val in = pds.open()
-      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-      try {
-        var entry = readEntry(in)
-        while (entry != null) {
-          val (name, typeflag, content) = entry
-          if (typeflag == '0' || typeflag == 0.toChar) {
-            val dot = name.lastIndexOf('.')
-            val (key, ext) =
-              if (dot > 0) (name.substring(0, dot), name.substring(dot + 1))
-              else (name, "")
-            out += Row(shard, key, ext, content)
+      new Iterator[Row] {
+        private var in: InputStream = null
+        private var pending: Row = null
+        private var done = false
+        private def fetch(): Unit = {
+          if (in == null && !done) in = pds.open()
+          while (pending == null && !done) {
+            val entry = readEntry(in)
+            if (entry == null) { done = true; in.close() }
+            else {
+              val (name, typeflag, content) = entry
+              if (typeflag == '0' || typeflag == 0.toChar) {
+                val dot = name.lastIndexOf('.')
+                val (key, ext) =
+                  if (dot > 0) (name.substring(0, dot), name.substring(dot + 1))
+                  else (name, "")
+                pending = Row(shard, key, ext, content)
+              }
+            }
           }
-          entry = readEntry(in)
         }
-      } finally in.close()
-      out
+        override def hasNext: Boolean = { fetch(); pending != null }
+        override def next(): Row = {
+          fetch()
+          val r = pending; pending = null
+          if (r == null) throw new NoSuchElementException
+          r
+        }
+      }
     }
     spark.createDataFrame(rows, SampleSchema)
   }
