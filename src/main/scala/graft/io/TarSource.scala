@@ -54,7 +54,13 @@ object TarSource {
     */
   def writeShards(df: DataFrame, dir: String, keyCol: String,
       shardCol: String, files: Seq[(String, String)],
-      numShards: Int): Long = {
+      numShards: Int): Long =
+    writeShardsNamed(df, dir, keyCol, shardCol, files, numShards,
+      shard => f"shard-$shard%05d.tar")
+
+  private def writeShardsNamed(df: DataFrame, dir: String, keyCol: String,
+      shardCol: String, files: Seq[(String, String)], numShards: Int,
+      fileName: Int => String): Long = {
     require(numShards >= 1, s"numShards must be >= 1: $numShards")
     require(files.nonEmpty, "files mapping must be non-empty")
     val spark = df.sparkSession
@@ -82,7 +88,7 @@ object TarSource {
           if (shard != openShard) {
             close()
             out = fs.create(new org.apache.hadoop.fs.Path(
-              dir, f"shard-$shard%05d.tar"), true)
+              dir, fileName(shard)), true)
             openShard = shard
           }
           val key = r.getString(0)
@@ -136,6 +142,28 @@ object TarSource {
     val pad = (512 - content.length % 512) % 512
     if (pad > 0) out.write(new Array[Byte](pad))
   }
+
+  /** Streaming twin of [[writeShards]] — the incremental-crawl export:
+    * each micro-batch writes its OWN shard generation
+    * (`shard-%05d-b%06d.tar`), so a batch never rewrites earlier
+    * bytes (append-only, the [[graft.operators.CorpusIndex]] append
+    * discipline) and a failed batch replay overwrites only its own
+    * generation (foreachBatch re-delivers with the same batchId —
+    * idempotent because shard bytes are deterministic). [[read]]'s
+    * default glob picks up every generation; a training loader
+    * treats generations as more shards.
+    */
+  def writeStreamShards(stream: DataFrame, dir: String, keyCol: String,
+      shardCol: String, files: Seq[(String, String)], numShards: Int,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeShardsNamed(batch, dir, keyCol, shardCol, files, numShards,
+          shard => f"shard-$shard%05d-b$batchId%06d.tar")
+        ()
+      }
+      .start()
 
   // ------------------------------------------------------------- read
 

@@ -502,7 +502,11 @@ object Analytics {
   def aucScore(df: DataFrame, scoreCol: String, labelCol: String,
       scale: Int = 6): DataFrame = {
     val counts = df
-      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      // NaN scores are excluded EXPLICITLY (a NaN has no rank; left
+      // in, it would silently drop at the rank-table join and skew
+      // n_pos/n_neg); null labels/scores are out as before
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull &&
+        !isnan(col(scoreCol).cast("double")))
       .groupBy(col(scoreCol))
       .agg(sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("__pos"),
         count(lit(1)).as("__c"))

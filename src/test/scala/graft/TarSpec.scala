@@ -79,6 +79,59 @@ class TarSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming shard export: per-batch generations union to the batch write") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft-tarstream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tarckpt").toString
+    val input = MemoryStream[(String, String)](spark)
+    val stream = input.toDF().toDF("key", "text")
+      .withColumn("txt", col("text").cast("binary"))
+      .withColumn("shard",
+        pmod(TextOps.portableHash(col("key"), "tar"), lit(2)).cast("int"))
+    val q = TarSource.writeStreamShards(stream, dir, "key", "shard",
+      Seq("txt" -> "txt"), numShards = 2, checkpointDir = ckpt)
+    try {
+      input.addData(("a", "first"), ("b", "second"))
+      q.processAllAvailable()
+      input.addData(("c", "third"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // generations are separate files; read() unions them all
+    val back = TarSource.read(spark, dir).collect()
+      .map(r => r.getString(1) -> new String(r.getAs[Array[Byte]](3), "UTF-8"))
+      .toMap
+    assert(back == Map("a" -> "first", "b" -> "second", "c" -> "third"))
+    val gens = new java.io.File(dir).listFiles.map(_.getName)
+      .filter(_.endsWith(".tar")).toSet
+    assert(gens.forall(_.matches("shard-\\d{5}-b\\d{6}\\.tar")), s"$gens")
+    assert(gens.exists(_.contains("-b000000")) && gens.exists(_.contains("-b000001")),
+      s"each micro-batch writes its own generation: $gens")
+  }
+
+  test("multimodal composition: image shards round-trip into imageStats unchanged") {
+    import graft.operators.Multimodal
+    // red and blue 8×8 PNGs + a caption per sample — the WebDataset
+    // image/caption pairing — written to shards, read back, decoded
+    val dir = java.nio.file.Files.createTempDirectory("graft-tarimg").toString
+    val imgs = Seq(
+      ("s1", Multimodal.renderPng(8, 8, (_, _) => 0xFF0000), "a red square"),
+      ("s2", Multimodal.renderPng(8, 8, (_, _) => 0x0000FF), "a blue square"))
+      .toDF("key", "png", "cap")
+      .withColumn("capb", col("cap").cast("binary"))
+      .withColumn("shard", lit(0))
+    TarSource.writeShards(imgs, dir, "key", "shard",
+      Seq("png" -> "png", "capb" -> "txt"), numShards = 1)
+    val decoded = Multimodal.imageStats(
+        TarSource.read(spark, dir).filter(col("ext") === "png"))
+      .select(col("key"), col("stats.width"),
+        col("stats.avg_r"), col("stats.avg_b"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // avg channels are normalized to [0, 1]
+    assert(decoded("s1") == ((8, 1.0, 0.0)), s"red survives the tar: $decoded")
+    assert(decoded("s2") == ((8, 0.0, 1.0)), s"blue survives the tar: $decoded")
+  }
+
   test("foreign python-tarfile archives load: ustar and PAX (extended headers skipped)") {
     Seq("webdataset.tar", "webdataset_pax.tar").foreach { fx =>
       val dir = java.nio.file.Files.createTempDirectory("graft-tarfx").toString
