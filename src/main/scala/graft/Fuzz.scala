@@ -259,6 +259,52 @@ object Fuzz {
     shapes(rng.int(shapes.size))()
   }
 
+  /** Kernel-function fuzz: the registered SQL surface
+    * ([[graft.sql.SqlFunctions]]) over the documents table —
+    * `fuzz_check.py` defines DuckDB MACROS restating each kernel's
+    * formula, so hundreds of machine-generated compositions
+    * differential-test the function bindings, not just q142's one
+    * hand-written query. Aggregates stay order-independent (count,
+    * integral sums, min/max) — float avg across many rows is the one
+    * known cross-engine divergence class; per-doc rounded doubles are
+    * safe because both engines compute them from identical bits on
+    * this fixed corpus (the q55/q40 precedent).
+    */
+  private def genKernelFnQuery(rng: Rng): String = {
+    val where =
+      if (rng.int(3) == 0) ""
+      else s"WHERE n_chars ${cmp(rng)} ${rng.int(2000) + 50}"
+    if (rng.int(2) == 0) {
+      // shape A: per-document projections
+      val exprs = Seq(
+        "estimate_tokens(text) AS k_est",
+        "token_count(text) AS k_tok",
+        "sentiment_score(text) AS k_snt",
+        "quality_score(text) AS k_q",
+        "lang_id(text) AS k_lang")
+      val picked = Seq.fill(rng.int(3) + 2)(rng.pick(exprs)).distinct
+      val lim = rng.int(150) + 50
+      s"""SELECT doc_id, ${picked.mkString(", ")} FROM documents
+         |$where ORDER BY doc_id LIMIT $lim""".stripMargin
+    } else {
+      // shape B: grouped, order-independent aggregates only
+      val g = rng.pick(Seq("source", "lang", "lang_id(text)"))
+      val aggs = {
+        val pool = Seq(
+          "count(*) AS n",
+          "CAST(sum(estimate_tokens(text)) AS BIGINT) AS s_est",
+          "CAST(sum(token_count(text)) AS BIGINT) AS s_tok",
+          "round(min(quality_score(text)), 4) AS min_q",
+          "round(max(quality_score(text)), 4) AS max_q",
+          "round(min(sentiment_score(text)), 4) AS min_snt",
+          "round(max(sentiment_score(text)), 4) AS max_snt")
+        Seq.fill(rng.int(3) + 2)(rng.pick(pool)).distinct
+      }
+      s"""SELECT $g AS g, ${aggs.mkString(", ")} FROM documents
+         |$where GROUP BY $g ORDER BY g""".stripMargin
+    }
+  }
+
   /** Distinct-projection fuzz. */
   private def genDistinctQuery(rng: Rng): String = {
     val (table, cols) = rng.pick(Seq(
@@ -283,11 +329,12 @@ object Fuzz {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.core.Engine.open(spark, sfDir)
+    graft.sql.SqlFunctions.register(spark) // the kernel-fn class needs them
     new java.io.File(outDir).mkdirs()
 
     val queries = (0 until n).map { i =>
       val rng = Rng(0xC0FFEE + i.toLong * 7919)
-      val sql = rng.int(9) match {
+      val sql = rng.int(10) match {
         case 0 => genJoinQuery(rng)
         case 1 if i % 8 == 1 => genDistinctQuery(rng)
         case 4 => genWindowQuery(rng)
@@ -295,6 +342,7 @@ object Fuzz {
         case 6 => genScalarQuery(rng)
         case 7 => genRollupQuery(rng)
         case 8 => genSubqueryQuery(rng)
+        case 9 => genKernelFnQuery(rng)
         case _ => genQuery(rng)
       }
       s"fz_%03d".format(i) -> sql
