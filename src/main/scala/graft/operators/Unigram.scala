@@ -166,33 +166,38 @@ object Unigram {
       .orderBy(desc("c"), col("w")).limit(maxWordTypes)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     require(words.nonEmpty, "fitUnigram: empty fit corpus")
-    // substring candidates scored by count × length (longer frequent
-    // pieces are the valuable ones); chars are mandatory
-    val subScore = scala.collection.mutable.HashMap.empty[String, Long]
+    // mandatory single characters: one driver pass over the histogram
+    // (O(total chars), no blow-up)
     val chars = scala.collection.mutable.TreeSet.empty[String]
-    words.foreach { case (w, cnt) =>
+    words.foreach { case (w, _) =>
       val cps = codePointSlices(w)
-      val n = cps.length - 1
       var j = 0
-      while (j < n) {
-        chars += w.substring(cps(j), cps(j + 1))
-        var i = j + 1
-        val hi = math.min(n, j + maxPieceLen)
-        while (i <= hi) {
-          val s = w.substring(cps(j), cps(i))
-          val len = i - j
-          if (len >= 2)
-            subScore.update(s, subScore.getOrElse(s, 0L) + cnt * len)
-          i += 1
-        }
-        j += 1
-      }
+      while (j < cps.length - 1) { chars += w.substring(cps(j), cps(j + 1)); j += 1 }
     }
-    val seedMulti = subScore.toSeq
-      .sortBy { case (s, sc) => (-sc, s) }
-      .take(math.max(0, seedFactor * vocabSize - chars.size))
-      .map(_._1)
-    var vocab: Set[String] = chars.toSet ++ seedMulti
+    // substring candidates scored by count × length (longer frequent
+    // pieces are the valuable ones). Scored as a SPARK aggregate over
+    // the histogram, not a driver map: a 2^20-word-type histogram
+    // explodes to ~10^8 substring occurrences — model-sized only
+    // AFTER the top-N cut, so the cut runs distributed
+    // (TakeOrderedAndProject on the grouped scores).
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mpl = maxPieceLen
+    val nSeed = math.max(0, seedFactor * vocabSize - chars.size)
+    val seedScored: Seq[(String, Long)] = spark.createDataset(words.toSeq)
+      .flatMap { case (w, cnt) =>
+        val cps = codePointSlices(w)
+        val n = cps.length - 1
+        for {
+          j <- 0 until n
+          i <- (j + 2) to math.min(n, j + mpl)
+        } yield (w.substring(cps(j), cps(i)), cnt * (i - j))
+      }
+      .toDF("p", "sc").groupBy(col("p")).agg(sum(col("sc")).as("sc"))
+      .orderBy(desc("sc"), col("p")).limit(nSeed)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val seedScore: Map[String, Long] = seedScored.toMap
+    var vocab: Set[String] = chars.toSet ++ seedScored.map(_._1)
     // init probs ∝ count·length scores (chars get their raw counts)
     val charCount = scala.collection.mutable.HashMap.empty[String, Long]
     words.foreach { case (w, cnt) =>
@@ -205,11 +210,11 @@ object Unigram {
       }
     }
     val initTotal = vocab.iterator
-      .map(p => math.max(subScore.getOrElse(p, charCount.getOrElse(p, 1L)), 1L))
+      .map(p => math.max(seedScore.getOrElse(p, charCount.getOrElse(p, 1L)), 1L))
       .sum.toDouble
     var logp: Map[String, Double] = vocab.iterator.map { p =>
       p -> math.log(
-        math.max(subScore.getOrElse(p, charCount.getOrElse(p, 1L)), 1L) / initTotal)
+        math.max(seedScore.getOrElse(p, charCount.getOrElse(p, 1L)), 1L) / initTotal)
     }.toMap
     var lastLl = Double.NegativeInfinity
     def runEm(times: Int): Unit = {
