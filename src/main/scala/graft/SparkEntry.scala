@@ -3926,6 +3926,68 @@ object SparkEntry {
       |  min(key) AS min_key, max(key) AS max_key
       |FROM h GROUP BY sh ORDER BY shard""".stripMargin
 
+  /** Per-source corpus data card ([[graft.operators.Curation
+    * .dataCard]]): the dataset-documentation numbers a released
+    * training corpus ships — volume, exact-dup rate, language mix,
+    * quality, PII incidence, short-doc share — in long
+    * (source, metric, value) format. Every metric composes
+    * already-gated kernels, so the oracle replays the whole card.
+    */
+  private def q146(s: SparkSession, dir: String): DataFrame =
+    Curation.dataCard(docs(s, dir), "text", "source")
+      .orderBy(col("source"), col("metric"))
+
+  private def dataCardOracle: String =
+    """WITH s AS (
+      |  SELECT source, text,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |e AS (
+      |  SELECT source, len(toks) AS tok,
+      |    round(
+      |      least(len(toks) / 50.0, 1.0) * 0.4
+      |      + least((CASE WHEN len(toks) = 0 THEN 0.0
+      |          ELSE len(list_filter(toks, t -> t IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','that','this','be'))) * 1.0 / len(toks) END) * 4.0, 1.0) * 0.3
+      |      + greatest(0.0, 1.0 - (CASE WHEN len(text) = 0 THEN 0.0
+      |          ELSE len(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / len(text) END) * 5.0) * 0.3,
+      |      4) AS q,
+      |    len(list_filter(toks, t -> t IN ('der','die','das','und','ein','eine','ist','von','mit','für'))) AS h_de,
+      |    len(list_filter(toks, t -> t IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','that','this','be'))) AS h_en,
+      |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','un','una','por','con','para','es'))) AS h_es,
+      |    len(list_filter(toks, t -> t IN ('le','la','de','et','un','une','pour','dans','est','que','au'))) AS h_fr,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |    regexp_matches(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS has_email
+      |  FROM s),
+      |l AS (
+      |  SELECT *, CASE
+      |      WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+      |      WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+      |      WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+      |      WHEN h_es >= h_fr THEN 'es'
+      |      ELSE 'fr' END AS lang
+      |  FROM e),
+      |a AS (
+      |  SELECT source, count(*) AS n, CAST(sum(tok) AS BIGINT) AS wt,
+      |    count(DISTINCT fp) AS u,
+      |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nen,
+      |    round(avg(q), 4) AS aq,
+      |    sum(CASE WHEN has_email THEN 1 ELSE 0 END) AS ne,
+      |    sum(CASE WHEN tok < 10 THEN 1 ELSE 0 END) AS ns,
+      |    max(tok) AS mt
+      |  FROM l GROUP BY source)
+      |SELECT source, metric, value FROM (
+      |  SELECT source, 'avg_quality' AS metric, aq AS value FROM a
+      |  UNION ALL SELECT source, 'max_doc_tokens', CAST(mt AS DOUBLE) FROM a
+      |  UNION ALL SELECT source, 'n_docs', CAST(n AS DOUBLE) FROM a
+      |  UNION ALL SELECT source, 'pct_email', round(ne * 1.0 / n, 4) FROM a
+      |  UNION ALL SELECT source, 'pct_en', round(nen * 1.0 / n, 4) FROM a
+      |  UNION ALL SELECT source, 'pct_short', round(ns * 1.0 / n, 4) FROM a
+      |  UNION ALL SELECT source, 'pct_unique', round(u * 1.0 / n, 4) FROM a
+      |  UNION ALL SELECT source, 'ws_tokens', CAST(wt AS DOUBLE) FROM a)
+      |ORDER BY source, metric""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -4075,7 +4137,8 @@ object SparkEntry {
     "q142_sqlfn" -> (q142 _),
     "q143_pq" -> (q143 _),
     "q144_unitok" -> (q144 _),
-    "q145_wds" -> (q145 _))
+    "q145_wds" -> (q145 _),
+    "q146_card" -> (q146 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -4471,6 +4534,7 @@ object SparkEntry {
         |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
     "q144_unitok" -> unigramBudgetOracle,
     "q145_wds" -> wdsOracle,
+    "q146_card" -> dataCardOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

@@ -361,6 +361,51 @@ object Curation {
         least(greatest(col(scoreCol), col("score_lo")), col("score_hi")))
   }
 
+  /** Per-group corpus DATA CARD — the dataset-documentation report
+    * every released training corpus ships (Datasheets for Datasets /
+    * HF dataset-card numbers): per source, document and token volume,
+    * exact-duplicate rate, language mix, quality distribution, PII
+    * incidence and short-doc share, in long (group, metric, value)
+    * format so downstream dashboards and drift diffs consume it
+    * without schema changes as metrics are added.
+    *
+    * Every metric composes already-oracle-gated kernels
+    * ([[TextFunctions.tokenCount]]/[[TextFunctions.qualityScore]]/
+    * [[TextFunctions.langIdHeuristic]]/[[TextFunctions
+    * .exactFingerprint]]/[[EmailPattern]]), so the whole card replays
+    * in SQL. Scale shape: ONE scan computing all per-doc signals,
+    * ONE aggregate on the group key (count-distinct for the
+    * fingerprint is the only extra exchange), then a map-literal
+    * explode to long rows — O(#groups × #metrics) output.
+    */
+  def dataCard(df: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val toks = TextFunctions.tokenCount(col(textCol))
+    val enriched = df.select(col(groupCol).cast("string").as("__g"),
+      toks.cast("long").as("__tok"),
+      TextFunctions.qualityScore(col(textCol)).as("__q"),
+      TextFunctions.langIdHeuristic(col(textCol)).as("__lang"),
+      TextFunctions.exactFingerprint(col(textCol)).as("__fp"),
+      col(textCol).rlike(EmailPattern).as("__email"))
+    enriched.groupBy(col("__g")).agg(
+        count(lit(1)).as("__n"),
+        sum(col("__tok")).as("__wt"),
+        countDistinct(col("__fp")).as("__u"),
+        sum(when(col("__lang") === "en", 1L).otherwise(0L)).as("__nen"),
+        round(avg(col("__q")), 4).as("__aq"),
+        sum(when(col("__email"), 1L).otherwise(0L)).as("__ne"),
+        sum(when(col("__tok") < 10, 1L).otherwise(0L)).as("__ns"),
+        max(col("__tok")).as("__mt"))
+      .select(col("__g").as(groupCol), explode(map(
+        lit("avg_quality"), col("__aq"),
+        lit("max_doc_tokens"), col("__mt").cast("double"),
+        lit("n_docs"), col("__n").cast("double"),
+        lit("pct_email"), round(col("__ne").cast("double") / col("__n"), 4),
+        lit("pct_en"), round(col("__nen").cast("double") / col("__n"), 4),
+        lit("pct_short"), round(col("__ns").cast("double") / col("__n"), 4),
+        lit("pct_unique"), round(col("__u").cast("double") / col("__n"), 4),
+        lit("ws_tokens"), col("__wt").cast("double"))).as(Seq("metric", "value")))
+  }
+
   /** PII patterns chosen to behave identically under Java regex and
     * RE2-family engines (no backrefs, no lookaround). */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
