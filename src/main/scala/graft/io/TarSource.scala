@@ -143,6 +143,26 @@ object TarSource {
     if (pad > 0) out.write(new Array[Byte](pad))
   }
 
+  /** Shard count for a target shard size — the [[graft.operators
+    * .Scale.compactToTarget]] idea applied at WRITE time: one
+    * aggregate sums the payload bytes (per stored entry: content +
+    * one 512-byte header + up to 511 bytes padding, estimated at
+    * content + 1024), so shards land near `targetBytes` instead of a
+    * guessed constant. Training loaders want ~fixed-size shards
+    * (shard = the unit of loader parallelism and of resume
+    * granularity).
+    */
+  def shardCountForBytes(df: DataFrame, fileCols: Seq[String],
+      targetBytes: Long = 256L * 1024 * 1024): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    require(fileCols.nonEmpty, "fileCols must be non-empty")
+    val per = fileCols.map(c =>
+      coalesce(length(col(c)).cast("long") + 1024L, lit(0L)))
+      .reduce(_ + _)
+    val total = df.agg(coalesce(sum(per), lit(0L))).head().getLong(0)
+    math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+  }
+
   /** Streaming twin of [[writeShards]] — the incremental-crawl export:
     * each micro-batch writes its OWN shard generation
     * (`shard-%05d-b%06d.tar`), so a batch never rewrites earlier

@@ -406,6 +406,27 @@ object Curation {
         lit("ws_tokens"), col("__wt").cast("double"))).as(Seq("metric", "value")))
   }
 
+  /** Diff two [[dataCard]] outputs — the release-to-release corpus
+    * drift report ("what changed between yesterday's card and
+    * today's"): full-outer join on (group, metric), absolute delta
+    * and percent change per cell; a metric present on only one side
+    * surfaces with a null partner (a new source appearing / an old
+    * one vanishing IS the headline). O(groups × metrics) both sides —
+    * the cards are already tiny.
+    */
+  def dataCardDiff(oldCard: DataFrame, newCard: DataFrame,
+      groupCol: String): DataFrame =
+    oldCard.withColumnRenamed("value", "old_value")
+      .join(newCard.withColumnRenamed("value", "new_value"),
+        Seq(groupCol, "metric"), "full_outer")
+      .withColumn("delta",
+        round(col("new_value") - col("old_value"), 4))
+      .withColumn("pct_change",
+        when(col("old_value").isNull || col("new_value").isNull ||
+          col("old_value") === 0.0, lit(null).cast("double"))
+          .otherwise(round((col("new_value") - col("old_value")) /
+            abs(col("old_value")), 4)))
+
   /** PII patterns chosen to behave identically under Java regex and
     * RE2-family engines (no backrefs, no lookaround). */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -779,4 +779,35 @@ class CurationSpec extends SparkSpec {
     assert(r2.getInt(1) == 5 && r2.getInt(2) == 2,
       "one huge outlier must not move the robust pair")
   }
+
+  test("dataCard covers every metric per group; dataCardDiff reports drift and gaps") {
+    import spark.implicits._
+    val v1 = Seq(
+      ("s1", "the cat sat on the mat"),
+      ("s1", "the cat sat on the mat"), // exact dup → pct_unique 0.5
+      ("s2", "der hund und die katze")).toDF("source", "text")
+    val card1 = Curation.dataCard(v1, "text", "source")
+    val m1 = card1.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val metrics = Set("avg_quality", "max_doc_tokens", "n_docs", "pct_email",
+      "pct_en", "pct_short", "pct_unique", "ws_tokens")
+    assert(m1.keySet == metrics.flatMap(m => Set("s1" -> m, "s2" -> m)))
+    assert(m1(("s1", "n_docs")) == 2.0 && m1(("s1", "pct_unique")) == 0.5)
+    assert(m1(("s1", "pct_en")) == 1.0 && m1(("s2", "pct_en")) == 0.0)
+    assert(m1(("s1", "ws_tokens")) == 12.0 && m1(("s2", "pct_short")) == 1.0)
+    // drift: s2 disappears, s1 doubles its docs, a new s3 appears
+    val v2 = Seq(
+      ("s1", "the cat sat on the mat"), ("s1", "a dog ran"),
+      ("s1", "the cat sat on the mat"), ("s1", "a dog ran"),
+      ("s3", "le chat est la")).toDF("source", "text")
+    val diff = Curation.dataCardDiff(card1,
+        Curation.dataCard(v2, "text", "source"), "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val grew = diff(("s1", "n_docs"))
+    assert(grew.getDouble(2) == 2.0 && grew.getDouble(3) == 4.0 &&
+      grew.getDouble(4) == 2.0 && grew.getDouble(5) == 1.0,
+      s"s1 n_docs 2 -> 4 is delta 2, +100%: $grew")
+    assert(diff(("s2", "n_docs")).isNullAt(3), "vanished source: null new side")
+    assert(diff(("s3", "n_docs")).isNullAt(2), "new source: null old side")
+  }
 }

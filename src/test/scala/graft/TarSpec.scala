@@ -132,6 +132,19 @@ class TarSpec extends SparkSpec {
     assert(decoded("s2") == ((8, 0.0, 1.0)), s"blue survives the tar: $decoded")
   }
 
+  test("shardCountForBytes sizes shards to the payload, never zero") {
+    val df = Seq(
+      ("a", Array.fill(4000)('x'.toByte)),
+      ("b", Array.fill(4000)('y'.toByte)),
+      ("c", null: Array[Byte]))
+      .toDF("key", "payload")
+    // 2 × (4000 + 1024) ≈ 10048 bytes; 5 KB target → 2-3 shards
+    val n = TarSource.shardCountForBytes(df, Seq("payload"), targetBytes = 5000L)
+    assert(n == 3, s"ceil(10048/5000) = 3, got $n")
+    assert(TarSource.shardCountForBytes(df.limit(0), Seq("payload")) == 1,
+      "empty input still yields one shard")
+  }
+
   test("foreign python-tarfile archives load: ustar and PAX (extended headers skipped)") {
     Seq("webdataset.tar", "webdataset_pax.tar").foreach { fx =>
       val dir = java.nio.file.Files.createTempDirectory("graft-tarfx").toString
