@@ -406,6 +406,88 @@ object Curation {
         lit("ws_tokens"), col("__wt").cast("double"))).as(Seq("metric", "value")))
   }
 
+  /** Incremental [[dataCard]] — the daily-ingest form: fold each
+    * batch's per-group signals into a versioned parquet state
+    * ([[Scale.writeVersionedState]]'s crash-safe pointer discipline)
+    * and derive the card from state, so the work per ingest is
+    * O(batch) + O(state), never O(corpus). Every metric is a
+    * commutative monoid (counts, sums, max) except uniqueness, which
+    * rides a mergeable KMV bottom-k sketch over the fingerprint
+    * hashes — EXACT while a group's distinct fingerprints ≤ `kmvK`,
+    * the standard (k−1)·H/h₍k₎ estimate beyond — so the incremental
+    * card reports `pct_unique_est`. Quality averages accumulate as
+    * exact integer sums of the (already 4-decimal) scores, so the
+    * derived mean replays bit-for-bit regardless of batch split.
+    *
+    * Returns the merged state; read the card with
+    * [[dataCardFromState]].
+    */
+  def upsertDataCardState(spark: SparkSession, path: String, batch: DataFrame,
+      textCol: String, groupCol: String, kmvK: Int = 256): DataFrame = {
+    val toks = TextFunctions.tokenCount(col(textCol))
+    val kmvAgg = org.apache.spark.sql.functions.udaf(Aggregators.kmv(kmvK))
+    val enriched = batch.select(col(groupCol).cast("string").as("__g"),
+      toks.cast("long").as("__tok"),
+      TextFunctions.qualityScore(col(textCol)).as("__q"),
+      TextFunctions.langIdHeuristic(col(textCol)).as("__lang"),
+      TextOps.portableHash(TextFunctions.exactFingerprint(col(textCol)),
+        "card").as("__fph"),
+      col(textCol).rlike(EmailPattern).as("__email"))
+    val partial = enriched.groupBy(col("__g")).agg(
+      count(lit(1)).as("n"),
+      sum(col("__tok")).as("wt"),
+      // exact integer accumulation of 4-decimal scores
+      sum(round(col("__q") * 10000).cast("long")).as("q4"),
+      sum(when(col("__lang") === "en", 1L).otherwise(0L)).as("nen"),
+      sum(when(col("__email"), 1L).otherwise(0L)).as("ne"),
+      sum(when(col("__tok") < 10, 1L).otherwise(0L)).as("ns"),
+      max(col("__tok")).as("mt"),
+      kmvAgg(col("__fph")).as("fp_kmv"))
+    val merged = Scale.readVersionedState(spark, path) match {
+      case None => partial
+      case Some(state) =>
+        val both = state.unionByName(partial)
+        val nums = both.groupBy(col("__g")).agg(
+          sum(col("n")).as("n"), sum(col("wt")).as("wt"),
+          sum(col("q4")).as("q4"), sum(col("nen")).as("nen"),
+          sum(col("ne")).as("ne"), sum(col("ns")).as("ns"),
+          max(col("mt")).as("mt"))
+        // KMV(A ∪ B) = bottom-k of (bottom-k(A) ∪ bottom-k(B)):
+        // explode both sketches, re-aggregate — mergeability is the
+        // sketch's defining property
+        val sketches = both
+          .select(col("__g"), explode(col("fp_kmv")).as("__h"))
+          .groupBy(col("__g")).agg(kmvAgg(col("__h")).as("fp_kmv"))
+        nums.join(sketches, Seq("__g"))
+    }
+    Scale.writeVersionedState(spark, path, merged)
+  }
+
+  /** Derive the long-format card from [[upsertDataCardState]] state.
+    * Same metrics as [[dataCard]] with `pct_unique` →
+    * `pct_unique_est` (the KMV estimate, rounded like the rest).
+    */
+  def dataCardFromState(spark: SparkSession, path: String,
+      groupCol: String, kmvK: Int = 256): DataFrame = {
+    val state = Scale.readVersionedState(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no data-card state at $path"))
+    val hashSpace = 4294967296.0 // portableHash space: [0, 2^32)
+    val uniq =
+      when(size(col("fp_kmv")) < kmvK, size(col("fp_kmv")).cast("double"))
+        .otherwise(lit((kmvK - 1).toDouble) * hashSpace /
+          element_at(col("fp_kmv"), kmvK).cast("double"))
+    state.select(col("__g").as(groupCol), explode(map(
+      lit("avg_quality"),
+      round(col("q4").cast("double") / 10000.0 / col("n"), 4),
+      lit("max_doc_tokens"), col("mt").cast("double"),
+      lit("n_docs"), col("n").cast("double"),
+      lit("pct_email"), round(col("ne").cast("double") / col("n"), 4),
+      lit("pct_en"), round(col("nen").cast("double") / col("n"), 4),
+      lit("pct_short"), round(col("ns").cast("double") / col("n"), 4),
+      lit("pct_unique_est"), round(uniq / col("n"), 4),
+      lit("ws_tokens"), col("wt").cast("double"))).as(Seq("metric", "value")))
+  }
+
   /** Diff two [[dataCard]] outputs — the release-to-release corpus
     * drift report ("what changed between yesterday's card and
     * today's"): full-outer join on (group, metric), absolute delta

@@ -259,43 +259,61 @@ object Scale {
     val partial = batch.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("cnt"),
         sum(round(col(valueCol) * 100).cast("long")).as("sum_cents"))
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val pointer = new org.apache.hadoop.fs.Path(s"$path/_CURRENT")
-    val current: Option[String] =
-      if (fs.exists(pointer)) {
-        val in = fs.open(pointer)
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
-        finally in.close()
-      } else None
-    val merged = current match {
-      case Some(v) =>
-        spark.read.parquet(s"$path/$v").unionByName(partial)
+    val merged = readVersionedState(spark, path) match {
+      case Some(state) =>
+        state.unionByName(partial)
           .groupBy(keys.map(col): _*)
           .agg(sum(col("cnt")).as("cnt"),
             sum(col("sum_cents")).as("sum_cents"))
       case None => partial
     }
-    val nextV = "v" + (current.map(_.drop(1).toLong).getOrElse(0L) + 1)
-    merged.write.mode("overwrite").parquet(s"$path/$nextV")
+    writeVersionedState(spark, path, merged)
+  }
+
+  private def statePointer(spark: SparkSession, path: String) = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (fs, new org.apache.hadoop.fs.Path(s"$path/_CURRENT"))
+  }
+
+  private[graft] def currentStateVersion(spark: SparkSession,
+      path: String): Option[String] = {
+    val (fs, pointer) = statePointer(spark, path)
+    if (!fs.exists(pointer)) None
+    else {
+      val in = fs.open(pointer)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
+  /** The current version of a versioned state table, if any. */
+  private[graft] def readVersionedState(spark: SparkSession,
+      path: String): Option[DataFrame] =
+    currentStateVersion(spark, path).map(v => spark.read.parquet(s"$path/$v"))
+
+  /** Write the next version beside the current one and flip `_CURRENT`
+    * LAST (write-ahead, point-the-pointer-last — a crash mid-write
+    * leaves the previous version intact and readable). Previous
+    * versions are retained for readers in flight; a caller-scheduled
+    * vacuum can drop versions older than its read horizon. Returns a
+    * frame reading the committed version.
+    */
+  private[graft] def writeVersionedState(spark: SparkSession, path: String,
+      df: DataFrame): DataFrame = {
+    val (fs, pointer) = statePointer(spark, path)
+    val nextV = "v" + (currentStateVersion(spark, path)
+      .map(_.drop(1).toLong).getOrElse(0L) + 1)
+    df.write.mode("overwrite").parquet(s"$path/$nextV")
     val out = fs.create(pointer, true)
     try out.write(nextV.getBytes("UTF-8")) finally out.close()
-    // previous versions are retained for readers in flight; a caller-
-    // scheduled vacuum can drop versions older than its read horizon
     spark.read.parquet(s"$path/$nextV")
   }
 
   /** Read the current version of an [[upsertAggState]] table. */
-  def readAggState(spark: SparkSession, path: String): DataFrame = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val pointer = new org.apache.hadoop.fs.Path(s"$path/_CURRENT")
-    require(fs.exists(pointer), s"no agg state at $path")
-    val in = fs.open(pointer)
-    val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-    finally in.close()
-    spark.read.parquet(s"$path/$v")
-  }
+  def readAggState(spark: SparkSession, path: String): DataFrame =
+    readVersionedState(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no agg state at $path"))
 
   /** Point-in-interval range join without a cross product. Spark plans
     * a plain `p BETWEEN lo AND hi` join (no equi-conjunct, or one with

@@ -810,4 +810,31 @@ class CurationSpec extends SparkSpec {
     assert(diff(("s2", "n_docs")).isNullAt(3), "vanished source: null new side")
     assert(diff(("s3", "n_docs")).isNullAt(2), "new source: null old side")
   }
+
+  test("incremental data card: batch folds equal one-shot state; card matches batch card") {
+    import spark.implicits._
+    val b1 = Seq(("s1", "the cat sat on the mat"), ("s1", "a dog"),
+      ("s2", "der hund und die katze")).toDF("source", "text")
+    val b2 = Seq(("s1", "the cat sat on the mat"), // dup of a b1 doc
+      ("s2", "le chat est la")).toDF("source", "text")
+    val twoStep = java.nio.file.Files.createTempDirectory("graft-card2").toString
+    Curation.upsertDataCardState(spark, twoStep, b1, "text", "source")
+    Curation.upsertDataCardState(spark, twoStep, b2, "text", "source")
+    val oneShot = java.nio.file.Files.createTempDirectory("graft-card1").toString
+    Curation.upsertDataCardState(spark, oneShot, b1.unionByName(b2), "text", "source")
+    def cardOf(path: String) =
+      Curation.dataCardFromState(spark, path, "source").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val (inc, full) = (cardOf(twoStep), cardOf(oneShot))
+    assert(inc == full, "two folds must equal the one-shot state exactly")
+    // distinct fingerprints <= k → KMV is exact → state card equals the
+    // batch dataCard on every shared metric, and pct_unique_est is the
+    // exact uniqueness
+    val batchCard = Curation.dataCard(b1.unionByName(b2), "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    batchCard.foreach { case ((g, m), v) =>
+      val mm = if (m == "pct_unique") "pct_unique_est" else m
+      assert(math.abs(inc((g, mm)) - v) < 1e-9, s"($g, $m): ${inc((g, mm))} vs $v")
+    }
+  }
 }
