@@ -352,6 +352,15 @@ class PlanAudit extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"both top-k stages stay heaps:\n$p")
   }
 
+  test("q146: data card is one scan + group aggregates — no join, no window") {
+    val p = plan("q146_card")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"the card must stay aggregate-only:\n$p")
+    val scans = p.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.size == 1 && scans.head.contains("ReadSchema: struct<text:string,source:string>"),
+      s"one scan, pruned to (text, source):\n$scans")
+  }
+
   test("no unpartitioned window anywhere in the suite (100 TB lock)") {
     // A Window (or WindowGroupLimit) with an empty partitionSpec moves
     // EVERY input row through ONE task — the canonical at-scale
