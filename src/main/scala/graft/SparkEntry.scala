@@ -3988,6 +3988,53 @@ object SparkEntry {
       |  UNION ALL SELECT source, 'ws_tokens', CAST(wt AS DOUBLE) FROM a)
       |ORDER BY source, metric""".stripMargin
 
+  /** C4 line-level cleaning ([[graft.operators.Curation
+    * .c4LineFilter]], Raffel et al. 2020 §2.2): per source, the doc
+    * pass rate and line survival under the terminal-punctuation /
+    * min-words / javascript line rules + the lorem-ipsum / brace /
+    * min-lines page gates. The oracle replays every rule with the
+    * same RE2-safe regexes.
+    */
+  private def q147(s: SparkSession, dir: String): DataFrame =
+    Curation.c4LineFilter(docs(s, dir), "text")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pass_c4_page"), 1L).otherwise(0L)).as("n_pass"),
+        sum(col("n_lines").cast("long")).as("n_lines"),
+        sum(col("n_kept").cast("long")).as("n_kept"),
+        sum(when(col("pass_c4_page"),
+          TF.tokenCount(col("clean_text")).cast("long")).otherwise(0L))
+          .as("clean_tokens"))
+      .orderBy(col("source"))
+
+  private def c4LineOracle: String =
+    """WITH l AS (
+      |  SELECT source, text, string_split(text, chr(10)) AS lines
+      |  FROM documents),
+      |k AS (
+      |  SELECT source, text, lines,
+      |    list_filter(lines, x ->
+      |      regexp_matches(trim(x), '[.!?"]$')
+      |      AND len(list_filter(string_split_regex(trim(x), '\s+'),
+      |        w -> len(w) > 0)) >= 5
+      |      AND NOT regexp_matches(lower(trim(x)), '\bjavascript\b')) AS kept
+      |  FROM l),
+      |p AS (
+      |  SELECT source, lines, kept,
+      |    (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+      |      AND NOT contains(text, '{')) AS pass,
+      |    len(list_filter(string_split_regex(
+      |      lower(trim(array_to_string(kept, chr(10)))), '\s+'),
+      |      w -> len(w) > 0)) AS ct
+      |  FROM k)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      |  CAST(sum(len(lines)) AS BIGINT) AS n_lines,
+      |  CAST(sum(len(kept)) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN pass THEN ct ELSE 0 END) AS BIGINT)
+      |    AS clean_tokens
+      |FROM p GROUP BY source ORDER BY source""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -4138,7 +4185,8 @@ object SparkEntry {
     "q143_pq" -> (q143 _),
     "q144_unitok" -> (q144 _),
     "q145_wds" -> (q145 _),
-    "q146_card" -> (q146 _))
+    "q146_card" -> (q146 _),
+    "q147_c4" -> (q147 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -4535,6 +4583,7 @@ object SparkEntry {
     "q144_unitok" -> unigramBudgetOracle,
     "q145_wds" -> wdsOracle,
     "q146_card" -> dataCardOracle,
+    "q147_c4" -> c4LineOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

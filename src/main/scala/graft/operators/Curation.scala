@@ -254,6 +254,44 @@ object Curation {
         col("ok_stops"))
   }
 
+  /** C4's LINE-level cleaning (Raffel et al. 2020, §2.2 — the first
+    * filter of the C4 pipeline, upstream of every doc-level gate
+    * here): keep only lines that end in a terminal punctuation mark,
+    * carry at least `minLineWords` words, and don't mention
+    * javascript; then apply the page gates — at least `minLines`
+    * surviving lines, no "lorem ipsum", no curly brace. Returns every
+    * input row with `clean_text` (surviving lines re-joined),
+    * `n_lines`/`n_kept` accounting, and the three page booleans plus
+    * the combined `pass_c4_page` — callers filter, the gopherRules
+    * contract.
+    *
+    * Map-only (split → filter → re-join inside one projection; the
+    * lambda predicates are RE2-compatible so the oracle replays them
+    * verbatim). At 100 TB this is scan-speed work — exactly why C4
+    * orders it first.
+    */
+  def c4LineFilter(df: DataFrame, textCol: String, minLineWords: Int = 5,
+      minLines: Int = 3): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    def lineOk(l: Column): Column = {
+      val t = trim(l)
+      t.rlike("[.!?\"]$") &&
+        size(filter(split(t, "\\s+"), w => length(w) > 0)) >= minLineWords &&
+        !lower(t).rlike("\\bjavascript\\b")
+    }
+    df.withColumn("__lines", lines)
+      .withColumn("__kept", filter(col("__lines"), lineOk(_)))
+      .withColumn("clean_text", array_join(col("__kept"), "\n"))
+      .withColumn("n_lines", size(col("__lines")))
+      .withColumn("n_kept", size(col("__kept")))
+      .withColumn("ok_min_lines", col("n_kept") >= minLines)
+      .withColumn("ok_lorem", !lower(col(textCol)).contains("lorem ipsum"))
+      .withColumn("ok_brace", !col(textCol).contains("{"))
+      .withColumn("pass_c4_page",
+        col("ok_min_lines") && col("ok_lorem") && col("ok_brace"))
+      .drop("__lines", "__kept")
+  }
+
   /** Gopher's "stop word" presence list (Rae et al. 2021, §A1.1). */
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")

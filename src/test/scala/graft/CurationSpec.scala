@@ -811,6 +811,36 @@ class CurationSpec extends SparkSpec {
     assert(diff(("s3", "n_docs")).isNullAt(2), "new source: null old side")
   }
 
+  test("c4LineFilter applies the Raffel §2.2 rules line-by-line and page-wide") {
+    import spark.implicits._
+    val goodLine = "This sentence has plenty of honest words in it."
+    val doc = Seq(
+      goodLine,                                  // kept
+      "Too short.",                              // < 5 words → dropped
+      "No terminal punctuation here at all",     // no . ! ? " → dropped
+      "Please enable JavaScript to continue reading this page.", // dropped
+      "Another perfectly reasonable sentence ends right here!",  // kept
+      "\"A quoted sentence still counts as terminal.\"",         // kept (")
+      goodLine                                   // kept
+    ).mkString("\n")
+    val rows = Seq(
+      (1L, doc),
+      (2L, s"$goodLine\n$goodLine"),             // only 2 kept → page fails
+      (3L, s"$doc\nlorem ipsum dolor sit."),     // lorem → page fails
+      (4L, s"$doc\nvar x = { a: 1 };"))          // brace → page fails
+      .toDF("doc_id", "text")
+    val got = Curation.c4LineFilter(rows, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_kept"), r.getAs[Boolean]("pass_c4_page"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(got(1L)._1 == 4 && got(1L)._2,
+      s"doc 1 keeps 4 of 7 lines and passes: ${got(1L)}")
+    assert(!got(1L)._3.contains("JavaScript") && !got(1L)._3.contains("Too short"))
+    assert(got(2L)._1 == 2 && !got(2L)._2, "two sentences is below the page floor")
+    assert(!got(3L)._2, "lorem ipsum fails the page")
+    assert(!got(4L)._2, "a curly brace fails the page")
+  }
+
   test("incremental data card: batch folds equal one-shot state; card matches batch card") {
     import spark.implicits._
     val b1 = Seq(("s1", "the cat sat on the mat"), ("s1", "a dog"),
