@@ -82,6 +82,20 @@ object CatalystExpressions {
     * standard, matching utf8proc-based engines on canonical forms.
     * Map-only, row-local.
     */
+  /** Mojibake repair ([[ExprKernels.fixMojibake]], the ftfy idea):
+    * UTF-8-decoded-as-Windows-1252 text re-decoded correctly; clean
+    * text passes through untouched.
+    */
+  case class FixMojibake(child: Expression, rounds: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      ExprKernels.fixMojibake(v.asInstanceOf[UTF8String], rounds)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.fixMojibake($c, $rounds)")
+    override protected def withNewChildInternal(c: Expression): FixMojibake = copy(c)
+  }
+
   case class NormalizeNfc(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StringType
     override def nullSafeEval(v: Any): Any =
@@ -765,6 +779,9 @@ object CatalystExpressions {
   def canonicalJson(jsonStr: Column): Column = column(CanonicalJson(expression(jsonStr)))
 
   def normalizeNfc(text: Column): Column = column(NormalizeNfc(expression(text)))
+
+  def fixMojibake(text: Column, rounds: Int = 2): Column =
+    column(FixMojibake(expression(text), rounds))
 
   def deflateRatio(text: Column): Column = column(DeflateRatio(expression(text)))
 

@@ -772,6 +772,87 @@ object ExprKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Mojibake repair (the ftfy idea, reduced to its deterministic
+    * core): text that went UTF-8 → bytes → wrongly decoded as
+    * Windows-1252/Latin-1 shows the classic "Ã©" / "â€™" smell —
+    * repair by re-encoding those code points as Windows-1252 bytes
+    * and decoding them as UTF-8, accepting a round only when it (a)
+    * decodes cleanly (every byte consumed, no replacement chars) and
+    * (b) strictly reduces the mojibake-marker count — so clean text,
+    * and text that legitimately contains "Ã", pass through untouched.
+    * Up to `rounds` passes handle double-encoded input. Deterministic
+    * and idempotent (a repaired string has no markers left to trip
+    * on).
+    */
+  def fixMojibake(v: UTF8String, rounds: Int): UTF8String = {
+    if (v == null) return null
+    var s = v.toString
+    var r = 0
+    var changed = true
+    while (r < rounds && changed) {
+      changed = false
+      val markers = mojibakeMarkers(s)
+      if (markers > 0) {
+        val bytes = toWindows1252Bytes(s)
+        if (bytes != null) {
+          val decoder = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          try {
+            val out = decoder.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+            if (mojibakeMarkers(out) < markers) { s = out; changed = true }
+          } catch { case _: java.nio.charset.CharacterCodingException => () }
+        }
+      }
+      r += 1
+    }
+    if (s.length == v.numChars() && s == v.toString) v
+    else UTF8String.fromString(s)
+  }
+
+  /** Count of the tell-tale lead bytes of UTF-8-as-1252 text: Â Ã Ä Å
+    * (C2–C5 leads) and â (E2 lead, the punctuation block). */
+  private def mojibakeMarkers(s: String): Int = {
+    var n = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((c >= 'Â' && c <= 'Å') || c == 'â') n += 1
+      i += 1
+    }
+    n
+  }
+
+  /** Windows-1252 byte for each char, or null when any char has none
+    * (true non-Latin text — not a candidate for this repair). */
+  private def toWindows1252Bytes(s: String): Array[Byte] = {
+    val out = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val b: Int =
+        if (c < 0x100) c.toInt // Latin-1 range maps to itself
+        else Cp1252Reverse.getOrDefault(c, -1)
+      if (b < 0) return null
+      out(i) = b.toByte
+      i += 1
+    }
+    out
+  }
+
+  /** The 27 Windows-1252 codepage positions (0x80–0x9F) that differ
+    * from Latin-1, reversed (char → byte). */
+  private val Cp1252Reverse: java.util.HashMap[Character, Integer] = {
+    val m = new java.util.HashMap[Character, Integer]()
+    val chars = "€‚ƒ„…†‡ˆ‰Š" +
+      "‹ŒŽ‘’“”•–—˜" +
+      "™š›œžŸ"
+    val bytes = Array(0x80, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+      0x8A, 0x8B, 0x8C, 0x8E, 0x91, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97,
+      0x98, 0x99, 0x9A, 0x9B, 0x9C, 0x9E, 0x9F)
+    var i = 0
+    while (i < chars.length) { m.put(chars.charAt(i), bytes(i)); i += 1 }
+    m
+  }
+
   /** Query parameters stripped by URL canonicalization: the
     * click-/campaign-tracking names (exact, lowercase) plus the whole
     * `utm_*` family. The standard crawl-curation front door (CCNet/C4

@@ -33,6 +33,7 @@ object SqlFunctions {
     "url_domain" -> (CE.urlDomain(_)),
     // normalization + fingerprints (dedup kernels)
     "nfc_normalize" -> (CE.normalizeNfc(_)),
+    "fix_mojibake" -> (CE.fixMojibake(_)),
     "simhash64" -> (c => CE.simhash64(CE.tokenHashes(c))),
     "canonical_json" -> (CE.canonicalJson(_)),
     "deflate_ratio" -> (CE.deflateRatio(_)),

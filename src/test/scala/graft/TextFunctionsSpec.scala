@@ -150,4 +150,30 @@ class TextFunctionsSpec extends SparkSpec {
     assert(math.abs(frac("train") - 1600.0) < 120, s"train share off: $frac")
     assert(frac.values.sum == 2000L)
   }
+
+  test("fixMojibake repairs UTF-8-as-1252 text, passes clean text untouched") {
+    import spark.implicits._
+    def fix(s: String): String =
+      Seq(Tuple1(s)).toDF("t")
+        .select(graft.functions.CatalystExpressions.fixMojibake(col("t")))
+        .head().getString(0)
+    // the classic single-encode smells: Latin-1 and 1252-block leads
+    assert(fix("cafÃ©") == "café")
+    assert(fix("donâ€™t â€œquoteâ€\u009d me") == "don’t “quote” me")
+    assert(fix("naÃ¯ve rÃ©sumÃ©") == "naïve résumé")
+    assert(fix("ok â€” ok") == "ok — ok") // em dash: E2 80 94 seen as 1252
+    // double-encoded survives two rounds
+    assert(fix("cafÃƒÂ©") == "café")
+    // clean text — including a legitimate standalone Ã — is untouched
+    assert(fix("plain ascii text.") == "plain ascii text.")
+    assert(fix("o Ã é uma letra") == "o Ã é uma letra",
+      "a repair that does not reduce markers must not apply")
+    assert(fix("日本語のテキスト") == "日本語のテキスト", "non-Latin text is not a candidate")
+    // idempotent: repairing repaired text is the identity
+    assert(fix(fix("donâ€™t")) == fix("donâ€™t"))
+    // null stays null
+    val n = Seq(Tuple1(null: String)).toDF("t")
+      .select(graft.functions.CatalystExpressions.fixMojibake(col("t"))).head()
+    assert(n.isNullAt(0))
+  }
 }
