@@ -468,6 +468,27 @@ class ScaleSpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 
+  test("globalPrefixSums property sweep: random shapes and bucket counts match the window form") {
+    for (seed <- 1 to 5; buckets <- Seq(1, 3, 16)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 50 + rnd.nextInt(300)
+      val spread = 1 + rnd.nextInt(200)
+      val counts = (1 to n)
+        .map(_ => (rnd.nextInt(spread) - spread / 2, 1L + rnd.nextInt(9)))
+        .groupBy(_._1).map { case (v, rows) => (v, rows.map(_._2).sum) }
+        .toSeq.toDF("v", "c")
+      val got = Scale.globalPrefixSums(counts, "v", Seq("c"), buckets)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val want = counts.withColumn("cum_c", sum(col("c")).over(w))
+        .withColumn("total_c", sum(col("c")).over(
+          org.apache.spark.sql.expressions.Window
+            .rowsBetween(Long.MinValue, Long.MaxValue)))
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+        s"mismatch at seed=$seed buckets=$buckets")
+    }
+  }
+
   test("globalRowNumber equals row_number over (value, ties) in both directions") {
     val rnd = new scala.util.Random(23)
     val df = (1 to 300).map(i => (rnd.nextInt(25), s"id_$i")).toDF("score", "id")

@@ -413,6 +413,35 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("map-only curation ops on a stream: C4 line filter + mojibake repair == batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, String)](spark)
+    val good = "This sentence has plenty of honest words in it."
+    val rows = Seq(
+      (1L, s"$good\n$good\n$good\ncafÃ© corner"),
+      (2L, s"short.\n$good"),
+      (3L, s"$good\nvar x = { broken }"))
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Curation.c4LineFilter(
+          df.withColumn("text",
+            graft.functions.CatalystExpressions.fixMojibake(col("text"))),
+          "text")
+        .select("doc_id", "clean_text", "n_kept", "pass_c4_page")
+    val q = shape(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("c4_sink")
+      .outputMode("append").start()
+    input.addData(rows.take(2))
+    q.processAllAvailable()
+    input.addData(rows.drop(2))
+    q.processAllAvailable()
+    import spark.implicits._
+    val got = spark.table("c4_sink").collect().map(_.toString).sorted.toSeq
+    val batch = shape(rows.toDF("doc_id", "text"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === batch)
+    q.stop()
+  }
+
   test("pre-fitted LM perplexity and DSIR scoring run unchanged on a stream") {
     // both scorers are pure map-side projections once fitted (the
     // model rides in the expression), so the SAME call scores a batch
