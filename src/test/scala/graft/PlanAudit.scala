@@ -352,6 +352,16 @@ class PlanAudit extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"both top-k stages stay heaps:\n$p")
   }
 
+  test("q144: unigram budget cumsum windows partition by (stratum, bucket), never stratum alone") {
+    // same discipline as q101 — the piece-count accounting unit must
+    // not change the two-phase bucketed selection's shape
+    val p = plan("q144_unitok")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty, s"expected the budget windows in:\n$p")
+    assert(specs.forall(_.contains("__b")),
+      s"cumsum must partition by (stratum, bucket):\n$specs")
+  }
+
   test("q146: data card is one scan + group aggregates — no join, no window") {
     val p = plan("q146_card")
     assert(!p.contains("Join") && !p.contains("Window"),

@@ -145,6 +145,27 @@ class TarSpec extends SparkSpec {
       "empty input still yields one shard")
   }
 
+  test("a truncated shard fails loudly, never silently yields partial samples") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tartrunc").toString
+    TarSource.writeShards(sampleDf, dir, "key", "shard",
+      Seq("txt" -> "txt"), numShards = 1)
+    val f = new java.io.File(dir).listFiles.find(_.getName.endsWith(".tar")).get
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    // cut inside the last entry's content; drop the local-FS checksum
+    // sidecar so the READER's own truncation check is what fires
+    java.nio.file.Files.write(f.toPath,
+      java.util.Arrays.copyOf(bytes, bytes.length - 1200))
+    new java.io.File(dir).listFiles.filter(_.getName.endsWith(".crc"))
+      .foreach(_.delete())
+    new java.io.File(dir, s".${f.getName}.crc").delete()
+    val e = intercept[org.apache.spark.SparkException] {
+      TarSource.read(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("truncated") ||
+      Option(e.getCause).exists(_.getMessage.contains("truncated")),
+      s"expected a truncation error, got: ${e.getMessage.take(300)}")
+  }
+
   test("foreign python-tarfile archives load: ustar and PAX (extended headers skipped)") {
     Seq("webdataset.tar", "webdataset_pax.tar").foreach { fx =>
       val dir = java.nio.file.Files.createTempDirectory("graft-tarfx").toString
