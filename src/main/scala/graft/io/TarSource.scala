@@ -51,6 +51,12 @@ object TarSource {
     * One hash exchange on the shard id; each task streams its
     * shard(s) to the filesystem — nothing buffers more than one
     * sample. Returns the number of samples written.
+    *
+    * Keys must be UNIQUE (the WebDataset contract — a sample IS its
+    * key): duplicate keys would both collide inside the archive and
+    * make the within-shard sort order — and therefore the shard
+    * bytes — nondeterministic. String payload columns are cast to
+    * binary (UTF-8) automatically.
     */
   def writeShards(df: DataFrame, dir: String, keyCol: String,
       shardCol: String, files: Seq[(String, String)],
@@ -68,7 +74,7 @@ object TarSource {
       spark.sparkContext.hadoopConfiguration)
     val cols = col(keyCol).cast("string").as("__key") +:
       col(shardCol).cast("int").as("__shard") +:
-      files.map { case (c, _) => col(c) }
+      files.map { case (c, _) => col(c).cast("binary") }
     val exts = files.map(_._2)
     val written = df.select(cols: _*)
       .repartition(numShards, col("__shard"))
