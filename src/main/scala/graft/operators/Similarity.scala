@@ -10,9 +10,12 @@ import graft.functions.VectorFunctions
   *
   * Scale design: the query vector is a literal (broadcast by
   * definition); brute force is one scan + TakeOrderedAndProject (top-k
-  * never sorts globally). The LSH variant prunes the scan to matching
-  * buckets — at 100 TB, bucket the corpus once at ingest (write
-  * partitioned by bucket) and ANN probes become partition-pruned scans.
+  * never sorts globally). The LSH and IVF variants prune the scan to
+  * matching buckets/clusters — at 100 TB, bucket the corpus once at
+  * ingest (write partitioned by bucket/cluster) and ANN probes become
+  * partition-pruned scans. The PQ family ([[pqFit]]/[[pqKnn]]/
+  * [[ensureIvfPqLayout]]) adds the memory answer on top: m-byte codes
+  * per vector, asymmetric-distance candidate scoring, exact re-rank.
   */
 object Similarity {
 
