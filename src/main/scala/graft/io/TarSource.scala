@@ -80,21 +80,54 @@ object TarSource {
       .repartition(numShards, col("__shard"))
       .sortWithinPartitions(col("__shard"), col("__key"))
       .mapPartitions { rows =>
+        // Commit protocol: every shard is streamed to a task-attempt-
+        // unique dot-prefixed temp file (invisible to read()'s `*.tar`
+        // glob and to Spark's file listing) and renamed into place
+        // only once its trailer is written. A speculative or retried
+        // attempt therefore never interleaves bytes with the original
+        // — each attempt owns its temp file — and a failed job leaves
+        // only dot-temps behind, which the failure listener deletes.
+        // If two attempts race the final rename, either winner is
+        // fine: shard bytes are deterministic (fixed header fields +
+        // key-sorted samples), so both temps are byte-identical.
+        val tc = org.apache.spark.TaskContext.get()
+        val attemptTag =
+          if (tc == null) "local" else s"a${tc.taskAttemptId()}"
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(hconf.value)
+        val tmpPaths = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.hadoop.fs.Path]
+        if (tc != null) tc.addTaskFailureListener { (_, _) =>
+          tmpPaths.foreach(p => try fs.delete(p, false) catch {
+            case _: java.io.IOException => ()
+          })
+        }
         var count = 0L
         var out: OutputStream = null
         var openShard = -1
         def close(): Unit = if (out != null) {
           out.write(new Array[Byte](1024)) // two zero end blocks
           out.close(); out = null
+          val finalPath =
+            new org.apache.hadoop.fs.Path(dir, fileName(openShard))
+          val tmp = tmpPaths.last
+          if (fs.exists(finalPath)) fs.delete(finalPath, false)
+          if (!fs.rename(tmp, finalPath)) {
+            // Lost a rename race to a byte-identical twin attempt —
+            // committed content is already in place; drop our temp.
+            require(fs.exists(finalPath),
+              s"failed to commit tar shard $finalPath")
+            fs.delete(tmp, false)
+          }
         }
-        val fs = new org.apache.hadoop.fs.Path(dir)
-          .getFileSystem(hconf.value)
         rows.foreach { r =>
           val shard = r.getInt(1)
           if (shard != openShard) {
             close()
-            out = fs.create(new org.apache.hadoop.fs.Path(
-              dir, fileName(shard)), true)
+            val tmp = new org.apache.hadoop.fs.Path(dir,
+              s".${fileName(shard)}.$attemptTag.inprogress")
+            tmpPaths += tmp
+            out = fs.create(tmp, true)
             openShard = shard
           }
           val key = r.getString(0)
@@ -261,7 +294,12 @@ object TarSource {
     var got = 0
     while (got < 512) {
       val n = in.read(h, got, 512 - got)
-      if (n < 0) return null
+      if (n < 0) {
+        // EOF is only clean on a block boundary; mid-header EOF is a
+        // truncated archive and must fail loudly like entry bodies do
+        require(got == 0, s"truncated tar header ($got of 512 bytes)")
+        return null
+      }
       got += n
     }
     if (h.forall(_ == 0)) return null // end-of-archive zero block
@@ -276,6 +314,9 @@ object TarSource {
       if (prefix.nonEmpty) s"$prefix/$base" else base
     }
     val size = java.lang.Long.parseLong(str(124, 12).trim, 8)
+    require(size >= 0 && size <= Int.MaxValue,
+      s"tar entry $name size $size exceeds the 2 GiB single-entry " +
+        "limit (size.toInt would overflow)")
     val typeflag = (h(156) & 0xff).toChar
     val content = new Array[Byte](size.toInt)
     var read = 0
