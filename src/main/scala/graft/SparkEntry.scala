@@ -3036,43 +3036,79 @@ object SparkEntry {
     * DISTINCT metric value, so equal metric values always share a
     * score (ntile would split a tie group across quintiles by
     * arbitrary user order) and the whole computation runs on
-    * distinct-value count tables via [[graft.operators.Scale
-    * .globalPrefixSums]] — no per-user global window, which at real
-    * user cardinality is a one-task sort. "Ahead" = smaller recency
+    * distinct-value count tables via ONE [[graft.operators.Scale
+    * .groupedPrefixSums]] pass over all three stacked metrics — no
+    * per-user global window, which at real user cardinality is a
+    * one-task sort. "Ahead" = smaller recency
     * (more recent), larger frequency, larger spend. Output: per
     * (r, f, m) score cell, user count and total cents.
     */
   private def q138(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
-    val anchor = ev.agg(max(col("ts").cast("long")).as("__t1"))
-    // ONE materialization of the per-user frame: the three quintile
-    // count tables and the final join all derive from it — without
-    // the checkpoint the events groupBy would re-run once per metric
-    val rfm = ev.groupBy(col("user_id"))
+    // ONE materialization of the per-user frame: the stacked quintile
+    // count table and the final scoring both derive from it — without
+    // the checkpoint the events groupBy would re-run per consumer
+    val rfm0 = ev.groupBy(col("user_id"))
       .agg(max(col("ts").cast("long")).as("__last"),
         count(lit(1)).as("frequency"),
         sum(round(col("value") * 100).cast("long")).as("monetary_cents"))
-      .crossJoin(broadcast(anchor))
-      .withColumn("recency_days",
-        ((col("__t1") - col("__last")) / 86400L).cast("long"))
       .localCheckpoint(false)
-    // one (value → score) table per metric: |distinct values| rows,
-    // joined back on the value (broadcast-sized for day/count metrics;
-    // a plain equi-join either way)
-    def quintiles(metric: String, ascBetter: Boolean, out: String): DataFrame = {
-      val counts = rfm.groupBy(col(metric)).agg(count(lit(1)).as("__c"))
-      Scale.globalPrefixSums(counts, metric, Seq("__c"))
-        .withColumn("__ahead",
-          if (ascBetter) col("cum___c") - col("__c")
-          else col("total___c") - col("cum___c"))
-        .select(col(metric),
-          least(lit(5L), call_function("div", col("__ahead") * 5,
-            col("total___c")) + 1L).cast("int").as(out))
+    // one action does three things: materializes the checkpoint,
+    // yields the recency anchor (corpus max ts = max of per-user
+    // lasts — no separate events pass, no broadcast crossJoin), and
+    // probes the per-metric spans fed to groupedPrefixSums as
+    // precomputed ranges (skipping its internal min/max job)
+    val mm = rfm0.agg(
+      min(col("__last")), max(col("__last")),
+      min(col("frequency")), max(col("frequency")),
+      min(col("monetary_cents")), max(col("monetary_cents"))).head()
+    val t1 = mm.getLong(1)
+    def days(last: Long): Long = ((t1 - last).toDouble / 86400L).toLong
+    val rfm = rfm0.withColumn("recency_days",
+      ((lit(t1) - col("__last")) / 86400L).cast("long"))
+    val ranges = Seq(
+      // recency flips the ordering: max __last → min days and v.v.
+      ("r", days(mm.getLong(1)).toDouble, days(mm.getLong(0)).toDouble),
+      ("f", mm.getLong(2).toDouble, mm.getLong(3).toDouble),
+      ("m", mm.getLong(4).toDouble, mm.getLong(5).toDouble))
+    // ONE long-format prefix-sums pass for all three quintile ladders:
+    // stack (metric, value) rows and run Scale.groupedPrefixSums once —
+    // one min/max action, one checkpoint, one bucket collect — instead
+    // of three serial globalPrefixSums calls (3× the scheduler
+    // overhead for identical results). "Ahead" flips per metric:
+    // recency is better-ascending, frequency/monetary better-descending.
+    val counts = rfm.select(explode(map(
+        lit("r"), col("recency_days"),
+        lit("f"), col("frequency"),
+        lit("m"), col("monetary_cents"))).as(Seq("__metric", "__v")))
+      .groupBy(col("__metric"), col("__v")).agg(count(lit(1)).as("__c"))
+    val scored = Scale.groupedPrefixSums(counts, "__metric", "__v", Seq("__c"),
+        ranges = ranges)
+      .withColumn("__ahead",
+        when(col("__metric") === "r", col("cum___c") - col("__c"))
+          .otherwise(col("total___c") - col("cum___c")))
+      .select(col("__metric"), col("__v"),
+        least(lit(5L), call_function("div", col("__ahead") * 5,
+          col("total___c")) + 1L).cast("int").as("__score"))
+    // The score is MONOTONE in the value within each metric (ahead is
+    // a prefix count), so the whole (value → score) mapping compresses
+    // to at most 5 contiguous ranges per metric: collect each score's
+    // minimum value (≤15 rows, metadata-sized at any corpus size) and
+    // score the users with a map-side CASE ladder — zero joins back.
+    val cuts = scored.groupBy(col("__metric"), col("__score"))
+      .agg(min(col("__v")).as("__lo"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    def ladder(metric: String, v: Column): Column = {
+      val ranges = cuts.filter(_._1 == metric).sortBy(_._3) // by range lo
+      ranges.tail.foldLeft(lit(ranges.head._2)) { case (e, (_, s, lo)) =>
+        when(v >= lo, s).otherwise(e) // outermost when = largest lo
+      }
     }
     rfm
-      .join(quintiles("recency_days", ascBetter = true, "r_score"), Seq("recency_days"))
-      .join(quintiles("frequency", ascBetter = false, "f_score"), Seq("frequency"))
-      .join(quintiles("monetary_cents", ascBetter = false, "m_score"), Seq("monetary_cents"))
+      .withColumn("r_score", ladder("r", col("recency_days")))
+      .withColumn("f_score", ladder("f", col("frequency")))
+      .withColumn("m_score", ladder("m", col("monetary_cents")))
       .groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("n_users"),
         sum(col("monetary_cents")).as("total_cents"))

@@ -70,6 +70,29 @@ object TarSource {
     require(numShards >= 1, s"numShards must be >= 1: $numShards")
     require(files.nonEmpty, "files mapping must be non-empty")
     val spark = df.sparkSession
+    // Driver-side fresh-output sweep, BEFORE any task runs: remove this
+    // run's target shard names (so tasks never delete a final path —
+    // see close()'s commit note) and any stale `.*.inprogress` temps
+    // left by executor JVM death in an earlier run (the task failure
+    // listener never fires for a killed JVM, so only a sweep reclaims
+    // them). Also drop a stale _SUCCESS so a half-finished rerun is
+    // never mistaken for a committed one. (`locally` keeps the block a
+    // statement — a bare block after a `new` would parse as an
+    // anonymous-class body.)
+    locally {
+      val dirPath = new org.apache.hadoop.fs.Path(dir)
+      val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(dirPath)) {
+        val targets = (0 until numShards).map(fileName).toSet
+        fs.listStatus(dirPath).foreach { st =>
+          val n = st.getPath.getName
+          val staleTemp = n.startsWith(".") && n.endsWith(".inprogress") &&
+            targets.exists(t => n.startsWith(s".$t."))
+          if (targets.contains(n) || n == SuccessMarker || staleTemp)
+            fs.delete(st.getPath, false)
+        }
+      }
+    }
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val cols = col(keyCol).cast("string").as("__key") +:
@@ -85,11 +108,18 @@ object TarSource {
         // glob and to Spark's file listing) and renamed into place
         // only once its trailer is written. A speculative or retried
         // attempt therefore never interleaves bytes with the original
-        // — each attempt owns its temp file — and a failed job leaves
-        // only dot-temps behind, which the failure listener deletes.
-        // If two attempts race the final rename, either winner is
-        // fine: shard bytes are deterministic (fixed header fields +
-        // key-sorted samples), so both temps are byte-identical.
+        // — each attempt owns its temp file — and failed TASKS leave
+        // only dot-temps behind, which the failure listener deletes
+        // (job-level completeness is signaled by the driver's _SUCCESS
+        // marker, written only after the reduce finishes). The final
+        // path is NEVER deleted here: the driver swept this run's
+        // target names before any task started, so an existing final
+        // path can only be a byte-identical twin committed by another
+        // attempt of this run (fixed header fields + key-sorted
+        // samples ⇒ deterministic bytes) — treat it as already
+        // committed and drop our temp, closing the delete-then-rename
+        // window where a zombie attempt could remove a committed shard
+        // and then die before restoring it.
         val tc = org.apache.spark.TaskContext.get()
         val attemptTag =
           if (tc == null) "local" else s"a${tc.taskAttemptId()}"
@@ -97,24 +127,30 @@ object TarSource {
           .getFileSystem(hconf.value)
         val tmpPaths = scala.collection.mutable.ArrayBuffer
           .empty[org.apache.hadoop.fs.Path]
+        var count = 0L
+        var out: OutputStream = null
+        var openShard = -1
         if (tc != null) tc.addTaskFailureListener { (_, _) =>
+          // close before delete: deleting a still-open file fails on
+          // some filesystems
+          try { if (out != null) { out.close(); out = null } }
+          catch { case _: java.io.IOException => () }
           tmpPaths.foreach(p => try fs.delete(p, false) catch {
             case _: java.io.IOException => ()
           })
         }
-        var count = 0L
-        var out: OutputStream = null
-        var openShard = -1
         def close(): Unit = if (out != null) {
           out.write(new Array[Byte](1024)) // two zero end blocks
           out.close(); out = null
           val finalPath =
             new org.apache.hadoop.fs.Path(dir, fileName(openShard))
           val tmp = tmpPaths.last
-          if (fs.exists(finalPath)) fs.delete(finalPath, false)
-          if (!fs.rename(tmp, finalPath)) {
-            // Lost a rename race to a byte-identical twin attempt —
-            // committed content is already in place; drop our temp.
+          if (fs.exists(finalPath)) {
+            // A byte-identical twin attempt already committed.
+            fs.delete(tmp, false)
+          } else if (!fs.rename(tmp, finalPath)) {
+            // Lost the rename race itself to a twin — content is in
+            // place; drop our temp.
             require(fs.exists(finalPath),
               s"failed to commit tar shard $finalPath")
             fs.delete(tmp, false)
@@ -145,8 +181,23 @@ object TarSource {
         Iterator.single(count)
       }(org.apache.spark.sql.Encoders.scalaLong)
       .reduce(_ + _)
+    // Job-level commit marker: a job that fails after some tasks
+    // committed leaves renamed *.tar shards behind with nothing
+    // distinguishing the partial dataset from a complete one — the
+    // marker (written only once EVERY task has committed) is that
+    // distinction. read(requireSuccessMarker = true) enforces it.
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(dirPath, SuccessMarker), true)
+      .close()
     written
   }
+
+  /** Marker written after ALL shard tasks commit — the job-level
+    * "this directory is a complete dataset" signal ([[read]] can
+    * require it).
+    */
+  val SuccessMarker = "_SUCCESS"
 
   private def writeEntry(out: OutputStream, name: String,
       content: Array[Byte]): Unit = {
@@ -232,8 +283,16 @@ object TarSource {
     * File-grain parallelism with the [[WarcSource]] floor; PAX
     * extended headers and directories are skipped.
     */
-  def read(spark: SparkSession, dir: String,
-      glob: String = "*.tar"): DataFrame = {
+  def read(spark: SparkSession, dir: String, glob: String = "*.tar",
+      requireSuccessMarker: Boolean = false): DataFrame = {
+    if (requireSuccessMarker) {
+      val dirPath = new org.apache.hadoop.fs.Path(dir)
+      val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.exists(new org.apache.hadoop.fs.Path(dirPath, SuccessMarker)),
+        s"no ${SuccessMarker} marker under $dir — the shard write job " +
+          "did not complete; the *.tar files present may be a partial " +
+          "dataset")
+    }
     val path = s"$dir/$glob"
     val minParts = spark.sparkContext.defaultParallelism
     val handles0 = spark.sparkContext.binaryFiles(path, minParts)
@@ -314,9 +373,13 @@ object TarSource {
       if (prefix.nonEmpty) s"$prefix/$base" else base
     }
     val size = java.lang.Long.parseLong(str(124, 12).trim, 8)
-    require(size >= 0 && size <= Int.MaxValue,
-      s"tar entry $name size $size exceeds the 2 GiB single-entry " +
-        "limit (size.toInt would overflow)")
+    // JVM arrays cap slightly below Int.MaxValue (VM header overhead),
+    // so bound at MaxValue - 8: a size in the sliver above would pass
+    // an Int.MaxValue check and then die with an opaque OOM at
+    // `new Array[Byte]`.
+    require(size >= 0 && size <= Int.MaxValue - 8,
+      s"tar entry $name size $size exceeds the single-entry limit of " +
+        s"${Int.MaxValue - 8} bytes (JVM max array length)")
     val typeflag = (h(156) & 0xff).toChar
     val content = new Array[Byte](size.toInt)
     var read = 0

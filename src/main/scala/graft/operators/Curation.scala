@@ -468,10 +468,20 @@ object Curation {
       toks.cast("long").as("__tok"),
       TextFunctions.qualityScore(col(textCol)).as("__q"),
       TextFunctions.langIdHeuristic(col(textCol)).as("__lang"),
-      TextOps.portableHash(TextFunctions.exactFingerprint(col(textCol)),
-        "card").as("__fph"),
+      // null for null text (concat_ws inside portableHash would
+      // otherwise fold a null doc into a constant hash): parity with
+      // the batch card, where countDistinct skips null fingerprints
+      when(col(textCol).isNotNull,
+        TextOps.portableHash(TextFunctions.exactFingerprint(col(textCol)),
+          "card")).as("__fph"),
       col(textCol).rlike(EmailPattern).as("__email"))
-    val partial = enriched.groupBy(col("__g")).agg(
+    // A group whose text is all null/untokenizable yields null `__fph`,
+    // which must never reach the primitive-Long KMV input — and the
+    // group must still keep its counts. So: numeric monoid in one agg,
+    // the sketch in a second agg over NON-NULL hashes only, left-join,
+    // coalesce the missing sketch to the empty one (the KMV identity).
+    val emptySketch = array().cast("array<bigint>")
+    val partialNums = enriched.groupBy(col("__g")).agg(
       count(lit(1)).as("n"),
       sum(col("__tok")).as("wt"),
       // exact integer accumulation of 4-decimal scores
@@ -479,8 +489,11 @@ object Curation {
       sum(when(col("__lang") === "en", 1L).otherwise(0L)).as("nen"),
       sum(when(col("__email"), 1L).otherwise(0L)).as("ne"),
       sum(when(col("__tok") < 10, 1L).otherwise(0L)).as("ns"),
-      max(col("__tok")).as("mt"),
-      kmvAgg(col("__fph")).as("fp_kmv"))
+      max(col("__tok")).as("mt"))
+    val partialSketch = enriched.where(col("__fph").isNotNull)
+      .groupBy(col("__g")).agg(kmvAgg(col("__fph")).as("fp_kmv"))
+    val partial = partialNums.join(partialSketch, Seq("__g"), "left")
+      .withColumn("fp_kmv", coalesce(col("fp_kmv"), emptySketch))
     val merged = Scale.readVersionedState(spark, path) match {
       case None => partial
       case Some(state) =>
@@ -492,11 +505,16 @@ object Curation {
           max(col("mt")).as("mt"))
         // KMV(A ∪ B) = bottom-k of (bottom-k(A) ∪ bottom-k(B)):
         // explode both sketches, re-aggregate — mergeability is the
-        // sketch's defining property
+        // sketch's defining property. explode() of an empty sketch
+        // emits no rows, so a group can vanish from `sketches` while
+        // its counts live on in `nums`: the join must be a left join
+        // with the empty sketch restored, or the merge silently drops
+        // that group's state.
         val sketches = both
           .select(col("__g"), explode(col("fp_kmv")).as("__h"))
           .groupBy(col("__g")).agg(kmvAgg(col("__h")).as("fp_kmv"))
-        nums.join(sketches, Seq("__g"))
+        nums.join(sketches, Seq("__g"), "left")
+          .withColumn("fp_kmv", coalesce(col("fp_kmv"), emptySketch))
     }
     Scale.writeVersionedState(spark, path, merged)
   }

@@ -466,8 +466,19 @@ object Scale {
     require(sumCols.nonEmpty, "sumCols must be non-empty")
     require(buckets > 0, "buckets must be positive")
     val spark = counts.sparkSession
-    val mm = counts.agg(min(col(orderCol).cast("double")).as("mn"),
-      max(col(orderCol).cast("double")).as("mx")).head()
+    // A single NaN (or null) order value poisons the bucket function:
+    // max() returns NaN, every bucket expression goes NaN, and the
+    // non-ANSI int cast folds ALL rows into one bucket — silently
+    // recreating the single-partition window this helper exists to
+    // prevent. Fail loudly here rather than in each caller.
+    val ordD = col(orderCol).cast("double")
+    val mm = counts.agg(min(ordD).as("mn"), max(ordD).as("mx"),
+      coalesce(sum(when(ordD.isNull || ordD.isNaN, 1L).otherwise(0L)),
+        lit(0L)).as("bad")).head()
+    require(mm.getLong(2) == 0L,
+      s"globalPrefixSums: orderCol '$orderCol' has ${mm.getLong(2)} " +
+        "NaN/null value(s) — they would collapse every row into one " +
+        "bucket; filter or impute them before calling")
     if (mm.isNullAt(0)) { // empty input: keep the output schema stable
       return sumCols.foldLeft(counts) { (d, c) =>
         d.withColumn(s"cum_$c", col(c).cast("long"))
@@ -512,6 +523,131 @@ object Scale {
         d.withColumn(s"cum_$c", col(s"__off_$c") + sum(col(c).cast("long")).over(w))
           .withColumn(s"total_$c", lit(grand(i)))
           .drop(s"__off_$c")
+    }.drop("__pb")
+  }
+
+  /** [[globalPrefixSums]] with a GROUP key — N independent prefix-sum
+    * problems (one per `groupCol` value) in ONE pass: one per-group
+    * min/max action, one checkpoint, one (group × bucket) totals
+    * collect, one partitioned window. The reason it exists: a caller
+    * that needs running totals for k metrics (RFM's three quintile
+    * ladders, a multi-column calibration report) would otherwise pay
+    * k serial [[globalPrefixSums]] calls — k min/max actions, k eager
+    * checkpoints, k bucket collects — pure scheduler overhead at any
+    * scale. Stack the metrics in long format (`metric`, `value`,
+    * counts…) and fold them here instead.
+    *
+    * Same contract per group as [[globalPrefixSums]]: `counts` is a
+    * distinct-value count table within each group (one row per
+    * (group, value)), `orderCol` numeric with no NaN/null, and the
+    * group count is modest (one row per metric/stratum — the driver
+    * holds groups × buckets bucket totals, metadata-sized). Adds
+    * `cum_<c>` / `total_<c>` computed WITHIN each group.
+    *
+    * `ranges`: optional caller-supplied per-group (group, min, max) of
+    * `orderCol`. When the caller already knows the spans — typically
+    * because it derived the stacked metrics from a frame it aggregates
+    * anyway — passing them skips this helper's min/max action (one
+    * fewer Spark job); the NaN/null refusal then rides the bucket
+    * expression itself (codegen'd `assert_true`, zero extra jobs).
+    */
+  def groupedPrefixSums(counts: DataFrame, groupCol: String,
+      orderCol: String, sumCols: Seq[String], buckets: Int = 64,
+      ranges: Seq[(Any, Double, Double)] = Nil): DataFrame = {
+    require(sumCols.nonEmpty, "sumCols must be non-empty")
+    require(buckets > 0, "buckets must be positive")
+    val spark = counts.sparkSession
+    val ordD = col(orderCol).cast("double")
+    val mmRows: Seq[(Any, Double, Double)] =
+      if (ranges.nonEmpty) {
+        require(!ranges.exists(r => r._2.isNaN || r._3.isNaN),
+          "groupedPrefixSums: caller-supplied ranges contain NaN")
+        ranges
+      } else {
+        // one action: per-group [min, max] + the NaN/null refusal (same
+        // rationale as globalPrefixSums — one bad value would fold a
+        // whole group into one bucket)
+        val rows = counts.groupBy(col(groupCol).as("__pg")).agg(
+          min(ordD).as("__mn"), max(ordD).as("__mx"),
+          sum(when(ordD.isNull || ordD.isNaN, 1L).otherwise(0L)).as("__bad"))
+          .collect()
+        val bad = rows.map(_.getLong(3)).sum
+        require(bad == 0L,
+          s"groupedPrefixSums: orderCol '$orderCol' has $bad NaN/null " +
+            "value(s) — they would collapse their group into one bucket; " +
+            "filter or impute them before calling")
+        rows.toSeq.map(r => (r.get(0), r.getDouble(1), r.getDouble(2)))
+      }
+    if (mmRows.isEmpty) { // empty input: keep the output schema stable
+      return sumCols.foldLeft(counts) { (d, c) =>
+        d.withColumn(s"cum_$c", col(c).cast("long"))
+          .withColumn(s"total_$c", lit(0L))
+      }
+    }
+    val gField = counts.schema(counts.schema.fieldIndex(groupCol))
+    // assert_true returns null when the predicate holds and raises
+    // otherwise — the zero-job NaN/null guard for the ranges path
+    // (harmlessly redundant on the computed path)
+    val guarded = when(
+      assert_true(ordD.isNotNull && !ordD.isNaN,
+        lit(s"groupedPrefixSums: NaN/null $orderCol value")).isNull, ordD)
+    // the per-group spans are driver-side either way and the group
+    // count is modest by contract, so the bucket function inlines as a
+    // literal CASE over the group key — pure codegen, no broadcast
+    // exchange to ship three rows
+    // base case raises: a group absent from caller-supplied ranges is
+    // a caller bug, never a silent row drop at the offsets join
+    val noRange = when(assert_true(lit(false),
+      lit(s"groupedPrefixSums: a '$groupCol' value is missing from " +
+        "the supplied ranges")).isNull, lit(0))
+    val bucketCol = mmRows.foldLeft(noRange) {
+      case (e, (g, mn, mx)) =>
+        val b =
+          if (mx == mn) lit(0)
+          else least(lit(buckets - 1),
+            floor((guarded - mn) / (mx - mn) * buckets).cast("int"))
+        when(col(groupCol) === lit(g), b).otherwise(e)
+    }
+    // materialize once — same discipline as globalPrefixSums
+    val withB = counts
+      .withColumn("__pb", bucketCol)
+      .localCheckpoint(true)
+    val sumAggs = sumCols.map(c => sum(col(c)).cast("long").as(c))
+    val perBucket = withB.groupBy(col(groupCol).as("__pg"), col("__pb"))
+      .agg(sumAggs.head, sumAggs.tail: _*)
+      .collect()
+      .map(r => (r.get(0), r.getInt(1)) ->
+        sumCols.indices.map(i => r.getLong(i + 2)))
+      .sortBy(_._1._2)
+    // per-group running offsets and grand totals, driver-side
+    val byGroup = perBucket.groupBy(_._1._1)
+    val offRows = byGroup.toSeq.flatMap { case (g, bs) =>
+      var acc = sumCols.indices.map(_ => 0L)
+      val grand = sumCols.indices.map(i => bs.map(_._2(i)).sum)
+      bs.map { case ((_, b), tot) =>
+        val row = org.apache.spark.sql.Row.fromSeq((g +: b +: acc) ++ grand)
+        acc = acc.zip(tot).map { case (a, t) => a + t }
+        row
+      }
+    }
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val offSchema = StructType(
+      StructField("__pg", gField.dataType) +:
+        StructField("__pb", IntegerType, nullable = false) +:
+        (sumCols.map(c => StructField(s"__off_$c", LongType, nullable = false)) ++
+          sumCols.map(c => StructField(s"__tot_$c", LongType, nullable = false))))
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1), offSchema)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("__pb")).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val joined = withB.join(broadcast(offDf),
+      col(groupCol) === col("__pg") && withB("__pb") === offDf("__pb"))
+      .drop(offDf("__pb")).drop("__pg")
+    sumCols.foldLeft(joined) { case (d, c) =>
+      d.withColumn(s"cum_$c", col(s"__off_$c") + sum(col(c).cast("long")).over(w))
+        .withColumn(s"total_$c", col(s"__tot_$c"))
+        .drop(s"__off_$c", s"__tot_$c")
     }.drop("__pb")
   }
 

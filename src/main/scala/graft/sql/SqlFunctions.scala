@@ -57,9 +57,21 @@ object SqlFunctions {
   def builders: Seq[(String, Seq[Expression] => Expression)] =
     Bindings.map { case (name, fn) => name -> unary(name, fn) }
 
-  /** Register every binding on the session (idempotent). */
+  // Sessions already registered: weak keys so a dropped session never
+  // leaks through this guard. Registering is cheap but NOT silent —
+  // re-registration logs a "replaced a temporary function" warning per
+  // binding, which pollutes stdout-parsed channels (Bench's JSON line)
+  // when callers register per query construction.
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Register every binding on the session — once; repeat calls on the
+    * same session are no-ops.
+    */
   def register(spark: SparkSession): Unit =
-    builders.foreach { case (name, b) =>
-      GraftSqlShim.registerFunction(spark, name, b)
+    if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
+      builders.foreach { case (name, b) =>
+        GraftSqlShim.registerFunction(spark, name, b)
+      }
     }
 }

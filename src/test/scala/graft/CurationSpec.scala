@@ -867,4 +867,28 @@ class CurationSpec extends SparkSpec {
       assert(math.abs(inc((g, mm)) - v) < 1e-9, s"($g, $m): ${inc((g, mm))} vs $v")
     }
   }
+
+  test("incremental data card: an all-null-text group's counts survive the merge") {
+    import spark.implicits._
+    // null text → null fingerprint → the group's KMV sketch is EMPTY;
+    // exploding an empty sketch emits no rows, so an inner sketch join
+    // would silently drop the group's counts from the merged state
+    val path = java.nio.file.Files.createTempDirectory("graft-cardnull").toString
+    val b1 = Seq(("s1", "the cat sat on the mat"),
+      ("ghost", null.asInstanceOf[String]),
+      ("ghost", null.asInstanceOf[String])).toDF("source", "text")
+    val b2 = Seq(("s1", "a dog barked"),
+      ("ghost", null.asInstanceOf[String])).toDF("source", "text")
+    Curation.upsertDataCardState(spark, path, b1, "text", "source")
+    Curation.upsertDataCardState(spark, path, b2, "text", "source")
+    val card = Curation.dataCardFromState(spark, path, "source").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> Option(r.get(2))).toMap
+    assert(card(("ghost", "n_docs")) == Some(3.0),
+      s"null-text group's counts must survive both merges: $card")
+    assert(card(("ghost", "pct_unique_est")) == Some(0.0),
+      "no hashable text means zero distinct fingerprints")
+    assert(card(("s1", "n_docs")) == Some(2.0))
+    assert(card(("s1", "pct_unique_est")) == Some(1.0),
+      "the non-null group's sketch must be unaffected")
+  }
 }

@@ -468,6 +468,23 @@ class ScaleSpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 
+  test("globalPrefixSums fails loudly on NaN or null order values") {
+    // a single NaN would make max() NaN → every bucket NaN → non-ANSI
+    // cast folds all rows into one bucket, silently recreating the
+    // global window: the helper must refuse instead
+    val nan = Seq((1.0, 2L), (Double.NaN, 3L), (4.0, 5L)).toDF("v", "c")
+    val e1 = intercept[IllegalArgumentException] {
+      Scale.globalPrefixSums(nan, "v", Seq("c"))
+    }
+    assert(e1.getMessage.contains("NaN"), e1.getMessage)
+    val withNull = Seq((Some(1.0), 2L), (Option.empty[Double], 3L),
+      (Some(4.0), 5L)).toDF("v", "c")
+    val e2 = intercept[IllegalArgumentException] {
+      Scale.globalPrefixSums(withNull, "v", Seq("c"))
+    }
+    assert(e2.getMessage.contains("NaN/null"), e2.getMessage)
+  }
+
   test("globalPrefixSums property sweep: random shapes and bucket counts match the window form") {
     for (seed <- 1 to 5; buckets <- Seq(1, 3, 16)) {
       val rnd = new scala.util.Random(seed)
@@ -487,6 +504,47 @@ class ScaleSpec extends SparkSpec {
       assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
         s"mismatch at seed=$seed buckets=$buckets")
     }
+  }
+
+  test("groupedPrefixSums equals per-group window cumulatives in one pass") {
+    val rnd = new scala.util.Random(7)
+    val counts = (for {
+      g <- Seq("r", "f", "m"); _ <- 1 to 150
+    } yield (g, rnd.nextInt(30 + g.hashCode.abs % 50).toLong, 1L))
+      .groupBy(t => (t._1, t._2))
+      .map { case ((g, v), rows) => (g, v, rows.map(_._3).sum) }
+      .toSeq.toDF("g", "v", "c")
+    val got = Scale.groupedPrefixSums(counts, "g", "v", Seq("c"), buckets = 5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wt = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val want = counts.withColumn("cum_c", sum(col("c")).over(w))
+      .withColumn("total_c", sum(col("c")).over(wt))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    import org.apache.spark.sql.execution.window.WindowExec
+    assert(got.queryExecution.sparkPlan.collect {
+      case x: WindowExec if x.partitionSpec.isEmpty => x
+    }.isEmpty, "groupedPrefixSums must never plan a global window")
+    // NaN in any group refuses the whole call
+    val nan = Seq(("a", 1.0, 2L), ("b", Double.NaN, 3L)).toDF("g", "v", "c")
+    val e = intercept[IllegalArgumentException] {
+      Scale.groupedPrefixSums(nan, "g", "v", Seq("c"))
+    }
+    assert(e.getMessage.contains("NaN"), e.getMessage)
+    // constant-value group coexists with a spread group
+    val mix = Seq(("k", 5L, 2L), ("k", 5L, 3L), ("s", 1L, 1L), ("s", 9L, 4L))
+      .toDF("g", "v", "c").groupBy("g", "v").agg(sum("c").as("c"))
+    val mixGot = Scale.groupedPrefixSums(mix, "g", "v", Seq("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getAs[Long]("cum_c"), r.getAs[Long]("total_c")))).toMap
+    assert(mixGot(("k", 5L)) == ((5L, 5L)))
+    assert(mixGot(("s", 1L)) == ((1L, 5L)) && mixGot(("s", 9L)) == ((5L, 5L)))
+    // empty input keeps the schema
+    val empty = Scale.groupedPrefixSums(counts.filter(lit(false)), "g", "v", Seq("c"))
+    assert(empty.columns.toSet == Set("g", "v", "c", "cum_c", "total_c"))
+    assert(empty.count() == 0)
   }
 
   test("globalRowNumber equals row_number over (value, ties) in both directions") {

@@ -67,6 +67,38 @@ class TarSpec extends SparkSpec {
     assert(new String(samples("k2")("txt"), "UTF-8") == "another doc")
   }
 
+  test("commit protocol: _SUCCESS written after the job, stale files swept, read can require the marker") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tarc").toString
+    // plant debris from a hypothetical earlier crashed run: a stale
+    // target shard, a stale in-progress temp, and a stale marker
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "shard-00000.tar"),
+      "GARBAGE-NOT-A-TAR".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, ".shard-00001.tar.a99.inprogress"),
+      "half-written".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_SUCCESS"), Array.emptyByteArray)
+    TarSource.writeShards(sampleDf, dir, "key", "shard",
+      Seq("txt" -> "txt"), numShards = 2)
+    val names = new java.io.File(dir).listFiles.map(_.getName).toSet
+    assert(names.contains("_SUCCESS"), "job-level marker must be written")
+    assert(!names.exists(_.endsWith(".inprogress")),
+      s"stale temps must be swept before the run: $names")
+    // the stale garbage shard was replaced (driver sweep), so the
+    // marker-gated read loads a consistent dataset
+    val back = TarSource.read(spark, dir, requireSuccessMarker = true)
+    assert(back.count() == 4)
+    // without the marker, requireSuccessMarker must refuse the read
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_SUCCESS"))
+    val e = intercept[IllegalArgumentException] {
+      TarSource.read(spark, dir, requireSuccessMarker = true)
+    }
+    assert(e.getMessage.contains("_SUCCESS"), e.getMessage)
+    // and the default read stays lenient (generations, foreign dirs)
+    assert(TarSource.read(spark, dir).count() == 4)
+  }
+
   test("shard assignment is the portable hash — replayable in any engine") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tar").toString
     TarSource.writeShards(sampleDf, dir, "key", "shard",
