@@ -4043,6 +4043,43 @@ object SparkEntry {
           .as("clean_tokens"))
       .orderBy(col("source"))
 
+  /** Image near-dup — perceptual dHash banded through the SimHash
+    * Hamming join ([[graft.operators.Dedup.imageNearDuplicates]], the
+    * q38 discipline applied to pixels). Lossless in-engine PNGs with
+    * CLOSED-FORM hashes (the q79 precedent): an 18×16 luma gradient
+    * block-averages to a strictly increasing 9×8 grid → all 64
+    * brighter-to-the-right bits set (hash = all-ones); its 2×-resolution
+    * twin averages to the same grid ordering → Hamming 0; a copy with
+    * one brightened corner cell flips exactly bit 0 → Hamming 1; the
+    * reversed gradient hashes to all-zeros and shares no band. The
+    * oracle states the resulting pair list as literals. DedupSpec
+    * carries the JPEG re-encode twin (lossy → tolerance spec, never an
+    * exact oracle).
+    */
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    val imgs = Seq(
+      (1L, M.renderPng(18, 16, (x, _) => gray(x * 10))),
+      (2L, M.renderPng(36, 32, (x, _) => gray(x * 5))),
+      (3L, M.renderPng(18, 16,
+        (x, y) => gray(if (y < 2 && x < 2) 200 else x * 10))),
+      (4L, M.renderPng(18, 16, (x, _) => gray((17 - x) * 10)))
+    ).toDF("img_id", "content")
+    graft.operators.Dedup.imageNearDuplicates(imgs, "img_id", "content",
+        maxHamming = 6)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private def imgDupOracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(1 AS BIGINT), CAST(2 AS BIGINT), 0),
+      | (CAST(1 AS BIGINT), CAST(3 AS BIGINT), 1),
+      | (CAST(2 AS BIGINT), CAST(3 AS BIGINT), 1)
+      |) AS t(id_a, id_b, hamming)
+      |ORDER BY id_a, id_b""".stripMargin
+
   private def c4LineOracle: String =
     """WITH l AS (
       |  SELECT source, text, string_split(text, chr(10)) AS lines
@@ -4222,7 +4259,8 @@ object SparkEntry {
     "q144_unitok" -> (q144 _),
     "q145_wds" -> (q145 _),
     "q146_card" -> (q146 _),
-    "q147_c4" -> (q147 _))
+    "q147_c4" -> (q147 _),
+    "q148_imgdup" -> (q148 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -4620,6 +4658,7 @@ object SparkEntry {
     "q145_wds" -> wdsOracle,
     "q146_card" -> dataCardOracle,
     "q147_c4" -> c4LineOracle,
+    "q148_imgdup" -> imgDupOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

@@ -491,6 +491,60 @@ object Dedup {
       .distinct()
   }
 
+  // ----------------------------------------------------------- image dedup
+
+  /** Perceptual-hash signatures for image near-dup: (id, sh) with
+    * `sh` = [[Multimodal.dhash64Col]] (64-bit dHash over the decoded,
+    * EXIF-normalized raster). Map-only codegen'd projection — the
+    * pixel twin of [[simhashSignatures]]. Non-decodable rows are
+    * dropped here (they can't be near anything), mirroring
+    * [[Multimodal.imageStats]]'s degrade-per-row rule.
+    */
+  def imageHashSignatures(df: DataFrame, idCol: String,
+      contentCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        Multimodal.dhash64Col(col(contentCol)).as("sh"))
+      .filter(col("sh").isNotNull)
+
+  /** Image near-duplicates — the text-SimHash Hamming discipline
+    * applied to pixels: dHash signatures banded 8×8 through the SAME
+    * pigeonhole candidate join ([[simhashNearDuplicatesFromSigs]]),
+    * exact Hamming verify at join time. Re-encodes, resizes and mild
+    * quality loss land within a few bits; `bands = 8` guarantees full
+    * recall through Hamming 7 (dHash near-dup practice gates at ~6),
+    * and the hot-bucket cap keeps flat-image chunks (solid borders
+    * hash alike) from degenerating to all-pairs. Candidate generation
+    * is a bucketed equi-join — no all-pairs at any corpus size.
+    */
+  def imageNearDuplicates(df: DataFrame, idCol: String, contentCol: String,
+      maxHamming: Int = 6, bands: Int = 8,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    // materialized once: both join sides and the cap aggregate would
+    // otherwise re-decode every raster
+    simhashNearDuplicatesFromSigs(
+      imageHashSignatures(df, idCol, contentCol).localCheckpoint(false),
+      maxHamming, bands, maxBucketSize)
+
+  /** End-to-end image corpus dedup — [[dedupCorpus]] for pixels:
+    * perceptual near-dup pairs → transitive duplicate classes →
+    * keep-list (smallest id per class survives; compose with
+    * [[keepBest]] for quality-aware keepers). Returns the input plus
+    * `dup_class` (null = unique, including non-decodable rows) and
+    * `keep`.
+    */
+  def imageDedupCorpus(df: DataFrame, idCol: String, contentCol: String,
+      maxHamming: Int = 6, bands: Int = 8,
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val pairs = imageNearDuplicates(df, idCol, contentCol, maxHamming,
+      bands, maxBucketSize)
+    val classes = connectedComponents(pairs.select(col("id_a"), col("id_b")),
+      checkpointDir = checkpointDir)
+    df.join(classes.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumnRenamed("component", "dup_class")
+      .withColumn("keep", col("dup_class").isNull || col("dup_class") === col(idCol))
+  }
+
   // ------------------------------------------- transitive dedup classes
 
   /** Connected components over a similarity-pair edge list by iterative

@@ -472,6 +472,119 @@ object Multimodal {
       lumaHist(0) / n, lumaHist(1) / n, lumaHist(2) / n, lumaHist(3) / n)
   }
 
+  /** 64-bit perceptual difference hash (dHash, Krawetz's "kind of like
+    * that" scheme): block-average the raster to a 9×8 integer-luma
+    * grid, emit bit `row*8 + col` = 1 when the cell to the RIGHT is
+    * strictly brighter. Near-identical images (re-encodes, resizes,
+    * mild quality loss) land within a few Hamming bits, which plugs
+    * pixel content into the SAME banded-Hamming candidate machinery
+    * text SimHash uses ([[Dedup.simhashNearDuplicatesFromSigs]]).
+    *
+    * Determinism is the contract: all-integer math (luma scaled
+    * ×1000, averages compared by cross-multiplication — no float
+    * rounding, no division), cell edges at `floor(i·dim/9)`, the same
+    * stride-sampling cap as [[pixelSummary]] (≥9×8 images sample
+    * every cell; the stride is a pure function of width×height). A
+    * PNG's hash is therefore a closed form of its pixel function —
+    * exact-oracle material — while JPEG twins get tolerance specs.
+    * Null / non-decodable bytes → null (callers filter, mirroring
+    * [[imageStats]]'s degrade-per-row rule).
+    */
+  private[graft] def dhash64(bytes: Array[Byte]): java.lang.Long =
+    decodePixels(bytes) match {
+      case None => null
+      case Some(img) => java.lang.Long.valueOf(dhashOf(img))
+    }
+
+  private[graft] def dhashOf(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val stride = math.max(1, math.ceil(math.sqrt(w.toDouble * h / 1048576.0)).toInt)
+    val sums = new Array[Long](9 * 8) // summed ×1000 luma per grid cell
+    val cnts = new Array[Long](9 * 8)
+    var cy = 0
+    while (cy < 8) {
+      val y0 = cy * h / 8
+      val y1 = math.max(y0 + 1, (cy + 1) * h / 8)
+      var cx = 0
+      while (cx < 9) {
+        val x0 = cx * w / 9
+        val x1 = math.max(x0 + 1, (cx + 1) * w / 9)
+        var s = 0L
+        var n = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            s += ((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114
+            n += 1
+            x += stride
+          }
+          y += stride
+        }
+        sums(cy * 9 + cx) = s
+        cnts(cy * 9 + cx) = n
+        cx += 1
+      }
+      cy += 1
+    }
+    var out = 0L
+    var k = 0
+    while (k < 64) {
+      val row = k / 8
+      val colL = row * 9 + (k % 8)
+      // avg_right > avg_left without division: sR/nR > sL/nL ⇔
+      // sR·nL > sL·nR (counts are positive; a stride-starved empty
+      // cell — impossible at stride 1 — compares as not-brighter)
+      if (cnts(colL) > 0 && cnts(colL + 1) > 0 &&
+          sums(colL + 1) * cnts(colL) > sums(colL) * cnts(colL + 1))
+        out |= (1L << k)
+      k += 1
+    }
+    out
+  }
+
+  /** [[dhash64]] as a Column — a custom Catalyst expression whose
+    * generated code is one static call into this object (top-level
+    * object ⇒ Java static forwarder), so a signature scan stays inside
+    * whole-stage codegen exactly like the text-hash kernels in
+    * [[graft.functions.CatalystExpressions]]. It lives here rather
+    * than there because the kernel IS the existing raster path
+    * ([[decodePixels]] + EXIF normalization — an auto-oriented
+    * re-upload of a rotated camera JPEG hashes identically to its
+    * original).
+    */
+  def dhash64Col(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.bridge.{columnOf, expressionOf}
+    columnOf(DHash64(expressionOf(content)))
+  }
+
+  case class DHash64(child: org.apache.spark.sql.catalyst.expressions.Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val h = dhash64(v.asInstanceOf[Array[Byte]])
+      if (h == null) null else h.longValue()
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val c = child.genCode(ctx)
+      val boxed = ctx.freshName("dhash")
+      ev.copy(code = code"""
+        ${c.code}
+        java.lang.Long $boxed = ${c.isNull} ? null :
+          graft.operators.Multimodal.dhash64(${c.value});
+        final boolean ${ev.isNull} = $boxed == null;
+        final long ${ev.value} = ${ev.isNull} ? 0L : $boxed.longValue();""")
+    }
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression): DHash64 = copy(c)
+  }
+
   val ImageStatsSchema: StructType = StructType(Seq(
     StructField("width", IntegerType),
     StructField("height", IntegerType),

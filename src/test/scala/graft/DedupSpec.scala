@@ -321,6 +321,71 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> false, 2L -> true, 3L -> false, 7L -> true), s"got $out")
   }
 
+  test("dHash closed forms: gradients, scale invariance, single-cell flip, non-images") {
+    val M = graft.operators.Multimodal
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    // 18×16 → exact 2×2 blocks per 9×8 grid cell; luma strictly
+    // increases with x → every right cell brighter → all 64 bits set
+    val a = M.renderPng(18, 16, (x, _) => gray(x * 10))
+    assert(M.dhash64(a) == -1L, "increasing gradient = all ones")
+    // the same pixel FUNCTION at 2× resolution block-averages to the
+    // same grid ordering → identical hash (resize invariance, exact)
+    val a2 = M.renderPng(36, 32, (x, _) => gray(x * 5))
+    assert(M.dhash64(a2) == -1L, "2x resize of the gradient hashes identically")
+    // decreasing gradient → no right cell ever brighter → 0
+    val b = M.renderPng(18, 16, (x, _) => gray((17 - x) * 10))
+    assert(M.dhash64(b) == 0L, "decreasing gradient = all zeros")
+    // brighten ONLY cell (0,0): flips exactly bit 0 (200 > cell(1,0))
+    val c = M.renderPng(18, 16,
+      (x, y) => gray(if (y < 2 && x < 2) 200 else x * 10))
+    val hc = M.dhash64(c).longValue()
+    assert(java.lang.Long.bitCount(-1L ^ hc) == 1 && (hc & 1L) == 0L,
+      s"one-cell flip = Hamming 1 at bit 0, got ${java.lang.Long.toBinaryString(hc)}")
+    // non-decodable bytes → null, the degrade-per-row rule
+    assert(M.dhash64(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9)) == null)
+    assert(M.dhash64(null) == null)
+  }
+
+  test("image near-dup: JPEG re-encode and resize twins pair up; unrelated images don't") {
+    val M = graft.operators.Multimodal
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    // block-structured content is robust to JPEG loss at cell grain
+    def halves(x: Int, y: Int): Int = gray(if (x < 16) 40 else 200)
+    def checker(x: Int, y: Int): Int =
+      gray(if (((x / 8) + (y / 8)) % 2 == 0) 30 else 220)
+    val imgs = Seq(
+      (1L, M.renderPng(32, 32, halves)),
+      (2L, M.renderJpeg(32, 32, halves)),          // lossy re-encode of 1
+      (3L, M.renderPng(64, 64, (x, y) => halves(x / 2, y / 2))), // 2x resize of 1
+      (4L, M.renderPng(32, 32, checker)),          // unrelated
+      (5L, "not an image at all".getBytes("UTF-8")) // non-decodable
+    ).toDF("img_id", "content")
+    val jpegHamming = java.lang.Long.bitCount(
+      M.dhash64(imgs.filter(col("img_id") === 1).head().getAs[Array[Byte]](1)).longValue() ^
+      M.dhash64(imgs.filter(col("img_id") === 2).head().getAs[Array[Byte]](1)).longValue())
+    info(s"png-vs-jpeg twin hamming = $jpegHamming")
+    val pairs = Dedup.imageNearDuplicates(imgs, "img_id", "content")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.contains((1L, 2L)), s"jpeg twin must pair: $pairs")
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) == 0,
+      s"resize twin is Hamming 0: $pairs")
+    assert(pairs.contains((2L, 3L)), s"twins are transitive candidates: $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated image must not pair: $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 5L || p._2 == 5L),
+      s"non-decodable row is dropped: $pairs")
+    // end-to-end corpus form: {1,2,3} one class keeping 1; 4 unique;
+    // 5 non-decodable → unique
+    val corpus = Dedup.imageDedupCorpus(imgs, "img_id", "content")
+      .collect().map(r => r.getAs[Long]("img_id") ->
+        ((Option(r.getAs[java.lang.Long]("dup_class")), r.getAs[Boolean]("keep")))).toMap
+    assert(corpus(1L) == ((Some(1L), true)))
+    assert(corpus(2L) == ((Some(1L), false)))
+    assert(corpus(3L) == ((Some(1L), false)))
+    assert(corpus(4L) == ((None, true)))
+    assert(corpus(5L) == ((None, true)))
+  }
+
   test("containment maxGramDf: boilerplate grams dropped from both numerator and denominator") {
     // the same long boilerplate footer in EVERY doc would make a
     // quadratic hot gram AND fake high containment between unrelated
