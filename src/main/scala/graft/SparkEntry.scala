@@ -4080,6 +4080,93 @@ object SparkEntry {
       |) AS t(id_a, id_b, hamming)
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** C4 dirty-word page gate ([[graft.operators.Curation
+    * .badwordFilter]], Raffel et al. 2020 §2.2's "remove any page
+    * containing a listed word" — the content companion to q147's
+    * structural rules): per source, flagged-page rate and total hits
+    * under a stand-in list (one word the corpus contains, two it
+    * doesn't — the real list is distribution-restricted; the operator
+    * is list-agnostic). Map-only fused tokenize + hash-set membership
+    * ([[graft.functions.CatalystExpressions.CountInSet]]); the oracle
+    * replays exact-token membership with DuckDB list ops.
+    */
+  private def q149(s: SparkSession, dir: String): DataFrame =
+    Curation.badwordFilter(docs(s, dir), "text",
+        Seq("slow", "terrible", "worst"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("pass_badwords"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("n_badwords").cast("long")).as("total_hits"))
+      .withColumn("pct_flagged",
+        round(col("n_flagged").cast("double") / col("n_docs"), 4))
+      .orderBy(col("source"))
+
+  private def badwordOracle: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    len(list_filter(
+      |      list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+      |      x -> list_contains(['slow', 'terrible', 'worst'], lower(x))))
+      |      AS hits
+      |  FROM documents)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_flagged,
+      |  CAST(sum(hits) AS BIGINT) AS total_hits,
+      |  round(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+      |    AS pct_flagged
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
+
+  /** Audio content stats ([[graft.operators.Multimodal.audioStats]],
+    * REAL PCM decode of the RIFF data chunk): peak/RMS amplitude,
+    * clipping ratio, silence ratio over in-engine WAVs whose sample
+    * functions make every stat a closed form — exact integer Σs², so
+    * the oracle restates the same arithmetic as literals (the q79
+    * discipline for audio). The junk row proves the degrade-per-row
+    * rule. 8-bit PCM and truncated-chunk handling are spec-gated
+    * (SemanticSpec).
+    */
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    val square = Array.tabulate[Short](800)(i =>
+      (if (i % 2 == 0) 16384 else -16384).toShort)
+    val silent = new Array[Short](400)
+    val mix = Array.tabulate[Short](200)(i =>
+      (if (i < 100) 0 else if (i % 2 == 0) 32767 else -32767).toShort)
+    val wavs = Seq(
+      (1L, M.renderWav(8000, 1, square)),
+      (2L, M.renderWav(44100, 2, silent)),
+      (3L, M.renderWav(16000, 1, mix)),
+      (4L, "not audio".getBytes("UTF-8"))
+    ).toDF("wav_id", "content")
+    M.audioStats(wavs)
+      .select(col("wav_id"), col("audio.channels").as("channels"),
+        col("audio.sample_rate").as("sample_rate"),
+        col("audio.n_samples").as("n_samples"),
+        col("audio.peak_norm").as("peak_norm"),
+        col("audio.rms_norm").as("rms_norm"),
+        col("audio.clip_ratio").as("clip_ratio"),
+        col("audio.silence_ratio").as("silence_ratio"),
+        col("audio.ok").as("ok"))
+      .orderBy(col("wav_id"))
+  }
+
+  private def audioOracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(1 AS BIGINT), 1, 8000, CAST(800 AS BIGINT),
+      |  round(16384.0/32767, 6), round(16384.0/32767, 6), 0.0, 0.0, TRUE),
+      | (CAST(2 AS BIGINT), 2, 44100, CAST(400 AS BIGINT),
+      |  0.0, 0.0, 0.0, 1.0, TRUE),
+      | (CAST(3 AS BIGINT), 1, 16000, CAST(200 AS BIGINT),
+      |  1.0, round(sqrt((100.0*32767*32767)/200)/32767, 6), 0.5, 0.5, TRUE),
+      | (CAST(4 AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+      |  CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+      |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), FALSE)
+      |) AS t(wav_id, channels, sample_rate, n_samples, peak_norm,
+      |       rms_norm, clip_ratio, silence_ratio, ok)
+      |ORDER BY wav_id""".stripMargin
+
   private def c4LineOracle: String =
     """WITH l AS (
       |  SELECT source, text, string_split(text, chr(10)) AS lines
@@ -4260,7 +4347,9 @@ object SparkEntry {
     "q145_wds" -> (q145 _),
     "q146_card" -> (q146 _),
     "q147_c4" -> (q147 _),
-    "q148_imgdup" -> (q148 _))
+    "q148_imgdup" -> (q148 _),
+    "q149_badwords" -> (q149 _),
+    "q150_audio" -> (q150 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -4659,6 +4748,8 @@ object SparkEntry {
     "q146_card" -> dataCardOracle,
     "q147_c4" -> c4LineOracle,
     "q148_imgdup" -> imgDupOracle,
+    "q149_badwords" -> badwordOracle,
+    "q150_audio" -> audioOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

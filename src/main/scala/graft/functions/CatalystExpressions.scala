@@ -748,6 +748,35 @@ object CatalystExpressions {
     override protected def withNewChildInternal(c: Expression): FilterNotInSet = copy(c)
   }
 
+  /** Membership-count twin of [[FilterNotInSet]]: how many array
+    * elements appear in the set ([[ExprKernels.countInSet]] — O(1)
+    * hash probes against a plan-shipped set, the badword page gate's
+    * kernel). Null array → 0.
+    */
+  case class CountInSet(child: Expression, values: Seq[String])
+      extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = false
+    @transient private lazy val set: java.util.HashSet[UTF8String] = {
+      val s = new java.util.HashSet[UTF8String](values.size * 2)
+      values.foreach(v => s.add(UTF8String.fromString(v)))
+      s
+    }
+    override def eval(input: InternalRow): Any =
+      ExprKernels.countInSet(child.eval(input).asInstanceOf[ArrayData], set)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val setRef = ctx.addReferenceObj("set", set, "java.util.HashSet")
+      val c = child.genCode(ctx)
+      ev.copy(
+        code = code"""
+          ${c.code}
+          final int ${ev.value} =
+            $K.countInSet(${c.isNull} ? null : ${c.value}, $setRef);""",
+        isNull = FalseLiteral)
+    }
+    override protected def withNewChildInternal(c: Expression): CountInSet = copy(c)
+  }
+
   /** Morton (Z-order) value of two integral coordinates
     * ([[ExprKernels.interleaveBits]]): the multi-column data-layout
     * sort key. Range-partitioning + sorting by this value clusters
@@ -839,6 +868,9 @@ object CatalystExpressions {
 
   def filterNotInSet(arr: Column, values: Seq[String]): Column =
     column(FilterNotInSet(expression(arr), values))
+
+  def countInSet(arr: Column, values: Seq[String]): Column =
+    column(CountInSet(expression(arr), values))
 
   def wordNgrams(tokens: Column, n: Int): Column =
     column(WordNgrams(expression(tokens), n))

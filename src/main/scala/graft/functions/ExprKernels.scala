@@ -1100,4 +1100,21 @@ object ExprKernels {
     }
     new GenericArrayData(out.toArray(new Array[AnyRef](out.size())))
   }
+
+  /** Count of array elements present in the set — the membership twin
+    * of [[filterNotInSet]] (dirty-word page gates want the HIT COUNT
+    * for reporting, not the survivors). Null array → 0.
+    */
+  def countInSet(arr: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
+    if (arr == null) return 0
+    val n = arr.numElements()
+    var hits = 0
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null && set.contains(s)) hits += 1
+      i += 1
+    }
+    hits
+  }
 }

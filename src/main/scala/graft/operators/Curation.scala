@@ -292,6 +292,33 @@ object Curation {
       .drop("__lines", "__kept")
   }
 
+  /** C4's dirty-word page gate (Raffel et al. 2020 §2.2: "removed any
+    * page that contained any word on the [badword list]") — the
+    * CONTENT companion to [[c4LineFilter]]'s structural rules and
+    * [[graft.operators.UrlOps]]'s domain gates. Adds `n_badwords`
+    * (hit count over the lowercased whitespace tokens — the reporting
+    * signal: "how dirty", not just "dirty") and `pass_badwords`
+    * (no hits). Callers supply the list (the canonical one is
+    * distribution-restricted; any vocabulary works).
+    *
+    * Scale: map-only codegen — one fused tokenize +
+    * hash-set-membership kernel per row
+    * ([[graft.functions.CatalystExpressions.CountInSet]]); the set
+    * ships once with the plan (badword lists are ~2k words), so the
+    * gate adds zero shuffles and zero driver round trips at any
+    * corpus size. Matching is exact-token (C4's rule), so "class"
+    * never trips on a substring the way a regex gate would.
+    */
+  def badwordFilter(df: DataFrame, textCol: String,
+      badwords: Seq[String]): DataFrame = {
+    require(badwords.nonEmpty, "badwords must be non-empty")
+    df.withColumn("n_badwords",
+        graft.functions.CatalystExpressions.countInSet(
+          TextFunctions.tokens(col(textCol)),
+          badwords.map(_.toLowerCase(java.util.Locale.ROOT)).distinct))
+      .withColumn("pass_badwords", col("n_badwords") === 0)
+  }
+
   /** Gopher's "stop word" presence list (Rae et al. 2021, §A1.1). */
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
@@ -677,6 +704,10 @@ object Curation {
 
   /** The standard export pipeline, composed in production order:
     *
+    *  0. (opt-in, non-empty `badwords`) C4 dirty-word page gate
+    *     ([[badwordFilter]]): drop any document containing a listed
+    *     token — row-local, so it runs first and every later stage
+    *     sees only clean pages;
     *  1. exact dedup — keep the lowest-id document per canonical
     *     fingerprint ([[TextFunctions.exactFingerprint]]);
     *  2. exact n-gram decontamination against `evalDocs`
@@ -710,9 +741,19 @@ object Curation {
       maxTokens: Long = 5000, seed: String = "mix77",
       maxGramDf: Int = Int.MaxValue,
       maxSubstringDupFrac: Double = 1.0,
-      substringWindow: Int = 50): DataFrame = {
+      substringWindow: Int = 50,
+      badwords: Seq[String] = Nil): DataFrame = {
     require(maxSubstringDupFrac > 0 && maxSubstringDupFrac <= 1.0,
       s"maxSubstringDupFrac must be in (0,1]: $maxSubstringDupFrac")
+    // Stage 0 (opt-in): the C4 dirty-word page gate — map-only, zero
+    // extra shuffles; applied to the raw frame so every later stage
+    // sees only clean pages (C4's own order: page removal precedes
+    // dedup). Disabled (the default) adds zero work.
+    val train0 =
+      if (badwords.isEmpty) train
+      else badwordFilter(train, textCol, badwords)
+        .filter(col("pass_badwords"))
+        .drop("n_badwords", "pass_badwords")
     // Job-count discipline (the q53/q77 treatment): ONE lazy
     // localCheckpoint of the post-redaction survivors, materialized by
     // mixtureResample's single countByValue rates fit; the returned
@@ -763,12 +804,12 @@ object Curation {
       .filter(col("__rk") === 1).drop("__fp", "__rk")
     val kept =
       if (maxGramDf == Int.MaxValue) {
-        val contaminated = ngramDecontaminate(train, evalDocs, idCol, textCol,
+        val contaminated = ngramDecontaminate(train0, evalDocs, idCol, textCol,
             n, minShared, maxGramDf)
           .select(col("train_id").as(idCol))
-        dedupFp(train.join(broadcast(contaminated), Seq(idCol), "left_anti"))
+        dedupFp(train0.join(broadcast(contaminated), Seq(idCol), "left_anti"))
       } else {
-        val deduped = dedupFp(train)
+        val deduped = dedupFp(train0)
         val contaminated = ngramDecontaminate(deduped, evalDocs, idCol, textCol,
             n, minShared, maxGramDf)
           .select(col("train_id").as(idCol))

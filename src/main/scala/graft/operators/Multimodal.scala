@@ -293,6 +293,27 @@ object Multimodal {
     out.array()
   }
 
+  /** PCM WAV with EXPLICIT sample payload (flat, channel-interleaved)
+    * — the audio twin of [[renderPng]]: real decodable bytes whose
+    * stats are closed forms of the sample function, for specs and
+    * gate queries.
+    */
+  private[graft] def renderWav(sampleRate: Int, channels: Int,
+      samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val byteRate = sampleRate * channels * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+    out.put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(channels.toShort) // PCM
+      .putInt(sampleRate).putInt(byteRate)
+      .putShort((channels * 2).toShort).putShort(16)
+    out.put("data".getBytes).putInt(dataSize)
+    samples.foreach(out.putShort)
+    out.array()
+  }
+
   /** Minimal ISO-BMFF: ftyp + moov(mvhd v0 + trak(tkhd v0)). */
   private[graft] def syntheticMp4(w: Int, h: Int, durationMs: Long,
       timescale: Int = 1000): Array[Byte] = {
@@ -615,6 +636,138 @@ object Multimodal {
               Row(img.getWidth, img.getHeight, s(0), s(1), s(2), true, null)
             case None =>
               Row(null, null, null, null, null, false, "not a decodable raster")
+          }
+          Row.fromSeq(row.toSeq :+ stats)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** PCM sample decode for the RIFF `data` chunk [[decodeWav]] only
+    * measures: linear PCM (format 1), 16-bit signed LE or 8-bit
+    * unsigned, returned as signed ints (8-bit recentered to
+    * −128..127). None for non-WAV bytes, compressed formats, missing
+    * chunks, or a `data` size pointing past the buffer (truncated
+    * upload) — callers degrade per-row.
+    */
+  private[graft] def pcmSamples(b: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
+    if (b == null || b.length < 44 ||
+      !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||
+      !(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def le32(o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    var fmt, channels, bits = -1
+    var sampleRate = -1
+    var dataOff = -1
+    var dataLen = -1
+    var i = 12
+    while (i + 8 <= b.length) {
+      val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(i + 4)
+      if (id == "fmt " && i + 8 + 16 <= b.length) {
+        fmt = le16(i + 8)
+        channels = le16(i + 10)
+        sampleRate = le32(i + 12).toInt
+        bits = le16(i + 22)
+      } else if (id == "data") {
+        dataOff = i + 8
+        dataLen = if (size > Int.MaxValue - 8) -1 else size.toInt
+      }
+      if (size > Int.MaxValue - i - 9) i = b.length
+      else i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (fmt != 1 || channels < 1 || dataOff < 0 || dataLen < 0 ||
+      dataOff + dataLen > b.length || (bits != 16 && bits != 8)) return None
+    val out =
+      if (bits == 16) {
+        val n = dataLen / 2
+        val a = new Array[Int](n)
+        var k = 0
+        while (k < n) {
+          a(k) = le16(dataOff + 2 * k).toShort.toInt // sign-extend
+          k += 1
+        }
+        a
+      } else {
+        val a = new Array[Int](dataLen)
+        var k = 0
+        while (k < dataLen) {
+          a(k) = (b(dataOff + k) & 0xff) - 128 // 8-bit PCM is unsigned
+          k += 1
+        }
+        a
+      }
+    Some((channels, sampleRate, bits, out))
+  }
+
+  val AudioStatsSchema: StructType = StructType(Seq(
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("peak_norm", DoubleType),
+    StructField("rms_norm", DoubleType),
+    StructField("clip_ratio", DoubleType),
+    StructField("silence_ratio", DoubleType),
+    StructField("ok", BooleanType, nullable = false),
+    StructField("error", StringType)))
+
+  /** Per-asset PCM audio statistics — the content-derived curation
+    * gates text already has ([[imageStats]] for pixels, this for
+    * waveforms): peak and RMS amplitude normalized to full scale,
+    * clipping ratio (|s| at/above full scale — distorted capture),
+    * silence ratio (|s| ≤ `silence`·full-scale — dead air; gate
+    * speech corpora on both). All sums are exact integer arithmetic
+    * over the decoded samples (one long Σs² per asset), so a rendered
+    * fixture's stats are closed forms of its sample function — the
+    * q79 exact-oracle discipline for audio. Non-PCM / truncated /
+    * non-WAV rows degrade to error rows, never fail the scan.
+    * Batched mapPartitions like [[decode]]; map-only, zero shuffles.
+    */
+  def audioStats(df: DataFrame, contentCol: String = "content",
+      batchSize: Int = 64, silence: Double = 0.01): DataFrame = {
+    require(silence >= 0 && silence < 1, s"silence must be in [0,1): $silence")
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField("audio", AudioStatsSchema))
+    val contentIdx = inSchema.fieldIndex(contentCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val stats = pcmSamples(row.getAs[Array[Byte]](contentIdx)) match {
+            case Some((ch, sr, bits, s)) if s.nonEmpty =>
+              val fullScale = (1 << (bits - 1)) - 1 // 32767 / 127
+              val silenceBar = (silence * fullScale).toInt
+              var sumSq = 0L
+              var peak = 0
+              var clipped = 0L
+              var silent = 0L
+              var k = 0
+              while (k < s.length) {
+                val v = math.abs(s(k))
+                sumSq += v.toLong * v
+                if (v > peak) peak = v
+                if (v >= fullScale) clipped += 1
+                if (v <= silenceBar) silent += 1
+                k += 1
+              }
+              val n = s.length
+              def r6(x: Double): Double =
+                BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              Row(ch, sr, bits, n.toLong,
+                r6(peak.toDouble / fullScale),
+                r6(math.sqrt(sumSq.toDouble / n) / fullScale),
+                r6(clipped.toDouble / n),
+                r6(silent.toDouble / n), true, null)
+            case Some(_) =>
+              Row(null, null, null, null, null, null, null, null, false,
+                "empty data chunk")
+            case None =>
+              Row(null, null, null, null, null, null, null, null, false,
+                "not linear PCM WAV")
           }
           Row.fromSeq(row.toSeq :+ stats)
         }

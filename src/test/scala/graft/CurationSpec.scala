@@ -868,6 +868,40 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("badwordFilter: exact-token membership, case-insensitive, substring-safe") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a perfectly clean sentence about tables"),
+      (2L, "this one mentions forbiddenword once"),
+      (3L, "FORBIDDENWORD shouted twice forbiddenword"),   // case-folds, counts 2
+      (4L, "classroom and classes are longer words entirely"), // must NOT trip on "class"
+      (5L, "")                                              // empty → clean
+    ).toDF("doc_id", "text")
+    val got = Curation.badwordFilter(rows, "text",
+        Seq("forbiddenword", "class", "absentword"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_badwords"), r.getAs[Boolean]("pass_badwords")))).toMap
+    assert(got(1L) == ((0, true)))
+    assert(got(2L) == ((1, false)))
+    assert(got(3L) == ((2, false)), "case-insensitive, every hit counted")
+    assert(got(4L) == ((0, true)), "exact tokens only — no substring match")
+    assert(got(5L) == ((0, true)))
+    // exportPipeline stage 0: the gated doc vanishes before dedup, the
+    // rest of the pipeline is unchanged
+    val evalDocs = Seq((100L, "held out evaluation text nothing shared here"))
+      .toDF("doc_id", "text")
+    val train = rows.filter(col("doc_id") =!= 5L)
+      .withColumn("source", lit("s"))
+      .withColumn("text", concat(col("text"),
+        lit(" padding tokens so the length gate keeps every surviving doc")))
+    val out = Curation.exportPipeline(train, evalDocs, "doc_id", "text",
+      "source", Map("s" -> 1.0), minTokens = 1,
+      badwords = Seq("forbiddenword", "class"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 4L), s"docs 2 and 3 die at stage 0: $out")
+  }
+
   test("incremental data card: an all-null-text group's counts survive the merge") {
     import spark.implicits._
     // null text → null fingerprint → the group's KMV sketch is EMPTY;

@@ -565,6 +565,44 @@ class SemanticSpec extends SparkSpec {
     assert(!out(3L).getAs[Boolean]("ok") && !out(4L).getAs[Boolean]("ok"))
   }
 
+  test("audioStats: PCM decode — 16/8-bit closed forms, truncated data degrades") {
+    // 16-bit square at half-ish scale: rms == peak == 16384/32767
+    val square = Array.tabulate[Short](800)(i =>
+      (if (i % 2 == 0) 16384 else -16384).toShort)
+    // 8-bit PCM rides the unsigned-recentered path: full scale 127
+    val wav8 = {
+      val b = Multimodal.syntheticWav(8000, 1, millis = 100, bitsPerSample = 8)
+      // payload alternates 255/1 → recentered ±127 → full-scale square
+      var i = 44
+      while (i < b.length) { b(i) = (if (i % 2 == 0) 255 else 1).toByte; i += 1 }
+      b
+    }
+    val truncated = Multimodal.renderWav(8000, 1, square).take(500)
+    val df = Seq(
+      (1L, Multimodal.renderWav(8000, 1, square)),
+      (2L, wav8),
+      (3L, truncated),
+      (4L, Multimodal.syntheticMp4(16, 16, 1000)) // wrong container
+    ).toDF("id", "content")
+    val out = Multimodal.audioStats(df).collect()
+      .map(r => r.getLong(0) -> r.getAs[org.apache.spark.sql.Row]("audio")).toMap
+    assert(out(1L).getAs[Boolean]("ok"))
+    assert(out(1L).getAs[Long]("n_samples") == 800L)
+    val half = BigDecimal(16384.0 / 32767)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L).getAs[Double]("peak_norm") == half)
+    assert(out(1L).getAs[Double]("rms_norm") == half)
+    assert(out(1L).getAs[Double]("clip_ratio") == 0.0)
+    assert(out(1L).getAs[Double]("silence_ratio") == 0.0)
+    assert(out(2L).getAs[Boolean]("ok") && out(2L).getAs[Int]("bits") == 8)
+    assert(out(2L).getAs[Double]("peak_norm") == 1.0)
+    assert(out(2L).getAs[Double]("rms_norm") == 1.0)
+    assert(out(2L).getAs[Double]("clip_ratio") == 1.0)
+    // a data chunk pointing past the buffer must degrade, not throw
+    assert(!out(3L).getAs[Boolean]("ok"))
+    assert(!out(4L).getAs[Boolean]("ok"))
+  }
+
   test("videoFrames: MJPEG AVI walk yields real JPEG frames the image stack decodes") {
     val f0 = Multimodal.renderJpeg(16, 8, (_, _) => (200 << 16) | (50 << 8) | 25)
     val f1 = Multimodal.renderJpeg(16, 8, (_, _) => (25 << 16) | (200 << 8) | 50)
