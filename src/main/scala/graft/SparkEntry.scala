@@ -4167,6 +4167,40 @@ object SparkEntry {
       |       rms_norm, clip_ratio, silence_ratio, ok)
       |ORDER BY wav_id""".stripMargin
 
+  /** Mergeable quantile sketch ([[graft.operators.Aggregators
+    * .kllSketch]] — the KLL compactor hierarchy as a typed Aggregator,
+    * replacing q59's reliance on Spark-internal percentile_approx with
+    * the engine's OWN sketch): per event type, the p50/p90 estimates
+    * must land within 2% of the exact percentile. Sketch internals are
+    * engine-specific, so the q59/q43 boolean discipline applies — each
+    * engine asserts its own approximation, the gate compares booleans
+    * plus the exactly-replayable counts.
+    */
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    val kll = org.apache.spark.sql.functions.udaf(
+      graft.operators.Aggregators.kllQuantiles(k = 256, qs = Seq(0.5, 0.9)))
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        kll(col("value")).as("__est"),
+        expr("percentile(value, 0.5)").as("__e50"),
+        expr("percentile(value, 0.9)").as("__e90"))
+      .select(col("event_type"), col("n"),
+        (abs(element_at(col("__est"), 1) - col("__e50")) <=
+          lit(0.02) * greatest(abs(col("__e50")), lit(1.0))).as("p50_within_2pct"),
+        (abs(element_at(col("__est"), 2) - col("__e90")) <=
+          lit(0.02) * greatest(abs(col("__e90")), lit(1.0))).as("p90_within_2pct"))
+      .orderBy(col("event_type"))
+  }
+
+  private def kllOracle: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      | abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+      |   <= 0.02 * greatest(abs(quantile_cont(value, 0.5)), 1.0) AS p50_within_2pct,
+      | abs(approx_quantile(value, 0.9) - quantile_cont(value, 0.9))
+      |   <= 0.02 * greatest(abs(quantile_cont(value, 0.9)), 1.0) AS p90_within_2pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   private def c4LineOracle: String =
     """WITH l AS (
       |  SELECT source, text, string_split(text, chr(10)) AS lines
@@ -4349,7 +4383,8 @@ object SparkEntry {
     "q147_c4" -> (q147 _),
     "q148_imgdup" -> (q148 _),
     "q149_badwords" -> (q149 _),
-    "q150_audio" -> (q150 _))
+    "q150_audio" -> (q150 _),
+    "q151_kll" -> (q151 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -4750,6 +4785,7 @@ object SparkEntry {
     "q148_imgdup" -> imgDupOracle,
     "q149_badwords" -> badwordOracle,
     "q150_audio" -> audioOracle,
+    "q151_kll" -> kllOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

@@ -238,6 +238,169 @@ object Aggregators {
     }
     best
   }
+
+  /** KLL-style mergeable quantile sketch (Karnin–Lang–Liberty, FOCS'16
+    * — the compactor hierarchy, with a FIXED per-level capacity `k`
+    * and a data-derived compaction offset instead of a random coin):
+    * level i holds items of weight 2^i; inserting goes to level 0;
+    * when a level exceeds `k` its sorted even-prefix is halved —
+    * alternate items survive to level i+1, the parity chosen from the
+    * smallest item's bit pattern, so the sketch is a deterministic
+    * function of the (partition, merge-order) history with no RNG
+    * state to replay. Merge = level-wise sorted union + the same
+    * compaction rule, so partial aggregation composes and sketches
+    * built on different corpora add — the quantile companion of
+    * [[kmv]]/[[misraGries]]/[[countMin]], closing the "global
+    * percentile without a global sort" gap that q59 leans on Spark's
+    * internal percentile_approx for.
+    *
+    * Guarantees: EXACT below capacity (no compaction until level 0
+    * exceeds `k` — SketchSpec locks this); once compacting, each
+    * level-i halving perturbs any rank by ≤ 2^i, giving the classic
+    * ~log²(n/k)/k rank-error envelope (the spec asserts an empirical
+    * band well inside it). State is O(k·log(n/k)) doubles. Like every
+    * sketch here, the raw state is the output; estimators are pure
+    * functions of it ([[kllQuantile]]), and exposed gate values
+    * follow the q59 boolean discipline (merge order can nudge the
+    * estimate inside the band, never out of it).
+    *
+    * Input contract: finite doubles (filter NaN first — NaN has no
+    * rank). Levels are kept sorted at all times.
+    */
+  def kllSketch(k: Int): Aggregator[Double, Array[Array[Double]], Array[Array[Double]]] = {
+    require(k >= 8, s"k must be >= 8, got $k")
+    new Aggregator[Double, Array[Array[Double]], Array[Array[Double]]] {
+      override def zero: Array[Array[Double]] = Array(Array.emptyDoubleArray)
+      override def reduce(b: Array[Array[Double]], v: Double): Array[Array[Double]] = {
+        val l0 = b(0)
+        val i = java.util.Arrays.binarySearch(l0, v)
+        val ins = if (i >= 0) i else -i - 1
+        val out = new Array[Double](l0.length + 1)
+        System.arraycopy(l0, 0, out, 0, ins)
+        out(ins) = v
+        System.arraycopy(l0, ins, out, ins + 1, l0.length - ins)
+        b(0) = out
+        compact(b)
+      }
+      override def merge(a: Array[Array[Double]], b: Array[Array[Double]]): Array[Array[Double]] = {
+        val levels = math.max(a.length, b.length)
+        val out = new Array[Array[Double]](levels)
+        var i = 0
+        while (i < levels) {
+          val x = if (i < a.length) a(i) else Array.emptyDoubleArray
+          val y = if (i < b.length) b(i) else Array.emptyDoubleArray
+          out(i) = mergeSorted(x, y)
+          i += 1
+        }
+        compact(out)
+      }
+      override def finish(r: Array[Array[Double]]): Array[Array[Double]] = r
+      override def bufferEncoder: Encoder[Array[Array[Double]]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Array[Double]]]()
+      override def outputEncoder: Encoder[Array[Array[Double]]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Array[Double]]]()
+
+      private def mergeSorted(x: Array[Double], y: Array[Double]): Array[Double] = {
+        if (x.isEmpty) return y
+        if (y.isEmpty) return x
+        val out = new Array[Double](x.length + y.length)
+        var (i, j, o) = (0, 0, 0)
+        while (i < x.length || j < y.length) {
+          out(o) =
+            if (j >= y.length || (i < x.length && x(i) <= y(j))) { val v = x(i); i += 1; v }
+            else { val v = y(j); j += 1; v }
+          o += 1
+        }
+        out
+      }
+
+      // halve every over-capacity level, lowest first (a halving can
+      // push level i+1 over, so sweep upward; one sweep suffices
+      // because each level at most doubles once per call)
+      private def compact(b0: Array[Array[Double]]): Array[Array[Double]] = {
+        var b = b0
+        var i = 0
+        while (i < b.length) {
+          if (b(i).length > k) {
+            val lvl = b(i)
+            val m = lvl.length - (lvl.length & 1) // even prefix; odd leftover stays
+            // deterministic data-derived parity — no RNG state in the
+            // buffer, unbiased across heterogeneous inputs
+            val off = (java.lang.Double.doubleToLongBits(lvl(0)) >>> 17 & 1L).toInt
+            val survivors = new Array[Double]((m - off + 1) / 2)
+            var s = 0
+            var j = off
+            while (j < m) { survivors(s) = lvl(j); s += 1; j += 2 }
+            val rest =
+              if (m < lvl.length) Array(lvl(lvl.length - 1)) else Array.emptyDoubleArray
+            b(i) = rest
+            if (i + 1 == b.length) b = b :+ Array.emptyDoubleArray
+            b(i + 1) = mergeSorted(b(i + 1), survivors)
+          }
+          i += 1
+        }
+        b
+      }
+    }
+  }
+
+  /** Quantile estimate from a [[kllSketch]] summary: weighted rank walk
+    * over the level hierarchy (level i items count 2^i), returning the
+    * smallest value whose cumulative weight reaches q·W. Pure function
+    * of (sketch, q) — driver-side on the collected summary, like
+    * [[countMinQuery]]. q ∈ [0, 1]; empty sketch → NaN.
+    */
+  def kllQuantile(levels: Array[Array[Double]], q: Double): Double = {
+    require(q >= 0 && q <= 1, s"q must be in [0,1]: $q")
+    var total = 0L
+    var i = 0
+    while (i < levels.length) {
+      total += levels(i).length.toLong << i
+      i += 1
+    }
+    if (total == 0L) return Double.NaN
+    // gather (value, weight), sort by value — sketch sizes are
+    // O(k log n), trivially driver-sized
+    val flat = new Array[(Double, Long)](levels.map(_.length).sum)
+    var o = 0
+    i = 0
+    while (i < levels.length) {
+      levels(i).foreach { v => flat(o) = (v, 1L << i); o += 1 }
+      i += 1
+    }
+    val sorted = flat.sortBy(_._1)
+    val target = math.max(1L, math.ceil(q * total).toLong)
+    var cum = 0L
+    var j = 0
+    while (j < sorted.length) {
+      cum += sorted(j)._2
+      if (cum >= target) return sorted(j)._1
+      j += 1
+    }
+    sorted.last._1
+  }
+
+  /** [[kllSketch]] with the estimator fused into `finish`: the
+    * aggregation returns the quantile estimates for `qs` directly —
+    * the query-facing form (q151), keeping the raw-sketch form for
+    * state that must keep merging.
+    */
+  def kllQuantiles(k: Int, qs: Seq[Double]): Aggregator[Double, Array[Array[Double]], Array[Double]] = {
+    require(qs.nonEmpty, "qs must be non-empty")
+    val base = kllSketch(k)
+    new Aggregator[Double, Array[Array[Double]], Array[Double]] {
+      override def zero: Array[Array[Double]] = base.zero
+      override def reduce(b: Array[Array[Double]], v: Double): Array[Array[Double]] =
+        base.reduce(b, v)
+      override def merge(a: Array[Array[Double]], b: Array[Array[Double]]): Array[Array[Double]] =
+        base.merge(a, b)
+      override def finish(r: Array[Array[Double]]): Array[Double] =
+        qs.map(q => kllQuantile(r, q)).toArray
+      override def bufferEncoder: Encoder[Array[Array[Double]]] = base.bufferEncoder
+      override def outputEncoder: Encoder[Array[Double]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    }
+  }
 }
 
 /** The portable md5-prefix cell hash shared by the CMS reduce path and

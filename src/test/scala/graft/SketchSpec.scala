@@ -153,6 +153,60 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("kllSketch: exact below capacity, mergeable, size-bounded, error band at 100k") {
+    val k = 256
+    // ---- exactness below capacity: no compaction ever fires
+    val small = new scala.util.Random(5).shuffle((1 to 200).toVector).map(_.toDouble)
+    val agg = Aggregators.kllSketch(k)
+    var buf = agg.zero
+    small.foreach(v => buf = agg.reduce(buf, v))
+    assert(buf.map(_.length).sum == 200 && buf(0).length == 200,
+      "below capacity the sketch IS the sorted data")
+    for (q <- Seq(0.0, 0.1, 0.5, 0.9, 1.0)) {
+      val exact = math.max(1, math.ceil(q * 200).toInt) // rank-based
+      assert(Aggregators.kllQuantile(buf, q) == exact.toDouble,
+        s"q=$q must be exact below capacity")
+    }
+    // ---- merge: two halves merged == one legal sketch of the union
+    val rnd = new scala.util.Random(11)
+    val big = Array.fill(100000)(rnd.nextDouble() * 1000.0)
+    val (h1, h2) = big.splitAt(big.length / 2)
+    def build(xs: Array[Double]): Array[Array[Double]] = {
+      var b = agg.zero
+      xs.foreach(v => b = agg.reduce(b, v))
+      b
+    }
+    val merged = agg.merge(build(h1), build(h2))
+    // size bound: O(k log(n/k)) — every level holds at most k items
+    assert(merged.forall(_.length <= k), "no level may exceed capacity post-merge")
+    assert(merged.length <= (math.log(big.length.toDouble / k) / math.log(2)).toInt + 3,
+      s"level count stays logarithmic: ${merged.length}")
+    // weight conservation: compaction halves weight-preservingly
+    val totalW = merged.zipWithIndex.map { case (l, i) => l.length.toLong << i }.sum
+    assert(totalW == big.length.toLong, s"total weight must be n: $totalW")
+    // ---- error band (empirical, well inside the log^2(n/k)/k envelope)
+    val sorted = big.sorted
+    for (q <- Seq(0.01, 0.25, 0.5, 0.75, 0.99)) {
+      val est = Aggregators.kllQuantile(merged, q)
+      val rank = sorted.count(_ <= est)
+      assert(math.abs(rank - q * big.length) <= 0.02 * big.length,
+        s"q=$q: rank $rank vs target ${q * big.length}")
+    }
+    // ---- the same band through Spark's partial aggregation (8 partitions)
+    val udafCol = org.apache.spark.sql.functions.udaf(
+      Aggregators.kllQuantiles(k, Seq(0.5, 0.9)))
+    val ests = big.toSeq.toDF("v").repartition(8)
+      .agg(udafCol(col("v"))).head().getSeq[Double](0)
+    for (((q, est), _) <- Seq(0.5, 0.9).zip(ests).zipWithIndex) {
+      val rank = sorted.count(_ <= est)
+      assert(math.abs(rank - q * big.length) <= 0.02 * big.length,
+        s"spark path q=$q: rank $rank")
+    }
+    // empty sketch → NaN, bad q rejected
+    assert(Aggregators.kllQuantile(agg.zero, 0.5).isNaN)
+    intercept[IllegalArgumentException] { Aggregators.kllQuantile(merged, 1.5) }
+  }
+
   test("cmsCounts reports exact heavy counts and zero for absent probes at ample width") {
     val df = (Seq.fill(500)("big") ++ Seq.fill(7)("rare")).toDF("item")
     val got = Analytics.cmsCounts(df, "item", Seq("big", "rare", "ghost"),
