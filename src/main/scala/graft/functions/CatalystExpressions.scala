@@ -356,6 +356,33 @@ object CatalystExpressions {
       copy(l, r)
   }
 
+  /** Dense matrix–vector product against a fixed row-major matrix
+    * ([[ExprKernels.matVec]]): the OPQ rotation applied per row as a
+    * map-only codegen'd projection; the matrix rides inside the
+    * expression like [[NearestCentroid]]'s centroids (ships once per
+    * executor with the task binary, never per row). Null on dimension
+    * mismatch.
+    */
+  case class MatVec(child: Expression, mat: Array[Array[Double]])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+    private def elemIsFloat: Boolean = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    override def nullSafeEval(v: Any): Any =
+      ExprKernels.matVec(v.asInstanceOf[ArrayData], mat, elemIsFloat)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val matRef = ctx.addReferenceObj("mat", mat, "double[][]")
+      val f = elemIsFloat
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = $K.matVec($c, $matRef, $f);
+        if (${ev.value} == null) { ${ev.isNull} = true; }""")
+    }
+    override protected def withNewChildInternal(c: Expression): MatVec = copy(c)
+  }
+
   /** Argmax-similarity cluster assignment against a fixed centroid
     * matrix: one expression, one tight loop — replaces the per-centroid
     * `least(struct(negsim, i), …)` ladder whose O(k) expression tree
@@ -819,6 +846,9 @@ object CatalystExpressions {
 
   def dotProduct(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
+
+  def matVec(vec: Column, mat: Array[Array[Double]]): Column =
+    column(MatVec(expression(vec), mat))
 
   def tokenize(text: Column): Column = column(Tokenize(expression(text)))
 

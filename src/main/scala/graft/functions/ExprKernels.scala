@@ -1101,6 +1101,36 @@ object ExprKernels {
     new GenericArrayData(out.toArray(new Array[AnyRef](out.size())))
   }
 
+  /** Dense matrix–vector product against a plan-shipped row-major
+    * matrix: out(r) = Σ_j mat(r)(j)·x(j) — the orthogonal-rotation
+    * kernel of the OPQ path (rotate each vector before PQ encoding,
+    * map-only). Null for a dimension mismatch (the caller's null
+    * case, like DotProduct's).
+    */
+  def matVec(arr: ArrayData, mat: Array[Array[Double]],
+      isFloat: Boolean): ArrayData = {
+    if (arr == null) return null
+    val dim = mat(0).length
+    if (arr.numElements() != dim) return null
+    val x = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      x(j) = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+      j += 1
+    }
+    val out = new Array[Any](mat.length)
+    var r = 0
+    while (r < mat.length) {
+      val row = mat(r)
+      var acc = 0.0
+      var k = 0
+      while (k < dim) { acc += row(k) * x(k); k += 1 }
+      out(r) = acc
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Count of array elements present in the set — the membership twin
     * of [[filterNotInSet]] (dirty-word page gates want the HIT COUNT
     * for reporting, not the survivors). Null array → 0.

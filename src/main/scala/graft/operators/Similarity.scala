@@ -625,6 +625,205 @@ object Similarity {
     PqModel(m, dsub, books)
   }
 
+  /** Parametric OPQ rotation (Ge et al., CVPR'13 §4 "OPQ-P"): PCA of
+    * the L2-normalized sample's second-moment matrix, then EIGENVALUE
+    * ALLOCATION — principal directions dealt greedily to the m
+    * sub-spaces balancing each sub-space's variance product — so PQ's
+    * per-sub-space codebooks quantize decorrelated, variance-balanced
+    * coordinates instead of whatever the raw axes happened to mix.
+    * The rotation is ORTHOGONAL (rows are eigenvectors), so rotating
+    * both corpus and query preserves every inner product exactly:
+    * only the ADC approximation quality changes, never the re-ranked
+    * answer's ground truth.
+    *
+    * Scale shape: ONE treeAggregate accumulates the dim×dim second
+    * moment (model-sized, no shuffle); the eigendecomposition is a
+    * driver-side cyclic Jacobi on a ≤few-hundred-dim symmetric matrix
+    * — microseconds next to any scan. Returns the row-major rotation
+    * R (apply as y = R·x, [[graft.functions.CatalystExpressions
+    * .matVec]]).
+    */
+  def opqRotation(df: DataFrame, idCol: String, vecCol: String, m: Int = 8,
+      fitSampleFraction: Double = 0.25, seed: Long = 42L): Array[Array[Double]] = {
+    require(m >= 1, s"m must be >= 1: $m")
+    val fitDf = (if (fitSampleFraction >= 1.0) df
+      else df.sample(withReplacement = false, fitSampleFraction, seed))
+      .select(col(vecCol))
+    val vecs = fitDf.rdd.map { r =>
+      val v = r.getSeq[Any](0).map {
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d.doubleValue()
+        case x => x.asInstanceOf[Number].doubleValue()
+      }.toArray
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) v.map(_ / n) else v
+    }
+    val dim = vecs.first().length
+    require(dim % m == 0, s"vector dim $dim must divide into m=$m sub-spaces")
+    val (moment, cnt) = vecs.filter(_.length == dim).treeAggregate(
+      (Array.ofDim[Double](dim, dim), 0L))(
+      seqOp = { case ((acc, n), u) =>
+        var i = 0
+        while (i < dim) {
+          val ui = u(i)
+          val row = acc(i)
+          var j = 0
+          while (j < dim) { row(j) += ui * u(j); j += 1 }
+          i += 1
+        }
+        (acc, n + 1)
+      },
+      combOp = { case ((a, an), (b, bn)) =>
+        var i = 0
+        while (i < dim) {
+          var j = 0
+          while (j < dim) { a(i)(j) += b(i)(j); j += 1 }
+          i += 1
+        }
+        (a, an + bn)
+      })
+    require(cnt > 0, "opqRotation: sample yielded no vectors")
+    val cov = moment.map(_.map(_ / cnt))
+    val (eigVals, eigVecs) = symEigen(cov)
+    // sort principal directions by variance, descending
+    val order = eigVals.indices.sortBy(i => -eigVals(i))
+    val dsub = dim / m
+    // Greedy balanced allocation, ROUND-CONSTRAINED: directions are
+    // dealt in descending-variance order, each to the sub-space with
+    // the smallest variance log-product AMONG THE LEAST-FILLED ones.
+    // The fill constraint is what makes the greedy sound here: unit
+    // vectors put every eigenvalue below 1 (logs negative), so an
+    // unconstrained "smallest product" would keep stuffing the same
+    // sub-space with ALL the top directions — the exact concentration
+    // the allocation exists to prevent.
+    val bucketOf = new Array[Int](dim)
+    val logProd = new Array[Double](m)
+    val fill = new Array[Int](m)
+    order.foreach { e =>
+      val minFill = fill.min
+      var best = -1
+      var bestLp = Double.PositiveInfinity
+      var s = 0
+      while (s < m) {
+        if (fill(s) == minFill && logProd(s) < bestLp) { best = s; bestLp = logProd(s) }
+        s += 1
+      }
+      bucketOf(e) = best
+      logProd(best) += math.log(math.max(eigVals(e), 1e-12))
+      fill(best) += 1
+    }
+    // rotation rows: sub-space s's dsub coordinates are its allocated
+    // eigenvectors, in allocation order
+    val rows = Array.ofDim[Double](dim, dim)
+    val nextRow = Array.tabulate(m)(_ * dsub)
+    order.foreach { e =>
+      val s = bucketOf(e)
+      rows(nextRow(s)) = eigVecs(e)
+      nextRow(s) += 1
+    }
+    rows
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix:
+    * (eigenvalues, eigenvectors as ROWS). Deterministic, O(n³) per
+    * sweep — built for the ≤few-hundred-dim covariance matrices the
+    * OPQ fit produces, not general linear algebra.
+    */
+  private[graft] def symEigen(sym: Array[Array[Double]],
+      maxSweeps: Int = 50): (Array[Double], Array[Array[Double]]) = {
+    val n = sym.length
+    val a = sym.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var done = false
+    while (sweep < maxSweeps && !done) {
+      var off = 0.0
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          off += a(p)(q) * a(p)(q)
+          if (math.abs(a(p)(q)) > 1e-14) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else -1.0 / (-theta + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < n) { // A ← JᵀAJ on rows/cols p,q
+              val akp = a(k)(p)
+              val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val apk = a(p)(k)
+              val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              // V accumulates the same column rotations
+              val vkp = v(k)(p)
+              val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      done = off < 1e-18
+      sweep += 1
+    }
+    val eigVals = Array.tabulate(n)(i => a(i)(i))
+    val eigRows = Array.tabulate(n, n)((e, j) => v(j)(e)) // column e → row
+    (eigVals, eigRows)
+  }
+
+  /** [[pqFit]] with a learned [[opqRotation]] in front: fit the
+    * codebooks on ROTATED vectors. Returns (rotation, model); probe
+    * with [[pqKnnRotated]].
+    */
+  def opqPqFit(df: DataFrame, idCol: String, vecCol: String, m: Int = 8,
+      ksub: Int = 16, iterations: Int = 2, fitSampleFraction: Double = 0.25,
+      seed: Long = 42L): (Array[Array[Double]], PqModel) = {
+    val r = opqRotation(df, idCol, vecCol, m, fitSampleFraction, seed)
+    val rotated = df.select(col(idCol),
+      graft.functions.CatalystExpressions.matVec(col(vecCol), r).as(vecCol))
+    (r, pqFit(rotated, idCol, vecCol, m, ksub, iterations,
+      fitSampleFraction, seed))
+  }
+
+  /** [[pqKnn]] under an OPQ rotation: the ADC pass encodes R·x
+    * (map-only — rotation and encoding fuse into one codegen'd
+    * projection) against codebooks fit in rotated space, the query's
+    * LUT uses R·q, and the exact re-rank runs on the ORIGINAL vectors
+    * (orthogonal R preserves cosine, so ground truth is untouched —
+    * only candidate quality improves).
+    */
+  def pqKnnRotated(corpus: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], rotation: Array[Array[Double]], model: PqModel,
+      k: Int = 10, candidateFactor: Int = 4): DataFrame = {
+    require(candidateFactor >= 1, s"candidateFactor must be >= 1: $candidateFactor")
+    val rq = rotation.map(row => row.zip(query).map { case (a, b) => a * b }.sum)
+    val rotVec = graft.functions.CatalystExpressions.matVec(col(vecCol), rotation)
+    val codes = graft.functions.CatalystExpressions.pqEncode(
+      rotVec, model.flat, model.m, model.dsub)
+    val candidates = Scale.parallelismFloor(corpus)
+      .select(col(idCol),
+        graft.functions.CatalystExpressions.pqAdcDot(codes, model.lut(rq),
+          model.ksub).as("__adc"))
+      .orderBy(desc("__adc"), col(idCol))
+      .limit(k * candidateFactor)
+      .select(col(idCol))
+    knnBrute(corpus.join(candidates, Seq(idCol), "left_semi"),
+      idCol, vecCol, query, k)
+  }
+
   /** Two-stage PQ ANN: ADC candidate pass over the codes (map-only
     * projection — each row contributes m table lookups, no vector
     * bytes), TakeOrderedAndProject top k·candidateFactor, then exact

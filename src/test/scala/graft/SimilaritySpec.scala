@@ -153,6 +153,106 @@ class SimilaritySpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"expected rank-k group limit:\n$p")
   }
 
+  test("symEigen recovers a planted spectrum: A·v = λ·v, eigenvalues match") {
+    val n = 8
+    val rnd = new scala.util.Random(31)
+    // orthonormal Q via Gram-Schmidt
+    val qm = Array.fill(n)(Array.fill(n)(rnd.nextGaussian()))
+    for (i <- 0 until n) {
+      for (j <- 0 until i) {
+        val d = qm(i).zip(qm(j)).map { case (x, y) => x * y }.sum
+        for (k <- 0 until n) qm(i)(k) -= d * qm(j)(k)
+      }
+      val nn = math.sqrt(qm(i).map(x => x * x).sum)
+      for (k <- 0 until n) qm(i)(k) /= nn
+    }
+    val planted = Array.tabulate(n)(i => (n - i).toDouble) // 8,7,...,1
+    val a = Array.tabulate(n, n) { (r, c) =>
+      (0 until n).map(e => planted(e) * qm(e)(r) * qm(e)(c)).sum
+    }
+    val (vals, vecs) = Similarity.symEigen(a)
+    assert(vals.sorted.zip(planted.sorted).forall { case (g, w) =>
+      math.abs(g - w) < 1e-8 }, s"eigenvalues: ${vals.sorted.toSeq}")
+    for (e <- 0 until n) {
+      val av = a.map(row => row.zip(vecs(e)).map { case (x, y) => x * y }.sum)
+      val lv = vecs(e).map(_ * vals(e))
+      val err = av.zip(lv).map { case (x, y) => math.abs(x - y) }.max
+      assert(err < 1e-8, s"A·v != λ·v for eigenpair $e (err $err)")
+    }
+  }
+
+  test("OPQ: orthogonal rotation lifts ADC recall above unrotated PQ on correlated data") {
+    import spark.implicits._
+    val dim = 16
+    val m = 4
+    val rnd = new scala.util.Random(97)
+    // random orthonormal basis (Gram–Schmidt over seeded Gaussians):
+    // the data's energy lives in a few NON-axis-aligned directions, so
+    // raw PQ sub-spaces see strongly correlated mixtures — exactly the
+    // regime OPQ exists for
+    val basis = {
+      val b = Array.fill(dim)(Array.fill(dim)(rnd.nextGaussian()))
+      for (i <- 0 until dim) {
+        for (j <- 0 until i) {
+          val d = b(i).zip(b(j)).map { case (x, y) => x * y }.sum
+          for (k2 <- 0 until dim) b(i)(k2) -= d * b(j)(k2)
+        }
+        val n = math.sqrt(b(i).map(x => x * x).sum)
+        for (k2 <- 0 until dim) b(i)(k2) /= n
+      }
+      b
+    }
+    // mild decay: anisotropic enough for sub-space correlations to
+    // hurt raw PQ, spread enough that normalized vectors don't
+    // collapse onto ±v1 (a steeper spectrum makes top-k noise-driven)
+    val sd = Array.tabulate(dim)(i => math.pow(0.75, i))
+    def sample(): Array[Double] = {
+      val z = Array.fill(dim)(rnd.nextGaussian())
+      val x = new Array[Double](dim)
+      var e = 0
+      while (e < dim) {
+        val w = z(e) * sd(e)
+        var j = 0
+        while (j < dim) { x(j) += w * basis(e)(j); j += 1 }
+        e += 1
+      }
+      x
+    }
+    val rows = (0 until 400).map(i => (i.toLong, sample().toSeq))
+    val corpus = rows.toDF("vec_id", "embedding").localCheckpoint(true)
+    val queries = Array.fill(24)(sample())
+
+    val fitKs = 8
+    val plain = Similarity.pqFit(corpus, "vec_id", "embedding", m, fitKs,
+      iterations = 3, fitSampleFraction = 1.0)
+    val (rot, rotated) = Similarity.opqPqFit(corpus, "vec_id", "embedding",
+      m, fitKs, iterations = 3, fitSampleFraction = 1.0)
+    // R is orthogonal: R·Rᵀ = I (inner products — and therefore the
+    // exact re-rank's ground truth — are preserved)
+    for (i <- 0 until dim; j <- 0 until dim) {
+      val d = rot(i).zip(rot(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"RRt[$i][$j] = $d")
+    }
+    // recall@10 with candidateFactor=1 (ADC ordering decides), totaled
+    // over 24 held-out queries so one lucky draw can't decide the test
+    var plainHits = 0
+    var rotHits = 0
+    queries.foreach { q =>
+      val exact = Similarity.knnBrute(corpus, "vec_id", "embedding", q, 10)
+        .collect().map(_.getLong(0)).toSet
+      plainHits += Similarity.pqKnn(corpus, "vec_id", "embedding", q, plain,
+        k = 10, candidateFactor = 1)
+        .collect().map(_.getLong(0)).toSet.intersect(exact).size
+      rotHits += Similarity.pqKnnRotated(corpus, "vec_id", "embedding", q,
+        rot, rotated, k = 10, candidateFactor = 1)
+        .collect().map(_.getLong(0)).toSet.intersect(exact).size
+    }
+    info(s"ADC recall@10 over 24 queries: unrotated $plainHits/240, OPQ $rotHits/240")
+    assert(rotHits > plainHits,
+      s"OPQ must strictly beat unrotated PQ: $rotHits vs $plainHits of 240")
+  }
+
   test("PQ: two-stage ADC recovers brute-force top-k on the gate corpus") {
     val exact = Similarity.knnBrute(emb.filter(col("vec_id") =!= 0),
       "vec_id", "embedding", query, 10).collect().map(_.getLong(0)).toSet
