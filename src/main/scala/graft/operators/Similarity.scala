@@ -857,24 +857,39 @@ object Similarity {
   def ensureIvfPqLayout(df: DataFrame, idCol: String, vecCol: String,
       path: String, nCentroids: Int = 16, m: Int = 8, ksub: Int = 16,
       iterations: Int = 2, fitSampleFraction: Double = 0.25, seed: Long = 42L,
-      fitOn: Option[DataFrame] = None): Unit = {
+      fitOn: Option[DataFrame] = None, opq: Boolean = false): Unit = {
     layoutBuilt.getOrCompute(df.sparkSession, path) {
       if (!pathExists(df.sparkSession, s"$path/ivfpq_meta.json")) {
         val fitDf = fitOn.getOrElse(df)
+        // the coarse IVF stage always runs on RAW vectors (cluster
+        // geometry is rotation-invariant and the probe ranks raw
+        // centroids); only the fine PQ stage benefits from OPQ
         val index = ivfIndex(fitDf, idCol, vecCol, nCentroids, iterations,
           fitSampleFraction.max(0.05), seed)
-        val pq = pqFit(fitDf, idCol, vecCol, m, ksub, iterations,
-          fitSampleFraction, seed)
+        val (rotation, pq): (Array[Array[Double]], PqModel) =
+          if (opq) opqPqFit(fitDf, idCol, vecCol, m, ksub, iterations,
+            fitSampleFraction, seed)
+          else (null, pqFit(fitDf, idCol, vecCol, m, ksub, iterations,
+            fitSampleFraction, seed))
+        val codeInput =
+          if (opq) graft.functions.CatalystExpressions.matVec(col(vecCol), rotation)
+          else col(vecCol)
         val encoded = df
           .withColumn("cluster", graft.functions.CatalystExpressions
             .nearestCentroid(col(vecCol), index.centroids))
           .withColumn("pq_codes", graft.functions.CatalystExpressions
-            .pqEncode(col(vecCol), pq.flat, pq.m, pq.dsub))
+            .pqEncode(codeInput, pq.flat, pq.m, pq.dsub))
         Scale.writePartitioned(encoded, s"$path/corpus", Seq("cluster"))
-        writeJson(df.sparkSession, s"$path/ivfpq_meta.json",
-          Map("centroids" -> index.centroids.map(_.toSeq).toSeq,
-            "m" -> pq.m, "dsub" -> pq.dsub,
-            "codebooks" -> pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq))
+        // the rotation RIDES THE LAYOUT META: probes of an OPQ layout
+        // need no out-of-band knowledge, and pre-OPQ layouts (no
+        // "rotation" key) keep reading as identity
+        val baseMeta = Map("centroids" -> index.centroids.map(_.toSeq).toSeq,
+          "m" -> pq.m, "dsub" -> pq.dsub,
+          "codebooks" -> pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+        val meta =
+          if (opq) baseMeta + ("rotation" -> rotation.map(_.toSeq).toSeq)
+          else baseMeta
+        writeJson(df.sparkSession, s"$path/ivfpq_meta.json", meta)
       }
       java.lang.Boolean.TRUE
     }
@@ -897,6 +912,13 @@ object Similarity {
     val pq = PqModel((meta \ "m").extract[Int], (meta \ "dsub").extract[Int],
       (meta \ "codebooks").extract[Seq[Seq[Seq[Double]]]]
         .map(_.map(_.toArray).toArray).toArray)
+    // OPQ layouts carry their rotation in the meta; apply it to the
+    // query's LUT only (codes were encoded rotated at write time, the
+    // coarse centroids and exact re-rank stay in raw space)
+    val lutQuery = (meta \ "rotation").toOption
+      .map(_.extract[Seq[Seq[Double]]]
+        .map(row => row.zip(query).map { case (a, b) => a * b }.sum).toArray)
+      .getOrElse(query)
     val qn = math.sqrt(query.map(x => x * x).sum)
     val qUnit = if (qn > 0) query.map(_ / qn) else query
     val ranked = centroids.zipWithIndex
@@ -907,7 +929,7 @@ object Similarity {
     val candidates = probed
       .select(col(idCol),
         graft.functions.CatalystExpressions.pqAdcDot(col("pq_codes"),
-          pq.lut(query), pq.ksub).as("__adc"))
+          pq.lut(lutQuery), pq.ksub).as("__adc"))
       .orderBy(desc("__adc"), col(idCol))
       .limit(k * candidateFactor)
       .select(col(idCol))

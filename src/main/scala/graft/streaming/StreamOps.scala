@@ -108,6 +108,27 @@ object StreamOps {
       .toDF("kmv")
   }
 
+  /** Streaming KLL quantile sketch — [[graft.operators.Aggregators
+    * .kllSketch]] as a complete-mode global aggregate, the quantile
+    * companion of [[streamingDistinctEstimate]]: each micro-batch
+    * folds into O(k·log n) state and the emitted row IS the sketch of
+    * everything seen so far (read p50/p99 with
+    * [[graft.operators.Aggregators.kllQuantile]]). The live "latency
+    * percentile so far" monitor; the emitted sketch also merges with
+    * other corpora's sketches, which percentile_approx state never
+    * leaves the aggregation.
+    */
+  def streamingQuantileSketch(events: DataFrame, valueCol: String,
+      k: Int = 256): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .filter(col(valueCol).isNotNull && !col(valueCol).cast("double").isNaN)
+      .select(col(valueCol).cast("double"))
+      .as[Double]
+      .select(graft.operators.Aggregators.kllSketch(k).toColumn)
+      .toDF("kll")
+  }
+
   /** A flagged outlier from [[streamingAnomalyFlags]]. */
   final case class AnomalyHit(key: String, seq: Long, value: Double,
     zscore: Double)

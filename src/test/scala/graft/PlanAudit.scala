@@ -393,6 +393,52 @@ class PlanAudit extends SparkSpec {
       s"single-partition window scale-killers:\n${offenders.mkString("\n")}")
   }
 
+  test("q149: badword gate is map-side codegen — pruned scan, one hash exchange") {
+    val p = plan("q149_badwords")
+    val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(scan.contains("ReadSchema: struct<text:string,source:string>"),
+      s"the gate must never scan doc_id/n_chars/lang: $scan")
+    assert(p.contains("countinset(tokenize("),
+      "membership must be the fused kernel expression, not a join or HOF")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"one aggregation exchange only:\n$p")
+    assert(!p.contains("Join"), "a plan-shipped set never joins")
+  }
+
+  test("q151: KLL sketch aggregates partial+final ObjectHashAggregate, one exchange") {
+    val p = plan("q151_kll")
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) == 2,
+      s"typed aggregator must combine map-side:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1)
+    val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(scan.contains("ReadSchema: struct<event_type:string,value:double>"),
+      s"sketching must scan only (event_type, value): $scan")
+  }
+
+  test("q148: image near-dup is a banded equi-join with the Hamming gate at join time") {
+    val p = plan("q148_imgdup")
+    assert(p.contains("HashJoin"), s"banding must plan an equi-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "image dedup must never go all-pairs")
+    // the Hamming verify rides the join condition, so the pair-dedup
+    // exchange only ever sees surviving pairs
+    assert(p.contains("bit_count"), "Hamming gate must be in the plan")
+  }
+
+  test("image hash signatures are a map-only codegen projection (no exchange)") {
+    // parquet-backed input (a local Seq would constant-fold to a
+    // LocalTableScan); non-image bytes only exercise the PLAN shape
+    val docs = graft.core.Engine.table(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text").cast("binary").as("content"))
+    val p = graft.operators.Dedup.imageHashSignatures(docs, "doc_id", "content")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"signature stage must not shuffle:\n$p")
+    assert(p.contains("dhash64"), s"the codegen'd kernel must appear:\n$p")
+    assert(p.contains("*(1) Project"),
+      s"the projection must stay inside whole-stage codegen (the *(n) marker):\n$p")
+  }
+
   test("compiled safe_eval predicates push down to the parquet scan") {
     val events = graft.core.Engine.table(spark, dir, "events")
     val filtered = events.filter(

@@ -326,4 +326,34 @@ class SimilaritySpec extends SparkSpec {
     assert(scans.exists(s => s.contains("pq_codes") && !s.contains("embedding")),
       s"ADC pass must scan codes only:\n${scans.mkString("\n")}")
   }
+
+  test("OPQ IVF-PQ layout: rotation rides the meta, probe matches the rotated two-stage") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-opq").toString
+    Similarity.ensureIvfPqLayout(emb.filter(col("vec_id") =!= 0), "vec_id",
+      "embedding", dir, nCentroids = 8, m = 8, ksub = 16,
+      fitSampleFraction = 1.0, fitOn = Some(emb), opq = true)
+    // the meta carries the rotation — a probe needs no out-of-band state
+    val metaTxt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "ivfpq_meta.json")), "UTF-8")
+    assert(metaTxt.contains("\"rotation\""), "rotation must ride the layout meta")
+    val got = Similarity.knnIvfPqPartitioned(spark, dir, "vec_id", "embedding",
+      query, k = 10, nProbe = 8, candidateFactor = 8).collect()
+    // nProbe = all clusters → must equal the in-memory rotated two-stage
+    // with the same fit inputs
+    val (rot, model) = Similarity.opqPqFit(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, fitSampleFraction = 1.0)
+    val want = Similarity.pqKnnRotated(emb.filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", query, rot, model, k = 10, candidateFactor = 8)
+      .collect()
+    assert(got.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      want.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // pruning + codes-only ADC scan hold on the OPQ layout too
+    val plan = Similarity.knnIvfPqPartitioned(spark, dir, "vec_id", "embedding",
+      query, k = 10, nProbe = 2, candidateFactor = 8)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.forall(_.contains("PartitionFilters")), s"pruning lost:\n$plan")
+    assert(scans.exists(s => s.contains("pq_codes") && !s.contains("embedding")),
+      s"ADC pass must scan codes only:\n${scans.mkString("\n")}")
+  }
 }

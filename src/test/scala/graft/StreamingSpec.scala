@@ -346,6 +346,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quantile sketch: below capacity the fold IS the sorted input") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[Double](spark)
+    val q = StreamOps.streamingQuantileSketch(
+        input.toDF().toDF("v"), "v", k = 256)
+      .writeStream.format("memory").queryName("kll_sink")
+      .outputMode("complete").start()
+    try {
+      val rnd = new scala.util.Random(3)
+      val b1 = Array.fill(100)(rnd.nextDouble() * 50)
+      val b2 = Array.fill(100)(rnd.nextDouble() * 50)
+      input.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      val sketch = spark.table("kll_sink").head()
+        .getSeq[scala.collection.Seq[Double]](0)
+        .map(_.toArray).toArray
+      val all = (b1 ++ b2).sorted
+      assert(sketch.map(_.length).sum == 200,
+        "below capacity nothing compacts across micro-batches")
+      assert(sketch(0).toSeq == all.toSeq, "level 0 IS the sorted input")
+      for (qq <- Seq(0.25, 0.5, 0.75)) {
+        val exact = all(math.max(1, math.ceil(qq * 200).toInt) - 1)
+        assert(graft.operators.Aggregators.kllQuantile(sketch, qq) == exact,
+          s"q=$qq must be exact below capacity")
+      }
+    } finally q.stop()
+  }
+
   test("streaming funnel: advances emit once, chain state spans batches, order rule holds") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val input = MemoryStream[(String, Long, String)](spark)
