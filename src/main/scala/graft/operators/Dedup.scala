@@ -545,6 +545,75 @@ object Dedup {
       .withColumn("keep", col("dup_class").isNull || col("dup_class") === col(idCol))
   }
 
+  /** Video near-duplicates — the frame-level composition of
+    * [[imageNearDuplicates]]: decode every `frameStride`-th MJPEG
+    * frame ([[Multimodal.videoFrames]]), dHash each frame, band the
+    * frame hashes through the SAME pigeonhole Hamming join, then
+    * promote frame matches to video pairs by FRAME COVERAGE — the
+    * fraction of the contained video's frames that match some frame
+    * of the container within `maxFrameHamming` bits (the
+    * [[containmentPairs]] asymmetry: a clip inside a longer cut
+    * surfaces as contained→container at coverage 1.0 even though the
+    * container's own coverage is lower; both directions appear when
+    * both clear the bar).
+    *
+    * Scale shape: frame hashing is one mapPartitions decode pass +
+    * a codegen'd projection; candidate generation is the banded
+    * equi-join (bucket-capped — black/credits frames hash alike and
+    * would otherwise go quadratic); coverage is a count-distinct
+    * aggregate over surviving frame matches only. No all-pairs at
+    * any corpus size. Spec-gated (JPEG decode is not restatable in an
+    * external SQL engine, the q79 lossy rule).
+    */
+  def videoNearDuplicates(df: DataFrame, idCol: String, contentCol: String,
+      maxFrameHamming: Int = 6, minFrameCoverage: Double = 0.8,
+      frameStride: Int = 1, bands: Int = 8,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    require(minFrameCoverage > 0 && minFrameCoverage <= 1,
+      s"minFrameCoverage must be in (0,1]: $minFrameCoverage")
+    val frames = Multimodal.videoFrames(
+      df.select(col(idCol).cast("string").as("__vid"), col(contentCol)),
+      contentCol, frameStride)
+    // one decode+hash pass feeds the join's both sides and the totals
+    val hashes = frames.select(col("__vid"), col("frame_idx"),
+        Multimodal.dhash64Col(col("frame")).as("__fh"))
+      .filter(col("__fh").isNotNull)
+      .localCheckpoint(false)
+    val totals = hashes.groupBy(col("__vid").as("contained_id"))
+      .agg(count(lit(1)).as("n_frames"))
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val bandStructs = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("__fh"), b * width).bitwiseAND(mask).as("chunk")))
+    val banded = hashes.select(col("__vid"), col("frame_idx"), col("__fh"),
+        explode(array(bandStructs: _*)).as("lsh"))
+      .select(col("__vid"), col("frame_idx"), col("__fh"),
+        col("lsh.band"), col("lsh.chunk"))
+    val capped = capBucketsPartitioned(banded, Seq("band", "chunk"), maxBucketSize)
+    val left = capped.select(col("band"), col("chunk"),
+      col("__vid").as("contained_id"), col("frame_idx").as("__fa"),
+      col("__fh").as("__ha"))
+    val right = capped.select(col("band"), col("chunk"),
+      col("__vid").as("container_id"), col("frame_idx").as("__fb"),
+      col("__fh").as("__hb"))
+    // Hamming gate at join time, pair-dedup only over survivors (the
+    // simhashNearDuplicatesFromSigs discipline)
+    val frameMatches = left.join(right, Seq("band", "chunk"))
+      .filter(col("contained_id") =!= col("container_id") &&
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))) <= maxFrameHamming)
+      .select(col("contained_id"), col("container_id"), col("__fa"))
+      .distinct()
+    frameMatches
+      .groupBy(col("contained_id"), col("container_id"))
+      .agg(count(lit(1)).as("n_matched"))
+      .join(totals, Seq("contained_id"))
+      .withColumn("frame_coverage",
+        round(col("n_matched").cast("double") / col("n_frames"), 6))
+      .filter(col("frame_coverage") >= minFrameCoverage)
+  }
+
   // ------------------------------------------- transitive dedup classes
 
   /** Connected components over a similarity-pair edge list by iterative

@@ -511,7 +511,11 @@ object Multimodal {
     * Null / non-decodable bytes → null (callers filter, mirroring
     * [[imageStats]]'s degrade-per-row rule).
     */
-  private[graft] def dhash64(bytes: Array[Byte]): java.lang.Long =
+  def dhash64(bytes: Array[Byte]): java.lang.Long =
+    // public (not private[graft]): the generated code calls this as a
+    // JAVA STATIC — scalac only emits static forwarders for public
+    // members, and without one janino can't resolve the call and the
+    // whole stage silently falls back to interpreted eval
     decodePixels(bytes) match {
       case None => null
       case Some(img) => java.lang.Long.valueOf(dhashOf(img))

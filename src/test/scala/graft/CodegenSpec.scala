@@ -168,6 +168,63 @@ class CodegenSpec extends SparkSpec {
     assert(codegenRows.nonEmpty)
   }
 
+  test("DHash64 / MatVec / CountInSet: no fallback, codegen == interpreted bit-for-bit") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val M = graft.operators.Multimodal
+    Seq(
+      CatalystExpressions.countInSet(col("t"), Seq("a")),
+      CatalystExpressions.matVec(col("a"), Array(Array(1.0, 0.0))),
+      M.dhash64Col(col("b"))
+    ).foreach { c =>
+      val e = expressionOf(c)
+      assert(!e.isInstanceOf[CodegenFallback],
+        s"${e.getClass.getSimpleName} must implement real doGenCode")
+    }
+    // RDD-backed frame: a local Seq would constant-fold before either
+    // execution mode runs (this shape is what caught the missing
+    // static forwarder for a private[graft] kernel)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("img", BinaryType),
+      StructField("vec", ArrayType(DoubleType)),
+      StructField("toks", ArrayType(StringType))))
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    val rows = Seq(
+      Row(1L, M.renderPng(18, 16, (x, _) => gray(x * 10)),
+        Seq(1.5, -2.0), Seq("a", "b", "a", "c")),
+      Row(2L, "not an image".getBytes("UTF-8"), Seq(3.0, 4.0), Seq("d")))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val q = () => df.select(col("id"),
+        M.dhash64Col(col("img")).as("dh"),
+        CatalystExpressions.matVec(col("vec"),
+          Array(Array(0.0, 1.0), Array(1.0, 0.0))).as("mv"),
+        CatalystExpressions.countInSet(col("toks"), Seq("a", "c")).as("cis"))
+      .orderBy("id").collect().toSeq.map(_.toString)
+    val conf = spark.conf
+    val codegenRows =
+      try {
+        conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+        conf.set("spark.sql.codegen.fallback", "false")
+        q()
+      } finally {
+        conf.unset("spark.sql.codegen.factoryMode")
+        conf.unset("spark.sql.codegen.fallback")
+      }
+    val interpretedRows =
+      try {
+        conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        conf.set("spark.sql.codegen.wholeStage", "false")
+        q()
+      } finally {
+        conf.unset("spark.sql.codegen.factoryMode")
+        conf.unset("spark.sql.codegen.wholeStage")
+      }
+    assert(codegenRows == interpretedRows,
+      s"codegen and interpreted must agree:\n$codegenRows\n$interpretedRows")
+    assert(codegenRows.head.contains("-1"), "gradient hash is all-ones")
+    assert(codegenRows.head.contains("3"), "3 of 4 tokens are in the set")
+  }
+
   test("nullable-on-success expressions declare nullable (invalid input maps to null)") {
     // CanonicalJson / DotProduct / NearestCentroid return null for
     // NON-null inputs (bad JSON, length mismatch, no matching

@@ -386,6 +386,41 @@ class DedupSpec extends SparkSpec {
     assert(corpus(5L) == ((None, true)))
   }
 
+  test("video near-dup: resized twin covers fully, clip-in-longer-cut is asymmetric, unrelated stays out") {
+    val M = graft.operators.Multimodal
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    // one distinct block pattern per frame index (vertical split walks
+    // right); unrelated frames are 4px block noise — essentially random
+    // 64-bit hashes, pairwise far from everything (a horizontal split
+    // would be degenerate: constant rows dHash to 0)
+    def pat(i: Int)(x: Int, y: Int): Int = gray(if (x < 8 + 4 * i) 30 else 220)
+    def unrel(i: Int)(x: Int, y: Int): Int =
+      gray((((x / 4) * 73856093) ^ ((y / 4) * 19349663) ^ ((i + 1) * 83492791)) & 0xff)
+    def avi(fs: Seq[Array[Byte]]): Array[Byte] = M.syntheticMjpegAvi(fs)
+    val base = (0 until 4).map(i => M.renderJpeg(32, 32, pat(i)))
+    val twin2x = (0 until 4).map(i =>
+      M.renderJpeg(64, 64, (x, y) => pat(i)(x / 2, y / 2))) // resized re-encode
+    val vids = Seq(
+      (1L, avi(base)),
+      (2L, avi(twin2x)),
+      (3L, avi(base :+ M.renderJpeg(32, 32, unrel(0)))), // the longer cut
+      (4L, avi((1 to 4).map(i => M.renderJpeg(32, 32, unrel(i)))))
+    ).toDF("video_id", "content")
+    val pairs = graft.operators.Dedup.videoNearDuplicates(vids, "video_id",
+        "content", maxFrameHamming = 6, minFrameCoverage = 0.9)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("frame_coverage")).toMap
+    assert(pairs.get(("1", "2")).contains(1.0), s"resized twin covers fully: $pairs")
+    assert(pairs.get(("2", "1")).contains(1.0), s"symmetric for equal-length twins: $pairs")
+    assert(pairs.get(("1", "3")).contains(1.0),
+      s"the clip is fully contained in the longer cut: $pairs")
+    assert(!pairs.contains(("3", "1")),
+      s"the longer cut's own coverage (4/5) must miss the 0.9 bar: $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == "4" || p._2 == "4"),
+      s"unrelated video must not pair: $pairs")
+  }
+
   test("containment maxGramDf: boilerplate grams dropped from both numerator and denominator") {
     // the same long boilerplate footer in EVERY doc would make a
     // quadratic hot gram AND fake high containment between unrelated
