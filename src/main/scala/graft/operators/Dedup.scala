@@ -465,18 +465,25 @@ object Dedup {
   /** [[simhashNearDuplicates]] from a precomputed (id, sh) signature
     * artifact — the [[CorpusIndex]] path.
     */
-  def simhashNearDuplicatesFromSigs(hashed: DataFrame,
-      maxHamming: Int = 3, bands: Int = 4,
-      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+  /** (id, sh) → one row per (id, sh, band, chunk): the pigeonhole
+    * banding shared by the batch and incremental Hamming joins.
+    */
+  private def simhashBanded(hashed: DataFrame, bands: Int): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1L
     val bandStructs = (0 until bands).map(b =>
       struct(lit(b).as("band"),
         shiftright(col("sh"), b * width).bitwiseAND(mask).as("chunk")))
-    val banded = hashed.select(col("id"), col("sh"),
-      explode(array(bandStructs: _*)).as("lsh"))
+    hashed.select(col("id"), col("sh"),
+        explode(array(bandStructs: _*)).as("lsh"))
       .select(col("id"), col("sh"), col("lsh.band"), col("lsh.chunk"))
+  }
+
+  def simhashNearDuplicatesFromSigs(hashed: DataFrame,
+      maxHamming: Int = 3, bands: Int = 4,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val banded = simhashBanded(hashed, bands)
     val capped = capBucketsPartitioned(banded, Seq("band", "chunk"), maxBucketSize)
     val left = capped.select(col("band"), col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
     val right = capped.select(col("band"), col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
@@ -543,6 +550,44 @@ object Dedup {
     df.join(classes.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumnRenamed("component", "dup_class")
       .withColumn("keep", col("dup_class").isNull || col("dup_class") === col(idCol))
+  }
+
+  /** Incremental Hamming near-dup for ANY 64-bit signature frame —
+    * text SimHash ([[simhashSignatures]]) and image dHash
+    * ([[imageHashSignatures]]) alike, the nightly-ingest twin of
+    * [[simhashNearDuplicatesFromSigs]]/[[imageNearDuplicates]]: band
+    * the FULL signature store (old ∪ new) on one side and ONLY the
+    * new batch on the other, so the join emits new-vs-anything and
+    * never re-pairs old-vs-old — O(batch × bucket), not O(corpus²).
+    * The full side carries the hot-bucket cap (counted over the WHOLE
+    * bucket, so drop decisions match a full recompute); the batch
+    * side needs none — a batch row only ever meets capped full-side
+    * buckets. With the cap disabled,
+    * `full(old) ∪ incremental(all, new) == full(all)` exactly
+    * (DurableIndexSpec locks the image form; the text form is the
+    * [[incrementalNearDuplicates]] precedent).
+    *
+    * Maintain the store by appending each batch's (id, sh) rows —
+    * signatures are map-only to derive, so the nightly cost is
+    * hashing the delta plus this join.
+    */
+  def incrementalHammingNearDuplicates(allSigs: DataFrame,
+      newSigs: DataFrame, maxHamming: Int = 6, bands: Int = 8,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val bAll = capBucketsPartitioned(simhashBanded(allSigs, bands),
+      Seq("band", "chunk"), maxBucketSize)
+      .select(col("band"), col("chunk"),
+        col("id").as("__idf"), col("sh").as("__shf"))
+    val bNew = simhashBanded(newSigs, bands)
+      .select(col("band"), col("chunk"),
+        col("id").as("__idn"), col("sh").as("__shn"))
+    bAll.join(bNew, Seq("band", "chunk"))
+      .filter(col("__idf") =!= col("__idn") &&
+        bit_count(col("__shf").bitwiseXOR(col("__shn"))) <= maxHamming)
+      .select(least(col("__idf"), col("__idn")).as("id_a"),
+        greatest(col("__idf"), col("__idn")).as("id_b"),
+        bit_count(col("__shf").bitwiseXOR(col("__shn"))).as("hamming"))
+      .distinct()
   }
 
   /** Video near-duplicates — the frame-level composition of

@@ -35,6 +35,7 @@ object SqlFunctions {
     "nfc_normalize" -> (CE.normalizeNfc(_)),
     "fix_mojibake" -> (CE.fixMojibake(_)),
     "simhash64" -> (c => CE.simhash64(CE.tokenHashes(c))),
+    "dhash64" -> (graft.operators.Multimodal.dhash64Col(_)),
     "canonical_json" -> (CE.canonicalJson(_)),
     "deflate_ratio" -> (CE.deflateRatio(_)),
     // text analysis (TextFunctions kernels)

@@ -116,6 +116,43 @@ class DurableIndexSpec extends SparkSpec {
     assert(incr.intersect(oldPairs) === Set.empty, "incremental pairs always touch the batch")
   }
 
+  test("incremental Hamming near-dup (image-sig form): full(old) ∪ incr(all, new) == full(all)") {
+    import spark.implicits._
+    // synthetic 64-bit signature store with planted near pairs; the
+    // equivalence is the contract that lets a nightly image ingest pay
+    // O(batch) instead of re-pairing the corpus
+    val rnd = new scala.util.Random(41)
+    def flip(h: Long, bits: Int): Long =
+      (0 until bits).foldLeft(h)((x, _) => x ^ (1L << rnd.nextInt(64)))
+    val baseHashes = Array.fill(120)(rnd.nextLong())
+    val old = (0 until 120).map(i => (i.toLong, baseHashes(i)))
+    // new batch: 20 fresh + near-dups of old ids 3 and 7 + a near pair
+    // WITHIN the batch
+    val fresh = (200 until 220).map(i => (i.toLong, rnd.nextLong()))
+    val batch = fresh ++ Seq(
+      (300L, flip(baseHashes(3), 2)),
+      (301L, flip(baseHashes(7), 3)),
+      (302L, flip(baseHashes(3), 1))) // also near 300
+    val oldDf = old.toDF("id", "sh")
+    val allDf = (old ++ batch).toDF("id", "sh")
+    val newDf = batch.toDF("id", "sh")
+    def pairs(df: DataFrame) =
+      Dedup.simhashNearDuplicatesFromSigs(df, maxHamming = 6, bands = 8,
+        maxBucketSize = 0).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val incr = Dedup.incrementalHammingNearDuplicates(allDf, newDf,
+      maxHamming = 6, bands = 8, maxBucketSize = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs(oldDf) ++ incr == pairs(allDf),
+      "incremental union must equal the full recompute with the cap off")
+    assert(incr.exists(p => p._1 == 3L && p._2 == 300L),
+      s"batch-vs-old pair must surface: $incr")
+    assert(incr.exists(p => p._1 == 300L && p._2 == 302L),
+      s"batch-vs-batch pair must surface: $incr")
+    assert(!incr.exists(p => p._1 < 200L && p._2 < 200L),
+      s"old-vs-old must never re-pair: $incr")
+  }
+
   test("IVF layout append: probe(layout ∪ batch) == probe(rebuilt layout), old partitions untouched") {
     import graft.operators.Similarity
     val emb = graft.core.Engine.table(spark, sfDir, "embeddings")
