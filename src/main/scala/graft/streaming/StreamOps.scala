@@ -129,6 +129,56 @@ object StreamOps {
       .toDF("kll")
   }
 
+  /** Streaming image-ingest dedup — the crawl loop for a multimodal
+    * corpus as a foreachBatch stream: each micro-batch dHashes its
+    * images ([[graft.operators.Dedup.imageHashSignatures]], map-only),
+    * pairs them against the DURABLE signature store via
+    * [[graft.operators.Dedup.incrementalHammingNearDuplicates]]
+    * (new-vs-anything, never old-vs-old — O(batch) per batch), then
+    * appends its own signatures to the store. Layout under
+    * `storeDir`:
+    *
+    * {{{
+    * sigs/batch=<id>/   # (id, sh) per ingested batch
+    * pairs/batch=<id>/  # (id_a, id_b, hamming) found by that batch
+    * }}}
+    *
+    * Per-batch generation dirs + overwrite mode make a replayed batch
+    * idempotent (foreachBatch redelivers with the same batchId);
+    * pairs are written BEFORE signatures so a crash between the two
+    * replays into overwrites, never into the batch meeting its own
+    * signatures as "old".
+    */
+  def streamingImageDedupIngest(stream: DataFrame, idCol: String,
+      contentCol: String, storeDir: String, checkpointDir: String,
+      maxHamming: Int = 6, bands: Int = 8,
+      maxBucketSize: Int = graft.operators.Dedup.DefaultMaxBucketSize)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val sigs = graft.operators.Dedup
+          .imageHashSignatures(batch, idCol, contentCol)
+          .localCheckpoint(false) // one decode serves pairs + the store write
+        val old =
+          try spark.read.parquet(s"$storeDir/sigs")
+            // partition discovery exposes the generation as `batch`; a
+            // replayed batch must not meet its own earlier write
+            .filter(col("batch") =!= batchId).drop("batch")
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            sigs.filter(lit(false))
+          }
+        val pairs = graft.operators.Dedup.incrementalHammingNearDuplicates(
+          old.unionByName(sigs), sigs, maxHamming, bands, maxBucketSize)
+        pairs.write.mode("overwrite")
+          .parquet(s"$storeDir/pairs/batch=$batchId")
+        sigs.write.mode("overwrite")
+          .parquet(s"$storeDir/sigs/batch=$batchId")
+        ()
+      }
+      .start()
+
   /** A flagged outlier from [[streamingAnomalyFlags]]. */
   final case class AnomalyHit(key: String, seq: Long, value: Double,
     zscore: Double)

@@ -376,6 +376,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming image-ingest dedup: batch-vs-store pairs, store grows per generation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val M = graft.operators.Multimodal
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    def noise(i: Int)(x: Int, y: Int): Int =
+      gray((((x / 4) * 73856093) ^ ((y / 4) * 19349663) ^ ((i + 1) * 83492791)) & 0xff)
+    val store = java.nio.file.Files.createTempDirectory("graft-imgstore").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-imgckpt").toString
+    val input = MemoryStream[(Long, Array[Byte])](spark)
+    val q = StreamOps.streamingImageDedupIngest(
+      input.toDF().toDF("img_id", "content"), "img_id", "content", store, ckpt)
+    try {
+      // batch 0: two unrelated images
+      input.addData((1L, M.renderPng(32, 32, noise(1))),
+        (2L, M.renderPng(32, 32, noise(2))))
+      q.processAllAvailable()
+      // batch 1: a resize twin of image 1 + a fresh image + an
+      // in-batch twin pair (4, 5)
+      input.addData(
+        (3L, M.renderPng(64, 64, (x, y) => noise(1)(x / 2, y / 2))),
+        (4L, M.renderPng(32, 32, noise(7))),
+        (5L, M.renderPng(64, 64, (x, y) => noise(7)(x / 2, y / 2))))
+      q.processAllAvailable()
+      val pairs = spark.read.parquet(s"$store/pairs").drop("batch").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 3L), (4L, 5L)),
+        s"batch-vs-store and batch-vs-batch twins only: $pairs")
+      val sigs = spark.read.parquet(s"$store/sigs")
+      assert(sigs.count() == 5, "every decodable image's signature is stored")
+      assert(sigs.select("batch").distinct().count() == 2,
+        "one generation dir per micro-batch")
+    } finally q.stop()
+  }
+
   test("streaming funnel: advances emit once, chain state spans batches, order rule holds") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val input = MemoryStream[(String, Long, String)](spark)
