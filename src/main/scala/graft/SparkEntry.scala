@@ -3062,6 +3062,17 @@ object SparkEntry {
       min(col("__last")), max(col("__last")),
       min(col("frequency")), max(col("frequency")),
       min(col("monetary_cents")), max(col("monetary_cents"))).head()
+    if (mm.isNullAt(0)) { // empty corpus: schema-stable empty result
+      return rfm0
+        .withColumn("recency_days", lit(null).cast("long"))
+        .withColumn("r_score", lit(null).cast("int"))
+        .withColumn("f_score", lit(null).cast("int"))
+        .withColumn("m_score", lit(null).cast("int"))
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("monetary_cents")).as("total_cents"))
+        .orderBy(col("r_score"), col("f_score"), col("m_score"))
+    }
     val t1 = mm.getLong(1)
     def days(last: Long): Long = ((t1 - last).toDouble / 86400L).toLong
     val rfm = rfm0.withColumn("recency_days",
@@ -4180,6 +4191,10 @@ object SparkEntry {
     val kll = org.apache.spark.sql.functions.udaf(
       graft.operators.Aggregators.kllQuantiles(k = 256, qs = Seq(0.5, 0.9)))
     t(s, dir, "events")
+      // the sketch's contract: finite doubles only (a null would fail
+      // the primitive-Double deserializer, a NaN has no rank) — the
+      // oracle applies the same predicate so the counts agree
+      .filter(col("value").isNotNull && !col("value").isNaN)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         kll(col("value")).as("__est"),
@@ -4199,7 +4214,9 @@ object SparkEntry {
       |   <= 0.02 * greatest(abs(quantile_cont(value, 0.5)), 1.0) AS p50_within_2pct,
       | abs(approx_quantile(value, 0.9) - quantile_cont(value, 0.9))
       |   <= 0.02 * greatest(abs(quantile_cont(value, 0.9)), 1.0) AS p90_within_2pct
-      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+      |FROM events
+      |WHERE value IS NOT NULL AND NOT isnan(value)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   private def c4LineOracle: String =
     """WITH l AS (

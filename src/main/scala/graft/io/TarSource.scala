@@ -62,33 +62,42 @@ object TarSource {
       shardCol: String, files: Seq[(String, String)],
       numShards: Int): Long =
     writeShardsNamed(df, dir, keyCol, shardCol, files, numShards,
-      shard => f"shard-$shard%05d.tar")
+      shard => f"shard-$shard%05d.tar",
+      // the whole non-generation family: a rerun with fewer shards
+      // must also sweep the old run's higher-numbered shards
+      n => n.matches("""shard-\d{5}\.tar"""))
 
   private def writeShardsNamed(df: DataFrame, dir: String, keyCol: String,
       shardCol: String, files: Seq[(String, String)], numShards: Int,
-      fileName: Int => String): Long = {
+      fileName: Int => String, staleName: String => Boolean): Long = {
     require(numShards >= 1, s"numShards must be >= 1: $numShards")
     require(files.nonEmpty, "files mapping must be non-empty")
     val spark = df.sparkSession
-    // Driver-side fresh-output sweep, BEFORE any task runs: remove this
-    // run's target shard names (so tasks never delete a final path —
-    // see close()'s commit note) and any stale `.*.inprogress` temps
-    // left by executor JVM death in an earlier run (the task failure
-    // listener never fires for a killed JVM, so only a sweep reclaims
-    // them). Also drop a stale _SUCCESS so a half-finished rerun is
-    // never mistaken for a committed one. (`locally` keeps the block a
-    // statement — a bare block after a `new` would parse as an
-    // anonymous-class body.)
+    // Driver-side fresh-output sweep, BEFORE any task runs: remove
+    // EVERY shard of this run's naming family (`staleName` — not just
+    // the current numShards names: a rerun with a SHRUNK shard count
+    // must not leave run-1's higher-numbered shards behind for read()
+    // to glob into a _SUCCESS-stamped directory) plus any stale
+    // `.*.inprogress` temps left by executor JVM death (the task
+    // failure listener never fires for a killed JVM, so only a sweep
+    // reclaims them). Tasks therefore never delete a final path — see
+    // close()'s commit note. Also drop a stale _SUCCESS so a
+    // half-finished rerun is never mistaken for a committed one.
+    // (`locally` keeps the block a statement — a bare block after a
+    // `new` would parse as an anonymous-class body.)
     locally {
       val dirPath = new org.apache.hadoop.fs.Path(dir)
       val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(dirPath)) {
-        val targets = (0 until numShards).map(fileName).toSet
         fs.listStatus(dirPath).foreach { st =>
           val n = st.getPath.getName
-          val staleTemp = n.startsWith(".") && n.endsWith(".inprogress") &&
-            targets.exists(t => n.startsWith(s".$t."))
-          if (targets.contains(n) || n == SuccessMarker || staleTemp)
+          // temp names are ".{base}.{attempt}.inprogress" with base
+          // ending in ".tar" — recover base, ask the same predicate
+          val staleTemp = n.startsWith(".") && n.endsWith(".inprogress") && {
+            val i = n.indexOf(".tar.")
+            i > 0 && staleName(n.substring(1, i + 4))
+          }
+          if (staleName(n) || n == SuccessMarker || staleTemp)
             fs.delete(st.getPath, false)
         }
       }
@@ -269,8 +278,13 @@ object TarSource {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val gen = f"-b$batchId%06d.tar"
         writeShardsNamed(batch, dir, keyCol, shardCol, files, numShards,
-          shard => f"shard-$shard%05d-b$batchId%06d.tar")
+          shard => f"shard-$shard%05d$gen",
+          // sweep ONLY this batch's generation — other batches'
+          // shards are other commits, not staleness
+          n => n.startsWith("shard-") && n.endsWith(gen) &&
+            n.length == "shard-00000".length + gen.length)
         ()
       }
       .start()

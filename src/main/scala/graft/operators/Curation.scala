@@ -502,6 +502,10 @@ object Curation {
         TextOps.portableHash(TextFunctions.exactFingerprint(col(textCol)),
           "card")).as("__fph"),
       col(textCol).rlike(EmailPattern).as("__email"))
+      // both aggregations below consume this frame — without the
+      // checkpoint the tokenize/quality/langid/hash projection would
+      // run twice per document
+      .localCheckpoint(false)
     // A group whose text is all null/untokenizable yields null `__fph`,
     // which must never reach the primitive-Long KMV input — and the
     // group must still keep its counts. So: numeric monoid in one agg,

@@ -465,20 +465,28 @@ object Dedup {
   /** [[simhashNearDuplicates]] from a precomputed (id, sh) signature
     * artifact — the [[CorpusIndex]] path.
     */
-  /** (id, sh) → one row per (id, sh, band, chunk): the pigeonhole
-    * banding shared by the batch and incremental Hamming joins.
+  /** One row per input row × band with `band`/`chunk` columns added,
+    * every other column preserved: THE pigeonhole banding of a 64-bit
+    * hash column — shared by the batch Hamming join, the incremental
+    * store join, and the video frame join, so the banding scheme can
+    * never diverge between them.
     */
-  private def simhashBanded(hashed: DataFrame, bands: Int): DataFrame = {
+  private[operators] def hammingBanded(df: DataFrame, shCol: String,
+      bands: Int): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1L
     val bandStructs = (0 until bands).map(b =>
       struct(lit(b).as("band"),
-        shiftright(col("sh"), b * width).bitwiseAND(mask).as("chunk")))
-    hashed.select(col("id"), col("sh"),
-        explode(array(bandStructs: _*)).as("lsh"))
-      .select(col("id"), col("sh"), col("lsh.band"), col("lsh.chunk"))
+        shiftright(col(shCol), b * width).bitwiseAND(mask).as("chunk")))
+    df.withColumn("__lsh", explode(array(bandStructs: _*)))
+      .withColumn("band", col("__lsh.band"))
+      .withColumn("chunk", col("__lsh.chunk"))
+      .drop("__lsh")
   }
+
+  private def simhashBanded(hashed: DataFrame, bands: Int): DataFrame =
+    hammingBanded(hashed.select(col("id"), col("sh")), "sh", bands)
 
   def simhashNearDuplicatesFromSigs(hashed: DataFrame,
       maxHamming: Int = 3, bands: Int = 4,
@@ -627,16 +635,8 @@ object Dedup {
       .localCheckpoint(false)
     val totals = hashes.groupBy(col("__vid").as("contained_id"))
       .agg(count(lit(1)).as("n_frames"))
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1L
-    val bandStructs = (0 until bands).map(b =>
-      struct(lit(b).as("band"),
-        shiftright(col("__fh"), b * width).bitwiseAND(mask).as("chunk")))
-    val banded = hashes.select(col("__vid"), col("frame_idx"), col("__fh"),
-        explode(array(bandStructs: _*)).as("lsh"))
-      .select(col("__vid"), col("frame_idx"), col("__fh"),
-        col("lsh.band"), col("lsh.chunk"))
-    val capped = capBucketsPartitioned(banded, Seq("band", "chunk"), maxBucketSize)
+    val capped = capBucketsPartitioned(
+      hammingBanded(hashes, "__fh", bands), Seq("band", "chunk"), maxBucketSize)
     val left = capped.select(col("band"), col("chunk"),
       col("__vid").as("contained_id"), col("frame_idx").as("__fa"),
       col("__fh").as("__ha"))

@@ -683,8 +683,11 @@ object Multimodal {
       if (size > Int.MaxValue - i - 9) i = b.length
       else i += 8 + size.toInt + (size.toInt & 1)
     }
+    // long arithmetic: a crafted ~2 GiB size field would overflow an
+    // int sum to negative and slip past the bounds check, then OOM at
+    // the array allocation instead of degrading per-row
     if (fmt != 1 || channels < 1 || dataOff < 0 || dataLen < 0 ||
-      dataOff + dataLen > b.length || (bits != 16 && bits != 8)) return None
+      dataOff.toLong + dataLen > b.length || (bits != 16 && bits != 8)) return None
     val out =
       if (bits == 16) {
         val n = dataLen / 2

@@ -658,7 +658,11 @@ object Similarity {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n > 0) v.map(_ / n) else v
     }
-    val dim = vecs.first().length
+    val firstRows = vecs.take(1) // emptiness probe BEFORE first(): an
+    // empty sample must fail with this message, not an opaque
+    // NoSuchElementException
+    require(firstRows.nonEmpty, "opqRotation: sample yielded no vectors")
+    val dim = firstRows.head.length
     require(dim % m == 0, s"vector dim $dim must divide into m=$m sub-spaces")
     val (moment, cnt) = vecs.filter(_.length == dim).treeAggregate(
       (Array.ofDim[Double](dim, dim), 0L))(

@@ -67,12 +67,17 @@ object SqlFunctions {
     new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   /** Register every binding on the session — once; repeat calls on the
-    * same session are no-ops.
+    * same session are no-ops. The session is marked AFTER the loop
+    * completes (under the map's lock), so a mid-registration failure
+    * or a concurrent first call can never strand the session with a
+    * partial binding set that later calls refuse to repair.
     */
-  def register(spark: SparkSession): Unit =
-    if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
+  def register(spark: SparkSession): Unit = registered.synchronized {
+    if (!registered.containsKey(spark)) {
       builders.foreach { case (name, b) =>
         GraftSqlShim.registerFunction(spark, name, b)
       }
+      registered.put(spark, java.lang.Boolean.TRUE)
     }
+  }
 }

@@ -161,14 +161,20 @@ object StreamOps {
         val sigs = graft.operators.Dedup
           .imageHashSignatures(batch, idCol, contentCol)
           .localCheckpoint(false) // one decode serves pairs + the store write
+        // explicit existence check, NOT a broad AnalysisException
+        // catch: a corrupt / permission-broken store must fail the
+        // batch loudly — degrading it to "no old signatures" would
+        // silently record false no-duplicate results forever
+        val sigsPath = new org.apache.hadoop.fs.Path(s"$storeDir/sigs")
+        val storeExists = sigsPath
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(sigsPath)
         val old =
-          try spark.read.parquet(s"$storeDir/sigs")
+          if (!storeExists) sigs.filter(lit(false))
+          else spark.read.parquet(s"$storeDir/sigs")
             // partition discovery exposes the generation as `batch`; a
             // replayed batch must not meet its own earlier write
             .filter(col("batch") =!= batchId).drop("batch")
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            sigs.filter(lit(false))
-          }
         val pairs = graft.operators.Dedup.incrementalHammingNearDuplicates(
           old.unionByName(sigs), sigs, maxHamming, bands, maxBucketSize)
         pairs.write.mode("overwrite")

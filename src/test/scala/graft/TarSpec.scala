@@ -99,6 +99,26 @@ class TarSpec extends SparkSpec {
     assert(TarSource.read(spark, dir).count() == 4)
   }
 
+  test("a rerun with fewer shards sweeps the old run's higher-numbered shards") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tars").toString
+    val wide = sampleDf.withColumn("shard",
+      pmod(TextOps.portableHash(col("key"), "tar"), lit(4)).cast("int"))
+    TarSource.writeShards(wide, dir, "key", "shard", Seq("txt" -> "txt"),
+      numShards = 4)
+    // the corpus shrinks (or re-shards): numShards drops to 2 — run 1's
+    // shard-00002/00003 must not survive into a _SUCCESS-stamped dir
+    TarSource.writeShards(sampleDf, dir, "key", "shard", Seq("txt" -> "txt"),
+      numShards = 2)
+    val tars = new java.io.File(dir).listFiles.map(_.getName)
+      .filter(_.endsWith(".tar")).sorted.toSeq
+    // only shards the rerun actually wrote may remain (a shard with no
+    // rows is never created — all four sample keys hash to shard 1)
+    assert(tars.forall(_ <= "shard-00001.tar") && tars.nonEmpty,
+      s"stale higher-numbered shards must be swept: $tars")
+    assert(TarSource.read(spark, dir, requireSuccessMarker = true).count() == 4,
+      "the marker-gated read sees exactly the rerun's samples")
+  }
+
   test("shard assignment is the portable hash — replayable in any engine") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tar").toString
     TarSource.writeShards(sampleDf, dir, "key", "shard",
