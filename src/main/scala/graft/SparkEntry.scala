@@ -4218,6 +4218,66 @@ object SparkEntry {
       |WHERE value IS NOT NULL AND NOT isnan(value)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Media corpus card ([[graft.operators.Multimodal.mediaCard]] —
+    * the multimodal twin of q146's text card): per group, modality
+    * mix, image geometry/brightness, audio level and defect rates in
+    * long format. Lossless in-engine fixtures (PNG + PCM WAV + junk)
+    * make every value a closed form the oracle states as literals;
+    * single-audio groups keep per-row-rounded averages off rounding
+    * boundaries.
+    */
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    val square = Array.tabulate[Short](800)(i =>
+      (if (i % 2 == 0) 16384 else -16384).toShort)
+    val assets = Seq(
+      ("img", M.renderPng(16, 16, (_, _) => (200 << 16) | (50 << 8) | 25)),
+      ("img", M.renderPng(4, 2, (x, _) => if (x < 2) 0xFF0000 else 0x0000FF)),
+      ("aud", M.renderWav(8000, 1, square)),
+      ("aud", "not media".getBytes("UTF-8")),
+      ("sil", M.renderWav(44100, 2, new Array[Short](400)))
+    ).toDF("source", "content")
+    M.mediaCard(assets, "content", "source")
+      .orderBy(col("source"), col("metric"))
+  }
+
+  private def mediaCardOracle: String =
+    """SELECT * FROM (VALUES
+      | ('aud', 'avg_audio_rms', round(16384.0/32767, 6)),
+      | ('aud', 'avg_image_height', CAST(NULL AS DOUBLE)),
+      | ('aud', 'avg_image_luma', CAST(NULL AS DOUBLE)),
+      | ('aud', 'avg_image_width', CAST(NULL AS DOUBLE)),
+      | ('aud', 'n_assets', 2.0),
+      | ('aud', 'pct_audio', 0.5),
+      | ('aud', 'pct_audio_clipped', 0.0),
+      | ('aud', 'pct_audio_silent', 0.0),
+      | ('aud', 'pct_image', 0.0),
+      | ('aud', 'pct_undecodable', 0.5),
+      | ('img', 'avg_audio_rms', CAST(NULL AS DOUBLE)),
+      | ('img', 'avg_image_height', 9.0),
+      | ('img', 'avg_image_luma',
+      |   round(((200/255.0 + 50/255.0 + 25/255.0)/3 + (0.5 + 0.0 + 0.5)/3)/2, 4)),
+      | ('img', 'avg_image_width', 10.0),
+      | ('img', 'n_assets', 2.0),
+      | ('img', 'pct_audio', 0.0),
+      | ('img', 'pct_audio_clipped', CAST(NULL AS DOUBLE)),
+      | ('img', 'pct_audio_silent', CAST(NULL AS DOUBLE)),
+      | ('img', 'pct_image', 1.0),
+      | ('img', 'pct_undecodable', 0.0),
+      | ('sil', 'avg_audio_rms', 0.0),
+      | ('sil', 'avg_image_height', CAST(NULL AS DOUBLE)),
+      | ('sil', 'avg_image_luma', CAST(NULL AS DOUBLE)),
+      | ('sil', 'avg_image_width', CAST(NULL AS DOUBLE)),
+      | ('sil', 'n_assets', 1.0),
+      | ('sil', 'pct_audio', 1.0),
+      | ('sil', 'pct_audio_clipped', 0.0),
+      | ('sil', 'pct_audio_silent', 1.0),
+      | ('sil', 'pct_image', 0.0),
+      | ('sil', 'pct_undecodable', 0.0)
+      |) AS t(source, metric, value)
+      |ORDER BY source, metric""".stripMargin
+
   private def c4LineOracle: String =
     """WITH l AS (
       |  SELECT source, text, string_split(text, chr(10)) AS lines
@@ -4401,7 +4461,8 @@ object SparkEntry {
     "q148_imgdup" -> (q148 _),
     "q149_badwords" -> (q149 _),
     "q150_audio" -> (q150 _),
-    "q151_kll" -> (q151 _))
+    "q151_kll" -> (q151 _),
+    "q152_mcard" -> (q152 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -4803,6 +4864,7 @@ object SparkEntry {
     "q149_badwords" -> badwordOracle,
     "q150_audio" -> audioOracle,
     "q151_kll" -> kllOracle,
+    "q152_mcard" -> mediaCardOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

@@ -783,6 +783,67 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Media corpus card — the multimodal twin of
+    * [[graft.operators.Curation.dataCard]]: per group, long-format
+    * (group, metric, value) rows summarizing what a mixed media
+    * corpus actually contains — modality mix (decodable image /
+    * audio / neither), image geometry and brightness, audio level
+    * and defect rates (clipping, dead air). The release-gate report
+    * for a multimodal ingest ("what did this crawl deliver, per
+    * source"), diffable with [[graft.operators.Curation
+    * .dataCardDiff]] like the text card.
+    *
+    * Two batched decode passes ([[imageStats]] then [[audioStats]] —
+    * each rejects the other modality on magic bytes before any
+    * expensive work), one aggregation, map-only otherwise. Metrics
+    * over a modality average over THAT modality's decodable rows
+    * only (an image has no clipping; null elsewhere keeps the
+    * column honest), so on lossless fixtures every value is a closed
+    * form (the q79/q150 exact-oracle discipline).
+    */
+  def mediaCard(df: DataFrame, contentCol: String,
+      groupCol: String): DataFrame = {
+    val enriched = audioStats(imageStats(df, contentCol), contentCol)
+    val img = col("stats")
+    val aud = col("audio")
+    enriched
+      .groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(when(img.getField("ok"), 1L).otherwise(0L)).as("__ni"),
+        sum(when(aud.getField("ok"), 1L).otherwise(0L)).as("__na"),
+        round(avg(when(img.getField("ok"),
+          img.getField("width").cast("double"))), 2).as("__aw"),
+        round(avg(when(img.getField("ok"),
+          img.getField("height").cast("double"))), 2).as("__ah"),
+        round(avg(when(img.getField("ok"),
+          (img.getField("avg_r") + img.getField("avg_g") +
+            img.getField("avg_b")) / 3.0)), 4).as("__al"),
+        round(avg(when(aud.getField("ok"), aud.getField("rms_norm"))), 6)
+          .as("__arms"),
+        sum(when(aud.getField("ok") && aud.getField("clip_ratio") > 0.0,
+          1L).otherwise(0L)).as("__nclip"),
+        sum(when(aud.getField("ok") && aud.getField("silence_ratio") === 1.0,
+          1L).otherwise(0L)).as("__nsilent"))
+      .select(col("__g").as(groupCol), explode(map(
+        lit("avg_image_height"), col("__ah"),
+        lit("avg_image_luma"), col("__al"),
+        lit("avg_image_width"), col("__aw"),
+        lit("avg_audio_rms"), col("__arms"),
+        lit("n_assets"), col("__n").cast("double"),
+        lit("pct_audio"), round(col("__na").cast("double") / col("__n"), 4),
+        lit("pct_audio_clipped"),
+        when(col("__na") > 0,
+          round(col("__nclip").cast("double") / col("__na"), 4)),
+        lit("pct_audio_silent"),
+        when(col("__na") > 0,
+          round(col("__nsilent").cast("double") / col("__na"), 4)),
+        lit("pct_image"), round(col("__ni").cast("double") / col("__n"), 4),
+        lit("pct_undecodable"),
+        round((col("__n") - col("__ni") - col("__na")).cast("double") /
+          col("__n"), 4))).as(Seq("metric", "value")))
+  }
+
   /** Render a PNG via ImageIO from a per-pixel color function —
     * REAL raster bytes for pixel-path tests and gate queries
     * (deterministic: PNG is lossless, so decode returns exactly the
