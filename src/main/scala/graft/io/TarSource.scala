@@ -262,6 +262,41 @@ object TarSource {
     math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
   }
 
+  /** Re-shard a WebDataset: read every sample under `inDir`, keep only
+    * keys present in `keep` (a one-column keep-list frame — typically
+    * the `keep` survivors of [[graft.operators.Dedup.imageDedupCorpus]]
+    * or a quality gate), and write fresh shards under `outDir` with
+    * portable-hash assignment over `numShards`. THE post-curation
+    * export step for multimodal corpora: dedup/gate decisions arrive
+    * as an id list, and the training-ready artifact is a new shard
+    * set — compacted (no tombstones, no holes), byte-deterministic,
+    * loader-parallel.
+    *
+    * Scale shape: shard-grain parallel read → broadcast-able semi-join
+    * on the key → ONE hash exchange on the new shard id. Samples keep
+    * their file layout (ext → content); returns samples written.
+    */
+  def reshard(spark: SparkSession, inDir: String, outDir: String,
+      keep: DataFrame, numShards: Int, glob: String = "*.tar",
+      seed: String = "tar"): Long = {
+    val keyCol = keep.columns.head
+    val kept = readSamples(spark, inDir, glob)
+      .join(broadcast(keep.select(col(keyCol).cast("string").as("key"))),
+        Seq("key"), "left_semi")
+    // flatten the sample map back to one row per (key, ext) — write
+    // wants one binary column per ext, so pivot the extension set
+    // (bounded: a WebDataset sample has a handful of file types)
+    val exts = kept.select(explode(map_keys(col("sample"))).as("ext"))
+      .distinct().collect().map(_.getString(0)).sorted
+    require(exts.nonEmpty, s"reshard: no samples survive the keep-list under $inDir")
+    val cols = col("key") +:
+      pmod(graft.operators.TextOps.portableHash(col("key"), seed),
+        lit(numShards)).cast("int").as("__shard") +:
+      exts.map(e => element_at(col("sample"), e).as(s"__f_$e"))
+    writeShards(kept.select(cols: _*), outDir, "key", "__shard",
+      exts.map(e => s"__f_$e" -> e), numShards)
+  }
+
   /** Streaming twin of [[writeShards]] — the incremental-crawl export:
     * each micro-batch writes its OWN shard generation
     * (`shard-%05d-b%06d.tar`), so a batch never rewrites earlier
@@ -355,8 +390,8 @@ object TarSource {
     * — the unit a training loader consumes.
     */
   def readSamples(spark: SparkSession, dir: String,
-      glob: String = "*.tar"): DataFrame =
-    read(spark, dir, glob)
+      glob: String = "*.tar", requireSuccessMarker: Boolean = false): DataFrame =
+    read(spark, dir, glob, requireSuccessMarker)
       .groupBy(col("shard"), col("key"))
       .agg(map_from_entries(array_sort(collect_list(
         struct(col("ext"), col("content"))))).as("sample"))

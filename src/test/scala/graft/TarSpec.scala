@@ -119,6 +119,42 @@ class TarSpec extends SparkSpec {
       "the marker-gated read sees exactly the rerun's samples")
   }
 
+  test("reshard: shards → image dedup keep-list → compacted shards, end to end") {
+    val M = graft.operators.Multimodal
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    def noise(i: Int)(x: Int, y: Int): Int =
+      gray((((x / 4) * 73856093) ^ ((y / 4) * 19349663) ^ ((i + 1) * 83492791)) & 0xff)
+    val in = java.nio.file.Files.createTempDirectory("graft-tar-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-tar-out").toString
+    // corpus: three distinct images + a resize twin of the first, each
+    // a sample with an image payload and a caption sidecar
+    val imgs = Seq(
+      ("a", M.renderPng(32, 32, noise(1))),
+      ("b", M.renderPng(32, 32, noise(2))),
+      ("c", M.renderPng(32, 32, noise(3))),
+      ("a2", M.renderPng(64, 64, (x, y) => noise(1)(x / 2, y / 2))))
+    val df = imgs.map { case (k, png) =>
+      (k, png, s"caption of $k".getBytes("UTF-8"))
+    }.toDF("key", "png", "txt")
+      .withColumn("shard", pmod(TextOps.portableHash(col("key"), "tar"), lit(2))
+        .cast("int"))
+    TarSource.writeShards(df, in, "key", "shard",
+      Seq("png" -> "png", "txt" -> "txt"), numShards = 2)
+    // dedup the IMAGES read back from the shards; keep-list drives the
+    // re-export (the twin "a2" dies, its keeper "a" survives)
+    val samples = TarSource.readSamples(spark, in)
+      .select(col("key"), element_at(col("sample"), "png").as("content"))
+    val keep = graft.operators.Dedup.imageDedupCorpus(samples, "key", "content")
+      .filter(col("keep")).select(col("key"))
+    val written = TarSource.reshard(spark, in, out, keep, numShards = 2)
+    assert(written == 3, "the twin must be dropped in the re-export")
+    val back = TarSource.readSamples(spark, out, requireSuccessMarker = true)
+      .collect().map(r => r.getString(1) -> r.getMap[String, Array[Byte]](2)).toMap
+    assert(back.keySet == Set("a", "b", "c"))
+    assert(back("a").keySet == Set("png", "txt"), "samples keep their file layout")
+    assert(new String(back("c")("txt"), "UTF-8") == "caption of c")
+  }
+
   test("shard assignment is the portable hash — replayable in any engine") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tar").toString
     TarSource.writeShards(sampleDf, dir, "key", "shard",
