@@ -4278,6 +4278,45 @@ object SparkEntry {
       |) AS t(source, metric, value)
       |ORDER BY source, metric""".stripMargin
 
+  /** Audio near-dup — perceptual audio hashing banded through the
+    * SAME Hamming machinery as q148's images ([[graft.operators.Dedup
+    * .audioNearDuplicates]]): an amplitude-RISING square wave drives
+    * every envelope-derivative comparison up (hash = all-ones,
+    * provable: strictly increasing per-sample magnitudes beat the
+    * ±1-sample window-length wobble by a quadratic margin), integer
+    * gain scaling multiplies every window energy by the same factor
+    * (bit-identical hash ⇒ Hamming-0 twins), and the FALLING wave
+    * hashes to all-zeros — no shared band, no pair. The oracle states
+    * the resulting pair list as literals; resample/noise robustness
+    * is spec-gated (DedupSpec).
+    */
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    def amSquare(n: Int, gain: Int, rising: Boolean): Array[Short] =
+      Array.tabulate[Short](n) { i =>
+        val a = (if (rising) 100 + i else 100 + n - 1 - i) * gain
+        (if (i % 2 == 0) a else -a).toShort
+      }
+    val wavs = Seq(
+      (1L, M.renderWav(8000, 1, amSquare(900, 1, rising = true))),
+      (2L, M.renderWav(8000, 1, amSquare(900, 2, rising = true))), // gain twin
+      (3L, M.renderWav(8000, 1, amSquare(900, 3, rising = true))), // gain twin
+      (4L, M.renderWav(8000, 1, amSquare(900, 1, rising = false)))
+    ).toDF("wav_id", "content")
+    graft.operators.Dedup.audioNearDuplicates(wavs, "wav_id", "content",
+        maxHamming = 6)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private def audioDupOracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(1 AS BIGINT), CAST(2 AS BIGINT), 0),
+      | (CAST(1 AS BIGINT), CAST(3 AS BIGINT), 0),
+      | (CAST(2 AS BIGINT), CAST(3 AS BIGINT), 0)
+      |) AS t(id_a, id_b, hamming)
+      |ORDER BY id_a, id_b""".stripMargin
+
   private def c4LineOracle: String =
     """WITH l AS (
       |  SELECT source, text, string_split(text, chr(10)) AS lines
@@ -4462,7 +4501,8 @@ object SparkEntry {
     "q149_badwords" -> (q149 _),
     "q150_audio" -> (q150 _),
     "q151_kll" -> (q151 _),
-    "q152_mcard" -> (q152 _))
+    "q152_mcard" -> (q152 _),
+    "q153_auddup" -> (q153 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -4865,6 +4905,7 @@ object SparkEntry {
     "q150_audio" -> audioOracle,
     "q151_kll" -> kllOracle,
     "q152_mcard" -> mediaCardOracle,
+    "q153_auddup" -> audioDupOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

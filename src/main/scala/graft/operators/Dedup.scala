@@ -560,6 +560,32 @@ object Dedup {
       .withColumn("keep", col("dup_class").isNull || col("dup_class") === col(idCol))
   }
 
+  /** Perceptual-hash signatures for audio near-dup —
+    * [[imageHashSignatures]]'s waveform twin: (id, sh) with `sh` =
+    * [[Multimodal.audioHash64Col]] (64-bit envelope-derivative hash
+    * over the decoded PCM). Map-only codegen'd projection;
+    * non-decodable rows dropped.
+    */
+  def audioHashSignatures(df: DataFrame, idCol: String,
+      contentCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        Multimodal.audioHash64Col(col(contentCol)).as("sh"))
+      .filter(col("sh").isNotNull)
+
+  /** Audio near-duplicates — the same banded Hamming machinery as
+    * [[imageNearDuplicates]] over [[audioHashSignatures]]: re-encodes,
+    * gain changes and resamples of a recording land within a few
+    * bits; candidate generation stays a bucket-capped equi-join.
+    * Composes with [[incrementalHammingNearDuplicates]] for the
+    * nightly-ingest form exactly like images.
+    */
+  def audioNearDuplicates(df: DataFrame, idCol: String, contentCol: String,
+      maxHamming: Int = 6, bands: Int = 8,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    simhashNearDuplicatesFromSigs(
+      audioHashSignatures(df, idCol, contentCol).localCheckpoint(false),
+      maxHamming, bands, maxBucketSize)
+
   /** Incremental Hamming near-dup for ANY 64-bit signature frame —
     * text SimHash ([[simhashSignatures]]) and image dHash
     * ([[imageHashSignatures]]) alike, the nightly-ingest twin of

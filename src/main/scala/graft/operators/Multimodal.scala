@@ -783,6 +783,118 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** 64-bit perceptual audio hash — the waveform analog of
+    * [[dhash64]]: 8 rows × 8 bits over an (envelope-derivative ×
+    * time) grid. Row r takes the r-th order DIFFERENCE of the
+    * channel-folded sample stream (a discrete high-pass ladder — the
+    * poor-deterministic-man's filter bank: higher rows emphasize
+    * higher-frequency content), splits it into 9 duration-relative
+    * windows, and sets bit `r*8 + t` when window t+1 carries strictly
+    * more energy than window t.
+    *
+    * Invariances that make it a DEDUP hash: uniform gain scales every
+    * window's energy by the same factor (comparisons unchanged — the
+    * arithmetic is integer, exact for mono; multi-channel folds by a
+    * truncating channel mean, noise ≪ any real energy gap);
+    * re-encoding PCM is byte-identical; resampling rescales each row
+    * uniformly (windows are duration fractions), so comparisons
+    * survive approximately. Overflow headroom is PROVEN, not hoped:
+    * folded frames ≤ 2^15, streams stride-capped at 2^16 frames, 7th
+    * differences ≤ 2^22, squared-and-window-summed ≤ 2^57 — so a
+    * synthetic fixture's hash is a CLOSED FORM of its sample
+    * function (q79/q148 exact-oracle material). Null for
+    * non-PCM/empty bytes.
+    */
+  def audioHash64(bytes: Array[Byte]): java.lang.Long = pcmSamples(bytes) match {
+    case Some((ch, _, _, s)) if s.length >= ch && ch >= 1 =>
+      val nf = s.length / ch
+      if (nf == 0) return null
+      val stride = math.max(1, nf / 65536)
+      val frames = new Array[Long]((nf + stride - 1) / stride)
+      var o = 0
+      while (o < frames.length) {
+        val f = o * stride
+        var c = 0
+        var sum = 0L
+        while (c < ch) { sum += s(f * ch + c); c += 1 }
+        frames(o) = sum / ch
+        o += 1
+      }
+      java.lang.Long.valueOf(audioHashOf(frames))
+    case _ => null
+  }
+
+  /** The grid kernel behind [[audioHash64]] — public so generated
+    * code can call it as a Java static (see [[dhash64]]'s note).
+    */
+  def audioHashOf(frames0: Array[Long]): Long = {
+    var out = 0L
+    var cur = frames0
+    var row = 0
+    while (row < 8) {
+      val n = cur.length
+      var t = 0
+      var prev = -1L
+      while (t < 9) {
+        val x0 = t * n / 9
+        val x1 = math.max(x0 + 1, (t + 1) * n / 9)
+        var e = 0L
+        var j = x0
+        val end = math.min(x1, n)
+        while (j < end) { e += cur(j) * cur(j); j += 1 }
+        if (t > 0 && e > prev) out |= (1L << (row * 8 + (t - 1)))
+        prev = e
+        t += 1
+      }
+      // next row: first difference (exact integers; length floor n-1,
+      // floored at 1 so short streams degrade to constant rows)
+      if (row < 7) {
+        val m = math.max(1, n - 1)
+        val nxt = new Array[Long](m)
+        var k = 0
+        while (k < m) {
+          nxt(k) = (if (k + 1 < n) cur(k + 1) else cur(k)) - cur(k)
+          k += 1
+        }
+        cur = nxt
+      }
+      row += 1
+    }
+    out
+  }
+
+  /** [[audioHash64]] as a Column — same codegen discipline as
+    * [[dhash64Col]].
+    */
+  def audioHash64Col(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.bridge.{columnOf, expressionOf}
+    columnOf(AudioHash64(expressionOf(content)))
+  }
+
+  case class AudioHash64(child: org.apache.spark.sql.catalyst.expressions.Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val h = audioHash64(v.asInstanceOf[Array[Byte]])
+      if (h == null) null else h.longValue()
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val c = child.genCode(ctx)
+      val boxed = ctx.freshName("ahash")
+      ev.copy(code = code"""
+        ${c.code}
+        java.lang.Long $boxed = ${c.isNull} ? null :
+          graft.operators.Multimodal.audioHash64(${c.value});
+        final boolean ${ev.isNull} = $boxed == null;
+        final long ${ev.value} = ${ev.isNull} ? 0L : $boxed.longValue();""")
+    }
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression): AudioHash64 = copy(c)
+  }
+
   /** Media corpus card — the multimodal twin of
     * [[graft.operators.Curation.dataCard]]: per group, long-format
     * (group, metric, value) rows summarizing what a mixed media

@@ -175,7 +175,8 @@ class CodegenSpec extends SparkSpec {
     Seq(
       CatalystExpressions.countInSet(col("t"), Seq("a")),
       CatalystExpressions.matVec(col("a"), Array(Array(1.0, 0.0))),
-      M.dhash64Col(col("b"))
+      M.dhash64Col(col("b")),
+      M.audioHash64Col(col("b"))
     ).foreach { c =>
       val e = expressionOf(c)
       assert(!e.isInstanceOf[CodegenFallback],
@@ -196,6 +197,7 @@ class CodegenSpec extends SparkSpec {
     val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
     val q = () => df.select(col("id"),
         M.dhash64Col(col("img")).as("dh"),
+        M.audioHash64Col(col("img")).as("ah"), // non-audio bytes → null path
         CatalystExpressions.matVec(col("vec"),
           Array(Array(0.0, 1.0), Array(1.0, 0.0))).as("mv"),
         CatalystExpressions.countInSet(col("toks"), Seq("a", "c")).as("cis"))

@@ -386,6 +386,41 @@ class DedupSpec extends SparkSpec {
     assert(corpus(5L) == ((None, true)))
   }
 
+  test("audio hash closed forms: rising/falling envelopes, gain invariance, resample robustness") {
+    val M = graft.operators.Multimodal
+    def amSquare(n: Int, gain: Int, rising: Boolean): Array[Short] =
+      Array.tabulate[Short](n) { i =>
+        val a = (if (rising) 100 + i else 100 + n - 1 - i) * gain
+        (if (i % 2 == 0) a else -a).toShort
+      }
+    val up = M.renderWav(8000, 1, amSquare(900, 1, rising = true))
+    assert(M.audioHash64(up) == -1L, "rising envelope = all comparisons up")
+    assert(M.audioHash64(M.renderWav(8000, 1, amSquare(900, 3, rising = true))) == -1L,
+      "integer gain never moves a bit")
+    assert(M.audioHash64(M.renderWav(8000, 1, amSquare(900, 1, rising = false))) == 0L,
+      "falling envelope = all comparisons down")
+    assert(M.audioHash64("junk".getBytes("UTF-8")) == null)
+    assert(M.audioHash64(null) == null)
+    // sample-repeat 2x resample of the rising wave: duration-relative
+    // windows keep the envelope ordering — hamming stays small
+    val base = amSquare(900, 1, rising = true)
+    val resampled = Array.tabulate[Short](1800)(i => base(i / 2))
+    val rh = M.audioHash64(M.renderWav(16000, 1, resampled)).longValue()
+    val d = java.lang.Long.bitCount(-1L ^ rh)
+    info(s"resample-twin hamming = $d")
+    assert(d <= 8, s"resampled twin should stay within a couple bits per row: $d")
+    // stereo fold: duplicating the mono stream into two channels is
+    // the same envelope — identical hash
+    val stereo = Array.tabulate[Short](1800)(i => base(i / 2)) // L=R interleave
+    assert(M.audioHash64(M.renderWav(8000, 2, stereo)) == -1L)
+    // unrelated noise is far from the monotone envelopes
+    val rnd = new scala.util.Random(13)
+    val noise = Array.fill[Short](900)((rnd.nextInt(4000) - 2000).toShort)
+    val nh = M.audioHash64(M.renderWav(8000, 1, noise)).longValue()
+    assert(java.lang.Long.bitCount(-1L ^ nh) > 6 &&
+      java.lang.Long.bitCount(nh) > 6, "noise sits far from both extremes")
+  }
+
   test("video near-dup: resized twin covers fully, clip-in-longer-cut is asymmetric, unrelated stays out") {
     val M = graft.operators.Multimodal
     def gray(v: Int): Int = (v << 16) | (v << 8) | v
