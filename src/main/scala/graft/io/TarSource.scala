@@ -279,10 +279,33 @@ object TarSource {
   def reshard(spark: SparkSession, inDir: String, outDir: String,
       keep: DataFrame, numShards: Int, glob: String = "*.tar",
       seed: String = "tar"): Long = {
+    // refuse in-place compaction: writeShards' fresh-output sweep
+    // would delete the source shards BEFORE the lazy read executes
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def qualified(d: String): String = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(hconf).makeQualified(p).toString
+    }
+    require(qualified(inDir) != qualified(outDir),
+      "reshard: outDir must differ from inDir — the fresh-output sweep " +
+        "would delete the source shards before they are read")
     val keyCol = keep.columns.head
+    // duplicate keys across input shards (streaming generations
+    // re-delivering a re-crawled key) resolve LAST-GENERATION-WINS —
+    // shard names sort by generation — restoring the unique-key
+    // contract writeShards requires; the window partitions per key
+    // (tiny groups), never globally
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("shard").desc)
     val kept = readSamples(spark, inDir, glob)
-      .join(broadcast(keep.select(col(keyCol).cast("string").as("key"))),
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk")
+      // no broadcast hint: the keep-list is corpus-scale (survivors
+      // are MOST keys) — let AQE pick the join strategy
+      .join(keep.select(col(keyCol).cast("string").as("key")),
         Seq("key"), "left_semi")
+      // one tar read + join serves the ext discovery AND the write
+      .localCheckpoint(false)
     // flatten the sample map back to one row per (key, ext) — write
     // wants one binary column per ext, so pivot the extension set
     // (bounded: a WebDataset sample has a handful of file types)

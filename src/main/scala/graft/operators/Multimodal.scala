@@ -799,8 +799,8 @@ object Multimodal {
     * re-encoding PCM is byte-identical; resampling rescales each row
     * uniformly (windows are duration fractions), so comparisons
     * survive approximately. Overflow headroom is PROVEN, not hoped:
-    * folded frames ≤ 2^15, streams stride-capped at 2^16 frames, 7th
-    * differences ≤ 2^22, squared-and-window-summed ≤ 2^57 — so a
+    * folded frames ≤ 2^15, streams ceil-stride-capped at 2^16 frames,
+    * 7th differences ≤ 2^22, squared-and-window-summed ≤ 2^57 — so a
     * synthetic fixture's hash is a CLOSED FORM of its sample
     * function (q79/q148 exact-oracle material). Null for
     * non-PCM/empty bytes.
@@ -809,7 +809,7 @@ object Multimodal {
     case Some((ch, _, _, s)) if s.length >= ch && ch >= 1 =>
       val nf = s.length / ch
       if (nf == 0) return null
-      val stride = math.max(1, nf / 65536)
+      val stride = (nf + 65535) / 65536 // ceil: the 2^16 cap is a real bound
       val frames = new Array[Long]((nf + stride - 1) / stride)
       var o = 0
       while (o < frames.length) {
@@ -824,10 +824,10 @@ object Multimodal {
     case _ => null
   }
 
-  /** The grid kernel behind [[audioHash64]] — public so generated
-    * code can call it as a Java static (see [[dhash64]]'s note).
+  /** The grid kernel behind [[audioHash64]] (generated code calls
+    * [[audioHash64]] itself, so this can stay internal).
     */
-  def audioHashOf(frames0: Array[Long]): Long = {
+  private[graft] def audioHashOf(frames0: Array[Long]): Long = {
     var out = 0L
     var cur = frames0
     var row = 0

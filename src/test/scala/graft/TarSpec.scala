@@ -155,6 +155,38 @@ class TarSpec extends SparkSpec {
     assert(new String(back("c")("txt"), "UTF-8") == "caption of c")
   }
 
+  test("reshard refuses in-place runs and resolves duplicate keys last-generation-wins") {
+    def tmp(tag: String) =
+      java.nio.file.Files.createTempDirectory(s"graft-tar-$tag").toString
+    def oneShard(dir: String, payload: String): Unit = {
+      val d = Seq(("k1", payload.getBytes("UTF-8")))
+        .toDF("key", "txt").withColumn("shard", lit(0))
+      TarSource.writeShards(d, dir, "key", "shard", Seq("txt" -> "txt"), 1)
+    }
+    val (g1, g2, in, out) = (tmp("g1"), tmp("g2"), tmp("in"), tmp("out"))
+    oneShard(g1, "stale crawl")
+    oneShard(g2, "fresh crawl")
+    // assemble a generation dir: the SAME key delivered by two batches
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(g1, "shard-00000.tar"),
+      java.nio.file.Paths.get(in, "shard-00000-b000001.tar"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(g2, "shard-00000.tar"),
+      java.nio.file.Paths.get(in, "shard-00000-b000002.tar"))
+    val keep = Seq("k1").toDF("key")
+    // in-place would sweep the source before the lazy read runs
+    val e = intercept[IllegalArgumentException] {
+      TarSource.reshard(spark, in, in, keep, numShards = 1)
+    }
+    assert(e.getMessage.contains("outDir"), e.getMessage)
+    assert(TarSource.reshard(spark, in, out, keep, numShards = 1) == 1,
+      "one sample — the unique-key contract is restored before writing")
+    val back = TarSource.read(spark, out, requireSuccessMarker = true).collect()
+      .map(r => r.getString(2) -> new String(r.getAs[Array[Byte]](3), "UTF-8"))
+      .toMap
+    assert(back("txt") == "fresh crawl", s"later generation must win: $back")
+  }
+
   test("shard assignment is the portable hash — replayable in any engine") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tar").toString
     TarSource.writeShards(sampleDf, dir, "key", "shard",
