@@ -4236,7 +4236,8 @@ object SparkEntry {
       ("img", M.renderPng(4, 2, (x, _) => if (x < 2) 0xFF0000 else 0x0000FF)),
       ("aud", M.renderWav(8000, 1, square)),
       ("aud", "not media".getBytes("UTF-8")),
-      ("sil", M.renderWav(44100, 2, new Array[Short](400)))
+      ("sil", M.renderWav(44100, 2, new Array[Short](400))),
+      ("vid", M.syntheticMp4(64, 48, durationMs = 2000))
     ).toDF("source", "content")
     M.mediaCard(assets, "content", "source")
       .orderBy(col("source"), col("metric"))
@@ -4254,6 +4255,7 @@ object SparkEntry {
       | ('aud', 'pct_audio_silent', 0.0),
       | ('aud', 'pct_image', 0.0),
       | ('aud', 'pct_undecodable', 0.5),
+      | ('aud', 'pct_video', 0.0),
       | ('img', 'avg_audio_rms', CAST(NULL AS DOUBLE)),
       | ('img', 'avg_image_height', 9.0),
       | ('img', 'avg_image_luma',
@@ -4265,6 +4267,7 @@ object SparkEntry {
       | ('img', 'pct_audio_silent', CAST(NULL AS DOUBLE)),
       | ('img', 'pct_image', 1.0),
       | ('img', 'pct_undecodable', 0.0),
+      | ('img', 'pct_video', 0.0),
       | ('sil', 'avg_audio_rms', 0.0),
       | ('sil', 'avg_image_height', CAST(NULL AS DOUBLE)),
       | ('sil', 'avg_image_luma', CAST(NULL AS DOUBLE)),
@@ -4274,7 +4277,19 @@ object SparkEntry {
       | ('sil', 'pct_audio_clipped', 0.0),
       | ('sil', 'pct_audio_silent', 1.0),
       | ('sil', 'pct_image', 0.0),
-      | ('sil', 'pct_undecodable', 0.0)
+      | ('sil', 'pct_undecodable', 0.0),
+      | ('sil', 'pct_video', 0.0),
+      | ('vid', 'avg_audio_rms', CAST(NULL AS DOUBLE)),
+      | ('vid', 'avg_image_height', CAST(NULL AS DOUBLE)),
+      | ('vid', 'avg_image_luma', CAST(NULL AS DOUBLE)),
+      | ('vid', 'avg_image_width', CAST(NULL AS DOUBLE)),
+      | ('vid', 'n_assets', 1.0),
+      | ('vid', 'pct_audio', 0.0),
+      | ('vid', 'pct_audio_clipped', CAST(NULL AS DOUBLE)),
+      | ('vid', 'pct_audio_silent', CAST(NULL AS DOUBLE)),
+      | ('vid', 'pct_image', 0.0),
+      | ('vid', 'pct_undecodable', 0.0),
+      | ('vid', 'pct_video', 1.0)
       |) AS t(source, metric, value)
       |ORDER BY source, metric""".stripMargin
 

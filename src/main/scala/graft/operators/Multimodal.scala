@@ -899,7 +899,8 @@ object Multimodal {
     * [[graft.operators.Curation.dataCard]]: per group, long-format
     * (group, metric, value) rows summarizing what a mixed media
     * corpus actually contains — modality mix (decodable image /
-    * audio / neither), image geometry and brightness, audio level
+    * audio / video container / undecodable), image geometry and
+    * brightness, audio level
     * and defect rates (clipping, dead air). The release-gate report
     * for a multimodal ingest ("what did this crawl deliver, per
     * source"), diffable with [[graft.operators.Curation
@@ -918,12 +919,21 @@ object Multimodal {
     val enriched = audioStats(imageStats(df, contentCol), contentCol)
     val img = col("stats")
     val aud = col("audio")
+    // video CONTAINERS classified by magic bytes (MJPEG-AVI /
+    // ISO-BMFF) so an MP4 upload reads as "video", not "undecodable";
+    // frame-level stats stay with videoFrames + imageStats (decoding
+    // every frame is a pipeline stage, not a card scan)
+    val isVideo = !img.getField("ok") && !aud.getField("ok") && (
+      (substring(col(contentCol), 1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
+        substring(col(contentCol), 9, 4) === lit("AVI ".getBytes("US-ASCII"))) ||
+      substring(col(contentCol), 5, 4) === lit("ftyp".getBytes("US-ASCII")))
     enriched
       .groupBy(col(groupCol).cast("string").as("__g"))
       .agg(
         count(lit(1)).as("__n"),
         sum(when(img.getField("ok"), 1L).otherwise(0L)).as("__ni"),
         sum(when(aud.getField("ok"), 1L).otherwise(0L)).as("__na"),
+        sum(when(isVideo, 1L).otherwise(0L)).as("__nv"),
         round(avg(when(img.getField("ok"),
           img.getField("width").cast("double"))), 2).as("__aw"),
         round(avg(when(img.getField("ok"),
@@ -951,9 +961,10 @@ object Multimodal {
         when(col("__na") > 0,
           round(col("__nsilent").cast("double") / col("__na"), 4)),
         lit("pct_image"), round(col("__ni").cast("double") / col("__n"), 4),
+        lit("pct_video"), round(col("__nv").cast("double") / col("__n"), 4),
         lit("pct_undecodable"),
-        round((col("__n") - col("__ni") - col("__na")).cast("double") /
-          col("__n"), 4))).as(Seq("metric", "value")))
+        round((col("__n") - col("__ni") - col("__na") - col("__nv"))
+          .cast("double") / col("__n"), 4))).as(Seq("metric", "value")))
   }
 
   /** Render a PNG via ImageIO from a per-pixel color function —
