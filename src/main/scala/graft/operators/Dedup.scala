@@ -586,6 +586,24 @@ object Dedup {
       audioHashSignatures(df, idCol, contentCol).localCheckpoint(false),
       maxHamming, bands, maxBucketSize)
 
+  /** End-to-end audio corpus dedup — [[imageDedupCorpus]]'s waveform
+    * twin: perceptual near-dup pairs → transitive classes →
+    * keep-list. Returns the input plus `dup_class` (null = unique,
+    * including non-decodable rows) and `keep`.
+    */
+  def audioDedupCorpus(df: DataFrame, idCol: String, contentCol: String,
+      maxHamming: Int = 6, bands: Int = 8,
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val pairs = audioNearDuplicates(df, idCol, contentCol, maxHamming,
+      bands, maxBucketSize)
+    val classes = connectedComponents(pairs.select(col("id_a"), col("id_b")),
+      checkpointDir = checkpointDir)
+    df.join(classes.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumnRenamed("component", "dup_class")
+      .withColumn("keep", col("dup_class").isNull || col("dup_class") === col(idCol))
+  }
+
   /** Incremental Hamming near-dup for ANY 64-bit signature frame —
     * text SimHash ([[simhashSignatures]]) and image dHash
     * ([[imageHashSignatures]]) alike, the nightly-ingest twin of

@@ -419,6 +419,23 @@ class DedupSpec extends SparkSpec {
     val nh = M.audioHash64(M.renderWav(8000, 1, noise)).longValue()
     assert(java.lang.Long.bitCount(-1L ^ nh) > 6 &&
       java.lang.Long.bitCount(nh) > 6, "noise sits far from both extremes")
+    // corpus form: {rising, gain-twin} one class keeping the lowest id;
+    // falling + noise + junk are unique
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, up),
+      (2L, M.renderWav(8000, 1, amSquare(900, 2, rising = true))),
+      (3L, M.renderWav(8000, 1, amSquare(900, 1, rising = false))),
+      (4L, M.renderWav(8000, 1, noise)),
+      (5L, "junk".getBytes("UTF-8"))
+    ).toDF("clip_id", "content")
+    val classes = Dedup.audioDedupCorpus(corpus, "clip_id", "content")
+      .collect().map(r => r.getAs[Long]("clip_id") ->
+        ((Option(r.getAs[java.lang.Long]("dup_class")), r.getAs[Boolean]("keep")))).toMap
+    assert(classes(1L) == ((Some(1L), true)))
+    assert(classes(2L) == ((Some(1L), false)))
+    assert(classes(3L) == ((None, true)) && classes(4L) == ((None, true)))
+    assert(classes(5L) == ((None, true)), "non-decodable rows are unique, never lost")
   }
 
   test("video near-dup: resized twin covers fully, clip-in-longer-cut is asymmetric, unrelated stays out") {

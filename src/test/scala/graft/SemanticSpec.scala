@@ -603,6 +603,24 @@ class SemanticSpec extends SparkSpec {
     assert(!out(4L).getAs[Boolean]("ok"))
   }
 
+  test("mediaCard diffs release-to-release with dataCardDiff, like the text card") {
+    val png = Multimodal.renderPng(8, 8, (_, _) => (128 << 8) | 255)
+    val junk = "not media".getBytes("UTF-8")
+    val yesterday = Multimodal.mediaCard(
+      Seq(("s", png), ("s", junk)).toDF("source", "content"), "content", "source")
+    val today = Multimodal.mediaCard(
+      Seq(("s", png), ("s", png)).toDF("source", "content"), "content", "source")
+    val diff = graft.operators.Curation.dataCardDiff(yesterday, today, "source")
+      .collect().map(r => r.getString(1) ->
+        ((Option(r.getAs[java.lang.Double]("old_value")),
+          Option(r.getAs[java.lang.Double]("new_value")),
+          Option(r.getAs[java.lang.Double]("delta"))))).toMap
+    assert(diff("pct_image") == ((Some(0.5), Some(1.0), Some(0.5))),
+      s"the decodable-rate drift is the headline: $diff")
+    assert(diff("pct_undecodable") == ((Some(0.5), Some(0.0), Some(-0.5))))
+    assert(diff("n_assets")._3 == Some(0.0))
+  }
+
   test("videoFrames: MJPEG AVI walk yields real JPEG frames the image stack decodes") {
     val f0 = Multimodal.renderJpeg(16, 8, (_, _) => (200 << 16) | (50 << 8) | 25)
     val f1 = Multimodal.renderJpeg(16, 8, (_, _) => (25 << 16) | (200 << 8) | 50)
