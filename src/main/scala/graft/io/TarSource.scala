@@ -52,6 +52,11 @@ object TarSource {
     * shard(s) to the filesystem — nothing buffers more than one
     * sample. Returns the number of samples written.
     *
+    * Rerun-safe: shards are staged under a run-unique hidden subdir
+    * and swapped into place only after the whole job succeeds, so a
+    * rerun that fails mid-job leaves the previous committed dataset
+    * (shards + `_SUCCESS`) untouched.
+    *
     * Keys must be UNIQUE (the WebDataset contract — a sample IS its
     * key): duplicate keys would both collide inside the archive and
     * make the within-shard sort order — and therefore the shard
@@ -65,40 +70,42 @@ object TarSource {
       shard => f"shard-$shard%05d.tar",
       // the whole non-generation family: a rerun with fewer shards
       // must also sweep the old run's higher-numbered shards
-      n => n.matches("""shard-\d{5}\.tar"""))
+      n => n.matches("""shard-\d{5}\.tar"""),
+      swapSuccessMarker = true)
 
   private def writeShardsNamed(df: DataFrame, dir: String, keyCol: String,
       shardCol: String, files: Seq[(String, String)], numShards: Int,
-      fileName: Int => String, staleName: String => Boolean): Long = {
+      fileName: Int => String, staleName: String => Boolean,
+      swapSuccessMarker: Boolean): Long = {
     require(numShards >= 1, s"numShards must be >= 1: $numShards")
     require(files.nonEmpty, "files mapping must be non-empty")
     val spark = df.sparkSession
-    // Driver-side fresh-output sweep, BEFORE any task runs: remove
-    // EVERY shard of this run's naming family (`staleName` — not just
-    // the current numShards names: a rerun with a SHRUNK shard count
-    // must not leave run-1's higher-numbered shards behind for read()
-    // to glob into a _SUCCESS-stamped directory) plus any stale
-    // `.*.inprogress` temps left by executor JVM death (the task
-    // failure listener never fires for a killed JVM, so only a sweep
-    // reclaims them). Tasks therefore never delete a final path — see
-    // close()'s commit note. Also drop a stale _SUCCESS so a
-    // half-finished rerun is never mistaken for a committed one.
-    // (`locally` keeps the block a statement — a bare block after a
-    // `new` would parse as an anonymous-class body.)
+    // Commit protocol, job level: every task streams its shards into a
+    // run-unique HIDDEN staging subdir (`.staging-<tag>/`, invisible to
+    // read()'s `*.tar` glob), and only after the whole job's reduce
+    // succeeds does the driver swap the staged shards into place —
+    // sweep this run's stale family names, rename staged files in,
+    // write _SUCCESS. A rerun that fails mid-job therefore leaves the
+    // PREVIOUS committed dataset (shards + _SUCCESS) fully intact, and
+    // a read-then-write of the same directory never deletes its own
+    // inputs before the read executes (the source shards survive until
+    // the swap, which runs after every task finished). The only
+    // exposure window is the driver's swap loop — renames, not data
+    // movement. Stale `.staging-*` dirs from ANY prior failed run
+    // (including other streaming generations — their sweep never runs
+    // again) are reclaimed here, BEFORE tasks start.
+    // (`locally` keeps blocks statements — a bare block after a `new`
+    // would parse as an anonymous-class body.)
+    val stagingName = s".staging-${java.util.UUID.randomUUID().toString.take(12)}"
+    val staging = s"$dir/$stagingName"
     locally {
       val dirPath = new org.apache.hadoop.fs.Path(dir)
       val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(dirPath)) {
         fs.listStatus(dirPath).foreach { st =>
           val n = st.getPath.getName
-          // temp names are ".{base}.{attempt}.inprogress" with base
-          // ending in ".tar" — recover base, ask the same predicate
-          val staleTemp = n.startsWith(".") && n.endsWith(".inprogress") && {
-            val i = n.indexOf(".tar.")
-            i > 0 && staleName(n.substring(1, i + 4))
-          }
-          if (staleName(n) || n == SuccessMarker || staleTemp)
-            fs.delete(st.getPath, false)
+          if (n.startsWith(".staging-") && st.isDirectory)
+            fs.delete(st.getPath, true)
         }
       }
     }
@@ -112,19 +119,16 @@ object TarSource {
       .repartition(numShards, col("__shard"))
       .sortWithinPartitions(col("__shard"), col("__key"))
       .mapPartitions { rows =>
-        // Commit protocol: every shard is streamed to a task-attempt-
-        // unique dot-prefixed temp file (invisible to read()'s `*.tar`
-        // glob and to Spark's file listing) and renamed into place
-        // only once its trailer is written. A speculative or retried
-        // attempt therefore never interleaves bytes with the original
-        // — each attempt owns its temp file — and failed TASKS leave
-        // only dot-temps behind, which the failure listener deletes
-        // (job-level completeness is signaled by the driver's _SUCCESS
-        // marker, written only after the reduce finishes). The final
-        // path is NEVER deleted here: the driver swept this run's
-        // target names before any task started, so an existing final
-        // path can only be a byte-identical twin committed by another
-        // attempt of this run (fixed header fields + key-sorted
+        // Commit protocol, task level (all inside the staging dir):
+        // every shard is streamed to a task-attempt-unique dot-prefixed
+        // temp file and renamed to its staged name only once its
+        // trailer is written. A speculative or retried attempt never
+        // interleaves bytes with the original — each attempt owns its
+        // temp file — and failed TASKS leave only dot-temps behind,
+        // which the failure listener deletes. The staged path is NEVER
+        // deleted here: the staging dir is run-unique, so an existing
+        // staged path can only be a byte-identical twin committed by
+        // another attempt of this run (fixed header fields + key-sorted
         // samples ⇒ deterministic bytes) — treat it as already
         // committed and drop our temp, closing the delete-then-rename
         // window where a zombie attempt could remove a committed shard
@@ -132,7 +136,7 @@ object TarSource {
         val tc = org.apache.spark.TaskContext.get()
         val attemptTag =
           if (tc == null) "local" else s"a${tc.taskAttemptId()}"
-        val fs = new org.apache.hadoop.fs.Path(dir)
+        val fs = new org.apache.hadoop.fs.Path(staging)
           .getFileSystem(hconf.value)
         val tmpPaths = scala.collection.mutable.ArrayBuffer
           .empty[org.apache.hadoop.fs.Path]
@@ -152,7 +156,7 @@ object TarSource {
           out.write(new Array[Byte](1024)) // two zero end blocks
           out.close(); out = null
           val finalPath =
-            new org.apache.hadoop.fs.Path(dir, fileName(openShard))
+            new org.apache.hadoop.fs.Path(staging, fileName(openShard))
           val tmp = tmpPaths.last
           if (fs.exists(finalPath)) {
             // A byte-identical twin attempt already committed.
@@ -169,7 +173,7 @@ object TarSource {
           val shard = r.getInt(1)
           if (shard != openShard) {
             close()
-            val tmp = new org.apache.hadoop.fs.Path(dir,
+            val tmp = new org.apache.hadoop.fs.Path(staging,
               s".${fileName(shard)}.$attemptTag.inprogress")
             tmpPaths += tmp
             out = fs.create(tmp, true)
@@ -190,13 +194,43 @@ object TarSource {
         Iterator.single(count)
       }(org.apache.spark.sql.Encoders.scalaLong)
       .reduce(_ + _)
-    // Job-level commit marker: a job that fails after some tasks
-    // committed leaves renamed *.tar shards behind with nothing
-    // distinguishing the partial dataset from a complete one — the
-    // marker (written only once EVERY task has committed) is that
-    // distinction. read(requireSuccessMarker = true) enforces it.
+    // Job-level swap, only reached when EVERY task committed its
+    // staged shards: retract _SUCCESS (batch path only — a reader must
+    // not see the directory as complete while family names churn; the
+    // streaming path leaves the shared marker alone, other generations
+    // remain a complete dataset throughout), sweep this run's stale
+    // family names (a rerun with a SHRUNK shard count must not leave
+    // the old run's higher-numbered shards behind), rename the staged
+    // shards into place, drop the staging dir, and (re)write _SUCCESS.
+    // read(requireSuccessMarker = true) enforces the marker.
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    if (swapSuccessMarker)
+      fs.delete(new org.apache.hadoop.fs.Path(dirPath, SuccessMarker), false)
+    if (fs.exists(dirPath)) { // an all-null-payload job may write nothing
+      fs.listStatus(dirPath).foreach { st =>
+        val n = st.getPath.getName
+        // also reclaim loose ".{base}.{attempt}.inprogress" debris of
+        // this family (the pre-staging temp form never recreated now)
+        val staleTemp = n.startsWith(".") && n.endsWith(".inprogress") && {
+          val i = n.indexOf(".tar.")
+          i > 0 && staleName(n.substring(1, i + 4))
+        }
+        if (staleName(n) || staleTemp) fs.delete(st.getPath, false)
+      }
+    }
+    if (fs.exists(stagingPath)) {
+      fs.listStatus(stagingPath).foreach { st =>
+        val n = st.getPath.getName
+        if (!n.startsWith(".")) { // staged shards only, never leftover temps
+          val target = new org.apache.hadoop.fs.Path(dirPath, n)
+          require(fs.rename(st.getPath, target),
+            s"failed to commit tar shard $target from staging")
+        }
+      }
+      fs.delete(stagingPath, true)
+    }
     fs.create(new org.apache.hadoop.fs.Path(dirPath, SuccessMarker), true)
       .close()
     written
@@ -279,8 +313,10 @@ object TarSource {
   def reshard(spark: SparkSession, inDir: String, outDir: String,
       keep: DataFrame, numShards: Int, glob: String = "*.tar",
       seed: String = "tar"): Long = {
-    // refuse in-place compaction: writeShards' fresh-output sweep
-    // would delete the source shards BEFORE the lazy read executes
+    // refuse in-place compaction: writeShards' commit swap deletes the
+    // old family names, and the lazy read lineage can still re-execute
+    // after that point (a lost localCheckpoint block recomputes from
+    // the source shards)
     val hconf = spark.sparkContext.hadoopConfiguration
     def qualified(d: String): String = {
       val p = new org.apache.hadoop.fs.Path(d)
@@ -291,12 +327,18 @@ object TarSource {
         "would delete the source shards before they are read")
     val keyCol = keep.columns.head
     // duplicate keys across input shards (streaming generations
-    // re-delivering a re-crawled key) resolve LAST-GENERATION-WINS —
-    // shard names sort by generation — restoring the unique-key
-    // contract writeShards requires; the window partitions per key
-    // (tiny groups), never globally
+    // re-delivering a re-crawled key) resolve LAST-GENERATION-WINS.
+    // Order by the EXTRACTED generation token, not the whole file name:
+    // the shard number precedes the `-bNNNNNN` batch suffix, so a
+    // whole-name sort would let an OLDER generation win whenever a key
+    // maps to a higher shard number across generations (changed
+    // numShards or hash seed). Non-generation shards extract to ''
+    // (the base generation); full name breaks ties. The window
+    // partitions per key (tiny groups), never globally.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("key")).orderBy(col("shard").desc)
+      .partitionBy(col("key"))
+      .orderBy(regexp_extract(col("shard"), "-b(\\d{6})\\.tar$", 1).desc,
+        col("shard").desc)
     val kept = readSamples(spark, inDir, glob)
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1).drop("__rk")
@@ -328,7 +370,10 @@ object TarSource {
     * generation (foreachBatch re-delivers with the same batchId —
     * idempotent because shard bytes are deterministic). [[read]]'s
     * default glob picks up every generation; a training loader
-    * treats generations as more shards.
+    * treats generations as more shards. The shared `_SUCCESS` marker
+    * is only ever (re)written at each batch's commit, never retracted
+    * mid-batch — a concurrent `read(requireSuccessMarker = true)`
+    * always sees a complete set of committed generations.
     */
   def writeStreamShards(stream: DataFrame, dir: String, keyCol: String,
       shardCol: String, files: Seq[(String, String)], numShards: Int,
@@ -342,7 +387,9 @@ object TarSource {
           // sweep ONLY this batch's generation — other batches'
           // shards are other commits, not staleness
           n => n.startsWith("shard-") && n.endsWith(gen) &&
-            n.length == "shard-00000".length + gen.length)
+            n.length == "shard-00000".length + gen.length,
+          // never retract the shared marker between generations
+          swapSuccessMarker = false)
         ()
       }
       .start()

@@ -550,9 +550,20 @@ object Dedup {
   def imageDedupCorpus(df: DataFrame, idCol: String, contentCol: String,
       maxHamming: Int = 6, bands: Int = 8,
       maxBucketSize: Int = DefaultMaxBucketSize,
-      checkpointDir: Option[String] = None): DataFrame = {
-    val pairs = imageNearDuplicates(df, idCol, contentCol, maxHamming,
-      bands, maxBucketSize)
+      checkpointDir: Option[String] = None): DataFrame =
+    classKeepTail(df, idCol,
+      imageNearDuplicates(df, idCol, contentCol, maxHamming, bands,
+        maxBucketSize), checkpointDir)
+
+  /** The shared corpus-dedup tail: verified near-dup pairs →
+    * transitive classes ([[connectedComponents]]) → left join back
+    * onto the input as `dup_class` (null = unique) and `keep`
+    * (lowest id per class survives). One implementation for every
+    * modality ([[dedupCorpus]], [[imageDedupCorpus]],
+    * [[audioDedupCorpus]]) so the keep rule can never diverge.
+    */
+  private def classKeepTail(df: DataFrame, idCol: String, pairs: DataFrame,
+      checkpointDir: Option[String]): DataFrame = {
     val classes = connectedComponents(pairs.select(col("id_a"), col("id_b")),
       checkpointDir = checkpointDir)
     df.join(classes.withColumnRenamed("id", idCol), Seq(idCol), "left")
@@ -574,8 +585,12 @@ object Dedup {
 
   /** Audio near-duplicates — the same banded Hamming machinery as
     * [[imageNearDuplicates]] over [[audioHashSignatures]]: re-encodes,
-    * gain changes and resamples of a recording land within a few
-    * bits; candidate generation stays a bucket-capped equi-join.
+    * gain changes and sample-repeat resamples are Hamming-0 twins
+    * (the fixed-grid exactness proven at [[Multimodal.audioHash64]]),
+    * rational-ratio resamples land within a couple of bits — all
+    * comfortably inside the default `maxHamming = 6` gate, which
+    * `bands = 8` covers with full pigeonhole recall (guarantee ≤ 7);
+    * candidate generation stays a bucket-capped equi-join.
     * Composes with [[incrementalHammingNearDuplicates]] for the
     * nightly-ingest form exactly like images.
     */
@@ -594,15 +609,10 @@ object Dedup {
   def audioDedupCorpus(df: DataFrame, idCol: String, contentCol: String,
       maxHamming: Int = 6, bands: Int = 8,
       maxBucketSize: Int = DefaultMaxBucketSize,
-      checkpointDir: Option[String] = None): DataFrame = {
-    val pairs = audioNearDuplicates(df, idCol, contentCol, maxHamming,
-      bands, maxBucketSize)
-    val classes = connectedComponents(pairs.select(col("id_a"), col("id_b")),
-      checkpointDir = checkpointDir)
-    df.join(classes.withColumnRenamed("id", idCol), Seq(idCol), "left")
-      .withColumnRenamed("component", "dup_class")
-      .withColumn("keep", col("dup_class").isNull || col("dup_class") === col(idCol))
-  }
+      checkpointDir: Option[String] = None): DataFrame =
+    classKeepTail(df, idCol,
+      audioNearDuplicates(df, idCol, contentCol, maxHamming, bands,
+        maxBucketSize), checkpointDir)
 
   /** Incremental Hamming near-dup for ANY 64-bit signature frame —
     * text SimHash ([[simhashSignatures]]) and image dHash
@@ -611,10 +621,13 @@ object Dedup {
     * the FULL signature store (old ∪ new) on one side and ONLY the
     * new batch on the other, so the join emits new-vs-anything and
     * never re-pairs old-vs-old — O(batch × bucket), not O(corpus²).
-    * The full side carries the hot-bucket cap (counted over the WHOLE
-    * bucket, so drop decisions match a full recompute); the batch
-    * side needs none — a batch row only ever meets capped full-side
-    * buckets. With the cap disabled,
+    * The full side carries the hot-bucket cap, counted over the WHOLE
+    * bucket so the set of full-side rows a batch row can meet matches
+    * a full recompute; the batch side itself is uncapped, so a batch
+    * row in an over-capacity bucket still pairs against that bucket's
+    * capped full side (a full recompute would drop the whole bucket,
+    * batch rows included — when the cap binds, this join keeps
+    * strictly MORE candidates, never fewer). With the cap disabled,
     * `full(old) ∪ incremental(all, new) == full(all)` exactly
     * (DurableIndexSpec locks the image form; the text form is the
     * [[incrementalNearDuplicates]] precedent).
@@ -694,13 +707,15 @@ object Dedup {
         bit_count(col("__ha").bitwiseXOR(col("__hb"))) <= maxFrameHamming)
       .select(col("contained_id"), col("container_id"), col("__fa"))
       .distinct()
+    // gate on the UNROUNDED ratio (rounding first would admit pairs up
+    // to 5e-7 below the threshold); round only the reported column
     frameMatches
       .groupBy(col("contained_id"), col("container_id"))
       .agg(count(lit(1)).as("n_matched"))
       .join(totals, Seq("contained_id"))
+      .filter(col("n_matched").cast("double") / col("n_frames") >= minFrameCoverage)
       .withColumn("frame_coverage",
         round(col("n_matched").cast("double") / col("n_frames"), 6))
-      .filter(col("frame_coverage") >= minFrameCoverage)
   }
 
   // ------------------------------------------- transitive dedup classes
@@ -916,10 +931,7 @@ object Dedup {
       case None => ngramJaccard(df, candidates.select("id_a", "id_b"),
         idCol, textCol, shingleK)
     }).filter(col("jaccard") >= minJaccard)
-    val classes = connectedComponents(verified, checkpointDir = checkpointDir)
-    df.join(classes.withColumnRenamed("id", idCol), Seq(idCol), "left")
-      .withColumnRenamed("component", "dup_class")
-      .withColumn("keep", col("dup_class").isNull || col("dup_class") === col(idCol))
+    classKeepTail(df, idCol, verified, checkpointDir)
   }
 
   /** Quality-aware keeper selection over [[dedupCorpus]] output:

@@ -796,33 +796,49 @@ object Multimodal {
     * window's energy by the same factor (comparisons unchanged — the
     * arithmetic is integer, exact for mono; multi-channel folds by a
     * truncating channel mean, noise ≪ any real energy gap);
-    * re-encoding PCM is byte-identical; resampling rescales each row
-    * uniformly (windows are duration fractions), so comparisons
-    * survive approximately. Overflow headroom is PROVEN, not hoped:
-    * folded frames ≤ 2^15, streams ceil-stride-capped at 2^16 frames,
-    * 7th differences ≤ 2^22, squared-and-window-summed ≤ 2^57 — so a
-    * synthetic fixture's hash is a CLOSED FORM of its sample
-    * function (q79/q148 exact-oracle material). Null for
-    * non-PCM/empty bytes.
+    * re-encoding PCM is byte-identical; resampling is EXACT for
+    * sample-repeat ratios and near-exact otherwise, because frames
+    * are point-sampled onto a FIXED duration-relative grid of
+    * [[AudioHashGrid]] positions before the ladder: grid point g
+    * reads frame `⌊g·nf/G⌋`, and for a k× sample-repeat stream
+    * (`t[i] = s[⌊i/k⌋]`, nf' = k·nf) that is
+    * `s[⌊⌊g·k·nf/G⌋/k⌋] = s[⌊g·nf/G⌋]` — the SAME sample, so the
+    * whole ladder and therefore the hash are bit-identical
+    * (DedupSpec asserts Hamming 0 on a 2× repeat; rational ratios
+    * land within a bit or two of grid-boundary wobble). Overflow
+    * headroom is PROVEN, not hoped: folded frames ≤ 2^15, the grid
+    * is 2^12 points, 7th differences ≤ 2^22, squared-and-window-
+    * summed ≤ 2^56 — so a synthetic fixture's hash is a CLOSED FORM
+    * of its sample function (q79/q148 exact-oracle material). Null
+    * for non-PCM/empty bytes.
     */
   def audioHash64(bytes: Array[Byte]): java.lang.Long = pcmSamples(bytes) match {
     case Some((ch, _, _, s)) if s.length >= ch && ch >= 1 =>
       val nf = s.length / ch
       if (nf == 0) return null
-      val stride = (nf + 65535) / 65536 // ceil: the 2^16 cap is a real bound
-      val frames = new Array[Long]((nf + stride - 1) / stride)
-      var o = 0
-      while (o < frames.length) {
-        val f = o * stride
+      // fixed-grid point sampling: O(G) regardless of stream length,
+      // and the source of the resample exactness proven above (short
+      // streams upsample by repetition — same floor rule, same proof)
+      val frames = new Array[Long](AudioHashGrid)
+      var g = 0
+      while (g < AudioHashGrid) {
+        val f = (g.toLong * nf / AudioHashGrid).toInt
         var c = 0
         var sum = 0L
         while (c < ch) { sum += s(f * ch + c); c += 1 }
-        frames(o) = sum / ch
-        o += 1
+        frames(g) = sum / ch
+        g += 1
       }
       java.lang.Long.valueOf(audioHashOf(frames))
     case _ => null
   }
+
+  /** Duration-relative frame-grid size for [[audioHash64]] — 2^12
+    * points keeps the 7th-difference energy sums within proven long
+    * headroom while sampling densely enough that window energies
+    * track the envelope.
+    */
+  val AudioHashGrid = 4096
 
   /** The grid kernel behind [[audioHash64]] (generated code calls
     * [[audioHash64]] itself, so this can stay internal).

@@ -401,14 +401,21 @@ class DedupSpec extends SparkSpec {
       "falling envelope = all comparisons down")
     assert(M.audioHash64("junk".getBytes("UTF-8")) == null)
     assert(M.audioHash64(null) == null)
-    // sample-repeat 2x resample of the rising wave: duration-relative
-    // windows keep the envelope ordering — hamming stays small
+    // sample-repeat 2x resample of the rising wave: the fixed
+    // duration-relative grid reads the SAME source sample at every
+    // grid point (floor(floor(2x)/2) = floor(x)), so the hash is
+    // bit-identical — resampled twins pair at the DEFAULT gate
     val base = amSquare(900, 1, rising = true)
     val resampled = Array.tabulate[Short](1800)(i => base(i / 2))
     val rh = M.audioHash64(M.renderWav(16000, 1, resampled)).longValue()
     val d = java.lang.Long.bitCount(-1L ^ rh)
-    info(s"resample-twin hamming = $d")
-    assert(d <= 8, s"resampled twin should stay within a couple bits per row: $d")
+    assert(d == 0, s"sample-repeat resample must hash identically: $d")
+    // a non-integer 3/2 ratio only wobbles at grid boundaries — well
+    // inside the default maxHamming = 6 gate
+    val r32 = Array.tabulate[Short](1350)(i => base(i * 2 / 3))
+    val d32 = java.lang.Long.bitCount(
+      -1L ^ M.audioHash64(M.renderWav(12000, 1, r32)).longValue())
+    assert(d32 <= 6, s"rational resample must stay inside the default gate: $d32")
     // stereo fold: duplicating the mono stream into two channels is
     // the same envelope — identical hash
     val stereo = Array.tabulate[Short](1800)(i => base(i / 2)) // L=R interleave
@@ -419,21 +426,25 @@ class DedupSpec extends SparkSpec {
     val nh = M.audioHash64(M.renderWav(8000, 1, noise)).longValue()
     assert(java.lang.Long.bitCount(-1L ^ nh) > 6 &&
       java.lang.Long.bitCount(nh) > 6, "noise sits far from both extremes")
-    // corpus form: {rising, gain-twin} one class keeping the lowest id;
-    // falling + noise + junk are unique
+    // corpus form: {rising, gain-twin, RESAMPLED twin} one class
+    // keeping the lowest id — the resampled twin pairs at DEFAULT
+    // parameters; falling + noise + junk are unique
     import spark.implicits._
     val corpus = Seq(
       (1L, up),
       (2L, M.renderWav(8000, 1, amSquare(900, 2, rising = true))),
       (3L, M.renderWav(8000, 1, amSquare(900, 1, rising = false))),
       (4L, M.renderWav(8000, 1, noise)),
-      (5L, "junk".getBytes("UTF-8"))
+      (5L, "junk".getBytes("UTF-8")),
+      (6L, M.renderWav(16000, 1, resampled))
     ).toDF("clip_id", "content")
     val classes = Dedup.audioDedupCorpus(corpus, "clip_id", "content")
       .collect().map(r => r.getAs[Long]("clip_id") ->
         ((Option(r.getAs[java.lang.Long]("dup_class")), r.getAs[Boolean]("keep")))).toMap
     assert(classes(1L) == ((Some(1L), true)))
     assert(classes(2L) == ((Some(1L), false)))
+    assert(classes(6L) == ((Some(1L), false)),
+      "resampled twin must join the class at default parameters")
     assert(classes(3L) == ((None, true)) && classes(4L) == ((None, true)))
     assert(classes(5L) == ((None, true)), "non-decodable rows are unique, never lost")
   }

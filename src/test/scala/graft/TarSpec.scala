@@ -70,10 +70,16 @@ class TarSpec extends SparkSpec {
   test("commit protocol: _SUCCESS written after the job, stale files swept, read can require the marker") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tarc").toString
     // plant debris from a hypothetical earlier crashed run: a stale
-    // target shard, a stale in-progress temp, and a stale marker
+    // target shard, a stale staging dir, a loose legacy in-progress
+    // temp, and a stale marker
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "shard-00000.tar"),
       "GARBAGE-NOT-A-TAR".getBytes("UTF-8"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, ".staging-deadrun00"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, ".staging-deadrun00", "shard-00001.tar"),
+      "half-committed".getBytes("UTF-8"))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, ".shard-00001.tar.a99.inprogress"),
       "half-written".getBytes("UTF-8"))
@@ -84,7 +90,9 @@ class TarSpec extends SparkSpec {
     val names = new java.io.File(dir).listFiles.map(_.getName).toSet
     assert(names.contains("_SUCCESS"), "job-level marker must be written")
     assert(!names.exists(_.endsWith(".inprogress")),
-      s"stale temps must be swept before the run: $names")
+      s"stale temps must be swept: $names")
+    assert(!names.exists(_.startsWith(".staging-")),
+      s"dead runs' staging dirs must be reclaimed: $names")
     // the stale garbage shard was replaced (driver sweep), so the
     // marker-gated read loads a consistent dataset
     val back = TarSource.read(spark, dir, requireSuccessMarker = true)
@@ -97,6 +105,33 @@ class TarSpec extends SparkSpec {
     assert(e.getMessage.contains("_SUCCESS"), e.getMessage)
     // and the default read stays lenient (generations, foreign dirs)
     assert(TarSource.read(spark, dir).count() == 4)
+  }
+
+  test("a rerun that fails mid-job leaves the previous committed dataset intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tarf").toString
+    TarSource.writeShards(sampleDf, dir, "key", "shard",
+      Seq("txt" -> "txt"), numShards = 2)
+    val committed = new java.io.File(dir).listFiles
+      .filter(f => f.getName.endsWith(".tar") || f.getName == "_SUCCESS")
+      .map(f => f.getName ->
+        java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    // a rerun whose job THROWS mid-task must not touch the committed
+    // shards or the marker — the swap only runs after the reduce
+    val bomb = udf((k: String) => {
+      if (k == "k3") throw new RuntimeException("synthetic task failure")
+      k.getBytes("UTF-8")
+    })
+    intercept[org.apache.spark.SparkException] {
+      TarSource.writeShards(sampleDf.withColumn("txt", bomb(col("key"))),
+        dir, "key", "shard", Seq("txt" -> "txt"), numShards = 2)
+    }
+    val after = new java.io.File(dir).listFiles
+      .filter(f => f.getName.endsWith(".tar") || f.getName == "_SUCCESS")
+      .map(f => f.getName ->
+        java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    assert(after == committed,
+      "failed rerun must leave the prior committed dataset byte-intact")
+    assert(TarSource.read(spark, dir, requireSuccessMarker = true).count() == 4)
   }
 
   test("a rerun with fewer shards sweeps the old run's higher-numbered shards") {
@@ -185,6 +220,25 @@ class TarSpec extends SparkSpec {
       .map(r => r.getString(2) -> new String(r.getAs[Array[Byte]](3), "UTF-8"))
       .toMap
     assert(back("txt") == "fresh crawl", s"later generation must win: $back")
+    // the winner is picked by GENERATION, not by whole file name: when
+    // the key remaps to a lower shard NUMBER in the later generation
+    // (changed numShards or hash seed), shard-00003-b000001 sorts above
+    // shard-00001-b000002 as a raw string — the fresh sample must still
+    // win
+    val (in2, out2) = (tmp("in2"), tmp("out2"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(g1, "shard-00000.tar"),
+      java.nio.file.Paths.get(in2, "shard-00003-b000001.tar"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(g2, "shard-00000.tar"),
+      java.nio.file.Paths.get(in2, "shard-00001-b000002.tar"))
+    assert(TarSource.reshard(spark, in2, out2, keep, numShards = 1) == 1)
+    val back2 = TarSource.read(spark, out2, requireSuccessMarker = true)
+      .collect()
+      .map(r => r.getString(2) -> new String(r.getAs[Array[Byte]](3), "UTF-8"))
+      .toMap
+    assert(back2("txt") == "fresh crawl",
+      s"generation token must outrank the shard number: $back2")
   }
 
   test("shard assignment is the portable hash — replayable in any engine") {
