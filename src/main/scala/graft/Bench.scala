@@ -20,8 +20,44 @@ import org.apache.spark.sql.SparkSession
   * the 93-name line had 10 chars of headroom left, freezing the
   * suite; numbers are the stable per-query identity round-to-round.
   * Full names + full precision go to `target/bench_full.json`.
+  *
+  * Self-diagnosis fields (environmental shifts are the #1 cause of
+  * round-to-round bench swings on this shared box, and deciding
+  * "noise vs regression" has needed a manual warm re-profile every
+  * round): `load` = /proc/loadavg 1-min samples at start and end,
+  * `spin` = seconds for a FIXED single-thread integer workload at
+  * start and end (a machine-speed probe — identical work every
+  * round, so a 2× spin means the box was 2× slower, not the plans),
+  * and `passes` = whole-suite wall seconds per interleaved pass
+  * (a contention window shows as one inflated pass; a real plan
+  * regression inflates every pass).
   */
 object Bench {
+
+  /** Fixed-work machine-speed probe: a deterministic xorshift64 loop
+    * (~1.3e8 steps), returning (seconds, checksum). The checksum is
+    * folded into the return so the JIT cannot elide the loop; the
+    * work is identical every run, so the TIME is a pure measure of
+    * how fast this box runs a hot single-threaded JVM loop right now.
+    */
+  def spinProbe(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < 130000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (x == 0) Console.err.println("spin checksum zero") // keep x live
+    sec
+  }
+
+  private def loadAvg(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -74,19 +110,30 @@ object Bench {
     // round 5); a query that fails once is skipped in later passes
     // and reported as the -1 sentinel (no retry storm).
     val benchRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val loadStart = loadAvg()
+    val spinStart = spinProbe()
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val failed = scala.collection.mutable.Set.empty[String]
     val best = scala.collection.mutable.Map.empty[String, Double]
-    for (_ <- 1 to benchRuns; (name, fn) <- names if !failed(name)) {
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
-      if (!ok) failed += name
-      else {
-        val sec = (System.nanoTime() - t0) / 1e9
-        best(name) = best.get(name).fold(sec)(math.min(_, sec))
+    // per-pass wall totals: one contention window inflates ONE entry;
+    // a real plan regression inflates all of them
+    val passSec = new Array[Double](benchRuns)
+    for (pass <- 0 until benchRuns) {
+      val tPass = System.nanoTime()
+      for ((name, fn) <- names if !failed(name)) {
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        if (!ok) failed += name
+        else {
+          val sec = (System.nanoTime() - t0) / 1e9
+          best(name) = best.get(name).fold(sec)(math.min(_, sec))
+        }
       }
+      passSec(pass) = (System.nanoTime() - tPass) / 1e9
     }
+    val loadEnd = loadAvg()
+    val spinEnd = spinProbe()
     val results = names.map { case (name, _) =>
       name -> (if (failed(name)) -1.0 else best(name))
     }
@@ -118,18 +165,21 @@ object Bench {
     // bounded stdout tail
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val env = s""""load":[${fmt(loadStart, 2)},${fmt(loadEnd, 2)}],""" +
+      s""""spin":[${fmt(spinStart, 2)},${fmt(spinEnd, 2)}],""" +
+      s""""passes":[${passSec.map(fmt(_, 1)).mkString(",")}]"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"index_sec":$indexBuildSec,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"index_sec":$indexBuildSec,$env,"sf":"$sfDir"}""")
     catch { case _: Throwable => () }
     val sfName = new java.io.File(sfDir).getName
-    val line = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"index_sec":${fmt(indexBuildSec, 2)},"sf":"$sfName"}"""
+    val line = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"index_sec":${fmt(indexBuildSec, 2)},$env,"sf":"$sfName"}"""
     // Hard emit-time guard: a line longer than the collector's tail
     // window is unparseable from the head, so a bounded fallback
     // (totals only, still valid JSON) beats a truncated full line.
     println(
       if (line.length <= 1930) line
-      else s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":{},"index_sec":${fmt(indexBuildSec, 2)},"sf":"$sfName"}""")
+      else s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":{},"index_sec":${fmt(indexBuildSec, 2)},$env,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -4159,23 +4159,29 @@ object SparkEntry {
         col("audio.rms_norm").as("rms_norm"),
         col("audio.clip_ratio").as("clip_ratio"),
         col("audio.silence_ratio").as("silence_ratio"),
-        col("audio.ok").as("ok"))
+        col("audio.ok").as("ok"),
+        col("audio.codec").as("codec"),
+        col("audio.duration_ms").as("duration_ms"))
       .orderBy(col("wav_id"))
   }
 
   private def audioOracle: String =
     """SELECT * FROM (VALUES
       | (CAST(1 AS BIGINT), 1, 8000, CAST(800 AS BIGINT),
-      |  round(16384.0/32767, 6), round(16384.0/32767, 6), 0.0, 0.0, TRUE),
+      |  round(16384.0/32767, 6), round(16384.0/32767, 6), 0.0, 0.0, TRUE,
+      |  'pcm', CAST(800 * 1000 // 8000 AS BIGINT)),
       | (CAST(2 AS BIGINT), 2, 44100, CAST(400 AS BIGINT),
-      |  0.0, 0.0, 0.0, 1.0, TRUE),
+      |  0.0, 0.0, 0.0, 1.0, TRUE,
+      |  'pcm', CAST(200 * 1000 // 44100 AS BIGINT)),
       | (CAST(3 AS BIGINT), 1, 16000, CAST(200 AS BIGINT),
-      |  1.0, round(sqrt((100.0*32767*32767)/200)/32767, 6), 0.5, 0.5, TRUE),
+      |  1.0, round(sqrt((100.0*32767*32767)/200)/32767, 6), 0.5, 0.5, TRUE,
+      |  'pcm', CAST(200 * 1000 // 16000 AS BIGINT)),
       | (CAST(4 AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
       |  CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-      |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), FALSE)
+      |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), FALSE,
+      |  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT))
       |) AS t(wav_id, channels, sample_rate, n_samples, peak_norm,
-      |       rms_norm, clip_ratio, silence_ratio, ok)
+      |       rms_norm, clip_ratio, silence_ratio, ok, codec, duration_ms)
       |ORDER BY wav_id""".stripMargin
 
   /** Mergeable quantile sketch ([[graft.operators.Aggregators
@@ -4221,21 +4227,29 @@ object SparkEntry {
   /** Media corpus card ([[graft.operators.Multimodal.mediaCard]] —
     * the multimodal twin of q146's text card): per group, modality
     * mix, image geometry/brightness, audio level and defect rates in
-    * long format. Lossless in-engine fixtures (PNG + PCM WAV + junk)
-    * make every value a closed form the oracle states as literals;
-    * single-audio groups keep per-row-rounded averages off rounding
-    * boundaries.
+    * long format. Lossless in-engine fixtures (PNG + PCM WAV + a
+    * synthetic MP3 + junk) make every value a closed form the oracle
+    * states as literals; single-audio groups keep per-row-rounded
+    * averages off rounding boundaries. The MP3 group proves the card
+    * classifies MPEG audio as audio with REAL rate/duration facts
+    * (`avg_audio_hz`/`avg_audio_secs` from the frame walk).
     */
   private def q152(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val M = graft.operators.Multimodal
     val square = Array.tabulate[Short](800)(i =>
       (if (i % 2 == 0) 16384 else -16384).toShort)
+    // MPEG1 Layer III, 32000 Hz mono, 10 frames @128 kbps: chosen so
+    // every card fact is integral — frame = 144·128000/32000 = 576
+    // bytes, 10·1152 samples @32 kHz = exactly 360 ms
+    val mp3 = M.syntheticMp3(verId = 3, srIdx = 2, channels = 1,
+      frames = (0 until 10).map(i => (9, Seq(100 + 2 * i, 101 + 2 * i))))
     val assets = Seq(
       ("img", M.renderPng(16, 16, (_, _) => (200 << 16) | (50 << 8) | 25)),
       ("img", M.renderPng(4, 2, (x, _) => if (x < 2) 0xFF0000 else 0x0000FF)),
       ("aud", M.renderWav(8000, 1, square)),
       ("aud", "not media".getBytes("UTF-8")),
+      ("mp3", mp3),
       ("sil", M.renderWav(44100, 2, new Array[Short](400))),
       ("vid", M.syntheticMp4(64, 48, durationMs = 2000))
     ).toDF("source", "content")
@@ -4245,9 +4259,12 @@ object SparkEntry {
 
   private def mediaCardOracle: String =
     """SELECT * FROM (VALUES
+      | ('aud', 'avg_audio_hz', 8000.0),
       | ('aud', 'avg_audio_rms', round(16384.0/32767, 6)),
+      | ('aud', 'avg_audio_secs', 0.1),
       | ('aud', 'avg_image_height', CAST(NULL AS DOUBLE)),
       | ('aud', 'avg_image_luma', CAST(NULL AS DOUBLE)),
+      | ('aud', 'avg_image_textiness', CAST(NULL AS DOUBLE)),
       | ('aud', 'avg_image_width', CAST(NULL AS DOUBLE)),
       | ('aud', 'n_assets', 2.0),
       | ('aud', 'pct_audio', 0.5),
@@ -4256,10 +4273,13 @@ object SparkEntry {
       | ('aud', 'pct_image', 0.0),
       | ('aud', 'pct_undecodable', 0.5),
       | ('aud', 'pct_video', 0.0),
+      | ('img', 'avg_audio_hz', CAST(NULL AS DOUBLE)),
       | ('img', 'avg_audio_rms', CAST(NULL AS DOUBLE)),
+      | ('img', 'avg_audio_secs', CAST(NULL AS DOUBLE)),
       | ('img', 'avg_image_height', 9.0),
       | ('img', 'avg_image_luma',
       |   round(((200/255.0 + 50/255.0 + 25/255.0)/3 + (0.5 + 0.0 + 0.5)/3)/2, 4)),
+      | ('img', 'avg_image_textiness', 0.0),
       | ('img', 'avg_image_width', 10.0),
       | ('img', 'n_assets', 2.0),
       | ('img', 'pct_audio', 0.0),
@@ -4268,9 +4288,26 @@ object SparkEntry {
       | ('img', 'pct_image', 1.0),
       | ('img', 'pct_undecodable', 0.0),
       | ('img', 'pct_video', 0.0),
+      | ('mp3', 'avg_audio_hz', 32000.0),
+      | ('mp3', 'avg_audio_rms', CAST(NULL AS DOUBLE)),
+      | ('mp3', 'avg_audio_secs', 0.36),
+      | ('mp3', 'avg_image_height', CAST(NULL AS DOUBLE)),
+      | ('mp3', 'avg_image_luma', CAST(NULL AS DOUBLE)),
+      | ('mp3', 'avg_image_textiness', CAST(NULL AS DOUBLE)),
+      | ('mp3', 'avg_image_width', CAST(NULL AS DOUBLE)),
+      | ('mp3', 'n_assets', 1.0),
+      | ('mp3', 'pct_audio', 1.0),
+      | ('mp3', 'pct_audio_clipped', 0.0),
+      | ('mp3', 'pct_audio_silent', 0.0),
+      | ('mp3', 'pct_image', 0.0),
+      | ('mp3', 'pct_undecodable', 0.0),
+      | ('mp3', 'pct_video', 0.0),
+      | ('sil', 'avg_audio_hz', 44100.0),
       | ('sil', 'avg_audio_rms', 0.0),
+      | ('sil', 'avg_audio_secs', round((200 * 1000 // 44100) / 1000.0, 4)),
       | ('sil', 'avg_image_height', CAST(NULL AS DOUBLE)),
       | ('sil', 'avg_image_luma', CAST(NULL AS DOUBLE)),
+      | ('sil', 'avg_image_textiness', CAST(NULL AS DOUBLE)),
       | ('sil', 'avg_image_width', CAST(NULL AS DOUBLE)),
       | ('sil', 'n_assets', 1.0),
       | ('sil', 'pct_audio', 1.0),
@@ -4279,9 +4316,12 @@ object SparkEntry {
       | ('sil', 'pct_image', 0.0),
       | ('sil', 'pct_undecodable', 0.0),
       | ('sil', 'pct_video', 0.0),
+      | ('vid', 'avg_audio_hz', CAST(NULL AS DOUBLE)),
       | ('vid', 'avg_audio_rms', CAST(NULL AS DOUBLE)),
+      | ('vid', 'avg_audio_secs', CAST(NULL AS DOUBLE)),
       | ('vid', 'avg_image_height', CAST(NULL AS DOUBLE)),
       | ('vid', 'avg_image_luma', CAST(NULL AS DOUBLE)),
+      | ('vid', 'avg_image_textiness', CAST(NULL AS DOUBLE)),
       | ('vid', 'avg_image_width', CAST(NULL AS DOUBLE)),
       | ('vid', 'n_assets', 1.0),
       | ('vid', 'pct_audio', 0.0),
@@ -4332,6 +4372,65 @@ object SparkEntry {
       |) AS t(id_a, id_b, hamming)
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** MPEG audio (MP3) header walk — [[graft.operators.Multimodal
+    * .mpegAudioInfo]] facts on synthetic Layer III streams whose
+    * every field is a closed form of the builder arguments
+    * ([[graft.operators.Multimodal.syntheticMp3]], the q150
+    * discipline for compressed audio): MPEG1 CBR mono, MPEG2 (LSF)
+    * stereo, MPEG1 VBR (alternating 128/192 kbps), an ID3v2-tagged
+    * twin the walk must skip, and junk that degrades. Durations are
+    * exact frame-count arithmetic — `n_frames · samples_per_frame ·
+    * 1000 // rate`.
+    */
+  private def q154(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    val cbrFrames = (0 until 10).map(_ => (9, Seq(100, 101)))
+    val streams = Seq(
+      (1L, M.syntheticMp3(verId = 3, srIdx = 2, channels = 1,
+        frames = cbrFrames)),
+      (2L, M.syntheticMp3(verId = 2, srIdx = 2, channels = 2,
+        frames = (0 until 8).map(_ => (5, Seq(90))))),
+      (3L, M.syntheticMp3(verId = 3, srIdx = 0, channels = 1,
+        frames = Seq((9, Seq(1, 2)), (11, Seq(3, 4)),
+          (9, Seq(5, 6)), (11, Seq(7, 8))))),
+      (4L, M.syntheticMp3(verId = 3, srIdx = 2, channels = 1,
+        frames = cbrFrames, id3Bytes = 64)),
+      (5L, "junk bytes".getBytes("UTF-8"))
+    ).toDF("mp3_id", "content")
+    M.audioStats(streams)
+      .select(col("mp3_id"), col("audio.codec").as("codec"),
+        col("audio.channels").as("channels"),
+        col("audio.sample_rate").as("sample_rate"),
+        col("audio.n_samples").as("n_samples"),
+        col("audio.duration_ms").as("duration_ms"),
+        col("audio.bitrate_kbps").as("bitrate_kbps"),
+        col("audio.vbr").as("vbr"),
+        col("audio.ok").as("ok"))
+      .orderBy(col("mp3_id"))
+  }
+
+  private def mpegWalkOracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(1 AS BIGINT), 'mpeg1-l3', 1, 32000,
+      |  CAST(10 * 1152 AS BIGINT), CAST(10 * 1152 * 1000 // 32000 AS BIGINT),
+      |  128.0, FALSE, TRUE),
+      | (CAST(2 AS BIGINT), 'mpeg2-l3', 2, 16000,
+      |  CAST(8 * 576 AS BIGINT), CAST(8 * 576 * 1000 // 16000 AS BIGINT),
+      |  40.0, FALSE, TRUE),
+      | (CAST(3 AS BIGINT), 'mpeg1-l3', 1, 44100,
+      |  CAST(4 * 1152 AS BIGINT), CAST(4 * 1152 * 1000 // 44100 AS BIGINT),
+      |  160.0, TRUE, TRUE),
+      | (CAST(4 AS BIGINT), 'mpeg1-l3', 1, 32000,
+      |  CAST(10 * 1152 AS BIGINT), CAST(10 * 1152 * 1000 // 32000 AS BIGINT),
+      |  128.0, FALSE, TRUE),
+      | (CAST(5 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+      |  CAST(NULL AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      |  CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN), FALSE)
+      |) AS t(mp3_id, codec, channels, sample_rate, n_samples,
+      |       duration_ms, bitrate_kbps, vbr, ok)
+      |ORDER BY mp3_id""".stripMargin
+
   private def c4LineOracle: String =
     """WITH l AS (
       |  SELECT source, text, string_split(text, chr(10)) AS lines
@@ -4359,6 +4458,41 @@ object SparkEntry {
       |  CAST(sum(CASE WHEN pass THEN ct ELSE 0 END) AS BIGINT)
       |    AS clean_tokens
       |FROM p GROUP BY source ORDER BY source""".stripMargin
+
+  /** Rendered-text detection ([[graft.operators.Multimodal
+    * .textiness]] — the deterministic screenshot/meme-share kernel
+    * behind `mediaCard.avg_image_textiness`): hard two-tone stripes
+    * saturate the score at 1, wider stripes land at the exact
+    * closed-form 5·(7/63), a smooth gradient has no sharp edges
+    * (score 0), mid-gray stripes have edges but no tonal polarization
+    * (the bimodality term zeroes them), junk is null. Every value is
+    * integer-pixel arithmetic the oracle restates (q79 discipline).
+    */
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    val imgs = Seq(
+      (1L, M.renderPng(64, 64, (x, _) => if (x % 8 < 4) 0 else gray(255))),
+      (2L, M.renderPng(64, 64, (x, _) => if (x % 16 < 8) 0 else gray(255))),
+      (3L, M.renderPng(64, 64, (x, _) => gray(x * 4))),
+      (4L, M.renderPng(64, 64, (x, _) => if (x % 8 < 4) gray(96) else gray(160))),
+      (5L, "not an image".getBytes("UTF-8"))
+    ).toDF("img_id", "content")
+    imgs.select(col("img_id"),
+        M.textinessCol(col("content")).as("textiness"))
+      .orderBy(col("img_id"))
+  }
+
+  private def textinessOracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(1 AS BIGINT), 1.0),
+      | (CAST(2 AS BIGINT), round(5 * (7.0/63), 6)),
+      | (CAST(3 AS BIGINT), 0.0),
+      | (CAST(4 AS BIGINT), 0.0),
+      | (CAST(5 AS BIGINT), CAST(NULL AS DOUBLE))
+      |) AS t(img_id, textiness)
+      |ORDER BY img_id""".stripMargin
 
   // ===================================================================
   // Registry
@@ -4517,7 +4651,9 @@ object SparkEntry {
     "q150_audio" -> (q150 _),
     "q151_kll" -> (q151 _),
     "q152_mcard" -> (q152 _),
-    "q153_auddup" -> (q153 _))
+    "q153_auddup" -> (q153 _),
+    "q154_mpeg" -> (q154 _),
+    "q155_texty" -> (q155 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -4921,6 +5057,8 @@ object SparkEntry {
     "q151_kll" -> kllOracle,
     "q152_mcard" -> mediaCardOracle,
     "q153_auddup" -> audioDupOracle,
+    "q154_mpeg" -> mpegWalkOracle,
+    "q155_texty" -> textinessOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

@@ -610,12 +610,105 @@ object Multimodal {
         c: org.apache.spark.sql.catalyst.expressions.Expression): DHash64 = copy(c)
   }
 
+  /** Rendered-text ("textiness") score in [0,1] — the deterministic
+    * kernel for the standard image-corpus card question "what share
+    * of this crawl is screenshots/memes/rendered text?" (the OCR
+    * transport in [[annotateImages]] answers WHAT the text says; this
+    * answers IS IT text, with no model in the loop). Two signals that
+    * separate glyph rasters from photographs:
+    *
+    *  - sharp-edge density: fraction of horizontally adjacent sampled
+    *    pixels with integer-luma delta ≥ 48 (glyph strokes are step
+    *    edges — antialiasing splits a step into ramps that still
+    *    clear 48; photographic gradients don't);
+    *  - luma bimodality: fraction of pixels at the tonal extremes
+    *    (luma ≤ 64 or ≥ 192 — ink-or-paper polarization; photos
+    *    concentrate mid-tones).
+    *
+    * score = round(min(1, 5·edge_ratio) · bimodal_ratio, 6) — the 5×
+    * calibration says "one sharp edge per 5 horizontal pairs is fully
+    * text-dense" (body text measures 10-25%). All-integer pixel math
+    * with [[dhashOf]]'s stride rule, so a rendered PNG's score is a
+    * CLOSED FORM of its pixel function (q79 oracle discipline). Null
+    * for non-decodable bytes.
+    */
+  def textiness(bytes: Array[Byte]): java.lang.Double =
+    // public: generated code calls this as a Java static (see dhash64)
+    decodePixels(bytes) match {
+      case None => null
+      case Some(img) => java.lang.Double.valueOf(textinessOf(img))
+    }
+
+  private[graft] def textinessOf(img: java.awt.image.BufferedImage): Double = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val stride = math.max(1, math.ceil(math.sqrt(w.toDouble * h / 1048576.0)).toInt)
+    var pixels = 0L
+    var bimodal = 0L
+    var pairs = 0L
+    var edges = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      var prev = -1
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        pixels += 1
+        if (luma <= 64 || luma >= 192) bimodal += 1
+        if (prev >= 0) {
+          pairs += 1
+          if (math.abs(luma - prev) >= 48) edges += 1
+        }
+        prev = luma
+        x += stride
+      }
+      y += stride
+    }
+    val edgeTerm =
+      if (pairs == 0) 0.0 else math.min(1.0, 5.0 * (edges.toDouble / pairs))
+    val score = edgeTerm * (bimodal.toDouble / pixels)
+    BigDecimal(score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** [[textiness]] as a Column — codegen'd like [[dhash64Col]]. */
+  def textinessCol(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.bridge.{columnOf, expressionOf}
+    columnOf(TextinessScore(expressionOf(content)))
+  }
+
+  case class TextinessScore(child: org.apache.spark.sql.catalyst.expressions.Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val s = textiness(v.asInstanceOf[Array[Byte]])
+      if (s == null) null else s.doubleValue()
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val c = child.genCode(ctx)
+      val boxed = ctx.freshName("texty")
+      ev.copy(code = code"""
+        ${c.code}
+        java.lang.Double $boxed = ${c.isNull} ? null :
+          graft.operators.Multimodal.textiness(${c.value});
+        final boolean ${ev.isNull} = $boxed == null;
+        final double ${ev.value} = ${ev.isNull} ? 0.0 : $boxed.doubleValue();""")
+    }
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression): TextinessScore = copy(c)
+  }
+
   val ImageStatsSchema: StructType = StructType(Seq(
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("avg_r", DoubleType),
     StructField("avg_g", DoubleType),
     StructField("avg_b", DoubleType),
+    StructField("textiness", DoubleType),
     StructField("ok", BooleanType, nullable = false),
     StructField("error", StringType)))
 
@@ -637,9 +730,11 @@ object Multimodal {
           val stats = decodePixels(row.getAs[Array[Byte]](contentIdx)) match {
             case Some(img) =>
               val s = pixelSummary(img)
-              Row(img.getWidth, img.getHeight, s(0), s(1), s(2), true, null)
+              Row(img.getWidth, img.getHeight, s(0), s(1), s(2),
+                textinessOf(img), true, null)
             case None =>
-              Row(null, null, null, null, null, false, "not a decodable raster")
+              Row(null, null, null, null, null, null, false,
+                "not a decodable raster")
           }
           Row.fromSeq(row.toSeq :+ stats)
         }
@@ -710,6 +805,254 @@ object Multimodal {
     Some((channels, sampleRate, bits, out))
   }
 
+  /** Parsed MPEG audio (the MP3 family) stream facts from a pure-JDK
+    * frame-header walk — no PCM decode. `gains` is the per-granule
+    * loudness envelope read from the Layer III side information
+    * (`global_gain`, the 8-bit log-scale granule amplitude at a FIXED
+    * bit offset — 21 bits into each granule/channel block — so no
+    * Huffman work is needed), folded max-over-channels; empty for
+    * Layers I/II.
+    */
+  final case class MpegAudioInfo(version: String, layer: Int,
+      sampleRate: Int, channels: Int, nFrames: Int, totalSamples: Long,
+      avgBitrateKbps: Double, vbr: Boolean, gains: Array[Int])
+
+  private case class MpegHdr(verId: Int, layer: Int, bitrateKbps: Int,
+      sampleRate: Int, channels: Int, crc: Boolean, frameSize: Int,
+      samples: Int)
+
+  // bitrate tables (kbps), indexed [verGroup][layer-1][brIdx-1]:
+  // verGroup 0 = MPEG1, 1 = MPEG2/2.5 (LSF)
+  private val MpegBitrates: Array[Array[Array[Int]]] = Array(
+    Array(
+      Array(32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+      Array(32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+      Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)),
+    Array(
+      Array(32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+      Array(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+      Array(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)))
+
+  // sample rates, indexed by header version id (0=2.5, 2=2, 3=1)
+  private val MpegRates: Map[Int, Array[Int]] = Map(
+    0 -> Array(11025, 12000, 8000),
+    2 -> Array(22050, 24000, 16000),
+    3 -> Array(44100, 48000, 32000))
+
+  private def mpegHdr(b: Array[Byte], pos: Int): MpegHdr = {
+    if (pos < 0 || pos + 4 > b.length) return null
+    val h = ((b(pos) & 0xff) << 24) | ((b(pos + 1) & 0xff) << 16) |
+      ((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff)
+    if ((h >>> 21) != 0x7ff) return null
+    val verId = (h >>> 19) & 3 // 0=MPEG2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+    val layerId = (h >>> 17) & 3 // 1=III, 2=II, 3=I
+    val brIdx = (h >>> 12) & 15
+    val srIdx = (h >>> 10) & 3
+    val padding = (h >>> 9) & 1
+    val mode = (h >>> 6) & 3
+    // brIdx 0 is FREE FORMAT (frame size not derivable from the
+    // header) — rejected, documented at [[mpegAudioInfo]]
+    if (verId == 1 || layerId == 0 || brIdx == 0 || brIdx == 15 ||
+      srIdx == 3) return null
+    val layer = 4 - layerId // 1/2/3
+    val verGroup = if (verId == 3) 0 else 1
+    val br = MpegBitrates(verGroup)(layer - 1)(brIdx - 1)
+    val sr = MpegRates(verId)(srIdx)
+    val samples =
+      if (layer == 1) 384
+      else if (layer == 2) 1152
+      else if (verId == 3) 1152
+      else 576
+    val frameSize =
+      if (layer == 1) (12 * br * 1000 / sr + padding) * 4
+      else if (layer == 3 && verId != 3) 72 * br * 1000 / sr + padding
+      else 144 * br * 1000 / sr + padding
+    MpegHdr(verId, layer, br, sr, if (mode == 3) 1 else 2,
+      crc = ((h >>> 16) & 1) == 0, frameSize, samples)
+  }
+
+  /** MPEG audio frame walk — the compressed-audio analog of
+    * [[pcmSamples]]'s facts: version/layer/rate/channels from the
+    * headers, frame count → EXACT duration (`totalSamples / rate`),
+    * mean bitrate + VBR flag, and the Layer III `global_gain`
+    * envelope feeding [[audioHash64]]. Crawl-robust without becoming
+    * a false-positive magnet: an ID3v2 tag is skipped by its syncsafe
+    * size, the first sync must appear within the first 4 KiB of what
+    * remains (real MP3s start at 0 or right after the tag; scanning a
+    * whole PNG for chance sync bytes is how misclassification
+    * happens), the SECOND frame must parse consistently (same
+    * version/layer/rate — the standard dual-frame anchor), and the
+    * walk stops cleanly at trailing junk (ID3v1 tags). Free-format
+    * streams (bitrate index 0) are rejected — their frame size is not
+    * derivable. None = not MPEG audio; callers degrade per-row.
+    */
+  private[graft] def mpegAudioInfo(b: Array[Byte]): Option[MpegAudioInfo] = {
+    if (b == null || b.length < 8) return None
+    // known non-MPEG containers are rejected by magic before any sync
+    // scan — compressed payloads can chance-contain sync-like bytes,
+    // and "this JPEG is 0.1 s of MPEG2.5" is the failure mode to ban
+    if ((b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||
+      (b.length >= 8 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') ||
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F')) return None
+    var pos = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      val footer = if ((b(5) & 0x10) != 0) 10 else 0
+      val skip = 10L + size + footer
+      if (skip >= b.length) return None
+      pos = skip.toInt
+    }
+    // anchor: first dual-frame-consistent sync within 4 KiB
+    var start = -1
+    var scan = pos
+    val scanEnd = math.min(b.length - 4, pos + 4096)
+    while (start < 0 && scan <= scanEnd) {
+      val h = mpegHdr(b, scan)
+      if (h != null) {
+        val nxt = mpegHdr(b, scan + h.frameSize)
+        val lastFrame = scan + h.frameSize >= b.length - 3
+        if (lastFrame || (nxt != null && nxt.verId == h.verId &&
+          nxt.layer == h.layer && nxt.sampleRate == h.sampleRate))
+          start = scan
+      }
+      if (start < 0) scan += 1
+    }
+    if (start < 0) return None
+    val first = mpegHdr(b, start)
+    var at = start
+    var nFrames = 0
+    var brSum = 0L
+    var vbr = false
+    val gains = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var done = false
+    while (!done) {
+      val h = mpegHdr(b, at)
+      if (h == null || h.verId != first.verId || h.layer != first.layer ||
+        h.sampleRate != first.sampleRate || at + h.frameSize > b.length) {
+        done = true // trailing tags / truncation end the walk
+      } else {
+        nFrames += 1
+        brSum += h.bitrateKbps
+        if (h.bitrateKbps != first.bitrateKbps) vbr = true
+        if (h.layer == 3) readGains(b, at, h, gains)
+        at += h.frameSize
+        if (at >= b.length - 3) done = true
+      }
+    }
+    if (nFrames < 1) return None
+    val version =
+      if (first.verId == 3) "1" else if (first.verId == 2) "2" else "2.5"
+    Some(MpegAudioInfo(version, first.layer, first.sampleRate,
+      first.channels, nFrames, nFrames.toLong * first.samples,
+      brSum.toDouble / nFrames, vbr, gains.toArray))
+  }
+
+  /** Append the frame's per-granule max-over-channels `global_gain`
+    * values. Side-info geometry (ISO/IEC 11172-3 §2.4.1.7): MPEG1 =
+    * main_data_begin(9) + private(5 mono / 3 stereo) + scfsi(4·nch),
+    * then 2 granules × nch blocks of 59 bits; LSF (MPEG2/2.5) =
+    * main_data_begin(8) + private(1 mono / 2 stereo), 1 granule × nch
+    * blocks of 63 bits. In every block global_gain sits 21 bits in
+    * (after part2_3_length(12) + big_values(9)).
+    */
+  private def readGains(b: Array[Byte], frameAt: Int, h: MpegHdr,
+      out: scala.collection.mutable.ArrayBuffer[Int]): Unit = {
+    val sideOff = frameAt + 4 + (if (h.crc) 2 else 0)
+    val mpeg1 = h.verId == 3
+    val nch = h.channels
+    val sideLen = if (mpeg1) { if (nch == 1) 17 else 32 }
+      else { if (nch == 1) 9 else 17 }
+    if (sideOff + sideLen > b.length) return
+    def bits(bitOff: Int, n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val abs = sideOff.toLong * 8 + bitOff + i
+        val byte = b((abs >> 3).toInt) & 0xff
+        v = (v << 1) | ((byte >> (7 - (abs & 7)).toInt) & 1)
+        i += 1
+      }
+      v
+    }
+    val nGr = if (mpeg1) 2 else 1
+    val base =
+      if (mpeg1) 9 + (if (nch == 1) 5 else 3) + 4 * nch
+      else 8 + (if (nch == 1) 1 else 2)
+    val block = if (mpeg1) 59 else 63
+    var gr = 0
+    while (gr < nGr) {
+      var g = 0
+      var ch = 0
+      while (ch < nch) {
+        g = math.max(g, bits(base + (gr * nch + ch) * block + 21, 8))
+        ch += 1
+      }
+      out += g
+      gr += 1
+    }
+  }
+
+  /** Build a VALID MPEG Layer III stream with planted per-granule
+    * `global_gain` values and zeroed main data — real headers, real
+    * side-info geometry, deterministic bytes. The fixture kernel for
+    * the MPEG walk (the [[syntheticMjpegAvi]] discipline): every
+    * field [[mpegAudioInfo]] reports is a closed form of the
+    * arguments. `frames` = per-frame (bitrateIdx, per-granule gains).
+    */
+  private[graft] def syntheticMp3(verId: Int, srIdx: Int, channels: Int,
+      frames: Seq[(Int, Seq[Int])], id3Bytes: Int = 0): Array[Byte] = {
+    require(verId == 3 || verId == 2 || verId == 0, s"verId: $verId")
+    require(channels == 1 || channels == 2, s"channels: $channels")
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Bytes > 0) { // a minimal ID3v2 tag the walk must skip
+      out.write(Array[Byte]('I', 'D', '3', 4, 0, 0))
+      out.write(((id3Bytes >> 21) & 0x7f)); out.write(((id3Bytes >> 14) & 0x7f))
+      out.write(((id3Bytes >> 7) & 0x7f)); out.write((id3Bytes & 0x7f))
+      out.write(new Array[Byte](id3Bytes))
+    }
+    val mpeg1 = verId == 3
+    val nGr = if (mpeg1) 2 else 1
+    frames.foreach { case (brIdx, gains) =>
+      require(brIdx >= 1 && brIdx <= 14, s"brIdx: $brIdx")
+      require(gains.length == nGr, s"need $nGr granule gains")
+      val br = MpegBitrates(if (mpeg1) 0 else 1)(2)(brIdx - 1)
+      val sr = MpegRates(verId)(srIdx)
+      val frameSize =
+        if (mpeg1) 144 * br * 1000 / sr else 72 * br * 1000 / sr
+      val f = new Array[Byte](frameSize)
+      f(0) = 0xFF.toByte
+      f(1) = (0xE0 | (verId << 3) | (1 << 1) | 1).toByte // layer III, no CRC
+      f(2) = ((brIdx << 4) | (srIdx << 2)).toByte // no padding
+      f(3) = (if (channels == 1) 3 << 6 else 0).toByte
+      val base =
+        if (mpeg1) 9 + (if (channels == 1) 5 else 3) + 4 * channels
+        else 8 + (if (channels == 1) 1 else 2)
+      val block = if (mpeg1) 59 else 63
+      var gr = 0
+      while (gr < nGr) {
+        var ch = 0
+        while (ch < channels) {
+          val off = base + (gr * channels + ch) * block + 21
+          var i = 0
+          while (i < 8) { // plant the 8 global_gain bits after header
+            val abs = 4L * 8 + off + i
+            if (((gains(gr) >> (7 - i)) & 1) != 0)
+              f((abs >> 3).toInt) = (f((abs >> 3).toInt) |
+                (1 << (7 - (abs & 7)).toInt)).toByte
+            i += 1
+          }
+          ch += 1
+        }
+        gr += 1
+      }
+      out.write(f)
+    }
+    out.toByteArray
+  }
+
   val AudioStatsSchema: StructType = StructType(Seq(
     StructField("channels", IntegerType),
     StructField("sample_rate", IntegerType),
@@ -720,7 +1063,11 @@ object Multimodal {
     StructField("clip_ratio", DoubleType),
     StructField("silence_ratio", DoubleType),
     StructField("ok", BooleanType, nullable = false),
-    StructField("error", StringType)))
+    StructField("error", StringType),
+    StructField("codec", StringType),
+    StructField("duration_ms", LongType),
+    StructField("bitrate_kbps", DoubleType),
+    StructField("vbr", BooleanType)))
 
   /** Per-asset PCM audio statistics — the content-derived curation
     * gates text already has ([[imageStats]] for pixels, this for
@@ -730,9 +1077,17 @@ object Multimodal {
     * speech corpora on both). All sums are exact integer arithmetic
     * over the decoded samples (one long Σs² per asset), so a rendered
     * fixture's stats are closed forms of its sample function — the
-    * q79 exact-oracle discipline for audio. Non-PCM / truncated /
-    * non-WAV rows degrade to error rows, never fail the scan.
-    * Batched mapPartitions like [[decode]]; map-only, zero shuffles.
+    * q79 exact-oracle discipline for audio.
+    *
+    * MPEG audio (the MP3 family — what crawled corpora actually
+    * carry) is recognized via [[mpegAudioInfo]]'s frame walk:
+    * `codec`/`channels`/`sample_rate`/`n_samples`/`duration_ms`/
+    * `bitrate_kbps`/`vbr` are REAL header-derived facts (`ok = true`,
+    * duration exact from the frame count), while the sample-level
+    * stats stay null — there is no PCM without a full Layer III
+    * decode, and a null keeps downstream averages honest. Rows that
+    * are neither degrade to error rows, never fail the scan. Batched
+    * mapPartitions like [[decode]]; map-only, zero shuffles.
     */
   def audioStats(df: DataFrame, contentCol: String = "content",
       batchSize: Int = 64, silence: Double = 0.01): DataFrame = {
@@ -744,7 +1099,8 @@ object Multimodal {
     val rdd = df.rdd.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { row =>
-          val stats = pcmSamples(row.getAs[Array[Byte]](contentIdx)) match {
+          val bytes = row.getAs[Array[Byte]](contentIdx)
+          val stats = pcmSamples(bytes) match {
             case Some((ch, sr, bits, s)) if s.nonEmpty =>
               val fullScale = (1 << (bits - 1)) - 1 // 32767 / 127
               val silenceBar = (silence * fullScale).toInt
@@ -764,17 +1120,31 @@ object Multimodal {
               val n = s.length
               def r6(x: Double): Double =
                 BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              val durMs: java.lang.Long =
+                if (sr > 0 && ch > 0) java.lang.Long.valueOf(
+                  (n.toLong / ch) * 1000L / sr) else null
               Row(ch, sr, bits, n.toLong,
                 r6(peak.toDouble / fullScale),
                 r6(math.sqrt(sumSq.toDouble / n) / fullScale),
                 r6(clipped.toDouble / n),
-                r6(silent.toDouble / n), true, null)
+                r6(silent.toDouble / n), true, null,
+                "pcm", durMs, sr.toDouble * bits * ch / 1000.0, false)
             case Some(_) =>
               Row(null, null, null, null, null, null, null, null, false,
-                "empty data chunk")
-            case None =>
-              Row(null, null, null, null, null, null, null, null, false,
-                "not linear PCM WAV")
+                "empty data chunk", null, null, null, null)
+            case None => mpegAudioInfo(bytes) match {
+              case Some(m) =>
+                def r3(x: Double): Double = BigDecimal(x)
+                  .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+                Row(m.channels, m.sampleRate, null, m.totalSamples,
+                  null, null, null, null, true, null,
+                  s"mpeg${m.version}-l${m.layer}",
+                  m.totalSamples * 1000L / m.sampleRate,
+                  r3(m.avgBitrateKbps), m.vbr)
+              case None =>
+                Row(null, null, null, null, null, null, null, null, false,
+                  "not linear PCM WAV or MPEG audio", null, null, null, null)
+            }
           }
           Row.fromSeq(row.toSeq :+ stats)
         }
@@ -809,8 +1179,18 @@ object Multimodal {
     * headroom is PROVEN, not hoped: folded frames ≤ 2^15, the grid
     * is 2^12 points, 7th differences ≤ 2^22, squared-and-window-
     * summed ≤ 2^56 — so a synthetic fixture's hash is a CLOSED FORM
-    * of its sample function (q79/q148 exact-oracle material). Null
-    * for non-PCM/empty bytes.
+    * of its sample function (q79/q148 exact-oracle material).
+    *
+    * MPEG audio (MP3 family): no PCM is decoded; the hash runs over
+    * the per-granule `global_gain` LOUDNESS ENVELOPE from the Layer
+    * III side info ([[mpegAudioInfo]]) through the same fixed grid —
+    * so two MP3s carrying the same encode (re-muxed, re-tagged,
+    * bitstream-copied, ID3-stripped) hash identically, and re-encodes
+    * of the same source by the same encoder land nearby. The gain
+    * envelope lives in a DIFFERENT feature space than PCM energies:
+    * an MP3 never pairs with the WAV it was encoded from (documented
+    * limitation — cross-codec dedup needs a full decode). Null for
+    * non-audio/empty bytes and for Layer I/II (no per-granule gains).
     */
   def audioHash64(bytes: Array[Byte]): java.lang.Long = pcmSamples(bytes) match {
     case Some((ch, _, _, s)) if s.length >= ch && ch >= 1 =>
@@ -830,7 +1210,17 @@ object Multimodal {
         g += 1
       }
       java.lang.Long.valueOf(audioHashOf(frames))
-    case _ => null
+    case _ => mpegAudioInfo(bytes) match {
+      case Some(m) if m.gains.length >= 2 =>
+        val frames = new Array[Long](AudioHashGrid)
+        var g = 0
+        while (g < AudioHashGrid) {
+          frames(g) = m.gains((g.toLong * m.gains.length / AudioHashGrid).toInt)
+          g += 1
+        }
+        java.lang.Long.valueOf(audioHashOf(frames))
+      case _ => null
+    }
   }
 
   /** Duration-relative frame-grid size for [[audioHash64]] — 2^12
@@ -957,8 +1347,18 @@ object Multimodal {
         round(avg(when(img.getField("ok"),
           (img.getField("avg_r") + img.getField("avg_g") +
             img.getField("avg_b")) / 3.0)), 4).as("__al"),
+        // rendered-text share signal (screenshots/memes vs photos)
+        round(avg(when(img.getField("ok"), img.getField("textiness"))), 6)
+          .as("__atxt"),
         round(avg(when(aud.getField("ok"), aud.getField("rms_norm"))), 6)
           .as("__arms"),
+        // duration/rate come from the header walk, so they are real
+        // for MPEG audio too (rms is PCM-only and stays null there)
+        round(avg(when(aud.getField("ok"),
+          aud.getField("duration_ms").cast("double") / 1000.0)), 4)
+          .as("__asec"),
+        round(avg(when(aud.getField("ok"),
+          aud.getField("sample_rate").cast("double"))), 2).as("__ahz"),
         sum(when(aud.getField("ok") && aud.getField("clip_ratio") > 0.0,
           1L).otherwise(0L)).as("__nclip"),
         sum(when(aud.getField("ok") && aud.getField("silence_ratio") === 1.0,
@@ -966,8 +1366,11 @@ object Multimodal {
       .select(col("__g").as(groupCol), explode(map(
         lit("avg_image_height"), col("__ah"),
         lit("avg_image_luma"), col("__al"),
+        lit("avg_image_textiness"), col("__atxt"),
         lit("avg_image_width"), col("__aw"),
         lit("avg_audio_rms"), col("__arms"),
+        lit("avg_audio_secs"), col("__asec"),
+        lit("avg_audio_hz"), col("__ahz"),
         lit("n_assets"), col("__n").cast("double"),
         lit("pct_audio"), round(col("__na").cast("double") / col("__n"), 4),
         lit("pct_audio_clipped"),

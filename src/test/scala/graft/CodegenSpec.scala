@@ -176,7 +176,8 @@ class CodegenSpec extends SparkSpec {
       CatalystExpressions.countInSet(col("t"), Seq("a")),
       CatalystExpressions.matVec(col("a"), Array(Array(1.0, 0.0))),
       M.dhash64Col(col("b")),
-      M.audioHash64Col(col("b"))
+      M.audioHash64Col(col("b")),
+      M.textinessCol(col("b"))
     ).foreach { c =>
       val e = expressionOf(c)
       assert(!e.isInstanceOf[CodegenFallback],
@@ -198,6 +199,7 @@ class CodegenSpec extends SparkSpec {
     val q = () => df.select(col("id"),
         M.dhash64Col(col("img")).as("dh"),
         M.audioHash64Col(col("img")).as("ah"), // non-audio bytes → null path
+        M.textinessCol(col("img")).as("tx"),
         CatalystExpressions.matVec(col("vec"),
           Array(Array(0.0, 1.0), Array(1.0, 0.0))).as("mv"),
         CatalystExpressions.countInSet(col("toks"), Seq("a", "c")).as("cis"))

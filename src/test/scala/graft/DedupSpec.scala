@@ -449,6 +449,46 @@ class DedupSpec extends SparkSpec {
     assert(classes(5L) == ((None, true)), "non-decodable rows are unique, never lost")
   }
 
+  test("mp3 gain-envelope hash: tag/bitrate twins identical, near-dup pairs at defaults") {
+    val M = graft.operators.Multimodal
+    def mp3(gains: Seq[Int], id3: Int = 0, brIdx: Int = 9): Array[Byte] =
+      M.syntheticMp3(verId = 3, srIdx = 2, channels = 1,
+        frames = gains.grouped(2).map(g => (brIdx, g.toSeq)).toSeq,
+        id3Bytes = id3)
+    // a varied (non-monotone) loudness envelope over 40 granules
+    val env = (0 until 40).map(i => 80 + ((i * 37) % 90))
+    val base = mp3(env)
+    val tagged = mp3(env, id3 = 128) // re-tagged: same frames
+    val rebr = mp3(env, brIdx = 11) // re-encoded bitrate, same envelope
+    val h = M.audioHash64(base).longValue()
+    assert(M.audioHash64(tagged).longValue() == h,
+      "an ID3 tag must not move the gain-envelope hash")
+    assert(M.audioHash64(rebr).longValue() == h,
+      "same envelope at another bitrate must hash identically")
+    // constant gains: rows 1-7 (differences) are all zero, and row 0's
+    // windows tie except the LAST (4096 = 9·455 + 1, so window 8 is one
+    // point longer -> one deterministic length-wobble bit at row 0 t=8)
+    val flat = mp3(Seq.fill(40)(100))
+    assert(M.audioHash64(flat).longValue() == 128L)
+    assert(java.lang.Long.bitCount(h ^ 128L) > 12,
+      s"varied envelope must sit far from the flat hash: ${java.lang.Long.bitCount(h ^ 128L)}")
+    // corpus: the three twins form one class at DEFAULT parameters;
+    // flat + junk stay unique
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, base), (2L, tagged), (3L, rebr), (4L, flat),
+      (5L, "junk".getBytes("UTF-8"))
+    ).toDF("clip_id", "content")
+    val classes = Dedup.audioDedupCorpus(corpus, "clip_id", "content")
+      .collect().map(r => r.getAs[Long]("clip_id") ->
+        ((Option(r.getAs[java.lang.Long]("dup_class")), r.getAs[Boolean]("keep")))).toMap
+    assert(classes(1L) == ((Some(1L), true)))
+    assert(classes(2L) == ((Some(1L), false)))
+    assert(classes(3L) == ((Some(1L), false)))
+    assert(classes(4L) == ((None, true)))
+    assert(classes(5L) == ((None, true)))
+  }
+
   test("video near-dup: resized twin covers fully, clip-in-longer-cut is asymmetric, unrelated stays out") {
     val M = graft.operators.Multimodal
     def gray(v: Int): Int = (v << 16) | (v << 8) | v

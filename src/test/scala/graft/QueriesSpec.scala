@@ -46,7 +46,10 @@ class QueriesSpec extends SparkSpec {
       "qNN prefixes must stay unique — Bench's short stdout keys depend on it")
     val line = "{\"metric\":\"total\",\"value\":12345.67,\"unit\":\"sec\",\"queries\":{" +
       prefixes.map(k => s""""$k":9.9""").mkString(",") +
-      "},\"index_sec\":12.34,\"sf\":\"sf0.1\"}"
+      "},\"index_sec\":12.34," +
+      // self-diagnosis fields at worst-plausible widths
+      "\"load\":[99.99,99.99],\"spin\":[9.99,9.99]," +
+      "\"passes\":[999,999,999],\"sf\":\"sf0.1\"}"
     assert(line.length <= 1925,
       s"bench line budget exceeded (${line.length} chars) — shorten new query keys")
   }

@@ -601,6 +601,89 @@ class SemanticSpec extends SparkSpec {
     // a data chunk pointing past the buffer must degrade, not throw
     assert(!out(3L).getAs[Boolean]("ok"))
     assert(!out(4L).getAs[Boolean]("ok"))
+    // PCM rows also carry the header-fact tail fields
+    assert(out(1L).getAs[String]("codec") == "pcm")
+    assert(out(1L).getAs[Long]("duration_ms") == 100L) // 800 / 8000 Hz
+    assert(!out(1L).getAs[Boolean]("vbr"))
+  }
+
+  test("mpegAudioInfo: python-built fixture cross-check — frames, VBR, gains, tags") {
+    // the fixture is built by an INDEPENDENT implementation of the
+    // frame format (scripts/make_mp3_fixture.py — the PDF-fixture
+    // cross-validation precedent): ID3v2 head, 6 stereo MPEG1-L3
+    // frames at 44100 Hz (one padded), VBR [128,128,160,128,192,128],
+    // per-granule channel-max gains 60+10i+gr, ID3v1 trailer
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/fixtures/synthetic.mp3").toURI))
+    val m = Multimodal.mpegAudioInfo(bytes).get
+    assert(m.version == "1" && m.layer == 3)
+    assert(m.sampleRate == 44100 && m.channels == 2)
+    assert(m.nFrames == 6, s"ID3v1 trailer must stop the walk: ${m.nFrames}")
+    assert(m.totalSamples == 6L * 1152)
+    assert(m.vbr && m.avgBitrateKbps == 144.0)
+    assert(m.gains.toSeq == (0 until 6).flatMap(i =>
+      Seq(60 + 10 * i, 61 + 10 * i)),
+      s"granule gains must be channel-max in frame order: ${m.gains.toSeq}")
+    // stats surface over the same bytes: real header facts, null PCM
+    val out = Multimodal.audioStats(Seq((1L, bytes)).toDF("id", "content"))
+      .select("audio.*").collect().head
+    assert(out.getAs[Boolean]("ok") && out.getAs[String]("codec") == "mpeg1-l3")
+    assert(out.getAs[Long]("duration_ms") == 6L * 1152 * 1000 / 44100)
+    assert(out.getAs[Double]("bitrate_kbps") == 144.0 && out.getAs[Boolean]("vbr"))
+    assert(out.isNullAt(out.fieldIndex("rms_norm")),
+      "no PCM without a full decode — sample stats must stay null")
+  }
+
+  test("mpegAudioInfo: container magics rejected, free format rejected, LSF geometry") {
+    val M = Multimodal
+    // a JPEG/PNG/MP4 must never read as audio however its payload looks
+    assert(M.mpegAudioInfo(M.renderJpeg(16, 16, (_, _) => 0xFF00FF)).isEmpty)
+    assert(M.mpegAudioInfo(M.renderPng(8, 8, (_, _) => 0x123456)).isEmpty)
+    assert(M.mpegAudioInfo(M.syntheticMp4(16, 16, 500)).isEmpty)
+    // free format: valid sync, bitrate index 0 — size underivable
+    val free = Array[Byte](0xFF.toByte, 0xFB.toByte, 0x08, 0x00, 0, 0, 0, 0)
+    assert(M.mpegAudioInfo(free).isEmpty)
+    // MPEG2 LSF mono: 1 granule, 63-bit blocks — gains land exactly
+    val lsf = M.syntheticMp3(verId = 2, srIdx = 1, channels = 1,
+      frames = Seq((3, Seq(77)), (3, Seq(200))))
+    val m = M.mpegAudioInfo(lsf).get
+    assert(m.version == "2" && m.sampleRate == 24000 && m.channels == 1)
+    assert(m.totalSamples == 2L * 576 && !m.vbr)
+    assert(m.gains.toSeq == Seq(77, 200))
+  }
+
+  test("textiness: real rendered text scores high, photo-like gradients score low") {
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    // an actual glyph raster via AWT (antialiasing off so the raster
+    // is two-tone like a screenshot) — not a synthetic stripe pattern
+    val textPng = {
+      val img = new java.awt.image.BufferedImage(160, 80,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(java.awt.Color.WHITE); g.fillRect(0, 0, 160, 80)
+      g.setColor(java.awt.Color.BLACK)
+      g.setFont(new java.awt.Font(java.awt.Font.MONOSPACED, java.awt.Font.PLAIN, 13))
+      g.drawString("the quick brown fox", 4, 18)
+      g.drawString("jumps over the lazy", 4, 38)
+      g.drawString("dog 0123456789 :-)", 4, 58)
+      g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val texty = Multimodal.textiness(textPng).doubleValue()
+    assert(texty > 0.4, s"rendered text must score high: $texty")
+    // smooth 2D gradient — the photo proxy
+    val photo = Multimodal.renderPng(160, 80, (x, y) => gray((x + y) & 0xff))
+    val photoScore = Multimodal.textiness(photo).doubleValue()
+    assert(photoScore < 0.05, s"gradients must score low: $photoScore")
+    assert(Multimodal.textiness("junk".getBytes("UTF-8")) == null)
+    // the imageStats surface carries it per row
+    val stats = Multimodal.imageStats(
+      Seq((1L, textPng), (2L, photo)).toDF("id", "content"))
+      .select("id", "stats.textiness").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(stats(1L) == texty && stats(2L) == photoScore)
   }
 
   test("mediaCard diffs release-to-release with dataCardDiff, like the text card") {
