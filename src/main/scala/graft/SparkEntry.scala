@@ -4251,7 +4251,14 @@ object SparkEntry {
       ("aud", "not media".getBytes("UTF-8")),
       ("mp3", mp3),
       ("sil", M.renderWav(44100, 2, new Array[Short](400))),
-      ("vid", M.syntheticMp4(64, 48, durationMs = 2000))
+      ("vid", M.syntheticMp4(64, 48, durationMs = 2000)),
+      // a REAL MJPEG-in-MP4: 3 JPEG samples, sync every 2nd -> stss
+      // {1,3} -> exactly 2 keyframes (the metadata-only MP4 above has
+      // no sample table and contributes null)
+      ("vid", M.syntheticMjpegMp4(
+        (0 until 3).map(i => M.renderJpeg(16, 16,
+          (_, _) => ((40 * i) << 16) | ((40 * i) << 8) | (40 * i))),
+        syncEvery = 2))
     ).toDF("source", "content")
     M.mediaCard(assets, "content", "source")
       .orderBy(col("source"), col("metric"))
@@ -4266,6 +4273,7 @@ object SparkEntry {
       | ('aud', 'avg_image_luma', CAST(NULL AS DOUBLE)),
       | ('aud', 'avg_image_textiness', CAST(NULL AS DOUBLE)),
       | ('aud', 'avg_image_width', CAST(NULL AS DOUBLE)),
+      | ('aud', 'avg_video_keyframes', CAST(NULL AS DOUBLE)),
       | ('aud', 'n_assets', 2.0),
       | ('aud', 'pct_audio', 0.5),
       | ('aud', 'pct_audio_clipped', 0.0),
@@ -4281,6 +4289,7 @@ object SparkEntry {
       |   round(((200/255.0 + 50/255.0 + 25/255.0)/3 + (0.5 + 0.0 + 0.5)/3)/2, 4)),
       | ('img', 'avg_image_textiness', 0.0),
       | ('img', 'avg_image_width', 10.0),
+      | ('img', 'avg_video_keyframes', CAST(NULL AS DOUBLE)),
       | ('img', 'n_assets', 2.0),
       | ('img', 'pct_audio', 0.0),
       | ('img', 'pct_audio_clipped', CAST(NULL AS DOUBLE)),
@@ -4295,6 +4304,7 @@ object SparkEntry {
       | ('mp3', 'avg_image_luma', CAST(NULL AS DOUBLE)),
       | ('mp3', 'avg_image_textiness', CAST(NULL AS DOUBLE)),
       | ('mp3', 'avg_image_width', CAST(NULL AS DOUBLE)),
+      | ('mp3', 'avg_video_keyframes', CAST(NULL AS DOUBLE)),
       | ('mp3', 'n_assets', 1.0),
       | ('mp3', 'pct_audio', 1.0),
       | ('mp3', 'pct_audio_clipped', 0.0),
@@ -4309,6 +4319,7 @@ object SparkEntry {
       | ('sil', 'avg_image_luma', CAST(NULL AS DOUBLE)),
       | ('sil', 'avg_image_textiness', CAST(NULL AS DOUBLE)),
       | ('sil', 'avg_image_width', CAST(NULL AS DOUBLE)),
+      | ('sil', 'avg_video_keyframes', CAST(NULL AS DOUBLE)),
       | ('sil', 'n_assets', 1.0),
       | ('sil', 'pct_audio', 1.0),
       | ('sil', 'pct_audio_clipped', 0.0),
@@ -4323,7 +4334,8 @@ object SparkEntry {
       | ('vid', 'avg_image_luma', CAST(NULL AS DOUBLE)),
       | ('vid', 'avg_image_textiness', CAST(NULL AS DOUBLE)),
       | ('vid', 'avg_image_width', CAST(NULL AS DOUBLE)),
-      | ('vid', 'n_assets', 1.0),
+      | ('vid', 'avg_video_keyframes', 2.0),
+      | ('vid', 'n_assets', 2.0),
       | ('vid', 'pct_audio', 0.0),
       | ('vid', 'pct_audio_clipped', CAST(NULL AS DOUBLE)),
       | ('vid', 'pct_audio_silent', CAST(NULL AS DOUBLE)),
@@ -4494,6 +4506,184 @@ object SparkEntry {
       |) AS t(img_id, textiness)
       |ORDER BY img_id""".stripMargin
 
+  /** Corpus-scale image dedup — q148's machinery driven by the
+    * `documents` table instead of 4 literal fixtures, so the BENCH
+    * measures the distributed path (render → dHash → banded Hamming
+    * join → connected components → keep-list) at corpus size: one
+    * 64×64 PNG per document, pattern class = `doc_id % 15` (light
+    * stripes at the grid columns named by the class bits — classes
+    * are exactly Hamming-0 inside and ≥ 8 bits apart, so the class
+    * structure is provable at ANY scale factor), per-document tone
+    * jitter that provably never moves a dHash bit (uniform shifts
+    * keep every cell comparison's direction). The oracle restates the
+    * whole dedup outcome as doc_id arithmetic: dup_class = the class
+    * residue (the smallest doc_id of a class IS its residue), one
+    * keeper per class.
+    */
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val rdd = docs.rdd.map { r =>
+      val id = r.getLong(0)
+      val cls = (id % 15).toInt
+      val dark = 20 + (id % 23).toInt // < 43: never crosses a light tone
+      val light = 200 + (id % 37).toInt
+      def g(v: Int): Int = (v << 16) | (v << 8) | v
+      // light stripe occupies grid column 1+2k for each set bit k of
+      // (cls+1): rising boundary at column 2k -> 8 set bits per stripe
+      val lightCols = (0 until 4).filter(k => ((cls + 1) >> k & 1) != 0)
+        .map(k => 1 + 2 * k).toSet
+      // full object path (a `val M` alias would capture the module
+      // instance into the task closure — objects aren't Serializable)
+      val png = graft.operators.Multimodal.renderPng(64, 64, (x, _) => {
+        val gridCol = x * 9 / 64
+        if (lightCols(gridCol)) g(light) else g(dark)
+      })
+      org.apache.spark.sql.Row(id, png)
+    }
+    val imgs = s.createDataFrame(rdd, schema)
+    graft.operators.Dedup.imageDedupCorpus(imgs, "doc_id", "content")
+      .groupBy((col("doc_id") % 15).as("img_class"))
+      .agg(count(lit(1)).as("n"),
+        min(col("dup_class")).as("class_min"),
+        max(col("dup_class")).as("class_max"), // == class_min: one class
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .orderBy(col("img_class"))
+  }
+
+  private def imgCorpusOracle: String =
+    """SELECT doc_id % 15 AS img_class, count(*) AS n,
+      | CAST(doc_id % 15 AS BIGINT) AS class_min,
+      | CAST(doc_id % 15 AS BIGINT) AS class_max,
+      | CAST(1 AS BIGINT) AS n_keep
+      |FROM documents GROUP BY doc_id % 15 ORDER BY img_class""".stripMargin
+
+  /** Corpus-scale media card — q152's card driven by the `documents`
+    * table: one media asset per document (PNG / PCM WAV / synthetic
+    * MP3 / junk by `doc_id % 4`), every per-asset fact a closed form
+    * of doc_id so the 14-metric card is restatable as doc_id
+    * arithmetic at ANY scale factor. Float-sum-ordering safety: the
+    * per-group averaged values are either identical across rows
+    * (luma, rms, rates) or integer-derived (widths, durations in
+    * whole ms), so group averages stay far from rounding boundaries.
+    */
+  private def q157(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("grp",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val rdd = docs.rdd.map { r =>
+      val id = r.getLong(0)
+      val g = (id % 4).toInt
+      val content: Array[Byte] = g match {
+        case 0 =>
+          graft.operators.Multimodal.renderPng(24 + (id % 10).toInt * 4, 16,
+            (_, _) => (123 << 16) | (123 << 8) | 123)
+        case 1 =>
+          val n = 400 + (id % 100).toInt * 8 // /8000 Hz = whole ms
+          graft.operators.Multimodal.renderWav(8000, 1,
+            Array.tabulate[Short](n)(i =>
+              (if (i % 2 == 0) 12000 else -12000).toShort))
+        case 2 =>
+          graft.operators.Multimodal.syntheticMp3(verId = 3, srIdx = 2,
+            channels = 1,
+            frames = (0 until (5 + (id % 7).toInt)).map(_ => (9, Seq(100, 101))))
+        case _ => s"junk $id".getBytes("UTF-8")
+      }
+      org.apache.spark.sql.Row(id, g.toString, content)
+    }
+    graft.operators.Multimodal
+      .mediaCard(s.createDataFrame(rdd, schema), "content", "grp")
+      .orderBy(col("grp"), col("metric"))
+  }
+
+  private def mediaCorpusOracle: String =
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 4 AS VARCHAR) AS grp
+      |           FROM documents),
+      |a AS (
+      | SELECT grp, CAST(count(*) AS DOUBLE) AS n,
+      |  round(avg(CASE WHEN grp = '1' THEN 8000.0
+      |                 WHEN grp = '2' THEN 32000.0 END), 2) AS ahz,
+      |  round(avg(CASE WHEN grp = '1'
+      |                 THEN round(12000.0/32767, 6) END), 6) AS arms,
+      |  round(avg(CASE WHEN grp = '1' THEN 50 + doc_id % 100
+      |                 WHEN grp = '2'
+      |                 THEN (5 + doc_id % 7) * 1152 * 1000 // 32000
+      |            END) / 1000.0, 4) AS asec,
+      |  round(avg(CASE WHEN grp = '0' THEN 16.0 END), 2) AS ah,
+      |  round(avg(CASE WHEN grp = '0'
+      |                 THEN (123/255.0 + 123/255.0 + 123/255.0)/3 END), 4) AS al,
+      |  round(avg(CASE WHEN grp = '0' THEN 0.0 END), 6) AS atxt,
+      |  round(avg(CASE WHEN grp = '0'
+      |                 THEN 24 + (doc_id % 10) * 4 END), 2) AS aw,
+      |  round(avg(CASE WHEN grp IN ('1','2') THEN 1.0 ELSE 0.0 END), 4) AS pa,
+      |  CASE WHEN grp IN ('1','2') THEN 0.0 END AS pclip,
+      |  CASE WHEN grp IN ('1','2') THEN 0.0 END AS psil,
+      |  round(avg(CASE WHEN grp = '0' THEN 1.0 ELSE 0.0 END), 4) AS pi,
+      |  round(avg(CASE WHEN grp = '3' THEN 1.0 ELSE 0.0 END), 4) AS pu,
+      |  0.0 AS pv,
+      |  CAST(NULL AS DOUBLE) AS vkey
+      | FROM d GROUP BY grp)
+      |SELECT grp, metric, value FROM (
+      | SELECT grp, 'avg_audio_hz' AS metric, ahz AS value FROM a
+      | UNION ALL SELECT grp, 'avg_audio_rms', arms FROM a
+      | UNION ALL SELECT grp, 'avg_audio_secs', asec FROM a
+      | UNION ALL SELECT grp, 'avg_image_height', ah FROM a
+      | UNION ALL SELECT grp, 'avg_image_luma', al FROM a
+      | UNION ALL SELECT grp, 'avg_image_textiness', atxt FROM a
+      | UNION ALL SELECT grp, 'avg_image_width', aw FROM a
+      | UNION ALL SELECT grp, 'avg_video_keyframes', vkey FROM a
+      | UNION ALL SELECT grp, 'n_assets', n FROM a
+      | UNION ALL SELECT grp, 'pct_audio', pa FROM a
+      | UNION ALL SELECT grp, 'pct_audio_clipped', pclip FROM a
+      | UNION ALL SELECT grp, 'pct_audio_silent', psil FROM a
+      | UNION ALL SELECT grp, 'pct_image', pi FROM a
+      | UNION ALL SELECT grp, 'pct_undecodable', pu FROM a
+      | UNION ALL SELECT grp, 'pct_video', pv FROM a
+      |) ORDER BY grp, metric""".stripMargin
+
+  /** Span surgery ([[graft.operators.Dedup.cutSpans]] — the Lee et
+    * al. ExactSubstr CUT step over [[graft.operators.Dedup
+    * .duplicatedSpans]] output): literal documents with a planted
+    * 5-token duplicated run, 3-token windows, keep-first. The first
+    * occurrences survive byte-identically (no trim, no respace — d3's
+    * double space is the probe); the later copies lose exactly the
+    * duplicated token range, adjacent kept tokens keep their original
+    * separators, and a single space joins across the cut. The oracle
+    * states the surgically cut strings as literals.
+    */
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two alpha beta gamma delta epsilon seven"),
+      (3L, "Foo  BAR baz"),
+      (4L, "x  q Foo BAR baz y  z")
+    ).toDF("doc_id", "text")
+    val spans = graft.operators.Dedup.duplicatedSpans(docs, "doc_id", "text",
+      windowTokens = 3, minCount = 2, keepFirst = true)
+    graft.operators.Dedup.cutSpans(docs, spans, "doc_id", "text")
+      .select(col("doc_id"), col("text_cut"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def cutSpansOracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(1 AS BIGINT), 'alpha beta gamma delta epsilon zeta'),
+      | (CAST(2 AS BIGINT), 'one two seven'),
+      | (CAST(3 AS BIGINT), 'Foo  BAR baz'),
+      | (CAST(4 AS BIGINT), 'x  q y  z')
+      |) AS t(doc_id, text_cut)
+      |ORDER BY doc_id""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -4653,7 +4843,10 @@ object SparkEntry {
     "q152_mcard" -> (q152 _),
     "q153_auddup" -> (q153 _),
     "q154_mpeg" -> (q154 _),
-    "q155_texty" -> (q155 _))
+    "q155_texty" -> (q155 _),
+    "q156_imgcorp" -> (q156 _),
+    "q157_mcorp" -> (q157 _),
+    "q158_cut" -> (q158 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -5059,6 +5252,9 @@ object SparkEntry {
     "q153_auddup" -> audioDupOracle,
     "q154_mpeg" -> mpegWalkOracle,
     "q155_texty" -> textinessOracle,
+    "q156_imgcorp" -> imgCorpusOracle,
+    "q157_mcorp" -> mediaCorpusOracle,
+    "q158_cut" -> cutSpansOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

@@ -105,6 +105,40 @@ object CatalystExpressions {
     override protected def withNewChildInternal(c: Expression): NormalizeNfc = copy(c)
   }
 
+  /** Token-span surgery over the ORIGINAL text ([[ExprKernels
+    * .cutTokenSpans]] — the ExactSubstr cut step): remove the token
+    * ranges named by `spans` (array of (span_begin, span_end) structs
+    * from [[graft.operators.Dedup.duplicatedSpans]]) with exact
+    * original-offset recovery. A null SPANS side passes the text
+    * through unchanged (the left-join "nothing to cut" case) — only
+    * null text is null, so this needs hand-rolled null plumbing
+    * instead of nullSafeEval.
+    */
+  case class CutTokenSpans(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = left.nullable
+    override def eval(input: InternalRow): Any = {
+      val t = left.eval(input)
+      if (t == null) null
+      else ExprKernels.cutTokenSpans(t.asInstanceOf[UTF8String],
+        right.eval(input).asInstanceOf[ArrayData])
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val l = left.genCode(ctx)
+      val r = right.genCode(ctx)
+      ev.copy(code = code"""
+        ${l.code}
+        ${r.code}
+        final boolean ${ev.isNull} = ${l.isNull};
+        org.apache.spark.unsafe.types.UTF8String ${ev.value} =
+          ${ev.isNull} ? null :
+            $K.cutTokenSpans(${l.value}, ${r.isNull} ? null : ${r.value});""")
+    }
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): CutTokenSpans = copy(l, r)
+  }
+
   /** Deflate compression ratio of a string's UTF-8 bytes
     * (compressed/raw, level 6) — the RedPajama/Gopher-family quality
     * signal that flags templated or repetitive text no token-level
@@ -840,6 +874,9 @@ object CatalystExpressions {
     column(FixMojibake(expression(text), rounds))
 
   def deflateRatio(text: Column): Column = column(DeflateRatio(expression(text)))
+
+  def cutTokenSpans(text: Column, spans: Column): Column =
+    column(CutTokenSpans(expression(text), expression(spans)))
 
   def langId(tokens: Column, profiles: Seq[(String, Seq[String])]): Column =
     column(LangIdExpr(expression(tokens), profiles))

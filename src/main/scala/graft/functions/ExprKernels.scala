@@ -1147,4 +1147,78 @@ object ExprKernels {
     }
     hits
   }
+
+  /** Remove token spans from the ORIGINAL text — the surgery kernel
+    * behind [[graft.operators.Dedup.cutSpans]] (the cut step of Lee
+    * et al.'s ExactSubstr dedup, arXiv:2107.06499 §4.2: duplicated
+    * token ranges come from [[graft.operators.Dedup.duplicatedSpans]]
+    * as indices into the lowercased token sequence; this maps them
+    * back to ORIGINAL character offsets and cuts there).
+    *
+    * Offset recovery is exact by construction: [[tokenize]] is
+    * `trim + split("\\s+")`, so token i's original characters are the
+    * i-th maximal run of non-`\s` characters inside the trim region
+    * (trim strips chars ≤ U+0020 at both ends; `\s` is the ASCII
+    * class `[ \t\n\x0B\f\r]` — both replicated here verbatim, NOT
+    * `Character.isWhitespace`, which would split on Unicode spaces
+    * the tokenizer keeps inside tokens). Lowercasing only changes
+    * hash values, never boundaries.
+    *
+    * Byte-exact output rule (DedupSpec pins it): kept tokens are
+    * emitted in order; between two kept tokens that were ADJACENT in
+    * the input their original inter-token whitespace is preserved
+    * byte-for-byte; across a cut a single space joins the sides;
+    * leading/trailing trim-region bytes are dropped. `spans` is an
+    * array of (span_begin, span_end) token structs — half-open,
+    * clamped, overlap-tolerant; null/empty spans return the input
+    * unchanged.
+    */
+  def cutTokenSpans(v: UTF8String, spans: ArrayData): UTF8String = {
+    if (v == null) return null
+    if (spans == null || spans.numElements() == 0) return v
+    val s = v.toString
+    // trim region exactly like String.trim
+    var lo = 0
+    while (lo < s.length && s.charAt(lo) <= ' ') lo += 1
+    var hi = s.length
+    while (hi > lo && s.charAt(hi - 1) <= ' ') hi -= 1
+    @inline def isWs(c: Char): Boolean = c == ' ' || (c >= '\t' && c <= '\r')
+    // token char ranges: maximal non-\s runs inside [lo, hi)
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = lo
+    while (i < hi) {
+      if (!isWs(s.charAt(i))) {
+        val a = i
+        while (i < hi && !isWs(s.charAt(i))) i += 1
+        starts.add(a); ends.add(i)
+      } else i += 1
+    }
+    val n = starts.size()
+    if (n == 0) return v
+    val drop = new Array[Boolean](n)
+    var k = 0
+    while (k < spans.numElements()) {
+      val row = spans.getStruct(k, 2)
+      var b = math.max(0L, row.getLong(0)).toInt
+      val e = math.min(n.toLong, row.getLong(1)).toInt
+      while (b < e) { drop(b) = true; b += 1 }
+      k += 1
+    }
+    val sb = new java.lang.StringBuilder(s.length)
+    var prevKept = -1
+    var t = 0
+    while (t < n) {
+      if (!drop(t)) {
+        if (prevKept >= 0) {
+          if (prevKept == t - 1) sb.append(s, ends.get(prevKept), starts.get(t))
+          else sb.append(' ')
+        }
+        sb.append(s, starts.get(t).intValue(), ends.get(t).intValue())
+        prevKept = t
+      }
+      t += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
 }

@@ -1228,15 +1228,42 @@ object Dedup {
     mergeSpans(flagged, idCol, w)
   }
 
+  /** Span surgery — the CUT step of Lee et al.'s ExactSubstr pipeline
+    * (arXiv:2107.06499 §4.2), completing what [[duplicatedSpans]]'s
+    * coverage gate only approximates: physically remove each
+    * document's duplicated token ranges from its ORIGINAL text.
+    * `spans` is any (idCol, span_begin, span_end) frame
+    * ([[duplicatedSpans]], [[crossCorpusDuplicatedSpans]],
+    * [[duplicatedSpansIndexed]]); token indices map back to original
+    * character offsets exactly because the tokenizer is trim +
+    * whitespace-split ([[graft.functions.ExprKernels.cutTokenSpans]]
+    * replicates the boundary rules verbatim and documents the
+    * byte-exact output contract). Returns `df` plus `outCol` — clean
+    * documents pass through BYTE-IDENTICAL (no trim, no respace).
+    *
+    * Scale shape: spans aggregate per document (merged spans are few
+    * and disjoint by construction), one left join, then a map-only
+    * codegen'd projection — the cut itself never shuffles.
+    */
+  def cutSpans(df: DataFrame, spans: DataFrame, idCol: String,
+      textCol: String, outCol: String = "text_cut"): DataFrame = {
+    import graft.functions.CatalystExpressions
+    val perDoc = spans.groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_begin"), col("span_end")))
+        .as("__spans"))
+    df.join(perDoc, Seq(idCol), "left")
+      .withColumn(outCol,
+        CatalystExpressions.cutTokenSpans(col(textCol), col("__spans")))
+      .drop("__spans")
+  }
+
   /** Per-document duplicated-token coverage from [[duplicatedSpans]]:
     * (idCol, n_tokens, dup_tokens, dup_frac) for EVERY input document
     * (clean documents report 0). `dup_tokens` sums the merged span
     * lengths, which are disjoint within a document by construction, so
-    * `dup_frac` ∈ [0, 1]. The standard curation gate drops documents
-    * above a coverage threshold (`.filter(col("dup_frac") < t)`) —
-    * cheaper than span surgery and safe on lowercased token indices
-    * (span CUTTING needs original-text offsets, which the lowercasing
-    * tokenizer does not preserve; that is a deliberate non-goal here).
+    * `dup_frac` ∈ [0, 1]. The standard coverage gate drops documents
+    * above a threshold (`.filter(col("dup_frac") < t)`); [[cutSpans]]
+    * is the surgical alternative that removes just the spans.
     */
   def substringDupStats(df: DataFrame, idCol: String, textCol: String,
       windowTokens: Int = 50, minCount: Int = 2,

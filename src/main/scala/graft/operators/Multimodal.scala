@@ -1353,16 +1353,25 @@ object Multimodal {
         round(avg(when(aud.getField("ok"), aud.getField("rms_norm"))), 6)
           .as("__arms"),
         // duration/rate come from the header walk, so they are real
-        // for MPEG audio too (rms is PCM-only and stays null there)
+        // for MPEG audio too (rms is PCM-only and stays null there).
+        // Average the INTEGER milliseconds and divide once: integer
+        // partial sums are exact in doubles, so the value is
+        // float-sum-ORDER-safe at corpus scale (per-row /1000 first
+        // would make the sum order observable at the rounding edge)
         round(avg(when(aud.getField("ok"),
-          aud.getField("duration_ms").cast("double") / 1000.0)), 4)
+          aud.getField("duration_ms").cast("double"))) / 1000.0, 4)
           .as("__asec"),
         round(avg(when(aud.getField("ok"),
           aud.getField("sample_rate").cast("double"))), 2).as("__ahz"),
         sum(when(aud.getField("ok") && aud.getField("clip_ratio") > 0.0,
           1L).otherwise(0L)).as("__nclip"),
         sum(when(aud.getField("ok") && aud.getField("silence_ratio") === 1.0,
-          1L).otherwise(0L)).as("__nsilent"))
+          1L).otherwise(0L)).as("__nsilent"),
+        // seekability of the video share: sync samples from the BMFF
+        // sample tables (AVI MJPEG = all frames); null when no video
+        // row carries a parseable track
+        round(avg(when(isVideo, videoKeyframesCol(col(contentCol))
+          .cast("double"))), 2).as("__avkey"))
       .select(col("__g").as(groupCol), explode(map(
         lit("avg_image_height"), col("__ah"),
         lit("avg_image_luma"), col("__al"),
@@ -1371,6 +1380,7 @@ object Multimodal {
         lit("avg_audio_rms"), col("__arms"),
         lit("avg_audio_secs"), col("__asec"),
         lit("avg_audio_hz"), col("__ahz"),
+        lit("avg_video_keyframes"), col("__avkey"),
         lit("n_assets"), col("__n").cast("double"),
         lit("pct_audio"), round(col("__na").cast("double") / col("__n"), 4),
         lit("pct_audio_clipped"),
@@ -1583,6 +1593,251 @@ object Multimodal {
     * stream), honors word alignment, stops cleanly at truncation.
     * Non-AVI input → no frames.
     */
+  /** One parsed ISO-BMFF (MP4/MOV) video track: codec FourCC from
+    * `stsd`, `mdhd` timescale/duration, per-sample byte ranges
+    * reconstructed from the `stbl` sample tables (`stsz` sizes +
+    * `stco`/`co64` chunk offsets + `stsc` sample-to-chunk runs), and
+    * the sync-sample ("keyframe") numbers from `stss` (absent table =
+    * every sample is sync, per the spec).
+    */
+  final case class Mp4Track(codec: String, timescale: Int,
+      durationMs: Long, sampleOffsets: Array[Long], sampleSizes: Array[Int],
+      syncSamples: Array[Int])
+
+  /** Walk an ISO-BMFF box tree and reconstruct the FIRST video
+    * track's sample table — the pure-JDK "demuxer" half of what
+    * [[aviMjpegFrames]] does for RIFF: with byte ranges + sync flags,
+    * keyframe extraction is `copyOfRange`, no codec in the loop.
+    * Handles 32/64-bit box sizes, size-0 (to-EOF) boxes, version-1
+    * `mdhd`, uniform and per-sample `stsz`, `stco` and `co64`.
+    * None for non-BMFF bytes or a file with no complete video `stbl`
+    * (e.g. metadata-only synthetics) — callers degrade per-row.
+    */
+  private[graft] def mp4VideoTrack(bytes: Array[Byte]): Option[Mp4Track] = {
+    if (bytes == null || bytes.length < 16 ||
+      !(bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p'))
+      return None
+    @inline def u32(o: Int): Long =
+      ((bytes(o) & 0xFFL) << 24) | ((bytes(o + 1) & 0xFFL) << 16) |
+        ((bytes(o + 2) & 0xFFL) << 8) | (bytes(o + 3) & 0xFFL)
+    @inline def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    val MaxSamples = 100000
+    // per-track scratch, reset at each trak
+    var codec: String = null
+    var timescale = 0
+    var duration = 0L
+    var isVideoTrack = false
+    var sizes: Array[Int] = null
+    var chunkOffsets: Array[Long] = null
+    var stscRuns: Array[(Int, Int)] = null // (firstChunk, samplesPerChunk)
+    var sync: Array[Int] = null
+    var found: Option[Mp4Track] = None
+    def finishTrak(): Unit = {
+      if (found.isEmpty && isVideoTrack && codec != null && sizes != null &&
+        chunkOffsets != null && stscRuns != null && timescale > 0) {
+        // expand sample -> offset via the stsc runs
+        val n = sizes.length
+        val offsets = new Array[Long](n)
+        var s = 0
+        var run = 0
+        var chunk = 0 // 0-based
+        while (s < n && chunk < chunkOffsets.length) {
+          val perChunk =
+            if (run < stscRuns.length) stscRuns(run)._2 else stscRuns.last._2
+          var within = 0
+          var at = chunkOffsets(chunk)
+          while (within < perChunk && s < n) {
+            offsets(s) = at
+            at += sizes(s)
+            within += 1
+            s += 1
+          }
+          chunk += 1
+          if (run + 1 < stscRuns.length && chunk + 1 >= stscRuns(run + 1)._1)
+            run += 1
+        }
+        if (s == n) {
+          val sync0 = if (sync != null) sync else Array.tabulate(n)(_ + 1)
+          found = Some(Mp4Track(codec, timescale,
+            duration * 1000L / timescale, offsets, sizes, sync0))
+        }
+      }
+      codec = null; timescale = 0; duration = 0L; isVideoTrack = false
+      sizes = null; chunkOffsets = null; stscRuns = null; sync = null
+    }
+    def walk(start: Long, end: Long): Unit = {
+      var off = start
+      while (found.isEmpty && off + 8 <= end) {
+        val size0 = u32(off.toInt)
+        val id = new String(bytes, off.toInt + 4, 4, "ISO-8859-1")
+        var body = off + 8
+        val boxEnd =
+          if (size0 == 1 && off + 16 <= end) { body = off + 16; off + u64(off.toInt + 8) }
+          else if (size0 == 0) end
+          else off + size0
+        if (boxEnd < body || boxEnd > end) return // malformed: stop
+        val b = body.toInt
+        id match {
+          case "moov" | "mdia" | "minf" | "stbl" => walk(body, boxEnd)
+          case "trak" => walk(body, boxEnd); finishTrak()
+          case "mdhd" if b + 4 <= boxEnd =>
+            if (bytes(b) == 1 && b + 32 <= boxEnd) { // version 1
+              timescale = u32(b + 20).toInt; duration = u64(b + 24)
+            } else if (b + 24 <= boxEnd) {
+              timescale = u32(b + 12).toInt; duration = u32(b + 16)
+            }
+          case "hdlr" if b + 12 <= boxEnd =>
+            isVideoTrack = new String(bytes, b + 8, 4, "ISO-8859-1") == "vide"
+          case "stsd" if b + 16 <= boxEnd =>
+            codec = new String(bytes, b + 12, 4, "ISO-8859-1")
+          case "stsz" if b + 12 <= boxEnd =>
+            val uniform = u32(b + 4)
+            val n = u32(b + 8)
+            if (n >= 0 && n <= MaxSamples) {
+              if (uniform != 0) sizes = Array.fill(n.toInt)(uniform.toInt)
+              else if (b + 12 + 4L * n <= boxEnd)
+                sizes = Array.tabulate(n.toInt)(i => u32(b + 12 + 4 * i).toInt)
+            }
+          case "stco" if b + 8 <= boxEnd =>
+            val n = u32(b + 4)
+            if (n >= 0 && n <= MaxSamples && b + 8 + 4L * n <= boxEnd)
+              chunkOffsets = Array.tabulate(n.toInt)(i => u32(b + 8 + 4 * i))
+          case "co64" if b + 8 <= boxEnd =>
+            val n = u32(b + 4)
+            if (n >= 0 && n <= MaxSamples && b + 8 + 8L * n <= boxEnd)
+              chunkOffsets = Array.tabulate(n.toInt)(i => u64(b + 8 + 8 * i))
+          case "stsc" if b + 8 <= boxEnd =>
+            val n = u32(b + 4)
+            if (n >= 0 && n <= MaxSamples && b + 8 + 12L * n <= boxEnd)
+              stscRuns = Array.tabulate(n.toInt)(i =>
+                (u32(b + 8 + 12 * i).toInt, u32(b + 12 + 12 * i).toInt))
+          case "stss" if b + 8 <= boxEnd =>
+            val n = u32(b + 4)
+            if (n >= 0 && n <= MaxSamples && b + 8 + 4L * n <= boxEnd)
+              sync = Array.tabulate(n.toInt)(i => u32(b + 8 + 4 * i).toInt)
+          case _ => () // leaf we don't need (mdat, ftyp, tkhd, ...)
+        }
+        off = boxEnd
+      }
+    }
+    walk(0L, bytes.length.toLong)
+    found
+  }
+
+  /** Keyframe (sync-sample) bytes of an MP4 video track, bounds-safe:
+    * (sampleIndex0Based, bytes) for each `stss` entry whose range fits
+    * the buffer. MJPEG-in-MP4 samples ARE JPEG files, so these feed
+    * the image stack directly ([[dhash64]], [[imageStats]]).
+    */
+  private[graft] def mp4KeyframeSamples(bytes: Array[Byte]): Seq[(Int, Array[Byte])] =
+    mp4VideoTrack(bytes) match {
+      case None => Nil
+      case Some(t) =>
+        t.syncSamples.toSeq.collect {
+          case sNum if sNum >= 1 && sNum <= t.sampleOffsets.length &&
+            t.sampleOffsets(sNum - 1) >= 0 &&
+            t.sampleOffsets(sNum - 1) + t.sampleSizes(sNum - 1) <= bytes.length =>
+            val i = sNum - 1
+            (i, java.util.Arrays.copyOfRange(bytes,
+              t.sampleOffsets(i).toInt, t.sampleOffsets(i).toInt + t.sampleSizes(i)))
+        }
+    }
+
+  /** Minimal-but-valid MJPEG-in-MP4 around pre-encoded JPEG frames —
+    * [[syntheticMjpegAvi]]'s ISO-BMFF twin: `ftyp` + `mdat` holding
+    * the samples + a full `moov/trak/mdia(mdhd,hdlr vide,minf/stbl)`
+    * with real `stsd('jpeg')`/`stts`/`stsc`/`stsz`/`stco`/`stss`
+    * tables (sync every `syncEvery`-th sample, 1-based sample 1
+    * always sync). One chunk holding all samples — offsets point into
+    * `mdat`.
+    */
+  private[graft] def syntheticMjpegMp4(frames: Seq[Array[Byte]],
+      syncEvery: Int = 1, timescale: Int = 1000,
+      frameDurationTicks: Int = 40): Array[Byte] = {
+    require(frames.nonEmpty, "frames must be non-empty")
+    require(syncEvery >= 1, s"syncEvery: $syncEvery")
+    def box(id: String, payload: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + payload.length)
+      out.putInt(8 + payload.length).put(id.getBytes("ISO-8859-1")).put(payload)
+      out.array()
+    }
+    def u32s(vs: Seq[Int]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+      vs.foreach(bb.putInt)
+      bb.array()
+    }
+    val ftyp = box("ftyp", "isom   isomiso2".getBytes("ISO-8859-1"))
+    val mdatPayload = frames.flatten.toArray
+    val mdat = box("mdat", mdatPayload)
+    // sample offsets are absolute file offsets into mdat's payload
+    val mdatStart = ftyp.length + 8
+    val offsets = frames.scanLeft(mdatStart)(_ + _.length).init
+    val n = frames.length
+    val duration = n * frameDurationTicks
+    val mdhd = u32s(Seq(0, 0, 0, timescale, duration, 0))
+    val hdlr = u32s(Seq(0, 0)) ++ "vide".getBytes("ISO-8859-1") ++ new Array[Byte](12)
+    val stsd = u32s(Seq(0, 1)) ++ box("jpeg", new Array[Byte](70))
+    val stts = u32s(Seq(0, 1, n, frameDurationTicks))
+    val stsc = u32s(Seq(0, 1, 1, n, 1)) // one run: chunk 1 holds all samples
+    val stsz = u32s(Seq(0, 0, n) ++ frames.map(_.length))
+    val stco = u32s(Seq(0, 1) ++ offsets)
+    val syncIdx = (1 to n).filter(s => (s - 1) % syncEvery == 0)
+    val stss = u32s(Seq(0, syncIdx.length) ++ syncIdx)
+    val stbl = box("stbl", box("stsd", stsd) ++ box("stts", stts) ++
+      box("stsc", stsc) ++ box("stsz", stsz) ++ box("stco", stco) ++
+      box("stss", stss))
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", box("mdhd", mdhd) ++ box("hdlr", hdlr) ++ minf)
+    val moov = box("moov", box("trak", mdia))
+    ftyp ++ mdat ++ moov
+  }
+
+  /** Keyframe count of a video asset — AVI MJPEG (every frame is a
+    * keyframe) or ISO-BMFF (`stss` sync samples; a BMFF file without
+    * a parseable video sample table is null). The card-level "how
+    * seekable / how decodable is this corpus" scalar; public for the
+    * generated-code static call.
+    */
+  def videoKeyframes(bytes: Array[Byte]): java.lang.Integer = {
+    if (bytes == null) return null
+    val avi = aviMjpegFrames(bytes)
+    if (avi.nonEmpty) return java.lang.Integer.valueOf(avi.length)
+    mp4VideoTrack(bytes) match {
+      case Some(t) => java.lang.Integer.valueOf(t.syncSamples.length)
+      case None => null
+    }
+  }
+
+  /** [[videoKeyframes]] as a Column — codegen'd like [[dhash64Col]]. */
+  def videoKeyframesCol(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.bridge.{columnOf, expressionOf}
+    columnOf(VideoKeyframes(expressionOf(content)))
+  }
+
+  case class VideoKeyframes(child: org.apache.spark.sql.catalyst.expressions.Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val k = videoKeyframes(v.asInstanceOf[Array[Byte]])
+      if (k == null) null else k.intValue()
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val c = child.genCode(ctx)
+      val boxed = ctx.freshName("vkeys")
+      ev.copy(code = code"""
+        ${c.code}
+        java.lang.Integer $boxed = ${c.isNull} ? null :
+          graft.operators.Multimodal.videoKeyframes(${c.value});
+        final boolean ${ev.isNull} = $boxed == null;
+        final int ${ev.value} = ${ev.isNull} ? 0 : $boxed.intValue();""")
+    }
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression): VideoKeyframes = copy(c)
+  }
+
   private[graft] def aviMjpegFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
     if (bytes == null || bytes.length < 12 ||
       !(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F'))
@@ -1648,9 +1903,14 @@ object Multimodal {
     * for metadata and means, [[resizeImages]], [[annotateImages]] for
     * provider inference. Extraction is a map-side generator (no
     * shuffle): at scale the downstream per-frame work, not the walk,
-    * dominates, and it parallelizes by frame row. Non-AVI assets
-    * produce zero rows (a frame operator has nothing to say about
-    * stills).
+    * dominates, and it parallelizes by frame row.
+    *
+    * Containers: MJPEG-AVI (every `movi` dc/db chunk is a frame) and
+    * MJPEG-in-MP4 ([[mp4KeyframeSamples]] — KEYFRAMES only, located
+    * by the `stbl` sample tables with no codec in the loop;
+    * `frame_idx` is the sample index, so a re-mux of the same frames
+    * indexes identically). Anything else produces zero rows (a frame
+    * operator has nothing to say about stills).
     */
   def videoFrames(df: DataFrame, contentCol: String = "content",
       stride: Int = 1): DataFrame = {
@@ -1663,8 +1923,15 @@ object Multimodal {
     val contentIdx = inSchema.fieldIndex(contentCol)
     val rdd = df.rdd.mapPartitions { it =>
       it.flatMap { row =>
-        aviMjpegFrames(row.getAs[Array[Byte]](contentIdx)).zipWithIndex.collect {
-          case (f, i) if i % stride == 0 => Row.fromSeq(row.toSeq :+ i :+ f)
+        val bytes = row.getAs[Array[Byte]](contentIdx)
+        val avi = aviMjpegFrames(bytes).zipWithIndex.map(_.swap)
+        val frames = if (avi.nonEmpty) avi else mp4KeyframeSamples(bytes)
+          .collect { case (i, f)
+            if f.length >= 2 && f(0) == 0xFF.toByte && f(1) == 0xD8.toByte =>
+            (i, f) // only JPEG-coded samples feed the image stack
+          }
+        frames.collect {
+          case (i, f) if i % stride == 0 => Row.fromSeq(row.toSeq :+ i :+ f)
         }
       }
     }

@@ -37,6 +37,7 @@ object SqlFunctions {
     "simhash64" -> (c => CE.simhash64(CE.tokenHashes(c))),
     "dhash64" -> (graft.operators.Multimodal.dhash64Col(_)),
     "audiohash64" -> (graft.operators.Multimodal.audioHash64Col(_)),
+    "textiness" -> (graft.operators.Multimodal.textinessCol(_)),
     "canonical_json" -> (CE.canonicalJson(_)),
     "deflate_ratio" -> (CE.deflateRatio(_)),
     // text analysis (TextFunctions kernels)

@@ -177,7 +177,10 @@ class CodegenSpec extends SparkSpec {
       CatalystExpressions.matVec(col("a"), Array(Array(1.0, 0.0))),
       M.dhash64Col(col("b")),
       M.audioHash64Col(col("b")),
-      M.textinessCol(col("b"))
+      M.textinessCol(col("b")),
+      M.videoKeyframesCol(col("b")),
+      CatalystExpressions.cutTokenSpans(col("t"),
+        expr("array(named_struct('span_begin', 0L, 'span_end', 1L))"))
     ).foreach { c =>
       val e = expressionOf(c)
       assert(!e.isInstanceOf[CodegenFallback],

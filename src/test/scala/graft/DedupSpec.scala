@@ -524,6 +524,70 @@ class DedupSpec extends SparkSpec {
       s"unrelated video must not pair: $pairs")
   }
 
+  test("video near-dup crosses containers: an MP4 re-mux of the AVI pairs at full coverage") {
+    val M = graft.operators.Multimodal
+    def pat(i: Int)(x: Int, y: Int): Int = {
+      val v = if (x < 8 + 4 * i) 30 else 220
+      (v << 16) | (v << 8) | v
+    }
+    val frames = (0 until 4).map(i => M.renderJpeg(32, 32, pat(i)))
+    val vids = Seq(
+      (1L, M.syntheticMjpegAvi(frames)),
+      (2L, M.syntheticMjpegMp4(frames)) // same samples, other container
+    ).toDF("video_id", "content")
+    val pairs = graft.operators.Dedup.videoNearDuplicates(vids, "video_id",
+        "content", maxFrameHamming = 6, minFrameCoverage = 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("frame_coverage")).toMap
+    assert(pairs.get(("1", "2")).contains(1.0) &&
+      pairs.get(("2", "1")).contains(1.0),
+      s"identical samples re-muxed must cover fully both ways: $pairs")
+  }
+
+  test("cutSpans: byte-exact surgery boundaries — edges, separators, unicode, clamping") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "p q r s"),                       // first occurrence: untouched
+      (2L, "p q r tail1\ttail2"),            // span at doc START, tab kept
+      (3L, "head1  head2 p q r"),            // span at doc END, 2 spaces kept
+      (4L, "aé x p q r aé x p q r final") // NBSP inside token; two flagged windows
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text",
+      windowTokens = 3, minCount = 2, keepFirst = true)
+    val out = Dedup.cutSpans(docs, spans, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text_cut")).toMap
+    assert(out(1L) == "p q r s", "the kept first occurrence must be byte-identical")
+    assert(out(2L) == "tail1\ttail2",
+      s"leading cut drops the span and ONLY the span; tab separator survives: '${out(2L)}'")
+    assert(out(3L) == "head1  head2",
+      s"trailing cut; original double space between kept neighbors survives: '${out(3L)}'")
+    // d4 tokens: [aé x, p, q, r, aé x, p, q, r, final] —
+    // NBSP (U+00A0) is NOT \\s, so 'aé x' is ONE token. Flagged
+    // windows: pos 1 and 5 ([p q r] duplicates d1) and pos 4 (the
+    // leading window repeats at pos 4 within-doc) — positions 1,4,5
+    // sit within windowTokens of each other, so they MERGE into one
+    // span [1,8): kept tokens 0 and 8, one space across the cut,
+    // the NBSP token byte-exact.
+    assert(out(4L) == "aé x final", s"got '${out(4L)}'")
+    // direct kernel probes: clamping, whole-doc cut, null spans
+    val k = graft.functions.ExprKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    def spansOf(ps: (Long, Long)*) =
+      new GenericArrayData(ps.map(p => InternalRow(p._1, p._2)).toArray[Any])
+    assert(k.cutTokenSpans(UTF8String.fromString("a b c"),
+      spansOf((-5L, 99L))).toString == "", "out-of-range spans clamp; whole-doc cut is empty")
+    assert(k.cutTokenSpans(UTF8String.fromString("  padded text  "),
+      spansOf((0L, 1L))).toString == "text",
+      "trim-region bytes drop once any cut happens")
+    assert(k.cutTokenSpans(UTF8String.fromString("a b c d"),
+      spansOf((0L, 1L), (3L, 4L), (0L, 1L))).toString == "b c",
+      "overlapping/duplicate spans are tolerated")
+    assert(k.cutTokenSpans(UTF8String.fromString("keep all"), null).toString
+      == "keep all", "null spans pass the text through unchanged")
+  }
+
   test("containment maxGramDf: boilerplate grams dropped from both numerator and denominator") {
     // the same long boilerplate footer in EVERY doc would make a
     // quadratic hot gram AND fake high containment between unrelated

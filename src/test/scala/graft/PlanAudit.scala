@@ -425,6 +425,29 @@ class PlanAudit extends SparkSpec {
     assert(p.contains("bit_count"), "Hamming gate must be in the plan")
   }
 
+  test("q156: corpus-scale image dedup runs a bounded, data-independent job count") {
+    // the job count is a function of the PIPELINE (render scan,
+    // signature checkpoint, bucket cap, banded join, CC iterations,
+    // keep join), not of the corpus size — the shuffle-barrier budget
+    // that matters at 100 TB. Count actual jobs at sf0.001.
+    val counter = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      SparkEntry.queries("q156_imgcorp")(spark, dir).collect()
+      Thread.sleep(500) // listener delivery is async (JobTrace precedent)
+    } finally spark.sparkContext.removeSparkListener(l)
+    val jobs = counter.get()
+    assert(jobs <= 24,
+      s"corpus-scale image dedup must stay within its job budget: $jobs")
+    assert(jobs >= 5, s"listener must have observed the pipeline: $jobs")
+  }
+
   test("image hash signatures are a map-only codegen projection (no exchange)") {
     // parquet-backed input (a local Seq would constant-fold to a
     // LocalTableScan); non-image bytes only exercise the PLAN shape

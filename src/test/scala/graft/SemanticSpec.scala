@@ -686,6 +686,45 @@ class SemanticSpec extends SparkSpec {
     assert(stats(1L) == texty && stats(2L) == photoScore)
   }
 
+  test("mp4VideoTrack: python-built fixture cross-check — multi-run stsc, stss, duration") {
+    // independent muxer (scripts/make_mp4_fixture.py): 5 samples of
+    // sizes 11..15 split 3+2 across two chunks, sync = {1,4},
+    // timescale 600 / duration 125 ticks
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/fixtures/synthetic.mp4").toURI))
+    val t = Multimodal.mp4VideoTrack(bytes).get
+    assert(t.codec == "fake" && t.timescale == 600)
+    assert(t.durationMs == 125L * 1000 / 600)
+    assert(t.sampleSizes.toSeq == Seq(11, 12, 13, 14, 15))
+    assert(t.syncSamples.toSeq == Seq(1, 4))
+    // offsets must resolve the two-chunk layout exactly: the fixture
+    // plants sample i as byte 0x40+i repeated, so range reads prove it
+    val keys = Multimodal.mp4KeyframeSamples(bytes)
+    assert(keys.map(_._1) == Seq(0, 3), s"0-based sync sample indices: $keys")
+    assert(keys(0)._2.toSeq == Array.fill(11)(0x40.toByte).toSeq)
+    assert(keys(1)._2.toSeq == Array.fill(14)(0x43.toByte).toSeq)
+    // the metadata-only synthetic (no stbl) parses as no track
+    assert(Multimodal.mp4VideoTrack(Multimodal.syntheticMp4(16, 16, 500)).isEmpty)
+    assert(Multimodal.videoKeyframes(bytes).intValue() == 2)
+  }
+
+  test("videoFrames: MJPEG-in-MP4 keyframes decode through the image stack") {
+    val f = (0 until 4).map(i => Multimodal.renderJpeg(16, 16,
+      (_, _) => ((60 * i) << 16) | ((60 * i) << 8) | (60 * i)))
+    val mp4 = Multimodal.syntheticMjpegMp4(f, syncEvery = 2)
+    val rows = Multimodal.videoFrames(
+      Seq((1L, mp4)).toDF("id", "content"))
+      .select("frame_idx", "frame").collect()
+      .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(rows.keySet == Set(0, 2), s"keyframes only (sync every 2nd): ${rows.keySet}")
+    // the extracted samples are the EXACT jpeg bytes -> decodable
+    assert(rows(0).toSeq == f(0).toSeq && rows(2).toSeq == f(2).toSeq)
+    val stats = Multimodal.imageStats(
+      Seq((1L, rows(2))).toDF("id", "content"))
+      .select("stats.ok", "stats.width").collect().head
+    assert(stats.getBoolean(0) && stats.getInt(1) == 16)
+  }
+
   test("mediaCard diffs release-to-release with dataCardDiff, like the text card") {
     val png = Multimodal.renderPng(8, 8, (_, _) => (128 << 8) | 255)
     val junk = "not media".getBytes("UTF-8")
