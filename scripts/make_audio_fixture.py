@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Build FLAC and Ogg-Opus fixtures INDEPENDENTLY of the Scala parsers
+(the make_mp3_fixture.py cross-validation precedent).
+
+synthetic.flac: fLaC magic + last-marked STREAMINFO —
+  22050 Hz, 1 channel, 8-bit, 55125 total samples (-> 2500 ms),
+  with a VORBIS_COMMENT block AFTER it (the walk must not require
+  STREAMINFO to be the only block).
+synthetic.opus: OpusHead page (2ch, pre-skip 120, input 24000 Hz) +
+  one audio page + an EOS page at granule 48120 (-> 48000 samples,
+  1000 ms at the fixed 48 kHz Opus clock).
+"""
+import os
+import struct
+
+HERE = os.path.dirname(__file__)
+FIX = os.path.join(HERE, "../src/test/resources/fixtures")
+
+
+def make_flac():
+    sr, ch, bps, total = 22050, 1, 8, 55125
+    info = bytearray(34)
+    info[0:2] = struct.pack(">H", 4096)   # min blocksize
+    info[2:4] = struct.pack(">H", 4096)   # max blocksize
+    packed = (sr << 44) | ((ch - 1) << 41) | ((bps - 1) << 36) | total
+    info[10:18] = struct.pack(">Q", packed)
+    # STREAMINFO (not last) then a VORBIS_COMMENT (last)
+    head = b"fLaC" + bytes([0x00, 0, 0, 34]) + bytes(info)
+    comment = b"\x84" + bytes([0, 0, 4]) + b"test"
+    with open(os.path.join(FIX, "synthetic.flac"), "wb") as fh:
+        fh.write(head + comment)
+
+
+def ogg_page(header_type, granule, seq, payload):
+    assert len(payload) < 255
+    return (b"OggS" + bytes([0, header_type]) +
+            struct.pack("<q", granule) + struct.pack("<I", 1) +
+            struct.pack("<I", seq) + struct.pack("<I", 0) +
+            bytes([1, len(payload)]) + payload)
+
+
+def make_opus():
+    head = (b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 120) +
+            struct.pack("<I", 24000) + struct.pack("<H", 0) + bytes([0]))
+    pages = (ogg_page(0x02, 0, 0, head) +
+             ogg_page(0x00, 24120, 1, b"\x01\x02\x03") +
+             ogg_page(0x04, 48120, 2, b"\x04"))
+    with open(os.path.join(FIX, "synthetic.opus"), "wb") as fh:
+        fh.write(pages)
+
+
+if __name__ == "__main__":
+    make_flac()
+    make_opus()
+    print("wrote synthetic.flac + synthetic.opus")

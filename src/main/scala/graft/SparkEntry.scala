@@ -4521,7 +4521,10 @@ object SparkEntry {
     * keeper per class.
     */
   private def q156(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"))
+    // render at full parallelism: documents is 1-2 input splits at
+    // test SF, and ImageIO encode/decode is the query's actual cost
+    val docs = graft.operators.Scale.parallelismFloor(
+      t(s, dir, "documents").select(col("doc_id")))
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType),
@@ -4545,7 +4548,10 @@ object SparkEntry {
       })
       org.apache.spark.sql.Row(id, png)
     }
-    val imgs = s.createDataFrame(rdd, schema)
+    // render ONCE: imageDedupCorpus reads the frame twice (signature
+    // derivation + the final keep join), and re-rendering 5k PNGs is
+    // the whole query cost; the checkpointed frame is ~1 MB
+    val imgs = s.createDataFrame(rdd, schema).localCheckpoint(false)
     graft.operators.Dedup.imageDedupCorpus(imgs, "doc_id", "content")
       .groupBy((col("doc_id") % 15).as("img_class"))
       .agg(count(lit(1)).as("n"),
@@ -4572,7 +4578,8 @@ object SparkEntry {
     * whole ms), so group averages stay far from rounding boundaries.
     */
   private def q157(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val docs = graft.operators.Scale.parallelismFloor(
+      t(s, dir, "documents").select(col("doc_id")))
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType),
@@ -4683,6 +4690,53 @@ object SparkEntry {
       | (CAST(4 AS BIGINT), 'x  q y  z')
       |) AS t(doc_id, text_cut)
       |ORDER BY doc_id""".stripMargin
+
+  /** Compressed-audio header facts beyond MPEG — FLAC STREAMINFO
+    * ([[graft.operators.Multimodal.flacStreamInfo]]: rate/channels/
+    * bits/total samples packed in the mandatory first metadata block)
+    * and Ogg-Opus ([[graft.operators.Multimodal.opusInfo]]: OpusHead
+    * + last-page granule; Opus times at 48 kHz, so duration =
+    * (granule − pre-skip) / 48000 whatever the input rate was). With
+    * q154's MPEG walk this covers the three dominant crawled-audio
+    * codecs; every value is a closed form of the fixture arguments.
+    */
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    val streams = Seq(
+      (1L, M.syntheticFlac(44100, 2, 16, 441000L)),
+      (2L, M.syntheticFlac(48000, 1, 24, 120000L)),
+      (3L, M.syntheticOpus(2, 312, 48000, 96312L)),
+      (4L, M.syntheticOpus(1, 0, 16000, 24000L)),
+      (5L, "junk bytes".getBytes("UTF-8"))
+    ).toDF("aud_id", "content")
+    M.audioStats(streams)
+      .select(col("aud_id"), col("audio.codec").as("codec"),
+        col("audio.channels").as("channels"),
+        col("audio.sample_rate").as("sample_rate"),
+        col("audio.bits").as("bits"),
+        col("audio.n_samples").as("n_samples"),
+        col("audio.duration_ms").as("duration_ms"),
+        col("audio.ok").as("ok"))
+      .orderBy(col("aud_id"))
+  }
+
+  private def audioCodecOracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(1 AS BIGINT), 'flac', 2, 44100, 16,
+      |  CAST(441000 AS BIGINT), CAST(441000 * 1000 // 44100 AS BIGINT), TRUE),
+      | (CAST(2 AS BIGINT), 'flac', 1, 48000, 24,
+      |  CAST(120000 AS BIGINT), CAST(120000 * 1000 // 48000 AS BIGINT), TRUE),
+      | (CAST(3 AS BIGINT), 'opus', 2, 48000, CAST(NULL AS INTEGER),
+      |  CAST(96000 AS BIGINT), CAST(96000 * 1000 // 48000 AS BIGINT), TRUE),
+      | (CAST(4 AS BIGINT), 'opus', 1, 16000, CAST(NULL AS INTEGER),
+      |  CAST(24000 AS BIGINT), CAST(24000 * 1000 // 48000 AS BIGINT), TRUE),
+      | (CAST(5 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+      |  CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+      |  CAST(NULL AS BIGINT), FALSE)
+      |) AS t(aud_id, codec, channels, sample_rate, bits, n_samples,
+      |       duration_ms, ok)
+      |ORDER BY aud_id""".stripMargin
 
   // ===================================================================
   // Registry
@@ -4846,7 +4900,8 @@ object SparkEntry {
     "q155_texty" -> (q155 _),
     "q156_imgcorp" -> (q156 _),
     "q157_mcorp" -> (q157 _),
-    "q158_cut" -> (q158 _))
+    "q158_cut" -> (q158 _),
+    "q159_acodec" -> (q159 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -5255,6 +5310,7 @@ object SparkEntry {
     "q156_imgcorp" -> imgCorpusOracle,
     "q157_mcorp" -> mediaCorpusOracle,
     "q158_cut" -> cutSpansOracle,
+    "q159_acodec" -> audioCodecOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

@@ -895,7 +895,9 @@ object Multimodal {
       (b.length >= 8 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') ||
       (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
       (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||
-      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F')) return None
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||
+      (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') ||
+      (b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S')) return None
     var pos = 0
     if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
       val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
@@ -993,6 +995,118 @@ object Multimodal {
       out += g
       gr += 1
     }
+  }
+
+  /** FLAC STREAMINFO facts — (channels, sampleRate, bitsPerSample,
+    * totalSamples): the mandatory first metadata block of every FLAC
+    * stream (format spec §STREAMINFO: after the `fLaC` magic, block
+    * type 0, 34-byte body; sample rate 20 bits / channels-1 3 bits /
+    * bps-1 5 bits / total samples 36 bits packed at byte 10). Header
+    * facts only — no frame decode — which is exactly what the card
+    * and duration gates need. None for non-FLAC bytes.
+    */
+  private[graft] def flacStreamInfo(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (b == null || b.length < 8 + 34 ||
+      !(b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')) return None
+    // first metadata block header at 4: [last:1][type:7][len:24]
+    if ((b(4) & 0x7f) != 0) return None // STREAMINFO must be first
+    val len = ((b(5) & 0xff) << 16) | ((b(6) & 0xff) << 8) | (b(7) & 0xff)
+    if (len < 34 || 8 + len > b.length) return None
+    val o = 8
+    val sr = ((b(o + 10) & 0xff) << 12) | ((b(o + 11) & 0xff) << 4) |
+      ((b(o + 12) & 0xff) >> 4)
+    val ch = ((b(o + 12) >> 1) & 7) + 1
+    val bps = (((b(o + 12) & 1) << 4) | ((b(o + 13) & 0xff) >> 4)) + 1
+    val total = ((b(o + 13) & 0x0fL) << 32) |
+      ((b(o + 14) & 0xffL) << 24) | ((b(o + 15) & 0xffL) << 16) |
+      ((b(o + 16) & 0xffL) << 8) | (b(o + 17) & 0xffL)
+    if (sr <= 0) return None
+    Some((ch, sr, bps, total))
+  }
+
+  /** Minimal FLAC: magic + a last-marked STREAMINFO block with the
+    * given facts (header-facts fixture, [[syntheticMp3]] discipline).
+    */
+  private[graft] def syntheticFlac(sampleRate: Int, channels: Int,
+      bitsPerSample: Int, totalSamples: Long): Array[Byte] = {
+    val out = new Array[Byte](8 + 34)
+    out(0) = 'f'; out(1) = 'L'; out(2) = 'a'; out(3) = 'C'
+    out(4) = 0x80.toByte // last block, type 0 (STREAMINFO)
+    out(7) = 34
+    val o = 8
+    out(o + 10) = ((sampleRate >> 12) & 0xff).toByte
+    out(o + 11) = ((sampleRate >> 4) & 0xff).toByte
+    out(o + 12) = (((sampleRate & 0xf) << 4) | (((channels - 1) & 7) << 1) |
+      (((bitsPerSample - 1) >> 4) & 1)).toByte
+    out(o + 13) = ((((bitsPerSample - 1) & 0xf) << 4) |
+      ((totalSamples >> 32) & 0xf)).toInt.toByte
+    out(o + 14) = ((totalSamples >> 24) & 0xff).toByte
+    out(o + 15) = ((totalSamples >> 16) & 0xff).toByte
+    out(o + 16) = ((totalSamples >> 8) & 0xff).toByte
+    out(o + 17) = (totalSamples & 0xff).toByte
+    out
+  }
+
+  /** Ogg-Opus stream facts — (channels, preSkip, inputSampleRate,
+    * lastGranule): the `OpusHead` packet on the first Ogg page (RFC
+    * 7845 §5.1) plus the LAST page's granule position (48 kHz sample
+    * count — Opus always times at 48 kHz, so duration_ms =
+    * (granule − preSkip) · 1000 / 48000 regardless of input rate).
+    * The last page is found by scanning backwards for a valid `OggS`
+    * capture, the standard duration technique (no packet decode).
+    * None for non-Ogg/non-Opus bytes.
+    */
+  private[graft] def opusInfo(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (b == null || b.length < 47 ||
+      !(b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S')) return None
+    @inline def le32(o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    @inline def le64(o: Int): Long = le32(o) | (le32(o + 4) << 32)
+    // first page payload: after 27-byte header + segment table
+    val nSegs = b(26) & 0xff
+    val payload = 27 + nSegs
+    if (payload + 19 > b.length) return None
+    val head = new String(b, payload, 8, "ISO-8859-1")
+    if (head != "OpusHead") return None
+    val channels = b(payload + 9) & 0xff
+    val preSkip = ((b(payload + 11) & 0xff) << 8) | (b(payload + 10) & 0xff)
+    val inputRate = le32(payload + 12).toInt
+    // last page: scan backwards for "OggS" with version byte 0
+    var i = b.length - 27
+    var granule = -1L
+    while (granule < 0 && i >= 0) {
+      if (b(i) == 'O' && b(i + 1) == 'g' && b(i + 2) == 'g' &&
+        b(i + 3) == 'S' && b(i + 4) == 0) granule = le64(i + 6)
+      i -= 1
+    }
+    if (granule < 0) None else Some((channels, preSkip, inputRate, granule))
+  }
+
+  /** Minimal Ogg-Opus: an OpusHead page plus an EOS page with the
+    * given granule position (header-facts fixture).
+    */
+  private[graft] def syntheticOpus(channels: Int, preSkip: Int,
+      inputSampleRate: Int, lastGranule: Long): Array[Byte] = {
+    def page(headerType: Int, granule: Long, seq: Int,
+        payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 255, "single-segment fixture pages only")
+      val bb = java.nio.ByteBuffer.allocate(27 + 1 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("OggS".getBytes("ISO-8859-1")).put(0.toByte)
+        .put(headerType.toByte).putLong(granule).putInt(1).putInt(seq)
+        .putInt(0) // crc unchecked by the header walk
+        .put(1.toByte).put(payload.length.toByte).put(payload)
+      bb.array()
+    }
+    val head = java.nio.ByteBuffer.allocate(19)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("OpusHead".getBytes("ISO-8859-1")).put(1.toByte)
+      .put(channels.toByte).putShort(preSkip.toShort)
+      .putInt(inputSampleRate).putShort(0.toShort).put(0.toByte)
+      .array()
+    page(0x02, 0L, 0, head) ++
+      page(0x04, lastGranule, 1, Array[Byte](0)) // EOS data page
   }
 
   /** Build a VALID MPEG Layer III stream with planted per-granule
@@ -1141,9 +1255,26 @@ object Multimodal {
                   s"mpeg${m.version}-l${m.layer}",
                   m.totalSamples * 1000L / m.sampleRate,
                   r3(m.avgBitrateKbps), m.vbr)
-              case None =>
-                Row(null, null, null, null, null, null, null, null, false,
-                  "not linear PCM WAV or MPEG audio", null, null, null, null)
+              case None => flacStreamInfo(bytes) match {
+                case Some((ch, sr, bits, total)) =>
+                  // header facts only — FLAC frames are not decoded, so
+                  // sample stats stay null like MPEG; bitrate/vbr are
+                  // not header facts for a lossless codec (left null)
+                  Row(ch, sr, bits, total, null, null, null, null, true,
+                    null, "flac", total * 1000L / sr, null, null)
+                case None => opusInfo(bytes) match {
+                  case Some((ch, preSkip, inputRate, granule)) =>
+                    // Opus times at 48 kHz regardless of input rate
+                    val samples = math.max(0L, granule - preSkip)
+                    Row(ch, inputRate, null, samples, null, null, null,
+                      null, true, null, "opus", samples * 1000L / 48000L,
+                      null, null)
+                  case None =>
+                    Row(null, null, null, null, null, null, null, null,
+                      false, "not linear PCM WAV or MPEG/FLAC/Opus audio",
+                      null, null, null, null)
+                }
+              }
             }
           }
           Row.fromSeq(row.toSeq :+ stats)

@@ -686,6 +686,33 @@ class SemanticSpec extends SparkSpec {
     assert(stats(1L) == texty && stats(2L) == photoScore)
   }
 
+  test("flacStreamInfo / opusInfo: python-built fixture cross-checks") {
+    def fix(name: String): Array[Byte] =
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        getClass.getResource(s"/fixtures/$name").toURI))
+    // FLAC: 22050 Hz mono 8-bit, 55125 samples, a VORBIS_COMMENT block
+    // after STREAMINFO (walk must not require it to be the only block)
+    assert(Multimodal.flacStreamInfo(fix("synthetic.flac"))
+      .contains((1, 22050, 8, 55125L)))
+    // Opus: 2ch, pre-skip 120, input 24000 Hz, EOS granule 48120
+    assert(Multimodal.opusInfo(fix("synthetic.opus"))
+      .contains((2, 120, 24000, 48120L)))
+    // stats surface: exact 48 kHz-clock duration, header-fact codec
+    val rows = Multimodal.audioStats(Seq(
+        (1L, fix("synthetic.flac")), (2L, fix("synthetic.opus"))
+      ).toDF("id", "content"))
+      .select("id", "audio.codec", "audio.duration_ms", "audio.ok").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(rows(1L) == (("flac", 2500L, true)))
+    assert(rows(2L) == (("opus", 48000L * 1000 / 48000, true))) // 1000 ms
+    // magic-gated rejections both ways
+    assert(Multimodal.flacStreamInfo("junk".getBytes).isEmpty)
+    assert(Multimodal.opusInfo("junk".getBytes).isEmpty)
+    assert(Multimodal.mpegAudioInfo(fix("synthetic.flac")).isEmpty,
+      "the MPEG sync scan must never fire inside a FLAC stream")
+    assert(Multimodal.mpegAudioInfo(fix("synthetic.opus")).isEmpty)
+  }
+
   test("mp4VideoTrack: python-built fixture cross-check — multi-run stsc, stss, duration") {
     // independent muxer (scripts/make_mp4_fixture.py): 5 samples of
     // sizes 11..15 split 3+2 across two chunks, sync = {1,4},
