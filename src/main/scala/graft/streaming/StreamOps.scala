@@ -154,12 +154,34 @@ object StreamOps {
       maxHamming: Int = 6, bands: Int = 8,
       maxBucketSize: Int = graft.operators.Dedup.DefaultMaxBucketSize)
       : org.apache.spark.sql.streaming.StreamingQuery =
+    streamingSignatureDedupIngest(stream, idCol, contentCol,
+      graft.operators.Multimodal.dhash64Col, storeDir, checkpointDir,
+      maxHamming, bands, maxBucketSize)
+
+  /** [[streamingImageDedupIngest]] for ANY 64-bit perceptual
+    * signature — pass the modality's kernel column
+    * ([[graft.operators.Multimodal.dhash64Col]] for images,
+    * [[graft.operators.Multimodal.audioHash64Col]] for audio/MP3,
+    * `CatalystExpressions.simhash64 ∘ tokenHashes` for text): one
+    * ingest loop, one store layout, one incremental join for every
+    * modality, so the crawl infrastructure can never drift between
+    * them. Signature-null rows (non-decodable bytes) are dropped —
+    * they can't be near anything.
+    */
+  def streamingSignatureDedupIngest(stream: DataFrame, idCol: String,
+      contentCol: String,
+      signature: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      storeDir: String, checkpointDir: String,
+      maxHamming: Int = 6, bands: Int = 8,
+      maxBucketSize: Int = graft.operators.Dedup.DefaultMaxBucketSize)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val sigs = graft.operators.Dedup
-          .imageHashSignatures(batch, idCol, contentCol)
+        val sigs = batch
+          .select(col(idCol).as("id"), signature(col(contentCol)).as("sh"))
+          .filter(col("sh").isNotNull)
           .localCheckpoint(false) // one decode serves pairs + the store write
         // explicit existence check, NOT a broad AnalysisException
         // catch: a corrupt / permission-broken store must fail the

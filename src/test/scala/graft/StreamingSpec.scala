@@ -410,6 +410,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming signature-ingest dedup: the generic loop runs the audio modality") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val M = graft.operators.Multimodal
+    def amSquare(n: Int, gain: Int): Array[Short] =
+      Array.tabulate[Short](n) { i =>
+        val a = (100 + i) * gain
+        (if (i % 2 == 0) a else -a).toShort
+      }
+    val store = java.nio.file.Files.createTempDirectory("graft-audstore").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-audckpt").toString
+    val input = MemoryStream[(Long, Array[Byte])](spark)
+    val q = StreamOps.streamingSignatureDedupIngest(
+      input.toDF().toDF("clip_id", "content"), "clip_id", "content",
+      M.audioHash64Col, store, ckpt)
+    try {
+      val rnd = new scala.util.Random(13)
+      val noise = Array.fill[Short](900)((rnd.nextInt(4000) - 2000).toShort)
+      input.addData((1L, M.renderWav(8000, 1, amSquare(900, 1))),
+        (2L, M.renderWav(8000, 1, noise)))
+      q.processAllAvailable()
+      // batch 1: a gain twin of clip 1 (Hamming 0) + junk (sig null,
+      // dropped, never stored)
+      input.addData((3L, M.renderWav(8000, 1, amSquare(900, 3))),
+        (4L, "junk".getBytes("UTF-8")))
+      q.processAllAvailable()
+      val pairs = spark.read.parquet(s"$store/pairs").drop("batch").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 3L)), s"gain twin across batches only: $pairs")
+      assert(spark.read.parquet(s"$store/sigs").count() == 3,
+        "non-decodable rows never enter the store")
+    } finally q.stop()
+  }
+
   test("streaming funnel: advances emit once, chain state spans batches, order rule holds") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val input = MemoryStream[(String, Long, String)](spark)
