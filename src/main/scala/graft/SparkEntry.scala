@@ -4738,6 +4738,48 @@ object SparkEntry {
       |       duration_ms, ok)
       |ORDER BY aud_id""".stripMargin
 
+  /** GIF/BMP image decode — [[graft.operators.Multimodal
+    * .decodePixels]] now admits both pure-JDK ImageIO formats, so the
+    * whole pixel stack (stats, dHash, textiness, near-dup) reads what
+    * crawls actually deliver. Closed forms: BMP is lossless RGB and a
+    * 2-color GIF palette-quantizes exactly, so every value is pixel
+    * arithmetic — the gradient BMP's dHash is all-ones (right cell
+    * always brighter), the two-tone GIF sets exactly the two grid
+    * columns straddling the split (bits 3,4 of every row =
+    * 0x1818181818181818) and scores 5·(32/992) on textiness.
+    */
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    val bmp = M.renderImage("bmp", 18, 16, (x, _) => gray(x * 10))
+    val gif = M.renderImage("gif", 32, 32,
+      (x, _) => if (x < 16) gray(10) else gray(250))
+    val imgs = Seq(
+      (1L, bmp), (2L, gif), (3L, "not an image".getBytes("UTF-8"))
+    ).toDF("img_id", "content")
+    M.imageStats(imgs)
+      .select(col("img_id"),
+        col("stats.width").as("width"), col("stats.height").as("height"),
+        round(col("stats.avg_r"), 4).as("avg_r"),
+        M.dhash64Col(col("content")).as("dhash"),
+        col("stats.textiness").as("textiness"),
+        col("stats.ok").as("ok"))
+      .orderBy(col("img_id"))
+  }
+
+  private def gifBmpOracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(1 AS BIGINT), 18, 16, round(85/255.0, 4),
+      |  CAST(-1 AS BIGINT), 0.0, TRUE),
+      | (CAST(2 AS BIGINT), 32, 32, round(130/255.0, 4),
+      |  CAST(1736164148113840152 AS BIGINT), round(5 * (32.0/992), 6), TRUE),
+      | (CAST(3 AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+      |  CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+      |  FALSE)
+      |) AS t(img_id, width, height, avg_r, dhash, textiness, ok)
+      |ORDER BY img_id""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -4901,7 +4943,8 @@ object SparkEntry {
     "q156_imgcorp" -> (q156 _),
     "q157_mcorp" -> (q157 _),
     "q158_cut" -> (q158 _),
-    "q159_acodec" -> (q159 _))
+    "q159_acodec" -> (q159 _),
+    "q160_gifbmp" -> (q160 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -5311,6 +5354,7 @@ object SparkEntry {
     "q157_mcorp" -> mediaCorpusOracle,
     "q158_cut" -> cutSpansOracle,
     "q159_acodec" -> audioCodecOracle,
+    "q160_gifbmp" -> gifBmpOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

@@ -355,7 +355,13 @@ object Multimodal {
     if (bytes == null || bytes.length < 8) return None
     val isPng = bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
     val isJpeg = bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte
-    if (!isPng && !isJpeg) return None
+    // GIF and BMP are pure-JDK ImageIO formats too (GIF decodes its
+    // FIRST frame) — crawled image corpora are full of both, and
+    // magic-gating them as "undecodable" starved every pixel operator
+    val isGif = bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == '8'
+    val isBmp = bytes(0) == 'B' && bytes(1) == 'M'
+    if (!isPng && !isJpeg && !isGif && !isBmp) return None
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
       .map(img =>
         if (isJpeg) applyExifOrientation(img, exifOrientation(bytes)) else img)
@@ -928,7 +934,16 @@ object Multimodal {
     var nFrames = 0
     var brSum = 0L
     var vbr = false
-    val gains = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // Bounded envelope memory: hours-long audio carries millions of
+    // granules, and the hash grid only needs uniform coverage — when
+    // the buffer hits 2^17 entries, keep every 2nd and double the
+    // collection stride (uniform decimation; ≤ 512 KiB however long
+    // the stream). Short fixtures never hit the cap, so closed forms
+    // are untouched.
+    var gains = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var gainStride = 1
+    var granuleIdx = 0L
+    val frameGains = scala.collection.mutable.ArrayBuffer.empty[Int]
     var done = false
     while (!done) {
       val h = mpegHdr(b, at)
@@ -939,7 +954,22 @@ object Multimodal {
         nFrames += 1
         brSum += h.bitrateKbps
         if (h.bitrateKbps != first.bitrateKbps) vbr = true
-        if (h.layer == 3) readGains(b, at, h, gains)
+        if (h.layer == 3) {
+          frameGains.clear()
+          readGains(b, at, h, frameGains)
+          var gi = 0
+          while (gi < frameGains.length) {
+            if (granuleIdx % gainStride == 0) gains += frameGains(gi)
+            granuleIdx += 1
+            gi += 1
+          }
+          if (gains.length >= 131072) {
+            gains = gains.zipWithIndex.collect {
+              case (g, i) if i % 2 == 0 => g
+            }
+            gainStride *= 2
+          }
+        }
         at += h.frameSize
         if (at >= b.length - 3) done = true
       }
@@ -1532,24 +1562,21 @@ object Multimodal {
     * (deterministic: PNG is lossless, so decode returns exactly the
     * rendered pixels regardless of encoder details).
     */
-  private[graft] def renderPng(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(w, h,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) { img.setRGB(x, y, rgb(x, y)); x += 1 }
-      y += 1
-    }
-    val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
-    out.toByteArray
-  }
+  private[graft] def renderPng(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] =
+    renderImage("png", w, h, rgb)
 
   /** JPEG twin of [[renderPng]] (lossy — for tolerance-based specs,
     * not exact oracles).
     */
-  private[graft] def renderJpeg(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+  private[graft] def renderJpeg(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] =
+    renderImage("jpg", w, h, rgb)
+
+  /** Render any ImageIO-writable format from a per-pixel color
+    * function — PNG/BMP are lossless (exact-oracle material; a
+    * ≤256-color GIF is exact too, the palette quantizes nothing).
+    */
+  private[graft] def renderImage(format: String, w: Int, h: Int,
+      rgb: (Int, Int) => Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -1559,7 +1586,7 @@ object Multimodal {
       y += 1
     }
     val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "jpg", out)
+    javax.imageio.ImageIO.write(img, format, out)
     out.toByteArray
   }
 
@@ -1627,6 +1654,9 @@ object Multimodal {
     else if (bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) "image/jpeg"
     else if (bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N' &&
       bytes(3) == 'G') "image/png"
+    else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == '8') "image/gif"
+    else if (bytes(0) == 'B' && bytes(1) == 'M') "image/bmp"
     else "application/octet-stream"
   }
 
@@ -1897,7 +1927,7 @@ object Multimodal {
       vs.foreach(bb.putInt)
       bb.array()
     }
-    val ftyp = box("ftyp", "isom   isomiso2".getBytes("ISO-8859-1"))
+    val ftyp = box("ftyp", "isom\u0000\u0000\u0002\u0000isomiso2".getBytes("ISO-8859-1"))
     val mdatPayload = frames.flatten.toArray
     val mdat = box("mdat", mdatPayload)
     // sample offsets are absolute file offsets into mdat's payload

@@ -358,7 +358,9 @@ class DedupSpec extends SparkSpec {
       (2L, M.renderJpeg(32, 32, halves)),          // lossy re-encode of 1
       (3L, M.renderPng(64, 64, (x, y) => halves(x / 2, y / 2))), // 2x resize of 1
       (4L, M.renderPng(32, 32, checker)),          // unrelated
-      (5L, "not an image at all".getBytes("UTF-8")) // non-decodable
+      (5L, "not an image at all".getBytes("UTF-8")), // non-decodable
+      (6L, M.renderImage("gif", 32, 32, halves)),  // GIF re-encode of 1
+      (7L, M.renderImage("bmp", 32, 32, halves))   // BMP re-encode of 1
     ).toDF("img_id", "content")
     val jpegHamming = java.lang.Long.bitCount(
       M.dhash64(imgs.filter(col("img_id") === 1).head().getAs[Array[Byte]](1)).longValue() ^
@@ -374,14 +376,20 @@ class DedupSpec extends SparkSpec {
       s"unrelated image must not pair: $pairs")
     assert(!pairs.keySet.exists(p => p._1 == 5L || p._2 == 5L),
       s"non-decodable row is dropped: $pairs")
-    // end-to-end corpus form: {1,2,3} one class keeping 1; 4 unique;
-    // 5 non-decodable → unique
+    // GIF/BMP re-encodes are lossless for 2-tone content: Hamming 0
+    assert(pairs.get((1L, 6L)).contains(0), s"gif twin is exact: $pairs")
+    assert(pairs.get((1L, 7L)).contains(0), s"bmp twin is exact: $pairs")
+    // end-to-end corpus form: {1,2,3,6,7} one class keeping 1 (the
+    // cross-FORMAT class — png/jpeg/gif/bmp); 4 unique; 5
+    // non-decodable → unique
     val corpus = Dedup.imageDedupCorpus(imgs, "img_id", "content")
       .collect().map(r => r.getAs[Long]("img_id") ->
         ((Option(r.getAs[java.lang.Long]("dup_class")), r.getAs[Boolean]("keep")))).toMap
     assert(corpus(1L) == ((Some(1L), true)))
     assert(corpus(2L) == ((Some(1L), false)))
     assert(corpus(3L) == ((Some(1L), false)))
+    assert(corpus(6L) == ((Some(1L), false)))
+    assert(corpus(7L) == ((Some(1L), false)))
     assert(corpus(4L) == ((None, true)))
     assert(corpus(5L) == ((None, true)))
   }
