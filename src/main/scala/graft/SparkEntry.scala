@@ -4279,6 +4279,7 @@ object SparkEntry {
       | ('aud', 'pct_audio_clipped', 0.0),
       | ('aud', 'pct_audio_silent', 0.0),
       | ('aud', 'pct_image', 0.0),
+      | ('aud', 'pct_image_gps', CAST(NULL AS DOUBLE)),
       | ('aud', 'pct_undecodable', 0.5),
       | ('aud', 'pct_video', 0.0),
       | ('img', 'avg_audio_hz', CAST(NULL AS DOUBLE)),
@@ -4295,6 +4296,7 @@ object SparkEntry {
       | ('img', 'pct_audio_clipped', CAST(NULL AS DOUBLE)),
       | ('img', 'pct_audio_silent', CAST(NULL AS DOUBLE)),
       | ('img', 'pct_image', 1.0),
+      | ('img', 'pct_image_gps', 0.0),
       | ('img', 'pct_undecodable', 0.0),
       | ('img', 'pct_video', 0.0),
       | ('mp3', 'avg_audio_hz', 32000.0),
@@ -4310,6 +4312,7 @@ object SparkEntry {
       | ('mp3', 'pct_audio_clipped', 0.0),
       | ('mp3', 'pct_audio_silent', 0.0),
       | ('mp3', 'pct_image', 0.0),
+      | ('mp3', 'pct_image_gps', CAST(NULL AS DOUBLE)),
       | ('mp3', 'pct_undecodable', 0.0),
       | ('mp3', 'pct_video', 0.0),
       | ('sil', 'avg_audio_hz', 44100.0),
@@ -4325,6 +4328,7 @@ object SparkEntry {
       | ('sil', 'pct_audio_clipped', 0.0),
       | ('sil', 'pct_audio_silent', 1.0),
       | ('sil', 'pct_image', 0.0),
+      | ('sil', 'pct_image_gps', CAST(NULL AS DOUBLE)),
       | ('sil', 'pct_undecodable', 0.0),
       | ('sil', 'pct_video', 0.0),
       | ('vid', 'avg_audio_hz', CAST(NULL AS DOUBLE)),
@@ -4340,6 +4344,7 @@ object SparkEntry {
       | ('vid', 'pct_audio_clipped', CAST(NULL AS DOUBLE)),
       | ('vid', 'pct_audio_silent', CAST(NULL AS DOUBLE)),
       | ('vid', 'pct_image', 0.0),
+      | ('vid', 'pct_image_gps', CAST(NULL AS DOUBLE)),
       | ('vid', 'pct_undecodable', 0.0),
       | ('vid', 'pct_video', 1.0)
       |) AS t(source, metric, value)
@@ -4637,7 +4642,8 @@ object SparkEntry {
       |  round(avg(CASE WHEN grp = '0' THEN 1.0 ELSE 0.0 END), 4) AS pi,
       |  round(avg(CASE WHEN grp = '3' THEN 1.0 ELSE 0.0 END), 4) AS pu,
       |  0.0 AS pv,
-      |  CAST(NULL AS DOUBLE) AS vkey
+      |  CAST(NULL AS DOUBLE) AS vkey,
+      |  CASE WHEN grp = '0' THEN 0.0 END AS pgps
       | FROM d GROUP BY grp)
       |SELECT grp, metric, value FROM (
       | SELECT grp, 'avg_audio_hz' AS metric, ahz AS value FROM a
@@ -4653,6 +4659,7 @@ object SparkEntry {
       | UNION ALL SELECT grp, 'pct_audio_clipped', pclip FROM a
       | UNION ALL SELECT grp, 'pct_audio_silent', psil FROM a
       | UNION ALL SELECT grp, 'pct_image', pi FROM a
+      | UNION ALL SELECT grp, 'pct_image_gps', pgps FROM a
       | UNION ALL SELECT grp, 'pct_undecodable', pu FROM a
       | UNION ALL SELECT grp, 'pct_video', pv FROM a
       |) ORDER BY grp, metric""".stripMargin
@@ -4778,6 +4785,68 @@ object SparkEntry {
       |  CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
       |  FALSE)
       |) AS t(img_id, width, height, avg_r, dhash, textiness, ok)
+      |ORDER BY img_id""".stripMargin
+
+  /** EXIF GPS PII flag ([[graft.operators.Multimodal.exifGpsPresent]]
+    * — TIFF tag 0x8825 in IFD0, the "this photo embeds a capture
+    * location" release-gate signal; the scrub path is
+    * [[graft.operators.Multimodal.resizeImages]]'s EXIF-free PNG
+    * re-encode): a spliced big-endian EXIF block with the GPS IFD
+    * pointer flags true, an orientation-only block and a bare JPEG
+    * flag false, decodable non-JPEG rasters report FALSE at the
+    * stats surface (a format that cannot carry EXIF is location-free,
+    * not unknown), junk degrades. All header arithmetic — literal
+    * oracle.
+    */
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    val base = M.renderJpeg(16, 16, (_, _) => (128 << 16) | (128 << 8) | 128)
+    def entry(tag: Int, typ: Int, count: Long, value: Long): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12)
+      bb.putShort(tag.toShort).putShort(typ.toShort)
+        .putInt(count.toInt).putInt(value.toInt)
+      bb.array()
+    }
+    def withExif(jpeg: Array[Byte], gps: Boolean): Array[Byte] = {
+      val n = if (gps) 2 else 1
+      val ifdBytes = 2 + 12 * n + 4
+      // orientation SHORT=1 left-justified; GPS pointer LONG -> an
+      // empty GPS IFD placed right after IFD0
+      val entries =
+        entry(0x0112, 3, 1L, 0x00010000L) ++
+          (if (gps) entry(0x8825, 4, 1L, (8 + ifdBytes).toLong)
+           else Array.emptyByteArray)
+      val gpsIfd = if (gps) Array[Byte](0, 0, 0, 0, 0, 0) else Array.emptyByteArray
+      val tiff = "MM".getBytes("ISO-8859-1") ++ Array[Byte](0, 42, 0, 0, 0, 8) ++
+        Array[Byte](0, n.toByte) ++ entries ++ Array[Byte](0, 0, 0, 0) ++ gpsIfd
+      val payload = "Exif".getBytes("ISO-8859-1") ++ Array[Byte](0, 0) ++ tiff
+      val app1 = Array(0xFF.toByte, 0xE1.toByte,
+        (((payload.length + 2) >> 8) & 0xff).toByte,
+        ((payload.length + 2) & 0xff).toByte) ++ payload
+      jpeg.take(2) ++ app1 ++ jpeg.drop(2)
+    }
+    val imgs = Seq(
+      (1L, base),
+      (2L, withExif(base, gps = true)),
+      (3L, withExif(base, gps = false)),
+      (4L, M.renderPng(8, 8, (_, _) => 0x123456)),
+      (5L, "junk".getBytes("UTF-8"))
+    ).toDF("img_id", "content")
+    M.imageStats(imgs)
+      .select(col("img_id"), col("stats.exif_gps").as("exif_gps"),
+        col("stats.ok").as("ok"))
+      .orderBy(col("img_id"))
+  }
+
+  private def exifGpsOracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(1 AS BIGINT), FALSE, TRUE),
+      | (CAST(2 AS BIGINT), TRUE, TRUE),
+      | (CAST(3 AS BIGINT), FALSE, TRUE),
+      | (CAST(4 AS BIGINT), FALSE, TRUE),
+      | (CAST(5 AS BIGINT), CAST(NULL AS BOOLEAN), FALSE)
+      |) AS t(img_id, exif_gps, ok)
       |ORDER BY img_id""".stripMargin
 
   // ===================================================================
@@ -4944,7 +5013,8 @@ object SparkEntry {
     "q157_mcorp" -> (q157 _),
     "q158_cut" -> (q158 _),
     "q159_acodec" -> (q159 _),
-    "q160_gifbmp" -> (q160 _))
+    "q160_gifbmp" -> (q160 _),
+    "q161_gps" -> (q161 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -5355,6 +5425,7 @@ object SparkEntry {
     "q158_cut" -> cutSpansOracle,
     "q159_acodec" -> audioCodecOracle,
     "q160_gifbmp" -> gifBmpOracle,
+    "q161_gps" -> exifGpsOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

@@ -378,23 +378,84 @@ object Multimodal {
     * provider auto-orients server-side, `vision_tool.py:372-428`.)
     */
   private[graft] def exifOrientation(b: Array[Byte]): Int = {
+    val r = exifApp1Region(b)
+    if (r < 0) 1
+    else tiffOrientation(b, (r >>> 32).toInt, (r & 0xffffffffL).toInt)
+  }
+
+  /** Locate the EXIF TIFF region inside a JPEG's APP1 segment:
+    * packed (start << 32 | end), or -1 when absent. Shared by the
+    * orientation read and the GPS PII flag.
+    */
+  private def exifApp1Region(b: Array[Byte]): Long = {
     var i = 2
     while (i + 3 < b.length) {
-      if ((b(i) & 0xff) != 0xFF) return 1
+      if ((b(i) & 0xff) != 0xFF) return -1L
       val mk = b(i + 1) & 0xff
       if (mk == 0xFF) i += 1
       else if (mk == 0x01 || (mk >= 0xD0 && mk <= 0xD9)) i += 2
       else {
         val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
-        if (len < 2 || mk == 0xDA) return 1 // SOS: entropy-coded data follows
+        if (len < 2 || mk == 0xDA) return -1L // SOS: entropy-coded data follows
         if (mk == 0xE1 && i + 10 <= b.length &&
             b(i + 4) == 'E' && b(i + 5) == 'x' && b(i + 6) == 'i' &&
             b(i + 7) == 'f' && b(i + 8) == 0 && b(i + 9) == 0)
-          return tiffOrientation(b, i + 10, math.min(b.length, i + 2 + len))
+          return ((i + 10).toLong << 32) | math.min(b.length, i + 2 + len).toLong
         i += 2 + len
       }
     }
-    1
+    -1L
+  }
+
+  /** EXIF GPS flag — true when the JPEG's IFD0 carries the GPS Info
+    * IFD pointer (TIFF tag 0x8825): the standard "this photo embeds a
+    * capture location" PII signal an image-corpus release gate needs
+    * (the pixel-side sibling of the text PII scrubbers in
+    * [[Curation]]). Detection only — the SCRUB path already exists:
+    * [[resizeImages]] re-encodes to PNG, which carries no EXIF at
+    * all. Null for non-JPEG bytes (PNG/GIF/BMP cannot carry EXIF GPS
+    * — callers may treat null-with-decodable as false); false for a
+    * JPEG without the tag. Public for the generated-code static call.
+    */
+  def exifGpsPresent(bytes: Array[Byte]): java.lang.Boolean = {
+    if (bytes == null || bytes.length < 4 ||
+      !(bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte)) return null
+    val r = exifApp1Region(bytes)
+    if (r < 0) return java.lang.Boolean.FALSE
+    java.lang.Boolean.valueOf(
+      tiffHasTag(bytes, (r >>> 32).toInt, (r & 0xffffffffL).toInt, 0x8825))
+  }
+
+  /** Scan IFD0 of the TIFF region for `tag` (any type/count). */
+  private def tiffHasTag(b: Array[Byte], tiff: Int, end: Int,
+      tag: Int): Boolean = {
+    if (tiff + 8 > end) return false
+    val little =
+      if (b(tiff) == 'I' && b(tiff + 1) == 'I') true
+      else if (b(tiff) == 'M' && b(tiff + 1) == 'M') false
+      else return false
+    def u16(o: Int): Int =
+      if (o < tiff || o + 2 > end) -1
+      else if (little) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+      else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    def u32(o: Int): Long =
+      if (o < tiff || o + 4 > end) -1L
+      else if (little) (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+      else ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    if (u16(tiff + 2) != 42) return false
+    val ifdOff = u32(tiff + 4)
+    if (ifdOff < 0) return false
+    val ifd = tiff + ifdOff.toInt
+    val nEntries = u16(ifd)
+    if (nEntries < 0) return false
+    var k = 0
+    while (k < nEntries) {
+      if (u16(ifd + 2 + 12 * k) == tag) return true
+      k += 1
+    }
+    false
   }
 
   private def tiffOrientation(b: Array[Byte], tiff: Int, end: Int): Int = {
@@ -715,6 +776,7 @@ object Multimodal {
     StructField("avg_g", DoubleType),
     StructField("avg_b", DoubleType),
     StructField("textiness", DoubleType),
+    StructField("exif_gps", BooleanType),
     StructField("ok", BooleanType, nullable = false),
     StructField("error", StringType)))
 
@@ -733,13 +795,17 @@ object Multimodal {
     val rdd = df.rdd.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { row =>
-          val stats = decodePixels(row.getAs[Array[Byte]](contentIdx)) match {
+          val bytes = row.getAs[Array[Byte]](contentIdx)
+          val stats = decodePixels(bytes) match {
             case Some(img) =>
               val s = pixelSummary(img)
+              // PNG/GIF/BMP cannot carry EXIF GPS -> false, not null:
+              // the release gate wants "location-free", not "unknown"
+              val gps = exifGpsPresent(bytes) == java.lang.Boolean.TRUE
               Row(img.getWidth, img.getHeight, s(0), s(1), s(2),
-                textinessOf(img), true, null)
+                textinessOf(img), gps, true, null)
             case None =>
-              Row(null, null, null, null, null, null, false,
+              Row(null, null, null, null, null, null, null, false,
                 "not a decodable raster")
           }
           Row.fromSeq(row.toSeq :+ stats)
@@ -1511,6 +1577,9 @@ object Multimodal {
         // rendered-text share signal (screenshots/memes vs photos)
         round(avg(when(img.getField("ok"), img.getField("textiness"))), 6)
           .as("__atxt"),
+        // PII: share of decodable images embedding an EXIF GPS block
+        sum(when(img.getField("ok") && img.getField("exif_gps"), 1L)
+          .otherwise(0L)).as("__ngps"),
         round(avg(when(aud.getField("ok"), aud.getField("rms_norm"))), 6)
           .as("__arms"),
         // duration/rate come from the header walk, so they are real
@@ -1542,6 +1611,9 @@ object Multimodal {
         lit("avg_audio_secs"), col("__asec"),
         lit("avg_audio_hz"), col("__ahz"),
         lit("avg_video_keyframes"), col("__avkey"),
+        lit("pct_image_gps"),
+        when(col("__ni") > 0,
+          round(col("__ngps").cast("double") / col("__ni"), 4)),
         lit("n_assets"), col("__n").cast("double"),
         lit("pct_audio"), round(col("__na").cast("double") / col("__n"), 4),
         lit("pct_audio_clipped"),
