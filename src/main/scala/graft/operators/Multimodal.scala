@@ -2033,8 +2033,8 @@ object Multimodal {
     */
   def videoKeyframes(bytes: Array[Byte]): java.lang.Integer = {
     if (bytes == null) return null
-    val avi = aviMjpegFrames(bytes)
-    if (avi.nonEmpty) return java.lang.Integer.valueOf(avi.length)
+    val avi = aviMjpegFrameCount(bytes) // count only — no frame copies
+    if (avi > 0) return java.lang.Integer.valueOf(avi)
     mp4VideoTrack(bytes) match {
       case Some(t) => java.lang.Integer.valueOf(t.syncSamples.length)
       case None => null
@@ -2072,13 +2072,35 @@ object Multimodal {
   }
 
   private[graft] def aviMjpegFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val frames = Seq.newBuilder[Array[Byte]]
+    aviWalkFrames(bytes, (body, bodyEnd) =>
+      frames += java.util.Arrays.copyOfRange(bytes, body, bodyEnd))
+    frames.result()
+  }
+
+  /** Count AVI MJPEG frames WITHOUT copying their bytes — the card
+    * scan only needs the number, and copying every frame of a large
+    * video to count them is exactly the allocation a 100 TB scan
+    * can't afford.
+    */
+  private[graft] def aviMjpegFrameCount(bytes: Array[Byte]): Int = {
+    var n = 0
+    aviWalkFrames(bytes, (_, _) => n += 1)
+    n
+  }
+
+  /** RIFF walk visiting each `NNdc`/`NNdb` frame's (bodyStart,
+    * bodyEnd) byte range — the one implementation behind frame
+    * extraction and frame counting.
+    */
+  private def aviWalkFrames(bytes: Array[Byte],
+      onFrame: (Int, Int) => Unit): Unit = {
     if (bytes == null || bytes.length < 12 ||
       !(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F'))
-      return Nil
+      return
     @inline def u32(off: Int): Long =
       (bytes(off) & 0xFFL) | ((bytes(off + 1) & 0xFFL) << 8) |
         ((bytes(off + 2) & 0xFFL) << 16) | ((bytes(off + 3) & 0xFFL) << 24)
-    val frames = Seq.newBuilder[Array[Byte]]
     def walk(start: Int, end: Int): Unit = {
       var off = start
       var ok = true
@@ -2098,7 +2120,7 @@ object Multimodal {
           } else if (!truncated &&
             Character.isDigit(id.charAt(0)) && Character.isDigit(id.charAt(1)) &&
             id.charAt(2) == 'd' && (id.charAt(3) == 'c' || id.charAt(3) == 'b')) {
-            frames += java.util.Arrays.copyOfRange(bytes, body, bodyEnd)
+            onFrame(body, bodyEnd)
           }
           // a truncated LEAF ends the sibling walk (its length lies
           // about where the next chunk starts)
@@ -2108,7 +2130,6 @@ object Multimodal {
       }
     }
     walk(0, bytes.length)
-    frames.result()
   }
 
   /** Minimal MJPEG AVI container around pre-encoded JPEG frames —
