@@ -4702,10 +4702,14 @@ object SparkEntry {
     * ([[graft.operators.Multimodal.flacStreamInfo]]: rate/channels/
     * bits/total samples packed in the mandatory first metadata block)
     * and Ogg-Opus ([[graft.operators.Multimodal.opusInfo]]: OpusHead
-    * + last-page granule; Opus times at 48 kHz, so duration =
-    * (granule − pre-skip) / 48000 whatever the input rate was). With
-    * q154's MPEG walk this covers the three dominant crawled-audio
-    * codecs; every value is a closed form of the fixture arguments.
+    * + last-page granule; Opus decodes on a fixed 48 kHz clock
+    * whatever the OpusHead input rate was, so sample_rate reports
+    * 48000 — the clock n_samples is measured in — and
+    * duration_ms == n_samples · 1000 / sample_rate holds across
+    * codecs; fixture 4's 16 kHz input rate is informational only).
+    * With q154's MPEG walk this covers the three dominant
+    * crawled-audio codecs; every value is a closed form of the
+    * fixture arguments.
     */
   private def q159(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -4736,7 +4740,7 @@ object SparkEntry {
       |  CAST(120000 AS BIGINT), CAST(120000 * 1000 // 48000 AS BIGINT), TRUE),
       | (CAST(3 AS BIGINT), 'opus', 2, 48000, CAST(NULL AS INTEGER),
       |  CAST(96000 AS BIGINT), CAST(96000 * 1000 // 48000 AS BIGINT), TRUE),
-      | (CAST(4 AS BIGINT), 'opus', 1, 16000, CAST(NULL AS INTEGER),
+      | (CAST(4 AS BIGINT), 'opus', 1, 48000, CAST(NULL AS INTEGER),
       |  CAST(24000 AS BIGINT), CAST(24000 * 1000 // 48000 AS BIGINT), TRUE),
       | (CAST(5 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
       |  CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),

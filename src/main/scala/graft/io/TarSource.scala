@@ -195,42 +195,66 @@ object TarSource {
       }(org.apache.spark.sql.Encoders.scalaLong)
       .reduce(_ + _)
     // Job-level swap, only reached when EVERY task committed its
-    // staged shards: retract _SUCCESS (batch path only — a reader must
-    // not see the directory as complete while family names churn; the
-    // streaming path leaves the shared marker alone, other generations
-    // remain a complete dataset throughout), sweep this run's stale
-    // family names (a rerun with a SHRUNK shard count must not leave
-    // the old run's higher-numbered shards behind), rename the staged
-    // shards into place, drop the staging dir, and (re)write _SUCCESS.
-    // read(requireSuccessMarker = true) enforces the marker.
+    // staged shards. Two orderings, chosen by who can be watching:
+    //
+    //  - Batch path (swapSuccessMarker = true): retract _SUCCESS
+    //    FIRST, so no read(requireSuccessMarker = true) treats the
+    //    directory as complete while family names churn; then bulk
+    //    sweep this run's stale family names (a rerun with a SHRUNK
+    //    shard count must not leave the old run's higher-numbered
+    //    shards behind) and rename the staged shards in.
+    //
+    //  - Streaming path (swapSuccessMarker = false): the shared
+    //    marker STAYS (other generations remain a committed dataset
+    //    throughout), so a re-delivered generation must never have
+    //    its old shards bulk-deleted before the replacements land — a
+    //    concurrent reader would glob a complete-looking directory
+    //    with the whole generation missing, and a crash in that
+    //    window would persist it. Instead each staged shard swaps
+    //    INDIVIDUALLY (delete the old twin immediately before its
+    //    replacement's rename), shrinking the exposure to one shard ×
+    //    two metadata ops — and a crash mid-swap leaves at most a
+    //    mixed old/new generation that the batch replay (same
+    //    batchId, deterministic bytes) repairs. Stale family names
+    //    WITHOUT a replacement (a shrunk shard count) are swept after
+    //    all replacements are in place.
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stagingPath = new org.apache.hadoop.fs.Path(staging)
-    if (swapSuccessMarker)
+    val stagedNames: Array[String] =
+      if (fs.exists(stagingPath))
+        fs.listStatus(stagingPath).map(_.getPath.getName)
+          .filter(!_.startsWith(".")) // staged shards only, never leftover temps
+      else Array.empty
+    def sweepStale(exclude: Set[String]): Unit =
+      if (fs.exists(dirPath)) { // an all-null-payload job may write nothing
+        fs.listStatus(dirPath).foreach { st =>
+          val n = st.getPath.getName
+          // also reclaim loose ".{base}.{attempt}.inprogress" debris of
+          // this family (the pre-staging temp form never recreated now)
+          val staleTemp = n.startsWith(".") && n.endsWith(".inprogress") && {
+            val i = n.indexOf(".tar.")
+            i > 0 && staleName(n.substring(1, i + 4))
+          }
+          if ((staleName(n) && !exclude(n)) || staleTemp)
+            fs.delete(st.getPath, false)
+        }
+      }
+    def renameIn(n: String, deleteOldFirst: Boolean): Unit = {
+      val target = new org.apache.hadoop.fs.Path(dirPath, n)
+      if (deleteOldFirst && fs.exists(target)) fs.delete(target, false)
+      require(fs.rename(new org.apache.hadoop.fs.Path(stagingPath, n), target),
+        s"failed to commit tar shard $target from staging")
+    }
+    if (swapSuccessMarker) {
       fs.delete(new org.apache.hadoop.fs.Path(dirPath, SuccessMarker), false)
-    if (fs.exists(dirPath)) { // an all-null-payload job may write nothing
-      fs.listStatus(dirPath).foreach { st =>
-        val n = st.getPath.getName
-        // also reclaim loose ".{base}.{attempt}.inprogress" debris of
-        // this family (the pre-staging temp form never recreated now)
-        val staleTemp = n.startsWith(".") && n.endsWith(".inprogress") && {
-          val i = n.indexOf(".tar.")
-          i > 0 && staleName(n.substring(1, i + 4))
-        }
-        if (staleName(n) || staleTemp) fs.delete(st.getPath, false)
-      }
+      sweepStale(Set.empty)
+      stagedNames.foreach(renameIn(_, deleteOldFirst = false))
+    } else {
+      stagedNames.foreach(renameIn(_, deleteOldFirst = true))
+      sweepStale(stagedNames.toSet)
     }
-    if (fs.exists(stagingPath)) {
-      fs.listStatus(stagingPath).foreach { st =>
-        val n = st.getPath.getName
-        if (!n.startsWith(".")) { // staged shards only, never leftover temps
-          val target = new org.apache.hadoop.fs.Path(dirPath, n)
-          require(fs.rename(st.getPath, target),
-            s"failed to commit tar shard $target from staging")
-        }
-      }
-      fs.delete(stagingPath, true)
-    }
+    if (fs.exists(stagingPath)) fs.delete(stagingPath, true)
     fs.create(new org.apache.hadoop.fs.Path(dirPath, SuccessMarker), true)
       .close()
     written
@@ -372,8 +396,14 @@ object TarSource {
     * default glob picks up every generation; a training loader
     * treats generations as more shards. The shared `_SUCCESS` marker
     * is only ever (re)written at each batch's commit, never retracted
-    * mid-batch — a concurrent `read(requireSuccessMarker = true)`
-    * always sees a complete set of committed generations.
+    * mid-batch; a re-DELIVERED generation replaces its old shards one
+    * at a time (per-shard delete-then-rename), so a concurrent
+    * `read(requireSuccessMarker = true)` sees every OTHER generation
+    * complete throughout and can transiently miss at most one shard
+    * of the generation being replayed (first deliveries only add
+    * files — no window at all). A crash mid-swap leaves a mixed
+    * old/new generation that the replay (same batchId, deterministic
+    * bytes) repairs.
     */
   def writeStreamShards(stream: DataFrame, dir: String, keyCol: String,
       shardCol: String, files: Seq[(String, String)], numShards: Int,

@@ -219,7 +219,10 @@ object Multimodal {
           val (timescale, duration) =
             if (version == 1) (be32(mvhd + 28), be64(mvhd + 32))
             else (be32(mvhd + 20), be32(mvhd + 24))
-          if (timescale > 0) durMs = duration * 1000L / timescale
+          // all-ones duration is the spec's "unknown" sentinel
+          // (fragmented/live-muxed) — keep durMs null, don't divide
+          if (timescale > 0 && duration != 0xFFFFFFFFL && duration != -1L)
+            durMs = duration * 1000L / timescale
         }
         var w: Integer = null
         var h: Integer = null
@@ -968,6 +971,13 @@ object Multimodal {
       (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
       (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||
       (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||
+      // BM / TIFF: every raster format decodePixels accepts must be
+      // rejected here too, or an image whose pixel bytes chance-contain
+      // a dual-frame-consistent sync would classify as BOTH image and
+      // audio in mediaCard (double-counted, pct_undecodable negative)
+      (b(0) == 'B' && b(1) == 'M') ||
+      (b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+      (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42) ||
       (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') ||
       (b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S')) return None
     var pos = 0
@@ -1359,10 +1369,16 @@ object Multimodal {
                   Row(ch, sr, bits, total, null, null, null, null, true,
                     null, "flac", total * 1000L / sr, null, null)
                 case None => opusInfo(bytes) match {
-                  case Some((ch, preSkip, inputRate, granule)) =>
-                    // Opus times at 48 kHz regardless of input rate
+                  case Some((ch, preSkip, _, granule)) =>
+                    // Opus decodes on a fixed 48 kHz clock whatever the
+                    // OpusHead input rate was (RFC 7845 §5.1 calls the
+                    // input rate informational only) — n_samples is
+                    // measured on that clock, so sample_rate MUST report
+                    // 48000 or n_samples/sample_rate disagrees with
+                    // duration_ms. Cross-codec invariant, all rows:
+                    // duration_ms == n_samples * 1000 / sample_rate.
                     val samples = math.max(0L, granule - preSkip)
-                    Row(ch, inputRate, null, samples, null, null, null,
+                    Row(ch, 48000, null, samples, null, null, null,
                       null, true, null, "opus", samples * 1000L / 48000L,
                       null, null)
                   case None =>
@@ -1456,6 +1472,20 @@ object Multimodal {
     * track the envelope.
     */
   val AudioHashGrid = 4096
+
+  /** Versioned kernel names for DURABLE signature stores
+    * ([[graft.streaming.StreamOps.streamingSignatureDedupIngest]],
+    * durable Hamming indexes): any change to a kernel's bit output
+    * silently breaks incremental matching against signatures persisted
+    * under the old framing — no error, just missed duplicates — so
+    * stores are stamped with the kernel name/version at creation and
+    * ingest refuses a mismatch. BUMP the suffix whenever the kernel's
+    * output changes for any input (audiohash64 is at /2: the round-11
+    * move from ceil-stride framing to the fixed [[AudioHashGrid]]
+    * changed every value).
+    */
+  val DHashSignatureName = "dhash64/1"
+  val AudioHashSignatureName = "audiohash64/2"
 
   /** The grid kernel behind [[audioHash64]] (generated code calls
     * [[audioHash64]] itself, so this can stay internal).
@@ -1919,6 +1949,10 @@ object Multimodal {
             } else if (b + 24 <= boxEnd) {
               timescale = u32(b + 12).toInt; duration = u32(b + 16)
             }
+            // the spec's "unknown" sentinel (all-ones — fragmented or
+            // live-muxed files) must not divide into a bogus ~82-day
+            // durationMs; 0 is the explicit unknown signal here
+            if (duration == 0xFFFFFFFFL || duration == -1L) duration = 0L
           case "hdlr" if b + 12 <= boxEnd =>
             isVideoTrack = new String(bytes, b + 8, 4, "ISO-8859-1") == "vide"
           case "stsd" if b + 16 <= boxEnd =>

@@ -139,6 +139,7 @@ object StreamOps {
     * `storeDir`:
     *
     * {{{
+    * store_meta.json    # {"version":1,"signature":"<kernel>/<ver>"}
     * sigs/batch=<id>/   # (id, sh) per ingested batch
     * pairs/batch=<id>/  # (id_a, id_b, hamming) found by that batch
     * }}}
@@ -155,8 +156,9 @@ object StreamOps {
       maxBucketSize: Int = graft.operators.Dedup.DefaultMaxBucketSize)
       : org.apache.spark.sql.streaming.StreamingQuery =
     streamingSignatureDedupIngest(stream, idCol, contentCol,
-      graft.operators.Multimodal.dhash64Col, storeDir, checkpointDir,
-      maxHamming, bands, maxBucketSize)
+      graft.operators.Multimodal.dhash64Col,
+      graft.operators.Multimodal.DHashSignatureName, storeDir,
+      checkpointDir, maxHamming, bands, maxBucketSize)
 
   /** [[streamingImageDedupIngest]] for ANY 64-bit perceptual
     * signature — pass the modality's kernel column
@@ -167,10 +169,23 @@ object StreamOps {
     * modality, so the crawl infrastructure can never drift between
     * them. Signature-null rows (non-decodable bytes) are dropped —
     * they can't be near anything.
+    *
+    * `signatureName` is the versioned kernel identity
+    * ([[graft.operators.Multimodal.DHashSignatureName]] /
+    * [[graft.operators.Multimodal.AudioHashSignatureName]]; text
+    * SimHash callers pass `"simhash64/1"`): stamped into
+    * `store_meta.json` at store creation, and every later batch
+    * REFUSES a store stamped differently — a kernel whose bit output
+    * changed (new framing, fixed bug) would otherwise keep joining
+    * new signatures against incompatible persisted ones and miss
+    * real duplicates with no error. A store written before
+    * versioning existed (sigs present, no meta) is refused with the
+    * rebuild instruction for the same reason.
     */
   def streamingSignatureDedupIngest(stream: DataFrame, idCol: String,
       contentCol: String,
       signature: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      signatureName: String,
       storeDir: String, checkpointDir: String,
       maxHamming: Int = 6, bands: Int = 8,
       maxBucketSize: Int = graft.operators.Dedup.DefaultMaxBucketSize)
@@ -187,10 +202,11 @@ object StreamOps {
         // catch: a corrupt / permission-broken store must fail the
         // batch loudly — degrading it to "no old signatures" would
         // silently record false no-duplicate results forever
+        val hconf = spark.sparkContext.hadoopConfiguration
         val sigsPath = new org.apache.hadoop.fs.Path(s"$storeDir/sigs")
-        val storeExists = sigsPath
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .exists(sigsPath)
+        val storeExists = sigsPath.getFileSystem(hconf).exists(sigsPath)
+        checkOrStampSignatureStore(hconf, storeDir, signatureName,
+          storeExists)
         val old =
           if (!storeExists) sigs.filter(lit(false))
           else spark.read.parquet(s"$storeDir/sigs")
@@ -206,6 +222,47 @@ object StreamOps {
         ()
       }
       .start()
+
+  /** Enforce the signature-store version contract: stamp
+    * `store_meta.json` when the store is new, verify it matches the
+    * running kernel otherwise, refuse pre-versioning stores (sigs
+    * present, no meta). The stamp is idempotent (a replayed batch 0
+    * rewrites identical bytes).
+    */
+  private def checkOrStampSignatureStore(
+      hconf: org.apache.hadoop.conf.Configuration, storeDir: String,
+      signatureName: String, storeExists: Boolean): Unit = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$storeDir/store_meta.json")
+    val fs = metaPath.getFileSystem(hconf)
+    if (fs.exists(metaPath)) {
+      val in = fs.open(metaPath)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+      val parsed = org.json4s.jackson.JsonMethods.parse(text)
+      require((parsed \ "version").extract[Int] == 1,
+        s"unsupported signature store layout at $storeDir")
+      val stamped = (parsed \ "signature").extract[String]
+      require(stamped == signatureName,
+        s"signature store at $storeDir was built with kernel '$stamped' " +
+          s"but this ingest runs '$signatureName' — persisted signatures " +
+          "would silently stop matching new ones (missed duplicates, no " +
+          "error). Rebuild the store with the current kernel, or run the " +
+          "kernel version it was built with.")
+    } else if (storeExists) {
+      throw new IllegalStateException(
+        s"signature store at $storeDir predates store versioning (sigs/ " +
+          "present, no store_meta.json) — its kernel version is unknown " +
+          "and incremental matching against it is unsafe. Rebuild the " +
+          "store with the current kernel.")
+    } else {
+      val out = fs.create(metaPath, true)
+      try out.write(
+        s"""{"version":1,"signature":"$signatureName"}""".getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
 
   /** A flagged outlier from [[streamingAnomalyFlags]]. */
   final case class AnomalyHit(key: String, seq: Long, value: Double,

@@ -640,6 +640,11 @@ class SemanticSpec extends SparkSpec {
     assert(M.mpegAudioInfo(M.renderJpeg(16, 16, (_, _) => 0xFF00FF)).isEmpty)
     assert(M.mpegAudioInfo(M.renderPng(8, 8, (_, _) => 0x123456)).isEmpty)
     assert(M.mpegAudioInfo(M.syntheticMp4(16, 16, 500)).isEmpty)
+    // BM/TIFF joined the decodePixels allowlist — the rejection list
+    // must track it, or an image double-counts as audio in mediaCard
+    assert(M.mpegAudioInfo(M.renderImage("bmp", 8, 8, (_, _) => 0xABCDEF)).isEmpty)
+    assert(M.mpegAudioInfo(Array[Byte]('I', 'I', 42, 0, 1, 2, 3, 4)).isEmpty)
+    assert(M.mpegAudioInfo(Array[Byte]('M', 'M', 0, 42, 1, 2, 3, 4)).isEmpty)
     // free format: valid sync, bitrate index 0 — size underivable
     val free = Array[Byte](0xFF.toByte, 0xFB.toByte, 0x08, 0x00, 0, 0, 0, 0)
     assert(M.mpegAudioInfo(free).isEmpty)
@@ -733,6 +738,15 @@ class SemanticSpec extends SparkSpec {
     // the metadata-only synthetic (no stbl) parses as no track
     assert(Multimodal.mp4VideoTrack(Multimodal.syntheticMp4(16, 16, 500)).isEmpty)
     assert(Multimodal.videoKeyframes(bytes).intValue() == 2)
+    // mdhd duration 0xFFFFFFFF is the spec's "unknown" sentinel
+    // (fragmented/live-muxed) — it must surface as 0, never as a bogus
+    // ~82-day division result (frameDurationTicks = -1 on one frame
+    // writes exactly the all-ones u32)
+    val unknownDur = Multimodal.syntheticMjpegMp4(
+      Seq(Multimodal.renderJpeg(8, 8, (_, _) => 0x808080)),
+      frameDurationTicks = -1)
+    assert(Multimodal.mp4VideoTrack(unknownDur).get.durationMs == 0L,
+      "all-ones mdhd duration must read as unknown (0)")
   }
 
   test("videoFrames: MJPEG-in-MP4 keyframes decode through the image stack") {

@@ -423,7 +423,7 @@ class StreamingSpec extends SparkSpec {
     val input = MemoryStream[(Long, Array[Byte])](spark)
     val q = StreamOps.streamingSignatureDedupIngest(
       input.toDF().toDF("clip_id", "content"), "clip_id", "content",
-      M.audioHash64Col, store, ckpt)
+      M.audioHash64Col, M.AudioHashSignatureName, store, ckpt)
     try {
       val rnd = new scala.util.Random(13)
       val noise = Array.fill[Short](900)((rnd.nextInt(4000) - 2000).toShort)
@@ -440,6 +440,54 @@ class StreamingSpec extends SparkSpec {
       assert(pairs == Set((1L, 3L)), s"gain twin across batches only: $pairs")
       assert(spark.read.parquet(s"$store/sigs").count() == 3,
         "non-decodable rows never enter the store")
+      // the store is stamped with the kernel version at creation
+      val meta = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(store, "store_meta.json")), "UTF-8")
+      assert(meta.contains(s""""signature":"${M.AudioHashSignatureName}""""),
+        s"store must be stamped with the kernel version: $meta")
+    } finally q.stop()
+
+    // a later ingest running a DIFFERENT kernel version must refuse the
+    // store — joining new signatures against an incompatible persisted
+    // framing silently misses duplicates, the exact failure versioning
+    // exists to prevent
+    val input2 = MemoryStream[(Long, Array[Byte])](spark)
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-audckpt2").toString
+    val q2 = StreamOps.streamingSignatureDedupIngest(
+      input2.toDF().toDF("clip_id", "content"), "clip_id", "content",
+      M.audioHash64Col, "audiohash64/99", store, ckpt2)
+    try {
+      input2.addData((9L, M.renderWav(8000, 1, amSquare(900, 1))))
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(err.getMessage.contains("audiohash64/2") ||
+        Option(err.getCause).exists(_.getMessage.contains("audiohash64/2")),
+        s"refusal must name the stamped kernel: ${err.getMessage}")
+    } finally q2.stop()
+  }
+
+  test("signature store predating versioning (no meta) is refused") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val M = graft.operators.Multimodal
+    val store = java.nio.file.Files.createTempDirectory("graft-oldstore").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-oldckpt").toString
+    // a pre-versioning store: sigs/ exists, no store_meta.json
+    Seq((1L, 42L)).toDF("id", "sh")
+      .write.parquet(s"$store/sigs/batch=0")
+    val input = MemoryStream[(Long, Array[Byte])](spark)
+    val q = StreamOps.streamingImageDedupIngest(
+      input.toDF().toDF("img_id", "content"), "img_id", "content", store, ckpt)
+    try {
+      input.addData((2L, M.renderPng(8, 8, (_, _) => 0x808080)))
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def mentions(m: String) = m != null && m.contains("predates store versioning")
+      assert(mentions(err.getMessage) ||
+        Option(err.getCause).exists(c => mentions(c.getMessage)),
+        s"unversioned store must be refused: ${err.getMessage}")
     } finally q.stop()
   }
 
