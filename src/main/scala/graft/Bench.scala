@@ -30,7 +30,10 @@ import org.apache.spark.sql.SparkSession
   * round, so a 2× spin means the box was 2× slower, not the plans),
   * and `passes` = whole-suite wall seconds per interleaved pass
   * (a contention window shows as one inflated pass; a real plan
-  * regression inflates every pass).
+  * regression inflates every pass). Acting on the diagnosis: a pass
+  * whose wall exceeds 1.5× the median pass is discarded (its samples
+  * never reach the mins), ONE replacement pass runs in its place,
+  * and `discarded_passes` records the dropped indices.
   */
 object Bench {
 
@@ -114,28 +117,58 @@ object Bench {
     val spinStart = spinProbe()
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val failed = scala.collection.mutable.Set.empty[String]
-    val best = scala.collection.mutable.Map.empty[String, Double]
-    // per-pass wall totals: one contention window inflates ONE entry;
-    // a real plan regression inflates all of them
-    val passSec = new Array[Double](benchRuns)
-    for (pass <- 0 until benchRuns) {
+    // per-pass per-query samples + per-pass wall totals: one
+    // contention window inflates ONE pass; a real plan regression
+    // inflates all of them — and keeping samples BY pass is what lets
+    // a contaminated pass be discarded after the fact
+    val perPass = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
+    val passSec = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def runPass(): Unit = {
       val tPass = System.nanoTime()
+      val times = scala.collection.mutable.Map.empty[String, Double]
       for ((name, fn) <- names if !failed(name)) {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
         if (!ok) failed += name
-        else {
-          val sec = (System.nanoTime() - t0) / 1e9
-          best(name) = best.get(name).fold(sec)(math.min(_, sec))
-        }
+        else times(name) = (System.nanoTime() - t0) / 1e9
       }
-      passSec(pass) = (System.nanoTime() - tPass) / 1e9
+      perPass += times.toMap
+      passSec += (System.nanoTime() - tPass) / 1e9
     }
+    for (_ <- 0 until benchRuns) runPass()
+    // Outlier-pass handling: min-of-N absorbs one slow pass for MOST
+    // queries, but a thin-margin query whose clean passes straddle JIT
+    // warmup can still leak the contended sample into its min
+    // (round-11's q131: bench 1.3 s vs warm 0.76 s, pass 3 at 2× the
+    // median wall). A pass whose wall exceeds 1.5× the median of the
+    // scheduled passes is contention, not plans — discard its samples,
+    // run ONE replacement pass (bounded at +1 however many passes were
+    // slow), and report which indices were dropped.
+    val discarded: Seq[Int] =
+      if (benchRuns < 2) Nil
+      else {
+        val sorted = passSec.toSeq.sorted
+        val median = sorted(sorted.size / 2)
+        passSec.zipWithIndex.collect {
+          case (w, i) if w > 1.5 * median => i
+        }.toSeq
+      }
+    if (discarded.nonEmpty) runPass() // the replacement is never discarded
+    val keptIdx = perPass.indices.filterNot(discarded.toSet)
     val loadEnd = loadAvg()
     val spinEnd = spinProbe()
     val results = names.map { case (name, _) =>
-      name -> (if (failed(name)) -1.0 else best(name))
+      val kept = keptIdx.flatMap(i => perPass(i).get(name))
+      // a query sampled ONLY inside discarded passes (possible when it
+      // failed later) falls back to all samples rather than -1
+      val all = perPass.indices.flatMap(i => perPass(i).get(name))
+      val v =
+        if (failed(name)) -1.0
+        else if (kept.nonEmpty) kept.min
+        else if (all.nonEmpty) all.min
+        else -1.0
+      name -> v
     }
     // Compact values (trailing zeros trimmed; per-query 1 decimal,
     // totals 2): the harness that collects this output keeps only a
@@ -167,7 +200,8 @@ object Bench {
       .mkString("{", ",", "}")
     val env = s""""load":[${fmt(loadStart, 2)},${fmt(loadEnd, 2)}],""" +
       s""""spin":[${fmt(spinStart, 2)},${fmt(spinEnd, 2)}],""" +
-      s""""passes":[${passSec.map(fmt(_, 1)).mkString(",")}]"""
+      s""""passes":[${passSec.map(fmt(_, 1)).mkString(",")}],""" +
+      s""""discarded_passes":[${discarded.mkString(",")}]"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_full.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"index_sec":$indexBuildSec,$env,"sf":"$sfDir"}""")

@@ -532,27 +532,40 @@ object Analytics {
     * no join executed. The report runs the ACTUAL join too (the gate
     * quantifies the overestimate); production callers skip it.
     *
-    * Scale shape: one global sketch aggregate per side (map-side
-    * cell-wise combine), estimate computed driver-side from the two
-    * collected summaries.
+    * Scale shape: BOTH sketches fit in ONE action — the sides union
+    * with a side tag and a single grouped aggregate (map-side
+    * cell-wise combine) produces the two summaries together (the
+    * `fitNbQuality` side-tag discipline: two serialized driver
+    * `.head()` fits were two whole scheduler round-trips for work one
+    * job expresses); the estimate is then computed driver-side from
+    * the collected 2-row result.
     */
   def cmsJoinSizeEstimate(a: DataFrame, keyA: String, b: DataFrame,
       keyB: String, depth: Int = 3, width: Int = 1024): DataFrame = {
     val spark = a.sparkSession
-    import spark.implicits._
-    def sketch(df: DataFrame, key: String): Array[Long] =
-      df.select(col(key).cast("string")).filter(col(key).isNotNull).as[String]
-        .select(Aggregators.countMin(depth, width).toColumn).head()
-    val est = Aggregators.countMinInnerProduct(
-      sketch(a, keyA), sketch(b, keyB), depth, width)
-    // exact Σ_k f_A(k)·f_B(k) from the two per-key COUNT tables — the
-    // same number as count(A ⋈ B) without materializing the join's
-    // output (the self-join case is quadratic in hot-key frequency)
-    def keyCounts(df: DataFrame, key: String, out: String): DataFrame =
+    val cmAgg = org.apache.spark.sql.functions.udaf(
+      Aggregators.countMin(depth, width))
+    def side(df: DataFrame, key: String, tag: Int): DataFrame =
       df.filter(col(key).isNotNull)
-        .groupBy(col(key).as("__k")).agg(count(lit(1)).as(out))
-    val exact = keyCounts(a, keyA, "__na")
-      .join(keyCounts(b, keyB, "__nb"), Seq("__k"))
+        .select(lit(tag).as("__side"), col(key).cast("string").as("__k"))
+    val zero = new Array[Long](depth * width) // empty side = empty sketch
+    val tagged = side(a, keyA, 0).unionAll(side(b, keyB, 1))
+    val fitted = tagged
+      .groupBy(col("__side")).agg(cmAgg(col("__k")).as("__sk"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).toMap
+    val est = Aggregators.countMinInnerProduct(
+      fitted.getOrElse(0, zero), fitted.getOrElse(1, zero), depth, width)
+    // exact Σ_k f_A(k)·f_B(k) without materializing the join OR a
+    // count-table join: one keyed aggregate over the same tagged union
+    // yields both sides' per-key counts as conditional sums (a key
+    // missing from a side multiplies by 0, exactly the inner join's
+    // contribution), then one global sum — a single exchange where the
+    // join form paid two scans, two aggregates and a join
+    val exact = tagged
+      .groupBy(col("__k"))
+      .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__nb"))
       .agg(coalesce(sum(col("__na") * col("__nb")), lit(0L)).as("exact_n"))
     exact.select(lit(est).as("est"), col("exact_n"),
       (lit(est) - col("exact_n")).as("overcount"))

@@ -218,4 +218,22 @@ class SketchSpec extends SparkSpec {
     assert(got("rare") == ((7L, 7L, 0L)))
     assert(got("ghost") == ((0L, 0L, 0L)))
   }
+
+  test("cmsJoinSizeEstimate: exact inner product, never-under estimate, null/empty sides") {
+    // f_A = {x:3, y:2, z:1}, f_B = {x:2, z:4, w:5} → Σ f_A·f_B = 10
+    val a = (Seq.fill(3)("x") ++ Seq.fill(2)("y") ++ Seq("z"))
+      .toDF("k")
+    val b = (Seq.fill(2)("x") ++ Seq.fill(4)("z") ++ Seq.fill(5)("w"))
+      .toDF("k")
+    val r = Analytics.cmsJoinSizeEstimate(a, "k", b, "k",
+      depth = 3, width = 2048).head()
+    assert(r.getLong(1) == 10L, s"exact_n: $r")
+    // 4 distinct keys in 3x2048 cells: no collisions, estimate exact
+    assert(r.getLong(0) == 10L && r.getLong(2) == 0L, s"est/overcount: $r")
+    // nulls are excluded like the oracle's IS NOT NULL; an all-null
+    // side is the empty sketch (est 0, exact 0)
+    val nulls = Seq[Option[String]](None, None).toDF("k")
+    val rn = Analytics.cmsJoinSizeEstimate(a, "k", nulls, "k").head()
+    assert(rn.getLong(0) == 0L && rn.getLong(1) == 0L, s"empty side: $rn")
+  }
 }
