@@ -4853,6 +4853,56 @@ object SparkEntry {
       |) AS t(img_id, exif_gps, ok)
       |ORDER BY img_id""".stripMargin
 
+  /** WebP header facts ([[graft.operators.Multimodal.webpInfo]] — the
+    * dominant crawled-image format the JDK can't decode): `VP8 `
+    * lossy sync + 14-bit dims, `VP8L` lossless bit-packed dims +
+    * alpha, `VP8X` extended canvas + flags, and the RIFF `EXIF`
+    * chunk's GPS pointer feeding the same PII flag as a JPEG APP1
+    * (q161 discipline). The decode kernel reports format/dims/
+    * channels; imageStats classifies the asset as an IMAGE with real
+    * dimensions (pixel stats stay null — header facts, no VP8
+    * decoder), so a WebP-heavy crawl's card reads pct_image, not
+    * pct_undecodable. All header arithmetic — literal oracle.
+    */
+  private def q162(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    // little-endian TIFF whose IFD0 carries the GPS pointer (0x8825)
+    val gpsTiff = "Exif".getBytes("ISO-8859-1") ++ Array[Byte](0, 0) ++
+      "II".getBytes("ISO-8859-1") ++ Array[Byte](42, 0, 8, 0, 0, 0) ++
+      Array[Byte](1, 0) ++ // one IFD0 entry
+      Array[Byte](0x25, 0x88.toByte, 4, 0, 1, 0, 0, 0, 0, 0, 0, 0) ++
+      Array[Byte](0, 0, 0, 0) // no next IFD
+    val imgs = Seq(
+      (1L, M.syntheticWebp("vp8", 320, 240)),
+      (2L, M.syntheticWebp("vp8l", 33, 17, alpha = true)),
+      (3L, M.syntheticWebp("vp8x", 640, 360, alpha = true,
+        extraChunks = Seq("EXIF" -> gpsTiff))),
+      (4L, "not a webp".getBytes("UTF-8"))
+    ).toDF("img_id", "content")
+    M.imageStats(M.decode(imgs))
+      .select(col("img_id"),
+        col("decoded.format").as("format"),
+        col("decoded.width").as("width"),
+        col("decoded.height").as("height"),
+        col("decoded.channels").as("channels"),
+        col("stats.ok").as("is_image"),
+        col("stats.exif_gps").as("exif_gps"))
+      .orderBy(col("img_id"))
+  }
+
+  private def webpOracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(1 AS BIGINT), 'webp-vp8', 320, 240, 3, TRUE, FALSE),
+      | (CAST(2 AS BIGINT), 'webp-vp8l', 33, 17, 4, TRUE, FALSE),
+      | (CAST(3 AS BIGINT), 'webp-vp8x', 640, 360, 4, TRUE, TRUE),
+      | -- the 10-byte junk row rides the deterministic raw stub:
+      | -- width 64 + len%1024, height 64 + len*31%1024
+      | (CAST(4 AS BIGINT), 'raw', 64 + 10, 64 + 310, 3, FALSE,
+      |  CAST(NULL AS BOOLEAN))
+      |) AS t(img_id, format, width, height, channels, is_image, exif_gps)
+      |ORDER BY img_id""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -5018,7 +5068,8 @@ object SparkEntry {
     "q158_cut" -> (q158 _),
     "q159_acodec" -> (q159 _),
     "q160_gifbmp" -> (q160 _),
-    "q161_gps" -> (q161 _))
+    "q161_gps" -> (q161 _),
+    "q162_webp" -> (q162 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -5430,6 +5481,7 @@ object SparkEntry {
     "q159_acodec" -> audioCodecOracle,
     "q160_gifbmp" -> gifBmpOracle,
     "q161_gps" -> exifGpsOracle,
+    "q162_webp" -> webpOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

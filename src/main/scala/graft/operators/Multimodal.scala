@@ -83,6 +83,15 @@ object Multimodal {
         bytes(2) == 'F' && bytes(3) == 'F' &&
         bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')
       return decodeWav(bytes)
+    if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'W' && bytes(9) == 'E' && bytes(10) == 'B' && bytes(11) == 'P')
+      return webpInfo(bytes) match {
+        case Some((w, h, ch, variant)) =>
+          meta(width = w, height = h, channels = ch, format = s"webp-$variant")
+        case None => meta(format = "webp", ok = false,
+          error = "unrecognized WEBP payload chunk")
+      }
     if (bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' &&
         bytes(6) == 'y' && bytes(7) == 'p')
       return decodeMp4(bytes)
@@ -252,6 +261,112 @@ object Multimodal {
     }
   }
 
+  /** WebP header facts — (width, height, channels, variant) from the
+    * first payload chunk of a RIFF `WEBP` container, the dominant
+    * crawled-image format the JDK cannot decode:
+    *
+    *  - `VP8 ` (lossy): keyframe sync code `9D 01 2A` at payload+3,
+    *    then 14-bit little-endian width/height (RFC 6386 §9.1);
+    *    channels 3 (YUV, no alpha in the base stream);
+    *  - `VP8L` (lossless): `2F` signature, then an LSB-first
+    *    bitstream of 14-bit width−1, 14-bit height−1, 1 alpha bit
+    *    (the WebP lossless bitstream spec §3);
+    *  - `VP8X` (extended): flags byte (bit 4 = alpha), then 24-bit
+    *    little-endian canvas width−1 / height−1 (RFC 9649 §2.5.2).
+    *
+    * Header facts only — no pixel decode (a VP8 entropy decoder is a
+    * codec, not a header walk) — which is exactly what card
+    * classification and dimension gates need: a WebP asset reads as
+    * an IMAGE with real dimensions instead of falling to
+    * `pct_undecodable` and blinding the card to the format the crawl
+    * mostly delivers. None for non-WebP bytes or a payload that fails
+    * its own sync/signature check; callers degrade per-row. Pixel
+    * operators (dHash near-dup, textiness) remain null for WebP —
+    * the documented gap a VP8L decoder would close.
+    */
+  private[graft] def webpInfo(b: Array[Byte]): Option[(Int, Int, Int, String)] = {
+    if (b == null || b.length < 21 ||
+      !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||
+      !(b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P')) return None
+    @inline def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    @inline def le24(o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16)
+    val p = 20 // first chunk payload (fourcc at 12, size at 16)
+    new String(b, 12, 4, java.nio.charset.StandardCharsets.US_ASCII) match {
+      case "VP8 " =>
+        if (b.length < p + 10 || (b(p + 3) & 0xff) != 0x9D ||
+          (b(p + 4) & 0xff) != 0x01 || (b(p + 5) & 0xff) != 0x2A) None
+        else Some((le16(p + 6) & 0x3fff, le16(p + 8) & 0x3fff, 3, "vp8"))
+      case "VP8L" =>
+        if (b.length < p + 5 || (b(p) & 0xff) != 0x2F) None
+        else {
+          val w = 1 + ((b(p + 1) & 0xff) | ((b(p + 2) & 0x3f) << 8))
+          val h = 1 + (((b(p + 2) & 0xff) >> 6) | ((b(p + 3) & 0xff) << 2) |
+            ((b(p + 4) & 0x0f) << 10))
+          val alpha = ((b(p + 4) >> 4) & 1) == 1
+          Some((w, h, if (alpha) 4 else 3, "vp8l"))
+        }
+      case "VP8X" =>
+        if (b.length < p + 10) None
+        else {
+          val alpha = ((b(p) >> 4) & 1) == 1
+          Some((1 + le24(p + 4), 1 + le24(p + 7), if (alpha) 4 else 3, "vp8x"))
+        }
+      case _ => None
+    }
+  }
+
+  /** Minimal header-facts WebP fixtures ([[syntheticPng]] discipline):
+    * RIFF `WEBP` around one `VP8 `/`VP8L`/`VP8X` chunk whose header
+    * fields encode the given facts — every value [[webpInfo]] reports
+    * is a closed form of the arguments. `extraChunks` appends raw
+    * (fourcc, payload) chunks after the image chunk (EXIF tests).
+    */
+  private[graft] def syntheticWebp(variant: String, w: Int, h: Int,
+      alpha: Boolean = false,
+      extraChunks: Seq[(String, Array[Byte])] = Nil): Array[Byte] = {
+    def chunk(fourcc: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = payload.length & 1
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(fourcc.getBytes("ISO-8859-1")).putInt(payload.length).put(payload)
+      bb.array()
+    }
+    val img = variant match {
+      case "vp8" =>
+        require(!alpha, "the base VP8 stream carries no alpha")
+        val bb = java.nio.ByteBuffer.allocate(10)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put(new Array[Byte](3)) // frame tag: keyframe, version 0
+        bb.put(0x9D.toByte).put(0x01.toByte).put(0x2A.toByte)
+        bb.putShort((w & 0x3fff).toShort).putShort((h & 0x3fff).toShort)
+        chunk("VP8 ", bb.array())
+      case "vp8l" =>
+        val bits = (w - 1).toLong | ((h - 1).toLong << 14) |
+          ((if (alpha) 1L else 0L) << 28)
+        val payload = Array.tabulate[Byte](5)(i =>
+          if (i == 0) 0x2F.toByte else ((bits >> (8 * (i - 1))) & 0xff).toByte)
+        chunk("VP8L", payload)
+      case "vp8x" =>
+        val p = new Array[Byte](10)
+        if (alpha) p(0) = 0x10.toByte
+        def le24(v: Int, o: Int): Unit = {
+          p(o) = (v & 0xff).toByte
+          p(o + 1) = ((v >> 8) & 0xff).toByte
+          p(o + 2) = ((v >> 16) & 0xff).toByte
+        }
+        le24(w - 1, 4); le24(h - 1, 7)
+        chunk("VP8X", p)
+      case other => throw new IllegalArgumentException(s"variant: $other")
+    }
+    val body = img ++ extraChunks.flatMap { case (f, pl) => chunk(f, pl) }
+    val out = java.nio.ByteBuffer.allocate(12 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("ISO-8859-1")).putInt(4 + body.length)
+      .put("WEBP".getBytes("ISO-8859-1")).put(body)
+    out.array()
+  }
+
   /** Minimal valid-for-header-parsing PNG/JPEG bytes with known
     * dimensions — deterministic fixtures for oracle-checked decode
     * tests (q44) and specs.
@@ -416,17 +531,49 @@ object Multimodal {
     * (the pixel-side sibling of the text PII scrubbers in
     * [[Curation]]). Detection only — the SCRUB path already exists:
     * [[resizeImages]] re-encodes to PNG, which carries no EXIF at
-    * all. Null for non-JPEG bytes (PNG/GIF/BMP cannot carry EXIF GPS
-    * — callers may treat null-with-decodable as false); false for a
-    * JPEG without the tag. Public for the generated-code static call.
+    * all. Covers the two formats that CAN embed EXIF: JPEG (APP1
+    * segment) and WebP (the RIFF `EXIF` chunk an extended VP8X file
+    * may carry — same TIFF block, optional `Exif\0\0` prefix
+    * tolerated). Null for other bytes (PNG/GIF/BMP cannot carry EXIF
+    * GPS — callers may treat null-with-decodable as false); false
+    * for a JPEG/WebP without the tag. Public for the generated-code
+    * static call.
     */
   def exifGpsPresent(bytes: Array[Byte]): java.lang.Boolean = {
-    if (bytes == null || bytes.length < 4 ||
-      !(bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte)) return null
+    if (bytes == null || bytes.length < 12) return null
+    if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'E' &&
+      bytes(10) == 'B' && bytes(11) == 'P') return webpGpsPresent(bytes)
+    if (!(bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte)) return null
     val r = exifApp1Region(bytes)
     if (r < 0) return java.lang.Boolean.FALSE
     java.lang.Boolean.valueOf(
       tiffHasTag(bytes, (r >>> 32).toInt, (r & 0xffffffffL).toInt, 0x8825))
+  }
+
+  /** GPS flag for a WebP container: walk the RIFF chunks for `EXIF`
+    * and scan its TIFF block for tag 0x8825 like the JPEG path.
+    */
+  private def webpGpsPresent(b: Array[Byte]): java.lang.Boolean = {
+    @inline def le32(o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = le32(i + 4)
+      if (b(i) == 'E' && b(i + 1) == 'X' && b(i + 2) == 'I' && b(i + 3) == 'F') {
+        val p0 = i + 8
+        val end = math.min(b.length.toLong, p0 + size).toInt
+        // some writers prefix the TIFF block with "Exif\0\0" like APP1
+        val t = if (end - p0 >= 6 && b(p0) == 'E' && b(p0 + 1) == 'x' &&
+          b(p0 + 2) == 'i' && b(p0 + 3) == 'f' && b(p0 + 4) == 0 &&
+          b(p0 + 5) == 0) p0 + 6 else p0
+        return java.lang.Boolean.valueOf(tiffHasTag(b, t, end, 0x8825))
+      }
+      if (size < 0 || size > Int.MaxValue - i - 9) return java.lang.Boolean.FALSE
+      i += 8 + size.toInt + (size.toInt & 1) // RIFF word alignment
+    }
+    java.lang.Boolean.FALSE
   }
 
   /** Scan IFD0 of the TIFF region for `tag` (any type/count). */
@@ -807,9 +954,19 @@ object Multimodal {
               val gps = exifGpsPresent(bytes) == java.lang.Boolean.TRUE
               Row(img.getWidth, img.getHeight, s(0), s(1), s(2),
                 textinessOf(img), gps, true, null)
-            case None =>
-              Row(null, null, null, null, null, null, null, false,
-                "not a decodable raster")
+            case None => webpInfo(bytes) match {
+              // header-facts image (WebP — no JDK pixel decoder):
+              // REAL dimensions and the EXIF-chunk GPS flag, pixel
+              // stats null. ok = true: the asset IS an image, and the
+              // card must classify it as one — averages over null
+              // pixel stats simply skip these rows.
+              case Some((w, h, _, _)) =>
+                val gps = exifGpsPresent(bytes) == java.lang.Boolean.TRUE
+                Row(w, h, null, null, null, null, gps, true, null)
+              case None =>
+                Row(null, null, null, null, null, null, null, false,
+                  "not a decodable raster")
+            }
           }
           Row.fromSeq(row.toSeq :+ stats)
         }
@@ -1759,6 +1916,9 @@ object Multimodal {
     else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
       bytes(3) == '8') "image/gif"
     else if (bytes(0) == 'B' && bytes(1) == 'M') "image/bmp"
+    else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'E' &&
+      bytes(10) == 'B' && bytes(11) == 'P') "image/webp"
     else "application/octet-stream"
   }
 

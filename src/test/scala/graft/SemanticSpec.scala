@@ -718,6 +718,44 @@ class SemanticSpec extends SparkSpec {
     assert(Multimodal.mpegAudioInfo(fix("synthetic.opus")).isEmpty)
   }
 
+  test("webpInfo: python-built fixture cross-check — VP8X canvas + EXIF GPS, VP8L dims") {
+    def fix(name: String): Array[Byte] =
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        getClass.getResource(s"/fixtures/$name").toURI))
+    // VP8X: alpha flag, 640x360 canvas, EXIF chunk with the GPS pointer
+    val x = fix("synthetic.webp")
+    assert(Multimodal.webpInfo(x).contains((640, 360, 4, "vp8x")))
+    assert(Multimodal.exifGpsPresent(x) == java.lang.Boolean.TRUE,
+      "the RIFF EXIF chunk's tag 0x8825 must flag like a JPEG APP1's")
+    // VP8L: 33x17 straddles the 14-bit fields' byte boundaries, no alpha
+    val l = fix("synthetic_lossless.webp")
+    assert(Multimodal.webpInfo(l).contains((33, 17, 3, "vp8l")))
+    assert(Multimodal.exifGpsPresent(l) == java.lang.Boolean.FALSE,
+      "a WebP without an EXIF chunk is location-free, not unknown")
+    // scala-builder round trips through the same parser
+    assert(Multimodal.webpInfo(Multimodal.syntheticWebp("vp8", 320, 240))
+      .contains((320, 240, 3, "vp8")))
+    assert(Multimodal.webpInfo(
+        Multimodal.syntheticWebp("vp8l", 8191, 4097, alpha = true))
+      .contains((8191, 4097, 4, "vp8l")))
+    // decode kernel: format + dims; imageStats: classified as image
+    // with real dims, pixel stats null (header facts, no VP8 decoder)
+    val d = Multimodal.decode(Seq((1L, x)).toDF("id", "content"))
+      .select("decoded.format", "decoded.width", "decoded.height",
+        "decoded.channels", "decoded.ok").head()
+    assert(d.getString(0) == "webp-vp8x" && d.getInt(1) == 640 &&
+      d.getInt(2) == 360 && d.getInt(3) == 4 && d.getBoolean(4))
+    val s = Multimodal.imageStats(Seq((1L, l)).toDF("id", "content"))
+      .select("stats.ok", "stats.width", "stats.height", "stats.avg_r",
+        "stats.exif_gps").head()
+    assert(s.getBoolean(0) && s.getInt(1) == 33 && s.getInt(2) == 17 &&
+      s.isNullAt(3) && !s.getBoolean(4))
+    // magic discipline: WAV is not WebP; WebP never reads as audio
+    assert(Multimodal.webpInfo(Multimodal.syntheticWav(8000, 1, 10)).isEmpty)
+    assert(Multimodal.mpegAudioInfo(x).isEmpty)
+    assert(Multimodal.sniffMime(x) == "image/webp")
+  }
+
   test("mp4VideoTrack: python-built fixture cross-check — multi-run stsc, stss, duration") {
     // independent muxer (scripts/make_mp4_fixture.py): 5 samples of
     // sizes 11..15 split 3+2 across two chunks, sync = {1,4},
