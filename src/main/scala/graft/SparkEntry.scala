@@ -4903,6 +4903,58 @@ object SparkEntry {
       |) AS t(img_id, format, width, height, channels, is_image, exif_gps)
       |ORDER BY img_id""".stripMargin
 
+  /** AAC header facts — ADTS frame walk
+    * ([[graft.operators.Multimodal.adtsAudioInfo]]: sync scan with
+    * the q154 dual-frame anchor, 1024 samples per raw data block →
+    * exact duration, mean bitrate from the 13-bit frame lengths) and
+    * audio-only ISO-BMFF ([[graft.operators.Multimodal.m4aAudioInfo]]:
+    * `mp4a` sample-entry channels + 16.16 rate, mdhd duration on the
+    * sample-rate clock; a non-mp4a entry reports its own fourcc).
+    * With MPEG/FLAC/Opus this completes the crawled-audio codec set;
+    * every value is a closed form of the fixture arguments.
+    */
+  private def q163(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    val streams = Seq(
+      (1L, M.syntheticAdts(1, 3, 2, Seq(50, 60, 70), id3Bytes = 20)),
+      (2L, M.syntheticAdts(0, 11, 1, Seq(10))),
+      (3L, M.syntheticM4a(2, 44100, 441000L)),
+      (4L, M.syntheticM4a(1, 22050, 11025L, codec = "alac")),
+      (5L, "junk bytes".getBytes("UTF-8"))
+    ).toDF("aud_id", "content")
+    M.audioStats(streams)
+      .select(col("aud_id"), col("audio.codec").as("codec"),
+        col("audio.channels").as("channels"),
+        col("audio.sample_rate").as("sample_rate"),
+        col("audio.n_samples").as("n_samples"),
+        col("audio.duration_ms").as("duration_ms"),
+        col("audio.bitrate_kbps").as("bitrate_kbps"),
+        col("audio.ok").as("ok"))
+      .orderBy(col("aud_id"))
+  }
+
+  private def aacOracle: String =
+    """SELECT * FROM (VALUES
+      | -- 3 LC frames at 48 kHz stereo: lengths 57/67/77, 3072 samples
+      | (CAST(1 AS BIGINT), 'aac-lc', 2, 48000, CAST(3072 AS BIGINT),
+      |  CAST(3072 * 1000 // 48000 AS BIGINT),
+      |  round((57 + 67 + 77) * 8 * 48000.0 / 3072 / 1000, 3), TRUE),
+      | -- 1 Main frame at 8 kHz mono: length 17, 1024 samples
+      | (CAST(2 AS BIGINT), 'aac-main', 1, 8000, CAST(1024 AS BIGINT),
+      |  CAST(1024 * 1000 // 8000 AS BIGINT),
+      |  round(17 * 8 * 8000.0 / 1024 / 1000, 3), TRUE),
+      | (CAST(3 AS BIGINT), 'aac', 2, 44100, CAST(441000 AS BIGINT),
+      |  CAST(441000 * 1000 // 44100 AS BIGINT), CAST(NULL AS DOUBLE), TRUE),
+      | (CAST(4 AS BIGINT), 'alac', 1, 22050, CAST(11025 AS BIGINT),
+      |  CAST(11025 * 1000 // 22050 AS BIGINT), CAST(NULL AS DOUBLE), TRUE),
+      | (CAST(5 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+      |  CAST(NULL AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      |  CAST(NULL AS DOUBLE), FALSE)
+      |) AS t(aud_id, codec, channels, sample_rate, n_samples, duration_ms,
+      |       bitrate_kbps, ok)
+      |ORDER BY aud_id""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -5069,7 +5121,8 @@ object SparkEntry {
     "q159_acodec" -> (q159 _),
     "q160_gifbmp" -> (q160 _),
     "q161_gps" -> (q161 _),
-    "q162_webp" -> (q162 _))
+    "q162_webp" -> (q162 _),
+    "q163_aac" -> (q163 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -5482,6 +5535,7 @@ object SparkEntry {
     "q160_gifbmp" -> gifBmpOracle,
     "q161_gps" -> exifGpsOracle,
     "q162_webp" -> webpOracle,
+    "q163_aac" -> aacOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

@@ -1118,25 +1118,29 @@ object Multimodal {
     * streams (bitrate index 0) are rejected — their frame size is not
     * derivable. None = not MPEG audio; callers degrade per-row.
     */
-  private[graft] def mpegAudioInfo(b: Array[Byte]): Option[MpegAudioInfo] = {
-    if (b == null || b.length < 8) return None
-    // known non-MPEG containers are rejected by magic before any sync
-    // scan — compressed payloads can chance-contain sync-like bytes,
-    // and "this JPEG is 0.1 s of MPEG2.5" is the failure mode to ban
-    if ((b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||
+  /** Known container / raster magics rejected before any elementary-
+    * stream sync scan (MPEG audio AND ADTS) — compressed payloads can
+    * chance-contain sync-like bytes, and "this JPEG is 0.1 s of
+    * MPEG2.5" is the failure mode to ban. Every raster format
+    * [[decodePixels]] accepts must appear here too, or an image whose
+    * pixel bytes chance-contain a dual-frame-consistent sync would
+    * classify as BOTH image and audio in [[mediaCard]]
+    * (double-counted, pct_undecodable negative).
+    */
+  private def knownNonAudioMagic(b: Array[Byte]): Boolean =
+    (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||
       (b.length >= 8 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') ||
       (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
       (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||
       (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||
-      // BM / TIFF: every raster format decodePixels accepts must be
-      // rejected here too, or an image whose pixel bytes chance-contain
-      // a dual-frame-consistent sync would classify as BOTH image and
-      // audio in mediaCard (double-counted, pct_undecodable negative)
       (b(0) == 'B' && b(1) == 'M') ||
       (b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
       (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42) ||
       (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') ||
-      (b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S')) return None
+      (b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S')
+
+  private[graft] def mpegAudioInfo(b: Array[Byte]): Option[MpegAudioInfo] = {
+    if (b == null || b.length < 8 || knownNonAudioMagic(b)) return None
     var pos = 0
     if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
       val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
@@ -1346,6 +1350,249 @@ object Multimodal {
     if (granule < 0) None else Some((channels, preSkip, inputRate, granule))
   }
 
+  /** Parsed ADTS (AAC) stream facts — the other half of real crawled
+    * audio next to the MPEG walk: (profile, sampleRate, channels,
+    * nFrames, totalSamples, avgBitrateKbps). Same crawl-robust shape
+    * as [[mpegAudioInfo]]: known containers rejected by magic first,
+    * ID3v2 skipped by its syncsafe size, the first sync must appear
+    * within 4 KiB and the SECOND frame must parse consistently (same
+    * sampling-frequency index + channel config — the dual-frame
+    * anchor), the walk stops cleanly at trailing junk. ADTS and MPEG
+    * syncs are disjoint by construction (ADTS layer bits are 00,
+    * which [[mpegAudioInfo]] rejects as reserved, and vice versa).
+    * Sample count is exact — 1024 samples per raw data block, blocks
+    * per frame from the header — so duration is a closed form.
+    */
+  final case class AdtsInfo(profile: Int, sampleRate: Int, channels: Int,
+      nFrames: Int, totalSamples: Long, avgBitrateKbps: Double)
+
+  // MPEG-4 sampling_frequency_index table (ISO/IEC 14496-3 §1.6.3.4)
+  private val AdtsRates: Array[Int] = Array(96000, 88200, 64000, 48000,
+    44100, 32000, 24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+  /** One ADTS header at `pos`: (sfIdx, chCfg, frameLen, blocks) packed
+    * in an Int array, or null. Layer bits must be 00 (an MPEG audio
+    * header never matches) and the length must cover the header.
+    */
+  private def adtsHdr(b: Array[Byte], pos: Int): Array[Int] = {
+    if (pos < 0 || pos + 7 > b.length) return null
+    if ((b(pos) & 0xff) != 0xFF || (b(pos + 1) & 0xF6) != 0xF0) return null
+    val sfIdx = (b(pos + 2) >> 2) & 0xf
+    if (sfIdx >= AdtsRates.length) return null
+    val chCfg = ((b(pos + 2) & 1) << 2) | ((b(pos + 3) >> 6) & 3)
+    if (chCfg == 0) return null // PCE-carried config: not a header fact
+    val profile = (b(pos + 2) >> 6) & 3
+    val frameLen = ((b(pos + 3) & 3) << 11) | ((b(pos + 4) & 0xff) << 3) |
+      ((b(pos + 5) >> 5) & 7)
+    val crc = (b(pos + 1) & 1) == 0
+    if (frameLen < (if (crc) 9 else 7)) return null
+    val blocks = (b(pos + 6) & 3) + 1
+    Array(sfIdx, chCfg, frameLen, blocks, profile)
+  }
+
+  private[graft] def adtsAudioInfo(b: Array[Byte]): Option[AdtsInfo] = {
+    if (b == null || b.length < 8 || knownNonAudioMagic(b)) return None
+    var pos = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      val footer = if ((b(5) & 0x10) != 0) 10 else 0
+      val skip = 10L + size + footer
+      if (skip >= b.length) return None
+      pos = skip.toInt
+    }
+    var start = -1
+    var scan = pos
+    val scanEnd = math.min(b.length - 7, pos + 4096)
+    while (start < 0 && scan <= scanEnd) {
+      val h = adtsHdr(b, scan)
+      if (h != null) {
+        val nxt = adtsHdr(b, scan + h(2))
+        val lastFrame = scan + h(2) >= b.length - 6
+        if (lastFrame || (nxt != null && nxt(0) == h(0) && nxt(1) == h(1)))
+          start = scan
+      }
+      if (start < 0) scan += 1
+    }
+    if (start < 0) return None
+    val first = adtsHdr(b, start)
+    var at = start
+    var nFrames = 0
+    var totalSamples = 0L
+    var totalBytes = 0L
+    var done = false
+    while (!done) {
+      val h = adtsHdr(b, at)
+      if (h == null || h(0) != first(0) || h(1) != first(1) ||
+        at + h(2) > b.length) done = true
+      else {
+        nFrames += 1
+        totalSamples += 1024L * h(3)
+        totalBytes += h(2)
+        at += h(2)
+        if (at >= b.length - 6) done = true
+      }
+    }
+    if (nFrames < 1) return None
+    val rate = AdtsRates(first(0))
+    Some(AdtsInfo(first(4), rate, first(1), nFrames, totalSamples,
+      totalBytes * 8.0 * rate / totalSamples / 1000.0))
+  }
+
+  private val AdtsProfileNames = Array("main", "lc", "ssr", "ltp")
+
+  /** Build a VALID ADTS stream with zeroed payloads — real headers,
+    * deterministic bytes ([[syntheticMp3]] discipline): every fact
+    * [[adtsAudioInfo]] reports is a closed form of the arguments.
+    * `payloadSizes` = per-frame raw-data byte counts.
+    */
+  private[graft] def syntheticAdts(profile: Int, sfIdx: Int, channels: Int,
+      payloadSizes: Seq[Int], id3Bytes: Int = 0): Array[Byte] = {
+    require(profile >= 0 && profile <= 3, s"profile: $profile")
+    require(sfIdx >= 0 && sfIdx < AdtsRates.length, s"sfIdx: $sfIdx")
+    require(channels >= 1 && channels <= 7, s"channels: $channels")
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Bytes > 0) {
+      out.write(Array[Byte]('I', 'D', '3', 4, 0, 0))
+      out.write((id3Bytes >> 21) & 0x7f); out.write((id3Bytes >> 14) & 0x7f)
+      out.write((id3Bytes >> 7) & 0x7f); out.write(id3Bytes & 0x7f)
+      out.write(new Array[Byte](id3Bytes))
+    }
+    payloadSizes.foreach { p =>
+      val len = 7 + p
+      val f = new Array[Byte](len)
+      f(0) = 0xFF.toByte
+      f(1) = 0xF1.toByte // MPEG-4, layer 00, no CRC
+      f(2) = ((profile << 6) | (sfIdx << 2) | ((channels >> 2) & 1)).toByte
+      f(3) = (((channels & 3) << 6) | ((len >> 11) & 3)).toByte
+      f(4) = ((len >> 3) & 0xff).toByte
+      f(5) = (((len & 7) << 5) | 0x1f).toByte // fullness high bits
+      f(6) = 0xFC.toByte // fullness low, 1 raw data block
+      out.write(f)
+    }
+    out.toByteArray
+  }
+
+  /** M4A (AAC-in-ISO-BMFF) audio-track facts — (channels, sampleRate,
+    * nSamples, codecFourcc): the FIRST `soun`-handler track's `mdhd`
+    * timescale/duration plus the `stsd` sample entry's channel count
+    * and 16.16 sample rate (the `mp4a` layout — same fields for any
+    * audio sample entry). nSamples rescales the mdhd duration to the
+    * sample-rate clock (exact in the common timescale == rate case);
+    * the all-ones unknown-duration sentinel reads as 0 samples, the
+    * [[mp4VideoTrack]] rule. None for non-BMFF bytes, a file with no
+    * complete audio description, or a container that ALSO carries a
+    * `vide` track — a movie's modality is video ([[mediaCard]] must
+    * not count it as audio just because it has a soundtrack; its
+    * frames go through [[mp4VideoTrack]]).
+    */
+  private[graft] def m4aAudioInfo(b: Array[Byte]): Option[(Int, Int, Long, String)] = {
+    if (b == null || b.length < 16 ||
+      !(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return None
+    @inline def u32(o: Int): Long =
+      ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+        ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+    @inline def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    @inline def u16(o: Int): Int = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    var timescale = 0
+    var duration = 0L
+    var isAudioTrack = false
+    var sawVideoTrack = false
+    var codec: String = null
+    var channels = 0
+    var rate = 0
+    var found: Option[(Int, Int, Long, String)] = None
+    def finishTrak(): Unit = {
+      if (found.isEmpty && isAudioTrack && codec != null && rate > 0 &&
+        timescale > 0) {
+        val samples = duration * rate / timescale
+        found = Some((channels, rate, samples, codec))
+      }
+      timescale = 0; duration = 0L; isAudioTrack = false
+      codec = null; channels = 0; rate = 0
+    }
+    def walk(start: Long, end: Long): Unit = {
+      var off = start
+      while (!sawVideoTrack && off + 8 <= end) {
+        val size0 = u32(off.toInt)
+        val id = new String(b, off.toInt + 4, 4, "ISO-8859-1")
+        var body = off + 8
+        val boxEnd =
+          if (size0 == 1 && off + 16 <= end) { body = off + 16; off + u64(off.toInt + 8) }
+          else if (size0 == 0) end
+          else off + size0
+        if (boxEnd < body || boxEnd > end) return
+        val p = body.toInt
+        id match {
+          case "moov" | "mdia" | "minf" | "stbl" => walk(body, boxEnd)
+          case "trak" => walk(body, boxEnd); finishTrak()
+          case "mdhd" if p + 4 <= boxEnd =>
+            if (b(p) == 1 && p + 32 <= boxEnd) {
+              timescale = u32(p + 20).toInt; duration = u64(p + 24)
+            } else if (p + 24 <= boxEnd) {
+              timescale = u32(p + 12).toInt; duration = u32(p + 16)
+            }
+            if (duration == 0xFFFFFFFFL || duration == -1L) duration = 0L
+          case "hdlr" if p + 12 <= boxEnd =>
+            val handler = new String(b, p + 8, 4, "ISO-8859-1")
+            isAudioTrack = handler == "soun"
+            if (handler == "vide") sawVideoTrack = true
+          case "stsd" if p + 16 <= boxEnd =>
+            // first sample entry: fourcc at +12; the audio sample
+            // entry's channelcount sits 24 bytes and its 16.16 sample
+            // rate 32 bytes into the entry (ISO/IEC 14496-12 §12.2.3)
+            val entry = p + 8
+            codec = new String(b, entry + 4, 4, "ISO-8859-1")
+            if (entry + 36 <= boxEnd) {
+              channels = u16(entry + 24)
+              rate = (u32(entry + 32) >> 16).toInt
+            }
+          case _ => ()
+        }
+        off = boxEnd
+      }
+    }
+    walk(0L, b.length.toLong)
+    if (sawVideoTrack) None else found
+  }
+
+  /** Minimal M4A: ftyp + moov/trak/mdia(mdhd, hdlr soun, minf/stbl/
+    * stsd(mp4a)) with the given facts ([[syntheticMjpegMp4]]'s audio
+    * twin; timescale == sampleRate so nSamples is exact).
+    */
+  private[graft] def syntheticM4a(channels: Int, sampleRate: Int,
+      nSamples: Long, codec: String = "mp4a"): Array[Byte] = {
+    def box(id: String, payload: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + payload.length)
+      out.putInt(8 + payload.length).put(id.getBytes("ISO-8859-1")).put(payload)
+      out.array()
+    }
+    val mdhd = {
+      val p = java.nio.ByteBuffer.allocate(24)
+      p.putInt(0).putInt(0).putInt(0) // v0, times
+      p.putInt(sampleRate).putInt(nSamples.toInt).putInt(0)
+      p.array()
+    }
+    val hdlr = java.nio.ByteBuffer.allocate(24).putInt(0).putInt(0)
+      .put("soun".getBytes("ISO-8859-1")).putInt(0).putInt(0).putInt(0)
+      .array()
+    val entry = {
+      val p = java.nio.ByteBuffer.allocate(36)
+      p.putInt(36).put(codec.getBytes("ISO-8859-1"))
+      p.position(8 + 16) // reserved/data-ref/version/revision/vendor
+      p.putShort(channels.toShort).putShort(16) // channelcount, samplesize
+      p.putInt(0) // pre_defined + reserved
+      p.putInt(sampleRate << 16) // 16.16
+      p.array()
+    }
+    val stsd = java.nio.ByteBuffer.allocate(8).putInt(0).putInt(1).array() ++ entry
+    val stbl = box("stbl", box("stsd", stsd))
+    val mdia = box("mdia", box("mdhd", mdhd) ++ box("hdlr", hdlr) ++
+      box("minf", stbl))
+    val ftyp = box("ftyp", "M4A    isomiso2".getBytes("ISO-8859-1"))
+    ftyp ++ box("moov", box("trak", mdia))
+  }
+
   /** Minimal Ogg-Opus: an OpusHead page plus an EOS page with the
     * given granule position (header-facts fixture).
     */
@@ -1538,10 +1785,30 @@ object Multimodal {
                     Row(ch, 48000, null, samples, null, null, null,
                       null, true, null, "opus", samples * 1000L / 48000L,
                       null, null)
-                  case None =>
-                    Row(null, null, null, null, null, null, null, null,
-                      false, "not linear PCM WAV or MPEG/FLAC/Opus audio",
-                      null, null, null, null)
+                  case None => adtsAudioInfo(bytes) match {
+                    case Some(a) =>
+                      def r3(x: Double): Double = BigDecimal(x)
+                        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+                      // AAC frame sizes vary by content even at a fixed
+                      // target rate, so vbr is not a header fact (null)
+                      Row(a.channels, a.sampleRate, null, a.totalSamples,
+                        null, null, null, null, true, null,
+                        s"aac-${AdtsProfileNames(a.profile)}",
+                        a.totalSamples * 1000L / a.sampleRate,
+                        r3(a.avgBitrateKbps), null)
+                    case None => m4aAudioInfo(bytes) match {
+                      case Some((ch, sr, samples, fourcc)) =>
+                        Row(ch, sr, null, samples, null, null, null, null,
+                          true, null,
+                          if (fourcc == "mp4a") "aac" else fourcc,
+                          samples * 1000L / sr, null, null)
+                      case None =>
+                        Row(null, null, null, null, null, null, null, null,
+                          false,
+                          "not PCM WAV or MPEG/FLAC/Opus/AAC/M4A audio",
+                          null, null, null, null)
+                    }
+                  }
                 }
               }
             }

@@ -718,6 +718,47 @@ class SemanticSpec extends SparkSpec {
     assert(Multimodal.mpegAudioInfo(fix("synthetic.opus")).isEmpty)
   }
 
+  test("adtsAudioInfo / m4aAudioInfo: python-built fixture cross-checks") {
+    def fix(name: String): Array[Byte] =
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        getClass.getResource(s"/fixtures/$name").toURI))
+    // ADTS: ID3 skipped, 3 LC frames at 16 kHz mono (payloads
+    // 20/30/25 -> lengths 27/37/32), trailing junk ends the walk
+    val adts = fix("synthetic.adts")
+    val a = Multimodal.adtsAudioInfo(adts).get
+    assert(a.profile == 1 && a.sampleRate == 16000 && a.channels == 1)
+    assert(a.nFrames == 3 && a.totalSamples == 3 * 1024L)
+    assert(math.abs(a.avgBitrateKbps -
+      (27 + 37 + 32) * 8.0 * 16000 / 3072 / 1000.0) < 1e-9)
+    // M4A: mp4a entry facts, duration on the sample-rate clock
+    val m4a = fix("synthetic.m4a")
+    assert(Multimodal.m4aAudioInfo(m4a).contains((2, 44100, 88200L, "mp4a")))
+    // stats surface: codec strings + the cross-codec duration invariant
+    val rows = Multimodal.audioStats(Seq(
+        (1L, adts), (2L, m4a)).toDF("id", "content"))
+      .select("id", "audio.codec", "audio.sample_rate", "audio.n_samples",
+        "audio.duration_ms", "audio.ok").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    assert(rows(1L) == (("aac-lc", 16000, 3072L, 3072L * 1000 / 16000, true)))
+    assert(rows(2L) == (("aac", 44100, 88200L, 2000L, true)))
+    // sync disciplines are disjoint: an MP3 never parses as ADTS and
+    // vice versa (ADTS layer bits 00 are the MPEG walk's reserved id)
+    assert(Multimodal.adtsAudioInfo(fix("synthetic.mp3")).isEmpty)
+    assert(Multimodal.mpegAudioInfo(adts).isEmpty)
+    // an MP4 with a VIDEO track must never classify as audio — a
+    // movie's soundtrack is not an audio asset
+    val movie = Multimodal.syntheticMjpegMp4(
+      Seq(Multimodal.renderJpeg(8, 8, (_, _) => 0x808080)))
+    assert(Multimodal.m4aAudioInfo(movie).isEmpty)
+    // scala-builder round trips
+    val synth = Multimodal.syntheticAdts(1, 4, 2, Seq(100, 100), id3Bytes = 16)
+    val sa = Multimodal.adtsAudioInfo(synth).get
+    assert(sa.sampleRate == 44100 && sa.channels == 2 && sa.nFrames == 2)
+    assert(Multimodal.m4aAudioInfo(
+      Multimodal.syntheticM4a(1, 8000, 4000L)).contains((1, 8000, 4000L, "mp4a")))
+  }
+
   test("webpInfo: python-built fixture cross-check — VP8X canvas + EXIF GPS, VP8L dims") {
     def fix(name: String): Array[Byte] =
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
