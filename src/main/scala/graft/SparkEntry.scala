@@ -4955,6 +4955,131 @@ object SparkEntry {
       |       bitrate_kbps, ok)
       |ORDER BY aud_id""".stripMargin
 
+  /** Corpus-scale EXACT video dedup — q156's discipline for the
+    * keyframe byte-range path: one `avc1` MP4 per document, sample
+    * payloads a closed form of `doc_id % 11` (identical inside a
+    * class, distinct across — an xxhash64 collision of distinct
+    * 64+-byte payloads is the only failure mode, and the 11 fixed
+    * payload sets make that a build-time-checkable non-event), with
+    * per-document MUX jitter (timescale, frame duration, chunk
+    * layout) that re-muxing changes and the sample bytes don't see.
+    * [[graft.operators.Dedup.videoDedupCorpus]] must therefore
+    * recover exactly the residue classes at ANY scale factor —
+    * restated by the oracle as doc_id arithmetic (q156 shape).
+    */
+  private def q164(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Scale.parallelismFloor(
+      t(s, dir, "documents").select(col("doc_id")))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val rdd = docs.rdd.map { r =>
+      val id = r.getLong(0)
+      val cls = (id % 11).toInt
+      // 4 opaque "avc1" samples per video, bytes a function of the
+      // CLASS only; every sample is a sync sample (syncEvery = 1)
+      val samples = (0 until 4).map(f =>
+        Array.tabulate[Byte](64 + cls * 3 + f)(j =>
+          ((cls * 131 + f * 29 + j * 7 + 17) & 0xff).toByte))
+      val mp4 = graft.operators.Multimodal.syntheticMjpegMp4(samples,
+        syncEvery = 1, timescale = 600 + (id % 5).toInt * 120,
+        frameDurationTicks = 30 + (id % 4).toInt * 10, codec = "avc1",
+        samplesPerChunk = 1 + (id % 3).toInt)
+      org.apache.spark.sql.Row(id, mp4)
+    }
+    // mux ONCE: the corpus dedup reads the frame twice (signature
+    // derivation + the final keep join)
+    val vids = s.createDataFrame(rdd, schema).localCheckpoint(false)
+    graft.operators.Dedup.videoDedupCorpus(vids, "doc_id", "content")
+      .groupBy((col("doc_id") % 11).as("vid_class"))
+      .agg(count(lit(1)).as("n"),
+        min(col("dup_class")).as("class_min"),
+        max(col("dup_class")).as("class_max"), // == class_min: one class
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .orderBy(col("vid_class"))
+  }
+
+  private def videoCorpusOracle: String =
+    """SELECT doc_id % 11 AS vid_class, count(*) AS n,
+      | CAST(doc_id % 11 AS BIGINT) AS class_min,
+      | CAST(doc_id % 11 AS BIGINT) AS class_max,
+      | CAST(1 AS BIGINT) AS n_keep
+      |FROM documents GROUP BY doc_id % 11 ORDER BY vid_class""".stripMargin
+
+  /** Corpus-scale audio dedup — q156's discipline for the waveform
+    * path: one mono PCM WAV per document whose ENVELOPE LADDER is a
+    * closed form of `doc_id % 19`. The 9 duration-relative windows
+    * of [[graft.operators.Multimodal.audioHash64]] get amplitudes
+    * walking ±100 from 1000 by the class's bit pattern, so window
+    * t vs t+1 energy comparisons equal the class bits in EVERY
+    * difference row (a ±A period-2 square's r-th difference is a
+    * ±2^r·A period-2 square, scaling all window energies by 4^r):
+    * classes are Hamming-0 inside and ≥ 8 bits apart — outside the
+    * default maxHamming = 6 gate. Per-document jitter exercises the
+    * PROVEN invariances: integer gain (energies scale by g²,
+    * comparisons unchanged) and k× sample-repeat (bit-identical by
+    * the fixed-grid floor identity). The oracle restates the dedup
+    * outcome as doc_id arithmetic.
+    */
+  private def q165(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Scale.parallelismFloor(
+      t(s, dir, "documents").select(col("doc_id")))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val rdd = docs.rdd.map { r =>
+      val id = r.getLong(0)
+      val cls = (id % 19).toInt
+      val gain = 1 + (id % 16).toInt // amp ≤ 1800·16 < 2^15: exact fold
+      val rep = 1 + (id % 3).toInt // sample-repeat: grid-exact resample
+      val amps = new Array[Int](9)
+      amps(0) = 1000
+      var t = 0
+      while (t < 8) {
+        amps(t + 1) = amps(t) + (if (((cls >> t) & 1) != 0) 100 else -100)
+        t += 1
+      }
+      // base stream on the hash's own grid (4096 frames at 8 kHz),
+      // windowed with the SAME floor boundaries audioHashOf uses
+      val base = new Array[Short](4096)
+      var w = 0
+      while (w < 9) {
+        var i = w * 4096 / 9
+        val x1 = (w + 1) * 4096 / 9
+        while (i < x1) {
+          base(i) = (amps(w) * gain * (if (i % 2 == 0) 1 else -1)).toShort
+          i += 1
+        }
+        w += 1
+      }
+      val samples = new Array[Short](4096 * rep)
+      var i = 0
+      while (i < samples.length) { samples(i) = base(i / rep); i += 1 }
+      org.apache.spark.sql.Row(id,
+        graft.operators.Multimodal.renderWav(8000, 1, samples))
+    }
+    // render ONCE (the q156/q164 checkpoint discipline)
+    val wavs = s.createDataFrame(rdd, schema).localCheckpoint(false)
+    graft.operators.Dedup.audioDedupCorpus(wavs, "doc_id", "content")
+      .groupBy((col("doc_id") % 19).as("aud_class"))
+      .agg(count(lit(1)).as("n"),
+        min(col("dup_class")).as("class_min"),
+        max(col("dup_class")).as("class_max"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .orderBy(col("aud_class"))
+  }
+
+  private def audioCorpusOracle: String =
+    """SELECT doc_id % 19 AS aud_class, count(*) AS n,
+      | CAST(doc_id % 19 AS BIGINT) AS class_min,
+      | CAST(doc_id % 19 AS BIGINT) AS class_max,
+      | CAST(1 AS BIGINT) AS n_keep
+      |FROM documents GROUP BY doc_id % 19 ORDER BY aud_class""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -5122,7 +5247,9 @@ object SparkEntry {
     "q160_gifbmp" -> (q160 _),
     "q161_gps" -> (q161 _),
     "q162_webp" -> (q162 _),
-    "q163_aac" -> (q163 _))
+    "q163_aac" -> (q163 _),
+    "q164_vidcorp" -> (q164 _),
+    "q165_audcorp" -> (q165 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -5536,6 +5663,8 @@ object SparkEntry {
     "q161_gps" -> exifGpsOracle,
     "q162_webp" -> webpOracle,
     "q163_aac" -> aacOracle,
+    "q164_vidcorp" -> videoCorpusOracle,
+    "q165_audcorp" -> audioCorpusOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

@@ -690,6 +690,21 @@ object Dedup {
         Multimodal.dhash64Col(col("frame")).as("__fh"))
       .filter(col("__fh").isNotNull)
       .localCheckpoint(false)
+    frameCoveragePairs(hashes, maxFrameHamming, minFrameCoverage, bands,
+      maxBucketSize)
+  }
+
+  /** The shared coverage-promotion tail of both video dedup paths —
+    * perceptual ([[videoNearDuplicates]]: decoded-frame dHashes) and
+    * exact ([[videoExactDuplicates]]: keyframe byte-range hashes):
+    * band the per-frame 64-bit hashes, cap hot buckets, equi-join,
+    * gate at `maxFrameHamming` bits at JOIN time, then promote frame
+    * matches to (contained_id, container_id, frame_coverage) pairs.
+    * `hashes` columns: `__vid`, `frame_idx`, `__fh`; callers
+    * localCheckpoint it (both join sides + the totals read it).
+    */
+  private def frameCoveragePairs(hashes: DataFrame, maxFrameHamming: Int,
+      minFrameCoverage: Double, bands: Int, maxBucketSize: Int): DataFrame = {
     val totals = hashes.groupBy(col("__vid").as("contained_id"))
       .agg(count(lit(1)).as("n_frames"))
     val capped = capBucketsPartitioned(
@@ -716,6 +731,84 @@ object Dedup {
       .filter(col("n_matched").cast("double") / col("n_frames") >= minFrameCoverage)
       .withColumn("frame_coverage",
         round(col("n_matched").cast("double") / col("n_frames"), 6))
+  }
+
+  /** (id, frame_idx, hash) signatures for EXACT video dedup —
+    * [[Multimodal.videoKeyframeHashes]] posexploded: one row per
+    * keyframe, xxhash64 of the exact sample bytes (ISO-BMFF `stss`
+    * sync samples — codec-free, so H.264/`avc1` content is covered
+    * without a decoder; AVI MJPEG = all frames). Map-only codegen'd
+    * projection + generate; rows with no extractable frames (null
+    * array) drop out of the explode.
+    */
+  def videoKeyframeSignatures(df: DataFrame, idCol: String,
+      contentCol: String): DataFrame =
+    df.select(col(idCol).as("__vid"),
+      posexplode(Multimodal.videoKeyframeHashesCol(col(contentCol)))
+        .as(Seq("frame_idx", "__fh")))
+
+  /** EXACT video duplicates via keyframe byte-range hashes — the
+    * re-mux/re-tag/container-swap catcher for REAL codecs: two MP4s
+    * carrying the same `avc1` (H.264) bitstream in different chunk
+    * layouts, box orders, timescales or containers pair at coverage
+    * 1.0 because their sync samples are byte-identical, with no
+    * decoder in the loop. The perceptual path
+    * ([[videoNearDuplicates]]) stays the catcher for RE-ENCODED
+    * twins of decodable codecs (MJPEG); perceptual near-dup of
+    * re-encoded H.264 would need a full decoder and is explicitly
+    * out of scope — this operator is the scalable dup class that
+    * doesn't.
+    *
+    * Same machinery as the perceptual path with `bands = 1` and a
+    * 0-bit gate: banding a 64-bit hash into one 64-bit chunk makes
+    * the banded join a plain equi-join on the hash value itself
+    * (pigeonhole with one band ≡ exact equality), so the bucket cap,
+    * join shape and coverage promotion are shared, not re-derived.
+    * Containment asymmetry included: a clip whose every keyframe
+    * appears in a longer cut surfaces as contained→container at 1.0.
+    */
+  def videoExactDuplicates(df: DataFrame, idCol: String, contentCol: String,
+      minKeyframeCoverage: Double = 1.0,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(minKeyframeCoverage > 0 && minKeyframeCoverage <= 1,
+      s"minKeyframeCoverage must be in (0,1]: $minKeyframeCoverage")
+    frameCoveragePairs(
+      videoKeyframeSignatures(df, idCol, contentCol).localCheckpoint(false),
+      maxFrameHamming = 0, minKeyframeCoverage, bands = 1, maxBucketSize)
+  }
+
+  /** End-to-end exact video corpus dedup — [[imageDedupCorpus]]'s
+    * container twin with a BETTER scale shape, because exactness
+    * allows one: instead of pairs → connected components (whose
+    * output is k² rows for a k-copy duplicate class — the synthetic
+    * worst case every crawl's most-viral video approximates), each
+    * video collapses to ONE 64-bit [[Multimodal.videoFingerprint64]]
+    * (order-sensitive chain over its keyframe byte-range hashes) and
+    * classes are a plain groupBy on it: one map-only projection, one
+    * keyed exchange, one join back — job count independent of corpus
+    * size AND of class size. Equality of fingerprints is equality of
+    * the keyframe hash sequence, so membership matches
+    * [[videoExactDuplicates]] at coverage 1.0 for equal-keyframe
+    * videos; clip-in-longer-cut CONTAINMENT intentionally does not
+    * collapse here (different sequence) — that asymmetric relation is
+    * the pair operator's job. Returns the input plus `dup_class`
+    * (min id per class; null = unique, including rows with no
+    * extractable frames) and `keep`.
+    */
+  def videoDedupCorpus(df: DataFrame, idCol: String,
+      contentCol: String): DataFrame = {
+    val withSig = df.withColumn("__sig",
+      Multimodal.videoFingerprint64Col(col(contentCol)))
+    // class roster: min id per signature, singletons degraded to
+    // null dup_class (the classKeepTail "unique" convention)
+    val classes = withSig.filter(col("__sig").isNotNull)
+      .groupBy(col("__sig"))
+      .agg(min(col(idCol)).as("__cls"), count(lit(1)).as("__cn"))
+    withSig.join(classes, Seq("__sig"), "left")
+      .withColumn("dup_class", when(col("__cn") > 1, col("__cls")))
+      .withColumn("keep",
+        col("dup_class").isNull || col("dup_class") === col(idCol))
+      .drop("__sig", "__cls", "__cn")
   }
 
   // ------------------------------------------- transitive dedup classes

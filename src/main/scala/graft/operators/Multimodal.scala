@@ -428,7 +428,10 @@ object Multimodal {
       .putInt(sampleRate).putInt(byteRate)
       .putShort((channels * 2).toShort).putShort(16)
     out.put("data".getBytes).putInt(dataSize)
-    samples.foreach(out.putShort)
+    var i = 0
+    // while, not foreach: Function1 isn't specialized on Short, so a
+    // foreach would box every sample of every rendered corpus row
+    while (i < samples.length) { out.putShort(samples(i)); i += 1 }
     out.array()
   }
 
@@ -2437,19 +2440,167 @@ object Multimodal {
         }
     }
 
+  /** xxhash64 (seed 42, the built-in `xxhash64` column's) of every
+    * keyframe's byte range, hashed IN PLACE over the container buffer
+    * — no frame copies, which is the whole point of an exact-dedup
+    * scan at 100 TB. ISO-BMFF: the `stss` sync samples of the first
+    * video track in table order (absent `stss` = every sample is
+    * sync, per spec) — codec-FREE, so it covers `avc1`/H.264 and
+    * anything else the demuxer meets without a decoder in the loop.
+    * AVI MJPEG: every `##dc`/`##db` frame (Motion JPEG is
+    * all-keyframe). Hashing the exact sample bytes makes the
+    * signature invariant under re-muxing (chunk layout, interleave,
+    * box order, timescale, tags) and under container swaps that
+    * preserve payloads (MJPEG AVI ↔ MP4) — and different the moment
+    * one frame is re-ENCODED: this is EXACT dedup, the byte-range
+    * sibling of the perceptual [[dhash64]] frame path (which needs a
+    * decodable codec and stays the lossy-twin catcher). Null when the
+    * bytes yield no frame ranges. Array index = keyframe ordinal.
+    */
+  def videoKeyframeHashes(bytes: Array[Byte]): Array[Long] = {
+    if (bytes == null) return null
+    @inline def hash(start: Int, end: Int): Long =
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start,
+        end - start, 42L)
+    val out = Array.newBuilder[Long]
+    var n = 0
+    aviWalkFrames(bytes, (b, e) => { out += hash(b, e); n += 1 })
+    if (n == 0) mp4VideoTrack(bytes).foreach { t =>
+      t.syncSamples.foreach { sNum =>
+        if (sNum >= 1 && sNum <= t.sampleOffsets.length) {
+          val i = sNum - 1
+          val off = t.sampleOffsets(i)
+          if (off >= 0 && off + t.sampleSizes(i) <= bytes.length) {
+            out += hash(off.toInt, (off + t.sampleSizes(i)).toInt)
+            n += 1
+          }
+        }
+      }
+    }
+    if (n == 0) null else out.result()
+  }
+
+  /** Whole-video EXACT fingerprint: an order-sensitive splitmix chain
+    * over [[videoKeyframeHashes]] — ONE 64-bit signature per video, so
+    * corpus-scale exact dedup is a map-only projection + a groupBy on
+    * the signature ([[graft.operators.Dedup.videoDedupCorpus]]), never
+    * a pairwise join: identical-bitstream re-muxes collapse to one
+    * group no matter how many thousands of copies a crawl delivers
+    * (the all-pairs output a coverage join would emit for a k-copy
+    * class is k², the fingerprint group is k). Order-sensitive on
+    * purpose — the same keyframes re-cut in a different order are a
+    * different video; clip-in-longer-cut containment intentionally
+    * does NOT share a fingerprint (that asymmetric relation is
+    * [[graft.operators.Dedup.videoExactDuplicates]]'s coverage-pair
+    * job). Null when no frame ranges parse.
+    */
+  def videoFingerprint64(bytes: Array[Byte]): java.lang.Long = {
+    val hs = videoKeyframeHashes(bytes)
+    if (hs == null) return null
+    var h = 0x6C62272E07BB0142L // chain seed; any fixed odd constant
+    var i = 0
+    while (i < hs.length) {
+      h = graft.functions.ExprKernels.splitmix64(h ^ hs(i))
+      i += 1
+    }
+    java.lang.Long.valueOf(h)
+  }
+
+  /** [[videoFingerprint64]] as a Column — codegen'd like
+    * [[dhash64Col]].
+    */
+  def videoFingerprint64Col(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.bridge.{columnOf, expressionOf}
+    columnOf(VideoFingerprint64(expressionOf(content)))
+  }
+
+  case class VideoFingerprint64(child: org.apache.spark.sql.catalyst.expressions.Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val h = videoFingerprint64(v.asInstanceOf[Array[Byte]])
+      if (h == null) null else h.longValue()
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val c = child.genCode(ctx)
+      val boxed = ctx.freshName("vfp")
+      ev.copy(code = code"""
+        ${c.code}
+        java.lang.Long $boxed = ${c.isNull} ? null :
+          graft.operators.Multimodal.videoFingerprint64(${c.value});
+        final boolean ${ev.isNull} = $boxed == null;
+        final long ${ev.value} = ${ev.isNull} ? 0L : $boxed.longValue();""")
+    }
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression): VideoFingerprint64 = copy(c)
+  }
+
+  /** [[videoKeyframeHashes]] as Catalyst `ArrayData` — the
+    * generated-code bridge (null stays null so non-video rows drop
+    * out of a `posexplode`).
+    */
+  def videoKeyframeHashesData(bytes: Array[Byte]):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val a = videoKeyframeHashes(bytes)
+    if (a == null) null
+    else org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(a)
+  }
+
+  /** [[videoKeyframeHashes]] as a Column (`array<bigint>`, null for
+    * non-video rows) — same codegen discipline as [[dhash64Col]].
+    */
+  def videoKeyframeHashesCol(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.bridge.{columnOf, expressionOf}
+    columnOf(VideoKeyframeHashes(expressionOf(content)))
+  }
+
+  case class VideoKeyframeHashes(child: org.apache.spark.sql.catalyst.expressions.Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      videoKeyframeHashesData(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val c = child.genCode(ctx)
+      val arr = ctx.freshName("kfhashes")
+      ev.copy(code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData $arr = ${c.isNull} ? null :
+          graft.operators.Multimodal.videoKeyframeHashesData(${c.value});
+        final boolean ${ev.isNull} = $arr == null;
+        final org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = $arr;""")
+    }
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression): VideoKeyframeHashes = copy(c)
+  }
+
   /** Minimal-but-valid MJPEG-in-MP4 around pre-encoded JPEG frames —
     * [[syntheticMjpegAvi]]'s ISO-BMFF twin: `ftyp` + `mdat` holding
     * the samples + a full `moov/trak/mdia(mdhd,hdlr vide,minf/stbl)`
     * with real `stsd('jpeg')`/`stts`/`stsc`/`stsz`/`stco`/`stss`
     * tables (sync every `syncEvery`-th sample, 1-based sample 1
-    * always sync). One chunk holding all samples — offsets point into
-    * `mdat`.
+    * always sync). `codec` is the sample-entry FourCC (`jpeg` keeps
+    * the MJPEG-decodable default; `avc1` builds the re-mux fixtures
+    * the exact keyframe-hash dedup needs). `samplesPerChunk` > 0
+    * splits the samples across that-many-sample chunks (multi-entry
+    * `stco` plus a partial-tail `stsc` run — the chunk-layout
+    * dimension a re-mux actually changes); 0 = one chunk holding all
+    * samples. Offsets point into `mdat` either way.
     */
   private[graft] def syntheticMjpegMp4(frames: Seq[Array[Byte]],
       syncEvery: Int = 1, timescale: Int = 1000,
-      frameDurationTicks: Int = 40): Array[Byte] = {
+      frameDurationTicks: Int = 40, codec: String = "jpeg",
+      samplesPerChunk: Int = 0): Array[Byte] = {
     require(frames.nonEmpty, "frames must be non-empty")
     require(syncEvery >= 1, s"syncEvery: $syncEvery")
+    require(codec.length == 4, s"codec must be a FourCC: $codec")
     def box(id: String, payload: Array[Byte]): Array[Byte] = {
       val out = java.nio.ByteBuffer.allocate(8 + payload.length)
       out.putInt(8 + payload.length).put(id.getBytes("ISO-8859-1")).put(payload)
@@ -2470,11 +2621,19 @@ object Multimodal {
     val duration = n * frameDurationTicks
     val mdhd = u32s(Seq(0, 0, 0, timescale, duration, 0))
     val hdlr = u32s(Seq(0, 0)) ++ "vide".getBytes("ISO-8859-1") ++ new Array[Byte](12)
-    val stsd = u32s(Seq(0, 1)) ++ box("jpeg", new Array[Byte](70))
+    val stsd = u32s(Seq(0, 1)) ++ box(codec, new Array[Byte](70))
     val stts = u32s(Seq(0, 1, n, frameDurationTicks))
-    val stsc = u32s(Seq(0, 1, 1, n, 1)) // one run: chunk 1 holds all samples
+    val spc = if (samplesPerChunk <= 0) n else math.min(samplesPerChunk, n)
+    // chunk k (0-based) holds samples [k*spc, min((k+1)*spc, n)); its
+    // stco entry is the file offset of its first sample (samples stay
+    // contiguous in mdat — only the TABLES change with the layout).
+    // stsc: one uniform run, plus a partial-tail run when spc ∤ n.
+    val chunkStarts = (0 until n by spc).toSeq
+    val stsc = u32s(
+      if (n % spc == 0) Seq(0, 1, 1, spc, 1)
+      else Seq(0, 2, 1, spc, 1, chunkStarts.length, n % spc, 1))
     val stsz = u32s(Seq(0, 0, n) ++ frames.map(_.length))
-    val stco = u32s(Seq(0, 1) ++ offsets)
+    val stco = u32s(Seq(0, chunkStarts.length) ++ chunkStarts.map(offsets(_)))
     val syncIdx = (1 to n).filter(s => (s - 1) % syncEvery == 0)
     val stss = u32s(Seq(0, syncIdx.length) ++ syncIdx)
     val stbl = box("stbl", box("stsd", stsd) ++ box("stts", stts) ++

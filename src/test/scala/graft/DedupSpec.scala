@@ -552,6 +552,88 @@ class DedupSpec extends SparkSpec {
       s"identical samples re-muxed must cover fully both ways: $pairs")
   }
 
+  test("video EXACT dedup: avc1 re-mux pairs at 1.0, clip containment is asymmetric, a re-encoded keyframe breaks the pair") {
+    val M = graft.operators.Multimodal
+    // opaque "H.264" sample payloads — the keyframe-hash path is
+    // codec-FREE (it hashes stss byte ranges), so deterministic bytes
+    // stand in for an avc1 bitstream no JDK decoder could touch
+    def sample(i: Int): Array[Byte] =
+      Array.tabulate[Byte](60 + i)(j => ((i * 31 + j * 7 + 3) & 0xff).toByte)
+    val samples = (0 until 6).map(sample)
+    // same bitstream, three different muxes: chunk layout (1 chunk vs
+    // 4+2 partial tail), timescale, frame duration — everything a
+    // remux/re-tag actually changes
+    val muxA = M.syntheticMjpegMp4(samples, syncEvery = 2, timescale = 1000,
+      frameDurationTicks = 40, codec = "avc1")
+    val muxB = M.syntheticMjpegMp4(samples, syncEvery = 2, timescale = 600,
+      frameDurationTicks = 25, codec = "avc1", samplesPerChunk = 4)
+    // "re-encode": one byte of one SYNC sample (0-based 2) differs
+    val reenc = samples.updated(2, {
+      val b = sample(2).clone(); b(5) = (b(5) ^ 1).toByte; b
+    })
+    val muxC = M.syntheticMjpegMp4(reenc, syncEvery = 2, codec = "avc1")
+    // the first 4 samples as their own clip (sync keyframes 0, 2)
+    val clip = M.syntheticMjpegMp4(samples.take(4), syncEvery = 2,
+      timescale = 90000, codec = "avc1", samplesPerChunk = 1)
+    val vids = Seq((1L, muxA), (2L, muxB), (3L, muxC), (4L, clip),
+      (5L, "not a video".getBytes("UTF-8"))).toDF("video_id", "content")
+    val pairs = Dedup.videoExactDuplicates(vids, "video_id", "content")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getAs[Double]("frame_coverage")).toMap
+    assert(pairs.get((1L, 2L)).contains(1.0) && pairs.get((2L, 1L)).contains(1.0),
+      s"re-muxed avc1 twins must pair at full coverage both ways: $pairs")
+    assert(pairs.get((4L, 1L)).contains(1.0) && pairs.get((4L, 2L)).contains(1.0),
+      s"the clip's keyframes all appear in the full cuts: $pairs")
+    assert(!pairs.contains((1L, 4L)),
+      s"the full cut (3 keyframes, 2 matched) must miss the 1.0 bar: $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      s"a re-encoded sync sample must break exact matching (2/3 < 1.0): $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 5L || p._2 == 5L),
+      s"non-video bytes must drop out of the signature explode: $pairs")
+  }
+
+  test("video EXACT dedup crosses containers: MJPEG AVI and its MP4 re-mux are byte-identical keyframes") {
+    val M = graft.operators.Multimodal
+    def pat(i: Int)(x: Int, y: Int): Int = {
+      val v = if (x < 8 + 4 * i) 30 else 220
+      (v << 16) | (v << 8) | v
+    }
+    val frames = (0 until 4).map(i => M.renderJpeg(32, 32, pat(i)))
+    val vids = Seq(
+      (1L, M.syntheticMjpegAvi(frames)),
+      (2L, M.syntheticMjpegMp4(frames)) // same JPEG bytes, other container
+    ).toDF("video_id", "content")
+    val pairs = Dedup.videoExactDuplicates(vids, "video_id", "content")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getAs[Double]("frame_coverage")).toMap
+    assert(pairs.get((1L, 2L)).contains(1.0) && pairs.get((2L, 1L)).contains(1.0),
+      s"payload-preserving container swap must pair exactly: $pairs")
+  }
+
+  test("videoDedupCorpus: re-mux twins share a class with one keeper; re-encodes and junk stay unique") {
+    val M = graft.operators.Multimodal
+    def sample(i: Int): Array[Byte] =
+      Array.tabulate[Byte](48 + i)(j => ((i * 17 + j * 11 + 5) & 0xff).toByte)
+    val samples = (0 until 4).map(sample)
+    val reenc = samples.updated(0, {
+      val b = sample(0).clone(); b(0) = (b(0) ^ 1).toByte; b
+    })
+    val vids = Seq(
+      (1L, M.syntheticMjpegMp4(samples, codec = "avc1")),
+      (2L, M.syntheticMjpegMp4(samples, codec = "avc1", timescale = 600,
+        samplesPerChunk = 3)),
+      (3L, M.syntheticMjpegMp4(reenc, codec = "avc1")),
+      (4L, "junk".getBytes("UTF-8"))
+    ).toDF("video_id", "content")
+    val out = Dedup.videoDedupCorpus(vids, "video_id", "content")
+      .collect().map(r => r.getAs[Long]("video_id") ->
+        ((Option(r.getAs[Any]("dup_class")), r.getAs[Boolean]("keep")))).toMap
+    assert(out(1L) == ((Some(1L), true)), s"smallest id keeps: $out")
+    assert(out(2L) == ((Some(1L), false)), s"the re-mux twin is dropped: $out")
+    assert(out(3L) == ((None, true)), s"a re-encode is NOT an exact dup: $out")
+    assert(out(4L) == ((None, true)), s"undecodable rows stay unique: $out")
+  }
+
   test("cutSpans: byte-exact surgery boundaries — edges, separators, unicode, clamping") {
     import spark.implicits._
     val docs = Seq(

@@ -448,6 +448,38 @@ class PlanAudit extends SparkSpec {
     assert(jobs >= 5, s"listener must have observed the pipeline: $jobs")
   }
 
+  test("q164/q165: corpus-scale video-exact and audio dedup run bounded job counts and recover the residue classes") {
+    // the q156 gate extended to the other two modalities: the job
+    // count is a function of the PIPELINE, never the corpus size —
+    // and the collect doubles as the class-structure check (every
+    // group one class, smallest-id keeper) ahead of the DuckDB gate.
+    for ((qname, mod) <- Seq(("q164_vidcorp", 11), ("q165_audcorp", 19))) {
+      val counter = new java.util.concurrent.atomic.AtomicInteger()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          counter.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      val rows = try {
+        val out = SparkEntry.queries(qname)(spark, dir).collect()
+        Thread.sleep(500) // listener delivery is async (JobTrace precedent)
+        out
+      } finally spark.sparkContext.removeSparkListener(l)
+      val jobs = counter.get()
+      assert(jobs <= 24, s"$qname must stay within its job budget: $jobs")
+      assert(jobs >= 4, s"$qname: listener must have observed the pipeline: $jobs")
+      assert(rows.length == mod, s"$qname: one row per residue class")
+      rows.foreach { r =>
+        val cls = r.getLong(0)
+        assert(r.getLong(2) == cls && r.getLong(3) == cls,
+          s"$qname class $cls: dup_class must be the residue: $r")
+        assert(r.getLong(4) == 1L, s"$qname class $cls: one keeper: $r")
+      }
+    }
+  }
+
   test("image hash signatures are a map-only codegen projection (no exchange)") {
     // parquet-backed input (a local Seq would constant-fold to a
     // LocalTableScan); non-image bytes only exercise the PLAN shape
