@@ -2005,6 +2005,23 @@ object Multimodal {
     * form (the q79/q150 exact-oracle discipline).
     */
   def mediaCard(df: DataFrame, contentCol: String,
+      groupCol: String): DataFrame =
+    deriveMediaCard(mediaCardSignals(df, contentCol, groupCol), groupCol)
+
+  /** The per-group MONOID frame behind [[mediaCard]] — every column a
+    * commutative sum/count, so the same aggregate serves the batch
+    * card and the incremental state fold
+    * ([[upsertMediaCardState]]): folding batches and re-summing is
+    * EXACTLY the one-shot aggregate. Integer signals (counts, pixel
+    * dims, whole-ms durations, rates, keyframes) accumulate as longs;
+    * real-valued per-row signals (luma, textiness, rms) accumulate as
+    * `decimal(28,12)` — the per-row cast quantizes deterministically
+    * at 1e-12 (invisible at the card's 4/6-decimal rounding) and
+    * decimal addition is associative, so the derived card is
+    * bit-identical however the corpus is split across ingests (the
+    * float-sum-ORDER problem a double sum would reintroduce).
+    */
+  private def mediaCardSignals(df: DataFrame, contentCol: String,
       groupCol: String): DataFrame = {
     val enriched = audioStats(imageStats(df, contentCol), contentCol)
     val img = col("stats")
@@ -2017,74 +2034,139 @@ object Multimodal {
       (substring(col(contentCol), 1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
         substring(col(contentCol), 9, 4) === lit("AVI ".getBytes("US-ASCII"))) ||
       substring(col(contentCol), 5, 4) === lit("ftyp".getBytes("US-ASCII")))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(28,12)")
     enriched
-      .groupBy(col(groupCol).cast("string").as("__g"))
-      .agg(
-        count(lit(1)).as("__n"),
-        sum(when(img.getField("ok"), 1L).otherwise(0L)).as("__ni"),
-        sum(when(aud.getField("ok"), 1L).otherwise(0L)).as("__na"),
-        sum(when(isVideo, 1L).otherwise(0L)).as("__nv"),
-        round(avg(when(img.getField("ok"),
-          img.getField("width").cast("double"))), 2).as("__aw"),
-        round(avg(when(img.getField("ok"),
-          img.getField("height").cast("double"))), 2).as("__ah"),
-        round(avg(when(img.getField("ok"),
-          (img.getField("avg_r") + img.getField("avg_g") +
-            img.getField("avg_b")) / 3.0)), 4).as("__al"),
+      // compute each per-row signal ONCE (the keyframe walk would
+      // otherwise run twice, for its sum and its count)
+      .select(col(groupCol).cast("string").as("__g"),
+        when(img.getField("ok"), img.getField("width").cast("long")).as("__w"),
+        when(img.getField("ok"), img.getField("height").cast("long")).as("__h"),
+        when(img.getField("ok"), dec((img.getField("avg_r") +
+          img.getField("avg_g") + img.getField("avg_b")) / 3.0)).as("__lum"),
         // rendered-text share signal (screenshots/memes vs photos)
-        round(avg(when(img.getField("ok"), img.getField("textiness"))), 6)
-          .as("__atxt"),
-        // PII: share of decodable images embedding an EXIF GPS block
-        sum(when(img.getField("ok") && img.getField("exif_gps"), 1L)
-          .otherwise(0L)).as("__ngps"),
-        round(avg(when(aud.getField("ok"), aud.getField("rms_norm"))), 6)
-          .as("__arms"),
+        when(img.getField("ok"), dec(img.getField("textiness"))).as("__txt"),
+        when(img.getField("ok") && img.getField("exif_gps"), 1L)
+          .otherwise(0L).as("__gps"),
+        when(img.getField("ok"), 1L).otherwise(0L).as("__isimg"),
+        when(aud.getField("ok"), dec(aud.getField("rms_norm"))).as("__rms"),
         // duration/rate come from the header walk, so they are real
-        // for MPEG audio too (rms is PCM-only and stays null there).
-        // Average the INTEGER milliseconds and divide once: integer
-        // partial sums are exact in doubles, so the value is
-        // float-sum-ORDER-safe at corpus scale (per-row /1000 first
-        // would make the sum order observable at the rounding edge)
-        round(avg(when(aud.getField("ok"),
-          aud.getField("duration_ms").cast("double"))) / 1000.0, 4)
-          .as("__asec"),
-        round(avg(when(aud.getField("ok"),
-          aud.getField("sample_rate").cast("double"))), 2).as("__ahz"),
-        sum(when(aud.getField("ok") && aud.getField("clip_ratio") > 0.0,
-          1L).otherwise(0L)).as("__nclip"),
-        sum(when(aud.getField("ok") && aud.getField("silence_ratio") === 1.0,
-          1L).otherwise(0L)).as("__nsilent"),
+        // for MPEG/AAC audio too (rms is PCM-only, null there)
+        when(aud.getField("ok"), aud.getField("duration_ms").cast("long"))
+          .as("__dur"),
+        when(aud.getField("ok"), aud.getField("sample_rate").cast("long"))
+          .as("__hz"),
+        when(aud.getField("ok") && aud.getField("clip_ratio") > 0.0, 1L)
+          .otherwise(0L).as("__clip"),
+        when(aud.getField("ok") && aud.getField("silence_ratio") === 1.0, 1L)
+          .otherwise(0L).as("__sil"),
+        when(aud.getField("ok"), 1L).otherwise(0L).as("__isaud"),
         // seekability of the video share: sync samples from the BMFF
-        // sample tables (AVI MJPEG = all frames); null when no video
-        // row carries a parseable track
-        round(avg(when(isVideo, videoKeyframesCol(col(contentCol))
-          .cast("double"))), 2).as("__avkey"))
-      .select(col("__g").as(groupCol), explode(map(
-        lit("avg_image_height"), col("__ah"),
-        lit("avg_image_luma"), col("__al"),
-        lit("avg_image_textiness"), col("__atxt"),
-        lit("avg_image_width"), col("__aw"),
-        lit("avg_audio_rms"), col("__arms"),
-        lit("avg_audio_secs"), col("__asec"),
-        lit("avg_audio_hz"), col("__ahz"),
-        lit("avg_video_keyframes"), col("__avkey"),
-        lit("pct_image_gps"),
-        when(col("__ni") > 0,
-          round(col("__ngps").cast("double") / col("__ni"), 4)),
-        lit("n_assets"), col("__n").cast("double"),
-        lit("pct_audio"), round(col("__na").cast("double") / col("__n"), 4),
-        lit("pct_audio_clipped"),
-        when(col("__na") > 0,
-          round(col("__nclip").cast("double") / col("__na"), 4)),
-        lit("pct_audio_silent"),
-        when(col("__na") > 0,
-          round(col("__nsilent").cast("double") / col("__na"), 4)),
-        lit("pct_image"), round(col("__ni").cast("double") / col("__n"), 4),
-        lit("pct_video"), round(col("__nv").cast("double") / col("__n"), 4),
-        lit("pct_undecodable"),
-        round((col("__n") - col("__ni") - col("__na") - col("__nv"))
-          .cast("double") / col("__n"), 4))).as(Seq("metric", "value")))
+        // sample tables (AVI MJPEG = all frames); null when the
+        // container carries no parseable track
+        when(isVideo, videoKeyframesCol(col(contentCol)).cast("long"))
+          .as("__vkey"),
+        when(isVideo, 1L).otherwise(0L).as("__isvid"))
+      .groupBy(col("__g"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__isimg")).as("ni"),
+        sum(col("__isaud")).as("na"),
+        sum(col("__isvid")).as("nv"),
+        sum(col("__w")).as("wsum"), count(col("__w")).as("wcnt"),
+        sum(col("__h")).as("hsum"), count(col("__h")).as("hcnt"),
+        sum(col("__lum")).as("lumsum"), count(col("__lum")).as("lumcnt"),
+        sum(col("__txt")).as("txtsum"), count(col("__txt")).as("txtcnt"),
+        sum(col("__gps")).as("ngps"),
+        sum(col("__rms")).as("rmssum"), count(col("__rms")).as("rmscnt"),
+        sum(col("__dur")).as("dursum"), count(col("__dur")).as("durcnt"),
+        sum(col("__hz")).as("hzsum"), count(col("__hz")).as("hzcnt"),
+        sum(col("__clip")).as("nclip"),
+        sum(col("__sil")).as("nsilent"),
+        sum(col("__vkey")).as("vkeysum"), count(col("__vkey")).as("vkeycnt"))
   }
+
+  /** Derive the long-format card from the monoid frame — shared by
+    * the one-shot [[mediaCard]] and [[mediaCardFromState]], so the
+    * two can never diverge on a metric definition. A signal with no
+    * contributing rows (count 0) is null, matching the `avg`-skips-
+    * nulls semantics the card always had. `avg_audio_secs` divides
+    * the exact integer millisecond sum ONCE — float-sum-order-safe
+    * at corpus scale.
+    */
+  private def deriveMediaCard(state: DataFrame,
+      groupCol: String): DataFrame = {
+    def avgOf(sumCol: String, cntCol: String, scale: Int) =
+      when(col(cntCol) > 0,
+        round(col(sumCol).cast("double") / col(cntCol), scale))
+    state.select(col("__g").as(groupCol), explode(map(
+      lit("avg_image_height"), avgOf("hsum", "hcnt", 2),
+      lit("avg_image_luma"), avgOf("lumsum", "lumcnt", 4),
+      lit("avg_image_textiness"), avgOf("txtsum", "txtcnt", 6),
+      lit("avg_image_width"), avgOf("wsum", "wcnt", 2),
+      lit("avg_audio_rms"), avgOf("rmssum", "rmscnt", 6),
+      lit("avg_audio_secs"),
+      when(col("durcnt") > 0,
+        round(col("dursum").cast("double") / col("durcnt") / 1000.0, 4)),
+      lit("avg_audio_hz"), avgOf("hzsum", "hzcnt", 2),
+      lit("avg_video_keyframes"), avgOf("vkeysum", "vkeycnt", 2),
+      lit("pct_image_gps"),
+      when(col("ni") > 0, round(col("ngps").cast("double") / col("ni"), 4)),
+      lit("n_assets"), col("n").cast("double"),
+      lit("pct_audio"), round(col("na").cast("double") / col("n"), 4),
+      lit("pct_audio_clipped"),
+      when(col("na") > 0, round(col("nclip").cast("double") / col("na"), 4)),
+      lit("pct_audio_silent"),
+      when(col("na") > 0, round(col("nsilent").cast("double") / col("na"), 4)),
+      lit("pct_image"), round(col("ni").cast("double") / col("n"), 4),
+      lit("pct_video"), round(col("nv").cast("double") / col("n"), 4),
+      lit("pct_undecodable"),
+      round((col("n") - col("ni") - col("na") - col("nv"))
+        .cast("double") / col("n"), 4))).as(Seq("metric", "value")))
+  }
+
+  /** Incremental [[mediaCard]] — the daily-multimodal-ingest form
+    * ([[graft.operators.Curation.upsertDataCardState]]'s media twin):
+    * fold each batch's [[mediaCardSignals]] into a versioned parquet
+    * state ([[Scale.writeVersionedState]]'s crash-safe pointer
+    * discipline), so the decode work per ingest is O(batch) + an
+    * O(groups) merge — never a re-scan of the corpus. Every signal
+    * is a commutative monoid (no sketch needed: the media card has
+    * no distinct-count metric), so `fold(b1); fold(b2)` equals
+    * `fold(b1 ∪ b2)` EXACTLY and the derived card replays
+    * bit-for-bit regardless of batch split. Returns the merged
+    * state; read the card with [[mediaCardFromState]].
+    */
+  def upsertMediaCardState(spark: SparkSession, path: String,
+      batch: DataFrame, contentCol: String, groupCol: String): DataFrame = {
+    val partial = mediaCardSignals(batch, contentCol, groupCol)
+    val merged = Scale.readVersionedState(spark, path) match {
+      case None => partial
+      case Some(state) =>
+        state.unionByName(partial).groupBy(col("__g")).agg(
+          sum(col("n")).as("n"), sum(col("ni")).as("ni"),
+          sum(col("na")).as("na"), sum(col("nv")).as("nv"),
+          sum(col("wsum")).as("wsum"), sum(col("wcnt")).as("wcnt"),
+          sum(col("hsum")).as("hsum"), sum(col("hcnt")).as("hcnt"),
+          sum(col("lumsum")).as("lumsum"), sum(col("lumcnt")).as("lumcnt"),
+          sum(col("txtsum")).as("txtsum"), sum(col("txtcnt")).as("txtcnt"),
+          sum(col("ngps")).as("ngps"),
+          sum(col("rmssum")).as("rmssum"), sum(col("rmscnt")).as("rmscnt"),
+          sum(col("dursum")).as("dursum"), sum(col("durcnt")).as("durcnt"),
+          sum(col("hzsum")).as("hzsum"), sum(col("hzcnt")).as("hzcnt"),
+          sum(col("nclip")).as("nclip"), sum(col("nsilent")).as("nsilent"),
+          sum(col("vkeysum")).as("vkeysum"), sum(col("vkeycnt")).as("vkeycnt"))
+    }
+    Scale.writeVersionedState(spark, path, merged)
+  }
+
+  /** Derive the media card from [[upsertMediaCardState]] state — the
+    * same metrics as [[mediaCard]], via the same [[deriveMediaCard]].
+    */
+  def mediaCardFromState(spark: SparkSession, path: String,
+      groupCol: String): DataFrame =
+    deriveMediaCard(Scale.readVersionedState(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no media-card state at $path")),
+      groupCol)
 
   /** Render a PNG via ImageIO from a per-pixel color function —
     * REAL raster bytes for pixel-path tests and gate queries

@@ -863,6 +863,58 @@ class SemanticSpec extends SparkSpec {
     assert(diff("n_assets")._3 == Some(0.0))
   }
 
+  test("incremental media card: batch folds equal one-shot state; card matches batch mediaCard") {
+    val M = Multimodal
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    // all four modalities plus junk, spread across two sources AND two
+    // batches so the fold has to merge real partial state per group
+    val png1 = M.renderPng(20, 10, (_, _) => gray(100))
+    val png2 = M.renderPng(40, 10, (x, _) => if (x % 8 < 4) 0 else gray(255))
+    val wav = M.renderWav(8000, 1,
+      Array.tabulate[Short](800)(i => if (i % 2 == 0) 9000 else -9000))
+    val mp3 = M.syntheticMp3(verId = 3, srIdx = 2, channels = 1,
+      frames = (0 until 5).map(_ => (9, Seq(100, 101))))
+    val mp4 = M.syntheticMjpegMp4(
+      Seq(M.renderJpeg(16, 8, (_, _) => gray(99))), syncEvery = 1)
+    val junk = "nope".getBytes("UTF-8")
+    val b1 = Seq(("s1", png1), ("s1", wav), ("s2", mp3), ("s2", junk))
+      .toDF("source", "content")
+    val b2 = Seq(("s1", png2), ("s1", mp4), ("s2", wav))
+      .toDF("source", "content")
+    val twoStep = java.nio.file.Files.createTempDirectory("graft-mcard2").toString
+    M.upsertMediaCardState(spark, twoStep, b1, "content", "source")
+    M.upsertMediaCardState(spark, twoStep, b2, "content", "source")
+    val oneShot = java.nio.file.Files.createTempDirectory("graft-mcard1").toString
+    M.upsertMediaCardState(spark, oneShot, b1.unionByName(b2), "content", "source")
+    def cardOf(path: String) =
+      M.mediaCardFromState(spark, path, "source").collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          Option(r.getAs[java.lang.Double]("value"))).toMap
+    val (inc, full) = (cardOf(twoStep), cardOf(oneShot))
+    assert(inc == full, "two folds must equal the one-shot state exactly")
+    // every monoid is exact (no sketch), so the state card must match
+    // the batch card on EVERY metric including the null pattern
+    val batch = M.mediaCard(b1.unionByName(b2), "content", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.getAs[java.lang.Double]("value"))).toMap
+    assert(batch.keySet == inc.keySet, "same (group, metric) surface")
+    batch.foreach { case (k, v) =>
+      (v, inc(k)) match {
+        case (Some(a), Some(b)) =>
+          assert(math.abs(a - b) < 1e-9, s"$k: batch $a vs state $b")
+        case (a, b) => assert(a == b, s"$k: null pattern drifted: $a vs $b")
+      }
+    }
+    // the decode work per ingest is O(batch): a third fold of ONE row
+    // updates only its group's row in state
+    val before = cardOf(twoStep)(("s2", "n_assets"))
+    M.upsertMediaCardState(spark, twoStep,
+      Seq(("s2", png1)).toDF("source", "content"), "content", "source")
+    val after = cardOf(twoStep)
+    assert(after(("s2", "n_assets")) == before.map(_ + 1))
+    assert(after(("s1", "n_assets")) == inc(("s1", "n_assets")))
+  }
+
   test("videoFrames: MJPEG AVI walk yields real JPEG frames the image stack decodes") {
     val f0 = Multimodal.renderJpeg(16, 8, (_, _) => (200 << 16) | (50 << 8) | 25)
     val f1 = Multimodal.renderJpeg(16, 8, (_, _) => (25 << 16) | (200 << 8) | 50)
