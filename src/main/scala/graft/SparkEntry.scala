@@ -5080,6 +5080,57 @@ object SparkEntry {
       | CAST(1 AS BIGINT) AS n_keep
       |FROM documents GROUP BY doc_id % 19 ORDER BY aud_class""".stripMargin
 
+  /** TIFF decode — the JDK has shipped an ImageIO TIFF plugin since
+    * 9, so TIFF rides the full PIXEL path (lossless → exact means,
+    * the q160 BMP discipline): header facts from the IFD0 walk
+    * ([[graft.operators.Multimodal.decodeTiff]], both byte orders,
+    * SHORT and LONG dims), real rasters through [[graft.operators
+    * .Multimodal.decodePixels]], and the GPS PII flag read from the
+    * file's OWN IFD0 — a TIFF is its own EXIF block, the third
+    * carrier after JPEG APP1 and the WebP EXIF chunk. Rows: an
+    * ImageIO-written gradient (writer→reader round trip), a
+    * hand-rolled solid with the GPS pointer, junk on the raw stub.
+    */
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    val imgs = Seq(
+      (1L, M.renderImage("tiff", 18, 12, (x, _) => gray(x * 10))),
+      (2L, M.syntheticTiff(16, 9, (_, _) => (90 << 16) | (140 << 8) | 200,
+        gps = true)),
+      (3L, "not a tiff".getBytes("UTF-8"))
+    ).toDF("img_id", "content")
+    M.imageStats(M.decode(imgs))
+      .select(col("img_id"),
+        col("decoded.format").as("format"),
+        col("decoded.width").as("width"),
+        col("decoded.height").as("height"),
+        round(col("stats.avg_r"), 4).as("avg_r"),
+        round(col("stats.avg_b"), 4).as("avg_b"),
+        col("stats.textiness").as("textiness"),
+        col("stats.exif_gps").as("exif_gps"),
+        col("stats.ok").as("is_image"))
+      .orderBy(col("img_id"))
+  }
+
+  private def tiffOracle: String =
+    """SELECT * FROM (VALUES
+      | -- 18-wide x*10 gradient: mean gray = 10*153/18 = 85; 10-step
+      | -- edges are below the textiness sharpness bar (q160 rule)
+      | (CAST(1 AS BIGINT), 'tiff', 18, 12, round(85/255.0, 4),
+      |  round(85/255.0, 4), 0.0, FALSE, TRUE),
+      | (CAST(2 AS BIGINT), 'tiff', 16, 9, round(90/255.0, 4),
+      |  round(200/255.0, 4), 0.0, TRUE, TRUE),
+      | -- junk rides the raw stub: width 64 + len%1024, height
+      | -- 64 + len*31%1024 at len = 10
+      | (CAST(3 AS BIGINT), 'raw', 74, 374, CAST(NULL AS DOUBLE),
+      |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+      |  CAST(NULL AS BOOLEAN), FALSE)
+      |) AS t(img_id, format, width, height, avg_r, avg_b, textiness,
+      |       exif_gps, is_image)
+      |ORDER BY img_id""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -5249,7 +5300,8 @@ object SparkEntry {
     "q162_webp" -> (q162 _),
     "q163_aac" -> (q163 _),
     "q164_vidcorp" -> (q164 _),
-    "q165_audcorp" -> (q165 _))
+    "q165_audcorp" -> (q165 _),
+    "q166_tiff" -> (q166 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -5665,6 +5717,7 @@ object SparkEntry {
     "q163_aac" -> aacOracle,
     "q164_vidcorp" -> videoCorpusOracle,
     "q165_audcorp" -> audioCorpusOracle,
+    "q166_tiff" -> tiffOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

@@ -95,10 +95,118 @@ object Multimodal {
     if (bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' &&
         bytes(6) == 'y' && bytes(7) == 'p')
       return decodeMp4(bytes)
+    if (isTiffMagic(bytes)) return decodeTiff(bytes)
     val width = 64 + bytes.length % 1024
     // long arithmetic: length * 31 overflows Int beyond ~69 MB assets
     val height = 64 + (bytes.length.toLong * 31 % 1024).toInt
     Row(width, height, 3, "raw", null, null, true, null)
+  }
+
+  /** TIFF magic: `II*\0` (little-endian) or `MM\0*` (big-endian). */
+  @inline private[graft] def isTiffMagic(b: Array[Byte]): Boolean =
+    b != null && b.length >= 8 &&
+      ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+        (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))
+
+  /** TIFF header facts from IFD0 — width (tag 0x0100), height
+    * (0x0101), channels (SamplesPerPixel 0x0115, spec default 1) in
+    * the declared byte order, SHORT or LONG typed (both appear in the
+    * wild; values are left-justified in the 4-byte slot). Header walk
+    * only — pixel decode rides [[decodePixels]]' ImageIO path.
+    */
+  private[graft] def decodeTiff(b: Array[Byte]): Row = {
+    val little = b(0) == 'I'
+    def u16(o: Int): Int =
+      if (o < 0 || o + 2 > b.length) -1
+      else if (little) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+      else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    def u32(o: Int): Long =
+      if (o < 0 || o + 4 > b.length) -1L
+      else if (little) (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+      else ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    val ifdOff = u32(4)
+    if (ifdOff < 0 || ifdOff > b.length - 2)
+      return meta(format = "tiff", ok = false, error = "truncated IFD0 offset")
+    val ifd = ifdOff.toInt
+    val nEntries = u16(ifd)
+    if (nEntries <= 0)
+      return meta(format = "tiff", ok = false, error = "empty or truncated IFD0")
+    var w = -1L
+    var h = -1L
+    var spp = 1L // SamplesPerPixel defaults to 1 per the spec
+    var k = 0
+    while (k < nEntries) {
+      val e = ifd + 2 + 12 * k
+      val tag = u16(e)
+      if (tag == 0x0100 || tag == 0x0101 || tag == 0x0115) {
+        val typ = u16(e + 2)
+        val v =
+          if (typ == 3) u16(e + 8).toLong // SHORT, left-justified
+          else if (typ == 4) u32(e + 8) // LONG
+          else -1L
+        if (tag == 0x0100) w = v
+        else if (tag == 0x0101) h = v
+        else spp = v
+      }
+      k += 1
+    }
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue)
+      meta(format = "tiff", ok = false, error = s"bad dimensions ${w}x$h")
+    else meta(width = w.toInt, height = h.toInt,
+      channels = if (spp >= 1 && spp <= 16) spp.toInt else 1, format = "tiff")
+  }
+
+  /** Minimal-but-valid uncompressed RGB TIFF (little-endian, one
+    * strip, 8 bits/sample) from a per-pixel color function — the
+    * hand-rolled twin of `renderImage("tiff", ...)` for cases ImageIO
+    * can't write: `gps = true` plants the GPS Info IFD pointer (tag
+    * 0x8825) in IFD0, the PII-flag fixture no encoder emits.
+    */
+  private[graft] def syntheticTiff(w: Int, h: Int, rgb: (Int, Int) => Int,
+      gps: Boolean = false): Array[Byte] = {
+    val nPix = w * h * 3
+    val nTags = if (gps) 9 else 8
+    // layout: header(8) | IFD0 | [empty GPS IFD] | pixel strip
+    val ifdBytes = 2 + 12 * nTags + 4
+    val gpsIfdOff = 8 + ifdBytes
+    val stripOff = gpsIfdOff + (if (gps) 6 else 0)
+    val bb = java.nio.ByteBuffer.allocate(stripOff + nPix)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    bb.putShort(nTags.toShort)
+    def tag(id: Int, typ: Int, count: Int, value: Int): Unit = {
+      bb.putShort(id.toShort).putShort(typ.toShort).putInt(count)
+      if (typ == 3) bb.putShort(value.toShort).putShort(0)
+      else bb.putInt(value)
+    }
+    tag(0x0100, 3, 1, w) // ImageWidth
+    tag(0x0101, 3, 1, h) // ImageLength
+    // BitsPerSample with count 1 means "8 bits for every sample" to
+    // mainstream decoders incl. ImageIO (count 3 would force an
+    // offset-valued entry); RowsPerStrip absent = one strip, per spec
+    tag(0x0102, 3, 1, 8) // BitsPerSample
+    tag(0x0103, 3, 1, 1) // Compression: none
+    tag(0x0106, 3, 1, 2) // Photometric: RGB
+    tag(0x0111, 4, 1, stripOff) // StripOffsets
+    tag(0x0115, 3, 1, 3) // SamplesPerPixel
+    tag(0x0117, 4, 1, nPix) // StripByteCounts
+    if (gps) tag(0x8825, 4, 1, gpsIfdOff)
+    bb.putInt(0) // next-IFD pointer: none
+    if (gps) bb.putShort(0).putInt(0) // empty GPS IFD (0 entries, no next)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val c = rgb(x, y)
+        bb.put(((c >> 16) & 0xff).toByte).put(((c >> 8) & 0xff).toByte)
+          .put((c & 0xff).toByte)
+        x += 1
+      }
+      y += 1
+    }
+    bb.array()
   }
 
   /** PNG IHDR parse: width/height big-endian at offsets 16/20,
@@ -482,7 +590,9 @@ object Multimodal {
     val isGif = bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
       bytes(3) == '8'
     val isBmp = bytes(0) == 'B' && bytes(1) == 'M'
-    if (!isPng && !isJpeg && !isGif && !isBmp) return None
+    // the JDK has shipped a TIFF plugin since 9 — same pure-JDK story
+    val isTiff = isTiffMagic(bytes)
+    if (!isPng && !isJpeg && !isGif && !isBmp && !isTiff) return None
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
       .map(img =>
         if (isJpeg) applyExifOrientation(img, exifOrientation(bytes)) else img)
@@ -547,6 +657,10 @@ object Multimodal {
     if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
       bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'E' &&
       bytes(10) == 'B' && bytes(11) == 'P') return webpGpsPresent(bytes)
+    // a TIFF file IS a TIFF block: scan its own IFD0 (cameras and DNG
+    // workflows plant the GPS pointer exactly here)
+    if (isTiffMagic(bytes))
+      return java.lang.Boolean.valueOf(tiffHasTag(bytes, 0, bytes.length, 0x8825))
     if (!(bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte)) return null
     val r = exifApp1Region(bytes)
     if (r < 0) return java.lang.Boolean.FALSE
@@ -2271,6 +2385,7 @@ object Multimodal {
     else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
       bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'E' &&
       bytes(10) == 'B' && bytes(11) == 'P') "image/webp"
+    else if (isTiffMagic(bytes)) "image/tiff"
     else "application/octet-stream"
   }
 

@@ -797,6 +797,49 @@ class SemanticSpec extends SparkSpec {
     assert(Multimodal.sniffMime(x) == "image/webp")
   }
 
+  test("TIFF: python-built fixture cross-check — header facts, ImageIO raster, GPS flag") {
+    def fix(name: String): Array[Byte] =
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        getClass.getResource(s"/fixtures/$name").toURI))
+    // little-endian 6x4 RGB, pixel (x,y) = (10x+y, 20x, 250-10y)
+    val le = fix("synthetic.tiff")
+    val d = Multimodal.decode(Seq((1L, le)).toDF("id", "content"))
+      .select("decoded.format", "decoded.width", "decoded.height",
+        "decoded.channels", "decoded.ok").head()
+    assert(d.getString(0) == "tiff" && d.getInt(1) == 6 && d.getInt(2) == 4 &&
+      d.getInt(3) == 3 && d.getBoolean(4))
+    // full PIXEL path (the JDK TIFF plugin): exact means on the
+    // foreign-written raster — sum r = 636, g = 1200, b = 5640 over 24
+    val s = Multimodal.imageStats(Seq((1L, le)).toDF("id", "content"))
+      .select("stats.ok", "stats.width", "stats.avg_r", "stats.avg_g",
+        "stats.avg_b", "stats.exif_gps").head()
+    assert(s.getBoolean(0) && s.getInt(1) == 6)
+    assert(math.abs(s.getDouble(2) - 636.0 / 24 / 255) < 1e-12)
+    assert(math.abs(s.getDouble(3) - 1200.0 / 24 / 255) < 1e-12)
+    assert(math.abs(s.getDouble(4) - 5640.0 / 24 / 255) < 1e-12)
+    assert(!s.getBoolean(5), "a TIFF without tag 0x8825 is location-free")
+    // big-endian fixture with the GPS Info IFD pointer in IFD0
+    val be = fix("synthetic_gps.tiff")
+    assert(Multimodal.exifGpsPresent(be) == java.lang.Boolean.TRUE,
+      "a TIFF file is its own TIFF block: IFD0's 0x8825 must flag")
+    val sb = Multimodal.imageStats(Seq((1L, be)).toDF("id", "content"))
+      .select("stats.ok", "stats.width", "stats.height", "stats.avg_r",
+        "stats.exif_gps").head()
+    assert(sb.getBoolean(0) && sb.getInt(1) == 3 && sb.getInt(2) == 2)
+    assert(math.abs(sb.getDouble(3) - 40.0 / 255) < 1e-12)
+    assert(sb.getBoolean(4))
+    // the scala builder round-trips through the same readers
+    val st = Multimodal.syntheticTiff(5, 3, (x, y) => (x << 16) | y, gps = true)
+    assert(Multimodal.exifGpsPresent(st) == java.lang.Boolean.TRUE)
+    assert(Multimodal.decodePixels(st).exists(i =>
+      i.getWidth == 5 && i.getHeight == 3))
+    // magic discipline: TIFF never reads as audio (pixel bytes can
+    // chance-contain MPEG/ADTS syncs — the BMP lesson)
+    assert(Multimodal.mpegAudioInfo(le).isEmpty)
+    assert(Multimodal.adtsAudioInfo(le).isEmpty)
+    assert(Multimodal.sniffMime(le) == "image/tiff")
+  }
+
   test("mp4VideoTrack: python-built fixture cross-check — multi-run stsc, stss, duration") {
     // independent muxer (scripts/make_mp4_fixture.py): 5 samples of
     // sizes 11..15 split 3+2 across two chunks, sync = {1,4},
