@@ -5131,6 +5131,59 @@ object SparkEntry {
       |       exif_gps, is_image)
       |ORDER BY img_id""".stripMargin
 
+  /** VP8L (lossless WebP) PIXEL decode — the round-11 header walk
+    * graduated to a full [[graft.operators.Vp8l]] bitstream decoder,
+    * so the lossless subset of the dominant crawled format now rides
+    * the ENTIRE pixel stack: exact stats means, textiness, and —
+    * the dedup headline — container-invariant dHash: a WebP
+    * re-encode of a PNG is a Hamming-0 twin (rows 1 and 2 carry
+    * IDENTICAL literals below, which IS the assertion). Lossy VP8
+    * (row 4) stays header-facts-only: real dims, null pixel stats.
+    * Every value is integer-exact (lossless decode of two-tone
+    * streams, the q155/q160 closed-form discipline).
+    */
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    def gray(v: Int): Int = 0xff000000 | (v << 16) | (v << 8) | v
+    def stripes(x: Int, y: Int): Boolean = x % 8 >= 4
+    val imgs = Seq(
+      (1L, M.renderPng(64, 64,
+        (x, y) => if (stripes(x, y)) 0xebebeb else 0x141414)),
+      (2L, M.syntheticVp8lTwoTone(64, 64, stripes, gray(20), gray(235))),
+      (3L, M.syntheticVp8lTwoTone(24, 16, (_, _) => false, gray(77), gray(77))),
+      (4L, M.syntheticWebp("vp8", 320, 240)),
+      (5L, "not an image".getBytes("UTF-8"))
+    ).toDF("img_id", "content")
+    M.imageStats(imgs)
+      .select(col("img_id"),
+        col("stats.width").as("width"), col("stats.height").as("height"),
+        round(col("stats.avg_r"), 4).as("avg_r"),
+        col("stats.textiness").as("textiness"),
+        M.dhash64Col(col("content")).as("dhash"),
+        col("stats.ok").as("is_image"))
+      .orderBy(col("img_id"))
+  }
+
+  private def vp8lOracle: String =
+    """SELECT * FROM (VALUES
+      | -- PNG stripes and their VP8L twin: IDENTICAL rows — pixel
+      | -- equality across containers is the oracle's point
+      | (CAST(1 AS BIGINT), 64, 64, round(127.5/255, 4), 1.0,
+      |  CAST(578721382704613384 AS BIGINT), TRUE),
+      | (CAST(2 AS BIGINT), 64, 64, round(127.5/255, 4), 1.0,
+      |  CAST(578721382704613384 AS BIGINT), TRUE),
+      | (CAST(3 AS BIGINT), 24, 16, round(77/255.0, 4), 0.0,
+      |  CAST(0 AS BIGINT), TRUE),
+      | -- lossy VP8: an image with real dims, no pixel facts
+      | (CAST(4 AS BIGINT), 320, 240, CAST(NULL AS DOUBLE),
+      |  CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), TRUE),
+      | (CAST(5 AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+      |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+      |  FALSE)
+      |) AS t(img_id, width, height, avg_r, textiness, dhash, is_image)
+      |ORDER BY img_id""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -5301,7 +5354,8 @@ object SparkEntry {
     "q163_aac" -> (q163 _),
     "q164_vidcorp" -> (q164 _),
     "q165_audcorp" -> (q165 _),
-    "q166_tiff" -> (q166 _))
+    "q166_tiff" -> (q166 _),
+    "q167_vp8l" -> (q167 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -5718,6 +5772,7 @@ object SparkEntry {
     "q164_vidcorp" -> videoCorpusOracle,
     "q165_audcorp" -> audioCorpusOracle,
     "q166_tiff" -> tiffOracle,
+    "q167_vp8l" -> vp8lOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

@@ -424,6 +424,83 @@ object Multimodal {
     }
   }
 
+  /** A REAL lossless WebP from a per-pixel two-tone choice — the
+    * in-query encoder for exact-oracle gates over the [[Vp8l]] decode
+    * path (the [[renderPng]] discipline, VP8L edition): each channel
+    * has at most two values, so every prefix code is the spec's
+    * SIMPLE form (one or two 8-bit symbols; two-symbol codes cost one
+    * bit per pixel, one-symbol codes cost zero) and the stream needs
+    * no transform, cache or LZ77 — decoded pixels are exactly
+    * `if (pick(x, y)) argbB else argbA`. Cross-validated against the
+    * python-encoded fixtures through the same decoder (Vp8lSpec).
+    */
+  private[graft] def syntheticVp8lTwoTone(w: Int, h: Int,
+      pick: (Int, Int) => Boolean, argbA: Int, argbB: Int): Array[Byte] = {
+    require(w >= 1 && w <= 16384 && h >= 1 && h <= 16384, s"dims ${w}x$h")
+    val bits = new java.util.BitSet()
+    var n = 0
+    def put(value: Int, nbits: Int): Unit = {
+      var i = 0
+      while (i < nbits) { if (((value >> i) & 1) == 1) bits.set(n); n += 1; i += 1 }
+    }
+    put(0x2f, 8)
+    put(w - 1, 14)
+    put(h - 1, 14)
+    val alphaUsed = (argbA >>> 24) != 0xff || (argbB >>> 24) != 0xff
+    put(if (alphaUsed) 1 else 0, 1)
+    put(0, 3) // version
+    put(0, 1) // no transforms
+    put(0, 1) // no color cache
+    put(0, 1) // no meta prefix partition
+    // channel codes in stream order G, R, B, A + a dummy distance code
+    val chans = Array(
+      ((argbA >>> 8) & 0xff, (argbB >>> 8) & 0xff),
+      ((argbA >>> 16) & 0xff, (argbB >>> 16) & 0xff),
+      (argbA & 0xff, argbB & 0xff),
+      ((argbA >>> 24) & 0xff, (argbB >>> 24) & 0xff),
+      (0, 0))
+    // per channel: (code bit for A's value, code bit for B's, 2-symbol?)
+    val twoSym = chans.map { case (va, vb) =>
+      put(1, 1) // simple code
+      if (va == vb) {
+        put(0, 1); put(1, 1); put(va, 8) // one 8-bit symbol, zero-bit code
+        false
+      } else {
+        put(1, 1); put(1, 1) // two symbols, 8-bit first
+        put(math.min(va, vb), 8)
+        put(math.max(va, vb), 8)
+        true // canonical: smaller symbol = code 0
+      }
+    }
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val b = pick(x, y)
+        var c = 0
+        while (c < 4) {
+          if (twoSym(c)) {
+            val (va, vb) = chans(c)
+            val v = if (b) vb else va
+            put(if (v == math.max(va, vb)) 1 else 0, 1)
+          }
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val payload = java.util.Arrays.copyOf(bits.toByteArray, (n + 7) / 8)
+    val chunk = java.nio.ByteBuffer.allocate(8 + payload.length + (payload.length & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    chunk.put("VP8L".getBytes("ISO-8859-1")).putInt(payload.length).put(payload)
+    val body = "WEBP".getBytes("ISO-8859-1") ++ chunk.array()
+    val out = java.nio.ByteBuffer.allocate(8 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("ISO-8859-1")).putInt(body.length).put(body)
+    out.array()
+  }
+
   /** Minimal header-facts WebP fixtures ([[syntheticPng]] discipline):
     * RIFF `WEBP` around one `VP8 `/`VP8L`/`VP8X` chunk whose header
     * fields encode the given facts — every value [[webpInfo]] reports
@@ -592,6 +669,20 @@ object Multimodal {
     val isBmp = bytes(0) == 'B' && bytes(1) == 'M'
     // the JDK has shipped a TIFF plugin since 9 — same pure-JDK story
     val isTiff = isTiffMagic(bytes)
+    // WebP: the JDK has no plugin, but LOSSLESS payloads are integer
+    // entropy coding + transforms — [[Vp8l]] decodes them exactly, so
+    // the whole pixel stack works on the lossless subset; lossy VP8
+    // stays header-facts-only (callers fall through to [[webpInfo]])
+    if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
+      bytes(9) == 'E' && bytes(10) == 'B' && bytes(11) == 'P')
+      return Vp8l.decode(bytes).map { case (w, h, alpha, argb) =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          if (alpha) java.awt.image.BufferedImage.TYPE_INT_ARGB
+          else java.awt.image.BufferedImage.TYPE_INT_RGB)
+        img.setRGB(0, 0, w, h, argb, 0, w)
+        img
+      }
     if (!isPng && !isJpeg && !isGif && !isBmp && !isTiff) return None
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
       .map(img =>
@@ -1072,11 +1163,13 @@ object Multimodal {
               Row(img.getWidth, img.getHeight, s(0), s(1), s(2),
                 textinessOf(img), gps, true, null)
             case None => webpInfo(bytes) match {
-              // header-facts image (WebP — no JDK pixel decoder):
-              // REAL dimensions and the EXIF-chunk GPS flag, pixel
-              // stats null. ok = true: the asset IS an image, and the
-              // card must classify it as one — averages over null
-              // pixel stats simply skip these rows.
+              // header-facts image (lossy-VP8 WebP, or a lossless
+              // stream that doesn't parse — lossless WebP decodes
+              // fully via [[Vp8l]] in the branch above): REAL
+              // dimensions and the EXIF-chunk GPS flag, pixel stats
+              // null. ok = true: the asset IS an image, and the card
+              // must classify it as one — averages over null pixel
+              // stats simply skip these rows.
               case Some((w, h, _, _)) =>
                 val gps = exifGpsPresent(bytes) == java.lang.Boolean.TRUE
                 Row(w, h, null, null, null, null, gps, true, null)
