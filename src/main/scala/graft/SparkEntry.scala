@@ -5184,6 +5184,44 @@ object SparkEntry {
       |) AS t(img_id, width, height, avg_r, textiness, dhash, is_image)
       |ORDER BY img_id""".stripMargin
 
+  /** AVIF header facts ([[graft.operators.Multimodal.avifInfo]]:
+    * brand scan incl. compatible-brand-only files, `meta/iprp/ipco`
+    * walk for `ispe` dims and `pixi` channels) — the q162 discipline
+    * for the other format modern crawls deliver in volume. The ftyp
+    * dispatch is the point of row 3: an ISO-BMFF MOVIE must still
+    * read as mp4/video, not as an image. Header facts only (an AV1
+    * decoder is out of pure-JDK scope, like lossy VP8).
+    */
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    val rows = Seq(
+      (1L, M.syntheticAvif(800, 600)),
+      (2L, M.syntheticAvif(128, 128, channels = 4)),
+      (3L, M.syntheticMp4(32, 32, 2000L)),
+      (4L, "not an avif".getBytes("UTF-8"))
+    ).toDF("img_id", "content")
+    M.imageStats(M.decode(rows))
+      .select(col("img_id"),
+        col("decoded.format").as("format"),
+        col("decoded.width").as("width"),
+        col("decoded.height").as("height"),
+        col("decoded.channels").as("channels"),
+        col("stats.ok").as("is_image"))
+      .orderBy(col("img_id"))
+  }
+
+  private def avifOracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(1 AS BIGINT), 'avif', 800, 600, 3, TRUE),
+      | (CAST(2 AS BIGINT), 'avif', 128, 128, 4, TRUE),
+      | -- a movie stays on the mp4 path and is NOT an image
+      | (CAST(3 AS BIGINT), 'mp4', 32, 32, CAST(NULL AS INTEGER), FALSE),
+      | -- junk rides the raw stub at len = 11
+      | (CAST(4 AS BIGINT), 'raw', 64 + 11, 64 + 341, 3, FALSE)
+      |) AS t(img_id, format, width, height, channels, is_image)
+      |ORDER BY img_id""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -5355,7 +5393,8 @@ object SparkEntry {
     "q164_vidcorp" -> (q164 _),
     "q165_audcorp" -> (q165 _),
     "q166_tiff" -> (q166 _),
-    "q167_vp8l" -> (q167 _))
+    "q167_vp8l" -> (q167 _),
+    "q168_avif" -> (q168 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -5773,6 +5812,7 @@ object SparkEntry {
     "q165_audcorp" -> audioCorpusOracle,
     "q166_tiff" -> tiffOracle,
     "q167_vp8l" -> vp8lOracle,
+    "q168_avif" -> avifOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

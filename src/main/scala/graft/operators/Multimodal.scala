@@ -94,7 +94,12 @@ object Multimodal {
       }
     if (bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' &&
         bytes(6) == 'y' && bytes(7) == 'p')
-      return decodeMp4(bytes)
+      return avifInfo(bytes) match {
+        // AVIF is ISO-BMFF too — the brand decides image vs movie
+        case Some((w, h, ch)) =>
+          meta(width = w, height = h, channels = ch, format = "avif")
+        case None => decodeMp4(bytes)
+      }
     if (isTiffMagic(bytes)) return decodeTiff(bytes)
     val width = 64 + bytes.length % 1024
     // long arithmetic: length * 31 overflows Int beyond ~69 MB assets
@@ -422,6 +427,83 @@ object Multimodal {
         }
       case _ => None
     }
+  }
+
+  /** AVIF header facts — the q44/q162 header-walk discipline for the
+    * OTHER format modern crawls deliver in volume: an AVIF is an
+    * ISO-BMFF `ftyp(avif|avis)` whose `meta/iprp/ipco` property
+    * container carries the image spatial extents (`ispe`: width and
+    * height u32) and per-channel bit depth (`pixi`: channel count).
+    * Header facts only — an AV1 intra decoder is out of pure-JDK
+    * scope like lossy VP8 (SURVEY §3); the card must still classify
+    * these rows as images with real dimensions instead of
+    * undecodable. Returns (width, height, channels); channels
+    * defaults to 3 when `pixi` is absent.
+    */
+  private[graft] def avifInfo(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b == null || b.length < 16 ||
+      !(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return None
+    @inline def u32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    @inline def fourcc(o: Int): String = new String(b, o, 4, "ISO-8859-1")
+    val ftypEnd = math.min(u32(0), b.length.toLong).toInt
+    // brands: major at 8, compatibles from 16 in 4-byte steps
+    val avifBrand = (fourcc(8) == "avif" || fourcc(8) == "avis") ||
+      (16 until (ftypEnd - 3) by 4).exists(o =>
+        fourcc(o) == "avif" || fourcc(o) == "avis")
+    if (!avifBrand) return None
+    var w = -1L
+    var h = -1L
+    var channels = 3
+    def walk(start: Long, end: Long): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val size0 = u32(off.toInt)
+        val id = fourcc(off.toInt + 4)
+        val boxEnd = if (size0 == 0) end else off + size0
+        if (boxEnd < off + 8 || boxEnd > end) return
+        val body = off + 8
+        id match {
+          case "meta" => walk(body + 4, boxEnd) // FULL box: skip ver/flags
+          case "iprp" | "ipco" => walk(body, boxEnd)
+          case "ispe" if body + 12 <= boxEnd =>
+            w = u32(body.toInt + 4) // after the fullbox ver/flags
+            h = u32(body.toInt + 8)
+          case "pixi" if body + 5 <= boxEnd =>
+            channels = b(body.toInt + 4) & 0xff
+          case _ => ()
+        }
+        off = boxEnd
+      }
+    }
+    walk(0L, b.length.toLong)
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) None
+    else Some((w.toInt, h.toInt, channels))
+  }
+
+  /** Minimal AVIF header fixture ([[syntheticWebp]] discipline):
+    * `ftyp(avif)` + `meta(hdlr pict, iprp(ipco(ispe, pixi)))` — every
+    * value [[avifInfo]] reports is a closed form of the arguments.
+    */
+  private[graft] def syntheticAvif(w: Int, h: Int,
+      channels: Int = 3): Array[Byte] = {
+    def box(id: String, payload: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + payload.length)
+      out.putInt(8 + payload.length).put(id.getBytes("ISO-8859-1")).put(payload)
+      out.array()
+    }
+    val ftyp = box("ftyp", "avif".getBytes("ISO-8859-1") ++
+      new Array[Byte](4) ++ "mif1".getBytes("ISO-8859-1"))
+    val ispe = box("ispe", java.nio.ByteBuffer.allocate(12)
+      .putInt(0).putInt(w).putInt(h).array())
+    val pixi = box("pixi", Array[Byte](0, 0, 0, 0, channels.toByte) ++
+      Array.fill[Byte](channels)(8))
+    val hdlr = box("hdlr", new Array[Byte](8) ++
+      "pict".getBytes("ISO-8859-1") ++ new Array[Byte](12))
+    val meta = box("meta",
+      new Array[Byte](4) ++ hdlr ++ box("iprp", box("ipco", ispe ++ pixi)))
+    ftyp ++ meta
   }
 
   /** A REAL lossless WebP from a per-pixel two-tone choice — the
@@ -1173,9 +1255,17 @@ object Multimodal {
               case Some((w, h, _, _)) =>
                 val gps = exifGpsPresent(bytes) == java.lang.Boolean.TRUE
                 Row(w, h, null, null, null, null, gps, true, null)
-              case None =>
-                Row(null, null, null, null, null, null, null, false,
-                  "not a decodable raster")
+              case None => avifInfo(bytes) match {
+                // AVIF: header-facts image like lossy WebP (an AV1
+                // decoder is out of pure-JDK scope); gps stays NULL —
+                // AVIF can embed EXIF behind item indirection we
+                // don't walk, so "unknown", not "location-free"
+                case Some((w, h, _)) =>
+                  Row(w, h, null, null, null, null, null, true, null)
+                case None =>
+                  Row(null, null, null, null, null, null, null, false,
+                    "not a decodable raster")
+              }
             }
           }
           Row.fromSeq(row.toSeq :+ stats)
@@ -2120,6 +2210,7 @@ object Multimodal {
     */
   val DHashSignatureName = "dhash64/1"
   val AudioHashSignatureName = "audiohash64/2"
+  val VideoFingerprintSignatureName = "videofp64/1"
 
   /** The grid kernel behind [[audioHash64]] (generated code calls
     * [[audioHash64]] itself, so this can stay internal).
@@ -2479,6 +2570,7 @@ object Multimodal {
       bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'E' &&
       bytes(10) == 'B' && bytes(11) == 'P') "image/webp"
     else if (isTiffMagic(bytes)) "image/tiff"
+    else if (avifInfo(bytes).isDefined) "image/avif"
     else "application/octet-stream"
   }
 

@@ -840,6 +840,35 @@ class SemanticSpec extends SparkSpec {
     assert(Multimodal.sniffMime(le) == "image/tiff")
   }
 
+  test("AVIF: python-built fixture cross-check — compatible-brand scan, ispe/pixi walk, image classification") {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/fixtures/synthetic.avif").toURI))
+    // the fixture hides `avif` in the COMPATIBLE brand list (major is
+    // mif1) and plants an unknown av1C property before ispe
+    assert(Multimodal.avifInfo(bytes).contains((1234, 777, 4)))
+    assert(Multimodal.sniffMime(bytes) == "image/avif")
+    // decode kernel: the ftyp dispatch must pick avif over the movie path
+    val d = Multimodal.decode(Seq((1L, bytes)).toDF("id", "content"))
+      .select("decoded.format", "decoded.width", "decoded.height",
+        "decoded.channels", "decoded.ok").head()
+    assert(d.getString(0) == "avif" && d.getInt(1) == 1234 &&
+      d.getInt(2) == 777 && d.getInt(3) == 4 && d.getBoolean(4))
+    // stats surface: an image with real dims, pixel stats null, gps
+    // UNKNOWN (AVIF can embed EXIF behind item indirection)
+    val s = Multimodal.imageStats(Seq((1L, bytes)).toDF("id", "content"))
+      .select("stats.ok", "stats.width", "stats.height", "stats.avg_r",
+        "stats.exif_gps").head()
+    assert(s.getBoolean(0) && s.getInt(1) == 1234 && s.getInt(2) == 777)
+    assert(s.isNullAt(3) && s.isNullAt(4))
+    // scala builder round-trips; movies and audio are NOT avif
+    assert(Multimodal.avifInfo(Multimodal.syntheticAvif(64, 32, 3))
+      .contains((64, 32, 3)))
+    assert(Multimodal.avifInfo(Multimodal.syntheticMp4(32, 32, 1000L)).isEmpty)
+    assert(Multimodal.m4aAudioInfo(bytes).isEmpty,
+      "a pict-handler BMFF must not read as audio")
+    assert(Multimodal.mpegAudioInfo(bytes).isEmpty)
+  }
+
   test("mp4VideoTrack: python-built fixture cross-check — multi-run stsc, stss, duration") {
     // independent muxer (scripts/make_mp4_fixture.py): 5 samples of
     // sizes 11..15 split 3+2 across two chunks, sync = {1,4},

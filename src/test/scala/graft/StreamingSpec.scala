@@ -467,6 +467,46 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming signature-ingest dedup: EXACT video fingerprints, 0-bit gate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val M = graft.operators.Multimodal
+    def sample(i: Int): Array[Byte] =
+      Array.tabulate[Byte](50 + i)(j => ((i * 19 + j * 5 + 2) & 0xff).toByte)
+    val samples = (0 until 4).map(sample)
+    val other = (0 until 4).map(i => sample(i + 9))
+    val store = java.nio.file.Files.createTempDirectory("graft-vidstore").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-vidckpt").toString
+    val input = MemoryStream[(Long, Array[Byte])](spark)
+    // maxHamming 0 / bands 1: the banded join degenerates to plain
+    // equality on the whole fingerprint — exact dedup through the SAME
+    // ingest loop the perceptual modalities ride
+    val q = StreamOps.streamingSignatureDedupIngest(
+      input.toDF().toDF("video_id", "content"), "video_id", "content",
+      M.videoFingerprint64Col, M.VideoFingerprintSignatureName, store, ckpt,
+      maxHamming = 0, bands = 1)
+    try {
+      input.addData(
+        (1L, M.syntheticMjpegMp4(samples, codec = "avc1")),
+        (2L, M.syntheticMjpegMp4(other, codec = "avc1")))
+      q.processAllAvailable()
+      // batch 1: a re-mux of video 1 (chunk layout + timescale differ,
+      // sample bytes identical) + junk (null fingerprint, dropped)
+      input.addData(
+        (3L, M.syntheticMjpegMp4(samples, codec = "avc1", timescale = 600,
+          samplesPerChunk = 3)),
+        (4L, "junk".getBytes("UTF-8")))
+      q.processAllAvailable()
+      val pairs = spark.read.parquet(s"$store/pairs").drop("batch").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 3L)), s"re-mux twin across batches only: $pairs")
+      assert(spark.read.parquet(s"$store/sigs").count() == 3,
+        "junk never enters the store")
+      val meta = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(store, "store_meta.json")), "UTF-8")
+      assert(meta.contains(s""""signature":"${M.VideoFingerprintSignatureName}""""))
+    } finally q.stop()
+  }
+
   test("signature store predating versioning (no meta) is refused") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
