@@ -5222,6 +5222,69 @@ object SparkEntry {
       |) AS t(img_id, format, width, height, channels, is_image)
       |ORDER BY img_id""".stripMargin
 
+  /** Media card over the round-12 formats — the card-level
+    * integration lock: a LOSSLESS WebP contributes full pixel stats
+    * (decoded by [[graft.operators.Vp8l]]), a lossy WebP and an AVIF
+    * contribute header dims as images, a GPS-tagged TIFF counts in
+    * `pct_image_gps` (its own IFD0 is the EXIF block) while the
+    * AVIF's unknown-GPS null does NOT dilute the ratio, and an MP4
+    * movie lands in the video share with its keyframe count. Every
+    * value is a closed form of the builders' arguments.
+    */
+  private def q169(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    val rows = Seq(
+      ("a", M.syntheticVp8lTwoTone(32, 16, (_, _) => false,
+        0xff000000 | gray(51), 0xff000000 | gray(51))),
+      ("a", M.syntheticWebp("vp8", 320, 240)),
+      ("a", "xx".getBytes("UTF-8")),
+      ("b", M.syntheticTiff(12, 6, (_, _) => (60 << 16) | (120 << 8) | 180,
+        gps = true)),
+      ("b", M.syntheticAvif(640, 360)),
+      ("b", M.syntheticMjpegMp4(Seq(M.renderJpeg(16, 8, (_, _) => gray(99)))))
+    ).toDF("grp", "content")
+    M.mediaCard(rows, "content", "grp").orderBy(col("grp"), col("metric"))
+  }
+
+  private def mediaFormatsOracle: String =
+    """SELECT * FROM (VALUES
+      | ('a', 'avg_audio_hz', CAST(NULL AS DOUBLE)),
+      | ('a', 'avg_audio_rms', CAST(NULL AS DOUBLE)),
+      | ('a', 'avg_audio_secs', CAST(NULL AS DOUBLE)),
+      | ('a', 'avg_image_height', (16 + 240) / 2.0),
+      | ('a', 'avg_image_luma', round(51/255.0, 4)),
+      | ('a', 'avg_image_textiness', 0.0),
+      | ('a', 'avg_image_width', (32 + 320) / 2.0),
+      | ('a', 'avg_video_keyframes', CAST(NULL AS DOUBLE)),
+      | ('a', 'n_assets', 3.0),
+      | ('a', 'pct_audio', 0.0),
+      | ('a', 'pct_audio_clipped', CAST(NULL AS DOUBLE)),
+      | ('a', 'pct_audio_silent', CAST(NULL AS DOUBLE)),
+      | ('a', 'pct_image', round(2/3.0, 4)),
+      | ('a', 'pct_image_gps', 0.0),
+      | ('a', 'pct_undecodable', round(1/3.0, 4)),
+      | ('a', 'pct_video', 0.0),
+      | ('b', 'avg_audio_hz', CAST(NULL AS DOUBLE)),
+      | ('b', 'avg_audio_rms', CAST(NULL AS DOUBLE)),
+      | ('b', 'avg_audio_secs', CAST(NULL AS DOUBLE)),
+      | ('b', 'avg_image_height', (6 + 360) / 2.0),
+      | ('b', 'avg_image_luma', round(120/255.0, 4)),
+      | ('b', 'avg_image_textiness', 0.0),
+      | ('b', 'avg_image_width', (12 + 640) / 2.0),
+      | ('b', 'avg_video_keyframes', 1.0),
+      | ('b', 'n_assets', 3.0),
+      | ('b', 'pct_audio', 0.0),
+      | ('b', 'pct_audio_clipped', CAST(NULL AS DOUBLE)),
+      | ('b', 'pct_audio_silent', CAST(NULL AS DOUBLE)),
+      | ('b', 'pct_image', round(2/3.0, 4)),
+      | ('b', 'pct_image_gps', 0.5),
+      | ('b', 'pct_undecodable', 0.0),
+      | ('b', 'pct_video', round(1/3.0, 4))
+      |) AS t(grp, metric, value)
+      |ORDER BY grp, metric""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -5394,7 +5457,8 @@ object SparkEntry {
     "q165_audcorp" -> (q165 _),
     "q166_tiff" -> (q166 _),
     "q167_vp8l" -> (q167 _),
-    "q168_avif" -> (q168 _))
+    "q168_avif" -> (q168 _),
+    "q169_mcard" -> (q169 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -5813,6 +5877,7 @@ object SparkEntry {
     "q166_tiff" -> tiffOracle,
     "q167_vp8l" -> vp8lOracle,
     "q168_avif" -> avifOracle,
+    "q169_mcard" -> mediaFormatsOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

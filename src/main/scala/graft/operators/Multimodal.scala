@@ -2319,7 +2319,7 @@ object Multimodal {
     * bit-identical however the corpus is split across ingests (the
     * float-sum-ORDER problem a double sum would reintroduce).
     */
-  private def mediaCardSignals(df: DataFrame, contentCol: String,
+  private[graft] def mediaCardSignals(df: DataFrame, contentCol: String,
       groupCol: String): DataFrame = {
     val enriched = audioStats(imageStats(df, contentCol), contentCol)
     val img = col("stats")
@@ -2391,7 +2391,7 @@ object Multimodal {
     * the exact integer millisecond sum ONCE — float-sum-order-safe
     * at corpus scale.
     */
-  private def deriveMediaCard(state: DataFrame,
+  private[graft] def deriveMediaCard(state: DataFrame,
       groupCol: String): DataFrame = {
     def avgOf(sumCol: String, cntCol: String, scale: Int) =
       when(col(cntCol) > 0,
@@ -2422,6 +2422,26 @@ object Multimodal {
         .cast("double") / col("n"), 4))).as(Seq("metric", "value")))
   }
 
+  /** Re-sum a union of [[mediaCardSignals]] frames into one row per
+    * group — the monoid merge shared by the incremental upsert and
+    * the streaming partial-store reader, so the fold can never
+    * diverge between them.
+    */
+  private[graft] def mergeMediaCardSignals(both: DataFrame): DataFrame =
+    both.groupBy(col("__g")).agg(
+      sum(col("n")).as("n"), sum(col("ni")).as("ni"),
+      sum(col("na")).as("na"), sum(col("nv")).as("nv"),
+      sum(col("wsum")).as("wsum"), sum(col("wcnt")).as("wcnt"),
+      sum(col("hsum")).as("hsum"), sum(col("hcnt")).as("hcnt"),
+      sum(col("lumsum")).as("lumsum"), sum(col("lumcnt")).as("lumcnt"),
+      sum(col("txtsum")).as("txtsum"), sum(col("txtcnt")).as("txtcnt"),
+      sum(col("ngps")).as("ngps"),
+      sum(col("rmssum")).as("rmssum"), sum(col("rmscnt")).as("rmscnt"),
+      sum(col("dursum")).as("dursum"), sum(col("durcnt")).as("durcnt"),
+      sum(col("hzsum")).as("hzsum"), sum(col("hzcnt")).as("hzcnt"),
+      sum(col("nclip")).as("nclip"), sum(col("nsilent")).as("nsilent"),
+      sum(col("vkeysum")).as("vkeysum"), sum(col("vkeycnt")).as("vkeycnt"))
+
   /** Incremental [[mediaCard]] — the daily-multimodal-ingest form
     * ([[graft.operators.Curation.upsertDataCardState]]'s media twin):
     * fold each batch's [[mediaCardSignals]] into a versioned parquet
@@ -2439,20 +2459,7 @@ object Multimodal {
     val partial = mediaCardSignals(batch, contentCol, groupCol)
     val merged = Scale.readVersionedState(spark, path) match {
       case None => partial
-      case Some(state) =>
-        state.unionByName(partial).groupBy(col("__g")).agg(
-          sum(col("n")).as("n"), sum(col("ni")).as("ni"),
-          sum(col("na")).as("na"), sum(col("nv")).as("nv"),
-          sum(col("wsum")).as("wsum"), sum(col("wcnt")).as("wcnt"),
-          sum(col("hsum")).as("hsum"), sum(col("hcnt")).as("hcnt"),
-          sum(col("lumsum")).as("lumsum"), sum(col("lumcnt")).as("lumcnt"),
-          sum(col("txtsum")).as("txtsum"), sum(col("txtcnt")).as("txtcnt"),
-          sum(col("ngps")).as("ngps"),
-          sum(col("rmssum")).as("rmssum"), sum(col("rmscnt")).as("rmscnt"),
-          sum(col("dursum")).as("dursum"), sum(col("durcnt")).as("durcnt"),
-          sum(col("hzsum")).as("hzsum"), sum(col("hzcnt")).as("hzcnt"),
-          sum(col("nclip")).as("nclip"), sum(col("nsilent")).as("nsilent"),
-          sum(col("vkeysum")).as("vkeysum"), sum(col("vkeycnt")).as("vkeycnt"))
+      case Some(state) => mergeMediaCardSignals(state.unionByName(partial))
     }
     Scale.writeVersionedState(spark, path, merged)
   }

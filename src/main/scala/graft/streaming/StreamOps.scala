@@ -160,6 +160,45 @@ object StreamOps {
       graft.operators.Multimodal.DHashSignatureName, storeDir,
       checkpointDir, maxHamming, bands, maxBucketSize)
 
+  /** Streaming media card — the live form of
+    * [[graft.operators.Multimodal.upsertMediaCardState]], built on
+    * the signature store's replay discipline instead of a read-
+    * modify-write fold: each micro-batch writes its per-group MONOID
+    * partial ([[graft.operators.Multimodal.mediaCardSignals]]) to its
+    * OWN generation dir (`partials/batch=<id>`, overwrite mode), so a
+    * foreachBatch redelivery overwrites identical bytes instead of
+    * double-counting — the property a stateful fold can only
+    * approximate with markers. Partials are O(groups) rows each;
+    * [[streamingMediaCard]] re-sums them at read time, and a
+    * caller-scheduled compaction can fold old generations through
+    * `upsertMediaCardState` when the generation count grows.
+    */
+  def streamingMediaCardIngest(stream: DataFrame, contentCol: String,
+      groupCol: String, storeDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Multimodal
+          .mediaCardSignals(batch, contentCol, groupCol)
+          .write.mode("overwrite")
+          .parquet(s"$storeDir/partials/batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** Derive the media card from a [[streamingMediaCardIngest]] store:
+    * union every generation's monoid partial, re-sum, derive — the
+    * same merge and derive the batch card uses, so stream == batch
+    * by construction (StreamingSpec locks it).
+    */
+  def streamingMediaCard(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, groupCol: String): DataFrame =
+    graft.operators.Multimodal.deriveMediaCard(
+      graft.operators.Multimodal.mergeMediaCardSignals(
+        spark.read.parquet(s"$storeDir/partials").drop("batch")),
+      groupCol)
+
   /** [[streamingImageDedupIngest]] for ANY 64-bit perceptual
     * signature — pass the modality's kernel column
     * ([[graft.operators.Multimodal.dhash64Col]] for images,

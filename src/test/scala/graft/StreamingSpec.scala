@@ -507,6 +507,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming media card: generation partials re-sum to the batch card exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val M = graft.operators.Multimodal
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    val png = M.renderPng(20, 10, (_, _) => gray(100))
+    val wav = M.renderWav(8000, 1,
+      Array.tabulate[Short](800)(i => if (i % 2 == 0) 9000 else -9000))
+    val mp4 = M.syntheticMjpegMp4(
+      Seq(M.renderJpeg(16, 8, (_, _) => gray(99))), syncEvery = 1)
+    val junk = "nope".getBytes("UTF-8")
+    val store = java.nio.file.Files.createTempDirectory("graft-mcstream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mcsckpt").toString
+    val input = MemoryStream[(String, Array[Byte])](spark)
+    val q = StreamOps.streamingMediaCardIngest(
+      input.toDF().toDF("source", "content"), "content", "source",
+      store, ckpt)
+    val all =
+      try {
+        input.addData(("s1", png), ("s1", wav), ("s2", junk))
+        q.processAllAvailable()
+        input.addData(("s2", mp4), ("s1", png), ("s2", wav))
+        q.processAllAvailable()
+        Seq(("s1", png), ("s1", wav), ("s2", junk),
+          ("s2", mp4), ("s1", png), ("s2", wav))
+      } finally q.stop()
+    // one generation dir per micro-batch, O(groups) rows each
+    val partials = spark.read.parquet(s"$store/partials")
+    assert(partials.select("batch").distinct().count() == 2)
+    def cardMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.getAs[java.lang.Double]("value"))).toMap
+    val streamCard = cardMap(StreamOps.streamingMediaCard(spark, store, "source"))
+    val batchCard = cardMap(M.mediaCard(
+      all.toDF("source", "content"), "content", "source"))
+    assert(streamCard == batchCard,
+      s"stream must equal batch on every (group, metric) incl. nulls")
+  }
+
   test("signature store predating versioning (no meta) is refused") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -88,6 +88,41 @@ class Vp8lSpec extends AnyFunSuite {
       (s.getRGB(x, y) & 0xffffff) == 0x4d4d4d)))
   }
 
+  test("mutation fuzz: corrupted streams degrade, never throw or hang") {
+    // hostile-input posture for a 100 TB crawl scan: every byte of a
+    // valid stream flipped, truncated, or randomized must come back
+    // as Some(wrong pixels) or None — exceptions would fail the scan,
+    // and unbounded loops would wedge an executor. Deterministic seed.
+    val rnd = new scala.util.Random(42)
+    val names = Seq("vp8l_lit", "vp8l_backref", "vp8l_cache",
+      "vp8l_subgreen", "vp8l_pred", "vp8l_palette", "vp8l_meta")
+    names.foreach { n =>
+      val good = fix(s"$n.webp")
+      // every single-byte flip past the RIFF header
+      (12 until good.length).foreach { i =>
+        val m = good.clone()
+        m(i) = (m(i) ^ (1 << rnd.nextInt(8))).toByte
+        Vp8l.decode(m)
+      }
+      // random multi-byte corruption + truncation
+      (0 until 200).foreach { _ =>
+        val m = good.clone()
+        (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+          m(12 + rnd.nextInt(m.length - 12)) = rnd.nextInt(256).toByte
+        }
+        Vp8l.decode(java.util.Arrays.copyOfRange(m, 0,
+          13 + rnd.nextInt(m.length - 13)))
+      }
+    }
+    // pure noise behind a valid container frame
+    (0 until 300).foreach { _ =>
+      val payload = new Array[Byte](1 + rnd.nextInt(64))
+      rnd.nextBytes(payload)
+      payload(0) = 0x2f
+      Vp8l.decodePayload(payload, 0, payload.length)
+    }
+  }
+
   test("malformed streams degrade to None, never throw") {
     assert(Vp8l.decode(null).isEmpty)
     assert(Vp8l.decode("junk".getBytes).isEmpty)
