@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Independent ID3v2 / M4A-ilst tag fixture writer (pure struct
+packing), cross-validating the JVM readers (Multimodal.id3v2Tags /
+m4aTags). Writes:
+
+  synthetic_tags_v23.mp3  ID3v2.3: UTF-16-BOM title, latin-1 artist,
+                          UTF-16BE album, a frame to skip, padding,
+                          prepended to a bare MPEG frame
+  synthetic_tags_v24.mp3  ID3v2.4: UTF-8 text, syncsafe frame sizes
+                          (one frame > 127 bytes to make plain-size
+                          parsing visibly wrong), extended header
+  synthetic_tags.m4a      moov/udta/meta/ilst with nam/ART/alb data
+                          atoms plus an unknown atom to step over
+"""
+import struct
+import os
+
+OUT = os.path.join(os.path.dirname(__file__), "..",
+                   "src", "test", "resources", "fixtures")
+
+
+def syncsafe(n):
+    return bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                  (n >> 7) & 0x7F, n & 0x7F])
+
+
+def frame_v23(fid, payload):
+    return fid.encode() + struct.pack(">I", len(payload)) + b"\x00\x00" + payload
+
+
+def frame_v24(fid, payload):
+    return fid.encode() + syncsafe(len(payload)) + b"\x00\x00" + payload
+
+
+def tag(version, frames, ext_header=b"", padding=0):
+    body = ext_header + b"".join(frames) + b"\x00" * padding
+    flags = 0x40 if ext_header else 0
+    return b"ID3" + bytes([version, 0, flags]) + syncsafe(len(body)) + body
+
+
+def v23():
+    frames = [
+        frame_v23("TIT2", b"\x01\xff\xfe" + "Le Titre é".encode("utf-16-le")),
+        frame_v23("TPE1", b"\x00" + b"Artist A"),
+        frame_v23("TXXX", b"\x00desc\x00ignored"),  # must be stepped over
+        frame_v23("TALB", b"\x02" + "Album B".encode("utf-16-be")),
+    ]
+    return tag(3, frames, padding=24)
+
+
+def v24():
+    long_title = "T" * 130  # frame size > 127: syncsafe vs plain diverges
+    # v2.4 extended header: syncsafe size INCLUDING itself, minimal 6
+    ext = syncsafe(6) + b"\x01\x00"
+    frames = [
+        frame_v24("TIT2", b"\x03" + long_title.encode("utf-8")),
+        frame_v24("TPE1", b"\x03" + "Artíst".encode("utf-8") + b"\x00extra"),
+        frame_v24("TALB", b"\x03" + b"Al bum"),
+    ]
+    return tag(4, frames, ext_header=ext, padding=8)
+
+
+def mpeg_frame():
+    # one MPEG1 Layer III 32 kbps 44.1 kHz frame of zeros (header only
+    # matters: the tag readers must not care what follows the tag)
+    hdr = struct.pack(">I", 0xFFFB1000)
+    return hdr + b"\x00" * 100
+
+
+def box(fourcc, payload):
+    return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+
+def m4a():
+    def atom(fid, value):
+        data = box(b"data", struct.pack(">II", 1, 0) + value.encode("utf-8"))
+        return box(fid, data)
+
+    ilst = box(b"ilst", atom(b"\xa9nam", "M4A Title") +
+               box(b"skip", b"\x00" * 4) +
+               atom(b"\xa9ART", "M4A Artist") +
+               atom(b"\xa9alb", "M4A Album"))
+    meta = box(b"meta", b"\x00" * 4 + box(b"hdlr", b"\x00" * 24) + ilst)
+    udta = box(b"udta", meta)
+    mdhd = struct.pack(">IIIII", 0, 0, 0, 8000, 16000) + b"\x00" * 4
+    hdlr = b"\x00" * 8 + b"soun" + b"\x00" * 12
+    entry = struct.pack(">I", 36) + b"mp4a" + b"\x00" * 16 + \
+        struct.pack(">HH", 2, 16) + b"\x00" * 4 + struct.pack(">I", 8000 << 16)
+    stsd = struct.pack(">II", 0, 1) + entry
+    mdia = box(b"mdia", box(b"mdhd", mdhd) + box(b"hdlr", hdlr) +
+               box(b"minf", box(b"stbl", box(b"stsd", stsd))))
+    ftyp = box(b"ftyp", b"M4A \x00\x00\x02\x00isomiso2")
+    return ftyp + box(b"moov", box(b"trak", mdia) + udta)
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    with open(os.path.join(OUT, "synthetic_tags_v23.mp3"), "wb") as f:
+        f.write(v23() + mpeg_frame())
+    with open(os.path.join(OUT, "synthetic_tags_v24.mp3"), "wb") as f:
+        f.write(v24() + mpeg_frame())
+    with open(os.path.join(OUT, "synthetic_tags.m4a"), "wb") as f:
+        f.write(m4a())
+    print("wrote 3 tag fixtures")
+
+
+if __name__ == "__main__":
+    main()

@@ -5285,6 +5285,46 @@ object SparkEntry {
       |) AS t(grp, metric, value)
       |ORDER BY grp, metric""".stripMargin
 
+  /** Declared audio metadata ([[graft.operators.Multimodal
+    * .audioTags]]) — ID3v2.3 (UTF-16 text, plain frame sizes), ID3v2.4
+    * (UTF-8, syncsafe sizes) and M4A `ilst` atoms: the curation
+    * surface for grouping/filtering an audio corpus by what its
+    * files SAY they are, next to the stats walk's facts about what
+    * they ARE. Untagged audio and junk report all-null tags.
+    */
+  private def q170(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    val rows = Seq(
+      (1L, M.syntheticId3(3, "Song One", "The Band", "LP") ++
+        M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))),
+      (2L, M.syntheticId3(4, "Zweites Lied", "Künstler", "Älbum") ++
+        M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))),
+      (3L, M.syntheticM4aTagged(2, 44100, 441000L, "Third", "Trio",
+        "Collection")),
+      (4L, M.syntheticM4a(1, 8000, 800L)),
+      (5L, "junk".getBytes("UTF-8"))
+    ).toDF("aud_id", "content")
+    M.audioTags(rows)
+      .select(col("aud_id"), col("tags.title").as("title"),
+        col("tags.artist").as("artist"), col("tags.album").as("album"),
+        col("tags.tag_format").as("tag_format"))
+      .orderBy(col("aud_id"))
+  }
+
+  private def audioTagsOracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(1 AS BIGINT), 'Song One', 'The Band', 'LP', 'id3v2.3'),
+      | (CAST(2 AS BIGINT), 'Zweites Lied', 'Künstler', 'Älbum',
+      |  'id3v2.4'),
+      | (CAST(3 AS BIGINT), 'Third', 'Trio', 'Collection', 'm4a'),
+      | (CAST(4 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+      |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+      | (CAST(5 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+      |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))
+      |) AS t(aud_id, title, artist, album, tag_format)
+      |ORDER BY aud_id""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -5458,7 +5498,8 @@ object SparkEntry {
     "q166_tiff" -> (q166 _),
     "q167_vp8l" -> (q167 _),
     "q168_avif" -> (q168 _),
-    "q169_mcard" -> (q169 _))
+    "q169_mcard" -> (q169 _),
+    "q170_atags" -> (q170 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -5878,6 +5919,7 @@ object SparkEntry {
     "q167_vp8l" -> vp8lOracle,
     "q168_avif" -> avifOracle,
     "q169_mcard" -> mediaFormatsOracle,
+    "q170_atags" -> audioTagsOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

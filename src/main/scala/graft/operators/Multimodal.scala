@@ -1889,8 +1889,227 @@ object Multimodal {
     val stbl = box("stbl", box("stsd", stsd))
     val mdia = box("mdia", box("mdhd", mdhd) ++ box("hdlr", hdlr) ++
       box("minf", stbl))
-    val ftyp = box("ftyp", "M4A    isomiso2".getBytes("ISO-8859-1"))
+    val ftyp = box("ftyp", "M4A \u0000\u0000\u0002\u0000isomiso2".getBytes("ISO-8859-1"))
     ftyp ++ box("moov", box("trak", mdia))
+  }
+
+  /** Declared audio metadata — the curation surface the stats walk
+    * doesn't carry: who/what an audio asset SAYS it is. Null fields
+    * when the tag or frame is absent; `tag_format` names the carrier.
+    */
+  val AudioTagsSchema: StructType = StructType(Seq(
+    StructField("title", StringType),
+    StructField("artist", StringType),
+    StructField("album", StringType),
+    StructField("tag_format", StringType)))
+
+  /** ID3v2.3/2.4 text frames (TIT2/TPE1/TALB) from the tag most MP3
+    * and ADTS uploads lead with: syncsafe tag size, optional extended
+    * header (v2.3 plain-size, v2.4 syncsafe self-inclusive), per-frame
+    * sizes plain (v2.3) or syncsafe (v2.4), text encodings 0 latin-1,
+    * 1 UTF-16 with BOM, 2 UTF-16BE, 3 UTF-8; values NUL-trimmed (a
+    * v2.4 multi-value list reports its first). Stops cleanly at
+    * padding. None when no ID3v2 tag leads the bytes.
+    */
+  private[graft] def id3v2Tags(b: Array[Byte]): Option[(String, String, String, String)] = {
+    if (b == null || b.length < 10 ||
+      !(b(0) == 'I' && b(1) == 'D' && b(2) == '3')) return None
+    val ver = b(3) & 0xff
+    if (ver != 3 && ver != 4) return None
+    @inline def syncsafe(o: Int): Int =
+      ((b(o) & 0x7f) << 21) | ((b(o + 1) & 0x7f) << 14) |
+        ((b(o + 2) & 0x7f) << 7) | (b(o + 3) & 0x7f)
+    @inline def u32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    val end = math.min(b.length.toLong, 10L + syncsafe(6)).toInt
+    var pos = 10
+    if ((b(5) & 0x40) != 0 && pos + 4 <= end) { // extended header
+      val extLen =
+        if (ver == 4) syncsafe(pos) // self-inclusive
+        else u32(pos).toInt + 4 // v2.3: size field excludes itself
+      if (extLen < 4 || pos + extLen > end) return None
+      pos += extLen
+    }
+    var title: String = null
+    var artist: String = null
+    var album: String = null
+    def text(from: Int, until: Int): String = {
+      if (until <= from + 1) return ""
+      val enc = b(from) & 0xff
+      val raw = enc match {
+        case 0 => new String(b, from + 1, until - from - 1, "ISO-8859-1")
+        case 1 => new String(b, from + 1, until - from - 1, "UTF-16")
+        case 2 => new String(b, from + 1, until - from - 1, "UTF-16BE")
+        case _ => new String(b, from + 1, until - from - 1, "UTF-8")
+      }
+      val nul = raw.indexOf('\u0000')
+      if (nul >= 0) raw.substring(0, nul) else raw
+    }
+    var break = false
+    while (!break && pos + 10 <= end) {
+      if (b(pos) == 0) break = true // padding reached
+      else {
+        val id = new String(b, pos, 4, "ISO-8859-1")
+        val size = if (ver == 4) syncsafe(pos + 4) else u32(pos + 4).toInt
+        if (size < 0 || pos + 10 + size > end) break = true
+        else {
+          id match {
+            case "TIT2" => title = text(pos + 10, pos + 10 + size)
+            case "TPE1" => artist = text(pos + 10, pos + 10 + size)
+            case "TALB" => album = text(pos + 10, pos + 10 + size)
+            case _ => ()
+          }
+          pos += 10 + size
+        }
+      }
+    }
+    Some((title, artist, album, s"id3v2.$ver"))
+  }
+
+  /** iTunes-style tags from an M4A's `moov/udta/meta/ilst`: the
+    * `©nam`/`©ART`/`©alb` atoms' `data` payloads (type 1 = UTF-8,
+    * after the 8-byte type+locale preamble). None when the list is
+    * absent — header-facts-only synthetics and movies report no tags.
+    */
+  private[graft] def m4aTags(b: Array[Byte]): Option[(String, String, String, String)] = {
+    if (b == null || b.length < 16 ||
+      !(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return None
+    @inline def u32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    var title: String = null
+    var artist: String = null
+    var album: String = null
+    var sawIlst = false
+    def dataText(start: Long, end: Long): String = {
+      // first child `data` box: 4B type, 4B locale, then the value
+      var off = start
+      while (off + 16 <= end) {
+        val size = u32(off.toInt)
+        if (size < 8 || off + size > end) return null
+        if (new String(b, off.toInt + 4, 4, "ISO-8859-1") == "data" &&
+          (u32(off.toInt + 8) & 0xffffffL) == 1L)
+          return new String(b, off.toInt + 16, (size - 16).toInt, "UTF-8")
+        off += size
+      }
+      null
+    }
+    def walk(start: Long, end: Long, inIlst: Boolean): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val size0 = u32(off.toInt)
+        val id = new String(b, off.toInt + 4, 4, "ISO-8859-1")
+        val boxEnd = if (size0 == 0) end else off + size0
+        if (boxEnd < off + 8 || boxEnd > end) return
+        val body = off + 8
+        if (inIlst) {
+          id match {
+            case "©nam" => title = dataText(body, boxEnd)
+            case "©ART" => artist = dataText(body, boxEnd)
+            case "©alb" => album = dataText(body, boxEnd)
+            case _ => ()
+          }
+        } else id match {
+          case "moov" | "udta" => walk(body, boxEnd, inIlst = false)
+          case "meta" => walk(body + 4, boxEnd, inIlst = false) // FULL box
+          case "ilst" => sawIlst = true; walk(body, boxEnd, inIlst = true)
+          case _ => ()
+        }
+        off = boxEnd
+      }
+    }
+    walk(0L, b.length.toLong, inIlst = false)
+    if (!sawIlst) None else Some((title, artist, album, "m4a"))
+  }
+
+  /** Append a `tags` struct ([[AudioTagsSchema]]) per row: ID3v2 if
+    * the bytes lead with one, else the M4A item list — the
+    * [[audioStats]] batching/isolation discipline. All-null struct
+    * for untagged or non-audio rows.
+    */
+  def audioTags(df: DataFrame, contentCol: String = "content",
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField("tags", AudioTagsSchema))
+    val contentIdx = inSchema.fieldIndex(contentCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val bytes = row.getAs[Array[Byte]](contentIdx)
+          val tags =
+            (try id3v2Tags(bytes).orElse(m4aTags(bytes))
+            catch { case _: Throwable => None }) match {
+              case Some((t, a, al, fmt)) => Row(t, a, al, fmt)
+              case None => Row(null, null, null, null)
+            }
+          Row.fromSeq(row.toSeq :+ tags)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** A REAL ID3v2 tag with the given text frames — prepend to any
+    * audio stream ([[syntheticMp3]] etc.; the stats walks skip ID3).
+    * v2.3 writes UTF-16-with-BOM titles and plain frame sizes; v2.4
+    * writes UTF-8 and syncsafe sizes — the two wild encodings.
+    */
+  private[graft] def syntheticId3(version: Int, title: String,
+      artist: String, album: String): Array[Byte] = {
+    require(version == 3 || version == 4, s"version: $version")
+    def frame(id: String, value: String): Array[Byte] = {
+      val payload =
+        if (version == 4) Array[Byte](3) ++ value.getBytes("UTF-8")
+        else Array[Byte](1) ++ // UTF-16 with BOM
+          Array[Byte](0xFF.toByte, 0xFE.toByte) ++ value.getBytes("UTF-16LE")
+      val bb = java.nio.ByteBuffer.allocate(10 + payload.length)
+      bb.put(id.getBytes("ISO-8859-1"))
+      if (version == 4) {
+        val n = payload.length
+        bb.put(((n >> 21) & 0x7f).toByte).put(((n >> 14) & 0x7f).toByte)
+          .put(((n >> 7) & 0x7f).toByte).put((n & 0x7f).toByte)
+      } else bb.putInt(payload.length)
+      bb.putShort(0)
+      bb.put(payload)
+      bb.array()
+    }
+    val frames = frame("TIT2", title) ++ frame("TPE1", artist) ++
+      frame("TALB", album)
+    val n = frames.length
+    Array[Byte]('I', 'D', '3', version.toByte, 0, 0,
+      ((n >> 21) & 0x7f).toByte, ((n >> 14) & 0x7f).toByte,
+      ((n >> 7) & 0x7f).toByte, (n & 0x7f).toByte) ++ frames
+  }
+
+  /** `udta/meta/ilst` tag atoms to append inside a `moov` —
+    * [[syntheticM4a]]'s metadata companion (concat onto its `moov`
+    * payload via [[syntheticM4aTagged]]).
+    */
+  private[graft] def syntheticM4aTagged(channels: Int, sampleRate: Int,
+      nSamples: Long, title: String, artist: String,
+      album: String): Array[Byte] = {
+    def box(id: String, payload: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + payload.length)
+      out.putInt(8 + payload.length).put(id.getBytes("ISO-8859-1")).put(payload)
+      out.array()
+    }
+    def atom(id: String, value: String): Array[Byte] =
+      box(id, box("data",
+        Array[Byte](0, 0, 0, 1, 0, 0, 0, 0) ++ value.getBytes("UTF-8")))
+    val ilst = box("ilst", atom("©nam", title) ++
+      atom("©ART", artist) ++ atom("©alb", album))
+    val meta = box("meta", new Array[Byte](4) ++ ilst)
+    val udta = box("udta", meta)
+    // splice udta into the existing moov: rebuild the container with
+    // the same trak payload plus the metadata
+    val plain = syntheticM4a(channels, sampleRate, nSamples)
+    // plain = ftyp ++ moov; moov starts right after ftyp
+    val ftypLen = java.nio.ByteBuffer.wrap(plain, 0, 4).getInt
+    val moovPayload = java.util.Arrays.copyOfRange(plain, ftypLen + 8, plain.length)
+    java.util.Arrays.copyOfRange(plain, 0, ftypLen) ++
+      box("moov", moovPayload ++ udta)
   }
 
   /** Minimal Ogg-Opus: an OpusHead page plus an EOS page with the

@@ -840,6 +840,50 @@ class SemanticSpec extends SparkSpec {
     assert(Multimodal.sniffMime(le) == "image/tiff")
   }
 
+  test("audioTags: python-built fixtures — ID3v2.3/2.4 encodings, syncsafe sizes, M4A ilst") {
+    def fix(name: String): Array[Byte] =
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        getClass.getResource(s"/fixtures/$name").toURI))
+    // v2.3: UTF-16-BOM title, latin-1 artist, UTF-16BE album; a TXXX
+    // frame and padding must be stepped over
+    val t23 = Multimodal.id3v2Tags(fix("synthetic_tags_v23.mp3")).get
+    assert(t23 == (("Le Titre é", "Artist A", "Album B", "id3v2.3")), s"$t23")
+    // v2.4: syncsafe frame sizes (a 130-byte title breaks plain-size
+    // parsing), UTF-8, extended header, NUL-terminated multi-value
+    val t24 = Multimodal.id3v2Tags(fix("synthetic_tags_v24.mp3")).get
+    assert(t24 == (("T" * 130, "Artíst", "Al bum", "id3v2.4")), s"$t24")
+    // M4A item list: unknown sibling atom stepped over; audioStats
+    // facts still read from the same bytes
+    val m4aBytes = fix("synthetic_tags.m4a")
+    val tm = Multimodal.m4aTags(m4aBytes).get
+    assert(tm == (("M4A Title", "M4A Artist", "M4A Album", "m4a")), s"$tm")
+    assert(Multimodal.m4aAudioInfo(m4aBytes).contains((2, 8000, 16000L, "mp4a")))
+    // the dataframe surface: id3 preferred, all-null for untagged rows
+    val out = Multimodal.audioTags(Seq(
+      (1L, fix("synthetic_tags_v23.mp3")),
+      (2L, m4aBytes),
+      (3L, Multimodal.syntheticM4a(1, 8000, 800L)), // no ilst: untagged
+      (4L, "junk".getBytes("UTF-8"))
+    ).toDF("id", "content")).select("id", "tags.title", "tags.tag_format")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.getString(2))))).toMap
+    assert(out(1L) == ((Some("Le Titre é"), Some("id3v2.3"))))
+    assert(out(2L) == ((Some("M4A Title"), Some("m4a"))))
+    assert(out(3L) == ((None, None)))
+    assert(out(4L) == ((None, None)))
+    // scala builders round-trip through the same readers
+    val mp3 = Multimodal.syntheticId3(3, "T", "A", "B") ++
+      Multimodal.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))
+    assert(Multimodal.id3v2Tags(mp3).contains(("T", "A", "B", "id3v2.3")))
+    assert(Multimodal.mpegAudioInfo(mp3).isDefined,
+      "the stats walk must still skip the prepended tag")
+    assert(Multimodal.id3v2Tags(Multimodal.syntheticId3(4, "t", "a", "b"))
+      .contains(("t", "a", "b", "id3v2.4")))
+    assert(Multimodal.m4aTags(
+      Multimodal.syntheticM4aTagged(2, 8000, 800L, "x", "y", "z"))
+      .contains(("x", "y", "z", "m4a")))
+  }
+
   test("AVIF: python-built fixture cross-check — compatible-brand scan, ispe/pixi walk, image classification") {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
       getClass.getResource("/fixtures/synthetic.avif").toURI))
