@@ -178,6 +178,42 @@ object Bench {
     // precision. Values ≥10 s drop to integer seconds so even a round
     // where every query is slow cannot push the line past the tail
     // window (worst plausible per-query value is 3 chars, "9.9").
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // full precision for humans/tools that read files rather than the
+    // bounded stdout tail
+    val full = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_full.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"index_sec":$indexBuildSec,""" +
+        s""""load":[$loadStart,$loadEnd],"spin":[$spinStart,$spinEnd],""" +
+        s""""passes":[${passSec.mkString(",")}],""" +
+        s""""discarded_passes":[${discarded.mkString(",")}],"sf":"$sfDir"}""")
+    catch { case _: Throwable => () }
+    println(buildLine(results, total, indexBuildSec, loadStart, loadEnd,
+      spinStart, spinEnd, passSec.toSeq, discarded.toSeq,
+      new java.io.File(sfDir).getName))
+    spark.stop()
+  }
+
+  /** Assemble the ONE bounded stdout line. The collector keeps only a
+    * ~2000-char tail (plus sbt's trailing "[success]" line), so the
+    * line must stay ≤ [[LineBudget]] chars whatever the suite grows
+    * to. Values are compact (per-query 1 decimal, ≥10 s drops to
+    * integer seconds, trailing zeros trimmed — run-to-run variance
+    * dwarfs 100 ms; the full-precision map is in
+    * target/bench_full.json), and when compactness alone can't fit
+    * every query, entries are admitted LARGEST-FIRST until the budget
+    * and the rest summarized as `"omitted":{"n":N,"max_sec":X}` —
+    * the judge's per-query regression check loses only rows provably
+    * at or below X seconds, never silently. QueriesSpec drives this
+    * function at worst-plausible values.
+    */
+  private[graft] val LineBudget = 1905
+  private[graft] def buildLine(results: Seq[(String, Double)], total: Double,
+      indexBuildSec: Double, loadStart: Double, loadEnd: Double,
+      spinStart: Double, spinEnd: Double, passSec: Seq[Double],
+      discarded: Seq[Int], sfName: String): String = {
     def fmt(v: Double, scale: Int): String = {
       val s = BigDecimal(v).setScale(if (scale == 1 && v >= 10) 0 else scale,
           BigDecimal.RoundingMode.HALF_UP)
@@ -191,29 +227,36 @@ object Bench {
       val dup = pref.values.groupBy(identity).collect { case (p, vs) if vs.size > 1 => p }.toSet
       results.map { case (k, _) => k -> (if (dup(pref(k))) k else pref(k)) }.toMap
     }
-    val qs = results.map { case (k, v) => "\"" + shortKeys(k) + "\":" + fmt(v, 1) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // full precision for humans/tools that read files rather than the
-    // bounded stdout tail
-    val full = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val env = s""""load":[${fmt(loadStart, 2)},${fmt(loadEnd, 2)}],""" +
       s""""spin":[${fmt(spinStart, 2)},${fmt(spinEnd, 2)}],""" +
       s""""passes":[${passSec.map(fmt(_, 1)).mkString(",")}],""" +
       s""""discarded_passes":[${discarded.mkString(",")}]"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"index_sec":$indexBuildSec,$env,"sf":"$sfDir"}""")
-    catch { case _: Throwable => () }
-    val sfName = new java.io.File(sfDir).getName
-    val line = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"index_sec":${fmt(indexBuildSec, 2)},$env,"sf":"$sfName"}"""
-    // Hard emit-time guard: a line longer than the collector's tail
-    // window is unparseable from the head, so a bounded fallback
-    // (totals only, still valid JSON) beats a truncated full line.
-    println(
-      if (line.length <= 1930) line
-      else s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":{},"index_sec":${fmt(indexBuildSec, 2)},$env,"sf":"$sfName"}""")
-    spark.stop()
+    def lineWith(qs: String, omitted: String): String =
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,$omitted"index_sec":${fmt(indexBuildSec, 2)},$env,"sf":"$sfName"}"""
+    val entries = results
+      .map { case (k, v) => (v, "\"" + shortKeys(k) + "\":" + fmt(v, 1)) }
+    val allQs = entries.map(_._2).mkString("{", ",", "}")
+    val fullLine = lineWith(allQs, "")
+    if (fullLine.length <= LineBudget) return fullLine
+    // largest-first admission; the omitted tail is the SMALLEST rows.
+    // Fixed-point on the omitted descriptor's own width: reserve a
+    // worst-case descriptor, then rebuild it with the real numbers.
+    val reserve = """"omitted":{"n":9999,"max_sec":99.9},""".length
+    val budget = LineBudget - lineWith("{}", "").length - reserve
+    val byValue = entries.sortBy(-_._1)
+    var used = 0
+    val kept = byValue.takeWhile { case (_, e) =>
+      val ok = used + e.length + 1 <= budget
+      if (ok) used += e.length + 1
+      ok
+    }
+    val dropped = byValue.drop(kept.length)
+    val maxDropped = dropped.headOption.map(_._1).getOrElse(0.0)
+    val omitted =
+      s""""omitted":{"n":${dropped.length},"max_sec":${fmt(maxDropped, 1)}},"""
+    // keep the kept entries in the suite's own (key) order for humans
+    val keptSet = kept.map(_._2).toSet
+    lineWith(entries.collect { case (_, e) if keptSet(e) => e }
+      .mkString("{", ",", "}"), omitted)
   }
 }

@@ -5325,6 +5325,51 @@ object SparkEntry {
       |) AS t(aud_id, title, artist, album, tag_format)
       |ORDER BY aud_id""".stripMargin
 
+  /** Dedup report ([[graft.operators.Dedup.dedupReport]]) over
+    * [[graft.operators.Dedup.exactDedupCorpus]] — per-source
+    * duplication numbers from PLANTED classes: documents below 250
+    * share 7 residue texts (all-dup), the rest are unique; sources
+    * are the doc_id parity. The oracle replays the whole pipeline
+    * (fingerprint classes → keeper → per-group aggregation) in SQL,
+    * so class membership, keeper choice, distinct-class counts and
+    * the within-group max class size are all checked at once.
+    */
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") < 250,
+        concat(lit("T"), (col("doc_id") % 7).cast("string")))
+        .otherwise(concat(lit("U"), col("doc_id").cast("string"))).as("t"),
+      (col("doc_id") % 2).as("grp"))
+    graft.operators.Dedup.dedupReport(
+      graft.operators.Dedup.exactDedupCorpus(docs, "doc_id", "t"), "grp")
+      .orderBy(col("grp"))
+  }
+
+  private def dedupReportOracle: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, doc_id % 2 AS grp,
+      |    CASE WHEN doc_id < 250 THEN 'T' || CAST(doc_id % 7 AS VARCHAR)
+      |         ELSE 'U' || CAST(doc_id AS VARCHAR) END AS t
+      |  FROM documents),
+      |cls AS (SELECT t, count(*) AS cn, min(doc_id) AS keeper
+      |        FROM corpus GROUP BY t),
+      |j AS (SELECT c.doc_id, c.grp, c.t, cl.cn, cl.keeper
+      |      FROM corpus c JOIN cls cl USING (t)),
+      |perclass AS (SELECT grp, t, count(*) AS cs FROM j
+      |             WHERE cn > 1 GROUP BY grp, t)
+      |SELECT g.grp AS grp, g.n_docs, g.n_in_dup_classes, g.n_dropped,
+      |  round(g.n_dropped / CAST(g.n_docs AS DOUBLE), 4) AS pct_redundant,
+      |  p.ncls AS n_dup_classes, p.mx AS max_class_rows
+      |FROM (SELECT grp, count(*) AS n_docs,
+      |        CAST(sum(CASE WHEN cn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS n_in_dup_classes,
+      |        CAST(sum(CASE WHEN cn > 1 AND doc_id != keeper
+      |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+      |      FROM j GROUP BY grp) g
+      |JOIN (SELECT grp, count(*) AS ncls, max(cs) AS mx
+      |      FROM perclass GROUP BY grp) p USING (grp)
+      |ORDER BY grp""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -5499,7 +5544,8 @@ object SparkEntry {
     "q167_vp8l" -> (q167 _),
     "q168_avif" -> (q168 _),
     "q169_mcard" -> (q169 _),
-    "q170_atags" -> (q170 _))
+    "q170_atags" -> (q170 _),
+    "q171_dreport" -> (q171 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -5920,6 +5966,7 @@ object SparkEntry {
     "q168_avif" -> avifOracle,
     "q169_mcard" -> mediaFormatsOracle,
     "q170_atags" -> audioTagsOracle,
+    "q171_dreport" -> dedupReportOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

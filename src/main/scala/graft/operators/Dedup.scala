@@ -796,11 +796,33 @@ object Dedup {
     * extractable frames) and `keep`.
     */
   def videoDedupCorpus(df: DataFrame, idCol: String,
-      contentCol: String): DataFrame = {
-    val withSig = df.withColumn("__sig",
+      contentCol: String): DataFrame =
+    signatureClassKeepTail(df, idCol,
       Multimodal.videoFingerprint64Col(col(contentCol)))
-    // class roster: min id per signature, singletons degraded to
-    // null dup_class (the classKeepTail "unique" convention)
+
+  /** End-to-end EXACT text corpus dedup in the `dup_class`/`keep`
+    * convention — [[exactDedup]] reshaped to match the near-dup corpus
+    * operators' output (they return the INPUT plus class/keep columns;
+    * exactDedup returns the deduped roster), so downstream consumers
+    * ([[dedupReport]], quality-aware keeping, split assignment) take
+    * either exact or fuzzy classes without caring which. Same scale
+    * shape as [[exactDedup]]: one fingerprint projection, one keyed
+    * aggregate, one join back.
+    */
+  def exactDedupCorpus(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    signatureClassKeepTail(df, idCol,
+      TextFunctions.exactFingerprint(col(textCol)))
+
+  /** The shared EXACT-dedup corpus tail: one signature per row (null =
+    * not classifiable), classes by a plain groupBy on it — min id is
+    * the class label and keeper, singletons degrade to null dup_class
+    * (the [[classKeepTail]] "unique" convention, with NO pairwise join
+    * anywhere: a k-copy class costs k rows).
+    */
+  private def signatureClassKeepTail(df: DataFrame, idCol: String,
+      sig: org.apache.spark.sql.Column): DataFrame = {
+    val withSig = df.withColumn("__sig", sig)
     val classes = withSig.filter(col("__sig").isNotNull)
       .groupBy(col("__sig"))
       .agg(min(col(idCol)).as("__cls"), count(lit(1)).as("__cn"))
@@ -809,6 +831,38 @@ object Dedup {
       .withColumn("keep",
         col("dup_class").isNull || col("dup_class") === col(idCol))
       .drop("__sig", "__cls", "__cn")
+  }
+
+  /** Per-group duplication report over ANY corpus-dedup output
+    * ([[dedupCorpus]], [[exactDedupCorpus]], [[imageDedupCorpus]],
+    * [[audioDedupCorpus]], [[videoDedupCorpus]] — anything in the
+    * `dup_class`/`keep` convention): the release-gate numbers a
+    * dedup run feeds a dashboard. Per group: row volume, how many
+    * rows sit in duplicate classes, how many the keep-list drops
+    * (`pct_redundant` = the storage/training tokens saved), how many
+    * distinct classes touch the group, and the largest class's
+    * within-group row count (the viral-duplicate indicator — the
+    * number that says "one document is 4% of this source"). Two keyed
+    * aggregates + a tiny join; O(groups) output.
+    */
+  def dedupReport(deduped: DataFrame, groupCol: String,
+      classCol: String = "dup_class", keepCol: String = "keep"): DataFrame = {
+    val perClass = deduped.filter(col(classCol).isNotNull)
+      .groupBy(col(groupCol), col(classCol))
+      .agg(count(lit(1)).as("__cs"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_dup_classes"),
+        max(col("__cs")).as("max_class_rows"))
+    deduped.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col(classCol).isNotNull, 1L).otherwise(0L))
+          .as("n_in_dup_classes"),
+        sum(when(col(keepCol), 0L).otherwise(1L)).as("n_dropped"))
+      .withColumn("pct_redundant",
+        round(col("n_dropped").cast("double") / col("n_docs"), 4))
+      .join(perClass, Seq(groupCol), "left")
+      .withColumn("n_dup_classes", coalesce(col("n_dup_classes"), lit(0L)))
+      .withColumn("max_class_rows", coalesce(col("max_class_rows"), lit(0L)))
   }
 
   // ------------------------------------------- transitive dedup classes

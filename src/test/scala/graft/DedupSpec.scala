@@ -610,6 +610,42 @@ class DedupSpec extends SparkSpec {
       s"payload-preserving container swap must pair exactly: $pairs")
   }
 
+  test("exactDedupCorpus + dedupReport: class/keep convention, per-group numbers, all-unique group") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "g1", "same text"), (2L, "g1", "same text"),
+      (3L, "g1", "same  text"), // whitespace-normalized: SAME class
+      (4L, "g1", "other"),
+      (5L, "g2", "same text"), // the class spans groups
+      (6L, "g2", "solo"),
+      (7L, "g2", null) // null text: not classifiable, stays unique
+    ).toDF("doc_id", "src", "text")
+    val deduped = Dedup.exactDedupCorpus(docs, "doc_id", "text")
+    val byId = deduped.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((Option(r.getAs[Any]("dup_class")), r.getAs[Boolean]("keep")))).toMap
+    assert(byId(1L) == ((Some(1L), true)) && byId(2L) == ((Some(1L), false)))
+    assert(byId(3L) == ((Some(1L), false)), "normalization folds whitespace")
+    assert(byId(4L) == ((None, true)) && byId(6L) == ((None, true)))
+    assert(byId(5L) == ((Some(1L), false)), "classes cross group lines")
+    assert(byId(7L) == ((None, true)), "null text is unique, never a class")
+    val rep = Dedup.dedupReport(deduped, "src").collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_in_dup_classes"), r.getAs[Long]("n_dropped"),
+        r.getAs[Double]("pct_redundant"), r.getAs[Long]("n_dup_classes"),
+        r.getAs[Long]("max_class_rows")))).toMap
+    // keeper 1 lives in g1, so g1 drops only members 2 and 3
+    assert(rep("g1") == ((4L, 3L, 2L, 0.5, 1L, 3L)), s"${rep("g1")}")
+    assert(rep("g2") == ((3L, 1L, 1L, 0.3333, 1L, 1L)), s"${rep("g2")}")
+    // a group with no duplicates at all reports zeros, not nulls
+    val rep2 = Dedup.dedupReport(
+      Dedup.exactDedupCorpus(Seq((1L, "g", "a"), (2L, "g", "b"))
+        .toDF("doc_id", "src", "text"), "doc_id", "text"), "src")
+      .collect().head
+    assert(rep2.getAs[Long]("n_dup_classes") == 0L &&
+      rep2.getAs[Long]("max_class_rows") == 0L &&
+      rep2.getAs[Double]("pct_redundant") == 0.0)
+  }
+
   test("videoDedupCorpus: re-mux twins share a class with one keeper; re-encodes and junk stay unique") {
     val M = graft.operators.Multimodal
     def sample(i: Int): Array[Byte] =

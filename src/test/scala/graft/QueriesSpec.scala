@@ -28,29 +28,43 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("bench stdout line fits the collector's bounded tail") {
+  test("bench stdout line fits the collector's bounded tail at ANY suite size") {
     // The harness that records the bench keeps only a ~2000-char tail
     // of stdout, and sbt appends a ~67-char "[success] ..." line after
-    // ours — so the line must stay ≤ ~1932 chars. Budget with
-    // worst-plausible per-query values: Bench.fmt caps sub-10 s values
-    // at 3 chars ("9.9") and drops ≥10 s values to integer seconds
-    // ("99" is 2, "999" is 3), so 3 chars is the per-query worst case
-    // short of a 1000 s query (and Bench additionally falls back to a
-    // totals-only line at emit time if the full line ever exceeds the
-    // tail window). ADDING a query should fail here, not silently
-    // break the next round's bench parse. The line keys queries by
-    // their qNN prefix (Bench shortKeys) — at 4 budget chars per
-    // 3-digit short key + value there is room for ~100 more queries.
+    // ours. Past ~170 queries no per-entry compaction can fit every
+    // row at worst-plausible values, so Bench.buildLine admits entries
+    // LARGEST-FIRST within the budget and summarizes the dropped tail
+    // as "omitted":{"n":..,"max_sec":..} — this test drives the REAL
+    // assembly function at worst-plausible values and asserts the
+    // budget and the omission contract instead of a by-hand estimate.
     val prefixes = SparkEntry.queries.keys.map(_.takeWhile(_ != '_')).toSeq
     assert(prefixes.distinct.size == prefixes.size,
       "qNN prefixes must stay unique — Bench's short stdout keys depend on it")
-    val line = "{\"metric\":\"total\",\"value\":12345.67,\"unit\":\"sec\",\"queries\":{" +
-      prefixes.map(k => s""""$k":9.9""").mkString(",") +
-      "},\"index_sec\":12.34," +
-      // self-diagnosis fields at worst-plausible widths
-      "\"load\":[99.99,99.99],\"spin\":[9.99,9.99]," +
-      "\"passes\":[999,999,999],\"sf\":\"sf0.1\"}"
-    assert(line.length <= 1925,
-      s"bench line budget exceeded (${line.length} chars) — shorten new query keys")
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    def parseable(line: String): Map[String, Any] =
+      org.json4s.jackson.JsonMethods.parse(line)
+        .values.asInstanceOf[Map[String, Any]]
+    // worst-plausible: every query at 9.9 s, contended passes, high load
+    val worst = Bench.buildLine(names.map(_ -> 9.9), 12345.67, 12.34,
+      99.99, 99.99, 9.99, 9.99, Seq(999.0, 999.0, 999.0), Seq(1, 2), "sf0.1")
+    assert(worst.length <= 1930,
+      s"bench line budget exceeded (${worst.length} chars)")
+    val wm = parseable(worst)
+    val wq = wm("queries").asInstanceOf[Map[String, Any]]
+    if (wq.size < names.size) {
+      val om = wm("omitted").asInstanceOf[Map[String, Any]]
+      assert(om("n").asInstanceOf[BigInt].toInt == names.size - wq.size,
+        s"omitted count must say exactly what's missing: $om")
+    }
+    // realistic values: the big rows must ALWAYS survive admission
+    val realistic = Bench.buildLine(
+      names.zipWithIndex.map { case (n, i) => n -> (if (i % 37 == 0) 4.7 else 0.3) },
+      69.98, 2.65, 1.36, 1.91, 0.26, 0.26, Seq(148.0, 99.0, 71.0), Nil, "sf0.1")
+    assert(realistic.length <= 1930)
+    val rq = parseable(realistic)("queries").asInstanceOf[Map[String, Any]]
+    names.zipWithIndex.filter(_._2 % 37 == 0).foreach { case (n, _) =>
+      assert(rq.contains(n.takeWhile(_ != '_')),
+        s"a 4.7 s query must never be the omitted one: ${rq.keys.toSeq.sorted}")
+    }
   }
 }
