@@ -74,13 +74,14 @@ private[graft] object Vp8l {
   private def buildTree(lengths: Array[Int]): Option[Tree] = {
     val maxLen = 15
     var used = 0
+    var totLen = 0
     var singleSym = -1
     val count = new Array[Int](maxLen + 1)
     var i = 0
     while (i < lengths.length) {
       val l = lengths(i)
       if (l < 0 || l > maxLen) return None
-      if (l > 0) { used += 1; singleSym = i; count(l) += 1 }
+      if (l > 0) { used += 1; totLen += l; singleSym = i; count(l) += 1 }
       i += 1
     }
     if (used == 0) return None
@@ -96,7 +97,11 @@ private[graft] object Vp8l {
       l += 1
     }
     var nNodes = 1
-    val arr = new Array[Int]((2 * lengths.length * maxLen) max 16)
+    // internal nodes ≤ the total code length (every code bit visits at
+    // most one new node), so 2 slots × (totLen + 1) bounds the tree —
+    // NOT alphabet×maxLen, which would allocate ~280 KB per green code
+    // on every corpus row
+    val arr = new Array[Int]((2 * (totLen + 1)) max 16)
     java.util.Arrays.fill(arr, Int.MinValue)
     i = 0
     while (i < lengths.length) {

@@ -88,6 +88,34 @@ class Vp8lSpec extends AnyFunSuite {
       (s.getRGB(x, y) & 0xffffff) == 0x4d4d4d)))
   }
 
+  test("property: random two-tone images round-trip the scala encoder exactly") {
+    // 200 random (dims, colors, pattern) triples through encode→decode:
+    // the simple-prefix-code path generatively, not just at fixtures.
+    // Deterministic seed; alpha branch covered by non-0xff alphas.
+    val rnd = new scala.util.Random(7)
+    (0 until 200).foreach { trial =>
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(40)
+      val a = rnd.nextInt() | (if (rnd.nextBoolean()) 0xff000000 else 0)
+      val b = if (rnd.nextBoolean()) a else rnd.nextInt()
+      val seed = rnd.nextInt()
+      def pick(x: Int, y: Int): Boolean =
+        ((x * 73856093 ^ y * 19349663 ^ seed) & 1) == 1
+      val webp = Multimodal.syntheticVp8lTwoTone(w, h, pick, a, b)
+      val got = Vp8l.decode(webp)
+      assert(got.isDefined, s"trial $trial (${w}x$h) must decode")
+      val (gw, gh, _, pix) = got.get
+      assert(gw == w && gh == h, s"trial $trial dims")
+      var i = 0
+      while (i < pix.length) {
+        val want = if (pick(i % w, i / w)) b else a
+        assert(pix(i) == want,
+          f"trial $trial pixel $i: got ${pix(i)}%08x want $want%08x")
+        i += 1
+      }
+    }
+  }
+
   test("mutation fuzz: corrupted streams degrade, never throw or hang") {
     // hostile-input posture for a 100 TB crawl scan: every byte of a
     // valid stream flipped, truncated, or randomized must come back
