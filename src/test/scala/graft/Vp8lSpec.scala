@@ -116,6 +116,25 @@ class Vp8lSpec extends AnyFunSuite {
     }
   }
 
+  test("the downstream pixel stack consumes VP8L: identical features to the PNG twin") {
+    // extractFeatures and dhash both ride decodePixels, so a lossless
+    // WebP and a PNG of the same pixels must produce BIT-IDENTICAL
+    // content features (cross-format retrieval / ANN dedup)
+    def gray(v: Int) = 0xff000000 | (v << 16) | (v << 8) | v
+    def pat(x: Int, y: Int): Boolean = (x / 4 + y / 4) % 2 == 0
+    val webp = Multimodal.syntheticVp8lTwoTone(24, 24, pat, gray(30), gray(210))
+    val png = Multimodal.renderPng(24, 24,
+      (x, y) => if (pat(x, y)) 0xd2d2d2 else 0x1e1e1e)
+    val spark = graft.core.Engine.session("graft-test", cores = 4)
+    import spark.implicits._
+    val feats = Multimodal.extractFeatures(
+      Seq((1L, png), (2L, webp)).toDF("id", "content"))
+      .select("id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats(1L) == feats(2L),
+      "same pixels must feature identically whatever container carried them")
+  }
+
   test("mutation fuzz: corrupted streams degrade, never throw or hang") {
     // hostile-input posture for a 100 TB crawl scan: every byte of a
     // valid stream flipped, truncated, or randomized must come back
