@@ -456,7 +456,10 @@ object Multimodal {
     var w = -1L
     var h = -1L
     var channels = 3
-    def walk(start: Long, end: Long): Unit = {
+    // depth-capped: a crafted file nesting thousands of 8-byte
+    // container boxes must exhaust the CAP, not the task stack
+    def walk(start: Long, end: Long, depth: Int = 0): Unit = {
+      if (depth > 16) return
       var off = start
       while (off + 8 <= end) {
         val size0 = u32(off.toInt)
@@ -465,8 +468,8 @@ object Multimodal {
         if (boxEnd < off + 8 || boxEnd > end) return
         val body = off + 8
         id match {
-          case "meta" => walk(body + 4, boxEnd) // FULL box: skip ver/flags
-          case "iprp" | "ipco" => walk(body, boxEnd)
+          case "meta" => walk(body + 4, boxEnd, depth + 1) // FULL box: skip ver/flags
+          case "iprp" | "ipco" => walk(body, boxEnd, depth + 1)
           case "ispe" if body + 12 <= boxEnd =>
             w = u32(body.toInt + 4) // after the fullbox ver/flags
             h = u32(body.toInt + 8)
@@ -1995,7 +1998,9 @@ object Multimodal {
       }
       null
     }
-    def walk(start: Long, end: Long, inIlst: Boolean): Unit = {
+    def walk(start: Long, end: Long, inIlst: Boolean,
+        depth: Int = 0): Unit = {
+      if (depth > 16) return // crafted deep nesting: give up, not the stack
       var off = start
       while (off + 8 <= end) {
         val size0 = u32(off.toInt)
@@ -2011,9 +2016,9 @@ object Multimodal {
             case _ => ()
           }
         } else id match {
-          case "moov" | "udta" => walk(body, boxEnd, inIlst = false)
-          case "meta" => walk(body + 4, boxEnd, inIlst = false) // FULL box
-          case "ilst" => sawIlst = true; walk(body, boxEnd, inIlst = true)
+          case "moov" | "udta" => walk(body, boxEnd, inIlst = false, depth + 1)
+          case "meta" => walk(body + 4, boxEnd, inIlst = false, depth + 1) // FULL box
+          case "ilst" => sawIlst = true; walk(body, boxEnd, inIlst = true, depth + 1)
           case _ => ()
         }
         off = boxEnd

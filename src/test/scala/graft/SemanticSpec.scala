@@ -913,6 +913,32 @@ class SemanticSpec extends SparkSpec {
     assert(Multimodal.mpegAudioInfo(bytes).isEmpty)
   }
 
+  test("hostile BMFF nesting: thousands of nested container boxes exhaust the cap, not the stack") {
+    // 100k iprp boxes nested 8 bytes at a time would otherwise recurse
+    // 100k frames deep and kill the executor with a StackOverflowError
+    def nested(fourcc: String, depth: Int, innermost: Array[Byte]): Array[Byte] = {
+      var cur = innermost
+      var i = 0
+      while (i < depth) {
+        val bb = java.nio.ByteBuffer.allocate(8 + cur.length)
+        bb.putInt(8 + cur.length).put(fourcc.getBytes("ISO-8859-1")).put(cur)
+        cur = bb.array()
+        i += 1
+      }
+      cur
+    }
+    val ftyp = {
+      val bb = java.nio.ByteBuffer.allocate(16)
+      bb.putInt(16).put("ftyp".getBytes("ISO-8859-1"))
+        .put("avif".getBytes("ISO-8859-1")).putInt(0)
+      bb.array()
+    }
+    val hostileAvif = ftyp ++ nested("iprp", 100000, Array.emptyByteArray)
+    assert(Multimodal.avifInfo(hostileAvif).isEmpty) // no throw, no dims
+    val hostileM4a = ftyp ++ nested("udta", 100000, Array.emptyByteArray)
+    assert(Multimodal.m4aTags(hostileM4a).isEmpty) // no throw, no ilst
+  }
+
   test("mp4VideoTrack: python-built fixture cross-check — multi-run stsc, stss, duration") {
     // independent muxer (scripts/make_mp4_fixture.py): 5 samples of
     // sizes 11..15 split 3+2 across two chunks, sync = {1,4},
