@@ -49,7 +49,62 @@ def make_opus():
         fh.write(pages)
 
 
+def vorbis_comment(title, artist, album):
+    def field(s):
+        b = s.encode("utf-8")
+        return struct.pack("<I", len(b)) + b
+    vendor = field("python fixture writer")
+    # ALBUM is written with a lowercase key: Vorbis comment keys are
+    # case-insensitive, so the reader must still find it; COMMENT must
+    # be stepped over
+    fields = [field("TITLE=" + title), field("ARTIST=" + artist),
+              field("album=" + album), field("COMMENT=ignored key")]
+    return vendor + struct.pack("<I", len(fields)) + b"".join(fields)
+
+
+def make_flac_tagged():
+    sr, ch, bps, total = 48000, 2, 16, 96000
+    info = bytearray(34)
+    info[0:2] = struct.pack(">H", 4096)
+    info[2:4] = struct.pack(">H", 4096)
+    packed = (sr << 44) | ((ch - 1) << 41) | ((bps - 1) << 36) | total
+    info[10:18] = struct.pack(">Q", packed)
+    body = vorbis_comment("Flac Tïtle", "Lossless Ärtist", "Album Nr. 3")
+    head = b"fLaC" + bytes([0x00, 0, 0, 34]) + bytes(info)
+    comment = bytes([0x84]) + struct.pack(">I", len(body))[1:] + body
+    with open(os.path.join(FIX, "synthetic_tags.flac"), "wb") as fh:
+        fh.write(head + comment)
+
+
+def make_opus_tagged():
+    head = (b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 120) +
+            struct.pack("<I", 48000) + struct.pack("<H", 0) + bytes([0]))
+    tags = b"OpusTags" + vorbis_comment("Opus Tïtle", "Voice Ünit", "Ogg LP")
+    pages = (ogg_page(0x02, 0, 0, head) +
+             ogg_page(0x00, 0, 1, tags) +
+             ogg_page(0x04, 96120, 2, b"\x04"))
+    with open(os.path.join(FIX, "synthetic_tags.opus"), "wb") as fh:
+        fh.write(pages)
+
+
+def make_vorbis_tagged():
+    ident = (bytes([1]) + b"vorbis" + struct.pack("<I", 0) +
+             bytes([2]) + struct.pack("<I", 32000) +
+             struct.pack("<III", 0, 0, 0) + bytes([0xB8, 1]))
+    comment = (bytes([3]) + b"vorbis" +
+               vorbis_comment("Vorbis Tïtle", "Ogg Ärtist", "Älbum V") +
+               bytes([1]))  # framing bit
+    pages = (ogg_page(0x02, 0, 0, ident) +
+             ogg_page(0x00, 0, 1, comment) +
+             ogg_page(0x04, 64000, 2, b"\x05"))
+    with open(os.path.join(FIX, "synthetic_tags.ogg"), "wb") as fh:
+        fh.write(pages)
+
+
 if __name__ == "__main__":
     make_flac()
     make_opus()
-    print("wrote synthetic.flac + synthetic.opus")
+    make_flac_tagged()
+    make_opus_tagged()
+    make_vorbis_tagged()
+    print("wrote synthetic[_tags].flac/.opus + synthetic_tags.ogg")

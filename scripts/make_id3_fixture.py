@@ -24,17 +24,36 @@ def syncsafe(n):
                   (n >> 7) & 0x7F, n & 0x7F])
 
 
+def frame_v22(fid, payload):
+    assert len(fid) == 3
+    n = len(payload)
+    return fid.encode() + bytes([(n >> 16) & 0xFF, (n >> 8) & 0xFF, n & 0xFF]) + payload
+
+
 def frame_v23(fid, payload):
     return fid.encode() + struct.pack(">I", len(payload)) + b"\x00\x00" + payload
 
 
-def frame_v24(fid, payload):
-    return fid.encode() + syncsafe(len(payload)) + b"\x00\x00" + payload
+def frame_v24(fid, payload, fmt_flags=0):
+    return fid.encode() + syncsafe(len(payload)) + bytes([0, fmt_flags]) + payload
 
 
-def tag(version, frames, ext_header=b"", padding=0):
+def unsync(data):
+    """ID3v2 unsynchronisation: insert 0x00 after every 0xFF."""
+    out = bytearray()
+    for b in data:
+        out.append(b)
+        if b == 0xFF:
+            out.append(0)
+    return bytes(out)
+
+
+def tag(version, frames, ext_header=b"", padding=0, unsync_flag=False,
+        unsync_body=False):
     body = ext_header + b"".join(frames) + b"\x00" * padding
-    flags = 0x40 if ext_header else 0
+    if unsync_body:
+        body = unsync(body)
+    flags = (0x40 if ext_header else 0) | (0x80 if unsync_flag else 0)
     return b"ID3" + bytes([version, 0, flags]) + syncsafe(len(body)) + body
 
 
@@ -58,6 +77,42 @@ def v24():
         frame_v24("TALB", b"\x03" + b"Al bum"),
     ]
     return tag(4, frames, ext_header=ext, padding=8)
+
+
+def v22():
+    # the pre-1999 iTunes-legacy layout: 3-char IDs, u24 plain sizes
+    frames = [
+        frame_v22("TT2", b"\x01\xff\xfe" + "Vieux Titre à".encode("utf-16-le")),
+        frame_v22("TP1", b"\x00" + b"Old Artist"),
+        frame_v22("UFI", b"owner\x00\x01\x02"),  # must be stepped over
+        frame_v22("TAL", b"\x00" + b"Old Album"),
+    ]
+    return tag(2, frames, padding=16)
+
+
+def v23_unsync():
+    # whole-tag unsynchronisation (v2.3 scope): the UTF-16 BOMs carry
+    # 0xFF bytes, so the stuffing actually fires — a reader ignoring
+    # the 0x80 flag sees shifted frame sizes and garbled text
+    frames = [
+        frame_v23("TIT2", b"\x01\xff\xfe" + "Unsync é".encode("utf-16-le")),
+        frame_v23("TPE1", b"\x01\xff\xfe" + "Artist ü".encode("utf-16-le")),
+        frame_v23("TALB", b"\x00" + b"Plain Album"),
+    ]
+    return tag(3, frames, padding=12, unsync_flag=True, unsync_body=True)
+
+
+def v24_unsync():
+    # v2.4 scope: per-frame unsynchronisation, frame format bit 0x02;
+    # stored frame size counts the stuffed bytes
+    def uframe(fid, payload):
+        return frame_v24(fid, unsync(payload), fmt_flags=0x02)
+    frames = [
+        uframe("TIT2", b"\x01\xff\xfe" + "Frame Unsync".encode("utf-16-le")),
+        frame_v24("TPE1", b"\x03" + "Mixed Artist".encode("utf-8")),
+        uframe("TALB", b"\x01\xff\xfe" + "Al ÿ bum".encode("utf-16-le")),
+    ]
+    return tag(4, frames, padding=8)
 
 
 def mpeg_frame():
@@ -101,7 +156,13 @@ def main():
         f.write(v24() + mpeg_frame())
     with open(os.path.join(OUT, "synthetic_tags.m4a"), "wb") as f:
         f.write(m4a())
-    print("wrote 3 tag fixtures")
+    with open(os.path.join(OUT, "synthetic_tags_v22.mp3"), "wb") as f:
+        f.write(v22() + mpeg_frame())
+    with open(os.path.join(OUT, "synthetic_tags_v23_unsync.mp3"), "wb") as f:
+        f.write(v23_unsync() + mpeg_frame())
+    with open(os.path.join(OUT, "synthetic_tags_v24_unsync.mp3"), "wb") as f:
+        f.write(v24_unsync() + mpeg_frame())
+    print("wrote 6 tag fixtures")
 
 
 if __name__ == "__main__":

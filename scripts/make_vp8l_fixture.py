@@ -428,6 +428,47 @@ def fixture_predictor():
     emit("vp8l_pred", bw, w, h, pix)
 
 
+def fixture_bad_predictor():
+    """A spec-INVALID predictor mode (14) in one block: the decoder
+    must reject the whole decode (None) — half-transformed residuals
+    reported as pixels would silently feed dHash signatures."""
+    w, h = 16, 12
+    size_bits = 2
+    modes = [1, 2, 3, 14, 5, 6, 7, 8, 9, 10, 11, 12]  # block 3 invalid
+    pix = [rgb((x * 23 + y * 11) % 256, (x * 7 + y * 31) % 256,
+               (x * 13 + y * 3 + 97) % 256) for y in range(h)
+           for x in range(w)]
+    mw = (w + 3) >> 2
+    residuals = []
+    for y in range(h):
+        for x in range(w):
+            pos = y * w + x
+            if pos == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = pix[pos - 1]
+            elif x == 0:
+                pred = pix[pos - w]
+            else:
+                mode = modes[(y >> size_bits) * mw + (x >> size_bits)]
+                # mode 14 has no spec meaning; encode vs mode-1 so the
+                # stream is structurally valid right up to the walk
+                mode = 1 if mode > 13 else mode
+                pred = predict(mode, pix[pos - 1], pix[pos - w],
+                               pix[pos - w - 1], pix[pos - w + 1])
+            residuals.append(sub_pixels(pix[pos], pred))
+    bw = BitWriter()
+    header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(0, 2)  # PREDICTOR
+    bw.write(size_bits - 2, 3)
+    write_entropy_image(bw, [("lit", 0xFF000000 | (m << 8)) for m in modes])
+    bw.write(0, 1)  # no more transforms
+    write_entropy_image(bw, [("lit", p) for p in residuals], toplevel=True)
+    with open(os.path.join(OUT, "vp8l_badpred.webp"), "wb") as f:
+        f.write(wrap_webp(bytes(bw.bytes)))  # no .argb: decode must be None
+
+
 def fixture_palette():
     w, h = 13, 4
     palette = [rgb(250, 10, 10), rgb(10, 250, 10), rgb(10, 10, 250)]
@@ -488,9 +529,10 @@ def main():
     fixture_cache()
     fixture_subgreen()
     fixture_predictor()
+    fixture_bad_predictor()
     fixture_palette()
     fixture_meta()
-    print("wrote 7 vp8l fixtures to", OUT)
+    print("wrote 8 vp8l fixtures to", OUT)
 
 
 if __name__ == "__main__":

@@ -4719,7 +4719,12 @@ object SparkEntry {
       (2L, M.syntheticFlac(48000, 1, 24, 120000L)),
       (3L, M.syntheticOpus(2, 312, 48000, 96312L)),
       (4L, M.syntheticOpus(1, 0, 16000, 24000L)),
-      (5L, "junk bytes".getBytes("UTF-8"))
+      (5L, "junk bytes".getBytes("UTF-8")),
+      // Vorbis granules count PCM samples at the stream's OWN rate
+      // (no Opus fixed-clock rule) — round 13's codec addition
+      (6L, M.syntheticVorbis(2, 44100, 88200L)),
+      (7L, M.syntheticVorbis(1, 22050, 11025L,
+        tags = Some(("T", "A", "B"))))
     ).toDF("aud_id", "content")
     M.audioStats(streams)
       .select(col("aud_id"), col("audio.codec").as("codec"),
@@ -4744,7 +4749,11 @@ object SparkEntry {
       |  CAST(24000 AS BIGINT), CAST(24000 * 1000 // 48000 AS BIGINT), TRUE),
       | (CAST(5 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
       |  CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
-      |  CAST(NULL AS BIGINT), FALSE)
+      |  CAST(NULL AS BIGINT), FALSE),
+      | (CAST(6 AS BIGINT), 'vorbis', 2, 44100, CAST(NULL AS INTEGER),
+      |  CAST(88200 AS BIGINT), CAST(88200 * 1000 // 44100 AS BIGINT), TRUE),
+      | (CAST(7 AS BIGINT), 'vorbis', 1, 22050, CAST(NULL AS INTEGER),
+      |  CAST(11025 AS BIGINT), CAST(11025 * 1000 // 22050 AS BIGINT), TRUE)
       |) AS t(aud_id, codec, channels, sample_rate, bits, n_samples,
       |       duration_ms, ok)
       |ORDER BY aud_id""".stripMargin
@@ -4835,7 +4844,11 @@ object SparkEntry {
       (2L, withExif(base, gps = true)),
       (3L, withExif(base, gps = false)),
       (4L, M.renderPng(8, 8, (_, _) => 0x123456)),
-      (5L, "junk".getBytes("UTF-8"))
+      (5L, "junk".getBytes("UTF-8")),
+      // PNG carries EXIF too since the 2017 eXIf chunk — decode must
+      // still read the raster THROUGH the spliced chunk (round 13)
+      (6L, M.pngWithExif(M.renderPng(8, 8, (_, _) => 0x123456), gps = true)),
+      (7L, M.pngWithExif(M.renderPng(8, 8, (_, _) => 0x123456), gps = false))
     ).toDF("img_id", "content")
     M.imageStats(imgs)
       .select(col("img_id"), col("stats.exif_gps").as("exif_gps"),
@@ -4849,7 +4862,9 @@ object SparkEntry {
       | (CAST(2 AS BIGINT), TRUE, TRUE),
       | (CAST(3 AS BIGINT), FALSE, TRUE),
       | (CAST(4 AS BIGINT), FALSE, TRUE),
-      | (CAST(5 AS BIGINT), CAST(NULL AS BOOLEAN), FALSE)
+      | (CAST(5 AS BIGINT), CAST(NULL AS BOOLEAN), FALSE),
+      | (CAST(6 AS BIGINT), TRUE, TRUE),
+      | (CAST(7 AS BIGINT), FALSE, TRUE)
       |) AS t(img_id, exif_gps, ok)
       |ORDER BY img_id""".stripMargin
 
@@ -5189,8 +5204,12 @@ object SparkEntry {
     * walk for `ispe` dims and `pixi` channels) — the q162 discipline
     * for the other format modern crawls deliver in volume. The ftyp
     * dispatch is the point of row 3: an ISO-BMFF MOVIE must still
-    * read as mp4/video, not as an image. Header facts only (an AV1
-    * decoder is out of pure-JDK scope, like lossy VP8).
+    * read as mp4/video, not as an image. Pixel decode stays out of
+    * pure-JDK scope (AV1, like lossy VP8) but the GPS PII flag is
+    * REAL: row 5's EXIF item is resolved through the HEIF
+    * `iinf`/`iloc` indirection ([[graft.operators.Multimodal
+    * .avifExifRegion]]) and its TIFF block scanned for tag 0x8825;
+    * a GPS-less AVIF reports false ("location-free"), not unknown.
     */
   private def q168(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -5199,7 +5218,8 @@ object SparkEntry {
       (1L, M.syntheticAvif(800, 600)),
       (2L, M.syntheticAvif(128, 128, channels = 4)),
       (3L, M.syntheticMp4(32, 32, 2000L)),
-      (4L, "not an avif".getBytes("UTF-8"))
+      (4L, "not an avif".getBytes("UTF-8")),
+      (5L, M.syntheticAvif(320, 200, gps = true))
     ).toDF("img_id", "content")
     M.imageStats(M.decode(rows))
       .select(col("img_id"),
@@ -5207,29 +5227,36 @@ object SparkEntry {
         col("decoded.width").as("width"),
         col("decoded.height").as("height"),
         col("decoded.channels").as("channels"),
-        col("stats.ok").as("is_image"))
+        col("stats.ok").as("is_image"),
+        col("stats.exif_gps").as("gps"))
       .orderBy(col("img_id"))
   }
 
   private def avifOracle: String =
     """SELECT * FROM (VALUES
-      | (CAST(1 AS BIGINT), 'avif', 800, 600, 3, TRUE),
-      | (CAST(2 AS BIGINT), 'avif', 128, 128, 4, TRUE),
+      | (CAST(1 AS BIGINT), 'avif', 800, 600, 3, TRUE, FALSE),
+      | (CAST(2 AS BIGINT), 'avif', 128, 128, 4, TRUE, FALSE),
       | -- a movie stays on the mp4 path and is NOT an image
-      | (CAST(3 AS BIGINT), 'mp4', 32, 32, CAST(NULL AS INTEGER), FALSE),
+      | (CAST(3 AS BIGINT), 'mp4', 32, 32, CAST(NULL AS INTEGER), FALSE,
+      |  CAST(NULL AS BOOLEAN)),
       | -- junk rides the raw stub at len = 11
-      | (CAST(4 AS BIGINT), 'raw', 64 + 11, 64 + 341, 3, FALSE)
-      |) AS t(img_id, format, width, height, channels, is_image)
+      | (CAST(4 AS BIGINT), 'raw', 64 + 11, 64 + 341, 3, FALSE,
+      |  CAST(NULL AS BOOLEAN)),
+      | -- the iinf/iloc-resolved EXIF item carries the GPS pointer
+      | (CAST(5 AS BIGINT), 'avif', 320, 200, 3, TRUE, TRUE)
+      |) AS t(img_id, format, width, height, channels, is_image, gps)
       |ORDER BY img_id""".stripMargin
 
-  /** Media card over the round-12 formats — the card-level
+  /** Media card over the round-12/13 formats — the card-level
     * integration lock: a LOSSLESS WebP contributes full pixel stats
     * (decoded by [[graft.operators.Vp8l]]), a lossy WebP and an AVIF
     * contribute header dims as images, a GPS-tagged TIFF counts in
-    * `pct_image_gps` (its own IFD0 is the EXIF block) while the
-    * AVIF's unknown-GPS null does NOT dilute the ratio, and an MP4
-    * movie lands in the video share with its keyframe count. Every
-    * value is a closed form of the builders' arguments.
+    * `pct_image_gps` (its own IFD0 is the EXIF block) and so does a
+    * GPS-tagged AVIF (EXIF resolved through `iinf`/`iloc`) while the
+    * GPS-less AVIF counts as location-FREE (false, a denominator
+    * row), and an MP4 movie lands in the video share with its
+    * keyframe count. Every value is a closed form of the builders'
+    * arguments.
     */
   private def q169(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -5243,6 +5270,7 @@ object SparkEntry {
       ("b", M.syntheticTiff(12, 6, (_, _) => (60 << 16) | (120 << 8) | 180,
         gps = true)),
       ("b", M.syntheticAvif(640, 360)),
+      ("b", M.syntheticAvif(320, 200, gps = true)),
       ("b", M.syntheticMjpegMp4(Seq(M.renderJpeg(16, 8, (_, _) => gray(99)))))
     ).toDF("grp", "content")
     M.mediaCard(rows, "content", "grp").orderBy(col("grp"), col("metric"))
@@ -5269,25 +5297,27 @@ object SparkEntry {
       | ('b', 'avg_audio_hz', CAST(NULL AS DOUBLE)),
       | ('b', 'avg_audio_rms', CAST(NULL AS DOUBLE)),
       | ('b', 'avg_audio_secs', CAST(NULL AS DOUBLE)),
-      | ('b', 'avg_image_height', (6 + 360) / 2.0),
+      | ('b', 'avg_image_height', round((6 + 360 + 200) / 3.0, 2)),
       | ('b', 'avg_image_luma', round(120/255.0, 4)),
       | ('b', 'avg_image_textiness', 0.0),
-      | ('b', 'avg_image_width', (12 + 640) / 2.0),
+      | ('b', 'avg_image_width', (12 + 640 + 320) / 3.0),
       | ('b', 'avg_video_keyframes', 1.0),
-      | ('b', 'n_assets', 3.0),
+      | ('b', 'n_assets', 4.0),
       | ('b', 'pct_audio', 0.0),
       | ('b', 'pct_audio_clipped', CAST(NULL AS DOUBLE)),
       | ('b', 'pct_audio_silent', CAST(NULL AS DOUBLE)),
-      | ('b', 'pct_image', round(2/3.0, 4)),
-      | ('b', 'pct_image_gps', 0.5),
+      | ('b', 'pct_image', 0.75),
+      | ('b', 'pct_image_gps', round(2/3.0, 4)),
       | ('b', 'pct_undecodable', 0.0),
-      | ('b', 'pct_video', round(1/3.0, 4))
+      | ('b', 'pct_video', 0.25)
       |) AS t(grp, metric, value)
       |ORDER BY grp, metric""".stripMargin
 
   /** Declared audio metadata ([[graft.operators.Multimodal
-    * .audioTags]]) — ID3v2.3 (UTF-16 text, plain frame sizes), ID3v2.4
-    * (UTF-8, syncsafe sizes) and M4A `ilst` atoms: the curation
+    * .audioTags]]) — ID3v2.2 (3-char frames), ID3v2.3 (UTF-16 text,
+    * plain frame sizes; also unsynchronised), ID3v2.4 (UTF-8,
+    * syncsafe sizes), M4A `ilst` atoms, and the Vorbis comments of
+    * FLAC (metadata block 4) and Ogg-Opus (`OpusTags`): the curation
     * surface for grouping/filtering an audio corpus by what its
     * files SAY they are, next to the stats walk's facts about what
     * they ARE. Untagged audio and junk report all-null tags.
@@ -5303,7 +5333,18 @@ object SparkEntry {
       (3L, M.syntheticM4aTagged(2, 44100, 441000L, "Third", "Trio",
         "Collection")),
       (4L, M.syntheticM4a(1, 8000, 800L)),
-      (5L, "junk".getBytes("UTF-8"))
+      (5L, "junk".getBytes("UTF-8")),
+      (6L, M.syntheticId3(2, "Vieux Titre", "Duo Rétro", "EP 78") ++
+        M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))),
+      (7L, M.syntheticId3(3, "Caché", "La Bande ÿ", "Disque", unsync = true) ++
+        M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))),
+      (8L, M.syntheticFlacTagged(48000, 2, 16, 96000L,
+        "Flac Lied", "Zwei Hände", "Verlustfrei")),
+      (9L, M.syntheticOpusTagged(2, 120, 48000, 48120L,
+        "Opus Ode", "Der Sänger", "Œuvre")),
+      (10L, M.syntheticFlac(22050, 1, 8, 55125L)), // no comment block
+      (11L, M.syntheticVorbis(2, 44100, 88200L,
+        tags = Some(("Vorbis Väg", "Okänd Kör", "Ogg Classics"))))
     ).toDF("aud_id", "content")
     M.audioTags(rows)
       .select(col("aud_id"), col("tags.title").as("title"),
@@ -5321,7 +5362,17 @@ object SparkEntry {
       | (CAST(4 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
       |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
       | (CAST(5 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
-      |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))
+      |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+      | (CAST(6 AS BIGINT), 'Vieux Titre', 'Duo Rétro', 'EP 78',
+      |  'id3v2.2'),
+      | (CAST(7 AS BIGINT), 'Caché', 'La Bande ÿ', 'Disque', 'id3v2.3'),
+      | (CAST(8 AS BIGINT), 'Flac Lied', 'Zwei Hände', 'Verlustfrei',
+      |  'flac'),
+      | (CAST(9 AS BIGINT), 'Opus Ode', 'Der Sänger', 'Œuvre', 'opus'),
+      | (CAST(10 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+      |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+      | (CAST(11 AS BIGINT), 'Vorbis Väg', 'Okänd Kör', 'Ogg Classics',
+      |  'vorbis')
       |) AS t(aud_id, title, artist, album, tag_format)
       |ORDER BY aud_id""".stripMargin
 
@@ -5369,6 +5420,58 @@ object SparkEntry {
       |JOIN (SELECT grp, count(*) AS ncls, max(cs) AS mx
       |      FROM perclass GROUP BY grp) p USING (grp)
       |ORDER BY grp""".stripMargin
+
+  /** Span-surgery report ([[graft.operators.Dedup.spanSurgeryReport]]
+    * — [[graft.operators.Dedup.dedupReport]]'s twin for the
+    * ExactSubstr/CUT convention): q158's literal documents with a
+    * group column, run through the whole duplicatedSpans → cutSpans →
+    * report pipeline. The oracle replays the arithmetic over the SAME
+    * literals — q158 already pins the cut strings byte-exactly, so
+    * the report's character math is `length()` over known strings and
+    * the token math is the planted run lengths (5 in group a, 3 in
+    * group b; first occurrences keep, so one cut doc per group and a
+    * clean doc dilutes group b).
+    */
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Seq(
+      ("a", 1L, "alpha beta gamma delta epsilon zeta"),
+      ("a", 2L, "one two alpha beta gamma delta epsilon seven"),
+      ("b", 3L, "Foo  BAR baz"),
+      ("b", 4L, "x  q Foo BAR baz y  z"),
+      ("b", 5L, "totally unique words here")
+    ).toDF("grp", "doc_id", "text")
+    val spans = graft.operators.Dedup.duplicatedSpans(docs, "doc_id", "text",
+      windowTokens = 3, minCount = 2, keepFirst = true)
+    val cut = graft.operators.Dedup.cutSpans(docs, spans, "doc_id", "text")
+    graft.operators.Dedup.spanSurgeryReport(cut, spans, "doc_id", "grp", "text")
+      .orderBy(col("grp"))
+  }
+
+  private def spanSurgeryOracle: String =
+    """WITH m AS (SELECT * FROM (VALUES
+      | -- (grp, text, text_cut, n_spans, tokens_cut) — the cut strings
+      | -- are q158's byte-exact literals; clean docs cut nothing
+      | ('a', 'alpha beta gamma delta epsilon zeta',
+      |  'alpha beta gamma delta epsilon zeta', 0, 0),
+      | ('a', 'one two alpha beta gamma delta epsilon seven',
+      |  'one two seven', 1, 5),
+      | ('b', 'Foo  BAR baz', 'Foo  BAR baz', 0, 0),
+      | ('b', 'x  q Foo BAR baz y  z', 'x  q y  z', 1, 3),
+      | ('b', 'totally unique words here',
+      |  'totally unique words here', 0, 0)
+      |) AS t(grp, text, text_cut, n_spans, tokens_cut))
+      |SELECT grp,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN n_spans > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_docs_cut,
+      |  CAST(sum(n_spans) AS BIGINT) AS n_spans,
+      |  CAST(sum(tokens_cut) AS BIGINT) AS tokens_cut,
+      |  CAST(sum(length(text)) AS BIGINT) AS chars_in,
+      |  CAST(sum(length(text) - length(text_cut)) AS BIGINT) AS chars_cut,
+      |  round(sum(length(text) - length(text_cut))
+      |    / CAST(sum(length(text)) AS DOUBLE), 6) AS pct_chars_cut
+      |FROM m GROUP BY grp ORDER BY grp""".stripMargin
 
   // ===================================================================
   // Registry
@@ -5545,7 +5648,8 @@ object SparkEntry {
     "q168_avif" -> (q168 _),
     "q169_mcard" -> (q169 _),
     "q170_atags" -> (q170 _),
-    "q171_dreport" -> (q171 _))
+    "q171_dreport" -> (q171 _),
+    "q172_sreport" -> (q172 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -5967,6 +6071,7 @@ object SparkEntry {
     "q169_mcard" -> mediaFormatsOracle,
     "q170_atags" -> audioTagsOracle,
     "q171_dreport" -> dedupReportOracle,
+    "q172_sreport" -> spanSurgeryOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

@@ -1404,6 +1404,44 @@ object Dedup {
       .drop("__spans")
   }
 
+  /** Span-surgery report — [[dedupReport]]'s twin for the
+    * ExactSubstr/CUT convention ([[duplicatedSpans]] →
+    * [[cutSpans]]): the per-source numbers a surgical dedup run
+    * feeds a dashboard. Per group: document volume, how many
+    * documents were cut, span count, duplicated TOKENS removed
+    * (merged spans are disjoint within a document, so the sum is
+    * exact), characters before surgery, characters excised (the
+    * byte-accurate `length(text) − length(text_cut)`, which also
+    * counts the separators the cut collapses), and the excised share
+    * of the corpus text. `cut` is [[cutSpans]] output (must carry
+    * `textCol` and `outCol`); `spans` is the same frame the cut
+    * consumed. Two keyed aggregates + a doc-grain join — the same
+    * scale shape as the cut itself; O(groups) output.
+    */
+  def spanSurgeryReport(cut: DataFrame, spans: DataFrame, idCol: String,
+      groupCol: String, textCol: String,
+      outCol: String = "text_cut"): DataFrame = {
+    val perDoc = spans.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nspans"),
+        sum(col("span_end") - col("span_begin")).as("__tokcut"))
+    cut.select(col(idCol), col(groupCol), col(textCol), col(outCol))
+      .join(perDoc, Seq(idCol), "left")
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__nspans").isNotNull, 1L).otherwise(0L))
+          .as("n_docs_cut"),
+        sum(coalesce(col("__nspans"), lit(0L))).as("n_spans"),
+        sum(coalesce(col("__tokcut"), lit(0L))).as("tokens_cut"),
+        sum(length(col(textCol)).cast("long")).as("chars_in"),
+        sum((length(col(textCol)) - length(col(outCol))).cast("long"))
+          .as("chars_cut"))
+      .withColumn("pct_chars_cut",
+        when(col("chars_in") > 0,
+          round(col("chars_cut").cast("double") / col("chars_in"), 6))
+          .otherwise(lit(0.0)))
+  }
+
   /** Per-document duplicated-token coverage from [[duplicatedSpans]]:
     * (idCol, n_tokens, dup_tokens, dup_frac) for EVERY input document
     * (clean documents report 0). `dup_tokens` sums the merged span

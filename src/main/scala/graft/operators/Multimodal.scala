@@ -446,6 +446,7 @@ object Multimodal {
     @inline def u32(o: Int): Long =
       ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
         ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    @inline def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
     @inline def fourcc(o: Int): String = new String(b, o, 4, "ISO-8859-1")
     val ftypEnd = math.min(u32(0), b.length.toLong).toInt
     // brands: major at 8, compatibles from 16 in 4-byte steps
@@ -464,9 +465,13 @@ object Multimodal {
       while (off + 8 <= end) {
         val size0 = u32(off.toInt)
         val id = fourcc(off.toInt + 4)
-        val boxEnd = if (size0 == 0) end else off + size0
-        if (boxEnd < off + 8 || boxEnd > end) return
-        val body = off + 8
+        var body = off + 8
+        // size==1: ISO-BMFF 64-bit largesize at off+8 (mp4VideoTrack's rule)
+        val boxEnd =
+          if (size0 == 1 && off + 16 <= end) { body = off + 16; off + u64(off.toInt + 8) }
+          else if (size0 == 0) end
+          else off + size0
+        if (boxEnd < body || boxEnd > end) return
         id match {
           case "meta" => walk(body + 4, boxEnd, depth + 1) // FULL box: skip ver/flags
           case "iprp" | "ipco" => walk(body, boxEnd, depth + 1)
@@ -485,12 +490,144 @@ object Multimodal {
     else Some((w.toInt, h.toInt, channels))
   }
 
+  /** ISO-BMFF with an `avif`/`avis` brand (major or compatible)? */
+  private[graft] def isAvifMagic(b: Array[Byte]): Boolean = {
+    if (b == null || b.length < 16 ||
+      !(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return false
+    @inline def u32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    @inline def fourcc(o: Int): String = new String(b, o, 4, "ISO-8859-1")
+    val ftypEnd = math.min(u32(0), b.length.toLong).toInt
+    (fourcc(8) == "avif" || fourcc(8) == "avis") ||
+      (16 until (ftypEnd - 3) by 4).exists(o =>
+        fourcc(o) == "avif" || fourcc(o) == "avis")
+  }
+
+  /** Resolve an AVIF's EXIF item payload byte range through the HEIF
+    * item indirection — the piece that makes the GPS PII flag work
+    * for the fastest-growing crawled image format: `meta/iinf/infe`
+    * names an item of type `Exif`, `meta/iloc` maps that item id to
+    * file extents (offset/length/base-offset sizes 0/4/8 per spec,
+    * iloc versions 0-2, construction method 0 = absolute file
+    * offset). Returns the FIRST extent packed as (start << 32 | end),
+    * or -1 when the file declares no EXIF item or the mapping is out
+    * of range. The payload then leads with the HEIF ExifDataBlock's
+    * u32 `exif_tiff_header_offset` ([[exifGpsPresent]] consumes it).
+    * Depth-capped and exception-guarded like its sibling walkers.
+    */
+  private[graft] def avifExifRegion(b: Array[Byte]): Long = try {
+    if (b == null || b.length < 16 ||
+      !(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return -1L
+    @inline def u16(o: Int): Int = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    @inline def u32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    @inline def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    var exifId = -1L
+    var ilocBody = -1
+    var ilocEnd = -1
+    def walk(start: Long, end: Long, depth: Int): Unit = {
+      if (depth > 16) return
+      var off = start
+      while (off + 8 <= end) {
+        val size0 = u32(off.toInt)
+        val id = new String(b, off.toInt + 4, 4, "ISO-8859-1")
+        var body = off + 8
+        val boxEnd =
+          if (size0 == 1 && off + 16 <= end) { body = off + 16; off + u64(off.toInt + 8) }
+          else if (size0 == 0) end
+          else off + size0
+        if (boxEnd < body || boxEnd > end) return
+        val p = body.toInt
+        id match {
+          case "meta" => walk(body + 4, boxEnd, depth + 1) // FULL box
+          case "iinf" if p + 4 <= boxEnd =>
+            // fullbox; entry count u16 (v0) / u32 (v1+), then infe children
+            val ver = b(p) & 0xff
+            val kids = if (ver == 0) p + 6 else p + 8
+            if (kids <= boxEnd) walk(kids, boxEnd, depth + 1)
+          case "infe" if p + 4 <= boxEnd =>
+            val ver = b(p) & 0xff
+            // v2: u16 id at +4, u16 protection, 4cc type at +8;
+            // v3+: u32 id at +4, u16 protection, 4cc type at +10
+            if (ver == 2 && p + 12 <= boxEnd &&
+              new String(b, p + 8, 4, "ISO-8859-1") == "Exif")
+              exifId = u16(p + 4).toLong
+            else if (ver >= 3 && p + 14 <= boxEnd &&
+              new String(b, p + 10, 4, "ISO-8859-1") == "Exif")
+              exifId = u32(p + 4)
+          case "iloc" => ilocBody = p; ilocEnd = boxEnd.toInt
+          case _ => ()
+        }
+        off = boxEnd
+      }
+    }
+    walk(0L, b.length.toLong, 0)
+    if (exifId < 0 || ilocBody < 0) return -1L
+    // parse iloc for the Exif item's first extent
+    var q = ilocBody
+    if (q + 8 > ilocEnd) return -1L
+    val ver = b(q) & 0xff
+    q += 4
+    val offSize = (b(q) >> 4) & 0xf
+    val lenSize = b(q) & 0xf
+    val baseSize = (b(q + 1) >> 4) & 0xf
+    val idxSize = if (ver == 1 || ver == 2) b(q + 1) & 0xf else 0
+    q += 2
+    if (offSize > 8 || lenSize > 8 || baseSize > 8 || idxSize > 8) return -1L
+    val count =
+      if (ver < 2) { val c = u16(q); q += 2; c }
+      else { val c = u32(q); q += 4; if (c > 0xffff) return -1L else c.toInt }
+    def readN(o: Int, n: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < n) { v = (v << 8) | (b(o + i) & 0xffL); i += 1 }
+      v
+    }
+    var i = 0
+    while (i < count) {
+      if (q + (if (ver < 2) 2 else 4) > ilocEnd) return -1L
+      val itemId = if (ver < 2) { val v = u16(q); q += 2; v.toLong }
+        else { val v = u32(q); q += 4; v }
+      var method = 0
+      if (ver == 1 || ver == 2) {
+        if (q + 2 > ilocEnd) return -1L
+        method = u16(q) & 0xf; q += 2
+      }
+      if (q + 2 + baseSize + 2 > ilocEnd) return -1L
+      q += 2 // data_reference_index
+      val base = readN(q, baseSize); q += baseSize
+      val extents = u16(q); q += 2
+      var e = 0
+      while (e < extents) {
+        if (q + idxSize + offSize + lenSize > ilocEnd) return -1L
+        q += idxSize
+        val eo = readN(q, offSize); q += offSize
+        val el = readN(q, lenSize); q += lenSize
+        if (itemId == exifId && e == 0 && method == 0) {
+          val s = base + eo
+          if (s >= 0 && el > 0 && s + el <= b.length)
+            return (s << 32) | (s + el)
+          return -1L
+        }
+        e += 1
+      }
+      i += 1
+    }
+    -1L
+  } catch { case _: Throwable => -1L }
+
   /** Minimal AVIF header fixture ([[syntheticWebp]] discipline):
     * `ftyp(avif)` + `meta(hdlr pict, iprp(ipco(ispe, pixi)))` — every
     * value [[avifInfo]] reports is a closed form of the arguments.
+    * `gps = true` adds the full HEIF EXIF indirection: an `iinf/infe`
+    * Exif item, an `iloc` (v0, 4-byte offsets/lengths) mapping it to
+    * an `mdat` extent holding an ExifDataBlock (u32 tiff offset 0 +
+    * a bare little-endian TIFF whose IFD0 carries tag 0x8825).
     */
   private[graft] def syntheticAvif(w: Int, h: Int,
-      channels: Int = 3): Array[Byte] = {
+      channels: Int = 3, gps: Boolean = false): Array[Byte] = {
     def box(id: String, payload: Array[Byte]): Array[Byte] = {
       val out = java.nio.ByteBuffer.allocate(8 + payload.length)
       out.putInt(8 + payload.length).put(id.getBytes("ISO-8859-1")).put(payload)
@@ -504,9 +641,42 @@ object Multimodal {
       Array.fill[Byte](channels)(8))
     val hdlr = box("hdlr", new Array[Byte](8) ++
       "pict".getBytes("ISO-8859-1") ++ new Array[Byte](12))
-    val meta = box("meta",
-      new Array[Byte](4) ++ hdlr ++ box("iprp", box("ipco", ispe ++ pixi)))
-    ftyp ++ meta
+    val baseMeta = new Array[Byte](4) ++ hdlr ++
+      box("iprp", box("ipco", ispe ++ pixi))
+    if (!gps) return ftyp ++ box("meta", baseMeta)
+    // ExifDataBlock: u32 exif_tiff_header_offset (0) + minimal TIFF
+    // (IFD0 with the GPS Info IFD pointer and an empty GPS IFD)
+    val tiff = java.nio.ByteBuffer.allocate(8 + 2 + 12 + 4 + 6)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tiff.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    tiff.putShort(1) // one IFD0 entry
+    tiff.putShort(0x8825.toShort).putShort(4).putInt(1).putInt(8 + 2 + 12 + 4)
+    tiff.putInt(0) // next-IFD pointer
+    tiff.putShort(0).putInt(0) // empty GPS IFD
+    val exifPayload = Array[Byte](0, 0, 0, 0) ++ tiff.array()
+    def metaWith(exifOffset: Int): Array[Byte] = {
+      val infe = box("infe", java.nio.ByteBuffer.allocate(4 + 2 + 2 + 4 + 5)
+        .putInt(2 << 24) // fullbox version 2
+        .putShort(1).putShort(0) // item_ID 1, protection 0
+        .put("Exif".getBytes("ISO-8859-1"))
+        .put("Exif".getBytes("ISO-8859-1")).put(0.toByte) // item_name
+        .array())
+      val iinf = box("iinf",
+        Array[Byte](0, 0, 0, 0, 0, 1) ++ infe) // v0, u16 count = 1
+      val iloc = box("iloc", java.nio.ByteBuffer.allocate(4 + 2 + 2 + 6 + 8)
+        .putInt(0) // fullbox v0
+        .put(0x44.toByte).put(0.toByte) // offset/length size 4, base 0
+        .putShort(1) // item count
+        .putShort(1).putShort(0) // item_ID 1, data_reference_index 0
+        .putShort(1) // extent count
+        .putInt(exifOffset).putInt(exifPayload.length)
+        .array())
+      box("meta", baseMeta ++ iinf ++ iloc)
+    }
+    // the extent offset is absolute: sized by a first pass, then real
+    val metaLen = metaWith(0).length
+    val exifOffset = ftyp.length + metaLen + 8 // into mdat's body
+    ftyp ++ metaWith(exifOffset) ++ box("mdat", exifPayload)
   }
 
   /** A REAL lossless WebP from a per-pixel two-tone choice — the
@@ -820,23 +990,62 @@ object Multimodal {
     * (the pixel-side sibling of the text PII scrubbers in
     * [[Curation]]). Detection only — the SCRUB path already exists:
     * [[resizeImages]] re-encodes to PNG, which carries no EXIF at
-    * all. Covers the two formats that CAN embed EXIF: JPEG (APP1
-    * segment) and WebP (the RIFF `EXIF` chunk an extended VP8X file
+    * all. Covers every format that CAN embed EXIF: JPEG (APP1
+    * segment), WebP (the RIFF `EXIF` chunk an extended VP8X file
     * may carry — same TIFF block, optional `Exif\0\0` prefix
-    * tolerated). Null for other bytes (PNG/GIF/BMP cannot carry EXIF
-    * GPS — callers may treat null-with-decodable as false); false
-    * for a JPEG/WebP without the tag. Public for the generated-code
-    * static call.
+    * tolerated), TIFF (its own IFD0), AVIF (EXIF behind the HEIF
+    * `iinf`/`iloc` item indirection, [[avifExifRegion]]), and PNG
+    * (the `eXIf` chunk of the 2017 PNG extension — a raw TIFF block;
+    * pre-extension PNGs simply have no such chunk and report false).
+    * Null for other bytes (GIF/BMP cannot carry EXIF GPS — callers
+    * may treat null-with-decodable as false); false for a carrier
+    * without the tag. Public for the generated-code static call.
     */
   def exifGpsPresent(bytes: Array[Byte]): java.lang.Boolean = {
     if (bytes == null || bytes.length < 12) return null
     if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
       bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'E' &&
       bytes(10) == 'B' && bytes(11) == 'P') return webpGpsPresent(bytes)
+    if (bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N' &&
+      bytes(3) == 'G') {
+      @inline def u32be(o: Int): Long =
+        ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+          ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+      var i = 8
+      while (i + 8 <= bytes.length) {
+        val len = u32be(i)
+        if (len < 0 || i + 8 + len > bytes.length)
+          return java.lang.Boolean.FALSE // truncated chunk: stop clean
+        val typ = new String(bytes, i + 4, 4, "ISO-8859-1")
+        if (typ == "eXIf")
+          return java.lang.Boolean.valueOf(
+            tiffHasTag(bytes, i + 8, (i + 8 + len).toInt, 0x8825))
+        if (typ == "IEND") return java.lang.Boolean.FALSE
+        i += 12 + len.toInt // header + data + crc
+      }
+      return java.lang.Boolean.FALSE
+    }
     // a TIFF file IS a TIFF block: scan its own IFD0 (cameras and DNG
     // workflows plant the GPS pointer exactly here)
     if (isTiffMagic(bytes))
       return java.lang.Boolean.valueOf(tiffHasTag(bytes, 0, bytes.length, 0x8825))
+    if (isAvifMagic(bytes)) {
+      val r = avifExifRegion(bytes)
+      if (r < 0) return java.lang.Boolean.FALSE // no EXIF item declared
+      val p0 = (r >>> 32).toInt
+      val end = (r & 0xffffffffL).toInt
+      if (end - p0 < 4) return java.lang.Boolean.FALSE
+      // HEIF ExifDataBlock: u32 offset to the TIFF header within the
+      // payload; tolerate a leading `Exif\0\0` like the WebP chunk
+      val hdrOff = ((bytes(p0) & 0xffL) << 24) | ((bytes(p0 + 1) & 0xffL) << 16) |
+        ((bytes(p0 + 2) & 0xffL) << 8) | (bytes(p0 + 3) & 0xffL)
+      if (hdrOff < 0 || p0 + 4 + hdrOff >= end) return java.lang.Boolean.FALSE
+      var t = p0 + 4 + hdrOff.toInt
+      if (end - t >= 6 && bytes(t) == 'E' && bytes(t + 1) == 'x' &&
+        bytes(t + 2) == 'i' && bytes(t + 3) == 'f' && bytes(t + 4) == 0 &&
+        bytes(t + 5) == 0) t += 6
+      return java.lang.Boolean.valueOf(tiffHasTag(bytes, t, end, 0x8825))
+    }
     if (!(bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte)) return null
     val r = exifApp1Region(bytes)
     if (r < 0) return java.lang.Boolean.FALSE
@@ -1260,11 +1469,12 @@ object Multimodal {
                 Row(w, h, null, null, null, null, gps, true, null)
               case None => avifInfo(bytes) match {
                 // AVIF: header-facts image like lossy WebP (an AV1
-                // decoder is out of pure-JDK scope); gps stays NULL —
-                // AVIF can embed EXIF behind item indirection we
-                // don't walk, so "unknown", not "location-free"
+                // decoder is out of pure-JDK scope); gps is REAL —
+                // [[avifExifRegion]] walks the iinf/iloc item
+                // indirection to the embedded TIFF block
                 case Some((w, h, _)) =>
-                  Row(w, h, null, null, null, null, null, true, null)
+                  val gps = exifGpsPresent(bytes) == java.lang.Boolean.TRUE
+                  Row(w, h, null, null, null, null, gps, true, null)
                 case None =>
                   Row(null, null, null, null, null, null, null, false,
                     "not a decodable raster")
@@ -1653,6 +1863,232 @@ object Multimodal {
     if (granule < 0) None else Some((channels, preSkip, inputRate, granule))
   }
 
+  /** Vorbis comment fields (TITLE/ARTIST/ALBUM; keys case-insensitive
+    * per the Vorbis-comment spec, values UTF-8) from a comment region:
+    * LE u32 vendor length + vendor string + LE u32 comment count +
+    * per-comment LE u32 length + `KEY=value`. The shared field parse
+    * behind FLAC metadata block 4 and the `OpusTags` packet. None when
+    * the region is structurally invalid (lengths out of range) — a
+    * declared-but-unreadable tags block reports untagged, the
+    * [[audioTags]] all-null convention, never garbled text.
+    */
+  private def vorbisFields(b: Array[Byte], start: Int,
+      end: Int): Option[(String, String, String)] = {
+    @inline def le32(o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    var p = start
+    if (p + 4 > end) return None
+    val vendorLen = le32(p); p += 4
+    if (vendorLen < 0 || vendorLen > end - p) return None
+    p += vendorLen.toInt
+    if (p + 4 > end) return None
+    var n = le32(p); p += 4
+    if (n < 0) return None
+    var title: String = null
+    var artist: String = null
+    var album: String = null
+    while (n > 0 && p + 4 <= end) {
+      val len = le32(p); p += 4
+      if (len < 0 || len > end - p) n = 0 // truncated list: keep what parsed
+      else {
+        val s = new String(b, p, len.toInt,
+          java.nio.charset.StandardCharsets.UTF_8)
+        val eq = s.indexOf('=')
+        if (eq > 0) {
+          val v = s.substring(eq + 1)
+          s.substring(0, eq).toUpperCase(java.util.Locale.ROOT) match {
+            case "TITLE" => title = v
+            case "ARTIST" => artist = v
+            case "ALBUM" => album = v
+            case _ => ()
+          }
+        }
+        p += len.toInt
+        n -= 1
+      }
+    }
+    Some((title, artist, album))
+  }
+
+  /** FLAC declared tags — the VORBIS_COMMENT metadata block (type 4,
+    * FLAC format spec) the lossless half of a crawled audio corpus
+    * carries its titles/artists in (ID3 is the MP3/AAC convention;
+    * FLAC's own is Vorbis comments). Metadata block walk from the
+    * `fLaC` magic: [last:1|type:7][len:24] headers, stop at the last
+    * block or truncation. None for non-FLAC bytes, no comment block,
+    * or a structurally invalid one.
+    */
+  private[graft] def flacTags(b: Array[Byte]): Option[(String, String, String, String)] = {
+    if (b == null || b.length < 8 ||
+      !(b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')) return None
+    var off = 4
+    var last = false
+    while (!last && off + 4 <= b.length) {
+      val hdr = b(off) & 0xff
+      last = (hdr & 0x80) != 0
+      val btype = hdr & 0x7f
+      val len = ((b(off + 1) & 0xff) << 16) | ((b(off + 2) & 0xff) << 8) |
+        (b(off + 3) & 0xff)
+      val body = off + 4
+      if (body + len > b.length) return None // truncated block
+      if (btype == 4)
+        return vorbisFields(b, body, body + len)
+          .map { case (t, a, al) => (t, a, al, "flac") }
+      off = body + len
+    }
+    None
+  }
+
+  /** Ogg-Opus declared tags — the `OpusTags` packet (RFC 7845 §5.2),
+    * by spec the second packet of the stream, carrying the same
+    * Vorbis-comment structure as FLAC. Sequential Ogg page walk from
+    * the mandatory `OpusHead` first page; the tags packet is read
+    * within its first page (a >64 KiB spanning tag degrades to None,
+    * never to shifted reads). None for non-Ogg/non-Opus bytes or no
+    * tags packet within the first pages.
+    */
+  private[graft] def opusTags(b: Array[Byte]): Option[(String, String, String, String)] = {
+    if (b == null || b.length < 47 ||
+      !(b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S')) return None
+    var off = 0
+    var sawHead = false
+    var pages = 0
+    while (off + 27 <= b.length && pages < 64) {
+      pages += 1
+      if (!(b(off) == 'O' && b(off + 1) == 'g' && b(off + 2) == 'g' &&
+        b(off + 3) == 'S' && b(off + 4) == 0)) return None
+      val nSegs = b(off + 26) & 0xff
+      if (off + 27 + nSegs > b.length) return None
+      var plen = 0
+      var i = 0
+      while (i < nSegs) { plen += b(off + 27 + i) & 0xff; i += 1 }
+      val payload = off + 27 + nSegs
+      val pend = math.min(b.length, payload + plen)
+      if (!sawHead) {
+        if (pend - payload < 8 ||
+          new String(b, payload, 8, "ISO-8859-1") != "OpusHead") return None
+        sawHead = true
+      } else if (pend - payload >= 8 &&
+        new String(b, payload, 8, "ISO-8859-1") == "OpusTags") {
+        return vorbisFields(b, payload + 8, pend)
+          .map { case (t, a, al) => (t, a, al, "opus") }
+      }
+      off = payload + plen
+    }
+    None
+  }
+
+  /** Ogg-Vorbis stream facts — (channels, sampleRate, lastGranule):
+    * the `vorbis` identification header on the first Ogg page
+    * (Vorbis I spec §4.2.2: version u32 0, channels u8, rate LE u32)
+    * plus the LAST page's granule position, which for Vorbis counts
+    * PCM samples at the stream's own rate (unlike Opus' fixed 48 kHz
+    * clock), so duration_ms = granule · 1000 / rate. Same
+    * backward-scan duration technique as [[opusInfo]]. None for
+    * non-Ogg or non-Vorbis bytes (an Ogg-OPUS stream is not Vorbis —
+    * the first-packet magic disambiguates the container).
+    */
+  private[graft] def vorbisInfo(b: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (b == null || b.length < 47 ||
+      !(b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S')) return None
+    @inline def le32(o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    @inline def le64(o: Int): Long = le32(o) | (le32(o + 4) << 32)
+    val nSegs = b(26) & 0xff
+    val p = 27 + nSegs
+    if (p + 16 > b.length) return None
+    if (!(b(p) == 1 && b(p + 1) == 'v' && b(p + 2) == 'o' && b(p + 3) == 'r' &&
+      b(p + 4) == 'b' && b(p + 5) == 'i' && b(p + 6) == 's')) return None
+    if (le32(p + 7) != 0L) return None // vorbis_version must be 0
+    val channels = b(p + 11) & 0xff
+    val rate = le32(p + 12).toInt
+    if (channels < 1 || rate <= 0) return None
+    var i = b.length - 27
+    var granule = -1L
+    while (granule < 0 && i >= 0) {
+      if (b(i) == 'O' && b(i + 1) == 'g' && b(i + 2) == 'g' &&
+        b(i + 3) == 'S' && b(i + 4) == 0) granule = le64(i + 6)
+      i -= 1
+    }
+    if (granule < 0) None else Some((channels, rate, granule))
+  }
+
+  /** Ogg-Vorbis declared tags — the comment header (`vorbis`
+    * packet, by spec the second packet), same Vorbis-comment
+    * structure as FLAC/Opus. Page walk like [[opusTags]].
+    */
+  private[graft] def vorbisTags(b: Array[Byte]): Option[(String, String, String, String)] = {
+    if (b == null || b.length < 47 ||
+      !(b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S')) return None
+    var off = 0
+    var sawIdent = false
+    var pages = 0
+    while (off + 27 <= b.length && pages < 64) {
+      pages += 1
+      if (!(b(off) == 'O' && b(off + 1) == 'g' && b(off + 2) == 'g' &&
+        b(off + 3) == 'S' && b(off + 4) == 0)) return None
+      val nSegs = b(off + 26) & 0xff
+      if (off + 27 + nSegs > b.length) return None
+      var plen = 0
+      var i = 0
+      while (i < nSegs) { plen += b(off + 27 + i) & 0xff; i += 1 }
+      val payload = off + 27 + nSegs
+      val pend = math.min(b.length, payload + plen)
+      @inline def leads(tag: Int): Boolean =
+        pend - payload >= 7 && b(payload) == tag && b(payload + 1) == 'v' &&
+          b(payload + 2) == 'o' && b(payload + 3) == 'r' &&
+          b(payload + 4) == 'b' && b(payload + 5) == 'i' && b(payload + 6) == 's'
+      if (!sawIdent) {
+        if (!leads(1)) return None
+        sawIdent = true
+      } else if (leads(3)) {
+        return vorbisFields(b, payload + 7, pend)
+          .map { case (t, a, al) => (t, a, al, "vorbis") }
+      }
+      off = payload + plen
+    }
+    None
+  }
+
+  /** Minimal Ogg-Vorbis: an identification-header page, optionally a
+    * comment-header page with the given tags, and an EOS page at the
+    * given granule (header-facts fixture, [[syntheticOpus]]
+    * discipline).
+    */
+  private[graft] def syntheticVorbis(channels: Int, sampleRate: Int,
+      lastGranule: Long, tags: Option[(String, String, String)] = None):
+      Array[Byte] = {
+    def page(headerType: Int, granule: Long, seq: Int,
+        payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 255, "single-segment fixture pages only")
+      val bb = java.nio.ByteBuffer.allocate(27 + 1 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("OggS".getBytes("ISO-8859-1")).put(0.toByte)
+        .put(headerType.toByte).putLong(granule).putInt(1).putInt(seq)
+        .putInt(0)
+        .put(1.toByte).put(payload.length.toByte).put(payload)
+      bb.array()
+    }
+    val ident = java.nio.ByteBuffer.allocate(30)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(1.toByte).put("vorbis".getBytes("ISO-8859-1"))
+      .putInt(0) // version
+      .put(channels.toByte).putInt(sampleRate)
+      .putInt(0).putInt(0).putInt(0) // bitrates
+      .put(0xB8.toByte).put(1.toByte) // blocksizes + framing bit
+      .array()
+    val head = page(0x02, 0L, 0, ident)
+    val comment = tags.map { case (t, a, al) =>
+      page(0x00, 0L, 1, Array[Byte](3) ++ "vorbis".getBytes("ISO-8859-1") ++
+        vorbisCommentBytes(t, a, al) ++ Array[Byte](1)) // framing bit
+    }
+    val eos = page(0x04, lastGranule, if (comment.isDefined) 2 else 1,
+      Array[Byte](0))
+    head ++ comment.getOrElse(Array.emptyByteArray) ++ eos
+  }
+
   /** Parsed ADTS (AAC) stream facts — the other half of real crawled
     * audio next to the MPEG walk: (profile, sampleRate, channels,
     * nFrames, totalSamples, avgBitrateKbps). Same crawl-robust shape
@@ -1814,7 +2250,10 @@ object Multimodal {
       timescale = 0; duration = 0L; isAudioTrack = false
       codec = null; channels = 0; rate = 0
     }
-    def walk(start: Long, end: Long): Unit = {
+    // depth-capped: a crafted file nesting thousands of 8-byte
+    // container boxes must exhaust the CAP, not the task stack
+    def walk(start: Long, end: Long, depth: Int = 0): Unit = {
+      if (depth > 16) return
       var off = start
       while (!sawVideoTrack && off + 8 <= end) {
         val size0 = u32(off.toInt)
@@ -1827,8 +2266,8 @@ object Multimodal {
         if (boxEnd < body || boxEnd > end) return
         val p = body.toInt
         id match {
-          case "moov" | "mdia" | "minf" | "stbl" => walk(body, boxEnd)
-          case "trak" => walk(body, boxEnd); finishTrak()
+          case "moov" | "mdia" | "minf" | "stbl" => walk(body, boxEnd, depth + 1)
+          case "trak" => walk(body, boxEnd, depth + 1); finishTrak()
           case "mdhd" if p + 4 <= boxEnd =>
             if (b(p) == 1 && p + 32 <= boxEnd) {
               timescale = u32(p + 20).toInt; duration = u64(p + 24)
@@ -1906,28 +2345,63 @@ object Multimodal {
     StructField("album", StringType),
     StructField("tag_format", StringType)))
 
-  /** ID3v2.3/2.4 text frames (TIT2/TPE1/TALB) from the tag most MP3
-    * and ADTS uploads lead with: syncsafe tag size, optional extended
-    * header (v2.3 plain-size, v2.4 syncsafe self-inclusive), per-frame
-    * sizes plain (v2.3) or syncsafe (v2.4), text encodings 0 latin-1,
-    * 1 UTF-16 with BOM, 2 UTF-16BE, 3 UTF-8; values NUL-trimmed (a
-    * v2.4 multi-value list reports its first). Stops cleanly at
-    * padding. None when no ID3v2 tag leads the bytes.
+  /** Reverse ID3v2 unsynchronisation: drop every 0x00 that
+    * immediately follows an 0xFF (the inserted stuffing byte).
+    */
+  private def id3DeUnsync(a: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](a.length)
+    var i = 0
+    var n = 0
+    while (i < a.length) {
+      out(n) = a(i); n += 1
+      if (a(i) == 0xFF.toByte && i + 1 < a.length && a(i + 1) == 0) i += 2
+      else i += 1
+    }
+    if (n == a.length) a else java.util.Arrays.copyOf(out, n)
+  }
+
+  /** ID3v2.2/2.3/2.4 text frames (TIT2/TPE1/TALB; v2.2's 3-char
+    * TT2/TP1/TAL) from the tag most MP3 and ADTS uploads lead with:
+    * syncsafe tag size, optional extended header (v2.3 plain-size,
+    * v2.4 syncsafe self-inclusive), per-frame sizes plain u32 (v2.3),
+    * syncsafe (v2.4) or u24 (v2.2's 6-byte headers), text encodings
+    * 0 latin-1, 1 UTF-16 with BOM, 2 UTF-16BE, 3 UTF-8; values
+    * NUL-trimmed (a v2.4 multi-value list reports its first).
+    * Unsynchronised tags are de-unsynchronised before the walk —
+    * whole-tag for v2.2/v2.3, per-frame for v2.4 (the global flag or
+    * the frame's 0x02 format bit), matching the spec's application
+    * scope, so a tag whose frames carry 0xFF 0x00 stuffing reads back
+    * the original bytes instead of shifted garbage. Compressed or
+    * encrypted frames are skipped, not misread; a v2.2 tag with the
+    * compression header bit is unreadable by spec and reports None.
+    * Stops cleanly at padding. None when no ID3v2 tag leads the
+    * bytes.
     */
   private[graft] def id3v2Tags(b: Array[Byte]): Option[(String, String, String, String)] = {
     if (b == null || b.length < 10 ||
       !(b(0) == 'I' && b(1) == 'D' && b(2) == '3')) return None
     val ver = b(3) & 0xff
-    if (ver != 3 && ver != 4) return None
-    @inline def syncsafe(o: Int): Int =
+    if (ver != 2 && ver != 3 && ver != 4) return None
+    val unsync = (b(5) & 0x80) != 0
+    if (ver == 2 && (b(5) & 0x40) != 0) return None // v2.2 compression bit
+    @inline def syncsafeHdr(o: Int): Int =
       ((b(o) & 0x7f) << 21) | ((b(o + 1) & 0x7f) << 14) |
         ((b(o + 2) & 0x7f) << 7) | (b(o + 3) & 0x7f)
+    val tagEnd = math.min(b.length.toLong, 10L + syncsafeHdr(6)).toInt
+    if (tagEnd <= 10) return None
+    // the frames region; v2.2/v2.3 unsync applies to the whole tag
+    val body0 = java.util.Arrays.copyOfRange(b, 10, tagEnd)
+    val body = if (unsync && ver != 4) id3DeUnsync(body0) else body0
+    @inline def syncsafe(o: Int): Int =
+      ((body(o) & 0x7f) << 21) | ((body(o + 1) & 0x7f) << 14) |
+        ((body(o + 2) & 0x7f) << 7) | (body(o + 3) & 0x7f)
     @inline def u32(o: Int): Long =
-      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
-        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
-    val end = math.min(b.length.toLong, 10L + syncsafe(6)).toInt
-    var pos = 10
-    if ((b(5) & 0x40) != 0 && pos + 4 <= end) { // extended header
+      ((body(o) & 0xffL) << 24) | ((body(o + 1) & 0xffL) << 16) |
+        ((body(o + 2) & 0xffL) << 8) | (body(o + 3) & 0xffL)
+    val end = body.length
+    var pos = 0
+    if (ver >= 3 && (b(5) & 0x40) != 0) { // extended header
+      if (pos + 4 > end) return None
       val extLen =
         if (ver == 4) syncsafe(pos) // self-inclusive
         else u32(pos).toInt + 4 // v2.3: size field excludes itself
@@ -1937,31 +2411,64 @@ object Multimodal {
     var title: String = null
     var artist: String = null
     var album: String = null
-    def text(from: Int, until: Int): String = {
+    def text(a: Array[Byte], from: Int, until: Int): String = {
       if (until <= from + 1) return ""
-      val enc = b(from) & 0xff
+      val enc = a(from) & 0xff
       val raw = enc match {
-        case 0 => new String(b, from + 1, until - from - 1, "ISO-8859-1")
-        case 1 => new String(b, from + 1, until - from - 1, "UTF-16")
-        case 2 => new String(b, from + 1, until - from - 1, "UTF-16BE")
-        case _ => new String(b, from + 1, until - from - 1, "UTF-8")
+        case 0 => new String(a, from + 1, until - from - 1, "ISO-8859-1")
+        case 1 => new String(a, from + 1, until - from - 1, "UTF-16")
+        case 2 => new String(a, from + 1, until - from - 1, "UTF-16BE")
+        case _ => new String(a, from + 1, until - from - 1, "UTF-8")
       }
       val nul = raw.indexOf('\u0000')
       if (nul >= 0) raw.substring(0, nul) else raw
     }
+    val hdrLen = if (ver == 2) 6 else 10
     var break = false
-    while (!break && pos + 10 <= end) {
-      if (b(pos) == 0) break = true // padding reached
-      else {
-        val id = new String(b, pos, 4, "ISO-8859-1")
-        val size = if (ver == 4) syncsafe(pos + 4) else u32(pos + 4).toInt
-        if (size < 0 || pos + 10 + size > end) break = true
+    while (!break && pos + hdrLen <= end) {
+      if (body(pos) == 0) break = true // padding reached
+      else if (ver == 2) {
+        val id = new String(body, pos, 3, "ISO-8859-1")
+        val size = ((body(pos + 3) & 0xff) << 16) |
+          ((body(pos + 4) & 0xff) << 8) | (body(pos + 5) & 0xff)
+        if (size < 0 || pos + 6 + size > end) break = true
         else {
           id match {
-            case "TIT2" => title = text(pos + 10, pos + 10 + size)
-            case "TPE1" => artist = text(pos + 10, pos + 10 + size)
-            case "TALB" => album = text(pos + 10, pos + 10 + size)
+            case "TT2" => title = text(body, pos + 6, pos + 6 + size)
+            case "TP1" => artist = text(body, pos + 6, pos + 6 + size)
+            case "TAL" => album = text(body, pos + 6, pos + 6 + size)
             case _ => ()
+          }
+          pos += 6 + size
+        }
+      } else {
+        val id = new String(body, pos, 4, "ISO-8859-1")
+        val size = if (ver == 4) syncsafe(pos + 4) else u32(pos + 4).toInt
+        val fmtFlags = body(pos + 9) & 0xff
+        if (size < 0 || pos + 10 + size > end) break = true
+        else {
+          // v2.3 frame flags byte 2: 0x80 compressed / 0x40 encrypted;
+          // v2.4: 0x08 compressed / 0x04 encrypted — skip, never misread
+          val unreadable =
+            if (ver == 3) (fmtFlags & 0xC0) != 0
+            else (fmtFlags & 0x0C) != 0
+          if (!unreadable) {
+            var from = pos + 10
+            var until = pos + 10 + size
+            var frame = body
+            if (ver == 4) {
+              if ((fmtFlags & 0x01) != 0 && until - from >= 4) from += 4 // data-length indicator
+              if (unsync || (fmtFlags & 0x02) != 0) {
+                frame = id3DeUnsync(java.util.Arrays.copyOfRange(body, from, until))
+                from = 0; until = frame.length
+              }
+            }
+            id match {
+              case "TIT2" => title = text(frame, from, until)
+              case "TPE1" => artist = text(frame, from, until)
+              case "TALB" => album = text(frame, from, until)
+              case _ => ()
+            }
           }
           pos += 10 + size
         }
@@ -1981,6 +2488,7 @@ object Multimodal {
     @inline def u32(o: Int): Long =
       ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
         ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    @inline def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
     var title: String = null
     var artist: String = null
     var album: String = null
@@ -2005,9 +2513,13 @@ object Multimodal {
       while (off + 8 <= end) {
         val size0 = u32(off.toInt)
         val id = new String(b, off.toInt + 4, 4, "ISO-8859-1")
-        val boxEnd = if (size0 == 0) end else off + size0
-        if (boxEnd < off + 8 || boxEnd > end) return
-        val body = off + 8
+        var body = off + 8
+        // size==1: ISO-BMFF 64-bit largesize at off+8 (mp4VideoTrack's rule)
+        val boxEnd =
+          if (size0 == 1 && off + 16 <= end) { body = off + 16; off + u64(off.toInt + 8) }
+          else if (size0 == 0) end
+          else off + size0
+        if (boxEnd < body || boxEnd > end) return
         if (inIlst) {
           id match {
             case "©nam" => title = dataText(body, boxEnd)
@@ -2029,9 +2541,10 @@ object Multimodal {
   }
 
   /** Append a `tags` struct ([[AudioTagsSchema]]) per row: ID3v2 if
-    * the bytes lead with one, else the M4A item list — the
-    * [[audioStats]] batching/isolation discipline. All-null struct
-    * for untagged or non-audio rows.
+    * the bytes lead with one, else the M4A item list, else the Vorbis
+    * comments of a FLAC or Ogg-Opus stream — the [[audioStats]]
+    * batching/isolation discipline. All-null struct for untagged or
+    * non-audio rows.
     */
   def audioTags(df: DataFrame, contentCol: String = "content",
       batchSize: Int = 64): DataFrame = {
@@ -2045,6 +2558,8 @@ object Multimodal {
           val bytes = row.getAs[Array[Byte]](contentIdx)
           val tags =
             (try id3v2Tags(bytes).orElse(m4aTags(bytes))
+              .orElse(flacTags(bytes)).orElse(opusTags(bytes))
+              .orElse(vorbisTags(bytes))
             catch { case _: Throwable => None }) match {
               case Some((t, a, al, fmt)) => Row(t, a, al, fmt)
               case None => Row(null, null, null, null)
@@ -2056,34 +2571,68 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Apply ID3v2 unsynchronisation: insert a 0x00 after every 0xFF
+    * (the writer-side twin of [[id3DeUnsync]] — fixtures only).
+    */
+  private def id3Unsync(a: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(a.length + 16)
+    var i = 0
+    while (i < a.length) {
+      out.write(a(i))
+      if (a(i) == 0xFF.toByte) out.write(0)
+      i += 1
+    }
+    out.toByteArray
+  }
+
   /** A REAL ID3v2 tag with the given text frames — prepend to any
     * audio stream ([[syntheticMp3]] etc.; the stats walks skip ID3).
+    * v2.2 writes 3-char frame IDs with u24 sizes and UTF-16 text;
     * v2.3 writes UTF-16-with-BOM titles and plain frame sizes; v2.4
-    * writes UTF-8 and syncsafe sizes — the two wild encodings.
+    * writes UTF-8 and syncsafe sizes — the wild encodings. `unsync`
+    * applies spec-scope unsynchronisation: whole-tag for v2.2/v2.3,
+    * per-frame (with the 0x02 format bit) for v2.4; UTF-16 BOMs
+    * guarantee the stream actually carries 0xFF bytes to stuff.
     */
   private[graft] def syntheticId3(version: Int, title: String,
-      artist: String, album: String): Array[Byte] = {
-    require(version == 3 || version == 4, s"version: $version")
+      artist: String, album: String, unsync: Boolean = false): Array[Byte] = {
+    require(version == 2 || version == 3 || version == 4, s"version: $version")
     def frame(id: String, value: String): Array[Byte] = {
-      val payload =
+      val payload0 =
         if (version == 4) Array[Byte](3) ++ value.getBytes("UTF-8")
         else Array[Byte](1) ++ // UTF-16 with BOM
           Array[Byte](0xFF.toByte, 0xFE.toByte) ++ value.getBytes("UTF-16LE")
-      val bb = java.nio.ByteBuffer.allocate(10 + payload.length)
+      // v2.4: unsync is per-frame; the stored size counts stuffed bytes
+      val payload =
+        if (version == 4 && unsync) id3Unsync(payload0) else payload0
+      val hdrLen = if (version == 2) 6 else 10
+      val bb = java.nio.ByteBuffer.allocate(hdrLen + payload.length)
       bb.put(id.getBytes("ISO-8859-1"))
-      if (version == 4) {
-        val n = payload.length
+      val n = payload.length
+      if (version == 2) {
+        bb.put(((n >> 16) & 0xff).toByte).put(((n >> 8) & 0xff).toByte)
+          .put((n & 0xff).toByte)
+      } else if (version == 4) {
         bb.put(((n >> 21) & 0x7f).toByte).put(((n >> 14) & 0x7f).toByte)
           .put(((n >> 7) & 0x7f).toByte).put((n & 0x7f).toByte)
-      } else bb.putInt(payload.length)
-      bb.putShort(0)
+        bb.put(0.toByte).put(if (unsync) 0x02.toByte else 0.toByte)
+      } else {
+        bb.putInt(payload.length)
+        bb.putShort(0)
+      }
       bb.put(payload)
       bb.array()
     }
-    val frames = frame("TIT2", title) ++ frame("TPE1", artist) ++
-      frame("TALB", album)
+    val ids =
+      if (version == 2) Seq("TT2" -> title, "TP1" -> artist, "TAL" -> album)
+      else Seq("TIT2" -> title, "TPE1" -> artist, "TALB" -> album)
+    val frames0 = ids.flatMap { case (id, v) => frame(id, v) }.toArray
+    // v2.2/v2.3: unsync applies to the whole composed tag
+    val frames =
+      if (unsync && version != 4) id3Unsync(frames0) else frames0
     val n = frames.length
-    Array[Byte]('I', 'D', '3', version.toByte, 0, 0,
+    val flags: Byte = if (unsync) 0x80.toByte else 0
+    Array[Byte]('I', 'D', '3', version.toByte, 0, flags,
       ((n >> 21) & 0x7f).toByte, ((n >> 14) & 0x7f).toByte,
       ((n >> 7) & 0x7f).toByte, (n & 0x7f).toByte) ++ frames
   }
@@ -2115,6 +2664,71 @@ object Multimodal {
     val moovPayload = java.util.Arrays.copyOfRange(plain, ftypLen + 8, plain.length)
     java.util.Arrays.copyOfRange(plain, 0, ftypLen) ++
       box("moov", moovPayload ++ udta)
+  }
+
+  /** Serialized Vorbis comment region ([[vorbisFields]]'s writer
+    * twin): vendor + TITLE/ARTIST/ALBUM fields, UTF-8.
+    */
+  private def vorbisCommentBytes(title: String, artist: String,
+      album: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(n: Int): Unit = {
+      out.write(n & 0xff); out.write((n >> 8) & 0xff)
+      out.write((n >> 16) & 0xff); out.write((n >> 24) & 0xff)
+    }
+    def field(s: String): Unit = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      le32(b.length); out.write(b)
+    }
+    field("graft fixture")
+    le32(3)
+    field(s"TITLE=$title"); field(s"ARTIST=$artist"); field(s"ALBUM=$album")
+    out.toByteArray
+  }
+
+  /** [[syntheticFlac]] plus a VORBIS_COMMENT block (type 4) carrying
+    * the given tags — STREAMINFO first (not last), comments last.
+    */
+  private[graft] def syntheticFlacTagged(sampleRate: Int, channels: Int,
+      bitsPerSample: Int, totalSamples: Long, title: String,
+      artist: String, album: String): Array[Byte] = {
+    val base = syntheticFlac(sampleRate, channels, bitsPerSample, totalSamples)
+    base(4) = 0 // STREAMINFO no longer the last block
+    val body = vorbisCommentBytes(title, artist, album)
+    val n = body.length
+    base ++ Array[Byte](0x84.toByte, // last block, type 4
+      ((n >> 16) & 0xff).toByte, ((n >> 8) & 0xff).toByte,
+      (n & 0xff).toByte) ++ body
+  }
+
+  /** [[syntheticOpus]] plus the RFC 7845 `OpusTags` second packet
+    * carrying the given tags.
+    */
+  private[graft] def syntheticOpusTagged(channels: Int, preSkip: Int,
+      inputSampleRate: Int, lastGranule: Long, title: String,
+      artist: String, album: String): Array[Byte] = {
+    def page(headerType: Int, granule: Long, seq: Int,
+        payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 255, "single-segment fixture pages only")
+      val bb = java.nio.ByteBuffer.allocate(27 + 1 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("OggS".getBytes("ISO-8859-1")).put(0.toByte)
+        .put(headerType.toByte).putLong(granule).putInt(1).putInt(seq)
+        .putInt(0)
+        .put(1.toByte).put(payload.length.toByte).put(payload)
+      bb.array()
+    }
+    val head = java.nio.ByteBuffer.allocate(19)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("OpusHead".getBytes("ISO-8859-1")).put(1.toByte)
+      .put(channels.toByte).putShort(preSkip.toShort)
+      .putInt(inputSampleRate).putShort(0.toShort).put(0.toByte)
+      .array()
+    val tags = "OpusTags".getBytes("ISO-8859-1") ++
+      vorbisCommentBytes(title, artist, album)
+    page(0x02, 0L, 0, head) ++
+      page(0x00, 0L, 1, tags) ++
+      page(0x04, lastGranule, 2, Array[Byte](0))
   }
 
   /** Minimal Ogg-Opus: an OpusHead page plus an EOS page with the
@@ -2248,7 +2862,11 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         batch.map { row =>
           val bytes = row.getAs[Array[Byte]](contentIdx)
-          val stats = pcmSamples(bytes) match {
+          // per-row isolation ([[decodePixels]] rule): a kernel defect
+          // on one hostile row degrades to an error row, never fails
+          // the task — the catch is OUTSIDE the codec dispatch so any
+          // future walker bug is contained too
+          val stats = try pcmSamples(bytes) match {
             case Some((ch, sr, bits, s)) if s.nonEmpty =>
               val fullScale = (1 << (bits - 1)) - 1 // 32767 / 127
               val silenceBar = (silence * fullScale).toInt
@@ -2309,7 +2927,15 @@ object Multimodal {
                     Row(ch, 48000, null, samples, null, null, null,
                       null, true, null, "opus", samples * 1000L / 48000L,
                       null, null)
-                  case None => adtsAudioInfo(bytes) match {
+                  case None => vorbisInfo(bytes) match {
+                    case Some((ch, sr, granule)) =>
+                      // Vorbis granules are PCM samples at the
+                      // stream's OWN rate (no fixed-clock rule like
+                      // Opus); bitrate/vbr are not header facts
+                      Row(ch, sr, null, granule, null, null, null,
+                        null, true, null, "vorbis",
+                        granule * 1000L / sr, null, null)
+                    case None => adtsAudioInfo(bytes) match {
                     case Some(a) =>
                       def r3(x: Double): Double = BigDecimal(x)
                         .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -2329,13 +2955,19 @@ object Multimodal {
                       case None =>
                         Row(null, null, null, null, null, null, null, null,
                           false,
-                          "not PCM WAV or MPEG/FLAC/Opus/AAC/M4A audio",
+                          "not PCM WAV or MPEG/FLAC/Opus/Vorbis/AAC/M4A audio",
                           null, null, null, null)
                     }
                   }
                 }
               }
             }
+          }
+          } catch {
+            case t: Throwable =>
+              Row(null, null, null, null, null, null, null, null, false,
+                s"audio kernel failure: ${t.getClass.getSimpleName}",
+                null, null, null, null)
           }
           Row.fromSeq(row.toSeq :+ stats)
         }
@@ -2705,6 +3337,33 @@ object Multimodal {
   private[graft] def renderPng(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] =
     renderImage("png", w, h, rgb)
 
+  /** Splice a PNG-1.2-extension `eXIf` chunk (raw TIFF block, CRC'd)
+    * after IHDR — the fixture no mainstream encoder emits, for the
+    * PNG GPS flag ([[syntheticTiff]]'s gps discipline).
+    */
+  private[graft] def pngWithExif(png: Array[Byte],
+      gps: Boolean): Array[Byte] = {
+    val nTags = if (gps) 1 else 0
+    val tiff = java.nio.ByteBuffer.allocate(8 + 2 + 12 * nTags + 4 +
+      (if (gps) 6 else 0)).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tiff.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    tiff.putShort(nTags.toShort)
+    if (gps) tiff.putShort(0x8825.toShort).putShort(4).putInt(1)
+      .putInt(8 + 2 + 12 + 4)
+    tiff.putInt(0) // next-IFD pointer
+    if (gps) tiff.putShort(0).putInt(0) // empty GPS IFD
+    val data = tiff.array()
+    val chunk = java.nio.ByteBuffer.allocate(12 + data.length)
+    chunk.putInt(data.length).put("eXIf".getBytes("ISO-8859-1")).put(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(chunk.array(), 4, 4 + data.length)
+    chunk.putInt(crc.getValue.toInt)
+    // IHDR is always the first chunk: signature 8 + (12 + 13) bytes
+    val at = 8 + 25
+    java.util.Arrays.copyOfRange(png, 0, at) ++ chunk.array() ++
+      java.util.Arrays.copyOfRange(png, at, png.length)
+  }
+
   /** JPEG twin of [[renderPng]] (lossy — for tolerance-based specs,
     * not exact oracles).
     */
@@ -2971,7 +3630,10 @@ object Multimodal {
       codec = null; timescale = 0; duration = 0L; isVideoTrack = false
       sizes = null; chunkOffsets = null; stscRuns = null; sync = null
     }
-    def walk(start: Long, end: Long): Unit = {
+    // depth-capped like its siblings: crafted deep nesting exhausts
+    // the cap, never the task stack
+    def walk(start: Long, end: Long, depth: Int = 0): Unit = {
+      if (depth > 16) return
       var off = start
       while (found.isEmpty && off + 8 <= end) {
         val size0 = u32(off.toInt)
@@ -2984,8 +3646,8 @@ object Multimodal {
         if (boxEnd < body || boxEnd > end) return // malformed: stop
         val b = body.toInt
         id match {
-          case "moov" | "mdia" | "minf" | "stbl" => walk(body, boxEnd)
-          case "trak" => walk(body, boxEnd); finishTrak()
+          case "moov" | "mdia" | "minf" | "stbl" => walk(body, boxEnd, depth + 1)
+          case "trak" => walk(body, boxEnd, depth + 1); finishTrak()
           case "mdhd" if b + 4 <= boxEnd =>
             if (bytes(b) == 1 && b + 32 <= boxEnd) { // version 1
               timescale = u32(b + 20).toInt; duration = u64(b + 24)
@@ -3072,26 +3734,32 @@ object Multimodal {
     */
   def videoKeyframeHashes(bytes: Array[Byte]): Array[Long] = {
     if (bytes == null) return null
-    @inline def hash(start: Int, end: Int): Long =
-      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start,
-        end - start, 42L)
-    val out = Array.newBuilder[Long]
-    var n = 0
-    aviWalkFrames(bytes, (b, e) => { out += hash(b, e); n += 1 })
-    if (n == 0) mp4VideoTrack(bytes).foreach { t =>
-      t.syncSamples.foreach { sNum =>
-        if (sNum >= 1 && sNum <= t.sampleOffsets.length) {
-          val i = sNum - 1
-          val off = t.sampleOffsets(i)
-          if (off >= 0 && off + t.sampleSizes(i) <= bytes.length) {
-            out += hash(off.toInt, (off + t.sampleSizes(i)).toInt)
-            n += 1
+    // runs inside codegen'd expressions with no catch above it: any
+    // kernel defect on one hostile row must degrade to null, never
+    // fail the task 4 times and kill a corpus scan (the
+    // [[decodePixels]] per-row-isolation precedent)
+    try {
+      @inline def hash(start: Int, end: Int): Long =
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start,
+          end - start, 42L)
+      val out = Array.newBuilder[Long]
+      var n = 0
+      aviWalkFrames(bytes, (b, e) => { out += hash(b, e); n += 1 })
+      if (n == 0) mp4VideoTrack(bytes).foreach { t =>
+        t.syncSamples.foreach { sNum =>
+          if (sNum >= 1 && sNum <= t.sampleOffsets.length) {
+            val i = sNum - 1
+            val off = t.sampleOffsets(i)
+            if (off >= 0 && off + t.sampleSizes(i) <= bytes.length) {
+              out += hash(off.toInt, (off + t.sampleSizes(i)).toInt)
+              n += 1
+            }
           }
         }
       }
-    }
-    if (n == 0) null else out.result()
+      if (n == 0) null else out.result()
+    } catch { case _: Throwable => null }
   }
 
   /** Whole-video EXACT fingerprint: an order-sensitive splitmix chain
@@ -3266,12 +3934,14 @@ object Multimodal {
     */
   def videoKeyframes(bytes: Array[Byte]): java.lang.Integer = {
     if (bytes == null) return null
-    val avi = aviMjpegFrameCount(bytes) // count only — no frame copies
-    if (avi > 0) return java.lang.Integer.valueOf(avi)
-    mp4VideoTrack(bytes) match {
-      case Some(t) => java.lang.Integer.valueOf(t.syncSamples.length)
-      case None => null
-    }
+    try {
+      val avi = aviMjpegFrameCount(bytes) // count only — no frame copies
+      if (avi > 0) return java.lang.Integer.valueOf(avi)
+      mp4VideoTrack(bytes) match {
+        case Some(t) => java.lang.Integer.valueOf(t.syncSamples.length)
+        case None => null
+      }
+    } catch { case _: Throwable => null } // per-row isolation, [[decodePixels]] rule
   }
 
   /** [[videoKeyframes]] as a Column — codegen'd like [[dhash64Col]]. */
@@ -3334,7 +4004,10 @@ object Multimodal {
     @inline def u32(off: Int): Long =
       (bytes(off) & 0xFFL) | ((bytes(off + 1) & 0xFFL) << 8) |
         ((bytes(off + 2) & 0xFFL) << 16) | ((bytes(off + 3) & 0xFFL) << 24)
-    def walk(start: Int, end: Int): Unit = {
+    // depth-capped: crafted 100k-deep LIST nesting exhausts the cap,
+    // never the task stack (the BMFF walkers' 16-level rule)
+    def walk(start: Int, end: Int, depth: Int = 0): Unit = {
+      if (depth > 16) return
       var off = start
       var ok = true
       while (ok && off + 8 <= end) {
@@ -3349,7 +4022,7 @@ object Multimodal {
             // a truncated CONTAINER still holds intact leading chunks —
             // clamp and recurse (every frame before the damage survives)
             val clamped = math.min(bodyEnd, end)
-            if (clamped - body >= 4) walk(body + 4, clamped) // skip form/subtype FourCC
+            if (clamped - body >= 4) walk(body + 4, clamped, depth + 1) // skip form/subtype FourCC
           } else if (!truncated &&
             Character.isDigit(id.charAt(0)) && Character.isDigit(id.charAt(1)) &&
             id.charAt(2) == 'd' && (id.charAt(3) == 'c' || id.charAt(3) == 'b')) {

@@ -377,9 +377,12 @@ private[graft] object Vp8l {
     * makes the borders come out per spec: (0,0) predicts opaque
     * black, row 0 predicts left, column 0 predicts top, and the
     * top-right of a row's last pixel is the row's own first pixel.
+    * Returns false on a spec-invalid mode (> 13) — the caller must
+    * reject the whole decode: half-transformed residuals reported as
+    * pixels would feed dHash signatures silently wrong.
     */
   private def inversePredictor(argb: Array[Int], w: Int, h: Int,
-      bits: Int, modes: Array[Int]): Unit = {
+      bits: Int, modes: Array[Int]): Boolean = {
     val mw = subSampleSize(w, bits)
     @inline def avg2(a: Int, b: Int): Int =
       (((a ^ b) & 0xfefefefe) >>> 1) + (a & b)
@@ -441,7 +444,7 @@ private[graft] object Vp8l {
               case 11 => select(t, l, tl)
               case 12 => clampAddSubFull(l, t, tl)
               case 13 => clampAddSubHalf(l, t, tl)
-              case _ => return // invalid mode: leave residuals (caller rejects via spec tests)
+              case _ => return false // spec-invalid mode: fail the decode
             }
           }
         argb(pos) = addPixels(argb(pos), pred)
@@ -450,6 +453,7 @@ private[graft] object Vp8l {
       }
       y += 1
     }
+    true
   }
 
   /** Inverse cross-COLOR transform: per-block multipliers undo the
@@ -598,7 +602,9 @@ private[graft] object Vp8l {
     var curWidth = curW
     transforms.foreach { t =>
       t.kind match {
-        case 0 => inversePredictor(argb, curWidth, h, t.bits, t.data)
+        case 0 =>
+          if (!inversePredictor(argb, curWidth, h, t.bits, t.data))
+            return None // invalid predictor mode: never report wrong pixels
         case 1 => inverseColor(argb, curWidth, h, t.bits, t.data)
         case 2 => inverseSubtractGreen(argb)
         case _ =>

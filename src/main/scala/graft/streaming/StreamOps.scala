@@ -188,16 +188,122 @@ object StreamOps {
       .start()
 
   /** Derive the media card from a [[streamingMediaCardIngest]] store:
-    * union every generation's monoid partial, re-sum, derive — the
-    * same merge and derive the batch card uses, so stream == batch
-    * by construction (StreamingSpec locks it).
+    * the compacted monoid state (if [[compactMediaCardStore]] has
+    * run) plus every partial generation it does not cover, re-summed
+    * and derived — the same merge and derive the batch card uses, so
+    * stream == batch by construction (StreamingSpec locks it).
+    *
+    * Generations are listed through the filesystem and read by
+    * explicit path, filtered by the compacted state's
+    * `__covered_upto` watermark — so a crash that left folded
+    * generation dirs behind (compaction GC is after the pointer
+    * flip) can never double-count them, and a GC deleting a covered
+    * dir mid-read can never break the listing (covered dirs are
+    * never selected).
     */
   def streamingMediaCard(spark: org.apache.spark.sql.SparkSession,
-      storeDir: String, groupCol: String): DataFrame =
-    graft.operators.Multimodal.deriveMediaCard(
-      graft.operators.Multimodal.mergeMediaCardSignals(
-        spark.read.parquet(s"$storeDir/partials").drop("batch")),
-      groupCol)
+      storeDir: String, groupCol: String): DataFrame = {
+    val M = graft.operators.Multimodal
+    val compacted = graft.operators.Scale.readVersionedState(
+      spark, s"$storeDir/compacted")
+    val covered = compacted.fold(-1L)(coveredUpto)
+    val gens = listPartialGenerations(spark, storeDir).collect {
+      case (id, path) if id > covered => path
+    }
+    val live =
+      if (gens.isEmpty) None
+      else Some(spark.read.parquet(gens: _*).drop("batch"))
+    val state = (compacted.map(_.drop(CoveredCol)), live) match {
+      case (Some(c), Some(l)) => c.unionByName(l)
+      case (Some(c), None) => c
+      case (None, Some(l)) => l
+      case (None, None) => throw new IllegalArgumentException(
+        s"no media-card store at $storeDir")
+    }
+    M.deriveMediaCard(M.mergeMediaCardSignals(state), groupCol)
+  }
+
+  /** The column stamping how far a compacted media-card state reaches:
+    * every partial generation with `batch <= __covered_upto` is
+    * already folded in. Carried INSIDE the state frame so the
+    * watermark commits atomically with the state (one `_CURRENT`
+    * pointer flip covers both).
+    */
+  private val CoveredCol = "__covered_upto"
+
+  private def coveredUpto(state: DataFrame): Long =
+    state.select(max(col(CoveredCol))).head() match {
+      case r if r.isNullAt(0) => -1L
+      case r => r.getLong(0)
+    }
+
+  /** List a media-card store's partial generations as (batchId, path),
+    * via the filesystem (no partition discovery — a concurrently
+    * GC'd covered dir must not break the read).
+    */
+  private def listPartialGenerations(spark: SparkSession,
+      storeDir: String): Seq[(Long, String)] = {
+    val partials = new org.apache.hadoop.fs.Path(s"$storeDir/partials")
+    val fs = partials.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(partials)) Nil
+    else fs.listStatus(partials).toSeq.collect {
+      case st if st.isDirectory &&
+        st.getPath.getName.matches("batch=\\d+") =>
+        (st.getPath.getName.stripPrefix("batch=").toLong,
+          st.getPath.toString)
+    }.sortBy(_._1)
+  }
+
+  /** Compact a [[streamingMediaCardIngest]] store: fold the partial
+    * generations into ONE versioned monoid state
+    * (`<storeDir>/compacted`, [[graft.operators.Scale
+    * .writeVersionedState]]'s write-ahead + point-the-pointer-last
+    * discipline) and garbage-collect the folded dirs — the
+    * maintenance operator a long-running ingest needs, since the
+    * partials store otherwise grows one parquet dir per micro-batch
+    * forever.
+    *
+    * Safety invariants:
+    *   - The NEWEST generation is never folded: after a crash,
+    *     foreachBatch redelivers the last uncommitted batch, whose
+    *     idempotence is overwrite-same-dir — folding it would turn
+    *     a redelivery into a double count.
+    *   - The covered watermark travels INSIDE the state frame
+    *     ([[CoveredCol]]), so state + watermark commit in one
+    *     pointer flip; a crash BEFORE the flip leaves the old state
+    *     and all dirs intact, a crash AFTER the flip (before GC)
+    *     leaves folded dirs behind that [[streamingMediaCard]]
+    *     filters out by the watermark — either way a reader sees a
+    *     complete, never-partial store.
+    *   - Re-running compaction after such a crash just finishes the
+    *     GC.
+    *
+    * Returns the number of generations folded this call (0 = nothing
+    * to do beyond GC).
+    */
+  def compactMediaCardStore(spark: SparkSession, storeDir: String): Int = {
+    val M = graft.operators.Multimodal
+    val statePath = s"$storeDir/compacted"
+    val compacted = graft.operators.Scale.readVersionedState(spark, statePath)
+    val covered = compacted.fold(-1L)(coveredUpto)
+    val gens = listPartialGenerations(spark, storeDir)
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def gc(upTo: Long): Unit = gens.foreach { case (id, path) =>
+      if (id <= upTo) fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    }
+    // all but the newest generation, beyond what's already covered
+    val candidates = gens.dropRight(1).filter(_._1 > covered)
+    if (candidates.isEmpty) { gc(covered); return 0 }
+    val upTo = candidates.last._1
+    val fresh = spark.read.parquet(candidates.map(_._2): _*).drop("batch")
+    val merged = M.mergeMediaCardSignals(
+      compacted.map(_.drop(CoveredCol).unionByName(fresh)).getOrElse(fresh))
+      .withColumn(CoveredCol, lit(upTo))
+    graft.operators.Scale.writeVersionedState(spark, statePath, merged)
+    gc(upTo) // after the pointer flip: a crash here just delays GC
+    candidates.size
+  }
 
   /** [[streamingImageDedupIngest]] for ANY 64-bit perceptual
     * signature — pass the modality's kernel column

@@ -714,6 +714,47 @@ class DedupSpec extends SparkSpec {
       == "keep all", "null spans pass the text through unchanged")
   }
 
+  test("spanSurgeryReport: per-group cut accounting replays the span arithmetic") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", 1L, "p q r s"),
+      ("a", 2L, "p q r tail1\ttail2"),
+      ("b", 3L, "head1  head2 p q r"),
+      ("b", 4L, "clean words only here")
+    ).toDF("grp", "doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text",
+      windowTokens = 3, minCount = 2, keepFirst = true)
+    val cut = Dedup.cutSpans(docs, spans, "doc_id", "text")
+    val rep = Dedup.spanSurgeryReport(cut, spans, "doc_id", "grp", "text")
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    // group a: d1 kept byte-identical, d2 loses "p q r " (chars 17→11)
+    val a = rep("a")
+    assert(a.getAs[Long]("n_docs") == 2 && a.getAs[Long]("n_docs_cut") == 1)
+    assert(a.getAs[Long]("n_spans") == 1 && a.getAs[Long]("tokens_cut") == 3)
+    assert(a.getAs[Long]("chars_in") ==
+      "p q r s".length + "p q r tail1\ttail2".length)
+    assert(a.getAs[Long]("chars_cut") ==
+      "p q r tail1\ttail2".length - "tail1\ttail2".length)
+    assert(a.getAs[Double]("pct_chars_cut") ==
+      BigDecimal(6.0 / (7 + 17)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // group b: d3 cut at the end, d4 clean
+    val bR = rep("b")
+    assert(bR.getAs[Long]("n_docs") == 2 && bR.getAs[Long]("n_docs_cut") == 1)
+    assert(bR.getAs[Long]("n_spans") == 1 && bR.getAs[Long]("tokens_cut") == 3)
+    assert(bR.getAs[Long]("chars_cut") ==
+      "head1  head2 p q r".length - "head1  head2".length)
+    // a group with no cuts at all reports zeros, not nulls
+    val clean = Seq(("c", 9L, "nothing doubled")).toDF("grp", "doc_id", "text")
+    val cleanSpans = Dedup.duplicatedSpans(clean, "doc_id", "text", 3, 2, true)
+    val cleanRep = Dedup.spanSurgeryReport(
+      Dedup.cutSpans(clean, cleanSpans, "doc_id", "text"),
+      cleanSpans, "doc_id", "grp", "text").head()
+    assert(cleanRep.getAs[Long]("n_spans") == 0 &&
+      cleanRep.getAs[Long]("chars_cut") == 0 &&
+      cleanRep.getAs[Double]("pct_chars_cut") == 0.0)
+  }
+
   test("containment maxGramDf: boilerplate grams dropped from both numerator and denominator") {
     // the same long boilerplate footer in EVERY doc would make a
     // quadratic hot gram AND fake high containment between unrelated

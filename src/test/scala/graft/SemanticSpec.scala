@@ -884,6 +884,108 @@ class SemanticSpec extends SparkSpec {
       .contains(("x", "y", "z", "m4a")))
   }
 
+  test("audioTags: ID3v2.2 3-char frames and unsynchronised v2.3/v2.4 tags read clean text") {
+    def fix(name: String): Array[Byte] =
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        getClass.getResource(s"/fixtures/$name").toURI))
+    // v2.2 (python fixture): TT2/TP1/TAL with u24 sizes, a UFI frame
+    // stepped over, UTF-16 title with non-ASCII
+    val t22 = Multimodal.id3v2Tags(fix("synthetic_tags_v22.mp3")).get
+    assert(t22 == (("Vieux Titre à", "Old Artist", "Old Album", "id3v2.2")), s"$t22")
+    // v2.3 whole-tag unsynchronisation: the UTF-16 BOMs (0xFF 0xFE)
+    // are stuffed on disk; ignoring the 0x80 flag garbles every frame
+    val tu3 = Multimodal.id3v2Tags(fix("synthetic_tags_v23_unsync.mp3")).get
+    assert(tu3 == (("Unsync é", "Artist ü", "Plain Album", "id3v2.3")), s"$tu3")
+    // v2.4 per-frame unsynchronisation via the 0x02 format bit, with
+    // an untouched UTF-8 frame in the middle
+    val tu4 = Multimodal.id3v2Tags(fix("synthetic_tags_v24_unsync.mp3")).get
+    assert(tu4 == (("Frame Unsync", "Mixed Artist", "Al ÿ bum", "id3v2.4")), s"$tu4")
+    // scala builders round-trip all three versions, synced and not
+    for (ver <- Seq(2, 3, 4); un <- Seq(false, true)) {
+      val tag = Multimodal.syntheticId3(ver, "Tïtle", "Ärtist", "Albüm", unsync = un)
+      assert(Multimodal.id3v2Tags(tag)
+        .contains(("Tïtle", "Ärtist", "Albüm", s"id3v2.$ver")),
+        s"ver=$ver unsync=$un")
+    }
+    // the stats walk must still skip an unsynced tag cleanly (the tag
+    // header's syncsafe size counts the stuffed bytes)
+    val mp3 = Multimodal.syntheticId3(3, "T", "A", "B", unsync = true) ++
+      Multimodal.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))
+    assert(Multimodal.mpegAudioInfo(mp3).isDefined)
+  }
+
+  test("audioTags: Vorbis comments — FLAC metadata block 4 and the OpusTags packet") {
+    def fix(name: String): Array[Byte] =
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        getClass.getResource(s"/fixtures/$name").toURI))
+    // python fixtures: lowercase `album=` key (case-insensitive match),
+    // a COMMENT field to step over, non-ASCII UTF-8 values
+    val tf = Multimodal.flacTags(fix("synthetic_tags.flac")).get
+    assert(tf == (("Flac Tïtle", "Lossless Ärtist", "Album Nr. 3", "flac")), s"$tf")
+    val to = Multimodal.opusTags(fix("synthetic_tags.opus")).get
+    assert(to == (("Opus Tïtle", "Voice Ünit", "Ogg LP", "opus")), s"$to")
+    // stats facts still read from the tagged bytes (blocks walked, not
+    // assumed first/only)
+    assert(Multimodal.flacStreamInfo(fix("synthetic_tags.flac"))
+      .contains((2, 48000, 16, 96000L)))
+    assert(Multimodal.opusInfo(fix("synthetic_tags.opus"))
+      .contains((2, 120, 48000, 96120L)))
+    // the original header-facts fixtures carry NO readable comments:
+    // synthetic.flac's type-4 block body is junk — a declared-but-
+    // unreadable block must report untagged, never garbled text
+    assert(Multimodal.flacTags(fix("synthetic.flac")).isEmpty)
+    assert(Multimodal.opusTags(fix("synthetic.opus")).isEmpty)
+    // scala builders round-trip through the same readers
+    assert(Multimodal.flacTags(Multimodal.syntheticFlacTagged(
+      44100, 2, 16, 44100L, "Tï", "Är", "Öl"))
+      .contains(("Tï", "Är", "Öl", "flac")))
+    assert(Multimodal.opusTags(Multimodal.syntheticOpusTagged(
+      1, 0, 16000, 16000L, "Ode", "Sänger", "Œ"))
+      .contains(("Ode", "Sänger", "Œ", "opus")))
+    // ...and their stats facts are unchanged by the added blocks/pages
+    assert(Multimodal.flacStreamInfo(Multimodal.syntheticFlacTagged(
+      44100, 2, 16, 44100L, "t", "a", "b")).contains((2, 44100, 16, 44100L)))
+    assert(Multimodal.opusInfo(Multimodal.syntheticOpusTagged(
+      1, 0, 16000, 16000L, "t", "a", "b")).contains((1, 0, 16000, 16000L)))
+    // Ogg-VORBIS (python fixture): the third Vorbis-comment carrier —
+    // ident packet facts + comment-packet tags, PCM-sample granules
+    // at the stream's own rate (no Opus fixed-clock rule)
+    val ogg = fix("synthetic_tags.ogg")
+    val tv = Multimodal.vorbisTags(ogg).get
+    assert(tv == (("Vorbis Tïtle", "Ogg Ärtist", "Älbum V", "vorbis")), s"$tv")
+    assert(Multimodal.vorbisInfo(ogg).contains((2, 32000, 64000L)))
+    assert(Multimodal.opusInfo(ogg).isEmpty, "a Vorbis stream is not Opus")
+    assert(Multimodal.vorbisTags(fix("synthetic.opus")).isEmpty,
+      "an Opus stream is not Vorbis")
+    // scala builder round-trips, with and without the comment packet
+    val builtV = Multimodal.syntheticVorbis(1, 22050, 44100L,
+      tags = Some(("Tï", "Är", "Öl")))
+    assert(Multimodal.vorbisTags(builtV).contains(("Tï", "Är", "Öl", "vorbis")))
+    assert(Multimodal.vorbisInfo(builtV).contains((1, 22050, 44100L)))
+    assert(Multimodal.vorbisTags(
+      Multimodal.syntheticVorbis(2, 8000, 8000L)).isEmpty)
+    // the dataframe dispatcher reaches all three carriers
+    val out = Multimodal.audioTags(Seq(
+      (1L, fix("synthetic_tags.flac")),
+      (2L, fix("synthetic_tags.opus")),
+      (3L, fix("synthetic.flac")),
+      (4L, ogg)
+    ).toDF("id", "content")).select("id", "tags.artist", "tags.tag_format")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.getString(2))))).toMap
+    assert(out(1L) == ((Some("Lossless Ärtist"), Some("flac"))))
+    assert(out(2L) == ((Some("Voice Ünit"), Some("opus"))))
+    assert(out(3L) == ((None, None)))
+    assert(out(4L) == ((Some("Ogg Ärtist"), Some("vorbis"))))
+    // audioStats: vorbis facts with the cross-codec duration invariant
+    val st = Multimodal.audioStats(Seq((1L, ogg)).toDF("id", "content"))
+      .select("audio.codec", "audio.channels", "audio.sample_rate",
+        "audio.n_samples", "audio.duration_ms", "audio.ok").head()
+    assert(st.getString(0) == "vorbis" && st.getInt(1) == 2 &&
+      st.getInt(2) == 32000 && st.getLong(3) == 64000L &&
+      st.getLong(4) == 2000L && st.getBoolean(5))
+  }
+
   test("AVIF: python-built fixture cross-check — compatible-brand scan, ispe/pixi walk, image classification") {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
       getClass.getResource("/fixtures/synthetic.avif").toURI))
@@ -898,12 +1000,13 @@ class SemanticSpec extends SparkSpec {
     assert(d.getString(0) == "avif" && d.getInt(1) == 1234 &&
       d.getInt(2) == 777 && d.getInt(3) == 4 && d.getBoolean(4))
     // stats surface: an image with real dims, pixel stats null, gps
-    // UNKNOWN (AVIF can embed EXIF behind item indirection)
+    // FALSE — this fixture declares NO EXIF item, so it is known
+    // location-free (the iinf/iloc walk makes the flag real for AVIF)
     val s = Multimodal.imageStats(Seq((1L, bytes)).toDF("id", "content"))
       .select("stats.ok", "stats.width", "stats.height", "stats.avg_r",
         "stats.exif_gps").head()
     assert(s.getBoolean(0) && s.getInt(1) == 1234 && s.getInt(2) == 777)
-    assert(s.isNullAt(3) && s.isNullAt(4))
+    assert(s.isNullAt(3) && !s.getBoolean(4))
     // scala builder round-trips; movies and audio are NOT avif
     assert(Multimodal.avifInfo(Multimodal.syntheticAvif(64, 32, 3))
       .contains((64, 32, 3)))
@@ -911,6 +1014,57 @@ class SemanticSpec extends SparkSpec {
     assert(Multimodal.m4aAudioInfo(bytes).isEmpty,
       "a pict-handler BMFF must not read as audio")
     assert(Multimodal.mpegAudioInfo(bytes).isEmpty)
+  }
+
+  test("PNG eXIf chunk: the 2017 extension carries GPS; decode survives the splice") {
+    val png = Multimodal.renderPng(10, 6, (x, y) => (x << 16) | (y << 8) | 7)
+    val withGps = Multimodal.pngWithExif(png, gps = true)
+    val noGps = Multimodal.pngWithExif(png, gps = false)
+    assert(Multimodal.exifGpsPresent(withGps) == java.lang.Boolean.TRUE)
+    assert(Multimodal.exifGpsPresent(noGps) == java.lang.Boolean.FALSE)
+    assert(Multimodal.exifGpsPresent(png) == java.lang.Boolean.FALSE,
+      "a PNG with no eXIf chunk is location-free, not unknown")
+    // ImageIO must still decode the raster through the spliced chunk
+    // (valid CRC, chunk between IHDR and IDAT), pixels identical
+    val a = Multimodal.decodePixels(png).get
+    val b = Multimodal.decodePixels(withGps).get
+    assert(b.getWidth == 10 && b.getHeight == 6)
+    assert((0 until 6).forall(y => (0 until 10).forall(x =>
+      a.getRGB(x, y) == b.getRGB(x, y))))
+    // GIF/BMP remain null-unknown (no EXIF carrier exists for them)
+    assert(Multimodal.exifGpsPresent(
+      Multimodal.renderImage("gif", 4, 4, (_, _) => 0x808080)) == null)
+  }
+
+  test("AVIF GPS: iinf/iloc item indirection resolves the EXIF block for the PII flag") {
+    // python fixture: infe VERSION 3 (u32 item ids), iloc VERSION 1
+    // (construction_method, 4-byte base_offset SPLIT against a 4-byte
+    // extent offset, index_size 4), a primary av01 item BEFORE the
+    // Exif one, and the libavif-style ExifDataBlock offset 6 pointing
+    // past an "Exif\0\0" prefix — all paths the scala builder's
+    // v2/v0 layout does not touch
+    val gpsBytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/fixtures/synthetic_gps.avif").toURI))
+    assert(Multimodal.exifGpsPresent(gpsBytes) == java.lang.Boolean.TRUE)
+    // dims still read; the iinf/iloc/mdat siblings don't disturb ipco
+    assert(Multimodal.avifInfo(gpsBytes).contains((1234, 777, 4)))
+    // scala builder: infe v2 / iloc v0, bare TIFF at offset 0
+    val built = Multimodal.syntheticAvif(320, 200, gps = true)
+    assert(Multimodal.exifGpsPresent(built) == java.lang.Boolean.TRUE)
+    assert(Multimodal.avifInfo(built).contains((320, 200, 3)))
+    // a GPS-less AVIF is location-FREE (false), not unknown
+    assert(Multimodal.exifGpsPresent(Multimodal.syntheticAvif(64, 32))
+      == java.lang.Boolean.FALSE)
+    // non-AVIF BMFF (a movie) stays null: the flag is about formats
+    // that can carry EXIF through a walk we implement
+    assert(Multimodal.exifGpsPresent(Multimodal.syntheticMp4(32, 32, 1000L))
+      == null)
+    // stats surface: gps true rides an ok image row
+    val s = Multimodal.imageStats(Seq((1L, gpsBytes), (2L, built))
+      .toDF("id", "content"))
+      .select("id", "stats.ok", "stats.exif_gps").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(s(1L) == ((true, true)) && s(2L) == ((true, true)))
   }
 
   test("hostile BMFF nesting: thousands of nested container boxes exhaust the cap, not the stack") {
@@ -937,6 +1091,52 @@ class SemanticSpec extends SparkSpec {
     assert(Multimodal.avifInfo(hostileAvif).isEmpty) // no throw, no dims
     val hostileM4a = ftyp ++ nested("udta", 100000, Array.emptyByteArray)
     assert(Multimodal.m4aTags(hostileM4a).isEmpty) // no throw, no ilst
+    // the SAME pathology through every other recursive walker: 100k
+    // nested moov boxes reach m4aAudioInfo and mp4VideoTrack (and the
+    // codegen'd keyframe kernels above them); a crafted row must
+    // degrade to None/null, never StackOverflowError the task
+    val hostileMoov = ftyp ++ nested("moov", 100000, Array.emptyByteArray)
+    assert(Multimodal.m4aAudioInfo(hostileMoov).isEmpty)
+    assert(Multimodal.mp4VideoTrack(hostileMoov).isEmpty)
+    assert(Multimodal.videoKeyframeHashes(hostileMoov) == null)
+    assert(Multimodal.videoFingerprint64(hostileMoov) == null)
+    assert(Multimodal.videoKeyframes(hostileMoov) == null)
+    // RIFF edition: 100k correctly-typed nested LISTs through the AVI
+    // frame walk (little-endian sizes, 4-byte subtype per LIST)
+    def nestedList(depth: Int): Array[Byte] = {
+      var cur = "movi".getBytes("ISO-8859-1")
+      var i = 0
+      while (i < depth) {
+        val bb = java.nio.ByteBuffer.allocate(8 + cur.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("LIST".getBytes("ISO-8859-1")).putInt(cur.length).put(cur)
+        cur = "movi".getBytes("ISO-8859-1") ++ bb.array()
+        i += 1
+      }
+      val riff = java.nio.ByteBuffer.allocate(8 + cur.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      riff.put("RIFF".getBytes("ISO-8859-1")).putInt(cur.length).put(cur)
+      riff.array()
+    }
+    val hostileAvi = nestedList(100000)
+    assert(Multimodal.videoKeyframeHashes(hostileAvi) == null)
+    assert(Multimodal.videoKeyframes(hostileAvi) == null)
+    // and audioStats' per-row dispatcher survives both hostile rows
+    // inside a real scan (error rows, job completes)
+    val scanned = Multimodal.audioStats(Seq(
+      (1L, hostileMoov), (2L, hostileAvi)).toDF("id", "content"))
+      .select("audio.ok").collect()
+    assert(scanned.forall(!_.getBoolean(0)))
+    // the codegen'd expressions complete a real scan over hostile rows
+    // (null out per row — the corpus-dedup projection never dies)
+    val cg = Seq((1L, hostileMoov), (2L, hostileAvi))
+      .toDF("id", "content")
+      .select(
+        Multimodal.videoFingerprint64Col(col("content")).as("fp"),
+        Multimodal.videoKeyframeHashesCol(col("content")).as("khs"),
+        Multimodal.videoKeyframesCol(col("content")).as("kf"))
+      .collect()
+    assert(cg.forall(r => r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2)))
   }
 
   test("mp4VideoTrack: python-built fixture cross-check — multi-run stsc, stss, duration") {

@@ -545,6 +545,62 @@ class StreamingSpec extends SparkSpec {
       s"stream must equal batch on every (group, metric) incl. nulls")
   }
 
+  test("media-card store compaction: card unchanged, generations fold, crash leftovers never double-count") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val M = graft.operators.Multimodal
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    val png = M.renderPng(20, 10, (_, _) => gray(100))
+    val wav = M.renderWav(8000, 1,
+      Array.tabulate[Short](800)(i => if (i % 2 == 0) 9000 else -9000))
+    val junk = "nope".getBytes("UTF-8")
+    val store = java.nio.file.Files.createTempDirectory("graft-mccomp").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mccompck").toString
+    val input = MemoryStream[(String, Array[Byte])](spark)
+    val q = StreamOps.streamingMediaCardIngest(
+      input.toDF().toDF("source", "content"), "content", "source",
+      store, ckpt)
+    try {
+      input.addData(("s1", png), ("s2", junk))
+      q.processAllAvailable()
+      input.addData(("s1", wav), ("s2", png))
+      q.processAllAvailable()
+      input.addData(("s2", wav), ("s1", png))
+      q.processAllAvailable()
+    } finally q.stop()
+    def cardMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.getAs[java.lang.Double]("value"))).toMap
+    def genDirs() = new java.io.File(s"$store/partials").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).sorted
+    val before = cardMap(StreamOps.streamingMediaCard(spark, store, "source"))
+    assert(genDirs().length == 3)
+    // fold: all but the NEWEST generation (replay safety) compact
+    val folded = StreamOps.compactMediaCardStore(spark, store)
+    assert(folded == 2, s"batches 0 and 1 fold, 2 stays: $folded")
+    assert(genDirs().toSeq == Seq("batch=2"), s"${genDirs().toSeq}")
+    assert(cardMap(StreamOps.streamingMediaCard(spark, store, "source")) == before,
+      "card identical after compaction")
+    // idempotent: nothing left to fold
+    assert(StreamOps.compactMediaCardStore(spark, store) == 0)
+    assert(cardMap(StreamOps.streamingMediaCard(spark, store, "source")) == before)
+    // crash-after-flip simulation: a folded generation dir left behind
+    // (GC interrupted) is filtered by the covered watermark — the
+    // reader NEVER double-counts it, and re-running compaction GCs it
+    M.mediaCardSignals(Seq(("s1", png)).toDF("source", "content"),
+      "content", "source").write.parquet(s"$store/partials/batch=1")
+    assert(cardMap(StreamOps.streamingMediaCard(spark, store, "source")) == before,
+      "covered leftovers are invisible to readers")
+    assert(StreamOps.compactMediaCardStore(spark, store) == 0)
+    assert(genDirs().toSeq == Seq("batch=2"), "re-run finishes the GC")
+    assert(cardMap(StreamOps.streamingMediaCard(spark, store, "source")) == before)
+    // a NEW generation beyond the watermark still counts
+    M.mediaCardSignals(Seq(("s3", wav)).toDF("source", "content"),
+      "content", "source").write.parquet(s"$store/partials/batch=3")
+    val after = cardMap(StreamOps.streamingMediaCard(spark, store, "source"))
+    assert(after(("s3", "pct_audio")) == Some(1.0))
+    assert(after(("s1", "pct_image")) == before(("s1", "pct_image")))
+  }
+
   test("signature store predating versioning (no meta) is refused") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -48,6 +48,16 @@ class Vp8lSpec extends AnyFunSuite {
   test("COLOR_INDEXING: delta-coded palette, 2-bit packed indices")(check("vp8l_palette"))
   test("meta prefix codes route pixels to per-block groups")(check("vp8l_meta"))
 
+  test("spec-invalid predictor mode (>13) rejects the decode — never half-transformed pixels") {
+    // python fixture: identical to vp8l_pred but block 3's mode is 14;
+    // a decoder that bails mid-transform would return residuals as
+    // pixels with ok=Some — silently wrong dHash food
+    assert(Vp8l.decode(fix("vp8l_badpred.webp")).isEmpty)
+    // and the valid twin still decodes (the rejection is the mode, not
+    // the stream geometry)
+    assert(Vp8l.decode(fix("vp8l_pred.webp")).isDefined)
+  }
+
   test("distance map is structurally sound and spec-headed") {
     val n = Vp8l.distanceMapSize
     assert(n == 120, "120 short-distance plane codes")
