@@ -5473,6 +5473,67 @@ object SparkEntry {
       |    / CAST(sum(length(text)) AS DOUBLE), 6) AS pct_chars_cut
       |FROM m GROUP BY grp ORDER BY grp""".stripMargin
 
+  /** Matroska/WebM header facts ([[graft.operators.Multimodal
+    * .webmInfo]] — EBML walk: DocType, primary-modality track
+    * selection, PixelWidth/Height, float Duration × TimecodeScale,
+    * audio clock, Cues seek-table count): the container half the
+    * web's `<video>` tags actually serve, previously classified
+    * undecodable. Video rows carry dims + the Cues keyframe count;
+    * audio-primary rows flow through [[graft.operators.Multimodal
+    * .audioStats]] with the container-codec name and the duration
+    * rescaled onto the sample clock. Every value is a closed form of
+    * the builders' arguments.
+    */
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    val rows = Seq(
+      (1L, M.syntheticWebm("video", width = 1280, height = 720,
+        durationMs = 6000L, codec = "V_VP9", cuePoints = 12)),
+      (2L, M.syntheticWebm("audio", channels = 2, sampleRate = 48000,
+        durationMs = 2000L, codec = "A_OPUS")),
+      (3L, M.syntheticWebm("audio", channels = 1, sampleRate = 24000,
+        durationMs = 2000L, codec = "A_VORBIS", docType = "matroska")),
+      (4L, "not a webm".getBytes("UTF-8"))
+    ).toDF("vid_id", "content")
+    M.audioStats(M.decode(rows))
+      .select(col("vid_id"),
+        col("decoded.format").as("format"),
+        col("decoded.width").as("width"),
+        col("decoded.height").as("height"),
+        col("decoded.duration_ms").as("duration_ms"),
+        col("audio.codec").as("a_codec"),
+        col("audio.sample_rate").as("a_hz"),
+        col("audio.n_samples").as("a_samples"),
+        graft.operators.Multimodal.videoKeyframesCol(col("content"))
+          .as("keyframes"))
+      .orderBy(col("vid_id"))
+  }
+
+  private def webmOracle: String =
+    """SELECT * FROM (VALUES
+      | -- video: dims + duration + Cues count; no audio claim
+      | (CAST(1 AS BIGINT), 'webm', 1280, 720, CAST(6000 AS BIGINT),
+      |  CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+      |  CAST(NULL AS BIGINT), 12),
+      | -- audio-primary: the sample clock, duration rescaled exactly
+      | (CAST(2 AS BIGINT), 'webm', CAST(NULL AS INTEGER),
+      |  CAST(NULL AS INTEGER), CAST(2000 AS BIGINT), 'webm-opus',
+      |  48000, CAST(2000 * 48000 // 1000 AS BIGINT),
+      |  CAST(NULL AS INTEGER)),
+      | (CAST(3 AS BIGINT), 'matroska', CAST(NULL AS INTEGER),
+      |  CAST(NULL AS INTEGER), CAST(2000 AS BIGINT), 'matroska-vorbis',
+      |  24000, CAST(2000 * 24000 // 1000 AS BIGINT),
+      |  CAST(NULL AS INTEGER)),
+      | -- junk rides the raw stub at len = 10
+      | (CAST(4 AS BIGINT), 'raw', 64 + 10, 64 + 310,
+      |  CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+      |  CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+      |  CAST(NULL AS INTEGER))
+      |) AS t(vid_id, format, width, height, duration_ms, a_codec, a_hz,
+      |       a_samples, keyframes)
+      |ORDER BY vid_id""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -5649,7 +5710,8 @@ object SparkEntry {
     "q169_mcard" -> (q169 _),
     "q170_atags" -> (q170 _),
     "q171_dreport" -> (q171 _),
-    "q172_sreport" -> (q172 _))
+    "q172_sreport" -> (q172 _),
+    "q173_webm" -> (q173 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -6072,6 +6134,7 @@ object SparkEntry {
     "q170_atags" -> audioTagsOracle,
     "q171_dreport" -> dedupReportOracle,
     "q172_sreport" -> spanSurgeryOracle,
+    "q173_webm" -> webmOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

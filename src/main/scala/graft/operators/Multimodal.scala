@@ -101,6 +101,21 @@ object Multimodal {
         case None => decodeMp4(bytes)
       }
     if (isTiffMagic(bytes)) return decodeTiff(bytes)
+    if (bytes.length >= 8 && bytes(0) == 0x1A.toByte &&
+        bytes(1) == 0x45.toByte && bytes(2) == 0xDF.toByte &&
+        bytes(3) == 0xA3.toByte)
+      return webmInfo(bytes) match {
+        // audio facts only on audio-PRIMARY files (a movie's channels
+        // column means pixel channels everywhere else in this schema)
+        case Some(w) if w.kind == "audio" =>
+          meta(channels = w.channels, format = w.docType,
+            sampleRate = w.sampleRate, durationMs = w.durationMs)
+        case Some(w) =>
+          meta(width = w.width, height = w.height,
+            format = w.docType, durationMs = w.durationMs)
+        case None => meta(format = "matroska", ok = false,
+          error = "no video/audio track in EBML stream")
+      }
     val width = 64 + bytes.length % 1024
     // long arithmetic: length * 31 overflows Int beyond ~69 MB assets
     val height = 64 + (bytes.length.toLong * 31 % 1024).toInt
@@ -372,6 +387,216 @@ object Multimodal {
           meta(format = "mp4", ok = false, error = "no mvhd/tkhd metadata")
         else meta(width = w, height = h, format = "mp4", durationMs = durMs)
     }
+  }
+
+  /** Parsed Matroska/WebM header facts — the EBML sibling of
+    * [[decodeMp4]] for the container half the web's `<video>` tags
+    * actually serve (and the mkv archives crawls mirror): `kind` is
+    * the PRIMARY modality (`video` when any video track exists, else
+    * `audio`), dims from the first video `TrackEntry`'s PixelWidth/
+    * PixelHeight, duration from `Info`'s float Duration ×
+    * TimecodeScale (ns, default 1e6), codec from CodecID, audio
+    * channels + SamplingFrequency for audio-only files, `docType`
+    * from the EBML header (`webm` / `matroska`), and `cuePoints` =
+    * the `Cues` seek-table entry count (the keyframe-index size — 0
+    * when the file carries no Cues, e.g. live-muxed streams).
+    */
+  final case class WebmInfo(docType: String, kind: String, width: Integer,
+      height: Integer, durationMs: java.lang.Long, codec: String,
+      channels: Integer, sampleRate: Integer, cuePoints: Int)
+
+  /** EBML walk for [[WebmInfo]] — VINT ids/sizes (1-4 / 1-8 bytes),
+    * unknown-size elements (all value bits set — the live-muxed
+    * Segment convention) clamp to the parent, truncated containers
+    * clamp while truncated leaves stop the sibling walk, and the
+    * recursion is depth-capped and exception-guarded like the BMFF
+    * walkers. None for non-EBML bytes or a file declaring no
+    * video/audio track.
+    */
+  private[graft] def webmInfo(b: Array[Byte]): Option[WebmInfo] = try {
+    if (b == null || b.length < 8 ||
+      !(b(0) == 0x1A.toByte && b(1) == 0x45.toByte &&
+        b(2) == 0xDF.toByte && b(3) == 0xA3.toByte)) return None
+    @inline def vintLen(o: Int): Int = {
+      if (o >= b.length) return -1
+      val b0 = b(o) & 0xff
+      if (b0 == 0) -1 else Integer.numberOfLeadingZeros(b0) - 23
+    }
+    def readId(o: Int): Long = { // id keeps its marker bit
+      val n = vintLen(o)
+      if (n < 1 || n > 4 || o + n > b.length) return -1L
+      var v = 0L
+      var i = 0
+      while (i < n) { v = (v << 8) | (b(o + i) & 0xffL); i += 1 }
+      v
+    }
+    def readSize(o: Int): (Long, Int) = { // (-1, n) = unknown size
+      val n = vintLen(o)
+      if (n < 1 || n > 8 || o + n > b.length) return (-2L, 0)
+      var v = (b(o) & 0xff & (0xff >>> n)).toLong
+      var i = 1
+      while (i < n) { v = (v << 8) | (b(o + i) & 0xffL); i += 1 }
+      (if (v == (1L << (7 * n)) - 1) -1L else v, n)
+    }
+    @inline def uintOf(from: Int, until: Int): Long = {
+      var v = 0L
+      var i = from
+      while (i < until) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+      v
+    }
+    def floatOf(from: Int, until: Int): Double = (until - from) match {
+      case 4 => java.lang.Float.intBitsToFloat(uintOf(from, until).toInt).toDouble
+      case 8 => java.lang.Double.longBitsToDouble(uintOf(from, until))
+      case _ => Double.NaN
+    }
+    var docType: String = null
+    var timecodeScale = 1000000L // ns per tick, spec default
+    var durationTicks = Double.NaN
+    var kind: String = null
+    var width: Integer = null
+    var height: Integer = null
+    var codec: String = null
+    var channels: Integer = null
+    var rate: Integer = null
+    var cuePoints = 0
+    // per-TrackEntry scratch, committed when the entry closes —
+    // TrackType may precede or follow the Video/Audio sub-elements
+    var tType = -1
+    var tCodec: String = null
+    var tW = -1
+    var tH = -1
+    var tCh = -1
+    var tRate = -1.0
+    def finishTrack(): Unit = {
+      if (tType == 1 && kind != "video") { // first video track wins
+        kind = "video"
+        codec = tCodec
+        if (tW > 0) width = tW
+        if (tH > 0) height = tH
+      } else if (tType == 2 && kind == null) { // first audio, no video yet
+        kind = "audio"
+        codec = tCodec
+        if (tCh > 0) channels = tCh
+        if (tRate > 0) rate = Integer.valueOf(math.round(tRate).toInt)
+      }
+      tType = -1; tCodec = null; tW = -1; tH = -1; tCh = -1; tRate = -1.0
+    }
+    def walk(start: Int, end: Int, inCues: Boolean, depth: Int): Unit = {
+      if (depth > 16) return
+      var off = start
+      while (off < end) {
+        val id = readId(off)
+        if (id < 0) return
+        val idLen = vintLen(off)
+        val (size, szLen) = readSize(off + idLen)
+        if (szLen == 0) return
+        val body = off + idLen + szLen
+        val isContainer = id match {
+          case 0x1A45DFA3L | 0x18538067L | 0x1549A966L | 0x1654AE6BL |
+               0xAEL | 0xE0L | 0xE1L | 0x1C53BB6BL => true
+          case _ => false
+        }
+        // containers clamp to the parent (truncated uploads keep their
+        // intact prefix; unknown size = extends to parent end, the
+        // live-muxed Segment convention); truncated LEAVES end the walk
+        val bodyEnd =
+          if (size < 0) { if (isContainer) end else return }
+          else if (size > end - body) { if (isContainer) end else return }
+          else body + size.toInt
+        id match {
+          case 0xBBL if inCues => cuePoints += 1 // CuePoint: count only
+          case _ if isContainer =>
+            walk(body, bodyEnd, inCues = id == 0x1C53BB6BL, depth + 1)
+            if (id == 0xAEL) finishTrack()
+          case 0x4282L => // DocType
+            docType = new String(b, body, bodyEnd - body, "ISO-8859-1")
+          case 0x2AD7B1L =>
+            val v = uintOf(body, bodyEnd)
+            if (v > 0) timecodeScale = v
+          case 0x4489L => durationTicks = floatOf(body, bodyEnd)
+          case 0x83L => tType = uintOf(body, bodyEnd).toInt
+          case 0x86L =>
+            tCodec = new String(b, body, bodyEnd - body, "ISO-8859-1")
+          case 0xB0L => tW = uintOf(body, bodyEnd).toInt
+          case 0xBAL => tH = uintOf(body, bodyEnd).toInt
+          case 0x9FL => tCh = uintOf(body, bodyEnd).toInt
+          case 0xB5L => tRate = floatOf(body, bodyEnd)
+          case _ => () // leaf we don't need (Cluster, SeekHead, ...)
+        }
+        off = bodyEnd
+      }
+    }
+    walk(0, b.length, inCues = false, 0)
+    if (kind == null) None
+    else {
+      val durMs: java.lang.Long =
+        if (durationTicks.isNaN || durationTicks < 0) null
+        else java.lang.Long.valueOf(
+          math.round(durationTicks * timecodeScale / 1e6))
+      Some(WebmInfo(if (docType == null) "matroska" else docType, kind,
+        width, height, durMs, codec, channels, rate, cuePoints))
+    }
+  } catch { case _: Throwable => None }
+
+  /** Minimal-but-valid Matroska/WebM from the given facts — EBML
+    * header (DocType) + Segment(Info(TimecodeScale, float Duration),
+    * Tracks(TrackEntry...), Cues(CuePoint...)): every value
+    * [[webmInfo]] reports is a closed form of the arguments
+    * ([[syntheticMjpegMp4]] discipline). `kind` `"video"` writes a
+    * video track (+ an audio track after it, proving primary-modality
+    * selection); `"audio"` writes the audio track alone.
+    */
+  private[graft] def syntheticWebm(kind: String, width: Int = 0,
+      height: Int = 0, channels: Int = 0, sampleRate: Int = 0,
+      durationMs: Long = -1L, codec: String = "V_VP9",
+      cuePoints: Int = 0, docType: String = "webm"): Array[Byte] = {
+    def vintSize(n: Long): Array[Byte] = { // 4-byte size VINT
+      require(n >= 0 && n < (1L << 28), s"fixture size too large: $n")
+      Array((0x10 | (n >> 24)).toByte, ((n >> 16) & 0xff).toByte,
+        ((n >> 8) & 0xff).toByte, (n & 0xff).toByte)
+    }
+    def idBytes(id: Long): Array[Byte] = {
+      val n = (64 - java.lang.Long.numberOfLeadingZeros(id) + 7) / 8
+      Array.tabulate(n)(i => ((id >> (8 * (n - 1 - i))) & 0xff).toByte)
+    }
+    def el(id: Long, payload: Array[Byte]): Array[Byte] =
+      idBytes(id) ++ vintSize(payload.length.toLong) ++ payload
+    def uintEl(id: Long, v: Long): Array[Byte] = {
+      var n = 1
+      while (n < 8 && (v >>> (8 * n)) != 0) n += 1
+      el(id, Array.tabulate(n)(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte))
+    }
+    def strEl(id: Long, s: String): Array[Byte] =
+      el(id, s.getBytes("ISO-8859-1"))
+    val ebml = el(0x1A45DFA3L, strEl(0x4282L, docType))
+    val scale = 1000000L
+    val info = el(0x1549A966L, uintEl(0x2AD7B1L, scale) ++
+      (if (durationMs < 0) Array.emptyByteArray
+       else el(0x4489L, { // 8-byte float, ticks of 1 ms at this scale
+         val bb = java.nio.ByteBuffer.allocate(8)
+         bb.putDouble(durationMs.toDouble)
+         bb.array()
+       })))
+    val videoTrack = el(0xAEL,
+      uintEl(0xD7L, 1) ++ // TrackNumber
+        uintEl(0x83L, 1) ++ strEl(0x86L, codec) ++
+        el(0xE0L, uintEl(0xB0L, width.toLong) ++ uintEl(0xBAL, height.toLong)))
+    val audioTrack = el(0xAEL,
+      uintEl(0xD7L, 2) ++
+        uintEl(0x83L, 2) ++
+        strEl(0x86L, if (kind == "audio") codec else "A_OPUS") ++
+        el(0xE1L, el(0xB5L, {
+          val bb = java.nio.ByteBuffer.allocate(4)
+          bb.putFloat(if (kind == "audio") sampleRate.toFloat else 48000f)
+          bb.array()
+        }) ++ uintEl(0x9FL, if (kind == "audio") channels.toLong else 2L)))
+    val tracks = el(0x1654AE6BL,
+      if (kind == "video") videoTrack ++ audioTrack else audioTrack)
+    val cues =
+      if (cuePoints <= 0) Array.emptyByteArray
+      else el(0x1C53BB6BL, (0 until cuePoints).toArray.flatMap(i =>
+        el(0xBBL, uintEl(0xB3L, i.toLong * 1000)))) // CueTime payload
+    ebml ++ el(0x18538067L, info ++ tracks ++ cues)
   }
 
   /** WebP header facts — (width, height, channels, variant) from the
@@ -2952,11 +3177,33 @@ object Multimodal {
                           true, null,
                           if (fourcc == "mp4a") "aac" else fourcc,
                           samples * 1000L / sr, null, null)
-                      case None =>
-                        Row(null, null, null, null, null, null, null, null,
-                          false,
-                          "not PCM WAV or MPEG/FLAC/Opus/Vorbis/AAC/M4A audio",
-                          null, null, null, null)
+                      case None => webmInfo(bytes) match {
+                        // audio-PRIMARY Matroska/WebM only (a movie's
+                        // modality is video, the m4aAudioInfo rule);
+                        // n_samples rescales the header duration onto
+                        // the sample clock, exact when ms·rate ∤ 1000
+                        // doesn't truncate (fixtures choose so)
+                        case Some(w) if w.kind == "audio" &&
+                            w.sampleRate != null =>
+                          val sr = w.sampleRate.intValue()
+                          val samples: java.lang.Long =
+                            if (w.durationMs == null) null
+                            else java.lang.Long.valueOf(
+                              w.durationMs.longValue() * sr / 1000L)
+                          val codecName = Option(w.codec)
+                            .map(c => c.stripPrefix("A_")
+                              .toLowerCase(java.util.Locale.ROOT))
+                            .getOrElse("unknown")
+                          Row(w.channels, sr, null, samples, null, null,
+                            null, null, true, null,
+                            s"${w.docType}-$codecName", w.durationMs,
+                            null, null)
+                        case _ =>
+                          Row(null, null, null, null, null, null, null, null,
+                            false,
+                            "not PCM WAV or MPEG/FLAC/Opus/Vorbis/AAC/M4A/WebM audio",
+                            null, null, null, null)
+                      }
                     }
                   }
                 }
@@ -3187,7 +3434,11 @@ object Multimodal {
     val isVideo = !img.getField("ok") && !aud.getField("ok") && (
       (substring(col(contentCol), 1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
         substring(col(contentCol), 9, 4) === lit("AVI ".getBytes("US-ASCII"))) ||
-      substring(col(contentCol), 5, 4) === lit("ftyp".getBytes("US-ASCII")))
+      substring(col(contentCol), 5, 4) === lit("ftyp".getBytes("US-ASCII")) ||
+      // Matroska/WebM (EBML magic); audio-PRIMARY files never reach
+      // here — audioStats already claimed them (aud.ok)
+      substring(col(contentCol), 1, 4) ===
+        lit(Array(0x1A.toByte, 0x45.toByte, 0xDF.toByte, 0xA3.toByte)))
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(28,12)")
     enriched
       // compute each per-row signal ONCE (the keyframe walk would
@@ -3461,6 +3712,8 @@ object Multimodal {
       bytes(10) == 'B' && bytes(11) == 'P') "image/webp"
     else if (isTiffMagic(bytes)) "image/tiff"
     else if (avifInfo(bytes).isDefined) "image/avif"
+    else if (bytes(0) == 0x1A.toByte && bytes(1) == 0x45.toByte &&
+      bytes(2) == 0xDF.toByte && bytes(3) == 0xA3.toByte) "video/webm"
     else "application/octet-stream"
   }
 
@@ -3939,7 +4192,13 @@ object Multimodal {
       if (avi > 0) return java.lang.Integer.valueOf(avi)
       mp4VideoTrack(bytes) match {
         case Some(t) => java.lang.Integer.valueOf(t.syncSamples.length)
-        case None => null
+        case None => webmInfo(bytes) match {
+          // Matroska Cues = the seek table, one CuePoint per indexed
+          // keyframe; a Cues-less (live-muxed) file stays null-unknown
+          case Some(w) if w.kind == "video" && w.cuePoints > 0 =>
+            java.lang.Integer.valueOf(w.cuePoints)
+          case _ => null
+        }
       }
     } catch { case _: Throwable => null } // per-row isolation, [[decodePixels]] rule
   }

@@ -1016,6 +1016,87 @@ class SemanticSpec extends SparkSpec {
     assert(Multimodal.mpegAudioInfo(bytes).isEmpty)
   }
 
+  test("WebM/Matroska: EBML walk — python fixture axes, primary modality, card classification") {
+    def fix(name: String): Array[Byte] =
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        getClass.getResource(s"/fixtures/$name").toURI))
+    // python fixture: UNKNOWN-size Segment, mixed VINT widths, 4-byte
+    // float Duration, TrackType AFTER the Video element, an unknown
+    // SeekHead to step over, audio track BEFORE video (video must
+    // still win as the primary modality), a 4-entry Cues table
+    val vid = fix("synthetic.webm")
+    val w = Multimodal.webmInfo(vid).get
+    assert(w.docType == "webm" && w.kind == "video")
+    assert(w.width == 1920 && w.height == 1080 && w.codec == "V_VP9")
+    assert(w.durationMs == 2500L && w.cuePoints == 4)
+    assert(Multimodal.videoKeyframes(vid).intValue() == 4,
+      "Cues entries are the seekable-keyframe count")
+    // audio-only matroska: 8-byte float rate, NO duration (stays null)
+    val aud = fix("synthetic_audio.mka")
+    val a = Multimodal.webmInfo(aud).get
+    assert(a.docType == "matroska" && a.kind == "audio")
+    assert(a.channels == 1 && a.sampleRate == 48000 && a.codec == "A_OPUS")
+    assert(a.durationMs == null && a.cuePoints == 0)
+    // scala builder round-trips both kinds
+    val bv = Multimodal.syntheticWebm("video", width = 640, height = 360,
+      durationMs = 4000L, codec = "V_AV1", cuePoints = 7)
+    val wv = Multimodal.webmInfo(bv).get
+    assert(wv.kind == "video" && wv.width == 640 && wv.height == 360 &&
+      wv.durationMs == 4000L && wv.codec == "V_AV1" && wv.cuePoints == 7)
+    val ba = Multimodal.syntheticWebm("audio", channels = 2,
+      sampleRate = 24000, durationMs = 3000L, codec = "A_VORBIS")
+    val wa = Multimodal.webmInfo(ba).get
+    assert(wa.kind == "audio" && wa.channels == 2 && wa.sampleRate == 24000)
+    // decode kernel: video rows carry dims, audio rows carry the clock
+    val dec = Multimodal.decode(Seq((1L, vid), (2L, aud))
+      .toDF("id", "content"))
+      .select("id", "decoded.format", "decoded.width", "decoded.channels",
+        "decoded.sample_rate", "decoded.ok").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(dec(1L).getString(1) == "webm" && dec(1L).getInt(2) == 1920 &&
+      dec(1L).isNullAt(3) && dec(1L).getBoolean(5))
+    assert(dec(2L).getString(1) == "matroska" && dec(2L).isNullAt(2) &&
+      dec(2L).getInt(3) == 1 && dec(2L).getInt(4) == 48000)
+    // audioStats claims ONLY the audio-primary file; the card then
+    // classifies video-webm as video and audio-mka as audio
+    val st = Multimodal.audioStats(Seq((1L, vid), (2L, aud))
+      .toDF("id", "content"))
+      .select("id", "audio.ok", "audio.codec").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(st(1L) == ((false, null)), "a movie is not audio")
+    assert(st(2L) == ((true, "matroska-opus")))
+    val card = Multimodal.mediaCard(Seq(
+      ("g", vid), ("g", aud), ("g", Multimodal.syntheticWebm("audio",
+        channels = 2, sampleRate = 8000, durationMs = 1000L)))
+      .toDF("grp", "content"), "content", "grp")
+      .collect().map(r => r.getString(1) ->
+        Option(r.getAs[java.lang.Double]("value"))).toMap
+    assert(card("pct_video") == Some(BigDecimal(1.0 / 3)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(card("pct_audio") == Some(BigDecimal(2.0 / 3)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(card("pct_undecodable") == Some(0.0))
+    assert(card("avg_video_keyframes") == Some(4.0))
+    // hostile EBML: 100k-deep nesting exhausts the cap, not the stack
+    def nested(depth: Int): Array[Byte] = {
+      var cur = Array.emptyByteArray
+      var i = 0
+      while (i < depth) {
+        // Segment header with a 4-byte size VINT around the payload
+        val size = Array((0x10 | (cur.length >> 24)).toByte,
+          ((cur.length >> 16) & 0xff).toByte,
+          ((cur.length >> 8) & 0xff).toByte, (cur.length & 0xff).toByte)
+        cur = Array(0x18.toByte, 0x53.toByte, 0x80.toByte, 0x67.toByte) ++
+          size ++ cur
+        i += 1
+      }
+      Array(0x1A.toByte, 0x45.toByte, 0xDF.toByte, 0xA3.toByte,
+        0x80.toByte) ++ cur
+    }
+    assert(Multimodal.webmInfo(nested(100000)).isEmpty)
+    assert(Multimodal.videoKeyframes(nested(100000)) == null)
+  }
+
   test("PNG eXIf chunk: the 2017 extension carries GPS; decode survives the splice") {
     val png = Multimodal.renderPng(10, 6, (x, y) => (x << 16) | (y << 8) | 7)
     val withGps = Multimodal.pngWithExif(png, gps = true)
