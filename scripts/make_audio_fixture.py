@@ -101,10 +101,31 @@ def make_vorbis_tagged():
         fh.write(pages)
 
 
+def make_wav_tagged():
+    """PCM WAV + a RIFF LIST/INFO tag chunk (INAM/IART/IPRD), with an
+    ODD-length string (pad byte) and an unknown ICMT to step over."""
+    sr, ch, nsamp = 8000, 1, 64
+    data = b"".join(struct.pack("<h", (i * 50) % 3000) for i in range(nsamp))
+    fmt = struct.pack("<HHIIHH", 1, ch, sr, sr * 2 * ch, 2 * ch, 16)
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+    def info_sub(cid, text):
+        return chunk(cid, text.encode("utf-8") + b"\x00")
+    info = b"INFO" + info_sub(b"INAM", "Wäve Tïtle") + \
+        info_sub(b"ICMT", "step over me") + \
+        info_sub(b"IART", "Mono Märtyr") + info_sub(b"IPRD", "PCM LP")
+    body = b"WAVE" + chunk(b"fmt ", fmt) + chunk(b"data", data) + \
+        chunk(b"LIST", info)
+    with open(os.path.join(FIX, "synthetic_tags.wav"), "wb") as fh:
+        fh.write(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
 if __name__ == "__main__":
     make_flac()
     make_opus()
     make_flac_tagged()
     make_opus_tagged()
     make_vorbis_tagged()
-    print("wrote synthetic[_tags].flac/.opus + synthetic_tags.ogg")
+    make_wav_tagged()
+    print("wrote synthetic[_tags].flac/.opus + synthetic_tags.ogg/.wav")

@@ -83,7 +83,9 @@ def main():
     with open(os.path.join(OUT, "synthetic.webm"), "wb") as f:
         f.write(ebml + segment)
 
-    # --- audio-only matroska, no duration -------------------------
+    # --- audio-only matroska, no duration, with Tags ----------------
+    # SimpleTag names in mixed case (the reader matches
+    # case-insensitively), a nested non-text SimpleTag to step over
     ebml2 = el(0x1A45DFA3, el(0x4282, b"matroska"))
     info2 = el(0x1549A966, uint_el(0x2AD7B1, 1000000))
     atrack = el(0xAE,
@@ -91,7 +93,15 @@ def main():
                 el(0x86, b"A_OPUS") +
                 el(0xE1, el(0xB5, struct.pack(">d", 48000.0)) +  # 8-byte
                    uint_el(0x9F, 1)))
-    seg2 = el(0x18538067, info2 + el(0x1654AE6B, atrack))
+    def simple_tag(name, value):
+        return el(0x67C8, el(0x45A3, name.encode("utf-8")) +
+                  el(0x4487, value.encode("utf-8")))
+    tags = el(0x1254C367, el(0x7373,
+              simple_tag("Title", "Mätroska Tïtle") +
+              simple_tag("RATING", "5") +
+              simple_tag("artist", "EBML Ärtist") +
+              simple_tag("Album", "Cluster LP")))
+    seg2 = el(0x18538067, info2 + el(0x1654AE6B, atrack) + tags)
     with open(os.path.join(OUT, "synthetic_audio.mka"), "wb") as f:
         f.write(ebml2 + seg2)
     print("wrote synthetic.webm + synthetic_audio.mka")

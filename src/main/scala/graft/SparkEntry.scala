@@ -5316,11 +5316,12 @@ object SparkEntry {
   /** Declared audio metadata ([[graft.operators.Multimodal
     * .audioTags]]) — ID3v2.2 (3-char frames), ID3v2.3 (UTF-16 text,
     * plain frame sizes; also unsynchronised), ID3v2.4 (UTF-8,
-    * syncsafe sizes), M4A `ilst` atoms, and the Vorbis comments of
-    * FLAC (metadata block 4) and Ogg-Opus (`OpusTags`): the curation
-    * surface for grouping/filtering an audio corpus by what its
-    * files SAY they are, next to the stats walk's facts about what
-    * they ARE. Untagged audio and junk report all-null tags.
+    * syncsafe sizes), M4A `ilst` atoms, the Vorbis comments of FLAC
+    * (metadata block 4), Ogg-Opus (`OpusTags`) and Ogg-Vorbis, the
+    * WAV `LIST INFO` chunk, and the Matroska `Tags` tree: the
+    * curation surface for grouping/filtering an audio corpus by what
+    * its files SAY they are, next to the stats walk's facts about
+    * what they ARE. Untagged audio and junk report all-null tags.
     */
   private def q170(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -5344,7 +5345,13 @@ object SparkEntry {
         "Opus Ode", "Der Sänger", "Œuvre")),
       (10L, M.syntheticFlac(22050, 1, 8, 55125L)), // no comment block
       (11L, M.syntheticVorbis(2, 44100, 88200L,
-        tags = Some(("Vorbis Väg", "Okänd Kör", "Ogg Classics"))))
+        tags = Some(("Vorbis Väg", "Okänd Kör", "Ogg Classics")))),
+      (12L, M.wavWithInfoTags(M.renderWav(8000, 1,
+        Array.tabulate[Short](80)(i => (i * 100).toShort)),
+        "Wave Title", "PCM Artist", "Lossless LP")),
+      (13L, M.syntheticWebm("audio", channels = 2, sampleRate = 48000,
+        durationMs = 2000L, codec = "A_OPUS",
+        tags = Some(("Matroska Lied", "Webm Wölfe", "Container LP"))))
     ).toDF("aud_id", "content")
     M.audioTags(rows)
       .select(col("aud_id"), col("tags.title").as("title"),
@@ -5372,7 +5379,11 @@ object SparkEntry {
       | (CAST(10 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
       |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
       | (CAST(11 AS BIGINT), 'Vorbis Väg', 'Okänd Kör', 'Ogg Classics',
-      |  'vorbis')
+      |  'vorbis'),
+      | (CAST(12 AS BIGINT), 'Wave Title', 'PCM Artist', 'Lossless LP',
+      |  'wav'),
+      | (CAST(13 AS BIGINT), 'Matroska Lied', 'Webm Wölfe', 'Container LP',
+      |  'matroska')
       |) AS t(aud_id, title, artist, album, tag_format)
       |ORDER BY aud_id""".stripMargin
 

@@ -549,7 +549,8 @@ object Multimodal {
   private[graft] def syntheticWebm(kind: String, width: Int = 0,
       height: Int = 0, channels: Int = 0, sampleRate: Int = 0,
       durationMs: Long = -1L, codec: String = "V_VP9",
-      cuePoints: Int = 0, docType: String = "webm"): Array[Byte] = {
+      cuePoints: Int = 0, docType: String = "webm",
+      tags: Option[(String, String, String)] = None): Array[Byte] = {
     def vintSize(n: Long): Array[Byte] = { // 4-byte size VINT
       require(n >= 0 && n < (1L << 28), s"fixture size too large: $n")
       Array((0x10 | (n >> 24)).toByte, ((n >> 16) & 0xff).toByte,
@@ -596,7 +597,15 @@ object Multimodal {
       if (cuePoints <= 0) Array.emptyByteArray
       else el(0x1C53BB6BL, (0 until cuePoints).toArray.flatMap(i =>
         el(0xBBL, uintEl(0xB3L, i.toLong * 1000)))) // CueTime payload
-    ebml ++ el(0x18538067L, info ++ tracks ++ cues)
+    def simpleTag(name: String, value: String): Array[Byte] =
+      el(0x67C8L, el(0x45A3L, name.getBytes("UTF-8")) ++
+        el(0x4487L, value.getBytes("UTF-8")))
+    val tagsEl = tags.map { case (t, a, al) =>
+      el(0x1254C367L, el(0x7373L,
+        simpleTag("TITLE", t) ++ simpleTag("ARTIST", a) ++
+          simpleTag("ALBUM", al)))
+    }.getOrElse(Array.emptyByteArray)
+    ebml ++ el(0x18538067L, info ++ tracks ++ cues ++ tagsEl)
   }
 
   /** WebP header facts — (width, height, channels, variant) from the
@@ -2765,11 +2774,179 @@ object Multimodal {
     if (!sawIlst) None else Some((title, artist, album, "m4a"))
   }
 
+  /** WAV declared tags — the RIFF `LIST`/`INFO` chunk's `INAM`
+    * (title) / `IART` (artist) / `IPRD` (album) sub-chunks, the PCM
+    * world's metadata convention. NUL-trimmed Latin-1/UTF-8 values;
+    * word-aligned chunk walk like [[decodeWav]]. None for non-WAV
+    * bytes or a file with no INFO list.
+    */
+  private[graft] def wavInfoTags(b: Array[Byte]): Option[(String, String, String, String)] = {
+    if (b == null || b.length < 12 ||
+      !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||
+      !(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    @inline def le32(o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    def text(from: Int, until: Int): String = {
+      var end = until
+      while (end > from && b(end - 1) == 0) end -= 1 // NUL padding
+      new String(b, from, end - from, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    var title: String = null
+    var artist: String = null
+    var album: String = null
+    var sawInfo = false
+    var i = 12
+    while (i + 8 <= b.length) {
+      val id = new String(b, i, 4, "ISO-8859-1")
+      val size = le32(i + 4)
+      if (size < 0 || size > Int.MaxValue - i - 9) return None // hostile
+      val body = i + 8
+      val bodyEnd = math.min(b.length.toLong, body + size).toInt
+      if (id == "LIST" && bodyEnd - body >= 4 &&
+        new String(b, body, 4, "ISO-8859-1") == "INFO") {
+        sawInfo = true
+        var j = body + 4
+        while (j + 8 <= bodyEnd) {
+          val sid = new String(b, j, 4, "ISO-8859-1")
+          val ssize = le32(j + 4)
+          if (ssize < 0 || j + 8 + ssize > bodyEnd) j = bodyEnd
+          else {
+            val sEnd = (j + 8 + ssize).toInt
+            sid match {
+              case "INAM" => title = text(j + 8, sEnd)
+              case "IART" => artist = text(j + 8, sEnd)
+              case "IPRD" => album = text(j + 8, sEnd)
+              case _ => ()
+            }
+            j = sEnd + (ssize.toInt & 1) // word alignment
+          }
+        }
+      }
+      i = bodyEnd + (size.toInt & 1)
+    }
+    if (!sawInfo) None else Some((title, artist, album, "wav"))
+  }
+
+  /** Splice a `LIST`/`INFO` tag chunk onto a WAV (e.g. [[renderWav]]
+    * output) and fix up the RIFF size — the fixture builder for
+    * [[wavInfoTags]].
+    */
+  private[graft] def wavWithInfoTags(wav: Array[Byte], title: String,
+      artist: String, album: String): Array[Byte] = {
+    def sub(id: String, v: String): Array[Byte] = {
+      val s = v.getBytes(java.nio.charset.StandardCharsets.UTF_8) :+ 0.toByte
+      val padded = if (s.length % 2 == 1) s :+ 0.toByte else s
+      val bb = java.nio.ByteBuffer.allocate(8 + padded.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("ISO-8859-1")).putInt(s.length).put(padded)
+      bb.array()
+    }
+    val body = "INFO".getBytes("ISO-8859-1") ++
+      sub("INAM", title) ++ sub("IART", artist) ++ sub("IPRD", album)
+    val list = java.nio.ByteBuffer.allocate(8 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    list.put("LIST".getBytes("ISO-8859-1")).putInt(body.length).put(body)
+    val out = wav ++ list.array()
+    // RIFF size field = file length - 8
+    val sz = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(out.length - 8).array()
+    System.arraycopy(sz, 0, out, 4, 4)
+    out
+  }
+
+  /** Matroska/WebM declared tags — the `Tags/Tag/SimpleTag` tree's
+    * TITLE/ARTIST/ALBUM TagName→TagString pairs (names matched
+    * case-insensitively per the Matroska spec's UPPERCASE
+    * convention). Depth-capped EBML walk like [[webmInfo]]. None for
+    * non-EBML bytes or a file declaring no Tags element.
+    */
+  private[graft] def webmTags(b: Array[Byte]): Option[(String, String, String, String)] = try {
+    if (b == null || b.length < 8 ||
+      !(b(0) == 0x1A.toByte && b(1) == 0x45.toByte &&
+        b(2) == 0xDF.toByte && b(3) == 0xA3.toByte)) return None
+    @inline def vintLen(o: Int): Int = {
+      if (o >= b.length) return -1
+      val b0 = b(o) & 0xff
+      if (b0 == 0) -1 else Integer.numberOfLeadingZeros(b0) - 23
+    }
+    def readId(o: Int): Long = {
+      val n = vintLen(o)
+      if (n < 1 || n > 4 || o + n > b.length) return -1L
+      var v = 0L
+      var i = 0
+      while (i < n) { v = (v << 8) | (b(o + i) & 0xffL); i += 1 }
+      v
+    }
+    def readSize(o: Int): (Long, Int) = {
+      val n = vintLen(o)
+      if (n < 1 || n > 8 || o + n > b.length) return (-2L, 0)
+      var v = (b(o) & 0xff & (0xff >>> n)).toLong
+      var i = 1
+      while (i < n) { v = (v << 8) | (b(o + i) & 0xffL); i += 1 }
+      (if (v == (1L << (7 * n)) - 1) -1L else v, n)
+    }
+    var title: String = null
+    var artist: String = null
+    var album: String = null
+    var sawTags = false
+    // per-SimpleTag scratch
+    var tagName: String = null
+    var tagValue: String = null
+    def commitSimpleTag(): Unit = {
+      if (tagName != null && tagValue != null)
+        tagName.toUpperCase(java.util.Locale.ROOT) match {
+          case "TITLE" => title = tagValue
+          case "ARTIST" => artist = tagValue
+          case "ALBUM" => album = tagValue
+          case _ => ()
+        }
+      tagName = null; tagValue = null
+    }
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      if (depth > 16) return
+      var off = start
+      while (off < end) {
+        val id = readId(off)
+        if (id < 0) return
+        val idLen = vintLen(off)
+        val (size, szLen) = readSize(off + idLen)
+        if (szLen == 0) return
+        val body = off + idLen + szLen
+        val isContainer = id match {
+          case 0x18538067L | 0x1254C367L | 0x7373L | 0x67C8L => true
+          case _ => false
+        }
+        val bodyEnd =
+          if (size < 0) { if (isContainer) end else return }
+          else if (size > end - body) { if (isContainer) end else return }
+          else body + size.toInt
+        id match {
+          case _ if isContainer =>
+            if (id == 0x1254C367L) sawTags = true
+            walk(body, bodyEnd, depth + 1)
+            if (id == 0x67C8L) commitSimpleTag()
+          case 0x45A3L => // TagName, UTF-8
+            tagName = new String(b, body, bodyEnd - body,
+              java.nio.charset.StandardCharsets.UTF_8)
+          case 0x4487L => // TagString, UTF-8
+            tagValue = new String(b, body, bodyEnd - body,
+              java.nio.charset.StandardCharsets.UTF_8)
+          case _ => ()
+        }
+        off = bodyEnd
+      }
+    }
+    walk(0, b.length, 0)
+    if (!sawTags) None else Some((title, artist, album, "matroska"))
+  } catch { case _: Throwable => None }
+
   /** Append a `tags` struct ([[AudioTagsSchema]]) per row: ID3v2 if
     * the bytes lead with one, else the M4A item list, else the Vorbis
-    * comments of a FLAC or Ogg-Opus stream — the [[audioStats]]
-    * batching/isolation discipline. All-null struct for untagged or
-    * non-audio rows.
+    * comments of a FLAC or Ogg-Opus/Ogg-Vorbis stream, else the WAV
+    * `LIST INFO` chunk, else the Matroska `Tags` tree — the
+    * [[audioStats]] batching/isolation discipline. All-null struct
+    * for untagged or non-audio rows.
     */
   def audioTags(df: DataFrame, contentCol: String = "content",
       batchSize: Int = 64): DataFrame = {
@@ -2784,7 +2961,8 @@ object Multimodal {
           val tags =
             (try id3v2Tags(bytes).orElse(m4aTags(bytes))
               .orElse(flacTags(bytes)).orElse(opusTags(bytes))
-              .orElse(vorbisTags(bytes))
+              .orElse(vorbisTags(bytes)).orElse(wavInfoTags(bytes))
+              .orElse(webmTags(bytes))
             catch { case _: Throwable => None }) match {
               case Some((t, a, al, fmt)) => Row(t, a, al, fmt)
               case None => Row(null, null, null, null)

@@ -1016,6 +1016,53 @@ class SemanticSpec extends SparkSpec {
     assert(Multimodal.mpegAudioInfo(bytes).isEmpty)
   }
 
+  test("audioTags: WAV LIST/INFO and Matroska Tags — the last two carriers") {
+    def fix(name: String): Array[Byte] =
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        getClass.getResource(s"/fixtures/$name").toURI))
+    // WAV python fixture: odd-length padded strings, an ICMT sub-chunk
+    // to step over, NUL terminators trimmed
+    val tw = Multimodal.wavInfoTags(fix("synthetic_tags.wav")).get
+    assert(tw == (("Wäve Tïtle", "Mono Märtyr", "PCM LP", "wav")), s"$tw")
+    // the stats walk still decodes the PCM THROUGH the LIST chunk
+    val st = Multimodal.audioStats(Seq((1L, fix("synthetic_tags.wav")))
+      .toDF("id", "content")).select("audio.ok", "audio.codec",
+      "audio.sample_rate", "audio.n_samples").head()
+    assert(st.getBoolean(0) && st.getString(1) == "pcm" &&
+      st.getInt(2) == 8000 && st.getLong(3) == 64L)
+    // Matroska python fixture: mixed-case SimpleTag names match
+    // case-insensitively; RATING stepped over
+    val tm = Multimodal.webmTags(fix("synthetic_audio.mka")).get
+    assert(tm == (("Mätroska Tïtle", "EBML Ärtist", "Cluster LP",
+      "matroska")), s"$tm")
+    // an untagged WAV / webm reports None, not empty-Some
+    val bare = Multimodal.renderWav(8000, 1,
+      Array.tabulate[Short](16)(_.toShort))
+    assert(Multimodal.wavInfoTags(bare).isEmpty)
+    assert(Multimodal.webmTags(fix("synthetic.webm")).isEmpty)
+    // scala builders round-trip
+    assert(Multimodal.wavInfoTags(Multimodal.wavWithInfoTags(
+      bare, "Tï", "Är", "Öl")).contains(("Tï", "Är", "Öl", "wav")))
+    assert(Multimodal.webmTags(Multimodal.syntheticWebm("audio",
+      channels = 1, sampleRate = 16000, durationMs = 500L,
+      tags = Some(("T", "A", "B")))).contains(("T", "A", "B", "matroska")))
+    // the spliced WAV still yields its PCM stats (RIFF size fixed up)
+    val tagged = Multimodal.wavWithInfoTags(bare, "x", "y", "z")
+    assert(Multimodal.audioStats(Seq((1L, tagged)).toDF("id", "content"))
+      .select("audio.ok").head().getBoolean(0))
+    // dataframe dispatcher reaches both
+    val out = Multimodal.audioTags(Seq(
+      (1L, fix("synthetic_tags.wav")),
+      (2L, fix("synthetic_audio.mka")),
+      (3L, bare)
+    ).toDF("id", "content")).select("id", "tags.title", "tags.tag_format")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.getString(2))))).toMap
+    assert(out(1L) == ((Some("Wäve Tïtle"), Some("wav"))))
+    assert(out(2L) == ((Some("Mätroska Tïtle"), Some("matroska"))))
+    assert(out(3L) == ((None, None)))
+  }
+
   test("WebM/Matroska: EBML walk — python fixture axes, primary modality, card classification") {
     def fix(name: String): Array[Byte] =
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
