@@ -5219,7 +5219,11 @@ object SparkEntry {
       (2L, M.syntheticAvif(128, 128, channels = 4)),
       (3L, M.syntheticMp4(32, 32, 2000L)),
       (4L, "not an avif".getBytes("UTF-8")),
-      (5L, M.syntheticAvif(320, 200, gps = true))
+      (5L, M.syntheticAvif(320, 200, gps = true)),
+      // HEIC (the iPhone default) shares the whole HEIF walk: dims,
+      // brand-derived format, and the same GPS item indirection
+      (6L, M.syntheticAvif(4032, 3024, brand = "heic")),
+      (7L, M.syntheticAvif(640, 480, gps = true, brand = "heix"))
     ).toDF("img_id", "content")
     M.imageStats(M.decode(rows))
       .select(col("img_id"),
@@ -5243,7 +5247,9 @@ object SparkEntry {
       | (CAST(4 AS BIGINT), 'raw', 64 + 11, 64 + 341, 3, FALSE,
       |  CAST(NULL AS BOOLEAN)),
       | -- the iinf/iloc-resolved EXIF item carries the GPS pointer
-      | (CAST(5 AS BIGINT), 'avif', 320, 200, 3, TRUE, TRUE)
+      | (CAST(5 AS BIGINT), 'avif', 320, 200, 3, TRUE, TRUE),
+      | (CAST(6 AS BIGINT), 'heic', 4032, 3024, 3, TRUE, FALSE),
+      | (CAST(7 AS BIGINT), 'heic', 640, 480, 3, TRUE, TRUE)
       |) AS t(img_id, format, width, height, channels, is_image, gps)
       |ORDER BY img_id""".stripMargin
 
@@ -5484,6 +5490,64 @@ object SparkEntry {
       |    / CAST(sum(length(text)) AS DOUBLE), 6) AS pct_chars_cut
       |FROM m GROUP BY grp ORDER BY grp""".stripMargin
 
+  /** Animated-GIF structural facts ([[graft.operators.Multimodal
+    * .gifAnimationInfo]] — frame count from image descriptors,
+    * duration from GCE delays, loop count from the NETSCAPE2.0
+    * extension, all WITHOUT an LZW decode): what tells a 500-frame
+    * meme apart from a photo in an image corpus. GIFs stay images —
+    * the same rows decode their first frame through the pixel stack
+    * (`is_image`/dims), so the two surfaces are locked together.
+    */
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    val rows = Seq(
+      (1L, M.syntheticGif(Seq(25, 50, 100), loops = Some(0))),
+      (2L, M.syntheticGif(Seq(10), loops = Some(7))),
+      (3L, M.renderImage("gif", 6, 4, (_, _) => 0x112233)), // still
+      (4L, M.renderPng(8, 8, (_, _) => 0x445566)), // not a GIF
+      (5L, "junk".getBytes("UTF-8"))
+    ).toDF("img_id", "content")
+    val withAnim = M.imageStats(rows).rdd // reuse stats; add anim facts
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("img_id", LongType, nullable = false),
+      StructField("frames", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("loops", IntegerType),
+      StructField("is_image", BooleanType, nullable = false),
+      StructField("width", IntegerType)))
+    val out = withAnim.map { r =>
+      val bytes = r.getAs[Array[Byte]]("content")
+      val st = r.getAs[org.apache.spark.sql.Row]("stats")
+      // full path, not the M alias: a module alias captured in an RDD
+      // closure serializes the (non-serializable) object
+      graft.operators.Multimodal.gifAnimationInfo(bytes) match {
+        case Some(g) => org.apache.spark.sql.Row(r.getAs[Long]("img_id"),
+          g.frames, g.durationMs, g.loops, st.getAs[Boolean]("ok"),
+          st.getAs[Integer]("width"))
+        case None => org.apache.spark.sql.Row(r.getAs[Long]("img_id"),
+          null, null, null, st.getAs[Boolean]("ok"),
+          st.getAs[Integer]("width"))
+      }
+    }
+    s.createDataFrame(out, schema).orderBy(col("img_id"))
+  }
+
+  private def gifAnimOracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(1 AS BIGINT), 3, CAST(1750 AS BIGINT), 0, TRUE, 1),
+      | (CAST(2 AS BIGINT), 1, CAST(100 AS BIGINT), 7, TRUE, 1),
+      | -- an encoder still: one frame, no delays, no loop extension
+      | (CAST(3 AS BIGINT), 1, CAST(0 AS BIGINT), CAST(NULL AS INTEGER),
+      |  TRUE, 6),
+      | (CAST(4 AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+      |  CAST(NULL AS INTEGER), TRUE, 8),
+      | (CAST(5 AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+      |  CAST(NULL AS INTEGER), FALSE, CAST(NULL AS INTEGER))
+      |) AS t(img_id, frames, duration_ms, loops, is_image, width)
+      |ORDER BY img_id""".stripMargin
+
   /** Matroska/WebM header facts ([[graft.operators.Multimodal
     * .webmInfo]] — EBML walk: DocType, primary-modality track
     * selection, PixelWidth/Height, float Duration × TimecodeScale,
@@ -5722,7 +5786,8 @@ object SparkEntry {
     "q170_atags" -> (q170 _),
     "q171_dreport" -> (q171 _),
     "q172_sreport" -> (q172 _),
-    "q173_webm" -> (q173 _))
+    "q173_webm" -> (q173 _),
+    "q174_gifanim" -> (q174 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -6146,6 +6211,7 @@ object SparkEntry {
     "q171_dreport" -> dedupReportOracle,
     "q172_sreport" -> spanSurgeryOracle,
     "q173_webm" -> webmOracle,
+    "q174_gifanim" -> gifAnimOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

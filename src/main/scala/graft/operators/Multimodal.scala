@@ -95,9 +95,10 @@ object Multimodal {
     if (bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' &&
         bytes(6) == 'y' && bytes(7) == 'p')
       return avifInfo(bytes) match {
-        // AVIF is ISO-BMFF too — the brand decides image vs movie
+        // AVIF/HEIC are ISO-BMFF too — the brand decides image vs movie
         case Some((w, h, ch)) =>
-          meta(width = w, height = h, channels = ch, format = "avif")
+          meta(width = w, height = h, channels = ch,
+            format = heifBrand(bytes).getOrElse("heif"))
         case None => decodeMp4(bytes)
       }
     if (isTiffMagic(bytes)) return decodeTiff(bytes)
@@ -663,31 +664,26 @@ object Multimodal {
     }
   }
 
-  /** AVIF header facts — the q44/q162 header-walk discipline for the
-    * OTHER format modern crawls deliver in volume: an AVIF is an
-    * ISO-BMFF `ftyp(avif|avis)` whose `meta/iprp/ipco` property
-    * container carries the image spatial extents (`ispe`: width and
-    * height u32) and per-channel bit depth (`pixi`: channel count).
-    * Header facts only — an AV1 intra decoder is out of pure-JDK
-    * scope like lossy VP8 (SURVEY §3); the card must still classify
-    * these rows as images with real dimensions instead of
-    * undecodable. Returns (width, height, channels); channels
-    * defaults to 3 when `pixi` is absent.
+  /** HEIF still-image header facts — the q44/q162 header-walk
+    * discipline for the formats modern crawls deliver in volume: an
+    * AVIF (`ftyp avif|avis`) or HEIC (`heic|heix|hevc|hevx`, the
+    * iPhone default) or generic HEIF (`mif1|msf1`) is an ISO-BMFF
+    * whose `meta/iprp/ipco` property container carries the image
+    * spatial extents (`ispe`: width and height u32) and per-channel
+    * bit depth (`pixi`: channel count). Header facts only — AV1/HEVC
+    * intra decoders are out of pure-JDK scope like lossy VP8 (SURVEY
+    * §3); the card must still classify these rows as images with
+    * real dimensions instead of undecodable. Returns (width, height,
+    * channels); channels defaults to 3 when `pixi` is absent. The
+    * format family comes from [[heifBrand]].
     */
   private[graft] def avifInfo(b: Array[Byte]): Option[(Int, Int, Int)] = {
-    if (b == null || b.length < 16 ||
-      !(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return None
+    if (heifBrand(b).isEmpty) return None
     @inline def u32(o: Int): Long =
       ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
         ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
     @inline def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
     @inline def fourcc(o: Int): String = new String(b, o, 4, "ISO-8859-1")
-    val ftypEnd = math.min(u32(0), b.length.toLong).toInt
-    // brands: major at 8, compatibles from 16 in 4-byte steps
-    val avifBrand = (fourcc(8) == "avif" || fourcc(8) == "avis") ||
-      (16 until (ftypEnd - 3) by 4).exists(o =>
-        fourcc(o) == "avif" || fourcc(o) == "avis")
-    if (!avifBrand) return None
     var w = -1L
     var h = -1L
     var channels = 3
@@ -724,19 +720,130 @@ object Multimodal {
     else Some((w.toInt, h.toInt, channels))
   }
 
-  /** ISO-BMFF with an `avif`/`avis` brand (major or compatible)? */
-  private[graft] def isAvifMagic(b: Array[Byte]): Boolean = {
+  /** Animated-GIF structural facts — (frames, durationMs, loops):
+    * frame count from the image descriptors, duration from the
+    * Graphic Control Extension delays (centiseconds → ms), loop
+    * count from the NETSCAPE2.0 application extension (0 = infinite;
+    * null when absent — single-play). The walk is STRUCTURAL (block
+    * lengths only, no LZW decode), so it is O(bytes) with zero
+    * allocation — the card-scan discipline. A GIF is still an IMAGE
+    * (decodePixels yields its first frame); this kernel is what
+    * tells a 500-frame meme apart from a photo. Truncated files
+    * report their intact frame prefix. None for non-GIF bytes.
+    */
+  final case class GifAnim(frames: Int, durationMs: Long, loops: Integer)
+
+  private[graft] def gifAnimationInfo(b: Array[Byte]): Option[GifAnim] = try {
+    if (b == null || b.length < 14 ||
+      !(b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8')) return None
+    @inline def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    var i = 6
+    val packed = b(i + 4) & 0xff
+    i += 7 // logical screen descriptor
+    if ((packed & 0x80) != 0) i += 3 << ((packed & 7) + 1) // global table
+    var frames = 0
+    var durationCs = 0L
+    var loops: Integer = null
+    def skipSubBlocks(): Boolean = { // false on truncation
+      while (i < b.length && b(i) != 0) i += 1 + (b(i) & 0xff)
+      if (i >= b.length) false else { i += 1; true }
+    }
+    var done = false
+    while (!done && i < b.length) {
+      (b(i) & 0xff) match {
+        case 0x2C => // image descriptor
+          if (i + 10 > b.length) done = true
+          else {
+            val p = b(i + 9) & 0xff
+            i += 10
+            if ((p & 0x80) != 0) i += 3 << ((p & 7) + 1) // local table
+            i += 1 // LZW minimum code size
+            if (skipSubBlocks()) frames += 1 else done = true
+          }
+        case 0x21 => // extension block
+          if (i + 2 > b.length) done = true
+          else {
+            val label = b(i + 1) & 0xff
+            i += 2
+            if (label == 0xF9 && i + 5 <= b.length && (b(i) & 0xff) == 4)
+              durationCs += u16(i + 2)
+            if (label == 0xFF && i + 16 <= b.length && (b(i) & 0xff) == 11 &&
+              new String(b, i + 1, 11, "ISO-8859-1") == "NETSCAPE2.0" &&
+              (b(i + 12) & 0xff) == 3 && b(i + 13) == 1)
+              loops = Integer.valueOf(u16(i + 14))
+            if (!skipSubBlocks()) done = true
+          }
+        case 0x3B => done = true // trailer
+        case _ => done = true // unknown block: structure lost, stop clean
+      }
+    }
+    if (frames == 0) None else Some(GifAnim(frames, durationCs * 10L, loops))
+  } catch { case _: Throwable => None }
+
+  /** Minimal VALID animated GIF — n 1×1 frames around the canonical
+    * smallest LZW payload (`02 02 44 01 00` = clear, pixel 0, EOI),
+    * per-frame GCE delays in centiseconds, optional NETSCAPE2.0 loop
+    * extension. ImageIO decodes the first frame, so the image stack
+    * still works on the fixture.
+    */
+  private[graft] def syntheticGif(delaysCs: Seq[Int],
+      loops: Option[Int] = None): Array[Byte] = {
+    require(delaysCs.nonEmpty, "at least one frame")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("ISO-8859-1"))
+    out.write(Array[Byte](1, 0, 1, 0, 0x80.toByte, 0, 0)) // 1x1, GCT(2)
+    out.write(Array[Byte](0, 0, 0, -1, -1, -1)) // black, white
+    loops.foreach { n =>
+      out.write(Array[Byte](0x21, 0xFF.toByte, 11))
+      out.write("NETSCAPE2.0".getBytes("ISO-8859-1"))
+      out.write(Array[Byte](3, 1, (n & 0xff).toByte, ((n >> 8) & 0xff).toByte, 0))
+    }
+    delaysCs.foreach { d =>
+      out.write(Array[Byte](0x21, 0xF9.toByte, 4, 0,
+        (d & 0xff).toByte, ((d >> 8) & 0xff).toByte, 0, 0))
+      out.write(Array[Byte](0x2C, 0, 0, 0, 0, 1, 0, 1, 0, 0)) // descriptor
+      out.write(Array[Byte](2, 2, 0x44, 1, 0)) // canonical LZW payload
+    }
+    out.write(0x3B)
+    out.toByteArray
+  }
+
+  /** HEIF still-image brand families — every ftyp brand that marks
+    * an ISO-BMFF file as a STILL IMAGE rather than a movie: the
+    * AV1-coded `avif`/`avis`, the HEVC-coded `heic`/`heix`/`hevc`/
+    * `hevx` (the iPhone default), and the generic MIAF/HEIF bases
+    * `mif1`/`msf1`. Maps brand → reported format name.
+    */
+  private val HeifImageBrands: Map[String, String] = Map(
+    "avif" -> "avif", "avis" -> "avif",
+    "heic" -> "heic", "heix" -> "heic",
+    "hevc" -> "heic", "hevx" -> "heic",
+    "mif1" -> "heif", "msf1" -> "heif")
+
+  /** The format family of a HEIF still image (`avif` / `heic` /
+    * `heif`), or None for non-BMFF bytes and movies. Major brand
+    * wins; compatible brands are scanned in declaration order —
+    * specific codecs beat the generic `mif1`/`heif` bases when both
+    * appear (the common `ftyp mif1 [.., avif]` layout).
+    */
+  private[graft] def heifBrand(b: Array[Byte]): Option[String] = {
     if (b == null || b.length < 16 ||
-      !(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return false
+      !(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return None
     @inline def u32(o: Int): Long =
       ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
         ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
     @inline def fourcc(o: Int): String = new String(b, o, 4, "ISO-8859-1")
     val ftypEnd = math.min(u32(0), b.length.toLong).toInt
-    (fourcc(8) == "avif" || fourcc(8) == "avis") ||
-      (16 until (ftypEnd - 3) by 4).exists(o =>
-        fourcc(o) == "avif" || fourcc(o) == "avis")
+    val brands = fourcc(8) +:
+      (16 until (ftypEnd - 3) by 4).map(fourcc)
+    val hits = brands.flatMap(HeifImageBrands.get)
+    // a specific codec family beats the generic heif base
+    hits.find(_ != "heif").orElse(hits.headOption)
   }
+
+  /** ISO-BMFF with any HEIF still-image brand? */
+  private[graft] def isHeifMagic(b: Array[Byte]): Boolean =
+    heifBrand(b).isDefined
 
   /** Resolve an AVIF's EXIF item payload byte range through the HEIF
     * item indirection — the piece that makes the GPS PII flag work
@@ -861,13 +968,15 @@ object Multimodal {
     * a bare little-endian TIFF whose IFD0 carries tag 0x8825).
     */
   private[graft] def syntheticAvif(w: Int, h: Int,
-      channels: Int = 3, gps: Boolean = false): Array[Byte] = {
+      channels: Int = 3, gps: Boolean = false,
+      brand: String = "avif"): Array[Byte] = {
+    require(brand.length == 4, s"brand must be a FourCC: $brand")
     def box(id: String, payload: Array[Byte]): Array[Byte] = {
       val out = java.nio.ByteBuffer.allocate(8 + payload.length)
       out.putInt(8 + payload.length).put(id.getBytes("ISO-8859-1")).put(payload)
       out.array()
     }
-    val ftyp = box("ftyp", "avif".getBytes("ISO-8859-1") ++
+    val ftyp = box("ftyp", brand.getBytes("ISO-8859-1") ++
       new Array[Byte](4) ++ "mif1".getBytes("ISO-8859-1"))
     val ispe = box("ispe", java.nio.ByteBuffer.allocate(12)
       .putInt(0).putInt(w).putInt(h).array())
@@ -1263,7 +1372,7 @@ object Multimodal {
     // workflows plant the GPS pointer exactly here)
     if (isTiffMagic(bytes))
       return java.lang.Boolean.valueOf(tiffHasTag(bytes, 0, bytes.length, 0x8825))
-    if (isAvifMagic(bytes)) {
+    if (isHeifMagic(bytes)) {
       val r = avifExifRegion(bytes)
       if (r < 0) return java.lang.Boolean.FALSE // no EXIF item declared
       val p0 = (r >>> 32).toInt
@@ -3889,7 +3998,11 @@ object Multimodal {
       bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'E' &&
       bytes(10) == 'B' && bytes(11) == 'P') "image/webp"
     else if (isTiffMagic(bytes)) "image/tiff"
-    else if (avifInfo(bytes).isDefined) "image/avif"
+    else if (avifInfo(bytes).isDefined) heifBrand(bytes) match {
+      case Some("avif") => "image/avif"
+      case Some("heic") => "image/heic"
+      case _ => "image/heif"
+    }
     else if (bytes(0) == 0x1A.toByte && bytes(1) == 0x45.toByte &&
       bytes(2) == 0xDF.toByte && bytes(3) == 0xA3.toByte) "video/webm"
     else "application/octet-stream"

@@ -368,6 +368,82 @@ object StreamOps {
       }
       .start()
 
+  /** Compact a [[streamingSignatureDedupIngest]] store's signature
+    * generations: fold every `sigs/batch=*` dir except the NEWEST
+    * into one merged generation keeping the lowest folded id — the
+    * [[compactMediaCardStore]] discipline for the dedup stores,
+    * whose partials otherwise grow one parquet dir per micro-batch
+    * forever. `pairs/batch=*` dirs are RESULTS, not state, and are
+    * left untouched.
+    *
+    * Contract: run while the ingest is STOPPED — the ingest both
+    * reads and writes `sigs/`, so compaction is a maintenance-window
+    * operation (the TarSource reshard discipline). Within that
+    * contract it is crash-safe by RESUME:
+    *
+    *   - the merged generation is staged OUTSIDE `sigs/` as
+    *     `.compact_sigs_<lo>_<hi>` (the folded id range travels in
+    *     the name);
+    *   - folded dirs are deleted lowest-id FIRST, so
+    *     "`batch=<lo>` still exists" means no deletion has happened
+    *     and a stale staging dir can simply be discarded;
+    *   - `batch=<lo>` missing + staging present means a swap was
+    *     interrupted: a re-run deletes the remaining folded dirs in
+    *     [lo, hi] and renames the staging dir into place before
+    *     doing anything new.
+    *
+    * The newest generation is never folded: after a restart,
+    * foreachBatch redelivers the last uncommitted batch, whose
+    * idempotence is overwrite-same-dir — folding it would turn a
+    * redelivery into the batch meeting its own signatures. Returns
+    * the number of generations folded (0 = nothing to do).
+    */
+  def compactSignatureStore(spark: SparkSession, storeDir: String): Int = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(hconf)
+    val sigs = new org.apache.hadoop.fs.Path(s"$storeDir/sigs")
+    def gens(): Seq[(Long, org.apache.hadoop.fs.Path)] =
+      if (!fs.exists(sigs)) Nil
+      else fs.listStatus(sigs).toSeq.collect {
+        case st if st.isDirectory && st.getPath.getName.matches("batch=\\d+") =>
+          (st.getPath.getName.stripPrefix("batch=").toLong, st.getPath)
+      }.sortBy(_._1)
+    // resume or discard an interrupted swap FIRST
+    val StagingRe = "\\.compact_sigs_(\\d+)_(\\d+)".r
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      st.getPath.getName match {
+        case StagingRe(loS, hiS) =>
+          val lo = loS.toLong
+          val hi = hiS.toLong
+          val target = new org.apache.hadoop.fs.Path(sigs, s"batch=$lo")
+          if (fs.exists(target)) {
+            fs.delete(st.getPath, true) // fold never started: stale staging
+          } else {
+            // interrupted swap: finish the deletes, then the rename
+            gens().foreach { case (id, p) =>
+              if (id >= lo && id <= hi) fs.delete(p, true)
+            }
+            fs.rename(st.getPath, target)
+          }
+        case _ => ()
+      }
+    }
+    val all = gens()
+    val candidates = all.dropRight(1)
+    if (candidates.size < 2) return 0 // nothing worth folding
+    val lo = candidates.head._1
+    val hi = candidates.last._1
+    val merged = spark.read.parquet(candidates.map(_._2.toString): _*)
+    val staging = new org.apache.hadoop.fs.Path(root,
+      s".compact_sigs_${lo}_$hi")
+    merged.write.mode("overwrite").parquet(staging.toString)
+    // point of no return: delete lowest-id first (see resume rule)
+    candidates.foreach { case (_, p) => fs.delete(p, true) }
+    fs.rename(staging, new org.apache.hadoop.fs.Path(sigs, s"batch=$lo"))
+    candidates.size
+  }
+
   /** Enforce the signature-store version contract: stamp
     * `store_meta.json` when the store is new, verify it matches the
     * running kernel otherwise, refuse pre-versioning stores (sigs

@@ -1144,6 +1144,58 @@ class SemanticSpec extends SparkSpec {
     assert(Multimodal.videoKeyframes(nested(100000)) == null)
   }
 
+  test("HEIC: the iPhone HEIF brands share the AVIF walk — dims, GPS, format family") {
+    // heic major brand: same meta/iprp/ipco walk, reported as heic
+    val heic = Multimodal.syntheticAvif(4032, 3024, brand = "heic")
+    assert(Multimodal.heifBrand(heic).contains("heic"))
+    assert(Multimodal.avifInfo(heic).contains((4032, 3024, 3)))
+    assert(Multimodal.sniffMime(heic) == "image/heic")
+    // the flagship PII case: an iPhone photo's GPS EXIF item resolves
+    // through the same iinf/iloc indirection
+    val heicGps = Multimodal.syntheticAvif(100, 50, gps = true, brand = "heix")
+    assert(Multimodal.exifGpsPresent(heicGps) == java.lang.Boolean.TRUE)
+    assert(Multimodal.exifGpsPresent(heic) == java.lang.Boolean.FALSE)
+    // generic mif1 major with no codec brand reports the heif base
+    val heif = Multimodal.syntheticAvif(10, 10, brand = "mif1")
+    assert(Multimodal.heifBrand(heif).contains("heif"))
+    // specific codec brands beat the generic base wherever they appear
+    assert(Multimodal.heifBrand(
+      Multimodal.syntheticAvif(10, 10, brand = "avif")).contains("avif"),
+      "avif major + mif1 compatible stays avif")
+    // movies are still movies (no image brand)
+    assert(Multimodal.heifBrand(Multimodal.syntheticMp4(8, 8, 100L)).isEmpty)
+    assert(Multimodal.heifBrand(Multimodal.syntheticM4a(1, 8000, 80L)).isEmpty)
+    // stats/decode surfaces classify heic as an image with real dims
+    val d = Multimodal.imageStats(Multimodal.decode(
+      Seq((1L, heic)).toDF("id", "content")))
+      .select("decoded.format", "decoded.width", "stats.ok",
+        "stats.exif_gps").head()
+    assert(d.getString(0) == "heic" && d.getInt(1) == 4032 &&
+      d.getBoolean(2) && !d.getBoolean(3))
+  }
+
+  test("GIF animation: structural frame/delay/loop walk; stills and truncation degrade") {
+    // 3 frames, 25+50+100 cs, infinite loop
+    val anim = Multimodal.syntheticGif(Seq(25, 50, 100), loops = Some(0))
+    val g = Multimodal.gifAnimationInfo(anim).get
+    assert(g.frames == 3 && g.durationMs == 1750L && g.loops == 0)
+    // ImageIO still decodes the first frame — a GIF stays an image
+    assert(Multimodal.decodePixels(anim).exists(i =>
+      i.getWidth == 1 && i.getHeight == 1))
+    // finite loop count; single frame with no GCE reports 1 frame
+    assert(Multimodal.gifAnimationInfo(
+      Multimodal.syntheticGif(Seq(10), loops = Some(7))).get.loops == 7)
+    val still = Multimodal.renderImage("gif", 6, 4, (_, _) => 0x112233)
+    val sg = Multimodal.gifAnimationInfo(still).get
+    assert(sg.frames == 1 && sg.loops == null)
+    // truncation mid-frame keeps the intact prefix, never throws
+    val cut = java.util.Arrays.copyOfRange(anim, 0, anim.length - 8)
+    assert(Multimodal.gifAnimationInfo(cut).exists(_.frames == 2))
+    assert(Multimodal.gifAnimationInfo("GIF8junk".getBytes("UTF-8")).isEmpty
+      || true) // malformed: None or clean degrade, never a throw
+    assert(Multimodal.gifAnimationInfo("nope".getBytes("UTF-8")).isEmpty)
+  }
+
   test("PNG eXIf chunk: the 2017 extension carries GPS; decode survives the splice") {
     val png = Multimodal.renderPng(10, 6, (x, y) => (x << 16) | (y << 8) | 7)
     val withGps = Multimodal.pngWithExif(png, gps = true)

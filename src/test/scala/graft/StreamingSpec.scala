@@ -601,6 +601,68 @@ class StreamingSpec extends SparkSpec {
     assert(after(("s1", "pct_image")) == before(("s1", "pct_image")))
   }
 
+  test("signature-store compaction: generations fold, old dups still found, crash resume completes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val M = graft.operators.Multimodal
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    def stripes(x: Int, y: Int) = if (x % 8 >= 4) gray(230) else gray(20)
+    def blocks(x: Int, y: Int) = if ((x / 16 + y / 16) % 2 == 0) gray(240) else gray(10)
+    val pA = M.renderPng(64, 64, stripes)
+    val pB = M.renderPng(64, 64, blocks)
+    val pC = M.renderPng(64, 64, (x, _) => gray((x * 4) % 256))
+    val store = java.nio.file.Files.createTempDirectory("graft-sigcomp").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sigcompck").toString
+    val input = MemoryStream[(Long, Array[Byte])](spark)
+    def ingest() = StreamOps.streamingImageDedupIngest(
+      input.toDF().toDF("img_id", "content"), "img_id", "content", store, ckpt)
+    val q = ingest()
+    try {
+      input.addData((1L, pA)); q.processAllAvailable()
+      input.addData((2L, pB)); q.processAllAvailable()
+      input.addData((3L, pC)); q.processAllAvailable()
+    } finally q.stop()
+    def sigDirs() = new java.io.File(s"$store/sigs").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(sigDirs() == Seq("batch=0", "batch=1", "batch=2"))
+    // maintenance window: fold batches 0+1 into batch=0; newest stays
+    assert(StreamOps.compactSignatureStore(spark, store) == 2)
+    assert(sigDirs() == Seq("batch=0", "batch=2"))
+    assert(spark.read.parquet(s"$store/sigs").count() == 3,
+      "all three signatures survive the fold")
+    // idempotent: one candidate left is not worth folding
+    assert(StreamOps.compactSignatureStore(spark, store) == 0)
+    // the ingest RESUMES on the same checkpoint and still finds a
+    // duplicate whose signature lives only in the compacted generation
+    val q2 = ingest()
+    try {
+      input.addData((4L, pA)) // same pixels as batch-0's image 1
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val pairs = spark.read.parquet(s"$store/pairs").drop("batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 4L)), s"compacted signatures must still pair: $pairs")
+    // crash-resume: simulate an interrupted swap — the merged staging
+    // dir exists, the target generation is gone; a re-run finishes the
+    // swap before considering new work
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$store/sigs/batch=0"),
+      new org.apache.hadoop.fs.Path(s"$store/.compact_sigs_0_1")))
+    // the re-run FIRST completes the swap (batch=0 restored), THEN
+    // folds the now-eligible [0, 2] pair into batch=0
+    assert(StreamOps.compactSignatureStore(spark, store) == 2)
+    assert(sigDirs() == Seq("batch=0", "batch=3"), s"${sigDirs()}")
+    assert(spark.read.parquet(s"$store/sigs").count() == 4)
+    // stale staging (target still present) is discarded, not re-applied
+    spark.read.parquet(s"$store/sigs/batch=0")
+      .write.parquet(s"$store/.compact_sigs_0_1")
+    assert(StreamOps.compactSignatureStore(spark, store) == 0)
+    assert(!new java.io.File(s"$store/.compact_sigs_0_1").exists(),
+      "stale staging dir removed")
+    assert(spark.read.parquet(s"$store/sigs").count() == 4,
+      "no double-fold from the stale staging")
+  }
+
   test("signature store predating versioning (no meta) is refused") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
