@@ -5609,6 +5609,45 @@ object SparkEntry {
       |       a_samples, keyframes)
       |ORDER BY vid_id""".stripMargin
 
+  /** Surgical GPS scrub ([[graft.operators.Multimodal.scrubGps]] —
+    * in-place EXIF surgery on a copy: the IFD0 GPS pointer is
+    * neutralized, the GPS IFD and its out-of-line coordinate bytes
+    * zeroed, PNG chunk CRCs recomputed; everything else, pixels
+    * included, stays byte-identical): the release-gate PII REMOVAL
+    * twin of q161's detection flag, across every carrier the flag
+    * reads. Each row reports its flag before and after the scrub
+    * plus proof the asset survived (still an image, same dims).
+    */
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    val rows = Seq(
+      (1L, M.syntheticTiff(9, 5, (x, y) => (x << 16) | (y << 8) | 7,
+        gps = true)),
+      (2L, M.pngWithExif(M.renderPng(6, 4, (_, _) => 0x335577), gps = true)),
+      (3L, M.syntheticAvif(320, 200, gps = true)),
+      (4L, M.syntheticAvif(640, 480, gps = true, brand = "heic")),
+      (5L, M.renderPng(8, 8, (_, _) => 0x224466)) // clean: no-op scrub
+    ).toDF("img_id", "content")
+    val before = M.imageStats(rows)
+      .select(col("img_id"), col("stats.exif_gps").as("gps_before"))
+    val after = M.imageStats(rows.withColumn("content",
+        M.scrubGpsCol(col("content"))))
+      .select(col("img_id"), col("stats.exif_gps").as("gps_after"),
+        col("stats.ok").as("is_image"), col("stats.width").as("width"))
+    before.join(after, Seq("img_id")).orderBy(col("img_id"))
+  }
+
+  private def scrubGpsOracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(1 AS BIGINT), TRUE, FALSE, TRUE, 9),
+      | (CAST(2 AS BIGINT), TRUE, FALSE, TRUE, 6),
+      | (CAST(3 AS BIGINT), TRUE, FALSE, TRUE, 320),
+      | (CAST(4 AS BIGINT), TRUE, FALSE, TRUE, 640),
+      | (CAST(5 AS BIGINT), FALSE, FALSE, TRUE, 8)
+      |) AS t(img_id, gps_before, gps_after, is_image, width)
+      |ORDER BY img_id""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -5787,7 +5826,8 @@ object SparkEntry {
     "q171_dreport" -> (q171 _),
     "q172_sreport" -> (q172 _),
     "q173_webm" -> (q173 _),
-    "q174_gifanim" -> (q174 _))
+    "q174_gifanim" -> (q174 _),
+    "q175_gpscrub" -> (q175 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -6212,6 +6252,7 @@ object SparkEntry {
     "q172_sreport" -> spanSurgeryOracle,
     "q173_webm" -> webmOracle,
     "q174_gifanim" -> gifAnimOracle,
+    "q175_gpscrub" -> scrubGpsOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

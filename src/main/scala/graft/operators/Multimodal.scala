@@ -1346,60 +1346,223 @@ object Multimodal {
     */
   def exifGpsPresent(bytes: Array[Byte]): java.lang.Boolean = {
     if (bytes == null || bytes.length < 12) return null
+    exifTiffRegion(bytes) match {
+      case -2L => null // format cannot carry EXIF: unknown
+      case -1L => java.lang.Boolean.FALSE // carrier without the block
+      case r => java.lang.Boolean.valueOf(
+        tiffHasTag(bytes, (r >>> 32).toInt, (r & 0xffffffffL).toInt, 0x8825))
+    }
+  }
+
+  /** The EXIF TIFF block of ANY carrier format, packed
+    * (start << 32 | end): JPEG APP1, WebP `EXIF` chunk, TIFF itself,
+    * HEIF item indirection, PNG `eXIf` chunk. -1 = the format can
+    * carry EXIF but this file doesn't; -2 = the format cannot carry
+    * EXIF at all (GIF/BMP/unknown bytes). The single locate shared
+    * by the GPS flag and the GPS scrub so they can never disagree on
+    * where the block lives.
+    */
+  private def exifTiffRegion(bytes: Array[Byte]): Long = {
     if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
       bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'E' &&
-      bytes(10) == 'B' && bytes(11) == 'P') return webpGpsPresent(bytes)
+      bytes(10) == 'B' && bytes(11) == 'P') return webpExifRegion(bytes)
     if (bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N' &&
-      bytes(3) == 'G') {
-      @inline def u32be(o: Int): Long =
-        ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
-          ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
-      var i = 8
-      while (i + 8 <= bytes.length) {
-        val len = u32be(i)
-        if (len < 0 || i + 8 + len > bytes.length)
-          return java.lang.Boolean.FALSE // truncated chunk: stop clean
-        val typ = new String(bytes, i + 4, 4, "ISO-8859-1")
-        if (typ == "eXIf")
-          return java.lang.Boolean.valueOf(
-            tiffHasTag(bytes, i + 8, (i + 8 + len).toInt, 0x8825))
-        if (typ == "IEND") return java.lang.Boolean.FALSE
-        i += 12 + len.toInt // header + data + crc
-      }
-      return java.lang.Boolean.FALSE
-    }
+      bytes(3) == 'G') return pngExifChunkRegion(bytes)
     // a TIFF file IS a TIFF block: scan its own IFD0 (cameras and DNG
     // workflows plant the GPS pointer exactly here)
-    if (isTiffMagic(bytes))
-      return java.lang.Boolean.valueOf(tiffHasTag(bytes, 0, bytes.length, 0x8825))
+    if (isTiffMagic(bytes)) return (0L << 32) | bytes.length.toLong
     if (isHeifMagic(bytes)) {
       val r = avifExifRegion(bytes)
-      if (r < 0) return java.lang.Boolean.FALSE // no EXIF item declared
+      if (r < 0) return -1L // no EXIF item declared
       val p0 = (r >>> 32).toInt
       val end = (r & 0xffffffffL).toInt
-      if (end - p0 < 4) return java.lang.Boolean.FALSE
+      if (end - p0 < 4) return -1L
       // HEIF ExifDataBlock: u32 offset to the TIFF header within the
       // payload; tolerate a leading `Exif\0\0` like the WebP chunk
       val hdrOff = ((bytes(p0) & 0xffL) << 24) | ((bytes(p0 + 1) & 0xffL) << 16) |
         ((bytes(p0 + 2) & 0xffL) << 8) | (bytes(p0 + 3) & 0xffL)
-      if (hdrOff < 0 || p0 + 4 + hdrOff >= end) return java.lang.Boolean.FALSE
+      if (hdrOff < 0 || p0 + 4 + hdrOff >= end) return -1L
       var t = p0 + 4 + hdrOff.toInt
       if (end - t >= 6 && bytes(t) == 'E' && bytes(t + 1) == 'x' &&
         bytes(t + 2) == 'i' && bytes(t + 3) == 'f' && bytes(t + 4) == 0 &&
         bytes(t + 5) == 0) t += 6
-      return java.lang.Boolean.valueOf(tiffHasTag(bytes, t, end, 0x8825))
+      return (t.toLong << 32) | end.toLong
     }
-    if (!(bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte)) return null
+    if (!(bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte)) return -2L
     val r = exifApp1Region(bytes)
-    if (r < 0) return java.lang.Boolean.FALSE
-    java.lang.Boolean.valueOf(
-      tiffHasTag(bytes, (r >>> 32).toInt, (r & 0xffffffffL).toInt, 0x8825))
+    if (r < 0) -1L else r
   }
 
-  /** GPS flag for a WebP container: walk the RIFF chunks for `EXIF`
-    * and scan its TIFF block for tag 0x8825 like the JPEG path.
+  /** Surgical GPS removal — the scrub half of the [[exifGpsPresent]]
+    * release gate, for when a pipeline must keep the ORIGINAL bytes
+    * (codec, quality, every other metadata field, perceptual and
+    * exact signatures) and remove only the capture location — unlike
+    * [[resizeImages]]' re-encode scrub, which loses the original
+    * encode entirely. In-place byte surgery on a copy, length
+    * unchanged: the IFD0 GPS-pointer entry is rewritten to a benign
+    * unknown LONG tag (0x8826, count 1, value 0 — tag order stays
+    * ascending, so strict readers keep working), the GPS IFD's
+    * out-of-line values (the RATIONAL lat/long arrays) are zeroed,
+    * then the GPS IFD table itself. Works on every carrier the flag
+    * reads — JPEG APP1, WebP `EXIF` chunk, TIFF, HEIF item, PNG
+    * `eXIf` chunk (whose CRC is recomputed). Bytes without a GPS
+    * tag return UNCHANGED (same reference — a scrub pass over a
+    * clean corpus allocates nothing). Public for the generated-code
+    * static call.
     */
-  private def webpGpsPresent(b: Array[Byte]): java.lang.Boolean = {
+  def scrubGps(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes == null || bytes.length < 12 ||
+      exifGpsPresent(bytes) != java.lang.Boolean.TRUE) return bytes
+    try {
+      val out = java.util.Arrays.copyOf(bytes, bytes.length)
+      val r = exifTiffRegion(out)
+      if (r < 0) return bytes // defensive: flag said TRUE
+      val tiff = (r >>> 32).toInt
+      val end = (r & 0xffffffffL).toInt
+      if (!zeroGpsIfd(out, tiff, end)) return bytes
+      // PNG: the eXIf chunk carries a CRC over type+data — recompute
+      if (out(0) == 0x89.toByte && out(1) == 'P' && out(2) == 'N' &&
+        out(3) == 'G') {
+        val crc = new java.util.zip.CRC32()
+        crc.update(out, tiff - 4, 4 + (end - tiff))
+        val v = crc.getValue.toInt
+        out(end) = ((v >> 24) & 0xff).toByte
+        out(end + 1) = ((v >> 16) & 0xff).toByte
+        out(end + 2) = ((v >> 8) & 0xff).toByte
+        out(end + 3) = (v & 0xff).toByte
+      }
+      out
+    } catch { case _: Throwable => bytes } // per-row isolation
+  }
+
+  /** [[scrubGps]] as a Column — codegen'd like [[dhash64Col]], so the
+    * release-gate scrub is a map-only projection
+    * (`df.withColumn("content", scrubGpsCol(col("content")))`) with
+    * no UDF boundary: zero shuffles, zero allocation on clean rows.
+    */
+  def scrubGpsCol(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.bridge.{columnOf, expressionOf}
+    columnOf(ScrubGps(expressionOf(content)))
+  }
+
+  case class ScrubGps(child: org.apache.spark.sql.catalyst.expressions.Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = child.nullable
+    override def nullSafeEval(v: Any): Any =
+      scrubGps(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.operators.Multimodal.scrubGps($c)")
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression): ScrubGps = copy(c)
+  }
+
+  /** TIFF value-type byte widths (BYTE..DOUBLE), 0 = unknown. */
+  private val TiffTypeBytes =
+    Array(0, 1, 1, 2, 4, 8, 1, 1, 2, 4, 8, 4, 8)
+
+  /** In-place GPS surgery on the TIFF block at [tiff, end): zero the
+    * GPS IFD's out-of-line values, the IFD table, and neutralize the
+    * IFD0 pointer entry. False when no GPS entry is found.
+    */
+  private def zeroGpsIfd(b: Array[Byte], tiff: Int, end: Int): Boolean = {
+    if (tiff + 8 > end) return false
+    val little =
+      if (b(tiff) == 'I' && b(tiff + 1) == 'I') true
+      else if (b(tiff) == 'M' && b(tiff + 1) == 'M') false
+      else return false
+    def u16(o: Int): Int =
+      if (o < tiff || o + 2 > end) -1
+      else if (little) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+      else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    def u32(o: Int): Long =
+      if (o < tiff || o + 4 > end) -1L
+      else if (little) (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+      else ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    def putU16(o: Int, v: Int): Unit =
+      if (little) { b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte }
+      else { b(o) = ((v >> 8) & 0xff).toByte; b(o + 1) = (v & 0xff).toByte }
+    def zero(from: Int, until: Int): Unit = {
+      val f = math.max(from, tiff)
+      val u = math.min(until, end)
+      if (f < u) java.util.Arrays.fill(b, f, u, 0.toByte)
+    }
+    if (u16(tiff + 2) != 42) return false
+    val ifdOff = u32(tiff + 4)
+    if (ifdOff < 0) return false
+    val ifd = tiff + ifdOff.toInt
+    val nEntries = u16(ifd)
+    if (nEntries < 0) return false
+    var k = 0
+    while (k < nEntries) {
+      val e = ifd + 2 + 12 * k
+      if (u16(e) == 0x8825) {
+        val gpsOff = u32(e + 8)
+        if (gpsOff > 0) {
+          val g = tiff + gpsOff.toInt
+          val gn = u16(g)
+          if (gn >= 0) {
+            // zero out-of-line values first (RATIONAL lat/long live
+            // outside the table), then the table itself
+            var j = 0
+            while (j < gn) {
+              val ge = g + 2 + 12 * j
+              val typ = u16(ge + 2)
+              val cnt = u32(ge + 4)
+              if (typ >= 1 && typ < TiffTypeBytes.length && cnt >= 0) {
+                val byteLen = TiffTypeBytes(typ).toLong * cnt
+                if (byteLen > 4) {
+                  val off = u32(ge + 8)
+                  if (off > 0)
+                    zero(tiff + off.toInt, tiff + (off + byteLen).toInt)
+                }
+              }
+              j += 1
+            }
+            zero(g, g + 2 + 12 * gn + 4)
+          }
+        }
+        // neutralize the pointer entry: a benign unknown LONG tag,
+        // count 1, value 0 — entry order stays ascending
+        putU16(e, 0x8826)
+        putU16(e + 2, 4)
+        zero(e + 4, e + 12)
+        if (little) b(e + 4) = 1 else b(e + 7) = 1 // count = 1
+        return true
+      }
+      k += 1
+    }
+    false
+  }
+
+  /** The `eXIf` chunk's data region of a PNG, packed
+    * (start << 32 | end); -1 when absent.
+    */
+  private def pngExifChunkRegion(bytes: Array[Byte]): Long = {
+    @inline def u32be(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    var i = 8
+    while (i + 8 <= bytes.length) {
+      val len = u32be(i)
+      if (len < 0 || i + 8 + len > bytes.length) return -1L // truncated
+      val typ = new String(bytes, i + 4, 4, "ISO-8859-1")
+      if (typ == "eXIf") return ((i + 8).toLong << 32) | (i + 8 + len)
+      if (typ == "IEND") return -1L
+      i += 12 + len.toInt // header + data + crc
+    }
+    -1L
+  }
+
+  /** The TIFF block inside a WebP's RIFF `EXIF` chunk, packed
+    * (start << 32 | end), or -1 when absent. The optional
+    * `Exif\0\0` prefix some writers emit is skipped like APP1's.
+    */
+  private def webpExifRegion(b: Array[Byte]): Long = {
     @inline def le32(o: Int): Long =
       (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
         ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
@@ -1413,12 +1576,22 @@ object Multimodal {
         val t = if (end - p0 >= 6 && b(p0) == 'E' && b(p0 + 1) == 'x' &&
           b(p0 + 2) == 'i' && b(p0 + 3) == 'f' && b(p0 + 4) == 0 &&
           b(p0 + 5) == 0) p0 + 6 else p0
-        return java.lang.Boolean.valueOf(tiffHasTag(b, t, end, 0x8825))
+        return (t.toLong << 32) | end.toLong
       }
-      if (size < 0 || size > Int.MaxValue - i - 9) return java.lang.Boolean.FALSE
+      if (size < 0 || size > Int.MaxValue - i - 9) return -1L
       i += 8 + size.toInt + (size.toInt & 1) // RIFF word alignment
     }
-    java.lang.Boolean.FALSE
+    -1L
+  }
+
+  /** GPS flag for a WebP container: walk the RIFF chunks for `EXIF`
+    * and scan its TIFF block for tag 0x8825 like the JPEG path.
+    */
+  private def webpGpsPresent(b: Array[Byte]): java.lang.Boolean = {
+    val r = webpExifRegion(b)
+    if (r < 0) java.lang.Boolean.FALSE
+    else java.lang.Boolean.valueOf(
+      tiffHasTag(b, (r >>> 32).toInt, (r & 0xffffffffL).toInt, 0x8825))
   }
 
   /** Scan IFD0 of the TIFF region for `tag` (any type/count). */

@@ -179,6 +179,7 @@ class CodegenSpec extends SparkSpec {
       M.audioHash64Col(col("b")),
       M.textinessCol(col("b")),
       M.videoKeyframesCol(col("b")),
+      M.scrubGpsCol(col("b")),
       CatalystExpressions.cutTokenSpans(col("t"),
         expr("array(named_struct('span_begin', 0L, 'span_end', 1L))"))
     ).foreach { c =>
@@ -203,6 +204,8 @@ class CodegenSpec extends SparkSpec {
         M.dhash64Col(col("img")).as("dh"),
         M.audioHash64Col(col("img")).as("ah"), // non-audio bytes → null path
         M.textinessCol(col("img")).as("tx"),
+        base64(M.scrubGpsCol(col("img"))).as("sg"), // clean rows pass through
+        M.dhash64Col(M.scrubGpsCol(col("img"))).as("dhsg"),
         CatalystExpressions.matVec(col("vec"),
           Array(Array(0.0, 1.0), Array(1.0, 0.0))).as("mv"),
         CatalystExpressions.countInSet(col("toks"), Seq("a", "c")).as("cis"))

@@ -1144,6 +1144,122 @@ class SemanticSpec extends SparkSpec {
     assert(Multimodal.videoKeyframes(nested(100000)) == null)
   }
 
+  test("scrubGps: surgical GPS removal across all five carriers — pixels and other metadata intact") {
+    def fix(name: String): Array[Byte] =
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        getClass.getResource(s"/fixtures/$name").toURI))
+    def checkScrub(b: Array[Byte], label: String): Array[Byte] = {
+      assert(Multimodal.exifGpsPresent(b) == java.lang.Boolean.TRUE, label)
+      val s = Multimodal.scrubGps(b)
+      assert(Multimodal.exifGpsPresent(s) == java.lang.Boolean.FALSE,
+        s"$label: GPS flag must clear")
+      assert(s.length == b.length, s"$label: length unchanged (in-place surgery)")
+      assert(!(s eq b), s"$label: original bytes untouched")
+      s
+    }
+    // TIFF (its own IFD0): pixels must survive bit-exact
+    val tiff = Multimodal.syntheticTiff(9, 5, (x, y) => (x << 16) | (y << 8) | 7,
+      gps = true)
+    val sTiff = checkScrub(tiff, "tiff")
+    val p0 = Multimodal.decodePixels(tiff).get
+    val p1 = Multimodal.decodePixels(sTiff).get
+    assert((0 until 5).forall(y => (0 until 9).forall(x =>
+      p0.getRGB(x, y) == p1.getRGB(x, y))), "tiff pixels bit-identical")
+    // PNG eXIf (CRC recomputed — ImageIO rejects a bad chunk CRC)
+    val png = Multimodal.pngWithExif(
+      Multimodal.renderPng(6, 4, (_, _) => 0x335577), gps = true)
+    val sPng = checkScrub(png, "png")
+    assert(Multimodal.decodePixels(sPng).exists(i =>
+      i.getRGB(2, 2) == Multimodal.decodePixels(png).get.getRGB(2, 2)))
+    // WebP EXIF chunk (python fixture): header facts preserved
+    val webp = fix("synthetic.webp")
+    val sWebp = checkScrub(webp, "webp")
+    assert(Multimodal.webpInfo(sWebp) == Multimodal.webpInfo(webp))
+    // HEIF item indirection, both fixture layouts (avif v1-iloc with
+    // base+offset split, scala heic v0-iloc)
+    checkScrub(fix("synthetic_gps.avif"), "avif")
+    checkScrub(Multimodal.syntheticAvif(64, 32, gps = true, brand = "heic"),
+      "heic")
+    // JPEG APP1: ORIENTATION must survive the GPS surgery — that is
+    // the whole point over dropping the APP1 segment
+    val base = Multimodal.renderJpeg(16, 16, (_, _) => 0x808080)
+    def entry(bb: java.nio.ByteBuffer, tag: Int, typ: Int, v: Long): Unit = {
+      bb.putShort(tag.toShort).putShort(typ.toShort).putInt(1)
+      if (typ == 3) bb.putShort(v.toShort).putShort(0) else bb.putInt(v.toInt)
+    }
+    val jpegGps = {
+      val ifdBytes = 2 + 12 * 2 + 4
+      val tiffB = java.nio.ByteBuffer.allocate(8 + ifdBytes + 6)
+      tiffB.put("MM".getBytes("ISO-8859-1")).putShort(42).putInt(8)
+      tiffB.putShort(2)
+      entry(tiffB, 0x0112, 3, 6L) // orientation 6 (rotate 90)
+      entry(tiffB, 0x8825, 4, (8 + ifdBytes).toLong)
+      tiffB.putInt(0)
+      tiffB.putShort(0).putInt(0) // empty GPS IFD
+      val payload = "Exif".getBytes("ISO-8859-1") ++ Array[Byte](0, 0) ++
+        tiffB.array()
+      Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE1.toByte,
+        (((payload.length + 2) >> 8) & 0xff).toByte,
+        ((payload.length + 2) & 0xff).toByte) ++ payload ++ base.drop(2)
+    }
+    assert(Multimodal.exifOrientation(jpegGps) == 6)
+    val sJpeg = checkScrub(jpegGps, "jpeg")
+    assert(Multimodal.exifOrientation(sJpeg) == 6,
+      "orientation survives — the surgical advantage over APP1 drop")
+    // GPS coordinate BYTES are gone, not just unreachable: a scrubbed
+    // real-coordinates TIFF carries no trace of the rational values
+    val marker = Array[Byte](0x11, 0x22, 0x33, 0x44, 0x55, 0x66, 0x77, 0x88.toByte)
+    // build a TIFF whose GPS IFD holds one RATIONAL entry pointing at
+    // marker bytes; after scrub the marker must be zeroed
+    val withCoords = {
+      val base = Multimodal.syntheticTiff(4, 4, (_, _) => 0x102030, gps = true)
+      // append: a 1-entry GPS IFD + the rational payload; repoint the
+      // 0x8825 value (LE u32 at the entry's +8) at the appended IFD
+      val gpsIfd = java.nio.ByteBuffer.allocate(2 + 12 + 4 + 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val ifdOff = base.length
+      gpsIfd.putShort(1)
+      gpsIfd.putShort(2).putShort(5).putInt(1).putInt(ifdOff + 2 + 12 + 4) // GPSLatitude RATIONAL
+      gpsIfd.putInt(0)
+      gpsIfd.put(marker)
+      val out = base ++ gpsIfd.array()
+      // IFD0's 0x8825 entry: find it (LE tag bytes 25 88) and repoint
+      var e = -1
+      var i = 8
+      while (e < 0 && i + 12 <= out.length) {
+        if ((out(i) & 0xff) == 0x25 && (out(i + 1) & 0xff) == 0x88) e = i
+        i += 1
+      }
+      assert(e > 0, "gps entry located")
+      val bb = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(ifdOff)
+      System.arraycopy(bb.array(), 0, out, e + 8, 4)
+      out
+    }
+    assert(withCoords.containsSlice(marker))
+    val sCoords = checkScrub(withCoords, "tiff-coords")
+    assert(!sCoords.containsSlice(marker),
+      "out-of-line rational coordinate bytes must be ZEROED, not orphaned")
+    // clean bytes return the SAME reference — a scrub pass over a
+    // clean corpus allocates nothing
+    val clean = Multimodal.renderPng(4, 4, (_, _) => 0x111111)
+    assert(Multimodal.scrubGps(clean) eq clean)
+    assert(Multimodal.scrubGps("junk".getBytes("UTF-8")).length == 4)
+    // dataframe surface: map-only codegen'd projection; the scrubbed
+    // column feeds imageStats with the flag cleared and pixels intact
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("content", BinaryType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      org.apache.spark.sql.Row(1L, jpegGps),
+      org.apache.spark.sql.Row(2L, png)), 2), schema)
+      .withColumn("content", Multimodal.scrubGpsCol(col("content")))
+    val got = Multimodal.imageStats(df)
+      .select(col("id"), col("stats.ok"), col("stats.exif_gps")).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(got(1L) == ((true, false)) && got(2L) == ((true, false)))
+  }
+
   test("HEIC: the iPhone HEIF brands share the AVIF walk — dims, GPS, format family") {
     // heic major brand: same meta/iprp/ipco walk, reported as heic
     val heic = Multimodal.syntheticAvif(4032, 3024, brand = "heic")
