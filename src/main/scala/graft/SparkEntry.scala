@@ -5490,13 +5490,15 @@ object SparkEntry {
       |    / CAST(sum(length(text)) AS DOUBLE), 6) AS pct_chars_cut
       |FROM m GROUP BY grp ORDER BY grp""".stripMargin
 
-  /** Animated-GIF structural facts ([[graft.operators.Multimodal
-    * .gifAnimationInfo]] — frame count from image descriptors,
-    * duration from GCE delays, loop count from the NETSCAPE2.0
-    * extension, all WITHOUT an LZW decode): what tells a 500-frame
-    * meme apart from a photo in an image corpus. GIFs stay images —
-    * the same rows decode their first frame through the pixel stack
-    * (`is_image`/dims), so the two surfaces are locked together.
+  /** Animated-image structural facts ([[graft.operators.Multimodal
+    * .animationInfo]] — GIF: frame count from image descriptors, GCE
+    * delays, the NETSCAPE2.0 loop count, all WITHOUT an LZW decode;
+    * animated WebP: `ANMF` frame chunks + the `ANIM` loop count):
+    * what tells a 500-frame meme apart from a photo in an image
+    * corpus, across both containers the web serves memes in.
+    * Animations stay images — the same rows run the pixel/header
+    * stack (`is_image`/dims), so the two surfaces are locked
+    * together.
     */
   private def q174(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -5505,8 +5507,10 @@ object SparkEntry {
       (1L, M.syntheticGif(Seq(25, 50, 100), loops = Some(0))),
       (2L, M.syntheticGif(Seq(10), loops = Some(7))),
       (3L, M.renderImage("gif", 6, 4, (_, _) => 0x112233)), // still
-      (4L, M.renderPng(8, 8, (_, _) => 0x445566)), // not a GIF
-      (5L, "junk".getBytes("UTF-8"))
+      (4L, M.renderPng(8, 8, (_, _) => 0x445566)), // not animated
+      (5L, "junk".getBytes("UTF-8")),
+      (6L, M.syntheticAnimatedWebp(Seq(40, 60, 100), loops = 3)),
+      (7L, M.syntheticAnimatedWebp(Seq(500), loops = 0))
     ).toDF("img_id", "content")
     val withAnim = M.imageStats(rows).rdd // reuse stats; add anim facts
     import org.apache.spark.sql.types._
@@ -5522,7 +5526,7 @@ object SparkEntry {
       val st = r.getAs[org.apache.spark.sql.Row]("stats")
       // full path, not the M alias: a module alias captured in an RDD
       // closure serializes the (non-serializable) object
-      graft.operators.Multimodal.gifAnimationInfo(bytes) match {
+      graft.operators.Multimodal.animationInfo(bytes) match {
         case Some(g) => org.apache.spark.sql.Row(r.getAs[Long]("img_id"),
           g.frames, g.durationMs, g.loops, st.getAs[Boolean]("ok"),
           st.getAs[Integer]("width"))
@@ -5544,7 +5548,10 @@ object SparkEntry {
       | (CAST(4 AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
       |  CAST(NULL AS INTEGER), TRUE, 8),
       | (CAST(5 AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
-      |  CAST(NULL AS INTEGER), FALSE, CAST(NULL AS INTEGER))
+      |  CAST(NULL AS INTEGER), FALSE, CAST(NULL AS INTEGER)),
+      | -- animated WebP: ANMF durations are already milliseconds
+      | (CAST(6 AS BIGINT), 3, CAST(200 AS BIGINT), 3, TRUE, 16),
+      | (CAST(7 AS BIGINT), 1, CAST(500 AS BIGINT), 0, TRUE, 16)
       |) AS t(img_id, frames, duration_ms, loops, is_image, width)
       |ORDER BY img_id""".stripMargin
 
@@ -5647,6 +5654,51 @@ object SparkEntry {
       | (CAST(5 AS BIGINT), FALSE, FALSE, TRUE, 8)
       |) AS t(img_id, gps_before, gps_after, is_image, width)
       |ORDER BY img_id""".stripMargin
+
+  /** Video GPS flag + scrub ([[graft.operators.Multimodal
+    * .videoGpsPresent]] / `scrubVideoGps` — the QuickTime `©xyz`
+    * ISO 6709 atom under `moov/udta`, which is exactly where iPhone
+    * videos put the capture location): q175's movie twin. Each row
+    * reports the flag before/after the scrub plus proof the asset
+    * survived — the exact keyframe fingerprint must be IDENTICAL
+    * after surgery (dedup identity preserved), and the demuxed
+    * keyframe count unchanged.
+    */
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    val movie = M.syntheticMjpegMp4(
+      Seq(M.renderJpeg(16, 8, (_, _) => gray(99)),
+        M.renderJpeg(16, 8, (_, _) => gray(180))))
+    val rows = Seq(
+      (1L, M.mp4WithGps(movie)),
+      (2L, movie), // clean movie
+      (3L, M.mp4WithGps(M.syntheticM4a(2, 44100, 441000L))), // audio too
+      (4L, "junk".getBytes("UTF-8"))
+    ).toDF("vid_id", "content")
+    rows.select(col("vid_id"), col("content"),
+        M.videoFingerprint64Col(col("content")).as("fp_before"),
+        M.videoGpsPresentCol(col("content")).as("gps_before"))
+      .withColumn("content", M.scrubVideoGpsCol(col("content")))
+      .select(col("vid_id"), col("gps_before"),
+        M.videoGpsPresentCol(col("content")).as("gps_after"),
+        (M.videoFingerprint64Col(col("content")) === col("fp_before"))
+          .as("fingerprint_kept"),
+        M.videoKeyframesCol(col("content")).as("keyframes"))
+      .orderBy(col("vid_id"))
+  }
+
+  private def videoGpsOracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(1 AS BIGINT), TRUE, FALSE, TRUE, 2),
+      | (CAST(2 AS BIGINT), FALSE, FALSE, TRUE, 2),
+      | (CAST(3 AS BIGINT), TRUE, FALSE, CAST(NULL AS BOOLEAN),
+      |  CAST(NULL AS INTEGER)),
+      | (CAST(4 AS BIGINT), CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN),
+      |  CAST(NULL AS BOOLEAN), CAST(NULL AS INTEGER))
+      |) AS t(vid_id, gps_before, gps_after, fingerprint_kept, keyframes)
+      |ORDER BY vid_id""".stripMargin
 
   // ===================================================================
   // Registry
@@ -5826,8 +5878,9 @@ object SparkEntry {
     "q171_dreport" -> (q171 _),
     "q172_sreport" -> (q172 _),
     "q173_webm" -> (q173 _),
-    "q174_gifanim" -> (q174 _),
-    "q175_gpscrub" -> (q175 _))
+    "q174_anim" -> (q174 _),
+    "q175_gpscrub" -> (q175 _),
+    "q176_vidgps" -> (q176 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -6251,8 +6304,9 @@ object SparkEntry {
     "q171_dreport" -> dedupReportOracle,
     "q172_sreport" -> spanSurgeryOracle,
     "q173_webm" -> webmOracle,
-    "q174_gifanim" -> gifAnimOracle,
+    "q174_anim" -> gifAnimOracle,
     "q175_gpscrub" -> scrubGpsOracle,
+    "q176_vidgps" -> videoGpsOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

@@ -1459,6 +1459,251 @@ object Multimodal {
         c: org.apache.spark.sql.catalyst.expressions.Expression): ScrubGps = copy(c)
   }
 
+  /** Video GPS flag — an ISO-BMFF movie's capture location lives in
+    * `moov/udta` as the QuickTime `©xyz` atom (an ISO 6709
+    * "+lat+lon/" string behind a 2-byte size + 2-byte language
+    * preamble) or the 3GPP `loci` box; iPhone videos write exactly
+    * this. TRUE when either atom exists, FALSE for a BMFF movie
+    * without one, null for non-BMFF bytes and for HEIF still images
+    * (those are [[exifGpsPresent]]'s job). Depth-capped walk like
+    * its siblings; public for the generated-code static call.
+    */
+  def videoGpsPresent(bytes: Array[Byte]): java.lang.Boolean = {
+    val r = videoGpsRegions(bytes)
+    if (r == null) null
+    else java.lang.Boolean.valueOf(r.exists { case (from, until) =>
+      // an all-zero payload is a scrubbed/empty location (zero-length
+      // string behind a zero preamble), not a present one
+      var i = from
+      while (i < until && bytes(i) == 0) i += 1
+      i < until
+    })
+  }
+
+  /** The payload byte ranges of every location-carrying atom under
+    * `moov/udta` — null for non-movie bytes, empty for a clean
+    * movie. Shared by the flag and the scrub.
+    */
+  private def videoGpsRegions(b: Array[Byte]): Seq[(Int, Int)] = try {
+    if (b == null || b.length < 16 ||
+      !(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') ||
+      isHeifMagic(b)) return null
+    @inline def u32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    @inline def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    val out = Seq.newBuilder[(Int, Int)]
+    def walk(start: Long, end: Long, depth: Int): Unit = {
+      if (depth > 16) return
+      var off = start
+      while (off + 8 <= end) {
+        val size0 = u32(off.toInt)
+        val id = new String(b, off.toInt + 4, 4, "ISO-8859-1")
+        var body = off + 8
+        val boxEnd =
+          if (size0 == 1 && off + 16 <= end) { body = off + 16; off + u64(off.toInt + 8) }
+          else if (size0 == 0) end
+          else off + size0
+        if (boxEnd < body || boxEnd > end) return
+        id match {
+          case "moov" | "udta" | "trak" => walk(body, boxEnd, depth + 1)
+          case "©xyz" | "loci" => out += ((body.toInt, boxEnd.toInt))
+          case _ => ()
+        }
+        off = boxEnd
+      }
+    }
+    walk(0L, b.length.toLong, 0)
+    out.result()
+  } catch { case _: Throwable => null }
+
+  /** Surgical video-GPS removal — [[scrubGps]]'s movie twin: zero
+    * the `©xyz`/`loci` payload bytes in place on a copy (box sizes
+    * unchanged, every other byte identical — the same keep-the-
+    * original-encode rationale). A zeroed `©xyz` reads as a
+    * zero-length location string, which location parsers treat as
+    * absent. Bytes without a location return the same reference.
+    * Public for the generated-code static call.
+    */
+  def scrubVideoGps(bytes: Array[Byte]): Array[Byte] = {
+    val regions = videoGpsRegions(bytes)
+    if (regions == null || regions.isEmpty) return bytes
+    val out = java.util.Arrays.copyOf(bytes, bytes.length)
+    regions.foreach { case (from, until) =>
+      java.util.Arrays.fill(out, from, until, 0.toByte)
+    }
+    out
+  }
+
+  /** [[videoGpsPresent]] as a Column — codegen'd like
+    * [[dhash64Col]]; null for non-movie bytes.
+    */
+  def videoGpsPresentCol(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.bridge.{columnOf, expressionOf}
+    columnOf(VideoGpsPresent(expressionOf(content)))
+  }
+
+  case class VideoGpsPresent(child: org.apache.spark.sql.catalyst.expressions.Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val f = videoGpsPresent(v.asInstanceOf[Array[Byte]])
+      if (f == null) null else f.booleanValue()
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val c = child.genCode(ctx)
+      val boxed = ctx.freshName("vgps")
+      ev.copy(code = code"""
+        ${c.code}
+        java.lang.Boolean $boxed = ${c.isNull} ? null :
+          graft.operators.Multimodal.videoGpsPresent(${c.value});
+        final boolean ${ev.isNull} = $boxed == null;
+        final boolean ${ev.value} = ${ev.isNull} ? false : $boxed.booleanValue();""")
+    }
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression): VideoGpsPresent = copy(c)
+  }
+
+  /** [[scrubVideoGps]] as a Column — codegen'd like [[scrubGpsCol]]. */
+  def scrubVideoGpsCol(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.bridge.{columnOf, expressionOf}
+    columnOf(ScrubVideoGps(expressionOf(content)))
+  }
+
+  case class ScrubVideoGps(child: org.apache.spark.sql.catalyst.expressions.Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = child.nullable
+    override def nullSafeEval(v: Any): Any =
+      scrubVideoGps(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.operators.Multimodal.scrubVideoGps($c)")
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression): ScrubVideoGps = copy(c)
+  }
+
+  /** `udta(©xyz)` bytes to splice into a [[syntheticMjpegMp4]] /
+    * [[syntheticM4a]] moov — the video-GPS fixture builder.
+    */
+  private[graft] def mp4WithGps(mp4: Array[Byte],
+      iso6709: String = "+37.7749-122.4194/"): Array[Byte] = {
+    def box(id: String, payload: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + payload.length)
+      out.putInt(8 + payload.length).put(id.getBytes("ISO-8859-1")).put(payload)
+      out.array()
+    }
+    val s = iso6709.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val xyz = box("©xyz", java.nio.ByteBuffer.allocate(4 + s.length)
+      .putShort(s.length.toShort).putShort(0x15c7) // lang: und
+      .put(s).array())
+    val udta = box("udta", xyz)
+    // splice udta into the trailing moov: rebuild it with the same
+    // payload plus the metadata ([[syntheticM4aTagged]] discipline)
+    @inline def u32(o: Int): Int = java.nio.ByteBuffer.wrap(mp4, o, 4).getInt
+    var off = 0
+    var moovAt = -1
+    while (moovAt < 0 && off + 8 <= mp4.length) {
+      if (new String(mp4, off + 4, 4, "ISO-8859-1") == "moov") moovAt = off
+      else off += u32(off)
+    }
+    require(moovAt >= 0, "fixture mp4 must carry a moov box")
+    val moovEnd = moovAt + u32(moovAt)
+    val moovPayload = java.util.Arrays.copyOfRange(mp4, moovAt + 8, moovEnd)
+    java.util.Arrays.copyOfRange(mp4, 0, moovAt) ++
+      box("moov", moovPayload ++ udta) ++
+      java.util.Arrays.copyOfRange(mp4, moovEnd, mp4.length)
+  }
+
+  /** Animated-WebP facts — [[gifAnimationInfo]]'s RIFF twin:
+    * (frames, durationMs, loops) from the `ANMF` frame chunks (24-bit
+    * millisecond durations at payload offset 12) and the `ANIM`
+    * chunk's u16 loop count (0 = infinite). None for non-WebP bytes
+    * or a still WebP (no VP8X animation flag / no ANMF chunks).
+    */
+  private[graft] def webpAnimationInfo(b: Array[Byte]): Option[GifAnim] = try {
+    if (b == null || b.length < 21 ||
+      !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||
+      !(b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P')) return None
+    @inline def le32(o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    @inline def le24(o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16)
+    @inline def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    var frames = 0
+    var durationMs = 0L
+    var loops: Integer = null
+    var i = 12
+    while (i + 8 <= b.length) {
+      val id = new String(b, i, 4, "ISO-8859-1")
+      val size = le32(i + 4)
+      if (size < 0 || size > Int.MaxValue - i - 9) return None // hostile
+      val body = i + 8
+      id match {
+        case "ANIM" if body + 6 <= b.length =>
+          loops = Integer.valueOf(le16(body + 4)) // after 4B background
+        case "ANMF" if body + 16 <= b.length =>
+          frames += 1
+          durationMs += le24(body + 12)
+        case _ => ()
+      }
+      i = body + size.toInt + (size.toInt & 1) // word alignment
+    }
+    if (frames == 0) None else Some(GifAnim(frames, durationMs, loops))
+  } catch { case _: Throwable => None }
+
+  /** Minimal animated WebP: VP8X (animation flag) + ANIM + one ANMF
+    * per delay, each wrapping the canonical two-tone VP8L payload —
+    * valid structure, deterministic bytes.
+    */
+  private[graft] def syntheticAnimatedWebp(delaysMs: Seq[Int],
+      loops: Int = 0): Array[Byte] = {
+    require(delaysMs.nonEmpty, "at least one frame")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length & 1
+      val out = java.nio.ByteBuffer.allocate(8 + body.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put(id.getBytes("ISO-8859-1")).putInt(body.length).put(body)
+      out.array()
+    }
+    def le24(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte)
+    val vp8x = chunk("VP8X", Array[Byte](0x02, 0, 0, 0) ++ // animation
+      le24(15) ++ le24(15)) // canvas 16x16 (minus-one fields)
+    val anim = chunk("ANIM", Array[Byte](0, 0, 0, 0) ++
+      Array((loops & 0xff).toByte, ((loops >> 8) & 0xff).toByte))
+    // the frame payload: a real VP8L stream (bitstream-valid frames)
+    val vp8l = {
+      val whole = syntheticVp8lTwoTone(16, 16, (x, _) => x % 2 == 0,
+        0xff000000, 0xffffffff)
+      // strip its RIFF wrapper down to the VP8L chunk
+      java.util.Arrays.copyOfRange(whole, 12, whole.length)
+    }
+    val anmfs = delaysMs.toArray.flatMap { d =>
+      chunk("ANMF", le24(0) ++ le24(0) ++ le24(15) ++ le24(15) ++
+        le24(d) ++ Array[Byte](0) ++ vp8l)
+    }
+    val riffBody = "WEBP".getBytes("ISO-8859-1") ++ vp8x ++ anim ++ anmfs
+    val bb = java.nio.ByteBuffer.allocate(8 + riffBody.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ISO-8859-1")).putInt(riffBody.length)
+      .put(riffBody)
+    bb.array()
+  }
+
+  /** Animation facts for ANY animated image container — GIF or
+    * animated WebP, one dispatch ([[gifAnimationInfo]] /
+    * [[webpAnimationInfo]]). None for stills of other formats.
+    */
+  private[graft] def animationInfo(b: Array[Byte]): Option[GifAnim] =
+    gifAnimationInfo(b).orElse(webpAnimationInfo(b))
+
   /** TIFF value-type byte widths (BYTE..DOUBLE), 0 = unknown. */
   private val TiffTypeBytes =
     Array(0, 1, 1, 2, 4, 8, 1, 1, 2, 4, 8, 4, 8)

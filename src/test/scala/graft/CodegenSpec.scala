@@ -180,6 +180,8 @@ class CodegenSpec extends SparkSpec {
       M.textinessCol(col("b")),
       M.videoKeyframesCol(col("b")),
       M.scrubGpsCol(col("b")),
+      M.videoGpsPresentCol(col("b")),
+      M.scrubVideoGpsCol(col("b")),
       CatalystExpressions.cutTokenSpans(col("t"),
         expr("array(named_struct('span_begin', 0L, 'span_end', 1L))"))
     ).foreach { c =>

@@ -1260,6 +1260,55 @@ class SemanticSpec extends SparkSpec {
     assert(got(1L) == ((true, false)) && got(2L) == ((true, false)))
   }
 
+  test("videoGpsPresent/scrubVideoGps: the QuickTime ©xyz location atom — flag, scrub, survival") {
+    val M = Multimodal
+    val movie = M.syntheticMjpegMp4(
+      Seq(M.renderJpeg(8, 8, (_, _) => 0x606060)))
+    assert(M.videoGpsPresent(movie) == java.lang.Boolean.FALSE,
+      "a movie without a location atom is location-free")
+    val located = M.mp4WithGps(movie)
+    assert(M.videoGpsPresent(located) == java.lang.Boolean.TRUE)
+    assert(new String(located, "ISO-8859-1").contains("+37.7749-122.4194/"))
+    // scrub: same length, coordinates gone, movie still demuxes
+    val scrubbed = M.scrubVideoGps(located)
+    assert(scrubbed.length == located.length)
+    assert(M.videoGpsPresent(scrubbed) == java.lang.Boolean.FALSE)
+    assert(!new String(scrubbed, "ISO-8859-1").contains("37.7749"),
+      "coordinate BYTES zeroed, not just unreachable")
+    assert(M.mp4VideoTrack(scrubbed).isDefined,
+      "the sample tables survive the surgery")
+    assert(M.videoFingerprint64(scrubbed) != null &&
+      M.videoFingerprint64(scrubbed) == M.videoFingerprint64(movie),
+      "keyframe bytes untouched: exact dedup identity preserved")
+    // audio (M4A) containers carry the same atom
+    val m4a = M.mp4WithGps(M.syntheticM4a(1, 8000, 800L))
+    assert(M.videoGpsPresent(m4a) == java.lang.Boolean.TRUE)
+    assert(M.m4aAudioInfo(M.scrubVideoGps(m4a)).isDefined)
+    // non-BMFF and HEIF stills are null-unknown (stills are
+    // exifGpsPresent's job)
+    assert(M.videoGpsPresent("junk".getBytes("UTF-8")) == null)
+    assert(M.videoGpsPresent(M.syntheticAvif(8, 8, gps = true)) == null)
+    // clean bytes come back by reference
+    assert(M.scrubVideoGps(movie) eq movie)
+  }
+
+  test("animated WebP: ANMF frame walk mirrors the GIF facts; animationInfo dispatches both") {
+    val M = Multimodal
+    val anim = M.syntheticAnimatedWebp(Seq(40, 60, 100), loops = 3)
+    val a = M.webpAnimationInfo(anim).get
+    assert(a.frames == 3 && a.durationMs == 200L && a.loops == 3)
+    // a still WebP (lossless or lossy) is not an animation
+    assert(M.webpAnimationInfo(M.syntheticVp8lTwoTone(8, 8, (_, _) => false,
+      0xff000000, 0xffffffff)).isEmpty)
+    assert(M.webpAnimationInfo(M.syntheticWebp("vp8", 64, 48)).isEmpty)
+    // the container still reads as an image (VP8X header dims)
+    assert(M.webpInfo(anim).contains((16, 16, 3, "vp8x")))
+    // one dispatch covers both animated containers
+    assert(M.animationInfo(anim).get.frames == 3)
+    assert(M.animationInfo(M.syntheticGif(Seq(10, 20))).get.frames == 2)
+    assert(M.animationInfo(M.renderPng(4, 4, (_, _) => 0x123123)).isEmpty)
+  }
+
   test("HEIC: the iPhone HEIF brands share the AVIF walk — dims, GPS, format family") {
     // heic major brand: same meta/iprp/ipco walk, reported as heic
     val heic = Multimodal.syntheticAvif(4032, 3024, brand = "heic")
