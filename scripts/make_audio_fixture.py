@@ -121,6 +121,34 @@ def make_wav_tagged():
         fh.write(b"RIFF" + struct.pack("<I", len(body)) + body)
 
 
+def ext80(rate):
+    """IEEE 754 80-bit extended from an integer sample rate —
+    independent of the scala writer's normalization."""
+    bits = rate.bit_length()
+    exp = 16383 + bits - 1
+    mant = rate << (64 - bits)
+    return struct.pack(">H", exp) + struct.pack(">Q", mant)
+
+
+def make_aiff_tagged():
+    """AIFF with NAME/AUTH text chunks BEFORE the COMM (chunk order is
+    free per spec), an odd-length padded NAME, and an ANNO to skip."""
+    sr, ch, n = 11025, 1, 32
+    samples = b"".join(struct.pack(">h", 7000 if i % 2 == 0 else -7000)
+                       for i in range(n))
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack(">I", len(body)) + body + pad
+    comm = chunk(b"COMM", struct.pack(">HIH", ch, n, 16) + ext80(sr))
+    ssnd = chunk(b"SSND", struct.pack(">II", 0, 0) + samples)
+    body = (b"AIFF" + chunk(b"NAME", "Fïxture Aiff".encode("utf-8")) +
+            chunk(b"ANNO", b"skip me") +
+            chunk(b"AUTH", "Pythön Author".encode("utf-8")) +
+            comm + ssnd)
+    with open(os.path.join(FIX, "synthetic_tags.aiff"), "wb") as fh:
+        fh.write(b"FORM" + struct.pack(">I", len(body)) + body)
+
+
 if __name__ == "__main__":
     make_flac()
     make_opus()
@@ -128,4 +156,5 @@ if __name__ == "__main__":
     make_opus_tagged()
     make_vorbis_tagged()
     make_wav_tagged()
-    print("wrote synthetic[_tags].flac/.opus + synthetic_tags.ogg/.wav")
+    make_aiff_tagged()
+    print("wrote audio fixtures incl. synthetic_tags.aiff")

@@ -4724,7 +4724,14 @@ object SparkEntry {
       // (no Opus fixed-clock rule) — round 13's codec addition
       (6L, M.syntheticVorbis(2, 44100, 88200L)),
       (7L, M.syntheticVorbis(1, 22050, 11025L,
-        tags = Some(("T", "A", "B"))))
+        tags = Some(("T", "A", "B")))),
+      // AIFF: REAL PCM decode like WAV (80-bit extended sample rate),
+      // incl. the AIFF-C sowt little-endian variant — round 13
+      (8L, M.renderAiff(22050, 1,
+        Array.tabulate[Short](441)(i => if (i % 2 == 0) 9000 else -9000))),
+      (9L, M.renderAiff(8000, 2,
+        Array.tabulate[Short](320)(i => if (i % 2 == 0) 9000 else -9000),
+        sowt = true))
     ).toDF("aud_id", "content")
     M.audioStats(streams)
       .select(col("aud_id"), col("audio.codec").as("codec"),
@@ -4753,7 +4760,12 @@ object SparkEntry {
       | (CAST(6 AS BIGINT), 'vorbis', 2, 44100, CAST(NULL AS INTEGER),
       |  CAST(88200 AS BIGINT), CAST(88200 * 1000 // 44100 AS BIGINT), TRUE),
       | (CAST(7 AS BIGINT), 'vorbis', 1, 22050, CAST(NULL AS INTEGER),
-      |  CAST(11025 AS BIGINT), CAST(11025 * 1000 // 22050 AS BIGINT), TRUE)
+      |  CAST(11025 AS BIGINT), CAST(11025 * 1000 // 22050 AS BIGINT), TRUE),
+      | (CAST(8 AS BIGINT), 'pcm', 1, 22050, 16,
+      |  CAST(441 AS BIGINT), CAST(441 * 1000 // 22050 AS BIGINT), TRUE),
+      | (CAST(9 AS BIGINT), 'pcm', 2, 8000, 16,
+      |  CAST(320 AS BIGINT), CAST((320 // 2) * 1000 // 8000 AS BIGINT),
+      |  TRUE)
       |) AS t(aud_id, codec, channels, sample_rate, bits, n_samples,
       |       duration_ms, ok)
       |ORDER BY aud_id""".stripMargin
@@ -5357,7 +5369,10 @@ object SparkEntry {
         "Wave Title", "PCM Artist", "Lossless LP")),
       (13L, M.syntheticWebm("audio", channels = 2, sampleRate = 48000,
         durationMs = 2000L, codec = "A_OPUS",
-        tags = Some(("Matroska Lied", "Webm Wölfe", "Container LP"))))
+        tags = Some(("Matroska Lied", "Webm Wölfe", "Container LP")))),
+      (14L, M.renderAiff(8000, 1,
+        Array.tabulate[Short](16)(i => (i * 100).toShort),
+        name = "Aiff Air", author = "Endian Ensemble"))
     ).toDF("aud_id", "content")
     M.audioTags(rows)
       .select(col("aud_id"), col("tags.title").as("title"),
@@ -5389,7 +5404,10 @@ object SparkEntry {
       | (CAST(12 AS BIGINT), 'Wave Title', 'PCM Artist', 'Lossless LP',
       |  'wav'),
       | (CAST(13 AS BIGINT), 'Matroska Lied', 'Webm Wölfe', 'Container LP',
-      |  'matroska')
+      |  'matroska'),
+      | -- AIFF has no album convention: NAME/AUTH only
+      | (CAST(14 AS BIGINT), 'Aiff Air', 'Endian Ensemble',
+      |  CAST(NULL AS VARCHAR), 'aiff')
       |) AS t(aud_id, title, artist, album, tag_format)
       |ORDER BY aud_id""".stripMargin
 

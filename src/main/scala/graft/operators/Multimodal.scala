@@ -2256,7 +2256,10 @@ object Multimodal {
     * chunks, or a `data` size pointing past the buffer (truncated
     * upload) — callers degrade per-row.
     */
-  private[graft] def pcmSamples(b: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
+  private[graft] def pcmSamples(b: Array[Byte]): Option[(Int, Int, Int, Array[Int])] =
+    wavSamples(b).orElse(aiffSamples(b))
+
+  private def wavSamples(b: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
     if (b == null || b.length < 44 ||
       !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||
       !(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
@@ -2309,6 +2312,185 @@ object Multimodal {
         a
       }
     Some((channels, sampleRate, bits, out))
+  }
+
+  /** PCM decode for AIFF / AIFF-C — the other uncompressed-audio
+    * container crawls deliver (the Apple legacy next to WAV): FORM
+    * chunks big-endian, `COMM` carries channels / frame count /
+    * bits / the 80-bit extended sample rate, `SSND` the samples
+    * (big-endian signed; AIFF-C `sowt` = little-endian 16-bit, the
+    * common modern variant; other compression types are rejected —
+    * no codec in the loop). 8-bit AIFF is SIGNED, unlike WAV.
+    */
+  private def aiffSamples(b: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
+    if (b == null || b.length < 20 ||
+      !(b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M')) return None
+    val form = new String(b, 8, 4, "ISO-8859-1")
+    if (form != "AIFF" && form != "AIFC") return None
+    @inline def u16(o: Int): Int = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    @inline def u32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    // IEEE 754 80-bit extended: sign+15-bit exponent, 64-bit mantissa
+    // with an explicit integer bit — how AIFF stores the sample rate
+    def ext80(o: Int): Int = {
+      val exp = (((b(o) & 0x7f) << 8) | (b(o + 1) & 0xff)) - 16383
+      var mant = 0L
+      var i = 0
+      while (i < 8) { mant = (mant << 8) | (b(o + 2 + i) & 0xffL); i += 1 }
+      if (mant == 0 || exp < -63 || exp > 31) return -1
+      val shift = exp - 63
+      val v = if (shift >= 0) mant << shift else mant >>> -shift
+      if (v > 0 && v <= Int.MaxValue) v.toInt else -1
+    }
+    var channels = -1
+    var bits = -1
+    var rate = -1
+    var frames = -1L
+    var little = false
+    var compOk = true
+    var dataOff = -1
+    var dataLen = -1L
+    var i = 12
+    while (i + 8 <= b.length) {
+      val id = new String(b, i, 4, "ISO-8859-1")
+      val size = u32(i + 4)
+      val body = i + 8
+      if (id == "COMM" && size >= 18 && body + 18 <= b.length) {
+        channels = u16(body)
+        frames = u32(body + 2)
+        bits = u16(body + 6)
+        rate = ext80(body + 8)
+        if (form == "AIFC") {
+          compOk = size >= 22 && body + 22 <= b.length && {
+            val c = new String(b, body + 18, 4, "ISO-8859-1")
+            little = c == "sowt"
+            c == "NONE" || c == "sowt"
+          }
+        }
+      } else if (id == "SSND" && size >= 8 && body + 8 <= b.length) {
+        val off = u32(body)
+        if (off >= 0 && off <= size - 8) {
+          dataOff = (body + 8 + off).toInt
+          dataLen = size - 8 - off
+        }
+      }
+      if (size < 0 || size > Int.MaxValue - i - 9) i = b.length
+      else i += 8 + size.toInt + (size.toInt & 1) // word alignment
+    }
+    if (!compOk || channels < 1 || rate <= 0 || dataOff < 0 ||
+      (bits != 16 && bits != 8) ||
+      dataOff.toLong + dataLen > b.length) return None
+    val wanted = frames * channels * (bits / 8)
+    val len = math.min(dataLen, if (frames >= 0) wanted else dataLen).toInt
+    val out =
+      if (bits == 16) {
+        val n = len / 2
+        val a = new Array[Int](n)
+        var k = 0
+        while (k < n) {
+          val o = dataOff + 2 * k
+          a(k) =
+            (if (little) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+             else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)).toShort.toInt
+          k += 1
+        }
+        a
+      } else {
+        val a = new Array[Int](len)
+        var k = 0
+        while (k < len) { a(k) = b(dataOff + k).toInt; k += 1 } // signed
+        a
+      }
+    Some((channels, rate, bits, out))
+  }
+
+  /** AIFF declared tags — the `NAME`/`AUTH` text chunks (AIFF-1.3
+    * §Text Chunks); AIFF has no album convention, so album stays
+    * null. None for non-AIFF bytes or a file with neither chunk.
+    */
+  private[graft] def aiffTags(b: Array[Byte]): Option[(String, String, String, String)] = {
+    if (b == null || b.length < 12 ||
+      !(b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M')) return None
+    val form = new String(b, 8, 4, "ISO-8859-1")
+    if (form != "AIFF" && form != "AIFC") return None
+    @inline def u32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    var title: String = null
+    var author: String = null
+    var saw = false
+    var i = 12
+    while (i + 8 <= b.length) {
+      val id = new String(b, i, 4, "ISO-8859-1")
+      val size = u32(i + 4)
+      if (size < 0 || i + 8 + size > b.length) i = b.length
+      else {
+        val body = i + 8
+        val end = (body + size).toInt
+        id match {
+          case "NAME" =>
+            saw = true
+            title = new String(b, body, end - body,
+              java.nio.charset.StandardCharsets.UTF_8)
+          case "AUTH" =>
+            saw = true
+            author = new String(b, body, end - body,
+              java.nio.charset.StandardCharsets.UTF_8)
+          case _ => ()
+        }
+        i = end + (size.toInt & 1)
+      }
+    }
+    if (!saw) None else Some((title, author, null, "aiff"))
+  }
+
+  /** Render an AIFF (or AIFF-C `sowt`) from 16-bit samples — the
+    * [[renderWav]] twin; optional NAME/AUTH text chunks.
+    */
+  private[graft] def renderAiff(sampleRate: Int, channels: Int,
+      samples: Array[Short], sowt: Boolean = false,
+      name: String = null, author: String = null): Array[Byte] = {
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length & 1
+      val out = java.nio.ByteBuffer.allocate(8 + body.length + pad)
+      out.put(id.getBytes("ISO-8859-1")).putInt(body.length).put(body)
+      out.array()
+    }
+    def ext80Of(v: Int): Array[Byte] = {
+      // normalize v into 1.63 fixed point: exponent 16383 + (bits-1)
+      val bitsN = 32 - Integer.numberOfLeadingZeros(v)
+      val exp = 16383 + bitsN - 1
+      val mant = v.toLong << (64 - bitsN)
+      java.nio.ByteBuffer.allocate(10)
+        .putShort(exp.toShort).putLong(mant).array()
+    }
+    val comm = chunk("COMM", java.nio.ByteBuffer
+      .allocate(if (sowt) 18 + 4 + 2 else 18)
+      .putShort(channels.toShort)
+      .putInt(samples.length / channels)
+      .putShort(16)
+      .put(ext80Of(sampleRate)) match {
+        case bb if sowt =>
+          bb.put("sowt".getBytes("ISO-8859-1")).putShort(0).array()
+        case bb => bb.array()
+      })
+    val data = java.nio.ByteBuffer.allocate(8 + samples.length * 2)
+    data.putInt(0).putInt(0) // offset, blockSize
+    samples.foreach { s =>
+      if (sowt) { data.put((s & 0xff).toByte).put(((s >> 8) & 0xff).toByte) }
+      else data.putShort(s)
+    }
+    val ssnd = chunk("SSND", data.array())
+    val texts = Option(name).map(n =>
+      chunk("NAME", n.getBytes("UTF-8"))).getOrElse(Array.emptyByteArray) ++
+      Option(author).map(a =>
+        chunk("AUTH", a.getBytes("UTF-8"))).getOrElse(Array.emptyByteArray)
+    val form = (if (sowt) "AIFC" else "AIFF").getBytes("ISO-8859-1") ++
+      comm ++ texts ++ ssnd
+    val bb = java.nio.ByteBuffer.allocate(8 + form.length)
+    bb.put("FORM".getBytes("ISO-8859-1")).putInt(form.length).put(form)
+    bb.array()
   }
 
   /** Parsed MPEG audio (the MP3 family) stream facts from a pure-JDK
@@ -2411,7 +2593,10 @@ object Multimodal {
       (b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
       (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42) ||
       (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') ||
-      (b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S')
+      (b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S') ||
+      (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M') || // AIFF
+      (b(0) == 0x1A.toByte && b(1) == 0x45.toByte &&
+        b(2) == 0xDF.toByte && b(3) == 0xA3.toByte) // EBML
 
   private[graft] def mpegAudioInfo(b: Array[Byte]): Option[MpegAudioInfo] = {
     if (b == null || b.length < 8 || knownNonAudioMagic(b)) return None
@@ -3489,7 +3674,7 @@ object Multimodal {
             (try id3v2Tags(bytes).orElse(m4aTags(bytes))
               .orElse(flacTags(bytes)).orElse(opusTags(bytes))
               .orElse(vorbisTags(bytes)).orElse(wavInfoTags(bytes))
-              .orElse(webmTags(bytes))
+              .orElse(webmTags(bytes)).orElse(aiffTags(bytes))
             catch { case _: Throwable => None }) match {
               case Some((t, a, al, fmt)) => Row(t, a, al, fmt)
               case None => Row(null, null, null, null)

@@ -1260,6 +1260,59 @@ class SemanticSpec extends SparkSpec {
     assert(got(1L) == ((true, false)) && got(2L) == ((true, false)))
   }
 
+  test("AIFF/AIFF-C: real PCM decode (big-endian + sowt), 80-bit rate, NAME/AUTH tags") {
+    val M = Multimodal
+    // closed-form samples: alternating ±9000 square at 22050 Hz mono
+    val sq = Array.tabulate[Short](441)(i => if (i % 2 == 0) 9000 else -9000)
+    val aiff = M.renderAiff(22050, 1, sq)
+    val Some((ch, sr, bits, s)) = M.pcmSamples(aiff)
+    assert(ch == 1 && sr == 22050 && bits == 16 && s.length == 441)
+    assert(s(0) == 9000 && s(1) == -9000)
+    // AIFF-C sowt (little-endian): identical samples through the
+    // other byte order, 44100 exercises a different ext80 exponent
+    val sowt = M.renderAiff(44100, 2, sq ++ sq, sowt = true)
+    val Some((ch2, sr2, _, s2)) = M.pcmSamples(sowt)
+    assert(ch2 == 2 && sr2 == 44100 && s2.length == 882 && s2(0) == 9000)
+    // stats surface: exact integer arithmetic like WAV
+    val st = M.audioStats(Seq((1L, aiff)).toDF("id", "content"))
+      .select("audio.ok", "audio.codec", "audio.sample_rate",
+        "audio.n_samples", "audio.rms_norm").head()
+    assert(st.getBoolean(0) && st.getString(1) == "pcm" &&
+      st.getInt(2) == 22050 && st.getLong(3) == 441L)
+    assert(st.getDouble(4) == BigDecimal(9000.0 / 32767)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // the perceptual hash runs on AIFF PCM like WAV PCM: the same
+    // samples in both containers hash identically (cross-container
+    // dedup for uncompressed audio)
+    val wav = M.renderWav(22050, 1, sq)
+    assert(M.audioHash64(aiff) != null &&
+      M.audioHash64(aiff) == M.audioHash64(wav))
+    // tags: NAME/AUTH; album stays null (AIFF has no album chunk)
+    val tagged = M.renderAiff(8000, 1, sq.take(16),
+      name = "Aiff Tïtle", author = "Big Endian Bänd")
+    assert(M.aiffTags(tagged).contains(
+      ("Aiff Tïtle", "Big Endian Bänd", null, "aiff")))
+    assert(M.aiffTags(aiff).isEmpty, "untagged AIFF reports None")
+    val out = M.audioTags(Seq((1L, tagged)).toDF("id", "content"))
+      .select("tags.title", "tags.album", "tags.tag_format").head()
+    assert(out.getString(0) == "Aiff Tïtle" && out.isNullAt(1) &&
+      out.getString(2) == "aiff")
+    // magic discipline: AIFF never parses as MPEG/ADTS (sample bytes
+    // can chance-contain sync patterns — the BMP lesson), and junk
+    // FORM containers degrade
+    assert(M.mpegAudioInfo(aiff).isEmpty && M.adtsAudioInfo(aiff).isEmpty)
+    assert(M.pcmSamples("FORMxxxxJUNK".getBytes("ISO-8859-1")).isEmpty)
+    // python fixture cross-check: text chunks BEFORE COMM, padded
+    // odd-length NAME, an ANNO chunk to step over
+    val fixAiff = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/fixtures/synthetic_tags.aiff").toURI))
+    assert(M.aiffTags(fixAiff).contains(
+      ("Fïxture Aiff", "Pythön Author", null, "aiff")))
+    val Some((fc, fr, fb, fs)) = M.pcmSamples(fixAiff)
+    assert(fc == 1 && fr == 11025 && fb == 16 && fs.length == 32 &&
+      fs(0) == 7000 && fs(1) == -7000)
+  }
+
   test("videoGpsPresent/scrubVideoGps: the QuickTime ©xyz location atom — flag, scrub, survival") {
     val M = Multimodal
     val movie = M.syntheticMjpegMp4(
