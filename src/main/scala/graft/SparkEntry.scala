@@ -5718,6 +5718,43 @@ object SparkEntry {
       |) AS t(vid_id, gps_before, gps_after, fingerprint_kept, keyframes)
       |ORDER BY vid_id""".stripMargin
 
+  /** JPEG XL header facts ([[graft.operators.Multimodal.jxlInfo]] —
+    * the ISO 18181 SizeHeader bit walk: shared div8 flag, the
+    * 9/13/18/30-bit size selector, the 7-entry aspect-ratio table,
+    * naked codestream and BMFF `jxlc` container): the newest crawled
+    * image format classifies as an image with real dimensions
+    * instead of riding the raw stub.
+    */
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    val rows = Seq(
+      (1L, M.syntheticJxl(1920, 1080)),
+      (2L, M.syntheticJxl(256, 64, div8 = true)),
+      (3L, M.syntheticJxl(0, 1080, ratio = 5)), // 16:9 -> 1920
+      (4L, M.syntheticJxl(800, 600, container = true)),
+      (5L, "not a jxl".getBytes("UTF-8"))
+    ).toDF("img_id", "content")
+    M.imageStats(M.decode(rows))
+      .select(col("img_id"),
+        col("decoded.format").as("format"),
+        col("decoded.width").as("width"),
+        col("decoded.height").as("height"),
+        col("stats.ok").as("is_image"))
+      .orderBy(col("img_id"))
+  }
+
+  private def jxlOracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(1 AS BIGINT), 'jxl', 1920, 1080, TRUE),
+      | (CAST(2 AS BIGINT), 'jxl', 256, 64, TRUE),
+      | (CAST(3 AS BIGINT), 'jxl', 1920, 1080, TRUE),
+      | (CAST(4 AS BIGINT), 'jxl', 800, 600, TRUE),
+      | -- junk rides the raw stub at len = 9
+      | (CAST(5 AS BIGINT), 'raw', 64 + 9, 64 + 279, FALSE)
+      |) AS t(img_id, format, width, height, is_image)
+      |ORDER BY img_id""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -5898,7 +5935,8 @@ object SparkEntry {
     "q173_webm" -> (q173 _),
     "q174_anim" -> (q174 _),
     "q175_gpscrub" -> (q175 _),
-    "q176_vidgps" -> (q176 _))
+    "q176_vidgps" -> (q176 _),
+    "q177_jxl" -> (q177 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -6325,6 +6363,7 @@ object SparkEntry {
     "q174_anim" -> gifAnimOracle,
     "q175_gpscrub" -> scrubGpsOracle,
     "q176_vidgps" -> videoGpsOracle,
+    "q177_jxl" -> jxlOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

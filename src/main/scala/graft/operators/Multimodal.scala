@@ -102,6 +102,15 @@ object Multimodal {
         case None => decodeMp4(bytes)
       }
     if (isTiffMagic(bytes)) return decodeTiff(bytes)
+    if ((bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0x0A) ||
+        (bytes.length >= 12 && bytes(0) == 0 && bytes(3) == 0x0C &&
+          bytes(4) == 'J' && bytes(5) == 'X' && bytes(6) == 'L'))
+      return jxlInfo(bytes) match {
+        case Some((w, h)) => meta(width = w, height = h, channels = 3,
+          format = "jxl")
+        case None => meta(format = "jxl", ok = false,
+          error = "unparseable JXL SizeHeader")
+      }
     if (bytes.length >= 8 && bytes(0) == 0x1A.toByte &&
         bytes(1) == 0x45.toByte && bytes(2) == 0xDF.toByte &&
         bytes(3) == 0xA3.toByte)
@@ -806,6 +815,130 @@ object Multimodal {
     }
     out.write(0x3B)
     out.toByteArray
+  }
+
+  /** JPEG XL image dimensions — the SizeHeader of a naked codestream
+    * (`FF 0A`, ISO/IEC 18181-1: LSB-first bits, shared div8 flag,
+    * 9/13/18/30-bit size selector, the 7-entry aspect-ratio table)
+    * or the same codestream inside the ISO-BMFF container's `jxlc`
+    * box (18181-2). Header facts only — a modular/VarDCT decoder is
+    * far out of pure-JDK scope — but the card must classify the
+    * newest crawled-image format as an image with real dimensions.
+    */
+  private[graft] def jxlInfo(b: Array[Byte]): Option[(Int, Int)] = try {
+    if (b == null || b.length < 4) return None
+    if (b(0) == 0xFF.toByte && b(1) == 0x0A)
+      return jxlCodestreamDims(b, 0, b.length)
+    // container: the 12-byte JXL signature box, then BMFF boxes
+    if (b.length >= 20 && b(0) == 0 && b(1) == 0 && b(2) == 0 &&
+      b(3) == 0x0C && b(4) == 'J' && b(5) == 'X' && b(6) == 'L' &&
+      b(7) == ' ' && (b(8) & 0xff) == 0x0D && (b(9) & 0xff) == 0x0A &&
+      (b(10) & 0xff) == 0x87 && (b(11) & 0xff) == 0x0A) {
+      @inline def u32(o: Int): Long =
+        ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+          ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+      var i = 12
+      while (i + 8 <= b.length) {
+        val size = u32(i)
+        val id = new String(b, i + 4, 4, "ISO-8859-1")
+        val boxEnd = if (size == 0) b.length.toLong else i + size
+        if (boxEnd < i + 8 || boxEnd > b.length) return None
+        if (id == "jxlc") return jxlCodestreamDims(b, i + 8, boxEnd.toInt)
+        i = boxEnd.toInt
+      }
+      return None
+    }
+    None
+  } catch { case _: Throwable => None }
+
+  private def jxlCodestreamDims(b: Array[Byte], off: Int,
+      end: Int): Option[(Int, Int)] = {
+    if (off + 2 > end || b(off) != 0xFF.toByte || b(off + 1) != 0x0A)
+      return None
+    var pos = 0 // bit cursor after the signature, LSB-first
+    var ok = true
+    def u(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val at = off + 2 + (pos >> 3)
+        if (at >= end) { ok = false; return 0 }
+        v |= ((b(at) >> (pos & 7)) & 1) << i
+        pos += 1
+        i += 1
+      }
+      v
+    }
+    val selBits = Array(9, 13, 18, 30)
+    def coded(div8: Boolean): Int =
+      if (div8) (u(5) + 1) * 8
+      else u(selBits(u(2))) + 1
+    val div8 = u(1) == 1
+    val ysize = coded(div8)
+    val ratio = u(3)
+    // the spec's aspect table: xsize = ysize * num / den
+    val ratios = Array((0, 0), (1, 1), (12, 10), (4, 3), (3, 2),
+      (16, 9), (5, 4), (2, 1))
+    val xsize =
+      if (ratio == 0) coded(div8)
+      else {
+        val (num, den) = ratios(ratio)
+        (ysize.toLong * num / den).toInt
+      }
+    if (!ok || xsize <= 0 || ysize <= 0 || xsize > (1 << 30) ||
+      ysize > (1 << 30)) None
+    else Some((xsize, ysize))
+  }
+
+  /** Minimal JPEG XL header bytes from the given dims — the
+    * SizeHeader only (enough for [[jxlInfo]]; nothing downstream
+    * decodes JXL pixels). `div8`/`ratio` pick the coding paths;
+    * `container = true` wraps the codestream in the 18181-2 BMFF
+    * layout (signature + ftyp + jxlc).
+    */
+  private[graft] def syntheticJxl(w: Int, h: Int, div8: Boolean = false,
+      ratio: Int = 0, container: Boolean = false): Array[Byte] = {
+    val bits = new java.util.BitSet()
+    var n = 0
+    def put(value: Int, nbits: Int): Unit = {
+      var i = 0
+      while (i < nbits) {
+        if (((value >> i) & 1) == 1) bits.set(n)
+        n += 1
+        i += 1
+      }
+    }
+    def putCoded(v: Int): Unit =
+      if (div8) { require(v % 8 == 0 && v <= 256); put(v / 8 - 1, 5) }
+      else { put(3, 2); put(v - 1, 30) } // 30-bit selector
+    put(if (div8) 1 else 0, 1)
+    putCoded(h)
+    put(ratio, 3)
+    if (ratio == 0) putCoded(w)
+    val nBytes = (n + 7) / 8
+    val body = new Array[Byte](2 + nBytes)
+    body(0) = 0xFF.toByte
+    body(1) = 0x0A
+    var i = 0
+    while (i < n) {
+      if (bits.get(i)) body(2 + (i >> 3)) = (body(2 + (i >> 3)) |
+        (1 << (i & 7))).toByte
+      i += 1
+    }
+    if (!container) body
+    else {
+      def box(id: String, payload: Array[Byte]): Array[Byte] = {
+        val out = java.nio.ByteBuffer.allocate(8 + payload.length)
+        out.putInt(8 + payload.length).put(id.getBytes("ISO-8859-1"))
+          .put(payload)
+        out.array()
+      }
+      Array[Byte](0, 0, 0, 0x0C, 'J', 'X', 'L', ' ',
+        0x0D, 0x0A, 0x87.toByte, 0x0A) ++
+        box("ftyp", "jxl ".getBytes("ISO-8859-1") ++ new Array[Byte](4) ++
+          "jxl ".getBytes("ISO-8859-1")) ++
+        box("jxlc", body)
+    }
   }
 
   /** HEIF still-image brand families — every ftyp brand that marks
@@ -2229,16 +2362,23 @@ object Multimodal {
                 val gps = exifGpsPresent(bytes) == java.lang.Boolean.TRUE
                 Row(w, h, null, null, null, null, gps, true, null)
               case None => avifInfo(bytes) match {
-                // AVIF: header-facts image like lossy WebP (an AV1
-                // decoder is out of pure-JDK scope); gps is REAL —
-                // [[avifExifRegion]] walks the iinf/iloc item
-                // indirection to the embedded TIFF block
+                // AVIF/HEIC: header-facts image like lossy WebP
+                // (AV1/HEVC decoders are out of pure-JDK scope); gps
+                // is REAL — [[avifExifRegion]] walks the iinf/iloc
+                // item indirection to the embedded TIFF block
                 case Some((w, h, _)) =>
                   val gps = exifGpsPresent(bytes) == java.lang.Boolean.TRUE
                   Row(w, h, null, null, null, null, gps, true, null)
-                case None =>
-                  Row(null, null, null, null, null, null, null, false,
-                    "not a decodable raster")
+                case None => jxlInfo(bytes) match {
+                  // JPEG XL: header-facts image; gps stays
+                  // null-unknown (the container CAN carry an Exif
+                  // box we don't walk yet)
+                  case Some((w, h)) =>
+                    Row(w, h, null, null, null, null, null, true, null)
+                  case None =>
+                    Row(null, null, null, null, null, null, null, false,
+                      "not a decodable raster")
+                }
               }
             }
           }
@@ -4608,6 +4748,7 @@ object Multimodal {
     }
     else if (bytes(0) == 0x1A.toByte && bytes(1) == 0x45.toByte &&
       bytes(2) == 0xDF.toByte && bytes(3) == 0xA3.toByte) "video/webm"
+    else if (jxlInfo(bytes).isDefined) "image/jxl"
     else "application/octet-stream"
   }
 

@@ -1260,6 +1260,44 @@ class SemanticSpec extends SparkSpec {
     assert(got(1L) == ((true, false)) && got(2L) == ((true, false)))
   }
 
+  test("JPEG XL: SizeHeader bit walk — codestream + container, div8, ratio table") {
+    val M = Multimodal
+    // general 30-bit coding, explicit xsize
+    assert(M.jxlInfo(M.syntheticJxl(1920, 1080)).contains((1920, 1080)))
+    // div8 small form (dims multiples of 8, <= 256)
+    assert(M.jxlInfo(M.syntheticJxl(256, 64, div8 = true))
+      .contains((256, 64)))
+    // ratio-coded xsize: 16:9 of ysize (ratio index 5)
+    assert(M.jxlInfo(M.syntheticJxl(0, 1080, ratio = 5))
+      .contains((1920, 1080)))
+    // 4:3 (index 3) in div8 form
+    assert(M.jxlInfo(M.syntheticJxl(0, 48, div8 = true, ratio = 3))
+      .contains((64, 48)))
+    // BMFF container with jxlc box
+    assert(M.jxlInfo(M.syntheticJxl(800, 600, container = true))
+      .contains((800, 600)))
+    // python fixture cross-check
+    val fixJxl = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/fixtures/synthetic.jxl").toURI))
+    assert(M.jxlInfo(fixJxl).contains((1234, 777)))
+    val fixJxlC = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/fixtures/synthetic_container.jxl").toURI))
+    assert(M.jxlInfo(fixJxlC).contains((320, 240)))
+    // truncated/junk degrade
+    assert(M.jxlInfo(Array[Byte](0xFF.toByte, 0x0A)).isEmpty)
+    assert(M.jxlInfo("junk".getBytes("UTF-8")).isEmpty)
+    // decode/stats/mime surfaces classify jxl as an image
+    val d = M.imageStats(M.decode(Seq((1L, fixJxl)).toDF("id", "content")))
+      .select("decoded.format", "decoded.width", "stats.ok",
+        "stats.width").head()
+    assert(d.getString(0) == "jxl" && d.getInt(1) == 1234 &&
+      d.getBoolean(2) && d.getInt(3) == 1234)
+    assert(M.sniffMime(fixJxlC) == "image/jxl")
+    // a JXL container never reads as a movie or HEIF still
+    assert(M.heifBrand(fixJxlC).isEmpty)
+    assert(M.mp4VideoTrack(fixJxlC).isEmpty)
+  }
+
   test("AIFF/AIFF-C: real PCM decode (big-endian + sowt), 80-bit rate, NAME/AUTH tags") {
     val M = Multimodal
     // closed-form samples: alternating ±9000 square at 22050 Hz mono
