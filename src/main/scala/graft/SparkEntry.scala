@@ -5652,7 +5652,8 @@ object SparkEntry {
       (2L, M.pngWithExif(M.renderPng(6, 4, (_, _) => 0x335577), gps = true)),
       (3L, M.syntheticAvif(320, 200, gps = true)),
       (4L, M.syntheticAvif(640, 480, gps = true, brand = "heic")),
-      (5L, M.renderPng(8, 8, (_, _) => 0x224466)) // clean: no-op scrub
+      (5L, M.renderPng(8, 8, (_, _) => 0x224466)), // clean: no-op scrub
+      (6L, M.syntheticJxl(320, 240, container = true, gps = true))
     ).toDF("img_id", "content")
     val before = M.imageStats(rows)
       .select(col("img_id"), col("stats.exif_gps").as("gps_before"))
@@ -5669,7 +5670,9 @@ object SparkEntry {
       | (CAST(2 AS BIGINT), TRUE, FALSE, TRUE, 6),
       | (CAST(3 AS BIGINT), TRUE, FALSE, TRUE, 320),
       | (CAST(4 AS BIGINT), TRUE, FALSE, TRUE, 640),
-      | (CAST(5 AS BIGINT), FALSE, FALSE, TRUE, 8)
+      | (CAST(5 AS BIGINT), FALSE, FALSE, TRUE, 8),
+      | -- the JXL container's raw Exif box, sixth carrier
+      | (CAST(6 AS BIGINT), TRUE, FALSE, TRUE, 320)
       |) AS t(img_id, gps_before, gps_after, is_image, width)
       |ORDER BY img_id""".stripMargin
 

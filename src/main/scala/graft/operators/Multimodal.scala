@@ -897,7 +897,9 @@ object Multimodal {
     * layout (signature + ftyp + jxlc).
     */
   private[graft] def syntheticJxl(w: Int, h: Int, div8: Boolean = false,
-      ratio: Int = 0, container: Boolean = false): Array[Byte] = {
+      ratio: Int = 0, container: Boolean = false,
+      gps: Boolean = false): Array[Byte] = {
+    require(!gps || container, "only the container form carries EXIF")
     val bits = new java.util.BitSet()
     var n = 0
     def put(value: Int, nbits: Int): Unit = {
@@ -933,11 +935,26 @@ object Multimodal {
           .put(payload)
         out.array()
       }
+      val exif =
+        if (!gps) Array.emptyByteArray
+        else {
+          // raw Exif box: u32 tiff offset + a minimal LE TIFF whose
+          // IFD0 carries the GPS pointer (the HEIF ExifDataBlock shape)
+          val tiff = java.nio.ByteBuffer.allocate(8 + 2 + 12 + 4 + 6)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          tiff.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+          tiff.putShort(1)
+          tiff.putShort(0x8825.toShort).putShort(4).putInt(1)
+            .putInt(8 + 2 + 12 + 4)
+          tiff.putInt(0)
+          tiff.putShort(0).putInt(0)
+          box("Exif", Array[Byte](0, 0, 0, 0) ++ tiff.array())
+        }
       Array[Byte](0, 0, 0, 0x0C, 'J', 'X', 'L', ' ',
         0x0D, 0x0A, 0x87.toByte, 0x0A) ++
         box("ftyp", "jxl ".getBytes("ISO-8859-1") ++ new Array[Byte](4) ++
           "jxl ".getBytes("ISO-8859-1")) ++
-        box("jxlc", body)
+        exif ++ box("jxlc", body)
     }
   }
 
@@ -1521,6 +1538,36 @@ object Multimodal {
         bytes(t + 5) == 0) t += 6
       return (t.toLong << 32) | end.toLong
     }
+    // JXL container: a raw `Exif` box (18181-2 §metadata) shaped like
+    // the HEIF ExifDataBlock — u32 tiff offset, then the TIFF block
+    if (bytes.length >= 20 && bytes(0) == 0 && bytes(3) == 0x0C &&
+      bytes(4) == 'J' && bytes(5) == 'X' && bytes(6) == 'L' &&
+      bytes(7) == ' ') {
+      @inline def u32(o: Int): Long =
+        ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+          ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+      var i = 12
+      while (i + 8 <= bytes.length) {
+        val size = u32(i)
+        val id = new String(bytes, i + 4, 4, "ISO-8859-1")
+        val boxEnd = if (size == 0) bytes.length.toLong else i + size
+        if (boxEnd < i + 8 || boxEnd > bytes.length) return -1L
+        if (id == "Exif" && boxEnd - i >= 12 + 4) {
+          val p0 = i + 8
+          val hdrOff = u32(p0)
+          if (hdrOff < 0 || p0 + 4 + hdrOff >= boxEnd) return -1L
+          var t = (p0 + 4 + hdrOff).toInt
+          if (boxEnd - t >= 6 && bytes(t) == 'E' && bytes(t + 1) == 'x' &&
+            bytes(t + 2) == 'i' && bytes(t + 3) == 'f' &&
+            bytes(t + 4) == 0 && bytes(t + 5) == 0) t += 6
+          return (t.toLong << 32) | boxEnd
+        }
+        i = boxEnd.toInt
+      }
+      return -1L
+    }
+    // a naked JXL codestream has no metadata container at all
+    if (bytes(0) == 0xFF.toByte && bytes(1) == 0x0A) return -2L
     if (!(bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte)) return -2L
     val r = exifApp1Region(bytes)
     if (r < 0) -1L else r
@@ -2370,11 +2417,13 @@ object Multimodal {
                   val gps = exifGpsPresent(bytes) == java.lang.Boolean.TRUE
                   Row(w, h, null, null, null, null, gps, true, null)
                 case None => jxlInfo(bytes) match {
-                  // JPEG XL: header-facts image; gps stays
-                  // null-unknown (the container CAN carry an Exif
-                  // box we don't walk yet)
+                  // JPEG XL: header-facts image; gps is REAL for the
+                  // container form (its raw Exif box feeds the same
+                  // TIFF scan), null-unknown for a naked codestream
+                  // (which has no metadata container at all)
                   case Some((w, h)) =>
-                    Row(w, h, null, null, null, null, null, true, null)
+                    Row(w, h, null, null, null, null,
+                      exifGpsPresent(bytes), true, null)
                   case None =>
                     Row(null, null, null, null, null, null, null, false,
                       "not a decodable raster")

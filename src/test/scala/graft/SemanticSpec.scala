@@ -1296,6 +1296,18 @@ class SemanticSpec extends SparkSpec {
     // a JXL container never reads as a movie or HEIF still
     assert(M.heifBrand(fixJxlC).isEmpty)
     assert(M.mp4VideoTrack(fixJxlC).isEmpty)
+    // GPS: the container's raw Exif box feeds the same TIFF scan —
+    // flag, scrub, and survival, like every other carrier
+    val gpsJxl = M.syntheticJxl(320, 240, container = true, gps = true)
+    assert(M.exifGpsPresent(gpsJxl) == java.lang.Boolean.TRUE)
+    assert(M.exifGpsPresent(fixJxlC) == java.lang.Boolean.FALSE,
+      "a container without an Exif box is location-free")
+    assert(M.exifGpsPresent(M.syntheticJxl(8, 8)) == null,
+      "a naked codestream has no metadata container: unknown")
+    val scrubbed = M.scrubGps(gpsJxl)
+    assert(M.exifGpsPresent(scrubbed) == java.lang.Boolean.FALSE)
+    assert(scrubbed.length == gpsJxl.length)
+    assert(M.jxlInfo(scrubbed).contains((320, 240)), "dims survive the scrub")
   }
 
   test("AIFF/AIFF-C: real PCM decode (big-endian + sowt), 80-bit rate, NAME/AUTH tags") {
