@@ -5758,6 +5758,64 @@ object SparkEntry {
       |) AS t(img_id, format, width, height, is_image)
       |ORDER BY img_id""".stripMargin
 
+  /** Mixed-corpus dedup ([[graft.operators.Dedup.mediaDedupCorpus]] —
+    * ONE call over a raw crawl dump: header-fact modality dispatch,
+    * then each asset through its modality's corpus operator, united
+    * in the `dup_class`/`keep` convention): planted classes per
+    * modality — byte-identical PNG twins (dHash Hamming 0), identical
+    * WAV squares (audioHash Hamming 0), a re-MUXED video pair (same
+    * keyframe bitstream, different chunk tables — the exact
+    * fingerprint collapses them, byte equality would NOT), and
+    * byte-identical junk through the exact fallback. Distinct assets
+    * of each modality stay unique. The oracle restates the planted
+    * classes as literals.
+    */
+  private def q178(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    val pngA = M.renderPng(64, 64, (x, _) => if (x % 8 >= 4) gray(230) else gray(20))
+    val pngB = M.renderPng(64, 64, (x, y) => if ((x / 16 + y / 16) % 2 == 0) gray(240) else gray(10))
+    def square(amp: Int => Int) =
+      Array.tabulate[Short](2048)(i =>
+        (if (i % 2 == 0) amp(i) else -amp(i)).toShort)
+    val wavA = M.renderWav(8000, 1, square(i => 2000 + i * 14)) // rising
+    val wavB = M.renderWav(8000, 1, square(_ => 9000)) // constant
+    val frames = Seq(M.renderJpeg(16, 8, (_, _) => gray(99)),
+      M.renderJpeg(16, 8, (_, _) => gray(180)))
+    val vidA = M.syntheticMjpegMp4(frames)
+    val vidARemux = M.syntheticMjpegMp4(frames, samplesPerChunk = 1)
+    val vidB = M.syntheticMjpegMp4(Seq(M.renderJpeg(16, 8, (_, _) => gray(40))))
+    val junkA = "same junk bytes".getBytes("UTF-8")
+    val rows = Seq(
+      (1L, pngA), (2L, pngA), (3L, pngB),
+      (4L, wavA), (5L, wavA), (6L, wavB),
+      (7L, vidA), (8L, vidARemux), (9L, vidB),
+      (10L, junkA), (11L, junkA), (12L, "unique junk".getBytes("UTF-8"))
+    ).toDF("doc_id", "content")
+    graft.operators.Dedup.mediaDedupCorpus(rows, "doc_id", "content")
+      .select(col("doc_id"), col("modality"), col("dup_class"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def mediaDedupOracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(1 AS BIGINT), 'image', CAST(1 AS BIGINT), TRUE),
+      | (CAST(2 AS BIGINT), 'image', CAST(1 AS BIGINT), FALSE),
+      | (CAST(3 AS BIGINT), 'image', CAST(NULL AS BIGINT), TRUE),
+      | (CAST(4 AS BIGINT), 'audio', CAST(4 AS BIGINT), TRUE),
+      | (CAST(5 AS BIGINT), 'audio', CAST(4 AS BIGINT), FALSE),
+      | (CAST(6 AS BIGINT), 'audio', CAST(NULL AS BIGINT), TRUE),
+      | -- the re-mux pair collapses on the keyframe fingerprint
+      | (CAST(7 AS BIGINT), 'video', CAST(7 AS BIGINT), TRUE),
+      | (CAST(8 AS BIGINT), 'video', CAST(7 AS BIGINT), FALSE),
+      | (CAST(9 AS BIGINT), 'video', CAST(NULL AS BIGINT), TRUE),
+      | (CAST(10 AS BIGINT), 'other', CAST(10 AS BIGINT), TRUE),
+      | (CAST(11 AS BIGINT), 'other', CAST(10 AS BIGINT), FALSE),
+      | (CAST(12 AS BIGINT), 'other', CAST(NULL AS BIGINT), TRUE)
+      |) AS t(doc_id, modality, dup_class, keep)
+      |ORDER BY doc_id""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -5939,7 +5997,8 @@ object SparkEntry {
     "q174_anim" -> (q174 _),
     "q175_gpscrub" -> (q175 _),
     "q176_vidgps" -> (q176 _),
-    "q177_jxl" -> (q177 _))
+    "q177_jxl" -> (q177 _),
+    "q178_mixdedup" -> (q178 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -6367,6 +6426,7 @@ object SparkEntry {
     "q175_gpscrub" -> scrubGpsOracle,
     "q176_vidgps" -> videoGpsOracle,
     "q177_jxl" -> jxlOracle,
+    "q178_mixdedup" -> mediaDedupOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

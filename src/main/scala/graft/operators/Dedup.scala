@@ -833,6 +833,50 @@ object Dedup {
       .drop("__sig", "__cls", "__cn")
   }
 
+  /** One-call corpus dedup over a MIXED media dump — what a crawl
+    * actually delivers: every asset classifies by header facts
+    * ([[Multimodal.mediaModality]], map-only) and flows through its
+    * modality's corpus operator — images through the dHash-banded
+    * [[imageDedupCorpus]], audio through [[audioDedupCorpus]],
+    * videos through the exact-fingerprint [[videoDedupCorpus]],
+    * everything else through exact byte fingerprints — then the
+    * branches union back in the shared `dup_class`/`keep`
+    * convention, with the `modality` column kept so
+    * [[dedupReport]] can break the release numbers down by kind.
+    * Classes never span modalities (a WAV and the MP3 encoded from
+    * it live in different feature spaces — the documented
+    * audioHash64 limitation).
+    *
+    * Scale shape: classification is one map over the scan; each
+    * branch reads only its subset (filter pushdown on the tagged
+    * frame) and keeps its own operator's job shape — nothing here
+    * adds a shuffle beyond what the per-modality operators already
+    * cost. At 100 TB, persist the tagged frame if the four branch
+    * scans dominate.
+    */
+  def mediaDedupCorpus(df: DataFrame, idCol: String, contentCol: String,
+      maxHamming: Int = 6, bands: Int = 8,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = org.apache.spark.sql.types.StructType(inSchema.fields :+
+      org.apache.spark.sql.types.StructField("modality",
+        org.apache.spark.sql.types.StringType, nullable = false))
+    val cIdx = inSchema.fieldIndex(contentCol)
+    val tagged = spark.createDataFrame(df.rdd.mapPartitions(_.map { row =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+
+        Multimodal.mediaModality(row.getAs[Array[Byte]](cIdx)))
+    }), outSchema)
+    def part(m: String) = tagged.filter(col("modality") === m)
+    imageDedupCorpus(part("image"), idCol, contentCol, maxHamming, bands,
+      maxBucketSize)
+      .unionByName(audioDedupCorpus(part("audio"), idCol, contentCol,
+        maxHamming, bands, maxBucketSize))
+      .unionByName(videoDedupCorpus(part("video"), idCol, contentCol))
+      .unionByName(signatureClassKeepTail(part("other"), idCol,
+        xxhash64(col(contentCol))))
+  }
+
   /** Per-group duplication report over ANY corpus-dedup output
     * ([[dedupCorpus]], [[exactDedupCorpus]], [[imageDedupCorpus]],
     * [[audioDedupCorpus]], [[videoDedupCorpus]] — anything in the

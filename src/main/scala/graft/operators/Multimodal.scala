@@ -4775,6 +4775,44 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Asset modality from header facts — `image` / `audio` / `video` /
+    * `other`, the dispatch key for mixed-corpus operators
+    * ([[graft.operators.Dedup.mediaDedupCorpus]]): cheap magics for
+    * the image family, container walks only where the magic is
+    * ambiguous (an ISO-BMFF is a HEIF still, an audio-only M4A, or a
+    * movie; an EBML file declares its own primary track). MPEG/ADTS
+    * streams anchor on their dual-frame sync like [[audioStats]].
+    * Exception-guarded: hostile bytes classify as `other`, never
+    * fail a scan.
+    */
+  def mediaModality(b: Array[Byte]): String = try {
+    if (b == null || b.length < 8) return "other"
+    val isRiff = b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F'
+    if ((b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+      (b(0) == 'B' && b(1) == 'M') || isTiffMagic(b) ||
+      (isRiff && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P') ||
+      isHeifMagic(b) || jxlInfo(b).isDefined) return "image"
+    if (isRiff && b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')
+      return "video"
+    if ((isRiff && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') ||
+      (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M') ||
+      (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') ||
+      (b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S'))
+      return "audio"
+    if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')
+      return if (m4aAudioInfo(b).isDefined) "audio" else "video"
+    if (b(0) == 0x1A.toByte && b(1) == 0x45.toByte &&
+      b(2) == 0xDF.toByte && b(3) == 0xA3.toByte)
+      return webmInfo(b).map(_.kind).getOrElse("other")
+    if ((b(0) == 'I' && b(1) == 'D' && b(2) == '3') ||
+      mpegAudioInfo(b).isDefined || adtsAudioInfo(b).isDefined)
+      return "audio"
+    "other"
+  } catch { case _: Throwable => "other" }
+
   /** MIME type from the magic bytes the decode kernel recognizes —
     * what [[annotateImages]] stamps into the data URL.
     */

@@ -755,6 +755,59 @@ class DedupSpec extends SparkSpec {
       cleanRep.getAs[Double]("pct_chars_cut") == 0.0)
   }
 
+  test("mediaDedupCorpus: modality dispatch, per-kind classes, report breaks down by kind") {
+    import spark.implicits._
+    val M = graft.operators.Multimodal
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    // modality classifier probes across the format zoo
+    assert(M.mediaModality(M.renderPng(4, 4, (_, _) => 1)) == "image")
+    assert(M.mediaModality(M.syntheticAvif(8, 8, brand = "heic")) == "image")
+    assert(M.mediaModality(M.syntheticJxl(8, 8)) == "image")
+    assert(M.mediaModality(M.renderWav(8000, 1,
+      Array.tabulate[Short](8)(_.toShort))) == "audio")
+    assert(M.mediaModality(M.renderAiff(8000, 1,
+      Array.tabulate[Short](8)(_.toShort))) == "audio")
+    assert(M.mediaModality(M.syntheticFlac(44100, 2, 16, 100L)) == "audio")
+    assert(M.mediaModality(M.syntheticM4a(1, 8000, 80L)) == "audio")
+    assert(M.mediaModality(M.syntheticMp3(3, 2, 1,
+      Seq((9, Seq(100, 101))))) == "audio")
+    assert(M.mediaModality(M.syntheticWebm("audio", channels = 1,
+      sampleRate = 8000, durationMs = 100L)) == "audio")
+    assert(M.mediaModality(M.syntheticMjpegMp4(
+      Seq(M.renderJpeg(8, 8, (_, _) => gray(99))))) == "video")
+    assert(M.mediaModality(M.syntheticWebm("video", width = 64,
+      height = 48, durationMs = 100L)) == "video")
+    assert(M.mediaModality(M.syntheticMjpegAvi(
+      Seq(M.renderJpeg(8, 8, (_, _) => gray(99))))) == "video")
+    assert(M.mediaModality("plain text".getBytes("UTF-8")) == "other")
+    assert(M.mediaModality(null) == "other")
+    // end-to-end classes: one exact-copy pair per modality plus a
+    // cross-modality NON-pair (a PNG and a WAV never class together)
+    val png = M.renderPng(64, 64, (x, _) => if (x % 8 >= 4) gray(230) else gray(20))
+    val wav = M.renderWav(8000, 1,
+      Array.tabulate[Short](2048)(i => (if (i % 2 == 0) 9000 else -9000).toShort))
+    val rows = Seq(
+      (1L, png), (2L, png),
+      (3L, wav), (4L, wav),
+      (5L, "junk x".getBytes("UTF-8")), (6L, "junk x".getBytes("UTF-8"))
+    ).toDF("doc_id", "content")
+    val out = graft.operators.Dedup.mediaDedupCorpus(rows, "doc_id", "content")
+    val got = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[String]("modality"), Option(r.getAs[java.lang.Long]("dup_class")),
+        r.getAs[Boolean]("keep")))).toMap
+    assert(got(1L) == (("image", Some(1L), true)))
+    assert(got(2L) == (("image", Some(1L), false)))
+    assert(got(3L) == (("audio", Some(3L), true)))
+    assert(got(4L) == (("audio", Some(3L), false)))
+    assert(got(5L) == (("other", Some(5L), true)))
+    assert(got(6L) == (("other", Some(5L), false)))
+    // the kept modality column feeds dedupReport per kind
+    val rep = graft.operators.Dedup.dedupReport(out, "modality")
+      .collect().map(r => r.getAs[String]("modality") ->
+        r.getAs[Long]("n_dropped")).toMap
+    assert(rep == Map("image" -> 1L, "audio" -> 1L, "other" -> 1L))
+  }
+
   test("containment maxGramDf: boilerplate grams dropped from both numerator and denominator") {
     // the same long boilerplate footer in EVERY doc would make a
     // quadratic hot gram AND fake high containment between unrelated
