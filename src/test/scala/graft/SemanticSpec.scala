@@ -1585,6 +1585,55 @@ class SemanticSpec extends SparkSpec {
         Multimodal.videoKeyframesCol(col("content")).as("kf"))
       .collect()
     assert(cg.forall(r => r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2)))
+    // the round-13 walkers hold the same contract: the GPS flags/
+    // scrubs, the HEIF item walk, and the modality classifier all
+    // degrade on 100k-deep nesting instead of dying. (hostileMoov's
+    // ftyp carries the avif brand, so the MOVIE paths need an isom
+    // twin — a HEIF still is null on the video surfaces by design.)
+    val isomFtyp = {
+      val bb = java.nio.ByteBuffer.allocate(16)
+      bb.putInt(16).put("ftyp".getBytes("ISO-8859-1"))
+        .put("isom".getBytes("ISO-8859-1")).putInt(0)
+      bb.array()
+    }
+    val hostileMovie = isomFtyp ++ nested("moov", 100000, Array.emptyByteArray)
+    assert(Multimodal.videoGpsPresent(hostileMovie) == java.lang.Boolean.FALSE)
+    assert(Multimodal.scrubVideoGps(hostileMovie) eq hostileMovie)
+    assert(Multimodal.exifGpsPresent(
+      ftyp ++ nested("meta", 100000, Array.emptyByteArray)) != null,
+      "the HEIF EXIF item walk exhausts the cap, not the stack")
+    assert(Multimodal.mediaModality(hostileMovie) == "video",
+      "a hostile movie still classifies by its magic, depth-capped")
+    // an AVI-form RIFF around the same hostile LIST chain (hostileAvi
+    // itself carries a movi form type, which is not an AVI magic)
+    val hostileAviForm = {
+      val body = "AVI ".getBytes("ISO-8859-1") ++
+        java.util.Arrays.copyOfRange(hostileAvi, 12, hostileAvi.length)
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("ISO-8859-1")).putInt(body.length).put(body)
+      bb.array()
+    }
+    assert(Multimodal.mediaModality(hostileAviForm) == "video")
+    assert(Multimodal.videoKeyframes(hostileAviForm) == null)
+    // hostile Matroska tag tree: 100k nested Tags containers
+    def nestedEbml(id: Array[Byte], depth: Int): Array[Byte] = {
+      var cur = Array.emptyByteArray
+      var i = 0
+      while (i < depth) {
+        val size = Array((0x10 | (cur.length >> 24)).toByte,
+          ((cur.length >> 16) & 0xff).toByte,
+          ((cur.length >> 8) & 0xff).toByte, (cur.length & 0xff).toByte)
+        cur = id ++ size ++ cur
+        i += 1
+      }
+      Array(0x1A.toByte, 0x45.toByte, 0xDF.toByte, 0xA3.toByte,
+        0x80.toByte) ++ cur
+    }
+    val hostileTags = nestedEbml(
+      Array(0x12.toByte, 0x54.toByte, 0xC3.toByte, 0x67.toByte), 100000)
+    assert(Multimodal.webmTags(hostileTags).isDefined ||
+      Multimodal.webmTags(hostileTags).isEmpty) // no throw is the contract
   }
 
   test("mp4VideoTrack: python-built fixture cross-check — multi-run stsc, stss, duration") {
