@@ -1925,7 +1925,10 @@ object Multimodal {
     var k = 0
     while (k < nEntries) {
       val e = ifd + 2 + 12 * k
-      if (u16(e) == 0x8825) {
+      // the WHOLE 12-byte entry must sit inside the region before any
+      // in-place write — a truncated entry is left alone (fail-safe:
+      // unchanged bytes, never a write past the EXIF block)
+      if (u16(e) == 0x8825 && e + 12 <= end) {
         val gpsOff = u32(e + 8)
         if (gpsOff > 0) {
           val g = tiff + gpsOff.toInt
@@ -1942,7 +1945,9 @@ object Multimodal {
                 val byteLen = TiffTypeBytes(typ).toLong * cnt
                 if (byteLen > 4) {
                   val off = u32(ge + 8)
-                  if (off > 0)
+                  // long-guard BEFORE the toInt: a hostile offset or
+                  // count must not wrap into zeroing unrelated bytes
+                  if (off > 0 && off + byteLen <= (end - tiff).toLong)
                     zero(tiff + off.toInt, tiff + (off + byteLen).toInt)
                 }
               }

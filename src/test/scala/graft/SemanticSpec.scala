@@ -1240,6 +1240,26 @@ class SemanticSpec extends SparkSpec {
     val sCoords = checkScrub(withCoords, "tiff-coords")
     assert(!sCoords.containsSlice(marker),
       "out-of-line rational coordinate bytes must be ZEROED, not orphaned")
+    // hostile: a TRUNCATED GPS entry (the region ends mid-entry) is
+    // left alone — unchanged bytes, never a write past the EXIF block
+    val truncated = {
+      // WebP EXIF chunk whose TIFF region stops 4 bytes into the
+      // 0x8825 entry: the flag still sees the tag, the scrub refuses
+      val tiffB = java.nio.ByteBuffer.allocate(8 + 2 + 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      tiffB.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+      tiffB.putShort(1).putShort(0x8825.toShort).putShort(4)
+      val body = tiffB.array()
+      val bb = java.nio.ByteBuffer.allocate(12 + 8 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("ISO-8859-1")).putInt(4 + 8 + body.length)
+        .put("WEBP".getBytes("ISO-8859-1"))
+        .put("EXIF".getBytes("ISO-8859-1")).putInt(body.length).put(body)
+      bb.array()
+    }
+    assert(Multimodal.exifGpsPresent(truncated) == java.lang.Boolean.TRUE)
+    assert(Multimodal.scrubGps(truncated) eq truncated,
+      "an unscubbable truncated entry returns the ORIGINAL, unmodified")
     // clean bytes return the SAME reference — a scrub pass over a
     // clean corpus allocates nothing
     val clean = Multimodal.renderPng(4, 4, (_, _) => 0x111111)
