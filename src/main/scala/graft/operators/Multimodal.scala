@@ -1070,6 +1070,9 @@ object Multimodal {
     val count =
       if (ver < 2) { val c = u16(q); q += 2; c }
       else { val c = u32(q); q += 4; if (c > 0xffff) return -1L else c.toInt }
+    // a HEIF still holds a handful of items; a crafted count must be
+    // bounded CPU, not billions of cheap loop iterations
+    if (count > 4096) return -1L
     def readN(o: Int, n: Int): Long = {
       var v = 0L
       var i = 0
@@ -1090,6 +1093,7 @@ object Multimodal {
       q += 2 // data_reference_index
       val base = readN(q, baseSize); q += baseSize
       val extents = u16(q); q += 2
+      if (extents > 4096) return -1L // same bounded-CPU rule per item
       var e = 0
       while (e < extents) {
         if (q + idxSize + offSize + lenSize > ilocEnd) return -1L
