@@ -11,9 +11,17 @@ m4aTags). Writes:
                           parsing visibly wrong), extended header
   synthetic_tags.m4a      moov/udta/meta/ilst with nam/ART/alb data
                           atoms plus an unknown atom to step over
+  synthetic_apic_v23.mp3  APIC cover art with a UTF-16 description
+                          (double-NUL terminator) around a real PNG
+  synthetic_pic_v22.mp3   v2.2 PIC frame: 3-char image format
+  synthetic_art.flac      PICTURE metadata block (type 6) with
+                          non-zero dims fields and a description
+  synthetic_covr.m4a      covr data atom with TYPE 0 (implicit:
+                          the reader must sniff the PNG magic)
 """
 import struct
 import os
+import zlib
 
 OUT = os.path.join(os.path.dirname(__file__), "..",
                    "src", "test", "resources", "fixtures")
@@ -148,8 +156,85 @@ def m4a():
     return ftyp + box(b"moov", box(b"trak", mdia) + udta)
 
 
+def tiny_png():
+    """A real, decodable 2x2 RGB PNG — deterministic bytes."""
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data +
+                struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    raw = (b"\x00\x10\x20\x30\x40\x50\x60" +
+           b"\x00\x70\x80\x90\xA0\xB0\xC0")  # filter byte + 2 RGB px/row
+    idat = zlib.compress(raw, 9)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) +
+            chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+
+
+def apic_v23():
+    png = tiny_png()
+    # UTF-16 description terminates on an ALIGNED double-NUL — a
+    # latin-1 single-NUL scan would cut inside the BOM'd text
+    desc = b"\xff\xfe" + "Front cover é".encode("utf-16-le") + b"\x00\x00"
+    apic = b"\x01" + b"image/png\x00" + b"\x03" + desc + png
+    frames = [frame_v23("TIT2", b"\x00" + b"Art Title"),
+              frame_v23("APIC", apic)]
+    return tag(3, frames, padding=8)
+
+
+def pic_v22():
+    png = tiny_png()
+    pic = b"\x00" + b"PNG" + b"\x03" + b"cover\x00" + png
+    frames = [frame_v22("TT2", b"\x00" + b"Old Art"),
+              frame_v22("PIC", pic)]
+    return tag(2, frames, padding=8)
+
+
+def flac_art():
+    png = tiny_png()
+
+    def block(btype, body, last=False):
+        n = len(body)
+        return bytes([(0x80 if last else 0) | btype,
+                      (n >> 16) & 0xFF, (n >> 8) & 0xFF, n & 0xFF]) + body
+
+    streaminfo = (struct.pack(">HHBBB", 16, 16, 0, 0, 0) +
+                  b"\x00" * 10 + b"\x00" * 16)[:34]
+    vendor = b"py fixture"
+    comment = (struct.pack("<I", len(vendor)) + vendor +
+               struct.pack("<I", 1) +
+               struct.pack("<I", len(b"TITLE=Flac Art")) + b"TITLE=Flac Art")
+    mime = b"image/png"
+    desc = "couverture avant é".encode("utf-8")
+    picture = (struct.pack(">I", 3) +
+               struct.pack(">I", len(mime)) + mime +
+               struct.pack(">I", len(desc)) + desc +
+               struct.pack(">IIII", 2, 2, 24, 0) +  # REAL dims: must be skipped right
+               struct.pack(">I", len(png)) + png)
+    return (b"fLaC" + block(0, streaminfo) + block(4, comment) +
+            block(6, picture, last=True))
+
+
+def m4a_covr():
+    png = tiny_png()
+    ilst = box(b"ilst",
+               box(b"\xa9nam", box(b"data",
+                   struct.pack(">II", 1, 0) + b"Covr Title")) +
+               box(b"covr", box(b"data",
+                   struct.pack(">II", 0, 0) + png)))  # type 0: sniffed
+    meta = box(b"meta", b"\x00" * 4 + ilst)
+    ftyp = box(b"ftyp", b"M4A \x00\x00\x02\x00isomiso2")
+    return ftyp + box(b"moov", box(b"udta", meta))
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
+    with open(os.path.join(OUT, "synthetic_apic_v23.mp3"), "wb") as f:
+        f.write(apic_v23() + mpeg_frame())
+    with open(os.path.join(OUT, "synthetic_pic_v22.mp3"), "wb") as f:
+        f.write(pic_v22() + mpeg_frame())
+    with open(os.path.join(OUT, "synthetic_art.flac"), "wb") as f:
+        f.write(flac_art())
+    with open(os.path.join(OUT, "synthetic_covr.m4a"), "wb") as f:
+        f.write(m4a_covr())
     with open(os.path.join(OUT, "synthetic_tags_v23.mp3"), "wb") as f:
         f.write(v23() + mpeg_frame())
     with open(os.path.join(OUT, "synthetic_tags_v24.mp3"), "wb") as f:
@@ -162,7 +247,7 @@ def main():
         f.write(v23_unsync() + mpeg_frame())
     with open(os.path.join(OUT, "synthetic_tags_v24_unsync.mp3"), "wb") as f:
         f.write(v24_unsync() + mpeg_frame())
-    print("wrote 6 tag fixtures")
+    print("wrote 10 tag/art fixtures")
 
 
 if __name__ == "__main__":

@@ -5816,6 +5816,111 @@ object SparkEntry {
       |) AS t(doc_id, modality, dup_class, keep)
       |ORDER BY doc_id""".stripMargin
 
+  /** Declared image text ([[graft.operators.Multimodal.imageTags]] —
+    * [[graft.operators.Multimodal.audioTags]]' image twin): the
+    * caption surface image-text pair mining starts from. Fixtures
+    * cover EXIF ImageDescription through two carriers (a JPEG APP1
+    * and a TIFF's own IFD0), a JPEG `COM` segment, PNG `tEXt` and
+    * UTF-8 `iTXt`, and a GIF comment extension; untexted and
+    * non-image rows report the all-null struct. Planted literals —
+    * literal oracle.
+    */
+  private def q179(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    val jpeg = M.renderJpeg(16, 16, (_, _) => gray(128))
+    val png = M.renderPng(8, 8, (_, _) => 0x336699)
+    val rows = Seq(
+      (1L, M.jpegWithExifDescription(jpeg, "Alpine sunrise over the valley")),
+      (2L, M.jpegWithComment(jpeg, "shot on film")),
+      (3L, M.pngWithText(png, Seq(
+        ("Title", "Checker", false),
+        ("Description", "A tiny test chart", false),
+        ("Comment", "graft fixture", false)))),
+      (4L, M.pngWithText(png, Seq(("Description", "Über Wölkchen — ☁", true)))),
+      (5L, M.gifWithComment(M.syntheticGif(Seq(0)), "looping banner, 1990s vintage")),
+      (6L, M.syntheticTiff(4, 4, (_, _) => gray(200),
+        description = "scanned page 3 of 12")),
+      (7L, png),
+      (8L, "junk".getBytes("UTF-8"))
+    ).toDF("img_id", "content")
+    M.imageTags(rows)
+      .select(col("img_id"), col("itext.title").as("title"),
+        col("itext.description").as("description"),
+        col("itext.comment").as("comment"),
+        col("itext.text_format").as("text_format"))
+      .orderBy(col("img_id"))
+  }
+
+  private def imageTextOracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(1 AS BIGINT), CAST(NULL AS VARCHAR),
+      |  'Alpine sunrise over the valley', CAST(NULL AS VARCHAR), 'jpeg'),
+      | (CAST(2 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+      |  'shot on film', 'jpeg'),
+      | (CAST(3 AS BIGINT), 'Checker', 'A tiny test chart',
+      |  'graft fixture', 'png'),
+      | (CAST(4 AS BIGINT), CAST(NULL AS VARCHAR), 'Über Wölkchen — ☁',
+      |  CAST(NULL AS VARCHAR), 'png'),
+      | (CAST(5 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+      |  'looping banner, 1990s vintage', 'gif'),
+      | (CAST(6 AS BIGINT), CAST(NULL AS VARCHAR), 'scanned page 3 of 12',
+      |  CAST(NULL AS VARCHAR), 'tiff'),
+      | (CAST(7 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+      |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+      | (CAST(8 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+      |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))
+      |) AS t(img_id, title, description, comment, text_format)
+      |ORDER BY img_id""".stripMargin
+
+  /** Embedded cover art ([[graft.operators.Multimodal.embeddedArt]])
+    * plus the cross-modal grouping it exists for: the SAME
+    * front-cover PNG planted in an ID3 `APIC` frame and a FLAC
+    * `PICTURE` block extracts byte-identically, so an exact
+    * fingerprint groupBy finds release duplicates ACROSS audio
+    * codecs — rips of one release share art long after the audio
+    * bytes diverge. Grouping is fingerprint-groupBy + broadcast join
+    * back (the q164 shape: k rows per k-copy class, never pairs).
+    */
+  private def q180(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    val artA = M.renderPng(8, 8, (x, y) => if ((x + y) % 2 == 0) gray(250) else gray(5))
+    val artB = M.renderPng(8, 8, (_, y) => if (y < 4) gray(220) else gray(30))
+    val rows = Seq(
+      (1L, M.syntheticId3(3, "Song", "Band", "LP",
+        apic = Some(("image/png", artA))) ++
+        M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))),
+      (2L, M.syntheticFlacTagged(48000, 2, 16, 96000L, "Song", "Band", "LP",
+        picture = Some(("image/png", artA)))),
+      (3L, M.syntheticM4aTagged(2, 44100, 441000L, "Other", "Trio", "EP",
+        cover = Some(("image/png", artB)))),
+      (4L, M.syntheticId3(4, "Bare", "NoArt", "Single") ++
+        M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))),
+      (5L, "junk".getBytes("UTF-8"))
+    ).toDF("aud_id", "content")
+    val withArt = M.embeddedArt(rows)
+      .withColumn("art_fp", when(col("art").isNotNull, xxhash64(col("art"))))
+    val groups = withArt.filter(col("art_fp").isNotNull)
+      .groupBy(col("art_fp")).agg(count(lit(1)).as("n_sharing_art"))
+    withArt.join(broadcast(groups), Seq("art_fp"), "left")
+      .select(col("aud_id"), col("art_mime"),
+        col("art").isNotNull.as("has_art"), col("n_sharing_art"))
+      .orderBy(col("aud_id"))
+  }
+
+  private def embeddedArtOracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(1 AS BIGINT), 'image/png', TRUE, CAST(2 AS BIGINT)),
+      | (CAST(2 AS BIGINT), 'image/png', TRUE, CAST(2 AS BIGINT)),
+      | (CAST(3 AS BIGINT), 'image/png', TRUE, CAST(1 AS BIGINT)),
+      | (CAST(4 AS BIGINT), CAST(NULL AS VARCHAR), FALSE, CAST(NULL AS BIGINT)),
+      | (CAST(5 AS BIGINT), CAST(NULL AS VARCHAR), FALSE, CAST(NULL AS BIGINT))
+      |) AS t(aud_id, art_mime, has_art, n_sharing_art)
+      |ORDER BY aud_id""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -5998,7 +6103,9 @@ object SparkEntry {
     "q175_gpscrub" -> (q175 _),
     "q176_vidgps" -> (q176 _),
     "q177_jxl" -> (q177 _),
-    "q178_mixdedup" -> (q178 _))
+    "q178_mixdedup" -> (q178 _),
+    "q179_itext" -> (q179 _),
+    "q180_art" -> (q180 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -6427,6 +6534,8 @@ object SparkEntry {
     "q176_vidgps" -> videoGpsOracle,
     "q177_jxl" -> jxlOracle,
     "q178_mixdedup" -> mediaDedupOracle,
+    "q179_itext" -> imageTextOracle,
+    "q180_art" -> embeddedArtOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

@@ -195,13 +195,19 @@ object Multimodal {
     * 0x8825) in IFD0, the PII-flag fixture no encoder emits.
     */
   private[graft] def syntheticTiff(w: Int, h: Int, rgb: (Int, Int) => Int,
-      gps: Boolean = false): Array[Byte] = {
+      gps: Boolean = false, description: String = null): Array[Byte] = {
     val nPix = w * h * 3
-    val nTags = if (gps) 9 else 8
-    // layout: header(8) | IFD0 | [empty GPS IFD] | pixel strip
+    val desc: Array[Byte] =
+      if (description == null) Array.emptyByteArray
+      else description.getBytes(java.nio.charset.StandardCharsets.UTF_8) :+ 0.toByte
+    require(desc.isEmpty || desc.length > 4,
+      "fixture descriptions are out-of-line: > 4 bytes with the NUL")
+    val nTags = 8 + (if (gps) 1 else 0) + (if (desc.nonEmpty) 1 else 0)
+    // layout: header(8) | IFD0 | [empty GPS IFD] | [description] | strip
     val ifdBytes = 2 + 12 * nTags + 4
     val gpsIfdOff = 8 + ifdBytes
-    val stripOff = gpsIfdOff + (if (gps) 6 else 0)
+    val descOff = gpsIfdOff + (if (gps) 6 else 0)
+    val stripOff = descOff + desc.length
     val bb = java.nio.ByteBuffer.allocate(stripOff + nPix)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
@@ -219,12 +225,15 @@ object Multimodal {
     tag(0x0102, 3, 1, 8) // BitsPerSample
     tag(0x0103, 3, 1, 1) // Compression: none
     tag(0x0106, 3, 1, 2) // Photometric: RGB
+    // ascending tag order, as the spec demands of strict readers
+    if (desc.nonEmpty) tag(0x010E, 2, desc.length, descOff) // ImageDescription
     tag(0x0111, 4, 1, stripOff) // StripOffsets
     tag(0x0115, 3, 1, 3) // SamplesPerPixel
     tag(0x0117, 4, 1, nPix) // StripByteCounts
     if (gps) tag(0x8825, 4, 1, gpsIfdOff)
     bb.putInt(0) // next-IFD pointer: none
     if (gps) bb.putShort(0).putInt(0) // empty GPS IFD (0 entries, no next)
+    bb.put(desc)
     var y = 0
     while (y < h) {
       var x = 0
@@ -2096,6 +2105,280 @@ object Multimodal {
     1
   }
 
+  /** Declared image text — the caption/description/comment an image
+    * SAYS it has. Null fields when absent; `text_format` names the
+    * container. The curation surface image-text pair mining needs:
+    * alt-text-grade captions ride EXIF ImageDescription, PNG
+    * tEXt/iTXt, JPEG COM and GIF comment blocks — [[AudioTagsSchema]]'s
+    * image twin.
+    */
+  val ImageTextSchema: StructType = StructType(Seq(
+    StructField("title", StringType),
+    StructField("description", StringType),
+    StructField("comment", StringType),
+    StructField("text_format", StringType)))
+
+  /** ASCII (type 2) tag value from a TIFF block's IFD0 — inline when
+    * the NUL-included count fits the 4-byte value slot, else via the
+    * tiff-relative offset, per the TIFF spec. Decoded as UTF-8 (ASCII
+    * by spec, but cameras and exporters write UTF-8 in practice),
+    * trimmed at the first NUL; null when absent, structurally
+    * invalid, or empty.
+    */
+  private def tiffAsciiTag(b: Array[Byte], tiff: Int, end: Int,
+      tag: Int): String = {
+    if (tiff + 8 > end) return null
+    val little =
+      if (b(tiff) == 'I' && b(tiff + 1) == 'I') true
+      else if (b(tiff) == 'M' && b(tiff + 1) == 'M') false
+      else return null
+    def u16(o: Int): Int =
+      if (o < tiff || o + 2 > end) -1
+      else if (little) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+      else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    def u32(o: Int): Long =
+      if (o < tiff || o + 4 > end) -1L
+      else if (little) (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+      else ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    if (u16(tiff + 2) != 42) return null
+    val ifdOff = u32(tiff + 4)
+    if (ifdOff < 0) return null
+    val ifd = tiff + ifdOff.toInt
+    val nEntries = u16(ifd)
+    if (nEntries < 0) return null
+    var k = 0
+    while (k < nEntries) {
+      val e = ifd + 2 + 12 * k
+      if (u16(e) == tag && u16(e + 2) == 2) {
+        val count = u32(e + 4)
+        if (count <= 0 || count > end - tiff) return null
+        val from =
+          if (count <= 4) e + 8
+          else {
+            val o = u32(e + 8)
+            if (o < 0) return null
+            tiff + o.toInt
+          }
+        if (from < tiff || count > end - from) return null
+        val raw = new String(b, from, count.toInt,
+          java.nio.charset.StandardCharsets.UTF_8)
+        val nul = raw.indexOf(0.toChar)
+        val t = if (nul >= 0) raw.substring(0, nul) else raw
+        return if (t.isEmpty) null else t
+      }
+      k += 1
+    }
+    null
+  }
+
+  /** First JPEG `COM` (0xFFFE) comment segment as UTF-8 text — the
+    * marker walk of [[exifApp1Region]]; null when none appears before
+    * entropy-coded data.
+    */
+  private def jpegComment(b: Array[Byte]): String = {
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xFF) return null
+      val mk = b(i + 1) & 0xff
+      if (mk == 0xFF) i += 1
+      else if (mk == 0x01 || (mk >= 0xD0 && mk <= 0xD9)) i += 2
+      else {
+        val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+        if (len < 2 || mk == 0xDA) return null // SOS
+        if (mk == 0xFE && len > 2 && i + 2 + len <= b.length) {
+          val raw = new String(b, i + 4, len - 2,
+            java.nio.charset.StandardCharsets.UTF_8)
+          val nul = raw.indexOf(0.toChar)
+          val t = if (nul >= 0) raw.substring(0, nul) else raw
+          return if (t.isEmpty) null else t
+        }
+        i += 2 + len
+      }
+    }
+    null
+  }
+
+  /** First GIF Comment Extension (0x21 0xFE) as UTF-8 text —
+    * [[gifAnimationInfo]]'s block walk, concatenating the comment's
+    * sub-blocks (capped at 64 KiB — a hostile chain can't buffer
+    * unbounded text); null when none.
+    */
+  private def gifComment(b: Array[Byte]): String = {
+    if (b == null || b.length < 14 ||
+      !(b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8')) return null
+    var i = 6
+    val packed = b(i + 4) & 0xff
+    i += 7 // logical screen descriptor
+    if ((packed & 0x80) != 0) i += 3 << ((packed & 7) + 1) // global table
+    val out = new java.io.ByteArrayOutputStream()
+    def subBlocks(collect: Boolean): Boolean = { // false on truncation
+      while (i < b.length && b(i) != 0) {
+        val n = b(i) & 0xff
+        if (collect && out.size < 65536 && i + 1 + n <= b.length)
+          out.write(b, i + 1, n)
+        i += 1 + n
+      }
+      if (i >= b.length) false else { i += 1; true }
+    }
+    var done = false
+    var found = false
+    while (!done && !found && i < b.length) {
+      (b(i) & 0xff) match {
+        case 0x2C => // image descriptor
+          if (i + 10 > b.length) done = true
+          else {
+            val p = b(i + 9) & 0xff
+            i += 10
+            if ((p & 0x80) != 0) i += 3 << ((p & 7) + 1) // local table
+            i += 1 // LZW minimum code size
+            if (!subBlocks(collect = false)) done = true
+          }
+        case 0x21 => // extension block
+          if (i + 2 > b.length) done = true
+          else {
+            val isCom = (b(i + 1) & 0xff) == 0xFE
+            i += 2
+            if (!subBlocks(collect = isCom)) done = true
+            else if (isCom && out.size > 0) found = true
+          }
+        case _ => done = true // trailer / unknown: structure ends
+      }
+    }
+    if (!found) null
+    else {
+      val t = new String(out.toByteArray,
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (t.isEmpty) null else t
+    }
+  }
+
+  /** PNG textual chunks — `tEXt` (latin-1) and uncompressed `iTXt`
+    * (UTF-8), delivered as (keyword, value) pairs in file order.
+    * Compressed variants (`zTXt`, iTXt flag 1) are skipped, and every
+    * chunk length is bounds-checked so a hostile length ends the walk.
+    */
+  private def pngTextInto(b: Array[Byte])(set: (String, String) => Unit): Unit = {
+    @inline def u32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    var i = 8
+    var done = false
+    while (!done && i + 12 <= b.length) {
+      val len = u32(i)
+      if (len < 0 || len > b.length - i - 12) done = true
+      else {
+        val typ = new String(b, i + 4, 4, "ISO-8859-1")
+        val from = i + 8
+        val until = from + len.toInt
+        typ match {
+          case "tEXt" =>
+            var z = from
+            while (z < until && b(z) != 0) z += 1
+            if (z > from && z < until)
+              set(new String(b, from, z - from, "ISO-8859-1"),
+                new String(b, z + 1, until - z - 1, "ISO-8859-1"))
+          case "iTXt" =>
+            var z = from
+            while (z < until && b(z) != 0) z += 1
+            // keyword NUL flag method language NUL translated NUL text
+            if (z > from && z + 3 < until && b(z + 1) == 0) { // uncompressed only
+              val kw = new String(b, from, z - from, "ISO-8859-1")
+              var p = z + 3
+              var nuls = 0
+              while (p < until && nuls < 2) {
+                if (b(p) == 0) nuls += 1
+                p += 1
+              }
+              if (nuls == 2)
+                set(kw, new String(b, p, until - p,
+                  java.nio.charset.StandardCharsets.UTF_8))
+            }
+          case "IEND" => done = true
+          case _ => ()
+        }
+        i = until + 4
+      }
+    }
+  }
+
+  /** Declared image text for one asset ([[ImageTextSchema]]'s
+    * fields): PNG `tEXt`/`iTXt` Title/Description/Comment keywords
+    * (case-sensitive per the PNG spec's registered keywords, first
+    * occurrence wins), a JPEG's first `COM` segment, a GIF's comment
+    * extension, and — for EVERY carrier [[exifTiffRegion]] locates
+    * (JPEG APP1, WebP `EXIF`, TIFF itself, HEIF item, PNG `eXIf`) —
+    * the EXIF ImageDescription tag (0x010E) as the description
+    * fallback. None when the bytes aren't an image container or carry
+    * no text at all.
+    */
+  private[graft] def imageTextFacts(b: Array[Byte]): Option[(String, String, String, String)] = try {
+    if (b == null || b.length < 12) return None
+    var title: String = null
+    var description: String = null
+    var comment: String = null
+    val isPng = b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+    val isJpeg = b(0) == 0xFF.toByte && b(1) == 0xD8.toByte
+    val isGif = b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
+    val isWebp = b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P'
+    val fmt =
+      if (isPng) "png"
+      else if (isJpeg) "jpeg"
+      else if (isGif) "gif"
+      else if (isTiffMagic(b)) "tiff"
+      else if (isWebp) "webp"
+      else if (isHeifMagic(b)) "heif"
+      else return None
+    if (isPng) pngTextInto(b) { (kw, v) =>
+      if (v.nonEmpty) kw match {
+        case "Title" if title == null => title = v
+        case "Description" if description == null => description = v
+        case "Comment" if comment == null => comment = v
+        case _ => ()
+      }
+    }
+    else if (isJpeg) comment = jpegComment(b)
+    else if (isGif) comment = gifComment(b)
+    if (description == null) {
+      val r = exifTiffRegion(b)
+      if (r >= 0)
+        description =
+          tiffAsciiTag(b, (r >>> 32).toInt, (r & 0xffffffffL).toInt, 0x010E)
+    }
+    if (title == null && description == null && comment == null) None
+    else Some((title, description, comment, fmt))
+  } catch { case _: Throwable => None } // per-row isolation
+
+  /** Append an `itext` struct ([[ImageTextSchema]]) per row — the
+    * declared text of each image: [[audioTags]]' batching/isolation
+    * discipline, all-null struct for untexted or non-image rows.
+    * Map-only; at corpus scale the description column feeds straight
+    * into the TEXT pipeline (language-ID, quality gates, dedup) to
+    * mine image-caption training pairs from a crawl.
+    */
+  def imageTags(df: DataFrame, contentCol: String = "content",
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField("itext", ImageTextSchema))
+    val contentIdx = inSchema.fieldIndex(contentCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val bytes = row.getAs[Array[Byte]](contentIdx)
+          val itext = imageTextFacts(bytes) match {
+            case Some((t, d, c, fmt)) => Row(t, d, c, fmt)
+            case None => Row(null, null, null, null)
+          }
+          Row.fromSeq(row.toSeq :+ itext)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Resolve the stored raster to display orientation — the 8 EXIF
     * cases as direct pixel remaps (5-8 swap the axes).
     */
@@ -3084,6 +3367,53 @@ object Multimodal {
     None
   }
 
+  /** Embedded cover art from a FLAC `PICTURE` metadata block (type 6,
+    * FLAC format spec): (mime, image bytes) — big-endian
+    * length-prefixed fields (picture type, MIME, description,
+    * dims/depth/colors, data). None for non-FLAC bytes, no picture
+    * block, or a structurally invalid one (every length is
+    * bounds-checked against the block, so a hostile length field ends
+    * the read instead of walking out of it).
+    */
+  private[graft] def flacPicture(b: Array[Byte]): Option[(String, Array[Byte])] = {
+    if (b == null || b.length < 8 ||
+      !(b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')) return None
+    @inline def u32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    var off = 4
+    var last = false
+    while (!last && off + 4 <= b.length) {
+      val hdr = b(off) & 0xff
+      last = (hdr & 0x80) != 0
+      val btype = hdr & 0x7f
+      val len = ((b(off + 1) & 0xff) << 16) | ((b(off + 2) & 0xff) << 8) |
+        (b(off + 3) & 0xff)
+      val body = off + 4
+      if (body + len > b.length) return None // truncated block
+      if (btype == 6) {
+        val end = body + len
+        var p = body + 4 // picture type (3 = front cover) — not needed
+        if (p + 4 > end) return None
+        val mimeLen = u32(p); p += 4
+        if (mimeLen < 0 || mimeLen > end - p) return None
+        val mime = new String(b, p, mimeLen.toInt, "ISO-8859-1")
+        p += mimeLen.toInt
+        if (p + 4 > end) return None
+        val descLen = u32(p); p += 4
+        if (descLen < 0 || descLen > end - p) return None
+        p += descLen.toInt
+        p += 16 // width, height, depth, colors
+        if (p + 4 > end) return None
+        val dataLen = u32(p); p += 4
+        if (dataLen <= 0 || dataLen > end - p) return None
+        return Some((mime, java.util.Arrays.copyOfRange(b, p, p + dataLen.toInt)))
+      }
+      off = body + len
+    }
+    None
+  }
+
   /** Ogg-Opus declared tags — the `OpusTags` packet (RFC 7845 §5.2),
     * by spec the second packet of the stream, carrying the same
     * Vorbis-comment structure as FLAC. Sequential Ogg page walk from
@@ -3504,35 +3834,36 @@ object Multimodal {
     if (n == a.length) a else java.util.Arrays.copyOf(out, n)
   }
 
-  /** ID3v2.2/2.3/2.4 text frames (TIT2/TPE1/TALB; v2.2's 3-char
-    * TT2/TP1/TAL) from the tag most MP3 and ADTS uploads lead with:
+  /** Walk the readable frames of a leading ID3v2.2/2.3/2.4 tag:
     * syncsafe tag size, optional extended header (v2.3 plain-size,
     * v2.4 syncsafe self-inclusive), per-frame sizes plain u32 (v2.3),
-    * syncsafe (v2.4) or u24 (v2.2's 6-byte headers), text encodings
-    * 0 latin-1, 1 UTF-16 with BOM, 2 UTF-16BE, 3 UTF-8; values
-    * NUL-trimmed (a v2.4 multi-value list reports its first).
-    * Unsynchronised tags are de-unsynchronised before the walk —
+    * syncsafe (v2.4) or u24 (v2.2's 6-byte headers).
+    * Unsynchronised regions are de-unsynchronised before delivery —
     * whole-tag for v2.2/v2.3, per-frame for v2.4 (the global flag or
     * the frame's 0x02 format bit), matching the spec's application
     * scope, so a tag whose frames carry 0xFF 0x00 stuffing reads back
     * the original bytes instead of shifted garbage. Compressed or
     * encrypted frames are skipped, not misread; a v2.2 tag with the
-    * compression header bit is unreadable by spec and reports None.
-    * Stops cleanly at padding. None when no ID3v2 tag leads the
-    * bytes.
+    * compression header bit is unreadable by spec and reports -1.
+    * Stops cleanly at padding. Calls `f(id, frame, from, until)` per
+    * readable frame body; returns the tag's major version, or -1 when
+    * no ID3v2 tag leads the bytes — the ONE walk behind the text tags
+    * ([[id3v2Tags]]) and the embedded cover art ([[id3Apic]]), so the
+    * two surfaces can never disagree on frame boundaries.
     */
-  private[graft] def id3v2Tags(b: Array[Byte]): Option[(String, String, String, String)] = {
+  private def id3FrameWalk(b: Array[Byte])(
+      f: (String, Array[Byte], Int, Int) => Unit): Int = {
     if (b == null || b.length < 10 ||
-      !(b(0) == 'I' && b(1) == 'D' && b(2) == '3')) return None
+      !(b(0) == 'I' && b(1) == 'D' && b(2) == '3')) return -1
     val ver = b(3) & 0xff
-    if (ver != 2 && ver != 3 && ver != 4) return None
+    if (ver != 2 && ver != 3 && ver != 4) return -1
     val unsync = (b(5) & 0x80) != 0
-    if (ver == 2 && (b(5) & 0x40) != 0) return None // v2.2 compression bit
+    if (ver == 2 && (b(5) & 0x40) != 0) return -1 // v2.2 compression bit
     @inline def syncsafeHdr(o: Int): Int =
       ((b(o) & 0x7f) << 21) | ((b(o + 1) & 0x7f) << 14) |
         ((b(o + 2) & 0x7f) << 7) | (b(o + 3) & 0x7f)
     val tagEnd = math.min(b.length.toLong, 10L + syncsafeHdr(6)).toInt
-    if (tagEnd <= 10) return None
+    if (tagEnd <= 10) return -1
     // the frames region; v2.2/v2.3 unsync applies to the whole tag
     val body0 = java.util.Arrays.copyOfRange(b, 10, tagEnd)
     val body = if (unsync && ver != 4) id3DeUnsync(body0) else body0
@@ -3545,27 +3876,12 @@ object Multimodal {
     val end = body.length
     var pos = 0
     if (ver >= 3 && (b(5) & 0x40) != 0) { // extended header
-      if (pos + 4 > end) return None
+      if (pos + 4 > end) return -1
       val extLen =
         if (ver == 4) syncsafe(pos) // self-inclusive
         else u32(pos).toInt + 4 // v2.3: size field excludes itself
-      if (extLen < 4 || pos + extLen > end) return None
+      if (extLen < 4 || pos + extLen > end) return -1
       pos += extLen
-    }
-    var title: String = null
-    var artist: String = null
-    var album: String = null
-    def text(a: Array[Byte], from: Int, until: Int): String = {
-      if (until <= from + 1) return ""
-      val enc = a(from) & 0xff
-      val raw = enc match {
-        case 0 => new String(a, from + 1, until - from - 1, "ISO-8859-1")
-        case 1 => new String(a, from + 1, until - from - 1, "UTF-16")
-        case 2 => new String(a, from + 1, until - from - 1, "UTF-16BE")
-        case _ => new String(a, from + 1, until - from - 1, "UTF-8")
-      }
-      val nul = raw.indexOf('\u0000')
-      if (nul >= 0) raw.substring(0, nul) else raw
     }
     val hdrLen = if (ver == 2) 6 else 10
     var break = false
@@ -3577,12 +3893,7 @@ object Multimodal {
           ((body(pos + 4) & 0xff) << 8) | (body(pos + 5) & 0xff)
         if (size < 0 || pos + 6 + size > end) break = true
         else {
-          id match {
-            case "TT2" => title = text(body, pos + 6, pos + 6 + size)
-            case "TP1" => artist = text(body, pos + 6, pos + 6 + size)
-            case "TAL" => album = text(body, pos + 6, pos + 6 + size)
-            case _ => ()
-          }
+          f(id, body, pos + 6, pos + 6 + size)
           pos += 6 + size
         }
       } else {
@@ -3607,26 +3918,119 @@ object Multimodal {
                 from = 0; until = frame.length
               }
             }
-            id match {
-              case "TIT2" => title = text(frame, from, until)
-              case "TPE1" => artist = text(frame, from, until)
-              case "TALB" => album = text(frame, from, until)
-              case _ => ()
-            }
+            f(id, frame, from, until)
           }
           pos += 10 + size
         }
       }
     }
-    Some((title, artist, album, s"id3v2.$ver"))
+    ver
   }
 
-  /** iTunes-style tags from an M4A's `moov/udta/meta/ilst`: the
-    * `©nam`/`©ART`/`©alb` atoms' `data` payloads (type 1 = UTF-8,
-    * after the 8-byte type+locale preamble). None when the list is
-    * absent — header-facts-only synthetics and movies report no tags.
+  /** ID3v2.2/2.3/2.4 text frames (TIT2/TPE1/TALB; v2.2's 3-char
+    * TT2/TP1/TAL) from the tag most MP3 and ADTS uploads lead with —
+    * text encodings 0 latin-1, 1 UTF-16 with BOM, 2 UTF-16BE,
+    * 3 UTF-8; values NUL-trimmed (a v2.4 multi-value list reports its
+    * first). Frame boundaries, unsynchronisation scope, and the
+    * compressed/encrypted skip rules are [[id3FrameWalk]]'s. None
+    * when no ID3v2 tag leads the bytes.
     */
-  private[graft] def m4aTags(b: Array[Byte]): Option[(String, String, String, String)] = {
+  private[graft] def id3v2Tags(b: Array[Byte]): Option[(String, String, String, String)] = {
+    var title: String = null
+    var artist: String = null
+    var album: String = null
+    def text(a: Array[Byte], from: Int, until: Int): String = {
+      if (until <= from + 1) return ""
+      val enc = a(from) & 0xff
+      val raw = enc match {
+        case 0 => new String(a, from + 1, until - from - 1, "ISO-8859-1")
+        case 1 => new String(a, from + 1, until - from - 1, "UTF-16")
+        case 2 => new String(a, from + 1, until - from - 1, "UTF-16BE")
+        case _ => new String(a, from + 1, until - from - 1, "UTF-8")
+      }
+      val nul = raw.indexOf('\u0000')
+      if (nul >= 0) raw.substring(0, nul) else raw
+    }
+    val ver = id3FrameWalk(b) { (id, frame, from, until) =>
+      id match {
+        case "TIT2" | "TT2" => title = text(frame, from, until)
+        case "TPE1" | "TP1" => artist = text(frame, from, until)
+        case "TALB" | "TAL" => album = text(frame, from, until)
+        case _ => ()
+      }
+    }
+    if (ver < 0) None else Some((title, artist, album, s"id3v2.$ver"))
+  }
+
+  /** Embedded cover art from an ID3v2 `APIC` frame (v2.2's `PIC`):
+    * (mime, image bytes) of the first art-carrying frame. The v2.2
+    * form stores a 3-char image format instead of a MIME string;
+    * UTF-16-encoded descriptions terminate on an ALIGNED double-NUL
+    * (a single 0x00 can be the high byte of a code unit, so the
+    * latin-1 scan would split art data). None when no tag, no
+    * picture frame, or an empty/truncated payload. Frame boundaries
+    * and unsynchronisation are [[id3FrameWalk]]'s, so the art can
+    * never disagree with the text tags on where frames live.
+    */
+  private[graft] def id3Apic(b: Array[Byte]): Option[(String, Array[Byte])] = {
+    var mime: String = null
+    var art: Array[Byte] = null
+    id3FrameWalk(b) { (id, frame, from, until) =>
+      if (art == null && (id == "APIC" || id == "PIC") && until - from >= 4) {
+        val enc = frame(from) & 0xff
+        var p = from + 1
+        var m: String = null
+        if (id == "PIC") {
+          if (until - p >= 3) {
+            m = new String(frame, p, 3, "ISO-8859-1").trim match {
+              case "PNG" => "image/png"
+              case "JPG" => "image/jpeg"
+              case other => "image/" + other.toLowerCase(java.util.Locale.ROOT)
+            }
+            p += 3
+          }
+        } else {
+          var z = p
+          while (z < until && frame(z) != 0) z += 1
+          if (z < until) {
+            m = new String(frame, p, z - p, "ISO-8859-1")
+            p = z + 1
+          }
+        }
+        if (m != null && p < until) {
+          p += 1 // picture type byte
+          if (enc == 1 || enc == 2) { // UTF-16 description: aligned double-NUL
+            while (p + 1 < until && !(frame(p) == 0 && frame(p + 1) == 0)) p += 2
+            p += 2
+          } else {
+            while (p < until && frame(p) != 0) p += 1
+            p += 1
+          }
+          if (p < until) {
+            mime = m
+            art = java.util.Arrays.copyOfRange(frame, p, until)
+          }
+        }
+      }
+    }
+    if (art == null) None else Some((mime, art))
+  }
+
+  /** The facts an M4A `ilst` item list declares — text tags plus the
+    * `covr` cover art ([[m4aTags]] and [[embeddedArtBytes]] both read
+    * from this ONE walk).
+    */
+  private final case class IlstFacts(title: String, artist: String,
+      album: String, artMime: String, art: Array[Byte])
+
+  /** iTunes-style item list from an M4A's `moov/udta/meta/ilst`: the
+    * `©nam`/`©ART`/`©alb` atoms' `data` payloads (type 1 = UTF-8,
+    * after the 8-byte type+locale preamble) and the `covr` atom's
+    * image payload (type 13 = JPEG, 14 = PNG, 0 = implicit — sniffed
+    * from the magic). None when the list is absent — header-facts-only
+    * synthetics and movies report no tags.
+    */
+  private def m4aIlst(b: Array[Byte]): Option[IlstFacts] = {
     if (b == null || b.length < 16 ||
       !(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return None
     @inline def u32(o: Int): Long =
@@ -3636,6 +4040,8 @@ object Multimodal {
     var title: String = null
     var artist: String = null
     var album: String = null
+    var artMime: String = null
+    var art: Array[Byte] = null
     var sawIlst = false
     def dataText(start: Long, end: Long): String = {
       // first child `data` box: 4B type, 4B locale, then the value
@@ -3649,6 +4055,34 @@ object Multimodal {
         off += size
       }
       null
+    }
+    def dataArt(start: Long, end: Long): Unit = {
+      var off = start
+      while (off + 16 <= end) {
+        val size = u32(off.toInt)
+        if (size < 16 || off + size > end) return
+        if (new String(b, off.toInt + 4, 4, "ISO-8859-1") == "data") {
+          val from = off.toInt + 16
+          val until = (off + size).toInt
+          val m = (u32(off.toInt + 8) & 0xffffffL) match {
+            case 13L => "image/jpeg"
+            case 14L => "image/png"
+            case 0L => // implicit: sniff the payload magic
+              if (until - from >= 4 && b(from) == 0x89.toByte &&
+                b(from + 1) == 'P') "image/png"
+              else if (until - from >= 2 && b(from) == 0xFF.toByte &&
+                b(from + 1) == 0xD8.toByte) "image/jpeg"
+              else null
+            case _ => null
+          }
+          if (m != null && until > from) {
+            artMime = m
+            art = java.util.Arrays.copyOfRange(b, from, until)
+          }
+          return
+        }
+        off += size
+      }
     }
     def walk(start: Long, end: Long, inIlst: Boolean,
         depth: Int = 0): Unit = {
@@ -3669,6 +4103,7 @@ object Multimodal {
             case "©nam" => title = dataText(body, boxEnd)
             case "©ART" => artist = dataText(body, boxEnd)
             case "©alb" => album = dataText(body, boxEnd)
+            case "covr" if art == null => dataArt(body, boxEnd)
             case _ => ()
           }
         } else id match {
@@ -3681,8 +4116,12 @@ object Multimodal {
       }
     }
     walk(0L, b.length.toLong, inIlst = false)
-    if (!sawIlst) None else Some((title, artist, album, "m4a"))
+    if (!sawIlst) None else Some(IlstFacts(title, artist, album, artMime, art))
   }
+
+  /** iTunes-style text tags ([[m4aIlst]]'s text surface). */
+  private[graft] def m4aTags(b: Array[Byte]): Option[(String, String, String, String)] =
+    m4aIlst(b).map(f => (f.title, f.artist, f.album, "m4a"))
 
   /** WAV declared tags — the RIFF `LIST`/`INFO` chunk's `INAM`
     * (title) / `IART` (artist) / `IPRD` (album) sub-chunks, the PCM
@@ -3884,6 +4323,51 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Embedded cover art across the carriers that declare one — the
+    * ID3v2 `APIC`/`PIC` frame (MP3/AAC), the M4A `covr` item, the
+    * FLAC `PICTURE` block: (mime, image bytes), or None. The
+    * extracted bytes are ordinary images — [[decodePixels]],
+    * dHash near-dup, and the exact-fingerprint dedup compose on them
+    * directly, which is the point: cover art is the cross-modal
+    * identity signal of a crawled audio corpus (re-encoded rips of
+    * the same release share art long after the audio bytes diverge).
+    */
+  private[graft] def embeddedArtBytes(b: Array[Byte]): Option[(String, Array[Byte])] =
+    try id3Apic(b)
+      .orElse(m4aIlst(b).flatMap(f => Option(f.art).map(a => (f.artMime, a))))
+      .orElse(flacPicture(b))
+    catch { case _: Throwable => None } // per-row isolation
+
+  /** Append `art_mime` (string) and `art` (binary) columns: the
+    * embedded cover art of each audio row, null when none —
+    * [[audioTags]]' batching/isolation discipline. Map-only: at
+    * corpus scale the art column feeds the IMAGE dedup operators
+    * (exact fingerprint groupBy or banded dHash join), so "group
+    * audio by its cover art" costs one scan plus the image pipeline
+    * it already shares.
+    */
+  def embeddedArt(df: DataFrame, contentCol: String = "content",
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("art_mime", StringType) :+ StructField("art", BinaryType))
+    val contentIdx = inSchema.fieldIndex(contentCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val bytes = row.getAs[Array[Byte]](contentIdx)
+          val (m, a) = embeddedArtBytes(bytes) match {
+            case Some((mm, aa)) => (mm, aa)
+            case None => (null, null)
+          }
+          Row.fromSeq(row.toSeq :+ m :+ a)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Apply ID3v2 unsynchronisation: insert a 0x00 after every 0xFF
     * (the writer-side twin of [[id3DeUnsync]] — fixtures only).
     */
@@ -3908,13 +4392,10 @@ object Multimodal {
     * guarantee the stream actually carries 0xFF bytes to stuff.
     */
   private[graft] def syntheticId3(version: Int, title: String,
-      artist: String, album: String, unsync: Boolean = false): Array[Byte] = {
+      artist: String, album: String, unsync: Boolean = false,
+      apic: Option[(String, Array[Byte])] = None): Array[Byte] = {
     require(version == 2 || version == 3 || version == 4, s"version: $version")
-    def frame(id: String, value: String): Array[Byte] = {
-      val payload0 =
-        if (version == 4) Array[Byte](3) ++ value.getBytes("UTF-8")
-        else Array[Byte](1) ++ // UTF-16 with BOM
-          Array[Byte](0xFF.toByte, 0xFE.toByte) ++ value.getBytes("UTF-16LE")
+    def rawFrame(id: String, payload0: Array[Byte]): Array[Byte] = {
       // v2.4: unsync is per-frame; the stored size counts stuffed bytes
       val payload =
         if (version == 4 && unsync) id3Unsync(payload0) else payload0
@@ -3936,10 +4417,25 @@ object Multimodal {
       bb.put(payload)
       bb.array()
     }
+    def frame(id: String, value: String): Array[Byte] = rawFrame(id,
+      if (version == 4) Array[Byte](3) ++ value.getBytes("UTF-8")
+      else Array[Byte](1) ++ // UTF-16 with BOM
+        Array[Byte](0xFF.toByte, 0xFE.toByte) ++ value.getBytes("UTF-16LE"))
     val ids =
       if (version == 2) Seq("TT2" -> title, "TP1" -> artist, "TAL" -> album)
       else Seq("TIT2" -> title, "TPE1" -> artist, "TALB" -> album)
-    val frames0 = ids.flatMap { case (id, v) => frame(id, v) }.toArray
+    // cover art: v2.2's PIC stores a 3-char format; APIC a MIME string.
+    // enc 0, picture type 3 (front cover), empty latin-1 description
+    val apicFrame = apic.map { case (mime, art) =>
+      if (version == 2)
+        rawFrame("PIC", Array[Byte](0) ++
+          (if (mime == "image/png") "PNG" else "JPG").getBytes("ISO-8859-1") ++
+          Array[Byte](3, 0) ++ art)
+      else
+        rawFrame("APIC", Array[Byte](0) ++ mime.getBytes("ISO-8859-1") ++
+          Array[Byte](0, 3, 0) ++ art)
+    }.getOrElse(Array.emptyByteArray)
+    val frames0 = ids.flatMap { case (id, v) => frame(id, v) }.toArray ++ apicFrame
     // v2.2/v2.3: unsync applies to the whole composed tag
     val frames =
       if (unsync && version != 4) id3Unsync(frames0) else frames0
@@ -3956,7 +4452,7 @@ object Multimodal {
     */
   private[graft] def syntheticM4aTagged(channels: Int, sampleRate: Int,
       nSamples: Long, title: String, artist: String,
-      album: String): Array[Byte] = {
+      album: String, cover: Option[(String, Array[Byte])] = None): Array[Byte] = {
     def box(id: String, payload: Array[Byte]): Array[Byte] = {
       val out = java.nio.ByteBuffer.allocate(8 + payload.length)
       out.putInt(8 + payload.length).put(id.getBytes("ISO-8859-1")).put(payload)
@@ -3965,8 +4461,12 @@ object Multimodal {
     def atom(id: String, value: String): Array[Byte] =
       box(id, box("data",
         Array[Byte](0, 0, 0, 1, 0, 0, 0, 0) ++ value.getBytes("UTF-8")))
+    val covr = cover.map { case (mime, art) =>
+      val typ: Byte = if (mime == "image/png") 14 else 13
+      box("covr", box("data", Array[Byte](0, 0, 0, typ, 0, 0, 0, 0) ++ art))
+    }.getOrElse(Array.emptyByteArray)
     val ilst = box("ilst", atom("©nam", title) ++
-      atom("©ART", artist) ++ atom("©alb", album))
+      atom("©ART", artist) ++ atom("©alb", album) ++ covr)
     val meta = box("meta", new Array[Byte](4) ++ ilst)
     val udta = box("udta", meta)
     // splice udta into the existing moov: rebuild the container with
@@ -4004,14 +4504,30 @@ object Multimodal {
     */
   private[graft] def syntheticFlacTagged(sampleRate: Int, channels: Int,
       bitsPerSample: Int, totalSamples: Long, title: String,
-      artist: String, album: String): Array[Byte] = {
+      artist: String, album: String,
+      picture: Option[(String, Array[Byte])] = None): Array[Byte] = {
     val base = syntheticFlac(sampleRate, channels, bitsPerSample, totalSamples)
     base(4) = 0 // STREAMINFO no longer the last block
     val body = vorbisCommentBytes(title, artist, album)
     val n = body.length
-    base ++ Array[Byte](0x84.toByte, // last block, type 4
+    // the PICTURE block (type 6), when present, becomes the last block
+    val pictureBlock = picture.map { case (mime, art) =>
+      val m = mime.getBytes("ISO-8859-1")
+      val bb = java.nio.ByteBuffer.allocate(4 + 4 + m.length + 4 + 16 + 4 + art.length)
+      bb.putInt(3) // picture type: front cover
+        .putInt(m.length).put(m)
+        .putInt(0) // empty description
+        .putInt(0).putInt(0).putInt(0).putInt(0) // width/height/depth/colors
+        .putInt(art.length).put(art)
+      val pb = bb.array()
+      val pn = pb.length
+      Array[Byte](0x86.toByte, ((pn >> 16) & 0xff).toByte,
+        ((pn >> 8) & 0xff).toByte, (pn & 0xff).toByte) ++ pb
+    }.getOrElse(Array.emptyByteArray)
+    val commentHdr: Byte = if (picture.isEmpty) 0x84.toByte else 0x04.toByte
+    base ++ Array[Byte](commentHdr, // type 4, last unless a picture follows
       ((n >> 16) & 0xff).toByte, ((n >> 8) & 0xff).toByte,
-      (n & 0xff).toByte) ++ body
+      (n & 0xff).toByte) ++ body ++ pictureBlock
   }
 
   /** [[syntheticOpus]] plus the RFC 7845 `OpusTags` second packet
@@ -4701,6 +5217,85 @@ object Multimodal {
     val at = 8 + 25
     java.util.Arrays.copyOfRange(png, 0, at) ++ chunk.array() ++
       java.util.Arrays.copyOfRange(png, at, png.length)
+  }
+
+  /** Splice PNG textual chunks after IHDR — `tEXt` (latin-1) or, when
+    * `intl` is set, an uncompressed `iTXt` (UTF-8, empty language and
+    * translated-keyword fields), CRC'd like [[pngWithExif]].
+    */
+  private[graft] def pngWithText(png: Array[Byte],
+      entries: Seq[(String, String, Boolean)]): Array[Byte] = {
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(typ.getBytes("ISO-8859-1")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(bb.array(), 4, 4 + data.length)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val spliced = entries.toArray.flatMap { case (kw, text, intl) =>
+      if (intl)
+        chunk("iTXt", kw.getBytes("ISO-8859-1") ++
+          Array[Byte](0, 0, 0, 0, 0) ++ // NUL, flag 0, method 0, "" NUL, "" NUL
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      else
+        chunk("tEXt", kw.getBytes("ISO-8859-1") ++ Array[Byte](0) ++
+          text.getBytes("ISO-8859-1"))
+    }
+    val at = 8 + 25 // after signature + IHDR
+    java.util.Arrays.copyOfRange(png, 0, at) ++ spliced ++
+      java.util.Arrays.copyOfRange(png, at, png.length)
+  }
+
+  /** Insert a JPEG `COM` comment segment after SOI. */
+  private[graft] def jpegWithComment(jpeg: Array[Byte],
+      comment: String): Array[Byte] = {
+    val c = comment.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    require(c.length <= 65533, "COM segment length is u16")
+    val seg = Array(0xFF.toByte, 0xFE.toByte,
+      (((c.length + 2) >> 8) & 0xff).toByte,
+      ((c.length + 2) & 0xff).toByte) ++ c
+    jpeg.take(2) ++ seg ++ jpeg.drop(2)
+  }
+
+  /** Insert a JPEG APP1 EXIF segment whose IFD0 carries an ASCII
+    * ImageDescription (0x010E) — inline when the NUL-included value
+    * fits the 4-byte slot, out-of-line past the next-IFD pointer
+    * otherwise, per the TIFF spec (q161's `withExif` discipline).
+    */
+  private[graft] def jpegWithExifDescription(jpeg: Array[Byte],
+      desc: String): Array[Byte] = {
+    val d = desc.getBytes(java.nio.charset.StandardCharsets.UTF_8) :+ 0.toByte
+    val ifdBytes = 2 + 12 + 4
+    val inline = d.length <= 4
+    val bb = java.nio.ByteBuffer.allocate(8 + ifdBytes +
+      (if (inline) 0 else d.length))
+    bb.put('M'.toByte).put('M'.toByte).putShort(42).putInt(8)
+    bb.putShort(1)
+    bb.putShort(0x010E.toShort).putShort(2).putInt(d.length)
+    if (inline) { bb.put(d); var i = d.length; while (i < 4) { bb.put(0.toByte); i += 1 } }
+    else bb.putInt(8 + ifdBytes)
+    bb.putInt(0) // next-IFD pointer
+    if (!inline) bb.put(d)
+    val payload = "Exif".getBytes("ISO-8859-1") ++ Array[Byte](0, 0) ++ bb.array()
+    val app1 = Array(0xFF.toByte, 0xE1.toByte,
+      (((payload.length + 2) >> 8) & 0xff).toByte,
+      ((payload.length + 2) & 0xff).toByte) ++ payload
+    jpeg.take(2) ++ app1 ++ jpeg.drop(2)
+  }
+
+  /** Insert a GIF Comment Extension (0x21 0xFE) right after the
+    * global color table, before any frame.
+    */
+  private[graft] def gifWithComment(gif: Array[Byte],
+      comment: String): Array[Byte] = {
+    val c = comment.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    require(c.nonEmpty && c.length <= 255, "single-sub-block fixture comments")
+    val packed = gif(10) & 0xff
+    val at = 13 + (if ((packed & 0x80) != 0) 3 << ((packed & 7) + 1) else 0)
+    val ext = Array[Byte](0x21, 0xFE.toByte, c.length.toByte) ++ c ++ Array[Byte](0)
+    java.util.Arrays.copyOfRange(gif, 0, at) ++ ext ++
+      java.util.Arrays.copyOfRange(gif, at, gif.length)
   }
 
   /** JPEG twin of [[renderPng]] (lossy — for tolerance-based specs,

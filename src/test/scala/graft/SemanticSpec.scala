@@ -1939,4 +1939,209 @@ class SemanticSpec extends SparkSpec {
       "id_unique" -> 1L,       // id 3 appears twice
       "ref_fk" -> 1L))         // "b" has no parent; null ref is skipped
   }
+
+  // -------------------------------------------------- image text
+
+  test("imageText: EXIF ImageDescription, JPEG COM, PNG tEXt/iTXt, GIF comment, TIFF IFD0") {
+    val M = Multimodal
+    val jpeg = M.renderJpeg(8, 8, (_, _) => 0x808080)
+    // EXIF ImageDescription, out-of-line ASCII value
+    assert(M.imageTextFacts(M.jpegWithExifDescription(jpeg, "a long caption"))
+      .contains((null, "a long caption", null, "jpeg")))
+    // inline value: count <= 4 bytes with the NUL lives in the slot
+    assert(M.imageTextFacts(M.jpegWithExifDescription(jpeg, "abc"))
+      .contains((null, "abc", null, "jpeg")))
+    // COM segment; both COM and EXIF can coexist on one JPEG
+    assert(M.imageTextFacts(M.jpegWithComment(jpeg, "from the scanner"))
+      .contains((null, null, "from the scanner", "jpeg")))
+    assert(M.imageTextFacts(M.jpegWithComment(
+      M.jpegWithExifDescription(jpeg, "caption"), "comment"))
+      .contains((null, "caption", "comment", "jpeg")))
+    // PNG tEXt registered keywords; unknown keywords ignored;
+    // iTXt carries UTF-8 (the charset difference is the point)
+    val png = M.renderPng(4, 4, (_, _) => 0x112233)
+    assert(M.imageTextFacts(M.pngWithText(png, Seq(
+      ("Title", "T", false), ("Description", "D", false),
+      ("Comment", "C", false), ("Software", "ignored", false))))
+      .contains((("T", "D", "C", "png"))))
+    assert(M.imageTextFacts(M.pngWithText(png,
+      Seq(("Description", "Süße Wölkchen ☁", true))))
+      .contains((null, "Süße Wölkchen ☁", null, "png")))
+    // PNG eXIf fallback: no textual chunk, but the 2017 EXIF chunk
+    // has no ImageDescription either in the GPS fixture -> None
+    assert(M.imageTextFacts(M.pngWithExif(png, gps = true)).isEmpty)
+    // GIF comment extension; TIFF is its own EXIF block
+    assert(M.imageTextFacts(M.gifWithComment(M.syntheticGif(Seq(0)), "meme"))
+      .contains((null, null, "meme", "gif")))
+    assert(M.imageTextFacts(M.syntheticTiff(2, 2, (_, _) => 0xFFFFFF,
+      description = "archival scan")).contains((null, "archival scan", null, "tiff")))
+    // untexted and non-image rows
+    assert(M.imageTextFacts(png).isEmpty)
+    assert(M.imageTextFacts(jpeg).isEmpty)
+    assert(M.imageTextFacts("junk junk junk".getBytes("UTF-8")).isEmpty)
+    // decode still works THROUGH the spliced text chunks
+    assert(M.decodePixels(M.pngWithText(png, Seq(("Title", "t", false)))).isDefined)
+    assert(M.decodePixels(M.gifWithComment(M.syntheticGif(Seq(0)), "c")).isDefined)
+  }
+
+  test("imageText: hostile chunk lengths and truncation degrade to None, never throw") {
+    val M = Multimodal
+    val png = M.renderPng(4, 4, (_, _) => 0x112233)
+    // PNG chunk length larger than the file: walk ends clean
+    val huge = M.pngWithText(png, Seq(("Title", "t", false)))
+    val hugeLen = huge.clone()
+    hugeLen(8 + 25) = 0x7F.toByte // tEXt length u32 -> ~2 GB
+    assert(M.imageTextFacts(hugeLen).isEmpty)
+    // tEXt with no NUL separator: skipped
+    val noNul = M.pngWithText(png, Seq(("NoSeparatorJustText", "", false)))
+    assert(M.imageTextFacts(noNul).isEmpty ||
+      M.imageTextFacts(noNul).exists(_._1 == null))
+    // GIF comment whose sub-block chain runs off the file: truncation
+    val gif = M.gifWithComment(M.syntheticGif(Seq(0)), "abc")
+    val cut = java.util.Arrays.copyOfRange(gif, 0, 22) // mid-comment
+    assert(M.imageTextFacts(cut).isEmpty)
+    // a 100k-sub-block comment chain is capped, not buffered unbounded
+    val big = new java.io.ByteArrayOutputStream()
+    big.write(java.util.Arrays.copyOfRange(gif, 0, 19)) // up to the ext intro
+    big.write(Array[Byte](0x21, 0xFE.toByte))
+    var k = 0
+    while (k < 100000) { big.write(255); big.write(new Array[Byte](255)); k += 1 }
+    big.write(0)
+    val capped = M.imageTextFacts(big.toByteArray)
+    // cap + at most one 255-byte sub-block of overshoot
+    assert(capped.isEmpty || capped.get._3.length < 65536 + 256)
+    // imageTags dataframe surface: all-null struct for untexted rows
+    val out = Multimodal.imageTags(Seq(
+      (1L, M.pngWithText(png, Seq(("Description", "d", false)))),
+      (2L, png),
+      (3L, "junk".getBytes("UTF-8"))
+    ).toDF("id", "content")).select("id", "itext.description", "itext.text_format")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.getString(2))))).toMap
+    assert(out(1L) == ((Some("d"), Some("png"))))
+    assert(out(2L) == ((None, None)))
+    assert(out(3L) == ((None, None)))
+  }
+
+  // -------------------------------------------------- embedded art
+
+  test("embeddedArt: APIC/PIC, FLAC PICTURE, M4A covr extract byte-identical art") {
+    val M = Multimodal
+    val artPng = M.renderPng(8, 8, (x, y) => if ((x + y) % 2 == 0) 0xFAFAFA else 0x050505)
+    val artJpeg = M.renderJpeg(8, 8, (_, _) => 0x606060) // leads 0xFF 0xD8: unsync fodder
+    // v2.3 APIC
+    val mp3 = M.syntheticId3(3, "T", "A", "B", apic = Some(("image/png", artPng))) ++
+      M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))
+    val Some((m1, a1)) = M.embeddedArtBytes(mp3)
+    assert(m1 == "image/png" && java.util.Arrays.equals(a1, artPng))
+    assert(M.id3v2Tags(mp3).contains(("T", "A", "B", "id3v2.3")),
+      "text tags must survive the APIC frame in the same tag")
+    // v2.2 PIC (3-char format)
+    val Some((m2, a2)) = M.embeddedArtBytes(
+      M.syntheticId3(2, "T", "A", "B", apic = Some(("image/png", artPng))))
+    assert(m2 == "image/png" && java.util.Arrays.equals(a2, artPng))
+    // v2.4 per-frame unsync over JPEG art (guaranteed 0xFF bytes)
+    val Some((m3, a3)) = M.embeddedArtBytes(
+      M.syntheticId3(4, "T", "A", "B", unsync = true,
+        apic = Some(("image/jpeg", artJpeg))))
+    assert(m3 == "image/jpeg" && java.util.Arrays.equals(a3, artJpeg))
+    // FLAC PICTURE
+    val flac = M.syntheticFlacTagged(48000, 2, 16, 96000L, "T", "A", "B",
+      picture = Some(("image/png", artPng)))
+    val Some((m4, a4)) = M.embeddedArtBytes(flac)
+    assert(m4 == "image/png" && java.util.Arrays.equals(a4, artPng))
+    assert(M.flacTags(flac).contains(("T", "A", "B", "flac")),
+      "comment block still reads with a picture block after it")
+    assert(M.flacStreamInfo(flac).isDefined)
+    // M4A covr (type 14 png / 13 jpeg)
+    val Some((m5, a5)) = M.embeddedArtBytes(
+      M.syntheticM4aTagged(2, 44100, 441000L, "T", "A", "B",
+        cover = Some(("image/png", artPng))))
+    assert(m5 == "image/png" && java.util.Arrays.equals(a5, artPng))
+    val Some((m6, a6)) = M.embeddedArtBytes(
+      M.syntheticM4aTagged(2, 44100, 441000L, "T", "A", "B",
+        cover = Some(("image/jpeg", artJpeg))))
+    assert(m6 == "image/jpeg" && java.util.Arrays.equals(a6, artJpeg))
+    // cross-modal identity: extracted art IS an image — the perceptual
+    // hash of APIC art equals the standalone image's
+    assert(M.dhash64(a1) == M.dhash64(artPng))
+    assert(M.decodePixels(a4).isDefined)
+    // none paths
+    assert(M.embeddedArtBytes(M.syntheticId3(3, "T", "A", "B") ++
+      M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))).isEmpty)
+    assert(M.embeddedArtBytes(M.syntheticFlacTagged(48000, 2, 16, 96000L,
+      "T", "A", "B")).isEmpty)
+    assert(M.embeddedArtBytes("junk".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("embeddedArt: python-built fixtures — UTF-16 APIC description, v2.2 PIC, FLAC PICTURE dims, type-0 covr sniff") {
+    val M = Multimodal
+    def fix(name: String): Array[Byte] =
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        getClass.getResource(s"/fixtures/$name").toURI))
+    // every fixture embeds the same independently-encoded 2x2 PNG
+    def check(name: String): Array[Byte] = {
+      val Some((m, a)) = M.embeddedArtBytes(fix(name))
+      assert(m == "image/png", s"$name mime: $m")
+      val img = M.decodePixels(a)
+      assert(img.isDefined && img.get.getWidth == 2 && img.get.getHeight == 2,
+        s"$name art must be a decodable 2x2 PNG")
+      a
+    }
+    val a1 = check("synthetic_apic_v23.mp3") // UTF-16 desc: double-NUL path
+    val a2 = check("synthetic_pic_v22.mp3")  // 3-char "PNG" format
+    val a3 = check("synthetic_art.flac")     // non-zero dims fields skipped
+    val a4 = check("synthetic_covr.m4a")     // data type 0: magic sniffed
+    assert(java.util.Arrays.equals(a1, a2) && java.util.Arrays.equals(a2, a3) &&
+      java.util.Arrays.equals(a3, a4), "all four carriers yield identical bytes")
+    // the exact pixel: python zlib-encoded row 0 px 0 is 0x102030
+    assert((a1 ne null) && M.decodePixels(a1).get.getRGB(0, 0) == 0xFF102030)
+    // text tags coexist with the art in every carrier
+    assert(M.id3v2Tags(fix("synthetic_apic_v23.mp3"))
+      .exists(_._1 == "Art Title"))
+    assert(M.flacTags(fix("synthetic_art.flac")).exists(_._1 == "Flac Art"))
+    assert(M.m4aTags(fix("synthetic_covr.m4a")).exists(_._1 == "Covr Title"))
+  }
+
+  test("embeddedArt: hostile payloads degrade to None; dataframe surface nulls out") {
+    val M = Multimodal
+    val artPng = M.renderPng(4, 4, (_, _) => 0x222222)
+    // APIC whose MIME string never terminates: no art, no throw
+    val unterminated = M.syntheticId3(3, "T", "A", "B",
+      apic = Some(("image/png", artPng)))
+    // corrupt the APIC mime NUL: overwrite every 0x00 in the frame header
+    // region is fiddly — instead craft a minimal frame by hand
+    val frames = Array[Byte]('A', 'P', 'I', 'C', 0, 0, 0, 5, 0, 0,
+      0, 'n', 'o', 'n', 'u') // enc + 4 mime chars, no NUL, no data
+    val n = frames.length
+    val hostile = Array[Byte]('I', 'D', '3', 3, 0, 0,
+      ((n >> 21) & 0x7f).toByte, ((n >> 14) & 0x7f).toByte,
+      ((n >> 7) & 0x7f).toByte, (n & 0x7f).toByte) ++ frames
+    assert(M.embeddedArtBytes(hostile).isEmpty)
+    assert(M.embeddedArtBytes(unterminated).isDefined, "sanity: intact tag reads")
+    // FLAC picture block with a data length past the block: None
+    val flac = M.syntheticFlacTagged(8000, 1, 16, 100L, "T", "A", "B",
+      picture = Some(("image/png", artPng)))
+    val evil = flac.clone()
+    // the PICTURE data-length field sits 4+4+9+4+16 bytes into the block
+    // body; corrupting the last header byte of the block length is
+    // simpler and equally hostile
+    evil(evil.length - artPng.length - 4) = 0x7F.toByte
+    assert(M.embeddedArtBytes(evil).isEmpty ||
+      M.embeddedArtBytes(evil).exists(_._2.length <= artPng.length))
+    // dataframe surface
+    val out = M.embeddedArt(Seq(
+      (1L, M.syntheticM4aTagged(1, 8000, 800L, "T", "A", "B",
+        cover = Some(("image/png", artPng)))),
+      (2L, M.syntheticM4a(1, 8000, 800L)),
+      (3L, "junk".getBytes("UTF-8"))
+    ).toDF("id", "content"))
+      .select("id", "art_mime", "art")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.getAs[Array[Byte]](2))))).toMap
+    assert(out(1L)._1.contains("image/png"))
+    assert(java.util.Arrays.equals(out(1L)._2.get, artPng))
+    assert(out(2L) == ((None, None)))
+    assert(out(3L) == ((None, None)))
+  }
 }
