@@ -5843,7 +5843,13 @@ object SparkEntry {
       (6L, M.syntheticTiff(4, 4, (_, _) => gray(200),
         description = "scanned page 3 of 12")),
       (7L, png),
-      (8L, "junk".getBytes("UTF-8"))
+      (8L, "junk".getBytes("UTF-8")),
+      // the Adobe-ecosystem caption carrier: XMP dc:title/description
+      // in a JPEG APP1 packet and a PNG XML:com.adobe.xmp iTXt chunk
+      (9L, M.jpegWithXmp(jpeg,
+        M.xmpPacketXml("Xmp & Title", "Bridge at <dusk>"))),
+      (10L, M.pngWithText(png, Seq(("XML:com.adobe.xmp",
+        M.xmpPacketXml(null, "Gare du Nord, 1925"), true))))
     ).toDF("img_id", "content")
     M.imageTags(rows)
       .select(col("img_id"), col("itext.title").as("title"),
@@ -5870,7 +5876,12 @@ object SparkEntry {
       | (CAST(7 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
       |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
       | (CAST(8 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
-      |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))
+      |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+      | -- XMP entities unescape: & and <dusk> round-trip
+      | (CAST(9 AS BIGINT), 'Xmp & Title', 'Bridge at <dusk>',
+      |  CAST(NULL AS VARCHAR), 'jpeg'),
+      | (CAST(10 AS BIGINT), CAST(NULL AS VARCHAR), 'Gare du Nord, 1925',
+      |  CAST(NULL AS VARCHAR), 'png')
       |) AS t(img_id, title, description, comment, text_format)
       |ORDER BY img_id""".stripMargin
 
@@ -5920,6 +5931,135 @@ object SparkEntry {
       | (CAST(5 AS BIGINT), CAST(NULL AS VARCHAR), FALSE, CAST(NULL AS BIGINT))
       |) AS t(aud_id, art_mime, has_art, n_sharing_art)
       |ORDER BY aud_id""".stripMargin
+
+  /** Subtitle-cue explode ([[graft.operators.Multimodal.subtitleCues]])
+    * — the video-text pairing surface: one SRT and one WebVTT file
+    * (comma vs dot stamps, optional hours, cue settings, a NOTE
+    * block, markup stripping, multi-line text) plus an unparseable
+    * row contributing zero cues. Every value is a planted literal.
+    */
+  private def q181(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val srt =
+      """1
+        |00:00:01,000 --> 00:00:04,000
+        |Hello world
+        |second line
+        |
+        |2
+        |00:01:02,500 --> 00:01:05,250
+        |<i>styled</i> farewell
+        |""".stripMargin
+    val vtt =
+      """WEBVTT
+        |
+        |NOTE this block is skipped
+        |
+        |intro
+        |00:03.000 --> 00:06.500 align:start position:10%
+        |Minutes only
+        |
+        |01:00:00.200 --> 01:00:02.000
+        |With hours
+        |""".stripMargin
+    val rows = Seq(
+      (1L, srt.getBytes("UTF-8")),
+      (2L, vtt.getBytes("UTF-8")),
+      (3L, "no cues here".getBytes("UTF-8"))
+    ).toDF("doc_id", "content")
+    graft.operators.Multimodal.subtitleCues(rows)
+      .orderBy(col("doc_id"), col("cue_idx"))
+  }
+
+  private def subtitleOracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(1 AS BIGINT), 'srt', 1, CAST(1000 AS BIGINT),
+      |  CAST(4000 AS BIGINT), 'Hello world' || chr(10) || 'second line'),
+      | (CAST(1 AS BIGINT), 'srt', 2, CAST(62500 AS BIGINT),
+      |  CAST(65250 AS BIGINT), 'styled farewell'),
+      | (CAST(2 AS BIGINT), 'vtt', 1, CAST(3000 AS BIGINT),
+      |  CAST(6500 AS BIGINT), 'Minutes only'),
+      | (CAST(2 AS BIGINT), 'vtt', 2, CAST(3600200 AS BIGINT),
+      |  CAST(3602000 AS BIGINT), 'With hours')
+      |) AS t(doc_id, sub_format, cue_idx, start_ms, end_ms, text)
+      |ORDER BY doc_id, cue_idx""".stripMargin
+
+  /** Declared lyrics ([[graft.operators.Multimodal.audioLyrics]]) —
+    * the audio-text pairing surface across FOUR carriers: ID3 USLT
+    * (v2.4 UTF-8 and v2.3 UTF-16 with the double-NUL descriptor),
+    * M4A `©lyr`, and the Vorbis-comment LYRICS field of FLAC and
+    * Ogg-Opus streams; untagged and non-audio rows are null.
+    */
+  private def q182(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    val rows = Seq(
+      (1L, M.syntheticId3(4, "T", "A", "B",
+        lyrics = Some("Vers libre, ligne un")) ++
+        M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))),
+      (2L, M.syntheticId3(3, "T", "A", "B",
+        lyrics = Some("Üñïcode chorus ÿ")) ++
+        M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))),
+      (3L, M.syntheticM4aTagged(2, 44100, 441000L, "T", "A", "B",
+        lyricsTag = Some("ilst couplet"))),
+      (4L, M.syntheticFlacTagged(48000, 2, 16, 96000L, "T", "A", "B",
+        lyrics = Some("lossless refrain"))),
+      (5L, M.syntheticId3(3, "T", "A", "B") ++
+        M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))),
+      (6L, "junk".getBytes("UTF-8"))
+    ).toDF("aud_id", "content")
+    M.audioLyrics(rows)
+      .select(col("aud_id"), col("lyrics"))
+      .orderBy(col("aud_id"))
+  }
+
+  private def lyricsOracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(1 AS BIGINT), 'Vers libre, ligne un'),
+      | (CAST(2 AS BIGINT), 'Üñïcode chorus ÿ'),
+      | (CAST(3 AS BIGINT), 'ilst couplet'),
+      | (CAST(4 AS BIGINT), 'lossless refrain'),
+      | (CAST(5 AS BIGINT), CAST(NULL AS VARCHAR)),
+      | (CAST(6 AS BIGINT), CAST(NULL AS VARCHAR))
+      |) AS t(aud_id, lyrics)
+      |ORDER BY aud_id""".stripMargin
+
+  /** Container-declared subtitle tracks
+    * ([[graft.operators.Multimodal.subtitleTrackCount]] — the
+    * detection half of the video-text surface; q181 parses the
+    * sidecars): ISO-BMFF `hdlr` sbtl/subt/text and Matroska
+    * TrackType 0x11, null-unknown for non-container bytes.
+    */
+  private def q183(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    val plain = M.syntheticMp4(96, 64, 2000L)
+    val rows = Seq(
+      (1L, plain),
+      (2L, M.withMp4SubtitleTrack(plain)),
+      (3L, M.syntheticWebm("video", width = 64, height = 48,
+        durationMs = 1500L)),
+      (4L, M.syntheticWebm("video", width = 64, height = 48,
+        durationMs = 1500L, subtitleTracks = 2)),
+      (5L, M.renderPng(4, 4, (_, _) => gray(30))),
+      (6L, "junk".getBytes("UTF-8"))
+    ).toDF("vid_id", "content")
+    rows.select(col("vid_id"),
+      M.subtitleTrackCountCol(col("content")).as("subtitle_tracks"))
+      .orderBy(col("vid_id"))
+  }
+
+  private def subtitleTracksOracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(1 AS BIGINT), 0),
+      | (CAST(2 AS BIGINT), 1),
+      | (CAST(3 AS BIGINT), 0),
+      | (CAST(4 AS BIGINT), 2),
+      | (CAST(5 AS BIGINT), CAST(NULL AS INTEGER)),
+      | (CAST(6 AS BIGINT), CAST(NULL AS INTEGER))
+      |) AS t(vid_id, subtitle_tracks)
+      |ORDER BY vid_id""".stripMargin
 
   // ===================================================================
   // Registry
@@ -6105,7 +6245,10 @@ object SparkEntry {
     "q177_jxl" -> (q177 _),
     "q178_mixdedup" -> (q178 _),
     "q179_itext" -> (q179 _),
-    "q180_art" -> (q180 _))
+    "q180_art" -> (q180 _),
+    "q181_subs" -> (q181 _),
+    "q182_lyrics" -> (q182 _),
+    "q183_subtrk" -> (q183 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -6536,6 +6679,9 @@ object SparkEntry {
     "q178_mixdedup" -> mediaDedupOracle,
     "q179_itext" -> imageTextOracle,
     "q180_art" -> embeddedArtOracle,
+    "q181_subs" -> subtitleOracle,
+    "q182_lyrics" -> lyricsOracle,
+    "q183_subtrk" -> subtitleTracksOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

@@ -422,7 +422,8 @@ object Multimodal {
     */
   final case class WebmInfo(docType: String, kind: String, width: Integer,
       height: Integer, durationMs: java.lang.Long, codec: String,
-      channels: Integer, sampleRate: Integer, cuePoints: Int)
+      channels: Integer, sampleRate: Integer, cuePoints: Int,
+      subtitleTracks: Int = 0)
 
   /** EBML walk for [[WebmInfo]] — VINT ids/sizes (1-4 / 1-8 bytes),
     * unknown-size elements (all value bits set — the live-muxed
@@ -478,6 +479,7 @@ object Multimodal {
     var channels: Integer = null
     var rate: Integer = null
     var cuePoints = 0
+    var subtitleTracks = 0
     // per-TrackEntry scratch, committed when the entry closes —
     // TrackType may precede or follow the Video/Audio sub-elements
     var tType = -1
@@ -498,6 +500,7 @@ object Multimodal {
         if (tCh > 0) channels = tCh
         if (tRate > 0) rate = Integer.valueOf(math.round(tRate).toInt)
       }
+      if (tType == 0x11) subtitleTracks += 1 // S_TEXT/* subtitle track
       tType = -1; tCodec = null; tW = -1; tH = -1; tCh = -1; tRate = -1.0
     }
     def walk(start: Int, end: Int, inCues: Boolean, depth: Int): Unit = {
@@ -553,9 +556,121 @@ object Multimodal {
         else java.lang.Long.valueOf(
           math.round(durationTicks * timecodeScale / 1e6))
       Some(WebmInfo(if (docType == null) "matroska" else docType, kind,
-        width, height, durMs, codec, channels, rate, cuePoints))
+        width, height, durMs, codec, channels, rate, cuePoints,
+        subtitleTracks))
     }
   } catch { case _: Throwable => None }
+
+  /** Every trak's `hdlr` handler type in an ISO-BMFF movie —
+    * `vide`/`soun` plus the subtitle carriers (`sbtl` QuickTime/MOV
+    * tx3g, `subt` ISO 14496-30, `text` QuickTime text). Depth-capped
+    * walk like its BMFF siblings.
+    */
+  private[graft] def mp4TrackHandlers(b: Array[Byte]): Seq[String] = try {
+    if (b == null || b.length < 16 ||
+      !(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return Nil
+    @inline def u32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    @inline def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    val out = Seq.newBuilder[String]
+    def walk(start: Long, end: Long, depth: Int): Unit = {
+      if (depth > 16) return
+      var off = start
+      while (off + 8 <= end) {
+        val size0 = u32(off.toInt)
+        val id = new String(b, off.toInt + 4, 4, "ISO-8859-1")
+        var body = off + 8
+        val boxEnd =
+          if (size0 == 1 && off + 16 <= end) { body = off + 16; off + u64(off.toInt + 8) }
+          else if (size0 == 0) end
+          else off + size0
+        if (boxEnd < body || boxEnd > end) return
+        id match {
+          case "moov" | "trak" | "mdia" => walk(body, boxEnd, depth + 1)
+          case "hdlr" if body + 12 <= boxEnd =>
+            out += new String(b, body.toInt + 8, 4, "ISO-8859-1")
+          case _ => ()
+        }
+        off = boxEnd
+      }
+    }
+    walk(0L, b.length.toLong, 0)
+    out.result()
+  } catch { case _: Throwable => Nil }
+
+  /** Container-DECLARED subtitle track count — the detection half of
+    * the video-text surface ([[subtitleCues]] parses the sidecar
+    * files; this flags muxed-in text): ISO-BMFF `hdlr` types
+    * `sbtl`/`subt`/`text`, Matroska TrackType 0x11. Null for
+    * non-container bytes (callers treat null as unknown, 0 as
+    * "declares none").
+    */
+  def subtitleTrackCount(b: Array[Byte]): Integer = try {
+    if (b == null || b.length < 16) return null
+    if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')
+      return Integer.valueOf(mp4TrackHandlers(b)
+        .count(h => h == "sbtl" || h == "subt" || h == "text"))
+    if (b(0) == 0x1A.toByte && b(1) == 0x45.toByte &&
+      b(2) == 0xDF.toByte && b(3) == 0xA3.toByte)
+      return webmInfo(b).map(i => Integer.valueOf(i.subtitleTracks)).orNull
+    null
+  } catch { case _: Throwable => null }
+
+  /** [[subtitleTrackCount]] as a Column — codegen'd like
+    * [[scrubGpsCol]], so the flag is a map-only projection.
+    */
+  def subtitleTrackCountCol(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.bridge.{columnOf, expressionOf}
+    columnOf(SubtitleTrackCount(expressionOf(content)))
+  }
+
+  case class SubtitleTrackCount(child: org.apache.spark.sql.catalyst.expressions.Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val r = subtitleTrackCount(v.asInstanceOf[Array[Byte]])
+      if (r == null) null else r.intValue
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val c = child.genCode(ctx)
+      val boxed = ctx.freshName("subTrk")
+      ev.copy(code = code"""
+        ${c.code}
+        java.lang.Integer $boxed = ${c.isNull} ? null :
+          graft.operators.Multimodal.subtitleTrackCount(${c.value});
+        final boolean ${ev.isNull} = $boxed == null;
+        final int ${ev.value} = ${ev.isNull} ? 0 : $boxed.intValue();""")
+    }
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression): SubtitleTrackCount = copy(c)
+  }
+
+  /** Splice a minimal subtitle trak (`mdia/hdlr` type `sbtl`) into an
+    * existing ISO-BMFF movie's `moov` — the fixture real muxers emit
+    * alongside tx3g sample tables ([[syntheticM4aTagged]]'s splice
+    * discipline).
+    */
+  private[graft] def withMp4SubtitleTrack(mp4: Array[Byte]): Array[Byte] = {
+    def box(id: String, payload: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + payload.length)
+      out.putInt(8 + payload.length).put(id.getBytes("ISO-8859-1")).put(payload)
+      out.array()
+    }
+    val hdlr = new Array[Byte](8) ++ "sbtl".getBytes("ISO-8859-1") ++
+      new Array[Byte](12)
+    val trak = box("trak", box("mdia", box("hdlr", hdlr)))
+    val ftypLen = java.nio.ByteBuffer.wrap(mp4, 0, 4).getInt
+    require(new String(mp4, ftypLen + 4, 4, "ISO-8859-1") == "moov" &&
+      java.nio.ByteBuffer.wrap(mp4, ftypLen, 4).getInt == mp4.length - ftypLen,
+      "ftyp ++ moov synthetics only")
+    val moovPayload = java.util.Arrays.copyOfRange(mp4, ftypLen + 8, mp4.length)
+    java.util.Arrays.copyOfRange(mp4, 0, ftypLen) ++
+      box("moov", moovPayload ++ trak)
+  }
 
   /** Minimal-but-valid Matroska/WebM from the given facts — EBML
     * header (DocType) + Segment(Info(TimecodeScale, float Duration),
@@ -569,7 +684,8 @@ object Multimodal {
       height: Int = 0, channels: Int = 0, sampleRate: Int = 0,
       durationMs: Long = -1L, codec: String = "V_VP9",
       cuePoints: Int = 0, docType: String = "webm",
-      tags: Option[(String, String, String)] = None): Array[Byte] = {
+      tags: Option[(String, String, String)] = None,
+      subtitleTracks: Int = 0): Array[Byte] = {
     def vintSize(n: Long): Array[Byte] = { // 4-byte size VINT
       require(n >= 0 && n < (1L << 28), s"fixture size too large: $n")
       Array((0x10 | (n >> 24)).toByte, ((n >> 16) & 0xff).toByte,
@@ -610,8 +726,12 @@ object Multimodal {
           bb.putFloat(if (kind == "audio") sampleRate.toFloat else 48000f)
           bb.array()
         }) ++ uintEl(0x9FL, if (kind == "audio") channels.toLong else 2L)))
+    val subTracks = (0 until subtitleTracks).toArray.flatMap(i =>
+      el(0xAEL, uintEl(0xD7L, 3L + i) ++ uintEl(0x83L, 0x11L) ++
+        strEl(0x86L, "S_TEXT/UTF8")))
     val tracks = el(0x1654AE6BL,
-      if (kind == "video") videoTrack ++ audioTrack else audioTrack)
+      (if (kind == "video") videoTrack ++ audioTrack else audioTrack) ++
+        subTracks)
     val cues =
       if (cuePoints <= 0) Array.emptyByteArray
       else el(0x1C53BB6BL, (0 until cuePoints).toArray.flatMap(i =>
@@ -2303,21 +2423,79 @@ object Multimodal {
     }
   }
 
+  /** The XMP packet of a JPEG — the APP1 segment whose payload leads
+    * with the `http://ns.adobe.com/xap/1.0/` namespace NUL-terminated
+    * string (Adobe XMP spec part 3). Capped at 1 MiB; null when none.
+    */
+  private def jpegXmpPacket(b: Array[Byte]): String = {
+    val ns = "http://ns.adobe.com/xap/1.0/"
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xFF) return null
+      val mk = b(i + 1) & 0xff
+      if (mk == 0xFF) i += 1
+      else if (mk == 0x01 || (mk >= 0xD0 && mk <= 0xD9)) i += 2
+      else {
+        val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+        if (len < 2 || mk == 0xDA) return null // SOS
+        if (mk == 0xE1 && i + 2 + len <= b.length &&
+          len >= 2 + ns.length + 1 &&
+          new String(b, i + 4, ns.length, "ISO-8859-1") == ns &&
+          b(i + 4 + ns.length) == 0) {
+          val from = i + 4 + ns.length + 1
+          val n = math.min(i + 2 + len - from, 1 << 20)
+          return new String(b, from, n, java.nio.charset.StandardCharsets.UTF_8)
+        }
+        i += 2 + len
+      }
+    }
+    null
+  }
+
+  /** One property's x-default text from an XMP packet — finds the
+    * property name, then the first `<rdf:li` item's element text
+    * (the rdf:Alt form dc:title/dc:description use), entity-unescaped.
+    * A bounded string scan, not an XML parser: hostile packets can't
+    * recurse or expand entities; malformed ones return null.
+    */
+  private[graft] def xmpProperty(xml: String, prop: String): String = {
+    if (xml == null) return null
+    val at = xml.indexOf("<" + prop)
+    if (at < 0) return null
+    val endScope = xml.indexOf("</" + prop, at)
+    val scopeEnd = if (endScope < 0) math.min(xml.length, at + 65536) else endScope
+    val li = xml.indexOf("<rdf:li", at)
+    if (li < 0 || li >= scopeEnd) return null
+    val gt = xml.indexOf('>', li)
+    if (gt < 0 || gt >= scopeEnd) return null
+    val lt = xml.indexOf('<', gt + 1)
+    if (lt < 0 || lt > scopeEnd) return null
+    val raw = xml.substring(gt + 1, lt)
+    val t = raw.replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&apos;", "'")
+      .replace("&#39;", "'").replace("&amp;", "&").trim
+    if (t.isEmpty) null else t
+  }
+
   /** Declared image text for one asset ([[ImageTextSchema]]'s
     * fields): PNG `tEXt`/`iTXt` Title/Description/Comment keywords
     * (case-sensitive per the PNG spec's registered keywords, first
     * occurrence wins), a JPEG's first `COM` segment, a GIF's comment
-    * extension, and — for EVERY carrier [[exifTiffRegion]] locates
-    * (JPEG APP1, WebP `EXIF`, TIFF itself, HEIF item, PNG `eXIf`) —
-    * the EXIF ImageDescription tag (0x010E) as the description
-    * fallback. None when the bytes aren't an image container or carry
-    * no text at all.
+    * extension, the EXIF ImageDescription tag (0x010E) for EVERY
+    * carrier [[exifTiffRegion]] locates (JPEG APP1, WebP `EXIF`,
+    * TIFF itself, HEIF item, PNG `eXIf`), and — the Adobe-ecosystem
+    * caption carrier — XMP `dc:title`/`dc:description` from a JPEG
+    * APP1 XMP packet or a PNG `XML:com.adobe.xmp` iTXt chunk.
+    * Precedence per field: container-native text, then EXIF, then
+    * XMP. None when the bytes aren't an image container or carry no
+    * text at all.
     */
   private[graft] def imageTextFacts(b: Array[Byte]): Option[(String, String, String, String)] = try {
     if (b == null || b.length < 12) return None
     var title: String = null
     var description: String = null
     var comment: String = null
+    var xmp: String = null
     val isPng = b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
     val isJpeg = b(0) == 0xFF.toByte && b(1) == 0xD8.toByte
     val isGif = b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
@@ -2336,10 +2514,11 @@ object Multimodal {
         case "Title" if title == null => title = v
         case "Description" if description == null => description = v
         case "Comment" if comment == null => comment = v
+        case "XML:com.adobe.xmp" if xmp == null => xmp = v
         case _ => ()
       }
     }
-    else if (isJpeg) comment = jpegComment(b)
+    else if (isJpeg) { comment = jpegComment(b); xmp = jpegXmpPacket(b) }
     else if (isGif) comment = gifComment(b)
     if (description == null) {
       val r = exifTiffRegion(b)
@@ -2347,6 +2526,8 @@ object Multimodal {
         description =
           tiffAsciiTag(b, (r >>> 32).toInt, (r & 0xffffffffL).toInt, 0x010E)
     }
+    if (title == null) title = xmpProperty(xmp, "dc:title")
+    if (description == null) description = xmpProperty(xmp, "dc:description")
     if (title == null && description == null && comment == null) None
     else Some((title, description, comment, fmt))
   } catch { case _: Throwable => None } // per-row isolation
@@ -2374,6 +2555,120 @@ object Multimodal {
           }
           Row.fromSeq(row.toSeq :+ itext)
         }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** One parsed subtitle cue ([[subtitleCues]]). */
+  final case class SubCue(idx: Int, startMs: Long, endMs: Long, text: String)
+
+  /** Parse an SRT or WebVTT subtitle file into timed cues — the
+    * video-text pairing surface: a crawl's .srt/.vtt sidecars are the
+    * transcripts that turn videos into (clip, text) training pairs.
+    * Format detected by the `WEBVTT` header, else SRT by the `-->`
+    * arrow. Timestamps `HH:MM:SS,mmm` (SRT) or `[HH:]MM:SS.mmm`
+    * (WebVTT) — either separator tolerated in both; cue settings
+    * after the end stamp ignored; NOTE/STYLE blocks and bare index
+    * lines skipped (no arrow); multi-line cue text joined with
+    * newlines; `<i>`/`<c.x>`-style markup stripped; cue count capped
+    * at 100k per file. None for text with no parseable cue.
+    */
+  private[graft] def parseSubtitles(s: String): Option[(String, Seq[SubCue])] = try {
+    if (s == null || s.isEmpty) return None
+    val t0 = if (s.charAt(0) == '﻿') s.substring(1) else s
+    val t = t0.replace("\r\n", "\n").replace('\r', '\n')
+    val isVtt = t.startsWith("WEBVTT")
+    if (!isVtt && !t.contains("-->")) return None
+    val lines = t.split('\n')
+    val stamp = java.util.regex.Pattern.compile(
+      "(?:(\\d+):)?(\\d{1,2}):(\\d{1,2})[.,](\\d{1,3})")
+    def ms(m: java.util.regex.Matcher): Long = {
+      val h = if (m.group(1) == null) 0L else m.group(1).toLong
+      val frac = m.group(4)
+      val mmm = frac.toLong * (frac.length match {
+        case 1 => 100L
+        case 2 => 10L
+        case _ => 1L
+      })
+      ((h * 60 + m.group(2).toLong) * 60 + m.group(3).toLong) * 1000 + mmm
+    }
+    def stripMarkup(x: String): String = {
+      val sb = new java.lang.StringBuilder(x.length)
+      var i = 0
+      var in = false
+      while (i < x.length) {
+        val c = x.charAt(i)
+        if (c == '<') in = true
+        else if (c == '>' && in) in = false
+        else if (!in) sb.append(c)
+        i += 1
+      }
+      sb.toString
+    }
+    val cues = Seq.newBuilder[SubCue]
+    var i = 0
+    var idx = 0
+    while (i < lines.length && idx < 100000) {
+      val ln = lines(i)
+      val arrow = ln.indexOf("-->")
+      if (arrow >= 0) {
+        val m1 = stamp.matcher(ln.substring(0, arrow))
+        val m2 = stamp.matcher(ln.substring(arrow + 3))
+        if (m1.find() && m2.find()) {
+          val st = ms(m1)
+          val en = ms(m2)
+          val sb = new java.lang.StringBuilder
+          i += 1
+          while (i < lines.length && lines(i).trim.nonEmpty) {
+            if (sb.length > 0) sb.append('\n')
+            sb.append(lines(i))
+            i += 1
+          }
+          val text = stripMarkup(sb.toString).trim
+          if (en >= st && text.nonEmpty) {
+            idx += 1
+            cues += SubCue(idx, st, en, text)
+          }
+        } else i += 1
+      } else i += 1
+    }
+    val got = cues.result()
+    if (got.isEmpty) None else Some(((if (isVtt) "vtt" else "srt"), got))
+  } catch { case _: Throwable => None } // per-row isolation
+
+  /** Explode a subtitle-file column (UTF-8 binary or string) into
+    * cue rows: (id, sub_format, cue_idx, start_ms, end_ms, text) —
+    * O(cues) output at the id grain, map-only (the flatMap twin of
+    * [[imageTags]]); unparseable rows yield zero cues. The text
+    * column feeds the TEXT pipeline (lang-ID, quality, dedup,
+    * decontamination) and the (start_ms, end_ms) intervals line up
+    * with [[videoStats]] durations for clip-text pair cutting.
+    */
+  def subtitleCues(df: DataFrame, idCol: String = "doc_id",
+      contentCol: String = "content"): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val idField = inSchema(inSchema.fieldIndex(idCol))
+    val outSchema = StructType(Seq(idField,
+      StructField("sub_format", StringType),
+      StructField("cue_idx", IntegerType),
+      StructField("start_ms", LongType),
+      StructField("end_ms", LongType),
+      StructField("text", StringType)))
+    val idIdx = inSchema.fieldIndex(idCol)
+    val contentIdx = inSchema.fieldIndex(contentCol)
+    val isBinary = inSchema(contentIdx).dataType == BinaryType
+    val rdd = df.rdd.flatMap { row =>
+      val raw =
+        if (row.isNullAt(contentIdx)) null
+        else if (isBinary) new String(row.getAs[Array[Byte]](contentIdx),
+          java.nio.charset.StandardCharsets.UTF_8)
+        else row.getAs[String](contentIdx)
+      parseSubtitles(raw) match {
+        case Some((fmt, cues)) => cues.map(c =>
+          Row(row.get(idIdx), fmt, c.idx, c.startMs, c.endMs, c.text))
+        case None => Nil
       }
     }
     spark.createDataFrame(rdd, outSchema)
@@ -3300,7 +3595,16 @@ object Multimodal {
     * [[audioTags]] all-null convention, never garbled text.
     */
   private def vorbisFields(b: Array[Byte], start: Int,
-      end: Int): Option[(String, String, String)] = {
+      end: Int): Option[(String, String, String)] =
+    vorbisFieldMap(b, start, end, Set("TITLE", "ARTIST", "ALBUM")).map(m =>
+      (m.getOrElse("TITLE", null), m.getOrElse("ARTIST", null),
+        m.getOrElse("ALBUM", null)))
+
+  /** The generic field walk behind [[vorbisFields]] (and the LYRICS
+    * read): collects the LAST occurrence of each wanted key.
+    */
+  private def vorbisFieldMap(b: Array[Byte], start: Int, end: Int,
+      wanted: Set[String]): Option[Map[String, String]] = {
     @inline def le32(o: Int): Long =
       (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
         ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
@@ -3312,9 +3616,7 @@ object Multimodal {
     if (p + 4 > end) return None
     var n = le32(p); p += 4
     if (n < 0) return None
-    var title: String = null
-    var artist: String = null
-    var album: String = null
+    var out = Map.empty[String, String]
     while (n > 0 && p + 4 <= end) {
       val len = le32(p); p += 4
       if (len < 0 || len > end - p) n = 0 // truncated list: keep what parsed
@@ -3323,19 +3625,14 @@ object Multimodal {
           java.nio.charset.StandardCharsets.UTF_8)
         val eq = s.indexOf('=')
         if (eq > 0) {
-          val v = s.substring(eq + 1)
-          s.substring(0, eq).toUpperCase(java.util.Locale.ROOT) match {
-            case "TITLE" => title = v
-            case "ARTIST" => artist = v
-            case "ALBUM" => album = v
-            case _ => ()
-          }
+          val key = s.substring(0, eq).toUpperCase(java.util.Locale.ROOT)
+          if (wanted.contains(key)) out = out.updated(key, s.substring(eq + 1))
         }
         p += len.toInt
         n -= 1
       }
     }
-    Some((title, artist, album))
+    Some(out)
   }
 
   /** FLAC declared tags — the VORBIS_COMMENT metadata block (type 4,
@@ -3346,7 +3643,15 @@ object Multimodal {
     * block or truncation. None for non-FLAC bytes, no comment block,
     * or a structurally invalid one.
     */
-  private[graft] def flacTags(b: Array[Byte]): Option[(String, String, String, String)] = {
+  private[graft] def flacTags(b: Array[Byte]): Option[(String, String, String, String)] =
+    flacCommentRegion(b).flatMap { case (from, until) =>
+      vorbisFields(b, from, until).map { case (t, a, al) => (t, a, al, "flac") }
+    }
+
+  /** The VORBIS_COMMENT block's (from, until) within a FLAC file —
+    * the single locate behind [[flacTags]] and the LYRICS read.
+    */
+  private def flacCommentRegion(b: Array[Byte]): Option[(Int, Int)] = {
     if (b == null || b.length < 8 ||
       !(b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')) return None
     var off = 4
@@ -3359,9 +3664,7 @@ object Multimodal {
         (b(off + 3) & 0xff)
       val body = off + 4
       if (body + len > b.length) return None // truncated block
-      if (btype == 4)
-        return vorbisFields(b, body, body + len)
-          .map { case (t, a, al) => (t, a, al, "flac") }
+      if (btype == 4) return Some((body, body + len))
       off = body + len
     }
     None
@@ -3422,7 +3725,15 @@ object Multimodal {
     * never to shifted reads). None for non-Ogg/non-Opus bytes or no
     * tags packet within the first pages.
     */
-  private[graft] def opusTags(b: Array[Byte]): Option[(String, String, String, String)] = {
+  private[graft] def opusTags(b: Array[Byte]): Option[(String, String, String, String)] =
+    opusCommentRegion(b).flatMap { case (from, until) =>
+      vorbisFields(b, from, until).map { case (t, a, al) => (t, a, al, "opus") }
+    }
+
+  /** The `OpusTags` packet's comment region within the first Ogg
+    * pages — the single locate behind [[opusTags]] and LYRICS.
+    */
+  private def opusCommentRegion(b: Array[Byte]): Option[(Int, Int)] = {
     if (b == null || b.length < 47 ||
       !(b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S')) return None
     var off = 0
@@ -3445,8 +3756,7 @@ object Multimodal {
         sawHead = true
       } else if (pend - payload >= 8 &&
         new String(b, payload, 8, "ISO-8859-1") == "OpusTags") {
-        return vorbisFields(b, payload + 8, pend)
-          .map { case (t, a, al) => (t, a, al, "opus") }
+        return Some((payload + 8, pend))
       }
       off = payload + plen
     }
@@ -3493,7 +3803,15 @@ object Multimodal {
     * packet, by spec the second packet), same Vorbis-comment
     * structure as FLAC/Opus. Page walk like [[opusTags]].
     */
-  private[graft] def vorbisTags(b: Array[Byte]): Option[(String, String, String, String)] = {
+  private[graft] def vorbisTags(b: Array[Byte]): Option[(String, String, String, String)] =
+    vorbisOggCommentRegion(b).flatMap { case (from, until) =>
+      vorbisFields(b, from, until).map { case (t, a, al) => (t, a, al, "vorbis") }
+    }
+
+  /** The Ogg-Vorbis comment-header region — [[opusCommentRegion]]'s
+    * Vorbis-codec twin.
+    */
+  private def vorbisOggCommentRegion(b: Array[Byte]): Option[(Int, Int)] = {
     if (b == null || b.length < 47 ||
       !(b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S')) return None
     var off = 0
@@ -3518,8 +3836,7 @@ object Multimodal {
         if (!leads(1)) return None
         sawIdent = true
       } else if (leads(3)) {
-        return vorbisFields(b, payload + 7, pend)
-          .map { case (t, a, al) => (t, a, al, "vorbis") }
+        return Some((payload + 7, pend))
       }
       off = payload + plen
     }
@@ -3532,8 +3849,8 @@ object Multimodal {
     * discipline).
     */
   private[graft] def syntheticVorbis(channels: Int, sampleRate: Int,
-      lastGranule: Long, tags: Option[(String, String, String)] = None):
-      Array[Byte] = {
+      lastGranule: Long, tags: Option[(String, String, String)] = None,
+      lyrics: Option[String] = None): Array[Byte] = {
     def page(headerType: Int, granule: Long, seq: Int,
         payload: Array[Byte]): Array[Byte] = {
       require(payload.length < 255, "single-segment fixture pages only")
@@ -3556,7 +3873,7 @@ object Multimodal {
     val head = page(0x02, 0L, 0, ident)
     val comment = tags.map { case (t, a, al) =>
       page(0x00, 0L, 1, Array[Byte](3) ++ "vorbis".getBytes("ISO-8859-1") ++
-        vorbisCommentBytes(t, a, al) ++ Array[Byte](1)) // framing bit
+        vorbisCommentBytes(t, a, al, lyrics.orNull) ++ Array[Byte](1)) // framing bit
     }
     val eos = page(0x04, lastGranule, if (comment.isDefined) 2 else 1,
       Array[Byte](0))
@@ -4016,12 +4333,49 @@ object Multimodal {
     if (art == null) None else Some((mime, art))
   }
 
+  /** Unsynchronised-lyrics text from an ID3v2 `USLT` frame (v2.2's
+    * `ULT`): enc byte, 3-char language, NUL-terminated content
+    * descriptor (double-NUL when the encoding is UTF-16), then the
+    * lyrics text in the frame's encoding. First non-empty frame wins;
+    * None when no tag or no lyrics frame.
+    */
+  private[graft] def id3Lyrics(b: Array[Byte]): Option[String] = {
+    var lyrics: String = null
+    id3FrameWalk(b) { (id, frame, from, until) =>
+      if (lyrics == null && (id == "USLT" || id == "ULT") &&
+        until - from >= 6) {
+        val enc = frame(from) & 0xff
+        var p = from + 4 // enc + language
+        if (enc == 1 || enc == 2) { // UTF-16 descriptor: aligned double-NUL
+          while (p + 1 < until && !(frame(p) == 0 && frame(p + 1) == 0)) p += 2
+          p += 2
+        } else {
+          while (p < until && frame(p) != 0) p += 1
+          p += 1
+        }
+        if (p < until) {
+          val raw = enc match {
+            case 0 => new String(frame, p, until - p, "ISO-8859-1")
+            case 1 => new String(frame, p, until - p, "UTF-16")
+            case 2 => new String(frame, p, until - p, "UTF-16BE")
+            case _ => new String(frame, p, until - p, "UTF-8")
+          }
+          val nul = raw.indexOf(0.toChar)
+          val t = (if (nul >= 0) raw.substring(0, nul) else raw).trim
+          if (t.nonEmpty) lyrics = t
+        }
+      }
+    }
+    Option(lyrics)
+  }
+
   /** The facts an M4A `ilst` item list declares — text tags plus the
     * `covr` cover art ([[m4aTags]] and [[embeddedArtBytes]] both read
     * from this ONE walk).
     */
   private final case class IlstFacts(title: String, artist: String,
-      album: String, artMime: String, art: Array[Byte])
+      album: String, artMime: String, art: Array[Byte],
+      lyrics: String)
 
   /** iTunes-style item list from an M4A's `moov/udta/meta/ilst`: the
     * `©nam`/`©ART`/`©alb` atoms' `data` payloads (type 1 = UTF-8,
@@ -4042,6 +4396,7 @@ object Multimodal {
     var album: String = null
     var artMime: String = null
     var art: Array[Byte] = null
+    var lyrics: String = null
     var sawIlst = false
     def dataText(start: Long, end: Long): String = {
       // first child `data` box: 4B type, 4B locale, then the value
@@ -4103,6 +4458,7 @@ object Multimodal {
             case "©nam" => title = dataText(body, boxEnd)
             case "©ART" => artist = dataText(body, boxEnd)
             case "©alb" => album = dataText(body, boxEnd)
+            case "©lyr" => lyrics = dataText(body, boxEnd)
             case "covr" if art == null => dataArt(body, boxEnd)
             case _ => ()
           }
@@ -4116,7 +4472,8 @@ object Multimodal {
       }
     }
     walk(0L, b.length.toLong, inIlst = false)
-    if (!sawIlst) None else Some(IlstFacts(title, artist, album, artMime, art))
+    if (!sawIlst) None
+    else Some(IlstFacts(title, artist, album, artMime, art, lyrics))
   }
 
   /** iTunes-style text tags ([[m4aIlst]]'s text surface). */
@@ -4368,6 +4725,48 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Declared lyrics across carriers — the audio-text pairing
+    * surface (transcripts/lyrics turn an audio corpus into
+    * (clip, text) training pairs): ID3v2 `USLT`/`ULT`, the M4A
+    * `©lyr` item, and the Vorbis-comment `LYRICS` field of
+    * FLAC / Ogg-Opus / Ogg-Vorbis streams. None when untagged.
+    */
+  private[graft] def audioLyricsText(b: Array[Byte]): Option[String] =
+    try id3Lyrics(b)
+      .orElse(m4aIlst(b).flatMap(f => Option(f.lyrics)))
+      .orElse(flacCommentRegion(b).flatMap { case (from, until) =>
+        vorbisFieldMap(b, from, until, Set("LYRICS")).flatMap(_.get("LYRICS"))
+      })
+      .orElse(opusCommentRegion(b).flatMap { case (from, until) =>
+        vorbisFieldMap(b, from, until, Set("LYRICS")).flatMap(_.get("LYRICS"))
+      })
+      .orElse(vorbisOggCommentRegion(b).flatMap { case (from, until) =>
+        vorbisFieldMap(b, from, until, Set("LYRICS")).flatMap(_.get("LYRICS"))
+      })
+      .filter(_.nonEmpty)
+    catch { case _: Throwable => None } // per-row isolation
+
+  /** Append a `lyrics` string column ([[audioLyricsText]] per row) —
+    * [[audioTags]]' discipline: map-only, null for untagged rows;
+    * the column feeds the TEXT pipeline directly.
+    */
+  def audioLyrics(df: DataFrame, contentCol: String = "content",
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField("lyrics", StringType))
+    val contentIdx = inSchema.fieldIndex(contentCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val bytes = row.getAs[Array[Byte]](contentIdx)
+          Row.fromSeq(row.toSeq :+ audioLyricsText(bytes).orNull)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Apply ID3v2 unsynchronisation: insert a 0x00 after every 0xFF
     * (the writer-side twin of [[id3DeUnsync]] — fixtures only).
     */
@@ -4393,7 +4792,8 @@ object Multimodal {
     */
   private[graft] def syntheticId3(version: Int, title: String,
       artist: String, album: String, unsync: Boolean = false,
-      apic: Option[(String, Array[Byte])] = None): Array[Byte] = {
+      apic: Option[(String, Array[Byte])] = None,
+      lyrics: Option[String] = None): Array[Byte] = {
     require(version == 2 || version == 3 || version == 4, s"version: $version")
     def rawFrame(id: String, payload0: Array[Byte]): Array[Byte] = {
       // v2.4: unsync is per-frame; the stored size counts stuffed bytes
@@ -4435,7 +4835,20 @@ object Multimodal {
         rawFrame("APIC", Array[Byte](0) ++ mime.getBytes("ISO-8859-1") ++
           Array[Byte](0, 3, 0) ++ art)
     }.getOrElse(Array.emptyByteArray)
-    val frames0 = ids.flatMap { case (id, v) => frame(id, v) }.toArray ++ apicFrame
+    // USLT (v2.2 ULT): enc + "eng" + empty NUL-terminated descriptor
+    // (double-NUL under UTF-16) + the lyrics in the frame encoding
+    val lyricsFrame = lyrics.map { text =>
+      val payload =
+        if (version == 4)
+          Array[Byte](3) ++ "eng".getBytes("ISO-8859-1") ++ Array[Byte](0) ++
+            text.getBytes("UTF-8")
+        else
+          Array[Byte](1) ++ "eng".getBytes("ISO-8859-1") ++ Array[Byte](0, 0) ++
+            Array[Byte](0xFF.toByte, 0xFE.toByte) ++ text.getBytes("UTF-16LE")
+      rawFrame(if (version == 2) "ULT" else "USLT", payload)
+    }.getOrElse(Array.emptyByteArray)
+    val frames0 = ids.flatMap { case (id, v) => frame(id, v) }.toArray ++
+      apicFrame ++ lyricsFrame
     // v2.2/v2.3: unsync applies to the whole composed tag
     val frames =
       if (unsync && version != 4) id3Unsync(frames0) else frames0
@@ -4452,7 +4865,8 @@ object Multimodal {
     */
   private[graft] def syntheticM4aTagged(channels: Int, sampleRate: Int,
       nSamples: Long, title: String, artist: String,
-      album: String, cover: Option[(String, Array[Byte])] = None): Array[Byte] = {
+      album: String, cover: Option[(String, Array[Byte])] = None,
+      lyricsTag: Option[String] = None): Array[Byte] = {
     def box(id: String, payload: Array[Byte]): Array[Byte] = {
       val out = java.nio.ByteBuffer.allocate(8 + payload.length)
       out.putInt(8 + payload.length).put(id.getBytes("ISO-8859-1")).put(payload)
@@ -4466,7 +4880,8 @@ object Multimodal {
       box("covr", box("data", Array[Byte](0, 0, 0, typ, 0, 0, 0, 0) ++ art))
     }.getOrElse(Array.emptyByteArray)
     val ilst = box("ilst", atom("©nam", title) ++
-      atom("©ART", artist) ++ atom("©alb", album) ++ covr)
+      atom("©ART", artist) ++ atom("©alb", album) ++
+      lyricsTag.map(atom("©lyr", _)).getOrElse(Array.emptyByteArray) ++ covr)
     val meta = box("meta", new Array[Byte](4) ++ ilst)
     val udta = box("udta", meta)
     // splice udta into the existing moov: rebuild the container with
@@ -4483,7 +4898,7 @@ object Multimodal {
     * twin): vendor + TITLE/ARTIST/ALBUM fields, UTF-8.
     */
   private def vorbisCommentBytes(title: String, artist: String,
-      album: String): Array[Byte] = {
+      album: String, lyrics: String = null): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def le32(n: Int): Unit = {
       out.write(n & 0xff); out.write((n >> 8) & 0xff)
@@ -4494,8 +4909,9 @@ object Multimodal {
       le32(b.length); out.write(b)
     }
     field("graft fixture")
-    le32(3)
+    le32(if (lyrics == null) 3 else 4)
     field(s"TITLE=$title"); field(s"ARTIST=$artist"); field(s"ALBUM=$album")
+    if (lyrics != null) field(s"LYRICS=$lyrics")
     out.toByteArray
   }
 
@@ -4505,10 +4921,11 @@ object Multimodal {
   private[graft] def syntheticFlacTagged(sampleRate: Int, channels: Int,
       bitsPerSample: Int, totalSamples: Long, title: String,
       artist: String, album: String,
-      picture: Option[(String, Array[Byte])] = None): Array[Byte] = {
+      picture: Option[(String, Array[Byte])] = None,
+      lyrics: Option[String] = None): Array[Byte] = {
     val base = syntheticFlac(sampleRate, channels, bitsPerSample, totalSamples)
     base(4) = 0 // STREAMINFO no longer the last block
-    val body = vorbisCommentBytes(title, artist, album)
+    val body = vorbisCommentBytes(title, artist, album, lyrics.orNull)
     val n = body.length
     // the PICTURE block (type 6), when present, becomes the last block
     val pictureBlock = picture.map { case (mime, art) =>
@@ -4535,7 +4952,8 @@ object Multimodal {
     */
   private[graft] def syntheticOpusTagged(channels: Int, preSkip: Int,
       inputSampleRate: Int, lastGranule: Long, title: String,
-      artist: String, album: String): Array[Byte] = {
+      artist: String, album: String,
+      lyrics: Option[String] = None): Array[Byte] = {
     def page(headerType: Int, granule: Long, seq: Int,
         payload: Array[Byte]): Array[Byte] = {
       require(payload.length < 255, "single-segment fixture pages only")
@@ -4554,7 +4972,7 @@ object Multimodal {
       .putInt(inputSampleRate).putShort(0.toShort).put(0.toByte)
       .array()
     val tags = "OpusTags".getBytes("ISO-8859-1") ++
-      vorbisCommentBytes(title, artist, album)
+      vorbisCommentBytes(title, artist, album, lyrics.orNull)
     page(0x02, 0L, 0, head) ++
       page(0x00, 0L, 1, tags) ++
       page(0x04, lastGranule, 2, Array[Byte](0))
@@ -5278,6 +5696,35 @@ object Multimodal {
     bb.putInt(0) // next-IFD pointer
     if (!inline) bb.put(d)
     val payload = "Exif".getBytes("ISO-8859-1") ++ Array[Byte](0, 0) ++ bb.array()
+    val app1 = Array(0xFF.toByte, 0xE1.toByte,
+      (((payload.length + 2) >> 8) & 0xff).toByte,
+      ((payload.length + 2) & 0xff).toByte) ++ payload
+    jpeg.take(2) ++ app1 ++ jpeg.drop(2)
+  }
+
+  /** A minimal XMP packet with dc:title/dc:description rdf:Alt
+    * entries — the Adobe toolchain shape [[xmpProperty]] reads.
+    */
+  private[graft] def xmpPacketXml(title: String, description: String): String = {
+    def alt(prop: String, v: String): String =
+      if (v == null) ""
+      else {
+        val esc = v.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        s"""<$prop><rdf:Alt><rdf:li xml:lang="x-default">$esc</rdf:li></rdf:Alt></$prop>"""
+      }
+    "<?xpacket begin=\"﻿\" id=\"W5M0MpCehiHzreSzNTczkc9d\"?>" +
+      "<x:xmpmeta xmlns:x=\"adobe:ns:meta/\"><rdf:RDF " +
+      "xmlns:rdf=\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\">" +
+      "<rdf:Description xmlns:dc=\"http://purl.org/dc/elements/1.1/\">" +
+      alt("dc:title", title) + alt("dc:description", description) +
+      "</rdf:Description></rdf:RDF></x:xmpmeta><?xpacket end=\"w\"?>"
+  }
+
+  /** Insert a JPEG APP1 XMP segment (namespace-prefixed) after SOI. */
+  private[graft] def jpegWithXmp(jpeg: Array[Byte], xml: String): Array[Byte] = {
+    val payload = "http://ns.adobe.com/xap/1.0/".getBytes("ISO-8859-1") ++
+      Array[Byte](0) ++ xml.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    require(payload.length <= 65533, "single-segment fixture packets")
     val app1 = Array(0xFF.toByte, 0xE1.toByte,
       (((payload.length + 2) >> 8) & 0xff).toByte,
       ((payload.length + 2) & 0xff).toByte) ++ payload

@@ -200,7 +200,9 @@ class CodegenSpec extends SparkSpec {
     val rows = Seq(
       Row(1L, M.renderPng(18, 16, (x, _) => gray(x * 10)),
         Seq(1.5, -2.0), Seq("a", "b", "a", "c")),
-      Row(2L, "not an image".getBytes("UTF-8"), Seq(3.0, 4.0), Seq("d")))
+      Row(2L, "not an image".getBytes("UTF-8"), Seq(3.0, 4.0), Seq("d")),
+      Row(3L, M.withMp4SubtitleTrack(M.syntheticMp4(32, 16, 500L)),
+        Seq(0.5, 0.5), Seq("e")))
     val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
     val q = () => df.select(col("id"),
         M.dhash64Col(col("img")).as("dh"),
@@ -208,6 +210,7 @@ class CodegenSpec extends SparkSpec {
         M.textinessCol(col("img")).as("tx"),
         base64(M.scrubGpsCol(col("img"))).as("sg"), // clean rows pass through
         M.dhash64Col(M.scrubGpsCol(col("img"))).as("dhsg"),
+        M.subtitleTrackCountCol(col("img")).as("stc"), // null for images
         CatalystExpressions.matVec(col("vec"),
           Array(Array(0.0, 1.0), Array(1.0, 0.0))).as("mv"),
         CatalystExpressions.countInSet(col("toks"), Seq("a", "c")).as("cis"))

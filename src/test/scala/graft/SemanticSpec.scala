@@ -2023,6 +2023,136 @@ class SemanticSpec extends SparkSpec {
     assert(out(3L) == ((None, None)))
   }
 
+  test("imageText: XMP dc:title/dc:description from JPEG APP1 and PNG iTXt packets") {
+    val M = Multimodal
+    val jpeg = M.renderJpeg(8, 8, (_, _) => 0x808080)
+    val png = M.renderPng(4, 4, (_, _) => 0x112233)
+    val xml = M.xmpPacketXml("Tî<le & co", "Desc > here")
+    // entity round-trip both ways through the escape/unescape pair
+    assert(M.xmpProperty(xml, "dc:title") == "Tî<le & co")
+    assert(M.xmpProperty(xml, "dc:description") == "Desc > here")
+    assert(M.xmpProperty(xml, "dc:rights") == null)
+    assert(M.xmpProperty(null, "dc:title") == null)
+    assert(M.imageTextFacts(M.jpegWithXmp(jpeg, xml))
+      .contains(("Tî<le & co", "Desc > here", null, "jpeg")))
+    assert(M.imageTextFacts(M.pngWithText(png,
+      Seq(("XML:com.adobe.xmp", M.xmpPacketXml(null, "png xmp"), true))))
+      .contains((null, "png xmp", null, "png")))
+    // precedence: EXIF ImageDescription beats XMP
+    assert(M.imageTextFacts(M.jpegWithXmp(
+      M.jpegWithExifDescription(jpeg, "exif wins"), xml))
+      .exists(_._2 == "exif wins"))
+    // malformed XMP (no rdf:li) degrades to absent, not garbage
+    assert(M.imageTextFacts(M.jpegWithXmp(jpeg, "<dc:title>bare</dc:title>"))
+      .isEmpty)
+  }
+
+  // -------------------------------------------------- subtitles
+
+  test("subtitleCues: SRT and WebVTT cues, markup strip, hostile text degrades clean") {
+    val M = Multimodal
+    val srt = "1\n00:00:01,000 --> 00:00:02,000\nA <b>bold</b> line\n\n" +
+      "2\n00:00:03,000 --> 00:00:02,000\nend before start: dropped\n\n" +
+      "bad --> stamps here\nskipped\n\n" +
+      "3\n01:02:03,450 --> 01:02:04,000\nLast\n"
+    val Some(("srt", cues)) = M.parseSubtitles(srt)
+    assert(cues.map(c => (c.idx, c.startMs, c.endMs, c.text)) == Seq(
+      (1, 1000L, 2000L, "A bold line"),
+      (2, 3723450L, 3724000L, "Last")))
+    val vtt = "WEBVTT - with a title\n\nSTYLE\n::cue { color: red }\n\n" +
+      "00:05.000 --> 00:06.000 line:0\n<c.yellow>tinted</c> words\n"
+    val Some(("vtt", v)) = M.parseSubtitles(vtt)
+    assert(v.map(c => (c.startMs, c.endMs, c.text)) ==
+      Seq((5000L, 6000L, "tinted words")))
+    // hostile: unclosed tag swallows to end of line, never throws;
+    // no parseable cue at all -> None
+    assert(M.parseSubtitles("WEBVTT\n\n00:01.000 --> 00:02.000\n<unclosed")
+      .isEmpty)
+    assert(M.parseSubtitles("not a subtitle file").isEmpty)
+    assert(M.parseSubtitles(null).isEmpty)
+    assert(M.parseSubtitles("").isEmpty)
+    // dataframe surface over a BINARY column with a BOM'd file
+    val out = M.subtitleCues(Seq(
+      (1L, ("﻿" + srt).getBytes("UTF-8")),
+      (2L, "junk".getBytes("UTF-8"))
+    ).toDF("doc_id", "content")).collect()
+    assert(out.length == 2 && out.forall(_.getLong(0) == 1L))
+    // string-column form parses identically
+    val out2 = M.subtitleCues(Seq((7L, vtt)).toDF("doc_id", "content"))
+      .select("text").collect().map(_.getString(0)).toSeq
+    assert(out2 == Seq("tinted words"))
+  }
+
+  test("subtitleTrackCount: BMFF hdlr types and Matroska TrackType 0x11") {
+    val M = Multimodal
+    val plain = M.syntheticMp4(32, 16, 500L)
+    assert(M.subtitleTrackCount(plain) == 0)
+    val withSub = M.withMp4SubtitleTrack(plain)
+    assert(M.subtitleTrackCount(withSub) == 1)
+    assert(M.mp4TrackHandlers(withSub).contains("sbtl"))
+    // the spliced trak must not break the existing video-track read
+    // (DecodedSchema order: ok is field 6, width field 0)
+    assert(M.decodeMp4(withSub).getBoolean(6))
+    assert(M.decodeMp4(withSub).getInt(0) == 32)
+    val webm = M.syntheticWebm("video", width = 8, height = 8,
+      durationMs = 100L, subtitleTracks = 2)
+    assert(M.subtitleTrackCount(webm) == 2)
+    // subtitle TrackEntries must not perturb the A/V facts
+    val info = M.webmInfo(webm).get
+    assert(info.kind == "video" && info.subtitleTracks == 2)
+    assert(M.webmInfo(M.syntheticWebm("audio", channels = 1,
+      sampleRate = 8000)).get.subtitleTracks == 0)
+    // non-container bytes: unknown, not zero
+    assert(M.subtitleTrackCount("junk junk junk junk".getBytes("UTF-8")) == null)
+    assert(M.subtitleTrackCount(M.renderPng(2, 2, (_, _) => 0)) == null)
+  }
+
+  // -------------------------------------------------- lyrics
+
+  test("audioLyrics: USLT v2.3/v2.4, M4A ©lyr, FLAC/Opus/Vorbis LYRICS field") {
+    val M = Multimodal
+    def mp3(tag: Array[Byte]): Array[Byte] =
+      tag ++ M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))
+    assert(M.audioLyricsText(mp3(M.syntheticId3(4, "T", "A", "B",
+      lyrics = Some("utf8 line")))).contains("utf8 line"))
+    assert(M.audioLyricsText(mp3(M.syntheticId3(3, "T", "A", "B",
+      lyrics = Some("ütf16 ÿ line")))).contains("ütf16 ÿ line"))
+    assert(M.audioLyricsText(mp3(M.syntheticId3(2, "T", "A", "B",
+      lyrics = Some("v22 ULT")))).contains("v22 ULT"))
+    // whole-tag v2.3 unsync over a UTF-16 USLT (BOMs carry 0xFF)
+    assert(M.audioLyricsText(mp3(M.syntheticId3(3, "T", "A", "B",
+      unsync = true, lyrics = Some("unsync ÿ vers")))).contains("unsync ÿ vers"))
+    assert(M.audioLyricsText(M.syntheticM4aTagged(2, 44100, 441000L,
+      "T", "A", "B", lyricsTag = Some("ilst vers"))).contains("ilst vers"))
+    assert(M.audioLyricsText(M.syntheticFlacTagged(8000, 1, 16, 100L,
+      "T", "A", "B", lyrics = Some("flac vers"))).contains("flac vers"))
+    assert(M.audioLyricsText(M.syntheticOpusTagged(2, 120, 48000, 48120L,
+      "T", "A", "B", lyrics = Some("opus vers"))).contains("opus vers"))
+    assert(M.audioLyricsText(M.syntheticVorbis(2, 44100, 88200L,
+      tags = Some(("T", "A", "B")), lyrics = Some("ogg vers")))
+      .contains("ogg vers"))
+    // untagged carriers and junk: None
+    assert(M.audioLyricsText(mp3(M.syntheticId3(4, "T", "A", "B"))).isEmpty)
+    assert(M.audioLyricsText(M.syntheticFlacTagged(8000, 1, 16, 100L,
+      "T", "A", "B")).isEmpty)
+    assert(M.audioLyricsText("junk".getBytes("UTF-8")).isEmpty)
+    // lyrics coexist with art and text tags in one ID3 tag
+    val art = M.renderPng(4, 4, (_, _) => 0x101010)
+    val full = mp3(M.syntheticId3(3, "T", "A", "B",
+      apic = Some(("image/png", art)), lyrics = Some("tout ensemble")))
+    assert(M.id3v2Tags(full).contains(("T", "A", "B", "id3v2.3")))
+    assert(M.embeddedArtBytes(full).exists(p => java.util.Arrays.equals(p._2, art)))
+    assert(M.audioLyricsText(full).contains("tout ensemble"))
+    // dataframe surface
+    val out = M.audioLyrics(Seq(
+      (1L, M.syntheticFlacTagged(8000, 1, 16, 100L, "T", "A", "B",
+        lyrics = Some("l"))),
+      (2L, "junk".getBytes("UTF-8"))
+    ).toDF("id", "content")).select("id", "lyrics")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(1L -> Some("l"), 2L -> None))
+  }
+
   // -------------------------------------------------- embedded art
 
   test("embeddedArt: APIC/PIC, FLAC PICTURE, M4A covr extract byte-identical art") {
