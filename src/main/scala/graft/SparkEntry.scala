@@ -4278,9 +4278,13 @@ object SparkEntry {
       | ('aud', 'pct_audio', 0.5),
       | ('aud', 'pct_audio_clipped', 0.0),
       | ('aud', 'pct_audio_silent', 0.0),
+      | ('aud', 'pct_audio_with_art', 0.0),
+      | ('aud', 'pct_audio_with_lyrics', 0.0),
       | ('aud', 'pct_image', 0.0),
       | ('aud', 'pct_image_gps', CAST(NULL AS DOUBLE)),
+      | ('aud', 'pct_image_with_text', CAST(NULL AS DOUBLE)),
       | ('aud', 'pct_undecodable', 0.5),
+      | ('aud', 'pct_video_with_subs', CAST(NULL AS DOUBLE)),
       | ('aud', 'pct_video', 0.0),
       | ('img', 'avg_audio_hz', CAST(NULL AS DOUBLE)),
       | ('img', 'avg_audio_rms', CAST(NULL AS DOUBLE)),
@@ -4295,10 +4299,14 @@ object SparkEntry {
       | ('img', 'pct_audio', 0.0),
       | ('img', 'pct_audio_clipped', CAST(NULL AS DOUBLE)),
       | ('img', 'pct_audio_silent', CAST(NULL AS DOUBLE)),
+      | ('img', 'pct_audio_with_art', CAST(NULL AS DOUBLE)),
+      | ('img', 'pct_audio_with_lyrics', CAST(NULL AS DOUBLE)),
       | ('img', 'pct_image', 1.0),
       | ('img', 'pct_image_gps', 0.0),
+      | ('img', 'pct_image_with_text', 0.0),
       | ('img', 'pct_undecodable', 0.0),
       | ('img', 'pct_video', 0.0),
+      | ('img', 'pct_video_with_subs', CAST(NULL AS DOUBLE)),
       | ('mp3', 'avg_audio_hz', 32000.0),
       | ('mp3', 'avg_audio_rms', CAST(NULL AS DOUBLE)),
       | ('mp3', 'avg_audio_secs', 0.36),
@@ -4311,10 +4319,14 @@ object SparkEntry {
       | ('mp3', 'pct_audio', 1.0),
       | ('mp3', 'pct_audio_clipped', 0.0),
       | ('mp3', 'pct_audio_silent', 0.0),
+      | ('mp3', 'pct_audio_with_art', 0.0),
+      | ('mp3', 'pct_audio_with_lyrics', 0.0),
       | ('mp3', 'pct_image', 0.0),
       | ('mp3', 'pct_image_gps', CAST(NULL AS DOUBLE)),
+      | ('mp3', 'pct_image_with_text', CAST(NULL AS DOUBLE)),
       | ('mp3', 'pct_undecodable', 0.0),
       | ('mp3', 'pct_video', 0.0),
+      | ('mp3', 'pct_video_with_subs', CAST(NULL AS DOUBLE)),
       | ('sil', 'avg_audio_hz', 44100.0),
       | ('sil', 'avg_audio_rms', 0.0),
       | ('sil', 'avg_audio_secs', round((200 * 1000 // 44100) / 1000.0, 4)),
@@ -4327,10 +4339,14 @@ object SparkEntry {
       | ('sil', 'pct_audio', 1.0),
       | ('sil', 'pct_audio_clipped', 0.0),
       | ('sil', 'pct_audio_silent', 1.0),
+      | ('sil', 'pct_audio_with_art', 0.0),
+      | ('sil', 'pct_audio_with_lyrics', 0.0),
       | ('sil', 'pct_image', 0.0),
       | ('sil', 'pct_image_gps', CAST(NULL AS DOUBLE)),
+      | ('sil', 'pct_image_with_text', CAST(NULL AS DOUBLE)),
       | ('sil', 'pct_undecodable', 0.0),
       | ('sil', 'pct_video', 0.0),
+      | ('sil', 'pct_video_with_subs', CAST(NULL AS DOUBLE)),
       | ('vid', 'avg_audio_hz', CAST(NULL AS DOUBLE)),
       | ('vid', 'avg_audio_rms', CAST(NULL AS DOUBLE)),
       | ('vid', 'avg_audio_secs', CAST(NULL AS DOUBLE)),
@@ -4343,10 +4359,14 @@ object SparkEntry {
       | ('vid', 'pct_audio', 0.0),
       | ('vid', 'pct_audio_clipped', CAST(NULL AS DOUBLE)),
       | ('vid', 'pct_audio_silent', CAST(NULL AS DOUBLE)),
+      | ('vid', 'pct_audio_with_art', CAST(NULL AS DOUBLE)),
+      | ('vid', 'pct_audio_with_lyrics', CAST(NULL AS DOUBLE)),
       | ('vid', 'pct_image', 0.0),
       | ('vid', 'pct_image_gps', CAST(NULL AS DOUBLE)),
+      | ('vid', 'pct_image_with_text', CAST(NULL AS DOUBLE)),
       | ('vid', 'pct_undecodable', 0.0),
-      | ('vid', 'pct_video', 1.0)
+      | ('vid', 'pct_video', 1.0),
+      | ('vid', 'pct_video_with_subs', 0.0)
       |) AS t(source, metric, value)
       |ORDER BY source, metric""".stripMargin
 
@@ -4643,7 +4663,11 @@ object SparkEntry {
       |  round(avg(CASE WHEN grp = '3' THEN 1.0 ELSE 0.0 END), 4) AS pu,
       |  0.0 AS pv,
       |  CAST(NULL AS DOUBLE) AS vkey,
-      |  CASE WHEN grp = '0' THEN 0.0 END AS pgps
+      |  CASE WHEN grp = '0' THEN 0.0 END AS pgps,
+      |  CASE WHEN grp = '0' THEN 0.0 END AS ptext,
+      |  CASE WHEN grp IN ('1','2') THEN 0.0 END AS part,
+      |  CASE WHEN grp IN ('1','2') THEN 0.0 END AS plyr,
+      |  CAST(NULL AS DOUBLE) AS psub
       | FROM d GROUP BY grp)
       |SELECT grp, metric, value FROM (
       | SELECT grp, 'avg_audio_hz' AS metric, ahz AS value FROM a
@@ -4660,6 +4684,10 @@ object SparkEntry {
       | UNION ALL SELECT grp, 'pct_audio_silent', psil FROM a
       | UNION ALL SELECT grp, 'pct_image', pi FROM a
       | UNION ALL SELECT grp, 'pct_image_gps', pgps FROM a
+      | UNION ALL SELECT grp, 'pct_image_with_text', ptext FROM a
+      | UNION ALL SELECT grp, 'pct_audio_with_art', part FROM a
+      | UNION ALL SELECT grp, 'pct_audio_with_lyrics', plyr FROM a
+      | UNION ALL SELECT grp, 'pct_video_with_subs', psub FROM a
       | UNION ALL SELECT grp, 'pct_undecodable', pu FROM a
       | UNION ALL SELECT grp, 'pct_video', pv FROM a
       |) ORDER BY grp, metric""".stripMargin
@@ -5308,10 +5336,14 @@ object SparkEntry {
       | ('a', 'pct_audio', 0.0),
       | ('a', 'pct_audio_clipped', CAST(NULL AS DOUBLE)),
       | ('a', 'pct_audio_silent', CAST(NULL AS DOUBLE)),
+      | ('a', 'pct_audio_with_art', CAST(NULL AS DOUBLE)),
+      | ('a', 'pct_audio_with_lyrics', CAST(NULL AS DOUBLE)),
       | ('a', 'pct_image', round(2/3.0, 4)),
       | ('a', 'pct_image_gps', 0.0),
+      | ('a', 'pct_image_with_text', 0.0),
       | ('a', 'pct_undecodable', round(1/3.0, 4)),
       | ('a', 'pct_video', 0.0),
+      | ('a', 'pct_video_with_subs', CAST(NULL AS DOUBLE)),
       | ('b', 'avg_audio_hz', CAST(NULL AS DOUBLE)),
       | ('b', 'avg_audio_rms', CAST(NULL AS DOUBLE)),
       | ('b', 'avg_audio_secs', CAST(NULL AS DOUBLE)),
@@ -5324,10 +5356,14 @@ object SparkEntry {
       | ('b', 'pct_audio', 0.0),
       | ('b', 'pct_audio_clipped', CAST(NULL AS DOUBLE)),
       | ('b', 'pct_audio_silent', CAST(NULL AS DOUBLE)),
+      | ('b', 'pct_audio_with_art', CAST(NULL AS DOUBLE)),
+      | ('b', 'pct_audio_with_lyrics', CAST(NULL AS DOUBLE)),
       | ('b', 'pct_image', 0.75),
       | ('b', 'pct_image_gps', round(2/3.0, 4)),
+      | ('b', 'pct_image_with_text', 0.0),
       | ('b', 'pct_undecodable', 0.0),
-      | ('b', 'pct_video', 0.25)
+      | ('b', 'pct_video', 0.25),
+      | ('b', 'pct_video_with_subs', 0.0)
       |) AS t(grp, metric, value)
       |ORDER BY grp, metric""".stripMargin
 
@@ -6061,6 +6097,83 @@ object SparkEntry {
       |) AS t(vid_id, subtitle_tracks)
       |ORDER BY vid_id""".stripMargin
 
+  /** Media card with DECLARED-TEXT coverage — the four pairing-signal
+    * metrics added in round 13 (`pct_image_with_text`,
+    * `pct_audio_with_art`, `pct_audio_with_lyrics`,
+    * `pct_video_with_subs`) over fixtures that actually carry
+    * captions/art/lyrics/subtitle tracks, so every pct is a
+    * non-trivial closed form (q152 carries the all-zero case). PNG
+    * images only (lossless luma), whole-ms audio durations.
+    */
+  private def q184(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    val base = M.renderPng(16, 16, (_, _) => gray(120))
+    val rows = Seq(
+      ("x", M.pngWithText(base, Seq(("Description", "x caption", false)))),
+      ("x", base),
+      // 1 MPEG1-L3 frame @32 kHz = 1152 samples = exactly 36 ms
+      ("x", M.syntheticId3(3, "T", "A", "B",
+        apic = Some(("image/png", M.renderPng(4, 4, (_, _) => gray(9))))) ++
+        M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))),
+      // 80 samples @8 kHz = exactly 10 ms
+      ("x", M.syntheticFlacTagged(8000, 1, 16, 80L, "T", "A", "B",
+        lyrics = Some("x refrain"))),
+      ("y", M.pngWithText(M.renderPng(16, 16, (_, _) => gray(60)),
+        Seq(("XML:com.adobe.xmp", M.xmpPacketXml(null, "y caption"), true)))),
+      ("y", M.syntheticWebm("video", width = 64, height = 48,
+        durationMs = 1500L, subtitleTracks = 1)),
+      ("y", M.syntheticMjpegMp4(Seq(M.renderJpeg(16, 8, (_, _) => gray(99)))))
+    ).toDF("grp", "content")
+    M.mediaCard(rows, "content", "grp").orderBy(col("grp"), col("metric"))
+  }
+
+  private def mediaTextCardOracle: String =
+    """SELECT * FROM (VALUES
+      | ('x', 'avg_audio_hz', 20000.0),
+      | ('x', 'avg_audio_rms', CAST(NULL AS DOUBLE)),
+      | ('x', 'avg_audio_secs', 0.023),
+      | ('x', 'avg_image_height', 16.0),
+      | ('x', 'avg_image_luma', round(120/255.0, 4)),
+      | ('x', 'avg_image_textiness', 0.0),
+      | ('x', 'avg_image_width', 16.0),
+      | ('x', 'avg_video_keyframes', CAST(NULL AS DOUBLE)),
+      | ('x', 'n_assets', 4.0),
+      | ('x', 'pct_audio', 0.5),
+      | ('x', 'pct_audio_clipped', 0.0),
+      | ('x', 'pct_audio_silent', 0.0),
+      | ('x', 'pct_audio_with_art', 0.5),
+      | ('x', 'pct_audio_with_lyrics', 0.5),
+      | ('x', 'pct_image', 0.5),
+      | ('x', 'pct_image_gps', 0.0),
+      | ('x', 'pct_image_with_text', 0.5),
+      | ('x', 'pct_undecodable', 0.0),
+      | ('x', 'pct_video', 0.0),
+      | ('x', 'pct_video_with_subs', CAST(NULL AS DOUBLE)),
+      | ('y', 'avg_audio_hz', CAST(NULL AS DOUBLE)),
+      | ('y', 'avg_audio_rms', CAST(NULL AS DOUBLE)),
+      | ('y', 'avg_audio_secs', CAST(NULL AS DOUBLE)),
+      | ('y', 'avg_image_height', 16.0),
+      | ('y', 'avg_image_luma', round(60/255.0, 4)),
+      | ('y', 'avg_image_textiness', 0.0),
+      | ('y', 'avg_image_width', 16.0),
+      | ('y', 'avg_video_keyframes', 1.0),
+      | ('y', 'n_assets', 3.0),
+      | ('y', 'pct_audio', 0.0),
+      | ('y', 'pct_audio_clipped', CAST(NULL AS DOUBLE)),
+      | ('y', 'pct_audio_silent', CAST(NULL AS DOUBLE)),
+      | ('y', 'pct_audio_with_art', CAST(NULL AS DOUBLE)),
+      | ('y', 'pct_audio_with_lyrics', CAST(NULL AS DOUBLE)),
+      | ('y', 'pct_image', round(1/3.0, 4)),
+      | ('y', 'pct_image_gps', 0.0),
+      | ('y', 'pct_image_with_text', 1.0),
+      | ('y', 'pct_undecodable', 0.0),
+      | ('y', 'pct_video', round(2/3.0, 4)),
+      | ('y', 'pct_video_with_subs', 0.5)
+      |) AS t(grp, metric, value)
+      |ORDER BY grp, metric""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -6248,7 +6361,8 @@ object SparkEntry {
     "q180_art" -> (q180 _),
     "q181_subs" -> (q181 _),
     "q182_lyrics" -> (q182 _),
-    "q183_subtrk" -> (q183 _))
+    "q183_subtrk" -> (q183 _),
+    "q184_mcard3" -> (q184 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -6682,6 +6796,7 @@ object SparkEntry {
     "q181_subs" -> subtitleOracle,
     "q182_lyrics" -> lyricsOracle,
     "q183_subtrk" -> subtitleTracksOracle,
+    "q184_mcard3" -> mediaTextCardOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

@@ -5408,13 +5408,84 @@ object Multimodal {
         c: org.apache.spark.sql.catalyst.expressions.Expression): AudioHash64 = copy(c)
   }
 
+  /** Declared-text / declared-art presence flags — the card's
+    * coverage counters ride these (pct_image_with_text,
+    * pct_audio_with_art, pct_audio_with_lyrics). Public for the
+    * generated-code static calls; null only for null input, so the
+    * card's `when(ok, ...)` gating decides which rows count.
+    */
+  def imageTextPresent(b: Array[Byte]): java.lang.Boolean =
+    if (b == null) null
+    else java.lang.Boolean.valueOf(imageTextFacts(b).isDefined)
+
+  def audioArtPresent(b: Array[Byte]): java.lang.Boolean =
+    if (b == null) null
+    else java.lang.Boolean.valueOf(embeddedArtBytes(b).isDefined)
+
+  def audioLyricsPresent(b: Array[Byte]): java.lang.Boolean =
+    if (b == null) null
+    else java.lang.Boolean.valueOf(audioLyricsText(b).isDefined)
+
+  /** The presence flags as Columns — codegen'd like [[dhash64Col]]. */
+  def imageTextPresentCol(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.bridge.{columnOf, expressionOf}
+    columnOf(MediaFlag(expressionOf(content), "imageTextPresent"))
+  }
+  def audioArtPresentCol(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.bridge.{columnOf, expressionOf}
+    columnOf(MediaFlag(expressionOf(content), "audioArtPresent"))
+  }
+  def audioLyricsPresentCol(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.bridge.{columnOf, expressionOf}
+    columnOf(MediaFlag(expressionOf(content), "audioLyricsPresent"))
+  }
+
+  /** One boolean media-presence kernel by name — a single Expression
+    * class serves all three flags (the kernel name is part of the
+    * expression's semantics, so equality/canonicalization stay
+    * correct).
+    */
+  case class MediaFlag(child: org.apache.spark.sql.catalyst.expressions.Expression,
+      kernel: String)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = true
+    @transient private lazy val fn: Array[Byte] => java.lang.Boolean = kernel match {
+      case "imageTextPresent" => imageTextPresent
+      case "audioArtPresent" => audioArtPresent
+      case _ => audioLyricsPresent
+    }
+    override def nullSafeEval(v: Any): Any = {
+      val r = fn(v.asInstanceOf[Array[Byte]])
+      if (r == null) null else r.booleanValue()
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val c = child.genCode(ctx)
+      val boxed = ctx.freshName("mflag")
+      ev.copy(code = code"""
+        ${c.code}
+        java.lang.Boolean $boxed = ${c.isNull} ? null :
+          graft.operators.Multimodal.$kernel(${c.value});
+        final boolean ${ev.isNull} = $boxed == null;
+        final boolean ${ev.value} = ${ev.isNull} ? false : $boxed.booleanValue();""")
+    }
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression): MediaFlag =
+      copy(child = c)
+  }
+
   /** Media corpus card — the multimodal twin of
     * [[graft.operators.Curation.dataCard]]: per group, long-format
     * (group, metric, value) rows summarizing what a mixed media
     * corpus actually contains — modality mix (decodable image /
     * audio / video container / undecodable), image geometry and
     * brightness, audio level
-    * and defect rates (clipping, dead air). The release-gate report
+    * and defect rates (clipping, dead air), and DECLARED-text
+    * coverage (captions, cover art, lyrics, subtitle tracks — the
+    * pairing-signal share a caption-mining pipeline starts from).
+    * The release-gate report
     * for a multimodal ingest ("what did this crawl deliver, per
     * source"), diffable with [[graft.operators.Curation
     * .dataCardDiff]] like the text card.
@@ -5492,7 +5563,19 @@ object Multimodal {
         // container carries no parseable track
         when(isVideo, videoKeyframesCol(col(contentCol)).cast("long"))
           .as("__vkey"),
-        when(isVideo, 1L).otherwise(0L).as("__isvid"))
+        when(isVideo, 1L).otherwise(0L).as("__isvid"),
+        // declared-text coverage: the pairing-signal share — CaseWhen
+        // evaluates lazily, so the text/art/lyrics walks only run on
+        // rows of their own modality
+        when(img.getField("ok") && imageTextPresentCol(col(contentCol)), 1L)
+          .otherwise(0L).as("__htext"),
+        when(aud.getField("ok") && audioArtPresentCol(col(contentCol)), 1L)
+          .otherwise(0L).as("__hart"),
+        when(aud.getField("ok") && audioLyricsPresentCol(col(contentCol)), 1L)
+          .otherwise(0L).as("__hlyr"),
+        when(isVideo &&
+          coalesce(subtitleTrackCountCol(col(contentCol)), lit(0)) > 0, 1L)
+          .otherwise(0L).as("__hsub"))
       .groupBy(col("__g"))
       .agg(
         count(lit(1)).as("n"),
@@ -5509,7 +5592,11 @@ object Multimodal {
         sum(col("__hz")).as("hzsum"), count(col("__hz")).as("hzcnt"),
         sum(col("__clip")).as("nclip"),
         sum(col("__sil")).as("nsilent"),
-        sum(col("__vkey")).as("vkeysum"), count(col("__vkey")).as("vkeycnt"))
+        sum(col("__vkey")).as("vkeysum"), count(col("__vkey")).as("vkeycnt"),
+        sum(col("__htext")).as("nhtext"),
+        sum(col("__hart")).as("nhart"),
+        sum(col("__hlyr")).as("nhlyr"),
+        sum(col("__hsub")).as("nhsub"))
   }
 
   /** Derive the long-format card from the monoid frame — shared by
@@ -5538,6 +5625,14 @@ object Multimodal {
       lit("avg_video_keyframes"), avgOf("vkeysum", "vkeycnt", 2),
       lit("pct_image_gps"),
       when(col("ni") > 0, round(col("ngps").cast("double") / col("ni"), 4)),
+      lit("pct_image_with_text"),
+      when(col("ni") > 0, round(col("nhtext").cast("double") / col("ni"), 4)),
+      lit("pct_audio_with_art"),
+      when(col("na") > 0, round(col("nhart").cast("double") / col("na"), 4)),
+      lit("pct_audio_with_lyrics"),
+      when(col("na") > 0, round(col("nhlyr").cast("double") / col("na"), 4)),
+      lit("pct_video_with_subs"),
+      when(col("nv") > 0, round(col("nhsub").cast("double") / col("nv"), 4)),
       lit("n_assets"), col("n").cast("double"),
       lit("pct_audio"), round(col("na").cast("double") / col("n"), 4),
       lit("pct_audio_clipped"),
@@ -5556,7 +5651,17 @@ object Multimodal {
     * the streaming partial-store reader, so the fold can never
     * diverge between them.
     */
-  private[graft] def mergeMediaCardSignals(both: DataFrame): DataFrame =
+  private[graft] def mergeMediaCardSignals(both: DataFrame): DataFrame = {
+    // a state written before the declared-text coverage counters
+    // cannot be silently merged (its missing sums would read as
+    // zero-coverage lies) — refuse loudly, like the signature-store
+    // kernel-version stamp
+    val missing = Seq("nhtext", "nhart", "nhlyr", "nhsub")
+      .filterNot(both.columns.contains)
+    require(missing.isEmpty,
+      s"media-card state predates the declared-text coverage metrics " +
+        s"(missing ${missing.mkString(", ")}) — rebuild the state with " +
+        "the current kernel")
     both.groupBy(col("__g")).agg(
       sum(col("n")).as("n"), sum(col("ni")).as("ni"),
       sum(col("na")).as("na"), sum(col("nv")).as("nv"),
@@ -5569,7 +5674,10 @@ object Multimodal {
       sum(col("dursum")).as("dursum"), sum(col("durcnt")).as("durcnt"),
       sum(col("hzsum")).as("hzsum"), sum(col("hzcnt")).as("hzcnt"),
       sum(col("nclip")).as("nclip"), sum(col("nsilent")).as("nsilent"),
-      sum(col("vkeysum")).as("vkeysum"), sum(col("vkeycnt")).as("vkeycnt"))
+      sum(col("vkeysum")).as("vkeysum"), sum(col("vkeycnt")).as("vkeycnt"),
+      sum(col("nhtext")).as("nhtext"), sum(col("nhart")).as("nhart"),
+      sum(col("nhlyr")).as("nhlyr"), sum(col("nhsub")).as("nhsub"))
+  }
 
   /** Incremental [[mediaCard]] — the daily-multimodal-ingest form
     * ([[graft.operators.Curation.upsertDataCardState]]'s media twin):
@@ -5588,7 +5696,13 @@ object Multimodal {
     val partial = mediaCardSignals(batch, contentCol, groupCol)
     val merged = Scale.readVersionedState(spark, path) match {
       case None => partial
-      case Some(state) => mergeMediaCardSignals(state.unionByName(partial))
+      case Some(state) =>
+        val missing = partial.columns.filterNot(state.columns.contains)
+        require(missing.isEmpty,
+          s"media-card state at $path predates the current card metrics " +
+            s"(missing ${missing.mkString(", ")}) — rebuild the state " +
+            "with the current kernel")
+        mergeMediaCardSignals(state.unionByName(partial))
     }
     Scale.writeVersionedState(spark, path, merged)
   }

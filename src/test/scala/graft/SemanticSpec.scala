@@ -1774,6 +1774,26 @@ class SemanticSpec extends SparkSpec {
     assert(after(("s1", "n_assets")) == inc(("s1", "n_assets")))
   }
 
+  test("media-card state predating the coverage metrics is refused, not silently zero-filled") {
+    val M = Multimodal
+    val png = M.renderPng(4, 4, (_, _) => 0x334455)
+    val batch = Seq(("s", png)).toDF("source", "content")
+    val path = java.nio.file.Files.createTempDirectory("graft-mcardold").toString
+    // simulate a pre-round-13 state: the same monoid minus the new sums
+    val old = M.mediaCardSignals(batch, "content", "source")
+      .drop("nhtext", "nhart", "nhlyr", "nhsub")
+    graft.operators.Scale.writeVersionedState(spark, path, old)
+    val e = intercept[IllegalArgumentException] {
+      M.upsertMediaCardState(spark, path, batch, "content", "source")
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+    // the merge guard fires on direct folds too
+    val e2 = intercept[IllegalArgumentException] {
+      M.mergeMediaCardSignals(old)
+    }
+    assert(e2.getMessage.contains("rebuild"), e2.getMessage)
+  }
+
   test("videoFrames: MJPEG AVI walk yields real JPEG frames the image stack decodes") {
     val f0 = Multimodal.renderJpeg(16, 8, (_, _) => (200 << 16) | (50 << 8) | 25)
     val f1 = Multimodal.renderJpeg(16, 8, (_, _) => (25 << 16) | (200 << 8) | 50)
