@@ -6174,6 +6174,82 @@ object SparkEntry {
       |) AS t(grp, metric, value)
       |ORDER BY grp, metric""".stripMargin
 
+  /** Muxed-subtitle extraction
+    * ([[graft.operators.Multimodal.webmSubtitleCues]] behind the
+    * [[graft.operators.Multimodal.subtitleCues]] dispatch): a WebM
+    * movie's S_TEXT BlockGroups become the same cue rows a sidecar
+    * .srt yields — one operator, three inputs. Times are
+    * cluster+relative ticks at the default 1 ms TimecodeScale.
+    */
+  private def q185(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    val movie = M.syntheticWebm("video", width = 64, height = 48,
+      durationMs = 9000L, subtitleTracks = 1,
+      subCues = Seq((1000L, 2500L, "muxed hello"),
+        (4000L, 6000L, "müxed wörld")))
+    val srt = "1\n00:00:07,000 --> 00:00:08,000\nsidecar line\n"
+    val rows = Seq(
+      (1L, movie),
+      (2L, srt.getBytes("UTF-8")),
+      (3L, M.syntheticWebm("video", width = 64, height = 48,
+        durationMs = 1000L)), // no subtitle track: zero cues
+      (4L, "junk".getBytes("UTF-8"))
+    ).toDF("doc_id", "content")
+    M.subtitleCues(rows).orderBy(col("doc_id"), col("cue_idx"))
+  }
+
+  private def muxedSubsOracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(1 AS BIGINT), 'webm', 1, CAST(1000 AS BIGINT),
+      |  CAST(2500 AS BIGINT), 'muxed hello'),
+      | (CAST(1 AS BIGINT), 'webm', 2, CAST(4000 AS BIGINT),
+      |  CAST(6000 AS BIGINT), 'müxed wörld'),
+      | (CAST(2 AS BIGINT), 'srt', 1, CAST(7000 AS BIGINT),
+      |  CAST(8000 AS BIGINT), 'sidecar line')
+      |) AS t(doc_id, sub_format, cue_idx, start_ms, end_ms, text)
+      |ORDER BY doc_id, cue_idx""".stripMargin
+
+  /** Camera provenance
+    * ([[graft.operators.Multimodal.imageProvenanceTags]]): EXIF Make /
+    * Model / DateTimeOriginal (Exif sub-IFD via the 0x8769 pointer)
+    * — the group-by-camera / burst-bucketing signal of a photo
+    * corpus. Null struct for images without EXIF provenance and for
+    * non-images.
+    */
+  private def q186(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    val jpeg = M.renderJpeg(8, 8, (_, _) => 0x707070)
+    val rows = Seq(
+      (1L, M.jpegWithExifProvenance(jpeg, "Acme Optics", "DX-9",
+        "2021:07:09 10:11:12")),
+      (2L, M.jpegWithExifProvenance(jpeg, "Büld Kameras", "Nørd 5",
+        "2023:01:02 03:04:05")),
+      (3L, jpeg),
+      (4L, M.renderPng(4, 4, (_, _) => 0x112233)),
+      (5L, "junk".getBytes("UTF-8"))
+    ).toDF("img_id", "content")
+    M.imageProvenanceTags(rows)
+      .select(col("img_id"), col("prov.make").as("make"),
+        col("prov.model").as("model"),
+        col("prov.captured_at").as("captured_at"))
+      .orderBy(col("img_id"))
+  }
+
+  private def provenanceOracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(1 AS BIGINT), 'Acme Optics', 'DX-9', '2021:07:09 10:11:12'),
+      | (CAST(2 AS BIGINT), 'Büld Kameras', 'Nørd 5', '2023:01:02 03:04:05'),
+      | (CAST(3 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+      |  CAST(NULL AS VARCHAR)),
+      | (CAST(4 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+      |  CAST(NULL AS VARCHAR)),
+      | (CAST(5 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+      |  CAST(NULL AS VARCHAR))
+      |) AS t(img_id, make, model, captured_at)
+      |ORDER BY img_id""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -6362,7 +6438,9 @@ object SparkEntry {
     "q181_subs" -> (q181 _),
     "q182_lyrics" -> (q182 _),
     "q183_subtrk" -> (q183 _),
-    "q184_mcard3" -> (q184 _))
+    "q184_mcard3" -> (q184 _),
+    "q185_mkvsubs" -> (q185 _),
+    "q186_prov" -> (q186 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -6797,6 +6875,8 @@ object SparkEntry {
     "q182_lyrics" -> lyricsOracle,
     "q183_subtrk" -> subtitleTracksOracle,
     "q184_mcard3" -> mediaTextCardOracle,
+    "q185_mkvsubs" -> muxedSubsOracle,
+    "q186_prov" -> provenanceOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

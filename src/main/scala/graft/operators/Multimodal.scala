@@ -561,6 +561,142 @@ object Multimodal {
     }
   } catch { case _: Throwable => None }
 
+  /** Muxed subtitle cues from a Matroska/WebM file — (docType, cues):
+    * the extraction half of the container story ([[subtitleTrackCount]]
+    * detects; this reads the text). One EBML pass: `Tracks` yields
+    * the S_TEXT track numbers, then each `Cluster`'s `Timecode`
+    * anchors its `BlockGroup`s — a subtitle cue is a `Block` on a
+    * subtitle track (UTF-8 payload, no lacing) with its
+    * `BlockDuration`; `SimpleBlock`s on subtitle tracks are accepted
+    * too (zero duration when none is declared). Times =
+    * (cluster + relative) ticks × TimecodeScale, reported in ms.
+    * Depth-capped, cue-capped (100k), exception-guarded like
+    * [[webmInfo]]. None for non-EBML bytes or no subtitle cue.
+    */
+  private[graft] def webmSubtitleCues(b: Array[Byte]): Option[(String, Seq[SubCue])] = try {
+    if (b == null || b.length < 8 ||
+      !(b(0) == 0x1A.toByte && b(1) == 0x45.toByte &&
+        b(2) == 0xDF.toByte && b(3) == 0xA3.toByte)) return None
+    @inline def vintLen(o: Int): Int = {
+      if (o >= b.length) return -1
+      val b0 = b(o) & 0xff
+      if (b0 == 0) -1 else Integer.numberOfLeadingZeros(b0) - 23
+    }
+    def readId(o: Int): Long = {
+      val n = vintLen(o)
+      if (n < 1 || n > 4 || o + n > b.length) return -1L
+      var v = 0L
+      var i = 0
+      while (i < n) { v = (v << 8) | (b(o + i) & 0xffL); i += 1 }
+      v
+    }
+    def readSize(o: Int): (Long, Int) = {
+      val n = vintLen(o)
+      if (n < 1 || n > 8 || o + n > b.length) return (-2L, 0)
+      var v = (b(o) & 0xff & (0xff >>> n)).toLong
+      var i = 1
+      while (i < n) { v = (v << 8) | (b(o + i) & 0xffL); i += 1 }
+      (if (v == (1L << (7 * n)) - 1) -1L else v, n)
+    }
+    @inline def uintOf(from: Int, until: Int): Long = {
+      var v = 0L
+      var i = from
+      while (i < until) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+      v
+    }
+    var docType: String = null
+    var scaleNs = 1000000L
+    var clusterTc = 0L
+    val subTracks = scala.collection.mutable.Set.empty[Long]
+    // per-TrackEntry scratch
+    var tNum = -1L
+    var tType = -1
+    var tCodec: String = null
+    // per-BlockGroup scratch
+    var bgStart = Long.MinValue
+    var bgText: String = null
+    var bgDurTicks = 0L
+    val cues = Seq.newBuilder[SubCue]
+    var nCues = 0
+    def parseBlock(from: Int, until: Int): Option[(Long, String)] = {
+      val tn = vintLen(from)
+      if (tn < 1 || tn > 8 || from + tn + 3 > until) return None
+      var track = (b(from) & 0xff & (0xff >>> tn)).toLong
+      var i = 1
+      while (i < tn) { track = (track << 8) | (b(from + i) & 0xffL); i += 1 }
+      if (!subTracks.contains(track)) return None
+      val rel = ((b(from + tn) & 0xff) << 8 | (b(from + tn + 1) & 0xff)).toShort.toLong
+      val flags = b(from + tn + 2) & 0xff
+      if ((flags & 0x06) != 0) return None // laced: not a subtitle shape
+      val text = new String(b, from + tn + 3, until - from - tn - 3,
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      if (text.isEmpty) None else Some((clusterTc + rel, text))
+    }
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      if (depth > 16 || nCues >= 100000) return
+      var off = start
+      while (off < end && nCues < 100000) {
+        val id = readId(off)
+        if (id < 0) return
+        val idLen = vintLen(off)
+        val (size, szLen) = readSize(off + idLen)
+        if (szLen == 0) return
+        val body = off + idLen + szLen
+        val isContainer = id match {
+          case 0x1A45DFA3L | 0x18538067L | 0x1549A966L | 0x1654AE6BL |
+               0xAEL | 0x1F43B675L | 0xA0L => true
+          case _ => false
+        }
+        val bodyEnd =
+          if (size < 0) { if (isContainer) end else return }
+          else if (size > end - body) { if (isContainer) end else return }
+          else body + size.toInt
+        id match {
+          case _ if isContainer =>
+            if (id == 0xA0L) { bgStart = Long.MinValue; bgText = null; bgDurTicks = 0L }
+            walk(body, bodyEnd, depth + 1)
+            if (id == 0xAEL) { // TrackEntry closes
+              if (tType == 0x11 && tNum > 0 &&
+                (tCodec == null || tCodec.startsWith("S_TEXT"))) subTracks += tNum
+              tNum = -1L; tType = -1; tCodec = null
+            } else if (id == 0xA0L && bgText != null) { // BlockGroup closes
+              val st = bgStart * scaleNs / 1000000L
+              cues += SubCue(nCues + 1, st,
+                st + bgDurTicks * scaleNs / 1000000L, bgText)
+              nCues += 1
+            }
+          case 0x4282L =>
+            docType = new String(b, body, bodyEnd - body, "ISO-8859-1")
+          case 0x2AD7B1L =>
+            val v = uintOf(body, bodyEnd)
+            if (v > 0) scaleNs = v
+          case 0xD7L => tNum = uintOf(body, bodyEnd)
+          case 0x83L => tType = uintOf(body, bodyEnd).toInt
+          case 0x86L =>
+            tCodec = new String(b, body, bodyEnd - body, "ISO-8859-1")
+          case 0xE7L => clusterTc = uintOf(body, bodyEnd)
+          case 0xA1L => // Block inside a BlockGroup
+            parseBlock(body, bodyEnd).foreach { case (tick, text) =>
+              bgStart = tick; bgText = text
+            }
+          case 0x9BL => bgDurTicks = uintOf(body, bodyEnd)
+          case 0xA3L => // SimpleBlock: no duration element
+            parseBlock(body, bodyEnd).foreach { case (tick, text) =>
+              val st = tick * scaleNs / 1000000L
+              cues += SubCue(nCues + 1, st, st, text)
+              nCues += 1
+            }
+          case _ => ()
+        }
+        off = bodyEnd
+      }
+    }
+    walk(0, b.length, 0)
+    val got = cues.result()
+    if (got.isEmpty) None
+    else Some(((if (docType == null) "matroska" else docType), got))
+  } catch { case _: Throwable => None } // per-row isolation
+
   /** Every trak's `hdlr` handler type in an ISO-BMFF movie —
     * `vide`/`soun` plus the subtitle carriers (`sbtl` QuickTime/MOV
     * tx3g, `subt` ISO 14496-30, `text` QuickTime text). Depth-capped
@@ -685,7 +821,10 @@ object Multimodal {
       durationMs: Long = -1L, codec: String = "V_VP9",
       cuePoints: Int = 0, docType: String = "webm",
       tags: Option[(String, String, String)] = None,
-      subtitleTracks: Int = 0): Array[Byte] = {
+      subtitleTracks: Int = 0,
+      subCues: Seq[(Long, Long, String)] = Nil): Array[Byte] = {
+    require(subCues.isEmpty || subtitleTracks > 0,
+      "muxed cues ride the first subtitle track")
     def vintSize(n: Long): Array[Byte] = { // 4-byte size VINT
       require(n >= 0 && n < (1L << 28), s"fixture size too large: $n")
       Array((0x10 | (n >> 24)).toByte, ((n >> 16) & 0xff).toByte,
@@ -744,7 +883,20 @@ object Multimodal {
         simpleTag("TITLE", t) ++ simpleTag("ARTIST", a) ++
           simpleTag("ALBUM", al)))
     }.getOrElse(Array.emptyByteArray)
-    ebml ++ el(0x18538067L, info ++ tracks ++ cues ++ tagsEl)
+    // muxed text: one Cluster at timecode 0, a BlockGroup per cue on
+    // the first subtitle track (number 3), 1 ms ticks (default scale)
+    val cluster =
+      if (subCues.isEmpty) Array.emptyByteArray
+      else el(0x1F43B675L, uintEl(0xE7L, 0L) ++ subCues.toArray.flatMap {
+        case (startMs, endMs, text) =>
+          require(startMs >= 0 && startMs <= 32767 && endMs >= startMs,
+            "fixture cue times fit the i16 relative timecode")
+          val block = Array((0x80 | 3).toByte, // track 3, 1-byte VINT
+            ((startMs >> 8) & 0xff).toByte, (startMs & 0xff).toByte,
+            0.toByte) ++ text.getBytes("UTF-8")
+          el(0xA0L, el(0xA1L, block) ++ uintEl(0x9BL, endMs - startMs))
+      })
+    ebml ++ el(0x18538067L, info ++ tracks ++ cues ++ tagsEl ++ cluster)
   }
 
   /** WebP header facts — (width, height, channels, variant) from the
@@ -2293,6 +2445,163 @@ object Multimodal {
     null
   }
 
+  /** Camera provenance declared in the EXIF block of ANY carrier
+    * [[exifTiffRegion]] locates: IFD0 Make (0x010F) / Model (0x0110)
+    * and the capture time — DateTimeOriginal (0x9003) from the Exif
+    * sub-IFD (LONG pointer 0x8769), falling back to IFD0's DateTime
+    * (0x0132) — as the spec's `YYYY:MM:DD HH:MM:SS` string (EXIF
+    * carries no timezone; parsing it to a timestamp is caller
+    * policy). The burst-dedup / group-by-camera signal of a photo
+    * corpus. None when no EXIF or none of the three fields.
+    */
+  private[graft] def imageProvenance(b: Array[Byte]): Option[(String, String, String)] = try {
+    if (b == null || b.length < 12) return None
+    val r = exifTiffRegion(b)
+    if (r < 0) return None
+    val tiff = (r >>> 32).toInt
+    val end = (r & 0xffffffffL).toInt
+    if (tiff + 8 > end) return None
+    val little =
+      if (b(tiff) == 'I' && b(tiff + 1) == 'I') true
+      else if (b(tiff) == 'M' && b(tiff + 1) == 'M') false
+      else return None
+    def u16(o: Int): Int =
+      if (o < tiff || o + 2 > end) -1
+      else if (little) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+      else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    def u32(o: Int): Long =
+      if (o < tiff || o + 4 > end) -1L
+      else if (little) (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+      else ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    if (u16(tiff + 2) != 42) return None
+    val ifd0Off = u32(tiff + 4)
+    if (ifd0Off < 0) return None
+    val ifd0 = tiff + ifd0Off.toInt
+    def asciiIn(ifd: Int, tag: Int): String = {
+      val n = u16(ifd)
+      if (n < 0) return null
+      var k = 0
+      while (k < n) {
+        val e = ifd + 2 + 12 * k
+        if (u16(e) == tag && u16(e + 2) == 2) {
+          val count = u32(e + 4)
+          if (count <= 0 || count > end - tiff) return null
+          val from =
+            if (count <= 4) e + 8
+            else {
+              val o = u32(e + 8)
+              if (o < 0) return null
+              tiff + o.toInt
+            }
+          if (from < tiff || count > end - from) return null
+          val raw = new String(b, from, count.toInt,
+            java.nio.charset.StandardCharsets.UTF_8)
+          val nul = raw.indexOf(0.toChar)
+          val t = if (nul >= 0) raw.substring(0, nul) else raw
+          return if (t.isEmpty) null else t
+        }
+        k += 1
+      }
+      null
+    }
+    def longIn(ifd: Int, tag: Int): Long = {
+      val n = u16(ifd)
+      if (n < 0) return -1L
+      var k = 0
+      while (k < n) {
+        val e = ifd + 2 + 12 * k
+        if (u16(e) == tag && (u16(e + 2) == 4 || u16(e + 2) == 3) &&
+          u32(e + 4) == 1L)
+          return if (u16(e + 2) == 4) u32(e + 8) else u16(e + 8).toLong
+        k += 1
+      }
+      -1L
+    }
+    val make = asciiIn(ifd0, 0x010F)
+    val model = asciiIn(ifd0, 0x0110)
+    val exifIfdOff = longIn(ifd0, 0x8769)
+    val dto =
+      if (exifIfdOff > 0 && tiff + exifIfdOff < end)
+        asciiIn(tiff + exifIfdOff.toInt, 0x9003)
+      else null
+    val captured = if (dto != null) dto else asciiIn(ifd0, 0x0132)
+    if (make == null && model == null && captured == null) None
+    else Some((make, model, captured))
+  } catch { case _: Throwable => None } // per-row isolation
+
+  /** [[ImageTextSchema]]'s provenance sibling. */
+  val ImageProvenanceSchema: StructType = StructType(Seq(
+    StructField("make", StringType),
+    StructField("model", StringType),
+    StructField("captured_at", StringType)))
+
+  /** Append a `prov` struct ([[ImageProvenanceSchema]]) per row —
+    * [[imageTags]]' discipline: map-only, all-null struct for rows
+    * without EXIF provenance. Grouping a photo corpus by
+    * (make, model) or bucketing captured_at finds device bursts —
+    * the near-dup candidate generator a crawl's camera uploads need.
+    */
+  def imageProvenanceTags(df: DataFrame, contentCol: String = "content",
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("prov", ImageProvenanceSchema))
+    val contentIdx = inSchema.fieldIndex(contentCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val bytes = row.getAs[Array[Byte]](contentIdx)
+          val prov = imageProvenance(bytes) match {
+            case Some((mk, md, at)) => Row(mk, md, at)
+            case None => Row(null, null, null)
+          }
+          Row.fromSeq(row.toSeq :+ prov)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Insert a JPEG APP1 EXIF segment carrying camera provenance:
+    * IFD0 Make/Model (ASCII, out-of-line) and an Exif sub-IFD
+    * (pointer 0x8769) with DateTimeOriginal — the big-endian layout
+    * of q161's `withExif` discipline. Fixture strings must be > 3
+    * chars (out-of-line only).
+    */
+  private[graft] def jpegWithExifProvenance(jpeg: Array[Byte], make: String,
+      model: String, capturedAt: String): Array[Byte] = {
+    val mk = make.getBytes(java.nio.charset.StandardCharsets.UTF_8) :+ 0.toByte
+    val md = model.getBytes(java.nio.charset.StandardCharsets.UTF_8) :+ 0.toByte
+    val at = capturedAt.getBytes(java.nio.charset.StandardCharsets.UTF_8) :+ 0.toByte
+    require(mk.length > 4 && md.length > 4 && at.length > 4,
+      "out-of-line fixture values only")
+    val ifd0Bytes = 2 + 12 * 3 + 4
+    val makeOff = 8 + ifd0Bytes
+    val modelOff = makeOff + mk.length
+    val exifIfdOff = modelOff + md.length
+    val dtoOff = exifIfdOff + 2 + 12 + 4
+    val bb = java.nio.ByteBuffer.allocate(dtoOff + at.length)
+    bb.put('M'.toByte).put('M'.toByte).putShort(42).putInt(8)
+    bb.putShort(3) // ascending tag order: Make, Model, ExifIFD pointer
+    bb.putShort(0x010F.toShort).putShort(2).putInt(mk.length).putInt(makeOff)
+    bb.putShort(0x0110.toShort).putShort(2).putInt(md.length).putInt(modelOff)
+    bb.putShort(0x8769.toShort).putShort(4).putInt(1).putInt(exifIfdOff)
+    bb.putInt(0) // next-IFD pointer
+    bb.put(mk).put(md)
+    bb.putShort(1) // the Exif sub-IFD: DateTimeOriginal only
+    bb.putShort(0x9003.toShort).putShort(2).putInt(at.length).putInt(dtoOff)
+    bb.putInt(0)
+    bb.put(at)
+    val payload = "Exif".getBytes("ISO-8859-1") ++ Array[Byte](0, 0) ++ bb.array()
+    val app1 = Array(0xFF.toByte, 0xE1.toByte,
+      (((payload.length + 2) >> 8) & 0xff).toByte,
+      ((payload.length + 2) & 0xff).toByte) ++ payload
+    jpeg.take(2) ++ app1 ++ jpeg.drop(2)
+  }
+
   /** First JPEG `COM` (0xFFFE) comment segment as UTF-8 text — the
     * marker walk of [[exifApp1Region]]; null when none appears before
     * entropy-coded data.
@@ -2637,10 +2946,14 @@ object Multimodal {
     if (got.isEmpty) None else Some(((if (isVtt) "vtt" else "srt"), got))
   } catch { case _: Throwable => None } // per-row isolation
 
-  /** Explode a subtitle-file column (UTF-8 binary or string) into
-    * cue rows: (id, sub_format, cue_idx, start_ms, end_ms, text) —
-    * O(cues) output at the id grain, map-only (the flatMap twin of
-    * [[imageTags]]); unparseable rows yield zero cues. The text
+  /** Explode a subtitle column into cue rows:
+    * (id, sub_format, cue_idx, start_ms, end_ms, text) — O(cues)
+    * output at the id grain, map-only (the flatMap twin of
+    * [[imageTags]]); unparseable rows yield zero cues. Three inputs
+    * behind one dispatch: an SRT or WebVTT sidecar FILE (UTF-8
+    * binary or string column) and — binary only — a Matroska/WebM
+    * movie whose muxed S_TEXT track is extracted in place
+    * ([[webmSubtitleCues]], sub_format = the EBML DocType). The text
     * column feeds the TEXT pipeline (lang-ID, quality, dedup,
     * decontamination) and the (start_ms, end_ms) intervals line up
     * with [[videoStats]] durations for clip-text pair cutting.
@@ -2660,12 +2973,24 @@ object Multimodal {
     val contentIdx = inSchema.fieldIndex(contentCol)
     val isBinary = inSchema(contentIdx).dataType == BinaryType
     val rdd = df.rdd.flatMap { row =>
-      val raw =
-        if (row.isNullAt(contentIdx)) null
-        else if (isBinary) new String(row.getAs[Array[Byte]](contentIdx),
-          java.nio.charset.StandardCharsets.UTF_8)
-        else row.getAs[String](contentIdx)
-      parseSubtitles(raw) match {
+      val bytes =
+        if (isBinary && !row.isNullAt(contentIdx))
+          row.getAs[Array[Byte]](contentIdx)
+        else null
+      val muxed =
+        if (bytes != null && bytes.length >= 8 && bytes(0) == 0x1A.toByte &&
+          bytes(1) == 0x45.toByte && bytes(2) == 0xDF.toByte &&
+          bytes(3) == 0xA3.toByte) webmSubtitleCues(bytes)
+        else None
+      val parsed = muxed.orElse {
+        val raw =
+          if (row.isNullAt(contentIdx)) null
+          else if (isBinary) new String(bytes,
+            java.nio.charset.StandardCharsets.UTF_8)
+          else row.getAs[String](contentIdx)
+        parseSubtitles(raw)
+      }
+      parsed match {
         case Some((fmt, cues)) => cues.map(c =>
           Row(row.get(idIdx), fmt, c.idx, c.startMs, c.endMs, c.text))
         case None => Nil

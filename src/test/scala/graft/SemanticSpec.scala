@@ -1142,6 +1142,10 @@ class SemanticSpec extends SparkSpec {
     }
     assert(Multimodal.webmInfo(nested(100000)).isEmpty)
     assert(Multimodal.videoKeyframes(nested(100000)) == null)
+    // the round-13 subtitle walker shares the pathology — and the cap
+    assert(Multimodal.webmSubtitleCues(nested(100000)).isEmpty)
+    // no declared track survives the cap: unknown (null), never a throw
+    assert(Multimodal.subtitleTrackCount(nested(100000)) == null)
   }
 
   test("scrubGps: surgical GPS removal across all five carriers — pixels and other metadata intact") {
@@ -1569,6 +1573,9 @@ class SemanticSpec extends SparkSpec {
     assert(Multimodal.videoKeyframeHashes(hostileMoov) == null)
     assert(Multimodal.videoFingerprint64(hostileMoov) == null)
     assert(Multimodal.videoKeyframes(hostileMoov) == null)
+    // the round-13 handler walk too: capped, returns what it saw
+    assert(Multimodal.mp4TrackHandlers(hostileMoov).isEmpty)
+    assert(Multimodal.subtitleTrackCount(hostileMoov) == 0)
     // RIFF edition: 100k correctly-typed nested LISTs through the AVI
     // frame walk (little-endian sizes, 4-byte subtype per LIST)
     def nestedList(depth: Int): Array[Byte] = {
@@ -2125,6 +2132,62 @@ class SemanticSpec extends SparkSpec {
     // non-container bytes: unknown, not zero
     assert(M.subtitleTrackCount("junk junk junk junk".getBytes("UTF-8")) == null)
     assert(M.subtitleTrackCount(M.renderPng(2, 2, (_, _) => 0)) == null)
+  }
+
+  test("webmSubtitleCues: muxed S_TEXT blocks extract; A/V blocks and hostiles don't") {
+    val M = Multimodal
+    val movie = M.syntheticWebm("video", width = 16, height = 8,
+      durationMs = 5000L, subtitleTracks = 1,
+      subCues = Seq((100L, 300L, "a"), (2000L, 2400L, "bé")))
+    val Some(("webm", cues)) = M.webmSubtitleCues(movie)
+    assert(cues.map(c => (c.startMs, c.endMs, c.text)) ==
+      Seq((100L, 300L, "a"), (2000L, 2400L, "bé")))
+    // the muxed cluster must not perturb the header facts
+    val info = M.webmInfo(movie).get
+    assert(info.kind == "video" && info.subtitleTracks == 1 &&
+      info.durationMs == 5000L)
+    assert(M.subtitleTrackCount(movie) == 1)
+    // no subtitle track -> no cues, even with clusters absent
+    assert(M.webmSubtitleCues(M.syntheticWebm("video", width = 4,
+      height = 4, durationMs = 100L)).isEmpty)
+    assert(M.webmSubtitleCues("junk".getBytes("UTF-8")).isEmpty)
+    // truncation: keep the intact prefix, never throw
+    val cut = java.util.Arrays.copyOfRange(movie, 0, movie.length - 6)
+    val trunc = M.webmSubtitleCues(cut)
+    assert(trunc.isEmpty || trunc.get._2.length <= 2)
+    // dataframe dispatch: the SAME operator reads sidecars and movies
+    val out = M.subtitleCues(Seq(
+      (1L, movie),
+      (2L, "WEBVTT\n\n00:01.000 --> 00:02.000\nvtt line\n".getBytes("UTF-8"))
+    ).toDF("doc_id", "content")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(5))).toSet
+    assert(out == Set((1L, "webm", "a"), (1L, "webm", "bé"),
+      (2L, "vtt", "vtt line")))
+  }
+
+  test("imageProvenance: Make/Model/DateTimeOriginal via the Exif sub-IFD; scrub-safe") {
+    val M = Multimodal
+    val jpeg = M.renderJpeg(8, 8, (_, _) => 0x606060)
+    val withProv = M.jpegWithExifProvenance(jpeg, "Maker X", "Model Y",
+      "2020:12:31 23:59:59")
+    assert(M.imageProvenance(withProv)
+      .contains(("Maker X", "Model Y", "2020:12:31 23:59:59")))
+    // plain or EXIF-less rows: None
+    assert(M.imageProvenance(jpeg).isEmpty)
+    assert(M.imageProvenance(M.renderPng(4, 4, (_, _) => 1)).isEmpty)
+    assert(M.imageProvenance("junk junk junk".getBytes("UTF-8")).isEmpty)
+    // a GPS scrub must not disturb provenance (no GPS here: identity)
+    assert(M.imageProvenance(M.scrubGps(withProv))
+      .contains(("Maker X", "Model Y", "2020:12:31 23:59:59")))
+    // TIFF carrier: ImageDescription fixture has no provenance fields
+    assert(M.imageProvenance(M.syntheticTiff(2, 2, (_, _) => 0,
+      description = "not provenance")).isEmpty)
+    // dataframe surface
+    val out = M.imageProvenanceTags(Seq(
+      (1L, withProv), (2L, jpeg)
+    ).toDF("id", "content")).select("id", "prov.make")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(1L -> Some("Maker X"), 2L -> None))
   }
 
   // -------------------------------------------------- lyrics
