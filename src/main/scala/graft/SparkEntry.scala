@@ -6250,6 +6250,101 @@ object SparkEntry {
       |) AS t(img_id, make, model, captured_at)
       |ORDER BY img_id""".stripMargin
 
+  /** Image-caption pair mining end to end: extract declared captions
+    * ([[graft.operators.Multimodal.imageTags]]), score them with the
+    * C4-flavored quality kernel, and gate — the pipeline that turns a
+    * crawled image corpus into (image, text) training pairs. The
+    * oracle replays the FULL quality arithmetic in SQL (q40's
+    * restatement) over the same literal captions, so extraction AND
+    * scoring are both checked by the hash compare.
+    */
+  private def q187(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    val jpeg = M.renderJpeg(8, 8, (_, _) => 0x777777)
+    val png = M.renderPng(8, 8, (_, _) => 0x334455)
+    val rows = Seq(
+      (1L, M.jpegWithExifDescription(jpeg,
+        "the quick brown fox jumps over the lazy dog and runs to the hills")),
+      (2L, M.pngWithText(png, Seq(("Description", "!!! ??? !!!", false)))),
+      (3L, M.gifWithComment(M.syntheticGif(Seq(0)),
+        "a short note on the picture of a cat in the garden")),
+      (4L, png),
+      (5L, "junk".getBytes("UTF-8"))
+    ).toDF("img_id", "content")
+    graft.operators.Multimodal.imageTags(rows)
+      .select(col("img_id"),
+        coalesce(col("itext.description"), col("itext.comment")).as("caption"))
+      .filter(col("caption").isNotNull)
+      .withColumn("quality", round(TF.qualityScore(col("caption")), 4))
+      .withColumn("keep", col("quality") >= 0.3)
+      .orderBy(col("img_id"))
+  }
+
+  private def captionMiningOracle: String =
+    """WITH caps AS (SELECT * FROM (VALUES
+      |  (CAST(1 AS BIGINT),
+      |   'the quick brown fox jumps over the lazy dog and runs to the hills'),
+      |  (CAST(2 AS BIGINT), '!!! ??? !!!'),
+      |  (CAST(3 AS BIGINT),
+      |   'a short note on the picture of a cat in the garden')
+      | ) AS t(img_id, caption)),
+      |s AS (
+      |  SELECT img_id, caption,
+      |    list_filter(string_split_regex(lower(trim(caption)), '\s+'),
+      |      t -> len(t) > 0) AS toks
+      |  FROM caps),
+      |q AS (
+      |  SELECT img_id, caption,
+      |    round(
+      |      least(len(toks) / 50.0, 1.0) * 0.4
+      |      + least((CASE WHEN len(toks) = 0 THEN 0.0
+      |          ELSE len(list_filter(toks, t -> t IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','that','this','be'))) * 1.0 / len(toks) END) * 4.0, 1.0) * 0.3
+      |      + greatest(0.0, 1.0 - (CASE WHEN len(caption) = 0 THEN 0.0
+      |          ELSE len(regexp_replace(caption, '[^[:punct:]]', '', 'g')) * 1.0 / len(caption) END) * 5.0) * 0.3,
+      |      4) AS quality
+      |  FROM s)
+      |SELECT img_id, caption, quality, quality >= 0.3 AS keep
+      |FROM q ORDER BY img_id""".stripMargin
+
+  /** ICO favicons ([[graft.operators.Multimodal.icoInfo]] /
+    * `icoPngPayload`): the most numerous image asset of a web crawl —
+    * PNG-payload icons decode FULLY through the existing pixel stack
+    * (the largest entry), so the favicon and the standalone logo it
+    * was cut from share a perceptual hash (cross-format identity,
+    * like PNG↔lossless-WebP); DIB payloads report header facts.
+    */
+  private def q188(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    val logo = M.renderPng(32, 32,
+      (x, y) => if ((x / 4 + y / 4) % 2 == 0) gray(240) else gray(10))
+    val small = M.renderPng(16, 16, (_, _) => gray(128))
+    val ico = M.syntheticIco(Seq(small, logo))
+    val logoHash = M.dhash64(logo).longValue
+    val rows = Seq(
+      (1L, ico),
+      (2L, logo),
+      (3L, "junk".getBytes("UTF-8"))
+    ).toDF("img_id", "content")
+    M.imageStats(rows)
+      .select(col("img_id"), col("stats.width").as("width"),
+        col("stats.height").as("height"), col("stats.ok").as("ok"),
+        coalesce(M.dhash64Col(col("content")) === lit(logoHash), lit(false))
+          .as("matches_logo"))
+      .orderBy(col("img_id"))
+  }
+
+  private def icoOracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(1 AS BIGINT), 32, 32, TRUE, TRUE),
+      | (CAST(2 AS BIGINT), 32, 32, TRUE, TRUE),
+      | (CAST(3 AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+      |  FALSE, FALSE)
+      |) AS t(img_id, width, height, ok, matches_logo)
+      |ORDER BY img_id""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -6440,7 +6535,9 @@ object SparkEntry {
     "q183_subtrk" -> (q183 _),
     "q184_mcard3" -> (q184 _),
     "q185_mkvsubs" -> (q185 _),
-    "q186_prov" -> (q186 _))
+    "q186_prov" -> (q186 _),
+    "q187_pairs" -> (q187 _),
+    "q188_ico" -> (q188 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -6877,6 +6974,8 @@ object SparkEntry {
     "q184_mcard3" -> mediaTextCardOracle,
     "q185_mkvsubs" -> muxedSubsOracle,
     "q186_prov" -> provenanceOracle,
+    "q187_pairs" -> captionMiningOracle,
+    "q188_ico" -> icoOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

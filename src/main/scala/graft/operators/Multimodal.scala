@@ -248,6 +248,87 @@ object Multimodal {
     bb.array()
   }
 
+  /** ICO (favicon) directory walk — the LARGEST entry's facts:
+    * (count, width, height, payload offset, payload size). Directory
+    * dims of 0 mean 256 per the format. Favicons are among the most
+    * numerous image assets of a web crawl; a corpus card must not
+    * read them as undecodable. None for non-ICO bytes or a directory
+    * whose entries run off the file.
+    */
+  private def icoBest(b: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+    if (b == null || b.length < 22 ||
+      !(b(0) == 0 && b(1) == 0 && b(2) == 1 && b(3) == 0)) return None
+    @inline def le32(o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    val count = (b(4) & 0xff) | ((b(5) & 0xff) << 8)
+    if (count < 1 || count > 1024 || 6 + 16 * count > b.length) return None
+    var bestA = -1L
+    var bw = 0
+    var bh = 0
+    var boff = 0
+    var bsize = 0
+    var k = 0
+    while (k < count) {
+      val e = 6 + 16 * k
+      val w = if ((b(e) & 0xff) == 0) 256 else b(e) & 0xff
+      val h = if ((b(e + 1) & 0xff) == 0) 256 else b(e + 1) & 0xff
+      val size = le32(e + 8)
+      val off = le32(e + 12)
+      // every entry must land inside the file — hostile offsets end it
+      if (size <= 0 || off < 6 + 16 * count || off + size > b.length) return None
+      if (w.toLong * h > bestA) {
+        bestA = w.toLong * h; bw = w; bh = h
+        boff = off.toInt; bsize = size.toInt
+      }
+      k += 1
+    }
+    Some((count, bw, bh, boff, bsize))
+  }
+
+  /** ICO header facts: (entry count, largest width, largest height). */
+  private[graft] def icoInfo(b: Array[Byte]): Option[(Int, Int, Int)] =
+    icoBest(b).map { case (n, w, h, _, _) => (n, w, h) }
+
+  /** The largest ICO entry's payload when it is an embedded PNG
+    * (the Vista-era convention for the big sizes); DIB-payload
+    * entries stay header-facts-only.
+    */
+  private[graft] def icoPngPayload(b: Array[Byte]): Option[Array[Byte]] =
+    icoBest(b).collect {
+      case (_, _, _, off, size)
+        if size >= 8 && b(off) == 0x89.toByte && b(off + 1) == 'P' &&
+          b(off + 2) == 'N' && b(off + 3) == 'G' =>
+        java.util.Arrays.copyOfRange(b, off, off + size)
+    }
+
+  /** Minimal ICO wrapping rendered PNG payloads — entry dims read
+    * from each PNG's IHDR (256 stored as 0 per the format).
+    */
+  private[graft] def syntheticIco(pngs: Seq[Array[Byte]]): Array[Byte] = {
+    require(pngs.nonEmpty && pngs.forall(_.length >= 24), "png payloads")
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(n: Int): Unit = { out.write(n & 0xff); out.write((n >> 8) & 0xff) }
+    def le32(n: Int): Unit = { le16(n & 0xffff); le16((n >> 16) & 0xffff) }
+    le16(0); le16(1); le16(pngs.length)
+    var off = 6 + 16 * pngs.length
+    pngs.foreach { png =>
+      @inline def be32(o: Int): Int =
+        ((png(o) & 0xff) << 24) | ((png(o + 1) & 0xff) << 16) |
+          ((png(o + 2) & 0xff) << 8) | (png(o + 3) & 0xff)
+      val w = be32(16)
+      val h = be32(20)
+      require(w <= 256 && h <= 256, "icon entries cap at 256")
+      out.write(if (w == 256) 0 else w); out.write(if (h == 256) 0 else h)
+      out.write(0); out.write(0) // colors, reserved
+      le16(1); le16(32) // planes, bpp
+      le32(png.length); le32(off)
+      off += png.length
+    }
+    pngs.foreach(p => out.write(p, 0, p.length))
+    out.toByteArray
+  }
+
   /** PNG IHDR parse: width/height big-endian at offsets 16/20,
     * channels from the color type at 25 (grayscale 1, truecolor 3,
     * palette 1, gray+alpha 2, RGBA 4).
@@ -1716,6 +1797,10 @@ object Multimodal {
         img.setRGB(0, 0, w, h, argb, 0, w)
         img
       }
+    // ICO: decode the largest entry's embedded PNG (one bounded hop —
+    // the payload is magic-checked PNG, so this cannot re-enter here)
+    if (bytes(0) == 0 && bytes(1) == 0 && bytes(2) == 1 && bytes(3) == 0)
+      return icoPngPayload(bytes).flatMap(decodePixels)
     if (!isPng && !isJpeg && !isGif && !isBmp && !isTiff) return None
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
       .map(img =>
@@ -3336,9 +3421,16 @@ object Multimodal {
                   case Some((w, h)) =>
                     Row(w, h, null, null, null, null,
                       exifGpsPresent(bytes), true, null)
-                  case None =>
-                    Row(null, null, null, null, null, null, null, false,
-                      "not a decodable raster")
+                  case None => icoInfo(bytes) match {
+                    // DIB-payload favicon: header-facts image (the
+                    // PNG-payload form decodes fully above); ICO
+                    // carries no EXIF — gps null-unknown
+                    case Some((_, w, h)) =>
+                      Row(w, h, null, null, null, null, null, true, null)
+                    case None =>
+                      Row(null, null, null, null, null, null, null, false,
+                        "not a decodable raster")
+                  }
                 }
               }
             }
@@ -3697,7 +3789,8 @@ object Multimodal {
       (b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S') ||
       (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M') || // AIFF
       (b(0) == 0x1A.toByte && b(1) == 0x45.toByte &&
-        b(2) == 0xDF.toByte && b(3) == 0xA3.toByte) // EBML
+        b(2) == 0xDF.toByte && b(3) == 0xA3.toByte) || // EBML
+      (b(0) == 0 && b(1) == 0 && b(2) == 1 && b(3) == 0) // ICO
 
   private[graft] def mpegAudioInfo(b: Array[Byte]): Option[MpegAudioInfo] = {
     if (b == null || b.length < 8 || knownNonAudioMagic(b)) return None
@@ -6284,7 +6377,8 @@ object Multimodal {
       (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
       (b(0) == 'B' && b(1) == 'M') || isTiffMagic(b) ||
       (isRiff && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P') ||
-      isHeifMagic(b) || jxlInfo(b).isDefined) return "image"
+      isHeifMagic(b) || jxlInfo(b).isDefined ||
+      icoInfo(b).isDefined) return "image"
     if (isRiff && b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')
       return "video"
     if ((isRiff && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') ||
@@ -6326,6 +6420,7 @@ object Multimodal {
     else if (bytes(0) == 0x1A.toByte && bytes(1) == 0x45.toByte &&
       bytes(2) == 0xDF.toByte && bytes(3) == 0xA3.toByte) "video/webm"
     else if (jxlInfo(bytes).isDefined) "image/jxl"
+    else if (icoInfo(bytes).isDefined) "image/vnd.microsoft.icon"
     else "application/octet-stream"
   }
 

@@ -2236,6 +2236,45 @@ class SemanticSpec extends SparkSpec {
     assert(out == Map(1L -> Some("l"), 2L -> None))
   }
 
+  test("ico: PNG-payload favicons decode via the pixel stack; DIB payloads report header facts") {
+    val M = Multimodal
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    val logo = M.renderPng(32, 32, (x, _) => if (x < 16) gray(250) else gray(5))
+    val small = M.renderPng(16, 16, (_, _) => gray(99))
+    val ico = M.syntheticIco(Seq(small, logo))
+    assert(M.icoInfo(ico).contains((2, 32, 32)))
+    assert(M.icoPngPayload(ico).exists(java.util.Arrays.equals(_, logo)))
+    // the pixel stack decodes the LARGEST entry: cross-format identity
+    val img = M.decodePixels(ico).get
+    assert(img.getWidth == 32 && M.dhash64(ico) == M.dhash64(logo))
+    assert(M.mediaModality(ico) == "image")
+    assert(M.sniffMime(ico) == "image/vnd.microsoft.icon")
+    // DIB payload: header facts only (dims from the directory)
+    val dib = {
+      val payload = Array.fill[Byte](40)(7) // not PNG magic
+      val out = java.nio.ByteBuffer.allocate(6 + 16 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.putShort(0).putShort(1).putShort(1)
+        .put(48.toByte).put(48.toByte).put(0.toByte).put(0.toByte)
+        .putShort(1).putShort(32).putInt(payload.length).putInt(6 + 16)
+        .put(payload)
+      out.array()
+    }
+    assert(M.icoInfo(dib).contains((1, 48, 48)))
+    assert(M.icoPngPayload(dib).isEmpty)
+    assert(M.decodePixels(dib).isEmpty)
+    val st = M.imageStats(Seq((1L, dib)).toDF("id", "content"))
+      .select("stats.width", "stats.ok").head()
+    assert(st.getInt(0) == 48 && st.getBoolean(1))
+    // hostile: an entry whose offset/size runs off the file ends it
+    val evil = ico.clone()
+    evil(6 + 11) = 0x7F.toByte // first entry's size u32 HIGH byte -> ~2 GB
+    assert(M.icoInfo(evil).isEmpty && M.decodePixels(evil).isEmpty)
+    assert(M.icoInfo("junk junk junk junk junk".getBytes("UTF-8")).isEmpty)
+    // audio walkers reject the ICO magic outright (the BMP lesson)
+    assert(M.mpegAudioInfo(ico).isEmpty)
+  }
+
   // -------------------------------------------------- embedded art
 
   test("embeddedArt: APIC/PIC, FLAC PICTURE, M4A covr extract byte-identical art") {
