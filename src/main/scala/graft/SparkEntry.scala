@@ -6345,6 +6345,76 @@ object SparkEntry {
       |) AS t(img_id, width, height, ok, matches_logo)
       |ORDER BY img_id""".stripMargin
 
+  /** The web's remaining image containers: APNG animation facts
+    * ([[graft.operators.Multimodal.pngAnimationInfo]] behind the same
+    * `animationInfo` dispatch as GIF/WebP — acTL frame/play counts,
+    * fcTL delay fractions, delay_den 0 meaning 100 per spec) and SVG
+    * declared dimensions ([[graft.operators.Multimodal.svgInfo]] —
+    * width/height attrs with viewBox fallback; an HTML page with an
+    * INLINE svg is not an svg asset). ImageIO ignores the animation
+    * chunks, so the APNG raster still decodes (width stays real).
+    */
+  private def q189(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    val base = M.renderPng(16, 16, (_, _) => 0x445566)
+    val rows = Seq(
+      // 10/100 s + 1/4 s = 100 + 250 = 350 ms, 3 plays
+      (1L, M.pngWithAnimation(base, Seq((10, 100), (1, 4)), plays = 3)),
+      // delay_den 0 -> 100 per spec; plays 0 = loop forever
+      (2L, M.pngWithAnimation(base, Seq((1, 0)), plays = 0)),
+      (3L, base), // still PNG: no animation facts
+      (4L, ("<svg xmlns=\"http://www.w3.org/2000/svg\" width=\"120\" " +
+        "height=\"80\"><rect width=\"10\" height=\"10\"/></svg>")
+        .getBytes("UTF-8")),
+      (5L, ("<?xml version=\"1.0\"?><!-- logo -->\n" +
+        "<svg viewBox=\"0 0 24 24\"><path d=\"M0 0\"/></svg>")
+        .getBytes("UTF-8")),
+      (6L, ("<html><body><svg width=\"9\" height=\"9\"></svg></body></html>")
+        .getBytes("UTF-8")), // inline svg in HTML: not an svg asset
+      (7L, "junk".getBytes("UTF-8"))
+    ).toDF("img_id", "content")
+    val withStats = M.imageStats(rows).rdd
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("img_id", LongType, nullable = false),
+      StructField("frames", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("loops", IntegerType),
+      StructField("is_image", BooleanType, nullable = false),
+      StructField("width", IntegerType)))
+    val out = withStats.map { r =>
+      val bytes = r.getAs[Array[Byte]]("content")
+      val st = r.getAs[org.apache.spark.sql.Row]("stats")
+      graft.operators.Multimodal.animationInfo(bytes) match {
+        case Some(g) => org.apache.spark.sql.Row(r.getAs[Long]("img_id"),
+          g.frames, g.durationMs, g.loops, st.getAs[Boolean]("ok"),
+          st.getAs[Integer]("width"))
+        case None => org.apache.spark.sql.Row(r.getAs[Long]("img_id"),
+          null, null, null, st.getAs[Boolean]("ok"),
+          st.getAs[Integer]("width"))
+      }
+    }
+    s.createDataFrame(out, schema).orderBy(col("img_id"))
+  }
+
+  private def apngSvgOracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(1 AS BIGINT), 2, CAST(350 AS BIGINT), 3, TRUE, 16),
+      | (CAST(2 AS BIGINT), 1, CAST(10 AS BIGINT), 0, TRUE, 16),
+      | (CAST(3 AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+      |  CAST(NULL AS INTEGER), TRUE, 16),
+      | (CAST(4 AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+      |  CAST(NULL AS INTEGER), TRUE, 120),
+      | (CAST(5 AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+      |  CAST(NULL AS INTEGER), TRUE, 24),
+      | (CAST(6 AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+      |  CAST(NULL AS INTEGER), FALSE, CAST(NULL AS INTEGER)),
+      | (CAST(7 AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+      |  CAST(NULL AS INTEGER), FALSE, CAST(NULL AS INTEGER))
+      |) AS t(img_id, frames, duration_ms, loops, is_image, width)
+      |ORDER BY img_id""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -6537,7 +6607,8 @@ object SparkEntry {
     "q185_mkvsubs" -> (q185 _),
     "q186_prov" -> (q186 _),
     "q187_pairs" -> (q187 _),
-    "q188_ico" -> (q188 _))
+    "q188_ico" -> (q188 _),
+    "q189_apngsvg" -> (q189 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -6976,6 +7047,7 @@ object SparkEntry {
     "q186_prov" -> provenanceOracle,
     "q187_pairs" -> captionMiningOracle,
     "q188_ico" -> icoOracle,
+    "q189_apngsvg" -> apngSvgOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

@@ -329,6 +329,57 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** SVG dimensions from the root tag's attributes — `width`/`height`
+    * in CSS pixels (unitless or `px`; other units and percentages
+    * report nothing), `viewBox` fallback. A bounded scan of the
+    * leading 4 KiB (no XML parser: hostile documents can't recurse or
+    * expand entities), accepting only whitespace / XML decl /
+    * comments / DOCTYPE before the root `<svg` — an HTML page with an
+    * inline svg is NOT an svg asset. The web's vector-image format:
+    * a crawl's logos and icons must classify as images with real
+    * dimensions, not ride the raw stub.
+    */
+  private[graft] def svgInfo(b: Array[Byte]): Option[(Int, Int)] = try {
+    if (b == null || b.length < 5) return None
+    val head = new String(b, 0, math.min(b.length, 4096),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val at = head.indexOf("<svg")
+    if (at < 0) return None
+    val prefix = head.substring(0, at)
+      .replaceAll("(?s)<\\?.*?\\?>|<!--.*?-->|<!DOCTYPE[^>]*>", "").trim
+    if (prefix.nonEmpty && prefix != "\uFEFF") return None
+    val gt = head.indexOf('>', at)
+    val tag = if (gt < 0) head.substring(at) else head.substring(at, gt)
+    def attr(name: String): String = {
+      val m = java.util.regex.Pattern
+        .compile("(?<![-\\w])" + name + "\\s*=\\s*[\"']([^\"']+)[\"']")
+        .matcher(tag)
+      if (m.find()) m.group(1).trim else null
+    }
+    def px(v: String): Int = {
+      if (v == null) return -1
+      val s = (if (v.endsWith("px")) v.dropRight(2) else v).trim
+      try {
+        val d = s.toDouble
+        if (d > 0 && d < 1e7) math.round(d).toInt else -1
+      } catch { case _: NumberFormatException => -1 }
+    }
+    var w = px(attr("width"))
+    var h = px(attr("height"))
+    if (w <= 0 || h <= 0) {
+      val vb = attr("viewBox")
+      if (vb != null) {
+        val parts = vb.split("[ ,]+")
+        if (parts.length == 4) {
+          val vw = px(parts(2))
+          val vh = px(parts(3))
+          if (vw > 0 && vh > 0) { w = vw; h = vh }
+        }
+      }
+    }
+    if (w > 0 && h > 0) Some((w, h)) else None
+  } catch { case _: Throwable => None } // per-row isolation
+
   /** PNG IHDR parse: width/height big-endian at offsets 16/20,
     * channels from the color type at 25 (grayscale 1, truecolor 3,
     * palette 1, gray+alpha 2, RGBA 4).
@@ -2251,8 +2302,85 @@ object Multimodal {
     * animated WebP, one dispatch ([[gifAnimationInfo]] /
     * [[webpAnimationInfo]]). None for stills of other formats.
     */
+  /** APNG animation facts — the `acTL` chunk (frame count, play
+    * count: 0 = loop forever, reported as 0) and the `fcTL` frames'
+    * delay fractions summed in ms (delay_den 0 means 100 per the
+    * spec; per-frame integer division so fixture closed forms hold).
+    * A plain PNG has no `acTL` and reports None — exactly the GIF
+    * still/animated split. ImageIO ignores the animation chunks, so
+    * [[decodePixels]] still yields the default image.
+    */
+  private[graft] def pngAnimationInfo(b: Array[Byte]): Option[GifAnim] = try {
+    if (b == null || b.length < 20 ||
+      !(b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'))
+      return None
+    @inline def u32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    @inline def u16(o: Int): Int = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    var frames = -1
+    var plays: Integer = null
+    var durationMs = 0L
+    var i = 8
+    var done = false
+    while (!done && i + 12 <= b.length) {
+      val len = u32(i)
+      if (len < 0 || len > b.length - i - 12) done = true
+      else {
+        val typ = new String(b, i + 4, 4, "ISO-8859-1")
+        val from = i + 8
+        typ match {
+          case "acTL" if len >= 8 =>
+            frames = u32(from).toInt
+            plays = Integer.valueOf(u32(from + 4).toInt)
+          case "fcTL" if len >= 26 =>
+            val num = u16(from + 20)
+            val den0 = u16(from + 22)
+            val den = if (den0 == 0) 100 else den0
+            durationMs += num.toLong * 1000L / den
+          case "IEND" => done = true
+          case _ => ()
+        }
+        i += 12 + len.toInt
+      }
+    }
+    if (frames <= 0) None else Some(GifAnim(frames, durationMs, plays))
+  } catch { case _: Throwable => None }
+
+  /** Splice APNG animation chunks (acTL + one fcTL per delay) after
+    * IHDR — CRC'd like [[pngWithText]]; ImageIO still decodes the
+    * raster through them.
+    */
+  private[graft] def pngWithAnimation(png: Array[Byte],
+      delays: Seq[(Int, Int)], plays: Int): Array[Byte] = {
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(typ.getBytes("ISO-8859-1")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(bb.array(), 4, 4 + data.length)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val actl = chunk("acTL", java.nio.ByteBuffer.allocate(8)
+      .putInt(delays.length).putInt(plays).array())
+    val fctls = delays.zipWithIndex.toArray.flatMap { case ((num, den), k) =>
+      val bb = java.nio.ByteBuffer.allocate(26)
+      bb.putInt(k).putInt(1).putInt(1).putInt(0).putInt(0)
+        .putShort(num.toShort).putShort(den.toShort)
+        .put(0.toByte).put(0.toByte)
+      chunk("fcTL", bb.array())
+    }
+    val at = 8 + 25
+    java.util.Arrays.copyOfRange(png, 0, at) ++ actl ++ fctls ++
+      java.util.Arrays.copyOfRange(png, at, png.length)
+  }
+
+  /** One animation surface over the three containers the web serves
+    * loops in: GIF, animated WebP, APNG.
+    */
   private[graft] def animationInfo(b: Array[Byte]): Option[GifAnim] =
     gifAnimationInfo(b).orElse(webpAnimationInfo(b))
+      .orElse(pngAnimationInfo(b))
 
   /** TIFF value-type byte widths (BYTE..DOUBLE), 0 = unknown. */
   private val TiffTypeBytes =
@@ -3427,9 +3555,15 @@ object Multimodal {
                     // carries no EXIF — gps null-unknown
                     case Some((_, w, h)) =>
                       Row(w, h, null, null, null, null, null, true, null)
-                    case None =>
-                      Row(null, null, null, null, null, null, null, false,
-                        "not a decodable raster")
+                    case None => svgInfo(bytes) match {
+                      // vector image: declared CSS-pixel dims, no
+                      // raster to summarize, no EXIF
+                      case Some((w, h)) =>
+                        Row(w, h, null, null, null, null, null, true, null)
+                      case None =>
+                        Row(null, null, null, null, null, null, null, false,
+                          "not a decodable raster")
+                    }
                   }
                 }
               }
@@ -6378,7 +6512,7 @@ object Multimodal {
       (b(0) == 'B' && b(1) == 'M') || isTiffMagic(b) ||
       (isRiff && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P') ||
       isHeifMagic(b) || jxlInfo(b).isDefined ||
-      icoInfo(b).isDefined) return "image"
+      icoInfo(b).isDefined || svgInfo(b).isDefined) return "image"
     if (isRiff && b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')
       return "video"
     if ((isRiff && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') ||
@@ -6421,6 +6555,7 @@ object Multimodal {
       bytes(2) == 0xDF.toByte && bytes(3) == 0xA3.toByte) "video/webm"
     else if (jxlInfo(bytes).isDefined) "image/jxl"
     else if (icoInfo(bytes).isDefined) "image/vnd.microsoft.icon"
+    else if (svgInfo(bytes).isDefined) "image/svg+xml"
     else "application/octet-stream"
   }
 

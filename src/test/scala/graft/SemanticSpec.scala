@@ -2275,6 +2275,44 @@ class SemanticSpec extends SparkSpec {
     assert(M.mpegAudioInfo(ico).isEmpty)
   }
 
+  test("svg + apng: dims, root-tag discipline, animation facts, hostiles degrade") {
+    val M = Multimodal
+    // width/height with units; stroke-width must NOT match the attr scan
+    assert(M.svgInfo(("<svg stroke-width=\"3\" width=\"10px\" height=\"20\">" +
+      "</svg>").getBytes("UTF-8")).contains((10, 20)))
+    assert(M.svgInfo("<svg viewBox=\"0 0 48.5 16\"/>".getBytes("UTF-8"))
+      .contains((49, 16))) // rounded
+    // percentage / em dims report nothing (no viewBox)
+    assert(M.svgInfo("<svg width=\"100%\" height=\"2em\"/>".getBytes("UTF-8"))
+      .isEmpty)
+    // only decl/comment/doctype may precede the root tag
+    assert(M.svgInfo(("<?xml version=\"1.0\"?><!DOCTYPE svg><!-- x -->" +
+      "<svg width=\"5\" height=\"6\"/>").getBytes("UTF-8")).contains((5, 6)))
+    assert(M.svgInfo("<div><svg width=\"5\" height=\"6\"/></div>"
+      .getBytes("UTF-8")).isEmpty)
+    assert(M.svgInfo("plain text mentioning <svg".getBytes("UTF-8")).isEmpty)
+    assert(M.mediaModality("<svg width=\"2\" height=\"2\"/>".getBytes("UTF-8"))
+      == "image")
+    assert(M.sniffMime("<svg width=\"2\" height=\"2\"/><!-- padding -->"
+      .getBytes("UTF-8")) == "image/svg+xml")
+    // APNG: decode still works THROUGH the spliced animation chunks
+    val base = M.renderPng(8, 8, (_, _) => 0x223344)
+    val apng = M.pngWithAnimation(base, Seq((1, 2), (3, 10)), plays = 2)
+    assert(M.pngAnimationInfo(apng).contains(
+      M.GifAnim(2, 500L + 300L, Integer.valueOf(2))))
+    assert(M.decodePixels(apng).exists(_.getWidth == 8))
+    assert(M.dhash64(apng) == M.dhash64(base),
+      "animation chunks must not perturb the perceptual hash")
+    assert(M.pngAnimationInfo(base).isEmpty)
+    // hostile chunk length ends the walk clean
+    val evil = apng.clone()
+    evil(8 + 25) = 0x7F.toByte // acTL length u32 -> ~2 GB
+    assert(M.pngAnimationInfo(evil).isEmpty)
+    // animationInfo: ONE dispatch over GIF / WebP / APNG
+    assert(M.animationInfo(apng).isDefined)
+    assert(M.animationInfo(M.syntheticGif(Seq(10, 10))).isDefined)
+  }
+
   // -------------------------------------------------- embedded art
 
   test("embeddedArt: APIC/PIC, FLAC PICTURE, M4A covr extract byte-identical art") {
