@@ -6415,6 +6415,53 @@ object SparkEntry {
       |) AS t(img_id, frames, duration_ms, loops, is_image, width)
       |ORDER BY img_id""".stripMargin
 
+  /** Corpus-scale caption mining — q187's pipeline at corpus shape:
+    * one image per `documents` row (every third captioned,
+    * deterministic from doc_id), [[graft.operators.Multimodal
+    * .imageTags]] extraction, ONE aggregate for per-group coverage
+    * and caption-length totals. The 100 TB plan is a single scan —
+    * map-only extraction, no joins, no windows; the PlanAudit job
+    * gate locks the count as pipeline-constant. Oracle = doc_id
+    * arithmetic (caption = 'caption for document <id>').
+    */
+  private def q190(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Scale.parallelismFloor(
+      t(s, dir, "documents").select(col("doc_id")))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("grp",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val rdd = docs.rdd.map { r =>
+      val id = r.getLong(0)
+      val base = graft.operators.Multimodal.renderPng(24, 16,
+        (_, _) => (200 << 16) | (123 << 8) | 77)
+      val content =
+        if (id % 3 == 0) graft.operators.Multimodal.pngWithText(base,
+          Seq(("Description", s"caption for document $id", false)))
+        else base
+      org.apache.spark.sql.Row(id, (id % 4).toString, content)
+    }
+    graft.operators.Multimodal.imageTags(s.createDataFrame(rdd, schema))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_images"),
+        count(col("itext.description")).as("n_captioned"),
+        sum(length(col("itext.description"))).as("caption_chars"))
+      .orderBy(col("grp"))
+  }
+
+  private def captionCorpusOracle: String =
+    """SELECT CAST(doc_id % 4 AS VARCHAR) AS grp,
+      |  count(*) AS n_images,
+      |  CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_captioned,
+      |  CAST(sum(CASE WHEN doc_id % 3 = 0
+      |           THEN 21 + length(CAST(doc_id AS VARCHAR)) END) AS BIGINT)
+      |    AS caption_chars
+      |FROM documents GROUP BY 1 ORDER BY grp""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -6608,7 +6655,8 @@ object SparkEntry {
     "q186_prov" -> (q186 _),
     "q187_pairs" -> (q187 _),
     "q188_ico" -> (q188 _),
-    "q189_apngsvg" -> (q189 _))
+    "q189_apngsvg" -> (q189 _),
+    "q190_capcorp" -> (q190 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -7048,6 +7096,7 @@ object SparkEntry {
     "q187_pairs" -> captionMiningOracle,
     "q188_ico" -> icoOracle,
     "q189_apngsvg" -> apngSvgOracle,
+    "q190_capcorp" -> captionCorpusOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

@@ -425,6 +425,27 @@ class PlanAudit extends SparkSpec {
     assert(p.contains("bit_count"), "Hamming gate must be in the plan")
   }
 
+  test("q190: corpus-scale caption mining is one scan — bounded, data-independent job count") {
+    // map-only extraction + ONE aggregate: at 100 TB this is a single
+    // pass over the corpus with no joins and no windows
+    val counter = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      SparkEntry.queries("q190_capcorp")(spark, dir).collect()
+      Thread.sleep(500) // listener delivery is async
+    } finally spark.sparkContext.removeSparkListener(l)
+    val jobs = counter.get()
+    assert(jobs <= 8,
+      s"caption mining must stay a one-scan pipeline: $jobs jobs")
+    assert(jobs >= 1, s"listener must have observed the scan: $jobs")
+  }
+
   test("q156: corpus-scale image dedup runs a bounded, data-independent job count") {
     // the job count is a function of the PIPELINE (render scan,
     // signature checkpoint, bucket cap, banded join, CC iterations,
