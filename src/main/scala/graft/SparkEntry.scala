@@ -5946,7 +5946,12 @@ object SparkEntry {
         cover = Some(("image/png", artB)))),
       (4L, M.syntheticId3(4, "Bare", "NoArt", "Single") ++
         M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))),
-      (5L, "junk".getBytes("UTF-8"))
+      (5L, "junk".getBytes("UTF-8")),
+      // the MKA convention: art rides an Attachments element — the
+      // SAME bytes as the M4A cover, so the class spans containers
+      (6L, M.syntheticWebm("audio", channels = 2, sampleRate = 48000,
+        durationMs = 1000L, codec = "A_FLAC",
+        attachedArt = Some(("image/png", artB))))
     ).toDF("aud_id", "content")
     val withArt = M.embeddedArt(rows)
       .withColumn("art_fp", when(col("art").isNotNull, xxhash64(col("art"))))
@@ -5962,9 +5967,12 @@ object SparkEntry {
     """SELECT * FROM (VALUES
       | (CAST(1 AS BIGINT), 'image/png', TRUE, CAST(2 AS BIGINT)),
       | (CAST(2 AS BIGINT), 'image/png', TRUE, CAST(2 AS BIGINT)),
-      | (CAST(3 AS BIGINT), 'image/png', TRUE, CAST(1 AS BIGINT)),
+      | (CAST(3 AS BIGINT), 'image/png', TRUE, CAST(2 AS BIGINT)),
       | (CAST(4 AS BIGINT), CAST(NULL AS VARCHAR), FALSE, CAST(NULL AS BIGINT)),
-      | (CAST(5 AS BIGINT), CAST(NULL AS VARCHAR), FALSE, CAST(NULL AS BIGINT))
+      | (CAST(5 AS BIGINT), CAST(NULL AS VARCHAR), FALSE, CAST(NULL AS BIGINT)),
+      | -- M4A covr and MKA attachment share bytes: one class,
+      | -- two containers
+      | (CAST(6 AS BIGINT), 'image/png', TRUE, CAST(2 AS BIGINT))
       |) AS t(aud_id, art_mime, has_art, n_sharing_art)
       |ORDER BY aud_id""".stripMargin
 

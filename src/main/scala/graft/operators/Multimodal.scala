@@ -829,6 +829,83 @@ object Multimodal {
     else Some(((if (docType == null) "matroska" else docType), got))
   } catch { case _: Throwable => None } // per-row isolation
 
+  /** Attached cover art from a Matroska/WebM file — the `Attachments`
+    * element (`AttachedFile`: FileMimeType + FileData) the MKA
+    * convention stores album art in: the first attachment with an
+    * `image/`-prefixed MIME type wins. Same EBML reading and
+    * depth-cap discipline as [[webmInfo]].
+    */
+  private[graft] def webmAttachedPicture(b: Array[Byte]): Option[(String, Array[Byte])] = try {
+    if (b == null || b.length < 8 ||
+      !(b(0) == 0x1A.toByte && b(1) == 0x45.toByte &&
+        b(2) == 0xDF.toByte && b(3) == 0xA3.toByte)) return None
+    @inline def vintLen(o: Int): Int = {
+      if (o >= b.length) return -1
+      val b0 = b(o) & 0xff
+      if (b0 == 0) -1 else Integer.numberOfLeadingZeros(b0) - 23
+    }
+    def readId(o: Int): Long = {
+      val n = vintLen(o)
+      if (n < 1 || n > 4 || o + n > b.length) return -1L
+      var v = 0L
+      var i = 0
+      while (i < n) { v = (v << 8) | (b(o + i) & 0xffL); i += 1 }
+      v
+    }
+    def readSize(o: Int): (Long, Int) = {
+      val n = vintLen(o)
+      if (n < 1 || n > 8 || o + n > b.length) return (-2L, 0)
+      var v = (b(o) & 0xff & (0xff >>> n)).toLong
+      var i = 1
+      while (i < n) { v = (v << 8) | (b(o + i) & 0xffL); i += 1 }
+      (if (v == (1L << (7 * n)) - 1) -1L else v, n)
+    }
+    // per-AttachedFile scratch, committed when the element closes
+    var fMime: String = null
+    var fFrom = -1
+    var fUntil = -1
+    var mime: String = null
+    var art: Array[Byte] = null
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      if (depth > 16 || art != null) return
+      var off = start
+      while (off < end && art == null) {
+        val id = readId(off)
+        if (id < 0) return
+        val idLen = vintLen(off)
+        val (size, szLen) = readSize(off + idLen)
+        if (szLen == 0) return
+        val body = off + idLen + szLen
+        val isContainer = id match {
+          case 0x1A45DFA3L | 0x18538067L | 0x1941A469L | 0x61A7L => true
+          case _ => false
+        }
+        val bodyEnd =
+          if (size < 0) { if (isContainer) end else return }
+          else if (size > end - body) { if (isContainer) end else return }
+          else body + size.toInt
+        id match {
+          case _ if isContainer =>
+            if (id == 0x61A7L) { fMime = null; fFrom = -1; fUntil = -1 }
+            walk(body, bodyEnd, depth + 1)
+            if (id == 0x61A7L && art == null && fMime != null &&
+              fMime.startsWith("image/") && fFrom >= 0) {
+              mime = fMime
+              art = java.util.Arrays.copyOfRange(b, fFrom, fUntil)
+            }
+          case 0x4660L => // FileMimeType
+            fMime = new String(b, body, bodyEnd - body, "ISO-8859-1")
+          case 0x465CL => // FileData
+            fFrom = body; fUntil = bodyEnd
+          case _ => ()
+        }
+        off = bodyEnd
+      }
+    }
+    walk(0, b.length, 0)
+    if (art == null) None else Some((mime, art))
+  } catch { case _: Throwable => None } // per-row isolation
+
   /** Every trak's `hdlr` handler type in an ISO-BMFF movie —
     * `vide`/`soun` plus the subtitle carriers (`sbtl` QuickTime/MOV
     * tx3g, `subt` ISO 14496-30, `text` QuickTime text). Depth-capped
@@ -954,7 +1031,8 @@ object Multimodal {
       cuePoints: Int = 0, docType: String = "webm",
       tags: Option[(String, String, String)] = None,
       subtitleTracks: Int = 0,
-      subCues: Seq[(Long, Long, String)] = Nil): Array[Byte] = {
+      subCues: Seq[(Long, Long, String)] = Nil,
+      attachedArt: Option[(String, Array[Byte])] = None): Array[Byte] = {
     require(subCues.isEmpty || subtitleTracks > 0,
       "muxed cues ride the first subtitle track")
     def vintSize(n: Long): Array[Byte] = { // 4-byte size VINT
@@ -1028,7 +1106,16 @@ object Multimodal {
             0.toByte) ++ text.getBytes("UTF-8")
           el(0xA0L, el(0xA1L, block) ++ uintEl(0x9BL, endMs - startMs))
       })
-    ebml ++ el(0x18538067L, info ++ tracks ++ cues ++ tagsEl ++ cluster)
+    // MKA album-art convention: an Attachments/AttachedFile element
+    val attachEl = attachedArt.map { case (m, data) =>
+      el(0x1941A469L, el(0x61A7L,
+        el(0x466EL, "cover".getBytes("UTF-8")) ++ // FileName
+          el(0x4660L, m.getBytes("ISO-8859-1")) ++
+          el(0x465CL, data) ++
+          el(0x46AEL, Array[Byte](1)))) // FileUID
+    }.getOrElse(Array.emptyByteArray)
+    ebml ++ el(0x18538067L, info ++ tracks ++ cues ++ tagsEl ++ attachEl ++
+      cluster)
   }
 
   /** WebP header facts — (width, height, channels, variant) from the
@@ -5245,6 +5332,7 @@ object Multimodal {
     try id3Apic(b)
       .orElse(m4aIlst(b).flatMap(f => Option(f.art).map(a => (f.artMime, a))))
       .orElse(flacPicture(b))
+      .orElse(webmAttachedPicture(b))
     catch { case _: Throwable => None } // per-row isolation
 
   /** Append `art_mime` (string) and `art` (binary) columns: the

@@ -2356,6 +2356,18 @@ class SemanticSpec extends SparkSpec {
     // hash of APIC art equals the standalone image's
     assert(M.dhash64(a1) == M.dhash64(artPng))
     assert(M.decodePixels(a4).isDefined)
+    // MKA attachment (the fourth audio container for art)
+    val mka = M.syntheticWebm("audio", channels = 2, sampleRate = 48000,
+      durationMs = 500L, codec = "A_FLAC",
+      attachedArt = Some(("image/png", artPng)))
+    val Some((m7, a7)) = M.embeddedArtBytes(mka)
+    assert(m7 == "image/png" && java.util.Arrays.equals(a7, artPng))
+    // a non-image attachment is not art
+    assert(M.webmAttachedPicture(M.syntheticWebm("audio", channels = 1,
+      sampleRate = 8000, attachedArt = Some(("text/plain",
+        "readme".getBytes("UTF-8"))))).isEmpty)
+    // the attachment must not perturb the audio facts
+    assert(M.webmInfo(mka).exists(i => i.kind == "audio" && i.channels == 2))
     // none paths
     assert(M.embeddedArtBytes(M.syntheticId3(3, "T", "A", "B") ++
       M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))).isEmpty)
