@@ -6470,6 +6470,42 @@ object SparkEntry {
       |    AS caption_chars
       |FROM documents GROUP BY 1 ORDER BY grp""".stripMargin
 
+  /** LRC timed lyrics ([[graft.operators.Multimodal.parseLrc]] behind
+    * the same `subtitleCues` dispatch): metadata tags skipped,
+    * repeated-timestamp lines expand to one cue per stamp, cues sort
+    * by time and end at the next cue's start.
+    */
+  private def q191(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lrc =
+      """[ar:The Band]
+        |[ti:Song One]
+        |[00:05.00]first line
+        |[00:12.50]second line
+        |[00:20.1][01:02.25]repeated refrain
+        |""".stripMargin
+    val rows = Seq(
+      (1L, lrc.getBytes("UTF-8")),
+      (2L, "no stamps here".getBytes("UTF-8"))
+    ).toDF("doc_id", "content")
+    graft.operators.Multimodal.subtitleCues(rows)
+      .orderBy(col("doc_id"), col("cue_idx"))
+  }
+
+  private def lrcOracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(1 AS BIGINT), 'lrc', 1, CAST(5000 AS BIGINT),
+      |  CAST(12500 AS BIGINT), 'first line'),
+      | (CAST(1 AS BIGINT), 'lrc', 2, CAST(12500 AS BIGINT),
+      |  CAST(20100 AS BIGINT), 'second line'),
+      | -- a single-digit fraction is tenths: .1 = 100 ms
+      | (CAST(1 AS BIGINT), 'lrc', 3, CAST(20100 AS BIGINT),
+      |  CAST(62250 AS BIGINT), 'repeated refrain'),
+      | (CAST(1 AS BIGINT), 'lrc', 4, CAST(62250 AS BIGINT),
+      |  CAST(62250 AS BIGINT), 'repeated refrain')
+      |) AS t(doc_id, sub_format, cue_idx, start_ms, end_ms, text)
+      |ORDER BY doc_id, cue_idx""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -6664,7 +6700,8 @@ object SparkEntry {
     "q187_pairs" -> (q187 _),
     "q188_ico" -> (q188 _),
     "q189_apngsvg" -> (q189 _),
-    "q190_capcorp" -> (q190 _))
+    "q190_capcorp" -> (q190 _),
+    "q191_lrc" -> (q191 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -7105,6 +7142,7 @@ object SparkEntry {
     "q188_ico" -> icoOracle,
     "q189_apngsvg" -> apngSvgOracle,
     "q190_capcorp" -> captionCorpusOracle,
+    "q191_lrc" -> lrcOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

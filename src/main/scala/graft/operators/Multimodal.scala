@@ -3246,11 +3246,52 @@ object Multimodal {
     if (got.isEmpty) None else Some(((if (isVtt) "vtt" else "srt"), got))
   } catch { case _: Throwable => None } // per-row isolation
 
+  /** LRC timed lyrics — `[mm:ss.xx]line` (several timestamps may
+    * prefix one line: the lyric repeats at each), the lyrics-sidecar
+    * convention of audio corpora. Metadata tags (`[ar:...]`,
+    * `[ti:...]` — non-numeric) are skipped; cues sort by time and
+    * each ends at the NEXT cue's start (the format carries no end;
+    * the last cue is zero-length). Hundredths scale to ms; a bare
+    * `[mm:ss]` is whole-second. None for text with no timed line.
+    */
+  private[graft] def parseLrc(s: String): Option[Seq[SubCue]] = try {
+    if (s == null || s.isEmpty || s.indexOf('[') < 0) return None
+    val t = s.replace("\r\n", "\n").replace('\r', '\n')
+    val tag = java.util.regex.Pattern.compile(
+      "\\G\\[(\\d{1,3}):(\\d{1,2})(?:[.:](\\d{1,2}))?\\]")
+    val raw = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    t.split('\n').foreach { line =>
+      val m = tag.matcher(line)
+      val stamps = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var last = 0
+      while (m.find()) {
+        val frac = m.group(3)
+        val fracMs =
+          if (frac == null) 0L
+          else frac.toLong * (if (frac.length == 1) 100L else 10L)
+        stamps += (m.group(1).toLong * 60 + m.group(2).toLong) * 1000 + fracMs
+        last = m.end()
+      }
+      if (stamps.nonEmpty && raw.size < 100000) {
+        val text = line.substring(last).trim
+        if (text.nonEmpty) stamps.foreach(ms => raw += ((ms, text)))
+      }
+    }
+    if (raw.isEmpty) None
+    else {
+      val sorted = raw.sortBy(_._1).toSeq
+      Some(sorted.zipWithIndex.map { case ((ms, text), k) =>
+        val end = if (k + 1 < sorted.length) sorted(k + 1)._1 else ms
+        SubCue(k + 1, ms, end, text)
+      })
+    }
+  } catch { case _: Throwable => None } // per-row isolation
+
   /** Explode a subtitle column into cue rows:
     * (id, sub_format, cue_idx, start_ms, end_ms, text) — O(cues)
     * output at the id grain, map-only (the flatMap twin of
-    * [[imageTags]]); unparseable rows yield zero cues. Three inputs
-    * behind one dispatch: an SRT or WebVTT sidecar FILE (UTF-8
+    * [[imageTags]]); unparseable rows yield zero cues. Four inputs
+    * behind one dispatch: SRT / WebVTT / LRC sidecar FILES (UTF-8
     * binary or string column) and — binary only — a Matroska/WebM
     * movie whose muxed S_TEXT track is extracted in place
     * ([[webmSubtitleCues]], sub_format = the EBML DocType). The text
@@ -3288,7 +3329,7 @@ object Multimodal {
           else if (isBinary) new String(bytes,
             java.nio.charset.StandardCharsets.UTF_8)
           else row.getAs[String](contentIdx)
-        parseSubtitles(raw)
+        parseSubtitles(raw).orElse(parseLrc(raw).map(("lrc", _)))
       }
       parsed match {
         case Some((fmt, cues)) => cues.map(c =>

@@ -2190,6 +2190,23 @@ class SemanticSpec extends SparkSpec {
     assert(out == Map(1L -> Some("Maker X"), 2L -> None))
   }
 
+  test("parseLrc: timed lyrics lines, repeated stamps, metadata tags, hostiles") {
+    val M = Multimodal
+    val Some(cues) = M.parseLrc(
+      "[ti:x]\n[00:01.50]a\n[00:10][00:03.5]b\njust text\n")
+    assert(cues.map(c => (c.startMs, c.endMs, c.text)) == Seq(
+      (1500L, 3500L, "a"), (3500L, 10000L, "b"), (10000L, 10000L, "b")))
+    assert(M.parseLrc("[ar:meta only]\nno stamps").isEmpty)
+    assert(M.parseLrc(null).isEmpty)
+    assert(M.parseLrc("[99999:99]over").isEmpty ||
+      M.parseLrc("[99999:99]over").isDefined) // whatever parses, no throw
+    // dispatch: the SAME operator, format 'lrc'
+    val out = M.subtitleCues(Seq((1L, "[00:02]la la".getBytes("UTF-8")))
+      .toDF("doc_id", "content")).collect()
+    assert(out.length == 1 && out.head.getString(1) == "lrc" &&
+      out.head.getLong(3) == 2000L)
+  }
+
   // -------------------------------------------------- lyrics
 
   test("audioLyrics: USLT v2.3/v2.4, M4A ©lyr, FLAC/Opus/Vorbis LYRICS field") {
