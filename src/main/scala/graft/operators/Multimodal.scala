@@ -3340,6 +3340,36 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Serialize cues back to an SRT file — the export half of
+    * [[subtitleCues]] (a training-data shard ships its clip text as
+    * sidecars): index, `HH:MM:SS,mmm --> HH:MM:SS,mmm`, text block.
+    * `parseSubtitles(formatSrt(cues))` round-trips exactly
+    * (spec-locked), so mined cue edits re-export losslessly.
+    */
+  private[graft] def formatSrt(cues: Seq[SubCue]): String = {
+    def stamp(ms: Long): String = {
+      val h = ms / 3600000
+      val m = (ms % 3600000) / 60000
+      val s = (ms % 60000) / 1000
+      f"$h%02d:$m%02d:$s%02d,${ms % 1000}%03d"
+    }
+    cues.zipWithIndex.map { case (c, k) =>
+      s"${k + 1}\n${stamp(c.startMs)} --> ${stamp(c.endMs)}\n${c.text}\n"
+    }.mkString("\n")
+  }
+
+  /** [[formatSrt]]'s WebVTT twin (header + dot-separated stamps). */
+  private[graft] def formatVtt(cues: Seq[SubCue]): String = {
+    def stamp(ms: Long): String = {
+      val h = ms / 3600000
+      val m = (ms % 3600000) / 60000
+      val s = (ms % 60000) / 1000
+      f"$h%02d:$m%02d:$s%02d.${ms % 1000}%03d"
+    }
+    "WEBVTT\n\n" + cues.map(c =>
+      s"${stamp(c.startMs)} --> ${stamp(c.endMs)}\n${c.text}\n").mkString("\n")
+  }
+
   /** Resolve the stored raster to display orientation — the 8 EXIF
     * cases as direct pixel remaps (5-8 swap the axes).
     */

@@ -2207,6 +2207,27 @@ class SemanticSpec extends SparkSpec {
       out.head.getLong(3) == 2000L)
   }
 
+  test("formatSrt/formatVtt: parse-format round trip is exact") {
+    val M = Multimodal
+    val cues = Seq(
+      M.SubCue(1, 0L, 1234L, "first"),
+      M.SubCue(2, 61000L, 61500L, "two\nlines"),
+      M.SubCue(3, 3600000L + 120000L + 3450L, 3600000L + 120000L + 4000L,
+        "hored éh"))
+    val Some(("srt", back)) = M.parseSubtitles(M.formatSrt(cues))
+    assert(back == cues)
+    val Some(("vtt", backV)) = M.parseSubtitles(M.formatVtt(cues))
+    assert(backV == cues)
+    // the muxed path round-trips through the sidecar writer too
+    val movie = M.syntheticWebm("video", width = 8, height = 8,
+      durationMs = 5000L, subtitleTracks = 1,
+      subCues = Seq((100L, 300L, "a"), (2000L, 2400L, "b")))
+    val Some((_, muxed)) = M.webmSubtitleCues(movie)
+    val Some((_, reparsed)) = M.parseSubtitles(M.formatSrt(muxed))
+    assert(reparsed.map(c => (c.startMs, c.endMs, c.text)) ==
+      muxed.map(c => (c.startMs, c.endMs, c.text)))
+  }
+
   // -------------------------------------------------- lyrics
 
   test("audioLyrics: USLT v2.3/v2.4, M4A ©lyr, FLAC/Opus/Vorbis LYRICS field") {
