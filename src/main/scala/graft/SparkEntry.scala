@@ -5250,10 +5250,26 @@ object SparkEntry {
     * `iinf`/`iloc` indirection ([[graft.operators.Multimodal
     * .avifExifRegion]]) and its TIFF block scanned for tag 0x8825;
     * a GPS-less AVIF reports false ("location-free"), not unknown.
+    * Row 8 exercises iloc construction method 1 (extents relative to
+    * `meta/idat` — the iOS/encoder layout); row 9 is the fail-closed
+    * lock: an EXIF item whose idat is too short for its extent must
+    * report UNKNOWN (null), never false — a privacy gate built on
+    * this flag cannot be allowed to fail open.
     */
   private def q168(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val M = graft.operators.Multimodal
+    val idatGps = M.syntheticAvif(320, 200, gps = true, idatExif = true)
+    // hostile twin: shrink the idat box 4 bytes so the extent overruns
+    val truncIdat = java.util.Arrays.copyOf(idatGps, idatGps.length)
+    locally {
+      var i = 0
+      while (!(truncIdat(i + 4) == 'i' && truncIdat(i + 5) == 'd' &&
+        truncIdat(i + 6) == 'a' && truncIdat(i + 7) == 't')) i += 1
+      val bb = java.nio.ByteBuffer.wrap(truncIdat, i, 4)
+      val old = bb.getInt
+      java.nio.ByteBuffer.wrap(truncIdat, i, 4).putInt(old - 4)
+    }
     val rows = Seq(
       (1L, M.syntheticAvif(800, 600)),
       (2L, M.syntheticAvif(128, 128, channels = 4)),
@@ -5263,7 +5279,9 @@ object SparkEntry {
       // HEIC (the iPhone default) shares the whole HEIF walk: dims,
       // brand-derived format, and the same GPS item indirection
       (6L, M.syntheticAvif(4032, 3024, brand = "heic")),
-      (7L, M.syntheticAvif(640, 480, gps = true, brand = "heix"))
+      (7L, M.syntheticAvif(640, 480, gps = true, brand = "heix")),
+      (8L, idatGps),
+      (9L, truncIdat)
     ).toDF("img_id", "content")
     M.imageStats(M.decode(rows))
       .select(col("img_id"),
@@ -5289,7 +5307,13 @@ object SparkEntry {
       | -- the iinf/iloc-resolved EXIF item carries the GPS pointer
       | (CAST(5 AS BIGINT), 'avif', 320, 200, 3, TRUE, TRUE),
       | (CAST(6 AS BIGINT), 'heic', 4032, 3024, 3, TRUE, FALSE),
-      | (CAST(7 AS BIGINT), 'heic', 640, 480, 3, TRUE, TRUE)
+      | (CAST(7 AS BIGINT), 'heic', 640, 480, 3, TRUE, TRUE),
+      | -- idat-relative EXIF (iloc construction method 1) resolves
+      | (CAST(8 AS BIGINT), 'avif', 320, 200, 3, TRUE, TRUE),
+      | -- a declared EXIF item the walk CANNOT resolve is unknown,
+      | -- never false: the privacy flag fails closed
+      | (CAST(9 AS BIGINT), 'avif', 320, 200, 3, TRUE,
+      |  CAST(NULL AS BOOLEAN))
       |) AS t(img_id, format, width, height, channels, is_image, gps)
       |ORDER BY img_id""".stripMargin
 
@@ -5689,7 +5713,10 @@ object SparkEntry {
       (3L, M.syntheticAvif(320, 200, gps = true)),
       (4L, M.syntheticAvif(640, 480, gps = true, brand = "heic")),
       (5L, M.renderPng(8, 8, (_, _) => 0x224466)), // clean: no-op scrub
-      (6L, M.syntheticJxl(320, 240, container = true, gps = true))
+      (6L, M.syntheticJxl(320, 240, container = true, gps = true)),
+      // idat-relative EXIF (iloc construction method 1): the scrub
+      // reaches through the same resolution the flag uses
+      (7L, M.syntheticAvif(320, 200, gps = true, idatExif = true))
     ).toDF("img_id", "content")
     val before = M.imageStats(rows)
       .select(col("img_id"), col("stats.exif_gps").as("gps_before"))
@@ -5708,7 +5735,9 @@ object SparkEntry {
       | (CAST(4 AS BIGINT), TRUE, FALSE, TRUE, 640),
       | (CAST(5 AS BIGINT), FALSE, FALSE, TRUE, 8),
       | -- the JXL container's raw Exif box, sixth carrier
-      | (CAST(6 AS BIGINT), TRUE, FALSE, TRUE, 320)
+      | (CAST(6 AS BIGINT), TRUE, FALSE, TRUE, 320),
+      | -- HEIF iloc construction method 1 (idat-relative extents)
+      | (CAST(7 AS BIGINT), TRUE, FALSE, TRUE, 320)
       |) AS t(img_id, gps_before, gps_after, is_image, width)
       |ORDER BY img_id""".stripMargin
 

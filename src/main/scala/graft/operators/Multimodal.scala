@@ -1500,14 +1500,24 @@ object Multimodal {
     * for the fastest-growing crawled image format: `meta/iinf/infe`
     * names an item of type `Exif`, `meta/iloc` maps that item id to
     * file extents (offset/length/base-offset sizes 0/4/8 per spec,
-    * iloc versions 0-2, construction method 0 = absolute file
-    * offset). Returns the FIRST extent packed as (start << 32 | end),
-    * or -1 when the file declares no EXIF item or the mapping is out
-    * of range. The payload then leads with the HEIF ExifDataBlock's
-    * u32 `exif_tiff_header_offset` ([[exifGpsPresent]] consumes it).
+    * iloc versions 0-2, construction methods 0 = absolute file
+    * offset and 1 = relative to the `meta/idat` box payload — the
+    * iOS/encoder layout). Returns the FIRST extent packed as
+    * (start << 32 | end) in ABSOLUTE file offsets, -1 when the file
+    * declares no EXIF item at all, or -2 when an EXIF item IS
+    * declared but cannot be resolved (construction method 2, a
+    * method-1 extent without/past its `idat`, an out-of-range
+    * mapping, a truncated table). The -1/-2 split matters because
+    * this feeds a PRIVACY flag: "no item" is honestly location-free
+    * (false), "item we could not read" must surface as unknown
+    * (null), never false — a release gate has to fail closed. The
+    * payload then leads with the HEIF ExifDataBlock's u32
+    * `exif_tiff_header_offset` ([[exifGpsPresent]] consumes it).
     * Depth-capped and exception-guarded like its sibling walkers.
     */
-  private[graft] def avifExifRegion(b: Array[Byte]): Long = try {
+  private[graft] def avifExifRegion(b: Array[Byte]): Long = {
+    var exifId = -1L
+    try {
     if (b == null || b.length < 16 ||
       !(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return -1L
     @inline def u16(o: Int): Int = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
@@ -1515,9 +1525,10 @@ object Multimodal {
       ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
         ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
     @inline def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
-    var exifId = -1L
     var ilocBody = -1
     var ilocEnd = -1
+    var idatBody = -1
+    var idatEnd = -1
     def walk(start: Long, end: Long, depth: Int): Unit = {
       if (depth > 16) return
       var off = start
@@ -1549,16 +1560,19 @@ object Multimodal {
               new String(b, p + 10, 4, "ISO-8859-1") == "Exif")
               exifId = u32(p + 4)
           case "iloc" => ilocBody = p; ilocEnd = boxEnd.toInt
+          case "idat" => idatBody = p; idatEnd = boxEnd.toInt
           case _ => ()
         }
         off = boxEnd
       }
     }
     walk(0L, b.length.toLong, 0)
-    if (exifId < 0 || ilocBody < 0) return -1L
-    // parse iloc for the Exif item's first extent
+    if (exifId < 0) return -1L
+    if (ilocBody < 0) return -2L // declared item with no location table
+    // parse iloc for the Exif item's first extent; from here on every
+    // failure is "item exists but unreadable" → -2, never -1
     var q = ilocBody
-    if (q + 8 > ilocEnd) return -1L
+    if (q + 8 > ilocEnd) return -2L
     val ver = b(q) & 0xff
     q += 4
     val offSize = (b(q) >> 4) & 0xf
@@ -1566,13 +1580,13 @@ object Multimodal {
     val baseSize = (b(q + 1) >> 4) & 0xf
     val idxSize = if (ver == 1 || ver == 2) b(q + 1) & 0xf else 0
     q += 2
-    if (offSize > 8 || lenSize > 8 || baseSize > 8 || idxSize > 8) return -1L
+    if (offSize > 8 || lenSize > 8 || baseSize > 8 || idxSize > 8) return -2L
     val count =
       if (ver < 2) { val c = u16(q); q += 2; c }
-      else { val c = u32(q); q += 4; if (c > 0xffff) return -1L else c.toInt }
+      else { val c = u32(q); q += 4; if (c > 0xffff) return -2L else c.toInt }
     // a HEIF still holds a handful of items; a crafted count must be
     // bounded CPU, not billions of cheap loop iterations
-    if (count > 4096) return -1L
+    if (count > 4096) return -2L
     def readN(o: Int, n: Int): Long = {
       var v = 0L
       var i = 0
@@ -1581,37 +1595,47 @@ object Multimodal {
     }
     var i = 0
     while (i < count) {
-      if (q + (if (ver < 2) 2 else 4) > ilocEnd) return -1L
+      if (q + (if (ver < 2) 2 else 4) > ilocEnd) return -2L
       val itemId = if (ver < 2) { val v = u16(q); q += 2; v.toLong }
         else { val v = u32(q); q += 4; v }
       var method = 0
       if (ver == 1 || ver == 2) {
-        if (q + 2 > ilocEnd) return -1L
+        if (q + 2 > ilocEnd) return -2L
         method = u16(q) & 0xf; q += 2
       }
-      if (q + 2 + baseSize + 2 > ilocEnd) return -1L
+      if (q + 2 + baseSize + 2 > ilocEnd) return -2L
       q += 2 // data_reference_index
       val base = readN(q, baseSize); q += baseSize
       val extents = u16(q); q += 2
-      if (extents > 4096) return -1L // same bounded-CPU rule per item
+      if (extents > 4096) return -2L // same bounded-CPU rule per item
       var e = 0
       while (e < extents) {
-        if (q + idxSize + offSize + lenSize > ilocEnd) return -1L
+        if (q + idxSize + offSize + lenSize > ilocEnd) return -2L
         q += idxSize
         val eo = readN(q, offSize); q += offSize
         val el = readN(q, lenSize); q += lenSize
-        if (itemId == exifId && e == 0 && method == 0) {
-          val s = base + eo
-          if (s >= 0 && el > 0 && s + el <= b.length)
-            return (s << 32) | (s + el)
-          return -1L
+        if (itemId == exifId && e == 0) {
+          if (method == 0) {
+            val s = base + eo
+            if (s >= 0 && el > 0 && s + el <= b.length)
+              return (s << 32) | (s + el)
+          } else if (method == 1 && idatBody >= 0) {
+            // idat-relative: extents address the meta/idat payload
+            val s = idatBody + base + eo
+            if (s >= idatBody && el > 0 && s + el <= idatEnd)
+              return (s << 32) | (s + el)
+          }
+          // method 2 (item_offset indirection), a method-1 extent
+          // without/past its idat, or an out-of-range mapping
+          return -2L
         }
         e += 1
       }
       i += 1
     }
-    -1L
-  } catch { case _: Throwable => -1L }
+    -2L // declared item never appeared in the location table
+    } catch { case _: Throwable => if (exifId >= 0) -2L else -1L }
+  }
 
   /** Minimal AVIF header fixture ([[syntheticWebp]] discipline):
     * `ftyp(avif)` + `meta(hdlr pict, iprp(ipco(ispe, pixi)))` — every
@@ -1620,10 +1644,13 @@ object Multimodal {
     * Exif item, an `iloc` (v0, 4-byte offsets/lengths) mapping it to
     * an `mdat` extent holding an ExifDataBlock (u32 tiff offset 0 +
     * a bare little-endian TIFF whose IFD0 carries tag 0x8825).
+    * `idatExif = true` switches the layout to iloc v1 construction
+    * method 1 with the ExifDataBlock inside `meta/idat` — the
+    * idat-relative shape some iOS/encoder pipelines emit.
     */
   private[graft] def syntheticAvif(w: Int, h: Int,
       channels: Int = 3, gps: Boolean = false,
-      brand: String = "avif"): Array[Byte] = {
+      brand: String = "avif", idatExif: Boolean = false): Array[Byte] = {
     require(brand.length == 4, s"brand must be a FourCC: $brand")
     def box(id: String, payload: Array[Byte]): Array[Byte] = {
       val out = java.nio.ByteBuffer.allocate(8 + payload.length)
@@ -1651,15 +1678,31 @@ object Multimodal {
     tiff.putInt(0) // next-IFD pointer
     tiff.putShort(0).putInt(0) // empty GPS IFD
     val exifPayload = Array[Byte](0, 0, 0, 0) ++ tiff.array()
-    def metaWith(exifOffset: Int): Array[Byte] = {
-      val infe = box("infe", java.nio.ByteBuffer.allocate(4 + 2 + 2 + 4 + 5)
-        .putInt(2 << 24) // fullbox version 2
-        .putShort(1).putShort(0) // item_ID 1, protection 0
-        .put("Exif".getBytes("ISO-8859-1"))
-        .put("Exif".getBytes("ISO-8859-1")).put(0.toByte) // item_name
+    val infe = box("infe", java.nio.ByteBuffer.allocate(4 + 2 + 2 + 4 + 5)
+      .putInt(2 << 24) // fullbox version 2
+      .putShort(1).putShort(0) // item_ID 1, protection 0
+      .put("Exif".getBytes("ISO-8859-1"))
+      .put("Exif".getBytes("ISO-8859-1")).put(0.toByte) // item_name
+      .array())
+    val iinf = box("iinf",
+      Array[Byte](0, 0, 0, 0, 0, 1) ++ infe) // v0, u16 count = 1
+    if (idatExif) {
+      // iloc v1, construction method 1: the extent offset addresses
+      // the meta/idat payload, not the file
+      val iloc = box("iloc", java.nio.ByteBuffer.allocate(4 + 2 + 2 + 8 + 8)
+        .putInt(1 << 24) // fullbox v1
+        .put(0x44.toByte).put(0.toByte) // offset/length size 4, base 0
+        .putShort(1) // item count
+        .putShort(1) // item_ID 1
+        .putShort(1) // construction_method 1 (idat)
+        .putShort(0) // data_reference_index 0
+        .putShort(1) // extent count
+        .putInt(0).putInt(exifPayload.length) // idat-relative extent
         .array())
-      val iinf = box("iinf",
-        Array[Byte](0, 0, 0, 0, 0, 1) ++ infe) // v0, u16 count = 1
+      return ftyp ++ box("meta",
+        baseMeta ++ iinf ++ iloc ++ box("idat", exifPayload))
+    }
+    def metaWith(exifOffset: Int): Array[Byte] = {
       val iloc = box("iloc", java.nio.ByteBuffer.allocate(4 + 2 + 2 + 6 + 8)
         .putInt(0) // fullbox v0
         .put(0x44.toByte).put(0.toByte) // offset/length size 4, base 0
@@ -2005,7 +2048,7 @@ object Multimodal {
   def exifGpsPresent(bytes: Array[Byte]): java.lang.Boolean = {
     if (bytes == null || bytes.length < 12) return null
     exifTiffRegion(bytes) match {
-      case -2L => null // format cannot carry EXIF: unknown
+      case -2L => null // cannot carry EXIF, or declared-but-unreadable
       case -1L => java.lang.Boolean.FALSE // carrier without the block
       case r => java.lang.Boolean.valueOf(
         tiffHasTag(bytes, (r >>> 32).toInt, (r & 0xffffffffL).toInt, 0x8825))
@@ -2015,8 +2058,12 @@ object Multimodal {
   /** The EXIF TIFF block of ANY carrier format, packed
     * (start << 32 | end): JPEG APP1, WebP `EXIF` chunk, TIFF itself,
     * HEIF item indirection, PNG `eXIf` chunk. -1 = the format can
-    * carry EXIF but this file doesn't; -2 = the format cannot carry
-    * EXIF at all (GIF/BMP/unknown bytes). The single locate shared
+    * carry EXIF but this file doesn't; -2 = unknown — either the
+    * format cannot carry EXIF at all (GIF/BMP/unknown bytes) or the
+    * file DECLARES an EXIF block this walk cannot resolve (a HEIF
+    * iloc we cannot follow, a malformed ExifDataBlock). Both -2
+    * cases must surface as null, never false: the flag feeds a
+    * privacy gate that has to fail closed. The single locate shared
     * by the GPS flag and the GPS scrub so they can never disagree on
     * where the block lives.
     */
@@ -2031,15 +2078,19 @@ object Multimodal {
     if (isTiffMagic(bytes)) return (0L << 32) | bytes.length.toLong
     if (isHeifMagic(bytes)) {
       val r = avifExifRegion(bytes)
-      if (r < 0) return -1L // no EXIF item declared
+      if (r == -1L) return -1L // no EXIF item declared: location-free
+      // declared-but-unresolvable must read as UNKNOWN, never false —
+      // asserting "no GPS" about bytes we could not read would make
+      // the privacy gate fail open for this carrier
+      if (r < 0) return -2L
       val p0 = (r >>> 32).toInt
       val end = (r & 0xffffffffL).toInt
-      if (end - p0 < 4) return -1L
+      if (end - p0 < 4) return -2L
       // HEIF ExifDataBlock: u32 offset to the TIFF header within the
       // payload; tolerate a leading `Exif\0\0` like the WebP chunk
       val hdrOff = ((bytes(p0) & 0xffL) << 24) | ((bytes(p0 + 1) & 0xffL) << 16) |
         ((bytes(p0 + 2) & 0xffL) << 8) | (bytes(p0 + 3) & 0xffL)
-      if (hdrOff < 0 || p0 + 4 + hdrOff >= end) return -1L
+      if (hdrOff < 0 || p0 + 4 + hdrOff >= end) return -2L
       var t = p0 + 4 + hdrOff.toInt
       if (end - t >= 6 && bytes(t) == 'E' && bytes(t + 1) == 'x' &&
         bytes(t + 2) == 'i' && bytes(t + 3) == 'f' && bytes(t + 4) == 0 &&
@@ -3695,10 +3746,13 @@ object Multimodal {
                 // AVIF/HEIC: header-facts image like lossy WebP
                 // (AV1/HEVC decoders are out of pure-JDK scope); gps
                 // is REAL — [[avifExifRegion]] walks the iinf/iloc
-                // item indirection to the embedded TIFF block
+                // item indirection to the embedded TIFF block. The
+                // TRI-STATE passes through: a declared-but-unreadable
+                // EXIF item is unknown (null), never false — the
+                // privacy gate fails closed for this carrier
                 case Some((w, h, _)) =>
-                  val gps = exifGpsPresent(bytes) == java.lang.Boolean.TRUE
-                  Row(w, h, null, null, null, null, gps, true, null)
+                  Row(w, h, null, null, null, null,
+                    exifGpsPresent(bytes), true, null)
                 case None => jxlInfo(bytes) match {
                   // JPEG XL: header-facts image; gps is REAL for the
                   // container form (its raw Exif box feeds the same

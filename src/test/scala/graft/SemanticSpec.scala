@@ -1527,6 +1527,44 @@ class SemanticSpec extends SparkSpec {
     // a GPS-less AVIF is location-FREE (false), not unknown
     assert(Multimodal.exifGpsPresent(Multimodal.syntheticAvif(64, 32))
       == java.lang.Boolean.FALSE)
+    // iloc construction method 1: extents relative to meta/idat — the
+    // iOS/encoder layout; the flag resolves it and the scrub reaches it
+    val idatAvif = Multimodal.syntheticAvif(320, 200, gps = true,
+      idatExif = true)
+    assert(Multimodal.exifGpsPresent(idatAvif) == java.lang.Boolean.TRUE)
+    assert(Multimodal.avifInfo(idatAvif).contains((320, 200, 3)))
+    val idatScrubbed = Multimodal.scrubGps(idatAvif)
+    assert(Multimodal.exifGpsPresent(idatScrubbed) == java.lang.Boolean.FALSE)
+    assert(idatScrubbed.length == idatAvif.length &&
+      !java.util.Arrays.equals(idatScrubbed, idatAvif))
+    // hostile: an idat too short for the declared extent must degrade
+    // to UNKNOWN (null), never false — the gate fails closed
+    val truncIdat = java.util.Arrays.copyOf(idatAvif, idatAvif.length)
+    val idatAt = {
+      var i = 0
+      while (!(truncIdat(i + 4) == 'i' && truncIdat(i + 5) == 'd' &&
+        truncIdat(i + 6) == 'a' && truncIdat(i + 7) == 't')) i += 1
+      i
+    }
+    // shrink the idat box size by 4: the extent now overruns it
+    val oldSize = java.nio.ByteBuffer.wrap(truncIdat, idatAt, 4).getInt
+    java.nio.ByteBuffer.wrap(truncIdat, idatAt, 4).putInt(oldSize - 4)
+    assert(Multimodal.exifGpsPresent(truncIdat) == null,
+      "declared-but-unresolvable EXIF must read unknown, not false")
+    assert(Multimodal.scrubGps(truncIdat) eq truncIdat,
+      "the scrub cannot locate what the flag cannot; bytes pass through")
+    // construction method 2 (item_offset) is out of walk scope: the
+    // same honest-unknown rule applies
+    val m2 = java.util.Arrays.copyOf(idatAvif, idatAvif.length)
+    val ilocAt = {
+      var i = 0
+      while (!(m2(i + 4) == 'i' && m2(i + 5) == 'l' &&
+        m2(i + 6) == 'o' && m2(i + 7) == 'c')) i += 1
+      i
+    }
+    // iloc body: +8 skips size+fourcc; method u16 sits at body+10
+    m2(ilocAt + 8 + 11) = 2
+    assert(Multimodal.exifGpsPresent(m2) == null)
     // non-AVIF BMFF (a movie) stays null: the flag is about formats
     // that can carry EXIF through a walk we implement
     assert(Multimodal.exifGpsPresent(Multimodal.syntheticMp4(32, 32, 1000L))
