@@ -6008,7 +6008,10 @@ object SparkEntry {
   /** Subtitle-cue explode ([[graft.operators.Multimodal.subtitleCues]])
     * — the video-text pairing surface: one SRT and one WebVTT file
     * (comma vs dot stamps, optional hours, cue settings, a NOTE
-    * block, markup stripping, multi-line text) plus an unparseable
+    * block, markup stripping, multi-line text), an ASS file (the
+    * fansub sidecar: `[Events]` `Dialogue:` lines, centisecond
+    * stamps, `{\...}` override strip, `\N` line breaks, events
+    * written out of order re-sorting by time) plus an unparseable
     * row contributing zero cues. Every value is a planted literal.
     */
   private def q181(s: SparkSession, dir: String): DataFrame = {
@@ -6035,10 +6038,20 @@ object SparkEntry {
         |01:00:00.200 --> 01:00:02.000
         |With hours
         |""".stripMargin
+    val ass =
+      """[Script Info]
+        |ScriptType: v4.00+
+        |
+        |[Events]
+        |Format: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text
+        |Dialogue: 0,0:00:08.50,0:00:10.00,Default,,0,0,0,,{\i1}later{\i0} line
+        |Dialogue: 0,0:00:02.25,0:00:04.00,Default,,0,0,0,,first\Nbroken, comma kept
+        |""".stripMargin
     val rows = Seq(
       (1L, srt.getBytes("UTF-8")),
       (2L, vtt.getBytes("UTF-8")),
-      (3L, "no cues here".getBytes("UTF-8"))
+      (3L, "no cues here".getBytes("UTF-8")),
+      (4L, ass.getBytes("UTF-8"))
     ).toDF("doc_id", "content")
     graft.operators.Multimodal.subtitleCues(rows)
       .orderBy(col("doc_id"), col("cue_idx"))
@@ -6053,7 +6066,12 @@ object SparkEntry {
       | (CAST(2 AS BIGINT), 'vtt', 1, CAST(3000 AS BIGINT),
       |  CAST(6500 AS BIGINT), 'Minutes only'),
       | (CAST(2 AS BIGINT), 'vtt', 2, CAST(3600200 AS BIGINT),
-      |  CAST(3602000 AS BIGINT), 'With hours')
+      |  CAST(3602000 AS BIGINT), 'With hours'),
+      | -- ASS events re-sorted by start; overrides stripped, \N broken
+      | (CAST(4 AS BIGINT), 'ass', 1, CAST(2250 AS BIGINT),
+      |  CAST(4000 AS BIGINT), 'first' || chr(10) || 'broken, comma kept'),
+      | (CAST(4 AS BIGINT), 'ass', 2, CAST(8500 AS BIGINT),
+      |  CAST(10000 AS BIGINT), 'later line')
       |) AS t(doc_id, sub_format, cue_idx, start_ms, end_ms, text)
       |ORDER BY doc_id, cue_idx""".stripMargin
 
@@ -6509,6 +6527,7 @@ object SparkEntry {
     val lrc =
       """[ar:The Band]
         |[ti:Song One]
+        |[00:01.345]enhanced ms stamp
         |[00:05.00]first line
         |[00:12.50]second line
         |[00:20.1][01:02.25]repeated refrain
@@ -6523,15 +6542,64 @@ object SparkEntry {
 
   private def lrcOracle: String =
     """SELECT * FROM (VALUES
-      | (CAST(1 AS BIGINT), 'lrc', 1, CAST(5000 AS BIGINT),
+      | -- a 3-digit fraction is milliseconds (enhanced LRC)
+      | (CAST(1 AS BIGINT), 'lrc', 1, CAST(1345 AS BIGINT),
+      |  CAST(5000 AS BIGINT), 'enhanced ms stamp'),
+      | (CAST(1 AS BIGINT), 'lrc', 2, CAST(5000 AS BIGINT),
       |  CAST(12500 AS BIGINT), 'first line'),
-      | (CAST(1 AS BIGINT), 'lrc', 2, CAST(12500 AS BIGINT),
+      | (CAST(1 AS BIGINT), 'lrc', 3, CAST(12500 AS BIGINT),
       |  CAST(20100 AS BIGINT), 'second line'),
       | -- a single-digit fraction is tenths: .1 = 100 ms
-      | (CAST(1 AS BIGINT), 'lrc', 3, CAST(20100 AS BIGINT),
+      | (CAST(1 AS BIGINT), 'lrc', 4, CAST(20100 AS BIGINT),
       |  CAST(62250 AS BIGINT), 'repeated refrain'),
-      | (CAST(1 AS BIGINT), 'lrc', 4, CAST(62250 AS BIGINT),
+      | (CAST(1 AS BIGINT), 'lrc', 5, CAST(62250 AS BIGINT),
       |  CAST(62250 AS BIGINT), 'repeated refrain')
+      |) AS t(doc_id, sub_format, cue_idx, start_ms, end_ms, text)
+      |ORDER BY doc_id, cue_idx""".stripMargin
+
+  /** Muxed MP4 timed text ([[graft.operators.Multimodal
+    * .mp4SubtitleCues]] behind the same `subtitleCues` dispatch) —
+    * closing the detection/extraction asymmetry for the web's
+    * dominant video container: the `sbtl` track's sample table is
+    * walked (the stts deltas BECOME the cue times) and its samples
+    * decoded per sample-entry codec — `tx3g` u16-length text (gaps
+    * are length-0 samples), `wvtt` `vttc(payl)` boxes (gaps are
+    * `vtte`), `stpp` TTML documents whose `<p begin end>` paragraphs
+    * carry their own clock times. A caption-less movie contributes
+    * zero cues. Every value is a closed form of the builder's
+    * arguments.
+    */
+  private def q192(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    val frames = Seq(M.renderJpeg(16, 8, (_, _) => gray(70)),
+      M.renderJpeg(16, 8, (_, _) => gray(190)))
+    val wanted = Seq((500L, 1500L, "Opening line"),
+      (2000L, 2800L, "Seconde réplique"))
+    val rows = Seq(
+      (1L, M.syntheticMp4TimedText(frames, wanted, codec = "tx3g")),
+      (2L, M.syntheticMp4TimedText(frames, wanted, codec = "wvtt")),
+      (3L, M.syntheticMp4TimedText(frames, wanted, codec = "stpp")),
+      (4L, M.syntheticMjpegMp4(frames)) // caption-less: zero cues
+    ).toDF("doc_id", "content")
+    M.subtitleCues(rows).orderBy(col("doc_id"), col("cue_idx"))
+  }
+
+  private def mp4TimedTextOracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(1 AS BIGINT), 'tx3g', 1, CAST(500 AS BIGINT),
+      |  CAST(1500 AS BIGINT), 'Opening line'),
+      | (CAST(1 AS BIGINT), 'tx3g', 2, CAST(2000 AS BIGINT),
+      |  CAST(2800 AS BIGINT), 'Seconde réplique'),
+      | (CAST(2 AS BIGINT), 'wvtt', 1, CAST(500 AS BIGINT),
+      |  CAST(1500 AS BIGINT), 'Opening line'),
+      | (CAST(2 AS BIGINT), 'wvtt', 2, CAST(2000 AS BIGINT),
+      |  CAST(2800 AS BIGINT), 'Seconde réplique'),
+      | (CAST(3 AS BIGINT), 'stpp', 1, CAST(500 AS BIGINT),
+      |  CAST(1500 AS BIGINT), 'Opening line'),
+      | (CAST(3 AS BIGINT), 'stpp', 2, CAST(2000 AS BIGINT),
+      |  CAST(2800 AS BIGINT), 'Seconde réplique')
       |) AS t(doc_id, sub_format, cue_idx, start_ms, end_ms, text)
       |ORDER BY doc_id, cue_idx""".stripMargin
 
@@ -6730,7 +6798,8 @@ object SparkEntry {
     "q188_ico" -> (q188 _),
     "q189_apngsvg" -> (q189 _),
     "q190_capcorp" -> (q190 _),
-    "q191_lrc" -> (q191 _))
+    "q191_lrc" -> (q191 _),
+    "q192_mp4text" -> (q192 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -7172,6 +7241,7 @@ object SparkEntry {
     "q189_apngsvg" -> apngSvgOracle,
     "q190_capcorp" -> captionCorpusOracle,
     "q191_lrc" -> lrcOracle,
+    "q192_mp4text" -> mp4TimedTextOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

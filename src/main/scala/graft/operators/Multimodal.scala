@@ -350,10 +350,8 @@ object Multimodal {
     if (prefix.nonEmpty && prefix != "\uFEFF") return None
     val gt = head.indexOf('>', at)
     val tag = if (gt < 0) head.substring(at) else head.substring(at, gt)
-    def attr(name: String): String = {
-      val m = java.util.regex.Pattern
-        .compile("(?<![-\\w])" + name + "\\s*=\\s*[\"']([^\"']+)[\"']")
-        .matcher(tag)
+    def attr(p: java.util.regex.Pattern): String = {
+      val m = p.matcher(tag)
       if (m.find()) m.group(1).trim else null
     }
     def px(v: String): Int = {
@@ -364,10 +362,10 @@ object Multimodal {
         if (d > 0 && d < 1e7) math.round(d).toInt else -1
       } catch { case _: NumberFormatException => -1 }
     }
-    var w = px(attr("width"))
-    var h = px(attr("height"))
+    var w = px(attr(SvgWidthPat))
+    var h = px(attr(SvgHeightPat))
     if (w <= 0 || h <= 0) {
-      val vb = attr("viewBox")
+      val vb = attr(SvgViewBoxPat)
       if (vb != null) {
         val parts = vb.split("[ ,]+")
         if (parts.length == 4) {
@@ -379,6 +377,17 @@ object Multimodal {
     }
     if (w > 0 && h > 0) Some((w, h)) else None
   } catch { case _: Throwable => None } // per-row isolation
+
+  // compiled ONCE: svgInfo runs from classifyModality/sniffMime on
+  // every unrecognized blob in a corpus scan — a per-call
+  // Pattern.compile would be per-row cost. The negative lookbehind
+  // keeps `stroke-width` from matching `width`.
+  private def svgAttrPat(name: String): java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(
+      "(?<![-\\w])" + name + "\\s*=\\s*[\"']([^\"']+)[\"']")
+  private val SvgWidthPat = svgAttrPat("width")
+  private val SvgHeightPat = svgAttrPat("height")
+  private val SvgViewBoxPat = svgAttrPat("viewBox")
 
   /** PNG IHDR parse: width/height big-endian at offsets 16/20,
     * channels from the color type at 25 (grayscale 1, truecolor 3,
@@ -3302,14 +3311,16 @@ object Multimodal {
     * convention of audio corpora. Metadata tags (`[ar:...]`,
     * `[ti:...]` — non-numeric) are skipped; cues sort by time and
     * each ends at the NEXT cue's start (the format carries no end;
-    * the last cue is zero-length). Hundredths scale to ms; a bare
-    * `[mm:ss]` is whole-second. None for text with no timed line.
+    * the last cue is zero-length). The fraction scales by length
+    * (1 digit = tenths, 2 = hundredths, 3 = ms — enhanced LRC); a
+    * bare `[mm:ss]` is whole-second. None for text with no timed
+    * line.
     */
   private[graft] def parseLrc(s: String): Option[Seq[SubCue]] = try {
     if (s == null || s.isEmpty || s.indexOf('[') < 0) return None
     val t = s.replace("\r\n", "\n").replace('\r', '\n')
     val tag = java.util.regex.Pattern.compile(
-      "\\G\\[(\\d{1,3}):(\\d{1,2})(?:[.:](\\d{1,2}))?\\]")
+      "\\G\\[(\\d{1,3}):(\\d{1,2})(?:[.:](\\d{1,3}))?\\]")
     val raw = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
     t.split('\n').foreach { line =>
       val m = tag.matcher(line)
@@ -3317,9 +3328,16 @@ object Multimodal {
       var last = 0
       while (m.find()) {
         val frac = m.group(3)
+        // fraction scales by its LENGTH (parseSubtitles' rule):
+        // 1 digit = tenths, 2 = hundredths, 3 = ms — enhanced LRC
+        // writes [00:12.345] and dropping it would silently lose lines
         val fracMs =
           if (frac == null) 0L
-          else frac.toLong * (if (frac.length == 1) 100L else 10L)
+          else frac.toLong * (frac.length match {
+            case 1 => 100L
+            case 2 => 10L
+            case _ => 1L
+          })
         stamps += (m.group(1).toLong * 60 + m.group(2).toLong) * 1000 + fracMs
         last = m.end()
       }
@@ -3338,15 +3356,95 @@ object Multimodal {
     }
   } catch { case _: Throwable => None } // per-row isolation
 
+  /** ASS/SSA subtitle sidecars — the fansub/anime share of a crawl:
+    * an `[Events]` section whose `Dialogue:` lines carry
+    * `h:mm:ss.cc` start/end (centiseconds) in fields 2-3 and the cue
+    * text as the 10th comma field (commas INSIDE the text survive —
+    * split caps at 10). `{\...}` override blocks are stripped,
+    * `\N`/`\n` become newlines, `\h` a space. Events may be written
+    * out of order; cues sort by start time. None for text without a
+    * parseable Dialogue line.
+    */
+  private[graft] def parseAss(s: String): Option[Seq[SubCue]] = try {
+    if (s == null || s.isEmpty) return None
+    if (s.indexOf("[Events]") < 0 || s.indexOf("Dialogue:") < 0) return None
+    val t = s.replace("\r\n", "\n").replace('\r', '\n')
+    val raw = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    t.split('\n').foreach { line0 =>
+      val line = line0.trim
+      if (line.startsWith("Dialogue:") && raw.size < 100000) {
+        val parts = line.substring(9).split(",", 10)
+        if (parts.length == 10) {
+          val st = assTimeMs(parts(1))
+          val en = assTimeMs(parts(2))
+          val text = parts(9)
+            .replaceAll("\\{[^}]*\\}", "") // style override blocks
+            .replace("\\N", "\n").replace("\\n", "\n").replace("\\h", " ")
+            .trim
+          if (st >= 0 && en >= st && text.nonEmpty) raw += ((st, en, text))
+        }
+      }
+    }
+    if (raw.isEmpty) None
+    else Some(raw.sortBy(r => (r._1, r._2)).toSeq.zipWithIndex.map {
+      case ((st, en, text), k) => SubCue(k + 1, st, en, text)
+    })
+  } catch { case _: Throwable => None } // per-row isolation
+
+  private val AssStampPat = java.util.regex.Pattern.compile(
+    "\\s*(\\d+):(\\d{1,2}):(\\d{1,2})[.:](\\d{1,2})\\s*")
+
+  /** `h:mm:ss.cc` → ms (centiseconds ×10); -1 when unparseable. */
+  private def assTimeMs(s: String): Long = {
+    val m = AssStampPat.matcher(s)
+    if (!m.matches()) return -1L
+    ((m.group(1).toLong * 60 + m.group(2).toLong) * 60 +
+      m.group(3).toLong) * 1000 + m.group(4).toLong * 10
+  }
+
+  /** Does a bounded prefix of the bytes look like ANY text subtitle
+    * format? The cheap gate before [[subtitleCues]] decodes a binary
+    * row to a String: a corpus scan feeds it every unmatched blob,
+    * and decoding a large JPEG/MP4 row to a transient 2x-size String
+    * just to discover it is unparseable is per-row allocation at
+    * scale. SRT/VTT carry `-->` in the first cue, LRC a `[digit`
+    * stamp, ASS its `[Events]` section / `Dialogue:` lines — all
+    * within the leading 8 KiB of any real sidecar.
+    */
+  private def looksLikeSubtitleText(b: Array[Byte]): Boolean = {
+    val n = math.min(b.length, 8192)
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      if (c == '-') {
+        if (i + 2 < n && b(i + 1) == '-' && b(i + 2) == '>') return true
+      } else if (c == '[') {
+        if (i + 1 < n && b(i + 1) >= '0' && b(i + 1) <= '9') return true
+        if (i + 7 < n && b(i + 1) == 'E' && b(i + 2) == 'v' &&
+          b(i + 3) == 'e' && b(i + 4) == 'n' && b(i + 5) == 't' &&
+          b(i + 6) == 's' && b(i + 7) == ']') return true
+      } else if (c == 'W') {
+        if (i + 5 < n && b(i + 1) == 'E' && b(i + 2) == 'B' &&
+          b(i + 3) == 'V' && b(i + 4) == 'T' && b(i + 5) == 'T') return true
+      }
+      i += 1
+    }
+    false
+  }
+
   /** Explode a subtitle column into cue rows:
     * (id, sub_format, cue_idx, start_ms, end_ms, text) — O(cues)
     * output at the id grain, map-only (the flatMap twin of
-    * [[imageTags]]); unparseable rows yield zero cues. Four inputs
-    * behind one dispatch: SRT / WebVTT / LRC sidecar FILES (UTF-8
-    * binary or string column) and — binary only — a Matroska/WebM
-    * movie whose muxed S_TEXT track is extracted in place
-    * ([[webmSubtitleCues]], sub_format = the EBML DocType). The text
-    * column feeds the TEXT pipeline (lang-ID, quality, dedup,
+    * [[imageTags]]); unparseable rows yield zero cues. Six inputs
+    * behind one dispatch: SRT / WebVTT / ASS-SSA / LRC sidecar FILES
+    * (UTF-8 binary or string column) and — binary only — a
+    * Matroska/WebM movie whose muxed S_TEXT track is extracted in
+    * place ([[webmSubtitleCues]], sub_format = the EBML DocType) or
+    * an MP4/MOV whose muxed tx3g/wvtt/stpp track is
+    * ([[mp4SubtitleCues]], sub_format = the sample-entry fourcc).
+    * Binary rows that are neither container pass a bounded-prefix
+    * looks-like-text gate before any String decode. The text column
+    * feeds the TEXT pipeline (lang-ID, quality, dedup,
     * decontamination) and the (start_ms, end_ms) intervals line up
     * with [[videoStats]] durations for clip-text pair cutting.
     */
@@ -3373,14 +3471,22 @@ object Multimodal {
         if (bytes != null && bytes.length >= 8 && bytes(0) == 0x1A.toByte &&
           bytes(1) == 0x45.toByte && bytes(2) == 0xDF.toByte &&
           bytes(3) == 0xA3.toByte) webmSubtitleCues(bytes)
+        else if (bytes != null && bytes.length >= 16 && bytes(4) == 'f' &&
+          bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p')
+          mp4SubtitleCues(bytes)
         else None
       val parsed = muxed.orElse {
-        val raw =
-          if (row.isNullAt(contentIdx)) null
-          else if (isBinary) new String(bytes,
-            java.nio.charset.StandardCharsets.UTF_8)
-          else row.getAs[String](contentIdx)
-        parseSubtitles(raw).orElse(parseLrc(raw).map(("lrc", _)))
+        if (isBinary && bytes != null && !looksLikeSubtitleText(bytes)) None
+        else {
+          val raw =
+            if (row.isNullAt(contentIdx)) null
+            else if (isBinary) new String(bytes,
+              java.nio.charset.StandardCharsets.UTF_8)
+            else row.getAs[String](contentIdx)
+          parseSubtitles(raw)
+            .orElse(parseAss(raw).map(("ass", _)))
+            .orElse(parseLrc(raw).map(("lrc", _)))
+        }
       }
       parsed match {
         case Some((fmt, cues)) => cues.map(c =>
@@ -3405,7 +3511,7 @@ object Multimodal {
       f"$h%02d:$m%02d:$s%02d,${ms % 1000}%03d"
     }
     cues.zipWithIndex.map { case (c, k) =>
-      s"${k + 1}\n${stamp(c.startMs)} --> ${stamp(c.endMs)}\n${c.text}\n"
+      s"${k + 1}\n${stamp(c.startMs)} --> ${stamp(c.endMs)}\n${cueBody(c.text)}\n"
     }.mkString("\n")
   }
 
@@ -3418,8 +3524,15 @@ object Multimodal {
       f"$h%02d:$m%02d:$s%02d.${ms % 1000}%03d"
     }
     "WEBVTT\n\n" + cues.map(c =>
-      s"${stamp(c.startMs)} --> ${stamp(c.endMs)}\n${c.text}\n").mkString("\n")
+      s"${stamp(c.startMs)} --> ${stamp(c.endMs)}\n${cueBody(c.text)}\n").mkString("\n")
   }
+
+  // a blank line inside cue text would TERMINATE the cue on reparse
+  // (both formats end a cue block at the first empty line), silently
+  // dropping the remainder — collapse runs of newlines so the
+  // round-trip invariant holds for every SubCue input
+  private def cueBody(text: String): String =
+    if (text == null) "" else text.replaceAll("\n{2,}", "\n").trim
 
   /** Resolve the stored raster to display orientation — the 8 EXIF
     * cases as direct pixel remaps (5-8 swap the axes).
@@ -6214,6 +6327,10 @@ object Multimodal {
       kernel: String)
       extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
     import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    // doGenCode splices the kernel name into generated Java verbatim:
+    // an unknown name must fail HERE at construction, not produce
+    // broken codegen (or an arbitrary static-call splice) at runtime
+    require(MediaFlag.Kernels(kernel), s"unknown media flag kernel: $kernel")
     override def dataType: DataType = BooleanType
     override def nullable: Boolean = true
     @transient private lazy val fn: Array[Byte] => java.lang.Boolean = kernel match {
@@ -6239,6 +6356,12 @@ object Multimodal {
     override protected def withNewChildInternal(
         c: org.apache.spark.sql.catalyst.expressions.Expression): MediaFlag =
       copy(child = c)
+  }
+
+  object MediaFlag {
+    /** The only kernel names [[MediaFlag.doGenCode]] may splice. */
+    private[graft] val Kernels: Set[String] =
+      Set("imageTextPresent", "audioArtPresent", "audioLyricsPresent")
   }
 
   /** Media corpus card — the multimodal twin of
@@ -6886,6 +7009,39 @@ object Multimodal {
     * None for non-BMFF bytes or a file with no complete video `stbl`
     * (e.g. metadata-only synthetics) — callers degrade per-row.
     */
+  /** Expand an ISO-BMFF sample table to per-sample ABSOLUTE file
+    * offsets via the `stsc` runs — the one walk [[mp4VideoTrack]]
+    * (frames) and [[mp4SubtitleCues]] (timed text) both resolve
+    * through, so the two surfaces can never disagree on where a
+    * sample lives. Null when the tables don't cover every sample
+    * (truncated/malformed file).
+    */
+  private def expandSampleOffsets(sizes: Array[Int], chunkOffsets: Array[Long],
+      stscRuns: Array[(Int, Int)]): Array[Long] = {
+    if (stscRuns.isEmpty) return null
+    val n = sizes.length
+    val offsets = new Array[Long](n)
+    var s = 0
+    var run = 0
+    var chunk = 0 // 0-based
+    while (s < n && chunk < chunkOffsets.length) {
+      val perChunk =
+        if (run < stscRuns.length) stscRuns(run)._2 else stscRuns.last._2
+      var within = 0
+      var at = chunkOffsets(chunk)
+      while (within < perChunk && s < n) {
+        offsets(s) = at
+        at += sizes(s)
+        within += 1
+        s += 1
+      }
+      chunk += 1
+      if (run + 1 < stscRuns.length && chunk + 1 >= stscRuns(run + 1)._1)
+        run += 1
+    }
+    if (s == n) offsets else null
+  }
+
   private[graft] def mp4VideoTrack(bytes: Array[Byte]): Option[Mp4Track] = {
     if (bytes == null || bytes.length < 16 ||
       !(bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p'))
@@ -6908,28 +7064,9 @@ object Multimodal {
     def finishTrak(): Unit = {
       if (found.isEmpty && isVideoTrack && codec != null && sizes != null &&
         chunkOffsets != null && stscRuns != null && timescale > 0) {
-        // expand sample -> offset via the stsc runs
-        val n = sizes.length
-        val offsets = new Array[Long](n)
-        var s = 0
-        var run = 0
-        var chunk = 0 // 0-based
-        while (s < n && chunk < chunkOffsets.length) {
-          val perChunk =
-            if (run < stscRuns.length) stscRuns(run)._2 else stscRuns.last._2
-          var within = 0
-          var at = chunkOffsets(chunk)
-          while (within < perChunk && s < n) {
-            offsets(s) = at
-            at += sizes(s)
-            within += 1
-            s += 1
-          }
-          chunk += 1
-          if (run + 1 < stscRuns.length && chunk + 1 >= stscRuns(run + 1)._1)
-            run += 1
-        }
-        if (s == n) {
+        val offsets = expandSampleOffsets(sizes, chunkOffsets, stscRuns)
+        if (offsets != null) {
+          val n = sizes.length
           val sync0 = if (sync != null) sync else Array.tabulate(n)(_ + 1)
           found = Some(Mp4Track(codec, timescale,
             duration * 1000L / timescale, offsets, sizes, sync0))
@@ -7022,6 +7159,228 @@ object Multimodal {
               t.sampleOffsets(i).toInt, t.sampleOffsets(i).toInt + t.sampleSizes(i)))
         }
     }
+
+  // TTML (`stpp`) paragraph: begin/end attributes + inner text;
+  // compiled once — runs per sample in a corpus scan
+  private val TtmlParaPat = java.util.regex.Pattern.compile(
+    "(?s)<p\\b[^>]*?\\bbegin\\s*=\\s*\"([^\"]+)\"[^>]*?\\bend\\s*=\\s*\"([^\"]+)\"[^>]*>(.*?)</p>")
+  private val TtmlClockPat = java.util.regex.Pattern.compile(
+    "(?:(\\d+):)?(\\d{1,2}):(\\d{1,2})(?:[.,](\\d{1,3}))?")
+
+  /** TTML time expression → ms: clock-time `[hh:]mm:ss[.fff]` or
+    * offset-time `N[.f]s` / `Nms`; -1 when unparseable.
+    */
+  private def ttmlTimeMs(s: String): Long = {
+    val v = s.trim
+    if (v.endsWith("ms")) {
+      try v.dropRight(2).trim.toDouble.round
+      catch { case _: NumberFormatException => -1L }
+    } else if (v.endsWith("s") && v.indexOf(':') < 0) {
+      try (v.dropRight(1).trim.toDouble * 1000.0).round
+      catch { case _: NumberFormatException => -1L }
+    } else {
+      val m = TtmlClockPat.matcher(v)
+      if (!m.matches()) return -1L
+      val h = if (m.group(1) == null) 0L else m.group(1).toLong
+      val frac = m.group(4)
+      val mmm =
+        if (frac == null) 0L
+        else frac.toLong * (frac.length match {
+          case 1 => 100L
+          case 2 => 10L
+          case _ => 1L
+        })
+      ((h * 60 + m.group(2).toLong) * 60 + m.group(3).toLong) * 1000 + mmm
+    }
+  }
+
+  /** Muxed MP4/MOV timed text → cues — the extraction half of the
+    * BMFF line in [[subtitleTrackCount]] (detection without
+    * extraction would blind video-text pairing for the web's dominant
+    * video container): walk the first `sbtl`/`subt`/`text` track's
+    * sample table (the same mdhd/stsd/stts/stsc/stsz/stco machinery
+    * [[mp4VideoTrack]] walks, offsets resolved through the shared
+    * [[expandSampleOffsets]]) and decode its samples per sample-entry
+    * codec —
+    *
+    *  - `tx3g` (3GPP timed text, the MP4 default) and QuickTime
+    *    `text`: u16 text length + UTF-8; length-0 samples are the
+    *    gaps between cues;
+    *  - `wvtt` (WebVTT-in-MP4, ISO 14496-30): `vttc` cue boxes whose
+    *    `payl` child carries the text; `vtte` marks a gap;
+    *  - `stpp` (TTML): each sample is an XML document whose
+    *    `<p begin end>` paragraphs carry their OWN absolute times.
+    *
+    * Cue start/end for tx3g/wvtt come from the `stts` deltas
+    * rescaled to ms on the track's mdhd timescale. Returns
+    * (sample-entry fourcc, cues); None for non-BMFF bytes or a movie
+    * without a parseable text track. Depth-capped, sample-capped
+    * (100k), exception-guarded like its siblings.
+    */
+  private[graft] def mp4SubtitleCues(bytes: Array[Byte]): Option[(String, Seq[SubCue])] = try {
+    if (bytes == null || bytes.length < 16 ||
+      !(bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p'))
+      return None
+    @inline def u16(o: Int): Int =
+      ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    @inline def u32(o: Int): Long =
+      ((bytes(o) & 0xFFL) << 24) | ((bytes(o + 1) & 0xFFL) << 16) |
+        ((bytes(o + 2) & 0xFFL) << 8) | (bytes(o + 3) & 0xFFL)
+    @inline def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    val MaxSamples = 100000
+    var handlerIsText = false
+    var codec: String = null
+    var timescale = 0
+    var sizes: Array[Int] = null
+    var chunkOffsets: Array[Long] = null
+    var stscRuns: Array[(Int, Int)] = null
+    var sttsRuns: Array[(Int, Long)] = null // (count, delta ticks)
+    var found: Option[(String, Seq[SubCue])] = None
+    def decodeTx3g(off: Int, size: Int): String = {
+      if (size < 2) return null
+      val len = u16(off)
+      if (len == 0 || 2 + len > size) return null
+      new String(bytes, off + 2, len, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    def decodeWvtt(off: Int, size: Int): String = {
+      // box walk inside the sample: vttc(payl(text)) | vtte
+      var i = off
+      val end = off + size
+      while (i + 8 <= end) {
+        val bsz = u32(i)
+        val id = new String(bytes, i + 4, 4, "ISO-8859-1")
+        val bEnd = i + bsz
+        if (bsz < 8 || bEnd > end) return null
+        if (id == "vttc") {
+          var j = i + 8
+          while (j + 8 <= bEnd) {
+            val csz = u32(j)
+            val cEnd = j + csz
+            if (csz < 8 || cEnd > bEnd) return null
+            if (new String(bytes, j + 4, 4, "ISO-8859-1") == "payl")
+              return new String(bytes, j + 8, (cEnd - j - 8).toInt,
+                java.nio.charset.StandardCharsets.UTF_8)
+            j = cEnd.toInt
+          }
+        }
+        i = bEnd.toInt
+      }
+      null
+    }
+    def finishTrak(): Unit = {
+      if (found.isEmpty && handlerIsText && codec != null &&
+        (codec == "tx3g" || codec == "text" || codec == "wvtt" ||
+          codec == "stpp") && sizes != null && chunkOffsets != null &&
+        stscRuns != null && sttsRuns != null && timescale > 0) {
+        val offsets = expandSampleOffsets(sizes, chunkOffsets, stscRuns)
+        if (offsets != null) {
+          val cues = Seq.newBuilder[SubCue]
+          var idx = 0
+          var ticks = 0L
+          var s = 0
+          var run = 0
+          var inRun = 0
+          while (s < sizes.length && run < sttsRuns.length) {
+            val delta = sttsRuns(run)._2
+            val off = offsets(s)
+            val sz = sizes(s)
+            if (off >= 0 && off + sz <= bytes.length && idx < MaxSamples) {
+              val o = off.toInt
+              if (codec == "stpp") {
+                // the sample is a TTML doc; paragraphs carry times
+                val xml = new String(bytes, o, sz,
+                  java.nio.charset.StandardCharsets.UTF_8)
+                val m = TtmlParaPat.matcher(xml)
+                while (m.find() && idx < MaxSamples) {
+                  val st = ttmlTimeMs(m.group(1))
+                  val en = ttmlTimeMs(m.group(2))
+                  val text = m.group(3).replaceAll("(?i)<br\\s*/?>", "\n")
+                    .replaceAll("<[^>]*>", "").trim
+                  if (st >= 0 && en >= st && text.nonEmpty) {
+                    idx += 1
+                    cues += SubCue(idx, st, en, text)
+                  }
+                }
+              } else {
+                val text =
+                  if (codec == "wvtt") decodeWvtt(o, sz) else decodeTx3g(o, sz)
+                if (text != null && text.trim.nonEmpty) {
+                  idx += 1
+                  cues += SubCue(idx, ticks * 1000L / timescale,
+                    (ticks + delta) * 1000L / timescale, text.trim)
+                }
+              }
+            }
+            ticks += delta
+            s += 1
+            inRun += 1
+            if (inRun >= sttsRuns(run)._1) { run += 1; inRun = 0 }
+          }
+          val got = cues.result()
+          if (got.nonEmpty) found = Some((codec, got))
+        }
+      }
+      handlerIsText = false; codec = null; timescale = 0
+      sizes = null; chunkOffsets = null; stscRuns = null; sttsRuns = null
+    }
+    def walk(start: Long, end: Long, depth: Int = 0): Unit = {
+      if (depth > 16) return
+      var off = start
+      while (found.isEmpty && off + 8 <= end) {
+        val size0 = u32(off.toInt)
+        val id = new String(bytes, off.toInt + 4, 4, "ISO-8859-1")
+        var body = off + 8
+        val boxEnd =
+          if (size0 == 1 && off + 16 <= end) { body = off + 16; off + u64(off.toInt + 8) }
+          else if (size0 == 0) end
+          else off + size0
+        if (boxEnd < body || boxEnd > end) return
+        val b = body.toInt
+        id match {
+          case "moov" | "mdia" | "minf" | "stbl" => walk(body, boxEnd, depth + 1)
+          case "trak" => walk(body, boxEnd, depth + 1); finishTrak()
+          case "mdhd" if b + 4 <= boxEnd =>
+            if (bytes(b) == 1 && b + 32 <= boxEnd) timescale = u32(b + 20).toInt
+            else if (b + 24 <= boxEnd) timescale = u32(b + 12).toInt
+          case "hdlr" if b + 12 <= boxEnd =>
+            val h = new String(bytes, b + 8, 4, "ISO-8859-1")
+            handlerIsText = h == "sbtl" || h == "subt" || h == "text"
+          case "stsd" if b + 16 <= boxEnd =>
+            codec = new String(bytes, b + 12, 4, "ISO-8859-1")
+          case "stts" if b + 8 <= boxEnd =>
+            val n = u32(b + 4)
+            if (n >= 0 && n <= MaxSamples && b + 8 + 8L * n <= boxEnd)
+              sttsRuns = Array.tabulate(n.toInt)(i =>
+                (u32(b + 8 + 8 * i).toInt, u32(b + 12 + 8 * i)))
+          case "stsz" if b + 12 <= boxEnd =>
+            val uniform = u32(b + 4)
+            val n = u32(b + 8)
+            if (n >= 0 && n <= MaxSamples) {
+              if (uniform != 0) sizes = Array.fill(n.toInt)(uniform.toInt)
+              else if (b + 12 + 4L * n <= boxEnd)
+                sizes = Array.tabulate(n.toInt)(i => u32(b + 12 + 4 * i).toInt)
+            }
+          case "stco" if b + 8 <= boxEnd =>
+            val n = u32(b + 4)
+            if (n >= 0 && n <= MaxSamples && b + 8 + 4L * n <= boxEnd)
+              chunkOffsets = Array.tabulate(n.toInt)(i => u32(b + 8 + 4 * i))
+          case "co64" if b + 8 <= boxEnd =>
+            val n = u32(b + 4)
+            if (n >= 0 && n <= MaxSamples && b + 8 + 8L * n <= boxEnd)
+              chunkOffsets = Array.tabulate(n.toInt)(i => u64(b + 8 + 8 * i))
+          case "stsc" if b + 8 <= boxEnd =>
+            val n = u32(b + 4)
+            if (n >= 0 && n <= MaxSamples && b + 8 + 12L * n <= boxEnd)
+              stscRuns = Array.tabulate(n.toInt)(i =>
+                (u32(b + 8 + 12 * i).toInt, u32(b + 12 + 12 * i).toInt))
+          case _ => ()
+        }
+        off = boxEnd
+      }
+    }
+    walk(0L, bytes.length.toLong)
+    found
+  } catch { case _: Throwable => None } // per-row isolation
 
   /** xxhash64 (seed 42, the built-in `xxhash64` column's) of every
     * keyframe's byte range, hashed IN PLACE over the container buffer
@@ -7232,6 +7591,101 @@ object Multimodal {
     val mdia = box("mdia", box("mdhd", mdhd) ++ box("hdlr", hdlr) ++ minf)
     val moov = box("moov", box("trak", mdia))
     ftyp ++ mdat ++ moov
+  }
+
+  /** MJPEG movie + a muxed TIMED-TEXT track — [[syntheticMjpegMp4]]'s
+    * captioned twin, the fixture for [[mp4SubtitleCues]]: `ftyp` +
+    * `mdat` (JPEG frames, then the text samples) + `moov` with the
+    * video trak AND a text trak (`hdlr sbtl`, 1000-tick mdhd so
+    * ticks == ms, full stsd/stts/stsc/stsz/stco). Gaps between cues
+    * become empty samples (tx3g: u16 0; wvtt: `vtte`), exactly how
+    * real muxers encode them. `codec`:
+    *  - `tx3g` — samples are u16 length + UTF-8;
+    *  - `wvtt` — samples are `vttc(payl)` / `vtte` boxes;
+    *  - `stpp` — ONE sample holding a TTML doc with per-`<p>` times.
+    * Every cue [[mp4SubtitleCues]] reports is a closed form of the
+    * arguments.
+    */
+  private[graft] def syntheticMp4TimedText(frames: Seq[Array[Byte]],
+      cues: Seq[(Long, Long, String)],
+      codec: String = "tx3g"): Array[Byte] = {
+    require(frames.nonEmpty && cues.nonEmpty, "frames and cues required")
+    require(codec == "tx3g" || codec == "wvtt" || codec == "stpp",
+      s"codec: $codec")
+    def box(id: String, payload: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + payload.length)
+      out.putInt(8 + payload.length).put(id.getBytes("ISO-8859-1")).put(payload)
+      out.array()
+    }
+    def u32s(vs: Seq[Int]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+      vs.foreach(bb.putInt)
+      bb.array()
+    }
+    def utf8(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // text samples: (duration ticks == ms at timescale 1000, bytes)
+    val sorted = cues.sortBy(_._1)
+    val samples = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+    if (codec == "stpp") {
+      val body = sorted.map { case (st, en, tx) =>
+        def clock(ms: Long): String =
+          f"${ms / 3600000}%02d:${ms % 3600000 / 60000}%02d:" +
+            f"${ms % 60000 / 1000}%02d.${ms % 1000}%03d"
+        s"""    <p begin="${clock(st)}" end="${clock(en)}">$tx</p>"""
+      }.mkString("\n")
+      val ttml = "<tt xmlns=\"http://www.w3.org/ns/ttml\">\n <body>\n" +
+        s"  <div>\n$body\n  </div>\n </body>\n</tt>\n"
+      samples += ((sorted.last._2.toInt, utf8(ttml)))
+    } else {
+      var prev = 0L
+      sorted.foreach { case (st, en, tx) =>
+        require(st >= prev && en >= st, s"cues must not overlap: $st")
+        val payload = utf8(tx)
+        def lenPrefixed(p: Array[Byte]): Array[Byte] =
+          java.nio.ByteBuffer.allocate(2 + p.length)
+            .putShort(p.length.toShort).put(p).array()
+        if (st > prev) samples += (((st - prev).toInt,
+          if (codec == "tx3g") Array[Byte](0, 0)
+          else box("vtte", Array.emptyByteArray)))
+        samples += (((en - st).toInt,
+          if (codec == "tx3g") lenPrefixed(payload)
+          else box("vttc", box("payl", payload))))
+        prev = en
+      }
+    }
+    val ftyp = box("ftyp", "isom   isomiso2".getBytes("ISO-8859-1"))
+    val mdatPayload = frames.flatten.toArray ++ samples.flatMap(_._2)
+    val mdat = box("mdat", mdatPayload)
+    val mdatStart = ftyp.length + 8
+    val frameOffsets = frames.scanLeft(mdatStart)(_ + _.length)
+    // video trak (the syntheticMjpegMp4 shape, one chunk)
+    val n = frames.length
+    val vMdhd = u32s(Seq(0, 0, 0, 1000, n * 40, 0))
+    val vHdlr = u32s(Seq(0, 0)) ++ "vide".getBytes("ISO-8859-1") ++ new Array[Byte](12)
+    val vStbl = box("stbl",
+      box("stsd", u32s(Seq(0, 1)) ++ box("jpeg", new Array[Byte](70))) ++
+        box("stts", u32s(Seq(0, 1, n, 40))) ++
+        box("stsc", u32s(Seq(0, 1, 1, n, 1))) ++
+        box("stsz", u32s(Seq(0, 0, n) ++ frames.map(_.length))) ++
+        box("stco", u32s(Seq(0, 1, frameOffsets.head))) ++
+        box("stss", u32s(Seq(0, 1, 1))))
+    val vTrak = box("trak", box("mdia",
+      box("mdhd", vMdhd) ++ box("hdlr", vHdlr) ++ box("minf", vStbl)))
+    // text trak: ticks are ms (timescale 1000), one chunk after frames
+    val tn = samples.length
+    val textStart = frameOffsets.last
+    val tMdhd = u32s(Seq(0, 0, 0, 1000, samples.map(_._1).sum, 0))
+    val tHdlr = u32s(Seq(0, 0)) ++ "sbtl".getBytes("ISO-8859-1") ++ new Array[Byte](12)
+    val tStbl = box("stbl",
+      box("stsd", u32s(Seq(0, 1)) ++ box(codec, new Array[Byte](70))) ++
+        box("stts", u32s(Seq(0, tn) ++ samples.flatMap(s => Seq(1, s._1)))) ++
+        box("stsc", u32s(Seq(0, 1, 1, tn, 1))) ++
+        box("stsz", u32s(Seq(0, 0, tn) ++ samples.map(_._2.length))) ++
+        box("stco", u32s(Seq(0, 1, textStart))))
+    val tTrak = box("trak", box("mdia",
+      box("mdhd", tMdhd) ++ box("hdlr", tHdlr) ++ box("minf", tStbl)))
+    ftyp ++ mdat ++ box("moov", vTrak ++ tTrak)
   }
 
   /** Keyframe count of a video asset — AVI MJPEG (every frame is a

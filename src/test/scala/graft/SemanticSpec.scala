@@ -2264,6 +2264,96 @@ class SemanticSpec extends SparkSpec {
     val Some((_, reparsed)) = M.parseSubtitles(M.formatSrt(muxed))
     assert(reparsed.map(c => (c.startMs, c.endMs, c.text)) ==
       muxed.map(c => (c.startMs, c.endMs, c.text)))
+    // a blank line INSIDE cue text would terminate the cue block on
+    // reparse — the writers collapse newline runs so nothing is lost
+    val blanky = Seq(M.SubCue(1, 0L, 500L, "before\n\n\nafter"))
+    val Some(("srt", b1)) = M.parseSubtitles(M.formatSrt(blanky))
+    assert(b1.head.text == "before\nafter")
+    val Some(("vtt", b2)) = M.parseSubtitles(M.formatVtt(blanky))
+    assert(b2.head.text == "before\nafter")
+  }
+
+  test("parseLrc: enhanced millisecond fractions scale by length") {
+    val M = Multimodal
+    val Some(cues) = M.parseLrc("[00:12.345]ms line\n[00:20.1]tenths\n")
+    assert(cues.map(c => (c.startMs, c.text)) ==
+      Seq((12345L, "ms line"), (20100L, "tenths")))
+  }
+
+  test("parseAss: [Events] Dialogue lines, override strip, out-of-order sort, hostiles") {
+    val M = Multimodal
+    val ass = "[Script Info]\nScriptType: v4.00+\n\n[V4+ Styles]\n" +
+      "Format: Name, Fontname\nStyle: Default,Arial\n\n[Events]\n" +
+      "Format: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text\n" +
+      "Dialogue: 0,0:00:05.50,0:00:07.00,Default,,0,0,0,,{\\i1}styled{\\i0} text\n" +
+      "Dialogue: 0,0:00:01.00,0:00:02.25,Default,,0,0,0,,first\\Nsecond, with comma\n" +
+      "Comment: 0,0:00:09.00,0:00:10.00,Default,,0,0,0,,not a dialogue\n"
+    val Some(cues) = M.parseAss(ass)
+    assert(cues.map(c => (c.idx, c.startMs, c.endMs, c.text)) == Seq(
+      (1, 1000L, 2250L, "first\nsecond, with comma"),
+      (2, 5500L, 7000L, "styled text")))
+    // SSA v4 (Marked= field) shares the 10-field shape
+    val ssa = "[Events]\nDialogue: Marked=0,0:00:03.10,0:00:04.00," +
+      "Default,,0,0,0,,ssa line\n"
+    assert(M.parseAss(ssa).get.head.text == "ssa line")
+    assert(M.parseAss("[Events]\nno dialogue").isEmpty)
+    assert(M.parseAss(null).isEmpty)
+    assert(M.parseAss("Dialogue: but no events section").isEmpty)
+    // dispatch: format tag 'ass' through the DataFrame surface
+    val out = M.subtitleCues(Seq((1L, ass.getBytes("UTF-8")))
+      .toDF("doc_id", "content")).collect()
+    assert(out.length == 2 && out.forall(_.getString(1) == "ass"))
+    assert(out.head.getLong(3) == 1000L)
+  }
+
+  test("mp4SubtitleCues: muxed tx3g/wvtt/stpp tracks extract; detection agrees") {
+    val M = Multimodal
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    val frames = Seq(M.renderJpeg(16, 8, (_, _) => gray(60)),
+      M.renderJpeg(16, 8, (_, _) => gray(200)))
+    val wanted = Seq((500L, 1500L, "hello"), (2000L, 2800L, "wörld two"))
+    // tx3g: u16-length samples, gaps as empty samples
+    val tx = M.syntheticMp4TimedText(frames, wanted, codec = "tx3g")
+    val Some(("tx3g", c1)) = M.mp4SubtitleCues(tx)
+    assert(c1.map(c => (c.startMs, c.endMs, c.text)) == wanted)
+    // detection half agrees with extraction: 1 declared track
+    assert(M.subtitleTrackCount(tx) == 1)
+    // the video track is undisturbed (keyframes still read)
+    assert(M.videoKeyframes(tx) == 1)
+    // wvtt: vttc(payl) samples, vtte gaps
+    val wv = M.syntheticMp4TimedText(frames, wanted, codec = "wvtt")
+    val Some(("wvtt", c2)) = M.mp4SubtitleCues(wv)
+    assert(c2.map(c => (c.startMs, c.endMs, c.text)) == wanted)
+    // stpp: one TTML sample, per-<p> absolute times
+    val tt = M.syntheticMp4TimedText(frames, wanted, codec = "stpp")
+    val Some(("stpp", c3)) = M.mp4SubtitleCues(tt)
+    assert(c3.map(c => (c.startMs, c.endMs, c.text)) == wanted)
+    // a caption-less movie: detection 0, extraction None
+    val plain = M.syntheticMjpegMp4(frames)
+    assert(M.mp4SubtitleCues(plain).isEmpty)
+    assert(M.subtitleTrackCount(plain) == 0)
+    assert(M.mp4SubtitleCues("junk".getBytes("UTF-8")).isEmpty)
+    // truncation: never throws, yields None or an intact prefix
+    val cut = java.util.Arrays.copyOfRange(tx, 0, tx.length / 2)
+    val t = M.mp4SubtitleCues(cut)
+    assert(t.isEmpty || t.get._2.length <= wanted.length)
+    // DataFrame dispatch: MP4 movies and WebM movies and sidecars in
+    // ONE operator, each labeled by its container's format tag
+    val out = M.subtitleCues(Seq(
+      (1L, tx),
+      (2L, "1\n00:00:01,000 --> 00:00:02,000\nsidecar\n".getBytes("UTF-8"))
+    ).toDF("doc_id", "content")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(5))).toSet
+    assert(out == Set((1L, "tx3g", "hello"), (1L, "tx3g", "wörld two"),
+      (2L, "srt", "sidecar")))
+  }
+
+  test("MediaFlag: unknown kernel names fail at construction, not in codegen") {
+    intercept[IllegalArgumentException] {
+      Multimodal.MediaFlag(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          Array[Byte](1, 2, 3)), "evilKernel(); //")
+    }
   }
 
   // -------------------------------------------------- lyrics
