@@ -6097,7 +6097,11 @@ object SparkEntry {
         lyrics = Some("lossless refrain"))),
       (5L, M.syntheticId3(3, "T", "A", "B") ++
         M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))),
-      (6L, "junk".getBytes("UTF-8"))
+      (6L, "junk".getBytes("UTF-8")),
+      // SYLT-only track: the synced lyrics surface as de-timed text
+      (7L, M.syntheticId3(4, "T", "A", "B",
+        syncedLyrics = Seq((900L, "timed un"), (2100L, "timed deux"))) ++
+        M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101)))))
     ).toDF("aud_id", "content")
     M.audioLyrics(rows)
       .select(col("aud_id"), col("lyrics"))
@@ -6111,7 +6115,9 @@ object SparkEntry {
       | (CAST(3 AS BIGINT), 'ilst couplet'),
       | (CAST(4 AS BIGINT), 'lossless refrain'),
       | (CAST(5 AS BIGINT), CAST(NULL AS VARCHAR)),
-      | (CAST(6 AS BIGINT), CAST(NULL AS VARCHAR))
+      | (CAST(6 AS BIGINT), CAST(NULL AS VARCHAR)),
+      | -- USLT absent: the SYLT fallback joins the timed lines
+      | (CAST(7 AS BIGINT), 'timed un' || chr(10) || 'timed deux')
       |) AS t(aud_id, lyrics)
       |ORDER BY aud_id""".stripMargin
 
@@ -6603,6 +6609,127 @@ object SparkEntry {
       |) AS t(doc_id, sub_format, cue_idx, start_ms, end_ms, text)
       |ORDER BY doc_id, cue_idx""".stripMargin
 
+  /** SYLT synchronized lyrics ([[graft.operators.Multimodal
+    * .id3SyltCues]] behind the same `subtitleCues` dispatch) —
+    * [[q191]]'s muxed twin: the cue shape is the LRC contract (end =
+    * next start, last zero-length), the carrier an ID3v2 frame
+    * across all three tag versions (v2.4 UTF-8, v2.3 UTF-16 with
+    * out-of-order entries re-sorting, v2.2's 3-char `SLT`). A track
+    * with USLT-only lyrics contributes zero CUES (untimed text is
+    * q182's surface, not a cue stream).
+    */
+  private def q193(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    def mp3(v: Int, synced: Seq[(Long, String)],
+        plain: Option[String] = None): Array[Byte] =
+      M.syntheticId3(v, "T", "A", "B", lyrics = plain,
+        syncedLyrics = synced) ++
+        M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))
+    val rows = Seq(
+      (1L, mp3(4, Seq((1200L, "premier vers"), (3400L, "deuxième vers")))),
+      (2L, mp3(3, Seq((5000L, "écrit en retard"), (700L, "sorted first")))),
+      (3L, mp3(2, Seq((250L, "v22 line")))),
+      (4L, mp3(4, Nil, plain = Some("untimed only")))
+    ).toDF("doc_id", "content")
+    M.subtitleCues(rows).orderBy(col("doc_id"), col("cue_idx"))
+  }
+
+  private def syltOracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(1 AS BIGINT), 'sylt', 1, CAST(1200 AS BIGINT),
+      |  CAST(3400 AS BIGINT), 'premier vers'),
+      | (CAST(1 AS BIGINT), 'sylt', 2, CAST(3400 AS BIGINT),
+      |  CAST(3400 AS BIGINT), 'deuxième vers'),
+      | -- entries written out of order sort by time
+      | (CAST(2 AS BIGINT), 'sylt', 1, CAST(700 AS BIGINT),
+      |  CAST(5000 AS BIGINT), 'sorted first'),
+      | (CAST(2 AS BIGINT), 'sylt', 2, CAST(5000 AS BIGINT),
+      |  CAST(5000 AS BIGINT), 'écrit en retard'),
+      | (CAST(3 AS BIGINT), 'sylt', 1, CAST(250 AS BIGINT),
+      |  CAST(250 AS BIGINT), 'v22 line')
+      |) AS t(doc_id, sub_format, cue_idx, start_ms, end_ms, text)
+      |ORDER BY doc_id, cue_idx""".stripMargin
+
+  /** Corpus-scale cover-art linking ([[graft.operators.Dedup
+    * .coverArtLinkCorpus]]) — the "same album, different rip" signal:
+    * one stripe-class PNG per `documents` row (the q156 Hamming-
+    * separated construction, 7 classes), and every fifth row ALSO an
+    * audio/video file whose embedded art is that class's image —
+    * carrier rotating MP3-APIC → FLAC-PICTURE → M4A-covr →
+    * MKA-attachment, the four art surfaces. One codegen'd
+    * [[graft.operators.Multimodal.mediaLinkHash64Col]] projection
+    * (an image hashes its raster, audio its art), one banded Hamming
+    * join: every class spans both modalities and all four audio
+    * containers at any scale factor. Oracle = doc_id arithmetic;
+    * job count gate-locked data-independent (PlanAudit).
+    */
+  private def q194(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Scale.parallelismFloor(
+      t(s, dir, "documents").select(col("doc_id")))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("asset_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val AudioIdBase = 100000000L
+    val rdd = docs.rdd.flatMap { r =>
+      val id = r.getLong(0)
+      val cls = (id % 7).toInt
+      val dark = 20 + (id % 23).toInt
+      val light = 200 + (id % 37).toInt
+      def g(v: Int): Int = (v << 16) | (v << 8) | v
+      // light stripe at grid column 1+2k per set bit k of (cls+1) —
+      // dHash-identical within a class whatever the tones (light
+      // always > dark), >= 8 bits apart across classes (q156's rule)
+      val lightCols = (0 until 3).filter(k => ((cls + 1) >> k & 1) != 0)
+        .map(k => 1 + 2 * k).toSet
+      val png = graft.operators.Multimodal.renderPng(64, 64, (x, _) => {
+        val gridCol = x * 9 / 64
+        if (lightCols(gridCol)) g(light) else g(dark)
+      })
+      val image = org.apache.spark.sql.Row(id, png)
+      if (id % 5 != 0) Seq(image)
+      else {
+        // full object paths only — a module alias captured in this
+        // RDD closure would serialize the (non-Serializable) module
+        val art = ("image/png", png)
+        val audio = ((id / 5) % 4) match {
+          case 0 => graft.operators.Multimodal.syntheticId3(4, "T", "A", "B",
+            apic = Some(art)) ++
+            graft.operators.Multimodal.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))
+          case 1 => graft.operators.Multimodal.syntheticFlacTagged(
+            48000, 2, 16, 4800L, "T", "A", "B", picture = Some(art))
+          case 2 => graft.operators.Multimodal.syntheticM4aTagged(
+            2, 44100, 4410L, "T", "A", "B", cover = Some(art))
+          case _ => graft.operators.Multimodal.syntheticWebm("audio",
+            channels = 2, sampleRate = 48000, durationMs = 100L,
+            codec = "A_OPUS", docType = "matroska", attachedArt = Some(art))
+        }
+        Seq(image, org.apache.spark.sql.Row(AudioIdBase + id, audio))
+      }
+    }
+    val assets = s.createDataFrame(rdd, schema).localCheckpoint(false)
+    graft.operators.Dedup.coverArtLinkCorpus(assets, "asset_id", "content")
+      .groupBy((col("dup_class") % 7).as("art_class"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(when(col("asset_id") >= AudioIdBase, 1L).otherwise(0L))
+          .as("n_audio"),
+        min(col("dup_class")).as("class_min"),
+        max(col("dup_class")).as("class_max")) // == class_min: one class
+      .orderBy(col("art_class"))
+  }
+
+  private def coverArtCorpusOracle: String =
+    """SELECT doc_id % 7 AS art_class,
+      | CAST(count(*) + sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+      |   AS BIGINT) AS n_assets,
+      | CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_audio,
+      | CAST(doc_id % 7 AS BIGINT) AS class_min,
+      | CAST(doc_id % 7 AS BIGINT) AS class_max
+      |FROM documents GROUP BY doc_id % 7 ORDER BY art_class""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -6799,7 +6926,9 @@ object SparkEntry {
     "q189_apngsvg" -> (q189 _),
     "q190_capcorp" -> (q190 _),
     "q191_lrc" -> (q191 _),
-    "q192_mp4text" -> (q192 _))
+    "q192_mp4text" -> (q192 _),
+    "q193_sylt" -> (q193 _),
+    "q194_artlink" -> (q194 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -7242,6 +7371,8 @@ object SparkEntry {
     "q190_capcorp" -> captionCorpusOracle,
     "q191_lrc" -> lrcOracle,
     "q192_mp4text" -> mp4TimedTextOracle,
+    "q193_sylt" -> syltOracle,
+    "q194_artlink" -> coverArtCorpusOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

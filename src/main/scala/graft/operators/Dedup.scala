@@ -571,6 +571,39 @@ object Dedup {
       .withColumn("keep", col("dup_class").isNull || col("dup_class") === col(idCol))
   }
 
+  /** Cross-modal cover-art link signatures — (id, sh) with `sh` =
+    * [[Multimodal.mediaLinkHash64Col]]: an image row hashes its own
+    * raster, a tagged audio/video row its embedded cover art, so
+    * audio rips of a release and crawled copies of its artwork land
+    * in ONE Hamming bucket. Map-only codegen'd projection; rows with
+    * neither raster nor art are dropped (they can't link to
+    * anything).
+    */
+  def coverArtLinkSignatures(df: DataFrame, idCol: String,
+      contentCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        Multimodal.mediaLinkHash64Col(col(contentCol)).as("sh"))
+      .filter(col("sh").isNotNull)
+
+  /** Cross-modal cover-art linking — the "same album, different rip"
+    * signal at corpus scale: [[coverArtLinkSignatures]] through the
+    * SAME banded Hamming machinery as [[imageNearDuplicates]] and
+    * the same class/keep tail, so a class can span modalities (the
+    * M4A whose `covr` is the release art, the MP3 whose APIC is a
+    * re-encode of it, and the crawled PNG all share one `dup_class`).
+    * Returns the input plus `dup_class` (null = unlinked) and
+    * `keep`. Candidate generation stays a bucket-capped equi-join —
+    * no all-pairs at any corpus size.
+    */
+  def coverArtLinkCorpus(df: DataFrame, idCol: String, contentCol: String,
+      maxHamming: Int = 6, bands: Int = 8,
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      checkpointDir: Option[String] = None): DataFrame =
+    classKeepTail(df, idCol,
+      simhashNearDuplicatesFromSigs(
+        coverArtLinkSignatures(df, idCol, contentCol).localCheckpoint(false),
+        maxHamming, bands, maxBucketSize), checkpointDir)
+
   /** Perceptual-hash signatures for audio near-dup —
     * [[imageHashSignatures]]'s waveform twin: (id, sh) with `sh` =
     * [[Multimodal.audioHash64Col]] (64-bit envelope-derivative hash

@@ -3439,10 +3439,12 @@ object Multimodal {
     * behind one dispatch: SRT / WebVTT / ASS-SSA / LRC sidecar FILES
     * (UTF-8 binary or string column) and — binary only — a
     * Matroska/WebM movie whose muxed S_TEXT track is extracted in
-    * place ([[webmSubtitleCues]], sub_format = the EBML DocType) or
-    * an MP4/MOV whose muxed tx3g/wvtt/stpp track is
-    * ([[mp4SubtitleCues]], sub_format = the sample-entry fourcc).
-    * Binary rows that are neither container pass a bounded-prefix
+    * place ([[webmSubtitleCues]], sub_format = the EBML DocType), an
+    * MP4/MOV whose muxed tx3g/wvtt/stpp track is
+    * ([[mp4SubtitleCues]], sub_format = the sample-entry fourcc), or
+    * an ID3-tagged audio stream whose SYLT synchronized lyrics are
+    * timed cues too ([[id3SyltCues]], sub_format `sylt`).
+    * Binary rows that are none of these pass a bounded-prefix
     * looks-like-text gate before any String decode. The text column
     * feeds the TEXT pipeline (lang-ID, quality, dedup,
     * decontamination) and the (start_ms, end_ms) intervals line up
@@ -3474,6 +3476,9 @@ object Multimodal {
         else if (bytes != null && bytes.length >= 16 && bytes(4) == 'f' &&
           bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p')
           mp4SubtitleCues(bytes)
+        else if (bytes != null && bytes.length >= 10 && bytes(0) == 'I' &&
+          bytes(1) == 'D' && bytes(2) == '3')
+          id3SyltCues(bytes).map(("sylt", _)) // synced lyrics ARE cues
         else None
       val parsed = muxed.orElse {
         if (isBinary && bytes != null && !looksLikeSubtitleText(bytes)) None
@@ -3715,6 +3720,56 @@ object Multimodal {
     }
     override protected def withNewChildInternal(
         c: org.apache.spark.sql.catalyst.expressions.Expression): DHash64 = copy(c)
+  }
+
+  /** The PIXEL identity of a media asset, whatever its modality —
+    * its own raster for images ([[dhash64]]), its embedded cover art
+    * for tagged audio/video ([[embeddedArtBytes]] → dhash): the
+    * cross-modal "same album, different rip" link key. An MP3, FLAC,
+    * M4A or MKA carrying the release art hashes IDENTICALLY to the
+    * crawled PNG/JPEG of that art, so one banded Hamming join links
+    * the audio corpus to the image corpus ([[graft.operators.Dedup
+    * .coverArtLinkCorpus]]). Null for rows with neither a decodable
+    * raster nor art. Public for the generated-code static call.
+    */
+  def mediaLinkHash64(b: Array[Byte]): java.lang.Long = {
+    if (b == null) return null
+    try {
+      embeddedArtBytes(b) match {
+        case Some((_, art)) => dhash64(art)
+        case None => dhash64(b)
+      }
+    } catch { case _: Throwable => null } // per-row isolation
+  }
+
+  /** [[mediaLinkHash64]] as a Column — codegen'd like [[dhash64Col]]. */
+  def mediaLinkHash64Col(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.bridge.{columnOf, expressionOf}
+    columnOf(MediaLinkHash64(expressionOf(content)))
+  }
+
+  case class MediaLinkHash64(child: org.apache.spark.sql.catalyst.expressions.Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val h = mediaLinkHash64(v.asInstanceOf[Array[Byte]])
+      if (h == null) null else h.longValue()
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val c = child.genCode(ctx)
+      val boxed = ctx.freshName("linkhash")
+      ev.copy(code = code"""
+        ${c.code}
+        java.lang.Long $boxed = ${c.isNull} ? null :
+          graft.operators.Multimodal.mediaLinkHash64(${c.value});
+        final boolean ${ev.isNull} = $boxed == null;
+        final long ${ev.value} = ${ev.isNull} ? 0L : $boxed.longValue();""")
+    }
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression): MediaLinkHash64 = copy(c)
   }
 
   /** Rendered-text ("textiness") score in [0,1] — the deterministic
@@ -5246,6 +5301,78 @@ object Multimodal {
     Option(lyrics)
   }
 
+  /** SYNCHRONIZED lyrics from an ID3v2 `SYLT` frame (v2.2's `SLT`) —
+    * [[id3Lyrics]]' timed twin, in the [[SubCue]] shape the LRC
+    * sidecar path already defines: enc byte, 3-char language, 1-byte
+    * timestamp format (2 = milliseconds — format 1, MPEG frames, is
+    * not resolvable without decoding and is skipped), 1-byte content
+    * type, NUL-terminated descriptor (aligned double-NUL under
+    * UTF-16), then repeated (NUL-terminated text, u32 timestamp)
+    * sync entries. Entries may be written out of order; cues sort by
+    * time and each ends at the NEXT cue's start (the LRC rule — the
+    * format carries no end). None when no tag or no ms-format SYLT.
+    */
+  private[graft] def id3SyltCues(b: Array[Byte]): Option[Seq[SubCue]] = try {
+    val raw = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    id3FrameWalk(b) { (id, frame, from, until) =>
+      if (raw.isEmpty && (id == "SYLT" || id == "SLT") &&
+        until - from >= 7) {
+        val enc = frame(from) & 0xff
+        val tsFormat = frame(from + 4) & 0xff
+        if (tsFormat == 2) { // ms; format 1 (MPEG frames) unsupported
+          var p = from + 6 // enc + lang + format + content type
+          // descriptor
+          if (enc == 1 || enc == 2) {
+            while (p + 1 < until && !(frame(p) == 0 && frame(p + 1) == 0)) p += 2
+            p += 2
+          } else {
+            while (p < until && frame(p) != 0) p += 1
+            p += 1
+          }
+          // sync entries: text NUL timestamp, repeated
+          while (p < until && raw.size < 100000) {
+            val t0 = p
+            if (enc == 1 || enc == 2) {
+              while (p + 1 < until && !(frame(p) == 0 && frame(p + 1) == 0)) p += 2
+              val text = enc match {
+                case 1 => new String(frame, t0, p - t0, "UTF-16")
+                case _ => new String(frame, t0, p - t0, "UTF-16BE")
+              }
+              p += 2
+              if (p + 4 <= until) {
+                val ms = ((frame(p) & 0xffL) << 24) | ((frame(p + 1) & 0xffL) << 16) |
+                  ((frame(p + 2) & 0xffL) << 8) | (frame(p + 3) & 0xffL)
+                p += 4
+                val t = text.trim
+                if (t.nonEmpty) raw += ((ms, t))
+              } else p = until
+            } else {
+              while (p < until && frame(p) != 0) p += 1
+              val text = new String(frame, t0, p - t0,
+                if (enc == 0) "ISO-8859-1" else "UTF-8")
+              p += 1
+              if (p + 4 <= until) {
+                val ms = ((frame(p) & 0xffL) << 24) | ((frame(p + 1) & 0xffL) << 16) |
+                  ((frame(p + 2) & 0xffL) << 8) | (frame(p + 3) & 0xffL)
+                p += 4
+                val t = text.trim
+                if (t.nonEmpty) raw += ((ms, t))
+              } else p = until
+            }
+          }
+        }
+      }
+    }
+    if (raw.isEmpty) None
+    else {
+      val sorted = raw.sortBy(_._1).toSeq
+      Some(sorted.zipWithIndex.map { case ((ms, text), k) =>
+        val end = if (k + 1 < sorted.length) sorted(k + 1)._1 else ms
+        SubCue(k + 1, ms, end, text)
+      })
+    }
+  } catch { case _: Throwable => None } // per-row isolation
+
   /** The facts an M4A `ilst` item list declares — text tags plus the
     * `covr` cover art ([[m4aTags]] and [[embeddedArtBytes]] both read
     * from this ONE walk).
@@ -5605,12 +5732,15 @@ object Multimodal {
 
   /** Declared lyrics across carriers — the audio-text pairing
     * surface (transcripts/lyrics turn an audio corpus into
-    * (clip, text) training pairs): ID3v2 `USLT`/`ULT`, the M4A
+    * (clip, text) training pairs): ID3v2 `USLT`/`ULT` (falling back
+    * to the SYLT timed text, de-timed — a track tagged only with
+    * synchronized lyrics still has lyrics), the M4A
     * `©lyr` item, and the Vorbis-comment `LYRICS` field of
     * FLAC / Ogg-Opus / Ogg-Vorbis streams. None when untagged.
     */
   private[graft] def audioLyricsText(b: Array[Byte]): Option[String] =
     try id3Lyrics(b)
+      .orElse(id3SyltCues(b).map(_.map(_.text).mkString("\n")))
       .orElse(m4aIlst(b).flatMap(f => Option(f.lyrics)))
       .orElse(flacCommentRegion(b).flatMap { case (from, until) =>
         vorbisFieldMap(b, from, until, Set("LYRICS")).flatMap(_.get("LYRICS"))
@@ -5671,7 +5801,8 @@ object Multimodal {
   private[graft] def syntheticId3(version: Int, title: String,
       artist: String, album: String, unsync: Boolean = false,
       apic: Option[(String, Array[Byte])] = None,
-      lyrics: Option[String] = None): Array[Byte] = {
+      lyrics: Option[String] = None,
+      syncedLyrics: Seq[(Long, String)] = Nil): Array[Byte] = {
     require(version == 2 || version == 3 || version == 4, s"version: $version")
     def rawFrame(id: String, payload0: Array[Byte]): Array[Byte] = {
       // v2.4: unsync is per-frame; the stored size counts stuffed bytes
@@ -5725,8 +5856,36 @@ object Multimodal {
             Array[Byte](0xFF.toByte, 0xFE.toByte) ++ text.getBytes("UTF-16LE")
       rawFrame(if (version == 2) "ULT" else "USLT", payload)
     }.getOrElse(Array.emptyByteArray)
+    // SYLT (v2.2 SLT): enc + "eng" + timestamp format 2 (ms) +
+    // content type 1 (lyrics) + empty descriptor + (text NUL u32-ms)
+    // sync entries in the frame encoding
+    val syltFrame =
+      if (syncedLyrics.isEmpty) Array.emptyByteArray
+      else {
+        val out = new java.io.ByteArrayOutputStream()
+        val utf8 = version == 4
+        out.write(if (utf8) 3 else 1)
+        out.write('e'); out.write('n'); out.write('g')
+        out.write(2); out.write(1)
+        if (utf8) out.write(0) else { out.write(0); out.write(0) }
+        syncedLyrics.foreach { case (ms, text) =>
+          if (utf8) {
+            out.write(text.getBytes("UTF-8"), 0,
+              text.getBytes("UTF-8").length)
+            out.write(0)
+          } else {
+            out.write(0xFF); out.write(0xFE)
+            val u = text.getBytes("UTF-16LE")
+            out.write(u, 0, u.length)
+            out.write(0); out.write(0)
+          }
+          out.write(((ms >> 24) & 0xff).toInt); out.write(((ms >> 16) & 0xff).toInt)
+          out.write(((ms >> 8) & 0xff).toInt); out.write((ms & 0xff).toInt)
+        }
+        rawFrame(if (version == 2) "SLT" else "SYLT", out.toByteArray)
+      }
     val frames0 = ids.flatMap { case (id, v) => frame(id, v) }.toArray ++
-      apicFrame ++ lyricsFrame
+      apicFrame ++ lyricsFrame ++ syltFrame
     // v2.2/v2.3: unsync applies to the whole composed tag
     val frames =
       if (unsync && version != 4) id3Unsync(frames0) else frames0

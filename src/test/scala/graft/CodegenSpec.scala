@@ -210,6 +210,7 @@ class CodegenSpec extends SparkSpec {
         M.textinessCol(col("img")).as("tx"),
         base64(M.scrubGpsCol(col("img"))).as("sg"), // clean rows pass through
         M.dhash64Col(M.scrubGpsCol(col("img"))).as("dhsg"),
+        M.mediaLinkHash64Col(col("img")).as("mlh"), // == dh for raw images
         M.subtitleTrackCountCol(col("img")).as("stc"), // null for images
         CatalystExpressions.matVec(col("vec"),
           Array(Array(0.0, 1.0), Array(1.0, 0.0))).as("mv"),

@@ -469,6 +469,36 @@ class PlanAudit extends SparkSpec {
     assert(jobs >= 5, s"listener must have observed the pipeline: $jobs")
   }
 
+  test("q194: corpus-scale cover-art linking runs a bounded, data-independent job count") {
+    // the q156 gate for the cross-modal linker: one codegen'd
+    // link-hash projection, one bucket-capped banded join, CC, keep
+    // join — the job count is a function of the PIPELINE, not of how
+    // many audio files carry art
+    val counter = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val rows = try {
+      val out = SparkEntry.queries("q194_artlink")(spark, dir).collect()
+      Thread.sleep(500) // listener delivery is async (JobTrace precedent)
+      out
+    } finally spark.sparkContext.removeSparkListener(l)
+    val jobs = counter.get()
+    assert(jobs <= 24, s"cover-art linking must stay within its job budget: $jobs")
+    assert(jobs >= 4, s"listener must have observed the pipeline: $jobs")
+    assert(rows.length == 7, "one row per art class")
+    rows.foreach { r =>
+      val cls = r.getLong(0)
+      assert(r.getLong(3) == cls && r.getLong(4) == cls,
+        s"class $cls must be ONE cross-modal class: $r")
+      assert(r.getLong(2) > 0, s"class $cls must contain linked audio: $r")
+    }
+  }
+
   test("q164/q165: corpus-scale video-exact and audio dedup run bounded job counts and recover the residue classes") {
     // the q156 gate extended to the other two modalities: the job
     // count is a function of the PIPELINE, never the corpus size —

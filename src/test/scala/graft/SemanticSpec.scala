@@ -2348,6 +2348,76 @@ class SemanticSpec extends SparkSpec {
       (2L, "srt", "sidecar")))
   }
 
+  test("id3SyltCues: synchronized lyrics in all three tag versions; USLT fallback") {
+    val M = Multimodal
+    val timed = Seq((1200L, "line one"), (3400L, "line twö"))
+    def mp3(v: Int, synced: Seq[(Long, String)]) =
+      M.syntheticId3(v, "T", "A", "B", syncedLyrics = synced) ++
+        M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))
+    // v2.4 UTF-8 SYLT; cues end at the next cue's start (LRC rule)
+    val Some(c4) = M.id3SyltCues(mp3(4, timed))
+    assert(c4.map(c => (c.startMs, c.endMs, c.text)) ==
+      Seq((1200L, 3400L, "line one"), (3400L, 3400L, "line twö")))
+    // v2.3 UTF-16 SYLT and v2.2 SLT read identically
+    assert(M.id3SyltCues(mp3(3, timed)).get.map(_.text) ==
+      Seq("line one", "line twö"))
+    assert(M.id3SyltCues(mp3(2, timed)).get.map(_.text) ==
+      Seq("line one", "line twö"))
+    // out-of-order entries sort by time
+    val Some(oo) = M.id3SyltCues(mp3(4, Seq((5000L, "late"), (100L, "early"))))
+    assert(oo.map(_.text) == Seq("early", "late"))
+    // no SYLT -> None; junk/no tag -> None
+    assert(M.id3SyltCues(mp3(4, Nil)).isEmpty)
+    assert(M.id3SyltCues("junk".getBytes("UTF-8")).isEmpty)
+    // audioLyricsText falls back USLT -> SYLT (de-timed, joined)
+    assert(M.audioLyricsText(mp3(4, timed)).contains("line one\nline twö"))
+    // ...but an explicit USLT wins over SYLT
+    val both = M.syntheticId3(4, "T", "A", "B", lyrics = Some("plain"),
+      syncedLyrics = timed) ++ M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))
+    assert(M.audioLyricsText(both).contains("plain"))
+    // subtitleCues dispatch: synced lyrics are timed cues, tag 'sylt'
+    val out = M.subtitleCues(Seq((1L, mp3(3, timed)))
+      .toDF("doc_id", "content")).collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getString(5))).toSeq
+    assert(out == Seq(("sylt", 1200L, "line one"), ("sylt", 3400L, "line twö")))
+  }
+
+  test("mediaLinkHash64 + coverArtLinkCorpus: art links audio to its image across all four carriers") {
+    val M = Multimodal
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    val logo = M.renderPng(32, 16, (x, _) => if (x < 16) gray(30) else gray(220))
+    val other = M.renderPng(32, 16, (x, _) => if (x % 4 == 0) gray(220) else gray(30))
+    val art = ("image/png", logo)
+    val mp3 = M.syntheticId3(4, "T", "A", "B", apic = Some(art)) ++
+      M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))
+    val flac = M.syntheticFlacTagged(48000, 2, 16, 4800L, "T", "A", "B",
+      picture = Some(art))
+    val m4a = M.syntheticM4aTagged(2, 44100, 4410L, "T", "A", "B",
+      cover = Some(art))
+    val mka = M.syntheticWebm("audio", channels = 2, sampleRate = 48000,
+      durationMs = 100L, codec = "A_OPUS", docType = "matroska",
+      attachedArt = Some(art))
+    // the link hash of every art carrier IS the image's own hash
+    val own = M.mediaLinkHash64(logo)
+    assert(own == M.dhash64(logo))
+    for ((b, label) <- Seq((mp3, "mp3"), (flac, "flac"), (m4a, "m4a"),
+      (mka, "mka")))
+      assert(M.mediaLinkHash64(b) == own, s"$label art must hash as the image")
+    // art-less audio and junk: no link identity
+    assert(M.mediaLinkHash64(M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))) == null)
+    assert(M.mediaLinkHash64("junk".getBytes("UTF-8")) == null)
+    // corpus form: one class spanning the image + all four carriers;
+    // the unrelated image stays unlinked
+    val df = Seq((1L, logo), (2L, mp3), (3L, flac), (4L, m4a), (5L, mka),
+      (6L, other)).toDF("id", "content")
+    val out = graft.operators.Dedup.coverArtLinkCorpus(df, "id", "content")
+      .select("id", "dup_class", "keep").collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), r.getBoolean(2)))).toMap
+    assert((1L to 5L).forall(i => out(i)._1.contains(1L)))
+    assert(out(1L)._2 && !(2L to 5L).exists(i => out(i)._2))
+    assert(out(6L)._1.isEmpty && out(6L)._2)
+  }
+
   test("MediaFlag: unknown kernel names fail at construction, not in codegen") {
     intercept[IllegalArgumentException] {
       Multimodal.MediaFlag(
