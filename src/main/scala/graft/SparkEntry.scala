@@ -6060,19 +6060,23 @@ object SparkEntry {
   private def subtitleOracle: String =
     """SELECT * FROM (VALUES
       | (CAST(1 AS BIGINT), 'srt', 1, CAST(1000 AS BIGINT),
-      |  CAST(4000 AS BIGINT), 'Hello world' || chr(10) || 'second line'),
+      |  CAST(4000 AS BIGINT), 'Hello world' || chr(10) || 'second line',
+      |  CAST(NULL AS VARCHAR)),
       | (CAST(1 AS BIGINT), 'srt', 2, CAST(62500 AS BIGINT),
-      |  CAST(65250 AS BIGINT), 'styled farewell'),
+      |  CAST(65250 AS BIGINT), 'styled farewell', CAST(NULL AS VARCHAR)),
       | (CAST(2 AS BIGINT), 'vtt', 1, CAST(3000 AS BIGINT),
-      |  CAST(6500 AS BIGINT), 'Minutes only'),
+      |  CAST(6500 AS BIGINT), 'Minutes only', CAST(NULL AS VARCHAR)),
       | (CAST(2 AS BIGINT), 'vtt', 2, CAST(3600200 AS BIGINT),
-      |  CAST(3602000 AS BIGINT), 'With hours'),
+      |  CAST(3602000 AS BIGINT), 'With hours', CAST(NULL AS VARCHAR)),
       | -- ASS events re-sorted by start; overrides stripped, \N broken
+      | -- (sidecars declare no language: declared_lang stays null)
       | (CAST(4 AS BIGINT), 'ass', 1, CAST(2250 AS BIGINT),
-      |  CAST(4000 AS BIGINT), 'first' || chr(10) || 'broken, comma kept'),
+      |  CAST(4000 AS BIGINT), 'first' || chr(10) || 'broken, comma kept',
+      |  CAST(NULL AS VARCHAR)),
       | (CAST(4 AS BIGINT), 'ass', 2, CAST(8500 AS BIGINT),
-      |  CAST(10000 AS BIGINT), 'later line')
-      |) AS t(doc_id, sub_format, cue_idx, start_ms, end_ms, text)
+      |  CAST(10000 AS BIGINT), 'later line', CAST(NULL AS VARCHAR))
+      |) AS t(doc_id, sub_format, cue_idx, start_ms, end_ms, text,
+      |       declared_lang)
       |ORDER BY doc_id, cue_idx""".stripMargin
 
   /** Declared lyrics ([[graft.operators.Multimodal.audioLyrics]]) —
@@ -6262,13 +6266,16 @@ object SparkEntry {
 
   private def muxedSubsOracle: String =
     """SELECT * FROM (VALUES
+      | -- a subtitle track WITHOUT a Language element declares the
+      | -- Matroska spec default: eng
       | (CAST(1 AS BIGINT), 'webm', 1, CAST(1000 AS BIGINT),
-      |  CAST(2500 AS BIGINT), 'muxed hello'),
+      |  CAST(2500 AS BIGINT), 'muxed hello', 'eng'),
       | (CAST(1 AS BIGINT), 'webm', 2, CAST(4000 AS BIGINT),
-      |  CAST(6000 AS BIGINT), 'müxed wörld'),
+      |  CAST(6000 AS BIGINT), 'müxed wörld', 'eng'),
       | (CAST(2 AS BIGINT), 'srt', 1, CAST(7000 AS BIGINT),
-      |  CAST(8000 AS BIGINT), 'sidecar line')
-      |) AS t(doc_id, sub_format, cue_idx, start_ms, end_ms, text)
+      |  CAST(8000 AS BIGINT), 'sidecar line', CAST(NULL AS VARCHAR))
+      |) AS t(doc_id, sub_format, cue_idx, start_ms, end_ms, text,
+      |       declared_lang)
       |ORDER BY doc_id, cue_idx""".stripMargin
 
   /** Camera provenance
@@ -6550,17 +6557,18 @@ object SparkEntry {
     """SELECT * FROM (VALUES
       | -- a 3-digit fraction is milliseconds (enhanced LRC)
       | (CAST(1 AS BIGINT), 'lrc', 1, CAST(1345 AS BIGINT),
-      |  CAST(5000 AS BIGINT), 'enhanced ms stamp'),
+      |  CAST(5000 AS BIGINT), 'enhanced ms stamp', CAST(NULL AS VARCHAR)),
       | (CAST(1 AS BIGINT), 'lrc', 2, CAST(5000 AS BIGINT),
-      |  CAST(12500 AS BIGINT), 'first line'),
+      |  CAST(12500 AS BIGINT), 'first line', CAST(NULL AS VARCHAR)),
       | (CAST(1 AS BIGINT), 'lrc', 3, CAST(12500 AS BIGINT),
-      |  CAST(20100 AS BIGINT), 'second line'),
+      |  CAST(20100 AS BIGINT), 'second line', CAST(NULL AS VARCHAR)),
       | -- a single-digit fraction is tenths: .1 = 100 ms
       | (CAST(1 AS BIGINT), 'lrc', 4, CAST(20100 AS BIGINT),
-      |  CAST(62250 AS BIGINT), 'repeated refrain'),
+      |  CAST(62250 AS BIGINT), 'repeated refrain', CAST(NULL AS VARCHAR)),
       | (CAST(1 AS BIGINT), 'lrc', 5, CAST(62250 AS BIGINT),
-      |  CAST(62250 AS BIGINT), 'repeated refrain')
-      |) AS t(doc_id, sub_format, cue_idx, start_ms, end_ms, text)
+      |  CAST(62250 AS BIGINT), 'repeated refrain', CAST(NULL AS VARCHAR))
+      |) AS t(doc_id, sub_format, cue_idx, start_ms, end_ms, text,
+      |       declared_lang)
       |ORDER BY doc_id, cue_idx""".stripMargin
 
   /** Muxed MP4 timed text ([[graft.operators.Multimodal
@@ -6594,19 +6602,21 @@ object SparkEntry {
 
   private def mp4TimedTextOracle: String =
     """SELECT * FROM (VALUES
+      | -- declared_lang = the text trak's mdhd language code
       | (CAST(1 AS BIGINT), 'tx3g', 1, CAST(500 AS BIGINT),
-      |  CAST(1500 AS BIGINT), 'Opening line'),
+      |  CAST(1500 AS BIGINT), 'Opening line', 'eng'),
       | (CAST(1 AS BIGINT), 'tx3g', 2, CAST(2000 AS BIGINT),
-      |  CAST(2800 AS BIGINT), 'Seconde réplique'),
+      |  CAST(2800 AS BIGINT), 'Seconde réplique', 'eng'),
       | (CAST(2 AS BIGINT), 'wvtt', 1, CAST(500 AS BIGINT),
-      |  CAST(1500 AS BIGINT), 'Opening line'),
+      |  CAST(1500 AS BIGINT), 'Opening line', 'eng'),
       | (CAST(2 AS BIGINT), 'wvtt', 2, CAST(2000 AS BIGINT),
-      |  CAST(2800 AS BIGINT), 'Seconde réplique'),
+      |  CAST(2800 AS BIGINT), 'Seconde réplique', 'eng'),
       | (CAST(3 AS BIGINT), 'stpp', 1, CAST(500 AS BIGINT),
-      |  CAST(1500 AS BIGINT), 'Opening line'),
+      |  CAST(1500 AS BIGINT), 'Opening line', 'eng'),
       | (CAST(3 AS BIGINT), 'stpp', 2, CAST(2000 AS BIGINT),
-      |  CAST(2800 AS BIGINT), 'Seconde réplique')
-      |) AS t(doc_id, sub_format, cue_idx, start_ms, end_ms, text)
+      |  CAST(2800 AS BIGINT), 'Seconde réplique', 'eng')
+      |) AS t(doc_id, sub_format, cue_idx, start_ms, end_ms, text,
+      |       declared_lang)
       |ORDER BY doc_id, cue_idx""".stripMargin
 
   /** SYLT synchronized lyrics ([[graft.operators.Multimodal
@@ -6637,18 +6647,20 @@ object SparkEntry {
 
   private def syltOracle: String =
     """SELECT * FROM (VALUES
+      | -- declared_lang = the SYLT frame's 3-char language field
       | (CAST(1 AS BIGINT), 'sylt', 1, CAST(1200 AS BIGINT),
-      |  CAST(3400 AS BIGINT), 'premier vers'),
+      |  CAST(3400 AS BIGINT), 'premier vers', 'eng'),
       | (CAST(1 AS BIGINT), 'sylt', 2, CAST(3400 AS BIGINT),
-      |  CAST(3400 AS BIGINT), 'deuxième vers'),
+      |  CAST(3400 AS BIGINT), 'deuxième vers', 'eng'),
       | -- entries written out of order sort by time
       | (CAST(2 AS BIGINT), 'sylt', 1, CAST(700 AS BIGINT),
-      |  CAST(5000 AS BIGINT), 'sorted first'),
+      |  CAST(5000 AS BIGINT), 'sorted first', 'eng'),
       | (CAST(2 AS BIGINT), 'sylt', 2, CAST(5000 AS BIGINT),
-      |  CAST(5000 AS BIGINT), 'écrit en retard'),
+      |  CAST(5000 AS BIGINT), 'écrit en retard', 'eng'),
       | (CAST(3 AS BIGINT), 'sylt', 1, CAST(250 AS BIGINT),
-      |  CAST(250 AS BIGINT), 'v22 line')
-      |) AS t(doc_id, sub_format, cue_idx, start_ms, end_ms, text)
+      |  CAST(250 AS BIGINT), 'v22 line', 'eng')
+      |) AS t(doc_id, sub_format, cue_idx, start_ms, end_ms, text,
+      |       declared_lang)
       |ORDER BY doc_id, cue_idx""".stripMargin
 
   /** Corpus-scale cover-art linking ([[graft.operators.Dedup
@@ -6719,6 +6731,61 @@ object SparkEntry {
         max(col("dup_class")).as("class_max")) // == class_min: one class
       .orderBy(col("art_class"))
   }
+
+  /** Cue language report — declared-vs-detected over the one
+    * [[graft.operators.Multimodal.subtitleCues]] scan: the container
+    * asserts a language (MP4 mdhd code, Matroska Language element,
+    * SYLT field; sidecars assert nothing), the stopword heuristic
+    * ([[graft.functions.TextFunctions.langIdHeuristic]], q39's
+    * kernel) detects one from the cue text, and a pairing pipeline
+    * gates on agreement. Fixtures plant one case per quadrant:
+    * declared==detected, declared!=detected (the mislabeled-upload
+    * signal), undeclared sidecar, and a detected-und cue.
+    */
+  private def q195(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    val frames = Seq(M.renderJpeg(16, 8, (_, _) => gray(80)))
+    val rows = Seq(
+      // declared eng, text detects en: agreement
+      (1L, M.syntheticMp4TimedText(frames,
+        Seq((0L, 900L, "the fox and the dog went to the river"),
+          (1000L, 2000L, "they found a boat on the water")), lang = "eng")),
+      // declared spa, text detects fr: the mislabeled upload
+      (2L, M.syntheticMp4TimedText(frames,
+        Seq((0L, 800L, "le chat est dans la maison pour un moment")),
+        lang = "spa")),
+      // Matroska with an explicit Language element
+      (3L, M.syntheticWebm("video", width = 32, height = 16,
+        durationMs = 4000L, subtitleTracks = 1, subLang = Some("fre"),
+        subCues = Seq((500L, 1500L, "la vie est une fête dans le jardin")))),
+      // sidecar: no declaration, german text detects de
+      (4L, ("1\n00:00:01,000 --> 00:00:02,000\n" +
+        "der hund und die katze ist ein freund\n").getBytes("UTF-8")),
+      // stopword-free cue: detection reports 'und'
+      (5L, M.syntheticMp4TimedText(frames,
+        Seq((0L, 700L, "zzz qqq xxx")), lang = "eng"))
+    ).toDF("doc_id", "content")
+    M.subtitleCues(rows)
+      .groupBy(col("declared_lang"),
+        TF.langIdHeuristic(col("text")).as("detected_lang"))
+      .agg(count(lit(1)).as("n_cues"),
+        sum(length(col("text"))).as("text_chars"))
+      .orderBy(col("declared_lang").asc_nulls_first, col("detected_lang"))
+  }
+
+  private def cueLangOracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(NULL AS VARCHAR), 'de', CAST(1 AS BIGINT),
+      |  CAST(37 AS BIGINT)),
+      | ('eng', 'en', CAST(2 AS BIGINT), CAST(37 + 30 AS BIGINT)),
+      | ('eng', 'und', CAST(1 AS BIGINT), CAST(11 AS BIGINT)),
+      | ('fre', 'fr', CAST(1 AS BIGINT), CAST(34 AS BIGINT)),
+      | -- declared != detected: the mislabeled-upload quadrant
+      | ('spa', 'fr', CAST(1 AS BIGINT), CAST(41 AS BIGINT))
+      |) AS t(declared_lang, detected_lang, n_cues, text_chars)
+      |ORDER BY declared_lang NULLS FIRST, detected_lang""".stripMargin
 
   private def coverArtCorpusOracle: String =
     """SELECT doc_id % 7 AS art_class,
@@ -6928,7 +6995,8 @@ object SparkEntry {
     "q191_lrc" -> (q191 _),
     "q192_mp4text" -> (q192 _),
     "q193_sylt" -> (q193 _),
-    "q194_artlink" -> (q194 _))
+    "q194_artlink" -> (q194 _),
+    "q195_cuelang" -> (q195 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -7373,6 +7441,7 @@ object SparkEntry {
     "q192_mp4text" -> mp4TimedTextOracle,
     "q193_sylt" -> syltOracle,
     "q194_artlink" -> coverArtCorpusOracle,
+    "q195_cuelang" -> cueLangOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

@@ -971,6 +971,190 @@ object Multimodal {
     null
   } catch { case _: Throwable => null }
 
+  /** DECLARED language of the muxed text stream — the metadata the
+    * container itself asserts, before any detection runs over the cue
+    * text (a pairing pipeline filters on both: declared-vs-detected
+    * disagreement is itself a quality signal). Sources:
+    *
+    *  - ISO-BMFF: the subtitle trak's `mdhd` language code (3×5-bit
+    *    packed ISO-639-2/T); 0 = unset → None;
+    *  - Matroska/WebM: the subtitle TrackEntry's `Language` element
+    *    (0x22B59C); ABSENT means `eng` per the Matroska spec default;
+    *  - ID3: the SYLT frame's 3-char language field.
+    *
+    * None for sidecar text files (SRT/VTT/ASS/LRC carry no reliable
+    * language declaration) and non-container bytes. Public for the
+    * generated-code static call.
+    */
+  def declaredTextLang(b: Array[Byte]): String = try {
+    if (b == null || b.length < 10) return null
+    // ID3-led audio: the SYLT language field
+    if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      var lang: String = null
+      id3FrameWalk(b) { (id, frame, from, until) =>
+        if (lang == null && (id == "SYLT" || id == "SLT") && until - from >= 6)
+          lang = new String(frame, from + 1, 3, "ISO-8859-1")
+      }
+      return lang
+    }
+    // ISO-BMFF: first subtitle trak's mdhd language
+    if (b.length >= 16 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
+      b(7) == 'p') {
+      @inline def u16(o: Int): Int = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+      @inline def u32(o: Int): Long =
+        ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+          ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+      @inline def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+      var handlerIsText = false
+      var packed = -1
+      var found: String = null
+      def finishTrak(): Unit = {
+        if (found == null && handlerIsText && packed > 0 && packed != 0x7FFF) {
+          val c1 = ((packed >> 10) & 0x1f) + 0x60
+          val c2 = ((packed >> 5) & 0x1f) + 0x60
+          val c3 = (packed & 0x1f) + 0x60
+          if (c1 >= 'a' && c1 <= 'z' && c2 >= 'a' && c2 <= 'z' &&
+            c3 >= 'a' && c3 <= 'z')
+            found = new String(Array(c1.toChar, c2.toChar, c3.toChar))
+        }
+        handlerIsText = false; packed = -1
+      }
+      def walk(start: Long, end: Long, depth: Int): Unit = {
+        if (depth > 16) return
+        var off = start
+        while (found == null && off + 8 <= end) {
+          val size0 = u32(off.toInt)
+          val id = new String(b, off.toInt + 4, 4, "ISO-8859-1")
+          var body = off + 8
+          val boxEnd =
+            if (size0 == 1 && off + 16 <= end) { body = off + 16; off + u64(off.toInt + 8) }
+            else if (size0 == 0) end
+            else off + size0
+          if (boxEnd < body || boxEnd > end) return
+          val p = body.toInt
+          id match {
+            case "moov" | "mdia" => walk(body, boxEnd, depth + 1)
+            case "trak" => walk(body, boxEnd, depth + 1); finishTrak()
+            case "mdhd" if p + 4 <= boxEnd =>
+              if (b(p) == 1 && p + 34 <= boxEnd) packed = u16(p + 32)
+              else if (p + 22 <= boxEnd) packed = u16(p + 20)
+            case "hdlr" if p + 12 <= boxEnd =>
+              val h = new String(b, p + 8, 4, "ISO-8859-1")
+              handlerIsText = h == "sbtl" || h == "subt" || h == "text"
+            case _ => ()
+          }
+          off = boxEnd
+        }
+      }
+      walk(0L, b.length.toLong, 0)
+      return found
+    }
+    // Matroska/WebM: subtitle TrackEntry's Language element
+    if (b(0) == 0x1A.toByte && b(1) == 0x45.toByte &&
+      b(2) == 0xDF.toByte && b(3) == 0xA3.toByte) {
+      @inline def vintLen(o: Int): Int = {
+        if (o >= b.length) return -1
+        val b0 = b(o) & 0xff
+        if (b0 == 0) -1 else Integer.numberOfLeadingZeros(b0) - 23
+      }
+      def readId(o: Int): Long = {
+        val n = vintLen(o)
+        if (n < 1 || n > 4 || o + n > b.length) return -1L
+        var v = 0L
+        var i = 0
+        while (i < n) { v = (v << 8) | (b(o + i) & 0xffL); i += 1 }
+        v
+      }
+      def readSize(o: Int): (Long, Int) = {
+        val n = vintLen(o)
+        if (n < 1 || n > 8 || o + n > b.length) return (-2L, 0)
+        var v = (b(o) & 0xff & (0xff >>> n)).toLong
+        var i = 1
+        while (i < n) { v = (v << 8) | (b(o + i) & 0xffL); i += 1 }
+        (if (v == (1L << (7 * n)) - 1) -1L else v, n)
+      }
+      var tType = -1
+      var tLang: String = null
+      var found: String = null
+      def walk(start: Int, end: Int, depth: Int): Unit = {
+        if (depth > 16) return
+        var off = start
+        while (found == null && off < end) {
+          val id = readId(off)
+          if (id < 0) return
+          val idLen = vintLen(off)
+          val (size, szLen) = readSize(off + idLen)
+          if (szLen == 0) return
+          val body = off + idLen + szLen
+          val isContainer = id match {
+            case 0x1A45DFA3L | 0x18538067L | 0x1654AE6BL | 0xAEL => true
+            case _ => false
+          }
+          val bodyEnd =
+            if (size < 0) { if (isContainer) end else return }
+            else if (size > end - body) { if (isContainer) end else return }
+            else body + size.toInt
+          id match {
+            case _ if isContainer =>
+              walk(body, bodyEnd, depth + 1)
+              if (id == 0xAEL) { // TrackEntry closes
+                if (found == null && tType == 0x11)
+                  found = if (tLang != null) tLang else "eng" // spec default
+                tType = -1; tLang = null
+              }
+            case 0x83L =>
+              var v = 0L
+              var i = body
+              while (i < bodyEnd) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+              tType = v.toInt
+            case 0x22B59CL =>
+              tLang = new String(b, body, bodyEnd - body, "ISO-8859-1")
+            case _ => ()
+          }
+          off = bodyEnd
+        }
+      }
+      walk(0, b.length, 0)
+      return found
+    }
+    null
+  } catch { case _: Throwable => null } // per-row isolation
+
+  /** [[declaredTextLang]] as a Column — codegen'd like
+    * [[subtitleTrackCountCol]].
+    */
+  def declaredTextLangCol(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.bridge.{columnOf, expressionOf}
+    columnOf(DeclaredTextLang(expressionOf(content)))
+  }
+
+  case class DeclaredTextLang(child: org.apache.spark.sql.catalyst.expressions.Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val s = declaredTextLang(v.asInstanceOf[Array[Byte]])
+      if (s == null) null
+      else org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val c = child.genCode(ctx)
+      val raw = ctx.freshName("dlang")
+      ev.copy(code = code"""
+        ${c.code}
+        String $raw = ${c.isNull} ? null :
+          graft.operators.Multimodal.declaredTextLang(${c.value});
+        final boolean ${ev.isNull} = $raw == null;
+        final org.apache.spark.unsafe.types.UTF8String ${ev.value} =
+          ${ev.isNull} ? null :
+          org.apache.spark.unsafe.types.UTF8String.fromString($raw);""")
+    }
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression): DeclaredTextLang = copy(c)
+  }
+
   /** [[subtitleTrackCount]] as a Column — codegen'd like
     * [[scrubGpsCol]], so the flag is a map-only projection.
     */
@@ -1041,7 +1225,8 @@ object Multimodal {
       tags: Option[(String, String, String)] = None,
       subtitleTracks: Int = 0,
       subCues: Seq[(Long, Long, String)] = Nil,
-      attachedArt: Option[(String, Array[Byte])] = None): Array[Byte] = {
+      attachedArt: Option[(String, Array[Byte])] = None,
+      subLang: Option[String] = None): Array[Byte] = {
     require(subCues.isEmpty || subtitleTracks > 0,
       "muxed cues ride the first subtitle track")
     def vintSize(n: Long): Array[Byte] = { // 4-byte size VINT
@@ -1086,7 +1271,8 @@ object Multimodal {
         }) ++ uintEl(0x9FL, if (kind == "audio") channels.toLong else 2L)))
     val subTracks = (0 until subtitleTracks).toArray.flatMap(i =>
       el(0xAEL, uintEl(0xD7L, 3L + i) ++ uintEl(0x83L, 0x11L) ++
-        strEl(0x86L, "S_TEXT/UTF8")))
+        strEl(0x86L, "S_TEXT/UTF8") ++
+        subLang.map(strEl(0x22B59CL, _)).getOrElse(Array.emptyByteArray)))
     val tracks = el(0x1654AE6BL,
       (if (kind == "video") videoTrack ++ audioTrack else audioTrack) ++
         subTracks)
@@ -3449,6 +3635,11 @@ object Multimodal {
     * feeds the TEXT pipeline (lang-ID, quality, dedup,
     * decontamination) and the (start_ms, end_ms) intervals line up
     * with [[videoStats]] durations for clip-text pair cutting.
+    * `declared_lang` is the container's OWN language assertion
+    * ([[declaredTextLang]] — MP4 mdhd code, Matroska Language
+    * element, SYLT language field; null for sidecars, which declare
+    * nothing reliable), computed in the SAME scan so a pipeline can
+    * gate on declared-vs-detected agreement without a second pass.
     */
   def subtitleCues(df: DataFrame, idCol: String = "doc_id",
       contentCol: String = "content"): DataFrame = {
@@ -3460,7 +3651,8 @@ object Multimodal {
       StructField("cue_idx", IntegerType),
       StructField("start_ms", LongType),
       StructField("end_ms", LongType),
-      StructField("text", StringType)))
+      StructField("text", StringType),
+      StructField("declared_lang", StringType)))
     val idIdx = inSchema.fieldIndex(idCol)
     val contentIdx = inSchema.fieldIndex(contentCol)
     val isBinary = inSchema(contentIdx).dataType == BinaryType
@@ -3494,8 +3686,13 @@ object Multimodal {
         }
       }
       parsed match {
-        case Some((fmt, cues)) => cues.map(c =>
-          Row(row.get(idIdx), fmt, c.idx, c.startMs, c.endMs, c.text))
+        case Some((fmt, cues)) =>
+          // per-file metadata, computed ONCE per row (not per cue) —
+          // and only for rows that actually yielded cues
+          val declared = if (muxed.isDefined) declaredTextLang(bytes) else null
+          cues.map(c =>
+            Row(row.get(idIdx), fmt, c.idx, c.startMs, c.endMs, c.text,
+              declared))
         case None => Nil
       }
     }
@@ -7767,10 +7964,12 @@ object Multimodal {
     */
   private[graft] def syntheticMp4TimedText(frames: Seq[Array[Byte]],
       cues: Seq[(Long, Long, String)],
-      codec: String = "tx3g"): Array[Byte] = {
+      codec: String = "tx3g", lang: String = "eng"): Array[Byte] = {
     require(frames.nonEmpty && cues.nonEmpty, "frames and cues required")
     require(codec == "tx3g" || codec == "wvtt" || codec == "stpp",
       s"codec: $codec")
+    require(lang.length == 3 && lang.forall(c => c >= 'a' && c <= 'z'),
+      s"ISO-639-2 code: $lang")
     def box(id: String, payload: Array[Byte]): Array[Byte] = {
       val out = java.nio.ByteBuffer.allocate(8 + payload.length)
       out.putInt(8 + payload.length).put(id.getBytes("ISO-8859-1")).put(payload)
@@ -7834,7 +8033,11 @@ object Multimodal {
     // text trak: ticks are ms (timescale 1000), one chunk after frames
     val tn = samples.length
     val textStart = frameOffsets.last
-    val tMdhd = u32s(Seq(0, 0, 0, 1000, samples.map(_._1).sum, 0))
+    // mdhd language: 3x5-bit packed ISO-639-2 in the u16 after duration
+    val packedLang = ((lang(0) - 0x60) << 10) | ((lang(1) - 0x60) << 5) |
+      (lang(2) - 0x60)
+    val tMdhd = u32s(Seq(0, 0, 0, 1000, samples.map(_._1).sum,
+      packedLang << 16))
     val tHdlr = u32s(Seq(0, 0)) ++ "sbtl".getBytes("ISO-8859-1") ++ new Array[Byte](12)
     val tStbl = box("stbl",
       box("stsd", u32s(Seq(0, 1)) ++ box(codec, new Array[Byte](70))) ++

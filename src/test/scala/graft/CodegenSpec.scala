@@ -212,6 +212,7 @@ class CodegenSpec extends SparkSpec {
         M.dhash64Col(M.scrubGpsCol(col("img"))).as("dhsg"),
         M.mediaLinkHash64Col(col("img")).as("mlh"), // == dh for raw images
         M.subtitleTrackCountCol(col("img")).as("stc"), // null for images
+        M.declaredTextLangCol(col("img")).as("dtl"), // null for images
         CatalystExpressions.matVec(col("vec"),
           Array(Array(0.0, 1.0), Array(1.0, 0.0))).as("mv"),
         CatalystExpressions.countInSet(col("toks"), Seq("a", "c")).as("cis"))

@@ -2382,6 +2382,45 @@ class SemanticSpec extends SparkSpec {
     assert(out == Seq(("sylt", 1200L, "line one"), ("sylt", 3400L, "line twö")))
   }
 
+  test("declaredTextLang: mdhd code, Matroska Language element + eng default, SYLT field, hostiles") {
+    val M = Multimodal
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    val frames = Seq(M.renderJpeg(8, 8, (_, _) => gray(50)))
+    val cues = Seq((0L, 500L, "x"))
+    // BMFF: the text trak's packed mdhd language
+    assert(M.declaredTextLang(M.syntheticMp4TimedText(frames, cues,
+      lang = "deu")) == "deu")
+    assert(M.declaredTextLang(M.syntheticMp4TimedText(frames, cues)) == "eng")
+    // a caption-less movie declares nothing
+    assert(M.declaredTextLang(M.syntheticMjpegMp4(frames)) == null)
+    // Matroska: explicit Language element; absent = spec default eng
+    assert(M.declaredTextLang(M.syntheticWebm("video", width = 8,
+      height = 8, durationMs = 100L, subtitleTracks = 1,
+      subLang = Some("fre"))) == "fre")
+    assert(M.declaredTextLang(M.syntheticWebm("video", width = 8,
+      height = 8, durationMs = 100L, subtitleTracks = 1)) == "eng")
+    assert(M.declaredTextLang(M.syntheticWebm("video", width = 8,
+      height = 8, durationMs = 100L)) == null)
+    // ID3: the SYLT frame's language field
+    assert(M.declaredTextLang(M.syntheticId3(4, "T", "A", "B",
+      syncedLyrics = Seq((100L, "l"))) ++
+      M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))) == "eng")
+    assert(M.declaredTextLang(M.syntheticId3(4, "T", "A", "B") ++
+      M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))) == null)
+    // hostiles: junk and truncation degrade to null, never throw
+    assert(M.declaredTextLang("junk junk junk junk".getBytes("UTF-8")) == null)
+    val tx = M.syntheticMp4TimedText(frames, cues)
+    assert(M.declaredTextLang(
+      java.util.Arrays.copyOfRange(tx, 0, tx.length / 3)) == null)
+    // the cue surface carries it per row, computed in the same scan
+    val out = M.subtitleCues(Seq(
+      (1L, M.syntheticMp4TimedText(frames, cues, lang = "spa")),
+      (2L, "1\n00:00:01,000 --> 00:00:02,000\nside\n".getBytes("UTF-8"))
+    ).toDF("doc_id", "content")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(6))).toMap
+    assert(out == Map(1L -> Some("spa"), 2L -> None))
+  }
+
   test("mediaLinkHash64 + coverArtLinkCorpus: art links audio to its image across all four carriers") {
     val M = Multimodal
     def gray(v: Int): Int = (v << 16) | (v << 8) | v
