@@ -5980,7 +5980,12 @@ object SparkEntry {
       // SAME bytes as the M4A cover, so the class spans containers
       (6L, M.syntheticWebm("audio", channels = 2, sampleRate = 48000,
         durationMs = 1000L, codec = "A_FLAC",
-        attachedArt = Some(("image/png", artB))))
+        attachedArt = Some(("image/png", artB)))),
+      // ID3v2.2: the 3-char PIC frame (format string, not a MIME) —
+      // the v2.2 parity row; shares artA's class
+      (7L, M.syntheticId3(2, "Song", "Band", "LP",
+        apic = Some(("image/png", artA))) ++
+        M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101)))))
     ).toDF("aud_id", "content")
     val withArt = M.embeddedArt(rows)
       .withColumn("art_fp", when(col("art").isNotNull, xxhash64(col("art"))))
@@ -5994,14 +5999,17 @@ object SparkEntry {
 
   private def embeddedArtOracle: String =
     """SELECT * FROM (VALUES
-      | (CAST(1 AS BIGINT), 'image/png', TRUE, CAST(2 AS BIGINT)),
-      | (CAST(2 AS BIGINT), 'image/png', TRUE, CAST(2 AS BIGINT)),
+      | (CAST(1 AS BIGINT), 'image/png', TRUE, CAST(3 AS BIGINT)),
+      | (CAST(2 AS BIGINT), 'image/png', TRUE, CAST(3 AS BIGINT)),
       | (CAST(3 AS BIGINT), 'image/png', TRUE, CAST(2 AS BIGINT)),
       | (CAST(4 AS BIGINT), CAST(NULL AS VARCHAR), FALSE, CAST(NULL AS BIGINT)),
       | (CAST(5 AS BIGINT), CAST(NULL AS VARCHAR), FALSE, CAST(NULL AS BIGINT)),
       | -- M4A covr and MKA attachment share bytes: one class,
       | -- two containers
-      | (CAST(6 AS BIGINT), 'image/png', TRUE, CAST(2 AS BIGINT))
+      | (CAST(6 AS BIGINT), 'image/png', TRUE, CAST(2 AS BIGINT)),
+      | -- v2.2 PIC: same bytes as rows 1/2 — the class is now three
+      | -- carriers wide (APIC, FLAC PICTURE, PIC)
+      | (CAST(7 AS BIGINT), 'image/png', TRUE, CAST(3 AS BIGINT))
       |) AS t(aud_id, art_mime, has_art, n_sharing_art)
       |ORDER BY aud_id""".stripMargin
 
@@ -6105,6 +6113,10 @@ object SparkEntry {
       // SYLT-only track: the synced lyrics surface as de-timed text
       (7L, M.syntheticId3(4, "T", "A", "B",
         syncedLyrics = Seq((900L, "timed un"), (2100L, "timed deux"))) ++
+        M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))),
+      // ID3v2.2: the 3-char ULT frame — the v2.2 parity row
+      (8L, M.syntheticId3(2, "T", "A", "B",
+        lyrics = Some("v22 ÜLT vers")) ++
         M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101)))))
     ).toDF("aud_id", "content")
     M.audioLyrics(rows)
@@ -6121,7 +6133,9 @@ object SparkEntry {
       | (CAST(5 AS BIGINT), CAST(NULL AS VARCHAR)),
       | (CAST(6 AS BIGINT), CAST(NULL AS VARCHAR)),
       | -- USLT absent: the SYLT fallback joins the timed lines
-      | (CAST(7 AS BIGINT), 'timed un' || chr(10) || 'timed deux')
+      | (CAST(7 AS BIGINT), 'timed un' || chr(10) || 'timed deux'),
+      | -- v2.2's 3-char ULT frame (UTF-16 text under that version)
+      | (CAST(8 AS BIGINT), 'v22 ÜLT vers')
       |) AS t(aud_id, lyrics)
       |ORDER BY aud_id""".stripMargin
 
