@@ -6677,6 +6677,111 @@ object SparkEntry {
       |       declared_lang)
       |ORDER BY doc_id, cue_idx""".stripMargin
 
+  /** Media chapters ([[graft.operators.Multimodal.mediaChapters]]) —
+    * the audiobook/podcast segmentation surface behind one dispatch:
+    * ID3 `CHAP` frames with embedded TIT2 titles (v2.4 UTF-8 and
+    * v2.3 UTF-16), Matroska `Chapters/EditionEntry/ChapterAtom` in
+    * ns with `ChapterDisplay` titles, and the Nero `chpl` box (100 ns
+    * starts, pascal-string titles, ends following the LRC
+    * next-start rule). A chapterless audio row contributes nothing.
+    */
+  private def q196(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    val chaps = Seq((0L, 60000L, "Intro"), (60000L, 150000L, "Deuxième acte"))
+    val rows = Seq(
+      (1L, M.syntheticId3(4, "Pod", "Host", "Show", chapters = chaps) ++
+        M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))),
+      (2L, M.syntheticId3(3, "Pod", "Host", "Show", chapters = chaps) ++
+        M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))),
+      (3L, M.syntheticWebm("audio", channels = 2, sampleRate = 48000,
+        durationMs = 200000L, codec = "A_OPUS", docType = "matroska",
+        chapters = chaps)),
+      (4L, M.mp4WithChpl(M.syntheticM4a(2, 44100, 441000L),
+        Seq((0L, "One"), (60000L, "Zwölf & Co")))),
+      (5L, M.syntheticId3(4, "NoChap", "X", "Y") ++
+        M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))),
+      (6L, "junk".getBytes("UTF-8"))
+    ).toDF("doc_id", "content")
+    M.mediaChapters(rows).orderBy(col("doc_id"), col("chap_idx"))
+  }
+
+  private def chaptersOracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(1 AS BIGINT), 'id3', 1, CAST(0 AS BIGINT),
+      |  CAST(60000 AS BIGINT), 'Intro'),
+      | (CAST(1 AS BIGINT), 'id3', 2, CAST(60000 AS BIGINT),
+      |  CAST(150000 AS BIGINT), 'Deuxième acte'),
+      | (CAST(2 AS BIGINT), 'id3', 1, CAST(0 AS BIGINT),
+      |  CAST(60000 AS BIGINT), 'Intro'),
+      | (CAST(2 AS BIGINT), 'id3', 2, CAST(60000 AS BIGINT),
+      |  CAST(150000 AS BIGINT), 'Deuxième acte'),
+      | (CAST(3 AS BIGINT), 'matroska', 1, CAST(0 AS BIGINT),
+      |  CAST(60000 AS BIGINT), 'Intro'),
+      | (CAST(3 AS BIGINT), 'matroska', 2, CAST(60000 AS BIGINT),
+      |  CAST(150000 AS BIGINT), 'Deuxième acte'),
+      | -- chpl carries no ends: next start, last zero-length
+      | (CAST(4 AS BIGINT), 'chpl', 1, CAST(0 AS BIGINT),
+      |  CAST(60000 AS BIGINT), 'One'),
+      | (CAST(4 AS BIGINT), 'chpl', 2, CAST(60000 AS BIGINT),
+      |  CAST(60000 AS BIGINT), 'Zwölf & Co')
+      |) AS t(doc_id, chap_format, chap_idx, start_ms, end_ms, title)
+      |ORDER BY doc_id, chap_idx""".stripMargin
+
+  /** Corpus-scale clip-text pair mining — q190's video twin: a
+    * captioned MP4 (muxed tx3g track) for every SECOND `documents`
+    * row, 1 + id%3 cues each (500 ms clips at 1 s strides, gaps as
+    * empty samples — what a real muxer writes),
+    * [[graft.operators.Multimodal.subtitleCues]] extraction gated on
+    * the container-declared language, ONE aggregate for per-group
+    * pair counts, text volume and clip seconds. The 100 TB plan is a
+    * single scan — map-only extraction, no joins, no windows; the
+    * PlanAudit job gate locks the count as pipeline-constant. Oracle
+    * = doc_id arithmetic (every cue of doc d is 18+len(d) chars and
+    * 500 ms).
+    */
+  private def q197(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Scale.parallelismFloor(
+      t(s, dir, "documents").select(col("doc_id")))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val rdd = docs.rdd.flatMap { r =>
+      val id = r.getLong(0)
+      if (id % 2 != 0) Nil
+      else {
+        val frame = graft.operators.Multimodal.renderJpeg(8, 4,
+          (_, _) => (90 << 16) | (90 << 8) | 90)
+        val cues = (0 until (1 + (id % 3)).toInt).map(j =>
+          (1000L * j, 1000L * j + 500L, s"cue $j of document $id"))
+        Seq(org.apache.spark.sql.Row(id,
+          graft.operators.Multimodal.syntheticMp4TimedText(Seq(frame),
+            cues, codec = "tx3g", lang = "eng")))
+      }
+    }
+    val movies = s.createDataFrame(rdd, schema)
+    graft.operators.Multimodal.subtitleCues(movies)
+      .filter(col("declared_lang") === "eng") // the pairing gate
+      .groupBy((col("doc_id") % 5).as("grp"))
+      .agg(sum(when(col("cue_idx") === 1, 1L).otherwise(0L)).as("n_videos"),
+        count(lit(1)).as("n_pairs"),
+        sum(length(col("text"))).as("pair_chars"),
+        sum(col("end_ms") - col("start_ms")).as("clip_ms"))
+      .orderBy(col("grp"))
+  }
+
+  private def clipPairCorpusOracle: String =
+    """SELECT doc_id % 5 AS grp,
+      | CAST(count(*) AS BIGINT) AS n_videos,
+      | CAST(sum(1 + doc_id % 3) AS BIGINT) AS n_pairs,
+      | CAST(sum((1 + doc_id % 3)
+      |   * (18 + length(CAST(doc_id AS VARCHAR)))) AS BIGINT) AS pair_chars,
+      | CAST(sum((1 + doc_id % 3) * 500) AS BIGINT) AS clip_ms
+      |FROM documents WHERE doc_id % 2 = 0
+      |GROUP BY doc_id % 5 ORDER BY grp""".stripMargin
+
   /** Corpus-scale cover-art linking ([[graft.operators.Dedup
     * .coverArtLinkCorpus]]) — the "same album, different rip" signal:
     * a stripe-class PNG for every THIRD `documents` row (the q156
@@ -7029,7 +7134,9 @@ object SparkEntry {
     "q192_mp4text" -> (q192 _),
     "q193_sylt" -> (q193 _),
     "q194_artlink" -> (q194 _),
-    "q195_cuelang" -> (q195 _))
+    "q195_cuelang" -> (q195 _),
+    "q196_chapters" -> (q196 _),
+    "q197_clippairs" -> (q197 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -7475,6 +7582,8 @@ object SparkEntry {
     "q193_sylt" -> syltOracle,
     "q194_artlink" -> coverArtCorpusOracle,
     "q195_cuelang" -> cueLangOracle,
+    "q196_chapters" -> chaptersOracle,
+    "q197_clippairs" -> clipPairCorpusOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

@@ -1226,7 +1226,8 @@ object Multimodal {
       subtitleTracks: Int = 0,
       subCues: Seq[(Long, Long, String)] = Nil,
       attachedArt: Option[(String, Array[Byte])] = None,
-      subLang: Option[String] = None): Array[Byte] = {
+      subLang: Option[String] = None,
+      chapters: Seq[(Long, Long, String)] = Nil): Array[Byte] = {
     require(subCues.isEmpty || subtitleTracks > 0,
       "muxed cues ride the first subtitle track")
     def vintSize(n: Long): Array[Byte] = { // 4-byte size VINT
@@ -1309,8 +1310,17 @@ object Multimodal {
           el(0x465CL, data) ++
           el(0x46AEL, Array[Byte](1)))) // FileUID
     }.getOrElse(Array.emptyByteArray)
-    ebml ++ el(0x18538067L, info ++ tracks ++ cues ++ tagsEl ++ attachEl ++
-      cluster)
+    // Chapters/EditionEntry/ChapterAtom: ns times + ChapterDisplay
+    val chaptersEl =
+      if (chapters.isEmpty) Array.emptyByteArray
+      else el(0x1043A770L, el(0x45B9L, chapters.toArray.flatMap {
+        case (stMs, enMs, title) =>
+          el(0xB6L, uintEl(0x91L, stMs * 1000000L) ++
+            uintEl(0x92L, enMs * 1000000L) ++
+            el(0x80L, el(0x85L, title.getBytes("UTF-8"))))
+      }))
+    ebml ++ el(0x18538067L, info ++ tracks ++ cues ++ tagsEl ++
+      chaptersEl ++ attachEl ++ cluster)
   }
 
   /** WebP header facts — (width, height, channels, variant) from the
@@ -2519,6 +2529,48 @@ object Multimodal {
         c => s"graft.operators.Multimodal.scrubVideoGps($c)")
     override protected def withNewChildInternal(
         c: org.apache.spark.sql.catalyst.expressions.Expression): ScrubVideoGps = copy(c)
+  }
+
+  /** Splice a Nero `chpl` chapter box (`moov/udta/chpl`) into an
+    * existing `ftyp ++ ... ++ moov` fixture — [[mp4WithGps]]'s
+    * chapters twin: fullbox + u32 reserved + u8 count, entries of
+    * u64 start in 100 ns units + pascal-string UTF-8 title.
+    */
+  private[graft] def mp4WithChpl(mp4: Array[Byte],
+      chapters: Seq[(Long, String)]): Array[Byte] = {
+    require(chapters.nonEmpty && chapters.size < 256, "u8 chapter count")
+    def box(id: String, payload: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + payload.length)
+      out.putInt(8 + payload.length).put(id.getBytes("ISO-8859-1")).put(payload)
+      out.array()
+    }
+    val body = new java.io.ByteArrayOutputStream()
+    body.write(Array[Byte](1, 0, 0, 0), 0, 4) // fullbox version 1
+    body.write(new Array[Byte](4), 0, 4) // reserved
+    body.write(chapters.size)
+    chapters.foreach { case (ms, title) =>
+      val t100ns = ms * 10000L
+      val bb = java.nio.ByteBuffer.allocate(8).putLong(t100ns).array()
+      body.write(bb, 0, 8)
+      val tb = title.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      require(tb.length < 256, "pascal-string title")
+      body.write(tb.length)
+      body.write(tb, 0, tb.length)
+    }
+    val udta = box("udta", box("chpl", body.toByteArray))
+    @inline def u32(o: Int): Int = java.nio.ByteBuffer.wrap(mp4, o, 4).getInt
+    var off = 0
+    var moovAt = -1
+    while (moovAt < 0 && off + 8 <= mp4.length) {
+      if (new String(mp4, off + 4, 4, "ISO-8859-1") == "moov") moovAt = off
+      else off += u32(off)
+    }
+    require(moovAt >= 0, "fixture mp4 must carry a moov box")
+    val moovEnd = moovAt + u32(moovAt)
+    val moovPayload = java.util.Arrays.copyOfRange(mp4, moovAt + 8, moovEnd)
+    java.util.Arrays.copyOfRange(mp4, 0, moovAt) ++
+      box("moov", moovPayload ++ udta) ++
+      java.util.Arrays.copyOfRange(mp4, moovEnd, mp4.length)
   }
 
   /** `udta(©xyz)` bytes to splice into a [[syntheticMjpegMp4]] /
@@ -5570,6 +5622,270 @@ object Multimodal {
     }
   } catch { case _: Throwable => None } // per-row isolation
 
+  /** Podcast chapters from ID3v2 `CHAP` frames (the id3v2-chapters
+    * addendum every podcast app writes): elementID (latin-1, NUL),
+    * u32 start/end ms, u32 start/end byte offsets (ignored), then
+    * EMBEDDED sub-frames — the title is the embedded `TIT2` when
+    * present, else the elementID. Chapters sort by start; v2.3 and
+    * v2.4 embedded-frame size formats both handled. None when no
+    * tag or no CHAP frame.
+    */
+  private[graft] def id3Chapters(b: Array[Byte]): Option[Seq[SubCue]] = try {
+    val raw = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Int, Int)]
+    val ver = id3FrameWalk(b) { (id, frame, from, until) =>
+      if (id == "CHAP" && until - from >= 17 && frames.size < 10000)
+        frames += ((frame, from, until))
+    }
+    if (ver < 0 || frames.isEmpty) return None
+    frames.foreach { case (frame, from, until) =>
+      var p = from
+      while (p < until && frame(p) != 0) p += 1
+      val elementId = new String(frame, from, p - from, "ISO-8859-1")
+      p += 1
+      if (p + 16 <= until) {
+        @inline def u32(o: Int): Long =
+          ((frame(o) & 0xffL) << 24) | ((frame(o + 1) & 0xffL) << 16) |
+            ((frame(o + 2) & 0xffL) << 8) | (frame(o + 3) & 0xffL)
+        val st = u32(p)
+        val en = u32(p + 4)
+        p += 16 // times + byte offsets
+        // embedded sub-frames in the OUTER tag's frame format
+        var title: String = null
+        while (title == null && p + 10 <= until) {
+          val fid = new String(frame, p, 4, "ISO-8859-1")
+          val size =
+            if (ver == 4)
+              ((frame(p + 4) & 0x7f) << 21) | ((frame(p + 5) & 0x7f) << 14) |
+                ((frame(p + 6) & 0x7f) << 7) | (frame(p + 7) & 0x7f)
+            else u32(p + 4).toInt
+          if (size < 0 || p + 10 + size > until) p = until
+          else {
+            if (fid == "TIT2" && size >= 1) {
+              val enc = frame(p + 10) & 0xff
+              val t = enc match {
+                case 0 => new String(frame, p + 11, size - 1, "ISO-8859-1")
+                case 1 => new String(frame, p + 11, size - 1, "UTF-16")
+                case 2 => new String(frame, p + 11, size - 1, "UTF-16BE")
+                case _ => new String(frame, p + 11, size - 1, "UTF-8")
+              }
+              val nul = t.indexOf(0.toChar)
+              title = (if (nul >= 0) t.substring(0, nul) else t).trim
+            }
+            p += 10 + size
+          }
+        }
+        if (en >= st)
+          raw += ((st, en, if (title != null && title.nonEmpty) title
+          else elementId))
+      }
+    }
+    if (raw.isEmpty) None
+    else Some(raw.sortBy(r => (r._1, r._2)).toSeq.zipWithIndex.map {
+      case ((st, en, t), k) => SubCue(k + 1, st, en, t)
+    })
+  } catch { case _: Throwable => None } // per-row isolation
+
+  /** Matroska/WebM chapters — `Chapters/EditionEntry/ChapterAtom`
+    * with `ChapterTimeStart`/`ChapterTimeEnd` (ns) and the
+    * `ChapterDisplay/ChapString` title. An atom without an end time
+    * ends where the next chapter starts (the last is zero-length) —
+    * the LRC rule. Same EBML reading and depth-cap discipline as
+    * [[webmInfo]]; None for non-EBML bytes or no chapter atom.
+    */
+  private[graft] def webmChapters(b: Array[Byte]): Option[Seq[SubCue]] = try {
+    if (b == null || b.length < 8 ||
+      !(b(0) == 0x1A.toByte && b(1) == 0x45.toByte &&
+        b(2) == 0xDF.toByte && b(3) == 0xA3.toByte)) return None
+    @inline def vintLen(o: Int): Int = {
+      if (o >= b.length) return -1
+      val b0 = b(o) & 0xff
+      if (b0 == 0) -1 else Integer.numberOfLeadingZeros(b0) - 23
+    }
+    def readId(o: Int): Long = {
+      val n = vintLen(o)
+      if (n < 1 || n > 4 || o + n > b.length) return -1L
+      var v = 0L
+      var i = 0
+      while (i < n) { v = (v << 8) | (b(o + i) & 0xffL); i += 1 }
+      v
+    }
+    def readSize(o: Int): (Long, Int) = {
+      val n = vintLen(o)
+      if (n < 1 || n > 8 || o + n > b.length) return (-2L, 0)
+      var v = (b(o) & 0xff & (0xff >>> n)).toLong
+      var i = 1
+      while (i < n) { v = (v << 8) | (b(o + i) & 0xffL); i += 1 }
+      (if (v == (1L << (7 * n)) - 1) -1L else v, n)
+    }
+    @inline def uintOf(from: Int, until: Int): Long = {
+      var v = 0L
+      var i = from
+      while (i < until) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+      v
+    }
+    val raw = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    var aStart = -1L
+    var aEnd = -1L
+    var aTitle: String = null
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      if (depth > 16 || raw.size >= 10000) return
+      var off = start
+      while (off < end && raw.size < 10000) {
+        val id = readId(off)
+        if (id < 0) return
+        val idLen = vintLen(off)
+        val (size, szLen) = readSize(off + idLen)
+        if (szLen == 0) return
+        val body = off + idLen + szLen
+        val isContainer = id match {
+          case 0x1A45DFA3L | 0x18538067L | 0x1043A770L | 0x45B9L |
+               0xB6L | 0x80L => true
+          case _ => false
+        }
+        val bodyEnd =
+          if (size < 0) { if (isContainer) end else return }
+          else if (size > end - body) { if (isContainer) end else return }
+          else body + size.toInt
+        id match {
+          case _ if isContainer =>
+            if (id == 0xB6L) { aStart = -1L; aEnd = -1L; aTitle = null }
+            walk(body, bodyEnd, depth + 1)
+            if (id == 0xB6L && aStart >= 0) // ChapterAtom closes
+              raw += ((aStart / 1000000L,
+                if (aEnd >= aStart) aEnd / 1000000L else -1L,
+                if (aTitle == null) "" else aTitle))
+          case 0x91L => aStart = uintOf(body, bodyEnd) // ns
+          case 0x92L => aEnd = uintOf(body, bodyEnd)
+          case 0x85L => // ChapString
+            aTitle = new String(b, body, bodyEnd - body,
+              java.nio.charset.StandardCharsets.UTF_8)
+          case _ => ()
+        }
+        off = bodyEnd
+      }
+    }
+    walk(0, b.length, 0)
+    if (raw.isEmpty) None
+    else {
+      val sorted = raw.sortBy(_._1).toSeq
+      Some(sorted.zipWithIndex.map { case ((st, en, t), k) =>
+        val end = if (en >= 0) en
+          else if (k + 1 < sorted.length) sorted(k + 1)._1 else st
+        SubCue(k + 1, st, end, t)
+      })
+    }
+  } catch { case _: Throwable => None } // per-row isolation
+
+  /** MP4/M4A/M4B chapters from the Nero `chpl` box under
+    * `moov/udta` (the audiobook convention): fullbox + u32 reserved +
+    * u8 count, entries of u64 start (100 ns units) + pascal-string
+    * title. Ends follow the LRC rule (next start; last zero-length).
+    * None for non-BMFF bytes or no chpl box.
+    */
+  private[graft] def mp4Chapters(b: Array[Byte]): Option[Seq[SubCue]] = try {
+    if (b == null || b.length < 16 ||
+      !(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return None
+    @inline def u32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    @inline def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    var chplAt = -1
+    var chplEnd = -1
+    def walk(start: Long, end: Long, depth: Int): Unit = {
+      if (depth > 16) return
+      var off = start
+      while (chplAt < 0 && off + 8 <= end) {
+        val size0 = u32(off.toInt)
+        val id = new String(b, off.toInt + 4, 4, "ISO-8859-1")
+        var body = off + 8
+        val boxEnd =
+          if (size0 == 1 && off + 16 <= end) { body = off + 16; off + u64(off.toInt + 8) }
+          else if (size0 == 0) end
+          else off + size0
+        if (boxEnd < body || boxEnd > end) return
+        id match {
+          case "moov" | "udta" => walk(body, boxEnd, depth + 1)
+          case "chpl" => chplAt = body.toInt; chplEnd = boxEnd.toInt
+          case _ => ()
+        }
+        off = boxEnd
+      }
+    }
+    walk(0L, b.length.toLong, 0)
+    if (chplAt < 0 || chplEnd - chplAt < 9) return None
+    var p = chplAt + 8 // fullbox version/flags + u32 reserved
+    val count = b(p) & 0xff
+    p += 1
+    val raw = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    var i = 0
+    while (i < count && p + 9 <= chplEnd) {
+      val startMs = u64(p) / 10000L // 100 ns units
+      val len = b(p + 8) & 0xff
+      p += 9
+      if (p + len > chplEnd) return None
+      raw += ((startMs, new String(b, p, len,
+        java.nio.charset.StandardCharsets.UTF_8)))
+      p += len
+      i += 1
+    }
+    if (raw.isEmpty) None
+    else {
+      val sorted = raw.sortBy(_._1).toSeq
+      Some(sorted.zipWithIndex.map { case ((st, t), k) =>
+        val end = if (k + 1 < sorted.length) sorted(k + 1)._1 else st
+        SubCue(k + 1, st, end, t)
+      })
+    }
+  } catch { case _: Throwable => None } // per-row isolation
+
+  /** Explode media chapters into rows:
+    * (id, chap_format, chap_idx, start_ms, end_ms, title) —
+    * [[subtitleCues]]' segmentation twin for the audiobook/podcast
+    * surface: ID3 `CHAP` frames (format `id3`), Matroska `Chapters`
+    * (`matroska`/`webm` DocType), the Nero `chpl` box (`chpl`). One
+    * map-only flatMap; chapterless rows yield nothing. The
+    * (start_ms, end_ms) segments drive clip cutting exactly like cue
+    * intervals.
+    */
+  def mediaChapters(df: DataFrame, idCol: String = "doc_id",
+      contentCol: String = "content"): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val idField = inSchema(inSchema.fieldIndex(idCol))
+    val outSchema = StructType(Seq(idField,
+      StructField("chap_format", StringType),
+      StructField("chap_idx", IntegerType),
+      StructField("start_ms", LongType),
+      StructField("end_ms", LongType),
+      StructField("title", StringType)))
+    val idIdx = inSchema.fieldIndex(idCol)
+    val contentIdx = inSchema.fieldIndex(contentCol)
+    val rdd = df.rdd.flatMap { row =>
+      val bytes =
+        if (!row.isNullAt(contentIdx)) row.getAs[Array[Byte]](contentIdx)
+        else null
+      val parsed =
+        if (bytes == null || bytes.length < 10) None
+        else if (bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3')
+          id3Chapters(bytes).map(("id3", _))
+        else if (bytes(0) == 0x1A.toByte && bytes(1) == 0x45.toByte &&
+          bytes(2) == 0xDF.toByte && bytes(3) == 0xA3.toByte)
+          webmChapters(bytes).map(c =>
+            (webmInfo(bytes).map(_.docType).getOrElse("matroska"), c))
+        else if (bytes.length >= 16 && bytes(4) == 'f' && bytes(5) == 't' &&
+          bytes(6) == 'y' && bytes(7) == 'p')
+          mp4Chapters(bytes).map(("chpl", _))
+        else None
+      parsed match {
+        case Some((fmt, chaps)) => chaps.map(c =>
+          Row(row.get(idIdx), fmt, c.idx, c.startMs, c.endMs, c.text))
+        case None => Nil
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** The facts an M4A `ilst` item list declares — text tags plus the
     * `covr` cover art ([[m4aTags]] and [[embeddedArtBytes]] both read
     * from this ONE walk).
@@ -5999,7 +6315,8 @@ object Multimodal {
       artist: String, album: String, unsync: Boolean = false,
       apic: Option[(String, Array[Byte])] = None,
       lyrics: Option[String] = None,
-      syncedLyrics: Seq[(Long, String)] = Nil): Array[Byte] = {
+      syncedLyrics: Seq[(Long, String)] = Nil,
+      chapters: Seq[(Long, Long, String)] = Nil): Array[Byte] = {
     require(version == 2 || version == 3 || version == 4, s"version: $version")
     def rawFrame(id: String, payload0: Array[Byte]): Array[Byte] = {
       // v2.4: unsync is per-frame; the stored size counts stuffed bytes
@@ -6081,8 +6398,29 @@ object Multimodal {
         }
         rawFrame(if (version == 2) "SLT" else "SYLT", out.toByteArray)
       }
+    // CHAP (v2.3/v2.4 only — the chapters addendum postdates v2.2):
+    // elementID NUL, u32 start/end ms, u32 offsets (unused =
+    // 0xFFFFFFFF), embedded TIT2 in this version's frame format
+    val chapFrames =
+      if (chapters.isEmpty) Array.emptyByteArray
+      else {
+        require(version >= 3, "CHAP frames are a v2.3+ surface")
+        chapters.zipWithIndex.toArray.flatMap { case ((st, en, title), k) =>
+          val tit2 = frame("TIT2", title)
+          val out = new java.io.ByteArrayOutputStream()
+          val eid = s"chp$k".getBytes("ISO-8859-1")
+          out.write(eid, 0, eid.length); out.write(0)
+          def w32(v: Long): Unit = {
+            out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+            out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+          }
+          w32(st); w32(en); w32(0xFFFFFFFFL); w32(0xFFFFFFFFL)
+          out.write(tit2, 0, tit2.length)
+          rawFrame("CHAP", out.toByteArray)
+        }
+      }
     val frames0 = ids.flatMap { case (id, v) => frame(id, v) }.toArray ++
-      apicFrame ++ lyricsFrame ++ syltFrame
+      apicFrame ++ lyricsFrame ++ syltFrame ++ chapFrames
     // v2.2/v2.3: unsync applies to the whole composed tag
     val frames =
       if (unsync && version != 4) id3Unsync(frames0) else frames0
@@ -8012,7 +8350,7 @@ object Multimodal {
         prev = en
       }
     }
-    val ftyp = box("ftyp", "isom   isomiso2".getBytes("ISO-8859-1"))
+    val ftyp = box("ftyp", "isom\u0000\u0000\u0002\u0000isomiso2".getBytes("ISO-8859-1"))
     val mdatPayload = frames.flatten.toArray ++ samples.flatMap(_._2)
     val mdat = box("mdat", mdatPayload)
     val mdatStart = ftyp.length + 8

@@ -469,6 +469,27 @@ class PlanAudit extends SparkSpec {
     assert(jobs >= 5, s"listener must have observed the pipeline: $jobs")
   }
 
+  test("q197: corpus-scale clip-text pair mining is one scan — bounded job count") {
+    // muxed-cue extraction is a map-only flatMap + ONE aggregate: at
+    // 100 TB this is a single pass over the video corpus
+    val counter = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      SparkEntry.queries("q197_clippairs")(spark, dir).collect()
+      Thread.sleep(500) // listener delivery is async
+    } finally spark.sparkContext.removeSparkListener(l)
+    val jobs = counter.get()
+    assert(jobs <= 8,
+      s"clip-pair mining must stay a one-scan pipeline: $jobs jobs")
+    assert(jobs >= 1, s"listener must have observed the scan: $jobs")
+  }
+
   test("q194: corpus-scale cover-art linking runs a bounded, data-independent job count") {
     // the q156 gate for the cross-modal linker: one codegen'd
     // link-hash projection, one bucket-capped banded join, CC, keep

@@ -2457,6 +2457,47 @@ class SemanticSpec extends SparkSpec {
     assert(out(6L)._1.isEmpty && out(6L)._2)
   }
 
+  test("mediaChapters: ID3 CHAP, Matroska Chapters, Nero chpl — one dispatch") {
+    val M = Multimodal
+    val chaps = Seq((0L, 60000L, "Intro"), (60000L, 180000L, "Thème deux"))
+    // ID3 CHAP (v2.4 UTF-8 embedded TIT2, v2.3 UTF-16)
+    def mp3(v: Int) = M.syntheticId3(v, "T", "A", "B", chapters = chaps) ++
+      M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))
+    for (v <- Seq(3, 4)) {
+      val Some(c) = M.id3Chapters(mp3(v))
+      assert(c.map(x => (x.startMs, x.endMs, x.text)) == chaps, s"v2.$v")
+    }
+    // chapterless tag: None
+    assert(M.id3Chapters(M.syntheticId3(4, "T", "A", "B") ++
+      M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))).isEmpty)
+    // Matroska Chapters (ns scale)
+    val mka = M.syntheticWebm("audio", channels = 2, sampleRate = 48000,
+      durationMs = 200000L, codec = "A_OPUS", docType = "matroska",
+      chapters = chaps)
+    val Some(wc) = M.webmChapters(mka)
+    assert(wc.map(x => (x.startMs, x.endMs, x.text)) == chaps)
+    assert(M.webmChapters(M.syntheticWebm("audio", channels = 1,
+      sampleRate = 8000)).isEmpty)
+    // Nero chpl: no end times — next start, last zero-length
+    val m4b = M.mp4WithChpl(M.syntheticM4a(2, 44100, 441000L),
+      Seq((0L, "One"), (60000L, "Two")))
+    val Some(nc) = M.mp4Chapters(m4b)
+    assert(nc.map(x => (x.startMs, x.endMs, x.text)) ==
+      Seq((0L, 60000L, "One"), (60000L, 60000L, "Two")))
+    assert(M.mp4Chapters(M.syntheticM4a(2, 44100, 441000L)).isEmpty)
+    // hostiles: junk and truncation never throw
+    assert(M.id3Chapters("junk".getBytes("UTF-8")).isEmpty)
+    val cut = java.util.Arrays.copyOfRange(m4b, 0, m4b.length - 10)
+    val t = M.mp4Chapters(cut)
+    assert(t.isEmpty || t.get.length <= 2)
+    // DataFrame dispatch with format tags
+    val out = M.mediaChapters(Seq(
+      (1L, mp3(4)), (2L, mka), (3L, m4b), (4L, "junk".getBytes("UTF-8"))
+    ).toDF("doc_id", "content")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "id3"), (2L, "matroska"), (3L, "chpl")))
+  }
+
   test("MediaFlag: unknown kernel names fail at construction, not in codegen") {
     intercept[IllegalArgumentException] {
       Multimodal.MediaFlag(
