@@ -3788,6 +3788,46 @@ object Multimodal {
   private def cueBody(text: String): String =
     if (text == null) "" else text.replaceAll("\n{2,}", "\n").trim
 
+  /** Serialize cues as an LRC lyrics sidecar — [[formatSrt]]'s timed-
+    * lyrics twin: `[mm:ss.mmm]line` (3-digit ms, which [[parseLrc]]
+    * scales exactly). LRC carries STARTS only; the reparse derives
+    * each end as the next cue's start (last zero-length), so the
+    * round trip is exact for cues already in LRC shape — which is
+    * what [[parseLrc]] and [[id3SyltCues]] emit. Newlines inside a
+    * line become spaces (the format is line-per-lyric).
+    */
+  private[graft] def formatLrc(cues: Seq[SubCue]): String =
+    cues.map { c =>
+      val m = c.startMs / 60000
+      val s = (c.startMs % 60000) / 1000
+      f"[$m%02d:$s%02d.${c.startMs % 1000}%03d]" +
+        cueBody(c.text).replace('\n', ' ')
+    }.mkString("\n") + "\n"
+
+  /** Serialize cues as an ASS events file — the fansub-sidecar
+    * writer: a minimal `[Script Info]`/`[Events]` document whose
+    * `Dialogue:` lines [[parseAss]] reads back. ASS stamps are
+    * CENTISECOND precision (`h:mm:ss.cc`), so times round-trip
+    * exactly only when ms % 10 == 0 — callers export at that grain
+    * (sub-cs timing is below any fansub toolchain's resolution);
+    * newlines become `\N` and come back as newlines.
+    */
+  private[graft] def formatAss(cues: Seq[SubCue]): String = {
+    def stamp(ms: Long): String = {
+      val h = ms / 3600000
+      val m = (ms % 3600000) / 60000
+      val s = (ms % 60000) / 1000
+      f"$h%d:$m%02d:$s%02d.${ms % 1000 / 10}%02d"
+    }
+    "[Script Info]\nScriptType: v4.00+\n\n[Events]\n" +
+      "Format: Layer, Start, End, Style, Name, MarginL, MarginR, " +
+      "MarginV, Effect, Text\n" +
+      cues.map(c =>
+        s"Dialogue: 0,${stamp(c.startMs)},${stamp(c.endMs)},Default," +
+          s",0,0,0,,${cueBody(c.text).replace("\n", "\\N")}").mkString("\n") +
+      "\n"
+  }
+
   /** Resolve the stored raster to display orientation — the 8 EXIF
     * cases as direct pixel remaps (5-8 swap the axes).
     */
@@ -6908,6 +6948,9 @@ object Multimodal {
   val DHashSignatureName = "dhash64/1"
   val AudioHashSignatureName = "audiohash64/2"
   val VideoFingerprintSignatureName = "videofp64/1"
+  // composes dhash64/1 with the embeddedArt dispatch: bump if EITHER
+  // the hash framing or the art-extraction surface changes a value
+  val MediaLinkHashSignatureName = "medialinkhash64/1"
 
   /** The grid kernel behind [[audioHash64]] (generated code calls
     * [[audioHash64]] itself, so this can stay internal).

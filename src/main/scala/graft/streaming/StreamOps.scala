@@ -160,6 +160,25 @@ object StreamOps {
       graft.operators.Multimodal.DHashSignatureName, storeDir,
       checkpointDir, maxHamming, bands, maxBucketSize)
 
+  /** Streaming cross-modal cover-art linking —
+    * [[streamingImageDedupIngest]] over the
+    * [[graft.operators.Multimodal.mediaLinkHash64Col]] kernel: a
+    * crawl loop that links incoming audio/video (by embedded art)
+    * and images (by their raster) against everything already
+    * ingested, batch by batch. Same durable store layout, same
+    * kernel-identity stamp (the store refuses a drifted kernel), same
+    * new-vs-anything cost bound.
+    */
+  def streamingArtLinkIngest(stream: DataFrame, idCol: String,
+      contentCol: String, storeDir: String, checkpointDir: String,
+      maxHamming: Int = 6, bands: Int = 8,
+      maxBucketSize: Int = graft.operators.Dedup.DefaultMaxBucketSize)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamingSignatureDedupIngest(stream, idCol, contentCol,
+      graft.operators.Multimodal.mediaLinkHash64Col,
+      graft.operators.Multimodal.MediaLinkHashSignatureName, storeDir,
+      checkpointDir, maxHamming, bands, maxBucketSize)
+
   /** Streaming media card — the live form of
     * [[graft.operators.Multimodal.upsertMediaCardState]], built on
     * the signature store's replay discipline instead of a read-

@@ -2273,6 +2273,29 @@ class SemanticSpec extends SparkSpec {
     assert(b2.head.text == "before\nafter")
   }
 
+  test("formatLrc/formatAss: the new sidecar writers round-trip") {
+    val M = Multimodal
+    // LRC shape: ends = next start, last zero-length (what parseLrc
+    // and id3SyltCues emit)
+    val lrcCues = Seq(
+      M.SubCue(1, 1345L, 20100L, "première ligne"),
+      M.SubCue(2, 20100L, 20100L, "last"))
+    val Some(backL) = M.parseLrc(M.formatLrc(lrcCues))
+    assert(backL == lrcCues)
+    // ASS: centisecond-aligned cues with newlines and commas survive
+    val assCues = Seq(
+      M.SubCue(1, 0L, 1500L, "two\nlines, with comma"),
+      M.SubCue(2, 3600000L + 62430L, 3600000L + 63000L, "hour mark"))
+    val Some(backA) = M.parseAss(M.formatAss(assCues))
+    assert(backA == assCues)
+    // the muxed SYLT path exports losslessly through the LRC writer
+    val timed = Seq((900L, "a"), (2100L, "bé"))
+    val mp3 = M.syntheticId3(4, "T", "A", "B", syncedLyrics = timed) ++
+      M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))
+    val Some(sylt) = M.id3SyltCues(mp3)
+    assert(M.parseLrc(M.formatLrc(sylt)).contains(sylt))
+  }
+
   test("parseLrc: enhanced millisecond fractions scale by length") {
     val M = Multimodal
     val Some(cues) = M.parseLrc("[00:12.345]ms line\n[00:20.1]tenths\n")

@@ -410,6 +410,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming art-link ingest: audio joins the image it shares art with, batch by batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val M = graft.operators.Multimodal
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    val logo = M.renderPng(32, 16, (x, _) => if (x < 16) gray(25) else gray(230))
+    val other = M.renderPng(32, 16, (x, _) => if (x % 4 == 0) gray(230) else gray(25))
+    val store = java.nio.file.Files.createTempDirectory("graft-artstore").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-artckpt").toString
+    val input = MemoryStream[(Long, Array[Byte])](spark)
+    val q = StreamOps.streamingArtLinkIngest(
+      input.toDF().toDF("asset_id", "content"), "asset_id", "content",
+      store, ckpt)
+    try {
+      // batch 0: the crawled artwork + an unrelated image
+      input.addData((1L, logo), (2L, other))
+      q.processAllAvailable()
+      // batch 1: an MP3 and an MKA both carrying the logo as art —
+      // they link to the stored image AND to each other
+      input.addData(
+        (3L, M.syntheticId3(4, "T", "A", "B",
+          apic = Some(("image/png", logo))) ++
+          M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))),
+        (4L, M.syntheticWebm("audio", channels = 2, sampleRate = 48000,
+          durationMs = 100L, codec = "A_OPUS", docType = "matroska",
+          attachedArt = Some(("image/png", logo)))))
+      q.processAllAvailable()
+      val pairs = spark.read.parquet(s"$store/pairs").drop("batch").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 3L), (1L, 4L), (3L, 4L)),
+        s"art must link audio to the image and to each other: $pairs")
+      // the store is stamped with the composed kernel's identity
+      val meta = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(store, "store_meta.json")), "UTF-8")
+      assert(meta.contains(M.MediaLinkHashSignatureName))
+    } finally q.stop()
+  }
+
   test("streaming signature-ingest dedup: the generic loop runs the audio modality") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val M = graft.operators.Multimodal
