@@ -6748,12 +6748,15 @@ object SparkEntry {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("content",
         org.apache.spark.sql.types.BinaryType)))
+    // the frame is identical for every row: render ONCE on the driver
+    // and ship the byte array in the closure (a per-row ImageIO encode
+    // would be the whole query cost at corpus scale)
+    val frame = graft.operators.Multimodal.renderJpeg(8, 4,
+      (_, _) => (90 << 16) | (90 << 8) | 90)
     val rdd = docs.rdd.flatMap { r =>
       val id = r.getLong(0)
       if (id % 2 != 0) Nil
       else {
-        val frame = graft.operators.Multimodal.renderJpeg(8, 4,
-          (_, _) => (90 << 16) | (90 << 8) | 90)
         val cues = (0 until (1 + (id % 3)).toInt).map(j =>
           (1000L * j, 1000L * j + 500L, s"cue $j of document $id"))
         Seq(org.apache.spark.sql.Row(id,
