@@ -6728,6 +6728,51 @@ object SparkEntry {
       |) AS t(doc_id, chap_format, chap_idx, start_ms, end_ms, title)
       |ORDER BY doc_id, chap_idx""".stripMargin
 
+  /** EXIF IFD1 thumbnail linking ([[graft.operators.Multimodal
+    * .exifThumbnails]]) — the photo-forensics dedup signal: editors
+    * re-encode the main image but COPY the original EXIF block, so
+    * an edited upload and its original share thumbnail bytes while
+    * their pixels (and dHashes) diverge. Rows 1-2 are exactly that
+    * pair: different main rasters, one thumbnail identity; row 3 has
+    * its own thumbnail, row 4 EXIF without IFD1, row 5 no EXIF.
+    */
+  private def q198(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    val t1 = M.renderJpeg(8, 4, (_, _) => gray(120))
+    val t2 = M.renderJpeg(8, 4, (_, _) => gray(33))
+    val rows = Seq(
+      (1L, M.jpegWithThumbnail(M.renderJpeg(32, 16, (x, _) => gray(x * 7)), t1)),
+      (2L, M.jpegWithThumbnail(M.renderJpeg(32, 16, (_, y) => gray(y * 11)), t1)),
+      (3L, M.jpegWithThumbnail(M.renderJpeg(16, 16, (_, _) => gray(200)), t2)),
+      (4L, M.jpegWithExifProvenance(M.renderJpeg(8, 8, (_, _) => gray(90)),
+        "Maker", "Model Z", "2022:05:06 07:08:09")),
+      (5L, "junk".getBytes("UTF-8"))
+    ).toDF("img_id", "content")
+    val withThumb = M.exifThumbnails(rows)
+      .withColumn("thumb_fp",
+        when(col("thumb").isNotNull, xxhash64(col("thumb"))))
+    val groups = withThumb.filter(col("thumb_fp").isNotNull)
+      .groupBy(col("thumb_fp")).agg(count(lit(1)).as("n_sharing_thumb"))
+    withThumb.join(broadcast(groups), Seq("thumb_fp"), "left")
+      .select(col("img_id"), col("thumb").isNotNull.as("has_thumb"),
+        col("n_sharing_thumb"))
+      .orderBy(col("img_id"))
+  }
+
+  private def thumbLinkOracle: String =
+    """SELECT * FROM (VALUES
+      | -- the original and its edit share one thumbnail identity
+      | (CAST(1 AS BIGINT), TRUE, CAST(2 AS BIGINT)),
+      | (CAST(2 AS BIGINT), TRUE, CAST(2 AS BIGINT)),
+      | (CAST(3 AS BIGINT), TRUE, CAST(1 AS BIGINT)),
+      | -- IFD0-only EXIF: no thumbnail
+      | (CAST(4 AS BIGINT), FALSE, CAST(NULL AS BIGINT)),
+      | (CAST(5 AS BIGINT), FALSE, CAST(NULL AS BIGINT))
+      |) AS t(img_id, has_thumb, n_sharing_thumb)
+      |ORDER BY img_id""".stripMargin
+
   /** Corpus-scale clip-text pair mining — q190's video twin: a
     * captioned MP4 (muxed tx3g track) for every SECOND `documents`
     * row, 1 + id%3 cues each (500 ms clips at 1 s strides, gaps as
@@ -7139,7 +7184,8 @@ object SparkEntry {
     "q194_artlink" -> (q194 _),
     "q195_cuelang" -> (q195 _),
     "q196_chapters" -> (q196 _),
-    "q197_clippairs" -> (q197 _))
+    "q197_clippairs" -> (q197 _),
+    "q198_thumblink" -> (q198 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -7587,6 +7633,7 @@ object SparkEntry {
     "q195_cuelang" -> cueLangOracle,
     "q196_chapters" -> chaptersOracle,
     "q197_clippairs" -> clipPairCorpusOracle,
+    "q198_thumblink" -> thumbLinkOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

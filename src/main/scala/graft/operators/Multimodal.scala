@@ -3200,6 +3200,112 @@ object Multimodal {
     jpeg.take(2) ++ app1 ++ jpeg.drop(2)
   }
 
+  /** The EXIF IFD1 thumbnail — the JPEG preview cameras embed next
+    * to the main image (tags 0x0201 JPEGInterchangeFormat +
+    * 0x0202 ...Length in the IFD chained after IFD0): a forensic
+    * dedup signal, because photo editors routinely re-encode the
+    * main image while COPYING the original EXIF block — the edited
+    * upload and the original share thumbnail bytes long after their
+    * pixels diverge. Works on every carrier [[exifTiffRegion]]
+    * reads (JPEG APP1, TIFF, WebP, PNG eXIf, HEIF items, JXL).
+    * None when no IFD1 or no thumbnail tags. Public for the
+    * generated-code static call.
+    */
+  def exifThumbnail(b: Array[Byte]): Array[Byte] = try {
+    if (b == null || b.length < 12) return null
+    val r = exifTiffRegion(b)
+    if (r < 0) return null
+    val tiff = (r >>> 32).toInt
+    val end = (r & 0xffffffffL).toInt
+    if (tiff + 8 > end) return null
+    val little =
+      if (b(tiff) == 'I' && b(tiff + 1) == 'I') true
+      else if (b(tiff) == 'M' && b(tiff + 1) == 'M') false
+      else return null
+    def u16(o: Int): Int =
+      if (o < tiff || o + 2 > end) -1
+      else if (little) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+      else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    def u32(o: Int): Long =
+      if (o < tiff || o + 4 > end) -1L
+      else if (little) (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+      else ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    if (u16(tiff + 2) != 42) return null
+    val ifd0Off = u32(tiff + 4)
+    if (ifd0Off < 0) return null
+    val ifd0 = tiff + ifd0Off.toInt
+    val n0 = u16(ifd0)
+    if (n0 < 0 || n0 > 4096) return null
+    val nextOff = u32(ifd0 + 2 + 12 * n0)
+    if (nextOff <= 0) return null // no IFD1: no thumbnail
+    val ifd1 = tiff + nextOff.toInt
+    val n1 = u16(ifd1)
+    if (n1 < 0 || n1 > 4096) return null
+    var thumbOff = -1L
+    var thumbLen = -1L
+    var k = 0
+    while (k < n1) {
+      val e = ifd1 + 2 + 12 * k
+      val tag = u16(e)
+      if (tag == 0x0201) thumbOff = u32(e + 8)
+      else if (tag == 0x0202) thumbLen = u32(e + 8)
+      k += 1
+    }
+    if (thumbOff <= 0 || thumbLen <= 0) return null
+    val s = tiff + thumbOff
+    if (s + thumbLen > end) return null
+    java.util.Arrays.copyOfRange(b, s.toInt, (s + thumbLen).toInt)
+  } catch { case _: Throwable => null } // per-row isolation
+
+  /** Append a `thumb` binary column ([[exifThumbnail]] per row) —
+    * [[embeddedArt]]'s photo-forensics sibling: map-only, null for
+    * rows without an IFD1 thumbnail; the bytes are an ordinary JPEG,
+    * so the exact-fingerprint and dHash machinery compose directly
+    * ("the edit kept the original's EXIF" linking signal).
+    */
+  def exifThumbnails(df: DataFrame, contentCol: String = "content",
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField("thumb", BinaryType))
+    val contentIdx = inSchema.fieldIndex(contentCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val bytes = row.getAs[Array[Byte]](contentIdx)
+          Row.fromSeq(row.toSeq :+ exifThumbnail(bytes))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Splice an EXIF APP1 with an IFD1 thumbnail into a JPEG — the
+    * [[jpegWithExifProvenance]] discipline for [[exifThumbnail]]
+    * fixtures: IFD0 (zero entries) chains to an IFD1 whose
+    * 0x0201/0x0202 tags frame the given thumbnail bytes.
+    */
+  private[graft] def jpegWithThumbnail(jpeg: Array[Byte],
+      thumb: Array[Byte]): Array[Byte] = {
+    val ifd1Off = 8 + 2 + 4 // empty IFD0 (count + next ptr)
+    val thumbOff = ifd1Off + 2 + 12 * 2 + 4
+    val bb = java.nio.ByteBuffer.allocate(thumbOff + thumb.length)
+    bb.put('M'.toByte).put('M'.toByte).putShort(42).putInt(8)
+    bb.putShort(0).putInt(ifd1Off) // IFD0: no entries, chain to IFD1
+    bb.putShort(2)
+    bb.putShort(0x0201.toShort).putShort(4).putInt(1).putInt(thumbOff)
+    bb.putShort(0x0202.toShort).putShort(4).putInt(1).putInt(thumb.length)
+    bb.putInt(0) // IFD1 next pointer
+    bb.put(thumb)
+    val payload = "Exif".getBytes("ISO-8859-1") ++ Array[Byte](0, 0) ++ bb.array()
+    val app1 = Array(0xFF.toByte, 0xE1.toByte,
+      (((payload.length + 2) >> 8) & 0xff).toByte,
+      ((payload.length + 2) & 0xff).toByte) ++ payload
+    jpeg.take(2) ++ app1 ++ jpeg.drop(2)
+  }
+
   /** First JPEG `COM` (0xFFFE) comment segment as UTF-8 text — the
     * marker walk of [[exifApp1Region]]; null when none appears before
     * entropy-coded data.

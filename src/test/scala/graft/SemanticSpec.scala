@@ -1699,6 +1699,25 @@ class SemanticSpec extends SparkSpec {
       Array(0x12.toByte, 0x54.toByte, 0xC3.toByte, 0x67.toByte), 100000)
     assert(Multimodal.webmTags(hostileTags).isDefined ||
       Multimodal.webmTags(hostileTags).isEmpty) // no throw is the contract
+    // the round-14 walkers hold the same contract: muxed timed text,
+    // chapters (all three carriers), and the declared-language walk
+    // all exhaust the cap, never the stack
+    assert(Multimodal.mp4SubtitleCues(hostileMovie).isEmpty)
+    assert(Multimodal.mp4Chapters(hostileMovie).isEmpty)
+    assert(Multimodal.declaredTextLang(hostileMovie) == null)
+    val hostileChapters = nestedEbml(
+      Array(0x10.toByte, 0x43.toByte, 0xA7.toByte, 0x70.toByte), 100000)
+    assert(Multimodal.webmChapters(hostileChapters).isEmpty)
+    assert(Multimodal.declaredTextLang(hostileTags) == null)
+    // a hostile cue stream through the DataFrame dispatch: the scan
+    // completes with zero cue rows, the task never dies
+    val cueScan = Multimodal.subtitleCues(Seq(
+      (1L, hostileMovie), (2L, hostileTags)).toDF("doc_id", "content"))
+      .count()
+    assert(cueScan == 0L)
+    assert(Multimodal.mediaChapters(Seq(
+      (1L, hostileMovie), (2L, hostileChapters)).toDF("doc_id", "content"))
+      .count() == 0L)
   }
 
   test("mp4VideoTrack: python-built fixture cross-check — multi-run stsc, stss, duration") {
@@ -2478,6 +2497,45 @@ class SemanticSpec extends SparkSpec {
     assert((1L to 5L).forall(i => out(i)._1.contains(1L)))
     assert(out(1L)._2 && !(2L to 5L).exists(i => out(i)._2))
     assert(out(6L)._1.isEmpty && out(6L)._2)
+  }
+
+  test("exifThumbnail: IFD1 preview bytes; the edit-kept-EXIF linking signal") {
+    val M = Multimodal
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    val thumb = M.renderJpeg(8, 4, (_, _) => gray(120))
+    val original = M.jpegWithThumbnail(
+      M.renderJpeg(32, 16, (x, _) => gray(x * 7)), thumb)
+    // an "edit": different pixels, the SAME copied EXIF block
+    val edited = M.jpegWithThumbnail(
+      M.renderJpeg(32, 16, (_, y) => gray(y * 11)), thumb)
+    assert(M.exifThumbnail(original).toSeq == thumb.toSeq)
+    assert(M.exifThumbnail(edited).toSeq == thumb.toSeq)
+    // the main raster still decodes through the spliced APP1; the
+    // two edits differ perceptually but share thumbnail identity
+    assert(M.decodePixels(original).get.getWidth == 32)
+    assert(M.dhash64(original) != M.dhash64(edited))
+    assert(M.dhash64(M.exifThumbnail(original)) ==
+      M.dhash64(M.exifThumbnail(edited)))
+    // no IFD1, no EXIF, junk: null, never throw
+    assert(M.exifThumbnail(M.renderJpeg(8, 8, (_, _) => 0)) == null)
+    assert(M.exifThumbnail(M.jpegWithExifProvenance(
+      M.renderJpeg(8, 8, (_, _) => 0), "Make X", "Model Y",
+      "2020:01:01 00:00:00")) == null, "IFD0-only EXIF has no thumbnail")
+    assert(M.exifThumbnail("junk".getBytes("UTF-8")) == null)
+    // truncated thumbnail range degrades to null
+    val cut = java.util.Arrays.copyOfRange(original, 0, original.length / 4)
+    assert(M.exifThumbnail(cut) == null || M.exifThumbnail(cut).nonEmpty)
+    // a GPS scrub leaves the (GPS-free) block untouched
+    assert(M.scrubGps(original) eq original)
+    // DataFrame surface
+    val out = M.exifThumbnails(Seq((1L, original), (2L, edited),
+      (3L, M.renderJpeg(4, 4, (_, _) => 0))).toDF("id", "content"))
+      // xxhash64 hashes a NULL input to its seed — gate on presence
+      .select(col("id"), when(col("thumb").isNotNull,
+        xxhash64(col("thumb"))).as("h"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getLong(1)))).toMap
+    assert(out(1L).isDefined && out(1L) == out(2L) && out(3L).isEmpty)
   }
 
   test("mediaChapters: ID3 CHAP, Matroska Chapters, Nero chpl — one dispatch") {
