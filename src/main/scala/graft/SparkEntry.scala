@@ -6701,7 +6701,12 @@ object SparkEntry {
         Seq((0L, "One"), (60000L, "Zwölf & Co")))),
       (5L, M.syntheticId3(4, "NoChap", "X", "Y") ++
         M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))),
-      (6L, "junk".getBytes("UTF-8"))
+      (6L, "junk".getBytes("UTF-8")),
+      // the QuickTime convention: a text track referenced via
+      // tref/chap is the chapter list (and is NOT subtitles)
+      (7L, M.syntheticMp4TimedText(
+        Seq(M.renderJpeg(8, 8, (_, _) => 0x505050)), chaps,
+        asQtChapters = true))
     ).toDF("doc_id", "content")
     M.mediaChapters(rows).orderBy(col("doc_id"), col("chap_idx"))
   }
@@ -6724,7 +6729,12 @@ object SparkEntry {
       | (CAST(4 AS BIGINT), 'chpl', 1, CAST(0 AS BIGINT),
       |  CAST(60000 AS BIGINT), 'One'),
       | (CAST(4 AS BIGINT), 'chpl', 2, CAST(60000 AS BIGINT),
-      |  CAST(60000 AS BIGINT), 'Zwölf & Co')
+      |  CAST(60000 AS BIGINT), 'Zwölf & Co'),
+      | -- the QT tref/chap text track: real ends from its stts
+      | (CAST(7 AS BIGINT), 'chap', 1, CAST(0 AS BIGINT),
+      |  CAST(60000 AS BIGINT), 'Intro'),
+      | (CAST(7 AS BIGINT), 'chap', 2, CAST(60000 AS BIGINT),
+      |  CAST(150000 AS BIGINT), 'Deuxième acte')
       |) AS t(doc_id, chap_format, chap_idx, start_ms, end_ms, title)
       |ORDER BY doc_id, chap_idx""".stripMargin
 

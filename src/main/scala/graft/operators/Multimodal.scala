@@ -953,18 +953,77 @@ object Multimodal {
     out.result()
   } catch { case _: Throwable => Nil }
 
+  /** Every trak's (`hdlr` handler type, `tkhd` track id) plus the
+    * track ids referenced as CHAPTER lists via `tref/chap` — the
+    * roles walk behind [[subtitleTrackCount]]'s BMFF branch, so
+    * detection splits subtitles from QuickTime chapter tracks
+    * exactly like the extraction walk does.
+    */
+  private[graft] def mp4TrackRoles(b: Array[Byte]): (Seq[(String, Long)], Set[Long]) = try {
+    if (b == null || b.length < 16 ||
+      !(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'))
+      return (Nil, Set.empty)
+    @inline def u32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    @inline def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    val out = Seq.newBuilder[(String, Long)]
+    val chapRefs = scala.collection.mutable.Set.empty[Long]
+    var handler: String = null
+    var trackId = -1L
+    def walk(start: Long, end: Long, depth: Int): Unit = {
+      if (depth > 16) return
+      var off = start
+      while (off + 8 <= end) {
+        val size0 = u32(off.toInt)
+        val id = new String(b, off.toInt + 4, 4, "ISO-8859-1")
+        var body = off + 8
+        val boxEnd =
+          if (size0 == 1 && off + 16 <= end) { body = off + 16; off + u64(off.toInt + 8) }
+          else if (size0 == 0) end
+          else off + size0
+        if (boxEnd < body || boxEnd > end) return
+        val p = body.toInt
+        id match {
+          case "moov" | "mdia" | "tref" => walk(body, boxEnd, depth + 1)
+          case "trak" =>
+            handler = null; trackId = -1L
+            walk(body, boxEnd, depth + 1)
+            if (handler != null) out += ((handler, trackId))
+          case "tkhd" if p + 4 <= boxEnd =>
+            if (b(p) == 1 && p + 24 <= boxEnd) trackId = u32(p + 20)
+            else if (p + 16 <= boxEnd) trackId = u32(p + 12)
+          case "chap" =>
+            var q = p
+            while (q + 4 <= boxEnd) { chapRefs += u32(q); q += 4 }
+          case "hdlr" if p + 12 <= boxEnd =>
+            handler = new String(b, p + 8, 4, "ISO-8859-1")
+          case _ => ()
+        }
+        off = boxEnd
+      }
+    }
+    walk(0L, b.length.toLong, 0)
+    (out.result(), chapRefs.toSet)
+  } catch { case _: Throwable => (Nil, Set.empty) }
+
   /** Container-DECLARED subtitle track count — the detection half of
     * the video-text surface ([[subtitleCues]] parses the sidecar
     * files; this flags muxed-in text): ISO-BMFF `hdlr` types
-    * `sbtl`/`subt`/`text`, Matroska TrackType 0x11. Null for
-    * non-container bytes (callers treat null as unknown, 0 as
-    * "declares none").
+    * `sbtl`/`subt`/`text` EXCLUDING tracks another trak references
+    * as its chapter list via `tref/chap` (QuickTime chapters are
+    * segmentation, not dialog — [[mediaChapters]]' surface),
+    * Matroska TrackType 0x11. Null for non-container bytes (callers
+    * treat null as unknown, 0 as "declares none").
     */
   def subtitleTrackCount(b: Array[Byte]): Integer = try {
     if (b == null || b.length < 16) return null
-    if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')
-      return Integer.valueOf(mp4TrackHandlers(b)
-        .count(h => h == "sbtl" || h == "subt" || h == "text"))
+    if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') {
+      val (roles, chapRefs) = mp4TrackRoles(b)
+      return Integer.valueOf(roles.count { case (h, id) =>
+        (h == "sbtl" || h == "subt" || h == "text") && !chapRefs.contains(id)
+      })
+    }
     if (b(0) == 0x1A.toByte && b(1) == 0x45.toByte &&
       b(2) == 0xDF.toByte && b(3) == 0xA3.toByte)
       return webmInfo(b).map(i => Integer.valueOf(i.subtitleTracks)).orNull
@@ -6022,6 +6081,9 @@ object Multimodal {
         else if (bytes.length >= 16 && bytes(4) == 'f' && bytes(5) == 't' &&
           bytes(6) == 'y' && bytes(7) == 'p')
           mp4Chapters(bytes).map(("chpl", _))
+            // the QuickTime convention: a text track another trak
+            // references via tref/chap IS the chapter list
+            .orElse(mp4QtChapterCues(bytes).map(("chap", _)))
         else None
       parsed match {
         case Some((fmt, chaps)) => chaps.map(c =>
@@ -8055,15 +8117,39 @@ object Multimodal {
     *    `<p begin end>` paragraphs carry their OWN absolute times.
     *
     * Cue start/end for tx3g/wvtt come from the `stts` deltas
-    * rescaled to ms on the track's mdhd timescale. Returns
-    * (sample-entry fourcc, cues); None for non-BMFF bytes or a movie
-    * without a parseable text track. Depth-capped, sample-capped
-    * (100k), exception-guarded like its siblings.
+    * rescaled to ms on the track's mdhd timescale. A text track the
+    * movie marks as its CHAPTER track (a `tref/chap` reference from
+    * another trak — the QuickTime chapter convention) is NOT
+    * subtitles and is excluded here ([[mp4Chapters]] picks it up).
+    * Returns (sample-entry fourcc, cues); None for non-BMFF bytes or
+    * a movie without a parseable non-chapter text track.
+    * Depth-capped, sample-capped (100k), exception-guarded like its
+    * siblings.
     */
-  private[graft] def mp4SubtitleCues(bytes: Array[Byte]): Option[(String, Seq[SubCue])] = try {
+  private[graft] def mp4SubtitleCues(bytes: Array[Byte]): Option[(String, Seq[SubCue])] = {
+    val (tracks, chapRefs) = mp4TextTracks(bytes)
+    tracks.find(t => !chapRefs.contains(t._1)).map(t => (t._2, t._3))
+  }
+
+  /** The QuickTime-chapter text track's cues — the `tref/chap`
+    * complement of [[mp4SubtitleCues]].
+    */
+  private[graft] def mp4QtChapterCues(bytes: Array[Byte]): Option[Seq[SubCue]] = {
+    val (tracks, chapRefs) = mp4TextTracks(bytes)
+    tracks.find(t => chapRefs.contains(t._1)).map(_._3)
+  }
+
+  /** Decode every timed-text track of an ISO-BMFF movie (capped at
+    * 4) plus the set of track ids some OTHER trak references as its
+    * chapter list via `tref/chap` — the one walk behind
+    * [[mp4SubtitleCues]] and [[mp4QtChapterCues]], so the
+    * subtitle/chapter split can never disagree on what a track
+    * contains.
+    */
+  private def mp4TextTracks(bytes: Array[Byte]): (Seq[(Long, String, Seq[SubCue])], Set[Long]) = try {
     if (bytes == null || bytes.length < 16 ||
       !(bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p'))
-      return None
+      return (Nil, Set.empty)
     @inline def u16(o: Int): Int =
       ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
     @inline def u32(o: Int): Long =
@@ -8074,11 +8160,14 @@ object Multimodal {
     var handlerIsText = false
     var codec: String = null
     var timescale = 0
+    var trackId = -1L
     var sizes: Array[Int] = null
     var chunkOffsets: Array[Long] = null
     var stscRuns: Array[(Int, Int)] = null
     var sttsRuns: Array[(Int, Long)] = null // (count, delta ticks)
-    var found: Option[(String, Seq[SubCue])] = None
+    val tracks = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Seq[SubCue])]
+    val chapRefs = scala.collection.mutable.Set.empty[Long]
     def decodeTx3g(off: Int, size: Int): String = {
       if (size < 2) return null
       val len = u16(off)
@@ -8111,7 +8200,7 @@ object Multimodal {
       null
     }
     def finishTrak(): Unit = {
-      if (found.isEmpty && handlerIsText && codec != null &&
+      if (tracks.size < 4 && handlerIsText && codec != null &&
         (codec == "tx3g" || codec == "text" || codec == "wvtt" ||
           codec == "stpp") && sizes != null && chunkOffsets != null &&
         stscRuns != null && sttsRuns != null && timescale > 0) {
@@ -8160,16 +8249,16 @@ object Multimodal {
             if (inRun >= sttsRuns(run)._1) { run += 1; inRun = 0 }
           }
           val got = cues.result()
-          if (got.nonEmpty) found = Some((codec, got))
+          if (got.nonEmpty) tracks += ((trackId, codec, got))
         }
       }
-      handlerIsText = false; codec = null; timescale = 0
+      handlerIsText = false; codec = null; timescale = 0; trackId = -1L
       sizes = null; chunkOffsets = null; stscRuns = null; sttsRuns = null
     }
     def walk(start: Long, end: Long, depth: Int = 0): Unit = {
       if (depth > 16) return
       var off = start
-      while (found.isEmpty && off + 8 <= end) {
+      while (off + 8 <= end) {
         val size0 = u32(off.toInt)
         val id = new String(bytes, off.toInt + 4, 4, "ISO-8859-1")
         var body = off + 8
@@ -8180,8 +8269,15 @@ object Multimodal {
         if (boxEnd < body || boxEnd > end) return
         val b = body.toInt
         id match {
-          case "moov" | "mdia" | "minf" | "stbl" => walk(body, boxEnd, depth + 1)
+          case "moov" | "mdia" | "minf" | "stbl" | "tref" =>
+            walk(body, boxEnd, depth + 1)
           case "trak" => walk(body, boxEnd, depth + 1); finishTrak()
+          case "tkhd" if b + 4 <= boxEnd =>
+            if (bytes(b) == 1 && b + 24 <= boxEnd) trackId = u32(b + 20)
+            else if (b + 16 <= boxEnd) trackId = u32(b + 12)
+          case "chap" => // tref/chap: ids of THIS trak's chapter tracks
+            var q = b
+            while (q + 4 <= boxEnd) { chapRefs += u32(q); q += 4 }
           case "mdhd" if b + 4 <= boxEnd =>
             if (bytes(b) == 1 && b + 32 <= boxEnd) timescale = u32(b + 20).toInt
             else if (b + 24 <= boxEnd) timescale = u32(b + 12).toInt
@@ -8222,8 +8318,8 @@ object Multimodal {
       }
     }
     walk(0L, bytes.length.toLong)
-    found
-  } catch { case _: Throwable => None } // per-row isolation
+    (tracks.toSeq, chapRefs.toSet)
+  } catch { case _: Throwable => (Nil, Set.empty) } // per-row isolation
 
   /** xxhash64 (seed 42, the built-in `xxhash64` column's) of every
     * keyframe's byte range, hashed IN PLACE over the container buffer
@@ -8451,7 +8547,8 @@ object Multimodal {
     */
   private[graft] def syntheticMp4TimedText(frames: Seq[Array[Byte]],
       cues: Seq[(Long, Long, String)],
-      codec: String = "tx3g", lang: String = "eng"): Array[Byte] = {
+      codec: String = "tx3g", lang: String = "eng",
+      asQtChapters: Boolean = false): Array[Byte] = {
     require(frames.nonEmpty && cues.nonEmpty, "frames and cues required")
     require(codec == "tx3g" || codec == "wvtt" || codec == "stpp",
       s"codec: $codec")
@@ -8515,7 +8612,18 @@ object Multimodal {
         box("stsz", u32s(Seq(0, 0, n) ++ frames.map(_.length))) ++
         box("stco", u32s(Seq(0, 1, frameOffsets.head))) ++
         box("stss", u32s(Seq(0, 1, 1))))
-    val vTrak = box("trak", box("mdia",
+    // tkhd v0 (id at body+12) for both traks; when the movie marks
+    // the text track as its CHAPTER list, the video trak carries a
+    // tref/chap reference to it (the QuickTime convention)
+    def tkhd(id: Int): Array[Byte] = {
+      val body = new Array[Byte](84) // v0: id at +12, rest zeros
+      java.nio.ByteBuffer.wrap(body, 12, 4).putInt(id)
+      box("tkhd", body)
+    }
+    val tref =
+      if (!asQtChapters) Array.emptyByteArray
+      else box("tref", box("chap", u32s(Seq(2))))
+    val vTrak = box("trak", tkhd(1) ++ tref ++ box("mdia",
       box("mdhd", vMdhd) ++ box("hdlr", vHdlr) ++ box("minf", vStbl)))
     // text trak: ticks are ms (timescale 1000), one chunk after frames
     val tn = samples.length
@@ -8532,7 +8640,7 @@ object Multimodal {
         box("stsc", u32s(Seq(0, 1, 1, tn, 1))) ++
         box("stsz", u32s(Seq(0, 0, tn) ++ samples.map(_._2.length))) ++
         box("stco", u32s(Seq(0, 1, textStart))))
-    val tTrak = box("trak", box("mdia",
+    val tTrak = box("trak", tkhd(2) ++ box("mdia",
       box("mdhd", tMdhd) ++ box("hdlr", tHdlr) ++ box("minf", tStbl)))
     ftyp ++ mdat ++ box("moov", vTrak ++ tTrak)
   }

@@ -2579,6 +2579,32 @@ class SemanticSpec extends SparkSpec {
     assert(out == Set((1L, "id3"), (2L, "matroska"), (3L, "chpl")))
   }
 
+  test("QuickTime chapter track: tref/chap text tracks are chapters, never subtitles") {
+    val M = Multimodal
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    val frames = Seq(M.renderJpeg(8, 8, (_, _) => gray(60)))
+    val chaps = Seq((0L, 60000L, "Part one"), (60000L, 90000L, "Part two"))
+    val qt = M.syntheticMp4TimedText(frames, chaps, asQtChapters = true)
+    // detection: NOT a subtitle track
+    assert(M.subtitleTrackCount(qt) == 0)
+    // extraction: no cues from the subtitle path...
+    assert(M.mp4SubtitleCues(qt).isEmpty)
+    assert(M.subtitleCues(Seq((1L, qt)).toDF("doc_id", "content"))
+      .count() == 0L)
+    // ...the chapter path reads it, with REAL end times from stts
+    val Some(qc) = M.mp4QtChapterCues(qt)
+    assert(qc.map(c => (c.startMs, c.endMs, c.text)) == chaps)
+    val chapRows = M.mediaChapters(Seq((1L, qt)).toDF("doc_id", "content"))
+      .collect().map(r => (r.getString(1), r.getLong(3), r.getString(5))).toSeq
+    assert(chapRows == Seq(("chap", 0L, "Part one"), ("chap", 60000L, "Part two")))
+    // a NON-chapter text track keeps its subtitle role (tkhd present,
+    // no tref): detection 1, extraction through the subtitle path
+    val subs = M.syntheticMp4TimedText(frames, chaps)
+    assert(M.subtitleTrackCount(subs) == 1)
+    assert(M.mp4SubtitleCues(subs).isDefined)
+    assert(M.mp4QtChapterCues(subs).isEmpty)
+  }
+
   test("MediaFlag: unknown kernel names fail at construction, not in codegen") {
     intercept[IllegalArgumentException] {
       Multimodal.MediaFlag(
