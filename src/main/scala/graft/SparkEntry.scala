@@ -6158,7 +6158,16 @@ object SparkEntry {
       (4L, M.syntheticWebm("video", width = 64, height = 48,
         durationMs = 1500L, subtitleTracks = 2)),
       (5L, M.renderPng(4, 4, (_, _) => gray(30))),
-      (6L, "junk".getBytes("UTF-8"))
+      (6L, "junk".getBytes("UTF-8")),
+      // a muxed tx3g DIALOG track counts; the same track marked as
+      // the movie's chapter list via tref/chap does NOT (chapters
+      // are segmentation, q196's surface)
+      (7L, M.syntheticMp4TimedText(
+        Seq(M.renderJpeg(8, 8, (_, _) => gray(40))),
+        Seq((0L, 500L, "line")))),
+      (8L, M.syntheticMp4TimedText(
+        Seq(M.renderJpeg(8, 8, (_, _) => gray(40))),
+        Seq((0L, 500L, "part")), asQtChapters = true))
     ).toDF("vid_id", "content")
     rows.select(col("vid_id"),
       M.subtitleTrackCountCol(col("content")).as("subtitle_tracks"))
@@ -6172,7 +6181,10 @@ object SparkEntry {
       | (CAST(3 AS BIGINT), 0),
       | (CAST(4 AS BIGINT), 2),
       | (CAST(5 AS BIGINT), CAST(NULL AS INTEGER)),
-      | (CAST(6 AS BIGINT), CAST(NULL AS INTEGER))
+      | (CAST(6 AS BIGINT), CAST(NULL AS INTEGER)),
+      | (CAST(7 AS BIGINT), 1),
+      | -- the tref/chap-referenced text track is chapters, not subs
+      | (CAST(8 AS BIGINT), 0)
       |) AS t(vid_id, subtitle_tracks)
       |ORDER BY vid_id""".stripMargin
 
