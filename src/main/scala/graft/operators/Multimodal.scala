@@ -1056,7 +1056,10 @@ object Multimodal {
       }
       return lang
     }
-    // ISO-BMFF: first subtitle trak's mdhd language
+    // ISO-BMFF: the first SUBTITLE trak's mdhd language — a text
+    // track the movie marks as its chapter list (tref/chap) is
+    // segmentation, not the dialog stream, and must not supply the
+    // declared language (the same role split mp4SubtitleCues makes)
     if (b.length >= 16 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
       b(7) == 'p') {
       @inline def u16(o: Int): Int = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
@@ -1066,22 +1069,25 @@ object Multimodal {
       @inline def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
       var handlerIsText = false
       var packed = -1
-      var found: String = null
+      var trackId = -1L
+      val langs = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      val chapRefs = scala.collection.mutable.Set.empty[Long]
       def finishTrak(): Unit = {
-        if (found == null && handlerIsText && packed > 0 && packed != 0x7FFF) {
+        if (langs.size < 8 && handlerIsText && packed > 0 && packed != 0x7FFF) {
           val c1 = ((packed >> 10) & 0x1f) + 0x60
           val c2 = ((packed >> 5) & 0x1f) + 0x60
           val c3 = (packed & 0x1f) + 0x60
           if (c1 >= 'a' && c1 <= 'z' && c2 >= 'a' && c2 <= 'z' &&
             c3 >= 'a' && c3 <= 'z')
-            found = new String(Array(c1.toChar, c2.toChar, c3.toChar))
+            langs += ((trackId,
+              new String(Array(c1.toChar, c2.toChar, c3.toChar))))
         }
-        handlerIsText = false; packed = -1
+        handlerIsText = false; packed = -1; trackId = -1L
       }
       def walk(start: Long, end: Long, depth: Int): Unit = {
         if (depth > 16) return
         var off = start
-        while (found == null && off + 8 <= end) {
+        while (off + 8 <= end) {
           val size0 = u32(off.toInt)
           val id = new String(b, off.toInt + 4, 4, "ISO-8859-1")
           var body = off + 8
@@ -1092,8 +1098,14 @@ object Multimodal {
           if (boxEnd < body || boxEnd > end) return
           val p = body.toInt
           id match {
-            case "moov" | "mdia" => walk(body, boxEnd, depth + 1)
+            case "moov" | "mdia" | "tref" => walk(body, boxEnd, depth + 1)
             case "trak" => walk(body, boxEnd, depth + 1); finishTrak()
+            case "tkhd" if p + 4 <= boxEnd =>
+              if (b(p) == 1 && p + 24 <= boxEnd) trackId = u32(p + 20)
+              else if (p + 16 <= boxEnd) trackId = u32(p + 12)
+            case "chap" =>
+              var q = p
+              while (q + 4 <= boxEnd) { chapRefs += u32(q); q += 4 }
             case "mdhd" if p + 4 <= boxEnd =>
               if (b(p) == 1 && p + 34 <= boxEnd) packed = u16(p + 32)
               else if (p + 22 <= boxEnd) packed = u16(p + 20)
@@ -1106,7 +1118,7 @@ object Multimodal {
         }
       }
       walk(0L, b.length.toLong, 0)
-      return found
+      return langs.find(l => !chapRefs.contains(l._1)).map(_._2).orNull
     }
     // Matroska/WebM: subtitle TrackEntry's Language element
     if (b(0) == 0x1A.toByte && b(1) == 0x45.toByte &&

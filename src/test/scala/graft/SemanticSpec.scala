@@ -2603,6 +2603,10 @@ class SemanticSpec extends SparkSpec {
     assert(M.subtitleTrackCount(subs) == 1)
     assert(M.mp4SubtitleCues(subs).isDefined)
     assert(M.mp4QtChapterCues(subs).isEmpty)
+    // the declared language makes the same role split: a chapter
+    // track supplies NO declared dialog language
+    assert(M.declaredTextLang(qt) == null)
+    assert(M.declaredTextLang(subs) == "eng")
   }
 
   test("MediaFlag: unknown kernel names fail at construction, not in codegen") {
