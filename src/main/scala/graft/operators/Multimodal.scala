@@ -953,76 +953,22 @@ object Multimodal {
     out.result()
   } catch { case _: Throwable => Nil }
 
-  /** Every trak's (`hdlr` handler type, `tkhd` track id) plus the
-    * track ids referenced as CHAPTER lists via `tref/chap` — the
-    * roles walk behind [[subtitleTrackCount]]'s BMFF branch, so
-    * detection splits subtitles from QuickTime chapter tracks
-    * exactly like the extraction walk does.
-    */
-  private[graft] def mp4TrackRoles(b: Array[Byte]): (Seq[(String, Long)], Set[Long]) = try {
-    if (b == null || b.length < 16 ||
-      !(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'))
-      return (Nil, Set.empty)
-    @inline def u32(o: Int): Long =
-      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
-        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
-    @inline def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
-    val out = Seq.newBuilder[(String, Long)]
-    val chapRefs = scala.collection.mutable.Set.empty[Long]
-    var handler: String = null
-    var trackId = -1L
-    def walk(start: Long, end: Long, depth: Int): Unit = {
-      if (depth > 16) return
-      var off = start
-      while (off + 8 <= end) {
-        val size0 = u32(off.toInt)
-        val id = new String(b, off.toInt + 4, 4, "ISO-8859-1")
-        var body = off + 8
-        val boxEnd =
-          if (size0 == 1 && off + 16 <= end) { body = off + 16; off + u64(off.toInt + 8) }
-          else if (size0 == 0) end
-          else off + size0
-        if (boxEnd < body || boxEnd > end) return
-        val p = body.toInt
-        id match {
-          case "moov" | "mdia" | "tref" => walk(body, boxEnd, depth + 1)
-          case "trak" =>
-            handler = null; trackId = -1L
-            walk(body, boxEnd, depth + 1)
-            if (handler != null) out += ((handler, trackId))
-          case "tkhd" if p + 4 <= boxEnd =>
-            if (b(p) == 1 && p + 24 <= boxEnd) trackId = u32(p + 20)
-            else if (p + 16 <= boxEnd) trackId = u32(p + 12)
-          case "chap" =>
-            var q = p
-            while (q + 4 <= boxEnd) { chapRefs += u32(q); q += 4 }
-          case "hdlr" if p + 12 <= boxEnd =>
-            handler = new String(b, p + 8, 4, "ISO-8859-1")
-          case _ => ()
-        }
-        off = boxEnd
-      }
-    }
-    walk(0L, b.length.toLong, 0)
-    (out.result(), chapRefs.toSet)
-  } catch { case _: Throwable => (Nil, Set.empty) }
-
   /** Container-DECLARED subtitle track count — the detection half of
     * the video-text surface ([[subtitleCues]] parses the sidecar
     * files; this flags muxed-in text): ISO-BMFF `hdlr` types
     * `sbtl`/`subt`/`text` EXCLUDING tracks another trak references
     * as its chapter list via `tref/chap` (QuickTime chapters are
-    * segmentation, not dialog — [[mediaChapters]]' surface),
-    * Matroska TrackType 0x11. Null for non-container bytes (callers
-    * treat null as unknown, 0 as "declares none").
+    * segmentation, not dialog — [[mediaChapters]]' surface; the
+    * roles come from the SAME [[mp4TextTracks]] walk the extraction
+    * uses, so detection and extraction can't disagree), Matroska
+    * TrackType 0x11. Null for non-container bytes (callers treat
+    * null as unknown, 0 as "declares none").
     */
   def subtitleTrackCount(b: Array[Byte]): Integer = try {
     if (b == null || b.length < 16) return null
     if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') {
-      val (roles, chapRefs) = mp4TrackRoles(b)
-      return Integer.valueOf(roles.count { case (h, id) =>
-        (h == "sbtl" || h == "subt" || h == "text") && !chapRefs.contains(id)
-      })
+      val (tracks, chapRefs) = mp4TextTracks(b)
+      return Integer.valueOf(tracks.count(t => !chapRefs.contains(t.id)))
     }
     if (b(0) == 0x1A.toByte && b(1) == 0x45.toByte &&
       b(2) == 0xDF.toByte && b(3) == 0xA3.toByte)
@@ -1059,66 +1005,13 @@ object Multimodal {
     // ISO-BMFF: the first SUBTITLE trak's mdhd language — a text
     // track the movie marks as its chapter list (tref/chap) is
     // segmentation, not the dialog stream, and must not supply the
-    // declared language (the same role split mp4SubtitleCues makes)
+    // declared language; the roles come from the SAME
+    // [[mp4TextTracks]] walk the extraction uses
     if (b.length >= 16 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
       b(7) == 'p') {
-      @inline def u16(o: Int): Int = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
-      @inline def u32(o: Int): Long =
-        ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
-          ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
-      @inline def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
-      var handlerIsText = false
-      var packed = -1
-      var trackId = -1L
-      val langs = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
-      val chapRefs = scala.collection.mutable.Set.empty[Long]
-      def finishTrak(): Unit = {
-        if (langs.size < 8 && handlerIsText && packed > 0 && packed != 0x7FFF) {
-          val c1 = ((packed >> 10) & 0x1f) + 0x60
-          val c2 = ((packed >> 5) & 0x1f) + 0x60
-          val c3 = (packed & 0x1f) + 0x60
-          if (c1 >= 'a' && c1 <= 'z' && c2 >= 'a' && c2 <= 'z' &&
-            c3 >= 'a' && c3 <= 'z')
-            langs += ((trackId,
-              new String(Array(c1.toChar, c2.toChar, c3.toChar))))
-        }
-        handlerIsText = false; packed = -1; trackId = -1L
-      }
-      def walk(start: Long, end: Long, depth: Int): Unit = {
-        if (depth > 16) return
-        var off = start
-        while (off + 8 <= end) {
-          val size0 = u32(off.toInt)
-          val id = new String(b, off.toInt + 4, 4, "ISO-8859-1")
-          var body = off + 8
-          val boxEnd =
-            if (size0 == 1 && off + 16 <= end) { body = off + 16; off + u64(off.toInt + 8) }
-            else if (size0 == 0) end
-            else off + size0
-          if (boxEnd < body || boxEnd > end) return
-          val p = body.toInt
-          id match {
-            case "moov" | "mdia" | "tref" => walk(body, boxEnd, depth + 1)
-            case "trak" => walk(body, boxEnd, depth + 1); finishTrak()
-            case "tkhd" if p + 4 <= boxEnd =>
-              if (b(p) == 1 && p + 24 <= boxEnd) trackId = u32(p + 20)
-              else if (p + 16 <= boxEnd) trackId = u32(p + 12)
-            case "chap" =>
-              var q = p
-              while (q + 4 <= boxEnd) { chapRefs += u32(q); q += 4 }
-            case "mdhd" if p + 4 <= boxEnd =>
-              if (b(p) == 1 && p + 34 <= boxEnd) packed = u16(p + 32)
-              else if (p + 22 <= boxEnd) packed = u16(p + 20)
-            case "hdlr" if p + 12 <= boxEnd =>
-              val h = new String(b, p + 8, 4, "ISO-8859-1")
-              handlerIsText = h == "sbtl" || h == "subt" || h == "text"
-            case _ => ()
-          }
-          off = boxEnd
-        }
-      }
-      walk(0L, b.length.toLong, 0)
-      return langs.find(l => !chapRefs.contains(l._1)).map(_._2).orNull
+      val (tracks, chapRefs) = mp4TextTracks(b)
+      return tracks.find(t => !chapRefs.contains(t.id) && t.lang != null)
+        .map(_.lang).orNull
     }
     // Matroska/WebM: subtitle TrackEntry's Language element
     if (b(0) == 0x1A.toByte && b(1) == 0x45.toByte &&
@@ -3320,8 +3213,14 @@ object Multimodal {
     while (k < n1) {
       val e = ifd1 + 2 + 12 * k
       val tag = u16(e)
-      if (tag == 0x0201) thumbOff = u32(e + 8)
-      else if (tag == 0x0202) thumbLen = u32(e + 8)
+      // honor the entry TYPE: some camera/editor stacks write these
+      // as SHORT, whose 2-byte value sits at the START of the value
+      // field — a raw u32 read would misread it (<< 16 in big-endian)
+      val typ = u16(e + 2)
+      def value(): Long =
+        if (typ == 3) u16(e + 8).toLong else u32(e + 8)
+      if (tag == 0x0201) thumbOff = value()
+      else if (tag == 0x0202) thumbLen = value()
       k += 1
     }
     if (thumbOff <= 0 || thumbLen <= 0) return null
@@ -3734,8 +3633,10 @@ object Multimodal {
   private[graft] def parseLrc(s: String): Option[Seq[SubCue]] = try {
     if (s == null || s.isEmpty || s.indexOf('[') < 0) return None
     val t = s.replace("\r\n", "\n").replace('\r', '\n')
+    // minutes up to 4 digits: formatLrc writes whole minutes, and a
+    // 17-hour audiobook is [1000:00.000]+ — the round trip must hold
     val tag = java.util.regex.Pattern.compile(
-      "\\G\\[(\\d{1,3}):(\\d{1,2})(?:[.:](\\d{1,3}))?\\]")
+      "\\G\\[(\\d{1,4}):(\\d{1,2})(?:[.:](\\d{1,3}))?\\]")
     val raw = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
     t.split('\n').foreach { line =>
       val m = tag.matcher(line)
@@ -3807,43 +3708,65 @@ object Multimodal {
   } catch { case _: Throwable => None } // per-row isolation
 
   private val AssStampPat = java.util.regex.Pattern.compile(
-    "\\s*(\\d+):(\\d{1,2}):(\\d{1,2})[.:](\\d{1,2})\\s*")
+    "\\s*(\\d+):(\\d{1,2}):(\\d{1,2})[.:](\\d{1,3})\\s*")
 
-  /** `h:mm:ss.cc` → ms (centiseconds ×10); -1 when unparseable. */
+  /** `h:mm:ss.cc` → ms. The fraction scales by LENGTH like
+    * [[parseLrc]] and [[ttmlTimeMs]] (1 digit = tenths, 2 =
+    * centiseconds — the ASS norm, 3 = ms for tool variants); -1 when
+    * unparseable.
+    */
   private def assTimeMs(s: String): Long = {
     val m = AssStampPat.matcher(s)
     if (!m.matches()) return -1L
+    val frac = m.group(4)
+    val mmm = frac.toLong * (frac.length match {
+      case 1 => 100L
+      case 2 => 10L
+      case _ => 1L
+    })
     ((m.group(1).toLong * 60 + m.group(2).toLong) * 60 +
-      m.group(3).toLong) * 1000 + m.group(4).toLong * 10
+      m.group(3).toLong) * 1000 + mmm
   }
 
-  /** Does a bounded prefix of the bytes look like ANY text subtitle
-    * format? The cheap gate before [[subtitleCues]] decodes a binary
-    * row to a String: a corpus scan feeds it every unmatched blob,
-    * and decoding a large JPEG/MP4 row to a transient 2x-size String
-    * just to discover it is unparseable is per-row allocation at
-    * scale. SRT/VTT carry `-->` in the first cue, LRC a `[digit`
-    * stamp, ASS its `[Events]` section / `Dialogue:` lines — all
-    * within the leading 8 KiB of any real sidecar.
+  /** Is this blob a KNOWN binary media/archive format? The cheap
+    * gate before [[subtitleCues]] decodes a binary row to a String:
+    * a corpus scan feeds it every unmatched blob, and decoding a
+    * large JPEG/ZIP row to a transient 2x-size String just to
+    * discover it is unparseable is per-row allocation at scale. The
+    * gate is NEGATIVE on purpose — it skips only positively
+    * identified binary magics, so a text sidecar of ANY size or
+    * header shape (a typeset-heavy ASS with >8 KiB of styles, an LRC
+    * with a long untimed preamble) still decodes exactly as before.
     */
-  private def looksLikeSubtitleText(b: Array[Byte]): Boolean = {
-    val n = math.min(b.length, 8192)
-    var i = 0
-    while (i < n) {
-      val c = b(i)
-      if (c == '-') {
-        if (i + 2 < n && b(i + 1) == '-' && b(i + 2) == '>') return true
-      } else if (c == '[') {
-        if (i + 1 < n && b(i + 1) >= '0' && b(i + 1) <= '9') return true
-        if (i + 7 < n && b(i + 1) == 'E' && b(i + 2) == 'v' &&
-          b(i + 3) == 'e' && b(i + 4) == 'n' && b(i + 5) == 't' &&
-          b(i + 6) == 's' && b(i + 7) == ']') return true
-      } else if (c == 'W') {
-        if (i + 5 < n && b(i + 1) == 'E' && b(i + 2) == 'B' &&
-          b(i + 3) == 'V' && b(i + 4) == 'T' && b(i + 5) == 'T') return true
-      }
-      i += 1
-    }
+  private[graft] def knownBinaryMagic(b: Array[Byte]): Boolean = {
+    if (b == null || b.length < 4) return false
+    val b0 = b(0) & 0xff
+    val b1 = b(1) & 0xff
+    // JPEG (FF D8) / MP3-sync (FF Ex/Fx)
+    if (b0 == 0xFF && (b1 == 0xD8 || (b1 & 0xE0) == 0xE0)) return true
+    if (b0 == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') return true
+    if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') return true
+    if (b(0) == 'B' && b(1) == 'M') return true
+    if ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+      (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42)) return true
+    if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') return true
+    if (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M') return true
+    if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') return true
+    if (b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S') return true
+    if (b(0) == '%' && b(1) == 'P' && b(2) == 'D' && b(3) == 'F') return true
+    if (b(0) == 'P' && b(1) == 'K' && (b(2) == 3 || b(2) == 5)) return true
+    if (b0 == 0x1F && b1 == 0x8B) return true // gzip
+    if (b(0) == 'B' && b(1) == 'Z' && b(2) == 'h') return true
+    if (b0 == 0x28 && b1 == 0xB5 && (b(2) & 0xff) == 0x2F &&
+      (b(3) & 0xff) == 0xFD) return true // zstd
+    if (b0 == 0xFD && b(1) == '7' && b(2) == 'z') return true // xz
+    // EBML / BMFF / ID3 never reach the text path (dispatched above),
+    // but the gate is also used defensively
+    if (b0 == 0x1A && b1 == 0x45 && (b(2) & 0xff) == 0xDF &&
+      (b(3) & 0xff) == 0xA3) return true
+    if (b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
+      b(7) == 'p') return true
+    if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') return true
     false
   }
 
@@ -3890,35 +3813,41 @@ object Multimodal {
         if (isBinary && !row.isNullAt(contentIdx))
           row.getAs[Array[Byte]](contentIdx)
         else null
-      val muxed =
+      // muxed sources carry (format, declared language, cues) from
+      // ONE walk of the container per row
+      val muxed: Option[(String, String, Seq[SubCue])] =
         if (bytes != null && bytes.length >= 8 && bytes(0) == 0x1A.toByte &&
           bytes(1) == 0x45.toByte && bytes(2) == 0xDF.toByte &&
-          bytes(3) == 0xA3.toByte) webmSubtitleCues(bytes)
+          bytes(3) == 0xA3.toByte)
+          webmSubtitleCues(bytes).map { case (f, c) =>
+            (f, declaredTextLang(bytes), c)
+          }
         else if (bytes != null && bytes.length >= 16 && bytes(4) == 'f' &&
-          bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p')
-          mp4SubtitleCues(bytes)
+          bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p') {
+          val (tracks, chapRefs) = mp4TextTracks(bytes)
+          tracks.find(t => !chapRefs.contains(t.id) && t.cues.nonEmpty)
+            .map(t => (t.codec, t.lang, t.cues))
+        }
         else if (bytes != null && bytes.length >= 10 && bytes(0) == 'I' &&
           bytes(1) == 'D' && bytes(2) == '3')
-          id3SyltCues(bytes).map(("sylt", _)) // synced lyrics ARE cues
+          // synced lyrics ARE cues; the SYLT frame names its language
+          id3SyltCues(bytes).map(("sylt", declaredTextLang(bytes), _))
         else None
       val parsed = muxed.orElse {
-        if (isBinary && bytes != null && !looksLikeSubtitleText(bytes)) None
+        if (isBinary && bytes != null && knownBinaryMagic(bytes)) None
         else {
           val raw =
             if (row.isNullAt(contentIdx)) null
             else if (isBinary) new String(bytes,
               java.nio.charset.StandardCharsets.UTF_8)
             else row.getAs[String](contentIdx)
-          parseSubtitles(raw)
-            .orElse(parseAss(raw).map(("ass", _)))
-            .orElse(parseLrc(raw).map(("lrc", _)))
+          parseSubtitles(raw).map { case (f, c) => (f, null, c) }
+            .orElse(parseAss(raw).map(("ass", null, _)))
+            .orElse(parseLrc(raw).map(("lrc", null, _)))
         }
       }
       parsed match {
-        case Some((fmt, cues)) =>
-          // per-file metadata, computed ONCE per row (not per cue) —
-          // and only for rows that actually yielded cues
-          val declared = if (muxed.isDefined) declaredTextLang(bytes) else null
+        case Some((fmt, declared, cues)) =>
           cues.map(c =>
             Row(row.get(idIdx), fmt, c.idx, c.startMs, c.endMs, c.text,
               declared))
@@ -5905,12 +5834,16 @@ object Multimodal {
 
   /** Matroska/WebM chapters — `Chapters/EditionEntry/ChapterAtom`
     * with `ChapterTimeStart`/`ChapterTimeEnd` (ns) and the
-    * `ChapterDisplay/ChapString` title. An atom without an end time
-    * ends where the next chapter starts (the last is zero-length) —
-    * the LRC rule. Same EBML reading and depth-cap discipline as
-    * [[webmInfo]]; None for non-EBML bytes or no chapter atom.
+    * `ChapterDisplay/ChapString` title, returned with the DocType
+    * so callers don't re-parse the header for the label. NESTED
+    * ChapterAtoms (legal per spec) each commit their own scratch —
+    * parent state is saved around the recursion. An atom without an
+    * end time ends where the next chapter starts (the last is
+    * zero-length) — the LRC rule. Same EBML reading and depth-cap
+    * discipline as [[webmInfo]]; None for non-EBML bytes or no
+    * chapter atom.
     */
-  private[graft] def webmChapters(b: Array[Byte]): Option[Seq[SubCue]] = try {
+  private[graft] def webmChapters(b: Array[Byte]): Option[(String, Seq[SubCue])] = try {
     if (b == null || b.length < 8 ||
       !(b(0) == 0x1A.toByte && b(1) == 0x45.toByte &&
         b(2) == 0xDF.toByte && b(3) == 0xA3.toByte)) return None
@@ -5942,6 +5875,7 @@ object Multimodal {
       v
     }
     val raw = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    var docType: String = null
     var aStart = -1L
     var aEnd = -1L
     var aTitle: String = null
@@ -5966,12 +5900,20 @@ object Multimodal {
           else body + size.toInt
         id match {
           case _ if isContainer =>
-            if (id == 0xB6L) { aStart = -1L; aEnd = -1L; aTitle = null }
-            walk(body, bodyEnd, depth + 1)
-            if (id == 0xB6L && aStart >= 0) // ChapterAtom closes
-              raw += ((aStart / 1000000L,
-                if (aEnd >= aStart) aEnd / 1000000L else -1L,
-                if (aTitle == null) "" else aTitle))
+            if (id == 0xB6L) {
+              // NESTED ChapterAtoms each commit their own scratch:
+              // save the parent's around the recursion
+              val (ps, pe, pt) = (aStart, aEnd, aTitle)
+              aStart = -1L; aEnd = -1L; aTitle = null
+              walk(body, bodyEnd, depth + 1)
+              if (aStart >= 0)
+                raw += ((aStart / 1000000L,
+                  if (aEnd >= aStart) aEnd / 1000000L else -1L,
+                  if (aTitle == null) "" else aTitle))
+              aStart = ps; aEnd = pe; aTitle = pt
+            } else walk(body, bodyEnd, depth + 1)
+          case 0x4282L => // DocType
+            docType = new String(b, body, bodyEnd - body, "ISO-8859-1")
           case 0x91L => aStart = uintOf(body, bodyEnd) // ns
           case 0x92L => aEnd = uintOf(body, bodyEnd)
           case 0x85L => // ChapString
@@ -5986,11 +5928,12 @@ object Multimodal {
     if (raw.isEmpty) None
     else {
       val sorted = raw.sortBy(_._1).toSeq
-      Some(sorted.zipWithIndex.map { case ((st, en, t), k) =>
-        val end = if (en >= 0) en
-          else if (k + 1 < sorted.length) sorted(k + 1)._1 else st
-        SubCue(k + 1, st, end, t)
-      })
+      Some(((if (docType == null) "matroska" else docType),
+        sorted.zipWithIndex.map { case ((st, en, t), k) =>
+          val end = if (en >= 0) en
+            else if (k + 1 < sorted.length) sorted(k + 1)._1 else st
+          SubCue(k + 1, st, end, t)
+        }))
     }
   } catch { case _: Throwable => None } // per-row isolation
 
@@ -6088,8 +6031,7 @@ object Multimodal {
           id3Chapters(bytes).map(("id3", _))
         else if (bytes(0) == 0x1A.toByte && bytes(1) == 0x45.toByte &&
           bytes(2) == 0xDF.toByte && bytes(3) == 0xA3.toByte)
-          webmChapters(bytes).map(c =>
-            (webmInfo(bytes).map(_.docType).getOrElse("matroska"), c))
+          webmChapters(bytes) // one pass: the walk carries its DocType
         else if (bytes.length >= 16 && bytes(4) == 'f' && bytes(5) == 't' &&
           bytes(6) == 'y' && bytes(7) == 'p')
           mp4Chapters(bytes).map(("chpl", _))
@@ -7994,7 +7936,8 @@ object Multimodal {
     }
     // depth-capped like its siblings: crafted deep nesting exhausts
     // the cap, never the task stack
-    def walk(start: Long, end: Long, depth: Int = 0): Unit = {
+    def walk(start: Long, end: Long, depth: Int = 0,
+        parent: String = ""): Unit = {
       if (depth > 16) return
       var off = start
       while (found.isEmpty && off + 8 <= end) {
@@ -8008,8 +7951,9 @@ object Multimodal {
         if (boxEnd < body || boxEnd > end) return // malformed: stop
         val b = body.toInt
         id match {
-          case "moov" | "mdia" | "minf" | "stbl" => walk(body, boxEnd, depth + 1)
-          case "trak" => walk(body, boxEnd, depth + 1); finishTrak()
+          case "moov" | "mdia" | "minf" | "stbl" =>
+            walk(body, boxEnd, depth + 1, id)
+          case "trak" => walk(body, boxEnd, depth + 1, id); finishTrak()
           case "mdhd" if b + 4 <= boxEnd =>
             if (bytes(b) == 1 && b + 32 <= boxEnd) { // version 1
               timescale = u32(b + 20).toInt; duration = u64(b + 24)
@@ -8020,7 +7964,10 @@ object Multimodal {
             // live-muxed files) must not divide into a bogus ~82-day
             // durationMs; 0 is the explicit unknown signal here
             if (duration == 0xFFFFFFFFL || duration == -1L) duration = 0L
-          case "hdlr" if b + 12 <= boxEnd =>
+          // only the mdia-level hdlr names the track's role — real
+          // QuickTime files carry a second (data-handler) hdlr under
+          // minf which must not clobber it
+          case "hdlr" if parent == "mdia" && b + 12 <= boxEnd =>
             isVideoTrack = new String(bytes, b + 8, 4, "ISO-8859-1") == "vide"
           case "stsd" if b + 16 <= boxEnd =>
             codec = new String(bytes, b + 12, 4, "ISO-8859-1")
@@ -8140,7 +8087,8 @@ object Multimodal {
     */
   private[graft] def mp4SubtitleCues(bytes: Array[Byte]): Option[(String, Seq[SubCue])] = {
     val (tracks, chapRefs) = mp4TextTracks(bytes)
-    tracks.find(t => !chapRefs.contains(t._1)).map(t => (t._2, t._3))
+    tracks.find(t => !chapRefs.contains(t.id) && t.cues.nonEmpty)
+      .map(t => (t.codec, t.cues))
   }
 
   /** The QuickTime-chapter text track's cues — the `tref/chap`
@@ -8148,8 +8096,18 @@ object Multimodal {
     */
   private[graft] def mp4QtChapterCues(bytes: Array[Byte]): Option[Seq[SubCue]] = {
     val (tracks, chapRefs) = mp4TextTracks(bytes)
-    tracks.find(t => chapRefs.contains(t._1)).map(_._3)
+    tracks.find(t => chapRefs.contains(t.id) && t.cues.nonEmpty).map(_.cues)
   }
+
+  /** One timed-text track of an ISO-BMFF movie: tkhd id, stsd
+    * sample-entry fourcc (null when the trak declares none), the
+    * mdhd language code (null when unset), decoded cues (empty when
+    * the sample tables are absent/unparseable — the trak still
+    * DECLARES a text track, which detection and the declared
+    * language need).
+    */
+  private[graft] final case class Mp4TextTrack(id: Long, codec: String,
+      lang: String, cues: Seq[SubCue])
 
   /** Decode every timed-text track of an ISO-BMFF movie (capped at
     * 4) plus the set of track ids some OTHER trak references as its
@@ -8158,7 +8116,7 @@ object Multimodal {
     * subtitle/chapter split can never disagree on what a track
     * contains.
     */
-  private def mp4TextTracks(bytes: Array[Byte]): (Seq[(Long, String, Seq[SubCue])], Set[Long]) = try {
+  private[graft] def mp4TextTracks(bytes: Array[Byte]): (Seq[Mp4TextTrack], Set[Long]) = try {
     if (bytes == null || bytes.length < 16 ||
       !(bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p'))
       return (Nil, Set.empty)
@@ -8173,12 +8131,12 @@ object Multimodal {
     var codec: String = null
     var timescale = 0
     var trackId = -1L
+    var langPacked = -1
     var sizes: Array[Int] = null
     var chunkOffsets: Array[Long] = null
     var stscRuns: Array[(Int, Int)] = null
     var sttsRuns: Array[(Int, Long)] = null // (count, delta ticks)
-    val tracks = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, String, Seq[SubCue])]
+    val tracks = scala.collection.mutable.ArrayBuffer.empty[Mp4TextTrack]
     val chapRefs = scala.collection.mutable.Set.empty[Long]
     def decodeTx3g(off: Int, size: Int): String = {
       if (size < 2) return null
@@ -8212,7 +8170,30 @@ object Multimodal {
       null
     }
     def finishTrak(): Unit = {
-      if (tracks.size < 4 && handlerIsText && codec != null &&
+      // record up to 64 declared text tracks (the detection count);
+      // DECODE only the first 4 (bounded CPU per row)
+      if (tracks.size < 64 && handlerIsText) {
+        // mdhd language (3x5-bit ISO-639-2); 0 / 0x7FFF = unset
+        val lang =
+          if (langPacked <= 0 || langPacked == 0x7FFF) null
+          else {
+            val c1 = ((langPacked >> 10) & 0x1f) + 0x60
+            val c2 = ((langPacked >> 5) & 0x1f) + 0x60
+            val c3 = (langPacked & 0x1f) + 0x60
+            if (c1 >= 'a' && c1 <= 'z' && c2 >= 'a' && c2 <= 'z' &&
+              c3 >= 'a' && c3 <= 'z')
+              new String(Array(c1.toChar, c2.toChar, c3.toChar))
+            else null
+          }
+        val cues = if (tracks.size < 4) decodeTrackCues() else Nil
+        tracks += Mp4TextTrack(trackId, codec, lang, cues)
+      }
+      handlerIsText = false; codec = null; timescale = 0; trackId = -1L
+      langPacked = -1
+      sizes = null; chunkOffsets = null; stscRuns = null; sttsRuns = null
+    }
+    def decodeTrackCues(): Seq[SubCue] = {
+      if (codec != null &&
         (codec == "tx3g" || codec == "text" || codec == "wvtt" ||
           codec == "stpp") && sizes != null && chunkOffsets != null &&
         stscRuns != null && sttsRuns != null && timescale > 0) {
@@ -8260,14 +8241,13 @@ object Multimodal {
             inRun += 1
             if (inRun >= sttsRuns(run)._1) { run += 1; inRun = 0 }
           }
-          val got = cues.result()
-          if (got.nonEmpty) tracks += ((trackId, codec, got))
+          return cues.result()
         }
       }
-      handlerIsText = false; codec = null; timescale = 0; trackId = -1L
-      sizes = null; chunkOffsets = null; stscRuns = null; sttsRuns = null
+      Nil
     }
-    def walk(start: Long, end: Long, depth: Int = 0): Unit = {
+    def walk(start: Long, end: Long, depth: Int = 0,
+        parent: String = ""): Unit = {
       if (depth > 16) return
       var off = start
       while (off + 8 <= end) {
@@ -8282,18 +8262,25 @@ object Multimodal {
         val b = body.toInt
         id match {
           case "moov" | "mdia" | "minf" | "stbl" | "tref" =>
-            walk(body, boxEnd, depth + 1)
-          case "trak" => walk(body, boxEnd, depth + 1); finishTrak()
+            walk(body, boxEnd, depth + 1, id)
+          case "trak" => walk(body, boxEnd, depth + 1, id); finishTrak()
           case "tkhd" if b + 4 <= boxEnd =>
             if (bytes(b) == 1 && b + 24 <= boxEnd) trackId = u32(b + 20)
             else if (b + 16 <= boxEnd) trackId = u32(b + 12)
-          case "chap" => // tref/chap: ids of THIS trak's chapter tracks
+          case "chap" if parent == "tref" =>
+            // tref/chap: ids of THIS trak's chapter tracks
             var q = b
             while (q + 4 <= boxEnd) { chapRefs += u32(q); q += 4 }
           case "mdhd" if b + 4 <= boxEnd =>
-            if (bytes(b) == 1 && b + 32 <= boxEnd) timescale = u32(b + 20).toInt
-            else if (b + 24 <= boxEnd) timescale = u32(b + 12).toInt
-          case "hdlr" if b + 12 <= boxEnd =>
+            if (bytes(b) == 1 && b + 34 <= boxEnd) {
+              timescale = u32(b + 20).toInt; langPacked = u16(b + 32)
+            } else if (b + 22 <= boxEnd) {
+              timescale = u32(b + 12).toInt; langPacked = u16(b + 20)
+            }
+          // ONLY the mdia-level hdlr names the track's role: real
+          // QuickTime files carry a SECOND hdlr under minf (the data
+          // handler, 'alis'/'url ') which must not clobber it
+          case "hdlr" if parent == "mdia" && b + 12 <= boxEnd =>
             val h = new String(bytes, b + 8, 4, "ISO-8859-1")
             handlerIsText = h == "sbtl" || h == "subt" || h == "text"
           case "stsd" if b + 16 <= boxEnd =>

@@ -2551,11 +2551,11 @@ class SemanticSpec extends SparkSpec {
     // chapterless tag: None
     assert(M.id3Chapters(M.syntheticId3(4, "T", "A", "B") ++
       M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))).isEmpty)
-    // Matroska Chapters (ns scale)
+    // Matroska Chapters (ns scale); the walk carries its DocType
     val mka = M.syntheticWebm("audio", channels = 2, sampleRate = 48000,
       durationMs = 200000L, codec = "A_OPUS", docType = "matroska",
       chapters = chaps)
-    val Some(wc) = M.webmChapters(mka)
+    val Some(("matroska", wc)) = M.webmChapters(mka)
     assert(wc.map(x => (x.startMs, x.endMs, x.text)) == chaps)
     assert(M.webmChapters(M.syntheticWebm("audio", channels = 1,
       sampleRate = 8000)).isEmpty)
@@ -2577,6 +2577,129 @@ class SemanticSpec extends SparkSpec {
     ).toDF("doc_id", "content")).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(out == Set((1L, "id3"), (2L, "matroska"), (3L, "chpl")))
+  }
+
+  test("review sweep: minf data-handler hdlr, nested ChapterAtoms, fraction scaling, SHORT thumb length, long LRC, binary gate") {
+    val M = Multimodal
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    // 1) a REAL QuickTime layout carries a SECOND hdlr under minf
+    //    (the data handler) — it must not clobber the track's role
+    def box(id: String, p: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + p.length)
+      out.putInt(8 + p.length).put(id.getBytes("ISO-8859-1")).put(p)
+      out.array()
+    }
+    val base = M.syntheticMp4TimedText(
+      Seq(M.renderJpeg(8, 8, (_, _) => gray(70))),
+      Seq((0L, 500L, "qt line")))
+    // splice a minf-level data hdlr ('alis') into the TEXT trak by
+    // rebuilding: find the text trak's minf and prepend the hdlr
+    val dhlr = box("hdlr",
+      new Array[Byte](8) ++ "alis".getBytes("ISO-8859-1") ++ new Array[Byte](12))
+    val spliced = {
+      // the text trak is the LAST trak; its minf is the last minf box
+      val s = new String(base.map(b => (b & 0xff).toChar))
+      val at = s.lastIndexOf("minf")
+      val minfStart = at - 4
+      val oldSize = java.nio.ByteBuffer.wrap(base, minfStart, 4).getInt
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(base, 0, minfStart)
+      val bb = java.nio.ByteBuffer.allocate(4)
+      bb.putInt(oldSize + dhlr.length)
+      out.write(bb.array(), 0, 4)
+      out.write(base, minfStart + 4, 4) // 'minf'
+      out.write(dhlr, 0, dhlr.length)
+      out.write(base, minfStart + 8, base.length - minfStart - 8)
+      // fix the enclosing mdia/trak/... sizes? The minf is the last
+      // box of mdia which is the last of trak which is the last of
+      // moov which is the last top-level box — grow each enclosing
+      // size by dhlr.length
+      val grown = out.toByteArray
+      val str = new String(grown.map(b => (b & 0xff).toChar))
+      for (marker <- Seq("moov", "trak", "mdia")) {
+        val i = str.lastIndexOf(marker)
+        val old = java.nio.ByteBuffer.wrap(grown, i - 4, 4).getInt
+        java.nio.ByteBuffer.wrap(grown, i - 4, 4).putInt(old + dhlr.length)
+      }
+      grown
+    }
+    assert(M.mp4SubtitleCues(spliced).exists(_._2.head.text == "qt line"),
+      "a minf data-handler hdlr must not clobber the mdia hdlr's role")
+    assert(M.subtitleTrackCount(spliced) == 1)
+    // 2) nested ChapterAtoms: parent AND child both commit, once each
+    //    (hand-built: an atom containing a sub-atom)
+    def el(id: Long, payload: Array[Byte]): Array[Byte] = {
+      val n = (64 - java.lang.Long.numberOfLeadingZeros(id) + 7) / 8
+      val idB = Array.tabulate(n.toInt)(i => ((id >> (8 * (n - 1 - i))) & 0xff).toByte)
+      idB ++ Array((0x10 | (payload.length >> 24)).toByte,
+        ((payload.length >> 16) & 0xff).toByte,
+        ((payload.length >> 8) & 0xff).toByte,
+        (payload.length & 0xff).toByte) ++ payload
+    }
+    def uintEl(id: Long, v: Long): Array[Byte] = {
+      var n = 1
+      while (n < 8 && (v >>> (8 * n)) != 0) n += 1
+      el(id, Array.tabulate(n)(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte))
+    }
+    def disp(t: String): Array[Byte] =
+      el(0x80L, el(0x85L, t.getBytes("UTF-8")))
+    val child = el(0xB6L, uintEl(0x91L, 10000L * 1000000L) ++
+      uintEl(0x92L, 20000L * 1000000L) ++ disp("child"))
+    val parentAtom = el(0xB6L, uintEl(0x91L, 0L) ++
+      uintEl(0x92L, 60000L * 1000000L) ++ disp("parent") ++ child)
+    val nestedMkv =
+      el(0x1A45DFA3L, el(0x4282L, "matroska".getBytes("ISO-8859-1"))) ++
+      el(0x18538067L, el(0x1043A770L, el(0x45B9L, parentAtom)))
+    val Some((_, nested)) = M.webmChapters(nestedMkv)
+    assert(nested.map(c => (c.startMs, c.endMs, c.text)) ==
+      Seq((0L, 60000L, "parent"), (10000L, 20000L, "child")))
+    // 3) 1-digit ASS fraction is tenths, not centiseconds
+    val assOne = "[Events]\nDialogue: 0,0:00:01.5,0:00:03.5,D,,0,0,0,,x\n"
+    assert(M.parseAss(assOne).get.head.startMs == 1500L)
+    // 4) SHORT-typed IFD1 length entries still resolve the thumbnail
+    //    (the builder writes LONG; patch the type fields to SHORT —
+    //    values < 65536 keep the same big-endian u16 at the value
+    //    field's START only if re-encoded, so rebuild by hand)
+    val thumb = M.renderJpeg(8, 4, (_, _) => gray(99))
+    val shortTyped = {
+      val ifd1Off = 8 + 2 + 4
+      val thumbOff = ifd1Off + 2 + 12 * 2 + 4
+      val bb = java.nio.ByteBuffer.allocate(thumbOff + thumb.length)
+      bb.put('M'.toByte).put('M'.toByte).putShort(42).putInt(8)
+      bb.putShort(0).putInt(ifd1Off)
+      bb.putShort(2)
+      bb.putShort(0x0201.toShort).putShort(4).putInt(1).putInt(thumbOff)
+      // length as SHORT: 2-byte value at the value field's start
+      bb.putShort(0x0202.toShort).putShort(3).putInt(1)
+        .putShort(thumb.length.toShort).putShort(0)
+      bb.putInt(0)
+      bb.put(thumb)
+      val payload = "Exif".getBytes("ISO-8859-1") ++ Array[Byte](0, 0) ++ bb.array()
+      val app1 = Array(0xFF.toByte, 0xE1.toByte,
+        (((payload.length + 2) >> 8) & 0xff).toByte,
+        ((payload.length + 2) & 0xff).toByte) ++ payload
+      val j = M.renderJpeg(8, 8, (_, _) => gray(50))
+      j.take(2) ++ app1 ++ j.drop(2)
+    }
+    assert(M.exifThumbnail(shortTyped).toSeq == thumb.toSeq)
+    // 5) 4-digit LRC minutes round-trip (a 17-hour audiobook)
+    val longCue = Seq(M.SubCue(1, 60000000L + 1500L, 60000000L + 1500L, "late"))
+    assert(M.parseLrc(M.formatLrc(longCue)).contains(longCue))
+    // 6) the binary gate is NEGATIVE: a typeset-heavy ASS whose
+    //    [Events] starts past 8 KiB still parses; a JPEG is skipped
+    val bigAss = "[Script Info]\nScriptType: v4.00+\n\n[V4+ Styles]\n" +
+      (1 to 300).map(i => s"Style: S$i,Arial,20,&H00FFFFFF,&H000000FF")
+        .mkString("\n") +
+      "\n\n[Events]\nDialogue: 0,0:00:01.00,0:00:02.00,D,,0,0,0,,deep line\n"
+    assert(bigAss.indexOf("[Events]") > 8192, "fixture must bury the marker")
+    val out = M.subtitleCues(Seq(
+      (1L, bigAss.getBytes("UTF-8")),
+      (2L, M.renderJpeg(16, 16, (_, _) => gray(80)))) // known magic: skipped
+      .toDF("doc_id", "content")).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 1L &&
+      out.head.getString(5) == "deep line")
+    assert(M.knownBinaryMagic(M.renderJpeg(4, 4, (_, _) => 0)))
+    assert(!M.knownBinaryMagic("1\n00:00:01,000 --> x".getBytes("UTF-8")))
   }
 
   test("QuickTime chapter track: tref/chap text tracks are chapters, never subtitles") {
