@@ -702,19 +702,25 @@ object Multimodal {
     }
   } catch { case _: Throwable => None }
 
-  /** Muxed subtitle cues from a Matroska/WebM file — (docType, cues):
-    * the extraction half of the container story ([[subtitleTrackCount]]
-    * detects; this reads the text). One EBML pass: `Tracks` yields
-    * the S_TEXT track numbers, then each `Cluster`'s `Timecode`
+  /** Muxed subtitle cues from a Matroska/WebM file —
+    * (docType, declaredLang, cues): the extraction half of the
+    * container story ([[subtitleTrackCount]] detects; this reads the
+    * text). One EBML pass: `Tracks` yields the S_TEXT track numbers
+    * and their `Language` elements, then each `Cluster`'s `Timecode`
     * anchors its `BlockGroup`s — a subtitle cue is a `Block` on a
     * subtitle track (UTF-8 payload, no lacing) with its
     * `BlockDuration`; `SimpleBlock`s on subtitle tracks are accepted
     * too (zero duration when none is declared). Times =
     * (cluster + relative) ticks × TimecodeScale, reported in ms.
-    * Depth-capped, cue-capped (100k), exception-guarded like
-    * [[webmInfo]]. None for non-EBML bytes or no subtitle cue.
+    * Cues come from ONE track — the first declared subtitle track
+    * that carries any (the [[mp4TextTracks]] selection rule) — and
+    * `declaredLang` is THAT track's `Language` (absent = `eng`, the
+    * Matroska spec default), so a multi-language mux can never stamp
+    * one track's cues with another's declaration. Depth-capped,
+    * cue-capped (100k), exception-guarded like [[webmInfo]]. None
+    * for non-EBML bytes or no subtitle cue.
     */
-  private[graft] def webmSubtitleCues(b: Array[Byte]): Option[(String, Seq[SubCue])] = try {
+  private[graft] def webmSubtitleCues(b: Array[Byte]): Option[(String, String, Seq[SubCue])] = try {
     if (b == null || b.length < 8 ||
       !(b(0) == 0x1A.toByte && b(1) == 0x45.toByte &&
         b(2) == 0xDF.toByte && b(3) == 0xA3.toByte)) return None
@@ -748,18 +754,31 @@ object Multimodal {
     var docType: String = null
     var scaleNs = 1000000L
     var clusterTc = 0L
+    // subtitle tracks in declaration order, with their declared
+    // Language (absent = eng, the Matroska spec default)
+    val subTrackOrder = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val subTrackLang = scala.collection.mutable.Map.empty[Long, String]
     val subTracks = scala.collection.mutable.Set.empty[Long]
     // per-TrackEntry scratch
     var tNum = -1L
     var tType = -1
     var tCodec: String = null
+    var tLang: String = null
     // per-BlockGroup scratch
+    var bgTrack = -1L
     var bgStart = Long.MinValue
     var bgText: String = null
     var bgDurTicks = 0L
-    val cues = Seq.newBuilder[SubCue]
+    // (start ms, end ms, text) per subtitle track
+    val cuesByTrack = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Long, String)]]
     var nCues = 0
-    def parseBlock(from: Int, until: Int): Option[(Long, String)] = {
+    def addCue(track: Long, stMs: Long, enMs: Long, text: String): Unit = {
+      cuesByTrack.getOrElseUpdate(track,
+        scala.collection.mutable.ArrayBuffer.empty) += ((stMs, enMs, text))
+      nCues += 1
+    }
+    def parseBlock(from: Int, until: Int): Option[(Long, Long, String)] = {
       val tn = vintLen(from)
       if (tn < 1 || tn > 8 || from + tn + 3 > until) return None
       var track = (b(from) & 0xff & (0xff >>> tn)).toLong
@@ -771,7 +790,7 @@ object Multimodal {
       if ((flags & 0x06) != 0) return None // laced: not a subtitle shape
       val text = new String(b, from + tn + 3, until - from - tn - 3,
         java.nio.charset.StandardCharsets.UTF_8).trim
-      if (text.isEmpty) None else Some((clusterTc + rel, text))
+      if (text.isEmpty) None else Some((track, clusterTc + rel, text))
     }
     def walk(start: Int, end: Int, depth: Int): Unit = {
       if (depth > 16 || nCues >= 100000) return
@@ -794,17 +813,22 @@ object Multimodal {
           else body + size.toInt
         id match {
           case _ if isContainer =>
-            if (id == 0xA0L) { bgStart = Long.MinValue; bgText = null; bgDurTicks = 0L }
+            if (id == 0xA0L) {
+              bgTrack = -1L; bgStart = Long.MinValue; bgText = null
+              bgDurTicks = 0L
+            }
             walk(body, bodyEnd, depth + 1)
             if (id == 0xAEL) { // TrackEntry closes
               if (tType == 0x11 && tNum > 0 &&
-                (tCodec == null || tCodec.startsWith("S_TEXT"))) subTracks += tNum
-              tNum = -1L; tType = -1; tCodec = null
+                (tCodec == null || tCodec.startsWith("S_TEXT"))) {
+                subTracks += tNum
+                subTrackOrder += tNum
+                subTrackLang(tNum) = if (tLang != null) tLang else "eng"
+              }
+              tNum = -1L; tType = -1; tCodec = null; tLang = null
             } else if (id == 0xA0L && bgText != null) { // BlockGroup closes
               val st = bgStart * scaleNs / 1000000L
-              cues += SubCue(nCues + 1, st,
-                st + bgDurTicks * scaleNs / 1000000L, bgText)
-              nCues += 1
+              addCue(bgTrack, st, st + bgDurTicks * scaleNs / 1000000L, bgText)
             }
           case 0x4282L =>
             docType = new String(b, body, bodyEnd - body, "ISO-8859-1")
@@ -815,17 +839,18 @@ object Multimodal {
           case 0x83L => tType = uintOf(body, bodyEnd).toInt
           case 0x86L =>
             tCodec = new String(b, body, bodyEnd - body, "ISO-8859-1")
+          case 0x22B59CL =>
+            tLang = new String(b, body, bodyEnd - body, "ISO-8859-1")
           case 0xE7L => clusterTc = uintOf(body, bodyEnd)
           case 0xA1L => // Block inside a BlockGroup
-            parseBlock(body, bodyEnd).foreach { case (tick, text) =>
-              bgStart = tick; bgText = text
+            parseBlock(body, bodyEnd).foreach { case (track, tick, text) =>
+              bgTrack = track; bgStart = tick; bgText = text
             }
           case 0x9BL => bgDurTicks = uintOf(body, bodyEnd)
           case 0xA3L => // SimpleBlock: no duration element
-            parseBlock(body, bodyEnd).foreach { case (tick, text) =>
+            parseBlock(body, bodyEnd).foreach { case (track, tick, text) =>
               val st = tick * scaleNs / 1000000L
-              cues += SubCue(nCues + 1, st, st, text)
-              nCues += 1
+              addCue(track, st, st, text)
             }
           case _ => ()
         }
@@ -833,9 +858,17 @@ object Multimodal {
       }
     }
     walk(0, b.length, 0)
-    val got = cues.result()
-    if (got.isEmpty) None
-    else Some(((if (docType == null) "matroska" else docType), got))
+    // the first DECLARED subtitle track that carries cues wins —
+    // cues and language come from the same track by construction
+    subTrackOrder.find(t => cuesByTrack.get(t).exists(_.nonEmpty)) match {
+      case None => None
+      case Some(track) =>
+        val got = cuesByTrack(track).zipWithIndex.map {
+          case ((st, en, text), k) => SubCue(k + 1, st, en, text)
+        }.toSeq
+        Some(((if (docType == null) "matroska" else docType),
+          subTrackLang.getOrElse(track, "eng"), got))
+    }
   } catch { case _: Throwable => None } // per-row isolation
 
   /** Attached cover art from a Matroska/WebM file — the `Attachments`
@@ -962,12 +995,14 @@ object Multimodal {
     * roles come from the SAME [[mp4TextTracks]] walk the extraction
     * uses, so detection and extraction can't disagree), Matroska
     * TrackType 0x11. Null for non-container bytes (callers treat
-    * null as unknown, 0 as "declares none").
+    * null as unknown, 0 as "declares none"). The BMFF count ceils at
+    * 64 declared text tracks — the walk's hostile-file bound; real
+    * movies carry a handful.
     */
   def subtitleTrackCount(b: Array[Byte]): Integer = try {
     if (b == null || b.length < 16) return null
     if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') {
-      val (tracks, chapRefs) = mp4TextTracks(b)
+      val (tracks, chapRefs) = mp4TextTracks(b, decodeCues = false)
       return Integer.valueOf(tracks.count(t => !chapRefs.contains(t.id)))
     }
     if (b(0) == 0x1A.toByte && b(1) == 0x45.toByte &&
@@ -1009,7 +1044,7 @@ object Multimodal {
     // [[mp4TextTracks]] walk the extraction uses
     if (b.length >= 16 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
       b(7) == 'p') {
-      val (tracks, chapRefs) = mp4TextTracks(b)
+      val (tracks, chapRefs) = mp4TextTracks(b, decodeCues = false)
       return tracks.find(t => !chapRefs.contains(t.id) && t.lang != null)
         .map(_.lang).orNull
     }
@@ -1191,9 +1226,13 @@ object Multimodal {
       subCues: Seq[(Long, Long, String)] = Nil,
       attachedArt: Option[(String, Array[Byte])] = None,
       subLang: Option[String] = None,
-      chapters: Seq[(Long, Long, String)] = Nil): Array[Byte] = {
+      chapters: Seq[(Long, Long, String)] = Nil,
+      subLang2: Option[String] = None,
+      subCues2: Seq[(Long, Long, String)] = Nil): Array[Byte] = {
     require(subCues.isEmpty || subtitleTracks > 0,
       "muxed cues ride the first subtitle track")
+    require(subCues2.isEmpty || subtitleTracks > 1,
+      "second-track cues need a second subtitle track")
     def vintSize(n: Long): Array[Byte] = { // 4-byte size VINT
       require(n >= 0 && n < (1L << 28), s"fixture size too large: $n")
       Array((0x10 | (n >> 24)).toByte, ((n >> 16) & 0xff).toByte,
@@ -1234,10 +1273,12 @@ object Multimodal {
           bb.putFloat(if (kind == "audio") sampleRate.toFloat else 48000f)
           bb.array()
         }) ++ uintEl(0x9FL, if (kind == "audio") channels.toLong else 2L)))
-    val subTracks = (0 until subtitleTracks).toArray.flatMap(i =>
+    val subTracks = (0 until subtitleTracks).toArray.flatMap { i =>
+      val lang = if (i == 1) subLang2 else if (i == 0) subLang else None
       el(0xAEL, uintEl(0xD7L, 3L + i) ++ uintEl(0x83L, 0x11L) ++
         strEl(0x86L, "S_TEXT/UTF8") ++
-        subLang.map(strEl(0x22B59CL, _)).getOrElse(Array.emptyByteArray)))
+        lang.map(strEl(0x22B59CL, _)).getOrElse(Array.emptyByteArray))
+    }
     val tracks = el(0x1654AE6BL,
       (if (kind == "video") videoTrack ++ audioTrack else audioTrack) ++
         subTracks)
@@ -1254,18 +1295,21 @@ object Multimodal {
           simpleTag("ALBUM", al)))
     }.getOrElse(Array.emptyByteArray)
     // muxed text: one Cluster at timecode 0, a BlockGroup per cue on
-    // the first subtitle track (number 3), 1 ms ticks (default scale)
+    // the first subtitle track (number 3) — and the second (4) for
+    // the multi-language fixtures — 1 ms ticks (default scale)
+    def cueBlocks(track: Int, cs: Seq[(Long, Long, String)]): Array[Byte] =
+      cs.toArray.flatMap { case (startMs, endMs, text) =>
+        require(startMs >= 0 && startMs <= 32767 && endMs >= startMs,
+          "fixture cue times fit the i16 relative timecode")
+        val block = Array((0x80 | track).toByte, // 1-byte VINT
+          ((startMs >> 8) & 0xff).toByte, (startMs & 0xff).toByte,
+          0.toByte) ++ text.getBytes("UTF-8")
+        el(0xA0L, el(0xA1L, block) ++ uintEl(0x9BL, endMs - startMs))
+      }
     val cluster =
-      if (subCues.isEmpty) Array.emptyByteArray
-      else el(0x1F43B675L, uintEl(0xE7L, 0L) ++ subCues.toArray.flatMap {
-        case (startMs, endMs, text) =>
-          require(startMs >= 0 && startMs <= 32767 && endMs >= startMs,
-            "fixture cue times fit the i16 relative timecode")
-          val block = Array((0x80 | 3).toByte, // track 3, 1-byte VINT
-            ((startMs >> 8) & 0xff).toByte, (startMs & 0xff).toByte,
-            0.toByte) ++ text.getBytes("UTF-8")
-          el(0xA0L, el(0xA1L, block) ++ uintEl(0x9BL, endMs - startMs))
-      })
+      if (subCues.isEmpty && subCues2.isEmpty) Array.emptyByteArray
+      else el(0x1F43B675L, uintEl(0xE7L, 0L) ++
+        cueBlocks(3, subCues) ++ cueBlocks(4, subCues2))
     // MKA album-art convention: an Attachments/AttachedFile element
     val attachEl = attachedArt.map { case (m, data) =>
       el(0x1941A469L, el(0x61A7L,
@@ -3546,6 +3590,19 @@ object Multimodal {
   /** One parsed subtitle cue ([[subtitleCues]]). */
   final case class SubCue(idx: Int, startMs: Long, endMs: Long, text: String)
 
+  // compiled once — these run per text-candidate row in a corpus
+  // scan (the AssStampPat/TtmlParaPat idiom)
+  private val SubStampPat = java.util.regex.Pattern.compile(
+    "(?:(\\d+):)?(\\d{1,2}):(\\d{1,2})[.,](\\d{1,3})")
+  private val VttMpegTsPat = java.util.regex.Pattern.compile(
+    "MPEGTS:(\\d+)")
+  private val VttLocalPat = java.util.regex.Pattern.compile(
+    "LOCAL:([0-9:.,]+)")
+  // minutes up to 4 digits: formatLrc writes whole minutes, and a
+  // 17-hour audiobook is [1000:00.000]+ — the round trip must hold
+  private val LrcTagPat = java.util.regex.Pattern.compile(
+    "\\G\\[(\\d{1,4}):(\\d{1,2})(?:[.:](\\d{1,3}))?\\]")
+
   /** Parse an SRT or WebVTT subtitle file into timed cues — the
     * video-text pairing surface: a crawl's .srt/.vtt sidecars are the
     * transcripts that turn videos into (clip, text) training pairs.
@@ -3564,8 +3621,7 @@ object Multimodal {
     val isVtt = t.startsWith("WEBVTT")
     if (!isVtt && !t.contains("-->")) return None
     val lines = t.split('\n')
-    val stamp = java.util.regex.Pattern.compile(
-      "(?:(\\d+):)?(\\d{1,2}):(\\d{1,2})[.,](\\d{1,3})")
+    val stamp = SubStampPat
     def ms(m: java.util.regex.Matcher): Long = {
       val h = if (m.group(1) == null) 0L else m.group(1).toLong
       val frac = m.group(4)
@@ -3589,6 +3645,26 @@ object Multimodal {
       }
       sb.toString
     }
+    // HLS segment VTT: the header's X-TIMESTAMP-MAP anchors LOCAL cue
+    // time to the MPEG-TS 90 kHz clock — cue times shift by the
+    // difference (the sidecar twin of the MP4 elst offset). The line
+    // lives in the header block, before the first cue arrow.
+    var tsOffsetMs = 0L
+    if (isVtt) {
+      var h = 0
+      while (h < lines.length && lines(h).indexOf("-->") < 0) {
+        val ln = lines(h)
+        if (ln.startsWith("X-TIMESTAMP-MAP=")) {
+          val mt = VttMpegTsPat.matcher(ln)
+          val ml = VttLocalPat.matcher(ln)
+          if (mt.find() && ml.find()) {
+            val lm = stamp.matcher(ml.group(1))
+            if (lm.find()) tsOffsetMs = mt.group(1).toLong / 90L - ms(lm)
+          }
+          h = lines.length
+        } else h += 1
+      }
+    }
     val cues = Seq.newBuilder[SubCue]
     var i = 0
     var idx = 0
@@ -3599,8 +3675,8 @@ object Multimodal {
         val m1 = stamp.matcher(ln.substring(0, arrow))
         val m2 = stamp.matcher(ln.substring(arrow + 3))
         if (m1.find() && m2.find()) {
-          val st = ms(m1)
-          val en = ms(m2)
+          val st = ms(m1) + tsOffsetMs
+          val en = ms(m2) + tsOffsetMs
           val sb = new java.lang.StringBuilder
           i += 1
           while (i < lines.length && lines(i).trim.nonEmpty) {
@@ -3609,7 +3685,7 @@ object Multimodal {
             i += 1
           }
           val text = stripMarkup(sb.toString).trim
-          if (en >= st && text.nonEmpty) {
+          if (st >= 0 && en >= st && text.nonEmpty) {
             idx += 1
             cues += SubCue(idx, st, en, text)
           }
@@ -3633,10 +3709,7 @@ object Multimodal {
   private[graft] def parseLrc(s: String): Option[Seq[SubCue]] = try {
     if (s == null || s.isEmpty || s.indexOf('[') < 0) return None
     val t = s.replace("\r\n", "\n").replace('\r', '\n')
-    // minutes up to 4 digits: formatLrc writes whole minutes, and a
-    // 17-hour audiobook is [1000:00.000]+ — the round trip must hold
-    val tag = java.util.regex.Pattern.compile(
-      "\\G\\[(\\d{1,4}):(\\d{1,2})(?:[.:](\\d{1,3}))?\\]")
+    val tag = LrcTagPat
     val raw = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
     t.split('\n').foreach { line =>
       val m = tag.matcher(line)
@@ -3674,9 +3747,13 @@ object Multimodal {
 
   /** ASS/SSA subtitle sidecars — the fansub/anime share of a crawl:
     * an `[Events]` section whose `Dialogue:` lines carry
-    * `h:mm:ss.cc` start/end (centiseconds) in fields 2-3 and the cue
-    * text as the 10th comma field (commas INSIDE the text survive —
-    * split caps at 10). `{\...}` override blocks are stripped,
+    * `h:mm:ss.cc` start/end (centiseconds) and the cue text in the
+    * positions the section's `Format:` line DECLARES (SSA v4 exports
+    * and several tool variants reorder or extend the default
+    * Layer..Text order; the split caps at the declared field count,
+    * so commas INSIDE a trailing Text field survive). Without a
+    * `Format:` line the v4.00+ default (10 fields, Start=1, End=2,
+    * Text=9) applies. `{\...}` override blocks are stripped,
     * `\N`/`\n` become newlines, `\h` a space. Events may be written
     * out of order; cues sort by start time. None for text without a
     * parseable Dialogue line.
@@ -3686,14 +3763,30 @@ object Multimodal {
     if (s.indexOf("[Events]") < 0 || s.indexOf("Dialogue:") < 0) return None
     val t = s.replace("\r\n", "\n").replace('\r', '\n')
     val raw = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    // the v4.00+ default field order, used until (or without) an
+    // [Events] Format: declaration
+    var nFields = 10
+    var startIdx = 1
+    var endIdx = 2
+    var textIdx = 9
+    var inEvents = false
     t.split('\n').foreach { line0 =>
       val line = line0.trim
-      if (line.startsWith("Dialogue:") && raw.size < 100000) {
-        val parts = line.substring(9).split(",", 10)
-        if (parts.length == 10) {
-          val st = assTimeMs(parts(1))
-          val en = assTimeMs(parts(2))
-          val text = parts(9)
+      if (line.startsWith("[")) inEvents = line.equalsIgnoreCase("[Events]")
+      else if (inEvents && line.startsWith("Format:")) {
+        val names = line.substring(7).split(",").map(_.trim)
+        val si = names.indexWhere(_.equalsIgnoreCase("Start"))
+        val ei = names.indexWhere(_.equalsIgnoreCase("End"))
+        val ti = names.indexWhere(_.equalsIgnoreCase("Text"))
+        if (si >= 0 && ei >= 0 && ti >= 0) {
+          nFields = names.length; startIdx = si; endIdx = ei; textIdx = ti
+        }
+      } else if (line.startsWith("Dialogue:") && raw.size < 100000) {
+        val parts = line.substring(9).split(",", nFields)
+        if (parts.length == nFields) {
+          val st = assTimeMs(parts(startIdx))
+          val en = assTimeMs(parts(endIdx))
+          val text = parts(textIdx)
             .replaceAll("\\{[^}]*\\}", "") // style override blocks
             .replace("\\N", "\n").replace("\\n", "\n").replace("\\h", " ")
             .trim
@@ -3819,9 +3912,9 @@ object Multimodal {
         if (bytes != null && bytes.length >= 8 && bytes(0) == 0x1A.toByte &&
           bytes(1) == 0x45.toByte && bytes(2) == 0xDF.toByte &&
           bytes(3) == 0xA3.toByte)
-          webmSubtitleCues(bytes).map { case (f, c) =>
-            (f, declaredTextLang(bytes), c)
-          }
+          // ONE EBML walk: cues and the declared language of the
+          // SAME track (a multi-language mux can't cross-stamp)
+          webmSubtitleCues(bytes).map { case (f, lang, c) => (f, lang, c) }
         else if (bytes != null && bytes.length >= 16 && bytes(4) == 'f' &&
           bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p') {
           val (tracks, chapRefs) = mp4TextTracks(bytes)
@@ -5008,9 +5101,6 @@ object Multimodal {
   private[graft] def flacPicture(b: Array[Byte]): Option[(String, Array[Byte])] = {
     if (b == null || b.length < 8 ||
       !(b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')) return None
-    @inline def u32(o: Int): Long =
-      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
-        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
     var off = 4
     var last = false
     while (!last && off + 4 <= b.length) {
@@ -5021,27 +5111,64 @@ object Multimodal {
         (b(off + 3) & 0xff)
       val body = off + 4
       if (body + len > b.length) return None // truncated block
-      if (btype == 6) {
-        val end = body + len
-        var p = body + 4 // picture type (3 = front cover) — not needed
-        if (p + 4 > end) return None
-        val mimeLen = u32(p); p += 4
-        if (mimeLen < 0 || mimeLen > end - p) return None
-        val mime = new String(b, p, mimeLen.toInt, "ISO-8859-1")
-        p += mimeLen.toInt
-        if (p + 4 > end) return None
-        val descLen = u32(p); p += 4
-        if (descLen < 0 || descLen > end - p) return None
-        p += descLen.toInt
-        p += 16 // width, height, depth, colors
-        if (p + 4 > end) return None
-        val dataLen = u32(p); p += 4
-        if (dataLen <= 0 || dataLen > end - p) return None
-        return Some((mime, java.util.Arrays.copyOfRange(b, p, p + dataLen.toInt)))
-      }
+      if (btype == 6) return flacPictureBody(b, body, body + len)
       off = body + len
     }
     None
+  }
+
+  /** Decode the BODY of a FLAC `PICTURE` block in `b[from, until)` —
+    * the shared kernel of [[flacPicture]] (where the body sits inside
+    * a FLAC metadata-block chain) and the Vorbis-comment
+    * `METADATA_BLOCK_PICTURE` field (where the SAME structure arrives
+    * base64-encoded inside an Ogg Vorbis/Opus tag — the standard art
+    * carrier of `.ogg`/`.opus` rips). Every length is bounds-checked
+    * against the block, so a hostile length ends the read instead of
+    * walking out of it.
+    */
+  private def flacPictureBody(b: Array[Byte], from: Int,
+      until: Int): Option[(String, Array[Byte])] = {
+    @inline def u32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    val end = until
+    var p = from + 4 // picture type (3 = front cover) — not needed
+    if (p + 4 > end) return None
+    val mimeLen = u32(p); p += 4
+    if (mimeLen < 0 || mimeLen > end - p) return None
+    val mime = new String(b, p, mimeLen.toInt, "ISO-8859-1")
+    p += mimeLen.toInt
+    if (p + 4 > end) return None
+    val descLen = u32(p); p += 4
+    if (descLen < 0 || descLen > end - p) return None
+    p += descLen.toInt
+    p += 16 // width, height, depth, colors
+    if (p + 4 > end) return None
+    val dataLen = u32(p); p += 4
+    if (dataLen <= 0 || dataLen > end - p) return None
+    Some((mime, java.util.Arrays.copyOfRange(b, p, p + dataLen.toInt)))
+  }
+
+  /** Embedded cover art of an Ogg Vorbis/Opus stream — the
+    * Vorbis-comment `METADATA_BLOCK_PICTURE` field (the
+    * xiph.org coverart convention: a base64-encoded FLAC PICTURE
+    * block body), decoded through the SAME [[flacPictureBody]]
+    * kernel FLAC files use. None for non-Ogg bytes, no such field,
+    * or an undecodable payload.
+    */
+  private[graft] def oggEmbeddedPicture(b: Array[Byte]): Option[(String, Array[Byte])] = {
+    val region = opusCommentRegion(b).orElse(vorbisOggCommentRegion(b))
+    region.flatMap { case (from, until) =>
+      vorbisFieldMap(b, from, until, Set("METADATA_BLOCK_PICTURE"))
+        .flatMap(_.get("METADATA_BLOCK_PICTURE"))
+        .flatMap { b64 =>
+          try {
+            val block = java.util.Base64.getDecoder.decode(b64)
+            if (block.length < 8) None
+            else flacPictureBody(block, 0, block.length)
+          } catch { case _: IllegalArgumentException => None }
+        }
+    }
   }
 
   /** Ogg-Opus declared tags — the `OpusTags` packet (RFC 7845 §5.2),
@@ -5177,18 +5304,8 @@ object Multimodal {
     */
   private[graft] def syntheticVorbis(channels: Int, sampleRate: Int,
       lastGranule: Long, tags: Option[(String, String, String)] = None,
-      lyrics: Option[String] = None): Array[Byte] = {
-    def page(headerType: Int, granule: Long, seq: Int,
-        payload: Array[Byte]): Array[Byte] = {
-      require(payload.length < 255, "single-segment fixture pages only")
-      val bb = java.nio.ByteBuffer.allocate(27 + 1 + payload.length)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      bb.put("OggS".getBytes("ISO-8859-1")).put(0.toByte)
-        .put(headerType.toByte).putLong(granule).putInt(1).putInt(seq)
-        .putInt(0)
-        .put(1.toByte).put(payload.length.toByte).put(payload)
-      bb.array()
-    }
+      lyrics: Option[String] = None,
+      picture: Option[(String, Array[Byte])] = None): Array[Byte] = {
     val ident = java.nio.ByteBuffer.allocate(30)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .put(1.toByte).put("vorbis".getBytes("ISO-8859-1"))
@@ -5197,12 +5314,20 @@ object Multimodal {
       .putInt(0).putInt(0).putInt(0) // bitrates
       .put(0xB8.toByte).put(1.toByte) // blocksizes + framing bit
       .array()
-    val head = page(0x02, 0L, 0, ident)
-    val comment = tags.map { case (t, a, al) =>
-      page(0x00, 0L, 1, Array[Byte](3) ++ "vorbis".getBytes("ISO-8859-1") ++
-        vorbisCommentBytes(t, a, al, lyrics.orNull) ++ Array[Byte](1)) // framing bit
-    }
-    val eos = page(0x04, lastGranule, if (comment.isDefined) 2 else 1,
+    val head = oggPage(0x02, 0L, 0, ident)
+    val comment =
+      if (tags.isEmpty && picture.isEmpty) None
+      else {
+        val (t, a, al) = tags.getOrElse(("", "", ""))
+        Some(oggPage(0x00, 0L, 1,
+          Array[Byte](3) ++ "vorbis".getBytes("ISO-8859-1") ++
+            vorbisCommentBytes(t, a, al, lyrics.orNull,
+              picture.toSeq.map { case (m, art) =>
+                "METADATA_BLOCK_PICTURE=" + java.util.Base64.getEncoder
+                  .encodeToString(flacPictureBlockBodyBytes(m, art))
+              }) ++ Array[Byte](1))) // framing bit
+      }
+    val eos = oggPage(0x04, lastGranule, if (comment.isDefined) 2 else 1,
       Array[Byte](0))
     head ++ comment.getOrElse(Array.emptyByteArray) ++ eos
   }
@@ -5699,22 +5824,28 @@ object Multimodal {
   /** SYNCHRONIZED lyrics from an ID3v2 `SYLT` frame (v2.2's `SLT`) —
     * [[id3Lyrics]]' timed twin, in the [[SubCue]] shape the LRC
     * sidecar path already defines: enc byte, 3-char language, 1-byte
-    * timestamp format (2 = milliseconds — format 1, MPEG frames, is
-    * not resolvable without decoding and is skipped), 1-byte content
-    * type, NUL-terminated descriptor (aligned double-NUL under
-    * UTF-16), then repeated (NUL-terminated text, u32 timestamp)
-    * sync entries. Entries may be written out of order; cues sort by
-    * time and each ends at the NEXT cue's start (the LRC rule — the
-    * format carries no end). None when no tag or no ms-format SYLT.
+    * timestamp format (2 = milliseconds; 1 = MPEG frame index,
+    * converted through the STREAM'S OWN frame duration — the
+    * [[mpegAudioInfo]] walk already knows samples-per-frame and
+    * sample rate, so frame × samplesPerFrame × 1000 / rate is exact;
+    * a format-1 tag on an unreadable audio stream stays None), 1-byte
+    * content type, NUL-terminated descriptor (aligned double-NUL
+    * under UTF-16), then repeated (NUL-terminated text, u32
+    * timestamp) sync entries. Entries may be written out of order;
+    * cues sort by time and each ends at the NEXT cue's start (the
+    * LRC rule — the format carries no end). None when no tag or no
+    * resolvable SYLT.
     */
   private[graft] def id3SyltCues(b: Array[Byte]): Option[Seq[SubCue]] = try {
     val raw = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    var fmt = -1 // timestamp format of the frame that produced `raw`
     id3FrameWalk(b) { (id, frame, from, until) =>
       if (raw.isEmpty && (id == "SYLT" || id == "SLT") &&
         until - from >= 7) {
         val enc = frame(from) & 0xff
         val tsFormat = frame(from + 4) & 0xff
-        if (tsFormat == 2) { // ms; format 1 (MPEG frames) unsupported
+        if (tsFormat == 2 || tsFormat == 1) {
+          fmt = tsFormat
           var p = from + 6 // enc + lang + format + content type
           // descriptor
           if (enc == 1 || enc == 2) {
@@ -5760,7 +5891,21 @@ object Multimodal {
     }
     if (raw.isEmpty) None
     else {
-      val sorted = raw.sortBy(_._1).toSeq
+      // format 1: timestamps are MPEG frame indices — convert on the
+      // stream's own clock; unreadable audio = unresolvable tag
+      val entries: Seq[(Long, String)] =
+        if (fmt == 1) {
+          mpegAudioInfo(b) match {
+            case Some(info) if info.nFrames > 0 && info.sampleRate > 0 &&
+              info.totalSamples > 0 =>
+              val samplesPerFrame = info.totalSamples / info.nFrames
+              raw.toSeq.map { case (fr, text) =>
+                (fr * samplesPerFrame * 1000L / info.sampleRate, text)
+              }
+            case _ => return None
+          }
+        } else raw.toSeq
+      val sorted = entries.sortBy(_._1)
       Some(sorted.zipWithIndex.map { case ((ms, text), k) =>
         val end = if (k + 1 < sorted.length) sorted(k + 1)._1 else ms
         SubCue(k + 1, ms, end, text)
@@ -6372,6 +6517,7 @@ object Multimodal {
     try id3Apic(b)
       .orElse(m4aIlst(b).flatMap(f => Option(f.art).map(a => (f.artMime, a))))
       .orElse(flacPicture(b))
+      .orElse(oggEmbeddedPicture(b))
       .orElse(webmAttachedPicture(b))
     catch { case _: Throwable => None } // per-row isolation
 
@@ -6478,7 +6624,8 @@ object Multimodal {
       apic: Option[(String, Array[Byte])] = None,
       lyrics: Option[String] = None,
       syncedLyrics: Seq[(Long, String)] = Nil,
-      chapters: Seq[(Long, Long, String)] = Nil): Array[Byte] = {
+      chapters: Seq[(Long, Long, String)] = Nil,
+      syltFormat: Int = 2): Array[Byte] = {
     require(version == 2 || version == 3 || version == 4, s"version: $version")
     def rawFrame(id: String, payload0: Array[Byte]): Array[Byte] = {
       // v2.4: unsync is per-frame; the stored size counts stuffed bytes
@@ -6532,8 +6679,9 @@ object Multimodal {
             Array[Byte](0xFF.toByte, 0xFE.toByte) ++ text.getBytes("UTF-16LE")
       rawFrame(if (version == 2) "ULT" else "USLT", payload)
     }.getOrElse(Array.emptyByteArray)
-    // SYLT (v2.2 SLT): enc + "eng" + timestamp format 2 (ms) +
-    // content type 1 (lyrics) + empty descriptor + (text NUL u32-ms)
+    // SYLT (v2.2 SLT): enc + "eng" + timestamp format (2 = the
+    // syncedLyrics values are ms; 1 = they are MPEG frame indices) +
+    // content type 1 (lyrics) + empty descriptor + (text NUL u32)
     // sync entries in the frame encoding
     val syltFrame =
       if (syncedLyrics.isEmpty) Array.emptyByteArray
@@ -6542,7 +6690,7 @@ object Multimodal {
         val utf8 = version == 4
         out.write(if (utf8) 3 else 1)
         out.write('e'); out.write('n'); out.write('g')
-        out.write(2); out.write(1)
+        out.write(syltFormat); out.write(1)
         if (utf8) out.write(0) else { out.write(0); out.write(0) }
         syncedLyrics.foreach { case (ms, text) =>
           if (utf8) {
@@ -6632,7 +6780,8 @@ object Multimodal {
     * twin): vendor + TITLE/ARTIST/ALBUM fields, UTF-8.
     */
   private def vorbisCommentBytes(title: String, artist: String,
-      album: String, lyrics: String = null): Array[Byte] = {
+      album: String, lyrics: String = null,
+      extraFields: Seq[String] = Nil): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def le32(n: Int): Unit = {
       out.write(n & 0xff); out.write((n >> 8) & 0xff)
@@ -6643,10 +6792,27 @@ object Multimodal {
       le32(b.length); out.write(b)
     }
     field("graft fixture")
-    le32(if (lyrics == null) 3 else 4)
+    le32((if (lyrics == null) 3 else 4) + extraFields.length)
     field(s"TITLE=$title"); field(s"ARTIST=$artist"); field(s"ALBUM=$album")
     if (lyrics != null) field(s"LYRICS=$lyrics")
+    extraFields.foreach(field)
     out.toByteArray
+  }
+
+  /** The BODY of a FLAC PICTURE block for the given (mime, art) —
+    * what [[syntheticFlacTagged]] wraps in a type-6 metadata block
+    * and the `METADATA_BLOCK_PICTURE` Vorbis field base64-encodes.
+    */
+  private def flacPictureBlockBodyBytes(mime: String,
+      art: Array[Byte]): Array[Byte] = {
+    val m = mime.getBytes("ISO-8859-1")
+    val bb = java.nio.ByteBuffer.allocate(4 + 4 + m.length + 4 + 16 + 4 + art.length)
+    bb.putInt(3) // picture type: front cover
+      .putInt(m.length).put(m)
+      .putInt(0) // empty description
+      .putInt(0).putInt(0).putInt(0).putInt(0) // width/height/depth/colors
+      .putInt(art.length).put(art)
+    bb.array()
   }
 
   /** [[syntheticFlac]] plus a VORBIS_COMMENT block (type 4) carrying
@@ -6663,14 +6829,7 @@ object Multimodal {
     val n = body.length
     // the PICTURE block (type 6), when present, becomes the last block
     val pictureBlock = picture.map { case (mime, art) =>
-      val m = mime.getBytes("ISO-8859-1")
-      val bb = java.nio.ByteBuffer.allocate(4 + 4 + m.length + 4 + 16 + 4 + art.length)
-      bb.putInt(3) // picture type: front cover
-        .putInt(m.length).put(m)
-        .putInt(0) // empty description
-        .putInt(0).putInt(0).putInt(0).putInt(0) // width/height/depth/colors
-        .putInt(art.length).put(art)
-      val pb = bb.array()
+      val pb = flacPictureBlockBodyBytes(mime, art)
       val pn = pb.length
       Array[Byte](0x86.toByte, ((pn >> 16) & 0xff).toByte,
         ((pn >> 8) & 0xff).toByte, (pn & 0xff).toByte) ++ pb
@@ -6687,18 +6846,8 @@ object Multimodal {
   private[graft] def syntheticOpusTagged(channels: Int, preSkip: Int,
       inputSampleRate: Int, lastGranule: Long, title: String,
       artist: String, album: String,
-      lyrics: Option[String] = None): Array[Byte] = {
-    def page(headerType: Int, granule: Long, seq: Int,
-        payload: Array[Byte]): Array[Byte] = {
-      require(payload.length < 255, "single-segment fixture pages only")
-      val bb = java.nio.ByteBuffer.allocate(27 + 1 + payload.length)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      bb.put("OggS".getBytes("ISO-8859-1")).put(0.toByte)
-        .put(headerType.toByte).putLong(granule).putInt(1).putInt(seq)
-        .putInt(0)
-        .put(1.toByte).put(payload.length.toByte).put(payload)
-      bb.array()
-    }
+      lyrics: Option[String] = None,
+      picture: Option[(String, Array[Byte])] = None): Array[Byte] = {
     val head = java.nio.ByteBuffer.allocate(19)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .put("OpusHead".getBytes("ISO-8859-1")).put(1.toByte)
@@ -6706,10 +6855,38 @@ object Multimodal {
       .putInt(inputSampleRate).putShort(0.toShort).put(0.toByte)
       .array()
     val tags = "OpusTags".getBytes("ISO-8859-1") ++
-      vorbisCommentBytes(title, artist, album, lyrics.orNull)
-    page(0x02, 0L, 0, head) ++
-      page(0x00, 0L, 1, tags) ++
-      page(0x04, lastGranule, 2, Array[Byte](0))
+      vorbisCommentBytes(title, artist, album, lyrics.orNull,
+        picture.toSeq.map { case (m, art) =>
+          "METADATA_BLOCK_PICTURE=" + java.util.Base64.getEncoder
+            .encodeToString(flacPictureBlockBodyBytes(m, art))
+        })
+    oggPage(0x02, 0L, 0, head) ++
+      oggPage(0x00, 0L, 1, tags) ++
+      oggPage(0x04, lastGranule, 2, Array[Byte](0))
+  }
+
+  /** One Ogg page with REAL segment lacing (255-byte runs + final
+    * short segment), so fixture packets over 254 bytes — a
+    * base64 `METADATA_BLOCK_PICTURE` tag easily is — still occupy
+    * one structurally valid page. CRC left zero (the header walks
+    * don't check it).
+    */
+  private def oggPage(headerType: Int, granule: Long, seq: Int,
+      payload: Array[Byte]): Array[Byte] = {
+    val full = payload.length / 255
+    val rem = payload.length % 255
+    val nSegs = full + 1
+    require(nSegs <= 255, "fixture packet too large for one page")
+    val bb = java.nio.ByteBuffer.allocate(27 + nSegs + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("OggS".getBytes("ISO-8859-1")).put(0.toByte)
+      .put(headerType.toByte).putLong(granule).putInt(1).putInt(seq)
+      .putInt(0) // crc unchecked by the header walks
+      .put(nSegs.toByte)
+    var i = 0
+    while (i < full) { bb.put(0xFF.toByte); i += 1 }
+    bb.put(rem.toByte).put(payload)
+    bb.array()
   }
 
   /** Minimal Ogg-Opus: an OpusHead page plus an EOS page with the
@@ -8024,10 +8201,40 @@ object Multimodal {
         }
     }
 
-  // TTML (`stpp`) paragraph: begin/end attributes + inner text;
-  // compiled once — runs per sample in a corpus scan
+  // TTML (`stpp`) paragraph: the <p ...>text</p> block; begin/end/dur
+  // are extracted from the attribute slice INDEPENDENTLY (legal TTML
+  // orders them freely, and begin+dur is as common as begin+end).
+  // Compiled once — runs per sample in a corpus scan.
   private val TtmlParaPat = java.util.regex.Pattern.compile(
-    "(?s)<p\\b[^>]*?\\bbegin\\s*=\\s*\"([^\"]+)\"[^>]*?\\bend\\s*=\\s*\"([^\"]+)\"[^>]*>(.*?)</p>")
+    "(?s)<p\\b([^>]*)>(.*?)</p>")
+  private val TtmlBeginPat = java.util.regex.Pattern.compile(
+    "\\bbegin\\s*=\\s*\"([^\"]+)\"")
+  private val TtmlEndPat = java.util.regex.Pattern.compile(
+    "\\bend\\s*=\\s*\"([^\"]+)\"")
+  private val TtmlDurPat = java.util.regex.Pattern.compile(
+    "\\bdur\\s*=\\s*\"([^\"]+)\"")
+
+  /** (startMs, endMs) of one TTML `<p>` from its attribute slice:
+    * begin + end, or begin + dur (end = begin + dur); (-1, -1) when
+    * untimed/unparseable.
+    */
+  private[graft] def ttmlParaTimes(attrs: String): (Long, Long) = {
+    val mb = TtmlBeginPat.matcher(attrs)
+    if (!mb.find()) return (-1L, -1L)
+    val st = ttmlTimeMs(mb.group(1))
+    if (st < 0) return (-1L, -1L)
+    val me = TtmlEndPat.matcher(attrs)
+    if (me.find()) {
+      val en = ttmlTimeMs(me.group(1))
+      return (st, en)
+    }
+    val md = TtmlDurPat.matcher(attrs)
+    if (md.find()) {
+      val d = ttmlTimeMs(md.group(1))
+      if (d >= 0) return (st, st + d)
+    }
+    (-1L, -1L)
+  }
   private val TtmlClockPat = java.util.regex.Pattern.compile(
     "(?:(\\d+):)?(\\d{1,2}):(\\d{1,2})(?:[.,](\\d{1,3}))?")
 
@@ -8114,9 +8321,20 @@ object Multimodal {
     * chapter list via `tref/chap` — the one walk behind
     * [[mp4SubtitleCues]] and [[mp4QtChapterCues]], so the
     * subtitle/chapter split can never disagree on what a track
-    * contains.
+    * contains. Cue times honor the track's `edts/elst` edit list
+    * (ISO 14496-12 §8.6.6): leading empty edits (media_time −1,
+    * durations on the MOVIE `mvhd` clock) delay the presentation,
+    * and the first non-empty edit's media_time trims it — so a
+    * delayed-subtitle mux reports presentation-timeline cues, not
+    * raw media times. With `decodeCues = false` the walk reads only
+    * the track DECLARATIONS (hdlr role, tkhd id, mdhd language,
+    * stsd fourcc, tref/chap refs) and skips the sample tables and
+    * payload decode entirely — the cheap form behind
+    * [[subtitleTrackCount]] and [[declaredTextLang]], which need a
+    * count and a 3-char code, not 100k decoded samples.
     */
-  private[graft] def mp4TextTracks(bytes: Array[Byte]): (Seq[Mp4TextTrack], Set[Long]) = try {
+  private[graft] def mp4TextTracks(bytes: Array[Byte],
+      decodeCues: Boolean = true): (Seq[Mp4TextTrack], Set[Long]) = try {
     if (bytes == null || bytes.length < 16 ||
       !(bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p'))
       return (Nil, Set.empty)
@@ -8127,6 +8345,7 @@ object Multimodal {
         ((bytes(o + 2) & 0xFFL) << 8) | (bytes(o + 3) & 0xFFL)
     @inline def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
     val MaxSamples = 100000
+    var movieTimescale = 0 // mvhd clock: empty-edit durations tick on it
     var handlerIsText = false
     var codec: String = null
     var timescale = 0
@@ -8136,6 +8355,7 @@ object Multimodal {
     var chunkOffsets: Array[Long] = null
     var stscRuns: Array[(Int, Int)] = null
     var sttsRuns: Array[(Int, Long)] = null // (count, delta ticks)
+    var elstEntries: Array[(Long, Long)] = null // (segDur movie-ticks, mediaTime)
     val tracks = scala.collection.mutable.ArrayBuffer.empty[Mp4TextTrack]
     val chapRefs = scala.collection.mutable.Set.empty[Long]
     def decodeTx3g(off: Int, size: Int): String = {
@@ -8185,12 +8405,33 @@ object Multimodal {
               new String(Array(c1.toChar, c2.toChar, c3.toChar))
             else null
           }
-        val cues = if (tracks.size < 4) decodeTrackCues() else Nil
+        val cues =
+          if (decodeCues && tracks.size < 4) decodeTrackCues() else Nil
         tracks += Mp4TextTrack(trackId, codec, lang, cues)
       }
       handlerIsText = false; codec = null; timescale = 0; trackId = -1L
       langPacked = -1
       sizes = null; chunkOffsets = null; stscRuns = null; sttsRuns = null
+      elstEntries = null
+    }
+    // the first non-empty edit's presentation offset in ms: leading
+    // empty edits delay (movie clock), its media_time trims (media
+    // clock); no edit list = zero
+    def editOffsetMs(): Long = {
+      if (elstEntries == null || timescale <= 0) return 0L
+      var emptyTicks = 0L
+      var i = 0
+      while (i < elstEntries.length) {
+        val (segDur, mediaTime) = elstEntries(i)
+        if (mediaTime < 0) emptyTicks += segDur
+        else {
+          val delay =
+            if (movieTimescale > 0) emptyTicks * 1000L / movieTimescale else 0L
+          return delay - mediaTime * 1000L / timescale
+        }
+        i += 1
+      }
+      if (movieTimescale > 0) emptyTicks * 1000L / movieTimescale else 0L
     }
     def decodeTrackCues(): Seq[SubCue] = {
       if (codec != null &&
@@ -8199,6 +8440,7 @@ object Multimodal {
         stscRuns != null && sttsRuns != null && timescale > 0) {
         val offsets = expandSampleOffsets(sizes, chunkOffsets, stscRuns)
         if (offsets != null) {
+          val offMs = editOffsetMs()
           val cues = Seq.newBuilder[SubCue]
           var idx = 0
           var ticks = 0L
@@ -8217,11 +8459,13 @@ object Multimodal {
                   java.nio.charset.StandardCharsets.UTF_8)
                 val m = TtmlParaPat.matcher(xml)
                 while (m.find() && idx < MaxSamples) {
-                  val st = ttmlTimeMs(m.group(1))
-                  val en = ttmlTimeMs(m.group(2))
-                  val text = m.group(3).replaceAll("(?i)<br\\s*/?>", "\n")
+                  val (st0, en0) = ttmlParaTimes(m.group(1))
+                  val text = m.group(2).replaceAll("(?i)<br\\s*/?>", "\n")
                     .replaceAll("<[^>]*>", "").trim
-                  if (st >= 0 && en >= st && text.nonEmpty) {
+                  // edit-list shift; a cue the edit clips away is gone
+                  val st = math.max(0L, st0 + offMs)
+                  val en = en0 + offMs
+                  if (st0 >= 0 && en0 >= st0 && en >= 0 && text.nonEmpty) {
                     idx += 1
                     cues += SubCue(idx, st, en, text)
                   }
@@ -8229,10 +8473,11 @@ object Multimodal {
               } else {
                 val text =
                   if (codec == "wvtt") decodeWvtt(o, sz) else decodeTx3g(o, sz)
-                if (text != null && text.trim.nonEmpty) {
+                val st = math.max(0L, ticks * 1000L / timescale + offMs)
+                val en = (ticks + delta) * 1000L / timescale + offMs
+                if (text != null && text.trim.nonEmpty && en >= 0) {
                   idx += 1
-                  cues += SubCue(idx, ticks * 1000L / timescale,
-                    (ticks + delta) * 1000L / timescale, text.trim)
+                  cues += SubCue(idx, st, en, text.trim)
                 }
               }
             }
@@ -8261,9 +8506,25 @@ object Multimodal {
         if (boxEnd < body || boxEnd > end) return
         val b = body.toInt
         id match {
-          case "moov" | "mdia" | "minf" | "stbl" | "tref" =>
+          case "minf" | "stbl" | "edts" if !decodeCues =>
+            () // declaration-only walk: no sample tables, no edits
+          case "moov" | "mdia" | "minf" | "stbl" | "tref" | "edts" =>
             walk(body, boxEnd, depth + 1, id)
           case "trak" => walk(body, boxEnd, depth + 1, id); finishTrak()
+          case "mvhd" if b + 4 <= boxEnd =>
+            if (bytes(b) == 1 && b + 24 <= boxEnd)
+              movieTimescale = u32(b + 20).toInt
+            else if (b + 16 <= boxEnd) movieTimescale = u32(b + 12).toInt
+          case "elst" if b + 8 <= boxEnd =>
+            val v1 = bytes(b) == 1
+            val n = u32(b + 4)
+            val entryLen = if (v1) 20L else 12L
+            if (n >= 0 && n <= 256 && b + 8 + entryLen * n <= boxEnd)
+              elstEntries = Array.tabulate(n.toInt) { i =>
+                val e = b + 8 + (entryLen * i).toInt
+                if (v1) (u64(e), u64(e + 8))
+                else (u32(e), u32(e + 4).toInt.toLong) // i32 media_time
+              }
           case "tkhd" if b + 4 <= boxEnd =>
             if (bytes(b) == 1 && b + 24 <= boxEnd) trackId = u32(b + 20)
             else if (b + 16 <= boxEnd) trackId = u32(b + 12)
@@ -8547,7 +8808,13 @@ object Multimodal {
   private[graft] def syntheticMp4TimedText(frames: Seq[Array[Byte]],
       cues: Seq[(Long, Long, String)],
       codec: String = "tx3g", lang: String = "eng",
-      asQtChapters: Boolean = false): Array[Byte] = {
+      asQtChapters: Boolean = false,
+      editDelayMs: Long = 0L): Array[Byte] = {
+    // editDelayMs > 0 writes a real edts/elst on the text trak: an
+    // initial EMPTY edit of that many movie ticks (mvhd timescale
+    // 1000 = ms) then the media — the delayed-subtitle mux
+    // convention; cue times are given in MEDIA time and present at
+    // mediaTime + editDelayMs
     require(frames.nonEmpty && cues.nonEmpty, "frames and cues required")
     require(codec == "tx3g" || codec == "wvtt" || codec == "stpp",
       s"codec: $codec")
@@ -8639,9 +8906,17 @@ object Multimodal {
         box("stsc", u32s(Seq(0, 1, 1, tn, 1))) ++
         box("stsz", u32s(Seq(0, 0, tn) ++ samples.map(_._2.length))) ++
         box("stco", u32s(Seq(0, 1, textStart))))
-    val tTrak = box("trak", tkhd(2) ++ box("mdia",
+    val tEdts =
+      if (editDelayMs <= 0) Array.emptyByteArray
+      else box("edts", box("elst", u32s(Seq(0, 2,
+        editDelayMs.toInt, -1, 0x00010000, // empty edit: the delay
+        samples.map(_._1).sum, 0, 0x00010000)))) // then the media
+    val tTrak = box("trak", tkhd(2) ++ tEdts ++ box("mdia",
       box("mdhd", tMdhd) ++ box("hdlr", tHdlr) ++ box("minf", tStbl)))
-    ftyp ++ mdat ++ box("moov", vTrak ++ tTrak)
+    // mvhd: the movie clock empty-edit durations tick on (ms)
+    val mvhd = box("mvhd", u32s(Seq(0, 0, 0, 1000, n * 40)) ++
+      new Array[Byte](80))
+    ftyp ++ mdat ++ box("moov", mvhd ++ vTrak ++ tTrak)
   }
 
   /** Keyframe count of a video asset — AVI MJPEG (every frame is a

@@ -2196,7 +2196,7 @@ class SemanticSpec extends SparkSpec {
     val movie = M.syntheticWebm("video", width = 16, height = 8,
       durationMs = 5000L, subtitleTracks = 1,
       subCues = Seq((100L, 300L, "a"), (2000L, 2400L, "bé")))
-    val Some(("webm", cues)) = M.webmSubtitleCues(movie)
+    val Some(("webm", "eng", cues)) = M.webmSubtitleCues(movie)
     assert(cues.map(c => (c.startMs, c.endMs, c.text)) ==
       Seq((100L, 300L, "a"), (2000L, 2400L, "bé")))
     // the muxed cluster must not perturb the header facts
@@ -2211,7 +2211,7 @@ class SemanticSpec extends SparkSpec {
     // truncation: keep the intact prefix, never throw
     val cut = java.util.Arrays.copyOfRange(movie, 0, movie.length - 6)
     val trunc = M.webmSubtitleCues(cut)
-    assert(trunc.isEmpty || trunc.get._2.length <= 2)
+    assert(trunc.isEmpty || trunc.get._3.length <= 2)
     // dataframe dispatch: the SAME operator reads sidecars and movies
     val out = M.subtitleCues(Seq(
       (1L, movie),
@@ -2279,7 +2279,7 @@ class SemanticSpec extends SparkSpec {
     val movie = M.syntheticWebm("video", width = 8, height = 8,
       durationMs = 5000L, subtitleTracks = 1,
       subCues = Seq((100L, 300L, "a"), (2000L, 2400L, "b")))
-    val Some((_, muxed)) = M.webmSubtitleCues(movie)
+    val Some((_, _, muxed)) = M.webmSubtitleCues(movie)
     val Some((_, reparsed)) = M.parseSubtitles(M.formatSrt(muxed))
     assert(reparsed.map(c => (c.startMs, c.endMs, c.text)) ==
       muxed.map(c => (c.startMs, c.endMs, c.text)))
@@ -2995,5 +2995,183 @@ class SemanticSpec extends SparkSpec {
     assert(java.util.Arrays.equals(out(1L)._2.get, artPng))
     assert(out(2L) == ((None, None)))
     assert(out(3L) == ((None, None)))
+  }
+
+  test("parseAss: the [Events] Format line drives field positions") {
+    val M = Multimodal
+    // SSA v4-style 5-field declaration, Text last — the default
+    // 10-field split would misread every line
+    val five = "[Events]\n" +
+      "Format: Marked, Start, End, Style, Text\n" +
+      "Dialogue: Marked=0,0:00:01.00,0:00:02.00,Default,five fields, comma kept\n"
+    val Some(c5) = M.parseAss(five)
+    assert(c5.map(c => (c.startMs, c.endMs, c.text)) ==
+      Seq((1000L, 2000L, "five fields, comma kept")))
+    // an EXTENDED 11-field variant (extra Actor column before Text)
+    val eleven = "[Events]\n" +
+      "Format: Layer, Start, End, Style, Name, Actor, MarginL, MarginR, MarginV, Effect, Text\n" +
+      "Dialogue: 0,0:00:03.00,0:00:04.50,Default,,who,0,0,0,,extended line\n"
+    assert(M.parseAss(eleven).get.map(c => (c.startMs, c.endMs, c.text)) ==
+      Seq((3000L, 4500L, "extended line")))
+    // a Format line in [V4+ Styles] must NOT perturb the Events map
+    val styled = "[V4+ Styles]\nFormat: Name, Fontname\n\n[Events]\n" +
+      "Format: Start, End, Text\n" +
+      "Dialogue: 0:00:05.00,0:00:06.00,three fields\n"
+    assert(M.parseAss(styled).get.head.text == "three fields")
+    // no Format line: the v4.00+ default 10-field order still parses
+    val bare = "[Events]\n" +
+      "Dialogue: 0,0:00:08.00,0:00:09.00,Default,,0,0,0,,default order\n"
+    assert(M.parseAss(bare).get.head.text == "default order")
+  }
+
+  test("parseSubtitles: HLS X-TIMESTAMP-MAP shifts VTT cue times") {
+    val M = Multimodal
+    // MPEGTS 900000 at 90 kHz = 10 s; LOCAL 0 -> +10000 ms per cue
+    val seg = "WEBVTT\nX-TIMESTAMP-MAP=MPEGTS:900000,LOCAL:00:00:00.000\n\n" +
+      "00:01.000 --> 00:02.500\nsegment line\n"
+    val Some(("vtt", cues)) = M.parseSubtitles(seg)
+    assert(cues.map(c => (c.startMs, c.endMs, c.text)) ==
+      Seq((11000L, 12500L, "segment line")))
+    // reversed key order inside the header line parses the same
+    val rev = "WEBVTT\nX-TIMESTAMP-MAP=LOCAL:00:00:01.000,MPEGTS:180000\n\n" +
+      "00:01.000 --> 00:02.000\nrebased\n"
+    // 180000/90 = 2000 ms at LOCAL 1000 -> offset +1000
+    assert(M.parseSubtitles(rev).get._2.head.startMs == 2000L)
+    // an un-mapped file is untouched
+    assert(M.parseSubtitles("WEBVTT\n\n00:01.000 --> 00:02.000\nplain\n")
+      .get._2.head.startMs == 1000L)
+  }
+
+  test("ttmlParaTimes: begin+dur and reversed attribute order") {
+    val M = Multimodal
+    assert(M.ttmlParaTimes("begin=\"00:00:01.000\" end=\"00:00:02.000\"") ==
+      ((1000L, 2000L)))
+    // legal TTML: end may lexically precede begin
+    assert(M.ttmlParaTimes("end=\"00:00:02.000\" begin=\"00:00:01.000\"") ==
+      ((1000L, 2000L)))
+    // begin + dur derives the end
+    assert(M.ttmlParaTimes("begin=\"1.5s\" dur=\"2s\"") == ((1500L, 3500L)))
+    assert(M.ttmlParaTimes("begin=\"00:00:01.000\"") == ((-1L, -1L)))
+    assert(M.ttmlParaTimes("dur=\"2s\"") == ((-1L, -1L)))
+    // end-to-end: surgically reorder/dur-ify the stpp sample bytes
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    val frames = Seq(M.renderJpeg(8, 8, (_, _) => gray(99)))
+    val wanted = Seq((500L, 1500L, "tt cue"))
+    val tt = M.syntheticMp4TimedText(frames, wanted, codec = "stpp")
+    def swapBytes(b: Array[Byte], from: String, to: String): Array[Byte] = {
+      require(from.length == to.length, "size-preserving surgery only")
+      val hay = new String(b, "ISO-8859-1")
+      val at = hay.indexOf(from)
+      require(at >= 0, s"fixture text not found: $from")
+      val out = b.clone()
+      System.arraycopy(to.getBytes("ISO-8859-1"), 0, out, at, to.length)
+      out
+    }
+    // same-length swap: end= -> dur= (1500 end == 1000 dur from 500)
+    val durForm = swapBytes(tt, "end=\"00:00:01.500\"", "dur=\"00:00:01.000\"")
+    val Some(("stpp", c1)) = M.mp4SubtitleCues(durForm)
+    assert(c1.map(c => (c.startMs, c.endMs, c.text)) == wanted)
+    // same-length swap: reverse attribute order
+    val revForm = swapBytes(tt,
+      "begin=\"00:00:00.500\" end=\"00:00:01.500\"",
+      "end=\"00:00:01.500\" begin=\"00:00:00.500\"")
+    val Some(("stpp", c2)) = M.mp4SubtitleCues(revForm)
+    assert(c2.map(c => (c.startMs, c.endMs, c.text)) == wanted)
+  }
+
+  test("id3SyltCues: format-1 MPEG-frame timestamps convert on the stream clock") {
+    val M = Multimodal
+    // MPEG1 Layer III at srIdx 2 (32 kHz): 1152 samples/frame = 36 ms
+    val audio = M.syntheticMp3(3, 2, 1,
+      Seq((9, Seq(100, 101)), (9, Seq(102, 103))))
+    val tagged = M.syntheticId3(4, "T", "A", "B",
+      syncedLyrics = Seq((10L, "ten"), (25L, "twenty-five")),
+      syltFormat = 1) ++ audio
+    val Some(cues) = M.id3SyltCues(tagged)
+    assert(cues.map(c => (c.startMs, c.text)) ==
+      Seq((360L, "ten"), (900L, "twenty-five")))
+    // LRC rule: each cue ends at the next start; last zero-length
+    assert(cues.map(_.endMs) == Seq(900L, 900L))
+    // a format-1 tag with NO readable audio stream stays None
+    assert(M.id3SyltCues(M.syntheticId3(4, "T", "A", "B",
+      syncedLyrics = Seq((10L, "x")), syltFormat = 1)).isEmpty)
+    // format 2 unaffected
+    assert(M.id3SyltCues(M.syntheticId3(4, "T", "A", "B",
+      syncedLyrics = Seq((10L, "x"))) ++ audio).get.head.startMs == 10L)
+  }
+
+  test("oggEmbeddedPicture: METADATA_BLOCK_PICTURE art in Opus and Vorbis") {
+    val M = Multimodal
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    val art = M.renderPng(8, 8, (x, y) => if ((x ^ y) % 2 == 0) gray(240) else gray(10))
+    val opus = M.syntheticOpusTagged(2, 312, 48000, 96000L, "T", "A", "B",
+      picture = Some(("image/png", art)))
+    val Some(("image/png", gotO)) = M.oggEmbeddedPicture(opus)
+    assert(java.util.Arrays.equals(gotO, art))
+    // the shared dispatch reads it too, and tags still parse
+    assert(M.embeddedArtBytes(opus).exists(p => java.util.Arrays.equals(p._2, art)))
+    assert(M.opusTags(opus).map(_._1).contains("T"))
+    val vorb = M.syntheticVorbis(2, 44100, 88200L,
+      tags = Some(("T", "A", "B")), picture = Some(("image/jpeg", art)))
+    val Some(("image/jpeg", gotV)) = M.oggEmbeddedPicture(vorb)
+    assert(java.util.Arrays.equals(gotV, art))
+    assert(M.vorbisTags(vorb).map(_._1).contains("T"))
+    // art-less Ogg streams and non-Ogg bytes: None
+    assert(M.oggEmbeddedPicture(M.syntheticOpusTagged(2, 312, 48000, 96000L,
+      "T", "A", "B")).isEmpty)
+    assert(M.oggEmbeddedPicture("junk".getBytes("UTF-8")).isEmpty)
+    // hostile: a non-base64 field degrades to None, never a throw
+    val evil = M.syntheticOpusTagged(2, 312, 48000, 96000L, "T", "A", "B")
+    assert(M.embeddedArtBytes(evil).isEmpty)
+  }
+
+  test("webmSubtitleCues: cues and declared language come from the SAME track") {
+    val M = Multimodal
+    // track 3 (eng, no cues) + track 4 (fre, carries the dialog):
+    // the first track WITH cues wins and stamps its own language
+    val movie = M.syntheticWebm("video", width = 8, height = 8,
+      durationMs = 4000L, subtitleTracks = 2,
+      subLang = Some("eng"), subLang2 = Some("fre"),
+      subCues2 = Seq((100L, 400L, "bonjour"), (900L, 1300L, "monde")))
+    val Some(("webm", "fre", cues)) = M.webmSubtitleCues(movie)
+    assert(cues.map(c => (c.startMs, c.endMs, c.text)) ==
+      Seq((100L, 400L, "bonjour"), (900L, 1300L, "monde")))
+    // both tracks carry cues: the first DECLARED one wins
+    val both = M.syntheticWebm("video", width = 8, height = 8,
+      durationMs = 4000L, subtitleTracks = 2,
+      subLang = Some("eng"), subLang2 = Some("fre"),
+      subCues = Seq((50L, 80L, "hello")),
+      subCues2 = Seq((100L, 400L, "bonjour")))
+    val Some(("webm", "eng", c2)) = M.webmSubtitleCues(both)
+    assert(c2.map(_.text) == Seq("hello"))
+    // absent Language element = eng (the Matroska spec default)
+    val plain = M.syntheticWebm("video", width = 8, height = 8,
+      durationMs = 4000L, subtitleTracks = 1,
+      subCues = Seq((50L, 80L, "x")))
+    assert(M.webmSubtitleCues(plain).get._2 == "eng")
+    // the dataframe dispatch stamps the per-track language
+    val out = M.subtitleCues(Seq((7L, movie)).toDF("doc_id", "content"))
+      .select("declared_lang").distinct().collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("fre"))
+  }
+
+  test("mp4TextTracks: edts/elst presentation offset shifts cue times") {
+    val M = Multimodal
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    val frames = Seq(M.renderJpeg(8, 8, (_, _) => gray(70)))
+    val wanted = Seq((500L, 1500L, "delayed"), (2000L, 2600L, "pair"))
+    val delayed = M.syntheticMp4TimedText(frames, wanted, editDelayMs = 700L)
+    val Some(("tx3g", cues)) = M.mp4SubtitleCues(delayed)
+    assert(cues.map(c => (c.startMs, c.endMs, c.text)) ==
+      Seq((1200L, 2200L, "delayed"), (2700L, 3300L, "pair")))
+    // no edit list: unshifted (regression hold)
+    val plain = M.syntheticMp4TimedText(frames, wanted)
+    assert(M.mp4SubtitleCues(plain).get._2.map(_.startMs) == Seq(500L, 2000L))
+    // the declaration-only walk skips cue decode but keeps id/lang
+    val (decl, _) = M.mp4TextTracks(delayed, decodeCues = false)
+    assert(decl.length == 1 && decl.head.lang == "eng" &&
+      decl.head.cues.isEmpty)
+    assert(M.subtitleTrackCount(delayed) == 1)
+    assert(M.declaredTextLang(delayed) == "eng")
   }
 }
