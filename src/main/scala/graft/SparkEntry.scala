@@ -4280,9 +4280,11 @@ object SparkEntry {
       | ('aud', 'pct_audio_silent', 0.0),
       | ('aud', 'pct_audio_with_art', 0.0),
       | ('aud', 'pct_audio_with_lyrics', 0.0),
+      | ('aud', 'pct_audio_with_chapters', 0.0),
       | ('aud', 'pct_image', 0.0),
       | ('aud', 'pct_image_gps', CAST(NULL AS DOUBLE)),
       | ('aud', 'pct_image_with_text', CAST(NULL AS DOUBLE)),
+      | ('aud', 'pct_image_with_thumb', CAST(NULL AS DOUBLE)),
       | ('aud', 'pct_undecodable', 0.5),
       | ('aud', 'pct_video_with_subs', CAST(NULL AS DOUBLE)),
       | ('aud', 'pct_video', 0.0),
@@ -4301,9 +4303,11 @@ object SparkEntry {
       | ('img', 'pct_audio_silent', CAST(NULL AS DOUBLE)),
       | ('img', 'pct_audio_with_art', CAST(NULL AS DOUBLE)),
       | ('img', 'pct_audio_with_lyrics', CAST(NULL AS DOUBLE)),
+      | ('img', 'pct_audio_with_chapters', CAST(NULL AS DOUBLE)),
       | ('img', 'pct_image', 1.0),
       | ('img', 'pct_image_gps', 0.0),
       | ('img', 'pct_image_with_text', 0.0),
+      | ('img', 'pct_image_with_thumb', 0.0),
       | ('img', 'pct_undecodable', 0.0),
       | ('img', 'pct_video', 0.0),
       | ('img', 'pct_video_with_subs', CAST(NULL AS DOUBLE)),
@@ -4321,9 +4325,11 @@ object SparkEntry {
       | ('mp3', 'pct_audio_silent', 0.0),
       | ('mp3', 'pct_audio_with_art', 0.0),
       | ('mp3', 'pct_audio_with_lyrics', 0.0),
+      | ('mp3', 'pct_audio_with_chapters', 0.0),
       | ('mp3', 'pct_image', 0.0),
       | ('mp3', 'pct_image_gps', CAST(NULL AS DOUBLE)),
       | ('mp3', 'pct_image_with_text', CAST(NULL AS DOUBLE)),
+      | ('mp3', 'pct_image_with_thumb', CAST(NULL AS DOUBLE)),
       | ('mp3', 'pct_undecodable', 0.0),
       | ('mp3', 'pct_video', 0.0),
       | ('mp3', 'pct_video_with_subs', CAST(NULL AS DOUBLE)),
@@ -4341,9 +4347,11 @@ object SparkEntry {
       | ('sil', 'pct_audio_silent', 1.0),
       | ('sil', 'pct_audio_with_art', 0.0),
       | ('sil', 'pct_audio_with_lyrics', 0.0),
+      | ('sil', 'pct_audio_with_chapters', 0.0),
       | ('sil', 'pct_image', 0.0),
       | ('sil', 'pct_image_gps', CAST(NULL AS DOUBLE)),
       | ('sil', 'pct_image_with_text', CAST(NULL AS DOUBLE)),
+      | ('sil', 'pct_image_with_thumb', CAST(NULL AS DOUBLE)),
       | ('sil', 'pct_undecodable', 0.0),
       | ('sil', 'pct_video', 0.0),
       | ('sil', 'pct_video_with_subs', CAST(NULL AS DOUBLE)),
@@ -4361,9 +4369,11 @@ object SparkEntry {
       | ('vid', 'pct_audio_silent', CAST(NULL AS DOUBLE)),
       | ('vid', 'pct_audio_with_art', CAST(NULL AS DOUBLE)),
       | ('vid', 'pct_audio_with_lyrics', CAST(NULL AS DOUBLE)),
+      | ('vid', 'pct_audio_with_chapters', CAST(NULL AS DOUBLE)),
       | ('vid', 'pct_image', 0.0),
       | ('vid', 'pct_image_gps', CAST(NULL AS DOUBLE)),
       | ('vid', 'pct_image_with_text', CAST(NULL AS DOUBLE)),
+      | ('vid', 'pct_image_with_thumb', CAST(NULL AS DOUBLE)),
       | ('vid', 'pct_undecodable', 0.0),
       | ('vid', 'pct_video', 1.0),
       | ('vid', 'pct_video_with_subs', 0.0)
@@ -4667,6 +4677,8 @@ object SparkEntry {
       |  CASE WHEN grp = '0' THEN 0.0 END AS ptext,
       |  CASE WHEN grp IN ('1','2') THEN 0.0 END AS part,
       |  CASE WHEN grp IN ('1','2') THEN 0.0 END AS plyr,
+      |  CASE WHEN grp IN ('1','2') THEN 0.0 END AS pchap,
+      |  CASE WHEN grp = '0' THEN 0.0 END AS pthumb,
       |  CAST(NULL AS DOUBLE) AS psub
       | FROM d GROUP BY grp)
       |SELECT grp, metric, value FROM (
@@ -4687,6 +4699,8 @@ object SparkEntry {
       | UNION ALL SELECT grp, 'pct_image_with_text', ptext FROM a
       | UNION ALL SELECT grp, 'pct_audio_with_art', part FROM a
       | UNION ALL SELECT grp, 'pct_audio_with_lyrics', plyr FROM a
+      | UNION ALL SELECT grp, 'pct_audio_with_chapters', pchap FROM a
+      | UNION ALL SELECT grp, 'pct_image_with_thumb', pthumb FROM a
       | UNION ALL SELECT grp, 'pct_video_with_subs', psub FROM a
       | UNION ALL SELECT grp, 'pct_undecodable', pu FROM a
       | UNION ALL SELECT grp, 'pct_video', pv FROM a
@@ -5362,9 +5376,11 @@ object SparkEntry {
       | ('a', 'pct_audio_silent', CAST(NULL AS DOUBLE)),
       | ('a', 'pct_audio_with_art', CAST(NULL AS DOUBLE)),
       | ('a', 'pct_audio_with_lyrics', CAST(NULL AS DOUBLE)),
+      | ('a', 'pct_audio_with_chapters', CAST(NULL AS DOUBLE)),
       | ('a', 'pct_image', round(2/3.0, 4)),
       | ('a', 'pct_image_gps', 0.0),
       | ('a', 'pct_image_with_text', 0.0),
+      | ('a', 'pct_image_with_thumb', 0.0),
       | ('a', 'pct_undecodable', round(1/3.0, 4)),
       | ('a', 'pct_video', 0.0),
       | ('a', 'pct_video_with_subs', CAST(NULL AS DOUBLE)),
@@ -5382,9 +5398,11 @@ object SparkEntry {
       | ('b', 'pct_audio_silent', CAST(NULL AS DOUBLE)),
       | ('b', 'pct_audio_with_art', CAST(NULL AS DOUBLE)),
       | ('b', 'pct_audio_with_lyrics', CAST(NULL AS DOUBLE)),
+      | ('b', 'pct_audio_with_chapters', CAST(NULL AS DOUBLE)),
       | ('b', 'pct_image', 0.75),
       | ('b', 'pct_image_gps', round(2/3.0, 4)),
       | ('b', 'pct_image_with_text', 0.0),
+      | ('b', 'pct_image_with_thumb', 0.0),
       | ('b', 'pct_undecodable', 0.0),
       | ('b', 'pct_video', 0.25),
       | ('b', 'pct_video_with_subs', 0.0)
@@ -5985,7 +6003,15 @@ object SparkEntry {
       // the v2.2 parity row; shares artA's class
       (7L, M.syntheticId3(2, "Song", "Band", "LP",
         apic = Some(("image/png", artA))) ++
-        M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101)))))
+        M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))),
+      // Ogg convention: METADATA_BLOCK_PICTURE (base64 FLAC PICTURE
+      // body in a Vorbis-comment field) — Opus joins artA's class,
+      // Vorbis artB's: the classes now span FIVE carrier families
+      (8L, M.syntheticOpusTagged(2, 312, 48000, 96000L, "Song", "Band",
+        "LP", picture = Some(("image/png", artA)))),
+      (9L, M.syntheticVorbis(2, 44100, 88200L,
+        tags = Some(("Other", "Trio", "EP")),
+        picture = Some(("image/png", artB))))
     ).toDF("aud_id", "content")
     val withArt = M.embeddedArt(rows)
       .withColumn("art_fp", when(col("art").isNotNull, xxhash64(col("art"))))
@@ -5999,17 +6025,19 @@ object SparkEntry {
 
   private def embeddedArtOracle: String =
     """SELECT * FROM (VALUES
-      | (CAST(1 AS BIGINT), 'image/png', TRUE, CAST(3 AS BIGINT)),
-      | (CAST(2 AS BIGINT), 'image/png', TRUE, CAST(3 AS BIGINT)),
-      | (CAST(3 AS BIGINT), 'image/png', TRUE, CAST(2 AS BIGINT)),
+      | (CAST(1 AS BIGINT), 'image/png', TRUE, CAST(4 AS BIGINT)),
+      | (CAST(2 AS BIGINT), 'image/png', TRUE, CAST(4 AS BIGINT)),
+      | (CAST(3 AS BIGINT), 'image/png', TRUE, CAST(3 AS BIGINT)),
       | (CAST(4 AS BIGINT), CAST(NULL AS VARCHAR), FALSE, CAST(NULL AS BIGINT)),
       | (CAST(5 AS BIGINT), CAST(NULL AS VARCHAR), FALSE, CAST(NULL AS BIGINT)),
-      | -- M4A covr and MKA attachment share bytes: one class,
-      | -- two containers
-      | (CAST(6 AS BIGINT), 'image/png', TRUE, CAST(2 AS BIGINT)),
-      | -- v2.2 PIC: same bytes as rows 1/2 — the class is now three
-      | -- carriers wide (APIC, FLAC PICTURE, PIC)
-      | (CAST(7 AS BIGINT), 'image/png', TRUE, CAST(3 AS BIGINT))
+      | -- M4A covr, MKA attachment and Ogg-Vorbis picture share
+      | -- bytes: one class, three containers
+      | (CAST(6 AS BIGINT), 'image/png', TRUE, CAST(3 AS BIGINT)),
+      | -- v2.2 PIC: same bytes as rows 1/2/8 — the class is four
+      | -- carriers wide (APIC, FLAC PICTURE, PIC, OpusTags picture)
+      | (CAST(7 AS BIGINT), 'image/png', TRUE, CAST(4 AS BIGINT)),
+      | (CAST(8 AS BIGINT), 'image/png', TRUE, CAST(4 AS BIGINT)),
+      | (CAST(9 AS BIGINT), 'image/png', TRUE, CAST(3 AS BIGINT))
       |) AS t(aud_id, art_mime, has_art, n_sharing_art)
       |ORDER BY aud_id""".stripMargin
 
@@ -6055,11 +6083,29 @@ object SparkEntry {
         |Dialogue: 0,0:00:08.50,0:00:10.00,Default,,0,0,0,,{\i1}later{\i0} line
         |Dialogue: 0,0:00:02.25,0:00:04.00,Default,,0,0,0,,first\Nbroken, comma kept
         |""".stripMargin
+    // SSA-style reordered/reduced Format declaration: the parser
+    // indexes Start/End/Text by the DECLARED positions
+    val ssa =
+      """[Events]
+        |Format: Marked, Start, End, Style, Text
+        |Dialogue: Marked=0,0:00:01.50,0:00:03.00,Default,reordered fields, kept
+        |""".stripMargin
+    // HLS segment VTT: X-TIMESTAMP-MAP rebases LOCAL cue time onto
+    // the MPEG-TS 90 kHz clock (900000 ticks = +10 s)
+    val hls =
+      """WEBVTT
+        |X-TIMESTAMP-MAP=MPEGTS:900000,LOCAL:00:00:00.000
+        |
+        |00:02.000 --> 00:04.000
+        |mapped line
+        |""".stripMargin
     val rows = Seq(
       (1L, srt.getBytes("UTF-8")),
       (2L, vtt.getBytes("UTF-8")),
       (3L, "no cues here".getBytes("UTF-8")),
-      (4L, ass.getBytes("UTF-8"))
+      (4L, ass.getBytes("UTF-8")),
+      (5L, ssa.getBytes("UTF-8")),
+      (6L, hls.getBytes("UTF-8"))
     ).toDF("doc_id", "content")
     graft.operators.Multimodal.subtitleCues(rows)
       .orderBy(col("doc_id"), col("cue_idx"))
@@ -6082,7 +6128,14 @@ object SparkEntry {
       |  CAST(4000 AS BIGINT), 'first' || chr(10) || 'broken, comma kept',
       |  CAST(NULL AS VARCHAR)),
       | (CAST(4 AS BIGINT), 'ass', 2, CAST(8500 AS BIGINT),
-      |  CAST(10000 AS BIGINT), 'later line', CAST(NULL AS VARCHAR))
+      |  CAST(10000 AS BIGINT), 'later line', CAST(NULL AS VARCHAR)),
+      | -- 5-field Format declaration: Text is field 4, commas kept
+      | (CAST(5 AS BIGINT), 'ass', 1, CAST(1500 AS BIGINT),
+      |  CAST(3000 AS BIGINT), 'reordered fields, kept',
+      |  CAST(NULL AS VARCHAR)),
+      | -- X-TIMESTAMP-MAP: 900000/90 = +10000 ms on every cue
+      | (CAST(6 AS BIGINT), 'vtt', 1, CAST(12000 AS BIGINT),
+      |  CAST(14000 AS BIGINT), 'mapped line', CAST(NULL AS VARCHAR))
       |) AS t(doc_id, sub_format, cue_idx, start_ms, end_ms, text,
       |       declared_lang)
       |ORDER BY doc_id, cue_idx""".stripMargin
@@ -6215,7 +6268,15 @@ object SparkEntry {
         Seq(("XML:com.adobe.xmp", M.xmpPacketXml(null, "y caption"), true)))),
       ("y", M.syntheticWebm("video", width = 64, height = 48,
         durationMs = 1500L, subtitleTracks = 1)),
-      ("y", M.syntheticMjpegMp4(Seq(M.renderJpeg(16, 8, (_, _) => gray(99)))))
+      ("y", M.syntheticMjpegMp4(Seq(M.renderJpeg(16, 8, (_, _) => gray(99))))),
+      // round 15: segmentation + forensic coverage. A PNG whose eXIf
+      // chunk carries an IFD1 thumbnail (lossless luma preserved),
+      // and a CHAP-chaptered podcast MP3
+      ("x", M.pngWithExifTiff(M.renderPng(16, 16, (_, _) => gray(120)),
+        M.tiffWithThumbnail(M.renderJpeg(4, 4, (_, _) => gray(33))))),
+      ("y", M.syntheticId3(4, "T", "A", "B",
+        chapters = Seq((0L, 1000L, "Intro"), (1000L, 2000L, "Body"))) ++
+        M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101)))))
     ).toDF("grp", "content")
     M.mediaCard(rows, "content", "grp").orderBy(col("grp"), col("metric"))
   }
@@ -6230,37 +6291,43 @@ object SparkEntry {
       | ('x', 'avg_image_textiness', 0.0),
       | ('x', 'avg_image_width', 16.0),
       | ('x', 'avg_video_keyframes', CAST(NULL AS DOUBLE)),
-      | ('x', 'n_assets', 4.0),
-      | ('x', 'pct_audio', 0.5),
+      | ('x', 'n_assets', 5.0),
+      | ('x', 'pct_audio', 0.4),
       | ('x', 'pct_audio_clipped', 0.0),
       | ('x', 'pct_audio_silent', 0.0),
       | ('x', 'pct_audio_with_art', 0.5),
+      | ('x', 'pct_audio_with_chapters', 0.0),
       | ('x', 'pct_audio_with_lyrics', 0.5),
-      | ('x', 'pct_image', 0.5),
+      | ('x', 'pct_image', 0.6),
       | ('x', 'pct_image_gps', 0.0),
-      | ('x', 'pct_image_with_text', 0.5),
+      | ('x', 'pct_image_with_text', round(1/3.0, 4)),
+      | ('x', 'pct_image_with_thumb', round(1/3.0, 4)),
       | ('x', 'pct_undecodable', 0.0),
       | ('x', 'pct_video', 0.0),
       | ('x', 'pct_video_with_subs', CAST(NULL AS DOUBLE)),
-      | ('y', 'avg_audio_hz', CAST(NULL AS DOUBLE)),
+      | -- the CHAP mp3 makes y's audio metrics real: one MPEG1-L3
+      | -- frame at 32 kHz = exactly 36 ms
+      | ('y', 'avg_audio_hz', 32000.0),
       | ('y', 'avg_audio_rms', CAST(NULL AS DOUBLE)),
-      | ('y', 'avg_audio_secs', CAST(NULL AS DOUBLE)),
+      | ('y', 'avg_audio_secs', 0.036),
       | ('y', 'avg_image_height', 16.0),
       | ('y', 'avg_image_luma', round(60/255.0, 4)),
       | ('y', 'avg_image_textiness', 0.0),
       | ('y', 'avg_image_width', 16.0),
       | ('y', 'avg_video_keyframes', 1.0),
-      | ('y', 'n_assets', 3.0),
-      | ('y', 'pct_audio', 0.0),
-      | ('y', 'pct_audio_clipped', CAST(NULL AS DOUBLE)),
-      | ('y', 'pct_audio_silent', CAST(NULL AS DOUBLE)),
-      | ('y', 'pct_audio_with_art', CAST(NULL AS DOUBLE)),
-      | ('y', 'pct_audio_with_lyrics', CAST(NULL AS DOUBLE)),
-      | ('y', 'pct_image', round(1/3.0, 4)),
+      | ('y', 'n_assets', 4.0),
+      | ('y', 'pct_audio', 0.25),
+      | ('y', 'pct_audio_clipped', 0.0),
+      | ('y', 'pct_audio_silent', 0.0),
+      | ('y', 'pct_audio_with_art', 0.0),
+      | ('y', 'pct_audio_with_chapters', 1.0),
+      | ('y', 'pct_audio_with_lyrics', 0.0),
+      | ('y', 'pct_image', 0.25),
       | ('y', 'pct_image_gps', 0.0),
       | ('y', 'pct_image_with_text', 1.0),
+      | ('y', 'pct_image_with_thumb', 0.0),
       | ('y', 'pct_undecodable', 0.0),
-      | ('y', 'pct_video', round(2/3.0, 4)),
+      | ('y', 'pct_video', 0.5),
       | ('y', 'pct_video_with_subs', 0.5)
       |) AS t(grp, metric, value)
       |ORDER BY grp, metric""".stripMargin
@@ -6621,7 +6688,11 @@ object SparkEntry {
       (1L, M.syntheticMp4TimedText(frames, wanted, codec = "tx3g")),
       (2L, M.syntheticMp4TimedText(frames, wanted, codec = "wvtt")),
       (3L, M.syntheticMp4TimedText(frames, wanted, codec = "stpp")),
-      (4L, M.syntheticMjpegMp4(frames)) // caption-less: zero cues
+      (4L, M.syntheticMjpegMp4(frames)), // caption-less: zero cues
+      // a real edts/elst on the text trak: an initial 700 ms empty
+      // edit — cue times present SHIFTED on the movie timeline
+      (5L, M.syntheticMp4TimedText(frames, wanted, codec = "tx3g",
+        editDelayMs = 700L))
     ).toDF("doc_id", "content")
     M.subtitleCues(rows).orderBy(col("doc_id"), col("cue_idx"))
   }
@@ -6640,7 +6711,13 @@ object SparkEntry {
       | (CAST(3 AS BIGINT), 'stpp', 1, CAST(500 AS BIGINT),
       |  CAST(1500 AS BIGINT), 'Opening line', 'eng'),
       | (CAST(3 AS BIGINT), 'stpp', 2, CAST(2000 AS BIGINT),
-      |  CAST(2800 AS BIGINT), 'Seconde réplique', 'eng')
+      |  CAST(2800 AS BIGINT), 'Seconde réplique', 'eng'),
+      | -- the elst empty edit delays the track 700 ms: media times
+      | -- 500/2000 present at 1200/2700 on the movie timeline
+      | (CAST(5 AS BIGINT), 'tx3g', 1, CAST(1200 AS BIGINT),
+      |  CAST(2200 AS BIGINT), 'Opening line', 'eng'),
+      | (CAST(5 AS BIGINT), 'tx3g', 2, CAST(2700 AS BIGINT),
+      |  CAST(3500 AS BIGINT), 'Seconde réplique', 'eng')
       |) AS t(doc_id, sub_format, cue_idx, start_ms, end_ms, text,
       |       declared_lang)
       |ORDER BY doc_id, cue_idx""".stripMargin
@@ -6658,15 +6735,19 @@ object SparkEntry {
     import s.implicits._
     val M = graft.operators.Multimodal
     def mp3(v: Int, synced: Seq[(Long, String)],
-        plain: Option[String] = None): Array[Byte] =
+        plain: Option[String] = None, fmt: Int = 2): Array[Byte] =
       M.syntheticId3(v, "T", "A", "B", lyrics = plain,
-        syncedLyrics = synced) ++
+        syncedLyrics = synced, syltFormat = fmt) ++
         M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))
     val rows = Seq(
       (1L, mp3(4, Seq((1200L, "premier vers"), (3400L, "deuxième vers")))),
       (2L, mp3(3, Seq((5000L, "écrit en retard"), (700L, "sorted first")))),
       (3L, mp3(2, Seq((250L, "v22 line")))),
-      (4L, mp3(4, Nil, plain = Some("untimed only")))
+      (4L, mp3(4, Nil, plain = Some("untimed only"))),
+      // timestamp format 1: MPEG frame indices, converted on the
+      // stream's own clock (MPEG1 L3 at 32 kHz = 36 ms/frame)
+      (5L, mp3(4, Seq((10L, "frame ten"), (25L, "frame twenty-five")),
+        fmt = 1))
     ).toDF("doc_id", "content")
     M.subtitleCues(rows).orderBy(col("doc_id"), col("cue_idx"))
   }
@@ -6684,7 +6765,13 @@ object SparkEntry {
       | (CAST(2 AS BIGINT), 'sylt', 2, CAST(5000 AS BIGINT),
       |  CAST(5000 AS BIGINT), 'écrit en retard', 'eng'),
       | (CAST(3 AS BIGINT), 'sylt', 1, CAST(250 AS BIGINT),
-      |  CAST(250 AS BIGINT), 'v22 line', 'eng')
+      |  CAST(250 AS BIGINT), 'v22 line', 'eng'),
+      | -- format-1 frame indices 10/25 x 36 ms (1152 samples at
+      | -- 32 kHz) = 360/900 ms on the stream's own clock
+      | (CAST(5 AS BIGINT), 'sylt', 1, CAST(360 AS BIGINT),
+      |  CAST(900 AS BIGINT), 'frame ten', 'eng'),
+      | (CAST(5 AS BIGINT), 'sylt', 2, CAST(900 AS BIGINT),
+      |  CAST(900 AS BIGINT), 'frame twenty-five', 'eng')
       |) AS t(doc_id, sub_format, cue_idx, start_ms, end_ms, text,
       |       declared_lang)
       |ORDER BY doc_id, cue_idx""".stripMargin
@@ -6858,12 +6945,18 @@ object SparkEntry {
     * Hamming-separated construction, 14 classes), an audio file for
     * every FIFTH row whose embedded art is that class's image —
     * carrier rotating MP3-APIC → FLAC-PICTURE → M4A-covr →
-    * MKA-attachment, the four art surfaces. One codegen'd
+    * MKA-attachment → OpusTags-METADATA_BLOCK_PICTURE, the five art
+    * surfaces. One codegen'd
     * [[graft.operators.Multimodal.mediaLinkHash64Col]] projection
     * (an image hashes its raster, audio its art), one banded Hamming
-    * join: every class spans both modalities and all four audio
+    * join: every class spans both modalities and all five audio
     * containers at any scale factor (14 is coprime with both
-    * samplers). The 3/5 sampling and the 14-way split keep the
+    * samplers). The corpus must carry at least 42 rows (one full
+    * lcm(3, 14) sampler cycle) so every residue class holds an image
+    * member — below that an audio-only class would take its id from
+    * the 1e8+ range and the doc_id-arithmetic oracle would not model
+    * it; the guard REFUSES tiny corpora instead of silently
+    * diverging. The 3/5 sampling and the 14-way split keep the
     * identical-hash buckets SMALL — the q164 lesson: fixture classes
     * of hundreds of byte-identical members make the candidate join
     * k-squared and push the CC edge count onto the iterative path;
@@ -6874,6 +6967,12 @@ object SparkEntry {
   private def q194(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.operators.Scale.parallelismFloor(
       t(s, dir, "documents").select(col("doc_id")))
+    // one full image-sampler cycle mod 14 (lcm(3, 14) = 42): below
+    // this a residue class can be audio-only and the oracle's
+    // image-anchored class ids stop modeling the corpus
+    val nDocs = docs.count()
+    require(nDocs >= 42,
+      s"q194 needs >= 42 documents rows for full class coverage; got $nDocs")
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("asset_id",
         org.apache.spark.sql.types.LongType),
@@ -6905,7 +7004,7 @@ object SparkEntry {
           if (id % 5 != 0) Nil
           else {
             val art = ("image/png", png)
-            val bytes = ((id / 5) % 4) match {
+            val bytes = ((id / 5) % 5) match {
               case 0 => graft.operators.Multimodal.syntheticId3(4, "T", "A", "B",
                 apic = Some(art)) ++
                 graft.operators.Multimodal.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))
@@ -6913,10 +7012,12 @@ object SparkEntry {
                 48000, 2, 16, 4800L, "T", "A", "B", picture = Some(art))
               case 2 => graft.operators.Multimodal.syntheticM4aTagged(
                 2, 44100, 4410L, "T", "A", "B", cover = Some(art))
-              case _ => graft.operators.Multimodal.syntheticWebm("audio",
+              case 3 => graft.operators.Multimodal.syntheticWebm("audio",
                 channels = 2, sampleRate = 48000, durationMs = 100L,
                 codec = "A_OPUS", docType = "matroska",
                 attachedArt = Some(art))
+              case _ => graft.operators.Multimodal.syntheticOpusTagged(
+                2, 312, 48000, 4800L, "T", "A", "B", picture = Some(art))
             }
             Seq(org.apache.spark.sql.Row(AudioIdBase + id, bytes))
           }
@@ -7004,6 +7105,114 @@ object SparkEntry {
       | CAST(min(CASE WHEN doc_id % 3 = 0 THEN doc_id END) AS BIGINT)
       |   AS class_max
       |FROM documents GROUP BY doc_id % 14 ORDER BY art_class""".stripMargin
+
+  /** Incremental cover-art linking == batch linking — q178's
+    * oracle-gate discipline for the STREAMING art-link path: the
+    * same cross-modal corpus (images at every 9th `documents` row,
+    * audio at every 10th, 7 stripe classes, the five-carrier art
+    * rotation) is linked twice — once through
+    * [[graft.operators.Dedup.coverArtLinkCorpus]] in one batch, and
+    * once replayed as TWO ingest batches through the exact
+    * new-vs-anything join the streaming signature store runs
+    * ([[graft.operators.Dedup.incrementalHammingNearDuplicates]]:
+    * batch 1 against itself, batch 2 against the full store) — and
+    * the class assignments must agree asset-for-asset (`n_agree ==
+    * n_assets` in every class). The corpus needs >= 126 rows (two
+    * full lcm(9, 7) image cycles) so every class holds >= 2 image
+    * members and no class is a singleton/null. Oracle = doc_id
+    * arithmetic.
+    */
+  private def q199(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Scale.parallelismFloor(
+      t(s, dir, "documents").select(col("doc_id")))
+    val nDocs = docs.count()
+    require(nDocs >= 126,
+      s"q199 needs >= 126 documents rows for multi-member classes; got $nDocs")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("asset_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val AudioIdBase = 100000000L
+    val rdd = docs.rdd.flatMap { r =>
+      val id = r.getLong(0)
+      if (id % 9 != 0 && id % 10 != 0) Nil
+      else {
+        val cls = (id % 7).toInt
+        val dark = 20 + (id % 23).toInt
+        val light = 200 + (id % 37).toInt
+        def g(v: Int): Int = (v << 16) | (v << 8) | v
+        val lightCols = (0 until 4).filter(k => ((cls + 1) >> k & 1) != 0)
+          .map(k => 1 + 2 * k).toSet
+        val png = graft.operators.Multimodal.renderPng(64, 64, (x, _) => {
+          val gridCol = x * 9 / 64
+          if (lightCols(gridCol)) g(light) else g(dark)
+        })
+        val image =
+          if (id % 9 == 0) Seq(org.apache.spark.sql.Row(id, png)) else Nil
+        val audio =
+          if (id % 10 != 0) Nil
+          else {
+            val art = ("image/png", png)
+            val bytes = ((id / 10) % 5) match {
+              case 0 => graft.operators.Multimodal.syntheticId3(4, "T", "A", "B",
+                apic = Some(art)) ++
+                graft.operators.Multimodal.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))
+              case 1 => graft.operators.Multimodal.syntheticFlacTagged(
+                48000, 2, 16, 4800L, "T", "A", "B", picture = Some(art))
+              case 2 => graft.operators.Multimodal.syntheticM4aTagged(
+                2, 44100, 4410L, "T", "A", "B", cover = Some(art))
+              case 3 => graft.operators.Multimodal.syntheticWebm("audio",
+                channels = 2, sampleRate = 48000, durationMs = 100L,
+                codec = "A_OPUS", docType = "matroska",
+                attachedArt = Some(art))
+              case _ => graft.operators.Multimodal.syntheticOpusTagged(
+                2, 312, 48000, 4800L, "T", "A", "B", picture = Some(art))
+            }
+            Seq(org.apache.spark.sql.Row(AudioIdBase + id, bytes))
+          }
+        image ++ audio
+      }
+    }
+    val assets = s.createDataFrame(rdd, schema).localCheckpoint(false)
+    val D = graft.operators.Dedup
+    val full = D.coverArtLinkCorpus(assets, "asset_id", "content")
+      .select(col("asset_id"), col("dup_class").as("full_class"))
+    // the replayed two-batch ingest: sigs are computed ONCE (the
+    // store's layout), split deterministically, joined exactly as
+    // the streaming path does — batch1 vs itself, then batch2 vs all
+    val sigs = D.coverArtLinkSignatures(assets, "asset_id", "content")
+      .localCheckpoint(false)
+    val b1 = sigs.filter(col("id") % 2 === 0)
+    val b2 = sigs.filter(col("id") % 2 =!= 0)
+    val pairs = D.incrementalHammingNearDuplicates(b1, b1)
+      .unionByName(D.incrementalHammingNearDuplicates(sigs, b2))
+    val incr = D.connectedComponents(pairs.select(col("id_a"), col("id_b")))
+      .withColumnRenamed("id", "asset_id")
+      .withColumnRenamed("component", "incr_class")
+    full.join(incr, Seq("asset_id"), "left")
+      .groupBy((col("full_class") % 7).as("art_class"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(when(col("asset_id") >= AudioIdBase, 1L).otherwise(0L))
+          .as("n_audio"),
+        sum(when(col("incr_class") <=> col("full_class"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .orderBy(col("art_class"))
+  }
+
+  private def artLinkIncrOracle: String =
+    """SELECT doc_id % 7 AS art_class,
+      | CAST(sum(CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END)
+      |   + sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END)
+      |   AS BIGINT) AS n_assets,
+      | CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_audio,
+      | -- the replayed two-batch ingest must assign every asset the
+      | -- SAME class as the one-shot batch run
+      | CAST(sum(CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END)
+      |   + sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END)
+      |   AS BIGINT) AS n_agree
+      |FROM documents GROUP BY doc_id % 7 ORDER BY art_class""".stripMargin
 
   // ===================================================================
   // Registry
@@ -7207,7 +7416,8 @@ object SparkEntry {
     "q195_cuelang" -> (q195 _),
     "q196_chapters" -> (q196 _),
     "q197_clippairs" -> (q197 _),
-    "q198_thumblink" -> (q198 _))
+    "q198_thumblink" -> (q198 _),
+    "q199_artincr" -> (q199 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -7656,6 +7866,7 @@ object SparkEntry {
     "q196_chapters" -> chaptersOracle,
     "q197_clippairs" -> clipPairCorpusOracle,
     "q198_thumblink" -> thumbLinkOracle,
+    "q199_artincr" -> artLinkIncrOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

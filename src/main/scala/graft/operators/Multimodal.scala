@@ -3303,6 +3303,21 @@ object Multimodal {
     */
   private[graft] def jpegWithThumbnail(jpeg: Array[Byte],
       thumb: Array[Byte]): Array[Byte] = {
+    val payload = "Exif".getBytes("ISO-8859-1") ++ Array[Byte](0, 0) ++
+      tiffWithThumbnail(thumb)
+    val app1 = Array(0xFF.toByte, 0xE1.toByte,
+      (((payload.length + 2) >> 8) & 0xff).toByte,
+      ((payload.length + 2) & 0xff).toByte) ++ payload
+    jpeg.take(2) ++ app1 ++ jpeg.drop(2)
+  }
+
+  /** The raw TIFF block [[jpegWithThumbnail]] wraps in APP1: an empty
+    * IFD0 chaining to an IFD1 whose 0x0201/0x0202 tags frame the
+    * thumbnail — reusable as a PNG `eXIf` payload
+    * ([[pngWithExifTiff]]), since [[exifThumbnail]] reads the TIFF
+    * region through the carrier-generic [[exifTiffRegion]].
+    */
+  private[graft] def tiffWithThumbnail(thumb: Array[Byte]): Array[Byte] = {
     val ifd1Off = 8 + 2 + 4 // empty IFD0 (count + next ptr)
     val thumbOff = ifd1Off + 2 + 12 * 2 + 4
     val bb = java.nio.ByteBuffer.allocate(thumbOff + thumb.length)
@@ -3313,11 +3328,7 @@ object Multimodal {
     bb.putShort(0x0202.toShort).putShort(4).putInt(1).putInt(thumb.length)
     bb.putInt(0) // IFD1 next pointer
     bb.put(thumb)
-    val payload = "Exif".getBytes("ISO-8859-1") ++ Array[Byte](0, 0) ++ bb.array()
-    val app1 = Array(0xFF.toByte, 0xE1.toByte,
-      (((payload.length + 2) >> 8) & 0xff).toByte,
-      ((payload.length + 2) & 0xff).toByte) ++ payload
-    jpeg.take(2) ++ app1 ++ jpeg.drop(2)
+    bb.array()
   }
 
   /** First JPEG `COM` (0xFFFE) comment segment as UTF-8 text — the
@@ -6170,27 +6181,35 @@ object Multimodal {
       val bytes =
         if (!row.isNullAt(contentIdx)) row.getAs[Array[Byte]](contentIdx)
         else null
-      val parsed =
-        if (bytes == null || bytes.length < 10) None
-        else if (bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3')
-          id3Chapters(bytes).map(("id3", _))
-        else if (bytes(0) == 0x1A.toByte && bytes(1) == 0x45.toByte &&
-          bytes(2) == 0xDF.toByte && bytes(3) == 0xA3.toByte)
-          webmChapters(bytes) // one pass: the walk carries its DocType
-        else if (bytes.length >= 16 && bytes(4) == 'f' && bytes(5) == 't' &&
-          bytes(6) == 'y' && bytes(7) == 'p')
-          mp4Chapters(bytes).map(("chpl", _))
-            // the QuickTime convention: a text track another trak
-            // references via tref/chap IS the chapter list
-            .orElse(mp4QtChapterCues(bytes).map(("chap", _)))
-        else None
-      parsed match {
+      mediaChaptersOf(bytes) match {
         case Some((fmt, chaps)) => chaps.map(c =>
           Row(row.get(idIdx), fmt, c.idx, c.startMs, c.endMs, c.text))
         case None => Nil
       }
     }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** The per-row chapter dispatch behind [[mediaChapters]] and the
+    * card's `pct_audio_with_chapters` counter — ONE rule for what
+    * counts as a chaptered asset across the four carrier
+    * conventions.
+    */
+  private[graft] def mediaChaptersOf(
+      bytes: Array[Byte]): Option[(String, Seq[SubCue])] = {
+    if (bytes == null || bytes.length < 10) None
+    else if (bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3')
+      id3Chapters(bytes).map(("id3", _))
+    else if (bytes(0) == 0x1A.toByte && bytes(1) == 0x45.toByte &&
+      bytes(2) == 0xDF.toByte && bytes(3) == 0xA3.toByte)
+      webmChapters(bytes) // one pass: the walk carries its DocType
+    else if (bytes.length >= 16 && bytes(4) == 'f' && bytes(5) == 't' &&
+      bytes(6) == 'y' && bytes(7) == 'p')
+      mp4Chapters(bytes).map(("chpl", _))
+        // the QuickTime convention: a text track another trak
+        // references via tref/chap IS the chapter list
+        .orElse(mp4QtChapterCues(bytes).map(("chap", _)))
+    else None
   }
 
   /** The facts an M4A `ilst` item list declares — text tags plus the
@@ -7340,6 +7359,22 @@ object Multimodal {
     if (b == null) null
     else java.lang.Boolean.valueOf(audioLyricsText(b).isDefined)
 
+  /** Chapters declared in any of the four carrier conventions —
+    * `pct_audio_with_chapters` rides this ([[mediaChaptersOf]], the
+    * SAME dispatch the extraction uses).
+    */
+  def audioChaptersPresent(b: Array[Byte]): java.lang.Boolean =
+    if (b == null) null
+    else java.lang.Boolean.valueOf(
+      try mediaChaptersOf(b).isDefined catch { case _: Throwable => false })
+
+  /** EXIF IFD1 thumbnail present — `pct_image_with_thumb` rides this
+    * ([[exifThumbnail]], the same walk the forensic link uses).
+    */
+  def imageThumbPresent(b: Array[Byte]): java.lang.Boolean =
+    if (b == null) null
+    else java.lang.Boolean.valueOf(exifThumbnail(b) != null)
+
   /** The presence flags as Columns — codegen'd like [[dhash64Col]]. */
   def imageTextPresentCol(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graft.bridge.{columnOf, expressionOf}
@@ -7352,6 +7387,14 @@ object Multimodal {
   def audioLyricsPresentCol(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graft.bridge.{columnOf, expressionOf}
     columnOf(MediaFlag(expressionOf(content), "audioLyricsPresent"))
+  }
+  def audioChaptersPresentCol(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.bridge.{columnOf, expressionOf}
+    columnOf(MediaFlag(expressionOf(content), "audioChaptersPresent"))
+  }
+  def imageThumbPresentCol(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.bridge.{columnOf, expressionOf}
+    columnOf(MediaFlag(expressionOf(content), "imageThumbPresent"))
   }
 
   /** One boolean media-presence kernel by name — a single Expression
@@ -7372,6 +7415,8 @@ object Multimodal {
     @transient private lazy val fn: Array[Byte] => java.lang.Boolean = kernel match {
       case "imageTextPresent" => imageTextPresent
       case "audioArtPresent" => audioArtPresent
+      case "audioChaptersPresent" => audioChaptersPresent
+      case "imageThumbPresent" => imageThumbPresent
       case _ => audioLyricsPresent
     }
     override def nullSafeEval(v: Any): Any = {
@@ -7397,7 +7442,8 @@ object Multimodal {
   object MediaFlag {
     /** The only kernel names [[MediaFlag.doGenCode]] may splice. */
     private[graft] val Kernels: Set[String] =
-      Set("imageTextPresent", "audioArtPresent", "audioLyricsPresent")
+      Set("imageTextPresent", "audioArtPresent", "audioLyricsPresent",
+        "audioChaptersPresent", "imageThumbPresent")
   }
 
   /** Media corpus card — the multimodal twin of
@@ -7499,7 +7545,12 @@ object Multimodal {
           .otherwise(0L).as("__hlyr"),
         when(isVideo &&
           coalesce(subtitleTrackCountCol(col(contentCol)), lit(0)) > 0, 1L)
-          .otherwise(0L).as("__hsub"))
+          .otherwise(0L).as("__hsub"),
+        // segmentation/forensic coverage (round-15 card metrics)
+        when(aud.getField("ok") && audioChaptersPresentCol(col(contentCol)), 1L)
+          .otherwise(0L).as("__hchap"),
+        when(img.getField("ok") && imageThumbPresentCol(col(contentCol)), 1L)
+          .otherwise(0L).as("__hthumb"))
       .groupBy(col("__g"))
       .agg(
         count(lit(1)).as("n"),
@@ -7520,7 +7571,9 @@ object Multimodal {
         sum(col("__htext")).as("nhtext"),
         sum(col("__hart")).as("nhart"),
         sum(col("__hlyr")).as("nhlyr"),
-        sum(col("__hsub")).as("nhsub"))
+        sum(col("__hsub")).as("nhsub"),
+        sum(col("__hchap")).as("nhchap"),
+        sum(col("__hthumb")).as("nhthumb"))
   }
 
   /** Derive the long-format card from the monoid frame — shared by
@@ -7557,6 +7610,10 @@ object Multimodal {
       when(col("na") > 0, round(col("nhlyr").cast("double") / col("na"), 4)),
       lit("pct_video_with_subs"),
       when(col("nv") > 0, round(col("nhsub").cast("double") / col("nv"), 4)),
+      lit("pct_audio_with_chapters"),
+      when(col("na") > 0, round(col("nhchap").cast("double") / col("na"), 4)),
+      lit("pct_image_with_thumb"),
+      when(col("ni") > 0, round(col("nhthumb").cast("double") / col("ni"), 4)),
       lit("n_assets"), col("n").cast("double"),
       lit("pct_audio"), round(col("na").cast("double") / col("n"), 4),
       lit("pct_audio_clipped"),
@@ -7580,8 +7637,8 @@ object Multimodal {
     // cannot be silently merged (its missing sums would read as
     // zero-coverage lies) — refuse loudly, like the signature-store
     // kernel-version stamp
-    val missing = Seq("nhtext", "nhart", "nhlyr", "nhsub")
-      .filterNot(both.columns.contains)
+    val missing = Seq("nhtext", "nhart", "nhlyr", "nhsub", "nhchap",
+      "nhthumb").filterNot(both.columns.contains)
     require(missing.isEmpty,
       s"media-card state predates the declared-text coverage metrics " +
         s"(missing ${missing.mkString(", ")}) — rebuild the state with " +
@@ -7600,7 +7657,8 @@ object Multimodal {
       sum(col("nclip")).as("nclip"), sum(col("nsilent")).as("nsilent"),
       sum(col("vkeysum")).as("vkeysum"), sum(col("vkeycnt")).as("vkeycnt"),
       sum(col("nhtext")).as("nhtext"), sum(col("nhart")).as("nhart"),
-      sum(col("nhlyr")).as("nhlyr"), sum(col("nhsub")).as("nhsub"))
+      sum(col("nhlyr")).as("nhlyr"), sum(col("nhsub")).as("nhsub"),
+      sum(col("nhchap")).as("nhchap"), sum(col("nhthumb")).as("nhthumb"))
   }
 
   /** Incremental [[mediaCard]] — the daily-multimodal-ingest form
@@ -7663,7 +7721,14 @@ object Multimodal {
       .putInt(8 + 2 + 12 + 4)
     tiff.putInt(0) // next-IFD pointer
     if (gps) tiff.putShort(0).putInt(0) // empty GPS IFD
-    val data = tiff.array()
+    pngWithExifTiff(png, tiff.array())
+  }
+
+  /** Splice an ARBITRARY TIFF block as a PNG `eXIf` chunk (CRC'd) —
+    * [[pngWithExif]]'s generic form, for IFD1-thumbnail fixtures.
+    */
+  private[graft] def pngWithExifTiff(png: Array[Byte],
+      data: Array[Byte]): Array[Byte] = {
     val chunk = java.nio.ByteBuffer.allocate(12 + data.length)
     chunk.putInt(data.length).put("eXIf".getBytes("ISO-8859-1")).put(data)
     val crc = new java.util.zip.CRC32()

@@ -520,6 +520,34 @@ class PlanAudit extends SparkSpec {
     }
   }
 
+  test("q199: two-batch incremental art-link replay stays within a bounded job count") {
+    // the streaming-ingest identity check runs the link pipeline
+    // TWICE (full + two incremental joins) plus CC — still a
+    // data-independent job count, roughly double q194's linker half
+    val counter = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val rows = try {
+      val out = SparkEntry.queries("q199_artincr")(spark, dir).collect()
+      Thread.sleep(500) // listener delivery is async (JobTrace precedent)
+      out
+    } finally spark.sparkContext.removeSparkListener(l)
+    val jobs = counter.get()
+    assert(jobs <= 40,
+      s"incremental art-link replay must stay within its job budget: $jobs")
+    assert(jobs >= 4, s"listener must have observed the pipeline: $jobs")
+    assert(rows.length == 7, "one row per art class")
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(3),
+        s"every asset's incremental class must equal its batch class: $r")
+    }
+  }
+
   test("q164/q165: corpus-scale video-exact and audio dedup run bounded job counts and recover the residue classes") {
     // the q156 gate extended to the other two modalities: the job
     // count is a function of the PIPELINE, never the corpus size —
