@@ -6099,13 +6099,30 @@ object SparkEntry {
         |00:02.000 --> 00:04.000
         |mapped line
         |""".stripMargin
+    // TTML sidecar (.ttml/.dfxp): root-element discipline, begin+dur
+    val ttml =
+      """<?xml version="1.0"?>
+        |<tt xmlns="http://www.w3.org/ns/ttml">
+        | <body><div>
+        |  <p begin="00:00:04.000" dur="00:00:02.500">ttml ligne</p>
+        | </div></body>
+        |</tt>
+        |""".stripMargin
+    // SBV (YouTube caption export): comma-separated start,end blocks
+    val sbv =
+      """0:00:07.000,0:00:09.000
+        |sbv block
+        |second line
+        |""".stripMargin
     val rows = Seq(
       (1L, srt.getBytes("UTF-8")),
       (2L, vtt.getBytes("UTF-8")),
       (3L, "no cues here".getBytes("UTF-8")),
       (4L, ass.getBytes("UTF-8")),
       (5L, ssa.getBytes("UTF-8")),
-      (6L, hls.getBytes("UTF-8"))
+      (6L, hls.getBytes("UTF-8")),
+      (7L, ttml.getBytes("UTF-8")),
+      (8L, sbv.getBytes("UTF-8"))
     ).toDF("doc_id", "content")
     graft.operators.Multimodal.subtitleCues(rows)
       .orderBy(col("doc_id"), col("cue_idx"))
@@ -6135,7 +6152,13 @@ object SparkEntry {
       |  CAST(NULL AS VARCHAR)),
       | -- X-TIMESTAMP-MAP: 900000/90 = +10000 ms on every cue
       | (CAST(6 AS BIGINT), 'vtt', 1, CAST(12000 AS BIGINT),
-      |  CAST(14000 AS BIGINT), 'mapped line', CAST(NULL AS VARCHAR))
+      |  CAST(14000 AS BIGINT), 'mapped line', CAST(NULL AS VARCHAR)),
+      | -- TTML sidecar: begin + dur derives the end
+      | (CAST(7 AS BIGINT), 'ttml', 1, CAST(4000 AS BIGINT),
+      |  CAST(6500 AS BIGINT), 'ttml ligne', CAST(NULL AS VARCHAR)),
+      | (CAST(8 AS BIGINT), 'sbv', 1, CAST(7000 AS BIGINT),
+      |  CAST(9000 AS BIGINT), 'sbv block' || chr(10) || 'second line',
+      |  CAST(NULL AS VARCHAR))
       |) AS t(doc_id, sub_format, cue_idx, start_ms, end_ms, text,
       |       declared_lang)
       |ORDER BY doc_id, cue_idx""".stripMargin
@@ -6805,7 +6828,11 @@ object SparkEntry {
       // tref/chap is the chapter list (and is NOT subtitles)
       (7L, M.syntheticMp4TimedText(
         Seq(M.renderJpeg(8, 8, (_, _) => 0x505050)), chaps,
-        asQtChapters = true))
+        asQtChapters = true)),
+      // the ogg-chapter-extension convention: CHAPTERnnn/NAME
+      // Vorbis-comment fields (the audiobook .opus rip)
+      (8L, M.syntheticOpusTagged(2, 312, 48000, 96000L, "Book", "Nrtr",
+        "Shelf", chapters = Seq((0L, "Intro"), (60000L, "Deuxième acte"))))
     ).toDF("doc_id", "content")
     M.mediaChapters(rows).orderBy(col("doc_id"), col("chap_idx"))
   }
@@ -6833,7 +6860,12 @@ object SparkEntry {
       | (CAST(7 AS BIGINT), 'chap', 1, CAST(0 AS BIGINT),
       |  CAST(60000 AS BIGINT), 'Intro'),
       | (CAST(7 AS BIGINT), 'chap', 2, CAST(60000 AS BIGINT),
-      |  CAST(150000 AS BIGINT), 'Deuxième acte')
+      |  CAST(150000 AS BIGINT), 'Deuxième acte'),
+      | -- CHAPTERnnn Vorbis fields (starts only: next-start ends)
+      | (CAST(8 AS BIGINT), 'vorbis', 1, CAST(0 AS BIGINT),
+      |  CAST(60000 AS BIGINT), 'Intro'),
+      | (CAST(8 AS BIGINT), 'vorbis', 2, CAST(60000 AS BIGINT),
+      |  CAST(60000 AS BIGINT), 'Deuxième acte')
       |) AS t(doc_id, chap_format, chap_idx, start_ms, end_ms, title)
       |ORDER BY doc_id, chap_idx""".stripMargin
 
@@ -7214,6 +7246,61 @@ object SparkEntry {
       |   AS BIGINT) AS n_agree
       |FROM documents GROUP BY doc_id % 7 ORDER BY art_class""".stripMargin
 
+  /** Multi-track subtitle extraction ([[graft.operators.Multimodal
+    * .subtitleCuesByTrack]]) — the multi-language mining surface: a
+    * dubbed/fansubbed release muxes parallel text in several
+    * languages, and per-track rows give a pairing pipeline each
+    * language under its own container declaration (q181/q192 keep
+    * only the first track — this surface keeps them all, with
+    * `track_idx` in declaration order). Fixtures: an MP4 carrying
+    * BOTH a tx3g/eng and a wvtt/fre track, a WebM with two S_TEXT
+    * tracks (eng + fre), a sidecar (inherently track 1), junk.
+    */
+  private def q200(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    val frames = Seq(M.renderJpeg(8, 8, (_, _) => gray(77)))
+    val mp4 = M.syntheticMp4TimedText(frames,
+      Seq((0L, 900L, "hello"), (1000L, 1800L, "again")),
+      codec = "tx3g", lang = "eng",
+      cues2 = Seq((100L, 700L, "bonjour")), codec2 = "wvtt", lang2 = "fre")
+    val webm = M.syntheticWebm("video", width = 8, height = 8,
+      durationMs = 4000L, subtitleTracks = 2,
+      subLang = Some("eng"), subLang2 = Some("spa"),
+      subCues = Seq((50L, 80L, "hi")),
+      subCues2 = Seq((100L, 400L, "hola"), (500L, 900L, "mundo")))
+    val rows = Seq(
+      (1L, mp4),
+      (2L, webm),
+      (3L, ("1\n00:00:01,000 --> 00:00:02,000\nsidecar line\n").getBytes("UTF-8")),
+      (4L, "junk".getBytes("UTF-8"))
+    ).toDF("doc_id", "content")
+    M.subtitleCuesByTrack(rows)
+      .orderBy(col("doc_id"), col("track_idx"), col("cue_idx"))
+  }
+
+  private def multiTrackOracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(1 AS BIGINT), 1, 'tx3g', 1, CAST(0 AS BIGINT),
+      |  CAST(900 AS BIGINT), 'hello', 'eng'),
+      | (CAST(1 AS BIGINT), 1, 'tx3g', 2, CAST(1000 AS BIGINT),
+      |  CAST(1800 AS BIGINT), 'again', 'eng'),
+      | -- the SECOND text track keeps its own codec and declaration
+      | (CAST(1 AS BIGINT), 2, 'wvtt', 1, CAST(100 AS BIGINT),
+      |  CAST(700 AS BIGINT), 'bonjour', 'fre'),
+      | (CAST(2 AS BIGINT), 1, 'webm', 1, CAST(50 AS BIGINT),
+      |  CAST(80 AS BIGINT), 'hi', 'eng'),
+      | (CAST(2 AS BIGINT), 2, 'webm', 1, CAST(100 AS BIGINT),
+      |  CAST(400 AS BIGINT), 'hola', 'spa'),
+      | (CAST(2 AS BIGINT), 2, 'webm', 2, CAST(500 AS BIGINT),
+      |  CAST(900 AS BIGINT), 'mundo', 'spa'),
+      | (CAST(3 AS BIGINT), 1, 'srt', 1, CAST(1000 AS BIGINT),
+      |  CAST(2000 AS BIGINT), 'sidecar line', CAST(NULL AS VARCHAR))
+      |) AS t(doc_id, track_idx, sub_format, cue_idx, start_ms, end_ms,
+      |       text, declared_lang)
+      |ORDER BY doc_id, track_idx, cue_idx""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -7417,7 +7504,8 @@ object SparkEntry {
     "q196_chapters" -> (q196 _),
     "q197_clippairs" -> (q197 _),
     "q198_thumblink" -> (q198 _),
-    "q199_artincr" -> (q199 _))
+    "q199_artincr" -> (q199 _),
+    "q200_multitrack" -> (q200 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -7867,6 +7955,7 @@ object SparkEntry {
     "q197_clippairs" -> clipPairCorpusOracle,
     "q198_thumblink" -> thumbLinkOracle,
     "q199_artincr" -> artLinkIncrOracle,
+    "q200_multitrack" -> multiTrackOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

@@ -720,7 +720,24 @@ object Multimodal {
     * cue-capped (100k), exception-guarded like [[webmInfo]]. None
     * for non-EBML bytes or no subtitle cue.
     */
-  private[graft] def webmSubtitleCues(b: Array[Byte]): Option[(String, String, Seq[SubCue])] = try {
+  private[graft] def webmSubtitleCues(b: Array[Byte]): Option[(String, String, Seq[SubCue])] =
+    webmTextTracks(b) match {
+      case None => None
+      case Some((docType, tracks)) =>
+        tracks.find(_._2.nonEmpty).map { case (lang, cues) =>
+          (docType, lang, cues)
+        }
+    }
+
+  /** EVERY subtitle track of a Matroska/WebM file, in declaration
+    * order — (docType, per-track (declaredLang, cues)): the
+    * multi-language surface behind [[webmSubtitleCues]] (which picks
+    * the first track with cues) and [[subtitleCuesByTrack]] (which
+    * keeps them all — a dubbed/fansubbed mux carries parallel text
+    * in several languages, and a pair-mining pipeline wants each
+    * under its own declaration). One EBML pass.
+    */
+  private[graft] def webmTextTracks(b: Array[Byte]): Option[(String, Seq[(String, Seq[SubCue])])] = try {
     if (b == null || b.length < 8 ||
       !(b(0) == 0x1A.toByte && b(1) == 0x45.toByte &&
         b(2) == 0xDF.toByte && b(3) == 0xA3.toByte)) return None
@@ -858,16 +875,16 @@ object Multimodal {
       }
     }
     walk(0, b.length, 0)
-    // the first DECLARED subtitle track that carries cues wins —
-    // cues and language come from the same track by construction
-    subTrackOrder.find(t => cuesByTrack.get(t).exists(_.nonEmpty)) match {
-      case None => None
-      case Some(track) =>
-        val got = cuesByTrack(track).zipWithIndex.map {
+    if (subTrackOrder.isEmpty) None
+    else {
+      val perTrack = subTrackOrder.toSeq.map { track =>
+        val got = cuesByTrack.getOrElse(track,
+          scala.collection.mutable.ArrayBuffer.empty).zipWithIndex.map {
           case ((st, en, text), k) => SubCue(k + 1, st, en, text)
         }.toSeq
-        Some(((if (docType == null) "matroska" else docType),
-          subTrackLang.getOrElse(track, "eng"), got))
+        (subTrackLang.getOrElse(track, "eng"), got)
+      }
+      Some(((if (docType == null) "matroska" else docType), perTrack))
     }
   } catch { case _: Throwable => None } // per-row isolation
 
@@ -3832,6 +3849,93 @@ object Multimodal {
       m.group(3).toLong) * 1000 + mmm
   }
 
+  /** TTML/DFXP subtitle SIDECARS — the `.ttml`/`.dfxp` files a crawl
+    * delivers next to the muxed `stpp` form [[mp4TextTracks]] decodes:
+    * the same `<p>` paragraph walk (begin/end/dur in any attribute
+    * order, [[ttmlParaTimes]]), over the whole document. The root
+    * must be a `<tt>` element (namespace-prefixed accepted) — the
+    * svgInfo root-tag discipline, so an HTML page that happens to
+    * contain `<p begin=...>` is not a subtitle file. Cues sort by
+    * start. None for non-TTML text or no timed paragraph.
+    */
+  private[graft] def parseTtml(s: String): Option[Seq[SubCue]] = try {
+    if (s == null || s.isEmpty) return None
+    val m0 = TtmlRootPat.matcher(s)
+    if (!m0.find()) return None
+    val raw = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val m = TtmlParaPat.matcher(s)
+    while (m.find() && raw.size < 100000) {
+      val (st, en) = ttmlParaTimes(m.group(1))
+      val text = m.group(2).replaceAll("(?i)<br\\s*/?>", "\n")
+        .replaceAll("<[^>]*>", "").trim
+      if (st >= 0 && en >= st && text.nonEmpty) raw += ((st, en, text))
+    }
+    if (raw.isEmpty) None
+    else Some(raw.sortBy(r => (r._1, r._2)).toSeq.zipWithIndex.map {
+      case ((st, en, text), k) => SubCue(k + 1, st, en, text)
+    })
+  } catch { case _: Throwable => None } // per-row isolation
+
+  // the document's ROOT element must be <tt> (optionally
+  // namespace-prefixed): XML decl/comments/doctype may precede it,
+  // but no other element may — the root-tag discipline svgInfo uses
+  private val TtmlRootPat = java.util.regex.Pattern.compile(
+    "(?s)\\A(?:\\s|<\\?[^>]*>|<!--.*?-->|<![^>]*>)*<(?:[A-Za-z0-9_]+:)?tt[\\s>]")
+
+  /** SBV (YouTube SubViewer) subtitle sidecars — the caption-export
+    * format of the web's largest video host: blocks of
+    * `H:MM:SS.mmm,H:MM:SS.mmm` (comma-separated start,end — no `-->`)
+    * followed by text lines, blank-line separated. None for text
+    * with no parseable block.
+    */
+  private[graft] def parseSbv(s: String): Option[Seq[SubCue]] = try {
+    if (s == null || s.isEmpty) return None
+    val t0 = if (s.charAt(0) == '﻿') s.substring(1) else s
+    val t = t0.replace("\r\n", "\n").replace('\r', '\n')
+    val lines = t.split('\n')
+    val cues = Seq.newBuilder[SubCue]
+    var i = 0
+    var idx = 0
+    while (i < lines.length && idx < 100000) {
+      val m = SbvStampPat.matcher(lines(i).trim)
+      if (m.matches()) {
+        val m1 = SubStampPat.matcher(m.group(1))
+        val m2 = SubStampPat.matcher(m.group(2))
+        if (m1.find() && m2.find()) {
+          def ms(mm: java.util.regex.Matcher): Long = {
+            val h = if (mm.group(1) == null) 0L else mm.group(1).toLong
+            val frac = mm.group(4)
+            val mmm = frac.toLong * (frac.length match {
+              case 1 => 100L
+              case 2 => 10L
+              case _ => 1L
+            })
+            ((h * 60 + mm.group(2).toLong) * 60 + mm.group(3).toLong) * 1000 + mmm
+          }
+          val st = ms(m1)
+          val en = ms(m2)
+          val sb = new java.lang.StringBuilder
+          i += 1
+          while (i < lines.length && lines(i).trim.nonEmpty) {
+            if (sb.length > 0) sb.append('\n')
+            sb.append(lines(i))
+            i += 1
+          }
+          val text = sb.toString.trim
+          if (en >= st && text.nonEmpty) {
+            idx += 1
+            cues += SubCue(idx, st, en, text)
+          }
+        } else i += 1
+      } else i += 1
+    }
+    val got = cues.result()
+    if (got.isEmpty) None else Some(got)
+  } catch { case _: Throwable => None } // per-row isolation
+
+  private val SbvStampPat = java.util.regex.Pattern.compile(
+    "(\\d+:\\d{1,2}:\\d{1,2}\\.\\d{1,3})\\s*,\\s*(\\d+:\\d{1,2}:\\d{1,2}\\.\\d{1,3})")
+
   /** Is this blob a KNOWN binary media/archive format? The cheap
     * gate before [[subtitleCues]] decodes a binary row to a String:
     * a corpus scan feeds it every unmatched blob, and decoding a
@@ -3913,50 +4017,117 @@ object Multimodal {
     val contentIdx = inSchema.fieldIndex(contentCol)
     val isBinary = inSchema(contentIdx).dataType == BinaryType
     val rdd = df.rdd.flatMap { row =>
-      val bytes =
-        if (isBinary && !row.isNullAt(contentIdx))
-          row.getAs[Array[Byte]](contentIdx)
-        else null
-      // muxed sources carry (format, declared language, cues) from
-      // ONE walk of the container per row
-      val muxed: Option[(String, String, Seq[SubCue])] =
-        if (bytes != null && bytes.length >= 8 && bytes(0) == 0x1A.toByte &&
-          bytes(1) == 0x45.toByte && bytes(2) == 0xDF.toByte &&
-          bytes(3) == 0xA3.toByte)
-          // ONE EBML walk: cues and the declared language of the
-          // SAME track (a multi-language mux can't cross-stamp)
-          webmSubtitleCues(bytes).map { case (f, lang, c) => (f, lang, c) }
-        else if (bytes != null && bytes.length >= 16 && bytes(4) == 'f' &&
-          bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p') {
-          val (tracks, chapRefs) = mp4TextTracks(bytes)
-          tracks.find(t => !chapRefs.contains(t.id) && t.cues.nonEmpty)
-            .map(t => (t.codec, t.lang, t.cues))
-        }
-        else if (bytes != null && bytes.length >= 10 && bytes(0) == 'I' &&
-          bytes(1) == 'D' && bytes(2) == '3')
-          // synced lyrics ARE cues; the SYLT frame names its language
-          id3SyltCues(bytes).map(("sylt", declaredTextLang(bytes), _))
-        else None
-      val parsed = muxed.orElse {
-        if (isBinary && bytes != null && knownBinaryMagic(bytes)) None
-        else {
-          val raw =
-            if (row.isNullAt(contentIdx)) null
-            else if (isBinary) new String(bytes,
-              java.nio.charset.StandardCharsets.UTF_8)
-            else row.getAs[String](contentIdx)
-          parseSubtitles(raw).map { case (f, c) => (f, null, c) }
-            .orElse(parseAss(raw).map(("ass", null, _)))
-            .orElse(parseLrc(raw).map(("lrc", null, _)))
-        }
-      }
-      parsed match {
-        case Some((fmt, declared, cues)) =>
+      textTracksOfRow(row, contentIdx, isBinary, allTracks = false)
+        .flatMap { case (_, fmt, declared, cues) =>
           cues.map(c =>
             Row(row.get(idIdx), fmt, c.idx, c.startMs, c.endMs, c.text,
               declared))
-        case None => Nil
+        }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** The per-row text-track dispatch behind [[subtitleCues]]
+    * (`allTracks = false`: the first track with cues) and
+    * [[subtitleCuesByTrack]] (`allTracks = true`: every one) —
+    * (track_idx 1-based over emitted tracks, format, declared
+    * language, cues). Muxed sources come from ONE walk of the
+    * container per row; sidecars and SYLT are inherently
+    * single-track.
+    */
+  private def textTracksOfRow(row: Row, contentIdx: Int,
+      isBinary: Boolean,
+      allTracks: Boolean): Seq[(Int, String, String, Seq[SubCue])] = {
+    val bytes =
+      if (isBinary && !row.isNullAt(contentIdx))
+        row.getAs[Array[Byte]](contentIdx)
+      else null
+    val muxed: Option[Seq[(String, String, Seq[SubCue])]] =
+      if (bytes != null && bytes.length >= 8 && bytes(0) == 0x1A.toByte &&
+        bytes(1) == 0x45.toByte && bytes(2) == 0xDF.toByte &&
+        bytes(3) == 0xA3.toByte)
+        // ONE EBML walk: every track's cues ride the declared
+        // language of the SAME track (no cross-stamping)
+        webmTextTracks(bytes).map { case (f, tracks) =>
+          tracks.collect { case (lang, cues) if cues.nonEmpty =>
+            (f, lang, cues)
+          }
+        }.filter(_.nonEmpty)
+      else if (bytes != null && bytes.length >= 16 && bytes(4) == 'f' &&
+        bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p') {
+        val (tracks, chapRefs) = mp4TextTracks(bytes)
+        val subs = tracks.filter(t =>
+          !chapRefs.contains(t.id) && t.cues.nonEmpty)
+          .map(t => (t.codec, t.lang, t.cues))
+        if (subs.isEmpty) None else Some(subs)
       }
+      else if (bytes != null && bytes.length >= 10 && bytes(0) == 'I' &&
+        bytes(1) == 'D' && bytes(2) == '3')
+        // synced lyrics ARE cues; the SYLT frame names its language
+        id3SyltCues(bytes).map(c =>
+          Seq(("sylt", declaredTextLang(bytes), c)))
+      else None
+    val parsed = muxed.orElse {
+      if (isBinary && bytes != null && knownBinaryMagic(bytes)) None
+      else {
+        val raw =
+          if (bytes == null && isBinary) null
+          else if (isBinary) new String(bytes,
+            java.nio.charset.StandardCharsets.UTF_8)
+          else if (row.isNullAt(contentIdx)) null
+          else row.getAs[String](contentIdx)
+        parseSubtitles(raw).map { case (f, c) => Seq((f, null: String, c)) }
+          .orElse(parseAss(raw).map(c => Seq(("ass", null: String, c))))
+          .orElse(parseTtml(raw).map(c => Seq(("ttml", null: String, c))))
+          .orElse(parseSbv(raw).map(c => Seq(("sbv", null: String, c))))
+          .orElse(parseLrc(raw).map(c => Seq(("lrc", null: String, c))))
+      }
+    }
+    parsed match {
+      case Some(tracks) =>
+        val sel = if (allTracks) tracks else tracks.take(1)
+        sel.zipWithIndex.map { case ((fmt, lang, cues), k) =>
+          (k + 1, fmt, lang, cues)
+        }
+      case None => Nil
+    }
+  }
+
+  /** [[subtitleCues]] with EVERY muxed text track kept —
+    * (id, track_idx, sub_format, cue_idx, start_ms, end_ms, text,
+    * declared_lang): the multi-language mining surface. A
+    * dubbed/fansubbed release carries parallel text in several
+    * languages; per-track rows give a pairing pipeline each language
+    * under its own container declaration (and the cross-language
+    * ALIGNMENT signal: parallel cue intervals of the same movie are
+    * translation pairs). track_idx is 1-based in declaration order
+    * over the emitted tracks; sidecar files and SYLT are track 1.
+    * Same one-walk, map-only, per-row-isolated discipline as
+    * [[subtitleCues]].
+    */
+  def subtitleCuesByTrack(df: DataFrame, idCol: String = "doc_id",
+      contentCol: String = "content"): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val idField = inSchema(inSchema.fieldIndex(idCol))
+    val outSchema = StructType(Seq(idField,
+      StructField("track_idx", IntegerType),
+      StructField("sub_format", StringType),
+      StructField("cue_idx", IntegerType),
+      StructField("start_ms", LongType),
+      StructField("end_ms", LongType),
+      StructField("text", StringType),
+      StructField("declared_lang", StringType)))
+    val idIdx = inSchema.fieldIndex(idCol)
+    val contentIdx = inSchema.fieldIndex(contentCol)
+    val isBinary = inSchema(contentIdx).dataType == BinaryType
+    val rdd = df.rdd.flatMap { row =>
+      textTracksOfRow(row, contentIdx, isBinary, allTracks = true)
+        .flatMap { case (trk, fmt, declared, cues) =>
+          cues.map(c =>
+            Row(row.get(idIdx), trk, fmt, c.idx, c.startMs, c.endMs,
+              c.text, declared))
+        }
     }
     spark.createDataFrame(rdd, outSchema)
   }
@@ -5036,18 +5207,31 @@ object Multimodal {
     */
   private def vorbisFieldMap(b: Array[Byte], start: Int, end: Int,
       wanted: Set[String]): Option[Map[String, String]] = {
+    var out = Map.empty[String, String]
+    if (!vorbisFieldsForeach(b, start, end) { (key, value) =>
+      if (wanted.contains(key)) out = out.updated(key, value)
+    }) return None
+    Some(out)
+  }
+
+  /** Iterate every UPPERCASED (key, value) field of a Vorbis comment
+    * region — the one walk behind [[vorbisFieldMap]] and the
+    * `CHAPTERnnn` chapter read. False = structurally invalid header
+    * (a truncated field LIST keeps what parsed, like before).
+    */
+  private def vorbisFieldsForeach(b: Array[Byte], start: Int,
+      end: Int)(fn: (String, String) => Unit): Boolean = {
     @inline def le32(o: Int): Long =
       (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
         ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
     var p = start
-    if (p + 4 > end) return None
+    if (p + 4 > end) return false
     val vendorLen = le32(p); p += 4
-    if (vendorLen < 0 || vendorLen > end - p) return None
+    if (vendorLen < 0 || vendorLen > end - p) return false
     p += vendorLen.toInt
-    if (p + 4 > end) return None
+    if (p + 4 > end) return false
     var n = le32(p); p += 4
-    if (n < 0) return None
-    var out = Map.empty[String, String]
+    if (n < 0) return false
     while (n > 0 && p + 4 <= end) {
       val len = le32(p); p += 4
       if (len < 0 || len > end - p) n = 0 // truncated list: keep what parsed
@@ -5055,16 +5239,49 @@ object Multimodal {
         val s = new String(b, p, len.toInt,
           java.nio.charset.StandardCharsets.UTF_8)
         val eq = s.indexOf('=')
-        if (eq > 0) {
-          val key = s.substring(0, eq).toUpperCase(java.util.Locale.ROOT)
-          if (wanted.contains(key)) out = out.updated(key, s.substring(eq + 1))
-        }
+        if (eq > 0)
+          fn(s.substring(0, eq).toUpperCase(java.util.Locale.ROOT),
+            s.substring(eq + 1))
         p += len.toInt
         n -= 1
       }
     }
-    Some(out)
+    true
   }
+
+  /** Chapters declared as Vorbis-comment `CHAPTERnnn` /
+    * `CHAPTERnnnNAME` fields (the ogg-chapter-extension convention
+    * audiobook `.opus`/`.ogg` rips carry): `CHAPTER001=00:00:00.000`
+    * stamps a start on the TTML clock grammar, the NAME twin titles
+    * it (untitled = empty). Ends follow the LRC next-start rule.
+    * None when the region declares no chapter field.
+    */
+  private def vorbisChapterCues(b: Array[Byte], start: Int,
+      end: Int): Option[Seq[SubCue]] = {
+    val starts = scala.collection.mutable.Map.empty[Int, Long]
+    val names = scala.collection.mutable.Map.empty[Int, String]
+    vorbisFieldsForeach(b, start, end) { (key, value) =>
+      val m = VorbisChapterPat.matcher(key)
+      if (m.matches() && starts.size < 10000) {
+        val idx = m.group(1).toInt
+        if (m.group(2) == null) {
+          val ms = ttmlTimeMs(value)
+          if (ms >= 0) starts(idx) = ms
+        } else names(idx) = value
+      }
+    }
+    if (starts.isEmpty) None
+    else {
+      val sorted = starts.toSeq.sortBy(e => (e._2, e._1))
+      Some(sorted.zipWithIndex.map { case ((idx, ms), k) =>
+        val endMs = if (k + 1 < sorted.length) sorted(k + 1)._2 else ms
+        SubCue(k + 1, ms, endMs, names.getOrElse(idx, ""))
+      })
+    }
+  }
+
+  private val VorbisChapterPat = java.util.regex.Pattern.compile(
+    "CHAPTER(\\d{1,3})(NAME)?")
 
   /** FLAC declared tags — the VORBIS_COMMENT metadata block (type 4,
     * FLAC format spec) the lossless half of a crawled audio corpus
@@ -5316,7 +5533,8 @@ object Multimodal {
   private[graft] def syntheticVorbis(channels: Int, sampleRate: Int,
       lastGranule: Long, tags: Option[(String, String, String)] = None,
       lyrics: Option[String] = None,
-      picture: Option[(String, Array[Byte])] = None): Array[Byte] = {
+      picture: Option[(String, Array[Byte])] = None,
+      chapters: Seq[(Long, String)] = Nil): Array[Byte] = {
     val ident = java.nio.ByteBuffer.allocate(30)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .put(1.toByte).put("vorbis".getBytes("ISO-8859-1"))
@@ -5327,7 +5545,7 @@ object Multimodal {
       .array()
     val head = oggPage(0x02, 0L, 0, ident)
     val comment =
-      if (tags.isEmpty && picture.isEmpty) None
+      if (tags.isEmpty && picture.isEmpty && chapters.isEmpty) None
       else {
         val (t, a, al) = tags.getOrElse(("", "", ""))
         Some(oggPage(0x00, 0L, 1,
@@ -5336,7 +5554,8 @@ object Multimodal {
               picture.toSeq.map { case (m, art) =>
                 "METADATA_BLOCK_PICTURE=" + java.util.Base64.getEncoder
                   .encodeToString(flacPictureBlockBodyBytes(m, art))
-              }) ++ Array[Byte](1))) // framing bit
+              } ++ vorbisChapterFieldStrings(chapters)) ++
+            Array[Byte](1))) // framing bit
       }
     val eos = oggPage(0x04, lastGranule, if (comment.isDefined) 2 else 1,
       Array[Byte](0))
@@ -6209,6 +6428,18 @@ object Multimodal {
         // the QuickTime convention: a text track another trak
         // references via tref/chap IS the chapter list
         .orElse(mp4QtChapterCues(bytes).map(("chap", _)))
+    // the ogg-chapter-extension convention: CHAPTERnnn Vorbis fields
+    // (Opus/Vorbis streams and FLAC's comment block alike)
+    else if (bytes(0) == 'O' && bytes(1) == 'g' && bytes(2) == 'g' &&
+      bytes(3) == 'S')
+      opusCommentRegion(bytes).orElse(vorbisOggCommentRegion(bytes))
+        .flatMap { case (f, u) => vorbisChapterCues(bytes, f, u) }
+        .map(("vorbis", _))
+    else if (bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' &&
+      bytes(3) == 'C')
+      flacCommentRegion(bytes)
+        .flatMap { case (f, u) => vorbisChapterCues(bytes, f, u) }
+        .map(("vorbis", _))
     else None
   }
 
@@ -6818,6 +7049,18 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** `CHAPTERnnn`/`CHAPTERnnnNAME` Vorbis fields for the given
+    * (startMs, title) chapters — the ogg-chapter-extension writer
+    * shared by the Opus/Vorbis/FLAC tagged fixtures.
+    */
+  private def vorbisChapterFieldStrings(
+      chapters: Seq[(Long, String)]): Seq[String] =
+    chapters.zipWithIndex.flatMap { case ((ms, nm), i) =>
+      val stamp = f"${ms / 3600000}%02d:${ms % 3600000 / 60000}%02d:" +
+        f"${ms % 60000 / 1000}%02d.${ms % 1000}%03d"
+      Seq(f"CHAPTER${i + 1}%03d=$stamp", f"CHAPTER${i + 1}%03dNAME=$nm")
+    }
+
   /** The BODY of a FLAC PICTURE block for the given (mime, art) —
     * what [[syntheticFlacTagged]] wraps in a type-6 metadata block
     * and the `METADATA_BLOCK_PICTURE` Vorbis field base64-encodes.
@@ -6841,10 +7084,12 @@ object Multimodal {
       bitsPerSample: Int, totalSamples: Long, title: String,
       artist: String, album: String,
       picture: Option[(String, Array[Byte])] = None,
-      lyrics: Option[String] = None): Array[Byte] = {
+      lyrics: Option[String] = None,
+      chapters: Seq[(Long, String)] = Nil): Array[Byte] = {
     val base = syntheticFlac(sampleRate, channels, bitsPerSample, totalSamples)
     base(4) = 0 // STREAMINFO no longer the last block
-    val body = vorbisCommentBytes(title, artist, album, lyrics.orNull)
+    val body = vorbisCommentBytes(title, artist, album, lyrics.orNull,
+      vorbisChapterFieldStrings(chapters))
     val n = body.length
     // the PICTURE block (type 6), when present, becomes the last block
     val pictureBlock = picture.map { case (mime, art) =>
@@ -6866,7 +7111,8 @@ object Multimodal {
       inputSampleRate: Int, lastGranule: Long, title: String,
       artist: String, album: String,
       lyrics: Option[String] = None,
-      picture: Option[(String, Array[Byte])] = None): Array[Byte] = {
+      picture: Option[(String, Array[Byte])] = None,
+      chapters: Seq[(Long, String)] = Nil): Array[Byte] = {
     val head = java.nio.ByteBuffer.allocate(19)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .put("OpusHead".getBytes("ISO-8859-1")).put(1.toByte)
@@ -6878,7 +7124,7 @@ object Multimodal {
         picture.toSeq.map { case (m, art) =>
           "METADATA_BLOCK_PICTURE=" + java.util.Base64.getEncoder
             .encodeToString(flacPictureBlockBodyBytes(m, art))
-        })
+        } ++ vorbisChapterFieldStrings(chapters))
     oggPage(0x02, 0L, 0, head) ++
       oggPage(0x00, 0L, 1, tags) ++
       oggPage(0x04, lastGranule, 2, Array[Byte](0))
@@ -8874,17 +9120,22 @@ object Multimodal {
       cues: Seq[(Long, Long, String)],
       codec: String = "tx3g", lang: String = "eng",
       asQtChapters: Boolean = false,
-      editDelayMs: Long = 0L): Array[Byte] = {
-    // editDelayMs > 0 writes a real edts/elst on the text trak: an
-    // initial EMPTY edit of that many movie ticks (mvhd timescale
-    // 1000 = ms) then the media — the delayed-subtitle mux
+      editDelayMs: Long = 0L,
+      cues2: Seq[(Long, Long, String)] = Nil,
+      codec2: String = "tx3g", lang2: String = "fre"): Array[Byte] = {
+    // editDelayMs > 0 writes a real edts/elst on the FIRST text trak:
+    // an initial EMPTY edit of that many movie ticks (mvhd timescale
+    // 1000 = ms) then the media - the delayed-subtitle mux
     // convention; cue times are given in MEDIA time and present at
-    // mediaTime + editDelayMs
+    // mediaTime + editDelayMs. `cues2` muxes a SECOND text track
+    // (codec2/lang2) - the multi-language form subtitleCuesByTrack
+    // reads.
     require(frames.nonEmpty && cues.nonEmpty, "frames and cues required")
-    require(codec == "tx3g" || codec == "wvtt" || codec == "stpp",
-      s"codec: $codec")
-    require(lang.length == 3 && lang.forall(c => c >= 'a' && c <= 'z'),
-      s"ISO-639-2 code: $lang")
+    Seq(codec, codec2).foreach(c =>
+      require(c == "tx3g" || c == "wvtt" || c == "stpp", s"codec: $c"))
+    Seq(lang, lang2).foreach(l =>
+      require(l.length == 3 && l.forall(c => c >= 'a' && c <= 'z'),
+        s"ISO-639-2 code: $l"))
     def box(id: String, payload: Array[Byte]): Array[Byte] = {
       val out = java.nio.ByteBuffer.allocate(8 + payload.length)
       out.putInt(8 + payload.length).put(id.getBytes("ISO-8859-1")).put(payload)
@@ -8898,37 +9149,44 @@ object Multimodal {
     def utf8(s: String): Array[Byte] =
       s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     // text samples: (duration ticks == ms at timescale 1000, bytes)
-    val sorted = cues.sortBy(_._1)
-    val samples = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
-    if (codec == "stpp") {
-      val body = sorted.map { case (st, en, tx) =>
-        def clock(ms: Long): String =
-          f"${ms / 3600000}%02d:${ms % 3600000 / 60000}%02d:" +
-            f"${ms % 60000 / 1000}%02d.${ms % 1000}%03d"
-        s"""    <p begin="${clock(st)}" end="${clock(en)}">$tx</p>"""
-      }.mkString("\n")
-      val ttml = "<tt xmlns=\"http://www.w3.org/ns/ttml\">\n <body>\n" +
-        s"  <div>\n$body\n  </div>\n </body>\n</tt>\n"
-      samples += ((sorted.last._2.toInt, utf8(ttml)))
-    } else {
-      var prev = 0L
-      sorted.foreach { case (st, en, tx) =>
-        require(st >= prev && en >= st, s"cues must not overlap: $st")
-        val payload = utf8(tx)
-        def lenPrefixed(p: Array[Byte]): Array[Byte] =
-          java.nio.ByteBuffer.allocate(2 + p.length)
-            .putShort(p.length.toShort).put(p).array()
-        if (st > prev) samples += (((st - prev).toInt,
-          if (codec == "tx3g") Array[Byte](0, 0)
-          else box("vtte", Array.emptyByteArray)))
-        samples += (((en - st).toInt,
-          if (codec == "tx3g") lenPrefixed(payload)
-          else box("vttc", box("payl", payload))))
-        prev = en
+    def mkSamples(cdc: String, cs: Seq[(Long, Long, String)])
+        : Seq[(Int, Array[Byte])] = {
+      val sorted = cs.sortBy(_._1)
+      val samples = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+      if (cdc == "stpp") {
+        val body = sorted.map { case (st, en, tx) =>
+          def clock(ms: Long): String =
+            f"${ms / 3600000}%02d:${ms % 3600000 / 60000}%02d:" +
+              f"${ms % 60000 / 1000}%02d.${ms % 1000}%03d"
+          s"""    <p begin="${clock(st)}" end="${clock(en)}">$tx</p>"""
+        }.mkString("\n")
+        val ttml = "<tt xmlns=\"http://www.w3.org/ns/ttml\">\n <body>\n" +
+          s"  <div>\n$body\n  </div>\n </body>\n</tt>\n"
+        samples += ((sorted.last._2.toInt, utf8(ttml)))
+      } else {
+        var prev = 0L
+        sorted.foreach { case (st, en, tx) =>
+          require(st >= prev && en >= st, s"cues must not overlap: $st")
+          val payload = utf8(tx)
+          def lenPrefixed(p: Array[Byte]): Array[Byte] =
+            java.nio.ByteBuffer.allocate(2 + p.length)
+              .putShort(p.length.toShort).put(p).array()
+          if (st > prev) samples += (((st - prev).toInt,
+            if (cdc == "tx3g") Array[Byte](0, 0)
+            else box("vtte", Array.emptyByteArray)))
+          samples += (((en - st).toInt,
+            if (cdc == "tx3g") lenPrefixed(payload)
+            else box("vttc", box("payl", payload))))
+          prev = en
+        }
       }
+      samples.toSeq
     }
+    val samples = mkSamples(codec, cues)
+    val samples2 = if (cues2.isEmpty) Nil else mkSamples(codec2, cues2)
     val ftyp = box("ftyp", "isom\u0000\u0000\u0002\u0000isomiso2".getBytes("ISO-8859-1"))
-    val mdatPayload = frames.flatten.toArray ++ samples.flatMap(_._2)
+    val mdatPayload = frames.flatten.toArray ++ samples.flatMap(_._2) ++
+      samples2.flatMap(_._2)
     val mdat = box("mdat", mdatPayload)
     val mdatStart = ftyp.length + 8
     val frameOffsets = frames.scanLeft(mdatStart)(_ + _.length)
@@ -8943,7 +9201,7 @@ object Multimodal {
         box("stsz", u32s(Seq(0, 0, n) ++ frames.map(_.length))) ++
         box("stco", u32s(Seq(0, 1, frameOffsets.head))) ++
         box("stss", u32s(Seq(0, 1, 1))))
-    // tkhd v0 (id at body+12) for both traks; when the movie marks
+    // tkhd v0 (id at body+12) for every trak; when the movie marks
     // the text track as its CHAPTER list, the video trak carries a
     // tref/chap reference to it (the QuickTime convention)
     def tkhd(id: Int): Array[Byte] = {
@@ -8956,32 +9214,43 @@ object Multimodal {
       else box("tref", box("chap", u32s(Seq(2))))
     val vTrak = box("trak", tkhd(1) ++ tref ++ box("mdia",
       box("mdhd", vMdhd) ++ box("hdlr", vHdlr) ++ box("minf", vStbl)))
-    // text trak: ticks are ms (timescale 1000), one chunk after frames
-    val tn = samples.length
+    // text traks: ticks are ms (timescale 1000), one chunk each after
+    // the frames (track 2) and after track 2's samples (track 3)
+    def textTrak(trackId: Int, cdc: String, lg: String,
+        smp: Seq[(Int, Array[Byte])], startOff: Int,
+        delayMs: Long): Array[Byte] = {
+      val tn = smp.length
+      // mdhd language: 3x5-bit packed ISO-639-2 in the u16 after duration
+      val packedLang = ((lg(0) - 0x60) << 10) | ((lg(1) - 0x60) << 5) |
+        (lg(2) - 0x60)
+      val tMdhd = u32s(Seq(0, 0, 0, 1000, smp.map(_._1).sum,
+        packedLang << 16))
+      val tHdlr = u32s(Seq(0, 0)) ++ "sbtl".getBytes("ISO-8859-1") ++
+        new Array[Byte](12)
+      val tStbl = box("stbl",
+        box("stsd", u32s(Seq(0, 1)) ++ box(cdc, new Array[Byte](70))) ++
+          box("stts", u32s(Seq(0, tn) ++ smp.flatMap(s => Seq(1, s._1)))) ++
+          box("stsc", u32s(Seq(0, 1, 1, tn, 1))) ++
+          box("stsz", u32s(Seq(0, 0, tn) ++ smp.map(_._2.length))) ++
+          box("stco", u32s(Seq(0, 1, startOff))))
+      val tEdts =
+        if (delayMs <= 0) Array.emptyByteArray
+        else box("edts", box("elst", u32s(Seq(0, 2,
+          delayMs.toInt, -1, 0x00010000, // empty edit: the delay
+          smp.map(_._1).sum, 0, 0x00010000)))) // then the media
+      box("trak", tkhd(trackId) ++ tEdts ++ box("mdia",
+        box("mdhd", tMdhd) ++ box("hdlr", tHdlr) ++ box("minf", tStbl)))
+    }
     val textStart = frameOffsets.last
-    // mdhd language: 3x5-bit packed ISO-639-2 in the u16 after duration
-    val packedLang = ((lang(0) - 0x60) << 10) | ((lang(1) - 0x60) << 5) |
-      (lang(2) - 0x60)
-    val tMdhd = u32s(Seq(0, 0, 0, 1000, samples.map(_._1).sum,
-      packedLang << 16))
-    val tHdlr = u32s(Seq(0, 0)) ++ "sbtl".getBytes("ISO-8859-1") ++ new Array[Byte](12)
-    val tStbl = box("stbl",
-      box("stsd", u32s(Seq(0, 1)) ++ box(codec, new Array[Byte](70))) ++
-        box("stts", u32s(Seq(0, tn) ++ samples.flatMap(s => Seq(1, s._1)))) ++
-        box("stsc", u32s(Seq(0, 1, 1, tn, 1))) ++
-        box("stsz", u32s(Seq(0, 0, tn) ++ samples.map(_._2.length))) ++
-        box("stco", u32s(Seq(0, 1, textStart))))
-    val tEdts =
-      if (editDelayMs <= 0) Array.emptyByteArray
-      else box("edts", box("elst", u32s(Seq(0, 2,
-        editDelayMs.toInt, -1, 0x00010000, // empty edit: the delay
-        samples.map(_._1).sum, 0, 0x00010000)))) // then the media
-    val tTrak = box("trak", tkhd(2) ++ tEdts ++ box("mdia",
-      box("mdhd", tMdhd) ++ box("hdlr", tHdlr) ++ box("minf", tStbl)))
+    val tTrak = textTrak(2, codec, lang, samples, textStart, editDelayMs)
+    val tTrak2 =
+      if (samples2.isEmpty) Array.emptyByteArray
+      else textTrak(3, codec2, lang2, samples2,
+        textStart + samples.map(_._2.length).sum, 0L)
     // mvhd: the movie clock empty-edit durations tick on (ms)
     val mvhd = box("mvhd", u32s(Seq(0, 0, 0, 1000, n * 40)) ++
       new Array[Byte](80))
-    ftyp ++ mdat ++ box("moov", mvhd ++ vTrak ++ tTrak)
+    ftyp ++ mdat ++ box("moov", mvhd ++ vTrak ++ tTrak ++ tTrak2)
   }
 
   /** Keyframe count of a video asset — AVI MJPEG (every frame is a

@@ -3174,4 +3174,97 @@ class SemanticSpec extends SparkSpec {
     assert(M.subtitleTrackCount(delayed) == 1)
     assert(M.declaredTextLang(delayed) == "eng")
   }
+
+  test("parseTtml/parseSbv: sidecar dispatch, root discipline, hostiles") {
+    val M = Multimodal
+    val ttml = """<?xml version="1.0"?>
+<tt xmlns="http://www.w3.org/ns/ttml">
+ <body><div>
+  <p begin="00:00:02.000" dur="00:00:01.500">ttml <span>styled</span> line</p>
+  <p end="00:00:06.000" begin="00:00:05.000">second paragraph</p>
+ </div></body>
+</tt>
+"""
+    val Some(tc) = M.parseTtml(ttml)
+    assert(tc.map(c => (c.startMs, c.endMs, c.text)) ==
+      Seq((2000L, 3500L, "ttml styled line"), (5000L, 6000L, "second paragraph")))
+    // root discipline: an HTML page with <p begin=...> is NOT TTML
+    assert(M.parseTtml(
+      "<html><body><p begin=\"00:00:01.000\" end=\"00:00:02.000\">x</p></body></html>").isEmpty)
+    assert(M.parseTtml(null).isEmpty)
+    val sbv = "0:00:01.000,0:00:03.500\nfirst line\nsecond\n\n" +
+      "0:01:00.000,0:01:02.000\nlater block\n"
+    val Some(sc) = M.parseSbv(sbv)
+    assert(sc.map(c => (c.startMs, c.endMs, c.text)) ==
+      Seq((1000L, 3500L, "first line\nsecond"), (60000L, 62000L, "later block")))
+    assert(M.parseSbv("no stamps here").isEmpty)
+    // DataFrame dispatch tags the formats
+    val out = M.subtitleCues(Seq(
+      (1L, ttml.getBytes("UTF-8")), (2L, sbv.getBytes("UTF-8"))
+    ).toDF("doc_id", "content")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "ttml"), (2L, "sbv")))
+  }
+
+  test("vorbis-comment chapters: the ogg-chapter-extension across Opus/Vorbis/FLAC") {
+    val M = Multimodal
+    val chaps = Seq((0L, "Intro"), (90500L, "Part one"), (3600000L, "Part two"))
+    val opus = M.syntheticOpusTagged(2, 312, 48000, 96000L, "T", "A", "B",
+      chapters = chaps)
+    val Some(("vorbis", c1)) = M.mediaChaptersOf(opus)
+    assert(c1.map(c => (c.startMs, c.text)) ==
+      Seq((0L, "Intro"), (90500L, "Part one"), (3600000L, "Part two")))
+    // LRC end rule: each chapter ends at the next start
+    assert(c1.map(_.endMs) == Seq(90500L, 3600000L, 3600000L))
+    val vorb = M.syntheticVorbis(2, 44100, 88200L,
+      tags = Some(("T", "A", "B")), chapters = chaps.take(2))
+    assert(M.mediaChaptersOf(vorb).get._2.map(_.text) ==
+      Seq("Intro", "Part one"))
+    val flac = M.syntheticFlacTagged(8000, 1, 16, 100L, "T", "A", "B",
+      chapters = chaps.take(2))
+    assert(M.mediaChaptersOf(flac).get._2.map(_.text) ==
+      Seq("Intro", "Part one"))
+    // chapterless streams and the card flag
+    assert(M.mediaChaptersOf(M.syntheticOpusTagged(2, 312, 48000, 96000L,
+      "T", "A", "B")).isEmpty)
+    assert(M.audioChaptersPresent(opus) == java.lang.Boolean.TRUE)
+    // tags coexist with chapters on the same comment block
+    assert(M.opusTags(opus).map(_._1).contains("T"))
+  }
+
+  test("subtitleCuesByTrack: every muxed track kept with its own language") {
+    val M = Multimodal
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    val frames = Seq(M.renderJpeg(8, 8, (_, _) => gray(77)))
+    // MP4 with TWO text tracks (eng tx3g + fre wvtt)
+    val mp4 = M.syntheticMp4TimedText(frames,
+      Seq((0L, 900L, "hello"), (1000L, 1800L, "again")),
+      codec = "tx3g", lang = "eng",
+      cues2 = Seq((100L, 700L, "bonjour")), codec2 = "wvtt", lang2 = "fre")
+    val rows = M.subtitleCuesByTrack(Seq((1L, mp4)).toDF("doc_id", "content"))
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getString(7),
+        r.getLong(4), r.getString(6))).toSet
+    assert(rows == Set(
+      (1, "tx3g", "eng", 0L, "hello"),
+      (1, "tx3g", "eng", 1000L, "again"),
+      (2, "wvtt", "fre", 100L, "bonjour")))
+    // subtitleCues (the single-track surface) still picks track 1
+    val first = M.subtitleCues(Seq((1L, mp4)).toDF("doc_id", "content"))
+      .collect().map(_.getString(5)).toSet
+    assert(first == Set("hello", "again"))
+    // WebM: two S_TEXT tracks, cues on both
+    val webm = M.syntheticWebm("video", width = 8, height = 8,
+      durationMs = 4000L, subtitleTracks = 2,
+      subLang = Some("eng"), subLang2 = Some("fre"),
+      subCues = Seq((50L, 80L, "hi")),
+      subCues2 = Seq((100L, 400L, "salut")))
+    val wrows = M.subtitleCuesByTrack(Seq((2L, webm)).toDF("doc_id", "content"))
+      .collect().map(r => (r.getInt(1), r.getString(7), r.getString(6))).toSet
+    assert(wrows == Set((1, "eng", "hi"), (2, "fre", "salut")))
+    // sidecars are track 1
+    val srows = M.subtitleCuesByTrack(Seq(
+      (3L, "1\n00:00:01,000 --> 00:00:02,000\nsidecar\n".getBytes("UTF-8"))
+    ).toDF("doc_id", "content")).collect()
+    assert(srows.length == 1 && srows.head.getInt(1) == 1)
+  }
 }
