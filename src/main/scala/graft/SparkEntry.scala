@@ -7301,6 +7301,103 @@ object SparkEntry {
       |       text, declared_lang)
       |ORDER BY doc_id, track_idx, cue_idx""".stripMargin
 
+  /** Translation-pair mining ([[graft.operators.Multimodal
+    * .translationPairs]]) — parallel corpora from dubbed media: two
+    * cues of different tracks whose intervals overlap >= 50% of the
+    * shorter cue are translation pairs. Fixtures: an MP4 with
+    * tx3g/eng + wvtt/fre tracks (one pair per dialog line, the
+    * dub-shifted second line still pairing), a WebM with eng+spa
+    * S_TEXT tracks (one exactly-at-threshold pair, one unpaired
+    * straggler), a single-track sidecar (nothing to pair), junk.
+    */
+  private def q201(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    val frames = Seq(M.renderJpeg(8, 8, (_, _) => gray(66)))
+    val mp4 = M.syntheticMp4TimedText(frames,
+      Seq((0L, 1000L, "hello"), (2000L, 3000L, "world")),
+      codec = "tx3g", lang = "eng",
+      cues2 = Seq((100L, 900L, "bonjour"), (2100L, 3100L, "monde")),
+      codec2 = "wvtt", lang2 = "fre")
+    val webm = M.syntheticWebm("video", width = 8, height = 8,
+      durationMs = 6000L, subtitleTracks = 2,
+      subLang = Some("eng"), subLang2 = Some("spa"),
+      subCues = Seq((0L, 1000L, "hi")),
+      subCues2 = Seq((600L, 1400L, "hola"), (2000L, 2500L, "mundo")))
+    val rows = Seq(
+      (1L, mp4),
+      (2L, webm),
+      (3L, ("1\n00:00:01,000 --> 00:00:02,000\nalone\n").getBytes("UTF-8")),
+      (4L, "junk".getBytes("UTF-8"))
+    ).toDF("doc_id", "content")
+    M.translationPairs(rows)
+      .orderBy(col("doc_id"), col("start_ms"))
+  }
+
+  private def translationPairsOracle: String =
+    """SELECT * FROM (VALUES
+      | -- hello(0-1000) x bonjour(100-900): overlap 800 = the whole
+      | -- shorter cue
+      | (CAST(1 AS BIGINT), 'eng', 'fre', CAST(0 AS BIGINT), 'hello',
+      |  'bonjour', CAST(800 AS BIGINT)),
+      | -- the dub-shifted second line still pairs (900/1000 >= 0.5)
+      | (CAST(1 AS BIGINT), 'eng', 'fre', CAST(2000 AS BIGINT), 'world',
+      |  'monde', CAST(900 AS BIGINT)),
+      | -- exactly at threshold: overlap 400 = 0.5 x shorter 800
+      | (CAST(2 AS BIGINT), 'eng', 'spa', CAST(0 AS BIGINT), 'hi',
+      |  'hola', CAST(400 AS BIGINT))
+      |) AS t(doc_id, lang_a, lang_b, start_ms, text_a, text_b,
+      |       overlap_ms)
+      |ORDER BY doc_id, start_ms""".stripMargin
+
+  /** Chapter-aligned transcripts ([[graft.operators.Multimodal
+    * .chapterAlignedCues]]) — the audiobook (chapter, text) pairing:
+    * cues assigned to the chapter containing their START, texts
+    * joined in time order. Fixtures compose two round-14/15
+    * surfaces on ONE file each: an ID3 mp3 whose CHAP chapters
+    * segment its own SYLT synced lyrics (a boundary-straddling cue
+    * belongs to the chapter it begins in), and a WebM whose
+    * Matroska chapters segment its muxed S_TEXT cues.
+    */
+  private def q202(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    val rows = Seq(
+      (1L, M.syntheticId3(4, "Book", "Nrtr", "Shelf",
+        chapters = Seq((0L, 60000L, "Intro"), (60000L, 150000L, "Deux")),
+        syncedLyrics = Seq((1000L, "ligne a"), (59000L, "ligne b"),
+          (61000L, "ligne c"))) ++
+        M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))),
+      (2L, M.syntheticWebm("video", width = 8, height = 8,
+        durationMs = 8000L, subtitleTracks = 1, subLang = Some("fre"),
+        chapters = Seq((0L, 4000L, "Part A"), (4000L, 8000L, "Part B")),
+        subCues = Seq((100L, 500L, "un"), (3900L, 4200L, "deux"),
+          (4500L, 5000L, "trois")))),
+      (3L, M.syntheticId3(4, "NoChap", "X", "Y",
+        syncedLyrics = Seq((100L, "orphan"))) ++
+        M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))),
+      (4L, "junk".getBytes("UTF-8"))
+    ).toDF("doc_id", "content")
+    M.chapterAlignedCues(rows)
+      .orderBy(col("doc_id"), col("chap_idx"))
+  }
+
+  private def chapterAlignedOracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(1 AS BIGINT), 1, 'Intro', CAST(2 AS BIGINT),
+      |  CAST(1000 AS BIGINT), 'ligne a' || chr(10) || 'ligne b'),
+      | (CAST(1 AS BIGINT), 2, 'Deux', CAST(1 AS BIGINT),
+      |  CAST(61000 AS BIGINT), 'ligne c'),
+      | -- the straddling cue (3900-4200) belongs to the chapter it
+      | -- STARTS in
+      | (CAST(2 AS BIGINT), 1, 'Part A', CAST(2 AS BIGINT),
+      |  CAST(100 AS BIGINT), 'un' || chr(10) || 'deux'),
+      | (CAST(2 AS BIGINT), 2, 'Part B', CAST(1 AS BIGINT),
+      |  CAST(4500 AS BIGINT), 'trois')
+      |) AS t(doc_id, chap_idx, title, n_cues, first_cue_ms, text)
+      |ORDER BY doc_id, chap_idx""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -7505,7 +7602,9 @@ object SparkEntry {
     "q197_clippairs" -> (q197 _),
     "q198_thumblink" -> (q198 _),
     "q199_artincr" -> (q199 _),
-    "q200_multitrack" -> (q200 _))
+    "q200_multitrack" -> (q200 _),
+    "q201_transpairs" -> (q201 _),
+    "q202_chapalign" -> (q202 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -7956,6 +8055,8 @@ object SparkEntry {
     "q198_thumblink" -> thumbLinkOracle,
     "q199_artincr" -> artLinkIncrOracle,
     "q200_multitrack" -> multiTrackOracle,
+    "q201_transpairs" -> translationPairsOracle,
+    "q202_chapalign" -> chapterAlignedOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

@@ -4132,6 +4132,83 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Translation pairs from multi-track subtitles — the parallel-
+    * corpus miner over [[subtitleCuesByTrack]]: a dubbed/fansubbed
+    * release muxes the SAME dialog in several languages, and two
+    * cues of different tracks whose intervals overlap are, with high
+    * probability, translations of each other. For every track pair
+    * (i < j) of one asset, emits
+    * (id, lang_a, lang_b, start_ms, text_a, text_b, overlap_ms)
+    * for cue pairs whose temporal overlap covers at least
+    * `minOverlapFrac` of the SHORTER cue (dubbing shifts timings a
+    * little; 0.5 keeps aligned dialog and drops neighbors).
+    *
+    * Scale shape: cue extraction is the one map-only container scan
+    * (materialized once — the self-join must not decode every movie
+    * twice); the pair join is an equi-join on the asset id, so both
+    * sides shuffle ONCE on the same key and cue pairing is local to
+    * the asset's partition — no cross-asset comparison at any corpus
+    * size (cue counts per asset are bounded by the 100k walker cap).
+    */
+  def translationPairs(df: DataFrame, idCol: String = "doc_id",
+      contentCol: String = "content",
+      minOverlapFrac: Double = 0.5): DataFrame = {
+    val cues = subtitleCuesByTrack(df, idCol, contentCol)
+      .localCheckpoint(false)
+    val a = cues.select(col(idCol), col("track_idx").as("trk_a"),
+      col("declared_lang").as("lang_a"), col("start_ms").as("start_a"),
+      col("end_ms").as("end_a"), col("text").as("text_a"))
+    val b = cues.select(col(idCol), col("track_idx").as("trk_b"),
+      col("declared_lang").as("lang_b"), col("start_ms").as("start_b"),
+      col("end_ms").as("end_b"), col("text").as("text_b"))
+    val overlap = least(col("end_a"), col("end_b")) -
+      greatest(col("start_a"), col("start_b"))
+    val shorter = least(col("end_a") - col("start_a"),
+      col("end_b") - col("start_b"))
+    a.join(b, Seq(idCol))
+      .filter(col("trk_a") < col("trk_b") &&
+        overlap >= lit(minOverlapFrac) * shorter && overlap > 0)
+      .select(col(idCol), col("lang_a"), col("lang_b"),
+        col("start_a").as("start_ms"), col("text_a"), col("text_b"),
+        overlap.as("overlap_ms"))
+  }
+
+  /** Chapter-aligned transcript segments — the audiobook/podcast
+    * (chapter, text) pairing: every subtitle/lyrics cue of an asset
+    * is assigned to the chapter whose interval contains its START
+    * (the broadcast convention — a cue straddling a boundary belongs
+    * to the chapter it begins in; a zero-length final chapter claims
+    * everything from its start on). Emits one row per chapter with
+    * the cue texts joined in time order — the segmentation a
+    * narration-alignment pipeline trains on.
+    *
+    * Scale shape: two map-only container scans (chapters + cues) on
+    * the same input, one equi-join on the asset id, one aggregation —
+    * per-asset work is local after a single co-partitioning shuffle.
+    */
+  def chapterAlignedCues(df: DataFrame, idCol: String = "doc_id",
+      contentCol: String = "content"): DataFrame = {
+    val chaps = mediaChapters(df, idCol, contentCol)
+      .select(col(idCol), col("chap_idx"), col("start_ms").as("chap_start"),
+        col("end_ms").as("chap_end"), col("title"))
+    val cues = subtitleCues(df, idCol, contentCol)
+      .select(col(idCol), col("cue_idx"), col("start_ms"), col("text"))
+    chaps.join(cues, Seq(idCol))
+      .filter(col("start_ms") >= col("chap_start") &&
+        (col("start_ms") < col("chap_end") ||
+          col("chap_start") === col("chap_end")))
+      .groupBy(col(idCol), col("chap_idx"), col("title"))
+      .agg(count(lit(1)).as("n_cues"),
+        min(col("start_ms")).as("first_cue_ms"),
+        // collect_list order is nondeterministic under retries:
+        // sort by (start, cue_idx) INSIDE the aggregate, then strip
+        // to the text field — the joined transcript is reproducible
+        array_join(transform(
+          sort_array(collect_list(struct(col("start_ms"), col("cue_idx"),
+            col("text")))),
+          x => x.getField("text")), "\n").as("text"))
+  }
+
   /** Serialize cues back to an SRT file — the export half of
     * [[subtitleCues]] (a training-data shard ships its clip text as
     * sidecars): index, `HH:MM:SS,mmm --> HH:MM:SS,mmm`, text block.

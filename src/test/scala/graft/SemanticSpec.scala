@@ -3267,4 +3267,51 @@ class SemanticSpec extends SparkSpec {
     ).toDF("doc_id", "content")).collect()
     assert(srows.length == 1 && srows.head.getInt(1) == 1)
   }
+
+  test("translationPairs: overlap threshold, track ordering, single-track silence") {
+    val M = Multimodal
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    val frames = Seq(M.renderJpeg(8, 8, (_, _) => gray(50)))
+    val mp4 = M.syntheticMp4TimedText(frames,
+      Seq((0L, 1000L, "one"), (5000L, 6000L, "two")),
+      codec = "tx3g", lang = "eng",
+      // first pairs exactly at threshold (400/800); second is a
+      // sub-threshold neighbor (100/1000 overlap) and must drop
+      cues2 = Seq((600L, 1400L, "uno"), (5900L, 7000L, "late")),
+      codec2 = "wvtt", lang2 = "spa")
+    val out = M.translationPairs(Seq((1L, mp4)).toDF("doc_id", "content"))
+      .collect().map(r => (r.getString(4), r.getString(5), r.getLong(6)))
+    assert(out.toSeq == Seq(("one", "uno", 400L)))
+    // lang_a is always the LOWER track: no (b, a) mirror rows
+    val both = M.translationPairs(Seq((1L, mp4)).toDF("doc_id", "content"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(both == Set(("eng", "spa")))
+    // a single-track asset pairs nothing
+    assert(M.translationPairs(Seq(
+      (2L, M.syntheticMp4TimedText(frames, Seq((0L, 900L, "solo"))))
+    ).toDF("doc_id", "content")).count() == 0)
+  }
+
+  test("chapterAlignedCues: start-based assignment, ordered transcript, orphans drop") {
+    val M = Multimodal
+    val rows = Seq(
+      // SYLT cues segmented by the SAME file's CHAP chapters;
+      // out-of-order sync entries still join in TIME order
+      (1L, M.syntheticId3(4, "B", "N", "S",
+        chapters = Seq((0L, 10000L, "A"), (10000L, 20000L, "B")),
+        syncedLyrics = Seq((12000L, "late"), (500L, "early"),
+          (9900L, "straddle"))) ++
+        M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))),
+      // chapters but no cues: inner join drops the asset
+      (2L, M.syntheticId3(4, "B", "N", "S",
+        chapters = Seq((0L, 1000L, "empty"))) ++
+        M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101)))))
+    ).toDF("doc_id", "content")
+    val out = M.chapterAlignedCues(rows).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getString(5))).sortBy(x => (x._1, x._2))
+    assert(out.toSeq == Seq(
+      (1L, 1, "A", 2L, "early\nstraddle"),
+      (1L, 2, "B", 1L, "late")))
+  }
 }
