@@ -3622,6 +3622,21 @@ object Multimodal {
   // scan (the AssStampPat/TtmlParaPat idiom)
   private val SubStampPat = java.util.regex.Pattern.compile(
     "(?:(\\d+):)?(\\d{1,2}):(\\d{1,2})[.,](\\d{1,3})")
+
+  /** A matched [[SubStampPat]] → ms (hours optional; the fraction
+    * scales by its LENGTH: 1 digit = tenths, 2 = hundredths,
+    * 3 = ms) — the ONE stamp conversion for SRT/VTT/SBV.
+    */
+  private def stampMs(m: java.util.regex.Matcher): Long = {
+    val h = if (m.group(1) == null) 0L else m.group(1).toLong
+    val frac = m.group(4)
+    val mmm = frac.toLong * (frac.length match {
+      case 1 => 100L
+      case 2 => 10L
+      case _ => 1L
+    })
+    ((h * 60 + m.group(2).toLong) * 60 + m.group(3).toLong) * 1000 + mmm
+  }
   private val VttMpegTsPat = java.util.regex.Pattern.compile(
     "MPEGTS:(\\d+)")
   private val VttLocalPat = java.util.regex.Pattern.compile(
@@ -3650,16 +3665,7 @@ object Multimodal {
     if (!isVtt && !t.contains("-->")) return None
     val lines = t.split('\n')
     val stamp = SubStampPat
-    def ms(m: java.util.regex.Matcher): Long = {
-      val h = if (m.group(1) == null) 0L else m.group(1).toLong
-      val frac = m.group(4)
-      val mmm = frac.toLong * (frac.length match {
-        case 1 => 100L
-        case 2 => 10L
-        case _ => 1L
-      })
-      ((h * 60 + m.group(2).toLong) * 60 + m.group(3).toLong) * 1000 + mmm
-    }
+    def ms(m: java.util.regex.Matcher): Long = stampMs(m)
     def stripMarkup(x: String): String = {
       val sb = new java.lang.StringBuilder(x.length)
       var i = 0
@@ -3902,18 +3908,8 @@ object Multimodal {
         val m1 = SubStampPat.matcher(m.group(1))
         val m2 = SubStampPat.matcher(m.group(2))
         if (m1.find() && m2.find()) {
-          def ms(mm: java.util.regex.Matcher): Long = {
-            val h = if (mm.group(1) == null) 0L else mm.group(1).toLong
-            val frac = mm.group(4)
-            val mmm = frac.toLong * (frac.length match {
-              case 1 => 100L
-              case 2 => 10L
-              case _ => 1L
-            })
-            ((h * 60 + mm.group(2).toLong) * 60 + mm.group(3).toLong) * 1000 + mmm
-          }
-          val st = ms(m1)
-          val en = ms(m2)
+          val st = stampMs(m1)
+          val en = stampMs(m2)
           val sb = new java.lang.StringBuilder
           i += 1
           while (i < lines.length && lines(i).trim.nonEmpty) {
@@ -3981,8 +3977,9 @@ object Multimodal {
   /** Explode a subtitle column into cue rows:
     * (id, sub_format, cue_idx, start_ms, end_ms, text) — O(cues)
     * output at the id grain, map-only (the flatMap twin of
-    * [[imageTags]]); unparseable rows yield zero cues. Six inputs
-    * behind one dispatch: SRT / WebVTT / ASS-SSA / LRC sidecar FILES
+    * [[imageTags]]); unparseable rows yield zero cues. Eight inputs
+    * behind one dispatch: SRT / WebVTT (incl. HLS X-TIMESTAMP-MAP
+    * segments) / ASS-SSA / TTML-DFXP / SBV / LRC sidecar FILES
     * (UTF-8 binary or string column) and — binary only — a
     * Matroska/WebM movie whose muxed S_TEXT track is extracted in
     * place ([[webmSubtitleCues]], sub_format = the EBML DocType), an
@@ -4141,7 +4138,11 @@ object Multimodal {
     * (id, lang_a, lang_b, start_ms, text_a, text_b, overlap_ms)
     * for cue pairs whose temporal overlap covers at least
     * `minOverlapFrac` of the SHORTER cue (dubbing shifts timings a
-    * little; 0.5 keeps aligned dialog and drops neighbors).
+    * little; 0.5 keeps aligned dialog and drops neighbors). Pairs
+    * whose tracks DECLARE the same language are dropped by default
+    * (`crossLingualOnly`): a regular + SDH/forced track of one
+    * language overlaps heavily and is not a translation — set false
+    * to mine same-language alignment instead.
     *
     * Scale shape: cue extraction is the one map-only container scan
     * (materialized once — the self-join must not decode every movie
@@ -4152,7 +4153,8 @@ object Multimodal {
     */
   def translationPairs(df: DataFrame, idCol: String = "doc_id",
       contentCol: String = "content",
-      minOverlapFrac: Double = 0.5): DataFrame = {
+      minOverlapFrac: Double = 0.5,
+      crossLingualOnly: Boolean = true): DataFrame = {
     val cues = subtitleCuesByTrack(df, idCol, contentCol)
       .localCheckpoint(false)
     val a = cues.select(col(idCol), col("track_idx").as("trk_a"),
@@ -4165,8 +4167,11 @@ object Multimodal {
       greatest(col("start_a"), col("start_b"))
     val shorter = least(col("end_a") - col("start_a"),
       col("end_b") - col("start_b"))
+    val langGate =
+      if (crossLingualOnly) !(col("lang_a") <=> col("lang_b"))
+      else lit(true)
     a.join(b, Seq(idCol))
-      .filter(col("trk_a") < col("trk_b") &&
+      .filter(col("trk_a") < col("trk_b") && langGate &&
         overlap >= lit(minOverlapFrac) * shorter && overlap > 0)
       .select(col(idCol), col("lang_a"), col("lang_b"),
         col("start_a").as("start_ms"), col("text_a"), col("text_b"),
@@ -4188,15 +4193,25 @@ object Multimodal {
     */
   def chapterAlignedCues(df: DataFrame, idCol: String = "doc_id",
       contentCol: String = "content"): DataFrame = {
+    // a ZERO-LENGTH chapter (point markers — end == start, the common
+    // CHAP writer convention; also the next-start rule's last
+    // chapter) claims [start, next chapter's start) — computed with
+    // a per-asset lead window so a mid-list marker cannot claim the
+    // whole tail and double-assign cues across chapters
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("chap_start"), col("chap_idx"))
     val chaps = mediaChapters(df, idCol, contentCol)
       .select(col(idCol), col("chap_idx"), col("start_ms").as("chap_start"),
         col("end_ms").as("chap_end"), col("title"))
+      .withColumn("__eff_end",
+        when(col("chap_end") > col("chap_start"), col("chap_end"))
+          .otherwise(coalesce(lead(col("chap_start"), 1).over(w),
+            lit(Long.MaxValue))))
     val cues = subtitleCues(df, idCol, contentCol)
       .select(col(idCol), col("cue_idx"), col("start_ms"), col("text"))
     chaps.join(cues, Seq(idCol))
       .filter(col("start_ms") >= col("chap_start") &&
-        (col("start_ms") < col("chap_end") ||
-          col("chap_start") === col("chap_end")))
+        col("start_ms") < col("__eff_end"))
       .groupBy(col(idCol), col("chap_idx"), col("title"))
       .agg(count(lit(1)).as("n_cues"),
         min(col("start_ms")).as("first_cue_ms"),
@@ -5334,7 +5349,7 @@ object Multimodal {
     * None when the region declares no chapter field.
     */
   private def vorbisChapterCues(b: Array[Byte], start: Int,
-      end: Int): Option[Seq[SubCue]] = {
+      end: Int): Option[Seq[SubCue]] = try {
     val starts = scala.collection.mutable.Map.empty[Int, Long]
     val names = scala.collection.mutable.Map.empty[Int, String]
     vorbisFieldsForeach(b, start, end) { (key, value) =>
@@ -5355,7 +5370,7 @@ object Multimodal {
         SubCue(k + 1, ms, endMs, names.getOrElse(idx, ""))
       })
     }
-  }
+  } catch { case _: Throwable => None } // per-row isolation
 
   private val VorbisChapterPat = java.util.regex.Pattern.compile(
     "CHAPTER(\\d{1,3})(NAME)?")
@@ -6144,15 +6159,20 @@ object Multimodal {
     * resolvable SYLT.
     */
   private[graft] def id3SyltCues(b: Array[Byte]): Option[Seq[SubCue]] = try {
-    val raw = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
-    var fmt = -1 // timestamp format of the frame that produced `raw`
+    // ms-format frames always win; frame-index (format 1) entries
+    // are kept SEPARATELY and used only when no ms frame yielded
+    // anything — a later format-2 frame must never be suppressed by
+    // an earlier format-1 one (multi-frame tags carry per-language
+    // SYLT frames)
+    val rawMs = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val rawFr = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
     id3FrameWalk(b) { (id, frame, from, until) =>
-      if (raw.isEmpty && (id == "SYLT" || id == "SLT") &&
-        until - from >= 7) {
+      if ((id == "SYLT" || id == "SLT") && until - from >= 7 &&
+        from + 5 <= frame.length) {
         val enc = frame(from) & 0xff
         val tsFormat = frame(from + 4) & 0xff
-        if (tsFormat == 2 || tsFormat == 1) {
-          fmt = tsFormat
+        val raw = if (tsFormat == 1) rawFr else rawMs
+        if (raw.isEmpty && (tsFormat == 2 || tsFormat == 1)) {
           var p = from + 6 // enc + lang + format + content type
           // descriptor
           if (enc == 1 || enc == 2) {
@@ -6196,22 +6216,21 @@ object Multimodal {
         }
       }
     }
-    if (raw.isEmpty) None
+    if (rawMs.isEmpty && rawFr.isEmpty) None
     else {
       // format 1: timestamps are MPEG frame indices — convert on the
       // stream's own clock; unreadable audio = unresolvable tag
       val entries: Seq[(Long, String)] =
-        if (fmt == 1) {
-          mpegAudioInfo(b) match {
-            case Some(info) if info.nFrames > 0 && info.sampleRate > 0 &&
-              info.totalSamples > 0 =>
-              val samplesPerFrame = info.totalSamples / info.nFrames
-              raw.toSeq.map { case (fr, text) =>
-                (fr * samplesPerFrame * 1000L / info.sampleRate, text)
-              }
-            case _ => return None
-          }
-        } else raw.toSeq
+        if (rawMs.nonEmpty) rawMs.toSeq
+        else mpegAudioInfo(b) match {
+          case Some(info) if info.nFrames > 0 && info.sampleRate > 0 &&
+            info.totalSamples > 0 =>
+            val samplesPerFrame = info.totalSamples / info.nFrames
+            rawFr.toSeq.map { case (fr, text) =>
+              (fr * samplesPerFrame * 1000L / info.sampleRate, text)
+            }
+          case _ => return None
+        }
       val sorted = entries.sortBy(_._1)
       Some(sorted.zipWithIndex.map { case ((ms, text), k) =>
         val end = if (k + 1 < sorted.length) sorted(k + 1)._1 else ms
@@ -6952,7 +6971,9 @@ object Multimodal {
       lyrics: Option[String] = None,
       syncedLyrics: Seq[(Long, String)] = Nil,
       chapters: Seq[(Long, Long, String)] = Nil,
-      syltFormat: Int = 2): Array[Byte] = {
+      syltFormat: Int = 2,
+      syncedLyrics2: Seq[(Long, String)] = Nil,
+      syltFormat2: Int = 2): Array[Byte] = {
     require(version == 2 || version == 3 || version == 4, s"version: $version")
     def rawFrame(id: String, payload0: Array[Byte]): Array[Byte] = {
       // v2.4: unsync is per-frame; the stored size counts stuffed bytes
@@ -7010,16 +7031,17 @@ object Multimodal {
     // syncedLyrics values are ms; 1 = they are MPEG frame indices) +
     // content type 1 (lyrics) + empty descriptor + (text NUL u32)
     // sync entries in the frame encoding
-    val syltFrame =
-      if (syncedLyrics.isEmpty) Array.emptyByteArray
+    def syltFrameFor(entries: Seq[(Long, String)],
+        fmt: Int): Array[Byte] =
+      if (entries.isEmpty) Array.emptyByteArray
       else {
         val out = new java.io.ByteArrayOutputStream()
         val utf8 = version == 4
         out.write(if (utf8) 3 else 1)
         out.write('e'); out.write('n'); out.write('g')
-        out.write(syltFormat); out.write(1)
+        out.write(fmt); out.write(1)
         if (utf8) out.write(0) else { out.write(0); out.write(0) }
-        syncedLyrics.foreach { case (ms, text) =>
+        entries.foreach { case (ms, text) =>
           if (utf8) {
             out.write(text.getBytes("UTF-8"), 0,
               text.getBytes("UTF-8").length)
@@ -7035,6 +7057,8 @@ object Multimodal {
         }
         rawFrame(if (version == 2) "SLT" else "SYLT", out.toByteArray)
       }
+    val syltFrame = syltFrameFor(syncedLyrics, syltFormat) ++
+      syltFrameFor(syncedLyrics2, syltFormat2)
     // CHAP (v2.3/v2.4 only — the chapters addendum postdates v2.2):
     // elementID NUL, u32 start/end ms, u32 offsets (unused =
     // 0xFFFFFFFF), embedded TIT2 in this version's frame format
@@ -8716,8 +8740,9 @@ object Multimodal {
     * delayed-subtitle mux reports presentation-timeline cues, not
     * raw media times. With `decodeCues = false` the walk reads only
     * the track DECLARATIONS (hdlr role, tkhd id, mdhd language,
-    * stsd fourcc, tref/chap refs) and skips the sample tables and
-    * payload decode entirely — the cheap form behind
+    * tref/chap refs — NOT the stsd fourcc: minf/stbl are skipped
+    * whole, so `codec` is null in this mode) and skips the sample
+    * tables and payload decode entirely — the cheap form behind
     * [[subtitleTrackCount]] and [[declaredTextLang]], which need a
     * count and a 3-char code, not 100k decoded samples.
     */
@@ -8963,6 +8988,47 @@ object Multimodal {
           case _ => ()
         }
         off = boxEnd
+      }
+    }
+    // mvhd PRE-PASS: box order inside moov is not mandated, and a
+    // trak may close (decoding its cues, which needs the movie clock
+    // for empty-edit delays) before the main walk has met mvhd —
+    // read it first so the edit offset is order-independent
+    if (decodeCues) {
+      var off = 0L
+      val end = bytes.length.toLong
+      while (movieTimescale == 0 && off + 8 <= end) {
+        val size0 = u32(off.toInt)
+        val id = new String(bytes, off.toInt + 4, 4, "ISO-8859-1")
+        var body = off + 8
+        val boxEnd =
+          if (size0 == 1 && off + 16 <= end) { body = off + 16; off + u64(off.toInt + 8) }
+          else if (size0 == 0) end
+          else off + size0
+        if (boxEnd < body || boxEnd > end) off = end
+        else if (id == "moov") {
+          var q = body
+          while (movieTimescale == 0 && q + 8 <= boxEnd) {
+            val cSize0 = u32(q.toInt)
+            val cId = new String(bytes, q.toInt + 4, 4, "ISO-8859-1")
+            var cBody = q + 8
+            val cEnd =
+              if (cSize0 == 1 && q + 16 <= boxEnd) { cBody = q + 16; q + u64(q.toInt + 8) }
+              else if (cSize0 == 0) boxEnd
+              else q + cSize0
+            if (cEnd < cBody || cEnd > boxEnd) q = boxEnd
+            else {
+              if (cId == "mvhd" && cBody.toInt + 4 <= cEnd) {
+                val b = cBody.toInt
+                if (bytes(b) == 1 && b + 24 <= cEnd)
+                  movieTimescale = u32(b + 20).toInt
+                else if (b + 16 <= cEnd) movieTimescale = u32(b + 12).toInt
+              }
+              q = cEnd
+            }
+          }
+          off = end
+        } else off = boxEnd
       }
     }
     walk(0L, bytes.length.toLong)

@@ -3314,4 +3314,63 @@ class SemanticSpec extends SparkSpec {
       (1L, 1, "A", 2L, "early\nstraddle"),
       (1L, 2, "B", 1L, "late")))
   }
+
+  test("round-15 review sweep: per-row isolation, point chapters, SDH pairs, SYLT precedence, mvhd order") {
+    val M = Multimodal
+    // (1) hostile CHAPTER value: an overflowing stamp must degrade
+    // to None, never throw out of the corpus scan — swap the stamp
+    // bytes of a valid fixture (same length, so the comment parses)
+    val good = M.syntheticOpusTagged(2, 312, 48000, 96000L, "T", "A", "B",
+      chapters = Seq((0L, "x")))
+    val asStr = new String(good, "ISO-8859-1")
+    val swapped = asStr.replace("00:00:00.000", "999999999999") // same length
+    val hostileBytes = swapped.getBytes("ISO-8859-1")
+    val got = M.mediaChaptersOf(hostileBytes) // must not throw
+    assert(got.isEmpty || got.get._2.nonEmpty)
+    // (2) point-marker chapters (end == start) segment by next start
+    val pods = Seq(
+      (1L, M.syntheticId3(4, "B", "N", "S",
+        chapters = Seq((0L, 0L, "M1"), (5000L, 5000L, "M2")),
+        syncedLyrics = Seq((100L, "at cent"), (6000L, "at six"))) ++
+        M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101)))))
+    ).toDF("doc_id", "content")
+    val seg = M.chapterAlignedCues(pods).collect()
+      .map(r => (r.getString(2), r.getLong(3), r.getString(5)))
+      .sortBy(_._1).toSeq
+    assert(seg == Seq(("M1", 1L, "at cent"), ("M2", 1L, "at six")))
+    // (3) same-language SDH track pairs are NOT translations
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    val frames = Seq(M.renderJpeg(8, 8, (_, _) => gray(44)))
+    val sdh = M.syntheticMp4TimedText(frames,
+      Seq((0L, 1000L, "line")), codec = "tx3g", lang = "eng",
+      cues2 = Seq((0L, 1000L, "[door slams] line")),
+      codec2 = "tx3g", lang2 = "eng")
+    assert(M.translationPairs(Seq((1L, sdh)).toDF("doc_id", "content"))
+      .count() == 0)
+    assert(M.translationPairs(Seq((1L, sdh)).toDF("doc_id", "content"),
+      crossLingualOnly = false).count() == 1)
+    // (4) a format-2 SYLT frame wins over an earlier format-1 one,
+    // even when the audio stream is unreadable (no MP3 bytes at all)
+    val twoFrames = M.syntheticId3(4, "T", "A", "B",
+      syncedLyrics = Seq((10L, "frames")), syltFormat = 1,
+      syncedLyrics2 = Seq((1234L, "millis")), syltFormat2 = 2)
+    val Some(cues) = M.id3SyltCues(twoFrames)
+    assert(cues.map(c => (c.startMs, c.text)) == Seq((1234L, "millis")))
+    // (5) mvhd AFTER the traks: the empty-edit delay still applies
+    val delayed = M.syntheticMp4TimedText(frames,
+      Seq((500L, 1500L, "late")), editDelayMs = 700L)
+    def u32(b: Array[Byte], o: Int): Int =
+      java.nio.ByteBuffer.wrap(b, o, 4).getInt
+    val ftypLen = u32(delayed, 0)
+    val mdatLen = u32(delayed, ftypLen)
+    val moovAt = ftypLen + mdatLen
+    assert(new String(delayed, moovAt + 4, 4, "ISO-8859-1") == "moov")
+    val mvhdLen = u32(delayed, moovAt + 8)
+    assert(new String(delayed, moovAt + 12, 4, "ISO-8859-1") == "mvhd")
+    val reordered = delayed.take(moovAt + 8) ++
+      delayed.slice(moovAt + 8 + mvhdLen, delayed.length) ++
+      delayed.slice(moovAt + 8, moovAt + 8 + mvhdLen)
+    val Some(("tx3g", shifted)) = M.mp4SubtitleCues(reordered)
+    assert(shifted.head.startMs == 1200L, s"got ${shifted.head}")
+  }
 }
