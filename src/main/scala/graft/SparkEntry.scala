@@ -7398,6 +7398,55 @@ object SparkEntry {
       |) AS t(doc_id, chap_idx, title, n_cues, first_cue_ms, text)
       |ORDER BY doc_id, chap_idx""".stripMargin
 
+  /** Dialog-coverage quality gate ([[graft.operators.Multimodal
+    * .dialogCoverage]]) — "mine only videos whose dialog covers
+    * >= X%": per asset, the UNION length of the primary text
+    * track's cue intervals over the container's declared duration.
+    * Fixtures: a 4-second MP4 whose tx3g cues cover 45%, a 2-second
+    * WebM whose OVERLAPPING cues merge to 45% (the union rule — a
+    * naive sum would say 50%), a sidecar (no container duration →
+    * null coverage), junk, and a subtitle-less movie without mvhd.
+    */
+  private def q203(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    val frame = M.renderJpeg(8, 8, (_, _) => gray(90))
+    val rows = Seq(
+      // 100 frames x 40 ms = a 4000 ms movie; cues cover 1800 ms
+      (1L, M.syntheticMp4TimedText(Seq.fill(100)(frame),
+        Seq((500L, 1500L, "un"), (2000L, 2800L, "deux")))),
+      // 2000 ms WebM; cues (0,500) and (400,900) UNION to 900 ms
+      (2L, M.syntheticWebm("video", width = 8, height = 8,
+        durationMs = 2000L, subtitleTracks = 1,
+        subCues = Seq((0L, 500L, "a"), (400L, 900L, "b")))),
+      (3L, ("1\n00:00:01,000 --> 00:00:04,000\nx\n\n" +
+        "2\n00:01:02,500 --> 00:01:05,250\ny\n").getBytes("UTF-8")),
+      (4L, "junk".getBytes("UTF-8")),
+      (5L, M.syntheticMjpegMp4(Seq(frame, frame)))
+    ).toDF("doc_id", "content")
+    M.dialogCoverage(rows).orderBy(col("doc_id"))
+  }
+
+  private def dialogCoverageOracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(1 AS BIGINT), CAST(4000 AS BIGINT), 1, 2,
+      |  CAST(1800 AS BIGINT), 0.45),
+      | -- overlapping cues count ONCE: union 900, not sum 1000
+      | (CAST(2 AS BIGINT), CAST(2000 AS BIGINT), 1, 2,
+      |  CAST(900 AS BIGINT), 0.45),
+      | -- sidecars have no container duration: coverage unknowable
+      | (CAST(3 AS BIGINT), CAST(NULL AS BIGINT), 1, 2,
+      |  CAST(5750 AS BIGINT), CAST(NULL AS DOUBLE)),
+      | (CAST(4 AS BIGINT), CAST(NULL AS BIGINT), 0, 0,
+      |  CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)),
+      | -- an mvhd-less movie: no duration, no text tracks
+      | (CAST(5 AS BIGINT), CAST(NULL AS BIGINT), 0, 0,
+      |  CAST(0 AS BIGINT), CAST(NULL AS DOUBLE))
+      |) AS t(doc_id, duration_ms, n_tracks, n_cues, speech_ms,
+      |       coverage)
+      |ORDER BY doc_id""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -7604,7 +7653,8 @@ object SparkEntry {
     "q199_artincr" -> (q199 _),
     "q200_multitrack" -> (q200 _),
     "q201_transpairs" -> (q201 _),
-    "q202_chapalign" -> (q202 _))
+    "q202_chapalign" -> (q202 _),
+    "q203_dialogcov" -> (q203 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -8057,6 +8107,7 @@ object SparkEntry {
     "q200_multitrack" -> multiTrackOracle,
     "q201_transpairs" -> translationPairsOracle,
     "q202_chapalign" -> chapterAlignedOracle,
+    "q203_dialogcov" -> dialogCoverageOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

@@ -4224,6 +4224,85 @@ object Multimodal {
           x => x.getField("text")), "\n").as("text"))
   }
 
+  /** Declared duration of a media container in ms — BMFF `mvhd`
+    * (all-ones = the spec's unknown sentinel → null) or Matroska
+    * `Info` Duration; null for anything else. The denominator of
+    * [[dialogCoverage]].
+    */
+  private[graft] def containerDurationMs(b: Array[Byte]): java.lang.Long = try {
+    if (b == null || b.length < 16) return null
+    if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') {
+      val row = decodeMp4(b)
+      // decodeMp4's meta Row is schemaless: positional access only
+      // (the q183 discipline) — durationMs is field 5
+      return if (row.isNullAt(5)) null
+      else java.lang.Long.valueOf(row.getLong(5))
+    }
+    if (b(0) == 0x1A.toByte && b(1) == 0x45.toByte &&
+      b(2) == 0xDF.toByte && b(3) == 0xA3.toByte)
+      return webmInfo(b).flatMap(i => Option(i.durationMs)).orNull
+    null
+  } catch { case _: Throwable => null } // per-row isolation
+
+  /** Dialog coverage report — the clip-mining QUALITY GATE: one row
+    * per input asset with
+    * (id, duration_ms, n_tracks, n_cues, speech_ms, coverage):
+    * `speech_ms` is the UNION length of the primary text track's cue
+    * intervals (overlapping/duplicate cues count once — karaoke
+    * repeats and stacked positioning cues don't inflate it),
+    * `duration_ms` the container's declared duration (null for
+    * sidecars/undecodable), `coverage` their ratio rounded to 4
+    * (null without a duration). A pair-mining pipeline gates on it
+    * ("mine only videos whose dialog covers >= X%" — silent footage
+    * and credit-roll-only subs waste the cutting budget). Map-only:
+    * the cue walk and the duration read happen in ONE pass per row,
+    * no joins, no shuffles beyond the caller's.
+    */
+  def dialogCoverage(df: DataFrame, idCol: String = "doc_id",
+      contentCol: String = "content"): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val idField = inSchema(inSchema.fieldIndex(idCol))
+    val outSchema = StructType(Seq(idField,
+      StructField("duration_ms", LongType),
+      StructField("n_tracks", IntegerType),
+      StructField("n_cues", IntegerType),
+      StructField("speech_ms", LongType),
+      StructField("coverage", DoubleType)))
+    val idIdx = inSchema.fieldIndex(idCol)
+    val contentIdx = inSchema.fieldIndex(contentCol)
+    val isBinary = inSchema(contentIdx).dataType == BinaryType
+    val rdd = df.rdd.map { row =>
+      val tracks = textTracksOfRow(row, contentIdx, isBinary,
+        allTracks = true)
+      val cues = tracks.headOption.map(_._4).getOrElse(Nil)
+      // union length of the primary track's intervals: sort by
+      // start, sweep — O(cues log cues) per row, cue-capped upstream
+      var speech = 0L
+      var curS = Long.MinValue
+      var curE = Long.MinValue
+      cues.sortBy(c => (c.startMs, c.endMs)).foreach { c =>
+        if (c.startMs > curE) {
+          if (curE > curS) speech += curE - curS
+          curS = c.startMs; curE = c.endMs
+        } else if (c.endMs > curE) curE = c.endMs
+      }
+      if (curE > curS) speech += curE - curS
+      val dur: java.lang.Long =
+        if (isBinary && !row.isNullAt(contentIdx))
+          containerDurationMs(row.getAs[Array[Byte]](contentIdx))
+        else null
+      val coverage: java.lang.Double =
+        if (dur == null || dur.longValue() <= 0) null
+        else java.lang.Double.valueOf(
+          math.rint(speech.toDouble / dur.longValue() * 10000) / 10000)
+      Row(row.get(idIdx), dur, Integer.valueOf(tracks.length),
+        Integer.valueOf(cues.length), speech,
+        coverage)
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Serialize cues back to an SRT file — the export half of
     * [[subtitleCues]] (a training-data shard ships its clip text as
     * sidecars): index, `HH:MM:SS,mmm --> HH:MM:SS,mmm`, text block.

@@ -3373,4 +3373,31 @@ class SemanticSpec extends SparkSpec {
     val Some(("tx3g", shifted)) = M.mp4SubtitleCues(reordered)
     assert(shifted.head.startMs == 1200L, s"got ${shifted.head}")
   }
+
+  test("dialogCoverage: interval union, container durations, degenerate rows") {
+    val M = Multimodal
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    val frame = M.renderJpeg(8, 8, (_, _) => gray(80))
+    // nested + overlapping + disjoint intervals: union = 1000 + 500
+    val webm = M.syntheticWebm("video", width = 8, height = 8,
+      durationMs = 5000L, subtitleTracks = 1,
+      subCues = Seq((0L, 1000L, "a"), (200L, 600L, "nested"),
+        (900L, 1000L, "tail"), (2000L, 2500L, "later")))
+    val out = M.dialogCoverage(Seq((1L, webm)).toDF("doc_id", "content"))
+      .collect().head
+    assert(out.getLong(1) == 5000L && out.getInt(3) == 4 &&
+      out.getLong(4) == 1500L && out.getDouble(5) == 0.3)
+    // only the PRIMARY track drives speech_ms; n_tracks counts all
+    val two = M.syntheticWebm("video", width = 8, height = 8,
+      durationMs = 2000L, subtitleTracks = 2,
+      subLang = Some("eng"), subLang2 = Some("fre"),
+      subCues = Seq((0L, 400L, "x")), subCues2 = Seq((0L, 1900L, "y")))
+    val t = M.dialogCoverage(Seq((2L, two)).toDF("doc_id", "content"))
+      .collect().head
+    assert(t.getInt(2) == 2 && t.getLong(4) == 400L && t.getDouble(5) == 0.2)
+    // containerDurationMs: mp4 mvhd, webm Info, null for junk
+    assert(M.containerDurationMs(M.syntheticMp4TimedText(
+      Seq.fill(10)(frame), Seq((0L, 100L, "c")))) == 400L)
+    assert(M.containerDurationMs("junk".getBytes("UTF-8")) == null)
+  }
 }
