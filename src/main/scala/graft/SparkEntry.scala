@@ -6114,6 +6114,14 @@ object SparkEntry {
         |sbv block
         |second line
         |""".stripMargin
+    // unlike SRT, TTML can DECLARE its language (root xml:lang)
+    val ttmlFr =
+      """<tt xml:lang="fr" xmlns="http://www.w3.org/ns/ttml">
+        | <body><div>
+        |  <p begin="00:00:08.000" end="00:00:09.000">ligne d&#39;essai</p>
+        | </div></body>
+        |</tt>
+        |""".stripMargin
     val rows = Seq(
       (1L, srt.getBytes("UTF-8")),
       (2L, vtt.getBytes("UTF-8")),
@@ -6122,7 +6130,8 @@ object SparkEntry {
       (5L, ssa.getBytes("UTF-8")),
       (6L, hls.getBytes("UTF-8")),
       (7L, ttml.getBytes("UTF-8")),
-      (8L, sbv.getBytes("UTF-8"))
+      (8L, sbv.getBytes("UTF-8")),
+      (9L, ttmlFr.getBytes("UTF-8"))
     ).toDF("doc_id", "content")
     graft.operators.Multimodal.subtitleCues(rows)
       .orderBy(col("doc_id"), col("cue_idx"))
@@ -6158,7 +6167,10 @@ object SparkEntry {
       |  CAST(6500 AS BIGINT), 'ttml ligne', CAST(NULL AS VARCHAR)),
       | (CAST(8 AS BIGINT), 'sbv', 1, CAST(7000 AS BIGINT),
       |  CAST(9000 AS BIGINT), 'sbv block' || chr(10) || 'second line',
-      |  CAST(NULL AS VARCHAR))
+      |  CAST(NULL AS VARCHAR)),
+      | -- TTML declares a language (xml:lang) and entities decode
+      | (CAST(9 AS BIGINT), 'ttml', 1, CAST(8000 AS BIGINT),
+      |  CAST(9000 AS BIGINT), 'ligne d''essai', 'fr')
       |) AS t(doc_id, sub_format, cue_idx, start_ms, end_ms, text,
       |       declared_lang)
       |ORDER BY doc_id, cue_idx""".stripMargin

@@ -3526,11 +3526,19 @@ object Multimodal {
     val lt = xml.indexOf('<', gt + 1)
     if (lt < 0 || lt > scopeEnd) return null
     val raw = xml.substring(gt + 1, lt)
-    val t = raw.replace("&lt;", "<").replace("&gt;", ">")
-      .replace("&quot;", "\"").replace("&apos;", "'")
-      .replace("&#39;", "'").replace("&amp;", "&").trim
+    val t = xmlUnescape(raw).trim
     if (t.isEmpty) null else t
   }
+
+  /** Decode the five predefined XML entities (+ the numeric
+    * apostrophe) — `&amp;` LAST so `&amp;lt;` round-trips as the
+    * literal text `&lt;`. Shared by the XMP reader and the TTML
+    * paragraph text (both sidecar and muxed `stpp`).
+    */
+  private def xmlUnescape(raw: String): String =
+    raw.replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&apos;", "'")
+      .replace("&#39;", "'").replace("&amp;", "&")
 
   /** Declared image text for one asset ([[ImageTextSchema]]'s
     * fields): PNG `tEXt`/`iTXt` Title/Description/Comment keywords
@@ -3861,26 +3869,42 @@ object Multimodal {
     * order, [[ttmlParaTimes]]), over the whole document. The root
     * must be a `<tt>` element (namespace-prefixed accepted) — the
     * svgInfo root-tag discipline, so an HTML page that happens to
-    * contain `<p begin=...>` is not a subtitle file. Cues sort by
-    * start. None for non-TTML text or no timed paragraph.
+    * contain `<p begin=...>` is not a subtitle file. Unlike
+    * SRT/VTT, TTML DECLARES its language: the root's `xml:lang`
+    * (raw BCP-47 value; null when absent) rides along, so a TTML
+    * sidecar feeds the declared-vs-detected gate like a muxed
+    * track. Cues sort by start. None for non-TTML text or no timed
+    * paragraph.
     */
-  private[graft] def parseTtml(s: String): Option[Seq[SubCue]] = try {
+  private[graft] def parseTtml(s: String): Option[(String, Seq[SubCue])] = try {
     if (s == null || s.isEmpty) return None
     val m0 = TtmlRootPat.matcher(s)
     if (!m0.find()) return None
+    val lang = {
+      val mt = TtmlRootTagPat.matcher(s)
+      if (mt.find()) {
+        val ml = TtmlLangPat.matcher(mt.group(1))
+        if (ml.find()) ml.group(1) else null
+      } else null
+    }
     val raw = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
     val m = TtmlParaPat.matcher(s)
     while (m.find() && raw.size < 100000) {
       val (st, en) = ttmlParaTimes(m.group(1))
-      val text = m.group(2).replaceAll("(?i)<br\\s*/?>", "\n")
-        .replaceAll("<[^>]*>", "").trim
+      val text = xmlUnescape(m.group(2).replaceAll("(?i)<br\\s*/?>", "\n")
+        .replaceAll("<[^>]*>", "")).trim
       if (st >= 0 && en >= st && text.nonEmpty) raw += ((st, en, text))
     }
     if (raw.isEmpty) None
-    else Some(raw.sortBy(r => (r._1, r._2)).toSeq.zipWithIndex.map {
+    else Some((lang, raw.sortBy(r => (r._1, r._2)).toSeq.zipWithIndex.map {
       case ((st, en, text), k) => SubCue(k + 1, st, en, text)
-    })
+    }))
   } catch { case _: Throwable => None } // per-row isolation
+
+  private val TtmlRootTagPat = java.util.regex.Pattern.compile(
+    "(?s)<(?:[A-Za-z0-9_]+:)?tt\\b([^>]*)>")
+  private val TtmlLangPat = java.util.regex.Pattern.compile(
+    "xml:lang\\s*=\\s*\"([^\"]+)\"")
 
   // the document's ROOT element must be <tt> (optionally
   // namespace-prefixed): XML decl/comments/doctype may precede it,
@@ -4075,7 +4099,8 @@ object Multimodal {
           else row.getAs[String](contentIdx)
         parseSubtitles(raw).map { case (f, c) => Seq((f, null: String, c)) }
           .orElse(parseAss(raw).map(c => Seq(("ass", null: String, c))))
-          .orElse(parseTtml(raw).map(c => Seq(("ttml", null: String, c))))
+          .orElse(parseTtml(raw).map { case (lg, c) =>
+            Seq(("ttml", lg, c)) })
           .orElse(parseSbv(raw).map(c => Seq(("sbv", null: String, c))))
           .orElse(parseLrc(raw).map(c => Seq(("lrc", null: String, c))))
       }
@@ -4378,6 +4403,43 @@ object Multimodal {
         s"Dialogue: 0,${stamp(c.startMs)},${stamp(c.endMs)},Default," +
           s",0,0,0,,${cueBody(c.text).replace("\n", "\\N")}").mkString("\n") +
       "\n"
+  }
+
+  /** Serialize cues as a TTML document — [[formatSrt]]'s XML twin
+    * (the caption format broadcast/OTT toolchains exchange):
+    * `<p begin end>` paragraphs on the clock grammar [[parseTtml]]
+    * reads back exactly (ms precision); newlines become `<br/>`,
+    * XML-significant characters are entity-escaped, and `lang`
+    * (when given) is declared as the root's `xml:lang` — so the
+    * declared-language surface round-trips too.
+    */
+  private[graft] def formatTtml(cues: Seq[SubCue],
+      lang: String = null): String = {
+    def clock(ms: Long): String =
+      f"${ms / 3600000}%02d:${ms % 3600000 / 60000}%02d:" +
+        f"${ms % 60000 / 1000}%02d.${ms % 1000}%03d"
+    def esc(t: String): String = t.replace("&", "&amp;")
+      .replace("<", "&lt;").replace(">", "&gt;")
+    val langAttr = if (lang == null) "" else s""" xml:lang="$lang""""
+    val body = cues.map { c =>
+      val text = esc(cueBody(c.text)).replace("\n", "<br/>")
+      s"""  <p begin="${clock(c.startMs)}" end="${clock(c.endMs)}">$text</p>"""
+    }.mkString("\n")
+    s"""<tt$langAttr xmlns="http://www.w3.org/ns/ttml">\n <body><div>\n""" +
+      body + "\n </div></body>\n</tt>\n"
+  }
+
+  /** Serialize cues as an SBV file — [[formatSrt]]'s YouTube twin:
+    * `H:MM:SS.mmm,H:MM:SS.mmm` block headers, blank-line separated;
+    * [[parseSbv]] reads it back exactly.
+    */
+  private[graft] def formatSbv(cues: Seq[SubCue]): String = {
+    def stamp(ms: Long): String =
+      f"${ms / 3600000}%d:${ms % 3600000 / 60000}%02d:" +
+        f"${ms % 60000 / 1000}%02d.${ms % 1000}%03d"
+    cues.map(c =>
+      s"${stamp(c.startMs)},${stamp(c.endMs)}\n${cueBody(c.text)}\n")
+      .mkString("\n")
   }
 
   /** Resolve the stored raster to display orientation — the 8 EXIF
@@ -8952,8 +9014,9 @@ object Multimodal {
                 val m = TtmlParaPat.matcher(xml)
                 while (m.find() && idx < MaxSamples) {
                   val (st0, en0) = ttmlParaTimes(m.group(1))
-                  val text = m.group(2).replaceAll("(?i)<br\\s*/?>", "\n")
-                    .replaceAll("<[^>]*>", "").trim
+                  val text = xmlUnescape(m.group(2)
+                    .replaceAll("(?i)<br\\s*/?>", "\n")
+                    .replaceAll("<[^>]*>", "")).trim
                   // edit-list shift; a cue the edit clips away is gone
                   val st = math.max(0L, st0 + offMs)
                   val en = en0 + offMs

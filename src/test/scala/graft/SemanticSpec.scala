@@ -3185,13 +3185,16 @@ class SemanticSpec extends SparkSpec {
  </div></body>
 </tt>
 """
-    val Some(tc) = M.parseTtml(ttml)
+    val Some((null, tc)) = M.parseTtml(ttml)
     assert(tc.map(c => (c.startMs, c.endMs, c.text)) ==
       Seq((2000L, 3500L, "ttml styled line"), (5000L, 6000L, "second paragraph")))
     // root discipline: an HTML page with <p begin=...> is NOT TTML
     assert(M.parseTtml(
       "<html><body><p begin=\"00:00:01.000\" end=\"00:00:02.000\">x</p></body></html>").isEmpty)
     assert(M.parseTtml(null).isEmpty)
+    // xml:lang on the root is the sidecar's OWN declaration
+    val withLang = ttml.replace("<tt xmlns=", "<tt xml:lang=\"fr\" xmlns=")
+    assert(M.parseTtml(withLang).get._1 == "fr")
     val sbv = "0:00:01.000,0:00:03.500\nfirst line\nsecond\n\n" +
       "0:01:00.000,0:01:02.000\nlater block\n"
     val Some(sc) = M.parseSbv(sbv)
@@ -3399,5 +3402,25 @@ class SemanticSpec extends SparkSpec {
     assert(M.containerDurationMs(M.syntheticMp4TimedText(
       Seq.fill(10)(frame), Seq((0L, 100L, "c")))) == 400L)
     assert(M.containerDurationMs("junk".getBytes("UTF-8")) == null)
+  }
+
+  test("formatTtml/formatSbv: the round-15 writers round-trip") {
+    val M = Multimodal
+    val cues = Seq(M.SubCue(1, 1500L, 3000L, "first & <second>"),
+      M.SubCue(2, 65250L, 70000L, "two\nlines"))
+    val Some(("de", backT)) = M.parseTtml(M.formatTtml(cues, lang = "de"))
+    assert(backT.map(c => (c.startMs, c.endMs, c.text)) ==
+      cues.map(c => (c.startMs, c.endMs, c.text)))
+    assert(M.parseTtml(M.formatTtml(cues)).get._1 == null)
+    val Some(backS) = M.parseSbv(M.formatSbv(cues))
+    assert(backS.map(c => (c.startMs, c.endMs, c.text)) ==
+      cues.map(c => (c.startMs, c.endMs, c.text)))
+    // the dispatch reads both export forms back under their tags
+    val out = M.subtitleCues(Seq(
+      (1L, M.formatTtml(cues, lang = "es").getBytes("UTF-8")),
+      (2L, M.formatSbv(cues).getBytes("UTF-8"))
+    ).toDF("doc_id", "content")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(6))).distinct
+    assert(out.toSet == Set((1L, "ttml", "es"), (2L, "sbv", null)))
   }
 }
