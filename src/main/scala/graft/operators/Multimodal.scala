@@ -3880,12 +3880,15 @@ object Multimodal {
     if (s == null || s.isEmpty) return None
     val m0 = TtmlRootPat.matcher(s)
     if (!m0.find()) return None
+    // the attribute slice comes from the ROOT match itself — a
+    // '<tt' inside a pre-root comment must not steal the declaration
     val lang = {
-      val mt = TtmlRootTagPat.matcher(s)
-      if (mt.find()) {
-        val ml = TtmlLangPat.matcher(mt.group(1))
+      val attrs = m0.group(1)
+      if (attrs == null) null
+      else {
+        val ml = TtmlLangPat.matcher(attrs)
         if (ml.find()) ml.group(1) else null
-      } else null
+      }
     }
     val raw = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
     val m = TtmlParaPat.matcher(s)
@@ -3901,16 +3904,15 @@ object Multimodal {
     }))
   } catch { case _: Throwable => None } // per-row isolation
 
-  private val TtmlRootTagPat = java.util.regex.Pattern.compile(
-    "(?s)<(?:[A-Za-z0-9_]+:)?tt\\b([^>]*)>")
   private val TtmlLangPat = java.util.regex.Pattern.compile(
-    "xml:lang\\s*=\\s*\"([^\"]+)\"")
+    "xml:lang\\s*=\\s*[\"']([^\"']+)[\"']")
 
   // the document's ROOT element must be <tt> (optionally
   // namespace-prefixed): XML decl/comments/doctype may precede it,
   // but no other element may — the root-tag discipline svgInfo uses
   private val TtmlRootPat = java.util.regex.Pattern.compile(
-    "(?s)\\A(?:\\s|<\\?[^>]*>|<!--.*?-->|<![^>]*>)*<(?:[A-Za-z0-9_]+:)?tt[\\s>]")
+    "(?s)\\A(?:\\s|<\\?[^>]*>|<!--.*?-->|<![^>]*>)*" +
+      "<(?:[A-Za-z0-9_]+:)?tt(\\s[^>]*)?>")
 
   /** SBV (YouTube SubViewer) subtitle sidecars — the caption-export
     * format of the web's largest video host: blocks of
@@ -4280,8 +4282,10 @@ object Multimodal {
     * (null without a duration). A pair-mining pipeline gates on it
     * ("mine only videos whose dialog covers >= X%" — silent footage
     * and credit-roll-only subs waste the cutting budget). Map-only:
-    * the cue walk and the duration read happen in ONE pass per row,
-    * no joins, no shuffles beyond the caller's.
+    * one cue walk plus one header-only duration read per row (the
+    * duration is a top-level box/element scan, cheap next to the
+    * sample-table decode), no joins, no shuffles beyond the
+    * caller's.
     */
   def dialogCoverage(df: DataFrame, idCol: String = "doc_id",
       contentCol: String = "content"): DataFrame = {
@@ -4413,14 +4417,22 @@ object Multimodal {
     * (when given) is declared as the root's `xml:lang` — so the
     * declared-language surface round-trips too.
     */
+  /** ms → `HH:MM:SS.mmm` — the TTML clock grammar, shared by the
+    * [[formatTtml]] writer and the `stpp` fixture builder so the
+    * two can never drift.
+    */
+  private[graft] def ttmlClock(ms: Long): String =
+    f"${ms / 3600000}%02d:${ms % 3600000 / 60000}%02d:" +
+      f"${ms % 60000 / 1000}%02d.${ms % 1000}%03d"
+
   private[graft] def formatTtml(cues: Seq[SubCue],
       lang: String = null): String = {
-    def clock(ms: Long): String =
-      f"${ms / 3600000}%02d:${ms % 3600000 / 60000}%02d:" +
-        f"${ms % 60000 / 1000}%02d.${ms % 1000}%03d"
+    def clock(ms: Long): String = ttmlClock(ms)
     def esc(t: String): String = t.replace("&", "&amp;")
       .replace("<", "&lt;").replace(">", "&gt;")
-    val langAttr = if (lang == null) "" else s""" xml:lang="$lang""""
+    val langAttr =
+      if (lang == null) ""
+      else s""" xml:lang="${esc(lang).replace("\"", "&quot;")}""""
     val body = cues.map { c =>
       val text = esc(cueBody(c.text)).replace("\n", "<br/>")
       s"""  <p begin="${clock(c.startMs)}" end="${clock(c.endMs)}">$text</p>"""
@@ -9440,10 +9452,7 @@ object Multimodal {
       val samples = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
       if (cdc == "stpp") {
         val body = sorted.map { case (st, en, tx) =>
-          def clock(ms: Long): String =
-            f"${ms / 3600000}%02d:${ms % 3600000 / 60000}%02d:" +
-              f"${ms % 60000 / 1000}%02d.${ms % 1000}%03d"
-          s"""    <p begin="${clock(st)}" end="${clock(en)}">$tx</p>"""
+          s"""    <p begin="${ttmlClock(st)}" end="${ttmlClock(en)}">$tx</p>"""
         }.mkString("\n")
         val ttml = "<tt xmlns=\"http://www.w3.org/ns/ttml\">\n <body>\n" +
           s"  <div>\n$body\n  </div>\n </body>\n</tt>\n"

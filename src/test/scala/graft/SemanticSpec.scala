@@ -3195,6 +3195,14 @@ class SemanticSpec extends SparkSpec {
     // xml:lang on the root is the sidecar's OWN declaration
     val withLang = ttml.replace("<tt xmlns=", "<tt xml:lang=\"fr\" xmlns=")
     assert(M.parseTtml(withLang).get._1 == "fr")
+    // single-quoted declarations are legal XML too
+    assert(M.parseTtml(ttml.replace("<tt xmlns=",
+      "<tt xml:lang='deu' xmlns=")).get._1 == "deu")
+    // a '<tt' inside a pre-root COMMENT must not steal the
+    // declaration from the real root
+    val commented = "<!-- converted from <tt xml:lang=\"en\"> -->\n" +
+      withLang
+    assert(M.parseTtml(commented).get._1 == "fr")
     val sbv = "0:00:01.000,0:00:03.500\nfirst line\nsecond\n\n" +
       "0:01:00.000,0:01:02.000\nlater block\n"
     val Some(sc) = M.parseSbv(sbv)
