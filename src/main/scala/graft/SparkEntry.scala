@@ -7112,7 +7112,12 @@ object SparkEntry {
         "der hund und die katze ist ein freund\n").getBytes("UTF-8")),
       // stopword-free cue: detection reports 'und'
       (5L, M.syntheticMp4TimedText(frames,
-        Seq((0L, 700L, "zzz qqq xxx")), lang = "eng"))
+        Seq((0L, 700L, "zzz qqq xxx")), lang = "eng")),
+      // a TTML sidecar DECLARES (xml:lang) — the round-15 sidecar
+      // quadrant: declared 'fr' (raw BCP-47), detected fr
+      (6L, M.formatTtml(Seq(M.SubCue(1, 0L, 1000L,
+        "le chien est dans le jardin avec une fleur")), lang = "fr")
+        .getBytes("UTF-8"))
     ).toDF("doc_id", "content")
     M.subtitleCues(rows)
       .groupBy(col("declared_lang"),
@@ -7128,6 +7133,8 @@ object SparkEntry {
       |  CAST(37 AS BIGINT)),
       | ('eng', 'en', CAST(2 AS BIGINT), CAST(37 + 30 AS BIGINT)),
       | ('eng', 'und', CAST(1 AS BIGINT), CAST(11 AS BIGINT)),
+      | -- the TTML sidecar's own xml:lang (raw BCP-47 value)
+      | ('fr', 'fr', CAST(1 AS BIGINT), CAST(42 AS BIGINT)),
       | ('fre', 'fr', CAST(1 AS BIGINT), CAST(34 AS BIGINT)),
       | -- declared != detected: the mislabeled-upload quadrant
       | ('spa', 'fr', CAST(1 AS BIGINT), CAST(41 AS BIGINT))
