@@ -7466,6 +7466,66 @@ object SparkEntry {
       |       coverage)
       |ORDER BY doc_id""".stripMargin
 
+  /** Corpus-scale translation-pair mining — q201's operator driven
+    * over `documents` (the q197 discipline: a dual-language MP4 per
+    * third row, the caption frame rendered ONCE on the driver):
+    * every asset muxes an eng tx3g track (1 + id%2 cues of 400 ms)
+    * and a fre track shifted +100 ms, so each cue pairs EXACTLY its
+    * own translation (300 ms overlap = 75% of the shorter cue) and
+    * never a neighbor. One materialized cue scan + one equi-join on
+    * the asset id; the job count is a function of the pipeline, not
+    * the corpus (PlanAudit gate). Oracle = doc_id arithmetic.
+    */
+  private def q204(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Scale.parallelismFloor(
+      t(s, dir, "documents").select(col("doc_id")))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    // ONE frame for every asset, rendered on the driver and shipped
+    // in the closure — per-row ImageIO encode was q197's whole cost
+    val frame = graft.operators.Multimodal.renderJpeg(8, 8,
+      (_, _) => (90 << 16) | (90 << 8) | 90)
+    val rdd = docs.rdd.flatMap { r =>
+      val id = r.getLong(0)
+      if (id % 3 != 0) Nil
+      else {
+        val k = 1 + (id % 2).toInt
+        val eng = (0 until k).map(j =>
+          (j * 1000L, j * 1000L + 400L, s"line $j $id"))
+        val fre = (0 until k).map(j =>
+          (j * 1000L + 100L, j * 1000L + 500L, s"ligne $j $id"))
+        Seq(org.apache.spark.sql.Row(id,
+          graft.operators.Multimodal.syntheticMp4TimedText(Seq(frame),
+            eng, codec = "tx3g", lang = "eng",
+            cues2 = fre, codec2 = "tx3g", lang2 = "fre")))
+      }
+    }
+    val assets = s.createDataFrame(rdd, schema).localCheckpoint(false)
+    graft.operators.Multimodal.translationPairs(assets, "doc_id", "content")
+      .groupBy((col("doc_id") % 4).as("grp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_pairs"),
+        sum(col("overlap_ms")).as("overlap_ms"),
+        sum(length(col("text_a")) + length(col("text_b")))
+          .as("pair_chars"))
+      .orderBy(col("grp"))
+  }
+
+  private def transPairCorpusOracle: String =
+    """SELECT doc_id % 4 AS grp,
+      | CAST(count(*) AS BIGINT) AS n_docs,
+      | CAST(sum(1 + doc_id % 2) AS BIGINT) AS n_pairs,
+      | CAST(sum((1 + doc_id % 2) * 300) AS BIGINT) AS overlap_ms,
+      | -- 'line j <id>' (7+len) + 'ligne j <id>' (8+len) per pair
+      | CAST(sum((1 + doc_id % 2)
+      |   * (15 + 2 * length(CAST(doc_id AS VARCHAR)))) AS BIGINT)
+      |   AS pair_chars
+      |FROM documents WHERE doc_id % 3 = 0
+      |GROUP BY doc_id % 4 ORDER BY grp""".stripMargin
+
   // ===================================================================
   // Registry
   // ===================================================================
@@ -7673,7 +7733,8 @@ object SparkEntry {
     "q200_multitrack" -> (q200 _),
     "q201_transpairs" -> (q201 _),
     "q202_chapalign" -> (q202 _),
-    "q203_dialogcov" -> (q203 _))
+    "q203_dialogcov" -> (q203 _),
+    "q204_tpaircorp" -> (q204 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -8127,6 +8188,7 @@ object SparkEntry {
     "q201_transpairs" -> translationPairsOracle,
     "q202_chapalign" -> chapterAlignedOracle,
     "q203_dialogcov" -> dialogCoverageOracle,
+    "q204_tpaircorp" -> transPairCorpusOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

@@ -520,6 +520,27 @@ class PlanAudit extends SparkSpec {
     }
   }
 
+  test("q204: corpus-scale translation-pair mining is one scan + one equi-join — bounded job count") {
+    // one materialized cue scan, one co-partitioned join, one
+    // aggregate: the job count is a function of the PIPELINE
+    val counter = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      SparkEntry.queries("q204_tpaircorp")(spark, dir).collect()
+      Thread.sleep(500) // listener delivery is async
+    } finally spark.sparkContext.removeSparkListener(l)
+    val jobs = counter.get()
+    assert(jobs <= 10,
+      s"translation-pair mining must stay a scan+join pipeline: $jobs jobs")
+    assert(jobs >= 2, s"listener must have observed the pipeline: $jobs")
+  }
+
   test("q199: two-batch incremental art-link replay stays within a bounded job count") {
     // the streaming-ingest identity check runs the link pipeline
     // TWICE (full + two incremental joins) plus CC — still a
