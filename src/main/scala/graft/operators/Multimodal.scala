@@ -836,7 +836,9 @@ object Multimodal {
             }
             walk(body, bodyEnd, depth + 1)
             if (id == 0xAEL) { // TrackEntry closes
-              if (tType == 0x11 && tNum > 0 &&
+              // a hostile file redeclaring a TrackNumber must not
+              // register the same cue buffer under two track indices
+              if (tType == 0x11 && tNum > 0 && !subTracks.contains(tNum) &&
                 (tCodec == null || tCodec.startsWith("S_TEXT"))) {
                 subTracks += tNum
                 subTrackOrder += tNum
@@ -4169,7 +4171,13 @@ object Multimodal {
     * whose tracks DECLARE the same language are dropped by default
     * (`crossLingualOnly`): a regular + SDH/forced track of one
     * language overlaps heavily and is not a translation — set false
-    * to mine same-language alignment instead.
+    * to mine same-language alignment instead. The gate compares
+    * DECLARATIONS only, so a null-declared track (sidecar SRT/ASS
+    * tracks assert nothing) always pairs with a declared one —
+    * unknown is not provably same — and an undeclared same-language
+    * SDH sidecar passes; gate on detected cue language
+    * ([[graft.operators.Curation]] lang-ID over `text_a`/`text_b`)
+    * when sidecar provenance is untrusted.
     *
     * Scale shape: cue extraction is the one map-only container scan
     * (materialized once — the self-join must not decode every movie
@@ -8991,6 +8999,11 @@ object Multimodal {
         val (segDur, mediaTime) = elstEntries(i)
         if (mediaTime < 0) emptyTicks += segDur
         else {
+          // an mvhd-less file cannot convert the empty-edit delay to
+          // ms — applying only the media_time trim would shift the
+          // timeline ONE-SIDED (earlier), worse than no edit at all:
+          // skip the whole adjustment instead
+          if (emptyTicks > 0 && movieTimescale <= 0) return 0L
           val delay =
             if (movieTimescale > 0) emptyTicks * 1000L / movieTimescale else 0L
           return delay - mediaTime * 1000L / timescale

@@ -3175,6 +3175,91 @@ class SemanticSpec extends SparkSpec {
     assert(M.declaredTextLang(delayed) == "eng")
   }
 
+  test("mp4TextTracks: mvhd-less file skips the edit list whole, never one-sided") {
+    val M = Multimodal
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    val frames = Seq(M.renderJpeg(8, 8, (_, _) => gray(70)))
+    val wanted = Seq((500L, 1500L, "delayed"), (2000L, 2600L, "pair"))
+    val withEdit = M.syntheticMp4TimedText(frames, wanted, editDelayMs = 700L)
+    def u32At(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    def find(b: Array[Byte], tag: String): Int = {
+      val t = tag.getBytes("ISO-8859-1")
+      var i = 4
+      while (i + 4 <= b.length) {
+        if (b(i) == t(0) && b(i + 1) == t(1) && b(i + 2) == t(2) &&
+          b(i + 3) == t(3)) return i
+        i += 1
+      }
+      -1
+    }
+    // give the second (non-empty) elst entry a media_time trim of
+    // 200 ms — entry layout after the 4-byte type: ver/flags(4),
+    // count(4), entry0 (12), entry1 segDur(4) THEN media_time(4)
+    val trimmed = withEdit.clone()
+    val elst = find(trimmed, "elst")
+    assert(elst > 0)
+    val mtOff = elst + 4 + 8 + 12 + 4
+    trimmed(mtOff) = 0; trimmed(mtOff + 1) = 0
+    trimmed(mtOff + 2) = 0; trimmed(mtOff + 3) = 200.toByte
+    // with mvhd: delay 700 − trim 200 = +500 on every cue
+    assert(M.mp4SubtitleCues(trimmed).get._2.map(_.startMs) ==
+      Seq(1000L, 2500L))
+    // strip the mvhd: the delay half becomes unconvertible, so the
+    // WHOLE adjustment must be skipped (raw media times), never the
+    // trim half alone (which would shift cues 200 ms EARLIER)
+    val mvhd = find(trimmed, "mvhd")
+    val moov = find(trimmed, "moov")
+    assert(mvhd > 0 && moov > 0)
+    val mvhdStart = mvhd - 4
+    val mvhdSize = u32At(trimmed, mvhdStart)
+    val stripped = new Array[Byte](trimmed.length - mvhdSize)
+    System.arraycopy(trimmed, 0, stripped, 0, mvhdStart)
+    System.arraycopy(trimmed, mvhdStart + mvhdSize, stripped, mvhdStart,
+      trimmed.length - mvhdStart - mvhdSize)
+    val moovStart = moov - 4
+    val newMoovSize = u32At(stripped, moovStart) - mvhdSize
+    stripped(moovStart) = (newMoovSize >>> 24).toByte
+    stripped(moovStart + 1) = ((newMoovSize >> 16) & 0xff).toByte
+    stripped(moovStart + 2) = ((newMoovSize >> 8) & 0xff).toByte
+    stripped(moovStart + 3) = (newMoovSize & 0xff).toByte
+    assert(M.mp4SubtitleCues(stripped).get._2.map(c => (c.startMs, c.endMs)) ==
+      Seq((500L, 1500L), (2000L, 2600L)))
+  }
+
+  test("webmTextTracks: a redeclared TrackNumber registers once, never twice") {
+    val M = Multimodal
+    def idBytes(id: Long): Array[Byte] = {
+      val n = (64 - java.lang.Long.numberOfLeadingZeros(id) + 7) / 8
+      Array.tabulate(n)(i => ((id >> (8 * (n - 1 - i))) & 0xff).toByte)
+    }
+    def el(id: Long, p: Array[Byte]): Array[Byte] =
+      idBytes(id) ++ Array((0x10 | (p.length >> 24)).toByte,
+        ((p.length >> 16) & 0xff).toByte, ((p.length >> 8) & 0xff).toByte,
+        (p.length & 0xff).toByte) ++ p
+    def track(num: Long, lang: String): Array[Byte] =
+      el(0xAEL, el(0xD7L, Array(num.toByte)) ++
+        el(0x83L, Array(0x11.toByte)) ++
+        el(0x86L, "S_TEXT/UTF8".getBytes("ISO-8859-1")) ++
+        el(0x22B59CL, lang.getBytes("ISO-8859-1")))
+    val block = Array((0x80 | 3).toByte, 0.toByte, 0.toByte, 0.toByte) ++
+      "dup".getBytes("UTF-8")
+    val seg = el(0x18538067L,
+      el(0x1549A966L, el(0x2AD7B1L, Array(0x0F.toByte, 0x42.toByte, 0x40.toByte))) ++
+        el(0x1654AE6BL, track(3, "eng") ++ track(3, "fre")) ++
+        el(0x1F43B675L, el(0xE7L, Array(0.toByte)) ++
+          el(0xA0L, el(0xA1L, block) ++ el(0x9BL, Array(100.toByte)))))
+    val mkv = Array(0x1A.toByte, 0x45.toByte, 0xDF.toByte, 0xA3.toByte,
+      0x80.toByte) ++ seg
+    // FIRST declaration wins: one track, one cue — the hostile
+    // redeclaration must not emit the same buffer under two indices
+    val Some((_, tracks)) = M.webmTextTracks(mkv)
+    assert(tracks.length == 1)
+    assert(tracks.head._1 == "eng")
+    assert(tracks.head._2.map(_.text) == Seq("dup"))
+  }
+
   test("parseTtml/parseSbv: sidecar dispatch, root discipline, hostiles") {
     val M = Multimodal
     val ttml = """<?xml version="1.0"?>
