@@ -5639,8 +5639,8 @@ object Multimodal {
     */
   private[graft] def oggEmbeddedPicture(b: Array[Byte]): Option[(String, Array[Byte])] = {
     val region = opusCommentRegion(b).orElse(vorbisOggCommentRegion(b))
-    region.flatMap { case (from, until) =>
-      vorbisFieldMap(b, from, until, Set("METADATA_BLOCK_PICTURE"))
+    region.flatMap { case (arr, from, until) =>
+      vorbisFieldMap(arr, from, until, Set("METADATA_BLOCK_PICTURE"))
         .flatMap(_.get("METADATA_BLOCK_PICTURE"))
         .flatMap { b64 =>
           try {
@@ -5661,14 +5661,76 @@ object Multimodal {
     * tags packet within the first pages.
     */
   private[graft] def opusTags(b: Array[Byte]): Option[(String, String, String, String)] =
-    opusCommentRegion(b).flatMap { case (from, until) =>
-      vorbisFields(b, from, until).map { case (t, a, al) => (t, a, al, "opus") }
+    opusCommentRegion(b).flatMap { case (arr, from, until) =>
+      vorbisFields(arr, from, until).map { case (t, a, al) => (t, a, al, "opus") }
     }
 
-  /** The `OpusTags` packet's comment region within the first Ogg
-    * pages — the single locate behind [[opusTags]] and LYRICS.
+  /** The FIRST packet of the Ogg page at `pageOff`, following
+    * continued pages (RFC 3533 §6: a lacing value of 255 means the
+    * packet continues; the next page's header-type sets bit 0x01)
+    * until a lacing < 255 ends it — (backing array, from, until).
+    * Zero-copy into the input when the packet ends on its starting
+    * page (the overwhelmingly common case); a stitched copy only
+    * when it spans pages — which real cover art routinely does: a
+    * `METADATA_BLOCK_PICTURE` base64 payload exceeds one page's
+    * ~64 KiB ceiling for any non-thumbnail image. Truncated input
+    * degrades to the intact prefix (the [[webmInfo]] clamp rule);
+    * capped at 64 pages / 16 MiB against hostile chains.
     */
-  private def opusCommentRegion(b: Array[Byte]): Option[(Int, Int)] = {
+  private def oggPacketFrom(b: Array[Byte],
+      pageOff: Int): Option[(Array[Byte], Int, Int)] = {
+    var off = pageOff
+    var first = true
+    var out: java.io.ByteArrayOutputStream = null
+    var pages = 0
+    while (off + 27 <= b.length && pages < 64) {
+      pages += 1
+      if (!(b(off) == 'O' && b(off + 1) == 'g' && b(off + 2) == 'g' &&
+        b(off + 3) == 'S' && b(off + 4) == 0)) return None
+      if (!first && (b(off + 5) & 0x01) == 0) return None // not continued
+      val nSegs = b(off + 26) & 0xff
+      if (off + 27 + nSegs > b.length) return None
+      // this page's share of the packet: leading segments until the
+      // first lacing < 255; all-255 to the page end = continues
+      var len = 0
+      var ended = false
+      var i = 0
+      while (i < nSegs && !ended) {
+        val l = b(off + 27 + i) & 0xff
+        len += l
+        if (l < 255) ended = true
+        i += 1
+      }
+      val payload = off + 27 + nSegs
+      if (payload + len > b.length) { // truncated: keep intact prefix
+        len = b.length - payload
+        ended = true
+      }
+      if (ended && first) return Some((b, payload, payload + len))
+      if (out == null) out = new java.io.ByteArrayOutputStream()
+      if (out.size().toLong + len > (16L << 20)) return None
+      out.write(b, payload, len)
+      if (ended) {
+        val arr = out.toByteArray
+        return Some((arr, 0, arr.length))
+      }
+      // next page starts after ALL of this page's segments
+      var full = 0
+      i = 0
+      while (i < nSegs) { full += b(off + 27 + i) & 0xff; i += 1 }
+      off = payload + full
+      first = false
+    }
+    None
+  }
+
+  /** The `OpusTags` packet's comment region within the first Ogg
+    * pages — the single locate behind [[opusTags]] and LYRICS:
+    * (backing array, from, until), stitched across continued pages
+    * by [[oggPacketFrom]] so a spanning tag packet (cover art) reads
+    * whole.
+    */
+  private def opusCommentRegion(b: Array[Byte]): Option[(Array[Byte], Int, Int)] = {
     if (b == null || b.length < 47 ||
       !(b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S')) return None
     var off = 0
@@ -5691,7 +5753,9 @@ object Multimodal {
         sawHead = true
       } else if (pend - payload >= 8 &&
         new String(b, payload, 8, "ISO-8859-1") == "OpusTags") {
-        return Some((payload + 8, pend))
+        return oggPacketFrom(b, off).collect {
+          case (arr, f, u) if u - f >= 8 => (arr, f + 8, u)
+        }
       }
       off = payload + plen
     }
@@ -5739,14 +5803,14 @@ object Multimodal {
     * structure as FLAC/Opus. Page walk like [[opusTags]].
     */
   private[graft] def vorbisTags(b: Array[Byte]): Option[(String, String, String, String)] =
-    vorbisOggCommentRegion(b).flatMap { case (from, until) =>
-      vorbisFields(b, from, until).map { case (t, a, al) => (t, a, al, "vorbis") }
+    vorbisOggCommentRegion(b).flatMap { case (arr, from, until) =>
+      vorbisFields(arr, from, until).map { case (t, a, al) => (t, a, al, "vorbis") }
     }
 
   /** The Ogg-Vorbis comment-header region — [[opusCommentRegion]]'s
-    * Vorbis-codec twin.
+    * Vorbis-codec twin, continuation-stitched the same way.
     */
-  private def vorbisOggCommentRegion(b: Array[Byte]): Option[(Int, Int)] = {
+  private def vorbisOggCommentRegion(b: Array[Byte]): Option[(Array[Byte], Int, Int)] = {
     if (b == null || b.length < 47 ||
       !(b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S')) return None
     var off = 0
@@ -5771,7 +5835,9 @@ object Multimodal {
         if (!leads(1)) return None
         sawIdent = true
       } else if (leads(3)) {
-        return Some((payload + 7, pend))
+        return oggPacketFrom(b, off).collect {
+          case (arr, f, u) if u - f >= 7 => (arr, f + 7, u)
+        }
       }
       off = payload + plen
     }
@@ -5801,7 +5867,7 @@ object Multimodal {
       if (tags.isEmpty && picture.isEmpty && chapters.isEmpty) None
       else {
         val (t, a, al) = tags.getOrElse(("", "", ""))
-        Some(oggPage(0x00, 0L, 1,
+        Some(oggPackedPages(0x00, 0L, 1,
           Array[Byte](3) ++ "vorbis".getBytes("ISO-8859-1") ++
             vorbisCommentBytes(t, a, al, lyrics.orNull,
               picture.toSeq.map { case (m, art) =>
@@ -6690,7 +6756,7 @@ object Multimodal {
     else if (bytes(0) == 'O' && bytes(1) == 'g' && bytes(2) == 'g' &&
       bytes(3) == 'S')
       opusCommentRegion(bytes).orElse(vorbisOggCommentRegion(bytes))
-        .flatMap { case (f, u) => vorbisChapterCues(bytes, f, u) }
+        .flatMap { case (arr, f, u) => vorbisChapterCues(arr, f, u) }
         .map(("vorbis", _))
     else if (bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' &&
       bytes(3) == 'C')
@@ -7073,11 +7139,11 @@ object Multimodal {
       .orElse(flacCommentRegion(b).flatMap { case (from, until) =>
         vorbisFieldMap(b, from, until, Set("LYRICS")).flatMap(_.get("LYRICS"))
       })
-      .orElse(opusCommentRegion(b).flatMap { case (from, until) =>
-        vorbisFieldMap(b, from, until, Set("LYRICS")).flatMap(_.get("LYRICS"))
+      .orElse(opusCommentRegion(b).flatMap { case (arr, from, until) =>
+        vorbisFieldMap(arr, from, until, Set("LYRICS")).flatMap(_.get("LYRICS"))
       })
-      .orElse(vorbisOggCommentRegion(b).flatMap { case (from, until) =>
-        vorbisFieldMap(b, from, until, Set("LYRICS")).flatMap(_.get("LYRICS"))
+      .orElse(vorbisOggCommentRegion(b).flatMap { case (arr, from, until) =>
+        vorbisFieldMap(arr, from, until, Set("LYRICS")).flatMap(_.get("LYRICS"))
       })
       .filter(_.nonEmpty)
     catch { case _: Throwable => None } // per-row isolation
@@ -7388,7 +7454,7 @@ object Multimodal {
             .encodeToString(flacPictureBlockBodyBytes(m, art))
         } ++ vorbisChapterFieldStrings(chapters))
     oggPage(0x02, 0L, 0, head) ++
-      oggPage(0x00, 0L, 1, tags) ++
+      oggPackedPages(0x00, 0L, 1, tags) ++
       oggPage(0x04, lastGranule, 2, Array[Byte](0))
   }
 
@@ -7414,6 +7480,41 @@ object Multimodal {
     while (i < full) { bb.put(0xFF.toByte); i += 1 }
     bb.put(rem.toByte).put(payload)
     bb.array()
+  }
+
+  /** A packet as one or MORE Ogg pages — [[oggPage]] splitting at
+    * the 255-segment page ceiling the way real muxers do (RFC 3533
+    * §6): every page but the last carries 255 lacings of 255 (the
+    * packet continues) and the followers set header-type bit 0x01.
+    * The fixture half of [[oggPacketFrom]]'s continuation stitching —
+    * a spanning `METADATA_BLOCK_PICTURE` tag packet is the
+    * real-cover-art shape.
+    */
+  private def oggPackedPages(headerType: Int, granule: Long, seqStart: Int,
+      payload: Array[Byte]): Array[Byte] = {
+    val pageMax = 255 * 255 // all-255 lacing: packet continues
+    if (payload.length < pageMax)
+      return oggPage(headerType, granule, seqStart, payload)
+    val out = new java.io.ByteArrayOutputStream()
+    var off = 0
+    var seq = seqStart
+    while (payload.length - off >= pageMax) {
+      val bb = java.nio.ByteBuffer.allocate(27 + 255 + pageMax)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("OggS".getBytes("ISO-8859-1")).put(0.toByte)
+        .put((if (off == 0) headerType else headerType | 0x01).toByte)
+        .putLong(-1L) // granule -1: no packet ends on this page
+        .putInt(1).putInt(seq).putInt(0).put(255.toByte)
+      var i = 0
+      while (i < 255) { bb.put(0xFF.toByte); i += 1 }
+      bb.put(payload, off, pageMax)
+      out.write(bb.array())
+      off += pageMax
+      seq += 1
+    }
+    out.write(oggPage(headerType | (if (off == 0) 0 else 0x01), granule,
+      seq, java.util.Arrays.copyOfRange(payload, off, payload.length)))
+    out.toByteArray
   }
 
   /** Minimal Ogg-Opus: an OpusHead page plus an EOS page with the

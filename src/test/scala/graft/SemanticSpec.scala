@@ -3125,6 +3125,34 @@ class SemanticSpec extends SparkSpec {
     assert(M.embeddedArtBytes(evil).isEmpty)
   }
 
+  test("oggEmbeddedPicture: cover art spanning continued Ogg pages reads whole") {
+    val M = Multimodal
+    // a 160x160 noise PNG compresses to well over one Ogg page's
+    // ~64 KiB payload ceiling once base64-inflated — the tags packet
+    // MUST continue across pages (real cover art routinely does)
+    val rnd = new scala.util.Random(7)
+    val art = M.renderPng(160, 160, (_, _) => rnd.nextInt(1 << 24))
+    assert(art.length * 4 / 3 > 255 * 255) // the fixture really spans
+    val opus = M.syntheticOpusTagged(2, 312, 48000, 96000L, "T", "A", "B",
+      picture = Some(("image/png", art)))
+    val Some(("image/png", gotO)) = M.oggEmbeddedPicture(opus)
+    assert(java.util.Arrays.equals(gotO, art))
+    // tags on the SAME spanning packet still parse
+    assert(M.opusTags(opus).map(_._1).contains("T"))
+    val vorb = M.syntheticVorbis(2, 44100, 88200L,
+      tags = Some(("T", "A", "B")), picture = Some(("image/jpeg", art)))
+    val Some(("image/jpeg", gotV)) = M.oggEmbeddedPicture(vorb)
+    assert(java.util.Arrays.equals(gotV, art))
+    assert(M.vorbisTags(vorb).map(_._1).contains("T"))
+    // stream facts survive the continuation pages (granule -1 pages
+    // never claim the last-granule read)
+    assert(M.vorbisInfo(vorb).map(_._3).contains(88200L))
+    // truncation mid-spanning-packet degrades per-row, never throws
+    val cut = java.util.Arrays.copyOfRange(opus, 0, 70000)
+    assert(M.oggEmbeddedPicture(cut).isEmpty ||
+      M.oggEmbeddedPicture(cut).nonEmpty) // no-throw probe
+  }
+
   test("webmSubtitleCues: cues and declared language come from the SAME track") {
     val M = Multimodal
     // track 3 (eng, no cues) + track 4 (fre, carries the dialog):
