@@ -4181,23 +4181,41 @@ object Multimodal {
     *
     * Scale shape: cue extraction is the one map-only container scan
     * (materialized once — the self-join must not decode every movie
-    * twice); the pair join is an equi-join on the asset id, so both
-    * sides shuffle ONCE on the same key and cue pairing is local to
-    * the asset's partition — no cross-asset comparison at any corpus
-    * size (cue counts per asset are bounded by the 100k walker cap).
+    * twice); the pair join is an equi-join on (asset id, time
+    * bucket), so both sides shuffle ONCE on the same key and cue
+    * pairing is local to the asset's partition — no cross-asset
+    * comparison at any corpus size. The time-bucket band (the
+    * [[Scale.rangeJoin]] decomposition: each cue joins in every
+    * `bucketMs`-wide bucket its interval touches, and a pair is kept
+    * only in the bucket its overlap STARTS in, so nothing emits
+    * twice) keeps per-asset pairing near-linear in cue count — the
+    * raw id-only join is |cues_a|×|cues_b| per asset, which a
+    * crafted 100k-cue-per-track file (the walker cap) turns into a
+    * 10^10-pair straggler task. Hostile ceiling: a single cue longer
+    * than 1440 buckets (24 h at the default minute bucket) pairs
+    * only within its first 1440 — the spanning-cue clamp that keeps
+    * a forged end_ms from exploding the band index (the 64-track /
+    * 100k-cue cap discipline; no real cue is a day long).
     */
   def translationPairs(df: DataFrame, idCol: String = "doc_id",
       contentCol: String = "content",
       minOverlapFrac: Double = 0.5,
-      crossLingualOnly: Boolean = true): DataFrame = {
+      crossLingualOnly: Boolean = true,
+      bucketMs: Long = 60000L): DataFrame = {
+    require(bucketMs > 0, "bucketMs must be positive")
     val cues = subtitleCuesByTrack(df, idCol, contentCol)
       .localCheckpoint(false)
-    val a = cues.select(col(idCol), col("track_idx").as("trk_a"),
-      col("declared_lang").as("lang_a"), col("start_ms").as("start_a"),
-      col("end_ms").as("end_a"), col("text").as("text_a"))
-    val b = cues.select(col(idCol), col("track_idx").as("trk_b"),
-      col("declared_lang").as("lang_b"), col("start_ms").as("start_b"),
-      col("end_ms").as("end_b"), col("text").as("text_b"))
+    def buck(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c / lit(bucketMs)).cast("long")
+    def banded(side: String): DataFrame =
+      cues.select(col(idCol), col("track_idx").as(s"trk_$side"),
+        col("declared_lang").as(s"lang_$side"),
+        col("start_ms").as(s"start_$side"),
+        col("end_ms").as(s"end_$side"), col("text").as(s"text_$side"))
+        .withColumn("__tb", explode(sequence(
+          buck(col(s"start_$side")),
+          least(greatest(buck(col(s"end_$side")), buck(col(s"start_$side"))),
+            buck(col(s"start_$side")) + lit(1440L)))))
     val overlap = least(col("end_a"), col("end_b")) -
       greatest(col("start_a"), col("start_b"))
     val shorter = least(col("end_a") - col("start_a"),
@@ -4205,9 +4223,13 @@ object Multimodal {
     val langGate =
       if (crossLingualOnly) !(col("lang_a") <=> col("lang_b"))
       else lit(true)
-    a.join(b, Seq(idCol))
+    banded("a").join(banded("b"), Seq(idCol, "__tb"))
       .filter(col("trk_a") < col("trk_b") && langGate &&
-        overlap >= lit(minOverlapFrac) * shorter && overlap > 0)
+        overlap >= lit(minOverlapFrac) * shorter && overlap > 0 &&
+        // dedup: the overlap starts at the later cue's start, a
+        // bucket BOTH exploded interval spans contain — keep the
+        // pair there and nowhere else
+        buck(greatest(col("start_a"), col("start_b"))) === col("__tb"))
       .select(col(idCol), col("lang_a"), col("lang_b"),
         col("start_a").as("start_ms"), col("text_a"), col("text_b"),
         overlap.as("overlap_ms"))

@@ -3416,6 +3416,40 @@ class SemanticSpec extends SparkSpec {
     ).toDF("doc_id", "content")).count() == 0)
   }
 
+  test("translationPairs: time-bucket band is exact at boundaries and near-linear on hostile cue counts") {
+    val M = Multimodal
+    // a pair whose cues BOTH span a bucket boundary must emit exactly
+    // once (the overlap-start-bucket dedup rule)
+    val boundary = M.syntheticWebm("video", width = 8, height = 8,
+      durationMs = 3000L, subtitleTracks = 2,
+      subLang = Some("eng"), subLang2 = Some("spa"),
+      subCues = Seq((900L, 1100L, "edge")),
+      subCues2 = Seq((950L, 1150L, "borde")))
+    val rows = M.translationPairs(
+      Seq((1L, boundary)).toDF("doc_id", "content"), bucketMs = 1000L)
+      .collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(6) == 150L) // overlap_ms
+    // hostile density: 5000 cues per track — the raw id-only join
+    // would build 25M candidate pairs in one task; the band keeps
+    // per-bucket work tiny and the output is still the exact 5000
+    // own-twin pairs (neighbors never reach the overlap threshold)
+    val n = 5000
+    val t1 = (0 until n).map(j => (6L * j, 6L * j + 4, s"a$j"))
+    val t2 = (0 until n).map(j => (6L * j + 1, 6L * j + 5, s"b$j"))
+    val dense = M.syntheticWebm("video", width = 8, height = 8,
+      durationMs = 31000L, subtitleTracks = 2,
+      subLang = Some("eng"), subLang2 = Some("fre"),
+      subCues = t1, subCues2 = t2)
+    val out = M.translationPairs(
+      Seq((2L, dense)).toDF("doc_id", "content"), bucketMs = 50L)
+    assert(out.count() == n)
+    // spot-check one pair end to end
+    val one = out.filter(col("start_ms") === 600L).collect()
+    assert(one.length == 1 && one.head.getString(4) == "a100" &&
+      one.head.getString(5) == "b100" && one.head.getLong(6) == 3L)
+  }
+
   test("chapterAlignedCues: start-based assignment, ordered transcript, orphans drop") {
     val M = Multimodal
     val rows = Seq(
