@@ -7293,7 +7293,12 @@ object SparkEntry {
       (1L, mp4),
       (2L, webm),
       (3L, ("1\n00:00:01,000 --> 00:00:02,000\nsidecar line\n").getBytes("UTF-8")),
-      (4L, "junk".getBytes("UTF-8"))
+      (4L, "junk".getBytes("UTF-8")),
+      // VTT voice spans name the speaker — the diarization signal;
+      // an unvoiced cue in the same file stays null
+      (5L, ("WEBVTT\n\n00:00:01.000 --> 00:00:02.000\n" +
+        "<v Ayana>the voiced line\n\n00:00:03.000 --> 00:00:04.000\n" +
+        "plain line\n").getBytes("UTF-8"))
     ).toDF("doc_id", "content")
     M.subtitleCuesByTrack(rows)
       .orderBy(col("doc_id"), col("track_idx"), col("cue_idx"))
@@ -7302,22 +7307,30 @@ object SparkEntry {
   private def multiTrackOracle: String =
     """SELECT * FROM (VALUES
       | (CAST(1 AS BIGINT), 1, 'tx3g', 1, CAST(0 AS BIGINT),
-      |  CAST(900 AS BIGINT), 'hello', 'eng'),
+      |  CAST(900 AS BIGINT), 'hello', 'eng', CAST(NULL AS VARCHAR)),
       | (CAST(1 AS BIGINT), 1, 'tx3g', 2, CAST(1000 AS BIGINT),
-      |  CAST(1800 AS BIGINT), 'again', 'eng'),
+      |  CAST(1800 AS BIGINT), 'again', 'eng', CAST(NULL AS VARCHAR)),
       | -- the SECOND text track keeps its own codec and declaration
       | (CAST(1 AS BIGINT), 2, 'wvtt', 1, CAST(100 AS BIGINT),
-      |  CAST(700 AS BIGINT), 'bonjour', 'fre'),
+      |  CAST(700 AS BIGINT), 'bonjour', 'fre', CAST(NULL AS VARCHAR)),
       | (CAST(2 AS BIGINT), 1, 'webm', 1, CAST(50 AS BIGINT),
-      |  CAST(80 AS BIGINT), 'hi', 'eng'),
+      |  CAST(80 AS BIGINT), 'hi', 'eng', CAST(NULL AS VARCHAR)),
       | (CAST(2 AS BIGINT), 2, 'webm', 1, CAST(100 AS BIGINT),
-      |  CAST(400 AS BIGINT), 'hola', 'spa'),
+      |  CAST(400 AS BIGINT), 'hola', 'spa', CAST(NULL AS VARCHAR)),
       | (CAST(2 AS BIGINT), 2, 'webm', 2, CAST(500 AS BIGINT),
-      |  CAST(900 AS BIGINT), 'mundo', 'spa'),
+      |  CAST(900 AS BIGINT), 'mundo', 'spa', CAST(NULL AS VARCHAR)),
       | (CAST(3 AS BIGINT), 1, 'srt', 1, CAST(1000 AS BIGINT),
-      |  CAST(2000 AS BIGINT), 'sidecar line', CAST(NULL AS VARCHAR))
+      |  CAST(2000 AS BIGINT), 'sidecar line', CAST(NULL AS VARCHAR),
+      |  CAST(NULL AS VARCHAR)),
+      | -- the voice span names the speaker AND strips from the text
+      | (CAST(5 AS BIGINT), 1, 'vtt', 1, CAST(1000 AS BIGINT),
+      |  CAST(2000 AS BIGINT), 'the voiced line', CAST(NULL AS VARCHAR),
+      |  'Ayana'),
+      | (CAST(5 AS BIGINT), 1, 'vtt', 2, CAST(3000 AS BIGINT),
+      |  CAST(4000 AS BIGINT), 'plain line', CAST(NULL AS VARCHAR),
+      |  CAST(NULL AS VARCHAR))
       |) AS t(doc_id, track_idx, sub_format, cue_idx, start_ms, end_ms,
-      |       text, declared_lang)
+      |       text, declared_lang, speaker)
       |ORDER BY doc_id, track_idx, cue_idx""".stripMargin
 
   /** Translation-pair mining ([[graft.operators.Multimodal

@@ -3626,7 +3626,14 @@ object Multimodal {
   }
 
   /** One parsed subtitle cue ([[subtitleCues]]). */
-  final case class SubCue(idx: Int, startMs: Long, endMs: Long, text: String)
+  /** One timed text cue. `speaker` is the WebVTT voice-span name
+    * (`<v Ayana>…` — the de-facto speaker-attribution standard a
+    * diarization/dialog-pair pipeline keys on), null everywhere the
+    * format carries none; [[formatVtt]] re-emits it so the VTT round
+    * trip preserves attribution.
+    */
+  final case class SubCue(idx: Int, startMs: Long, endMs: Long,
+      text: String, speaker: String = null)
 
   // compiled once — these run per text-candidate row in a corpus
   // scan (the AssStampPat/TtmlParaPat idiom)
@@ -3723,6 +3730,10 @@ object Multimodal {
           val en = ms(m2) + tsOffsetMs
           val sb = new java.lang.StringBuilder
           i += 1
+          // the VTT voice span on the cue's FIRST line names the
+          // speaker — captured BEFORE the markup strip erases it
+          val speaker =
+            if (isVtt && i < lines.length) voiceSpanName(lines(i)) else null
           while (i < lines.length && lines(i).trim.nonEmpty) {
             if (sb.length > 0) sb.append('\n')
             sb.append(lines(i))
@@ -3731,7 +3742,7 @@ object Multimodal {
           val text = stripMarkup(sb.toString).trim
           if (st >= 0 && en >= st && text.nonEmpty) {
             idx += 1
-            cues += SubCue(idx, st, en, text)
+            cues += SubCue(idx, st, en, text, speaker)
           }
         } else i += 1
       } else i += 1
@@ -3739,6 +3750,23 @@ object Multimodal {
     val got = cues.result()
     if (got.isEmpty) None else Some(((if (isVtt) "vtt" else "srt"), got))
   } catch { case _: Throwable => None } // per-row isolation
+
+  /** The speaker of a WebVTT voice span OPENING a cue line —
+    * `<v Ayana>` / `<v.loud Ayana>` (classes ride the tag name;
+    * everything after the first space up to `>` is the name). Null
+    * for any other shape.
+    */
+  private def voiceSpanName(line: String): String = {
+    if (line == null || line.length < 5 || !line.startsWith("<v")) return null
+    val c = line.charAt(2)
+    if (c != ' ' && c != '.') return null
+    val gt = line.indexOf('>')
+    if (gt < 0) return null
+    val sp = line.indexOf(' ')
+    if (sp < 0 || sp > gt) return null
+    val name = line.substring(sp + 1, gt).trim
+    if (name.isEmpty) null else name
+  }
 
   /** LRC timed lyrics — `[mm:ss.xx]line` (several timestamps may
     * prefix one line: the lyric repeats at each), the lyrics-sidecar
@@ -4121,7 +4149,8 @@ object Multimodal {
 
   /** [[subtitleCues]] with EVERY muxed text track kept —
     * (id, track_idx, sub_format, cue_idx, start_ms, end_ms, text,
-    * declared_lang): the multi-language mining surface. A
+    * declared_lang, speaker): the multi-language mining surface
+    * (`speaker` = the WebVTT voice-span name, null elsewhere). A
     * dubbed/fansubbed release carries parallel text in several
     * languages; per-track rows give a pairing pipeline each language
     * under its own container declaration (and the cross-language
@@ -4143,7 +4172,8 @@ object Multimodal {
       StructField("start_ms", LongType),
       StructField("end_ms", LongType),
       StructField("text", StringType),
-      StructField("declared_lang", StringType)))
+      StructField("declared_lang", StringType),
+      StructField("speaker", StringType)))
     val idIdx = inSchema.fieldIndex(idCol)
     val contentIdx = inSchema.fieldIndex(contentCol)
     val isBinary = inSchema(contentIdx).dataType == BinaryType
@@ -4152,7 +4182,7 @@ object Multimodal {
         .flatMap { case (trk, fmt, declared, cues) =>
           cues.map(c =>
             Row(row.get(idIdx), trk, fmt, c.idx, c.startMs, c.endMs,
-              c.text, declared))
+              c.text, declared, c.speaker))
         }
     }
     spark.createDataFrame(rdd, outSchema)
@@ -4380,7 +4410,10 @@ object Multimodal {
     }.mkString("\n")
   }
 
-  /** [[formatSrt]]'s WebVTT twin (header + dot-separated stamps). */
+  /** [[formatSrt]]'s WebVTT twin (header + dot-separated stamps);
+    * a cue's `speaker` re-emits as its opening voice span, so
+    * attribution survives the round trip.
+    */
   private[graft] def formatVtt(cues: Seq[SubCue]): String = {
     def stamp(ms: Long): String = {
       val h = ms / 3600000
@@ -4388,8 +4421,10 @@ object Multimodal {
       val s = (ms % 60000) / 1000
       f"$h%02d:$m%02d:$s%02d.${ms % 1000}%03d"
     }
-    "WEBVTT\n\n" + cues.map(c =>
-      s"${stamp(c.startMs)} --> ${stamp(c.endMs)}\n${cueBody(c.text)}\n").mkString("\n")
+    "WEBVTT\n\n" + cues.map { c =>
+      val voice = if (c.speaker == null) "" else s"<v ${c.speaker}>"
+      s"${stamp(c.startMs)} --> ${stamp(c.endMs)}\n$voice${cueBody(c.text)}\n"
+    }.mkString("\n")
   }
 
   // a blank line inside cue text would TERMINATE the cue on reparse

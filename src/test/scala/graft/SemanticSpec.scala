@@ -2292,6 +2292,34 @@ class SemanticSpec extends SparkSpec {
     assert(b2.head.text == "before\nafter")
   }
 
+  test("WebVTT voice spans: speaker captured, stripped from text, round-trips") {
+    val M = Multimodal
+    val vtt = "WEBVTT\n\n00:00:01.000 --> 00:00:02.000\n" +
+      "<v Ayana>good morning\n\n00:00:03.000 --> 00:00:04.500\n" +
+      "<v.loud.fast Ben Okafor>hey!\nsecond line\n\n" +
+      "00:00:05.000 --> 00:00:06.000\nno voice here\n"
+    val Some(("vtt", cues)) = M.parseSubtitles(vtt)
+    assert(cues.map(_.speaker) == Seq("Ayana", "Ben Okafor", null))
+    // the tag itself never leaks into the text
+    assert(cues.map(_.text) ==
+      Seq("good morning", "hey!\nsecond line", "no voice here"))
+    // writer round trip preserves attribution
+    val Some(("vtt", back)) = M.parseSubtitles(M.formatVtt(cues))
+    assert(back == cues)
+    // SRT carries no voice convention: speaker never set there
+    val srt = "1\n00:00:01,000 --> 00:00:02,000\n<v Sam>line\n"
+    assert(M.parseSubtitles(srt).get._2.head.speaker == null)
+    // hostile shapes: empty name, bare <v>, not-a-voice tag — null
+    Seq("<v >x", "<v>x", "<vx y>z").foreach { t =>
+      val doc = s"WEBVTT\n\n00:00:01.000 --> 00:00:02.000\n$t\n"
+      assert(M.parseSubtitles(doc).get._2.head.speaker == null, t)
+    }
+    // an unclosed tag swallows the line (the markup strip's standing
+    // rule) — no cue, no speaker, no throw
+    assert(M.parseSubtitles(
+      "WEBVTT\n\n00:00:01.000 --> 00:00:02.000\n<v Unclosed line\n").isEmpty)
+  }
+
   test("formatLrc/formatAss: the new sidecar writers round-trip") {
     val M = Multimodal
     // LRC shape: ends = next start, last zero-length (what parseLrc
