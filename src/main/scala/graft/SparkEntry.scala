@@ -7298,7 +7298,12 @@ object SparkEntry {
       // an unvoiced cue in the same file stays null
       (5L, ("WEBVTT\n\n00:00:01.000 --> 00:00:02.000\n" +
         "<v Ayana>the voiced line\n\n00:00:03.000 --> 00:00:04.000\n" +
-        "plain line\n").getBytes("UTF-8"))
+        "plain line\n").getBytes("UTF-8")),
+      // the Blu-ray-remux shape: PGS bitmap subs — intervals with
+      // NULL text under the track's own declaration
+      (6L, M.syntheticWebm("video", width = 8, height = 8,
+        durationMs = 4000L, docType = "matroska",
+        imageSubs = Seq(("S_HDMV/PGS", "fre", Seq((1000L, 2500L))))))
     ).toDF("doc_id", "content")
     M.subtitleCuesByTrack(rows)
       .orderBy(col("doc_id"), col("track_idx"), col("cue_idx"))
@@ -7328,6 +7333,11 @@ object SparkEntry {
       |  'Ayana'),
       | (CAST(5 AS BIGINT), 1, 'vtt', 2, CAST(3000 AS BIGINT),
       |  CAST(4000 AS BIGINT), 'plain line', CAST(NULL AS VARCHAR),
+      |  CAST(NULL AS VARCHAR)),
+      | -- PGS bitmap subs: interval rows with NULL text (the image
+      | -- payload is OCR-seam data, not text)
+      | (CAST(6 AS BIGINT), 1, 'pgs', 1, CAST(1000 AS BIGINT),
+      |  CAST(2500 AS BIGINT), CAST(NULL AS VARCHAR), 'fre',
       |  CAST(NULL AS VARCHAR))
       |) AS t(doc_id, track_idx, sub_format, cue_idx, start_ms, end_ms,
       |       text, declared_lang, speaker)
@@ -7455,7 +7465,14 @@ object SparkEntry {
       (3L, ("1\n00:00:01,000 --> 00:00:04,000\nx\n\n" +
         "2\n00:01:02,500 --> 00:01:05,250\ny\n").getBytes("UTF-8")),
       (4L, "junk".getBytes("UTF-8")),
-      (5L, M.syntheticMjpegMp4(Seq(frame, frame)))
+      (5L, M.syntheticMjpegMp4(Seq(frame, frame))),
+      // the Blu-ray-remux shape: PGS bitmap subs — the track
+      // subtitleTrackCount always counted now carries interval-
+      // accurate speech too, so detection and this gate AGREE
+      (6L, M.syntheticWebm("video", width = 8, height = 8,
+        durationMs = 3000L, docType = "matroska",
+        imageSubs = Seq(("S_HDMV/PGS", "fre",
+          Seq((0L, 600L), (1000L, 1600L))))))
     ).toDF("doc_id", "content")
     M.dialogCoverage(rows).orderBy(col("doc_id"))
   }
@@ -7474,7 +7491,10 @@ object SparkEntry {
       |  CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)),
       | -- an mvhd-less movie: no duration, no text tracks
       | (CAST(5 AS BIGINT), CAST(NULL AS BIGINT), 0, 0,
-      |  CAST(0 AS BIGINT), CAST(NULL AS DOUBLE))
+      |  CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)),
+      | -- PGS bitmap subs: interval union 1200 of 3000 = 0.4
+      | (CAST(6 AS BIGINT), CAST(3000 AS BIGINT), 1, 2,
+      |  CAST(1200 AS BIGINT), 0.4)
       |) AS t(doc_id, duration_ms, n_tracks, n_cues, speech_ms,
       |       coverage)
       |ORDER BY doc_id""".stripMargin

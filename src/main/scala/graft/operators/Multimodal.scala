@@ -724,20 +724,40 @@ object Multimodal {
     webmTextTracks(b) match {
       case None => None
       case Some((docType, tracks)) =>
-        tracks.find(_._2.nonEmpty).map { case (lang, cues) =>
-          (docType, lang, cues)
+        tracks.find(t => t._1 == null && t._3.nonEmpty).map {
+          case (_, lang, cues) => (docType, lang, cues)
         }
     }
 
   /** EVERY subtitle track of a Matroska/WebM file, in declaration
-    * order — (docType, per-track (declaredLang, cues)): the
-    * multi-language surface behind [[webmSubtitleCues]] (which picks
-    * the first track with cues) and [[subtitleCuesByTrack]] (which
-    * keeps them all — a dubbed/fansubbed mux carries parallel text
-    * in several languages, and a pair-mining pipeline wants each
-    * under its own declaration). One EBML pass.
+    * order — (docType, per-track (codecLabel, declaredLang, cues)):
+    * the multi-language surface behind [[webmSubtitleCues]] (which
+    * picks the first TEXT track with cues) and
+    * [[subtitleCuesByTrack]] (which keeps them all — a
+    * dubbed/fansubbed mux carries parallel text in several
+    * languages, and a pair-mining pipeline wants each under its own
+    * declaration). `codecLabel` is null for `S_TEXT` tracks (the
+    * caller labels them with the DocType) and the lowercased codec
+    * suffix otherwise (`S_HDMV/PGS` → `pgs`, `S_VOBSUB` →
+    * `vobsub`) — EVERY TrackType-0x11 track registers, matching
+    * [[webmInfo]]'s `subtitleTracks` count, so detection and
+    * extraction can never disagree about a Blu-ray-remux MKV whose
+    * subs are bitmaps. Cues per codec family:
+    *
+    *  - `S_TEXT` (and codec-less): UTF-8 block payloads, as ever;
+    *  - `S_HDMV/PGS`: cue INTERVALS with null text, from the PGS
+    *    composition state machine — a Presentation Composition
+    *    Segment (type 0x16) with composition objects opens a display
+    *    at its block time, one with zero objects clears it (the
+    *    bitmap payload itself is image data for the OCR seam, not
+    *    text); a display still open at stream end emits zero-length;
+    *  - anything else (`S_VOBSUB`, …): declaration-only — the track
+    *    row exists with its language and zero cues, distinguishing
+    *    "image subs we don't decode" from "no subs".
+    *
+    * One EBML pass.
     */
-  private[graft] def webmTextTracks(b: Array[Byte]): Option[(String, Seq[(String, Seq[SubCue])])] = try {
+  private[graft] def webmTextTracks(b: Array[Byte]): Option[(String, Seq[(String, String, Seq[SubCue])])] = try {
     if (b == null || b.length < 8 ||
       !(b(0) == 0x1A.toByte && b(1) == 0x45.toByte &&
         b(2) == 0xDF.toByte && b(3) == 0xA3.toByte)) return None
@@ -772,9 +792,11 @@ object Multimodal {
     var scaleNs = 1000000L
     var clusterTc = 0L
     // subtitle tracks in declaration order, with their declared
-    // Language (absent = eng, the Matroska spec default)
+    // Language (absent = eng, the Matroska spec default) and codec
+    // label (null = S_TEXT)
     val subTrackOrder = scala.collection.mutable.ArrayBuffer.empty[Long]
     val subTrackLang = scala.collection.mutable.Map.empty[Long, String]
+    val subTrackCodec = scala.collection.mutable.Map.empty[Long, String]
     val subTracks = scala.collection.mutable.Set.empty[Long]
     // per-TrackEntry scratch
     var tNum = -1L
@@ -786,10 +808,13 @@ object Multimodal {
     var bgStart = Long.MinValue
     var bgText: String = null
     var bgDurTicks = 0L
+    // open PGS display per track: start tick, or MinValue when clear
+    val pgsOpen = scala.collection.mutable.Map.empty[Long, Long]
     // (start ms, end ms, text) per subtitle track
     val cuesByTrack = scala.collection.mutable.Map
       .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Long, String)]]
     var nCues = 0
+    @inline def msOf(tick: Long): Long = tick * scaleNs / 1000000L
     def addCue(track: Long, stMs: Long, enMs: Long, text: String): Unit = {
       cuesByTrack.getOrElseUpdate(track,
         scala.collection.mutable.ArrayBuffer.empty) += ((stMs, enMs, text))
@@ -801,13 +826,48 @@ object Multimodal {
       var track = (b(from) & 0xff & (0xff >>> tn)).toLong
       var i = 1
       while (i < tn) { track = (track << 8) | (b(from + i) & 0xffL); i += 1 }
-      if (!subTracks.contains(track)) return None
+      if (!subTracks.contains(track) || subTrackCodec(track) != null)
+        return None // non-text tracks take the raw-payload path
       val rel = ((b(from + tn) & 0xff) << 8 | (b(from + tn + 1) & 0xff)).toShort.toLong
       val flags = b(from + tn + 2) & 0xff
       if ((flags & 0x06) != 0) return None // laced: not a subtitle shape
       val text = new String(b, from + tn + 3, until - from - tn - 3,
         java.nio.charset.StandardCharsets.UTF_8).trim
       if (text.isEmpty) None else Some((track, clusterTc + rel, text))
+    }
+    // a PGS block: the first Presentation Composition Segment's
+    // object count drives the display state machine — objects > 0
+    // opens (re-opens) a display at this block's time, zero clears it
+    def pgsBlock(from: Int, until: Int): Unit = {
+      val tn = vintLen(from)
+      if (tn < 1 || tn > 8 || from + tn + 3 > until) return
+      var track = (b(from) & 0xff & (0xff >>> tn)).toLong
+      var i = 1
+      while (i < tn) { track = (track << 8) | (b(from + i) & 0xffL); i += 1 }
+      if (!subTracks.contains(track) || subTrackCodec(track) != "pgs") return
+      val rel = ((b(from + tn) & 0xff) << 8 | (b(from + tn + 1) & 0xff)).toShort.toLong
+      if ((b(from + tn + 2) & 0x06) != 0) return
+      val tick = clusterTc + rel
+      // segments: type(1) size(2 BE) payload — first PCS (0x16) wins
+      var p = from + tn + 3
+      var done = false
+      while (!done && p + 3 <= until) {
+        val typ = b(p) & 0xff
+        val len = ((b(p + 1) & 0xff) << 8) | (b(p + 2) & 0xff)
+        val pay = p + 3
+        if (pay + len > until) done = true
+        else {
+          if (typ == 0x16 && len >= 11) {
+            val nObjs = b(pay + 10) & 0xff
+            val open = pgsOpen.getOrElse(track, Long.MinValue)
+            if (open != Long.MinValue)
+              addCue(track, msOf(open), msOf(tick), null)
+            pgsOpen(track) = if (nObjs > 0) tick else Long.MinValue
+            done = true
+          }
+          p = pay + len
+        }
+      }
     }
     def walk(start: Int, end: Int, depth: Int): Unit = {
       if (depth > 16 || nCues >= 100000) return
@@ -837,12 +897,25 @@ object Multimodal {
             walk(body, bodyEnd, depth + 1)
             if (id == 0xAEL) { // TrackEntry closes
               // a hostile file redeclaring a TrackNumber must not
-              // register the same cue buffer under two track indices
-              if (tType == 0x11 && tNum > 0 && !subTracks.contains(tNum) &&
-                (tCodec == null || tCodec.startsWith("S_TEXT"))) {
+              // register the same cue buffer under two track indices;
+              // EVERY TrackType-0x11 track registers (text codecs
+              // carry cues, PGS carries intervals, the rest are
+              // declaration-only) so the count matches webmInfo's
+              if (tType == 0x11 && tNum > 0 && !subTracks.contains(tNum)) {
                 subTracks += tNum
                 subTrackOrder += tNum
                 subTrackLang(tNum) = if (tLang != null) tLang else "eng"
+                subTrackCodec(tNum) =
+                  if (tCodec == null || tCodec.startsWith("S_TEXT")) null
+                  else {
+                    // S_HDMV/PGS → pgs, S_VOBSUB → vobsub, S_KATE → kate
+                    val base =
+                      if (tCodec.startsWith("S_")) tCodec.substring(2)
+                      else tCodec
+                    val slash = base.lastIndexOf('/')
+                    (if (slash >= 0) base.substring(slash + 1) else base)
+                      .toLowerCase(java.util.Locale.ROOT)
+                  }
               }
               tNum = -1L; tType = -1; tCodec = null; tLang = null
             } else if (id == 0xA0L && bgText != null) { // BlockGroup closes
@@ -865,18 +938,26 @@ object Multimodal {
             parseBlock(body, bodyEnd).foreach { case (track, tick, text) =>
               bgTrack = track; bgStart = tick; bgText = text
             }
+            pgsBlock(body, bodyEnd) // PGS state machine, either carrier
           case 0x9BL => bgDurTicks = uintOf(body, bodyEnd)
           case 0xA3L => // SimpleBlock: no duration element
             parseBlock(body, bodyEnd).foreach { case (track, tick, text) =>
               val st = tick * scaleNs / 1000000L
               addCue(track, st, st, text)
             }
+            pgsBlock(body, bodyEnd)
           case _ => ()
         }
         off = bodyEnd
       }
     }
     walk(0, b.length, 0)
+    // a display still open at stream end (real streams always clear;
+    // truncated uploads may not): zero-length, not lost
+    pgsOpen.foreach { case (track, open) =>
+      if (open != Long.MinValue && nCues < 100000)
+        addCue(track, msOf(open), msOf(open), null)
+    }
     if (subTrackOrder.isEmpty) None
     else {
       val perTrack = subTrackOrder.toSeq.map { track =>
@@ -884,7 +965,8 @@ object Multimodal {
           scala.collection.mutable.ArrayBuffer.empty).zipWithIndex.map {
           case ((st, en, text), k) => SubCue(k + 1, st, en, text)
         }.toSeq
-        (subTrackLang.getOrElse(track, "eng"), got)
+        (subTrackCodec.getOrElse(track, null),
+          subTrackLang.getOrElse(track, "eng"), got)
       }
       Some(((if (docType == null) "matroska" else docType), perTrack))
     }
@@ -1247,7 +1329,11 @@ object Multimodal {
       subLang: Option[String] = None,
       chapters: Seq[(Long, Long, String)] = Nil,
       subLang2: Option[String] = None,
-      subCues2: Seq[(Long, Long, String)] = Nil): Array[Byte] = {
+      subCues2: Seq[(Long, Long, String)] = Nil,
+      // image-subtitle tracks after the text ones: (codec id,
+      // language, display intervals) — S_HDMV/PGS intervals mux as
+      // PCS open/clear display sets; other codecs declare only
+      imageSubs: Seq[(String, String, Seq[(Long, Long)])] = Nil): Array[Byte] = {
     require(subCues.isEmpty || subtitleTracks > 0,
       "muxed cues ride the first subtitle track")
     require(subCues2.isEmpty || subtitleTracks > 1,
@@ -1298,9 +1384,15 @@ object Multimodal {
         strEl(0x86L, "S_TEXT/UTF8") ++
         lang.map(strEl(0x22B59CL, _)).getOrElse(Array.emptyByteArray))
     }
+    val imageSubTracks = imageSubs.zipWithIndex.toArray.flatMap {
+      case ((cdc, lang, _), i) =>
+        el(0xAEL, uintEl(0xD7L, 3L + subtitleTracks + i) ++
+          uintEl(0x83L, 0x11L) ++ strEl(0x86L, cdc) ++
+          strEl(0x22B59CL, lang))
+    }
     val tracks = el(0x1654AE6BL,
       (if (kind == "video") videoTrack ++ audioTrack else audioTrack) ++
-        subTracks)
+        subTracks ++ imageSubTracks)
     val cues =
       if (cuePoints <= 0) Array.emptyByteArray
       else el(0x1C53BB6BL, (0 until cuePoints).toArray.flatMap(i =>
@@ -1325,10 +1417,44 @@ object Multimodal {
           0.toByte) ++ text.getBytes("UTF-8")
         el(0xA0L, el(0xA1L, block) ++ uintEl(0x9BL, endMs - startMs))
       }
+    // PGS display sets as SimpleBlocks: a PCS with one composition
+    // object at the interval start, a zero-object PCS at its end
+    // (each followed by an END segment, the real stream shape)
+    def pgsBlocks(track: Int, ivs: Seq[(Long, Long)]): Array[Byte] = {
+      def seg(typ: Int, payload: Array[Byte]): Array[Byte] =
+        Array(typ.toByte, ((payload.length >> 8) & 0xff).toByte,
+          (payload.length & 0xff).toByte) ++ payload
+      def pcs(nObjs: Int): Array[Byte] = {
+        // width, height, frame_rate, comp_number, state (0x80 =
+        // epoch start), palette_update, palette_id, n_objects
+        val head = Array[Byte](0, 8, 0, 8, 0x10, 0, 1, 0x80.toByte, 0, 0,
+          nObjs.toByte)
+        val obj = Array[Byte](0, 0, 0, 0, 0, 0, 0, 0)
+        seg(0x16, head ++ Array.fill(nObjs)(obj).flatten)
+      }
+      def sblock(tMs: Long, nObjs: Int): Array[Byte] = {
+        require(tMs >= 0 && tMs <= 32767,
+          "fixture PGS times fit the i16 relative timecode")
+        el(0xA3L, Array((0x80 | track).toByte, ((tMs >> 8) & 0xff).toByte,
+          (tMs & 0xff).toByte, 0.toByte) ++ pcs(nObjs) ++
+          seg(0x80, Array.emptyByteArray))
+      }
+      // en > st writes open + clear; en <= st writes the open ONLY —
+      // the display-left-open truncated-stream shape
+      ivs.toArray.flatMap { case (st, en) =>
+        if (en > st) sblock(st, 1) ++ sblock(en, 0) else sblock(st, 1)
+      }
+    }
+    val imageBlocks = imageSubs.zipWithIndex.toArray.flatMap {
+      case ((cdc, _, ivs), i) =>
+        if (cdc == "S_HDMV/PGS") pgsBlocks(3 + subtitleTracks + i, ivs)
+        else Array.emptyByteArray
+    }
     val cluster =
-      if (subCues.isEmpty && subCues2.isEmpty) Array.emptyByteArray
+      if (subCues.isEmpty && subCues2.isEmpty && imageBlocks.isEmpty)
+        Array.emptyByteArray
       else el(0x1F43B675L, uintEl(0xE7L, 0L) ++
-        cueBlocks(3, subCues) ++ cueBlocks(4, subCues2))
+        cueBlocks(3, subCues) ++ cueBlocks(4, subCues2) ++ imageBlocks)
     // MKA album-art convention: an Attachments/AttachedFile element
     val attachEl = attachedArt.map { case (m, data) =>
       el(0x1941A469L, el(0x61A7L,
@@ -4100,10 +4226,13 @@ object Multimodal {
         bytes(1) == 0x45.toByte && bytes(2) == 0xDF.toByte &&
         bytes(3) == 0xA3.toByte)
         // ONE EBML walk: every track's cues ride the declared
-        // language of the SAME track (no cross-stamping)
+        // language of the SAME track (no cross-stamping). EVERY
+        // declared subtitle track rides through — PGS tracks with
+        // null-text intervals, undecoded image codecs with zero
+        // cues — so per-track surfaces agree with detection
         webmTextTracks(bytes).map { case (f, tracks) =>
-          tracks.collect { case (lang, cues) if cues.nonEmpty =>
-            (f, lang, cues)
+          tracks.map { case (codecLabel, lang, cues) =>
+            (if (codecLabel == null) f else codecLabel, lang, cues)
           }
         }.filter(_.nonEmpty)
       else if (bytes != null && bytes.length >= 16 && bytes(4) == 'f' &&
@@ -4139,7 +4268,12 @@ object Multimodal {
     }
     parsed match {
       case Some(tracks) =>
-        val sel = if (allTracks) tracks else tracks.take(1)
+        // single-track surface = the first track with TEXT cues
+        // (PGS intervals carry null text; declaration-only tracks
+        // carry none) — the multi-track surface keeps every track
+        val sel =
+          if (allTracks) tracks
+          else tracks.find(t => t._3.nonEmpty && t._3.head.text != null).toSeq
         sel.zipWithIndex.map { case ((fmt, lang, cues), k) =>
           (k + 1, fmt, lang, cues)
         }
@@ -4364,7 +4498,10 @@ object Multimodal {
     val rdd = df.rdd.map { row =>
       val tracks = textTracksOfRow(row, contentIdx, isBinary,
         allTracks = true)
-      val cues = tracks.headOption.map(_._4).getOrElse(Nil)
+      // primary = the first track that CARRIES cues (text or PGS
+      // intervals) — a declaration-only image track still counts in
+      // n_tracks but cannot be the speech source
+      val cues = tracks.find(_._4.nonEmpty).map(_._4).getOrElse(Nil)
       // union length of the primary track's intervals: sort by
       // start, sweep — O(cues log cues) per row, cue-capped upstream
       var speech = 0L

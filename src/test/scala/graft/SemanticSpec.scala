@@ -3312,8 +3312,68 @@ class SemanticSpec extends SparkSpec {
     // redeclaration must not emit the same buffer under two indices
     val Some((_, tracks)) = M.webmTextTracks(mkv)
     assert(tracks.length == 1)
-    assert(tracks.head._1 == "eng")
-    assert(tracks.head._2.map(_.text) == Seq("dup"))
+    assert(tracks.head._2 == "eng")
+    assert(tracks.head._3.map(_.text) == Seq("dup"))
+  }
+
+  test("PGS image subtitles: intervals extract, detection and extraction agree") {
+    val M = Multimodal
+    import spark.implicits._
+    // the Blu-ray-remux shape: bitmap subs only, no text track
+    val mkv = M.syntheticWebm("video", width = 8, height = 8,
+      durationMs = 3000L, docType = "matroska",
+      imageSubs = Seq(("S_HDMV/PGS", "fre",
+        Seq((0L, 600L), (1000L, 1600L)))))
+    val Some((doc, tks)) = M.webmTextTracks(mkv)
+    assert(doc == "matroska" && tks.length == 1)
+    val (codec, lang, cues) = tks.head
+    assert(codec == "pgs" && lang == "fre")
+    // PCS open/clear pairs become intervals with NULL text (bitmaps
+    // are image data for the OCR seam, not text)
+    assert(cues.map(c => (c.startMs, c.endMs, c.text)) ==
+      Seq((0L, 600L, null), (1000L, 1600L, null)))
+    // detection (webmInfo's 0x11 count) and extraction AGREE now
+    assert(M.webmInfo(mkv).get.subtitleTracks == 1)
+    // the single-track TEXT surface skips it (null text is not text)
+    assert(M.webmSubtitleCues(mkv).isEmpty)
+    val df = Seq((1L, mkv)).toDF("doc_id", "content")
+    assert(M.subtitleCues(df).count() == 0)
+    // ...but the per-track surface and the coverage gate SEE it
+    val byTrack = M.subtitleCuesByTrack(df).collect()
+    assert(byTrack.length == 2 && byTrack.forall(r =>
+      r.getString(2) == "pgs" && r.isNullAt(6) && r.getString(7) == "fre"))
+    val cov = M.dialogCoverage(df).collect().head
+    assert(cov.getInt(2) == 1 && cov.getInt(3) == 2 &&
+      cov.getLong(4) == 1200L && cov.getDouble(5) == 0.4)
+    // a VobSub track declares (language, zero cues) — never invisible
+    val vob = M.syntheticWebm("video", width = 8, height = 8,
+      durationMs = 2000L, docType = "matroska",
+      imageSubs = Seq(("S_VOBSUB", "deu", Nil)))
+    val Some((_, vtk)) = M.webmTextTracks(vob)
+    assert(vtk == Seq(("vobsub", "deu", Nil)))
+    val vcov = M.dialogCoverage(Seq((2L, vob)).toDF("doc_id", "content"))
+      .collect().head
+    assert(vcov.getInt(2) == 1 && vcov.getInt(3) == 0 &&
+      vcov.getLong(4) == 0L)
+    // mixed mux: a text track AND a PGS track — text cues still
+    // reach the single-track surface, the per-track surface keeps
+    // both (one text cue + one pgs interval)
+    val mixed = M.syntheticWebm("video", width = 8, height = 8,
+      durationMs = 4000L, subtitleTracks = 1, subLang = Some("eng"),
+      subCues = Seq((100L, 500L, "spoken")),
+      imageSubs = Seq(("S_HDMV/PGS", "eng", Seq((100L, 700L)))))
+    assert(M.webmSubtitleCues(mixed).get._3.map(_.text) == Seq("spoken"))
+    val mrows = M.subtitleCuesByTrack(
+      Seq((3L, mixed)).toDF("doc_id", "content")).collect()
+    assert(mrows.map(r => (r.getInt(1), r.getString(2))).toSeq ==
+      Seq((1, "webm"), (2, "pgs")))
+    // a display left OPEN at stream end (truncated mux — no clear
+    // PCS ever arrives) emits zero-length at its start, not lost
+    val open = M.syntheticWebm("video", width = 8, height = 8,
+      durationMs = 2000L, docType = "matroska",
+      imageSubs = Seq(("S_HDMV/PGS", "jpn", Seq((500L, 500L)))))
+    val Some((_, otk)) = M.webmTextTracks(open)
+    assert(otk.head._3.map(c => (c.startMs, c.endMs)) == Seq((500L, 500L)))
   }
 
   test("parseTtml/parseSbv: sidecar dispatch, root discipline, hostiles") {
