@@ -4274,6 +4274,7 @@ object SparkEntry {
       | ('aud', 'avg_image_textiness', CAST(NULL AS DOUBLE)),
       | ('aud', 'avg_image_width', CAST(NULL AS DOUBLE)),
       | ('aud', 'avg_video_keyframes', CAST(NULL AS DOUBLE)),
+      | ('aud', 'avg_dialog_coverage', CAST(NULL AS DOUBLE)),
       | ('aud', 'n_assets', 2.0),
       | ('aud', 'pct_audio', 0.5),
       | ('aud', 'pct_audio_clipped', 0.0),
@@ -4297,6 +4298,7 @@ object SparkEntry {
       | ('img', 'avg_image_textiness', 0.0),
       | ('img', 'avg_image_width', 10.0),
       | ('img', 'avg_video_keyframes', CAST(NULL AS DOUBLE)),
+      | ('img', 'avg_dialog_coverage', CAST(NULL AS DOUBLE)),
       | ('img', 'n_assets', 2.0),
       | ('img', 'pct_audio', 0.0),
       | ('img', 'pct_audio_clipped', CAST(NULL AS DOUBLE)),
@@ -4319,6 +4321,7 @@ object SparkEntry {
       | ('mp3', 'avg_image_textiness', CAST(NULL AS DOUBLE)),
       | ('mp3', 'avg_image_width', CAST(NULL AS DOUBLE)),
       | ('mp3', 'avg_video_keyframes', CAST(NULL AS DOUBLE)),
+      | ('mp3', 'avg_dialog_coverage', CAST(NULL AS DOUBLE)),
       | ('mp3', 'n_assets', 1.0),
       | ('mp3', 'pct_audio', 1.0),
       | ('mp3', 'pct_audio_clipped', 0.0),
@@ -4341,6 +4344,7 @@ object SparkEntry {
       | ('sil', 'avg_image_textiness', CAST(NULL AS DOUBLE)),
       | ('sil', 'avg_image_width', CAST(NULL AS DOUBLE)),
       | ('sil', 'avg_video_keyframes', CAST(NULL AS DOUBLE)),
+      | ('sil', 'avg_dialog_coverage', CAST(NULL AS DOUBLE)),
       | ('sil', 'n_assets', 1.0),
       | ('sil', 'pct_audio', 1.0),
       | ('sil', 'pct_audio_clipped', 0.0),
@@ -4363,6 +4367,9 @@ object SparkEntry {
       | ('vid', 'avg_image_textiness', CAST(NULL AS DOUBLE)),
       | ('vid', 'avg_image_width', CAST(NULL AS DOUBLE)),
       | ('vid', 'avg_video_keyframes', 2.0),
+      | -- the mvhd'd MP4 declares 2000 ms and carries no text track:
+      | -- coverage 0.0; the mvhd-less MJPEG asserts nothing (null)
+      | ('vid', 'avg_dialog_coverage', 0.0),
       | ('vid', 'n_assets', 2.0),
       | ('vid', 'pct_audio', 0.0),
       | ('vid', 'pct_audio_clipped', CAST(NULL AS DOUBLE)),
@@ -4679,7 +4686,8 @@ object SparkEntry {
       |  CASE WHEN grp IN ('1','2') THEN 0.0 END AS plyr,
       |  CASE WHEN grp IN ('1','2') THEN 0.0 END AS pchap,
       |  CASE WHEN grp = '0' THEN 0.0 END AS pthumb,
-      |  CAST(NULL AS DOUBLE) AS psub
+      |  CAST(NULL AS DOUBLE) AS psub,
+      |  CAST(NULL AS DOUBLE) AS dcov
       | FROM d GROUP BY grp)
       |SELECT grp, metric, value FROM (
       | SELECT grp, 'avg_audio_hz' AS metric, ahz AS value FROM a
@@ -4690,6 +4698,7 @@ object SparkEntry {
       | UNION ALL SELECT grp, 'avg_image_textiness', atxt FROM a
       | UNION ALL SELECT grp, 'avg_image_width', aw FROM a
       | UNION ALL SELECT grp, 'avg_video_keyframes', vkey FROM a
+      | UNION ALL SELECT grp, 'avg_dialog_coverage', dcov FROM a
       | UNION ALL SELECT grp, 'n_assets', n FROM a
       | UNION ALL SELECT grp, 'pct_audio', pa FROM a
       | UNION ALL SELECT grp, 'pct_audio_clipped', pclip FROM a
@@ -5370,6 +5379,7 @@ object SparkEntry {
       | ('a', 'avg_image_textiness', 0.0),
       | ('a', 'avg_image_width', (32 + 320) / 2.0),
       | ('a', 'avg_video_keyframes', CAST(NULL AS DOUBLE)),
+      | ('a', 'avg_dialog_coverage', CAST(NULL AS DOUBLE)),
       | ('a', 'n_assets', 3.0),
       | ('a', 'pct_audio', 0.0),
       | ('a', 'pct_audio_clipped', CAST(NULL AS DOUBLE)),
@@ -5392,6 +5402,9 @@ object SparkEntry {
       | ('b', 'avg_image_textiness', 0.0),
       | ('b', 'avg_image_width', (12 + 640 + 320) / 3.0),
       | ('b', 'avg_video_keyframes', 1.0),
+      | -- the only video is the mvhd-less MJPEG: no declared duration,
+      | -- no coverage claim
+      | ('b', 'avg_dialog_coverage', CAST(NULL AS DOUBLE)),
       | ('b', 'n_assets', 4.0),
       | ('b', 'pct_audio', 0.0),
       | ('b', 'pct_audio_clipped', CAST(NULL AS DOUBLE)),
@@ -6302,7 +6315,10 @@ object SparkEntry {
       ("y", M.pngWithText(M.renderPng(16, 16, (_, _) => gray(60)),
         Seq(("XML:com.adobe.xmp", M.xmpPacketXml(null, "y caption"), true)))),
       ("y", M.syntheticWebm("video", width = 64, height = 48,
-        durationMs = 1500L, subtitleTracks = 1)),
+        durationMs = 1500L, subtitleTracks = 1,
+        // 600 of 1500 ms spoken: avg_dialog_coverage's closed form
+        // (the mvhd-less MJPEG MP4 next to it asserts no duration)
+        subCues = Seq((0L, 400L, "hey"), (300L, 600L, "there")))),
       ("y", M.syntheticMjpegMp4(Seq(M.renderJpeg(16, 8, (_, _) => gray(99))))),
       // round 15: segmentation + forensic coverage. A PNG whose eXIf
       // chunk carries an IFD1 thumbnail (lossless luma preserved),
@@ -6326,6 +6342,7 @@ object SparkEntry {
       | ('x', 'avg_image_textiness', 0.0),
       | ('x', 'avg_image_width', 16.0),
       | ('x', 'avg_video_keyframes', CAST(NULL AS DOUBLE)),
+      | ('x', 'avg_dialog_coverage', CAST(NULL AS DOUBLE)),
       | ('x', 'n_assets', 5.0),
       | ('x', 'pct_audio', 0.4),
       | ('x', 'pct_audio_clipped', 0.0),
@@ -6350,6 +6367,7 @@ object SparkEntry {
       | ('y', 'avg_image_textiness', 0.0),
       | ('y', 'avg_image_width', 16.0),
       | ('y', 'avg_video_keyframes', 1.0),
+      | ('y', 'avg_dialog_coverage', round(600/1500.0, 4)),
       | ('y', 'n_assets', 4.0),
       | ('y', 'pct_audio', 0.25),
       | ('y', 'pct_audio_clipped', 0.0),
@@ -6844,7 +6862,14 @@ object SparkEntry {
       // the ogg-chapter-extension convention: CHAPTERnnn/NAME
       // Vorbis-comment fields (the audiobook .opus rip)
       (8L, M.syntheticOpusTagged(2, 312, 48000, 96000L, "Book", "Nrtr",
-        "Shelf", chapters = Seq((0L, "Intro"), (60000L, "Deuxième acte"))))
+        "Shelf", chapters = Seq((0L, "Intro"), (60000L, "Deuxième acte")))),
+      // CTOC declares the listing: the toc orders the bonus segment
+      // (chp0, starts at 60 s) FIRST — start-sort would reverse it
+      (9L, M.syntheticId3(4, "Pod", "Host", "Show",
+        chapters = Seq((60000L, 150000L, "Bonus d'abord"),
+          (0L, 60000L, "Cold open")),
+        ctocOrder = Seq(0, 1)) ++
+        M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101)))))
     ).toDF("doc_id", "content")
     M.mediaChapters(rows).orderBy(col("doc_id"), col("chap_idx"))
   }
@@ -6877,7 +6902,13 @@ object SparkEntry {
       | (CAST(8 AS BIGINT), 'vorbis', 1, CAST(0 AS BIGINT),
       |  CAST(60000 AS BIGINT), 'Intro'),
       | (CAST(8 AS BIGINT), 'vorbis', 2, CAST(60000 AS BIGINT),
-      |  CAST(60000 AS BIGINT), 'Deuxième acte')
+      |  CAST(60000 AS BIGINT), 'Deuxième acte'),
+      | -- the CTOC's child order beats start order: the 60 s bonus
+      | -- segment is chapter 1 because the toc SAYS so
+      | (CAST(9 AS BIGINT), 'id3', 1, CAST(60000 AS BIGINT),
+      |  CAST(150000 AS BIGINT), 'Bonus d''abord'),
+      | (CAST(9 AS BIGINT), 'id3', 2, CAST(0 AS BIGINT),
+      |  CAST(60000 AS BIGINT), 'Cold open')
       |) AS t(doc_id, chap_format, chap_idx, start_ms, end_ms, title)
       |ORDER BY doc_id, chap_idx""".stripMargin
 
@@ -7547,6 +7578,168 @@ object SparkEntry {
       .orderBy(col("grp"))
   }
 
+  /** Per-track dialog coverage ([[graft.operators.Multimodal
+    * .dialogCoverageByTrack]]) — the bilingual clip-mining gate:
+    * a dubbed release's coverage is per-language ("mine eng+fre
+    * pairs where BOTH tracks cover >= X%"), which q203's
+    * primary-track report cannot answer. Fixtures: a dual-track MP4
+    * (eng covers 50%, the fre dub only 12.5%), a Matroska muxing a
+    * text track, a PGS bitmap track, AND a declaration-only VobSub
+    * track (zero cues, zero coverage — visible, not vanished), a
+    * sidecar (no duration → null coverage), junk (no rows).
+    */
+  private def q205(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    val frame = M.renderJpeg(8, 8, (_, _) => gray(80))
+    val rows = Seq(
+      // 100 frames x 40 ms = 4000 ms; eng union 2000, fre 500
+      (1L, M.syntheticMp4TimedText(Seq.fill(100)(frame),
+        Seq((0L, 1000L, "one"), (2000L, 3000L, "two")),
+        codec = "tx3g", lang = "eng",
+        cues2 = Seq((100L, 600L, "un")), codec2 = "wvtt", lang2 = "fre")),
+      // 2000 ms matroska: text 900/2000, PGS 1200/2000, VobSub 0
+      (2L, M.syntheticWebm("video", width = 8, height = 8,
+        durationMs = 2000L, docType = "matroska", subtitleTracks = 1,
+        subLang = Some("spa"),
+        subCues = Seq((0L, 500L, "a"), (400L, 900L, "b")),
+        imageSubs = Seq(("S_HDMV/PGS", "fre", Seq((0L, 600L), (1000L, 1600L))),
+          ("S_VOBSUB", "deu", Nil)))),
+      (3L, ("1\n00:00:01,000 --> 00:00:02,000\nx\n").getBytes("UTF-8")),
+      (4L, "junk".getBytes("UTF-8"))
+    ).toDF("doc_id", "content")
+    M.dialogCoverageByTrack(rows)
+      .orderBy(col("doc_id"), col("track_idx"))
+  }
+
+  private def covByTrackOracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(1 AS BIGINT), 1, 'tx3g', 'eng', CAST(4000 AS BIGINT), 2,
+      |  CAST(2000 AS BIGINT), 0.5),
+      | -- the dub's own ratio: the question q203's primary can't answer
+      | (CAST(1 AS BIGINT), 2, 'wvtt', 'fre', CAST(4000 AS BIGINT), 1,
+      |  CAST(500 AS BIGINT), 0.125),
+      | (CAST(2 AS BIGINT), 1, 'matroska', 'spa', CAST(2000 AS BIGINT), 2,
+      |  CAST(900 AS BIGINT), 0.45),
+      | (CAST(2 AS BIGINT), 2, 'pgs', 'fre', CAST(2000 AS BIGINT), 2,
+      |  CAST(1200 AS BIGINT), 0.6),
+      | -- declaration-only image subs: visible with zero coverage
+      | (CAST(2 AS BIGINT), 3, 'vobsub', 'deu', CAST(2000 AS BIGINT), 0,
+      |  CAST(0 AS BIGINT), 0.0),
+      | (CAST(3 AS BIGINT), 1, 'srt', CAST(NULL AS VARCHAR),
+      |  CAST(NULL AS BIGINT), 1, CAST(1000 AS BIGINT),
+      |  CAST(NULL AS DOUBLE))
+      |) AS t(doc_id, track_idx, sub_format, declared_lang, duration_ms,
+      |       n_cues, speech_ms, coverage)
+      |ORDER BY doc_id, track_idx""".stripMargin
+
+  /** PGS bitmap plates through the vision stack
+    * ([[graft.operators.Multimodal.imageSubtitleBitmaps]]) — the OCR
+    * seam for image subtitles: each Blu-ray-style display interval's
+    * ODS object decodes (RLE + BT.709 palette, composited on black)
+    * into a PNG the image stack reads. Fixtures: a dual-interval PGS
+    * MKV whose 8×4 plate is half gray(200)/half gray(60) (luma
+    * 130/255), a half-transparent plate (100/255), an interval-only
+    * PGS track (no ODS ever muxed → intervals but no plates), junk.
+    * Every value a closed form of the palette-index grid.
+    */
+  private def q206(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    val rows = Seq(
+      (1L, M.syntheticWebm("video", width = 8, height = 8,
+        durationMs = 3000L, docType = "matroska",
+        imageSubs = Seq(("S_HDMV/PGS", "fre",
+          Seq((0L, 600L), (1000L, 1600L)))),
+        pgsObjects = Map(0 -> ((8, 4, (x: Int, _: Int) =>
+          if (x < 4) 200 else 60))))),
+      (2L, M.syntheticWebm("video", width = 8, height = 8,
+        durationMs = 2000L, docType = "matroska",
+        imageSubs = Seq(("S_HDMV/PGS", "jpn", Seq((0L, 500L)))),
+        pgsObjects = Map(0 -> ((8, 4, (x: Int, _: Int) =>
+          if (x < 4) 200 else 0))))),
+      (3L, M.syntheticWebm("video", width = 8, height = 8,
+        durationMs = 2000L, docType = "matroska",
+        imageSubs = Seq(("S_HDMV/PGS", "deu", Seq((0L, 300L)))))),
+      (4L, "junk".getBytes("UTF-8"))
+    ).toDF("doc_id", "content")
+    val bm = graft.operators.Multimodal.imageSubtitleBitmaps(rows)
+    graft.operators.Multimodal.imageStats(bm, "bitmap")
+      .select(col("doc_id"), col("track_idx"), col("cue_idx"),
+        col("start_ms"), col("end_ms"), col("width"), col("height"),
+        col("stats.ok").as("decodes"),
+        round((col("stats.avg_r") + col("stats.avg_g") +
+          col("stats.avg_b")) / 3.0, 4).as("plate_luma"))
+      .orderBy(col("doc_id"), col("track_idx"), col("cue_idx"))
+  }
+
+  private def pgsBitmapOracle: String =
+    """SELECT * FROM (VALUES
+      | -- half gray(200) / half gray(60): luma (200+60)/2/255
+      | (CAST(1 AS BIGINT), 1, 1, CAST(0 AS BIGINT), CAST(600 AS BIGINT),
+      |  8, 4, TRUE, round((200 + 60) / 2.0 / 255, 4)),
+      | (CAST(1 AS BIGINT), 1, 2, CAST(1000 AS BIGINT),
+      |  CAST(1600 AS BIGINT), 8, 4, TRUE,
+      |  round((200 + 60) / 2.0 / 255, 4)),
+      | -- transparent half composites onto black: 200/2/255
+      | (CAST(2 AS BIGINT), 1, 1, CAST(0 AS BIGINT), CAST(500 AS BIGINT),
+      |  8, 4, TRUE, round(200 / 2.0 / 255, 4))
+      | -- doc 3 declares intervals but muxes no ODS: no plate rows
+      |) AS t(doc_id, track_idx, cue_idx, start_ms, end_ms, width,
+      |       height, decodes, plate_luma)
+      |ORDER BY doc_id, track_idx, cue_idx""".stripMargin
+
+  /** Conversational turn pairs ([[graft.operators.Multimodal
+    * .dialogTurns]]) — voiced-VTT cues merge into speaker turns and
+    * adjacent different-speaker turns within the 5 s gap budget emit
+    * prompt/response pairs. Fixtures: a four-speaker-turn exchange
+    * with a Ben double-cue merge and a 14 s scene cut (same-speaker
+    * resumption never pairs), a sound-tag interruption that must NOT
+    * split Ana's turn, an unvoiced SRT and junk (nothing).
+    */
+  private def q207(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vtt1 = ("WEBVTT\n\n00:00:00.000 --> 00:00:02.000\n" +
+      "<v Ana>hello there\n\n00:00:02.200 --> 00:00:04.000\n" +
+      "<v Ben>hi!\n\n00:00:04.100 --> 00:00:05.000\n" +
+      "<v Ben>how are you\n\n00:00:05.200 --> 00:00:06.000\n" +
+      "<v Ana>fine\n\n00:00:20.000 --> 00:00:21.000\n" +
+      "<v Ana>later scene\n\n00:00:21.200 --> 00:00:22.000\n" +
+      "<v Ben>indeed\n")
+    val vtt2 = ("WEBVTT\n\n00:00:00.000 --> 00:00:01.000\n" +
+      "<v Ana>first half\n\n00:00:01.100 --> 00:00:01.500\n" +
+      "[door slams]\n\n00:00:01.600 --> 00:00:02.000\n" +
+      "<v Ana>second half\n\n00:00:02.100 --> 00:00:03.000\n" +
+      "<v Ben>reply\n")
+    val rows = Seq(
+      (1L, vtt1.getBytes("UTF-8")),
+      (2L, vtt2.getBytes("UTF-8")),
+      (3L, "1\n00:00:01,000 --> 00:00:02,000\nplain\n".getBytes("UTF-8")),
+      (4L, "junk".getBytes("UTF-8"))
+    ).toDF("doc_id", "content")
+    graft.operators.Multimodal.dialogTurns(rows)
+      .orderBy(col("doc_id"), col("turn_idx"))
+  }
+
+  private def dialogTurnsOracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(1 AS BIGINT), 1, CAST(1 AS BIGINT), 'Ana', 'hello there',
+      |  'Ben', 'hi! how are you', CAST(200 AS BIGINT)),
+      | (CAST(1 AS BIGINT), 1, CAST(2 AS BIGINT), 'Ben',
+      |  'hi! how are you', 'Ana', 'fine', CAST(200 AS BIGINT)),
+      | -- the 14 s scene cut breaks Ana's turn; her resumption pairs
+      | -- with Ben's answer, never with her own earlier line
+      | (CAST(1 AS BIGINT), 1, CAST(4 AS BIGINT), 'Ana', 'later scene',
+      |  'Ben', 'indeed', CAST(200 AS BIGINT)),
+      | -- the [door slams] sound tag carries no voice: Ana's halves
+      | -- stay ONE turn
+      | (CAST(2 AS BIGINT), 1, CAST(1 AS BIGINT), 'Ana',
+      |  'first half second half', 'Ben', 'reply', CAST(100 AS BIGINT))
+      |) AS t(doc_id, track_idx, turn_idx, speaker_a, text_a,
+      |       speaker_b, text_b, gap_ms)
+      |ORDER BY doc_id, turn_idx""".stripMargin
+
   private def transPairCorpusOracle: String =
     """SELECT doc_id % 4 AS grp,
       | CAST(count(*) AS BIGINT) AS n_docs,
@@ -7767,7 +7960,10 @@ object SparkEntry {
     "q201_transpairs" -> (q201 _),
     "q202_chapalign" -> (q202 _),
     "q203_dialogcov" -> (q203 _),
-    "q204_tpaircorp" -> (q204 _))
+    "q204_tpaircorp" -> (q204 _),
+    "q205_covtrk" -> (q205 _),
+    "q206_pgsbmp" -> (q206 _),
+    "q207_turns" -> (q207 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -8222,6 +8418,9 @@ object SparkEntry {
     "q202_chapalign" -> chapterAlignedOracle,
     "q203_dialogcov" -> dialogCoverageOracle,
     "q204_tpaircorp" -> transPairCorpusOracle,
+    "q205_covtrk" -> covByTrackOracle,
+    "q206_pgsbmp" -> pgsBitmapOracle,
+    "q207_turns" -> dialogTurnsOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

@@ -972,6 +972,323 @@ object Multimodal {
     }
   } catch { case _: Throwable => None } // per-row isolation
 
+  /** PGS run-length decode → palette indices, row-major w×h (public
+    * segment layout, the one every Blu-ray authoring/decode stack
+    * implements): a non-zero byte is one pixel of that entry; 0x00
+    * escapes — 0x00 0x00 ends the line, low bits of the flag byte
+    * select short/long zero runs (00/01) and short/long colored runs
+    * (10/11). Out-of-bounds writes clip (hostile lengths can't
+    * overrun), truncated data leaves the remainder transparent.
+    */
+  private[graft] def decodePgsRle(d: Array[Byte], w: Int,
+      h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h)
+    var i = 0
+    var x = 0
+    var y = 0
+    while (i < d.length && y < h) {
+      val c = d(i) & 0xff
+      i += 1
+      if (c != 0) {
+        if (x < w) out(y * w + x) = c.toByte
+        x += 1
+      } else if (i < d.length) {
+        val f = d(i) & 0xff
+        i += 1
+        if (f == 0) { y += 1; x = 0 }
+        else {
+          var len = 0
+          var col = 0
+          (f >> 6) match {
+            case 0 => len = f & 0x3f
+            case 1 => if (i < d.length) {
+              len = ((f & 0x3f) << 8) | (d(i) & 0xff); i += 1
+            }
+            case 2 => if (i < d.length) {
+              len = f & 0x3f; col = d(i) & 0xff; i += 1
+            }
+            case _ => if (i + 1 < d.length) {
+              len = ((f & 0x3f) << 8) | (d(i) & 0xff)
+              col = d(i + 1) & 0xff; i += 2
+            }
+          }
+          var k = 0
+          while (k < len && x < w) {
+            if (y < h) out(y * w + x) = col.toByte
+            x += 1; k += 1
+          }
+          x += math.max(0, len - k) // clip, but keep the cursor honest
+        }
+      }
+    }
+    out
+  }
+
+  /** Decoded PGS bitmap cues from a Matroska/WebM file — the OCR/
+    * vision seam for image subtitles: one row per display interval of
+    * every `S_HDMV/PGS` track, `(track_idx, cue_idx, start_ms,
+    * end_ms, width, height, png)`. `track_idx`/`cue_idx` are THE SAME
+    * ordinals [[webmTextTracks]] gives the track's null-text
+    * intervals (same registration walk, same PCS open/clear state
+    * machine), so a bitmap row joins its interval row exactly; a
+    * display whose object never arrived (interval before the first
+    * ODS of a truncated stream) skips its row but keeps its ordinal.
+    * The full display-set state machine: PDS palettes (BT.709
+    * full-range YCrCb, alpha composited onto black — subtitle plates
+    * render for a recognizer, not a compositor), ODS objects with
+    * continuation-fragment stitching, PCS composition referencing
+    * object 0's palette. Pixels re-encode as PNG so the existing
+    * image stack ([[imageStats]], [[dhash64]], [[annotateImages]])
+    * consumes them unchanged. Caps: 2M pixels per object, 4 MiB of
+    * RLE, 100k cues — the walker discipline. None for non-EBML bytes
+    * or no PGS track.
+    */
+  private[graft] def webmPgsBitmaps(
+      b: Array[Byte]): Option[Seq[(Int, Int, Long, Long, Int, Int, Array[Byte])]] = try {
+    if (b == null || b.length < 8 ||
+      !(b(0) == 0x1A.toByte && b(1) == 0x45.toByte &&
+        b(2) == 0xDF.toByte && b(3) == 0xA3.toByte)) return None
+    @inline def vintLen(o: Int): Int = {
+      if (o >= b.length) return -1
+      val b0 = b(o) & 0xff
+      if (b0 == 0) -1 else Integer.numberOfLeadingZeros(b0) - 23
+    }
+    def readId(o: Int): Long = {
+      val n = vintLen(o)
+      if (n < 1 || n > 4 || o + n > b.length) return -1L
+      var v = 0L
+      var i = 0
+      while (i < n) { v = (v << 8) | (b(o + i) & 0xffL); i += 1 }
+      v
+    }
+    def readSize(o: Int): (Long, Int) = {
+      val n = vintLen(o)
+      if (n < 1 || n > 8 || o + n > b.length) return (-2L, 0)
+      var v = (b(o) & 0xff & (0xff >>> n)).toLong
+      var i = 1
+      while (i < n) { v = (v << 8) | (b(o + i) & 0xffL); i += 1 }
+      (if (v == (1L << (7 * n)) - 1) -1L else v, n)
+    }
+    @inline def uintOf(from: Int, until: Int): Long = {
+      var v = 0L
+      var i = from
+      while (i < until) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+      v
+    }
+    var scaleNs = 1000000L
+    var clusterTc = 0L
+    // the SAME registration walk as webmTextTracks, so track_idx
+    // ordinals agree between the interval and bitmap surfaces
+    val subTrackOrder = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val subTracks = scala.collection.mutable.Set.empty[Long]
+    val pgsTracks = scala.collection.mutable.Set.empty[Long]
+    var tNum = -1L
+    var tType = -1
+    var tCodec: String = null
+    // display-set state per PGS track
+    val palettes = scala.collection.mutable
+      .Map.empty[(Long, Int), Map[Int, (Int, Int, Int, Int)]]
+    val objects = scala.collection.mutable
+      .Map.empty[(Long, Int), (Int, Int, java.io.ByteArrayOutputStream)]
+    // open display: start tick, object id, palette id
+    val pgsOpen = scala.collection.mutable.Map.empty[Long, (Long, Int, Int)]
+    val cueIdx = scala.collection.mutable.Map.empty[Long, Int]
+    val out = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, Int, Long, Long, Int, Int, Array[Byte])]
+    var nCues = 0
+    @inline def msOf(tick: Long): Long = tick * scaleNs / 1000000L
+    @inline def clamp(v: Double): Int =
+      math.max(0, math.min(255, math.round(v).toInt))
+    def emit(track: Long, stTick: Long, enTick: Long, objId: Int,
+        palId: Int): Unit = {
+      val k = cueIdx.getOrElse(track, 0) + 1
+      cueIdx(track) = k
+      nCues += 1
+      objects.get((track, objId)).foreach { case (w, h, buf) =>
+        if (w > 0 && h > 0 && w.toLong * h <= 2000000L) {
+          val px = decodePgsRle(buf.toByteArray, w, h)
+          val pal = palettes.getOrElse((track, palId), Map.empty)
+          val lut = Array.tabulate(256) { idx =>
+            pal.get(idx).map { case (yv, cr, cb, a) =>
+              // BT.709 full-range; composite onto black (×a/255)
+              val r = clamp(yv + 1.5748 * (cr - 128)) * a / 255
+              val g = clamp(yv - 0.1873 * (cb - 128) -
+                0.4681 * (cr - 128)) * a / 255
+              val bl = clamp(yv + 1.8556 * (cb - 128)) * a / 255
+              (r << 16) | (g << 8) | bl
+            }.getOrElse(0) // unmapped entries are transparent
+          }
+          val png = renderPng(w, h, (x, y) => lut(px(y * w + x) & 0xff))
+          out += ((track, k, msOf(stTick), msOf(enTick), w, h, png))
+        }
+      }
+    }
+    def pgsBlock(from: Int, until: Int): Unit = {
+      val tn = vintLen(from)
+      if (tn < 1 || tn > 8 || from + tn + 3 > until) return
+      var track = (b(from) & 0xff & (0xff >>> tn)).toLong
+      var i = 1
+      while (i < tn) { track = (track << 8) | (b(from + i) & 0xffL); i += 1 }
+      if (!pgsTracks.contains(track)) return
+      val rel = ((b(from + tn) & 0xff) << 8 | (b(from + tn + 1) & 0xff)).toShort.toLong
+      if ((b(from + tn + 2) & 0x06) != 0) return
+      val tick = clusterTc + rel
+      var p = from + tn + 3
+      // the interval surface honors only the FIRST PCS per block —
+      // same here, or ordinals drift on a hostile two-PCS block
+      var pcsDone = false
+      while (p + 3 <= until) {
+        val typ = b(p) & 0xff
+        val len = ((b(p + 1) & 0xff) << 8) | (b(p + 2) & 0xff)
+        val pay = p + 3
+        if (pay + len > until) return
+        typ match {
+          case 0x14 if len >= 2 => // PDS: id, version, then 5-byte entries
+            val palId = b(pay) & 0xff
+            var e = pay + 2
+            var m = palettes.getOrElse((track, palId),
+              Map.empty[Int, (Int, Int, Int, Int)])
+            while (e + 5 <= pay + len) {
+              m += ((b(e) & 0xff) -> ((b(e + 1) & 0xff, b(e + 2) & 0xff,
+                b(e + 3) & 0xff, b(e + 4) & 0xff)))
+              e += 5
+            }
+            palettes((track, palId)) = m
+          case 0x15 if len >= 4 => // ODS: id(2) ver(1) seq(1) ...
+            val objId = ((b(pay) & 0xff) << 8) | (b(pay + 1) & 0xff)
+            val seqFlag = b(pay + 3) & 0xff
+            if ((seqFlag & 0x80) != 0 && len >= 11) { // first fragment
+              val w = ((b(pay + 7) & 0xff) << 8) | (b(pay + 8) & 0xff)
+              val h = ((b(pay + 9) & 0xff) << 8) | (b(pay + 10) & 0xff)
+              val buf = new java.io.ByteArrayOutputStream()
+              buf.write(b, pay + 11, len - 11)
+              objects((track, objId)) = (w, h, buf)
+            } else objects.get((track, objId)).foreach { case (_, _, buf) =>
+              if (buf.size + len <= 4 * 1024 * 1024)
+                buf.write(b, pay + 4, len - 4) // continuation fragment
+            }
+          case 0x16 if len >= 11 && !pcsDone => // PCS: open/clear
+            pcsDone = true
+            val palId = b(pay + 9) & 0xff
+            val nObjs = b(pay + 10) & 0xff
+            pgsOpen.get(track).foreach { case (st, obj, pal) =>
+              if (nCues < 100000) emit(track, st, tick, obj, pal)
+            }
+            if (nObjs > 0) {
+              // a malformed PCS that declares objects but truncates
+              // the object list still OPENS (the interval surface
+              // opens on the count alone — ordinals must agree)
+              val objId =
+                if (len >= 13)
+                  ((b(pay + 11) & 0xff) << 8) | (b(pay + 12) & 0xff)
+                else 0
+              pgsOpen(track) = (tick, objId, palId)
+            } else pgsOpen.remove(track)
+          case _ => ()
+        }
+        p = pay + len
+      }
+    }
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      if (depth > 16 || nCues >= 100000) return
+      var off = start
+      while (off < end && nCues < 100000) {
+        val id = readId(off)
+        if (id < 0) return
+        val idLen = vintLen(off)
+        val (size, szLen) = readSize(off + idLen)
+        if (szLen == 0) return
+        val body = off + idLen + szLen
+        val isContainer = id match {
+          case 0x1A45DFA3L | 0x18538067L | 0x1549A966L | 0x1654AE6BL |
+               0xAEL | 0x1F43B675L | 0xA0L => true
+          case _ => false
+        }
+        val bodyEnd =
+          if (size < 0) { if (isContainer) end else return }
+          else if (size > end - body) { if (isContainer) end else return }
+          else body + size.toInt
+        id match {
+          case _ if isContainer =>
+            walk(body, bodyEnd, depth + 1)
+            if (id == 0xAEL) {
+              if (tType == 0x11 && tNum > 0 && !subTracks.contains(tNum)) {
+                subTracks += tNum
+                subTrackOrder += tNum
+                if (tCodec != null && tCodec.startsWith("S_HDMV/PGS"))
+                  pgsTracks += tNum
+              }
+              tNum = -1L; tType = -1; tCodec = null
+            }
+          case 0x2AD7B1L =>
+            val v = uintOf(body, bodyEnd)
+            if (v > 0) scaleNs = v
+          case 0xD7L => tNum = uintOf(body, bodyEnd)
+          case 0x83L => tType = uintOf(body, bodyEnd).toInt
+          case 0x86L =>
+            tCodec = new String(b, body, bodyEnd - body, "ISO-8859-1")
+          case 0xE7L => clusterTc = uintOf(body, bodyEnd)
+          case 0xA1L => pgsBlock(body, bodyEnd)
+          case 0xA3L => pgsBlock(body, bodyEnd)
+          case _ => ()
+        }
+        off = bodyEnd
+      }
+    }
+    walk(0, b.length, 0)
+    // open at stream end: zero-length, like the interval surface
+    pgsOpen.foreach { case (track, (st, obj, pal)) =>
+      if (nCues < 100000) emit(track, st, st, obj, pal)
+    }
+    if (out.isEmpty) None
+    else {
+      val trackPos = subTrackOrder.zipWithIndex
+        .map { case (t, i) => t -> (i + 1) }.toMap
+      Some(out.toSeq.map { case (track, k, st, en, w, h, png) =>
+        (trackPos(track), k, st, en, w, h, png)
+      })
+    }
+  } catch { case _: Throwable => None } // per-row isolation
+
+  /** Image-subtitle bitmaps as a DataFrame — the multimodal column
+    * feeding OCR/vision models: one row per decodable PGS display of
+    * every input asset, `(id, track_idx, cue_idx, start_ms, end_ms,
+    * width, height, bitmap)` where `bitmap` is a PNG the existing
+    * image stack decodes ([[imageStats]] for plate statistics,
+    * [[dhash64]] for near-dup plates, [[annotateImages]] as the OCR
+    * transport). track_idx/cue_idx join [[subtitleCuesByTrack]]'s
+    * null-text interval rows exactly. Map-only, per-row-isolated,
+    * same caps as the walkers.
+    */
+  def imageSubtitleBitmaps(df: DataFrame, idCol: String = "doc_id",
+      contentCol: String = "content"): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val idField = inSchema(inSchema.fieldIndex(idCol))
+    val outSchema = StructType(Seq(idField,
+      StructField("track_idx", IntegerType),
+      StructField("cue_idx", IntegerType),
+      StructField("start_ms", LongType),
+      StructField("end_ms", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("bitmap", BinaryType)))
+    val idIdx = inSchema.fieldIndex(idCol)
+    val contentIdx = inSchema.fieldIndex(contentCol)
+    val isBinary = inSchema(contentIdx).dataType == BinaryType
+    val rdd = df.rdd.flatMap { row =>
+      val bytes =
+        if (isBinary && !row.isNullAt(contentIdx))
+          row.getAs[Array[Byte]](contentIdx)
+        else null
+      webmPgsBitmaps(bytes).getOrElse(Nil).map {
+        case (trk, k, st, en, w, h, png) =>
+          Row(row.get(idIdx), trk, k, st, en, w, h, png)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Attached cover art from a Matroska/WebM file — the `Attachments`
     * element (`AttachedFile`: FileMimeType + FileData) the MKA
     * convention stores album art in: the first attachment with an
@@ -1333,7 +1650,12 @@ object Multimodal {
       // image-subtitle tracks after the text ones: (codec id,
       // language, display intervals) — S_HDMV/PGS intervals mux as
       // PCS open/clear display sets; other codecs declare only
-      imageSubs: Seq[(String, String, Seq[(Long, Long)])] = Nil): Array[Byte] = {
+      imageSubs: Seq[(String, String, Seq[(Long, Long)])] = Nil,
+      // imageSubs index -> (w, h, palette-index fn): PGS display sets
+      // gain WDS+PDS+ODS so the open carries a REAL bitmap — palette
+      // entry k is full-range gray Y=k (Cr=Cb=128) opaque, so the
+      // decoded pixel is exactly gray(index)
+      pgsObjects: Map[Int, (Int, Int, (Int, Int) => Int)] = Map.empty): Array[Byte] = {
     require(subCues.isEmpty || subtitleTracks > 0,
       "muxed cues ride the first subtitle track")
     require(subCues2.isEmpty || subtitleTracks > 1,
@@ -1420,7 +1742,8 @@ object Multimodal {
     // PGS display sets as SimpleBlocks: a PCS with one composition
     // object at the interval start, a zero-object PCS at its end
     // (each followed by an END segment, the real stream shape)
-    def pgsBlocks(track: Int, ivs: Seq[(Long, Long)]): Array[Byte] = {
+    def pgsBlocks(track: Int, ivs: Seq[(Long, Long)],
+        bmp: Option[(Int, Int, (Int, Int) => Int)]): Array[Byte] = {
       def seg(typ: Int, payload: Array[Byte]): Array[Byte] =
         Array(typ.toByte, ((payload.length >> 8) & 0xff).toByte,
           (payload.length & 0xff).toByte) ++ payload
@@ -1432,11 +1755,55 @@ object Multimodal {
         val obj = Array[Byte](0, 0, 0, 0, 0, 0, 0, 0)
         seg(0x16, head ++ Array.fill(nObjs)(obj).flatten)
       }
+      // the bitmap half of a display set (real stream order:
+      // PCS, WDS, PDS, ODS, END): one window, the identity-gray
+      // palette over the indices the bitmap uses, object 0 RLE'd
+      val bitmapSegs: Array[Byte] = bmp match {
+        case None => Array.emptyByteArray
+        case Some((w, h, f)) =>
+          val wds = seg(0x17, Array[Byte](1, 0, 0, 0, 0, 0,
+            ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+            ((h >> 8) & 0xff).toByte, (h & 0xff).toByte))
+          val used = (for (y <- 0 until h; x <- 0 until w)
+            yield f(x, y) & 0xff).toSet.filter(_ != 0)
+          val pds = seg(0x14, Array[Byte](0, 0) ++ used.toSeq.sorted
+            .flatMap(k => Seq(k.toByte, k.toByte, 128.toByte,
+              128.toByte, 255.toByte)).toArray)
+          val rle = new java.io.ByteArrayOutputStream()
+          for (y <- 0 until h) {
+            var x = 0
+            while (x < w) {
+              val c = f(x, y) & 0xff
+              var run = 1
+              while (x + run < w && (f(x + run, y) & 0xff) == c) run += 1
+              if (c == 0) {
+                if (run < 64) { rle.write(0); rle.write(run) }
+                else { rle.write(0); rle.write(0x40 | (run >> 8))
+                  rle.write(run & 0xff) }
+              } else if (run <= 2) (0 until run).foreach(_ => rle.write(c))
+              else if (run < 64) { rle.write(0); rle.write(0x80 | run)
+                rle.write(c) }
+              else { rle.write(0); rle.write(0xC0 | (run >> 8))
+                rle.write(run & 0xff); rle.write(c) }
+              x += run
+            }
+            rle.write(0); rle.write(0) // end of line
+          }
+          val rleBytes = rle.toByteArray
+          val odsLen = rleBytes.length + 4
+          val ods = seg(0x15, Array[Byte](0, 0, 0, 0xC0.toByte,
+            ((odsLen >> 16) & 0xff).toByte, ((odsLen >> 8) & 0xff).toByte,
+            (odsLen & 0xff).toByte,
+            ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+            ((h >> 8) & 0xff).toByte, (h & 0xff).toByte) ++ rleBytes)
+          wds ++ pds ++ ods
+      }
       def sblock(tMs: Long, nObjs: Int): Array[Byte] = {
         require(tMs >= 0 && tMs <= 32767,
           "fixture PGS times fit the i16 relative timecode")
         el(0xA3L, Array((0x80 | track).toByte, ((tMs >> 8) & 0xff).toByte,
           (tMs & 0xff).toByte, 0.toByte) ++ pcs(nObjs) ++
+          (if (nObjs > 0) bitmapSegs else Array.emptyByteArray) ++
           seg(0x80, Array.emptyByteArray))
       }
       // en > st writes open + clear; en <= st writes the open ONLY —
@@ -1447,7 +1814,8 @@ object Multimodal {
     }
     val imageBlocks = imageSubs.zipWithIndex.toArray.flatMap {
       case ((cdc, _, ivs), i) =>
-        if (cdc == "S_HDMV/PGS") pgsBlocks(3 + subtitleTracks + i, ivs)
+        if (cdc == "S_HDMV/PGS")
+          pgsBlocks(3 + subtitleTracks + i, ivs, pgsObjects.get(i))
         else Array.emptyByteArray
     }
     val cluster =
@@ -4214,6 +4582,93 @@ object Multimodal {
     * container per row; sidecars and SYLT are inherently
     * single-track.
     */
+  /** Muxed text/image-sub tracks of a binary container — the ONE
+    * container dispatch (Matroska/WebM, ISO-BMFF, ID3 SYLT) shared by
+    * [[textTracksOfRow]]'s per-row surfaces and the card's
+    * [[dialogCoverageOf]] kernel, so the card can never disagree with
+    * [[dialogCoverage]] about what counts as a track.
+    */
+  private[graft] def muxedTextTracks(
+      bytes: Array[Byte]): Option[Seq[(String, String, Seq[SubCue])]] =
+    if (bytes != null && bytes.length >= 8 && bytes(0) == 0x1A.toByte &&
+      bytes(1) == 0x45.toByte && bytes(2) == 0xDF.toByte &&
+      bytes(3) == 0xA3.toByte)
+      // ONE EBML walk: every track's cues ride the declared
+      // language of the SAME track (no cross-stamping). EVERY
+      // declared subtitle track rides through — PGS tracks with
+      // null-text intervals, undecoded image codecs with zero
+      // cues — so per-track surfaces agree with detection
+      webmTextTracks(bytes).map { case (f, tracks) =>
+        tracks.map { case (codecLabel, lang, cues) =>
+          (if (codecLabel == null) f else codecLabel, lang, cues)
+        }
+      }.filter(_.nonEmpty)
+    else if (bytes != null && bytes.length >= 16 && bytes(4) == 'f' &&
+      bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p') {
+      val (tracks, chapRefs) = mp4TextTracks(bytes)
+      val subs = tracks.filter(t =>
+        !chapRefs.contains(t.id) && t.cues.nonEmpty)
+        .map(t => (t.codec, t.lang, t.cues))
+      if (subs.isEmpty) None else Some(subs)
+    }
+    else if (bytes != null && bytes.length >= 10 && bytes(0) == 'I' &&
+      bytes(1) == 'D' && bytes(2) == '3')
+      // synced lyrics ARE cues; the SYLT frame names its language
+      id3SyltCues(bytes).map(c =>
+        Seq(("sylt", declaredTextLang(bytes), c)))
+    else None
+
+  /** Per-asset dialog coverage as a SCALAR — [[dialogCoverage]]'s
+    * `coverage` column for the media card: UNION speech length of the
+    * primary muxed track (first with cues) over the container's
+    * declared duration, rounded to 4; null when the container
+    * declares no positive duration (the fail-closed rule — an
+    * mvhd-less stream asserts nothing). Byte-level and catch-to-null
+    * so the card's projection stays a map-only codegen'd scan.
+    */
+  def dialogCoverageOf(b: Array[Byte]): java.lang.Double = try {
+    if (b == null) return null
+    val dur = containerDurationMs(b)
+    if (dur == null || dur.longValue() <= 0) return null
+    val cues = muxedTextTracks(b).getOrElse(Nil)
+      .find(_._3.nonEmpty).map(_._3).getOrElse(Nil)
+    java.lang.Double.valueOf(
+      math.rint(cueUnionMs(cues).toDouble / dur.longValue() * 10000) / 10000)
+  } catch { case _: Throwable => null } // per-row isolation
+
+  /** [[dialogCoverageOf]] as a Column — codegen'd like
+    * [[subtitleTrackCountCol]], so the card metric rides the same
+    * map-only projection as the other per-row signals.
+    */
+  def dialogCoverageCol(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.bridge.{columnOf, expressionOf}
+    columnOf(DialogCoverageOf(expressionOf(content)))
+  }
+
+  case class DialogCoverageOf(child: org.apache.spark.sql.catalyst.expressions.Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val r = dialogCoverageOf(v.asInstanceOf[Array[Byte]])
+      if (r == null) null else r.doubleValue
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val c = child.genCode(ctx)
+      val boxed = ctx.freshName("dcov")
+      ev.copy(code = code"""
+        ${c.code}
+        java.lang.Double $boxed = ${c.isNull} ? null :
+          graft.operators.Multimodal.dialogCoverageOf(${c.value});
+        final boolean ${ev.isNull} = $boxed == null;
+        final double ${ev.value} = ${ev.isNull} ? 0.0 : $boxed.doubleValue();""")
+    }
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression): DialogCoverageOf = copy(c)
+  }
+
   private def textTracksOfRow(row: Row, contentIdx: Int,
       isBinary: Boolean,
       allTracks: Boolean): Seq[(Int, String, String, Seq[SubCue])] = {
@@ -4221,34 +4676,7 @@ object Multimodal {
       if (isBinary && !row.isNullAt(contentIdx))
         row.getAs[Array[Byte]](contentIdx)
       else null
-    val muxed: Option[Seq[(String, String, Seq[SubCue])]] =
-      if (bytes != null && bytes.length >= 8 && bytes(0) == 0x1A.toByte &&
-        bytes(1) == 0x45.toByte && bytes(2) == 0xDF.toByte &&
-        bytes(3) == 0xA3.toByte)
-        // ONE EBML walk: every track's cues ride the declared
-        // language of the SAME track (no cross-stamping). EVERY
-        // declared subtitle track rides through — PGS tracks with
-        // null-text intervals, undecoded image codecs with zero
-        // cues — so per-track surfaces agree with detection
-        webmTextTracks(bytes).map { case (f, tracks) =>
-          tracks.map { case (codecLabel, lang, cues) =>
-            (if (codecLabel == null) f else codecLabel, lang, cues)
-          }
-        }.filter(_.nonEmpty)
-      else if (bytes != null && bytes.length >= 16 && bytes(4) == 'f' &&
-        bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p') {
-        val (tracks, chapRefs) = mp4TextTracks(bytes)
-        val subs = tracks.filter(t =>
-          !chapRefs.contains(t.id) && t.cues.nonEmpty)
-          .map(t => (t.codec, t.lang, t.cues))
-        if (subs.isEmpty) None else Some(subs)
-      }
-      else if (bytes != null && bytes.length >= 10 && bytes(0) == 'I' &&
-        bytes(1) == 'D' && bytes(2) == '3')
-        // synced lyrics ARE cues; the SYLT frame names its language
-        id3SyltCues(bytes).map(c =>
-          Seq(("sylt", declaredTextLang(bytes), c)))
-      else None
+    val muxed = muxedTextTracks(bytes)
     val parsed = muxed.orElse {
       if (isBinary && bytes != null && knownBinaryMagic(bytes)) None
       else {
@@ -4502,18 +4930,7 @@ object Multimodal {
       // intervals) — a declaration-only image track still counts in
       // n_tracks but cannot be the speech source
       val cues = tracks.find(_._4.nonEmpty).map(_._4).getOrElse(Nil)
-      // union length of the primary track's intervals: sort by
-      // start, sweep — O(cues log cues) per row, cue-capped upstream
-      var speech = 0L
-      var curS = Long.MinValue
-      var curE = Long.MinValue
-      cues.sortBy(c => (c.startMs, c.endMs)).foreach { c =>
-        if (c.startMs > curE) {
-          if (curE > curS) speech += curE - curS
-          curS = c.startMs; curE = c.endMs
-        } else if (c.endMs > curE) curE = c.endMs
-      }
-      if (curE > curS) speech += curE - curS
+      val speech = cueUnionMs(cues)
       val dur: java.lang.Long =
         if (isBinary && !row.isNullAt(contentIdx))
           containerDurationMs(row.getAs[Array[Byte]](contentIdx))
@@ -4527,6 +4944,138 @@ object Multimodal {
         coverage)
     }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** UNION length of cue intervals in ms — overlapping/duplicate
+    * cues count once (karaoke repeats and stacked positioning cues
+    * don't inflate it): sort by start, sweep — O(cues log cues),
+    * cue-capped upstream. The one speech-length kernel behind
+    * [[dialogCoverage]], [[dialogCoverageByTrack]] and the card's
+    * `avg_dialog_coverage`, so the three can never disagree.
+    */
+  private[graft] def cueUnionMs(cues: Seq[SubCue]): Long = {
+    var speech = 0L
+    var curS = Long.MinValue
+    var curE = Long.MinValue
+    cues.sortBy(c => (c.startMs, c.endMs)).foreach { c =>
+      if (c.startMs > curE) {
+        if (curE > curS) speech += curE - curS
+        curS = c.startMs; curE = c.endMs
+      } else if (c.endMs > curE) curE = c.endMs
+    }
+    if (curE > curS) speech += curE - curS
+    speech
+  }
+
+  /** [[dialogCoverage]] per TRACK — the gate a bilingual clip miner
+    * actually filters on: a dubbed release's coverage is
+    * per-language, and "mine eng+fre pairs where BOTH tracks cover
+    * >= X%" needs each track's own ratio, not the primary's. One row
+    * per declared text/image-sub track:
+    * (id, track_idx, sub_format, declared_lang, duration_ms, n_cues,
+    * speech_ms, coverage) — declaration-only tracks (undecoded image
+    * codecs) report zero cues and zero coverage rather than
+    * vanishing, the [[webmTextTracks]] honesty rule. Assets with no
+    * tracks emit nothing (the per-asset [[dialogCoverage]] reports
+    * those). Same map-only, per-row-isolated shape.
+    */
+  def dialogCoverageByTrack(df: DataFrame, idCol: String = "doc_id",
+      contentCol: String = "content"): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val idField = inSchema(inSchema.fieldIndex(idCol))
+    val outSchema = StructType(Seq(idField,
+      StructField("track_idx", IntegerType),
+      StructField("sub_format", StringType),
+      StructField("declared_lang", StringType),
+      StructField("duration_ms", LongType),
+      StructField("n_cues", IntegerType),
+      StructField("speech_ms", LongType),
+      StructField("coverage", DoubleType)))
+    val idIdx = inSchema.fieldIndex(idCol)
+    val contentIdx = inSchema.fieldIndex(contentCol)
+    val isBinary = inSchema(contentIdx).dataType == BinaryType
+    val rdd = df.rdd.flatMap { row =>
+      val tracks = textTracksOfRow(row, contentIdx, isBinary,
+        allTracks = true)
+      if (tracks.isEmpty) Nil
+      else {
+        val dur: java.lang.Long =
+          if (isBinary && !row.isNullAt(contentIdx))
+            containerDurationMs(row.getAs[Array[Byte]](contentIdx))
+          else null
+        tracks.map { case (trk, fmt, lang, cues) =>
+          val speech = cueUnionMs(cues)
+          val coverage: java.lang.Double =
+            if (dur == null || dur.longValue() <= 0) null
+            else java.lang.Double.valueOf(
+              math.rint(speech.toDouble / dur.longValue() * 10000) / 10000)
+          Row(row.get(idIdx), trk, fmt, lang, dur,
+            Integer.valueOf(cues.length), speech, coverage)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Conversational turn pairs from speaker-attributed cues — the
+    * instruction-tuning miner over [[subtitleCuesByTrack]]'s
+    * `speaker` column (WebVTT `<v Name>` voice spans): consecutive
+    * voiced cues of ONE speaker merge into a turn (text joined in
+    * time order), and each adjacent turn pair with DIFFERENT speakers
+    * whose gap (next start − previous end; negative = crosstalk) is
+    * at most `maxGapMs` emits
+    * (id, track_idx, turn_idx, speaker_a, text_a, speaker_b, text_b,
+    * gap_ms) — the prompt/response adjacency a dialog model trains
+    * on. Unvoiced cues (narration, SDH sound tags, plain tracks)
+    * carry no attribution and are skipped; a long-silence scene cut
+    * (> maxGapMs) breaks the exchange rather than pairing strangers.
+    *
+    * Scale shape: one map-only cue scan, then per-(asset, track)
+    * PARTITIONED windows (lag for turn starts, running sum for turn
+    * ids, lead for the next turn) and one groupBy — every shuffle
+    * keys on the asset id, nothing crosses assets, no global window
+    * anywhere. Turn text is assembled with `sort_array` INSIDE the
+    * aggregate, so it is deterministic under any partitioning.
+    */
+  def dialogTurns(df: DataFrame, idCol: String = "doc_id",
+      contentCol: String = "content",
+      maxGapMs: Long = 5000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cues = subtitleCuesByTrack(df, idCol, contentCol)
+      .filter(col("speaker").isNotNull)
+    val w = Window.partitionBy(col(idCol), col("track_idx"))
+      .orderBy(col("start_ms"), col("cue_idx"))
+    val turns = cues
+      // a new turn on speaker change OR a silence longer than the
+      // gap budget (a same-speaker line after a scene cut is a new
+      // utterance, not a continuation — the split pair then fails
+      // the different-speaker gate and never emits)
+      .withColumn("__new",
+        when(lag(col("speaker"), 1).over(w) <=> col("speaker") &&
+          col("start_ms") - lag(col("end_ms"), 1).over(w) <=
+            lit(maxGapMs), 0L)
+          .otherwise(1L))
+      .withColumn("turn_idx", sum(col("__new")).over(w))
+      .groupBy(col(idCol), col("track_idx"), col("turn_idx"))
+      .agg(min(col("speaker")).as("speaker"), // constant within a turn
+        min(col("start_ms")).as("start_ms"),
+        max(col("end_ms")).as("end_ms"),
+        array_join(transform(sort_array(collect_list(struct(
+          col("start_ms").as("s"), col("cue_idx").as("k"),
+          col("text").as("t")))), x => x.getField("t")), " ").as("text"))
+    val w2 = Window.partitionBy(col(idCol), col("track_idx"))
+      .orderBy(col("turn_idx"))
+    turns
+      .withColumn("speaker_b", lead(col("speaker"), 1).over(w2))
+      .withColumn("text_b", lead(col("text"), 1).over(w2))
+      .withColumn("gap_ms", lead(col("start_ms"), 1).over(w2) - col("end_ms"))
+      .filter(col("speaker_b").isNotNull &&
+        col("speaker_b") =!= col("speaker") &&
+        col("gap_ms") <= lit(maxGapMs))
+      .select(col(idCol), col("track_idx"), col("turn_idx"),
+        col("speaker").as("speaker_a"), col("text").as("text_a"),
+        col("speaker_b"), col("text_b"), col("gap_ms"))
   }
 
   /** Serialize cues back to an SRT file — the export half of
@@ -6664,16 +7213,24 @@ object Multimodal {
     * addendum every podcast app writes): elementID (latin-1, NUL),
     * u32 start/end ms, u32 start/end byte offsets (ignored), then
     * EMBEDDED sub-frames — the title is the embedded `TIT2` when
-    * present, else the elementID. Chapters sort by start; v2.3 and
+    * present, else the elementID. When a `CTOC` table of contents is
+    * present, its child-element order IS the chapter order (the
+    * addendum's point: the toc, not file offsets or timestamps,
+    * declares the listing) — the first top-level (`0x02`-flagged)
+    * CTOC wins, CHAPs it doesn't list append in start order, and
+    * without any CTOC chapters sort by start as before. v2.3 and
     * v2.4 embedded-frame size formats both handled. None when no
     * tag or no CHAP frame.
     */
   private[graft] def id3Chapters(b: Array[Byte]): Option[Seq[SubCue]] = try {
-    val raw = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val raw = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, String)]
     val frames = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Int, Int)]
+    val tocs = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Int, Int)]
     val ver = id3FrameWalk(b) { (id, frame, from, until) =>
       if (id == "CHAP" && until - from >= 17 && frames.size < 10000)
         frames += ((frame, from, until))
+      else if (id == "CTOC" && until - from >= 3 && tocs.size < 64)
+        tocs += ((frame, from, until))
     }
     if (ver < 0 || frames.isEmpty) return None
     frames.foreach { case (frame, from, until) =>
@@ -6715,12 +7272,45 @@ object Multimodal {
         }
         if (en >= st)
           raw += ((st, en, if (title != null && title.nonEmpty) title
-          else elementId))
+          else elementId, elementId))
       }
     }
-    if (raw.isEmpty) None
-    else Some(raw.sortBy(r => (r._1, r._2)).toSeq.zipWithIndex.map {
-      case ((st, en, t), k) => SubCue(k + 1, st, en, t)
+    if (raw.isEmpty) return None
+    // CTOC payload: elementID NUL, flags (0x02 top-level, 0x01
+    // ordered), entry count, child elementIDs NUL each
+    def tocChildren(t: (Array[Byte], Int, Int)): (Boolean, Seq[String]) = {
+      val (frame, from, until) = t
+      var p = from
+      while (p < until && frame(p) != 0) p += 1
+      if (p + 3 > until) return (false, Nil)
+      val flags = frame(p + 1) & 0xff
+      val n = frame(p + 2) & 0xff
+      p += 3
+      val ids = scala.collection.mutable.ArrayBuffer.empty[String]
+      var k = 0
+      while (k < n && p < until) {
+        val s = p
+        while (p < until && frame(p) != 0) p += 1
+        ids += new String(frame, s, p - s, "ISO-8859-1")
+        p += 1; k += 1
+      }
+      ((flags & 0x02) != 0, ids.toSeq)
+    }
+    val parsedTocs = tocs.map(tocChildren).filter(_._2.nonEmpty)
+    val tocOrder: Option[Map[String, Int]] =
+      parsedTocs.find(_._1).orElse(parsedTocs.headOption)
+        .map(_._2.zipWithIndex.toMap)
+    val sorted = raw.sortBy(r => (r._1, r._2)).toSeq
+    val ordered = tocOrder match {
+      case Some(pos) =>
+        // stable: listed chapters in toc position, the rest (CHAPs
+        // the toc doesn't mention) keep their start order after
+        val (listed, rest) = sorted.partition(r => pos.contains(r._4))
+        listed.sortBy(r => pos(r._4)) ++ rest
+      case None => sorted
+    }
+    Some(ordered.zipWithIndex.map {
+      case ((st, en, t, _), k) => SubCue(k + 1, st, en, t)
     })
   } catch { case _: Throwable => None } // per-row isolation
 
@@ -7394,7 +7984,8 @@ object Multimodal {
       chapters: Seq[(Long, Long, String)] = Nil,
       syltFormat: Int = 2,
       syncedLyrics2: Seq[(Long, String)] = Nil,
-      syltFormat2: Int = 2): Array[Byte] = {
+      syltFormat2: Int = 2,
+      ctocOrder: Seq[Int] = Nil): Array[Byte] = {
     require(version == 2 || version == 3 || version == 4, s"version: $version")
     def rawFrame(id: String, payload0: Array[Byte]): Array[Byte] = {
       // v2.4: unsync is per-frame; the stored size counts stuffed bytes
@@ -7501,8 +8092,28 @@ object Multimodal {
           rawFrame("CHAP", out.toByteArray)
         }
       }
+    // CTOC (optional): a top-level + ordered toc whose child ids are
+    // the CHAP elementIDs `chp<i>` in the given index order — the
+    // declared listing a podcast app renders, independent of CHAP
+    // frame order or timestamps
+    val ctocFrame =
+      if (ctocOrder.isEmpty) Array.emptyByteArray
+      else {
+        require(version >= 3 && chapters.nonEmpty,
+          "CTOC needs v2.3+ and CHAP frames to reference")
+        val out = new java.io.ByteArrayOutputStream()
+        val eid = "toc".getBytes("ISO-8859-1")
+        out.write(eid, 0, eid.length); out.write(0)
+        out.write(0x03) // top-level | ordered
+        out.write(ctocOrder.length)
+        ctocOrder.foreach { i =>
+          val c = s"chp$i".getBytes("ISO-8859-1")
+          out.write(c, 0, c.length); out.write(0)
+        }
+        rawFrame("CTOC", out.toByteArray)
+      }
     val frames0 = ids.flatMap { case (id, v) => frame(id, v) }.toArray ++
-      apicFrame ++ lyricsFrame ++ syltFrame ++ chapFrames
+      apicFrame ++ lyricsFrame ++ syltFrame ++ ctocFrame ++ chapFrames
     // v2.2/v2.3: unsync applies to the whole composed tag
     val frames =
       if (unsync && version != 4) id3Unsync(frames0) else frames0
@@ -8353,7 +8964,11 @@ object Multimodal {
         when(aud.getField("ok") && audioChaptersPresentCol(col(contentCol)), 1L)
           .otherwise(0L).as("__hchap"),
         when(img.getField("ok") && imageThumbPresentCol(col(contentCol)), 1L)
-          .otherwise(0L).as("__hthumb"))
+          .otherwise(0L).as("__hthumb"),
+        // q203's per-asset quality ratio as a corpus share: null
+        // without a declared container duration (fail-closed), so
+        // the average reads over videos that actually assert one
+        when(isVideo, dec(dialogCoverageCol(col(contentCol)))).as("__dcov"))
       .groupBy(col("__g"))
       .agg(
         count(lit(1)).as("n"),
@@ -8376,7 +8991,8 @@ object Multimodal {
         sum(col("__hlyr")).as("nhlyr"),
         sum(col("__hsub")).as("nhsub"),
         sum(col("__hchap")).as("nhchap"),
-        sum(col("__hthumb")).as("nhthumb"))
+        sum(col("__hthumb")).as("nhthumb"),
+        sum(col("__dcov")).as("dcovsum"), count(col("__dcov")).as("dcovcnt"))
   }
 
   /** Derive the long-format card from the monoid frame — shared by
@@ -8403,6 +9019,7 @@ object Multimodal {
         round(col("dursum").cast("double") / col("durcnt") / 1000.0, 4)),
       lit("avg_audio_hz"), avgOf("hzsum", "hzcnt", 2),
       lit("avg_video_keyframes"), avgOf("vkeysum", "vkeycnt", 2),
+      lit("avg_dialog_coverage"), avgOf("dcovsum", "dcovcnt", 4),
       lit("pct_image_gps"),
       when(col("ni") > 0, round(col("ngps").cast("double") / col("ni"), 4)),
       lit("pct_image_with_text"),
@@ -8441,7 +9058,7 @@ object Multimodal {
     // zero-coverage lies) — refuse loudly, like the signature-store
     // kernel-version stamp
     val missing = Seq("nhtext", "nhart", "nhlyr", "nhsub", "nhchap",
-      "nhthumb").filterNot(both.columns.contains)
+      "nhthumb", "dcovsum", "dcovcnt").filterNot(both.columns.contains)
     require(missing.isEmpty,
       s"media-card state predates the declared-text coverage metrics " +
         s"(missing ${missing.mkString(", ")}) — rebuild the state with " +
@@ -8461,7 +9078,8 @@ object Multimodal {
       sum(col("vkeysum")).as("vkeysum"), sum(col("vkeycnt")).as("vkeycnt"),
       sum(col("nhtext")).as("nhtext"), sum(col("nhart")).as("nhart"),
       sum(col("nhlyr")).as("nhlyr"), sum(col("nhsub")).as("nhsub"),
-      sum(col("nhchap")).as("nhchap"), sum(col("nhthumb")).as("nhthumb"))
+      sum(col("nhchap")).as("nhchap"), sum(col("nhthumb")).as("nhthumb"),
+      sum(col("dcovsum")).as("dcovsum"), sum(col("dcovcnt")).as("dcovcnt"))
   }
 
   /** Incremental [[mediaCard]] — the daily-multimodal-ingest form

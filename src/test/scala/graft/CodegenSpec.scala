@@ -179,6 +179,7 @@ class CodegenSpec extends SparkSpec {
       M.audioHash64Col(col("b")),
       M.textinessCol(col("b")),
       M.videoKeyframesCol(col("b")),
+      M.dialogCoverageCol(col("b")),
       M.scrubGpsCol(col("b")),
       M.videoGpsPresentCol(col("b")),
       M.scrubVideoGpsCol(col("b")),
@@ -213,6 +214,7 @@ class CodegenSpec extends SparkSpec {
         M.mediaLinkHash64Col(col("img")).as("mlh"), // == dh for raw images
         M.subtitleTrackCountCol(col("img")).as("stc"), // null for images
         M.declaredTextLangCol(col("img")).as("dtl"), // null for images
+        M.dialogCoverageCol(col("img")).as("dcv"), // 0.0 for the cue-less mp4
         CatalystExpressions.matVec(col("vec"),
           Array(Array(0.0, 1.0), Array(1.0, 0.0))).as("mv"),
         CatalystExpressions.countInSet(col("toks"), Seq("a", "c")).as("cis"))

@@ -2605,6 +2605,26 @@ class SemanticSpec extends SparkSpec {
     ).toDF("doc_id", "content")).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(out == Set((1L, "id3"), (2L, "matroska"), (3L, "chpl")))
+    // CTOC: the toc's child order IS the listing — chp0 (starts at
+    // 60 s) leads because the toc says so, start-sort be damned
+    val flipped = Seq((60000L, 150000L, "Bonus"), (0L, 60000L, "Open"))
+    def tocMp3(order: Seq[Int]) =
+      M.syntheticId3(4, "T", "A", "B", chapters = flipped,
+        ctocOrder = order) ++
+        M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))
+    assert(M.id3Chapters(tocMp3(Seq(0, 1))).get.map(_.text) ==
+      Seq("Bonus", "Open"))
+    assert(M.id3Chapters(tocMp3(Seq(1, 0))).get.map(_.text) ==
+      Seq("Open", "Bonus"))
+    // a toc listing only SOME chapters: listed lead, rest append in
+    // start order; unknown ids in the toc are ignored
+    assert(M.id3Chapters(tocMp3(Seq(0))).get.map(_.text) ==
+      Seq("Bonus", "Open"))
+    // no CTOC: start-sort fallback unchanged
+    assert(M.id3Chapters(M.syntheticId3(4, "T", "A", "B",
+      chapters = flipped) ++
+      M.syntheticMp3(3, 2, 1, Seq((9, Seq(100, 101))))).get.map(_.text) ==
+      Seq("Open", "Bonus"))
   }
 
   test("review sweep: minf data-handler hdlr, nested ChapterAtoms, fraction scaling, SHORT thumb length, long LRC, binary gate") {
@@ -3376,6 +3396,67 @@ class SemanticSpec extends SparkSpec {
     assert(otk.head._3.map(c => (c.startMs, c.endMs)) == Seq((500L, 500L)))
   }
 
+  test("PGS bitmap decode: ODS plates reach the image stack, ordinals align with intervals") {
+    val M = Multimodal
+    import spark.implicits._
+    // 8x4 plate, left half palette 200, right half palette 60 — the
+    // identity-gray palette makes the decoded pixel gray(index)
+    val mkv = M.syntheticWebm("video", width = 8, height = 8,
+      durationMs = 3000L, docType = "matroska",
+      imageSubs = Seq(("S_HDMV/PGS", "fre",
+        Seq((0L, 600L), (1000L, 1600L)))),
+      pgsObjects = Map(0 -> ((8, 4, (x, _) => if (x < 4) 200 else 60))))
+    val Some(rows) = M.webmPgsBitmaps(mkv)
+    assert(rows.map(r => (r._1, r._2, r._3, r._4, r._5, r._6)) ==
+      Seq((1, 1, 0L, 600L, 8, 4), (1, 2, 1000L, 1600L, 8, 4)))
+    // the plates are REAL PNGs the existing image stack decodes
+    val df = Seq((1L, mkv)).toDF("doc_id", "content")
+    val bm = M.imageSubtitleBitmaps(df)
+    val st = M.imageStats(bm, "bitmap")
+      .select(col("cue_idx"), col("stats.ok"), col("stats.avg_r"),
+        col("stats.avg_g"), col("stats.avg_b")).collect()
+    assert(st.length == 2 && st.forall(_.getBoolean(1)))
+    st.foreach { r =>
+      Seq(2, 3, 4).foreach(i =>
+        assert(math.abs(r.getDouble(i) - 130.0 / 255) < 1e-6, r.toString))
+    }
+    // ordinal contract: bitmap rows join the null-text interval rows
+    val ivs = M.subtitleCuesByTrack(df)
+      .select(col("track_idx"), col("cue_idx"), col("start_ms"),
+        col("end_ms")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows.map(r => (r._1, r._2, r._3, r._4)).toSet == ivs)
+    // transparent pixels composite onto black: right half index 0
+    // (absent from the palette) -> avg gray 100/255
+    val half = M.syntheticWebm("video", width = 8, height = 8,
+      durationMs = 2000L, docType = "matroska",
+      imageSubs = Seq(("S_HDMV/PGS", "jpn", Seq((0L, 500L)))),
+      pgsObjects = Map(0 -> ((8, 4, (x, _) => if (x < 4) 200 else 0))))
+    val Some(hr) = M.webmPgsBitmaps(half)
+    val hs = M.imageStats(M.imageSubtitleBitmaps(
+      Seq((2L, half)).toDF("doc_id", "content")), "bitmap")
+      .select(col("stats.avg_r")).collect()
+    assert(hr.length == 1 &&
+      math.abs(hs.head.getDouble(0) - 100.0 / 255) < 1e-6)
+    // a display left open at stream end keeps its plate, zero-length
+    val open = M.syntheticWebm("video", width = 8, height = 8,
+      durationMs = 2000L, docType = "matroska",
+      imageSubs = Seq(("S_HDMV/PGS", "jpn", Seq((500L, 500L)))),
+      pgsObjects = Map(0 -> ((4, 2, (_, _) => 77))))
+    val Some(or) = M.webmPgsBitmaps(open)
+    assert(or.map(r => (r._3, r._4, r._5, r._6)) == Seq((500L, 500L, 4, 2)))
+    // interval-only PGS (no ODS ever muxed): intervals exist, no
+    // bitmap rows — and junk/no-PGS inputs are None, never throw
+    val bare = M.syntheticWebm("video", width = 8, height = 8,
+      durationMs = 2000L, docType = "matroska",
+      imageSubs = Seq(("S_HDMV/PGS", "deu", Seq((0L, 300L)))))
+    assert(M.webmPgsBitmaps(bare).isEmpty)
+    assert(M.subtitleCuesByTrack(Seq((3L, bare)).toDF("doc_id", "content"))
+      .count() == 1)
+    assert(M.webmPgsBitmaps("junk".getBytes("UTF-8")).isEmpty)
+    assert(M.webmPgsBitmaps(null).isEmpty)
+  }
+
   test("parseTtml/parseSbv: sidecar dispatch, root discipline, hostiles") {
     val M = Multimodal
     val ttml = """<?xml version="1.0"?>
@@ -3620,6 +3701,100 @@ class SemanticSpec extends SparkSpec {
     assert(shifted.head.startMs == 1200L, s"got ${shifted.head}")
   }
 
+  test("dialogTurns: voiced cues merge into turns, adjacent different-speaker turns pair") {
+    val M = Multimodal
+    import spark.implicits._
+    val vtt = """WEBVTT
+
+00:00:00.000 --> 00:00:02.000
+<v Ana>hello there
+
+00:00:02.200 --> 00:00:04.000
+<v Ben>hi!
+
+00:00:04.100 --> 00:00:05.000
+<v Ben>how are you
+
+00:00:05.200 --> 00:00:06.000
+<v Ana>fine
+
+00:00:20.000 --> 00:00:21.000
+<v Ana>later scene
+
+00:00:21.200 --> 00:00:22.000
+<v Ben>indeed
+"""
+    val rows = M.dialogTurns(Seq((1L, vtt.getBytes("UTF-8")))
+      .toDF("doc_id", "content")).orderBy("turn_idx").collect()
+    // Ben's two cues merge into one turn; Ana's post-cut line is a
+    // NEW turn (14 s silence > the 5 s budget) so fine->later-scene
+    // never pairs (same speaker); three exchanges survive
+    assert(rows.map(r => (r.getString(3), r.getString(4), r.getString(5),
+      r.getString(6), r.getLong(7))).toSeq == Seq(
+      ("Ana", "hello there", "Ben", "hi! how are you", 200L),
+      ("Ben", "hi! how are you", "Ana", "fine", 200L),
+      ("Ana", "later scene", "Ben", "indeed", 200L)))
+    // an unvoiced cue between voiced ones is skipped, not a break;
+    // an unvoiced track emits nothing
+    val mixed = """WEBVTT
+
+00:00:00.000 --> 00:00:01.000
+<v Ana>first half
+
+00:00:01.100 --> 00:00:01.500
+[door slams]
+
+00:00:01.600 --> 00:00:02.000
+<v Ana>second half
+
+00:00:02.100 --> 00:00:03.000
+<v Ben>reply
+"""
+    val m = M.dialogTurns(Seq((2L, mixed.getBytes("UTF-8")),
+      (3L, "1\n00:00:01,000 --> 00:00:02,000\nplain\n".getBytes("UTF-8")))
+      .toDF("doc_id", "content")).collect()
+    assert(m.map(r => (r.getLong(0), r.getString(4), r.getString(6)))
+      .toSeq == Seq((2L, "first half second half", "reply")))
+  }
+
+  test("dialogCoverageByTrack: every track's own ratio, never the primary's") {
+    val M = Multimodal
+    import spark.implicits._
+    // dubbed release: eng covers 1500/3000, the fre dub only 300/3000
+    val two = M.syntheticWebm("video", width = 8, height = 8,
+      durationMs = 3000L, subtitleTracks = 2,
+      subLang = Some("eng"), subLang2 = Some("fre"),
+      subCues = Seq((0L, 1000L, "a"), (800L, 1500L, "b")),
+      subCues2 = Seq((100L, 400L, "un")))
+    val rows = M.dialogCoverageByTrack(
+      Seq((1L, two)).toDF("doc_id", "content"))
+      .orderBy("track_idx").collect()
+    assert(rows.map(r => (r.getInt(1), r.getString(3), r.getInt(5),
+      r.getLong(6), r.getDouble(7))).toSeq ==
+      Seq((1, "eng", 2, 1500L, 0.5), (2, "fre", 1, 300L, 0.1)))
+    // a declaration-only VobSub track reports zero, not nothing;
+    // PGS intervals carry real coverage
+    val img = M.syntheticWebm("video", width = 8, height = 8,
+      durationMs = 2000L, docType = "matroska",
+      imageSubs = Seq(("S_HDMV/PGS", "jpn", Seq((0L, 500L))),
+        ("S_VOBSUB", "deu", Nil)))
+    val irows = M.dialogCoverageByTrack(
+      Seq((2L, img)).toDF("doc_id", "content"))
+      .orderBy("track_idx").collect()
+    assert(irows.map(r => (r.getString(2), r.getString(3), r.getInt(5),
+      r.getDouble(7))).toSeq ==
+      Seq(("pgs", "jpn", 1, 0.25), ("vobsub", "deu", 0, 0.0)))
+    // sidecars have no container duration: coverage is null, the
+    // track row still shows its cues; junk emits nothing
+    val side = M.dialogCoverageByTrack(Seq(
+      (3L, "1\n00:00:01,000 --> 00:00:02,000\nx\n".getBytes("UTF-8")),
+      (4L, "junk".getBytes("UTF-8"))).toDF("doc_id", "content"))
+      .collect()
+    assert(side.length == 1 && side.head.getString(2) == "srt" &&
+      side.head.isNullAt(4) && side.head.getLong(6) == 1000L &&
+      side.head.isNullAt(7))
+  }
+
   test("dialogCoverage: interval union, container durations, degenerate rows") {
     val M = Multimodal
     def gray(v: Int): Int = (v << 16) | (v << 8) | v
@@ -3645,6 +3820,15 @@ class SemanticSpec extends SparkSpec {
     assert(M.containerDurationMs(M.syntheticMp4TimedText(
       Seq.fill(10)(frame), Seq((0L, 100L, "c")))) == 400L)
     assert(M.containerDurationMs("junk".getBytes("UTF-8")) == null)
+    // the card's avg_dialog_coverage rides the SAME kernel:
+    // webm 1500/5000, two-track 400/2000 -> avg(0.3, 0.2) = 0.25;
+    // a duration-less container contributes nothing, not zero
+    assert(M.dialogCoverageOf(webm) == 0.3 && M.dialogCoverageOf(two) == 0.2)
+    assert(M.dialogCoverageOf("junk".getBytes("UTF-8")) == null)
+    val card = M.mediaCard(Seq(("g", webm), ("g", two))
+      .toDF("source", "content"), "content", "source").collect()
+      .find(_.getString(1) == "avg_dialog_coverage").get
+    assert(card.getDouble(2) == 0.25)
   }
 
   test("formatTtml/formatSbv: the round-15 writers round-trip") {
