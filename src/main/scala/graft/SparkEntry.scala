@@ -7578,6 +7578,118 @@ object SparkEntry {
       .orderBy(col("grp"))
   }
 
+  /** Corpus-scale conversational mining ([[graft.operators.Multimodal
+    * .dialogTurns]] over a synthesized voiced-VTT corpus) — the
+    * 100 TB plan check for q207's operator: a transcript for every
+    * SECOND `documents` row with `1 + id%3` Ana→Ben exchanges (200 ms
+    * reply gaps; 2 s scene gaps between exchanges also pair), one
+    * map-only transcript scan, per-asset partitioned windows, ONE
+    * aggregate. Oracle = doc_id arithmetic: pairs per doc = 2k−1,
+    * Ana-led = k, gap sum = k·200 + (k−1)·2000. PlanAudit locks the
+    * job count as pipeline-constant.
+    */
+  private def q208(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Scale.parallelismFloor(
+      t(s, dir, "documents").select(col("doc_id")))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.StringType)))
+    val rdd = docs.rdd.flatMap { r =>
+      val id = r.getLong(0)
+      if (id % 2 != 0) Nil
+      else {
+        val k = 1 + (id % 3).toInt
+        val sb = new StringBuilder("WEBVTT\n\n")
+        (0 until k).foreach { j =>
+          val s0 = j * 4
+          sb.append(f"00:00:$s0%02d.000 --> 00:00:${s0 + 1}%02d.000\n")
+          sb.append(s"<v Ana>ask $j $id\n\n")
+          sb.append(f"00:00:${s0 + 1}%02d.200 --> 00:00:${s0 + 2}%02d.000\n")
+          sb.append(s"<v Ben>answer $j $id\n\n")
+        }
+        Seq(org.apache.spark.sql.Row(id, sb.toString))
+      }
+    }
+    val assets = s.createDataFrame(rdd, schema)
+    graft.operators.Multimodal.dialogTurns(assets, "doc_id", "content")
+      .groupBy((col("doc_id") % 4).as("grp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("speaker_a") === "Ana", 1L).otherwise(0L))
+          .as("ana_pairs"),
+        sum(col("gap_ms")).as("gap_ms"))
+      .orderBy(col("grp"))
+  }
+
+  private def turnsCorpusOracle: String =
+    """SELECT doc_id % 4 AS grp,
+      | CAST(count(*) AS BIGINT) AS n_docs,
+      | CAST(sum(2 * (1 + doc_id % 3) - 1) AS BIGINT) AS n_pairs,
+      | CAST(sum(1 + doc_id % 3) AS BIGINT) AS ana_pairs,
+      | CAST(sum((1 + doc_id % 3) * 200
+      |   + (doc_id % 3) * 2000) AS BIGINT) AS gap_ms
+      |FROM documents WHERE doc_id % 2 = 0
+      |GROUP BY doc_id % 4 ORDER BY grp""".stripMargin
+
+  /** Cross-release plate linking ([[graft.operators.Dedup
+    * .pgsPlateLinks]]) — q156's stripe-class discipline applied to
+    * PGS subtitle plates: every 16th `documents` row carries an MKV
+    * whose single plate is the doc's `id % 15` stripe pattern
+    * (Hamming-0 within a class, ≥ 8 apart across, the q156 proof),
+    * so links are exactly the within-class pairs and the oracle
+    * replays `n·(n−1)/2` from the same arithmetic. One plate
+    * decode+hash scan, one banded join, one aggregate.
+    */
+  private def q209(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Scale.parallelismFloor(
+      t(s, dir, "documents").select(col("doc_id")))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val rdd = docs.rdd.flatMap { r =>
+      val id = r.getLong(0)
+      if (id % 16 != 0) Nil
+      else {
+        val cls = (id % 15).toInt
+        // the q156 stripe construction, in palette indices: light
+        // stripe at grid column 1+2k per set bit k of (cls+1); the
+        // per-doc dark/light VALUES wobble but every gradient keeps
+        // its sign, so dHash is class-constant
+        val dark = 20 + (id % 23).toInt
+        val light = 200 + (id % 37).toInt
+        val lightCols = (0 until 4).filter(k => ((cls + 1) >> k & 1) != 0)
+          .map(k => 1 + 2 * k).toSet
+        val mkv = graft.operators.Multimodal.syntheticWebm("video",
+          width = 64, height = 64, durationMs = 4000L,
+          docType = "matroska",
+          imageSubs = Seq(("S_HDMV/PGS", "eng", Seq((0L, 1000L)))),
+          pgsObjects = Map(0 -> ((64, 64, (x: Int, _: Int) => {
+            val gridCol = x * 9 / 64
+            if (lightCols(gridCol)) light else dark
+          }))))
+        Seq(org.apache.spark.sql.Row(id, mkv))
+      }
+    }
+    val assets = s.createDataFrame(rdd, schema)
+    graft.operators.Dedup.pgsPlateLinks(assets, "doc_id", "content")
+      .groupBy((col("id_a") % 15).as("cls"))
+      .agg(count(lit(1)).as("n_links"),
+        min(col("shared_plates")).as("min_shared"),
+        max(col("shared_plates")).as("max_shared"))
+      .orderBy(col("cls"))
+  }
+
+  private def plateLinkOracle: String =
+    """WITH d AS (SELECT doc_id % 15 AS cls, count(*) AS n
+      |  FROM documents WHERE doc_id % 16 = 0 GROUP BY 1)
+      |SELECT cls, CAST(n * (n - 1) // 2 AS BIGINT) AS n_links,
+      | CAST(1 AS BIGINT) AS min_shared, CAST(1 AS BIGINT) AS max_shared
+      |FROM d WHERE n > 1 ORDER BY cls""".stripMargin
+
   /** Per-track dialog coverage ([[graft.operators.Multimodal
     * .dialogCoverageByTrack]]) — the bilingual clip-mining gate:
     * a dubbed release's coverage is per-language ("mine eng+fre
@@ -7963,7 +8075,9 @@ object SparkEntry {
     "q204_tpaircorp" -> (q204 _),
     "q205_covtrk" -> (q205 _),
     "q206_pgsbmp" -> (q206 _),
-    "q207_turns" -> (q207 _))
+    "q207_turns" -> (q207 _),
+    "q208_turncorp" -> (q208 _),
+    "q209_platelink" -> (q209 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -8421,6 +8535,8 @@ object SparkEntry {
     "q205_covtrk" -> covByTrackOracle,
     "q206_pgsbmp" -> pgsBitmapOracle,
     "q207_turns" -> dialogTurnsOracle,
+    "q208_turncorp" -> turnsCorpusOracle,
+    "q209_platelink" -> plateLinkOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

@@ -604,6 +604,49 @@ object Dedup {
         coverArtLinkSignatures(df, idCol, contentCol).localCheckpoint(false),
         maxHamming, bands, maxBucketSize), checkpointDir)
 
+  /** Cross-release linking by shared subtitle PLATES — two encodes
+    * of the same disc re-encode every video frame (defeating frame
+    * hashes) but mux the SAME authored PGS compositions, so their
+    * subtitle bitmaps match bit-for-bit: dHash every asset's decoded
+    * plates ([[Multimodal.imageSubtitleBitmaps]]), band them through
+    * the SAME pigeonhole join as image near-dup, and link two assets
+    * when at least `minShared` distinct plate signatures agree within
+    * `maxHamming`. Returns (id_a, id_b, shared_plates) with
+    * `shared_plates` = the number of DISTINCT left-side plate hashes
+    * the pair shares (identical plates within one asset count once).
+    *
+    * Scale shape: one map-only plate decode + hash (materialized
+    * once — both join sides would re-decode every container), one
+    * bucket-capped banded equi-join, one aggregate — no all-pairs at
+    * any corpus size; per-asset plate counts ride the walkers'
+    * 100k-cue cap.
+    */
+  def pgsPlateLinks(df: DataFrame, idCol: String, contentCol: String,
+      maxHamming: Int = 6, bands: Int = 8, minShared: Int = 1,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val plates = Multimodal.imageSubtitleBitmaps(df, idCol, contentCol)
+      .select(col(idCol).as("asset"),
+        Multimodal.dhash64Col(col("bitmap")).as("sh"))
+      .filter(col("sh").isNotNull)
+      .distinct() // identical plates within one asset count once
+      .localCheckpoint(false)
+    val banded = hammingBanded(plates, "sh", bands)
+    val capped = capBucketsPartitioned(banded, Seq("band", "chunk"),
+      maxBucketSize)
+    val left = capped.select(col("band"), col("chunk"),
+      col("asset").as("id_a"), col("sh").as("sh_a"))
+    val right = capped.select(col("band"), col("chunk"),
+      col("asset").as("id_b"), col("sh").as("sh_b"))
+    left.join(right, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <=
+        lit(maxHamming))
+      .select(col("id_a"), col("id_b"), col("sh_a")).distinct()
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_plates"))
+      .filter(col("shared_plates") >= lit(minShared))
+  }
+
   /** Perceptual-hash signatures for audio near-dup —
     * [[imageHashSignatures]]'s waveform twin: (id, sh) with `sh` =
     * [[Multimodal.audioHash64Col]] (64-bit envelope-derivative hash

@@ -745,6 +745,10 @@ object Multimodal {
     * subs are bitmaps. Cues per codec family:
     *
     *  - `S_TEXT` (and codec-less): UTF-8 block payloads, as ever;
+    *  - `S_TEXT/WEBVTT` (labelled `webvtt`): the WebM-project block
+    *    layout — identifier line, settings line, then the cue
+    *    payload — with the sidecar VTT rules applied (voice-span
+    *    speaker captured, markup stripped);
     *  - `S_HDMV/PGS`: cue INTERVALS with null text, from the PGS
     *    composition state machine — a Presentation Composition
     *    Segment (type 0x16) with composition objects opens a display
@@ -826,13 +830,24 @@ object Multimodal {
       var track = (b(from) & 0xff & (0xff >>> tn)).toLong
       var i = 1
       while (i < tn) { track = (track << 8) | (b(from + i) & 0xffL); i += 1 }
-      if (!subTracks.contains(track) || subTrackCodec(track) != null)
+      val cdc = subTrackCodec.getOrElse(track, null)
+      if (!subTracks.contains(track) || (cdc != null && cdc != "webvtt"))
         return None // non-text tracks take the raw-payload path
       val rel = ((b(from + tn) & 0xff) << 8 | (b(from + tn + 1) & 0xff)).toShort.toLong
       val flags = b(from + tn + 2) & 0xff
       if ((flags & 0x06) != 0) return None // laced: not a subtitle shape
-      val text = new String(b, from + tn + 3, until - from - tn - 3,
-        java.nio.charset.StandardCharsets.UTF_8).trim
+      val raw = new String(b, from + tn + 3, until - from - tn - 3,
+        java.nio.charset.StandardCharsets.UTF_8)
+      // WebVTT-in-WebM block layout (WebM project spec): cue
+      // identifier line, cue settings line — either possibly empty —
+      // then the cue payload; markup stays here, the per-track
+      // assembly strips it and captures the voice-span speaker
+      val text =
+        if (cdc == "webvtt") {
+          val lines = raw.split("\n", -1)
+          (if (lines.length >= 3) lines.drop(2).mkString("\n")
+          else lines.last).trim
+        } else raw.trim
       if (text.isEmpty) None else Some((track, clusterTc + rel, text))
     }
     // a PGS block: the first Presentation Composition Segment's
@@ -906,7 +921,8 @@ object Multimodal {
                 subTrackOrder += tNum
                 subTrackLang(tNum) = if (tLang != null) tLang else "eng"
                 subTrackCodec(tNum) =
-                  if (tCodec == null || tCodec.startsWith("S_TEXT")) null
+                  if (tCodec == "S_TEXT/WEBVTT") "webvtt"
+                  else if (tCodec == null || tCodec.startsWith("S_TEXT")) null
                   else {
                     // S_HDMV/PGS → pgs, S_VOBSUB → vobsub, S_KATE → kate
                     val base =
@@ -961,12 +977,21 @@ object Multimodal {
     if (subTrackOrder.isEmpty) None
     else {
       val perTrack = subTrackOrder.toSeq.map { track =>
+        val cdc = subTrackCodec.getOrElse(track, null)
         val got = cuesByTrack.getOrElse(track,
           scala.collection.mutable.ArrayBuffer.empty).zipWithIndex.map {
-          case ((st, en, text), k) => SubCue(k + 1, st, en, text)
+          case ((st, en, text), k) =>
+            if (cdc == "webvtt" && text != null) {
+              // the sidecar VTT rule applied to the muxed carrier:
+              // voice-span speaker from the first payload line, then
+              // the markup strip
+              val nl = text.indexOf('\n')
+              val speaker = voiceSpanName(
+                (if (nl >= 0) text.substring(0, nl) else text).trim)
+              SubCue(k + 1, st, en, stripVttMarkup(text).trim, speaker)
+            } else SubCue(k + 1, st, en, text)
         }.toSeq
-        (subTrackCodec.getOrElse(track, null),
-          subTrackLang.getOrElse(track, "eng"), got)
+        (cdc, subTrackLang.getOrElse(track, "eng"), got)
       }
       Some(((if (docType == null) "matroska" else docType), perTrack))
     }
@@ -4177,19 +4202,7 @@ object Multimodal {
     val lines = t.split('\n')
     val stamp = SubStampPat
     def ms(m: java.util.regex.Matcher): Long = stampMs(m)
-    def stripMarkup(x: String): String = {
-      val sb = new java.lang.StringBuilder(x.length)
-      var i = 0
-      var in = false
-      while (i < x.length) {
-        val c = x.charAt(i)
-        if (c == '<') in = true
-        else if (c == '>' && in) in = false
-        else if (!in) sb.append(c)
-        i += 1
-      }
-      sb.toString
-    }
+    def stripMarkup(x: String): String = stripVttMarkup(x)
     // HLS segment VTT: the header's X-TIMESTAMP-MAP anchors LOCAL cue
     // time to the MPEG-TS 90 kHz clock — cue times shift by the
     // difference (the sidecar twin of the MP4 elst offset). The line
@@ -4244,6 +4257,25 @@ object Multimodal {
     val got = cues.result()
     if (got.isEmpty) None else Some(((if (isVtt) "vtt" else "srt"), got))
   } catch { case _: Throwable => None } // per-row isolation
+
+  /** Remove `<...>` spans (voice, class, timestamp, formatting tags)
+    * from a VTT/SRT cue payload — ONE stripper shared by the sidecar
+    * parser and the muxed wvtt sample decoder, so the two carriers
+    * can never disagree on extracted text.
+    */
+  private def stripVttMarkup(x: String): String = {
+    val sb = new java.lang.StringBuilder(x.length)
+    var i = 0
+    var in = false
+    while (i < x.length) {
+      val c = x.charAt(i)
+      if (c == '<') in = true
+      else if (c == '>' && in) in = false
+      else if (!in) sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
 
   /** The speaker of a WebVTT voice span OPENING a cue line —
     * `<v Ayana>` / `<v.loud Ayana>` (classes ride the tag name;
@@ -9964,13 +9996,26 @@ object Multimodal {
                   }
                 }
               } else {
-                val text =
+                val raw =
                   if (codec == "wvtt") decodeWvtt(o, sz) else decodeTx3g(o, sz)
+                // muxed wvtt payloads carry the SAME markup as
+                // sidecar VTT: capture the opening voice span's
+                // speaker, then strip tags — the sidecar rule, so the
+                // two carriers agree on text and attribution
+                val speaker =
+                  if (codec == "wvtt" && raw != null) {
+                    val nl = raw.indexOf('\n')
+                    voiceSpanName(
+                      (if (nl >= 0) raw.substring(0, nl) else raw).trim)
+                  } else null
+                val text =
+                  if (codec == "wvtt" && raw != null) stripVttMarkup(raw)
+                  else raw
                 val st = math.max(0L, ticks * 1000L / timescale + offMs)
                 val en = (ticks + delta) * 1000L / timescale + offMs
                 if (text != null && text.trim.nonEmpty && en >= 0) {
                   idx += 1
-                  cues += SubCue(idx, st, en, text.trim)
+                  cues += SubCue(idx, st, en, text.trim, speaker)
                 }
               }
             }

@@ -808,6 +808,46 @@ class DedupSpec extends SparkSpec {
     assert(rep == Map("image" -> 1L, "audio" -> 1L, "other" -> 1L))
   }
 
+  test("pgsPlateLinks: shared subtitle plates link releases, minShared gates weak links") {
+    import spark.implicits._
+    val M = graft.operators.Multimodal
+    // plate A: left-bright; plate B: inverse shading of a DIFFERENT
+    // stripe layout; plate C: A's twin with wobbled gray values
+    // (re-encode of the same authored composition)
+    def mkv(plates: Seq[(Int, Int) => Int]): Array[Byte] =
+      M.syntheticWebm("video", width = 64, height = 64,
+        durationMs = 4000L, docType = "matroska",
+        imageSubs = Seq(("S_HDMV/PGS", "eng",
+          plates.indices.map(j => (j * 1000L, j * 1000L + 500L)))),
+        pgsObjects = Map.empty) // placeholder, rebuilt below
+    // the fixture writer keys one object per track, so multi-plate
+    // assets concatenate single-plate tracks' display sets — instead
+    // use two assets x one plate each plus a two-plate double
+    def plate(stripe: Int, dark: Int, light: Int): (Int, Int) => Int = {
+      val cols = (0 until 4).filter(k => ((stripe + 1) >> k & 1) != 0)
+        .map(k => 1 + 2 * k).toSet
+      (x: Int, _: Int) => if (cols(x * 9 / 64)) light else dark
+    }
+    def asset(stripe: Int, dark: Int, light: Int): Array[Byte] =
+      M.syntheticWebm("video", width = 64, height = 64,
+        durationMs = 4000L, docType = "matroska",
+        imageSubs = Seq(("S_HDMV/PGS", "eng", Seq((0L, 1000L)))),
+        pgsObjects = Map(0 -> ((64, 64, plate(stripe, dark, light)))))
+    val rows = Seq(
+      (1L, asset(3, 20, 200)),
+      (2L, asset(3, 31, 219)), // same composition, re-encoded values
+      (3L, asset(12, 25, 210)), // different film
+      (4L, "junk".getBytes("UTF-8"))
+    ).toDF("doc_id", "content")
+    val links = graft.operators.Dedup.pgsPlateLinks(rows, "doc_id", "content")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(links.toSeq == Seq((1L, 2L, 1L)),
+      s"only the shared-composition pair links: ${links.toSeq}")
+    // minShared above the shared count gates the link out
+    assert(graft.operators.Dedup.pgsPlateLinks(rows, "doc_id", "content",
+      minShared = 2).count() == 0)
+  }
+
   test("containment maxGramDf: boilerplate grams dropped from both numerator and denominator") {
     // the same long boilerplate footer in EVERY doc would make a
     // quadratic hot gram AND fake high containment between unrelated

@@ -541,6 +541,48 @@ class PlanAudit extends SparkSpec {
     assert(jobs >= 2, s"listener must have observed the pipeline: $jobs")
   }
 
+  test("q208: corpus-scale dialog-turn mining is one scan + partitioned windows — bounded job count") {
+    // one synthesized-transcript scan, per-asset windows, one
+    // aggregate: the job count is a function of the PIPELINE
+    val counter = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      SparkEntry.queries("q208_turncorp")(spark, dir).collect()
+      Thread.sleep(500) // listener delivery is async
+    } finally spark.sparkContext.removeSparkListener(l)
+    val jobs = counter.get()
+    assert(jobs <= 8,
+      s"dialog-turn mining must stay a scan+window pipeline: $jobs jobs")
+    assert(jobs >= 1, s"listener must have observed the pipeline: $jobs")
+  }
+
+  test("q209: corpus-scale plate linking is one decode scan + one banded join — bounded job count") {
+    // one plate decode+hash scan (materialized once), one
+    // bucket-capped banded join, one aggregate
+    val counter = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      SparkEntry.queries("q209_platelink")(spark, dir).collect()
+      Thread.sleep(500) // listener delivery is async
+    } finally spark.sparkContext.removeSparkListener(l)
+    val jobs = counter.get()
+    assert(jobs <= 12,
+      s"plate linking must stay a scan+banded-join pipeline: $jobs jobs")
+    assert(jobs >= 2, s"listener must have observed the pipeline: $jobs")
+  }
+
   test("q199: two-batch incremental art-link replay stays within a bounded job count") {
     // the streaming-ingest identity check runs the link pipeline
     // TWICE (full + two incremental joins) plus CC — still a

@@ -2318,6 +2318,17 @@ class SemanticSpec extends SparkSpec {
     // rule) — no cue, no speaker, no throw
     assert(M.parseSubtitles(
       "WEBVTT\n\n00:00:01.000 --> 00:00:02.000\n<v Unclosed line\n").isEmpty)
+    // MUXED wvtt payloads follow the same rule: speaker captured,
+    // markup stripped — the sidecar and the MP4 carrier agree
+    import spark.implicits._
+    val mp4 = M.syntheticMp4TimedText(
+      Seq(M.renderJpeg(8, 8, (_, _) => 0x404040)),
+      Seq((0L, 500L, "<v Zoe>bonjour"), (1000L, 1500L, "plain")),
+      codec = "wvtt", lang = "fre")
+    val rows = M.subtitleCuesByTrack(Seq((1L, mp4)).toDF("doc_id", "content"))
+      .orderBy("cue_idx").collect()
+    assert(rows.map(r => (r.getString(6), r.getString(8))).toSeq ==
+      Seq(("bonjour", "Zoe"), ("plain", null)))
   }
 
   test("formatLrc/formatAss: the new sidecar writers round-trip") {
@@ -3334,6 +3345,46 @@ class SemanticSpec extends SparkSpec {
     assert(tracks.length == 1)
     assert(tracks.head._2 == "eng")
     assert(tracks.head._3.map(_.text) == Seq("dup"))
+  }
+
+  test("WebVTT-in-WebM: 3-line block layout, speaker captured, markup stripped") {
+    val M = Multimodal
+    def idBytes(id: Long): Array[Byte] = {
+      val n = (64 - java.lang.Long.numberOfLeadingZeros(id) + 7) / 8
+      Array.tabulate(n)(i => ((id >> (8 * (n - 1 - i))) & 0xff).toByte)
+    }
+    def el(id: Long, p: Array[Byte]): Array[Byte] =
+      idBytes(id) ++ Array((0x10 | (p.length >> 24)).toByte,
+        ((p.length >> 16) & 0xff).toByte, ((p.length >> 8) & 0xff).toByte,
+        (p.length & 0xff).toByte) ++ p
+    val track = el(0xAEL, el(0xD7L, Array(3.toByte)) ++
+      el(0x83L, Array(0x11.toByte)) ++
+      el(0x86L, "S_TEXT/WEBVTT".getBytes("ISO-8859-1")) ++
+      el(0x22B59CL, "eng".getBytes("ISO-8859-1")))
+    // WebM-spec block: identifier line, settings line, cue payload
+    def bg(tMs: Int, payload: String, durMs: Int): Array[Byte] = {
+      val blk = Array((0x80 | 3).toByte, ((tMs >> 8) & 0xff).toByte,
+        (tMs & 0xff).toByte, 0.toByte) ++ payload.getBytes("UTF-8")
+      el(0xA0L, el(0xA1L, blk) ++ el(0x9BL, Array(durMs.toByte)))
+    }
+    val seg = el(0x18538067L,
+      el(0x1549A966L, el(0x2AD7B1L,
+        Array(0x0F.toByte, 0x42.toByte, 0x40.toByte))) ++
+        el(0x1654AE6BL, track) ++
+        el(0x1F43B675L, el(0xE7L, Array(0.toByte)) ++
+          bg(100, "cue-7\nline:63%\n<v Maya>voiced line", 200) ++
+          bg(500, "\n\nplain payload", 200)))
+    val mkv = Array(0x1A.toByte, 0x45.toByte, 0xDF.toByte, 0xA3.toByte,
+      0x80.toByte) ++ seg
+    val Some((_, tracks)) = M.webmTextTracks(mkv)
+    assert(tracks.length == 1)
+    val (codec, lang, cues) = tracks.head
+    assert(codec == "webvtt" && lang == "eng")
+    // identifier + settings lines never leak into text; the voice
+    // span names the speaker and strips like the sidecar
+    assert(cues.map(c => (c.startMs, c.endMs, c.text, c.speaker)) ==
+      Seq((100L, 300L, "voiced line", "Maya"),
+        (500L, 700L, "plain payload", null)))
   }
 
   test("PGS image subtitles: intervals extract, detection and extraction agree") {
