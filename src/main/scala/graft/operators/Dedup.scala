@@ -612,8 +612,9 @@ object Dedup {
     * the SAME pigeonhole join as image near-dup, and link two assets
     * when at least `minShared` distinct plate signatures agree within
     * `maxHamming`. Returns (id_a, id_b, shared_plates) with
-    * `shared_plates` = the number of DISTINCT left-side plate hashes
-    * the pair shares (identical plates within one asset count once).
+    * `shared_plates` = the number of DISTINCT matching signature
+    * PAIRS (identical plates within one asset count once; the count
+    * is symmetric, so re-ingesting with swapped ids links the same).
     *
     * Scale shape: one map-only plate decode + hash (materialized
     * once — both join sides would re-decode every container), one
@@ -641,7 +642,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <=
         lit(maxHamming))
-      .select(col("id_a"), col("id_b"), col("sh_a")).distinct()
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared_plates"))
       .filter(col("shared_plates") >= lit(minShared))

@@ -624,11 +624,17 @@ object Multimodal {
     // per-TrackEntry scratch, committed when the entry closes —
     // TrackType may precede or follow the Video/Audio sub-elements
     var tType = -1
+    var tNum = -1L
     var tCodec: String = null
     var tW = -1
     var tH = -1
     var tCh = -1
     var tRate = -1.0
+    // subtitle counting follows webmTextTracks' registration rule —
+    // first declaration per positive TrackNumber — so a hostile
+    // redeclared/numberless TrackEntry can't make detection and
+    // extraction disagree
+    val seenSubs = scala.collection.mutable.Set.empty[Long]
     def finishTrack(): Unit = {
       if (tType == 1 && kind != "video") { // first video track wins
         kind = "video"
@@ -641,8 +647,12 @@ object Multimodal {
         if (tCh > 0) channels = tCh
         if (tRate > 0) rate = Integer.valueOf(math.round(tRate).toInt)
       }
-      if (tType == 0x11) subtitleTracks += 1 // S_TEXT/* subtitle track
-      tType = -1; tCodec = null; tW = -1; tH = -1; tCh = -1; tRate = -1.0
+      if (tType == 0x11 && tNum > 0 && !seenSubs.contains(tNum)) {
+        seenSubs += tNum
+        subtitleTracks += 1 // subtitle track (text or image codec)
+      }
+      tType = -1; tNum = -1L; tCodec = null
+      tW = -1; tH = -1; tCh = -1; tRate = -1.0
     }
     def walk(start: Int, end: Int, inCues: Boolean, depth: Int): Unit = {
       if (depth > 16) return
@@ -678,6 +688,7 @@ object Multimodal {
             if (v > 0) timecodeScale = v
           case 0x4489L => durationTicks = floatOf(body, bodyEnd)
           case 0x83L => tType = uintOf(body, bodyEnd).toInt
+          case 0xD7L => tNum = uintOf(body, bodyEnd)
           case 0x86L =>
             tCodec = new String(b, body, bodyEnd - body, "ISO-8859-1")
           case 0xB0L => tW = uintOf(body, bodyEnd).toInt
@@ -724,7 +735,10 @@ object Multimodal {
     webmTextTracks(b) match {
       case None => None
       case Some((docType, tracks)) =>
-        tracks.find(t => t._1 == null && t._3.nonEmpty).map {
+        // first track with TEXT cues — textTracksOfRow's single-track
+        // rule verbatim: S_TEXT tracks (null label) and webvtt tracks
+        // both qualify, PGS null-text intervals don't
+        tracks.find(t => t._3.nonEmpty && t._3.head.text != null).map {
           case (_, lang, cues) => (docType, lang, cues)
         }
     }
@@ -1107,6 +1121,12 @@ object Multimodal {
     val subTrackOrder = scala.collection.mutable.ArrayBuffer.empty[Long]
     val subTracks = scala.collection.mutable.Set.empty[Long]
     val pgsTracks = scala.collection.mutable.Set.empty[Long]
+    // text tracks count toward the SHARED 100k cue cap exactly as in
+    // webmTextTracks, so both walkers truncate at the same stream
+    // point and the documented ordinal join survives a mixed
+    // text+PGS file that reaches the cap
+    val textTracks = scala.collection.mutable.Set.empty[Long]
+    val vttTracks = scala.collection.mutable.Set.empty[Long]
     var tNum = -1L
     var tType = -1
     var tCodec: String = null
@@ -1214,6 +1234,29 @@ object Multimodal {
         p = pay + len
       }
     }
+    // would webmTextTracks emit a text cue for this block? — the
+    // SAME predicate (registered text track, unlaced, non-empty
+    // payload with the webvtt line-drop), so the shared counter
+    // advances at identical stream points in both walkers
+    def textCueAt(from: Int, until: Int): Boolean = {
+      val tn = vintLen(from)
+      if (tn < 1 || tn > 8 || from + tn + 3 > until) return false
+      var track = (b(from) & 0xff & (0xff >>> tn)).toLong
+      var i = 1
+      while (i < tn) { track = (track << 8) | (b(from + i) & 0xffL); i += 1 }
+      if (!textTracks.contains(track)) return false
+      if ((b(from + tn + 2) & 0x06) != 0) return false
+      val raw = new String(b, from + tn + 3, until - from - tn - 3,
+        java.nio.charset.StandardCharsets.UTF_8)
+      val text =
+        if (vttTracks.contains(track)) {
+          val lines = raw.split("\n", -1)
+          (if (lines.length >= 3) lines.drop(2).mkString("\n")
+          else lines.last).trim
+        } else raw.trim
+      text.nonEmpty
+    }
+    var bgTextPending = false
     def walk(start: Int, end: Int, depth: Int): Unit = {
       if (depth > 16 || nCues >= 100000) return
       var off = start
@@ -1235,6 +1278,7 @@ object Multimodal {
           else body + size.toInt
         id match {
           case _ if isContainer =>
+            if (id == 0xA0L) bgTextPending = false
             walk(body, bodyEnd, depth + 1)
             if (id == 0xAEL) {
               if (tType == 0x11 && tNum > 0 && !subTracks.contains(tNum)) {
@@ -1242,8 +1286,15 @@ object Multimodal {
                 subTrackOrder += tNum
                 if (tCodec != null && tCodec.startsWith("S_HDMV/PGS"))
                   pgsTracks += tNum
+                else if (tCodec == "S_TEXT/WEBVTT") {
+                  textTracks += tNum; vttTracks += tNum
+                } else if (tCodec == null || tCodec.startsWith("S_TEXT"))
+                  textTracks += tNum
               }
               tNum = -1L; tType = -1; tCodec = null
+            } else if (id == 0xA0L && bgTextPending) {
+              nCues += 1 // the BlockGroup cue webmTextTracks counts
+              bgTextPending = false
             }
           case 0x2AD7B1L =>
             val v = uintOf(body, bodyEnd)
@@ -1253,8 +1304,12 @@ object Multimodal {
           case 0x86L =>
             tCodec = new String(b, body, bodyEnd - body, "ISO-8859-1")
           case 0xE7L => clusterTc = uintOf(body, bodyEnd)
-          case 0xA1L => pgsBlock(body, bodyEnd)
-          case 0xA3L => pgsBlock(body, bodyEnd)
+          case 0xA1L =>
+            pgsBlock(body, bodyEnd)
+            if (textCueAt(body, bodyEnd)) bgTextPending = true
+          case 0xA3L =>
+            pgsBlock(body, bodyEnd)
+            if (textCueAt(body, bodyEnd)) nCues += 1
           case _ => ()
         }
         off = bodyEnd
@@ -4638,8 +4693,11 @@ object Multimodal {
     else if (bytes != null && bytes.length >= 16 && bytes(4) == 'f' &&
       bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p') {
       val (tracks, chapRefs) = mp4TextTracks(bytes)
-      val subs = tracks.filter(t =>
-        !chapRefs.contains(t.id) && t.cues.nonEmpty)
+      // every non-chapter text trak registers — a declaration-only
+      // track (empty sample table) reports zero cues rather than
+      // vanishing, so the per-track surfaces agree with
+      // subtitleTrackCount's detection (the webmTextTracks rule)
+      val subs = tracks.filter(t => !chapRefs.contains(t.id))
         .map(t => (t.codec, t.lang, t.cues))
       if (subs.isEmpty) None else Some(subs)
     }
@@ -7249,7 +7307,9 @@ object Multimodal {
     * present, its child-element order IS the chapter order (the
     * addendum's point: the toc, not file offsets or timestamps,
     * declares the listing) — the first top-level (`0x02`-flagged)
-    * CTOC wins, CHAPs it doesn't list append in start order, and
+    * CTOC wins (a lone un-flagged toc counts as the root; several
+    * un-flagged ones are sub-sections and don't reorder anything),
+    * CHAPs it doesn't list append in start order, and
     * without any CTOC chapters sort by start as before. v2.3 and
     * v2.4 embedded-frame size formats both handled. None when no
     * tag or no CHAP frame.
@@ -7329,8 +7389,14 @@ object Multimodal {
       ((flags & 0x02) != 0, ids.toSeq)
     }
     val parsedTocs = tocs.map(tocChildren).filter(_._2.nonEmpty)
+    // the ROOT listing only: the first top-level (0x02) toc — or the
+    // file's single CTOC when the writer forgot the flag. Multiple
+    // un-flagged tocs are sub-sections; ordering the whole list by
+    // one section's partial children would silently reshuffle it, so
+    // that shape keeps the start-sort fallback.
     val tocOrder: Option[Map[String, Int]] =
-      parsedTocs.find(_._1).orElse(parsedTocs.headOption)
+      parsedTocs.find(_._1)
+        .orElse(if (parsedTocs.length == 1) parsedTocs.headOption else None)
         .map(_._2.zipWithIndex.toMap)
     val sorted = raw.sortBy(r => (r._1, r._2)).toSeq
     val ordered = tocOrder match {

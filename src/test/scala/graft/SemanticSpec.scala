@@ -3332,9 +3332,13 @@ class SemanticSpec extends SparkSpec {
         el(0x22B59CL, lang.getBytes("ISO-8859-1")))
     val block = Array((0x80 | 3).toByte, 0.toByte, 0.toByte, 0.toByte) ++
       "dup".getBytes("UTF-8")
+    // a minimal video track so webmInfo has a primary kind
+    val vidTrack = el(0xAEL, el(0xD7L, Array(1.toByte)) ++
+      el(0x83L, Array(0x01.toByte)) ++
+      el(0x86L, "V_VP9".getBytes("ISO-8859-1")))
     val seg = el(0x18538067L,
       el(0x1549A966L, el(0x2AD7B1L, Array(0x0F.toByte, 0x42.toByte, 0x40.toByte))) ++
-        el(0x1654AE6BL, track(3, "eng") ++ track(3, "fre")) ++
+        el(0x1654AE6BL, vidTrack ++ track(3, "eng") ++ track(3, "fre")) ++
         el(0x1F43B675L, el(0xE7L, Array(0.toByte)) ++
           el(0xA0L, el(0xA1L, block) ++ el(0x9BL, Array(100.toByte)))))
     val mkv = Array(0x1A.toByte, 0x45.toByte, 0xDF.toByte, 0xA3.toByte,
@@ -3345,6 +3349,9 @@ class SemanticSpec extends SparkSpec {
     assert(tracks.length == 1)
     assert(tracks.head._2 == "eng")
     assert(tracks.head._3.map(_.text) == Seq("dup"))
+    // detection follows the same registration rule: the redeclared
+    // number counts ONCE there too (review-sweep regression)
+    assert(M.webmInfo(mkv).get.subtitleTracks == 1)
   }
 
   test("WebVTT-in-WebM: 3-line block layout, speaker captured, markup stripped") {
@@ -3385,6 +3392,10 @@ class SemanticSpec extends SparkSpec {
     assert(cues.map(c => (c.startMs, c.endMs, c.text, c.speaker)) ==
       Seq((100L, 300L, "voiced line", "Maya"),
         (500L, 700L, "plain payload", null)))
+    // the single-track surface selects it too: a pure-webvtt mux has
+    // TEXT cues, whatever its codec label (review-sweep regression)
+    val Some((_, _, single)) = M.webmSubtitleCues(mkv)
+    assert(single.map(_.text) == Seq("voiced line", "plain payload"))
   }
 
   test("PGS image subtitles: intervals extract, detection and extraction agree") {
@@ -3506,6 +3517,17 @@ class SemanticSpec extends SparkSpec {
       .count() == 1)
     assert(M.webmPgsBitmaps("junk".getBytes("UTF-8")).isEmpty)
     assert(M.webmPgsBitmaps(null).isEmpty)
+    // truncation sweep: every prefix degrades (None or fewer rows),
+    // never throws — the walker discipline
+    (0 until mkv.length by 7).foreach { n =>
+      M.webmPgsBitmaps(java.util.Arrays.copyOfRange(mkv, 0, n))
+    }
+    // hostile RLE: a run length far past the row width clips at the
+    // buffer, truncated escape bytes leave the rest transparent
+    val clipped = M.decodePgsRle(
+      Array(0x00.toByte, 0xFF.toByte, 0xFF.toByte, 5.toByte), 4, 2)
+    assert(clipped.length == 8 && clipped.take(4).forall(_ == 5.toByte))
+    assert(M.decodePgsRle(Array(0x00.toByte), 4, 2).forall(_ == 0))
   }
 
   test("parseTtml/parseSbv: sidecar dispatch, root discipline, hostiles") {
@@ -3844,6 +3866,16 @@ class SemanticSpec extends SparkSpec {
     assert(side.length == 1 && side.head.getString(2) == "srt" &&
       side.head.isNullAt(4) && side.head.getLong(6) == 1000L &&
       side.head.isNullAt(7))
+    // a declaration-only BMFF subtitle trak (hdlr, no samples) is
+    // visible with zero cues and zero coverage — the parity rule
+    // subtitleTrackCount's detection promises (review-sweep fix)
+    val decl = M.withMp4SubtitleTrack(M.syntheticMp4(32, 16, 2000L))
+    assert(M.subtitleTrackCount(decl) == 1)
+    val drows = M.dialogCoverageByTrack(
+      Seq((5L, decl)).toDF("doc_id", "content")).collect()
+    assert(drows.length == 1 && drows.head.getInt(5) == 0 &&
+      drows.head.getLong(4) == 2000L && drows.head.getDouble(7) == 0.0,
+      drows.mkString("; "))
   }
 
   test("dialogCoverage: interval union, container durations, degenerate rows") {
