@@ -7683,6 +7683,64 @@ object SparkEntry {
       .orderBy(col("cls"))
   }
 
+  /** OCR'd image subtitles ([[graft.operators.Multimodal
+    * .ocrImageSubtitles]]) — bitmap tracks become text cues through
+    * the batched vision transport (the q45 discipline: a
+    * DETERMINISTIC local client whose answer is a pure function of
+    * the plate pixels, so the oracle can state the transcript as
+    * literals). Two plates of different gray content "read" as
+    * distinct texts on their own cue intervals; an interval-only PGS
+    * track and junk contribute nothing.
+    */
+  private def q210(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    val mkv = M.syntheticWebm("video", width = 8, height = 8,
+      durationMs = 3000L, docType = "matroska",
+      imageSubs = Seq(("S_HDMV/PGS", "fre",
+        Seq((0L, 600L), (1000L, 1600L)))),
+      pgsObjects = Map(0 -> ((8, 4, (x: Int, _: Int) =>
+        if (x < 4) 200 else 60))))
+    val solid = M.syntheticWebm("video", width = 8, height = 8,
+      durationMs = 2000L, docType = "matroska",
+      imageSubs = Seq(("S_HDMV/PGS", "jpn", Seq((100L, 900L)))),
+      pgsObjects = Map(0 -> ((8, 4, (_: Int, _: Int) => 77))))
+    val bare = M.syntheticWebm("video", width = 8, height = 8,
+      durationMs = 2000L, docType = "matroska",
+      imageSubs = Seq(("S_HDMV/PGS", "deu", Seq((0L, 300L)))))
+    val rows = Seq((1L, mkv), (2L, solid), (3L, bare),
+      (4L, "junk".getBytes("UTF-8"))).toDF("doc_id", "content")
+    // deterministic "OCR": the plate's average gray — a pure
+    // function of pixels, so the transcript is a closed form
+    val fake: () => graft.llm.SemanticOps.VisionClient =
+      () => new graft.llm.SemanticOps.VisionClient {
+        def analyzeImages(prompt: String,
+            images: Seq[(Array[Byte], String)]): Seq[String] =
+          images.map { case (bytes, _) =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            var sum = 0L
+            for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+              sum += img.getRGB(x, y) & 0xff
+            s"gray ${sum / (img.getWidth.toLong * img.getHeight)}"
+          }
+      }
+    M.ocrImageSubtitles(rows, clientFactory = fake)
+      .orderBy(col("doc_id"), col("track_idx"), col("cue_idx"))
+  }
+
+  private def ocrSubsOracle: String =
+    """SELECT * FROM (VALUES
+      | (CAST(1 AS BIGINT), 1, 1, CAST(0 AS BIGINT), CAST(600 AS BIGINT),
+      |  'gray 130'),
+      | (CAST(1 AS BIGINT), 1, 2, CAST(1000 AS BIGINT),
+      |  CAST(1600 AS BIGINT), 'gray 130'),
+      | (CAST(2 AS BIGINT), 1, 1, CAST(100 AS BIGINT),
+      |  CAST(900 AS BIGINT), 'gray 77')
+      | -- interval-only PGS (no ODS) and junk: no plates, no text
+      |) AS t(doc_id, track_idx, cue_idx, start_ms, end_ms, text)
+      |ORDER BY doc_id, track_idx, cue_idx""".stripMargin
+
   private def plateLinkOracle: String =
     """WITH d AS (SELECT doc_id % 15 AS cls, count(*) AS n
       |  FROM documents WHERE doc_id % 16 = 0 GROUP BY 1)
@@ -8077,7 +8135,8 @@ object SparkEntry {
     "q206_pgsbmp" -> (q206 _),
     "q207_turns" -> (q207 _),
     "q208_turncorp" -> (q208 _),
-    "q209_platelink" -> (q209 _))
+    "q209_platelink" -> (q209 _),
+    "q210_ocrsubs" -> (q210 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -8537,6 +8596,7 @@ object SparkEntry {
     "q207_turns" -> dialogTurnsOracle,
     "q208_turncorp" -> turnsCorpusOracle,
     "q209_platelink" -> plateLinkOracle,
+    "q210_ocrsubs" -> ocrSubsOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

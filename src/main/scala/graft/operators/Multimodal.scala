@@ -9556,6 +9556,30 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** OCR image subtitles into TEXT cues — the bridge that makes a
+    * Blu-ray-remux's bitmap track usable by every text surface:
+    * [[imageSubtitleBitmaps]]' decoded plates ride [[annotateImages]]'
+    * vision transport (batched, one client per partition) and come
+    * back as (id, track_idx, cue_idx, start_ms, end_ms, text) — the
+    * [[subtitleCuesByTrack]] cue shape, ready for translation-pair
+    * mining, dialog coverage or sidecar export. The model sets the
+    * transcription quality; the Spark plumbing (plate decode scan,
+    * batch shape, per-partition client reuse) is what has to hold at
+    * corpus scale, and does — both halves are map-only.
+    */
+  def ocrImageSubtitles(df: DataFrame, idCol: String = "doc_id",
+      contentCol: String = "content",
+      clientFactory: () => graft.llm.SemanticOps.VisionClient = null,
+      prompt: String =
+        "Transcribe the subtitle text in this image; reply with the text only.",
+      batchSize: Int = 16): DataFrame = {
+    require(clientFactory != null, "ocrImageSubtitles needs a vision client")
+    annotateImages(imageSubtitleBitmaps(df, idCol, contentCol), "bitmap",
+      prompt, clientFactory, outputCol = "text", batchSize = batchSize)
+      .select(col(idCol), col("track_idx"), col("cue_idx"),
+        col("start_ms"), col("end_ms"), col("text"))
+  }
+
   /** Content-derived image features: [avgR, avgG, avgB, 4-bin luma
     * histogram, aspect ratio] cyclically folded into `dim` floats,
     * unit-normed.

@@ -3530,6 +3530,40 @@ class SemanticSpec extends SparkSpec {
     assert(M.decodePgsRle(Array(0x00.toByte), 4, 2).forall(_ == 0))
   }
 
+  test("ocrImageSubtitles: plates ride the vision transport back as text cues") {
+    val M = Multimodal
+    import spark.implicits._
+    // a content-derived fake OCR: "reads" each plate as g<avgGray>,
+    // so the test proves the right bitmap reached the right cue
+    val fake: () => graft.llm.SemanticOps.VisionClient =
+      () => new graft.llm.SemanticOps.VisionClient {
+        def analyzeImages(prompt: String,
+            images: Seq[(Array[Byte], String)]): Seq[String] =
+          images.map { case (bytes, mime) =>
+            assert(mime == "image/png", mime)
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            var sum = 0L
+            for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+              sum += img.getRGB(x, y) & 0xff
+            s"g${sum / (img.getWidth * img.getHeight)}"
+          }
+      }
+    val mkv = M.syntheticWebm("video", width = 8, height = 8,
+      durationMs = 3000L, docType = "matroska",
+      imageSubs = Seq(("S_HDMV/PGS", "fre",
+        Seq((0L, 600L), (1000L, 1600L)))),
+      pgsObjects = Map(0 -> ((8, 4, (_: Int, _: Int) => 77))))
+    val rows = Seq((1L, mkv), (2L, "junk".getBytes("UTF-8")))
+      .toDF("doc_id", "content")
+    val out = M.ocrImageSubtitles(rows, clientFactory = fake)
+      .orderBy("cue_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    assert(out.toSeq == Seq((1L, 1, 1, 0L, 600L, "g77"),
+      (1L, 1, 2, 1000L, 1600L, "g77")))
+  }
+
   test("parseTtml/parseSbv: sidecar dispatch, root discipline, hostiles") {
     val M = Multimodal
     val ttml = """<?xml version="1.0"?>
