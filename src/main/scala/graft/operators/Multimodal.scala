@@ -635,6 +635,11 @@ object Multimodal {
     // redeclared/numberless TrackEntry can't make detection and
     // extraction disagree
     val seenSubs = scala.collection.mutable.Set.empty[Long]
+    // track scratch fills ONLY inside a TrackEntry: a raw 0xD7/0x83
+    // leaf planted at Segment/Cluster level must not leak into the
+    // next entry (and all three EBML walkers share this rule, so
+    // detection and extraction see the same tracks)
+    var inTrack = false
     def finishTrack(): Unit = {
       if (tType == 1 && kind != "video") { // first video track wins
         kind = "video"
@@ -679,22 +684,23 @@ object Multimodal {
         id match {
           case 0xBBL if inCues => cuePoints += 1 // CuePoint: count only
           case _ if isContainer =>
+            if (id == 0xAEL) inTrack = true
             walk(body, bodyEnd, inCues = id == 0x1C53BB6BL, depth + 1)
-            if (id == 0xAEL) finishTrack()
+            if (id == 0xAEL) { finishTrack(); inTrack = false }
           case 0x4282L => // DocType
             docType = new String(b, body, bodyEnd - body, "ISO-8859-1")
           case 0x2AD7B1L =>
             val v = uintOf(body, bodyEnd)
             if (v > 0) timecodeScale = v
           case 0x4489L => durationTicks = floatOf(body, bodyEnd)
-          case 0x83L => tType = uintOf(body, bodyEnd).toInt
-          case 0xD7L => tNum = uintOf(body, bodyEnd)
-          case 0x86L =>
+          case 0x83L if inTrack => tType = uintOf(body, bodyEnd).toInt
+          case 0xD7L if inTrack => tNum = uintOf(body, bodyEnd)
+          case 0x86L if inTrack =>
             tCodec = new String(b, body, bodyEnd - body, "ISO-8859-1")
-          case 0xB0L => tW = uintOf(body, bodyEnd).toInt
-          case 0xBAL => tH = uintOf(body, bodyEnd).toInt
-          case 0x9FL => tCh = uintOf(body, bodyEnd).toInt
-          case 0xB5L => tRate = floatOf(body, bodyEnd)
+          case 0xB0L if inTrack => tW = uintOf(body, bodyEnd).toInt
+          case 0xBAL if inTrack => tH = uintOf(body, bodyEnd).toInt
+          case 0x9FL if inTrack => tCh = uintOf(body, bodyEnd).toInt
+          case 0xB5L if inTrack => tRate = floatOf(body, bodyEnd)
           case _ => () // leaf we don't need (Cluster, SeekHead, ...)
         }
         off = bodyEnd
@@ -775,6 +781,25 @@ object Multimodal {
     *
     * One EBML pass.
     */
+  /** THE Matroska subtitle-codec classifier — one rule shared by
+    * every walker (`webmTextTracks`, `webmPgsBitmaps`) so the
+    * pgs/webvtt/text/other split can never drift between the
+    * interval, bitmap and cap-counting surfaces: null for `S_TEXT`
+    * families (plain text, labelled by DocType downstream),
+    * `"webvtt"` for `S_TEXT/WEBVTT`, the lowercased suffix after the
+    * last slash otherwise (`S_HDMV/PGS` → `pgs`, `S_VOBSUB` →
+    * `vobsub`, `S_KATE` → `kate`).
+    */
+  private def webmSubCodecLabel(c: String): String =
+    if (c == "S_TEXT/WEBVTT") "webvtt"
+    else if (c == null || c.startsWith("S_TEXT")) null
+    else {
+      val base = if (c.startsWith("S_")) c.substring(2) else c
+      val slash = base.lastIndexOf('/')
+      (if (slash >= 0) base.substring(slash + 1) else base)
+        .toLowerCase(java.util.Locale.ROOT)
+    }
+
   private[graft] def webmTextTracks(b: Array[Byte]): Option[(String, Seq[(String, String, Seq[SubCue])])] = try {
     if (b == null || b.length < 8 ||
       !(b(0) == 0x1A.toByte && b(1) == 0x45.toByte &&
@@ -816,7 +841,10 @@ object Multimodal {
     val subTrackLang = scala.collection.mutable.Map.empty[Long, String]
     val subTrackCodec = scala.collection.mutable.Map.empty[Long, String]
     val subTracks = scala.collection.mutable.Set.empty[Long]
-    // per-TrackEntry scratch
+    // per-TrackEntry scratch — fills ONLY inside a TrackEntry (the
+    // webmInfo rule: a raw 0xD7 leaf planted in a Cluster must not
+    // leak into the next entry's registration)
+    var inTrack = false
     var tNum = -1L
     var tType = -1
     var tCodec: String = null
@@ -923,6 +951,7 @@ object Multimodal {
               bgTrack = -1L; bgStart = Long.MinValue; bgText = null
               bgDurTicks = 0L
             }
+            if (id == 0xAEL) inTrack = true
             walk(body, bodyEnd, depth + 1)
             if (id == 0xAEL) { // TrackEntry closes
               // a hostile file redeclaring a TrackNumber must not
@@ -934,20 +963,10 @@ object Multimodal {
                 subTracks += tNum
                 subTrackOrder += tNum
                 subTrackLang(tNum) = if (tLang != null) tLang else "eng"
-                subTrackCodec(tNum) =
-                  if (tCodec == "S_TEXT/WEBVTT") "webvtt"
-                  else if (tCodec == null || tCodec.startsWith("S_TEXT")) null
-                  else {
-                    // S_HDMV/PGS → pgs, S_VOBSUB → vobsub, S_KATE → kate
-                    val base =
-                      if (tCodec.startsWith("S_")) tCodec.substring(2)
-                      else tCodec
-                    val slash = base.lastIndexOf('/')
-                    (if (slash >= 0) base.substring(slash + 1) else base)
-                      .toLowerCase(java.util.Locale.ROOT)
-                  }
+                subTrackCodec(tNum) = webmSubCodecLabel(tCodec)
               }
               tNum = -1L; tType = -1; tCodec = null; tLang = null
+              inTrack = false
             } else if (id == 0xA0L && bgText != null) { // BlockGroup closes
               val st = bgStart * scaleNs / 1000000L
               addCue(bgTrack, st, st + bgDurTicks * scaleNs / 1000000L, bgText)
@@ -957,11 +976,11 @@ object Multimodal {
           case 0x2AD7B1L =>
             val v = uintOf(body, bodyEnd)
             if (v > 0) scaleNs = v
-          case 0xD7L => tNum = uintOf(body, bodyEnd)
-          case 0x83L => tType = uintOf(body, bodyEnd).toInt
-          case 0x86L =>
+          case 0xD7L if inTrack => tNum = uintOf(body, bodyEnd)
+          case 0x83L if inTrack => tType = uintOf(body, bodyEnd).toInt
+          case 0x86L if inTrack =>
             tCodec = new String(b, body, bodyEnd - body, "ISO-8859-1")
-          case 0x22B59CL =>
+          case 0x22B59CL if inTrack =>
             tLang = new String(b, body, bodyEnd - body, "ISO-8859-1")
           case 0xE7L => clusterTc = uintOf(body, bodyEnd)
           case 0xA1L => // Block inside a BlockGroup
@@ -1127,6 +1146,9 @@ object Multimodal {
     // text+PGS file that reaches the cap
     val textTracks = scala.collection.mutable.Set.empty[Long]
     val vttTracks = scala.collection.mutable.Set.empty[Long]
+    // track scratch fills ONLY inside a TrackEntry — the shared
+    // walker rule (see webmInfo)
+    var inTrack = false
     var tNum = -1L
     var tType = -1
     var tCodec: String = null
@@ -1279,19 +1301,23 @@ object Multimodal {
         id match {
           case _ if isContainer =>
             if (id == 0xA0L) bgTextPending = false
+            if (id == 0xAEL) inTrack = true
             walk(body, bodyEnd, depth + 1)
             if (id == 0xAEL) {
               if (tType == 0x11 && tNum > 0 && !subTracks.contains(tNum)) {
                 subTracks += tNum
                 subTrackOrder += tNum
-                if (tCodec != null && tCodec.startsWith("S_HDMV/PGS"))
-                  pgsTracks += tNum
-                else if (tCodec == "S_TEXT/WEBVTT") {
-                  textTracks += tNum; vttTracks += tNum
-                } else if (tCodec == null || tCodec.startsWith("S_TEXT"))
-                  textTracks += tNum
+                // the SHARED classifier, so pgs/webvtt/text can never
+                // diverge from webmTextTracks' view of the same file
+                webmSubCodecLabel(tCodec) match {
+                  case "pgs" => pgsTracks += tNum
+                  case "webvtt" => textTracks += tNum; vttTracks += tNum
+                  case null => textTracks += tNum
+                  case _ => () // declaration-only in both walkers
+                }
               }
               tNum = -1L; tType = -1; tCodec = null
+              inTrack = false
             } else if (id == 0xA0L && bgTextPending) {
               nCues += 1 // the BlockGroup cue webmTextTracks counts
               bgTextPending = false
@@ -1299,9 +1325,9 @@ object Multimodal {
           case 0x2AD7B1L =>
             val v = uintOf(body, bodyEnd)
             if (v > 0) scaleNs = v
-          case 0xD7L => tNum = uintOf(body, bodyEnd)
-          case 0x83L => tType = uintOf(body, bodyEnd).toInt
-          case 0x86L =>
+          case 0xD7L if inTrack => tNum = uintOf(body, bodyEnd)
+          case 0x83L if inTrack => tType = uintOf(body, bodyEnd).toInt
+          case 0x86L if inTrack =>
             tCodec = new String(b, body, bodyEnd - body, "ISO-8859-1")
           case 0xE7L => clusterTc = uintOf(body, bodyEnd)
           case 0xA1L =>

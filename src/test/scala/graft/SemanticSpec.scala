@@ -3352,6 +3352,24 @@ class SemanticSpec extends SparkSpec {
     // detection follows the same registration rule: the redeclared
     // number counts ONCE there too (review-sweep regression)
     assert(M.webmInfo(mkv).get.subtitleTracks == 1)
+    // a raw 0xD7 leaf planted in a Cluster must not leak into a
+    // later NUMBERLESS TrackEntry: track scratch is Entry-scoped in
+    // every walker, so detection and extraction stay in agreement
+    val numberless = el(0xAEL, el(0x83L, Array(0x11.toByte)) ++
+      el(0x86L, "S_TEXT/UTF8".getBytes("ISO-8859-1")))
+    val planted = el(0x18538067L,
+      el(0x1549A966L, el(0x2AD7B1L,
+        Array(0x0F.toByte, 0x42.toByte, 0x40.toByte))) ++
+        el(0x1654AE6BL, vidTrack ++ track(3, "eng")) ++
+        el(0x1F43B675L, el(0xE7L, Array(0.toByte)) ++
+          el(0xD7L, Array(9.toByte)) ++ // the hostile planted leaf
+          el(0xA0L, el(0xA1L, block) ++ el(0x9BL, Array(100.toByte)))) ++
+        el(0x1654AE6BL, numberless))
+    val mkv2 = Array(0x1A.toByte, 0x45.toByte, 0xDF.toByte, 0xA3.toByte,
+      0x80.toByte) ++ planted
+    val Some((_, t2)) = M.webmTextTracks(mkv2)
+    assert(t2.length == 1 && t2.head._3.map(_.text) == Seq("dup"))
+    assert(M.webmInfo(mkv2).get.subtitleTracks == 1)
   }
 
   test("WebVTT-in-WebM: 3-line block layout, speaker captured, markup stripped") {
