@@ -7741,6 +7741,40 @@ object SparkEntry {
       |) AS t(doc_id, track_idx, cue_idx, start_ms, end_ms, text)
       |ORDER BY doc_id, track_idx, cue_idx""".stripMargin
 
+  /** Per-speaker talk statistics ([[graft.operators.Multimodal
+    * .speakerStats]]) — the casting-balance gate: union talk time
+    * per voiced speaker (overlapping karaoke repeats count once via
+    * the gaps-and-islands window program) and each speaker's share
+    * of the track's voiced total. Ana's stacked pair unions to
+    * 1500 ms and her scene-cut line adds 600 more; the unvoiced SRT
+    * and junk contribute nothing.
+    */
+  private def q211(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vtt = ("WEBVTT\n\n00:00:00.000 --> 00:00:01.000\n" +
+      "<v Ana>first\n\n00:00:00.800 --> 00:00:01.500\n" +
+      "<v Ana>stacked\n\n00:00:02.000 --> 00:00:02.500\n" +
+      "<v Ben>reply\n\n00:00:05.000 --> 00:00:05.600\n" +
+      "<v Ana>later\n")
+    val rows = Seq(
+      (1L, vtt.getBytes("UTF-8")),
+      (2L, "1\n00:00:01,000 --> 00:00:02,000\nplain\n".getBytes("UTF-8")),
+      (3L, "junk".getBytes("UTF-8"))
+    ).toDF("doc_id", "content")
+    graft.operators.Multimodal.speakerStats(rows)
+      .orderBy(col("doc_id"), col("track_idx"), col("speaker"))
+  }
+
+  private def speakerStatsOracle: String =
+    """SELECT * FROM (VALUES
+      | -- Ana: (0,1000)+(800,1500) union 1500, + 600 later = 2100
+      | (CAST(1 AS BIGINT), 1, 'Ana', CAST(3 AS BIGINT),
+      |  CAST(2100 AS BIGINT), round(2100/2600.0, 4)),
+      | (CAST(1 AS BIGINT), 1, 'Ben', CAST(1 AS BIGINT),
+      |  CAST(500 AS BIGINT), round(500/2600.0, 4))
+      |) AS t(doc_id, track_idx, speaker, n_cues, talk_ms, talk_share)
+      |ORDER BY doc_id, track_idx, speaker""".stripMargin
+
   private def plateLinkOracle: String =
     """WITH d AS (SELECT doc_id % 15 AS cls, count(*) AS n
       |  FROM documents WHERE doc_id % 16 = 0 GROUP BY 1)
@@ -8136,7 +8170,8 @@ object SparkEntry {
     "q207_turns" -> (q207 _),
     "q208_turncorp" -> (q208 _),
     "q209_platelink" -> (q209 _),
-    "q210_ocrsubs" -> (q210 _))
+    "q210_ocrsubs" -> (q210 _),
+    "q211_spkstats" -> (q211 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing" ->
@@ -8597,6 +8632,7 @@ object SparkEntry {
     "q208_turncorp" -> turnsCorpusOracle,
     "q209_platelink" -> plateLinkOracle,
     "q210_ocrsubs" -> ocrSubsOracle,
+    "q211_spkstats" -> speakerStatsOracle,
     "q55_sentiment_mix" ->
       """WITH s AS (
         |  SELECT source,

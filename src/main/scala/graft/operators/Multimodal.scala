@@ -5194,6 +5194,47 @@ object Multimodal {
         col("speaker_b"), col("text_b"), col("gap_ms"))
   }
 
+  /** Per-speaker talk statistics — the diarization summary over
+    * [[subtitleCuesByTrack]]'s voiced cues: one row per
+    * (asset, track, speaker) with (n_cues, talk_ms, talk_share),
+    * where `talk_ms` is the UNION length of the speaker's cue
+    * intervals (stacked karaoke repeats count once — the
+    * [[cueUnionMs]] rule, here as a gaps-and-islands program so the
+    * whole computation stays in codegen'd windows) and `talk_share`
+    * that speaker's fraction of the track's total voiced time. The
+    * casting-balance gate a dialog miner filters on ("drop
+    * monologue-heavy episodes").
+    *
+    * Scale shape: map-only cue scan, then ONLY per-(asset, track[,
+    * speaker]) partitioned windows and one aggregate — shuffles key
+    * on the asset id, nothing crosses assets.
+    */
+  def speakerStats(df: DataFrame, idCol: String = "doc_id",
+      contentCol: String = "content"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cues = subtitleCuesByTrack(df, idCol, contentCol)
+      .filter(col("speaker").isNotNull)
+    // union length per speaker as gaps-and-islands: a cue starting
+    // past every previous end opens a new island
+    val w = Window.partitionBy(col(idCol), col("track_idx"), col("speaker"))
+      .orderBy(col("start_ms"), col("end_ms"))
+    val runMax = max(col("end_ms"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = cues
+      .withColumn("__new",
+        when(runMax.isNull || col("start_ms") > runMax, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(w))
+    val perSpeaker = islands
+      .groupBy(col(idCol), col("track_idx"), col("speaker"), col("__isl"))
+      .agg(count(lit(1)).as("__n"),
+        (max(col("end_ms")) - min(col("start_ms"))).as("__len"))
+      .groupBy(col(idCol), col("track_idx"), col("speaker"))
+      .agg(sum(col("__n")).as("n_cues"), sum(col("__len")).as("talk_ms"))
+    val wt = Window.partitionBy(col(idCol), col("track_idx"))
+    perSpeaker.withColumn("talk_share",
+      round(col("talk_ms") / sum(col("talk_ms")).over(wt), 4))
+  }
+
   /** Serialize cues back to an SRT file — the export half of
     * [[subtitleCues]] (a training-data shard ships its clip text as
     * sidecars): index, `HH:MM:SS,mmm --> HH:MM:SS,mmm`, text block.

@@ -3882,6 +3882,32 @@ class SemanticSpec extends SparkSpec {
       .toSeq == Seq((2L, "first half second half", "reply")))
   }
 
+  test("speakerStats: per-speaker union talk time and share; unvoiced tracks silent") {
+    val M = Multimodal
+    import spark.implicits._
+    // muxed wvtt carrier, proving speaker stats work beyond sidecars
+    // (the sample table can't overlap — stacked-cue union rides the
+    // sidecar below): Zoe 800 of 1200, Raj 400
+    val mp4 = M.syntheticMp4TimedText(
+      Seq(M.renderJpeg(8, 8, (_, _) => 0x303030)),
+      Seq((0L, 500L, "<v Zoe>a"), (600L, 900L, "<v Zoe>b"),
+        (1000L, 1400L, "<v Raj>c")),
+      codec = "wvtt", lang = "eng")
+    // sidecar with STACKED same-speaker cues: union counts once
+    val vtt = ("WEBVTT\n\n00:00:00.000 --> 00:00:01.000\n<v Ana>x\n\n" +
+      "00:00:00.800 --> 00:00:01.500\n<v Ana>y\n\n" +
+      "00:00:02.000 --> 00:00:02.500\n<v Ben>z\n")
+    val rows = M.speakerStats(Seq(
+      (1L, mp4), (2L, vtt.getBytes("UTF-8")),
+      (3L, "1\n00:00:01,000 --> 00:00:02,000\nplain\n".getBytes("UTF-8")))
+      .toDF("doc_id", "content"))
+      .orderBy("doc_id", "speaker").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(2), r.getLong(3),
+      r.getLong(4), r.getDouble(5))).toSeq == Seq(
+      (1L, "Raj", 1L, 400L, 0.3333), (1L, "Zoe", 2L, 800L, 0.6667),
+      (2L, "Ana", 2L, 1500L, 0.75), (2L, "Ben", 1L, 500L, 0.25)))
+  }
+
   test("dialogCoverageByTrack: every track's own ratio, never the primary's") {
     val M = Multimodal
     import spark.implicits._
