@@ -6648,10 +6648,14 @@ object SparkEntry {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("content",
         org.apache.spark.sql.types.BinaryType)))
+    // constant frame rendered ONCE on the driver (the q197 lesson:
+    // per-row ImageIO encode of an id-independent image was the whole
+    // cost) — the closure ships the ~100 bytes of PNG, and per-row
+    // work is only the pngWithText splice on captioned rows
+    val base = graft.operators.Multimodal.renderPng(24, 16,
+      (_, _) => (200 << 16) | (123 << 8) | 77)
     val rdd = docs.rdd.map { r =>
       val id = r.getLong(0)
-      val base = graft.operators.Multimodal.renderPng(24, 16,
-        (_, _) => (200 << 16) | (123 << 8) | 77)
       val content =
         if (id % 3 == 0) graft.operators.Multimodal.pngWithText(base,
           Seq(("Description", s"caption for document $id", false)))
@@ -7258,13 +7262,17 @@ object SparkEntry {
     }
     val assets = s.createDataFrame(rdd, schema).localCheckpoint(false)
     val D = graft.operators.Dedup
-    val full = D.coverArtLinkCorpus(assets, "asset_id", "content")
-      .select(col("asset_id"), col("dup_class").as("full_class"))
-    // the replayed two-batch ingest: sigs are computed ONCE (the
-    // store's layout), split deterministically, joined exactly as
-    // the streaming path does — batch1 vs itself, then batch2 vs all
+    // sigs computed ONCE for BOTH paths (the batch run and the
+    // replayed ingest): each container is decoded and hashed a single
+    // time — the second decode pass was pure duplicated work
     val sigs = D.coverArtLinkSignatures(assets, "asset_id", "content")
       .localCheckpoint(false)
+    val full = D.coverArtLinkCorpus(assets, "asset_id", "content",
+        precomputedSigs = Some(sigs))
+      .select(col("asset_id"), col("dup_class").as("full_class"))
+    // the replayed two-batch ingest: sigs split deterministically,
+    // joined exactly as the streaming path does — batch1 vs itself,
+    // then batch2 vs all
     val b1 = sigs.filter(col("id") % 2 === 0)
     val b2 = sigs.filter(col("id") % 2 =!= 0)
     val pairs = D.incrementalHammingNearDuplicates(b1, b1)

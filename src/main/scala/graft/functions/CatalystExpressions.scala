@@ -390,6 +390,26 @@ object CatalystExpressions {
       copy(l, r)
   }
 
+  /** Exact set Jaccard of two long-array shingle sets
+    * ([[ExprKernels.setJaccard]]) — semantics identical to
+    * `when(size(array_union(a,b))===0, 1.0)
+    *  .otherwise(size(array_intersect(a,b))/size(array_union(a,b)))`
+    * but one primitive-long pass per side instead of two boxed
+    * generic-array walks (intersect + union each rebuild a hash set);
+    * the LSH-verification hot loop.
+    */
+  case class SetJaccard(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def nullSafeEval(l: Any, r: Any): Any =
+      ExprKernels.setJaccard(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        ${ev.value} = $K.setJaccard($a, $b);""")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SetJaccard =
+      copy(l, r)
+  }
+
   /** Dense matrix–vector product against a fixed row-major matrix
     * ([[ExprKernels.matVec]]): the OPQ rotation applied per row as a
     * map-only codegen'd projection; the matrix rides inside the
@@ -883,6 +903,9 @@ object CatalystExpressions {
 
   def dotProduct(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
+
+  def setJaccard(a: Column, b: Column): Column =
+    column(SetJaccard(expression(a), expression(b)))
 
   def matVec(vec: Column, mat: Array[Array[Double]]): Column =
     column(MatVec(expression(vec), mat))

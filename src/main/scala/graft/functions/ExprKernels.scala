@@ -277,6 +277,70 @@ object ExprKernels {
     UnsafeArrayData.fromPrimitiveArray(prim)
   }
 
+  /** Exact set Jaccard of two long arrays, with the SAME set
+    * semantics as `size(array_intersect) / size(array_union)` over
+    * non-null long elements (each side deduplicated; two empty sets
+    * are identical documents → 1.0), in ONE primitive pass instead of
+    * two generic-ArrayData passes: |A∪B| = |Da| + |Db| − |Da∩Db|, so
+    * one open-addressing long table per side replaces the boxed
+    * intersect AND union walks — the hot inner op of every
+    * LSH-candidate verification join, measured at >90% of the
+    * verify stage's CPU in the array_intersect/array_union form.
+    */
+  def setJaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 1.0
+    // open addressing with linear probing; 0 is reserved (tracked by
+    // a flag) so the table can use 0 as the empty slot
+    def cap(n: Int): Int = {
+      var c = 16
+      while (c < (n + 1) * 2) c <<= 1
+      c
+    }
+    val capA = cap(na)
+    val maskA = capA - 1
+    val tabA = new Array[Long](capA)
+    var aZero = false
+    var da = 0
+    var i = 0
+    while (i < na) {
+      val v = a.getLong(i)
+      if (v == 0L) { if (!aZero) { aZero = true; da += 1 } }
+      else {
+        var idx = (java.lang.Long.hashCode(splitmix64(v)) & maskA)
+        while (tabA(idx) != 0L && tabA(idx) != v) idx = (idx + 1) & maskA
+        if (tabA(idx) == 0L) { tabA(idx) = v; da += 1 }
+      }
+      i += 1
+    }
+    val capB = cap(nb)
+    val maskB = capB - 1
+    val tabB = new Array[Long](capB)
+    var bZero = false
+    var db = 0
+    var inter = 0
+    i = 0
+    while (i < nb) {
+      val v = b.getLong(i)
+      if (v == 0L) {
+        if (!bZero) { bZero = true; db += 1; if (aZero) inter += 1 }
+      } else {
+        var idx = (java.lang.Long.hashCode(splitmix64(v)) & maskB)
+        while (tabB(idx) != 0L && tabB(idx) != v) idx = (idx + 1) & maskB
+        if (tabB(idx) == 0L) {
+          tabB(idx) = v; db += 1
+          var ia = (java.lang.Long.hashCode(splitmix64(v)) & maskA)
+          while (tabA(ia) != 0L && tabA(ia) != v) ia = (ia + 1) & maskA
+          if (tabA(ia) == v) inter += 1
+        }
+      }
+      i += 1
+    }
+    val union = da.toLong + db.toLong - inter
+    if (union == 0L) 1.0 else inter.toDouble / union
+  }
+
   /** Dot product of two equal-length numeric arrays, accumulated
     * left-to-right in double. Callers check the length precondition
     * (mismatch is their null case).

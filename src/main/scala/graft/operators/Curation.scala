@@ -838,7 +838,13 @@ object Curation {
           .select(col(idCol))
         kept.join(broadcast(offenders), Seq(idCol), "left_anti")
       }
-    val survivors = piiRedact(gated, textCol)
+    // The redaction+token chain is CPU-heavy per byte; after the
+    // window-dedup exchange AQE coalesces the (small-in-bytes) frame
+    // below core count and the chain runs near-serial — floor the
+    // parallelism from the size ESTIMATE (identity at real scale,
+    // where the estimate clears the threshold; measured 855 ms
+    // single-task → ~80 ms spread at sf0.1).
+    val survivors = piiRedact(Scale.parallelismFloorBySize(gated), textCol)
       .withColumn("n_tok", TextFunctions.tokenCount(col("redacted")).cast("long"))
       .filter(col("n_tok").between(minTokens, maxTokens))
       .localCheckpoint(false)

@@ -239,10 +239,10 @@ object Dedup {
     cands
       .join(lSets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(rSets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      // one primitive pass per side (semantics identical to the
+      // array_intersect/array_union form — see ExprKernels.setJaccard)
       .withColumn("jaccard",
-        when(size(array_union(col("sh_a"), col("sh_b"))) === 0, 1.0)
-          .otherwise(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b")))))
+        graft.functions.CatalystExpressions.setJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -373,11 +373,12 @@ object Dedup {
     candidates
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      // exact set Jaccard in one primitive pass per side — identical
+      // semantics to the array_intersect/array_union formulation it
+      // replaces (two empty sets → 1.0), which burned >90% of the
+      // verify stage's CPU in boxed generic-array walks
       .withColumn("jaccard",
-        // two empty shingle sets are identical documents (J=1), not 0/0
-        when(size(array_union(col("sh_a"), col("sh_b"))) === 0, 1.0)
-          .otherwise(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b")))))
+        graft.functions.CatalystExpressions.setJaccard(col("sh_a"), col("sh_b")))
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
@@ -598,10 +599,16 @@ object Dedup {
   def coverArtLinkCorpus(df: DataFrame, idCol: String, contentCol: String,
       maxHamming: Int = 6, bands: Int = 8,
       maxBucketSize: Int = DefaultMaxBucketSize,
-      checkpointDir: Option[String] = None): DataFrame =
+      checkpointDir: Option[String] = None,
+      precomputedSigs: Option[DataFrame] = None): DataFrame =
     classKeepTail(df, idCol,
       simhashNearDuplicatesFromSigs(
-        coverArtLinkSignatures(df, idCol, contentCol).localCheckpoint(false),
+        // a caller that already materialized the (id, sh) frame (e.g.
+        // an incremental-vs-batch identity check hashing the corpus
+        // once for BOTH paths) passes it in — re-deriving it here
+        // would decode every container a second time
+        precomputedSigs.getOrElse(
+          coverArtLinkSignatures(df, idCol, contentCol).localCheckpoint(false)),
         maxHamming, bands, maxBucketSize), checkpointDir)
 
   /** Cross-release linking by shared subtitle PLATES — two encodes

@@ -22,6 +22,17 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache is FILE-backed: every
+  // ImageIO.read(InputStream) / write(_, _, OutputStream) creates,
+  // fills and deletes a temp file on disk PER IMAGE. All callers here
+  // hold the full bytes in memory already, so the disk hop is pure
+  // per-row syscall overhead (measured: the dominant cost of the
+  // image-corpus gate queries). Memory-cached streams produce
+  // byte-identical encodes/decodes — this is an I/O-path switch, not
+  // a codec change. Set once on classload (executors load this class
+  // before any kernel call; local mode shares the JVM).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed metadata produced by decode: image fields (width/height),
     * audio/video fields (sample_rate/duration_ms), shared channel
     * count and format tag. Fields outside a format's modality are

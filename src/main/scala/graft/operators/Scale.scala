@@ -25,6 +25,26 @@ object Scale {
     if (df.rdd.getNumPartitions < floor) df.repartition(floor) else df
   }
 
+  /** [[parallelismFloor]] for frames DOWNSTREAM of exchanges, where
+    * calling `.rdd` to inspect partitions would force AQE to execute
+    * the upstream stages at build time: decide from the optimizer's
+    * size ESTIMATE instead. A frame estimated smaller than
+    * (cores × AQE minPartitionSize) is exactly the shape AQE's
+    * post-shuffle coalescing collapses below core count — a
+    * CPU-heavy-per-byte map chain (regex redaction, tokenization)
+    * behind it then runs near-serial, which the byte-targeted
+    * coalescing cannot see. At real scale the estimate exceeds the
+    * threshold and this is the identity — no extra shuffle.
+    */
+  def parallelismFloorBySize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val floor = spark.sparkContext.defaultParallelism
+    val minSz = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1MB"))
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est < BigInt(floor) * minSz) df.repartition(floor) else df
+  }
+
   /** Salted inner equi-join for skewed keys: the skewed (large) side
     * gets a random salt in [0, saltFactor); the small side is
     * replicated once per salt value. Breaks one hot key's rows across

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
 
 /** Diagnostic main: run one gate query cold and print every Spark job
   * with its call site — the tool behind job-count audits (a cold
@@ -14,8 +14,28 @@ object JobTrace {
     val spark = graft.core.Engine.session("graft-jobtrace", cores = 32)
     spark.sparkContext.setLogLevel("WARN")
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val jobStartNs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = s.stageInfo
+        val m = si.taskMetrics
+        val wall = (for (a <- si.completionTime; b <- si.submissionTime)
+          yield a - b).getOrElse(-1L)
+        jobs.add(f"      stage ${si.stageId}%3d[${si.numTasks}%3d] wall=${wall}%5d ms " +
+          f"run=${m.executorRunTime}%5d cpu=${m.executorCpuTime / 1000000}%5d " +
+          f"deser=${m.executorDeserializeTime}%4d gc=${m.jvmGCTime}%4d " +
+          f"shufR=${m.shuffleReadMetrics.totalBytesRead / 1024}%6d KiB " +
+          f"shufW=${m.shuffleWriteMetrics.bytesWritten / 1024}%6d KiB  ${si.name.takeWhile(_ != '(').trim}")
+        ()
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        val ms = (System.nanoTime() - jobStartNs.getOrDefault(j.jobId, System.nanoTime())) / 1e6
+        jobs.add(f"job ${j.jobId}%3d END ${ms}%8.1f ms")
+        ()
+      }
       override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobStartNs.put(j.jobId, System.nanoTime())
         val tasks = j.stageInfos.map(_.numTasks).sum
         val names = j.stageInfos.map(s => s"${s.stageId}:${s.name.takeWhile(_ != '(').trim}[${s.numTasks}]")
           .mkString(" | ")
@@ -39,6 +59,16 @@ object JobTrace {
       Thread.sleep(300) // listener delivery is async — drain before clearing
       jobs.clear()
     }
+    // JOBTRACE_WARM=n runs the query n untraced times first, so the
+    // per-job wall times reflect steady state (JIT + cache warm), not
+    // first-run compilation
+    val warmRuns = sys.env.getOrElse("JOBTRACE_WARM", "0").toInt
+    (1 to warmRuns).foreach { _ =>
+      try { graft.SparkEntry.queries(name)(spark, sfDir).count(); () }
+      catch { case _: Throwable => () }
+    }
+    Thread.sleep(300)
+    jobs.clear()
     val t0 = System.nanoTime()
     val df =
       if (name == "dedup_corpus_raw") {

@@ -51,16 +51,20 @@ object ProfileQuery {
       catch { case _: Throwable => () }
     }
 
-    val fn = graft.SparkEntry.queries(name)
-    (1 to runs).foreach { i =>
-      jobs.set(0); stages.set(0); tasks.set(0)
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      // listener delivery is async; give the bus a beat to drain
-      Thread.sleep(300)
-      println(f"[profile] $name run $i: $sec%.3f s, rows=$n, " +
-        f"jobs=${jobs.get()}, stages=${stages.get()}, tasks=${tasks.get()}")
+    // comma-separated names profile several queries in ONE JVM (the
+    // sbt+session startup otherwise dominates a profiling sweep)
+    for (qn <- name.split(',').toSeq) {
+      val fn = graft.SparkEntry.queries(qn)
+      (1 to runs).foreach { i =>
+        jobs.set(0); stages.set(0); tasks.set(0)
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        // listener delivery is async; give the bus a beat to drain
+        Thread.sleep(300)
+        println(f"[profile] $qn run $i: $sec%.3f s, rows=$n, " +
+          f"jobs=${jobs.get()}, stages=${stages.get()}, tasks=${tasks.get()}")
+      }
     }
     spark.stop()
   }

@@ -244,6 +244,59 @@ class CodegenSpec extends SparkSpec {
     assert(codegenRows.head.contains("3"), "3 of 4 tokens are in the set")
   }
 
+  test("setJaccard == array_intersect/array_union formulation, codegen == interpreted") {
+    // the kernel replaced the boxed two-pass form in the LSH verify
+    // joins; lock exact equality on the edge shapes (empty/empty = 1.0,
+    // zeros, duplicates, disjoint, identical) plus a seeded random sweep
+    val rnd = new scala.util.Random(42)
+    val cases = Seq(
+      (Array.empty[Long], Array.empty[Long]),
+      (Array.empty[Long], Array(1L, 2L)),
+      (Array(0L), Array(0L)),
+      (Array(0L, 0L, 5L), Array(0L, 7L)),
+      (Array(1L, 1L, 2L, 3L), Array(3L, 3L, 4L)),
+      (Array(-1L, Long.MinValue, Long.MaxValue), Array(Long.MinValue, 9L)),
+      (Array(1L, 2L, 3L), Array(4L, 5L))) ++
+      (0 until 50).map { _ =>
+        (Array.fill(rnd.nextInt(40))(rnd.nextInt(20).toLong - 5),
+          Array.fill(rnd.nextInt(40))(rnd.nextInt(20).toLong - 5))
+      }
+    val df = cases.zipWithIndex
+      .map { case ((a, b), i) => (i, a.toSeq, b.toSeq) }
+      .toDF("i", "a", "b")
+    def q(): Seq[org.apache.spark.sql.Row] =
+      df.select(col("i"),
+          CatalystExpressions.setJaccard(col("a"), col("b")).as("k"),
+          when(size(array_union(col("a"), col("b"))) === 0, 1.0)
+            .otherwise(size(array_intersect(col("a"), col("b"))).cast("double") /
+              size(array_union(col("a"), col("b")))).as("ref"))
+        .orderBy("i").collect().toSeq
+    val conf = spark.conf
+    val codegenRows =
+      try {
+        conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+        conf.set("spark.sql.codegen.fallback", "false")
+        q()
+      } finally {
+        conf.unset("spark.sql.codegen.factoryMode")
+        conf.unset("spark.sql.codegen.fallback")
+      }
+    val interpretedRows =
+      try {
+        conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        conf.set("spark.sql.codegen.wholeStage", "false")
+        q()
+      } finally {
+        conf.unset("spark.sql.codegen.factoryMode")
+        conf.unset("spark.sql.codegen.wholeStage")
+      }
+    assert(codegenRows == interpretedRows)
+    codegenRows.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2),
+        s"setJaccard mismatch at row ${r.getInt(0)}: kernel=${r.getDouble(1)} ref=${r.getDouble(2)}")
+    }
+  }
+
   test("nullable-on-success expressions declare nullable (invalid input maps to null)") {
     // CanonicalJson / DotProduct / NearestCentroid return null for
     // NON-null inputs (bad JSON, length mismatch, no matching
