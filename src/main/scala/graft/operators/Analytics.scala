@@ -227,15 +227,21 @@ object Analytics {
       weightCol: String, iterations: Int, alpha: Double = 0.85,
       checkpointEvery: Int = 5): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
+    // Materialize the EDGE FRAME itself once: `nodes` and `trans` both
+    // derive from it, so without this checkpoint the (possibly
+    // join-heavy) edge derivation executes TWICE — once per derived
+    // materialization (measured: q105's 5-table join + aggregate ran
+    // double before the iterations even started).
     val e = edges
       .filter(col(weightCol).isNotNull && col(weightCol) > 0)
       .select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
         col(weightCol).cast("double").as("__w"))
-    // Materialize the graph ONCE: every iteration references trans and
-    // nodes, so without this the (possibly join-heavy) edge derivation
-    // re-executes per reference — measured 3.5 s → sub-second at sf0.1
-    // for a 5-table edge build. localCheckpoint also truncates the
-    // upstream lineage, so iteration plans start from the stored graph.
+      .localCheckpoint(true)
+    // Materialize the graph views ONCE: every iteration references
+    // trans and nodes, so without this the derivations re-execute per
+    // reference — measured 3.5 s → sub-second at sf0.1 for a 5-table
+    // edge build. localCheckpoint also truncates the upstream lineage,
+    // so iteration plans start from the stored graph.
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node"))).distinct()
       .localCheckpoint(true)

@@ -541,20 +541,67 @@ object Dedup {
       imageHashSignatures(df, idCol, contentCol).localCheckpoint(false),
       maxHamming, bands, maxBucketSize)
 
+  /** Hamming near-dup PAIR generation specialized for the
+    * transitive-CLASS consumers ([[classKeepTail]]): collapse rows
+    * with IDENTICAL signatures to one min-id representative before
+    * the banded join, and re-attach the collapsed rows as explicit
+    * Hamming-0 twin edges.
+    *
+    * Correctness: identical signatures collide in EVERY band and XOR
+    * to Hamming 0 ≤ maxHamming (any maxHamming ≥ 0), so in the full
+    * pair graph a signature's rows always form a clique inside their
+    * component; replacing that clique with a star on the min-id
+    * representative preserves connected components EXACTLY, and the
+    * class label (component min id) is a component property — classes
+    * and keep-lists are unchanged (DedupSpec locks equality against
+    * the full-pair form on random corpora). Pair MULTIPLICITY is not
+    * preserved: this is only for consumers that feed
+    * [[connectedComponents]], never for the pair-surface APIs
+    * ([[imageNearDuplicates]] et al. keep the full join).
+    *
+    * Scale: k identical-signature twins of one asset (memes,
+    * re-uploads, re-encodes — the common crawl shape) make the naive
+    * per-bucket join emit k² pair rows before dedup — measured 13M
+    * joined rows / 47 MB of shuffle for 5 000 rows in 15
+    * identical-hash classes at sf0.1, and unboundedly worse at crawl
+    * scale. The collapse makes the join quadratic only in DISTINCT
+    * signatures per bucket, plus k linear twin edges. The hot-bucket
+    * cap now counts distinct signatures rather than rows — when it
+    * binds, strictly MORE candidates survive than before (the
+    * [[incrementalHammingNearDuplicates]] cap-direction precedent),
+    * never fewer.
+    */
+  private[graft] def hammingClassPairs(sigs: DataFrame,
+      maxHamming: Int, bands: Int, maxBucketSize: Int): DataFrame = {
+    val reps = sigs.groupBy(col("sh")).agg(min(col("id")).as("id"))
+      .localCheckpoint(false) // feeds the self-join's both sides + the twin join
+    val crossPairs = simhashNearDuplicatesFromSigs(
+        reps.select(col("id"), col("sh")), maxHamming, bands, maxBucketSize)
+      .select(col("id_a"), col("id_b"))
+    val twins = sigs
+      .join(reps.select(col("sh"), col("id").as("__rep")), Seq("sh"))
+      .filter(col("id") =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col("id").as("id_b"))
+    crossPairs.unionByName(twins)
+  }
+
   /** End-to-end image corpus dedup — [[dedupCorpus]] for pixels:
     * perceptual near-dup pairs → transitive duplicate classes →
     * keep-list (smallest id per class survives; compose with
     * [[keepBest]] for quality-aware keepers). Returns the input plus
     * `dup_class` (null = unique, including non-decodable rows) and
-    * `keep`.
+    * `keep`. Candidate pairs for the class graph ride
+    * [[hammingClassPairs]] (identical-signature collapse — classes
+    * identical to the full pair join, without its k² twin blowup).
     */
   def imageDedupCorpus(df: DataFrame, idCol: String, contentCol: String,
       maxHamming: Int = 6, bands: Int = 8,
       maxBucketSize: Int = DefaultMaxBucketSize,
       checkpointDir: Option[String] = None): DataFrame =
     classKeepTail(df, idCol,
-      imageNearDuplicates(df, idCol, contentCol, maxHamming, bands,
-        maxBucketSize), checkpointDir)
+      hammingClassPairs(
+        imageHashSignatures(df, idCol, contentCol).localCheckpoint(false),
+        maxHamming, bands, maxBucketSize), checkpointDir)
 
   /** The shared corpus-dedup tail: verified near-dup pairs →
     * transitive classes ([[connectedComponents]]) → left join back
@@ -602,7 +649,7 @@ object Dedup {
       checkpointDir: Option[String] = None,
       precomputedSigs: Option[DataFrame] = None): DataFrame =
     classKeepTail(df, idCol,
-      simhashNearDuplicatesFromSigs(
+      hammingClassPairs(
         // a caller that already materialized the (id, sh) frame (e.g.
         // an incremental-vs-batch identity check hashing the corpus
         // once for BOTH paths) passes it in — re-deriving it here
@@ -695,8 +742,9 @@ object Dedup {
       maxBucketSize: Int = DefaultMaxBucketSize,
       checkpointDir: Option[String] = None): DataFrame =
     classKeepTail(df, idCol,
-      audioNearDuplicates(df, idCol, contentCol, maxHamming, bands,
-        maxBucketSize), checkpointDir)
+      hammingClassPairs(
+        audioHashSignatures(df, idCol, contentCol).localCheckpoint(false),
+        maxHamming, bands, maxBucketSize), checkpointDir)
 
   /** Incremental Hamming near-dup for ANY 64-bit signature frame —
     * text SimHash ([[simhashSignatures]]) and image dHash

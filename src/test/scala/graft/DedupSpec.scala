@@ -865,4 +865,34 @@ class DedupSpec extends SparkSpec {
     assert(capped.count() == 0,
       "after dropping the boilerplate grams no unrelated pair should clear the bar")
   }
+
+  test("hammingClassPairs: identical-signature collapse preserves connected components exactly") {
+    import spark.implicits._
+    // random 64-bit signatures with planted duplicate groups (the
+    // meme/re-upload shape that makes the full per-bucket join k²) +
+    // planted near pairs across groups; components from the collapsed
+    // pair graph must equal components from the FULL pair join
+    val rnd = new scala.util.Random(7)
+    val baseSigs = (0 until 40).map(_ => rnd.nextLong())
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var id = 0L
+    baseSigs.zipWithIndex.foreach { case (s, i) =>
+      val twins = 1 + (i % 5) // groups of 1..5 identical signatures
+      (0 until twins).foreach { _ => rows += ((id, s)); id += 1 }
+      if (i % 3 == 0) { // a near neighbor within Hamming 2
+        rows += ((id, s ^ 3L)); id += 1
+      }
+    }
+    val sigs = rows.toSeq.toDF("id", "sh").localCheckpoint(false)
+    def classesOf(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Dedup.connectedComponents(pairs.select(col("id_a"), col("id_b")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = classesOf(Dedup.simhashNearDuplicatesFromSigs(
+      sigs, maxHamming = 6, bands = 8))
+    val collapsed = classesOf(Dedup.hammingClassPairs(
+      sigs, maxHamming = 6, bands = 8, maxBucketSize = Dedup.DefaultMaxBucketSize))
+    assert(full == collapsed,
+      s"collapsed class map must equal the full-pair class map\nfull=$full\ncollapsed=$collapsed")
+    assert(full.nonEmpty, "the planted corpus must produce duplicate classes")
+  }
 }
