@@ -573,14 +573,23 @@ object Dedup {
     */
   private[graft] def hammingClassPairs(sigs: DataFrame,
       maxHamming: Int, bands: Int, maxBucketSize: Int): DataFrame = {
-    val reps = sigs.groupBy(col("sh")).agg(min(col("id")).as("id"))
-      .localCheckpoint(false) // feeds the self-join's both sides + the twin join
+    // reps AND twins from ONE window pass partitioned by the
+    // signature (no second join, no extra checkpoint): each row
+    // learns its signature's min id; the min-id row IS the
+    // representative, every other row becomes a twin edge to it. The
+    // identical subplan feeding the banded join's two sides and the
+    // twin filter dedupes as a ReusedExchange under AQE — a
+    // localCheckpoint here would cost a finalization job per call
+    // (mixedDedupCorpus pays per modality) for zero saved work, since
+    // `sigs` itself is the caller-checkpointed frame.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+    val marked = sigs.withColumn("__rep", min(col("id")).over(w))
+    val reps = marked.filter(col("id") === col("__rep"))
+      .select(col("id"), col("sh"))
     val crossPairs = simhashNearDuplicatesFromSigs(
-        reps.select(col("id"), col("sh")), maxHamming, bands, maxBucketSize)
+        reps, maxHamming, bands, maxBucketSize)
       .select(col("id_a"), col("id_b"))
-    val twins = sigs
-      .join(reps.select(col("sh"), col("id").as("__rep")), Seq("sh"))
-      .filter(col("id") =!= col("__rep"))
+    val twins = marked.filter(col("id") =!= col("__rep"))
       .select(col("__rep").as("id_a"), col("id").as("id_b"))
     crossPairs.unionByName(twins)
   }
