@@ -401,6 +401,21 @@ object CatalystExpressions {
   case class SetJaccard(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
+    // null ELEMENTS are one distinct set member per side, exactly
+    // array_intersect/array_union's treatment (the kernel handles
+    // them; a parquet round trip of the durable index relaxes the
+    // signature arrays to containsNull=true)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      def ok(e: Expression): Boolean = e.dataType match {
+        case ArrayType(LongType, _) => true
+        case _ => false
+      }
+      if (ok(left) && ok(right))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"setJaccard requires array<bigint> inputs, " +
+          s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
     override def nullSafeEval(l: Any, r: Any): Any =
       ExprKernels.setJaccard(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

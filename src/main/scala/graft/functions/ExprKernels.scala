@@ -292,7 +292,12 @@ object ExprKernels {
     val nb = b.numElements()
     if (na == 0 && nb == 0) return 1.0
     // open addressing with linear probing; 0 is reserved (tracked by
-    // a flag) so the table can use 0 as the empty slot
+    // a flag) so the table can use 0 as the empty slot. A null
+    // ELEMENT is one more distinct set member on its side (exactly
+    // array_intersect/array_union's treatment — signature arrays are
+    // containsNull=false by construction, but a parquet round trip of
+    // the durable index relaxes the schema to nullable and the
+    // semantics must not change underneath it).
     def cap(n: Int): Int = {
       var c = 16
       while (c < (n + 1) * 2) c <<= 1
@@ -302,15 +307,19 @@ object ExprKernels {
     val maskA = capA - 1
     val tabA = new Array[Long](capA)
     var aZero = false
+    var aNull = false
     var da = 0
     var i = 0
     while (i < na) {
-      val v = a.getLong(i)
-      if (v == 0L) { if (!aZero) { aZero = true; da += 1 } }
+      if (a.isNullAt(i)) { if (!aNull) { aNull = true; da += 1 } }
       else {
-        var idx = (java.lang.Long.hashCode(splitmix64(v)) & maskA)
-        while (tabA(idx) != 0L && tabA(idx) != v) idx = (idx + 1) & maskA
-        if (tabA(idx) == 0L) { tabA(idx) = v; da += 1 }
+        val v = a.getLong(i)
+        if (v == 0L) { if (!aZero) { aZero = true; da += 1 } }
+        else {
+          var idx = (java.lang.Long.hashCode(splitmix64(v)) & maskA)
+          while (tabA(idx) != 0L && tabA(idx) != v) idx = (idx + 1) & maskA
+          if (tabA(idx) == 0L) { tabA(idx) = v; da += 1 }
+        }
       }
       i += 1
     }
@@ -318,21 +327,26 @@ object ExprKernels {
     val maskB = capB - 1
     val tabB = new Array[Long](capB)
     var bZero = false
+    var bNull = false
     var db = 0
     var inter = 0
     i = 0
     while (i < nb) {
-      val v = b.getLong(i)
-      if (v == 0L) {
-        if (!bZero) { bZero = true; db += 1; if (aZero) inter += 1 }
+      if (b.isNullAt(i)) {
+        if (!bNull) { bNull = true; db += 1; if (aNull) inter += 1 }
       } else {
-        var idx = (java.lang.Long.hashCode(splitmix64(v)) & maskB)
-        while (tabB(idx) != 0L && tabB(idx) != v) idx = (idx + 1) & maskB
-        if (tabB(idx) == 0L) {
-          tabB(idx) = v; db += 1
-          var ia = (java.lang.Long.hashCode(splitmix64(v)) & maskA)
-          while (tabA(ia) != 0L && tabA(ia) != v) ia = (ia + 1) & maskA
-          if (tabA(ia) == v) inter += 1
+        val v = b.getLong(i)
+        if (v == 0L) {
+          if (!bZero) { bZero = true; db += 1; if (aZero) inter += 1 }
+        } else {
+          var idx = (java.lang.Long.hashCode(splitmix64(v)) & maskB)
+          while (tabB(idx) != 0L && tabB(idx) != v) idx = (idx + 1) & maskB
+          if (tabB(idx) == 0L) {
+            tabB(idx) = v; db += 1
+            var ia = (java.lang.Long.hashCode(splitmix64(v)) & maskA)
+            while (tabA(ia) != 0L && tabA(ia) != v) ia = (ia + 1) & maskA
+            if (tabA(ia) == v) inter += 1
+          }
         }
       }
       i += 1

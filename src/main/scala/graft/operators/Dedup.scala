@@ -583,7 +583,13 @@ object Dedup {
     // (mixedDedupCorpus pays per modality) for zero saved work, since
     // `sigs` itself is the caller-checkpointed frame.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
-    val marked = sigs.withColumn("__rep", min(col("id")).over(w))
+    // defensive null drop: the internal signature producers already
+    // filter null hashes, but a caller-supplied frame (the
+    // precomputedSigs path) that skipped it would otherwise see the
+    // null PARTITION become one giant twin class — where the banded
+    // join this replaces silently dropped nulls (null keys never join)
+    val marked = sigs.filter(col("sh").isNotNull)
+      .withColumn("__rep", min(col("id")).over(w))
     val reps = marked.filter(col("id") === col("__rep"))
       .select(col("id"), col("sh"))
     val crossPairs = simhashNearDuplicatesFromSigs(

@@ -63,26 +63,30 @@ object JobTrace {
     // per-job wall times reflect steady state (JIT + cache warm), not
     // first-run compilation
     val warmRuns = sys.env.getOrElse("JOBTRACE_WARM", "0").toInt
+    def buildDf(): org.apache.spark.sql.DataFrame =
+      if (name == "dedup_corpus_raw") {
+        val docs = graft.core.Engine.table(spark, sfDir, "documents")
+        graft.operators.Dedup.dedupCorpus(docs, "doc_id", "text", minJaccard = 0.3)
+      } else graft.SparkEntry.queries(name)(spark, sfDir)
     (1 to warmRuns).foreach { _ =>
-      try { graft.SparkEntry.queries(name)(spark, sfDir).count(); () }
+      try { buildDf().count(); () }
       catch { case _: Throwable => () }
     }
     Thread.sleep(300)
     jobs.clear()
     val t0 = System.nanoTime()
-    val df =
-      if (name == "dedup_corpus_raw") {
-        // the un-memoized tail of q53: dedupCorpus before dedupClasses'
-        // localCheckpoint truncates the plan — for auditing the final
-        // join/agg shape
-        val docs = graft.core.Engine.table(spark, sfDir, "documents")
-        graft.operators.Dedup.dedupCorpus(docs, "doc_id", "text", minJaccard = 0.3)
-      } else graft.SparkEntry.queries(name)(spark, sfDir)
+    // "dedup_corpus_raw" = the un-memoized tail of q53: dedupCorpus
+    // before dedupClasses' localCheckpoint truncates the plan — for
+    // auditing the final join/agg shape (buildDf handles both names)
+    val df = buildDf()
     val n = df.count()
     val sec = (System.nanoTime() - t0) / 1e9
     if (sys.env.contains("JOBTRACE_EXPLAIN")) df.explain("formatted")
     Thread.sleep(500) // let listener drain
-    val jobCount = jobs.stream.filter(_.startsWith("job")).count()
+    // start lines only — END lines also begin with "job" and would
+    // double-count every job in the summary
+    val jobCount = jobs.stream
+      .filter(s => s.startsWith("job") && !s.contains(" END ")).count()
     jobs.forEach(s => println(s"[trace] $s"))
     println(f"[trace] $name: $jobCount jobs, $sec%.1f s, rows=$n")
     spark.stop()

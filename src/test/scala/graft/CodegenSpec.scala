@@ -262,7 +262,15 @@ class CodegenSpec extends SparkSpec {
           Array.fill(rnd.nextInt(40))(rnd.nextInt(20).toLong - 5))
       }
     val df = cases.zipWithIndex
-      .map { case ((a, b), i) => (i, a.toSeq, b.toSeq) }
+      .map { case ((a, b), i) =>
+        (i, a.toSeq.map(java.lang.Long.valueOf), b.toSeq.map(java.lang.Long.valueOf)) }
+      // NULL elements too (a parquet round trip relaxes signature
+      // arrays to containsNull=true): null is one distinct member per
+      // side, matching array_intersect/array_union
+      .appended((1000, Seq[java.lang.Long](null, 1L, null),
+        Seq[java.lang.Long](null, 2L)))
+      .appended((1001, Seq[java.lang.Long](null), Seq[java.lang.Long](3L)))
+      .appended((1002, Seq[java.lang.Long](null, 0L), Seq[java.lang.Long](null, 0L)))
       .toDF("i", "a", "b")
     def q(): Seq[org.apache.spark.sql.Row] =
       df.select(col("i"),
