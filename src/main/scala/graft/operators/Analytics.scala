@@ -206,94 +206,112 @@ object Analytics {
     * the standard stochastic-matrix completion, so Σrank stays 1 every
     * iteration).
     *
-    * Scale shape: nodes and edges are plain DataFrames; one iteration
-    * is one equi-join on `src` plus one aggregate on `dst` — both hash
-    * exchanges on the same keys every round, so the shuffle reuses
-    * stable partitioning. The graph (`trans`, `nodes`) is
-    * localCheckpoint'ed ONCE so iterations read the stored frames
-    * instead of re-deriving a possibly join-heavy edge build per
-    * reference; rank state is `localCheckpoint`ed every
-    * `checkpointEvery` iterations to truncate the growing lineage
-    * (iterative plans otherwise re-analyze O(iters) deep trees).
-    * Edges with null/≤0 weight are dropped. Output: (node, rank).
+    * Scale shape (guide §2.4 — keep one partitioning across rounds):
+    * the adjacency and the node set are RDDs sharing ONE
+    * HashPartitioner, so each iteration's rank⋈adjacency join and
+    * the nodes⋈contrib re-attach are NARROW (no exchange) and the
+    * only shuffle per round is the contribution reduceByKey on the
+    * SAME partitioner. The Catalyst form of this loop cannot do that
+    * — a localCheckpoint'ed graph scans as an RDD with partitioning
+    * Catalyst has forgotten, so every iteration re-exchanged BOTH
+    * join sides plus the aggregate (~3 exchanges/round, and under
+    * AQE ~3 scheduled jobs each of pure overhead at toy scale, real
+    * re-shuffles of the full graph at 100 TB). Shuffle outputs are
+    * reused across actions (skipped stages), which is what the
+    * per-view checkpoints bought before. The expensive edge
+    * derivation itself (possibly a many-table join) is still
+    * materialized exactly once, as a DataFrame checkpoint.
     *
-    * Job-count note: under AQE each iteration's exchanges materialize
-    * as ~3 scheduled jobs (≈23 total for 5 iterations) — at toy scale
-    * that scheduling is the whole wall time; at real scale each of
-    * those jobs carries the actual shuffle work and the fixed cost
-    * disappears into it. `iterations`/`checkpointEvery` are the knobs.
+    * Determinism: per-(node) sums accumulate in doubles whose
+    * combine order follows shuffle arrival, exactly like the hash
+    * aggregate it replaces — both forms are order-nondeterministic at
+    * the last ulp and both are consumed through `round(rank, 6)`
+    * oracles with 10 orders of magnitude of headroom.
+    *
+    * Edges with null/≤0 weight are dropped. Output: (node, rank) with
+    * `node` in the union-coerced type of the two endpoint columns
+    * (the previous form's union semantics). Dangling graphs pay one
+    * small driver `sum()` per iteration for the leaked mass — the
+    * previous lazy broadcast subframe also materialized per round,
+    * as AQE broadcast jobs.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, iterations: Int, alpha: Double = 0.85,
       checkpointEvery: Int = 5): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
-    // Materialize the EDGE FRAME itself once: `nodes` and `trans` both
-    // derive from it, so without this checkpoint the (possibly
-    // join-heavy) edge derivation executes TWICE — once per derived
-    // materialization (measured: q105's 5-table join + aggregate ran
-    // double before the iterations even started).
+    val spark = edges.sparkSession
+    // endpoint type = what the nodes union would coerce to, applied to
+    // BOTH columns up front so RDD keys from either side hash/compare
+    // consistently (Catalyst did this coercion at the union/join)
+    val nodeType = edges.select(col(srcCol)).limit(0)
+      .union(edges.select(col(dstCol)).limit(0)).schema.head.dataType
+    // Materialize the EDGE FRAME once: everything below derives from
+    // it, and the edge build is possibly a many-table join (q105's
+    // 5-table build ran twice before this checkpoint existed).
     val e = edges
       .filter(col(weightCol).isNotNull && col(weightCol) > 0)
-      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+      .select(col(srcCol).cast(nodeType).as("__src"),
+        col(dstCol).cast(nodeType).as("__dst"),
         col(weightCol).cast("double").as("__w"))
       .localCheckpoint(true)
-    // Materialize the graph views ONCE: every iteration references
-    // trans and nodes, so without this the derivations re-execute per
-    // reference — measured 3.5 s → sub-second at sf0.1 for a 5-table
-    // edge build. localCheckpoint also truncates the upstream lineage,
-    // so iteration plans start from the stored graph.
-    val nodes = e.select(col("__src").as("node"))
-      .union(e.select(col("__dst").as("node"))).distinct()
-      .localCheckpoint(true)
-    val n = nodes.count().toDouble
-    if (n == 0) return nodes.withColumn("rank", lit(0.0))
-    // per-source transition probability: w / out-weight(src)
-    val trans = e
-      .withColumn("__out", sum(col("__w")).over(Window.partitionBy(col("__src"))))
-      .withColumn("__p", col("__w") / col("__out"))
-      .select(col("__src"), col("__dst"), col("__p"))
-      .localCheckpoint(true)
-    val sources = trans.select(col("__src")).distinct()
-    // Dangling nodes are a property of the GRAPH, not the iteration:
-    // find them once, and when there are none (most link graphs after
-    // self-loop cleanup) skip the per-iteration dangling-mass
-    // anti-join + broadcast entirely — on a dense graph that is 2 of
-    // the ~5 scheduled jobs per iteration for a term that is
-    // identically zero.
-    val dangNodes = nodes
-      .join(sources, nodes("node") === sources("__src"), "left_anti")
-      .localCheckpoint(true)
-    val hasDangling = !dangNodes.isEmpty
-    var rank = nodes.withColumn("rank", lit(1.0 / n))
+    if (e.isEmpty) {
+      // schema-stable empty result (node in the coerced type)
+      return e.select(col("__src").as("node"))
+        .withColumn("rank", lit(0.0))
+    }
+    val part = new org.apache.spark.HashPartitioner(
+      spark.sessionState.conf.numShufflePartitions)
+    // adjacency: (src, [(dst, w/out)]) — partitioned ONCE by src;
+    // every iteration joins against it with no further exchange
+    val adj = e.rdd
+      .map(r => (r.get(0), (r.get(1), r.getDouble(2))))
+      .groupByKey(part)
+      .mapValues { outs =>
+        val arr = outs.toArray
+        var tot = 0.0
+        var i = 0
+        while (i < arr.length) { tot += arr(i)._2; i += 1 }
+        arr.map { case (d, w) => (d, w / tot) }
+      }
+    // node set on the SAME partitioner (distinct via reduceByKey)
+    val nodesR = e.rdd
+      .flatMap(r => Iterator(r.get(0), r.get(1)))
+      .map(v => (v, ()))
+      .reduceByKey(part, (a, _) => a)
+    val n = nodesR.count().toDouble
+    // dangling = nodes with no out-edges, a property of the GRAPH:
+    // found once; a graph without them (most link graphs after
+    // self-loop cleanup) pays nothing per iteration for the term
+    val dangR = nodesR.subtractByKey(adj)
+    val hasDangling = !dangR.isEmpty()
+    var rank = nodesR.mapValues(_ => 1.0 / n) // partitioner preserved
     var i = 0
     while (i < iterations) {
-      val contrib = rank.join(trans, rank("node") === trans("__src"))
-        .groupBy(col("__dst").as("node"))
-        .agg(sum(col("rank") * col("__p")).as("__in"))
-      val withIn = nodes.join(contrib, Seq("node"), "left")
-      rank =
-        if (!hasDangling)
-          withIn.select(col("node"),
-            (lit((1.0 - alpha) / n) +
-              lit(alpha) * coalesce(col("__in"), lit(0.0))).as("rank"))
+      val base =
+        if (!hasDangling) (1.0 - alpha) / n
         else {
-          // dangling mass as a lazy 1-row broadcast frame — no per-
-          // iteration driver action; the iteration stays one deferred
-          // plan between checkpoints
-          val dangMass = rank.join(dangNodes.select(col("node").as("__dn")),
-              rank("node") === col("__dn"), "left_semi")
-            .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dang"))
-          withIn.crossJoin(broadcast(dangMass))
-            .select(col("node"),
-              (lit((1.0 - alpha) / n) +
-                lit(alpha) * (coalesce(col("__in"), lit(0.0)) + col("__dang") / n))
-                .as("rank"))
+          val dang = rank.join(dangR).map(_._2._1).sum()
+          (1.0 - alpha) / n + alpha * dang / n
         }
+      // narrow join (shared partitioner) → per-dst partial sums →
+      // ONE shuffle on the same partitioner
+      val contrib = adj.join(rank)
+        .values
+        .flatMap { case (outs, r) =>
+          outs.iterator.map { case (d, p) => (d, r * p) } }
+        .reduceByKey(part, _ + _)
+      rank = nodesR.leftOuterJoin(contrib) // narrow: both on `part`
+        .mapValues { case (_, c) => base + alpha * c.getOrElse(0.0) }
       i += 1
       if (i % checkpointEvery == 0 && i < iterations)
-        rank = rank.localCheckpoint(true)
+        rank = { rank.localCheckpoint(); rank } // truncate lineage
     }
-    rank
+    spark.createDataFrame(
+      rank.map { case (node, r) => org.apache.spark.sql.Row(node, r) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", nodeType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
   }
 
   /** KMV bottom-k distinct estimate per group

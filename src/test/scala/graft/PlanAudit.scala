@@ -280,13 +280,18 @@ class PlanAudit extends SparkSpec {
   test("q105: PageRank iterates from the materialized graph, never all-pairs") {
     val p = plan("q105_pgrank")
     assert(!p.contains("CartesianProduct"), s"no all-pairs in PageRank:\n$p")
-    // trans + nodes are localCheckpoint'ed once — iteration plans must
-    // start from the stored graph (ExistingRDD scans), NOT re-derive
-    // the 5-table edge join per reference (measured 3.5 s → sub-second)
-    assert(p.linesIterator.count(_.contains("ExistingRDD")) >= 2,
-      s"iterations must read the checkpointed graph:\n$p")
+    // the power iteration runs on RDDs sharing one HashPartitioner
+    // (one shuffle per round, narrow joins) — the query plan must be
+    // nothing but the rank RDD's scan + the final projection/sort:
+    // NOT a re-derivation of the 5-table edge join (the edge frame is
+    // checkpointed once), and no Catalyst join ladder re-exchanging
+    // the graph per iteration (the pre-r16-opt shape)
+    assert(p.linesIterator.count(_.contains("ExistingRDD")) == 1,
+      s"the final plan reads exactly the rank RDD:\n$p")
     assert(!p.contains("FileScan parquet"),
       s"no per-iteration re-scan of the fact tables:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"iteration joins live in the partitioned RDD loop, not the final plan:\n$p")
   }
 
   test("q106: temperature quotas plan with WindowGroupLimit (heap, not full stratum sort)") {
