@@ -207,20 +207,28 @@ object Analytics {
     * iteration).
     *
     * Scale shape (guide §2.4 — keep one partitioning across rounds):
-    * the adjacency and the node set are RDDs sharing ONE
-    * HashPartitioner, so each iteration's rank⋈adjacency join and
-    * the nodes⋈contrib re-attach are NARROW (no exchange) and the
-    * only shuffle per round is the contribution reduceByKey on the
-    * SAME partitioner. The Catalyst form of this loop cannot do that
-    * — a localCheckpoint'ed graph scans as an RDD with partitioning
-    * Catalyst has forgotten, so every iteration re-exchanged BOTH
-    * join sides plus the aggregate (~3 exchanges/round, and under
-    * AQE ~3 scheduled jobs each of pure overhead at toy scale, real
-    * re-shuffles of the full graph at 100 TB). Shuffle outputs are
-    * reused across actions (skipped stages), which is what the
-    * per-view checkpoints bought before. The expensive edge
-    * derivation itself (possibly a many-table join) is still
-    * materialized exactly once, as a DataFrame checkpoint.
+    * the edge list, out-weight totals, node set and rank are RDDs
+    * sharing ONE HashPartitioner. The adjacency is RAW edge records
+    * partitioned by src — never grouped per key, so a supernode's
+    * out-edge list streams through its task instead of materializing
+    * as one in-memory array (the §2.5 skew trap a
+    * groupByKey-adjacency carries: groupByKey spills BETWEEN records,
+    * not within one, so a web-scale hub OOMs its task). Each round is
+    * one narrow zip over the shared partitioner — per partition an
+    * O(nodes-in-partition) rank/out-total map, edges streaming — and
+    * the only shuffle per round is the contribution reduceByKey on
+    * the SAME partitioner. The Catalyst form of this loop cannot do
+    * that — a localCheckpoint'ed graph scans as an RDD with
+    * partitioning Catalyst has forgotten, so every iteration
+    * re-exchanged BOTH join sides plus the aggregate
+    * (~3 exchanges/round, and under AQE ~3 scheduled jobs each of
+    * pure overhead at toy scale, real re-shuffles of the full graph
+    * at 100 TB). Shuffle outputs are reused across actions (skipped
+    * stages). The expensive edge derivation itself (possibly a
+    * many-table join) is still materialized exactly once, as a
+    * DataFrame checkpoint. Residual skew note: one hub's edges still
+    * live in one task (time, not memory — contributions stream);
+    * rank lookups stay partition-local by construction.
     *
     * Determinism: per-(node) sums accumulate in doubles whose
     * combine order follows shuffle arrival, exactly like the hash
@@ -228,12 +236,24 @@ object Analytics {
     * the last ulp and both are consumed through `round(rank, 6)`
     * oracles with 10 orders of magnitude of headroom.
     *
-    * Edges with null/≤0 weight are dropped. Output: (node, rank) with
-    * `node` in the union-coerced type of the two endpoint columns
-    * (the previous form's union semantics). Dangling graphs pay one
-    * small driver `sum()` per iteration for the leaked mass — the
-    * previous lazy broadcast subframe also materialized per round,
-    * as AQE broadcast jobs.
+    * Edges with a null endpoint or null/≤0 weight are dropped (the
+    * pre-RDD Catalyst equi-joins never matched null keys; keeping
+    * them would silently re-route rank mass). Node keys are
+    * re-encoded to value-equality forms where the JVM object would
+    * not group correctly as an RDD key (BinaryType → byte Seq —
+    * Array[Byte] hashes by identity; float/double −0.0 → 0.0, the
+    * SQL normalization). Output: (node, rank) with `node` in the
+    * union-coerced type of the two endpoint columns (the previous
+    * form's union semantics).
+    *
+    * Dangling graphs fold the leaked-mass term into the SAME
+    * per-round shuffle (a sentinel key in the contribution
+    * reduceByKey, summed from each partition's dangling rank
+    * entries); the driver reads it back with a single-partition
+    * `lookup` on the already-shuffled round — one action per round,
+    * not a separate rank⋈dangling join + sum job. Graphs without
+    * dangling nodes run all rounds in ONE lineage with no per-round
+    * action at all.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, iterations: Int, alpha: Double = 0.85,
@@ -249,7 +269,8 @@ object Analytics {
     // it, and the edge build is possibly a many-table join (q105's
     // 5-table build ran twice before this checkpoint existed).
     val e = edges
-      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0 &&
+        col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).cast(nodeType).as("__src"),
         col(dstCol).cast(nodeType).as("__dst"),
         col(weightCol).cast("double").as("__w"))
@@ -259,59 +280,143 @@ object Analytics {
       return e.select(col("__src").as("node"))
         .withColumn("rank", lit(0.0))
     }
+    val enc = rddKeyEncoder(nodeType)
+    val dec = rddKeyDecoder(nodeType)
     val part = new org.apache.spark.HashPartitioner(
       spark.sessionState.conf.numShufflePartitions)
-    // adjacency: (src, [(dst, w/out)]) — partitioned ONCE by src;
-    // every iteration joins against it with no further exchange
-    val adj = e.rdd
-      .map(r => (r.get(0), (r.get(1), r.getDouble(2))))
-      .groupByKey(part)
-      .mapValues { outs =>
-        val arr = outs.toArray
-        var tot = 0.0
-        var i = 0
-        while (i < arr.length) { tot += arr(i)._2; i += 1 }
-        arr.map { case (d, w) => (d, w / tot) }
-      }
+    // adjacency: RAW (src, (dst, w)) edge records partitioned ONCE by
+    // src — no per-key grouping anywhere (see scaladoc)
+    val adjE = e.rdd
+      .map(r => (enc(r.get(0)), (enc(r.get(1)), r.getDouble(2))))
+      .partitionBy(part)
+    // out-weight totals per src: O(1) state per key, map-side combined
+    val outTot = e.rdd
+      .map(r => (enc(r.get(0)), r.getDouble(2)))
+      .reduceByKey(part, _ + _)
     // node set on the SAME partitioner (distinct via reduceByKey)
     val nodesR = e.rdd
       .flatMap(r => Iterator(r.get(0), r.get(1)))
-      .map(v => (v, ()))
+      .map(v => (enc(v), ()))
       .reduceByKey(part, (a, _) => a)
     val n = nodesR.count().toDouble
     // dangling = nodes with no out-edges, a property of the GRAPH:
     // found once; a graph without them (most link graphs after
     // self-loop cleanup) pays nothing per iteration for the term
-    val dangR = nodesR.subtractByKey(adj)
+    val dangR = nodesR.subtractByKey(outTot)
     val hasDangling = !dangR.isEmpty()
     var rank = nodesR.mapValues(_ => 1.0 / n) // partitioner preserved
+    var lastCheckpointed: org.apache.spark.rdd.RDD[_] = null
     var i = 0
     while (i < iterations) {
+      // ONE narrow 4-way zip (all sides on `part`): stream the edges
+      // against per-partition rank/out-total maps, emit per-dst
+      // partial contributions plus the partition's dangling rank mass
+      // under a sentinel key → ONE shuffle on the same partitioner
+      val rankNow = rank
+      val contrib = adjE.zipPartitions(outTot, rankNow, dangR) {
+        (eit, tit, rit, dit) =>
+          val tot = new java.util.HashMap[Any, java.lang.Double]()
+          tit.foreach { case (s, t) => tot.put(s, Double.box(t)); () }
+          val rnk = new java.util.HashMap[Any, java.lang.Double]()
+          rit.foreach { case (node, r) => rnk.put(node, Double.box(r)); () }
+          var dangMass = 0.0
+          var sawDangling = false
+          dit.foreach { case (node, _) =>
+            sawDangling = true
+            dangMass += rnk.get(node).doubleValue()
+          }
+          val contribs = eit.map { case (s, (d, w)) =>
+            (d, rnk.get(s).doubleValue() * w / tot.get(s).doubleValue())
+          }
+          if (sawDangling) contribs ++ Iterator((DanglingMassKey: Any, dangMass))
+          else contribs
+      }.reduceByKey(part, _ + _)
       val base =
         if (!hasDangling) (1.0 - alpha) / n
         else {
-          val dang = rank.join(dangR).map(_._2._1).sum()
+          // the sentinel rides the round's own shuffle: `lookup` runs
+          // the map side once and reads ONE reduce partition; the full
+          // contribution pass below reuses those shuffle files
+          val dang = contrib.lookup(DanglingMassKey).headOption.getOrElse(0.0)
           (1.0 - alpha) / n + alpha * dang / n
         }
-      // narrow join (shared partitioner) → per-dst partial sums →
-      // ONE shuffle on the same partitioner
-      val contrib = adj.join(rank)
-        .values
-        .flatMap { case (outs, r) =>
-          outs.iterator.map { case (d, p) => (d, r * p) } }
-        .reduceByKey(part, _ + _)
-      rank = nodesR.leftOuterJoin(contrib) // narrow: both on `part`
+      val contribNodes =
+        if (hasDangling) contrib.filter(_._1 != DanglingMassKey) else contrib
+      rank = nodesR.leftOuterJoin(contribNodes) // narrow: both on `part`
         .mapValues { case (_, c) => base + alpha * c.getOrElse(0.0) }
       i += 1
-      if (i % checkpointEvery == 0 && i < iterations)
-        rank = { rank.localCheckpoint(); rank } // truncate lineage
+      if (i % checkpointEvery == 0 && i < iterations) {
+        rank.localCheckpoint()
+        rank.count() // force: a lazy checkpoint never truncates
+        if (lastCheckpointed != null) { lastCheckpointed.unpersist(); () }
+        lastCheckpointed = rank
+      }
     }
     spark.createDataFrame(
-      rank.map { case (node, r) => org.apache.spark.sql.Row(node, r) },
+      rank.map { case (node, r) => org.apache.spark.sql.Row(dec(node), r) },
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("node", nodeType),
         org.apache.spark.sql.types.StructField("rank",
           org.apache.spark.sql.types.DoubleType, nullable = false))))
+  }
+
+  /** Sentinel RDD key for the folded dangling-mass term of
+    * [[pageRank]] — equal only to itself, so it can never collide
+    * with a graph node of any type.
+    */
+  private case object DanglingMassKey extends Serializable
+
+  /** Partitioner over composite (node, …) keys that delegates to the
+    * shared node partitioner on the FIRST component only: a keyed
+    * aggregate on (node, label) then leaves every one of a node's
+    * rows in the node's home partition, so the per-node argmax that
+    * follows is partition-local — no second shuffle — and the result
+    * layout still zips narrowly against anything partitioned by the
+    * base partitioner.
+    */
+  private final class NodeKeyPartitioner(
+      base: org.apache.spark.HashPartitioner)
+      extends org.apache.spark.Partitioner {
+    override def numPartitions: Int = base.numPartitions
+    override def getPartition(key: Any): Int =
+      base.getPartition(key.asInstanceOf[(Any, Any)]._1)
+    override def equals(other: Any): Boolean = other match {
+      case p: NodeKeyPartitioner => p.numPartitions == numPartitions
+      case _ => false
+    }
+    override def hashCode: Int = 31 * numPartitions + 7
+  }
+
+  /** Re-encode a column value so it is usable as an RDD key: RDD
+    * groupBy/reduce/join key on JVM `hashCode`/`equals`, which for
+    * `Array[Byte]` (BinaryType) is IDENTITY-based — identical byte
+    * arrays from different rows would never group — and for boxed
+    * floating zeros distinguishes −0.0 from 0.0 where SQL equality
+    * does not. (All NaN bit patterns already collapse:
+    * `java.lang.Double.equals`/`hashCode` go through
+    * `doubleToLongBits`, which canonicalizes NaN.) Everything else
+    * (strings, integral types, decimals, dates) has value equality
+    * already and passes through unchanged.
+    */
+  private def rddKeyEncoder(
+      dt: org.apache.spark.sql.types.DataType): Any => Any = dt match {
+    case org.apache.spark.sql.types.BinaryType =>
+      v => v.asInstanceOf[Array[Byte]].toSeq // immutable ArraySeq: value equality
+    case org.apache.spark.sql.types.DoubleType =>
+      v => { val d = v.asInstanceOf[java.lang.Double].doubleValue()
+        if (d == 0.0) java.lang.Double.valueOf(0.0) else v }
+    case org.apache.spark.sql.types.FloatType =>
+      v => { val f = v.asInstanceOf[java.lang.Float].floatValue()
+        if (f == 0.0f) java.lang.Float.valueOf(0.0f) else v }
+    case _ => identity
+  }
+
+  /** Inverse of [[rddKeyEncoder]] for the output rows. */
+  private def rddKeyDecoder(
+      dt: org.apache.spark.sql.types.DataType): Any => Any = dt match {
+    case org.apache.spark.sql.types.BinaryType =>
+      v => v.asInstanceOf[Seq[Byte]].toArray
+    case _ => identity
   }
 
   /** KMV bottom-k distinct estimate per group
@@ -595,6 +700,29 @@ object Analytics {
       (lit(est) - col("exact_n")).as("overcount"))
   }
 
+  /** Unicode code-point (= binary UTF-8) string comparison — the
+    * ordering Catalyst and DuckDB use for string min/ORDER BY.
+    * `String.compareTo` is UTF-16 code-unit order, which disagrees
+    * whenever one side has a supplementary character (its surrogate
+    * units 0xD800–0xDFFF compare BELOW chars in 0xE000–0xFFFF, but
+    * the code point is above all of them). Standard fixup: remap the
+    * disputed ranges so surrogates sort above the rest of the BMP.
+    */
+  private[operators] def codePointCompare(a: String, b: String): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ca = a.charAt(i); val cb = b.charAt(i)
+      if (ca != cb) {
+        def fix(c: Char): Int =
+          if (c >= 0xE000) c - 0x800 else if (c >= 0xD800) c + 0x2000 else c.toInt
+        return fix(ca) - fix(cb)
+      }
+      i += 1
+    }
+    a.length - b.length
+  }
+
   /** Synchronous weighted label propagation (Raghavan et al. 2007,
     * the deterministic synchronous variant): every node starts as its
     * own community; each iteration every node adopts the label with
@@ -605,17 +733,38 @@ object Analytics {
     * detector for domain/citation graphs where PageRank answers
     * "importance" and this answers "which cluster".
     *
-    * Scale shape: one edge normalization, then per iteration ONE
-    * equi-join (neighbor labels) + ONE (node, label) aggregate + ONE
-    * per-node argmax via WindowGroupLimit-able row_number — all
-    * hash-exchanges on the node key, graph localCheckpoint'ed once
-    * like [[pageRank]].
+    * Scale shape (guide §2.4 — the [[pageRank]] treatment): the
+    * symmetrized edge list is built and checkpointed ONCE in
+    * Catalyst (possibly a many-table join), then the iteration runs
+    * over RDDs sharing one HashPartitioner: the adjacency is
+    * partitioned once by the NEIGHBOR endpoint and each round reads
+    * that partition's labels through a narrow zip (no join exchange,
+    * no re-shuffle of the graph), so the only per-round movement is
+    * the vote stream: ONE reduceByKey on (node, label) — map-side
+    * combined, and partitioned by the NODE component alone
+    * ([[NodeKeyPartitioner]]) so every vote for a node lands in that
+    * node's home partition and the argmax is a partition-local pass
+    * (per-partition state O(nodes), the same vertex-state budget as
+    * [[pageRank]]'s rank map; hot (node, label) pairs collapse
+    * map-side in the combine). The Catalyst form of this loop
+    * re-exchanged the whole transition matrix plus both aggregates
+    * every round (~2 exchanges × iterations of full-graph shuffle at
+    * 100 TB, and a scheduled AQE job each at toy scale).
+    *
+    * Argmax semantics are the exact restatement of
+    * `min(struct(-weight, label))`: highest total vote weight, ties
+    * to the smallest label in binary-UTF-8 order
+    * ([[codePointCompare]] — `String.compareTo` would diverge on
+    * supplementary characters). Vote totals sum doubles in shuffle
+    * arrival order exactly like the hash aggregate they replace;
+    * integer-valued weights (count graphs) sum exactly.
     *
     * Output: (node, label) after `iterations` rounds.
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, iterations: Int): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
+    val spark = edges.sparkSession
     val e = edges
       .filter(col(weightCol).isNotNull && col(weightCol) > 0 &&
         col(srcCol) =!= col(dstCol))
@@ -630,28 +779,70 @@ object Analytics {
         col("__w")))
       .groupBy(col("__a"), col("__b")).agg(sum(col("__w")).as("__w"))
       .localCheckpoint(true)
-    val nodes = und.select(col("__a").as("node")).distinct()
-      .localCheckpoint(true)
-    var labels = nodes.withColumn("label", col("node"))
+    val part = new org.apache.spark.HashPartitioner(
+      spark.sessionState.conf.numShufflePartitions)
+    // adjacency keyed by the NEIGHBOR (__b): each round reads b's
+    // label and votes (__a, label(b), w). Raw edge records — never
+    // grouped per key, so a hub's edge list streams through its task
+    // instead of materializing as one in-memory array
+    val adj = und.rdd
+      .map(r => (r.getString(1), (r.getString(0), r.getDouble(2))))
+      .partitionBy(part)
+    // node set on the SAME partitioner (distinct via reduceByKey);
+    // every node appears as __a AND __b (und is symmetric), so labels
+    // always cover every vote source
+    var labels = und.rdd
+      .map(r => (r.getString(0), ()))
+      .reduceByKey(part, (a, _) => a)
+      .mapPartitions(_.map { case (node, _) => (node, node) },
+        preservesPartitioning = true)
+    val votePart = new NodeKeyPartitioner(part)
     var i = 0
     while (i < iterations) {
-      val votes = und
-        .join(labels, und("__b") === labels("node"))
-        .groupBy(col("__a"), col("label"))
-        .agg(sum(col("__w")).as("__wv"))
-      // argmax-by-weight, ties → smallest label, as ONE aggregate:
-      // min over (−weight, label) is lexicographically exactly that
-      // ranking — no per-iteration window sort, and the (a,label) →
-      // (a) aggregates partial-combine map-side
-      labels = votes
-        .groupBy(col("__a"))
-        .agg(min(struct((-col("__wv")).as("nw"), col("label").as("label")))
-          .as("__best"))
-        .select(col("__a").as("node"), col("__best.label").as("label"))
+      val lbl = labels
+      // narrow zip (positional over the shared layout): per partition,
+      // the label map is O(nodes in partition); edges stream through
+      labels = adj.zipPartitions(lbl) { (eit, lit) =>
+        val m = new java.util.HashMap[String, String]()
+        lit.foreach { case (node, l) => m.put(node, l); () }
+        eit.map { case (b, (a, w)) => ((a, m.get(b)), w) }
+      }
+        // THE round's one shuffle: complete (node, label) vote totals,
+        // co-located by node (NodeKeyPartitioner hashes the node only)
+        .reduceByKey(votePart, _ + _)
+        // partition-local argmax — weight desc, ties label asc, the
+        // exact min(struct(-w, label)) rule
+        .mapPartitions { it =>
+          val best = new java.util.HashMap[String, (String, Double)]()
+          it.foreach { case ((a, l), w) =>
+            val cur = best.get(a)
+            if (cur == null || w > cur._2 ||
+              (w == cur._2 && codePointCompare(l, cur._1) < 0)) {
+              best.put(a, (l, w)); ()
+            }
+          }
+          val jit = best.entrySet().iterator()
+          new Iterator[(String, String)] {
+            def hasNext: Boolean = jit.hasNext
+            def next(): (String, String) = {
+              val e = jit.next(); (e.getKey, e.getValue._1)
+            }
+          }
+        }
       i += 1
-      if (i % 5 == 0 && i < iterations) labels = labels.localCheckpoint(true)
+      if (i % 5 == 0 && i < iterations) {
+        labels.localCheckpoint()
+        labels.count() // force: a lazy checkpoint never truncates
+        ()
+      }
     }
-    labels
+    spark.createDataFrame(
+      labels.map { case (node, l) => org.apache.spark.sql.Row(node, l) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("label",
+          org.apache.spark.sql.types.StringType))))
   }
 
   /** Count–min point estimates for a fixed probe list

@@ -82,4 +82,85 @@ class PageRankSpec extends SparkSpec {
     val edges = Seq(("a", "b", 0L)).toDF("src", "dst", "w")
     assert(Analytics.pageRank(edges, "src", "dst", "w", 3).count() == 0)
   }
+
+  test("planted hub: a supernode's out-edges stream in chunks — ranks match the dense closed recursion") {
+    // one hub fanning out to 2000 spokes that all link back: the shape
+    // that OOMs a groupByKey-array adjacency at crawl scale. The edge
+    // stream must produce EXACTLY the ranks of a dense reference
+    // recursion (contributions are additive, so no semantic drift is
+    // tolerated).
+    val k = 2000
+    val alpha = 0.85
+    val iters = 3
+    val edges = (1 to k).flatMap(i => Seq(("hub", s"s$i", 1L), (s"s$i", "hub", 1L)))
+    val r = ranks(edges, iters = iters, alpha = alpha)
+    // reference: n = k+1 nodes, no dangling; spokes are symmetric
+    val n = (k + 1).toDouble
+    var hub = 1.0 / n
+    var spoke = 1.0 / n
+    for (_ <- 1 to iters) {
+      val hubNext = (1 - alpha) / n + alpha * (spoke * k) // every spoke's whole mass
+      val spokeNext = (1 - alpha) / n + alpha * (hub / k) // hub splits k ways
+      hub = hubNext; spoke = spokeNext
+    }
+    assert(math.abs(r("hub") - hub) < 1e-9, s"hub: ${r("hub")} vs $hub")
+    assert(math.abs(r("s1") - spoke) < 1e-9, s"spoke: ${r("s1")} vs $spoke")
+    assert(math.abs(r.values.sum - 1.0) < 1e-9, "mass conserved")
+  }
+
+  test("binary node ids group by VALUE, not array identity") {
+    // BinaryType endpoints: every row constructs fresh Array[Byte]
+    // instances, whose hashCode/equals are identity-based — an RDD
+    // keyed on the raw arrays would treat equal ids as distinct nodes
+    // and silently mis-rank. The key re-encoding must restore value
+    // semantics: a 2-cycle of byte-array nodes is the uniform fixpoint.
+    val edges = Seq(
+      (Array[Byte](1, 2), Array[Byte](3, 4), 1L),
+      (Array[Byte](1, 2), Array[Byte](3, 4), 1L), // same edge, fresh arrays
+      (Array[Byte](3, 4), Array[Byte](1, 2), 1L)
+    ).toDF("src", "dst", "w")
+    val out = Analytics.pageRank(edges, "src", "dst", "w", iterations = 5)
+      .collect().map(r => r.getAs[Array[Byte]](0).toSeq -> r.getDouble(1)).toMap
+    assert(out.size == 2, s"two distinct byte-value nodes expected: $out")
+    assert(math.abs(out(Seq[Byte](1, 2)) - 0.5) < 1e-12 &&
+      math.abs(out(Seq[Byte](3, 4)) - 0.5) < 1e-12,
+      s"2-cycle fixpoint must be uniform: $out")
+  }
+
+  test("null endpoints are dropped (the Catalyst equi-join rule), not treated as a node") {
+    val edges = Seq(
+      (Some("a"), Some("b"), 1L), (Some("b"), Some("a"), 1L),
+      (None, Some("a"), 99L), (Some("b"), None, 99L)
+    ).toDF("src", "dst", "w")
+    val r = Analytics.pageRank(edges, "src", "dst", "w", iterations = 4)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r.keySet == Set("a", "b"), s"null endpoints must not rank: $r")
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+
+  test("labelPropagation: hub vote totals match the dense per-round argmax (reference recursion)") {
+    // 60-spoke hub with weighted spokes; reference implementation runs
+    // the exact min(struct(-w, label)) rule densely in plain Scala
+    val edges = (1 to 60).map(i => ("hub", f"s$i%02d", (i % 7 + 1).toLong)) ++
+      (1 to 59).map(i => (f"s$i%02d", f"s${i + 1}%02d", 2L))
+    val got = lprop(edges, iters = 3)
+    // dense reference: undirected adjacency with summed weights
+    val und = scala.collection.mutable.Map[(String, String), Double]()
+    edges.foreach { case (a, b, w) =>
+      und((a, b)) = und.getOrElse((a, b), 0.0) + w.toDouble
+      und((b, a)) = und.getOrElse((b, a), 0.0) + w.toDouble
+    }
+    val nodes = und.keys.map(_._1).toSeq.distinct.sorted
+    var lbl = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lbl = nodes.map { a =>
+        val votes = scala.collection.mutable.Map[String, Double]()
+        und.foreach { case ((x, b), w) =>
+          if (x == a) votes(lbl(b)) = votes.getOrElse(lbl(b), 0.0) + w
+        }
+        a -> votes.toSeq.minBy { case (l, w) => (-w, l) }._1
+      }.toMap
+    }
+    assert(got == lbl, s"RDD loop diverged from the dense argmax:\n$got\nvs\n$lbl")
+  }
 }

@@ -294,6 +294,23 @@ class PlanAudit extends SparkSpec {
       s"iteration joins live in the partitioned RDD loop, not the final plan:\n$p")
   }
 
+  test("q126: label propagation iterates in the partitioned RDD loop, never a Catalyst join ladder") {
+    val p = plan("q126_lprop")
+    // the rounds run over RDDs sharing one HashPartitioner (one vote
+    // shuffle per round, narrow zips) — the query plan must be nothing
+    // but the final label RDD's scan + the gate's sort: NOT a
+    // re-derivation of the edge join, and no per-iteration
+    // SortMergeJoin/HashAggregate ladder (the pre-r17 shape:
+    // ~2 exchanges × 3 iterations of full-graph re-shuffle)
+    assert(p.linesIterator.count(_.contains("ExistingRDD")) == 1,
+      s"the final plan reads exactly the label RDD:\n$p")
+    assert(!p.contains("FileScan parquet"),
+      s"no per-iteration re-scan of the fact tables:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"iteration joins live in the partitioned RDD loop, not the final plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs in label propagation:\n$p")
+  }
+
   test("q106: temperature quotas plan with WindowGroupLimit (heap, not full stratum sort)") {
     val p = plan("q106_temp")
     assert(p.contains("WindowGroupLimit"),
