@@ -573,23 +573,23 @@ object Dedup {
     */
   private[graft] def hammingClassPairs(sigs: DataFrame,
       maxHamming: Int, bands: Int, maxBucketSize: Int): DataFrame = {
-    // reps AND twins from ONE window pass partitioned by the
-    // signature (no second join, no extra checkpoint): each row
-    // learns its signature's min id; the min-id row IS the
-    // representative, every other row becomes a twin edge to it. The
-    // identical subplan feeding the banded join's two sides and the
-    // twin filter dedupes as a ReusedExchange under AQE — a
-    // localCheckpoint here would cost a finalization job per call
-    // (mixedDedupCorpus pays per modality) for zero saved work, since
-    // `sigs` itself is the caller-checkpointed frame.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+    // reps from groupBy(sh).agg(min(id)) + an equi-join back (§2.5):
+    // the aggregate PARTIAL-COMBINES map-side, so a mega twin class
+    // (the meme shape) reaches its reducer as one row per map task,
+    // and the join-back is an equi-join AQE's skew handling can split
+    // — where the previous window-by-sh form funneled the entire hot
+    // class through ONE task's sort (WindowExec spills, but cannot be
+    // split). No checkpoint anywhere: `sigs` is the
+    // caller-checkpointed frame, so the double reference (aggregate
+    // side + probe side) re-reads cached blocks, not the decode.
     // defensive null drop: the internal signature producers already
     // filter null hashes, but a caller-supplied frame (the
     // precomputedSigs path) that skipped it would otherwise see the
-    // null PARTITION become one giant twin class — where the banded
+    // null class become one giant twin class — where the banded
     // join this replaces silently dropped nulls (null keys never join)
-    val marked = sigs.filter(col("sh").isNotNull)
-      .withColumn("__rep", min(col("id")).over(w))
+    val nn = sigs.filter(col("sh").isNotNull)
+    val marked = nn.join(
+      nn.groupBy(col("sh")).agg(min(col("id")).as("__rep")), Seq("sh"))
     val reps = marked.filter(col("id") === col("__rep"))
       .select(col("id"), col("sh"))
     val crossPairs = simhashNearDuplicatesFromSigs(
@@ -786,16 +786,48 @@ object Dedup {
   def incrementalHammingNearDuplicates(allSigs: DataFrame,
       newSigs: DataFrame, maxHamming: Int = 6, bands: Int = 8,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    // Identical-signature collapse on the FULL side, EXACT-OUTPUT form
+    // (guide §2.3 — shuffle fewer bytes; §8 — decide on lightweight
+    // proxies, attach the heavy expansion once): k identical-signature
+    // twins (memes, re-uploads) collide in EVERY band, so the naive
+    // per-bucket join emitted bands × k_full × k_new rows into the
+    // pair-dedup exchange. Identical signatures land in IDENTICAL
+    // buckets, so the bucket join only needs each DISTINCT full-side
+    // signature once per bucket; the full-side member ids are attached
+    // AFTER the band dedup, once per surviving (signature, new-row)
+    // match — k_full × k_new output rows, never multiplied by the band
+    // count. The result is row-for-row identical to the direct join
+    // (the cap still counts full-side ROWS per bucket, and a bucket is
+    // dropped whole, so same-signature rows participate exactly when
+    // their signature does); DurableIndexSpec locks the
+    // full(old) ∪ incremental == full(all) identity AND a planted-twin
+    // brute-force equality.
     val bAll = capBucketsPartitioned(simhashBanded(allSigs, bands),
       Seq("band", "chunk"), maxBucketSize)
-      .select(col("band"), col("chunk"),
-        col("id").as("__idf"), col("sh").as("__shf"))
+    // distinct signatures per bucket: the grouping keys extend the
+    // bucket keys, so the aggregate rides the pinned (band, chunk)
+    // partitioning — no extra exchange of the full side; twins
+    // collapse map-side
+    val repsAll = bAll.select(col("band"), col("chunk"),
+      col("sh").as("__shf")).distinct()
     val bNew = simhashBanded(newSigs, bands)
       .select(col("band"), col("chunk"),
         col("id").as("__idn"), col("sh").as("__shn"))
-    bAll.join(bNew, Seq("band", "chunk"))
-      .filter(col("__idf") =!= col("__idn") &&
-        bit_count(col("__shf").bitwiseXOR(col("__shn"))) <= maxHamming)
+    // Hamming gate at join time; band-dedup the (signature, new-row)
+    // matches BEFORE expanding full-side member ids. Pinned on the
+    // expansion key: the dedup aggregate's grouping keys extend
+    // (__shf), so it rides this exchange, and the member-id join
+    // below reuses the same partitioning — one exchange, not two.
+    val sigMatches = pinJoinParallelism(
+        repsAll.join(bNew, Seq("band", "chunk"))
+          .filter(bit_count(col("__shf").bitwiseXOR(col("__shn"))) <= maxHamming)
+          .select(col("__shf"), col("__idn"), col("__shn")),
+        Seq("__shf"))
+      .distinct()
+    sigMatches
+      .join(allSigs.select(col("id").as("__idf"), col("sh").as("__shf")),
+        Seq("__shf"))
+      .filter(col("__idf") =!= col("__idn"))
       .select(least(col("__idf"), col("__idn")).as("id_a"),
         greatest(col("__idf"), col("__idn")).as("id_b"),
         bit_count(col("__shf").bitwiseXOR(col("__shn"))).as("hamming"))

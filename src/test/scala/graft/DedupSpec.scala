@@ -895,4 +895,34 @@ class DedupSpec extends SparkSpec {
       s"collapsed class map must equal the full-pair class map\nfull=$full\ncollapsed=$collapsed")
     assert(full.nonEmpty, "the planted corpus must produce duplicate classes")
   }
+
+  test("hammingClassPairs under a BINDING bucket cap classes strictly MORE rows, never fewer") {
+    import spark.implicits._
+    // When the hot-bucket cap binds, the collapse counts DISTINCT
+    // signatures where the full join counted rows — so a bucket that
+    // is hot only because of twins survives for the class consumers
+    // (the incrementalHammingNearDuplicates cap-direction precedent).
+    // Locked here as the documented superset direction: every id the
+    // full capped form classes stays classed, and twin-heavy buckets
+    // gain classes.
+    val twins = (0L until 30L).map(id => (id, 0x1234567890ABCDEFL))
+    val near = Seq((100L, 0x1234567890ABCDEEL)) // Hamming 1 from the twins
+    val far = Seq((200L, 0x0F0F0F0F0F0F0F0FL)) // unrelated isolate
+    val sigs = (twins ++ near ++ far).toDF("id", "sh").localCheckpoint(false)
+    def classedIds(pairs: org.apache.spark.sql.DataFrame): Set[Long] =
+      Dedup.connectedComponents(pairs.select(col("id_a"), col("id_b")))
+        .collect().map(_.getLong(0)).toSet
+    // cap = 10 binds: every bucket holding the 31 twin/near rows is
+    // over cap for the FULL join (rows), under cap for the collapse
+    // (2 distinct signatures)
+    val fullCapped = classedIds(Dedup.simhashNearDuplicatesFromSigs(
+      sigs, maxHamming = 6, bands = 8, maxBucketSize = 10))
+    val collapsedCapped = classedIds(Dedup.hammingClassPairs(
+      sigs, maxHamming = 6, bands = 8, maxBucketSize = 10))
+    assert(fullCapped.subsetOf(collapsedCapped),
+      s"cap direction must be a superset: full=$fullCapped collapsed=$collapsedCapped")
+    assert(fullCapped.isEmpty, "the planted bucket must actually over-cap the full join")
+    assert(collapsedCapped == (0L until 30L).toSet + 100L,
+      s"twin class + its near neighbor must survive the cap via the collapse: $collapsedCapped")
+  }
 }

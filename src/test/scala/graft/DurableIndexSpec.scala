@@ -153,6 +153,49 @@ class DurableIndexSpec extends SparkSpec {
       s"old-vs-old must never re-pair: $incr")
   }
 
+  test("incremental Hamming pairs with identical-signature twins equal the brute-force join row-for-row") {
+    import spark.implicits._
+    // The collapse-then-expand candidate generation must be an EXACT
+    // restatement of the direct banded join — pair multiplicity is a
+    // spec'd surface (the streaming store persists these rows). Plant
+    // the meme shape it exists for: identical-signature twin classes
+    // on both sides, plus near pairs and isolates.
+    val rnd = new scala.util.Random(7)
+    def flip(h: Long, bits: Int): Long =
+      (0 until bits).foldLeft(h)((x, _) => x ^ (1L << rnd.nextInt(64)))
+    val classHash = Array.fill(4)(rnd.nextLong())
+    // full store: 3 twin classes of 6 + 10 isolates (ids 0..27)
+    val full = (0 until 18).map(i => (i.toLong, classHash(i % 3))) ++
+      (18 until 28).map(i => (i.toLong, rnd.nextLong()))
+    // batch: twins of class 0 and a NEW twin class, a near-dup of
+    // class 1, isolates; batch ids overlap nothing
+    val batch = (100 until 105).map(i => (i.toLong, classHash(0))) ++
+      (110 until 114).map(i => (i.toLong, classHash(3))) ++
+      Seq((120L, flip(classHash(1), 2)), (121L, rnd.nextLong()))
+    val allDf = (full ++ batch).toDF("id", "sh")
+    val newDf = batch.toDF("id", "sh")
+    val got = Dedup.incrementalHammingNearDuplicates(allDf, newDf,
+        maxHamming = 6, bands = 8, maxBucketSize = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute-force reference: new-vs-anything sharing >= 1 band chunk,
+    // Hamming <= 6, least/greatest ids, distinct
+    def chunks(sh: Long): Seq[Long] =
+      (0 until 8).map(b => (sh >>> (b * 8)) & 0xFFL)
+    val expect = (for {
+      (idn, shn) <- batch
+      (idf, shf) <- full ++ batch
+      if idf != idn
+      if chunks(shf).zip(chunks(shn)).exists { case (a, b) => a == b }
+      if java.lang.Long.bitCount(shf ^ shn) <= 6
+    } yield (math.min(idf, idn), math.max(idf, idn),
+      java.lang.Long.bitCount(shf ^ shn))).toSet
+    assert(got === expect,
+      s"missing=${expect -- got}\nextra=${got -- expect}")
+    // the twin classes really exercise the collapse: class 0 alone
+    // must contribute 6 full-store twins x 5 batch twins + C(5,2)
+    assert(expect.count(p => p._3 == 0 && (p._1 < 18 || p._1 >= 100)) >= 40)
+  }
+
   test("IVF layout append: probe(layout ∪ batch) == probe(rebuilt layout), old partitions untouched") {
     import graft.operators.Similarity
     val emb = graft.core.Engine.table(spark, sfDir, "embeddings")

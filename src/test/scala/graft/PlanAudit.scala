@@ -486,7 +486,7 @@ class PlanAudit extends SparkSpec {
       Thread.sleep(500) // listener delivery is async (JobTrace precedent)
     } finally spark.sparkContext.removeSparkListener(l)
     val jobs = counter.get()
-    assert(jobs <= 24,
+    assert(jobs <= 20,
       s"corpus-scale image dedup must stay within its job budget: $jobs")
     assert(jobs >= 5, s"listener must have observed the pipeline: $jobs")
   }
@@ -531,7 +531,7 @@ class PlanAudit extends SparkSpec {
       out
     } finally spark.sparkContext.removeSparkListener(l)
     val jobs = counter.get()
-    assert(jobs <= 24, s"cover-art linking must stay within its job budget: $jobs")
+    assert(jobs <= 20, s"cover-art linking must stay within its job budget: $jobs")
     assert(jobs >= 4, s"listener must have observed the pipeline: $jobs")
     assert(rows.length == 14, "one row per art class")
     rows.foreach { r =>
@@ -623,7 +623,7 @@ class PlanAudit extends SparkSpec {
       out
     } finally spark.sparkContext.removeSparkListener(l)
     val jobs = counter.get()
-    assert(jobs <= 40,
+    assert(jobs <= 36,
       s"incremental art-link replay must stay within its job budget: $jobs")
     assert(jobs >= 4, s"listener must have observed the pipeline: $jobs")
     assert(rows.length == 7, "one row per art class")
@@ -653,7 +653,7 @@ class PlanAudit extends SparkSpec {
         out
       } finally spark.sparkContext.removeSparkListener(l)
       val jobs = counter.get()
-      assert(jobs <= 24, s"$qname must stay within its job budget: $jobs")
+      assert(jobs <= 20, s"$qname must stay within its job budget: $jobs")
       assert(jobs >= 4, s"$qname: listener must have observed the pipeline: $jobs")
       assert(rows.length == mod, s"$qname: one row per residue class")
       rows.foreach { r =>
