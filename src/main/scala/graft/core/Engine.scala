@@ -28,6 +28,15 @@ object Engine {
     * engine code is identical.
     */
   def session(appName: String = "graft", cores: Int = 32): SparkSession = {
+    // JVM-global engine configuration belongs where the JVM is set up:
+    // ImageIO's default stream cache is FILE-backed (a temp file
+    // created and deleted per image encode/decode); every media kernel
+    // here works from in-memory bytes, so memory-cached streams are a
+    // byte-identical I/O-path switch. Multimodal's initializer also
+    // sets this on classload (covering library use without Engine),
+    // but the session builder is the documented home for process-wide
+    // engine state.
+    javax.imageio.ImageIO.setUseCache(false)
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)

@@ -1449,29 +1449,37 @@ object Dedup {
       .select(col(idCol), posexplode(CatalystExpressions.windowFingerprints(
         CatalystExpressions.tokenHashes(col(textCol)), windowTokens)))
       .toDF(idCol, "pos", "__fp")
-    // ONE pinned exchange on the fingerprint feeds BOTH consumers
-    // (guide §2.4 — two operations keyed the same way share one
-    // exchange): the occurrence stats ride it as a co-partitioned
-    // aggregate and the flag join probes it as a ReusedExchange, so
-    // the tokenize+fingerprint explode — the dominant CPU of the
-    // whole query — runs ONCE. The previous shape referenced `win`
-    // twice (aggregate subtree + probe subtree), re-tokenizing the
-    // corpus, and at real scale its broadcast stats side degrades to
-    // a sort-merge join that re-exchanges the token stream a third
-    // time.
-    val winP = pinJoinParallelism(win, Seq("__fp"))
+    // `win` is referenced twice (stats subtree + probe subtree), so
+    // the tokenize+fingerprint explode runs twice — measured ~2 s of
+    // parallel CPU per pass at sf0.1. A pinned __fp exchange feeding
+    // both consumers (one explode, ReusedExchange, co-partitioned
+    // merge join) was built and A/B'd: the exchange BARRIER on the
+    // full window stream cost more wall than the duplicated parallel
+    // explode saves (q94 0.84 → 0.90 s warm, q95 0.76 → 1.09 s, and
+    // +0.3 s each cold in the bench), so the two-subtree shape stays:
+    // the join side stays planner-chosen and degrades to a sort-merge
+    // join at real scale (where the second explode is the price of no
+    // barrier — revisit only with a cluster measurement). The planner
+    // may even broadcast the WINDOW STREAM side at toy scale; that is
+    // bounded by construction — the fanout-blind estimate it acts on
+    // is the pre-explode input size (≤ the 10 MB threshold), which
+    // caps the true exploded stream at a comfortably broadcastable
+    // ~5× that.
+    val winP = win
     // Corpus-first occurrence per fingerprint WITHOUT min(struct(..)):
     // a struct-typed aggregation buffer forces SortAggregate, and a
     // SortAggregate stage falls out of whole-stage codegen entirely —
     // the interpreted volcano path was measured at ~6.5 µs/row over
     // the full window stream (12.5 s CPU at sf0.1, the query's
     // dominant stage). Restated as two chained HASH aggregates with
-    // primitive buffers (count/min/min_by), both riding the pinned
-    // __fp exchange: (fp, id) → per-doc count + min pos, then fp →
-    // total count + lexicographic first via min(id) + min_by(minpos,
-    // id) (ids are unique per group after level 1, so min_by has no
-    // tie). A null id sorts FIRST in the struct ordering this
-    // replaces; the null aggregates reproduce that exactly.
+    // primitive buffers (count/min/min_by): (fp, id) → per-doc count
+    // + min pos, then fp → total count + lexicographic first via
+    // min(id) + min_by(minpos, id) (ids are unique per group after
+    // level 1, so min_by has no tie). A null id sorts FIRST in the
+    // struct ordering this replaces; the null aggregates reproduce
+    // that exactly. The flag filter below is all-primitive for the
+    // same reason — the struct inequality it replaced ran interpreted
+    // on every joined row (~10 s CPU at sf0.1).
     val perDoc = winP.groupBy(col("__fp"), col(idCol))
       .agg(count(lit(1)).as("__c"), min(col("pos")).as("__mp"))
     val stats = perDoc.groupBy(col("__fp"))
@@ -1484,14 +1492,7 @@ object Dedup {
     val isFirst =
       when(col("__hasnull"), col(idCol).isNull && col("pos") === col("__pnull"))
         .otherwise(col(idCol) === col("__d0") && col("pos") === col("__p0"))
-    // deliberate join strategy (§3.1): Catalyst's fanout-blind size
-    // estimate of the exploded stream undercuts the broadcast
-    // threshold and it BROADCASTS the window stream as the build side
-    // (measured: 18 s of build CPU at sf0.1; at scale it would be a
-    // corpus-token-stream broadcast). Both sides are already hash
-    // partitioned by __fp — the merge hint keeps the join on those
-    // two co-partitioned inputs with no exchange and no broadcast.
-    val flagged = winP.join(stats.hint("merge"), Seq("__fp"))
+    val flagged = winP.join(stats, Seq("__fp"))
       .filter(if (keepFirst) !isFirst else lit(true))
       .select(col(idCol), col("pos"))
     mergeSpans(flagged, idCol, windowTokens)
