@@ -605,11 +605,22 @@ object TextOps {
     // parallelism once so a single-split local table doesn't
     // serialize the tokenization (no-op at scale)
     val src = Scale.parallelismFloor(df)
+    // Each count aggregate is materialized ONCE: `uni` has three
+    // consumers (w1 attach, w2 attach, U total) and `bi0` two (the
+    // filtered pair table, B total), and the join-key isnotnull
+    // constraints Catalyst infers push BELOW the aggregates on the
+    // join branches only — the exchange subtrees stop being identical
+    // and ReuseExchange cannot fire, so the un-checkpointed form
+    // re-exploded and re-aggregated the corpus FIVE times (measured:
+    // two 5 s-CPU bigram stages + three unigram stages at sf0.1).
+    // Both frames are vocabulary-sized — checkpointing them is cheap.
     val uni = src.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      .localCheckpoint(false)
     val uniTotal = uni.agg(sum(col("cw")).cast("double").as("__u"))
     val bi0 = src.select(explode(grams).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("cab"))
+      .localCheckpoint(false)
     val biTotal = bi0.agg(sum(col("cab")).cast("double").as("__b"))
     val bi = bi0.filter(col("cab") >= minCount)
     val withW = joinSingleton(joinSingleton(bi
