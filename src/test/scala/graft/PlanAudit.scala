@@ -174,6 +174,12 @@ class PlanAudit extends SparkSpec {
     // the ONLY nested-loop joins are the two one-row corpus-total
     // singletons (U, B) — same shape Spark plans for scalar subqueries
     assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 2, p)
+    // each count aggregate is materialized ONCE: every consumer reads
+    // the checkpointed frame, so the final plan carries NO explode at
+    // all (the un-checkpointed form re-exploded the corpus five times
+    // — join-branch isnotnull inference broke exchange identity)
+    assert(!p.contains("Generate"),
+      s"tokenize/explode must run once inside the checkpoint builds:\n$p")
   }
 
   test("q94: substring dedup scans pruned to (doc_id, text); stats join stays equi") {
